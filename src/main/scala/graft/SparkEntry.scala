@@ -1,13 +1,710 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import graft.expr.Expr
+import graft.functions.{Text, Vectors}
+import graft.operators.{Accumulate, AsOf, Dedup, Sessionize, Similarity}
+import graft.sources.Tables
+import graft.stream.DataStream
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Driver contract — the oracle-checked query inventory (SURVEY.md §2).
+  *
+  * Determinism rules for hash-parity with the DuckDB oracle (FIXTURES.md):
+  *  - Money/measure sums go through cents-as-BIGINT (`round(x*100)` per row,
+  *    then integer sum) — exact under any partitioning/aggregation order;
+  *    a raw double sum is order-dependent in the last ulps and would flake.
+  *  - Ratios/averages are single double divisions of exact integers — IEEE
+  *    deterministic on both engines.
+  *  - All hashing is md5-over-strings — identical hex on both engines.
+  *  - `events.ts` is nanosecond parquet; both engines are compared at epoch
+  *    milliseconds (BIGINT) to dodge ns/µs truncation differences.
+  *  - Every query ends in a total ORDER BY.
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
-  def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+
+  private val C = "cast(round(%s * 100) as bigint)" // cents helper (SQL side)
+  private def cents(c: Column): Column = round(c * 100).cast("long")
+
+  /** Flagship query (driver smoke-checks rows>0 on sf0.001): revenue per
+    * region-nation — a 5-table star join with the two small dims broadcast,
+    * partial-agg'd on the fact side before the exchange. */
+  def entry(spark: SparkSession): DataFrame = {
+    val dir = "/root/testdata/sf0.001"
+    val li = Tables.lineitem(spark, dir)
+    val o = Tables.orders(spark, dir)
+    val c = Tables.customer(spark, dir)
+    val n = Tables.nation(spark, dir)
+    val r = Tables.region(spark, dir)
+    li.join(o, li("l_orderkey") === o("o_orderkey"))
+      .join(c, o("o_custkey") === c("c_custkey"))
+      .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+      .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
+      .groupBy(col("r_name"), col("n_name"))
+      .agg(
+        sum(cents(col("l_extendedprice") * (lit(1.0) - col("l_discount")))).as("revenue_c"),
+        count(lit(1)).as("n_items"))
+      .orderBy(col("r_name"), col("n_name"))
+  }
+
+  /** One entry per implemented operator/capability from SURVEY.md §2. */
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // ---- core relational surface (SURVEY §2.4) ----
+    "q01_group_agg" -> q01,
+    "q02_filter_pushdown" -> q02,
+    "q03_join_agg" -> q03,
+    "q04_topk" -> q04,
+    "q05_semi_join" -> q05,
+    "q06_anti_join" -> q06,
+    "q07_set_ops" -> q07,
+    "q08_distinct_agg" -> q08,
+    "q09_window_topn" -> q09,
+    "q10_running_sum" -> q10,
+    "q11_lag_lead" -> q11,
+    "q12_rollup" -> q12,
+    "q27_cube" -> q27,
+    "q26_json" -> q26,
+    // ---- reference dataflow algebra via the DataStream facade (SURVEY §2.1) ----
+    "q13_wordcount" -> q13,
+    "q14_tumbling_agg" -> q14,
+    "q15_sliding_agg" -> q15,
+    "q16_session_agg" -> q16,
+    "q29_map_accumulate" -> q29,
+    // ---- training-data pipeline operators ----
+    "q17_dedup_exact" -> q17,
+    "q18_minhash_lsh" -> q18,
+    "q19_simhash" -> q19,
+    "q20_ngram_jaccard" -> q20,
+    "q21_cosine_topk" -> q21,
+    "q22_ann_lsh" -> q22,
+    "q23_langid" -> q23,
+    "q24_quality" -> q24,
+    "q25_asof_join" -> q25,
+    "q28_multimodal" -> q28,
+    "q30_approx_distinct" -> q30,
+  )
+
+  // =====================================================================
+  // Query implementations
+  // =====================================================================
+
+  /** TPC-H Q1 shape: single-pass grouped aggregation over the fact table.
+    * Partial (map-side) agg → tiny shuffle of 4-ish groups. */
+  private def q01(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir)
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        sum(cents(col("l_quantity"))).as("sum_qty_c"),
+        sum(cents(col("l_extendedprice"))).as("sum_price_c"),
+        sum(cents(col("l_extendedprice") * (lit(1.0) - col("l_discount")))).as("sum_disc_price_c"),
+        count(lit(1)).as("n_rows"))
+      .orderBy(col("l_returnflag"), col("l_linestatus"))
+
+  /** TPC-H Q6 shape: selective filter + global agg. The predicate and the
+    * 4-column projection must reach the parquet scan (PushedFilters). */
+  private def q02(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir)
+      .where(col("l_shipdate") >= lit(java.sql.Timestamp.valueOf("1996-01-01 00:00:00")) &&
+        col("l_shipdate") < lit(java.sql.Timestamp.valueOf("1998-01-01 00:00:00")) &&
+        col("l_discount") >= 0.05 && col("l_quantity") < 25.0)
+      .agg(
+        sum(round(col("l_extendedprice") * col("l_discount") * 10000).cast("long")).as("revenue_e4"),
+        count(lit(1)).as("n_rows"))
+
+  /** Star join: fact orders ⋈ customer, nation broadcast. */
+  private def q03(s: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(s, dir)
+    val c = Tables.customer(s, dir)
+    val n = Tables.nation(s, dir)
+    o.join(c, o("o_custkey") === c("c_custkey"))
+      .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+      .groupBy(col("n_name"))
+      .agg(sum(cents(col("o_totalprice"))).as("revenue_c"), count(lit(1)).as("n_orders"))
+      .orderBy(col("n_name"))
+  }
+
+  /** Top-k by aggregate: sort + limit after a keyed agg (deterministic
+    * tie-break on the key). */
+  private def q04(s: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(s, dir)
+    val c = Tables.customer(s, dir)
+    o.groupBy(col("o_custkey"))
+      .agg(sum(cents(col("o_totalprice"))).as("revenue_c"))
+      .join(c, col("o_custkey") === c("c_custkey"))
+      .select(col("c_custkey"), col("c_name"), col("revenue_c"))
+      .orderBy(col("revenue_c").desc, col("c_custkey").asc)
+      .limit(10)
+  }
+
+  /** Semi join (EXISTS). */
+  private def q05(s: SparkSession, dir: String): DataFrame = {
+    val c = Tables.customer(s, dir)
+    val big = Tables.orders(s, dir).where(col("o_totalprice") > 200000.0)
+    c.join(big, c("c_custkey") === big("o_custkey"), "left_semi")
+      .select(col("c_custkey"), col("c_mktsegment"))
+      .orderBy(col("c_custkey"))
+  }
+
+  /** Anti join (NOT EXISTS). */
+  private def q06(s: SparkSession, dir: String): DataFrame = {
+    val c = Tables.customer(s, dir)
+    val o = Tables.orders(s, dir)
+    c.join(o, c("c_custkey") === o("o_custkey"), "left_anti")
+      .select(col("c_custkey"), col("c_name"))
+      .orderBy(col("c_custkey"))
+  }
+
+  /** Set operations: INTERSECT and EXCEPT with a tag, unioned. */
+  private def q07(s: SparkSession, dir: String): DataFrame = {
+    val building = Tables.customer(s, dir)
+      .where(col("c_mktsegment") === "BUILDING").select(col("c_custkey").as("k"))
+    val withOrders = Tables.orders(s, dir).select(col("o_custkey").as("k")).distinct()
+    building.intersect(withOrders).withColumn("tag", lit("has_orders"))
+      .union(building.except(withOrders).withColumn("tag", lit("no_orders")))
+      .orderBy(col("tag"), col("k"))
+  }
+
+  /** Exact distinct aggregation (count_distinct expands to two-phase agg). */
+  private def q08(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir)
+      .groupBy(col("l_suppkey"))
+      .agg(
+        countDistinct(col("l_partkey")).as("n_parts"),
+        countDistinct(col("l_orderkey")).as("n_orders"),
+        count(lit(1)).as("n_rows"))
+      .orderBy(col("l_suppkey"))
+
+  /** Analytic window function: top-3 orders per customer by rank. */
+  private def q09(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+    Tables.orders(s, dir)
+      .withColumn("rn", row_number().over(w))
+      .where(col("rn") <= 3)
+      .select(col("o_custkey"), col("rn"), col("o_orderkey"), cents(col("o_totalprice")).as("price_c"))
+      .orderBy(col("o_custkey"), col("rn"))
+  }
+
+  /** Running (prefix) sum per user — the distributed MapAccumulate
+    * (SURVEY §2.1 #5) as an unbounded-preceding window frame. */
+  private def q10(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+      .select(col("event_id"), col("user_id"), col("ts"), cents(col("value")).as("vc"))
+    Accumulate.runningSum(ev, col("vc"),
+        Seq(col("user_id")), Seq(col("ts").asc, col("event_id").asc), "running_c")
+      .select(col("event_id"), col("user_id"), col("running_c"))
+      .orderBy(col("event_id"))
+  }
+
+  /** lag/lead analytics per user. */
+  private def q11(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts").asc, col("event_id").asc)
+    Tables.events(s, dir)
+      .select(col("event_id"), col("user_id"),
+        coalesce(lag(col("event_id"), 1).over(w), lit(-1L)).as("prev_event_id"),
+        coalesce(lead(col("event_id"), 1).over(w), lit(-1L)).as("next_event_id"),
+        coalesce(unix_millis(col("ts")) - unix_millis(lag(col("ts"), 1).over(w)), lit(-1L)).as("gap_ms"))
+      .orderBy(col("event_id"))
+  }
+
+  /** ROLLUP grouping sets. */
+  private def q12(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir)
+      .rollup(col("l_returnflag"), col("l_linestatus"))
+      .agg(sum(cents(col("l_quantity"))).as("sum_qty_c"), count(lit(1)).as("n_rows"))
+      .select(
+        coalesce(col("l_returnflag"), lit("ALL")).as("flag"),
+        coalesce(col("l_linestatus"), lit("ALL")).as("status"),
+        col("sum_qty_c"), col("n_rows"))
+      .orderBy(col("flag"), col("status"))
+
+  /** CUBE grouping sets. */
+  private def q27(s: SparkSession, dir: String): DataFrame =
+    Tables.orders(s, dir)
+      .cube(col("o_orderstatus"), col("o_orderpriority"))
+      .agg(sum(cents(col("o_totalprice"))).as("sum_price_c"), count(lit(1)).as("n_orders"))
+      .select(
+        coalesce(col("o_orderstatus"), lit("ALL")).as("status"),
+        coalesce(col("o_orderpriority"), lit("ALL")).as("priority"),
+        col("sum_price_c"), col("n_orders"))
+      .orderBy(col("status"), col("priority"))
+
+  /** JSON extraction from the events.props column. */
+  private def q26(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .select(col("event_type"), get_json_object(col("props"), "$.k").cast("long").as("k"))
+      .groupBy(col("event_type"))
+      .agg(sum(col("k")).as("sum_k"), count(lit(1)).as("n"))
+      .orderBy(col("event_type"))
+
+  // ---- reference dataflow algebra via the DataStream facade ----
+
+  /** The reference's canonical word count (WordCountSpec.scala:9-17 shape)
+    * over `documents`, through the reified-expression facade:
+    * mapConcat (explode) → filter → groupBy → fold. The reducer
+    * `key &&& values.length` is rewritten to a native partial-agg count —
+    * no group materialization (SURVEY §4.2). */
+  private def q13(s: SparkSession, dir: String): DataFrame = {
+    import Expr._
+    val docs = DataStream.fromDF[String](
+      Tables.documents(s, dir).select(lower(col("text")).as("value")))
+    val counts = docs
+      .mapConcat(t => t.split("\\s+"))
+      .filter(w => !(w === ""))
+      .groupBy(w => w)
+      .fold(g => Expr.KeyValue(g.key, g.values.length))
+    counts.toDF
+      .select(col("value.key").as("word"), col("value.value").as("cnt"))
+      .orderBy(col("cnt").desc, col("word"))
+      .limit(100)
+  }
+
+  /** Tumbling event-time window count via the facade's foldWindow
+    * (SURVEY §2.1 #10): assignTimestamps → groupBy → foldWindow, with the
+    * `acc + 1` fold rewritten to a native count. */
+  private def q14(s: SparkSession, dir: String): DataFrame = {
+    import Expr._
+    val ev = DataStream.fromDF[(Long, String)](
+      Tables.events(s, dir).select(unix_millis(col("ts")).as("_1"), col("event_type").as("_2")))
+    val counted = ev
+      .assignTimestamps(t => t._1)
+      .groupBy(t => t.value._2)
+      .foldWindow(graft.windows.WindowAssigner.Tumbling(3600000L), 0L)(t => t._1 + 1L)
+    counted.toDF.select(
+        col("value.key").as("event_type"),
+        col("value.value.window.start").as("ws_ms"),
+        col("value.value.value").as("n"))
+      .orderBy(col("event_type"), col("ws_ms"))
+  }
+
+  /** Sliding windows (2h size / 1h step) — each event counted in both
+    * covering windows; the reference's sliding assigner drops windows
+    * (its firstStart bug, SURVEY §2.3); Spark's window() is correct. */
+  private def q15(s: SparkSession, dir: String): DataFrame = {
+    import Expr._
+    val ev = DataStream.fromDF[(Long, String)](
+      Tables.events(s, dir).select(unix_millis(col("ts")).as("_1"), col("event_type").as("_2")))
+    val counted = ev
+      .assignTimestamps(t => t._1)
+      .groupBy(t => t.value._2)
+      .foldWindow(graft.windows.WindowAssigner.Sliding(7200000L, 3600000L), 0L)(t => t._1 + 1L)
+    counted.toDF.select(
+        col("value.key").as("event_type"),
+        col("value.value.window.start").as("ws_ms"),
+        col("value.value.value").as("n"))
+      .orderBy(col("event_type"), col("ws_ms"))
+  }
+
+  /** Session windows (30 min gap) per user — batch sessionization
+    * (the operator the reference declared but never implemented,
+    * reference Window.scala:23-26). Output at epoch-ms granularity. */
+  private def q16(s: SparkSession, dir: String): DataFrame =
+    Sessionize.summarize(Tables.events(s, dir), "user_id", "ts", 1800000L)
+      .select(col("user_id"),
+        unix_millis(col("session_start")).as("start_ms"),
+        unix_millis(col("session_end")).as("end_ms"),
+        col("n_events"))
+      .orderBy(col("user_id"), col("start_ms"))
+
+  /** The genuinely-sequential global scan (reference MapAccumulate,
+    * SURVEY §2.1 #5): a global running sum through the interpreted
+    * single-partition path — the documented scalability cliff; the scalable
+    * per-key form is q10. */
+  private def q29(s: SparkSession, dir: String): DataFrame = {
+    import Expr._
+    val sorted = Tables.events(s, dir)
+      .select(col("event_id"), col("ts"), cents(col("value")).as("vc"))
+      .repartition(1)
+      .sortWithinPartitions(col("ts").asc, col("event_id").asc)
+      .select(col("event_id").as("_1"), col("vc").as("_2"))
+    val ds = DataStream.fromDF[(Long, Long)](sorted)
+    val scanned = ds.mapAccumulate[Long, (Long, Long)](0L) { t =>
+      val ns = t._1 + t._2._2
+      ns &&& (t._2._1 &&& ns)
+    }
+    scanned.toDF
+      .select(col("value._1").as("event_id"), col("value._2").as("running_c"))
+      .orderBy(col("event_id"))
+  }
+
+  // ---- training-data pipeline operators ----
+
+  /** Exact dedup on normalized-text fingerprint. */
+  private def q17(s: SparkSession, dir: String): DataFrame =
+    Dedup.exact(Tables.documents(s, dir), "doc_id", "text")
+      .select(col("doc_id"), col("n_copies"))
+      .orderBy(col("doc_id"))
+
+  /** MinHash + LSH near-duplicate pairs (portable md5 min-hashing). */
+  private def q18(s: SparkSession, dir: String): DataFrame =
+    Dedup.minHashLsh(Tables.documents(s, dir), "doc_id", "text",
+        shingleLen = 3, k = 16, bands = 4, threshold = 0.5)
+      .orderBy(col("id_a"), col("id_b"))
+
+  /** SimHash bit vectors (32 bits, portable md5 bit extraction). The hash
+    * itself is the checked output — a much stronger parity check than the
+    * (usually empty) near-dup pair set. */
+  private def q19(s: SparkSession, dir: String): DataFrame =
+    Dedup.simHashTable(Tables.documents(s, dir), "doc_id", "text", 32)
+      .select(col("id").as("doc_id"), col("simhash"))
+      .orderBy(col("doc_id"))
+
+  /** Exact n-gram Jaccard near-dup pairs with df-bounded candidate
+    * generation. */
+  private def q20(s: SparkSession, dir: String): DataFrame =
+    Dedup.ngramJaccard(Tables.documents(s, dir), "doc_id", "text",
+        shingleLen = 3, threshold = 0.5, maxShingleDf = 50)
+      .orderBy(col("id_a"), col("id_b"))
+
+  /** Brute-force cosine top-k: every 100th vector queries the corpus. */
+  private def q21(s: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(s, dir)
+    val queries = emb.where(col("vec_id") % 100 === 0)
+    Similarity.bruteForceTopK(queries, emb, "vec_id", "embedding", k = 10)
+      .select(col("query_id"), col("rank"), col("neighbor_id"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  /** LSH-bucketed ANN (no oracle — approximate by design; the driver
+    * records a rows-only check, and the spec verifies recall against the
+    * brute-force baseline). */
+  private def q22(s: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(s, dir)
+    val queries = emb.where(col("vec_id") % 100 === 0)
+    Similarity.lshTopK(queries, emb, "vec_id", "embedding", k = 10, planes = 6, tables = 4)
+      .select(col("query_id"), col("rank"), col("neighbor_id"), col("cosine"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  /** Heuristic language ID. */
+  private def q23(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .select(col("doc_id"), Text.langId(col("text")).as("lang_pred"))
+      .orderBy(col("doc_id"))
+
+  /** Text quality metrics: token counts, punctuation ratio, mean token
+    * length, composite quality score. */
+  private def q24(s: SparkSession, dir: String): DataFrame = {
+    val stop = Text.langMarkers.toMap.apply("en")
+    Tables.documents(s, dir)
+      .select(col("doc_id"),
+        Text.tokenCount(col("text")).cast("long").as("n_tokens"),
+        Text.bpeishTokenCount(col("text")).cast("long").as("n_bpeish"),
+        Text.punctRatio(col("text")).as("punct_ratio"),
+        Text.meanTokenLength(col("text")).as("mean_tok_len"),
+        Text.qualityScore(col("text"), stop).as("quality"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** As-of join: each purchase event picks up the user's most recent click
+    * at-or-before it (union-merge implementation — one shuffle, no
+    * quadratic range join). */
+  private def q25(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+    val purchases = ev.where(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), col("ts"))
+    val clicks = ev.where(col("event_type") === "click")
+      .select(col("user_id"), col("ts"), col("event_id").as("click_event_id"))
+    AsOf.join(purchases, clicks, "user_id", "ts", "ts",
+        Seq("click_event_id" -> "click_event_id"))
+      .select(col("event_id"), col("user_id"),
+        unix_millis(col("ts")).as("ts_ms"),
+        coalesce(col("click_event_id"), lit(-1L)).as("click_event_id"))
+      .orderBy(col("event_id"))
+  }
+
+  /** Multimodal column plumbing, oracle-checkable slice: documents as opaque
+    * binary payloads with typed metadata and deterministic pseudo-decode
+    * (the real byte-level decode plumbing lives in
+    * [[graft.multimodal.Media]]; the image/audio codecs are stubbed per the
+    * container's constraints). */
+  private def q28(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .select(col("doc_id"),
+        element_at(array(lit("image"), lit("audio"), lit("video")),
+          (col("doc_id") % 3 + 1).cast("int")).as("kind"),
+        length(encode(col("text"), "UTF-8")).cast("long").as("n_bytes"),
+        (lit(16L) + col("doc_id") % 64 * 8).as("width"),
+        (lit(16L) + col("n_chars") % 48 * 8).as("height"),
+        (col("n_chars") % 240).cast("double").as("duration_s"))
+      .orderBy(col("doc_id"))
+
+  /** Approximate distinct (HLL++) — no oracle (estimator-specific values);
+    * rows-only check, with exactness bounds asserted in the spec. */
+  private def q30(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir)
+      .groupBy(col("l_returnflag"))
+      .agg(approx_count_distinct(col("l_partkey"), 0.01).as("approx_parts"),
+        count(lit(1)).as("n_rows"))
+      .orderBy(col("l_returnflag"))
+
+  // =====================================================================
+  // DuckDB oracle SQL — same semantics, same column names, same ORDER BY.
+  // =====================================================================
+
+  def oracleSql: Map[String, String] = {
+    val norm = "trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))"
+    val toks = s"list_filter(string_split($norm, ' '), t -> len(t) > 0)"
+    def shingles(n: Int) =
+      s"CASE WHEN len(toks) <= $n THEN [array_to_string(toks, ' ')] " +
+      s"ELSE list_transform(range(0, len(toks) - $n + 1), i -> array_to_string(list_slice(toks, i + 1, i + $n), ' ')) END"
+
+    Map(
+      "q01_group_agg" ->
+        s"""SELECT l_returnflag, l_linestatus,
+           CAST(sum(${C.format("l_quantity")}) AS BIGINT) AS sum_qty_c,
+           CAST(sum(${C.format("l_extendedprice")}) AS BIGINT) AS sum_price_c,
+           CAST(sum(${C.format("l_extendedprice * (1.0 - l_discount)")}) AS BIGINT) AS sum_disc_price_c,
+           count(*) AS n_rows
+           FROM lineitem GROUP BY 1, 2 ORDER BY 1, 2""",
+
+      "q02_filter_pushdown" ->
+        s"""SELECT CAST(sum(CAST(round(l_extendedprice * l_discount * 10000) AS BIGINT)) AS BIGINT) AS revenue_e4,
+           count(*) AS n_rows
+           FROM lineitem
+           WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1998-01-01'
+             AND l_discount >= 0.05 AND l_quantity < 25.0""",
+
+      "q03_join_agg" ->
+        s"""SELECT n_name, CAST(sum(${C.format("o_totalprice")}) AS BIGINT) AS revenue_c,
+           count(*) AS n_orders
+           FROM orders JOIN customer ON o_custkey = c_custkey
+           JOIN nation ON c_nationkey = n_nationkey
+           GROUP BY n_name ORDER BY n_name""",
+
+      "q04_topk" ->
+        s"""SELECT c_custkey, c_name, revenue_c FROM (
+             SELECT o_custkey, CAST(sum(${C.format("o_totalprice")}) AS BIGINT) AS revenue_c
+             FROM orders GROUP BY o_custkey) r
+           JOIN customer ON o_custkey = c_custkey
+           ORDER BY revenue_c DESC, c_custkey ASC LIMIT 10""",
+
+      "q05_semi_join" ->
+        """SELECT c_custkey, c_mktsegment FROM customer
+           WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_totalprice > 200000.0)
+           ORDER BY c_custkey""",
+
+      "q06_anti_join" ->
+        """SELECT c_custkey, c_name FROM customer
+           WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+           ORDER BY c_custkey""",
+
+      "q07_set_ops" ->
+        """SELECT k, 'has_orders' AS tag FROM (
+             SELECT c_custkey AS k FROM customer WHERE c_mktsegment = 'BUILDING'
+             INTERSECT SELECT o_custkey AS k FROM orders)
+           UNION ALL
+           SELECT k, 'no_orders' AS tag FROM (
+             SELECT c_custkey AS k FROM customer WHERE c_mktsegment = 'BUILDING'
+             EXCEPT SELECT o_custkey AS k FROM orders)
+           ORDER BY tag, k""",
+
+      "q08_distinct_agg" ->
+        """SELECT l_suppkey, CAST(count(DISTINCT l_partkey) AS BIGINT) AS n_parts,
+           CAST(count(DISTINCT l_orderkey) AS BIGINT) AS n_orders, count(*) AS n_rows
+           FROM lineitem GROUP BY l_suppkey ORDER BY l_suppkey""",
+
+      "q09_window_topn" ->
+        s"""SELECT o_custkey, rn, o_orderkey, price_c FROM (
+             SELECT o_custkey, o_orderkey, ${C.format("o_totalprice")} AS price_c,
+               row_number() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey ASC) AS rn
+             FROM orders) t
+           WHERE rn <= 3 ORDER BY o_custkey, rn""",
+
+      "q10_running_sum" ->
+        s"""SELECT event_id, user_id,
+           CAST(sum(${C.format("value")}) OVER (
+             PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS running_c
+           FROM events ORDER BY event_id""",
+
+      "q11_lag_lead" ->
+        """SELECT event_id, user_id,
+           coalesce(lag(event_id) OVER w, -1) AS prev_event_id,
+           coalesce(lead(event_id) OVER w, -1) AS next_event_id,
+           coalesce(epoch_ms(ts) - epoch_ms(lag(ts) OVER w), -1) AS gap_ms
+           FROM events
+           WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)
+           ORDER BY event_id""",
+
+      "q12_rollup" ->
+        s"""SELECT coalesce(l_returnflag, 'ALL') AS flag, coalesce(l_linestatus, 'ALL') AS status,
+           CAST(sum(${C.format("l_quantity")}) AS BIGINT) AS sum_qty_c, count(*) AS n_rows
+           FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+           ORDER BY flag, status""",
+
+      "q27_cube" ->
+        s"""SELECT coalesce(o_orderstatus, 'ALL') AS status, coalesce(o_orderpriority, 'ALL') AS priority,
+           CAST(sum(${C.format("o_totalprice")}) AS BIGINT) AS sum_price_c, count(*) AS n_orders
+           FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
+           ORDER BY status, priority""",
+
+      "q26_json" ->
+        """SELECT event_type, CAST(sum(CAST(props->>'$.k' AS BIGINT)) AS BIGINT) AS sum_k,
+           count(*) AS n
+           FROM events GROUP BY event_type ORDER BY event_type""",
+
+      "q13_wordcount" ->
+        """SELECT word, CAST(count(*) AS BIGINT) AS cnt FROM (
+             SELECT unnest(regexp_split_to_array(lower(text), '\s+')) AS word FROM documents) t
+           WHERE word <> '' GROUP BY word ORDER BY cnt DESC, word LIMIT 100""",
+
+      "q14_tumbling_agg" ->
+        """SELECT event_type, CAST(floor(epoch_ms(ts) / 3600000) * 3600000 AS BIGINT) AS ws_ms,
+           CAST(count(*) AS BIGINT) AS n
+           FROM events GROUP BY 1, 2 ORDER BY event_type, ws_ms""",
+
+      "q15_sliding_agg" ->
+        """SELECT event_type, ws_ms, CAST(count(*) AS BIGINT) AS n FROM (
+             SELECT event_type,
+               unnest([CAST(floor(epoch_ms(ts) / 3600000) * 3600000 AS BIGINT),
+                       CAST(floor(epoch_ms(ts) / 3600000) * 3600000 - 3600000 AS BIGINT)]) AS ws_ms
+             FROM events) t
+           GROUP BY 1, 2 ORDER BY event_type, ws_ms""",
+
+      "q16_session_agg" ->
+        """WITH flagged AS (
+             SELECT user_id, ts, event_id,
+               CASE WHEN lag(ts) OVER w IS NULL
+                     OR epoch_ms(ts) - epoch_ms(lag(ts) OVER w) >= 1800000 THEN 1 ELSE 0 END AS ns
+             FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)),
+           sessions AS (
+             SELECT user_id, ts,
+               sum(ns) OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+             FROM flagged)
+           SELECT user_id, CAST(min(epoch_ms(ts)) AS BIGINT) AS start_ms,
+             CAST(max(epoch_ms(ts)) AS BIGINT) AS end_ms, count(*) AS n_events
+           FROM sessions GROUP BY user_id, sid ORDER BY user_id, start_ms""",
+
+      "q29_map_accumulate" ->
+        s"""SELECT event_id,
+           CAST(sum(${C.format("value")}) OVER (
+             ORDER BY ts ASC, event_id ASC
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS running_c
+           FROM events ORDER BY event_id""",
+
+      "q17_dedup_exact" ->
+        s"""SELECT CAST(min(doc_id) AS BIGINT) AS doc_id, count(*) AS n_copies
+           FROM documents GROUP BY md5($norm) ORDER BY doc_id""",
+
+      "q18_minhash_lsh" ->
+        s"""WITH sh AS (
+             SELECT doc_id AS id, $toks AS toks FROM documents),
+           sig AS (
+             SELECT id, list_transform(range(0, 16), i ->
+               list_min(list_transform(list_distinct(${shingles(3)}), s ->
+                 md5(s || '|' || CAST(i AS VARCHAR))))) AS sig
+             FROM sh),
+           banded AS (
+             SELECT id, sig, unnest(list_transform(range(0, 4), b ->
+               CAST(b AS VARCHAR) || ':' || md5(array_to_string(list_slice(sig, b * 4 + 1, b * 4 + 4), '|')))) AS band
+             FROM sig)
+           SELECT DISTINCT a.id AS id_a, b.id AS id_b,
+             len(list_filter(range(1, 17), i -> a.sig[i] = b.sig[i])) / 16.0 AS est_jaccard
+           FROM banded a JOIN banded b ON a.band = b.band AND a.id < b.id
+           WHERE len(list_filter(range(1, 17), i -> a.sig[i] = b.sig[i])) / 16.0 >= 0.5
+           ORDER BY id_a, id_b""",
+
+      "q19_simhash" ->
+        s"""SELECT doc_id, array_to_string(list_transform(range(0, 32), p ->
+             CASE WHEN list_sum(list_transform($toks, t ->
+               ((strpos('0123456789abcdef', substr(md5(t), CAST(p // 4 + 1 AS BIGINT), 1)) - 1) >> (3 - p % 4)) % 2 * 2 - 1
+             )) > 0 THEN '1' ELSE '0' END), '') AS simhash
+           FROM documents ORDER BY doc_id""",
+
+      "q20_ngram_jaccard" ->
+        s"""WITH sh AS (
+             SELECT doc_id AS id, unnest(list_distinct(${shingles(3)})) AS s
+             FROM (SELECT doc_id, $toks AS toks FROM documents) d),
+           sizes AS (SELECT id, count(*) AS n_sh FROM sh GROUP BY id),
+           filtered AS (
+             SELECT id, s FROM (
+               SELECT id, s, count(*) OVER (PARTITION BY s) AS df FROM sh) t
+             WHERE df <= 50),
+           pairs AS (
+             SELECT a.id AS id_a, b.id AS id_b, count(*) AS shared
+             FROM filtered a JOIN filtered b ON a.s = b.s AND a.id < b.id
+             GROUP BY 1, 2)
+           SELECT id_a, id_b,
+             CAST(shared AS DOUBLE) / CAST(sa.n_sh + sb.n_sh - shared AS DOUBLE) AS jaccard
+           FROM pairs JOIN sizes sa ON sa.id = id_a JOIN sizes sb ON sb.id = id_b
+           WHERE CAST(shared AS DOUBLE) / CAST(sa.n_sh + sb.n_sh - shared AS DOUBLE) >= 0.5
+           ORDER BY id_a, id_b""",
+
+      "q21_cosine_topk" ->
+        """WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id % 100 = 0),
+           scored AS (
+             SELECT query_id, c.vec_id AS neighbor_id,
+               CASE WHEN sqrt(list_sum(list_transform(qv, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+                         * sqrt(list_sum(list_transform(c.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) = 0
+                    THEN 0.0
+                    ELSE list_sum(list_transform(range(1, len(qv) + 1), i ->
+                           CAST(qv[i] AS DOUBLE) * CAST(c.embedding[i] AS DOUBLE)))
+                         / (sqrt(list_sum(list_transform(qv, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+                            * sqrt(list_sum(list_transform(c.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))))
+               END AS cosine
+             FROM embeddings c CROSS JOIN q WHERE c.vec_id <> query_id),
+           ranked AS (
+             SELECT query_id, neighbor_id,
+               row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id ASC) AS rank
+             FROM scored)
+           SELECT query_id, rank, neighbor_id FROM ranked WHERE rank <= 10
+           ORDER BY query_id, rank""",
+
+      "q23_langid" ->
+        s"""WITH langs AS (
+             SELECT * FROM (VALUES
+               ('de', ['der','die','das','und','ist','nicht','ein','mit']),
+               ('en', ['the','a','of','and','is','to','in','that']),
+               ('es', ['el','la','de','que','y','es','en','un']),
+               ('fr', ['le','la','les','de','et','est','un','une']),
+               ('zh', ['de','shi','bu','le','zai','you','wo','ta'])) l(lang, words)),
+           scores AS (
+             SELECT doc_id, langs.lang AS cand,
+               len(list_filter($toks, t -> list_contains(words, t))) AS hits
+             FROM documents CROSS JOIN langs),
+           best AS (
+             SELECT doc_id, cand, hits,
+               row_number() OVER (PARTITION BY doc_id ORDER BY hits DESC, cand ASC) AS rn
+             FROM scores)
+           SELECT doc_id, CASE WHEN hits > 0 THEN cand ELSE 'und' END AS lang_pred
+           FROM best WHERE rn = 1 ORDER BY doc_id""",
+
+      "q24_quality" ->
+        s"""SELECT doc_id,
+           CAST(len($toks) AS BIGINT) AS n_tokens,
+           CAST(len(regexp_extract_all(text, '[A-Za-z0-9]+|[^A-Za-z0-9\\s]')) AS BIGINT) AS n_bpeish,
+           CAST(len(regexp_extract_all(text, '[^A-Za-z0-9\\s]')) AS DOUBLE)
+             / greatest(CAST(length(text) AS DOUBLE), 1.0) AS punct_ratio,
+           CAST(list_sum(list_transform($toks, t -> CAST(length(t) AS BIGINT))) AS DOUBLE)
+             / greatest(CAST(len($toks) AS DOUBLE), 1.0) AS mean_tok_len,
+           least(greatest(
+             least(CAST(length(text) AS DOUBLE) / 200.0, 1.0) * 0.4
+             + (1.0 - CAST(len(regexp_extract_all(text, '[^A-Za-z0-9\\s]')) AS DOUBLE)
+                 / greatest(CAST(length(text) AS DOUBLE), 1.0)) * 0.3
+             + least(CAST(len(list_filter($toks, t -> list_contains(['the','a','of','and','is','to','in','that'], t))) AS DOUBLE)
+                 / greatest(CAST(len($toks) AS DOUBLE), 1.0) * 5.0, 1.0) * 0.3,
+             0.0), 1.0) AS quality
+           FROM documents ORDER BY doc_id""",
+
+      "q25_asof_join" ->
+        """SELECT p.event_id, p.user_id, CAST(epoch_ms(p.ts) AS BIGINT) AS ts_ms,
+           coalesce(c.click_event_id, -1) AS click_event_id
+           FROM (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase') p
+           ASOF LEFT JOIN (SELECT user_id, ts, event_id AS click_event_id FROM events WHERE event_type = 'click') c
+             ON p.user_id = c.user_id AND p.ts >= c.ts
+           ORDER BY p.event_id""",
+
+      "q28_multimodal" ->
+        """SELECT doc_id, (['image', 'audio', 'video'])[CAST(doc_id % 3 + 1 AS BIGINT)] AS kind,
+           CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+           16 + doc_id % 64 * 8 AS width,
+           16 + n_chars % 48 * 8 AS height,
+           CAST(n_chars % 240 AS DOUBLE) AS duration_s
+           FROM documents ORDER BY doc_id""",
+    )
+  }
 }

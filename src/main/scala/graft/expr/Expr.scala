@@ -1,0 +1,347 @@
+package graft.expr
+
+import org.apache.spark.sql.{Column, Row}
+import org.apache.spark.sql.functions._
+
+import scala.language.implicitConversions
+
+/** Reified expression algebra: a typed arrow `Expr[A, B]` ("a function from A
+  * to B, as data").
+  *
+  * Mirrors the reference's `Expression[A, B]` IR (reference:
+  * src/main/scala/zio/analytics/Expression.scala:19-43) — user code builds
+  * expression *trees*, never opaque closures, which is what makes plans
+  * distributable. Where the reference interprets the tree row-at-a-time
+  * (Local.scala:7-52), we translate it once, at plan time, into a native
+  * Catalyst `Column` ([[Expr.toColumn]]) so Spark's optimizer and whole-stage
+  * codegen see straight through it (SURVEY.md §4.2: never wrap the algebra in
+  * opaque UDFs). A tiny structural interpreter ([[Expr.eval]]) exists only for
+  * the genuinely sequential `mapAccumulate` path and plan-time constant
+  * evaluation.
+  *
+  * Encoding convention: tuples are structs with fields `_1.._n`; the wrapper
+  * records of [[graft]] (`Grouped`/`Group`/`Timestamped`/`Windowed`) are
+  * structs with their case-class field names.
+  */
+sealed trait Expr[A, B] { self =>
+
+  /** Translate this expression to a Catalyst column, given the column that
+    * represents the input `A`. Replaces the reference's `Local.evalExpr`
+    * (Local.scala:7-52) with a compile-to-Catalyst step. */
+  private[graft] def toColumn(in: Column): Column
+
+  /** Structural interpreter over external row values (Row / products / Seq).
+    * Used only where execution is genuinely sequential (mapAccumulate) and
+    * for plan-time literal evaluation. */
+  private[graft] def eval(in: Any): Any
+
+  // -- arrow plumbing (reference Expression.scala:46-49) --
+  def >>>[C](that: Expr[B, C]): Expr[A, C] = Expr.Compose(self, that)
+  def <<<[Z](that: Expr[Z, A]): Expr[Z, B] = Expr.Compose(that, self)
+  def &&&[C](that: Expr[A, C]): Expr[A, (B, C)] = Expr.FanOut(self, that)
+}
+
+object Expr {
+
+  private def fieldOf(in: Any, idx: Int, name: String): Any = in match {
+    case r: Row        => r.get(if (r.schema != null && r.schema.fieldNames.contains(name)) r.fieldIndex(name) else idx)
+    case p: Product    => p.productElement(idx)
+    case other         => sys.error(s"cannot access field $name of $other")
+  }
+
+  def id[A]: Expr[A, A] = Id[A]()
+
+  // ---------------------------------------------------------------------
+  // Plumbing nodes (reference Expression.scala:19-22, 34, 40)
+  // ---------------------------------------------------------------------
+
+  final case class Id[A]() extends Expr[A, A] {
+    private[graft] def toColumn(in: Column): Column = in
+    private[graft] def eval(in: Any): Any = in
+  }
+
+  final case class Compose[A, B, C](f: Expr[A, B], g: Expr[B, C]) extends Expr[A, C] {
+    private[graft] def toColumn(in: Column): Column = g.toColumn(f.toColumn(in))
+    private[graft] def eval(in: Any): Any = g.eval(f.eval(in))
+  }
+
+  /** `&&&` — duplicate the input into a pair (reference Expression.scala:21). */
+  final case class FanOut[A, B, C](f: Expr[A, B], g: Expr[A, C]) extends Expr[A, (B, C)] {
+    private[graft] def toColumn(in: Column): Column =
+      struct(f.toColumn(in).as("_1"), g.toColumn(in).as("_2"))
+    private[graft] def eval(in: Any): Any = (f.eval(in), g.eval(in))
+  }
+
+  /** `***` — apply component-wise to a pair (reference Expression.scala:22). */
+  final case class Both[A, B, C, D](f: Expr[A, C], g: Expr[B, D]) extends Expr[(A, B), (C, D)] {
+    private[graft] def toColumn(in: Column): Column =
+      struct(f.toColumn(in.getField("_1")).as("_1"), g.toColumn(in.getField("_2")).as("_2"))
+    private[graft] def eval(in: Any): Any =
+      (f.eval(fieldOf(in, 0, "_1")), g.eval(fieldOf(in, 1, "_2")))
+  }
+
+  /** Swap a pair (reference Expression.scala:34). */
+  final case class Flip[A, B]() extends Expr[(A, B), (B, A)] {
+    private[graft] def toColumn(in: Column): Column =
+      struct(in.getField("_2").as("_1"), in.getField("_1").as("_2"))
+    private[graft] def eval(in: Any): Any = (fieldOf(in, 1, "_2"), fieldOf(in, 0, "_1"))
+  }
+
+  /** Positional tuple access, 0-based (reference `NthColumn`,
+    * Expression.scala:40). */
+  final case class Nth[A, B](child: Expr[A, _], n: Int) extends Expr[A, B] {
+    private[graft] def toColumn(in: Column): Column = child.toColumn(in).getField(s"_${n + 1}")
+    private[graft] def eval(in: Any): Any = fieldOf(child.eval(in), n, s"_${n + 1}")
+  }
+
+  // ---------------------------------------------------------------------
+  // Literals (reference Expression.scala:23-25; Double is our extension —
+  // the test data has double columns, SURVEY.md §1.2)
+  // ---------------------------------------------------------------------
+
+  final case class LitLong[A](value: Long) extends Expr[A, Long] {
+    private[graft] def toColumn(in: Column): Column = lit(value)
+    private[graft] def eval(in: Any): Any = value
+  }
+  final case class LitDouble[A](value: Double) extends Expr[A, Double] {
+    private[graft] def toColumn(in: Column): Column = lit(value)
+    private[graft] def eval(in: Any): Any = value
+  }
+  final case class LitString[A](value: String) extends Expr[A, String] {
+    private[graft] def toColumn(in: Column): Column = lit(value)
+    private[graft] def eval(in: Any): Any = value
+  }
+  final case class LitBoolean[A](value: Boolean) extends Expr[A, Boolean] {
+    private[graft] def toColumn(in: Column): Column = lit(value)
+    private[graft] def eval(in: Any): Any = value
+  }
+
+  // ---------------------------------------------------------------------
+  // Numeric / boolean scalar ops. The reference ships `Sum` and `Mul` on
+  // Long only (Expression.scala:36-37); we generalize to the full arithmetic
+  // + comparison surface since the oracle queries need doubles and
+  // predicates. All translate to native Column ops (codegen'd).
+  // ---------------------------------------------------------------------
+
+  final case class Arith[A, N](l: Expr[A, N], r: Expr[A, N], op: String) extends Expr[A, N] {
+    private[graft] def toColumn(in: Column): Column = {
+      val (a, b) = (l.toColumn(in), r.toColumn(in))
+      op match {
+        case "+" => a + b; case "-" => a - b; case "*" => a * b
+        case "/" => a / b; case "%" => a % b
+      }
+    }
+    private[graft] def eval(in: Any): Any = (l.eval(in), r.eval(in)) match {
+      case (a: Long, b: Long) => op match {
+        case "+" => a + b; case "-" => a - b; case "*" => a * b
+        case "/" => a / b; case "%" => a % b
+      }
+      case (a: Double, b: Double) => op match {
+        case "+" => a + b; case "-" => a - b; case "*" => a * b
+        case "/" => a / b; case "%" => a % b
+      }
+      case (a, b) => sys.error(s"arith $op on $a, $b")
+    }
+  }
+
+  final case class Cmp[A, N](l: Expr[A, N], r: Expr[A, N], op: String) extends Expr[A, Boolean] {
+    private[graft] def toColumn(in: Column): Column = {
+      val (a, b) = (l.toColumn(in), r.toColumn(in))
+      op match {
+        case "==" => a === b; case "!=" => a =!= b
+        case "<" => a < b; case "<=" => a <= b; case ">" => a > b; case ">=" => a >= b
+      }
+    }
+    private[graft] def eval(in: Any): Any = {
+      val (a, b) = (l.eval(in), r.eval(in))
+      val c = (a, b) match {
+        case (x: Long, y: Long)     => java.lang.Long.compare(x, y)
+        case (x: Double, y: Double) => java.lang.Double.compare(x, y)
+        case (x: String, y: String) => x.compareTo(y)
+        case _                      => sys.error(s"cmp $op on $a, $b")
+      }
+      op match {
+        case "==" => c == 0; case "!=" => c != 0
+        case "<" => c < 0; case "<=" => c <= 0; case ">" => c > 0; case ">=" => c >= 0
+      }
+    }
+  }
+
+  final case class BoolOp[A](l: Expr[A, Boolean], r: Expr[A, Boolean], op: String) extends Expr[A, Boolean] {
+    private[graft] def toColumn(in: Column): Column = op match {
+      case "&&" => l.toColumn(in) && r.toColumn(in)
+      case "||" => l.toColumn(in) || r.toColumn(in)
+    }
+    private[graft] def eval(in: Any): Any = op match {
+      case "&&" => l.eval(in).asInstanceOf[Boolean] && r.eval(in).asInstanceOf[Boolean]
+      case "||" => l.eval(in).asInstanceOf[Boolean] || r.eval(in).asInstanceOf[Boolean]
+    }
+  }
+
+  final case class Not[A](e: Expr[A, Boolean]) extends Expr[A, Boolean] {
+    private[graft] def toColumn(in: Column): Column = !e.toColumn(in)
+    private[graft] def eval(in: Any): Any = !e.eval(in).asInstanceOf[Boolean]
+  }
+
+  // ---------------------------------------------------------------------
+  // String / list ops (reference Expression.scala:27, 33, 38)
+  // ---------------------------------------------------------------------
+
+  /** Regex split — the reference uses Java `String.split` which is regex
+    * (Local.scala:26); Spark's `split` matches those semantics. */
+  final case class SplitStr[A](s: Expr[A, String], delim: Expr[A, String]) extends Expr[A, List[String]] {
+    private[graft] def toColumn(in: Column): Column = split(s.toColumn(in), delimLiteral)
+    private def delimLiteral: String = delim match {
+      case LitString(d) => d
+      case _ => sys.error("split delimiter must be a literal for the Catalyst path")
+    }
+    private[graft] def eval(in: Any): Any =
+      s.eval(in).asInstanceOf[String].split(delim.eval(in).asInstanceOf[String]).toSeq
+  }
+
+  /** List length as Long (reference `Length`, Expression.scala:27). */
+  final case class Length[A, B](list: Expr[A, List[B]]) extends Expr[A, Long] {
+    private[graft] def toColumn(in: Column): Column = size(list.toColumn(in)).cast("long")
+    private[graft] def eval(in: Any): Any = list.eval(in).asInstanceOf[Seq[_]].size.toLong
+  }
+
+  /** Sum of a Long list (reference `ListSum`, Expression.scala:33). Uses the
+    * codegen-friendly higher-order `aggregate` — no UDF. */
+  final case class ListSum[A](list: Expr[A, List[Long]]) extends Expr[A, Long] {
+    private[graft] def toColumn(in: Column): Column =
+      aggregate(list.toColumn(in), lit(0L), (acc, x) => acc + x)
+    private[graft] def eval(in: Any): Any =
+      list.eval(in).asInstanceOf[Seq[Any]].foldLeft(0L)((a, x) => a + x.asInstanceOf[Long])
+  }
+
+  // ---------------------------------------------------------------------
+  // Structure constructors / accessors (reference Expression.scala:26-32,
+  // 42-43)
+  // ---------------------------------------------------------------------
+
+  final case class KeyValue[A, K, V](k: Expr[A, K], v: Expr[A, V]) extends Expr[A, graft.Grouped[K, V]] {
+    private[graft] def toColumn(in: Column): Column =
+      struct(k.toColumn(in).as("key"), v.toColumn(in).as("value"))
+    private[graft] def eval(in: Any): Any = graft.Grouped(k.eval(in), v.eval(in))
+  }
+
+  final case class GroupedKey[A, K, V](e: Expr[A, graft.Grouped[K, V]]) extends Expr[A, K] {
+    private[graft] def toColumn(in: Column): Column = e.toColumn(in).getField("key")
+    private[graft] def eval(in: Any): Any = fieldOf(e.eval(in), 0, "key")
+  }
+  final case class GroupedValue[A, K, V](e: Expr[A, graft.Grouped[K, V]]) extends Expr[A, V] {
+    private[graft] def toColumn(in: Column): Column = e.toColumn(in).getField("value")
+    private[graft] def eval(in: Any): Any = fieldOf(e.eval(in), 1, "value")
+  }
+
+  final case class GroupKey[A, K, V](e: Expr[A, graft.Group[K, V]]) extends Expr[A, K] {
+    private[graft] def toColumn(in: Column): Column = e.toColumn(in).getField("key")
+    private[graft] def eval(in: Any): Any = fieldOf(e.eval(in), 0, "key")
+  }
+  final case class GroupValues[A, K, V](e: Expr[A, graft.Group[K, V]]) extends Expr[A, List[V]] {
+    private[graft] def toColumn(in: Column): Column = e.toColumn(in).getField("values")
+    private[graft] def eval(in: Any): Any = fieldOf(e.eval(in), 1, "values")
+  }
+
+  final case class TimestampedTime[A, B](e: Expr[A, graft.Timestamped[B]]) extends Expr[A, Long] {
+    private[graft] def toColumn(in: Column): Column = e.toColumn(in).getField("timestamp")
+    private[graft] def eval(in: Any): Any = fieldOf(e.eval(in), 0, "timestamp")
+  }
+  final case class TimestampedValue[A, B](e: Expr[A, graft.Timestamped[B]]) extends Expr[A, B] {
+    private[graft] def toColumn(in: Column): Column = e.toColumn(in).getField("value")
+    private[graft] def eval(in: Any): Any = fieldOf(e.eval(in), 1, "value")
+  }
+
+  final case class WindowedWindow[A, B](e: Expr[A, graft.Windowed[B]]) extends Expr[A, graft.TimeWindow] {
+    private[graft] def toColumn(in: Column): Column = e.toColumn(in).getField("window")
+    private[graft] def eval(in: Any): Any = fieldOf(e.eval(in), 0, "window")
+  }
+  final case class WindowedValue[A, B](e: Expr[A, graft.Windowed[B]]) extends Expr[A, B] {
+    private[graft] def toColumn(in: Column): Column = e.toColumn(in).getField("value")
+    private[graft] def eval(in: Any): Any = fieldOf(e.eval(in), 1, "value")
+  }
+
+  // ---------------------------------------------------------------------
+  // Implicit lifting of Scala literals (reference Type.scala:12-27 +
+  // Expression.scala:94-97 lifting) and the fluent operator syntax
+  // (reference Expression.scala:45-92).
+  // ---------------------------------------------------------------------
+
+  implicit def liftLong[A](l: Long): Expr[A, Long] = LitLong(l)
+  implicit def liftInt[A](i: Int): Expr[A, Long] = LitLong(i.toLong)
+  implicit def liftDouble[A](d: Double): Expr[A, Double] = LitDouble(d)
+  implicit def liftString[A](s: String): Expr[A, String] = LitString(s)
+  implicit def liftBoolean[A](b: Boolean): Expr[A, Boolean] = LitBoolean(b)
+
+  implicit final class LongExprOps[A](private val e: Expr[A, Long]) extends AnyVal {
+    def +(o: Expr[A, Long]): Expr[A, Long] = Arith(e, o, "+")
+    def -(o: Expr[A, Long]): Expr[A, Long] = Arith(e, o, "-")
+    def *(o: Expr[A, Long]): Expr[A, Long] = Arith(e, o, "*")
+    def %(o: Expr[A, Long]): Expr[A, Long] = Arith(e, o, "%")
+    def <(o: Expr[A, Long]): Expr[A, Boolean] = Cmp(e, o, "<")
+    def <=(o: Expr[A, Long]): Expr[A, Boolean] = Cmp(e, o, "<=")
+    def >(o: Expr[A, Long]): Expr[A, Boolean] = Cmp(e, o, ">")
+    def >=(o: Expr[A, Long]): Expr[A, Boolean] = Cmp(e, o, ">=")
+    def ===(o: Expr[A, Long]): Expr[A, Boolean] = Cmp(e, o, "==")
+    def =!=(o: Expr[A, Long]): Expr[A, Boolean] = Cmp(e, o, "!=")
+  }
+
+  implicit final class DoubleExprOps[A](private val e: Expr[A, Double]) extends AnyVal {
+    def +(o: Expr[A, Double]): Expr[A, Double] = Arith(e, o, "+")
+    def -(o: Expr[A, Double]): Expr[A, Double] = Arith(e, o, "-")
+    def *(o: Expr[A, Double]): Expr[A, Double] = Arith(e, o, "*")
+    def /(o: Expr[A, Double]): Expr[A, Double] = Arith(e, o, "/")
+    def <(o: Expr[A, Double]): Expr[A, Boolean] = Cmp(e, o, "<")
+    def >(o: Expr[A, Double]): Expr[A, Boolean] = Cmp(e, o, ">")
+    def ===(o: Expr[A, Double]): Expr[A, Boolean] = Cmp(e, o, "==")
+  }
+
+  implicit final class StringExprOps[A](private val e: Expr[A, String]) extends AnyVal {
+    /** Regex split, matching the reference's Java-split semantics
+      * (Local.scala:26). */
+    def split(delim: Expr[A, String]): Expr[A, List[String]] = SplitStr(e, delim)
+    def ===(o: Expr[A, String]): Expr[A, Boolean] = Cmp(e, o, "==")
+    def =!=(o: Expr[A, String]): Expr[A, Boolean] = Cmp(e, o, "!=")
+  }
+
+  implicit final class BoolExprOps[A](private val e: Expr[A, Boolean]) extends AnyVal {
+    def &&(o: Expr[A, Boolean]): Expr[A, Boolean] = BoolOp(e, o, "&&")
+    def ||(o: Expr[A, Boolean]): Expr[A, Boolean] = BoolOp(e, o, "||")
+    def unary_! : Expr[A, Boolean] = Not(e)
+  }
+
+  implicit final class ListExprOps[A, B](private val e: Expr[A, List[B]]) extends AnyVal {
+    def length: Expr[A, Long] = Length(e)
+  }
+  implicit final class LongListExprOps[A](private val e: Expr[A, List[Long]]) extends AnyVal {
+    def sum: Expr[A, Long] = ListSum(e)
+  }
+
+  implicit final class Tuple2ExprOps[A, B, C](private val e: Expr[A, (B, C)]) extends AnyVal {
+    def _1: Expr[A, B] = Nth(e, 0)
+    def _2: Expr[A, C] = Nth(e, 1)
+    def flip: Expr[A, (C, B)] = e >>> Flip[B, C]()
+  }
+  implicit final class Tuple3ExprOps[A, B, C, D](private val e: Expr[A, (B, C, D)]) extends AnyVal {
+    def _1: Expr[A, B] = Nth(e, 0)
+    def _2: Expr[A, C] = Nth(e, 1)
+    def _3: Expr[A, D] = Nth(e, 2)
+  }
+
+  implicit final class GroupedExprOps[A, K, V](private val e: Expr[A, graft.Grouped[K, V]]) extends AnyVal {
+    def key: Expr[A, K] = GroupedKey(e)
+    def value: Expr[A, V] = GroupedValue(e)
+  }
+  implicit final class GroupExprOps[A, K, V](private val e: Expr[A, graft.Group[K, V]]) extends AnyVal {
+    def key: Expr[A, K] = GroupKey(e)
+    def values: Expr[A, List[V]] = GroupValues(e)
+  }
+  implicit final class TimestampedExprOps[A, B](private val e: Expr[A, graft.Timestamped[B]]) extends AnyVal {
+    def timestamp: Expr[A, Long] = TimestampedTime(e)
+    def value: Expr[A, B] = TimestampedValue(e)
+  }
+  implicit final class WindowedExprOps[A, B](private val e: Expr[A, graft.Windowed[B]]) extends AnyVal {
+    def window: Expr[A, graft.TimeWindow] = WindowedWindow(e)
+    def value: Expr[A, B] = WindowedValue(e)
+  }
+}

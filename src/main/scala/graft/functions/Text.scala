@@ -1,0 +1,111 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis column functions for large-scale training-data pipelines:
+  * tokenization, language ID, quality scoring, token counting, document
+  * fingerprinting, shingling.
+  *
+  * All of these are pure Catalyst column expressions (built-ins + higher-
+  * order functions) — no UDFs — so they vectorize under whole-stage codegen
+  * and scale as narrow per-row transforms with zero shuffle. The reference
+  * has a single string function (regex `Split`, reference Expression.scala:38,
+  * Local.scala:26); everything else here is the SURVEY §2.4 "north-star"
+  * extension surface.
+  */
+object Text {
+
+  /** Lowercase, collapse whitespace, trim — canonical form for dedup. */
+  def normalize(text: Column): Column =
+    trim(regexp_replace(lower(text), "\\s+", " "))
+
+  /** Whitespace tokens of the normalized text (no empty tokens). */
+  def tokens(text: Column): Column =
+    filter(split(normalize(text), " "), t => length(t) > 0)
+
+  /** Whitespace token count. */
+  def tokenCount(text: Column): Column = size(tokens(text))
+
+  /** BPE-ish subword count: runs of word chars and single punctuation marks
+    * each count as a token — the standard cheap proxy for a real tokenizer's
+    * token count. */
+  def bpeishTokenCount(text: Column): Column =
+    size(regexp_extract_all(text, lit("[A-Za-z0-9]+|[^A-Za-z0-9\\s]"), lit(0)))
+
+  /** MD5 fingerprint of the normalized text — the exact-dedup key. */
+  def fingerprint(text: Column): Column = md5(normalize(text))
+
+  /** Contiguous word n-gram shingles ("a b c", n=2 → ["a b", "b c"]).
+    * Documents shorter than n words get their whole text as one shingle. */
+  def wordShingles(text: Column, n: Int): Column = {
+    val ts = tokens(text)
+    when(size(ts) <= n, array(concat_ws(" ", ts)))
+      .otherwise(transform(
+        sequence(lit(0), size(ts) - n),
+        i => concat_ws(" ", slice(ts, i + 1, lit(n)))))
+  }
+
+  /** Punctuation-character ratio, in [0,1]. */
+  def punctRatio(text: Column): Column =
+    size(regexp_extract_all(text, lit("[^A-Za-z0-9\\s]"), lit(0)))
+      .cast("double") / greatest(length(text).cast("double"), lit(1.0))
+
+  /** Ratio of tokens that are in the given stopword list. */
+  def stopwordRatio(text: Column, stopwords: Seq[String]): Column = {
+    val ts = tokens(text)
+    size(array_intersect_count(ts, stopwords)).cast("double") /
+      greatest(size(ts).cast("double"), lit(1.0))
+  }
+
+  private def array_intersect_count(ts: Column, stopwords: Seq[String]): Column =
+    filter(ts, t => t.isin(stopwords.map(x => x: Any): _*))
+
+  /** Mean token length. */
+  def meanTokenLength(text: Column): Column = {
+    val ts = tokens(text)
+    aggregate(ts, lit(0L), (acc, t) => acc + length(t).cast("long")).cast("double") /
+      greatest(size(ts).cast("double"), lit(1.0))
+  }
+
+  /** Heuristic quality score in [0,1]: rewards moderate length, low
+    * punctuation, presence of common function words. Deterministic and
+    * SQL-expressible (mirrored by the DuckDB oracle). */
+  def qualityScore(text: Column, stopwords: Seq[String]): Column = {
+    val lenScore = least(length(text).cast("double") / lit(200.0), lit(1.0))
+    val punct = punctRatio(text)
+    val stop = stopwordRatio(text, stopwords)
+    least(greatest(
+      lenScore * lit(0.4) + (lit(1.0) - punct) * lit(0.3) + least(stop * lit(5.0), lit(1.0)) * lit(0.3),
+      lit(0.0)), lit(1.0))
+  }
+
+  /** Common function words for the language-ID heuristic. Deterministic
+    * per-language marker lists (n-gram/stopword heuristic — the classic
+    * cheap LID). */
+  val langMarkers: Seq[(String, Seq[String])] = Seq(
+    "de" -> Seq("der", "die", "das", "und", "ist", "nicht", "ein", "mit"),
+    "en" -> Seq("the", "a", "of", "and", "is", "to", "in", "that"),
+    "es" -> Seq("el", "la", "de", "que", "y", "es", "en", "un"),
+    "fr" -> Seq("le", "la", "les", "de", "et", "est", "un", "une"),
+    "zh" -> Seq("de", "shi", "bu", "le", "zai", "you", "wo", "ta"))
+
+  /** Heuristic language ID: the language whose marker words hit the most
+    * tokens wins; ties break by language code order (deterministic). Returns
+    * "und" when nothing matches. */
+  def langId(text: Column): Column = {
+    val ts = tokens(text)
+    val scored = langMarkers.map { case (lang, words) =>
+      struct(
+        size(filter(ts, t => t.isin(words.map(x => x: Any): _*))).as("hits"),
+        lit(lang).as("lang"))
+    }
+    // array_max on (hits, lang) structs orders by hits then lang; we want
+    // max hits, ties -> smallest lang code, so compare (hits, reversed-rank).
+    val best = langMarkers.indices.foldLeft(struct(lit(-1).as("hits"), lit("und").as("lang"))) {
+      case (acc, i) =>
+        when(scored(i).getField("hits") > acc.getField("hits"), scored(i)).otherwise(acc)
+    }
+    when(best.getField("hits") > 0, best.getField("lang")).otherwise(lit("und"))
+  }
+}

@@ -1,0 +1,66 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Vector column functions over `ArrayType(FloatType/DoubleType)` embedding
+  * columns.
+  *
+  * Everything is a Catalyst higher-order function (`zip_with`, `transform`,
+  * `aggregate`) — codegen'd, no UDF, no shuffle. Elements are cast to double
+  * *before* arithmetic and folded strictly left-to-right, so results are
+  * bit-identical across engines that do the same (the DuckDB oracle mirrors
+  * this exactly), and independent of Spark partitioning — which is what makes
+  * cosine scores safe to hash-compare at any scale.
+  */
+object Vectors {
+
+  /** Dot product of two numeric arrays (double, sequential fold). */
+  def dot(a: Column, b: Column): Column =
+    aggregate(
+      zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, x) => acc + x)
+
+  /** Squared L2 norm. */
+  def normSq(a: Column): Column =
+    aggregate(a, lit(0.0), (acc, x) => acc + x.cast("double") * x.cast("double"))
+
+  /** L2 norm. */
+  def norm(a: Column): Column = sqrt(normSq(a))
+
+  /** Cosine similarity in [-1, 1]; 0 when either vector is all-zero. */
+  def cosine(a: Column, b: Column): Column = {
+    val denom = norm(a) * norm(b)
+    when(denom === 0.0, lit(0.0)).otherwise(dot(a, b) / denom)
+  }
+
+  /** L2-normalized copy (doubles). Pre-normalizing the corpus once turns
+    * every cosine into a plain dot product — do this before fan-out ANN. */
+  def l2normalize(a: Column): Column = {
+    val n = norm(a)
+    transform(a, x => when(n === 0.0, lit(0.0)).otherwise(x.cast("double") / n))
+  }
+
+  /** Deterministic pseudo-random hyperplane component for LSH: a fixed
+    * arithmetic hash of (plane, dim) mapped into [-0.5, 0.5). No RNG state —
+    * reproducible on any engine, any partitioning. */
+  def hyperplaneComponent(plane: Int, dim: Column): Column = {
+    val h = (lit(plane.toLong) * lit(2654435761L) + dim * lit(1315423911L)) % lit(1000003L)
+    ((h + lit(1000003L)) % lit(1000003L)).cast("double") / lit(1000003.0) - lit(0.5)
+  }
+
+  /** Random-hyperplane LSH bucket id: one sign bit per plane, packed into a
+    * string of 0/1 (string keeps it portable and join-friendly). `seed`
+    * shifts the plane family so multiple independent hash tables can be
+    * built from the same generator. */
+  def lshBucket(vec: Column, planes: Int, seed: Int = 0): Column = {
+    val bits = (0 until planes).map { p =>
+      val proj = aggregate(
+        zip_with(vec, sequence(lit(0L), size(vec).cast("long") - 1L),
+          (x, i) => x.cast("double") * hyperplaneComponent(seed * 1000 + p, i)),
+        lit(0.0), (acc, x) => acc + x)
+      when(proj >= 0.0, lit("1")).otherwise(lit("0"))
+    }
+    concat(bits: _*)
+  }
+}

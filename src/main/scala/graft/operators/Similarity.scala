@@ -1,0 +1,87 @@
+package graft.operators
+
+import graft.functions.Vectors
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Approximate-nearest-neighbor search over an embedding column.
+  *
+  * Two paths, per the standard scale playbook:
+  *  - [[bruteForceTopK]]: exact cosine top-k of a *small* query set against
+  *    the full corpus. The query side is broadcast, so the corpus is scanned
+  *    once, narrow, with no shuffle of the corpus at all; the only exchange
+  *    is the final per-query top-k (a tiny aggregation). This is the
+  *    correctness baseline and is the right physical plan even at 100 TB —
+  *    corpus-side data never moves.
+  *  - [[lshTopK]]: random-hyperplane LSH bucketing (deterministic
+  *    hyperplanes, see [[Vectors.hyperplaneComponent]]) so candidate
+  *    generation is an equi-join on bucket ids instead of a cross product —
+  *    the scale path when the query set is large.
+  */
+object Similarity {
+
+  /** Exact cosine top-k neighbors for each query vector.
+    * Output: (query_id, rank, neighbor_id, cosine). */
+  def bruteForceTopK(queries: DataFrame, corpus: DataFrame,
+                     idCol: String, vecCol: String, k: Int,
+                     excludeSelf: Boolean = true): DataFrame = {
+    val q = broadcast(queries.select(col(idCol).as("query_id"), col(vecCol).as("qv")))
+    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"))
+    val scored = c.join(q, if (excludeSelf) col("neighbor_id") =!= col("query_id") else lit(true))
+      .select(col("query_id"), col("neighbor_id"),
+        Vectors.cosine(col("qv"), col("cv")).as("cosine"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("neighbor_id").asc)
+    scored
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("neighbor_id"), col("cosine"))
+  }
+
+  /** LSH-bucketed ANN: candidates share a random-hyperplane bucket in at
+    * least one of `tables` independent hash tables; exact cosine re-ranks
+    * within candidates. Recall grows with `tables`, bucket size shrinks with
+    * `planes`. Output: (query_id, rank, neighbor_id, cosine). */
+  def lshTopK(queries: DataFrame, corpus: DataFrame,
+              idCol: String, vecCol: String, k: Int,
+              planes: Int = 8, tables: Int = 4): DataFrame = {
+    def bucketed(df: DataFrame, id: String, vec: String): DataFrame =
+      df.select(col(idCol).as(id), col(vecCol).as(vec),
+        explode(array((0 until tables).map { t =>
+          concat(lit(s"$t:"), Vectors.lshBucket(col(vecCol), planes, seed = t))
+        }: _*)).as("bucket"))
+
+    val q = bucketed(queries, "query_id", "qv")
+    val c = bucketed(corpus, "neighbor_id", "cv")
+    val cands = q.join(c, Seq("bucket"))
+      .where(col("neighbor_id") =!= col("query_id"))
+      .select(col("query_id"), col("neighbor_id"), col("qv"), col("cv"))
+      .distinct()
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("neighbor_id").asc)
+    cands
+      .select(col("query_id"), col("neighbor_id"),
+        Vectors.cosine(col("qv"), col("cv")).as("cosine"))
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("neighbor_id"), col("cosine"))
+  }
+
+  /** Embedding near-duplicate pairs: LSH-block on a shared bucket, verify
+    * exact cosine ≥ threshold. Deterministic blocking rule (mirrored by the
+    * oracle); at scale this is an equi-join on short bucket strings. */
+  def embeddingNearDup(corpus: DataFrame, idCol: String, vecCol: String,
+                       threshold: Double, planes: Int = 6): DataFrame = {
+    val b = corpus.select(col(idCol).as("id"), col(vecCol).as("v"),
+      Vectors.lshBucket(col(vecCol), planes).as("bucket"))
+    val l = b.select(col("bucket"), col("id").as("id_a"), col("v").as("v_a"))
+    val r = b.select(col("bucket"), col("id").as("id_b"), col("v").as("v_b"))
+    l.join(r, Seq("bucket"))
+      .where(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"), Vectors.cosine(col("v_a"), col("v_b")).as("cosine"))
+      .where(col("cosine") >= threshold)
+      .distinct()
+  }
+}

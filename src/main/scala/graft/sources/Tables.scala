@@ -1,0 +1,50 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Parquet table loaders for the TPC-H-ish test corpus (TESTDATA.md).
+  *
+  * The reference's only source is `fromLiterals` (reference:
+  * src/main/scala/zio/analytics/DataStream.scala:87-88); file sources are one
+  * of the capability categories our engine must supply (SURVEY.md §2.4).
+  * Plain `spark.read.parquet` is deliberately the whole implementation:
+  * Catalyst then owns predicate pushdown, column pruning and partition
+  * pruning on the scan, which is exactly what we want at 100 TB — never
+  * materialize-then-filter. */
+object Tables {
+  val names: Seq[String] = Seq(
+    "region", "nation", "customer", "supplier", "part", "orders",
+    "lineitem", "events", "documents", "embeddings")
+
+  def apply(spark: SparkSession, dir: String, name: String): DataFrame =
+    spark.read.parquet(s"$dir/$name.parquet")
+
+  def lineitem(spark: SparkSession, dir: String): DataFrame = apply(spark, dir, "lineitem")
+  def orders(spark: SparkSession, dir: String): DataFrame = apply(spark, dir, "orders")
+  def customer(spark: SparkSession, dir: String): DataFrame = apply(spark, dir, "customer")
+  def supplier(spark: SparkSession, dir: String): DataFrame = apply(spark, dir, "supplier")
+  def part(spark: SparkSession, dir: String): DataFrame = apply(spark, dir, "part")
+  def nation(spark: SparkSession, dir: String): DataFrame = apply(spark, dir, "nation")
+  def region(spark: SparkSession, dir: String): DataFrame = apply(spark, dir, "region")
+  /** `events.ts` is nanosecond parquet, which Spark 4 rejects by default.
+    * Read it as raw nanos (legacy conf) and convert losslessly to a
+    * microsecond TimestampType — the data is µs-precision (TESTDATA
+    * generator), so no information is lost and DuckDB-oracle comparisons
+    * agree at every granularity. */
+  def events(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    apply(spark, dir, "events")
+      .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+  }
+  def documents(spark: SparkSession, dir: String): DataFrame = apply(spark, dir, "documents")
+  def embeddings(spark: SparkSession, dir: String): DataFrame = apply(spark, dir, "embeddings")
+
+  /** Register all tables as temp views so `spark.sql` works against the same
+    * names the DuckDB oracle uses. */
+  def registerAll(spark: SparkSession, dir: String): Unit =
+    names.foreach { n =>
+      val df = if (n == "events") events(spark, dir) else apply(spark, dir, n)
+      df.createOrReplaceTempView(n)
+    }
+}

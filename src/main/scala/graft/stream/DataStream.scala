@@ -1,0 +1,379 @@
+package graft.stream
+
+import graft.{Group, Grouped, TimeWindow, Timestamped, Windowed}
+import graft.expr.{Expr, SparkType}
+import graft.windows.WindowAssigner
+
+import org.apache.spark.sql.{Column, DataFrame, Encoders, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{StructField, StructType}
+
+import scala.jdk.CollectionConverters._
+
+/** Typed dataflow facade over a Spark `DataFrame`.
+  *
+  * Mirrors the reference's `DataStream[A]` logical-plan AST + fluent API
+  * (reference: src/main/scala/zio/analytics/DataStream.scala:5-88) — but
+  * where the reference builds its own tree and interprets it over ZIO streams
+  * (Local.scala:114-229), each combinator here immediately declares the
+  * corresponding Spark logical-plan operation, so Catalyst owns optimization
+  * and Tungsten owns execution (SURVEY.md §4.2).
+  *
+  * Encoding: the element `A` lives in a single column named `value`
+  * (primitives directly; tuples as `_1.._n` structs; `Grouped`/`Timestamped`
+  * etc. as structs with their field names — see [[graft.expr.SparkType]]).
+  * User lambdas receive `Expr.id` and can only build expression trees, never
+  * closures — exactly the reference's plan-build-time discipline
+  * (DataStream.scala:59: `Map(ds, f(Expression.Id()))`), which is what keeps
+  * every operator inside Catalyst/whole-stage codegen.
+  */
+final class DataStream[A] private[graft] (private[graft] val df: DataFrame) {
+  import DataStream._
+
+  /** Escape hatch to the full Spark surface. */
+  def toDF: DataFrame = df
+
+  private def value: Column = col(ValueCol)
+
+  /** Per-element projection (reference DataStream.scala:41,59;
+    * Local.scala:119-121). Pure narrow op — no shuffle. */
+  def map[B](f: Expr[A, A] => Expr[A, B]): DataStream[B] =
+    new DataStream[B](df.select(f(Expr.id[A]).toColumn(value).as(ValueCol)))
+
+  /** Flat-map / UNNEST (reference `MapConcat`, DataStream.scala:42,60;
+    * Local.scala:131-137). Uses `explode`, which stays in Catalyst
+    * (Generate node) rather than an opaque flatMap closure. */
+  def mapConcat[B](f: Expr[A, A] => Expr[A, List[B]]): DataStream[B] =
+    new DataStream[B](df.select(explode(f(Expr.id[A]).toColumn(value)).as(ValueCol)))
+
+  /** Predicate selection (reference DataStream.scala:43,61-62;
+    * Local.scala:123-129). The reference's fluent `filter` takes a redundant
+    * stream parameter (DataStream.scala:61) — fixed here per SURVEY §2.1 #4.
+    * As a plain Catalyst Filter this is pushed toward the scan. */
+  def filter(f: Expr[A, A] => Expr[A, Boolean]): DataStream[A] =
+    new DataStream[A](df.filter(f(Expr.id[A]).toColumn(value)))
+
+  /** Key-tag each element (reference DataStream.scala:46-47,65-68;
+    * Local.scala:153-160). Like the reference, this does NOT shuffle — the
+    * exchange happens at the terminal `fold`/`foldWindow` (SURVEY §2.1 #6),
+    * and in Spark only there, with partial aggregation before it.
+    *
+    * Re-grouping an already-grouped stream nests keys:
+    * `Grouped[K0,V].groupBy(f)` yields `Grouped[(K0,K),V]` — the reference's
+    * `ComputeGrouping.alreadyGrouped` behavior (DataStream.scala:14-29). */
+  def groupBy[K](f: Expr[A, A] => Expr[A, K])(implicit cg: ComputeGrouping[A, K]): DataStream[cg.Out] =
+    new DataStream[cg.Out](
+      df.select(cg.toGrouped(value, f(Expr.id[A]).toColumn(value)).as(ValueCol)))
+
+  /** Extract event time (epoch millis) into `Timestamped(ts, a)` (reference
+    * DataStream.scala:50,69-70; Local.scala:185-193). The reference must drop
+    * pre-existing watermarks here; Spark derives watermarks from the column,
+    * so the concern disappears (SURVEY §2.1 #9). */
+  def assignTimestamps(f: Expr[A, A] => Expr[A, Long]): DataStream[Timestamped[A]] =
+    new DataStream[Timestamped[A]](df.select(
+      struct(f(Expr.id[A]).toColumn(value).as("timestamp"), value.as("value")).as(ValueCol)))
+
+  /** Ordered stateful 1→1 scan with running state `S` (reference
+    * `MapAccumulate`, DataStream.scala:44-45,63-64; Local.scala:139-151).
+    *
+    * An ordered *global* scan is inherently sequential (SURVEY §7.3 #1): this
+    * general form coalesces to one partition and interprets the expression
+    * per element — correct, deliberately non-scalable, and documented as
+    * such. For the running aggregations a pipeline actually needs at scale,
+    * use [[graft.operators.Accumulate]] (per-key window frames — distributed
+    * and codegen'd). */
+  def mapAccumulate[S, B](z: S)(f: Expr[(S, A), (S, A)] => Expr[(S, A), (S, B)])(
+      implicit sb: SparkType[B]): DataStream[B] = {
+    val e = f(Expr.id[(S, A)])
+    val outSchema = StructType(Seq(StructField(ValueCol, sb.dataType)))
+    val out = df.coalesce(1).mapPartitions { it =>
+      var state: Any = z
+      it.map { row =>
+        val res = e.eval((state, row.get(0)))
+        val pair = res.asInstanceOf[(Any, Any)]
+        state = pair._1
+        Row(toExternal(pair._2))
+      }
+    }(Encoders.row(outSchema))
+    new DataStream[B](out)
+  }
+
+  // ---- capability-category extensions (SURVEY §2.4; absent from the
+  // reference but required of the engine) ----
+
+  /** Multiset union (SQL UNION ALL). */
+  def union(other: DataStream[A]): DataStream[A] = new DataStream[A](df.union(other.df))
+
+  def distinct: DataStream[A] = new DataStream[A](df.distinct())
+
+  def intersect(other: DataStream[A]): DataStream[A] = new DataStream[A](df.intersect(other.df))
+
+  def except(other: DataStream[A]): DataStream[A] = new DataStream[A](df.except(other.df))
+
+  def sortBy[K](f: Expr[A, A] => Expr[A, K], ascending: Boolean = true): DataStream[A] = {
+    val k = f(Expr.id[A]).toColumn(value)
+    new DataStream[A](df.orderBy(if (ascending) k.asc else k.desc))
+  }
+
+  def limit(n: Int): DataStream[A] = new DataStream[A](df.limit(n))
+
+  /** Equi-join on expression keys → stream of pairs. Catalyst picks the
+    * physical strategy (broadcast vs shuffle); pass `hintBroadcast = true`
+    * to force broadcasting the (small) right side. */
+  def join[B, K](other: DataStream[B], how: String = "inner", hintBroadcast: Boolean = false)(
+      keyL: Expr[A, A] => Expr[A, K], keyR: Expr[B, B] => Expr[B, K]): DataStream[(A, B)] = {
+    val l = df.select(value.as("_l"))
+    val r0 = other.df.select(col(ValueCol).as("_r"))
+    val r = if (hintBroadcast) broadcast(r0) else r0
+    val cond = keyL(Expr.id[A]).toColumn(col("_l")) === keyR(Expr.id[B]).toColumn(col("_r"))
+    new DataStream[(A, B)](
+      l.join(r, cond, how).select(struct(col("_l").as("_1"), col("_r").as("_2")).as(ValueCol)))
+  }
+
+  /** Materialize to the driver as decoded Scala values (tests only). */
+  def collectValues(implicit st: SparkType[A]): Seq[A] =
+    df.collect().toSeq.map(r => st.decode(r.get(0)))
+}
+
+object DataStream {
+  private[graft] val ValueCol = "value"
+
+  /** Finite in-memory source (reference `fromLiterals`,
+    * DataStream.scala:87-88; Local.scala:116-117). The reference appends a
+    * terminal watermark to flush windows; in batch Spark all windows flush at
+    * end-of-input by construction. */
+  def fromLiterals[A](as: A*)(implicit st: SparkType[A], spark: SparkSession): DataStream[A] = {
+    val rows = as.map(a => Row(st.encode(a))).asJava
+    val schema = StructType(Seq(StructField(ValueCol, st.dataType)))
+    new DataStream[A](spark.createDataFrame(rows, schema))
+  }
+
+  /** Wrap an existing DataFrame: a single column becomes the element; a
+    * multi-column frame becomes a tuple-struct element (`_1.._n`). The type
+    * parameter is asserted, not checked — this is the untyped ingress from
+    * the relational world (parquet scans etc.). */
+  def fromDF[A](frame: DataFrame): DataStream[A] = {
+    val cols = frame.columns
+    val df =
+      if (cols.sameElements(Array(ValueCol))) frame
+      else if (cols.length == 1) frame.select(col(cols(0)).as(ValueCol))
+      else frame.select(
+        struct(cols.zipWithIndex.map { case (c, i) => col(c).as(s"_${i + 1}") }.toSeq: _*).as(ValueCol))
+    new DataStream[A](df)
+  }
+
+  private[graft] def toExternal(v: Any): Any = v match {
+    case r: Row     => r
+    case s: Seq[_]  => s.map(toExternal)
+    case p: Product => Row(p.productIterator.map(toExternal).toSeq: _*)
+    case other      => other
+  }
+
+  /** Key-composition typeclass for `groupBy` (reference `ComputeGrouping`,
+    * DataStream.scala:7-38): grouping an already-grouped stream nests the
+    * new key with the existing one instead of regrouping. */
+  sealed trait ComputeGrouping[A, K] {
+    type Out
+    private[graft] def toGrouped(in: Column, key: Column): Column
+  }
+
+  object ComputeGrouping extends LowPriorityGrouping {
+    type Aux[A, K, O] = ComputeGrouping[A, K] { type Out = O }
+
+    /** `Grouped[K0,V].groupBy(f)` ⇒ `Grouped[(K0,K),V]` (reference
+      * `alreadyGrouped`, DataStream.scala:14-29). In Spark a composite key is
+      * just a struct — no expression machinery needed (SURVEY §2.1 note). */
+    implicit def nested[K0, V, K]: Aux[Grouped[K0, V], K, Grouped[(K0, K), V]] =
+      new ComputeGrouping[Grouped[K0, V], K] {
+        type Out = Grouped[(K0, K), V]
+        private[graft] def toGrouped(in: Column, key: Column): Column =
+          struct(
+            struct(in.getField("key").as("_1"), key.as("_2")).as("key"),
+            in.getField("value").as("value"))
+      }
+  }
+
+  trait LowPriorityGrouping {
+    implicit def plain[A, K]: ComputeGrouping.Aux[A, K, Grouped[K, A]] =
+      new ComputeGrouping[A, K] {
+        type Out = Grouped[K, A]
+        private[graft] def toGrouped(in: Column, key: Column): Column =
+          struct(key.as("key"), in.as("value"))
+      }
+  }
+
+  // =====================================================================
+  // Operations available only on grouped streams
+  // =====================================================================
+
+  implicit final class GroupedStreamOps[K, V](private val ds: DataStream[Grouped[K, V]]) extends AnyVal {
+
+    /** Per-element value transform preserving the key tag (reference
+      * `MapValues`, DataStream.scala:49,76-77; Local.scala:177-183). */
+    def mapValues[B](f: Expr[V, V] => Expr[V, B]): DataStream[Grouped[K, B]] = {
+      val v = f(Expr.id[V]).toColumn(col(ValueCol).getField("value"))
+      new DataStream[Grouped[K, B]](ds.df.select(
+        struct(col(ValueCol).getField("key").as("key"), v.as("value")).as(ValueCol)))
+    }
+
+    /** Terminal per-key aggregation (reference `Fold`,
+      * DataStream.scala:48,73-75; Local.scala:162-175).
+      *
+      * The reference materializes every whole group in memory (`runCollect`,
+      * Local.scala:172 — unbounded). Here, reducers whose expression shape is
+      * recognizably aggregative (`values.sum`, `values.length`, arithmetic
+      * over those and the key) are rewritten to native Spark aggregates —
+      * partial (map-side) + final hash aggregation, the scalable form. Only
+      * genuinely whole-group reducers fall back to `collect_list`, and that
+      * fallback is the documented scalability cliff. */
+    def fold[R](f: Expr[Group[K, V], Group[K, V]] => Expr[Group[K, V], R]): DataStream[R] = {
+      val e = f(Expr.id[Group[K, V]])
+      val keyed = ds.df.select(
+        col(ValueCol).getField("key").as("key"),
+        col(ValueCol).getField("value").as("payload"))
+      val grouped = keyed.groupBy(col("key"))
+      AggRewrite.fold(e, col("payload")) match {
+        case Some(agg) =>
+          new DataStream[R](grouped.agg(agg.as(ValueCol)).select(ValueCol))
+        case None =>
+          val collected = grouped.agg(collect_list(col("payload")).as("values"))
+          val in = struct(col("key").as("key"), col("values").as("values"))
+          new DataStream[R](collected.select(e.toColumn(in).as(ValueCol)))
+      }
+    }
+  }
+
+  implicit final class GroupedTimestampedOps[K, V](
+      private val ds: DataStream[Grouped[K, Timestamped[V]]]) extends AnyVal {
+
+    /** Event-time windowed incremental fold per (window, key) (reference
+      * `FoldWindow`, DataStream.scala:51-56,80-85; Local.scala:195-228).
+      *
+      * Spark's `window()`/`session_window()` grouping column replaces the
+      * reference's manual assign-replicate-rekey (Local.scala:204-211); the
+      * shuffle is hash-partitioned by (key, window) with partial aggregation
+      * before the exchange. Folds of the shape `acc + g(v)` are rewritten to
+      * native `sum`/`count`; arbitrary folds run as an ordered
+      * `aggregate()` over a per-group sorted array — still a Catalyst
+      * higher-order function, but materializes the group (documented cliff).
+      * In streaming, the same groupBy compiles to the state store with
+      * watermark eviction; late elements are dropped exactly like the
+      * reference drops post-emit elements (Local.scala:218-219). */
+    def foldWindow[S](assigner: WindowAssigner, z: S)(
+        f: Expr[(S, TimeWindow, V), (S, TimeWindow, V)] => Expr[(S, TimeWindow, V), S])(
+        implicit zs: SparkType[S]): DataStream[Grouped[K, Windowed[S]]] = {
+      val e = f(Expr.id[(S, TimeWindow, V)])
+      val tsMillis = col(ValueCol).getField("value").getField("timestamp")
+      val payload = col(ValueCol).getField("value").getField("value")
+      val keyed = ds.df.select(
+        col(ValueCol).getField("key").as("key"),
+        assigner.toColumn(tsMillis).as("w"),
+        tsMillis.as("ts"),
+        payload.as("payload"))
+      val grouped = keyed.groupBy(col("key"), col("w"))
+
+      val aggregated = AggRewrite.windowFold(e, z, col("payload")) match {
+        case Some(agg) => grouped.agg(agg.as("s"))
+        case None =>
+          // Ordered fallback: fold elements in event-time order.
+          grouped
+            .agg(sort_array(collect_list(struct(col("ts").as("_1"), col("payload").as("_2")))).as("xs"))
+            .withColumn("s",
+              aggregate(col("xs"), lit(z).cast(zs.dataType), (acc, x) =>
+                e.toColumn(struct(
+                  acc.as("_1"),
+                  WindowAssigner.toTimeWindow(col("w")).as("_2"),
+                  x.getField("_2").as("_3")))))
+            .drop("xs")
+      }
+      new DataStream[Grouped[K, Windowed[S]]](aggregated.select(
+        struct(
+          col("key").as("key"),
+          struct(WindowAssigner.toTimeWindow(col("w")).as("window"), col("s").as("value")).as("value")
+        ).as(ValueCol)))
+    }
+  }
+
+  /** Expression-shape → native-aggregate rewriter. This is the one piece of
+    * "optimizer" the facade owns: it decides whether a reified reducer can be
+    * partial-aggregated (scalable) or must materialize its group.
+    * The reference has no equivalent — it always materializes
+    * (Local.scala:170-173); SURVEY §4.2 calls this replacement out as the
+    * deliberate improvement. */
+  private object AggRewrite {
+
+    /** Rewrite a reducer over `Group[K,V]` to an aggregate Column, given the
+      * per-row payload column. Returns None if the shape needs the whole
+      * group. */
+    private def isId(e: Expr[_, _]): Boolean = e.isInstanceOf[Expr.Id[_]]
+    private def isGroupValuesOfId(e: Expr[_, _]): Boolean = e match {
+      case gv: Expr.GroupValues[_, _, _] => isId(gv.e)
+      case _                             => false
+    }
+
+    def fold(e: Expr[_, _], payload: Column): Option[Column] = e match {
+      case gk: Expr.GroupKey[_, _, _] if isId(gk.e)        => Some(col("key"))
+      case l: Expr.Length[_, _] if isGroupValuesOfId(l.list) => Some(count(lit(1)))
+      case s: Expr.ListSum[_] if isGroupValuesOfId(s.list)  => Some(sum(payload).cast("long"))
+      case Expr.KeyValue(k, v) =>
+        for (a <- fold(k, payload); b <- fold(v, payload))
+          yield struct(a.as("key"), b.as("value"))
+      case Expr.FanOut(l, r) =>
+        for (a <- fold(l, payload); b <- fold(r, payload))
+          yield struct(a.as("_1"), b.as("_2"))
+      case Expr.Arith(l, r, op) =>
+        for (a <- fold(l, payload); b <- fold(r, payload)) yield op match {
+          case "+" => a + b; case "-" => a - b; case "*" => a * b
+          case "/" => a / b; case "%" => a % b
+        }
+      case Expr.LitLong(v)    => Some(lit(v))
+      case Expr.LitDouble(v)  => Some(lit(v))
+      case Expr.LitString(v)  => Some(lit(v))
+      case Expr.LitBoolean(v) => Some(lit(v))
+      case _ => None
+    }
+
+    /** Rewrite an incremental window fold `f(acc, w, v)` of shape
+      * `acc + g(v)` to `z + sum(g(payload))` (or `count` when `g` is the
+      * literal 1). */
+    def windowFold[S](e: Expr[_, _], z: S, payload: Column): Option[Column] = e match {
+      case Expr.Arith(acc, g, "+") if isAcc(acc) && !refsAcc(g) =>
+        val summed = g match {
+          case Expr.LitLong(1L) => count(lit(1))
+          case other =>
+            val in = struct(lit(null).as("_1"), lit(null).as("_2"), payload.as("_3"))
+            sum(other.toColumn(in))
+        }
+        z match {
+          case 0L | 0 | 0.0 => Some(summed)
+          case zl: Long     => Some((summed + lit(zl)).cast("long"))
+          case zd: Double   => Some(summed + lit(zd))
+          case _            => None
+        }
+      case _ => None
+    }
+
+    private def isAcc(e: Expr[_, _]): Boolean = e match {
+      case n: Expr.Nth[_, _] => isId(n.child) && n.n == 0
+      case _                 => false
+    }
+
+    private def refsAcc(e: Expr[_, _]): Boolean = e match {
+      case n: Expr.Nth[_, _] if isId(n.child) => n.n == 0
+      case Expr.Id()                => true
+      case Expr.Compose(f, g)       => refsAcc(f) || refsAcc(g)
+      case Expr.FanOut(f, g)        => refsAcc(f) || refsAcc(g)
+      case Expr.Both(f, g)          => refsAcc(f) || refsAcc(g)
+      case Expr.Nth(c, _)           => refsAcc(c)
+      case Expr.Arith(l, r, _)      => refsAcc(l) || refsAcc(r)
+      case Expr.Cmp(l, r, _)        => refsAcc(l) || refsAcc(r)
+      case Expr.BoolOp(l, r, _)     => refsAcc(l) || refsAcc(r)
+      case Expr.Not(x)              => refsAcc(x)
+      case Expr.SplitStr(s, d)      => refsAcc(s) || refsAcc(d)
+      case Expr.Length(x)           => refsAcc(x)
+      case Expr.ListSum(x)          => refsAcc(x)
+      case Expr.KeyValue(k, v)      => refsAcc(k) || refsAcc(v)
+      case _                        => false
+    }
+  }
+}
