@@ -41,12 +41,14 @@ object Vectors {
     transform(a, x => when(n === 0.0, lit(0.0)).otherwise(x.cast("double") / n))
   }
 
-  /** Deterministic pseudo-random hyperplane component for LSH: a fixed
-    * arithmetic hash of (plane, dim) mapped into [-0.5, 0.5). No RNG state —
-    * reproducible on any engine, any partitioning. */
+  /** Deterministic pseudo-random hyperplane component for LSH: xxhash64 of
+    * (plane, dim) mapped into [-0.5, 0.5). Deterministic under any
+    * partitioning; properly bit-mixed (a linear congruential form here
+    * produces a lattice whose planes are correlated — measured ANN recall
+    * dropped to 0.2 with one). */
   def hyperplaneComponent(plane: Int, dim: Column): Column = {
-    val h = (lit(plane.toLong) * lit(2654435761L) + dim * lit(1315423911L)) % lit(1000003L)
-    ((h + lit(1000003L)) % lit(1000003L)).cast("double") / lit(1000003.0) - lit(0.5)
+    val h = xxhash64(lit(plane.toLong), dim)
+    (pmod(h, lit(1000003L)).cast("double") / lit(1000003.0)) - lit(0.5)
   }
 
   /** Random-hyperplane LSH bucket id: one sign bit per plane, packed into a

@@ -1,0 +1,61 @@
+package graft.streaming
+
+import graft.windows.WindowAssigner
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Structured-Streaming twins of the batch operators.
+  *
+  * The reference's runtime is stream-only: watermarks flow in-band through
+  * every operator (reference Local.scala:54-63, 126-129) and `FoldWindow`
+  * emits a window when a watermark passes its end, dropping later elements
+  * (Local.scala:214-226). Structured Streaming gives the same observable
+  * semantics declaratively: `withWatermark` + windowed groupBy in Append
+  * mode emits each window once finalized and drops late rows — the exact
+  * behavior the reference hand-rolls, but with the state store, incremental
+  * partial aggregation, and failure recovery handled by the engine
+  * (SURVEY.md §2.3, §4.2). */
+object Streams {
+
+  /** Watermarked, windowed count per key — the reference's canonical
+    * windowed word count (WordCountSpec.scala:9-17) as a streaming query.
+    *
+    * @param events    streaming DataFrame with columns (`tsCol`: timestamp,
+    *                  `keyCol`: any)
+    * @param assigner  tumbling/sliding/session assigner
+    * @param delay     watermark delay (late-data cutoff, e.g. "10 seconds")
+    */
+  def windowedCounts(events: DataFrame, keyCol: String, tsCol: String,
+                     assigner: WindowAssigner, delay: String): DataFrame = {
+    val windowCol = assigner match {
+      case WindowAssigner.Tumbling(ms) => window(col(tsCol), s"$ms milliseconds")
+      case WindowAssigner.Sliding(ms, step) => window(col(tsCol), s"$ms milliseconds", s"$step milliseconds")
+      case WindowAssigner.Session(gap) => session_window(col(tsCol), s"$gap milliseconds")
+    }
+    events
+      .withWatermark(tsCol, delay)
+      .groupBy(windowCol.as("window"), col(keyCol))
+      .agg(count(lit(1)).as("n"))
+      .select(col(keyCol), col("window.start").as("window_start"),
+        col("window.end").as("window_end"), col("n"))
+  }
+
+  /** Streaming per-key running aggregate via `flatMapGroupsWithState` — the
+    * streaming form of the reference's `MapAccumulate` (SURVEY §2.1 #5):
+    * genuinely stateful, one state entry per key in the state store. */
+  def runningSumPerKey(events: Dataset[(Long, Long)]): Dataset[(Long, Long, Long)] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[Long, (Long, Long, Long)](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (key: Long, rows: Iterator[(Long, Long)], state: GroupState[Long]) =>
+          var acc = state.getOption.getOrElse(0L)
+          val out = rows.map { case (_, v) => acc += v; (key, v, acc) }.toList
+          state.update(acc)
+          out.iterator
+      }
+  }
+}

@@ -1,0 +1,112 @@
+package graft
+
+import graft.expr.Expr
+import graft.stream.DataStream
+import graft.windows.WindowAssigner
+
+class DataStreamSpec extends SparkSuite {
+  import Expr._
+  implicit def s = spark
+
+  /** The reference's canonical windowed word count (FIXTURES.md A.1,
+    * reference WordCountSpec.scala:9-17): golden output check. Windows are
+    * normalized to Spark's [start, end) from the reference's inclusive
+    * bounds (SURVEY §7.3 #3). */
+  test("golden: reference word count via assignTimestamps→groupBy→foldWindow") {
+    val ds = DataStream.fromLiterals((12L, "quick"), (15L, "quick"), (30L, "brown"), (40L, "brown"))
+    val out = ds
+      .assignTimestamps(t => t._1)
+      .groupBy(t => t.value._2)
+      .foldWindow(WindowAssigner.Tumbling(10L), 0L)(t => t._1 + 1L)
+      .collectValues
+      .map(g => (g.key, g.value.window.start, g.value.window.end, g.value.value))
+      .sortBy(t => (t._1, t._2))
+    assert(out == Seq(
+      ("brown", 30L, 40L, 1L),
+      ("brown", 40L, 50L, 1L),
+      ("quick", 10L, 20L, 2L)))
+  }
+
+  test("sliding windows replicate elements into every covering window (not the reference's firstStart bug)") {
+    // size=10, step=3, ts=11 → windows starting at 3, 6, 9 (and NOT 12)
+    val ds = DataStream.fromLiterals((11L, "k"))
+    val out = ds
+      .assignTimestamps(t => t._1)
+      .groupBy(t => t.value._2)
+      .foldWindow(WindowAssigner.Sliding(10L, 3L), 0L)(t => t._1 + 1L)
+      .collectValues.map(_.value.window.start).sorted
+    assert(out == Seq(3L, 6L, 9L))
+  }
+
+  test("session windows merge within gap (reference declared-but-??? operator)") {
+    val ds = DataStream.fromLiterals((0L, "k"), (5L, "k"), (100L, "k"))
+    val out = ds
+      .assignTimestamps(t => t._1)
+      .groupBy(t => t.value._2)
+      .foldWindow(WindowAssigner.Session(20L), 0L)(t => t._1 + 1L)
+      .collectValues.map(g => (g.value.window.start, g.value.value)).sorted
+    assert(out == Seq((0L, 2L), (100L, 1L)))
+  }
+
+  test("foldWindow general fallback: order-sensitive fold over event-time order") {
+    // f = acc*10 + v: depends on order, not rewritable → sorted-array fold
+    val grouped = DataStream.fromLiterals((1L, 3L), (2L, 1L), (3L, 2L))
+      .assignTimestamps(t => t._1)
+      .groupBy(_ => Expr.LitString[Timestamped[(Long, Long)]]("k"))
+      .foldWindow(WindowAssigner.Tumbling(100L), 0L)(t => t._1 * 10L + t._3._2)
+    val out = grouped.collectValues.map(_.value.value)
+    assert(out == Seq(312L)) // fold in ts order: ((0*10+3)*10+1)*10+2
+  }
+
+  test("groupBy nesting composes keys (reference ComputeGrouping)") {
+    val ds = DataStream.fromLiterals(("a", "x", 1L), ("a", "y", 2L), ("a", "x", 3L))
+    val nested = ds.groupBy(t => t._1).groupBy(g => g.value._2)
+    val counts = nested.fold(g => Expr.KeyValue(g.key, g.values.length)).collectValues
+    assert(counts.map(g => ((g.key._1, g.key._2), g.value)).sortBy(_._1) ==
+      Seq((("a", "x"), 2L), (("a", "y"), 1L)))
+  }
+
+  test("fold: rewritten native aggregate equals collect_list fallback") {
+    val ds = DataStream.fromLiterals((1L, 10L), (1L, 20L), (2L, 5L))
+    val grouped = ds.groupBy(t => t._1).mapValues(v => v._2)
+    // rewritable shape → native sum/count
+    val fast = grouped.fold(g => Expr.KeyValue(g.key, g.values.sum &&& g.values.length))
+      .collectValues.map(g => (g.key, g.value)).sortBy(_._1)
+    // Compose at the root defeats the rewriter → collect_list fallback
+    val slow = grouped.fold { g =>
+      val i = Expr.id[Group[Long, Long]]
+      Expr.Compose(i,
+        Expr.KeyValue(Expr.GroupKey(i), Expr.FanOut(Expr.ListSum(Expr.GroupValues(i)), Expr.Length(Expr.GroupValues(i)))))
+    }
+      .collectValues.map(g => (g.key, g.value)).sortBy(_._1)
+    assert(fast == Seq((1L, (30L, 2L)), (2L, (5L, 1L))))
+    assert(slow == fast)
+  }
+
+  test("mapValues preserves the key tag") {
+    val ds = DataStream.fromLiterals((1L, 2L), (3L, 4L))
+    val out = ds.groupBy(t => t._1).mapValues(v => v._2 * 10L)
+      .collectValues.map(g => (g.key, g.value)).sortBy(_._1)
+    assert(out == Seq((1L, 20L), (3L, 40L)))
+  }
+
+  test("mapAccumulate: sequential scan with running state (reference MapAccumulate)") {
+    val ds = DataStream.fromLiterals(1L, 2L, 3L, 4L)
+    val out = ds.mapAccumulate[Long, (Long, Long)](100L) { t =>
+      val ns = t._1 + t._2
+      ns &&& (t._2 &&& ns)
+    }.collectValues
+    assert(out == Seq((1L, 101L), (2L, 103L), (3L, 106L), (4L, 110L)))
+  }
+
+  test("set ops, sort, limit, join") {
+    val a = DataStream.fromLiterals(1L, 2L, 3L)
+    val b = DataStream.fromLiterals(3L, 4L)
+    assert(a.union(b).collectValues.sorted == Seq(1L, 2L, 3L, 3L, 4L))
+    assert(a.intersect(b).collectValues == Seq(3L))
+    assert(a.except(b).collectValues.sorted == Seq(1L, 2L))
+    assert(a.sortBy(x => x, ascending = false).limit(2).collectValues == Seq(3L, 2L))
+    val joined = a.join(b, hintBroadcast = true)(x => x, y => y).collectValues
+    assert(joined == Seq((3L, 3L)))
+  }
+}

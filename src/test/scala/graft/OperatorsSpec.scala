@@ -1,0 +1,153 @@
+package graft
+
+import graft.operators.{AsOf, Dedup, Sessionize, Similarity}
+import graft.functions.{Text, Vectors}
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+
+class OperatorsSpec extends SparkSuite {
+
+  private lazy val docsWithDups = {
+    import spark.implicits._
+    Seq(
+      (1L, "the quick brown fox jumps over the lazy dog near the river bank today"),
+      (2L, "the quick brown fox jumps over the lazy dog near the river bank today"), // exact dup of 1
+      (3L, "the quick brown fox jumps over the lazy dog near the river bank tonight"), // near dup of 1
+      (4L, "completely different content about spark query engines and columnar execution plans"),
+      (5L, "THE  Quick   Brown fox jumps over the lazy dog near the river bank today") // dup of 1 after normalize
+    ).toDF("doc_id", "text")
+  }
+
+  test("exact dedup keeps min id per normalized fingerprint") {
+    val out = Dedup.exact(docsWithDups, "doc_id", "text")
+      .orderBy("doc_id").collect().map(r => (r.getLong(1), r.getLong(2)))
+    // fp groups: {1,2,5} -> (1,3), {3} -> (3,1), {4} -> (4,1)
+    assert(out.toSeq == Seq((1L, 3L), (3L, 1L), (4L, 1L)))
+  }
+
+  test("minhash LSH finds planted near-dups, est_jaccard sane") {
+    val pairs = Dedup.minHashLsh(docsWithDups, "doc_id", "text",
+        shingleLen = 3, k = 16, bands = 4, threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).sortBy(t => (t._1, t._2))
+    val ids = pairs.map(t => (t._1, t._2)).toSet
+    assert(ids.contains((1L, 2L)) && ids.contains((1L, 5L)) && ids.contains((2L, 5L)))
+    assert(pairs.filter(t => Set((1L, 2L), (1L, 5L), (2L, 5L))(t._1 -> t._2)).forall(_._3 == 1.0))
+    assert(!ids.exists(p => p._1 == 4L || p._2 == 4L))
+  }
+
+  test("simHashTable equals per-row simHash expression; near-dups closer than random") {
+    val fromTable = Dedup.simHashTable(docsWithDups, "doc_id", "text", 32)
+      .orderBy("id").collect().map(_.getString(1))
+    val fromExpr = docsWithDups.select(col("doc_id"), Dedup.simHash(col("text"), 32).as("sh"))
+      .orderBy("doc_id").collect().map(_.getString(1))
+    assert(fromTable.toSeq == fromExpr.toSeq)
+    def ham(a: String, b: String) = a.zip(b).count(p => p._1 != p._2)
+    assert(ham(fromTable(0), fromTable(2)) < ham(fromTable(0), fromTable(3)))
+    assert(fromTable(0) == fromTable(1)) // exact dups → identical simhash
+  }
+
+  test("ngram jaccard: exact value on planted docs") {
+    val pairs = Dedup.ngramJaccard(docsWithDups, "doc_id", "text",
+        shingleLen = 3, threshold = 0.5, maxShingleDf = 50)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    assert(pairs((1L, 2L)) == 1.0)
+    assert(pairs((1L, 5L)) == 1.0)
+    // doc 3 differs in last word: 12 shingles each, 11 shared → 11/13
+    assert(math.abs(pairs((1L, 3L)) - 11.0 / 13.0) < 1e-12)
+    assert(!pairs.keySet.exists(p => p._1 == 4L || p._2 == 4L))
+  }
+
+  test("brute-force cosine top-k is exact on hand-computed vectors") {
+    import spark.implicits._
+    val vecs = Seq(
+      (0L, Array(1.0f, 0.0f)),
+      (1L, Array(0.9f, 0.1f)),
+      (2L, Array(0.0f, 1.0f)),
+      (3L, Array(-1.0f, 0.0f))).toDF("vec_id", "embedding")
+    val out = Similarity.bruteForceTopK(vecs.where($"vec_id" === 0), vecs, "vec_id", "embedding", k = 3)
+      .collect().map(r => (r.getInt(1), r.getLong(2)))
+    assert(out.toSeq == Seq((1, 1L), (2, 2L), (3, 3L)))
+  }
+
+  test("LSH ANN: near-perfect recall on planted close neighbors") {
+    import spark.implicits._
+    // clusters of near-identical vectors (cosine ≈ 0.999) — the regime LSH
+    // is built for: sign-collision prob per table ≈ (1-θ/π)^planes ≈ 0.94^6
+    val rnd = new scala.util.Random(7)
+    val bases = (0 until 5).map(_ => Array.fill(16)(rnd.nextGaussian().toFloat))
+    val vecs = (0 until 50).map { i =>
+      val b = bases(i % 5)
+      (i.toLong, b.zipWithIndex.map { case (x, d) => x + 0.01f * ((i * 16 + d) % 7 - 3) })
+    }.toDF("vec_id", "embedding")
+    val exact = Similarity.bruteForceTopK(vecs.where($"vec_id" < 5), vecs, "vec_id", "embedding", 5)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    val approx = Similarity.lshTopK(vecs.where($"vec_id" < 5), vecs, "vec_id", "embedding", 5, planes = 6, tables = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    val recall = (exact & approx).size.toDouble / exact.size
+    assert(recall >= 0.9, s"LSH recall $recall on planted clusters")
+  }
+
+  test("LSH ANN sanity on real (diffuse) embeddings") {
+    // measured: top-10 neighbors here sit at cosine ≈ 0.3 (θ ≈ 72°), where
+    // theory gives per-table collision (1-θ/π)^6 ≈ 0.05 → recall ≈ 0.17
+    // with 4 tables. Assert we're at least at theory's level.
+    val emb = spark.read.parquet(s"$sf0001/embeddings.parquet")
+    val queries = emb.where(col("vec_id") % 100 === 0)
+    val exact = Similarity.bruteForceTopK(queries, emb, "vec_id", "embedding", 10)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    val approx = Similarity.lshTopK(queries, emb, "vec_id", "embedding", 10, planes = 6, tables = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    val recall = (exact & approx).size.toDouble / exact.size
+    assert(recall >= 0.15, s"LSH recall $recall below theoretical floor")
+  }
+
+  test("as-of join: <= semantics, equal-ts match, and no-match null") {
+    import spark.implicits._
+    val left = Seq((1L, 10L, 100L), (1L, 20L, 200L), (2L, 5L, 300L))
+      .toDF("k", "t", "lv").withColumn("t", timestamp_millis($"t"))
+    val right = Seq((1L, 10L, 7L), (1L, 15L, 8L), (2L, 6L, 9L))
+      .toDF("k", "t", "rv").withColumn("t", timestamp_millis($"t"))
+    val out = AsOf.join(left, right, "k", "t", "t", Seq("rv" -> "rv"))
+      .orderBy("lv").collect().map(r => (r.getLong(2), Option(r.get(3)).map(_.asInstanceOf[Long])))
+    assert(out.toSeq == Seq(
+      (100L, Some(7L)),  // equal ts matches (<=)
+      (200L, Some(8L)),  // latest at-or-before
+      (300L, None)))     // right side only after left ts → null
+  }
+
+  test("sessionize: gap starts new session; summary is per (key, session)") {
+    import spark.implicits._
+    val df = Seq((1L, 0L), (1L, 1000L), (1L, 10000L), (2L, 0L))
+      .toDF("user_id", "ms").withColumn("ts", timestamp_millis($"ms")).drop("ms")
+    val out = Sessionize.summarize(df, "user_id", "ts", gapMs = 5000L)
+      .orderBy("user_id", "session_start")
+      .collect().map(r => (r.getLong(0), r.getLong(2), r.getLong(5)))
+    assert(out.toSeq == Seq((1L, 2L, 1000L), (1L, 1L, 0L), (2L, 1L, 0L)))
+  }
+
+  test("text functions: tokens, shingles, fingerprint, langid") {
+    import spark.implicits._
+    val df = Seq(("  The QUICK  brown ", 1L)).toDF("text", "id")
+    val toks = df.select(Text.tokens($"text")).head().getSeq[String](0)
+    assert(toks == Seq("the", "quick", "brown"))
+    val sh = df.select(Text.wordShingles($"text", 2)).head().getSeq[String](0)
+    assert(sh == Seq("the quick", "quick brown"))
+    val fp = df.select(Text.fingerprint($"text")).head().getString(0)
+    assert(fp == java.security.MessageDigest.getInstance("MD5")
+      .digest("the quick brown".getBytes("UTF-8")).map("%02x".format(_)).mkString)
+    val lang = Seq(("the cat is on the mat and it is happy", 1L)).toDF("text", "id")
+      .select(Text.langId($"text")).head().getString(0)
+    assert(lang == "en")
+  }
+
+  test("vector functions: dot/norm/cosine/normalize on knowns") {
+    import spark.implicits._
+    val df = Seq((Array(3.0f, 4.0f), Array(4.0f, 3.0f))).toDF("a", "b")
+    assert(df.select(Vectors.dot($"a", $"b")).head().getDouble(0) == 24.0)
+    assert(df.select(Vectors.norm($"a")).head().getDouble(0) == 5.0)
+    assert(math.abs(df.select(Vectors.cosine($"a", $"b")).head().getDouble(0) - 24.0 / 25.0) < 1e-15)
+    val n = df.select(Vectors.l2normalize($"a")).head().getSeq[Double](0)
+    assert(n == Seq(0.6, 0.8))
+  }
+}

@@ -1,0 +1,61 @@
+package graft
+
+import graft.streaming.Streams
+import graft.windows.WindowAssigner
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+class StreamingSpec extends SparkSuite {
+
+  test("streaming windowed word count: watermark flush + late-data drop (reference Local.scala:218-225 semantics)") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, String)]
+    val events = input.toDF()
+      .select(timestamp_millis(col("_1")).as("ts"), col("_2").as("word"))
+    val counts = Streams.windowedCounts(events, "word", "ts",
+      WindowAssigner.Tumbling(10L), delay = "0 milliseconds")
+    val q = counts.writeStream.outputMode("append")
+      .format("memory").queryName("wc").start()
+    try {
+      // reference fixture (FIXTURES.md A.1)
+      input.addData((12L, "quick"), (15L, "quick"), (30L, "brown"), (40L, "brown"))
+      q.processAllAvailable()
+      // late element for the already-closed [10,20) window + an advancer
+      input.addData((13L, "quick"), (60L, "later"))
+      q.processAllAvailable()
+      input.addData((100L, "flush"))
+      q.processAllAvailable()
+      val rows = spark.table("wc")
+        .select(col("word"), unix_millis(col("window_start")).as("ws"), col("n"))
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).sortBy(t => (t._1, t._2))
+      // late (13,"quick") was DROPPED: [10,20) stays 2
+      assert(rows.contains(("quick", 10L, 2L)))
+      assert(rows.contains(("brown", 30L, 1L)))
+      assert(rows.contains(("brown", 40L, 1L)))
+      assert(rows.contains(("later", 60L, 1L)))
+      assert(!rows.contains(("quick", 10L, 3L)))
+    } finally q.stop()
+  }
+
+  test("streaming per-key running sum via flatMapGroupsWithState (streaming MapAccumulate)") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, Long)]
+    val out = Streams.runningSumPerKey(input.toDS())
+    val q = out.toDF("k", "v", "acc").writeStream
+      .outputMode("append").format("memory").queryName("rs").start()
+    try {
+      input.addData((1L, 10L), (1L, 5L), (2L, 7L))
+      q.processAllAvailable()
+      input.addData((1L, 1L))
+      q.processAllAvailable()
+      val rows = spark.table("rs").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      // state persists across micro-batches: second batch continues at 15
+      assert(rows.contains((1L, 1L, 16L)))
+      assert(rows.contains((2L, 7L, 7L)))
+    } finally q.stop()
+  }
+}
