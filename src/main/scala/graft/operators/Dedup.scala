@@ -59,8 +59,9 @@ object Dedup {
     * needed before the explode. */
   def minHashSignatures(docs: DataFrame, idCol: String, textCol: String,
                         shingleLen: Int, k: Int): DataFrame = {
+    graft.GraftFunctions.ensureRegistered(docs.sparkSession)
     val ex = docs.select(col(idCol).as("id"),
-      explode(Text.wordShingles(col(textCol), shingleLen)).as("sh"))
+      explode(Text.fastWordShingles(col(textCol), shingleLen)).as("sh"))
     val aggs = (0 until k).map(i => min(md5(concat(col("sh"), lit(s"|$i")))).as(s"m$i"))
     ex.groupBy(col("id"))
       .agg(aggs.head, aggs.tail: _*)
@@ -79,16 +80,42 @@ object Dedup {
   def minHashLsh(docs: DataFrame, idCol: String, textCol: String,
                  shingleLen: Int = 3, k: Int = 16, bands: Int = 4,
                  threshold: Double = 0.7): DataFrame = {
-    val sigs = minHashSignatures(docs, idCol, textCol, shingleLen, k)
-    val banded = sigs.select(col("id"), col("sig"),
-      explode(lshBandKeys(col("sig"), k, bands)).as("band"))
-    val a = banded.select(col("band"), col("id").as("id_a"), col("sig").as("sig_a"))
-    val b = banded.select(col("band"), col("id").as("id_b"), col("sig").as("sig_b"))
-    a.join(b, Seq("band"))
-      .where(col("id_a") < col("id_b"))
-      .select(col("id_a"), col("id_b"),
-        (size(filter(zip_with(col("sig_a"), col("sig_b"), (x, y) => x === y), b => b))
-          .cast("double") / lit(k.toDouble)).as("est_jaccard"))
+    graft.GraftFunctions.ensureRegistered(docs.sparkSession)
+    // Signatures and band keys as FLAT columns (m0..m15) rather than
+    // array-typed HOF plumbing: md5/concat_ws over plain columns stay in
+    // whole-stage codegen, where slice/transform over the packed array ran
+    // interpreted (measured ~2s of fixed+per-row cost at sf0.1).
+    val ex = docs.select(col(idCol).as("id"),
+      explode(Text.fastWordShingles(col(textCol), shingleLen)).as("sh"))
+    val aggs = (0 until k).map(i => min(md5(concat(col("sh"), lit(s"|$i")))).as(s"m$i"))
+    val mins = ex.groupBy(col("id")).agg(aggs.head, aggs.tail: _*)
+    val rows = k / bands
+    val bandCols = (0 until bands).map(b =>
+      concat(lit(s"$b:"), md5(concat_ws("|", (b * rows until (b + 1) * rows).map(i => col(s"m$i")): _*))))
+    // In-bucket pair generation from a collected posting list instead of a
+    // self equi-join: computes signatures ONCE (a self-join reads the plan
+    // twice, and persist() in the middle of this shape measured 4× slower
+    // by defeating partial-agg pipelining). Band buckets only contain
+    // near-identical documents plus rare collisions, so lists stay tiny; a
+    // pathological hot band at extreme scale would be salted upstream.
+    val banded = mins.select(col("id"),
+      array((0 until k).map(i => col(s"m$i")): _*).as("sig"),
+      explode(array(bandCols: _*)).as("band"))
+    val buckets = banded.groupBy(col("band"))
+      .agg(sort_array(collect_list(struct(col("id"), col("sig")))).as("xs"))
+      .where(size(col("xs")) >= 2)
+    val n = size(col("xs"))
+    val combos = flatten(transform(sequence(lit(0), n - 2), i =>
+      transform(slice(col("xs"), i + 2, n - (i + 1)), other => {
+        val self = element_at(col("xs"), i + 1)
+        struct(
+          self.getField("id").as("id_a"),
+          other.getField("id").as("id_b"),
+          (size(filter(zip_with(self.getField("sig"), other.getField("sig"), (x, y) => x === y), v => v))
+            .cast("double") / lit(k.toDouble)).as("est_jaccard"))
+      })))
+    buckets.select(explode(combos).as("p"))
+      .select(col("p.id_a").as("id_a"), col("p.id_b").as("id_b"), col("p.est_jaccard").as("est_jaccard"))
       .where(col("est_jaccard") >= threshold)
       .distinct()
   }
@@ -120,12 +147,17 @@ object Dedup {
     * Documents with zero tokens keep an all-'0' hash via the left join. */
   def simHashTable(docs: DataFrame, idCol: String, textCol: String,
                    bits: Int = 32): DataFrame = {
+    val nDigits = (bits + 3) / 4
     val ex = docs
       .select(col(idCol).as("id"), explode(Text.tokens(col(textCol))).as("t"))
       .select(col("id"), md5(col("t")).as("h"))
+      // extract each hex digit's value once per row; the per-bit aggregates
+      // below then reduce to shift/mask arithmetic (keeps the 32 generated
+      // aggregate expressions tiny for codegen)
+      .select(col("id") +: (0 until nDigits).map(d =>
+        (instr(lit("0123456789abcdef"), substring(col("h"), d + 1, 1)) - 1).cast("long").as(s"v$d")): _*)
     val aggs = (0 until bits).map { p =>
-      val v = (instr(lit("0123456789abcdef"), substring(col("h"), p / 4 + 1, 1)) - 1).cast("long")
-      val bit = shiftright(v, 3 - p % 4) % 2L
+      val bit = shiftright(col(s"v${p / 4}"), 3 - p % 4) % 2L
       sum(bit * 2L - 1L).as(s"b$p")
     }
     val summed = ex.groupBy(col("id"))
@@ -145,7 +177,8 @@ object Dedup {
     * Prefix blocking = one equi-join shuffle on a short key. */
   def simHashPairs(docs: DataFrame, idCol: String, textCol: String,
                    bits: Int = 32, prefixBits: Int = 8, maxDistance: Int = 3): DataFrame = {
-    val hashed = docs.select(col(idCol).as("id"), simHash(col(textCol), bits).as("sh"))
+    val hashed = simHashTable(docs, idCol, textCol, bits)
+      .withColumnRenamed("simhash", "sh")
     val a = hashed.select(substring(col("sh"), 1, prefixBits).as("pfx"), col("id").as("id_a"), col("sh").as("sh_a"))
     val b = hashed.select(substring(col("sh"), 1, prefixBits).as("pfx"), col("id").as("id_b"), col("sh").as("sh_b"))
     a.join(b, Seq("pfx"))
@@ -165,23 +198,31 @@ object Dedup {
   def ngramJaccard(docs: DataFrame, idCol: String, textCol: String,
                    shingleLen: Int = 3, threshold: Double = 0.6,
                    maxShingleDf: Int = 50): DataFrame = {
+    graft.GraftFunctions.ensureRegistered(docs.sparkSession)
     val exploded = docs.select(
       col(idCol).as("id"),
-      explode(array_distinct(Text.wordShingles(col(textCol), shingleLen))).as("sh"))
+      explode(array_distinct(Text.fastWordShingles(col(textCol), shingleLen))).as("sh"))
     val sizes = exploded.groupBy(col("id")).agg(count(lit(1)).as("n_sh"))
-    val filtered = exploded
-      .withColumn("df", count(lit(1)).over(org.apache.spark.sql.expressions.Window.partitionBy(col("sh"))))
-      .where(col("df") <= maxShingleDf)
-      .drop("df")
-    val a = filtered.select(col("sh"), col("id").as("id_a"))
-    val b = filtered.select(col("sh"), col("id").as("id_b"))
-    val shared = a.join(b, Seq("sh"))
-      .where(col("id_a") < col("id_b"))
-      .groupBy(col("id_a"), col("id_b"))
+    // Inverted index as ONE aggregation (partial-agg'd), pairs generated
+    // in-bucket from the sorted posting list — replaces a window-df pass
+    // plus a self equi-join with a single shuffle. Postings above the df
+    // bound are stop-shingles and generate no candidates (same rule the
+    // oracle mirrors); df<2 generates none by construction.
+    val buckets = exploded.groupBy(col("sh"))
+      .agg(sort_array(collect_list(col("id"))).as("ids"))
+      .where(size(col("ids")) >= 2 && size(col("ids")) <= maxShingleDf)
+    val n = size(col("ids"))
+    val combos = flatten(transform(sequence(lit(0), n - 2), i =>
+      transform(slice(col("ids"), i + 2, n - (i + 1)), b =>
+        struct(element_at(col("ids"), i + 1).as("id_a"), b.as("id_b")))))
+    val shared = buckets
+      .select(explode(combos).as("p"))
+      .groupBy(col("p.id_a").as("id_a"), col("p.id_b").as("id_b"))
       .agg(count(lit(1)).as("shared"))
+    // per-doc size table is one short row per document — always broadcast
     shared
-      .join(sizes.withColumnRenamed("id", "id_a").withColumnRenamed("n_sh", "n_a"), Seq("id_a"))
-      .join(sizes.withColumnRenamed("id", "id_b").withColumnRenamed("n_sh", "n_b"), Seq("id_b"))
+      .join(broadcast(sizes.withColumnRenamed("id", "id_a").withColumnRenamed("n_sh", "n_a")), Seq("id_a"))
+      .join(broadcast(sizes.withColumnRenamed("id", "id_b").withColumnRenamed("n_sh", "n_b")), Seq("id_b"))
       .select(col("id_a"), col("id_b"),
         (col("shared").cast("double") /
           (col("n_a") + col("n_b") - col("shared")).cast("double")).as("jaccard"))

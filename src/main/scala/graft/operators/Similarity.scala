@@ -1,5 +1,6 @@
 package graft.operators
 
+import graft.GraftFunctions
 import graft.functions.Vectors
 
 import org.apache.spark.sql.DataFrame
@@ -13,13 +14,18 @@ import org.apache.spark.sql.functions._
   *    the full corpus. The query side is broadcast, so the corpus is scanned
   *    once, narrow, with no shuffle of the corpus at all; the only exchange
   *    is the final per-query top-k (a tiny aggregation). This is the
-  *    correctness baseline and is the right physical plan even at 100 TB —
+  *    correctness baseline and the right physical plan even at 100 TB —
   *    corpus-side data never moves.
   *  - [[lshTopK]]: random-hyperplane LSH bucketing (deterministic
   *    hyperplanes, see [[Vectors.hyperplaneComponent]]) so candidate
   *    generation is an equi-join on bucket ids instead of a cross product —
   *    the scale path when the query set is large.
-  */
+  *
+  * Scoring discipline: norms are computed ONCE per row before any join
+  * (never per candidate pair), and the pair-side inner loop is the native
+  * codegen'd [[graft.functions.catalyst.ArrayDotProduct]]. The final
+  * cosine `dot / (qn * cn)` is bit-identical to the naive
+  * `dot(a,b)/(norm(a)*norm(b))`, so oracle parity is unaffected. */
 object Similarity {
 
   /** Exact cosine top-k neighbors for each query vector.
@@ -27,11 +33,15 @@ object Similarity {
   def bruteForceTopK(queries: DataFrame, corpus: DataFrame,
                      idCol: String, vecCol: String, k: Int,
                      excludeSelf: Boolean = true): DataFrame = {
-    val q = broadcast(queries.select(col(idCol).as("query_id"), col(vecCol).as("qv")))
-    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"))
+    GraftFunctions.ensureRegistered(queries.sparkSession)
+    val q = broadcast(queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"),
+      Vectors.norm(col(vecCol)).as("qn")))
+    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"),
+      Vectors.norm(col(vecCol)).as("cn"))
     val scored = c.join(q, if (excludeSelf) col("neighbor_id") =!= col("query_id") else lit(true))
       .select(col("query_id"), col("neighbor_id"),
-        Vectors.cosine(col("qv"), col("cv")).as("cosine"))
+        when(col("qn") * col("cn") === 0.0, lit(0.0))
+          .otherwise(Vectors.fastDot(col("qv"), col("cv")) / (col("qn") * col("cn"))).as("cosine"))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cosine").desc, col("neighbor_id").asc)
     scored
@@ -47,40 +57,49 @@ object Similarity {
   def lshTopK(queries: DataFrame, corpus: DataFrame,
               idCol: String, vecCol: String, k: Int,
               planes: Int = 8, tables: Int = 4): DataFrame = {
-    def bucketed(df: DataFrame, id: String, vec: String): DataFrame =
-      df.select(col(idCol).as(id), col(vecCol).as(vec),
+    GraftFunctions.ensureRegistered(queries.sparkSession)
+    def buckets(df: DataFrame, id: String): DataFrame =
+      df.select(col(idCol).as(id),
         explode(array((0 until tables).map { t =>
           concat(lit(s"$t:"), Vectors.lshBucket(col(vecCol), planes, seed = t))
         }: _*)).as("bucket"))
 
-    val q = bucketed(queries, "query_id", "qv")
-    val c = bucketed(corpus, "neighbor_id", "cv")
-    val cands = q.join(c, Seq("bucket"))
+    // candidate ids first (cheap dedup on longs), vectors re-attached after
+    val cands = buckets(queries, "query_id").join(buckets(corpus, "neighbor_id"), Seq("bucket"))
       .where(col("neighbor_id") =!= col("query_id"))
-      .select(col("query_id"), col("neighbor_id"), col("qv"), col("cv"))
+      .select(col("query_id"), col("neighbor_id"))
       .distinct()
+    val q = broadcast(queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"),
+      Vectors.norm(col(vecCol)).as("qn")))
+    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"),
+      Vectors.norm(col(vecCol)).as("cn"))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cosine").desc, col("neighbor_id").asc)
-    cands
+    cands.join(q, Seq("query_id")).join(c, Seq("neighbor_id"))
       .select(col("query_id"), col("neighbor_id"),
-        Vectors.cosine(col("qv"), col("cv")).as("cosine"))
+        when(col("qn") * col("cn") === 0.0, lit(0.0))
+          .otherwise(Vectors.fastDot(col("qv"), col("cv")) / (col("qn") * col("cn"))).as("cosine"))
       .withColumn("rank", row_number().over(w))
       .where(col("rank") <= k)
       .select(col("query_id"), col("rank"), col("neighbor_id"), col("cosine"))
   }
 
   /** Embedding near-duplicate pairs: LSH-block on a shared bucket, verify
-    * exact cosine ≥ threshold. Deterministic blocking rule (mirrored by the
-    * oracle); at scale this is an equi-join on short bucket strings. */
+    * exact cosine ≥ threshold. Deterministic blocking rule; at scale this is
+    * an equi-join on short bucket strings. */
   def embeddingNearDup(corpus: DataFrame, idCol: String, vecCol: String,
                        threshold: Double, planes: Int = 6): DataFrame = {
+    GraftFunctions.ensureRegistered(corpus.sparkSession)
     val b = corpus.select(col(idCol).as("id"), col(vecCol).as("v"),
+      Vectors.norm(col(vecCol)).as("n"),
       Vectors.lshBucket(col(vecCol), planes).as("bucket"))
-    val l = b.select(col("bucket"), col("id").as("id_a"), col("v").as("v_a"))
-    val r = b.select(col("bucket"), col("id").as("id_b"), col("v").as("v_b"))
+    val l = b.select(col("bucket"), col("id").as("id_a"), col("v").as("v_a"), col("n").as("n_a"))
+    val r = b.select(col("bucket"), col("id").as("id_b"), col("v").as("v_b"), col("n").as("n_b"))
     l.join(r, Seq("bucket"))
       .where(col("id_a") < col("id_b"))
-      .select(col("id_a"), col("id_b"), Vectors.cosine(col("v_a"), col("v_b")).as("cosine"))
+      .select(col("id_a"), col("id_b"),
+        when(col("n_a") * col("n_b") === 0.0, lit(0.0))
+          .otherwise(Vectors.fastDot(col("v_a"), col("v_b")) / (col("n_a") * col("n_b"))).as("cosine"))
       .where(col("cosine") >= threshold)
       .distinct()
   }
