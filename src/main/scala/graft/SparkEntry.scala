@@ -84,6 +84,10 @@ object SparkEntry {
     "q25_asof_join" -> q25,
     "q28_multimodal" -> q28,
     "q30_approx_distinct" -> q30,
+    "q31_grouping_sets" -> q31,
+    "q32_nested_groupby" -> q32,
+    "q33_embedding_neardup" -> q33,
+    "q34_range_join" -> q34,
   )
 
   // =====================================================================
@@ -440,6 +444,73 @@ object SparkEntry {
         count(lit(1)).as("n_rows"))
       .orderBy(col("l_returnflag"))
 
+  /** GROUPING SETS through the SQL surface (temp views + spark.sql) — the
+    * engine's DSL-first design gets the SQL front for free once views are
+    * registered (SURVEY §2.4 "SQL surface"). */
+  private def q31(s: SparkSession, dir: String): DataFrame = {
+    Tables.registerAll(s, dir)
+    s.sql(s"""
+      SELECT coalesce(l_returnflag, 'ALL') AS flag,
+             coalesce(l_linestatus, 'ALL') AS status,
+             CAST(sum(CAST(round(l_quantity * 100) AS BIGINT)) AS BIGINT) AS sum_qty_c,
+             count(*) AS n_rows
+      FROM lineitem
+      GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), (l_returnflag, l_linestatus))
+      ORDER BY flag, status""")
+  }
+
+  /** Nested groupBy through the facade: re-grouping a grouped stream
+    * composes keys (reference ComputeGrouping, SURVEY §2.1 #6) — the
+    * composite key compiles to one multi-column hash aggregation, ONE
+    * shuffle, not two. */
+  private def q32(s: SparkSession, dir: String): DataFrame = {
+    import Expr._
+    val li = DataStream.fromDF[(String, String, Double)](
+      Tables.lineitem(s, dir).select(col("l_returnflag"), col("l_linestatus"),
+        cents(col("l_quantity")).as("qc")))
+    val nested = li.groupBy(t => t._1).groupBy(g => g.value._2)
+    val agg = nested.fold(g => Expr.KeyValue(g.key, g.values.length))
+    agg.toDF.select(
+        col("value.key._1").as("flag"),
+        col("value.key._2").as("status"),
+        col("value.value").as("n_rows"))
+      .orderBy(col("flag"), col("status"))
+  }
+
+  /** Exact embedding near-duplicate pairs (all pairs, codegen'd dot
+    * product). The LSH-blocked variant ([[graft.operators.Similarity.embeddingNearDup]])
+    * is the 100 TB path; exact all-pairs is the oracle-checkable baseline
+    * and fine at bench scale. */
+  private def q33(s: SparkSession, dir: String): DataFrame = {
+    graft.GraftFunctions.ensureRegistered(s)
+    val e = Tables.embeddings(s, dir)
+    val a = e.select(col("vec_id").as("id_a"), col("embedding").as("v_a"),
+      graft.functions.Vectors.norm(col("embedding")).as("n_a"))
+    val b = e.select(col("vec_id").as("id_b"), col("embedding").as("v_b"),
+      graft.functions.Vectors.norm(col("embedding")).as("n_b"))
+    a.join(broadcast(b), col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        when(col("n_a") * col("n_b") === 0.0, lit(0.0))
+          .otherwise(graft.functions.Vectors.fastDot(col("v_a"), col("v_b")) / (col("n_a") * col("n_b"))).as("cosine"))
+      .where(col("cosine") >= 0.35)
+      .select(col("id_a"), col("id_b"))
+      .orderBy(col("id_a"), col("id_b"))
+  }
+
+  /** Range join: lineitems shipped within 30 days of their order's date —
+    * equi-key plus range predicate; the equi conjunct keeps it a hash join
+    * (the range alone would be a quadratic broadcast-nested-loop). */
+  private def q34(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(s, dir)
+    val o = Tables.orders(s, dir)
+    li.join(o, li("l_orderkey") === o("o_orderkey") &&
+        li("l_shipdate") >= o("o_orderdate") &&
+        li("l_shipdate") < o("o_orderdate") + expr("INTERVAL 30 DAYS"))
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_fast_items"))
+      .orderBy(col("o_orderpriority"))
+  }
+
   // =====================================================================
   // DuckDB oracle SQL — same semantics, same column names, same ORDER BY.
   // =====================================================================
@@ -697,6 +768,36 @@ object SparkEntry {
            ASOF LEFT JOIN (SELECT user_id, ts, event_id AS click_event_id FROM events WHERE event_type = 'click') c
              ON p.user_id = c.user_id AND p.ts >= c.ts
            ORDER BY p.event_id""",
+
+      "q31_grouping_sets" ->
+        s"""SELECT coalesce(l_returnflag, 'ALL') AS flag, coalesce(l_linestatus, 'ALL') AS status,
+           CAST(sum(${C.format("l_quantity")}) AS BIGINT) AS sum_qty_c, count(*) AS n_rows
+           FROM lineitem
+           GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), (l_returnflag, l_linestatus))
+           ORDER BY flag, status""",
+
+      "q32_nested_groupby" ->
+        """SELECT l_returnflag AS flag, l_linestatus AS status, count(*) AS n_rows
+           FROM lineitem GROUP BY 1, 2 ORDER BY flag, status""",
+
+      "q33_embedding_neardup" ->
+        """SELECT a.vec_id AS id_a, b.vec_id AS id_b
+           FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+           WHERE CASE WHEN sqrt(list_sum(list_transform(a.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+                       * sqrt(list_sum(list_transform(b.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) = 0
+                  THEN 0.0
+                  ELSE list_sum(list_transform(range(1, len(a.embedding) + 1), i ->
+                         CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)))
+                       / (sqrt(list_sum(list_transform(a.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+                          * sqrt(list_sum(list_transform(b.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))))
+             END >= 0.35
+           ORDER BY id_a, id_b""",
+
+      "q34_range_join" ->
+        """SELECT o_orderpriority, count(*) AS n_fast_items
+           FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+             AND l_shipdate >= o_orderdate AND l_shipdate < o_orderdate + INTERVAL 30 DAY
+           GROUP BY o_orderpriority ORDER BY o_orderpriority""",
 
       "q28_multimodal" ->
         """SELECT doc_id, (['image', 'audio', 'video'])[CAST(doc_id % 3 + 1 AS BIGINT)] AS kind,
