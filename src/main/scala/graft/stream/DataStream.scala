@@ -259,17 +259,28 @@ object DataStream {
       * In streaming, the same groupBy compiles to the state store with
       * watermark eviction; late elements are dropped exactly like the
       * reference drops post-emit elements (Local.scala:218-219). */
-    def foldWindow[S](assigner: WindowAssigner, z: S)(
+    /** @param allowedLateness watermark delay, used only when the underlying
+      *   frame is streaming: late rows beyond it are dropped and windows
+      *   flush once the watermark passes — the reference's emit-on-watermark
+      *   + silent late drop (Local.scala:214-226). Batch input ignores it
+      *   (end-of-input flushes everything, like the reference's terminal
+      *   watermark). */
+    def foldWindow[S](assigner: WindowAssigner, z: S,
+        allowedLateness: String = "0 milliseconds")(
         f: Expr[(S, TimeWindow, V), (S, TimeWindow, V)] => Expr[(S, TimeWindow, V), S])(
         implicit zs: SparkType[S]): DataStream[Grouped[K, Windowed[S]]] = {
       val e = f(Expr.id[(S, TimeWindow, V)])
       val tsMillis = col(ValueCol).getField("value").getField("timestamp")
       val payload = col(ValueCol).getField("value").getField("value")
-      val keyed = ds.df.select(
+      val withTs = ds.df.select(
         col(ValueCol).getField("key").as("key"),
-        assigner.toColumn(tsMillis).as("w"),
+        timestamp_millis(tsMillis).as("event_ts"),
         tsMillis.as("ts"),
         payload.as("payload"))
+      val marked =
+        if (withTs.isStreaming) withTs.withWatermark("event_ts", allowedLateness)
+        else withTs
+      val keyed = marked.withColumn("w", assigner.onTimestamp(col("event_ts")))
       val grouped = keyed.groupBy(col("key"), col("w"))
 
       val aggregated = AggRewrite.windowFold(e, z, col("payload")) match {

@@ -27,24 +27,27 @@ import scala.concurrent.duration.Duration
   */
 sealed trait WindowAssigner {
   /** Grouping column over an event-time column of epoch millis. */
-  def toColumn(tsMillis: Column): Column
+  def toColumn(tsMillis: Column): Column = onTimestamp(timestamp_millis(tsMillis))
+
+  /** Grouping column over a TimestampType column (required form for
+    * streaming, where the window must be built on the exact watermarked
+    * column). */
+  def onTimestamp(ts: Column): Column
 }
 
 object WindowAssigner {
 
   final case class Tumbling(sizeMs: Long) extends WindowAssigner {
-    def toColumn(tsMillis: Column): Column =
-      window(timestamp_millis(tsMillis), s"$sizeMs milliseconds")
+    def onTimestamp(ts: Column): Column = window(ts, s"$sizeMs milliseconds")
   }
 
   final case class Sliding(sizeMs: Long, stepMs: Long) extends WindowAssigner {
-    def toColumn(tsMillis: Column): Column =
-      window(timestamp_millis(tsMillis), s"$sizeMs milliseconds", s"$stepMs milliseconds")
+    def onTimestamp(ts: Column): Column =
+      window(ts, s"$sizeMs milliseconds", s"$stepMs milliseconds")
   }
 
   final case class Session(gapMs: Long) extends WindowAssigner {
-    def toColumn(tsMillis: Column): Column =
-      session_window(timestamp_millis(tsMillis), s"$gapMs milliseconds")
+    def onTimestamp(ts: Column): Column = session_window(ts, s"$gapMs milliseconds")
   }
 
   def tumbling(size: Duration): WindowAssigner = Tumbling(size.toMillis)

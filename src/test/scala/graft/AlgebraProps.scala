@@ -1,0 +1,74 @@
+package graft
+
+import graft.expr.Expr
+import graft.stream.DataStream
+import graft.windows.WindowAssigner
+
+import org.scalacheck.{Gen, Prop, Properties, Test}
+import org.scalacheck.Prop.forAll
+
+/** Property-based algebraic laws the reference defines implicitly
+  * (SURVEY §5.2 #4). Few examples per property — each evaluation runs real
+  * Spark jobs. */
+object AlgebraProps extends Properties("graft.algebra") {
+
+  override def overrideParameters(p: Test.Parameters): Test.Parameters =
+    p.withMinSuccessfulTests(6).withWorkers(1)
+
+  private lazy val spark = SparkSuite.session
+  private implicit def s = spark
+  import Expr._
+
+  private val smallLongs = Gen.listOfN(6, Gen.chooseNum(-100L, 100L))
+  private val keyedPairs = Gen.listOfN(8, Gen.zip(Gen.oneOf("a", "b", "c"), Gen.oneOf("x", "y"), Gen.chooseNum(0L, 50L)))
+
+  property("map fusion: map(f)>>>map(g) == map(f>>>g)") = forAll(smallLongs) { xs =>
+    val ds = DataStream.fromLiterals(xs: _*)
+    val two = ds.map(x => x * 2L + 1L).map(y => y * 3L).collectValues
+    val one = ds.map(x => (x * 2L + 1L) * 3L).collectValues
+    two == one
+  }
+
+  property("filter/map commute when independent") = forAll(smallLongs) { xs =>
+    val ds = DataStream.fromLiterals(xs.map(x => (x, x + 1)): _*)
+    val a = ds.filter(t => t._1 >= 0L).map(t => t._2).collectValues.sorted
+    val b = ds.map(t => t._1 &&& t._2).filter(t => t._1 >= 0L).map(t => t._2).collectValues.sorted
+    a == b
+  }
+
+  property("groupBy nesting == composite-key groupBy") = forAll(keyedPairs) { rows =>
+    val ds = DataStream.fromLiterals(rows: _*)
+    val nested = ds.groupBy(t => t._1).groupBy(g => g.value._2)
+      .fold(g => Expr.KeyValue(g.key, g.values.length))
+      .collectValues.map(g => ((g.key._1, g.key._2), g.value)).sortBy(_._1)
+    val direct = ds.groupBy(t => t._1 &&& t._2)
+      .fold(g => Expr.KeyValue(g.key, g.values.length))
+      .collectValues.map(g => ((g.key._1, g.key._2), g.value)).sortBy(_._1)
+    nested == direct
+  }
+
+  property("sliding windows: each element lands in exactly size/step windows") =
+    forAll(Gen.listOfN(5, Gen.chooseNum(0L, 200L)), Gen.oneOf(2L, 5L, 10L)) { (ts, step) =>
+      val size = 10L
+      val ds = DataStream.fromLiterals(ts.map(t => (t, "k")): _*)
+      val out = ds.assignTimestamps(t => t._1)
+        .groupBy(t => t.value._2)
+        .foldWindow(WindowAssigner.Sliding(size, step), 0L)(t => t._1 + 1L)
+        .collectValues
+      // total (element, window) memberships — the reference's firstStart bug
+      // (SURVEY §2.3) under-counts this
+      out.map(_.value.value).sum == ts.size * (size / step)
+    }
+
+  property("tumbling windows partition the timeline: counts sum to n, windows disjoint") =
+    forAll(Gen.listOfN(6, Gen.chooseNum(0L, 100L))) { ts =>
+      val ds = DataStream.fromLiterals(ts.map(t => (t, "k")): _*)
+      val out = ds.assignTimestamps(t => t._1)
+        .groupBy(t => t.value._2)
+        .foldWindow(WindowAssigner.Tumbling(7L), 0L)(t => t._1 + 1L)
+        .collectValues
+      val total = out.map(_.value.value).sum == ts.size.toLong
+      val disjoint = out.map(_.value.window).distinct.size == out.size
+      total && disjoint
+    }
+}

@@ -39,6 +39,38 @@ class StreamingSpec extends SparkSuite {
     } finally q.stop()
   }
 
+  test("the SAME DataStream facade pipeline runs streaming: watermark flush + late drop") {
+    import graft.expr.Expr._
+    import graft.stream.DataStream
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, String)]
+    // identical facade code to the batch golden test — only the source differs
+    val counted = DataStream.fromDF[(Long, String)](input.toDF())
+      .assignTimestamps(t => t._1)
+      .groupBy(t => t.value._2)
+      .foldWindow(WindowAssigner.Tumbling(10L), 0L)(t => t._1 + 1L)
+    val q = counted.toDF.select(
+        col("value.key").as("word"),
+        col("value.value.window.start").as("ws"),
+        col("value.value.value").as("n"))
+      .writeStream.outputMode("append").format("memory").queryName("fwc").start()
+    try {
+      input.addData((12L, "quick"), (15L, "quick"), (30L, "brown"), (40L, "brown"))
+      q.processAllAvailable()
+      input.addData((13L, "quick"), (99L, "advance")) // late row must be dropped
+      q.processAllAvailable()
+      input.addData((200L, "flush"))
+      q.processAllAvailable()
+      val rows = spark.table("fwc").collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+      assert(rows.contains(("quick", 10L, 2L)))   // late (13,"quick") dropped
+      assert(rows.contains(("brown", 30L, 1L)))
+      assert(rows.contains(("brown", 40L, 1L)))
+      assert(!rows.contains(("quick", 10L, 3L)))
+    } finally q.stop()
+  }
+
   test("streaming per-key running sum via flatMapGroupsWithState (streaming MapAccumulate)") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
