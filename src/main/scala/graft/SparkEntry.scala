@@ -88,6 +88,7 @@ object SparkEntry {
     "q32_nested_groupby" -> q32,
     "q33_embedding_neardup" -> q33,
     "q34_range_join" -> q34,
+    "q35_fingerprint" -> q35,
   )
 
   // =====================================================================
@@ -511,6 +512,15 @@ object SparkEntry {
       .orderBy(col("o_orderpriority"))
   }
 
+  /** Document fingerprints: md5 of normalized text + polynomial rolling
+    * hash — both engine-portable, both per-row narrow transforms. */
+  private def q35(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .select(col("doc_id"),
+        Text.fingerprint(col("text")).as("md5_fp"),
+        Text.rollingFingerprint(col("text")).as("roll_fp"))
+      .orderBy(col("doc_id"))
+
   // =====================================================================
   // DuckDB oracle SQL — same semantics, same column names, same ORDER BY.
   // =====================================================================
@@ -792,6 +802,15 @@ object SparkEntry {
                           * sqrt(list_sum(list_transform(b.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))))
              END >= 0.35
            ORDER BY id_a, id_b""",
+
+      "q35_fingerprint" ->
+        s"""SELECT doc_id, md5($norm) AS md5_fp,
+           list_reduce(
+             list_prepend(CAST(0 AS BIGINT),
+               list_transform(list_filter(string_split($norm, ''), c -> len(c) > 0),
+                 c -> CAST(ord(c) AS BIGINT))),
+             (a, b) -> (a * 31 + b) % 1000000007) AS roll_fp
+           FROM documents ORDER BY doc_id""",
 
       "q34_range_join" ->
         """SELECT o_orderpriority, count(*) AS n_fast_items

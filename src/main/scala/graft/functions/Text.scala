@@ -36,6 +36,16 @@ object Text {
   /** MD5 fingerprint of the normalized text — the exact-dedup key. */
   def fingerprint(text: Column): Column = md5(normalize(text))
 
+  /** Polynomial rolling-hash fingerprint of the normalized text
+    * (`h = (h*31 + code) mod p`, folded left-to-right over characters).
+    * Engine-portable pure arithmetic — the DuckDB oracle computes the
+    * identical value — and the building block for content-defined chunking
+    * at scale. */
+  def rollingFingerprint(text: Column, p: Long = 1000000007L): Column =
+    aggregate(
+      filter(split(normalize(text), ""), c => length(c) > 0),
+      lit(0L), (acc, c) => (acc * 31L + ascii(c)) % p)
+
   /** Contiguous word n-gram shingles via the native one-pass
     * [[graft.functions.catalyst.WordShingles]] expression — semantically
     * identical to [[wordShingles]] but ~10× cheaper (the built-in HOF

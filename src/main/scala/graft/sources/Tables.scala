@@ -40,6 +40,19 @@ object Tables {
   def documents(spark: SparkSession, dir: String): DataFrame = apply(spark, dir, "documents")
   def embeddings(spark: SparkSession, dir: String): DataFrame = apply(spark, dir, "embeddings")
 
+  /** CSV source (header + schema inference by default; pass an explicit DDL
+    * schema at scale — inference reads the data twice). */
+  def csv(spark: SparkSession, path: String, schemaDdl: Option[String] = None): DataFrame = {
+    val r = spark.read.option("header", "true")
+    schemaDdl.fold(r.option("inferSchema", "true"))(s => r.schema(s)).csv(path)
+  }
+
+  /** JSON-lines source (same schema advice as [[csv]]). */
+  def json(spark: SparkSession, path: String, schemaDdl: Option[String] = None): DataFrame = {
+    val r = spark.read
+    schemaDdl.fold(r)(s => r.schema(s)).json(path)
+  }
+
   /** Register all tables as temp views so `spark.sql` works against the same
     * names the DuckDB oracle uses. */
   def registerAll(spark: SparkSession, dir: String): Unit =

@@ -141,6 +141,36 @@ class OperatorsSpec extends SparkSuite {
     assert(lang == "en")
   }
 
+  test("native functions usable from SQL after registration") {
+    graft.GraftFunctions.ensureRegistered(spark)
+    val d = spark.sql("SELECT graft_dot(array(1.0D, 2.0D), array(3.0D, 4.0D)) AS d").head().getDouble(0)
+    assert(d == 11.0)
+    val sh = spark.sql("SELECT graft_shingles('The quick  Brown fox', 2) AS s").head().getSeq[String](0)
+    assert(sh == Seq("the quick", "quick brown", "brown fox"))
+  }
+
+  test("csv and json round-trip through Tables sources") {
+    val docs = spark.read.parquet(s"$sf0001/documents.parquet")
+      .select(col("doc_id"), col("lang"), col("n_chars")).limit(50)
+    val base = java.nio.file.Files.createTempDirectory("graft-src").toString
+    docs.write.mode("overwrite").option("header", "true").csv(s"$base/csv")
+    docs.write.mode("overwrite").json(s"$base/json")
+    val fromCsv = graft.sources.Tables.csv(spark, s"$base/csv", Some("doc_id BIGINT, lang STRING, n_chars BIGINT"))
+    val fromJson = graft.sources.Tables.json(spark, s"$base/json")
+    assert(fromCsv.count() == 50 && fromJson.count() == 50)
+    assert(fromCsv.agg(sum(col("n_chars"))).head().getLong(0) ==
+      docs.agg(sum(col("n_chars"))).head().getLong(0))
+  }
+
+  test("rolling fingerprint matches a hand-computed polynomial hash") {
+    import spark.implicits._
+    val df = Seq(("ab c", 1L)).toDF("text", "id")
+    val got = df.select(graft.functions.Text.rollingFingerprint($"text")).head().getLong(0)
+    val norm = "ab c"
+    val want = norm.foldLeft(0L)((a, ch) => (a * 31 + ch.toLong) % 1000000007L)
+    assert(got == want)
+  }
+
   test("vector functions: dot/norm/cosine/normalize on knowns") {
     import spark.implicits._
     val df = Seq((Array(3.0f, 4.0f), Array(4.0f, 3.0f))).toDF("a", "b")
