@@ -89,6 +89,7 @@ object SparkEntry {
     "q33_embedding_neardup" -> q33,
     "q34_range_join" -> q34,
     "q35_fingerprint" -> q35,
+    "q36_ann_ivf" -> q36,
   )
 
   // =====================================================================
@@ -510,6 +511,17 @@ object SparkEntry {
       .groupBy(col("o_orderpriority"))
       .agg(count(lit(1)).as("n_fast_items"))
       .orderBy(col("o_orderpriority"))
+  }
+
+  /** IVF-indexed ANN (no oracle — approximate by design; recall asserted
+    * against brute force in the spec). */
+  private def q36(s: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(s, dir)
+    val queries = emb.where(col("vec_id") % 100 === 0)
+    Similarity.ivfTopK(queries, emb, "vec_id", "embedding", k = 10,
+        nCentroids = 16, probes = 4, iterations = 1)
+      .select(col("query_id"), col("rank"), col("neighbor_id"), col("cosine"))
+      .orderBy(col("query_id"), col("rank"))
   }
 
   /** Document fingerprints: md5 of normalized text + polynomial rolling

@@ -84,6 +84,77 @@ object Similarity {
       .select(col("query_id"), col("rank"), col("neighbor_id"), col("cosine"))
   }
 
+  /** IVF (inverted-file) ANN: cluster the corpus around `nCentroids`
+    * centroids (deterministic hash-sampled seeds + `iterations` Lloyd
+    * refinements), index each vector under its nearest centroid, then
+    * search only the `probes` nearest clusters per query and exact-rerank.
+    *
+    * All distributed, nothing driver-side: centroids stay a (tiny)
+    * broadcast DataFrame; assignment is a broadcast cross join + `max_by`
+    * argmax; centroid recomputation is a posexplode → per-(cluster, dim)
+    * mean → re-assemble. At 100 TB the corpus is scanned once per Lloyd
+    * iteration and once to index — then every query touches only
+    * `probes/nCentroids` of the data, and the candidate fetch is an
+    * equi-join on the cluster id. Output: (query_id, rank, neighbor_id,
+    * cosine). */
+  def ivfTopK(queries: DataFrame, corpus: DataFrame,
+              idCol: String, vecCol: String, k: Int,
+              nCentroids: Int = 16, probes: Int = 4, iterations: Int = 1): DataFrame = {
+    GraftFunctions.ensureRegistered(queries.sparkSession)
+
+    // work on L2-normalized copies: dot ≡ cosine, means stay meaningful
+    val c = corpus.select(col(idCol).as("cid_"), Vectors.l2normalize(col(vecCol)).as("nv"))
+
+    // deterministic pseudo-random seeds: smallest nCentroids by xxhash64(id)
+    val seedW = Window.orderBy(xxhash64(col("cid_")), col("cid_"))
+    var centroids = c
+      .withColumn("r", row_number().over(seedW))
+      .where(col("r") <= nCentroids)
+      .select(col("r").as("cluster"), col("nv").as("cv"))
+
+    def assign(vecs: DataFrame, idAs: String): DataFrame =
+      vecs.crossJoin(broadcast(centroids))
+        .select(col(idAs), col("nv"),
+          col("cluster"), Vectors.fastDot(col("nv"), col("cv")).as("score"))
+        .groupBy(col(idAs))
+        .agg(max_by(col("cluster"), col("score")).as("cluster"), first(col("nv")).as("nv"))
+
+    (0 until iterations).foreach { _ =>
+      val assigned = assign(c, "cid_")
+      centroids = assigned
+        .select(col("cluster"), posexplode(col("nv")).as(Seq("pos", "x")))
+        .groupBy(col("cluster"), col("pos"))
+        .agg(avg(col("x")).as("m"))
+        .groupBy(col("cluster"))
+        .agg(sort_array(collect_list(struct(col("pos"), col("m")))).as("pm"))
+        .select(col("cluster"), transform(col("pm"), e => e.getField("m")).as("cv"))
+    }
+
+    val indexed = assign(c, "cid_")
+      .select(col("cid_").as("neighbor_id"), col("cluster"), col("nv").as("cnv"))
+
+    // per-query probe list: top-`probes` clusters by centroid similarity
+    val probeW = Window.partitionBy(col("query_id"))
+      .orderBy(col("score").desc, col("cluster").asc)
+    val q = queries.select(col(idCol).as("query_id"), Vectors.l2normalize(col(vecCol)).as("qnv"))
+    val probed = q.crossJoin(broadcast(centroids))
+      .select(col("query_id"), col("qnv"), col("cluster"),
+        Vectors.fastDot(col("qnv"), col("cv")).as("score"))
+      .withColumn("pr", row_number().over(probeW))
+      .where(col("pr") <= probes)
+      .select(col("query_id"), col("qnv"), col("cluster"))
+
+    val rankW = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("neighbor_id").asc)
+    probed.join(indexed, Seq("cluster"))
+      .where(col("neighbor_id") =!= col("query_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        Vectors.fastDot(col("qnv"), col("cnv")).as("cosine"))
+      .withColumn("rank", row_number().over(rankW))
+      .where(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("neighbor_id"), col("cosine"))
+  }
+
   /** Embedding near-duplicate pairs: LSH-block on a shared bucket, verify
     * exact cosine ≥ threshold. Deterministic blocking rule; at scale this is
     * an equi-join on short bucket strings. */

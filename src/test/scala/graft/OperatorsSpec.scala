@@ -88,6 +88,28 @@ class OperatorsSpec extends SparkSuite {
     assert(recall >= 0.9, s"LSH recall $recall on planted clusters")
   }
 
+  test("IVF ANN: high recall on planted clusters; sane on real embeddings") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(11)
+    val bases = (0 until 5).map(_ => Array.fill(16)(rnd.nextGaussian().toFloat))
+    val vecs = (0 until 100).map { i =>
+      val b = bases(i % 5)
+      (i.toLong, b.zipWithIndex.map { case (x, d) => x + 0.01f * ((i * 16 + d) % 7 - 3) })
+    }.toDF("vec_id", "embedding")
+    val exact = Similarity.bruteForceTopK(vecs.where($"vec_id" < 5), vecs, "vec_id", "embedding", 5)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    val ivf = Similarity.ivfTopK(vecs.where($"vec_id" < 5), vecs, "vec_id", "embedding", 5,
+        nCentroids = 8, probes = 2, iterations = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    val recall = (exact & ivf).size.toDouble / exact.size
+    assert(recall >= 0.9, s"IVF recall $recall on planted clusters")
+
+    val emb = spark.read.parquet(s"$sf0001/embeddings.parquet")
+    val q = emb.where(col("vec_id") % 100 === 0)
+    val n = Similarity.ivfTopK(q, emb, "vec_id", "embedding", 10).count()
+    assert(n == q.count() * 10)
+  }
+
   test("LSH ANN sanity on real (diffuse) embeddings") {
     // measured: top-10 neighbors here sit at cosine ≈ 0.3 (θ ≈ 72°), where
     // theory gives per-table collision (1-θ/π)^6 ≈ 0.05 → recall ≈ 0.17
