@@ -1,0 +1,30 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Skew mitigation for joins with hot keys.
+  *
+  * AQE's skew-join handling (on by default) splits oversized shuffle
+  * partitions at runtime and is the first line of defense. Explicit salting
+  * remains the tool when a single KEY (not just a partition) is hot — e.g.
+  * a null-ish default key holding 5% of 100 TB: the big side spreads each
+  * key over `salts` sub-keys, the small side replicates each row `salts`
+  * times, and the join key becomes (key, salt). Join results are identical
+  * to the unsalted join; only the partitioning changes. */
+object Skew {
+
+  /** Equi-join `big ⋈ small` on `key`, spreading each big-side key across
+    * `salts` sub-partitions. `small` is replicated ×salts — keep it the
+    * dimension side. */
+  def saltedJoin(big: DataFrame, small: DataFrame, key: String,
+                 salts: Int, how: String = "inner"): DataFrame = {
+    require(salts > 0)
+    // salt derived from a per-row id: deterministic within a run, and the
+    // join RESULT is independent of the salt values
+    val b = big.withColumn("_salt",
+      pmod(xxhash64(monotonically_increasing_id()), lit(salts.toLong)).cast("int"))
+    val s = small.withColumn("_salt", explode(sequence(lit(0), lit(salts - 1))))
+    b.join(s, Seq(key, "_salt"), how).drop("_salt")
+  }
+}

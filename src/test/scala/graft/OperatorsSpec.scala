@@ -148,6 +148,19 @@ class OperatorsSpec extends SparkSuite {
     assert(out.toSeq == Seq((1L, 2L, 1000L), (1L, 1L, 0L), (2L, 1L, 0L)))
   }
 
+  test("salted join equals plain join (skewed key spread across salts)") {
+    import spark.implicits._
+    // 90% of the big side lands on one hot key
+    val big = (0 until 1000).map(i => (if (i % 10 == 0) i.toLong % 7 else 0L, i.toLong)).toDF("k", "v")
+    val small = Seq((0L, "hot"), (1L, "a"), (3L, "b"), (99L, "unmatched")).toDF("k", "name")
+    val plain = big.join(small, Seq("k")).select("k", "v", "name")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2))).sorted
+    val salted = graft.operators.Skew.saltedJoin(big, small, "k", salts = 8)
+      .select("k", "v", "name")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2))).sorted
+    assert(salted.toSeq == plain.toSeq && plain.nonEmpty)
+  }
+
   test("text functions: tokens, shingles, fingerprint, langid") {
     import spark.implicits._
     val df = Seq(("  The QUICK  brown ", 1L)).toDF("text", "id")
