@@ -42,6 +42,13 @@ object Streams {
         col("window.end").as("window_end"), col("n"))
   }
 
+  /** Streaming exact dedup: drop duplicate keys within the watermark
+    * horizon. State is bounded by the watermark (old keys evicted) — the
+    * streaming twin of [[graft.operators.Dedup.exact]]; at scale the state
+    * store holds one entry per distinct in-horizon key. */
+  def dedupStream(events: DataFrame, tsCol: String, delay: String, keyCols: String*): DataFrame =
+    events.withWatermark(tsCol, delay).dropDuplicates(keyCols :+ tsCol)
+
   /** Streaming per-key running aggregate via `flatMapGroupsWithState` — the
     * streaming form of the reference's `MapAccumulate` (SURVEY §2.1 #5):
     * genuinely stateful, one state entry per key in the state store. */

@@ -33,6 +33,13 @@ class ExprSpec extends SparkSuite {
     assert(pairs.map(t => (t._1 &&& t._2) >>> Expr.id).collectValues == Seq((1L, 2L)))
   }
 
+  test("Both (***) applies component-wise to a pair (reference Expression.scala:22)") {
+    val ds = DataStream.fromLiterals((3L, 4L))
+    val out = ds.map(_ => Expr.id[(Long, Long)] >>> Expr.Both[Long, Long, Long, Long](
+      { val x = Expr.id[Long]; x * 10L }, { val x = Expr.id[Long]; x + 1L })).collectValues
+    assert(out == Seq((30L, 5L)))
+  }
+
   test("eval interpreter agrees with Catalyst translation") {
     val e = { val t = Expr.id[(Long, Long)]; t._1 * 3L + t._2 }
     assert(e.eval((4L, 5L)) == 17L)

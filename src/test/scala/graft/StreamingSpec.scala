@@ -71,6 +71,47 @@ class StreamingSpec extends SparkSuite {
     } finally q.stop()
   }
 
+  test("streaming session windows merge within gap and flush on watermark") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, String)]
+    val events = input.toDF()
+      .select(timestamp_millis(col("_1")).as("ts"), col("_2").as("k"))
+    val counts = Streams.windowedCounts(events, "k", "ts",
+      WindowAssigner.Session(20L), delay = "0 milliseconds")
+    val q = counts.writeStream.outputMode("append")
+      .format("memory").queryName("sess").start()
+    try {
+      input.addData((0L, "u"), (5L, "u"), (100L, "u"))
+      q.processAllAvailable()
+      input.addData((500L, "u")) // advance watermark to flush session at 100
+      q.processAllAvailable()
+      val rows = spark.table("sess")
+        .select(unix_millis(col("window_start")), unix_millis(col("window_end")), col("n"))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      assert(rows.contains((0L, 25L, 2L)))    // 0 and 5 merged; end = last+gap
+      assert(rows.contains((100L, 120L, 1L)))
+    } finally q.stop()
+  }
+
+  test("streaming dedup drops in-horizon duplicate keys") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, Long)]
+    val events = input.toDF()
+      .select(timestamp_millis(col("_1")).as("ts"), col("_2").as("id"))
+    val q = Streams.dedupStream(events, "ts", "1 second", "id")
+      .writeStream.outputMode("append").format("memory").queryName("dd").start()
+    try {
+      input.addData((10L, 1L), (10L, 1L), (20L, 2L))
+      q.processAllAvailable()
+      input.addData((10L, 1L), (30L, 3L)) // exact duplicate again → dropped
+      q.processAllAvailable()
+      val ids = spark.table("dd").select("id").collect().map(_.getLong(0)).sorted
+      assert(ids.toSeq == Seq(1L, 2L, 3L))
+    } finally q.stop()
+  }
+
   test("streaming per-key running sum via flatMapGroupsWithState (streaming MapAccumulate)") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
