@@ -90,6 +90,7 @@ object SparkEntry {
     "q34_range_join" -> q34,
     "q35_fingerprint" -> q35,
     "q36_ann_ivf" -> q36,
+    "q37_asof_native" -> q37,
   )
 
   // =====================================================================
@@ -524,6 +525,23 @@ object SparkEntry {
       .orderBy(col("query_id"), col("rank"))
   }
 
+  /** The as-of join again, through the engine's OWN operator — custom
+    * LogicalPlan + Strategy + SparkPlan (single-pass sorted merge, one
+    * shuffle+sort per side). Checked against the same DuckDB ASOF oracle
+    * as q25's compositional form. */
+  private def q37(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+    val purchases = ev.where(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), col("ts"))
+    val clicks = ev.where(col("event_type") === "click")
+      .select(col("user_id").as("c_uid"), col("ts").as("c_ts"), col("event_id").as("c_eid"))
+    AsOf.joinNative(purchases, clicks, "user_id", "c_uid", "ts", "c_ts")
+      .select(col("event_id"), col("user_id"),
+        unix_millis(col("ts")).as("ts_ms"),
+        coalesce(col("c_eid"), lit(-1L)).as("click_event_id"))
+      .orderBy(col("event_id"))
+  }
+
   /** Document fingerprints: md5 of normalized text + polynomial rolling
     * hash — both engine-portable, both per-row narrow transforms. */
   private def q35(s: SparkSession, dir: String): DataFrame =
@@ -784,6 +802,14 @@ object SparkEntry {
            FROM documents ORDER BY doc_id""",
 
       "q25_asof_join" ->
+        """SELECT p.event_id, p.user_id, CAST(epoch_ms(p.ts) AS BIGINT) AS ts_ms,
+           coalesce(c.click_event_id, -1) AS click_event_id
+           FROM (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase') p
+           ASOF LEFT JOIN (SELECT user_id, ts, event_id AS click_event_id FROM events WHERE event_type = 'click') c
+             ON p.user_id = c.user_id AND p.ts >= c.ts
+           ORDER BY p.event_id""",
+
+      "q37_asof_native" ->
         """SELECT p.event_id, p.user_id, CAST(epoch_ms(p.ts) AS BIGINT) AS ts_ms,
            coalesce(c.click_event_id, -1) AS click_event_id
            FROM (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase') p

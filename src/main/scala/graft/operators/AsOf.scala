@@ -56,4 +56,25 @@ object AsOf {
       .where(col("_side") === 1)
       .select(leftCols.map(c => col(s"_l_$c").as(c)) ++ payloadCols.map { case (_, out) => col(out) }: _*)
   }
+
+  /** Native as-of join through the engine's own operator
+    * ([[graft.plans.AsOfJoinPlan]] → [[graft.plans.AsOfJoinExec]]): one
+    * shuffle+sort per side, then a single-pass per-partition merge with
+    * O(1) state. Column names of `right` should be disjoint from `left`
+    * (rename before joining). Left-outer: unmatched left rows keep nulls
+    * for the right columns. */
+  def joinNative(left: DataFrame, right: DataFrame,
+                 leftKey: String, rightKey: String,
+                 leftTs: String, rightTs: String): DataFrame = {
+    val spark = left.sparkSession
+    graft.GraftFunctions.ensureRegistered(spark)
+    val lPlan = left.queryExecution.analyzed
+    val rPlan = right.queryExecution.analyzed
+    def attr(plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan, name: String) =
+      plan.output.find(_.name == name).getOrElse(sys.error(s"no column $name"))
+    val plan = graft.plans.AsOfJoinPlan(lPlan, rPlan,
+      attr(lPlan, leftKey), attr(rPlan, rightKey),
+      attr(lPlan, leftTs), attr(rPlan, rightTs))
+    org.apache.spark.sql.classic.GraftBridge.ofRows(spark, plan)
+  }
 }

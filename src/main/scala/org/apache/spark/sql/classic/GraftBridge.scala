@@ -1,0 +1,13 @@
+package org.apache.spark.sql.classic
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
+
+/** Bridge into `private[sql]` plan construction — the standard pattern for
+  * Spark extension libraries that create their own logical operators
+  * (a `Dataset` can only be built from a `LogicalPlan` inside the sql
+  * package). Kept to the single call the engine needs. */
+object GraftBridge {
+  def ofRows(spark: org.apache.spark.sql.SparkSession, plan: LogicalPlan): DataFrame =
+    Dataset.ofRows(spark.asInstanceOf[SparkSession], plan)
+}

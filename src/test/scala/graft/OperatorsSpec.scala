@@ -138,6 +138,37 @@ class OperatorsSpec extends SparkSuite {
       (300L, None)))     // right side only after left ts → null
   }
 
+  test("native as-of join (custom LogicalPlan/Strategy/SparkPlan) matches the compositional form") {
+    import spark.implicits._
+    val left = Seq((1L, 10L, 100L), (1L, 20L, 200L), (2L, 5L, 300L))
+      .toDF("k", "t", "lv").withColumn("t", timestamp_millis($"t"))
+    val right = Seq((1L, 10L, 7L), (1L, 15L, 8L), (2L, 6L, 9L))
+      .toDF("rk", "rt", "rv")
+      .withColumn("rt", timestamp_millis($"rt"))
+    val out = graft.operators.AsOf.joinNative(left, right, "k", "rk", "t", "rt")
+    // the custom exec must actually be in the plan
+    assert(out.queryExecution.executedPlan.toString.contains("AsOfJoin"))
+    val rows = out.orderBy("lv").collect()
+      .map(r => (r.getLong(2), Option(r.get(5)).map(_.asInstanceOf[Long])))
+    assert(rows.toSeq == Seq((100L, Some(7L)), (200L, Some(8L)), (300L, None)))
+
+    // cross-check on real data against the window-function formulation
+    val ev = graft.sources.Tables.events(spark, sf0001)
+    val purchases = ev.where(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), col("ts"))
+    val clicks = ev.where(col("event_type") === "click")
+      .select(col("user_id").as("c_uid"), col("ts").as("c_ts"), col("event_id").as("click_event_id"))
+    val native = graft.operators.AsOf.joinNative(purchases, clicks, "user_id", "c_uid", "ts", "c_ts")
+      .select(col("event_id"), coalesce(col("click_event_id"), lit(-1L)).as("click"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
+    val composed = graft.operators.AsOf.join(purchases,
+        clicks.select(col("c_uid").as("user_id"), col("c_ts").as("ts"), col("click_event_id")),
+        "user_id", "ts", "ts", Seq("click_event_id" -> "click_event_id"))
+      .select(col("event_id"), coalesce(col("click_event_id"), lit(-1L)).as("click"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
+    assert(native.toSeq == composed.toSeq)
+  }
+
   test("sessionize: gap starts new session; summary is per (key, session)") {
     import spark.implicits._
     val df = Seq((1L, 0L), (1L, 1000L), (1L, 10000L), (2L, 0L))
