@@ -1,6 +1,6 @@
 package graft
 
-import graft.functions.catalyst.{ArrayDotProduct, WordShingles}
+import graft.functions.catalyst.{ApproxTopK, ArrayDotProduct, WordShingles}
 
 import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
@@ -19,6 +19,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("graft_shingles"),
       new ExpressionInfo(classOf[WordShingles].getName, "graft_shingles"),
       GraftFunctions.buildShingles))
+    e.injectFunction((
+      FunctionIdentifier("graft_topk"),
+      new ExpressionInfo(classOf[ApproxTopK].getName, "graft_topk"),
+      GraftFunctions.buildTopK))
     e.injectPlannerStrategy(_ => graft.plans.AsOfJoinStrategy)
   }
 }
@@ -35,12 +39,21 @@ object GraftFunctions {
     WordShingles(exprs.head, n)
   }
 
+  private[graft] val buildTopK: Seq[Expression] => Expression = exprs => {
+    def intLit(e: Expression, what: String): Int = e match {
+      case Literal(v: Int, _) => v
+      case other => sys.error(s"graft_topk(col, k, capacity): $what must be an integer literal, got $other")
+    }
+    ApproxTopK(exprs.head, intLit(exprs(1), "k"), intLit(exprs(2), "capacity"))
+  }
+
   /** Idempotent per-session registration, for sessions not built with
     * [[GraftExtensions]] (e.g. the driver-owned Verify/Bench sessions). */
   def ensureRegistered(spark: SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry
     reg.createOrReplaceTempFunction("graft_dot", buildDot, "built-in")
     reg.createOrReplaceTempFunction("graft_shingles", buildShingles, "built-in")
+    reg.createOrReplaceTempFunction("graft_topk", buildTopK, "built-in")
     if (!spark.experimental.extraStrategies.contains(graft.plans.AsOfJoinStrategy))
       spark.experimental.extraStrategies =
         spark.experimental.extraStrategies :+ graft.plans.AsOfJoinStrategy

@@ -91,6 +91,7 @@ object SparkEntry {
     "q35_fingerprint" -> q35,
     "q36_ann_ivf" -> q36,
     "q37_asof_native" -> q37,
+    "q38_topk_sketch" -> q38,
   )
 
   // =====================================================================
@@ -542,6 +543,21 @@ object SparkEntry {
       .orderBy(col("event_id"))
   }
 
+  /** Top-k frequent words via the native SpaceSaving sketch aggregate
+    * (TypedImperativeAggregate with partial-agg and binary buffer
+    * serialization). Run with capacity ≥ distinct keys, where SpaceSaving
+    * is provably exact — hash-checkable against the exact oracle; the
+    * approximate regime is covered by the spec's error-bound assertions. */
+  private def q38(s: SparkSession, dir: String): DataFrame = {
+    graft.GraftFunctions.ensureRegistered(s)
+    Tables.documents(s, dir)
+      .select(explode(Text.tokens(col("text"))).as("w"))
+      .agg(call_function("graft_topk", col("w"), lit(20), lit(4096)).as("tk"))
+      .select(explode(col("tk")).as("t"))
+      .select(col("t.item").as("word"), col("t.count").as("cnt"))
+      .orderBy(col("cnt").desc, col("word"))
+  }
+
   /** Document fingerprints: md5 of normalized text + polynomial rolling
     * hash — both engine-portable, both per-row narrow transforms. */
   private def q35(s: SparkSession, dir: String): DataFrame =
@@ -816,6 +832,14 @@ object SparkEntry {
            ASOF LEFT JOIN (SELECT user_id, ts, event_id AS click_event_id FROM events WHERE event_type = 'click') c
              ON p.user_id = c.user_id AND p.ts >= c.ts
            ORDER BY p.event_id""",
+
+      "q38_topk_sketch" ->
+        """SELECT word, cnt FROM (
+             SELECT word, CAST(count(*) AS BIGINT) AS cnt FROM (
+               SELECT unnest(regexp_split_to_array(lower(text), '\s+')) AS word FROM documents) t
+             WHERE word <> '' GROUP BY word
+             ORDER BY cnt DESC, word LIMIT 20) x
+           ORDER BY cnt DESC, word""",
 
       "q31_grouping_sets" ->
         s"""SELECT coalesce(l_returnflag, 'ALL') AS flag, coalesce(l_linestatus, 'ALL') AS status,

@@ -207,6 +207,31 @@ class OperatorsSpec extends SparkSuite {
     assert(lang == "en")
   }
 
+  test("SpaceSaving top-k sketch: exact when capacity >= distinct; bounded error under eviction") {
+    import spark.implicits._
+    graft.GraftFunctions.ensureRegistered(spark)
+    // skewed stream: item i appears (i+1)*10 times, i in 0..9
+    val rows = (0 until 10).flatMap(i => Seq.fill((i + 1) * 10)(s"item$i"))
+    val df = spark.createDataset(rows).toDF("w").repartition(8)
+
+    // exact regime
+    val exactTk = df.agg(call_function("graft_topk", col("w"), lit(3), lit(64)).as("tk"))
+      .select(explode(col("tk")).as("t")).select(col("t.item"), col("t.count"), col("t.err"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(exactTk.toSeq == Seq(("item9", 100L, 0L), ("item8", 90L, 0L), ("item7", 80L, 0L)))
+
+    // eviction regime: capacity 4 < 10 distinct; heavy hitters must surface
+    // with estimate in [true, true+err]
+    val approx = df.agg(call_function("graft_topk", col("w"), lit(2), lit(4)).as("tk"))
+      .select(explode(col("tk")).as("t")).select(col("t.item"), col("t.count"), col("t.err"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val truth = Map("item9" -> 100L, "item8" -> 90L)
+    assert(approx.exists(_._1 == "item9"))
+    approx.filter(t => truth.contains(t._1)).foreach { case (i, est, err) =>
+      assert(est >= truth(i) && est - err <= truth(i), s"$i est=$est err=$err true=${truth(i)}")
+    }
+  }
+
   test("native functions usable from SQL after registration") {
     graft.GraftFunctions.ensureRegistered(spark)
     val d = spark.sql("SELECT graft_dot(array(1.0D, 2.0D), array(3.0D, 4.0D)) AS d").head().getDouble(0)
