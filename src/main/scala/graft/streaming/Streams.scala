@@ -42,6 +42,22 @@ object Streams {
         col("window.end").as("window_end"), col("n"))
   }
 
+  /** Stream-stream interval join: left rows match right rows with the same
+    * key whose event time falls in `[leftTs - before, leftTs + after]`.
+    * Watermarks on BOTH sides bound the join state (SURVEY §2.4 "streaming
+    * interval joins via time-bound conditions"); at scale, state per key is
+    * limited to the interval width plus the watermark delay. */
+  def intervalJoin(left: DataFrame, right: DataFrame,
+                   keyCol: String, leftTs: String, rightTs: String,
+                   delay: String, before: String, after: String): DataFrame = {
+    val l = left.withWatermark(leftTs, delay)
+    val r = right.withWatermark(rightTs, delay)
+    l.join(r,
+      l(keyCol) === r(keyCol) &&
+        r(rightTs) >= l(leftTs) - expr(s"INTERVAL $before") &&
+        r(rightTs) <= l(leftTs) + expr(s"INTERVAL $after"))
+  }
+
   /** Streaming exact dedup: drop duplicate keys within the watermark
     * horizon. State is bounded by the watermark (old keys evicted) — the
     * streaming twin of [[graft.operators.Dedup.exact]]; at scale the state

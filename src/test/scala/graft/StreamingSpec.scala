@@ -94,6 +94,26 @@ class StreamingSpec extends SparkSuite {
     } finally q.stop()
   }
 
+  test("stream-stream interval join matches keys within the time bound") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val li = MemoryStream[(Long, Long)] // (ms, user)
+    val ri = MemoryStream[(Long, Long)]
+    val l = li.toDF().select(timestamp_millis(col("_1")).as("lts"), col("_2").as("k"))
+    val r = ri.toDF().select(timestamp_millis(col("_1")).as("rts"), col("_2").as("k"))
+    val joined = Streams.intervalJoin(l, r, "k", "lts", "rts",
+      delay = "0 milliseconds", before = "100 MILLISECONDS", after = "100 MILLISECONDS")
+    val q = joined.select(unix_millis(l("lts")).as("lm"), unix_millis(r("rts")).as("rm"), l("k"))
+      .writeStream.outputMode("append").format("memory").queryName("ij").start()
+    try {
+      li.addData((1000L, 1L), (5000L, 2L))
+      ri.addData((1050L, 1L), (1500L, 1L), (5010L, 2L), (5010L, 3L))
+      q.processAllAvailable()
+      val rows = spark.table("ij").collect().map(x => (x.getLong(0), x.getLong(1), x.getLong(2))).toSet
+      assert(rows == Set((1000L, 1050L, 1L), (5000L, 5010L, 2L)))
+    } finally q.stop()
+  }
+
   test("streaming dedup drops in-horizon duplicate keys") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
