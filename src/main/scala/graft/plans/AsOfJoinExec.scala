@@ -73,22 +73,27 @@ case class AsOfJoinExec(
         override def next(): InternalRow = {
           val l = lIter.next()
           val lk = keyOf(lKey, l)
+          if (lk == null) return joined(l, nullRight) // SQL semantics: null keys never match
           val lt = tsOf(lTs, l)
           // drop remembered match from an earlier key
           if (matchRow != null && keyOrd.compare(matchKey, lk) != 0) {
             matchRow = null; matchKey = null
           }
-          // advance the right side through everything at-or-before (lk, lt)
+          // advance the right side through everything at-or-before (lk, lt);
+          // null right keys sort first and never match — discard them
           var advancing = true
           while (advancing && rBuf.hasNext) {
             val r = rBuf.head
             val rk = keyOf(rKey, r)
-            val c = keyOrd.compare(rk, lk)
-            if (c < 0) { rBuf.next() } // behind on key: discard
-            else if (c == 0 && tsOf(rTs, r) <= lt) {
-              matchKey = lk match { case s: org.apache.spark.unsafe.types.UTF8String => s.copy(); case v => v }
-              matchRow = rBuf.next().copy() // rows are reused buffers
-            } else advancing = false
+            if (rk == null) { rBuf.next() }
+            else {
+              val c = keyOrd.compare(rk, lk)
+              if (c < 0) { rBuf.next() } // behind on key: discard
+              else if (c == 0 && tsOf(rTs, r) <= lt) {
+                matchKey = lk match { case s: org.apache.spark.unsafe.types.UTF8String => s.copy(); case v => v }
+                matchRow = rBuf.next().copy() // rows are reused buffers
+              } else advancing = false
+            }
           }
           if (matchRow != null && keyOrd.compare(matchKey, lk) == 0) joined(l, matchRow)
           else joined(l, nullRight)

@@ -60,6 +60,31 @@ object AlgebraProps extends Properties("graft.algebra") {
       out.map(_.value.value).sum == ts.size * (size / step)
     }
 
+  property("native as-of join == compositional as-of join on random inputs") =
+    forAll(
+      Gen.listOfN(10, Gen.zip(Gen.chooseNum(1L, 3L), Gen.chooseNum(0L, 40L))),
+      Gen.listOfN(10, Gen.zip(Gen.chooseNum(1L, 4L), Gen.chooseNum(0L, 40L)))) { (ls, rs) =>
+      import org.apache.spark.sql.functions._
+      // unique left ids for row identity; right payload = its own ts
+      val lRows = ls.zipWithIndex.map { case ((k, t), i) => (i.toLong, k, t) }
+      val lDf = spark.createDataFrame(lRows).toDF("lid", "k", "tms")
+        .withColumn("t", timestamp_millis(col("tms"))).drop("tms")
+      val rDf = spark.createDataFrame(rs.map { case (k, t) => (k, t, t) }).toDF("rk", "rtms", "pay")
+        .withColumn("rt", timestamp_millis(col("rtms"))).drop("rtms")
+      val native = graft.operators.AsOf.joinNative(lDf, rDf, "k", "rk", "t", "rt")
+        .select(col("lid"), coalesce(col("pay"), lit(-1L)))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1).toSeq
+      val composed = graft.operators.AsOf.join(
+          lDf, rDf.select(col("rk").as("k"), col("rt").as("t"), col("pay")),
+          "k", "t", "t", Seq("pay" -> "pay"))
+        .select(col("lid"), coalesce(col("pay"), lit(-1L)))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1).toSeq
+      // ambiguity guard: with duplicate (k, ts) on the right, "the" latest
+      // row is not unique; both implementations pick max-ts payload here
+      // because payload == ts, so results are comparable
+      native == composed
+    }
+
   property("tumbling windows partition the timeline: counts sum to n, windows disjoint") =
     forAll(Gen.listOfN(6, Gen.chooseNum(0L, 100L))) { ts =>
       val ds = DataStream.fromLiterals(ts.map(t => (t, "k")): _*)
