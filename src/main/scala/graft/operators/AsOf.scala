@@ -47,14 +47,22 @@ object AsOf {
     val w = Window.partitionBy(col("_k")).orderBy(col("_ts").asc, col("_side").asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
 
-    val carried = l.unionByName(r)
+    // SQL semantics: a null right timestamp can never satisfy `rt <= lt` —
+    // drop such rows before the merge (they'd otherwise sort NULLS FIRST
+    // and be carried into every match)
+    val carried = l.unionByName(r.where(col("_ts").isNotNull))
       .select((Seq(col("_k"), col("_ts"), col("_side")) ++
         leftCols.map(c => col(s"_l_$c")) ++
         payloadCols.map { case (_, out) => last(col(s"_r_$out"), ignoreNulls = true).over(w).as(out) }): _*)
 
     carried
       .where(col("_side") === 1)
-      .select(leftCols.map(c => col(s"_l_$c").as(c)) ++ payloadCols.map { case (_, out) => col(out) }: _*)
+      // SQL semantics: a NULL join key or NULL left timestamp matches
+      // nothing (the window partition groups NULL keys together and NULL ts
+      // sorts first, so mask the carried payload for both)
+      .select(leftCols.map(c => col(s"_l_$c").as(c)) ++
+        payloadCols.map { case (_, out) =>
+          when(col("_k").isNotNull && col("_ts").isNotNull, col(out)).as(out) }: _*)
   }
 
   /** Native as-of join through the engine's own operator
@@ -72,9 +80,25 @@ object AsOf {
     val rPlan = right.queryExecution.analyzed
     def attr(plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan, name: String) =
       plan.output.find(_.name == name).getOrElse(sys.error(s"no column $name"))
-    val plan = graft.plans.AsOfJoinPlan(lPlan, rPlan,
-      attr(lPlan, leftKey), attr(rPlan, rightKey),
-      attr(lPlan, leftTs), attr(rPlan, rightTs))
+    val (lk, rk) = (attr(lPlan, leftKey), attr(rPlan, rightKey))
+    val (lt, rt) = (attr(lPlan, leftTs), attr(rPlan, rightTs))
+    // fail at plan build, not mid-job in an executor: the merge compares
+    // keys with one natural ordering and reads timestamps as Long
+    import org.apache.spark.sql.types._
+    require(lk.dataType == rk.dataType,
+      s"as-of key types differ: ${lk.dataType} vs ${rk.dataType}")
+    val keyTypeOk = lk.dataType match {
+      case _: NumericType | StringType | BooleanType | DateType | TimestampType | TimestampNTZType => true
+      case _ => false
+    }
+    require(keyTypeOk, s"as-of key must be an atomic orderable type, got ${lk.dataType}")
+    def tsOk(dt: DataType) = dt match {
+      case TimestampType | TimestampNTZType | LongType => true
+      case _ => false
+    }
+    require(tsOk(lt.dataType) && tsOk(rt.dataType),
+      s"as-of ts must be timestamp or long, got ${lt.dataType} / ${rt.dataType}")
+    val plan = graft.plans.AsOfJoinPlan(lPlan, rPlan, lk, rk, lt, rt)
     org.apache.spark.sql.classic.GraftBridge.ofRows(spark, plan)
   }
 }

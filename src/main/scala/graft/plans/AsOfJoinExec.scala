@@ -59,8 +59,11 @@ case class AsOfJoinExec(
         private var matchRow: InternalRow = null
 
         private def keyOf(e: Expression, row: InternalRow): Any = e.eval(row)
-        private def tsOf(e: Expression, row: InternalRow): Long =
-          e.eval(row).asInstanceOf[Long]
+        /** Long micros/millis for Timestamp/Long ts columns; null → null
+          * (SQL: comparisons with NULL are unknown, so no match). Types are
+          * validated at plan build ([[graft.operators.AsOf.joinNative]]). */
+        private def tsOf(e: Expression, row: InternalRow): java.lang.Long =
+          e.eval(row).asInstanceOf[java.lang.Long]
 
         // keys are simple orderable values (numeric/string); compare via
         // the natural ordering Spark uses for sorts on the same expression
@@ -73,8 +76,9 @@ case class AsOfJoinExec(
         override def next(): InternalRow = {
           val l = lIter.next()
           val lk = keyOf(lKey, l)
-          if (lk == null) return joined(l, nullRight) // SQL semantics: null keys never match
           val lt = tsOf(lTs, l)
+          // SQL semantics: null keys/timestamps never match
+          if (lk == null || lt == null) return joined(l, nullRight)
           // drop remembered match from an earlier key
           if (matchRow != null && keyOrd.compare(matchKey, lk) != 0) {
             matchRow = null; matchKey = null
@@ -85,11 +89,12 @@ case class AsOfJoinExec(
           while (advancing && rBuf.hasNext) {
             val r = rBuf.head
             val rk = keyOf(rKey, r)
-            if (rk == null) { rBuf.next() }
+            val rt = tsOf(rTs, r)
+            if (rk == null || rt == null) { rBuf.next() } // null key/ts: never matches
             else {
               val c = keyOrd.compare(rk, lk)
               if (c < 0) { rBuf.next() } // behind on key: discard
-              else if (c == 0 && tsOf(rTs, r) <= lt) {
+              else if (c == 0 && rt <= lt) {
                 matchKey = lk match { case s: org.apache.spark.unsafe.types.UTF8String => s.copy(); case v => v }
                 matchRow = rBuf.next().copy() // rows are reused buffers
               } else advancing = false

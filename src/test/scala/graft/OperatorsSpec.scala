@@ -169,6 +169,34 @@ class OperatorsSpec extends SparkSuite {
     assert(native.toSeq == composed.toSeq)
   }
 
+  test("as-of joins: SQL null semantics — null keys and null timestamps never match (both impls)") {
+    import spark.implicits._
+    val left = Seq(
+      (1L, Some(1L), Some(10L)),  // normal: matches
+      (2L, None, Some(10L)),      // null key
+      (3L, Some(1L), None))       // null ts
+      .toDF("lid", "k", "tms")
+      .select(col("lid"), col("k"), timestamp_millis(col("tms")).as("t"))
+    val right = Seq(
+      (Some(1L), Some(5L), 77L),
+      (Option.empty[Long], Some(1L), 88L), // null key on right: matches nothing
+      (Some(1L), None, 99L))               // null ts on right: matches nothing
+      .toDF("rk", "rtms", "pay")
+      .select(col("rk"), timestamp_millis(col("rtms")).as("rt"), col("pay"))
+
+    val native = graft.operators.AsOf.joinNative(left, right, "k", "rk", "t", "rt")
+      .select(col("lid"), col("pay")).collect()
+      .map(r => (r.getLong(0), Option(r.get(1)))).sortBy(_._1).toSeq
+    val composed = graft.operators.AsOf.join(left,
+        right.select(col("rk").as("k"), col("rt").as("t"), col("pay")),
+        "k", "t", "t", Seq("pay" -> "pay"))
+      .select(col("lid"), col("pay")).collect()
+      .map(r => (r.getLong(0), Option(r.get(1)))).sortBy(_._1).toSeq
+    val expected = Seq((1L, Some(77L)), (2L, None), (3L, None))
+    assert(native == expected, s"native: $native")
+    assert(composed == expected, s"composed: $composed")
+  }
+
   test("sessionize: gap starts new session; summary is per (key, session)") {
     import spark.implicits._
     val df = Seq((1L, 0L), (1L, 1000L), (1L, 10000L), (2L, 0L))
