@@ -746,11 +746,11 @@ object SparkEntry {
         s"""WITH sh AS (
              SELECT doc_id AS id, unnest(list_distinct(${shingles(3)})) AS s
              FROM (SELECT doc_id, $toks AS toks FROM documents) d),
-           sizes AS (SELECT id, count(*) AS n_sh FROM sh GROUP BY id),
            filtered AS (
              SELECT id, s FROM (
                SELECT id, s, count(*) OVER (PARTITION BY s) AS df FROM sh) t
              WHERE df <= 50),
+           sizes AS (SELECT id, count(*) AS n_sh FROM filtered GROUP BY id),
            pairs AS (
              SELECT a.id AS id_a, b.id AS id_b, count(*) AS shared
              FROM filtered a JOIN filtered b ON a.s = b.s AND a.id < b.id

@@ -187,10 +187,12 @@ object Expr {
   // String / list ops (reference Expression.scala:27, 33, 38)
   // ---------------------------------------------------------------------
 
-  /** Regex split — the reference uses Java `String.split` which is regex
-    * (Local.scala:26); Spark's `split` matches those semantics. */
+  /** Regex split — the reference uses Java `String.split` (Local.scala:26),
+    * whose default limit 0 DROPS trailing empty strings; Spark's 2-arg
+    * `split` uses limit -1 (keeps them), so we pass limit 0 explicitly to
+    * match the reference (and `Expr.eval`) exactly. */
   final case class SplitStr[A](s: Expr[A, String], delim: Expr[A, String]) extends Expr[A, List[String]] {
-    private[graft] def toColumn(in: Column): Column = split(s.toColumn(in), delimLiteral)
+    private[graft] def toColumn(in: Column): Column = split(s.toColumn(in), delimLiteral, 0)
     private def delimLiteral: String = delim match {
       case LitString(d) => d
       case _ => sys.error("split delimiter must be a literal for the Catalyst path")

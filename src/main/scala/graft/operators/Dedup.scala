@@ -80,6 +80,8 @@ object Dedup {
   def minHashLsh(docs: DataFrame, idCol: String, textCol: String,
                  shingleLen: Int = 3, k: Int = 16, bands: Int = 4,
                  threshold: Double = 0.7): DataFrame = {
+    require(bands >= 1 && bands <= k && k % bands == 0,
+      s"bands must divide k (got k=$k, bands=$bands): otherwise band slices are empty or drop signature rows")
     graft.GraftFunctions.ensureRegistered(docs.sparkSession)
     // Signatures and band keys as FLAT columns (m0..m15) rather than
     // array-typed HOF plumbing: md5/concat_ws over plain columns stay in
@@ -177,6 +179,12 @@ object Dedup {
     * Prefix blocking = one equi-join shuffle on a short key. */
   def simHashPairs(docs: DataFrame, idCol: String, textCol: String,
                    bits: Int = 32, prefixBits: Int = 8, maxDistance: Int = 3): DataFrame = {
+    require(prefixBits > 0 && prefixBits <= bits, s"prefixBits must be in [1, $bits]")
+    // NOTE: the self-join reads the simHashTable plan from both sides;
+    // Spark's ReuseExchange dedups the shuffle when plans match. Prefix
+    // buckets are deliberately coarse (2^prefixBits of them), so the
+    // posting-list pair generation used by minHashLsh would collect
+    // corpus/2^prefixBits ids per bucket — worse at scale than the join.
     val hashed = simHashTable(docs, idCol, textCol, bits)
       .withColumnRenamed("simhash", "sh")
     val a = hashed.select(substring(col("sh"), 1, prefixBits).as("pfx"), col("id").as("id_a"), col("sh").as("sh_a"))
@@ -202,15 +210,21 @@ object Dedup {
     val exploded = docs.select(
       col(idCol).as("id"),
       explode(array_distinct(Text.fastWordShingles(col(textCol), shingleLen))).as("sh"))
-    val sizes = exploded.groupBy(col("id")).agg(count(lit(1)).as("n_sh"))
     // Inverted index as ONE aggregation (partial-agg'd), pairs generated
     // in-bucket from the sorted posting list — replaces a window-df pass
-    // plus a self equi-join with a single shuffle. Postings above the df
-    // bound are stop-shingles and generate no candidates (same rule the
-    // oracle mirrors); df<2 generates none by construction.
-    val buckets = exploded.groupBy(col("sh"))
+    // plus a self equi-join with a single shuffle. Shingles above the df
+    // bound are stop-shingles, excluded from the WHOLE similarity universe
+    // (both the shared counts and the per-doc sizes below) so the Jaccard
+    // is exact over the pruned universe — pruning only candidates but not
+    // sizes would systematically underestimate similarity for docs
+    // containing frequent shingles. The oracle mirrors the same rule.
+    val postings = exploded.groupBy(col("sh"))
       .agg(sort_array(collect_list(col("id"))).as("ids"))
-      .where(size(col("ids")) >= 2 && size(col("ids")) <= maxShingleDf)
+      .where(size(col("ids")) <= maxShingleDf)
+    // per-doc shingle counts over the pruned universe (df = 1 included)
+    val sizes = postings.select(explode(col("ids")).as("id"))
+      .groupBy(col("id")).agg(count(lit(1)).as("n_sh"))
+    val buckets = postings.where(size(col("ids")) >= 2)
     val n = size(col("ids"))
     val combos = flatten(transform(sequence(lit(0), n - 2), i =>
       transform(slice(col("ids"), i + 2, n - (i + 1)), b =>
@@ -219,10 +233,12 @@ object Dedup {
       .select(explode(combos).as("p"))
       .groupBy(col("p.id_a").as("id_a"), col("p.id_b").as("id_b"))
       .agg(count(lit(1)).as("shared"))
-    // per-doc size table is one short row per document — always broadcast
+    // sizes has one row per document — at corpus scale that is NOT
+    // broadcastable; leave the strategy to Catalyst/AQE (it broadcasts at
+    // bench scale and shuffle-joins on the id beyond the threshold)
     shared
-      .join(broadcast(sizes.withColumnRenamed("id", "id_a").withColumnRenamed("n_sh", "n_a")), Seq("id_a"))
-      .join(broadcast(sizes.withColumnRenamed("id", "id_b").withColumnRenamed("n_sh", "n_b")), Seq("id_b"))
+      .join(sizes.withColumnRenamed("id", "id_a").withColumnRenamed("n_sh", "n_a"), Seq("id_a"))
+      .join(sizes.withColumnRenamed("id", "id_b").withColumnRenamed("n_sh", "n_b"), Seq("id_b"))
       .select(col("id_a"), col("id_b"),
         (col("shared").cast("double") /
           (col("n_a") + col("n_b") - col("shared")).cast("double")).as("jaccard"))

@@ -105,19 +105,28 @@ object Similarity {
     // work on L2-normalized copies: dot ≡ cosine, means stay meaningful
     val c = corpus.select(col(idCol).as("cid_"), Vectors.l2normalize(col(vecCol)).as("nv"))
 
-    // deterministic pseudo-random seeds: smallest nCentroids by xxhash64(id)
-    val seedW = Window.orderBy(xxhash64(col("cid_")), col("cid_"))
-    var centroids = c
-      .withColumn("r", row_number().over(seedW))
-      .where(col("r") <= nCentroids)
-      .select(col("r").as("cluster"), col("nv").as("cv"))
+    // deterministic pseudo-random seeds: smallest nCentroids by xxhash64(id).
+    // orderBy+limit compiles to a distributed TakeOrderedAndProject; the
+    // row_number for cluster ids then runs over nCentroids rows only (a
+    // global-window row_number over the full corpus would single-partition
+    // the whole dataset)
+    val seeds = c.orderBy(xxhash64(col("cid_")), col("cid_")).limit(nCentroids)
+    var centroids = seeds
+      .withColumn("cluster",
+        row_number().over(Window.orderBy(xxhash64(col("cid_")), col("cid_"))))
+      .select(col("cluster"), col("nv").as("cv"))
 
     def assign(vecs: DataFrame, idAs: String): DataFrame =
       vecs.crossJoin(broadcast(centroids))
         .select(col(idAs), col("nv"),
           col("cluster"), Vectors.fastDot(col("nv"), col("cv")).as("score"))
         .groupBy(col(idAs))
-        .agg(max_by(col("cluster"), col("score")).as("cluster"), first(col("nv")).as("nv"))
+        // deterministic argmax under ties (equidistant / all-zero vectors):
+        // max over (score, -cluster) picks max score then SMALLEST cluster,
+        // independent of partial-agg merge order
+        .agg(max(struct(col("score"), (-col("cluster")).as("negc"))).as("best"),
+          first(col("nv")).as("nv"))
+        .select(col(idAs), col("nv"), (-col("best.negc")).cast("int").as("cluster"))
 
     (0 until iterations).foreach { _ =>
       val assigned = assign(c, "cid_")
@@ -127,7 +136,10 @@ object Similarity {
         .agg(avg(col("x")).as("m"))
         .groupBy(col("cluster"))
         .agg(sort_array(collect_list(struct(col("pos"), col("m")))).as("pm"))
-        .select(col("cluster"), transform(col("pm"), e => e.getField("m")).as("cv"))
+        // spherical k-means: re-normalize the mean, or dot-product argmax
+        // no longer approximates cosine-nearest-centroid (short diffuse
+        // centroids would lose every assignment to long tight ones)
+        .select(col("cluster"), Vectors.l2normalize(transform(col("pm"), e => e.getField("m"))).as("cv"))
     }
 
     val indexed = assign(c, "cid_")

@@ -287,10 +287,14 @@ object DataStream {
         case Some(agg) => grouped.agg(agg.as("s"))
         case None =>
           // Ordered fallback: fold elements in event-time order.
+          // functions.lit cannot build composite literals (tuple states);
+          // go through a raw Catalyst Literal with the SparkType encoding
+          val zCol = org.apache.spark.sql.classic.GraftBridge.column(
+            org.apache.spark.sql.catalyst.expressions.Literal.create(zs.encode(z), zs.dataType))
           grouped
             .agg(sort_array(collect_list(struct(col("ts").as("_1"), col("payload").as("_2")))).as("xs"))
             .withColumn("s",
-              aggregate(col("xs"), lit(z).cast(zs.dataType), (acc, x) =>
+              aggregate(col("xs"), zCol, (acc, x) =>
                 e.toColumn(struct(
                   acc.as("_1"),
                   WindowAssigner.toTimeWindow(col("w")).as("_2"),
@@ -324,7 +328,9 @@ object DataStream {
 
     def fold(e: Expr[_, _], payload: Column): Option[Column] = e match {
       case gk: Expr.GroupKey[_, _, _] if isId(gk.e)        => Some(col("key"))
-      case l: Expr.Length[_, _] if isGroupValuesOfId(l.list) => Some(count(lit(1)))
+      // count(payload), not count(1): the collect_list fallback drops null
+      // payloads, so the rewrite must skip them too to stay equivalent
+      case l: Expr.Length[_, _] if isGroupValuesOfId(l.list) => Some(count(payload))
       case s: Expr.ListSum[_] if isGroupValuesOfId(s.list)  => Some(sum(payload).cast("long"))
       case Expr.KeyValue(k, v) =>
         for (a <- fold(k, payload); b <- fold(v, payload))
