@@ -58,6 +58,17 @@ class DataStreamSpec extends SparkSuite {
     assert(out == Seq(312L)) // fold in ts order: ((0*10+3)*10+1)*10+2
   }
 
+  test("foldWindow with composite (tuple) state: windowed (sum, count)") {
+    val out = DataStream.fromLiterals((1L, 10L), (2L, 20L), (3L, 12L))
+      .assignTimestamps(t => t._1)
+      .groupBy(_ => Expr.LitString[Timestamped[(Long, Long)]]("k"))
+      .foldWindow(WindowAssigner.Tumbling(100L), (0L, 0L)) { t =>
+        (t._1._1 + t._3._2) &&& (t._1._2 + 1L)
+      }
+      .collectValues.map(_.value.value)
+    assert(out == Seq((42L, 3L)))
+  }
+
   test("groupBy nesting composes keys (reference ComputeGrouping)") {
     val ds = DataStream.fromLiterals(("a", "x", 1L), ("a", "y", 2L), ("a", "x", 3L))
     val nested = ds.groupBy(t => t._1).groupBy(g => g.value._2)
