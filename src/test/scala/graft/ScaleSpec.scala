@@ -1,0 +1,62 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Plan-shape assertions for the scale mechanisms the engine relies on:
+  * bucketing co-locates joins (no exchange), partitioned layout prunes
+  * scans, filters and projections reach the parquet reader. */
+class ScaleSpec extends SparkSuite {
+
+  test("bucketed tables co-locate the join: no shuffle exchange in the plan") {
+    val o = spark.read.parquet(s"$sf0001/orders.parquet")
+    val c = spark.read.parquet(s"$sf0001/customer.parquet")
+    spark.sql("DROP TABLE IF EXISTS orders_b")
+    spark.sql("DROP TABLE IF EXISTS customer_b")
+    o.write.bucketBy(8, "o_custkey").sortBy("o_custkey").saveAsTable("orders_b")
+    c.write.bucketBy(8, "c_custkey").sortBy("c_custkey").saveAsTable("customer_b")
+    val prevThreshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1") // force sort-merge path
+      val joined = spark.table("orders_b")
+        .join(spark.table("customer_b"), col("o_custkey") === col("c_custkey"))
+        .groupBy(col("c_mktsegment")).agg(sum(col("o_totalprice")))
+      joined.collect()
+      val plan = joined.queryExecution.executedPlan.toString
+      // the join itself must consume bucket layout directly — the only
+      // exchange allowed is the one for the final tiny aggregation
+      val joinSection = plan.split("SortMergeJoin").last
+      assert(plan.contains("SortMergeJoin"), plan)
+      assert(!joinSection.contains("Exchange hashpartitioning(o_custkey") &&
+        !joinSection.contains("Exchange hashpartitioning(c_custkey"),
+        s"bucketed join still shuffles:\n$plan")
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
+      spark.sql("DROP TABLE IF EXISTS orders_b")
+      spark.sql("DROP TABLE IF EXISTS customer_b")
+    }
+  }
+
+  test("partitioned layout prunes: only the filtered partition is scanned") {
+    val base = java.nio.file.Files.createTempDirectory("graft-part").toString
+    spark.read.parquet(s"$sf0001/documents.parquet")
+      .write.partitionBy("lang").parquet(s"$base/docs")
+    val q = spark.read.parquet(s"$base/docs").where(col("lang") === "en")
+      .select(col("doc_id"))
+    val scan = q.queryExecution.executedPlan.toString
+    assert(scan.contains("PartitionFilters") && scan.contains("lang"), scan)
+    // pruned read returns exactly the en rows
+    val expected = spark.read.parquet(s"$sf0001/documents.parquet")
+      .where(col("lang") === "en").count()
+    assert(q.count() == expected)
+  }
+
+  test("filter and projection reach the parquet scan (pushdown + pruning)") {
+    val q = SparkEntry.queries("q02_filter_pushdown")(spark, sf0001)
+    val plan = q.queryExecution.executedPlan.toString
+    // the PushedFilters list is elided in toString; assert on the leading
+    // entries that survive truncation
+    assert(plan.contains("PushedFilters: [IsNotNull(l_shipdate)"), plan)
+    assert(plan.contains("ReadSchema") &&
+      !plan.contains("l_orderkey"), s"projection not pruned:\n$plan")
+  }
+}
