@@ -8,6 +8,12 @@ import org.apache.spark.sql.functions._
 /** Deduplication operators for training-data pipelines: exact, MinHash+LSH,
   * SimHash, and n-gram Jaccard.
   *
+  * Algorithms follow the published formulations: MinHash and shingling from
+  * Broder, "On the resemblance and containment of documents" (1997); LSH
+  * banding from Leskovec/Rajaraman/Ullman, "Mining of Massive Datasets"
+  * ch. 3; SimHash from Charikar, "Similarity estimation techniques from
+  * rounding algorithms" (STOC 2002).
+  *
   * Design for 100 TB:
   *  - Exact dedup is a single hash aggregation on a fingerprint — the
   *    canonical partial-agg + shuffle-on-digest pattern; the shuffled key is

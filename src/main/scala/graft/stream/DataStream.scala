@@ -33,6 +33,11 @@ final class DataStream[A] private[graft] (private[graft] val df: DataFrame) {
   /** Escape hatch to the full Spark surface. */
   def toDF: DataFrame = df
 
+  /** Print the formatted physical plan — the analogue of the reference's
+    * plan pretty-print (WordCountSpec.scala:19-20), except this one shows
+    * the *optimized, executable* plan Catalyst produced. */
+  def explain(): Unit = df.explain("formatted")
+
   private def value: Column = col(ValueCol)
 
   /** Per-element projection (reference DataStream.scala:41,59;
