@@ -62,6 +62,45 @@ object Media {
       encode(col("text"), "UTF-8").as("content"),
       struct(col("source").as("source"), col("n_chars").as("declared_bytes")).as("meta"))
 
+  val frameSchema: StructType = StructType(Seq(
+    StructField("media_id", LongType, nullable = false),
+    StructField("frame_idx", IntegerType, nullable = false),
+    StructField("frame", BinaryType, nullable = false)))
+
+  /** Frame sampling: one row per every `everyNth` "frame" of the payload —
+    * one media row fans out to 0..n frame rows (the multimodal analogue of
+    * mapConcat/UNNEST). The frame extraction is the stub codec (fixed-size
+    * byte slices); the fan-out shape, schema, and partition-wise batching
+    * are the real plumbing. */
+  def sampleFrames(media: DataFrame, everyNth: Int, frameBytes: Int = 256): DataFrame = {
+    require(everyNth > 0)
+    media.select(col("media_id"), col("content"))
+      .mapPartitions { rows =>
+        rows.flatMap { r =>
+          val id = r.getLong(0)
+          val bytes = r.getAs[Array[Byte]](1)
+          val nFrames = math.max(bytes.length / frameBytes, 1)
+          (0 until nFrames by everyNth).map { i =>
+            val from = math.min(i * frameBytes, bytes.length)
+            val until = math.min(from + frameBytes, bytes.length)
+            Row(id, i, java.util.Arrays.copyOfRange(bytes, from, until))
+          }
+        }
+      }(Encoders.row(frameSchema))
+  }
+
+  /** "Resize": recompute target dimensions preserving aspect ratio — the
+    * codec part is stubbed (no pixel data to resample in this container),
+    * the metadata arithmetic and column plumbing are real. */
+  def resizeMeta(features: DataFrame, maxSide: Int): DataFrame = {
+    val scale = least(
+      lit(maxSide.toDouble) / greatest(col("width").cast("double"), lit(1.0)),
+      lit(maxSide.toDouble) / greatest(col("height").cast("double"), lit(1.0)),
+      lit(1.0))
+    features.withColumn("out_width", floor(col("width") * scale).cast("int"))
+      .withColumn("out_height", floor(col("height") * scale).cast("int"))
+  }
+
   /** Partition-wise batch decode → typed feature rows. One codec per
     * partition, rows streamed through — the mapInPandas shape. */
   def extractFeatures(media: DataFrame): DataFrame = {

@@ -26,4 +26,20 @@ class MediaSpec extends SparkSuite {
     val kinds = feats.groupBy("kind").count().collect().map(_.getString(0)).sorted
     assert(kinds.toSeq == Seq("audio", "image", "video"))
   }
+
+  test("frame sampling fans out and slices real payload bytes; resize keeps aspect") {
+    val docs = spark.read.parquet(s"$sf0001/documents.parquet")
+    val media = Media.fromDocuments(docs)
+    val frames = Media.sampleFrames(media, everyNth = 2, frameBytes = 100)
+    // every media row yields at least one frame; frame bytes are real slices
+    assert(frames.count() >= media.count())
+    val one = frames.where(col("media_id") === 0 && col("frame_idx") === 0).head()
+    val original = docs.where(col("doc_id") === 0).head().getAs[String]("text")
+    assert(new String(one.getAs[Array[Byte]](2), "UTF-8") == original.take(100))
+
+    val resized = Media.resizeMeta(Media.extractFeatures(media), maxSide = 64)
+    val bad = resized.where(col("out_width") > 64 || col("out_height") > 64 ||
+      (col("width") <= 64 && col("height") <= 64 && col("out_width") =!= col("width")))
+    assert(bad.count() == 0)
+  }
 }
