@@ -3,7 +3,7 @@ package graft.operators
 import graft.GraftFunctions
 import graft.functions.Vectors
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -105,56 +105,57 @@ object Similarity {
     // work on L2-normalized copies: dot ≡ cosine, means stay meaningful
     val c = corpus.select(col(idCol).as("cid_"), Vectors.l2normalize(col(vecCol)).as("nv"))
 
-    // deterministic pseudo-random seeds: smallest nCentroids by xxhash64(id).
-    // orderBy+limit compiles to a distributed TakeOrderedAndProject; the
-    // row_number for cluster ids then runs over nCentroids rows only (a
-    // global-window row_number over the full corpus would single-partition
-    // the whole dataset)
-    val seeds = c.orderBy(xxhash64(col("cid_")), col("cid_")).limit(nCentroids)
-    var centroids = seeds
-      .withColumn("cluster",
-        row_number().over(Window.orderBy(xxhash64(col("cid_")), col("cid_"))))
-      .select(col("cluster"), col("nv").as("cv"))
+    // Deterministic pseudo-random seeds: smallest nCentroids by xxhash64(id)
+    // via a distributed TakeOrderedAndProject. The centroid set itself is
+    // tiny plan metadata (nCentroids × dim doubles) — like Spark's own
+    // KMeansModel, it lives at the driver and is baked into expressions, so
+    // cluster ASSIGNMENT is a narrow per-row projection with NO shuffle and
+    // no C-fold duplication of vectors through an exchange.
+    var centroids: Array[(Int, Array[Double])] = c
+      .orderBy(xxhash64(col("cid_")), col("cid_")).limit(nCentroids)
+      .collect().zipWithIndex
+      .map { case (r, i) => (i + 1, r.getSeq[Double](1).toArray) }
 
-    def assign(vecs: DataFrame, idAs: String): DataFrame =
-      vecs.crossJoin(broadcast(centroids))
-        .select(col(idAs), col("nv"),
-          col("cluster"), Vectors.fastDot(col("nv"), col("cv")).as("score"))
-        .groupBy(col(idAs))
-        // deterministic argmax under ties (equidistant / all-zero vectors):
-        // max over (score, -cluster) picks max score then SMALLEST cluster,
-        // independent of partial-agg merge order
-        .agg(max(struct(col("score"), (-col("cluster")).as("negc"))).as("best"),
-          first(col("nv")).as("nv"))
-        .select(col(idAs), col("nv"), (-col("best.negc")).cast("int").as("cluster"))
+    def centroidCol(v: Array[Double]): Column = array(v.map(lit(_)): _*)
+    def scoreStructs(nv: Column): Seq[Column] = centroids.map { case (cl, v) =>
+      struct(Vectors.fastDot(nv, centroidCol(v)).as("score"), lit(-cl).as("negc"))
+    }.toSeq
+    // deterministic argmax under ties: greatest over (score, -cluster)
+    // picks max score, then the SMALLEST cluster id
+    def bestCluster(nv: Column): Column =
+      (-greatest(scoreStructs(nv): _*).getField("negc")).cast("int")
 
     (0 until iterations).foreach { _ =>
-      val assigned = assign(c, "cid_")
-      centroids = assigned
+      // one narrow pass to assign + one aggregation for per-dim means
+      val means = c.withColumn("cluster", bestCluster(col("nv")))
         .select(col("cluster"), posexplode(col("nv")).as(Seq("pos", "x")))
         .groupBy(col("cluster"), col("pos"))
         .agg(avg(col("x")).as("m"))
-        .groupBy(col("cluster"))
-        .agg(sort_array(collect_list(struct(col("pos"), col("m")))).as("pm"))
-        // spherical k-means: re-normalize the mean, or dot-product argmax
-        // no longer approximates cosine-nearest-centroid (short diffuse
-        // centroids would lose every assignment to long tight ones)
-        .select(col("cluster"), Vectors.l2normalize(transform(col("pm"), e => e.getField("m"))).as("cv"))
+        .collect().groupBy(_.getInt(0))
+      centroids = centroids.map { case (cl, old) =>
+        val updated = means.get(cl).map { rows =>
+          val arr = new Array[Double](old.length)
+          rows.foreach(r => arr(r.getInt(1)) = r.getDouble(2))
+          // spherical k-means: re-normalize the mean, or dot-product argmax
+          // no longer approximates cosine-nearest-centroid
+          val n = math.sqrt(arr.map(x => x * x).sum)
+          if (n == 0.0) old else arr.map(_ / n)
+        }.getOrElse(old)
+        (cl, updated)
+      }
     }
 
-    val indexed = assign(c, "cid_")
+    val indexed = c
+      .withColumn("cluster", bestCluster(col("nv")))
       .select(col("cid_").as("neighbor_id"), col("cluster"), col("nv").as("cnv"))
 
-    // per-query probe list: top-`probes` clusters by centroid similarity
-    val probeW = Window.partitionBy(col("query_id"))
-      .orderBy(col("score").desc, col("cluster").asc)
+    // per-query probe list: top-`probes` clusters by centroid similarity —
+    // again a narrow expression (sort the tiny per-row score array)
     val q = queries.select(col(idCol).as("query_id"), Vectors.l2normalize(col(vecCol)).as("qnv"))
-    val probed = q.crossJoin(broadcast(centroids))
-      .select(col("query_id"), col("qnv"), col("cluster"),
-        Vectors.fastDot(col("qnv"), col("cv")).as("score"))
-      .withColumn("pr", row_number().over(probeW))
-      .where(col("pr") <= probes)
-      .select(col("query_id"), col("qnv"), col("cluster"))
+    val probed = q
+      .withColumn("probe", explode(slice(
+        sort_array(array(scoreStructs(col("qnv")): _*), asc = false), 1, probes)))
+      .select(col("query_id"), col("qnv"), (-col("probe.negc")).cast("int").as("cluster"))
 
     val rankW = Window.partitionBy(col("query_id"))
       .orderBy(col("cosine").desc, col("neighbor_id").asc)
