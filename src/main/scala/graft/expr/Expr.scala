@@ -129,12 +129,16 @@ object Expr {
       op match {
         case "+" => a + b; case "-" => a - b; case "*" => a * b
         case "/" => a / b; case "%" => a % b
+        // integer division (truncating). Spark's `/` is SQL double division;
+        // the cast truncates toward zero like Scala's Long `/`. Exact for
+        // |quotient| < 2^53 (the double mantissa) — plenty for key math.
+        case "quot" => (a / b).cast("long")
       }
     }
     private[graft] def eval(in: Any): Any = (l.eval(in), r.eval(in)) match {
       case (a: Long, b: Long) => op match {
         case "+" => a + b; case "-" => a - b; case "*" => a * b
-        case "/" => a / b; case "%" => a % b
+        case "/" => a / b; case "%" => a % b; case "quot" => a / b
       }
       case (a: Double, b: Double) => op match {
         case "+" => a + b; case "-" => a - b; case "*" => a * b
@@ -279,6 +283,7 @@ object Expr {
     def +(o: Expr[A, Long]): Expr[A, Long] = Arith(e, o, "+")
     def -(o: Expr[A, Long]): Expr[A, Long] = Arith(e, o, "-")
     def *(o: Expr[A, Long]): Expr[A, Long] = Arith(e, o, "*")
+    def /(o: Expr[A, Long]): Expr[A, Long] = Arith(e, o, "quot")
     def %(o: Expr[A, Long]): Expr[A, Long] = Arith(e, o, "%")
     def <(o: Expr[A, Long]): Expr[A, Boolean] = Cmp(e, o, "<")
     def <=(o: Expr[A, Long]): Expr[A, Boolean] = Cmp(e, o, "<=")
@@ -293,9 +298,13 @@ object Expr {
     def -(o: Expr[A, Double]): Expr[A, Double] = Arith(e, o, "-")
     def *(o: Expr[A, Double]): Expr[A, Double] = Arith(e, o, "*")
     def /(o: Expr[A, Double]): Expr[A, Double] = Arith(e, o, "/")
+    def %(o: Expr[A, Double]): Expr[A, Double] = Arith(e, o, "%")
     def <(o: Expr[A, Double]): Expr[A, Boolean] = Cmp(e, o, "<")
+    def <=(o: Expr[A, Double]): Expr[A, Boolean] = Cmp(e, o, "<=")
     def >(o: Expr[A, Double]): Expr[A, Boolean] = Cmp(e, o, ">")
+    def >=(o: Expr[A, Double]): Expr[A, Boolean] = Cmp(e, o, ">=")
     def ===(o: Expr[A, Double]): Expr[A, Boolean] = Cmp(e, o, "==")
+    def =!=(o: Expr[A, Double]): Expr[A, Boolean] = Cmp(e, o, "!=")
   }
 
   implicit final class StringExprOps[A](private val e: Expr[A, String]) extends AnyVal {

@@ -15,6 +15,13 @@ class ExprSpec extends SparkSuite {
     assert(filtered == Seq(2L, 3L, 5L))
   }
 
+  test("long division truncates like Scala, in both Catalyst and eval paths") {
+    val ds = DataStream.fromLiterals(7L, -7L, 10L)
+    assert(ds.map(x => x / 3L).collectValues == Seq(2L, -2L, 3L))
+    val e = { val x = Expr.id[Long]; x / 3L }
+    assert(e.eval(7L) == 2L && e.eval(-7L) == -2L)
+  }
+
   test("tuple plumbing: Nth, FanOut, Flip (reference Expression.scala:21,34,40)") {
     val ds = DataStream.fromLiterals((1L, "a"), (2L, "b"))
     assert(ds.map(t => t._2).collectValues == Seq("a", "b"))
