@@ -1,7 +1,7 @@
 package graft.functions.catalyst
 
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.GenericArrayData
 import org.apache.spark.sql.types.{ArrayType, DataType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
@@ -21,13 +21,31 @@ import org.apache.spark.unsafe.types.UTF8String
   * oracle's mirror): documents with ≤ n tokens yield their whole normalized
   * text as a single shingle; empty text yields [""].
   */
-case class WordShingles(child: Expression, n: Int) extends UnaryExpression with CodegenFallback {
+case class WordShingles(child: Expression, n: Int) extends UnaryExpression {
 
   override def dataType: DataType = ArrayType(StringType, containsNull = false)
 
-  override def nullSafeEval(input: Any): Any = {
-    val toks = input.asInstanceOf[UTF8String].toLowerCase.toString
-      .split("\\s+").filter(_.nonEmpty)
+  override def nullSafeEval(input: Any): Any =
+    WordShingles.compute(input.asInstanceOf[UTF8String], n)
+
+  /** Codegen emits a call to the static compute — not a fused string loop,
+    * but crucially NOT CodegenFallback either: the enclosing projection
+    * stays inside whole-stage codegen instead of dropping the entire stage
+    * to interpreted mode. */
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.catalyst.WordShingles.compute($c, $n);")
+
+  override protected def withNewChildInternal(newChild: Expression): WordShingles =
+    copy(child = newChild)
+
+  override def prettyName: String = "graft_shingles"
+}
+
+object WordShingles {
+  /** One-pass normalize + tokenize + shingle. Called from generated code. */
+  def compute(input: UTF8String, n: Int): GenericArrayData = {
+    val toks = input.toLowerCase.toString.split("\\s+").filter(_.nonEmpty)
     val shingles =
       if (toks.length <= n) Array(toks.mkString(" "))
       else Array.tabulate(toks.length - n + 1)(i => {
@@ -38,9 +56,4 @@ case class WordShingles(child: Expression, n: Int) extends UnaryExpression with 
       })
     new GenericArrayData(shingles.map(UTF8String.fromString(_): Any))
   }
-
-  override protected def withNewChildInternal(newChild: Expression): WordShingles =
-    copy(child = newChild)
-
-  override def prettyName: String = "graft_shingles"
 }

@@ -54,6 +54,21 @@ class ExprSpec extends SparkSuite {
     assert(ds.map(_ => e).collectValues == Seq(17L))
   }
 
+  test("SparkType encode/decode roundtrip for nested types") {
+    import graft.expr.SparkType
+    def rt[T: SparkType](v: T): Unit = {
+      val st = SparkType[T]
+      assert(st.decode(st.encode(v)) == v)
+    }
+    rt(42L); rt("x"); rt(true); rt(1.5)
+    rt((1L, "a")); rt((1L, ("b", 2L), 3L))
+    rt(List(1L, 2L))
+    rt(Grouped("k", (1L, 2L)))
+    rt(Timestamped(5L, Grouped(1L, "v")))
+    rt(Windowed(TimeWindow(0L, 10L), 7L))
+    rt(Group("g", Seq(1L, 2L, 3L)))
+  }
+
   test("mapConcat explodes via Catalyst Generate (reference MapConcat)") {
     val ds = DataStream.fromLiterals("a b", "c")
     assert(ds.mapConcat(t => t.split(" ")).collectValues.sorted == Seq("a", "b", "c"))
