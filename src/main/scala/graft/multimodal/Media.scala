@@ -58,7 +58,7 @@ object Media {
     docs.select(
       col("doc_id").as("media_id"),
       element_at(array(lit("image"), lit("audio"), lit("video")),
-        (col("doc_id") % 3 + 1).cast("int")).as("kind"),
+        (pmod(col("doc_id"), lit(3)) + 1).cast("int")).as("kind"), // pmod: total over negative ids
       encode(col("text"), "UTF-8").as("content"),
       struct(col("source").as("source"), col("n_chars").as("declared_bytes")).as("meta"))
 
@@ -79,7 +79,8 @@ object Media {
         rows.flatMap { r =>
           val id = r.getLong(0)
           val bytes = r.getAs[Array[Byte]](1)
-          val nFrames = math.max(bytes.length / frameBytes, 1)
+          // ceil: the trailing partial frame is a frame too
+          val nFrames = math.max((bytes.length + frameBytes - 1) / frameBytes, 1)
           (0 until nFrames by everyNth).map { i =>
             val from = math.min(i * frameBytes, bytes.length)
             val until = math.min(from + frameBytes, bytes.length)

@@ -16,9 +16,14 @@ import org.apache.spark.sql.functions._
   * unbounded-preceding window frame under whole-stage codegen. */
 object Accumulate {
 
-  private def frame(partition: Seq[Column], order: Seq[Column]) =
+  private def frame(partition: Seq[Column], order: Seq[Column]) = {
+    // an empty partition list is the undistributable global scan — that
+    // path is DataStream.mapAccumulate's, explicitly, not a silent fallback
+    require(partition.nonEmpty,
+      "running aggregates require partition keys; for a global ordered scan use DataStream.mapAccumulate")
     Window.partitionBy(partition: _*).orderBy(order: _*)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+  }
 
   /** Running aggregate of `expr` per partition key, in `order` order. */
   def running(df: DataFrame, agg: Column, partition: Seq[Column],

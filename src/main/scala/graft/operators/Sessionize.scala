@@ -20,9 +20,12 @@ object Sessionize {
   def assign(df: DataFrame, keyCol: String, tsCol: String, gapMs: Long): DataFrame = {
     val byKey = Window.partitionBy(col(keyCol)).orderBy(col(tsCol).asc)
     val prev = lag(col(tsCol), 1).over(byKey)
+    // >= gap starts a new session — matching Spark's session_window, whose
+    // windows are [start, last+gap): an event at exactly prevEnd does NOT
+    // merge. Keeps the batch and streaming twins boundary-consistent.
     val isNew = when(
       prev.isNull ||
-        (unix_millis(col(tsCol)) - unix_millis(prev)) > gapMs, 1L).otherwise(0L)
+        (unix_millis(col(tsCol)) - unix_millis(prev)) >= gapMs, 1L).otherwise(0L)
     df.withColumn("_new_session", isNew)
       .withColumn("session_id",
         sum(col("_new_session")).over(byKey.rowsBetween(Window.unboundedPreceding, Window.currentRow)) - 1L)

@@ -20,6 +20,12 @@ object Skew {
   def saltedJoin(big: DataFrame, small: DataFrame, key: String,
                  salts: Int, how: String = "inner"): DataFrame = {
     require(salts > 0)
+    // right/full-outer would emit `salts` copies of unmatched small-side
+    // rows (each salted replica misses independently) — only join types
+    // whose output is driven by the big side preserve unsalted semantics
+    require(Set("inner", "left", "left_outer", "leftouter", "left_semi", "leftsemi", "left_anti", "leftanti")
+      .contains(how.toLowerCase),
+      s"saltedJoin preserves semantics only for big-side-driven joins, got '$how'")
     // salt derived from a per-row id: deterministic within a run, and the
     // join RESULT is independent of the salt values
     val b = big.withColumn("_salt",

@@ -29,14 +29,9 @@ object Streams {
     */
   def windowedCounts(events: DataFrame, keyCol: String, tsCol: String,
                      assigner: WindowAssigner, delay: String): DataFrame = {
-    val windowCol = assigner match {
-      case WindowAssigner.Tumbling(ms) => window(col(tsCol), s"$ms milliseconds")
-      case WindowAssigner.Sliding(ms, step) => window(col(tsCol), s"$ms milliseconds", s"$step milliseconds")
-      case WindowAssigner.Session(gap) => session_window(col(tsCol), s"$gap milliseconds")
-    }
     events
       .withWatermark(tsCol, delay)
-      .groupBy(windowCol.as("window"), col(keyCol))
+      .groupBy(assigner.onTimestamp(col(tsCol)).as("window"), col(keyCol))
       .agg(count(lit(1)).as("n"))
       .select(col(keyCol), col("window.start").as("window_start"),
         col("window.end").as("window_end"), col("n"))
@@ -56,27 +51,37 @@ object Streams {
       l(keyCol) === r(keyCol) &&
         r(rightTs) >= l(leftTs) - expr(s"INTERVAL $before") &&
         r(rightTs) <= l(leftTs) + expr(s"INTERVAL $after"))
+      .drop(r(keyCol)) // keep one key column so by-name references resolve
   }
 
-  /** Streaming exact dedup: drop duplicate keys within the watermark
-    * horizon. State is bounded by the watermark (old keys evicted) — the
-    * streaming twin of [[graft.operators.Dedup.exact]]; at scale the state
-    * store holds one entry per distinct in-horizon key. */
+  /** Streaming exact dedup: drop duplicate KEYS within the watermark
+    * horizon (same-key events with different timestamps are duplicates
+    * too — `dropDuplicatesWithinWatermark` keys the state on `keyCols`
+    * alone and evicts entries as the watermark passes). The streaming twin
+    * of [[graft.operators.Dedup.exact]]; state holds one entry per distinct
+    * in-horizon key. */
   def dedupStream(events: DataFrame, tsCol: String, delay: String, keyCols: String*): DataFrame =
-    events.withWatermark(tsCol, delay).dropDuplicates(keyCols :+ tsCol)
+    events.withWatermark(tsCol, delay).dropDuplicatesWithinWatermark(keyCols.toSeq)
 
   /** Streaming per-key running aggregate via `flatMapGroupsWithState` — the
     * streaming form of the reference's `MapAccumulate` (SURVEY §2.1 #5):
-    * genuinely stateful, one state entry per key in the state store. */
-  def runningSumPerKey(events: Dataset[(Long, Long)]): Dataset[(Long, Long, Long)] = {
+    * genuinely stateful, one state entry per key in the state store.
+    *
+    * Input: (key, seq, value); rows are folded in `seq` order WITHIN each
+    * micro-batch (group iterators arrive in shuffle order, which is not
+    * deterministic — an explicit sequence column is what makes per-row
+    * accumulator values reproducible). Output: (key, seq, value, acc). */
+  def runningSumPerKey(events: Dataset[(Long, Long, Long)]): Dataset[(Long, Long, Long, Long)] = {
     import events.sparkSession.implicits._
     events
       .groupByKey(_._1)
-      .flatMapGroupsWithState[Long, (Long, Long, Long)](
+      .flatMapGroupsWithState[Long, (Long, Long, Long, Long)](
         OutputMode.Append, GroupStateTimeout.NoTimeout) {
-        (key: Long, rows: Iterator[(Long, Long)], state: GroupState[Long]) =>
+        (key: Long, rows: Iterator[(Long, Long, Long)], state: GroupState[Long]) =>
           var acc = state.getOption.getOrElse(0L)
-          val out = rows.map { case (_, v) => acc += v; (key, v, acc) }.toList
+          val out = rows.toSeq.sortBy(_._2).map { case (_, seq, v) =>
+            acc += v; (key, seq, v, acc)
+          }
           state.update(acc)
           out.iterator
       }

@@ -125,7 +125,8 @@ class StreamingSpec extends SparkSuite {
     try {
       input.addData((10L, 1L), (10L, 1L), (20L, 2L))
       q.processAllAvailable()
-      input.addData((10L, 1L), (30L, 3L)) // exact duplicate again → dropped
+      // same KEY at a different timestamp is a duplicate too
+      input.addData((15L, 1L), (30L, 3L))
       q.processAllAvailable()
       val ids = spark.table("dd").select("id").collect().map(_.getLong(0)).sorted
       assert(ids.toSeq == Seq(1L, 2L, 3L))
@@ -135,20 +136,23 @@ class StreamingSpec extends SparkSuite {
   test("streaming per-key running sum via flatMapGroupsWithState (streaming MapAccumulate)") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
-    val input = MemoryStream[(Long, Long)]
+    val input = MemoryStream[(Long, Long, Long)] // (key, seq, value)
     val out = Streams.runningSumPerKey(input.toDS())
-    val q = out.toDF("k", "v", "acc").writeStream
+    val q = out.toDF("k", "seq", "v", "acc").writeStream
       .outputMode("append").format("memory").queryName("rs").start()
     try {
-      input.addData((1L, 10L), (1L, 5L), (2L, 7L))
+      input.addData((1L, 1L, 10L), (1L, 2L, 5L), (2L, 3L, 7L))
       q.processAllAvailable()
-      input.addData((1L, 1L))
+      input.addData((1L, 4L, 1L))
       q.processAllAvailable()
       val rows = spark.table("rs").collect()
-        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
-      // state persists across micro-batches: second batch continues at 15
-      assert(rows.contains((1L, 1L, 16L)))
-      assert(rows.contains((2L, 7L, 7L)))
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+      // within-batch fold order follows seq (deterministic)…
+      assert(rows.contains((1L, 1L, 10L, 10L)))
+      assert(rows.contains((1L, 2L, 5L, 15L)))
+      assert(rows.contains((2L, 3L, 7L, 7L)))
+      // …and state persists across micro-batches: second batch continues at 15
+      assert(rows.contains((1L, 4L, 1L, 16L)))
     } finally q.stop()
   }
 }
