@@ -1,6 +1,6 @@
 package graft
 
-import graft.functions.catalyst.{ApproxTopK, ArrayDotProduct, WordShingles}
+import graft.functions.catalyst.{ApproxTopK, ArrayDotProduct, ArrayL2Normalize, WordShingles}
 
 import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
@@ -23,28 +23,47 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("graft_topk"),
       new ExpressionInfo(classOf[ApproxTopK].getName, "graft_topk"),
       GraftFunctions.buildTopK))
+    e.injectFunction((
+      FunctionIdentifier("graft_l2normalize"),
+      new ExpressionInfo(classOf[ArrayL2Normalize].getName, "graft_l2normalize"),
+      GraftFunctions.buildL2Normalize))
     e.injectPlannerStrategy(_ => graft.plans.AsOfJoinStrategy)
   }
 }
 
 object GraftFunctions {
-  private[graft] val buildDot: Seq[Expression] => Expression =
-    exprs => ArrayDotProduct(exprs.head, exprs(1))
+  private def arity(exprs: Seq[Expression], n: Int, sig: String): Unit =
+    if (exprs.length != n)
+      sys.error(s"$sig expects $n arguments, got ${exprs.length}")
+
+  /** Constant int argument: accepts any foldable expression (builders run
+    * before constant folding, so `1+2` arrives unfolded). */
+  private def constInt(e: Expression, what: String, sig: String): Int =
+    if (e.foldable) e.eval() match {
+      case i: Int  => i
+      case l: Long => l.toInt
+      case other   => sys.error(s"$sig: $what must be an integer constant, got $other")
+    } else sys.error(s"$sig: $what must be a constant, got $e")
+
+  private[graft] val buildDot: Seq[Expression] => Expression = exprs => {
+    arity(exprs, 2, "graft_dot(a, b)")
+    ArrayDotProduct(exprs.head, exprs(1))
+  }
 
   private[graft] val buildShingles: Seq[Expression] => Expression = exprs => {
-    val n = exprs(1) match {
-      case Literal(v: Int, _) => v
-      case other => sys.error(s"graft_shingles(text, n): n must be an integer literal, got $other")
-    }
-    WordShingles(exprs.head, n)
+    arity(exprs, 2, "graft_shingles(text, n)")
+    WordShingles(exprs.head, constInt(exprs(1), "n", "graft_shingles(text, n)"))
   }
 
   private[graft] val buildTopK: Seq[Expression] => Expression = exprs => {
-    def intLit(e: Expression, what: String): Int = e match {
-      case Literal(v: Int, _) => v
-      case other => sys.error(s"graft_topk(col, k, capacity): $what must be an integer literal, got $other")
-    }
-    ApproxTopK(exprs.head, intLit(exprs(1), "k"), intLit(exprs(2), "capacity"))
+    arity(exprs, 3, "graft_topk(col, k, capacity)")
+    val sig = "graft_topk(col, k, capacity)"
+    ApproxTopK(exprs.head, constInt(exprs(1), "k", sig), constInt(exprs(2), "capacity", sig))
+  }
+
+  private[graft] val buildL2Normalize: Seq[Expression] => Expression = exprs => {
+    arity(exprs, 1, "graft_l2normalize(a)")
+    ArrayL2Normalize(exprs.head)
   }
 
   /** Idempotent per-session registration, for sessions not built with
@@ -54,6 +73,7 @@ object GraftFunctions {
     reg.createOrReplaceTempFunction("graft_dot", buildDot, "built-in")
     reg.createOrReplaceTempFunction("graft_shingles", buildShingles, "built-in")
     reg.createOrReplaceTempFunction("graft_topk", buildTopK, "built-in")
+    reg.createOrReplaceTempFunction("graft_l2normalize", buildL2Normalize, "built-in")
     if (!spark.experimental.extraStrategies.contains(graft.plans.AsOfJoinStrategy))
       spark.experimental.extraStrategies =
         spark.experimental.extraStrategies :+ graft.plans.AsOfJoinStrategy

@@ -114,8 +114,10 @@ object SparkEntry {
     * 4-column projection must reach the parquet scan (PushedFilters). */
   private def q02(s: SparkSession, dir: String): DataFrame =
     Tables.lineitem(s, dir)
-      .where(col("l_shipdate") >= lit(java.sql.Timestamp.valueOf("1996-01-01 00:00:00")) &&
-        col("l_shipdate") < lit(java.sql.Timestamp.valueOf("1998-01-01 00:00:00")) &&
+      // to_timestamp honors the UTC session timezone; java.sql.Timestamp
+      // .valueOf would parse in the JVM default zone — machine-dependent
+      .where(col("l_shipdate") >= to_timestamp(lit("1996-01-01 00:00:00")) &&
+        col("l_shipdate") < to_timestamp(lit("1998-01-01 00:00:00")) &&
         col("l_discount") >= 0.05 && col("l_quantity") < 25.0)
       .agg(
         sum(round(col("l_extendedprice") * col("l_discount") * 10000).cast("long")).as("revenue_e4"),
@@ -806,7 +808,7 @@ object SparkEntry {
            CAST(len(regexp_extract_all(text, '[A-Za-z0-9]+|[^A-Za-z0-9\\s]')) AS BIGINT) AS n_bpeish,
            CAST(len(regexp_extract_all(text, '[^A-Za-z0-9\\s]')) AS DOUBLE)
              / greatest(CAST(length(text) AS DOUBLE), 1.0) AS punct_ratio,
-           CAST(list_sum(list_transform($toks, t -> CAST(length(t) AS BIGINT))) AS DOUBLE)
+           CAST(coalesce(list_sum(list_transform($toks, t -> CAST(length(t) AS BIGINT))), 0) AS DOUBLE)
              / greatest(CAST(len($toks) AS DOUBLE), 1.0) AS mean_tok_len,
            least(greatest(
              least(CAST(length(text) AS DOUBLE) / 200.0, 1.0) * 0.4

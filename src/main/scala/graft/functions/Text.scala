@@ -73,12 +73,9 @@ object Text {
   /** Ratio of tokens that are in the given stopword list. */
   def stopwordRatio(text: Column, stopwords: Seq[String]): Column = {
     val ts = tokens(text)
-    size(array_intersect_count(ts, stopwords)).cast("double") /
+    size(filter(ts, t => t.isin(stopwords.map(x => x: Any): _*))).cast("double") /
       greatest(size(ts).cast("double"), lit(1.0))
   }
-
-  private def array_intersect_count(ts: Column, stopwords: Seq[String]): Column =
-    filter(ts, t => t.isin(stopwords.map(x => x: Any): _*))
 
   /** Mean token length. */
   def meanTokenLength(text: Column): Column = {

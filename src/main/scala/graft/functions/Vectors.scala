@@ -42,12 +42,14 @@ object Vectors {
     when(denom === 0.0, lit(0.0)).otherwise(dot(a, b) / denom)
   }
 
-  /** L2-normalized copy (doubles). Pre-normalizing the corpus once turns
-    * every cosine into a plain dot product — do this before fan-out ANN. */
-  def l2normalize(a: Column): Column = {
-    val n = norm(a)
-    transform(a, x => when(n === 0.0, lit(0.0)).otherwise(x.cast("double") / n))
-  }
+  /** L2-normalized copy (doubles; all-zero → all zeros). Pre-normalizing
+    * the corpus once turns every cosine into a plain dot product — do this
+    * before fan-out ANN. Native one-pass expression
+    * ([[graft.functions.catalyst.ArrayL2Normalize]]): the HOF formulation
+    * `transform(a, x -> x/norm(a))` re-evaluates the norm per ELEMENT
+    * (O(d²), interpreted). Requires
+    * [[graft.GraftFunctions.ensureRegistered]] on the session. */
+  def l2normalize(a: Column): Column = call_function("graft_l2normalize", a)
 
   /** Deterministic pseudo-random hyperplane component for LSH: xxhash64 of
     * (plane, dim) mapped into [-0.5, 0.5). Deterministic under any

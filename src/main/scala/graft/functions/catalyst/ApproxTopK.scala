@@ -20,30 +20,28 @@ import scala.collection.mutable
 final class SpaceSaving(val capacity: Int) {
   val counters: mutable.HashMap[UTF8String, (Long, Long)] = mutable.HashMap.empty // item -> (count, err)
 
-  def add(item: UTF8String, weight: Long = 1L): Unit = counters.get(item) match {
-    case Some((c, e)) => counters.update(item, (c + weight, e))
-    case None if counters.size < capacity => counters.update(item, (weight, 0L))
+  /** Weighted insert with SpaceSaving eviction: an absent item inherits the
+    * evicted minimum count as additional (over)estimate and error — this is
+    * what preserves `true ≤ estimate ≤ true + err` under any merge order. */
+  def add(item: UTF8String, weight: Long = 1L, err: Long = 0L): Unit = counters.get(item) match {
+    case Some((c, e)) => counters.update(item, (c + weight, e + err))
+    case None if counters.size < capacity => counters.update(item, (weight, err))
     case None =>
       val (mItem, (mCount, _)) = counters.minBy { case (i, (c, _)) => (c, i) }
       counters.remove(mItem)
-      counters.update(item, (mCount + weight, mCount))
+      counters.update(item, (mCount + weight, mCount + err))
   }
 
-  /** Standard summary merge: pointwise sums, then trim back to capacity by
-    * evicting the smallest counters, folding their counts into the error of
-    * nothing (they are simply dropped — their mass is already bounded by
-    * the per-item err fields). Exact case (no eviction) stays exact. */
+  /** Merge = replay the other summary's counters through the weighted
+    * [[add]] path. Evicted mass is inherited, never dropped, so the
+    * overestimate invariant survives merging (dropping trimmed counters
+    * outright would let an item re-enter later with a fresh underestimate).
+    * Exact case (total distinct ≤ capacity: no eviction anywhere) stays
+    * exact and merge-order independent. */
   def merge(other: SpaceSaving): SpaceSaving = {
-    other.counters.foreach { case (i, (c, e)) =>
-      counters.get(i) match {
-        case Some((c0, e0)) => counters.update(i, (c0 + c, e0 + e))
-        case None           => counters.update(i, (c, e))
-      }
-    }
-    if (counters.size > capacity) {
-      counters.toSeq.sortBy { case (i, (c, _)) => (-c, i) }
-        .drop(capacity).foreach { case (i, _) => counters.remove(i) }
-    }
+    other.counters.toSeq
+      .sortBy { case (i, (c, _)) => (-c, i) } // deterministic replay order
+      .foreach { case (i, (c, e)) => add(i, c, e) }
     this
   }
 }
@@ -65,6 +63,12 @@ case class ApproxTopK(
     inputAggBufferOffset: Int = 0) extends TypedImperativeAggregate[SpaceSaving] {
 
   override def children: Seq[Expression] = child :: Nil
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (child.dataType == StringType)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      s"graft_topk requires a string column, got ${child.dataType}")
   override def nullable: Boolean = false
   override def dataType: DataType = ArrayType(StructType(Seq(
     StructField("item", StringType), StructField("count", LongType), StructField("err", LongType))))

@@ -31,7 +31,14 @@ object Tables {
     * Read it as raw nanos (legacy conf) and convert losslessly to a
     * microsecond TimestampType — the data is µs-precision (TESTDATA
     * generator), so no information is lost and DuckDB-oracle comparisons
-    * agree at every granularity. */
+    * agree at every granularity.
+    *
+    * NOTE: `nanosAsLong` is intentionally left set on the session — it must
+    * be live when the (lazy) scan EXECUTES, not just at plan build, so a
+    * set/restore around the read would break later actions. Session-wide
+    * effect: other NANOS-timestamp parquet columns read afterwards arrive
+    * as raw Long nanos instead of erroring; the test corpus has exactly one
+    * such column. */
   def events(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     apply(spark, dir, "events")

@@ -292,6 +292,7 @@ class OperatorsSpec extends SparkSuite {
 
   test("vector functions: dot/norm/cosine/normalize on knowns") {
     import spark.implicits._
+    graft.GraftFunctions.ensureRegistered(spark)
     val df = Seq((Array(3.0f, 4.0f), Array(4.0f, 3.0f))).toDF("a", "b")
     assert(df.select(Vectors.dot($"a", $"b")).head().getDouble(0) == 24.0)
     assert(df.select(Vectors.norm($"a")).head().getDouble(0) == 5.0)
