@@ -92,6 +92,7 @@ object SparkEntry {
     "q36_ann_ivf" -> q36,
     "q37_asof_native" -> q37,
     "q38_topk_sketch" -> q38,
+    "q39_dedup_clusters" -> q39,
   )
 
   // =====================================================================
@@ -560,6 +561,15 @@ object SparkEntry {
       .orderBy(col("cnt").desc, col("word"))
   }
 
+  /** Near-dup deduplication end-to-end: n-gram-Jaccard edges → connected
+    * components (iterative min-label propagation) → keep min-id
+    * representative per cluster. The oracle computes the same closure with
+    * a recursive CTE. */
+  private def q39(s: SparkSession, dir: String): DataFrame =
+    Dedup.deduplicateNearDups(Tables.documents(s, dir), "doc_id", "text",
+        shingleLen = 3, threshold = 0.5, maxShingleDf = 50)
+      .orderBy(col("id"))
+
   /** Document fingerprints: md5 of normalized text + polynomial rolling
     * hash — both engine-portable, both per-row narrow transforms. */
   private def q35(s: SparkSession, dir: String): DataFrame =
@@ -834,6 +844,38 @@ object SparkEntry {
            ASOF LEFT JOIN (SELECT user_id, ts, event_id AS click_event_id FROM events WHERE event_type = 'click') c
              ON p.user_id = c.user_id AND p.ts >= c.ts
            ORDER BY p.event_id""",
+
+      "q39_dedup_clusters" ->
+        s"""WITH RECURSIVE
+           sh AS (
+             SELECT doc_id AS id, unnest(list_distinct(${shingles(3)})) AS s
+             FROM (SELECT doc_id, $toks AS toks FROM documents) d),
+           filtered AS (
+             SELECT id, s FROM (
+               SELECT id, s, count(*) OVER (PARTITION BY s) AS df FROM sh) t
+             WHERE df <= 50),
+           sizes AS (SELECT id, count(*) AS n_sh FROM filtered GROUP BY id),
+           prs AS (
+             SELECT a.id AS id_a, b.id AS id_b, count(*) AS shared
+             FROM filtered a JOIN filtered b ON a.s = b.s AND a.id < b.id
+             GROUP BY 1, 2),
+           pairs AS (
+             SELECT id_a, id_b FROM prs
+             JOIN sizes sa ON sa.id = id_a JOIN sizes sb ON sb.id = id_b
+             WHERE CAST(shared AS DOUBLE) / CAST(sa.n_sh + sb.n_sh - shared AS DOUBLE) >= 0.5),
+           edges AS (
+             SELECT id_a AS s, id_b AS d FROM pairs
+             UNION ALL SELECT id_b AS s, id_a AS d FROM pairs),
+           reach(id, r) AS (
+             SELECT DISTINCT s AS id, s AS r FROM edges
+             UNION
+             SELECT e.s AS id, reach.r FROM edges e JOIN reach ON e.d = reach.id),
+           comp AS (SELECT id, min(r) AS component FROM reach GROUP BY id)
+           SELECT doc_id AS id,
+             coalesce(comp.component, doc_id) AS representative,
+             doc_id = coalesce(comp.component, doc_id) AS is_kept
+           FROM documents LEFT JOIN comp ON comp.id = doc_id
+           ORDER BY id""",
 
       "q38_topk_sketch" ->
         """SELECT word, cnt FROM (

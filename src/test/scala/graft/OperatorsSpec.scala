@@ -58,6 +58,25 @@ class OperatorsSpec extends SparkSuite {
     assert(!pairs.keySet.exists(p => p._1 == 4L || p._2 == 4L))
   }
 
+  test("near-dup clustering: components + representative selection on planted docs") {
+    val out = Dedup.deduplicateNearDups(docsWithDups, "doc_id", "text",
+        shingleLen = 3, threshold = 0.5, maxShingleDf = 50)
+      .orderBy("id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2)))
+    // {1,2,3,5} form one cluster (2,5 exact dups of 1; 3 near-dup); 4 alone
+    assert(out.toSeq == Seq(
+      (1L, 1L, true), (2L, 1L, false), (3L, 1L, false), (4L, 4L, true), (5L, 1L, false)))
+  }
+
+  test("connected components: chain merges transitively") {
+    import spark.implicits._
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L)).toDF("id_a", "id_b")
+    val comps = Dedup.connectedComponents(pairs).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(Seq(1L, 2L, 3L, 4L).forall(comps(_) == 1L))
+    assert(comps(10L) == 10L && comps(11L) == 10L)
+  }
+
   test("brute-force cosine top-k is exact on hand-computed vectors") {
     import spark.implicits._
     val vecs = Seq(
