@@ -16,10 +16,13 @@ import org.apache.spark.sql.types.{AbstractDataType, ArrayType, DataType, Double
   * and no per-element allocation.
   *
   * Semantics are IDENTICAL to
-  * `aggregate(zip_with(a, b, (x, y) -> double(x) * double(y)), 0d, +)`:
-  * elements widened to double, products accumulated strictly left-to-right —
-  * bit-for-bit the result the DuckDB oracle computes with the mirrored SQL.
-  * Nulls: null array → null; length mismatch → dot over the common prefix.
+  * `aggregate(zip_with(a, b, (x, y) -> double(x) * double(y)), 0d, +)` for
+  * null-free arrays: elements widened to double, products accumulated
+  * strictly left-to-right — bit-for-bit the result the DuckDB oracle
+  * computes with the mirrored SQL. Nulls: a null ARRAY → null; a null
+  * ELEMENT is read as 0.0 (the HOF formulation would return null for the
+  * whole sum — don't feed null-element vectors to either).
+  * Length mismatch → dot over the common prefix.
   */
 case class ArrayDotProduct(left: Expression, right: Expression) extends BinaryExpression {
 

@@ -44,22 +44,24 @@ case class ArrayL2Normalize(child: Expression) extends UnaryExpression {
 }
 
 object ArrayL2Normalize {
-  /** Two primitive passes: norm, then divide. Called from generated code. */
+  /** Two primitive passes: norm, then divide. Null elements are read as 0.0
+    * — defined explicitly (isNullAt) rather than relying on the unsafe
+    * accessor's zeroed-slot behavior; same convention as
+    * [[ArrayDotProduct]]. Called from generated code. */
   def compute(arr: ArrayData, isFloat: Boolean): GenericArrayData = {
     val n = arr.numElements()
     val out = new Array[Any](n)
+    def at(i: Int): Double =
+      if (arr.isNullAt(i)) 0.0
+      else if (isFloat) arr.getFloat(i).toDouble
+      else arr.getDouble(i)
     var ss = 0.0
     var i = 0
-    while (i < n) {
-      val x = if (isFloat) arr.getFloat(i).toDouble else arr.getDouble(i)
-      ss += x * x
-      i += 1
-    }
+    while (i < n) { val x = at(i); ss += x * x; i += 1 }
     val norm = math.sqrt(ss)
     i = 0
     while (i < n) {
-      val x = if (isFloat) arr.getFloat(i).toDouble else arr.getDouble(i)
-      out(i) = if (norm == 0.0) 0.0 else x / norm
+      out(i) = if (norm == 0.0) 0.0 else at(i) / norm
       i += 1
     }
     new GenericArrayData(out)

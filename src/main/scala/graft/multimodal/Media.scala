@@ -73,7 +73,8 @@ object Media {
     * byte slices); the fan-out shape, schema, and partition-wise batching
     * are the real plumbing. */
   def sampleFrames(media: DataFrame, everyNth: Int, frameBytes: Int = 256): DataFrame = {
-    require(everyNth > 0)
+    require(everyNth > 0, s"everyNth must be positive, got $everyNth")
+    require(frameBytes > 0, s"frameBytes must be positive, got $frameBytes")
     media.select(col("media_id"), col("content"))
       .mapPartitions { rows =>
         rows.flatMap { r =>

@@ -98,6 +98,10 @@ object AsOf {
     }
     require(tsOk(lt.dataType) && tsOk(rt.dataType),
       s"as-of ts must be timestamp or long, got ${lt.dataType} / ${rt.dataType}")
+    // the merge compares raw Long values — mixed units (micros vs seconds)
+    // would silently mis-join, so the ts types must match exactly
+    require(lt.dataType == rt.dataType,
+      s"as-of ts types differ: ${lt.dataType} vs ${rt.dataType}")
     val plan = graft.plans.AsOfJoinPlan(lPlan, rPlan, lk, rk, lt, rt)
     org.apache.spark.sql.classic.GraftBridge.ofRows(spark, plan)
   }

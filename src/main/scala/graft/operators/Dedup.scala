@@ -63,16 +63,23 @@ object Dedup {
     * Catalyst's lambda evaluation (measured 8× slower at sf0.01), and the
     * min over a multiset equals the min over the set, so no distinct is
     * needed before the explode. */
-  def minHashSignatures(docs: DataFrame, idCol: String, textCol: String,
-                        shingleLen: Int, k: Int): DataFrame = {
+  /** Shared signature construction: (id, m0..mk-1) columns via explode +
+    * k min-of-md5 aggregates. Single source of truth for the hashing
+    * scheme used by [[minHashSignatures]] and [[minHashLsh]]. */
+  private def minHashFlat(docs: DataFrame, idCol: String, textCol: String,
+                          shingleLen: Int, k: Int): DataFrame = {
+    require(k >= 1, s"minhash needs k >= 1, got $k")
     graft.GraftFunctions.ensureRegistered(docs.sparkSession)
     val ex = docs.select(col(idCol).as("id"),
       explode(Text.fastWordShingles(col(textCol), shingleLen)).as("sh"))
     val aggs = (0 until k).map(i => min(md5(concat(col("sh"), lit(s"|$i")))).as(s"m$i"))
-    ex.groupBy(col("id"))
-      .agg(aggs.head, aggs.tail: _*)
-      .select(col("id"), array((0 until k).map(i => col(s"m$i")): _*).as("sig"))
+    ex.groupBy(col("id")).agg(aggs.head, aggs.tail: _*)
   }
+
+  def minHashSignatures(docs: DataFrame, idCol: String, textCol: String,
+                        shingleLen: Int, k: Int): DataFrame =
+    minHashFlat(docs, idCol, textCol, shingleLen, k)
+      .select(col("id"), array((0 until k).map(i => col(s"m$i")): _*).as("sig"))
 
   /** MinHash+LSH near-duplicate pairs: shingle → signature → band →
     * bucket-join → verify estimated Jaccard (signature agreement ratio)
@@ -88,15 +95,11 @@ object Dedup {
                  threshold: Double = 0.7): DataFrame = {
     require(bands >= 1 && bands <= k && k % bands == 0,
       s"bands must divide k (got k=$k, bands=$bands): otherwise band slices are empty or drop signature rows")
-    graft.GraftFunctions.ensureRegistered(docs.sparkSession)
     // Signatures and band keys as FLAT columns (m0..m15) rather than
     // array-typed HOF plumbing: md5/concat_ws over plain columns stay in
     // whole-stage codegen, where slice/transform over the packed array ran
     // interpreted (measured ~2s of fixed+per-row cost at sf0.1).
-    val ex = docs.select(col(idCol).as("id"),
-      explode(Text.fastWordShingles(col(textCol), shingleLen)).as("sh"))
-    val aggs = (0 until k).map(i => min(md5(concat(col("sh"), lit(s"|$i")))).as(s"m$i"))
-    val mins = ex.groupBy(col("id")).agg(aggs.head, aggs.tail: _*)
+    val mins = minHashFlat(docs, idCol, textCol, shingleLen, k)
     val rows = k / bands
     val bandCols = (0 until bands).map(b =>
       concat(lit(s"$b:"), md5(concat_ws("|", (b * rows until (b + 1) * rows).map(i => col(s"m$i")): _*))))
@@ -133,6 +136,7 @@ object Dedup {
     * when the sum over tokens of ±1 (per bit `p` of `md5(token)`) is
     * positive. Per-row expression, no shuffle. */
   def simHash(text: Column, bits: Int = 32): Column = {
+    require(bits >= 1 && bits <= 128, s"simhash bits must be in [1, 128] (md5 has 128 bits), got $bits")
     val toks = Text.tokens(text)
     val bitCols = (0 until bits).map { p =>
       val contrib = aggregate(
@@ -155,6 +159,7 @@ object Dedup {
     * Documents with zero tokens keep an all-'0' hash via the left join. */
   def simHashTable(docs: DataFrame, idCol: String, textCol: String,
                    bits: Int = 32): DataFrame = {
+    require(bits >= 1 && bits <= 128, s"simhash bits must be in [1, 128] (md5 has 128 bits), got $bits")
     val nDigits = (bits + 3) / 4
     val ex = docs
       .select(col(idCol).as("id"), explode(Text.tokens(col(textCol))).as("t"))
@@ -226,13 +231,22 @@ object Dedup {
       val neighborMin = edges
         .join(labels.withColumnRenamed("id", "dst").withColumnRenamed("component", "nc"), Seq("dst"))
         .groupBy(col("src").as("id")).agg(min(col("nc")).as("mc"))
+      // checkpoint FIRST (truncates lineage AND materializes), then run the
+      // convergence check against the materialized frame — checking the
+      // un-checkpointed plan would execute the round's pipeline twice
       val updated = labels.join(neighborMin, Seq("id"), "left")
         .select(col("id"), least(col("component"), coalesce(col("mc"), col("component"))).as("component"))
+        .localCheckpoint(eager = true)
       converged = updated.join(labels.withColumnRenamed("component", "old"), Seq("id"))
         .where(col("component") =!= col("old")).isEmpty
-      labels = updated.localCheckpoint(eager = true) // truncate the growing lineage
+      labels = updated
       i += 1
     }
+    // inconsistent labels are silently wrong downstream (one cluster split
+    // across several "representatives") — fail loudly instead
+    if (!converged) sys.error(
+      s"connectedComponents did not converge in $maxIterations iterations " +
+        "(similarity chain longer than the bound); raise maxIterations")
     labels
   }
 
@@ -274,9 +288,14 @@ object Dedup {
     // is exact over the pruned universe — pruning only candidates but not
     // sizes would systematically underestimate similarity for docs
     // containing frequent shingles. The oracle mirrors the same rule.
+    // materialized once: three plan branches read it (buckets + both sizes
+    // join sides); localCheckpoint truncates the plan so the collect_list
+    // aggregation runs a single time (ReuseExchange alone still re-runs the
+    // reduce-side aggregation per branch)
     val postings = exploded.groupBy(col("sh"))
       .agg(sort_array(collect_list(col("id"))).as("ids"))
       .where(size(col("ids")) <= maxShingleDf)
+      .localCheckpoint(eager = true)
     // per-doc shingle counts over the pruned universe (df = 1 included)
     val sizes = postings.select(explode(col("ids")).as("id"))
       .groupBy(col("id")).agg(count(lit(1)).as("n_sh"))

@@ -45,11 +45,15 @@ case class AsOfJoinExec(
     val lTs = BindReferences.bindReference(leftTs, left.output)
     val rTs = BindReferences.bindReference(rightTs, right.output)
     val rightWidth = right.output.size
+    // localize everything the task closure needs — referencing `output` or
+    // `leftKey` inside zipPartitions would capture the whole plan tree
+    val outputAttrs = output
+    val keyDataType = leftKey.dataType
 
     left.execute().zipPartitions(right.execute()) { (lIter, rIter) =>
       // downstream operators (shuffle serializers in particular) expect
       // UnsafeRow — project the JoinedRow through the standard projection
-      val toUnsafe = UnsafeProjection.create(output, output)
+      val toUnsafe = UnsafeProjection.create(outputAttrs, outputAttrs)
       val it = new Iterator[InternalRow] {
         private val nullRight = new GenericInternalRow(rightWidth)
         private val joined = new JoinedRow
@@ -68,7 +72,7 @@ case class AsOfJoinExec(
         // keys are simple orderable values (numeric/string); compare via
         // the natural ordering Spark uses for sorts on the same expression
         private val keyOrd: Ordering[Any] =
-          org.apache.spark.sql.catalyst.util.TypeUtils.getInterpretedOrdering(leftKey.dataType)
+          org.apache.spark.sql.catalyst.util.TypeUtils.getInterpretedOrdering(keyDataType)
             .asInstanceOf[Ordering[Any]]
 
         override def hasNext: Boolean = lIter.hasNext
