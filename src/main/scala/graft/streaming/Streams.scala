@@ -37,6 +37,15 @@ object Streams {
         col("window.end").as("window_end"), col("n"))
   }
 
+  /** Sink a streaming frame to parquet micro-batch-by-micro-batch via
+    * foreachBatch — the escape hatch for sinks Structured Streaming lacks
+    * natively (upserts, JDBC, multi-table fanout): each batch arrives as a
+    * plain batch DataFrame with its batch id for idempotence. */
+  def foreachBatchParquetSink(df: DataFrame, path: String) =
+    df.writeStream.foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+      batch.write.mode("append").parquet(s"$path/batch_$batchId")
+    }
+
   /** Stream-stream interval join: left rows match right rows with the same
     * key whose event time falls in `[leftTs - before, leftTs + after]`.
     * Watermarks on BOTH sides bound the join state (SURVEY §2.4 "streaming

@@ -133,6 +133,22 @@ class StreamingSpec extends SparkSuite {
     } finally q.stop()
   }
 
+  test("foreachBatch parquet sink writes each micro-batch") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Long]
+    val dir = java.nio.file.Files.createTempDirectory("graft-sink").toString
+    val q = Streams.foreachBatchParquetSink(input.toDF(), dir).start()
+    try {
+      input.addData(1L, 2L, 3L)
+      q.processAllAvailable()
+      input.addData(4L)
+      q.processAllAvailable()
+      val all = spark.read.parquet(s"$dir/batch_*").collect().map(_.getLong(0)).sorted
+      assert(all.toSeq == Seq(1L, 2L, 3L, 4L))
+    } finally q.stop()
+  }
+
   test("streaming per-key running sum via flatMapGroupsWithState (streaming MapAccumulate)") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
