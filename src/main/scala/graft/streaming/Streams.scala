@@ -72,6 +72,25 @@ object Streams {
   def dedupStream(events: DataFrame, tsCol: String, delay: String, keyCols: String*): DataFrame =
     events.withWatermark(tsCol, delay).dropDuplicatesWithinWatermark(keyCols.toSeq)
 
+  /** Streaming NEAR-duplicate dedup: key the watermark-bounded dedup state
+    * on the document's MinHash signature instead of its exact bytes —
+    * whitespace/case variants and near-identical rewrites of an in-horizon
+    * document are dropped. Signature computation is the same narrow
+    * expression pipeline as the batch operator
+    * ([[graft.operators.Dedup.minHashSignatures]]), so it runs unchanged on
+    * a streaming frame; state is one signature string per in-horizon doc. */
+  def dedupStreamNearDup(docs: DataFrame, textCol: String, tsCol: String,
+                         delay: String, shingleLen: Int = 3, k: Int = 16): DataFrame = {
+    graft.GraftFunctions.ensureRegistered(docs.sparkSession)
+    docs
+      .withColumn("_sig", concat_ws("|",
+        graft.operators.Dedup.minHashSignature(
+          graft.functions.Text.fastWordShingles(col(textCol), shingleLen), k)))
+      .withWatermark(tsCol, delay)
+      .dropDuplicatesWithinWatermark(Seq("_sig"))
+      .drop("_sig")
+  }
+
   /** Streaming per-key running aggregate via `flatMapGroupsWithState` — the
     * streaming form of the reference's `MapAccumulate` (SURVEY §2.1 #5):
     * genuinely stateful, one state entry per key in the state store.

@@ -105,6 +105,21 @@ object AlgebraProps extends Properties("graft.algebra") {
       native == composed
     }
 
+  property("foldWindow: rewritten count == order-insensitive general fold on random events") =
+    forAll(Gen.listOfN(8, Gen.zip(Gen.chooseNum(0L, 60L), Gen.oneOf("a", "b")))) { rows =>
+      val fast = DataStream.fromLiterals(rows: _*)
+        .assignTimestamps(t => t._1)
+        .groupBy(t => t.value._2)
+        .foldWindow(WindowAssigner.Tumbling(10L), 0L)(t => t._1 + 1L) // rewritten to count
+        .collectValues.map(g => (g.key, g.value.window.start, g.value.value)).sortBy(x => (x._1, x._2))
+      val slow = DataStream.fromLiterals(rows: _*)
+        .assignTimestamps(t => t._1)
+        .groupBy(t => t.value._2)
+        .foldWindow(WindowAssigner.Tumbling(10L), 0L)(t => (t._1 * 1L) + 1L) // *1 defeats the rewriter
+        .collectValues.map(g => (g.key, g.value.window.start, g.value.value)).sortBy(x => (x._1, x._2))
+      fast == slow
+    }
+
   property("tumbling windows partition the timeline: counts sum to n, windows disjoint") =
     forAll(Gen.listOfN(6, Gen.chooseNum(0L, 100L))) { ts =>
       val ds = DataStream.fromLiterals(ts.map(t => (t, "k")): _*)

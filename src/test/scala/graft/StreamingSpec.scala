@@ -133,6 +133,25 @@ class StreamingSpec extends SparkSuite {
     } finally q.stop()
   }
 
+  test("streaming near-dup dedup drops whitespace/case variants by signature") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, Long, String)] // (ms, id, text)
+    val docs = input.toDF()
+      .select(timestamp_millis(col("_1")).as("ts"), col("_2").as("id"), col("_3").as("text"))
+    val q = Streams.dedupStreamNearDup(docs, "text", "ts", "10 seconds")
+      .writeStream.outputMode("append").format("memory").queryName("ndd").start()
+    try {
+      input.addData(
+        (10L, 1L, "the quick brown fox jumps over the lazy dog"),
+        (20L, 2L, "THE  Quick   brown FOX jumps over the lazy dog"), // normalize-dup of 1
+        (30L, 3L, "completely different content about spark engines"))
+      q.processAllAvailable()
+      val ids = spark.table("ndd").select("id").collect().map(_.getLong(0)).sorted
+      assert(ids.toSeq == Seq(1L, 3L))
+    } finally q.stop()
+  }
+
   test("foreachBatch parquet sink writes each micro-batch") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
