@@ -33,14 +33,23 @@ object SparkType {
       def decode(v: Any): A = dec(v)
     }
 
+  // decode is null-hostile on purpose: `null.asInstanceOf[Long]` silently
+  // unboxes to 0 — a fabricated value. Untyped ingress (fromDF, outer
+  // joins) with nullable columns should stay in DataFrame land.
+  private def nn(v: Any): Any =
+    if (v == null) sys.error(
+      "null value cannot decode to a primitive; nullable results are not " +
+        "representable in this typed view — read them via toDF instead")
+    else v
+
   implicit val longType: SparkType[Long] =
-    instance[Long](LongType)(identity)(_.asInstanceOf[Long])
+    instance[Long](LongType)(identity)(nn(_).asInstanceOf[Long])
   implicit val doubleType: SparkType[Double] =
-    instance[Double](DoubleType)(identity)(_.asInstanceOf[Double])
+    instance[Double](DoubleType)(identity)(nn(_).asInstanceOf[Double])
   implicit val stringType: SparkType[String] =
-    instance[String](StringType)(identity)(_.asInstanceOf[String])
+    instance[String](StringType)(identity)(nn(_).asInstanceOf[String])
   implicit val booleanType: SparkType[Boolean] =
-    instance[Boolean](BooleanType)(identity)(_.asInstanceOf[Boolean])
+    instance[Boolean](BooleanType)(identity)(nn(_).asInstanceOf[Boolean])
 
   implicit def tuple2Type[A, B](implicit a: SparkType[A], b: SparkType[B]): SparkType[(A, B)] =
     instance[(A, B)](StructType(Seq(

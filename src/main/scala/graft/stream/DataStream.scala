@@ -94,10 +94,15 @@ final class DataStream[A] private[graft] (private[graft] val df: DataFrame) {
     val out = df.coalesce(1).mapPartitions { it =>
       var state: Any = z
       it.map { row =>
-        val res = e.eval((state, row.get(0)))
-        val pair = res.asInstanceOf[(Any, Any)]
-        state = pair._1
-        Row(toExternal(pair._2))
+        // eval yields a Scala tuple for FanOut-built pairs, but a Row when
+        // the (state, out) pair comes from a struct-backed field access
+        val (s, b) = e.eval((state, row.get(0))) match {
+          case (a, c)  => (a, c)
+          case r: Row  => (r.get(0), r.get(1))
+          case other   => sys.error(s"mapAccumulate expression must return a pair, got $other")
+        }
+        state = s
+        Row(toExternal(b))
       }
     }(Encoders.row(outSchema))
     new DataStream[B](out)
@@ -336,7 +341,10 @@ object DataStream {
       // count(payload), not count(1): the collect_list fallback drops null
       // payloads, so the rewrite must skip them too to stay equivalent
       case l: Expr.Length[_, _] if isGroupValuesOfId(l.list) => Some(count(payload))
-      case s: Expr.ListSum[_] if isGroupValuesOfId(s.list)  => Some(sum(payload).cast("long"))
+      // coalesce to 0: the collect_list fallback drops nulls then folds
+      // from 0L, so an all-null group is 0 there — sum alone would be null
+      case s: Expr.ListSum[_] if isGroupValuesOfId(s.list)  =>
+        Some(coalesce(sum(payload), lit(0L)).cast("long"))
       case Expr.KeyValue(k, v) =>
         for (a <- fold(k, payload); b <- fold(v, payload))
           yield struct(a.as("key"), b.as("value"))
@@ -344,9 +352,11 @@ object DataStream {
         for (a <- fold(l, payload); b <- fold(r, payload))
           yield struct(a.as("_1"), b.as("_2"))
       case Expr.Arith(l, r, op) =>
+        // keep this table in sync with Expr.Arith.toColumn (incl. "quot")
         for (a <- fold(l, payload); b <- fold(r, payload)) yield op match {
           case "+" => a + b; case "-" => a - b; case "*" => a * b
           case "/" => a / b; case "%" => a % b
+          case "quot" => (a / b).cast("long")
         }
       case Expr.LitLong(v)    => Some(lit(v))
       case Expr.LitDouble(v)  => Some(lit(v))
@@ -364,7 +374,11 @@ object DataStream {
           case Expr.LitLong(1L) => count(lit(1))
           case other =>
             val in = struct(lit(null).as("_1"), lit(null).as("_2"), payload.as("_3"))
-            sum(other.toColumn(in))
+            val gCol = other.toColumn(in)
+            // the ordered fallback null-poisons the accumulator when any
+            // increment is null (SQL propagation); sum() would skip nulls —
+            // reproduce the fallback's semantics exactly
+            when(count(gCol) < count(lit(1)), lit(null)).otherwise(sum(gCol))
         }
         z match {
           case 0L | 0 | 0.0 => Some(summed)
@@ -380,9 +394,14 @@ object DataStream {
       case _                 => false
     }
 
+    /** Conservative: unknown/unlisted nodes are assumed to reference the
+      * accumulator (→ ordered fallback, correct just slower). Only literal
+      * leaves are definitively acc-free; a new Expr node added without a
+      * case here therefore degrades performance, never correctness. */
     private def refsAcc(e: Expr[_, _]): Boolean = e match {
+      case _: Expr.LitLong[_] | _: Expr.LitDouble[_] |
+           _: Expr.LitString[_] | _: Expr.LitBoolean[_] => false
       case n: Expr.Nth[_, _] if isId(n.child) => n.n == 0
-      case Expr.Id()                => true
       case Expr.Compose(f, g)       => refsAcc(f) || refsAcc(g)
       case Expr.FanOut(f, g)        => refsAcc(f) || refsAcc(g)
       case Expr.Both(f, g)          => refsAcc(f) || refsAcc(g)
@@ -395,7 +414,7 @@ object DataStream {
       case Expr.Length(x)           => refsAcc(x)
       case Expr.ListSum(x)          => refsAcc(x)
       case Expr.KeyValue(k, v)      => refsAcc(k) || refsAcc(v)
-      case _                        => false
+      case _                        => true
     }
   }
 }
