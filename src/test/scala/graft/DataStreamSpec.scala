@@ -94,6 +94,22 @@ class DataStreamSpec extends SparkSuite {
     assert(slow == fast)
   }
 
+  test("fold rewrite handles long division (per-key average shape)") {
+    val ds = DataStream.fromLiterals((1L, 10L), (1L, 21L), (2L, 5L))
+    val avg = ds.groupBy(t => t._1).mapValues(v => v._2)
+      .fold(g => Expr.KeyValue(g.key, g.values.sum / g.values.length))
+      .collectValues.map(g => (g.key, g.value)).sortBy(_._1)
+    assert(avg == Seq((1L, 15L), (2L, 5L)))
+  }
+
+  test("mapAccumulate handles struct-backed (Row) pair results") {
+    // f = t._2: the result pair IS the input payload struct, which eval
+    // yields as a Row, not a Scala tuple
+    val ds = DataStream.fromLiterals((1L, 2L), (3L, 4L))
+    val out = ds.mapAccumulate[Long, Long](0L)(t => t._2).collectValues
+    assert(out == Seq(2L, 4L))
+  }
+
   test("mapValues preserves the key tag") {
     val ds = DataStream.fromLiterals((1L, 2L), (3L, 4L))
     val out = ds.groupBy(t => t._1).mapValues(v => v._2 * 10L)
