@@ -93,6 +93,7 @@ object SparkEntry {
     "q37_asof_native" -> q37,
     "q38_topk_sketch" -> q38,
     "q39_dedup_clusters" -> q39,
+    "q40_det_sample" -> q40,
   )
 
   // =====================================================================
@@ -570,6 +571,16 @@ object SparkEntry {
         shingleLen = 3, threshold = 0.5, maxShingleDf = 50)
       .orderBy(col("id"))
 
+  /** Deterministic content-keyed sampling (md5-prefix threshold): the
+    * sample is identical across runs, partitionings, and engines — unlike
+    * seed-based df.sample(). Stratified: en downsampled to 20%, others 60%. */
+  private def q40(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Sampling.stratifiedSample(
+        Tables.documents(s, dir), "doc_id", "lang",
+        Map("en" -> 0.2), defaultRate = 0.6)
+      .select(col("doc_id"), col("lang"))
+      .orderBy(col("doc_id"))
+
   /** Document fingerprints: md5 of normalized text + polynomial rolling
     * hash — both engine-portable, both per-row narrow transforms. */
   private def q35(s: SparkSession, dir: String): DataFrame =
@@ -844,6 +855,13 @@ object SparkEntry {
            ASOF LEFT JOIN (SELECT user_id, ts, event_id AS click_event_id FROM events WHERE event_type = 'click') c
              ON p.user_id = c.user_id AND p.ts >= c.ts
            ORDER BY p.event_id""",
+
+      "q40_det_sample" ->
+        s"""SELECT doc_id, lang FROM documents
+           WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) <
+             CASE WHEN lang = 'en' THEN '${graft.operators.Sampling.thresholdHex(0.2)}'
+                  ELSE '${graft.operators.Sampling.thresholdHex(0.6)}' END
+           ORDER BY doc_id""",
 
       "q39_dedup_clusters" ->
         s"""WITH RECURSIVE

@@ -1,0 +1,41 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deterministic sampling for training-data pipelines.
+  *
+  * `df.sample()` is seed-dependent per partition split — rerunning after a
+  * repartition yields a different subset. Pipelines need CONTENT-keyed
+  * sampling: whether a row is in the sample depends only on its id, so the
+  * sample is stable across runs, partitionings, engines, and incremental
+  * loads. Implemented as an md5-prefix threshold (uniform over ids,
+  * engine-portable — the DuckDB oracle computes the identical predicate),
+  * evaluated as a narrow per-row filter with zero shuffle. */
+object Sampling {
+
+  /** Hex threshold on the first 8 md5 digits for the given rate. */
+  private[graft] def thresholdHex(rate: Double): String = {
+    require(rate >= 0.0 && rate <= 1.0, s"rate must be in [0,1], got $rate")
+    f"${math.round(rate * (1L << 32)).min((1L << 32) - 1)}%08x"
+  }
+
+  /** Membership predicate: row is sampled iff md5(id)[0,8) < threshold. */
+  def samplePredicate(idCol: Column, rate: Double): Column =
+    substring(md5(idCol.cast("string")), 1, 8) < lit(thresholdHex(rate))
+
+  /** Keep ~`rate` of rows, keyed by `idCol` — stable under reruns and
+    * repartitioning. */
+  def deterministicSample(df: DataFrame, idCol: String, rate: Double): DataFrame =
+    df.where(samplePredicate(col(idCol), rate))
+
+  /** Per-stratum rates (e.g. downsample one language, keep another whole).
+    * Strata absent from the map fall back to `defaultRate`. */
+  def stratifiedSample(df: DataFrame, idCol: String, strataCol: String,
+                       rates: Map[String, Double], defaultRate: Double): DataFrame = {
+    val rateCol = rates.foldLeft(lit(thresholdHex(defaultRate))) { case (acc, (k, r)) =>
+      when(col(strataCol) === k, lit(thresholdHex(r))).otherwise(acc)
+    }
+    df.where(substring(md5(col(idCol).cast("string")), 1, 8) < rateCol)
+  }
+}

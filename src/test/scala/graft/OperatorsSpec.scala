@@ -226,6 +226,25 @@ class OperatorsSpec extends SparkSuite {
     assert(out.toSeq == Seq((1L, 2L, 1000L), (1L, 1L, 0L), (2L, 1L, 0L)))
   }
 
+  test("deterministic sampling: stable under repartition, rate approximately honored") {
+    import graft.operators.Sampling
+    val docs = spark.read.parquet(s"$sf0001/documents.parquet")
+    val a = Sampling.deterministicSample(docs, "doc_id", 0.3)
+      .select("doc_id").collect().map(_.getLong(0)).sorted
+    val b = Sampling.deterministicSample(docs.repartition(13), "doc_id", 0.3)
+      .select("doc_id").collect().map(_.getLong(0)).sorted
+    assert(a.toSeq == b.toSeq) // identical subset regardless of partitioning
+    val rate = a.length.toDouble / docs.count()
+    assert(rate > 0.2 && rate < 0.4, s"empirical rate $rate")
+    // stratified: en gets a much lower rate
+    val strat = Sampling.stratifiedSample(docs, "doc_id", "lang", Map("en" -> 0.05), 0.8)
+    val en = strat.where(col("lang") === "en").count().toDouble /
+      docs.where(col("lang") === "en").count()
+    val rest = strat.where(col("lang") =!= "en").count().toDouble /
+      docs.where(col("lang") =!= "en").count()
+    assert(en < 0.2 && rest > 0.6, s"en=$en rest=$rest")
+  }
+
   test("salted join equals plain join (skewed key spread across salts)") {
     import spark.implicits._
     // 90% of the big side lands on one hot key
