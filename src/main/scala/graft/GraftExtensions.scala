@@ -67,13 +67,18 @@ object GraftFunctions {
   }
 
   /** Idempotent per-session registration, for sessions not built with
-    * [[GraftExtensions]] (e.g. the driver-owned Verify/Bench sessions). */
+    * [[GraftExtensions]] (e.g. the driver-owned Verify/Bench sessions).
+    * Truly once per session: re-registering on every call spams
+    * "replaced a previously registered function" warnings from the
+    * function registry. */
   def ensureRegistered(spark: SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry
-    reg.createOrReplaceTempFunction("graft_dot", buildDot, "built-in")
-    reg.createOrReplaceTempFunction("graft_shingles", buildShingles, "built-in")
-    reg.createOrReplaceTempFunction("graft_topk", buildTopK, "built-in")
-    reg.createOrReplaceTempFunction("graft_l2normalize", buildL2Normalize, "built-in")
+    if (!reg.functionExists(FunctionIdentifier("graft_dot"))) {
+      reg.createOrReplaceTempFunction("graft_dot", buildDot, "built-in")
+      reg.createOrReplaceTempFunction("graft_shingles", buildShingles, "built-in")
+      reg.createOrReplaceTempFunction("graft_topk", buildTopK, "built-in")
+      reg.createOrReplaceTempFunction("graft_l2normalize", buildL2Normalize, "built-in")
+    }
     if (!spark.experimental.extraStrategies.contains(graft.plans.AsOfJoinStrategy))
       spark.experimental.extraStrategies =
         spark.experimental.extraStrategies :+ graft.plans.AsOfJoinStrategy

@@ -28,6 +28,11 @@ object SparkEntry {
   private val C = "cast(round(%s * 100) as bigint)" // cents helper (SQL side)
   private def cents(c: Column): Column = round(c * 100).cast("long")
 
+  /** Test-corpus embedding dimensionality (TESTDATA: 64-dim float vectors at
+    * every sf). Fixed here so LSH hyperplanes bake into the plan with no
+    * probing job, and so the oracle SQL can inline the identical planes. */
+  private val EmbeddingDim = 64
+
   /** Flagship query (driver smoke-checks rows>0 on sf0.001): revenue per
     * region-nation — a 5-table star join with the two small dims broadcast,
     * partial-agg'd on the fact side before the exchange. */
@@ -72,6 +77,7 @@ object SparkEntry {
     "q15_sliding_agg" -> q15,
     "q16_session_agg" -> q16,
     "q29_map_accumulate" -> q29,
+    "q41_keyed_accumulate" -> q41,
     // ---- training-data pipeline operators ----
     "q17_dedup_exact" -> q17,
     "q18_minhash_lsh" -> q18,
@@ -341,6 +347,29 @@ object SparkEntry {
       .orderBy(col("event_id"))
   }
 
+  /** The keyed mapAccumulate through the facade, auto-rewritten: the
+    * running-sum accumulate shape compiles to a per-key window frame (ONE
+    * exchange on user_id, codegen'd unbounded-preceding sum — `Window` in
+    * the plan, no `coalesce(1)`), hash-checked against the same oracle as
+    * the hand-written window form (q10). The facade's global q29 remains the
+    * documented sequential cliff; this is its scale path. */
+  private def q41(s: SparkSession, dir: String): DataFrame = {
+    import Expr._
+    val ev = Tables.events(s, dir).select(
+      col("event_id").as("_1"), col("user_id").as("_2"),
+      unix_millis(col("ts")).as("_3"), cents(col("value")).as("_4"))
+    val ds = DataStream.fromDF[(Long, Long, Long, Long)](ev)
+    val scanned = ds.mapAccumulateByKey(0L)(t => t._2, t => t._3 &&& t._1) { t =>
+      val ns = t._1 + t._2._4
+      ns &&& (t._2._1 &&& (t._2._2 &&& ns))
+    }
+    scanned.toDF.select(
+        col("value._1").as("event_id"),
+        col("value._2._1").as("user_id"),
+        col("value._2._2").as("running_c"))
+      .orderBy(col("event_id"))
+  }
+
   // ---- training-data pipeline operators ----
 
   /** Exact dedup on normalized-text fingerprint. */
@@ -385,7 +414,8 @@ object SparkEntry {
   private def q22(s: SparkSession, dir: String): DataFrame = {
     val emb = Tables.embeddings(s, dir)
     val queries = emb.where(col("vec_id") % 100 === 0)
-    Similarity.lshTopK(queries, emb, "vec_id", "embedding", k = 10, planes = 6, tables = 4)
+    Similarity.lshTopK(queries, emb, "vec_id", "embedding", k = 10, planes = 6, tables = 4,
+        dim = EmbeddingDim)
       .select(col("query_id"), col("rank"), col("neighbor_id"), col("cosine"))
       .orderBy(col("query_id"), col("rank"))
   }
@@ -485,25 +515,18 @@ object SparkEntry {
       .orderBy(col("flag"), col("status"))
   }
 
-  /** Exact embedding near-duplicate pairs (all pairs, codegen'd dot
-    * product). The LSH-blocked variant ([[graft.operators.Similarity.embeddingNearDup]])
-    * is the 100 TB path; exact all-pairs is the oracle-checkable baseline
-    * and fine at bench scale. */
-  private def q33(s: SparkSession, dir: String): DataFrame = {
-    graft.GraftFunctions.ensureRegistered(s)
-    val e = Tables.embeddings(s, dir)
-    val a = e.select(col("vec_id").as("id_a"), col("embedding").as("v_a"),
-      graft.functions.Vectors.norm(col("embedding")).as("n_a"))
-    val b = e.select(col("vec_id").as("id_b"), col("embedding").as("v_b"),
-      graft.functions.Vectors.norm(col("embedding")).as("n_b"))
-    a.join(broadcast(b), col("id_a") < col("id_b"))
-      .select(col("id_a"), col("id_b"),
-        when(col("n_a") * col("n_b") === 0.0, lit(0.0))
-          .otherwise(graft.functions.Vectors.fastDot(col("v_a"), col("v_b")) / (col("n_a") * col("n_b"))).as("cosine"))
-      .where(col("cosine") >= 0.35)
+  /** Embedding near-duplicate pairs via the SCALE path: LSH blocking
+    * (plan-time hyperplanes, codegen'd dots) → equi-join on short bucket
+    * strings → exact-cosine verify. No quadratic all-pairs join anywhere in
+    * the plan — candidate generation is an equi-join whose buckets the
+    * oracle reproduces exactly (deterministic hyperplanes inlined as SQL
+    * literals), so the approximate operator is still hash-checkable. The
+    * exact all-pairs baseline lives in the spec as the recall reference. */
+  private def q33(s: SparkSession, dir: String): DataFrame =
+    Similarity.embeddingNearDup(Tables.embeddings(s, dir), "vec_id", "embedding",
+        threshold = 0.35, planes = 6, dim = EmbeddingDim)
       .select(col("id_a"), col("id_b"))
       .orderBy(col("id_a"), col("id_b"))
-  }
 
   /** Range join: lineitems shipped within 30 days of their order's date —
     * equi-key plus range predicate; the equi conjunct keeps it a hash join
@@ -664,6 +687,13 @@ object SparkEntry {
            WHERE rn <= 3 ORDER BY o_custkey, rn""",
 
       "q10_running_sum" ->
+        s"""SELECT event_id, user_id,
+           CAST(sum(${C.format("value")}) OVER (
+             PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS running_c
+           FROM events ORDER BY event_id""",
+
+      "q41_keyed_accumulate" ->
         s"""SELECT event_id, user_id,
            CAST(sum(${C.format("value")}) OVER (
              PARTITION BY user_id ORDER BY ts ASC, event_id ASC
@@ -914,18 +944,32 @@ object SparkEntry {
         """SELECT l_returnflag AS flag, l_linestatus AS status, count(*) AS n_rows
            FROM lineitem GROUP BY 1, 2 ORDER BY flag, status""",
 
-      "q33_embedding_neardup" ->
-        """SELECT a.vec_id AS id_a, b.vec_id AS id_b
-           FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+      // The LSH-blocked near-dup: the oracle reproduces the ENGINE's bucket
+      // bit-for-bit — each hyperplane is the same deterministic array the
+      // Spark plan bakes in (inlined below as a SQL literal), the projection
+      // is the same left-to-right double dot product, and the verify is the
+      // same exact cosine. Approximate operator, exact oracle.
+      "q33_embedding_neardup" -> {
+        val planes = (0 until 6).map { p =>
+          val hp = graft.functions.Vectors.hyperplane(p, EmbeddingDim)
+            .map(_.toString).mkString("[", ", ", "]")
+          s"(CASE WHEN list_sum(list_transform(range(1, ${EmbeddingDim + 1}), i -> " +
+            s"CAST(embedding[i] AS DOUBLE) * ($hp)[i])) >= 0 THEN '1' ELSE '0' END)"
+        }.mkString(" || ")
+        s"""WITH b AS (
+           SELECT vec_id, embedding, $planes AS bucket FROM embeddings)
+           SELECT DISTINCT a.vec_id AS id_a, c.vec_id AS id_b
+           FROM b a JOIN b c ON a.bucket = c.bucket AND a.vec_id < c.vec_id
            WHERE CASE WHEN sqrt(list_sum(list_transform(a.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
-                       * sqrt(list_sum(list_transform(b.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) = 0
+                       * sqrt(list_sum(list_transform(c.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) = 0
                   THEN 0.0
                   ELSE list_sum(list_transform(range(1, len(a.embedding) + 1), i ->
-                         CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)))
+                         CAST(a.embedding[i] AS DOUBLE) * CAST(c.embedding[i] AS DOUBLE)))
                        / (sqrt(list_sum(list_transform(a.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
-                          * sqrt(list_sum(list_transform(b.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))))
+                          * sqrt(list_sum(list_transform(c.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))))
              END >= 0.35
-           ORDER BY id_a, id_b""",
+           ORDER BY id_a, id_b"""
+      },
 
       "q35_fingerprint" ->
         s"""SELECT doc_id, md5($norm) AS md5_fp,

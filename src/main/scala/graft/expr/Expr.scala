@@ -273,6 +273,55 @@ object Expr {
   // (reference Expression.scala:45-92).
   // ---------------------------------------------------------------------
 
+  /** Normalize an expression to a Compose/Both/Flip-free constructor tree by
+    * inlining composition: substitute each node's input expression into its
+    * `Id` leaves. `f >>> g` denotes the same function as g-with-f-inlined —
+    * `toColumn` already evaluates it that way (Compose.toColumn threads the
+    * column through), so normalization never changes semantics; it only
+    * exposes the shape to pattern matchers. This is what lets the
+    * fold/foldWindow aggregate REWRITER recognize composed reducers
+    * (`g.values.sum >>> …`) and compile them to native partial aggregates
+    * instead of falling back to collect_list (the reference always
+    * materializes groups — Local.scala:170-173; our rewriter is the
+    * deliberate improvement, SURVEY §4.2). */
+  private[graft] def normalize[A, B](e: Expr[A, B]): Expr[A, B] =
+    subst(e, Id[Any]()).asInstanceOf[Expr[A, B]]
+
+  private def subst(e: Expr[_, _], in: Expr[_, _]): Expr[_, _] = {
+    type E = Expr[Any, Any]
+    def s(x: Expr[_, _]): E = subst(x, in).asInstanceOf[E]
+    e match {
+      case Id()           => in
+      // apply f first, then g with f's result as its input
+      case Compose(f, g)  => subst(g, subst(f, in))
+      case FanOut(f, g)   => FanOut(s(f), s(g))
+      // component-wise pair map = fan-out over the projected components
+      case Both(f, g)     => FanOut(
+        subst(f, Nth[Any, Any](in.asInstanceOf[E], 0)).asInstanceOf[E],
+        subst(g, Nth[Any, Any](in.asInstanceOf[E], 1)).asInstanceOf[E])
+      case Flip()         => FanOut(
+        Nth[Any, Any](in.asInstanceOf[E], 1), Nth[Any, Any](in.asInstanceOf[E], 0))
+      case Nth(c, n)      => Nth[Any, Any](s(c), n)
+      case l @ (LitLong(_) | LitDouble(_) | LitString(_) | LitBoolean(_)) => l
+      case Arith(l, r, op)   => Arith(s(l), s(r), op)
+      case Cmp(l, r, op)     => Cmp(s(l), s(r), op)
+      case BoolOp(l, r, op)  => BoolOp(s(l).asInstanceOf[Expr[Any, Boolean]], s(r).asInstanceOf[Expr[Any, Boolean]], op)
+      case Not(x)            => Not(s(x).asInstanceOf[Expr[Any, Boolean]])
+      case SplitStr(a, d)    => SplitStr(s(a).asInstanceOf[Expr[Any, String]], s(d).asInstanceOf[Expr[Any, String]])
+      case Length(x)         => Length(s(x).asInstanceOf[Expr[Any, List[Any]]])
+      case ListSum(x)        => ListSum(s(x).asInstanceOf[Expr[Any, List[Long]]])
+      case KeyValue(k, v)    => KeyValue(s(k), s(v))
+      case GroupedKey(x)     => GroupedKey(s(x).asInstanceOf[Expr[Any, graft.Grouped[Any, Any]]])
+      case GroupedValue(x)   => GroupedValue(s(x).asInstanceOf[Expr[Any, graft.Grouped[Any, Any]]])
+      case GroupKey(x)       => GroupKey(s(x).asInstanceOf[Expr[Any, graft.Group[Any, Any]]])
+      case GroupValues(x)    => GroupValues(s(x).asInstanceOf[Expr[Any, graft.Group[Any, Any]]])
+      case TimestampedTime(x)  => TimestampedTime(s(x).asInstanceOf[Expr[Any, graft.Timestamped[Any]]])
+      case TimestampedValue(x) => TimestampedValue(s(x).asInstanceOf[Expr[Any, graft.Timestamped[Any]]])
+      case WindowedWindow(x)   => WindowedWindow(s(x).asInstanceOf[Expr[Any, graft.Windowed[Any]]])
+      case WindowedValue(x)    => WindowedValue(s(x).asInstanceOf[Expr[Any, graft.Windowed[Any]]])
+    }
+  }
+
   implicit def liftLong[A](l: Long): Expr[A, Long] = LitLong(l)
   implicit def liftInt[A](i: Int): Expr[A, Long] = LitLong(i.toLong)
   implicit def liftDouble[A](d: Double): Expr[A, Double] = LitDouble(d)
@@ -337,6 +386,12 @@ object Expr {
     def _1: Expr[A, B] = Nth(e, 0)
     def _2: Expr[A, C] = Nth(e, 1)
     def _3: Expr[A, D] = Nth(e, 2)
+  }
+  implicit final class Tuple4ExprOps[A, B, C, D, E](private val e: Expr[A, (B, C, D, E)]) extends AnyVal {
+    def _1: Expr[A, B] = Nth(e, 0)
+    def _2: Expr[A, C] = Nth(e, 1)
+    def _3: Expr[A, D] = Nth(e, 2)
+    def _4: Expr[A, E] = Nth(e, 3)
   }
 
   implicit final class GroupedExprOps[A, K, V](private val e: Expr[A, graft.Grouped[K, V]]) extends AnyVal {

@@ -61,11 +61,44 @@ object Vectors {
     (pmod(h, lit(1000003L)).cast("double") / lit(1000003.0)) - lit(0.5)
   }
 
+  /** The same hyperplane family as [[hyperplaneComponent]], materialized at
+    * PLAN time as a plain double array. `XXH64.hashLong(dim, hashLong(plane,
+    * 42))` is exactly what the `xxhash64(lit(plane), dim)` column computes
+    * per row, so buckets from this path are bit-identical to the column
+    * formulation — but the per-row work drops from planes × dims interpreted
+    * lambda evaluations (was 22% of the whole bench in one query) to
+    * `planes` codegen'd dot products against constant arrays. */
+  private[graft] def hyperplane(plane: Int, dim: Int): Array[Double] = {
+    import org.apache.spark.sql.catalyst.expressions.XXH64
+    Array.tabulate(dim) { i =>
+      val h = XXH64.hashLong(i.toLong, XXH64.hashLong(plane.toLong, 42L))
+      val m = ((h % 1000003L) + 1000003L) % 1000003L
+      m.toDouble / 1000003.0 - 0.5
+    }
+  }
+
   /** Random-hyperplane LSH bucket id: one sign bit per plane, packed into a
     * string of 0/1 (string keeps it portable and join-friendly). `seed`
     * shifts the plane family so multiple independent hash tables can be
-    * built from the same generator. */
-  def lshBucket(vec: Column, planes: Int, seed: Int = 0): Column = {
+    * built from the same generator.
+    *
+    * `dim` is the vector dimensionality ([[dims]] probes it): hyperplanes
+    * are baked into the plan as literal arrays (constant-folded), so each
+    * sign bit is one [[fastDot]] — a tight codegen'd loop. Vectors longer
+    * than `dim` are bucketed on their first `dim` components (dot over the
+    * common prefix); shorter ones on their own length. */
+  def lshBucket(vec: Column, planes: Int, dim: Int, seed: Int = 0): Column = {
+    val bits = (0 until planes).map { p =>
+      val hp = hyperplane(seed * 1000 + p, dim)
+      when(fastDot(vec, array(hp.map(lit(_)): _*)) >= 0.0, lit("1")).otherwise(lit("0"))
+    }
+    concat(bits: _*)
+  }
+
+  /** Interpreted-HOF twin of [[lshBucket]], kept ONLY as the spec's parity
+    * oracle for the plan-time-hyperplane rewrite (the HOF lambda evaluates
+    * per element, interpreted — never use on a hot path). */
+  private[graft] def lshBucketHof(vec: Column, planes: Int, seed: Int = 0): Column = {
     val bits = (0 until planes).map { p =>
       val proj = aggregate(
         zip_with(vec, sequence(lit(0L), size(vec).cast("long") - 1L),
@@ -74,5 +107,12 @@ object Vectors {
       when(proj >= 0.0, lit("1")).otherwise(lit("0"))
     }
     concat(bits: _*)
+  }
+
+  /** Probe the dimensionality of a vector column (one tiny job; call once at
+    * plan build, never per row). Returns 0 for an empty frame. */
+  def dims(df: org.apache.spark.sql.DataFrame, vecCol: String): Int = {
+    val r = df.select(size(col(vecCol))).limit(1).collect()
+    if (r.isEmpty) 0 else r(0).getInt(0)
   }
 }

@@ -28,19 +28,28 @@ object AsOf {
   def join(left: DataFrame, right: DataFrame, keyCol: String,
            leftTs: String, rightTs: String,
            payloadCols: Seq[(String, String)]): DataFrame = {
+    require(payloadCols.nonEmpty, "as-of join needs at least one payload column")
     val leftCols = left.columns
+    // ALL payload columns travel in ONE struct that exists only on right
+    // rows (null on left rows). A single `last(struct, ignoreNulls)` then
+    // carries the most-recent right ROW wholesale — including any null
+    // FIELDS inside it. Carrying each payload column through its own
+    // last(ignoreNulls) window would back-fill a null field from an OLDER
+    // right row, silently mixing columns of different rows.
+    val payloadType = org.apache.spark.sql.types.StructType(payloadCols.map { case (in, out) =>
+      org.apache.spark.sql.types.StructField(out, right.schema(in).dataType, nullable = true) })
     val l = left
       .withColumn("_ts", col(leftTs))
       .withColumn("_side", lit(1))
       .select(Seq(col(keyCol).as("_k"), col("_ts"), col("_side")) ++
-        leftCols.map(c => col(c).as(s"_l_$c")) ++
-        payloadCols.map { case (_, out) => lit(null).cast(right.schema(payloadCols.find(_._2 == out).get._1).dataType).as(s"_r_$out") }: _*)
+        leftCols.map(c => col(c).as(s"_l_$c")) :+
+        lit(null).cast(payloadType).as("_r"): _*)
     val r = right
       .withColumn("_ts", col(rightTs))
       .withColumn("_side", lit(0))
       .select(Seq(col(keyCol).as("_k"), col("_ts"), col("_side")) ++
-        leftCols.map(c => lit(null).cast(left.schema(c).dataType).as(s"_l_$c")) ++
-        payloadCols.map { case (in, out) => col(in).as(s"_r_$out") }: _*)
+        leftCols.map(c => lit(null).cast(left.schema(c).dataType).as(s"_l_$c")) :+
+        struct(payloadCols.map { case (in, out) => col(in).as(out) }: _*).as("_r"): _*)
 
     // Right rows sort before left rows at equal ts (side 0 < 1), so an
     // exactly-equal timestamp matches — ASOF's `<=` semantics.
@@ -52,8 +61,8 @@ object AsOf {
     // and be carried into every match)
     val carried = l.unionByName(r.where(col("_ts").isNotNull))
       .select((Seq(col("_k"), col("_ts"), col("_side")) ++
-        leftCols.map(c => col(s"_l_$c")) ++
-        payloadCols.map { case (_, out) => last(col(s"_r_$out"), ignoreNulls = true).over(w).as(out) }): _*)
+        leftCols.map(c => col(s"_l_$c")) :+
+        last(col("_r"), ignoreNulls = true).over(w).as("_r")): _*)
 
     carried
       .where(col("_side") === 1)
@@ -62,7 +71,7 @@ object AsOf {
       // sorts first, so mask the carried payload for both)
       .select(leftCols.map(c => col(s"_l_$c").as(c)) ++
         payloadCols.map { case (_, out) =>
-          when(col("_k").isNotNull && col("_ts").isNotNull, col(out)).as(out) }: _*)
+          when(col("_k").isNotNull && col("_ts").isNotNull, col("_r").getField(out)).as(out) }: _*)
   }
 
   /** Native as-of join through the engine's own operator

@@ -215,6 +215,19 @@ object Dedup {
     *
     * Input: (id_a, id_b) pairs. Output: (id, component) for every id that
     * appears in at least one edge. */
+  /** Drop the block-manager storage behind a `localCheckpoint`ed frame.
+    * Only call once nothing will read the frame again — a local checkpoint
+    * is non-recomputable by design. (That non-recomputability is also why a
+    * cluster-scale run should switch to RELIABLE checkpointing —
+    * `spark.sparkContext.setCheckpointDir` + `.checkpoint()` — so executor
+    * loss mid-propagation doesn't kill the job; local checkpoints are the
+    * right trade-off for the single-JVM bench envelope.) */
+  private def freeCheckpoint(df: DataFrame): Unit =
+    df.queryExecution.analyzed match {
+      case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd.unpersist(blocking = false)
+      case _                                             => ()
+    }
+
   def connectedComponents(pairs: DataFrame, maxIterations: Int = 20): DataFrame = {
     // materialize the edge list ONCE — every iteration joins against it,
     // and without this each round would re-execute the whole upstream
@@ -224,6 +237,7 @@ object Dedup {
       .localCheckpoint(eager = true)
     var labels = edges.select(col("src").as("id")).distinct()
       .withColumn("component", col("id"))
+    var checkpointed: DataFrame = null // superseded checkpoint to free
     var converged = false
     var i = 0
     while (!converged && i < maxIterations) {
@@ -239,9 +253,14 @@ object Dedup {
         .localCheckpoint(eager = true)
       converged = updated.join(labels.withColumnRenamed("component", "old"), Seq("id"))
         .where(col("component") =!= col("old")).isEmpty
+      // the previous round's checkpoint is now superseded — free its blocks
+      // instead of accumulating one copy of the label table per round
+      if (checkpointed ne null) freeCheckpoint(checkpointed)
+      checkpointed = updated
       labels = updated
       i += 1
     }
+    freeCheckpoint(edges)
     // inconsistent labels are silently wrong downstream (one cluster split
     // across several "representatives") — fail loudly instead
     if (!converged) sys.error(

@@ -14,10 +14,17 @@ import org.apache.spark.sql.functions._
   * evaluated as a narrow per-row filter with zero shuffle. */
 object Sampling {
 
-  /** Hex threshold on the first 8 md5 digits for the given rate. */
+  /** Hex threshold on the first 8 md5 digits for the given rate. Rate 1.0
+    * returns the sentinel "g": md5 prefixes use only [0-9a-f], all of which
+    * sort below 'g', so `prefix < 'g'` keeps EVERY row — a clamped
+    * "ffffffff" threshold with a strict `<` would silently drop the ~2⁻³²
+    * of rows whose prefix is exactly ffffffff. The sentinel keeps the
+    * predicate one uniform string comparison across plain and stratified
+    * paths and is mirrored verbatim by the SQL oracle. */
   private[graft] def thresholdHex(rate: Double): String = {
     require(rate >= 0.0 && rate <= 1.0, s"rate must be in [0,1], got $rate")
-    f"${math.round(rate * (1L << 32)).min((1L << 32) - 1)}%08x"
+    if (rate >= 1.0) "g"
+    else f"${math.round(rate * (1L << 32)).min((1L << 32) - 1)}%08x"
   }
 
   /** Membership predicate: row is sampled iff md5(id)[0,8) < threshold. */

@@ -56,12 +56,13 @@ object Similarity {
     * `planes`. Output: (query_id, rank, neighbor_id, cosine). */
   def lshTopK(queries: DataFrame, corpus: DataFrame,
               idCol: String, vecCol: String, k: Int,
-              planes: Int = 8, tables: Int = 4): DataFrame = {
+              planes: Int = 8, tables: Int = 4, dim: Int = -1): DataFrame = {
     GraftFunctions.ensureRegistered(queries.sparkSession)
+    val d = if (dim > 0) dim else Vectors.dims(corpus, vecCol)
     def buckets(df: DataFrame, id: String): DataFrame =
       df.select(col(idCol).as(id),
         explode(array((0 until tables).map { t =>
-          concat(lit(s"$t:"), Vectors.lshBucket(col(vecCol), planes, seed = t))
+          concat(lit(s"$t:"), Vectors.lshBucket(col(vecCol), planes, d, seed = t))
         }: _*)).as("bucket"))
 
     // candidate ids first (cheap dedup on longs), vectors re-attached after
@@ -172,11 +173,12 @@ object Similarity {
     * exact cosine ≥ threshold. Deterministic blocking rule; at scale this is
     * an equi-join on short bucket strings. */
   def embeddingNearDup(corpus: DataFrame, idCol: String, vecCol: String,
-                       threshold: Double, planes: Int = 6): DataFrame = {
+                       threshold: Double, planes: Int = 6, dim: Int = -1): DataFrame = {
     GraftFunctions.ensureRegistered(corpus.sparkSession)
+    val d = if (dim > 0) dim else Vectors.dims(corpus, vecCol)
     val b = corpus.select(col(idCol).as("id"), col(vecCol).as("v"),
       Vectors.norm(col(vecCol)).as("n"),
-      Vectors.lshBucket(col(vecCol), planes).as("bucket"))
+      Vectors.lshBucket(col(vecCol), planes, d).as("bucket"))
     val l = b.select(col("bucket"), col("id").as("id_a"), col("v").as("v_a"), col("n").as("n_a"))
     val r = b.select(col("bucket"), col("id").as("id_b"), col("v").as("v_b"), col("n").as("n_b"))
     l.join(r, Seq("bucket"))

@@ -108,6 +108,60 @@ final class DataStream[A] private[graft] (private[graft] val df: DataFrame) {
     new DataStream[B](out)
   }
 
+  /** Keyed running scan — the DISTRIBUTED mapAccumulate (mirror of
+    * [[graft.operators.Accumulate]], reachable from the facade).
+    *
+    * When the accumulate expression has the running-aggregate shape
+    * `f(s, a) = (s + g(a), out(s, a))` with `g` state-free and the state a
+    * Long, it compiles to a per-key window frame: ONE hash exchange on the
+    * key, per-partition sort, codegen'd unbounded-preceding sum — the plan
+    * shows `Window`, never `coalesce(1)`. Any other shape falls back to a
+    * still-distributed general path (hash-partition by key, sort within
+    * partitions, sequential per-key interpretation) — correct for arbitrary
+    * expressions, interpreted per row.
+    *
+    * `order` must be a total order within each key (include a unique
+    * tiebreaker) or the scan order — and therefore per-row output — is not
+    * deterministic. Tuple-valued `order` expressions sort
+    * lexicographically. */
+  def mapAccumulateByKey[K, O, S, B](z: S)(
+      key: Expr[A, A] => Expr[A, K], order: Expr[A, A] => Expr[A, O])(
+      f: Expr[(S, A), (S, A)] => Expr[(S, A), (S, B)])(
+      implicit sb: SparkType[B]): DataStream[B] = {
+    val e = Expr.normalize(f(Expr.id[(S, A)]))
+    val keyCol = key(Expr.id[A]).toColumn(value)
+    val orderCol = order(Expr.id[A]).toColumn(value)
+    AccumulateRewrite(e, z, value, keyCol, orderCol) match {
+      case Some(out) =>
+        new DataStream[B](df.select(out.as(ValueCol)))
+      case None =>
+        val outSchema = StructType(Seq(StructField(ValueCol, sb.dataType)))
+        val prepared = df
+          .select(keyCol.as("_k"), orderCol.as("_o"), value.as(ValueCol))
+          .repartition(col("_k"))
+          .sortWithinPartitions(col("_k"), col("_o"))
+        val out = prepared.mapPartitions { it =>
+          var curKey: Any = null
+          var started = false
+          var state: Any = z
+          it.map { row =>
+            val k = row.get(0)
+            if (!started || !java.util.Objects.equals(k, curKey)) {
+              state = z; curKey = k; started = true
+            }
+            val (s2, b) = e.eval((state, row.get(2))) match {
+              case (a, c) => (a, c)
+              case r: Row => (r.get(0), r.get(1))
+              case other  => sys.error(s"mapAccumulate expression must return a pair, got $other")
+            }
+            state = s2
+            Row(toExternal(b))
+          }
+        }(Encoders.row(outSchema))
+        new DataStream[B](out)
+    }
+  }
+
   // ---- capability-category extensions (SURVEY §2.4; absent from the
   // reference but required of the engine) ----
 
@@ -129,15 +183,44 @@ final class DataStream[A] private[graft] (private[graft] val df: DataFrame) {
 
   /** Equi-join on expression keys → stream of pairs. Catalyst picks the
     * physical strategy (broadcast vs shuffle); pass `hintBroadcast = true`
-    * to force broadcasting the (small) right side. */
+    * to force broadcasting the (small) right side.
+    *
+    * Semi/anti join types produce no right-side columns, so a pair-typed
+    * result is unrepresentable — they are rejected here; use the correctly
+    * typed [[semiJoin]]/[[antiJoin]] (returning `DataStream[A]`) instead. */
   def join[B, K](other: DataStream[B], how: String = "inner", hintBroadcast: Boolean = false)(
       keyL: Expr[A, A] => Expr[A, K], keyR: Expr[B, B] => Expr[B, K]): DataStream[(A, B)] = {
+    val normalized = how.toLowerCase.replace("_", "")
+    require(!Set("semi", "leftsemi", "anti", "leftanti").contains(normalized),
+      s"join type '$how' keeps only left rows — use semiJoin/antiJoin (typed DataStream[A])")
     val l = df.select(value.as("_l"))
     val r0 = other.df.select(col(ValueCol).as("_r"))
     val r = if (hintBroadcast) broadcast(r0) else r0
     val cond = keyL(Expr.id[A]).toColumn(col("_l")) === keyR(Expr.id[B]).toColumn(col("_r"))
     new DataStream[(A, B)](
       l.join(r, cond, how).select(struct(col("_l").as("_1"), col("_r").as("_2")).as(ValueCol)))
+  }
+
+  /** Semi join (SQL EXISTS): keep left elements with at least one key match
+    * on the right. Right-side payloads never materialize, so the result is
+    * the left element type. */
+  def semiJoin[B, K](other: DataStream[B], hintBroadcast: Boolean = false)(
+      keyL: Expr[A, A] => Expr[A, K], keyR: Expr[B, B] => Expr[B, K]): DataStream[A] =
+    filteringJoin(other, "left_semi", hintBroadcast)(keyL, keyR)
+
+  /** Anti join (SQL NOT EXISTS): keep left elements with NO key match on the
+    * right. */
+  def antiJoin[B, K](other: DataStream[B], hintBroadcast: Boolean = false)(
+      keyL: Expr[A, A] => Expr[A, K], keyR: Expr[B, B] => Expr[B, K]): DataStream[A] =
+    filteringJoin(other, "left_anti", hintBroadcast)(keyL, keyR)
+
+  private def filteringJoin[B, K](other: DataStream[B], how: String, hintBroadcast: Boolean)(
+      keyL: Expr[A, A] => Expr[A, K], keyR: Expr[B, B] => Expr[B, K]): DataStream[A] = {
+    val l = df.select(value.as("_l"))
+    val r0 = other.df.select(col(ValueCol).as("_r"))
+    val r = if (hintBroadcast) broadcast(r0) else r0
+    val cond = keyL(Expr.id[A]).toColumn(col("_l")) === keyR(Expr.id[B]).toColumn(col("_r"))
+    new DataStream[A](l.join(r, cond, how).select(col("_l").as(ValueCol)))
   }
 
   /** Materialize to the driver as decoded Scala values (tests only). */
@@ -237,7 +320,9 @@ object DataStream {
       * genuinely whole-group reducers fall back to `collect_list`, and that
       * fallback is the documented scalability cliff. */
     def fold[R](f: Expr[Group[K, V], Group[K, V]] => Expr[Group[K, V], R]): DataStream[R] = {
-      val e = f(Expr.id[Group[K, V]])
+      // normalization flattens >>> / *** / flip so Compose-rooted reducers
+      // still match the native-aggregate rewriter (same semantics either way)
+      val e = Expr.normalize(f(Expr.id[Group[K, V]]))
       val keyed = ds.df.select(
         col(ValueCol).getField("key").as("key"),
         col(ValueCol).getField("value").as("payload"))
@@ -279,7 +364,7 @@ object DataStream {
         allowedLateness: String = "0 milliseconds")(
         f: Expr[(S, TimeWindow, V), (S, TimeWindow, V)] => Expr[(S, TimeWindow, V), S])(
         implicit zs: SparkType[S]): DataStream[Grouped[K, Windowed[S]]] = {
-      val e = f(Expr.id[(S, TimeWindow, V)])
+      val e = Expr.normalize(f(Expr.id[(S, TimeWindow, V)]))
       val tsMillis = col(ValueCol).getField("value").getField("timestamp")
       val payload = col(ValueCol).getField("value").getField("value")
       val withTs = ds.df.select(
@@ -316,6 +401,36 @@ object DataStream {
           col("key").as("key"),
           struct(WindowAssigner.toTimeWindow(col("w")).as("window"), col("s").as("value")).as("value")
         ).as(ValueCol)))
+    }
+  }
+
+  /** Accumulate-shape → window-frame rewriter (the mapAccumulate mirror of
+    * [[AggRewrite]]): recognizes `f(s, a) = (s + g(a), out(s, a))` with a
+    * state-free `g` and a Long state, and compiles the per-row OLD state to
+    * `z + sum(g(payload))` over an unbounded-preceding-to-previous-row frame
+    * — `out` then evaluates as a plain projection over (oldState, payload).
+    * One exchange on the key, codegen'd frame, no interpretation per row.
+    *
+    * Null discipline mirrors the sequential path exactly: a null `g(a)`
+    * poisons the state for every LATER row of that key (SQL `+`
+    * propagation), where a bare window `sum` would silently skip it — so the
+    * frame also carries a running any-null flag and masks the state. */
+  private object AccumulateRewrite {
+    import org.apache.spark.sql.expressions.{Window => W}
+
+    def apply(e: Expr[_, _], z: Any, payload: Column,
+              keyCol: Column, orderCol: Column): Option[Column] = (z, e) match {
+      case (zl: Long, Expr.FanOut(Expr.Arith(acc, g, "+"), outE))
+          if AggRewrite.isAcc(acc) && !AggRewrite.refsAcc(g) =>
+        val gCol = g.toColumn(struct(lit(null).as("_1"), payload.as("_2")))
+        val prec = W.partitionBy(keyCol).orderBy(orderCol.asc)
+          .rowsBetween(W.unboundedPreceding, -1)
+        val poisoned =
+          coalesce(max(when(gCol.isNull, lit(1)).otherwise(lit(0))).over(prec), lit(0)) === 1
+        val oldState = when(poisoned, lit(null))
+          .otherwise(lit(zl) + coalesce(sum(gCol).over(prec), lit(0L)))
+        Some(outE.toColumn(struct(oldState.as("_1"), payload.as("_2"))))
+      case _ => None
     }
   }
 
@@ -389,7 +504,8 @@ object DataStream {
       case _ => None
     }
 
-    private def isAcc(e: Expr[_, _]): Boolean = e match {
+    /** The first component of the (state, input) pair — the accumulator. */
+    def isAcc(e: Expr[_, _]): Boolean = e match {
       case n: Expr.Nth[_, _] => isId(n.child) && n.n == 0
       case _                 => false
     }
@@ -398,7 +514,7 @@ object DataStream {
       * accumulator (→ ordered fallback, correct just slower). Only literal
       * leaves are definitively acc-free; a new Expr node added without a
       * case here therefore degrades performance, never correctness. */
-    private def refsAcc(e: Expr[_, _]): Boolean = e match {
+    def refsAcc(e: Expr[_, _]): Boolean = e match {
       case _: Expr.LitLong[_] | _: Expr.LitDouble[_] |
            _: Expr.LitString[_] | _: Expr.LitBoolean[_] => false
       case n: Expr.Nth[_, _] if isId(n.child) => n.n == 0

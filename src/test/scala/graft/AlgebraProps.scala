@@ -120,6 +120,26 @@ object AlgebraProps extends Properties("graft.algebra") {
       fast == slow
     }
 
+  property("Compose-normalized fold rewrite == whole-group fallback on random groups") =
+    forAll(Gen.listOfN(10, Gen.zip(Gen.chooseNum(1L, 3L), Gen.chooseNum(-50L, 50L)))) { rows =>
+      val grouped = DataStream.fromLiterals(rows: _*).groupBy(t => t._1).mapValues(v => v._2)
+      // composed form: sum >>> (_ * 2 + 1) — normalized, rewritten native
+      val fast = grouped.fold(g =>
+          Expr.KeyValue(g.key, g.values.sum >>> (Expr.id[Long] * 2L + 1L)))
+        .collectValues.map(g => (g.key, g.value)).sortBy(_._1)
+      // same function through the non-rewritable fallback (Cmp blocks the
+      // rewrite table, so the fold materializes the group): recompute the
+      // value from the collected list and compare
+      val slow = grouped.fold { g =>
+          val i = Expr.id[Group[Long, Long]]
+          Expr.KeyValue(Expr.GroupKey(i),
+            Expr.FanOut(Expr.ListSum(Expr.GroupValues(i)),
+              Expr.Cmp(Expr.ListSum(Expr.GroupValues(i)), Expr.LitLong(Long.MinValue), ">")))
+        }
+        .collectValues.map(g => (g.key, g.value._1 * 2L + 1L)).sortBy(_._1)
+      fast == slow
+    }
+
   property("tumbling windows partition the timeline: counts sum to n, windows disjoint") =
     forAll(Gen.listOfN(6, Gen.chooseNum(0L, 100L))) { ts =>
       val ds = DataStream.fromLiterals(ts.map(t => (t, "k")): _*)

@@ -83,15 +83,40 @@ class DataStreamSpec extends SparkSuite {
     // rewritable shape → native sum/count
     val fast = grouped.fold(g => Expr.KeyValue(g.key, g.values.sum &&& g.values.length))
       .collectValues.map(g => (g.key, g.value)).sortBy(_._1)
-    // Compose at the root defeats the rewriter → collect_list fallback
-    val slow = grouped.fold { g =>
+    assert(fast == Seq((1L, (30L, 2L)), (2L, (5L, 1L))))
+    // a comparison over an aggregate is outside the rewrite table → the
+    // whole-group collect_list fallback must engage and stay correct
+    val slowDs = grouped.fold { g =>
+      val i = Expr.id[Group[Long, Long]]
+      Expr.KeyValue(Expr.GroupKey(i),
+        Expr.Cmp(Expr.ListSum(Expr.GroupValues(i)), Expr.LitLong(20L), ">"))
+    }
+    assert(slowDs.toDF.queryExecution.optimizedPlan.toString.contains("collect_list"))
+    val slow = slowDs.collectValues.map(g => (g.key, g.value)).sortBy(_._1)
+    assert(slow == Seq((1L, true), (2L, false)))
+  }
+
+  test("Compose-rooted reducers normalize to native aggregates (no collect_list)") {
+    val ds = DataStream.fromLiterals((1L, 10L), (1L, 20L), (2L, 5L))
+    val grouped = ds.groupBy(t => t._1).mapValues(v => v._2)
+    // Compose at the ROOT (id >>> reducer): pre-normalization this fell back
+    // to collect_list; the rewriter must now see through it
+    val composedRoot = grouped.fold { g =>
       val i = Expr.id[Group[Long, Long]]
       Expr.Compose(i,
         Expr.KeyValue(Expr.GroupKey(i), Expr.FanOut(Expr.ListSum(Expr.GroupValues(i)), Expr.Length(Expr.GroupValues(i)))))
     }
-      .collectValues.map(g => (g.key, g.value)).sortBy(_._1)
-    assert(fast == Seq((1L, (30L, 2L)), (2L, (5L, 1L))))
-    assert(slow == fast)
+    // composition AFTER the aggregate (g.values.sum >>> (_ + 1))
+    val postMapped = grouped.fold(g =>
+      Expr.KeyValue(g.key, g.values.sum >>> (Expr.id[Long] + 1L)))
+    Seq(composedRoot.toDF, postMapped.toDF).foreach { df =>
+      val plan = df.queryExecution.optimizedPlan.toString
+      assert(!plan.contains("collect_list"), s"expected native rewrite, got:\n$plan")
+    }
+    assert(composedRoot.collectValues.map(g => (g.key, g.value)).sortBy(_._1) ==
+      Seq((1L, (30L, 2L)), (2L, (5L, 1L))))
+    assert(postMapped.collectValues.map(g => (g.key, g.value)).sortBy(_._1) ==
+      Seq((1L, 31L), (2L, 6L)))
   }
 
   test("fold rewrite handles long division (per-key average shape)") {
@@ -126,6 +151,40 @@ class DataStreamSpec extends SparkSuite {
     assert(out == Seq((1L, 101L), (2L, 103L), (3L, 106L), (4L, 110L)))
   }
 
+  test("mapAccumulateByKey: running-sum shape compiles to a window frame, no coalesce(1)") {
+    // A = (key, seq, v); per-key running sum emitted as (key, (seq, running))
+    val ds = DataStream.fromLiterals(
+      (1L, 1L, 10L), (1L, 2L, 5L), (2L, 1L, 100L), (1L, 3L, 7L), (2L, 2L, 1L))
+    val scanned = ds.mapAccumulateByKey(0L)(t => t._1, t => t._2) { t =>
+      val ns = t._1 + t._2._3
+      ns &&& (t._2._1 &&& (t._2._2 &&& ns))
+    }
+    val plan = scanned.toDF.queryExecution.executedPlan.toString
+    assert(plan.contains("Window"), s"expected a window-frame plan:\n$plan")
+    // the Coalesce(1) OPERATOR is the global-scan cliff (the SQL coalesce()
+    // null-default function legitimately appears in the frame expressions)
+    assert(!plan.contains("Coalesce 1"), s"global-scan cliff leaked into keyed path:\n$plan")
+    val out = scanned.collectValues.map(g => (g._1, g._2._1, g._2._2)).sorted
+    assert(out == Seq((1L, 1L, 10L), (1L, 2L, 15L), (1L, 3L, 22L), (2L, 1L, 100L), (2L, 2L, 101L)))
+  }
+
+  test("mapAccumulateByKey fallback: non-rewritable shape stays distributed and per-key correct") {
+    // f = (acc*2 + v, out): multiplication of the accumulator defeats the
+    // window rewrite → hash-partitioned per-key sequential path
+    val ds = DataStream.fromLiterals(
+      (1L, 1L, 3L), (1L, 2L, 4L), (2L, 1L, 5L), (1L, 3L, 1L))
+    val scanned = ds.mapAccumulateByKey(1L)(t => t._1, t => t._2) { t =>
+      val ns = t._1 * 2L + t._2._3
+      ns &&& (t._2._1 &&& (t._2._2 &&& ns))
+    }
+    val plan = scanned.toDF.queryExecution.executedPlan.toString
+    assert(!plan.contains("Coalesce 1"), s"fallback must stay keyed-distributed:\n$plan")
+    assert(plan.contains("hashpartitioning"), s"fallback must hash-partition by key:\n$plan")
+    val out = scanned.collectValues.map(g => (g._1, g._2._1, g._2._2)).sorted
+    // key 1 (z=1): 1*2+3=5, 5*2+4=14, 14*2+1=29; key 2: 1*2+5=7
+    assert(out == Seq((1L, 1L, 5L), (1L, 2L, 14L), (1L, 3L, 29L), (2L, 1L, 7L)))
+  }
+
   test("set ops, sort, limit, join") {
     val a = DataStream.fromLiterals(1L, 2L, 3L)
     val b = DataStream.fromLiterals(3L, 4L)
@@ -135,5 +194,20 @@ class DataStreamSpec extends SparkSuite {
     assert(a.sortBy(x => x, ascending = false).limit(2).collectValues == Seq(3L, 2L))
     val joined = a.join(b, hintBroadcast = true)(x => x, y => y).collectValues
     assert(joined == Seq((3L, 3L)))
+  }
+
+  test("semi/anti joins are typed DataStream[A]; pair-typed join rejects semi/anti hows") {
+    val a = DataStream.fromLiterals(1L, 2L, 3L)
+    val b = DataStream.fromLiterals(3L, 4L)
+    assert(a.semiJoin(b)(x => x, y => y).collectValues.sorted == Seq(3L))
+    assert(a.antiJoin(b)(x => x, y => y).collectValues.sorted == Seq(1L, 2L))
+    // a pair result has no right side for semi/anti — must fail loudly at
+    // plan build, not with an analysis error about a missing _r column
+    Seq("left_semi", "leftsemi", "semi", "left_anti", "leftanti", "anti").foreach { how =>
+      val e = intercept[IllegalArgumentException] {
+        a.join(b, how = how)(x => x, y => y)
+      }
+      assert(e.getMessage.contains("semiJoin/antiJoin"), s"how=$how: ${e.getMessage}")
+    }
   }
 }

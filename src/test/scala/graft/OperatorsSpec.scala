@@ -216,6 +216,47 @@ class OperatorsSpec extends SparkSuite {
     assert(composed == expected, s"composed: $composed")
   }
 
+  test("as-of join carries the matched right row wholesale: null payload fields stay null") {
+    import spark.implicits._
+    // right rows for key 1: ts=5 has (pay1=50, pay2=500); ts=15 — the MOST
+    // RECENT for a left ts of 20 — has pay1=NULL. True as-of semantics
+    // return that row's NULL, not a pay1 back-filled from the older ts=5 row
+    // (per-column last(ignoreNulls) windows would mix the two rows).
+    val left = Seq((1L, 20L, 1L)).toDF("k", "tms", "lid")
+      .select(col("k"), timestamp_millis(col("tms")).as("t"), col("lid"))
+    val right = Seq(
+      (1L, 5L, Some(50L), Some(500L)),
+      (1L, 15L, Option.empty[Long], Some(900L)))
+      .toDF("k", "tms", "pay1", "pay2")
+      .select(col("k"), timestamp_millis(col("tms")).as("t"), col("pay1"), col("pay2"))
+    val out = AsOf.join(left, right, "k", "t", "t", Seq("pay1" -> "pay1", "pay2" -> "pay2"))
+      .select(col("lid"), col("pay1"), col("pay2")).head()
+    assert(out.isNullAt(1), s"pay1 must be the matched row's NULL, got ${out.get(1)}")
+    assert(out.getLong(2) == 900L)
+
+    // randomized cross-check vs the native operator with ~30% planted nulls
+    // in one of two payload columns (the native merge carries whole rows by
+    // construction — it is the semantics oracle here)
+    val rnd = new scala.util.Random(13)
+    val ls = (0 until 300).map(i => (rnd.nextInt(5).toLong, rnd.nextInt(1000).toLong, i.toLong))
+    val rs = (0 until 200).map { i =>
+      (rnd.nextInt(5).toLong, rnd.nextInt(1000).toLong,
+        if (rnd.nextInt(10) < 3) Option.empty[Long] else Some(i.toLong), i.toLong)
+    }
+    val lf = ls.toDF("k", "tms", "lid")
+      .select(col("k"), timestamp_millis(col("tms")).as("t"), col("lid"))
+    val rf = rs.toDF("k", "tms", "p1", "p2")
+      .select(col("k"), timestamp_millis(col("tms")).as("rt"), col("p1"), col("p2"))
+    val composed = AsOf.join(lf, rf.withColumnRenamed("rt", "t"), "k", "t", "t",
+        Seq("p1" -> "p1", "p2" -> "p2"))
+      .select(col("lid"), col("p1"), col("p2")).collect()
+      .map(r => (r.getLong(0), Option(r.get(1)), Option(r.get(2)))).sortBy(_._1).toSeq
+    val native = AsOf.joinNative(lf, rf.withColumnRenamed("k", "rk"), "k", "rk", "t", "rt")
+      .select(col("lid"), col("p1"), col("p2")).collect()
+      .map(r => (r.getLong(0), Option(r.get(1)), Option(r.get(2)))).sortBy(_._1).toSeq
+    assert(composed == native)
+  }
+
   test("sessionize: gap starts new session; summary is per (key, session)") {
     import spark.implicits._
     val df = Seq((1L, 0L), (1L, 1000L), (1L, 10000L), (2L, 0L))
@@ -243,6 +284,55 @@ class OperatorsSpec extends SparkSuite {
     val rest = strat.where(col("lang") =!= "en").count().toDouble /
       docs.where(col("lang") =!= "en").count()
     assert(en < 0.2 && rest > 0.6, s"en=$en rest=$rest")
+  }
+
+  test("plan-time hyperplane lshBucket is bit-identical to the interpreted HOF formulation") {
+    graft.GraftFunctions.ensureRegistered(spark)
+    val emb = spark.read.parquet(s"$sf0001/embeddings.parquet")
+    val dim = Vectors.dims(emb, "embedding")
+    (0 to 2).foreach { seed =>
+      val mismatches = emb.select(
+          Vectors.lshBucket(col("embedding"), 6, dim, seed).as("fast"),
+          Vectors.lshBucketHof(col("embedding"), 6, seed).as("hof"))
+        .where(col("fast") =!= col("hof")).count()
+      assert(mismatches == 0L, s"seed=$seed: $mismatches bucket mismatches")
+    }
+  }
+
+  test("LSH-blocked embedding near-dup: pairs are a subset of exact all-pairs, with real recall") {
+    graft.GraftFunctions.ensureRegistered(spark)
+    val emb = spark.read.parquet(s"$sf0001/embeddings.parquet")
+    val blocked = Similarity.embeddingNearDup(emb, "vec_id", "embedding", threshold = 0.35, planes = 6)
+      .select(col("id_a"), col("id_b")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    // exact all-pairs baseline (fine at spec scale; the quadratic form the
+    // blocked operator replaces at 100 TB)
+    val a = emb.select(col("vec_id").as("id_a"), col("embedding").as("v_a"),
+      Vectors.norm(col("embedding")).as("n_a"))
+    val b = emb.select(col("vec_id").as("id_b"), col("embedding").as("v_b"),
+      Vectors.norm(col("embedding")).as("n_b"))
+    val exact = a.join(b, col("id_a") < col("id_b"))
+      .where(when(col("n_a") * col("n_b") === 0.0, lit(0.0))
+        .otherwise(Vectors.fastDot(col("v_a"), col("v_b")) / (col("n_a") * col("n_b"))) >= 0.35)
+      .select(col("id_a"), col("id_b")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(blocked.subsetOf(exact), s"blocked pairs must pass the same exact-cosine verify")
+    val recall = if (exact.isEmpty) 1.0 else (blocked & exact).size.toDouble / exact.size
+    // 6-plane single-table blocking of cosine≥0.35 pairs: collision prob
+    // (1-θ/π)^6 with θ≤69° ≈ 0.037 at the threshold, higher for closer
+    // pairs — assert above a conservative floor and that SOME pairs survive
+    assert(recall >= 0.02 && blocked.nonEmpty, s"recall=$recall n=${blocked.size}")
+  }
+
+  test("deterministic sampling at rate 1.0 keeps every row (ffffffff md5 prefixes included)") {
+    import graft.operators.Sampling
+    val docs = spark.read.parquet(s"$sf0001/documents.parquet")
+    assert(Sampling.deterministicSample(docs, "doc_id", 1.0).count() == docs.count())
+    assert(Sampling.thresholdHex(1.0) == "g")
+    // the sentinel sorts above every hex prefix, including the extreme one
+    assert("ffffffff" < "g")
+    val strat = Sampling.stratifiedSample(docs, "doc_id", "lang", Map("en" -> 1.0), 1.0)
+    assert(strat.count() == docs.count())
   }
 
   test("salted join equals plain join (skewed key spread across salts)") {
