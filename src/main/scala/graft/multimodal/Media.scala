@@ -9,11 +9,13 @@ import org.apache.spark.sql.types._
   *
   * The Spark-side plumbing is real — binary columns, schema, partition-wise
   * batch decode via `mapPartitions` (the Scala analogue of `mapInPandas`:
-  * one decoder instantiation per partition, streaming rows through it) —
-  * while the codec itself is a deterministic STUB (`FakeCodec`): the
-  * container ships no image/audio libraries, so decode derives features
-  * from the raw bytes reproducibly. Swapping `FakeCodec` for a real one
-  * (JavaCPP/FFmpeg etc.) changes no plumbing.
+  * one decoder instantiation per partition, streaming rows through it).
+  * Decoding is REAL for self-describing header formats — BMP dimensions and
+  * WAV channels/rate/duration parse from actual bytes ([[Media.HeaderCodec]],
+  * pure JVM, no codec library needed) — and a deterministic STUB
+  * (`FakeCodec`) for formats whose decode needs a native library the
+  * container doesn't ship (JPEG/MP3/H.264). Swapping `FakeCodec` for a real
+  * one (JavaCPP/FFmpeg etc.) changes no plumbing.
   *
   * At scale: binary payloads never shuffle — features are extracted in the
   * scan stage (narrow), and only the small typed feature rows flow on. Keep
@@ -36,9 +38,12 @@ object Media {
     StructField("width", IntegerType), StructField("height", IntegerType),
     StructField("n_frames", IntegerType), StructField("checksum", LongType)))
 
-  /** Deterministic stand-in for a real decoder. Reads actual bytes so the
-    * plumbing (payload transport, per-partition batching) is exercised
-    * end-to-end; a real codec would replace exactly this object. */
+  /** Deterministic stand-in for a decoder of formats whose decode needs a
+    * real codec library (JPEG/MP3/H.264 — not shipped in this container).
+    * Reads actual bytes so the plumbing (payload transport, per-partition
+    * batching) is exercised end-to-end; a real codec would replace exactly
+    * this object. Self-describing header formats (BMP, WAV) are decoded for
+    * REAL by [[HeaderCodec]] — [[Codec.decode]] dispatches. */
   object FakeCodec {
     def decode(kind: String, content: Array[Byte]): (Int, Int, Int, Long) = {
       val n = content.length
@@ -48,6 +53,81 @@ object Media {
         case "image" => (16 + n % 640, 16 + first % 480, 1, checksum)
         case "audio" => (0, 0, n / 4, checksum)     // "samples"
         case _       => (16 + n % 640, 16 + first % 480, n / 1024 + 1, checksum)
+      }
+    }
+  }
+
+  final case class WavMeta(channels: Int, sampleRateHz: Int, bitsPerSample: Int,
+                           nSamples: Long) {
+    def durationSeconds: Double =
+      if (sampleRateHz <= 0) 0.0 else nSamples.toDouble / sampleRateHz
+  }
+
+  /** REAL pure-JVM decoders for self-describing container headers: BMP
+    * dimensions and WAV audio metadata live at fixed little-endian offsets,
+    * so no external codec library is needed. Malformed bytes return None —
+    * decode never throws mid-scan. */
+  object HeaderCodec {
+    import java.nio.{ByteBuffer, ByteOrder}
+
+    /** BMP (BITMAPINFOHEADER and later): 'BM' magic; int32-LE width at
+      * byte 18, int32-LE height at byte 22 (negative = top-down row order,
+      * magnitude is the pixel height). */
+    def decodeBmp(b: Array[Byte]): Option[(Int, Int)] = {
+      if (b.length < 26 || b(0) != 'B'.toByte || b(1) != 'M'.toByte) None
+      else {
+        val bb = ByteBuffer.wrap(b).order(ByteOrder.LITTLE_ENDIAN)
+        val w = bb.getInt(18)
+        val h = math.abs(bb.getInt(22))
+        if (w > 0 && h > 0) Some((w, h)) else None
+      }
+    }
+
+    /** WAV: 'RIFF' + 'WAVE' magic, then a proper chunk walk (real files put
+      * LIST/fact chunks before 'data' — assuming the canonical 44-byte
+      * layout mis-parses them): 'fmt ' yields channels/rate/bits/blockAlign,
+      * 'data' yields payload size → sample count. */
+    def decodeWav(b: Array[Byte]): Option[WavMeta] = {
+      if (b.length < 12 || !hasTag(b, 0, "RIFF") || !hasTag(b, 8, "WAVE")) None
+      else {
+        val bb = ByteBuffer.wrap(b).order(ByteOrder.LITTLE_ENDIAN)
+        var pos = 12
+        var fmt: Option[(Int, Int, Int, Int)] = None // channels, rate, bits, blockAlign
+        var dataBytes = -1L
+        while (pos + 8 <= b.length && (fmt.isEmpty || dataBytes < 0)) {
+          val size = bb.getInt(pos + 4).toLong & 0xffffffffL
+          if (hasTag(b, pos, "fmt ") && pos + 24 <= b.length) {
+            fmt = Some((bb.getShort(pos + 10).toInt, bb.getInt(pos + 12),
+              if (pos + 24 + 2 <= b.length) bb.getShort(pos + 22).toInt else 16,
+              bb.getShort(pos + 20).toInt))
+          } else if (hasTag(b, pos, "data")) {
+            dataBytes = math.min(size, (b.length - pos - 8).toLong)
+          }
+          // chunks are word-aligned: odd sizes carry a pad byte
+          pos += 8 + size.toInt + (size.toInt & 1)
+        }
+        fmt.collect { case (ch, rate, bits, block) if ch > 0 && rate > 0 && block > 0 && dataBytes >= 0 =>
+          WavMeta(ch, rate, bits, dataBytes / block)
+        }
+      }
+    }
+
+    private def hasTag(b: Array[Byte], at: Int, tag: String): Boolean =
+      at + 4 <= b.length && tag.indices.forall(i => b(at + i) == tag.charAt(i).toByte)
+  }
+
+  /** Decode dispatch: real header parse where the format allows it (BMP →
+    * image dims, WAV → sample count as n_frames), deterministic stub
+    * otherwise. Returns (width, height, n_frames, checksum-of-first-64B). */
+  object Codec {
+    def decode(kind: String, content: Array[Byte]): (Int, Int, Int, Long) = {
+      val checksum = content.iterator.take(64).foldLeft(0L)((a, b) => a * 31 + (b & 0xff))
+      HeaderCodec.decodeBmp(content) match {
+        case Some((w, h)) => (w, h, 1, checksum)
+        case None => HeaderCodec.decodeWav(content) match {
+          case Some(m) => (0, 0, m.nSamples.min(Int.MaxValue).toInt, checksum)
+          case None    => FakeCodec.decode(kind, content)
+        }
       }
     }
   }
@@ -112,7 +192,7 @@ object Media {
           val id = r.getLong(0)
           val kind = r.getString(1)
           val bytes = r.getAs[Array[Byte]](2)
-          val (w, h, frames, checksum) = FakeCodec.decode(kind, bytes)
+          val (w, h, frames, checksum) = Codec.decode(kind, bytes)
           Row(id, kind, bytes.length.toLong, w, h, frames, checksum)
         }
       }(Encoders.row(featureSchema))

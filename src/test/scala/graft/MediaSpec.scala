@@ -27,6 +27,51 @@ class MediaSpec extends SparkSuite {
     assert(kinds.toSeq == Seq("audio", "image", "video"))
   }
 
+  test("real header codecs: hand-built BMP and WAV fixtures decode from actual bytes") {
+    import java.nio.{ByteBuffer, ByteOrder}
+    // minimal BMP: 14-byte file header + 40-byte BITMAPINFOHEADER, 37x23 px
+    def bmp(w: Int, h: Int): Array[Byte] = {
+      val b = ByteBuffer.allocate(54).order(ByteOrder.LITTLE_ENDIAN)
+      b.put('B'.toByte).put('M'.toByte).putInt(54).putInt(0).putInt(54)
+      b.putInt(40).putInt(w).putInt(h).putShort(1).putShort(24)
+      b.array()
+    }
+    // WAV with a LIST chunk BEFORE data (the layout a naive 44-byte parse
+    // breaks on): 2ch 16-bit 8000 Hz, 16000 bytes of data → 4000 samples,
+    // 0.5 s
+    def wav(): Array[Byte] = {
+      val dataLen = 16000
+      val b = ByteBuffer.allocate(12 + 24 + 12 + 8 + dataLen).order(ByteOrder.LITTLE_ENDIAN)
+      b.put("RIFF".getBytes).putInt(4 + 24 + 12 + 8 + dataLen).put("WAVE".getBytes)
+      b.put("fmt ".getBytes).putInt(16).putShort(1).putShort(2)
+        .putInt(8000).putInt(8000 * 4).putShort(4).putShort(16)
+      b.put("LIST".getBytes).putInt(4).put("INFO".getBytes)
+      b.put("data".getBytes).putInt(dataLen)
+      b.array()
+    }
+    // unit level
+    assert(Media.HeaderCodec.decodeBmp(bmp(37, 23)).contains((37, 23)))
+    // negative height = top-down BMP; magnitude is the real height
+    assert(Media.HeaderCodec.decodeBmp(bmp(37, -23)).contains((37, 23)))
+    val meta = Media.HeaderCodec.decodeWav(wav()).get
+    assert(meta == Media.WavMeta(2, 8000, 16, 4000L))
+    assert(meta.durationSeconds == 0.5)
+    assert(Media.HeaderCodec.decodeBmp("not a bitmap".getBytes).isEmpty)
+    assert(Media.HeaderCodec.decodeWav("not audio".getBytes).isEmpty)
+
+    // through the full Spark pipeline (binary transport + batch decode)
+    val rows = java.util.Arrays.asList(
+      org.apache.spark.sql.Row(1L, "image", bmp(37, 23), null),
+      org.apache.spark.sql.Row(2L, "audio", wav(), null),
+      org.apache.spark.sql.Row(3L, "video", "opaque payload".getBytes("UTF-8"), null))
+    val media = spark.createDataFrame(rows, Media.mediaSchema)
+    val feats = Media.extractFeatures(media).orderBy("media_id").collect()
+    assert(feats(0).getInt(3) == 37 && feats(0).getInt(4) == 23) // BMP w/h
+    assert(feats(1).getInt(5) == 4000)                           // WAV samples
+    // unknown format falls back to the deterministic stub, never throws
+    assert(feats(2).getLong(2) == "opaque payload".length.toLong)
+  }
+
   test("frame sampling fans out and slices real payload bytes; resize keeps aspect") {
     val docs = spark.read.parquet(s"$sf0001/documents.parquet")
     val media = Media.fromDocuments(docs)
