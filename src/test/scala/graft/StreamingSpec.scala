@@ -71,6 +71,70 @@ class StreamingSpec extends SparkSuite {
     } finally q.stop()
   }
 
+  test("facade foldWindow in UPDATE mode: per-batch deltas for open windows, late rows still dropped") {
+    import graft.expr.Expr._
+    import graft.stream.DataStream
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, String)]
+    val counted = DataStream.fromDF[(Long, String)](input.toDF())
+      .assignTimestamps(t => t._1)
+      .groupBy(t => t.value._2)
+      .foldWindow(WindowAssigner.Tumbling(10L), 0L)(t => t._1 + 1L)
+    // update mode: each micro-batch emits the CURRENT value of every window
+    // it touched — the reference has no analogue (it emits once, on
+    // watermark passage = our Append mode); update is the engine extension
+    // for consumers that want early results
+    val q = counted.toDF.select(
+        col("value.key").as("word"),
+        col("value.value.window.start").as("ws"),
+        col("value.value.value").as("n"))
+      .writeStream.outputMode("update").format("memory").queryName("uwc").start()
+    try {
+      input.addData((12L, "quick"), (15L, "quick"))
+      q.processAllAvailable()
+      // watermark now 15; window [10,20) still open → next batch UPDATES it
+      input.addData((16L, "quick"))
+      q.processAllAvailable()
+      // watermark 16: an element for [0,10) (ended at 10 <= 16) is late →
+      // dropped even in update mode
+      input.addData((5L, "quick"), (99L, "advance"))
+      q.processAllAvailable()
+      val rows = spark.table("uwc").collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+      assert(rows.contains(("quick", 10L, 2L)), s"first delta missing: $rows")  // batch-1 emission
+      assert(rows.contains(("quick", 10L, 3L)), s"update delta missing: $rows") // batch-2 update
+      assert(!rows.exists(r => r._1 == "quick" && r._2 == 0L), s"late row leaked: $rows")
+    } finally q.stop()
+  }
+
+  test("windowed counts in COMPLETE mode re-emit the full result each trigger") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, String)]
+    val events = input.toDF()
+      .select(timestamp_millis(col("_1")).as("ts"), col("_2").as("word"))
+    // complete mode keeps ALL window state (watermark eviction off by
+    // definition) — the trade: full-result sinks, unbounded state; only for
+    // small keyspaces/dashboards
+    val counts = Streams.windowedCounts(events, "word", "ts",
+      WindowAssigner.Tumbling(10L), delay = "0 milliseconds")
+    val q = counts.writeStream.outputMode("complete")
+      .format("memory").queryName("cwc").start()
+    try {
+      input.addData((12L, "quick"), (30L, "brown"))
+      q.processAllAvailable()
+      input.addData((15L, "quick"))
+      q.processAllAvailable()
+      // memory sink in complete mode is replaced per trigger → final table
+      // IS the whole result, closed windows included
+      val rows = spark.table("cwc")
+        .select(col("word"), unix_millis(col("window_start")).as("ws"), col("n"))
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+      assert(rows == Set(("quick", 10L, 2L), ("brown", 30L, 1L)))
+    } finally q.stop()
+  }
+
   test("streaming session windows merge within gap and flush on watermark") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
