@@ -1,6 +1,6 @@
 package graft
 
-import graft.functions.catalyst.{ApproxTopK, ArrayDotProduct, ArrayL2Normalize, WordShingles}
+import graft.functions.catalyst.{ApproxTopK, ArrayDotProduct, ArrayL2Normalize, JavaSplit, WordShingles}
 
 import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
@@ -27,6 +27,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("graft_l2normalize"),
       new ExpressionInfo(classOf[ArrayL2Normalize].getName, "graft_l2normalize"),
       GraftFunctions.buildL2Normalize))
+    e.injectFunction((
+      FunctionIdentifier("graft_java_split"),
+      new ExpressionInfo(classOf[JavaSplit].getName, "graft_java_split"),
+      GraftFunctions.buildJavaSplit))
     e.injectPlannerStrategy(_ => graft.plans.AsOfJoinStrategy)
   }
 }
@@ -66,6 +70,11 @@ object GraftFunctions {
     ArrayL2Normalize(exprs.head)
   }
 
+  private[graft] val buildJavaSplit: Seq[Expression] => Expression = exprs => {
+    arity(exprs, 2, "graft_java_split(str, regex)")
+    JavaSplit(exprs.head, exprs(1))
+  }
+
   /** Idempotent per-session registration, for sessions not built with
     * [[GraftExtensions]] (e.g. the driver-owned Verify/Bench sessions).
     * Truly once per session: re-registering on every call spams
@@ -78,6 +87,7 @@ object GraftFunctions {
       reg.createOrReplaceTempFunction("graft_shingles", buildShingles, "built-in")
       reg.createOrReplaceTempFunction("graft_topk", buildTopK, "built-in")
       reg.createOrReplaceTempFunction("graft_l2normalize", buildL2Normalize, "built-in")
+      reg.createOrReplaceTempFunction("graft_java_split", buildJavaSplit, "built-in")
     }
     if (!spark.experimental.extraStrategies.contains(graft.plans.AsOfJoinStrategy))
       spark.experimental.extraStrategies =

@@ -191,15 +191,18 @@ object Expr {
   // String / list ops (reference Expression.scala:27, 33, 38)
   // ---------------------------------------------------------------------
 
-  /** Regex split — the reference uses Java `String.split` (Local.scala:26),
-    * whose default limit 0 DROPS trailing empty strings; Spark's 2-arg
-    * `split` uses limit -1 (keeps them), so we pass limit 0 explicitly to
-    * match the reference (and `Expr.eval`) exactly. */
+  /** Regex split with JAVA `String.split` semantics, exactly as the
+    * reference evaluates it (Local.scala:26): intermediate empty strings
+    * kept, trailing ones dropped. NB Spark's own `split(str, regex, 0)`
+    * KEEPS trailing empties — subtly different — so this compiles to the
+    * engine's [[graft.functions.catalyst.JavaSplit]] expression (codegen'd;
+    * literal patterns compiled once at plan time). The delimiter is a full
+    * EXPRESSION, as in the reference (Expression.scala:38). */
   final case class SplitStr[A](s: Expr[A, String], delim: Expr[A, String]) extends Expr[A, List[String]] {
-    private[graft] def toColumn(in: Column): Column = split(s.toColumn(in), delimLiteral, 0)
-    private def delimLiteral: String = delim match {
-      case LitString(d) => d
-      case _ => sys.error("split delimiter must be a literal for the Catalyst path")
+    private[graft] def toColumn(in: Column): Column = {
+      import org.apache.spark.sql.classic.GraftBridge
+      GraftBridge.column(graft.functions.catalyst.JavaSplit(
+        GraftBridge.expr(s.toColumn(in)), GraftBridge.expr(delim.toColumn(in))))
     }
     private[graft] def eval(in: Any): Any =
       s.eval(in).asInstanceOf[String].split(delim.eval(in).asInstanceOf[String]).toSeq
@@ -327,6 +330,34 @@ object Expr {
   implicit def liftDouble[A](d: Double): Expr[A, Double] = LitDouble(d)
   implicit def liftString[A](s: String): Expr[A, String] = LitString(s)
   implicit def liftBoolean[A](b: Boolean): Expr[A, Boolean] = LitBoolean(b)
+
+  /** Tuple lifting sugar (reference `sequenceTuple`/`liftMixedL`/`liftMixedR`,
+    * Expression.scala:94-97): a pair of expressions — or a pair mixing an
+    * expression with a plain liftable value — is itself an expression. */
+  implicit def sequenceTuple[A, B, C](t: (Expr[A, B], Expr[A, C])): Expr[A, (B, C)] =
+    FanOut(t._1, t._2)
+  implicit def liftMixedR[A, B, C](t: (Expr[A, B], C))(implicit l: Liftable[C]): Expr[A, (B, C)] =
+    FanOut(t._1, l.lift[A](t._2))
+  implicit def liftMixedL[A, B, C](t: (B, Expr[A, C]))(implicit l: Liftable[B]): Expr[A, (B, C)] =
+    FanOut(l.lift[A](t._1), t._2)
+
+  /** Typeclass behind the mixed-tuple lifts (the reference's `Type[A]`
+    * lifting surface, Type.scala:12-27, restricted to literal-able types). */
+  sealed trait Liftable[B] { def lift[A](b: B): Expr[A, B] }
+  object Liftable {
+    implicit val longLiftable: Liftable[Long] = new Liftable[Long] {
+      def lift[A](b: Long): Expr[A, Long] = LitLong(b)
+    }
+    implicit val doubleLiftable: Liftable[Double] = new Liftable[Double] {
+      def lift[A](b: Double): Expr[A, Double] = LitDouble(b)
+    }
+    implicit val stringLiftable: Liftable[String] = new Liftable[String] {
+      def lift[A](b: String): Expr[A, String] = LitString(b)
+    }
+    implicit val booleanLiftable: Liftable[Boolean] = new Liftable[Boolean] {
+      def lift[A](b: Boolean): Expr[A, Boolean] = LitBoolean(b)
+    }
+  }
 
   implicit final class LongExprOps[A](private val e: Expr[A, Long]) extends AnyVal {
     def +(o: Expr[A, Long]): Expr[A, Long] = Arith(e, o, "+")

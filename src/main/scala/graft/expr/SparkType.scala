@@ -66,7 +66,10 @@ object SparkType {
   implicit def listType[A](implicit a: SparkType[A]): SparkType[List[A]] =
     instance[List[A]](ArrayType(a.dataType)) {
       xs => xs.map(a.encode)
-    } { v => v.asInstanceOf[Seq[Any]].map(a.decode).toList }
+      // Spark hands arrays back as either immutable or MUTABLE ArraySeq
+      // depending on the path — cast to collection.Seq (2.13's bare Seq is
+      // immutable-only and the cast blows up on mutable.ArraySeq)
+    } { v => v.asInstanceOf[scala.collection.Seq[Any]].map(a.decode).toList }
 
   implicit def groupedType[K, V](implicit k: SparkType[K], v: SparkType[V]): SparkType[graft.Grouped[K, V]] =
     instance[graft.Grouped[K, V]](StructType(Seq(
@@ -79,7 +82,7 @@ object SparkType {
       StructField("key", k.dataType), StructField("values", ArrayType(v.dataType))))) {
       g => Row(k.encode(g.key), g.values.map(v.encode))
     } { case r: Row =>
-      graft.Group(k.decode(r.get(0)), r.get(1).asInstanceOf[Seq[Any]].map(v.decode))
+      graft.Group(k.decode(r.get(0)), r.get(1).asInstanceOf[scala.collection.Seq[Any]].map(v.decode).toSeq)
     }
 
   implicit def timestampedType[A](implicit a: SparkType[A]): SparkType[graft.Timestamped[A]] =

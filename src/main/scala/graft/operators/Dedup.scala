@@ -245,19 +245,21 @@ object Dedup {
       val neighborMin = edges
         .join(labels.withColumnRenamed("id", "dst").withColumnRenamed("component", "nc"), Seq("dst"))
         .groupBy(col("src").as("id")).agg(min(col("nc")).as("mc"))
-      // checkpoint FIRST (truncates lineage AND materializes), then run the
-      // convergence check against the materialized frame — checking the
-      // un-checkpointed plan would execute the round's pipeline twice
+      // checkpoint FIRST (truncates lineage AND materializes); the per-row
+      // CHANGED flag rides along in the same pass, so the convergence check
+      // below is a narrow scan of the materialized blocks — not a second
+      // join re-deriving old vs new labels (halves the per-round work)
       val updated = labels.join(neighborMin, Seq("id"), "left")
-        .select(col("id"), least(col("component"), coalesce(col("mc"), col("component"))).as("component"))
+        .select(col("id"),
+          least(col("component"), coalesce(col("mc"), col("component"))).as("component"),
+          (coalesce(col("mc"), col("component")) < col("component")).as("_changed"))
         .localCheckpoint(eager = true)
-      converged = updated.join(labels.withColumnRenamed("component", "old"), Seq("id"))
-        .where(col("component") =!= col("old")).isEmpty
+      converged = updated.where(col("_changed")).isEmpty
       // the previous round's checkpoint is now superseded — free its blocks
       // instead of accumulating one copy of the label table per round
       if (checkpointed ne null) freeCheckpoint(checkpointed)
       checkpointed = updated
-      labels = updated
+      labels = updated.select(col("id"), col("component"))
       i += 1
     }
     freeCheckpoint(edges)

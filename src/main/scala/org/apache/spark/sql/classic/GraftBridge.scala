@@ -15,4 +15,10 @@ object GraftBridge {
     * value that `functions.lit` cannot build). */
   def column(e: org.apache.spark.sql.catalyst.expressions.Expression): org.apache.spark.sql.Column =
     ExpressionUtils.column(e)
+
+  /** The Catalyst expression behind a Column — for composing Columns into
+    * Catalyst nodes `functions._` exposes no builder for (e.g. `StringSplit`
+    * with a non-literal regex). */
+  def expr(c: org.apache.spark.sql.Column): org.apache.spark.sql.catalyst.expressions.Expression =
+    ExpressionUtils.expression(c)
 }

@@ -120,6 +120,14 @@ object AlgebraProps extends Properties("graft.algebra") {
       fast == slow
     }
 
+  property("facade split == Java String.split on arbitrary strings (trailing/intermediate empties)") =
+    forAll(Gen.listOfN(8, Gen.oneOf("a", "b", ":", "::", "", " "))) { parts =>
+      val str = parts.mkString
+      val viaCatalyst = DataStream.fromLiterals(str)
+        .map(t => t.split("::")).collectValues.head
+      viaCatalyst == str.split("::").toSeq
+    }
+
   property("Compose-normalized fold rewrite == whole-group fallback on random groups") =
     forAll(Gen.listOfN(10, Gen.zip(Gen.chooseNum(1L, 3L), Gen.chooseNum(-50L, 50L)))) { rows =>
       val grouped = DataStream.fromLiterals(rows: _*).groupBy(t => t._1).mapValues(v => v._2)

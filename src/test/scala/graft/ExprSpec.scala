@@ -40,6 +40,29 @@ class ExprSpec extends SparkSuite {
     assert(pairs.map(t => (t._1 &&& t._2) >>> Expr.id).collectValues == Seq((1L, 2L)))
   }
 
+  test("split accepts an EXPRESSION delimiter (reference Expression.scala:38) on the Catalyst path") {
+    // delimiter computed from the row itself: (text, delim) pairs
+    val ds = DataStream.fromLiterals(("a,b,c", ","), ("x y z w", " "), ("no-match", "#"))
+    val out = ds.map(t => t._1.split(t._2).length).collectValues
+    assert(out == Seq(3L, 4L, 1L))
+    // literal fast path still regex + Java limit-0 semantics
+    val lit = DataStream.fromLiterals("a::b::")
+    assert(lit.map(t => t.split("::").length).collectValues == Seq(2L)) // trailing empties dropped
+  }
+
+  test("mixed tuple lifting: (expr, value) and (value, expr) pairs lift implicitly (reference liftMixed)") {
+    val ds = DataStream.fromLiterals(5L, 7L)
+    // (expr, plain value) — reference liftMixedR
+    assert(ds.map(x => (x * 2L, 1L): Expr[Long, (Long, Long)]).collectValues ==
+      Seq((10L, 1L), (14L, 1L)))
+    // (plain value, expr) — reference liftMixedL
+    assert(ds.map(x => ("tag", x + 1L): Expr[Long, (String, Long)]).collectValues ==
+      Seq(("tag", 6L), ("tag", 8L)))
+    // (expr, expr) — reference sequenceTuple
+    assert(ds.map(x => (x, x * x): Expr[Long, (Long, Long)]).collectValues ==
+      Seq((5L, 25L), (7L, 49L)))
+  }
+
   test("Both (***) applies component-wise to a pair (reference Expression.scala:22)") {
     val ds = DataStream.fromLiterals((3L, 4L))
     val out = ds.map(_ => Expr.id[(Long, Long)] >>> Expr.Both[Long, Long, Long, Long](

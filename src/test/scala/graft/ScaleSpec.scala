@@ -36,6 +36,23 @@ class ScaleSpec extends SparkSuite {
     }
   }
 
+  test("LSH-blocked near-dup and ANN plans contain no quadratic join") {
+    // the scale property the LSH blocking buys: candidate generation is an
+    // EQUI-join on bucket strings — never a cross product / nested loop
+    // (the all-pairs form would be O(n²) pairs at 100 TB)
+    val emb = spark.read.parquet(s"$sf0001/embeddings.parquet")
+    val neardup = graft.operators.Similarity
+      .embeddingNearDup(emb, "vec_id", "embedding", threshold = 0.35, planes = 6)
+    val ann = graft.operators.Similarity.lshTopK(
+      emb.where(col("vec_id") % 100 === 0), emb, "vec_id", "embedding", k = 10,
+      planes = 6, tables = 4)
+    Seq("neardup" -> neardup, "ann-candidates" -> ann).foreach { case (name, df) =>
+      val plan = df.queryExecution.executedPlan.toString
+      assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoop"),
+        s"$name plan has a quadratic join:\n$plan")
+    }
+  }
+
   test("partitioned layout prunes: only the filtered partition is scanned") {
     val base = java.nio.file.Files.createTempDirectory("graft-part").toString
     spark.read.parquet(s"$sf0001/documents.parquet")
