@@ -100,6 +100,9 @@ object SparkEntry {
     "q38_topk_sketch" -> q38,
     "q39_dedup_clusters" -> q39,
     "q40_det_sample" -> q40,
+    "q42_decontaminate" -> q42,
+    "q43_text_clean" -> q43,
+    "q44_split_assign" -> q44,
   )
 
   // =====================================================================
@@ -604,6 +607,34 @@ object SparkEntry {
       .select(col("doc_id"), col("lang"))
       .orderBy(col("doc_id"))
 
+  /** Decontamination: training docs (doc_id % 10 != 0) containing ≥ half of
+    * an eval doc's (doc_id % 10 == 0) distinct shingles — one-sided
+    * containment via a bipartite inverted-index join, never all-pairs. */
+  private def q42(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    Dedup.crossCorpusOverlap(
+        docs.where(col("doc_id") % 10 =!= 0), docs.where(col("doc_id") % 10 === 0),
+        "doc_id", "text", shingleLen = 3, threshold = 0.5, maxShingleDf = 50)
+      .orderBy(col("corpus_id"), col("probe_id"))
+  }
+
+  /** Corpus cleaning: control chars stripped, whitespace collapsed, trimmed,
+    * truncated — per-row narrow transform in the scan stage. */
+  private def q43(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .select(col("doc_id"), Text.clean(col("text"), 200).as("cleaned"))
+      .orderBy(col("doc_id"))
+
+  /** Deterministic 80/10/10 train/val/test assignment — content-keyed, so
+    * the split is identical on every rerun and engine (a seed-based split
+    * silently contaminates eval on re-execution). */
+  private def q44(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Sampling.assignSplit(
+        Tables.documents(s, dir), "doc_id",
+        Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+      .select(col("doc_id"), col("split"))
+      .orderBy(col("doc_id"))
+
   /** Document fingerprints: md5 of normalized text + polynomial rolling
     * hash — both engine-portable, both per-row narrow transforms. */
   private def q35(s: SparkSession, dir: String): DataFrame =
@@ -924,6 +955,38 @@ object SparkEntry {
              doc_id = coalesce(comp.component, doc_id) AS is_kept
            FROM documents LEFT JOIN comp ON comp.id = doc_id
            ORDER BY id""",
+
+      "q42_decontaminate" ->
+        s"""WITH cs AS (
+             SELECT doc_id AS corpus_id, unnest(list_distinct(${shingles(3)})) AS s
+             FROM (SELECT doc_id, $toks AS toks FROM documents WHERE doc_id % 10 <> 0) d),
+           ps AS (
+             SELECT doc_id AS probe_id, unnest(list_distinct(${shingles(3)})) AS s
+             FROM (SELECT doc_id, $toks AS toks FROM documents WHERE doc_id % 10 = 0) d),
+           stop AS (SELECT s FROM cs GROUP BY s HAVING count(*) > 50),
+           csb AS (SELECT * FROM cs WHERE s NOT IN (SELECT s FROM stop)),
+           psb AS (SELECT * FROM ps WHERE s NOT IN (SELECT s FROM stop)),
+           sizes AS (SELECT probe_id, count(*) AS n_sh FROM psb GROUP BY probe_id),
+           shared AS (
+             SELECT corpus_id, probe_id, count(*) AS shared
+             FROM csb JOIN psb USING (s) GROUP BY 1, 2)
+           SELECT corpus_id, probe_id,
+             CAST(shared AS DOUBLE) / CAST(n_sh AS DOUBLE) AS containment
+           FROM shared JOIN sizes USING (probe_id)
+           WHERE CAST(shared AS DOUBLE) / CAST(n_sh AS DOUBLE) >= 0.5
+           ORDER BY corpus_id, probe_id""",
+
+      "q43_text_clean" ->
+        """SELECT doc_id,
+           substr(trim(regexp_replace(regexp_replace(text, '[\x00-\x1F\x7F]', ' ', 'g'), '\s+', ' ', 'g')), 1, 200) AS cleaned
+           FROM documents ORDER BY doc_id""",
+
+      "q44_split_assign" ->
+        s"""SELECT doc_id,
+           CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) < '${graft.operators.Sampling.thresholdHex(0.8)}' THEN 'train'
+                WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) < '${graft.operators.Sampling.thresholdHex(0.9)}' THEN 'val'
+                ELSE 'test' END AS split
+           FROM documents ORDER BY doc_id""",
 
       "q38_topk_sketch" ->
         """SELECT word, cnt FROM (

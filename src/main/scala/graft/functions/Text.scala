@@ -33,6 +33,17 @@ object Text {
   def bpeishTokenCount(text: Column): Column =
     size(regexp_extract_all(text, lit("[A-Za-z0-9]+|[^A-Za-z0-9\\s]"), lit(0)))
 
+  /** Training-corpus text cleaning: control characters → spaces, whitespace
+    * collapsed, trimmed, hard-truncated to `maxChars`. Pure per-row column
+    * expression (zero shuffle, runs in the scan stage); the rules are plain
+    * regexes so the DuckDB oracle mirrors them byte-for-byte. The truncation
+    * is by CHARACTER — a token-boundary-respecting truncate would compose
+    * `tokens` + `slice` + `concat_ws` on top. */
+  def clean(text: Column, maxChars: Int): Column = {
+    require(maxChars > 0, s"maxChars must be positive, got $maxChars")
+    substring(trim(regexp_replace(regexp_replace(text, "[\\x00-\\x1F\\x7F]", " "), "\\s+", " ")), 1, maxChars)
+  }
+
   /** MD5 fingerprint of the normalized text — the exact-dedup key. */
   def fingerprint(text: Column): Column = md5(normalize(text))
 

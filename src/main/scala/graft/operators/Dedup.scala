@@ -286,6 +286,46 @@ object Dedup {
       .withColumn("is_kept", col("id") === col("representative"))
   }
 
+  /** Cross-corpus CONTAMINATION detection (decontamination of training data
+    * against an eval/test set): for each probe (test) document, the corpus
+    * (training) documents containing at least `threshold` of its distinct
+    * shingles. Containment — `|probe ∩ corpus-doc| / |probe|` — is the
+    * standard decontamination measure (one-sided, unlike Jaccard: a test
+    * prompt fully embedded in a long training doc must score 1.0).
+    *
+    * Scale shape: a bipartite inverted-index equi-join on shingle strings —
+    * the training corpus is NEVER paired all-vs-all with the probe set.
+    * Shingles with corpus document frequency above `maxShingleDf` are
+    * stop-shingles, excluded from the whole similarity universe (matching
+    * AND the containment denominator — the [[ngramJaccard]] pruning rule,
+    * mirrored by the oracle); this bounds the join's hottest keys. Probe
+    * shingles absent from the corpus keep their denominator weight (their
+    * corpus df is 0). Output: (corpus_id, probe_id, containment). */
+  def crossCorpusOverlap(corpus: DataFrame, probe: DataFrame,
+                         idCol: String, textCol: String,
+                         shingleLen: Int = 3, threshold: Double = 0.5,
+                         maxShingleDf: Int = 50): DataFrame = {
+    graft.GraftFunctions.ensureRegistered(corpus.sparkSession)
+    def shingled(df: DataFrame, as: String): DataFrame = df.select(
+      col(idCol).as(as),
+      explode(array_distinct(Text.fastWordShingles(col(textCol), shingleLen))).as("sh"))
+    val cs = shingled(corpus, "corpus_id")
+    val ps = shingled(probe, "probe_id")
+    // stop-shingles by CORPUS document frequency; anti-join keeps the
+    // pruning a short-key hash join (the stop set is tiny by construction)
+    val stop = cs.groupBy(col("sh")).agg(count(lit(1)).as("df"))
+      .where(col("df") > maxShingleDf).select(col("sh"))
+    val csb = cs.join(stop, Seq("sh"), "left_anti")
+    val psb = ps.join(stop, Seq("sh"), "left_anti")
+    val probeSizes = psb.groupBy(col("probe_id")).agg(count(lit(1)).as("n_sh"))
+    val shared = csb.join(psb, Seq("sh"))
+      .groupBy(col("corpus_id"), col("probe_id")).agg(count(lit(1)).as("shared"))
+    shared.join(probeSizes, Seq("probe_id"))
+      .select(col("corpus_id"), col("probe_id"),
+        (col("shared").cast("double") / col("n_sh").cast("double")).as("containment"))
+      .where(col("containment") >= threshold)
+  }
+
   /** Exact n-gram Jaccard near-dup pairs via inverted index:
     * doc → distinct shingles → (shingle, doc) index → self-join on shingle →
     * shared-shingle counts → Jaccard = shared / (|A| + |B| - shared).

@@ -36,6 +36,31 @@ object Sampling {
   def deterministicSample(df: DataFrame, idCol: String, rate: Double): DataFrame =
     df.where(samplePredicate(col(idCol), rate))
 
+  /** Deterministic train/val/test split assignment: each row lands in
+    * exactly one named split, by md5 range partition on its id. Content-
+    * keyed like [[deterministicSample]] — stable across runs, partitionings,
+    * engines, and incremental loads, which is what makes a split SAFE for a
+    * training pipeline (a seed-based split reshuffles rows between train and
+    * test on every rerun — silent eval contamination). Narrow per-row
+    * expression, zero shuffle.
+    *
+    * @param splits ordered (name, weight) list; weights must sum to 1. The
+    *               LAST split takes the residual hash range, so rounding
+    *               never drops a row. */
+  def assignSplit(df: DataFrame, idCol: String, splits: Seq[(String, Double)],
+                  as: String = "split"): DataFrame = {
+    require(splits.nonEmpty, "assignSplit needs at least one split")
+    require(splits.forall(_._2 >= 0.0), s"negative split weight in $splits")
+    require(math.abs(splits.map(_._2).sum - 1.0) < 1e-9,
+      s"split weights must sum to 1, got ${splits.map(_._2).sum}")
+    val cum = splits.init.scanLeft(0.0)(_ + _._2).tail // cumulative bounds, last split = residual
+    val h = substring(md5(col(idCol).cast("string")), 1, 8)
+    val assigned = splits.init.zip(cum).foldRight(lit(splits.last._1): Column) {
+      case (((name, _), upper), rest) => when(h < lit(thresholdHex(upper)), lit(name)).otherwise(rest)
+    }
+    df.withColumn(as, assigned)
+  }
+
   /** Per-stratum rates (e.g. downsample one language, keep another whole).
     * Strata absent from the map fall back to `defaultRate`. */
   def stratifiedSample(df: DataFrame, idCol: String, strataCol: String,
