@@ -131,13 +131,17 @@ final class DataStream[A] private[graft] (private[graft] val df: DataFrame) {
     val e = Expr.normalize(f(Expr.id[(S, A)]))
     val keyCol = key(Expr.id[A]).toColumn(value)
     val orderCol = order(Expr.id[A]).toColumn(value)
-    AccumulateRewrite(e, z, value, keyCol, orderCol) match {
+    // pre-project key/order to plain attributes: a complex (e.g. struct)
+    // order EXPRESSION is otherwise re-extracted per window function, the
+    // specs stop comparing equal, and Catalyst plans TWO Window+Sort pairs
+    // where one frame suffices
+    val prepared0 = df.select(keyCol.as("_k"), orderCol.as("_o"), value.as(ValueCol))
+    AccumulateRewrite(e, z, col(ValueCol), col("_k"), col("_o")) match {
       case Some(out) =>
-        new DataStream[B](df.select(out.as(ValueCol)))
+        new DataStream[B](prepared0.select(out.as(ValueCol)))
       case None =>
         val outSchema = StructType(Seq(StructField(ValueCol, sb.dataType)))
-        val prepared = df
-          .select(keyCol.as("_k"), orderCol.as("_o"), value.as(ValueCol))
+        val prepared = prepared0
           .repartition(col("_k"))
           .sortWithinPartitions(col("_k"), col("_o"))
         val out = prepared.mapPartitions { it =>
