@@ -24,13 +24,22 @@ object Vectors {
 
   /** Codegen'd dot product via the native [[graft.functions.catalyst.ArrayDotProduct]]
     * expression — bit-identical to [[dot]] but ~6× faster (HOF lambdas are
-    * interpreted per element). Requires
-    * [[graft.GraftFunctions.ensureRegistered]] (or [[graft.GraftExtensions]])
-    * on the session. */
-  def fastDot(a: Column, b: Column): Column = call_function("graft_dot", a, b)
+    * interpreted per element). Builds the Catalyst node directly, so no
+    * session registration is needed (registration is only for SQL-string
+    * users of `graft_dot`). */
+  def fastDot(a: Column, b: Column): Column = {
+    import org.apache.spark.sql.classic.GraftBridge
+    GraftBridge.column(graft.functions.catalyst.ArrayDotProduct(
+      GraftBridge.expr(a), GraftBridge.expr(b)))
+  }
 
-  /** Squared L2 norm. */
-  def normSq(a: Column): Column =
+  /** Squared L2 norm — `fastDot(a, a)`: the same strictly-sequential
+    * Σ x_i² the HOF formulation computes (bit-identical, oracle-safe), in
+    * one codegen'd loop instead of an interpreted per-element lambda. */
+  def normSq(a: Column): Column = fastDot(a, a)
+
+  /** Interpreted-HOF twin of [[normSq]], kept as the spec's parity oracle. */
+  private[graft] def normSqHof(a: Column): Column =
     aggregate(a, lit(0.0), (acc, x) => acc + x.cast("double") * x.cast("double"))
 
   /** L2 norm. */
@@ -47,9 +56,11 @@ object Vectors {
     * before fan-out ANN. Native one-pass expression
     * ([[graft.functions.catalyst.ArrayL2Normalize]]): the HOF formulation
     * `transform(a, x -> x/norm(a))` re-evaluates the norm per ELEMENT
-    * (O(d²), interpreted). Requires
-    * [[graft.GraftFunctions.ensureRegistered]] on the session. */
-  def l2normalize(a: Column): Column = call_function("graft_l2normalize", a)
+    * (O(d²), interpreted). Direct Catalyst node — no registration needed. */
+  def l2normalize(a: Column): Column = {
+    import org.apache.spark.sql.classic.GraftBridge
+    GraftBridge.column(graft.functions.catalyst.ArrayL2Normalize(GraftBridge.expr(a)))
+  }
 
   /** Deterministic pseudo-random hyperplane component for LSH: xxhash64 of
     * (plane, dim) mapped into [-0.5, 0.5). Deterministic under any

@@ -60,6 +60,21 @@ object Tables {
     schemaDdl.fold(r)(s => r.schema(s)).json(path)
   }
 
+  /** Write a frame as a bucketed + sorted parquet table. Pipelines that
+    * repeatedly join/aggregate on the same keys (dedup signatures, posting
+    * lists, entity-keyed features) pay the shuffle ONCE at write; every
+    * later equi-join or aggregation on `keys` between co-bucketed tables
+    * plans with no exchange (ScaleSpec asserts the shuffle-free join).
+    * Bucket count sets read parallelism — size it so a bucket fits an
+    * executor's memory at the target scale. */
+  def writeBucketed(df: DataFrame, table: String, buckets: Int, keys: String*): Unit = {
+    require(keys.nonEmpty, "writeBucketed needs at least one bucket key")
+    df.write.mode("overwrite")
+      .bucketBy(buckets, keys.head, keys.tail: _*)
+      .sortBy(keys.head, keys.tail: _*)
+      .format("parquet").saveAsTable(table)
+  }
+
   /** Register all tables as temp views so `spark.sql` works against the same
     * names the DuckDB oracle uses. */
   def registerAll(spark: SparkSession, dir: String): Unit =

@@ -12,8 +12,8 @@ class ScaleSpec extends SparkSuite {
     val c = spark.read.parquet(s"$sf0001/customer.parquet")
     spark.sql("DROP TABLE IF EXISTS orders_b")
     spark.sql("DROP TABLE IF EXISTS customer_b")
-    o.write.bucketBy(8, "o_custkey").sortBy("o_custkey").saveAsTable("orders_b")
-    c.write.bucketBy(8, "c_custkey").sortBy("c_custkey").saveAsTable("customer_b")
+    graft.sources.Tables.writeBucketed(o, "orders_b", 8, "o_custkey")
+    graft.sources.Tables.writeBucketed(c, "customer_b", 8, "c_custkey")
     val prevThreshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
     try {
       spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1") // force sort-merge path
