@@ -103,6 +103,7 @@ object SparkEntry {
     "q42_decontaminate" -> q42,
     "q43_text_clean" -> q43,
     "q44_split_assign" -> q44,
+    "q45_repetition" -> q45,
   )
 
   // =====================================================================
@@ -635,6 +636,16 @@ object SparkEntry {
       .select(col("doc_id"), col("split"))
       .orderBy(col("doc_id"))
 
+  /** Repetition quality signal: duplicated-n-gram fraction per document
+    * (1-gram and 3-gram), the standard boilerplate/degenerate-text filter —
+    * per-row expressions over the one-pass native shingler. */
+  private def q45(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .select(col("doc_id"),
+        Text.repetitionRatio(col("text"), 1).as("rep_1gram"),
+        Text.repetitionRatio(col("text"), 3).as("rep_3gram"))
+      .orderBy(col("doc_id"))
+
   /** Document fingerprints: md5 of normalized text + polynomial rolling
     * hash — both engine-portable, both per-row narrow transforms. */
   private def q35(s: SparkSession, dir: String): DataFrame =
@@ -987,6 +998,15 @@ object SparkEntry {
                 WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) < '${graft.operators.Sampling.thresholdHex(0.9)}' THEN 'val'
                 ELSE 'test' END AS split
            FROM documents ORDER BY doc_id""",
+
+      "q45_repetition" -> {
+        def rep(n: Int) =
+          s"CASE WHEN len(${shingles(n)}) <= 1 THEN 0.0 " +
+          s"ELSE 1.0 - CAST(len(list_distinct(${shingles(n)})) AS DOUBLE) / CAST(len(${shingles(n)}) AS DOUBLE) END"
+        s"""SELECT doc_id, ${rep(1)} AS rep_1gram, ${rep(3)} AS rep_3gram
+           FROM (SELECT doc_id, $toks AS toks FROM documents) d
+           ORDER BY doc_id"""
+      },
 
       "q38_topk_sketch" ->
         """SELECT word, cnt FROM (

@@ -44,6 +44,19 @@ object Text {
     substring(trim(regexp_replace(regexp_replace(text, "[\\x00-\\x1F\\x7F]", " "), "\\s+", " ")), 1, maxChars)
   }
 
+  /** Fraction of duplicated word n-grams: `1 - |distinct n-grams| /
+    * |n-grams|`. The standard repetition signal for corpus quality
+    * filtering — degenerate/boilerplate text repeats itself (rule family
+    * published with the Gopher corpus pipeline, Rae et al. 2021, app. A).
+    * Per-row column expression, zero shuffle; 0.0 for docs too short to
+    * have more than one n-gram. */
+  def repetitionRatio(text: Column, n: Int): Column = {
+    val sh = fastWordShingles(text, n)
+    val total = size(sh).cast("double")
+    when(total <= 1.0, lit(0.0))
+      .otherwise(lit(1.0) - size(array_distinct(sh)).cast("double") / total)
+  }
+
   /** MD5 fingerprint of the normalized text — the exact-dedup key. */
   def fingerprint(text: Column): Column = md5(normalize(text))
 
@@ -60,10 +73,12 @@ object Text {
   /** Contiguous word n-gram shingles via the native one-pass
     * [[graft.functions.catalyst.WordShingles]] expression — semantically
     * identical to [[wordShingles]] but ~10× cheaper (the built-in HOF
-    * formulation re-tokenizes 4× per row, interpreted). Requires
-    * [[graft.GraftFunctions.ensureRegistered]] on the session. */
-  def fastWordShingles(text: Column, n: Int): Column =
-    call_function("graft_shingles", text, lit(n))
+    * formulation re-tokenizes 4× per row, interpreted). Direct Catalyst
+    * node — no session registration needed. */
+  def fastWordShingles(text: Column, n: Int): Column = {
+    import org.apache.spark.sql.classic.GraftBridge
+    GraftBridge.column(graft.functions.catalyst.WordShingles(GraftBridge.expr(text), n))
+  }
 
   /** Contiguous word n-gram shingles ("a b c", n=2 → ["a b", "b c"]).
     * Documents shorter than n words get their whole text as one shingle.
