@@ -208,6 +208,44 @@ object Expr {
       s.eval(in).asInstanceOf[String].split(delim.eval(in).asInstanceOf[String]).toSeq
   }
 
+  // -- string scalar surface (engine extension: the reference ships only
+  // `Split`; a usable pipeline DSL needs the basics; all compile to native
+  // codegen'd Columns, and `eval` mirrors Spark semantics exactly) --
+
+  final case class StrConcat[A](l: Expr[A, String], r: Expr[A, String]) extends Expr[A, String] {
+    private[graft] def toColumn(in: Column): Column = concat(l.toColumn(in), r.toColumn(in))
+    private[graft] def eval(in: Any): Any =
+      l.eval(in).asInstanceOf[String] + r.eval(in).asInstanceOf[String]
+  }
+  final case class StrLen[A](s: Expr[A, String]) extends Expr[A, Long] {
+    private[graft] def toColumn(in: Column): Column = length(s.toColumn(in)).cast("long")
+    private[graft] def eval(in: Any): Any = s.eval(in).asInstanceOf[String].length.toLong
+  }
+  final case class StrLower[A](s: Expr[A, String]) extends Expr[A, String] {
+    private[graft] def toColumn(in: Column): Column = lower(s.toColumn(in))
+    private[graft] def eval(in: Any): Any = s.eval(in).asInstanceOf[String].toLowerCase
+  }
+  final case class StrUpper[A](s: Expr[A, String]) extends Expr[A, String] {
+    private[graft] def toColumn(in: Column): Column = upper(s.toColumn(in))
+    private[graft] def eval(in: Any): Any = s.eval(in).asInstanceOf[String].toUpperCase
+  }
+  /** SQL substring: `pos` is 1-based, out-of-range clamps to the string —
+    * `eval` reproduces Spark's `substring` exactly (only non-negative `pos`
+    * is supported; the from-the-end negative convention is not). */
+  final case class SubStr[A](s: Expr[A, String], pos: Expr[A, Long], len: Expr[A, Long]) extends Expr[A, String] {
+    private[graft] def toColumn(in: Column): Column =
+      substring(s.toColumn(in), pos.toColumn(in).cast("int"), len.toColumn(in).cast("int"))
+    private[graft] def eval(in: Any): Any = {
+      val str = s.eval(in).asInstanceOf[String]
+      val p = pos.eval(in).asInstanceOf[Long]
+      val n = len.eval(in).asInstanceOf[Long]
+      require(p >= 0, s"SubStr.eval supports non-negative pos only, got $p")
+      val from = math.min(math.max(p - 1, 0), str.length)
+      val until = math.min(from + math.max(n, 0), str.length)
+      str.substring(from.toInt, until.toInt)
+    }
+  }
+
   /** List length as Long (reference `Length`, Expression.scala:27). */
   final case class Length[A, B](list: Expr[A, List[B]]) extends Expr[A, Long] {
     private[graft] def toColumn(in: Column): Column = size(list.toColumn(in)).cast("long")
@@ -311,6 +349,12 @@ object Expr {
       case BoolOp(l, r, op)  => BoolOp(s(l).asInstanceOf[Expr[Any, Boolean]], s(r).asInstanceOf[Expr[Any, Boolean]], op)
       case Not(x)            => Not(s(x).asInstanceOf[Expr[Any, Boolean]])
       case SplitStr(a, d)    => SplitStr(s(a).asInstanceOf[Expr[Any, String]], s(d).asInstanceOf[Expr[Any, String]])
+      case StrConcat(a, c)   => StrConcat(s(a).asInstanceOf[Expr[Any, String]], s(c).asInstanceOf[Expr[Any, String]])
+      case StrLen(a)         => StrLen(s(a).asInstanceOf[Expr[Any, String]])
+      case StrLower(a)       => StrLower(s(a).asInstanceOf[Expr[Any, String]])
+      case StrUpper(a)       => StrUpper(s(a).asInstanceOf[Expr[Any, String]])
+      case SubStr(a, p, n)   => SubStr(s(a).asInstanceOf[Expr[Any, String]],
+        s(p).asInstanceOf[Expr[Any, Long]], s(n).asInstanceOf[Expr[Any, Long]])
       case Length(x)         => Length(s(x).asInstanceOf[Expr[Any, List[Any]]])
       case ListSum(x)        => ListSum(s(x).asInstanceOf[Expr[Any, List[Long]]])
       case KeyValue(k, v)    => KeyValue(s(k), s(v))
@@ -393,6 +437,12 @@ object Expr {
     def split(delim: Expr[A, String]): Expr[A, List[String]] = SplitStr(e, delim)
     def ===(o: Expr[A, String]): Expr[A, Boolean] = Cmp(e, o, "==")
     def =!=(o: Expr[A, String]): Expr[A, Boolean] = Cmp(e, o, "!=")
+    def ++(o: Expr[A, String]): Expr[A, String] = StrConcat(e, o)
+    def strlen: Expr[A, Long] = StrLen(e)
+    def toLowerCase: Expr[A, String] = StrLower(e)
+    def toUpperCase: Expr[A, String] = StrUpper(e)
+    /** SQL-style 1-based substring (clamping; see [[SubStr]]). */
+    def substring(pos: Expr[A, Long], len: Expr[A, Long]): Expr[A, String] = SubStr(e, pos, len)
   }
 
   implicit final class BoolExprOps[A](private val e: Expr[A, Boolean]) extends AnyVal {

@@ -50,6 +50,18 @@ class ExprSpec extends SparkSuite {
     assert(lit.map(t => t.split("::").length).collectValues == Seq(2L)) // trailing empties dropped
   }
 
+  test("string surface: concat/length/case/substring agree between Catalyst and eval") {
+    val ds = DataStream.fromLiterals("Hello World", "x")
+    // Catalyst path
+    val gotCol = ds.map(t => ((t ++ "!").toLowerCase &&& t.strlen) &&& t.substring(7L, 5L)).collectValues
+    assert(gotCol == Seq((("hello world!", 11L), "World"), (("x!", 1L), "")))
+    // eval path must agree node-for-node (exercised through mapAccumulate)
+    val viaEval = DataStream.fromLiterals(("Hello World", 0L), ("x", 0L))
+      .mapAccumulate[Long, String](0L)(t => t._1 &&& (t._2._1.substring(1L, 3L)).toUpperCase)
+      .collectValues
+    assert(viaEval == Seq("HEL", "X"))
+  }
+
   test("mixed tuple lifting: (expr, value) and (value, expr) pairs lift implicitly (reference liftMixed)") {
     val ds = DataStream.fromLiterals(5L, 7L)
     // (expr, plain value) — reference liftMixedR
