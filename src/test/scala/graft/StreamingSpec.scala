@@ -135,6 +135,34 @@ class StreamingSpec extends SparkSuite {
     } finally q.stop()
   }
 
+  test("facade foldWindow with SESSION windows runs streaming (merge + watermark flush)") {
+    import graft.expr.Expr._
+    import graft.stream.DataStream
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, String)]
+    val counted = DataStream.fromDF[(Long, String)](input.toDF())
+      .assignTimestamps(t => t._1)
+      .groupBy(t => t.value._2)
+      .foldWindow(WindowAssigner.Session(20L), 0L)(t => t._1 + 1L)
+    val q = counted.toDF.select(
+        col("value.key").as("k"),
+        col("value.value.window.start").as("ws"),
+        col("value.value.window.end").as("we"),
+        col("value.value.value").as("n"))
+      .writeStream.outputMode("append").format("memory").queryName("fsess").start()
+    try {
+      input.addData((0L, "u"), (5L, "u"), (100L, "u"))
+      q.processAllAvailable()
+      input.addData((500L, "u")) // advance watermark → flush both sessions
+      q.processAllAvailable()
+      val rows = spark.table("fsess").collect()
+        .map(r => (r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+      assert(rows.contains((0L, 25L, 2L)), s"merged session missing: $rows")   // 0,5 merged; end = last+gap
+      assert(rows.contains((100L, 120L, 1L)), s"singleton session missing: $rows")
+    } finally q.stop()
+  }
+
   test("streaming session windows merge within gap and flush on watermark") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
