@@ -104,6 +104,9 @@ object SparkEntry {
     "q43_text_clean" -> q43,
     "q44_split_assign" -> q44,
     "q45_repetition" -> q45,
+    "q46_percentiles" -> q46,
+    "q47_histogram" -> q47,
+    "q48_salted_join" -> q48,
   )
 
   // =====================================================================
@@ -646,6 +649,45 @@ object SparkEntry {
         Text.repetitionRatio(col("text"), 3).as("rep_3gram"))
       .orderBy(col("doc_id"))
 
+  /** Exact continuous percentiles (median / p95) per group — Spark
+    * `percentile` and DuckDB `quantile_cont` share the linear-interpolation
+    * definition, and the inputs are exact cents integers, so the doubles
+    * hash-match. (The approximate twin, `approx_percentile`, is
+    * estimator-specific like q30's HLL — exact is the checkable form.) */
+  private def q46(s: SparkSession, dir: String): DataFrame = {
+    val priceC = "cast(round(l_extendedprice * 100) as bigint)"
+    Tables.lineitem(s, dir)
+      .groupBy(col("l_returnflag"))
+      .agg(
+        expr(s"percentile($priceC, 0.5)").as("p50_c"),
+        expr(s"percentile($priceC, 0.95)").as("p95_c"),
+        count(lit(1)).as("n_rows"))
+      .orderBy(col("l_returnflag"))
+  }
+
+  /** Histogram binning: fixed-width buckets over a measure, count + sum per
+    * bucket. Bucket id is integer arithmetic (floor of scaled value) —
+    * engine-portable, partial-agg'd, one tiny shuffle. */
+  private def q47(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir)
+      .select(floor(col("l_quantity") / 10.0).cast("long").as("bucket"),
+        cents(col("l_extendedprice")).as("price_c"))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n_rows"), sum(col("price_c")).as("sum_price_c"))
+      .orderBy(col("bucket"))
+
+  /** Skew-mitigated join: the salted form must produce EXACTLY the plain
+    * join's rows (salting changes partitioning, never semantics) — checked
+    * against the plain-join oracle. */
+  private def q48(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(s, dir).select(col("l_orderkey"), cents(col("l_quantity")).as("qty_c"))
+    val o = Tables.orders(s, dir).select(col("o_orderkey").as("l_orderkey"), col("o_orderpriority"))
+    graft.operators.Skew.saltedJoin(li, o, "l_orderkey", salts = 8)
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_items"), sum(col("qty_c")).as("sum_qty_c"))
+      .orderBy(col("o_orderpriority"))
+  }
+
   /** Document fingerprints: md5 of normalized text + polynomial rolling
     * hash — both engine-portable, both per-row narrow transforms. */
   private def q35(s: SparkSession, dir: String): DataFrame =
@@ -1007,6 +1049,25 @@ object SparkEntry {
            FROM (SELECT doc_id, $toks AS toks FROM documents) d
            ORDER BY doc_id"""
       },
+
+      "q46_percentiles" ->
+        s"""SELECT l_returnflag,
+           quantile_cont(${C.format("l_extendedprice")}, 0.5) AS p50_c,
+           quantile_cont(${C.format("l_extendedprice")}, 0.95) AS p95_c,
+           count(*) AS n_rows
+           FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
+
+      "q47_histogram" ->
+        s"""SELECT CAST(floor(l_quantity / 10.0) AS BIGINT) AS bucket,
+           count(*) AS n_rows,
+           CAST(sum(${C.format("l_extendedprice")}) AS BIGINT) AS sum_price_c
+           FROM lineitem GROUP BY 1 ORDER BY bucket""",
+
+      "q48_salted_join" ->
+        s"""SELECT o_orderpriority, count(*) AS n_items,
+           CAST(sum(${C.format("l_quantity")}) AS BIGINT) AS sum_qty_c
+           FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+           GROUP BY o_orderpriority ORDER BY o_orderpriority""",
 
       "q38_topk_sketch" ->
         """SELECT word, cnt FROM (
