@@ -60,6 +60,19 @@ object Tables {
     schemaDdl.fold(r)(s => r.schema(s)).json(path)
   }
 
+  /** ORC source — columnar like parquet: vectorized read, predicate
+    * pushdown and column pruning all apply unchanged. */
+  def orc(spark: SparkSession, path: String): DataFrame = spark.read.orc(path)
+
+  /** Partition-pruned layout write: one directory per distinct `keys`
+    * value; scans filtering on them read only matching directories
+    * (ScaleSpec asserts the pruning). Keep partition-key cardinality modest
+    * (thousands, not millions) or the layout degenerates to tiny files. */
+  def writePartitioned(df: DataFrame, path: String, keys: String*): Unit = {
+    require(keys.nonEmpty, "writePartitioned needs at least one partition key")
+    df.write.mode("overwrite").partitionBy(keys: _*).parquet(path)
+  }
+
   /** Write a frame as a bucketed + sorted parquet table. Pipelines that
     * repeatedly join/aggregate on the same keys (dedup signatures, posting
     * lists, entity-keyed features) pay the shuffle ONCE at write; every

@@ -55,8 +55,8 @@ class ScaleSpec extends SparkSuite {
 
   test("partitioned layout prunes: only the filtered partition is scanned") {
     val base = java.nio.file.Files.createTempDirectory("graft-part").toString
-    spark.read.parquet(s"$sf0001/documents.parquet")
-      .write.partitionBy("lang").parquet(s"$base/docs")
+    graft.sources.Tables.writePartitioned(
+      spark.read.parquet(s"$sf0001/documents.parquet"), s"$base/docs", "lang")
     val q = spark.read.parquet(s"$base/docs").where(col("lang") === "en")
       .select(col("doc_id"))
     val scan = q.queryExecution.executedPlan.toString
