@@ -82,13 +82,17 @@ object GraftFunctions {
     * function registry. */
   def ensureRegistered(spark: SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry
-    if (!reg.functionExists(FunctionIdentifier("graft_dot"))) {
-      reg.createOrReplaceTempFunction("graft_dot", buildDot, "built-in")
-      reg.createOrReplaceTempFunction("graft_shingles", buildShingles, "built-in")
-      reg.createOrReplaceTempFunction("graft_topk", buildTopK, "built-in")
-      reg.createOrReplaceTempFunction("graft_l2normalize", buildL2Normalize, "built-in")
-      reg.createOrReplaceTempFunction("graft_java_split", buildJavaSplit, "built-in")
-    }
+    // per-function existence check: gating the whole block on one function
+    // would leave later-added functions unregistered in sessions that
+    // already carry the earlier set
+    def reg1(name: String, builder: Seq[Expression] => Expression): Unit =
+      if (!reg.functionExists(FunctionIdentifier(name)))
+        reg.createOrReplaceTempFunction(name, builder, "built-in")
+    reg1("graft_dot", buildDot)
+    reg1("graft_shingles", buildShingles)
+    reg1("graft_topk", buildTopK)
+    reg1("graft_l2normalize", buildL2Normalize)
+    reg1("graft_java_split", buildJavaSplit)
     if (!spark.experimental.extraStrategies.contains(graft.plans.AsOfJoinStrategy))
       spark.experimental.extraStrategies =
         spark.experimental.extraStrategies :+ graft.plans.AsOfJoinStrategy

@@ -144,6 +144,9 @@ object Expr {
         case "+" => a + b; case "-" => a - b; case "*" => a * b
         case "/" => a / b; case "%" => a % b
       }
+      // SQL null propagation — the Catalyst path yields null here, and the
+      // mapAccumulate fallback must agree with the window rewrite, not crash
+      case (null, _) | (_, null) => null
       case (a, b) => sys.error(s"arith $op on $a, $b")
     }
   }
@@ -212,37 +215,59 @@ object Expr {
   // `Split`; a usable pipeline DSL needs the basics; all compile to native
   // codegen'd Columns, and `eval` mirrors Spark semantics exactly) --
 
+  // eval-path parity notes for the string nodes: Spark's lower/upper are
+  // LOCALE-INDEPENDENT (a default-locale toLowerCase would turn "TITLE"
+  // into dotless-i "tıtle" under tr_TR), and length/substring count Unicode
+  // CODE POINTS, not UTF-16 code units — eval must match or the rewrite and
+  // fallback paths of the same pipeline silently disagree on non-BMP text.
   final case class StrConcat[A](l: Expr[A, String], r: Expr[A, String]) extends Expr[A, String] {
     private[graft] def toColumn(in: Column): Column = concat(l.toColumn(in), r.toColumn(in))
-    private[graft] def eval(in: Any): Any =
-      l.eval(in).asInstanceOf[String] + r.eval(in).asInstanceOf[String]
+    private[graft] def eval(in: Any): Any = (l.eval(in), r.eval(in)) match {
+      case (a: String, b: String) => a + b
+      case _                      => null // SQL null propagation, as concat() does
+    }
   }
   final case class StrLen[A](s: Expr[A, String]) extends Expr[A, Long] {
     private[graft] def toColumn(in: Column): Column = length(s.toColumn(in)).cast("long")
-    private[graft] def eval(in: Any): Any = s.eval(in).asInstanceOf[String].length.toLong
+    private[graft] def eval(in: Any): Any = s.eval(in) match {
+      case str: String => str.codePointCount(0, str.length).toLong
+      case _           => null
+    }
   }
   final case class StrLower[A](s: Expr[A, String]) extends Expr[A, String] {
     private[graft] def toColumn(in: Column): Column = lower(s.toColumn(in))
-    private[graft] def eval(in: Any): Any = s.eval(in).asInstanceOf[String].toLowerCase
+    private[graft] def eval(in: Any): Any = s.eval(in) match {
+      case str: String => str.toLowerCase(java.util.Locale.ROOT)
+      case _           => null
+    }
   }
   final case class StrUpper[A](s: Expr[A, String]) extends Expr[A, String] {
     private[graft] def toColumn(in: Column): Column = upper(s.toColumn(in))
-    private[graft] def eval(in: Any): Any = s.eval(in).asInstanceOf[String].toUpperCase
+    private[graft] def eval(in: Any): Any = s.eval(in) match {
+      case str: String => str.toUpperCase(java.util.Locale.ROOT)
+      case _           => null
+    }
   }
-  /** SQL substring: `pos` is 1-based, out-of-range clamps to the string —
-    * `eval` reproduces Spark's `substring` exactly (only non-negative `pos`
-    * is supported; the from-the-end negative convention is not). */
+  /** SQL substring: `pos` is 1-based in CODE POINTS, out-of-range clamps to
+    * the string; `len` clamps to [0, Int.MaxValue] on BOTH paths (an
+    * unclamped cast-to-int would silently wrap `Long.MaxValue` to -1).
+    * Only non-negative `pos` is supported (the from-the-end negative
+    * convention is not). */
   final case class SubStr[A](s: Expr[A, String], pos: Expr[A, Long], len: Expr[A, Long]) extends Expr[A, String] {
     private[graft] def toColumn(in: Column): Column =
-      substring(s.toColumn(in), pos.toColumn(in).cast("int"), len.toColumn(in).cast("int"))
-    private[graft] def eval(in: Any): Any = {
-      val str = s.eval(in).asInstanceOf[String]
-      val p = pos.eval(in).asInstanceOf[Long]
-      val n = len.eval(in).asInstanceOf[Long]
-      require(p >= 0, s"SubStr.eval supports non-negative pos only, got $p")
-      val from = math.min(math.max(p - 1, 0), str.length)
-      val until = math.min(from + math.max(n, 0), str.length)
-      str.substring(from.toInt, until.toInt)
+      substring(s.toColumn(in),
+        least(greatest(pos.toColumn(in), lit(0L)), lit(Int.MaxValue.toLong)).cast("int"),
+        least(greatest(len.toColumn(in), lit(0L)), lit(Int.MaxValue.toLong)).cast("int"))
+    private[graft] def eval(in: Any): Any = (s.eval(in), pos.eval(in), len.eval(in)) match {
+      case (str: String, p: Long, n: Long) =>
+        require(p >= 0, s"SubStr.eval supports non-negative pos only, got $p")
+        val cpLen = str.codePointCount(0, str.length).toLong
+        val from = math.min(math.max(p - 1, 0L), cpLen)
+        val until = math.min(from + math.min(math.max(n, 0L), Int.MaxValue.toLong), cpLen)
+        str.substring(
+          str.offsetByCodePoints(0, from.toInt),
+          str.offsetByCodePoints(0, until.toInt))
+      case _ => null
     }
   }
 

@@ -121,9 +121,13 @@ object Vectors {
   }
 
   /** Probe the dimensionality of a vector column (one tiny job; call once at
-    * plan build, never per row). Returns 0 for an empty frame. */
+    * plan build, never per row). Null/empty vectors are skipped — a null in
+    * the first row would otherwise read as size -1 and flow into
+    * `Array.tabulate(-1)` at plan build. Returns 0 when no non-empty vector
+    * exists. */
   def dims(df: org.apache.spark.sql.DataFrame, vecCol: String): Int = {
-    val r = df.select(size(col(vecCol))).limit(1).collect()
+    val r = df.where(col(vecCol).isNotNull && size(col(vecCol)) > 0)
+      .select(size(col(vecCol))).limit(1).collect()
     if (r.isEmpty) 0 else r(0).getInt(0)
   }
 }

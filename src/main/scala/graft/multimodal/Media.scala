@@ -91,20 +91,26 @@ object Media {
       if (b.length < 12 || !hasTag(b, 0, "RIFF") || !hasTag(b, 8, "WAVE")) None
       else {
         val bb = ByteBuffer.wrap(b).order(ByteOrder.LITTLE_ENDIAN)
-        var pos = 12
+        // pos advances in LONG arithmetic: a hostile/garbled size field near
+        // 2^32 would truncate to a zero-or-negative Int advance — an
+        // infinite loop or out-of-bounds read inside an executor scan. The
+        // unsigned size is always >= 0, so the Long cursor strictly
+        // advances (>= 8 per chunk) and overshoot just ends the walk.
+        var pos = 12L
         var fmt: Option[(Int, Int, Int, Int)] = None // channels, rate, bits, blockAlign
         var dataBytes = -1L
         while (pos + 8 <= b.length && (fmt.isEmpty || dataBytes < 0)) {
-          val size = bb.getInt(pos + 4).toLong & 0xffffffffL
-          if (hasTag(b, pos, "fmt ") && pos + 24 <= b.length) {
-            fmt = Some((bb.getShort(pos + 10).toInt, bb.getInt(pos + 12),
-              if (pos + 24 + 2 <= b.length) bb.getShort(pos + 22).toInt else 16,
-              bb.getShort(pos + 20).toInt))
-          } else if (hasTag(b, pos, "data")) {
-            dataBytes = math.min(size, (b.length - pos - 8).toLong)
+          val p = pos.toInt // safe: pos + 8 <= b.length <= Int.MaxValue
+          val size = bb.getInt(p + 4).toLong & 0xffffffffL
+          if (hasTag(b, p, "fmt ") && p + 24 <= b.length) {
+            fmt = Some((bb.getShort(p + 10).toInt, bb.getInt(p + 12),
+              if (p + 24 + 2 <= b.length) bb.getShort(p + 22).toInt else 16,
+              bb.getShort(p + 20).toInt))
+          } else if (hasTag(b, p, "data")) {
+            dataBytes = math.min(size, (b.length - p - 8).toLong)
           }
           // chunks are word-aligned: odd sizes carry a pad byte
-          pos += 8 + size.toInt + (size.toInt & 1)
+          pos += 8L + size + (size & 1L)
         }
         fmt.collect { case (ch, rate, bits, block) if ch > 0 && rate > 0 && block > 0 && dataBytes >= 0 =>
           WavMeta(ch, rate, bits, dataBytes / block)

@@ -53,7 +53,9 @@ object Sampling {
     require(splits.forall(_._2 >= 0.0), s"negative split weight in $splits")
     require(math.abs(splits.map(_._2).sum - 1.0) < 1e-9,
       s"split weights must sum to 1, got ${splits.map(_._2).sum}")
-    val cum = splits.init.scanLeft(0.0)(_ + _._2).tail // cumulative bounds, last split = residual
+    // clamp: fp prefix-sums of weights that pass the 1e-9 total check can
+    // still exceed 1.0 by an ulp, which thresholdHex would reject
+    val cum = splits.init.scanLeft(0.0)(_ + _._2).tail.map(c => math.min(c, 1.0))
     val h = substring(md5(col(idCol).cast("string")), 1, 8)
     val assigned = splits.init.zip(cum).foldRight(lit(splits.last._1): Column) {
       case (((name, _), upper), rest) => when(h < lit(thresholdHex(upper)), lit(name)).otherwise(rest)

@@ -59,6 +59,7 @@ object Similarity {
               planes: Int = 8, tables: Int = 4, dim: Int = -1): DataFrame = {
     GraftFunctions.ensureRegistered(queries.sparkSession)
     val d = if (dim > 0) dim else Vectors.dims(corpus, vecCol)
+    require(d > 0, s"cannot infer embedding dimensionality of '$vecCol' (no non-empty vectors); pass dim explicitly")
     def buckets(df: DataFrame, id: String): DataFrame =
       df.select(col(idCol).as(id),
         explode(array((0 until tables).map { t =>
@@ -176,6 +177,7 @@ object Similarity {
                        threshold: Double, planes: Int = 6, dim: Int = -1): DataFrame = {
     GraftFunctions.ensureRegistered(corpus.sparkSession)
     val d = if (dim > 0) dim else Vectors.dims(corpus, vecCol)
+    require(d > 0, s"cannot infer embedding dimensionality of '$vecCol' (no non-empty vectors); pass dim explicitly")
     val b = corpus.select(col(idCol).as("id"), col(vecCol).as("v"),
       Vectors.norm(col(vecCol)).as("n"),
       Vectors.lshBucket(col(vecCol), planes, d).as("bucket"))

@@ -58,6 +58,17 @@ class MediaSpec extends SparkSuite {
     assert(meta.durationSeconds == 0.5)
     assert(Media.HeaderCodec.decodeBmp("not a bitmap".getBytes).isEmpty)
     assert(Media.HeaderCodec.decodeWav("not audio".getBytes).isEmpty)
+    // hostile chunk sizes near 2^32 must neither loop forever (Int-truncated
+    // advance of 0) nor read out of bounds (negative advance) — the walk
+    // runs in Long arithmetic and just terminates
+    def hostileWav(sizeField: Int): Array[Byte] = {
+      val b = ByteBuffer.allocate(32).order(ByteOrder.LITTLE_ENDIAN)
+      b.put("RIFF".getBytes).putInt(24).put("WAVE".getBytes)
+      b.put("JUNK".getBytes).putInt(sizeField).putLong(0L)
+      b.array()
+    }
+    assert(Media.HeaderCodec.decodeWav(hostileWav(0xFFFFFFF8)).isEmpty) // advance would truncate to 0
+    assert(Media.HeaderCodec.decodeWav(hostileWav(0x80000000)).isEmpty) // advance would go negative
 
     // through the full Spark pipeline (binary transport + batch decode)
     val rows = java.util.Arrays.asList(
