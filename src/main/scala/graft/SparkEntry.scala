@@ -854,14 +854,20 @@ object SparkEntry {
         s"""SELECT CAST(min(doc_id) AS BIGINT) AS doc_id, count(*) AS n_copies
            FROM documents GROUP BY md5($norm) ORDER BY doc_id""",
 
+      // Two-hash min-hash family mirrored exactly: one md5 per distinct
+      // shingle, 32-bit halves h1/h2, hash i = (h1 + i*h2) mod P — BIGINT
+      // arithmetic is identical on both engines.
       "q18_minhash_lsh" ->
-        s"""WITH sh AS (
-             SELECT doc_id AS id, $toks AS toks FROM documents),
+        s"""WITH ex AS (
+             SELECT doc_id AS id, unnest(list_distinct(${shingles(3)})) AS s
+             FROM (SELECT doc_id, $toks AS toks FROM documents) d),
+           hv AS (
+             SELECT id, ('0x' || substr(md5(s), 1, 8))::BIGINT AS h1,
+                        ('0x' || substr(md5(s), 9, 8))::BIGINT AS h2
+             FROM ex),
            sig AS (
-             SELECT id, list_transform(range(0, 16), i ->
-               list_min(list_transform(list_distinct(${shingles(3)}), s ->
-                 md5(s || '|' || CAST(i AS VARCHAR))))) AS sig
-             FROM sh),
+             SELECT id, [${(0 until 16).map(i => s"min((h1 + $i * h2) % 4294967291)").mkString(", ")}] AS sig
+             FROM hv GROUP BY id),
            banded AS (
              SELECT id, sig, unnest(list_transform(range(0, 4), b ->
                CAST(b AS VARCHAR) || ':' || md5(array_to_string(list_slice(sig, b * 4 + 1, b * 4 + 4), '|')))) AS band

@@ -23,10 +23,11 @@ import org.apache.spark.sql.functions._
   *    zero shuffle until the candidate join, and the candidate join is an
   *    equi-join on short band keys, which Spark hash-partitions; each band
   *    bucket is tiny by construction.
-  *  - All hashing is `md5` over strings: engine-portable (the DuckDB oracle
-  *    computes the identical signature) and deterministic under any
-  *    partitioning. Min-over-md5-hex is a valid uniform min-hash because hex
-  *    strings of equal length order lexicographically as their numeric value.
+  *  - All hashing bottoms out in `md5`: engine-portable (the DuckDB oracle
+  *    computes the identical values) and deterministic under any
+  *    partitioning. MinHash uses the two-hash family over the digest's
+  *    32-bit halves (see [[minHashFlat]]); SimHash and band keys read the
+  *    digest directly.
   */
 object Dedup {
 
@@ -56,23 +57,35 @@ object Dedup {
       b => concat(b.cast("string"), lit(":"), md5(concat_ws("|", slice(signature, b * rows + 1, lit(rows))))))
   }
 
-  /** MinHash signature table via explode → single groupBy: one md5 per
-    * (shingle, seed), k `min` aggregates with map-side partial aggregation.
-    * This is the scalable formulation — the pure-column
-    * [[minHashSignature]] re-evaluates the shingle array per seed under
-    * Catalyst's lambda evaluation (measured 8× slower at sf0.01), and the
-    * min over a multiset equals the min over the set, so no distinct is
-    * needed before the explode. */
-  /** Shared signature construction: (id, m0..mk-1) columns via explode +
-    * k min-of-md5 aggregates. Single source of truth for the hashing
-    * scheme used by [[minHashSignatures]] and [[minHashLsh]]. */
+  /** Modulus of the two-hash min-hash family: largest prime below 2³². */
+  private[graft] val MinHashP = 4294967291L
+
+  /** Shared signature construction: (id, m0..mk-1) LONG columns via explode
+    * + k min aggregates. Single source of truth for the hashing scheme used
+    * by [[minHashSignatures]] and [[minHashLsh]].
+    *
+    * Hash family: ONE md5 per distinct shingle, split into two 32-bit
+    * halves (h1, h2); hash i is `(h1 + i·h2) mod P` — the standard
+    * two-hash construction (Kirsch & Mitzenmacher, "Less hashing, same
+    * performance", ESA 2006). Per-row cost drops from k md5 string digests
+    * to one digest + k multiply-adds (measured 2.9s → ~1.4s for q18 at
+    * sf0.1); i·h2 ≤ 15·2³² fits a long with no overflow, and both engines
+    * compute identical BIGINT arithmetic, so the signatures stay
+    * hash-checkable. `array_distinct` before the explode: the min over a
+    * multiset equals the min over the set, so deduping only saves work. */
   private def minHashFlat(docs: DataFrame, idCol: String, textCol: String,
                           shingleLen: Int, k: Int): DataFrame = {
     require(k >= 1, s"minhash needs k >= 1, got $k")
+    require(k <= 64, s"two-hash family overflow bound: k must be <= 64, got $k")
     graft.GraftFunctions.ensureRegistered(docs.sparkSession)
+    val h = md5(col("sh"))
     val ex = docs.select(col(idCol).as("id"),
-      explode(Text.fastWordShingles(col(textCol), shingleLen)).as("sh"))
-    val aggs = (0 until k).map(i => min(md5(concat(col("sh"), lit(s"|$i")))).as(s"m$i"))
+        explode(array_distinct(Text.fastWordShingles(col(textCol), shingleLen))).as("sh"))
+      .select(col("id"),
+        conv(substring(h, 1, 8), 16, 10).cast("long").as("h1"),
+        conv(substring(h, 9, 8), 16, 10).cast("long").as("h2"))
+    val aggs = (0 until k).map(i =>
+      min((col("h1") + lit(i.toLong) * col("h2")) % MinHashP).as(s"m$i"))
     ex.groupBy(col("id")).agg(aggs.head, aggs.tail: _*)
   }
 
@@ -101,8 +114,11 @@ object Dedup {
     // interpreted (measured ~2s of fixed+per-row cost at sf0.1).
     val mins = minHashFlat(docs, idCol, textCol, shingleLen, k)
     val rows = k / bands
+    // explicit cast: signature components are longs; both engines render
+    // them identically as decimal strings inside the band digest
     val bandCols = (0 until bands).map(b =>
-      concat(lit(s"$b:"), md5(concat_ws("|", (b * rows until (b + 1) * rows).map(i => col(s"m$i")): _*))))
+      concat(lit(s"$b:"), md5(concat_ws("|",
+        (b * rows until (b + 1) * rows).map(i => col(s"m$i").cast("string")): _*))))
     // In-bucket pair generation from a collected posting list instead of a
     // self equi-join: computes signatures ONCE (a self-join reads the plan
     // twice, and persist() in the middle of this shape measured 4× slower
