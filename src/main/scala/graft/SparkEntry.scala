@@ -682,7 +682,7 @@ object SparkEntry {
   private def q48(s: SparkSession, dir: String): DataFrame = {
     val li = Tables.lineitem(s, dir).select(col("l_orderkey"), cents(col("l_quantity")).as("qty_c"))
     val o = Tables.orders(s, dir).select(col("o_orderkey").as("l_orderkey"), col("o_orderpriority"))
-    graft.operators.Skew.saltedJoin(li, o, "l_orderkey", salts = 8)
+    graft.operators.Skew.saltedJoin(li, o, "l_orderkey", salts = 4)
       .groupBy(col("o_orderpriority"))
       .agg(count(lit(1)).as("n_items"), sum(col("qty_c")).as("sum_qty_c"))
       .orderBy(col("o_orderpriority"))
