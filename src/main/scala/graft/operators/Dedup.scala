@@ -131,18 +131,17 @@ object Dedup {
     val buckets = banded.groupBy(col("band"))
       .agg(sort_array(collect_list(struct(col("id"), col("sig")))).as("xs"))
       .where(size(col("xs")) >= 2)
-    val n = size(col("xs"))
-    val combos = flatten(transform(sequence(lit(0), n - 2), i =>
-      transform(slice(col("xs"), i + 2, n - (i + 1)), other => {
-        val self = element_at(col("xs"), i + 1)
-        struct(
-          self.getField("id").as("id_a"),
-          other.getField("id").as("id_b"),
-          (size(filter(zip_with(self.getField("sig"), other.getField("sig"), (x, y) => x === y), v => v))
-            .cast("double") / lit(k.toDouble)).as("est_jaccard"))
-      })))
-    buckets.select(explode(combos).as("p"))
-      .select(col("p.id_a").as("id_a"), col("p.id_b").as("id_b"), col("p.est_jaccard").as("est_jaccard"))
+    // pair generation as two Generate nodes (posexplode + explode of the
+    // sorted suffix) — codegen'd collection functions, no interpreted
+    // nested-transform lambdas; the signature-agreement count runs per
+    // PAIR, where pairs are few by construction
+    buckets
+      .select(posexplode(col("xs")).as(Seq("i", "a")), col("xs"))
+      .select(col("a"),
+        explode(slice(col("xs"), col("i") + 2, size(col("xs")) - col("i") - 1)).as("b"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+        (size(filter(zip_with(col("a.sig"), col("b.sig"), (x, y) => x === y), v => v))
+          .cast("double") / lit(k.toDouble)).as("est_jaccard"))
       .where(col("est_jaccard") >= threshold)
       .distinct()
   }
@@ -377,13 +376,15 @@ object Dedup {
     val sizes = postings.select(explode(col("ids")).as("id"))
       .groupBy(col("id")).agg(count(lit(1)).as("n_sh"))
     val buckets = postings.where(size(col("ids")) >= 2)
-    val n = size(col("ids"))
-    val combos = flatten(transform(sequence(lit(0), n - 2), i =>
-      transform(slice(col("ids"), i + 2, n - (i + 1)), b =>
-        struct(element_at(col("ids"), i + 1).as("id_a"), b.as("id_b")))))
+    // in-bucket pair generation as two Generate nodes (posexplode the
+    // sorted list, then explode each suffix via slice) — pure codegen'd
+    // collection functions; the nested-transform formulation evaluated its
+    // lambdas interpreted per bucket element
     val shared = buckets
-      .select(explode(combos).as("p"))
-      .groupBy(col("p.id_a").as("id_a"), col("p.id_b").as("id_b"))
+      .select(posexplode(col("ids")).as(Seq("i", "id_a")), col("ids"))
+      .select(col("id_a"),
+        explode(slice(col("ids"), col("i") + 2, size(col("ids")) - col("i") - 1)).as("id_b"))
+      .groupBy(col("id_a"), col("id_b"))
       .agg(count(lit(1)).as("shared"))
     // sizes has one row per document — at corpus scale that is NOT
     // broadcastable; leave the strategy to Catalyst/AQE (it broadcasts at
