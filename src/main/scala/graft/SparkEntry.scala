@@ -652,8 +652,10 @@ object SparkEntry {
   /** Exact continuous percentiles (median / p95) per group — Spark
     * `percentile` and DuckDB `quantile_cont` share the linear-interpolation
     * definition, and the inputs are exact cents integers, so the doubles
-    * hash-match. (The approximate twin, `approx_percentile`, is
-    * estimator-specific like q30's HLL — exact is the checkable form.) */
+    * hash-match. Scale note: exact percentile buffers per-group value
+    * counts, so at 100 TB the production path is `approx_percentile`
+    * (bounded-memory sketch, mergeable) — estimator-specific like q30's
+    * HLL, hence exact is the oracle-checkable baseline here. */
   private def q46(s: SparkSession, dir: String): DataFrame = {
     val priceC = "cast(round(l_extendedprice * 100) as bigint)"
     Tables.lineitem(s, dir)

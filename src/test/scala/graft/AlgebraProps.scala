@@ -128,6 +128,16 @@ object AlgebraProps extends Properties("graft.algebra") {
       viaCatalyst == str.split("::").toSeq
     }
 
+  property("computed (per-row) split delimiter == literal delimiter path") =
+    forAll(Gen.listOfN(6, Gen.oneOf("a", "b", ":", "::", "")), Gen.oneOf("::", ":", "b")) { (parts, delim) =>
+      val str = parts.mkString
+      // delimiter arrives as DATA (second tuple element) — exercises the
+      // non-foldable JavaSplit branch (per-row Pattern compile)
+      val dynamic = DataStream.fromLiterals((str, delim))
+        .map(t => t._1.split(t._2)).collectValues.head
+      dynamic == str.split(delim).toSeq
+    }
+
   property("Compose-normalized fold rewrite == whole-group fallback on random groups") =
     forAll(Gen.listOfN(10, Gen.zip(Gen.chooseNum(1L, 3L), Gen.chooseNum(-50L, 50L)))) { rows =>
       val grouped = DataStream.fromLiterals(rows: _*).groupBy(t => t._1).mapValues(v => v._2)

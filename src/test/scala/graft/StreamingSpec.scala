@@ -135,6 +135,33 @@ class StreamingSpec extends SparkSuite {
     } finally q.stop()
   }
 
+  test("facade foldWindow with SLIDING windows runs streaming (replication + watermark flush)") {
+    import graft.expr.Expr._
+    import graft.stream.DataStream
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, String)]
+    val counted = DataStream.fromDF[(Long, String)](input.toDF())
+      .assignTimestamps(t => t._1)
+      .groupBy(t => t.value._2)
+      .foldWindow(WindowAssigner.Sliding(10L, 5L), 0L)(t => t._1 + 1L)
+    val q = counted.toDF.select(
+        col("value.key").as("k"),
+        col("value.value.window.start").as("ws"),
+        col("value.value.value").as("n"))
+      .writeStream.outputMode("append").format("memory").queryName("fslide").start()
+    try {
+      input.addData((12L, "w"), (14L, "w"))
+      q.processAllAvailable()
+      input.addData((100L, "w")) // advance watermark to flush
+      q.processAllAvailable()
+      val rows = spark.table("fslide").collect()
+        .map(r => (r.getLong(1), r.getLong(2))).toSet
+      // both events land in windows [5,15) and [10,20) — 2 each
+      assert(rows.contains((5L, 2L)) && rows.contains((10L, 2L)), s"$rows")
+    } finally q.stop()
+  }
+
   test("facade foldWindow with SESSION windows runs streaming (merge + watermark flush)") {
     import graft.expr.Expr._
     import graft.stream.DataStream
