@@ -44,6 +44,7 @@ sealed trait Expr[A, B] { self =>
 object Expr {
 
   private def fieldOf(in: Any, idx: Int, name: String): Any = in match {
+    case null          => null // SQL: field access on a null struct is null
     case r: Row        => r.get(if (r.schema != null && r.schema.fieldNames.contains(name)) r.fieldIndex(name) else idx)
     case p: Product    => p.productElement(idx)
     case other         => sys.error(s"cannot access field $name of $other")
@@ -161,15 +162,18 @@ object Expr {
     }
     private[graft] def eval(in: Any): Any = {
       val (a, b) = (l.eval(in), r.eval(in))
-      val c = (a, b) match {
-        case (x: Long, y: Long)     => java.lang.Long.compare(x, y)
-        case (x: Double, y: Double) => java.lang.Double.compare(x, y)
-        case (x: String, y: String) => x.compareTo(y)
-        case _                      => sys.error(s"cmp $op on $a, $b")
-      }
-      op match {
-        case "==" => c == 0; case "!=" => c != 0
-        case "<" => c < 0; case "<=" => c <= 0; case ">" => c > 0; case ">=" => c >= 0
+      if (a == null || b == null) null // SQL: comparison with null is null
+      else {
+        val c = (a, b) match {
+          case (x: Long, y: Long)     => java.lang.Long.compare(x, y)
+          case (x: Double, y: Double) => java.lang.Double.compare(x, y)
+          case (x: String, y: String) => x.compareTo(y)
+          case _                      => sys.error(s"cmp $op on $a, $b")
+        }
+        op match {
+          case "==" => c == 0; case "!=" => c != 0
+          case "<" => c < 0; case "<=" => c <= 0; case ">" => c > 0; case ">=" => c >= 0
+        }
       }
     }
   }
@@ -179,15 +183,29 @@ object Expr {
       case "&&" => l.toColumn(in) && r.toColumn(in)
       case "||" => l.toColumn(in) || r.toColumn(in)
     }
-    private[graft] def eval(in: Any): Any = op match {
-      case "&&" => l.eval(in).asInstanceOf[Boolean] && r.eval(in).asInstanceOf[Boolean]
-      case "||" => l.eval(in).asInstanceOf[Boolean] || r.eval(in).asInstanceOf[Boolean]
+    // SQL three-valued logic, exactly as the Catalyst path evaluates it —
+    // a bare asInstanceOf[Boolean] would silently read null as FALSE
+    private[graft] def eval(in: Any): Any = {
+      val (a, b) = (l.eval(in), r.eval(in))
+      op match {
+        case "&&" =>
+          if (a == java.lang.Boolean.FALSE || b == java.lang.Boolean.FALSE) false
+          else if (a == null || b == null) null
+          else true
+        case "||" =>
+          if (a == java.lang.Boolean.TRUE || b == java.lang.Boolean.TRUE) true
+          else if (a == null || b == null) null
+          else false
+      }
     }
   }
 
   final case class Not[A](e: Expr[A, Boolean]) extends Expr[A, Boolean] {
     private[graft] def toColumn(in: Column): Column = !e.toColumn(in)
-    private[graft] def eval(in: Any): Any = !e.eval(in).asInstanceOf[Boolean]
+    private[graft] def eval(in: Any): Any = e.eval(in) match {
+      case null       => null // SQL: NOT null is null
+      case b: Boolean => !b
+    }
   }
 
   // ---------------------------------------------------------------------
@@ -207,8 +225,10 @@ object Expr {
       GraftBridge.column(graft.functions.catalyst.JavaSplit(
         GraftBridge.expr(s.toColumn(in)), GraftBridge.expr(delim.toColumn(in))))
     }
-    private[graft] def eval(in: Any): Any =
-      s.eval(in).asInstanceOf[String].split(delim.eval(in).asInstanceOf[String]).toSeq
+    private[graft] def eval(in: Any): Any = (s.eval(in), delim.eval(in)) match {
+      case (str: String, d: String) => str.split(d).toSeq
+      case _                        => null // SQL null propagation
+    }
   }
 
   // -- string scalar surface (engine extension: the reference ships only
@@ -274,7 +294,10 @@ object Expr {
   /** List length as Long (reference `Length`, Expression.scala:27). */
   final case class Length[A, B](list: Expr[A, List[B]]) extends Expr[A, Long] {
     private[graft] def toColumn(in: Column): Column = size(list.toColumn(in)).cast("long")
-    private[graft] def eval(in: Any): Any = list.eval(in).asInstanceOf[Seq[_]].size.toLong
+    private[graft] def eval(in: Any): Any = list.eval(in) match {
+      case null                        => null
+      case xs: scala.collection.Seq[_] => xs.size.toLong
+    }
   }
 
   /** Sum of a Long list (reference `ListSum`, Expression.scala:33). Uses the
@@ -282,8 +305,10 @@ object Expr {
   final case class ListSum[A](list: Expr[A, List[Long]]) extends Expr[A, Long] {
     private[graft] def toColumn(in: Column): Column =
       aggregate(list.toColumn(in), lit(0L), (acc, x) => acc + x)
-    private[graft] def eval(in: Any): Any =
-      list.eval(in).asInstanceOf[Seq[Any]].foldLeft(0L)((a, x) => a + x.asInstanceOf[Long])
+    private[graft] def eval(in: Any): Any = list.eval(in) match {
+      case null                          => null
+      case xs: scala.collection.Seq[Any] => xs.foldLeft(0L)((a, x) => a + x.asInstanceOf[Long])
+    }
   }
 
   // ---------------------------------------------------------------------

@@ -168,6 +168,31 @@ class DataStreamSpec extends SparkSuite {
     assert(out == Seq((1L, 1L, 10L), (1L, 2L, 15L), (1L, 3L, 22L), (2L, 1L, 100L), (2L, 2L, 101L)))
   }
 
+  test("mapAccumulateByKey: window rewrite and interpreted fallback agree on NULL increments") {
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    // (key, seq, v) with nulls in v: SQL + propagation must null-poison the
+    // state from the first null onward on BOTH paths
+    val src = Seq((1L, 1L, Some(10L)), (1L, 2L, None), (1L, 3L, Some(7L)), (2L, 1L, Some(5L)))
+      .toDF("k", "s", "v")
+    def run(ds: graft.stream.DataStream[(Long, Long)]): Seq[(Long, Option[Long])] =
+      ds.toDF.select(col("value._1"), col("value._2"))
+        .collect().map(r => (r.getLong(0), Option(r.get(1)).map(_.asInstanceOf[Long])))
+        .sortBy(identity).toSeq
+    val base = DataStream.fromDF[(Long, Long, Long)](src)
+    // rewritable: s + v → window frame with the null-poison mask
+    val viaWindow = run(base.mapAccumulateByKey(0L)(t => t._1, t => t._2) { t =>
+      (t._1 + t._2._3) &&& (t._2._2 &&& (t._1 + t._2._3))
+    })
+    // s*1 + v defeats the rewrite → per-key sequential interpretation
+    val viaFallback = run(base.mapAccumulateByKey(0L)(t => t._1, t => t._2) { t =>
+      (t._1 * 1L + t._2._3) &&& (t._2._2 &&& (t._1 + t._2._3))
+    })
+    assert(viaWindow == viaFallback, s"window=$viaWindow fallback=$viaFallback")
+    // key 1: 10, then null-poisoned forever; key 2: 5
+    assert(viaWindow == Seq((1L, Some(5L)), (1L, Some(10L)), (2L, None), (3L, None)))
+  }
+
   test("mapAccumulateByKey fallback: non-rewritable shape stays distributed and per-key correct") {
     // f = (acc*2 + v, out): multiplication of the accumulator defeats the
     // window rewrite → hash-partitioned per-key sequential path
