@@ -422,7 +422,7 @@ object SparkEntry {
     val emb = Tables.embeddings(s, dir)
     val queries = emb.where(col("vec_id") % 100 === 0)
     Similarity.lshTopK(queries, emb, "vec_id", "embedding", k = 10, planes = 6, tables = 4,
-        dim = EmbeddingDim)
+        dim = EmbeddingDim, multiprobe = 3)
       .select(col("query_id"), col("rank"), col("neighbor_id"), col("cosine"))
       .orderBy(col("query_id"), col("rank"))
   }

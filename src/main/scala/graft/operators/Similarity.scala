@@ -53,21 +53,46 @@ object Similarity {
   /** LSH-bucketed ANN: candidates share a random-hyperplane bucket in at
     * least one of `tables` independent hash tables; exact cosine re-ranks
     * within candidates. Recall grows with `tables`, bucket size shrinks with
-    * `planes`. Output: (query_id, rank, neighbor_id, cosine). */
+    * `planes`. Output: (query_id, rank, neighbor_id, cosine).
+    *
+    * `multiprobe` > 0 additionally probes, per table, the buckets at
+    * Hamming distance 1 from the query's bucket in its first `multiprobe`
+    * planes (multi-probe LSH, Lv et al., VLDB 2007): near-misses where ONE
+    * hyperplane disagrees are recovered without building more tables. The
+    * expansion is QUERY-side only — the corpus is still indexed once per
+    * table, and candidate generation stays an equi-join; candidate volume
+    * grows ~×(1+multiprobe) per table. */
   def lshTopK(queries: DataFrame, corpus: DataFrame,
               idCol: String, vecCol: String, k: Int,
-              planes: Int = 8, tables: Int = 4, dim: Int = -1): DataFrame = {
+              planes: Int = 8, tables: Int = 4, dim: Int = -1,
+              multiprobe: Int = 0): DataFrame = {
     GraftFunctions.ensureRegistered(queries.sparkSession)
     val d = if (dim > 0) dim else Vectors.dims(corpus, vecCol)
     require(d > 0, s"cannot infer embedding dimensionality of '$vecCol' (no non-empty vectors); pass dim explicitly")
-    def buckets(df: DataFrame, id: String): DataFrame =
-      df.select(col(idCol).as(id),
-        explode(array((0 until tables).map { t =>
-          concat(lit(s"$t:"), Vectors.lshBucket(col(vecCol), planes, d, seed = t))
-        }: _*)).as("bucket"))
+    require(multiprobe >= 0 && multiprobe <= planes,
+      s"multiprobe must be in [0, planes=$planes], got $multiprobe")
+    def flipBit(bucket: Column, j: Int): Column = concat(
+      substring(bucket, 1, j),
+      when(substring(bucket, j + 1, 1) === "1", lit("0")).otherwise(lit("1")),
+      substring(bucket, j + 2, planes - j - 1))
+    def buckets(df: DataFrame, id: String, probe: Boolean): DataFrame = {
+      // materialize the per-table base buckets ONCE (planes codegen'd dots
+      // each); probe variants are then cheap string surgery on attributes,
+      // not re-evaluations of the hyperplane projections
+      val withBase = df.select(col(idCol).as(id),
+        array((0 until tables).map(t => Vectors.lshBucket(col(vecCol), planes, d, seed = t)): _*).as("_bases"))
+      val variants = (0 until tables).flatMap { t =>
+        val base = element_at(col("_bases"), t + 1)
+        concat(lit(s"$t:"), base) +:
+          (if (probe) (0 until multiprobe).map(j => concat(lit(s"$t:"), flipBit(base, j)))
+           else Seq.empty)
+      }
+      withBase.select(col(id), explode(array(variants: _*)).as("bucket"))
+    }
 
     // candidate ids first (cheap dedup on longs), vectors re-attached after
-    val cands = buckets(queries, "query_id").join(buckets(corpus, "neighbor_id"), Seq("bucket"))
+    val cands = buckets(queries, "query_id", probe = true)
+      .join(buckets(corpus, "neighbor_id", probe = false), Seq("bucket"))
       .where(col("neighbor_id") =!= col("query_id"))
       .select(col("query_id"), col("neighbor_id"))
       .distinct()
