@@ -20,10 +20,22 @@ object Bench {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
+    // ERROR: freeing local checkpoints between runs (below) emits a WARN per
+    // RDD that would otherwise flood the bench log
+    spark.sparkContext.setLogLevel("ERROR")
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
     val selected = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (n, _) => only.forall(_.contains(n)) }
+    // Each run's result frame can pin checkpointed state (iterative dedup
+    // materializes its final label table); dropping it OUTSIDE the timed
+    // region keeps every timed run starting from parquet with an empty
+    // block manager, instead of measuring accumulated storage pressure
+    // from earlier runs. Queries never rely on cross-run cached state —
+    // every run() rebuilds its plan from the source tables.
+    def dropLeftoverState(): Unit = {
+      spark.catalog.clearCache()
+      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
+    }
     val results = selected.map { case (name, fn) =>
       // a failing query must read as FAILED (-1), not as a suspiciously
       // fast success that deflates the total
@@ -33,12 +45,15 @@ object Bench {
           System.err.println(s"[bench] $name failed: ${e.getMessage}"); false
         }
       run() // warmup
+      dropLeftoverState()
       // min of two timed runs: single-machine local mode sees occasional
       // multi-second host/GC stalls that say nothing about the plan
       val times = (0 until 2).map { _ =>
         val t0 = System.nanoTime()
         val ok = run()
-        if (ok) (System.nanoTime() - t0) / 1e9 else -1.0
+        val t = if (ok) (System.nanoTime() - t0) / 1e9 else -1.0
+        dropLeftoverState()
+        t
       }
       name -> (if (times.contains(-1.0)) -1.0 else times.min)
     }

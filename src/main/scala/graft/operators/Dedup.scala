@@ -229,27 +229,59 @@ object Dedup {
     * practice; `maxIterations` bounds pathological chains).
     *
     * Input: (id_a, id_b) pairs. Output: (id, component) for every id that
-    * appears in at least one edge. */
-  /** Drop the block-manager storage behind a `localCheckpoint`ed frame.
-    * Only call once nothing will read the frame again — a local checkpoint
-    * is non-recomputable by design. (That non-recomputability is also why a
-    * cluster-scale run should switch to RELIABLE checkpointing —
-    * `spark.sparkContext.setCheckpointDir` + `.checkpoint()` — so executor
-    * loss mid-propagation doesn't kill the job; local checkpoints are the
-    * right trade-off for the single-JVM bench envelope.) */
-  private def freeCheckpoint(df: DataFrame): Unit =
-    df.queryExecution.analyzed match {
-      case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd.unpersist(blocking = false)
-      case _                                             => ()
+    * appears in at least one edge.
+    *
+    * Storage lifecycle: superseded per-round label checkpoints and the edge
+    * list are freed before returning; the FINAL label checkpoint is pinned
+    * by the returned frame (it IS the result's data) and is released by
+    * Spark's context cleaner once the frame becomes unreachable, or
+    * immediately by unpersisting the session's persistent RDDs after the
+    * result has been consumed. */
+  /** Materialize an iteration frame, truncating its lineage.
+    *
+    * `reliable = false`: `localCheckpoint` — blocks live in executor
+    * storage, non-recomputable after executor loss. The right trade-off for
+    * a single-JVM run (no filesystem round-trip).
+    *
+    * `reliable = true`: `checkpoint` to the session's checkpoint directory
+    * (`spark.sparkContext.setCheckpointDir` must have been called) — the
+    * cluster-scale mode: executor loss mid-propagation recomputes from the
+    * checkpoint files instead of killing the job. */
+  private def checkpointFrame(df: DataFrame, reliable: Boolean): DataFrame =
+    if (!reliable) df.localCheckpoint(eager = true)
+    else {
+      require(df.sparkSession.sparkContext.getCheckpointDir.isDefined,
+        "reliable checkpointing needs spark.sparkContext.setCheckpointDir(...) before the run")
+      df.checkpoint(eager = true)
     }
 
-  def connectedComponents(pairs: DataFrame, maxIterations: Int = 20): DataFrame = {
+  /** Drop the storage behind a checkpointed frame: block-manager blocks for
+    * local checkpoints, materialized files for reliable ones. Only call once
+    * nothing will read the frame again — a freed local checkpoint is
+    * non-recomputable by design, and a freed reliable checkpoint has no
+    * files left to recompute from. */
+  private def freeCheckpoint(df: DataFrame): Unit =
+    df.queryExecution.analyzed match {
+      case lr: org.apache.spark.sql.execution.LogicalRDD =>
+        lr.rdd.getCheckpointFile match {
+          case Some(file) => // reliable: delete the checkpoint files
+            val path = new org.apache.hadoop.fs.Path(file)
+            path.getFileSystem(df.sparkSession.sparkContext.hadoopConfiguration)
+              .delete(path, true)
+          case None => lr.rdd.unpersist(blocking = false)
+        }
+      case _ => ()
+    }
+
+  def connectedComponents(pairs: DataFrame, maxIterations: Int = 20,
+                          reliable: Boolean = false): DataFrame = {
     // materialize the edge list ONCE — every iteration joins against it,
     // and without this each round would re-execute the whole upstream
     // similarity pipeline (measured 17s → 3s at sf0.1)
-    val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
-      .union(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
-      .localCheckpoint(eager = true)
+    val edges = checkpointFrame(
+      pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
+        .union(pairs.select(col("id_b").as("src"), col("id_a").as("dst"))),
+      reliable)
     var labels = edges.select(col("src").as("id")).distinct()
       .withColumn("component", col("id"))
     var checkpointed: DataFrame = null // superseded checkpoint to free
@@ -264,11 +296,12 @@ object Dedup {
       // CHANGED flag rides along in the same pass, so the convergence check
       // below is a narrow scan of the materialized blocks — not a second
       // join re-deriving old vs new labels (halves the per-round work)
-      val updated = labels.join(neighborMin, Seq("id"), "left")
-        .select(col("id"),
-          least(col("component"), coalesce(col("mc"), col("component"))).as("component"),
-          (coalesce(col("mc"), col("component")) < col("component")).as("_changed"))
-        .localCheckpoint(eager = true)
+      val updated = checkpointFrame(
+        labels.join(neighborMin, Seq("id"), "left")
+          .select(col("id"),
+            least(col("component"), coalesce(col("mc"), col("component"))).as("component"),
+            (coalesce(col("mc"), col("component")) < col("component")).as("_changed")),
+        reliable)
       converged = updated.where(col("_changed")).isEmpty
       // the previous round's checkpoint is now superseded — free its blocks
       // instead of accumulating one copy of the label table per round
@@ -288,12 +321,20 @@ object Dedup {
 
   /** Near-duplicate DEDUPLICATION: cluster docs by n-gram-Jaccard edges and
     * keep one representative (min id) per cluster. Docs with no near-dup
-    * edge keep themselves. Output: (id, representative, is_kept). */
+    * edge keep themselves. Output: (id, representative, is_kept).
+    *
+    * Storage lifecycle: the edge pipeline's inverted-index checkpoint is
+    * freed here as soon as [[connectedComponents]] has materialized its edge
+    * list (nothing reads the pair plan after that), so the only storage the
+    * returned frame pins is the final label table — one small row per doc
+    * that has a near-dup edge. */
   def deduplicateNearDups(docs: DataFrame, idCol: String, textCol: String,
                           shingleLen: Int = 3, threshold: Double = 0.6,
-                          maxShingleDf: Int = 50): DataFrame = {
-    val pairs = ngramJaccard(docs, idCol, textCol, shingleLen, threshold, maxShingleDf)
-    val comps = connectedComponents(pairs.select(col("id_a"), col("id_b")))
+                          maxShingleDf: Int = 50, reliable: Boolean = false): DataFrame = {
+    val (pairs, releaseIndex) =
+      ngramJaccardReleasable(docs, idCol, textCol, shingleLen, threshold, maxShingleDf)
+    val comps = connectedComponents(pairs.select(col("id_a"), col("id_b")), reliable = reliable)
+    releaseIndex()
     docs.select(col(idCol).as("id"))
       .join(comps, Seq("id"), "left")
       .select(col("id"),
@@ -351,7 +392,18 @@ object Dedup {
     * oracle. */
   def ngramJaccard(docs: DataFrame, idCol: String, textCol: String,
                    shingleLen: Int = 3, threshold: Double = 0.6,
-                   maxShingleDf: Int = 50): DataFrame = {
+                   maxShingleDf: Int = 50): DataFrame =
+    ngramJaccardReleasable(docs, idCol, textCol, shingleLen, threshold, maxShingleDf)._1
+
+  /** [[ngramJaccard]] plus a release handle for its inverted-index
+    * checkpoint. The checkpoint is pinned by the returned frame's plan, so
+    * the handle must only be invoked once the pairs have been consumed into
+    * something materialized (e.g. [[connectedComponents]]' edge list) —
+    * after that the blocks are dead weight in the block manager. */
+  private[graft] def ngramJaccardReleasable(
+      docs: DataFrame, idCol: String, textCol: String,
+      shingleLen: Int, threshold: Double,
+      maxShingleDf: Int): (DataFrame, () => Unit) = {
     graft.GraftFunctions.ensureRegistered(docs.sparkSession)
     val exploded = docs.select(
       col(idCol).as("id"),
@@ -389,12 +441,13 @@ object Dedup {
     // sizes has one row per document — at corpus scale that is NOT
     // broadcastable; leave the strategy to Catalyst/AQE (it broadcasts at
     // bench scale and shuffle-joins on the id beyond the threshold)
-    shared
+    val pairs = shared
       .join(sizes.withColumnRenamed("id", "id_a").withColumnRenamed("n_sh", "n_a"), Seq("id_a"))
       .join(sizes.withColumnRenamed("id", "id_b").withColumnRenamed("n_sh", "n_b"), Seq("id_b"))
       .select(col("id_a"), col("id_b"),
         (col("shared").cast("double") /
           (col("n_a") + col("n_b") - col("shared")).cast("double")).as("jaccard"))
       .where(col("jaccard") >= threshold)
+    (pairs, () => freeCheckpoint(postings))
   }
 }
