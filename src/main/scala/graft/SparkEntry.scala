@@ -107,6 +107,7 @@ object SparkEntry {
     "q46_percentiles" -> q46,
     "q47_histogram" -> q47,
     "q48_salted_join" -> q48,
+    "q49_simhash_pairs" -> q49,
   )
 
   // =====================================================================
@@ -690,6 +691,17 @@ object SparkEntry {
       .orderBy(col("o_orderpriority"))
   }
 
+  /** SimHash near-dup pairs via pigeonhole multi-block indexing: any pair
+    * within Hamming distance 2 agrees exactly on one of 3 blocks, so the
+    * blocked candidates equal the brute-force all-pairs set (the oracle) —
+    * without ever forming the quadratic join. Bucket cap (10k) cannot bind
+    * at gate scale (max possible bucket = corpus size), so parity is exact
+    * by construction. */
+  private def q49(s: SparkSession, dir: String): DataFrame =
+    Dedup.simHashPairs(Tables.documents(s, dir), "doc_id", "text",
+        bits = 32, maxDistance = 2)
+      .orderBy(col("id_a"), col("id_b"))
+
   /** Document fingerprints: md5 of normalized text + polynomial rolling
     * hash — both engine-portable, both per-row narrow transforms. */
   private def q35(s: SparkSession, dir: String): DataFrame =
@@ -886,6 +898,22 @@ object SparkEntry {
                ((strpos('0123456789abcdef', substr(md5(t), CAST(p // 4 + 1 AS BIGINT), 1)) - 1) >> (3 - p % 4)) % 2 * 2 - 1
              )) > 0 THEN '1' ELSE '0' END), '') AS simhash
            FROM documents ORDER BY doc_id""",
+
+      // brute-force all-pairs over the same simhash table the q19 oracle
+      // computes; the engine's pigeonhole blocking must reproduce it exactly
+      "q49_simhash_pairs" ->
+        s"""WITH sh AS (
+             SELECT doc_id, array_to_string(list_transform(range(0, 32), p ->
+               CASE WHEN list_sum(list_transform($toks, t ->
+                 ((strpos('0123456789abcdef', substr(md5(t), CAST(p // 4 + 1 AS BIGINT), 1)) - 1) >> (3 - p % 4)) % 2 * 2 - 1
+               )) > 0 THEN '1' ELSE '0' END), '') AS simhash
+             FROM documents)
+           SELECT id_a, id_b, hamming FROM (
+             SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+               CAST(len(list_filter(range(1, 33), i ->
+                 substr(a.simhash, i, 1) <> substr(b.simhash, i, 1))) AS BIGINT) AS hamming
+             FROM sh a JOIN sh b ON a.doc_id < b.doc_id) t
+           WHERE hamming <= 2 ORDER BY id_a, id_b""",
 
       "q20_ngram_jaccard" ->
         s"""WITH sh AS (

@@ -200,25 +200,71 @@ object Dedup {
   def hammingDistance(a: Column, b: Column): Column =
     size(filter(zip_with(split(a, ""), split(b, ""), (x, y) => x =!= y), d => d)).cast("long")
 
-  /** SimHash near-dup pairs: block on the first `prefixBits` bits (identical
-    * prefix ⇒ candidate), verify full Hamming distance ≤ maxDistance.
-    * Prefix blocking = one equi-join shuffle on a short key. */
+  /** SimHash near-dup pairs via pigeonhole multi-block indexing (the
+    * fingerprint-dedup scheme of Manku/Jain/Das Sarma, "Detecting
+    * near-duplicates for web crawling", WWW 2007): split the `bits`-bit
+    * SimHash into `maxDistance + 1` blocks — a pair within Hamming distance
+    * `maxDistance` has at most `maxDistance` differing bits, so by
+    * pigeonhole it agrees EXACTLY on at least one block. Candidates are
+    * docs sharing any (block index, block value) key; each candidate pair
+    * is then verified on full Hamming distance.
+    *
+    * Unlike prefix blocking this is complete (no recall loss from the
+    * blocking step) and never quadratic on a hot prefix: pair generation is
+    * per-bucket from sorted posting lists, and buckets larger than
+    * `maxBucketSize` are dropped — the deterministic df-bound that keeps a
+    * degenerate value (e.g. the all-zeros block of short documents) from
+    * exploding into ~|bucket|² pairs. A dropped bucket can only lose a pair
+    * whose EVERY agreeing block is hot; such docs are better handled by
+    * exact dedup on the full hash. The only shuffles: the posting-list
+    * aggregation on (block, value) and the candidate distinct. */
   def simHashPairs(docs: DataFrame, idCol: String, textCol: String,
-                   bits: Int = 32, prefixBits: Int = 8, maxDistance: Int = 3): DataFrame = {
-    require(prefixBits > 0 && prefixBits <= bits, s"prefixBits must be in [1, $bits]")
-    // NOTE: the self-join reads the simHashTable plan from both sides;
-    // Spark's ReuseExchange dedups the shuffle when plans match. Prefix
-    // buckets are deliberately coarse (2^prefixBits of them), so the
-    // posting-list pair generation used by minHashLsh would collect
-    // corpus/2^prefixBits ids per bucket — worse at scale than the join.
-    val hashed = simHashTable(docs, idCol, textCol, bits)
-      .withColumnRenamed("simhash", "sh")
-    val a = hashed.select(substring(col("sh"), 1, prefixBits).as("pfx"), col("id").as("id_a"), col("sh").as("sh_a"))
-    val b = hashed.select(substring(col("sh"), 1, prefixBits).as("pfx"), col("id").as("id_b"), col("sh").as("sh_b"))
-    a.join(b, Seq("pfx"))
-      .where(col("id_a") < col("id_b"))
-      .select(col("id_a"), col("id_b"), hammingDistance(col("sh_a"), col("sh_b")).as("hamming"))
+                   bits: Int = 32, maxDistance: Int = 3,
+                   maxBucketSize: Int = 10000): DataFrame = {
+    val nBlocks = maxDistance + 1
+    require(maxDistance >= 0 && bits >= nBlocks,
+      s"need bits >= maxDistance + 1 blocks (got bits=$bits, maxDistance=$maxDistance)")
+    require(maxBucketSize >= 2, s"maxBucketSize must be >= 2, got $maxBucketSize")
+    // block b covers [b*bits/nBlocks, (b+1)*bits/nBlocks) — even split with
+    // the remainder spread one bit at a time, so blocks differ by <= 1 bit
+    val blockCols = (0 until nBlocks).map { b =>
+      val start = b * bits / nBlocks
+      val len = (b + 1) * bits / nBlocks - start
+      concat(lit(s"$b:"), substring(col("simhash"), start + 1, len))
+    }
+    // pack the bit string into 32-bit words ONCE per doc, so the per-pair
+    // verify is nWords codegen'd xor+popcounts instead of an interpreted
+    // string-split/zip lambda over every candidate (measured 4.1s → well
+    // under 1s at sf0.1 with ~700k candidates)
+    val nWords = (bits + 31) / 32
+    val wordCols = (0 until nWords).map { w =>
+      val len = math.min(32, bits - w * 32)
+      conv(substring(col("simhash"), w * 32 + 1, len), 2, 10).cast("long").as(s"w$w")
+    }
+    val keyed = simHashTable(docs, idCol, textCol, bits)
+      .select(col("id") +: wordCols :+
+        // refs simhash, not an alias from this select: a lateral-alias ref
+        // under Generate trips an analyzer internal error
+        explode(array(blockCols: _*)).as("blk"): _*)
+    val buckets = keyed.groupBy(col("blk"))
+      .agg(sort_array(collect_list(struct(
+        col("id") +: (0 until nWords).map(w => col(s"w$w")): _*))).as("xs"))
+      .where(size(col("xs")).between(2, maxBucketSize))
+    // in-bucket pairs via two Generate nodes over the sorted posting list
+    // (same codegen'd shape as minHashLsh); verify + threshold BEFORE the
+    // distinct, so the dedup of multi-block agreements shuffles only the
+    // surviving pairs — a pair agreeing on several blocks is generated once
+    // per block but its duplicates compute the same cheap popcount
+    val hamming = (0 until nWords)
+      .map(w => bit_count(col(s"a.w$w").bitwiseXOR(col(s"b.w$w"))))
+      .reduce(_ + _).cast("long")
+    buckets
+      .select(posexplode(col("xs")).as(Seq("i", "a")), col("xs"))
+      .select(col("a"),
+        explode(slice(col("xs"), col("i") + 2, size(col("xs")) - col("i") - 1)).as("b"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"), hamming.as("hamming"))
       .where(col("hamming") <= maxDistance)
+      .distinct()
   }
 
   /** Connected components over a similarity edge list: every node gets the

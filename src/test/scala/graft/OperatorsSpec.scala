@@ -125,6 +125,38 @@ class OperatorsSpec extends SparkSuite {
     }
   }
 
+  test("simHashPairs: pigeonhole blocking is complete vs brute force; hot buckets stay bounded") {
+    import spark.implicits._
+    val d = 3
+    // completeness: every pair within hamming <= d that brute force finds,
+    // the blocked operator must also find (pigeonhole guarantees it)
+    val hashes = Dedup.simHashTable(docsWithDups, "doc_id", "text", 32)
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    val brute = (for {
+      (ia, sa) <- hashes; (ib, sb) <- hashes if ia < ib
+      h = sa.zip(sb).count(p => p._1 != p._2) if h <= d
+    } yield (ia, ib, h.toLong)).toSet
+    val blocked = Dedup.simHashPairs(docsWithDups, "doc_id", "text",
+        bits = 32, maxDistance = d)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(blocked == brute)
+    assert(brute.exists(p => p._1 == 1L && p._2 == 2L)) // the planted dups are in there
+
+    // hot bucket: 60 identical docs land every block in one bucket of 60
+    // (~1770 pairs per block without the guard); with maxBucketSize = 10
+    // those buckets are dropped and only the small-bucket pair survives
+    val hot = (100L until 160L).map(i => (i, "spam spam spam spam spam spam spam"))
+    val planted = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog near the river"),
+      (2L, "the quick brown fox jumps over the lazy dog near the rivers"))
+    val out = Dedup.simHashPairs((hot ++ planted).toDF("doc_id", "text"),
+        "doc_id", "text", bits = 32, maxDistance = 8, maxBucketSize = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(!out.exists(p => p._1 >= 100L || p._2 >= 100L),
+      "hot-bucket pairs must be excluded by the size guard")
+    assert(out.contains((1L, 2L)), "small buckets must still produce their pairs")
+  }
+
   test("cross-corpus decontamination: one-sided containment on planted docs") {
     import spark.implicits._
     val corpus = Seq(
