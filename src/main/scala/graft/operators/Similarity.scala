@@ -55,47 +55,26 @@ object Similarity {
     * within candidates. Recall grows with `tables`, bucket size shrinks with
     * `planes`. Output: (query_id, rank, neighbor_id, cosine).
     *
-    * `multiprobe` > 0 additionally probes, per table, the buckets at
-    * Hamming distance 1 from the query's bucket in its first `multiprobe`
-    * planes (multi-probe LSH, Lv et al., VLDB 2007): near-misses where ONE
-    * hyperplane disagrees are recovered without building more tables. The
-    * expansion is QUERY-side only — the corpus is still indexed once per
-    * table, and candidate generation stays an equi-join; candidate volume
-    * grows ~×(1+multiprobe) per table. */
+    * `multiprobe` > 0 additionally probes, per table, `multiprobe` buckets
+    * at Hamming distance 1 from the query's bucket (multi-probe LSH, Lv et
+    * al., VLDB 2007): near-misses where ONE hyperplane disagrees are
+    * recovered without building more tables. With `queryDirected` (the
+    * paper's actual heuristic) the flipped planes are the ones the query
+    * projects CLOSEST to — the likeliest sides for a true neighbor to sit
+    * on — instead of the first `multiprobe` planes; probe volume is
+    * identical, recall is strictly better on diffuse data. The expansion is
+    * QUERY-side only — the corpus is still indexed once per table, and
+    * candidate generation stays an equi-join; candidate volume grows
+    * ~×(1+multiprobe) per table. */
   def lshTopK(queries: DataFrame, corpus: DataFrame,
               idCol: String, vecCol: String, k: Int,
               planes: Int = 8, tables: Int = 4, dim: Int = -1,
-              multiprobe: Int = 0): DataFrame = {
+              multiprobe: Int = 0, queryDirected: Boolean = true): DataFrame = {
     GraftFunctions.ensureRegistered(queries.sparkSession)
     val d = if (dim > 0) dim else Vectors.dims(corpus, vecCol)
     require(d > 0, s"cannot infer embedding dimensionality of '$vecCol' (no non-empty vectors); pass dim explicitly")
-    require(multiprobe >= 0 && multiprobe <= planes,
-      s"multiprobe must be in [0, planes=$planes], got $multiprobe")
-    def flipBit(bucket: Column, j: Int): Column = concat(
-      substring(bucket, 1, j),
-      when(substring(bucket, j + 1, 1) === "1", lit("0")).otherwise(lit("1")),
-      substring(bucket, j + 2, planes - j - 1))
-    def buckets(df: DataFrame, id: String, probe: Boolean): DataFrame = {
-      // materialize the per-table base buckets ONCE (planes codegen'd dots
-      // each); probe variants are then cheap string surgery on attributes,
-      // not re-evaluations of the hyperplane projections
-      val withBase = df.select(col(idCol).as(id),
-        array((0 until tables).map(t => Vectors.lshBucket(col(vecCol), planes, d, seed = t)): _*).as("_bases"))
-      val variants = (0 until tables).flatMap { t =>
-        val base = element_at(col("_bases"), t + 1)
-        concat(lit(s"$t:"), base) +:
-          (if (probe) (0 until multiprobe).map(j => concat(lit(s"$t:"), flipBit(base, j)))
-           else Seq.empty)
-      }
-      withBase.select(col(id), explode(array(variants: _*)).as("bucket"))
-    }
-
-    // candidate ids first (cheap dedup on longs), vectors re-attached after
-    val cands = buckets(queries, "query_id", probe = true)
-      .join(buckets(corpus, "neighbor_id", probe = false), Seq("bucket"))
-      .where(col("neighbor_id") =!= col("query_id"))
-      .select(col("query_id"), col("neighbor_id"))
-      .distinct()
+    val cands = lshCandidates(queries, corpus, idCol, vecCol,
+      planes, tables, d, multiprobe, queryDirected)
     val q = broadcast(queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"),
       Vectors.norm(col(vecCol)).as("qn")))
     val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"),
@@ -109,6 +88,72 @@ object Similarity {
       .withColumn("rank", row_number().over(w))
       .where(col("rank") <= k)
       .select(col("query_id"), col("rank"), col("neighbor_id"), col("cosine"))
+  }
+
+  /** Candidate (query_id, neighbor_id) pairs for [[lshTopK]] — exposed for
+    * the recall/candidate-volume specs. */
+  private[graft] def lshCandidates(queries: DataFrame, corpus: DataFrame,
+                                   idCol: String, vecCol: String,
+                                   planes: Int, tables: Int, d: Int,
+                                   multiprobe: Int, queryDirected: Boolean): DataFrame = {
+    require(multiprobe >= 0 && multiprobe <= planes,
+      s"multiprobe must be in [0, planes=$planes], got $multiprobe")
+    // flip 0-based plane `j` (a COLUMN when query-directed) of a 0/1 string
+    def flipBitAt(bucket: Column, j: Column): Column = concat(
+      bucket.substr(lit(1), j),
+      when(bucket.substr(j + 1, lit(1)) === "1", lit("0")).otherwise(lit("1")),
+      bucket.substr(j + 2, lit(planes) - j - 1))
+    // corpus side: base buckets only, straight from lshBucket
+    val corpusBuckets = {
+      val withBase = corpus.select(col(idCol).as("neighbor_id"),
+        array((0 until tables).map(t => Vectors.lshBucket(col(vecCol), planes, d, seed = t)): _*).as("_bases"))
+      val variants = (0 until tables).map(t => concat(lit(s"$t:"), element_at(col("_bases"), t + 1)))
+      withBase.select(col("neighbor_id"), explode(array(variants: _*)).as("bucket"))
+    }
+    // query side: the per-table hyperplane PROJECTIONS are materialized once
+    // (planes codegen'd dots each) — base bits, probe-plane choice, and
+    // flipped variants are all cheap array reads over those attributes.
+    // Sign bits come from the identical fastDot doubles lshBucket compares,
+    // so query and corpus buckets stay bit-identical.
+    val queryBuckets = {
+      val withProjs = queries.select(col(idCol).as("query_id") +:
+        (0 until tables).map { t =>
+          array((0 until planes).map(p => Vectors.fastDot(col(vecCol),
+            array(Vectors.hyperplane(t * 1000 + p, d).map(lit(_)): _*))): _*).as(s"_pr$t")
+        }: _*)
+      // materialize base bucket + probe order ONCE per table as their own
+      // attributes: every probe variant reads them, and leaving them as
+      // expressions re-evaluates the concat/sort per variant (measured 3×
+      // the whole query's cost)
+      val staged = withProjs.select(col("query_id") +:
+        (0 until tables).flatMap { t =>
+          val projs = col(s"_pr$t")
+          val base = concat((0 until planes).map(p =>
+            when(element_at(projs, p + 1) >= 0.0, lit("1")).otherwise(lit("0"))): _*).as(s"_base$t")
+          if (!queryDirected || multiprobe == 0) Seq(base)
+          else Seq(base,
+            // the paper's heuristic: smallest |projection| = nearest planes
+            slice(sort_array(array((0 until planes).map(p =>
+              struct(abs(element_at(projs, p + 1)).as("d"), lit(p).as("idx"))): _*)),
+              1, multiprobe).as(s"_order$t"))
+        }: _*)
+      val variants = (0 until tables).flatMap { t =>
+        val base = col(s"_base$t")
+        val probePlanes: Seq[Column] =
+          if (queryDirected)
+            (0 until multiprobe).map(j =>
+              element_at(col(s"_order$t"), j + 1).getField("idx"))
+          else (0 until multiprobe).map(j => lit(j))
+        concat(lit(s"$t:"), base) +:
+          probePlanes.map(j => concat(lit(s"$t:"), flipBitAt(base, j)))
+      }
+      staged.select(col("query_id"), explode(array(variants: _*)).as("bucket"))
+    }
+    // candidate ids only (cheap dedup on longs); vectors re-attached later
+    queryBuckets.join(corpusBuckets, Seq("bucket"))
+      .where(col("neighbor_id") =!= col("query_id"))
+      .select(col("query_id"), col("neighbor_id"))
+      .distinct()
   }
 
   /** IVF (inverted-file) ANN: cluster the corpus around `nCentroids`

@@ -299,6 +299,39 @@ class OperatorsSpec extends SparkSuite {
     assert(probed >= 0.3, s"multiprobe recall $probed below expected lift")
   }
 
+  test("query-directed multi-probe: recall >= first-planes probing at equal probe volume") {
+    val emb = spark.read.parquet(s"$sf0001/embeddings.parquet")
+    val queries = emb.where(col("vec_id") % 100 === 0)
+    val exact = Similarity.bruteForceTopK(queries, emb, "vec_id", "embedding", 10)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    // at multiprobe = 3 of 6 planes the CHOICE of planes matters (at 6 of 6
+    // both strategies probe every plane and coincide)
+    def run(directed: Boolean) = {
+      val cands = Similarity.lshCandidates(queries, emb, "vec_id", "embedding",
+        planes = 6, tables = 4, d = 64, multiprobe = 3, queryDirected = directed).count()
+      val hits = Similarity.lshTopK(queries, emb, "vec_id", "embedding", 10,
+          planes = 6, tables = 4, multiprobe = 3, queryDirected = directed)
+        .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+      (cands, (exact & hits).size.toDouble / exact.size)
+    }
+    val (candsFirst, recallFirst) = run(directed = false)
+    val (candsDirected, recallDirected) = run(directed = true)
+    // identical probe volume (1 + multiprobe buckets per table per query);
+    // candidate counts differ only by bucket occupancy
+    assert(recallDirected >= recallFirst,
+      s"query-directed recall $recallDirected fell below first-planes $recallFirst")
+    assert(candsDirected <= candsFirst * 2,
+      s"query-directed candidates $candsDirected blew up vs $candsFirst")
+    // at full probing both strategies flip the same plane set → same recall
+    val all6first = Similarity.lshTopK(queries, emb, "vec_id", "embedding", 10,
+        planes = 6, tables = 4, multiprobe = 6, queryDirected = false)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    val all6dir = Similarity.lshTopK(queries, emb, "vec_id", "embedding", 10,
+        planes = 6, tables = 4, multiprobe = 6, queryDirected = true)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    assert(all6dir == all6first, "probing all planes must be strategy-independent")
+  }
+
   test("as-of join: <= semantics, equal-ts match, and no-match null") {
     import spark.implicits._
     val left = Seq((1L, 10L, 100L), (1L, 20L, 200L), (2L, 5L, 300L))
