@@ -28,22 +28,18 @@ object Tables {
   def nation(spark: SparkSession, dir: String): DataFrame = apply(spark, dir, "nation")
   def region(spark: SparkSession, dir: String): DataFrame = apply(spark, dir, "region")
   /** `events.ts` is nanosecond parquet, which Spark 4 rejects by default.
-    * Read it as raw nanos (legacy conf) and convert losslessly to a
-    * microsecond TimestampType — the data is µs-precision (TESTDATA
-    * generator), so no information is lost and DuckDB-oracle comparisons
-    * agree at every granularity.
-    *
-    * NOTE: `nanosAsLong` is intentionally left set on the session — it must
-    * be live when the (lazy) scan EXECUTES, not just at plan build, so a
-    * set/restore around the read would break later actions. Session-wide
-    * effect: other NANOS-timestamp parquet columns read afterwards arrive
-    * as raw Long nanos instead of erroring; the test corpus has exactly one
-    * such column. */
-  def events(spark: SparkSession, dir: String): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    apply(spark, dir, "events")
+    * An EXPLICIT `BIGINT` schema for the NANOS column makes the scan hand
+    * over raw nanos with no session conf at all — scoped entirely to this
+    * read (the legacy `nanosAsLong` session flag would silently change how
+    * every later NANOS parquet column in the session decodes). The raw
+    * nanos then convert losslessly to a microsecond TimestampType — the
+    * data is µs-precision (TESTDATA generator), so no information is lost
+    * and DuckDB-oracle comparisons agree at every granularity. */
+  def events(spark: SparkSession, dir: String): DataFrame =
+    spark.read
+      .schema("event_id BIGINT, ts BIGINT, user_id BIGINT, event_type STRING, value DOUBLE, props STRING")
+      .parquet(s"$dir/events.parquet")
       .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
-  }
   def documents(spark: SparkSession, dir: String): DataFrame = apply(spark, dir, "documents")
   def embeddings(spark: SparkSession, dir: String): DataFrame = apply(spark, dir, "embeddings")
 
