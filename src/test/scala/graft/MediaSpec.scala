@@ -27,6 +27,18 @@ class MediaSpec extends SparkSuite {
     assert(kinds.toSeq == Seq("audio", "image", "video"))
   }
 
+  test("Arrow-batched decode is row-for-row identical to the row path, at any batch boundary") {
+    val docs = spark.read.parquet(s"$sf0001/documents.parquet")
+    val media = Media.fromDocuments(docs)
+    val rowPath = Media.extractFeatures(media).orderBy("media_id").collect().toSeq
+    // default batch size and a tiny one that forces many partial batches
+    for (bs <- Seq(256, 3)) {
+      val batched = Media.extractFeaturesBatched(media, batchSize = bs)
+        .orderBy("media_id").collect().toSeq
+      assert(batched == rowPath, s"batched path diverged at batchSize=$bs")
+    }
+  }
+
   test("real header codecs: hand-built BMP and WAV fixtures decode from actual bytes") {
     import java.nio.{ByteBuffer, ByteOrder}
     // minimal BMP: 14-byte file header + 40-byte BITMAPINFOHEADER, 37x23 px
