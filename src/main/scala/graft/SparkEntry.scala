@@ -108,6 +108,7 @@ object SparkEntry {
     "q47_histogram" -> q47,
     "q48_salted_join" -> q48,
     "q49_simhash_pairs" -> q49,
+    "q50_facade_dateparts" -> q50,
   )
 
   // =====================================================================
@@ -702,6 +703,23 @@ object SparkEntry {
         bits = 32, maxDistance = 2)
       .orderBy(col("id_a"), col("id_b"))
 
+  /** Facade calendar surface: events bucketed by (day-of-week, hour-of-day)
+    * through the Expr date-part nodes — no raw epoch-ms arithmetic in user
+    * code. Compiles to native date functions + one partial-agg'd count. */
+  private def q50(s: SparkSession, dir: String): DataFrame = {
+    import Expr._
+    val ev = DataStream.fromDF[Long](
+      Tables.events(s, dir).select(unix_millis(col("ts")).as("value")))
+    val counted = ev
+      .map(ts => (ts.msDayOfWeek, ts.msHour))
+      .groupBy(t => t)
+      .fold(g => Expr.KeyValue(g.key, g.values.length))
+    counted.toDF
+      .select(col("value.key._1").as("dow"), col("value.key._2").as("hod"),
+        col("value.value").as("n"))
+      .orderBy(col("dow"), col("hod"))
+  }
+
   /** Document fingerprints: md5 of normalized text + polynomial rolling
     * hash — both engine-portable, both per-row narrow transforms. */
   private def q35(s: SparkSession, dir: String): DataFrame =
@@ -898,6 +916,13 @@ object SparkEntry {
                ((strpos('0123456789abcdef', substr(md5(t), CAST(p // 4 + 1 AS BIGINT), 1)) - 1) >> (3 - p % 4)) % 2 * 2 - 1
              )) > 0 THEN '1' ELSE '0' END), '') AS simhash
            FROM documents ORDER BY doc_id""",
+
+      // DuckDB dayofweek is 0=Sunday..6; the engine (and SQL convention)
+      // uses 1=Sunday..7 — hence the +1
+      "q50_facade_dateparts" ->
+        """SELECT CAST(dayofweek(ts) + 1 AS BIGINT) AS dow,
+             CAST(hour(ts) AS BIGINT) AS hod, count(*) AS n
+           FROM events GROUP BY 1, 2 ORDER BY dow, hod""",
 
       // brute-force all-pairs over the same simhash table the q19 oracle
       // computes; the engine's pigeonhole blocking must reproduce it exactly

@@ -291,6 +291,71 @@ object Expr {
     }
   }
 
+  // ---------------------------------------------------------------------
+  // Date/time over epoch-ms Longs (engine extension: the reference models
+  // time as raw Long epoch-ms — Window.scala:12-13 — and offers no calendar
+  // surface, so facade queries had to hand-roll Long arithmetic).
+  // Calendar parts are UTC on BOTH paths: eval uses java.time at
+  // ZoneOffset.UTC; toColumn goes through timestamp_millis, whose part
+  // extraction honors spark.sql.session.timeZone — the engine's entry
+  // points pin it to UTC (Bench/Verify/specs), which is also what the
+  // DuckDB oracle computes. Truncation needs no calendar at all: it is
+  // pure Long arithmetic, portable across engines and timezones.
+  // ---------------------------------------------------------------------
+
+  private[graft] val dateParts =
+    Set("year", "month", "day", "hour", "minute", "second", "dow", "doy")
+
+  /** Calendar part of a UTC epoch-ms timestamp, as Long. `dow` follows SQL
+    * convention (1 = Sunday … 7 = Saturday). */
+  final case class DatePart[A](ts: Expr[A, Long], part: String) extends Expr[A, Long] {
+    require(dateParts(part), s"unknown date part '$part' (expected one of ${dateParts.toSeq.sorted.mkString(", ")})")
+    private[graft] def toColumn(in: Column): Column = {
+      val t = timestamp_millis(ts.toColumn(in))
+      val c = part match {
+        case "year"   => year(t)
+        case "month"  => month(t)
+        case "day"    => dayofmonth(t)
+        case "hour"   => hour(t)
+        case "minute" => minute(t)
+        case "second" => second(t)
+        case "dow"    => dayofweek(t)
+        case "doy"    => dayofyear(t)
+      }
+      c.cast("long")
+    }
+    private[graft] def eval(in: Any): Any = ts.eval(in) match {
+      case ms: Long =>
+        val z = java.time.Instant.ofEpochMilli(ms).atZone(java.time.ZoneOffset.UTC)
+        part match {
+          case "year"   => z.getYear.toLong
+          case "month"  => z.getMonthValue.toLong
+          case "day"    => z.getDayOfMonth.toLong
+          case "hour"   => z.getHour.toLong
+          case "minute" => z.getMinute.toLong
+          case "second" => z.getSecond.toLong
+          case "dow"    => (z.getDayOfWeek.getValue % 7 + 1).toLong // java 1=Mon → SQL 1=Sun
+          case "doy"    => z.getDayOfYear.toLong
+        }
+      case _ => null
+    }
+  }
+
+  /** Floor an epoch-ms timestamp to a `unitMs` boundary (day/hour/minute/…)
+    * — `pmod`/`floorMod` keep pre-1970 negatives flooring toward -∞ on both
+    * paths. */
+  final case class TruncMs[A](ts: Expr[A, Long], unitMs: Long) extends Expr[A, Long] {
+    require(unitMs > 0, s"truncation unit must be positive, got $unitMs")
+    private[graft] def toColumn(in: Column): Column = {
+      val t = ts.toColumn(in)
+      t - pmod(t, lit(unitMs))
+    }
+    private[graft] def eval(in: Any): Any = ts.eval(in) match {
+      case ms: Long => ms - java.lang.Math.floorMod(ms, unitMs)
+      case _        => null
+    }
+  }
+
   /** List length as Long (reference `Length`, Expression.scala:27). */
   final case class Length[A, B](list: Expr[A, List[B]]) extends Expr[A, Long] {
     private[graft] def toColumn(in: Column): Column = size(list.toColumn(in)).cast("long")
@@ -405,6 +470,8 @@ object Expr {
       case StrUpper(a)       => StrUpper(s(a).asInstanceOf[Expr[Any, String]])
       case SubStr(a, p, n)   => SubStr(s(a).asInstanceOf[Expr[Any, String]],
         s(p).asInstanceOf[Expr[Any, Long]], s(n).asInstanceOf[Expr[Any, Long]])
+      case DatePart(t, p)    => DatePart(s(t).asInstanceOf[Expr[Any, Long]], p)
+      case TruncMs(t, u)     => TruncMs(s(t).asInstanceOf[Expr[Any, Long]], u)
       case Length(x)         => Length(s(x).asInstanceOf[Expr[Any, List[Any]]])
       case ListSum(x)        => ListSum(s(x).asInstanceOf[Expr[Any, List[Long]]])
       case KeyValue(k, v)    => KeyValue(s(k), s(v))
@@ -493,6 +560,23 @@ object Expr {
     def toUpperCase: Expr[A, String] = StrUpper(e)
     /** SQL-style 1-based substring (clamping; see [[SubStr]]). */
     def substring(pos: Expr[A, Long], len: Expr[A, Long]): Expr[A, String] = SubStr(e, pos, len)
+  }
+
+  /** Epoch-ms calendar surface (distinct names so they never collide with
+    * [[LongExprOps]] arithmetic on the same Long expressions). */
+  implicit final class EpochMsExprOps[A](private val e: Expr[A, Long]) extends AnyVal {
+    def msYear: Expr[A, Long] = DatePart(e, "year")
+    def msMonth: Expr[A, Long] = DatePart(e, "month")
+    def msDay: Expr[A, Long] = DatePart(e, "day")
+    def msHour: Expr[A, Long] = DatePart(e, "hour")
+    def msMinute: Expr[A, Long] = DatePart(e, "minute")
+    def msSecond: Expr[A, Long] = DatePart(e, "second")
+    def msDayOfWeek: Expr[A, Long] = DatePart(e, "dow")
+    def msDayOfYear: Expr[A, Long] = DatePart(e, "doy")
+    def truncToDay: Expr[A, Long] = TruncMs(e, 86400000L)
+    def truncToHour: Expr[A, Long] = TruncMs(e, 3600000L)
+    def truncToMinute: Expr[A, Long] = TruncMs(e, 60000L)
+    def truncToMs(unitMs: Long): Expr[A, Long] = TruncMs(e, unitMs)
   }
 
   implicit final class BoolExprOps[A](private val e: Expr[A, Boolean]) extends AnyVal {

@@ -89,6 +89,25 @@ class ExprSpec extends SparkSuite {
     assert(ds.map(_ => e).collectValues == Seq(17L))
   }
 
+  test("epoch-ms date parts: Catalyst and eval agree, incl. dow convention and pre-1970 trunc") {
+    // 2024-02-29T13:45:30.123Z — a leap-day Thursday
+    val leapDay = 1709214330123L
+    // 1969-12-31T22:00:00Z — pre-1970: floor-toward-minus-infinity matters
+    val preEpoch = -7200000L
+    val e = { val t = Expr.id[Long]
+      (((t.msYear &&& t.msMonth) &&& (t.msDay &&& t.msHour)) &&&
+        ((t.msDayOfWeek &&& t.msDayOfYear) &&& t.truncToDay)) }
+    val viaCatalyst = DataStream.fromLiterals(leapDay, preEpoch).map(_ => e).collectValues
+    val viaEval = Seq(leapDay, preEpoch).map(e.eval)
+    assert(viaCatalyst == viaEval, s"catalyst $viaCatalyst != eval $viaEval")
+    // spot-check the actual calendar values (UTC): Thursday = 5 in SQL dow
+    assert(viaCatalyst.head == (((2024L, 2L), (29L, 13L)), ((5L, 60L), 1709164800000L)))
+    // pre-1970 day floor goes DOWN to 1969-12-31T00:00Z, not toward zero
+    assert(viaCatalyst(1) == (((1969L, 12L), (31L, 22L)), ((4L, 365L), -172800000L + 86400000L)))
+    // invalid part fails loudly at construction
+    intercept[IllegalArgumentException](Expr.DatePart(Expr.id[Long], "fortnight"))
+  }
+
   test("SparkType encode/decode roundtrip for nested types") {
     import graft.expr.SparkType
     def rt[T: SparkType](v: T): Unit = {
