@@ -37,6 +37,30 @@ object Streams {
         col("window.end").as("window_end"), col("n"))
   }
 
+  /** Watermarked calendar rollup: counts per (calendar bucket, key), where
+    * the bucket is a UTC day/hour/minute truncation of event time — the
+    * streaming twin of q50's facade date-part aggregation. A calendar
+    * bucket IS a tumbling window (fixed width, aligned at the epoch), so
+    * this goes through the same `window()` machinery watermarks understand:
+    * append mode emits each (day, key) row once the watermark passes the
+    * day's end, and the state store holds only open buckets. (Grouping on
+    * a bare `date_trunc` column instead would leave the watermark unable to
+    * bound state — the window form is the scale-safe formulation.) */
+  def calendarRollup(events: DataFrame, keyCol: String, tsCol: String,
+                     unit: String, delay: String): DataFrame = {
+    val width = unit match {
+      case "day"    => "1 day"
+      case "hour"   => "1 hour"
+      case "minute" => "1 minute"
+      case other    => sys.error(s"calendarRollup unit must be day|hour|minute, got '$other'")
+    }
+    events
+      .withWatermark(tsCol, delay)
+      .groupBy(window(col(tsCol), width).as("w"), col(keyCol))
+      .agg(count(lit(1)).as("n"))
+      .select(col("w.start").as("bucket_start"), col(keyCol), col("n"))
+  }
+
   /** Sink a streaming frame to parquet micro-batch-by-micro-batch via
     * foreachBatch — the escape hatch for sinks Structured Streaming lacks
     * natively (upserts, JDBC, multi-table fanout): each batch arrives as a

@@ -53,6 +53,19 @@ class ScaleSpec extends SparkSuite {
     }
   }
 
+  test("simHashPairs plan: posting-list pairs with the bucket-size guard, no corpus self-join") {
+    val docs = spark.read.parquet(s"$sf0001/documents.parquet")
+    val pairs = graft.operators.Dedup.simHashPairs(docs, "doc_id", "text",
+      bits = 32, maxDistance = 2, maxBucketSize = 500)
+    val plan = pairs.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoop"),
+      s"simHashPairs plan has a quadratic join:\n$plan")
+    // candidates come from in-bucket Generates over a size-guarded posting
+    // list, not a hash-table self equi-join on the block key
+    assert(plan.contains("Generate"), s"expected posting-list Generates:\n$plan")
+    assert(plan.contains("500"), s"expected the maxBucketSize guard in the plan:\n$plan")
+  }
+
   test("partitioned layout prunes: only the filtered partition is scanned") {
     val base = java.nio.file.Files.createTempDirectory("graft-part").toString
     graft.sources.Tables.writePartitioned(

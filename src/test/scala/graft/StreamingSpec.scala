@@ -39,6 +39,35 @@ class StreamingSpec extends SparkSuite {
     } finally q.stop()
   }
 
+  test("streaming calendar rollup: hour buckets flush on watermark, late rows dropped") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, String)]
+    val hourMs = 3600000L
+    val events = input.toDF()
+      .select(timestamp_millis(col("_1")).as("ts"), col("_2").as("etype"))
+    val rolled = Streams.calendarRollup(events, "etype", "ts",
+      unit = "hour", delay = "0 milliseconds")
+    val q = rolled.writeStream.outputMode("append")
+      .format("memory").queryName("cal").start()
+    try {
+      input.addData((hourMs + 5L, "click"), (hourMs + 10L, "click"), (hourMs + 20L, "view"))
+      q.processAllAvailable()
+      // advance past hour 1 → its buckets finalize; then a LATE hour-1 row
+      input.addData((2 * hourMs + 1L, "click"))
+      q.processAllAvailable()
+      input.addData((hourMs + 30L, "click"), (3 * hourMs + 1L, "flush"))
+      q.processAllAvailable()
+      val rows = spark.table("cal")
+        .select(unix_millis(col("bucket_start")).as("b"), col("etype"), col("n"))
+        .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+      assert(rows.contains((hourMs, "click", 2L)), s"got $rows") // late row dropped
+      assert(rows.contains((hourMs, "view", 1L)))
+      assert(rows.contains((2 * hourMs, "click", 1L)))
+      assert(!rows.contains((hourMs, "click", 3L)))
+    } finally q.stop()
+  }
+
   test("the SAME DataStream facade pipeline runs streaming: watermark flush + late drop") {
     import graft.expr.Expr._
     import graft.stream.DataStream
