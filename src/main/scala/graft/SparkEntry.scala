@@ -109,6 +109,7 @@ object SparkEntry {
     "q48_salted_join" -> q48,
     "q49_simhash_pairs" -> q49,
     "q50_facade_dateparts" -> q50,
+    "q51_pii_redact" -> q51,
   )
 
   // =====================================================================
@@ -720,6 +721,20 @@ object SparkEntry {
       .orderBy(col("dow"), col("hod"))
   }
 
+  /** PII redaction: the corpus has no real PII, so each row is first
+    * enriched with a DETERMINISTIC synthetic email/IP/phone built from its
+    * doc_id (both engines build the identical string) — the redaction
+    * patterns are then genuinely exercised row-by-row against the oracle. */
+  private def q51(s: SparkSession, dir: String): DataFrame = {
+    val pii = concat(col("text"),
+      lit(" contact user"), col("doc_id").cast("string"), lit("@example.com"),
+      lit(" at 10.0."), pmod(col("doc_id"), lit(256L)).cast("string"), lit(".7"),
+      lit(" or +1415555"), pmod(col("doc_id"), lit(10000L)).cast("string"))
+    Tables.documents(s, dir)
+      .select(col("doc_id"), Text.redactPii(pii).as("redacted"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Document fingerprints: md5 of normalized text + polynomial rolling
     * hash — both engine-portable, both per-row narrow transforms. */
   private def q35(s: SparkSession, dir: String): DataFrame =
@@ -915,6 +930,21 @@ object SparkEntry {
              CASE WHEN list_sum(list_transform($toks, t ->
                ((strpos('0123456789abcdef', substr(md5(t), CAST(p // 4 + 1 AS BIGINT), 1)) - 1) >> (3 - p % 4)) % 2 * 2 - 1
              )) > 0 THEN '1' ELSE '0' END), '') AS simhash
+           FROM documents ORDER BY doc_id""",
+
+      // same synthetic-PII enrichment, same replacement order; patterns are
+      // restricted to Java-regex/RE2-common syntax so both engines agree
+      "q51_pii_redact" ->
+        """SELECT doc_id,
+             regexp_replace(
+               regexp_replace(
+                 regexp_replace(
+                   text || ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com'
+                        || ' at 10.0.' || CAST(doc_id % 256 AS VARCHAR) || '.7'
+                        || ' or +1415555' || CAST(doc_id % 10000 AS VARCHAR),
+                   '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+                 '(\d{1,3}\.){3}\d{1,3}', '<IP>', 'g'),
+               '\+\d{7,15}', '<PHONE>', 'g') AS redacted
            FROM documents ORDER BY doc_id""",
 
       // DuckDB dayofweek is 0=Sunday..6; the engine (and SQL convention)

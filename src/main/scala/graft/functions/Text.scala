@@ -50,6 +50,25 @@ object Text {
     * published with the Gopher corpus pipeline, Rae et al. 2021, app. A).
     * Per-row column expression, zero shuffle; 0.0 for docs too short to
     * have more than one n-gram. */
+  /** PII redaction for training corpora: emails, IPv4 addresses, and
+    * international-format phone numbers replaced by fixed mask tokens.
+    * Patterns are deliberately restricted to syntax that Java regex and
+    * RE2 (DuckDB, Go tooling) interpret identically — no backrefs, no
+    * lookaround — so redaction is engine-portable and oracle-checkable.
+    * Order matters: emails first (their local part can contain digits a
+    * later pattern would chew up), then IPs, then phones. Pure per-row
+    * narrow transform — at 100 TB this lives in the scan stage. */
+  def redactPii(text: Column): Column = {
+    val email = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+    val ipv4 = "(\\d{1,3}\\.){3}\\d{1,3}"
+    val phone = "\\+\\d{7,15}"
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(text, email, "<EMAIL>"),
+        ipv4, "<IP>"),
+      phone, "<PHONE>")
+  }
+
   def repetitionRatio(text: Column, n: Int): Column = {
     val sh = fastWordShingles(text, n)
     val total = size(sh).cast("double")

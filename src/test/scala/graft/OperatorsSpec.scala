@@ -175,6 +175,24 @@ class OperatorsSpec extends SparkSuite {
     assert(out == Map((1L, 100L) -> 1.0))
   }
 
+  test("redactPii masks emails, IPv4s, and phones; clean text passes through") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "reach me at jane.doe+spam@sub.example.co.uk thanks"),
+      (2L, "server 192.168.001.1 and backup 10.0.0.254 are up"),
+      (3L, "call +14155550123 today"),
+      (4L, "nothing sensitive here, just 3.14 and v1.2.3 and a@b"), // a@b: no TLD → kept
+      (5L, "mixed: bob@corp.io from 172.16.4.20 or +4915123456789")
+    ).toDF("doc_id", "text")
+    val out = df.select(col("doc_id"), graft.functions.Text.redactPii(col("text")))
+      .orderBy("doc_id").collect().map(_.getString(1))
+    assert(out(0) == "reach me at <EMAIL> thanks")
+    assert(out(1) == "server <IP> and backup <IP> are up")
+    assert(out(2) == "call <PHONE> today")
+    assert(out(3) == "nothing sensitive here, just 3.14 and v1.2.3 and a@b")
+    assert(out(4) == "mixed: <EMAIL> from <IP> or <PHONE>")
+  }
+
   test("repetitionRatio: exact duplicated-n-gram fraction on planted text") {
     import spark.implicits._
     val df = Seq(
