@@ -34,7 +34,9 @@ object Bench {
     // every run() rebuilds its plan from the source tables.
     def dropLeftoverState(): Unit = {
       spark.catalog.clearCache()
-      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
+      // blocking: removal must FINISH before the next timed run starts, or
+      // the async free runs inside the next measurement window
+      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = true))
     }
     val results = selected.map { case (name, fn) =>
       // a failing query must read as FAILED (-1), not as a suspiciously

@@ -696,12 +696,14 @@ object SparkEntry {
   /** SimHash near-dup pairs via pigeonhole multi-block indexing: any pair
     * within Hamming distance 2 agrees exactly on one of 3 blocks, so the
     * blocked candidates equal the brute-force all-pairs set (the oracle) —
-    * without ever forming the quadratic join. Bucket cap (10k) cannot bind
-    * at gate scale (max possible bucket = corpus size), so parity is exact
-    * by construction. */
+    * without ever forming the quadratic join. The bucket cap is explicitly
+    * raised above any smoke-corpus size (sf1 scale-up included): this
+    * query's CONTRACT is exact parity, and a binding cap would silently
+    * drop pairs the oracle keeps. Production dedup flows use the default
+    * guard instead and accept the documented hot-bucket drop. */
   private def q49(s: SparkSession, dir: String): DataFrame =
     Dedup.simHashPairs(Tables.documents(s, dir), "doc_id", "text",
-        bits = 32, maxDistance = 2)
+        bits = 32, maxDistance = 2, maxBucketSize = 1 << 20)
       .orderBy(col("id_a"), col("id_b"))
 
   /** Facade calendar surface: events bucketed by (day-of-week, hour-of-day)

@@ -295,12 +295,16 @@ object Expr {
   // Date/time over epoch-ms Longs (engine extension: the reference models
   // time as raw Long epoch-ms — Window.scala:12-13 — and offers no calendar
   // surface, so facade queries had to hand-roll Long arithmetic).
-  // Calendar parts are UTC on BOTH paths: eval uses java.time at
-  // ZoneOffset.UTC; toColumn goes through timestamp_millis, whose part
-  // extraction honors spark.sql.session.timeZone — the engine's entry
-  // points pin it to UTC (Bench/Verify/specs), which is also what the
-  // DuckDB oracle computes. Truncation needs no calendar at all: it is
-  // pure Long arithmetic, portable across engines and timezones.
+  // Calendar parts are UTC and computed by the SAME closed-form integer
+  // arithmetic on both paths (civil-from-days, Howard Hinnant's
+  // chrono-compatible algorithm — public domain, http://howardhinnant
+  // .github.io/date_algorithms.html): Catalyst builds it from plain Column
+  // arithmetic (codegen'd, zero timezone dependence), eval runs the same
+  // formulas on Longs. Spark's own year()/hour()/… honor
+  // spark.sql.session.timeZone, which would make the Catalyst path
+  // silently diverge from eval in any non-UTC session — the arithmetic
+  // form cannot diverge, in ANY session, by construction (the spec checks
+  // it against java.time UTC across random instants).
   // ---------------------------------------------------------------------
 
   private[graft] val dateParts =
@@ -310,32 +314,77 @@ object Expr {
     * convention (1 = Sunday … 7 = Saturday). */
   final case class DatePart[A](ts: Expr[A, Long], part: String) extends Expr[A, Long] {
     require(dateParts(part), s"unknown date part '$part' (expected one of ${dateParts.toSeq.sorted.mkString(", ")})")
+
     private[graft] def toColumn(in: Column): Column = {
-      val t = timestamp_millis(ts.toColumn(in))
-      val c = part match {
-        case "year"   => year(t)
-        case "month"  => month(t)
-        case "day"    => dayofmonth(t)
-        case "hour"   => hour(t)
-        case "minute" => minute(t)
-        case "second" => second(t)
-        case "dow"    => dayofweek(t)
-        case "doy"    => dayofyear(t)
+      val ms = ts.toColumn(in)
+      // Spark's Column `/` is fractional Divide (double result); exact
+      // integer floor-div is (a - pmod(a,b)) / b — the numerator is exactly
+      // divisible, so the double quotient is integral — cast back to long.
+      // (All magnitudes here stay far below 2^53, so doubles are exact.)
+      def fdiv(a: Column, b: Long): Column = ((a - pmod(a, lit(b))) / lit(b)).cast("long")
+      part match {
+        case "hour"   => pmod(fdiv(ms, 3600000L), lit(24L))
+        case "minute" => pmod(fdiv(ms, 60000L), lit(60L))
+        case "second" => pmod(fdiv(ms, 1000L), lit(60L))
+        case "dow"    => pmod(fdiv(ms, 86400000L) + lit(4L), lit(7L)) + lit(1L)
+        case _ =>
+          // civil-from-days: every fdiv below runs on a non-negative value
+          // except z (handled by pmod-based flooring)
+          val z = fdiv(ms, 86400000L) + lit(719468L)
+          val era = fdiv(z, 146097L)
+          val doe = z - era * 146097L                                   // [0, 146096]
+          val yoe = fdiv(doe - fdiv(doe, 1460L) + fdiv(doe, 36524L) - fdiv(doe, 146096L), 365L) // [0, 399]
+          val doy = doe - (yoe * 365L + fdiv(yoe, 4L) - fdiv(yoe, 100L)) // [0, 365]
+          val mp = fdiv(doy * 5L + 2L, 153L)                            // [0, 11]
+          val day = doy - fdiv(mp * 153L + 2L, 5L) + 1L                 // [1, 31]
+          val month = when(mp < 10L, mp + 3L).otherwise(mp - 9L)        // [1, 12]
+          val year = yoe + era * 400L + when(month <= 2L, lit(1L)).otherwise(lit(0L))
+          part match {
+            case "year"  => year
+            case "month" => month
+            case "day"   => day
+            case "doy" => // civil doy is March-based; count from Jan 1 instead:
+              // days-from-civil(year,1,1) = era(y-1)*146097 + yoe*365 +
+              // yoe/4 - yoe/100 + 306 - 719468 (Jan has March-based mp=10,
+              // whose day-of-era offset is (10*153+2)/5 = 306)
+              val y1 = year - 1L
+              val e1 = fdiv(y1, 400L)
+              val yoe1 = y1 - e1 * 400L
+              val jan1 = e1 * 146097L + yoe1 * 365L + fdiv(yoe1, 4L) - fdiv(yoe1, 100L) + 306L - 719468L
+              fdiv(ms, 86400000L) - jan1 + 1L
+          }
       }
-      c.cast("long")
     }
+
     private[graft] def eval(in: Any): Any = ts.eval(in) match {
       case ms: Long =>
-        val z = java.time.Instant.ofEpochMilli(ms).atZone(java.time.ZoneOffset.UTC)
+        import java.lang.Math.{floorDiv, floorMod}
         part match {
-          case "year"   => z.getYear.toLong
-          case "month"  => z.getMonthValue.toLong
-          case "day"    => z.getDayOfMonth.toLong
-          case "hour"   => z.getHour.toLong
-          case "minute" => z.getMinute.toLong
-          case "second" => z.getSecond.toLong
-          case "dow"    => (z.getDayOfWeek.getValue % 7 + 1).toLong // java 1=Mon → SQL 1=Sun
-          case "doy"    => z.getDayOfYear.toLong
+          case "hour"   => floorMod(floorDiv(ms, 3600000L), 24L)
+          case "minute" => floorMod(floorDiv(ms, 60000L), 60L)
+          case "second" => floorMod(floorDiv(ms, 1000L), 60L)
+          case "dow"    => floorMod(floorDiv(ms, 86400000L) + 4L, 7L) + 1L
+          case _ =>
+            val z = floorDiv(ms, 86400000L) + 719468L
+            val era = floorDiv(z, 146097L)
+            val doe = z - era * 146097L
+            val yoe = (doe - doe / 1460L + doe / 36524L - doe / 146096L) / 365L
+            val doy = doe - (365L * yoe + yoe / 4L - yoe / 100L)
+            val mp = (doy * 5L + 2L) / 153L
+            val day = doy - (mp * 153L + 2L) / 5L + 1L
+            val month = if (mp < 10L) mp + 3L else mp - 9L
+            val year = yoe + era * 400L + (if (month <= 2L) 1L else 0L)
+            part match {
+              case "year"  => year
+              case "month" => month
+              case "day"   => day
+              case "doy" => // same Jan-1 formulation as the Column path
+                val y1 = year - 1L
+                val e1 = floorDiv(y1, 400L)
+                val yoe1 = y1 - e1 * 400L
+                val jan1 = e1 * 146097L + yoe1 * 365L + yoe1 / 4L - yoe1 / 100L + 306L - 719468L
+                floorDiv(ms, 86400000L) - jan1 + 1L
+            }
         }
       case _ => null
     }

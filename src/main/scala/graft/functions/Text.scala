@@ -44,12 +44,6 @@ object Text {
     substring(trim(regexp_replace(regexp_replace(text, "[\\x00-\\x1F\\x7F]", " "), "\\s+", " ")), 1, maxChars)
   }
 
-  /** Fraction of duplicated word n-grams: `1 - |distinct n-grams| /
-    * |n-grams|`. The standard repetition signal for corpus quality
-    * filtering — degenerate/boilerplate text repeats itself (rule family
-    * published with the Gopher corpus pipeline, Rae et al. 2021, app. A).
-    * Per-row column expression, zero shuffle; 0.0 for docs too short to
-    * have more than one n-gram. */
   /** PII redaction for training corpora: emails, IPv4 addresses, and
     * international-format phone numbers replaced by fixed mask tokens.
     * Patterns are deliberately restricted to syntax that Java regex and
@@ -69,6 +63,12 @@ object Text {
       phone, "<PHONE>")
   }
 
+  /** Fraction of duplicated word n-grams: `1 - |distinct n-grams| /
+    * |n-grams|`. The standard repetition signal for corpus quality
+    * filtering — degenerate/boilerplate text repeats itself (rule family
+    * published with the Gopher corpus pipeline, Rae et al. 2021, app. A).
+    * Per-row column expression, zero shuffle; 0.0 for docs too short to
+    * have more than one n-gram. */
   def repetitionRatio(text: Column, n: Int): Column = {
     val sh = fastWordShingles(text, n)
     val total = size(sh).cast("double")

@@ -35,9 +35,16 @@ object Tables {
     * nanos then convert losslessly to a microsecond TimestampType — the
     * data is µs-precision (TESTDATA generator), so no information is lost
     * and DuckDB-oracle comparisons agree at every granularity. */
+  /** The explicit read schema for `events.parquet` (`ts` as raw BIGINT
+    * nanos). Shared with tooling that reads/writes the table outside
+    * [[events]] — the two must stay identical or a renamed column would
+    * silently read as null (parquet matches by name). */
+  val eventsRawSchemaDdl: String =
+    "event_id BIGINT, ts BIGINT, user_id BIGINT, event_type STRING, value DOUBLE, props STRING"
+
   def events(spark: SparkSession, dir: String): DataFrame =
     spark.read
-      .schema("event_id BIGINT, ts BIGINT, user_id BIGINT, event_type STRING, value DOUBLE, props STRING")
+      .schema(eventsRawSchemaDdl)
       .parquet(s"$dir/events.parquet")
       .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
   def documents(spark: SparkSession, dir: String): DataFrame = apply(spark, dir, "documents")

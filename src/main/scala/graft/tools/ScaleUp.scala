@@ -55,13 +55,12 @@ object ScaleUp {
     write(copies(read("lineitem"), (df, c) =>
       df.withColumn("l_orderkey", col("l_orderkey") + lit(c * orderStride))), "lineitem")
 
-    // events.ts is NANOS parquet: same explicit-schema read as Tables.events,
-    // but written back as raw BIGINT nanos is useless to the bench readers —
-    // re-emit as TIMESTAMP_NTZ? No: the bench reads via Tables.events, which
-    // expects NANOS int64. Spark can't WRITE nanos parquet, so shift in
-    // BIGINT space and write a table the same explicit schema reads back.
+    // events.ts is NANOS parquet: read with the SAME explicit raw schema
+    // Tables.events uses (shared constant — drift would read nulls), shift
+    // in BIGINT nanos space, and write plain int64 the same schema reads
+    // back (Spark can't write NANOS parquet).
     val events = spark.read
-      .schema("event_id BIGINT, ts BIGINT, user_id BIGINT, event_type STRING, value DOUBLE, props STRING")
+      .schema(graft.sources.Tables.eventsRawSchemaDdl)
       .parquet(s"$src/events.parquet")
     val eventStride = strideOf(events, "event_id")
     val Array(tsMin, tsMax) = events.agg(min(col("ts")), max(col("ts")))
@@ -82,12 +81,14 @@ object ScaleUp {
 
     val emb = read("embeddings")
     val vecStride = strideOf(emb, "vec_id")
+    val dim = graft.functions.Vectors.dims(emb, "embedding") // probe, don't hardcode
+    require(dim > 0, "embeddings table has no non-empty vectors")
     write(copies(emb, (df, c) => df
       .withColumn("vec_id", col("vec_id") + lit(c * vecStride))
       .withColumn("embedding", {
-        val shift = (c * 6) % 64
+        val shift = (c * 6) % dim
         if (shift == 0) col("embedding")
-        else concat(slice(col("embedding"), shift + 1, 64 - shift), slice(col("embedding"), 1, shift))
+        else concat(slice(col("embedding"), shift + 1, dim - shift), slice(col("embedding"), 1, shift))
       })), "embeddings")
 
     println(s"SCALEUP done: $src -> $dst x$factor")

@@ -108,6 +108,44 @@ class ExprSpec extends SparkSuite {
     intercept[IllegalArgumentException](Expr.DatePart(Expr.id[Long], "fortnight"))
   }
 
+  test("date parts match java.time UTC on fuzzed instants, on BOTH paths, in a NON-UTC session") {
+    // the arithmetic (civil-from-days) formulation is timezone-free by
+    // construction; prove it by comparing against java.time at UTC across
+    // seeded random instants spanning 1823-2262 — while the SESSION runs a
+    // non-UTC timezone (Spark's own year()/hour() would diverge here)
+    val rnd = new scala.util.Random(20260812L)
+    val instants = Seq(0L, -1L, 86399999L, -86400000L) ++
+      Seq.fill(60)(rnd.nextLong() % (7000L * 365 * 86400000L))
+    def expected(ms: Long): Seq[Long] = {
+      val z = java.time.Instant.ofEpochMilli(ms).atZone(java.time.ZoneOffset.UTC)
+      Seq(z.getYear.toLong, z.getMonthValue.toLong, z.getDayOfMonth.toLong,
+        z.getHour.toLong, z.getMinute.toLong, z.getSecond.toLong,
+        (z.getDayOfWeek.getValue % 7 + 1).toLong, z.getDayOfYear.toLong)
+    }
+    val parts = Seq("year", "month", "day", "hour", "minute", "second", "dow", "doy")
+    val exprs = parts.map(p => Expr.DatePart(Expr.id[Long], p))
+    // eval path
+    instants.foreach { ms =>
+      assert(exprs.map(_.eval(ms)) == expected(ms), s"eval diverged at $ms")
+    }
+    // Catalyst path, under a deliberately non-UTC session timezone
+    import spark.implicits._
+    val prevTz = spark.conf.get("spark.sql.session.timeZone")
+    try {
+      spark.conf.set("spark.sql.session.timeZone", "America/New_York")
+      import org.apache.spark.sql.functions.col
+      val df = instants.toDF("ms")
+      val rows = df.select(col("ms") +: exprs.zip(parts).map {
+        case (e, p) => e.toColumn(col("ms")).as(p)
+      }: _*).collect()
+      rows.foreach { r =>
+        val ms = r.getLong(0)
+        val got = parts.indices.map(i => r.getLong(i + 1))
+        assert(got == expected(ms), s"catalyst diverged at $ms in non-UTC session: $got")
+      }
+    } finally spark.conf.set("spark.sql.session.timeZone", prevTz)
+  }
+
   test("SparkType encode/decode roundtrip for nested types") {
     import graft.expr.SparkType
     def rt[T: SparkType](v: T): Unit = {
