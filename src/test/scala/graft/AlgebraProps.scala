@@ -158,6 +158,20 @@ object AlgebraProps extends Properties("graft.algebra") {
       fast == slow
     }
 
+  property("date parts: civil-from-days arithmetic == java.time UTC for arbitrary instants") =
+    forAll(Gen.listOfN(6, Gen.chooseNum(-4000L * 365 * 86400000L, 4000L * 365 * 86400000L))) { ms =>
+      val parts = Seq("year", "month", "day", "hour", "minute", "second", "dow", "doy")
+      def expected(m: Long): Seq[Long] = {
+        val z = java.time.Instant.ofEpochMilli(m).atZone(java.time.ZoneOffset.UTC)
+        Seq(z.getYear.toLong, z.getMonthValue.toLong, z.getDayOfMonth.toLong,
+          z.getHour.toLong, z.getMinute.toLong, z.getSecond.toLong,
+          (z.getDayOfWeek.getValue % 7 + 1).toLong, z.getDayOfYear.toLong)
+      }
+      // eval path (pure arithmetic, no Spark job) on every instant; the
+      // Catalyst path is the same formulas — its parity is spec-checked
+      ms.forall(m => parts.map(p => Expr.DatePart[Long](Expr.id[Long], p).eval(m)) == expected(m))
+    }
+
   property("tumbling windows partition the timeline: counts sum to n, windows disjoint") =
     forAll(Gen.listOfN(6, Gen.chooseNum(0L, 100L))) { ts =>
       val ds = DataStream.fromLiterals(ts.map(t => (t, "k")): _*)
