@@ -267,22 +267,6 @@ object Dedup {
       .distinct()
   }
 
-  /** Connected components over a similarity edge list: every node gets the
-    * minimum id reachable through the edges (its cluster representative).
-    * Iterative min-label propagation to a fixpoint — each round is one
-    * groupBy over (edges + current labels); rounds needed = graph diameter
-    * in hops (near-dup clusters are tiny and dense, so 2-4 rounds in
-    * practice; `maxIterations` bounds pathological chains).
-    *
-    * Input: (id_a, id_b) pairs. Output: (id, component) for every id that
-    * appears in at least one edge.
-    *
-    * Storage lifecycle: superseded per-round label checkpoints and the edge
-    * list are freed before returning; the FINAL label checkpoint is pinned
-    * by the returned frame (it IS the result's data) and is released by
-    * Spark's context cleaner once the frame becomes unreachable, or
-    * immediately by unpersisting the session's persistent RDDs after the
-    * result has been consumed. */
   /** Materialize an iteration frame, truncating its lineage.
     *
     * `reliable = false`: `localCheckpoint` — blocks live in executor
@@ -319,6 +303,22 @@ object Dedup {
       case _ => ()
     }
 
+  /** Connected components over a similarity edge list: every node gets the
+    * minimum id reachable through the edges (its cluster representative).
+    * Iterative min-label propagation to a fixpoint — each round is one
+    * groupBy over (edges + current labels); rounds needed = graph diameter
+    * in hops (near-dup clusters are tiny and dense, so 2-4 rounds in
+    * practice; `maxIterations` bounds pathological chains).
+    *
+    * Input: (id_a, id_b) pairs. Output: (id, component) for every id that
+    * appears in at least one edge.
+    *
+    * Storage lifecycle: superseded per-round label checkpoints and the edge
+    * list are freed before returning; the FINAL label checkpoint is pinned
+    * by the returned frame (it IS the result's data) and is released by
+    * Spark's context cleaner once the frame becomes unreachable, or
+    * immediately by unpersisting the session's persistent RDDs after the
+    * result has been consumed. */
   def connectedComponents(pairs: DataFrame, maxIterations: Int = 20,
                           reliable: Boolean = false): DataFrame = {
     // materialize the edge list ONCE — every iteration joins against it,
