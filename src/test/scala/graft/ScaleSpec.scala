@@ -80,6 +80,16 @@ class ScaleSpec extends SparkSuite {
     assert(q.count() == expected)
   }
 
+  test("facade date-part aggregation prunes the scan to the one used column") {
+    // q50's shape: the Expr date algebra + fold rewrite must leave a plan
+    // whose events scan reads ONLY ts — proof the facade costs nothing in
+    // scan volume even with the arithmetic calendar expansion
+    val df = SparkEntry.queries("q50_facade_dateparts")(spark, sf0001)
+    val scan = df.queryExecution.executedPlan.toString
+      .linesIterator.filter(_.contains("ReadSchema")).mkString
+    assert(scan.contains("struct<ts:bigint>"), s"expected ts-only ReadSchema, got: $scan")
+  }
+
   test("filter and projection reach the parquet scan (pushdown + pruning)") {
     val q = SparkEntry.queries("q02_filter_pushdown")(spark, sf0001)
     val plan = q.queryExecution.executedPlan.toString
