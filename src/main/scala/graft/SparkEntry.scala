@@ -756,6 +756,11 @@ object SparkEntry {
     def shingles(n: Int) =
       s"CASE WHEN len(toks) <= $n THEN [array_to_string(toks, ' ')] " +
       s"ELSE list_transform(range(0, len(toks) - $n + 1), i -> array_to_string(list_slice(toks, i + 1, i + $n), ' ')) END"
+    // Dedup.shingleKey mirror: first 60 bits of md5 as a BIGINT — the
+    // inverted-index family (q20/q39/q42) computes over this hashed
+    // universe on BOTH engines, so results stay hash-checkable
+    def hashedShingles(n: Int) =
+      s"list_transform(list_distinct(${shingles(n)}), s -> CAST('0x' || substr(md5(s), 1, 15) AS BIGINT))"
 
     Map(
       "q01_group_agg" ->
@@ -974,7 +979,7 @@ object SparkEntry {
 
       "q20_ngram_jaccard" ->
         s"""WITH sh AS (
-             SELECT doc_id AS id, unnest(list_distinct(${shingles(3)})) AS s
+             SELECT doc_id AS id, unnest(${hashedShingles(3)}) AS s
              FROM (SELECT doc_id, $toks AS toks FROM documents) d),
            filtered AS (
              SELECT id, s FROM (
@@ -1073,7 +1078,7 @@ object SparkEntry {
       "q39_dedup_clusters" ->
         s"""WITH RECURSIVE
            sh AS (
-             SELECT doc_id AS id, unnest(list_distinct(${shingles(3)})) AS s
+             SELECT doc_id AS id, unnest(${hashedShingles(3)}) AS s
              FROM (SELECT doc_id, $toks AS toks FROM documents) d),
            filtered AS (
              SELECT id, s FROM (
@@ -1104,10 +1109,10 @@ object SparkEntry {
 
       "q42_decontaminate" ->
         s"""WITH cs AS (
-             SELECT doc_id AS corpus_id, unnest(list_distinct(${shingles(3)})) AS s
+             SELECT doc_id AS corpus_id, unnest(${hashedShingles(3)}) AS s
              FROM (SELECT doc_id, $toks AS toks FROM documents WHERE doc_id % 10 <> 0) d),
            ps AS (
-             SELECT doc_id AS probe_id, unnest(list_distinct(${shingles(3)})) AS s
+             SELECT doc_id AS probe_id, unnest(${hashedShingles(3)}) AS s
              FROM (SELECT doc_id, $toks AS toks FROM documents WHERE doc_id % 10 = 0) d),
            stop AS (SELECT s FROM cs GROUP BY s HAVING count(*) > 50),
            csb AS (SELECT * FROM cs WHERE s NOT IN (SELECT s FROM stop)),

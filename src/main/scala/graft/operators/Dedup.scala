@@ -31,6 +31,28 @@ import org.apache.spark.sql.functions._
   */
 object Dedup {
 
+  /** 8-byte shingle key: the first 60 bits (15 hex digits) of `md5(sh)` as
+    * a non-negative long. The inverted-index family ([[ngramJaccard]],
+    * [[crossCorpusOverlap]], [[deduplicateNearDups]]) shuffles on this key
+    * instead of the raw n-gram string: a word trigram averages ~25 UTF-8
+    * bytes plus string header/offset overhead in the shuffle format where
+    * the hashed key is a fixed 8. Measured on the posting aggregation
+    * (tools/ShuffleProbe, sf0.1): 1.75 → 1.41 MiB shuffled (−20% — LZ4
+    * compresses repeated shingle text, so the wire saving is smaller than
+    * the raw 3×) and 1.25 → 1.17 s warm (long-key hashing/sorting beats
+    * string comparison in the exchange). At cluster scale the uncompressed
+    * form is what sits in shuffle-sort buffers and spill files, so the
+    * in-memory saving tracks the raw ~3×, not the wire −20%.
+    *
+    * Collisions: two distinct shingles colliding in 60 bits needs ~2³⁰
+    * distinct shingles per document for even-odds (birthday bound) — a
+    * document that big is broken elsewhere first. The DuckDB oracle mirrors
+    * the identical key (`('0x' || substr(md5(s), 1, 15))::BIGINT`), so both
+    * engines compute over the SAME hashed universe and results stay
+    * hash-checkable bit for bit. */
+  private[graft] def shingleKey(sh: Column): Column =
+    conv(substring(md5(sh), 1, 15), 16, 10).cast("long")
+
   /** Exact dedup on normalized text: keep the smallest id per fingerprint.
     * One shuffle on the md5 digest; partial aggregation applies. */
   def exact(docs: DataFrame, idCol: String, textCol: String): DataFrame =
@@ -395,8 +417,9 @@ object Dedup {
     * standard decontamination measure (one-sided, unlike Jaccard: a test
     * prompt fully embedded in a long training doc must score 1.0).
     *
-    * Scale shape: a bipartite inverted-index equi-join on shingle strings —
-    * the training corpus is NEVER paired all-vs-all with the probe set.
+    * Scale shape: a bipartite inverted-index equi-join on 8-byte hashed
+    * shingle keys ([[shingleKey]]) — the training corpus is NEVER paired
+    * all-vs-all with the probe set.
     * Shingles with corpus document frequency above `maxShingleDf` are
     * stop-shingles, excluded from the whole similarity universe (matching
     * AND the containment denominator — the [[ngramJaccard]] pruning rule,
@@ -408,9 +431,14 @@ object Dedup {
                          shingleLen: Int = 3, threshold: Double = 0.5,
                          maxShingleDf: Int = 50): DataFrame = {
     graft.GraftFunctions.ensureRegistered(corpus.sparkSession)
+    // hash each distinct shingle to the 8-byte key BEFORE any shuffle: the
+    // md5 runs map-side on the exploded rows, and everything downstream
+    // (stop-set, anti-joins, the bipartite equi-join, probe sizes) moves
+    // longs instead of n-gram strings — see [[shingleKey]]
     def shingled(df: DataFrame, as: String): DataFrame = df.select(
-      col(idCol).as(as),
-      explode(array_distinct(Text.fastWordShingles(col(textCol), shingleLen))).as("sh"))
+        col(idCol).as(as),
+        explode(array_distinct(Text.fastWordShingles(col(textCol), shingleLen))).as("s"))
+      .select(col(as), shingleKey(col("s")).as("sh"))
     val cs = shingled(corpus, "corpus_id")
     val ps = shingled(probe, "probe_id")
     // stop-shingles by CORPUS document frequency; anti-join keeps the
@@ -451,9 +479,15 @@ object Dedup {
       shingleLen: Int, threshold: Double,
       maxShingleDf: Int): (DataFrame, () => Unit) = {
     graft.GraftFunctions.ensureRegistered(docs.sparkSession)
+    // hash to the 8-byte key map-side (see [[shingleKey]]): the posting
+    // aggregation — profiled at ~half this query's time — shuffles fixed
+    // 8-byte longs instead of raw n-gram strings; the df-bound and the
+    // per-doc sizes below operate on the same hashed universe, mirrored
+    // exactly by the oracle
     val exploded = docs.select(
-      col(idCol).as("id"),
-      explode(array_distinct(Text.fastWordShingles(col(textCol), shingleLen))).as("sh"))
+        col(idCol).as("id"),
+        explode(array_distinct(Text.fastWordShingles(col(textCol), shingleLen))).as("s"))
+      .select(col("id"), shingleKey(col("s")).as("sh"))
     // Inverted index as ONE aggregation (partial-agg'd), pairs generated
     // in-bucket from the sorted posting list — replaces a window-df pass
     // plus a self equi-join with a single shuffle. Shingles above the df
