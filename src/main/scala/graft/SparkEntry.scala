@@ -110,6 +110,7 @@ object SparkEntry {
     "q49_simhash_pairs" -> q49,
     "q50_facade_dateparts" -> q50,
     "q51_pii_redact" -> q51,
+    "q52_approx_percentiles" -> q52,
   )
 
   // =====================================================================
@@ -669,6 +670,28 @@ object SparkEntry {
         count(lit(1)).as("n_rows"))
       .orderBy(col("l_returnflag"))
   }
+
+  /** The 100 TB twin of [[q46]]: `approx_percentile` (Greenwald-Khanna
+    * sketch) instead of exact `percentile`. Exact percentile buffers every
+    * per-group value; the GK sketch is bounded-memory and mergeable, so the
+    * aggregation stays partial-agg'd at any group size — this is the query
+    * a production pipeline runs, with q46 as its oracle-checkable baseline.
+    * No DuckDB oracle (sketch internals are estimator-specific, like q30's
+    * HLL); the driver records rows-only, and SparkEntrySpec asserts the GK
+    * rank-error contract (±n/accuracy ranks) against q46's exact values. */
+  private def q52(s: SparkSession, dir: String): DataFrame = {
+    val priceC = "cast(round(l_extendedprice * 100) as bigint)"
+    Tables.lineitem(s, dir)
+      .groupBy(col("l_returnflag"))
+      .agg(
+        expr(s"approx_percentile($priceC, 0.5, ${ApproxPercentileAccuracy})").as("p50_c"),
+        expr(s"approx_percentile($priceC, 0.95, ${ApproxPercentileAccuracy})").as("p95_c"),
+        count(lit(1)).as("n_rows"))
+      .orderBy(col("l_returnflag"))
+  }
+
+  /** GK sketch accuracy for [[q52]]: rank error ≤ n/accuracy per group. */
+  private[graft] val ApproxPercentileAccuracy = 10000
 
   /** Histogram binning: fixed-width buckets over a measure, count + sum per
     * bucket. Bucket id is integer arithmetic (floor of scaled value) —

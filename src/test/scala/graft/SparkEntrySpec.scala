@@ -20,4 +20,33 @@ class SparkEntrySpec extends SparkSuite {
     }
     assert(SparkEntry.oracleSql.keySet.subsetOf(SparkEntry.queries.keySet))
   }
+
+  test("q52 approx percentiles honor the GK rank-error bound vs exact ranks") {
+    import org.apache.spark.sql.functions._
+    val eps = 1.0 / SparkEntry.ApproxPercentileAccuracy
+    val approx = SparkEntry.queries("q52_approx_percentiles")(spark, sf0001)
+      .collect().map(r => r.getString(0) -> r).toMap
+    assert(approx.nonEmpty)
+    // GK contract: the returned value occupies some rank r in the group's
+    // sorted values with |r - p*n| <= eps*n. The returned value is an
+    // actual data value (no interpolation), so check rank windows directly:
+    // its highest possible rank (#values <= v) must reach (p - eps)*n, and
+    // its lowest possible rank (#values < v, +1) must not exceed (p + eps)*n.
+    val li = graft.sources.Tables.lineitem(spark, sf0001)
+      .select(col("l_returnflag").as("g"),
+        (round(col("l_extendedprice") * 100)).cast("long").as("v"))
+    approx.foreach { case (g, a) =>
+      val n = a.getLong(3).toDouble
+      Seq(0.5 -> a.getLong(1), 0.95 -> a.getLong(2)).foreach { case (p, v) =>
+        val r = li.where(col("g") === g)
+          .agg(sum(when(col("v") <= v, 1L).otherwise(0L)).as("le"),
+            sum(when(col("v") < v, 1L).otherwise(0L)).as("lt"))
+          .head()
+        val (le, lt) = (r.getLong(0).toDouble, r.getLong(1).toDouble)
+        assert(le >= (p - eps) * n - 1 && lt + 1 <= (p + eps) * n + 1,
+          s"$g p=$p: value $v spans ranks [${lt + 1}, $le] outside " +
+            s"[${(p - eps) * n}, ${(p + eps) * n}] of n=$n")
+      }
+    }
+  }
 }
