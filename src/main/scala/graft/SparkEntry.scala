@@ -111,6 +111,7 @@ object SparkEntry {
     "q50_facade_dateparts" -> q50,
     "q51_pii_redact" -> q51,
     "q52_approx_percentiles" -> q52,
+    "q53_simhash_salted" -> q53,
   )
 
   // =====================================================================
@@ -720,13 +721,26 @@ object SparkEntry {
     * within Hamming distance 2 agrees exactly on one of 3 blocks, so the
     * blocked candidates equal the brute-force all-pairs set (the oracle) —
     * without ever forming the quadratic join. The bucket cap is explicitly
-    * raised above any smoke-corpus size (sf1 scale-up included): this
-    * query's CONTRACT is exact parity, and a binding cap would silently
-    * drop pairs the oracle keeps. Production dedup flows use the default
-    * guard instead and accept the documented hot-bucket drop. */
+    * raised above any smoke-corpus size (sf1 scale-up included), so the
+    * hot-bucket machinery never engages and salting's two-pass overhead is
+    * skipped; [[q53]] is the twin that FORCES the salted path with a
+    * binding cap against the same brute-force oracle. */
   private def q49(s: SparkSession, dir: String): DataFrame =
     Dedup.simHashPairs(Tables.documents(s, dir), "doc_id", "text",
-        bits = 32, maxDistance = 2, maxBucketSize = 1 << 20)
+        bits = 32, maxDistance = 2, maxBucketSize = 1 << 20,
+        saltHotBuckets = false)
+      .orderBy(col("id_a"), col("id_b"))
+
+  /** [[q49]] with a deliberately BINDING bucket cap and salted hot buckets:
+    * over-cap (block, value) buckets split into ⌈n/cap⌉ salted sub-buckets
+    * cross-paired via triangle replication — the result must STILL equal
+    * the brute-force all-pairs oracle, proving the salting loses nothing
+    * while bounding per-task cost. The cap of 20 genuinely engages on the
+    * test corpora (measured max bucket: 45 at sf0.001, 50 at sf0.01). */
+  private def q53(s: SparkSession, dir: String): DataFrame =
+    Dedup.simHashPairs(Tables.documents(s, dir), "doc_id", "text",
+        bits = 32, maxDistance = 2, maxBucketSize = 20,
+        saltHotBuckets = true)
       .orderBy(col("id_a"), col("id_b"))
 
   /** Facade calendar surface: events bucketed by (day-of-week, hour-of-day)
@@ -985,7 +999,23 @@ object SparkEntry {
            FROM events GROUP BY 1, 2 ORDER BY dow, hod""",
 
       // brute-force all-pairs over the same simhash table the q19 oracle
-      // computes; the engine's pigeonhole blocking must reproduce it exactly
+      // computes; the engine's pigeonhole blocking must reproduce it exactly.
+      // q53 runs the SAME oracle against the salted-hot-bucket path (binding
+      // cap): completeness must hold there too.
+      "q53_simhash_salted" ->
+        s"""WITH sh AS (
+             SELECT doc_id, array_to_string(list_transform(range(0, 32), p ->
+               CASE WHEN list_sum(list_transform($toks, t ->
+                 ((strpos('0123456789abcdef', substr(md5(t), CAST(p // 4 + 1 AS BIGINT), 1)) - 1) >> (3 - p % 4)) % 2 * 2 - 1
+               )) > 0 THEN '1' ELSE '0' END), '') AS simhash
+             FROM documents)
+           SELECT id_a, id_b, hamming FROM (
+             SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+               CAST(len(list_filter(range(1, 33), i ->
+                 substr(a.simhash, i, 1) <> substr(b.simhash, i, 1))) AS BIGINT) AS hamming
+             FROM sh a JOIN sh b ON a.doc_id < b.doc_id) t
+           WHERE hamming <= 2 ORDER BY id_a, id_b""",
+
       "q49_simhash_pairs" ->
         s"""WITH sh AS (
              SELECT doc_id, array_to_string(list_transform(range(0, 32), p ->

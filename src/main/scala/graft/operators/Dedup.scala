@@ -234,15 +234,34 @@ object Dedup {
     * Unlike prefix blocking this is complete (no recall loss from the
     * blocking step) and never quadratic on a hot prefix: pair generation is
     * per-bucket from sorted posting lists, and buckets larger than
-    * `maxBucketSize` are dropped — the deterministic df-bound that keeps a
-    * degenerate value (e.g. the all-zeros block of short documents) from
-    * exploding into ~|bucket|² pairs. A dropped bucket can only lose a pair
-    * whose EVERY agreeing block is hot; such docs are better handled by
-    * exact dedup on the full hash. The only shuffles: the posting-list
-    * aggregation on (block, value) and the candidate distinct. */
+    * `maxBucketSize` take one of two deterministic routes:
+    *
+    *  - `saltHotBuckets = true` (default): the bucket is split into
+    *    `s = ⌈n / maxBucketSize⌉` salted sub-buckets by a hash of the id,
+    *    and every sub-bucket PAIR (a ≤ b) becomes its own task key — the
+    *    classic triangle replication for distributed all-pairs. Each element
+    *    is replicated s× (once per partner sub-bucket), each task holds
+    *    ~2·maxBucketSize elements, and a pair (x, y) is generated exactly
+    *    once per block (in task (min, max) of the two salts). Completeness
+    *    is preserved on degenerate corpora at bounded PER-TASK cost; the
+    *    total pair volume of a genuinely hot bucket is inherently ~n²/2 —
+    *    that work now spreads across s·(s+1)/2 tasks instead of overrunning
+    *    one aggregation buffer.
+    *  - `saltHotBuckets = false`: the bucket is dropped — the cheaper guard
+    *    when degenerate values are expected and acceptable to lose. A
+    *    dropped bucket can only lose a pair whose EVERY agreeing block is
+    *    hot; in practice such docs are near-always exact duplicates, better
+    *    routed through [[exact]] dedup first (that remains the right
+    *    pipeline order even with salting — exact dedup is O(n), all-pairs
+    *    on a hot block is O(n²)).
+    *
+    * The only shuffles: the posting-list aggregation on (block, value) —
+    * plus, when salting, a count-per-block pre-pass and a broadcast join
+    * against the (tiny) over-cap block set — and the candidate distinct. */
   def simHashPairs(docs: DataFrame, idCol: String, textCol: String,
                    bits: Int = 32, maxDistance: Int = 3,
-                   maxBucketSize: Int = 10000): DataFrame = {
+                   maxBucketSize: Int = 10000,
+                   saltHotBuckets: Boolean = true): DataFrame = {
     val nBlocks = maxDistance + 1
     require(maxDistance >= 0 && bits >= nBlocks,
       s"need bits >= maxDistance + 1 blocks (got bits=$bits, maxDistance=$maxDistance)")
@@ -263,15 +282,51 @@ object Dedup {
       val len = math.min(32, bits - w * 32)
       conv(substring(col("simhash"), w * 32 + 1, len), 2, 10).cast("long").as(s"w$w")
     }
-    val keyed = simHashTable(docs, idCol, textCol, bits)
+    val words = (0 until nWords).map(w => col(s"w$w"))
+    // salting reads the hashed table twice (block sizes, then posting
+    // lists); materialize the small (id, simhash) table once so the
+    // simhash aggregation doesn't run per pass
+    val table0 = simHashTable(docs, idCol, textCol, bits)
+    val table = if (saltHotBuckets) table0.localCheckpoint(eager = true) else table0
+    val keyed = table
       .select(col("id") +: wordCols :+
         // refs simhash, not an alias from this select: a lateral-alias ref
         // under Generate trips an analyzer internal error
         explode(array(blockCols: _*)).as("blk"): _*)
-    val buckets = keyed.groupBy(col("blk"))
-      .agg(sort_array(collect_list(struct(
-        col("id") +: (0 until nWords).map(w => col(s"w$w")): _*))).as("xs"))
-      .where(size(col("xs")).between(2, maxBucketSize))
+    // posting element: id first so sort_array orders by id; `r` is the salt
+    // (0 on unsalted paths), needed to keep cross-sub-bucket tasks from
+    // regenerating same-salt pairs owned by another task
+    def postingList(grouped: org.apache.spark.sql.RelationalGroupedDataset) =
+      grouped.agg(sort_array(collect_list(struct(
+        col("id") +: col("r") +: words: _*))).as("xs"))
+    // each bucket row: xs (sorted posting list) + `same` (true when all
+    // pairs in the list are valid; false when only cross-salt pairs are)
+    val buckets =
+      if (!saltHotBuckets)
+        postingList(keyed.withColumn("r", lit(0)).groupBy(col("blk")))
+          .where(size(col("xs")).between(2, maxBucketSize))
+          .select(col("xs"), lit(true).as("same"))
+      else {
+        val hot = keyed.groupBy(col("blk")).agg(count(lit(1)).as("n"))
+          .where(col("n") > maxBucketSize)
+          .select(col("blk"),
+            ceil(col("n").cast("double") / maxBucketSize).cast("int").as("s"))
+        val cold = postingList(
+          keyed.join(broadcast(hot), Seq("blk"), "left_anti")
+            .withColumn("r", lit(0)).groupBy(col("blk")))
+          .where(size(col("xs")) >= 2)
+          .select(col("xs"), lit(true).as("same"))
+        val salted = postingList(
+          keyed.join(broadcast(hot), Seq("blk"))
+            .withColumn("r", pmod(xxhash64(col("id")), col("s").cast("long")).cast("int"))
+            .select(col("blk") +: col("id") +: col("r") +: words :+
+              explode(sequence(lit(0), col("s") - 1)).as("p"): _*)
+            .groupBy(col("blk"), least(col("r"), col("p")).as("lo"),
+              greatest(col("r"), col("p")).as("hi")))
+          .where(size(col("xs")) >= 2)
+          .select(col("xs"), (col("lo") === col("hi")).as("same"))
+        cold.unionByName(salted)
+      }
     // in-bucket pairs via two Generate nodes over the sorted posting list
     // (same codegen'd shape as minHashLsh); verify + threshold BEFORE the
     // distinct, so the dedup of multi-block agreements shuffles only the
@@ -281,9 +336,12 @@ object Dedup {
       .map(w => bit_count(col(s"a.w$w").bitwiseXOR(col(s"b.w$w"))))
       .reduce(_ + _).cast("long")
     buckets
-      .select(posexplode(col("xs")).as(Seq("i", "a")), col("xs"))
-      .select(col("a"),
+      .select(posexplode(col("xs")).as(Seq("i", "a")), col("xs"), col("same"))
+      .select(col("a"), col("same"),
         explode(slice(col("xs"), col("i") + 2, size(col("xs")) - col("i") - 1)).as("b"))
+      // a cross-salt task (lo < hi) owns only its cross pairs; same-salt
+      // pairs there belong to task (r, r) and would double-generate
+      .where(col("same") || col("a.r") =!= col("b.r"))
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"), hamming.as("hamming"))
       .where(col("hamming") <= maxDistance)
       .distinct()

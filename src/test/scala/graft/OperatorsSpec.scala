@@ -150,11 +150,39 @@ class OperatorsSpec extends SparkSuite {
       (1L, "the quick brown fox jumps over the lazy dog near the river"),
       (2L, "the quick brown fox jumps over the lazy dog near the rivers"))
     val out = Dedup.simHashPairs((hot ++ planted).toDF("doc_id", "text"),
-        "doc_id", "text", bits = 32, maxDistance = 8, maxBucketSize = 10)
+        "doc_id", "text", bits = 32, maxDistance = 8, maxBucketSize = 10,
+        saltHotBuckets = false)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(!out.exists(p => p._1 >= 100L || p._2 >= 100L),
       "hot-bucket pairs must be excluded by the size guard")
     assert(out.contains((1L, 2L)), "small buckets must still produce their pairs")
+  }
+
+  test("simHashPairs: salted hot buckets keep completeness with bounded sub-buckets") {
+    import spark.implicits._
+    // 60 identical docs make every block a hot bucket at cap 10; salting
+    // must keep ALL C(60,2) = 1770 intra-hot pairs (plus the planted
+    // near-dup pair) — exactly the brute-force set, unlike the drop path
+    val hot = (100L until 160L).map(i => (i, "spam spam spam spam spam spam spam"))
+    val planted = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog near the river"),
+      (2L, "the quick brown fox jumps over the lazy dog near the rivers"))
+    val docs = (hot ++ planted).toDF("doc_id", "text")
+    val d = 8
+    val hashes = Dedup.simHashTable(docs, "doc_id", "text", 32)
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    val brute = (for {
+      (ia, sa) <- hashes; (ib, sb) <- hashes if ia < ib
+      h = sa.zip(sb).count(p => p._1 != p._2) if h <= d
+    } yield (ia, ib, h.toLong)).toSet
+    val salted = Dedup.simHashPairs(docs, "doc_id", "text",
+        bits = 32, maxDistance = d, maxBucketSize = 10, saltHotBuckets = true)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(salted == brute,
+      s"salted pairs (${salted.size}) must equal brute force (${brute.size})")
+    assert(salted.count(p => p._1 >= 100L && p._2 >= 100L) == 60 * 59 / 2,
+      "all intra-hot-bucket pairs retained")
+    assert(salted.exists(p => p._1 == 1L && p._2 == 2L))
   }
 
   test("cross-corpus decontamination: one-sided containment on planted docs") {
