@@ -559,8 +559,10 @@ object SparkEntry {
   private def q36(s: SparkSession, dir: String): DataFrame = {
     val emb = Tables.embeddings(s, dir)
     val queries = emb.where(col("vec_id") % 100 === 0)
+    // iterations = 2 exercises the distributed Lloyd refinement (model-row
+    // collect only) on the driver gate, not just in specs
     Similarity.ivfTopK(queries, emb, "vec_id", "embedding", k = 10,
-        nCentroids = 16, probes = 4, iterations = 1)
+        nCentroids = 16, probes = 4, iterations = 2)
       .select(col("query_id"), col("rank"), col("neighbor_id"), col("cosine"))
       .orderBy(col("query_id"), col("rank"))
   }

@@ -161,14 +161,21 @@ object Similarity {
     * refinements), index each vector under its nearest centroid, then
     * search only the `probes` nearest clusters per query and exact-rerank.
     *
-    * All distributed, nothing driver-side: centroids stay a (tiny)
-    * broadcast DataFrame; assignment is a broadcast cross join + `max_by`
-    * argmax; centroid recomputation is a posexplode → per-(cluster, dim)
-    * mean → re-assemble. At 100 TB the corpus is scanned once per Lloyd
-    * iteration and once to index — then every query touches only
-    * `probes/nCentroids` of the data, and the candidate fetch is an
-    * equi-join on the cluster id. Output: (query_id, rank, neighbor_id,
-    * cosine). */
+    * The centroid set is MODEL, not data — nCentroids × dim doubles, held
+    * at the driver like Spark's own KMeansModel and baked into expressions,
+    * so cluster assignment is a narrow codegen'd per-row argmax with NO
+    * shuffle. Refinement is MLlib-KMeans shaped: per-(cluster, dim) means
+    * partial-aggregate map-side (shuffle volume nPartitions × nCentroids ×
+    * dim, never the corpus), and the mean vectors re-assemble and
+    * re-normalize distributedly — the driver receives one refreshed model
+    * row per cluster per round, the same magnitude as seeding. At 100 TB
+    * the corpus is scanned once per Lloyd iteration and once to index —
+    * then every query touches only `probes/nCentroids` of the data, and the
+    * candidate fetch is an equi-join on the cluster id. (At model sizes
+    * where plan-time literals stop being reasonable — say 2¹⁶ centroids ×
+    * 2¹⁰ dims — assignment would switch to a broadcast-variable expression;
+    * the refinement dataflow is already that shape.) Output: (query_id,
+    * rank, neighbor_id, cosine). */
   def ivfTopK(queries: DataFrame, corpus: DataFrame,
               idCol: String, vecCol: String, k: Int,
               nCentroids: Int = 16, probes: Int = 4, iterations: Int = 1): DataFrame = {
@@ -198,22 +205,38 @@ object Similarity {
       (-greatest(scoreStructs(nv): _*).getField("negc")).cast("int")
 
     (0 until iterations).foreach { _ =>
-      // one narrow pass to assign + one aggregation for per-dim means
-      val means = c.withColumn("cluster", bestCluster(col("nv")))
+      // One Lloyd round, MLlib-KMeans shaped: a narrow codegen'd assignment
+      // pass, then per-(cluster, dim) partial-agg'd means — the shuffle is
+      // nPartitions × nCentroids × dim partial rows, never the corpus. The
+      // mean VECTORS are re-assembled and spherically re-normalized where
+      // the data is (sort_array over (pos, m) structs + HOF fold — tiny:
+      // nCentroids rows of dim elements), so the driver receives one row
+      // per cluster — the refreshed MODEL, same magnitude as seeding —
+      // rather than nCentroids×dim scalar rows to stitch locally.
+      val refreshed = c.withColumn("cluster", bestCluster(col("nv")))
         .select(col("cluster"), posexplode(col("nv")).as(Seq("pos", "x")))
         .groupBy(col("cluster"), col("pos"))
         .agg(avg(col("x")).as("m"))
-        .collect().groupBy(_.getInt(0))
-      centroids = centroids.map { case (cl, old) =>
-        val updated = means.get(cl).map { rows =>
-          val arr = new Array[Double](old.length)
-          rows.foreach(r => arr(r.getInt(1)) = r.getDouble(2))
+        .groupBy(col("cluster"))
+        .agg(sort_array(collect_list(struct(col("pos"), col("m")))).as("pm"))
+        .select(col("cluster"), transform(col("pm"), p => p.getField("m")).as("mv"))
+        .select(col("cluster"), col("mv"),
           // spherical k-means: re-normalize the mean, or dot-product argmax
           // no longer approximates cosine-nearest-centroid
-          val n = math.sqrt(arr.map(x => x * x).sum)
-          if (n == 0.0) old else arr.map(_ / n)
-        }.getOrElse(old)
-        (cl, updated)
+          sqrt(aggregate(col("mv"), lit(0.0), (a, x) => a + x * x)).as("n"))
+        .select(col("cluster"), col("n"),
+          when(col("n") === 0.0, col("mv"))
+            .otherwise(transform(col("mv"), _ / col("n"))).as("mv"))
+        .collect()
+        .map(r => r.getInt(0) -> (r.getDouble(1), r.getSeq[Double](2).toArray))
+        .toMap
+      centroids = centroids.map { case (cl, old) =>
+        // empty cluster (no assigned vectors) or degenerate zero-norm mean:
+        // keep the previous centroid
+        (cl, refreshed.get(cl) match {
+          case Some((n, mv)) if n > 0.0 => mv
+          case _ => old
+        })
       }
     }
 

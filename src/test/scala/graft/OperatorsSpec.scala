@@ -315,6 +315,14 @@ class OperatorsSpec extends SparkSuite {
     val recall = (exact & ivf).size.toDouble / exact.size
     assert(recall >= 0.9, s"IVF recall $recall on planted clusters")
 
+    // multi-round Lloyd refinement (distributed mean re-assembly) must not
+    // lose recall vs a single round on well-separated planted clusters
+    val ivf3 = Similarity.ivfTopK(vecs.where($"vec_id" < 5), vecs, "vec_id", "embedding", 5,
+        nCentroids = 8, probes = 2, iterations = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    val recall3 = (exact & ivf3).size.toDouble / exact.size
+    assert(recall3 >= recall, s"IVF recall at 3 iterations ($recall3) fell below 1 iteration ($recall)")
+
     val emb = spark.read.parquet(s"$sf0001/embeddings.parquet")
     val q = emb.where(col("vec_id") % 100 === 0)
     val n = Similarity.ivfTopK(q, emb, "vec_id", "embedding", 10).count()
