@@ -115,6 +115,88 @@ object Streams {
       .drop("_sig")
   }
 
+  /** Per-key buffers for [[asOfJoinStream]]: `lefts` await their emission
+    * watermark; `rights` is the ascending (ts, value) match candidates. */
+  private[streaming] case class AsOfBuf(lefts: Seq[(Long, Long)], rights: Seq[(Long, Long)])
+
+  /** Streaming AS-OF join — the watermark-bounded twin of the batch engine's
+    * native as-of operator ([[graft.plans.AsOfJoinExec]] semantics: for each
+    * left event, the MOST RECENT right event with `rts <= lts` on the same
+    * key; unmatched lefts emit None, like the batch left as-of).
+    *
+    * Structured Streaming has stream-stream interval joins but no as-of
+    * (argmax-per-row) join, so this is custom state over the tagged union of
+    * both sides via `flatMapGroupsWithState` + event-time timeouts:
+    *
+    *  - A left event cannot be finalized on arrival: an out-of-order right
+    *    with a larger-but-still-`<= lts` timestamp may still arrive. It
+    *    buffers until the watermark passes its timestamp (then every
+    *    non-late future right is newer than it), exactly the reference's
+    *    emit-on-watermark discipline for windows.
+    *  - Right events buffer ascending. State is pruned at each invocation:
+    *    everything at-or-below the watermark is dominated by the newest
+    *    such right (the "floor" — the only candidate any future left can
+    *    still match below the watermark), so state per key is one floor
+    *    right + in-flight rows within the watermark horizon, never
+    *    unbounded history.
+    *  - Rows older than the watermark on arrival are dropped (late data),
+    *    matching the declarative operators' behavior.
+    *  - Emission rides event-time timeouts, so a buffered left flushes when
+    *    the GLOBAL watermark advances even if its key never sees another
+    *    row. Keys left with only a floor right are garbage-collected
+    *    `retentionMs` past the watermark — an idle key older than that
+    *    loses its floor (the state-boundedness trade, documented here).
+    *
+    * Input tuples: (key, ts_ms, value). Output: (key, left_ts_ms,
+    * left_value, matched_right_value or None). */
+  def asOfJoinStream(left: Dataset[(Long, Long, Long)],
+                     right: Dataset[(Long, Long, Long)],
+                     delay: String,
+                     retentionMs: Long = 3600000L): Dataset[(Long, Long, Long, Option[Long])] = {
+    import left.sparkSession.implicits._
+    // the watermark column must flow INTO the stateful operator for
+    // event-time timeouts to work, so `ets` rides along in the tuple
+    val tagged = left.toDF("k", "ts", "v").withColumn("side", lit(0))
+      .unionByName(right.toDF("k", "ts", "v").withColumn("side", lit(1)))
+      .select(col("k"), timestamp_millis(col("ts")).as("ets"), col("ts"), col("v"), col("side"))
+      .withWatermark("ets", delay)
+      .as[(Long, java.sql.Timestamp, Long, Long, Int)]
+    tagged
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[AsOfBuf, (Long, Long, Long, Option[Long])](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (key: Long, rows: Iterator[(Long, java.sql.Timestamp, Long, Long, Int)], state: GroupState[AsOfBuf]) =>
+          val wm = state.getCurrentWatermarkMs()
+          val st = state.getOption.getOrElse(AsOfBuf(Vector.empty, Vector.empty))
+          // ingest, dropping late rows (event time already behind the watermark)
+          val fresh = rows.filter(_._3 >= wm).toVector
+          val lefts = (st.lefts ++ fresh.collect { case (_, _, ts, v, 0) => (ts, v) }).sortBy(_._1)
+          val rights = (st.rights ++ fresh.collect { case (_, _, ts, v, 1) => (ts, v) }).sortBy(_._1)
+          // finalize lefts the watermark has passed: newest right at-or-before
+          val (due, pending) = lefts.partition(_._1 <= wm)
+          val out = due.map { case (lts, lv) =>
+            (key, lts, lv, rights.takeWhile(_._1 <= lts).lastOption.map(_._2))
+          }
+          // prune rights: the newest one at-or-below the watermark dominates
+          // all earlier ones for every future (non-late) left
+          val floor = rights.takeWhile(_._1 <= wm).lastOption
+          val kept = floor.toSeq ++ rights.dropWhile(_._1 <= wm)
+          // a key is GC'd when truly empty, or on a PURE retention wake
+          // (timeout with nothing ingested and nothing emitted) — a timeout
+          // that flushed lefts keeps its floor right for future lefts
+          val idleWake = state.hasTimedOut && fresh.isEmpty && due.isEmpty
+          if (pending.isEmpty && (kept.isEmpty || idleWake)) state.remove()
+          else {
+            state.update(AsOfBuf(pending, kept))
+            // wake when the first pending left becomes due; otherwise keep
+            // the floor around for `retentionMs` of watermark time, then GC
+            val wake = pending.headOption.map(_._1).getOrElse(wm + retentionMs)
+            state.setTimeoutTimestamp(math.max(wake, wm + 1))
+          }
+          out.iterator
+      }
+  }
+
   /** Streaming per-key running aggregate via `flatMapGroupsWithState` — the
     * streaming form of the reference's `MapAccumulate` (SURVEY §2.1 #5):
     * genuinely stateful, one state entry per key in the state store.

@@ -316,6 +316,48 @@ class StreamingSpec extends SparkSuite {
     } finally q.stop()
   }
 
+  test("streaming as-of join: most-recent-right match, watermark emission, late drop, timeout flush") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val li = MemoryStream[(Long, Long, Long)] // (key, ts_ms, left id)
+    val ri = MemoryStream[(Long, Long, Long)] // (key, ts_ms, right value)
+    // 2s delay: the two MemoryStream sources can process as SEPARATE
+    // micro-batches in either order, so the watermark needs enough slack
+    // that one side's batch doesn't make the other side's in-flight rows
+    // late before they're ever seen
+    val joined = Streams.asOfJoinStream(li.toDS(), ri.toDS(), delay = "2 seconds")
+    val q = joined.toDF("k", "lts", "lid", "rv").writeStream
+      .outputMode("append").format("memory").queryName("asof").start()
+    try {
+      // two lefts straddle the right@1000; nothing due yet (wm <= 0)
+      li.addData((1L, 900L, 99L), (1L, 1500L, 100L))
+      ri.addData((1L, 1000L, 7L))
+      q.processAllAvailable()
+      // advance wm to 3000 for the NEXT batch
+      ri.addData((1L, 5000L, 8L))
+      q.processAllAvailable()
+      // this batch runs at wm 3000 → lefts 900/1500 finalize: 900 has no
+      // right at or before it, 1500 matches right@1000 (most recent <=).
+      // left@6000 buffers; left@2500 is LATE (behind wm) and must drop
+      li.addData((1L, 6000L, 101L), (1L, 2500L, 55L))
+      q.processAllAvailable()
+      // advance the watermark via a DIFFERENT key: key 1's buffered left
+      // must flush through its event-time TIMEOUT (no new key-1 rows),
+      // matching the out-of-order right@5000 buffered earlier
+      li.addData((2L, 9000L, 200L))
+      q.processAllAvailable()
+      li.addData((2L, 12000L, 201L))
+      q.processAllAvailable()
+      val rows = spark.table("asof")
+        .collect().map(r => (r.getLong(0), r.getLong(2),
+          if (r.isNullAt(3)) None else Some(r.getLong(3)))).toSet
+      assert(rows.contains((1L, 99L, None)), s"unmatched left missing: $rows")
+      assert(rows.contains((1L, 100L, Some(7L))), s"as-of match missing: $rows")
+      assert(rows.contains((1L, 101L, Some(8L))), s"timeout flush missing: $rows")
+      assert(!rows.exists(_._2 == 55L), s"late left leaked: $rows")
+    } finally q.stop()
+  }
+
   test("streaming per-key running sum via flatMapGroupsWithState (streaming MapAccumulate)") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
