@@ -112,6 +112,9 @@ object SparkEntry {
     "q51_pii_redact" -> q51,
     "q52_approx_percentiles" -> q52,
     "q53_simhash_salted" -> q53,
+    "q54_skewed_salted_join" -> q54,
+    "q55_temperature_mix" -> q55,
+    "q56_sequence_packing" -> q56,
   )
 
   // =====================================================================
@@ -745,6 +748,53 @@ object SparkEntry {
         saltHotBuckets = true)
       .orderBy(col("id_a"), col("id_b"))
 
+  /** Skew-PLANTED salted join — the twin of [[q48]] where salting is the
+    * point, not just semantics-preserving: ~70% of orders collapse onto ONE
+    * hot customer key, so the unsalted shuffle would put ~70% of the fact
+    * table into a single reducer task (the straggler that stalls a 1000-
+    * executor stage). [[graft.operators.Skew.saltedJoin]] spreads the hot
+    * key across 32 row-uniform sub-keys — OperatorsSpec measures the
+    * resulting (key, salt) histogram: max cell ≈ hot/32 — while the result,
+    * checked against the plain-join oracle, is unchanged. */
+  private def q54(s: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(s, dir)
+      .select(when(col("o_custkey") % 10 < 7, lit(1L)).otherwise(col("o_custkey")).as("k"),
+        cents(col("o_totalprice")).as("price_c"))
+    val c = Tables.customer(s, dir)
+      .select(col("c_custkey").as("k"), col("c_mktsegment"))
+    graft.operators.Skew.saltedJoin(o, c, "k", salts = 32)
+      .groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("n_orders"), sum(col("price_c")).as("sum_price_c"))
+      .orderBy(col("c_mktsegment"))
+  }
+
+  /** Domain-mix temperature resampling (α=0.5, target fraction 0.5): the
+    * standard LLM data-mix step — the dominant language's share is capped
+    * and rare languages are upweighted relative to their natural mix, with
+    * content-keyed (md5-threshold) membership so the resample is identical
+    * across runs, partitionings, and engines. The oracle mirrors the
+    * count → sqrt-weight → rate → threshold pipeline arithmetic exactly
+    * (sqrt is IEEE correctly-rounded on both engines). */
+  private def q55(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Sampling.temperatureResample(
+        Tables.documents(s, dir), "doc_id", "lang", alpha = 0.5, targetFraction = 0.5)
+      .select(col("doc_id"), col("lang"))
+      .orderBy(col("doc_id"))
+
+  /** Sequence packing (concat-then-chunk): documents concatenated in
+    * doc_id order, token stream chunked into 256-token sequences; each doc
+    * gets the (sequence, offset) where it starts and the sequence where it
+    * ends. The engine runs the distributed prefix sum
+    * ([[graft.operators.Packing]] — per-bucket windows + a tiny bucket-
+    * offset broadcast, no global data window); the oracle computes the same
+    * assignment with a plain global window cumsum. All-integer arithmetic —
+    * hash-exact. */
+  private def q56(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Packing.packSequences(
+        Tables.documents(s, dir).select(col("doc_id"), size(Text.tokens(col("text"))).as("n_toks")),
+        "doc_id", "n_toks", budget = 256L, bucketWidth = 100L)
+      .orderBy(col("doc_id"))
+
   /** Facade calendar surface: events bucketed by (day-of-week, hour-of-day)
     * through the Expr date-part nodes — no raw epoch-ms arithmetic in user
     * code. Compiles to native date functions + one partial-agg'd count. */
@@ -1221,6 +1271,46 @@ object SparkEntry {
            CAST(sum(${C.format("l_quantity")}) AS BIGINT) AS sum_qty_c
            FROM lineitem JOIN orders ON l_orderkey = o_orderkey
            GROUP BY o_orderpriority ORDER BY o_orderpriority""",
+
+      // plain (unsalted) join over the same planted-hot-key derivation —
+      // salting must not change a single row
+      "q54_skewed_salted_join" ->
+        s"""WITH o AS (
+             SELECT CASE WHEN o_custkey % 10 < 7 THEN 1 ELSE o_custkey END AS k,
+               ${C.format("o_totalprice")} AS price_c FROM orders)
+           SELECT c_mktsegment, count(*) AS n_orders,
+             CAST(sum(price_c) AS BIGINT) AS sum_price_c
+           FROM o JOIN customer ON k = c_custkey
+           GROUP BY c_mktsegment ORDER BY c_mktsegment""",
+
+      // identical arithmetic pipeline: per-domain count → sqrt weight →
+      // rate (same left-to-right double op order) → md5-prefix threshold
+      // compared as a 32-bit integer
+      "q55_temperature_mix" ->
+        """WITH counts AS (SELECT lang, count(*) AS n FROM documents GROUP BY lang),
+           tot AS (SELECT CAST(sum(n) AS DOUBLE) AS nrows, sum(sqrt(CAST(n AS DOUBLE))) AS wsum FROM counts),
+           rates AS (
+             SELECT lang,
+               CAST(round(least(1.0, 0.5 * nrows * sqrt(CAST(n AS DOUBLE)) / wsum / CAST(n AS DOUBLE))
+                 * 4294967296.0) AS BIGINT) AS thr
+             FROM counts CROSS JOIN tot)
+           SELECT doc_id, lang FROM documents JOIN rates USING (lang)
+           WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT < thr
+           ORDER BY doc_id""",
+
+      // the engine's distributed prefix sum must equal this plain global
+      // window cumsum — chunk assignment is pure integer arithmetic
+      "q56_sequence_packing" ->
+        s"""WITH sized AS (
+             SELECT doc_id, CAST(len($toks) AS BIGINT) AS n_tokens FROM documents),
+           cum AS (
+             SELECT doc_id, n_tokens,
+               sum(n_tokens) OVER (ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                 - n_tokens AS start
+             FROM sized)
+           SELECT doc_id, n_tokens, start // 256 AS seq_id, start % 256 AS seq_off,
+             (start + CASE WHEN n_tokens > 0 THEN n_tokens - 1 ELSE 0 END) // 256 AS end_seq_id
+           FROM cum ORDER BY doc_id""",
 
       "q38_topk_sketch" ->
         """SELECT word, cnt FROM (

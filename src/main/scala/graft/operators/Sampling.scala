@@ -63,6 +63,56 @@ object Sampling {
     df.withColumn(as, assigned)
   }
 
+  /** Temperature-flattened domain mixing — the standard LLM data-mix
+    * resampler: the target volume `targetFraction·N` is allocated across
+    * domains ∝ n_d^α, so domain d is kept at rate
+    * `r_d = min(1, f·N·n_d^α / (Σ_j n_j^α · n_d))`. α=1 reproduces the
+    * natural mix (every rate = f); α→0 flattens toward equal per-domain
+    * volume, upweighting rare domains; α=0.5 is the common sqrt mix.
+    * Membership is content-keyed (the same md5 threshold as
+    * [[deterministicSample]], compared as a 32-bit integer), so the
+    * resample is stable across runs, partitionings, and engines.
+    *
+    * Scale shape: the rate table is one tiny partial-agg'd count per
+    * domain plus a 1-row total, broadcast back onto the fact scan — the
+    * data path is a narrow per-row predicate with ZERO extra shuffle.
+    * Rate excess from capped domains (r_d clipped at 1) is NOT
+    * redistributed; the realized total can undershoot f·N when α pushes a
+    * rare domain past keep-everything.
+    *
+    * Engine-parity notes (for oracle-checked pipelines): α=0.5 and α=1
+    * use `sqrt`/identity — IEEE-exact on every engine; other α go through
+    * `pow`, whose last-ulp behavior is platform-specific (fine in
+    * production, avoid where bit-parity is asserted). Rows with a NULL
+    * domain have no defined rate and are dropped. */
+  def temperatureResample(df: DataFrame, idCol: String, domainCol: String,
+                          alpha: Double, targetFraction: Double): DataFrame = {
+    require(alpha > 0.0 && alpha <= 1.0, s"alpha must be in (0,1], got $alpha")
+    require(targetFraction > 0.0 && targetFraction <= 1.0,
+      s"targetFraction must be in (0,1], got $targetFraction")
+    val weight =
+      if (alpha == 0.5) sqrt(col("_n").cast("double"))
+      else if (alpha == 1.0) col("_n").cast("double")
+      else pow(col("_n").cast("double"), lit(alpha))
+    val counts = df.groupBy(col(domainCol)).agg(count(lit(1)).as("_n"))
+      .withColumn("_w", weight)
+    // `_rows` not `_N`: Spark resolves case-insensitively, so `_N` would
+    // collide with the per-domain `_n`
+    val tot = counts.agg(sum(col("_n")).cast("double").as("_rows"), sum(col("_w")).as("_wsum"))
+    // threshold on the md5 prefix as a 32-bit integer: rate·2^32, the
+    // numeric form of thresholdHex (rates here are data-derived, so the
+    // hex-literal formatting path doesn't apply)
+    val rates = counts.crossJoin(broadcast(tot))
+      .withColumn("_thr",
+        round(least(lit(1.0),
+          lit(targetFraction) * col("_rows") * col("_w") / col("_wsum") / col("_n").cast("double"))
+          * lit(4294967296.0)).cast("long"))
+      .select(col(domainCol), col("_thr"))
+    df.join(broadcast(rates), Seq(domainCol))
+      .where(conv(substring(md5(col(idCol).cast("string")), 1, 8), 16, 10).cast("long") < col("_thr"))
+      .select(df.columns.map(col): _*) // original column order, _thr dropped
+  }
+
   /** Per-stratum rates (e.g. downsample one language, keep another whole).
     * Strata absent from the map fall back to `defaultRate`. */
   def stratifiedSample(df: DataFrame, idCol: String, strataCol: String,

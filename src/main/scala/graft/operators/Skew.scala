@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Skew mitigation for joins with hot keys.
@@ -14,6 +14,14 @@ import org.apache.spark.sql.functions._
   * to the unsalted join; only the partitioning changes. */
 object Skew {
 
+  /** The big-side salt: derived from a per-row id, so it is uniform over
+    * rows regardless of the key's distribution — a hot key's rows land on
+    * all `salts` sub-keys in equal shares. Deterministic within a run, and
+    * the join RESULT is independent of the salt values. Exposed so specs
+    * can measure the (key, salt) histogram the join actually shuffles on. */
+  private[graft] def saltCol(salts: Int): Column =
+    pmod(xxhash64(monotonically_increasing_id()), lit(salts.toLong)).cast("int")
+
   /** Equi-join `big ⋈ small` on `key`, spreading each big-side key across
     * `salts` sub-partitions. `small` is replicated ×salts — keep it the
     * dimension side. */
@@ -26,10 +34,7 @@ object Skew {
     require(Set("inner", "left", "left_outer", "leftouter", "left_semi", "leftsemi", "left_anti", "leftanti")
       .contains(how.toLowerCase),
       s"saltedJoin preserves semantics only for big-side-driven joins, got '$how'")
-    // salt derived from a per-row id: deterministic within a run, and the
-    // join RESULT is independent of the salt values
-    val b = big.withColumn("_salt",
-      pmod(xxhash64(monotonically_increasing_id()), lit(salts.toLong)).cast("int"))
+    val b = big.withColumn("_salt", saltCol(salts))
     val s = small.withColumn("_salt", explode(sequence(lit(0), lit(salts - 1))))
     b.join(s, Seq(key, "_salt"), how).drop("_salt")
   }

@@ -591,6 +591,74 @@ class OperatorsSpec extends SparkSuite {
     assert(salted.toSeq == plain.toSeq && plain.nonEmpty)
   }
 
+  test("salting measurably rebalances a planted hot key: max shuffle cell ~ hot/salts") {
+    import spark.implicits._
+    val salts = 32
+    // q54's shape: 70% of rows collapse onto one hot key
+    val big = (0 until 20000).map(i => (if (i % 10 < 7) 1L else i.toLong, i.toLong))
+      .toDF("k", "v").repartition(8)
+    val hot = big.where($"k" === 1L).count()
+    // unsalted, the hot key IS one shuffle cell of `hot` rows; salted, the
+    // row-uniform salt splits it into ~equal 1/salts shares
+    val cells = big.withColumn("_salt", graft.operators.Skew.saltCol(salts))
+      .groupBy("k", "_salt").count()
+      .agg(max("count")).head().getLong(0)
+    assert(hot >= 14000, s"skew plant broken: hot=$hot")
+    assert(cells <= hot / salts * 2,
+      s"max (key,salt) cell $cells should be ~${hot / salts} (hot=$hot, salts=$salts)")
+  }
+
+  test("temperature resampling: alpha=1 is the natural mix; alpha=0.5 upweights rare domains") {
+    import graft.operators.Sampling
+    val docs = spark.read.parquet(s"$sf0001/documents.parquet")
+    // α=1 allocates ∝ n_d, so every domain's rate is exactly the target
+    // fraction — identical membership to the plain deterministic sample
+    val natural = Sampling.temperatureResample(docs, "doc_id", "lang", alpha = 1.0, targetFraction = 0.5)
+      .select("doc_id").collect().map(_.getLong(0)).sorted
+    val plain = Sampling.deterministicSample(docs, "doc_id", 0.5)
+      .select("doc_id").collect().map(_.getLong(0)).sorted
+    assert(natural.toSeq == plain.toSeq && natural.nonEmpty)
+    // α=0.5: the dominant domain (en) is kept at a LOWER rate than rare
+    // ones, flattening the mix
+    val mixed = Sampling.temperatureResample(docs, "doc_id", "lang", alpha = 0.5, targetFraction = 0.5)
+    def rate(df: org.apache.spark.sql.DataFrame, lang: String) =
+      df.where(col("lang") === lang).count().toDouble / docs.where(col("lang") === lang).count()
+    val en = rate(mixed, "en")
+    val rare = rate(mixed, "de")
+    assert(en < 0.45 && rare > 0.5, s"en=$en de=$rare — sqrt mix should flatten toward rare domains")
+    // content-keyed: identical subset under a different partitioning
+    val re = Sampling.temperatureResample(docs.repartition(13), "doc_id", "lang", alpha = 0.5, targetFraction = 0.5)
+      .select("doc_id").collect().map(_.getLong(0)).sorted
+    assert(re.toSeq == mixed.select("doc_id").collect().map(_.getLong(0)).sorted.toSeq)
+  }
+
+  test("sequence packing: distributed prefix sum equals the sequential reference, any bucketWidth") {
+    import spark.implicits._
+    import graft.operators.Packing
+    val docs = Seq((0L, 5L), (1L, 0L), (2L, 12L), (5L, 3L), (7L, 9L), (11L, 4L), (12L, 10L), (20L, 1L))
+    val df = docs.toDF("id", "nt").repartition(5)
+    // sequential reference: running start offsets in id order
+    val starts = docs.map(_._2).scanLeft(0L)(_ + _).init
+    val budget = 8L
+    val expected = docs.zip(starts).map { case ((id, n), st) =>
+      (id, n, st / budget, st % budget, (st + (if (n > 0) n - 1 else 0L)) / budget) }
+    for (w <- Seq(1L, 3L, 100L)) {
+      val got = Packing.packSequences(df, "id", "nt", budget, bucketWidth = w)
+        .orderBy("id").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+      assert(got.toSeq == expected, s"bucketWidth=$w")
+    }
+    // invariants on real data: offsets within budget, starts contiguous
+    val real = spark.read.parquet(s"$sf0001/documents.parquet")
+      .select(col("doc_id"), size(graft.functions.Text.tokens(col("text"))).as("nt"))
+    val packed = Packing.packSequences(real, "doc_id", "nt", budget = 256L, bucketWidth = 64L)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(1), r.getLong(2) * 256L + r.getLong(3)))
+    assert(packed.forall { case (_, start) => start >= 0 })
+    packed.sliding(2).foreach { case Array((n, s1), (_, s2)) => assert(s2 == s1 + n) case _ => }
+    assert(packed.forall { case (_, st) => st % 256L < 256L })
+  }
+
   test("text functions: tokens, shingles, fingerprint, langid") {
     import spark.implicits._
     val df = Seq(("  The QUICK  brown ", 1L)).toDF("text", "id")
