@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Deterministic sampling for training-data pipelines.
@@ -96,16 +97,20 @@ object Sampling {
       else pow(col("_n").cast("double"), lit(alpha))
     val counts = df.groupBy(col(domainCol)).agg(count(lit(1)).as("_n"))
       .withColumn("_w", weight)
-    // `_rows` not `_N`: Spark resolves case-insensitively, so `_N` would
-    // collide with the per-domain `_n`
-    val tot = counts.agg(sum(col("_n")).cast("double").as("_rows"), sum(col("_w")).as("_wsum"))
+    // corpus totals via a window over the COUNTS frame (#domains rows) —
+    // a separate .agg would make Spark recompute the counts subtree and
+    // scan the fact table twice. The unpartitioned window is over the tiny
+    // aggregate, never the data (ScaleSpec asserts exactly one domain-key
+    // exchange in the plan).
+    val wAll = Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
     // threshold on the md5 prefix as a 32-bit integer: rate·2^32, the
     // numeric form of thresholdHex (rates here are data-derived, so the
     // hex-literal formatting path doesn't apply)
-    val rates = counts.crossJoin(broadcast(tot))
+    val rates = counts
       .withColumn("_thr",
         round(least(lit(1.0),
-          lit(targetFraction) * col("_rows") * col("_w") / col("_wsum") / col("_n").cast("double"))
+          lit(targetFraction) * sum(col("_n")).over(wAll).cast("double") * col("_w")
+            / sum(col("_w")).over(wAll) / col("_n").cast("double"))
           * lit(4294967296.0)).cast("long"))
       .select(col(domainCol), col("_thr"))
     df.join(broadcast(rates), Seq(domainCol))

@@ -90,6 +90,39 @@ class ScaleSpec extends SparkSuite {
     assert(scan.contains("struct<ts:bigint>"), s"expected ts-only ReadSchema, got: $scan")
   }
 
+  test("sequence packing: the data-path window is bucket-partitioned, never global") {
+    // q56's scale property: the distributed prefix sum must not collapse
+    // the DATA to one partition — the only unpartitioned window allowed is
+    // the tiny per-bucket offset table (#buckets rows)
+    val df = SparkEntry.queries("q56_sequence_packing")(spark, sf0001)
+    df.collect()
+    val windows = df.queryExecution.executedPlan.toString
+      .linesIterator.filter(_.contains("Window")).filterNot(_.contains("WindowGroupLimit")).toSeq
+    val dataWindows = windows.filter(_.contains("n_tokens"))
+    assert(dataWindows.nonEmpty, s"expected a running-sum window over the data:\n${windows.mkString("\n")}")
+    assert(dataWindows.forall(_.contains("partitionBy")) ||
+      dataWindows.forall(_.contains("_bkt")),
+      s"data window must be partitioned by the prefix-sum bucket:\n${dataWindows.mkString("\n")}")
+  }
+
+  test("temperature resampling: rate table broadcast, fact path stays narrow") {
+    // q55's scale property: the per-domain rate table joins back as a
+    // BROADCAST (it is #domains rows) — the fact scan must not shuffle
+    val df = SparkEntry.queries("q55_temperature_mix")(spark, sf0001)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), s"rate table should broadcast:\n$plan")
+    // exactly ONE exchange partitions on the domain key — the tiny
+    // per-domain count aggregation (#domains rows). The fact table itself
+    // joins straight off its scan; a second lang-exchange would mean the
+    // documents path is being shuffled. (AQE's toString appends the
+    // pre-adaptive plan after "== Initial Plan ==" — count only the final.)
+    val finalPlan = plan.split("== Initial Plan ==").head
+    val langExchanges = finalPlan.sliding("Exchange hashpartitioning(lang".length)
+      .count(_ == "Exchange hashpartitioning(lang")
+    assert(langExchanges == 1, s"expected 1 rate-table exchange on lang, got $langExchanges:\n$finalPlan")
+  }
+
   test("filter and projection reach the parquet scan (pushdown + pruning)") {
     val q = SparkEntry.queries("q02_filter_pushdown")(spark, sf0001)
     val plan = q.queryExecution.executedPlan.toString
