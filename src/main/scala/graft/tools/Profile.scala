@@ -29,6 +29,8 @@ object Profile {
 
     val docs = Tables.documents(spark, dir)
     if (!args.contains("--no-cache")) docs.cache().count()
+
+    if (args.contains("--q20")) { q20Breakdown(spark, docs); spark.stop(); return }
     time("minhash full COLD")(Dedup.minHashLsh(docs, "doc_id", "text", 3, 16, 4, 0.5).count())
 
     time("tokens explode")(docs.select(explode(Text.tokens(col("text")))).count())
@@ -72,5 +74,67 @@ object Profile {
       .where(col("jaccard") >= 0.5).count())
     time("ngram full")(Dedup.ngramJaccard(docs, "doc_id", "text", 3, 0.5, 50).count())
     spark.stop()
+  }
+
+  /** Stage-by-stage breakdown of the CURRENT (hashed-key) q20 pipeline —
+    * run with `--q20`. Each stage timed warm (second run) after a cold
+    * pass, so codegen/JIT doesn't masquerade as stage cost. */
+  private def q20Breakdown(spark: SparkSession, docs: org.apache.spark.sql.DataFrame): Unit = {
+    graft.GraftFunctions.ensureRegistered(spark)
+    def warm(name: String)(f: => Long): Unit = {
+      f // cold: codegen + JIT
+      val t0 = System.nanoTime()
+      val n = f
+      println(f"[q20] $name%-44s ${(System.nanoTime() - t0) / 1e9}%8.2f s   ($n rows)")
+    }
+    val exploded = docs.select(col("doc_id").as("id"),
+        explode(array_distinct(Text.fastWordShingles(col("text"), 3))).as("s"))
+      .select(col("id"), Dedup.shingleKey(col("s")).as("sh"))
+    warm("scan+shingle+md5+explode (map side)")(exploded.count())
+    // ---- OLD pipeline (pre-prefix-filter): full posting index, every
+    // co-occurrence becomes a pair-count row ----
+    val postingsPlan = exploded.groupBy(col("sh"))
+      .agg(sort_array(collect_list(col("id"))).as("ids"))
+      .where(size(col("ids")) <= 50)
+    warm("OLD posting aggregation")(postingsPlan.count())
+    val postings = postingsPlan.localCheckpoint(eager = true)
+    val shared = postings.where(size(col("ids")) >= 2)
+      .select(posexplode(col("ids")).as(Seq("i", "id_a")), col("ids"))
+      .select(col("id_a"),
+        explode(slice(col("ids"), col("i") + 2, size(col("ids")) - col("i") - 1)).as("id_b"))
+      .groupBy(col("id_a"), col("id_b"))
+      .agg(count(lit(1)).as("shared"))
+    warm("OLD pair generation + pair count")(shared.count())
+    postings.unpersist(blocking = true)
+    // ---- NEW pipeline (prefix filtering) stage by stage ----
+    val dfs = exploded.groupBy(col("sh")).agg(count(lit(1)).as("df"))
+      .where(col("df") <= 50)
+    warm("NEW df aggregation")(dfs.count())
+    val docSetsPlan = exploded.join(dfs, Seq("sh")).groupBy(col("id"))
+      .agg(transform(sort_array(collect_list(struct(col("df"), col("sh")))),
+        x => x.getField("sh")).as("shs"))
+      .select(col("id"), col("shs"), size(col("shs")).as("n_sh"),
+        (size(col("shs")) - ceil(lit(0.5) * size(col("shs"))).cast("int") + 1).as("p"))
+    warm("NEW per-doc sets (df join + collect)")(docSetsPlan.count())
+    val docSets = docSetsPlan.localCheckpoint(eager = true)
+    val candidates = docSets
+      .select(col("id"), explode(slice(col("shs"), lit(1), greatest(col("p"), lit(1)))).as("sh"))
+      .groupBy(col("sh")).agg(sort_array(collect_list(col("id"))).as("ids"))
+      .where(size(col("ids")) >= 2)
+      .select(posexplode(col("ids")).as(Seq("i", "id_a")), col("ids"))
+      .select(col("id_a"),
+        explode(slice(col("ids"), col("i") + 2, size(col("ids")) - col("i") - 1)).as("id_b"))
+      .distinct()
+    warm("NEW prefix-index candidates (distinct)")(candidates.count())
+    warm("NEW verify (2 joins + array_intersect)")(candidates
+      .join(docSets.select(col("id").as("id_a"), col("shs").as("shs_a"), col("n_sh").as("n_a")), Seq("id_a"))
+      .join(docSets.select(col("id").as("id_b"), col("shs").as("shs_b"), col("n_sh").as("n_b")), Seq("id_b"))
+      .select(col("id_a"), col("id_b"),
+        size(array_intersect(col("shs_a"), col("shs_b"))).as("shared"), col("n_a"), col("n_b"))
+      .where(col("shared").cast("double") /
+        (col("n_a") + col("n_b") - col("shared")).cast("double") >= 0.5).count())
+    docSets.unpersist(blocking = true)
+    warm("q20 end-to-end (fresh checkpoint each run)")(
+      Dedup.ngramJaccard(docs, "doc_id", "text", 3, 0.5, 50).count())
   }
 }
