@@ -115,6 +115,7 @@ object SparkEntry {
     "q54_skewed_salted_join" -> q54,
     "q55_temperature_mix" -> q55,
     "q56_sequence_packing" -> q56,
+    "q57_nextfit_packing" -> q57,
   )
 
   // =====================================================================
@@ -795,6 +796,41 @@ object SparkEntry {
         "doc_id", "n_toks", budget = 256L, bucketWidth = 100L)
       .orderBy(col("doc_id"))
 
+  /** Greedy NEXT-FIT packing per domain, through the facade's keyed
+    * accumulate: documents never straddle sequences — when the current
+    * sequence can't fit the next document, a new one starts. The stateful
+    * transition is a CONDITIONAL, the shape the window rewrite can't
+    * express, so this exercises `mapAccumulateByKey`'s general path (hash-
+    * partitioned by lang, sequential per key, the new [[Expr.If]] node on
+    * the eval interpreter) — [[q56]] is the concat-then-chunk twin that
+    * spans, [[q41]] the window-rewritable twin. Oracle: per-lang recursive
+    * CTE computing the identical transition, all-BIGINT. */
+  private def q57(s: SparkSession, dir: String): DataFrame = {
+    import Expr._
+    val docs = Tables.documents(s, dir).select(
+      col("doc_id").as("_1"), col("lang").as("_2"),
+      size(Text.tokens(col("text"))).cast("long").as("_3"))
+    val ds = DataStream.fromDF[(Long, String, Long)](docs)
+    val budget = 128L
+    val packed = ds.mapAccumulateByKey((0L, 0L))(t => t._2, t => t._1) { t =>
+      val fill = t._1._1
+      val seq = t._1._2
+      val n = t._2._3
+      val newSeq = (fill + n) > budget
+      val fill2 = newSeq.ifElse(n, fill + n)
+      val seq2 = newSeq.ifElse(seq + 1L, seq)
+      val off = newSeq.ifElse[Long](LitLong(0L), fill)
+      (fill2 &&& seq2) &&& (t._2._1 &&& (t._2._2 &&& (n &&& (seq2 &&& off))))
+    }
+    packed.toDF.select(
+        col("value._1").as("doc_id"),
+        col("value._2._1").as("lang"),
+        col("value._2._2._1").as("n_tokens"),
+        col("value._2._2._2._1").as("seq_idx"),
+        col("value._2._2._2._2").as("seq_off"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Facade calendar surface: events bucketed by (day-of-week, hour-of-day)
     * through the Expr date-part nodes — no raw epoch-ms arithmetic in user
     * code. Compiles to native date functions + one partial-agg'd count. */
@@ -1297,6 +1333,32 @@ object SparkEntry {
            SELECT doc_id, lang FROM documents JOIN rates USING (lang)
            WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT < thr
            ORDER BY doc_id""",
+
+      // the same next-fit transition as the engine's keyed accumulate,
+      // unrolled sequentially per lang by a recursive CTE. The anchor is
+      // the transition applied to the initial state (fill=0, seq=0):
+      // off = 0 and fill = n either way; seq = 1 only if a lone document
+      // already overflows the budget (never on this corpus, but the
+      // formula keeps the semantics aligned, not data-dependent).
+      "q57_nextfit_packing" ->
+        s"""WITH RECURSIVE sized AS (
+             SELECT lang, doc_id, CAST(len($toks) AS BIGINT) AS n,
+               row_number() OVER (PARTITION BY lang ORDER BY doc_id) AS rn
+             FROM documents),
+           packed AS (
+             SELECT lang, doc_id, n, rn,
+               CASE WHEN n > 128 THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END AS seq_idx,
+               CAST(0 AS BIGINT) AS seq_off,
+               n AS fill
+             FROM sized WHERE rn = 1
+             UNION ALL
+             SELECT s.lang, s.doc_id, s.n, s.rn,
+               CASE WHEN p.fill + s.n > 128 THEN p.seq_idx + 1 ELSE p.seq_idx END,
+               CASE WHEN p.fill + s.n > 128 THEN CAST(0 AS BIGINT) ELSE p.fill END,
+               CASE WHEN p.fill + s.n > 128 THEN s.n ELSE p.fill + s.n END
+             FROM sized s JOIN packed p ON s.lang = p.lang AND s.rn = p.rn + 1)
+           SELECT doc_id, lang, n AS n_tokens, seq_idx, seq_off
+           FROM packed ORDER BY doc_id""",
 
       // the engine's distributed prefix sum must equal this plain global
       // window cumsum — chunk assignment is pure integer arithmetic

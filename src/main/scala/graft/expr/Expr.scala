@@ -208,6 +208,21 @@ object Expr {
     }
   }
 
+  /** Conditional (extension — the reference algebra has no branch node, but
+    * stateful accumulators like next-fit packing need one). SQL CASE WHEN
+    * semantics on both paths: a NULL condition selects the else branch,
+    * exactly as Catalyst's `when(c, t).otherwise(f)` evaluates it — an
+    * eval that treated null as an error (or as true) would diverge from
+    * the window-rewritten/columnar form of the same expression. */
+  final case class If[A, B](cond: Expr[A, Boolean], t: Expr[A, B], f: Expr[A, B]) extends Expr[A, B] {
+    private[graft] def toColumn(in: Column): Column =
+      when(cond.toColumn(in), t.toColumn(in)).otherwise(f.toColumn(in))
+    private[graft] def eval(in: Any): Any = cond.eval(in) match {
+      case java.lang.Boolean.TRUE => t.eval(in)
+      case _                      => f.eval(in) // FALSE or null: CASE falls through
+    }
+  }
+
   // ---------------------------------------------------------------------
   // String / list ops (reference Expression.scala:27, 33, 38)
   // ---------------------------------------------------------------------
@@ -512,6 +527,7 @@ object Expr {
       case Cmp(l, r, op)     => Cmp(s(l), s(r), op)
       case BoolOp(l, r, op)  => BoolOp(s(l).asInstanceOf[Expr[Any, Boolean]], s(r).asInstanceOf[Expr[Any, Boolean]], op)
       case Not(x)            => Not(s(x).asInstanceOf[Expr[Any, Boolean]])
+      case If(c, a, b)       => If(s(c).asInstanceOf[Expr[Any, Boolean]], s(a), s(b))
       case SplitStr(a, d)    => SplitStr(s(a).asInstanceOf[Expr[Any, String]], s(d).asInstanceOf[Expr[Any, String]])
       case StrConcat(a, c)   => StrConcat(s(a).asInstanceOf[Expr[Any, String]], s(c).asInstanceOf[Expr[Any, String]])
       case StrLen(a)         => StrLen(s(a).asInstanceOf[Expr[Any, String]])
@@ -632,6 +648,8 @@ object Expr {
     def &&(o: Expr[A, Boolean]): Expr[A, Boolean] = BoolOp(e, o, "&&")
     def ||(o: Expr[A, Boolean]): Expr[A, Boolean] = BoolOp(e, o, "||")
     def unary_! : Expr[A, Boolean] = Not(e)
+    /** `cond.ifElse(t, f)` — CASE WHEN cond THEN t ELSE f. */
+    def ifElse[B](t: Expr[A, B], f: Expr[A, B]): Expr[A, B] = If(e, t, f)
   }
 
   implicit final class ListExprOps[A, B](private val e: Expr[A, List[B]]) extends AnyVal {

@@ -210,6 +210,37 @@ class DataStreamSpec extends SparkSuite {
     assert(out == Seq((1L, 1L, 5L), (1L, 2L, 14L), (1L, 3L, 29L), (2L, 1L, 7L)))
   }
 
+  test("mapAccumulateByKey with Expr.If: next-fit packing matches a sequential reference") {
+    // q57's transition: (fill, seq) -> new sequence when the doc overflows
+    // the budget. Conditional state defeats the window rewrite by
+    // construction; the general path must still match scanLeft per key.
+    val budget = 10L
+    val docs = Seq( // (id, key, n)
+      (1L, 1L, 4L), (2L, 1L, 5L), (3L, 1L, 3L), (4L, 1L, 10L), (5L, 1L, 1L),
+      (6L, 2L, 12L), (7L, 2L, 2L))
+    val ds = DataStream.fromLiterals(docs: _*)
+    val packed = ds.mapAccumulateByKey((0L, 0L))(t => t._2, t => t._1) { t =>
+      val fill = t._1._1; val seq = t._1._2; val n = t._2._3
+      val newSeq = (fill + n) > budget
+      val fill2 = newSeq.ifElse(n, fill + n)
+      val seq2 = newSeq.ifElse(seq + 1L, seq)
+      val off = newSeq.ifElse[Long](Expr.LitLong(0L), fill)
+      (fill2 &&& seq2) &&& (t._2._1 &&& (seq2 &&& off))
+    }
+    val got = packed.collectValues.map(v => (v._1, v._2._1, v._2._2)).sortBy(_._1)
+    // sequential reference per key
+    val expected = docs.groupBy(_._2).toSeq.flatMap { case (_, ds0) =>
+      ds0.sortBy(_._1).scanLeft((0L, 0L, 0L, 0L, 0L)) { case ((fill, seq, _, _, _), (id, _, n)) =>
+        if (fill + n > budget) (n, seq + 1, id, seq + 1, 0L)
+        else (fill + n, seq, id, seq, fill)
+      }.tail.map(x => (x._3, x._4, x._5))
+    }.sortBy(_._1)
+    // key 1: 4(s0,o0) 5(s0,o4) 3(s1,o0) 10(s2,o0) 1(s3,o0)? fill=10,1 ->
+    //   10+1>10 -> s3. key 2: 12 overflows alone (s1,o0), 2 (s2? 12+2>10 ->
+    //   new) — the reference computes it; just assert agreement.
+    assert(got == expected, s"got $got\nexpected $expected")
+  }
+
   test("set ops, sort, limit, join") {
     val a = DataStream.fromLiterals(1L, 2L, 3L)
     val b = DataStream.fromLiterals(3L, 4L)

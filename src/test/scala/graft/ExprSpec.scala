@@ -89,6 +89,29 @@ class ExprSpec extends SparkSuite {
     assert(ds.map(_ => e).collectValues == Seq(17L))
   }
 
+  test("If node: CASE WHEN semantics on both paths — null condition takes the else branch") {
+    import Expr._
+    val e = { val t = Expr.id[(Long, Long)]; (t._1 > t._2).ifElse(t._1, t._2) } // max
+    assert(e.eval((4L, 5L)) == 5L)
+    assert(e.eval((9L, 5L)) == 9L)
+    val ds = DataStream.fromLiterals((4L, 5L), (9L, 5L))
+    assert(ds.map(_ => e).collectValues.sorted == Seq(5L, 9L))
+    // null condition: SQL CASE WHEN null falls through to ELSE — both the
+    // Catalyst translation (when/otherwise) and eval must agree
+    val nullCond = { val t = Expr.id[(Long, Long)]; (t._1 > t._2).ifElse[Long](LitLong(1L), LitLong(2L)) }
+    assert(nullCond.eval((null, 5L)) == 2L)
+    import org.apache.spark.sql.{Row => SRow}
+    import org.apache.spark.sql.types.{LongType, StructField, StructType}
+    import org.apache.spark.sql.functions.col
+    val withNull = spark.createDataFrame(
+      java.util.List.of(SRow(SRow(null, 5L))),
+      StructType(Seq(StructField("value", StructType(Seq(
+        StructField("_1", LongType, nullable = true),
+        StructField("_2", LongType)))))))
+    val catalystOut = withNull.select(nullCond.toColumn(col("value")).as("o")).head().getLong(0)
+    assert(catalystOut == 2L, "Catalyst when/otherwise must also fall through on null")
+  }
+
   test("epoch-ms date parts: Catalyst and eval agree, incl. dow convention and pre-1970 trunc") {
     // 2024-02-29T13:45:30.123Z — a leap-day Thursday
     val leapDay = 1709214330123L
