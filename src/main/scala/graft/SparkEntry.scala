@@ -116,6 +116,7 @@ object SparkEntry {
     "q55_temperature_mix" -> q55,
     "q56_sequence_packing" -> q56,
     "q57_nextfit_packing" -> q57,
+    "q58_waterfill_mix" -> q58,
   )
 
   // =====================================================================
@@ -796,6 +797,20 @@ object SparkEntry {
         "doc_id", "n_toks", budget = 256L, bucketWidth = 100L)
       .orderBy(col("doc_id"))
 
+  /** [[q55]] with EXACT waterfill redistribution (`redistribute = true`,
+    * f=0.85 so capping genuinely engages): capped domains' unused budget
+    * re-allocates to uncapped ones, so the realized total hits f·N instead
+    * of undershooting. The λ solve is closed-form window arithmetic over
+    * the counts frame (domains saturate in n/w order — no iteration, no
+    * driver collect); the oracle mirrors every double op including the
+    * sentinel row and the candidate-validity CASE. */
+  private def q58(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Sampling.temperatureResample(
+        Tables.documents(s, dir), "doc_id", "lang", alpha = 0.5,
+        targetFraction = 0.85, redistribute = true)
+      .select(col("doc_id"), col("lang"))
+      .orderBy(col("doc_id"))
+
   /** Greedy NEXT-FIT packing per domain, through the facade's keyed
     * accumulate: documents never straddle sequences — when the current
     * sequence can't fit the next document, a new one starts. The stateful
@@ -1331,6 +1346,40 @@ object SparkEntry {
                  * 4294967296.0) AS BIGINT) AS thr
              FROM counts CROSS JOIN tot)
            SELECT doc_id, lang FROM documents JOIN rates USING (lang)
+           WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT < thr
+           ORDER BY doc_id""",
+
+      // the exact waterfill, mirrored op for op: sentinel row for the
+      // nothing-capped case, cumulative sums in saturation order, the
+      // per-prefix lambda candidates with their validity window, min valid
+      // lambda applied as min(1, lambda*w/n) — identical double arithmetic
+      "q58_waterfill_mix" ->
+        """WITH counts AS (
+             SELECT lang AS d, CAST(count(*) AS DOUBLE) AS nd,
+               sqrt(CAST(count(*) AS DOUBLE)) AS wd
+             FROM documents GROUP BY lang),
+           u AS (
+             SELECT d, nd, wd, nd / wd AS lam FROM counts
+             UNION ALL SELECT NULL, 0.0, 0.0, 0.0),
+           o AS (
+             SELECT d, nd, wd, lam,
+               sum(nd) OVER (ORDER BY lam ASC, d ASC ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cumN,
+               sum(wd) OVER (ORDER BY lam ASC, d ASC ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cumW,
+               sum(nd) OVER () AS tot,
+               sum(wd) OVER () AS wtot,
+               lead(lam, 1) OVER (ORDER BY lam ASC, d ASC) AS nxt
+             FROM u),
+           lamt AS (
+             SELECT d, nd, wd,
+               coalesce(min(CASE WHEN (wtot - cumW > 0)
+                       AND ((0.85 * tot - cumN) / (wtot - cumW)) >= lam
+                       AND (nxt IS NULL OR ((0.85 * tot - cumN) / (wtot - cumW)) <= nxt)
+                     THEN (0.85 * tot - cumN) / (wtot - cumW) END) OVER (), 1e18) AS lamstar
+             FROM o),
+           rates AS (
+             SELECT d, CAST(round(least(1.0, lamstar * wd / nd) * 4294967296.0) AS BIGINT) AS thr
+             FROM lamt WHERE nd > 0)
+           SELECT doc_id, lang FROM documents JOIN rates ON lang = rates.d
            WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT < thr
            ORDER BY doc_id""",
 

@@ -75,11 +75,20 @@ object Sampling {
     * resample is stable across runs, partitionings, and engines.
     *
     * Scale shape: the rate table is one tiny partial-agg'd count per
-    * domain plus a 1-row total, broadcast back onto the fact scan — the
-    * data path is a narrow per-row predicate with ZERO extra shuffle.
-    * Rate excess from capped domains (r_d clipped at 1) is NOT
-    * redistributed; the realized total can undershoot f·N when α pushes a
-    * rare domain past keep-everything.
+    * domain plus window totals over that counts frame, broadcast back onto
+    * the fact scan — the data path is a narrow per-row predicate with ZERO
+    * extra shuffle.
+    *
+    * With `redistribute = false` the allocation is single-pass: a domain
+    * whose proportional share exceeds its size is clipped at rate 1 and
+    * the excess is LOST (the realized total undershoots f·N). With
+    * `redistribute = true` the operator solves the exact waterfill
+    * instead: rates are `min(1, λ·w_d/n_d)` with λ chosen so the realized
+    * total EQUALS min(f·N, N). No iteration is needed — domains saturate
+    * in increasing `n_d/w_d` order, so λ has a closed form per prefix of
+    * that order, and the whole solve is window arithmetic over the
+    * #domains-row counts frame (a sentinel row encodes the nothing-capped
+    * case; still one domain-key exchange, still broadcast back).
     *
     * Engine-parity notes (for oracle-checked pipelines): α=0.5 and α=1
     * use `sqrt`/identity — IEEE-exact on every engine; other α go through
@@ -87,10 +96,13 @@ object Sampling {
     * production, avoid where bit-parity is asserted). Rows with a NULL
     * domain have no defined rate and are dropped. */
   def temperatureResample(df: DataFrame, idCol: String, domainCol: String,
-                          alpha: Double, targetFraction: Double): DataFrame = {
+                          alpha: Double, targetFraction: Double,
+                          redistribute: Boolean = false): DataFrame = {
     require(alpha > 0.0 && alpha <= 1.0, s"alpha must be in (0,1], got $alpha")
     require(targetFraction > 0.0 && targetFraction <= 1.0,
       s"targetFraction must be in (0,1], got $targetFraction")
+    if (redistribute)
+      return temperatureResampleWaterfill(df, idCol, domainCol, alpha, targetFraction)
     val weight =
       if (alpha == 0.5) sqrt(col("_n").cast("double"))
       else if (alpha == 1.0) col("_n").cast("double")
@@ -116,6 +128,60 @@ object Sampling {
     df.join(broadcast(rates), Seq(domainCol))
       .where(conv(substring(md5(col(idCol).cast("string")), 1, 8), 16, 10).cast("long") < col("_thr"))
       .select(df.columns.map(col): _*) // original column order, _thr dropped
+  }
+
+  /** The exact-waterfill allocation behind `redistribute = true`. Solves
+    * Σ_d min(n_d, λ·w_d) = f·N for λ in closed form: sort domains by the
+    * saturation point λ_d = n_d/w_d ascending; if the first k domains are
+    * capped, λ(k) = (f·N − Σ_{i≤k} n_i) / (W − Σ_{i≤k} w_i), and the true
+    * λ is the unique λ(k) consistent with its own prefix (λ_k ≤ λ(k) ≤
+    * λ_{k+1}). A sentinel row (λ=0, n=w=0) encodes k=0; if no candidate is
+    * valid, f·N ≥ N and every rate is 1. All of it is window arithmetic
+    * over the #domains-row counts frame — no driver collect, no iteration,
+    * deterministic double ops mirrored exactly by the SQL oracle. */
+  private def temperatureResampleWaterfill(df: DataFrame, idCol: String,
+                                           domainCol: String, alpha: Double,
+                                           targetFraction: Double): DataFrame = {
+    val weight =
+      if (alpha == 0.5) sqrt(col("_nd"))
+      else if (alpha == 1.0) col("_nd")
+      else pow(col("_nd"), lit(alpha))
+    val counts = df.groupBy(col(domainCol)).agg(count(lit(1)).as("_n"))
+      .select(col(domainCol).as("_d"), col("_n").cast("double").as("_nd"))
+      .withColumn("_wd", weight)
+    val sentinel = df.sparkSession.range(1).select(
+      lit(null).cast(df.schema(domainCol).dataType).as("_d"),
+      lit(0.0).as("_nd"), lit(0.0).as("_wd"))
+    // sentinel sorts first: real domains have λ_d = n/w ≥ min(n^(1-α)) > 0
+    val u = counts.unionByName(sentinel)
+      .withColumn("_lam", when(col("_wd") > 0, col("_nd") / col("_wd")).otherwise(lit(0.0)))
+    val ord = Seq(col("_lam").asc, col("_d").asc)
+    val wCum = Window.orderBy(ord: _*).rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wAll = Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val wLead = Window.orderBy(ord: _*)
+    val o = u.select(col("_d"), col("_nd"), col("_wd"), col("_lam"),
+      sum(col("_nd")).over(wCum).as("_cumN"),
+      sum(col("_wd")).over(wCum).as("_cumW"),
+      sum(col("_nd")).over(wAll).as("_tot"),
+      sum(col("_wd")).over(wAll).as("_wtot"),
+      lead(col("_lam"), 1).over(wLead).as("_next"))
+    // the division is guarded by when(), not just by the validity
+    // conjunction: ANSI mode evaluates the whole expression tree, and the
+    // last row's divisor (W − cumW) is exactly 0
+    val lamK = when(col("_wtot") - col("_cumW") > 0,
+      (lit(targetFraction) * col("_tot") - col("_cumN")) / (col("_wtot") - col("_cumW")))
+    val valid = lamK.isNotNull && lamK >= col("_lam") &&
+      (col("_next").isNull || lamK <= col("_next"))
+    val rates = o
+      .withColumn("_lamstar", coalesce(min(when(valid, lamK)).over(wAll), lit(1e18)))
+      .where(col("_nd") > 0) // drop the sentinel
+      .withColumn("_thr",
+        round(least(lit(1.0), col("_lamstar") * col("_wd") / col("_nd"))
+          * lit(4294967296.0)).cast("long"))
+      .select(col("_d").as(domainCol), col("_thr"))
+    df.join(broadcast(rates), Seq(domainCol))
+      .where(conv(substring(md5(col(idCol).cast("string")), 1, 8), 16, 10).cast("long") < col("_thr"))
+      .select(df.columns.map(col): _*)
   }
 
   /** Per-stratum rates (e.g. downsample one language, keep another whole).

@@ -632,6 +632,40 @@ class OperatorsSpec extends SparkSuite {
     assert(re.toSeq == mixed.select("doc_id").collect().map(_.getLong(0)).sorted.toSeq)
   }
 
+  test("waterfill resampling: capped domains kept whole, realized total hits the target") {
+    import graft.operators.Sampling
+    val docs = spark.read.parquet(s"$sf0001/documents.parquet")
+    val total = docs.count().toDouble
+    val target = 0.85
+    val fill = Sampling.temperatureResample(docs, "doc_id", "lang",
+      alpha = 0.5, targetFraction = target, redistribute = true)
+    // at f=0.85 the sqrt mix wants more of the rare languages than exist —
+    // the waterfill must keep them WHOLE (rate exactly 1: every row kept,
+    // not approximately)
+    for (l <- Seq("de", "zh")) {
+      val kept = fill.where(col("lang") === l).count()
+      val all = docs.where(col("lang") === l).count()
+      assert(kept == all, s"$l: waterfill should cap at rate 1 ($kept of $all)")
+    }
+    // the dominant domain absorbs the re-distributed budget cut
+    val en = fill.where(col("lang") === "en").count().toDouble /
+      docs.where(col("lang") === "en").count()
+    assert(en < 0.8, s"en rate $en should be well below 1")
+    // realized total ~ f·N (the whole point of redistribution); the plain
+    // single-pass form loses the capped domains' excess
+    val realized = fill.count().toDouble
+    assert(math.abs(realized - target * total) / total < 0.05,
+      s"realized $realized vs target ${target * total}")
+    val plain = Sampling.temperatureResample(docs, "doc_id", "lang",
+      alpha = 0.5, targetFraction = target).count().toDouble
+    assert(realized >= plain, s"waterfill $realized must not undershoot plain $plain")
+    // content-keyed: stable under repartitioning
+    val re = Sampling.temperatureResample(docs.repartition(11), "doc_id", "lang",
+        alpha = 0.5, targetFraction = target, redistribute = true)
+      .select("doc_id").collect().map(_.getLong(0)).sorted
+    assert(re.toSeq == fill.select("doc_id").collect().map(_.getLong(0)).sorted.toSeq)
+  }
+
   test("sequence packing: distributed prefix sum equals the sequential reference, any bucketWidth") {
     import spark.implicits._
     import graft.operators.Packing
