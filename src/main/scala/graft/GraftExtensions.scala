@@ -1,6 +1,6 @@
 package graft
 
-import graft.functions.catalyst.{ApproxTopK, ArrayDotProduct, ArrayL2Normalize, JavaSplit, WordShingles}
+import graft.functions.catalyst.{ApproxTopK, ArrayDotProduct, ArrayL2Normalize, BloomMightContain, BloomPositions, JavaSplit, WordShingles}
 
 import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
@@ -31,6 +31,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("graft_java_split"),
       new ExpressionInfo(classOf[JavaSplit].getName, "graft_java_split"),
       GraftFunctions.buildJavaSplit))
+    e.injectFunction((
+      FunctionIdentifier("graft_bloom_positions"),
+      new ExpressionInfo(classOf[BloomPositions].getName, "graft_bloom_positions"),
+      GraftFunctions.buildBloomPositions))
+    e.injectFunction((
+      FunctionIdentifier("graft_bloom_contains"),
+      new ExpressionInfo(classOf[BloomMightContain].getName, "graft_bloom_contains"),
+      GraftFunctions.buildBloomContains))
     e.injectPlannerStrategy(_ => graft.plans.AsOfJoinStrategy)
   }
 }
@@ -75,6 +83,26 @@ object GraftFunctions {
     JavaSplit(exprs.head, exprs(1))
   }
 
+  /** Constant long argument (bit counts overflow Int at large filters). */
+  private def constLong(e: Expression, what: String, sig: String): Long =
+    if (e.foldable) e.eval() match {
+      case i: Int  => i.toLong
+      case l: Long => l
+      case other   => sys.error(s"$sig: $what must be an integer constant, got $other")
+    } else sys.error(s"$sig: $what must be a constant, got $e")
+
+  private[graft] val buildBloomPositions: Seq[Expression] => Expression = exprs => {
+    val sig = "graft_bloom_positions(key, numBits, k)"
+    arity(exprs, 3, sig)
+    BloomPositions(exprs.head, constLong(exprs(1), "numBits", sig), constInt(exprs(2), "k", sig))
+  }
+
+  private[graft] val buildBloomContains: Seq[Expression] => Expression = exprs => {
+    val sig = "graft_bloom_contains(key, words, k)"
+    arity(exprs, 3, sig)
+    BloomMightContain(exprs.head, exprs(1), constInt(exprs(2), "k", sig))
+  }
+
   /** Idempotent per-session registration, for sessions not built with
     * [[GraftExtensions]] (e.g. the driver-owned Verify/Bench sessions).
     * Truly once per session: re-registering on every call spams
@@ -93,6 +121,8 @@ object GraftFunctions {
     reg1("graft_topk", buildTopK)
     reg1("graft_l2normalize", buildL2Normalize)
     reg1("graft_java_split", buildJavaSplit)
+    reg1("graft_bloom_positions", buildBloomPositions)
+    reg1("graft_bloom_contains", buildBloomContains)
     if (!spark.experimental.extraStrategies.contains(graft.plans.AsOfJoinStrategy))
       spark.experimental.extraStrategies =
         spark.experimental.extraStrategies :+ graft.plans.AsOfJoinStrategy

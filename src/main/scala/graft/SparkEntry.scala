@@ -117,6 +117,10 @@ object SparkEntry {
     "q56_sequence_packing" -> q56,
     "q57_nextfit_packing" -> q57,
     "q58_waterfill_mix" -> q58,
+    "q59_pivot" -> q59,
+    "q60_bloom_decontaminate" -> q60,
+    "q61_canonical_dedup" -> q61,
+    "q62_unpivot" -> q62,
   )
 
   // =====================================================================
@@ -886,6 +890,66 @@ object SparkEntry {
         Text.rollingFingerprint(col("text")).as("roll_fp"))
       .orderBy(col("doc_id"))
 
+  /** Pivot: quantity (cents) per return flag, one column per line status.
+    * The pivot values are ENUMERATED — `pivot(col)` without values runs a
+    * driver-side distinct collect to discover them, an extra pass over the
+    * fact table that a 100 TB pipeline declares away by naming its domain.
+    * Map-side partial agg collapses each (flag, status) cell before the
+    * one exchange on the group key. */
+  private def q59(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir)
+      .select(col("l_returnflag"), col("l_linestatus"), cents(col("l_quantity")).as("qty_c"))
+      .groupBy(col("l_returnflag"))
+      .pivot("l_linestatus", Seq("F", "O"))
+      .agg(sum(col("qty_c")))
+      .withColumnRenamed("F", "qty_f_c")
+      .withColumnRenamed("O", "qty_o_c")
+      .orderBy(col("l_returnflag"))
+
+  /** Unpivot (melt): three measure columns → (metric, value) rows, then
+    * re-aggregated per (flag, metric). `unpivot` is a zero-shuffle Expand
+    * (each input row emits one row per measure in the scan stage); the only
+    * exchange is the final group-by. Measures are pre-scaled to exact
+    * integers (cents / 1e-4) so the sums are order-independent. */
+  private def q62(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir)
+      .select(col("l_returnflag"),
+        cents(col("l_quantity")).as("qty_c"),
+        cents(col("l_extendedprice")).as("price_c"),
+        round(col("l_discount") * 10000).cast("long").as("disc_e4"))
+      .unpivot(Array(col("l_returnflag")),
+        Array(col("qty_c"), col("price_c"), col("disc_e4")), "metric", "v")
+      .groupBy(col("l_returnflag"), col("metric"))
+      .agg(sum(col("v")).as("total"))
+      .orderBy(col("l_returnflag"), col("metric"))
+
+  /** Decontamination through the Bloom-prefilter path: same semantics and
+    * the same oracle as q42, but the corpus side never shuffles at full
+    * width — a filter built over the eval set's shingle keys drops
+    * non-candidate corpus shingles inside the scan stage (see
+    * [[Dedup.crossCorpusOverlapBloom]]). Exact output: false positives die
+    * in the verify semi-join, false negatives don't exist. */
+  private def q60(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    Dedup.crossCorpusOverlapBloom(
+        docs.where(col("doc_id") % 10 =!= 0), docs.where(col("doc_id") % 10 === 0),
+        "doc_id", "text", shingleLen = 3, threshold = 0.5, maxShingleDf = 50, fpp = 0.01)
+      .orderBy(col("corpus_id"), col("probe_id"))
+  }
+
+  /** Near-dup canonicalization: q39's clustering, but each cluster keeps
+    * its highest-QUALITY member (q24's quality score; id as tiebreak) —
+    * the policy a real pipeline wants when near-copies differ in cruft.
+    * The oracle recomputes the same closure and picks the same winner with
+    * a window over the identical (IEEE-exact, q24-proven) quality value. */
+  private def q61(s: SparkSession, dir: String): DataFrame = {
+    val stop = Text.langMarkers.toMap.apply("en")
+    Dedup.canonicalizeNearDups(Tables.documents(s, dir), "doc_id", "text",
+        score = _ => Text.qualityScore(col("text"), stop),
+        shingleLen = 3, threshold = 0.5, maxShingleDf = 50)
+      .orderBy(col("id"))
+  }
+
   // =====================================================================
   // DuckDB oracle SQL — same semantics, same column names, same ORDER BY.
   // =====================================================================
@@ -901,6 +965,67 @@ object SparkEntry {
     // universe on BOTH engines, so results stay hash-checkable
     def hashedShingles(n: Int) =
       s"list_transform(list_distinct(${shingles(n)}), s -> CAST('0x' || substr(md5(s), 1, 15) AS BIGINT))"
+
+    // q24's composite quality score as a bare expression over `text` —
+    // shared verbatim by q61's canonical pick (same IEEE-exact value)
+    def qualitySql(toks: String) =
+      s"""least(greatest(
+             least(CAST(length(text) AS DOUBLE) / 200.0, 1.0) * 0.4
+             + (1.0 - CAST(len(regexp_extract_all(text, '[^A-Za-z0-9\\s]')) AS DOUBLE)
+                 / greatest(CAST(length(text) AS DOUBLE), 1.0)) * 0.3
+             + least(CAST(len(list_filter($toks, t -> list_contains(['the','a','of','and','is','to','in','that'], t))) AS DOUBLE)
+                 / greatest(CAST(len($toks) AS DOUBLE), 1.0) * 5.0, 1.0) * 0.3,
+             0.0), 1.0)"""
+
+    // near-dup cluster closure (hashed-shingle Jaccard edges → recursive
+    // reachability → min-label component) — the CTE block q39 and q61 share
+    def clusterCtes(toks: String, hs: String) =
+      s"""sh AS (
+             SELECT doc_id AS id, unnest($hs) AS s
+             FROM (SELECT doc_id, $toks AS toks FROM documents) d),
+           filtered AS (
+             SELECT id, s FROM (
+               SELECT id, s, count(*) OVER (PARTITION BY s) AS df FROM sh) t
+             WHERE df <= 50),
+           sizes AS (SELECT id, count(*) AS n_sh FROM filtered GROUP BY id),
+           prs AS (
+             SELECT a.id AS id_a, b.id AS id_b, count(*) AS shared
+             FROM filtered a JOIN filtered b ON a.s = b.s AND a.id < b.id
+             GROUP BY 1, 2),
+           pairs AS (
+             SELECT id_a, id_b FROM prs
+             JOIN sizes sa ON sa.id = id_a JOIN sizes sb ON sb.id = id_b
+             WHERE CAST(shared AS DOUBLE) / CAST(sa.n_sh + sb.n_sh - shared AS DOUBLE) >= 0.5),
+           edges AS (
+             SELECT id_a AS s, id_b AS d FROM pairs
+             UNION ALL SELECT id_b AS s, id_a AS d FROM pairs),
+           reach(id, r) AS (
+             SELECT DISTINCT s AS id, s AS r FROM edges
+             UNION
+             SELECT e.s AS id, reach.r FROM edges e JOIN reach ON e.d = reach.id),
+           comp AS (SELECT id, min(r) AS component FROM reach GROUP BY id)"""
+
+    // one-sided containment decontamination — q42 and q60 are
+    // result-identical by construction, so they share this oracle
+    def decontaminateSql(toks: String, hs: String) =
+      s"""WITH cs AS (
+             SELECT doc_id AS corpus_id, unnest($hs) AS s
+             FROM (SELECT doc_id, $toks AS toks FROM documents WHERE doc_id % 10 <> 0) d),
+           ps AS (
+             SELECT doc_id AS probe_id, unnest($hs) AS s
+             FROM (SELECT doc_id, $toks AS toks FROM documents WHERE doc_id % 10 = 0) d),
+           stop AS (SELECT s FROM cs GROUP BY s HAVING count(*) > 50),
+           csb AS (SELECT * FROM cs WHERE s NOT IN (SELECT s FROM stop)),
+           psb AS (SELECT * FROM ps WHERE s NOT IN (SELECT s FROM stop)),
+           sizes AS (SELECT probe_id, count(*) AS n_sh FROM psb GROUP BY probe_id),
+           shared AS (
+             SELECT corpus_id, probe_id, count(*) AS shared
+             FROM csb JOIN psb USING (s) GROUP BY 1, 2)
+           SELECT corpus_id, probe_id,
+             CAST(shared AS DOUBLE) / CAST(n_sh AS DOUBLE) AS containment
+           FROM shared JOIN sizes USING (probe_id)
+           WHERE CAST(shared AS DOUBLE) / CAST(n_sh AS DOUBLE) >= 0.5
+           ORDER BY corpus_id, probe_id"""
 
     Map(
       "q01_group_agg" ->
@@ -1233,55 +1358,38 @@ object SparkEntry {
 
       "q39_dedup_clusters" ->
         s"""WITH RECURSIVE
-           sh AS (
-             SELECT doc_id AS id, unnest(${hashedShingles(3)}) AS s
-             FROM (SELECT doc_id, $toks AS toks FROM documents) d),
-           filtered AS (
-             SELECT id, s FROM (
-               SELECT id, s, count(*) OVER (PARTITION BY s) AS df FROM sh) t
-             WHERE df <= 50),
-           sizes AS (SELECT id, count(*) AS n_sh FROM filtered GROUP BY id),
-           prs AS (
-             SELECT a.id AS id_a, b.id AS id_b, count(*) AS shared
-             FROM filtered a JOIN filtered b ON a.s = b.s AND a.id < b.id
-             GROUP BY 1, 2),
-           pairs AS (
-             SELECT id_a, id_b FROM prs
-             JOIN sizes sa ON sa.id = id_a JOIN sizes sb ON sb.id = id_b
-             WHERE CAST(shared AS DOUBLE) / CAST(sa.n_sh + sb.n_sh - shared AS DOUBLE) >= 0.5),
-           edges AS (
-             SELECT id_a AS s, id_b AS d FROM pairs
-             UNION ALL SELECT id_b AS s, id_a AS d FROM pairs),
-           reach(id, r) AS (
-             SELECT DISTINCT s AS id, s AS r FROM edges
-             UNION
-             SELECT e.s AS id, reach.r FROM edges e JOIN reach ON e.d = reach.id),
-           comp AS (SELECT id, min(r) AS component FROM reach GROUP BY id)
+           ${clusterCtes(toks, hashedShingles(3))}
            SELECT doc_id AS id,
              coalesce(comp.component, doc_id) AS representative,
              doc_id = coalesce(comp.component, doc_id) AS is_kept
            FROM documents LEFT JOIN comp ON comp.id = doc_id
            ORDER BY id""",
 
-      "q42_decontaminate" ->
-        s"""WITH cs AS (
-             SELECT doc_id AS corpus_id, unnest(${hashedShingles(3)}) AS s
-             FROM (SELECT doc_id, $toks AS toks FROM documents WHERE doc_id % 10 <> 0) d),
-           ps AS (
-             SELECT doc_id AS probe_id, unnest(${hashedShingles(3)}) AS s
-             FROM (SELECT doc_id, $toks AS toks FROM documents WHERE doc_id % 10 = 0) d),
-           stop AS (SELECT s FROM cs GROUP BY s HAVING count(*) > 50),
-           csb AS (SELECT * FROM cs WHERE s NOT IN (SELECT s FROM stop)),
-           psb AS (SELECT * FROM ps WHERE s NOT IN (SELECT s FROM stop)),
-           sizes AS (SELECT probe_id, count(*) AS n_sh FROM psb GROUP BY probe_id),
-           shared AS (
-             SELECT corpus_id, probe_id, count(*) AS shared
-             FROM csb JOIN psb USING (s) GROUP BY 1, 2)
-           SELECT corpus_id, probe_id,
-             CAST(shared AS DOUBLE) / CAST(n_sh AS DOUBLE) AS containment
-           FROM shared JOIN sizes USING (probe_id)
-           WHERE CAST(shared AS DOUBLE) / CAST(n_sh AS DOUBLE) >= 0.5
-           ORDER BY corpus_id, probe_id""",
+      // q39's closure, but the kept doc is the argmax of q24's quality
+      // (same IEEE-exact formula; id ascending breaks ties) — the window
+      // pick below is the oracle twin of the engine's max_by reduction
+      "q61_canonical_dedup" ->
+        s"""WITH RECURSIVE
+           ${clusterCtes(toks, hashedShingles(3))},
+           mem AS (
+             SELECT doc_id, coalesce(comp.component, doc_id) AS component
+             FROM documents LEFT JOIN comp ON comp.id = doc_id),
+           ranked AS (
+             SELECT mem.doc_id, mem.component,
+               row_number() OVER (PARTITION BY mem.component
+                 ORDER BY ${qualitySql(toks)} DESC, mem.doc_id ASC) AS rn
+             FROM mem JOIN documents ON documents.doc_id = mem.doc_id),
+           canon AS (SELECT component, doc_id AS canonical FROM ranked WHERE rn = 1)
+           SELECT mem.doc_id AS id, canon.canonical AS canonical,
+             mem.doc_id = canon.canonical AS is_kept
+           FROM mem JOIN canon USING (component)
+           ORDER BY id""",
+
+      "q42_decontaminate" -> decontaminateSql(toks, hashedShingles(3)),
+
+      // result-identical to q42 by construction (the Bloom prefilter is
+      // exact-verified) — the SAME oracle checks both paths
+      "q60_bloom_decontaminate" -> decontaminateSql(toks, hashedShingles(3)),
 
       "q43_text_clean" ->
         """SELECT doc_id,
@@ -1491,6 +1599,22 @@ object SparkEntry {
            16 + n_chars % 48 * 8 AS height,
            CAST(n_chars % 240 AS DOUBLE) AS duration_s
            FROM documents ORDER BY doc_id""",
+
+      "q59_pivot" ->
+        s"""SELECT l_returnflag,
+           CAST(sum(CASE WHEN l_linestatus = 'F' THEN ${C.format("l_quantity")} END) AS BIGINT) AS qty_f_c,
+           CAST(sum(CASE WHEN l_linestatus = 'O' THEN ${C.format("l_quantity")} END) AS BIGINT) AS qty_o_c
+           FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
+
+      "q62_unpivot" ->
+        s"""SELECT l_returnflag, metric, CAST(sum(v) AS BIGINT) AS total FROM (
+             SELECT l_returnflag, 'qty_c' AS metric, ${C.format("l_quantity")} AS v FROM lineitem
+             UNION ALL
+             SELECT l_returnflag, 'price_c' AS metric, ${C.format("l_extendedprice")} AS v FROM lineitem
+             UNION ALL
+             SELECT l_returnflag, 'disc_e4' AS metric,
+               CAST(round(l_discount * 10000) AS BIGINT) AS v FROM lineitem) u
+           GROUP BY l_returnflag, metric ORDER BY l_returnflag, metric""",
     )
   }
 }

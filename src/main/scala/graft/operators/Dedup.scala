@@ -468,6 +468,40 @@ object Dedup {
       .withColumn("is_kept", col("id") === col("representative"))
   }
 
+  /** Near-duplicate CANONICALIZATION: cluster like [[deduplicateNearDups]],
+    * but the kept representative is the cluster's argmax of `score`
+    * (id ascending as the tiebreak) instead of its min id — the real
+    * pipeline policy: when several near-copies of a page survive crawling,
+    * keep the highest-QUALITY copy, not an arbitrary one.
+    *
+    * `score(docs)` must be a deterministic per-row column over `docs`
+    * (e.g. [[graft.functions.Text.qualityScore]]); it is evaluated once in
+    * the same scan that feeds the cluster join. Scale shape on top of the
+    * clustering: one extra groupBy on the component id (max_by over
+    * (score, -id)) and one join of the per-component winner back to the
+    * membership table — both partial-agg'd, keyed on the component id.
+    * Output: (id, canonical, is_kept) for every doc; singleton docs keep
+    * themselves. */
+  def canonicalizeNearDups(docs: DataFrame, idCol: String, textCol: String,
+                           score: DataFrame => Column,
+                           shingleLen: Int = 3, threshold: Double = 0.6,
+                           maxShingleDf: Int = 50, reliable: Boolean = false): DataFrame = {
+    val (pairs, releaseIndex) =
+      ngramJaccardReleasable(docs, idCol, textCol, shingleLen, threshold, maxShingleDf)
+    val comps = connectedComponents(pairs.select(col("id_a"), col("id_b")), reliable = reliable)
+    releaseIndex()
+    val members = docs.select(col(idCol).as("id"), score(docs).as("_score"))
+      .join(comps, Seq("id"), "left")
+      .select(col("id"), col("_score"), coalesce(col("component"), col("id")).as("component"))
+    // argmax(score, tiebreak min id) per component: max_by over the pair
+    // (score, -id) — a partial-aggregable reduction, no per-component sort
+    val winners = members.groupBy(col("component"))
+      .agg(max_by(col("id"), struct(col("_score"), -col("id"))).as("canonical"))
+    members.join(winners, Seq("component"))
+      .select(col("id"), col("canonical"),
+        (col("id") === col("canonical")).as("is_kept"))
+  }
+
   /** Cross-corpus CONTAMINATION detection (decontamination of training data
     * against an eval/test set): for each probe (test) document, the corpus
     * (training) documents containing at least `threshold` of its distinct
@@ -512,6 +546,68 @@ object Dedup {
       .select(col("corpus_id"), col("probe_id"),
         (col("shared").cast("double") / col("n_sh").cast("double")).as("containment"))
       .where(col("containment") >= threshold)
+  }
+
+  /** [[crossCorpusOverlap]] with a broadcast Bloom prefilter on the corpus
+    * side — the decontamination shape for when the corpus is 100 TB and the
+    * probe (benchmark) set is merely large.
+    *
+    * [[crossCorpusOverlap]] shuffles EVERY corpus shingle into its stop-df
+    * aggregation before anything is pruned. Here the corpus never shuffles
+    * at full width: a Bloom filter built over the probe's distinct shingle
+    * keys ([[Bloom.build]] — one tiny aggregation over the probe side)
+    * rides into the corpus scan as a plan literal, and the codegen'd
+    * membership probe drops every corpus shingle absent from the probe set
+    * IN THE SCAN STAGE. Only the surviving sliver — true probe∩corpus rows
+    * plus an fpp-bounded trickle of false positives — enters the exact
+    * verify semi-join and the aggregations behind it. At 1% fpp the filter
+    * is ~10 bits per probe shingle (~10× smaller than broadcasting the key
+    * set itself), and the shuffled volume drops from |corpus shingles| to
+    * |matches| + 1% of non-matches.
+    *
+    * Result-identical to [[crossCorpusOverlap]] (the oracle is the same
+    * SQL): the semi-join removes every false positive, so the surviving
+    * corpus rows are exactly those whose shingle occurs in the probe; their
+    * per-shingle document frequencies are the TRUE full-corpus df values
+    * (the prefilter drops whole shingle groups, never individual rows of a
+    * surviving shingle); and a stop-shingle not present in the probe can
+    * affect neither the match counts nor the probe-side denominators, so
+    * restricting the stop set to probe-present shingles changes nothing. */
+  def crossCorpusOverlapBloom(corpus: DataFrame, probe: DataFrame,
+                              idCol: String, textCol: String,
+                              shingleLen: Int = 3, threshold: Double = 0.5,
+                              maxShingleDf: Int = 50, fpp: Double = 0.01): DataFrame = {
+    graft.GraftFunctions.ensureRegistered(corpus.sparkSession)
+    def shingled(df: DataFrame, as: String): DataFrame = df.select(
+        col(idCol).as(as),
+        explode(array_distinct(Text.fastWordShingles(col(textCol), shingleLen))).as("s"))
+      .select(col(as), shingleKey(col("s")).as("sh"))
+    val ps = shingled(probe, "probe_id")
+    // distinct probe keys: the filter's input AND the exact-verify set.
+    // Materialized once — three consumers (count, bloom build, semi-join)
+    // must not re-shingle the probe corpus three times.
+    val psKeys = ps.select(col("sh")).distinct().localCheckpoint(eager = true)
+    val bloom = Bloom.build(psKeys, "sh", expectedItems = math.max(1L, psKeys.count()), fpp)
+    // narrow prefilter in the corpus scan stage, then exact verify: AQE
+    // broadcasts the semi-join at bench scale; beyond broadcast range it is
+    // a shuffle of the fpp-bounded sliver, not the corpus
+    val cs = shingled(corpus, "corpus_id")
+      .where(bloom.mightContain(col("sh")))
+      .join(psKeys, Seq("sh"), "left_semi")
+    // from here: identical pipeline to [[crossCorpusOverlap]], over the
+    // probe-restricted universe (df values are true corpus-wide counts)
+    val stop = cs.groupBy(col("sh")).agg(count(lit(1)).as("df"))
+      .where(col("df") > maxShingleDf).select(col("sh"))
+    val csb = cs.join(stop, Seq("sh"), "left_anti")
+    val psb = ps.join(stop, Seq("sh"), "left_anti")
+    val probeSizes = psb.groupBy(col("probe_id")).agg(count(lit(1)).as("n_sh"))
+    val shared = csb.join(psb, Seq("sh"))
+      .groupBy(col("corpus_id"), col("probe_id")).agg(count(lit(1)).as("shared"))
+    val out = shared.join(probeSizes, Seq("probe_id"))
+      .select(col("corpus_id"), col("probe_id"),
+        (col("shared").cast("double") / col("n_sh").cast("double")).as("containment"))
+      .where(col("containment") >= threshold)
+    out
   }
 
   /** Exact n-gram Jaccard near-dup pairs via inverted index:

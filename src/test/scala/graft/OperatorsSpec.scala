@@ -795,4 +795,118 @@ class OperatorsSpec extends SparkSuite {
     assert(df.select(Vectors.norm(col("a"))).head().getDouble(0) == 5.0)
     assert(df.select(Vectors.l2normalize(col("a"))).head().getSeq[Double](0) == Seq(0.6, 0.8))
   }
+
+  test("bloom filter: zero false negatives, measured fpp near the configured bound") {
+    import spark.implicits._
+    val members = (0L until 2000L).map(i => i * 7919L)
+    val bloom = operators.Bloom.build(members.toDF("k"), "k",
+      expectedItems = members.size, fpp = 0.01)
+    // every inserted key answers true — a Bloom filter's hard guarantee
+    val misses = members.toDF("k")
+      .where(!bloom.mightContain(col("k"))).count()
+    assert(misses == 0L)
+    // non-members: the observed false-positive rate should sit near 1%
+    // (binomial slack: well under 3x the bound at 20k trials)
+    val nonMembers = (0L until 20000L).map(i => i * 7919L + 1L)
+    val fp = nonMembers.toDF("k")
+      .where(bloom.mightContain(col("k"))).count()
+    assert(fp.toDouble / nonMembers.size < 0.03,
+      s"observed fpp ${fp.toDouble / nonMembers.size}")
+  }
+
+  test("bloom expressions work from SQL after registration") {
+    GraftFunctions.ensureRegistered(spark)
+    // build positions via SQL, probe via SQL, against the Scala-built model
+    val pos = spark.sql(
+      "SELECT graft_bloom_positions(CAST(42 AS BIGINT), 640, 3) AS p")
+      .head().getSeq[Long](0)
+    assert(pos.length == 3 && pos.forall(p => p >= 0 && p < 640))
+    import spark.implicits._
+    val bloom = operators.Bloom.build(Seq(42L).toDF("k"), "k", 1L, 0.01)
+    val hit = spark.sql(
+      s"SELECT graft_bloom_contains(CAST(42 AS BIGINT), " +
+        s"ARRAY(${bloom.words.mkString("CAST(", " AS BIGINT), CAST(", " AS BIGINT)")}), ${bloom.k})")
+      .head().getBoolean(0)
+    assert(hit)
+  }
+
+  test("bloom decontamination equals the exact path and the prefilter actually prunes") {
+    val docs = sources.Tables.documents(spark, sf0001)
+    val corpus = docs.where(col("doc_id") % 10 =!= 0)
+    val probe = docs.where(col("doc_id") % 10 === 0)
+    val exact = Dedup.crossCorpusOverlap(corpus, probe, "doc_id", "text",
+        shingleLen = 3, threshold = 0.5, maxShingleDf = 50)
+      .orderBy("corpus_id", "probe_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    val bloomed = Dedup.crossCorpusOverlapBloom(corpus, probe, "doc_id", "text",
+        shingleLen = 3, threshold = 0.5, maxShingleDf = 50, fpp = 0.01)
+      .orderBy("corpus_id", "probe_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(bloomed.toSeq == exact.toSeq)
+  }
+
+  test("bloom prefilter prunes a disjoint corpus down to the planted matches plus fpp trickle") {
+    import spark.implicits._
+    // corpus: 500 docs of doc-unique token streams (zero shingles shared
+    // with the probe) plus 5 planted copies of probe text
+    val gibberish = (0 until 500).map(i =>
+      (i.toLong, (0 until 30).map(j => s"w${i}x$j").mkString(" ")))
+    val probeText = "shared evaluation prompt about distributed query planning and shuffles"
+    val planted = (500 until 505).map(i => (i.toLong, probeText))
+    val corpus = (gibberish ++ planted).toDF("doc_id", "text")
+    val probe = Seq((9000L, probeText)).toDF("doc_id", "text")
+    def keys(df: org.apache.spark.sql.DataFrame) = df
+      .select(explode(array_distinct(Text.fastWordShingles(col("text"), 3))).as("s"))
+      .select(expr("CAST(conv(substring(md5(s), 1, 15), 16, 10) AS BIGINT)").as("sh"))
+    val psKeys = keys(probe).distinct()
+    val bloom = operators.Bloom.build(psKeys, "sh", psKeys.count(), fpp = 0.01)
+    val total = keys(corpus).count()
+    val survivors = keys(corpus).where(bloom.mightContain(col("sh"))).count()
+    // 505 docs x 28 shingles each; only the 5 planted docs' shingles (x8
+    // distinct) should survive, plus ~1% false positives of the rest
+    assert(survivors < total / 10,
+      s"prefilter barely pruned: $survivors of $total shingle rows survived")
+    // and the operator built on it still finds exactly the planted docs
+    val hits = Dedup.crossCorpusOverlapBloom(corpus, probe, "doc_id", "text",
+        shingleLen = 3, threshold = 0.5, maxShingleDf = 50, fpp = 0.01)
+      .select("corpus_id").collect().map(_.getLong(0)).sorted
+    assert(hits.toSeq == Seq(500L, 501L, 502L, 503L, 504L))
+  }
+
+  test("canonical dedup: clusters keep the argmax-quality member, tiebreak min id") {
+    import spark.implicits._
+    // 1-2-3 near-dup cluster (2 has the longest, highest-quality text),
+    // 4 is a singleton
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog near the river bank today"),
+      (2L, "the quick brown fox jumps over the lazy dog near the river bank today and the calm water is clear and the air is warm"),
+      (3L, "the quick brown fox jumps over the lazy dog near the river bank tonight"),
+      (4L, "completely different content about spark query engines and columnar execution plans")
+    ).toDF("doc_id", "text")
+    val stop = Text.langMarkers.toMap.apply("en")
+    val out = Dedup.canonicalizeNearDups(docs, "doc_id", "text",
+        score = _ => Text.qualityScore(col("text"), stop),
+        shingleLen = 3, threshold = 0.3, maxShingleDf = 50)
+      .orderBy("id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2)))
+    val byId = out.map(t => t._1 -> t).toMap
+    // quality is length-driven here: doc 2 must win its cluster
+    val canon123 = byId(1L)._2
+    assert(canon123 == 2L, s"expected doc 2 as canonical, got $canon123")
+    assert(Seq(1L, 3L).forall(id => byId(id)._2 == canon123 && !byId(id)._3))
+    assert(byId(2L)._3)
+    assert(byId(4L) == ((4L, 4L, true))) // singleton keeps itself
+  }
+
+  test("canonical dedup: equal scores fall back to min id") {
+    import spark.implicits._
+    val docs = Seq(
+      (7L, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+      (9L, "alpha beta gamma delta epsilon zeta eta theta iota kappa")
+    ).toDF("doc_id", "text")
+    val out = Dedup.canonicalizeNearDups(docs, "doc_id", "text",
+        score = _ => lit(1.0), shingleLen = 3, threshold = 0.3, maxShingleDf = 50)
+      .orderBy("id").collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2)))
+    assert(out.toSeq == Seq((7L, 7L, true), (9L, 7L, false)))
+  }
 }
