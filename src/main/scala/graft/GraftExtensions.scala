@@ -1,6 +1,6 @@
 package graft
 
-import graft.functions.catalyst.{ApproxTopK, ArrayDotProduct, ArrayL2Normalize, BloomMightContain, BloomPositions, JavaSplit, WordShingles}
+import graft.functions.catalyst.{ApproxTopK, ArrayDotProduct, ArrayL2Normalize, BloomCountContained, BloomMightContain, BloomPositions, JavaSplit, WordShingles}
 
 import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
@@ -39,6 +39,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("graft_bloom_contains"),
       new ExpressionInfo(classOf[BloomMightContain].getName, "graft_bloom_contains"),
       GraftFunctions.buildBloomContains))
+    e.injectFunction((
+      FunctionIdentifier("graft_bloom_count"),
+      new ExpressionInfo(classOf[BloomCountContained].getName, "graft_bloom_count"),
+      GraftFunctions.buildBloomCount))
     e.injectPlannerStrategy(_ => graft.plans.AsOfJoinStrategy)
   }
 }
@@ -103,6 +107,12 @@ object GraftFunctions {
     BloomMightContain(exprs.head, exprs(1), constInt(exprs(2), "k", sig))
   }
 
+  private[graft] val buildBloomCount: Seq[Expression] => Expression = exprs => {
+    val sig = "graft_bloom_count(keys, words, k)"
+    arity(exprs, 3, sig)
+    BloomCountContained(exprs.head, exprs(1), constInt(exprs(2), "k", sig))
+  }
+
   /** Idempotent per-session registration, for sessions not built with
     * [[GraftExtensions]] (e.g. the driver-owned Verify/Bench sessions).
     * Truly once per session: re-registering on every call spams
@@ -123,6 +133,7 @@ object GraftFunctions {
     reg1("graft_java_split", buildJavaSplit)
     reg1("graft_bloom_positions", buildBloomPositions)
     reg1("graft_bloom_contains", buildBloomContains)
+    reg1("graft_bloom_count", buildBloomCount)
     if (!spark.experimental.extraStrategies.contains(graft.plans.AsOfJoinStrategy))
       spark.experimental.extraStrategies =
         spark.experimental.extraStrategies :+ graft.plans.AsOfJoinStrategy

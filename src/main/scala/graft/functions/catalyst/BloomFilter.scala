@@ -71,6 +71,20 @@ object BloomOps {
     true
   }
 
+  /** How many of the array's (non-null) keys the filter might contain —
+    * the per-document candidate count for stateless stream-side
+    * prefiltering. */
+  def countContained(words: Array[Long], k: Int, keys: ArrayData): Int = {
+    var n = 0
+    var i = 0
+    val len = keys.numElements()
+    while (i < len) {
+      if (!keys.isNullAt(i) && mightContain(words, k, keys.getLong(i))) n += 1
+      i += 1
+    }
+    n
+  }
+
   /** Standard sizing (Bloom 1970): m = −n·ln p / (ln 2)², k = (m/n)·ln 2.
     * m rounds UP to a multiple of 64 so the word array carries the exact
     * modulus. */
@@ -154,4 +168,49 @@ case class BloomMightContain(left: Expression, right: Expression, k: Int)
     copy(left = newLeft, right = newRight)
 
   override def prettyName: String = "graft_bloom_contains"
+}
+
+/** `graft_bloom_count(keys, words, k)`: how many of an ARRAY<BIGINT>'s keys
+  * the filter might contain — one codegen'd call per ROW (the loop lives in
+  * [[BloomOps.countContained]]), where a `filter`/`aggregate` higher-order
+  * function would evaluate an interpreted lambda per ELEMENT. The per-doc
+  * candidate counter behind [[graft.streaming.Streams.decontaminateStream]].
+  * Same contract as [[BloomMightContain]]: `words` is a foldable
+  * ARRAY<BIGINT> literal. */
+case class BloomCountContained(left: Expression, right: Expression, k: Int)
+    extends BinaryExpression {
+
+  override def dataType: DataType = org.apache.spark.sql.types.IntegerType
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (!left.dataType.isInstanceOf[ArrayType] ||
+        left.dataType.asInstanceOf[ArrayType].elementType != LongType)
+      TypeCheckResult.TypeCheckFailure(
+        s"graft_bloom_count requires ARRAY<BIGINT> keys, got ${left.dataType}")
+    else if (!right.dataType.isInstanceOf[ArrayType] ||
+             right.dataType.asInstanceOf[ArrayType].elementType != LongType)
+      TypeCheckResult.TypeCheckFailure(
+        s"graft_bloom_count requires ARRAY<BIGINT> words, got ${right.dataType}")
+    else if (!right.foldable)
+      TypeCheckResult.TypeCheckFailure(
+        "graft_bloom_count words must be a constant (the built filter)")
+    else TypeCheckResult.TypeCheckSuccess
+
+  @transient private lazy val words: Array[Long] =
+    right.eval().asInstanceOf[ArrayData].toLongArray()
+
+  override def nullSafeEval(keysV: Any, wordsV: Any): Any =
+    BloomOps.countContained(words, k, keysV.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("bloomWords", words, "long[]")
+    nullSafeCodeGen(ctx, ev, (keysC, _) =>
+      s"${ev.value} = graft.functions.catalyst.BloomOps.countContained($ref, $k, $keysC);")
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): BloomCountContained =
+    copy(left = newLeft, right = newRight)
+
+  override def prettyName: String = "graft_bloom_count"
 }

@@ -1,6 +1,6 @@
 package graft.operators
 
-import graft.functions.catalyst.{BloomMightContain, BloomOps, BloomPositions}
+import graft.functions.catalyst.{BloomCountContained, BloomMightContain, BloomOps, BloomPositions}
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.catalyst.expressions.Literal
@@ -24,6 +24,13 @@ case class BloomModel(words: Array[Long], k: Int) {
   def mightContain(key: Column): Column =
     GraftBridge.column(BloomMightContain(
       GraftBridge.expr(key),
+      Literal.create(words, ArrayType(LongType, containsNull = false)), k))
+
+  /** How many keys of an ARRAY<BIGINT> column the filter might contain —
+    * one codegen'd call per row (see [[BloomCountContained]]). */
+  def countContained(keys: Column): Column =
+    GraftBridge.column(BloomCountContained(
+      GraftBridge.expr(keys),
       Literal.create(words, ArrayType(LongType, containsNull = false)), k))
 }
 

@@ -115,6 +115,41 @@ object Streams {
       .drop("_sig")
   }
 
+  /** Streaming DECONTAMINATION prefilter — the stream-side stage of the
+    * batch pipeline behind
+    * [[graft.operators.Dedup.crossCorpusOverlapBloom]]: a Bloom filter
+    * built (in batch) over the eval/benchmark set's shingle keys flags
+    * arriving documents that share at least `minShared` distinct shingles
+    * with the benchmark union.
+    *
+    * Contract: a PREFILTER, not a verdict. No false negatives — a document
+    * the batch pipeline would report as contaminated always carries every
+    * one of its matching shingles past the filter (Bloom admits all true
+    * members), so it is always flagged; false positives are fpp-bounded
+    * per shingle and die in the downstream exact verify (batch, or a
+    * stream-static join on the flagged sliver).
+    *
+    * Scale shape: completely STATELESS — the filter is a plan literal, the
+    * per-doc candidate count is one codegen'd expression call
+    * ([[graft.functions.catalyst.BloomCountContained]]), so there is no
+    * state store, no watermark requirement, and the operator composes with
+    * any downstream streaming stage. (The shingle-key array is built by a
+    * `transform` lambda like [[dedupStreamNearDup]]'s signatures — per-row
+    * narrow work in the scan stage.)
+    *
+    * Output: the flagged documents with their `n_candidate_shingles`. */
+  def decontaminateStream(docs: DataFrame, idCol: String, textCol: String,
+                          bloom: graft.operators.BloomModel,
+                          shingleLen: Int = 3, minShared: Int = 1): DataFrame = {
+    graft.GraftFunctions.ensureRegistered(docs.sparkSession)
+    val keys = transform(
+      array_distinct(graft.functions.Text.fastWordShingles(col(textCol), shingleLen)),
+      s => graft.operators.Dedup.shingleKey(s))
+    docs
+      .withColumn("n_candidate_shingles", bloom.countContained(keys))
+      .where(col("n_candidate_shingles") >= minShared)
+  }
+
   /** Per-key buffers for [[asOfJoinStream]]: `lefts` await their emission
     * watermark; `rights` is the ascending (ts, value) match candidates. */
   private[streaming] case class AsOfBuf(lefts: Seq[(Long, Long)], rights: Seq[(Long, Long)])

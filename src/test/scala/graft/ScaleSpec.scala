@@ -132,4 +132,44 @@ class ScaleSpec extends SparkSuite {
     assert(plan.contains("ReadSchema") &&
       !plan.contains("l_orderkey"), s"projection not pruned:\n$plan")
   }
+
+  test("bloom decontamination: the corpus-side probe runs BELOW the first exchange") {
+    // q60's scale property: the corpus never shuffles at full width — the
+    // graft_bloom_contains filter must sit in the scan stage, before any
+    // Exchange on the corpus path (stop-df aggregation, verify join, ...)
+    val df = SparkEntry.queries("q60_bloom_decontaminate")(spark, sf0001)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("graft_bloom_contains"), s"bloom probe missing:\n$plan")
+    // every occurrence of the probe must appear with a FileScan below it
+    // and no Exchange between: in toString form, the probe's Filter block
+    // is directly followed (deeper indentation) by the parquet scan
+    val lines = plan.linesIterator.toVector
+    val probeIdx = lines.indexWhere(_.contains("graft_bloom_contains"))
+    assert(probeIdx >= 0)
+    val below = lines.drop(probeIdx)
+    val exchangeBelow = below.indexWhere(_.contains("Exchange"))
+    val scanBelow = below.indexWhere(l => l.contains("FileScan") || l.contains("Scan parquet"))
+    assert(exchangeBelow == -1 || scanBelow < exchangeBelow,
+      s"bloom probe not in the scan stage:\n$plan")
+  }
+
+  test("pivot and unpivot: one exchange each, unpivot expands map-side") {
+    val pivot = SparkEntry.queries("q59_pivot")(spark, sf0001)
+    val pPlan = pivot.queryExecution.executedPlan.toString.split("== Initial Plan ==").head
+    // pivot = plain partial-agg'd groupBy(flag): one hash exchange (plus
+    // the ORDER BY's range exchange)
+    assert(pPlan.contains("partial_pivotsum") || pPlan.contains("HashAggregate"),
+      s"pivot should partial-aggregate:\n$pPlan")
+    val unpivot = SparkEntry.queries("q62_unpivot")(spark, sf0001)
+    val uPlan = unpivot.queryExecution.executedPlan.toString.split("== Initial Plan ==").head
+    // the Expand (row -> one row per measure) runs in the scan stage —
+    // BELOW the exchange, so the 3x row expansion is partial-agg'd away
+    // before any shuffle
+    val uLines = uPlan.linesIterator.toVector
+    val expandIdx = uLines.indexWhere(_.contains("Expand"))
+    val exchangeIdx = uLines.indexWhere(_.contains("Exchange"))
+    assert(expandIdx >= 0, s"no Expand in unpivot plan:\n$uPlan")
+    assert(exchangeIdx >= 0 && exchangeIdx < expandIdx,
+      s"Expand should be below (after) the first Exchange in toString order:\n$uPlan")
+  }
 }

@@ -380,4 +380,45 @@ class StreamingSpec extends SparkSuite {
       assert(rows.contains((1L, 4L, 1L, 16L)))
     } finally q.stop()
   }
+
+  test("streaming decontamination prefilter: contaminated docs flagged, clean stream passes, zero state") {
+    import spark.implicits._
+    val probeText = "shared evaluation prompt about distributed query planning and shuffles"
+    // the filter is built in BATCH over the benchmark's shingle keys
+    val probeKeys = Seq(probeText).toDF("text")
+      .select(explode(array_distinct(
+        graft.functions.Text.fastWordShingles(col("text"), 3))).as("s"))
+      .select(graft.operators.Dedup.shingleKey(col("s")).as("sh")).distinct()
+    val bloom = graft.operators.Bloom.build(probeKeys, "sh", probeKeys.count(), fpp = 0.01)
+
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, String)]
+    val out = Streams.decontaminateStream(
+      input.toDF().toDF("doc_id", "text"), "doc_id", "text", bloom, shingleLen = 3)
+    val q = out.writeStream.outputMode("append").format("memory").queryName("decon").start()
+    try {
+      input.addData(
+        (1L, probeText),                                      // exact copy: contaminated
+        (2L, s"prefix words then $probeText and a suffix"),   // embedded copy: contaminated
+        (3L, "w1a w2b w3c w4d w5e w6f w7g w8h w9i w10j"),     // doc-unique gibberish
+        (4L, "x1k x2l x3m x4n x5o x6p x7q x8r x9s x10t"))
+      q.processAllAvailable()
+      val flagged = spark.table("decon").collect()
+        .map(r => r.getLong(0) -> r.getInt(2)).toMap
+      // no false negatives: both contaminated docs flagged, with at least
+      // the true shared-shingle count (9 probe tokens -> 7 distinct shingles)
+      assert(flagged.contains(1L) && flagged(1L) >= 7)
+      assert(flagged.contains(2L) && flagged(2L) >= 7)
+      // gibberish docs share nothing; at fpp=1% per shingle a flag would
+      // need a false positive — possible but deterministic here: assert
+      // the observed behavior is clean for this fixed corpus
+      assert(!flagged.contains(3L) && !flagged.contains(4L))
+      // STATELESS: the executed plan must carry no state-store operator
+      val executed = q.asInstanceOf[org.apache.spark.sql.execution.streaming.runtime.StreamingQueryWrapper]
+        .streamingQuery.lastExecution.executedPlan
+      val stateful = executed.collect {
+        case p if p.getClass.getName.contains("StateStore") => p }
+      assert(stateful.isEmpty, s"expected stateless plan, found: $stateful")
+    } finally q.stop()
+  }
 }
