@@ -121,6 +121,7 @@ object SparkEntry {
     "q60_bloom_decontaminate" -> q60,
     "q61_canonical_dedup" -> q61,
     "q62_unpivot" -> q62,
+    "q63_incremental_dedup" -> q63,
   )
 
   // =====================================================================
@@ -950,6 +951,21 @@ object SparkEntry {
       .orderBy(col("id"))
   }
 
+  /** Incremental dedup: the 20% batch (doc_id % 5 == 0) classified against
+    * the 80% corpus index (exact fingerprint + MinHash band keys) — joins
+    * on short digests only, never batch×corpus documents. The status
+    * machine (exact_dup / near_dup_candidate / kept with min-id batch
+    * tie-breaks) is deterministic, so the oracle reproduces it exactly. */
+  private def q63(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val index = Dedup.dedupIndex(docs.where(col("doc_id") % 5 =!= 0),
+      "doc_id", "text", shingleLen = 3, k = 16, bands = 4)
+    Dedup.incrementalDedup(index, docs.where(col("doc_id") % 5 === 0),
+        "doc_id", "text", shingleLen = 3, k = 16, bands = 4)
+      .select(col("id").as("doc_id"), col("status"))
+      .orderBy(col("doc_id"))
+  }
+
   // =====================================================================
   // DuckDB oracle SQL — same semantics, same column names, same ORDER BY.
   // =====================================================================
@@ -1599,6 +1615,47 @@ object SparkEntry {
            16 + n_chars % 48 * 8 AS height,
            CAST(n_chars % 240 AS DOUBLE) AS duration_s
            FROM documents ORDER BY doc_id""",
+
+      // incremental dedup status machine, mirrored end to end: q18's
+      // two-hash band chain per side (batch / index), q35's fingerprint,
+      // min-id windows for the within-batch tie-breaks
+      "q63_incremental_dedup" -> {
+        // the sig/band CTE chain for one side, prefixed to keep names apart
+        def bandChain(p: String, where: String) =
+          s"""${p}ex AS (
+             SELECT doc_id AS id, unnest(list_distinct(${shingles(3)})) AS s
+             FROM (SELECT doc_id, $toks AS toks FROM documents WHERE $where) d),
+           ${p}hv AS (
+             SELECT id, ('0x' || substr(md5(s), 1, 8))::BIGINT AS h1,
+                        ('0x' || substr(md5(s), 9, 8))::BIGINT AS h2
+             FROM ${p}ex),
+           ${p}sig AS (
+             SELECT id, [${(0 until 16).map(i => s"min((h1 + $i * h2) % 4294967291)").mkString(", ")}] AS sig
+             FROM ${p}hv GROUP BY id),
+           ${p}band AS (
+             SELECT id, unnest(list_transform(range(0, 4), b ->
+               CAST(b AS VARCHAR) || ':' || md5(array_to_string(list_slice(sig, b * 4 + 1, b * 4 + 4), '|')))) AS band
+             FROM ${p}sig)"""
+        s"""WITH ${bandChain("b", "doc_id % 5 = 0")},
+           ${bandChain("i", "doc_id % 5 <> 0")},
+           bfp AS (SELECT doc_id AS id, md5($norm) AS fp FROM documents WHERE doc_id % 5 = 0),
+           ifp AS (SELECT DISTINCT md5($norm) AS fp FROM documents WHERE doc_id % 5 <> 0),
+           ex AS (
+             SELECT id, (fp IN (SELECT fp FROM ifp)
+               OR min(id) OVER (PARTITION BY fp) < id) AS is_exact
+             FROM bfp),
+           bb AS (
+             SELECT id, (band IN (SELECT band FROM iband)
+               OR min(id) OVER (PARTITION BY band) < id) AS hit
+             FROM bband),
+           nh AS (SELECT id, bool_or(hit) AS near_hit FROM bb GROUP BY id)
+           SELECT ex.id AS doc_id,
+             CASE WHEN is_exact THEN 'exact_dup'
+                  WHEN coalesce(near_hit, false) THEN 'near_dup_candidate'
+                  ELSE 'kept' END AS status
+           FROM ex LEFT JOIN nh ON nh.id = ex.id
+           ORDER BY doc_id"""
+      },
 
       "q59_pivot" ->
         s"""SELECT l_returnflag,

@@ -125,22 +125,28 @@ object Dedup {
     * At 100 TB you'd additionally salt any pathological band key; bucket
     * sizes here are bounded because a full signature-band match already
     * implies high similarity. */
+  /** Band-key columns over [[minHashFlat]]'s flat m0..m(k-1) signature
+    * columns — shared by [[minHashLsh]] and [[dedupIndex]]. Explicit cast:
+    * signature components are longs; both engines render them identically
+    * as decimal strings inside the band digest. */
+  private def bandColumns(k: Int, bands: Int): Seq[Column] = {
+    require(bands >= 1 && bands <= k && k % bands == 0,
+      s"bands must divide k (got k=$k, bands=$bands): otherwise band slices are empty or drop signature rows")
+    val rows = k / bands
+    (0 until bands).map(b =>
+      concat(lit(s"$b:"), md5(concat_ws("|",
+        (b * rows until (b + 1) * rows).map(i => col(s"m$i").cast("string")): _*))))
+  }
+
   def minHashLsh(docs: DataFrame, idCol: String, textCol: String,
                  shingleLen: Int = 3, k: Int = 16, bands: Int = 4,
                  threshold: Double = 0.7): DataFrame = {
-    require(bands >= 1 && bands <= k && k % bands == 0,
-      s"bands must divide k (got k=$k, bands=$bands): otherwise band slices are empty or drop signature rows")
     // Signatures and band keys as FLAT columns (m0..m15) rather than
     // array-typed HOF plumbing: md5/concat_ws over plain columns stay in
     // whole-stage codegen, where slice/transform over the packed array ran
     // interpreted (measured ~2s of fixed+per-row cost at sf0.1).
     val mins = minHashFlat(docs, idCol, textCol, shingleLen, k)
-    val rows = k / bands
-    // explicit cast: signature components are longs; both engines render
-    // them identically as decimal strings inside the band digest
-    val bandCols = (0 until bands).map(b =>
-      concat(lit(s"$b:"), md5(concat_ws("|",
-        (b * rows until (b + 1) * rows).map(i => col(s"m$i").cast("string")): _*))))
+    val bandCols = bandColumns(k, bands)
     // In-bucket pair generation from a collected posting list instead of a
     // self equi-join: computes signatures ONCE (a self-join reads the plan
     // twice, and persist() in the middle of this shape measured 4× slower
@@ -166,6 +172,72 @@ object Dedup {
           .cast("double") / lit(k.toDouble)).as("est_jaccard"))
       .where(col("est_jaccard") >= threshold)
       .distinct()
+  }
+
+  /** The persistent dedup INDEX for incremental pipelines: one row per
+    * indexed document — (id, fp, bands), where `fp` is the exact-dup
+    * fingerprint ([[graft.functions.Text.fingerprint]]) and `bands` the
+    * MinHash LSH band keys. This is the state a production pipeline stores
+    * (e.g. bucketed parquet on `fp`) and grows batch over batch; dedup of a
+    * new crawl joins against it instead of re-clustering the full corpus
+    * (see [[incrementalDedup]]). */
+  def dedupIndex(docs: DataFrame, idCol: String, textCol: String,
+                 shingleLen: Int = 3, k: Int = 16, bands: Int = 4): DataFrame = {
+    val mins = minHashFlat(docs, idCol, textCol, shingleLen, k)
+      .select(col("id"), array(bandColumns(k, bands): _*).as("bands"))
+    docs
+      .select(col(idCol).as("id"), Text.fingerprint(col(textCol)).as("fp"))
+      .join(mins, Seq("id"))
+  }
+
+  /** Incremental dedup: classify a NEW batch of documents against an
+    * existing [[dedupIndex]] without touching the indexed corpus bodies —
+    * the dedup shape that actually runs at 100 TB, where the corpus is
+    * re-deduplicated never and each incoming crawl joins against the
+    * accumulated index.
+    *
+    * Status per batch document (first match wins):
+    *  - `exact_dup`: its fingerprint is in the index, or an earlier
+    *    (smaller-id) document OF THIS BATCH has the same fingerprint;
+    *  - `near_dup_candidate`: any of its LSH band keys is in the index or
+    *    shared with an earlier batch document — the candidate set a
+    *    downstream exact verify (e.g. [[ngramJaccard]] against just the
+    *    matched bucket) would confirm;
+    *  - `kept`: neither.
+    *
+    * Deterministic by construction (md5 fingerprints, md5 two-hash band
+    * keys, min-id tie-breaks), so the DuckDB oracle reproduces it exactly.
+    *
+    * Scale shape: every comparison is an equi-join or a window on a SHORT
+    * key (32-char fp digest / band digest) — batch×index document pairs
+    * are never formed. The index side ships only (fp) and (band) columns
+    * into the joins: distinct-project first, so the index's body columns
+    * stay unread (column pruning reaches the index scan). Kept docs'
+    * (id, fp, bands) rows union onto the stored index to close the loop. */
+  def incrementalDedup(index: DataFrame, batch: DataFrame,
+                       idCol: String, textCol: String,
+                       shingleLen: Int = 3, k: Int = 16, bands: Int = 4): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val b = dedupIndex(batch, idCol, textCol, shingleLen, k, bands)
+    val idxFps = index.select(col("fp")).distinct().withColumn("_fp_hit", lit(1))
+    val idxBands = index.select(explode(col("bands")).as("band")).distinct()
+      .withColumn("_band_hit", lit(1))
+    val exact = b
+      .join(idxFps, Seq("fp"), "left")
+      .withColumn("_batch_min", min(col("id")).over(Window.partitionBy(col("fp"))))
+      .select(col("id"),
+        (col("_fp_hit").isNotNull || col("_batch_min") < col("id")).as("_exact"))
+    val near = b.select(col("id"), explode(col("bands")).as("band"))
+      .join(idxBands, Seq("band"), "left")
+      .withColumn("_band_min", min(col("id")).over(Window.partitionBy(col("band"))))
+      .groupBy(col("id"))
+      .agg(max(when(col("_band_hit").isNotNull || col("_band_min") < col("id"), 1)
+        .otherwise(0)).as("_near"))
+    exact.join(near, Seq("id"), "left")
+      .select(col("id"),
+        when(col("_exact"), "exact_dup")
+          .when(coalesce(col("_near"), lit(0)) === 1, "near_dup_candidate")
+          .otherwise("kept").as("status"))
   }
 
   /** SimHash bit vector as a '0'/'1' string of length `bits` (string keeps

@@ -898,6 +898,28 @@ class OperatorsSpec extends SparkSuite {
     assert(byId(4L) == ((4L, 4L, true))) // singleton keeps itself
   }
 
+  test("incremental dedup: batch classified against the index, min-id within-batch tie-breaks") {
+    import spark.implicits._
+    val corpusText = "the quick brown fox jumps over the lazy dog near the river bank today"
+    val indexDocs = Seq((1L, corpusText)).toDF("doc_id", "text")
+    val index = Dedup.dedupIndex(indexDocs, "doc_id", "text", shingleLen = 3, k = 16, bands = 4)
+    val batch = Seq(
+      (10L, corpusText),                                            // exact copy of indexed -> exact_dup
+      (11L, "THE  Quick  brown fox jumps over the lazy dog near the river bank today"), // normalizes to same fp -> exact_dup
+      (12L, "the quick brown fox jumps over the lazy dog near the river bank tonight"), // near variant -> candidate
+      (13L, "completely different content about spark query engines and columnar execution plans"), // fresh -> kept
+      (14L, "completely different content about spark query engines and columnar execution plans")  // batch dup of 13 -> exact_dup
+    ).toDF("doc_id", "text")
+    val out = Dedup.incrementalDedup(index, batch, "doc_id", "text",
+        shingleLen = 3, k = 16, bands = 4)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out(10L) == "exact_dup")
+    assert(out(11L) == "exact_dup")
+    assert(out(12L) == "near_dup_candidate", s"got ${out(12L)}")
+    assert(out(13L) == "kept")
+    assert(out(14L) == "exact_dup") // 13 is the min-id batch holder of that fp
+  }
+
   test("canonical dedup: equal scores fall back to min id") {
     import spark.implicits._
     val docs = Seq(
