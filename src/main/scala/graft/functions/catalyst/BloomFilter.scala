@@ -168,6 +168,10 @@ case class BloomMightContain(left: Expression, right: Expression, k: Int)
     copy(left = newLeft, right = newRight)
 
   override def prettyName: String = "graft_bloom_contains"
+
+  // elide the word array in plan dumps: a megabit filter is ~16k longs and
+  // would swamp every EXPLAIN containing the probe
+  override def toString: String = s"graft_bloom_contains($left, <${words.length} words>, $k)"
 }
 
 /** `graft_bloom_count(keys, words, k)`: how many of an ARRAY<BIGINT>'s keys
@@ -213,4 +217,7 @@ case class BloomCountContained(left: Expression, right: Expression, k: Int)
     copy(left = newLeft, right = newRight)
 
   override def prettyName: String = "graft_bloom_count"
+
+  // elide the word array in plan dumps (see BloomMightContain.toString)
+  override def toString: String = s"graft_bloom_count($left, <${words.length} words>, $k)"
 }

@@ -662,10 +662,17 @@ object Dedup {
     val bloom = Bloom.build(psKeys, "sh", expectedItems = math.max(1L, psKeys.count()), fpp)
     // narrow prefilter in the corpus scan stage, then exact verify: AQE
     // broadcasts the semi-join at bench scale; beyond broadcast range it is
-    // a shuffle of the fpp-bounded sliver, not the corpus
+    // a shuffle of the fpp-bounded sliver, not the corpus.
+    // The sliver is materialized ONCE: two plan branches read it (the
+    // stop-df aggregation and the match join), and without this each would
+    // re-run the corpus scan + shingling + probe + verify — the expensive
+    // passes this operator exists to minimize. Materializing is exactly
+    // what the prefilter makes affordable: the checkpoint holds the
+    // matches + fpp-trickle, never the corpus.
     val cs = shingled(corpus, "corpus_id")
       .where(bloom.mightContain(col("sh")))
       .join(psKeys, Seq("sh"), "left_semi")
+      .localCheckpoint(eager = true)
     // from here: identical pipeline to [[crossCorpusOverlap]], over the
     // probe-restricted universe (df values are true corpus-wide counts)
     val stop = cs.groupBy(col("sh")).agg(count(lit(1)).as("df"))
