@@ -50,6 +50,19 @@ object ShuffleProbe {
         .groupBy(col("sh"))
         .agg(sort_array(collect_list(col("id"))).as("ids")).where(size(col("ids")) <= 50))
     }
+
+    // decontamination: exact bipartite path (every corpus shingle enters
+    // the stop-df exchange) vs bloom-prefiltered path (only the verified
+    // sliver shuffles). The wall-clock gap is modest at one-box SF; the
+    // exchange-byte gap is the 100 TB argument.
+    val corpus = docs.where(col("doc_id") % 10 =!= 0)
+    val probe = docs.where(col("doc_id") % 10 === 0)
+    for (_ <- 0 until 2) {
+      run("decon-exact")(graft.operators.Dedup.crossCorpusOverlap(
+        corpus, probe, "doc_id", "text", 3, 0.5, 50))
+      run("decon-bloom")(graft.operators.Dedup.crossCorpusOverlapBloom(
+        corpus, probe, "doc_id", "text", 3, 0.5, 50, fpp = 0.01))
+    }
     spark.stop()
   }
 }
