@@ -122,6 +122,7 @@ object SparkEntry {
     "q61_canonical_dedup" -> q61,
     "q62_unpivot" -> q62,
     "q63_incremental_dedup" -> q63,
+    "q64_outlier_clip" -> q64,
   )
 
   // =====================================================================
@@ -966,6 +967,20 @@ object SparkEntry {
       .orderBy(col("doc_id"))
   }
 
+  /** Per-language winsorization of document lengths: lengths below the
+    * p05 / above the p95 of their language clamp to the bound — the
+    * standard per-domain outlier clip before training. Exact percentile
+    * (q46-proven interpolation parity) as the oracle-checkable baseline;
+    * [[graft.operators.Outliers.winsorize]] takes `exact = false` for the
+    * bounded-memory approx_percentile production path (q52 pattern). The
+    * per-lang bounds table broadcasts; the document path never shuffles. */
+  private def q64(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Outliers.winsorize(
+        Tables.documents(s, dir), "lang", "n_chars", lo = 0.05, hi = 0.95)
+      .select(col("doc_id"), col("lang"), col("n_chars"),
+        col("v_lo"), col("v_hi"), col("n_chars_clipped"))
+      .orderBy(col("doc_id"))
+
   // =====================================================================
   // DuckDB oracle SQL — same semantics, same column names, same ORDER BY.
   // =====================================================================
@@ -1656,6 +1671,19 @@ object SparkEntry {
            FROM ex LEFT JOIN nh ON nh.id = ex.id
            ORDER BY doc_id"""
       },
+
+      // quantile_cont == Spark's percentile (linear interpolation — the
+      // q46-established parity); the clip itself is least/greatest over
+      // the same doubles
+      "q64_outlier_clip" ->
+        """WITH b AS (
+             SELECT lang, quantile_cont(n_chars, 0.05) AS v_lo,
+                    quantile_cont(n_chars, 0.95) AS v_hi
+             FROM documents GROUP BY lang)
+           SELECT doc_id, d.lang AS lang, n_chars, v_lo, v_hi,
+             least(greatest(CAST(n_chars AS DOUBLE), v_lo), v_hi) AS n_chars_clipped
+           FROM documents d JOIN b ON d.lang = b.lang
+           ORDER BY doc_id""",
 
       "q59_pivot" ->
         s"""SELECT l_returnflag,

@@ -1,0 +1,44 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Per-group outlier handling for training-data pipelines.
+  *
+  * Length/score distributions in crawled corpora are heavy-tailed; standard
+  * practice clips (winsorizes) per-domain rather than globally, because a
+  * "normal" length for code is an outlier for chat. */
+object Outliers {
+
+  /** Winsorize `valueCol` within each `groupCol` group: values below the
+    * `lo` quantile clamp up to it, above the `hi` quantile clamp down.
+    * Returns the input plus `v_lo`, `v_hi`, and `<valueCol>_clipped`.
+    *
+    * Quantiles use exact `percentile` (linear interpolation — the
+    * DuckDB-`quantile_cont`-parity baseline proven by q46); at 100 TB swap
+    * `exact = false` for `approx_percentile`, which is bounded-memory and
+    * mergeable at any group size (the q52 pattern — results then carry the
+    * GK rank-error bound instead of being oracle-exact).
+    *
+    * Scale shape: ONE pass computes the per-group quantile table
+    * (#groups × 2 doubles — partial-agg'd for approx; exact buffers
+    * per-group values, which is why it is the baseline not the production
+    * path), broadcast back onto the fact scan: the data path itself never
+    * shuffles. */
+  def winsorize(df: DataFrame, groupCol: String, valueCol: String,
+                lo: Double, hi: Double, exact: Boolean = true,
+                accuracy: Int = 10000): DataFrame = {
+    require(lo >= 0.0 && hi <= 1.0 && lo < hi, s"need 0 <= lo < hi <= 1, got ($lo, $hi)")
+    val qexpr =
+      if (exact) s"percentile($valueCol, array($lo, $hi))"
+      else s"approx_percentile($valueCol, array($lo, $hi), $accuracy)"
+    val bounds = df.groupBy(col(groupCol))
+      .agg(expr(qexpr).as("_q"))
+      .select(col(groupCol),
+        element_at(col("_q"), 1).cast("double").as("v_lo"),
+        element_at(col("_q"), 2).cast("double").as("v_hi"))
+    df.join(broadcast(bounds), Seq(groupCol))
+      .withColumn(s"${valueCol}_clipped",
+        least(greatest(col(valueCol).cast("double"), col("v_lo")), col("v_hi")))
+  }
+}

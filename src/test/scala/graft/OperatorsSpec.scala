@@ -920,6 +920,28 @@ class OperatorsSpec extends SparkSuite {
     assert(out(14L) == "exact_dup") // 13 is the min-id batch holder of that fp
   }
 
+  test("winsorize: interpolated per-group bounds clamp the tails, approx twin within rank error") {
+    import spark.implicits._
+    val df = ((1 to 100).map(v => ("a", v.toLong)) ++ Seq(("b", 1000L), ("b", 2000L)))
+      .toDF("grp", "v")
+    val out = operators.Outliers.winsorize(df, "grp", "v", lo = 0.05, hi = 0.95)
+      .where(col("grp") === "a")
+      .select(col("v"), col("v_lo"), col("v_hi"), col("v_clipped")).collect()
+    // percentile's linear interpolation on 1..100: rank = p*(n-1)+1
+    val (lo, hi) = (0.05 * 99 + 1, 0.95 * 99 + 1) // 5.95, 95.05
+    out.foreach { r =>
+      assert(r.getDouble(1) == lo && r.getDouble(2) == hi)
+      val (v, c) = (r.getLong(0).toDouble, r.getDouble(3))
+      assert(c == math.min(math.max(v, lo), hi), s"v=$v clipped to $c")
+    }
+    // the production (approx_percentile) path: bounds within a value of
+    // exact on this dense 1..100 ladder, clip column present
+    val approx = operators.Outliers.winsorize(df, "grp", "v", 0.05, 0.95, exact = false)
+      .where(col("grp") === "a").select(col("v_lo"), col("v_hi")).head()
+    assert(math.abs(approx.getDouble(0) - lo) <= 1.0)
+    assert(math.abs(approx.getDouble(1) - hi) <= 1.0)
+  }
+
   test("canonical dedup: equal scores fall back to min id") {
     import spark.implicits._
     val docs = Seq(
