@@ -174,6 +174,32 @@ object Dedup {
       .distinct()
   }
 
+  /** Per-ROW MinHash band keys, bit-identical to [[dedupIndex]]'s bands
+    * (same two-hash family over md5 halves, same band digest layout) but
+    * computed as a narrow column expression with no aggregation — for
+    * STREAMING classification, where [[minHashFlat]]'s explode+groupBy
+    * would be a stateful operator. HOF lambdas evaluate interpreted and
+    * the md5 digest is re-derived per (shingle, hash-index) pair — the
+    * known per-row cost of the streaming prefilter path (same note as
+    * [[graft.streaming.Streams.dedupStreamNearDup]]); the batch side keeps
+    * the flat codegen'd formulation. */
+  def minHashBandKeysPerRow(text: Column, shingleLen: Int, k: Int, bands: Int): Column = {
+    require(bands >= 1 && bands <= k && k % bands == 0,
+      s"bands must divide k (got k=$k, bands=$bands)")
+    val sh = array_distinct(Text.fastWordShingles(text, shingleLen))
+    val sigs: Seq[Column] = (0 until k).map { i =>
+      array_min(transform(sh, s => {
+        val h = md5(s)
+        (conv(substring(h, 1, 8), 16, 10).cast("long")
+          + lit(i.toLong) * conv(substring(h, 9, 8), 16, 10).cast("long")) % lit(MinHashP)
+      }))
+    }
+    val rows = k / bands
+    array((0 until bands).map(b =>
+      concat(lit(s"$b:"), md5(concat_ws("|",
+        (b * rows until (b + 1) * rows).map(i => sigs(i).cast("string")): _*)))): _*)
+  }
+
   /** The persistent dedup INDEX for incremental pipelines: one row per
     * indexed document — (id, fp, bands), where `fp` is the exact-dup
     * fingerprint ([[graft.functions.Text.fingerprint]]) and `bands` the

@@ -150,6 +150,51 @@ object Streams {
       .where(col("n_candidate_shingles") >= minShared)
   }
 
+  /** Bloom filters over a [[graft.operators.Dedup.dedupIndex]] for
+    * [[incrementalDedupStream]]: one over the index's exact fingerprints,
+    * one over its LSH band keys (both keyed through the 60-bit md5-prefix
+    * long, [[graft.operators.Dedup.shingleKey]]). Rebuild after batch
+    * index updates; at 10 bits/key the pair is ~10× smaller than
+    * broadcasting the key sets themselves. */
+  def dedupIndexBlooms(index: DataFrame, fpp: Double = 0.01)
+      : (graft.operators.BloomModel, graft.operators.BloomModel) = {
+    import graft.operators.{Bloom, Dedup}
+    val fps = index.select(Dedup.shingleKey(col("fp")).as("key")).distinct()
+      .localCheckpoint(eager = true)
+    val bands = index.select(explode(col("bands")).as("b"))
+      .select(Dedup.shingleKey(col("b")).as("key")).distinct()
+      .localCheckpoint(eager = true)
+    (Bloom.build(fps, "key", math.max(1L, fps.count()), fpp),
+      Bloom.build(bands, "key", math.max(1L, bands.count()), fpp))
+  }
+
+  /** Streaming INCREMENTAL-DEDUP prefilter — the stream-side stage of
+    * [[graft.operators.Dedup.incrementalDedup]]: arriving documents are
+    * classified against the batch-built index WITHOUT state or joins.
+    *
+    * Adds two flags: `might_be_exact_dup` (the doc's fingerprint hits the
+    * index fingerprint bloom) and `might_be_near_dup` (any of its MinHash
+    * band keys — computed per-row, bit-identical to the index's bands —
+    * hits the band bloom). Same contract as [[decontaminateStream]]: no
+    * false negatives (a true index dup always flags), fpp-bounded false
+    * positives confirmed by the batch classifier downstream. Stateless —
+    * both filters ride the plan as literals, both probes are codegen'd
+    * expression calls. */
+  def incrementalDedupStream(docs: DataFrame, idCol: String, textCol: String,
+                             fpBloom: graft.operators.BloomModel,
+                             bandBloom: graft.operators.BloomModel,
+                             shingleLen: Int = 3, k: Int = 16, bands: Int = 4): DataFrame = {
+    import graft.operators.Dedup
+    graft.GraftFunctions.ensureRegistered(docs.sparkSession)
+    val fpKey = Dedup.shingleKey(graft.functions.Text.fingerprint(col(textCol)))
+    val bandKeys = transform(
+      Dedup.minHashBandKeysPerRow(col(textCol), shingleLen, k, bands),
+      b => Dedup.shingleKey(b))
+    docs
+      .withColumn("might_be_exact_dup", fpBloom.mightContain(fpKey))
+      .withColumn("might_be_near_dup", bandBloom.countContained(bandKeys) > 0)
+  }
+
   /** Per-key buffers for [[asOfJoinStream]]: `lefts` await their emission
     * watermark; `rights` is the ascending (ts, value) match candidates. */
   private[streaming] case class AsOfBuf(lefts: Seq[(Long, Long)], rights: Seq[(Long, Long)])

@@ -920,6 +920,17 @@ class OperatorsSpec extends SparkSuite {
     assert(out(14L) == "exact_dup") // 13 is the min-id batch holder of that fp
   }
 
+  test("per-row minhash band keys are bit-identical to the index's flat formulation") {
+    val docs = sources.Tables.documents(spark, sf0001).limit(50)
+    val flat = Dedup.dedupIndex(docs, "doc_id", "text", shingleLen = 3, k = 16, bands = 4)
+      .select(col("id"), col("bands"))
+    val perRow = docs.select(col("doc_id").as("id"),
+      Dedup.minHashBandKeysPerRow(col("text"), 3, 16, 4).as("bands2"))
+    val joined = flat.join(perRow, Seq("id"))
+      .where(not(col("bands") === col("bands2")))
+    assert(joined.count() == 0L, "per-row band keys diverged from the flat index bands")
+  }
+
   test("winsorize: interpolated per-group bounds clamp the tails, approx twin within rank error") {
     import spark.implicits._
     val df = ((1 to 100).map(v => ("a", v.toLong)) ++ Seq(("b", 1000L), ("b", 2000L)))

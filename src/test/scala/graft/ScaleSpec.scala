@@ -138,6 +138,7 @@ class ScaleSpec extends SparkSuite {
     // graft_bloom_contains filter must sit in the scan stage, before any
     // Exchange on the corpus path (stop-df aggregation, verify join, ...)
     val df = SparkEntry.queries("q60_bloom_decontaminate")(spark, sf0001)
+    df.collect() // finalize AQE stages so codegen markers appear in toString
     val plan = df.queryExecution.executedPlan.toString
     assert(plan.contains("graft_bloom_contains"), s"bloom probe missing:\n$plan")
     // every occurrence of the probe must appear with a FileScan below it
@@ -151,6 +152,12 @@ class ScaleSpec extends SparkSuite {
     val scanBelow = below.indexWhere(l => l.contains("FileScan") || l.contains("Scan parquet"))
     assert(exchangeBelow == -1 || scanBelow < exchangeBelow,
       s"bloom probe not in the scan stage:\n$plan")
+    // and inside whole-stage codegen: at least one probe Filter must carry
+    // a `*(n)` marker — BloomMightContain implements doGenCode, so the
+    // scan stage's codegen span must not break around it (lines without a
+    // marker are the AQE "Initial Plan" echo, which never shows markers)
+    assert(lines.exists(l => l.contains("graft_bloom_contains") && l.contains("*(")),
+      s"bloom probe filter fell out of WholeStageCodegen:\n$plan")
   }
 
   test("pivot and unpivot: one exchange each, unpivot expands map-side") {

@@ -421,4 +421,37 @@ class StreamingSpec extends SparkSuite {
       assert(stateful.isEmpty, s"expected stateless plan, found: $stateful")
     } finally q.stop()
   }
+
+  test("streaming incremental-dedup prefilter: index dups flagged statelessly, fresh docs pass") {
+    import spark.implicits._
+    val corpusText = "the quick brown fox jumps over the lazy dog near the river bank today"
+    val indexDocs = Seq((1L, corpusText)).toDF("doc_id", "text")
+    val index = graft.operators.Dedup.dedupIndex(indexDocs, "doc_id", "text", 3, 16, 4)
+    val (fpBloom, bandBloom) = Streams.dedupIndexBlooms(index)
+
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, String)]
+    val out = Streams.incrementalDedupStream(
+      input.toDF().toDF("doc_id", "text"), "doc_id", "text", fpBloom, bandBloom, 3, 16, 4)
+    val q = out.writeStream.outputMode("append").format("memory").queryName("incdedup").start()
+    try {
+      input.addData(
+        (10L, corpusText), // exact copy -> both flags (exact implies band match)
+        (11L, "the quick brown fox jumps over the lazy dog near the river bank tonight"), // near variant
+        (12L, "w1a w2b w3c w4d w5e w6f w7g w8h w9i w10j")) // fresh gibberish
+      q.processAllAvailable()
+      val rows = spark.table("incdedup").collect()
+        .map(r => r.getLong(0) -> ((r.getBoolean(2), r.getBoolean(3)))).toMap
+      assert(rows(10L) == ((true, true)), s"exact copy flags: ${rows(10L)}")
+      // the near variant must NOT be an exact-dup; its band flag holds
+      // because this 1-word change preserves at least one full band
+      // (q63's batch classifier marks the same pair near_dup_candidate)
+      assert(rows(11L)._1 == false && rows(11L)._2 == true, s"near variant flags: ${rows(11L)}")
+      assert(rows(12L) == ((false, false)), s"fresh doc flags: ${rows(12L)}")
+      val executed = q.asInstanceOf[org.apache.spark.sql.execution.streaming.runtime.StreamingQueryWrapper]
+        .streamingQuery.lastExecution.executedPlan
+      assert(executed.collect {
+        case p if p.getClass.getName.contains("StateStore") => p }.isEmpty)
+    } finally q.stop()
+  }
 }
