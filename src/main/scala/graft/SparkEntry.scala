@@ -123,6 +123,7 @@ object SparkEntry {
     "q62_unpivot" -> q62,
     "q63_incremental_dedup" -> q63,
     "q64_outlier_clip" -> q64,
+    "q65_embedding_quantize" -> q65,
   )
 
   // =====================================================================
@@ -981,6 +982,32 @@ object SparkEntry {
         col("v_lo"), col("v_hi"), col("n_chars_clipped"))
       .orderBy(col("doc_id"))
 
+  /** Symmetric int8 quantization of the embedding corpus — the 4× memory
+    * cut that keeps a 100 TB ANN probe layer resident. Codes and scale are
+    * deterministic on both engines (floor-based rounding — no half-tie
+    * divergence), the reconstruction error is a left-to-right double fold;
+    * the recall impact of searching over dequantized codes is spec-measured
+    * (OperatorsSpec), not guessed. Codes are emitted string-joined: the
+    * values, not an array container, are the comparison contract (q19's
+    * portability trick). */
+  private def q65(s: SparkSession, dir: String): DataFrame = {
+    val qs = Vectors.quantizeInt8(col("embedding"))
+    Tables.embeddings(s, dir)
+      .select(col("vec_id"), col("embedding"), qs.as("_qs"))
+      .select(col("vec_id"),
+        col("_qs").getField("scale").as("scale"),
+        concat_ws(",", col("_qs").getField("q").cast("array<string>")).as("q_str"),
+        sqrt(aggregate(
+          zip_with(col("embedding"), col("_qs").getField("q"), (x, qi) => {
+            val d = x.cast("double") -
+              when(col("_qs").getField("scale") > 0.0,
+                qi.cast("double") / col("_qs").getField("scale")).otherwise(lit(0.0))
+            d * d
+          }),
+          lit(0.0), (acc, v) => acc + v)).as("recon_err"))
+      .orderBy(col("vec_id"))
+  }
+
   // =====================================================================
   // DuckDB oracle SQL — same semantics, same column names, same ORDER BY.
   // =====================================================================
@@ -1684,6 +1711,31 @@ object SparkEntry {
              least(greatest(CAST(n_chars AS DOUBLE), v_lo), v_hi) AS n_chars_clipped
            FROM documents d JOIN b ON d.lang = b.lang
            ORDER BY doc_id""",
+
+      // same floor-based symmetric quantization; the error fold is the
+      // identical left-to-right double chain (q33's range-index pattern)
+      "q65_embedding_quantize" ->
+        """WITH p AS (
+             SELECT vec_id, embedding,
+               list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) AS mx
+             FROM embeddings),
+           s AS (
+             SELECT vec_id, embedding,
+               CASE WHEN mx > 0 THEN 127.0 / mx ELSE 0.0 END AS scale
+             FROM p),
+           qz AS (
+             SELECT vec_id, embedding, scale,
+               list_transform(embedding, x ->
+                 CAST(floor(CAST(x AS DOUBLE) * scale + 0.5) AS BIGINT)) AS q
+             FROM s)
+           SELECT vec_id, scale,
+             array_to_string(list_transform(q, v -> CAST(v AS VARCHAR)), ',') AS q_str,
+             sqrt(list_sum(list_transform(range(1, len(embedding) + 1), i ->
+               (CAST(embedding[i] AS DOUBLE)
+                 - CASE WHEN scale > 0 THEN CAST(q[i] AS DOUBLE) / scale ELSE 0.0 END)
+               * (CAST(embedding[i] AS DOUBLE)
+                 - CASE WHEN scale > 0 THEN CAST(q[i] AS DOUBLE) / scale ELSE 0.0 END)))) AS recon_err
+           FROM qz ORDER BY vec_id""",
 
       "q59_pivot" ->
         s"""SELECT l_returnflag,

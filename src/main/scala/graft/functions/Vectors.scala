@@ -15,6 +15,35 @@ import org.apache.spark.sql.functions._
   */
 object Vectors {
 
+  /** Symmetric int8 quantization of an embedding: `scale = 127 / max|x|`,
+    * `q_i = floor(x_i · scale + 0.5)` (floor — not `round` — because both
+    * engines' floor over IEEE doubles is exact and identical, where
+    * round-half ties differ between HALF_UP and banker's rounding).
+    * Returns `struct(scale: double, q: array<tinyint>)`; dequantize as
+    * `q_i / scale`.
+    *
+    * Why at 100 TB: the ANN corpus resident set shrinks 4× (one byte per
+    * dimension instead of a float), which is the difference between an
+    * in-memory probe layer and spilling — at ≤ 0.4% max per-component
+    * error for unit-norm vectors, recall impact is spec-measured, not
+    * guessed. The all-zero vector quantizes to all zeros with scale 0
+    * (dequantize guards the division). */
+  def quantizeInt8(a: Column): Column = {
+    val mx = array_max(transform(a, x => abs(x.cast("double"))))
+    val scale = when(mx > 0.0, lit(127.0) / mx).otherwise(lit(0.0))
+    struct(
+      scale.as("scale"),
+      transform(a, x =>
+        floor(x.cast("double") * scale + lit(0.5)).cast("byte")).as("q"))
+  }
+
+  /** Dequantized double array from [[quantizeInt8]]'s struct. */
+  def dequantizeInt8(qs: Column): Column = {
+    val scale = qs.getField("scale")
+    transform(qs.getField("q"), q =>
+      when(scale > 0.0, q.cast("double") / scale).otherwise(lit(0.0)))
+  }
+
   /** Dot product of two numeric arrays (double, sequential fold).
     * Pure-builtin form; [[fastDot]] is the codegen'd equivalent. */
   def dot(a: Column, b: Column): Column =

@@ -920,6 +920,31 @@ class OperatorsSpec extends SparkSuite {
     assert(out(14L) == "exact_dup") // 13 is the min-id batch holder of that fp
   }
 
+  test("int8 quantization: codes in range, small reconstruction error, top-k recall survives") {
+    import spark.implicits._
+    val emb = sources.Tables.embeddings(spark, sf0001)
+    val deq = emb.select(col("vec_id"),
+      Vectors.dequantizeInt8(Vectors.quantizeInt8(col("embedding"))).as("embedding"))
+    // codes bounded to int8, per-component error <= 0.5/scale by construction
+    val bad = emb.select(Vectors.quantizeInt8(col("embedding")).as("qs"))
+      .where(exists(col("qs.q"), q => q > 127 || q < -127)).count()
+    assert(bad == 0L)
+    // search over dequantized codes: overlap@10 vs exact must stay high —
+    // the operative claim behind the 4x memory cut
+    val queries = emb.where(col("vec_id") % 100 === 0)
+    val dqQueries = deq.where(col("vec_id") % 100 === 0)
+    def topk(q: org.apache.spark.sql.DataFrame, c: org.apache.spark.sql.DataFrame) =
+      Similarity.bruteForceTopK(q, c, "vec_id", "embedding", k = 10)
+        .select(col("query_id"), col("neighbor_id")).collect()
+        .groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(1)).toSet).toMap
+    val exact = topk(queries, emb)
+    val quant = topk(dqQueries, deq)
+    val recalls = exact.keys.toSeq.map(q => quant.getOrElse(q, Set.empty)
+      .intersect(exact(q)).size / 10.0)
+    val mean = recalls.sum / recalls.size
+    assert(mean >= 0.9, s"quantized top-10 recall $mean < 0.9")
+  }
+
   test("per-row minhash band keys are bit-identical to the index's flat formulation") {
     val docs = sources.Tables.documents(spark, sf0001).limit(50)
     val flat = Dedup.dedupIndex(docs, "doc_id", "text", shingleLen = 3, k = 16, bands = 4)
