@@ -183,4 +183,23 @@ object AlgebraProps extends Properties("graft.algebra") {
       val disjoint = out.map(_.value.window).distinct.size == out.size
       total && disjoint
     }
+
+  // Pure-JVM property (no Spark job per case): the membership guarantee a
+  // Bloom filter's correctness contract rests on, over arbitrary key sets
+  // and sizings. The word-bitset assembly below is the same position
+  // arithmetic the distributed build's bit_or aggregation performs — the
+  // SQL build path itself is unit-tested against this in OperatorsSpec.
+  property("bloom: every inserted key answers mightContain = true (no false negatives)") = {
+    import graft.functions.catalyst.BloomOps
+    forAll(
+      Gen.nonEmptyListOf(Gen.chooseNum(Long.MinValue, Long.MaxValue)),
+      Gen.chooseNum(0.001, 0.3)) { (keys, fpp) =>
+      val (numBits, k) = BloomOps.sizeFor(keys.size.toLong, fpp)
+      val words = new Array[Long]((numBits / 64L).toInt)
+      keys.foreach(key => BloomOps.positions(key, k, numBits).foreach { pos =>
+        words((pos >>> 6).toInt) |= 1L << (pos & 63L).toInt
+      })
+      keys.forall(key => BloomOps.mightContain(words, k, key))
+    }
+  }
 }
