@@ -124,6 +124,7 @@ object SparkEntry {
     "q63_incremental_dedup" -> q63,
     "q64_outlier_clip" -> q64,
     "q65_embedding_quantize" -> q65,
+    "q66_index_update" -> q66,
   )
 
   // =====================================================================
@@ -1008,6 +1009,25 @@ object SparkEntry {
       .orderBy(col("vec_id"))
   }
 
+  /** The incremental-dedup loop CLOSED: q63's classification feeds
+    * [[Dedup.updateDedupIndex]], and the checked output is the index a
+    * production pipeline would persist for the next batch — every corpus
+    * row plus the kept batch docs' (fp, band keys). Band arrays emit
+    * string-joined (q19's portability trick). */
+  private def q66(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val corpus = docs.where(col("doc_id") % 5 =!= 0)
+    val batch = docs.where(col("doc_id") % 5 === 0)
+    val index = Dedup.dedupIndex(corpus, "doc_id", "text", shingleLen = 3, k = 16, bands = 4)
+    val statuses = Dedup.incrementalDedup(index, batch, "doc_id", "text",
+      shingleLen = 3, k = 16, bands = 4)
+    Dedup.updateDedupIndex(index, batch, statuses, "doc_id", "text",
+        shingleLen = 3, k = 16, bands = 4)
+      .select(col("id").as("doc_id"), col("fp"),
+        concat_ws(",", col("bands")).as("bands_str"))
+      .orderBy(col("doc_id"))
+  }
+
   // =====================================================================
   // DuckDB oracle SQL — same semantics, same column names, same ORDER BY.
   // =====================================================================
@@ -1084,6 +1104,48 @@ object SparkEntry {
            FROM shared JOIN sizes USING (probe_id)
            WHERE CAST(shared AS DOUBLE) / CAST(n_sh AS DOUBLE) >= 0.5
            ORDER BY corpus_id, probe_id"""
+
+    // the sig/band CTE chain for one side of the incremental-dedup oracle
+    // (q63/q66), prefixed to keep names apart: q18's two-hash family
+    def bandChain(p: String, where: String) =
+      s"""${p}ex AS (
+           SELECT doc_id AS id, unnest(list_distinct(${shingles(3)})) AS s
+           FROM (SELECT doc_id, $toks AS toks FROM documents WHERE $where) d),
+         ${p}hv AS (
+           SELECT id, ('0x' || substr(md5(s), 1, 8))::BIGINT AS h1,
+                      ('0x' || substr(md5(s), 9, 8))::BIGINT AS h2
+           FROM ${p}ex),
+         ${p}sig AS (
+           SELECT id, [${(0 until 16).map(i => s"min((h1 + $i * h2) % 4294967291)").mkString(", ")}] AS sig
+           FROM ${p}hv GROUP BY id),
+         ${p}band AS (
+           SELECT id, unnest(list_transform(range(0, 4), b ->
+             CAST(b AS VARCHAR) || ':' || md5(array_to_string(list_slice(sig, b * 4 + 1, b * 4 + 4), '|')))) AS band
+           FROM ${p}sig)"""
+
+    // the full incremental-dedup status machinery (q63's oracle body,
+    // shared with q66's index update): batch vs index fingerprints and
+    // bands, min-id within-batch tie-breaks
+    val incDedupCtes =
+      s"""${bandChain("b", "doc_id % 5 = 0")},
+         ${bandChain("i", "doc_id % 5 <> 0")},
+         bfp AS (SELECT doc_id AS id, md5($norm) AS fp FROM documents WHERE doc_id % 5 = 0),
+         ifp AS (SELECT DISTINCT md5($norm) AS fp FROM documents WHERE doc_id % 5 <> 0),
+         ex AS (
+           SELECT id, fp, (fp IN (SELECT fp FROM ifp)
+             OR min(id) OVER (PARTITION BY fp) < id) AS is_exact
+           FROM bfp),
+         bb AS (
+           SELECT id, (band IN (SELECT band FROM iband)
+             OR min(id) OVER (PARTITION BY band) < id) AS hit
+           FROM bband),
+         nh AS (SELECT id, bool_or(hit) AS near_hit FROM bb GROUP BY id)"""
+
+    // band-key array joined to one string, from a side's sig CTE
+    def bandsStr(sigTable: String) =
+      s"""SELECT id, array_to_string(list_transform(range(0, 4), b ->
+          CAST(b AS VARCHAR) || ':' || md5(array_to_string(list_slice(sig, b * 4 + 1, b * 4 + 4), '|'))), ',') AS bands_str
+          FROM $sigTable"""
 
     Map(
       "q01_group_agg" ->
@@ -1661,43 +1723,31 @@ object SparkEntry {
       // incremental dedup status machine, mirrored end to end: q18's
       // two-hash band chain per side (batch / index), q35's fingerprint,
       // min-id windows for the within-batch tie-breaks
-      "q63_incremental_dedup" -> {
-        // the sig/band CTE chain for one side, prefixed to keep names apart
-        def bandChain(p: String, where: String) =
-          s"""${p}ex AS (
-             SELECT doc_id AS id, unnest(list_distinct(${shingles(3)})) AS s
-             FROM (SELECT doc_id, $toks AS toks FROM documents WHERE $where) d),
-           ${p}hv AS (
-             SELECT id, ('0x' || substr(md5(s), 1, 8))::BIGINT AS h1,
-                        ('0x' || substr(md5(s), 9, 8))::BIGINT AS h2
-             FROM ${p}ex),
-           ${p}sig AS (
-             SELECT id, [${(0 until 16).map(i => s"min((h1 + $i * h2) % 4294967291)").mkString(", ")}] AS sig
-             FROM ${p}hv GROUP BY id),
-           ${p}band AS (
-             SELECT id, unnest(list_transform(range(0, 4), b ->
-               CAST(b AS VARCHAR) || ':' || md5(array_to_string(list_slice(sig, b * 4 + 1, b * 4 + 4), '|')))) AS band
-             FROM ${p}sig)"""
-        s"""WITH ${bandChain("b", "doc_id % 5 = 0")},
-           ${bandChain("i", "doc_id % 5 <> 0")},
-           bfp AS (SELECT doc_id AS id, md5($norm) AS fp FROM documents WHERE doc_id % 5 = 0),
-           ifp AS (SELECT DISTINCT md5($norm) AS fp FROM documents WHERE doc_id % 5 <> 0),
-           ex AS (
-             SELECT id, (fp IN (SELECT fp FROM ifp)
-               OR min(id) OVER (PARTITION BY fp) < id) AS is_exact
-             FROM bfp),
-           bb AS (
-             SELECT id, (band IN (SELECT band FROM iband)
-               OR min(id) OVER (PARTITION BY band) < id) AS hit
-             FROM bband),
-           nh AS (SELECT id, bool_or(hit) AS near_hit FROM bb GROUP BY id)
+      "q63_incremental_dedup" ->
+        s"""WITH $incDedupCtes
            SELECT ex.id AS doc_id,
              CASE WHEN is_exact THEN 'exact_dup'
                   WHEN coalesce(near_hit, false) THEN 'near_dup_candidate'
                   ELSE 'kept' END AS status
            FROM ex LEFT JOIN nh ON nh.id = ex.id
-           ORDER BY doc_id"""
-      },
+           ORDER BY doc_id""",
+
+      // the index after absorbing the batch: every corpus row, plus batch
+      // docs whose status is 'kept' under the same machinery as q63
+      "q66_index_update" ->
+        s"""WITH $incDedupCtes,
+           kept AS (
+             SELECT ex.id FROM ex LEFT JOIN nh ON nh.id = ex.id
+             WHERE NOT is_exact AND NOT coalesce(near_hit, false)),
+           ibs AS (${bandsStr("isig")}),
+           bbs AS (${bandsStr("bsig")}),
+           ifps AS (SELECT doc_id AS id, md5($norm) AS fp FROM documents WHERE doc_id % 5 <> 0)
+           SELECT id AS doc_id, fp, bands_str FROM (
+             SELECT ifps.id AS id, fp, bands_str FROM ifps JOIN ibs ON ibs.id = ifps.id
+             UNION ALL
+             SELECT ex.id AS id, ex.fp AS fp, bands_str
+             FROM ex JOIN kept ON kept.id = ex.id JOIN bbs ON bbs.id = ex.id) u
+           ORDER BY doc_id""",
 
       // quantile_cont == Spark's percentile (linear interpolation — the
       // q46-established parity); the clip itself is least/greatest over

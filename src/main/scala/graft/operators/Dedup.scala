@@ -266,6 +266,21 @@ object Dedup {
           .otherwise("kept").as("status"))
   }
 
+  /** Close the incremental-dedup loop: the index after absorbing a batch —
+    * the existing rows plus the KEPT batch documents' (id, fp, bands).
+    * `statuses` is [[incrementalDedup]]'s output; exact dups and near-dup
+    * candidates are NOT absorbed (a candidate's fate belongs to the
+    * downstream verify — absorbing it would make later copies of a
+    * dropped doc look fresh). Persist the result with
+    * [[graft.sources.Tables.writeBucketed]] on `fp` so future batches'
+    * fingerprint joins co-locate without a shuffle. */
+  def updateDedupIndex(index: DataFrame, batch: DataFrame, statuses: DataFrame,
+                       idCol: String, textCol: String,
+                       shingleLen: Int = 3, k: Int = 16, bands: Int = 4): DataFrame =
+    index.unionByName(
+      dedupIndex(batch, idCol, textCol, shingleLen, k, bands)
+        .join(statuses.where(col("status") === "kept").select(col("id")), Seq("id"), "left_semi"))
+
   /** SimHash bit vector as a '0'/'1' string of length `bits` (string keeps
     * it portable across engines and safe from sign issues). Bit `p` is set
     * when the sum over tokens of ±1 (per bit `p` of `md5(token)`) is

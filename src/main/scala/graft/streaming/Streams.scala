@@ -195,6 +195,21 @@ object Streams {
       .withColumn("might_be_near_dup", bandBloom.countContained(bandKeys) > 0)
   }
 
+  /** EXACT confirmation of [[incrementalDedupStream]]'s `might_be_exact_dup`
+    * flag: a stream-static LEFT SEMI join of the (fpp-bounded) flagged
+    * sliver against the index's true fingerprint set. Emits exactly the
+    * docs whose normalized body already exists in the index — the bloom's
+    * false positives die here, and the join is STILL stateless: the static
+    * side builds a broadcast/hash relation per micro-batch, no state store,
+    * no watermark. (The near-dup flag has no streaming exact stage — its
+    * confirmation is a containment measure, which is the batch
+    * classifier's job.) */
+  def confirmExactDupsStream(flagged: DataFrame, textCol: String, index: DataFrame): DataFrame =
+    flagged
+      .withColumn("_fp", graft.functions.Text.fingerprint(col(textCol)))
+      .join(index.select(col("fp").as("_fp")).distinct(), Seq("_fp"), "left_semi")
+      .drop("_fp")
+
   /** Per-key buffers for [[asOfJoinStream]]: `lefts` await their emission
     * watermark; `rights` is the ascending (ts, value) match candidates. */
   private[streaming] case class AsOfBuf(lefts: Seq[(Long, Long)], rights: Seq[(Long, Long)])

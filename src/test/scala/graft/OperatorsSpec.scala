@@ -978,6 +978,23 @@ class OperatorsSpec extends SparkSuite {
     assert(math.abs(approx.getDouble(1) - hi) <= 1.0)
   }
 
+  test("index update absorbs only kept docs; the next batch sees them as corpus") {
+    import spark.implicits._
+    val corpusText = "the quick brown fox jumps over the lazy dog near the river bank today"
+    val freshText = "completely different content about spark query engines and columnar execution plans"
+    val index = Dedup.dedupIndex(Seq((1L, corpusText)).toDF("doc_id", "text"),
+      "doc_id", "text", 3, 16, 4)
+    val batch = Seq((10L, corpusText), (13L, freshText)).toDF("doc_id", "text")
+    val statuses = Dedup.incrementalDedup(index, batch, "doc_id", "text", 3, 16, 4)
+    val updated = Dedup.updateDedupIndex(index, batch, statuses, "doc_id", "text", 3, 16, 4)
+    // 10 was an exact dup (not absorbed); 13 was kept (absorbed)
+    assert(updated.select("id").collect().map(_.getLong(0)).toSet == Set(1L, 13L))
+    // the loop: a re-sent copy of the absorbed doc is now an exact dup
+    val next = Dedup.incrementalDedup(updated, Seq((20L, freshText)).toDF("doc_id", "text"),
+      "doc_id", "text", 3, 16, 4)
+    assert(next.collect().map(r => (r.getLong(0), r.getString(1))).toSeq == Seq((20L, "exact_dup")))
+  }
+
   test("canonical dedup: equal scores fall back to min id") {
     import spark.implicits._
     val docs = Seq(

@@ -454,4 +454,32 @@ class StreamingSpec extends SparkSuite {
         case p if p.getClass.getName.contains("StateStore") => p }.isEmpty)
     } finally q.stop()
   }
+
+  test("stream-static exact-dup confirmation: bloom false positives die, still stateless") {
+    import spark.implicits._
+    val corpusText = "the quick brown fox jumps over the lazy dog near the river bank today"
+    val index = graft.operators.Dedup.dedupIndex(
+      Seq((1L, corpusText)).toDF("doc_id", "text"), "doc_id", "text", 3, 16, 4)
+
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, String)]
+    // feed the verify stage directly (in production it follows the bloom
+    // prefilter; here docs 11/12 play the role of flag false positives)
+    val confirmed = Streams.confirmExactDupsStream(
+      input.toDF().toDF("doc_id", "text"), "text", index)
+    val q = confirmed.writeStream.outputMode("append").format("memory").queryName("confirm").start()
+    try {
+      input.addData(
+        (10L, corpusText),                         // true exact dup
+        (11L, "THE  Quick  brown fox jumps over the lazy dog near the river bank today"), // normalizes equal -> exact
+        (12L, "the quick brown fox jumps over the lazy dog near the river bank tonight")) // near, NOT exact
+      q.processAllAvailable()
+      val ids = spark.table("confirm").collect().map(_.getLong(0)).toSet
+      assert(ids == Set(10L, 11L), s"confirmed: $ids")
+      val executed = q.asInstanceOf[org.apache.spark.sql.execution.streaming.runtime.StreamingQueryWrapper]
+        .streamingQuery.lastExecution.executedPlan
+      assert(executed.collect {
+        case p if p.getClass.getName.contains("StateStore") => p }.isEmpty)
+    } finally q.stop()
+  }
 }
