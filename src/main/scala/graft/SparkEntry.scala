@@ -125,6 +125,7 @@ object SparkEntry {
     "q64_outlier_clip" -> q64,
     "q65_embedding_quantize" -> q65,
     "q66_index_update" -> q66,
+    "q67_ann_ivf_quantized" -> q67,
   )
 
   // =====================================================================
@@ -1026,6 +1027,21 @@ object SparkEntry {
       .select(col("id").as("doc_id"), col("fp"),
         concat_ws(",", col("bands")).as("bands_str"))
       .orderBy(col("doc_id"))
+  }
+
+  /** Two-stage quantized IVF ANN (no oracle — approximate by design, like
+    * q22/q36; the driver records rows-only and the spec measures recall):
+    * stage-1 candidate probing over the int8-dequantized corpus (4× less
+    * resident memory), stage-2 exact float cosine re-rank of the
+    * 3k-deep shortlist via an id equi-join that moves |queries|×shortlist
+    * rows, never the corpus. */
+  private def q67(s: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(s, dir)
+    val queries = emb.where(col("vec_id") % 100 === 0)
+    Similarity.ivfTopKQuantized(queries, emb, "vec_id", "embedding", k = 10,
+        nCentroids = 16, probes = 4)
+      .select(col("query_id"), col("rank"), col("neighbor_id"), col("cosine"))
+      .orderBy(col("query_id"), col("rank"))
   }
 
   // =====================================================================

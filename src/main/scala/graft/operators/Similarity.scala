@@ -263,6 +263,47 @@ object Similarity {
       .select(col("query_id"), col("rank"), col("neighbor_id"), col("cosine"))
   }
 
+  /** Two-stage IVF ANN over an int8-QUANTIZED corpus: the standard
+    * memory/recall trade for a 100 TB probe layer.
+    *
+    * Stage 1 runs [[ivfTopK]]'s centroid/probe/rank machinery over the
+    * dequantized codes ([[Vectors.quantizeInt8]] — one byte per dimension,
+    * so the resident candidate layer is 4× smaller than floats) and keeps
+    * a `shortlist`-deep candidate list per query. Stage 2 re-attaches the
+    * ORIGINAL float vectors for just the shortlist rows — an equi-join
+    * moving |queries| × shortlist rows, never the corpus — and re-ranks by
+    * exact cosine, so the final top-k ordering carries no quantization
+    * error beyond stage-1 candidate selection (the recall cost of THAT is
+    * spec-measured, not guessed).
+    *
+    * In production the quantized corpus is what is STORED (write
+    * `quantizeInt8` once at ingest); this method quantizes inline so its
+    * contract is self-contained. */
+  def ivfTopKQuantized(queries: DataFrame, corpus: DataFrame,
+                       idCol: String, vecCol: String, k: Int,
+                       nCentroids: Int = 16, probes: Int = 4,
+                       iterations: Int = 1, shortlist: Int = 0): DataFrame = {
+    val deep = if (shortlist > 0) shortlist else 3 * k
+    val qCorpus = corpus.select(col(idCol),
+      Vectors.dequantizeInt8(Vectors.quantizeInt8(col(vecCol))).as(vecCol))
+    val stage1 = ivfTopK(queries, qCorpus, idCol, vecCol, deep,
+      nCentroids, probes, iterations)
+    val floats = corpus.select(col(idCol).as("neighbor_id"),
+      Vectors.l2normalize(col(vecCol)).as("_fnv"))
+    val qn = queries.select(col(idCol).as("query_id"),
+      Vectors.l2normalize(col(vecCol)).as("_qnv"))
+    val rankW = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("neighbor_id").asc)
+    stage1.select(col("query_id"), col("neighbor_id"))
+      .join(floats, Seq("neighbor_id"))
+      .join(qn, Seq("query_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        Vectors.fastDot(col("_qnv"), col("_fnv")).as("cosine"))
+      .withColumn("rank", row_number().over(rankW))
+      .where(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("neighbor_id"), col("cosine"))
+  }
+
   /** Embedding near-duplicate pairs: LSH-block on a shared bucket, verify
     * exact cosine ≥ threshold. Deterministic blocking rule; at scale this is
     * an equi-join on short bucket strings. */

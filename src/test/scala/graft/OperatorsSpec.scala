@@ -920,6 +920,33 @@ class OperatorsSpec extends SparkSuite {
     assert(out(14L) == "exact_dup") // 13 is the min-id batch holder of that fp
   }
 
+  test("two-stage quantized IVF: recall tracks float IVF on planted clusters, exact rerank scores") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(11)
+    val bases = (0 until 5).map(_ => Array.fill(16)(rnd.nextGaussian().toFloat))
+    val vecs = (0 until 100).map { i =>
+      val b = bases(i % 5)
+      (i.toLong, b.zipWithIndex.map { case (x, d) => x + 0.01f * ((i * 16 + d) % 7 - 3) })
+    }.toDF("vec_id", "embedding")
+    val q = vecs.where($"vec_id" < 5)
+    val exact = Similarity.bruteForceTopK(q, vecs, "vec_id", "embedding", 5)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    val quant = Similarity.ivfTopKQuantized(q, vecs, "vec_id", "embedding", 5,
+        nCentroids = 8, probes = 2, iterations = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(2), r.getDouble(3)))
+    val recall = (exact & quant.map(t => (t._1, t._2)).toSet).size.toDouble / exact.size
+    assert(recall >= 0.9, s"quantized IVF recall $recall on planted clusters")
+    // stage-2 scores are float cosines, free of quantization error: any
+    // (query, neighbor) pair shared with brute force agrees to rounding
+    // (normalize-then-dot vs dot-then-divide differ only in ulps)
+    val exactScores = Similarity.bruteForceTopK(q, vecs, "vec_id", "embedding", 5)
+      .collect().map(r => (r.getLong(0), r.getLong(2)) -> r.getDouble(3)).toMap
+    quant.foreach { case (qid, nid, c) =>
+      exactScores.get((qid, nid)).foreach(e =>
+        assert(math.abs(e - c) < 1e-9, s"rerank score $c != exact $e for ($qid, $nid)"))
+    }
+  }
+
   test("int8 quantization: codes in range, small reconstruction error, top-k recall survives") {
     import spark.implicits._
     val emb = sources.Tables.embeddings(spark, sf0001)
