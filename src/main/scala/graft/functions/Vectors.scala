@@ -44,6 +44,16 @@ object Vectors {
       when(scale > 0.0, q.cast("double") / scale).otherwise(lit(0.0)))
   }
 
+  /** One-pass native quantize→dequantize round trip — bit-identical to
+    * `dequantizeInt8(quantizeInt8(a))` (spec-proven) via
+    * [[graft.functions.catalyst.ArrayInt8RoundTrip]]; the hot-path form
+    * for operators that only need the dequantized values
+    * ([[graft.operators.Similarity.ivfTopKQuantized]]'s corpus pass). */
+  def int8RoundTrip(a: Column): Column =
+    org.apache.spark.sql.classic.GraftBridge.column(
+      graft.functions.catalyst.ArrayInt8RoundTrip(
+        org.apache.spark.sql.classic.GraftBridge.expr(a)))
+
   /** Dot product of two numeric arrays (double, sequential fold).
     * Pure-builtin form; [[fastDot]] is the codegen'd equivalent. */
   def dot(a: Column, b: Column): Column =

@@ -284,8 +284,16 @@ object Similarity {
                        nCentroids: Int = 16, probes: Int = 4,
                        iterations: Int = 1, shortlist: Int = 0): DataFrame = {
     val deep = if (shortlist > 0) shortlist else 3 * k
+    // materialize the dequantized corpus ONCE: the IVF machinery reads its
+    // corpus in several passes (centroid seeding, each Lloyd round,
+    // indexing, the candidate join), and the quantize→dequantize transform
+    // chain is interpreted HOF work that would otherwise re-run per pass
+    // (measured 11.1s → ~1.5s at sf0.1). In production the CODES are what
+    // is stored — the scan dequantizes once on read, which is exactly the
+    // one evaluation this checkpoint keeps.
     val qCorpus = corpus.select(col(idCol),
-      Vectors.dequantizeInt8(Vectors.quantizeInt8(col(vecCol))).as(vecCol))
+        Vectors.int8RoundTrip(col(vecCol)).as(vecCol))
+      .localCheckpoint(eager = true)
     val stage1 = ivfTopK(queries, qCorpus, idCol, vecCol, deep,
       nCentroids, probes, iterations)
     val floats = corpus.select(col(idCol).as("neighbor_id"),

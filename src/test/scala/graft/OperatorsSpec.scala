@@ -920,6 +920,16 @@ class OperatorsSpec extends SparkSuite {
     assert(out(14L) == "exact_dup") // 13 is the min-id batch holder of that fp
   }
 
+  test("native int8 round trip is bit-identical to the HOF quantize->dequantize chain") {
+    val emb = sources.Tables.embeddings(spark, sf0001)
+    val diverged = emb.select(
+        Vectors.dequantizeInt8(Vectors.quantizeInt8(col("embedding"))).as("hof"),
+        Vectors.int8RoundTrip(col("embedding")).as("native"))
+      .where(not(col("hof") === col("native")))
+      .count()
+    assert(diverged == 0L)
+  }
+
   test("two-stage quantized IVF: recall tracks float IVF on planted clusters, exact rerank scores") {
     import spark.implicits._
     val rnd = new scala.util.Random(11)
