@@ -126,6 +126,8 @@ object SparkEntry {
     "q65_embedding_quantize" -> q65,
     "q66_index_update" -> q66,
     "q67_ann_ivf_quantized" -> q67,
+    "q68_group_cap" -> q68,
+    "q69_interleave" -> q69,
   )
 
   // =====================================================================
@@ -1044,6 +1046,24 @@ object SparkEntry {
       .orderBy(col("query_id"), col("rank"))
   }
 
+  /** Per-domain contribution cap: at most 50 docs per language, selected
+    * by md5(id) order — content-keyed, so the kept set is identical on
+    * both engines and across reruns/partitionings. */
+  private def q68(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Sampling.capPerGroup(Tables.documents(s, dir), "lang", "doc_id", 50)
+      .select(col("doc_id"), col("lang"))
+      .orderBy(col("doc_id"))
+
+  /** Deterministic round-robin interleave across languages — the
+    * data-mixing order for a training run (no long single-domain
+    * stretches). Integer slot arithmetic over window ranks; the group
+    * ranking rides a #groups-row broadcast frame, never a global window
+    * over the data. */
+  private def q69(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Sampling.interleaveByGroup(Tables.documents(s, dir), "lang", "doc_id")
+      .select(col("doc_id"), col("lang"), col("order_idx"))
+      .orderBy(col("order_idx"))
+
   // =====================================================================
   // DuckDB oracle SQL — same semantics, same column names, same ORDER BY.
   // =====================================================================
@@ -1802,6 +1822,29 @@ object SparkEntry {
                * (CAST(embedding[i] AS DOUBLE)
                  - CASE WHEN scale > 0 THEN CAST(q[i] AS DOUBLE) / scale ELSE 0.0 END)))) AS recon_err
            FROM qz ORDER BY vec_id""",
+
+      "q68_group_cap" ->
+        """SELECT doc_id, lang FROM (
+             SELECT doc_id, lang,
+               row_number() OVER (PARTITION BY lang
+                 ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
+             FROM documents) t
+           WHERE rn <= 50 ORDER BY doc_id""",
+
+      "q69_interleave" ->
+        """WITH g AS (
+             SELECT lang, row_number() OVER (ORDER BY lang) AS grank,
+               count(*) OVER () AS gn
+             FROM (SELECT DISTINCT lang FROM documents)),
+           r AS (
+             SELECT doc_id, d.lang,
+               row_number() OVER (PARTITION BY d.lang
+                 ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
+             FROM documents d)
+           SELECT doc_id, r.lang AS lang,
+             (rn - 1) * gn + (grank - 1) AS order_idx
+           FROM r JOIN g ON r.lang = g.lang
+           ORDER BY order_idx""",
 
       "q59_pivot" ->
         s"""SELECT l_returnflag,

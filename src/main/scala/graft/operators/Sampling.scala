@@ -186,6 +186,53 @@ object Sampling {
 
   /** Per-stratum rates (e.g. downsample one language, keep another whole).
     * Strata absent from the map fall back to `defaultRate`. */
+  /** Keep at most `k` rows per group, selected by md5(id) order — the
+    * per-domain contribution CAP of a mixing recipe ("no domain contributes
+    * more than k docs"), content-keyed like every sampler here: the kept
+    * set is stable under reruns, partitionings, engines, and incremental
+    * loads, and the md5 ordering makes it a uniform draw rather than a
+    * head-of-table bias.
+    *
+    * Scale shape: one window sort per group partition. A pathologically
+    * large single group makes that partition's sort a straggler; at that
+    * scale, pre-thin the group with `samplePredicate(id, ~2k/n)` (the
+    * threshold form needs no sort) and cap the survivors exactly — the
+    * two-pass recipe this method's contract composes with. */
+  def capPerGroup(df: DataFrame, groupCol: String, idCol: String, k: Int): DataFrame = {
+    require(k >= 1, s"cap must be >= 1, got $k")
+    val w = Window.partitionBy(col(groupCol))
+      .orderBy(md5(col(idCol).cast("string")), col(idCol))
+    df.withColumn("_rn", row_number().over(w))
+      .where(col("_rn") <= k)
+      .drop("_rn")
+  }
+
+  /** Deterministic round-robin INTERLEAVE across groups: assigns each row a
+    * global `order_idx` such that reading in that order cycles through the
+    * groups — the data-mixing order a training run wants (no long
+    * single-domain stretches), reproducible across engines and reruns.
+    * Within each group, rows cycle in md5(id) order (position p takes slot
+    * `p · G + rank(group)`, G = number of groups).
+    *
+    * Scale shape: the per-group position is a grouped window (one sort per
+    * group); the group ranking lives on a #groups-row frame — ranked by a
+    * window over THAT tiny frame, never a global window over the data —
+    * and broadcast-joins back (the q55 rate-table pattern). */
+  def interleaveByGroup(df: DataFrame, groupCol: String, idCol: String): DataFrame = {
+    val groups = df.select(col(groupCol)).distinct()
+    val gw = Window.orderBy(col(groupCol))
+    val ranked = groups
+      .withColumn("_grank", row_number().over(gw))
+      .withColumn("_g", max(col("_grank")).over(Window.partitionBy()))
+    val w = Window.partitionBy(col(groupCol))
+      .orderBy(md5(col(idCol).cast("string")), col(idCol))
+    df.join(broadcast(ranked), Seq(groupCol))
+      .withColumn("order_idx",
+        (row_number().over(w) - 1).cast("long") * col("_g").cast("long")
+          + (col("_grank") - 1).cast("long"))
+      .drop("_grank", "_g")
+  }
+
   def stratifiedSample(df: DataFrame, idCol: String, strataCol: String,
                        rates: Map[String, Double], defaultRate: Double): DataFrame = {
     val rateCol = rates.foldLeft(lit(thresholdHex(defaultRate))) { case (acc, (k, r)) =>

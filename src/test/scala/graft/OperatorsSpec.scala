@@ -1032,6 +1032,39 @@ class OperatorsSpec extends SparkSuite {
     assert(next.collect().map(r => (r.getLong(0), r.getString(1))).toSeq == Seq((20L, "exact_dup")))
   }
 
+  test("per-group cap keeps exactly min(k, n) rows per group, stable under repartition") {
+    import spark.implicits._
+    val df = ((1 to 30).map(i => ("big", i.toLong)) ++ (1 to 3).map(i => ("small", 100L + i)))
+      .toDF("grp", "id")
+    val capped = operators.Sampling.capPerGroup(df, "grp", "id", 10)
+    val byGrp = capped.groupBy("grp").count().collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(byGrp == Map("big" -> 10L, "small" -> 3L))
+    // content-keyed: the kept SET is identical under any partitioning
+    val kept1 = capped.select("id").collect().map(_.getLong(0)).toSet
+    val kept2 = operators.Sampling.capPerGroup(df.repartition(7), "grp", "id", 10)
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(kept1 == kept2)
+  }
+
+  test("interleave: order indexes are a permutation that cycles through groups") {
+    import spark.implicits._
+    val df = ((1 to 6).map(i => ("a", i.toLong)) ++ (1 to 6).map(i => ("b", 10L + i))
+      ++ (1 to 2).map(i => ("c", 20L + i))).toDF("grp", "id")
+    val out = operators.Sampling.interleaveByGroup(df, "grp", "id")
+      .select("grp", "order_idx").collect()
+      .map(r => (r.getString(0), r.getLong(1))).sortBy(_._2)
+    // injective slots
+    assert(out.map(_._2).distinct.length == out.length)
+    // reading in order: the first #groups slots are distinct groups, and
+    // slot mod G identifies the group throughout
+    val g = 3
+    assert(out.take(g).map(_._1).toSet == Set("a", "b", "c"))
+    out.foreach { case (grp, idx) =>
+      val expected = Seq("a", "b", "c")((idx % g).toInt)
+      assert(grp == expected, s"slot $idx carries $grp, expected $expected")
+    }
+  }
+
   test("canonical dedup: equal scores fall back to min id") {
     import spark.implicits._
     val docs = Seq(
