@@ -128,6 +128,8 @@ object SparkEntry {
     "q67_ann_ivf_quantized" -> q67,
     "q68_group_cap" -> q68,
     "q69_interleave" -> q69,
+    "q70_subquery" -> q70,
+    "q71_dist_windows" -> q71,
   )
 
   // =====================================================================
@@ -1064,6 +1066,43 @@ object SparkEntry {
       .select(col("doc_id"), col("lang"), col("order_idx"))
       .orderBy(col("order_idx"))
 
+  /** Correlated subqueries through the SQL surface: EXISTS, NOT EXISTS,
+    * and a correlated scalar subquery in one statement — Catalyst
+    * decorrelates all three into joins (no per-row re-execution), which is
+    * the property that makes subqueries usable at 100 TB. Same SQL runs on
+    * both engines. */
+  private def q70(s: SparkSession, dir: String): DataFrame = {
+    Tables.registerAll(s, dir)
+    s.sql(SubquerySql)
+  }
+
+  private val SubquerySql: String =
+    """SELECT o_orderkey, o_orderpriority,
+       (SELECT CAST(count(*) AS BIGINT) FROM lineitem l
+        WHERE l.l_orderkey = o.o_orderkey AND l.l_quantity > 45.0) AS n_heavy
+       FROM orders o
+       WHERE EXISTS (SELECT 1 FROM lineitem l
+                     WHERE l.l_orderkey = o.o_orderkey AND l.l_quantity > 45.0)
+         AND NOT EXISTS (SELECT 1 FROM lineitem l
+                         WHERE l.l_orderkey = o.o_orderkey AND l.l_discount > 0.09)
+       ORDER BY o_orderkey"""
+
+  /** Distribution-analytic window functions over unique total orders:
+    * ntile quartiles, percent_rank, cume_dist — deterministic because the
+    * ORDER BY key (cents, orderkey) is unique. */
+  private def q71(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("o_orderpriority"))
+      .orderBy(col("price_c"), col("o_orderkey"))
+    Tables.orders(s, dir)
+      .select(col("o_orderkey"), col("o_orderpriority"),
+        cents(col("o_totalprice")).as("price_c"))
+      .select(col("o_orderkey"), col("o_orderpriority"),
+        ntile(4).over(w).as("quartile"),
+        percent_rank().over(w).as("pr"),
+        cume_dist().over(w).as("cd"))
+      .orderBy(col("o_orderkey"))
+  }
+
   // =====================================================================
   // DuckDB oracle SQL — same semantics, same column names, same ORDER BY.
   // =====================================================================
@@ -1822,6 +1861,20 @@ object SparkEntry {
                * (CAST(embedding[i] AS DOUBLE)
                  - CASE WHEN scale > 0 THEN CAST(q[i] AS DOUBLE) / scale ELSE 0.0 END)))) AS recon_err
            FROM qz ORDER BY vec_id""",
+
+      // the IDENTICAL statement Spark runs (SubquerySql) — decorrelation
+      // is the engine's job; semantics are plain ANSI
+      "q70_subquery" -> SubquerySql,
+
+      "q71_dist_windows" ->
+        s"""SELECT o_orderkey, o_orderpriority,
+           ntile(4) OVER w AS quartile,
+           percent_rank() OVER w AS pr,
+           cume_dist() OVER w AS cd
+           FROM (SELECT o_orderkey, o_orderpriority,
+                   ${C.format("o_totalprice")} AS price_c FROM orders) t
+           WINDOW w AS (PARTITION BY o_orderpriority ORDER BY price_c, o_orderkey)
+           ORDER BY o_orderkey""",
 
       "q68_group_cap" ->
         """SELECT doc_id, lang FROM (

@@ -103,6 +103,17 @@ object Sampling {
       s"targetFraction must be in (0,1], got $targetFraction")
     if (redistribute)
       return temperatureResampleWaterfill(df, idCol, domainCol, alpha, targetFraction)
+    applyRates(df, idCol, domainCol,
+      temperatureRates(df, domainCol, alpha, targetFraction))
+  }
+
+  /** The per-domain rate table behind [[temperatureResample]]:
+    * (domainCol, _thr) with `_thr` = rate·2³² on the 32-bit md5 prefix.
+    * Public so a STREAMING pipeline can compute it on a batch snapshot and
+    * broadcast it into [[graft.streaming.Streams.temperatureResampleStream]]
+    * — the rate table is #domains rows of model, not data. */
+  def temperatureRates(df: DataFrame, domainCol: String,
+                       alpha: Double, targetFraction: Double): DataFrame = {
     val weight =
       if (alpha == 0.5) sqrt(col("_n").cast("double"))
       else if (alpha == 1.0) col("_n").cast("double")
@@ -118,17 +129,23 @@ object Sampling {
     // threshold on the md5 prefix as a 32-bit integer: rate·2^32, the
     // numeric form of thresholdHex (rates here are data-derived, so the
     // hex-literal formatting path doesn't apply)
-    val rates = counts
+    counts
       .withColumn("_thr",
         round(least(lit(1.0),
           lit(targetFraction) * sum(col("_n")).over(wAll).cast("double") * col("_w")
             / sum(col("_w")).over(wAll) / col("_n").cast("double"))
           * lit(4294967296.0)).cast("long"))
       .select(col(domainCol), col("_thr"))
+  }
+
+  /** Membership filter for a rates table: broadcast join + md5 threshold,
+    * original columns back out. Shared by the batch operator and the
+    * streaming twin (the predicate is per-row and stateless). */
+  private[graft] def applyRates(df: DataFrame, idCol: String, domainCol: String,
+                                rates: DataFrame): DataFrame =
     df.join(broadcast(rates), Seq(domainCol))
       .where(conv(substring(md5(col(idCol).cast("string")), 1, 8), 16, 10).cast("long") < col("_thr"))
       .select(df.columns.map(col): _*) // original column order, _thr dropped
-  }
 
   /** The exact-waterfill allocation behind `redistribute = true`. Solves
     * Σ_d min(n_d, λ·w_d) = f·N for λ in closed form: sort domains by the

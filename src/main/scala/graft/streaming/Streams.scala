@@ -195,6 +195,18 @@ object Streams {
       .withColumn("might_be_near_dup", bandBloom.countContained(bandKeys) > 0)
   }
 
+  /** Streaming temperature resampling: the per-row membership filter of
+    * [[graft.operators.Sampling.temperatureResample]] applied to a stream,
+    * with the rate table computed ON A BATCH SNAPSHOT
+    * ([[graft.operators.Sampling.temperatureRates]]) and broadcast in —
+    * rates are corpus statistics, which a stream cannot know ahead of its
+    * own tail, so the batch-model/stream-apply split is the principled
+    * decomposition (same as the dedup-index and decontamination blooms).
+    * Stateless: a broadcast join plus one md5 threshold per row. */
+  def temperatureResampleStream(docs: DataFrame, idCol: String, domainCol: String,
+                                rates: DataFrame): DataFrame =
+    graft.operators.Sampling.applyRates(docs, idCol, domainCol, rates)
+
   /** EXACT confirmation of [[incrementalDedupStream]]'s `might_be_exact_dup`
     * flag: a stream-static LEFT SEMI join of the (fpp-bounded) flagged
     * sliver against the index's true fingerprint set. Emits exactly the

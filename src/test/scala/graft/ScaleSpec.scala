@@ -160,6 +160,18 @@ class ScaleSpec extends SparkSuite {
       s"bloom probe filter fell out of WholeStageCodegen:\n$plan")
   }
 
+  test("correlated subqueries decorrelate into joins (no per-row re-execution)") {
+    val df = SparkEntry.queries("q70_subquery")(spark, sf0001)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    // EXISTS -> semi join, NOT EXISTS -> anti join, correlated scalar
+    // count -> outer join + aggregate; a SubqueryExec on the data path
+    // would mean per-outer-row re-execution
+    assert(plan.contains("LeftSemi"), s"EXISTS not decorrelated to a semi join:\n$plan")
+    assert(plan.contains("LeftAnti"), s"NOT EXISTS not decorrelated to an anti join:\n$plan")
+    assert(!plan.contains("SubqueryExec"), s"residual subquery execution:\n$plan")
+  }
+
   test("pivot and unpivot: one exchange each, unpivot expands map-side") {
     val pivot = SparkEntry.queries("q59_pivot")(spark, sf0001)
     val pPlan = pivot.queryExecution.executedPlan.toString.split("== Initial Plan ==").head

@@ -455,6 +455,32 @@ class StreamingSpec extends SparkSuite {
     } finally q.stop()
   }
 
+  test("streaming temperature resample matches the batch membership exactly, stateless") {
+    import spark.implicits._
+    val snapshot = ((1 to 40).map(i => (i.toLong, "en")) ++ (1 to 10).map(i => (100L + i, "fr")))
+      .toDF("doc_id", "lang")
+    val rates = graft.operators.Sampling.temperatureRates(snapshot, "lang", 0.5, 0.5)
+    val batchKept = graft.operators.Sampling
+      .temperatureResample(snapshot, "doc_id", "lang", 0.5, 0.5)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, String)]
+    val out = Streams.temperatureResampleStream(
+      input.toDF().toDF("doc_id", "lang"), "doc_id", "lang", rates)
+    val q = out.writeStream.outputMode("append").format("memory").queryName("temp").start()
+    try {
+      input.addData(snapshot.collect().map(r => (r.getLong(0), r.getString(1))).toSeq: _*)
+      q.processAllAvailable()
+      val streamKept = spark.table("temp").collect().map(_.getLong(0)).toSet
+      assert(streamKept == batchKept, s"stream kept $streamKept vs batch $batchKept")
+      val executed = q.asInstanceOf[org.apache.spark.sql.execution.streaming.runtime.StreamingQueryWrapper]
+        .streamingQuery.lastExecution.executedPlan
+      assert(executed.collect {
+        case p if p.getClass.getName.contains("StateStore") => p }.isEmpty)
+    } finally q.stop()
+  }
+
   test("stream-static exact-dup confirmation: bloom false positives die, still stateless") {
     import spark.implicits._
     val corpusText = "the quick brown fox jumps over the lazy dog near the river bank today"
