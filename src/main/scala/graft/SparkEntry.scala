@@ -130,6 +130,7 @@ object SparkEntry {
     "q69_interleave" -> q69,
     "q70_subquery" -> q70,
     "q71_dist_windows" -> q71,
+    "q72_chunking" -> q72,
   )
 
   // =====================================================================
@@ -1103,6 +1104,18 @@ object SparkEntry {
       .orderBy(col("o_orderkey"))
   }
 
+  /** Sliding-window token chunking (size 32, stride 24 → 8-token overlap):
+    * the context-window prep step. The 1→n fan-out is a Generate in the
+    * scan stage; chunk text and counts are deterministic strings/ints on
+    * both engines. */
+  private def q72(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .select(col("doc_id"),
+        explode(Text.slidingChunks(col("text"), size = 32, stride = 24)).as("c"))
+      .select(col("doc_id"), col("c.chunk_idx").as("chunk_idx"),
+        col("c.chunk").as("chunk"), col("c.n_tokens").as("n_tokens"))
+      .orderBy(col("doc_id"), col("chunk_idx"))
+
   // =====================================================================
   // DuckDB oracle SQL — same semantics, same column names, same ORDER BY.
   // =====================================================================
@@ -1875,6 +1888,19 @@ object SparkEntry {
                    ${C.format("o_totalprice")} AS price_c FROM orders) t
            WINDOW w AS (PARTITION BY o_orderpriority ORDER BY price_c, o_orderkey)
            ORDER BY o_orderkey""",
+
+      // same window arithmetic; DuckDB list_slice's END is inclusive, so
+      // [s·stride + 1, s·stride + size] ≡ Spark's slice(start, length)
+      "q72_chunking" ->
+        s"""WITH t AS (SELECT doc_id, $toks AS toks FROM documents),
+           c AS (
+             SELECT doc_id, toks,
+               unnest(range(0, CAST(floor(CAST(len(toks) - 1 AS DOUBLE) / 24) AS BIGINT) + 1)) AS idx
+             FROM t WHERE len(toks) > 0)
+           SELECT doc_id, CAST(idx AS INT) AS chunk_idx,
+             array_to_string(list_slice(toks, idx * 24 + 1, idx * 24 + 32), ' ') AS chunk,
+             CAST(len(list_slice(toks, idx * 24 + 1, idx * 24 + 32)) AS BIGINT) AS n_tokens
+           FROM c ORDER BY doc_id, chunk_idx""",
 
       "q68_group_cap" ->
         """SELECT doc_id, lang FROM (

@@ -27,6 +27,30 @@ object Text {
   /** Whitespace token count. */
   def tokenCount(text: Column): Column = size(tokens(text))
 
+  /** Sliding-window token chunks — the context-window preparation step of
+    * a training pipeline: window `i` covers tokens `[i·stride, i·stride +
+    * size)`, so consecutive chunks overlap by `size − stride` tokens and
+    * the tail chunk may be short. Returns `array<struct<chunk_idx: int,
+    * chunk: string, n_tokens: bigint>>` (empty for an empty/whitespace
+    * document); explode it for one row per chunk. Entirely per-row narrow
+    * work — the 1→n fan-out happens in the scan stage as a Generate, no
+    * shuffle (same shape as [[graft.multimodal.Media]]'s frame
+    * sampling). */
+  def slidingChunks(text: Column, size: Int, stride: Int): Column = {
+    require(size >= 1 && stride >= 1 && stride <= size,
+      s"need 1 <= stride <= size, got size=$size stride=$stride")
+    val toks = tokens(text)
+    val n = org.apache.spark.sql.functions.size(toks)
+    when(n <= 0, array().cast(s"array<struct<chunk_idx:int,chunk:string,n_tokens:bigint>>"))
+      .otherwise(transform(
+        sequence(lit(0), floor((n - 1).cast("double") / stride).cast("int")),
+        i => struct(
+          i.cast("int").as("chunk_idx"),
+          concat_ws(" ", slice(toks, i * stride + 1, lit(size))).as("chunk"),
+          org.apache.spark.sql.functions.size(slice(toks, i * stride + 1, lit(size)))
+            .cast("long").as("n_tokens"))))
+  }
+
   /** BPE-ish subword count: runs of word chars and single punctuation marks
     * each count as a token — the standard cheap proxy for a real tokenizer's
     * token count. */

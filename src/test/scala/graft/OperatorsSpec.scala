@@ -693,6 +693,37 @@ class OperatorsSpec extends SparkSuite {
     assert(packed.forall { case (_, st) => st % 256L < 256L })
   }
 
+  test("sliding chunks: coverage, overlap, and lossless reconstruction") {
+    import spark.implicits._
+    val n = 100
+    val text = (1 to n).map(i => s"t$i").mkString(" ")
+    val rows = Seq((1L, text), (2L, "short doc"), (3L, "   ")).toDF("doc_id", "text")
+      .select(col("doc_id"), explode(Text.slidingChunks(col("text"), 32, 24)).as("c"))
+      .select(col("doc_id"), col("c.chunk_idx"), col("c.chunk"), col("c.n_tokens"))
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getString(2), r.getLong(3)))
+    // doc 1: ceil((100-1)/24)+1 = 5 chunks; stride-aligned prefixes of each
+    // chunk (first 24 tokens, all of the tail) reconstruct the doc exactly
+    val d1 = rows.filter(_._1 == 1L).sortBy(_._2)
+    assert(d1.length == 5)
+    // a chunk is full iff its window fits: start + 32 <= n (with n=100 and
+    // stride 24 that is chunks 0-2; chunks 3 and 4 clip to 28 and 4)
+    d1.foreach { case (_, idx, _, nt) =>
+      assert(nt == math.min(32, n - idx * 24).toLong, s"chunk $idx has $nt tokens") }
+    val rebuilt = d1.map(_._3.split(" ").take(24)).flatten.take(n) // overlap dropped
+    val full = d1.init.map(_._3.split(" ").take(24)).flatten ++ d1.last._3.split(" ")
+    assert(full.mkString(" ") == text)
+    assert(rebuilt.sameElements(text.split(" ").take(rebuilt.length)))
+    // overlap: chunk i+1 starts with the last 8 tokens of chunk i (full chunks)
+    d1.sliding(2).foreach {
+      case Array((_, _, a, 32L), (_, _, b, _)) =>
+        assert(b.split(" ").take(8).sameElements(a.split(" ").drop(24)))
+      case _ =>
+    }
+    // short doc: one chunk, whole text; whitespace doc: zero chunks
+    assert(rows.filter(_._1 == 2L).toSeq == Seq((2L, 0, "short doc", 2L)))
+    assert(!rows.exists(_._1 == 3L))
+  }
+
   test("text functions: tokens, shingles, fingerprint, langid") {
     import spark.implicits._
     val df = Seq(("  The QUICK  brown ", 1L)).toDF("text", "id")
