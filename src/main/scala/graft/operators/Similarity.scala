@@ -178,11 +178,23 @@ object Similarity {
     * rank, neighbor_id, cosine). */
   def ivfTopK(queries: DataFrame, corpus: DataFrame,
               idCol: String, vecCol: String, k: Int,
-              nCentroids: Int = 16, probes: Int = 4, iterations: Int = 1): DataFrame = {
+              nCentroids: Int = 16, probes: Int = 4, iterations: Int = 1,
+              miniBatchFraction: Double = 1.0): DataFrame = {
+    require(miniBatchFraction > 0.0 && miniBatchFraction <= 1.0,
+      s"miniBatchFraction must be in (0,1], got $miniBatchFraction")
     GraftFunctions.ensureRegistered(queries.sparkSession)
 
     // work on L2-normalized copies: dot ≡ cosine, means stay meaningful
     val c = corpus.select(col(idCol).as("cid_"), Vectors.l2normalize(col(vecCol)).as("nv"))
+    // mini-batch Lloyd (Sculley WWW 2010 shape, deterministic): each
+    // refinement round aggregates means over a content-keyed md5 sample of
+    // the corpus instead of all of it — at 100 TB, refinement cost drops
+    // by 1/fraction while the INDEXING pass below still assigns every
+    // vector. The sample is Sampling.samplePredicate, so it is identical
+    // across runs/partitionings and the whole operator stays deterministic.
+    val refineSet =
+      if (miniBatchFraction >= 1.0) c
+      else c.where(Sampling.samplePredicate(col("cid_"), miniBatchFraction))
 
     // Deterministic pseudo-random seeds: smallest nCentroids by xxhash64(id)
     // via a distributed TakeOrderedAndProject. The centroid set itself is
@@ -213,7 +225,7 @@ object Similarity {
       // nCentroids rows of dim elements), so the driver receives one row
       // per cluster — the refreshed MODEL, same magnitude as seeding —
       // rather than nCentroids×dim scalar rows to stitch locally.
-      val refreshed = c.withColumn("cluster", bestCluster(col("nv")))
+      val refreshed = refineSet.withColumn("cluster", bestCluster(col("nv")))
         .select(col("cluster"), posexplode(col("nv")).as(Seq("pos", "x")))
         .groupBy(col("cluster"), col("pos"))
         .agg(avg(col("x")).as("m"))

@@ -184,6 +184,25 @@ object AlgebraProps extends Properties("graft.algebra") {
       total && disjoint
     }
 
+  property("sliding chunks reconstruct the token stream for arbitrary size/stride") =
+    forAll(Gen.chooseNum(0, 40), Gen.chooseNum(1, 8), Gen.chooseNum(0, 7)) { (n, stride, extra) =>
+      import org.apache.spark.sql.functions.{col, explode}
+      import spark.implicits._
+      val size = stride + extra
+      val text = (1 to n).map(i => s"w$i").mkString(" ")
+      val chunks = Seq(Tuple1(text)).toDF("text")
+        .select(explode(graft.functions.Text.slidingChunks(col("text"), size, stride)).as("c"))
+        .select(col("c.chunk_idx"), col("c.chunk"))
+        .collect().map(r => (r.getInt(0), r.getString(1))).sortBy(_._1)
+      // stride-aligned prefixes of every chunk but the last, plus the last
+      // chunk whole, must equal the original token stream exactly
+      val rebuilt =
+        if (chunks.isEmpty) ""
+        else (chunks.init.flatMap(_._2.split(" ").take(stride)) ++ chunks.last._2.split(" "))
+          .mkString(" ")
+      (n == 0 && chunks.isEmpty) || rebuilt == text
+    }
+
   // Pure-JVM property (no Spark job per case): the membership guarantee a
   // Bloom filter's correctness contract rests on, over arbitrary key sets
   // and sizings. The word-bitset assembly below is the same position

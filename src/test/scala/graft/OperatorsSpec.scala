@@ -961,6 +961,24 @@ class OperatorsSpec extends SparkSuite {
     assert(diverged == 0L)
   }
 
+  test("mini-batch IVF refinement keeps planted-cluster recall") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(11)
+    val bases = (0 until 5).map(_ => Array.fill(16)(rnd.nextGaussian().toFloat))
+    val vecs = (0 until 100).map { i =>
+      val b = bases(i % 5)
+      (i.toLong, b.zipWithIndex.map { case (x, d) => x + 0.01f * ((i * 16 + d) % 7 - 3) })
+    }.toDF("vec_id", "embedding")
+    val q = vecs.where($"vec_id" < 5)
+    val exact = Similarity.bruteForceTopK(q, vecs, "vec_id", "embedding", 5)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    val mini = Similarity.ivfTopK(q, vecs, "vec_id", "embedding", 5,
+        nCentroids = 8, probes = 2, iterations = 3, miniBatchFraction = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    val recall = (exact & mini).size.toDouble / exact.size
+    assert(recall >= 0.9, s"mini-batch IVF recall $recall")
+  }
+
   test("two-stage quantized IVF: recall tracks float IVF on planted clusters, exact rerank scores") {
     import spark.implicits._
     val rnd = new scala.util.Random(11)
