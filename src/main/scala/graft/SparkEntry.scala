@@ -1024,11 +1024,16 @@ object SparkEntry {
     val docs = Tables.documents(s, dir)
     val corpus = docs.where(col("doc_id") % 5 =!= 0)
     val batch = docs.where(col("doc_id") % 5 === 0)
+    // both indexes materialized ONCE: in production each is a STORED table
+    // (the corpus index read from parquet, the batch index built once per
+    // crawl); without the checkpoints the classify and absorb branches
+    // would each re-shingle the documents
     val index = Dedup.dedupIndex(corpus, "doc_id", "text", shingleLen = 3, k = 16, bands = 4)
-    val statuses = Dedup.incrementalDedup(index, batch, "doc_id", "text",
-      shingleLen = 3, k = 16, bands = 4)
-    Dedup.updateDedupIndex(index, batch, statuses, "doc_id", "text",
-        shingleLen = 3, k = 16, bands = 4)
+      .localCheckpoint(eager = true)
+    val bIdx = Dedup.dedupIndex(batch, "doc_id", "text", shingleLen = 3, k = 16, bands = 4)
+      .localCheckpoint(eager = true)
+    val statuses = Dedup.incrementalDedupFromIndex(index, bIdx)
+    Dedup.updateDedupIndexFromIndex(index, bIdx, statuses)
       .select(col("id").as("doc_id"), col("fp"),
         concat_ws(",", col("bands")).as("bands_str"))
       .orderBy(col("doc_id"))

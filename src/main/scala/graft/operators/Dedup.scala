@@ -242,9 +242,16 @@ object Dedup {
     * (id, fp, bands) rows union onto the stored index to close the loop. */
   def incrementalDedup(index: DataFrame, batch: DataFrame,
                        idCol: String, textCol: String,
-                       shingleLen: Int = 3, k: Int = 16, bands: Int = 4): DataFrame = {
+                       shingleLen: Int = 3, k: Int = 16, bands: Int = 4): DataFrame =
+    incrementalDedupFromIndex(index, dedupIndex(batch, idCol, textCol, shingleLen, k, bands))
+
+  /** [[incrementalDedup]] over a PRE-BUILT batch index — the form the
+    * production loop uses so the batch's (fp, bands) are computed once and
+    * shared with [[updateDedupIndex]] (building them is the only pass over
+    * the document bodies; everything else is digest joins). */
+  def incrementalDedupFromIndex(index: DataFrame, batchIndex: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val b = dedupIndex(batch, idCol, textCol, shingleLen, k, bands)
+    val b = batchIndex
     val idxFps = index.select(col("fp")).distinct().withColumn("_fp_hit", lit(1))
     val idxBands = index.select(explode(col("bands")).as("band")).distinct()
       .withColumn("_band_hit", lit(1))
@@ -277,8 +284,15 @@ object Dedup {
   def updateDedupIndex(index: DataFrame, batch: DataFrame, statuses: DataFrame,
                        idCol: String, textCol: String,
                        shingleLen: Int = 3, k: Int = 16, bands: Int = 4): DataFrame =
+    updateDedupIndexFromIndex(index,
+      dedupIndex(batch, idCol, textCol, shingleLen, k, bands), statuses)
+
+  /** [[updateDedupIndex]] over the PRE-BUILT batch index (see
+    * [[incrementalDedupFromIndex]] — build once, classify, absorb). */
+  def updateDedupIndexFromIndex(index: DataFrame, batchIndex: DataFrame,
+                                statuses: DataFrame): DataFrame =
     index.unionByName(
-      dedupIndex(batch, idCol, textCol, shingleLen, k, bands)
+      batchIndex
         .join(statuses.where(col("status") === "kept").select(col("id")), Seq("id"), "left_semi"))
 
   /** SimHash bit vector as a '0'/'1' string of length `bits` (string keeps
