@@ -131,6 +131,7 @@ object SparkEntry {
     "q70_subquery" -> q70,
     "q71_dist_windows" -> q71,
     "q72_chunking" -> q72,
+    "q73_tfidf" -> q73,
   )
 
   // =====================================================================
@@ -1120,6 +1121,15 @@ object SparkEntry {
       .select(col("doc_id"), col("c.chunk_idx").as("chunk_idx"),
         col("c.chunk").as("chunk"), col("c.n_tokens").as("n_tokens"))
       .orderBy(col("doc_id"), col("chunk_idx"))
+
+  /** TF-IDF top-5 keywords per document (no oracle — `ln` is not
+    * ulp-identical across engines, so the driver records rows-only; the
+    * spec asserts the ranking semantics instead, and tf/df in the output
+    * are the exact integers the score derives from). */
+  private def q73(s: SparkSession, dir: String): DataFrame =
+    graft.operators.TfIdf.topTerms(Tables.documents(s, dir), "doc_id", "text", k = 5)
+      .select(col("id").as("doc_id"), col("rank"), col("term"), col("tf"), col("df"))
+      .orderBy(col("doc_id"), col("rank"))
 
   // =====================================================================
   // DuckDB oracle SQL — same semantics, same column names, same ORDER BY.

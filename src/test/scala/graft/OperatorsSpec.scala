@@ -724,6 +724,30 @@ class OperatorsSpec extends SparkSuite {
     assert(!rows.exists(_._1 == 3L))
   }
 
+  test("tf-idf: rare terms outrank common ones at equal tf; tf dominates within a doc") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "the zebra the the crossing"), // tf: the=3, zebra=1, crossing=1
+      (2L, "the quick fox"),
+      (3L, "the lazy dog"),
+      (4L, "the calm river")
+    ).toDF("doc_id", "text")
+    val out = operators.TfIdf.topTerms(docs, "doc_id", "text", k = 5)
+      .where(col("id") === 1L).orderBy("rank").collect()
+      .map(r => (r.getInt(1), r.getString(2), r.getLong(3), r.getLong(4)))
+    // within doc 1: 'the' wins on tf (3 * idf_min); among the tf=1 terms,
+    // the corpus-unique ones outrank nothing-else-here (both unique, tie
+    // broken alphabetically)
+    assert(out.map(_._2).toSeq == Seq("the", "crossing", "zebra"))
+    assert(out.head._3 == 3L && out.head._4 == 4L) // the: tf 3, df 4
+    assert(out(1)._4 == 1L && out(2)._4 == 1L)     // unique terms: df 1
+    // and at EQUAL tf, lower df must rank strictly higher: compare doc 2's
+    // 'quick' (df 1) vs 'the' (df 4), both tf 1
+    val d2 = operators.TfIdf.topTerms(docs, "doc_id", "text", k = 5)
+      .where(col("id") === 2L).orderBy("rank").collect().map(_.getString(2))
+    assert(d2.indexOf("quick") < d2.indexOf("the"))
+  }
+
   test("text functions: tokens, shingles, fingerprint, langid") {
     import spark.implicits._
     val df = Seq(("  The QUICK  brown ", 1L)).toDF("text", "id")
