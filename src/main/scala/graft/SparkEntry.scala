@@ -1747,8 +1747,8 @@ object SparkEntry {
              SELECT doc_id, CAST(len($toks) AS BIGINT) AS n_tokens FROM documents),
            cum AS (
              SELECT doc_id, n_tokens,
-               sum(n_tokens) OVER (ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-                 - n_tokens AS start
+               CAST(sum(n_tokens) OVER (ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                 AS BIGINT) - n_tokens AS start
              FROM sized)
            SELECT doc_id, n_tokens, start // 256 AS seq_id, start % 256 AS seq_off,
              (start + CASE WHEN n_tokens > 0 THEN n_tokens - 1 ELSE 0 END) // 256 AS end_seq_id
