@@ -16,7 +16,10 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType}
   * only need the dequantized values. */
 case class ArrayInt8RoundTrip(child: Expression) extends UnaryExpression {
 
-  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+  // null elements propagate (HOF parity), so the output is nullable exactly
+  // when the input is
+  override def dataType: DataType = ArrayType(DoubleType,
+    containsNull = child.dataType.asInstanceOf[ArrayType].containsNull)
 
   override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
     child.dataType match {
@@ -44,26 +47,31 @@ case class ArrayInt8RoundTrip(child: Expression) extends UnaryExpression {
 }
 
 object ArrayInt8RoundTrip {
-  /** Pass 1: max |x|; pass 2: `floor(x·scale + 0.5)` clamped through the
-    * byte cast, divided back out. Matches the HOF chain exactly: same
-    * floor-based rounding, same zero-scale guard, null elements read as
-    * 0.0 ([[ArrayDotProduct]] convention). Called from generated code. */
+  /** Pass 1: max |x| over non-null elements (`array_max` skips nulls);
+    * pass 2: `floor(x·scale + 0.5)` clamped through the byte cast, divided
+    * back out. Matches the HOF chain exactly, including null elements: with
+    * scale > 0 a null element round-trips to null (`transform` propagates
+    * null through the arithmetic), and with scale == 0 (all-zero or
+    * all-null input) every element becomes 0.0 (`when(scale > 0, ...)
+    * .otherwise(0.0)` ignores the element). Called from generated code. */
   def compute(arr: ArrayData, isFloat: Boolean): GenericArrayData = {
     val n = arr.numElements()
     def at(i: Int): Double =
-      if (arr.isNullAt(i)) 0.0
-      else if (isFloat) arr.getFloat(i).toDouble
-      else arr.getDouble(i)
+      if (isFloat) arr.getFloat(i).toDouble else arr.getDouble(i)
     var mx = 0.0
     var i = 0
-    while (i < n) { val a = math.abs(at(i)); if (a > mx) mx = a; i += 1 }
+    while (i < n) {
+      if (!arr.isNullAt(i)) { val a = math.abs(at(i)); if (a > mx) mx = a }
+      i += 1
+    }
     val scale = if (mx > 0.0) 127.0 / mx else 0.0
     val out = new Array[Any](n)
     i = 0
     while (i < n) {
       out(i) =
-        if (scale > 0.0) math.floor(at(i) * scale + 0.5).toByte.toDouble / scale
-        else 0.0
+        if (scale == 0.0) 0.0
+        else if (arr.isNullAt(i)) null
+        else math.floor(at(i) * scale + 0.5).toByte.toDouble / scale
       i += 1
     }
     new GenericArrayData(out)

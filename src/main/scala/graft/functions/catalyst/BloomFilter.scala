@@ -1,7 +1,7 @@
 package graft.functions.catalyst
 
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, Literal, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.types.{ArrayType, BooleanType, DataType, LongType}
@@ -170,8 +170,14 @@ case class BloomMightContain(left: Expression, right: Expression, k: Int)
   override def prettyName: String = "graft_bloom_contains"
 
   // elide the word array in plan dumps: a megabit filter is ~16k longs and
-  // would swamp every EXPLAIN containing the probe
-  override def toString: String = s"graft_bloom_contains($left, <${words.length} words>, $k)"
+  // would swamp every EXPLAIN containing the probe. Only force `words` for a
+  // resolved Literal — via the SQL builder `right` can be any foldable
+  // expression, and printing an unresolved plan (analysis-error logging)
+  // must not eval it and mask the real error.
+  override def toString: String = right match {
+    case _: Literal => s"graft_bloom_contains($left, <${words.length} words>, $k)"
+    case _          => s"graft_bloom_contains($left, <filter>, $k)"
+  }
 }
 
 /** `graft_bloom_count(keys, words, k)`: how many of an ARRAY<BIGINT>'s keys
@@ -218,6 +224,10 @@ case class BloomCountContained(left: Expression, right: Expression, k: Int)
 
   override def prettyName: String = "graft_bloom_count"
 
-  // elide the word array in plan dumps (see BloomMightContain.toString)
-  override def toString: String = s"graft_bloom_count($left, <${words.length} words>, $k)"
+  // elide the word array in plan dumps; Literal-guarded like
+  // BloomMightContain.toString so printing never evals an unresolved filter
+  override def toString: String = right match {
+    case _: Literal => s"graft_bloom_count($left, <${words.length} words>, $k)"
+    case _          => s"graft_bloom_count($left, <filter>, $k)"
+  }
 }

@@ -620,10 +620,15 @@ object Dedup {
     val members = docs.select(col(idCol).as("id"), score(docs).as("_score"))
       .join(comps, Seq("id"), "left")
       .select(col("id"), col("_score"), coalesce(col("component"), col("id")).as("component"))
-    // argmax(score, tiebreak min id) per component: max_by over the pair
-    // (score, -id) — a partial-aggregable reduction, no per-component sort
+    // argmax(score, tiebreak min id) per component: min_by over the pair
+    // (-score, id) — a partial-aggregable reduction, no per-component sort.
+    // The negation sits on the SCORE (numeric by contract — it is a score)
+    // rather than the id, so string/UUID doc ids work like they do in every
+    // other Dedup operator; NULL scores coalesce to +inf and never win.
     val winners = members.groupBy(col("component"))
-      .agg(max_by(col("id"), struct(col("_score"), -col("id"))).as("canonical"))
+      .agg(min_by(col("id"),
+        struct(coalesce(-col("_score").cast("double"),
+          lit(Double.PositiveInfinity)), col("id"))).as("canonical"))
     members.join(winners, Seq("component"))
       .select(col("id"), col("canonical"),
         (col("id") === col("canonical")).as("is_kept"))

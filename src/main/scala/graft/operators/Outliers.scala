@@ -29,15 +29,22 @@ object Outliers {
                 lo: Double, hi: Double, exact: Boolean = true,
                 accuracy: Int = 10000): DataFrame = {
     require(lo >= 0.0 && hi <= 1.0 && lo < hi, s"need 0 <= lo < hi <= 1, got ($lo, $hi)")
-    val qexpr =
-      if (exact) s"percentile($valueCol, array($lo, $hi))"
-      else s"approx_percentile($valueCol, array($lo, $hi), $accuracy)"
+    // Column-based (not string-interpolated expr) so names needing backticks
+    // (dots, spaces) work like every other operator in this package.
+    val pcts = array(lit(lo), lit(hi))
+    val qagg =
+      if (exact) percentile(col(valueCol), pcts)
+      else percentile_approx(col(valueCol), pcts, lit(accuracy))
     val bounds = df.groupBy(col(groupCol))
-      .agg(expr(qexpr).as("_q"))
-      .select(col(groupCol),
+      .agg(qagg.as("_q"))
+      .select(col(groupCol).as("_g"),
         element_at(col("_q"), 1).cast("double").as("v_lo"),
         element_at(col("_q"), 2).cast("double").as("v_hi"))
-    df.join(broadcast(bounds), Seq(groupCol))
+    // Null-safe equality so rows whose group is NULL keep the contract
+    // ("returns the input plus ..."): they clip against the NULL-group
+    // bounds instead of being silently dropped by an equi-join.
+    df.join(broadcast(bounds), col(groupCol) <=> col("_g"), "left")
+      .drop("_g")
       .withColumn(s"${valueCol}_clipped",
         least(greatest(col(valueCol).cast("double"), col("v_lo")), col("v_hi")))
   }

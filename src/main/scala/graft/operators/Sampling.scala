@@ -114,6 +114,12 @@ object Sampling {
     * — the rate table is #domains rows of model, not data. */
   def temperatureRates(df: DataFrame, domainCol: String,
                        alpha: Double, targetFraction: Double): DataFrame = {
+    // same domain checks as temperatureResample — this is a public entry
+    // point (the streaming path calls it directly), and alpha = 0 would
+    // silently mean uniform weights, not an error
+    require(alpha > 0.0 && alpha <= 1.0, s"alpha must be in (0,1], got $alpha")
+    require(targetFraction > 0.0 && targetFraction <= 1.0,
+      s"targetFraction must be in (0,1], got $targetFraction")
     val weight =
       if (alpha == 0.5) sqrt(col("_n").cast("double"))
       else if (alpha == 1.0) col("_n").cast("double")

@@ -1149,4 +1149,55 @@ class OperatorsSpec extends SparkSuite {
       .orderBy("id").collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2)))
     assert(out.toSeq == Seq((7L, 7L, true), (9L, 7L, false)))
   }
+
+  test("canonical dedup: string doc ids resolve, tiebreak is lexicographic min") {
+    import spark.implicits._
+    // the (-score, id) tiebreak must not require a numeric id — UUIDs and
+    // string keys are accepted by every other Dedup operator
+    val docs = Seq(
+      ("doc-b", "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+      ("doc-a", "alpha beta gamma delta epsilon zeta eta theta iota kappa")
+    ).toDF("doc_id", "text")
+    val out = Dedup.canonicalizeNearDups(docs, "doc_id", "text",
+        score = _ => lit(1.0), shingleLen = 3, threshold = 0.3, maxShingleDf = 50)
+      .orderBy("id").collect().map(r => (r.getString(0), r.getString(1), r.getBoolean(2)))
+    assert(out.toSeq == Seq(("doc-a", "doc-a", true), ("doc-b", "doc-a", false)))
+  }
+
+  test("native int8 round trip matches the HOF chain on null elements") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, Seq(Some(1.0f), None, Some(-3.0f))), // null element, scale > 0
+      (2L, Seq[Option[Float]](None, None)),     // all-null: scale 0 -> all 0.0
+      (3L, Seq(Some(0.0f), Some(0.0f)))         // all-zero: scale 0 -> all 0.0
+    ).toDF("id", "embedding")
+    val diverged = df.select(
+        Vectors.dequantizeInt8(Vectors.quantizeInt8(col("embedding"))).as("hof"),
+        Vectors.int8RoundTrip(col("embedding")).as("native"))
+      .where(not(col("hof") <=> col("native")))
+      .count()
+    assert(diverged == 0L)
+  }
+
+  test("winsorize keeps NULL-group rows and clips them against the NULL group's bounds") {
+    import spark.implicits._
+    val df = Seq((Some("a"), 1L), (Some("a"), 100L), (None, 5L), (None, 50L))
+      .toDF("grp", "v")
+    val out = operators.Outliers.winsorize(df, "grp", "v", lo = 0.0, hi = 1.0)
+    assert(out.count() == 4L) // no silent drop of the NULL group
+    val nulls = out.where(col("grp").isNull)
+      .select(col("v_lo"), col("v_hi")).distinct().collect()
+    assert(nulls.toSeq.map(r => (r.getDouble(0), r.getDouble(1))) == Seq((5.0, 50.0)))
+  }
+
+  test("temperatureRates validates alpha and targetFraction like the batch operator") {
+    import spark.implicits._
+    val df = Seq(("en", 1L), ("fr", 2L)).toDF("lang", "doc_id")
+    intercept[IllegalArgumentException] {
+      operators.Sampling.temperatureRates(df, "lang", alpha = 0.0, targetFraction = 0.5)
+    }
+    intercept[IllegalArgumentException] {
+      operators.Sampling.temperatureRates(df, "lang", alpha = 0.5, targetFraction = 1.5)
+    }
+  }
 }
