@@ -1020,17 +1020,23 @@ object SparkEntry {
     * [[Dedup.updateDedupIndex]], and the checked output is the index a
     * production pipeline would persist for the next batch — every corpus
     * row plus the kept batch docs' (fp, band keys). Band arrays emit
-    * string-joined (q19's portability trick). */
+    * string-joined (q19's portability trick).
+    *
+    * The corpus index is a STORED table for real here: written once with
+    * [[Tables.writeBucketed]] (bucketed on `fp`, so future batches'
+    * fingerprint joins co-locate) and read BACK from parquet before the
+    * classify — the loop's persistence story is executable, not a comment.
+    * The batch index is per-crawl ephemeral, so it stays a checkpoint;
+    * without it the classify and absorb branches would each re-shingle
+    * the batch documents. */
   private def q66(s: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(s, dir)
     val corpus = docs.where(col("doc_id") % 5 =!= 0)
     val batch = docs.where(col("doc_id") % 5 === 0)
-    // both indexes materialized ONCE: in production each is a STORED table
-    // (the corpus index read from parquet, the batch index built once per
-    // crawl); without the checkpoints the classify and absorb branches
-    // would each re-shingle the documents
-    val index = Dedup.dedupIndex(corpus, "doc_id", "text", shingleLen = 3, k = 16, bands = 4)
-      .localCheckpoint(eager = true)
+    Tables.writeBucketed(
+      Dedup.dedupIndex(corpus, "doc_id", "text", shingleLen = 3, k = 16, bands = 4),
+      "graft_q66_corpus_index", buckets = 8, "fp")
+    val index = s.table("graft_q66_corpus_index")
     val bIdx = Dedup.dedupIndex(batch, "doc_id", "text", shingleLen = 3, k = 16, bands = 4)
       .localCheckpoint(eager = true)
     val statuses = Dedup.incrementalDedupFromIndex(index, bIdx)

@@ -85,6 +85,16 @@ object Tables {
     * executor's memory at the target scale. */
   def writeBucketed(df: DataFrame, table: String, buckets: Int, keys: String*): Unit = {
     require(keys.nonEmpty, "writeBucketed needs at least one bucket key")
+    val spark = df.sparkSession
+    // overwrite must also cover the ORPHANED case: a previous session's
+    // managed-table directory with no entry in this session's (in-memory)
+    // catalog — CREATE would fail with LOCATION_ALREADY_EXISTS
+    if (!spark.catalog.tableExists(table)) {
+      val loc = new org.apache.hadoop.fs.Path(
+        spark.conf.get("spark.sql.warehouse.dir"), table.toLowerCase)
+      val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (fs.exists(loc)) fs.delete(loc, true)
+    }
     df.write.mode("overwrite")
       .bucketBy(buckets, keys.head, keys.tail: _*)
       .sortBy(keys.head, keys.tail: _*)

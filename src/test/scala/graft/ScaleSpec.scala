@@ -160,6 +160,22 @@ class ScaleSpec extends SparkSuite {
       s"bloom probe filter fell out of WholeStageCodegen:\n$plan")
   }
 
+  test("incremental-dedup loop reads the persisted corpus index: no re-shingle") {
+    // q66's production story: the corpus index round-trips through a
+    // bucketed parquet table. The classify/absorb result plan must read
+    // that table (FileScan of graft_q66_corpus_index) and contain NO
+    // shingle computation at all — the corpus was shingled exactly once at
+    // index-write time, and the batch's shingling happened in its eager
+    // checkpoint, not on the per-batch query path.
+    val df = SparkEntry.queries("q66_index_update")(spark, sf0001)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("graft_q66_corpus_index"),
+      s"corpus index not read from the stored table:\n$plan")
+    assert(!plan.contains("graft_shingles"),
+      s"classify path re-shingles documents:\n$plan")
+  }
+
   test("correlated subqueries decorrelate into joins (no per-row re-execution)") {
     val df = SparkEntry.queries("q70_subquery")(spark, sf0001)
     df.collect()
