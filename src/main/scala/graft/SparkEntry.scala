@@ -1128,10 +1128,13 @@ object SparkEntry {
         col("c.chunk").as("chunk"), col("c.n_tokens").as("n_tokens"))
       .orderBy(col("doc_id"), col("chunk_idx"))
 
-  /** TF-IDF top-5 keywords per document (no oracle — `ln` is not
-    * ulp-identical across engines, so the driver records rows-only; the
-    * spec asserts the ranking semantics instead, and tf/df in the output
-    * are the exact integers the score derives from). */
+  /** TF-IDF top-5 keywords per document. Oracle-checked by RANK: the
+    * score column itself would be hash-flaky (`ln` is not ulp-identical
+    * across engines), but the RANKING both engines derive from the same
+    * exact (tf, df, N) integers via the same monotone formula is not —
+    * mathematical score ties only occur at equal (tf, df), and those
+    * break by term ascending on both sides. tf/df in the output are the
+    * exact integers the score derives from. */
   private def q73(s: SparkSession, dir: String): DataFrame =
     graft.operators.TfIdf.topTerms(Tables.documents(s, dir), "doc_id", "text", k = 5)
       .select(col("id").as("doc_id"), col("rank"), col("term"), col("tf"), col("df"))
@@ -1922,6 +1925,29 @@ object SparkEntry {
              array_to_string(list_slice(toks, idx * 24 + 1, idx * 24 + 32), ' ') AS chunk,
              CAST(len(list_slice(toks, idx * 24 + 1, idx * 24 + 32)) AS BIGINT) AS n_tokens
            FROM c ORDER BY doc_id, chunk_idx""",
+
+      // RANK check without ulp-stable ln: both engines rank by the same
+      // monotone score computed from the same exact integers (tf, df, N) —
+      // a mathematical tie between different (tf, df) pairs would need
+      // tf1/tf2 = (ln r2 + 1)/(ln r1 + 1) to hold over rationals, which it
+      // cannot; equal (tf, df) ties break by term in both. The score itself
+      // is still not an output column.
+      "q73_tfidf" ->
+        s"""WITH tf AS (
+             SELECT doc_id, word AS term, CAST(count(*) AS BIGINT) AS tf FROM (
+               SELECT doc_id, unnest(regexp_split_to_array(lower(text), '\\s+')) AS word
+               FROM documents) t
+             WHERE word <> '' GROUP BY 1, 2),
+           df AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY 1),
+           n AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM documents),
+           ranked AS (
+             SELECT tf.doc_id, tf.term, tf.tf, df.df,
+               row_number() OVER (PARTITION BY tf.doc_id
+                 ORDER BY tf.tf * (ln((n.n + 1.0) / (df.df + 1.0)) + 1.0) DESC,
+                   tf.term ASC) AS rank
+             FROM tf JOIN df USING (term) CROSS JOIN n)
+           SELECT doc_id, rank, term, tf, df FROM ranked
+           WHERE rank <= 5 ORDER BY doc_id, rank""",
 
       "q68_group_cap" ->
         """SELECT doc_id, lang FROM (

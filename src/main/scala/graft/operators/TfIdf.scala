@@ -16,9 +16,12 @@ object TfIdf {
     * Output: (id, rank, term, tf, df) — the SCORE is deliberately not a
     * column: `ln` is not ulp-identical across engines/libms, so exposing
     * it would make an otherwise-deterministic output hash-flaky; tf and
-    * df are the exact integers the score derives from. (For the same
-    * reason the driver records this query rows-only; the ranking
-    * properties are spec-asserted instead.)
+    * df are the exact integers the score derives from. The RANKS are
+    * cross-engine checkable (q73's oracle recomputes them in DuckDB from
+    * the same integers): a mathematical score tie between different
+    * (tf, df) pairs cannot occur — it would equate a rational with a
+    * ratio of shifted logs of rationals — and equal (tf, df) ties break
+    * by term on both engines.
     *
     * Scale shape: tf is one aggregation on (doc, term), df one aggregation
     * on term (both partial-agg'd, short keys), the idf join is an
