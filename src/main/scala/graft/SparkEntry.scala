@@ -31,7 +31,7 @@ object SparkEntry {
   /** Test-corpus embedding dimensionality (TESTDATA: 64-dim float vectors at
     * every sf). Fixed here so LSH hyperplanes bake into the plan with no
     * probing job, and so the oracle SQL can inline the identical planes. */
-  private val EmbeddingDim = 64
+  val EmbeddingDim = 64
 
   /** Flagship query (driver smoke-checks rows>0 on sf0.001): revenue per
     * region-nation — a 5-table star join with the two small dims broadcast,
