@@ -800,23 +800,34 @@ object Dedup {
     // per-doc shingle counts over the pruned universe (df = 1 included)
     val sizes = postings.select(explode(col("ids")).as("id"))
       .groupBy(col("id")).agg(count(lit(1)).as("n_sh"))
+    // Re-assemble the pair-generating buckets with each member's n_sh
+    // CARRIED IN the posting list (struct(id, n_sh) keeps the id sort
+    // order), so the pair aggregation below emits (id_a, n_a, id_b, n_b)
+    // and the Jaccard is a pure projection — NO post-aggregation join.
+    // The sizes attach here at the posting-ENTRY level (rows = index
+    // entries, linear in corpus size); the round-4 shape attached them at
+    // the PAIR level (rows = co-occurrences, quadratic in bucket sizes),
+    // where Catalyst's static stats mis-ranked the sides and broadcast the
+    // multi-million-row pair table instead of the per-doc sizes — measured
+    // 15-22 s of the 10 s sf1 query. This re-aggregation costs one extra
+    // entry-level shuffle (~2.4 s at sf1) and removes the pair-level joins
+    // entirely (5.7 s vs 17 s post-checkpoint, sf1, local[32]).
     val buckets = postings.where(size(col("ids")) >= 2)
+      .select(col("sh"), explode(col("ids")).as("id"))
+      .join(sizes, Seq("id"))
+      .groupBy(col("sh"))
+      .agg(sort_array(collect_list(struct(col("id"), col("n_sh")))).as("xs"))
     // in-bucket pair generation as two Generate nodes (posexplode the
     // sorted list, then explode each suffix via slice) — pure codegen'd
     // collection functions; the nested-transform formulation evaluated its
     // lambdas interpreted per bucket element
     val shared = buckets
-      .select(posexplode(col("ids")).as(Seq("i", "id_a")), col("ids"))
-      .select(col("id_a"),
-        explode(slice(col("ids"), col("i") + 2, size(col("ids")) - col("i") - 1)).as("id_b"))
-      .groupBy(col("id_a"), col("id_b"))
+      .select(posexplode(col("xs")).as(Seq("i", "a")), col("xs"))
+      .select(col("a.id").as("id_a"), col("a.n_sh").as("n_a"),
+        explode(slice(col("xs"), col("i") + 2, size(col("xs")) - col("i") - 1)).as("b"))
+      .groupBy(col("id_a"), col("b.id").as("id_b"), col("n_a"), col("b.n_sh").as("n_b"))
       .agg(count(lit(1)).as("shared"))
-    // sizes has one row per document — at corpus scale that is NOT
-    // broadcastable; leave the strategy to Catalyst/AQE (it broadcasts at
-    // bench scale and shuffle-joins on the id beyond the threshold)
     val pairs = shared
-      .join(sizes.withColumnRenamed("id", "id_a").withColumnRenamed("n_sh", "n_a"), Seq("id_a"))
-      .join(sizes.withColumnRenamed("id", "id_b").withColumnRenamed("n_sh", "n_b"), Seq("id_b"))
       .select(col("id_a"), col("id_b"),
         (col("shared").cast("double") /
           (col("n_a") + col("n_b") - col("shared")).cast("double")).as("jaccard"))

@@ -12,9 +12,10 @@ import org.apache.spark.sql.functions._
 object Profile {
   def main(args: Array[String]): Unit = {
     val dir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
     val builder = SparkSession.builder()
-      .master("local[8]")
-      .config("spark.sql.shuffle.partitions", "8")
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
     if (args.contains("--aqe")) builder.config("spark.sql.adaptive.enabled", "true")
@@ -30,6 +31,13 @@ object Profile {
     val docs = Tables.documents(spark, dir)
     if (!args.contains("--no-cache")) docs.cache().count()
 
+    if (args.contains("--q20plan")) {
+      graft.GraftFunctions.ensureRegistered(spark)
+      val pairs = Dedup.ngramJaccard(docs, "doc_id", "text", 3, 0.5, 50)
+      pairs.count()
+      println(pairs.queryExecution.executedPlan.toString)
+      spark.stop(); return
+    }
     if (args.contains("--q20")) { q20Breakdown(spark, docs); spark.stop(); return }
     time("minhash full COLD")(Dedup.minHashLsh(docs, "doc_id", "text", 3, 16, 4, 0.5).count())
 
@@ -91,6 +99,66 @@ object Profile {
         explode(array_distinct(Text.fastWordShingles(col("text"), 3))).as("s"))
       .select(col("id"), Dedup.shingleKey(col("s")).as("sh"))
     warm("scan+shingle+md5+explode (map side)")(exploded.count())
+    // ---- SHIPPED pipeline, every stage incl. the ones after the
+    // checkpoint (write cost, sizes agg, final joins) ----
+    locally {
+      def mkCheckpoint() = exploded.groupBy(col("sh"))
+        .agg(sort_array(collect_list(col("id"))).as("ids"))
+        .where(size(col("ids")) <= 50)
+        .localCheckpoint(eager = true)
+      val throwaway = mkCheckpoint(); throwaway.unpersist(blocking = true) // warm
+      val t0 = System.nanoTime()
+      val postings = mkCheckpoint()
+      println(f"[q20] SHIPPED posting agg + checkpoint WRITE      ${(System.nanoTime() - t0) / 1e9}%8.2f s")
+      val sizes = postings.select(explode(col("ids")).as("id"))
+        .groupBy(col("id")).agg(count(lit(1)).as("n_sh"))
+      warm("SHIPPED sizes agg (from checkpoint)")(sizes.count())
+      val shared = postings.where(size(col("ids")) >= 2)
+        .select(posexplode(col("ids")).as(Seq("i", "id_a")), col("ids"))
+        .select(col("id_a"),
+          explode(slice(col("ids"), col("i") + 2, size(col("ids")) - col("i") - 1)).as("id_b"))
+        .groupBy(col("id_a"), col("id_b"))
+        .agg(count(lit(1)).as("shared"))
+      warm("SHIPPED pair gen + pair count")(shared.count())
+      warm("SHIPPED final joins + threshold")(shared
+        .join(sizes.withColumnRenamed("id", "id_a").withColumnRenamed("n_sh", "n_a"), Seq("id_a"))
+        .join(sizes.withColumnRenamed("id", "id_b").withColumnRenamed("n_sh", "n_b"), Seq("id_b"))
+        .select(col("id_a"), col("id_b"),
+          (col("shared").cast("double") /
+            (col("n_a") + col("n_b") - col("shared")).cast("double")).as("jaccard"))
+        .where(col("jaccard") >= 0.5).count())
+      postings.unpersist(blocking = true)
+    }
+    // ---- CANDIDATE pipeline: carry n_sh inside the posting lists so the
+    // pair aggregation emits (id_a, n_a, id_b, n_b) directly — the sizes
+    // join happens at the posting-ENTRY level (linear in index size), not
+    // the pair level (quadratic in bucket sizes) ----
+    locally {
+      val postings0 = exploded.groupBy(col("sh"))
+        .agg(sort_array(collect_list(col("id"))).as("ids"))
+        .where(size(col("ids")) <= 50)
+        .localCheckpoint(eager = true)
+      val sizes = postings0.select(explode(col("ids")).as("id"))
+        .groupBy(col("id")).agg(count(lit(1)).as("n_sh"))
+      val buckets = postings0.where(size(col("ids")) >= 2)
+        .select(col("sh"), explode(col("ids")).as("id"))
+        .join(sizes, Seq("id"))
+        .groupBy(col("sh"))
+        .agg(sort_array(collect_list(struct(col("id"), col("n_sh")))).as("xs"))
+      warm("CARRY-N re-agg (entry join + collect)")(buckets.count())
+      val shared = buckets
+        .select(posexplode(col("xs")).as(Seq("i", "a")), col("xs"))
+        .select(col("a.id").as("id_a"), col("a.n_sh").as("n_a"),
+          explode(slice(col("xs"), col("i") + 2, size(col("xs")) - col("i") - 1)).as("b"))
+        .groupBy(col("id_a"), col("b.id").as("id_b"), col("n_a"), col("b.n_sh").as("n_b"))
+        .agg(count(lit(1)).as("shared"))
+      warm("CARRY-N pair gen + count + threshold")(shared
+        .select(col("id_a"), col("id_b"),
+          (col("shared").cast("double") /
+            (col("n_a") + col("n_b") - col("shared")).cast("double")).as("jaccard"))
+        .where(col("jaccard") >= 0.5).count())
+      postings0.unpersist(blocking = true)
+    }
     // ---- OLD pipeline (pre-prefix-filter): full posting index, every
     // co-occurrence becomes a pair-count row ----
     val postingsPlan = exploded.groupBy(col("sh"))
