@@ -31,11 +31,13 @@ object Profile {
     val docs = Tables.documents(spark, dir)
     if (!args.contains("--no-cache")) docs.cache().count()
 
-    if (args.contains("--q20plan")) {
+    // --plan qNN_name: execute the query, print the EXECUTED physical plan
+    // (post-AQE join strategies — where static-stats mis-broadcasts show)
+    args.sliding(2).collectFirst { case Array("--plan", q) => q }.foreach { q =>
       graft.GraftFunctions.ensureRegistered(spark)
-      val pairs = Dedup.ngramJaccard(docs, "doc_id", "text", 3, 0.5, 50)
-      pairs.count()
-      println(pairs.queryExecution.executedPlan.toString)
+      val out = graft.SparkEntry.queries(q)(spark, dir)
+      out.count()
+      println(out.queryExecution.executedPlan.toString)
       spark.stop(); return
     }
     if (args.contains("--q20")) { q20Breakdown(spark, docs); spark.stop(); return }
