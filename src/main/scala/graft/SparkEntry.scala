@@ -132,6 +132,8 @@ object SparkEntry {
     "q71_dist_windows" -> q71,
     "q72_chunking" -> q72,
     "q73_tfidf" -> q73,
+    "q74_shuffle_shard" -> q74,
+    "q75_token_budget" -> q75,
   )
 
   // =====================================================================
@@ -1140,6 +1142,34 @@ object SparkEntry {
       .select(col("id").as("doc_id"), col("rank"), col("term"), col("tf"), col("df"))
       .orderBy(col("doc_id"), col("rank"))
 
+  /** Deterministic shuffle-and-shard: the content-keyed global permutation
+    * a training run applies before sharding the corpus across workers —
+    * reproducible across runs, engines, and input partitionings. The only
+    * wide work is a row_number window partitioned by SHARD (a shard's
+    * slice, never the dataset; no global window). */
+  private def q74(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Sampling.shuffleShard(
+        Tables.documents(s, dir).select(col("doc_id")),
+        "doc_id", nShards = 8, seed = "r5")
+      .select(col("doc_id"), col("shard"), col("pos"))
+      .orderBy(col("shard"), col("pos"))
+
+  /** Per-domain token-budget selection: greedy best-first mix assembly —
+    * each source contributes its highest-n_chars docs while the kept
+    * cumulative token count stays within budget; a doc that would cross
+    * the budget is skipped but SCANNING CONTINUES (later smaller docs
+    * still fit), which is why this is a per-domain sequential fold
+    * (q57's distributed shape) and the oracle a recursive CTE, not a
+    * window cumsum. */
+  private def q75(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Sampling.takeUntilBudget(
+        Tables.documents(s, dir).select(col("doc_id"), col("source"), col("n_chars"), col("text")),
+        domainCol = "source", idCol = "doc_id",
+        scoreCol = col("n_chars"), tokensCol = Text.tokenCount(col("text")),
+        budget = 700L)
+      .select(col("doc_id"), col("source"), col("n_tokens"), col("cum_tokens"), col("kept"))
+      .orderBy(col("doc_id"))
+
   // =====================================================================
   // DuckDB oracle SQL — same semantics, same column names, same ORDER BY.
   // =====================================================================
@@ -1948,6 +1978,39 @@ object SparkEntry {
              FROM tf JOIN df USING (term) CROSS JOIN n)
            SELECT doc_id, rank, term, tf, df FROM ranked
            WHERE rank <= 5 ORDER BY doc_id, rank""",
+
+      // content-keyed permutation: identical 60-bit md5 key, shard = key
+      // mod nShards, pos = rank within the shard (key order, id tiebreak)
+      "q74_shuffle_shard" ->
+        """WITH k AS (
+             SELECT doc_id,
+               CAST('0x' || substr(md5('r5:' || CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT) AS skey
+             FROM documents)
+           SELECT doc_id, CAST(skey % 8 AS INTEGER) AS shard,
+             CAST(row_number() OVER (PARTITION BY skey % 8 ORDER BY skey, doc_id) AS BIGINT) - 1 AS pos
+           FROM k ORDER BY shard, pos""",
+
+      // the engine's per-domain greedy fold must equal this recursive-CTE
+      // unroll of the same transition (skip-and-continue: a doc that would
+      // cross the budget is dropped, scanning continues)
+      "q75_token_budget" ->
+        s"""WITH RECURSIVE sized AS (
+             SELECT source, doc_id, CAST(len($toks) AS BIGINT) AS n_tokens,
+               row_number() OVER (PARTITION BY source ORDER BY n_chars DESC, doc_id) AS rn
+             FROM documents),
+           walked AS (
+             SELECT source, doc_id, n_tokens, rn,
+               CASE WHEN n_tokens <= 700 THEN n_tokens ELSE CAST(0 AS BIGINT) END AS cum_tokens,
+               n_tokens <= 700 AS kept
+             FROM sized WHERE rn = 1
+             UNION ALL
+             SELECT s.source, s.doc_id, s.n_tokens, s.rn,
+               CASE WHEN w.cum_tokens + s.n_tokens <= 700
+                 THEN w.cum_tokens + s.n_tokens ELSE w.cum_tokens END,
+               w.cum_tokens + s.n_tokens <= 700
+             FROM sized s JOIN walked w ON s.source = w.source AND s.rn = w.rn + 1)
+           SELECT doc_id, source, n_tokens, cum_tokens, kept
+           FROM walked ORDER BY doc_id""",
 
       "q68_group_cap" ->
         """SELECT doc_id, lang FROM (

@@ -263,4 +263,91 @@ object Sampling {
     }
     df.where(substring(md5(col(idCol).cast("string")), 1, 8) < rateCol)
   }
+
+  /** Deterministic shuffle-and-shard: the global reshuffle every training
+    * run does before sharding the dataset across workers, made CONTENT-
+    * keyed so the order is reproducible across runs, engines, and input
+    * partitionings (a seeded RDD shuffle is neither engine-portable nor
+    * stable under repartitioning). Each row's shuffle key is the first 15
+    * md5 hex digits of `seed:id` as a 60-bit long — uniform and mirrored
+    * exactly by the SQL oracle; `shard = key mod nShards`, `pos` = the
+    * row's rank inside its shard (key order, id tiebreak). Reading shard
+    * files in pos order replays one global pseudo-random permutation.
+    *
+    * Scale shape: shard assignment is a narrow projection; the only wide
+    * work is one row_number window PARTITIONED BY shard — nShards is sized
+    * to the training fleet (hundreds-thousands), so a window partition is
+    * one shard's slice, never the dataset. No global window, no
+    * single-reducer total order, one shuffle on the shard key. */
+  def shuffleShard(df: DataFrame, idCol: String, nShards: Int,
+                   seed: String = "shuffle"): DataFrame = {
+    require(nShards >= 1, s"nShards must be >= 1, got $nShards")
+    val key = conv(substring(
+      md5(concat(lit(seed), lit(":"), col(idCol).cast("string"))), 1, 15), 16, 10)
+      .cast("long")
+    val w = Window.partitionBy(col("shard")).orderBy(col("_skey"), col(idCol))
+    df.withColumn("_skey", key)
+      .withColumn("shard", pmod(col("_skey"), lit(nShards.toLong)).cast("int"))
+      .withColumn("pos", (row_number().over(w) - 1).cast("long"))
+      .drop("_skey")
+  }
+
+  /** Per-domain token-budget selection: order each domain's documents by
+    * a quality score (descending; id ascending tiebreak) and keep the
+    * best prefix whose CUMULATIVE token count stays within `budget` —
+    * the greedy recipe for assembling a fixed-size training mix from an
+    * oversized pool. A document that would cross the remaining budget is
+    * dropped, but scanning continues: later (smaller) documents that
+    * still fit are kept — i.e. the kept set is `{doc : cumsum(tokens of
+    * kept docs up to and incl. doc) <= budget}` under the quality order,
+    * computed as one conditional running sum per domain.
+    *
+    * The greedy skip-and-continue needs a SEQUENTIAL per-domain pass (a
+    * plain window cumsum cannot skip), so it reuses the facade's
+    * hash-partitioned per-key accumulate machinery shape: domains are
+    * independent, each domain's docs visit one partition in quality
+    * order. Scale: work per domain is linear; domains partition the
+    * corpus — same shape as q57's next-fit packing. For the oracle, the
+    * same transition unrolls as a recursive CTE.
+    *
+    * Output: the input columns plus `n_tokens` (the doc's token count),
+    * `cum_tokens` (running kept-total INCLUDING this doc if kept, else
+    * the unchanged kept-total), and `kept`. */
+  def takeUntilBudget(df: DataFrame, domainCol: String, idCol: String,
+                      scoreCol: Column, tokensCol: Column,
+                      budget: Long): DataFrame = {
+    require(budget >= 0, s"budget must be >= 0, got $budget")
+    import org.apache.spark.sql.{Encoders, Row}
+    import org.apache.spark.sql.types.{BooleanType, LongType, StructField, StructType}
+    val base = df.withColumn("n_tokens", tokensCol.cast("long"))
+      .withColumn("_score", scoreCol)
+    // Greedy transition state = kept-so-far token total; per-domain
+    // sequential pass in quality order — DataStream.mapAccumulateByKey's
+    // general-path shape (repartition on the key, sort within partitions,
+    // walk rows), done over Rows directly to keep the typed facade out of
+    // an operator with a caller-supplied dynamic schema.
+    val ordered = base.repartition(col(domainCol))
+      .sortWithinPartitions(col(domainCol), col("_score").desc, col(idCol))
+      .drop("_score")
+    val outSchema = StructType(ordered.schema.fields ++ Seq(
+      StructField("cum_tokens", LongType, nullable = false),
+      StructField("kept", BooleanType, nullable = false)))
+    val domIdx = ordered.schema.fieldIndex(domainCol)
+    val tokIdx = ordered.schema.fieldIndex("n_tokens")
+    ordered.mapPartitions { rows =>
+      var curDomain: Any = null
+      var started = false
+      var total = 0L
+      rows.map { r =>
+        val d = r.get(domIdx)
+        if (!started || !java.util.Objects.equals(d, curDomain)) {
+          total = 0L; curDomain = d; started = true
+        }
+        val t = if (r.isNullAt(tokIdx)) 0L else r.getLong(tokIdx)
+        val keep = total + t <= budget
+        if (keep) total += t
+        Row.fromSeq(r.toSeq :+ total :+ keep)
+      }
+    }(Encoders.row(outSchema))
+  }
 }

@@ -1200,4 +1200,52 @@ class OperatorsSpec extends SparkSuite {
       operators.Sampling.temperatureRates(df, "lang", alpha = 0.5, targetFraction = 1.5)
     }
   }
+
+  test("shuffleShard: dense per-shard positions, a true permutation, repartition-stable") {
+    import spark.implicits._
+    val df = (0L until 200L).toDF("id")
+    val out = operators.Sampling.shuffleShard(df, "id", nShards = 8, seed = "s")
+      .select("id", "shard", "pos").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+    assert(out.length == 200 && out.map(_._1).distinct.length == 200) // permutation: every row once
+    assert(out.forall(t => t._2 >= 0 && t._2 < 8))
+    // positions are dense 0..n-1 within each shard
+    out.groupBy(_._2).foreach { case (_, rows) =>
+      assert(rows.map(_._3).sorted.toSeq == (0L until rows.length).toSeq)
+    }
+    // content-keyed: identical assignment under any input partitioning
+    val out2 = operators.Sampling.shuffleShard(df.repartition(7), "id", nShards = 8, seed = "s")
+      .select("id", "shard", "pos").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    assert(out.toSet == out2)
+    // the seed changes the permutation (sanity: not the identity mapping)
+    val other = operators.Sampling.shuffleShard(df, "id", nShards = 8, seed = "t")
+      .select("id", "shard", "pos").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    assert(other != out.toSet)
+  }
+
+  test("takeUntilBudget: greedy skip-and-continue per domain, budget never exceeded") {
+    import spark.implicits._
+    def words(n: Int): String = (1 to n).map(i => s"w$i").mkString(" ")
+    // domain a (score order): 5, 4, 4(skip: would hit 13), 1(kept: lands exactly on 10)
+    // domain b: 20(skip: alone over budget), 3(kept after the skip)
+    val df = Seq(
+      (1L, "a", 40, words(5)), (2L, "a", 30, words(4)), (3L, "a", 20, words(4)), (4L, "a", 10, words(1)),
+      (10L, "b", 9, words(20)), (11L, "b", 8, words(3))
+    ).toDF("id", "dom", "score", "text")
+    val out = operators.Sampling.takeUntilBudget(df, "dom", "id",
+        scoreCol = col("score"), tokensCol = functions.Text.tokenCount(col("text")), budget = 10L)
+      .select("id", "cum_tokens", "kept").collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getBoolean(2)))).toMap
+    assert(out == Map(
+      1L -> ((5L, true)), 2L -> ((9L, true)), 3L -> ((9L, false)), 4L -> ((10L, true)),
+      10L -> ((0L, false)), 11L -> ((3L, true))))
+    // per-domain kept totals never exceed the budget, on any partitioning
+    val re = operators.Sampling.takeUntilBudget(df.repartition(5), "dom", "id",
+        scoreCol = col("score"), tokensCol = functions.Text.tokenCount(col("text")), budget = 10L)
+      .select("id", "cum_tokens", "kept").collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getBoolean(2)))).toMap
+    assert(re == out)
+  }
 }
