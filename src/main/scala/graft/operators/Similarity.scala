@@ -179,10 +179,32 @@ object Similarity {
   def ivfTopK(queries: DataFrame, corpus: DataFrame,
               idCol: String, vecCol: String, k: Int,
               nCentroids: Int = 16, probes: Int = 4, iterations: Int = 1,
-              miniBatchFraction: Double = 1.0): DataFrame = {
+              miniBatchFraction: Double = 1.0): DataFrame =
+    searchIvfIndex(queries,
+      buildIvfIndex(corpus, idCol, vecCol, nCentroids, iterations, miniBatchFraction),
+      idCol, vecCol, k, probes)
+
+  /** A trained IVF index: the centroid MODEL (≤ nCentroids rows of dim
+    * doubles — driver-resident, like Spark's own KMeansModel) plus the
+    * cluster-keyed assignment table (cluster, neighbor_id, cnv =
+    * L2-normalized vector; one row per corpus vector). Build once per
+    * corpus with [[buildIvfIndex]], persist with [[writeIvfIndex]] /
+    * [[readIvfIndex]], serve query batches with [[searchIvfIndex]] —
+    * the production lifecycle, where clustering cost amortizes over every
+    * subsequent batch instead of re-running per search (the same
+    * store-don't-recompute shape as the q63/q66 dedup index). */
+  final case class IvfIndex(centroids: Array[(Int, Array[Double])],
+                            assignments: DataFrame)
+
+  /** Train centroids and index every corpus vector under its nearest one.
+    * One corpus scan per Lloyd iteration plus one to index; see
+    * [[ivfTopK]]'s scale notes. */
+  def buildIvfIndex(corpus: DataFrame, idCol: String, vecCol: String,
+                    nCentroids: Int = 16, iterations: Int = 1,
+                    miniBatchFraction: Double = 1.0): IvfIndex = {
     require(miniBatchFraction > 0.0 && miniBatchFraction <= 1.0,
       s"miniBatchFraction must be in (0,1], got $miniBatchFraction")
-    GraftFunctions.ensureRegistered(queries.sparkSession)
+    GraftFunctions.ensureRegistered(corpus.sparkSession)
 
     // work on L2-normalized copies: dot ≡ cosine, means stay meaningful
     val c = corpus.select(col(idCol).as("cid_"), Vectors.l2normalize(col(vecCol)).as("nv"))
@@ -255,24 +277,62 @@ object Similarity {
     val indexed = c
       .withColumn("cluster", bestCluster(col("nv")))
       .select(col("cid_").as("neighbor_id"), col("cluster"), col("nv").as("cnv"))
+    IvfIndex(centroids, indexed)
+  }
 
+  /** Serve one query batch from a built (or read-back) index: probe the
+    * `probes` nearest clusters per query, fetch candidates by a cluster-id
+    * equi-join, exact-rerank. The corpus is never scanned — only the
+    * probed slices of the assignment table move. */
+  def searchIvfIndex(queries: DataFrame, index: IvfIndex,
+                     idCol: String, vecCol: String, k: Int,
+                     probes: Int = 4): DataFrame = {
+    GraftFunctions.ensureRegistered(queries.sparkSession)
+    def centroidCol(v: Array[Double]): Column = array(v.map(lit(_)): _*)
+    val scoreStructs: Seq[Column] = index.centroids.map { case (cl, v) =>
+      struct(Vectors.fastDot(col("qnv"), centroidCol(v)).as("score"), lit(-cl).as("negc"))
+    }.toSeq
     // per-query probe list: top-`probes` clusters by centroid similarity —
-    // again a narrow expression (sort the tiny per-row score array)
+    // a narrow expression (sort the tiny per-row score array)
     val q = queries.select(col(idCol).as("query_id"), Vectors.l2normalize(col(vecCol)).as("qnv"))
     val probed = q
       .withColumn("probe", explode(slice(
-        sort_array(array(scoreStructs(col("qnv")): _*), asc = false), 1, probes)))
+        sort_array(array(scoreStructs: _*), asc = false), 1, probes)))
       .select(col("query_id"), col("qnv"), (-col("probe.negc")).cast("int").as("cluster"))
 
     val rankW = Window.partitionBy(col("query_id"))
       .orderBy(col("cosine").desc, col("neighbor_id").asc)
-    probed.join(indexed, Seq("cluster"))
+    probed.join(index.assignments, Seq("cluster"))
       .where(col("neighbor_id") =!= col("query_id"))
       .select(col("query_id"), col("neighbor_id"),
         Vectors.fastDot(col("qnv"), col("cnv")).as("cosine"))
       .withColumn("rank", row_number().over(rankW))
       .where(col("rank") <= k)
       .select(col("query_id"), col("rank"), col("neighbor_id"), col("cosine"))
+  }
+
+  /** Persist an IVF index as two tables: `<name>_centroids` (the model —
+    * ≤ nCentroids rows) and `<name>_assign`, BUCKETED on the cluster id so
+    * a probe's candidate fetch reads matching buckets without a shuffle of
+    * the assignment table. The executable twin of "in production the index
+    * is a STORED table". */
+  def writeIvfIndex(index: IvfIndex, name: String, buckets: Int = 32): Unit = {
+    val spark = index.assignments.sparkSession
+    import spark.implicits._
+    graft.sources.Tables.saveTable(
+      index.centroids.toSeq.map { case (cl, v) => (cl, v.toSeq) }
+        .toDF("cluster", "centroid"),
+      s"${name}_centroids")
+    graft.sources.Tables.writeBucketed(index.assignments, s"${name}_assign", buckets, "cluster")
+  }
+
+  /** Read a persisted IVF index back. The centroid collect is model-sized
+    * (≤ nCentroids rows); assignments stay a lazy bucketed table. */
+  def readIvfIndex(spark: org.apache.spark.sql.SparkSession, name: String): IvfIndex = {
+    val centroids = spark.table(s"${name}_centroids")
+      .collect().map(r => (r.getInt(0), r.getSeq[Double](1).toArray))
+      .sortBy(_._1)
+    IvfIndex(centroids, spark.table(s"${name}_assign"))
   }
 
   /** Two-stage IVF ANN over an int8-QUANTIZED corpus: the standard

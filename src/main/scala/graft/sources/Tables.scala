@@ -83,18 +83,26 @@ object Tables {
     * plans with no exchange (ScaleSpec asserts the shuffle-free join).
     * Bucket count sets read parallelism — size it so a bucket fits an
     * executor's memory at the target scale. */
-  def writeBucketed(df: DataFrame, table: String, buckets: Int, keys: String*): Unit = {
-    require(keys.nonEmpty, "writeBucketed needs at least one bucket key")
-    val spark = df.sparkSession
-    // overwrite must also cover the ORPHANED case: a previous session's
-    // managed-table directory with no entry in this session's (in-memory)
-    // catalog — CREATE would fail with LOCATION_ALREADY_EXISTS
+  /** Overwrite must also cover the ORPHANED case: a previous session's
+    * managed-table directory with no entry in this session's (in-memory)
+    * catalog — CREATE would fail with LOCATION_ALREADY_EXISTS. */
+  private def dropOrphanedLocation(spark: SparkSession, table: String): Unit =
     if (!spark.catalog.tableExists(table)) {
       val loc = new org.apache.hadoop.fs.Path(
         spark.conf.get("spark.sql.warehouse.dir"), table.toLowerCase)
       val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
       if (fs.exists(loc)) fs.delete(loc, true)
     }
+
+  /** Plain managed-parquet overwrite with the orphaned-location guard. */
+  def saveTable(df: DataFrame, table: String): Unit = {
+    dropOrphanedLocation(df.sparkSession, table)
+    df.write.mode("overwrite").format("parquet").saveAsTable(table)
+  }
+
+  def writeBucketed(df: DataFrame, table: String, buckets: Int, keys: String*): Unit = {
+    require(keys.nonEmpty, "writeBucketed needs at least one bucket key")
+    dropOrphanedLocation(df.sparkSession, table)
     df.write.mode("overwrite")
       .bucketBy(buckets, keys.head, keys.tail: _*)
       .sortBy(keys.head, keys.tail: _*)

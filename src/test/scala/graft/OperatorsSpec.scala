@@ -329,6 +329,34 @@ class OperatorsSpec extends SparkSuite {
     assert(n == q.count() * 10)
   }
 
+  test("IVF index lifecycle: build -> write -> read -> search equals in-memory search") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(13)
+    val bases = (0 until 5).map(_ => Array.fill(16)(rnd.nextGaussian().toFloat))
+    val vecs = (0 until 100).map { i =>
+      val b = bases(i % 5)
+      (i.toLong, b.zipWithIndex.map { case (x, d) => x + 0.01f * ((i * 16 + d) % 7 - 3) })
+    }.toDF("vec_id", "embedding")
+    val q = vecs.where($"vec_id" < 5)
+    val idx = Similarity.buildIvfIndex(vecs, "vec_id", "embedding", nCentroids = 8, iterations = 2)
+    val direct = Similarity.searchIvfIndex(q, idx, "vec_id", "embedding", 5, probes = 2)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    // ivfTopK IS build + search — the refactor must not change results
+    val viaTopK = Similarity.ivfTopK(q, vecs, "vec_id", "embedding", 5,
+        nCentroids = 8, probes = 2, iterations = 2)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    assert(direct == viaTopK)
+    // disk round-trip: the model survives bit-exactly, the search result
+    // from the bucketed read-back index is identical
+    Similarity.writeIvfIndex(idx, "ivf_spec_idx", buckets = 4)
+    val back = Similarity.readIvfIndex(spark, "ivf_spec_idx")
+    assert(back.centroids.map(_._1).toSeq == idx.centroids.map(_._1).toSeq)
+    assert(back.centroids.zip(idx.centroids).forall { case ((_, a), (_, b)) => a.sameElements(b) })
+    val fromDisk = Similarity.searchIvfIndex(q, back, "vec_id", "embedding", 5, probes = 2)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    assert(fromDisk == direct)
+  }
+
   test("LSH ANN sanity on real (diffuse) embeddings; multiprobe lifts recall") {
     // measured: top-10 neighbors here sit at cosine ≈ 0.3 (θ ≈ 72°), where
     // theory gives per-table collision (1-θ/π)^6 ≈ 0.05 → recall ≈ 0.17
