@@ -292,6 +292,19 @@ object Sampling {
       .drop("_skey")
   }
 
+  /** Materialize [[shuffleShard]]'s permutation as training shards on
+    * disk: `path/shard=N/` directories, each shard's rows stored in `pos`
+    * order so a training worker streams its shard sequentially with no
+    * further sort. One shuffle total: repartition on the shard id puts
+    * each shard in exactly one task, `sortWithinPartitions` orders it,
+    * and the partitioned write splits directories without re-shuffling. */
+  def writeShards(df: DataFrame, idCol: String, nShards: Int, path: String,
+                  seed: String = "shuffle"): Unit =
+    shuffleShard(df, idCol, nShards, seed)
+      .repartition(col("shard"))
+      .sortWithinPartitions(col("shard"), col("pos"))
+      .write.mode("overwrite").partitionBy("shard").parquet(path)
+
   /** Per-domain token-budget selection: order each domain's documents by
     * a quality score (descending; id ascending tiebreak) and keep the
     * best prefix whose CUMULATIVE token count stays within `budget` —

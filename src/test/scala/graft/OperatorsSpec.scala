@@ -1253,6 +1253,28 @@ class OperatorsSpec extends SparkSuite {
     assert(other != out.toSet)
   }
 
+  test("writeShards: each shard directory replays its slice of the permutation in pos order") {
+    import spark.implicits._
+    val df = (0L until 100L).toDF("id")
+    val dir = java.nio.file.Files.createTempDirectory("graft_shards").toString
+    try {
+      operators.Sampling.writeShards(df, "id", nShards = 4, path = dir, seed = "s")
+      val expected = operators.Sampling.shuffleShard(df, "id", nShards = 4, seed = "s")
+        .where(col("shard") === 2).orderBy(col("pos"))
+        .select("id").collect().map(_.getLong(0)).toSeq
+      // a worker's read pattern: its shard directory, streamed in file order
+      val got = spark.read.parquet(s"$dir/shard=2")
+        .select("id").collect().map(_.getLong(0)).toSeq
+      assert(got == expected, "shard file order must equal pos order")
+      // all four shard directories exist and the union is the full dataset
+      val all = spark.read.parquet(dir)
+      assert(all.select("shard").distinct().count() == 4)
+      assert(all.count() == 100 && all.select("id").distinct().count() == 100)
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+    }
+  }
+
   test("takeUntilBudget: greedy skip-and-continue per domain, budget never exceeded") {
     import spark.implicits._
     def words(n: Int): String = (1 to n).map(i => s"w$i").mkString(" ")

@@ -207,4 +207,25 @@ class ScaleSpec extends SparkSuite {
     assert(exchangeIdx >= 0 && exchangeIdx < expandIdx,
       s"Expand should be below (after) the first Exchange in toString order:\n$uPlan")
   }
+
+  test("shuffle-shard: the only window is per-SHARD; token budget: per-domain, never one partition") {
+    val sharded = SparkEntry.queries("q74_shuffle_shard")(spark, sf0001)
+    sharded.collect()
+    val p74 = sharded.queryExecution.executedPlan.toString
+    // the pos ranking must partition by shard — a global (empty-partition)
+    // window would serialize the dataset through one task at 100 TB
+    assert("Window \\[[^\\n]*\\], \\[shard".r.findFirstIn(p74).nonEmpty,
+      s"pos window not partitioned by shard:\n$p74")
+    assert(!p74.contains("SinglePartition"), s"global exchange in shuffle-shard plan:\n$p74")
+
+    val budget = SparkEntry.queries("q75_token_budget")(spark, sf0001)
+    budget.collect()
+    val p75 = budget.queryExecution.executedPlan.toString
+    // the greedy fold hash-partitions on the domain (q57's distributed
+    // shape) — the ORDER BY's range exchange is the only other exchange
+    assert(p75.contains("Exchange hashpartitioning(source"),
+      s"token-budget fold not partitioned by domain:\n$p75")
+    assert(!p75.contains("SinglePartition") && !p75.contains("Coalesce 1"),
+      s"token-budget plan serializes through one partition:\n$p75")
+  }
 }
