@@ -279,14 +279,27 @@ object Sampling {
     * to the training fleet (hundreds-thousands), so a window partition is
     * one shard's slice, never the dataset. No global window, no
     * single-reducer total order, one shuffle on the shard key. */
+  /** [[shuffleShard]]'s 60-bit content-keyed shuffle key as a bare
+    * column — shared with the shard column and the streaming twin so the
+    * three stay bit-identical. */
+  private[graft] def shuffleKey(idCol: Column, seed: String): Column =
+    conv(substring(
+      md5(concat(lit(seed), lit(":"), idCol.cast("string"))), 1, 15), 16, 10)
+      .cast("long")
+
+  /** The shard id of [[shuffleShard]] as a bare per-row column (narrow,
+    * stateless) — the streaming ingest twin routes arriving rows with the
+    * IDENTICAL assignment. */
+  def shardCol(idCol: Column, nShards: Int, seed: String = "shuffle"): Column = {
+    require(nShards >= 1, s"nShards must be >= 1, got $nShards")
+    pmod(shuffleKey(idCol, seed), lit(nShards.toLong)).cast("int")
+  }
+
   def shuffleShard(df: DataFrame, idCol: String, nShards: Int,
                    seed: String = "shuffle"): DataFrame = {
     require(nShards >= 1, s"nShards must be >= 1, got $nShards")
-    val key = conv(substring(
-      md5(concat(lit(seed), lit(":"), col(idCol).cast("string"))), 1, 15), 16, 10)
-      .cast("long")
     val w = Window.partitionBy(col("shard")).orderBy(col("_skey"), col(idCol))
-    df.withColumn("_skey", key)
+    df.withColumn("_skey", shuffleKey(col(idCol), seed))
       .withColumn("shard", pmod(col("_skey"), lit(nShards.toLong)).cast("int"))
       .withColumn("pos", (row_number().over(w) - 1).cast("long"))
       .drop("_skey")

@@ -207,6 +207,20 @@ object Streams {
                                 rates: DataFrame): DataFrame =
     graft.operators.Sampling.applyRates(docs, idCol, domainCol, rates)
 
+  /** Streaming shard routing: the shard-assignment half of
+    * [[graft.operators.Sampling.shuffleShard]] applied per arriving row —
+    * the identical content-keyed assignment (spec-asserted), so a
+    * streaming ingest routes docs into the same training shards a batch
+    * job produces (e.g. `writeStream.partitionBy("shard")`). Stateless
+    * narrow projection. In-shard `pos` is inherently a finalized-dataset
+    * notion — a stream appends within its shard in arrival order, and the
+    * batch [[graft.operators.Sampling.writeShards]] pass assigns
+    * positions when the dataset is cut. */
+  def assignShardsStream(docs: DataFrame, idCol: String, nShards: Int,
+                         seed: String = "shuffle"): DataFrame =
+    docs.withColumn("shard",
+      graft.operators.Sampling.shardCol(col(idCol), nShards, seed))
+
   /** EXACT confirmation of [[incrementalDedupStream]]'s `might_be_exact_dup`
     * flag: a stream-static LEFT SEMI join of the (fpp-bounded) flagged
     * sliver against the index's true fingerprint set. Emits exactly the

@@ -484,6 +484,30 @@ class StreamingSpec extends SparkSuite {
     } finally q.stop()
   }
 
+  test("streaming shard routing matches the batch shard assignment exactly, stateless") {
+    import spark.implicits._
+    val ids = (0L until 100L)
+    val batchShards = graft.operators.Sampling
+      .shuffleShard(ids.toDF("doc_id"), "doc_id", nShards = 8, seed = "s")
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Long]
+    val out = Streams.assignShardsStream(input.toDF().toDF("doc_id"), "doc_id", 8, "s")
+    val q = out.writeStream.outputMode("append").format("memory").queryName("shards").start()
+    try {
+      input.addData(ids: _*)
+      q.processAllAvailable()
+      val streamShards = spark.table("shards").collect()
+        .map(r => r.getLong(0) -> r.getInt(1)).toMap
+      assert(streamShards == batchShards)
+      val executed = q.asInstanceOf[org.apache.spark.sql.execution.streaming.runtime.StreamingQueryWrapper]
+        .streamingQuery.lastExecution.executedPlan
+      assert(executed.collect {
+        case p if p.getClass.getName.contains("StateStore") => p }.isEmpty)
+    } finally q.stop()
+  }
+
   test("stream-static exact-dup confirmation: bloom false positives die, still stateless") {
     import spark.implicits._
     val corpusText = "the quick brown fox jumps over the lazy dog near the river bank today"
