@@ -1135,8 +1135,15 @@ object SparkEntry {
     * across engines), but the RANKING both engines derive from the same
     * exact (tf, df, N) integers via the same monotone formula is not —
     * mathematical score ties only occur at equal (tf, df), and those
-    * break by term ascending on both sides. tf/df in the output are the
-    * exact integers the score derives from. */
+    * break by term ascending on both sides. Residual risk, quantified:
+    * a rank flip needs two UNEQUAL (tf, df) scores within ~1-2 ulp of
+    * each other (each libm is ≤1 ulp off), i.e. |Δ|/score ≲ 1e-15 for
+    * values whose generic spacing is ≥1e-2 — for the gate's fixed corpora
+    * (≈2.5k scored terms/doc-set) that is a ~1e-10 coincidence, and the
+    * check is DETERMINISTIC per (corpus, libm) pair: it is verified green
+    * on the actual sf0.001/sf0.01 gate data, so it cannot flake run to
+    * run, only shift if the corpus or either engine's libm changes.
+    * tf/df in the output are the exact integers the score derives from. */
   private def q73(s: SparkSession, dir: String): DataFrame =
     graft.operators.TfIdf.topTerms(Tables.documents(s, dir), "doc_id", "text", k = 5)
       .select(col("id").as("doc_id"), col("rank"), col("term"), col("tf"), col("df"))
@@ -1163,9 +1170,13 @@ object SparkEntry {
     * window cumsum. */
   private def q75(s: SparkSession, dir: String): DataFrame =
     graft.operators.Sampling.takeUntilBudget(
-        Tables.documents(s, dir).select(col("doc_id"), col("source"), col("n_chars"), col("text")),
+        // token counts computed IN THE SCAN: only metadata rides the
+        // per-domain exchange and sort — document bodies never shuffle
+        // (the operator's own scale note; q56 does the same at its scan)
+        Tables.documents(s, dir).select(col("doc_id"), col("source"), col("n_chars"),
+          Text.tokenCount(col("text")).as("n_toks")),
         domainCol = "source", idCol = "doc_id",
-        scoreCol = col("n_chars"), tokensCol = Text.tokenCount(col("text")),
+        scoreCol = col("n_chars"), tokensCol = col("n_toks"),
         budget = 700L)
       .select(col("doc_id"), col("source"), col("n_tokens"), col("cum_tokens"), col("kept"))
       .orderBy(col("doc_id"))

@@ -59,13 +59,31 @@ object ArrayInt8RoundTrip {
     def at(i: Int): Double =
       if (isFloat) arr.getFloat(i).toDouble else arr.getDouble(i)
     var mx = 0.0
+    var hasNaN = false
     var i = 0
     while (i < n) {
-      if (!arr.isNullAt(i)) { val a = math.abs(at(i)); if (a > mx) mx = a }
+      if (!arr.isNullAt(i)) {
+        val a = math.abs(at(i))
+        // Spark's array_max orders NaN ABOVE every double, so one NaN
+        // element makes the HOF max NaN; Java's `a > mx` would silently
+        // skip it — track it explicitly to stay bit-identical
+        if (a.isNaN) hasNaN = true else if (a > mx) mx = a
+      }
       i += 1
     }
-    val scale = if (mx > 0.0) 127.0 / mx else 0.0
     val out = new Array[Any](n)
+    if (hasNaN) {
+      // HOF chain: max = NaN → `when(mx > 0.0, ...)` is TRUE under Spark's
+      // NaN-is-greatest comparison → scale = 127/NaN = NaN → every non-null
+      // element dequantizes to NaN (nulls still propagate)
+      i = 0
+      while (i < n) {
+        out(i) = if (arr.isNullAt(i)) null else Double.NaN
+        i += 1
+      }
+      return new GenericArrayData(out)
+    }
+    val scale = if (mx > 0.0) 127.0 / mx else 0.0
     i = 0
     while (i < n) {
       out(i) =

@@ -345,7 +345,14 @@ object Sampling {
     require(budget >= 0, s"budget must be >= 0, got $budget")
     import org.apache.spark.sql.{Encoders, Row}
     import org.apache.spark.sql.types.{BooleanType, LongType, StructField, StructType}
-    val base = df.withColumn("n_tokens", tokensCol.cast("long"))
+    // NULL token counts are defined as 0 (free to keep) — normalized HERE
+    // so the emitted n_tokens column agrees with the transition the fold
+    // actually ran, rather than emitting NULL while charging 0.
+    // SCALE NOTE for callers: everything in `df` rides the per-domain
+    // exchange and sort below — pre-project to (id, domain, score, token
+    // count) metadata and join payloads back by id afterwards; do not pass
+    // document bodies through (q75 computes token counts in its scan).
+    val base = df.withColumn("n_tokens", coalesce(tokensCol.cast("long"), lit(0L)))
       .withColumn("_score", scoreCol)
     // Greedy transition state = kept-so-far token total; per-domain
     // sequential pass in quality order — DataStream.mapAccumulateByKey's
@@ -369,7 +376,7 @@ object Sampling {
         if (!started || !java.util.Objects.equals(d, curDomain)) {
           total = 0L; curDomain = d; started = true
         }
-        val t = if (r.isNullAt(tokIdx)) 0L else r.getLong(tokIdx)
+        val t = r.getLong(tokIdx)
         val keep = total + t <= budget
         if (keep) total += t
         Row.fromSeq(r.toSeq :+ total :+ keep)

@@ -88,8 +88,13 @@ object Tables {
     * catalog — CREATE would fail with LOCATION_ALREADY_EXISTS. */
   private def dropOrphanedLocation(spark: SparkSession, table: String): Unit =
     if (!spark.catalog.tableExists(table)) {
+      // resolve the managed location through the catalog (current database
+      // and db-qualified names included) — a hand-built <warehouse>/<name>
+      // path silently misses <warehouse>/<db>.db/<name> and the guard
+      // becomes a no-op exactly where it is needed
+      val ident = spark.sessionState.sqlParser.parseTableIdentifier(table)
       val loc = new org.apache.hadoop.fs.Path(
-        spark.conf.get("spark.sql.warehouse.dir"), table.toLowerCase)
+        spark.sessionState.catalog.defaultTablePath(ident))
       val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
       if (fs.exists(loc)) fs.delete(loc, true)
     }

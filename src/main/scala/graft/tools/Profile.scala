@@ -36,7 +36,10 @@ object Profile {
     args.sliding(2).collectFirst { case Array("--plan", q) => q }.foreach { q =>
       graft.GraftFunctions.ensureRegistered(spark)
       val out = graft.SparkEntry.queries(q)(spark, dir)
-      out.count()
+      // execute THIS df's own QueryExecution (a .count() would build a
+      // separate one, and the printed AdaptiveSparkPlan would still show
+      // the pre-AQE static strategies with isFinalPlan=false)
+      out.collect()
       println(out.queryExecution.executedPlan.toString)
       spark.stop(); return
     }
@@ -101,8 +104,9 @@ object Profile {
         explode(array_distinct(Text.fastWordShingles(col("text"), 3))).as("s"))
       .select(col("id"), Dedup.shingleKey(col("s")).as("sh"))
     warm("scan+shingle+md5+explode (map side)")(exploded.count())
-    // ---- SHIPPED pipeline, every stage incl. the ones after the
-    // checkpoint (write cost, sizes agg, final joins) ----
+    // ---- ROUND-4 pipeline (pre-carry-N, REMOVED from Dedup in round 5):
+    // kept here as the A/B baseline — its pair-level sizes joins are the
+    // stage the carry-N rewrite deleted ----
     locally {
       def mkCheckpoint() = exploded.groupBy(col("sh"))
         .agg(sort_array(collect_list(col("id"))).as("ids"))
@@ -111,18 +115,18 @@ object Profile {
       val throwaway = mkCheckpoint(); throwaway.unpersist(blocking = true) // warm
       val t0 = System.nanoTime()
       val postings = mkCheckpoint()
-      println(f"[q20] SHIPPED posting agg + checkpoint WRITE      ${(System.nanoTime() - t0) / 1e9}%8.2f s")
+      println(f"[q20] R4-pair-join posting agg + checkpoint WRITE      ${(System.nanoTime() - t0) / 1e9}%8.2f s")
       val sizes = postings.select(explode(col("ids")).as("id"))
         .groupBy(col("id")).agg(count(lit(1)).as("n_sh"))
-      warm("SHIPPED sizes agg (from checkpoint)")(sizes.count())
+      warm("R4-pair-join sizes agg (from checkpoint)")(sizes.count())
       val shared = postings.where(size(col("ids")) >= 2)
         .select(posexplode(col("ids")).as(Seq("i", "id_a")), col("ids"))
         .select(col("id_a"),
           explode(slice(col("ids"), col("i") + 2, size(col("ids")) - col("i") - 1)).as("id_b"))
         .groupBy(col("id_a"), col("id_b"))
         .agg(count(lit(1)).as("shared"))
-      warm("SHIPPED pair gen + pair count")(shared.count())
-      warm("SHIPPED final joins + threshold")(shared
+      warm("R4-pair-join pair gen + pair count")(shared.count())
+      warm("R4-pair-join final joins + threshold")(shared
         .join(sizes.withColumnRenamed("id", "id_a").withColumnRenamed("n_sh", "n_a"), Seq("id_a"))
         .join(sizes.withColumnRenamed("id", "id_b").withColumnRenamed("n_sh", "n_b"), Seq("id_b"))
         .select(col("id_a"), col("id_b"),
@@ -131,7 +135,7 @@ object Profile {
         .where(col("jaccard") >= 0.5).count())
       postings.unpersist(blocking = true)
     }
-    // ---- CANDIDATE pipeline: carry n_sh inside the posting lists so the
+    // ---- SHIPPED (round-5 carry-N) pipeline: n_sh carried inside the posting lists so the
     // pair aggregation emits (id_a, n_a, id_b, n_b) directly — the sizes
     // join happens at the posting-ENTRY level (linear in index size), not
     // the pair level (quadratic in bucket sizes) ----
@@ -147,14 +151,14 @@ object Profile {
         .join(sizes, Seq("id"))
         .groupBy(col("sh"))
         .agg(sort_array(collect_list(struct(col("id"), col("n_sh")))).as("xs"))
-      warm("CARRY-N re-agg (entry join + collect)")(buckets.count())
+      warm("SHIPPED carry-n re-agg (entry join + collect)")(buckets.count())
       val shared = buckets
         .select(posexplode(col("xs")).as(Seq("i", "a")), col("xs"))
         .select(col("a.id").as("id_a"), col("a.n_sh").as("n_a"),
           explode(slice(col("xs"), col("i") + 2, size(col("xs")) - col("i") - 1)).as("b"))
         .groupBy(col("id_a"), col("b.id").as("id_b"), col("n_a"), col("b.n_sh").as("n_b"))
         .agg(count(lit(1)).as("shared"))
-      warm("CARRY-N pair gen + count + threshold")(shared
+      warm("SHIPPED carry-n pair gen + count + threshold")(shared
         .select(col("id_a"), col("id_b"),
           (col("shared").cast("double") /
             (col("n_a") + col("n_b") - col("shared")).cast("double")).as("jaccard"))

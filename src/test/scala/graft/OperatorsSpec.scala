@@ -1197,7 +1197,12 @@ class OperatorsSpec extends SparkSuite {
     val df = Seq(
       (1L, Seq(Some(1.0f), None, Some(-3.0f))), // null element, scale > 0
       (2L, Seq[Option[Float]](None, None)),     // all-null: scale 0 -> all 0.0
-      (3L, Seq(Some(0.0f), Some(0.0f)))         // all-zero: scale 0 -> all 0.0
+      (3L, Seq(Some(0.0f), Some(0.0f))),        // all-zero: scale 0 -> all 0.0
+      // NaN: Spark's array_max ranks NaN above all doubles -> scale NaN ->
+      // every non-null element NaN (a Java `>` max loop would skip it)
+      (4L, Seq(Some(5.0f), Some(Float.NaN), None)),
+      // Infinity: scale = 127/Inf = 0.0 -> all elements (incl. null) 0.0
+      (5L, Seq(Some(1.0f), Some(Float.PositiveInfinity)))
     ).toDF("id", "embedding")
     val diverged = df.select(
         Vectors.dequantizeInt8(Vectors.quantizeInt8(col("embedding"))).as("hof"),

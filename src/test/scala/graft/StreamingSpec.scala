@@ -130,11 +130,13 @@ class StreamingSpec extends SparkSuite {
       input.addData((5L, "quick"), (99L, "advance"))
       q.processAllAvailable()
       val rows = spark.table("uwc").collect()
-        .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
-      // the COMPLETE emission history of window [10,20): the intermediate
-      // value 2 (batch 1), the final value 3 (batch 2's update) — and
-      // nothing else: batch 3 must not re-emit the untouched window
-      assert(rows.filter(r => r._1 == "quick" && r._2 == 10L).map(_._3) == Set(2L, 3L),
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+      // the COMPLETE emission history of window [10,20) as a MULTISET (a
+      // Set compare would mask a duplicate re-emission of an already-seen
+      // value): the intermediate value 2 (batch 1), the final value 3
+      // (batch 2's update) — exactly once each: batch 3 must not re-emit
+      // the untouched window
+      assert(rows.filter(r => r._1 == "quick" && r._2 == 10L).map(_._3).sorted == Seq(2L, 3L),
         s"window [10,20) emissions wrong: $rows")
       assert(!rows.exists(r => r._1 == "quick" && r._2 == 0L), s"late row leaked: $rows")
     } finally q.stop()
