@@ -341,4 +341,38 @@ object Streams {
           out.iterator
       }
   }
+
+  /** Streaming per-domain token-budget admission — the ONLINE variant of
+    * [[graft.operators.Sampling.takeUntilBudget]]: arriving docs are
+    * admitted while the domain's kept token total stays within `budget`,
+    * a doc that would cross it is rejected, and SCANNING CONTINUES
+    * (later smaller docs still fit) — the same skip-and-continue
+    * transition, folded in (seq, id) order. The batch operator ranks by
+    * quality because a finalized pool can be sorted; a stream cannot see
+    * its tail, so admission order is the stream's explicit sequence —
+    * that is the semantic difference, not an approximation. State per
+    * domain: ONE long (the kept total), no timeout — bounded by the
+    * domain count, not the stream.
+    *
+    * Input: (domain, id, seq, tokens). Output: (domain, id, tokens, kept)
+    * in fold order. */
+  def tokenBudgetStream(docs: Dataset[(String, Long, Long, Long)],
+                        budget: Long): Dataset[(String, Long, Long, Boolean)] = {
+    require(budget >= 0, s"budget must be >= 0, got $budget")
+    import docs.sparkSession.implicits._
+    docs
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[Long, (String, Long, Long, Boolean)](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (domain: String, rows: Iterator[(String, Long, Long, Long)], state: GroupState[Long]) =>
+          var total = state.getOption.getOrElse(0L)
+          val out = rows.toSeq.sortBy(r => (r._3, r._2)).map { case (_, id, _, tok) =>
+            val keep = total + tok <= budget
+            if (keep) total += tok
+            (domain, id, tok, keep)
+          }
+          state.update(total)
+          out.iterator
+      }
+  }
 }

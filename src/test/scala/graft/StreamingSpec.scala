@@ -386,6 +386,32 @@ class StreamingSpec extends SparkSuite {
     } finally q.stop()
   }
 
+  test("streaming token-budget admission: skip-and-continue within a batch, state across batches") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(String, Long, Long, Long)] // (domain, id, seq, tokens)
+    val out = Streams.tokenBudgetStream(input.toDS(), budget = 10L)
+    val q = out.toDF("dom", "id", "tok", "kept").writeStream
+      .outputMode("append").format("memory").queryName("tb").start()
+    try {
+      // batch 1, domain a in seq order: 5 (keep, 5), 4 (keep, 9),
+      // 4 (would hit 13 — skip), 1 (keep: lands exactly on 10)
+      input.addData(("a", 1L, 1L, 5L), ("a", 2L, 2L, 4L), ("a", 3L, 3L, 4L), ("a", 4L, 4L, 1L),
+        ("b", 10L, 1L, 20L)) // oversized head: rejected, budget untouched
+      q.processAllAvailable()
+      // batch 2: a is saturated (total 10) -> everything rejected;
+      // b's earlier reject did NOT consume budget -> 3 fits
+      input.addData(("a", 5L, 5L, 1L), ("b", 11L, 2L, 3L))
+      q.processAllAvailable()
+      val rows = spark.table("tb").collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getBoolean(3))).toSet
+      assert(rows == Set(
+        ("a", 1L, true), ("a", 2L, true), ("a", 3L, false), ("a", 4L, true),
+        ("b", 10L, false),
+        ("a", 5L, false), ("b", 11L, true)), s"admissions wrong: $rows")
+    } finally q.stop()
+  }
+
   test("streaming decontamination prefilter: contaminated docs flagged, clean stream passes, zero state") {
     import spark.implicits._
     val probeText = "shared evaluation prompt about distributed query planning and shuffles"
