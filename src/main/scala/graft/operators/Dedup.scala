@@ -537,13 +537,23 @@ object Dedup {
       reliable)
     var labels = edges.select(col("src").as("id")).distinct()
       .withColumn("component", col("id"))
+    // FRONTIER propagation: a node's label can only improve via a neighbor
+    // whose label improved LAST round (if L(u) is unchanged since round k,
+    // u's contribution to every neighbor was already folded in at round k),
+    // so each round joins the edges against just the changed labels instead
+    // of the full table. Near-dup frontiers collapse fast (most clusters
+    // are pairs — one round), so rounds 2+ see a tiny frontier that AQE
+    // broadcasts: the edge list is scanned narrow, never re-shuffled. Round
+    // 1 starts with frontier = all labels, identical to full propagation.
+    var frontier = labels
     var checkpointed: DataFrame = null // superseded checkpoint to free
     var converged = false
     var i = 0
     while (!converged && i < maxIterations) {
-      // each node adopts the min of: its label, its neighbors' labels
+      // each node adopts the min of: its label, its JUST-IMPROVED
+      // neighbors' labels
       val neighborMin = edges
-        .join(labels.withColumnRenamed("id", "dst").withColumnRenamed("component", "nc"), Seq("dst"))
+        .join(frontier.withColumnRenamed("id", "dst").withColumnRenamed("component", "nc"), Seq("dst"))
         .groupBy(col("src").as("id")).agg(min(col("nc")).as("mc"))
       // checkpoint FIRST (truncates lineage AND materializes); the per-row
       // CHANGED flag rides along in the same pass, so the convergence check
@@ -555,7 +565,8 @@ object Dedup {
             least(col("component"), coalesce(col("mc"), col("component"))).as("component"),
             (coalesce(col("mc"), col("component")) < col("component")).as("_changed")),
         reliable)
-      converged = updated.where(col("_changed")).isEmpty
+      frontier = updated.where(col("_changed")).select(col("id"), col("component"))
+      converged = frontier.isEmpty
       // the previous round's checkpoint is now superseded — free its blocks
       // instead of accumulating one copy of the label table per round
       if (checkpointed ne null) freeCheckpoint(checkpointed)
