@@ -77,6 +77,27 @@ class OperatorsSpec extends SparkSuite {
     assert(comps(10L) == 10L && comps(11L) == 10L)
   }
 
+  test("connected components: worst-case diameter chain and late-improving star under frontier propagation") {
+    import spark.implicits._
+    // a 26-node path is the frontier rewrite's worst case: the min label
+    // crosses exactly one hop per round (the frontier is a single node),
+    // so any frontier bookkeeping bug (dropping a just-changed node,
+    // declaring convergence while a change is in flight) breaks the tail
+    val chain = (1L until 26L).map(i => (i, i + 1L)).toDF("id_a", "id_b")
+    val comps = Dedup.connectedComponents(chain, maxIterations = 40).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert((1L to 26L).forall(comps(_) == 1L), s"chain labels: $comps")
+    // star whose center improves LATE: the center adopts 1 only after the
+    // arm delivers it, and must then re-enter the frontier so the other
+    // leaves hear about it the round after
+    val star = (Seq((50L, 2L)) ++ Seq(60L, 70L, 80L).map(l => (50L, l))
+      ++ Seq((1L, 2L))).toDF("id_a", "id_b")
+    val starComps = Dedup.connectedComponents(star).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(Seq(1L, 2L, 50L, 60L, 70L, 80L).forall(starComps(_) == 1L),
+      s"star labels: $starComps")
+  }
+
   test("connected components: reliable checkpointing matches local and frees superseded rounds") {
     import spark.implicits._
     // without a checkpoint dir the reliable path must fail loudly, not
