@@ -347,11 +347,15 @@ object Streams {
     * admitted while the domain's kept token total stays within `budget`,
     * a doc that would cross it is rejected, and SCANNING CONTINUES
     * (later smaller docs still fit) — the same skip-and-continue
-    * transition, folded in (seq, id) order. The batch operator ranks by
-    * quality because a finalized pool can be sorted; a stream cannot see
-    * its tail, so admission order is the stream's explicit sequence —
-    * that is the semantic difference, not an approximation. State per
-    * domain: ONE long (the kept total), no timeout — bounded by the
+    * transition, folded in (seq, id) order WITHIN each micro-batch (like
+    * [[runningSumPerKey]]: group iterators arrive in shuffle order, so
+    * the explicit sequence is what makes per-batch folds reproducible —
+    * but rows of different micro-batches fold in ARRIVAL order, so the
+    * admitted set depends on the batch split; online admission is
+    * inherently arrival-ordered). The batch operator ranks by quality
+    * because a finalized pool can be sorted; a stream cannot see its
+    * tail — that is the semantic difference, not an approximation. State
+    * per domain: ONE long (the kept total), no timeout — bounded by the
     * domain count, not the stream.
     *
     * Input: (domain, id, seq, tokens). Output: (domain, id, tokens, kept)
