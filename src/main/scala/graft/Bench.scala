@@ -59,10 +59,15 @@ object Bench {
       }
       name -> (if (times.contains(-1.0)) -1.0 else times.min)
     }
-    val qs = results.map { case (k, v) => graft.util.Json.quote(k) + ":" + v }
+    // ms precision and a post-stop print keep the summary line SHORT and
+    // LAST: the driver parses a bounded stdout tail, and round-5's
+    // nanosecond-precision line (~2.3 KB) overflowed it ("parsed": null)
+    def fmt(v: Double): String =
+      if (v < 0) "-1" else BigDecimal(v).setScale(3, BigDecimal.RoundingMode.HALF_UP).toString
+    val qs = results.map { case (k, v) => graft.util.Json.quote(k) + ":" + fmt(v) }
       .mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":${graft.util.Json.quote(sfDir)}}""")
     spark.stop()
+    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"sf":${graft.util.Json.quote(sfDir)}}""")
   }
 }

@@ -1035,10 +1035,17 @@ object SparkEntry {
     val docs = Tables.documents(s, dir)
     val corpus = docs.where(col("doc_id") % 5 =!= 0)
     val batch = docs.where(col("doc_id") % 5 === 0)
+    // table name keyed by the data dir: building q66 for two dirs in one
+    // session must not rebind the earlier DataFrame's lazy table read to
+    // the later dir's index (the write is an eager side effect, the read
+    // is lazy — with a shared name the second write would win)
+    val idxTable = "graft_q66_corpus_index_" +
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(dir.getBytes("UTF-8")).take(4).map("%02x".format(_)).mkString
     Tables.writeBucketed(
       Dedup.dedupIndex(corpus, "doc_id", "text", shingleLen = 3, k = 16, bands = 4),
-      "graft_q66_corpus_index", buckets = 8, "fp")
-    val index = s.table("graft_q66_corpus_index")
+      idxTable, buckets = 8, "fp")
+    val index = s.table(idxTable)
     val bIdx = Dedup.dedupIndex(batch, "doc_id", "text", shingleLen = 3, k = 16, bands = 4)
       .localCheckpoint(eager = true)
     val statuses = Dedup.incrementalDedupFromIndex(index, bIdx)
@@ -2007,7 +2014,7 @@ object SparkEntry {
       "q75_token_budget" ->
         s"""WITH RECURSIVE sized AS (
              SELECT source, doc_id, CAST(len($toks) AS BIGINT) AS n_tokens,
-               row_number() OVER (PARTITION BY source ORDER BY n_chars DESC, doc_id) AS rn
+               row_number() OVER (PARTITION BY source ORDER BY n_chars DESC NULLS LAST, doc_id) AS rn
              FROM documents),
            walked AS (
              SELECT source, doc_id, n_tokens, rn,

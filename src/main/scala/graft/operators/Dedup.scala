@@ -527,7 +527,15 @@ object Dedup {
     * immediately by unpersisting the session's persistent RDDs after the
     * result has been consumed. */
   def connectedComponents(pairs: DataFrame, maxIterations: Int = 20,
-                          reliable: Boolean = false): DataFrame = {
+                          reliable: Boolean = false): DataFrame =
+    connectedComponentsWithRounds(pairs, maxIterations, reliable)._1
+
+  /** [[connectedComponents]] plus the number of propagation rounds it took —
+    * the observable the pathological-structure stress tooling records
+    * (rounds ≈ component diameter; see tools.FrontierStress). */
+  private[graft] def connectedComponentsWithRounds(
+      pairs: DataFrame, maxIterations: Int = 20,
+      reliable: Boolean = false): (DataFrame, Int) = {
     // materialize the edge list ONCE — every iteration joins against it,
     // and without this each round would re-execute the whole upstream
     // similarity pipeline (measured 17s → 3s at sf0.1)
@@ -580,7 +588,7 @@ object Dedup {
     if (!converged) sys.error(
       s"connectedComponents did not converge in $maxIterations iterations " +
         "(similarity chain longer than the bound); raise maxIterations")
-    labels
+    (labels, i)
   }
 
   /** Near-duplicate DEDUPLICATION: cluster docs by n-gram-Jaccard edges and

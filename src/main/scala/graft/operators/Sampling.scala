@@ -336,6 +336,18 @@ object Sampling {
     * corpus — same shape as q57's next-fit packing. For the oracle, the
     * same transition unrolls as a recursive CTE.
     *
+    * MEGA-DOMAIN ESCAPE HATCH: one domain holding most of the corpus
+    * serializes its fold into a single task (ScaleSpec pins the
+    * 80%-in-one-domain baseline: linear, seconds for 160k metadata rows).
+    * When a domain outgrows what one task should scan, thin it FIRST:
+    * (1) exact and free — drop rows with token count > budget (such a
+    * row is never kept and never changes the fold state, so the kept
+    * set is identical); (2) approximate — [[capPerGroup]]'s two-pass
+    * recipe (samplePredicate pre-thin to ~2k/n, then the exact cap) with
+    * k sized generously above budget/typical_tokens; the kept set then
+    * comes from the thinned pool, which is the standard trade at
+    * pathological skew.
+    *
     * Output: the input columns plus `n_tokens` (the doc's token count),
     * `cum_tokens` (running kept-total INCLUDING this doc if kept, else
     * the unchanged kept-total), and `kept`. */
@@ -343,6 +355,15 @@ object Sampling {
                       scoreCol: Column, tokensCol: Column,
                       budget: Long): DataFrame = {
     require(budget >= 0, s"budget must be >= 0, got $budget")
+    // n_tokens/cum_tokens/kept are this operator's OUTPUT columns and
+    // _score its scratch column; a pre-existing column of the same name
+    // would be silently replaced (or worse, duplicated in outSchema) —
+    // fail loudly instead and let the caller rename.
+    val reserved = Seq("n_tokens", "cum_tokens", "kept", "_score")
+    val clash = df.columns.toSeq.intersect(reserved)
+    require(clash.isEmpty,
+      s"takeUntilBudget reserves column names ${reserved.mkString(", ")}; " +
+        s"input already has ${clash.mkString(", ")} — rename before calling")
     import org.apache.spark.sql.{Encoders, Row}
     import org.apache.spark.sql.types.{BooleanType, LongType, StructField, StructType}
     // NULL token counts are defined as 0 (free to keep) — normalized HERE
@@ -359,8 +380,12 @@ object Sampling {
     // general-path shape (repartition on the key, sort within partitions,
     // walk rows), done over Rows directly to keep the typed facade out of
     // an operator with a caller-supplied dynamic schema.
+    // Null placement pinned EXPLICITLY (not engine defaults): a NULL score
+    // sorts after every real score on both this path and the q75 DuckDB
+    // oracle's `ORDER BY ... DESC NULLS LAST` — engine-default placement
+    // differs across engines and would silently diverge on null scores.
     val ordered = base.repartition(col(domainCol))
-      .sortWithinPartitions(col(domainCol), col("_score").desc, col(idCol))
+      .sortWithinPartitions(col(domainCol), col("_score").desc_nulls_last, col(idCol))
       .drop("_score")
     val outSchema = StructType(ordered.schema.fields ++ Seq(
       StructField("cum_tokens", LongType, nullable = false),

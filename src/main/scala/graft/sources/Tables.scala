@@ -96,7 +96,30 @@ object Tables {
       val loc = new org.apache.hadoop.fs.Path(
         spark.sessionState.catalog.defaultTablePath(ident))
       val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
-      if (fs.exists(loc)) fs.delete(loc, true)
+      if (fs.exists(loc)) {
+        // Only reclaim a directory that carries a Spark parquet-table
+        // footprint (_SUCCESS marker or part-* data files). Anything else
+        // at the managed location was not written by this framework —
+        // leave it for the CREATE to fail on loudly (LOCATION_ALREADY_
+        // EXISTS) instead of destroying a stranger's data. Either way,
+        // log path + decision so an unexpected wipe is diagnosable.
+        val entries = fs.listStatus(loc).map(_.getPath.getName)
+        val sparkTableFootprint = entries.isEmpty ||
+          entries.contains("_SUCCESS") || entries.exists(_.startsWith("part-"))
+        if (sparkTableFootprint) {
+          System.err.println(
+            s"[graft.Tables] deleting orphaned managed-table location $loc " +
+              s"(table '$table' absent from this session's catalog; " +
+              s"${entries.length} entries with Spark table footprint)")
+          fs.delete(loc, true)
+        } else {
+          System.err.println(
+            s"[graft.Tables] NOT deleting $loc for table '$table': contents " +
+              s"do not look like a Spark parquet table (${entries.take(5).mkString(", ")}" +
+              s"${if (entries.length > 5) ", …" else ""}); the overwrite will fail " +
+              "with LOCATION_ALREADY_EXISTS — move the directory or drop it manually")
+        }
+      }
     }
 
   /** Plain managed-parquet overwrite with the orphaned-location guard. */

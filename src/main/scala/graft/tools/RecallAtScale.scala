@@ -18,15 +18,19 @@ import org.apache.spark.sql.functions._
   * Prints one JSON line per directory:
   *   {"dir":"...","queries":N,"q22_lsh":r,"q36_ivf":r,"q67_ivf_quantized":r}
   *
-  * Exits nonzero if any recall falls below the floors asserted at spec
-  * scale (OperatorsSpec): LSH-with-multiprobe ≥ 0.3 on diffuse real
-  * embeddings; the IVF paths ≥ their probed-fraction baseline (probes /
-  * nCentroids = 0.25) — diffuse vectors spread near-uniformly over the
-  * Voronoi cells, so scanning a quarter of the corpus must find at least
-  * a quarter of the true neighbors (the query's OWN cell is always
-  * probed first, which is why measured recall sits well above this). */
+  * Exits nonzero if any recall falls below the floors below. The floors
+  * are EMPIRICAL: lowest recall measured across sf0.01/sf0.1/sf1
+  * (RECALL.md: LSH 0.48-0.64, IVF 0.51-0.55, quantized 0.50-0.55) with
+  * roughly 2× slack for dataset-to-dataset noise — a new sf landing at
+  * the floor is a real regression signal, not statistical bad luck.
+  * (The probed-fraction intuition — 4/16 probes ≈ 0.25 of the corpus
+  * scanned for diffuse vectors, query's own cell probed first — explains
+  * WHY measured recall sits where it does, but it is an expectation-level
+  * heuristic, not a per-dataset guarantee, so the gate does not cite it
+  * as a bound.) */
 object RecallAtScale {
-  // the sf0.01-proven floors (see OperatorsSpec LSH/IVF recall tests)
+  // empirical floors: min measured recall across sf0.01..sf1 ÷ ~2 slack
+  // (see RECALL.md and the OperatorsSpec LSH/IVF recall tests)
   val FloorLsh = 0.3
   val FloorIvf = 0.25
   val FloorIvfQuantized = 0.25

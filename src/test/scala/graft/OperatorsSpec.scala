@@ -1324,4 +1324,27 @@ class OperatorsSpec extends SparkSuite {
       .map(r => r.getLong(0) -> ((r.getLong(1), r.getBoolean(2)))).toMap
     assert(re == out)
   }
+
+  test("takeUntilBudget: reserved output names rejected, NULL scores sort last") {
+    import spark.implicits._
+    // a pre-existing column named like an output/scratch column would be
+    // silently replaced or duplicated — the operator must refuse instead
+    val clash = Seq((1L, "a", 5L)).toDF("id", "dom", "n_tokens")
+    val e = intercept[IllegalArgumentException] {
+      operators.Sampling.takeUntilBudget(clash, "dom", "id",
+        scoreCol = col("n_tokens"), tokensCol = col("n_tokens"), budget = 10L)
+    }
+    assert(e.getMessage.contains("n_tokens"))
+    // NULL score = lowest priority, pinned explicitly (desc_nulls_last):
+    // the null-scored doc is visited LAST, so with tight budget it loses
+    val df = Seq(
+      (1L, "a", Some(5L), 6L), (2L, "a", None, 6L), (3L, "a", Some(1L), 6L)
+    ).toDF("id", "dom", "score", "toks")
+    val out = operators.Sampling.takeUntilBudget(df, "dom", "id",
+        scoreCol = col("score"), tokensCol = col("toks"), budget = 12L)
+      .select("id", "kept").collect().map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    // order: id 1 (score 5), id 3 (score 1), id 2 (NULL) — budget 12 admits
+    // the first two 6-token docs; the null-scored one arrives over budget
+    assert(out == Map(1L -> true, 3L -> true, 2L -> false))
+  }
 }

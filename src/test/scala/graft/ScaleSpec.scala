@@ -228,4 +228,85 @@ class ScaleSpec extends SparkSuite {
     assert(!p75.contains("SinglePartition") && !p75.contains("Coalesce 1"),
       s"token-budget plan serializes through one partition:\n$p75")
   }
+
+  test("mega-domain skew: per-domain sequential folds stay linear at 80%-in-one-domain") {
+    import graft.expr.Expr._
+    import graft.stream.DataStream
+
+    // Planted skew at sf0.1-documents scale: 200k metadata rows, 80% in ONE
+    // domain — the worst case for the two per-domain sequential folds (q75's
+    // takeUntilBudget, q57's next-fit packing): the mega domain serializes
+    // into a single task, so wall-time must stay linear in that domain's
+    // rows, not degrade to something the suite would notice. The escape
+    // hatch when a domain outgrows a task is documented on takeUntilBudget
+    // (exact n_tokens>budget pre-filter, then the capPerGroup two-pass
+    // pre-thin) — this spec pins the baseline it escapes FROM.
+    val n = 200000L
+    val skewed = spark.range(n).select(
+        col("id"),
+        when(col("id") % 5 =!= 0, lit("mega"))
+          .otherwise(concat(lit("d"), col("id") % 40)).as("dom"),
+        (col("id") % 97 + 1).cast("long").as("toks"),
+        pmod(col("id") * 2654435761L, lit(1000L)).as("score"))
+      .localCheckpoint(eager = true) // timings below exclude generation
+
+    def timed[A](f: => A): (A, Double) = {
+      val t0 = System.nanoTime(); val a = f; (a, (System.nanoTime() - t0) / 1e9)
+    }
+
+    // --- q75 shape: greedy token-budget admission over the skewed frame ---
+    val budget = 5000L
+    val (rows, tBudget) = timed {
+      graft.operators.Sampling.takeUntilBudget(skewed, "dom", "id",
+          scoreCol = col("score"), tokensCol = col("toks"), budget = budget)
+        .select("id", "dom", "score", "n_tokens", "kept").collect()
+    }
+    assert(rows.length == n, s"row count changed: ${rows.length}")
+    // exact contract AT skew scale: replay the greedy transition driver-side
+    // over the whole 160k-row mega domain and compare every kept flag
+    val mega = rows.filter(_.getString(1) == "mega")
+      .map(r => (r.getLong(0), r.getLong(2), r.getLong(3), r.getBoolean(4)))
+      .sortBy { case (id, score, _, _) => (-score, id) }
+    assert(mega.length == (n - n / 5).toInt)
+    var tot = 0L
+    mega.foreach { case (id, _, t, kept) =>
+      val expect = tot + t <= budget
+      assert(kept == expect, s"mega doc $id: kept=$kept, sequential replay says $expect")
+      if (expect) tot += t
+    }
+
+    // --- q57 shape: next-fit packing (non-rewritable fold -> the per-key
+    // sequential interpreted path, the skew-sensitive one) ---
+    val packBudget = 128L
+    val ds = DataStream.fromDF[(Long, String, Long)](
+      skewed.select(col("id").as("_1"), col("dom").as("_2"), col("toks").as("_3")))
+    val packed = ds.mapAccumulateByKey((0L, 0L))(t => t._2, t => t._1) { t =>
+      val fill = t._1._1; val seq = t._1._2; val nn = t._2._3
+      val newSeq = (fill + nn) > packBudget
+      val fill2 = newSeq.ifElse(nn, fill + nn)
+      val seq2 = newSeq.ifElse(seq + 1L, seq)
+      val off = newSeq.ifElse[Long](LitLong(0L), fill)
+      (fill2 &&& seq2) &&& (t._2._1 &&& (t._2._2 &&& (nn &&& (seq2 &&& off))))
+    }
+    val (packStats, tPack) = timed {
+      packed.toDF.select(
+          col("value._2._1").as("dom"),
+          col("value._2._2._2._1").as("seq_idx"),
+          (col("value._2._2._2._2") + col("value._2._2._1")).as("end"))
+        .groupBy(col("dom"), col("seq_idx"))
+        .agg(max(col("end")).as("fill"), count(lit(1)).as("docs"))
+        .agg(count(lit(1)).as("seqs"), sum(col("docs")).as("docs"), max(col("fill")).as("maxfill"))
+        .head()
+    }
+    assert(packStats.getLong(1) == n, s"packing lost rows: $packStats")
+    assert(packStats.getLong(2) <= packBudget,
+      s"a sequence overflows the budget: $packStats")
+
+    info(f"skewed 200k rows (160k in one domain): takeUntilBudget $tBudget%.2fs, next-fit $tPack%.2fs")
+    // generous CI bound — locally both run in seconds; the assert exists so
+    // a quadratic regression (e.g. an accidental per-row state copy) fails
+    // the suite rather than just slowing it
+    assert(tBudget < 60.0, f"takeUntilBudget took $tBudget%.1fs on 200k skewed rows")
+    assert(tPack < 60.0, f"next-fit packing took $tPack%.1fs on 200k skewed rows")
+  }
 }

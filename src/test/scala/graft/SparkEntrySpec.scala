@@ -21,6 +21,27 @@ class SparkEntrySpec extends SparkSuite {
     assert(SparkEntry.oracleSql.keySet.subsetOf(SparkEntry.queries.keySet))
   }
 
+  test("suite-wide determinism: identical results under shuffle.partitions 4 vs 32") {
+    // The oracle gate sees ONE run — it cannot catch a query whose result
+    // depends on physical partitioning (float merge order, sketch merge
+    // order, non-deterministic tiebreaks). This closes that suite-wide:
+    // every query map entry, run under two different shuffle widths in the
+    // same session, must hash identically row-for-row.
+    def hashAll(parts: String): Map[String, String] = {
+      spark.conf.set("spark.sql.shuffle.partitions", parts)
+      try SparkEntry.queries.map { case (name, fn) =>
+        val md = java.security.MessageDigest.getInstance("MD5")
+        fn(spark, sf0001).collect().map(_.toString).sorted
+          .foreach(r => md.update(r.getBytes("UTF-8")))
+        name -> md.digest().map("%02x".format(_)).mkString
+      } finally spark.conf.set("spark.sql.shuffle.partitions", "8")
+    }
+    val narrow = hashAll("4")
+    val wide = hashAll("32")
+    val diff = narrow.keys.filter(k => narrow(k) != wide(k)).toSeq.sorted
+    assert(diff.isEmpty, s"partitioning-sensitive results: ${diff.mkString(", ")}")
+  }
+
   test("q52 approx percentiles honor the GK rank-error bound vs exact ranks") {
     import org.apache.spark.sql.functions._
     val eps = 1.0 / SparkEntry.ApproxPercentileAccuracy
