@@ -134,6 +134,9 @@ object SparkEntry {
     "q73_tfidf" -> q73,
     "q74_shuffle_shard" -> q74,
     "q75_token_budget" -> q75,
+    "q76_block_dedup" -> q76,
+    "q77_contamination_spans" -> q77,
+    "q78_stratified_quota" -> q78,
   )
 
   // =====================================================================
@@ -1188,6 +1191,39 @@ object SparkEntry {
       .select(col("doc_id"), col("source"), col("n_tokens"), col("cum_tokens"), col("kept"))
       .orderBy(col("doc_id"))
 
+  /** Block-level exact substring dedup (Lee-et-al-style span dedup at
+    * fixed 10-token block granularity): keep the globally first occurrence
+    * of every distinct block, reassemble each doc from its survivors.
+    * Keep-first aggregates on 8-byte hashed block keys (partial-agg'd —
+    * boilerplate blocks collapse map-side); reassembly is one
+    * groupBy(doc). */
+  private def q76(s: SparkSession, dir: String): DataFrame =
+    Dedup.blockDedup(Tables.documents(s, dir), "doc_id", "text", blockWords = 10)
+      .select(col("doc_id"), col("n_blocks"), col("n_kept"), col("dedup_text"))
+      .orderBy(col("doc_id"))
+
+  /** Span-level contamination: per training doc, how many 4-token windows
+    * also occur in the benchmark slice and what fraction of the doc's
+    * token positions they cover — the fine-grained companion to q42/q60's
+    * doc-level decontamination (same corpus split). */
+  private def q77(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    Dedup.contaminationSpans(
+        docs.where(col("doc_id") % 10 =!= 0), docs.where(col("doc_id") % 10 === 0),
+        "doc_id", "text", gramWords = 4)
+      .orderBy(col("doc_id"))
+  }
+
+  /** Largest-remainder stratified quota: exactly 300 docs allocated across
+    * sources within 1 of proportional, each stratum filled in md5(id)
+    * order — the apportionment runs on a #strata-row broadcast frame. */
+  private def q78(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Sampling.stratifiedQuota(
+        Tables.documents(s, dir).select(col("doc_id"), col("source")),
+        stratumCol = "source", idCol = "doc_id", total = 300L)
+      .select(col("doc_id"), col("source"), col("quota"), col("kept"))
+      .orderBy(col("doc_id"))
+
   // =====================================================================
   // DuckDB oracle SQL — same semantics, same column names, same ORDER BY.
   // =====================================================================
@@ -2029,6 +2065,85 @@ object SparkEntry {
              FROM sized s JOIN walked w ON s.source = w.source AND s.rn = w.rn + 1)
            SELECT doc_id, source, n_tokens, cum_tokens, kept
            FROM walked ORDER BY doc_id""",
+
+      // block-level substring dedup: globally-first occurrence per distinct
+      // 10-token block (keep-first = least (doc_id, blk_idx), the engine's
+      // min(struct) twin is rn = 1 here), docs reassembled from survivors.
+      // Both engines group on the identical 60-bit md5 block key.
+      "q76_block_dedup" ->
+        s"""WITH t AS (SELECT doc_id, $toks AS toks FROM documents),
+           b AS (
+             SELECT doc_id,
+               unnest(range(0, CAST(ceil(len(toks) / 10.0) AS BIGINT))) AS blk_idx,
+               unnest(list_transform(range(0, CAST(ceil(len(toks) / 10.0) AS BIGINT)),
+                 i -> array_to_string(list_slice(toks, i * 10 + 1, i * 10 + 10), ' '))) AS blk
+             FROM t WHERE len(toks) > 0),
+           k AS (
+             SELECT doc_id, blk_idx, blk,
+               row_number() OVER (
+                 PARTITION BY CAST('0x' || substr(md5(blk), 1, 15) AS BIGINT)
+                 ORDER BY doc_id, blk_idx) AS rn
+             FROM b)
+           SELECT t.doc_id,
+             CAST(count(k.blk) AS BIGINT) AS n_blocks,
+             CAST(count(CASE WHEN k.rn = 1 THEN 1 END) AS BIGINT) AS n_kept,
+             coalesce(string_agg(CASE WHEN k.rn = 1 THEN k.blk END, ' ' ORDER BY k.blk_idx), '') AS dedup_text
+           FROM t LEFT JOIN k USING (doc_id)
+           GROUP BY t.doc_id ORDER BY doc_id""",
+
+      // span-level contamination vs the doc_id%10=0 benchmark slice (q42's
+      // split): matched 4-token windows + distinct covered positions per
+      // training doc; contamination is one double division of exact ints
+      "q77_contamination_spans" -> {
+        val winHash =
+          "CAST('0x' || substr(md5(array_to_string(list_slice(toks, i + 1, i + 4), ' ')), 1, 15) AS BIGINT)"
+        s"""WITH t AS (SELECT doc_id, $toks AS toks FROM documents),
+           bg AS (SELECT DISTINCT h FROM (
+             SELECT unnest(list_transform(range(0, len(toks) - 3), i -> $winHash)) AS h
+             FROM t WHERE doc_id % 10 = 0 AND len(toks) >= 4)),
+           wins AS (
+             SELECT doc_id, unnest(range(0, len(toks) - 3)) AS i,
+               unnest(list_transform(range(0, len(toks) - 3), i -> $winHash)) AS h
+             FROM t WHERE doc_id % 10 <> 0 AND len(toks) >= 4),
+           pos AS (
+             SELECT w.doc_id, w.i, unnest(range(w.i, w.i + 4)) AS p
+             FROM wins w JOIN bg USING (h)),
+           cov AS (
+             SELECT doc_id, CAST(count(DISTINCT i) AS BIGINT) AS n_matched,
+               CAST(count(DISTINCT p) AS BIGINT) AS covered_tokens
+             FROM pos GROUP BY doc_id)
+           SELECT t.doc_id,
+             CAST(greatest(len(t.toks) - 3, 0) AS BIGINT) AS n_windows,
+             coalesce(cov.n_matched, 0) AS n_matched,
+             coalesce(cov.covered_tokens, 0) AS covered_tokens,
+             CAST(coalesce(cov.covered_tokens, 0) AS DOUBLE)
+               / CAST(greatest(len(t.toks), 1) AS DOUBLE) AS contamination
+           FROM t LEFT JOIN cov USING (doc_id)
+           WHERE t.doc_id % 10 <> 0
+           ORDER BY doc_id"""
+      },
+
+      // largest-remainder apportionment of exactly 300 slots across
+      // sources (base ⌊300·cnt/T⌋ + remainder top-up, stratum ascending on
+      // ties), stratum filled in md5(doc_id) order — all-integer arithmetic
+      "q78_stratified_quota" ->
+        """WITH c AS (
+             SELECT source, CAST(count(*) AS BIGINT) AS cnt FROM documents GROUP BY source),
+           a AS (
+             SELECT source, cnt,
+               (cnt * 300) // (sum(cnt) OVER ()) AS base,
+               (cnt * 300) % (sum(cnt) OVER ()) AS rem
+             FROM c),
+           q AS (
+             SELECT source,
+               CAST(base + CASE WHEN row_number() OVER (ORDER BY rem DESC, source) <=
+                 300 - sum(base) OVER () THEN 1 ELSE 0 END AS BIGINT) AS quota
+             FROM a)
+           SELECT d.doc_id, d.source, q.quota,
+             row_number() OVER (PARTITION BY d.source
+               ORDER BY md5(CAST(d.doc_id AS VARCHAR)), d.doc_id) <= q.quota AS kept
+           FROM documents d JOIN q USING (source)
+           ORDER BY doc_id""",
 
       "q68_group_cap" ->
         """SELECT doc_id, lang FROM (

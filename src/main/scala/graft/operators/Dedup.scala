@@ -853,4 +853,117 @@ object Dedup {
       .where(col("jaccard") >= threshold)
     (pairs, () => freeCheckpoint(postings))
   }
+
+  /** Block-level exact SUBSTRING dedup — the fixed-stride relative of
+    * suffix-array span dedup (Lee et al., "Deduplicating Training Data
+    * Makes Language Models Better", ACL 2022): split each document's token
+    * stream into consecutive `blockWords`-token blocks, keep only the
+    * globally FIRST occurrence of each distinct block text (first = least
+    * (id, block index), the deterministic keep-first rule), and reassemble
+    * every document from its surviving blocks. Catches boilerplate repeated
+    * INSIDE otherwise-distinct documents (headers, license banners,
+    * navigation chrome) that document-level dedup ([[exact]], [[minHashLsh]])
+    * can never see.
+    *
+    * Scale shape: blocks are hashed map-side to the 8-byte [[shingleKey]],
+    * so the keep-first aggregation shuffles fixed-width longs, is
+    * partial-aggregable (a boilerplate block occurring 10⁹ times collapses
+    * to one row per map task before the exchange — no heavy-hitter
+    * partition), and the winner set joins back on the same key. Reassembly
+    * is one groupBy(id) whose per-group state is bounded by a single
+    * document's blocks. Output rows are 1:1 with input documents. */
+  def blockDedup(docs: DataFrame, idCol: String, textCol: String,
+                 blockWords: Int = 10): DataFrame = {
+    require(blockWords >= 1, s"blockWords must be >= 1, got $blockWords")
+    val b = blockWords
+    // consecutive b-token blocks (last one may be short — a short tail only
+    // ever matches an equal-length tail, which is the intended semantics)
+    val blockList = transform(
+      sequence(lit(0), (ceil(size(col("toks")) / lit(b.toDouble))).cast("int") - 1),
+      i => array_join(slice(col("toks"), i * b + 1, lit(b)), " "))
+    val blocks = docs
+      .select(col(idCol).as("id"), Text.tokens(col(textCol)).as("toks"))
+      // posexplode_outer keeps empty documents as a (null pos, null blk)
+      // row so the output stays 1:1 with the input
+      .select(col("id"),
+        posexplode_outer(when(size(col("toks")) > 0, blockList)).as(Seq("blk_idx", "blk")))
+      .withColumn("h", when(col("blk").isNotNull, shingleKey(col("blk"))))
+    // keep-first winner per distinct block: min(struct) groupBy — partial
+    // aggregation collapses repeated blocks map-side (a window over
+    // PARTITION BY h would sort whole heavy-hitter buckets instead)
+    val keepers = blocks.where(col("h").isNotNull)
+      .groupBy(col("h"))
+      .agg(min(struct(col("id"), col("blk_idx"))).as("keeper"))
+    blocks
+      .join(keepers, Seq("h"), "left")
+      .withColumn("kept",
+        col("blk").isNotNull &&
+          col("keeper.id") === col("id") && col("keeper.blk_idx") === col("blk_idx"))
+      .groupBy(col("id"))
+      .agg(
+        count(col("blk")).as("n_blocks"),
+        count(when(col("kept"), lit(1))).as("n_kept"),
+        // deterministic reassembly: surviving blocks in original position
+        // order (collect_list drops the nulls of non-kept/empty rows)
+        array_join(
+          transform(
+            array_sort(collect_list(when(col("kept"), struct(col("blk_idx"), col("blk"))))),
+            x => x("blk")),
+          " ").as("dedup_text"))
+      .withColumnRenamed("id", idCol)
+  }
+
+  /** Span-level contamination measurement: for every corpus document, how
+    * much of it is covered by `gramWords`-token windows that also appear in
+    * the `benchmark` set. The fine-grained companion to the document-level
+    * [[crossCorpusOverlap]] decontamination gate: a doc that embeds one
+    * benchmark prompt inside 10k tokens of clean text scores low here but
+    * may be worth span-surgery rather than dropping.
+    *
+    * Output per corpus doc (1:1 with input): `n_windows` (total rolling
+    * windows), `n_matched` (windows whose text occurs anywhere in the
+    * benchmark), `covered_tokens` (distinct token positions under any
+    * matched window — overlapping matches are not double-counted), and
+    * `contamination` = covered_tokens / token count.
+    *
+    * Scale shape: both sides hash windows map-side to the 8-byte
+    * [[shingleKey]]; the benchmark side is `distinct`-collapsed before the
+    * equi-join (an eval set is tiny next to a training corpus, so AQE
+    * broadcasts it); coverage is one groupBy(id) whose per-group state is
+    * bounded by a single document's matched windows. */
+  def contaminationSpans(corpus: DataFrame, benchmark: DataFrame,
+                         idCol: String, textCol: String,
+                         gramWords: Int = 5): DataFrame = {
+    require(gramWords >= 1, s"gramWords must be >= 1, got $gramWords")
+    val g = gramWords
+    def toked(df: DataFrame): DataFrame =
+      df.select(col(idCol).as("id"), Text.tokens(col(textCol)).as("toks"))
+    // rolling windows with their start position; docs shorter than g tokens
+    // have none (sequence(0, n-g) is only evaluated when n >= g)
+    def windows(df: DataFrame): DataFrame = toked(df)
+      .where(size(col("toks")) >= g)
+      .select(col("id"),
+        explode(sequence(lit(0), size(col("toks")) - g)).as("i"), col("toks"))
+      .select(col("id"), col("i"),
+        shingleKey(array_join(slice(col("toks"), col("i") + 1, lit(g)), " ")).as("h"))
+    val benchGrams = windows(benchmark).select(col("h")).distinct()
+    val matched = windows(corpus).join(benchGrams, Seq("h"))
+    // per-doc coverage: union of [i, i+g) intervals, distinct positions —
+    // bounded by the doc's own token count
+    val stats = matched
+      .groupBy(col("id"))
+      .agg(count(lit(1)).as("n_matched"),
+        size(array_distinct(flatten(
+          collect_list(sequence(col("i"), col("i") + g - 1))))).cast("long")
+          .as("covered_tokens"))
+    toked(corpus)
+      .select(col("id"), size(col("toks")).as("n_toks"))
+      .join(stats, Seq("id"), "left")
+      .select(col("id").as(idCol),
+        greatest(col("n_toks") - g + 1, lit(0)).cast("long").as("n_windows"),
+        coalesce(col("n_matched"), lit(0L)).as("n_matched"),
+        coalesce(col("covered_tokens"), lit(0L)).as("covered_tokens"),
+        (coalesce(col("covered_tokens"), lit(0L)).cast("double") /
+          greatest(col("n_toks"), lit(1)).cast("double")).as("contamination"))
+  }
 }

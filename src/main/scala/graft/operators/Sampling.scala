@@ -264,6 +264,53 @@ object Sampling {
     df.where(substring(md5(col(idCol).cast("string")), 1, 8) < rateCol)
   }
 
+  /** Proportional stratified sampling with an EXACT global sample size:
+    * allocate `total` slots across strata by the largest-remainder method
+    * (Hamilton apportionment — base quota ⌊total·cntₛ/T⌋, the leftover
+    * slots go to the strata with the largest remainders, stratum-name
+    * ascending on ties), then fill each stratum's quota deterministically
+    * in md5(id) order. Unlike [[stratifiedSample]] (a rate per stratum —
+    * binomial-sized output) the kept count is exactly `min(total, T)` and
+    * each stratum's share is within 1 of exactly proportional, which is
+    * what a token-budgeted mixture run actually wants.
+    *
+    * Scale shape: the apportionment lives on a #strata-row frame (two tiny
+    * windows over THAT frame — the q55 rate-table pattern) broadcast back
+    * onto the data; the only data-sized wide work is the per-stratum
+    * md5-order row_number, a grouped window. Integer arithmetic is exact
+    * on BIGINT; requires total · max(cntₛ) < 2⁶³ (switch the products to
+    * DECIMAL(38,0) beyond ~10¹⁸ — far past any real quota).
+    *
+    * Output: the input columns plus `quota` (the stratum's allocation) and
+    * `kept`. */
+  def stratifiedQuota(df: DataFrame, stratumCol: String, idCol: String,
+                      total: Long): DataFrame = {
+    require(total >= 0, s"total must be >= 0, got $total")
+    val reserved = Seq("quota", "kept")
+    val clash = df.columns.toSeq.intersect(reserved)
+    require(clash.isEmpty,
+      s"stratifiedQuota reserves column names ${reserved.mkString(", ")}; " +
+        s"input already has ${clash.mkString(", ")} — rename before calling")
+    // #strata-row apportionment frame: global windows here range over the
+    // stratum count, never the data
+    val counts = df.groupBy(col(stratumCol)).agg(count(lit(1)).as("_cnt"))
+      .withColumn("_tot", sum(col("_cnt")).over(Window.partitionBy()))
+      .withColumn("_base", expr(s"(_cnt * ${total}L) div _tot"))
+      .withColumn("_rem", expr(s"(_cnt * ${total}L) % _tot"))
+      .withColumn("_left", lit(total) - sum(col("_base")).over(Window.partitionBy()))
+      .withColumn("_rrank",
+        row_number().over(Window.orderBy(col("_rem").desc, col(stratumCol))))
+      .select(col(stratumCol),
+        (col("_base") + when(col("_rrank") <= col("_left"), 1L).otherwise(0L))
+          .as("quota"))
+    val w = Window.partitionBy(col(stratumCol))
+      .orderBy(md5(col(idCol).cast("string")), col(idCol))
+    df.join(broadcast(counts), Seq(stratumCol))
+      .withColumn("_rn", row_number().over(w))
+      .withColumn("kept", col("_rn") <= col("quota"))
+      .drop("_rn")
+  }
+
   /** Deterministic shuffle-and-shard: the global reshuffle every training
     * run does before sharding the dataset across workers, made CONTENT-
     * keyed so the order is reproducible across runs, engines, and input

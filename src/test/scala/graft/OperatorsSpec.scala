@@ -1347,4 +1347,77 @@ class OperatorsSpec extends SparkSuite {
     // the first two 6-token docs; the null-scored one arrives over budget
     assert(out == Map(1L -> true, 3L -> true, 2L -> false))
   }
+
+  test("blockDedup: keep-first per distinct block, reassembly, empty docs") {
+    import spark.implicits._
+    // blockWords=3: doc 1 = [A B C][D E F], doc 2 = [A B C][X Y Z], doc 3
+    // repeats its own block, doc 4 is unique, doc 5 is empty after norm
+    val docs = Seq(
+      (1L, "a b c d e f"),
+      (2L, "a b c x y z"),
+      (3L, "p q r p q r"),
+      (4L, "unique words only here now"),
+      (5L, "   ")
+    ).toDF("doc_id", "text")
+    val out = Dedup.blockDedup(docs, "doc_id", "text", blockWords = 3)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    assert(out(0) == ((1L, 2L, 2L, "a b c d e f")))      // first owner of [a b c]
+    assert(out(1) == ((2L, 2L, 1L, "x y z")))            // [a b c] lost to doc 1
+    assert(out(2) == ((3L, 2L, 1L, "p q r")))            // self-repeat collapses
+    assert(out(3) == ((4L, 2L, 2L, "unique words only here now"))) // short tail kept
+    assert(out(4) == ((5L, 0L, 0L, "")))                 // empty doc stays 1:1
+    // no-duplicate corpus reconstructs exactly (normalized)
+    val clean = Seq((1L, "aa bb cc dd"), (2L, "ee ff gg")).toDF("doc_id", "text")
+    val re = Dedup.blockDedup(clean, "doc_id", "text", blockWords = 2)
+      .orderBy("doc_id").collect().map(_.getString(3))
+    assert(re.toSeq == Seq("aa bb cc dd", "ee ff gg"))
+  }
+
+  test("contaminationSpans: overlap coverage not double-counted, short docs zero") {
+    import spark.implicits._
+    // benchmark holds "w1 w2 w3 w4 w5" → its two 4-gram windows; the corpus
+    // doc embeds all 5 tokens at positions 2..6 of 10 → matched windows at
+    // i=2,3 overlap on 3 positions; covered = 5, not 8
+    val corpus = Seq(
+      (1L, "x0 x1 w1 w2 w3 w4 w5 x7 x8 x9"),
+      (2L, "totally clean text with other words entirely"),
+      (3L, "too short")
+    ).toDF("doc_id", "text")
+    val bench = Seq((100L, "w1 w2 w3 w4 w5")).toDF("doc_id", "text")
+    val out = Dedup.contaminationSpans(corpus, bench, "doc_id", "text", gramWords = 4)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4)))
+    assert(out(0) == ((1L, 7L, 2L, 5L, 0.5)))
+    assert(out(1) == ((2L, 4L, 0L, 0L, 0.0)))
+    assert(out(2) == ((3L, 0L, 0L, 0L, 0.0))) // < gramWords tokens: no windows, still present
+  }
+
+  test("stratifiedQuota: exact total, within-1-of-proportional, deterministic fill") {
+    import spark.implicits._
+    // strata sizes 6/3/1, total 5 → exact shares 3.0/1.5/0.5; base 3/1/0,
+    // leftover 1 goes to the largest remainder ('b' at .5 vs 'c' at .5 —
+    // stratum ascending breaks the tie toward 'b')
+    val df = (1L to 10L).map(i =>
+        (i, if (i <= 6) "a" else if (i <= 9) "b" else "c"))
+      .toDF("id", "s")
+    val out = graft.operators.Sampling.stratifiedQuota(df, "s", "id", total = 5L)
+      .collect().map(r => (r.getLong(1), r.getString(0), r.getLong(2), r.getBoolean(3)))
+    val quotas = out.map(t => t._2 -> t._3).toMap
+    assert(quotas == Map("a" -> 3L, "b" -> 2L, "c" -> 0L))
+    assert(out.count(_._4) == 5)
+    // kept set = top-quota per stratum in md5(id) order — replay it
+    val byMd5 = out.groupBy(_._2).toSeq.flatMap { case (s, rows) =>
+      rows.sortBy(t => (java.security.MessageDigest.getInstance("MD5")
+          .digest(t._1.toString.getBytes("UTF-8")).map("%02x".format(_)).mkString, t._1))
+        .take(quotas(s).toInt).map(_._1).toSeq
+    }.toSet
+    assert(out.filter(_._4).map(_._1).toSet == byMd5)
+    // reserved names rejected
+    val clash = Seq((1L, "a", true)).toDF("id", "s", "kept")
+    val e = intercept[IllegalArgumentException] {
+      graft.operators.Sampling.stratifiedQuota(clash, "s", "id", 1L)
+    }
+    assert(e.getMessage.contains("kept"))
+  }
 }
