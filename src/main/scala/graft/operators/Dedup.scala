@@ -931,23 +931,36 @@ object Dedup {
     * equi-join (an eval set is tiny next to a training corpus, so AQE
     * broadcasts it); coverage is one groupBy(id) whose per-group state is
     * bounded by a single document's matched windows. */
-  def contaminationSpans(corpus: DataFrame, benchmark: DataFrame,
-                         idCol: String, textCol: String,
-                         gramWords: Int = 5): DataFrame = {
-    require(gramWords >= 1, s"gramWords must be >= 1, got $gramWords")
-    val g = gramWords
-    def toked(df: DataFrame): DataFrame =
-      df.select(col(idCol).as("id"), Text.tokens(col(textCol)).as("toks"))
-    // rolling windows with their start position; docs shorter than g tokens
-    // have none (sequence(0, n-g) is only evaluated when n >= g)
-    def windows(df: DataFrame): DataFrame = toked(df)
+  /** Rolling `g`-token windows of each doc with their start position and
+    * 60-bit [[shingleKey]]: (id, i, h). Docs shorter than g tokens have
+    * none (sequence(0, n−g) is only evaluated when n ≥ g). */
+  private[graft] def rollingWindows(df: DataFrame, idCol: String,
+                                    textCol: String, g: Int): DataFrame =
+    df.select(col(idCol).as("id"), Text.tokens(col(textCol)).as("toks"))
       .where(size(col("toks")) >= g)
       .select(col("id"),
         explode(sequence(lit(0), size(col("toks")) - g)).as("i"), col("toks"))
       .select(col("id"), col("i"),
         shingleKey(array_join(slice(col("toks"), col("i") + 1, lit(g)), " ")).as("h"))
-    val benchGrams = windows(benchmark).select(col("h")).distinct()
-    val matched = windows(corpus).join(benchGrams, Seq("h"))
+
+  /** The DISTINCT window keys of [[contaminationSpans]]'s benchmark side —
+    * exposed so a streaming deployment builds its Bloom
+    * ([[graft.streaming.Streams.contaminationSpansStream]]) over exactly
+    * the key set the batch operator equi-joins against. */
+  def contaminationWindowKeys(benchmark: DataFrame, idCol: String,
+                              textCol: String, gramWords: Int = 4): DataFrame =
+    rollingWindows(benchmark, idCol, textCol, gramWords)
+      .select(col("h")).distinct()
+
+  def contaminationSpans(corpus: DataFrame, benchmark: DataFrame,
+                         idCol: String, textCol: String,
+                         gramWords: Int = 4): DataFrame = {
+    require(gramWords >= 1, s"gramWords must be >= 1, got $gramWords")
+    val g = gramWords
+    def toked(df: DataFrame): DataFrame =
+      df.select(col(idCol).as("id"), Text.tokens(col(textCol)).as("toks"))
+    val benchGrams = contaminationWindowKeys(benchmark, idCol, textCol, g)
+    val matched = rollingWindows(corpus, idCol, textCol, g).join(benchGrams, Seq("h"))
     // per-doc coverage: union of [i, i+g) intervals, distinct positions —
     // bounded by the doc's own token count
     val stats = matched

@@ -221,6 +221,49 @@ object Streams {
     docs.withColumn("shard",
       graft.operators.Sampling.shardCol(col(idCol), nShards, seed))
 
+  /** Streaming SPAN-LEVEL contamination scoring — the stateless per-row
+    * twin of [[graft.operators.Dedup.contaminationSpans]]: a Bloom filter
+    * built (in batch) over the benchmark set's window keys scores each
+    * arriving document's rolling `gramWords`-token windows entirely inside
+    * one row — windows, membership, and interval-union coverage are
+    * higher-order-function expressions over the token array, so there is
+    * no state store, no watermark, no shuffle.
+    *
+    * Contract: an ADMISSION SCORE, not a verdict — Bloom false positives
+    * can only OVERcount (`n_matched`/`covered_tokens` are fpp-bounded
+    * overestimates; never under), so a threshold filter downstream admits
+    * no doc the exact batch operator would flag clean... and the flagged
+    * sliver can be exact-verified batch-side, the
+    * [[confirmExactDupsStream]] decomposition. */
+  def contaminationSpansStream(docs: DataFrame, idCol: String, textCol: String,
+                               bloom: graft.operators.BloomModel,
+                               gramWords: Int = 4): DataFrame = {
+    val g = gramWords
+    require(g >= 1, s"gramWords must be >= 1, got $g")
+    val emptyWins = array().cast("array<struct<i:int,h:bigint>>")
+    val wins = when(size(col("_toks")) >= g,
+        filter(
+          transform(sequence(lit(0), size(col("_toks")) - g),
+            i => struct(i.as("i"),
+              graft.operators.Dedup.shingleKey(
+                array_join(slice(col("_toks"), i + 1, lit(g)), " ")).as("h"))),
+          w => bloom.mightContain(w("h"))))
+      .otherwise(emptyWins)
+    docs
+      .withColumn("_toks", graft.functions.Text.tokens(col(textCol)))
+      .withColumn("_wins", wins)
+      .withColumn("n_windows",
+        greatest(size(col("_toks")) - g + 1, lit(0)).cast("long"))
+      .withColumn("n_matched", size(col("_wins")).cast("long"))
+      .withColumn("covered_tokens",
+        size(array_distinct(flatten(
+          transform(col("_wins"), w => sequence(w("i"), w("i") + g - 1))))).cast("long"))
+      .withColumn("contamination",
+        col("covered_tokens").cast("double") /
+          greatest(size(col("_toks")), lit(1)).cast("double"))
+      .drop("_toks", "_wins")
+  }
+
   /** EXACT confirmation of [[incrementalDedupStream]]'s `might_be_exact_dup`
     * flag: a stream-static LEFT SEMI join of the (fpp-bounded) flagged
     * sliver against the index's true fingerprint set. Emits exactly the

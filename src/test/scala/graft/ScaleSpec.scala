@@ -229,6 +229,31 @@ class ScaleSpec extends SparkSuite {
       s"token-budget plan serializes through one partition:\n$p75")
   }
 
+  test("block dedup keep-first partial-aggregates; quota data-window is per-stratum") {
+    // q76: the keep-first winner pick must be a partial-agg'd groupBy on
+    // the hashed block key — a boilerplate block occurring 10⁹ times then
+    // collapses map-side before the exchange. A Window over PARTITION BY h
+    // (the alternative shape) would instead SORT whole heavy-hitter
+    // buckets in one task each.
+    val dedup = SparkEntry.queries("q76_block_dedup")(spark, sf0001)
+    dedup.collect()
+    val p76 = dedup.queryExecution.executedPlan.toString
+    val hashAggs = p76.linesIterator.count(_.contains("HashAggregate"))
+    assert(hashAggs >= 2, s"keep-first pick lost its partial aggregation:\n$p76")
+    assert(!"Window \\[min".r.findFirstIn(p76).nonEmpty,
+      s"keep-first pick became a per-bucket window sort:\n$p76")
+
+    // q78: the only data-sized window must partition by the stratum; the
+    // apportionment windows ride the #strata-row frame (broadcast back)
+    val quota = SparkEntry.queries("q78_stratified_quota")(spark, sf0001)
+    quota.collect()
+    val p78 = quota.queryExecution.executedPlan.toString
+    assert("Window \\[row_number\\(\\)[^\\n]*\\], \\[source".r.findFirstIn(p78).nonEmpty,
+      s"per-stratum fill window not partitioned by stratum:\n$p78")
+    assert(p78.contains("BroadcastExchange") || p78.contains("BroadcastHashJoin"),
+      s"quota table does not broadcast back onto the data:\n$p78")
+  }
+
   test("mega-domain skew: per-domain sequential folds stay linear at 80%-in-one-domain") {
     import graft.expr.Expr._
     import graft.stream.DataStream

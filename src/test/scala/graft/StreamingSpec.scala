@@ -563,4 +563,40 @@ class StreamingSpec extends SparkSuite {
         case p if p.getClass.getName.contains("StateStore") => p }.isEmpty)
     } finally q.stop()
   }
+
+  test("streaming contamination spans match the batch operator, stateless") {
+    import spark.implicits._
+    val bench = Seq((100L, "w1 w2 w3 w4 w5")).toDF("doc_id", "text")
+    val corpusRows = Seq(
+      (1L, "x0 x1 w1 w2 w3 w4 w5 x7 x8 x9"), // two overlapping matches
+      (2L, "totally clean text with other words entirely"),
+      (3L, "too short"))                     // < gramWords tokens
+    // tiny key set + low fpp → the bloom is effectively exact here, so the
+    // stream scores must EQUAL the batch operator's (the general contract
+    // is only >=, overcount-on-false-positive)
+    val keys = graft.operators.Dedup.contaminationWindowKeys(bench, "doc_id", "text", 4)
+    val bloom = graft.operators.Bloom.build(keys, "h", expectedItems = 16, fpp = 1e-6)
+    val batch = graft.operators.Dedup.contaminationSpans(
+        corpusRows.toDF("doc_id", "text"), bench, "doc_id", "text", 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4))).toSet
+
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, String)]
+    val scored = Streams.contaminationSpansStream(
+      input.toDF().toDF("doc_id", "text"), "doc_id", "text", bloom, gramWords = 4)
+    val q = scored.writeStream.outputMode("append").format("memory").queryName("spans").start()
+    try {
+      input.addData(corpusRows: _*)
+      q.processAllAvailable()
+      val streamed = spark.table("spans")
+        .select(col("doc_id"), col("n_windows"), col("n_matched"),
+          col("covered_tokens"), col("contamination"))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4))).toSet
+      assert(streamed == batch, s"stream $streamed vs batch $batch")
+      val executed = q.asInstanceOf[org.apache.spark.sql.execution.streaming.runtime.StreamingQueryWrapper]
+        .streamingQuery.lastExecution.executedPlan
+      assert(executed.collect {
+        case p if p.getClass.getName.contains("StateStore") => p }.isEmpty)
+    } finally q.stop()
+  }
 }
