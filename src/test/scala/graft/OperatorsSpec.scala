@@ -1393,6 +1393,26 @@ class OperatorsSpec extends SparkSuite {
     assert(out(2) == ((3L, 0L, 0L, 0L, 0.0))) // < gramWords tokens: no windows, still present
   }
 
+  test("spanDedup: all-but-first at token granularity, self-repeats, uniques untouched") {
+    import spark.implicits._
+    // k=3; doc 1 owns [a b c d e] (3 windows); doc 2 embeds the same run →
+    // every position of the run is covered by a duplicated non-winner
+    // window; doc 3 repeats a span inside itself; doc 4 is clean
+    val docs = Seq(
+      (1L, "a b c d e x1 x2"),
+      (2L, "y1 a b c d e y2"),
+      (3L, "p q r z1 p q r"),
+      (4L, "all unique tokens here")
+    ).toDF("doc_id", "text")
+    val out = graft.operators.Dedup.spanDedup(docs, "doc_id", "text", spanWords = 3)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    assert(out(0) == ((1L, 7L, 0L, "a b c d e x1 x2")))   // first occurrence untouched
+    assert(out(1) == ((2L, 7L, 5L, "y1 y2")))             // embedded run removed whole
+    assert(out(2) == ((3L, 7L, 3L, "p q r z1")))          // self-repeat: second copy out
+    assert(out(3) == ((4L, 4L, 0L, "all unique tokens here")))
+  }
+
   test("stratifiedQuota: exact total, within-1-of-proportional, deterministic fill") {
     import spark.implicits._
     // strata sizes 6/3/1, total 5 → exact shares 3.0/1.5/0.5; base 3/1/0,
