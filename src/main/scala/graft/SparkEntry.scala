@@ -138,6 +138,7 @@ object SparkEntry {
     "q77_contamination_spans" -> q77,
     "q78_stratified_quota" -> q78,
     "q79_span_dedup" -> q79,
+    "q80_span_scrub" -> q80,
   )
 
   // =====================================================================
@@ -1223,6 +1224,17 @@ object SparkEntry {
       .select(col("doc_id"), col("n_tokens"), col("n_removed"), col("cleaned_text"))
       .orderBy(col("doc_id"))
 
+  /** Decontamination surgery: q77's matched spans REMOVED — every corpus
+    * token under a 4-token window that occurs in the benchmark slice is
+    * cut, docs rebuilt from survivors (same split as q42/q60/q77). */
+  private def q80(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    Dedup.scrubContaminatedSpans(
+        docs.where(col("doc_id") % 10 =!= 0), docs.where(col("doc_id") % 10 === 0),
+        "doc_id", "text", gramWords = 4)
+      .orderBy(col("doc_id"))
+  }
+
   /** Largest-remainder stratified quota: exactly 300 docs allocated across
     * sources within 1 of proportional, each stratum filled in md5(id)
     * order — the apportionment runs on a #strata-row broadcast frame. */
@@ -2154,6 +2166,41 @@ object SparkEntry {
                list_sort(list(DISTINCT p)) AS ps
              FROM (SELECT doc_id, unnest(range(i, i + 8)) AS p
                    FROM marked WHERE occ >= 2 AND rn > 1)
+             GROUP BY doc_id),
+           idx AS (
+             SELECT doc_id, unnest(toks) AS tok, unnest(range(0, len(toks))) AS p FROM t),
+           clean AS (
+             SELECT idx.doc_id, string_agg(idx.tok, ' ' ORDER BY idx.p) AS cleaned_text
+             FROM idx LEFT JOIN rm ON rm.doc_id = idx.doc_id
+             WHERE NOT coalesce(list_contains(rm.ps, idx.p), false)
+             GROUP BY idx.doc_id)
+           SELECT t.doc_id,
+             CAST(len(t.toks) AS BIGINT) AS n_tokens,
+             coalesce(rm.n_removed, 0) AS n_removed,
+             coalesce(clean.cleaned_text, '') AS cleaned_text
+           FROM t LEFT JOIN rm USING (doc_id) LEFT JOIN clean USING (doc_id)
+           ORDER BY doc_id"""
+      },
+
+      // decontamination surgery: q77's matched windows become removals and
+      // the corpus docs rebuild from surviving tokens (q79's tail)
+      "q80_span_scrub" -> {
+        val winHash =
+          "CAST('0x' || substr(md5(array_to_string(list_slice(toks, i + 1, i + 4), ' ')), 1, 15) AS BIGINT)"
+        s"""WITH allt AS (SELECT doc_id, $toks AS toks FROM documents),
+           t AS (SELECT doc_id, toks FROM allt WHERE doc_id % 10 <> 0),
+           bg AS (SELECT DISTINCT h FROM (
+             SELECT unnest(list_transform(range(0, len(toks) - 3), i -> $winHash)) AS h
+             FROM allt WHERE doc_id % 10 = 0 AND len(toks) >= 4)),
+           wins AS (
+             SELECT doc_id, unnest(range(0, len(toks) - 3)) AS i,
+               unnest(list_transform(range(0, len(toks) - 3), i -> $winHash)) AS h
+             FROM t WHERE len(toks) >= 4),
+           rm AS (
+             SELECT doc_id, CAST(count(DISTINCT p) AS BIGINT) AS n_removed,
+               list_sort(list(DISTINCT p)) AS ps
+             FROM (SELECT w.doc_id, unnest(range(w.i, w.i + 4)) AS p
+                   FROM wins w JOIN bg USING (h))
              GROUP BY doc_id),
            idx AS (
              SELECT doc_id, unnest(toks) AS tok, unnest(range(0, len(toks))) AS p FROM t),

@@ -948,8 +948,19 @@ object Dedup {
       .agg(min(struct(col("id"), col("i"))).as("keeper"), count(lit(1)).as("occ"))
       .where(col("occ") >= 2)
       .select(col("h"), col("keeper"))
-    val removedPos = wins.join(winners, Seq("h"))
+    val marked = wins.join(winners, Seq("h"))
       .where(!(col("keeper.id") === col("id") && col("keeper.i") === col("i")))
+    removeMarkedSpans(docs, idCol, textCol, marked, k)
+  }
+
+  /** Shared tail of the span-surgery operators ([[spanDedup]],
+    * [[scrubContaminatedSpans]]): aggregate the marked windows' covered
+    * positions per doc (state bounded by the doc's token count) and rebuild
+    * every document from its surviving tokens. `marked` carries (id, i)
+    * window starts; output is 1:1 with `docs`. */
+  private def removeMarkedSpans(docs: DataFrame, idCol: String, textCol: String,
+                                marked: DataFrame, k: Int): DataFrame = {
+    val removedPos = marked
       .groupBy(col("id"))
       .agg(array_sort(array_distinct(flatten(
         collect_list(sequence(col("i"), col("i") + k - 1))))).as("_rm"))
@@ -967,6 +978,26 @@ object Dedup {
                 lit(null)).otherwise(t)),
             x => x.isNotNull),
           " ").as("cleaned_text"))
+  }
+
+  /** Decontamination SURGERY — the removal counterpart of the measuring
+    * [[contaminationSpans]]: every corpus token position covered by a
+    * `gramWords`-token window whose text occurs anywhere in the benchmark
+    * set is cut, and documents are rebuilt from the survivors. Span
+    * surgery keeps the 10k clean tokens of a doc that embeds one benchmark
+    * prompt, where the doc-level gate ([[crossCorpusOverlap]]) must drop
+    * or keep the doc wholesale.
+    *
+    * Same scale shape as [[contaminationSpans]] (hashed windows, benchmark
+    * side distinct-collapsed before the equi-join) with [[spanDedup]]'s
+    * per-doc rebuild tail. Output 1:1 with the corpus. */
+  def scrubContaminatedSpans(corpus: DataFrame, benchmark: DataFrame,
+                             idCol: String, textCol: String,
+                             gramWords: Int = 4): DataFrame = {
+    require(gramWords >= 1, s"gramWords must be >= 1, got $gramWords")
+    val marked = rollingWindows(corpus, idCol, textCol, gramWords)
+      .join(contaminationWindowKeys(benchmark, idCol, textCol, gramWords), Seq("h"))
+    removeMarkedSpans(corpus, idCol, textCol, marked, gramWords)
   }
 
   /** Span-level contamination measurement: for every corpus document, how

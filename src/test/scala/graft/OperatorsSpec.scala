@@ -1413,6 +1413,29 @@ class OperatorsSpec extends SparkSuite {
     assert(out(3) == ((4L, 4L, 0L, "all unique tokens here")))
   }
 
+  test("scrubContaminatedSpans: removes exactly the measured coverage, keeps clean text") {
+    import spark.implicits._
+    val corpus = Seq(
+      (1L, "x0 x1 w1 w2 w3 w4 w5 x7 x8 x9"), // 5 covered positions (q77 case)
+      (2L, "totally clean text with other words entirely"),
+      (3L, "too short")
+    ).toDF("doc_id", "text")
+    val bench = Seq((100L, "w1 w2 w3 w4 w5")).toDF("doc_id", "text")
+    val out = graft.operators.Dedup.scrubContaminatedSpans(
+        corpus, bench, "doc_id", "text", gramWords = 4)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    // n_removed must equal contaminationSpans' covered_tokens on the same
+    // inputs — the measure/scrub pair is one contract
+    val covered = graft.operators.Dedup.contaminationSpans(
+        corpus, bench, "doc_id", "text", gramWords = 4)
+      .orderBy("doc_id").collect().map(r => r.getLong(0) -> r.getLong(3)).toMap
+    assert(out.map(t => t._1 -> t._3).toMap == covered)
+    assert(out(0) == ((1L, 10L, 5L, "x0 x1 x7 x8 x9"))) // benchmark run cut, flanks kept
+    assert(out(1)._4 == "totally clean text with other words entirely")
+    assert(out(2) == ((3L, 2L, 0L, "too short")))
+  }
+
   test("stratifiedQuota: exact total, within-1-of-proportional, deterministic fill") {
     import spark.implicits._
     // strata sizes 6/3/1, total 5 → exact shares 3.0/1.5/0.5; base 3/1/0,
