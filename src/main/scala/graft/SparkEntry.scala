@@ -139,6 +139,7 @@ object SparkEntry {
     "q78_stratified_quota" -> q78,
     "q79_span_dedup" -> q79,
     "q80_span_scrub" -> q80,
+    "q81_lm_score" -> q81,
   )
 
   // =====================================================================
@@ -1235,6 +1236,13 @@ object SparkEntry {
       .orderBy(col("doc_id"))
   }
 
+  /** Corpus-trained bigram LM score per document, in integer micro-nats
+    * (exact BIGINT — see [[graft.operators.LmScore]] for why the float
+    * log-likelihood is quantized per-term before summing). */
+  private def q81(s: SparkSession, dir: String): DataFrame =
+    graft.operators.LmScore.bigramScore(Tables.documents(s, dir), "doc_id", "text")
+      .orderBy(col("doc_id"))
+
   /** Largest-remainder stratified quota: exactly 300 docs allocated across
     * sources within 1 of proportional, each stratum filled in md5(id)
     * order — the apportionment runs on a #strata-row broadcast frame. */
@@ -2216,6 +2224,33 @@ object SparkEntry {
            FROM t LEFT JOIN rm USING (doc_id) LEFT JOIN clean USING (doc_id)
            ORDER BY doc_id"""
       },
+
+      // add-1 bigram LM log-likelihood, quantized per DISTINCT bigram term
+      // to integer micro-nats (round(ln·1e6)) before the per-doc sum, so
+      // both engines sum exact BIGINTs in any order; parallel unnest of
+      // the two shifted slices zips tokens into bigrams positionally
+      "q81_lm_score" ->
+        s"""WITH t AS (SELECT doc_id, $toks AS toks FROM documents),
+           db0 AS (
+             SELECT doc_id,
+               unnest(list_slice(toks, 1, len(toks) - 1)) AS w1,
+               unnest(list_slice(toks, 2, len(toks))) AS w2
+             FROM t WHERE len(toks) >= 2),
+           db AS (SELECT doc_id, w1, w2, CAST(count(*) AS BIGINT) AS m
+                  FROM db0 GROUP BY 1, 2, 3),
+           bg AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS cb
+                  FROM db0 GROUP BY 1, 2),
+           u AS (SELECT w, CAST(count(*) AS BIGINT) AS cu
+                 FROM (SELECT unnest(toks) AS w FROM t) GROUP BY 1),
+           v AS (SELECT CAST(count(*) AS BIGINT) AS v FROM u),
+           sc AS (
+             SELECT db.doc_id, CAST(sum(db.m) AS BIGINT) AS n_bigrams,
+               CAST(sum(db.m * CAST(round(ln((bg.cb + 1.0) / (u.cu + v.v)) * 1e6) AS BIGINT)) AS BIGINT) AS score_unats
+             FROM db JOIN bg USING (w1, w2) JOIN u ON u.w = db.w1 CROSS JOIN v
+             GROUP BY 1)
+           SELECT t.doc_id, coalesce(sc.n_bigrams, 0) AS n_bigrams,
+             coalesce(sc.score_unats, 0) AS score_unats
+           FROM t LEFT JOIN sc USING (doc_id) ORDER BY t.doc_id""",
 
       // largest-remainder apportionment of exactly 300 slots across
       // sources (base ⌊300·cnt/T⌋ + remainder top-up, stratum ascending on

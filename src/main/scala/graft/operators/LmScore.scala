@@ -1,0 +1,82 @@
+package graft.operators
+
+import graft.functions.Text
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Corpus-trained n-gram language-model scoring — the KenLM-style quality
+  * signal of a training-data pipeline (CCNet/Wenzek et al. 2020 filter
+  * stage): documents whose token transitions are improbable under a model
+  * trained on the corpus itself score low (boilerplate, gibberish,
+  * non-language) and can be bucketed or dropped before training.
+  *
+  * This is a bigram model with add-1 (Laplace) smoothing over the observed
+  * vocabulary: p(w2 | w1) = (c(w1,w2) + 1) / (c(w1) + V). A document's
+  * score is its total log-likelihood under that model.
+  *
+  * ## Exactness: integer micro-nats
+  * Floating-point log-likelihoods are doubly hash-hostile: `ln` differs by
+  * ulps across libms, and a float SUM is order-dependent, so Spark's
+  * nondeterministic aggregation order would flake even against itself.
+  * Both problems die at once by quantizing each distinct bigram's term to
+  * an integer — round(ln(p)·10⁶), "micro-nats" — BEFORE the per-document
+  * sum, which is then exact BIGINT arithmetic: order-independent,
+  * repartition-stable, and bit-comparable against a DuckDB oracle doing
+  * the same quantization. Residual cross-engine risk is one rounding
+  * boundary landing inside the two libms' ≤1-ulp disagreement — a ~1e-10
+  * per-term coincidence (q73's argument), deterministic per corpus, and
+  * verified green on the actual gate corpora. The 10⁻⁶-nat quantization
+  * error is three orders below any filtering threshold anyone would set.
+  *
+  * ## Scale shape (100 TB)
+  * Bigram expansion is narrow (an array transform in the scan — document
+  * bodies never shuffle). Everything wide is pre-aggregated to short keys:
+  * per-doc bigram multiplicities (partial-agg on (id, w1, w2)), corpus
+  * bigram counts and unigram counts (vocabulary-sized, derived from the
+  * multiplicities so the corpus is tokenized once), and V (a scalar,
+  * broadcast). The scoring joins are equi-joins between those aggregates;
+  * stop-word skew on the w1 join is AQE's skew-join case. Nothing is
+  * quadratic; no global window; no driver loop.
+  */
+object LmScore {
+
+  /** Per-document add-1 bigram log-likelihood in integer micro-nats.
+    * Output, 1:1 with `docs`: (`idCol`, n_bigrams, score_unats) —
+    * n_bigrams = tokenCount−1 (0 for docs with <2 tokens, which score 0).
+    * Callers ranking "most natural first" sort by score_unats/n_bigrams
+    * descending (per-bigram normalization, or short docs dominate). */
+  def bigramScore(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val base = docs.select(col(idCol).as("id"), Text.tokens(col(textCol)).as("t"))
+
+    // per-doc bigram multiplicities — the ONE tokenized pass everything
+    // else derives from (sequence() needs the >=2 guard: start>stop steps
+    // backwards instead of yielding empty)
+    val docBg = base
+      .where(size(col("t")) >= 2)
+      .select(col("id"), explode(expr(
+        "transform(sequence(0, size(t) - 2), i -> struct(t[i] AS w1, t[i + 1] AS w2))")).as("bg"))
+      .select(col("id"), col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+      .groupBy(col("id"), col("w1"), col("w2"))
+      .agg(count(lit(1)).as("m"))
+
+    val uni = base.select(explode(col("t")).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("cu"))
+    val big = docBg.groupBy(col("w1"), col("w2")).agg(sum(col("m")).as("cb"))
+    val vocab = broadcast(uni.agg(count(lit(1)).as("v")))
+
+    val scored = docBg
+      .join(big, Seq("w1", "w2"))
+      .join(uni.withColumnRenamed("w", "w1"), Seq("w1"))
+      .crossJoin(vocab)
+      .withColumn("q", round(log((col("cb") + lit(1)).cast("double") /
+        (col("cu") + col("v")).cast("double")) * lit(1e6)).cast("long"))
+      .groupBy(col("id"))
+      .agg(sum(col("m")).as("n_bigrams"), sum(col("m") * col("q")).as("score_unats"))
+
+    base.select(col("id")).join(scored, Seq("id"), "left")
+      .select(col("id").as(idCol),
+        coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+        coalesce(col("score_unats"), lit(0L)).as("score_unats"))
+  }
+}

@@ -1436,6 +1436,21 @@ class OperatorsSpec extends SparkSuite {
     assert(out(2) == ((3L, 2L, 0L, "too short")))
   }
 
+  test("bigramScore: hand-computed add-1 micro-nat log-likelihoods") {
+    import spark.implicits._
+    // corpus: uni a:3 b:2 c:1 solo:1, V=4; bigrams d1:(a,b)x2,(b,a)x1  d2:(a,c)x1
+    val docs = Seq((1L, "a b A b"), (2L, "a c"), (3L, "solo")).toDF("doc_id", "text")
+    val out = graft.operators.LmScore.bigramScore(docs, "doc_id", "text")
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    // (a,b): ln((2+1)/(3+4)) = ln(3/7) -> -847298 (round half-away)
+    // (b,a): ln((1+1)/(2+4)) = ln(1/3) -> -1098612
+    // (a,c): ln((1+1)/(3+4)) = ln(2/7) -> -1252763
+    assert(out(0) == ((1L, 3L, 2L * -847298L + -1098612L)))
+    assert(out(1) == ((2L, 1L, -1252763L)))
+    assert(out(2) == ((3L, 0L, 0L))) // <2 tokens: no bigrams, score 0
+  }
+
   test("stratifiedQuota: exact total, within-1-of-proportional, deterministic fill") {
     import spark.implicits._
     // strata sizes 6/3/1, total 5 → exact shares 3.0/1.5/0.5; base 3/1/0,
