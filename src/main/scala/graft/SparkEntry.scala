@@ -140,6 +140,7 @@ object SparkEntry {
     "q79_span_dedup" -> q79,
     "q80_span_scrub" -> q80,
     "q81_lm_score" -> q81,
+    "q82_lm_lifecycle" -> q82,
   )
 
   // =====================================================================
@@ -1243,6 +1244,24 @@ object SparkEntry {
     graft.operators.LmScore.bigramScore(Tables.documents(s, dir), "doc_id", "text")
       .orderBy(col("doc_id"))
 
+  /** Persisted-LM lifecycle: train the bigram model on 80% of the corpus,
+    * write it as bucketed tables, score the held-out 20% AGAINST THE DISK
+    * COPY — q81's production split (train once, score forever). OOV mass
+    * is exercised for real: the held-out slice contains transitions the
+    * model never saw. Table names dir-keyed like q66 (the write is an
+    * eager side effect; two dirs in one session must not collide). */
+  private def q82(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val model = "graft_q82_lm_" +
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(dir.getBytes("UTF-8")).take(4).map("%02x".format(_)).mkString
+    graft.operators.LmScore.writeModel(
+      docs.where(col("doc_id") % 5 =!= 0), "doc_id", "text", model)
+    graft.operators.LmScore.scoreWith(
+        docs.where(col("doc_id") % 5 === 0), "doc_id", "text", model)
+      .orderBy(col("doc_id"))
+  }
+
   /** Largest-remainder stratified quota: exactly 300 docs allocated across
     * sources within 1 of proportional, each stratum filled in md5(id)
     * order — the apportionment runs on a #strata-row broadcast frame. */
@@ -2251,6 +2270,34 @@ object SparkEntry {
            SELECT t.doc_id, coalesce(sc.n_bigrams, 0) AS n_bigrams,
              coalesce(sc.score_unats, 0) AS score_unats
            FROM t LEFT JOIN sc USING (doc_id) ORDER BY t.doc_id""",
+
+      // q81's lifecycle split: counts come from the 80% train slice only,
+      // the 20% held-out slice is scored with coalesce-0 counts (the add-1
+      // smoothing handles OOV with no special case on either engine)
+      "q82_lm_lifecycle" ->
+        s"""WITH tr AS (SELECT doc_id, $toks AS toks FROM documents WHERE doc_id % 5 <> 0),
+           te AS (SELECT doc_id, $toks AS toks FROM documents WHERE doc_id % 5 = 0),
+           bg AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS cb FROM (
+             SELECT unnest(list_slice(toks, 1, len(toks) - 1)) AS w1,
+               unnest(list_slice(toks, 2, len(toks))) AS w2
+             FROM tr WHERE len(toks) >= 2) GROUP BY 1, 2),
+           u AS (SELECT w, CAST(count(*) AS BIGINT) AS cu
+                 FROM (SELECT unnest(toks) AS w FROM tr) GROUP BY 1),
+           v AS (SELECT CAST(count(*) AS BIGINT) AS v FROM u),
+           db AS (SELECT doc_id, w1, w2, CAST(count(*) AS BIGINT) AS m FROM (
+             SELECT doc_id,
+               unnest(list_slice(toks, 1, len(toks) - 1)) AS w1,
+               unnest(list_slice(toks, 2, len(toks))) AS w2
+             FROM te WHERE len(toks) >= 2) GROUP BY 1, 2, 3),
+           sc AS (
+             SELECT db.doc_id, CAST(sum(db.m) AS BIGINT) AS n_bigrams,
+               CAST(sum(db.m * CAST(round(ln((coalesce(bg.cb, 0) + 1.0) /
+                 (coalesce(u.cu, 0) + v.v)) * 1e6) AS BIGINT)) AS BIGINT) AS score_unats
+             FROM db LEFT JOIN bg USING (w1, w2) LEFT JOIN u ON u.w = db.w1 CROSS JOIN v
+             GROUP BY 1)
+           SELECT te.doc_id, coalesce(sc.n_bigrams, 0) AS n_bigrams,
+             coalesce(sc.score_unats, 0) AS score_unats
+           FROM te LEFT JOIN sc USING (doc_id) ORDER BY te.doc_id""",
 
       // largest-remainder apportionment of exactly 300 slots across
       // sources (base ⌊300·cnt/T⌋ + remainder top-up, stratum ascending on

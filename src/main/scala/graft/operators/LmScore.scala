@@ -79,4 +79,64 @@ object LmScore {
         coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
         coalesce(col("score_unats"), lit(0L)).as("score_unats"))
   }
+
+  /** Train the bigram model on `docs` and persist it: `<name>_uni`
+    * (w, cu) and `<name>_bg` (w1, w2, cb) bucketed on their join keys,
+    * `<name>_meta` a single row (v = vocabulary size). The production
+    * split of [[bigramScore]]: training tokenizes the corpus ONCE, and
+    * every later scoring pass joins these vocabulary-sized tables straight
+    * off disk (bucketed, so the scoring join needs no shuffle of the model
+    * side) instead of re-counting 100 TB. */
+  def writeModel(docs: DataFrame, idCol: String, textCol: String,
+                 name: String, buckets: Int = 8): Unit = {
+    val base = docs.select(Text.tokens(col(textCol)).as("t"))
+    val bg = base
+      .where(size(col("t")) >= 2)
+      .select(explode(expr(
+        "transform(sequence(0, size(t) - 2), i -> struct(t[i] AS w1, t[i + 1] AS w2))")).as("bg"))
+      .select(col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+      .groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("cb"))
+    val uni = base.select(explode(col("t")).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("cu"))
+    graft.sources.Tables.writeBucketed(uni, s"${name}_uni", buckets, "w")
+    graft.sources.Tables.writeBucketed(bg, s"${name}_bg", buckets, "w1", "w2")
+    graft.sources.Tables.saveTable(uni.agg(count(lit(1)).as("v")), s"${name}_meta")
+  }
+
+  /** Score documents against a model persisted by [[writeModel]]. Unseen
+    * words and transitions fall out of the same add-1 smoothing that
+    * defines the model — cb and cu default to 0, so an OOV transition
+    * scores ln(1/(cu+V)) and an OOV head word ln(1/V); nothing needs a
+    * special case, and the score stays a sum of quantized micro-nat
+    * integers exactly as in [[bigramScore]]. */
+  def scoreWith(newDocs: DataFrame, idCol: String, textCol: String,
+                name: String): DataFrame = {
+    val s = newDocs.sparkSession
+    val uni = s.table(s"${name}_uni").withColumnRenamed("w", "w1")
+    val bg = s.table(s"${name}_bg")
+    val vocab = broadcast(s.table(s"${name}_meta"))
+
+    val base = newDocs.select(col(idCol).as("id"), Text.tokens(col(textCol)).as("t"))
+    val docBg = base
+      .where(size(col("t")) >= 2)
+      .select(col("id"), explode(expr(
+        "transform(sequence(0, size(t) - 2), i -> struct(t[i] AS w1, t[i + 1] AS w2))")).as("bg"))
+      .select(col("id"), col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+      .groupBy(col("id"), col("w1"), col("w2"))
+      .agg(count(lit(1)).as("m"))
+
+    val scored = docBg
+      .join(bg, Seq("w1", "w2"), "left")
+      .join(uni, Seq("w1"), "left")
+      .crossJoin(vocab)
+      .withColumn("q", round(log((coalesce(col("cb"), lit(0L)) + lit(1)).cast("double") /
+        (coalesce(col("cu"), lit(0L)) + col("v")).cast("double")) * lit(1e6)).cast("long"))
+      .groupBy(col("id"))
+      .agg(sum(col("m")).as("n_bigrams"), sum(col("m") * col("q")).as("score_unats"))
+
+    base.select(col("id")).join(scored, Seq("id"), "left")
+      .select(col("id").as(idCol),
+        coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+        coalesce(col("score_unats"), lit(0L)).as("score_unats"))
+  }
 }

@@ -422,4 +422,20 @@ object Streams {
           out.iterator
       }
   }
+
+  /** Streaming twin of [[graft.operators.LmScore.scoreWith]]: score an
+    * incoming document stream against a model persisted by
+    * [[graft.operators.LmScore.writeModel]]. A document arrives whole in
+    * its row, so its score is a per-doc aggregation that never crosses a
+    * micro-batch boundary — foreachBatch runs the batch scorer (stream-
+    * static joins against the bucketed model tables) per trigger: no state
+    * store, no watermark, and batch/stream scores are identical by
+    * construction because they ARE the same plan. */
+  def lmScoreStream(docs: DataFrame, idCol: String, textCol: String,
+                    model: String, path: String) =
+    docs.writeStream.foreachBatch {
+      (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        graft.operators.LmScore.scoreWith(batch, idCol, textCol, model)
+          .write.mode("append").parquet(path): Unit
+    }
 }

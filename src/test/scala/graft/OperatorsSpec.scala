@@ -1451,6 +1451,24 @@ class OperatorsSpec extends SparkSuite {
     assert(out(2) == ((3L, 0L, 0L))) // <2 tokens: no bigrams, score 0
   }
 
+  test("LM lifecycle: scoreWith through persisted tables; OOV falls out of add-1") {
+    import spark.implicits._
+    // train corpus = bigramScore's hand case: uni a:3 b:2 c:1 solo:1, V=4
+    val train = Seq((1L, "a b a b"), (2L, "a c"), (3L, "solo")).toDF("doc_id", "text")
+    graft.operators.LmScore.writeModel(train, "doc_id", "text", "graft_test_lm", buckets = 2)
+    val batch = Seq(
+      (10L, "a b"),   // seen transition: ln((2+1)/(3+4)) -> -847298
+      (11L, "a zzz"), // seen head, unseen tail: ln((0+1)/(3+4)) = ln(1/7) -> -1945910
+      (12L, "qq rr"), // fully OOV: ln(1/(0+4)) = ln(.25) -> -1386294
+      (13L, "tiny")   // <2 tokens: zero row
+    ).toDF("doc_id", "text")
+    val out = graft.operators.LmScore.scoreWith(batch, "doc_id", "text", "graft_test_lm")
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(out.toSeq == Seq((10L, 1L, -847298L), (11L, 1L, -1945910L),
+      (12L, 1L, -1386294L), (13L, 0L, 0L)))
+  }
+
   test("stratifiedQuota: exact total, within-1-of-proportional, deterministic fill") {
     import spark.implicits._
     // strata sizes 6/3/1, total 5 → exact shares 3.0/1.5/0.5; base 3/1/0,

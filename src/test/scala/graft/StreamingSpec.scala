@@ -536,6 +536,31 @@ class StreamingSpec extends SparkSuite {
     } finally q.stop()
   }
 
+  test("streaming LM scoring matches batch scoreWith across micro-batches") {
+    import spark.implicits._
+    val train = Seq((1L, "a b a b"), (2L, "a c"), (3L, "solo")).toDF("doc_id", "text")
+    graft.operators.LmScore.writeModel(train, "doc_id", "text", "graft_stream_lm", buckets = 2)
+    val batchDocs = Seq((10L, "a b"), (11L, "a zzz"), (12L, "qq rr"), (13L, "tiny"))
+    val expected = graft.operators.LmScore
+      .scoreWith(batchDocs.toDF("doc_id", "text"), "doc_id", "text", "graft_stream_lm")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+
+    implicit val sqlCtx = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("lmstream").toString
+    val input = MemoryStream[(Long, String)]
+    val q = Streams.lmScoreStream(
+      input.toDF().toDF("doc_id", "text"), "doc_id", "text", "graft_stream_lm", dir).start()
+    try {
+      input.addData(batchDocs.take(2): _*) // two triggers: scores must not
+      q.processAllAvailable()              // depend on batch boundaries
+      input.addData(batchDocs.drop(2): _*)
+      q.processAllAvailable()
+      val streamed = spark.read.parquet(dir).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      assert(streamed == expected)
+    } finally q.stop()
+  }
+
   test("stream-static exact-dup confirmation: bloom false positives die, still stateless") {
     import spark.implicits._
     val corpusText = "the quick brown fox jumps over the lazy dog near the river bank today"
