@@ -176,6 +176,36 @@ class ScaleSpec extends SparkSuite {
       s"classify path re-shingles documents:\n$plan")
   }
 
+  test("LM lifecycle scores against the persisted model: no train-side re-count") {
+    // q82's production story: counts live in bucketed tables written at
+    // train time. The scoring plan must read them (FileScans of the
+    // graft_q82_lm_* tables) and must NOT tokenize the 80% train slice —
+    // exactly one documents scan (the 20% being scored) plus the final
+    // 1:1 left-join's id-only scan of the same slice.
+    val df = SparkEntry.queries("q82_lm_lifecycle")(spark, sf0001)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("graft_q82_lm_"),
+      s"model not read from the stored tables:\n$plan")
+    // every documents scan must be the %5==0 scored slice — a train-slice
+    // scan would carry the negated filter NOT((doc_id % 5) = 0)
+    val trainScans = plan.linesIterator
+      .filter(_.contains("documents.parquet")).filter(_.contains("NOT ((doc_id")).toSeq
+    assert(trainScans.isEmpty,
+      s"scoring path re-reads the train slice:\n${trainScans.mkString("\n")}")
+  }
+
+  test("LM self-score: count tables partial-aggregate; no quadratic join") {
+    // q81: both count branches must partial-aggregate before their
+    // exchange (two-phase HashAggregate), and nothing may be a cartesian
+    // except the single-row vocab-size broadcast.
+    val df = SparkEntry.queries("q81_lm_score")(spark, sf0001)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"), s"quadratic join in LM scoring:\n$plan")
+    assert(plan.contains("HashAggregate"), s"no hash aggregation in LM counts:\n$plan")
+  }
+
   test("correlated subqueries decorrelate into joins (no per-row re-execution)") {
     val df = SparkEntry.queries("q70_subquery")(spark, sf0001)
     df.collect()
