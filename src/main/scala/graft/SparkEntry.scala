@@ -141,6 +141,7 @@ object SparkEntry {
     "q80_span_scrub" -> q80,
     "q81_lm_score" -> q81,
     "q82_lm_lifecycle" -> q82,
+    "q83_zorder_key" -> q83,
   )
 
   // =====================================================================
@@ -1262,6 +1263,16 @@ object SparkEntry {
       .orderBy(col("doc_id"))
   }
 
+  /** Z-order (Morton) clustering key over (l_partkey, l_suppkey) — the
+    * layout pass behind multi-dimensional scan pruning
+    * ([[graft.sources.Layout]]); exact integer bit-interleave, so the
+    * whole layout decision is oracle-checkable. */
+  private def q83(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir)
+      .select(col("l_orderkey"), col("l_linenumber"),
+        graft.sources.Layout.zOrderKey(21, col("l_partkey"), col("l_suppkey")).as("zkey"))
+      .orderBy(col("zkey"), col("l_orderkey"), col("l_linenumber"))
+
   /** Largest-remainder stratified quota: exactly 300 docs allocated across
     * sources within 1 of proportional, each stratum filled in md5(id)
     * order — the apportionment runs on a #strata-row broadcast frame. */
@@ -2298,6 +2309,16 @@ object SparkEntry {
            SELECT te.doc_id, coalesce(sc.n_bigrams, 0) AS n_bigrams,
              coalesce(sc.score_unats, 0) AS score_unats
            FROM te LEFT JOIN sc USING (doc_id) ORDER BY te.doc_id""",
+
+      // Morton interleave, bit i of col k -> output bit 2i+k (partkey
+      // even, suppkey odd) — pure integer shift/mask arithmetic
+      "q83_zorder_key" ->
+        """SELECT l_orderkey, l_linenumber,
+             CAST(list_sum(list_transform(range(0, 21), i ->
+               (((l_partkey >> i) & 1) << (2 * i)) +
+               (((l_suppkey >> i) & 1) << (2 * i + 1)))) AS BIGINT) AS zkey
+           FROM lineitem
+           ORDER BY zkey, l_orderkey, l_linenumber""",
 
       // largest-remainder apportionment of exactly 300 slots across
       // sources (base ⌊300·cnt/T⌋ + remainder top-up, stratum ascending on

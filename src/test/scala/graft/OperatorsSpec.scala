@@ -1469,6 +1469,18 @@ class OperatorsSpec extends SparkSuite {
       (12L, 1L, -1386294L), (13L, 0L, 0L)))
   }
 
+  test("zOrderKey: hand-computed Morton interleave, bit i of col k at i*d+k") {
+    import spark.implicits._
+    val out = Seq((3L, 1L), (5L, 9L), (0L, 0L), (255L, 255L))
+      .toDF("x", "y")
+      .select(graft.sources.Layout.zOrderKey(21, col("x"), col("y")).as("z"))
+      .collect().map(_.getLong(0))
+    // (3,1): x bits 0,1 -> z0,z2 = 5; y bit 0 -> z1 = 2          => 7
+    // (5,9): x bits 0,2 -> z0,z4 = 17; y bits 0,3 -> z1,z7 = 130 => 147
+    // (255,255): all 16 low bits set                             => 65535
+    assert(out.toSeq == Seq(7L, 147L, 0L, 65535L))
+  }
+
   test("stratifiedQuota: exact total, within-1-of-proportional, deterministic fill") {
     import spark.implicits._
     // strata sizes 6/3/1, total 5 → exact shares 3.0/1.5/0.5; base 3/1/0,

@@ -206,6 +206,33 @@ class ScaleSpec extends SparkSuite {
     assert(plan.contains("HashAggregate"), s"no hash aggregation in LM counts:\n$plan")
   }
 
+  test("z-order layout: a thin-slab predicate prunes most files; x-sort prunes none") {
+    // 256x256 uniform grid, 16 files per layout. A slab y IN [8,16) is the
+    // query a single-column-sorted layout cannot prune: every x-sorted
+    // file spans all of y, while contiguous Morton ranges are spatial
+    // tiles, so only the tiles touching the slab intersect.
+    import spark.implicits._
+    val grid = spark.range(256L * 256L)
+      .select((col("id") % 256).as("x"), expr("id DIV 256").as("y"))
+    val base = java.nio.file.Files.createTempDirectory("zorder").toString
+    grid.repartitionByRange(16, col("x")).sortWithinPartitions("x")
+      .write.mode("overwrite").parquet(s"$base/by_x")
+    graft.sources.Layout.writeZOrdered(grid, Seq("x", "y"), s"$base/by_z", files = 16)
+
+    def intersecting(dir: String): (Int, Int) = {
+      val files = new java.io.File(dir).listFiles().filter(_.getName.endsWith(".parquet"))
+      val hit = files.count { f =>
+        val r = spark.read.parquet(f.toString).agg(min(col("y")), max(col("y"))).head()
+        r.getLong(0) < 16 && r.getLong(1) >= 8 // file's y-range meets [8,16)
+      }
+      (hit, files.length)
+    }
+    val (xHit, xTotal) = intersecting(s"$base/by_x")
+    val (zHit, zTotal) = intersecting(s"$base/by_z")
+    assert(xHit == xTotal, s"x-sorted layout unexpectedly pruned: $xHit/$xTotal")
+    assert(zHit <= zTotal / 2, s"z-order failed to prune: $zHit/$zTotal files intersect")
+  }
+
   test("correlated subqueries decorrelate into joins (no per-row re-execution)") {
     val df = SparkEntry.queries("q70_subquery")(spark, sf0001)
     df.collect()
