@@ -142,6 +142,7 @@ object SparkEntry {
     "q81_lm_score" -> q81,
     "q82_lm_lifecycle" -> q82,
     "q83_zorder_key" -> q83,
+    "q84_lm_quality_filter" -> q84,
   )
 
   // =====================================================================
@@ -1273,6 +1274,28 @@ object SparkEntry {
         graft.sources.Layout.zOrderKey(21, col("l_partkey"), col("l_suppkey")).as("zkey"))
       .orderBy(col("zkey"), col("l_orderkey"), col("l_linenumber"))
 
+  /** Bottom-decile LM-quality filter: drop the 10% of documents whose
+    * per-bigram average log-likelihood (floor-divided micro-nats — exact
+    * integers end to end) ranks lowest. The global ranking is
+    * [[graft.operators.Ranking.globalRank]]'s two-level scheme — no
+    * single-partition window; zero-bigram docs carry no LM evidence and
+    * stay out of the ranking. */
+  private def q84(s: SparkSession, dir: String): DataFrame = {
+    val scored = graft.operators.LmScore
+      .bigramScore(Tables.documents(s, dir), "doc_id", "text")
+      .where(col("n_bigrams") >= 1)
+      // exact floor division: subtract the non-negative pmod, then DIV
+      .withColumn("avg_unats",
+        expr("(score_unats - pmod(score_unats, n_bigrams)) DIV n_bigrams"))
+    val ranked = graft.operators.Ranking
+      .globalRank(scored, "avg_unats", bucketWidth = 1000000L, "doc_id")
+    ranked
+      .crossJoin(broadcast(ranked.agg(count(lit(1)).as("_n"))))
+      .withColumn("kept", col("rank") > expr("_n DIV 10"))
+      .select(col("doc_id"), col("avg_unats"), col("rank"), col("kept"))
+      .orderBy(col("rank"))
+  }
+
   /** Largest-remainder stratified quota: exactly 300 docs allocated across
     * sources within 1 of proportional, each stratum filled in md5(id)
     * order — the apportionment runs on a #strata-row broadcast frame. */
@@ -2319,6 +2342,42 @@ object SparkEntry {
                (((l_suppkey >> i) & 1) << (2 * i + 1)))) AS BIGINT) AS zkey
            FROM lineitem
            ORDER BY zkey, l_orderkey, l_linenumber""",
+
+      // q81's scores, per-bigram floor-averaged (subtract the FLOOR mod —
+      // DuckDB % truncates, so re-floor it — then exact integer division),
+      // ranked ascending with doc_id tiebreak; bottom decile dropped
+      "q84_lm_quality_filter" ->
+        s"""WITH t AS (SELECT doc_id, $toks AS toks FROM documents),
+           db0 AS (
+             SELECT doc_id,
+               unnest(list_slice(toks, 1, len(toks) - 1)) AS w1,
+               unnest(list_slice(toks, 2, len(toks))) AS w2
+             FROM t WHERE len(toks) >= 2),
+           db AS (SELECT doc_id, w1, w2, CAST(count(*) AS BIGINT) AS m
+                  FROM db0 GROUP BY 1, 2, 3),
+           bg AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS cb
+                  FROM db0 GROUP BY 1, 2),
+           u AS (SELECT w, CAST(count(*) AS BIGINT) AS cu
+                 FROM (SELECT unnest(toks) AS w FROM t) GROUP BY 1),
+           v AS (SELECT CAST(count(*) AS BIGINT) AS v FROM u),
+           sc AS (
+             SELECT db.doc_id, CAST(sum(db.m) AS BIGINT) AS n_bigrams,
+               CAST(sum(db.m * CAST(round(ln((bg.cb + 1.0) / (u.cu + v.v)) * 1e6) AS BIGINT)) AS BIGINT) AS score_unats
+             FROM db JOIN bg USING (w1, w2) JOIN u ON u.w = db.w1 CROSS JOIN v
+             GROUP BY 1),
+           avgd AS (
+             SELECT doc_id,
+               CAST((score_unats - (((score_unats % n_bigrams) + n_bigrams) % n_bigrams))
+                 // n_bigrams AS BIGINT) AS avg_unats
+             FROM sc WHERE n_bigrams >= 1),
+           ranked AS (
+             SELECT doc_id, avg_unats,
+               row_number() OVER (ORDER BY avg_unats, doc_id) AS rank,
+               CAST(count(*) OVER () AS BIGINT) AS n
+             FROM avgd)
+           SELECT doc_id, avg_unats, CAST(rank AS BIGINT) AS rank,
+             rank > (n // 10) AS kept
+           FROM ranked ORDER BY rank""",
 
       // largest-remainder apportionment of exactly 300 slots across
       // sources (base ⌊300·cnt/T⌋ + remainder top-up, stratum ascending on

@@ -1481,6 +1481,22 @@ class OperatorsSpec extends SparkSuite {
     assert(out.toSeq == Seq(7L, 147L, 0L, 65535L))
   }
 
+  test("globalRank: exact permutation, bucket-width invariant, negative values") {
+    import spark.implicits._
+    val rows = Seq((1L, -17L), (2L, 5L), (3L, -17L), (4L, 0L), (5L, 42L),
+      (6L, -3L), (7L, 5L)).toDF("id", "v")
+    // expected: sort by (v, id): (-17,1) (-17,3) (-3,6) (0,4) (5,2) (5,7) (42,5)
+    val expected = Map(1L -> 1L, 3L -> 2L, 6L -> 3L, 4L -> 4L, 2L -> 5L, 7L -> 6L, 5L -> 7L)
+    for (w <- Seq(3L, 10L, 1000L)) { // widths spanning many/few/one bucket
+      val got = graft.operators.Ranking.globalRank(rows, "v", w, "id")
+        .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+      assert(got == expected, s"bucketWidth=$w")
+    }
+    val reparted = graft.operators.Ranking.globalRank(rows.repartition(7), "v", 3L, "id")
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(reparted == expected)
+  }
+
   test("stratifiedQuota: exact total, within-1-of-proportional, deterministic fill") {
     import spark.implicits._
     // strata sizes 6/3/1, total 5 → exact shares 3.0/1.5/0.5; base 3/1/0,

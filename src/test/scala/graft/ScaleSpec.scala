@@ -233,6 +233,20 @@ class ScaleSpec extends SparkSuite {
     assert(zHit <= zTotal / 2, s"z-order failed to prune: $zHit/$zTotal files intersect")
   }
 
+  test("LM quality filter: the global ranking never collapses data to one partition") {
+    // q84's scale property, same contract as q56's prefix sum: the only
+    // unpartitioned window is the #buckets offset frame (and the scalar
+    // count) — every window over document rows is bucket-partitioned.
+    val df = SparkEntry.queries("q84_lm_quality_filter")(spark, sf0001)
+    df.collect()
+    val windows = df.queryExecution.executedPlan.toString
+      .linesIterator.filter(_.contains("Window")).filterNot(_.contains("WindowGroupLimit")).toSeq
+    val dataWindows = windows.filter(_.contains("avg_unats"))
+    assert(dataWindows.nonEmpty, s"expected a ranking window:\n${windows.mkString("\n")}")
+    assert(dataWindows.forall(w => w.contains("partitionBy") || w.contains("_bkt")),
+      s"ranking window must be bucket-partitioned:\n${dataWindows.mkString("\n")}")
+  }
+
   test("correlated subqueries decorrelate into joins (no per-row re-execution)") {
     val df = SparkEntry.queries("q70_subquery")(spark, sf0001)
     df.collect()
