@@ -39,6 +39,26 @@ object Layout {
     terms.reduce(_ bitwiseOR _)
   }
 
+  /** Compact a parquet directory into ~`targetBytes` files — the
+    * small-files half of layout maintenance (a 100 TB ingest of per-batch
+    * streaming writes leaves millions of KB-sized files; metadata and task
+    * scheduling then dominate every scan). Sizing comes from the actual
+    * on-disk byte count, and the rewrite is a `coalesce` — a NARROW
+    * concatenation of existing partitions, no shuffle; rows never move
+    * between executors, so the cost is one read + one write. Pair with
+    * [[writeZOrdered]] when the rewrite should also re-cluster (that one
+    * pays its range exchange deliberately). */
+  def compact(spark: org.apache.spark.sql.SparkSession, inPath: String,
+              outPath: String, targetBytes: Long = 128L << 20): Unit = {
+    require(targetBytes > 0, s"targetBytes must be positive, got $targetBytes")
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(inPath), spark.sparkContext.hadoopConfiguration)
+    val totalBytes = fs.getContentSummary(new org.apache.hadoop.fs.Path(inPath)).getLength
+    val files = math.max(1L, (totalBytes + targetBytes - 1) / targetBytes).toInt
+    spark.read.parquet(inPath).coalesce(files)
+      .write.mode("overwrite").parquet(outPath)
+  }
+
   /** Rewrite `df` into `files` parquet files under `path`, clustered by
     * the z-order of `cols`: range-partition on the interleaved key (file
     * boundaries = key quantiles, so files are balanced even under skew),

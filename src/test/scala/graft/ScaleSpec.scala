@@ -247,6 +247,23 @@ class ScaleSpec extends SparkSuite {
       s"ranking window must be bucket-partitioned:\n${dataWindows.mkString("\n")}")
   }
 
+  test("compaction: many tiny files collapse to target-sized few, content identical") {
+    import spark.implicits._
+    val base = java.nio.file.Files.createTempDirectory("compact").toString
+    spark.range(10000).select(col("id"), (col("id") * 7).as("v"))
+      .repartition(64).write.mode("overwrite").parquet(s"$base/small")
+    val smallFiles = new java.io.File(s"$base/small").listFiles()
+      .count(_.getName.endsWith(".parquet"))
+    assert(smallFiles == 64)
+    graft.sources.Layout.compact(spark, s"$base/small", s"$base/big", targetBytes = 64L << 10)
+    val bigFiles = new java.io.File(s"$base/big").listFiles()
+      .count(_.getName.endsWith(".parquet"))
+    assert(bigFiles < 16, s"expected <16 compacted files, got $bigFiles")
+    val before = spark.read.parquet(s"$base/small").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val after = spark.read.parquet(s"$base/big").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(after == before)
+  }
+
   test("correlated subqueries decorrelate into joins (no per-row re-execution)") {
     val df = SparkEntry.queries("q70_subquery")(spark, sf0001)
     df.collect()
