@@ -143,6 +143,11 @@ object SparkEntry {
     "q82_lm_lifecycle" -> q82,
     "q83_zorder_key" -> q83,
     "q84_lm_quality_filter" -> q84,
+    "q85_cdc_merge" -> q85,
+    "q86_scd2_history" -> q86,
+    "q87_pagerank" -> q87,
+    "q88_inverted_index" -> q88,
+    "q89_pmi_colloc" -> q89,
   )
 
   // =====================================================================
@@ -1306,6 +1311,79 @@ object SparkEntry {
       .select(col("doc_id"), col("source"), col("quota"), col("kept"))
       .orderBy(col("doc_id"))
 
+  /** CDC MERGE: the events stream read as a changelog over the customer
+    * snapshot (latest event per user wins; a trailing 'error' deletes the
+    * key, anything else upserts name/balance/segment). Latest-wins is one
+    * partial-aggregable max_by, the merge one key-sized full-outer join
+    * ([[graft.operators.Cdc]]). */
+  private def q85(s: SparkSession, dir: String): DataFrame = {
+    val base = Tables.customer(s, dir).select(
+      col("c_custkey"), col("c_name"),
+      cents(col("c_acctbal")).as("acctbal_c"), col("c_mktsegment"))
+    val changelog = Tables.events(s, dir).select(
+      col("user_id").as("c_custkey"),
+      unix_millis(col("ts")).as("ms"), col("event_id"),
+      when(col("event_type") === "error", lit("D")).otherwise(lit("U")).as("_op"),
+      concat(lit("cdc_"), col("user_id")).as("c_name"),
+      cents(col("value")).as("acctbal_c"),
+      col("event_type").as("c_mktsegment"))
+    val latest = graft.operators.Cdc
+      .latestState(changelog, "c_custkey", Seq("ms", "event_id"))
+      .drop("ms", "event_id")
+    graft.operators.Cdc.merge(base, latest, "c_custkey")
+      .orderBy(col("c_custkey"))
+  }
+
+  /** SCD-2 history build: each user's event-type change stream compressed
+    * to runs and unrolled into versioned validity intervals (valid_to null
+    * = open current version) — one per-key window pass
+    * ([[graft.operators.Cdc.scd2]]). */
+  private def q86(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Cdc.scd2(
+        Tables.events(s, dir).select(col("user_id"),
+          unix_millis(col("ts")).as("ms"), col("event_id"), col("event_type")),
+        keyCol = "user_id", seqCol = "ms",
+        stateCols = Seq("event_type"), tieCols = Seq("event_id"))
+      .orderBy(col("user_id"), col("version"))
+
+  /** Integer fixed-point PageRank over the bipartite part↔supplier graph
+    * (supplier nodes offset by 10⁶ into a disjoint id space; edges both
+    * directions so mass circulates). 3 damped rounds, exact BIGINT
+    * arithmetic end to end ([[graft.operators.Graph]]). */
+  private def q87(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(s, dir)
+      .select(col("l_partkey").as("p"), (col("l_suppkey") + lit(1000000L)).as("sn"))
+    val edges = li.select(col("p").as("src"), col("sn").as("dst"))
+      .union(li.select(col("sn").as("src"), col("p").as("dst")))
+    graft.operators.Graph.pageRankInt(edges, "src", "dst", iterations = 3)
+      .orderBy(col("node"))
+  }
+
+  /** Inverted-index boolean retrieval: build the (term, doc_id) index,
+    * persist it bucketed on term (dir-keyed name — the write is an eager
+    * side effect, like q66/q82), then answer 'join' AND 'stream' AND NOT
+    * 'slow' from the disk copy ([[graft.operators.InvertedIndex]]). */
+  private def q88(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val name = "graft_q88_idx_" +
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(dir.getBytes("UTF-8")).take(4).map("%02x".format(_)).mkString
+    graft.operators.InvertedIndex.writeIndex(docs, "doc_id", "text", name)
+    graft.operators.InvertedIndex
+      .search(s, name, all = Seq("join", "stream"), none = Seq("slow"))
+      .join(docs.select(col("doc_id"), col("n_chars")), Seq("doc_id"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Top-200 PMI collocations (c_pair >= 5) in integer micro-nats —
+    * LmScore's quantize-then-aggregate exactness applied to association
+    * mining; top-k is TakeOrdered, not a global sort
+    * ([[graft.operators.Colloc]]). */
+  private def q89(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Colloc.pmi(Tables.documents(s, dir), "doc_id", "text", minCount = 5L)
+      .orderBy(col("pmi_unats").desc, col("w1"), col("w2"))
+      .limit(200)
+
   // =====================================================================
   // DuckDB oracle SQL — same semantics, same column names, same ORDER BY.
   // =====================================================================
@@ -2439,6 +2517,113 @@ object SparkEntry {
              SELECT l_returnflag, 'disc_e4' AS metric,
                CAST(round(l_discount * 10000) AS BIGINT) AS v FROM lineitem) u
            GROUP BY l_returnflag, metric ORDER BY l_returnflag, metric""",
+
+      // latest event per user (ms desc, event_id desc) merged into the
+      // customer snapshot: trailing 'error' deletes, else upsert
+      "q85_cdc_merge" ->
+        """WITH base AS (
+             SELECT c_custkey, c_name,
+               CAST(round(c_acctbal * 100) AS BIGINT) AS acctbal_c, c_mktsegment
+             FROM customer),
+           ch AS (
+             SELECT user_id AS k, event_type, value,
+               row_number() OVER (PARTITION BY user_id
+                 ORDER BY epoch_ms(ts) DESC, event_id DESC) AS rn
+             FROM events),
+           latest AS (
+             SELECT k,
+               CASE WHEN event_type = 'error' THEN 'D' ELSE 'U' END AS op,
+               'cdc_' || CAST(k AS VARCHAR) AS c_name,
+               CAST(round(value * 100) AS BIGINT) AS acctbal_c,
+               event_type AS c_mktsegment
+             FROM ch WHERE rn = 1)
+           SELECT coalesce(l.k, b.c_custkey) AS c_custkey,
+             CASE WHEN l.k IS NOT NULL THEN l.c_name ELSE b.c_name END AS c_name,
+             CASE WHEN l.k IS NOT NULL THEN l.acctbal_c ELSE b.acctbal_c END AS acctbal_c,
+             CASE WHEN l.k IS NOT NULL THEN l.c_mktsegment ELSE b.c_mktsegment END AS c_mktsegment
+           FROM base b FULL OUTER JOIN latest l ON b.c_custkey = l.k
+           WHERE l.op IS NULL OR l.op <> 'D'
+           ORDER BY c_custkey""",
+
+      // runs of equal event_type per user -> versioned validity intervals
+      "q86_scd2_history" ->
+        """WITH e AS (
+             SELECT user_id, epoch_ms(ts) AS ms, event_id, event_type FROM events),
+           o AS (
+             SELECT *, lag(event_type) OVER (PARTITION BY user_id
+               ORDER BY ms, event_id) AS prev
+             FROM e),
+           b AS (SELECT user_id, ms, event_id, event_type FROM o
+                 WHERE prev IS NULL OR prev <> event_type)
+           SELECT user_id,
+             row_number() OVER (PARTITION BY user_id ORDER BY ms, event_id) AS version,
+             ms AS valid_from,
+             lead(ms) OVER (PARTITION BY user_id ORDER BY ms, event_id) AS valid_to,
+             event_type
+           FROM b ORDER BY user_id, version""",
+
+      // 3 rounds of damped integer PageRank chained through CTEs —
+      // rank DIV outdeg along each edge, teleport 150000, damp 85/100;
+      // every term BIGINT so the iteration is bit-exact cross-engine
+      "q87_pagerank" ->
+        """WITH e AS (
+             SELECT DISTINCT l_partkey AS src, l_suppkey + 1000000 AS dst FROM lineitem
+             UNION
+             SELECT DISTINCT l_suppkey + 1000000 AS src, l_partkey AS dst FROM lineitem),
+           n AS (SELECT DISTINCT src AS node FROM e
+                 UNION SELECT DISTINCT dst AS node FROM e),
+           d AS (SELECT src, CAST(count(*) AS BIGINT) AS deg FROM e GROUP BY src),
+           r0 AS (SELECT node, CAST(1000000 AS BIGINT) AS rank_fp FROM n),
+           r1 AS (
+             SELECT n.node, CAST(150000 + (85 * coalesce(c.in_fp, 0)) // 100 AS BIGINT) AS rank_fp
+             FROM n LEFT JOIN (
+               SELECT e.dst AS node, CAST(sum(r0.rank_fp // d.deg) AS BIGINT) AS in_fp
+               FROM e JOIN r0 ON r0.node = e.src JOIN d ON d.src = e.src
+               GROUP BY e.dst) c ON c.node = n.node),
+           r2 AS (
+             SELECT n.node, CAST(150000 + (85 * coalesce(c.in_fp, 0)) // 100 AS BIGINT) AS rank_fp
+             FROM n LEFT JOIN (
+               SELECT e.dst AS node, CAST(sum(r1.rank_fp // d.deg) AS BIGINT) AS in_fp
+               FROM e JOIN r1 ON r1.node = e.src JOIN d ON d.src = e.src
+               GROUP BY e.dst) c ON c.node = n.node),
+           r3 AS (
+             SELECT n.node, CAST(150000 + (85 * coalesce(c.in_fp, 0)) // 100 AS BIGINT) AS rank_fp
+             FROM n LEFT JOIN (
+               SELECT e.dst AS node, CAST(sum(r2.rank_fp // d.deg) AS BIGINT) AS in_fp
+               FROM e JOIN r2 ON r2.node = e.src JOIN d ON d.src = e.src
+               GROUP BY e.dst) c ON c.node = n.node)
+           SELECT node, rank_fp FROM r3 ORDER BY node""",
+
+      // token-membership boolean retrieval over the same normalization
+      "q88_inverted_index" ->
+        s"""WITH t AS (SELECT doc_id, n_chars, $toks AS toks FROM documents)
+           SELECT doc_id, n_chars FROM t
+           WHERE list_contains(toks, 'join') AND list_contains(toks, 'stream')
+             AND NOT list_contains(toks, 'slow')
+           ORDER BY doc_id""",
+
+      // adjacent-bigram PMI quantized per distinct pair (round(ln·1e6)) —
+      // the double arithmetic is the same left-associated shape as the
+      // engine's; counts and outputs all BIGINT
+      "q89_pmi_colloc" ->
+        s"""WITH t AS (SELECT $toks AS toks FROM documents),
+           bg AS (
+             SELECT w1, w2, CAST(count(*) AS BIGINT) AS c_pair FROM (
+               SELECT unnest(list_slice(toks, 1, len(toks) - 1)) AS w1,
+                 unnest(list_slice(toks, 2, len(toks))) AS w2
+               FROM t WHERE len(toks) >= 2) GROUP BY 1, 2),
+           u AS (SELECT w, CAST(count(*) AS BIGINT) AS cu
+                 FROM (SELECT unnest(toks) AS w FROM t) GROUP BY 1),
+           n AS (SELECT CAST(sum(cu) AS BIGINT) AS n_total FROM u)
+           SELECT bg.w1, bg.w2, bg.c_pair,
+             CAST(round(ln(CAST(bg.c_pair AS DOUBLE) * CAST(n.n_total AS DOUBLE)
+               / CAST(u1.cu AS DOUBLE) / CAST(u2.cu AS DOUBLE)) * 1e6) AS BIGINT) AS pmi_unats
+           FROM bg
+           JOIN u u1 ON u1.w = bg.w1
+           JOIN u u2 ON u2.w = bg.w2
+           CROSS JOIN n
+           WHERE bg.c_pair >= 5
+           ORDER BY pmi_unats DESC, w1, w2 LIMIT 200""",
     )
   }
 }

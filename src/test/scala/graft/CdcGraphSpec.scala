@@ -1,0 +1,114 @@
+package graft
+
+import graft.operators.{Cdc, Colloc, Graph, InvertedIndex}
+
+import org.apache.spark.sql.functions._
+
+/** Cdc (latest-wins / MERGE / SCD-2), Graph (integer PageRank),
+  * InvertedIndex, and Colloc (PMI) semantics on hand-checkable inputs. */
+class CdcGraphSpec extends SparkSuite {
+
+  private def changelog = {
+    import spark.implicits._
+    // (key, ms, event_id, op, v)
+    Seq(
+      (1L, 10L, 100L, "U", "a"),
+      (1L, 20L, 101L, "U", "b"), // winner for key 1
+      (2L, 10L, 102L, "U", "c"),
+      (2L, 10L, 103L, "D", "d"), // same ms — event_id breaks the tie, delete wins
+      (4L, 5L, 104L, "U", "new") // insert (no base row)
+    ).toDF("k", "ms", "event_id", "_op", "v")
+  }
+
+  test("latestState: greatest (seq, tie) row wins per key") {
+    val out = Cdc.latestState(changelog, "k", Seq("ms", "event_id"))
+      .orderBy("k").collect().map(r => (r.getLong(0), r.getString(4)))
+    assert(out.toSeq == Seq((1L, "b"), (2L, "d"), (4L, "new")))
+  }
+
+  test("merge: upsert replaces, delete removes, new key inserts, untouched passes through") {
+    import spark.implicits._
+    val base = Seq((1L, "old1"), (2L, "old2"), (3L, "old3")).toDF("k", "v")
+    val ops = Cdc.latestState(changelog, "k", Seq("ms", "event_id"))
+      .drop("ms", "event_id")
+    val out = Cdc.merge(base, ops, "k")
+      .orderBy("k").collect().map(r => (r.getLong(0), r.getString(1)))
+    // 1 updated, 2 deleted, 3 untouched, 4 inserted
+    assert(out.toSeq == Seq((1L, "b"), (3L, "old3"), (4L, "new")))
+  }
+
+  test("scd2: consecutive-equal states compress; intervals tile; tail open") {
+    import spark.implicits._
+    val ch = Seq(
+      (1L, 10L, 1L, "x"), (1L, 20L, 2L, "x"), // same run
+      (1L, 30L, 3L, "y"), (1L, 40L, 4L, "x"), // x again = NEW version
+      (2L, 10L, 5L, "z")
+    ).toDF("k", "ms", "event_id", "st")
+    val out = Cdc.scd2(ch, "k", "ms", Seq("st"), Seq("event_id"))
+      .orderBy("k", "version").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2),
+        Option(r.get(3)).map(_.asInstanceOf[Long]), r.getString(4)))
+    assert(out.toSeq == Seq(
+      (1L, 1, 10L, Some(30L), "x"),
+      (1L, 2, 30L, Some(40L), "y"),
+      (1L, 3, 40L, None, "x"),
+      (2L, 1, 10L, None, "z")))
+  }
+
+  /** Driver-side replica of the exact integer recurrence. */
+  private def refPageRank(edges: Seq[(Long, Long)], iters: Int): Map[Long, Long] = {
+    val e = edges.distinct
+    val nodes = (e.map(_._1) ++ e.map(_._2)).distinct
+    val outdeg = e.groupBy(_._1).map { case (s, es) => s -> es.size.toLong }
+    var r = nodes.map(_ -> 1000000L).toMap
+    for (_ <- 1 to iters) {
+      val in = e.groupBy(_._2).map { case (d, es) =>
+        d -> es.map { case (s, _) => r(s) / outdeg(s) }.sum
+      }
+      r = nodes.map(n => n -> (150000L + 85L * in.getOrElse(n, 0L) / 100L)).toMap
+    }
+    r
+  }
+
+  test("pageRankInt matches the driver-side integer recurrence; hubs outrank leaves") {
+    import spark.implicits._
+    // star into 1 plus a 2-cycle and a dangler
+    val edges = Seq((2L, 1L), (3L, 1L), (4L, 1L), (1L, 2L), (2L, 3L), (5L, 1L))
+    val out = Graph.pageRankInt(edges.toDF("s", "d"), "s", "d", iterations = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out == refPageRank(edges, 3))
+    assert(out(1L) > out(4L) && out(1L) > out(5L)) // the hub beats pure sources
+  }
+
+  test("inverted index: build + persisted search == brute-force token filter") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "spark join stream fast"),
+      (2L, "join stream slow path"), // has 'slow' -> excluded
+      (3L, "join only no stream"),   // hmm: contains 'stream'? yes -> kept
+      (4L, "stream but not the other term"),
+      (5L, "JOIN Stream case folded")
+    ).toDF("doc_id", "text")
+    InvertedIndex.writeIndex(docs, "doc_id", "text", "graft_spec_inv_idx")
+    val got = InvertedIndex.search(spark, "graft_spec_inv_idx",
+        all = Seq("join", "stream"), none = Seq("slow"))
+      .orderBy("doc_id").collect().map(_.getLong(0)).toSeq
+    assert(got == Seq(1L, 3L, 5L))
+    // tf is a real count, not a flag
+    val tf = spark.table("graft_spec_inv_idx")
+      .where(col("term") === "join" && col("doc_id") === 5L)
+      .collect().map(_.getLong(2)).toSeq
+    assert(tf == Seq(1L))
+  }
+
+  test("pmi: quantized micro-nats match driver-side math; repeated pair tops list") {
+    import spark.implicits._
+    // "big data" appears 5x across docs; all words otherwise unique-ish
+    val docs = (1 to 5).map(i => (i.toLong, s"big data w$i")).toDF("doc_id", "text")
+    val out = Colloc.pmi(docs, "doc_id", "text", minCount = 2L)
+      .collect().map(r => ((r.getString(0), r.getString(1)), (r.getLong(2), r.getLong(3)))).toMap
+    // counts: tokens = 15, c(big)=c(data)=5, c(big,data)=5
+    val expected = math.round(math.log(5.0 * 15.0 / 5.0 / 5.0) * 1e6)
+    assert(out == Map(("big", "data") -> (5L, expected)))
+  }
+}
