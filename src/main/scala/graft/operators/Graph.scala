@@ -41,10 +41,15 @@ object Graph {
     * list (dedup'd internally). Nodes = src ∪ dst. Returns (node,
     * rank_fp) with rank_fp in fixed-point `scale` units. Dangling nodes
     * (no out-edges) leak their mass — the classic simplification; the
-    * teleport term keeps every node positive. */
+    * teleport term keeps every node positive.
+    *
+    * `checkpoint = false` keeps the full lineage (specs inspect the
+    * per-round plan shape through it); production leaves it on — an
+    * uncheckpointed 20-round lineage re-executes from the scan on any
+    * retry and the plan grows without bound. */
   def pageRankInt(edges: DataFrame, srcCol: String, dstCol: String,
                   iterations: Int, dampNum: Long = 85L, dampDen: Long = 100L,
-                  scale: Long = 1000000L): DataFrame = {
+                  scale: Long = 1000000L, checkpoint: Boolean = true): DataFrame = {
     require(iterations >= 1, "iterations must be >= 1")
     require(dampNum > 0 && dampNum < dampDen, "need 0 < dampNum < dampDen")
     val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst")).distinct()
@@ -54,8 +59,10 @@ object Graph {
       .union(e.select(col("dst").as("node"))).distinct().persist()
     val outdeg = e.groupBy(col("src")).agg(count(lit(1)).as("deg"))
     val teleport = (scale * (dampDen - dampNum)) / dampDen
+    def cut(df: DataFrame): DataFrame =
+      if (checkpoint) df.localCheckpoint() else df
 
-    var ranks = nodes.withColumn("rank_fp", lit(scale)).localCheckpoint()
+    var ranks = cut(nodes.withColumn("rank_fp", lit(scale)))
     for (_ <- 1 to iterations) {
       val contrib = e
         .join(ranks.withColumnRenamed("node", "src"), Seq("src"))
@@ -64,12 +71,11 @@ object Graph {
         // double and lose exactness past 2^53
         .select(col("dst"), expr("rank_fp DIV deg").as("c"))
         .groupBy(col("dst")).agg(sum(col("c")).as("in_fp"))
-      ranks = nodes
+      ranks = cut(nodes
         .join(contrib.withColumnRenamed("dst", "node"), Seq("node"), "left")
         .select(col("node"),
           expr(s"${teleport}L + (${dampNum}L * coalesce(in_fp, 0L)) DIV ${dampDen}L")
-            .as("rank_fp"))
-        .localCheckpoint()
+            .as("rank_fp")))
     }
     e.unpersist(); nodes.unpersist()
     ranks

@@ -423,6 +423,37 @@ object Streams {
       }
   }
 
+  /** Streaming twin of [[graft.operators.Cdc.latestState]]: per-key
+    * latest-wins state across micro-batches. Each trigger emits the
+    * current winner of every key it touched (Update semantics — a CDC
+    * state table, not an append log). Max-merge by (seq, tie) is
+    * commutative, associative, and idempotent, so the converged state is
+    * independent of how the changelog splits into batches — the strongest
+    * batch-parity property any twin here has (admission/accumulator twins
+    * are arrival-ordered by nature; this one is not). State per key: one
+    * row — bounded by key count, no timeout.
+    *
+    * Input/output: (key, seq, tie, op, value); op "D" rides the state like
+    * any other change so a late pre-delete update cannot resurrect the
+    * key — downstream filters op at read time, exactly like
+    * [[graft.operators.Cdc.merge]]. */
+  def cdcLatestStream(changes: Dataset[(Long, Long, Long, String, String)])
+      : Dataset[(Long, Long, Long, String, String)] = {
+    import changes.sparkSession.implicits._
+    changes
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[(Long, Long, Long, String, String),
+                              (Long, Long, Long, String, String)](
+        OutputMode.Update, GroupStateTimeout.NoTimeout) {
+        (_: Long, rows: Iterator[(Long, Long, Long, String, String)],
+         state: GroupState[(Long, Long, Long, String, String)]) =>
+          val best = (rows ++ state.getOption.iterator)
+            .maxBy(r => (r._2, r._3))
+          state.update(best)
+          Iterator.single(best)
+      }
+  }
+
   /** Streaming twin of [[graft.operators.LmScore.scoreWith]]: score an
     * incoming document stream against a model persisted by
     * [[graft.operators.LmScore.writeModel]]. A document arrives whole in

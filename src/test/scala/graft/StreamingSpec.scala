@@ -412,6 +412,36 @@ class StreamingSpec extends SparkSuite {
     } finally q.stop()
   }
 
+  test("streaming CDC latest-wins: state converges to batch latestState; stale rows cannot regress it") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, Long, Long, String, String)] // (key, ms, event_id, op, v)
+    val out = Streams.cdcLatestStream(input.toDS())
+    val q = out.toDF("k", "ms", "eid", "op", "v").writeStream
+      .outputMode("update").format("memory").queryName("cdc").start()
+    try {
+      input.addData((1L, 10L, 100L, "U", "a"), (1L, 20L, 101L, "U", "b"),
+        (2L, 5L, 102L, "U", "c"))
+      q.processAllAvailable()
+      // batch 2: a STALE update for key 1 (must re-emit the unchanged
+      // winner, not regress) and a delete for key 2
+      input.addData((1L, 15L, 103L, "U", "stale"), (2L, 6L, 104L, "D", "d"))
+      q.processAllAvailable()
+      val rows = spark.table("cdc").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getString(3), r.getString(4)))
+      assert(rows.toSet == Set(
+        (1L, 20L, "U", "b"), (2L, 5L, "U", "c"), (2L, 6L, "D", "d")))
+      assert(rows.count(_._1 == 1L) == 2, "key 1 must re-emit its held winner in batch 2")
+      // converged state == batch latestState over the same changelog
+      val full = Seq((1L, 10L, 100L, "U", "a"), (1L, 20L, 101L, "U", "b"),
+        (2L, 5L, 102L, "U", "c"), (1L, 15L, 103L, "U", "stale"), (2L, 6L, 104L, "D", "d"))
+        .toDF("k", "ms", "eid", "op", "v")
+      val batch = graft.operators.Cdc.latestState(full, "k", Seq("ms", "eid"))
+        .collect().map(r => (r.getLong(0), r.getString(4))).toSet
+      assert(batch == Set((1L, "b"), (2L, "d")))
+    } finally q.stop()
+  }
+
   test("streaming decontamination prefilter: contaminated docs flagged, clean stream passes, zero state") {
     import spark.implicits._
     val probeText = "shared evaluation prompt about distributed query planning and shuffles"
