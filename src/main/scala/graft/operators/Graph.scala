@@ -77,7 +77,10 @@ object Graph {
           expr(s"${teleport}L + (${dampNum}L * coalesce(in_fp, 0L)) DIV ${dampDen}L")
             .as("rank_fp")))
     }
-    e.unpersist(); nodes.unpersist()
+    if (checkpoint) { e.unpersist(); nodes.unpersist() }
+    // checkpoint=false: the rounds were never materialized, so unpersisting
+    // here would strip the cache before the caller's first action and every
+    // round would recompute the edge shuffle — leave it pinned (spec path)
     ranks
   }
 }

@@ -422,4 +422,98 @@ class ScaleSpec extends SparkSuite {
     assert(tBudget < 60.0, f"takeUntilBudget took $tBudget%.1fs on 200k skewed rows")
     assert(tPack < 60.0, f"next-fit packing took $tPack%.1fs on 200k skewed rows")
   }
+
+  test("CDC plans: latestState partial-aggregates (no window/sort); scd2 is one exchange") {
+    import spark.implicits._
+    val ch = Seq((1L, 10L, 1L, "U", "a"), (1L, 20L, 2L, "U", "b"),
+      (2L, 5L, 3L, "D", "c"), (2L, 7L, 4L, "U", "d"))
+      .toDF("k", "ms", "eid", "op", "v")
+    val ls = graft.operators.Cdc.latestState(ch, "k", Seq("ms", "eid"))
+    ls.collect()
+    val lsPlan = ls.queryExecution.executedPlan.toString.split("== Initial Plan ==").head
+    // the hot-key property: a million-change key collapses map-side via
+    // partial max_by — NOT a per-key sort/window over every change
+    assert(lsPlan.contains("max_by"), s"expected max_by aggregate:\n$lsPlan")
+    assert(lsPlan.toLowerCase.contains("partial_max_by"),
+      s"latestState must partial-aggregate before the exchange:\n$lsPlan")
+    assert(!lsPlan.contains("WindowExec") && !lsPlan.contains("Window "),
+      s"latestState must not sort changes through a window:\n$lsPlan")
+
+    val hist = graft.operators.Cdc.scd2(ch, "k", "ms", Seq("op"), Seq("eid"))
+    hist.collect()
+    // AQE toString repeats the tree under "== Initial Plan ==" — count only
+    // the executed section or every exchange doubles
+    val hPlan = hist.queryExecution.executedPlan.toString.split("== Initial Plan ==").head
+    // lag boundary + version row_number + lead interval-end all share the
+    // same (key, seq) sort order → Catalyst must plan exactly ONE shuffle
+    val exchanges = hPlan.split("\n").count(_.contains("Exchange hashpartitioning"))
+    assert(exchanges == 1, s"scd2 should be a single exchange, got $exchanges:\n$hPlan")
+    assert(!hPlan.contains("Exchange SinglePartition"),
+      s"scd2 must stay partitioned by key:\n$hPlan")
+  }
+
+  test("pageRank plan: cached co-partitioned edges, no cartesian, no single-partition collapse") {
+    import spark.implicits._
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 1L), (1L, 3L)).toDF("src", "dst")
+    // checkpoint=false keeps the full 2-round lineage visible to the assert
+    val pr = graft.operators.Graph.pageRankInt(edges, "src", "dst",
+      iterations = 2, checkpoint = false)
+    pr.collect()
+    val plan = pr.queryExecution.executedPlan.toString.split("== Initial Plan ==").head
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoop"),
+      s"pageRank round has a quadratic join:\n$plan")
+    // cache reuse surfaces either as an in-memory scan or (under AQE) as
+    // ReusedExchange of the one-time src repartition — either way the edge
+    // exchange executes once, later rounds consume the same layout
+    val freshEdgeShuffles = plan.split("\n")
+      .count(l => l.contains("REPARTITION_BY_COL") && !l.contains("ReusedExchange"))
+    assert(plan.contains("InMemoryTableScan") || plan.contains("TableCacheQueryStage") ||
+      (plan.contains("ReusedExchange") && freshEdgeShuffles <= 1),
+      s"edges must be reused across rounds, not re-shuffled from source:\n$plan")
+    assert(!plan.contains("Exchange SinglePartition"),
+      s"rank update must stay distributed:\n$plan")
+  }
+
+  test("inverted-index search: term probe prunes buckets and pushes the filter to the scan") {
+    val docs = spark.read.parquet(s"$sf0001/documents.parquet").limit(500)
+    spark.sql("DROP TABLE IF EXISTS graft_scalespec_idx")
+    try {
+      graft.operators.InvertedIndex.writeIndex(docs, "doc_id", "text",
+        "graft_scalespec_idx", buckets = 8)
+      // the NOT term must actually exist — an empty posting list lets AQE
+      // eliminate the whole anti join (good, but then there is no scan to
+      // assert on); grab a real token from the corpus
+      val notTerm = spark.table("graft_scalespec_idx")
+        .where(!col("term").isin("the", "and"))
+        .orderBy(col("term")).select(col("term")).head().getString(0)
+      val hits = graft.operators.InvertedIndex.search(spark,
+        "graft_scalespec_idx", all = Seq("the", "and"), none = Seq(notTerm))
+      hits.collect()
+      val plan = hits.queryExecution.executedPlan.toString.split("== Initial Plan ==").head
+      // query cost ∝ probed posting lists: the term predicates must reach
+      // the parquet reader AND select only the probed terms' buckets
+      assert(plan.contains("In(term"), s"AND-terms filter not pushed to scan:\n$plan")
+      assert(plan.contains(s"EqualTo(term,$notTerm)"),
+        s"NOT-term filter not pushed to scan:\n$plan")
+      val sel = "SelectedBucketsCount: (\\d+) out of (\\d+)".r
+      val prunes = sel.findAllMatchIn(plan).map(m => (m.group(1).toInt, m.group(2).toInt)).toList
+      assert(prunes.nonEmpty, s"expected bucket pruning on the term probe:\n$plan")
+      assert(prunes.forall { case (k, n) => k < n },
+        s"term probe read every bucket ($prunes):\n$plan")
+    } finally spark.sql("DROP TABLE IF EXISTS graft_scalespec_idx")
+  }
+
+  test("pmi plan: counts partial-aggregate; the only nested-loop join is the 1-row N scalar") {
+    val docs = spark.read.parquet(s"$sf0001/documents.parquet").limit(500)
+    val pmi = graft.operators.Colloc.pmi(docs, "doc_id", "text", minCount = 2L)
+    pmi.collect()
+    val plan = pmi.queryExecution.executedPlan.toString.split("== Initial Plan ==").head
+    assert(plan.toLowerCase.contains("partial_count"),
+      s"bigram/unigram counts must partial-aggregate map-side:\n$plan")
+    assert(!plan.contains("CartesianProduct"), s"cartesian in pmi plan:\n$plan")
+    // the crossJoin(total) scalar is the one allowed nested-loop: its build
+    // side is a 1-row aggregate, never a data-sized table
+    val bnl = plan.split("\n").count(_.contains("BroadcastNestedLoopJoin"))
+    assert(bnl <= 1, s"expected at most the scalar-N nested loop, got $bnl:\n$plan")
+  }
 }
