@@ -148,6 +148,9 @@ object SparkEntry {
     "q87_pagerank" -> q87,
     "q88_inverted_index" -> q88,
     "q89_pmi_colloc" -> q89,
+    "q90_bm25" -> q90,
+    "q91_funnel" -> q91,
+    "q92_cohort_retention" -> q92,
   )
 
   // =====================================================================
@@ -1374,6 +1377,38 @@ object SparkEntry {
       .join(docs.select(col("doc_id"), col("n_chars")), Seq("doc_id"))
       .orderBy(col("doc_id"))
   }
+
+  /** BM25 ranked retrieval off the persisted inverted index (dir-keyed
+    * name, q88 lifecycle): top-100 docs for a 3-term query, score
+    * quantized per (term, doc) to integer micro-nats BEFORE the per-doc
+    * sum — LmScore's exactness scheme applied to relevance ranking
+    * ([[graft.operators.InvertedIndex.bm25]]). */
+  private def q90(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val name = "graft_q90_idx_" +
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(dir.getBytes("UTF-8")).take(4).map("%02x".format(_)).mkString
+    graft.operators.InvertedIndex.writeIndex(docs, "doc_id", "text", name)
+    graft.operators.InvertedIndex.bm25(s, name, Seq("join", "window", "fast"))
+      .orderBy(col("score_unats").desc, col("doc_id"))
+      .limit(100)
+  }
+
+  /** Ordered conversion funnel signup → click → purchase, each step
+    * within 6 hours of the previous ([[graft.operators.Funnel]]). */
+  private def q91(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Funnel.funnel(
+      Tables.events(s, dir), "user_id", "event_type", "ts",
+      steps = Seq("signup", "click", "purchase"),
+      withinMs = Some(6L * 3600 * 1000))
+      .orderBy(col("step"))
+
+  /** Weekly cohort retention: users bucketed by the week of their first
+    * event, distinct-active counts per (cohort, offset)
+    * ([[graft.operators.Retention]]). */
+  private def q92(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Retention.cohortRetention(Tables.events(s, dir), "user_id", "ts")
+      .orderBy(col("cohort_bucket"), col("bucket_offset"))
 
   /** Top-200 PMI collocations (c_pair >= 5) in integer micro-nats —
     * LmScore's quantize-then-aggregate exactness applied to association
@@ -2624,6 +2659,61 @@ object SparkEntry {
            CROSS JOIN n
            WHERE bg.c_pair >= 5
            ORDER BY pmi_unats DESC, w1, w2 LIMIT 200""",
+
+      // BM25 with the engine's exact expression shape: per-(term,doc)
+      // double score quantized to micro-nats at ONE site, then exact
+      // BIGINT per-doc sums. Double literals rendered from the same JVM
+      // doubles the engine uses (e-notation forces DOUBLE parse).
+      "q90_bm25" -> {
+        def fmtD(v: Double): String = {
+          val s0 = java.lang.Double.toString(v)
+          if (s0.contains("E")) s0.replace("E", "e") else s0 + "e0"
+        }
+        val (k1p1, k1s, omb, bs) = (fmtD(1.2 + 1.0), fmtD(1.2), fmtD(1.0 - 0.75), fmtD(0.75))
+        s"""WITH t AS (SELECT doc_id, $toks AS toks FROM documents),
+           d AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS dl, toks FROM t WHERE len(toks) > 0),
+           post AS (SELECT doc_id, dl, term, CAST(count(*) AS BIGINT) AS tf
+                    FROM (SELECT doc_id, dl, unnest(toks) AS term FROM d) GROUP BY 1, 2, 3),
+           meta AS (SELECT CAST(count(*) AS BIGINT) AS n_docs, CAST(sum(dl) AS BIGINT) AS sum_dl FROM d),
+           probed AS (SELECT * FROM post WHERE term IN ('join', 'window', 'fast')),
+           dfs AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM probed GROUP BY 1),
+           sc AS (SELECT p.doc_id,
+             CAST(round(
+               ln(1e0 + (CAST(m.n_docs AS DOUBLE) - CAST(f.df AS DOUBLE) + 5e-1) / (CAST(f.df AS DOUBLE) + 5e-1))
+               * (CAST(p.tf AS DOUBLE) * $k1p1)
+               / (CAST(p.tf AS DOUBLE) + $k1s * ($omb + $bs * CAST(p.dl AS DOUBLE) / (CAST(m.sum_dl AS DOUBLE) / CAST(m.n_docs AS DOUBLE))))
+               * 1e6) AS BIGINT) AS s
+             FROM probed p JOIN dfs f ON f.term = p.term CROSS JOIN meta m)
+           SELECT doc_id, CAST(count(*) AS BIGINT) AS n_terms, CAST(sum(s) AS BIGINT) AS score_unats
+           FROM sc GROUP BY 1 ORDER BY score_unats DESC, doc_id LIMIT 100"""
+      },
+
+      // conversion funnel: min-timestamp chaining, strict >, 6h window
+      // via exact interval arithmetic on microsecond timestamps
+      "q91_funnel" ->
+        """WITH a AS (SELECT user_id, min(ts) AS t FROM events
+             WHERE event_type = 'signup' GROUP BY 1),
+           b AS (SELECT e.user_id, min(e.ts) AS t FROM events e JOIN a USING (user_id)
+             WHERE e.event_type = 'click' AND e.ts > a.t AND e.ts <= a.t + INTERVAL 6 HOUR GROUP BY 1),
+           c AS (SELECT e.user_id, min(e.ts) AS t FROM events e JOIN b USING (user_id)
+             WHERE e.event_type = 'purchase' AND e.ts > b.t AND e.ts <= b.t + INTERVAL 6 HOUR GROUP BY 1)
+           SELECT * FROM (
+             SELECT CAST(1 AS BIGINT) AS step, 'signup' AS event_type,
+                    CAST((SELECT count(*) FROM a) AS BIGINT) AS users
+             UNION ALL SELECT 2, 'click', (SELECT count(*) FROM b)
+             UNION ALL SELECT 3, 'purchase', (SELECT count(*) FROM c))
+           ORDER BY step""",
+
+      // weekly cohorts via integer division of epoch millis — exact
+      // BIGINT bucket arithmetic on both engines, no date formatting
+      "q92_cohort_retention" ->
+        """WITH x AS (SELECT user_id,
+             epoch_ms(ts) // 604800000 AS wk,
+             (min(epoch_ms(ts)) OVER (PARTITION BY user_id)) // 604800000 AS cohort
+           FROM events)
+           SELECT cohort AS cohort_bucket, wk - cohort AS bucket_offset,
+                  CAST(count(DISTINCT user_id) AS BIGINT) AS users
+           FROM x GROUP BY 1, 2 ORDER BY 1, 2""",
     )
   }
 }

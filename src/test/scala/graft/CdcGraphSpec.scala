@@ -94,11 +94,12 @@ class CdcGraphSpec extends SparkSuite {
         all = Seq("join", "stream"), none = Seq("slow"))
       .orderBy("doc_id").collect().map(_.getLong(0)).toSeq
     assert(got == Seq(1L, 3L, 5L))
-    // tf is a real count, not a flag
-    val tf = spark.table("graft_spec_inv_idx")
+    // tf is a real count and dl the doc's token count, not flags
+    val row = spark.table("graft_spec_inv_idx")
       .where(col("term") === "join" && col("doc_id") === 5L)
-      .collect().map(_.getLong(2)).toSeq
-    assert(tf == Seq(1L))
+      .select(col("tf"), col("dl"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(row == Seq((1L, 4L)))
   }
 
   test("pmi: quantized micro-nats match driver-side math; repeated pair tops list") {

@@ -1524,4 +1524,75 @@ class OperatorsSpec extends SparkSuite {
     }
     assert(e.getMessage.contains("kept"))
   }
+
+  test("funnel: strict ordering, inclusive conversion window, per-step counts") {
+    import spark.implicits._
+    def t(ms: Long) = new java.sql.Timestamp(ms)
+    val events = Seq(
+      // u1 completes everything comfortably
+      (1L, t(1000), "signup"), (1L, t(2000), "click"), (1L, t(3000), "purchase"),
+      // u2's click precedes signup → stalls at step 1
+      (2L, t(1000), "click"), (2L, t(2000), "signup"), (2L, t(2500), "purchase"),
+      // u3's click is outside the 3000 ms window → step 1 only
+      (3L, t(1000), "signup"), (3L, t(5000), "click"),
+      // u4 never signs up → not even step 1
+      (4L, t(1000), "click"), (4L, t(2000), "purchase"),
+      // u5's purchase misses the window from their click → step 2
+      (5L, t(1000), "signup"), (5L, t(2000), "click"), (5L, t(6000), "purchase"),
+      // u6's purchase lands EXACTLY at click+3000 → inclusive, completes
+      (6L, t(0), "signup"), (6L, t(1000), "click"), (6L, t(4000), "purchase"),
+      // u7's click shares the signup timestamp → strict >, step 1 only
+      (7L, t(1000), "signup"), (7L, t(1000), "click")
+    ).toDF("user_id", "ts", "event_type")
+    val out = graft.operators.Funnel.funnel(events, "user_id", "event_type", "ts",
+        Seq("signup", "click", "purchase"), withinMs = Some(3000L))
+      .orderBy("step").collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    assert(out.toSeq == Seq((1L, "signup", 6L), (2L, "click", 3L), (3L, "purchase", 2L)))
+  }
+
+  test("cohortRetention: first-event bucket is the cohort, offsets count distinct actives") {
+    import spark.implicits._
+    def t(ms: Long) = new java.sql.Timestamp(ms)
+    val events = Seq(
+      (1L, t(10)), (1L, t(120)), (1L, t(350)),   // cohort 0; active buckets 0,1,3
+      (3L, t(30)), (3L, t(140)),                  // cohort 0; active 0,1
+      (2L, t(250)), (2L, t(260)), (2L, t(430))    // cohort 2; active 2,2,4 → offsets 0,0,2
+    ).toDF("user_id", "ts")
+    val out = graft.operators.Retention.cohortRetention(events, "user_id", "ts", bucketMs = 100L)
+      .orderBy("cohort_bucket", "bucket_offset")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(out.toSeq == Seq((0L, 0L, 2L), (0L, 1L, 2L), (0L, 3L, 1L), (2L, 0L, 1L), (2L, 2L, 1L)))
+  }
+
+  test("bm25: scores match the formula exactly (quantize-once micro-nats)") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "apple banana apple"),
+      (2L, "apple cherry"),
+      (3L, "banana cherry cherry banana")
+    ).toDF("doc_id", "text")
+    spark.sql("DROP TABLE IF EXISTS graft_opspec_bm25")
+    spark.sql("DROP TABLE IF EXISTS graft_opspec_bm25_meta")
+    try {
+      graft.operators.InvertedIndex.writeIndex(docs, "doc_id", "text", "graft_opspec_bm25", buckets = 2)
+      val got = graft.operators.InvertedIndex.bm25(spark, "graft_opspec_bm25", Seq("apple", "cherry"))
+        .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+      // n_docs=3, sum_dl=9, avgdl=3; df(apple)=df(cherry)=2
+      val (k1, b) = (1.2, 0.75)
+      def s(tf: Long, dl: Long, df: Long): Long = {
+        val idf = math.log(1.0 + (3.0 - df.toDouble + 0.5) / (df.toDouble + 0.5))
+        val x = idf * (tf.toDouble * (k1 + 1.0)) /
+          (tf.toDouble + k1 * ((1.0 - b) + b * dl.toDouble / 3.0)) * 1e6
+        BigDecimal(x).setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
+      }
+      val expected = Map(
+        1L -> (1L, s(2, 3, 2)),               // apple tf=2
+        2L -> (2L, s(1, 2, 2) + s(1, 2, 2)),  // apple + cherry, tf=1 each
+        3L -> (1L, s(2, 4, 2)))               // cherry tf=2
+      assert(got == expected)
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS graft_opspec_bm25")
+      spark.sql("DROP TABLE IF EXISTS graft_opspec_bm25_meta")
+    }
+  }
 }

@@ -516,4 +516,65 @@ class ScaleSpec extends SparkSuite {
     val bnl = plan.split("\n").count(_.contains("BroadcastNestedLoopJoin"))
     assert(bnl <= 1, s"expected at most the scalar-N nested loop, got $bnl:\n$plan")
   }
+
+  test("bm25 plan: probed buckets pruned, idf broadcast-joined, per-doc sum partial-aggregates") {
+    val docs = spark.read.parquet(s"$sf0001/documents.parquet").limit(500)
+    spark.sql("DROP TABLE IF EXISTS graft_scalespec_bm25")
+    spark.sql("DROP TABLE IF EXISTS graft_scalespec_bm25_meta")
+    try {
+      graft.operators.InvertedIndex.writeIndex(docs, "doc_id", "text",
+        "graft_scalespec_bm25", buckets = 8)
+      val ranked = graft.operators.InvertedIndex.bm25(spark,
+        "graft_scalespec_bm25", Seq("the", "and"))
+      ranked.collect()
+      val plan = ranked.queryExecution.executedPlan.toString.split("== Initial Plan ==").head
+      // query cost ∝ probed posting lists: term filter at the reader,
+      // bucket pruning selects a strict subset
+      assert(plan.contains("In(term") || plan.contains("EqualTo(term"),
+        s"query-term filter not pushed to scan:\n$plan")
+      val sel = "SelectedBucketsCount: (\\d+) out of (\\d+)".r
+      val prunes = sel.findAllMatchIn(plan).map(m => (m.group(1).toInt, m.group(2).toInt)).toList
+      assert(prunes.nonEmpty && prunes.forall { case (k, n) => k < n },
+        s"term probe must prune buckets ($prunes):\n$plan")
+      // the #terms idf table rides a broadcast hash join; the 1-row meta
+      // is the only allowed nested loop
+      assert(plan.contains("BroadcastHashJoin"), s"idf join must broadcast:\n$plan")
+      val bnl = plan.split("\n").count(_.contains("BroadcastNestedLoopJoin"))
+      assert(bnl <= 1, s"only the 1-row meta may nested-loop, got $bnl:\n$plan")
+      assert(!plan.contains("CartesianProduct"), s"cartesian in bm25 plan:\n$plan")
+      assert(plan.toLowerCase.contains("partial_sum"),
+        s"per-doc score sum must partial-aggregate map-side:\n$plan")
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS graft_scalespec_bm25")
+      spark.sql("DROP TABLE IF EXISTS graft_scalespec_bm25_meta")
+    }
+  }
+
+  test("funnel plan: per-step type filters pushed to the scan, no quadratic join") {
+    val ev = graft.sources.Tables.events(spark, sf0001)
+    val f = graft.operators.Funnel.funnel(ev, "user_id", "event_type", "ts",
+      Seq("signup", "click", "purchase"), withinMs = Some(6L * 3600 * 1000))
+    f.collect()
+    val plan = f.queryExecution.executedPlan.toString.split("== Initial Plan ==").head
+    // each step reads ONLY its event type's rows: the equality predicate
+    // must reach every per-step parquet scan
+    for (st <- Seq("signup", "click", "purchase"))
+      assert(plan.contains(s"EqualTo(event_type,$st)"),
+        s"step filter $st not pushed to scan:\n$plan")
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
+      s"funnel steps must equi-join on the user:\n$plan")
+  }
+
+  test("cohortRetention plan: window partitioned by user, no single-partition exchange") {
+    val ev = graft.sources.Tables.events(spark, sf0001)
+    val r = graft.operators.Retention.cohortRetention(ev, "user_id", "ts")
+    r.collect()
+    val plan = r.queryExecution.executedPlan.toString.split("== Initial Plan ==").head
+    assert(!plan.contains("Exchange SinglePartition"),
+      s"first-event window must stay distributed (partition by user):\n$plan")
+    assert(plan.toLowerCase.contains("partial_count"),
+      s"distinct-user count must partial-aggregate:\n$plan")
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
+      s"no quadratic operator in retention plan:\n$plan")
+  }
 }
