@@ -27,26 +27,44 @@ object Tables {
   def part(spark: SparkSession, dir: String): DataFrame = apply(spark, dir, "part")
   def nation(spark: SparkSession, dir: String): DataFrame = apply(spark, dir, "nation")
   def region(spark: SparkSession, dir: String): DataFrame = apply(spark, dir, "region")
-  /** `events.ts` is nanosecond parquet, which Spark 4 rejects by default.
-    * An EXPLICIT `BIGINT` schema for the NANOS column makes the scan hand
-    * over raw nanos with no session conf at all — scoped entirely to this
-    * read (the legacy `nanosAsLong` session flag would silently change how
-    * every later NANOS parquet column in the session decodes). The raw
-    * nanos then convert losslessly to a microsecond TimestampType — the
-    * data is µs-precision (TESTDATA generator), so no information is lost
-    * and DuckDB-oracle comparisons agree at every granularity. */
-  /** The explicit read schema for `events.parquet` (`ts` as raw BIGINT
-    * nanos). Shared with tooling that reads/writes the table outside
+  /** The explicit fallback read schema for `events.parquet` (`ts` as a raw
+    * BIGINT). Shared with tooling that reads/writes the table outside
     * [[events]] — the two must stay identical or a renamed column would
     * silently read as null (parquet matches by name). */
   val eventsRawSchemaDdl: String =
     "event_id BIGINT, ts BIGINT, user_id BIGINT, event_type STRING, value DOUBLE, props STRING"
 
-  def events(spark: SparkSession, dir: String): DataFrame =
-    spark.read
-      .schema(eventsRawSchemaDdl)
-      .parquet(s"$dir/events.parquet")
-      .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+  /** `events.ts` arrives in whatever unit the producer chose — the driver
+    * testdata has shipped BOTH nanosecond parquet (which Spark 4's reader
+    * rejects outright) and microsecond NTZ — so the unit is DETECTED from
+    * the file's own declared schema (one driver-side footer read at plan
+    * time, no data pass):
+    *  - µs NTZ: the session is pinned UTC, so the NTZ → instant cast is
+    *    the identity mapping DuckDB applies to the same column;
+    *  - µs/ms instant (e.g. a Spark re-write of the table): pass-through;
+    *  - NANOS (inference throws) or a raw BIGINT column (a [[ScaleUp]]
+    *    artifact from a nanos source): read raw via an EXPLICIT `BIGINT`
+    *    schema — scoped entirely to this read, where the legacy
+    *    `nanosAsLong` session flag would silently change how every later
+    *    NANOS column in the session decodes — and convert ns → µs
+    *    losslessly (the data is µs-precision underneath).
+    * Pinning one unit instead would silently shift every timestamp 1000×
+    * when the producer changes — exactly what a 100 TB ingest layer must
+    * never do quietly. */
+  def events(spark: SparkSession, dir: String): DataFrame = {
+    val path = s"$dir/events.parquet"
+    scala.util.Try(spark.read.parquet(path).schema("ts").dataType) match {
+      case scala.util.Success(org.apache.spark.sql.types.TimestampNTZType) =>
+        spark.read.parquet(path).withColumn("ts", col("ts").cast("timestamp"))
+      case scala.util.Success(org.apache.spark.sql.types.TimestampType) =>
+        spark.read.parquet(path)
+      case _ =>
+        spark.read
+          .schema(eventsRawSchemaDdl)
+          .parquet(path)
+          .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+    }
+  }
   def documents(spark: SparkSession, dir: String): DataFrame = apply(spark, dir, "documents")
   def embeddings(spark: SparkSession, dir: String): DataFrame = apply(spark, dir, "embeddings")
 

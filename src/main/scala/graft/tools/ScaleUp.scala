@@ -55,20 +55,21 @@ object ScaleUp {
     write(copies(read("lineitem"), (df, c) =>
       df.withColumn("l_orderkey", col("l_orderkey") + lit(c * orderStride))), "lineitem")
 
-    // events.ts is NANOS parquet: read with the SAME explicit raw schema
-    // Tables.events uses (shared constant — drift would read nulls), shift
-    // in BIGINT nanos space, and write plain int64 the same schema reads
-    // back (Spark can't write NANOS parquet).
-    val events = spark.read
-      .schema(graft.sources.Tables.eventsRawSchemaDdl)
-      .parquet(s"$src/events.parquet")
+    // events.ts arrives in a producer-chosen unit (nanos parquet, µs NTZ,
+    // …) — go through Tables.events, which detects the unit and normalizes
+    // to a µs-instant TimestampType, then shift per copy in µs space. The
+    // rewrite lands as an ordinary Spark timestamp column, which the same
+    // detection reads back as a pass-through.
+    val events = graft.sources.Tables.events(spark, src)
     val eventStride = strideOf(events, "event_id")
-    val Array(tsMin, tsMax) = events.agg(min(col("ts")), max(col("ts")))
+    val Array(tsMin, tsMax) = events
+      .agg(min(unix_micros(col("ts"))), max(unix_micros(col("ts"))))
       .collect()(0).toSeq.map(_.asInstanceOf[Long]).toArray
-    val span = tsMax - tsMin + 3600L * 1000000000L // + one hour of nanos
+    val span = tsMax - tsMin + 3600L * 1000000L // + one hour of micros
     write(copies(events, (df, c) => df
       .withColumn("event_id", col("event_id") + lit(c * eventStride))
-      .withColumn("ts", col("ts") + lit(c * span))), "events")
+      .withColumn("ts", timestamp_micros(unix_micros(col("ts")) + lit(c * span)))),
+      "events")
 
     val docs = read("documents")
     val docStride = strideOf(docs, "doc_id")

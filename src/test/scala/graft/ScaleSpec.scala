@@ -87,7 +87,11 @@ class ScaleSpec extends SparkSuite {
     val df = SparkEntry.queries("q50_facade_dateparts")(spark, sf0001)
     val scan = df.queryExecution.executedPlan.toString
       .linesIterator.filter(_.contains("ReadSchema")).mkString
-    assert(scan.contains("struct<ts:bigint>"), s"expected ts-only ReadSchema, got: $scan")
+    // the ts column's physical type depends on the producer (raw bigint
+    // nanos vs µs NTZ — Tables.events detects it); pruning is the claim,
+    // so assert the schema is ts-ONLY, whatever its type
+    assert("ReadSchema: struct<ts:[a-z_]+>".r.findFirstIn(scan).isDefined,
+      s"expected ts-only ReadSchema, got: $scan")
   }
 
   test("sequence packing: the data-path window is bucket-partitioned, never global") {
@@ -576,5 +580,40 @@ class ScaleSpec extends SparkSuite {
       s"distinct-user count must partial-aggregate:\n$plan")
     assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
       s"no quadratic operator in retention plan:\n$plan")
+  }
+
+  test("triangleCount plan: wedge and closing joins are equi-joins, never a cartesian") {
+    import spark.implicits._
+    val edges = (1L to 400L).flatMap(i => Seq((i, i % 20), (i, (i + 7) % 20)))
+      .toDF("src", "dst")
+    val t = graft.operators.Graph.triangleCount(edges, "src", "dst")
+    t.collect()
+    val plan = t.queryExecution.executedPlan.toString.split("== Initial Plan ==").head
+    // the three 1-row stat frames may close over a broadcast nested loop —
+    // that is model-row scale; a CartesianProduct over DATA-scale sides
+    // (wedges × edges evaluated without keys) is the failure mode
+    assert(!plan.contains("CartesianProduct"),
+      s"wedge/closing joins must hash on their keys:\n$plan")
+    val equiJoins = plan.split("\n").count(l =>
+      l.contains("SortMergeJoin") || l.contains("ShuffledHashJoin") ||
+        l.contains("BroadcastHashJoin"))
+    assert(equiJoins >= 3, // deg×2 + wedge + closing, minus whatever AQE fuses
+      s"expected keyed joins for degrees/wedges/closure, got $equiJoins:\n$plan")
+  }
+
+  test("blockedFuzzyPairs plan: one equi-join on the block key; distance never gates the join") {
+    val parts = graft.sources.Tables.part(spark, sf0001)
+    val f = graft.operators.Linkage.blockedFuzzyPairs(
+      parts, "p_partkey", "p_name",
+      blockKey = org.apache.spark.sql.functions.element_at(
+        org.apache.spark.sql.functions.split(
+          org.apache.spark.sql.functions.col("p_name"), " "), -1),
+      maxDist = 3)
+    f.collect()
+    val plan = f.queryExecution.executedPlan.toString.split("== Initial Plan ==").head
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
+      s"candidates must come from the block equi-join alone:\n$plan")
+    assert(plan.contains("levenshtein"),
+      s"distance must evaluate post-join (codegen'd builtin):\n$plan")
   }
 }
