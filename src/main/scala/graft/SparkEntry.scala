@@ -151,6 +151,10 @@ object SparkEntry {
     "q90_bm25" -> q90,
     "q91_funnel" -> q91,
     "q92_cohort_retention" -> q92,
+    "q93_self_dedup" -> q93,
+    "q94_triangles" -> q94,
+    "q95_fuzzy_join" -> q95,
+    "q96_weighted_sample" -> q96,
   )
 
   // =====================================================================
@@ -1418,6 +1422,44 @@ object SparkEntry {
     graft.operators.Colloc.pmi(Tables.documents(s, dir), "doc_id", "text", minCount = 5L)
       .orderBy(col("pmi_unats").desc, col("w1"), col("w2"))
       .limit(200)
+
+  /** WITHIN-document duplicate-segment removal — keep each 5-token
+    * segment's first in-doc occurrence; zero-shuffle narrow plan
+    * ([[graft.operators.Dedup.selfDedup]]). */
+  private def q93(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Dedup.selfDedup(Tables.documents(s, dir), "doc_id", "text",
+        segWords = 5)
+      .orderBy(col("doc_id"))
+
+  /** Exact triangle count of the co-supplier graph (suppliers linked when
+    * they ship the same part) by degree-ordered orientation
+    * ([[graft.operators.Graph.triangleCount]]). */
+  private def q94(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(s, dir)
+      .select(col("l_partkey").as("pk"), col("l_suppkey").as("sk")).distinct()
+    val edges = li.join(li.withColumnRenamed("sk", "sk2"), Seq("pk"))
+      .where(col("sk") =!= col("sk2"))
+      .select(col("sk").as("src"), col("sk2").as("dst"))
+    graft.operators.Graph.triangleCount(edges, "src", "dst")
+  }
+
+  /** Record linkage over part names: within-block (shared last name token)
+    * pairs within 3 Levenshtein edits
+    * ([[graft.operators.Linkage.blockedFuzzyPairs]]). */
+  private def q95(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Linkage.blockedFuzzyPairs(
+        Tables.part(s, dir), "p_partkey", "p_name",
+        blockKey = element_at(split(col("p_name"), " "), -1), maxDist = 3)
+      .orderBy(col("id_a"), col("id_b"))
+
+  /** Deterministic weighted sampling without replacement: 80 documents
+    * drawn proportional to n_chars, Efraimidis–Spirakis keys in integer
+    * micro-nats ([[graft.operators.Sampling.weightedSample]]). */
+  private def q96(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Sampling.weightedSample(
+        Tables.documents(s, dir).select(col("doc_id"), col("n_chars")),
+        "doc_id", "n_chars", k = 80, seed = "q96")
+      .orderBy(col("key_unats"), col("doc_id"))
 
   // =====================================================================
   // DuckDB oracle SQL — same semantics, same column names, same ORDER BY.
@@ -2714,6 +2756,62 @@ object SparkEntry {
            SELECT cohort AS cohort_bucket, wk - cohort AS bucket_offset,
                   CAST(count(DISTINCT user_id) AS BIGINT) AS users
            FROM x GROUP BY 1, 2 ORDER BY 1, 2""",
+
+      // within-doc segment self-dedup: segment i survives iff its FIRST
+      // in-doc occurrence is i — DuckDB's index lambdas are 1-based where
+      // Spark's are 0-based, hence position = i directly
+      "q93_self_dedup" ->
+        s"""WITH t AS (SELECT doc_id, $toks AS toks FROM documents),
+           s AS (SELECT doc_id,
+               CASE WHEN len(toks) = 0 THEN CAST([] AS VARCHAR[])
+                 ELSE list_transform(range(0, CAST(ceil(len(toks) / 5.0) AS BIGINT)),
+                   i -> array_to_string(list_slice(toks, i * 5 + 1, i * 5 + 5), ' ')) END AS segs
+             FROM t),
+           f AS (SELECT doc_id, segs,
+               list_filter(segs, (x, i) -> list_position(segs, x) = i) AS kept
+             FROM s)
+           SELECT doc_id,
+             CAST(len(segs) AS BIGINT) AS n_segments,
+             CAST(len(segs) - len(kept) AS BIGINT) AS n_removed,
+             coalesce(array_to_string(kept, ' '), '') AS dedup_text
+           FROM f ORDER BY doc_id""",
+
+      // exact triangle count, canonical a<b<c triple join — the engine's
+      // degree-ordered orientation must agree exactly
+      "q94_triangles" ->
+        """WITH li AS (SELECT DISTINCT l_partkey AS pk, l_suppkey AS sk FROM lineitem),
+           e0 AS (SELECT DISTINCT least(x.sk, y.sk) AS a, greatest(x.sk, y.sk) AS b
+                  FROM li x JOIN li y ON x.pk = y.pk AND x.sk <> y.sk)
+           SELECT
+             (SELECT count(*) FROM (SELECT a FROM e0 UNION SELECT b FROM e0)) AS n_nodes,
+             (SELECT count(*) FROM e0) AS n_edges,
+             (SELECT count(*) FROM e0 e1
+                JOIN e0 e2 ON e2.a = e1.b
+                JOIN e0 e3 ON e3.a = e1.a AND e3.b = e2.b) AS n_triangles""",
+
+      // blocked fuzzy self-join on the name's last token; levenshtein is
+      // an exact integer on both engines
+      "q95_fuzzy_join" ->
+        """WITH p AS (SELECT p_partkey, p_name,
+               string_split(p_name, ' ')[-1] AS blk FROM part)
+           SELECT a.p_partkey AS id_a, b.p_partkey AS id_b,
+             a.p_name AS name_a, b.p_name AS name_b,
+             CAST(levenshtein(a.p_name, b.p_name) AS BIGINT) AS dist
+           FROM p a JOIN p b ON a.blk = b.blk AND a.p_partkey < b.p_partkey
+           WHERE levenshtein(a.p_name, b.p_name) <= 3
+           ORDER BY id_a, id_b""",
+
+      // Efraimidis-Spirakis keys over the identical 60-bit md5 u, quantized
+      // to micro-nats before ranking (q81's exactness argument for ln)
+      "q96_weighted_sample" ->
+        """WITH kk AS (
+             SELECT doc_id, n_chars,
+               CAST(round(-ln((CAST('0x' || substr(md5('q96:' || CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT) + 1.0)
+                     / 1152921504606846976.0)
+                   / n_chars * 1e6) AS BIGINT) AS key_unats
+             FROM documents WHERE n_chars IS NOT NULL AND n_chars > 0)
+           SELECT doc_id, n_chars, key_unats FROM kk
+           ORDER BY key_unats, doc_id LIMIT 80""",
     )
   }
 }

@@ -1066,4 +1066,46 @@ object Dedup {
         (coalesce(col("covered_tokens"), lit(0L)).cast("double") /
           greatest(col("n_toks"), lit(1)).cast("double")).as("contamination"))
   }
+
+  /** WITHIN-document duplicate-segment removal (intra-doc self-dedup) — the
+    * repetition-removal stage of a quality pipeline (Rae et al., Gopher /
+    * MassiveText, arXiv 2112.11446 §A.1.2 remove docs with high duplicate
+    * fraction; here the duplicated segments themselves are cut, keeping the
+    * first occurrence, as [[blockDedup]] does across documents).
+    *
+    * The document is split into consecutive `segWords`-token segments (tail
+    * may be short) and segment `i` survives iff its FIRST occurrence index
+    * in the same document is `i`. Everything is a per-row higher-order
+    * expression over the token array: the n² first-occurrence probe is
+    * bounded by a single document's segment count, and the operator as a
+    * whole is **zero-shuffle** — no Exchange anywhere in the plan, it
+    * composes into the scan stage of whatever runs next. Contrast with
+    * [[blockDedup]]: cross-corpus keep-first NEEDS the shuffle (winners are
+    * global); within-doc keep-first needs none (winners are local), so at
+    * 100 TB this costs exactly one pass over the text column.
+    *
+    * Output is 1:1 with the input: `(idCol, n_segments, n_removed,
+    * dedup_text)`; empty/whitespace docs yield 0 segments and `''`. */
+  def selfDedup(docs: DataFrame, idCol: String, textCol: String,
+                segWords: Int = 5): DataFrame = {
+    require(segWords >= 1, s"segWords must be >= 1, got $segWords")
+    val b = segWords
+    val toks = Text.tokens(col(textCol))
+    val segList = when(size(col("toks")) > 0,
+      transform(
+        sequence(lit(0), ceil(size(col("toks")) / lit(b.toDouble)).cast("int") - 1),
+        i => array_join(slice(col("toks"), i * b + 1, lit(b)), " ")))
+      .otherwise(array().cast("array<string>"))
+    // filter's index lambda is 0-based; array_position is 1-based — segment
+    // i survives iff the array's first occurrence of its text is at i
+    val kept = filter(col("segs"),
+      (s, i) => array_position(col("segs"), s) === (i + lit(1)).cast("long"))
+    docs
+      .select(col(idCol), toks.as("toks"))
+      .select(col(idCol), segList.as("segs"))
+      .select(col(idCol),
+        size(col("segs")).cast("long").as("n_segments"),
+        (size(col("segs")) - size(kept)).cast("long").as("n_removed"),
+        array_join(kept, " ").as("dedup_text"))
+  }
 }

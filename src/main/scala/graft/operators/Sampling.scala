@@ -455,4 +455,39 @@ object Sampling {
       }
     }(Encoders.row(outSchema))
   }
+
+  /** Deterministic weighted sampling WITHOUT replacement — Efraimidis &
+    * Spirakis, "Weighted random sampling with a reservoir" (IPL 2006):
+    * each row draws `u ∈ (0, 1]` and the k rows with the largest
+    * `u^(1/w)` form an exact without-replacement sample proportional to
+    * the weights. Equivalently (monotone transform): keep the k SMALLEST
+    * `-ln(u) / w` — one pass, no rejection loop, no sequential reservoir.
+    *
+    * Reproducibility over randomness: `u` is not a PRNG draw but the
+    * row's own 60-bit md5 content key ([[shuffleKey]] seeded by `seed`)
+    * scaled to (0, 1] — the same derandomization every sampler in this
+    * file uses (q40/q44/q74), so reruns, retries, and both engines agree
+    * row for row. The sort key is quantized to integer micro-nats BEFORE
+    * ranking (round(-ln(u)/w · 10⁶) — LmScore's exactness scheme), so the
+    * ranking compares exact BIGINTs; ties break on the id.
+    *
+    * Scale shape: the key is a narrow per-row projection; `ORDER BY key
+    * LIMIT k` plans as TakeOrdered (per-partition top-k heaps + a k-row
+    * driver merge) — no global sort, no single-partition window, nothing
+    * resident beyond k rows per task. Weights must be positive; rows with
+    * `w <= 0` or null are excluded (they have zero selection mass). */
+  def weightedSample(df: DataFrame, idCol: String, weightCol: String,
+                     k: Int, seed: String = "wsample"): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    // (h + 1) / 2^60 ∈ (0, 1] — +1 keeps ln finite at h = 0; the BIGINT →
+    // DOUBLE rounding and the power-of-two divide are IEEE-identical on
+    // both engines
+    val u = (shuffleKey(col(idCol), seed).cast("double") + lit(1.0)) /
+      lit(1152921504606846976.0) // 2^60
+    df.where(col(weightCol).isNotNull && col(weightCol) > 0)
+      .withColumn("key_unats",
+        round(-log(u) / col(weightCol).cast("double") * lit(1e6)).cast("long"))
+      .orderBy(col("key_unats").asc, col(idCol).asc)
+      .limit(k)
+  }
 }

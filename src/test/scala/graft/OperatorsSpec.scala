@@ -1595,4 +1595,110 @@ class OperatorsSpec extends SparkSuite {
       spark.sql("DROP TABLE IF EXISTS graft_opspec_bm25_meta")
     }
   }
+
+  test("selfDedup: first in-doc occurrence survives, tail segment distinct, empty doc intact") {
+    import spark.implicits._
+    val docs = Seq(
+      // segs (2 words): "a b" | "c d" | "a b" | "e"  → third is a repeat
+      (1L, "a b c d a b e"),
+      // no repeats — identity
+      (2L, "x y z"),
+      // whitespace-only → zero segments, empty text
+      (3L, "   "),
+      // repeated SHORT tail never matches the full segment "a b", only
+      // an equal-length tail would — here it survives
+      (4L, "a b a")
+    ).toDF("doc_id", "text")
+    val out = graft.operators.Dedup.selfDedup(docs, "doc_id", "text", segWords = 2)
+      .orderBy("doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    assert(out.toSeq == Seq(
+      (1L, 4L, 1L, "a b c d e"),
+      (2L, 2L, 0L, "x y z"),
+      (3L, 0L, 0L, ""),
+      (4L, 2L, 0L, "a b a")))
+  }
+
+  test("selfDedup plan: zero exchanges — pure scan-stage expression work") {
+    import spark.implicits._
+    val docs = Seq((1L, "a b c a b c")).toDF("doc_id", "text")
+    val out = graft.operators.Dedup.selfDedup(docs, "doc_id", "text")
+    out.collect()
+    val plan = out.queryExecution.executedPlan.toString.split("== Initial Plan ==").head
+    assert(!plan.contains("Exchange"),
+      s"intra-doc dedup must not shuffle:\n$plan")
+  }
+
+  test("triangleCount: counts exact triangles; dupes/reversals/self-loops canonicalized") {
+    import spark.implicits._
+    // K4 on {1,2,3,4} (4 triangles) + pendant 5-1 + noise: duplicate,
+    // reversed, and self-loop edges
+    val edges = Seq(
+      (1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L), (3L, 4L),
+      (5L, 1L),
+      (2L, 1L), (1L, 2L), (3L, 3L)
+    ).toDF("src", "dst")
+    val out = graft.operators.Graph.triangleCount(edges, "src", "dst")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(out.toSeq == Seq((5L, 7L, 4L)))
+  }
+
+  test("triangleCount: triangle-free bipartite graph counts zero") {
+    import spark.implicits._
+    val edges = Seq((1L, 10L), (1L, 11L), (2L, 10L), (2L, 11L)).toDF("src", "dst")
+    val out = graft.operators.Graph.triangleCount(edges, "src", "dst")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(out.toSeq == Seq((4L, 4L, 0L)))
+  }
+
+  test("blockedFuzzyPairs: distance boundary inclusive, cross-block pairs never compared") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "red widget"),  // lev(red, hot) = 3 → kept at maxDist 3
+      (2L, "hot widget"),
+      (3L, "crimson widget"), // lev vs "red widget" = 5 → dropped
+      (4L, "red gadget"),  // other block: near "red widget" but never compared
+      (5L, "red widget")   // exact duplicate name, distance 0
+    ).toDF("p_partkey", "p_name")
+    val out = graft.operators.Linkage.blockedFuzzyPairs(
+        df, "p_partkey", "p_name",
+        blockKey = org.apache.spark.sql.functions.element_at(
+          org.apache.spark.sql.functions.split(
+            org.apache.spark.sql.functions.col("p_name"), " "), -1),
+        maxDist = 3)
+      .orderBy("id_a", "id_b")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(4)))
+    assert(out.toSeq == Seq((1L, 2L, 3L), (1L, 5L, 0L), (2L, 5L, 3L)))
+  }
+
+  test("weightedSample: keys match the Efraimidis-Spirakis formula on the engine's own md5") {
+    import spark.implicits._
+    val rows = Seq((1L, 100L), (2L, 400L), (3L, 50L), (4L, 0L), (5L, -7L))
+    val df = rows.toDF("doc_id", "w")
+    val got = graft.operators.Sampling.weightedSample(df, "doc_id", "w", k = 10, seed = "s")
+      .collect().map(r => (r.getLong(0), r.getLong(2)))
+    // driver-side recomputation: same md5 60-bit u, same double math
+    def key(id: Long, w: Long): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"s:$id".getBytes("UTF-8"))
+      val hex = md.map("%02x".format(_)).mkString.take(15)
+      val h = java.lang.Long.parseLong(hex, 16)
+      val u = (h.toDouble + 1.0) / 1152921504606846976.0
+      BigDecimal(-math.log(u) / w.toDouble * 1e6)
+        .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
+    }
+    val expected = rows.filter(_._2 > 0).map { case (id, w) => (id, key(id, w)) }
+      .sortBy { case (id, k) => (k, id) }
+    assert(got.toSeq == expected, "w <= 0 rows must be excluded; keys exact")
+  }
+
+  test("weightedSample: top-k is a TakeOrdered, not a global sort") {
+    import spark.implicits._
+    val df = (1L to 1000L).map(i => (i, i % 97 + 1)).toDF("doc_id", "w")
+    val out = graft.operators.Sampling.weightedSample(df, "doc_id", "w", k = 5)
+    assert(out.collect().length == 5)
+    val plan = out.queryExecution.executedPlan.toString.split("== Initial Plan ==").head
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"k-row sample must plan as per-partition heaps + driver merge:\n$plan")
+  }
 }
