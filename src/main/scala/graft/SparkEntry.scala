@@ -155,6 +155,7 @@ object SparkEntry {
     "q94_triangles" -> q94,
     "q95_fuzzy_join" -> q95,
     "q96_weighted_sample" -> q96,
+    "q97_containment" -> q97,
   )
 
   // =====================================================================
@@ -1431,25 +1432,33 @@ object SparkEntry {
         segWords = 5)
       .orderBy(col("doc_id"))
 
-  /** Exact triangle count of the co-supplier graph (suppliers linked when
-    * they ship the same part) by degree-ordered orientation
+  /** Exact triangle count of the co-purchase graph (parts linked when they
+    * appear in the same order — the market-basket graph; avg part degree
+    * ~100 where the co-SUPPLIER graph is near-complete K_n and would count
+    * C(n,3) triangles of noise) by degree-ordered orientation
     * ([[graft.operators.Graph.triangleCount]]). */
   private def q94(s: SparkSession, dir: String): DataFrame = {
     val li = Tables.lineitem(s, dir)
-      .select(col("l_partkey").as("pk"), col("l_suppkey").as("sk")).distinct()
-    val edges = li.join(li.withColumnRenamed("sk", "sk2"), Seq("pk"))
-      .where(col("sk") =!= col("sk2"))
-      .select(col("sk").as("src"), col("sk2").as("dst"))
+      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk")).distinct()
+    val edges = li.join(li.withColumnRenamed("pk", "pk2"), Seq("ok"))
+      .where(col("pk") < col("pk2"))
+      .select(col("pk").as("src"), col("pk2").as("dst"))
     graft.operators.Graph.triangleCount(edges, "src", "dst")
   }
 
-  /** Record linkage over part names: within-block (shared last name token)
-    * pairs within 3 Levenshtein edits
+  /** Record linkage over part names: within-block pairs within 3
+    * Levenshtein edits. The block key is COMPOSITE — (name's last token,
+    * brand) — the standard multi-attribute blocking move: the noun alone
+    * has 8 distinct values over 20k rows (25M candidate pairs at sf0.1),
+    * the brand refines that 25× while "match within the brand" stays the
+    * realistic linkage contract
     * ([[graft.operators.Linkage.blockedFuzzyPairs]]). */
   private def q95(s: SparkSession, dir: String): DataFrame =
     graft.operators.Linkage.blockedFuzzyPairs(
         Tables.part(s, dir), "p_partkey", "p_name",
-        blockKey = element_at(split(col("p_name"), " "), -1), maxDist = 3)
+        blockKey = concat_ws("|",
+          element_at(split(col("p_name"), " "), -1), col("p_brand")),
+        maxDist = 3)
       .orderBy(col("id_a"), col("id_b"))
 
   /** Deterministic weighted sampling without replacement: 80 documents
@@ -1460,6 +1469,15 @@ object SparkEntry {
         Tables.documents(s, dir).select(col("doc_id"), col("n_chars")),
         "doc_id", "n_chars", k = 80, seed = "q96")
       .orderBy(col("key_unats"), col("doc_id"))
+
+  /** Doc-in-doc containment pairs (overlap coefficient >= 0.5) over the
+    * same pruned hashed-shingle universe as q20
+    * ([[graft.operators.Dedup.containmentPairs]]). */
+  private def q97(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Dedup.containmentPairs(
+        Tables.documents(s, dir), "doc_id", "text",
+        shingleLen = 3, threshold = 0.5, maxShingleDf = 50)
+      .orderBy(col("id_a"), col("id_b"))
 
   // =====================================================================
   // DuckDB oracle SQL — same semantics, same column names, same ORDER BY.
@@ -2779,9 +2797,9 @@ object SparkEntry {
       // exact triangle count, canonical a<b<c triple join — the engine's
       // degree-ordered orientation must agree exactly
       "q94_triangles" ->
-        """WITH li AS (SELECT DISTINCT l_partkey AS pk, l_suppkey AS sk FROM lineitem),
-           e0 AS (SELECT DISTINCT least(x.sk, y.sk) AS a, greatest(x.sk, y.sk) AS b
-                  FROM li x JOIN li y ON x.pk = y.pk AND x.sk <> y.sk)
+        """WITH li AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+           e0 AS (SELECT DISTINCT least(x.pk, y.pk) AS a, greatest(x.pk, y.pk) AS b
+                  FROM li x JOIN li y ON x.ok = y.ok AND x.pk <> y.pk)
            SELECT
              (SELECT count(*) FROM (SELECT a FROM e0 UNION SELECT b FROM e0)) AS n_nodes,
              (SELECT count(*) FROM e0) AS n_edges,
@@ -2793,7 +2811,7 @@ object SparkEntry {
       // an exact integer on both engines
       "q95_fuzzy_join" ->
         """WITH p AS (SELECT p_partkey, p_name,
-               string_split(p_name, ' ')[-1] AS blk FROM part)
+               string_split(p_name, ' ')[-1] || '|' || p_brand AS blk FROM part)
            SELECT a.p_partkey AS id_a, b.p_partkey AS id_b,
              a.p_name AS name_a, b.p_name AS name_b,
              CAST(levenshtein(a.p_name, b.p_name) AS BIGINT) AS dist
@@ -2812,6 +2830,30 @@ object SparkEntry {
              FROM documents WHERE n_chars IS NOT NULL AND n_chars > 0)
            SELECT doc_id, n_chars, key_unats FROM kk
            ORDER BY key_unats, doc_id LIMIT 80""",
+
+      // q20's pruned hashed-shingle universe, containment projections:
+      // both one-sided containments + the overlap coefficient, thresholded
+      // on the smaller side
+      "q97_containment" ->
+        s"""WITH sh AS (
+             SELECT doc_id AS id, unnest(${hashedShingles(3)}) AS s
+             FROM (SELECT doc_id, $toks AS toks FROM documents) d),
+           filtered AS (
+             SELECT id, s FROM (
+               SELECT id, s, count(*) OVER (PARTITION BY s) AS df FROM sh) t
+             WHERE df <= 50),
+           sizes AS (SELECT id, count(*) AS n_sh FROM filtered GROUP BY id),
+           pairs AS (
+             SELECT a.id AS id_a, b.id AS id_b, count(*) AS shared
+             FROM filtered a JOIN filtered b ON a.s = b.s AND a.id < b.id
+             GROUP BY 1, 2)
+           SELECT id_a, id_b,
+             CAST(shared AS DOUBLE) / CAST(sa.n_sh AS DOUBLE) AS containment_a,
+             CAST(shared AS DOUBLE) / CAST(sb.n_sh AS DOUBLE) AS containment_b,
+             CAST(shared AS DOUBLE) / CAST(least(sa.n_sh, sb.n_sh) AS DOUBLE) AS overlap
+           FROM pairs JOIN sizes sa ON sa.id = id_a JOIN sizes sb ON sb.id = id_b
+           WHERE CAST(shared AS DOUBLE) / CAST(least(sa.n_sh, sb.n_sh) AS DOUBLE) >= 0.5
+           ORDER BY id_a, id_b""",
     )
   }
 }

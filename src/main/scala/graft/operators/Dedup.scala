@@ -790,6 +790,25 @@ object Dedup {
       docs: DataFrame, idCol: String, textCol: String,
       shingleLen: Int, threshold: Double,
       maxShingleDf: Int): (DataFrame, () => Unit) = {
+    val (shared, release) =
+      sharedShinglePairsReleasable(docs, idCol, textCol, shingleLen, maxShingleDf)
+    val pairs = shared
+      .select(col("id_a"), col("id_b"),
+        (col("shared").cast("double") /
+          (col("n_a") + col("n_b") - col("shared")).cast("double")).as("jaccard"))
+      .where(col("jaccard") >= threshold)
+    (pairs, release)
+  }
+
+  /** The shared core of [[ngramJaccard]] and [[containmentPairs]]: every
+    * co-occurring document pair with its shared-shingle count and both
+    * per-doc shingle counts carried in-row — `(id_a, id_b, n_a, n_b,
+    * shared)` — so every similarity in the intersection family (Jaccard,
+    * one-sided containment, overlap coefficient, Dice) is a pure
+    * projection downstream. */
+  private def sharedShinglePairsReleasable(
+      docs: DataFrame, idCol: String, textCol: String,
+      shingleLen: Int, maxShingleDf: Int): (DataFrame, () => Unit) = {
     graft.GraftFunctions.ensureRegistered(docs.sparkSession)
     // hash to the 8-byte key map-side (see [[shingleKey]]): the posting
     // aggregation — profiled at ~half this query's time — shuffles fixed
@@ -846,12 +865,39 @@ object Dedup {
         explode(slice(col("xs"), col("i") + 2, size(col("xs")) - col("i") - 1)).as("b"))
       .groupBy(col("id_a"), col("b.id").as("id_b"), col("n_a"), col("b.n_sh").as("n_b"))
       .agg(count(lit(1)).as("shared"))
-    val pairs = shared
+    (shared, () => freeCheckpoint(postings))
+  }
+
+  /** Containment-based doc-in-doc detection — Broder's CONTAINMENT measure
+    * (`|A∩B| / |A|`, "On the resemblance and containment of documents",
+    * 1997) where [[ngramJaccard]] computes resemblance. The distinction
+    * matters for training data: a 100-token boilerplate notice pasted into
+    * a 10k-token article has Jaccard ≈ 0.01 (invisible at any sane
+    * threshold) but containment ≈ 1.0 from the small side — quote
+    * inclusions, template wrappers, and excerpt duplicates are containment
+    * phenomena, not resemblance ones.
+    *
+    * Emits pairs where the SMALLER document's containment (equivalently
+    * the overlap coefficient `shared / min(n_a, n_b)`) reaches
+    * `threshold`, with both one-sided containments for the caller to
+    * direct the keep/drop decision. Same inverted-index carry-N plan as
+    * [[ngramJaccard]] — one posting aggregation on 8-byte hashed shingles,
+    * pair generation in-bucket, sizes carried in the posting entries, NO
+    * pair-level join — so the 100 TB story is identical and shared. */
+  def containmentPairs(docs: DataFrame, idCol: String, textCol: String,
+                       shingleLen: Int = 3, threshold: Double = 0.8,
+                       maxShingleDf: Int = 50): DataFrame = {
+    val (shared, _) =
+      sharedShinglePairsReleasable(docs, idCol, textCol, shingleLen, maxShingleDf)
+    shared
       .select(col("id_a"), col("id_b"),
+        (col("shared").cast("double") / col("n_a").cast("double"))
+          .as("containment_a"),
+        (col("shared").cast("double") / col("n_b").cast("double"))
+          .as("containment_b"),
         (col("shared").cast("double") /
-          (col("n_a") + col("n_b") - col("shared")).cast("double")).as("jaccard"))
-      .where(col("jaccard") >= threshold)
-    (pairs, () => freeCheckpoint(postings))
+          least(col("n_a"), col("n_b")).cast("double")).as("overlap"))
+      .where(col("overlap") >= threshold)
   }
 
   /** Block-level exact SUBSTRING dedup — the fixed-stride relative of

@@ -44,8 +44,15 @@ object Linkage {
       // id ordering halves the pair space and kills self-pairs before the
       // distance evaluates — the join emits only candidate survivors
       .where(col("id_a") < col("id_b"))
-      .withColumn("dist", levenshtein(col("name_a"), col("name_b")))
-      .where(col("dist") <= maxDist)
+      // lossless prune BEFORE any edit-distance work: dist >= |len diff|
+      // always, so pairs failing the cheap length check can never match —
+      // at a 2k-name block this cuts the expensive evaluations ~in half
+      .where(abs(length(col("name_a")) - length(col("name_b"))) <= maxDist)
+      // the thresholded builtin banded-early-exits at maxDist+1 (O(n·k)
+      // instead of O(n·m) per pair) and returns -1 above it; within the
+      // threshold it IS the exact distance, so oracle parity is untouched
+      .withColumn("dist", levenshtein(col("name_a"), col("name_b"), maxDist))
+      .where(col("dist") =!= -1)
       .select(col("id_a"), col("id_b"), col("name_a"), col("name_b"),
         col("dist").cast("long").as("dist"))
   }

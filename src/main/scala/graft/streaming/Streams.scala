@@ -469,4 +469,46 @@ object Streams {
         graft.operators.LmScore.scoreWith(batch, idCol, textCol, model)
           .write.mode("append").parquet(path): Unit
     }
+
+  /** Online funnel progression — the streaming twin of
+    * [[graft.operators.Funnel.funnel]]. Input rows are `(user, eventType,
+    * tsMs)`; per user the state is two numbers — the furthest step reached
+    * (0-based; -1 = none) and its completion time — and a row advances the
+    * funnel iff it is the NEXT step and lands within `withinMs` of the
+    * previous completion (None = unbounded). Emits `(user, stepReached,
+    * tsMs)` on every advance (OutputMode.Update).
+    *
+    * Ordering contract (same as [[tokenBudgetStream]]): the greedy
+    * transition consumes events in arrival order within each batch — the
+    * batch operator's min-time semantics are recovered when events arrive
+    * in event-time order, the realistic ingest shape. A late-arriving
+    * earlier step-1 CANNOT retroactively re-time step 2 (that would need
+    * unbounded per-step event retention); the trade is documented, the
+    * state stays two longs per user forever. */
+  def funnelStream(events: Dataset[(Long, String, Long)], steps: Seq[String],
+                   withinMs: Option[Long]): Dataset[(Long, Int, Long)] = {
+    import events.sparkSession.implicits._
+    val stepIdx = steps.zipWithIndex.toMap
+    events
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[(Int, Long), (Long, Int, Long)](
+        OutputMode.Update, GroupStateTimeout.NoTimeout) {
+        (user: Long, rows: Iterator[(Long, String, Long)],
+         state: GroupState[(Int, Long)]) =>
+          var (reached, lastTs) = state.getOption.getOrElse((-1, 0L))
+          val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Int, Long)]
+          rows.foreach { case (_, tpe, ts) =>
+            stepIdx.get(tpe) match {
+              case Some(i) if i == reached + 1 &&
+                  (reached == -1 ||
+                    (ts > lastTs && withinMs.forall(w => ts <= lastTs + w))) =>
+                reached = i; lastTs = ts
+                out += ((user, i, ts))
+              case _ => ()
+            }
+          }
+          if (out.nonEmpty) state.update((reached, lastTs))
+          out.iterator
+      }
+  }
 }

@@ -1692,6 +1692,28 @@ class OperatorsSpec extends SparkSuite {
     assert(got.toSeq == expected, "w <= 0 rows must be excluded; keys exact")
   }
 
+  test("containmentPairs: quote inclusion scores ~1.0 overlap where jaccard stays tiny") {
+    import spark.implicits._
+    // doc 2 is a verbatim 6-token excerpt of the 24-token doc 1: every
+    // trigram of doc 2 appears in doc 1 → containment_b = overlap = 1.0,
+    // while jaccard = 4/22 ≈ 0.18 would never trip a sane threshold
+    val big = "alpha beta gamma delta epsilon zeta eta theta iota kappa " +
+      "lambda mu nu xi omicron pi rho sigma tau upsilon phi chi psi omega"
+    val docs = Seq(
+      (1L, big),
+      (2L, "lambda mu nu xi omicron pi"),
+      (3L, "one two three four five six")  // disjoint — no pair
+    ).toDF("doc_id", "text")
+    val out = graft.operators.Dedup.containmentPairs(docs, "doc_id", "text",
+        shingleLen = 3, threshold = 0.8, maxShingleDf = 50)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getDouble(3), r.getDouble(4)))
+    assert(out.toSeq == Seq((1L, 2L, 4.0 / 22.0, 1.0, 1.0)))
+    // the same pair at the same shingle length is INVISIBLE to jaccard 0.5
+    val jac = graft.operators.Dedup.ngramJaccard(docs, "doc_id", "text",
+      shingleLen = 3, threshold = 0.5, maxShingleDf = 50)
+    assert(jac.count() == 0)
+  }
+
   test("weightedSample: top-k is a TakeOrdered, not a global sort") {
     import spark.implicits._
     val df = (1L to 1000L).map(i => (i, i % 97 + 1)).toDF("doc_id", "w")

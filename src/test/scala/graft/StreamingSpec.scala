@@ -654,4 +654,52 @@ class StreamingSpec extends SparkSuite {
         case p if p.getClass.getName.contains("StateStore") => p }.isEmpty)
     } finally q.stop()
   }
+
+  test("streaming funnel: steps advance across batches, window violations and skips ignored") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, String, Long)] // (user, type, tsMs)
+    val out = Streams.funnelStream(input.toDS(),
+      steps = Seq("signup", "click", "purchase"), withinMs = Some(100L))
+    val q = out.toDF("user_id", "step", "ts").writeStream
+      .outputMode("update").format("memory").queryName("fnl").start()
+    try {
+      // batch 1: u1 signup→click in window; u2 signup only; u3 starts
+      // mid-funnel (click before signup — no advance)
+      input.addData((1L, "signup", 10L), (1L, "click", 60L),
+        (2L, "signup", 20L), (3L, "click", 30L))
+      q.processAllAvailable()
+      // batch 2: u1 purchase INSIDE the window of its batch-1 click (state
+      // carried across batches); u2 click OUTSIDE its signup window (120 >
+      // 20+100, ignored) then a purchase that cannot apply (still at step
+      // 0); u3 signup (step 0 only)
+      input.addData((1L, "purchase", 150L), (2L, "click", 121L),
+        (2L, "purchase", 130L), (3L, "signup", 40L))
+      q.processAllAvailable()
+      val rows = spark.table("fnl").collect()
+        .map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+      assert(rows == Set(
+        (1L, 0, 10L), (1L, 1, 60L), (1L, 2, 150L),
+        (2L, 0, 20L),
+        (3L, 0, 40L)), s"got $rows")
+      // in-order input ⇒ the furthest-step counts agree with the batch
+      // funnel over the same events
+      val all = Seq((1L, "signup", 10L), (1L, "click", 60L), (2L, "signup", 20L),
+        (3L, "click", 30L), (1L, "purchase", 150L), (2L, "click", 121L),
+        (2L, "purchase", 130L), (3L, "signup", 40L))
+        .toDF("user_id", "event_type", "ms")
+        .withColumn("ts", org.apache.spark.sql.functions.timestamp_millis(
+          org.apache.spark.sql.functions.col("ms")))
+      val batch = graft.operators.Funnel.funnel(all, "user_id", "event_type", "ts",
+          Seq("signup", "click", "purchase"), withinMs = Some(100L))
+        .collect().map(r => (r.getLong(0), r.getLong(2))).toMap
+      // step 1 (signup): u1,u2,u3; step 2 (click): u1; step 3: u1
+      assert(batch == Map(1L -> 3L, 2L -> 1L, 3L -> 1L))
+      // furthest step per USER (emissions are one per advance)
+      val furthest = rows.groupBy(_._1).map { case (_, rs) => rs.map(_._2).max }
+      val streamedCounts = (0 to 2).map(s =>
+        (s + 1).toLong -> furthest.count(_ >= s).toLong).toMap
+      assert(streamedCounts == batch, s"stream $streamedCounts vs batch $batch")
+    } finally q.stop()
+  }
 }
