@@ -156,6 +156,7 @@ object SparkEntry {
     "q95_fuzzy_join" -> q95,
     "q96_weighted_sample" -> q96,
     "q97_containment" -> q97,
+    "q98_group_weighted_sample" -> q98,
   )
 
   // =====================================================================
@@ -1478,6 +1479,15 @@ object SparkEntry {
         Tables.documents(s, dir), "doc_id", "text",
         shingleLen = 3, threshold = 0.5, maxShingleDf = 50)
       .orderBy(col("id_a"), col("id_b"))
+
+  /** Stratified weighted sampling: 20 documents per source, drawn
+    * proportional to n_chars within each source — q96's keys ranked by a
+    * per-stratum window ([[graft.operators.Sampling.weightedSamplePerGroup]]). */
+  private def q98(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Sampling.weightedSamplePerGroup(
+        Tables.documents(s, dir).select(col("source"), col("doc_id"), col("n_chars")),
+        "source", "doc_id", "n_chars", k = 20, seed = "q98")
+      .orderBy(col("source"), col("rank"))
 
   // =====================================================================
   // DuckDB oracle SQL — same semantics, same column names, same ORDER BY.
@@ -2854,6 +2864,20 @@ object SparkEntry {
            FROM pairs JOIN sizes sa ON sa.id = id_a JOIN sizes sb ON sb.id = id_b
            WHERE CAST(shared AS DOUBLE) / CAST(least(sa.n_sh, sb.n_sh) AS DOUBLE) >= 0.5
            ORDER BY id_a, id_b""",
+
+      // q96's Efraimidis-Spirakis keys ranked within each source stratum
+      "q98_group_weighted_sample" ->
+        """WITH kk AS (
+             SELECT source, doc_id, n_chars,
+               CAST(round(-ln((CAST('0x' || substr(md5('q98:' || CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT) + 1.0)
+                     / 1152921504606846976.0)
+                   / n_chars * 1e6) AS BIGINT) AS key_unats
+             FROM documents WHERE n_chars IS NOT NULL AND n_chars > 0),
+           r AS (SELECT *, CAST(row_number() OVER (
+                   PARTITION BY source ORDER BY key_unats, doc_id) AS BIGINT) AS rank
+                 FROM kk)
+           SELECT source, doc_id, n_chars, key_unats, rank FROM r
+           WHERE rank <= 20 ORDER BY source, rank""",
     )
   }
 }

@@ -479,15 +479,48 @@ object Sampling {
   def weightedSample(df: DataFrame, idCol: String, weightCol: String,
                      k: Int, seed: String = "wsample"): DataFrame = {
     require(k >= 1, s"k must be >= 1, got $k")
-    // (h + 1) / 2^60 ∈ (0, 1] — +1 keeps ln finite at h = 0; the BIGINT →
-    // DOUBLE rounding and the power-of-two divide are IEEE-identical on
-    // both engines
-    val u = (shuffleKey(col(idCol), seed).cast("double") + lit(1.0)) /
-      lit(1152921504606846976.0) // 2^60
     df.where(col(weightCol).isNotNull && col(weightCol) > 0)
-      .withColumn("key_unats",
-        round(-log(u) / col(weightCol).cast("double") * lit(1e6)).cast("long"))
+      .withColumn("key_unats", esKeyUnats(col(idCol), col(weightCol), seed))
       .orderBy(col("key_unats").asc, col(idCol).asc)
       .limit(k)
+  }
+
+  /** The Efraimidis-Spirakis priority of one row as a bare column, in
+    * integer micro-nats (smaller = better): `round(-ln(u)/w · 10⁶)` with
+    * `u = (60-bit md5 key + 1) / 2⁶⁰ ∈ (0, 1]` — +1 keeps ln finite at
+    * h = 0, and the BIGINT → DOUBLE rounding plus the power-of-two divide
+    * are IEEE-identical on both engines. Shared by [[weightedSample]] and
+    * [[weightedSamplePerGroup]] so the two stay bit-identical. */
+  private def esKeyUnats(idCol: Column, weightCol: Column, seed: String): Column = {
+    val u = (shuffleKey(idCol, seed).cast("double") + lit(1.0)) /
+      lit(1152921504606846976.0) // 2^60
+    round(-log(u) / weightCol.cast("double") * lit(1e6)).cast("long")
+  }
+
+  /** Per-stratum [[weightedSample]] — k rows per group, proportional to
+    * the weights WITHIN each group: the document-level member of the
+    * mixing family ([[temperatureResample]] reweights whole domains by
+    * rate; this picks WHICH documents fill each domain's slots), and the
+    * weighted generalization of [[capPerGroup]] (which is exactly this
+    * with all weights equal — md5 order IS the Efraimidis-Spirakis order
+    * for constant w).
+    *
+    * One window partitioned by the group: each stratum ranks its own
+    * slice, so the shuffle is the groupCol hash partition and nothing is
+    * global. A pathologically hot stratum pays a per-stratum sort — the
+    * same profile (and the same [[capPerGroup]] two-pass pre-thin escape)
+    * as every per-group operator in this file. Emits the sampled rows
+    * with `key_unats` and the within-group `rank` (1-based). */
+  def weightedSamplePerGroup(df: DataFrame, groupCol: String, idCol: String,
+                             weightCol: String, k: Int,
+                             seed: String = "wsample"): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(groupCol))
+      .orderBy(col("key_unats").asc, col(idCol).asc)
+    df.where(col(weightCol).isNotNull && col(weightCol) > 0)
+      .withColumn("key_unats", esKeyUnats(col(idCol), col(weightCol), seed))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .where(col("rank") <= k)
   }
 }

@@ -1714,6 +1714,34 @@ class OperatorsSpec extends SparkSuite {
     assert(jac.count() == 0)
   }
 
+  test("weightedSamplePerGroup: k per stratum, same keys as the global sampler, partitioned window") {
+    import spark.implicits._
+    val df = (1L to 300L).map(i => (s"g${i % 3}", i, i % 50 + 1))
+      .toDF("grp", "doc_id", "w")
+    val out = graft.operators.Sampling.weightedSamplePerGroup(
+      df, "grp", "doc_id", "w", k = 7, seed = "s")
+    val rows = out.collect().map(r =>
+      (r.getString(0), r.getLong(1), r.getLong(3), r.getLong(4)))
+    // exactly k per group (every group has >= k rows here), ranks 1..k
+    assert(rows.groupBy(_._1).forall { case (_, rs) =>
+      rs.length == 7 && rs.map(_._4).sorted.toSeq == (1L to 7L) })
+    // the per-group winners are the global ES order restricted to the
+    // group: same seed -> same key for the same id as weightedSample
+    val globalKeys = graft.operators.Sampling.weightedSample(
+        df, "doc_id", "w", k = 300, seed = "s")
+      .collect().map(r => r.getLong(1) -> r.getLong(3)).toMap
+    rows.foreach { case (_, id, key, _) => assert(globalKeys(id) == key) }
+    val expected = df.collect().map(r => (r.getString(0), r.getLong(1)))
+      .groupBy(_._1).map { case (g, ids) =>
+        g -> ids.map(_._2).sortBy(id => (globalKeys(id), id)).take(7).toSeq }
+    assert(rows.groupBy(_._1).map { case (g, rs) =>
+      g -> rs.sortBy(_._4).map(_._2).toSeq } == expected)
+    // plan: the ranking window is partitioned by the stratum
+    val plan = out.queryExecution.executedPlan.toString.split("== Initial Plan ==").head
+    assert(!plan.contains("Exchange SinglePartition"),
+      s"per-group ranking must not collapse to one partition:\n$plan")
+  }
+
   test("weightedSample: top-k is a TakeOrdered, not a global sort") {
     import spark.implicits._
     val df = (1L to 1000L).map(i => (i, i % 97 + 1)).toDF("doc_id", "w")
