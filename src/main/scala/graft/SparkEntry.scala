@@ -157,6 +157,7 @@ object SparkEntry {
     "q96_weighted_sample" -> q96,
     "q97_containment" -> q97,
     "q98_group_weighted_sample" -> q98,
+    "q99_group_topk_sketch" -> q99,
   )
 
   // =====================================================================
@@ -1488,6 +1489,23 @@ object SparkEntry {
         Tables.documents(s, dir).select(col("source"), col("doc_id"), col("n_chars")),
         "source", "doc_id", "n_chars", k = 20, seed = "q98")
       .orderBy(col("source"), col("rank"))
+
+  /** PER-GROUP heavy hitters: q38's SpaceSaving sketch as a grouped
+    * aggregate — one bounded-memory summary per language, partial-agg'd
+    * map-side like any native aggregate (the per-group state is the
+    * sketch's capacity, never the group's vocabulary). Capacity 4096 >>
+    * per-lang vocab here, the provably-exact regime, so the oracle is the
+    * exact per-group top-10. */
+  private def q99(s: SparkSession, dir: String): DataFrame = {
+    graft.GraftFunctions.ensureRegistered(s)
+    Tables.documents(s, dir)
+      .select(col("lang"), explode(Text.tokens(col("text"))).as("w"))
+      .groupBy(col("lang"))
+      .agg(call_function("graft_topk", col("w"), lit(10), lit(4096)).as("tk"))
+      .select(col("lang"), explode(col("tk")).as("t"))
+      .select(col("lang"), col("t.item").as("word"), col("t.count").as("cnt"))
+      .orderBy(col("lang"), col("cnt").desc, col("word"))
+  }
 
   // =====================================================================
   // DuckDB oracle SQL — same semantics, same column names, same ORDER BY.
@@ -2878,6 +2896,20 @@ object SparkEntry {
                  FROM kk)
            SELECT source, doc_id, n_chars, key_unats, rank FROM r
            WHERE rank <= 20 ORDER BY source, rank""",
+
+      // exact per-group top-10 — the sketch runs in its provably-exact
+      // regime (capacity >> per-lang vocabulary), tiebreak (cnt desc, word)
+      // on both engines
+      "q99_group_topk_sketch" ->
+        """WITH c AS (
+             SELECT lang, word, CAST(count(*) AS BIGINT) AS cnt FROM (
+               SELECT lang, unnest(regexp_split_to_array(lower(text), '\s+')) AS word
+               FROM documents) t
+             WHERE word <> '' GROUP BY lang, word),
+           r AS (SELECT *, row_number() OVER (
+                   PARTITION BY lang ORDER BY cnt DESC, word) AS rn FROM c)
+           SELECT lang, word, cnt FROM r WHERE rn <= 10
+           ORDER BY lang, cnt DESC, word""",
     )
   }
 }

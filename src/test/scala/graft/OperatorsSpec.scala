@@ -837,6 +837,30 @@ class OperatorsSpec extends SparkSuite {
     }
   }
 
+  test("grouped SpaceSaving: one exact sketch per group, map-side partial aggregation") {
+    import spark.implicits._
+    graft.GraftFunctions.ensureRegistered(spark)
+    // group A: a×5, b×3, c×3, d×1 — tie at the k=2 boundary resolves
+    // (count desc, item asc) → b beats c; group B: disjoint vocabulary
+    val rows = Seq.fill(5)(("A", "a")) ++ Seq.fill(3)(("A", "b")) ++
+      Seq.fill(3)(("A", "c")) ++ Seq(("A", "d")) ++
+      Seq.fill(4)(("B", "x")) ++ Seq.fill(2)(("B", "y"))
+    val df = rows.toDF("g", "w").repartition(8)
+    val out = df.groupBy(col("g"))
+      .agg(call_function("graft_topk", col("w"), lit(2), lit(64)).as("tk"))
+      .select(col("g"), explode(col("tk")).as("t"))
+      .select(col("g"), col("t.item"), col("t.count"))
+      .orderBy(col("g"), col("t.count").desc, col("t.item"))
+    assert(out.collect().map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSeq ==
+      Seq(("A", "a", 5L), ("A", "b", 3L), ("B", "x", 4L), ("B", "y", 2L)))
+    // the sketch must combine ACROSS partitions map-side like any native
+    // aggregate — per-group state is the sketch, never the group's rows
+    val plan = out.queryExecution.executedPlan.toString.split("== Initial Plan ==").head
+    assert(plan.toLowerCase.contains("partial_graft_topk") ||
+      plan.toLowerCase.contains("partial(graft_topk"),
+      s"grouped sketch must partial-aggregate before the exchange:\n$plan")
+  }
+
   test("native functions usable from SQL after registration") {
     graft.GraftFunctions.ensureRegistered(spark)
     val d = spark.sql("SELECT graft_dot(array(1.0D, 2.0D), array(3.0D, 4.0D)) AS d").head().getDouble(0)
