@@ -158,6 +158,7 @@ object SparkEntry {
     "q97_containment" -> q97,
     "q98_group_weighted_sample" -> q98,
     "q99_group_topk_sketch" -> q99,
+    "q100_random_projection" -> q100,
   )
 
   // =====================================================================
@@ -1489,6 +1490,20 @@ object SparkEntry {
         Tables.documents(s, dir).select(col("source"), col("doc_id"), col("n_chars")),
         "source", "doc_id", "n_chars", k = 20, seed = "q98")
       .orderBy(col("source"), col("rank"))
+
+  /** Brute-force cosine top-10 in a Johnson–Lindenstrauss 64→16
+    * projection of the embeddings — both engines build the IDENTICAL
+    * plan-time matrix (the oracle inlines it as SQL literals, q33's
+    * pattern), so the projected ranking is exactly mirrored
+    * ([[graft.operators.Similarity.randomProject]]). */
+  private def q100(s: SparkSession, dir: String): DataFrame = {
+    val proj = graft.operators.Similarity.randomProject(
+      Tables.embeddings(s, dir), "embedding", outDim = 16, dim = EmbeddingDim)
+    val queries = proj.where(col("vec_id") % 100 === 0)
+    Similarity.bruteForceTopK(queries, proj, "vec_id", "embedding", k = 10)
+      .select(col("query_id"), col("rank"), col("neighbor_id"))
+      .orderBy(col("query_id"), col("rank"))
+  }
 
   /** PER-GROUP heavy hitters: q38's SpaceSaving sketch as a grouped
     * aggregate — one bounded-memory summary per language, partial-agg'd
@@ -2910,6 +2925,36 @@ object SparkEntry {
                    PARTITION BY lang ORDER BY cnt DESC, word) AS rn FROM c)
            SELECT lang, word, cnt FROM r WHERE rn <= 10
            ORDER BY lang, cnt DESC, word""",
+
+      // the IDENTICAL plan-time JL matrix inlined as literals (q33's
+      // pattern): project, then q21's ranking in the projected space
+      "q100_random_projection" -> {
+        val scale = math.sqrt(12.0 / 16)
+        val comps = (0 until 16).map { j =>
+          val hp = graft.functions.Vectors.hyperplane(7000 + j, EmbeddingDim)
+            .map(_.toString).mkString("[", ", ", "]")
+          s"list_sum(list_transform(range(1, ${EmbeddingDim + 1}), i -> " +
+            s"CAST(embedding[i] AS DOUBLE) * ($hp)[i])) * $scale"
+        }.mkString("[", ", ", "]")
+        s"""WITH p AS (SELECT vec_id, $comps AS pv FROM embeddings),
+           q AS (SELECT vec_id AS query_id, pv AS qv FROM p WHERE vec_id % 100 = 0),
+           scored AS (
+             SELECT query_id, c.vec_id AS neighbor_id,
+               CASE WHEN sqrt(list_sum(list_transform(qv, x -> x * x)))
+                         * sqrt(list_sum(list_transform(c.pv, x -> x * x))) = 0
+                    THEN 0.0
+                    ELSE list_sum(list_transform(range(1, 17), i -> qv[i] * c.pv[i]))
+                         / (sqrt(list_sum(list_transform(qv, x -> x * x)))
+                            * sqrt(list_sum(list_transform(c.pv, x -> x * x))))
+               END AS cosine
+             FROM p c CROSS JOIN q WHERE c.vec_id <> query_id),
+           ranked AS (
+             SELECT query_id, neighbor_id,
+               row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id ASC) AS rank
+             FROM scored)
+           SELECT query_id, rank, neighbor_id FROM ranked WHERE rank <= 10
+           ORDER BY query_id, rank"""
+      },
     )
   }
 }

@@ -405,4 +405,33 @@ object Similarity {
       .where(col("cosine") >= threshold)
       .distinct()
   }
+
+  /** Johnson–Lindenstrauss random projection to `outDim` dimensions — the
+    * dimensionality-reduction step in front of any of the ANN paths (a
+    * 64→16 cut shrinks every downstream dot product, shuffle row, and
+    * resident index 4×; JL guarantees pairwise geometry survives within
+    * (1±ε) for outDim = O(ln n / ε²) — Johnson & Lindenstrauss 1984;
+    * database formulation Achlioptas, PODS 2001).
+    *
+    * The projection matrix is the SAME deterministic plan-time hyperplane
+    * family the LSH path uses ([[Vectors.hyperplane]], plane ids
+    * `planeSeed + j`): components uniform on (−0.5, 0.5), variance 1/12,
+    * so rows are scaled by √(12/outDim) to preserve norms in expectation.
+    * Plan shape: `outDim` codegen'd [[Vectors.fastDot]] calls against
+    * constant arrays — a pure narrow projection, zero shuffle, and both
+    * engines can materialize the identical matrix (the oracle inlines it
+    * as SQL literals, the q33 pattern), so downstream similarity scores
+    * stay bit-comparable. */
+  def randomProject(df: DataFrame, vecCol: String, outDim: Int,
+                    planeSeed: Int = 7000, dim: Int = -1): DataFrame = {
+    GraftFunctions.ensureRegistered(df.sparkSession)
+    require(outDim >= 1, s"outDim must be >= 1, got $outDim")
+    val d = if (dim > 0) dim else Vectors.dims(df, vecCol)
+    require(d > 0, s"cannot infer embedding dimensionality of '$vecCol'; pass dim explicitly")
+    val scale = math.sqrt(12.0 / outDim)
+    df.withColumn(vecCol, array((0 until outDim).map { j =>
+      Vectors.fastDot(col(vecCol),
+        array(Vectors.hyperplane(planeSeed + j, d).map(lit(_)): _*)) * lit(scale)
+    }: _*))
+  }
 }

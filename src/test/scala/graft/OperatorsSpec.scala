@@ -861,6 +861,44 @@ class OperatorsSpec extends SparkSuite {
       s"grouped sketch must partial-aggregate before the exchange:\n$plan")
   }
 
+  test("randomProject: JL geometry — norms preserved in expectation, projected recall holds") {
+    import org.apache.spark.sql.functions._
+    val emb = graft.sources.Tables.embeddings(spark, sf0001)
+      .withColumn("orig", col("embedding"))
+    val proj = graft.operators.Similarity.randomProject(emb, "embedding", outDim = 16, dim = 64)
+    // norms preserved in EXPECTATION: per-row ratio fluctuates ~1/√16, the
+    // corpus mean concentrates — √(12/outDim) scaling is what makes this 1
+    val meanRatio = proj
+      .where(graft.functions.Vectors.normSq(col("orig")) > 0)
+      .select(avg(graft.functions.Vectors.normSq(col("embedding")) /
+        graft.functions.Vectors.normSq(col("orig"))).as("r"))
+      .head().getDouble(0)
+    assert(meanRatio > 0.85 && meanRatio < 1.15, s"mean norm ratio $meanRatio")
+    // GENUINE neighbors survive the 64→16 cut: planted Gaussian clusters
+    // (the IVF/LSH spec pattern, here in the full 64-d) — within-cluster
+    // cosine ≈ 1 vs cross-cluster ≈ 0 dwarfs the JL distortion at k=16.
+    // On the DIFFUSE real corpus the same recall@10 measures ~0.12: near-
+    // uniform cosine orderings are noise-level gaps no distance-preserving
+    // projection can keep, which is exactly JL's contract — distances
+    // within (1±ε), not orderings finer than ε.
+    import spark.implicits._
+    val rnd = new scala.util.Random(23)
+    val bases = (0 until 5).map(_ => Array.fill(64)(rnd.nextGaussian().toFloat))
+    val planted = (0 until 100).map { i =>
+      val b = bases(i % 5)
+      (i.toLong, b.zipWithIndex.map { case (x, d) => x + 0.01f * ((i * 64 + d) % 7 - 3) })
+    }.toDF("vec_id", "embedding")
+    val exact = graft.operators.Similarity.bruteForceTopK(
+        planted.where(col("vec_id") < 5), planted, "vec_id", "embedding", k = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    val prj = graft.operators.Similarity.randomProject(planted, "embedding", outDim = 16, dim = 64)
+    val projected = graft.operators.Similarity.bruteForceTopK(
+        prj.where(col("vec_id") < 5), prj, "vec_id", "embedding", k = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    val recall = (exact & projected).size.toDouble / exact.size
+    assert(recall >= 0.9, s"projected recall on planted clusters = $recall")
+  }
+
   test("native functions usable from SQL after registration") {
     graft.GraftFunctions.ensureRegistered(spark)
     val d = spark.sql("SELECT graft_dot(array(1.0D, 2.0D), array(3.0D, 4.0D)) AS d").head().getDouble(0)
