@@ -470,6 +470,64 @@ object Streams {
           .write.mode("append").parquet(path): Unit
     }
 
+  /** Streaming weighted reservoir — the online twin of
+    * [[graft.operators.Sampling.weightedSample]]. Efraimidis-Spirakis is
+    * reservoir-friendly BY CONSTRUCTION (that is the title of the paper):
+    * a row's priority key is a pure function of (id, weight, seed), so an
+    * arriving row either enters the current top-k or can never enter it —
+    * no revisiting, no rejection.
+    *
+    * Scale shape: state is keyed by the row's [[Sampling.shardCol]]-style
+    * shard (`nShards` groups), each holding at most k (key, id, w)
+    * triples — a GLOBAL single-key reservoir would serialize every row
+    * through one state partition. Each shard's top-k is a SUPERSET filter
+    * of the global one (a global winner is a winner of its own shard), so
+    * the reader takes the k smallest keys across the `k·nShards` emitted
+    * rows — exactly [[Sampling.weightedSample]]'s answer over everything
+    * ingested, which the spec asserts. Keys are computed with the
+    * IDENTICAL md5→ln→micro-nat recipe as the batch column (bit-equal by
+    * the q96 spec's driver-side derivation). Emits each updated shard's
+    * full current reservoir (OutputMode.Update); an id's key never
+    * changes, so stale emissions are superseded only by strictly better
+    * sets and the final winners are always the minimal keys ever seen. */
+  def weightedSampleStream(rows: Dataset[(Long, Long)], k: Int,
+                           nShards: Int, seed: String)
+      : Dataset[(Int, Long, Long, Long)] = {
+    require(k >= 1 && nShards >= 1, s"need k >= 1 and nShards >= 1")
+    import rows.sparkSession.implicits._
+    def keyOf(id: Long, w: Long): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"$seed:$id".getBytes("UTF-8"))
+      val h = java.lang.Long.parseLong(
+        md.map("%02x".format(_)).mkString.take(15), 16)
+      val u = (h.toDouble + 1.0) / 1152921504606846976.0
+      BigDecimal(-math.log(u) / w.toDouble * 1e6)
+        .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
+    }
+    def shardOf(id: Long): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"$seed:$id".getBytes("UTF-8"))
+      val h = java.lang.Long.parseLong(
+        md.map("%02x".format(_)).mkString.take(15), 16)
+      ((h % nShards) + nShards) % nShards
+    }
+    rows
+      .groupByKey { case (id, _) => shardOf(id) }
+      .flatMapGroupsWithState[List[(Long, Long, Long)], (Int, Long, Long, Long)](
+        OutputMode.Update, GroupStateTimeout.NoTimeout) {
+        (shard: Long, it: Iterator[(Long, Long)],
+         state: GroupState[List[(Long, Long, Long)]]) =>
+          val incoming = it.filter(_._2 > 0)
+            .map { case (id, w) => (keyOf(id, w), id, w) }
+          val merged = (state.getOption.getOrElse(Nil) ++ incoming)
+            .distinct.sortBy(t => (t._1, t._2)).take(k)
+          if (merged != state.getOption.getOrElse(Nil)) {
+            state.update(merged)
+            merged.iterator.map { case (key, id, w) => (shard.toInt, id, w, key) }
+          } else Iterator.empty
+      }
+  }
+
   /** Online funnel progression — the streaming twin of
     * [[graft.operators.Funnel.funnel]]. Input rows are `(user, eventType,
     * tsMs)`; per user the state is two numbers — the furthest step reached

@@ -655,6 +655,29 @@ class StreamingSpec extends SparkSuite {
     } finally q.stop()
   }
 
+  test("streaming weighted reservoir: sharded top-k converges to the batch sample") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, Long)] // (doc_id, w)
+    val out = Streams.weightedSampleStream(input.toDS(), k = 5, nShards = 4, seed = "ws")
+    val q = out.toDF("shard", "doc_id", "w", "key_unats").writeStream
+      .outputMode("update").format("memory").queryName("wres").start()
+    try {
+      val b1 = (1L to 50L).map(i => (i, i % 13 + 1))
+      val b2 = (51L to 120L).map(i => (i, i % 31 + 1)) :+ (200L, 0L) // w=0 excluded
+      input.addData(b1: _*); q.processAllAvailable()
+      input.addData(b2: _*); q.processAllAvailable()
+      // an id's key never changes, so the global winners are the k
+      // minimal (key, id) ever emitted — stale evicted rows rank below
+      val emitted = spark.table("wres").collect()
+        .map(r => (r.getLong(3), r.getLong(1))).distinct.sorted.take(5).map(_._2).toSeq
+      val all = (b1 ++ b2).toDF("doc_id", "w")
+      val batch = graft.operators.Sampling.weightedSample(all, "doc_id", "w", k = 5, seed = "ws")
+        .collect().map(_.getLong(0)).toSeq
+      assert(emitted == batch, s"stream $emitted vs batch $batch")
+    } finally q.stop()
+  }
+
   test("streaming funnel: steps advance across batches, window violations and skips ignored") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
