@@ -159,6 +159,7 @@ object SparkEntry {
     "q98_group_weighted_sample" -> q98,
     "q99_group_topk_sketch" -> q99,
     "q100_random_projection" -> q100,
+    "q101_containment_dedup" -> q101,
   )
 
   // =====================================================================
@@ -1490,6 +1491,16 @@ object SparkEntry {
         Tables.documents(s, dir).select(col("source"), col("doc_id"), col("n_chars")),
         "source", "doc_id", "n_chars", k = 20, seed = "q98")
       .orderBy(col("source"), col("rank"))
+
+  /** The containment dedup ACTION: drop every doc contained (overlap >=
+    * 0.5) in a larger partner — smaller side loses, equal sizes lose the
+    * larger id ([[graft.operators.Dedup.containmentDedup]]). */
+  private def q101(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Dedup.containmentDedup(
+        Tables.documents(s, dir), "doc_id", "text",
+        shingleLen = 3, threshold = 0.5, maxShingleDf = 50)
+      .select(col("doc_id"), col("lang"), col("source"), col("n_chars"))
+      .orderBy(col("doc_id"))
 
   /** Brute-force cosine top-10 in a Johnson–Lindenstrauss 64→16
     * projection of the embeddings — both engines build the IDENTICAL
@@ -2890,7 +2901,7 @@ object SparkEntry {
              SELECT a.id AS id_a, b.id AS id_b, count(*) AS shared
              FROM filtered a JOIN filtered b ON a.s = b.s AND a.id < b.id
              GROUP BY 1, 2)
-           SELECT id_a, id_b,
+           SELECT id_a, id_b, sa.n_sh AS n_a, sb.n_sh AS n_b,
              CAST(shared AS DOUBLE) / CAST(sa.n_sh AS DOUBLE) AS containment_a,
              CAST(shared AS DOUBLE) / CAST(sb.n_sh AS DOUBLE) AS containment_b,
              CAST(shared AS DOUBLE) / CAST(least(sa.n_sh, sb.n_sh) AS DOUBLE) AS overlap
@@ -2955,6 +2966,32 @@ object SparkEntry {
            SELECT query_id, rank, neighbor_id FROM ranked WHERE rank <= 10
            ORDER BY query_id, rank"""
       },
+
+      // q97's pair universe → per-pair victim (smaller n_sh loses; equal
+      // sizes lose the larger id) → anti join: the dedup ACTION
+      "q101_containment_dedup" ->
+        s"""WITH sh AS (
+             SELECT doc_id AS id, unnest(${hashedShingles(3)}) AS s
+             FROM (SELECT doc_id, $toks AS toks FROM documents) d),
+           filtered AS (
+             SELECT id, s FROM (
+               SELECT id, s, count(*) OVER (PARTITION BY s) AS df FROM sh) t
+             WHERE df <= 50),
+           sizes AS (SELECT id, count(*) AS n_sh FROM filtered GROUP BY id),
+           pairs AS (
+             SELECT a.id AS id_a, b.id AS id_b, count(*) AS shared
+             FROM filtered a JOIN filtered b ON a.s = b.s AND a.id < b.id
+             GROUP BY 1, 2),
+           flagged AS (
+             SELECT id_a, id_b, sa.n_sh AS na, sb.n_sh AS nb
+             FROM pairs JOIN sizes sa ON sa.id = id_a JOIN sizes sb ON sb.id = id_b
+             WHERE CAST(shared AS DOUBLE) / CAST(least(sa.n_sh, sb.n_sh) AS DOUBLE) >= 0.5),
+           victims AS (
+             SELECT DISTINCT CASE WHEN na < nb OR (na = nb AND id_a > id_b)
+               THEN id_a ELSE id_b END AS victim FROM flagged)
+           SELECT doc_id, lang, source, n_chars FROM documents
+           WHERE doc_id NOT IN (SELECT victim FROM victims)
+           ORDER BY doc_id""",
     )
   }
 }

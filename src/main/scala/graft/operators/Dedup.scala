@@ -890,7 +890,7 @@ object Dedup {
     val (shared, _) =
       sharedShinglePairsReleasable(docs, idCol, textCol, shingleLen, maxShingleDf)
     shared
-      .select(col("id_a"), col("id_b"),
+      .select(col("id_a"), col("id_b"), col("n_a"), col("n_b"),
         (col("shared").cast("double") / col("n_a").cast("double"))
           .as("containment_a"),
         (col("shared").cast("double") / col("n_b").cast("double"))
@@ -898,6 +898,32 @@ object Dedup {
         (col("shared").cast("double") /
           least(col("n_a"), col("n_b")).cast("double")).as("overlap"))
       .where(col("overlap") >= threshold)
+  }
+
+  /** The dedup ACTION on [[containmentPairs]]: drop every document that is
+    * contained (overlap ≥ `threshold`) in a LARGER partner — the smaller
+    * side of each flagged pair loses; equal sizes tie-break to the larger
+    * id losing, so the rule is a total order and deterministic. Keeps the
+    * 10k-token article, drops the excerpt — the keep/drop direction
+    * document-level dedup ([[exact]], [[ngramJaccard]]+clustering) gets
+    * WRONG for containment phenomena (resemblance ties them, so cluster
+    * representatives are arbitrary; containment knows who swallowed whom).
+    *
+    * One extra aggregation over the pair set (victims, partial-agg'd
+    * distinct) and one left-anti join against it — both on the id, both
+    * hash-partitioned; the pair machinery's scale story is unchanged.
+    * Output is the surviving rows of `docs`, schema-identical to the
+    * input. */
+  def containmentDedup(docs: DataFrame, idCol: String, textCol: String,
+                       shingleLen: Int = 3, threshold: Double = 0.8,
+                       maxShingleDf: Int = 50): DataFrame = {
+    val pairs = containmentPairs(docs, idCol, textCol, shingleLen, threshold, maxShingleDf)
+    val victims = pairs
+      .select(when(struct(col("n_a"), lit(-1) * col("id_a")) <
+            struct(col("n_b"), lit(-1) * col("id_b")),
+          col("id_a")).otherwise(col("id_b")).as("victim"))
+      .distinct()
+    docs.join(victims.withColumnRenamed("victim", idCol), Seq(idCol), "left_anti")
   }
 
   /** Block-level exact SUBSTRING dedup — the fixed-stride relative of

@@ -1768,8 +1768,15 @@ class OperatorsSpec extends SparkSuite {
     ).toDF("doc_id", "text")
     val out = graft.operators.Dedup.containmentPairs(docs, "doc_id", "text",
         shingleLen = 3, threshold = 0.8, maxShingleDf = 50)
-      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getDouble(3), r.getDouble(4)))
-    assert(out.toSeq == Seq((1L, 2L, 4.0 / 22.0, 1.0, 1.0)))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4), r.getDouble(5), r.getDouble(6)))
+    assert(out.toSeq == Seq((1L, 2L, 22L, 4L, 4.0 / 22.0, 1.0, 1.0)))
+    // the dedup ACTION: the excerpt (smaller side) is dropped, the
+    // article and the unrelated doc survive
+    val kept = graft.operators.Dedup.containmentDedup(docs, "doc_id", "text",
+        shingleLen = 3, threshold = 0.8, maxShingleDf = 50)
+      .collect().map(_.getLong(0)).sorted.toSeq
+    assert(kept == Seq(1L, 3L))
     // the same pair at the same shingle length is INVISIBLE to jaccard 0.5
     val jac = graft.operators.Dedup.ngramJaccard(docs, "doc_id", "text",
       shingleLen = 3, threshold = 0.5, maxShingleDf = 50)
