@@ -160,6 +160,13 @@ object SparkEntry {
     "q99_group_topk_sketch" -> q99,
     "q100_random_projection" -> q100,
     "q101_containment_dedup" -> q101,
+    "q102_sorted_neighborhood" -> q102,
+    "q103_boilerplate_prune" -> q103,
+    "q104_gopher_rules" -> q104,
+    "q105_kcore" -> q105,
+    "q106_embedding_dedup" -> q106,
+    "q107_length_batching" -> q107,
+    "q108_novelty" -> q108,
   )
 
   // =====================================================================
@@ -1532,6 +1539,88 @@ object SparkEntry {
       .select(col("lang"), col("t.item").as("word"), col("t.count").as("cnt"))
       .orderBy(col("lang"), col("cnt").desc, col("word"))
   }
+
+  /** Multi-pass sorted-neighborhood linkage over part names — the
+    * recall-preserving alternative to q95's attribute blocking: pass 1
+    * sorts by the name (prefix typos land adjacent), pass 2 by the
+    * REVERSED name (suffix typos), window 10, distance ≤ 3. Candidate
+    * blocks are rank-derived and fixed-size — skew-immune
+    * ([[graft.operators.Linkage.sortedNeighborhoodPairs]]). */
+  private def q102(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Linkage.sortedNeighborhoodPairs(
+        Tables.part(s, dir), "p_partkey", "p_name",
+        passes = Seq(
+          (col("p_name"), substring(col("p_name"), 1, 2)),
+          (reverse(col("p_name")), substring(reverse(col("p_name")), 1, 2))),
+        window = 10, maxDist = 3)
+      .orderBy(col("id_a"), col("id_b"))
+
+  /** Corpus-adaptive boilerplate pruning: tokens in ≥ 78% of documents
+    * are template filler — discover them from document frequency (integer
+    * cross-multiply threshold) and strip them from every document,
+    * preserving token order ([[graft.operators.Boilerplate]]). */
+  private def q103(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Boilerplate.pruneHighDfTokens(
+        Tables.documents(s, dir), "doc_id", "text", dfNum = 78, dfDen = 100)
+      .orderBy(col("doc_id"))
+
+  /** Gopher-style composite quality rule filter: token-count bounds, mean
+    * token length bounds, bigram repetition cap, and a function-word
+    * requirement — per-rule verdicts plus the conjunction
+    * ([[graft.operators.QualityRules.gopherFilter]]). */
+  private def q104(s: SparkSession, dir: String): DataFrame =
+    graft.operators.QualityRules.gopherFilter(
+        Tables.documents(s, dir), "doc_id", "text",
+        minTokens = 30, maxTokens = 80,
+        minMeanLen = 4.0, maxMeanLen = 4.8,
+        repN = 2, maxRepetition = 0.05,
+        stopwords = Seq("the", "a", "of", "and", "is", "to", "in", "that"),
+        minStopHits = 2)
+      .orderBy(col("doc_id"))
+
+  /** The 68-core of the co-purchase graph (q94's edge universe): peel
+    * parts with fewer than 68 robust co-purchase partners until the
+    * unique fixpoint ([[graft.operators.Graph.kCore]]). The oracle
+    * replays the identical peels, unrolled. */
+  private def q105(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(s, dir)
+      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk")).distinct()
+    val edges = li.join(li.withColumnRenamed("pk", "pk2"), Seq("ok"))
+      .where(col("pk") < col("pk2"))
+      .select(col("pk").as("src"), col("pk2").as("dst"))
+    graft.operators.Graph.kCore(edges, "src", "dst", k = 68, maxRounds = 12)
+      .orderBy(col("node"))
+  }
+
+  /** The embedding-dedup ACTION over q33's pair universe: drop every
+    * vector with a smaller-id near-duplicate partner (cosine ≥ 0.35 in a
+    * shared LSH block) — the SemDeDup keep-one policy, per-pair and
+    * single-pass ([[graft.operators.Similarity.embeddingDedup]]). */
+  private def q106(s: SparkSession, dir: String): DataFrame =
+    Similarity.embeddingDedup(Tables.embeddings(s, dir), "vec_id", "embedding",
+        threshold = 0.35, planes = 6, dim = EmbeddingDim)
+      .select(col("vec_id"), col("label").cast("long").as("label"))
+      .orderBy(col("vec_id"))
+
+  /** Length-bucketed training batches: 16-token-wide length buckets,
+    * deterministic md5 shuffle within each, batches of 24 — the padding-
+    * waste reduction for sequence training; within-bucket ranking is the
+    * no-single-partition [[graft.operators.Ranking.groupedRank]]
+    * ([[graft.operators.Batching.lengthBucketBatches]]). */
+  private def q107(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Batching.lengthBucketBatches(
+        Tables.documents(s, dir), "doc_id", "text",
+        bucketWidth = 16, batchSize = 24, seed = "batch")
+      .orderBy(col("bucket"), col("batch_idx"), col("pos_in_batch"))
+
+  /** Per-document novelty: the fraction of a doc's distinct 3-shingles
+    * with corpus df = 1 — the inverse signal of boilerplate, over the
+    * same hashed-shingle universe as q20
+    * ([[graft.operators.Boilerplate.shingleNovelty]]). */
+  private def q108(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Boilerplate.shingleNovelty(
+        Tables.documents(s, dir), "doc_id", "text", shingleLen = 3)
+      .orderBy(col("doc_id"))
 
   // =====================================================================
   // DuckDB oracle SQL — same semantics, same column names, same ORDER BY.
@@ -2992,6 +3081,159 @@ object SparkEntry {
            SELECT doc_id, lang, source, n_chars FROM documents
            WHERE doc_id NOT IN (SELECT victim FROM victims)
            ORDER BY doc_id""",
+
+      // two sorted-neighborhood passes (name, reversed name), window 10:
+      // pairs within 9 rank steps under either order, then the banded
+      // exact distance — both engines rank by the identical total order
+      // (sort key, id)
+      "q102_sorted_neighborhood" ->
+        """WITH r1 AS (SELECT p_partkey AS id, p_name,
+               row_number() OVER (ORDER BY p_name, p_partkey) AS rnk FROM part),
+           p1 AS (SELECT a.id AS ia, b.id AS ib
+                  FROM r1 a JOIN r1 b ON b.rnk - a.rnk BETWEEN 1 AND 9),
+           r2 AS (SELECT p_partkey AS id, p_name,
+               row_number() OVER (ORDER BY reverse(p_name), p_partkey) AS rnk FROM part),
+           p2 AS (SELECT a.id AS ia, b.id AS ib
+                  FROM r2 a JOIN r2 b ON b.rnk - a.rnk BETWEEN 1 AND 9),
+           u AS (SELECT DISTINCT least(ia, ib) AS id_a, greatest(ia, ib) AS id_b
+                 FROM (SELECT * FROM p1 UNION ALL SELECT * FROM p2))
+           SELECT id_a, id_b, na.p_name AS name_a, nb.p_name AS name_b,
+             CAST(levenshtein(na.p_name, nb.p_name) AS BIGINT) AS dist
+           FROM u JOIN part na ON na.p_partkey = id_a
+                  JOIN part nb ON nb.p_partkey = id_b
+           WHERE levenshtein(na.p_name, nb.p_name) <= 3
+           ORDER BY id_a, id_b""",
+
+      // df over per-doc DISTINCT tokens; boilerplate iff df/N >= 78/100 by
+      // integer cross-multiply; order-preserving reassembly; all-boilerplate
+      // docs survive with clean_text = ''
+      "q103_boilerplate_prune" ->
+        s"""WITH t AS (SELECT doc_id, $toks AS toks FROM documents),
+           tok AS (SELECT doc_id, unnest(range(1, len(toks) + 1)) AS p, toks
+                   FROM t WHERE len(toks) > 0),
+           flat AS (SELECT doc_id, p, toks[p] AS tok FROM tok),
+           dfr AS (SELECT tok, count(DISTINCT doc_id) AS dfc FROM flat GROUP BY tok),
+           n AS (SELECT count(*) AS nd FROM documents),
+           hi AS (SELECT tok FROM dfr, n WHERE dfc * 100 >= nd * 78),
+           kept AS (SELECT doc_id, p, tok FROM flat
+                    WHERE tok NOT IN (SELECT tok FROM hi)),
+           agg AS (SELECT doc_id, string_agg(tok, ' ' ORDER BY p) AS clean_text,
+                     CAST(count(*) AS BIGINT) AS n_kept FROM kept GROUP BY doc_id),
+           base AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tok FROM t)
+           SELECT b.doc_id, coalesce(a.clean_text, '') AS clean_text,
+             coalesce(a.n_kept, 0) AS n_kept,
+             b.n_tok - coalesce(a.n_kept, 0) AS n_dropped
+           FROM base b LEFT JOIN agg a USING (doc_id) ORDER BY doc_id""",
+
+      // every statistic is exact-integer-derived; the only doubles are one
+      // division (mean_len) and q45's repetition ratio — IEEE-identical on
+      // both engines; empty docs have NULL mean_len and fail r_wlen
+      "q104_gopher_rules" -> {
+        val rep2 =
+          s"CASE WHEN len(${shingles(2)}) <= 1 THEN 0.0 " +
+          s"ELSE 1.0 - CAST(len(list_distinct(${shingles(2)})) AS DOUBLE) / CAST(len(${shingles(2)}) AS DOUBLE) END"
+        s"""WITH t AS (SELECT doc_id, $toks AS toks FROM documents),
+           m AS (SELECT doc_id,
+             CAST(len(toks) AS BIGINT) AS n_tok,
+             CASE WHEN len(toks) > 0
+               THEN CAST(list_sum(list_transform(toks, x -> len(x))) AS DOUBLE)
+                    / CAST(len(toks) AS DOUBLE) END AS mean_len,
+             $rep2 AS rep,
+             CAST(len(list_filter(['the','a','of','and','is','to','in','that'],
+               s -> list_contains(toks, s))) AS BIGINT) AS stop_hits
+           FROM t)
+           SELECT doc_id, n_tok, mean_len, rep, stop_hits,
+             n_tok BETWEEN 30 AND 80 AS r_len,
+             coalesce(mean_len BETWEEN 4.0 AND 4.8, false) AS r_wlen,
+             rep <= 0.05 AS r_rep,
+             stop_hits >= 2 AS r_stop,
+             (n_tok BETWEEN 30 AND 80)
+               AND coalesce(mean_len BETWEEN 4.0 AND 4.8, false)
+               AND rep <= 0.05 AND stop_hits >= 2 AS keep
+           FROM m ORDER BY doc_id"""
+      },
+
+      // the identical peels, unrolled: 8 >= the observed fixpoint depth at
+      // the gate scale, and peeling past the fixpoint is a no-op, so extra
+      // rounds cannot diverge. MATERIALIZED is load-bearing: every e_i is
+      // referenced twice by round i+1, so inlining would expand e0 (and its
+      // lineitem scan) 2^8 times
+      "q105_kcore" -> {
+        val peels = (1 to 8).map { i =>
+          val pe = s"e${i - 1}"
+          s"""n$i AS MATERIALIZED (SELECT node FROM (
+                 SELECT node, count(*) AS c FROM (
+                   SELECT a AS node FROM $pe UNION ALL SELECT b FROM $pe)
+                 GROUP BY node) WHERE c >= 68),
+             e$i AS MATERIALIZED (SELECT a, b FROM $pe
+                     WHERE a IN (SELECT node FROM n$i)
+                       AND b IN (SELECT node FROM n$i))"""
+        }.mkString(",\n")
+        s"""WITH li AS MATERIALIZED (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+           e0 AS MATERIALIZED (SELECT DISTINCT least(x.pk, y.pk) AS a, greatest(x.pk, y.pk) AS b
+                  FROM li x JOIN li y ON x.ok = y.ok AND x.pk <> y.pk),
+           $peels
+           SELECT node, CAST(c AS BIGINT) AS core_deg FROM (
+             SELECT node, count(*) AS c FROM (
+               SELECT a AS node FROM e8 UNION ALL SELECT b FROM e8)
+             GROUP BY node)
+           ORDER BY node"""
+      },
+
+      // q33's bucket + cosine universe → smaller-id-partner victims → anti
+      // join: the embedding-dedup action
+      "q106_embedding_dedup" -> {
+        val planes = (0 until 6).map { p =>
+          val hp = graft.functions.Vectors.hyperplane(p, EmbeddingDim)
+            .map(_.toString).mkString("[", ", ", "]")
+          s"(CASE WHEN list_sum(list_transform(range(1, ${EmbeddingDim + 1}), i -> " +
+            s"CAST(embedding[i] AS DOUBLE) * ($hp)[i])) >= 0 THEN '1' ELSE '0' END)"
+        }.mkString(" || ")
+        s"""WITH b AS (SELECT vec_id, embedding, $planes AS bucket FROM embeddings),
+           victims AS (
+             SELECT DISTINCT c.vec_id AS victim
+             FROM b a JOIN b c ON a.bucket = c.bucket AND a.vec_id < c.vec_id
+             WHERE CASE WHEN sqrt(list_sum(list_transform(a.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+                         * sqrt(list_sum(list_transform(c.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) = 0
+                    THEN 0.0
+                    ELSE list_sum(list_transform(range(1, len(a.embedding) + 1), i ->
+                           CAST(a.embedding[i] AS DOUBLE) * CAST(c.embedding[i] AS DOUBLE)))
+                         / (sqrt(list_sum(list_transform(a.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+                            * sqrt(list_sum(list_transform(c.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))))
+                    END >= 0.35)
+           SELECT vec_id, CAST(label AS BIGINT) AS label FROM embeddings
+           WHERE vec_id NOT IN (SELECT victim FROM victims)
+           ORDER BY vec_id"""
+      },
+
+      // both engines rank by the identical (md5 hex, id) order within each
+      // length bucket; batch arithmetic is exact integer DIV/mod
+      "q107_length_batching" ->
+        s"""WITH t AS (SELECT doc_id, CAST(len($toks) AS BIGINT) AS n_tok,
+               md5('batch:' || CAST(doc_id AS VARCHAR)) AS okey FROM documents),
+           b AS (SELECT doc_id, n_tok, n_tok // 16 AS bucket, okey FROM t),
+           r AS (SELECT doc_id, n_tok, bucket,
+               CAST(row_number() OVER (
+                 PARTITION BY bucket ORDER BY okey, doc_id) AS BIGINT) AS rn
+             FROM b)
+           SELECT doc_id, n_tok, bucket,
+             (rn - 1) // 24 AS batch_idx,
+             (rn - 1) % 24 AS pos_in_batch
+           FROM r ORDER BY bucket, batch_idx, pos_in_batch""",
+
+      // q20's hashed-shingle universe: per-doc distinct postings, df = 1
+      // marks corpus-unique shingles; novelty is one exact-integer division
+      "q108_novelty" ->
+        s"""WITH sh AS (
+             SELECT doc_id AS id, unnest(${hashedShingles(3)}) AS s
+             FROM (SELECT doc_id, $toks AS toks FROM documents) d),
+           dfr AS (SELECT s, count(*) AS dfc FROM sh GROUP BY s)
+           SELECT id AS doc_id, CAST(count(*) AS BIGINT) AS n_sh,
+             CAST(sum(CASE WHEN dfc = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_unique,
+             CAST(sum(CASE WHEN dfc = 1 THEN 1 ELSE 0 END) AS DOUBLE)
+               / CAST(count(*) AS DOUBLE) AS novelty
+           FROM sh JOIN dfr USING (s)
+           GROUP BY id ORDER BY doc_id""",
     )
   }
 }

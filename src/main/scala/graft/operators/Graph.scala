@@ -104,6 +104,65 @@ object Graph {
     *
     * Returns a single row `(n_nodes, n_edges, n_triangles)` — all exact
     * BIGINTs, oracle-checkable against the a<b<c triple join. */
+  /** The k-CORE of an undirected graph: the (unique) maximal subgraph in
+    * which every node has degree ≥ k (Seidman 1983; the standard
+    * "structurally embedded" filter — in pipeline terms: keep entities
+    * with enough robust connectivity that their signals corroborate each
+    * other, drop the peripheral tail). Computed by PEELING: repeatedly
+    * delete every node of current degree < k until none remains — order
+    * never matters, the fixpoint is unique, so the result is
+    * deterministic and oracle-checkable by replaying the same peels.
+    *
+    * Input edges may be directed/duplicated/self-looped (canonicalized
+    * first). Returns `(node, core_deg)` — the survivors with their degree
+    * INSIDE the core (all ≥ k by definition); empty when the graph has no
+    * k-core.
+    *
+    * ## Scale shape (100 TB)
+    * Each round is one partial-aggregable degree count plus two left-semi
+    * equi-joins of the edge list against the surviving-node set — all
+    * hash-partitioned, nothing quadratic, no data-sized driver state (the
+    * per-round convergence probe is a scalar edge count, same protocol as
+    * connectedComponents). Rounds are data-dependent but peeling removes
+    * at least one node per non-final round; real graphs converge in a
+    * handful (the denser the graph, the fewer) — `maxRounds` bounds the
+    * pathological chain and failure is LOUD, not a silent partial answer.
+    * `checkpoint` truncates per-round lineage exactly as [[pageRankInt]]. */
+  def kCore(edges: DataFrame, srcCol: String, dstCol: String, k: Int,
+            maxRounds: Int = 30, checkpoint: Boolean = true): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    require(maxRounds >= 1, s"maxRounds must be >= 1, got $maxRounds")
+    def cut(df: DataFrame): DataFrame =
+      if (checkpoint) df.localCheckpoint() else df
+    def degrees(e: DataFrame): DataFrame =
+      e.select(col("a").as("node")).unionAll(e.select(col("b").as("node")))
+        .groupBy(col("node")).agg(count(lit(1)).as("core_deg"))
+    var e = cut(edges
+      .select(least(col(srcCol), col(dstCol)).as("a"),
+        greatest(col(srcCol), col(dstCol)).as("b"))
+      .where(col("a") =!= col("b"))
+      .distinct())
+    // scalar convergence probe: removing any node removes >= 1 of its
+    // edges (degree-0 nodes never appear in an edge list), so a stable
+    // edge count IS a stable node set
+    var nEdges = e.count()
+    var converged = false
+    var rounds = 0
+    while (!converged && rounds < maxRounds) {
+      val keep = degrees(e).where(col("core_deg") >= k).select(col("node"))
+      val next = cut(e
+        .join(keep.withColumnRenamed("node", "a"), Seq("a"), "left_semi")
+        .join(keep.withColumnRenamed("node", "b"), Seq("b"), "left_semi"))
+      val n2 = next.count()
+      if (n2 == nEdges) converged = true
+      else { e = next; nEdges = n2 }
+      rounds += 1
+    }
+    require(converged,
+      s"k-core peeling did not reach a fixpoint within $maxRounds rounds")
+    degrees(e)
+  }
+
   def triangleCount(edges: DataFrame, srcCol: String, dstCol: String): DataFrame = {
     val canon = edges
       .select(least(col(srcCol), col(dstCol)).as("a"),

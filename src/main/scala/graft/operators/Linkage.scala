@@ -56,4 +56,74 @@ object Linkage {
       .select(col("id_a"), col("id_b"), col("name_a"), col("name_b"),
         col("dist").cast("long").as("dist"))
   }
+
+  /** Multi-pass SORTED-NEIGHBORHOOD pair generation (Hernández & Stolfo,
+    * SIGMOD 1995) — the recall-preserving alternative to attribute
+    * blocking: instead of requiring candidate pairs to AGREE on a key,
+    * sort the corpus by each pass's key and compare every record against
+    * its `window − 1` successors in sort order. Names that attribute
+    * blocking separates (typo in the blocking attribute itself) still land
+    * adjacent under at least one sort key; multiple passes with different
+    * keys (classically: the name, then the reversed name) cover prefix
+    * AND suffix typos.
+    *
+    * Each pass is `(sortKey, bucketKey)`: `bucketKey` must be monotone
+    * with respect to `sortKey` (a fixed prefix of it — see
+    * [[Ranking.globalRankBy]]'s contract), and makes the global sort
+    * distributed: ranks are local per bucket plus a broadcast offset
+    * table, no single-partition sort anywhere.
+    *
+    * ## Scale shape (100 TB)
+    * Pair generation never joins on an attribute value (whose block sizes
+    * follow the data distribution, i.e. can be quadratic-hot): rows join
+    * on the rank-derived neighborhood block `⌊(rank−1)/(window−1)⌋`, whose
+    * size is FIXED at `2(window−1)` rows (native + carried-down) no matter
+    * how skewed the data — skew-immune by construction. Each qualifying
+    * pair is emitted exactly once (the lower-ranked side joins only from
+    * its native block). Union across passes, distinct on the normalized
+    * pair, then one Levenshtein evaluation per surviving pair — the
+    * thresholded builtin, banded at `maxDist`.
+    *
+    * Returns `(id_a < id_b, name_a, name_b, dist)` with dist ≤ maxDist. */
+  def sortedNeighborhoodPairs(df: DataFrame, idCol: String, nameCol: String,
+                              passes: Seq[(Column, Column)], window: Int,
+                              maxDist: Int): DataFrame = {
+    require(window >= 2, s"window must be >= 2, got $window")
+    require(maxDist >= 0, s"maxDist must be >= 0, got $maxDist")
+    require(passes.nonEmpty, "need at least one (sortKey, bucketKey) pass")
+    val w = window - 1 // neighborhood radius in rank steps = block width
+    val candidates = passes.map { case (sortKey, bucketKey) =>
+      val keyed = df.select(col(idCol).as("_id"), sortKey.as("_key"),
+        bucketKey.as("_pbkt"))
+      val ranked = Ranking.globalRankBy(keyed, col("_pbkt"),
+        col("_key"), col("_id"))
+      // rows at ranks r, r' pair iff 1 <= r' - r <= w. With block
+      // g = (rank-1) DIV w, such a pair is same-block or adjacent-block:
+      // emit every row to {g, g-1} and let only the LOWER-ranked side join
+      // from its native g — each pair then meets exactly once (partner
+      // native when g'==g, carried down when g'==g+1).
+      val blocks = ranked
+        .select(col("_id"), col("rank"), expr("(rank - 1) DIV " + w + "L").as("_g"))
+      val lo = blocks.select(col("_g").as("_blk"), col("_id").as("_ida"),
+        col("rank").as("_ra"))
+      val hi = blocks
+        .select(col("_id"), col("rank"),
+          explode(array(col("_g"), col("_g") - 1)).as("_blk"))
+        .select(col("_blk"), col("_id").as("_idb"), col("rank").as("_rb"))
+      lo.join(hi, Seq("_blk"))
+        .where((col("_rb") - col("_ra")).between(lit(1), lit(w)))
+        .select(least(col("_ida"), col("_idb")).as("id_a"),
+          greatest(col("_ida"), col("_idb")).as("id_b"))
+    }
+    val pairs = candidates.reduce(_ unionAll _).distinct()
+    val names = df.select(col(idCol).as("_nid"), col(nameCol).as("_nm"))
+    pairs
+      .join(names.select(col("_nid").as("id_a"), col("_nm").as("name_a")), Seq("id_a"))
+      .join(names.select(col("_nid").as("id_b"), col("_nm").as("name_b")), Seq("id_b"))
+      .where(abs(length(col("name_a")) - length(col("name_b"))) <= maxDist)
+      .withColumn("dist", levenshtein(col("name_a"), col("name_b"), maxDist))
+      .where(col("dist") =!= -1)
+      .select(col("id_a"), col("id_b"), col("name_a"), col("name_b"),
+        col("dist").cast("long").as("dist"))
+  }
 }

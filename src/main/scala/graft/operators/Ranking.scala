@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -32,15 +32,28 @@ object Ranking {
   def globalRank(df: DataFrame, valueCol: String, bucketWidth: Long,
                  tieCols: String*): DataFrame = {
     require(bucketWidth > 0, s"bucketWidth must be positive, got $bucketWidth")
+    // exact floor division (DIV truncates, but v - pmod(v, w) is an exact
+    // multiple of w, so truncation IS floor — no double arithmetic)
+    globalRankBy(df,
+      expr(s"($valueCol - pmod($valueCol, ${bucketWidth}L)) DIV ${bucketWidth}L"),
+      (col(valueCol) +: tieCols.map(col)): _*)
+  }
+
+  /** [[globalRank]] generalized to any orderable sort key: ranks every row
+    * by `orderCols` asc using `bucket` as the order-consistent range key.
+    * `bucket` MUST be monotone with respect to `orderCols` — every row of
+    * bucket b sorts entirely before every row of bucket b' > b (e.g. a
+    * fixed-length prefix of a string key, or floor(value/width) of a
+    * numeric one); rows sharing the full sort key must share the bucket.
+    * `orderCols` must end in a unique tiebreak so the rank is a
+    * permutation. Adds `rank`; `_bkt`/`_rn`/`_off`/`rank` are reserved. */
+  def globalRankBy(df: DataFrame, bucket: Column, orderCols: Column*): DataFrame = {
+    require(orderCols.nonEmpty, "need at least one order column")
     val reserved = Seq("_bkt", "_rn", "_off", "rank")
     reserved.foreach(r => require(!df.columns.contains(r),
       s"input must not already contain column $r"))
-    // exact floor division (DIV truncates, but v - pmod(v, w) is an exact
-    // multiple of w, so truncation IS floor — no double arithmetic)
-    val base = df.withColumn("_bkt",
-      expr(s"($valueCol - pmod($valueCol, ${bucketWidth}L)) DIV ${bucketWidth}L"))
-    val wIn = Window.partitionBy(col("_bkt"))
-      .orderBy((col(valueCol) +: tieCols.map(col)).map(_.asc): _*)
+    val base = df.withColumn("_bkt", bucket)
+    val wIn = Window.partitionBy(col("_bkt")).orderBy(orderCols.map(_.asc): _*)
     val counts = base.groupBy(col("_bkt")).agg(count(lit(1)).as("_bc"))
     // prefix sum over #buckets rows — a model-sized frame, not a data window
     val wBkt = Window.orderBy(col("_bkt")).rowsBetween(Window.unboundedPreceding, -1)
@@ -49,7 +62,40 @@ object Ranking {
     base
       .withColumn("_rn", row_number().over(wIn))
       .join(broadcast(offsets), Seq("_bkt"))
-      .withColumn("rank", col("_off") + col("_rn"))
+      .withColumn("rank", col("_off") + col("_rn").cast("long"))
       .drop("_bkt", "_rn", "_off")
+  }
+
+  /** Exact 1-based rank WITHIN each `group`, for groups too large for a
+    * `PARTITION BY group` window (which serializes every group through one
+    * task — fine for thousands of small groups, a scale-killer when a
+    * group is a double-digit share of the data). The same two-level
+    * scheme, nested: `subBucket` must be monotone with respect to
+    * `orderCols` WITHIN a group (a prefix/range of the sort key, as
+    * [[globalRankBy]]); ranks are local per (group, subBucket) and each
+    * sub-bucket's start offset is a prefix sum over the
+    * #(group × subBucket) counts frame — model-sized, and even its window
+    * partitions by group, so NO single-partition exchange exists anywhere
+    * in the plan. `orderCols` must end in a unique tiebreak. Adds `rank`;
+    * `_grp`/`_sb`/`_rn`/`_off`/`rank` are reserved. */
+  def groupedRank(df: DataFrame, group: Column, subBucket: Column,
+                  orderCols: Column*): DataFrame = {
+    require(orderCols.nonEmpty, "need at least one order column")
+    val reserved = Seq("_grp", "_sb", "_rn", "_off", "rank")
+    reserved.foreach(r => require(!df.columns.contains(r),
+      s"input must not already contain column $r"))
+    val base = df.withColumn("_grp", group).withColumn("_sb", subBucket)
+    val wIn = Window.partitionBy(col("_grp"), col("_sb"))
+      .orderBy(orderCols.map(_.asc): _*)
+    val counts = base.groupBy(col("_grp"), col("_sb")).agg(count(lit(1)).as("_bc"))
+    val wOff = Window.partitionBy(col("_grp")).orderBy(col("_sb"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = counts.select(col("_grp"), col("_sb"),
+      coalesce(sum(col("_bc")).over(wOff), lit(0L)).as("_off"))
+    base
+      .withColumn("_rn", row_number().over(wIn))
+      .join(broadcast(offsets), Seq("_grp", "_sb"))
+      .withColumn("rank", col("_off") + col("_rn").cast("long"))
+      .drop("_grp", "_sb", "_rn", "_off")
   }
 }

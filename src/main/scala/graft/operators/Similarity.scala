@@ -406,6 +406,28 @@ object Similarity {
       .distinct()
   }
 
+  /** The embedding-dedup ACTION on top of [[embeddingNearDup]]'s pair
+    * universe — the SemDeDup policy (Abbas et al. 2023) expressed as a
+    * deterministic single-pass rule: a vector is DROPPED iff it has ANY
+    * near-duplicate partner (cosine ≥ threshold, same LSH block) with a
+    * smaller id; the smallest id of every near-dup neighborhood survives.
+    * Deliberately per-pair, not per-cluster: no transitive closure means
+    * no iteration, and the policy is monotone (adding corpus rows never
+    * un-drops a victim) — the cluster-canonical alternative that keeps
+    * the best-quality member per connected component is
+    * [[graft.operators.Dedup.canonicalizeNearDups]] (q61).
+    *
+    * Cost on top of pair generation: one partial-agg'd distinct over the
+    * victim ids and one left-anti equi-join on the id — both
+    * hash-partitioned, nothing new at 100 TB. Returns the surviving
+    * corpus rows unchanged. */
+  def embeddingDedup(corpus: DataFrame, idCol: String, vecCol: String,
+                     threshold: Double, planes: Int = 6, dim: Int = -1): DataFrame = {
+    val victims = embeddingNearDup(corpus, idCol, vecCol, threshold, planes, dim)
+      .select(col("id_b").as(idCol)).distinct()
+    corpus.join(victims, Seq(idCol), "left_anti")
+  }
+
   /** Johnson–Lindenstrauss random projection to `outDim` dimensions — the
     * dimensionality-reduction step in front of any of the ANN paths (a
     * 64→16 cut shrinks every downstream dot product, shuffle row, and

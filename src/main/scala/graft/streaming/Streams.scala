@@ -156,6 +156,28 @@ object Streams {
     * long, [[graft.operators.Dedup.shingleKey]]). Rebuild after batch
     * index updates; at 10 bits/key the pair is ~10× smaller than
     * broadcasting the key sets themselves. */
+  /** Stateless streaming twin of
+    * [[graft.operators.Boilerplate.pruneHighDfTokens]]: the boilerplate
+    * vocabulary is discovered ONCE batch-side ([[graft.operators.Boilerplate.highDfTokens]],
+    * model-sized by the pigeonhole bound documented there) and rides the
+    * plan as a literal array; arriving documents are pruned per-row with
+    * zero state, zero shuffle, and the identical keep/drop decision and
+    * reassembled text as the batch operator (spec-asserted parity).
+    * Document-frequency drift in the stream does NOT update the
+    * vocabulary — rebuild batch-side and restart the query, the same
+    * lifecycle as the dedup-index blooms. */
+  def pruneTokensStream(docs: DataFrame, textCol: String,
+                        vocab: Seq[String]): DataFrame = {
+    val toks = graft.functions.Text.tokens(col(textCol))
+    val kept =
+      if (vocab.isEmpty) toks
+      else filter(toks, t => !array_contains(array(vocab.map(lit): _*), t))
+    docs
+      .withColumn("clean_text", array_join(kept, " "))
+      .withColumn("n_kept", size(kept).cast("long"))
+      .withColumn("n_dropped", (size(toks) - size(kept)).cast("long"))
+  }
+
   def dedupIndexBlooms(index: DataFrame, fpp: Double = 0.01)
       : (graft.operators.BloomModel, graft.operators.BloomModel) = {
     import graft.operators.{Bloom, Dedup}

@@ -1820,4 +1820,197 @@ class OperatorsSpec extends SparkSuite {
     assert(plan.contains("TakeOrderedAndProject"),
       s"k-row sample must plan as per-partition heaps + driver merge:\n$plan")
   }
+
+  test("globalRankBy: string-keyed rank is the exact global sort order, repartition-stable") {
+    import spark.implicits._
+    val df = Seq(("delta", 1L), ("alpha", 2L), ("alpha", 3L), ("charlie", 4L),
+      ("bravo", 5L)).toDF("name", "id")
+    def rankIt(d: org.apache.spark.sql.DataFrame) =
+      graft.operators.Ranking.globalRankBy(d,
+          substring(col("name"), 1, 1), col("name"), col("id"))
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val got = rankIt(df).sortBy(_._3)
+    // ties on the key fall back to the id tiebreak; ranks are 1..n
+    assert(got.map(x => (x._1, x._2)).toSeq ==
+      Seq(("alpha", 2L), ("alpha", 3L), ("bravo", 5L), ("charlie", 4L), ("delta", 1L)))
+    assert(got.map(_._3).toSeq == (1L to 5L))
+    assert(rankIt(df.repartition(7)).sortBy(_._3).toSeq == got.toSeq)
+  }
+
+  test("sortedNeighborhoodPairs: exact window semantics per pass, union across passes") {
+    import spark.implicits._
+    val names = Seq("apple pie", "apple pif", "banana split", "candle wax",
+      "dapple pie", "maple pie", "pple pie", "zzz end")
+    val df = names.zipWithIndex.map { case (n, i) => (i.toLong + 1, n) }
+      .toDF("id", "name")
+    val window = 3
+    // maxDist large enough that every candidate survives the distance
+    // filter — this test pins the WINDOWING; the banded distance itself is
+    // oracle-checked (q95/q102)
+    val out = graft.operators.Linkage.sortedNeighborhoodPairs(df, "id", "name",
+      passes = Seq(
+        (col("name"), substring(col("name"), 1, 1)),
+        (reverse(col("name")), substring(reverse(col("name")), 1, 1))),
+      window = window, maxDist = 30)
+    def passPairs(key: String => String): Set[(Long, Long)] = {
+      val sorted = names.zipWithIndex.map { case (n, i) => (i.toLong + 1, n) }
+        .sortBy { case (id, n) => (key(n), id) }
+      (for {
+        i <- sorted.indices
+        j <- (i + 1) until math.min(i + window, sorted.length)
+      } yield (math.min(sorted(i)._1, sorted(j)._1),
+        math.max(sorted(i)._1, sorted(j)._1))).toSet
+    }
+    val expect = passPairs(identity) ++ passPairs(_.reverse)
+    val gotPairs = out.collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(gotPairs.toSet == expect)
+    // exactly-once emission feeds the distinct: no pair may survive twice
+    assert(gotPairs.length == gotPairs.toSet.size)
+    // distributed: every window over DATA rows partitions by the prefix
+    // bucket (q84's contract — the only unpartitioned frame is the
+    // #buckets offset table)
+    val plan = out.queryExecution.executedPlan.toString.split("== Initial Plan ==").head
+    val dataWindows = plan.linesIterator
+      .filter(_.contains("row_number"))
+      .filter(_.contains("Window")).toSeq
+    assert(dataWindows.nonEmpty, s"expected ranking windows:\n$plan")
+    assert(dataWindows.forall(_.contains("_bkt")),
+      s"ranking windows must be bucket-partitioned:\n${dataWindows.mkString("\n")}")
+  }
+
+  test("pruneHighDfTokens: inclusive threshold, order preserved, all-boilerplate doc survives") {
+    import spark.implicits._
+    val docs = Seq((1L, "x y z x"), (2L, "y x"), (3L, "x y"), (4L, "x"), (5L, ""))
+      .toDF("doc_id", "text")
+    // df: x=4/5, y=3/5, z=1/5; threshold 80/100 — x sits EXACTLY on the
+    // boundary (4*100 == 5*80) and must be pruned (>= is inclusive)
+    val vocab = graft.operators.Boilerplate.highDfTokens(docs, "doc_id", "text", 80, 100)
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    assert(vocab.toSeq == Seq(("x", 4L)))
+    val out = graft.operators.Boilerplate.pruneHighDfTokens(docs, "doc_id", "text", 80, 100)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+      .sortBy(_._1)
+    assert(out.toSeq == Seq(
+      (1L, "y z", 2L, 2L),   // order preserved, both x occurrences dropped
+      (2L, "y", 1L, 1L),
+      (3L, "y", 1L, 1L),
+      (4L, "", 0L, 1L),      // every token was boilerplate: row survives
+      (5L, "", 0L, 0L)))     // empty doc: nothing to drop
+  }
+
+  test("gopherFilter: inclusive boundaries, empty doc fails r_wlen, stopword hits are distinct") {
+    import spark.implicits._
+    val docs = Seq((1L, "aa bb cc"), (2L, ""), (3L, "the the the aaa bbbb"))
+      .toDF("doc_id", "text")
+    val out = graft.operators.QualityRules.gopherFilter(docs, "doc_id", "text",
+        minTokens = 3, maxTokens = 3, minMeanLen = 2.0, maxMeanLen = 3.0,
+        repN = 2, maxRepetition = 0.5, stopwords = Seq("the", "a"), minStopHits = 1)
+      .collect().map(r => (r.getLong(0),
+        (r.getBoolean(5), r.getBoolean(6), r.getBoolean(7), r.getBoolean(8), r.getBoolean(9)),
+        r.getLong(4)))
+      .sortBy(_._1)
+    // doc1: n_tok=3 (inclusive), mean=2.0 (inclusive lower bound), rep 0,
+    // no stopwords -> keep false only via r_stop
+    assert(out(0)._2 == ((true, true, true, false, false)))
+    // doc2: empty -> r_len false AND r_wlen false (NULL mean), rep 0.0 passes
+    assert(out(1)._2 == ((false, false, true, false, false)))
+    // doc3: 'the' occurs 3 times but counts ONCE
+    assert(out(2)._3 == 1L)
+    assert(out(2)._2._4 == true)
+  }
+
+  test("kCore: unique fixpoint on a hand graph, canonicalization, empty core, loud non-convergence") {
+    import spark.implicits._
+    // K4 on {1,2,3,4} + pendant path 4-5-6; dupes/reversals/self-loops mixed in
+    val edges = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L), (3L, 4L),
+      (4L, 5L), (5L, 6L), (2L, 1L), (5L, 5L), (6L, 5L)).toDF("src", "dst")
+    val core3 = graft.operators.Graph.kCore(edges, "src", "dst", k = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
+    assert(core3.toSeq == Seq((1L, 3L), (2L, 3L), (3L, 3L), (4L, 3L)))
+    assert(graft.operators.Graph.kCore(edges, "src", "dst", k = 4).count() == 0)
+    // k=2 needs two peel rounds (6 first, then 5) + the confirming round;
+    // a 2-round budget must fail LOUDLY, not return a partial answer
+    val e = intercept[IllegalArgumentException] {
+      graft.operators.Graph.kCore(edges, "src", "dst", k = 2, maxRounds = 2)
+    }
+    assert(e.getMessage.contains("fixpoint"))
+    val core2 = graft.operators.Graph.kCore(edges, "src", "dst", k = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
+    assert(core2.toSeq == Seq((1L, 3L), (2L, 3L), (3L, 3L), (4L, 3L)))
+  }
+
+  test("groupedRank: exact within-group ranks, zero single-partition exchanges") {
+    import spark.implicits._
+    val df = (1L to 200L).map(i => (s"g${i % 3}", i)).toDF("grp", "id")
+    // sub-bucket = range of the sort key (monotone within every group)
+    val out = graft.operators.Ranking.groupedRank(df, col("grp"),
+      expr("id DIV 25"), col("id"))
+    val got = out.collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val expected = (1L to 200L).groupBy(i => s"g${i % 3}")
+      .flatMap { case (g, ids) =>
+        ids.toSeq.sorted.zipWithIndex.map { case (id, i) => (g, id, i + 1L) } }
+      .toSet
+    assert(got.toSet == expected)
+    // unlike globalRankBy, even the offset frame partitions by group:
+    // NOTHING in the plan may collapse to one partition
+    val plan = out.queryExecution.executedPlan.toString.split("== Initial Plan ==").head
+    assert(!plan.contains("Exchange SinglePartition"),
+      s"groupedRank must have no single-partition exchange:\n$plan")
+  }
+
+  test("lengthBucketBatches: homogeneous full batches with one short tail per bucket, deterministic") {
+    val docs = graft.sources.Tables.documents(spark, sf0001)
+    val out = graft.operators.Batching.lengthBucketBatches(
+      docs, "doc_id", "text", bucketWidth = 16, batchSize = 8)
+    val rows = out.collect().map(r =>
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(rows.nonEmpty)
+    // bucket is derived from n_tok; batches hold <= batchSize members at
+    // contiguous positions; only a bucket's LAST batch may be short
+    rows.foreach { case (_, nTok, bucket, _, _) => assert(nTok / 16 == bucket) }
+    val byBatch = rows.groupBy(r => (r._3, r._4))
+    byBatch.foreach { case ((_, _), rs) =>
+      assert(rs.length <= 8)
+      assert(rs.map(_._5).sorted.toSeq == (0L until rs.length.toLong))
+    }
+    byBatch.groupBy(_._1._1).foreach { case (bucket, batches) =>
+      val short = batches.filter(_._2.length < 8)
+      assert(short.size <= 1, s"bucket $bucket has ${short.size} short batches")
+      // the short one is the tail (max batch_idx)
+      short.keys.foreach { case (_, bi) =>
+        assert(bi == batches.keys.map(_._2).max) }
+    }
+    // content-keyed order: a rerun reproduces the assignment exactly
+    val again = graft.operators.Batching.lengthBucketBatches(
+        docs, "doc_id", "text", bucketWidth = 16, batchSize = 8)
+      .collect().map(r =>
+        (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(again.toSet == rows.toSet)
+  }
+
+  test("shingleNovelty: corpus-unique vs shared shingles on a hand corpus") {
+    import spark.implicits._
+    val docs = Seq((1L, "a b c d"), (2L, "a b c e"), (3L, "x y z w"))
+      .toDF("doc_id", "text")
+    // 3-shingles: doc1 {abc, bcd}, doc2 {abc, bce}, doc3 {xyz, yzw};
+    // "a b c" is shared (df 2), everything else unique
+    val out = graft.operators.Boilerplate.shingleNovelty(docs, "doc_id", "text", 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .sortBy(_._1)
+    assert(out.toSeq == Seq((1L, 2L, 1L, 0.5), (2L, 2L, 1L, 0.5), (3L, 2L, 2L, 1.0)))
+  }
+
+  test("embeddingDedup: smallest id of each near-dup neighborhood survives") {
+    import spark.implicits._
+    val vecs = Seq(
+      (1L, Array(1f, 0f)), (2L, Array(1f, 0f)), (3L, Array(1f, 0f)),
+      (4L, Array(0f, 1f))).toDF("vec_id", "embedding")
+    val kept = Similarity.embeddingDedup(vecs, "vec_id", "embedding",
+        threshold = 0.95, planes = 4, dim = 2)
+      .collect().map(_.getLong(0)).sorted.toSeq
+    // 1,2,3 identical -> pairs (1,2),(1,3),(2,3) -> victims {2,3}; the
+    // orthogonal 4 is untouched (different side of at least one plane or
+    // cosine 0 < threshold either way)
+    assert(kept == Seq(1L, 4L))
+  }
 }

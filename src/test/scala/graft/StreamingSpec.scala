@@ -725,4 +725,39 @@ class StreamingSpec extends SparkSuite {
       assert(streamedCounts == batch, s"stream $streamedCounts vs batch $batch")
     } finally q.stop()
   }
+
+  test("streaming boilerplate pruning: batch-discovered vocabulary, identical cleaning, zero state") {
+    import spark.implicits._
+    val corpus = Seq((1L, "x y z x"), (2L, "y x"), (3L, "x y"), (4L, "x"), (5L, ""))
+    val batchDf = corpus.toDF("doc_id", "text")
+    val vocab = graft.operators.Boilerplate
+      .highDfTokens(batchDf, "doc_id", "text", 80, 100)
+      .collect().map(_.getString(0)).toSeq
+    assert(vocab == Seq("x"))
+    val expected = graft.operators.Boilerplate
+      .pruneHighDfTokens(batchDf, "doc_id", "text", 80, 100)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+      .toSet
+
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, String)]
+    val out = Streams.pruneTokensStream(
+      input.toDF().toDF("doc_id", "text"), "text", vocab)
+    val q = out.writeStream.outputMode("append").format("memory").queryName("boil").start()
+    try {
+      input.addData(corpus: _*)
+      q.processAllAvailable()
+      val got = spark.table("boil").collect().map(r => (
+        r.getLong(r.fieldIndex("doc_id")),
+        r.getString(r.fieldIndex("clean_text")),
+        r.getLong(r.fieldIndex("n_kept")),
+        r.getLong(r.fieldIndex("n_dropped")))).toSet
+      assert(got == expected, s"stream $got vs batch $expected")
+      val executed = q.asInstanceOf[org.apache.spark.sql.execution.streaming.runtime.StreamingQueryWrapper]
+        .streamingQuery.lastExecution.executedPlan
+      val stateful = executed.collect {
+        case p if p.getClass.getName.contains("StateStore") => p }
+      assert(stateful.isEmpty, s"expected stateless plan, found: $stateful")
+    } finally q.stop()
+  }
 }
