@@ -167,6 +167,7 @@ object SparkEntry {
     "q106_embedding_dedup" -> q106,
     "q107_length_batching" -> q107,
     "q108_novelty" -> q108,
+    "q109_label_prop" -> q109,
   )
 
   // =====================================================================
@@ -1621,6 +1622,26 @@ object SparkEntry {
     graft.operators.Boilerplate.shingleNovelty(
         Tables.documents(s, dir), "doc_id", "text", shingleLen = 3)
       .orderBy(col("doc_id"))
+
+  /** Communities on the STRONG co-purchase graph (pairs sharing ≥ 2
+    * orders — the weak one-off co-occurrence noise thresholded away): 4 rounds of
+    * determinized synchronous label propagation (most frequent neighbor
+    * label + self-vote, smallest-label tiebreak) — separates densely-knit
+    * regions that connected components (q39's machinery) would merge
+    * across weak bridges ([[graft.operators.Graph.labelPropagation]]).
+    * Fixed rounds ⇒ a pure function of the graph ⇒ the oracle replays the
+    * identical rounds unrolled. */
+  private def q109(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(s, dir)
+      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk")).distinct()
+    val strong = li.join(li.withColumnRenamed("pk", "pk2"), Seq("ok"))
+      .where(col("pk") < col("pk2"))
+      .groupBy(col("pk"), col("pk2")).agg(count(lit(1)).as("w"))
+      .where(col("w") >= 2)
+      .select(col("pk").as("src"), col("pk2").as("dst"))
+    graft.operators.Graph.labelPropagation(strong, "src", "dst", rounds = 4)
+      .orderBy(col("node"))
+  }
 
   // =====================================================================
   // DuckDB oracle SQL — same semantics, same column names, same ORDER BY.
@@ -3234,6 +3255,36 @@ object SparkEntry {
                / CAST(count(*) AS DOUBLE) AS novelty
            FROM sh JOIN dfr USING (s)
            GROUP BY id ORDER BY doc_id""",
+
+      // the identical 4 synchronous rounds, unrolled (q105's pattern):
+      // per round, each node's votes = neighbor labels + its own, argmax
+      // by (count desc, label asc) — both engines replay the same pure
+      // function of the graph; MATERIALIZED for the same 2^R reason
+      "q109_label_prop" -> {
+        val roundsSql = (1 to 4).map { r =>
+          val pl = s"l${r - 1}"
+          s"""v$r AS MATERIALIZED (
+               SELECT node, nl, count(*) AS c FROM (
+                 SELECT e.dst AS node, l.label AS nl
+                 FROM e0 e JOIN $pl l ON l.node = e.src
+                 UNION ALL SELECT node, label FROM $pl)
+               GROUP BY node, nl),
+             l$r AS MATERIALIZED (
+               SELECT node, nl AS label FROM (
+                 SELECT node, nl, row_number() OVER (
+                   PARTITION BY node ORDER BY c DESC, nl ASC) AS rn FROM v$r)
+               WHERE rn = 1)"""
+        }.mkString(",\n")
+        s"""WITH li AS MATERIALIZED (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+           p AS MATERIALIZED (SELECT x.pk AS a, y.pk AS b, count(*) AS w
+                FROM li x JOIN li y ON x.ok = y.ok AND x.pk < y.pk GROUP BY 1, 2),
+           e0 AS MATERIALIZED (
+             SELECT a AS src, b AS dst FROM p WHERE w >= 2
+             UNION ALL SELECT b, a FROM p WHERE w >= 2),
+           l0 AS MATERIALIZED (SELECT DISTINCT src AS node, src AS label FROM e0),
+           $roundsSql
+           SELECT node, label FROM l4 ORDER BY node"""
+      },
     )
   }
 }

@@ -84,6 +84,57 @@ object Graph {
     ranks
   }
 
+  /** Synchronous label-propagation communities (Raghavan et al. 2007),
+    * DETERMINIZED: labels start as node ids; each round every node adopts
+    * the most frequent label among its neighbors PLUS itself (the
+    * self-vote damps the classic bipartite oscillation), ties broken by
+    * the SMALLEST label; all nodes update simultaneously for a FIXED
+    * number of rounds. Fixed-round synchronous updates make the result a
+    * pure function of the graph — no convergence race, no arrival order —
+    * so unlike textbook LPA the output is reproducible AND
+    * oracle-checkable by replaying the identical rounds (the q105
+    * pattern). Communities differ from [[Dedup]]'s connected components
+    * (q39 merges anything connected; LPA separates densely-knit regions
+    * joined by weak bridges) and from [[kCore]] (a global density filter,
+    * not a partition).
+    *
+    * ## Scale shape (100 TB)
+    * [[pageRankInt]]'s iteration skeleton: the directed-both-ways edge
+    * list is repartitioned on src ONCE and cached; each round is one
+    * co-partitioned equi-join (labels onto edges), one partial-aggregable
+    * (node, label) count, and one partial-aggregable `max_by` argmax — no
+    * windows, no per-node sort, nothing quadratic; labels are
+    * localCheckpointed per round. Returns `(node, label)`. */
+  def labelPropagation(edges: DataFrame, srcCol: String, dstCol: String,
+                       rounds: Int, checkpoint: Boolean = true): DataFrame = {
+    require(rounds >= 1, s"rounds must be >= 1, got $rounds")
+    def cut(df: DataFrame): DataFrame =
+      if (checkpoint) df.localCheckpoint() else df
+    val canon = edges.select(least(col(srcCol), col(dstCol)).as("a"),
+        greatest(col(srcCol), col(dstCol)).as("b"))
+      .where(col("a") =!= col("b")).distinct()
+    val e = canon.select(col("a").as("src"), col("b").as("dst"))
+      .unionAll(canon.select(col("b").as("src"), col("a").as("dst")))
+      .repartition(col("src")).persist()
+    val nodes = e.select(col("src").as("node")).distinct().persist()
+    var labels = cut(nodes.withColumn("label", col("node")))
+    for (_ <- 1 to rounds) {
+      val votes = e
+        .join(labels.withColumnRenamed("node", "src")
+          .withColumnRenamed("label", "nl"), Seq("src"))
+        .select(col("dst").as("node"), col("nl"))
+        .unionAll(labels.select(col("node"), col("label").as("nl")))
+        .groupBy(col("node"), col("nl")).agg(count(lit(1)).as("c"))
+      // argmax by (count desc, label asc): max_by over (c, -label) — a
+      // partial-aggregable aggregate, never a per-node sort/window
+      labels = cut(votes.groupBy(col("node"))
+        .agg(max_by(col("nl"), struct(col("c"), (-col("nl")).as("neg")))
+          .as("label")))
+    }
+    if (checkpoint) { e.unpersist(); nodes.unpersist() }
+    labels
+  }
+
   /** Exact triangle count over an undirected graph, by DEGREE-ORDERED
     * orientation (Schank & Wagner 2005 "forward"; the MapReduce form is
     * Suri & Vassilvitskii, WWW 2011 — the standard way to make triangle

@@ -2000,6 +2000,36 @@ class OperatorsSpec extends SparkSuite {
     assert(out.toSeq == Seq((1L, 2L, 1L, 0.5), (2L, 2L, 1L, 0.5), (3L, 2L, 2L, 1.0)))
   }
 
+  test("labelPropagation: bridged triangles stay separate communities, no oscillation, no window") {
+    import spark.implicits._
+    // two triangles joined by ONE weak bridge (3-4): connected components
+    // would merge everything to label 1; LPA keeps two communities
+    val edges = Seq((1L, 2L), (1L, 3L), (2L, 3L), (4L, 5L), (4L, 6L), (5L, 6L),
+      (3L, 4L)).toDF("src", "dst")
+    val out = graft.operators.Graph.labelPropagation(edges, "src", "dst", rounds = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
+    assert(out.toSeq == Seq((1L, 1L), (2L, 1L), (3L, 1L),
+      (4L, 4L), (5L, 4L), (6L, 4L)))
+    // the self-vote damps the bipartite oscillation: a single edge is
+    // stable at the smaller label under an EVEN and an ODD round count
+    val pair = Seq((1L, 2L)).toDF("src", "dst")
+    for (r <- Seq(3, 4)) {
+      val got = graft.operators.Graph.labelPropagation(pair, "src", "dst", rounds = r)
+        .collect().map(r2 => (r2.getLong(0), r2.getLong(1))).toSet
+      assert(got == Set((1L, 1L), (2L, 1L)), s"rounds=$r gave $got")
+    }
+    // plan: the argmax is a partial-aggregable max_by, never a per-node
+    // sort/window
+    val lp = graft.operators.Graph.labelPropagation(edges, "src", "dst",
+      rounds = 2, checkpoint = false)
+    lp.collect()
+    val plan = lp.queryExecution.executedPlan.toString.split("== Initial Plan ==").head
+    assert(plan.toLowerCase.contains("partial_max_by"),
+      s"label argmax must partial-aggregate:\n$plan")
+    assert(!plan.contains("WindowExec"),
+      s"label argmax must not sort votes through a window:\n$plan")
+  }
+
   test("embeddingDedup: smallest id of each near-dup neighborhood survives") {
     import spark.implicits._
     val vecs = Seq(
