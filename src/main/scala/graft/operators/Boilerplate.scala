@@ -4,7 +4,6 @@ import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
 import graft.functions.Text
-import org.apache.spark.sql.Column
 
 /** Corpus-adaptive boilerplate pruning: tokens that appear in "almost
   * every" document carry no signal (navigation chrome, license headers,
@@ -68,10 +67,7 @@ object Boilerplate {
     * nothing broadcast-unsafe, nothing quadratic. */
   def shingleNovelty(docs: DataFrame, idCol: String, textCol: String,
                      shingleLen: Int): DataFrame = {
-    require(shingleLen >= 1, s"shingleLen must be >= 1, got $shingleLen")
-    val sh: Column = array_distinct(Text.fastWordShingles(col(textCol), shingleLen))
-    val postings = docs.select(col(idCol).as("_id"),
-      explode(transform(sh, s => Dedup.shingleKey(s))).as("sh"))
+    val postings = shinglePostings(docs, idCol, textCol, shingleLen)
     val dfTab = postings.groupBy(col("sh")).agg(count(lit(1)).as("_df"))
     postings.join(dfTab, Seq("sh"))
       .groupBy(col("_id"))
@@ -79,6 +75,26 @@ object Boilerplate {
         sum(when(col("_df") === 1L, 1L).otherwise(0L)).as("n_unique"))
       .select(col("_id").as(idCol), col("n_sh"), col("n_unique"),
         (col("n_unique").cast("double") / col("n_sh").cast("double")).as("novelty"))
+  }
+
+  /** The 60-bit hashed keys of every shingle the corpus REPEATS (df ≥ 2)
+    * — the model [[graft.streaming.Streams.noveltyStream]] builds its
+    * Bloom filter from. Data-sized in general (unlike [[highDfTokens]]'s
+    * pigeonhole-bounded vocabulary), which is exactly why the streaming
+    * side carries it as a Bloom, not a literal. */
+  def sharedShingleKeys(docs: DataFrame, idCol: String, textCol: String,
+                        shingleLen: Int): DataFrame =
+    shinglePostings(docs, idCol, textCol, shingleLen)
+      .groupBy(col("sh")).agg(count(lit(1)).as("df"))
+      .where(col("df") >= 2).select(col("sh"))
+
+  private def shinglePostings(docs: DataFrame, idCol: String, textCol: String,
+                              shingleLen: Int): DataFrame = {
+    require(shingleLen >= 1, s"shingleLen must be >= 1, got $shingleLen")
+    docs.select(col(idCol).as("_id"),
+      explode(transform(
+        array_distinct(Text.fastWordShingles(col(textCol), shingleLen)),
+        s => Dedup.shingleKey(s))).as("sh"))
   }
 
   /** Remove every [[highDfTokens]] token from every document, preserving

@@ -178,6 +178,34 @@ object Streams {
       .withColumn("n_dropped", (size(toks) - size(kept)).cast("long"))
   }
 
+  /** Stateless streaming twin of
+    * [[graft.operators.Boilerplate.shingleNovelty]]: the set of shingles
+    * the corpus REPEATS ([[graft.operators.Boilerplate.sharedShingleKeys]],
+    * df ≥ 2) is data-sized, so it rides as a batch-built Bloom (the
+    * decontamination pattern), and an arriving document's novelty is
+    * estimated per-row as the fraction of its distinct shingles NOT in
+    * the filter. Error is one-sided in the conservative direction: a
+    * false positive mistakes a novel shingle for a repeated one, so
+    * `novelty_est` can only UNDER-estimate (by ≤ fpp in expectation) —
+    * a diversity gate keeps nothing it shouldn't. For documents that are
+    * members of the indexed corpus the estimate coincides with the batch
+    * df=1 fraction (modulo fpp); for new documents it reads "novel vs
+    * what the corpus repeats" — a shingle seen ONCE in the corpus still
+    * counts novel. Zero state, zero shuffle. */
+  def noveltyStream(docs: DataFrame, textCol: String,
+                    sharedBloom: graft.operators.BloomModel,
+                    shingleLen: Int = 3): DataFrame = {
+    graft.GraftFunctions.ensureRegistered(docs.sparkSession)
+    val keys = transform(
+      array_distinct(graft.functions.Text.fastWordShingles(col(textCol), shingleLen)),
+      s => graft.operators.Dedup.shingleKey(s))
+    docs
+      .withColumn("n_sh", size(keys).cast("long"))
+      .withColumn("n_shared_est", sharedBloom.countContained(keys).cast("long"))
+      .withColumn("novelty_est",
+        (col("n_sh") - col("n_shared_est")).cast("double") / col("n_sh").cast("double"))
+  }
+
   def dedupIndexBlooms(index: DataFrame, fpp: Double = 0.01)
       : (graft.operators.BloomModel, graft.operators.BloomModel) = {
     import graft.operators.{Bloom, Dedup}

@@ -616,4 +616,35 @@ class ScaleSpec extends SparkSuite {
     assert(plan.contains("levenshtein"),
       s"distance must evaluate post-join (codegen'd builtin):\n$plan")
   }
+
+  test("boilerplate prune: the vocabulary prune is a broadcast LEFT ANTI, not a shuffle") {
+    // q103's scale contract: the high-df vocabulary is model-sized by
+    // pigeonhole, so pruning must broadcast it into the scan stage; the
+    // only data-wide exchanges are the df aggregation and the per-doc
+    // reassembly
+    val df = SparkEntry.queries("q103_boilerplate_prune")(spark, sf0001)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString.split("== Initial Plan ==").head
+    val anti = plan.linesIterator.filter(_.contains("LeftAnti")).toSeq
+    assert(anti.nonEmpty, s"expected an anti join pruning the vocabulary:\n$plan")
+    assert(anti.forall(_.contains("Broadcast")),
+      s"the vocabulary anti join must be broadcast, not shuffled:\n${anti.mkString("\n")}")
+    assert(!plan.contains("CartesianProduct"),
+      s"no quadratic joins in the prune plan:\n$plan")
+  }
+
+  test("length batching: groupedRank keeps the whole plan free of single-partition exchanges") {
+    val df = SparkEntry.queries("q107_length_batching")(spark, sf0001)
+    df.collect()
+    // drop the final presentation ORDER BY's range exchange: rank
+    // assignment itself must never collapse — and even the offset frame
+    // partitions by the length bucket
+    val plan = df.queryExecution.executedPlan.toString.split("== Initial Plan ==").head
+    assert(!plan.contains("Exchange SinglePartition"),
+      s"q107 must contain no single-partition exchange anywhere:\n$plan")
+    val dataWindows = plan.linesIterator
+      .filter(l => l.contains("Window") && l.contains("row_number")).toSeq
+    assert(dataWindows.nonEmpty && dataWindows.forall(_.contains("_sb")),
+      s"ranking windows must partition by (bucket, sub-bucket):\n${dataWindows.mkString("\n")}")
+  }
 }

@@ -760,4 +760,39 @@ class StreamingSpec extends SparkSuite {
       assert(stateful.isEmpty, s"expected stateless plan, found: $stateful")
     } finally q.stop()
   }
+
+  test("streaming novelty: bloom of repeated shingles, batch parity for corpus members, zero state") {
+    import spark.implicits._
+    val corpus = Seq((1L, "a b c d"), (2L, "a b c e"), (3L, "x y z w"))
+    val batchDf = corpus.toDF("doc_id", "text")
+    val shared = graft.operators.Boilerplate
+      .sharedShingleKeys(batchDf, "doc_id", "text", shingleLen = 3)
+    val bloom = graft.operators.Bloom.build(shared, "sh", shared.count(), fpp = 0.001)
+    val exact = graft.operators.Boilerplate
+      .shingleNovelty(batchDf, "doc_id", "text", shingleLen = 3)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(3))).toMap
+
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, String)]
+    val out = Streams.noveltyStream(
+      input.toDF().toDF("doc_id", "text"), "text", bloom, shingleLen = 3)
+    val q = out.writeStream.outputMode("append").format("memory").queryName("nov").start()
+    try {
+      // corpus members + one unseen doc whose shingles are all novel
+      input.addData(corpus :+ (9L, "p q r s t"): _*)
+      q.processAllAvailable()
+      val got = spark.table("nov").collect().map(r =>
+        r.getLong(r.fieldIndex("doc_id")) ->
+          ((r.getLong(r.fieldIndex("n_sh")),
+            r.getDouble(r.fieldIndex("novelty_est"))))).toMap
+      // this tiny key set has no false positives at fpp 1e-3, so the
+      // estimate equals the batch value exactly for corpus members
+      corpus.foreach { case (id, _) => assert(got(id) == exact(id), s"doc $id") }
+      assert(got(9L) == ((3L, 1.0)), s"unseen doc must read fully novel: ${got(9L)}")
+      val executed = q.asInstanceOf[org.apache.spark.sql.execution.streaming.runtime.StreamingQueryWrapper]
+        .streamingQuery.lastExecution.executedPlan
+      assert(executed.collect {
+        case p if p.getClass.getName.contains("StateStore") => p }.isEmpty)
+    } finally q.stop()
+  }
 }
