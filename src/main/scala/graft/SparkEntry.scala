@@ -168,6 +168,7 @@ object SparkEntry {
     "q107_length_batching" -> q107,
     "q108_novelty" -> q108,
     "q109_label_prop" -> q109,
+    "q110_rate_anomaly" -> q110,
   )
 
   // =====================================================================
@@ -1642,6 +1643,17 @@ object SparkEntry {
     graft.operators.Graph.labelPropagation(strong, "src", "dst", rounds = 4)
       .orderBy(col("node"))
   }
+
+  /** Per-user hourly ingestion-rate control chart: z-score vs the
+    * trailing 24 non-empty hours, 3σ flag, cold users never alarm
+    * ([[graft.operators.Anomaly.hourlyRateAnomalies]]). Every column
+    * down to the flagged booleans hash-matches — the sums are exact
+    * BIGINTs, the z-arithmetic a fixed IEEE sequence over them. */
+  private def q110(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Anomaly.hourlyRateAnomalies(
+        Tables.events(s, dir), "user_id", "ts",
+        sigmas = 3.0, window = 24, minPrior = 6)
+      .orderBy(col("user_id"), col("hour"))
 
   // =====================================================================
   // DuckDB oracle SQL — same semantics, same column names, same ORDER BY.
@@ -3285,6 +3297,32 @@ object SparkEntry {
            $roundsSql
            SELECT node, label FROM l4 ORDER BY node"""
       },
+
+      // exact-integer trailing sums over a value-RANGE frame; mu/sigma/flag
+      // are a fixed IEEE sequence over them (sqrt is correctly rounded per
+      // IEEE-754 on both engines); cold users (< 6 prior buckets) have NULL
+      // mu/sigma and a false flag
+      "q110_rate_anomaly" ->
+        """WITH c AS (
+             SELECT user_id, epoch_us(ts) // 3600000000 AS hour,
+               CAST(count(*) AS BIGINT) AS cnt
+             FROM events GROUP BY 1, 2),
+           w AS (
+             SELECT user_id, hour, cnt,
+               CAST(count(*) OVER win AS BIGINT) AS n_prior,
+               sum(cnt) OVER win AS s,
+               sum(cnt * cnt) OVER win AS ss
+             FROM c WINDOW win AS (PARTITION BY user_id ORDER BY hour
+               RANGE BETWEEN 24 PRECEDING AND 1 PRECEDING)),
+           m AS (
+             SELECT user_id, hour, cnt, n_prior,
+               CASE WHEN n_prior >= 6 THEN CAST(s AS DOUBLE) / n_prior END AS mu,
+               CASE WHEN n_prior >= 6 THEN sqrt(greatest(
+                 (ss - CAST(s AS DOUBLE) * s / n_prior) / n_prior, 0.0)) END AS sigma
+             FROM w)
+           SELECT user_id, hour, cnt, n_prior, mu, sigma,
+             coalesce(cnt > mu + 3.0 * sigma, false) AS is_anomaly
+           FROM m ORDER BY user_id, hour""",
     )
   }
 }

@@ -2030,6 +2030,33 @@ class OperatorsSpec extends SparkSuite {
       s"label argmax must not sort votes through a window:\n$plan")
   }
 
+  test("hourlyRateAnomalies: planted burst flags, cold start never alarms, gaps use value ranges") {
+    import spark.implicits._
+    def at(hour: Long, i: Long): Long = hour * 3600000000L + i * 1000L
+    val rows =
+      // user 1: steady 2/hour for hours 0..9, then a 12-event burst at 10
+      (for (h <- 0L to 9L; i <- 0L until 2L) yield (1L, at(h, i))) ++
+        (0L until 12L).map(i => (1L, at(10L, i))) ++
+        // user 2: 7 quiet hours, then a 50-event burst AFTER a >24h gap —
+        // the value-range frame sees zero prior buckets, so no alarm
+        (0L to 6L).map(h => (2L, at(h, 0L))) ++
+        (0L until 50L).map(i => (2L, at(40L, i)))
+    val ev = rows.toDF("user_id", "us")
+      .withColumn("ts", timestamp_micros(col("us"))).drop("us")
+    val out = graft.operators.Anomaly.hourlyRateAnomalies(
+        ev, "user_id", "ts", sigmas = 3.0, window = 24, minPrior = 6)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)),
+        (r.getLong(2), r.getLong(3), r.getBoolean(6)))).toMap
+    // cold start: hours 0..5 have < 6 prior buckets — never flagged
+    for (h <- 0L to 5L) assert(!out((1L, h))._3, s"hour $h must not alarm cold")
+    // steady state: cnt == mu, sigma == 0, strict > does not fire
+    for (h <- 6L to 9L) assert(!out((1L, h))._3, s"steady hour $h must not alarm")
+    // the burst fires: 12 > mu 2 + 3*sigma 0
+    assert(out((1L, 10L)) == ((12L, 10L, true)))
+    // user 2's burst is outside any prior window: n_prior 0, no alarm
+    assert(out((2L, 40L)) == ((50L, 0L, false)))
+  }
+
   test("embeddingDedup: smallest id of each near-dup neighborhood survives") {
     import spark.implicits._
     val vecs = Seq(
