@@ -333,6 +333,71 @@ object Streams {
     * watermark; `rights` is the ascending (ts, value) match candidates. */
   private[streaming] case class AsOfBuf(lefts: Seq[(Long, Long)], rights: Seq[(Long, Long)])
 
+  private[streaming] case class RateState(openHour: Long, openCnt: Long,
+                                          closed: Seq[(Long, Long)])
+
+  /** Stateful streaming twin of
+    * [[graft.operators.Anomaly.hourlyRateAnomalies]]: per entity, the
+    * open hour's count accumulates in state; when a LATER hour first
+    * arrives, the open hour closes and is scored against the trailing
+    * `window` closed hours with the IDENTICAL value-range prior and the
+    * identical double arithmetic as the batch operator (JVM doubles and
+    * `Math.sqrt` are the same IEEE operations Catalyst executes, so
+    * flags agree exactly — spec-asserted). State per entity is bounded:
+    * one open (hour, count) + at most `window` closed pairs, trimmed by
+    * VALUE range on every close (a long-idle entity's stale hours fall
+    * out of the trailing range, not out of a row budget).
+    *
+    * Contracts, documented like the funnel twin's: events are processed
+    * in within-batch timestamp order; an event for an hour EARLIER than
+    * the open hour (cross-batch late data) is dropped — its hour already
+    * closed and scored; the final open hour never emits (no event after
+    * it proves it closed).
+    *
+    * Emits `(key, hour, cnt, n_prior, is_anomaly)` per closed hour. */
+  def rateAnomalyStream(events: Dataset[(Long, Long)], sigmas: Double = 3.0,
+                        window: Int = 24, minPrior: Int = 6)
+      : Dataset[(Long, Long, Long, Long, Boolean)] = {
+    require(window >= 1 && minPrior >= 1 && sigmas > 0, "bad parameters")
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[RateState, (Long, Long, Long, Long, Boolean)](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (key, it, state: GroupState[RateState]) =>
+          def score(h: Long, cnt: Long, closed: Seq[(Long, Long)])
+              : (Long, Long, Long, Long, Boolean) = {
+            val prior = closed.filter { case (ph, _) =>
+              ph >= h - window && ph <= h - 1 }
+            val n = prior.size.toLong
+            if (n >= minPrior) {
+              val s = prior.map(_._2).sum
+              val ss = prior.map(p => p._2 * p._2).sum
+              val mu = s.toDouble / n
+              val variance = (ss - s.toDouble * s / n) / n
+              val sigma = math.sqrt(math.max(variance, 0.0))
+              (key, h, cnt, n, cnt > mu + sigmas * sigma)
+            } else (key, h, cnt, n, false)
+          }
+          val out = scala.collection.mutable.ArrayBuffer
+            .empty[(Long, Long, Long, Long, Boolean)]
+          var st = state.getOption.orNull
+          it.toSeq.map(_._2).sorted.foreach { us =>
+            val h = Math.floorDiv(us, 3600000000L)
+            if (st == null) st = RateState(h, 1L, Nil)
+            else if (h == st.openHour) st = st.copy(openCnt = st.openCnt + 1)
+            else if (h > st.openHour) {
+              out += score(st.openHour, st.openCnt, st.closed)
+              val kept = ((st.openHour, st.openCnt) +: st.closed)
+                .filter { case (ph, _) => ph >= h - window }
+              st = RateState(h, 1L, kept)
+            } // h < openHour: late for an already-closed hour — dropped
+          }
+          state.update(st)
+          out.iterator
+      }
+  }
+
   /** Streaming AS-OF join — the watermark-bounded twin of the batch engine's
     * native as-of operator ([[graft.plans.AsOfJoinExec]] semantics: for each
     * left event, the MOST RECENT right event with `rts <= lts` on the same

@@ -795,4 +795,41 @@ class StreamingSpec extends SparkSuite {
         case p if p.getClass.getName.contains("StateStore") => p }.isEmpty)
     } finally q.stop()
   }
+
+  test("streaming rate anomaly: closed hours score exactly as batch, burst flags, late dropped") {
+    import spark.implicits._
+    def at(h: Long, i: Long): Long = h * 3600000000L + i * 1000L
+    val b1 = for (h <- 0L to 7L; i <- 0L until 2L) yield (1L, at(h, i))
+    val b2 = (for (h <- 8L to 9L; i <- 0L until 2L) yield (1L, at(h, i))) ++
+      (0L until 12L).map(i => (1L, at(10L, i))) ++   // the burst
+      Seq((1L, at(11L, 0L)))                         // closes hour 10
+    val late = (1L, at(3L, 99L))                     // hour 3 closed long ago
+
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, Long)]
+    val out = Streams.rateAnomalyStream(input.toDS(),
+      sigmas = 3.0, window = 24, minPrior = 6)
+    val q = out.writeStream.outputMode("append").format("memory").queryName("rate").start()
+    try {
+      input.addData(b1: _*)
+      q.processAllAvailable()
+      input.addData(b2 :+ late: _*)
+      q.processAllAvailable()
+      val got = spark.table("rate").collect()
+        .map(r => (r.getLong(1), (r.getLong(2), r.getLong(3), r.getBoolean(4)))).toMap
+      // hours 0..10 closed and scored; the open hour 11 never emits; the
+      // late hour-3 event is dropped, not double-scored
+      assert(got.keySet == (0L to 10L).toSet, s"got ${got.keySet}")
+      // exact parity with the batch operator over the NON-late events
+      val batch = graft.operators.Anomaly.hourlyRateAnomalies(
+          (b1 ++ b2).toDF("user_id", "us")
+            .withColumn("ts", timestamp_micros(col("us"))).drop("us"),
+          "user_id", "ts", sigmas = 3.0, window = 24, minPrior = 6)
+        .collect().map(r => (r.getLong(1), (r.getLong(2), r.getLong(3), r.getBoolean(6))))
+        .toMap
+      (0L to 10L).foreach { h =>
+        assert(got(h) == batch(h), s"hour $h: stream ${got(h)} vs batch ${batch(h)}") }
+      assert(got(10L)._3, "the burst hour must flag")
+    } finally q.stop()
+  }
 }
