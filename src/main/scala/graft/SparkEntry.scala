@@ -169,6 +169,7 @@ object SparkEntry {
     "q108_novelty" -> q108,
     "q109_label_prop" -> q109,
     "q110_rate_anomaly" -> q110,
+    "q111_quality_checks" -> q111,
   )
 
   // =====================================================================
@@ -1654,6 +1655,22 @@ object SparkEntry {
         Tables.events(s, dir), "user_id", "ts",
         sigmas = 3.0, window = 24, minPrior = 6)
       .orderBy(col("user_id"), col("hour"))
+
+  /** Deequ-style declarative data-quality report over lineitem: one
+    * audit row per check — not-null, key uniqueness (genuinely violated
+    * in this data: (l_orderkey, l_linenumber) fans out), two value
+    * ranges (one passing, one binding), and two FKs
+    * ([[graft.operators.Checks.validate]]). */
+  private def q111(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Checks._
+    validate(Tables.lineitem(s, dir), Seq(
+      NotNull("l_orderkey"),
+      Unique(Seq("l_orderkey", "l_linenumber")),
+      InRange("l_quantity", 1.0, 50.0),
+      InRange("l_discount", 0.0, 0.05),
+      ForeignKey("l_partkey", Tables.part(s, dir), "p_partkey"),
+      ForeignKey("l_suppkey", Tables.supplier(s, dir), "s_suppkey")))
+  }
 
   // =====================================================================
   // DuckDB oracle SQL — same semantics, same column names, same ORDER BY.
@@ -3323,6 +3340,42 @@ object SparkEntry {
            SELECT user_id, hour, cnt, n_prior, mu, sigma,
              coalesce(cnt > mu + 3.0 * sigma, false) AS is_anomaly
            FROM m ORDER BY user_id, hour""",
+
+      // identical violation semantics per check type: not_null (NULL
+      // violates), in_range (NULL or outside violates), unique (surplus
+      // copies via GROUP BY — nulls-equal on both engines), foreign_key
+      // (NULL passes; NOT EXISTS, never NOT IN)
+      "q111_quality_checks" ->
+        """WITH n AS (SELECT CAST(count(*) AS BIGINT) AS n_rows FROM lineitem),
+           r AS (
+             SELECT 'not_null(l_orderkey)' AS "check", n.n_rows,
+               (SELECT CAST(count(*) AS BIGINT) FROM lineitem
+                WHERE l_orderkey IS NULL) AS n_violations FROM n
+             UNION ALL
+             SELECT 'unique(l_orderkey,l_linenumber)', n.n_rows,
+               (SELECT CAST(sum(c) - count(*) AS BIGINT) FROM (
+                  SELECT count(*) AS c FROM lineitem
+                  GROUP BY l_orderkey, l_linenumber)) FROM n
+             UNION ALL
+             SELECT 'in_range(l_quantity,1.0,50.0)', n.n_rows,
+               (SELECT CAST(count(*) AS BIGINT) FROM lineitem
+                WHERE l_quantity IS NULL OR l_quantity < 1.0 OR l_quantity > 50.0) FROM n
+             UNION ALL
+             SELECT 'in_range(l_discount,0.0,0.05)', n.n_rows,
+               (SELECT CAST(count(*) AS BIGINT) FROM lineitem
+                WHERE l_discount IS NULL OR l_discount < 0.0 OR l_discount > 0.05) FROM n
+             UNION ALL
+             SELECT 'foreign_key(l_partkey->p_partkey)', n.n_rows,
+               (SELECT CAST(count(*) AS BIGINT) FROM lineitem l
+                WHERE l.l_partkey IS NOT NULL AND NOT EXISTS (
+                  SELECT 1 FROM part p WHERE p.p_partkey = l.l_partkey)) FROM n
+             UNION ALL
+             SELECT 'foreign_key(l_suppkey->s_suppkey)', n.n_rows,
+               (SELECT CAST(count(*) AS BIGINT) FROM lineitem l
+                WHERE l.l_suppkey IS NOT NULL AND NOT EXISTS (
+                  SELECT 1 FROM supplier s WHERE s.s_suppkey = l.l_suppkey)) FROM n)
+           SELECT "check", n_rows, n_violations, n_violations = 0 AS pass
+           FROM r ORDER BY "check"""",
     )
   }
 }

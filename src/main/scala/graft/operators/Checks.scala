@@ -1,0 +1,102 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Declarative data-quality validation — the Deequ/Great-Expectations
+  * shape: a table is asserted against a list of CHECKS (not-null, key
+  * uniqueness, value ranges, referential integrity) and the engine emits
+  * one audit row per check with exact violation counts. At 100 TB this
+  * is the gate that runs BEFORE training ever sees a batch: a silent
+  * schema drift (nulls appearing, a key fan-out, an FK orphan) surfaces
+  * as a failed row in a tiny report instead of a corrupted model three
+  * days later.
+  *
+  * ## Exactness
+  * Violation counts are exact BIGINTs with engine-portable null
+  * semantics, pinned per check type:
+  *  - `not_null`: NULL is the violation.
+  *  - `in_range`: NULL or out of [lo, hi] violates (a range assertion
+  *    implies presence).
+  *  - `unique`: violations = surplus copies = Σ_groups (cnt − 1) —
+  *    computed via GROUP BY, where both engines treat NULLs as equal
+  *    (COUNT(DISTINCT struct) does NOT agree across engines on null
+  *    tuples, so it is deliberately not used).
+  *  - `foreign_key`: NULL passes (SQL FK semantics); violations are
+  *    non-null values absent from the dimension, counted by anti-join —
+  *    never `NOT IN` (whose three-valued logic nukes the count if the
+  *    dimension ever contains a NULL).
+  *
+  * ## Scale shape (100 TB)
+  * All not-null and range checks share ONE aggregation pass over the
+  * fact scan (a single partial-agg'd row of counters). Each uniqueness
+  * check is one partial-aggregable GROUP BY on its key. Each FK check is
+  * one left-anti equi-join against the dimension's distinct keys (AQE
+  * broadcasts small dimensions). The report itself is #checks rows.
+  */
+object Checks {
+
+  sealed trait Check
+  final case class NotNull(column: String) extends Check
+  final case class Unique(columns: Seq[String]) extends Check
+  final case class InRange(column: String, lo: Double, hi: Double) extends Check
+  final case class ForeignKey(column: String, dim: DataFrame, dimColumn: String) extends Check
+
+  def nameOf(c: Check): String = c match {
+    case NotNull(col) => s"not_null($col)"
+    case Unique(cols) => s"unique(${cols.mkString(",")})"
+    case InRange(col, lo, hi) => s"in_range($col,$lo,$hi)"
+    case ForeignKey(col, _, dimCol) => s"foreign_key($col->$dimCol)"
+  }
+
+  /** One audit row per check: `(check, n_rows, n_violations, pass)`,
+    * ordered by check name. */
+  def validate(df: DataFrame, checks: Seq[Check]): DataFrame = {
+    require(checks.nonEmpty, "need at least one check")
+    require(checks.map(nameOf).distinct.size == checks.size,
+      "duplicate check names")
+    // every scalar (per-row) check rides one shared aggregation pass; the
+    // report rows explode from that ONE row, so the pass executes once no
+    // matter how many checks share it
+    val scalarChecks: Seq[(String, Column)] = checks.collect {
+      case c @ NotNull(column) =>
+        nameOf(c) -> sum(when(col(column).isNull, 1L).otherwise(0L))
+      case c @ InRange(column, lo, hi) =>
+        nameOf(c) -> sum(when(
+          col(column).isNull || col(column) < lo || col(column) > hi,
+          1L).otherwise(0L))
+    }
+    val scalarReport =
+      if (scalarChecks.isEmpty) Seq.empty[DataFrame]
+      else Seq(df.agg(
+          count(lit(1)).as("_n"),
+          scalarChecks.zipWithIndex.map { case ((_, c), i) => c.as(s"_v$i") }: _*)
+        .select(explode(array(scalarChecks.zipWithIndex.map { case ((name, _), i) =>
+          struct(lit(name).as("check"), col("_n").as("n_rows"),
+            coalesce(col(s"_v$i"), lit(0L)).as("n_violations"))
+        }: _*)).as("_r"))
+        .select(col("_r.check"), col("_r.n_rows"), col("_r.n_violations")))
+
+    val total = df.select(count(lit(1)).as("n_rows"))
+    val otherReport = checks.collect {
+      case c @ Unique(columns) =>
+        // surplus copies: Σ (cnt − 1) over key groups; GROUP BY nulls-equal
+        // on both engines
+        df.groupBy(columns.map(col): _*).agg(count(lit(1)).as("_c"))
+          .agg(coalesce(sum(col("_c")) - count(lit(1)), lit(0L)).as("n_violations"))
+          .crossJoin(total)
+          .select(lit(nameOf(c)).as("check"), col("n_rows"), col("n_violations"))
+      case c @ ForeignKey(column, dim, dimColumn) =>
+        df.select(col(column)).where(col(column).isNotNull)
+          .join(dim.select(col(dimColumn).as(column)).distinct(),
+            Seq(column), "left_anti")
+          .agg(count(lit(1)).as("n_violations"))
+          .crossJoin(total)
+          .select(lit(nameOf(c)).as("check"), col("n_rows"), col("n_violations"))
+    }
+
+    (scalarReport ++ otherReport).reduce(_ unionAll _)
+      .withColumn("pass", col("n_violations") === 0L)
+      .orderBy(col("check"))
+  }
+}

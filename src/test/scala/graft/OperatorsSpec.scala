@@ -2057,6 +2057,35 @@ class OperatorsSpec extends SparkSuite {
     assert(out((2L, 40L)) == ((50L, 0L, false)))
   }
 
+  test("Checks.validate: per-check null semantics pinned, exact violation counts") {
+    import spark.implicits._
+    import graft.operators.Checks._
+    val df = Seq(
+      (Some(1L), Some(1L), Some(10.0)),
+      (Some(1L), Some(1L), Some(20.0)),   // duplicate key (1,1)
+      (Some(1L), Some(1L), Some(200.0)),  // triple copy + range violation
+      (Some(2L), None, None),             // null key part; null value
+      (Some(2L), None, Some(5.0)),        // (2, null) duplicated: nulls EQUAL in unique
+      (None, Some(3L), Some(30.0)))       // null FK column: passes FK
+      .toDF("k1", "k2", "v")
+    val dim = Seq(1L, 2L).toDF("dk")     // k1=2 rows pass, any other non-null violates
+    val out = validate(df, Seq(
+        NotNull("k1"), NotNull("v"),
+        Unique(Seq("k1", "k2")),
+        InRange("v", 0.0, 100.0),
+        ForeignKey("k1", dim, "dk")))
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getBoolean(3)))).toMap
+    assert(out("not_null(k1)") == ((6L, 1L, false)))
+    assert(out("not_null(v)") == ((6L, 1L, false)))
+    // groups: (1,1)x3 -> 2 surplus; (2,null)x2 -> 1 surplus; (null,3)x1
+    assert(out("unique(k1,k2)") == ((6L, 3L, false)))
+    // NULL violates a range assertion; 200.0 is out of range
+    assert(out("in_range(v,0.0,100.0)") == ((6L, 2L, false)))
+    // NULL passes FK; every non-null k1 value exists in the dim
+    assert(out("foreign_key(k1->dk)") == ((6L, 0L, true)))
+  }
+
   test("embeddingDedup: smallest id of each near-dup neighborhood survives") {
     import spark.implicits._
     val vecs = Seq(
