@@ -120,6 +120,30 @@ object Media {
 
     private def hasTag(b: Array[Byte], at: Int, tag: String): Boolean =
       at + 4 <= b.length && tag.indices.forall(i => b(at + i) == tag.charAt(i).toByte)
+
+    /** Full pixel-array geometry of an UNCOMPRESSED 24-bit BMP: (width,
+      * height, pixel-array offset, row stride, topDown). Rows are 4-byte
+      * aligned; positive height means bottom-up row order. None for any
+      * other bit depth / compression — the caller falls back to the stub
+      * codec. Bounds-checked so a truncated payload can never read past
+      * the array mid-scan. */
+    def decodeBmp24(b: Array[Byte]): Option[(Int, Int, Int, Int, Boolean)] = {
+      if (b.length < 34 || b(0) != 'B'.toByte || b(1) != 'M'.toByte) None
+      else {
+        val bb = ByteBuffer.wrap(b).order(ByteOrder.LITTLE_ENDIAN)
+        val off = bb.getInt(10)
+        val w = bb.getInt(18)
+        val hRaw = bb.getInt(22)
+        val h = math.abs(hRaw)
+        val bpp = bb.getShort(28).toInt
+        val compression = bb.getInt(30)
+        val stride = ((3L * w + 3L) / 4L) * 4L
+        if (w > 0 && h > 0 && bpp == 24 && compression == 0 && off >= 54 &&
+            stride <= Int.MaxValue && off.toLong + stride * h <= b.length)
+          Some((w, h, off, stride.toInt, hRaw < 0))
+        else None
+      }
+    }
   }
 
   /** Decode dispatch: real header parse where the format allows it (BMP →
@@ -175,6 +199,87 @@ object Media {
           }
         }
       }(Encoders.row(frameSchema))
+  }
+
+  val patchSchema: StructType = StructType(Seq(
+    StructField("media_id", LongType, nullable = false),
+    StructField("py", IntegerType, nullable = false),
+    StructField("px", IntegerType, nullable = false),
+    StructField("patch_w", IntegerType, nullable = false),
+    StructField("patch_h", IntegerType, nullable = false),
+    StructField("n_px", LongType, nullable = false),
+    StructField("sum_r", LongType, nullable = false),
+    StructField("sum_g", LongType, nullable = false),
+    StructField("sum_b", LongType, nullable = false),
+    StructField("real_decode", BooleanType, nullable = false)))
+
+  /** ViT-style PATCH statistics: tile every image into `patch`×`patch`
+    * tiles (edge tiles short) and emit exact per-tile channel sums — the
+    * patch-embedding preprocessing step of a vision-training pipeline,
+    * reduced to the part a JVM can do for real. For uncompressed 24-bit
+    * BMPs the pixel array is decoded FOR REAL ([[HeaderCodec.decodeBmp24]]
+    * — stride-aligned, bottom-up or top-down, so a top-down and a
+    * bottom-up encoding of the same image produce IDENTICAL patch rows);
+    * other image payloads (JPEG etc. — no codec libs in this container)
+    * get a deterministic checksum-derived stub grid over the stub dims,
+    * flagged `real_decode = false`. Non-image media emit nothing.
+    *
+    * Pure 1→n per-row fan-out in the scan stage (the sampleFrames shape):
+    * no shuffle, and the emitted rows carry exact integers only, so any
+    * downstream aggregation (mean patch color, inter-patch contrast) is
+    * hash-stable. */
+  def extractPatchStats(media: DataFrame, patch: Int): DataFrame = {
+    require(patch >= 1, s"patch must be >= 1, got $patch")
+    media.select(col("media_id"), col("kind"), col("content"))
+      .mapPartitions { rows =>
+        rows.flatMap { r =>
+          val id = r.getLong(0)
+          val kind = r.getString(1)
+          val bytes = r.getAs[Array[Byte]](2)
+          if (kind != "image") Iterator.empty
+          else HeaderCodec.decodeBmp24(bytes) match {
+            case Some((w, h, off, stride, topDown)) =>
+              for {
+                py <- (0 until (h + patch - 1) / patch).iterator
+                px <- (0 until (w + patch - 1) / patch).iterator
+              } yield {
+                val y0 = py * patch; val y1 = math.min(y0 + patch, h)
+                val x0 = px * patch; val x1 = math.min(x0 + patch, w)
+                var sr = 0L; var sg = 0L; var sb = 0L
+                var y = y0
+                while (y < y1) {
+                  val fileRow = if (topDown) y else h - 1 - y
+                  val base = off + fileRow * stride
+                  var x = x0
+                  while (x < x1) {
+                    val i = base + 3 * x
+                    sb += bytes(i) & 0xff
+                    sg += bytes(i + 1) & 0xff
+                    sr += bytes(i + 2) & 0xff
+                    x += 1
+                  }
+                  y += 1
+                }
+                Row(id, py, px, x1 - x0, y1 - y0,
+                  (x1 - x0).toLong * (y1 - y0), sr, sg, sb, true)
+              }
+            case None =>
+              val (w, h, _, checksum) = FakeCodec.decode("image", bytes)
+              for {
+                py <- (0 until (h + patch - 1) / patch).iterator
+                px <- (0 until (w + patch - 1) / patch).iterator
+              } yield {
+                val pw = math.min(patch, w - px * patch)
+                val ph = math.min(patch, h - py * patch)
+                val n = pw.toLong * ph
+                val seed = checksum * 31 + py * 1000003L + px
+                val v = java.lang.Math.floorMod(seed, 256L)
+                Row(id, py, px, pw, ph, n,
+                  v * n, ((v + 1) % 256) * n, ((v + 2) % 256) * n, false)
+              }
+          }
+        }
+      }(Encoders.row(patchSchema))
   }
 
   /** "Resize": recompute target dimensions preserving aspect ratio — the

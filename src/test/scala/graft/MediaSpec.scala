@@ -110,4 +110,54 @@ class MediaSpec extends SparkSuite {
       (col("width") <= 64 && col("height") <= 64 && col("out_width") =!= col("width")))
     assert(bad.count() == 0)
   }
+
+  test("patch stats: real 24-bit BMP pixel sums, row-order invariance, edge tiles, stub fallback") {
+    import java.nio.{ByteBuffer, ByteOrder}
+    // full BMP with pixel data: pixel (x, yFromTop) = (r=x, g=y, b=x+y)
+    def bmpPix(w: Int, h: Int, topDown: Boolean): Array[Byte] = {
+      val stride = ((3 * w + 3) / 4) * 4
+      val b = ByteBuffer.allocate(54 + stride * h).order(ByteOrder.LITTLE_ENDIAN)
+      b.put('B'.toByte).put('M'.toByte).putInt(54 + stride * h).putInt(0).putInt(54)
+      b.putInt(40).putInt(w).putInt(if (topDown) -h else h).putShort(1).putShort(24)
+      b.putInt(0) // BI_RGB
+      for (fileRow <- 0 until h; x <- 0 until w) {
+        val y = if (topDown) fileRow else h - 1 - fileRow
+        b.position(54 + fileRow * stride + 3 * x)
+        b.put((x + y).toByte).put(y.toByte).put(x.toByte) // B, G, R
+      }
+      b.array()
+    }
+    def rowsOf(bytes: Array[Byte]): Seq[(Int, Int, Int, Int, Long, Long, Long, Long, Boolean)] = {
+      val media = spark.createDataFrame(
+        java.util.Arrays.asList(org.apache.spark.sql.Row(1L, "image", bytes, null)),
+        Media.mediaSchema)
+      Media.extractPatchStats(media, patch = 2).collect().map(r =>
+        (r.getInt(1), r.getInt(2), r.getInt(3), r.getInt(4), r.getLong(5),
+          r.getLong(6), r.getLong(7), r.getLong(8), r.getBoolean(9))).toSeq
+        .sortBy(t => (t._1, t._2))
+    }
+    val up = rowsOf(bmpPix(5, 3, topDown = false))
+    // 5x3 at patch 2 -> 2 tile rows x 3 tile cols; right tiles 1px wide,
+    // bottom tiles 1px tall
+    assert(up.length == 6)
+    // tile (0,0): pixels (0,0),(1,0),(0,1),(1,1): sum_r=0+1+0+1=2,
+    // sum_g=0+0+1+1=2, sum_b=0+1+1+2=4
+    assert(up.head == ((0, 0, 2, 2, 4L, 2L, 2L, 4L, true)))
+    // tile (1,2): pixel (4,2) only: r=4, g=2, b=6
+    assert(up.last == ((1, 2, 1, 1, 1L, 4L, 2L, 6L, true)))
+    // a top-down encoding of the SAME image yields identical patch rows
+    assert(rowsOf(bmpPix(5, 3, topDown = true)) == up)
+    // exact n_px conservation: tiles partition the image
+    assert(up.map(_._5).sum == 15L)
+    // non-BMP image payload: deterministic stub grid, flagged
+    val media = spark.createDataFrame(
+      java.util.Arrays.asList(
+        org.apache.spark.sql.Row(2L, "image", "jpegish bytes".getBytes, null),
+        org.apache.spark.sql.Row(3L, "audio", "riffless".getBytes, null)),
+      Media.mediaSchema)
+    val stub = Media.extractPatchStats(media, patch = 64).collect()
+    assert(stub.nonEmpty && stub.forall(r => r.getLong(0) == 2L && !r.getBoolean(9)))
+    val (w, h, _, _) = Media.FakeCodec.decode("image", "jpegish bytes".getBytes)
+    assert(stub.length == ((w + 63) / 64) * ((h + 63) / 64))
+  }
 }
