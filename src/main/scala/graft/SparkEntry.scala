@@ -170,6 +170,7 @@ object SparkEntry {
     "q109_label_prop" -> q109,
     "q110_rate_anomaly" -> q110,
     "q111_quality_checks" -> q111,
+    "q112_pipeline_report" -> q112,
   )
 
   // =====================================================================
@@ -1670,6 +1671,46 @@ object SparkEntry {
       InRange("l_discount", 0.0, 0.05),
       ForeignKey("l_partkey", Tables.part(s, dir), "p_partkey"),
       ForeignKey("l_suppkey", Tables.supplier(s, dir), "s_suppkey")))
+  }
+
+  /** The END-TO-END curation pipeline as ONE declarative plan: exact
+    * dedup → containment dedup (q101's rule) → Gopher quality rules
+    * (q104's thresholds), with a per-stage survival report — the
+    * dashboard a curation run actually publishes (who dropped what). All
+    * three stages compose the already-oracle-checked operators; the
+    * report rows are exact BIGINT counts. The plan stays a PURE builder
+    * (no caching side effects): each stage count re-derives its prefix —
+    * a production run would checkpoint between stages, the gate keeps
+    * the algebra honest. */
+  private def q112(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val s1 = docs.join(
+      graft.operators.Dedup.exact(docs, "doc_id", "text").select(col("doc_id")),
+      Seq("doc_id"), "left_semi")
+    val s2 = graft.operators.Dedup.containmentDedup(s1, "doc_id", "text",
+      shingleLen = 3, threshold = 0.5, maxShingleDf = 50)
+    val s3 = s2.join(
+      graft.operators.QualityRules.gopherFilter(s2, "doc_id", "text",
+          minTokens = 30, maxTokens = 80, minMeanLen = 4.0, maxMeanLen = 4.8,
+          repN = 2, maxRepetition = 0.05,
+          stopwords = Seq("the", "a", "of", "and", "is", "to", "in", "that"),
+          minStopHits = 2)
+        .where(col("keep")).select(col("doc_id")),
+      Seq("doc_id"), "left_semi")
+    def cnt(df: DataFrame, name: String) =
+      df.agg(count(lit(1)).as(name))
+    cnt(docs, "_n0").crossJoin(cnt(s1, "_n1"))
+      .crossJoin(cnt(s2, "_n2")).crossJoin(cnt(s3, "_n3"))
+      .select(explode(array(
+        struct(lit("1_exact_dedup").as("stage"), col("_n0").as("n_in"),
+          (col("_n0") - col("_n1")).as("n_dropped"), col("_n1").as("n_out")),
+        struct(lit("2_containment_dedup").as("stage"), col("_n1").as("n_in"),
+          (col("_n1") - col("_n2")).as("n_dropped"), col("_n2").as("n_out")),
+        struct(lit("3_quality_rules").as("stage"), col("_n2").as("n_in"),
+          (col("_n2") - col("_n3")).as("n_dropped"), col("_n3").as("n_out"))))
+        .as("_r"))
+      .select(col("_r.stage"), col("_r.n_in"), col("_r.n_dropped"), col("_r.n_out"))
+      .orderBy(col("stage"))
   }
 
   // =====================================================================
@@ -3376,6 +3417,66 @@ object SparkEntry {
                   SELECT 1 FROM supplier s WHERE s.s_suppkey = l.l_suppkey)) FROM n)
            SELECT "check", n_rows, n_violations, n_violations = 0 AS pass
            FROM r ORDER BY "check"""",
+
+      // the q17 + q101 + q104 CTEs chained over each stage's survivors;
+      // stage names carry the pipeline order so ORDER BY stage is the
+      // pipeline order
+      "q112_pipeline_report" -> {
+        val rep2 =
+          s"CASE WHEN len(${shingles(2)}) <= 1 THEN 0.0 " +
+          s"ELSE 1.0 - CAST(len(list_distinct(${shingles(2)})) AS DOUBLE) / CAST(len(${shingles(2)}) AS DOUBLE) END"
+        s"""WITH s1 AS MATERIALIZED (
+             SELECT d.* FROM documents d JOIN (
+               SELECT min(doc_id) AS doc_id FROM (
+                 SELECT doc_id, md5($norm) AS fp FROM documents) f
+               GROUP BY fp) k USING (doc_id)),
+           sh AS (SELECT doc_id AS id, unnest(${hashedShingles(3)}) AS s
+                  FROM (SELECT doc_id, $toks AS toks FROM s1) dd),
+           filtered AS (
+             SELECT id, s FROM (
+               SELECT id, s, count(*) OVER (PARTITION BY s) AS df FROM sh) t
+             WHERE df <= 50),
+           sizes AS (SELECT id, count(*) AS n_sh FROM filtered GROUP BY id),
+           pairs AS (
+             SELECT a.id AS id_a, b.id AS id_b, count(*) AS shared
+             FROM filtered a JOIN filtered b ON a.s = b.s AND a.id < b.id
+             GROUP BY 1, 2),
+           flagged AS (
+             SELECT id_a, id_b, sa.n_sh AS na, sb.n_sh AS nb
+             FROM pairs JOIN sizes sa ON sa.id = id_a JOIN sizes sb ON sb.id = id_b
+             WHERE CAST(shared AS DOUBLE) / CAST(least(sa.n_sh, sb.n_sh) AS DOUBLE) >= 0.5),
+           victims AS (
+             SELECT DISTINCT CASE WHEN na < nb OR (na = nb AND id_a > id_b)
+               THEN id_a ELSE id_b END AS victim FROM flagged),
+           s2 AS MATERIALIZED (
+             SELECT * FROM s1 WHERE doc_id NOT IN (SELECT victim FROM victims)),
+           m AS (SELECT doc_id,
+               CAST(len(toks) AS BIGINT) AS n_tok,
+               CASE WHEN len(toks) > 0
+                 THEN CAST(list_sum(list_transform(toks, x -> len(x))) AS DOUBLE)
+                      / CAST(len(toks) AS DOUBLE) END AS mean_len,
+               $rep2 AS rep,
+               CAST(len(list_filter(['the','a','of','and','is','to','in','that'],
+                 s -> list_contains(toks, s))) AS BIGINT) AS stop_hits
+             FROM (SELECT doc_id, $toks AS toks FROM s2) q),
+           s3 AS MATERIALIZED (
+             SELECT doc_id FROM m
+             WHERE n_tok BETWEEN 30 AND 80
+               AND coalesce(mean_len BETWEEN 4.0 AND 4.8, false)
+               AND rep <= 0.05 AND stop_hits >= 2),
+           n AS (SELECT
+             (SELECT CAST(count(*) AS BIGINT) FROM documents) AS n0,
+             (SELECT CAST(count(*) AS BIGINT) FROM s1) AS n1,
+             (SELECT CAST(count(*) AS BIGINT) FROM s2) AS n2,
+             (SELECT CAST(count(*) AS BIGINT) FROM s3) AS n3)
+           SELECT stage, n_in, n_dropped, n_out FROM (
+             SELECT '1_exact_dedup' AS stage, n0 AS n_in, n0 - n1 AS n_dropped, n1 AS n_out FROM n
+             UNION ALL
+             SELECT '2_containment_dedup', n1, n1 - n2, n2 FROM n
+             UNION ALL
+             SELECT '3_quality_rules', n2, n2 - n3, n3 FROM n)
+           ORDER BY stage"""
+      },
     )
   }
 }
