@@ -617,6 +617,34 @@ class ScaleSpec extends SparkSuite {
       s"distance must evaluate post-join (codegen'd builtin):\n$plan")
   }
 
+  test("sorted-neighborhood candidates stay linear where attribute blocks go quadratic") {
+    import spark.implicits._
+    // a pathological corpus: 1000 records share ONE blocking attribute
+    // value (the hot-key case every real name corpus has)
+    val n = 1000
+    val df = (1 to n).map(i => (i.toLong, f"widget alpha $i%04d")).toDF("id", "name")
+    // attribute blocking on the first token: one block of n rows ->
+    // n(n-1)/2 candidate comparisons
+    val blocked = graft.operators.Linkage.blockedFuzzyPairs(
+      df, "id", "name",
+      blockKey = org.apache.spark.sql.functions.element_at(
+        org.apache.spark.sql.functions.split(col("name"), " "), 1),
+      maxDist = 50)
+    assert(blocked.count() == n.toLong * (n - 1) / 2)
+    // SNM with window w compares each record to w-1 successors per pass:
+    // candidates are EXACTLY (n - w + 1)(w-1) + (w-1)(w-2)/2 per pass —
+    // linear in n — regardless of how the attribute values distribute
+    val w = 10
+    val snm = graft.operators.Linkage.sortedNeighborhoodPairs(
+      df, "id", "name",
+      passes = Seq((col("name"), substring(col("name"), 1, 2))),
+      window = w, maxDist = 50)
+    val perPass = (n - w + 1).toLong * (w - 1) + (w - 1).toLong * (w - 2) / 2
+    assert(snm.count() == perPass)
+    assert(perPass < n.toLong * (n - 1) / 2 / 50,
+      "SNM candidate volume must be orders of magnitude below the hot block")
+  }
+
   test("boilerplate prune: the vocabulary prune is a broadcast LEFT ANTI, not a shuffle") {
     // q103's scale contract: the high-df vocabulary is model-sized by
     // pigeonhole, so pruning must broadcast it into the scan stage; the
