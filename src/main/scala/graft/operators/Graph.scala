@@ -106,26 +106,51 @@ object Graph {
     * windows, no per-node sort, nothing quadratic; labels are
     * localCheckpointed per round. Returns `(node, label)`. */
   def labelPropagation(edges: DataFrame, srcCol: String, dstCol: String,
-                       rounds: Int, checkpoint: Boolean = true): DataFrame = {
+                       rounds: Int, checkpoint: Boolean = true,
+                       weightCol: Option[String] = None): DataFrame = {
     require(rounds >= 1, s"rounds must be >= 1, got $rounds")
     def cut(df: DataFrame): DataFrame =
       if (checkpoint) df.localCheckpoint() else df
-    val canon = edges.select(least(col(srcCol), col(dstCol)).as("a"),
-        greatest(col(srcCol), col(dstCol)).as("b"))
-      .where(col("a") =!= col("b")).distinct()
-    val e = canon.select(col("a").as("src"), col("b").as("dst"))
-      .unionAll(canon.select(col("b").as("src"), col("a").as("dst")))
+    // WEIGHTED variant: votes carry the edge weight instead of 1 — a
+    // strong tie outvotes many weak ones (the natural rule when edges are
+    // co-occurrence counts); duplicate/reversed weighted edges merge by
+    // SUMMING weights, while the unweighted form keeps its contract of
+    // deduplicating them (a repeated input edge must not double-vote).
+    // The self-vote weighs the node's MAX incident edge: weight 1 damps
+    // the unweighted bipartite flip but cannot damp a heavy PAIR (two
+    // nodes joined by weight w >> 1 would swap labels forever); matching
+    // the strongest tie makes the node exactly as sticky as its
+    // strongest pull — ties then resolve by the min-label rule, once,
+    // instead of oscillating. On unweighted graphs max incident = 1, so
+    // the behavior is unchanged.
+    val canon = weightCol match {
+      case Some(wc) =>
+        edges.select(least(col(srcCol), col(dstCol)).as("a"),
+            greatest(col(srcCol), col(dstCol)).as("b"),
+            col(wc).cast("long").as("w"))
+          .where(col("a") =!= col("b"))
+          .groupBy(col("a"), col("b")).agg(sum(col("w")).as("w"))
+      case None =>
+        edges.select(least(col(srcCol), col(dstCol)).as("a"),
+            greatest(col(srcCol), col(dstCol)).as("b"))
+          .where(col("a") =!= col("b")).distinct()
+          .withColumn("w", lit(1L))
+    }
+    val e = canon.select(col("a").as("src"), col("b").as("dst"), col("w"))
+      .unionAll(canon.select(col("b").as("src"), col("a").as("dst"), col("w")))
       .repartition(col("src")).persist()
-    val nodes = e.select(col("src").as("node")).distinct().persist()
-    var labels = cut(nodes.withColumn("label", col("node")))
+    val nodes = e.groupBy(col("src")).agg(max(col("w")).as("sw"))
+      .withColumnRenamed("src", "node").persist()
+    var labels = cut(nodes.select(col("node"), col("node").as("label")))
     for (_ <- 1 to rounds) {
       val votes = e
         .join(labels.withColumnRenamed("node", "src")
           .withColumnRenamed("label", "nl"), Seq("src"))
-        .select(col("dst").as("node"), col("nl"))
-        .unionAll(labels.select(col("node"), col("label").as("nl")))
-        .groupBy(col("node"), col("nl")).agg(count(lit(1)).as("c"))
-      // argmax by (count desc, label asc): max_by over (c, -label) — a
+        .select(col("dst").as("node"), col("nl"), col("w"))
+        .unionAll(labels.join(nodes, Seq("node"))
+          .select(col("node"), col("label").as("nl"), col("sw").as("w")))
+        .groupBy(col("node"), col("nl")).agg(sum(col("w")).as("c"))
+      // argmax by (weight desc, label asc): max_by over (c, -label) — a
       // partial-aggregable aggregate, never a per-node sort/window
       labels = cut(votes.groupBy(col("node"))
         .agg(max_by(col("nl"), struct(col("c"), (-col("nl")).as("neg")))

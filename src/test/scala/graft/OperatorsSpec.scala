@@ -2018,6 +2018,26 @@ class OperatorsSpec extends SparkSuite {
         .collect().map(r2 => (r2.getLong(0), r2.getLong(1))).toSet
       assert(got == Set((1L, 1L), (2L, 1L)), s"rounds=$r gave $got")
     }
+    // WEIGHTED votes: the same bridged triangles, but the bridge carries
+    // weight 10 — the heavy tie binds {3,4} into their own community
+    // (stronger than either node's triangle), fragmenting both triangles
+    // to their remaining members: weights change the partition, the rule
+    // stays deterministic and STABLE (the max-incident self-vote stops
+    // the heavy pair from swapping labels forever)
+    val wEdges = Seq((1L, 2L, 1L), (1L, 3L, 1L), (2L, 3L, 1L), (4L, 5L, 1L),
+      (4L, 6L, 1L), (5L, 6L, 1L), (3L, 4L, 10L)).toDF("src", "dst", "w")
+    def wRun(rounds: Int): Seq[Long] = graft.operators.Graph.labelPropagation(
+        wEdges, "src", "dst", rounds = rounds, weightCol = Some("w"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1).map(_._2).toSeq
+    assert(wRun(4) == Seq(1L, 1L, 3L, 3L, 4L, 4L), s"got ${wRun(4)}")
+    // stability under odd AND even round counts — no period-2 flip
+    assert(wRun(3) == wRun(4))
+    // duplicate UNWEIGHTED edges still dedup (a repeat must not
+    // double-vote): same result as the clean edge list
+    val dupEdges = edges.unionAll(edges)
+    val dupOut = graft.operators.Graph.labelPropagation(dupEdges, "src", "dst", rounds = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
+    assert(dupOut.toSeq == out.toSeq)
     // plan: the argmax is a partial-aggregable max_by, never a per-node
     // sort/window
     val lp = graft.operators.Graph.labelPropagation(edges, "src", "dst",
