@@ -171,6 +171,7 @@ object SparkEntry {
     "q110_rate_anomaly" -> q110,
     "q111_quality_checks" -> q111,
     "q112_pipeline_report" -> q112,
+    "q113_weighted_label_prop" -> q113,
   )
 
   // =====================================================================
@@ -1711,6 +1712,25 @@ object SparkEntry {
         .as("_r"))
       .select(col("_r.stage"), col("_r.n_in"), col("_r.n_dropped"), col("_r.n_out"))
       .orderBy(col("stage"))
+  }
+
+  /** q109's communities with WEIGHTED votes: the co-purchase graph's
+    * natural weights (shared-order counts, threshold ≥ 2) drive the vote
+    * histogram, and each node's self-vote weighs its max incident edge
+    * (the heavy-pair oscillation damper —
+    * [[graft.operators.Graph.labelPropagation]]). Same unrolled-rounds
+    * oracle, with weighted sums and a per-node self-weight CTE. */
+  private def q113(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(s, dir)
+      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk")).distinct()
+    val strong = li.join(li.withColumnRenamed("pk", "pk2"), Seq("ok"))
+      .where(col("pk") < col("pk2"))
+      .groupBy(col("pk"), col("pk2")).agg(count(lit(1)).as("w"))
+      .where(col("w") >= 2)
+      .select(col("pk").as("src"), col("pk2").as("dst"), col("w"))
+    graft.operators.Graph.labelPropagation(strong, "src", "dst", rounds = 4,
+        weightCol = Some("w"))
+      .orderBy(col("node"))
   }
 
   // =====================================================================
@@ -3476,6 +3496,38 @@ object SparkEntry {
              UNION ALL
              SELECT '3_quality_rules', n2, n2 - n3, n3 FROM n)
            ORDER BY stage"""
+      },
+
+      // q109's unroll with WEIGHTED votes: neighbor votes carry the edge
+      // weight, the self-vote carries the node's max incident weight (the
+      // heavy-pair oscillation damper); argmax (weight desc, label asc)
+      "q113_weighted_label_prop" -> {
+        val roundsSql = (1 to 4).map { r =>
+          val pl = s"l${r - 1}"
+          s"""v$r AS MATERIALIZED (
+               SELECT node, nl, sum(w) AS c FROM (
+                 SELECT e.dst AS node, l.label AS nl, e.w
+                 FROM e0 e JOIN $pl l ON l.node = e.src
+                 UNION ALL
+                 SELECT l.node, l.label, sw.sw FROM $pl l
+                 JOIN selfw sw ON sw.node = l.node)
+               GROUP BY node, nl),
+             l$r AS MATERIALIZED (
+               SELECT node, nl AS label FROM (
+                 SELECT node, nl, row_number() OVER (
+                   PARTITION BY node ORDER BY c DESC, nl ASC) AS rn FROM v$r)
+               WHERE rn = 1)"""
+        }.mkString(",\n")
+        s"""WITH li AS MATERIALIZED (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+           p AS MATERIALIZED (SELECT x.pk AS a, y.pk AS b, CAST(count(*) AS BIGINT) AS w
+                FROM li x JOIN li y ON x.ok = y.ok AND x.pk < y.pk GROUP BY 1, 2),
+           e0 AS MATERIALIZED (
+             SELECT a AS src, b AS dst, w FROM p WHERE w >= 2
+             UNION ALL SELECT b, a, w FROM p WHERE w >= 2),
+           selfw AS MATERIALIZED (SELECT src AS node, max(w) AS sw FROM e0 GROUP BY src),
+           l0 AS MATERIALIZED (SELECT node, node AS label FROM selfw),
+           $roundsSql
+           SELECT node, label FROM l4 ORDER BY node"""
       },
     )
   }
