@@ -172,6 +172,7 @@ object SparkEntry {
     "q111_quality_checks" -> q111,
     "q112_pipeline_report" -> q112,
     "q113_weighted_label_prop" -> q113,
+    "q114_adaptive_neighborhood" -> q114,
   )
 
   // =====================================================================
@@ -1732,6 +1733,18 @@ object SparkEntry {
         weightCol = Some("w"))
       .orderBy(col("node"))
   }
+
+  /** ADAPTIVE sorted-neighborhood over part names: the comparison window
+    * follows similarity RUNS (adjacent sorted names within 2 edits extend
+    * the run; a dissimilar neighbor breaks it), banded at 12 positions —
+    * duplicate-dense stretches get the wide neighborhood a fixed window
+    * denies them ([[graft.operators.Linkage.adaptiveNeighborhoodPairs]]). */
+  private def q114(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Linkage.adaptiveNeighborhoodPairs(
+        Tables.part(s, dir), "p_partkey", "p_name",
+        sortKey = col("p_name"), bucketKey = substring(col("p_name"), 1, 2),
+        boundaryDist = 2, maxRun = 12, maxDist = 3)
+      .orderBy(col("id_a"), col("id_b"))
 
   // =====================================================================
   // DuckDB oracle SQL — same semantics, same column names, same ORDER BY.
@@ -3529,6 +3542,30 @@ object SparkEntry {
            $roundsSql
            SELECT node, label FROM l4 ORDER BY node"""
       },
+
+      // similarity runs over the (p_name, p_partkey) rank order: adjacent
+      // keys within 2 edits link, breaks cumsum into run ids, pairs band
+      // at <= 11 positions inside a run, final distance <= 3
+      "q114_adaptive_neighborhood" ->
+        """WITH r AS (SELECT p_partkey AS id, p_name,
+               row_number() OVER (ORDER BY p_name, p_partkey) AS rnk FROM part),
+           f AS (SELECT a.id, a.p_name, a.rnk,
+               CASE WHEN b.p_name IS NULL OR levenshtein(b.p_name, a.p_name) > 2
+                 THEN 1 ELSE 0 END AS brk
+             FROM r a LEFT JOIN r b ON b.rnk = a.rnk - 1),
+           runs AS (SELECT id, p_name, rnk,
+               sum(brk) OVER (ORDER BY rnk) AS run_id FROM f),
+           pos AS (SELECT *, rnk - min(rnk) OVER (PARTITION BY run_id) AS pos
+                   FROM runs),
+           u AS (SELECT least(a.id, b.id) AS id_a, greatest(a.id, b.id) AS id_b
+                 FROM pos a JOIN pos b ON a.run_id = b.run_id
+                   AND b.pos - a.pos BETWEEN 1 AND 11)
+           SELECT id_a, id_b, na.p_name AS name_a, nb.p_name AS name_b,
+             CAST(levenshtein(na.p_name, nb.p_name) AS BIGINT) AS dist
+           FROM u JOIN part na ON na.p_partkey = id_a
+                  JOIN part nb ON nb.p_partkey = id_b
+           WHERE levenshtein(na.p_name, nb.p_name) <= 3
+           ORDER BY id_a, id_b""",
     )
   }
 }

@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Record linkage / entity resolution by BLOCKED fuzzy matching — the
@@ -117,6 +118,88 @@ object Linkage {
     }
     val pairs = candidates.reduce(_ unionAll _).distinct()
     val names = df.select(col(idCol).as("_nid"), col(nameCol).as("_nm"))
+    pairs
+      .join(names.select(col("_nid").as("id_a"), col("_nm").as("name_a")), Seq("id_a"))
+      .join(names.select(col("_nid").as("id_b"), col("_nm").as("name_b")), Seq("id_b"))
+      .where(abs(length(col("name_a")) - length(col("name_b"))) <= maxDist)
+      .withColumn("dist", levenshtein(col("name_a"), col("name_b"), maxDist))
+      .where(col("dist") =!= -1)
+      .select(col("id_a"), col("id_b"), col("name_a"), col("name_b"),
+        col("dist").cast("long").as("dist"))
+  }
+
+  /** ADAPTIVE sorted-neighborhood (the duplicate-density-driven variant,
+    * Yan et al. 2007's idea determinized): instead of a fixed window, the
+    * neighborhood follows RUNS — maximal stretches of consecutive-by-rank
+    * records whose adjacent sort keys are within `boundaryDist` edits. A
+    * dense cluster of near-duplicates extends its own neighborhood (the
+    * fixed window's recall hole); unrelated neighbors break the run and
+    * cost nothing. Candidates are the pairs within a run at most
+    * `maxRun − 1` positions apart — the cap bounds a pathological
+    * all-identical corpus, and the band is deterministic and
+    * oracle-checkable.
+    *
+    * ## Scale shape (100 TB)
+    * Rank and pair generation are [[sortedNeighborhoodPairs]]'s machinery
+    * (prefix-bucketed global rank; fixed-size `(run, ⌊pos/(maxRun−1)⌋)`
+    * blocks, native + carry-down, exactly-once). The one new wide piece
+    * is the run-id assignment — an exact global prefix sum of break flags
+    * in rank order, computed two-level: within-bucket cumsum windows
+    * (`cumsumBucket` rows per partition) plus ONE offsets window over
+    * `N / cumsumBucket` rows. Both sides balance at √N when
+    * `cumsumBucket ≈ √N` (the default suits 10⁹-10¹² rows); a third
+    * level would remove that ceiling if ever needed. */
+  def adaptiveNeighborhoodPairs(df: DataFrame, idCol: String, nameCol: String,
+                                sortKey: Column, bucketKey: Column,
+                                boundaryDist: Int, maxRun: Int, maxDist: Int,
+                                cumsumBucket: Long = 1L << 20): DataFrame = {
+    require(boundaryDist >= 0, s"boundaryDist must be >= 0, got $boundaryDist")
+    require(maxRun >= 2, s"maxRun must be >= 2, got $maxRun")
+    require(maxDist >= 0, s"maxDist must be >= 0, got $maxDist")
+    require(cumsumBucket >= 1, s"cumsumBucket must be >= 1, got $cumsumBucket")
+    val w = maxRun - 1
+    val keyed = df.select(col(idCol).as("_id"), sortKey.as("_key"),
+      bucketKey.as("_pbkt"))
+    val ranked = Ranking.globalRankBy(keyed, col("_pbkt"), col("_key"), col("_id"))
+      .select(col("_id"), col("_key"), col("rank"))
+    // break flag: rank 1, or predecessor's key beyond boundaryDist edits
+    // (the thresholded builtin returns -1 above the band)
+    val prev = ranked.select((col("rank") + 1).as("rank"), col("_key").as("_pkey"))
+    val flagged = ranked.join(prev, Seq("rank"), "left")
+      .withColumn("_brk", when(col("_pkey").isNull ||
+        levenshtein(col("_pkey"), col("_key"), boundaryDist) === -1, 1L)
+        .otherwise(0L))
+    // run id = exact global prefix sum of breaks in rank order (two-level)
+    val withCb = flagged.withColumn("_cb",
+      expr(s"(rank - 1) DIV ${cumsumBucket}L"))
+    val wIn = Window.partitionBy(col("_cb")).orderBy(col("rank"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wOff = Window.orderBy(col("_cb"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offs = withCb.groupBy(col("_cb")).agg(sum(col("_brk")).as("_bs"))
+      .select(col("_cb"), coalesce(sum(col("_bs")).over(wOff), lit(0L)).as("_off"))
+    val runs = withCb
+      .withColumn("_ls", sum(col("_brk")).over(wIn))
+      .join(broadcast(offs), Seq("_cb"))
+      .select(col("_id"), col("rank"), (col("_ls") + col("_off")).as("_run"))
+    val pos = runs
+      .join(runs.groupBy(col("_run")).agg(min(col("rank")).as("_r0")), Seq("_run"))
+      .select(col("_id"), col("_run"), (col("rank") - col("_r0")).as("_pos"))
+    // banded pairs inside each run: the fixed-size block trick, keyed by
+    // (run, block) — exactly-once as in sortedNeighborhoodPairs
+    val blocks = pos.withColumn("_g", expr(s"_pos DIV ${w}L"))
+    val lo = blocks.select(col("_run"), col("_g").as("_blk"),
+      col("_id").as("_ida"), col("_pos").as("_pa"))
+    val hi = blocks
+      .select(col("_run"), col("_id"), col("_pos"),
+        explode(array(col("_g"), col("_g") - 1)).as("_blk"))
+      .select(col("_run"), col("_blk"), col("_id").as("_idb"), col("_pos").as("_pb"))
+    val pairs = lo.join(hi, Seq("_run", "_blk"))
+      .where((col("_pb") - col("_pa")).between(lit(1), lit(w)))
+      .select(least(col("_ida"), col("_idb")).as("id_a"),
+        greatest(col("_ida"), col("_idb")).as("id_b"))
+    val names = df.select(col(idCol).as("_nid"), col(nameCol).as("_nm"))
+    // single pass + exactly-once blocks ⇒ pairs are already unique
     pairs
       .join(names.select(col("_nid").as("id_a"), col("_nm").as("name_a")), Seq("id_a"))
       .join(names.select(col("_nid").as("id_b"), col("_nm").as("name_b")), Seq("id_b"))

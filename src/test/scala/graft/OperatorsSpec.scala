@@ -1878,6 +1878,38 @@ class OperatorsSpec extends SparkSuite {
       s"ranking windows must be bucket-partitioned:\n${dataWindows.mkString("\n")}")
   }
 
+  test("adaptiveNeighborhoodPairs: runs span dense stretches a fixed window misses, breaks isolate") {
+    import spark.implicits._
+    // six near-identical names (a duplicate-dense run), plus two unrelated
+    // records that sort before and after it
+    val rows = Seq(
+      (1L, "team aaaa 01"), (2L, "team aaaa 02"), (3L, "team aaaa 03"),
+      (4L, "team aaaa 04"), (5L, "team aaaa 05"), (6L, "team aaaa 06"),
+      (7L, "zzz unrelated"), (8L, "qqq other"))
+    val df = rows.toDF("id", "name")
+    // maxDist is permissive so only the RUN structure decides candidacy
+    val adaptive = graft.operators.Linkage.adaptiveNeighborhoodPairs(
+        df, "id", "name", sortKey = col("name"),
+        bucketKey = substring(col("name"), 1, 1),
+        boundaryDist = 2, maxRun = 6, maxDist = 50)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    // the whole dense run pairs: C(6,2) = 15, exactly once each
+    assert(adaptive.length == 15 && adaptive.toSet.size == 15)
+    assert(adaptive.toSet == (for { a <- 1L to 6L; b <- (a + 1) to 6L } yield (a, b)).toSet)
+    // the run's ends pair — a fixed window 3 cannot see 5 positions apart
+    assert(adaptive.contains((1L, 6L)))
+    val fixed = graft.operators.Linkage.sortedNeighborhoodPairs(
+        df, "id", "name",
+        passes = Seq((col("name"), substring(col("name"), 1, 1))),
+        window = 3, maxDist = 50)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(!fixed.contains((1L, 6L)))
+    // rank-adjacent but dissimilar records break the run and never pair —
+    // the fixed window DOES waste comparisons on them
+    assert(!adaptive.toSet.exists(p => p._1 > 6L || p._2 > 6L))
+    assert(fixed.exists(p => p._2 == 8L || p._1 == 7L || p._2 == 7L))
+  }
+
   test("pruneHighDfTokens: inclusive threshold, order preserved, all-boilerplate doc survives") {
     import spark.implicits._
     val docs = Seq((1L, "x y z x"), (2L, "y x"), (3L, "x y"), (4L, "x"), (5L, ""))
