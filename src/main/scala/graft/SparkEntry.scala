@@ -173,6 +173,7 @@ object SparkEntry {
     "q112_pipeline_report" -> q112,
     "q113_weighted_label_prop" -> q113,
     "q114_adaptive_neighborhood" -> q114,
+    "q115_global_quantiles" -> q115,
   )
 
   // =====================================================================
@@ -1745,6 +1746,20 @@ object SparkEntry {
         sortKey = col("p_name"), bucketKey = substring(col("p_name"), 1, 2),
         boundaryDist = 2, maxRun = 12, maxDist = 3)
       .orderBy(col("id_a"), col("id_b"))
+
+  /** EXACT global p50/p90/p99/max of l_extendedprice over every lineitem
+    * row — rank selection through the distributed two-level order, where
+    * a global exact `percentile` aggregate would buffer the whole column
+    * in one task ([[graft.operators.Ranking.globalQuantiles]]). Type-1
+    * quantiles: each answer is an actual data element, no interpolation
+    * to mirror. */
+  private def q115(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Ranking.globalQuantiles(
+        Tables.lineitem(s, dir), "l_extendedprice",
+        bucket = expr("CAST(floor(l_extendedprice / 1000.0) AS BIGINT)"),
+        idCol = "l_orderkey" /* not unique alone */,
+        ps = Seq(0.5, 0.9, 0.99, 1.0))
+      .orderBy(col("p"))
 
   // =====================================================================
   // DuckDB oracle SQL — same semantics, same column names, same ORDER BY.
@@ -3566,6 +3581,21 @@ object SparkEntry {
                   JOIN part nb ON nb.p_partkey = id_b
            WHERE levenshtein(na.p_name, nb.p_name) <= 3
            ORDER BY id_a, id_b""",
+
+      // type-1 quantiles = the element at rank ceil(p*N) of the identical
+      // (value, orderkey) total order — an actual data element on both
+      // engines, no interpolation; full-key ties imply equal values, so
+      // the selected value is deterministic
+      "q115_global_quantiles" ->
+        """WITH r AS (SELECT l_extendedprice AS v,
+               row_number() OVER (ORDER BY l_extendedprice, l_orderkey) AS rnk
+             FROM lineitem),
+           n AS (SELECT CAST(count(*) AS BIGINT) AS nn FROM lineitem),
+           ps AS (SELECT unnest([0.5, 0.9, 0.99, 1.0]) AS p)
+           SELECT ps.p, r.v AS value
+           FROM ps, n, r
+           WHERE r.rnk = CAST(ceil(ps.p * n.nn) AS BIGINT)
+           ORDER BY p""",
     )
   }
 }

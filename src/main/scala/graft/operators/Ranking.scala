@@ -66,6 +66,31 @@ object Ranking {
       .drop("_bkt", "_rn", "_off")
   }
 
+  /** EXACT global quantiles by rank selection — the scale path for
+    * "median of 10¹² rows": Spark's exact `percentile` aggregate buffers
+    * every value of a group in executor memory, which is fine per
+    * bounded group (q46) and a cliff for a GLOBAL quantile; here the
+    * quantile is the element at rank ⌈p·N⌉ of [[globalRankBy]]'s
+    * distributed order — one bucket-keyed exchange, a broadcast count,
+    * and a filter. Type-1 (discontinuous) quantiles by definition: the
+    * returned value is an actual data element, so it hash-matches any
+    * engine selecting the same rank — no interpolation arithmetic to
+    * mirror. `ps` must be in (0, 1]; ties across rows are fine (ranks
+    * are a permutation via the id tiebreak, and rank selection is
+    * order-stable under ties by construction). Returns `(p, value)`. */
+  def globalQuantiles(df: DataFrame, valueCol: String, bucket: Column,
+                      idCol: String, ps: Seq[Double]): DataFrame = {
+    require(ps.nonEmpty && ps.forall(p => p > 0 && p <= 1),
+      s"quantiles must lie in (0, 1], got $ps")
+    val ranked = globalRankBy(df.select(col(valueCol), col(idCol)),
+      bucket, col(valueCol), col(idCol))
+    val total = df.select(count(lit(1)).as("_n"))
+    val wanted = explode(array(ps.map(lit(_)): _*))
+    ranked.crossJoin(broadcast(total.select(col("_n"), wanted.as("p"))))
+      .where(col("rank") === ceil(col("p") * col("_n")).cast("long"))
+      .select(col("p"), col(valueCol).as("value"))
+  }
+
   /** Exact 1-based rank WITHIN each `group`, for groups too large for a
     * `PARTITION BY group` window (which serializes every group through one
     * task — fine for thousands of small groups, a scale-killer when a

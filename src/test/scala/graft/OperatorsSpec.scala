@@ -1971,6 +1971,23 @@ class OperatorsSpec extends SparkSuite {
     assert(core2.toSeq == Seq((1L, 3L), (2L, 3L), (3L, 3L), (4L, 3L)))
   }
 
+  test("globalQuantiles: rank-selected elements match the sorted list, bucket-partitioned windows") {
+    import spark.implicits._
+    val df = scala.util.Random.shuffle((1L to 100L).toList)
+      .map(v => (v, v + 1000L)).toDF("v", "id")
+    val out = graft.operators.Ranking.globalQuantiles(
+      df, "v", expr("v DIV 10"), "id", Seq(0.01, 0.5, 0.75, 1.0))
+    val got = out.collect().map(r => (r.getDouble(0), r.getLong(1))).sortBy(_._1)
+    // type-1: the element at rank ceil(p*100)
+    assert(got.toSeq == Seq((0.01, 1L), (0.5, 50L), (0.75, 75L), (1.0, 100L)))
+    // the ranking rides globalRankBy: data windows partition by bucket
+    val plan = out.queryExecution.executedPlan.toString.split("== Initial Plan ==").head
+    val dataWindows = plan.linesIterator
+      .filter(l => l.contains("Window") && l.contains("row_number")).toSeq
+    assert(dataWindows.nonEmpty && dataWindows.forall(_.contains("_bkt")),
+      s"ranking windows must be bucket-partitioned:\n${dataWindows.mkString("\n")}")
+  }
+
   test("groupedRank: exact within-group ranks, zero single-partition exchanges") {
     import spark.implicits._
     val df = (1L to 200L).map(i => (s"g${i % 3}", i)).toDF("grp", "id")
