@@ -5,7 +5,7 @@ import graft.stream.DataStream
 import graft.windows.WindowAssigner
 
 import org.scalacheck.{Gen, Prop, Properties, Test}
-import org.scalacheck.Prop.forAll
+import org.scalacheck.Prop.{forAll, propBoolean}
 
 /** Property-based algebraic laws the reference defines implicitly
   * (SURVEY §5.2 #4). Few examples per property — each evaluation runs real
@@ -219,6 +219,59 @@ object AlgebraProps extends Properties("graft.algebra") {
         words((pos >>> 6).toInt) |= 1L << (pos & 63L).toInt
       })
       keys.forall(key => BloomOps.mightContain(words, k, key))
+    }
+  }
+
+  // sortedNeighborhoodPairs vs the direct definition, over ARBITRARY
+  // corpora: sort by (key, id), pair everything within window-1 rank
+  // steps. Random strings exercise duplicate keys (the tiebreak path),
+  // shared prefixes straddling bucket boundaries, and empty-ish keys.
+  property("sorted-neighborhood pairs == brute-force rank-band pairs") = {
+    val nameGen = Gen.listOfN(12,
+      Gen.zip(Gen.chooseNum(1L, 1000L),
+        Gen.listOfN(3, Gen.oneOf("ab", "ba", "bb", "a", "b", "c")).map(_.mkString)))
+      .map(_.distinctBy(_._1))
+    forAll(nameGen, Gen.chooseNum(2, 5)) { (rows, window) =>
+      rows.nonEmpty ==> {
+        import org.apache.spark.sql.functions.{col, substring}
+        import spark.implicits._
+        val df = rows.toDF("id", "name")
+        val got = graft.operators.Linkage.sortedNeighborhoodPairs(
+            df, "id", "name",
+            passes = Seq((col("name"), substring(col("name"), 1, 1))),
+            window = window, maxDist = 100)
+          .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+        val sorted = rows.sortBy { case (id, n) => (n, id) }
+        val expect = (for {
+          i <- sorted.indices
+          j <- (i + 1) until math.min(i + window, sorted.length)
+        } yield (math.min(sorted(i)._1, sorted(j)._1),
+          math.max(sorted(i)._1, sorted(j)._1))).toSet
+        got == expect
+      }
+    }
+  }
+
+  // groupedRank over arbitrary (group, value) data with an order-consistent
+  // sub-bucket: ranks must be exactly the per-group sort positions — a
+  // permutation 1..|group| — regardless of how rows distribute
+  property("groupedRank == per-group sort positions") = {
+    val rowsGen = Gen.listOfN(14,
+      Gen.zip(Gen.oneOf("g1", "g2", "g3"), Gen.chooseNum(1L, 2000L)))
+      .map(_.distinctBy(identity))
+    forAll(rowsGen) { rows =>
+      rows.nonEmpty ==> {
+        import org.apache.spark.sql.functions.{col, expr}
+        import spark.implicits._
+        val df = rows.toDF("grp", "v")
+        val got = graft.operators.Ranking.groupedRank(
+            df, col("grp"), expr("v DIV 500"), col("v"))
+          .collect().map(r => ((r.getString(0), r.getLong(1)), r.getLong(2))).toMap
+        val expect = rows.groupBy(_._1).flatMap { case (g, rs) =>
+          rs.map(_._2).sorted.zipWithIndex.map { case (v, i) => (g, v) -> (i + 1L) }
+        }
+        got == expect
+      }
     }
   }
 }
