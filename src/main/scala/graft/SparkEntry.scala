@@ -174,6 +174,10 @@ object SparkEntry {
     "q113_weighted_label_prop" -> q113,
     "q114_adaptive_neighborhood" -> q114,
     "q115_global_quantiles" -> q115,
+    "q116_core_numbers" -> q116,
+    "q117_equidepth_bins" -> q117,
+    "q118_leakage_safe_split" -> q118,
+    "q119_vocab_update" -> q119,
   )
 
   // =====================================================================
@@ -1760,6 +1764,78 @@ object SparkEntry {
         idCol = "l_orderkey" /* not unique alone */,
         ps = Seq(0.5, 0.9, 0.99, 1.0))
       .orderBy(col("p"))
+
+  /** CORE NUMBERS of the strong co-purchase graph (q109's ≥2-shared-orders
+    * edges): 6 determinized h-index rounds — each part's structural
+    * embedding depth, the full degeneracy profile q105 answers one slice
+    * of ([[graft.operators.Graph.coreNumbers]]). Fixed rounds ⇒ the
+    * oracle replays the identical rounds; convergence is spec-checked
+    * separately, not assumed by the gate. */
+  private def q116(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(s, dir)
+      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk")).distinct()
+    val strong = li.join(li.withColumnRenamed("pk", "pk2"), Seq("ok"))
+      .where(col("pk") < col("pk2"))
+      .groupBy(col("pk"), col("pk2")).agg(count(lit(1)).as("w"))
+      .where(col("w") >= 2)
+      .select(col("pk").as("src"), col("pk2").as("dst"))
+    graft.operators.Graph.coreNumbers(strong, "src", "dst", rounds = 6)
+      .orderBy(col("node"))
+  }
+
+  /** Exact equi-depth decile binning of orders by total price — SQL
+    * `ntile(10)` semantics bin-for-bin, computed through the distributed
+    * two-level rank instead of ntile's SinglePartition window
+    * ([[graft.operators.Ranking.equiDepthBins]]); reported as per-bin
+    * (count, min, max) so the oracle checks every boundary placement. */
+  private def q117(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Ranking.equiDepthBins(
+        Tables.orders(s, dir)
+          .select(cents(col("o_totalprice")).as("price_c"), col("o_orderkey")),
+        bucket = expr("price_c DIV 50000"), n = 10,
+        col("price_c"), col("o_orderkey"))
+      .groupBy(col("bin"))
+      .agg(count(lit(1)).as("n_rows"),
+        min(col("price_c")).as("min_c"), max(col("price_c")).as("max_c"))
+      .orderBy(col("bin"))
+
+  /** Leakage-safe train/val/test split: the 80/10/10 assignment keyed by
+    * the NEAR-DUP CLUSTER representative (q39's components), so a
+    * document and its near-duplicate twin can never straddle train and
+    * test — q44's failure mode closed
+    * ([[graft.operators.Sampling.leakageSafeSplit]]). */
+  private def q118(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Sampling.leakageSafeSplit(
+        Tables.documents(s, dir), "doc_id", "text",
+        Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1),
+        shingleLen = 3, threshold = 0.5, maxShingleDf = 50)
+      .orderBy(col("id"))
+
+  /** Incremental boilerplate-vocabulary maintenance — the lifecycle q66
+    * gave the dedup index, for [[graft.operators.Boilerplate]]'s df
+    * stats: build stats for the base corpus (doc_id % 4 ≠ 0), persist
+    * them BUCKETED on tok, absorb the remaining quarter as a batch
+    * WITHOUT rescanning the base, and read the ≥50% vocabulary off the
+    * merged stats. The oracle computes the same vocabulary from the
+    * WHOLE corpus directly — hash-match proves incremental ≡ rebuild. */
+  private def q119(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val base = docs.where(col("doc_id") % 4 =!= 0)
+    val batch = docs.where(col("doc_id") % 4 === 0)
+    // dir-keyed table name — same rationale as q66: the write is an eager
+    // side effect, the read lazy; a shared name across dirs would rebind
+    val statsTable = "graft_q119_vocab_stats_" +
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(dir.getBytes("UTF-8")).take(4).map("%02x".format(_)).mkString
+    Tables.writeBucketed(
+      graft.operators.Boilerplate.dfStats(base, "doc_id", "text"),
+      statsTable, buckets = 8, "tok")
+    graft.operators.Boilerplate.vocabularyFromStats(
+        graft.operators.Boilerplate.updateDfStats(
+          s.table(statsTable), batch, "doc_id", "text"),
+        dfNum = 50, dfDen = 100)
+      .orderBy(col("tok"))
+  }
 
   // =====================================================================
   // DuckDB oracle SQL — same semantics, same column names, same ORDER BY.
@@ -3596,6 +3672,70 @@ object SparkEntry {
            FROM ps, n, r
            WHERE r.rnk = CAST(ceil(ps.p * n.nn) AS BIGINT)
            ORDER BY p""",
+
+      // the identical 6 h-index rounds, unrolled (q105/q109's pattern):
+      // per round each node takes the H-index of its neighbors' values —
+      // max(least(rank, value)) over a desc rank, which is invariant to
+      // tie order, so the non-unique window sort cannot diverge engines.
+      // MATERIALIZED for the same 2^R inlining reason as q105
+      "q116_core_numbers" -> {
+        val roundsSql = (1 to 6).map { r =>
+          val ph = s"h${r - 1}"
+          s"""h$r AS MATERIALIZED (
+               SELECT node, max(least(rn, nh)) AS core_h FROM (
+                 SELECT e.dst AS node, l.core_h AS nh,
+                   row_number() OVER (PARTITION BY e.dst ORDER BY l.core_h DESC) AS rn
+                 FROM e0 e JOIN $ph l ON l.node = e.src) GROUP BY node)"""
+        }.mkString(",\n")
+        s"""WITH li AS MATERIALIZED (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+           p AS MATERIALIZED (SELECT x.pk AS a, y.pk AS b, count(*) AS w
+                FROM li x JOIN li y ON x.ok = y.ok AND x.pk < y.pk GROUP BY 1, 2),
+           e0 AS MATERIALIZED (
+             SELECT a AS src, b AS dst FROM p WHERE w >= 2
+             UNION ALL SELECT b, a FROM p WHERE w >= 2),
+           h0 AS MATERIALIZED (
+             SELECT src AS node, CAST(count(*) AS BIGINT) AS core_h
+             FROM e0 GROUP BY src),
+           $roundsSql
+           SELECT node, core_h FROM h6 ORDER BY node"""
+      },
+
+      // ntile's SQL-standard bin widths (larger bins first) against the
+      // engine's integer-arithmetic reconstruction over the distributed
+      // rank — boundary placement checks exactly via per-bin min/max
+      "q117_equidepth_bins" ->
+        s"""WITH r AS (SELECT
+             ntile(10) OVER (ORDER BY ${C.format("o_totalprice")}, o_orderkey) AS bin,
+             ${C.format("o_totalprice")} AS price_c FROM orders)
+           SELECT bin, CAST(count(*) AS BIGINT) AS n_rows,
+             min(price_c) AS min_c, max(price_c) AS max_c
+           FROM r GROUP BY bin ORDER BY bin""",
+
+      // q39's cluster closure + q44's md5 CASE, keyed by the cluster
+      // representative — near-dup twins share the key, so they share the
+      // split on both engines by construction
+      "q118_leakage_safe_split" ->
+        s"""WITH RECURSIVE
+           ${clusterCtes(toks, hashedShingles(3))}
+           SELECT doc_id AS id,
+             coalesce(comp.component, doc_id) AS representative,
+             CASE WHEN substr(md5(CAST(coalesce(comp.component, doc_id) AS VARCHAR)), 1, 8)
+                    < '${graft.operators.Sampling.thresholdHex(0.8)}' THEN 'train'
+                  WHEN substr(md5(CAST(coalesce(comp.component, doc_id) AS VARCHAR)), 1, 8)
+                    < '${graft.operators.Sampling.thresholdHex(0.9)}' THEN 'val'
+                  ELSE 'test' END AS split
+           FROM documents LEFT JOIN comp ON comp.id = doc_id
+           ORDER BY id""",
+
+      // the merged-stats vocabulary must equal the one computed from the
+      // whole corpus in one pass — the incremental lifecycle's contract
+      "q119_vocab_update" ->
+        s"""WITH t AS (SELECT doc_id, $toks AS toks FROM documents),
+           flat AS (SELECT doc_id, unnest(list_distinct(toks)) AS tok FROM t),
+           dfr AS (SELECT tok, CAST(count(*) AS BIGINT) AS df FROM flat GROUP BY tok),
+           n AS (SELECT count(*) AS nd FROM documents)
+           SELECT tok, df FROM dfr, n
+           WHERE df * 100 >= nd * 50 ORDER BY tok""",
     )
   }
 }

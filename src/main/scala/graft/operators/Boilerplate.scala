@@ -53,6 +53,63 @@ object Boilerplate {
       .select(col("tok"), col("df"))
   }
 
+  /** Self-describing document-frequency statistics — the PERSISTED form
+    * of the boilerplate vocabulary's inputs: one row per distinct token,
+    * `(tok, df, n_docs)`, with `n_docs` constant across rows (parquet
+    * RLE makes the redundancy free) so the table alone carries everything
+    * a later [[updateDfStats]] or [[vocabularyFromStats]] needs — no
+    * sidecar metadata file to drift. Bucket it on `tok`
+    * ([[graft.sources.Tables.writeBucketed]]) and the absorb-a-batch
+    * merge joins WITHOUT shuffling the persisted side. */
+  def dfStats(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val perDoc = docs.select(col(idCol).as("_id"),
+      explode(array_distinct(Text.tokens(col(textCol)))).as("tok"))
+    perDoc.groupBy(col("tok")).agg(count(lit(1)).as("df"))
+      .crossJoin(broadcast(docs.select(count(lit(1)).as("n_docs"))))
+  }
+
+  /** Absorb a document batch into persisted [[dfStats]] WITHOUT
+    * re-scanning the base corpus — the incremental maintenance the
+    * batch-rebuild lifecycle lacked: stats for corpus ∪ batch =
+    * full-outer token merge of the stored counts with the batch's counts
+    * plus a scalar doc-count add. Result-identical to `dfStats(corpus ∪
+    * batch)` by construction (df and n_docs are both additive over
+    * disjoint doc sets — the caller owns batch∩corpus = ∅, e.g. by
+    * exact-dedup'ing the batch first).
+    *
+    * ## Scale shape (100 TB)
+    * The batch side aggregates to its own vocabulary before the merge;
+    * the persisted side arrives bucketed on `tok`, so the full-outer
+    * join shuffles only the (batch-vocabulary-sized) new counts; the two
+    * doc counts are 1-row broadcasts. Nothing rescans, nothing is
+    * data-wide. */
+  def updateDfStats(stats: DataFrame, batch: DataFrame,
+                    idCol: String, textCol: String): DataFrame = {
+    val b = dfStats(batch, idCol, textCol)
+    // max over a constant column = the constant; null (empty side) → 0
+    val baseN = stats.select(max(col("n_docs")).as("_bn"))
+    val batchN = batch.select(count(lit(1)).as("_cn"))
+    stats.select(col("tok"), col("df"))
+      .join(b.select(col("tok"), col("df").as("_dfb")), Seq("tok"), "full_outer")
+      .select(col("tok"),
+        (coalesce(col("df"), lit(0L)) + coalesce(col("_dfb"), lit(0L))).as("df"))
+      .crossJoin(broadcast(baseN)).crossJoin(broadcast(batchN))
+      .select(col("tok"), col("df"),
+        (coalesce(col("_bn"), lit(0L)) + col("_cn")).as("n_docs"))
+  }
+
+  /** The [[highDfTokens]] vocabulary read off a [[dfStats]] table instead
+    * of a corpus scan — same integer cross-multiply threshold, zero text
+    * touched. `vocabularyFromStats(updateDfStats(dfStats(base), batch))`
+    * hash-matches `highDfTokens(base ∪ batch)` — the incremental
+    * lifecycle's correctness statement, and exactly what the q119 oracle
+    * checks. */
+  def vocabularyFromStats(stats: DataFrame, dfNum: Long, dfDen: Long): DataFrame = {
+    require(dfNum > 0 && dfDen > 0, s"need positive dfNum/dfDen, got $dfNum/$dfDen")
+    stats.where(col("df") * lit(dfDen) >= col("n_docs") * lit(dfNum))
+      .select(col("tok"), col("df"))
+  }
+
   /** Per-document NOVELTY: the fraction of a document's distinct shingles
     * that occur in NO other document (corpus df = 1) — the inverse signal
     * of boilerplate, selecting for informative/diverse documents (the

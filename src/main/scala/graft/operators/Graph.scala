@@ -239,6 +239,64 @@ object Graph {
     degrees(e)
   }
 
+  /** CORE NUMBERS for every node — the full degeneracy profile that
+    * [[kCore]] answers only one slice of (core(v) = the largest k whose
+    * k-core contains v). Computed by the H-INDEX ITERATION of Lü et al.
+    * (Nature Communications 7:10168, 2016): start each node at its
+    * degree; each round every node's value becomes the H-index of its
+    * neighbors' values (the largest h such that ≥ h neighbors hold value
+    * ≥ h); the sequence is monotone non-increasing and its fixpoint IS
+    * the core number. A FIXED round count keeps the operator a pure
+    * function of the graph — the q105/q109 determinization — so a DuckDB
+    * oracle replaying the identical rounds hash-matches whether or not
+    * the iteration has converged; convergence itself is a separate,
+    * spec-checked property (`rounds` vs `rounds+1` equality), not a gate
+    * precondition. Real graphs converge in a handful of rounds (the
+    * paper's datasets: < 20 even at 10⁸ edges).
+    *
+    * ## Scale shape (100 TB)
+    * [[pageRankInt]]'s skeleton: edges canonicalized, doubled, hash-
+    * partitioned on src once and cached; each round is one co-partitioned
+    * equi-join (values onto edges) and one per-node H-index reduction.
+    * The H-index runs as a per-node rank window — max(min(rank, value))
+    * over neighbors sorted desc — whose frame is bounded by the node's
+    * DEGREE, not the data; a celebrity node with 10⁸ neighbors would
+    * serialize its own window task (swap in [[Ranking.groupedRank]]'s
+    * two-level scheme if that graph ever appears). Values are
+    * localCheckpointed per round. Returns `(node, core_h)` — the core
+    * number once converged. */
+  def coreNumbers(edges: DataFrame, srcCol: String, dstCol: String,
+                  rounds: Int, checkpoint: Boolean = true): DataFrame = {
+    require(rounds >= 1, s"rounds must be >= 1, got $rounds")
+    def cut(df: DataFrame): DataFrame =
+      if (checkpoint) df.localCheckpoint() else df
+    val canon = edges
+      .select(least(col(srcCol), col(dstCol)).as("a"),
+        greatest(col(srcCol), col(dstCol)).as("b"))
+      .where(col("a") =!= col("b"))
+      .distinct()
+    val e = canon.select(col("a").as("src"), col("b").as("dst"))
+      .unionAll(canon.select(col("b").as("src"), col("a").as("dst")))
+      .repartition(col("src")).persist()
+    var h = cut(e.groupBy(col("src")).agg(count(lit(1)).as("core_h"))
+      .withColumnRenamed("src", "node"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("node")).orderBy(col("nh").desc)
+    for (_ <- 1 to rounds) {
+      // H-index of the neighbor multiset: rank neighbors desc by value,
+      // H = max(min(rank, value)) — invariant to tie order, so the
+      // non-unique sort inside row_number cannot leak nondeterminism
+      h = cut(e
+        .join(h.select(col("node").as("src"), col("core_h").as("nh")), Seq("src"))
+        .select(col("dst").as("node"), col("nh"))
+        .withColumn("_rn", row_number().over(w).cast("long"))
+        .groupBy(col("node"))
+        .agg(max(least(col("_rn"), col("nh"))).as("core_h")))
+    }
+    if (checkpoint) e.unpersist()
+    h
+  }
+
   def triangleCount(edges: DataFrame, srcCol: String, dstCol: String): DataFrame = {
     val canon = edges
       .select(least(col(srcCol), col(dstCol)).as("a"),

@@ -91,6 +91,36 @@ object Ranking {
       .select(col("p"), col(valueCol).as("value"))
   }
 
+  /** Exact EQUI-DEPTH binning — `ntile(n)` semantics without ntile's
+    * SinglePartition window: bin b of n over N rows holds ⌈N/n⌉ rows for
+    * the first `N mod n` bins and ⌊N/n⌋ for the rest (larger bins first,
+    * exactly the SQL-standard rule, so a DuckDB `ntile` oracle
+    * hash-matches bin-for-bin). The bin is pure integer arithmetic over
+    * [[globalRankBy]]'s distributed rank plus one broadcast row count —
+    * data shuffles once, on the bucket key. The workhorse behind
+    * quantile feature bucketization and equal-mass shard assignment.
+    * `orderCols` must end in a unique tiebreak (rank must be a
+    * permutation, else bin membership at bucket boundaries is
+    * run-dependent). Adds `bin` (1-based); `bin`/`_n` join the
+    * [[globalRankBy]] reserved set. */
+  def equiDepthBins(df: DataFrame, bucket: Column, n: Int,
+                    orderCols: Column*): DataFrame = {
+    require(n >= 1, s"bin count must be >= 1, got $n")
+    Seq("bin", "_n").foreach(r => require(!df.columns.contains(r),
+      s"input must not already contain column $r"))
+    val ranked = globalRankBy(df, bucket, orderCols: _*)
+    val total = df.select(count(lit(1)).as("_n"))
+    // q = floor(N/n), r = N mod n; ranks 1..r*(q+1) land in the r wide
+    // bins, the rest in narrow ones — all BIGINT, no doubles at the cut
+    ranked.crossJoin(broadcast(total))
+      .withColumn("bin", expr(
+        s"""CASE WHEN rank <= (_n % $n) * (_n DIV $n + 1)
+                 THEN (rank - 1) DIV (_n DIV $n + 1) + 1
+                 ELSE (_n % $n) + (rank - (_n % $n) * (_n DIV $n + 1) - 1)
+                        DIV (_n DIV $n) + 1 END"""))
+      .drop("_n")
+  }
+
   /** Exact 1-based rank WITHIN each `group`, for groups too large for a
     * `PARTITION BY group` window (which serializes every group through one
     * task — fine for thousands of small groups, a scale-killer when a

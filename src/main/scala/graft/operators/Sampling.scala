@@ -64,6 +64,50 @@ object Sampling {
     df.withColumn(as, assigned)
   }
 
+  /** LEAKAGE-SAFE split assignment: [[assignSplit]] keyed by the NEAR-DUP
+    * CLUSTER representative instead of the document's own id, so every
+    * member of a duplicate family lands in the same split BY CONSTRUCTION.
+    * Splitting on the raw doc id silently leaks: a train document's
+    * near-duplicate twin falls into test with probability `1 − p_train`,
+    * and the eval measures memorization — the contamination failure mode
+    * train/test dedup papers (e.g. Lee et al. 2022, "Deduplicating
+    * Training Data Makes Language Models Better") exist to prevent.
+    * Clusters come from [[Dedup.deduplicateNearDups]]'s connected
+    * components over the n-gram Jaccard pair graph (singletons are their
+    * own representative, so non-duplicated docs hash exactly as
+    * [[assignSplit]] would hash them).
+    *
+    * ## Scale shape (100 TB)
+    * Everything heavy is the clustering itself (q39's frontier-propagation
+    * machinery — banded inverted index, never all-pairs); the split
+    * assignment on top is one narrow md5-threshold expression over the
+    * representative. Returns `(id, representative, split)`. */
+  def leakageSafeSplit(docs: DataFrame, idCol: String, textCol: String,
+                       splits: Seq[(String, Double)], shingleLen: Int = 3,
+                       threshold: Double = 0.6, maxShingleDf: Int = 50): DataFrame =
+    assignSplit(
+      Dedup.deduplicateNearDups(docs, idCol, textCol, shingleLen, threshold,
+        maxShingleDf).select(col("id"), col("representative")),
+      "representative", splits)
+
+  /** The batch-built routing model for
+    * [[graft.streaming.Streams.splitRoutingStream]]: `(fp,
+    * representative)` — each distinct content fingerprint in the corpus
+    * mapped to its near-dup cluster representative. One row per DISTINCT
+    * normalized content; if identical content ever lands in two clusters
+    * (possible only when every shared shingle is over the df cap, so the
+    * jaccard pair was never generated), the smaller representative wins
+    * deterministically. Rebuild alongside the dedup index; serve it as a
+    * table for the stream-static join. */
+  def clusterFingerprintModel(docs: DataFrame, idCol: String, textCol: String,
+                              shingleLen: Int = 3, threshold: Double = 0.6,
+                              maxShingleDf: Int = 50): DataFrame =
+    Dedup.deduplicateNearDups(docs, idCol, textCol, shingleLen, threshold,
+        maxShingleDf)
+      .join(docs.select(col(idCol).as("id"),
+        graft.functions.Text.fingerprint(col(textCol)).as("fp")), Seq("id"))
+      .groupBy(col("fp")).agg(min(col("representative")).as("representative"))
+
   /** Temperature-flattened domain mixing — the standard LLM data-mix
     * resampler: the target volume `targetFraction·N` is allocated across
     * domains ∝ n_d^α, so domain d is kept at rate

@@ -271,6 +271,31 @@ object Streams {
     docs.withColumn("shard",
       graft.operators.Sampling.shardCol(col(idCol), nShards, seed))
 
+  /** Streaming LEAKAGE-SAFE split routing — the stream-side stage of
+    * [[graft.operators.Sampling.leakageSafeSplit]]: an arriving document
+    * joins the batch-built
+    * [[graft.operators.Sampling.clusterFingerprintModel]] on its content
+    * fingerprint (a STATELESS stream-static left join); an exact match
+    * routes by the matched cluster's representative — so a re-crawl of a
+    * train-side document can never land in test — and novel content keys
+    * the md5 CASE on its own id, exactly as [[graft.operators.Sampling.assignSplit]]
+    * would. Near-dup-but-not-exact arrivals route by their own id until
+    * the next batch model rebuild — the same model-staleness contract as
+    * the dedup-index blooms ([[dedupIndexBlooms]]); the batch operator
+    * remains the source of truth at each rebuild. Adds `representative`
+    * (null for novel content) and `split`. */
+  def splitRoutingStream(docs: DataFrame, idCol: String, textCol: String,
+                         clusterFps: DataFrame,
+                         splits: Seq[(String, Double)]): DataFrame = {
+    val keyed = docs
+      .withColumn("_fp", graft.functions.Text.fingerprint(col(textCol)))
+      .join(clusterFps.select(col("fp").as("_fp"), col("representative")),
+        Seq("_fp"), "left")
+      .withColumn("_route_key", coalesce(col("representative"), col(idCol)))
+    graft.operators.Sampling.assignSplit(keyed, "_route_key", splits)
+      .drop("_fp", "_route_key")
+  }
+
   /** Streaming SPAN-LEVEL contamination scoring — the stateless per-row
     * twin of [[graft.operators.Dedup.contaminationSpans]]: a Bloom filter
     * built (in batch) over the benchmark set's window keys scores each

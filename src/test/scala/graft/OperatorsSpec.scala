@@ -2168,4 +2168,128 @@ class OperatorsSpec extends SparkSuite {
     // cosine 0 < threshold either way)
     assert(kept == Seq(1L, 4L))
   }
+
+  test("coreNumbers: h-index iteration converges to core numbers; canonicalization; per-node windows") {
+    import spark.implicits._
+    // K4 on {1,2,3,4} + pendant path 4-5-6; dupes/reversals/self-loops mixed in
+    val edges = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L), (3L, 4L),
+      (4L, 5L), (5L, 6L), (2L, 1L), (5L, 5L), (6L, 5L)).toDF("src", "dst")
+    val out = graft.operators.Graph.coreNumbers(edges, "src", "dst", rounds = 6)
+    val got = out.collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
+    // K4 members embed at depth 3; the pendant path is 1-core only
+    assert(got.toSeq == Seq((1L, 3L), (2L, 3L), (3L, 3L), (4L, 3L), (5L, 1L), (6L, 1L)))
+    // converged: one more round changes nothing (fixpoint = core numbers)
+    val more = graft.operators.Graph.coreNumbers(edges, "src", "dst", rounds = 7)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
+    assert(more.toSeq == got.toSeq)
+    // the H-index window partitions by node — never a single-partition sort
+    val plan = out.queryExecution.executedPlan.toString.split("== Initial Plan ==").head
+    assert(!plan.contains("SinglePartition"), s"unexpected SinglePartition:\n$plan")
+  }
+
+  test("coreNumbers agrees with kCore on every k-slice of a deterministic graph") {
+    import spark.implicits._
+    // pseudo-random but deterministic: two out-edges per node over 40 nodes
+    val edges = (0L until 40L).flatMap(i =>
+      Seq((i, (i * 7 + 3) % 40), (i, (i * 13 + 5) % 40))).toDF("src", "dst")
+    val cn = graft.operators.Graph.coreNumbers(edges, "src", "dst", rounds = 12)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val stable = graft.operators.Graph.coreNumbers(edges, "src", "dst", rounds = 13)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(cn == stable, "h-index iteration must have converged at 12 rounds")
+    val maxCore = cn.values.max
+    (1L to maxCore).foreach { k =>
+      val slice = graft.operators.Graph.kCore(edges, "src", "dst", k = k.toInt)
+        .collect().map(_.getLong(0)).toSet
+      assert(cn.filter(_._2 >= k).keySet == slice,
+        s"core>=$k slice disagrees with kCore($k)")
+    }
+  }
+
+  test("equiDepthBins: bin-for-bin parity with ntile, bucket-partitioned windows") {
+    import spark.implicits._
+    val df = scala.util.Random.shuffle((1L to 103L).toList)
+      .map(v => (v * 3 % 97, v)).toDF("v", "id") // duplicate values, unique ids
+    val out = graft.operators.Ranking.equiDepthBins(
+      df, expr("v DIV 10"), 5, col("v"), col("id"))
+    // oracle twin inside Spark: the SQL-standard ntile over the same order
+    val w = org.apache.spark.sql.expressions.Window.orderBy(col("v"), col("id"))
+    val expected = df.withColumn("bin_exp", ntile(5).over(w).cast("long"))
+    val joined = out.join(expected, Seq("v", "id"))
+    assert(joined.where(col("bin") =!= col("bin_exp")).count() == 0)
+    // 103 rows into 5 bins: 21,21,21,20,20 — larger bins first
+    val sizes = out.groupBy("bin").count().orderBy("bin")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(sizes == Seq((1L, 21L), (2L, 21L), (3L, 21L), (4L, 20L), (5L, 20L)))
+    // more bins than rows: every row its own bin, bins 1..N
+    val tiny = Seq((5L, 1L), (3L, 2L), (9L, 3L)).toDF("v", "id")
+    val tb = graft.operators.Ranking.equiDepthBins(
+        tiny, expr("v"), 10, col("v"), col("id"))
+      .collect().map(r => (r.getAs[Long]("v"), r.getAs[Long]("bin"))).sortBy(_._2)
+    assert(tb.toSeq == Seq((3L, 1L), (5L, 2L), (9L, 3L)))
+    // the ranking window partitions by bucket (no global sort anywhere)
+    val plan = out.queryExecution.executedPlan.toString.split("== Initial Plan ==").head
+    val dataWindows = plan.linesIterator
+      .filter(l => l.contains("Window") && l.contains("row_number")).toSeq
+    assert(dataWindows.nonEmpty && dataWindows.forall(_.contains("_bkt")),
+      s"ranking windows must be bucket-partitioned:\n${dataWindows.mkString("\n")}")
+  }
+
+  test("leakageSafeSplit: near-dup twins share a split; singletons hash as assignSplit would") {
+    import spark.implicits._
+    val twin = "the quick brown fox jumps over the lazy dog again and again"
+    val docs = Seq(
+      (1L, twin),
+      (2L, twin + " extra"), // near-dup of 1 at 3-shingle jaccard
+      (3L, "completely different text about spark partitions and shuffles"),
+      (4L, "yet another unrelated document mentioning parquet and arrow")
+    ).toDF("doc_id", "text")
+    val out = graft.operators.Sampling.leakageSafeSplit(
+        docs, "doc_id", "text", Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1),
+        shingleLen = 3, threshold = 0.3, maxShingleDf = 50)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+      .sortBy(_._1)
+    val byId = out.map(r => r._1 -> r).toMap
+    // 1 and 2 cluster together -> same representative -> same split
+    assert(byId(1L)._2 == byId(2L)._2 && byId(1L)._3 == byId(2L)._3)
+    // singletons: representative = own id, split = plain assignSplit
+    val solo = graft.operators.Sampling.assignSplit(
+        docs.where(col("doc_id") >= 3L).select(col("doc_id")), "doc_id",
+        Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(byId(3L)._2 == 3L && byId(3L)._3 == solo(3L))
+    assert(byId(4L)._2 == 4L && byId(4L)._3 == solo(4L))
+  }
+
+  test("updateDfStats: incremental merge equals a from-scratch rebuild, empty sides included") {
+    import graft.operators.Boilerplate
+    import spark.implicits._
+    val base = Seq((1L, "alpha beta gamma"), (2L, "alpha beta"), (3L, "alpha delta"))
+      .toDF("doc_id", "text")
+    val batch = Seq((4L, "beta gamma"), (5L, "epsilon alpha")).toDF("doc_id", "text")
+    val all = base.unionAll(batch)
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy("tok").collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    val merged = Boilerplate.updateDfStats(
+      Boilerplate.dfStats(base, "doc_id", "text"), batch, "doc_id", "text")
+    // full stats agree with one-pass stats: tok/df rows and the doc count
+    assert(canon(merged.select("tok", "df")) ==
+      canon(Boilerplate.dfStats(all, "doc_id", "text").select("tok", "df")))
+    assert(merged.select("n_docs").distinct().collect().map(_.getLong(0)).toSeq == Seq(5L))
+    // thresholded vocabulary agrees with highDfTokens over the union
+    assert(canon(Boilerplate.vocabularyFromStats(merged, 50, 100)) ==
+      canon(Boilerplate.highDfTokens(all, "doc_id", "text", 50, 100)))
+    // empty batch: stats unchanged; empty base: stats = batch stats
+    val emptyDocs = Seq.empty[(Long, String)].toDF("doc_id", "text")
+    val noBatch = Boilerplate.updateDfStats(
+      Boilerplate.dfStats(base, "doc_id", "text"), emptyDocs, "doc_id", "text")
+    assert(canon(noBatch.select("tok", "df")) ==
+      canon(Boilerplate.dfStats(base, "doc_id", "text").select("tok", "df")))
+    assert(noBatch.select("n_docs").distinct().collect().map(_.getLong(0)).toSeq == Seq(3L))
+    val noBase = Boilerplate.updateDfStats(
+      Boilerplate.dfStats(emptyDocs, "doc_id", "text"), batch, "doc_id", "text")
+    assert(canon(noBase.select("tok", "df")) ==
+      canon(Boilerplate.dfStats(batch, "doc_id", "text").select("tok", "df")))
+    assert(noBase.select("n_docs").distinct().collect().map(_.getLong(0)).toSeq == Seq(2L))
+  }
 }

@@ -675,4 +675,20 @@ class ScaleSpec extends SparkSuite {
     assert(dataWindows.nonEmpty && dataWindows.forall(_.contains("_sb")),
       s"ranking windows must partition by (bucket, sub-bucket):\n${dataWindows.mkString("\n")}")
   }
+
+  test("vocab lifecycle merges against the persisted df-stats: no base-corpus re-scan") {
+    // q119's production story: the base corpus was tokenized exactly once
+    // at stats-write time. The absorb-a-batch vocabulary plan must read
+    // the bucketed stats table and scan ONLY the %4==0 batch slice — a
+    // base-slice scan would carry the negated filter NOT((doc_id % 4) = 0).
+    val df = SparkEntry.queries("q119_vocab_update")(spark, sf0001)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("graft_q119_vocab_stats_"),
+      s"stats not read from the stored table:\n$plan")
+    val baseScans = plan.linesIterator
+      .filter(_.contains("documents.parquet")).filter(_.contains("NOT ((doc_id")).toSeq
+    assert(baseScans.isEmpty,
+      s"merge path re-reads the base slice:\n${baseScans.mkString("\n")}")
+  }
 }

@@ -832,4 +832,49 @@ class StreamingSpec extends SparkSuite {
       assert(got(10L)._3, "the burst hour must flag")
     } finally q.stop()
   }
+
+  test("streaming split routing: exact re-crawl follows its cluster's split, novel content hashes its own id, stateless") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val twin = "the quick brown fox jumps over the lazy dog again and again"
+    val corpus = Seq(
+      (1L, twin),
+      (2L, twin + " extra"),
+      (3L, "completely different text about spark partitions and shuffles")
+    ).toDF("doc_id", "text")
+    val splits = Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)
+    val model = graft.operators.Sampling.clusterFingerprintModel(
+        corpus, "doc_id", "text", shingleLen = 3, threshold = 0.3)
+      .localCheckpoint(eager = true)
+    val batchSplit = graft.operators.Sampling.leakageSafeSplit(
+        corpus, "doc_id", "text", splits, shingleLen = 3, threshold = 0.3)
+      .collect().map(r => r.getLong(0) -> r.getString(2)).toMap
+    val input = MemoryStream[(Long, String)]
+    val docs = input.toDF().select(col("_1").as("doc_id"), col("_2").as("text"))
+    val out = Streams.splitRoutingStream(docs, "doc_id", "text", model, splits)
+      .select(col("doc_id"), col("representative"), col("split"))
+    val q = out.writeStream.outputMode("append").format("memory")
+      .queryName("splitroute").start()
+    try {
+      input.addData(
+        (100L, twin),              // exact re-crawl of doc 1 -> cluster rep 1
+        (101L, "THE  Quick  BROWN fox jumps over the lazy dog again and  again"), // normalize-dup of 1
+        (102L, "a brand new document the model has never seen before"))
+      q.processAllAvailable()
+      val rows = spark.table("splitroute").collect()
+        .map(r => r.getLong(0) -> ((Option(r.get(1)).map(_.asInstanceOf[Long]), r.getString(2)))).toMap
+      // exact (and normalize-equal) re-crawls route by doc 1's cluster split
+      assert(rows(100L) == ((Some(1L), batchSplit(1L))), s"${rows(100L)}")
+      assert(rows(101L) == ((Some(1L), batchSplit(1L))), s"${rows(101L)}")
+      // novel content: no representative; split = assignSplit on its own id
+      val soloSplit = graft.operators.Sampling.assignSplit(
+          Seq(102L).toDF("doc_id"), "doc_id", splits)
+        .collect().head.getString(1)
+      assert(rows(102L) == ((None, soloSplit)), s"${rows(102L)}")
+      val executed = q.asInstanceOf[org.apache.spark.sql.execution.streaming.runtime.StreamingQueryWrapper]
+        .streamingQuery.lastExecution.executedPlan
+      assert(executed.collect {
+        case p if p.getClass.getName.contains("StateStore") => p }.isEmpty)
+    } finally q.stop()
+  }
 }
