@@ -178,6 +178,7 @@ object SparkEntry {
     "q117_equidepth_bins" -> q117,
     "q118_leakage_safe_split" -> q118,
     "q119_vocab_update" -> q119,
+    "q120_domain_percentile" -> q120,
   )
 
   // =====================================================================
@@ -1836,6 +1837,19 @@ object SparkEntry {
         dfNum = 50, dfDen = 100)
       .orderBy(col("tok"))
   }
+
+  /** Per-domain quality calibration: the exact within-language
+    * percent_rank of every document's length — "top X% of EACH domain" as
+    * an exact percentile cut, through the nested two-level rank so a
+    * dominant language never serializes one window task
+    * ([[graft.operators.Ranking.groupedPercentRank]]). The unique
+    * (n_chars, doc_id) tiebreak collapses SQL rank() to row_number(), so
+    * DuckDB's own percent_rank over the same key hash-matches. */
+  private def q120(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Ranking.groupedPercentRank(
+        Tables.documents(s, dir).select(col("doc_id"), col("lang"), col("n_chars")),
+        "lang", expr("n_chars DIV 256"), col("n_chars"), col("doc_id"))
+      .orderBy(col("lang"), col("rank"))
 
   // =====================================================================
   // DuckDB oracle SQL — same semantics, same column names, same ORDER BY.
@@ -3736,6 +3750,15 @@ object SparkEntry {
            n AS (SELECT count(*) AS nd FROM documents)
            SELECT tok, df FROM dfr, n
            WHERE df * 100 >= nd * 50 ORDER BY tok""",
+
+      // full-key uniqueness makes SQL's rank() equal row_number(), so the
+      // engine's (rank-1)/(n-1) division IS percent_rank; singleton
+      // groups are 0.0 on both engines
+      "q120_domain_percentile" ->
+        """SELECT doc_id, lang, n_chars,
+             CAST(row_number() OVER (PARTITION BY lang ORDER BY n_chars, doc_id) AS BIGINT) AS rank,
+             percent_rank() OVER (PARTITION BY lang ORDER BY n_chars, doc_id) AS pct_rank
+           FROM documents ORDER BY lang, rank""",
     )
   }
 }

@@ -121,6 +121,41 @@ object Media {
     private def hasTag(b: Array[Byte], at: Int, tag: String): Boolean =
       at + 4 <= b.length && tag.indices.forall(i => b(at + i) == tag.charAt(i).toByte)
 
+    /** Full PCM geometry of an UNCOMPRESSED 8/16-bit WAV: (channels,
+      * sampleRate, bitsPerSample, data offset, data bytes). Same chunk
+      * walk as [[decodeWav]] but also requires audioFormat = 1 (PCM) and
+      * captures where the sample array starts, so a caller can read the
+      * actual samples. None for compressed/float/24-bit payloads — the
+      * caller falls back to the stub codec. Bounds-checked: dataBytes is
+      * clamped to what the payload actually holds. */
+    def decodeWavPcm(b: Array[Byte]): Option[(Int, Int, Int, Int, Int)] = {
+      if (b.length < 12 || !hasTag(b, 0, "RIFF") || !hasTag(b, 8, "WAVE")) None
+      else {
+        val bb = ByteBuffer.wrap(b).order(ByteOrder.LITTLE_ENDIAN)
+        var pos = 12L
+        var fmt: Option[(Int, Int, Int, Int)] = None // format, channels, rate, bits
+        var dataOff = -1
+        var dataBytes = -1
+        while (pos + 8 <= b.length && (fmt.isEmpty || dataOff < 0)) {
+          val p = pos.toInt
+          val size = bb.getInt(p + 4).toLong & 0xffffffffL
+          if (hasTag(b, p, "fmt ") && p + 24 <= b.length) {
+            fmt = Some((bb.getShort(p + 8).toInt, bb.getShort(p + 10).toInt,
+              bb.getInt(p + 12), bb.getShort(p + 22).toInt))
+          } else if (hasTag(b, p, "data")) {
+            dataOff = p + 8
+            dataBytes = math.min(size, (b.length - p - 8).toLong).toInt
+          }
+          pos += 8L + size + (size & 1L)
+        }
+        fmt.collect {
+          case (1, ch, rate, bits) if ch > 0 && rate > 0 &&
+              (bits == 8 || bits == 16) && dataOff >= 0 =>
+            (ch, rate, bits, dataOff, dataBytes)
+        }
+      }
+    }
+
     /** Full pixel-array geometry of an UNCOMPRESSED 24-bit BMP: (width,
       * height, pixel-array offset, row stride, topDown). Rows are 4-byte
       * aligned; positive height means bottom-up row order. None for any
@@ -280,6 +315,84 @@ object Media {
           }
         }
       }(Encoders.row(patchSchema))
+  }
+
+  val audioFrameSchema: StructType = StructType(Seq(
+    StructField("media_id", LongType, nullable = false),
+    StructField("frame_idx", IntegerType, nullable = false),
+    StructField("channel", IntegerType, nullable = false),
+    StructField("n_samples", LongType, nullable = false),
+    StructField("sum_abs", LongType, nullable = false),
+    StructField("sum_sq", LongType, nullable = false),
+    StructField("peak", LongType, nullable = false),
+    StructField("real_decode", BooleanType, nullable = false)))
+
+  /** Audio FRAME statistics — the audio twin of [[extractPatchStats]]:
+    * chop each track into fixed `frameSamples`-sample frames (tail frame
+    * short) and emit exact per-(frame, channel) integer amplitude stats —
+    * Σ|a|, Σa², peak — the inputs to silence detection, clipping checks,
+    * and energy-based VAD in an audio-training pipeline, reduced to what
+    * a JVM does for real. Uncompressed 8/16-bit PCM WAV decodes FOR REAL
+    * ([[HeaderCodec.decodeWavPcm]] — proper chunk walk, interleaved
+    * channels de-interleaved, 8-bit unsigned re-centered at 128 per the
+    * WAV spec so silence is amplitude 0 at both depths); other audio
+    * payloads (MP3 etc. — no codec libs in this container) get a
+    * deterministic checksum-derived stub series flagged
+    * `real_decode = false`. Non-audio media emit nothing.
+    *
+    * Scale shape: pure 1→n fan-out in the scan stage (the patch-stats
+    * shape) — payload bytes never shuffle, emitted rows are exact
+    * integers (Σa² of 16-bit samples stays < 2⁶³ up to ~8·10⁹ samples
+    * per frame), so downstream energy aggregation is hash-stable. */
+  def extractAudioFrameStats(media: DataFrame, frameSamples: Int): DataFrame = {
+    require(frameSamples >= 1, s"frameSamples must be >= 1, got $frameSamples")
+    media.select(col("media_id"), col("kind"), col("content"))
+      .mapPartitions { rows =>
+        rows.flatMap { r =>
+          val id = r.getLong(0)
+          val kind = r.getString(1)
+          val bytes = r.getAs[Array[Byte]](2)
+          if (kind != "audio") Iterator.empty
+          else HeaderCodec.decodeWavPcm(bytes) match {
+            case Some((ch, _, bits, off, dataBytes)) =>
+              val bytesPerSample = bits / 8
+              val block = bytesPerSample * ch
+              val nPerChannel = if (block == 0) 0 else dataBytes / block
+              def sample(i: Int, c: Int): Long = {
+                val p = off + i * block + c * bytesPerSample
+                if (bits == 16)
+                  ((bytes(p) & 0xff) | (bytes(p + 1) << 8)).toShort.toLong
+                else (bytes(p) & 0xff).toLong - 128L // 8-bit WAV is unsigned
+              }
+              val nFrames = (nPerChannel + frameSamples - 1) / frameSamples
+              for {
+                f <- (0 until nFrames).iterator
+                c <- (0 until ch).iterator
+              } yield {
+                val s0 = f * frameSamples
+                val s1 = math.min(s0 + frameSamples, nPerChannel)
+                var sAbs = 0L; var sSq = 0L; var peak = 0L
+                var i = s0
+                while (i < s1) {
+                  val a = sample(i, c)
+                  val m = math.abs(a)
+                  sAbs += m; sSq += a * a; if (m > peak) peak = m
+                  i += 1
+                }
+                Row(id, f, c, (s1 - s0).toLong, sAbs, sSq, peak, true)
+              }
+            case None =>
+              // deterministic stub series over the stub codec's "samples"
+              val (_, _, nSamples, checksum) = FakeCodec.decode("audio", bytes)
+              val nFrames = math.max((nSamples + frameSamples - 1) / frameSamples, 0)
+              (0 until nFrames).iterator.map { f =>
+                val n = math.min(frameSamples, nSamples - f * frameSamples).toLong
+                val v = java.lang.Math.floorMod(checksum * 31 + f, 32768L)
+                Row(id, f, 0, n, v * n, v * v * n, v, false)
+              }
+          }
+        }
+      }(Encoders.row(audioFrameSchema))
   }
 
   /** "Resize": recompute target dimensions preserving aspect ratio — the

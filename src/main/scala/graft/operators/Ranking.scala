@@ -121,6 +121,34 @@ object Ranking {
       .drop("_n")
   }
 
+  /** Per-group PERCENTILE NORMALIZATION: the exact `percent_rank()` of
+    * every row within its group — `(rank − 1) / (n_group − 1)`, 0.0 for
+    * singleton groups, one IEEE division of exact integers — computed
+    * through [[groupedRank]] so a double-digit-share group never
+    * serializes through one window task. The curation use: per-domain
+    * quality-score calibration (a fixed raw threshold keeps different
+    * fractions of every domain; "top 30% of EACH domain" is a percentile
+    * cut, and this makes it exact at any group size). `orderCols` must
+    * end in a unique tiebreak, which also makes the value equal SQL's
+    * `percent_rank() OVER (... ORDER BY <same full key>)` — full-key
+    * uniqueness collapses rank() to row_number(). Group count frame is
+    * #groups rows (model-sized for domain-like groups) and broadcasts.
+    * Adds `rank` and `pct_rank`; reserves `_gn` plus [[groupedRank]]'s
+    * set. */
+  def groupedPercentRank(df: DataFrame, groupCol: String, subBucket: Column,
+                         orderCols: Column*): DataFrame = {
+    Seq("pct_rank", "_gn").foreach(r => require(!df.columns.contains(r),
+      s"input must not already contain column $r"))
+    val ranked = groupedRank(df, col(groupCol), subBucket, orderCols: _*)
+    val counts = df.groupBy(col(groupCol)).agg(count(lit(1)).as("_gn"))
+    ranked.join(broadcast(counts), Seq(groupCol))
+      .withColumn("pct_rank",
+        when(col("_gn") === 1L, lit(0.0))
+          .otherwise((col("rank") - 1L).cast("double") /
+            (col("_gn") - 1L).cast("double")))
+      .drop("_gn")
+  }
+
   /** Exact 1-based rank WITHIN each `group`, for groups too large for a
     * `PARTITION BY group` window (which serializes every group through one
     * task — fine for thousands of small groups, a scale-killer when a

@@ -160,4 +160,60 @@ class MediaSpec extends SparkSuite {
     val (w, h, _, _) = Media.FakeCodec.decode("image", "jpegish bytes".getBytes)
     assert(stub.length == ((w + 63) / 64) * ((h + 63) / 64))
   }
+
+  test("audio frame stats: real PCM sums per (frame, channel), 8-bit recentering, stub fallback") {
+    import java.nio.{ByteBuffer, ByteOrder}
+    // 2ch 16-bit PCM, 5 samples/channel, LIST chunk before data (the
+    // layout a naive 44-byte parse breaks on)
+    val ch0 = Array[Short](100, -200, 300, -32768, 0)
+    val ch1 = Array[Short](1, 2, 3, 4, 5)
+    def wav16(): Array[Byte] = {
+      val dataLen = ch0.length * 4
+      val b = ByteBuffer.allocate(12 + 24 + 12 + 8 + dataLen).order(ByteOrder.LITTLE_ENDIAN)
+      b.put("RIFF".getBytes).putInt(4 + 24 + 12 + 8 + dataLen).put("WAVE".getBytes)
+      b.put("fmt ".getBytes).putInt(16).putShort(1).putShort(2)
+        .putInt(8000).putInt(8000 * 4).putShort(4).putShort(16)
+      b.put("LIST".getBytes).putInt(4).put("INFO".getBytes)
+      b.put("data".getBytes).putInt(dataLen)
+      ch0.indices.foreach { i => b.putShort(ch0(i)); b.putShort(ch1(i)) }
+      b.array()
+    }
+    // mono 8-bit PCM (unsigned, center 128): amplitudes 0, +2, -2, -128
+    def wav8(): Array[Byte] = {
+      val data = Array[Int](128, 130, 126, 0)
+      val b = ByteBuffer.allocate(12 + 24 + 8 + data.length).order(ByteOrder.LITTLE_ENDIAN)
+      b.put("RIFF".getBytes).putInt(4 + 24 + 8 + data.length).put("WAVE".getBytes)
+      b.put("fmt ".getBytes).putInt(16).putShort(1).putShort(1)
+        .putInt(8000).putInt(8000).putShort(1).putShort(8)
+      b.put("data".getBytes).putInt(data.length)
+      data.foreach(v => b.put(v.toByte))
+      b.array()
+    }
+    val rows = java.util.Arrays.asList(
+      org.apache.spark.sql.Row(1L, "audio", wav16(), null),
+      org.apache.spark.sql.Row(2L, "audio", wav8(), null),
+      org.apache.spark.sql.Row(3L, "audio", "not a wav at all!!".getBytes("UTF-8"), null),
+      org.apache.spark.sql.Row(4L, "image", wav16(), null)) // non-audio: ignored
+    val media = spark.createDataFrame(rows, Media.mediaSchema)
+    val out = Media.extractAudioFrameStats(media, frameSamples = 2)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2)) ->
+        ((r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6), r.getBoolean(7)))).toMap
+    // 16-bit: frames (2,2,1 samples) x 2 channels, exact integer stats
+    assert(out((1L, 0, 0)) == ((2L, 300L, 50000L, 200L, true)))          // |100|+|-200|; 100^2+200^2
+    assert(out((1L, 1, 0)) == ((2L, 33068L, 90000L + 1073741824L, 32768L, true)))
+    assert(out((1L, 2, 0)) == ((1L, 0L, 0L, 0L, true)))
+    assert(out((1L, 0, 1)) == ((2L, 3L, 5L, 2L, true)))
+    assert(out((1L, 1, 1)) == ((2L, 7L, 25L, 4L, true)))
+    assert(out((1L, 2, 1)) == ((1L, 5L, 25L, 5L, true)))
+    // 8-bit mono recentered at 128: frames (2,2)
+    assert(out((2L, 0, 0)) == ((2L, 2L, 4L, 2L, true)))
+    assert(out((2L, 1, 0)) == ((2L, 130L, 4L + 16384L, 128L, true)))
+    // undecodable audio: deterministic stub series, flagged fake
+    val stubRows = out.keys.filter(_._1 == 3L)
+    assert(stubRows.nonEmpty && stubRows.forall(k => !out(k)._5))
+    // stub frame count follows the stub codec's n/4 "samples"
+    assert(stubRows.size == ("not a wav at all!!".length / 4 + 1) / 2)
+    // non-audio media emit nothing
+    assert(!out.keys.exists(_._1 == 4L))
+  }
 }

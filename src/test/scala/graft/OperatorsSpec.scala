@@ -2292,4 +2292,27 @@ class OperatorsSpec extends SparkSuite {
       canon(Boilerplate.dfStats(batch, "doc_id", "text").select("tok", "df")))
     assert(noBase.select("n_docs").distinct().collect().map(_.getLong(0)).toSeq == Seq(2L))
   }
+
+  test("groupedPercentRank: exact percent_rank per group incl. singleton-zero, no group serialization") {
+    import spark.implicits._
+    // group sizes 1, 4, 7 with duplicate values inside groups
+    val df = (Seq(("s", 9L, 1L)) ++
+      (1L to 4L).map(i => ("m", i % 2, i + 10L)) ++
+      (1L to 7L).map(i => ("l", i % 3, i + 20L))).toDF("grp", "v", "id")
+    val out = graft.operators.Ranking.groupedPercentRank(
+      df, "grp", expr("v"), col("v"), col("id"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("grp")).orderBy(col("v"), col("id"))
+    val expected = df.withColumn("exp", percent_rank().over(w))
+    val joined = out.join(expected, Seq("grp", "v", "id"))
+    assert(joined.where(col("pct_rank") =!= col("exp")).count() == 0)
+    assert(joined.where(col("grp") === "s").head().getAs[Double]("pct_rank") == 0.0)
+    // the data windows partition by (group, sub-bucket) — never one task
+    // per whole group, never a global sort
+    val plan = out.queryExecution.executedPlan.toString.split("== Initial Plan ==").head
+    val dataWindows = plan.linesIterator
+      .filter(l => l.contains("Window") && l.contains("row_number")).toSeq
+    assert(dataWindows.nonEmpty && dataWindows.forall(l => l.contains("_grp") && l.contains("_sb")),
+      s"ranking windows must be (group, sub-bucket)-partitioned:\n${dataWindows.mkString("\n")}")
+  }
 }
