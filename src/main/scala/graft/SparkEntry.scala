@@ -179,6 +179,8 @@ object SparkEntry {
     "q118_leakage_safe_split" -> q118,
     "q119_vocab_update" -> q119,
     "q120_domain_percentile" -> q120,
+    "q121_robust_zscore" -> q121,
+    "q122_corpus_diff" -> q122,
   )
 
   // =====================================================================
@@ -1850,6 +1852,38 @@ object SparkEntry {
         Tables.documents(s, dir).select(col("doc_id"), col("lang"), col("n_chars")),
         "lang", expr("n_chars DIV 256"), col("n_chars"), col("doc_id"))
       .orderBy(col("lang"), col("rank"))
+
+  /** Robust per-group outlier scoring: the Iglewicz–Hoaglin modified
+    * z-score (0.6745·(x−median)/MAD) of every lineitem price within its
+    * return flag — the heavy-tail-safe outlier gate (a single extreme
+    * value cannot move the median the way it moves a mean/stddev z)
+    * ([[graft.operators.Outliers.robustZScore]]). Medians are exact
+    * interpolated percentiles (q46's quantile_cont parity); score and
+    * flag are a fixed IEEE sequence over them. */
+  private def q121(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Outliers.robustZScore(
+        Tables.lineitem(s, dir).select(col("l_returnflag"),
+          cents(col("l_extendedprice")).as("price_c"),
+          col("l_orderkey"), col("l_linenumber")),
+        "l_returnflag", "price_c", sigmas = 3.5)
+      .orderBy(col("l_returnflag"), col("price_c"),
+        col("l_orderkey"), col("l_linenumber"))
+
+  /** Corpus snapshot diff — the crawl-to-crawl dataset-versioning report
+    * ([[graft.operators.Cdc.snapshotDiff]]): v1 drops doc_id ≡ 6 (mod 7),
+    * v2 drops ≡ 4 (mod 5) and edits ≡ 0 (mod 3) — so all four statuses
+    * (added/removed/changed/unchanged) appear; fingerprints are md5
+    * computed in the scan, bodies never shuffle. */
+  private def q122(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val v1 = docs.where(col("doc_id") % 7 =!= 6).select(col("doc_id"), col("text"))
+    val v2 = docs.where(col("doc_id") % 5 =!= 4)
+      .select(col("doc_id"),
+        when(col("doc_id") % 3 === 0, concat(col("text"), lit(" v2")))
+          .otherwise(col("text")).as("text"))
+    graft.operators.Cdc.snapshotDiff(v1, v2, "doc_id", "text")
+      .orderBy(col("id"))
+  }
 
   // =====================================================================
   // DuckDB oracle SQL — same semantics, same column names, same ORDER BY.
@@ -3759,6 +3793,44 @@ object SparkEntry {
              CAST(row_number() OVER (PARTITION BY lang ORDER BY n_chars, doc_id) AS BIGINT) AS rank,
              percent_rank() OVER (PARTITION BY lang ORDER BY n_chars, doc_id) AS pct_rank
            FROM documents ORDER BY lang, rank""",
+
+      // exact interpolated medians (q46's quantile_cont parity), then one
+      // fixed IEEE sequence for the score — even the flag hash-matches;
+      // MAD = 0 groups score NULL and never flag on either engine
+      "q121_robust_zscore" ->
+        s"""WITH f AS (SELECT l_returnflag, ${C.format("l_extendedprice")} AS price_c,
+               l_orderkey, l_linenumber FROM lineitem),
+           m AS (SELECT l_returnflag, quantile_cont(price_c, 0.5) AS v_med
+                 FROM f GROUP BY 1),
+           d AS (SELECT f.*, m.v_med,
+               abs(CAST(price_c AS DOUBLE) - v_med) AS dev
+             FROM f JOIN m USING (l_returnflag)),
+           md AS (SELECT l_returnflag, quantile_cont(dev, 0.5) AS v_mad
+                  FROM d GROUP BY 1)
+           SELECT d.l_returnflag, price_c, l_orderkey, l_linenumber, v_med, v_mad,
+             CASE WHEN v_mad = 0 THEN NULL
+                  ELSE 0.6745 * (CAST(price_c AS DOUBLE) - v_med) / v_mad END AS score,
+             coalesce(abs(CASE WHEN v_mad = 0 THEN NULL
+                  ELSE 0.6745 * (CAST(price_c AS DOUBLE) - v_med) / v_mad END) > 3.5,
+               false) AS is_outlier
+           FROM d JOIN md USING (l_returnflag)
+           ORDER BY l_returnflag, price_c, l_orderkey, l_linenumber""",
+
+      // same md5-fingerprint compare, same null-driven status CASE
+      "q122_corpus_diff" ->
+        """WITH v1 AS (SELECT doc_id AS id, md5(text) AS old_fp
+               FROM documents WHERE doc_id % 7 <> 6),
+           v2 AS (SELECT doc_id AS id,
+               md5(CASE WHEN doc_id % 3 = 0 THEN text || ' v2' ELSE text END) AS new_fp
+             FROM documents WHERE doc_id % 5 <> 4)
+           SELECT coalesce(v1.id, v2.id) AS id,
+             CASE WHEN old_fp IS NULL THEN 'added'
+                  WHEN new_fp IS NULL THEN 'removed'
+                  WHEN old_fp = new_fp THEN 'unchanged'
+                  ELSE 'changed' END AS status,
+             old_fp, new_fp
+           FROM v1 FULL OUTER JOIN v2 ON v1.id = v2.id
+           ORDER BY id""",
     )
   }
 }

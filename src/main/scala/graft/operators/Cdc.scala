@@ -86,4 +86,27 @@ object Cdc {
     runs.select((col(keyCol) +: col("version") +: col("valid_from") +:
       col("valid_to") +: stateCols.map(col)): _*)
   }
+
+  /** SNAPSHOT DIFF between two corpus versions, keyed by id and compared
+    * by content fingerprint: `added` (id only in the new version),
+    * `removed` (only in the old), `changed` (both, different content),
+    * `unchanged` — the crawl-to-crawl dataset-versioning report that
+    * drives incremental reprocessing (only `added`+`changed` re-enter the
+    * pipeline; `removed` propagates deletes). Fingerprints are md5 of the
+    * content column computed INSIDE each scan, so the join carries (id,
+    * 32-hex) — document bodies never shuffle. One id-keyed full-outer
+    * join (bucket both snapshots on id and it co-locates); everything
+    * else is narrow. Returns `(id, status, old_fp, new_fp)`. */
+  def snapshotDiff(oldVer: DataFrame, newVer: DataFrame,
+                   idCol: String, contentCol: String): DataFrame = {
+    val o = oldVer.select(col(idCol).as("id"), md5(col(contentCol)).as("old_fp"))
+    val n = newVer.select(col(idCol).as("id"), md5(col(contentCol)).as("new_fp"))
+    o.join(n, Seq("id"), "full_outer")
+      .withColumn("status",
+        when(col("old_fp").isNull, "added")
+          .when(col("new_fp").isNull, "removed")
+          .when(col("old_fp") === col("new_fp"), "unchanged")
+          .otherwise("changed"))
+      .select(col("id"), col("status"), col("old_fp"), col("new_fp"))
+  }
 }

@@ -48,4 +48,55 @@ object Outliers {
       .withColumn(s"${valueCol}_clipped",
         least(greatest(col(valueCol).cast("double"), col("v_lo")), col("v_hi")))
   }
+
+  /** Per-group ROBUST outlier scoring: the Iglewicz–Hoaglin modified
+    * z-score `0.6745 · (x − median) / MAD` with `MAD = median(|x −
+    * median|)` — the heavy-tail-safe complement of [[winsorize]] and of
+    * moment-based z-scores (one 10⁹-char document shifts a mean/stddev
+    * gate and masks its neighbors; it cannot move the median of a large
+    * group). Adds `v_med`, `v_mad`, `score`, `is_outlier` (|score| >
+    * `sigmas`). Degenerate groups (MAD = 0: ≥ half the group identical)
+    * get a NULL score and never flag — a zero-spread group has no robust
+    * scale to judge against; use a value-range [[Checks]] assertion
+    * there.
+    *
+    * Exactness: medians are exact interpolated `percentile` (the
+    * DuckDB-`quantile_cont` parity baseline q46 proves), the score is a
+    * fixed IEEE sequence over them, so even the flag booleans
+    * hash-match. `exact = false` swaps both median passes for
+    * bounded-memory mergeable `approx_percentile` — the 100 TB path,
+    * with the q52 rank-error contract.
+    *
+    * Scale shape: two aggregation passes over the fact (median, then MAD
+    * of deviations — an irreducible data dependency), each producing a
+    * #groups-row model table that broadcasts back; the data path never
+    * shuffles. Null groups keep [[winsorize]]'s null-safe-join
+    * contract. */
+  def robustZScore(df: DataFrame, groupCol: String, valueCol: String,
+                   sigmas: Double = 3.5, exact: Boolean = true,
+                   accuracy: Int = 10000): DataFrame = {
+    require(sigmas > 0, s"sigmas must be positive, got $sigmas")
+    Seq("v_med", "v_mad", "score", "is_outlier", "_g", "_dev").foreach(r =>
+      require(!df.columns.contains(r), s"input must not already contain column $r"))
+    def med(c: Column): Column =
+      if (exact) percentile(c, lit(0.5))
+      else percentile_approx(c, lit(0.5), lit(accuracy)).cast("double")
+    val medians = df.groupBy(col(groupCol))
+      .agg(med(col(valueCol)).as("v_med"))
+      .withColumnRenamed(groupCol, "_g")
+    val withDev = df
+      .join(broadcast(medians), col(groupCol) <=> col("_g"), "left").drop("_g")
+      .withColumn("_dev", abs(col(valueCol).cast("double") - col("v_med")))
+    val mads = withDev.groupBy(col(groupCol))
+      .agg(med(col("_dev")).as("v_mad"))
+      .withColumnRenamed(groupCol, "_g")
+    withDev
+      .join(broadcast(mads), col(groupCol) <=> col("_g"), "left").drop("_g")
+      .withColumn("score",
+        when(col("v_mad") === 0.0, lit(null).cast("double"))
+          .otherwise(lit(0.6745) * (col(valueCol).cast("double") - col("v_med"))
+            / col("v_mad")))
+      .withColumn("is_outlier", coalesce(abs(col("score")) > lit(sigmas), lit(false)))
+      .drop("_dev")
+  }
 }

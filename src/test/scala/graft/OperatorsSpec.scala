@@ -2315,4 +2315,35 @@ class OperatorsSpec extends SparkSuite {
     assert(dataWindows.nonEmpty && dataWindows.forall(l => l.contains("_grp") && l.contains("_sb")),
       s"ranking windows must be (group, sub-bucket)-partitioned:\n${dataWindows.mkString("\n")}")
   }
+
+  test("robustZScore: modified z flags the planted spike, MAD-0 group never flags, null group kept") {
+    import spark.implicits._
+    // group a (6 values): interpolated median 10.5, devs {2.5,1.5,0.5,0.5,
+    // 1.5,89.5} -> MAD 1.5; the spike scores 0.6745*89.5/1.5 = 40.2;
+    // group b: all-identical -> MAD 0 -> NULL scores, no flags;
+    // null group: must survive the joins (winsorize's contract)
+    val df = (Seq(8L, 9L, 10L, 11L, 12L, 100L).map(v => (Option("a"), v)) ++
+      Seq(5L, 5L, 5L, 5L).map(v => (Option("b"), v)) ++
+      Seq((Option.empty[String], 7L))).toDF("g", "v")
+    val out = graft.operators.Outliers.robustZScore(df, "g", "v", sigmas = 3.5)
+    val rows = out.collect().map(r => (Option(r.getString(0)), r.getLong(1)) ->
+      ((Option(r.get(4)).map(_.asInstanceOf[Double]), r.getBoolean(5)))).toMap
+    assert(rows((Some("a"), 100L))._2, "the spike must flag")
+    assert(rows((Some("a"), 100L))._1.get == 0.6745 * 89.5 / 1.5)
+    assert(rows((Some("a"), 10L))._1.get == 0.6745 * -0.5 / 1.5)
+    Seq(8L, 9L, 11L, 12L).foreach(v => assert(!rows((Some("a"), v))._2, s"a/$v must not flag"))
+    Seq(5L).foreach(v => assert(rows((Some("b"), v)) == ((None, false)), "MAD-0 group: NULL score, no flag"))
+    // singleton null group: MAD 0 -> NULL score, kept, unflagged
+    assert(rows((None, 7L)) == ((None, false)))
+    assert(out.count() == 11)
+  }
+
+  test("snapshotDiff: all four statuses from content fingerprints") {
+    import spark.implicits._
+    val v1 = Seq((1L, "same"), (2L, "will change"), (3L, "gone")).toDF("id", "text")
+    val v2 = Seq((1L, "same"), (2L, "did change"), (4L, "brand new")).toDF("id", "text")
+    val out = graft.operators.Cdc.snapshotDiff(v1, v2, "id", "text")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out == Map(1L -> "unchanged", 2L -> "changed", 3L -> "removed", 4L -> "added"))
+  }
 }
