@@ -181,6 +181,7 @@ object SparkEntry {
     "q120_domain_percentile" -> q120,
     "q121_robust_zscore" -> q121,
     "q122_corpus_diff" -> q122,
+    "q123_shingle_stats_update" -> q123,
   )
 
   // =====================================================================
@@ -1883,6 +1884,30 @@ object SparkEntry {
           .otherwise(col("text")).as("text"))
     graft.operators.Cdc.snapshotDiff(v1, v2, "doc_id", "text")
       .orderBy(col("id"))
+  }
+
+  /** Incremental SHINGLE-df maintenance — the novelty/decontamination
+    * model's lifecycle (q119's algebra over the data-sized hashed-shingle
+    * universe, where incremental upkeep matters most): persist base-corpus
+    * (sh, df, n_docs) bucketed on sh, absorb the batch without
+    * re-shingling the base, emit the merged df ≥ 2 shared-key set — the
+    * exact input [[graft.streaming.Streams.noveltyStream]]'s Bloom
+    * rebuilds from. Oracle = df ≥ 2 keys over the WHOLE corpus in one
+    * pass. */
+  private def q123(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val base = docs.where(col("doc_id") % 3 =!= 0)
+    val batch = docs.where(col("doc_id") % 3 === 0)
+    val statsTable = "graft_q123_shingle_stats_" +
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(dir.getBytes("UTF-8")).take(4).map("%02x".format(_)).mkString
+    Tables.writeBucketed(
+      graft.operators.Boilerplate.shingleDfStats(base, "doc_id", "text", 3),
+      statsTable, buckets = 8, "sh")
+    graft.operators.Boilerplate.sharedKeysFromStats(
+        graft.operators.Boilerplate.updateShingleDfStats(
+          s.table(statsTable), batch, "doc_id", "text", 3))
+      .orderBy(col("sh"))
   }
 
   // =====================================================================
@@ -3831,6 +3856,15 @@ object SparkEntry {
              old_fp, new_fp
            FROM v1 FULL OUTER JOIN v2 ON v1.id = v2.id
            ORDER BY id""",
+
+      // incremental ≡ rebuild for the shingle-df model: the merged df ≥ 2
+      // key set must equal the one-pass computation over the whole corpus
+      "q123_shingle_stats_update" ->
+        s"""WITH shp AS (
+             SELECT doc_id AS id, unnest(${hashedShingles(3)}) AS sh
+             FROM (SELECT doc_id, $toks AS toks FROM documents) d)
+           SELECT sh FROM (SELECT sh, count(*) AS dfc FROM shp GROUP BY sh)
+           WHERE dfc >= 2 ORDER BY sh""",
     )
   }
 }

@@ -84,17 +84,55 @@ object Boilerplate {
     * doc counts are 1-row broadcasts. Nothing rescans, nothing is
     * data-wide. */
   def updateDfStats(stats: DataFrame, batch: DataFrame,
-                    idCol: String, textCol: String): DataFrame = {
-    val b = dfStats(batch, idCol, textCol)
-    // max over a constant column = the constant; null (empty side) → 0
+                    idCol: String, textCol: String): DataFrame =
+    mergeAdditiveStats(stats, "tok", dfStats(batch, idCol, textCol),
+      batch.select(count(lit(1)).as("_cn")))
+
+  /** [[dfStats]] for the HASHED-SHINGLE universe — the persisted model
+    * behind [[sharedShingleKeys]]/[[shingleNovelty]] and the streaming
+    * novelty Bloom: one row per distinct 60-bit shingle key, `(sh, df,
+    * n_docs)`, self-describing like the token form. Bucket on `sh`; the
+    * table is data-sized (unlike the pigeonhole-bounded token
+    * vocabulary), which is exactly why maintaining it INCREMENTALLY
+    * beats re-shingling the corpus per batch. */
+  def shingleDfStats(docs: DataFrame, idCol: String, textCol: String,
+                     shingleLen: Int): DataFrame =
+    shinglePostings(docs, idCol, textCol, shingleLen)
+      .groupBy(col("sh")).agg(count(lit(1)).as("df"))
+      .crossJoin(broadcast(docs.select(count(lit(1)).as("n_docs"))))
+
+  /** Absorb a batch into persisted [[shingleDfStats]] — identical merge
+    * algebra to [[updateDfStats]] (df and n_docs additive over disjoint
+    * doc sets), over the shingle key: the batch shingles ONCE, the base
+    * corpus never re-shingles, the persisted side arrives bucketed on
+    * `sh` so the full-outer join shuffles only the batch's keys. The
+    * downstream models refresh from the merged stats: `df ≥ 2` keys →
+    * rebuild the novelty Bloom ([[graft.streaming.Streams.noveltyStream]]),
+    * per-doc novelty → join docs against the stats instead of a fresh df
+    * pass. */
+  def updateShingleDfStats(stats: DataFrame, batch: DataFrame, idCol: String,
+                           textCol: String, shingleLen: Int): DataFrame =
+    mergeAdditiveStats(stats, "sh",
+      shingleDfStats(batch, idCol, textCol, shingleLen),
+      batch.select(count(lit(1)).as("_cn")))
+
+  /** The df ≥ 2 key set read off (possibly merged) [[shingleDfStats]] —
+    * result-identical to [[sharedShingleKeys]] over the same corpus
+    * (hash-checked by q123's oracle), zero text touched. */
+  def sharedKeysFromStats(stats: DataFrame): DataFrame =
+    stats.where(col("df") >= 2L).select(col("sh"))
+
+  private def mergeAdditiveStats(stats: DataFrame, keyCol: String,
+                                 batchStats: DataFrame,
+                                 batchN: DataFrame): DataFrame = {
     val baseN = stats.select(max(col("n_docs")).as("_bn"))
-    val batchN = batch.select(count(lit(1)).as("_cn"))
-    stats.select(col("tok"), col("df"))
-      .join(b.select(col("tok"), col("df").as("_dfb")), Seq("tok"), "full_outer")
-      .select(col("tok"),
+    stats.select(col(keyCol), col("df"))
+      .join(batchStats.select(col(keyCol), col("df").as("_dfb")),
+        Seq(keyCol), "full_outer")
+      .select(col(keyCol),
         (coalesce(col("df"), lit(0L)) + coalesce(col("_dfb"), lit(0L))).as("df"))
       .crossJoin(broadcast(baseN)).crossJoin(broadcast(batchN))
-      .select(col("tok"), col("df"),
+      .select(col(keyCol), col("df"),
         (coalesce(col("_bn"), lit(0L)) + col("_cn")).as("n_docs"))
   }
 

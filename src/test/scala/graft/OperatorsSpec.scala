@@ -2346,4 +2346,30 @@ class OperatorsSpec extends SparkSuite {
       .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
     assert(out == Map(1L -> "unchanged", 2L -> "changed", 3L -> "removed", 4L -> "added"))
   }
+
+  test("updateShingleDfStats: incremental shingle-df merge equals rebuild; shared keys agree") {
+    import graft.operators.Boilerplate
+    import spark.implicits._
+    val base = Seq(
+      (1L, "alpha beta gamma delta epsilon"),
+      (2L, "alpha beta gamma zeta eta")).toDF("doc_id", "text")
+    val batch = Seq(
+      (3L, "alpha beta gamma delta theta"),
+      (4L, "iota kappa lambda mu nu")).toDF("doc_id", "text")
+    val all = base.unionAll(batch)
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy("sh").collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val merged = Boilerplate.updateShingleDfStats(
+      Boilerplate.shingleDfStats(base, "doc_id", "text", 3), batch,
+      "doc_id", "text", 3)
+    assert(canon(merged.select("sh", "df")) ==
+      canon(Boilerplate.shingleDfStats(all, "doc_id", "text", 3).select("sh", "df")))
+    assert(merged.select("n_docs").distinct().collect().map(_.getLong(0)).toSeq == Seq(4L))
+    // the df >= 2 key set off the merged stats = sharedShingleKeys(all)
+    val fromStats = Boilerplate.sharedKeysFromStats(merged)
+      .collect().map(_.getLong(0)).sorted.toSeq
+    val oneShot = Boilerplate.sharedShingleKeys(all, "doc_id", "text", 3)
+      .collect().map(_.getLong(0)).sorted.toSeq
+    assert(fromStats == oneShot && fromStats.nonEmpty)
+  }
 }

@@ -691,4 +691,18 @@ class ScaleSpec extends SparkSuite {
     assert(baseScans.isEmpty,
       s"merge path re-reads the base slice:\n${baseScans.mkString("\n")}")
   }
+
+  test("shingle-df lifecycle merges against the persisted stats: no base re-shingle") {
+    // q123: same contract as the vocab lifecycle, over the data-sized
+    // shingle universe — the batch shingles once, the base never again.
+    val df = SparkEntry.queries("q123_shingle_stats_update")(spark, sf0001)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("graft_q123_shingle_stats_"),
+      s"stats not read from the stored table:\n$plan")
+    val baseScans = plan.linesIterator
+      .filter(_.contains("documents.parquet")).filter(_.contains("NOT ((doc_id")).toSeq
+    assert(baseScans.isEmpty,
+      s"merge path re-shingles the base slice:\n${baseScans.mkString("\n")}")
+  }
 }
