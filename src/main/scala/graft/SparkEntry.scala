@@ -182,6 +182,7 @@ object SparkEntry {
     "q121_robust_zscore" -> q121,
     "q122_corpus_diff" -> q122,
     "q123_shingle_stats_update" -> q123,
+    "q124_trust_propagation" -> q124,
   )
 
   // =====================================================================
@@ -1908,6 +1909,27 @@ object SparkEntry {
         graft.operators.Boilerplate.updateShingleDfStats(
           s.table(statsTable), batch, "doc_id", "text", 3))
       .orderBy(col("sh"))
+  }
+
+  /** TRUST PROPAGATION — personalized integer PageRank
+    * ([[graft.operators.Graph.pageRankInt]] with a seed set, the
+    * TrustRank shape): initial mass and per-round teleport land only on
+    * suppliers from two vetted nations; rank measures damped
+    * reachability from the trusted set over the part↔supplier graph —
+    * the quality-label propagation a curation pipeline runs from known-
+    * good domains. Same exact-BIGINT arithmetic as q87, so the unrolled
+    * oracle is bit-identical; unreachable nodes sit at exactly 0. */
+  private def q124(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(s, dir)
+      .select(col("l_partkey").as("p"), (col("l_suppkey") + lit(1000000L)).as("sn"))
+    val edges = li.select(col("p").as("src"), col("sn").as("dst"))
+      .union(li.select(col("sn").as("src"), col("p").as("dst")))
+    val seeds = Tables.supplier(s, dir)
+      .where(col("s_nationkey").isin(0, 1))
+      .select((col("s_suppkey") + lit(1000000L)).as("node"))
+    graft.operators.Graph.pageRankInt(edges, "src", "dst", iterations = 3,
+        seeds = Some(seeds))
+      .orderBy(col("node"))
   }
 
   // =====================================================================
@@ -3865,6 +3887,36 @@ object SparkEntry {
              FROM (SELECT doc_id, $toks AS toks FROM documents) d)
            SELECT sh FROM (SELECT sh, count(*) AS dfc FROM shp GROUP BY sh)
            WHERE dfc >= 2 ORDER BY sh""",
+
+      // q87's unrolled integer rounds with the seed CASE: init mass and
+      // teleport only on trusted-nation suppliers — bit-identical BIGINT
+      // arithmetic, unreachable nodes exactly 0 on both engines
+      "q124_trust_propagation" -> {
+        val rounds = (1 to 3).map { i =>
+          s"""r$i AS (
+             SELECT n.node,
+               CAST((CASE WHEN s.node IS NOT NULL THEN 150000 ELSE 0 END)
+                 + (85 * coalesce(c.in_fp, 0)) // 100 AS BIGINT) AS rank_fp
+             FROM n LEFT JOIN seeds s ON s.node = n.node LEFT JOIN (
+               SELECT e.dst AS node, CAST(sum(r${i - 1}.rank_fp // d.deg) AS BIGINT) AS in_fp
+               FROM e JOIN r${i - 1} ON r${i - 1}.node = e.src JOIN d ON d.src = e.src
+               GROUP BY e.dst) c ON c.node = n.node)"""
+        }.mkString(",\n")
+        s"""WITH e AS (
+             SELECT DISTINCT l_partkey AS src, l_suppkey + 1000000 AS dst FROM lineitem
+             UNION
+             SELECT DISTINCT l_suppkey + 1000000 AS src, l_partkey AS dst FROM lineitem),
+           n AS (SELECT DISTINCT src AS node FROM e
+                 UNION SELECT DISTINCT dst AS node FROM e),
+           seeds AS (SELECT DISTINCT s_suppkey + 1000000 AS node FROM supplier
+                     WHERE s_nationkey IN (0, 1)),
+           d AS (SELECT src, CAST(count(*) AS BIGINT) AS deg FROM e GROUP BY src),
+           r0 AS (SELECT n.node,
+               CAST(CASE WHEN s.node IS NOT NULL THEN 1000000 ELSE 0 END AS BIGINT) AS rank_fp
+             FROM n LEFT JOIN seeds s ON s.node = n.node),
+           $rounds
+           SELECT node, rank_fp FROM r3 ORDER BY node"""
+      },
     )
   }
 }

@@ -49,20 +49,40 @@ object Graph {
     * retry and the plan grows without bound. */
   def pageRankInt(edges: DataFrame, srcCol: String, dstCol: String,
                   iterations: Int, dampNum: Long = 85L, dampDen: Long = 100L,
-                  scale: Long = 1000000L, checkpoint: Boolean = true): DataFrame = {
+                  scale: Long = 1000000L, checkpoint: Boolean = true,
+                  seeds: Option[DataFrame] = None): DataFrame = {
     require(iterations >= 1, "iterations must be >= 1")
     require(dampNum > 0 && dampNum < dampDen, "need 0 < dampNum < dampDen")
     val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst")).distinct()
       // one shuffle up front; every round's src-join reuses this layout
       .repartition(col("src")).persist()
-    val nodes = e.select(col("src").as("node"))
-      .union(e.select(col("dst").as("node"))).distinct().persist()
+    // PERSONALIZED variant (TrustRank — Gyöngyi et al., VLDB 2004): when a
+    // seed set is given, both the initial mass and the per-round teleport
+    // land ONLY on seeds, so rank measures damped reachability FROM the
+    // trusted set (label/quality propagation from vetted domains); nodes
+    // unreachable from any seed stay at exactly 0. With seeds = None every
+    // node is a seed and the arithmetic reduces bit-for-bit to plain
+    // damped PageRank.
+    val nodes = (seeds match {
+      case Some(sd) =>
+        val sn = sd.select(col(sd.columns.head).as("node")).distinct()
+          .withColumn("_seed", lit(true))
+        e.select(col("src").as("node"))
+          .union(e.select(col("dst").as("node"))).distinct()
+          .join(sn, Seq("node"), "left")
+          .select(col("node"), coalesce(col("_seed"), lit(false)).as("_seed"))
+      case None =>
+        e.select(col("src").as("node"))
+          .union(e.select(col("dst").as("node"))).distinct()
+          .withColumn("_seed", lit(true))
+    }).persist()
     val outdeg = e.groupBy(col("src")).agg(count(lit(1)).as("deg"))
     val teleport = (scale * (dampDen - dampNum)) / dampDen
     def cut(df: DataFrame): DataFrame =
       if (checkpoint) df.localCheckpoint() else df
 
-    var ranks = cut(nodes.withColumn("rank_fp", lit(scale)))
+    var ranks = cut(nodes.select(col("node"),
+      when(col("_seed"), lit(scale)).otherwise(lit(0L)).as("rank_fp")))
     for (_ <- 1 to iterations) {
       val contrib = e
         .join(ranks.withColumnRenamed("node", "src"), Seq("src"))
@@ -74,7 +94,8 @@ object Graph {
       ranks = cut(nodes
         .join(contrib.withColumnRenamed("dst", "node"), Seq("node"), "left")
         .select(col("node"),
-          expr(s"${teleport}L + (${dampNum}L * coalesce(in_fp, 0L)) DIV ${dampDen}L")
+          expr(s"(CASE WHEN _seed THEN ${teleport}L ELSE 0L END) + " +
+            s"(${dampNum}L * coalesce(in_fp, 0L)) DIV ${dampDen}L")
             .as("rank_fp")))
     }
     if (checkpoint) { e.unpersist(); nodes.unpersist() }

@@ -112,4 +112,33 @@ class CdcGraphSpec extends SparkSuite {
     val expected = math.round(math.log(5.0 * 15.0 / 5.0 / 5.0) * 1e6)
     assert(out == Map(("big", "data") -> (5L, expected)))
   }
+
+  test("personalized pageRankInt: seed-only mass, unreachable nodes exactly 0, all-seeds = plain") {
+    import spark.implicits._
+    // 1 -> 2 -> 3 chain plus a disconnected 4 -> 5: seeds {1}
+    val edges = Seq((1L, 2L), (2L, 3L), (4L, 5L)).toDF("src", "dst")
+    val seeds = Seq(1L).toDF("node")
+    val out = graft.operators.Graph.pageRankInt(edges, "src", "dst",
+        iterations = 3, seeds = Some(seeds))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // 1 has no in-edges: pure teleport each round = 150000
+    assert(out(1L) == 150000L)
+    // trust flows down the chain; nothing reaches the disconnected pair
+    assert(out(2L) > 0L && out(3L) > 0L)
+    assert(out(4L) == 0L && out(5L) == 0L)
+    // round arithmetic check: r1(2) = 85 * 1000000 // 100 = 850000;
+    // r2(2) = 85 * 150000 // 100 = 127500 (contrib from 1's r1);
+    // r3(2) = the same 127500 (1 is constant from round 1 on)
+    assert(out(2L) == 127500L)
+    // r3(3) = 85 * r2(2) // 100 = 85 * 850000... via chain: r2(3) from r1(2)=850000
+    // -> r3(3) = 85 * 127500... no: r3(3) uses r2(2) = 127500 -> 108375
+    assert(out(3L) == 85L * 127500L / 100L)
+    // seeds = every node reduces bit-for-bit to the plain form
+    val allNodes = Seq(1L, 2L, 3L, 4L, 5L).toDF("node")
+    val p1 = graft.operators.Graph.pageRankInt(edges, "src", "dst", iterations = 2,
+      seeds = Some(allNodes)).collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
+    val p2 = graft.operators.Graph.pageRankInt(edges, "src", "dst", iterations = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
+    assert(p1.toSeq == p2.toSeq)
+  }
 }
