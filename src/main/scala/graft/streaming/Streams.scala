@@ -287,6 +287,9 @@ object Streams {
   def splitRoutingStream(docs: DataFrame, idCol: String, textCol: String,
                          clusterFps: DataFrame,
                          splits: Seq[(String, Double)]): DataFrame = {
+    Seq("_fp", "representative", "_route_key", "split").foreach(r =>
+      require(!docs.columns.contains(r),
+        s"input must not already contain column $r"))
     val keyed = docs
       .withColumn("_fp", graft.functions.Text.fingerprint(col(textCol)))
       .join(clusterFps.select(col("fp").as("_fp"), col("representative")),
