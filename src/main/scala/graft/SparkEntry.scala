@@ -183,6 +183,7 @@ object SparkEntry {
     "q122_corpus_diff" -> q122,
     "q123_shingle_stats_update" -> q123,
     "q124_trust_propagation" -> q124,
+    "q125_cms_frequency" -> q125,
   )
 
   // =====================================================================
@@ -1930,6 +1931,26 @@ object SparkEntry {
     graft.operators.Graph.pageRankInt(edges, "src", "dst", iterations = 3,
         seeds = Some(seeds))
       .orderBy(col("node"))
+  }
+
+  /** Count-min point-frequency service (NO oracle — approximate by
+    * design like q30/q38's family; the driver records rows-only and the
+    * spec proves the one-sided ε·N bound and merge linearity): sketch
+    * every token occurrence into a 4×2048 CMS
+    * ([[graft.operators.CountMin]]), then estimate each distinct
+    * token's frequency off the plan-literal model — Bloom's
+    * model-not-data contract for counts. */
+  private def q125(s: SparkSession, dir: String): DataFrame = {
+    // the 3-shingle universe (thousands of keys at sf0.01 — a real
+    // approximation regime for a 4×2048 sketch; the 31-token vocabulary
+    // would be trivially exact)
+    val sh = Tables.documents(s, dir)
+      .select(explode(Text.fastWordShingles(col("text"), 3)).as("s"))
+      .select(Dedup.shingleKey(col("s")).as("key"))
+    val cms = graft.operators.CountMin.build(sh, "key", depth = 4, width = 2048)
+    sh.distinct()
+      .withColumn("est_count", cms.estimate(col("key")))
+      .orderBy(col("key"))
   }
 
   // =====================================================================

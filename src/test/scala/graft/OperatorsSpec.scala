@@ -2372,4 +2372,37 @@ class OperatorsSpec extends SparkSuite {
       .collect().map(_.getLong(0)).sorted.toSeq
     assert(fromStats == oneShot && fromStats.nonEmpty)
   }
+
+  test("countMin: estimates never undercount, honor the eps*N bound, and merge linearly") {
+    import graft.operators.CountMin
+    import spark.implicits._
+    // 300 keys, key k occurring (k % 13 + 1) times -> N = sum of counts
+    val occ = (1L to 300L).flatMap(k => Seq.fill((k % 13).toInt + 1)(k))
+    val keys = occ.toDF("key")
+    val cms = CountMin.build(keys, "key", depth = 4, width = 2048)
+    assert(cms.total == occ.length.toLong)
+    val exact = occ.groupBy(identity).map { case (k, v) => k -> v.length.toLong }
+    val est = keys.distinct().withColumn("est", cms.estimate(col("key")))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // one-sided: a CMS can only ever overcount
+    exact.foreach { case (k, c) =>
+      assert(est(k) >= c, s"undercount for $k: ${est(k)} < $c") }
+    // the eps*N bound holds per-key with prob 1 - e^-depth (~0.98); the
+    // fixed hash family makes the outcome deterministic — require >= 95%
+    val within = exact.count { case (k, c) => est(k) - c <= cms.errorBound }
+    assert(within >= (exact.size * 95) / 100,
+      s"only $within/${exact.size} within eps*N = ${cms.errorBound}")
+    // linearity: cellwise merge of two half-builds = one build of the union
+    val (a, b) = occ.splitAt(occ.length / 2)
+    val merged = CountMin.build(a.toDF("key"), "key", 4, 2048)
+      .merge(CountMin.build(b.toDF("key"), "key", 4, 2048))
+    assert(merged.table.toSeq == cms.table.toSeq && merged.total == cms.total)
+    // weighted build: weights sum instead of counting rows
+    val wdf = Seq((7L, 5L), (7L, 3L), (9L, 2L)).toDF("key", "w")
+    val wcms = CountMin.build(wdf, "key", 2, 64, weightCol = Some("w"))
+    val west = wdf.select(col("key")).distinct()
+      .withColumn("est", wcms.estimate(col("key")))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(wcms.total == 10L && west(7L) >= 8L && west(9L) >= 2L)
+  }
 }
