@@ -184,6 +184,7 @@ object SparkEntry {
     "q123_shingle_stats_update" -> q123,
     "q124_trust_propagation" -> q124,
     "q125_cms_frequency" -> q125,
+    "q126_cdc_chunking" -> q126,
   )
 
   // =====================================================================
@@ -1952,6 +1953,18 @@ object SparkEntry {
       .withColumn("est_count", cms.estimate(col("key")))
       .orderBy(col("key"))
   }
+
+  /** Content-defined chunking — gear-hash boundaries over the shared
+    * hashed-shingle universe (boundary where the 3-shingle key ≡ 0
+    * mod 32 → ~32-token chunks): the insertion-robust dedup unit q72's
+    * fixed stride cannot give (an early edit shifts every fixed window,
+    * but content-defined boundaries downstream of the edit stay put)
+    * ([[graft.operators.Chunking.contentDefinedChunks]]). Chunk
+    * fingerprints feed exact dedup directly. */
+  private def q126(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Chunking.contentDefinedChunks(
+        Tables.documents(s, dir), "doc_id", "text", divisor = 32)
+      .orderBy(col("doc_id"), col("chunk_idx"))
 
   // =====================================================================
   // DuckDB oracle SQL — same semantics, same column names, same ORDER BY.
@@ -3908,6 +3921,34 @@ object SparkEntry {
              FROM (SELECT doc_id, $toks AS toks FROM documents) d)
            SELECT sh FROM (SELECT sh, count(*) AS dfc FROM shp GROUP BY sh)
            WHERE dfc >= 2 ORDER BY sh""",
+
+      // identical boundary arithmetic over the ORDERED (not distinct'd)
+      // hashed shingles: cut after shingle-end i+2 when key % 32 = 0;
+      // token j's chunk = cuts strictly before j; md5 fingerprints and
+      // reassembled text hash-match through the shared token order
+      "q126_cdc_chunking" -> {
+        val orderedKeys =
+          s"list_transform(${shingles(3)}, s -> CAST('0x' || substr(md5(s), 1, 15) AS BIGINT))"
+        s"""WITH t AS (SELECT doc_id, $toks AS toks FROM documents),
+           tok AS (SELECT doc_id, unnest(range(0, len(toks))) AS p, toks
+                   FROM t WHERE len(toks) > 0),
+           flat AS (SELECT doc_id, p, toks[p + 1] AS tok FROM tok),
+           shl AS (SELECT doc_id, $orderedKeys AS keys FROM t WHERE len(toks) > 0),
+           cuts AS (SELECT doc_id,
+               list_filter(list_transform(range(0, len(keys)),
+                 i -> CASE WHEN keys[i + 1] % 32 = 0 THEN i + 2 ELSE -1 END),
+                 x -> x >= 0) AS cs
+             FROM shl),
+           asg AS (SELECT f.doc_id, f.p, f.tok,
+               coalesce(len(list_filter(c.cs, x -> x < f.p)), 0) AS chunk_idx
+             FROM flat f LEFT JOIN cuts c USING (doc_id))
+           SELECT doc_id, CAST(chunk_idx AS BIGINT) AS chunk_idx,
+             CAST(count(*) AS BIGINT) AS n_tok,
+             md5(string_agg(tok, ' ' ORDER BY p)) AS chunk_fp,
+             string_agg(tok, ' ' ORDER BY p) AS chunk_text
+           FROM asg GROUP BY doc_id, chunk_idx
+           ORDER BY doc_id, chunk_idx"""
+      },
 
       // q87's unrolled integer rounds with the seed CASE: init mass and
       // teleport only on trusted-nation suppliers — bit-identical BIGINT

@@ -2405,4 +2405,34 @@ class OperatorsSpec extends SparkSuite {
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(wcms.total == 10L && west(7L) >= 8L && west(9L) >= 2L)
   }
+
+  test("contentDefinedChunks: boundary locality — an early edit leaves later chunks identical") {
+    import graft.operators.Chunking
+    import spark.implicits._
+    // long synthetic doc; divisor 8 for several chunks at this length
+    val words = (1 to 120).map(i => s"w${i % 37}x$i").mkString(" ")
+    val edited = "INSERTED " + words // one token prepended at the front
+    val docs = Seq((1L, words), (2L, edited)).toDF("doc_id", "text")
+    val out = Chunking.contentDefinedChunks(docs, "doc_id", "text", divisor = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getString(3)).toMap
+    val c1 = out.filter(_._1._1 == 1L).toSeq.sortBy(_._1._2).map(_._2)
+    val c2 = out.filter(_._1._1 == 2L).toSeq.sortBy(_._1._2).map(_._2)
+    assert(c1.size >= 3, s"need several chunks, got ${c1.size}")
+    // content-defined: every boundary is a pure function of local content,
+    // so the edited doc re-synchronizes — its trailing chunks equal the
+    // original's trailing chunks (fixed-stride windows would ALL shift)
+    val common = c1.reverse.zip(c2.reverse).takeWhile { case (a, b) => a == b }.size
+    assert(common >= c1.size - 2,
+      s"chunks did not re-synchronize after the edit: $common of ${c1.size} shared")
+    // reconstruction: chunks tile the token stream exactly, in order
+    val rebuilt = Chunking.contentDefinedChunks(docs, "doc_id", "text", divisor = 8)
+      .where(col("doc_id") === 1L).orderBy(col("chunk_idx"))
+      .collect().map(_.getString(4)).mkString(" ")
+    assert(rebuilt == words)
+    // tiny docs (< shingle length) never cut
+    val tiny = Seq((9L, "just two")).toDF("doc_id", "text")
+    val t9 = Chunking.contentDefinedChunks(tiny, "doc_id", "text", divisor = 2)
+      .collect()
+    assert(t9.length == 1 && t9.head.getLong(2) == 2L && t9.head.getString(4) == "just two")
+  }
 }
