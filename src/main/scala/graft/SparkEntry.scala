@@ -185,6 +185,7 @@ object SparkEntry {
     "q124_trust_propagation" -> q124,
     "q125_cms_frequency" -> q125,
     "q126_cdc_chunking" -> q126,
+    "q127_chunk_reuse" -> q127,
   )
 
   // =====================================================================
@@ -1965,6 +1966,34 @@ object SparkEntry {
     graft.operators.Chunking.contentDefinedChunks(
         Tables.documents(s, dir), "doc_id", "text", divisor = 32)
       .orderBy(col("doc_id"), col("chunk_idx"))
+
+  /** CROSS-VERSION chunk reuse — why content-defined boundaries exist:
+    * v2 prepends two tokens to every doc_id ≡ 0 (mod 3) (the edit that
+    * shifts EVERY fixed-stride window), then measures per doc how many
+    * of v2's distinct chunk fingerprints already exist in v1's chunks
+    * of the same doc. Edited docs re-synchronize after the edit (high
+    * but < 1 reuse); untouched docs reuse 1.0 — so an incremental
+    * pipeline re-processes only the novel chunks. Composes q126's
+    * chunker with q122's versioning framing. */
+  private def q127(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val v2 = docs.select(col("doc_id"),
+      when(col("doc_id") % 3 === 0, concat(lit("totally new "), col("text")))
+        .otherwise(col("text")).as("text"))
+    def fps(v: DataFrame) =
+      graft.operators.Chunking.contentDefinedChunks(v, "doc_id", "text", divisor = 32)
+        .select(col("doc_id"), col("chunk_fp")).distinct()
+    val c1 = fps(docs.select(col("doc_id"), col("text"))).toDF("d1", "fp1")
+    val c2 = fps(v2)
+    c2.join(c1, col("doc_id") === col("d1") && col("chunk_fp") === col("fp1"),
+        "left")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_chunks"),
+        sum(when(col("fp1").isNotNull, 1L).otherwise(0L)).as("n_shared"))
+      .withColumn("reuse_frac",
+        col("n_shared").cast("double") / col("n_chunks").cast("double"))
+      .orderBy(col("doc_id"))
+  }
 
   // =====================================================================
   // DuckDB oracle SQL — same semantics, same column names, same ORDER BY.
@@ -3948,6 +3977,41 @@ object SparkEntry {
              string_agg(tok, ' ' ORDER BY p) AS chunk_text
            FROM asg GROUP BY doc_id, chunk_idx
            ORDER BY doc_id, chunk_idx"""
+      },
+
+      // q126's chunk chain instantiated for v1 and the edited v2, joined
+      // on (doc, fingerprint): reuse counts are exact integers, the
+      // fraction one IEEE division
+      "q127_chunk_reuse" -> {
+        def toksOf(e: String) =
+          s"list_filter(string_split(trim(regexp_replace(lower($e), '\\s+', ' ', 'g')), ' '), x -> len(x) > 0)"
+        def chain(tag: String, e: String) =
+          s"""t$tag AS (SELECT doc_id, ${toksOf(e)} AS toks FROM documents),
+             tok$tag AS (SELECT doc_id, unnest(range(0, len(toks))) AS p, toks
+                         FROM t$tag WHERE len(toks) > 0),
+             flat$tag AS (SELECT doc_id, p, toks[p + 1] AS tok FROM tok$tag),
+             shl$tag AS (SELECT doc_id,
+                 list_transform(${shingles(3)}, s -> CAST('0x' || substr(md5(s), 1, 15) AS BIGINT)) AS keys
+               FROM t$tag WHERE len(toks) > 0),
+             cuts$tag AS (SELECT doc_id,
+                 list_filter(list_transform(range(0, len(keys)),
+                   i -> CASE WHEN keys[i + 1] % 32 = 0 THEN i + 2 ELSE -1 END),
+                   x -> x >= 0) AS cs
+               FROM shl$tag),
+             asg$tag AS (SELECT f.doc_id, f.p, f.tok,
+                 coalesce(len(list_filter(c.cs, x -> x < f.p)), 0) AS chunk_idx
+               FROM flat$tag f LEFT JOIN cuts$tag c USING (doc_id)),
+             fps$tag AS (SELECT DISTINCT doc_id, fp FROM (
+               SELECT doc_id, chunk_idx, md5(string_agg(tok, ' ' ORDER BY p)) AS fp
+               FROM asg$tag GROUP BY doc_id, chunk_idx))"""
+        s"""WITH ${chain("1", "text")},
+           ${chain("2", "CASE WHEN doc_id % 3 = 0 THEN 'totally new ' || text ELSE text END")}
+           SELECT f2.doc_id, CAST(count(*) AS BIGINT) AS n_chunks,
+             CAST(sum(CASE WHEN f1.fp IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_shared,
+             CAST(sum(CASE WHEN f1.fp IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE)
+               / CAST(count(*) AS DOUBLE) AS reuse_frac
+           FROM fps2 f2 LEFT JOIN fps1 f1 ON f1.doc_id = f2.doc_id AND f1.fp = f2.fp
+           GROUP BY f2.doc_id ORDER BY f2.doc_id"""
       },
 
       // q87's unrolled integer rounds with the seed CASE: init mass and
