@@ -2,7 +2,7 @@ package graft.operators
 
 import graft.functions.Text
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** CONTENT-DEFINED chunking (the gear/Rabin family behind LBFS and
@@ -30,47 +30,60 @@ import org.apache.spark.sql.functions._
   * the md5 chunk fingerprint all hash-match.
   *
   * ## Scale shape (100 TB)
-  * One posexplode fan-out in the scan stage, one doc-partitioned window
-  * (per-partition state bounded by a document's tokens — doc-bounded,
-  * never corpus-bounded), one doc-keyed aggregation to reassemble.
-  * Chunk fingerprints feed the exact-dedup family directly
+  * ZERO shuffle: the whole chunker is one per-row column expression
+  * (tokenize → shingle keys → cut positions → span slices, all
+  * higher-order array functions over this document's tokens) followed
+  * by a scan-stage explode — a document's chunks never leave the task
+  * that read the document, and per-row state is doc-bounded by
+  * construction. This is also what makes the STREAMING twin free: the
+  * same expression is stateless, so
+  * [[graft.streaming.Streams.chunkStream]] reuses it verbatim. Chunk
+  * fingerprints feed the exact-dedup family directly
   * ([[Dedup.exact]] on `chunk_fp`). */
 object Chunking {
 
-  /** Chunk every document; returns `(idCol, chunk_idx, n_tok, chunk_fp,
-    * chunk_text)` with `chunk_idx` 0-based in token order and `chunk_fp`
-    * the md5 of the space-joined chunk tokens. */
-  def contentDefinedChunks(docs: DataFrame, idCol: String, textCol: String,
-                           divisor: Int, shingleLen: Int = 3): DataFrame = {
+  /** The per-row chunk array:
+    * `array<struct<chunk_idx long, n_tok long, chunk_fp string,
+    * chunk_text string>>` — empty for empty/whitespace text. */
+  def chunkColumn(text: Column, divisor: Int, shingleLen: Int = 3): Column = {
     require(divisor >= 2, s"divisor must be >= 2, got $divisor")
     require(shingleLen >= 2, s"shingleLen must be >= 2, got $shingleLen")
-    val toks = docs
-      .select(col(idCol), posexplode(Text.tokens(col(textCol))))
-      .toDF(idCol, "p", "tok")
-    // the shingle STARTING at p covers p .. p+shingleLen-1; a boundary
-    // shingle cuts AFTER its end position — token j starts a new chunk
-    // once a cutting shingle ended strictly before j
-    val cuts = docs
-      .select(col(idCol),
-        posexplode(Text.fastWordShingles(col(textCol), shingleLen)))
-      .toDF(idCol, "sp", "sh")
-      .where(pmod(Dedup.shingleKey(col("sh")), lit(divisor.toLong)) === 0L)
-      .select(col(idCol), (col("sp") + lit(shingleLen - 1)).as("cut_end"))
-    val assigned = toks
-      .join(cuts.groupBy(idCol).agg(collect_list(col("cut_end")).as("_cuts")),
-        Seq(idCol), "left")
-      .withColumn("chunk_idx",
-        coalesce(size(filter(col("_cuts"), c => c < col("p"))), lit(0)).cast("long"))
-      .drop("_cuts")
-    // the per-doc cut list is len/divisor entries — broadcastable per row;
-    // chunk assignment is a narrow array count, no window needed
-    assigned.groupBy(col(idCol), col("chunk_idx"))
-      .agg(sort_array(collect_list(struct(col("p"), col("tok")))).as("_ord"))
-      .select(col(idCol), col("chunk_idx"),
-        size(col("_ord")).cast("long").as("n_tok"),
-        md5(array_join(transform(col("_ord"), x => x.getField("tok")), " "))
-          .as("chunk_fp"),
-        array_join(transform(col("_ord"), x => x.getField("tok")), " ")
-          .as("chunk_text"))
+    val toks = Text.tokens(text)
+    val keys = transform(Text.fastWordShingles(text, shingleLen),
+      s => Dedup.shingleKey(s))
+    // the shingle STARTING at i covers i .. i+shingleLen-1; a boundary
+    // shingle cuts AFTER its end position
+    val cuts = filter(
+      transform(keys, (k, i) =>
+        when(pmod(k, lit(divisor.toLong)) === 0L, i + lit(shingleLen - 1))
+          .otherwise(lit(-1))),
+      c => c >= 0)
+    val len = size(toks)
+    val starts = concat(array(lit(0)), transform(cuts, c => c + 1))
+    val ends = concat(cuts, array(len - 1))
+    // a cut at the last token (or the empty document) would open an
+    // empty trailing span — the s <= e / s < len filter closes both
+    val spans = filter(
+      zip_with(starts, ends, (s, e) => struct(s.as("s"), e.as("e"))),
+      p => p.getField("s") <= p.getField("e") && p.getField("s") < len)
+    transform(spans, (p, k) => {
+      val n = p.getField("e") - p.getField("s") + 1
+      val body = array_join(slice(toks, p.getField("s") + 1, n), " ")
+      struct(k.cast("long").as("chunk_idx"), n.cast("long").as("n_tok"),
+        md5(body).as("chunk_fp"), body.as("chunk_text"))
+    })
   }
+
+  /** Chunk every document; returns `(idCol, chunk_idx, n_tok, chunk_fp,
+    * chunk_text)` with `chunk_idx` 0-based in token order and `chunk_fp`
+    * the md5 of the space-joined chunk tokens. Scan-stage fan-out only —
+    * no exchange anywhere (spec-asserted). */
+  def contentDefinedChunks(docs: DataFrame, idCol: String, textCol: String,
+                           divisor: Int, shingleLen: Int = 3): DataFrame =
+    docs
+      .select(col(idCol),
+        explode(chunkColumn(col(textCol), divisor, shingleLen)).as("_c"))
+      .select(col(idCol), col("_c.chunk_idx").as("chunk_idx"),
+        col("_c.n_tok").as("n_tok"), col("_c.chunk_fp").as("chunk_fp"),
+        col("_c.chunk_text").as("chunk_text"))
 }

@@ -299,6 +299,19 @@ object Streams {
       .drop("_fp", "_route_key")
   }
 
+  /** Streaming content-defined chunking — the batch operator
+    * ([[graft.operators.Chunking.contentDefinedChunks]]) reused
+    * VERBATIM: the chunker is one per-row column expression plus a
+    * scan-stage explode (zero shuffle, zero state), so the same call
+    * chunks an unbounded stream micro-batch by micro-batch with
+    * bit-identical boundaries to the batch pass — arriving documents
+    * fan out to their chunk rows (fingerprints ready for the
+    * incremental-dedup prefilters) with no watermark needed. */
+  def chunkStream(docs: DataFrame, idCol: String, textCol: String,
+                  divisor: Int, shingleLen: Int = 3): DataFrame =
+    graft.operators.Chunking.contentDefinedChunks(docs, idCol, textCol,
+      divisor, shingleLen)
+
   /** Streaming SPAN-LEVEL contamination scoring — the stateless per-row
     * twin of [[graft.operators.Dedup.contaminationSpans]]: a Bloom filter
     * built (in batch) over the benchmark set's window keys scores each

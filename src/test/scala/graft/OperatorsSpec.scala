@@ -2434,5 +2434,11 @@ class OperatorsSpec extends SparkSuite {
     val t9 = Chunking.contentDefinedChunks(tiny, "doc_id", "text", divisor = 2)
       .collect()
     assert(t9.length == 1 && t9.head.getLong(2) == 2L && t9.head.getString(4) == "just two")
+    // the whole chunker is per-row HOFs + a scan-stage explode: a
+    // document's chunks never leave the task that read it — NO exchange
+    val chunked = Chunking.contentDefinedChunks(docs, "doc_id", "text", divisor = 8)
+    chunked.collect()
+    val plan = chunked.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"chunker must not shuffle:\n$plan")
   }
 }

@@ -877,4 +877,28 @@ class StreamingSpec extends SparkSuite {
         case p if p.getClass.getName.contains("StateStore") => p }.isEmpty)
     } finally q.stop()
   }
+
+  test("streaming content-defined chunking: batch-identical chunks, stateless") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val text = (1 to 90).map(i => s"tok${i % 23}y$i").mkString(" ")
+    val batch = graft.operators.Chunking.contentDefinedChunks(
+        Seq((5L, text)).toDF("doc_id", "text"), "doc_id", "text", divisor = 8)
+      .collect().map(r => (r.getLong(1), r.getString(3))).sortBy(_._1).toSeq
+    val input = MemoryStream[(Long, String)]
+    val docs = input.toDF().select(col("_1").as("doc_id"), col("_2").as("text"))
+    val q = Streams.chunkStream(docs, "doc_id", "text", divisor = 8)
+      .writeStream.outputMode("append").format("memory").queryName("chunks").start()
+    try {
+      input.addData((5L, text))
+      q.processAllAvailable()
+      val got = spark.table("chunks").collect()
+        .map(r => (r.getLong(1), r.getString(3))).sortBy(_._1).toSeq
+      assert(got == batch && got.size >= 3)
+      val executed = q.asInstanceOf[org.apache.spark.sql.execution.streaming.runtime.StreamingQueryWrapper]
+        .streamingQuery.lastExecution.executedPlan
+      assert(executed.collect {
+        case p if p.getClass.getName.contains("StateStore") => p }.isEmpty)
+    } finally q.stop()
+  }
 }
