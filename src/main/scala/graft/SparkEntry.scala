@@ -186,6 +186,9 @@ object SparkEntry {
     "q125_cms_frequency" -> q125,
     "q126_cdc_chunking" -> q126,
     "q127_chunk_reuse" -> q127,
+    "q128_decayed_score" -> q128,
+    "q129_best_match" -> q129,
+    "q130_contrastive_negatives" -> q130,
   )
 
   // =====================================================================
@@ -1994,6 +1997,45 @@ object SparkEntry {
         col("n_shared").cast("double") / col("n_chunks").cast("double"))
       .orderBy(col("doc_id"))
   }
+
+  /** Exponentially time-decayed per-user engagement score in EXACT
+    * fixed point — the freshness signal of feed ranking / trending
+    * detection, with the libm-pow hazard designed out: dyadic weights
+    * `2^(horizon − age)` in half-life steps, BIGINT-only, hard expiry
+    * past the horizon ([[graft.operators.Decay.decayedScore]]). One
+    * map-side-combinable groupBy, no window, no sequential fold. */
+  private def q128(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Decay.decayedScore(
+        Tables.events(s, dir), "user_id", "ts", "value",
+        halfLifeHours = 4, horizonSteps = 20, valueScale = 100L)
+      .orderBy(col("user_id"))
+
+  /** Mutual-best-match (reciprocal best hit) entity resolution over
+    * q95's blocked fuzzy candidate pairs — two greedy rounds, each
+    * entity matched at most once; "best" = smallest edit distance, ties
+    * on the partner key ([[graft.operators.Linkage.mutualBestMatch]]).
+    * Four windows per round grouped onto two hash exchanges; no joins. */
+  private def q129(s: SparkSession, dir: String): DataFrame = {
+    val pairs = graft.operators.Linkage.blockedFuzzyPairs(
+      Tables.part(s, dir), "p_partkey", "p_name",
+      blockKey = concat_ws("|",
+        element_at(split(col("p_name"), " "), -1), col("p_brand")),
+      maxDist = 3)
+    graft.operators.Linkage.mutualBestMatch(
+        pairs, "id_a", "id_b", "dist", rounds = 2, smallerIsBetter = true)
+      .orderBy(col("id_a"), col("id_b"))
+  }
+
+  /** Contrastive negative sampling — four deterministic pseudo-random
+    * negatives per anchor document, drawn from the content-keyed global
+    * permutation ([[graft.operators.Sampling.contrastiveNegatives]]).
+    * Distributed rank (no single-partition window) + one position
+    * equi-join; fully hash-checkable (md5 arithmetic mirrored in SQL). */
+  private def q130(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Sampling.contrastiveNegatives(
+        Tables.documents(s, dir).select(col("doc_id")), "doc_id",
+        k = 4, seed = "q130")
+      .orderBy(col("doc_id"), col("neg_rank"))
 
   // =====================================================================
   // DuckDB oracle SQL — same semantics, same column names, same ORDER BY.
@@ -4043,6 +4085,87 @@ object SparkEntry {
            $rounds
            SELECT node, rank_fp FROM r3 ORDER BY node"""
       },
+
+      // dyadic fixed-point decay: weight = qv << (20 - age) in half-life
+      // steps (4h), hard expiry past 20 steps — BIGINT shifts and sums
+      // only, so the score is order-independent and engine-exact
+      "q128_decayed_score" ->
+        """WITH s AS (
+             SELECT user_id, epoch_us(ts) // 14400000000 AS step,
+               CAST(floor(greatest(value, 0.0) * 100.0) AS BIGINT) AS qv
+             FROM events),
+           r AS (SELECT max(step) AS ref FROM s)
+           SELECT user_id,
+             CAST(sum(CASE WHEN ref - step <= 20
+               THEN qv << CAST(20 - (ref - step) AS INTEGER)
+               ELSE CAST(0 AS BIGINT) END) AS BIGINT) AS score,
+             CAST(sum(CASE WHEN ref - step <= 20 THEN 1 ELSE 0 END) AS BIGINT) AS n_live,
+             CAST(max(ref) AS BIGINT) AS ref_step
+           FROM s CROSS JOIN r
+           GROUP BY user_id ORDER BY user_id""",
+
+      // two unrolled symmetric mutual-best rounds over q95's pair
+      // universe: mirror each pair into its directed copies, rank within
+      // entity, keep pairs whose BOTH copies rank first, drop every pair
+      // touching a matched entity, repeat on the residue
+      "q129_best_match" -> {
+        def round(i: Int, src: String) =
+          s"""d$i AS (SELECT id_a AS e, id_b AS p, dist FROM $src
+                      UNION ALL SELECT id_b, id_a, dist FROM $src),
+             r$i AS (SELECT e, p, dist, least(e, p) AS pa, greatest(e, p) AS pb,
+                 row_number() OVER (PARTITION BY e ORDER BY dist, p) AS rn
+               FROM d$i),
+             h$i AS (SELECT *, CASE WHEN sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END)
+                   OVER (PARTITION BY pa, pb) = 2 THEN 1 ELSE 0 END AS hit
+               FROM r$i),
+             x$i AS (SELECT *, max(em) OVER (PARTITION BY pa, pb) AS dead FROM
+               (SELECT *, max(hit) OVER (PARTITION BY e) AS em FROM h$i) t),
+             m$i AS (SELECT pa AS id_a, pb AS id_b, dist FROM x$i
+                     WHERE hit = 1 AND e = pa),
+             s$i AS (SELECT pa AS id_a, pb AS id_b, dist FROM x$i
+                     WHERE dead = 0 AND e = pa)"""
+        s"""WITH pairs AS (
+             SELECT a.p_partkey AS id_a, b.p_partkey AS id_b,
+               CAST(levenshtein(a.p_name, b.p_name) AS BIGINT) AS dist
+             FROM (SELECT p_partkey, p_name,
+                     string_split(p_name, ' ')[-1] || '|' || p_brand AS blk FROM part) a
+             JOIN (SELECT p_partkey, p_name,
+                     string_split(p_name, ' ')[-1] || '|' || p_brand AS blk FROM part) b
+               ON a.blk = b.blk AND a.p_partkey < b.p_partkey
+             WHERE levenshtein(a.p_name, b.p_name) <= 3),
+           ${round(1, "pairs")},
+           ${round(2, "s1")}
+           SELECT id_a, id_b, dist, CAST(1 AS BIGINT) AS round FROM m1
+           UNION ALL
+           SELECT id_a, id_b, dist, CAST(2 AS BIGINT) AS round FROM m2
+           ORDER BY id_a, id_b"""
+      },
+
+      // content-keyed global permutation (the q74 60-bit md5 recipe) +
+      // per-(anchor, j) uniform draws mod N; self-draws step forward one
+      // position wrapping — all BIGINT, join on position
+      "q130_contrastive_negatives" ->
+        """WITH r AS (
+             SELECT doc_id,
+               CAST(row_number() OVER (ORDER BY
+                 CAST('0x' || substr(md5('q130:' || CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT),
+                 doc_id) AS BIGINT) AS rnk
+             FROM documents),
+           n AS (SELECT CAST(max(rnk) AS BIGINT) AS cnt FROM r),
+           j AS (SELECT unnest(range(1, 5)) AS neg_rank),
+           d AS (
+             SELECT r.doc_id, r.rnk, j.neg_rank, n.cnt,
+               1 + (CAST('0x' || substr(md5('q130:neg:' || CAST(doc_id AS VARCHAR)
+                 || ':' || CAST(neg_rank AS VARCHAR)), 1, 15) AS BIGINT) % n.cnt) AS cand
+             FROM r CROSS JOIN n CROSS JOIN j),
+           p AS (SELECT doc_id, neg_rank,
+               CASE WHEN cand = rnk THEN 1 + (cand % cnt) ELSE cand END AS pos
+             FROM d)
+           SELECT p.doc_id, CAST(p.neg_rank AS BIGINT) AS neg_rank,
+             t.doc_id AS neg_id
+           FROM p JOIN r t ON t.rnk = p.pos
+           WHERE t.doc_id <> p.doc_id
+           ORDER BY p.doc_id, neg_rank""",
     )
   }
 }

@@ -209,4 +209,66 @@ object Linkage {
       .select(col("id_a"), col("id_b"), col("name_a"), col("name_b"),
         col("dist").cast("long").as("dist"))
   }
+
+  /** Greedy MUTUAL-best-match resolution (reciprocal best hit) — the
+    * decision stage the pair generators above feed: candidate pairs in,
+    * a deterministic partial MATCHING out, each entity matched at most
+    * once. Both id columns address ONE entity namespace (the self-join
+    * outputs above put the same key space on both sides), so the rule is
+    * symmetric: round 1 keeps every pair that is the best incident
+    * candidate of BOTH of its endpoints; all pairs touching a matched
+    * entity leave the pool and further rounds repeat on the residue
+    * (second-choice pairs whose first choices married elsewhere get
+    * their turn — the classical greedy approximation to max-weight
+    * matching; the mutual-best core is ½-optimal).
+    *
+    * "Best" = smallest `scoreCol` when `smallerIsBetter` (edit
+    * distances), largest otherwise (similarities); ties break on the
+    * partner id ascending, so the matching is a pure function of the
+    * pair set — fully hash-checkable by an unrolled-rounds oracle.
+    * Input pairs must be unique on the unordered `(left, right)` pair
+    * (the generators above emit `id_a < id_b` exactly once).
+    *
+    * ## Scale shape (100 TB)
+    * A round mirrors each pair into its two directed copies, then runs
+    * FOUR window functions — rank within entity, mutual-hit within pair,
+    * matched-flag within entity, dead-flag within pair — i.e. four hash
+    * exchanges alternating between the entity key and the pair key, with
+    * narrow filters between. No joins, no collects, no
+    * iteration-to-convergence: `rounds` is a fixed plan-time constant
+    * (pools shrink fast — 2-3 rounds is the useful range). Per-partition
+    * window state is one entity's candidate list — bounded by the
+    * upstream generator's blocking, never the corpus. */
+  def mutualBestMatch(pairs: DataFrame, leftCol: String, rightCol: String,
+                      scoreCol: String, rounds: Int = 1,
+                      smallerIsBetter: Boolean = true): DataFrame = {
+    require(rounds >= 1 && rounds <= 8, s"rounds must be in [1, 8], got $rounds")
+    def score = if (smallerIsBetter) col("_s").asc else col("_s").desc
+    def wE = Window.partitionBy(col("_e"))
+    def wP = Window.partitionBy(col("_pa"), col("_pb"))
+    var pool = pairs.select(col(leftCol).as("_a"), col(rightCol).as("_b"),
+      col(scoreCol).as("_s"))
+    var out: Option[DataFrame] = None
+    for (r <- 1 to rounds) {
+      val doubled = pool.select(col("_a").as("_e"), col("_b").as("_p"), col("_s"))
+        .unionAll(pool.select(col("_b").as("_e"), col("_a").as("_p"), col("_s")))
+      val flagged = doubled
+        .withColumn("_pa", least(col("_e"), col("_p")))
+        .withColumn("_pb", greatest(col("_e"), col("_p")))
+        .withColumn("_rn", row_number().over(wE.orderBy(score, col("_p").asc)))
+        // a pair is matched iff BOTH directed copies rank first at their
+        // entity — counted within the normalized pair key
+        .withColumn("_hit",
+          (sum(when(col("_rn") === 1, 1).otherwise(0)).over(wP) === 2).cast("int"))
+        .withColumn("_em", max(col("_hit")).over(wE))
+        .withColumn("_dead", max(col("_em")).over(wP))
+      val matched = flagged.where(col("_hit") === 1 && col("_e") === col("_pa"))
+        .select(col("_pa").as(leftCol), col("_pb").as(rightCol),
+          col("_s").as(scoreCol), lit(r.toLong).as("round"))
+      out = Some(out.fold(matched)(_ unionAll matched))
+      pool = flagged.where(col("_dead") === 0 && col("_e") === col("_pa"))
+        .select(col("_e").as("_a"), col("_p").as("_b"), col("_s"))
+    }
+    out.get
+  }
 }

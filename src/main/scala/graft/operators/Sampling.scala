@@ -567,4 +567,57 @@ object Sampling {
       .withColumn("rank", row_number().over(w).cast("long"))
       .where(col("rank") <= k)
   }
+
+  /** Deterministic CONTRASTIVE NEGATIVE sampling — the training-pair
+    * constructor for embedding/contrastive objectives (InfoNCE, triplet
+    * loss): for every anchor row, `k` pseudo-random partners drawn
+    * uniformly from the whole corpus, reproducible across runs, engines,
+    * and input partitionings (a seeded per-task RNG is none of those).
+    *
+    * Construction: rank the corpus into one global pseudo-random
+    * permutation by the 60-bit content key (the [[shuffleShard]] recipe,
+    * distributed via [[Ranking.globalRankBy]]'s prefix-bucketed two-level
+    * rank — no single-partition window); negative j of an anchor lives at
+    * position `1 + (h60(seed:neg:id:j) mod N)`, stepping one position
+    * forward (wrapping) when the draw lands on the anchor itself. Draws
+    * are WITH replacement across j (two j's may collide — the standard
+    * in-batch-negative trade; distinct-k needs k ≪ N rejection rounds and
+    * buys little at corpus scale, documented not implemented).
+    *
+    * Scale shape (100 TB): position table and anchor-draw table both
+    * carry (id, position)-sized rows only; the single data-wide join is
+    * an equi-join on position — hash-partitioned, linear in N·k, bodies
+    * never ride it. N is a 1-row broadcast. Requires N ≥ 2 (a singleton
+    * corpus has no negatives — its self-draw is filtered, yielding zero
+    * rows rather than a lie).
+    *
+    * Output: `(idCol, neg_rank ∈ [1..k], neg_id)`. */
+  def contrastiveNegatives(df: DataFrame, idCol: String, k: Int,
+                           seed: String = "contrast"): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    def h60(c: Column): Column =
+      conv(substring(md5(c), 1, 15), 16, 10).cast("long")
+    val keyed = df.select(col(idCol),
+      h60(concat(lit(seed), lit(":"), col(idCol).cast("string"))).as("_skey"))
+    // top-12-bit prefix bucket: monotone in the sort key, ~4k buckets
+    val ranked = Ranking.globalRankBy(keyed,
+      shiftright(col("_skey"), 48), col("_skey"), col(idCol))
+    val n = ranked.agg(max(col("rank")).as("_n"))
+    val draws = ranked.crossJoin(broadcast(n))
+      .select(col(idCol), col("rank"), col("_n"),
+        explode(expr(s"sequence(1, $k)")).as("neg_rank"))
+      .withColumn("_cand", lit(1) + pmod(
+        h60(concat(lit(seed), lit(":neg:"), col(idCol).cast("string"),
+          lit(":"), col("neg_rank").cast("string"))), col("_n")))
+      // self-draw steps forward one position, wrapping past N
+      .withColumn("_pos",
+        when(col("_cand") === col("rank"), lit(1) + pmod(col("_cand"), col("_n")))
+          .otherwise(col("_cand")))
+    draws.join(
+        ranked.select(col("rank").as("_pos"), col(idCol).as("neg_id")),
+        Seq("_pos"))
+      .where(col("neg_id") =!= col(idCol)) // only reachable at N = 1
+      .select(col(idCol), col("neg_rank").cast("long").as("neg_rank"),
+        col("neg_id"))
+  }
 }

@@ -610,6 +610,51 @@ object Streams {
       }
   }
 
+  /** Streaming twin of [[graft.operators.Decay.decayedScore]]: per-key
+    * exponentially decayed scores maintained online. State per key is the
+    * per-step partial sums inside the horizon — at most `horizon + 1`
+    * `(step, Σqv, count)` triples, pruned as the key's frontier advances —
+    * never the events. Because the batch aggregate is a sum of per-event
+    * dyadic terms (left shifts only, no truncation), folding per-step
+    * partials and shifting at emission is EXACT, and the merge is
+    * commutative + associative + idempotent-per-event: the emitted score
+    * after any batch split equals `decayedScore(refPerKey = true)` over
+    * everything ingested (the cdcLatestStream-strength parity, spec'd) —
+    * arrival order cannot change the converged answer. A late event
+    * inside the horizon folds in; one older than the horizon contributes
+    * exactly 0 in both engines.
+    *
+    * Input: (key, step, qv) — step/qv via [[graft.operators.Decay.stepExpr]]
+    * / [[graft.operators.Decay.quantize]] upstream. Emits each touched
+    * key's current (key, score, n_live, ref_step) per trigger
+    * (Update-style snapshot). */
+  def decayedScoreStream(rows: Dataset[(Long, Long, Long)], horizonSteps: Int)
+      : Dataset[(Long, Long, Long, Long)] = {
+    require(horizonSteps >= 0 && horizonSteps <= 40,
+      s"horizonSteps must be in [0, 40], got $horizonSteps")
+    import rows.sparkSession.implicits._
+    rows
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[Map[Long, (Long, Long)], (Long, Long, Long, Long)](
+        OutputMode.Update, GroupStateTimeout.NoTimeout) {
+        (key: Long, it: Iterator[(Long, Long, Long)],
+         state: GroupState[Map[Long, (Long, Long)]]) =>
+          var buckets = state.getOption.getOrElse(Map.empty[Long, (Long, Long)])
+          it.foreach { case (_, step, qv) =>
+            val (s0, n0) = buckets.getOrElse(step, (0L, 0L))
+            buckets = buckets.updated(step, (s0 + qv, n0 + 1L))
+          }
+          val ref = buckets.keys.max
+          buckets = buckets.filter { case (step, _) => ref - step <= horizonSteps }
+          state.update(buckets)
+          val score = buckets.iterator.map { case (step, (s, _)) =>
+            s << (horizonSteps - (ref - step)).toInt
+          }.sum
+          val nLive = buckets.valuesIterator.map(_._2).sum
+          Iterator.single((key, score, nLive, ref))
+      }
+  }
+
   /** Streaming twin of [[graft.operators.LmScore.scoreWith]]: score an
     * incoming document stream against a model persisted by
     * [[graft.operators.LmScore.writeModel]]. A document arrives whole in

@@ -2441,4 +2441,89 @@ class OperatorsSpec extends SparkSuite {
     val plan = chunked.queryExecution.executedPlan.toString
     assert(!plan.contains("Exchange"), s"chunker must not shuffle:\n$plan")
   }
+
+  test("decayedScore: exact dyadic weights, hard expiry, clamp, refPerKey") {
+    import spark.implicits._
+    import graft.operators.Decay
+    val stepU = 14400000000L // 4h in micros
+    def ts(step: Long) = step * stepU + 123456L // mid-bucket offset
+    val events = Seq(
+      (1L, ts(100), 2.5),    // qv 250, age 0  -> 250 << 20
+      (1L, ts(99), 1.999),   // qv 199 (floor), age 1 -> 199 << 19
+      (1L, ts(80), 1.0),     // qv 100, age 20 -> 100 << 0 (horizon edge)
+      (1L, ts(79), 7.0),     // age 21 -> expired, exactly 0, not live
+      (2L, ts(100), -5.0),   // clamped to 0: live but weightless
+      (3L, ts(50), 1.0)      // global ref 100 -> expired; own ref 50 -> live
+    ).toDF("user_id", "raw_ts", "value")
+      .select(col("user_id"), timestamp_micros(col("raw_ts")).as("ts"), col("value"))
+    val out = Decay.decayedScore(events, "user_id", "ts", "value",
+        halfLifeHours = 4, horizonSteps = 20, valueScale = 100L)
+      .orderBy("user_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(out(0) == ((1L, (250L << 20) + (199L << 19) + 100L, 3L, 100L)))
+    assert(out(1) == ((2L, 0L, 1L, 100L)))
+    assert(out(2) == ((3L, 0L, 0L, 100L)))
+    // refPerKey: each key ages against its OWN frontier (the streaming view)
+    val perKey = Decay.decayedScore(events, "user_id", "ts", "value",
+        halfLifeHours = 4, horizonSteps = 20, valueScale = 100L, refPerKey = true)
+      .orderBy("user_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(perKey(2) == ((3L, 100L << 20, 1L, 50L)))
+    // global path is pure partial-aggregable: no window, no sort anywhere
+    val plan = Decay.decayedScore(events, "user_id", "ts", "value")
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Window") && !plan.contains("Sort"),
+      s"global decayedScore must stay window/sort-free:\n$plan")
+  }
+
+  test("contrastiveNegatives: k per anchor, never self, partitioning-invariant") {
+    import spark.implicits._
+    import graft.operators.Sampling
+    val ids = (1L to 37L).toDF("doc_id")
+    val out = Sampling.contrastiveNegatives(ids, "doc_id", k = 3, seed = "t")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    // exactly k draws per anchor (with replacement across j, but never self)
+    assert(out.length == 37 * 3)
+    assert(out.groupBy(_._1).forall(_._2.map(_._2).sorted.toSeq == Seq(1L, 2L, 3L)))
+    assert(out.forall(t => t._3 != t._1), "a negative must not be the anchor")
+    // content-keyed: the draw is a pure function of (id, seed), not of the
+    // physical layout — reshuffled input yields the identical pair set
+    val re = Sampling.contrastiveNegatives(ids.repartition(7), "doc_id",
+        k = 3, seed = "t")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(re.toSet == out.toSet)
+    // different seed -> different permutation (sanity that seed matters)
+    val other = Sampling.contrastiveNegatives(ids, "doc_id", k = 3, seed = "u")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(other.toSet != out.toSet)
+    // singleton corpus: no negatives exist -> zero rows, not a self-pair
+    val one = Sampling.contrastiveNegatives(Seq(9L).toDF("doc_id"), "doc_id", k = 2)
+    assert(one.count() == 0L)
+  }
+
+  test("mutualBestMatch: symmetric greedy rounds on a shared entity namespace") {
+    import spark.implicits._
+    import graft.operators.Linkage
+    // chain 1-2-3-4 plus isolated pair 5-6; 2's candidates tie on score
+    // so the partner id breaks the tie toward 1
+    val pairs = Seq(
+      (1L, 2L, 1L), (2L, 3L, 1L), (3L, 4L, 2L), (5L, 6L, 1L)
+    ).toDF("id_a", "id_b", "dist")
+    val out = Linkage.mutualBestMatch(pairs, "id_a", "id_b", "dist", rounds = 2)
+      .orderBy("id_a").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    // round 1: (1,2) mutual (2 prefers 1 on the tie), (5,6) mutual;
+    // (2,3) blocked by 2, (3,4) blocked by 3's preference for 2.
+    // round 2: with 2 matched, (3,4) becomes mutual on the residue.
+    assert(out.toSeq == Seq((1L, 2L, 1L, 1L), (3L, 4L, 2L, 2L), (5L, 6L, 1L, 1L)))
+    // an entity is matched at most once even across the id_a/id_b sides
+    val all = out.flatMap(t => Seq(t._1, t._2))
+    assert(all.distinct.length == all.length, "matching must be a partial matching")
+    // similarity mode: larger is better
+    val sim = Seq((1L, 2L, 0.9), (2L, 3L, 0.95)).toDF("id_a", "id_b", "s")
+    val simOut = Linkage.mutualBestMatch(sim, "id_a", "id_b", "s",
+        rounds = 1, smallerIsBetter = false)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(simOut.toSeq == Seq((2L, 3L)))
+  }
 }

@@ -901,4 +901,46 @@ class StreamingSpec extends SparkSuite {
         case p if p.getClass.getName.contains("StateStore") => p }.isEmpty)
     } finally q.stop()
   }
+
+  test("streaming decayed score: batch parity under any split, bounded state, late data") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val stepU = 14400000000L
+    // (key, step, qv) — key 1 spans the horizon edge across two batches,
+    // key 2 receives a LATE in-horizon event after its frontier advanced
+    val all = Seq(
+      (1L, 100L, 250L), (1L, 99L, 199L), (1L, 80L, 100L), (1L, 79L, 7L),
+      (2L, 95L, 10L), (2L, 100L, 20L), (2L, 98L, 5L))
+    val input = MemoryStream[(Long, Long, Long)]
+    val out = Streams.decayedScoreStream(input.toDS(), horizonSteps = 20)
+    val q = out.toDF("k", "score", "n_live", "ref").writeStream
+      .outputMode("update").format("memory").queryName("dec").start()
+    try {
+      input.addData(all.take(4): _*) // key 1 whole, incl. the expired event
+      q.processAllAvailable()
+      input.addData((2L, 95L, 10L), (2L, 100L, 20L))
+      q.processAllAvailable()
+      input.addData((2L, 98L, 5L)) // late: inside horizon, folds in exactly
+      q.processAllAvailable()
+      // last emission per key == batch decayedScore(refPerKey = true) over
+      // everything ingested — the merge is commutative/associative, so the
+      // batch split cannot change the converged answer
+      val events = all.toDF("user_id", "step", "qv")
+        .select(col("user_id"),
+          timestamp_micros(col("step") * stepU).as("ts"),
+          col("qv").cast("double").as("value"))
+      val expect = graft.operators.Decay.decayedScore(events, "user_id", "ts",
+          "value", halfLifeHours = 4, horizonSteps = 20, valueScale = 1L,
+          refPerKey = true)
+        .collect().map(r => (r.getLong(0), (r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+      val got = spark.table("dec").collect()
+        .map(r => (r.getLong(0), (r.getLong(1), r.getLong(2), r.getLong(3)))).toSet
+      // the converged (all-events) value was emitted for both keys
+      assert(got.contains((1L, expect(1L))))
+      assert(got.contains((2L, expect(2L))))
+      // key 1's expired step was pruned: score/n_live exclude the age-21
+      // event entirely (n_live 3 of 4 ingested)
+      assert(expect(1L)._2 == 3L && got.contains((1L, expect(1L))))
+    } finally q.stop()
+  }
 }
