@@ -189,6 +189,7 @@ object SparkEntry {
     "q128_decayed_score" -> q128,
     "q129_best_match" -> q129,
     "q130_contrastive_negatives" -> q130,
+    "q131_bucket_representatives" -> q131,
   )
 
   // =====================================================================
@@ -2036,6 +2037,17 @@ object SparkEntry {
         Tables.documents(s, dir).select(col("doc_id")), "doc_id",
         k = 4, seed = "q130")
       .orderBy(col("doc_id"), col("neg_rank"))
+
+  /** Per-LSH-bucket representative: the member closest to its bucket's
+    * centroid, in EXACT integer arithmetic (int8 codes, BIGINT per-dim
+    * sums, n²-scaled distances — no float centroid anywhere), so unlike
+    * the IVF family this routing layer is fully hash-checkable
+    * ([[graft.operators.Similarity.bucketRepresentatives]]). */
+  private def q131(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Similarity.bucketRepresentatives(
+        Tables.embeddings(s, dir), "vec_id", "embedding",
+        planes = 6, dim = EmbeddingDim)
+      .orderBy(col("bucket"))
 
   // =====================================================================
   // DuckDB oracle SQL — same semantics, same column names, same ORDER BY.
@@ -4166,6 +4178,40 @@ object SparkEntry {
            FROM p JOIN r t ON t.rnk = p.pos
            WHERE t.doc_id <> p.doc_id
            ORDER BY p.doc_id, neg_rank""",
+
+      // q33's bucket mirror + q65's quantizer mirror, then pure BIGINT:
+      // per-dim bucket sums, n²-scaled distances, (d2, id) argmin
+      "q131_bucket_representatives" -> {
+        val planes = (0 until 6).map { p =>
+          val hp = graft.functions.Vectors.hyperplane(p, EmbeddingDim)
+            .map(_.toString).mkString("[", ", ", "]")
+          s"(CASE WHEN list_sum(list_transform(range(1, ${EmbeddingDim + 1}), i -> " +
+            s"CAST(embedding[i] AS DOUBLE) * ($hp)[i])) >= 0 THEN '1' ELSE '0' END)"
+        }.mkString(" || ")
+        s"""WITH m AS (
+             SELECT vec_id, embedding,
+               list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) AS mx
+             FROM embeddings),
+           qz AS (
+             SELECT vec_id, $planes AS bucket,
+               list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE)
+                 * (CASE WHEN mx > 0 THEN 127.0 / mx ELSE 0.0 END) + 0.5) AS BIGINT)) AS q
+             FROM m),
+           sums AS (
+             SELECT bucket, i, CAST(sum(q[i]) AS BIGINT) AS s
+             FROM qz, range(1, ${EmbeddingDim + 1}) t(i)
+             GROUP BY bucket, i),
+           sl AS (SELECT bucket, list(s ORDER BY i) AS sv FROM sums GROUP BY bucket),
+           cnt AS (SELECT bucket, CAST(count(*) AS BIGINT) AS n FROM qz GROUP BY bucket),
+           d AS (
+             SELECT z.vec_id, z.bucket, c.n,
+               CAST(list_sum(list_transform(range(1, ${EmbeddingDim + 1}),
+                 i -> (c.n * z.q[i] - s.sv[i]) * (c.n * z.q[i] - s.sv[i]))) AS BIGINT) AS d2
+             FROM qz z JOIN sl s ON s.bucket = z.bucket JOIN cnt c ON c.bucket = z.bucket)
+           SELECT bucket, vec_id AS rep_id, d2 AS dist2, n FROM d
+           QUALIFY row_number() OVER (PARTITION BY bucket ORDER BY d2, vec_id) = 1
+           ORDER BY bucket"""
+      },
     )
   }
 }

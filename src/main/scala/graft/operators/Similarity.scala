@@ -456,4 +456,57 @@ object Similarity {
         array(Vectors.hyperplane(planeSeed + j, d).map(lit(_)): _*)) * lit(scale)
     }: _*))
   }
+
+  /** Per-LSH-bucket REPRESENTATIVE selection — the member closest to its
+    * bucket's centroid: the coarse routing layer a bucketed ANN index
+    * exposes (route a query to buckets by representative similarity, the
+    * cluster-labeling / SemDeDup-style "keep the central one" primitive).
+    *
+    * ## Exactness (why this one IS hash-checkable where q36's IVF is not)
+    * Float centroids of distributed sums are order-dependent, which is
+    * exactly why the IVF queries ship rows-only. Here every quantity is
+    * an exact integer: members are int8-quantized codes (the q65
+    * deterministic per-row quantizer), the centroid is the per-dimension
+    * BIGINT sum S_d over the bucket, and the distance argmin compares
+    * `n²·‖x − S/n‖² = Σ_d (n·x_d − S_d)²` — the n²-scaled distance, pure
+    * BIGINT, no division anywhere. Ties break on the member id, so the
+    * representative is a pure function of the bucket contents.
+    *
+    * ## Scale shape (100 TB)
+    * Two partial-aggregable exchanges on the bucket key (per-dim sums as
+    * `dim` map-side-combined columns — no explode, the data never rides a
+    * (row × dim) blow-up; then the struct-min argmin), with the
+    * #buckets-row sum table broadcast between them. Overflow bound:
+    * `n²·(2·127)²·dim < 2⁶³` ⇒ safe below ~1.5e6 members per bucket at
+    * dim 64 — add hyperplanes (buckets halve per plane) before any real
+    * corpus approaches that.
+    *
+    * Output: `(bucket, rep_id, dist2, n)` — `dist2` the n²-scaled
+    * squared distance of the winner. */
+  def bucketRepresentatives(df: DataFrame, idCol: String, vecCol: String,
+                            planes: Int, dim: Int, seed: Int = 0): DataFrame = {
+    GraftFunctions.ensureRegistered(df.sparkSession)
+    require(planes >= 1 && planes <= 24, s"planes must be in [1, 24], got $planes")
+    require(dim >= 1, s"dim must be >= 1, got $dim")
+    val base = df.select(col(idCol),
+      Vectors.lshBucket(col(vecCol), planes, dim, seed).as("bucket"),
+      transform(Vectors.quantizeInt8(col(vecCol)).getField("q"),
+        _.cast("long")).as("_codes"))
+    val sumCols = (0 until dim).map(i =>
+      sum(element_at(col("_codes"), i + 1)).as(s"_s$i"))
+    val sums = base.groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n"), sumCols: _*)
+      .select(col("bucket"), col("n"),
+        array((0 until dim).map(i => col(s"_s$i")): _*).as("_S"))
+    base.join(broadcast(sums), Seq("bucket"))
+      .withColumn("_d2", aggregate(
+        zip_with(col("_codes"), col("_S"),
+          (x, s) => (col("n") * x - s) * (col("n") * x - s)),
+        lit(0L), (acc, v) => acc + v))
+      .groupBy(col("bucket"))
+      .agg(min(struct(col("_d2").as("d2"), col(idCol).as("rep"))).as("_m"),
+        first(col("n")).as("n"))
+      .select(col("bucket"), col("_m.rep").as("rep_id"),
+        col("_m.d2").as("dist2"), col("n"))
+  }
 }

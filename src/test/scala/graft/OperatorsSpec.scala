@@ -2476,6 +2476,39 @@ class OperatorsSpec extends SparkSuite {
       s"global decayedScore must stay window/sort-free:\n$plan")
   }
 
+  test("bucketRepresentatives: exact integer argmin to the bucket centroid, no explode") {
+    import spark.implicits._
+    val vecs = Seq(
+      (1L, Array(1.0f, 0.9f, 0.0f, 0.1f)),
+      (2L, Array(0.9f, 1.0f, 0.1f, 0.0f)),
+      (3L, Array(1.0f, 1.0f, 0.05f, 0.05f)), // central in its bucket
+      (4L, Array(-1.0f, -0.9f, 0.2f, 0.1f)),
+      (5L, Array(-0.9f, -1.0f, 0.1f, 0.2f))
+    ).toDF("vec_id", "embedding")
+    val reps = Similarity.bucketRepresentatives(vecs, "vec_id", "embedding",
+      planes = 2, dim = 4)
+    val got = reps.collect()
+      .map(r => (r.getString(0), (r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    // brute-force the same integer argmin from the operator's own codes
+    val codes = vecs.select(col("vec_id"),
+        Vectors.lshBucket(col("embedding"), 2, 4).as("b"),
+        transform(Vectors.quantizeInt8(col("embedding")).getField("q"),
+          _.cast("long")).as("q"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getSeq[Long](2).toArray))
+    codes.groupBy(_._2).foreach { case (b, members) =>
+      val n = members.length.toLong
+      val s = members.map(_._3).transpose.map(_.sum)
+      val best = members.map { case (id, _, q) =>
+        (q.zip(s).map { case (x, sd) => val d = n * x - sd; d * d }.sum, id)
+      }.min
+      assert(got(b) == ((best._2, best._1, n)),
+        s"bucket $b: got ${got(b)}, brute force says $best n=$n")
+    }
+    // per-dim sums ride as agg columns — the data never explodes to row×dim
+    val plan = reps.queryExecution.executedPlan.toString
+    assert(!plan.contains("Generate"), s"no explode expected:\n$plan")
+  }
+
   test("contrastiveNegatives: k per anchor, never self, partitioning-invariant") {
     import spark.implicits._
     import graft.operators.Sampling
