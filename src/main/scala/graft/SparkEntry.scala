@@ -190,6 +190,7 @@ object SparkEntry {
     "q129_best_match" -> q129,
     "q130_contrastive_negatives" -> q130,
     "q131_bucket_representatives" -> q131,
+    "q132_recrawl_suppress" -> q132,
   )
 
   // =====================================================================
@@ -2048,6 +2049,24 @@ object SparkEntry {
         Tables.embeddings(s, dir), "vec_id", "embedding",
         planes = 6, dim = EmbeddingDim)
       .orderBy(col("bucket"))
+
+  /** TTL re-crawl suppression over a simulated 3-round crawl log (round
+    * r at +6r hours carries the docs with doc_id ≡ 0 mod r+1): greedy
+    * per-fingerprint admission with a 10-hour TTL — round-1 re-crawls
+    * suppressed, round-2 re-admitted and the clock reset
+    * ([[graft.operators.Recrawl.suppress]]). */
+  private def q132(s: SparkSession, dir: String): DataFrame = {
+    val crawls = Tables.documents(s, dir)
+      .select(col("doc_id"), col("text"),
+        explode(expr("sequence(0, 2)")).as("r"))
+      .where(pmod(col("doc_id"), col("r") + 1) === 0)
+      .select((col("doc_id") * 10 + col("r")).cast("long").as("crawl_id"),
+        col("doc_id"), graft.functions.Text.fingerprint(col("text")).as("fp"),
+        (col("r").cast("long") * lit(21600000000L)).as("ts_us"))
+    graft.operators.Recrawl.suppress(crawls, "fp", "crawl_id", "ts_us",
+        ttlMicros = 10L * 3600000000L)
+      .orderBy(col("crawl_id"))
+  }
 
   // =====================================================================
   // DuckDB oracle SQL — same semantics, same column names, same ORDER BY.
@@ -4212,6 +4231,32 @@ object SparkEntry {
            QUALIFY row_number() OVER (PARTITION BY bucket ORDER BY d2, vec_id) = 1
            ORDER BY bucket"""
       },
+
+      // greedy TTL admission per fingerprint unrolled as a recursive CTE
+      // (the q57/q75 transition pattern): kept resets the clock, 10h TTL
+      // over a 3-round +6h crawl log
+      "q132_recrawl_suppress" ->
+        s"""WITH RECURSIVE crawls AS (
+             SELECT CAST(doc_id * 10 + r AS BIGINT) AS crawl_id, doc_id,
+               md5($norm) AS fp, CAST(r * 21600000000 AS BIGINT) AS ts_us
+             FROM documents CROSS JOIN (SELECT unnest([0, 1, 2]) AS r) t
+             WHERE doc_id % (r + 1) = 0),
+           seq AS (
+             SELECT crawl_id, doc_id, fp, ts_us,
+               row_number() OVER (PARTITION BY fp ORDER BY ts_us, crawl_id) AS rn
+             FROM crawls),
+           walked AS (
+             SELECT crawl_id, doc_id, fp, ts_us, rn, TRUE AS kept,
+               ts_us AS last_kept
+             FROM seq WHERE rn = 1
+             UNION ALL
+             SELECT s.crawl_id, s.doc_id, s.fp, s.ts_us, s.rn,
+               s.ts_us - w.last_kept >= 36000000000,
+               CASE WHEN s.ts_us - w.last_kept >= 36000000000
+                 THEN s.ts_us ELSE w.last_kept END
+             FROM seq s JOIN walked w ON s.fp = w.fp AND s.rn = w.rn + 1)
+           SELECT crawl_id, doc_id, fp, ts_us, kept
+           FROM walked ORDER BY crawl_id""",
     )
   }
 }

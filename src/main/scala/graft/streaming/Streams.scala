@@ -610,6 +610,37 @@ object Streams {
       }
   }
 
+  /** Streaming twin of [[graft.operators.Recrawl.suppress]]: online TTL
+    * re-crawl admission. State per fingerprint is ONE long — the last
+    * KEPT timestamp — so the state store is bounded by the distinct
+    * content universe, not the crawl volume. Within a micro-batch,
+    * sightings fold in `(ts, id)` order (the batch operator's order);
+    * across batches they fold in ARRIVAL order like every admission
+    * twin here ([[tokenBudgetStream]]'s contract): a late sighting
+    * with an out-of-order timestamp is judged against the clock as it
+    * stands — online admission is inherently arrival-ordered.
+    *
+    * Input: (fp, id, ts ϵ epoch-micros). Output: (fp, id, ts, kept). */
+  def recrawlSuppressStream(rows: Dataset[(String, Long, Long)], ttlMicros: Long)
+      : Dataset[(String, Long, Long, Boolean)] = {
+    require(ttlMicros >= 0, s"ttlMicros must be >= 0, got $ttlMicros")
+    import rows.sparkSession.implicits._
+    rows
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[Long, (String, Long, Long, Boolean)](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (fp: String, it: Iterator[(String, Long, Long)], state: GroupState[Long]) =>
+          var lastKept = state.getOption
+          val out = it.toSeq.sortBy(r => (r._3, r._2)).map { case (_, id, ts) =>
+            val keep = lastKept.forall(lk => ts - lk >= ttlMicros)
+            if (keep) lastKept = Some(ts)
+            (fp, id, ts, keep)
+          }
+          lastKept.foreach(state.update)
+          out.iterator
+      }
+  }
+
   /** Streaming twin of [[graft.operators.Decay.decayedScore]]: per-key
     * exponentially decayed scores maintained online. State per key is the
     * per-step partial sums inside the horizon — at most `horizon + 1`

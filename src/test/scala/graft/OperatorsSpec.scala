@@ -2476,6 +2476,29 @@ class OperatorsSpec extends SparkSuite {
       s"global decayedScore must stay window/sort-free:\n$plan")
   }
 
+  test("recrawl suppress: TTL chains from kept sightings, ties admit min id") {
+    import spark.implicits._
+    import graft.operators.Recrawl
+    // one fp, sightings at 0,5,10,14,20 with ttl 10: windows chain from
+    // KEPT sightings only -> kept at 0, 10, 20 (5 and 14 suppressed; a
+    // per-sighting chain would wrongly suppress 10 and keep 14)
+    val log = Seq(
+      ("a", 1L, 0L), ("a", 2L, 5L), ("a", 3L, 10L), ("a", 4L, 14L), ("a", 5L, 20L),
+      ("b", 6L, 100L), ("b", 7L, 100L) // tie: min id admitted, other suppressed
+    ).toDF("fp", "crawl_id", "ts_us")
+    val out = Recrawl.suppress(log, "fp", "crawl_id", "ts_us", ttlMicros = 10L)
+      .collect().map(r => (r.getLong(1), r.getBoolean(3))).toMap
+    assert(out == Map(1L -> true, 2L -> false, 3L -> true, 4L -> false,
+      5L -> true, 6L -> true, 7L -> false))
+    // ttl 0 keeps everything; huge ttl = exact dedup (first only)
+    val all = Recrawl.suppress(log, "fp", "crawl_id", "ts_us", 0L)
+      .collect().map(_.getBoolean(3))
+    assert(all.forall(identity))
+    val first = Recrawl.suppress(log, "fp", "crawl_id", "ts_us", Long.MaxValue)
+      .collect().map(r => (r.getLong(1), r.getBoolean(3))).toMap
+    assert(first.count(_._2) == 2 && first(1L) && first(6L))
+  }
+
   test("bucketRepresentatives: exact integer argmin to the bucket centroid, no explode") {
     import spark.implicits._
     val vecs = Seq(

@@ -902,6 +902,34 @@ class StreamingSpec extends SparkSuite {
     } finally q.stop()
   }
 
+  test("streaming recrawl suppression: one-long state, clock resets across batches") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(String, Long, Long)] // (fp, id, ts_us)
+    val out = Streams.recrawlSuppressStream(input.toDS(), ttlMicros = 10L)
+    val q = out.toDF("fp", "id", "ts", "kept").writeStream
+      .outputMode("append").format("memory").queryName("rc").start()
+    try {
+      input.addData(("a", 1L, 0L), ("a", 2L, 5L)) // 0 kept, 5 suppressed
+      q.processAllAvailable()
+      input.addData(("a", 3L, 10L), ("a", 4L, 14L)) // 10 re-admits + resets, 14 suppressed
+      q.processAllAvailable()
+      input.addData(("a", 5L, 20L), ("b", 6L, 7L)) // 20 kept; new fp kept
+      q.processAllAvailable()
+      val got = spark.table("rc").collect()
+        .map(r => (r.getLong(1), r.getBoolean(3))).toMap
+      assert(got == Map(1L -> true, 2L -> false, 3L -> true, 4L -> false,
+        5L -> true, 6L -> true))
+      // ordered-arrival feed == batch operator over the same log
+      val batch = graft.operators.Recrawl.suppress(
+          Seq(("a", 1L, 0L), ("a", 2L, 5L), ("a", 3L, 10L), ("a", 4L, 14L),
+            ("a", 5L, 20L), ("b", 6L, 7L)).toDF("fp", "crawl_id", "ts_us"),
+          "fp", "crawl_id", "ts_us", 10L)
+        .collect().map(r => (r.getLong(1), r.getBoolean(3))).toMap
+      assert(got == batch)
+    } finally q.stop()
+  }
+
   test("streaming decayed score: batch parity under any split, bounded state, late data") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
