@@ -191,6 +191,7 @@ object SparkEntry {
     "q130_contrastive_negatives" -> q130,
     "q131_bucket_representatives" -> q131,
     "q132_recrawl_suppress" -> q132,
+    "q133_distinct_lifecycle" -> q133,
   )
 
   // =====================================================================
@@ -2066,6 +2067,29 @@ object SparkEntry {
     graft.operators.Recrawl.suppress(crawls, "fp", "crawl_id", "ts_us",
         ttlMicros = 10L * 3600000000L)
       .orderBy(col("crawl_id"))
+  }
+
+  /** Approximate distinct-count lifecycle (the HLL member of the sketch
+    * family, on the q66/q119/q123 persisted-model contract): per-event-
+    * type distinct users, built on 80% of the log, persisted bucketed,
+    * then a batch absorbed by MERGING SKETCHES ONLY — no base re-scan
+    * ([[graft.operators.DistinctSketch]]). Rows-only by design (q30/q52
+    * pattern); incremental ≡ rebuild and the error bound are spec'd. */
+  private def q133(s: SparkSession, dir: String): DataFrame = {
+    val events = Tables.events(s, dir)
+    val base = events.where(col("event_id") % 5 =!= 0)
+    val batch = events.where(col("event_id") % 5 === 0)
+    val statsTable = "graft_q133_distinct_stats_" +
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(dir.getBytes("UTF-8")).take(4).map("%02x".format(_)).mkString
+    Tables.writeBucketed(
+      graft.operators.DistinctSketch.groupSketches(base, "event_type", "user_id"),
+      statsTable, buckets = 4, "event_type")
+    graft.operators.DistinctSketch.estimates(
+        graft.operators.DistinctSketch.updateSketches(
+          s.table(statsTable), batch, "event_type", "user_id"),
+        "event_type")
+      .orderBy(col("event_type"))
   }
 
   // =====================================================================

@@ -2476,6 +2476,50 @@ class OperatorsSpec extends SparkSuite {
       s"global decayedScore must stay window/sort-free:\n$plan")
   }
 
+  test("HLL distinct lifecycle: merge within error of rebuild both orders, new/untouched groups") {
+    import spark.implicits._
+    import graft.operators.DistinctSketch
+    val rows = (1 to 4000).map { i =>
+      (s"g${i % 3}", (i * 2654435761L) % 1500) // ~1500-key universe, 3 groups
+    }.toDF("grp", "k")
+    val (a, b) = (rows.where(col("k") % 4 =!= 0), rows.where(col("k") % 4 === 0))
+    def ests(df: org.apache.spark.sql.DataFrame) =
+      DistinctSketch.estimates(df, "grp").collect()
+        .map(r => (r.getString(0), r.getLong(1))).toMap
+    val rebuilt = ests(DistinctSketch.groupSketches(rows, "grp", "k"))
+    val merged = ests(DistinctSketch.updateSketches(
+      DistinctSketch.groupSketches(a, "grp", "k"), b, "grp", "k"))
+    // union cannot preserve the stream-built HIP estimator, so incremental
+    // is within the error bound of rebuild (not bitwise) — <1% at lgK 12
+    rebuilt.foreach { case (g, n) =>
+      assert(math.abs(merged(g).toDouble - n) / n < 0.01,
+        s"group $g: merged ${merged(g)} vs rebuilt $n")
+    }
+    // merge order: register max is commutative, but DataSketches' union
+    // result representation (and hence the estimate's last ulp) depends on
+    // promotion order — assert order-independence WITHIN the error bound,
+    // same contract as incremental-vs-rebuild
+    val swapped = ests(DistinctSketch.updateSketches(
+      DistinctSketch.groupSketches(b, "grp", "k"), a, "grp", "k"))
+    merged.foreach { case (g, n) =>
+      assert(math.abs(swapped(g).toDouble - n) / n < 0.01,
+        s"group $g: swapped ${swapped(g)} vs merged $n")
+    }
+    // ~1.6% RSE at lgK 12; assert a generous 3-sigma 5% against exact
+    val exact = rows.groupBy("grp").agg(countDistinct(col("k")).as("n"))
+      .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    exact.foreach { case (g, n) =>
+      assert(math.abs(rebuilt(g).toDouble - n) / n < 0.05,
+        s"group $g: est ${rebuilt(g)} vs exact $n")
+    }
+    // a batch-only group enters the model; an untouched group passes through
+    val withNew = ests(DistinctSketch.updateSketches(
+      DistinctSketch.groupSketches(a, "grp", "k"),
+      Seq(("brand_new", 1L), ("brand_new", 2L)).toDF("grp", "k"), "grp", "k"))
+    assert(withNew("brand_new") == 2L)
+    assert(withNew("g1") == ests(DistinctSketch.groupSketches(a, "grp", "k"))("g1"))
+  }
+
   test("recrawl suppress: TTL chains from kept sightings, ties admit min id") {
     import spark.implicits._
     import graft.operators.Recrawl
