@@ -192,6 +192,7 @@ object SparkEntry {
     "q131_bucket_representatives" -> q131,
     "q132_recrawl_suppress" -> q132,
     "q133_distinct_lifecycle" -> q133,
+    "q134_batch_assembly" -> q134,
   )
 
   // =====================================================================
@@ -2090,6 +2091,27 @@ object SparkEntry {
           s.table(statsTable), batch, "event_type", "user_id"),
         "event_type")
       .orderBy(col("event_type"))
+  }
+
+  /** The last mile of the training-data pipeline — batch ASSEMBLY:
+    * route documents to 8 worker shards by the content-keyed permutation
+    * (q74's assignment), then NEXT-FIT pack each shard's stream into
+    * 512-token bins in shuffle order ([[graft.operators.Packing
+    * .nextFitPack]]) and report per-bin occupancy. Packing parallelizes
+    * across shards with zero global coordination — each worker packs its
+    * own slice; token counts ride from the scan (bodies never shuffle). */
+  private def q134(s: SparkSession, dir: String): DataFrame = {
+    val sharded = Tables.documents(s, dir).select(col("doc_id"),
+      Text.tokenCount(col("text")).cast("long").as("n_toks"),
+      graft.operators.Sampling.shardCol(col("doc_id"), 8, "q134").cast("long").as("shard"),
+      conv(substring(md5(concat(lit("q134:"), col("doc_id").cast("string"))), 1, 15),
+        16, 10).cast("long").as("_skey"))
+    graft.operators.Packing.nextFitPack(sharded, "shard", "_skey", "doc_id",
+        "n_toks", cap = 512L)
+      .groupBy(col("shard"), col("bin_id"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_toks")).as("n_tokens"))
+      .withColumn("fill_frac", col("n_tokens").cast("double") / lit(512.0))
+      .orderBy(col("shard"), col("bin_id"))
   }
 
   // =====================================================================
@@ -4281,6 +4303,33 @@ object SparkEntry {
              FROM seq s JOIN walked w ON s.fp = w.fp AND s.rn = w.rn + 1)
            SELECT crawl_id, doc_id, fp, ts_us, kept
            FROM walked ORDER BY crawl_id""",
+
+      // q74's permutation mirror + the q57 recursive next-fit transition
+      // keyed by SHARD, aggregated to per-bin occupancy
+      "q134_batch_assembly" ->
+        s"""WITH RECURSIVE t AS (
+             SELECT doc_id, CAST(len($toks) AS BIGINT) AS n_toks,
+               CAST('0x' || substr(md5('q134:' || CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT) AS skey
+             FROM documents),
+           s AS (
+             SELECT doc_id, n_toks, skey % 8 AS shard,
+               row_number() OVER (PARTITION BY skey % 8 ORDER BY skey, doc_id) AS rn
+             FROM t),
+           walked AS (
+             SELECT doc_id, shard, n_toks, rn, CAST(0 AS BIGINT) AS bin,
+               n_toks AS fill
+             FROM s WHERE rn = 1
+             UNION ALL
+             SELECT s.doc_id, s.shard, s.n_toks, s.rn,
+               CASE WHEN w.fill > 0 AND w.fill + s.n_toks > 512
+                 THEN w.bin + 1 ELSE w.bin END,
+               CASE WHEN w.fill > 0 AND w.fill + s.n_toks > 512
+                 THEN s.n_toks ELSE w.fill + s.n_toks END
+             FROM s JOIN walked w ON s.shard = w.shard AND s.rn = w.rn + 1)
+           SELECT shard, bin AS bin_id, CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(sum(n_toks) AS BIGINT) AS n_tokens,
+             CAST(sum(n_toks) AS DOUBLE) / 512.0 AS fill_frac
+           FROM walked GROUP BY shard, bin ORDER BY shard, bin_id""",
     )
   }
 }

@@ -56,4 +56,55 @@ object Packing {
         expr(s"(_start + CASE WHEN n_tokens > 0 THEN n_tokens - 1 ELSE 0L END) DIV ${budget}L")
           .as("end_seq_id"))
   }
+
+  /** Per-key NEXT-FIT bin packing as a reusable operator (q57 runs the
+    * same transition through the typed facade): within each `keyCol`
+    * group, walk rows in `(orderCol, idCol)` order and assign 0-based
+    * `bin_id`s — a row opens a new bin when the current bin's fill plus
+    * its `tokensCol` would cross `cap` (an oversized row still gets a
+    * bin of its own: next-fit never splits a row — splitting is
+    * [[packSequences]]' concat-then-chunk contract instead).
+    *
+    * The transition state is `(bin, fill)` — a window cumsum cannot
+    * express the reset, so this is the [[Sampling.takeUntilBudget]]
+    * partition-sort-walk shape: one hash exchange on the key, linear
+    * per-key work, keys partition the corpus (the training-assembly
+    * caller keys by SHARD, so packing parallelizes across the training
+    * fleet with zero global coordination). NULL token counts pack as 0.
+    * Output: input columns + `bin_id`, `bin_fill` (fill AFTER placing
+    * the row; both reserved names). */
+  def nextFitPack(df: DataFrame, keyCol: String, orderCol: String,
+                  idCol: String, tokensCol: String, cap: Long): DataFrame = {
+    require(cap > 0, s"cap must be positive, got $cap")
+    val reserved = Seq("bin_id", "bin_fill")
+    val clash = df.columns.toSeq.intersect(reserved)
+    require(clash.isEmpty,
+      s"nextFitPack reserves ${reserved.mkString(", ")}; input has ${clash.mkString(", ")}")
+    import org.apache.spark.sql.{Encoders, Row}
+    import org.apache.spark.sql.types.{LongType, StructField, StructType}
+    val ordered = df.repartition(col(keyCol))
+      .sortWithinPartitions(col(keyCol), col(orderCol), col(idCol))
+    val outSchema = StructType(ordered.schema.fields ++ Seq(
+      StructField("bin_id", LongType, nullable = false),
+      StructField("bin_fill", LongType, nullable = false)))
+    val keyIdx = ordered.schema.fieldIndex(keyCol)
+    val tokIdx = ordered.schema.fieldIndex(tokensCol)
+    ordered.mapPartitions { rows =>
+      var curKey: Any = null
+      var started = false
+      var bin = 0L
+      var fill = 0L
+      rows.map { r =>
+        val k = r.get(keyIdx)
+        if (!started || !java.util.Objects.equals(k, curKey)) {
+          curKey = k; started = true; bin = 0L; fill = 0L
+        }
+        val t = if (r.isNullAt(tokIdx)) 0L
+                else r.get(tokIdx).asInstanceOf[Number].longValue()
+        if (fill > 0L && fill + t > cap) { bin += 1L; fill = 0L }
+        fill += t
+        Row.fromSeq(r.toSeq :+ bin :+ fill)
+      }
+    }(Encoders.row(outSchema))
+  }
 }

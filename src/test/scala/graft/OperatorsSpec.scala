@@ -2476,6 +2476,26 @@ class OperatorsSpec extends SparkSuite {
       s"global decayedScore must stay window/sort-free:\n$plan")
   }
 
+  test("nextFitPack: bin resets, oversized rows get own bins, keys independent") {
+    import spark.implicits._
+    import graft.operators.Packing
+    val rows = Seq(
+      ("s0", 1L, 300L), ("s0", 2L, 200L), // 300+200=500 <= 512 -> bin 0
+      ("s0", 3L, 100L),                   // 500+100 > 512 -> bin 1
+      ("s0", 4L, 900L),                   // oversized: bin 2, alone
+      ("s0", 5L, 10L),                    // fill 900 > cap -> bin 3
+      ("s1", 6L, 512L), ("s1", 7L, 1L)    // exact fit bin 0; next opens bin 1
+    ).toDF("shard", "id", "toks")
+    val out = Packing.nextFitPack(rows, "shard", "id", "id", "toks", cap = 512L)
+      .collect().map(r => (r.getLong(1), (r.getLong(3), r.getLong(4)))).toMap
+    assert(out(1L) == ((0L, 300L)) && out(2L) == ((0L, 500L)))
+    assert(out(3L) == ((1L, 100L)))
+    assert(out(4L) == ((2L, 900L)), "next-fit never splits an oversized row")
+    assert(out(5L) == ((3L, 10L)))
+    assert(out(6L) == ((0L, 512L)) && out(7L) == ((1L, 1L)),
+      "keys pack independently; exact fit closes the bin")
+  }
+
   test("HLL distinct lifecycle: merge within error of rebuild both orders, new/untouched groups") {
     import spark.implicits._
     import graft.operators.DistinctSketch
