@@ -193,6 +193,7 @@ object SparkEntry {
     "q132_recrawl_suppress" -> q132,
     "q133_distinct_lifecycle" -> q133,
     "q134_batch_assembly" -> q134,
+    "q135_image_dedup" -> q135,
   )
 
   // =====================================================================
@@ -2112,6 +2113,28 @@ object SparkEntry {
       .agg(count(lit(1)).as("n_docs"), sum(col("n_toks")).as("n_tokens"))
       .withColumn("fill_frac", col("n_tokens").cast("double") / lit(512.0))
       .orderBy(col("shard"), col("bin_id"))
+  }
+
+  /** End-to-end IMAGE dedup over real bytes: synthesize a real 24-bit
+    * BMP per document (every id-triple shares a seed → planted exact
+    * duplicates), fingerprint via exact patch statistics, group — the
+    * multimodal pipeline run as one plan: encode (scan) → decode + tile
+    * (scan) → one media_id groupBy → one fp groupBy; payload bytes never
+    * shuffle ([[graft.multimodal.Media.synthesizeBmp]] /
+    * [[graft.multimodal.Media.imageFingerprints]]). Rows-only by design:
+    * no SQL engine parses BMP — the codec round-trip and dup-structure
+    * are spec'd (MediaSpec), and the grouped counts below are asserted
+    * against the planted triple structure there too. */
+  private def q135(s: SparkSession, dir: String): DataFrame = {
+    val media = graft.multimodal.Media.synthesizeBmp(
+      Tables.documents(s, dir).select(col("doc_id").as("media_id"),
+        concat(lit("img:"),
+          (col("doc_id") - pmod(col("doc_id"), lit(3))).cast("string")).as("seed")),
+      "media_id", "seed", width = 24, height = 16)
+    graft.multimodal.Media.imageFingerprints(media, patch = 8)
+      .groupBy(col("fp"))
+      .agg(min(col("media_id")).as("keep_id"), count(lit(1)).as("n_copies"))
+      .orderBy(col("keep_id"))
   }
 
   // =====================================================================

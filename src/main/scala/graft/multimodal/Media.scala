@@ -467,4 +467,86 @@ object Media {
         }
       }(Encoders.row(featureSchema))
   }
+
+  /** Deterministic 24-bit BMP synthesis — a REAL encoder producing
+    * standard bottom-up, stride-padded BITMAPINFOHEADER files whose
+    * pixels derive from an md5 stream over `(seed, fileRow)`: the image
+    * SOURCE for end-to-end pipeline queries and benchmarks in a
+    * container that ships no image corpus (the bytes are real BMPs —
+    * [[HeaderCodec.decodeBmp24]] round-trips them, spec-asserted; equal
+    * seeds give byte-identical files). Pure per-row synthesis in the
+    * scan stage — no shuffle.
+    *
+    * Input: `(idCol, seedCol)`; output: the [[mediaSchema]] rows
+    * `(media_id, kind = "image", content)`. */
+  def synthesizeBmp(df: DataFrame, idCol: String, seedCol: String,
+                    width: Int, height: Int): DataFrame = {
+    require(width >= 1 && height >= 1 && width.toLong * height <= (1L << 22),
+      s"unreasonable dimensions ${width}x$height")
+    val outSchema = StructType(Seq(
+      StructField("media_id", LongType, nullable = false),
+      StructField("kind", StringType, nullable = false),
+      StructField("content", BinaryType, nullable = false)))
+    df.select(col(idCol).cast("long"), col(seedCol).cast("string"))
+      .mapPartitions { rows =>
+        val md = java.security.MessageDigest.getInstance("MD5")
+        rows.map { r =>
+          val id = r.getLong(0)
+          val seed = r.getString(1)
+          val stride = (3 * width + 3) & ~3
+          val bytes = new Array[Byte](54 + stride * height)
+          def i32(off: Int, v: Int): Unit = {
+            bytes(off) = v.toByte; bytes(off + 1) = (v >> 8).toByte
+            bytes(off + 2) = (v >> 16).toByte; bytes(off + 3) = (v >> 24).toByte
+          }
+          bytes(0) = 'B'; bytes(1) = 'M'
+          i32(2, bytes.length); i32(10, 54)       // file size, pixel offset
+          i32(14, 40); i32(18, width); i32(22, height) // bottom-up
+          bytes(26) = 1; bytes(28) = 24           // 1 plane, 24 bpp
+          i32(34, stride * height)
+          var row = 0
+          while (row < height) {
+            // md5-stream pixels: 16 bytes per digest, re-keyed per file row
+            var x = 0
+            var block = md.digest(s"$seed:$row:0".getBytes("UTF-8"))
+            var bi = 0
+            val base = 54 + row * stride
+            while (x < 3 * width) {
+              if (bi == 16) {
+                block = md.digest(s"$seed:$row:${x / 16}".getBytes("UTF-8"))
+                bi = 0
+              }
+              bytes(base + x) = block(bi)
+              x += 1; bi += 1
+            }
+            row += 1
+          }
+          Row(id, "image", bytes)
+        }
+      }(Encoders.row(outSchema))
+  }
+
+  /** Content fingerprint per image from EXACT patch statistics — the
+    * multimodal analogue of [[graft.functions.Text.fingerprint]]: tile
+    * via [[extractPatchStats]], then hash the (py, px, n_px, Σr, Σg, Σb)
+    * tiles in deterministic tile order. Two images fingerprint equal iff
+    * every patch's exact channel sums agree — byte-identical re-encodes
+    * (including top-down vs bottom-up flips of the same pixels, which
+    * the decoder normalizes) collide; any pixel change in any tile
+    * separates. Feeds [[graft.operators.Dedup.exact]]-style grouping
+    * directly.
+    *
+    * Scale shape: patch stats are a narrow scan-stage fan-out; the hash
+    * is one partial-aggregable groupBy on media_id carrying ~(w·h/p²)
+    * integer rows — payload bytes never shuffle. `real_decode` rides
+    * along (AND over tiles) so stub-decoded formats are distinguishable
+    * from real ones downstream. */
+  def imageFingerprints(media: DataFrame, patch: Int): DataFrame =
+    extractPatchStats(media, patch)
+      .groupBy(col("media_id"))
+      .agg(
+        md5(to_json(sort_array(collect_list(struct(
+          col("py"), col("px"), col("n_px"),
+          col("sum_r"), col("sum_g"), col("sum_b")))))).as("fp"),
+        min(col("real_decode")).as("real_decode"))
 }

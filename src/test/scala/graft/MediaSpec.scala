@@ -216,4 +216,35 @@ class MediaSpec extends SparkSuite {
     // non-audio media emit nothing
     assert(!out.keys.exists(_._1 == 4L))
   }
+
+  test("synthesizeBmp + imageFingerprints: real round-trip, planted dups, layout invariance") {
+    import spark.implicits._
+    // every id-triple shares a seed -> planted byte-identical duplicates
+    val ids = (0L until 12L).toDF("media_id")
+      .withColumn("seed", concat(lit("img:"),
+        (col("media_id") - pmod(col("media_id"), lit(3))).cast("string")))
+    val media = Media.synthesizeBmp(ids, "media_id", "seed", width = 24, height = 16)
+    // the encoder emits REAL BMPs: the real decoder parses them (no stub)
+    val feats = Media.extractFeatures(media).collect()
+    assert(feats.length == 12)
+    assert(feats.forall(r => r.getInt(3) == 24 && r.getInt(4) == 16))
+    val stats = Media.extractPatchStats(media, 8)
+    assert(stats.collect().forall(_.getBoolean(9)), "decode must be real, not stub")
+    // fingerprints: equal within a triple, distinct across triples
+    val fps = Media.imageFingerprints(media, 8).collect()
+      .map(r => (r.getLong(0), r.getString(1))).toMap
+    (0L until 12L).foreach { i =>
+      assert(fps(i) == fps(i - i % 3), s"$i must match its triple leader")
+    }
+    assert(fps.values.toSet.size == 4, "four distinct triples -> four fingerprints")
+    // fingerprint is layout-invariant (groupBy order, partitioning)
+    val re = Media.imageFingerprints(media.repartition(5), 8).collect()
+      .map(r => (r.getLong(0), r.getString(1))).toMap
+    assert(re == fps)
+    // a single changed pixel separates: different seed, same dims
+    val other = Media.synthesizeBmp(
+      Seq((99L, "img:other")).toDF("media_id", "seed"), "media_id", "seed", 24, 16)
+    val ofp = Media.imageFingerprints(other, 8).collect().head.getString(1)
+    assert(!fps.values.toSet.contains(ofp))
+  }
 }
