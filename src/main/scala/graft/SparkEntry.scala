@@ -194,6 +194,7 @@ object SparkEntry {
     "q133_distinct_lifecycle" -> q133,
     "q134_batch_assembly" -> q134,
     "q135_image_dedup" -> q135,
+    "q136_clustering_coeff" -> q136,
   )
 
   // =====================================================================
@@ -2135,6 +2136,19 @@ object SparkEntry {
       .groupBy(col("fp"))
       .agg(min(col("media_id")).as("keep_id"), count(lit(1)).as("n_copies"))
       .orderBy(col("keep_id"))
+  }
+
+  /** Global clustering coefficient of the co-purchase graph — q94's
+    * triangle core plus the exact wedge sum; C = 3T/W is one IEEE
+    * division of exact BIGINTs, so even the double hash-matches
+    * ([[graft.operators.Graph.clusteringCoefficient]]). */
+  private def q136(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(s, dir)
+      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk")).distinct()
+    val edges = li.join(li.withColumnRenamed("pk", "pk2"), Seq("ok"))
+      .where(col("pk") < col("pk2"))
+      .select(col("pk").as("src"), col("pk2").as("dst"))
+    graft.operators.Graph.clusteringCoefficient(edges, "src", "dst")
   }
 
   // =====================================================================
@@ -4353,6 +4367,29 @@ object SparkEntry {
              CAST(sum(n_toks) AS BIGINT) AS n_tokens,
              CAST(sum(n_toks) AS DOUBLE) / 512.0 AS fill_frac
            FROM walked GROUP BY shard, bin ORDER BY shard, bin_id""",
+
+      // q94's triangle core + the exact wedge sum; 3T/W is one IEEE
+      // division of exact integers
+      "q136_clustering_coeff" ->
+        """WITH li AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+           e0 AS (SELECT DISTINCT least(x.pk, y.pk) AS a, greatest(x.pk, y.pk) AS b
+                  FROM li x JOIN li y ON x.ok = y.ok AND x.pk <> y.pk),
+           deg AS (SELECT node, CAST(count(*) AS BIGINT) AS deg FROM
+                     (SELECT a AS node FROM e0 UNION ALL SELECT b FROM e0) t
+                   GROUP BY node)
+           SELECT
+             (SELECT count(*) FROM deg) AS n_nodes,
+             (SELECT count(*) FROM e0) AS n_edges,
+             (SELECT count(*) FROM e0 e1
+                JOIN e0 e2 ON e2.a = e1.b
+                JOIN e0 e3 ON e3.a = e1.a AND e3.b = e2.b) AS n_triangles,
+             (SELECT CAST(sum(deg * (deg - 1) // 2) AS BIGINT) FROM deg) AS n_wedges,
+             CASE WHEN (SELECT sum(deg * (deg - 1) // 2) FROM deg) > 0 THEN
+               3.0 * CAST((SELECT count(*) FROM e0 e1
+                 JOIN e0 e2 ON e2.a = e1.b
+                 JOIN e0 e3 ON e3.a = e1.a AND e3.b = e2.b) AS DOUBLE)
+               / CAST((SELECT sum(deg * (deg - 1) // 2) FROM deg) AS DOUBLE)
+             END AS global_cc""",
     )
   }
 }

@@ -353,4 +353,37 @@ object Graph {
       .crossJoin(closed.select(count(lit(1)).as("n_triangles")))
       .select(col("n_nodes"), col("n_edges"), col("n_triangles"))
   }
+
+  /** Global clustering coefficient (transitivity) — the one-number
+    * summary of how "community-like" a graph is: `C = 3·T / W` with `T`
+    * the triangle count ([[triangleCount]]'s degree-ordered orientation —
+    * never all-pairs) and `W = Σ_v deg(v)·(deg(v)−1)/2` the wedge count.
+    * Both T and W are exact BIGINTs (deg·(deg−1) is always even, so the
+    * halving is exact integer division), and C is ONE IEEE division of
+    * exact integers — hash-checkable cross-engine. A wedge-free graph
+    * (a matching) has C = NULL rather than a lying 0.
+    *
+    * Scale: the wedge sum is one partial-aggregable pass over the degree
+    * table (node-count rows); everything heavy is [[triangleCount]]'s
+    * audited shape. Output: one row `(n_nodes, n_edges, n_triangles,
+    * n_wedges, global_cc)`. */
+  def clusteringCoefficient(edges: DataFrame, srcCol: String,
+                            dstCol: String): DataFrame = {
+    val canon = edges
+      .select(least(col(srcCol), col(dstCol)).as("a"),
+        greatest(col(srcCol), col(dstCol)).as("b"))
+      .where(col("a") =!= col("b"))
+      .distinct()
+    val deg = canon.select(col("a").as("node"))
+      .union(canon.select(col("b").as("node")))
+      .groupBy(col("node")).agg(count(lit(1)).as("deg"))
+    val wedges = deg.agg(
+      sum(expr("deg * (deg - 1) DIV 2")).as("n_wedges"))
+    triangleCount(edges, srcCol, dstCol)
+      .crossJoin(wedges)
+      .withColumn("global_cc",
+        when(col("n_wedges") > 0,
+          lit(3.0) * col("n_triangles").cast("double")
+            / col("n_wedges").cast("double")))
+  }
 }

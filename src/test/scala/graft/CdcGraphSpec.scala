@@ -141,4 +141,20 @@ class CdcGraphSpec extends SparkSuite {
       .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
     assert(p1.toSeq == p2.toSeq)
   }
+
+  test("clusteringCoefficient: exact wedge count, 3T/W, matching graph gives NULL") {
+    import spark.implicits._
+    // triangle 1-2-3 with pendant 3-4: T=1, degs (2,2,3,1) -> W=1+1+3+0=5
+    val edges = Seq((1L, 2L), (2L, 3L), (1L, 3L), (3L, 4L)).toDF("src", "dst")
+    val r = graft.operators.Graph.clusteringCoefficient(edges, "src", "dst")
+      .collect().head
+    assert(r.getLong(0) == 4L && r.getLong(1) == 4L && r.getLong(2) == 1L)
+    assert(r.getLong(3) == 5L)
+    assert(r.getDouble(4) == 3.0 / 5.0)
+    // wedge-free matching: C is NULL, not a lying 0
+    val matching = Seq((1L, 2L), (3L, 4L)).toDF("src", "dst")
+    val m = graft.operators.Graph.clusteringCoefficient(matching, "src", "dst")
+      .collect().head
+    assert(m.getLong(2) == 0L && m.getLong(3) == 0L && m.isNullAt(4))
+  }
 }
