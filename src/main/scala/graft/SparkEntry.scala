@@ -195,6 +195,8 @@ object SparkEntry {
     "q134_batch_assembly" -> q134,
     "q135_image_dedup" -> q135,
     "q136_clustering_coeff" -> q136,
+    "q137_trending" -> q137,
+    "q138_sorted_export" -> q138,
   )
 
   // =====================================================================
@@ -2151,12 +2153,60 @@ object SparkEntry {
     graft.operators.Graph.clusteringCoefficient(edges, "src", "dst")
   }
 
+  /** Trending report: q128's decayed scores with a TakeOrdered tail —
+    * per-partition top-k heaps + a 20-row driver merge, no global sort
+    * (the composition the Decay operator exists for). */
+  private def q137(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Decay.decayedScore(
+        Tables.events(s, dir), "user_id", "ts", "value",
+        halfLifeHours = 4, horizonSteps = 20, valueScale = 100L)
+      .orderBy(col("score").desc, col("user_id"))
+      .limit(20)
+
+  /** Range-clustered sorted export round-trip: orders written as
+    * `range=year/` directories, rows in (o_orderdate, o_orderkey) order
+    * inside ([[graft.sources.Tables.writeSortedRange]] — deterministic
+    * range boundaries, unlike Spark's sampled range partitioner), then
+    * read BACK and profiled per range (count, date bounds, cents
+    * checksum) — disjoint [d_min, d_max] windows are what make the
+    * layout mergeable and partition-prunable. */
+  private def q138(s: SparkSession, dir: String): DataFrame = {
+    val path = "/tmp/graft_q138_export_" +
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(dir.getBytes("UTF-8")).take(4).map("%02x".format(_)).mkString
+    Tables.writeSortedRange(
+      Tables.orders(s, dir).select(col("o_orderkey"), col("o_orderdate"),
+        col("o_totalprice")),
+      path, year(col("o_orderdate")), col("o_orderdate"), col("o_orderkey"))
+    s.read.parquet(path)
+      .groupBy(col("range").cast("long").as("range"))
+      .agg(count(lit(1)).as("n_rows"),
+        min(col("o_orderdate")).as("d_min"), max(col("o_orderdate")).as("d_max"),
+        sum(round(col("o_totalprice") * 100).cast("long")).as("cents"))
+      .orderBy(col("range"))
+  }
+
   // =====================================================================
   // DuckDB oracle SQL — same semantics, same column names, same ORDER BY.
   // =====================================================================
 
   def oracleSql: Map[String, String] = {
     val norm = "trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))"
+    // q128/q137 share the decayed-score body; only the tail order differs
+    val decayedScoreSql =
+      """WITH s AS (
+           SELECT user_id, epoch_us(ts) // 14400000000 AS step,
+             CAST(floor(greatest(value, 0.0) * 100.0) AS BIGINT) AS qv
+           FROM events),
+         r AS (SELECT max(step) AS ref FROM s)
+         SELECT user_id,
+           CAST(sum(CASE WHEN ref - step <= 20
+             THEN qv << CAST(20 - (ref - step) AS INTEGER)
+             ELSE CAST(0 AS BIGINT) END) AS BIGINT) AS score,
+           CAST(sum(CASE WHEN ref - step <= 20 THEN 1 ELSE 0 END) AS BIGINT) AS n_live,
+           CAST(max(ref) AS BIGINT) AS ref_step
+         FROM s CROSS JOIN r
+         GROUP BY user_id"""
     val toks = s"list_filter(string_split($norm, ' '), t -> len(t) > 0)"
     def shingles(n: Int) =
       s"CASE WHEN len(toks) <= $n THEN [array_to_string(toks, ' ')] " +
@@ -4203,20 +4253,11 @@ object SparkEntry {
       // dyadic fixed-point decay: weight = qv << (20 - age) in half-life
       // steps (4h), hard expiry past 20 steps — BIGINT shifts and sums
       // only, so the score is order-independent and engine-exact
-      "q128_decayed_score" ->
-        """WITH s AS (
-             SELECT user_id, epoch_us(ts) // 14400000000 AS step,
-               CAST(floor(greatest(value, 0.0) * 100.0) AS BIGINT) AS qv
-             FROM events),
-           r AS (SELECT max(step) AS ref FROM s)
-           SELECT user_id,
-             CAST(sum(CASE WHEN ref - step <= 20
-               THEN qv << CAST(20 - (ref - step) AS INTEGER)
-               ELSE CAST(0 AS BIGINT) END) AS BIGINT) AS score,
-             CAST(sum(CASE WHEN ref - step <= 20 THEN 1 ELSE 0 END) AS BIGINT) AS n_live,
-             CAST(max(ref) AS BIGINT) AS ref_step
-           FROM s CROSS JOIN r
-           GROUP BY user_id ORDER BY user_id""",
+      "q128_decayed_score" -> (decayedScoreSql + " ORDER BY user_id"),
+
+      // same scores, TakeOrdered tail: the trending report
+      "q137_trending" ->
+        (decayedScoreSql + " ORDER BY score DESC, user_id LIMIT 20"),
 
       // two unrolled symmetric mutual-best rounds over q95's pair
       // universe: mirror each pair into its directed copies, rank within
@@ -4390,6 +4431,15 @@ object SparkEntry {
                  JOIN e0 e3 ON e3.a = e1.a AND e3.b = e2.b) AS DOUBLE)
                / CAST((SELECT sum(deg * (deg - 1) // 2) FROM deg) AS DOUBLE)
              END AS global_cc""",
+
+      // per-range profile of the sorted export — the round-trip through
+      // range=year/ directories must preserve exactly the year groups
+      "q138_sorted_export" ->
+        """SELECT CAST(year(o_orderdate) AS BIGINT) AS range,
+             CAST(count(*) AS BIGINT) AS n_rows,
+             min(o_orderdate) AS d_min, max(o_orderdate) AS d_max,
+             CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents
+           FROM orders GROUP BY 1 ORDER BY range""",
     )
   }
 }

@@ -1,6 +1,6 @@
 package graft.sources
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Parquet table loaders for the TPC-H-ish test corpus (TESTDATA.md).
@@ -92,6 +92,33 @@ object Tables {
   def writePartitioned(df: DataFrame, path: String, keys: String*): Unit = {
     require(keys.nonEmpty, "writePartitioned needs at least one partition key")
     df.write.mode("overwrite").partitionBy(keys: _*).parquet(path)
+  }
+
+  /** Range-clustered SORTED export — total-order materialization without
+    * the nondeterminism of Spark's sampled range partitioner (whose
+    * boundaries re-sample per execution): `rangeCol` is a deterministic
+    * VALUE bucket MONOTONE in `orderCols` (the
+    * [[graft.operators.Ranking.globalRankBy]] contract — a fixed prefix
+    * or `floor(value/width)` of the leading sort key), each range lands
+    * in its own `range=N/` directory with rows in `orderCols` order
+    * inside, so reading directories in range order replays one global
+    * sort. This is the layout a downstream merge-join / ordered-scan
+    * consumer wants, and range min/max make partition pruning exact.
+    *
+    * One shuffle total: repartition on the range puts each range in one
+    * task, `sortWithinPartitions` orders it, the partitioned write
+    * splits directories without re-shuffling. Size ranges via the
+    * bucket expression so one range fits one task (same guidance as
+    * globalRankBy's buckets). */
+  def writeSortedRange(df: DataFrame, path: String, rangeCol: Column,
+                       orderCols: Column*): Unit = {
+    require(orderCols.nonEmpty, "writeSortedRange needs at least one order column")
+    require(!df.columns.contains("range"),
+      "writeSortedRange reserves the column name range")
+    df.withColumn("range", rangeCol)
+      .repartition(col("range"))
+      .sortWithinPartitions(col("range") +: orderCols: _*)
+      .write.mode("overwrite").partitionBy("range").parquet(path)
   }
 
   /** Write a frame as a bucketed + sorted parquet table. Pipelines that

@@ -2476,6 +2476,38 @@ class OperatorsSpec extends SparkSuite {
       s"global decayedScore must stay window/sort-free:\n$plan")
   }
 
+  test("writeSortedRange: disjoint range dirs, rows sorted inside, deterministic boundaries") {
+    import spark.implicits._
+    import graft.sources.Tables
+    val rows = (1L to 400L).map(i => ((i * 37) % 400, i)).toDF("v", "id")
+    val path = java.nio.file.Files.createTempDirectory("sorted_export").toString
+    Tables.writeSortedRange(rows, path,
+      expr("(v - pmod(v, 100L)) DIV 100L"), col("v"), col("id"))
+    val dirs = new java.io.File(path).listFiles()
+      .filter(_.getName.startsWith("range=")).sortBy(_.getName)
+    assert(dirs.length == 4)
+    // each range directory holds ONE task's output, already in (v, id)
+    // order on disk — a single-file single-partition read preserves it
+    val perRange = dirs.map { d =>
+      val vs = spark.read.parquet(d.toString).select("v", "id")
+        .collect().map(r => (r.getLong(0), r.getLong(1)))
+      assert(vs.sameElements(vs.sortBy(identity)),
+        s"${d.getName} not sorted on disk")
+      (vs.head._1, vs.last._1, vs.length)
+    }
+    // ranges tile [0, 400) disjointly: global order = dir order
+    val sorted = perRange.sortBy(_._1)
+    sorted.sliding(2).foreach { case Array(a, b) => assert(a._2 < b._1) }
+    assert(perRange.map(_._3).sum == 400)
+    // boundaries are value-derived, not sampled: a rerun is byte-stable
+    val again = java.nio.file.Files.createTempDirectory("sorted_export2").toString
+    Tables.writeSortedRange(rows.repartition(7), again,
+      expr("(v - pmod(v, 100L)) DIV 100L"), col("v"), col("id"))
+    val names2 = new java.io.File(again).listFiles()
+      .filter(_.getName.startsWith("range=")).map(_.getName).sorted
+    assert(names2.sameElements(dirs.map(_.getName)))
+  }
+
   test("nextFitPack: bin resets, oversized rows get own bins, keys independent") {
     import spark.implicits._
     import graft.operators.Packing
