@@ -147,8 +147,9 @@ object Linkage {
     * in rank order, computed two-level: within-bucket cumsum windows
     * (`cumsumBucket` rows per partition) plus ONE offsets window over
     * `N / cumsumBucket` rows. Both sides balance at √N when
-    * `cumsumBucket ≈ √N` (the default suits 10⁹-10¹² rows); a third
-    * level would remove that ceiling if ever needed. */
+    * `cumsumBucket ≈ √N` (the default suits 10⁹-10¹² rows); beyond
+    * that, `Ranking.globalRankBy`'s optional three-level form
+    * (`superWidth`) shows the recipe that removes the ceiling. */
   def adaptiveNeighborhoodPairs(df: DataFrame, idCol: String, nameCol: String,
                                 sortKey: Column, bucketKey: Column,
                                 boundaryDist: Int, maxRun: Int, maxDist: Int,

@@ -47,18 +47,52 @@ object Ranking {
     * numeric one); rows sharing the full sort key must share the bucket.
     * `orderCols` must end in a unique tiebreak so the rank is a
     * permutation. Adds `rank`; `_bkt`/`_rn`/`_off`/`rank` are reserved. */
-  def globalRankBy(df: DataFrame, bucket: Column, orderCols: Column*): DataFrame = {
+  def globalRankBy(df: DataFrame, bucket: Column, orderCols: Column*): DataFrame =
+    globalRankBy(df, bucket, None, orderCols: _*)
+
+  /** [[globalRankBy]] with an optional THIRD prefix-sum level for bucket
+    * universes beyond the two-level √N ceiling: with `superWidth =
+    * Some(w)`, the per-bucket offset table (which the two-level scheme
+    * scans in ONE window over #buckets rows) is itself bucketed into
+    * super-buckets of `w` consecutive bucket ids — within-super cumsum
+    * windows run in parallel and only the #supers-row table pays a
+    * single-partition window. N rows now need only ∛N-sized frames at
+    * every level (w ≈ #buckets^(1/2) balances the two meta levels).
+    * Ranks are IDENTICAL to the two-level form (spec-asserted) — this
+    * changes the plan, never the permutation. Requires an integral
+    * bucket expression when `superWidth` is set (super = bkt DIV w needs
+    * arithmetic; the two-level form accepts any orderable bucket). */
+  def globalRankBy(df: DataFrame, bucket: Column, superWidth: Option[Long],
+                   orderCols: Column*): DataFrame = {
     require(orderCols.nonEmpty, "need at least one order column")
+    require(superWidth.forall(_ >= 1), s"superWidth must be >= 1, got $superWidth")
     val reserved = Seq("_bkt", "_rn", "_off", "rank")
     reserved.foreach(r => require(!df.columns.contains(r),
       s"input must not already contain column $r"))
     val base = df.withColumn("_bkt", bucket)
     val wIn = Window.partitionBy(col("_bkt")).orderBy(orderCols.map(_.asc): _*)
     val counts = base.groupBy(col("_bkt")).agg(count(lit(1)).as("_bc"))
-    // prefix sum over #buckets rows — a model-sized frame, not a data window
-    val wBkt = Window.orderBy(col("_bkt")).rowsBetween(Window.unboundedPreceding, -1)
-    val offsets = counts.select(col("_bkt"),
-      coalesce(sum(col("_bc")).over(wBkt), lit(0L)).as("_off"))
+    val offsets = superWidth match {
+      case None =>
+        // prefix sum over #buckets rows — a model-sized frame, not a data window
+        val wBkt = Window.orderBy(col("_bkt")).rowsBetween(Window.unboundedPreceding, -1)
+        counts.select(col("_bkt"),
+          coalesce(sum(col("_bc")).over(wBkt), lit(0L)).as("_off"))
+      case Some(w) =>
+        // third level: within-super cumsums in parallel + ONE window over
+        // #supers rows — the same trick applied to the offset table itself
+        val withSuper = counts.withColumn("_sup",
+          expr(s"(_bkt - pmod(_bkt, ${w}L)) DIV ${w}L"))
+        val wInSup = Window.partitionBy(col("_sup")).orderBy(col("_bkt"))
+          .rowsBetween(Window.unboundedPreceding, -1)
+        val wSup = Window.orderBy(col("_sup")).rowsBetween(Window.unboundedPreceding, -1)
+        val supOffsets = withSuper.groupBy(col("_sup")).agg(sum(col("_bc")).as("_sc"))
+          .select(col("_sup"), coalesce(sum(col("_sc")).over(wSup), lit(0L)).as("_soff"))
+        withSuper
+          .withColumn("_loff", coalesce(sum(col("_bc")).over(wInSup), lit(0L)))
+          .join(broadcast(supOffsets), Seq("_sup"))
+          .select(col("_bkt"), (col("_soff") + col("_loff")).as("_off"))
+    }
     base
       .withColumn("_rn", row_number().over(wIn))
       .join(broadcast(offsets), Seq("_bkt"))

@@ -1821,6 +1821,24 @@ class OperatorsSpec extends SparkSuite {
       s"k-row sample must plan as per-partition heaps + driver merge:\n$plan")
   }
 
+  test("globalRankBy three-level: identical permutation, only #supers rows pay a global window") {
+    import spark.implicits._
+    import graft.operators.Ranking
+    val rows = (1L to 5000L).map(i => ((i * 2654435761L) % 100000, i)).toDF("v", "id")
+    val bucket = expr("(v - pmod(v, 500L)) DIV 500L") // 200 buckets
+    val two = Ranking.globalRankBy(rows, bucket, col("v"), col("id"))
+      .collect().map(r => (r.getLong(1), r.getLong(2))).sortBy(_._1)
+    // third level (supers of 16 buckets): the plan changes, the permutation
+    // must not — byte-for-byte equal ranks
+    val three = Ranking.globalRankBy(rows, bucket, Some(16L), col("v"), col("id"))
+      .collect().map(r => (r.getLong(1), r.getLong(2))).sortBy(_._1)
+    assert(three.sameElements(two))
+    // degenerate widths collapse gracefully: w=1 (one bucket per super)
+    val w1 = Ranking.globalRankBy(rows, bucket, Some(1L), col("v"), col("id"))
+      .collect().map(r => (r.getLong(1), r.getLong(2))).sortBy(_._1)
+    assert(w1.sameElements(two))
+  }
+
   test("globalRankBy: string-keyed rank is the exact global sort order, repartition-stable") {
     import spark.implicits._
     val df = Seq(("delta", 1L), ("alpha", 2L), ("alpha", 3L), ("charlie", 4L),
