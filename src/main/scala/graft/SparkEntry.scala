@@ -197,6 +197,7 @@ object SparkEntry {
     "q136_clustering_coeff" -> q136,
     "q137_trending" -> q137,
     "q138_sorted_export" -> q138,
+    "q139_volume_shipping" -> q139,
   )
 
   // =====================================================================
@@ -2184,6 +2185,41 @@ object SparkEntry {
         min(col("o_orderdate")).as("d_min"), max(col("o_orderdate")).as("d_max"),
         sum(round(col("o_totalprice") * 100).cast("long")).as("cents"))
       .orderBy(col("range"))
+  }
+
+  /** TPC-H Q7 shape — VOLUME SHIPPING: bilateral trade revenue between
+    * two nations by (supplier nation, customer nation, ship year). The
+    * five-way join exercises Catalyst's join planning end-to-end: the
+    * two nation legs broadcast (pre-filtered to one row each), supplier
+    * and customer hash-join against the fact tables, AQE sizes the rest.
+    * Revenue is exact cents-per-row BIGINT (the money rule), discount
+    * factor exact at two decimals. */
+  private def q139(s: SparkSession, dir: String): DataFrame = {
+    // both directions of trade between nations 1 and 2
+    val supp = Tables.supplier(s, dir).select(col("s_suppkey"), col("s_nationkey"))
+    val cust = Tables.customer(s, dir).select(col("c_custkey"), col("c_nationkey"))
+    val li = Tables.lineitem(s, dir).select(col("l_orderkey"), col("l_suppkey"),
+      year(col("l_shipdate")).cast("long").as("l_year"),
+      // exact cents: price and discount each exact at 2 decimals →
+      // price·(100 − disc·100) is an exact integer per row
+      (round(col("l_extendedprice") * 100).cast("long")
+        * (lit(100L) - round(col("l_discount") * 100).cast("long"))).as("rev_e4"))
+    val ord = Tables.orders(s, dir).select(col("o_orderkey"), col("o_custkey"))
+    val nations = Tables.nation(s, dir)
+      .where(col("n_nationkey").isin(1, 2))
+      .select(col("n_nationkey"), col("n_name"))
+    val joined = li
+      .join(ord, col("l_orderkey") === col("o_orderkey"))
+      .join(supp, col("l_suppkey") === col("s_suppkey"))
+      .join(cust, col("o_custkey") === col("c_custkey"))
+      .join(broadcast(nations.select(col("n_nationkey").as("snk"),
+        col("n_name").as("supp_nation"))), col("s_nationkey") === col("snk"))
+      .join(broadcast(nations.select(col("n_nationkey").as("cnk"),
+        col("n_name").as("cust_nation"))), col("c_nationkey") === col("cnk"))
+      .where(col("snk") =!= col("cnk"))
+    joined.groupBy(col("supp_nation"), col("cust_nation"), col("l_year"))
+      .agg(sum(col("rev_e4")).as("revenue_e4"), count(lit(1)).as("n_items"))
+      .orderBy(col("supp_nation"), col("cust_nation"), col("l_year"))
   }
 
   // =====================================================================
@@ -4440,6 +4476,24 @@ object SparkEntry {
              min(o_orderdate) AS d_min, max(o_orderdate) AS d_max,
              CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents
            FROM orders GROUP BY 1 ORDER BY range""",
+
+      // TPC-H Q7 shape between nations 1 and 2, both directions; revenue
+      // in exact e4 units (cents × (100 − disc_cents))
+      "q139_volume_shipping" ->
+        """SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation,
+             CAST(year(l_shipdate) AS BIGINT) AS l_year,
+             CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+               * (100 - CAST(round(l_discount * 100) AS BIGINT))) AS BIGINT) AS revenue_e4,
+             CAST(count(*) AS BIGINT) AS n_items
+           FROM lineitem
+           JOIN orders ON l_orderkey = o_orderkey
+           JOIN supplier ON l_suppkey = s_suppkey
+           JOIN customer ON o_custkey = c_custkey
+           JOIN nation sn ON s_nationkey = sn.n_nationkey
+           JOIN nation cn ON c_nationkey = cn.n_nationkey
+           WHERE sn.n_nationkey IN (1, 2) AND cn.n_nationkey IN (1, 2)
+             AND sn.n_nationkey <> cn.n_nationkey
+           GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""",
     )
   }
 }

@@ -610,6 +610,39 @@ object Streams {
       }
   }
 
+  /** Streaming twin of [[graft.operators.Packing.nextFitPack]]: online
+    * per-shard next-fit bin assignment — the ingest side of q134's batch
+    * assembly (documents stream in, each shard's worker appends to its
+    * current bin and seals it when full). State per shard is TWO longs
+    * `(bin, fill)` — bounded by the shard count, not the stream. Within
+    * a micro-batch rows fold in `(seq, id)` order; across batches in
+    * ARRIVAL order (the admission-twin contract of
+    * [[tokenBudgetStream]]) — a bin left open at a batch boundary keeps
+    * filling in the next batch, exactly like the worker it models.
+    *
+    * Input: (shard, id, seq, tokens). Output: (shard, id, tokens,
+    * bin_id, bin_fill-after-placing). */
+  def nextFitPackStream(rows: Dataset[(Long, Long, Long, Long)], cap: Long)
+      : Dataset[(Long, Long, Long, Long, Long)] = {
+    require(cap > 0, s"cap must be positive, got $cap")
+    import rows.sparkSession.implicits._
+    rows
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[(Long, Long), (Long, Long, Long, Long, Long)](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (shard: Long, it: Iterator[(Long, Long, Long, Long)],
+         state: GroupState[(Long, Long)]) =>
+          var (bin, fill) = state.getOption.getOrElse((0L, 0L))
+          val out = it.toSeq.sortBy(r => (r._3, r._2)).map { case (_, id, _, t) =>
+            if (fill > 0L && fill + t > cap) { bin += 1L; fill = 0L }
+            fill += t
+            (shard, id, t, bin, fill)
+          }
+          state.update((bin, fill))
+          out.iterator
+      }
+  }
+
   /** Streaming twin of [[graft.operators.Recrawl.suppress]]: online TTL
     * re-crawl admission. State per fingerprint is ONE long — the last
     * KEPT timestamp — so the state store is bounded by the distinct

@@ -902,6 +902,36 @@ class StreamingSpec extends SparkSuite {
     } finally q.stop()
   }
 
+  test("streaming next-fit packing: open bin spans batches, matches batch operator on ordered feed") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, Long, Long, Long)] // (shard, id, seq, toks)
+    val out = Streams.nextFitPackStream(input.toDS(), cap = 512L)
+    val q = out.toDF("shard", "id", "toks", "bin_id", "bin_fill").writeStream
+      .outputMode("append").format("memory").queryName("nfp").start()
+    try {
+      input.addData((0L, 1L, 1L, 300L), (0L, 2L, 2L, 200L), (1L, 6L, 1L, 512L))
+      q.processAllAvailable()
+      // shard 0's bin 0 is at 500 and stays OPEN across the boundary:
+      // a 10-token doc still fits; the next 100 seals it and opens bin 1
+      input.addData((0L, 3L, 3L, 10L), (0L, 4L, 4L, 100L), (1L, 7L, 2L, 1L))
+      q.processAllAvailable()
+      val got = spark.table("nfp").collect()
+        .map(r => (r.getLong(1), (r.getLong(3), r.getLong(4)))).toMap
+      assert(got(1L) == ((0L, 300L)) && got(2L) == ((0L, 500L)))
+      assert(got(3L) == ((0L, 510L)), "open bin must keep filling across batches")
+      assert(got(4L) == ((1L, 100L)))
+      assert(got(6L) == ((0L, 512L)) && got(7L) == ((1L, 1L)))
+      // ordered single-batch feed == batch operator
+      val batch = graft.operators.Packing.nextFitPack(
+          Seq((0L, 1L, 300L), (0L, 2L, 200L), (0L, 3L, 10L), (0L, 4L, 100L),
+            (1L, 6L, 512L), (1L, 7L, 1L)).toDF("shard", "id", "toks"),
+          "shard", "id", "id", "toks", cap = 512L)
+        .collect().map(r => (r.getLong(1), (r.getLong(3), r.getLong(4)))).toMap
+      assert(got == batch)
+    } finally q.stop()
+  }
+
   test("streaming recrawl suppression: one-long state, clock resets across batches") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
