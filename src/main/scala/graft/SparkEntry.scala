@@ -198,6 +198,7 @@ object SparkEntry {
     "q137_trending" -> q137,
     "q138_sorted_export" -> q138,
     "q139_volume_shipping" -> q139,
+    "q140_weighted_pagerank" -> q140,
   )
 
   // =====================================================================
@@ -2187,11 +2188,11 @@ object SparkEntry {
       .orderBy(col("range"))
   }
 
-  /** TPC-H Q7 shape — VOLUME SHIPPING: bilateral trade revenue between
-    * two nations by (supplier nation, customer nation, ship year). The
-    * five-way join exercises Catalyst's join planning end-to-end: the
-    * two nation legs broadcast (pre-filtered to one row each), supplier
-    * and customer hash-join against the fact tables, AQE sizes the rest.
+  /** TPC-H Q7 shape — VOLUME SHIPPING: cross-border trade revenue by
+    * (supplier nation, customer nation, ship year) over every nation
+    * pair. The five-way join exercises Catalyst's join planning
+    * end-to-end: the two 25-row nation legs broadcast, supplier and
+    * customer hash-join against the fact tables, AQE sizes the rest.
     * Revenue is exact cents-per-row BIGINT (the money rule), discount
     * factor exact at two decimals. */
   private def q139(s: SparkSession, dir: String): DataFrame = {
@@ -2206,7 +2207,6 @@ object SparkEntry {
         * (lit(100L) - round(col("l_discount") * 100).cast("long"))).as("rev_e4"))
     val ord = Tables.orders(s, dir).select(col("o_orderkey"), col("o_custkey"))
     val nations = Tables.nation(s, dir)
-      .where(col("n_nationkey").isin(1, 2))
       .select(col("n_nationkey"), col("n_name"))
     val joined = li
       .join(ord, col("l_orderkey") === col("o_orderkey"))
@@ -2220,6 +2220,26 @@ object SparkEntry {
     joined.groupBy(col("supp_nation"), col("cust_nation"), col("l_year"))
       .agg(sum(col("rev_e4")).as("revenue_e4"), count(lit(1)).as("n_items"))
       .orderBy(col("supp_nation"), col("cust_nation"), col("l_year"))
+  }
+
+  /** WEIGHTED integer PageRank over the strong co-purchase graph (q113's
+    * weighted edges, mirrored both directions): rank splits
+    * proportionally to co-purchase multiplicity — `rank·w DIV strength`,
+    * pure BIGINT, unrolled-rounds oracle (q87/q124 pattern with the
+    * weight ratio in the recurrence)
+    * ([[graft.operators.Graph.pageRankInt]] with `weightCol`). */
+  private def q140(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(s, dir)
+      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk")).distinct()
+    val strong = li.join(li.withColumnRenamed("pk", "pk2"), Seq("ok"))
+      .where(col("pk") < col("pk2"))
+      .groupBy(col("pk"), col("pk2")).agg(count(lit(1)).as("w"))
+      .where(col("w") >= 2)
+    val both = strong.select(col("pk").as("src"), col("pk2").as("dst"), col("w"))
+      .unionAll(strong.select(col("pk2").as("src"), col("pk").as("dst"), col("w")))
+    graft.operators.Graph.pageRankInt(both, "src", "dst", iterations = 3,
+        weightCol = Some("w"))
+      .orderBy(col("node"))
   }
 
   // =====================================================================
@@ -4477,8 +4497,8 @@ object SparkEntry {
              CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents
            FROM orders GROUP BY 1 ORDER BY range""",
 
-      // TPC-H Q7 shape between nations 1 and 2, both directions; revenue
-      // in exact e4 units (cents × (100 − disc_cents))
+      // TPC-H Q7 shape over every cross-border nation pair; revenue in
+      // exact e4 units (cents × (100 − disc_cents))
       "q139_volume_shipping" ->
         """SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation,
              CAST(year(l_shipdate) AS BIGINT) AS l_year,
@@ -4491,9 +4511,36 @@ object SparkEntry {
            JOIN customer ON o_custkey = c_custkey
            JOIN nation sn ON s_nationkey = sn.n_nationkey
            JOIN nation cn ON c_nationkey = cn.n_nationkey
-           WHERE sn.n_nationkey IN (1, 2) AND cn.n_nationkey IN (1, 2)
-             AND sn.n_nationkey <> cn.n_nationkey
+           WHERE sn.n_nationkey <> cn.n_nationkey
            GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""",
+
+      // q87's unrolled integer rounds with the weight ratio in the
+      // recurrence: contribution = rank·w // strength, strength = Σw
+      "q140_weighted_pagerank" -> {
+        val rounds = (1 to 3).map { i =>
+          s"""r$i AS (
+             SELECT n.node,
+               CAST(150000 + (85 * coalesce(c.in_fp, 0)) // 100 AS BIGINT) AS rank_fp
+             FROM n LEFT JOIN (
+               SELECT e.dst AS node,
+                 CAST(sum((r${i - 1}.rank_fp * e.w) // d.deg) AS BIGINT) AS in_fp
+               FROM e JOIN r${i - 1} ON r${i - 1}.node = e.src
+               JOIN d ON d.src = e.src
+               GROUP BY e.dst) c ON c.node = n.node)"""
+        }.mkString(",\n")
+        s"""WITH li AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+           strong AS (
+             SELECT x.pk AS a, y.pk AS b, CAST(count(*) AS BIGINT) AS w
+             FROM li x JOIN li y ON x.ok = y.ok AND x.pk < y.pk
+             GROUP BY 1, 2 HAVING count(*) >= 2),
+           e AS (SELECT a AS src, b AS dst, w FROM strong
+                 UNION ALL SELECT b AS src, a AS dst, w FROM strong),
+           n AS (SELECT DISTINCT src AS node FROM e),
+           d AS (SELECT src, CAST(sum(w) AS BIGINT) AS deg FROM e GROUP BY src),
+           r0 AS (SELECT node, CAST(1000000 AS BIGINT) AS rank_fp FROM n),
+           $rounds
+           SELECT node, rank_fp FROM r3 ORDER BY node"""
+      },
     )
   }
 }

@@ -50,10 +50,24 @@ object Graph {
   def pageRankInt(edges: DataFrame, srcCol: String, dstCol: String,
                   iterations: Int, dampNum: Long = 85L, dampDen: Long = 100L,
                   scale: Long = 1000000L, checkpoint: Boolean = true,
-                  seeds: Option[DataFrame] = None): DataFrame = {
+                  seeds: Option[DataFrame] = None,
+                  weightCol: Option[String] = None): DataFrame = {
     require(iterations >= 1, "iterations must be >= 1")
     require(dampNum > 0 && dampNum < dampDen, "need 0 < dampNum < dampDen")
-    val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst")).distinct()
+    // WEIGHTED variant: a src splits its rank proportionally to integer
+    // edge weights — contribution = rank_fp·w DIV strength(src), still
+    // pure BIGINT (exact while rank_fp·max(w) < 2^63; with the default
+    // scale that allows weights into the billions). Parallel edges
+    // aggregate their weights; weightCol = None keeps the unweighted
+    // arithmetic bit-for-bit (w = 1, strength = out-degree).
+    val e = (weightCol match {
+      case Some(wc) =>
+        edges.groupBy(col(srcCol).as("src"), col(dstCol).as("dst"))
+          .agg(sum(col(wc)).cast("long").as("w"))
+      case None =>
+        edges.select(col(srcCol).as("src"), col(dstCol).as("dst")).distinct()
+          .withColumn("w", lit(1L))
+    })
       // one shuffle up front; every round's src-join reuses this layout
       .repartition(col("src")).persist()
     // PERSONALIZED variant (TrustRank — Gyöngyi et al., VLDB 2004): when a
@@ -76,7 +90,7 @@ object Graph {
           .union(e.select(col("dst").as("node"))).distinct()
           .withColumn("_seed", lit(true))
     }).persist()
-    val outdeg = e.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+    val outdeg = e.groupBy(col("src")).agg(sum(col("w")).as("deg"))
     val teleport = (scale * (dampDen - dampNum)) / dampDen
     def cut(df: DataFrame): DataFrame =
       if (checkpoint) df.localCheckpoint() else df
@@ -89,7 +103,7 @@ object Graph {
         .join(outdeg, Seq("src"))
         // DIV keeps everything BIGINT — `/` on longs would detour through
         // double and lose exactness past 2^53
-        .select(col("dst"), expr("rank_fp DIV deg").as("c"))
+        .select(col("dst"), expr("(rank_fp * w) DIV deg").as("c"))
         .groupBy(col("dst")).agg(sum(col("c")).as("in_fp"))
       ranks = cut(nodes
         .join(contrib.withColumnRenamed("dst", "node"), Seq("node"), "left")

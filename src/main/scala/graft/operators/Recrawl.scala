@@ -49,6 +49,11 @@ object Recrawl {
     require(ttlMicros >= 0, s"ttlMicros must be >= 0, got $ttlMicros")
     require(!df.columns.contains("kept"),
       "suppress reserves the column name kept — rename before calling")
+    // fail at plan build, not mid-task with a cast error: the walk reads
+    // the timestamp as a primitive long
+    require(df.schema(tsCol).dataType == LongType,
+      s"$tsCol must be BIGINT epoch-micros (got ${df.schema(tsCol).dataType}); " +
+        "normalize timestamps upstream with unix_micros(...)")
     val ordered = df.repartition(col(fpCol))
       .sortWithinPartitions(col(fpCol), col(tsCol), col(idCol))
     val outSchema = StructType(ordered.schema.fields :+

@@ -142,6 +142,28 @@ class CdcGraphSpec extends SparkSuite {
     assert(p1.toSeq == p2.toSeq)
   }
 
+  test("weighted pageRankInt: rank splits by weight ratio; all-1 weights equal unweighted") {
+    import spark.implicits._
+    // A -> B (w 3), A -> C (w 1): B draws 3/4 of A's mass
+    val we = Seq((1L, 2L, 3L), (1L, 3L, 1L)).toDF("src", "dst", "w")
+    val r = graft.operators.Graph.pageRankInt(we, "src", "dst",
+        iterations = 1, weightCol = Some("w"))
+      .collect().map(x => (x.getLong(0), x.getLong(1))).toMap
+    // strength(A)=4; in(B)=(1e6·3) DIV 4, in(C)=(1e6·1) DIV 4; teleport 150000
+    assert(r(2L) == 150000L + 85L * 750000L / 100L)
+    assert(r(3L) == 150000L + 85L * 250000L / 100L)
+    assert(r(1L) == 150000L)
+    // weightCol = None is bit-for-bit the all-ones weighted form
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 1L), (1L, 3L)).toDF("src", "dst")
+    val un = graft.operators.Graph.pageRankInt(edges, "src", "dst", iterations = 3)
+      .collect().map(x => (x.getLong(0), x.getLong(1))).sortBy(_._1)
+    val ones = graft.operators.Graph.pageRankInt(
+        edges.withColumn("w", lit(1L)), "src", "dst", iterations = 3,
+        weightCol = Some("w"))
+      .collect().map(x => (x.getLong(0), x.getLong(1))).sortBy(_._1)
+    assert(un.sameElements(ones))
+  }
+
   test("clusteringCoefficient: exact wedge count, 3T/W, matching graph gives NULL") {
     import spark.implicits._
     // triangle 1-2-3 with pendant 3-4: T=1, degs (2,2,3,1) -> W=1+1+3+0=5
