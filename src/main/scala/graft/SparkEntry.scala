@@ -199,6 +199,7 @@ object SparkEntry {
     "q138_sorted_export" -> q138,
     "q139_volume_shipping" -> q139,
     "q140_weighted_pagerank" -> q140,
+    "q141_grouped_quantiles" -> q141,
   )
 
   // =====================================================================
@@ -2241,6 +2242,20 @@ object SparkEntry {
         weightCol = Some("w"))
       .orderBy(col("node"))
   }
+
+  /** Exact per-source length quantiles by RANK SELECTION — q46's exact
+    * percentiles without its per-group value buffer (the documented
+    * memory cliff for dominant groups): the p-quantile is the element at
+    * within-group rank ⌈p·n_g⌉ through groupedRank's nested two-level
+    * scheme — no single-partition exchange, no interpolation arithmetic
+    * ([[graft.operators.Ranking.groupedQuantiles]]). */
+  private def q141(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Ranking.groupedQuantiles(
+        Tables.documents(s, dir).select(col("source"), col("n_chars"), col("doc_id")),
+        "source", "n_chars",
+        subBucket = expr("(n_chars - pmod(n_chars, 200L)) DIV 200L"),
+        idCol = "doc_id", ps = Seq(0.25, 0.5, 0.9))
+      .orderBy(col("source"), col("p"))
 
   // =====================================================================
   // DuckDB oracle SQL — same semantics, same column names, same ORDER BY.
@@ -4541,6 +4556,21 @@ object SparkEntry {
            $rounds
            SELECT node, rank_fp FROM r3 ORDER BY node"""
       },
+
+      // per-group rank selection mirrored literally (row_number + group
+      // count + the same ceil(p·n) index) — no quantile builtin whose
+      // convention could differ
+      "q141_grouped_quantiles" ->
+        """WITH r AS (
+             SELECT source, n_chars, doc_id,
+               CAST(row_number() OVER (PARTITION BY source ORDER BY n_chars, doc_id) AS BIGINT) AS rnk,
+               CAST(count(*) OVER (PARTITION BY source) AS BIGINT) AS gn
+             FROM documents),
+           j AS (SELECT r.*, p FROM r
+                 CROSS JOIN (SELECT unnest([0.25, 0.5, 0.9]) AS p))
+           SELECT source, p, n_chars AS value FROM j
+           WHERE rnk = CAST(ceil(p * gn) AS BIGINT)
+           ORDER BY source, p""",
     )
   }
 }

@@ -215,4 +215,31 @@ object Ranking {
       .withColumn("rank", col("_off") + col("_rn").cast("long"))
       .drop("_grp", "_sb", "_rn", "_off")
   }
+
+  /** Exact PER-GROUP quantiles by rank selection — [[globalQuantiles]]
+    * for groups too large for `percentile`'s per-group value buffer (q46's
+    * documented cliff: the aggregate holds a whole group's values in one
+    * executor). The p-quantile of group g is the element at rank
+    * `⌈p·n_g⌉` of [[groupedRank]]'s within-group order — type-1
+    * (discontinuous) by the same argument as [[globalQuantiles]]: the
+    * answer is an actual data element, no interpolation to mirror, so a
+    * DuckDB `quantile_disc` oracle hash-matches. Group sizes ride a
+    * #groups-row broadcast; no single-partition exchange anywhere (the
+    * groupedRank guarantee). Returns `(groupCol, p, value)`, one row per
+    * (group, p). */
+  def groupedQuantiles(df: DataFrame, groupCol: String, valueCol: String,
+                       subBucket: Column, idCol: String,
+                       ps: Seq[Double]): DataFrame = {
+    require(ps.nonEmpty && ps.forall(p => p > 0 && p <= 1),
+      s"quantiles must lie in (0, 1], got $ps")
+    val ranked = groupedRank(df.select(col(groupCol), col(valueCol), col(idCol)),
+      col(groupCol), subBucket, col(valueCol), col(idCol))
+    val sizes = df.groupBy(col(groupCol)).agg(count(lit(1)).as("_gn"))
+    val wanted = explode(array(ps.map(lit(_)): _*))
+    ranked
+      .join(broadcast(sizes.select(col(groupCol), col("_gn"), wanted.as("p"))),
+        Seq(groupCol))
+      .where(col("rank") === ceil(col("p") * col("_gn")).cast("long"))
+      .select(col(groupCol), col("p"), col(valueCol).as("value"))
+  }
 }

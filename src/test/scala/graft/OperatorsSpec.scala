@@ -1821,6 +1821,23 @@ class OperatorsSpec extends SparkSuite {
       s"k-row sample must plan as per-partition heaps + driver merge:\n$plan")
   }
 
+  test("groupedQuantiles: type-1 rank selection per group, no single-partition window") {
+    import spark.implicits._
+    import graft.operators.Ranking
+    val rows = ((1L to 10L).map(v => ("a", v, v)) :+ (("b", 42L, 99L)))
+      .toDF("g", "v", "id")
+    val q = Ranking.groupedQuantiles(rows, "g", "v",
+      subBucket = expr("(v - pmod(v, 4L)) DIV 4L"), idCol = "id",
+      ps = Seq(0.25, 0.5, 1.0))
+    val got = q.collect().map(r => ((r.getString(0), r.getDouble(1)), r.getLong(2))).toMap
+    // ceil(p·10): 3, 5, 10 — actual elements, no interpolation
+    assert(got(("a", 0.25)) == 3L && got(("a", 0.5)) == 5L && got(("a", 1.0)) == 10L)
+    // singleton group: every quantile IS the one element
+    assert(got(("b", 0.25)) == 42L && got(("b", 1.0)) == 42L)
+    assert(!q.queryExecution.executedPlan.toString.contains("SinglePartition"),
+      "grouped quantiles must not serialize through one window task")
+  }
+
   test("globalRankBy three-level: identical permutation, only #supers rows pay a global window") {
     import spark.implicits._
     import graft.operators.Ranking
