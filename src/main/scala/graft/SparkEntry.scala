@@ -200,6 +200,7 @@ object SparkEntry {
     "q139_volume_shipping" -> q139,
     "q140_weighted_pagerank" -> q140,
     "q141_grouped_quantiles" -> q141,
+    "q142_recency_sample" -> q142,
   )
 
   // =====================================================================
@@ -2256,6 +2257,22 @@ object SparkEntry {
         subBucket = expr("(n_chars - pmod(n_chars, 200L)) DIV 200L"),
         idCol = "doc_id", ps = Seq(0.25, 0.5, 0.9))
       .orderBy(col("source"), col("p"))
+
+  /** RECENCY-weighted panel sampling — 50 users drawn without
+    * replacement proportional to their exponentially decayed engagement:
+    * q128's exact fixed-point scores feed q96's derandomized
+    * Efraimidis–Spirakis keys (the eval-panel / active-user-selection
+    * move: heavy-but-stale users decay out of the draw). Pure
+    * composition — both stages already oracle-proven; the weight is an
+    * exact BIGINT so the only float step is the one quantized ES key. */
+  private def q142(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Sampling.weightedSample(
+        graft.operators.Decay.decayedScore(
+          Tables.events(s, dir), "user_id", "ts", "value",
+          halfLifeHours = 4, horizonSteps = 20, valueScale = 100L)
+          .select(col("user_id"), col("score")),
+        "user_id", "score", k = 50, seed = "q142")
+      .orderBy(col("key_unats"), col("user_id"))
 
   // =====================================================================
   // DuckDB oracle SQL — same semantics, same column names, same ORDER BY.
@@ -4571,6 +4588,20 @@ object SparkEntry {
            SELECT source, p, n_chars AS value FROM j
            WHERE rnk = CAST(ceil(p * gn) AS BIGINT)
            ORDER BY source, p""",
+
+      // q128's decayed-score body feeding q96's ES-key recipe: weight =
+      // exact BIGINT score, key quantized to integer micro-nats
+      "q142_recency_sample" -> {
+        s"""WITH sc AS ($decayedScoreSql),
+           kk AS (
+             SELECT user_id, score,
+               CAST(round(-ln((CAST('0x' || substr(md5('q142:' || CAST(user_id AS VARCHAR)), 1, 15) AS BIGINT) + 1.0)
+                     / 1152921504606846976.0)
+                   / CAST(score AS DOUBLE) * 1e6) AS BIGINT) AS key_unats
+             FROM sc WHERE score IS NOT NULL AND score > 0)
+           SELECT user_id, score, key_unats FROM kk
+           ORDER BY key_unats, user_id LIMIT 50"""
+      },
     )
   }
 }
