@@ -201,6 +201,7 @@ object SparkEntry {
     "q140_weighted_pagerank" -> q140,
     "q141_grouped_quantiles" -> q141,
     "q142_recency_sample" -> q142,
+    "q143_dedup_yield" -> q143,
   )
 
   // =====================================================================
@@ -2273,6 +2274,34 @@ object SparkEntry {
           .select(col("user_id"), col("score")),
         "user_id", "score", k = 50, seed = "q142")
       .orderBy(col("key_unats"), col("user_id"))
+
+  /** DEDUP-YIELD report — the measurement behind every dedup decision:
+    * per source, how many tokens are UNIQUE at content-defined-chunk
+    * granularity vs total (a mirrored corpus contributes mass but no
+    * unique mass). Chunks via q126's gear-hash chunker; each distinct
+    * fingerprint is attributed to its globally FIRST occurrence
+    * (doc_id, chunk_idx order), so sources are credited for content
+    * they contributed first, not for re-hosting. One window over the
+    * fp key + partial-aggregable source rollup; bodies never shuffle
+    * (chunking is scan-stage; only (fp, ids, token counts) ride). */
+  private def q143(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir).select(col("doc_id"), col("source"))
+    val chunks = graft.operators.Chunking.contentDefinedChunks(
+        Tables.documents(s, dir), "doc_id", "text", divisor = 32)
+      .select(col("doc_id"), col("chunk_idx"), col("n_tok"), col("chunk_fp"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("chunk_fp")).orderBy(col("doc_id"), col("chunk_idx"))
+    chunks
+      .withColumn("_own", row_number().over(w) === 1)
+      .join(docs, Seq("doc_id"))
+      .groupBy(col("source"))
+      .agg(countDistinct(col("doc_id")).as("n_docs"),
+        sum(col("n_tok")).as("total_tokens"),
+        sum(when(col("_own"), col("n_tok")).otherwise(0L)).as("unique_tokens"))
+      .withColumn("uniqueness",
+        col("unique_tokens").cast("double") / col("total_tokens").cast("double"))
+      .orderBy(col("source"))
+  }
 
   // =====================================================================
   // DuckDB oracle SQL — same semantics, same column names, same ORDER BY.
@@ -4601,6 +4630,39 @@ object SparkEntry {
              FROM sc WHERE score IS NOT NULL AND score > 0)
            SELECT user_id, score, key_unats FROM kk
            ORDER BY key_unats, user_id LIMIT 50"""
+      },
+
+      // q126's chunk chain + global first-occurrence attribution per
+      // fingerprint + per-source rollup; uniqueness one IEEE division
+      "q143_dedup_yield" -> {
+        val orderedKeys =
+          s"list_transform(${shingles(3)}, s -> CAST('0x' || substr(md5(s), 1, 15) AS BIGINT))"
+        s"""WITH t AS (SELECT doc_id, $toks AS toks FROM documents),
+           tok AS (SELECT doc_id, unnest(range(0, len(toks))) AS p, toks
+                   FROM t WHERE len(toks) > 0),
+           flat AS (SELECT doc_id, p, toks[p + 1] AS tok FROM tok),
+           shl AS (SELECT doc_id, $orderedKeys AS keys FROM t WHERE len(toks) > 0),
+           cuts AS (SELECT doc_id,
+               list_filter(list_transform(range(0, len(keys)),
+                 i -> CASE WHEN keys[i + 1] % 32 = 0 THEN i + 2 ELSE -1 END),
+                 x -> x >= 0) AS cs
+             FROM shl),
+           asg AS (SELECT f.doc_id, f.p, f.tok,
+               coalesce(len(list_filter(c.cs, x -> x < f.p)), 0) AS chunk_idx
+             FROM flat f LEFT JOIN cuts c USING (doc_id)),
+           ch AS (SELECT doc_id, chunk_idx, CAST(count(*) AS BIGINT) AS n_tok,
+               md5(string_agg(tok, ' ' ORDER BY p)) AS chunk_fp
+             FROM asg GROUP BY doc_id, chunk_idx),
+           own AS (SELECT doc_id, n_tok,
+               row_number() OVER (PARTITION BY chunk_fp ORDER BY doc_id, chunk_idx) = 1 AS o
+             FROM ch)
+           SELECT d.source, CAST(count(DISTINCT o.doc_id) AS BIGINT) AS n_docs,
+             CAST(sum(n_tok) AS BIGINT) AS total_tokens,
+             CAST(sum(CASE WHEN o.o THEN n_tok ELSE 0 END) AS BIGINT) AS unique_tokens,
+             CAST(sum(CASE WHEN o.o THEN n_tok ELSE 0 END) AS DOUBLE)
+               / CAST(sum(n_tok) AS DOUBLE) AS uniqueness
+           FROM own o JOIN documents d USING (doc_id)
+           GROUP BY d.source ORDER BY d.source"""
       },
     )
   }
