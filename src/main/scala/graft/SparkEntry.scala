@@ -202,6 +202,7 @@ object SparkEntry {
     "q141_grouped_quantiles" -> q141,
     "q142_recency_sample" -> q142,
     "q143_dedup_yield" -> q143,
+    "q144_bpe_candidates" -> q144,
   )
 
   // =====================================================================
@@ -2301,6 +2302,34 @@ object SparkEntry {
       .withColumn("uniqueness",
         col("unique_tokens").cast("double") / col("total_tokens").cast("double"))
       .orderBy(col("source"))
+  }
+
+  /** BPE merge candidates — the first round of byte-pair-encoding
+    * tokenizer training (Sennrich et al., ACL 2016), the corpus-scale
+    * part: count adjacent CHARACTER pairs within words, weighted by word
+    * frequency, and rank merge candidates. The expensive piece at 100 TB
+    * is exactly this counting pass — per-word char bigrams ride one
+    * partial-aggregable exchange keyed on the pair (words pre-aggregate
+    * to (word, freq) first, so a word's chars are walked once however
+    * often it occurs). Pure string/integer ops — hash-exact. Top 20 by
+    * (count desc, pair asc). The ITERATIVE trainer (apply top merge,
+    * recount) is roadmapped with a marker-encoding design note; round
+    * one is where the data-scale work lives. */
+  private def q144(s: SparkSession, dir: String): DataFrame = {
+    val words = Tables.documents(s, dir)
+      .select(explode(Text.tokens(col("text"))).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("freq"))
+    words
+      // guard single-char words: sequence(1, 0) would COUNT DOWN, not
+      // produce an empty pair list
+      .where(length(col("w")) > 1)
+      .select(col("freq"), explode(expr(
+        "transform(sequence(1, length(w) - 1), i -> struct(substring(w, i, 1) AS a, substring(w, i + 1, 1) AS b))"))
+        .as("p"))
+      .groupBy(col("p.a").as("a"), col("p.b").as("b"))
+      .agg(sum(col("freq")).as("pair_count"))
+      .orderBy(col("pair_count").desc, col("a"), col("b"))
+      .limit(20)
   }
 
   // =====================================================================
@@ -4664,6 +4693,21 @@ object SparkEntry {
            FROM own o JOIN documents d USING (doc_id)
            GROUP BY d.source ORDER BY d.source"""
       },
+
+      // word-frequency-weighted adjacent char pairs — BPE round one;
+      // (count desc, a, b) is a total order so the LIMIT is stable
+      "q144_bpe_candidates" ->
+        s"""WITH w AS (
+             SELECT w, CAST(count(*) AS BIGINT) AS freq FROM
+               (SELECT unnest($toks) AS w FROM documents) t GROUP BY w),
+           p AS (
+             SELECT substr(w, CAST(i AS INTEGER), 1) AS a,
+               substr(w, CAST(i AS INTEGER) + 1, 1) AS b, freq
+             FROM (SELECT w, freq, unnest(range(1, length(w))) AS i
+                   FROM w WHERE length(w) > 1) t)
+           SELECT a, b, CAST(sum(freq) AS BIGINT) AS pair_count
+           FROM p GROUP BY a, b
+           ORDER BY pair_count DESC, a, b LIMIT 20""",
     )
   }
 }
