@@ -203,6 +203,7 @@ object SparkEntry {
     "q142_recency_sample" -> q142,
     "q143_dedup_yield" -> q143,
     "q144_bpe_candidates" -> q144,
+    "q145_bpe_rounds" -> q145,
   )
 
   // =====================================================================
@@ -2330,6 +2331,54 @@ object SparkEntry {
       .agg(sum(col("freq")).as("pair_count"))
       .orderBy(col("pair_count").desc, col("a"), col("b"))
       .limit(20)
+  }
+
+  /** ITERATIVE BPE — two determinized merge rounds: pick the top char
+    * pair (q144's counting), APPLY the merge corpus-wide, recount over
+    * the merged symbol streams, pick again. The apply step is the
+    * engine-portability trick from the roadmap note: every symbol is
+    * wrapped in its own marker pair (`␁a␁␁b␁`), so replacing
+    * `␁a␁␁b␁ → ␁ab␁` never shares delimiter characters between adjacent
+    * matches — plain space-joined symbols DO share the separator and
+    * both engines' left-to-right `replace` would skip every second
+    * occurrence; RE2 (the oracle's regex engine) has no lookbehind, so
+    * markers are the portable route. Greedy left-to-right on runs
+    * (`aaa` merges once) — the same rule in both engines by replace()
+    * semantics. The merge winner is a 1-row broadcast; each round's
+    * counting is one partial-aggregable pair-keyed exchange over the
+    * DISTINCT-word universe (words pre-aggregate to (w, freq)). */
+  private def q145(s: SparkSession, dir: String): DataFrame = {
+    val M = "\u0001"
+    val words = Tables.documents(s, dir)
+      .select(explode(Text.tokens(col("text"))).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("freq"))
+      // multi-symbol words only; a marker char in the data would corrupt
+      // the encoding (deterministically excluded on both engines)
+      .where(length(col("w")) > 1 && !col("w").contains(M))
+    def topPair(pairs: DataFrame): DataFrame =
+      pairs.groupBy(col("a"), col("b"))
+        .agg(sum(col("freq")).as("pair_count"))
+        .orderBy(col("pair_count").desc, col("a"), col("b"))
+        .limit(1)
+    val pairs1 = words.select(col("freq"), explode(expr(
+      "transform(sequence(1, length(w) - 1), i -> struct(substring(w, i, 1) AS a, substring(w, i + 1, 1) AS b))"))
+      .as("p")).select(col("freq"), col("p.a").as("a"), col("p.b").as("b"))
+    val top1 = topPair(pairs1)
+    val merged = words.crossJoin(broadcast(
+        top1.select(col("a").as("_ma"), col("b").as("_mb"))))
+      .withColumn("_enc", regexp_replace(col("w"), "(.)", M + "$1" + M))
+      .withColumn("_enc2", call_function("replace", col("_enc"),
+        concat(lit(M), col("_ma"), lit(M), lit(M), col("_mb"), lit(M)),
+        concat(lit(M), col("_ma"), col("_mb"), lit(M))))
+      .withColumn("syms", filter(split(col("_enc2"), M), x => length(x) > 0))
+      .where(size(col("syms")) > 1)
+    val pairs2 = merged.select(col("freq"), explode(expr(
+      "transform(sequence(1, size(syms) - 1), i -> struct(element_at(syms, i) AS a, element_at(syms, i + 1) AS b))"))
+      .as("p")).select(col("freq"), col("p.a").as("a"), col("p.b").as("b"))
+    val top2 = topPair(pairs2)
+    top1.select(lit(1L).as("round"), col("a"), col("b"), col("pair_count"))
+      .unionAll(top2.select(lit(2L).as("round"), col("a"), col("b"), col("pair_count")))
+      .orderBy(col("round"))
   }
 
   // =====================================================================
@@ -4708,6 +4757,40 @@ object SparkEntry {
            SELECT a, b, CAST(sum(freq) AS BIGINT) AS pair_count
            FROM p GROUP BY a, b
            ORDER BY pair_count DESC, a, b LIMIT 20""",
+
+      // two unrolled BPE rounds: count → top pair → marker-encoded
+      // corpus-wide merge (chr(1)-wrapped symbols, no shared delimiters)
+      // → recount → top pair
+      "q145_bpe_rounds" ->
+        s"""WITH w AS (
+             SELECT w, CAST(count(*) AS BIGINT) AS freq FROM
+               (SELECT unnest($toks) AS w FROM documents) t
+             GROUP BY w HAVING length(w) > 1 AND strpos(w, chr(1)) = 0),
+           p1 AS (
+             SELECT substr(w, CAST(i AS INTEGER), 1) AS a,
+               substr(w, CAST(i AS INTEGER) + 1, 1) AS b, freq
+             FROM (SELECT w, freq, unnest(range(1, length(w))) AS i FROM w) t),
+           t1 AS (SELECT a, b, CAST(sum(freq) AS BIGINT) AS pair_count FROM p1
+                  GROUP BY a, b ORDER BY pair_count DESC, a, b LIMIT 1),
+           m AS (
+             SELECT freq,
+               list_filter(string_split(
+                 replace(regexp_replace(w, '(.)', chr(1) || '\\1' || chr(1), 'g'),
+                   chr(1) || t1.a || chr(1) || chr(1) || t1.b || chr(1),
+                   chr(1) || t1.a || t1.b || chr(1)),
+                 chr(1)), x -> len(x) > 0) AS syms
+             FROM w CROSS JOIN t1),
+           p2 AS (
+             SELECT syms[CAST(i AS INTEGER)] AS a,
+               syms[CAST(i AS INTEGER) + 1] AS b, freq
+             FROM (SELECT freq, syms, unnest(range(1, len(syms))) AS i
+                   FROM m WHERE len(syms) > 1) t),
+           t2 AS (SELECT a, b, CAST(sum(freq) AS BIGINT) AS pair_count FROM p2
+                  GROUP BY a, b ORDER BY pair_count DESC, a, b LIMIT 1)
+           SELECT CAST(1 AS BIGINT) AS round, a, b, pair_count FROM t1
+           UNION ALL
+           SELECT CAST(2 AS BIGINT) AS round, a, b, pair_count FROM t2
+           ORDER BY round""",
     )
   }
 }
