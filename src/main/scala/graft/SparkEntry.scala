@@ -2251,14 +2251,18 @@ object SparkEntry {
     * percentiles without its per-group value buffer (the documented
     * memory cliff for dominant groups): the p-quantile is the element at
     * within-group rank ⌈p·n_g⌉ through groupedRank's nested two-level
-    * scheme — no single-partition exchange, no interpolation arithmetic
-    * ([[graft.operators.Ranking.groupedQuantiles]]). */
+    * scheme — no single-partition exchange, no interpolation arithmetic.
+    * The quantiles are RATIONALS and the rank test is pure integer
+    * comparison ((r−1)·den < num·n ≤ r·den), so the selection is
+    * bit-exact type-1 for EVERY p — immune to the 0.07·100 =
+    * 7.000000000000001 double-ceil hazard
+    * ([[graft.operators.Ranking.groupedQuantilesRational]]). */
   private def q141(s: SparkSession, dir: String): DataFrame =
-    graft.operators.Ranking.groupedQuantiles(
+    graft.operators.Ranking.groupedQuantilesRational(
         Tables.documents(s, dir).select(col("source"), col("n_chars"), col("doc_id")),
         "source", "n_chars",
         subBucket = expr("(n_chars - pmod(n_chars, 200L)) DIV 200L"),
-        idCol = "doc_id", ps = Seq(0.25, 0.5, 0.9))
+        idCol = "doc_id", ps = Seq((1L, 4L), (1L, 2L), (9L, 10L)))
       .orderBy(col("source"), col("p"))
 
   /** RECENCY-weighted panel sampling — 50 users drawn without
@@ -4684,16 +4688,20 @@ object SparkEntry {
       // per-group rank selection mirrored literally (row_number + group
       // count + the same ceil(p·n) index) — no quantile builtin whose
       // convention could differ
+      // rank selected by INTEGER comparison (r−1)·den < num·n ≤ r·den —
+      // both engines do zero float arithmetic until the reported p =
+      // num/den division of the same exact integers
       "q141_grouped_quantiles" ->
         """WITH r AS (
              SELECT source, n_chars, doc_id,
                CAST(row_number() OVER (PARTITION BY source ORDER BY n_chars, doc_id) AS BIGINT) AS rnk,
                CAST(count(*) OVER (PARTITION BY source) AS BIGINT) AS gn
              FROM documents),
-           j AS (SELECT r.*, p FROM r
-                 CROSS JOIN (SELECT unnest([0.25, 0.5, 0.9]) AS p))
-           SELECT source, p, n_chars AS value FROM j
-           WHERE rnk = CAST(ceil(p * gn) AS BIGINT)
+           j AS (SELECT r.*, pn, pd FROM r
+                 CROSS JOIN (VALUES (1, 4), (1, 2), (9, 10)) AS q(pn, pd))
+           SELECT source, CAST(pn AS DOUBLE) / CAST(pd AS DOUBLE) AS p,
+                  n_chars AS value FROM j
+           WHERE (rnk - 1) * pd < pn * gn AND pn * gn <= rnk * pd
            ORDER BY source, p""",
 
       // q128's decayed-score body feeding q96's ES-key recipe: weight =

@@ -60,7 +60,15 @@ object Boilerplate {
     * a later [[updateDfStats]] or [[vocabularyFromStats]] needs — no
     * sidecar metadata file to drift. Bucket it on `tok`
     * ([[graft.sources.Tables.writeBucketed]]) and the absorb-a-batch
-    * merge joins WITHOUT shuffling the persisted side. */
+    * merge joins WITHOUT shuffling the persisted side.
+    *
+    * CONTRACT — non-empty vocabulary: `n_docs` rides the rows, so a
+    * corpus whose every text tokenizes to NOTHING (all empty/whitespace)
+    * persists an EMPTY table — indistinguishable from "no corpus", and a
+    * later merge would recover its doc count as 0. If such corpora are
+    * possible upstream, filter them out before persisting (they
+    * contribute no df mass anyway) or carry the doc count beside the
+    * table; [[updateDfStats]] inherits this precondition. */
   def dfStats(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
     val perDoc = docs.select(col(idCol).as("_id"),
       explode(array_distinct(Text.tokens(col(textCol)))).as("tok"))
@@ -122,6 +130,12 @@ object Boilerplate {
   def sharedKeysFromStats(stats: DataFrame): DataFrame =
     stats.where(col("df") >= 2L).select(col("sh"))
 
+  /** PRECONDITION (see [[dfStats]]): the base doc count is recovered as
+    * `max(n_docs)` over the stored rows, so a non-empty base corpus that
+    * persisted ZERO stats rows (every text empty/whitespace) reads back
+    * as 0 docs and the merged `n_docs` understates the rebuild-from-
+    * scratch value. Callers own keeping token-free docs out of the
+    * persisted corpus (or out of its doc count). */
   private def mergeAdditiveStats(stats: DataFrame, keyCol: String,
                                  batchStats: DataFrame,
                                  batchN: DataFrame): DataFrame = {

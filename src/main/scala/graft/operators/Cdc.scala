@@ -96,16 +96,24 @@ object Cdc {
     * content column computed INSIDE each scan, so the join carries (id,
     * 32-hex) — document bodies never shuffle. One id-keyed full-outer
     * join (bucket both snapshots on id and it co-locates); everything
-    * else is narrow. Returns `(id, status, old_fp, new_fp)`. */
+    * else is narrow. Presence is tracked with explicit per-side flags
+    * (NOT fingerprint nullability), so a row with NULL content still
+    * reads as present — its fingerprint is NULL and NULL<=>NULL compares
+    * as `unchanged`, never as a phantom add/remove. Ids must be unique
+    * per snapshot (duplicate ids fan out through the full-outer join —
+    * dedup upstream with [[Dedup.exact]] if the source can repeat).
+    * Returns `(id, status, old_fp, new_fp)`. */
   def snapshotDiff(oldVer: DataFrame, newVer: DataFrame,
                    idCol: String, contentCol: String): DataFrame = {
-    val o = oldVer.select(col(idCol).as("id"), md5(col(contentCol)).as("old_fp"))
-    val n = newVer.select(col(idCol).as("id"), md5(col(contentCol)).as("new_fp"))
+    val o = oldVer.select(col(idCol).as("id"), md5(col(contentCol)).as("old_fp"),
+      lit(true).as("_in_old"))
+    val n = newVer.select(col(idCol).as("id"), md5(col(contentCol)).as("new_fp"),
+      lit(true).as("_in_new"))
     o.join(n, Seq("id"), "full_outer")
       .withColumn("status",
-        when(col("old_fp").isNull, "added")
-          .when(col("new_fp").isNull, "removed")
-          .when(col("old_fp") === col("new_fp"), "unchanged")
+        when(col("_in_old").isNull, "added")
+          .when(col("_in_new").isNull, "removed")
+          .when(col("old_fp") <=> col("new_fp"), "unchanged")
           .otherwise("changed"))
       .select(col("id"), col("status"), col("old_fp"), col("new_fp"))
   }

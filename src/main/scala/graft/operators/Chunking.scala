@@ -60,7 +60,11 @@ object Chunking {
       c => c >= 0)
     val len = size(toks)
     val starts = concat(array(lit(0)), transform(cuts, c => c + 1))
-    val ends = concat(cuts, array(len - 1))
+    // clamp cut positions to the token range: a doc shorter than the
+    // shingle emits one whole-text shingle whose cut would land at
+    // shingleLen-1 >= len, and an unclamped end would report n_tok =
+    // shingleLen while the slice holds only len tokens
+    val ends = concat(transform(cuts, c => least(c, len - 1)), array(len - 1))
     // a cut at the last token (or the empty document) would open an
     // empty trailing span — the s <= e / s < len filter closes both
     val spans = filter(

@@ -45,6 +45,15 @@ object CountMin {
     val pos = GraftBridge.column(BloomPositions(
       GraftBridge.expr(col(keyCol).cast("long")), width.toLong, depth))
     val w = weightCol.map(c => col(c).cast("long")).getOrElse(lit(1L))
+    // min(w) rides the total pass, which runs BEFORE the cell pass: a
+    // negative weight voids the one-sided estimate >= true guarantee
+    // (cells could undercount), so reject it at build time rather than
+    // ship a corrupt sketch
+    val totRow = keys.agg(sum(w).as("n"), min(w).as("minw")).collect()(0)
+    require(totRow.isNullAt(1) || totRow.getLong(1) >= 0L,
+      s"weights must be >= 0 (found min weight ${totRow.getLong(1)}): " +
+        "negative weights void the one-sided estimate >= true guarantee")
+    val total = if (totRow.isNullAt(0)) 0L else totRow.getLong(0)
     val rows = keys
       .select(posexplode(pos).as(Seq("i", "p")), w.as("w"))
       .select((col("i").cast("long") * width + col("p")).as("cell"), col("w"))
@@ -52,10 +61,6 @@ object CountMin {
       .collect() // ≤ depth·width rows — bounded by the model, not the data
     val table = new Array[Long](depth * width)
     rows.foreach(r => table(r.getLong(0).toInt) = r.getLong(1))
-    val total = keys.agg(sum(w).as("n")).collect()(0) match {
-      case r if r.isNullAt(0) => 0L
-      case r => r.getLong(0)
-    }
     CmsModel(depth, width, table, total)
   }
 }

@@ -236,10 +236,48 @@ object Ranking {
       col(groupCol), subBucket, col(valueCol), col(idCol))
     val sizes = df.groupBy(col(groupCol)).agg(count(lit(1)).as("_gn"))
     val wanted = explode(array(ps.map(lit(_)): _*))
+    // NOTE — float-ceil convention: the selected rank is ceil(p·n) in
+    // IEEE doubles, which for some exact-integer products rounds up one
+    // past the mathematical ceiling (0.07·100 = 7.000000000000001 →
+    // rank 8). An oracle must mirror the same double arithmetic; for
+    // bit-exact type-1 selection use [[groupedQuantilesRational]].
     ranked
       .join(broadcast(sizes.select(col(groupCol), col("_gn"), wanted.as("p"))),
         Seq(groupCol))
       .where(col("rank") === ceil(col("p") * col("_gn")).cast("long"))
       .select(col(groupCol), col("p"), col(valueCol).as("value"))
+  }
+
+  /** [[groupedQuantiles]] with the quantiles given as RATIONALS
+    * `(num, den)` and the rank selected by pure integer comparison:
+    * rank r is the type-1 p-quantile of an n-row group iff
+    * `(r−1)·den < num·n ≤ r·den` — the integer form of r = ⌈p·n⌉ with no
+    * IEEE rounding anywhere in the selection, so it IS the element a
+    * textbook (or DuckDB `quantile_disc`-style rank arithmetic) type-1
+    * quantile names for every p, including the 0.07·100-style products
+    * where the double `ceil` rounds up one too far. The reported `p`
+    * column is num/den in one IEEE division of exact integers — same
+    * determinism argument as every other quantized ratio in the library.
+    * Same plan shape as the double form: grouped rank + #groups-row
+    * broadcast, no single-partition exchange. */
+  def groupedQuantilesRational(df: DataFrame, groupCol: String,
+                               valueCol: String, subBucket: Column,
+                               idCol: String,
+                               ps: Seq[(Long, Long)]): DataFrame = {
+    require(ps.nonEmpty && ps.forall { case (n, d) => n > 0 && d > 0 && n <= d },
+      s"quantiles must be rationals in (0, 1], got $ps")
+    val ranked = groupedRank(df.select(col(groupCol), col(valueCol), col(idCol)),
+      col(groupCol), subBucket, col(valueCol), col(idCol))
+    val sizes = df.groupBy(col(groupCol)).agg(count(lit(1)).as("_gn"))
+    val wanted = explode(array(ps.map { case (n, d) =>
+      struct(lit(n).as("_pn"), lit(d).as("_pd")) }: _*))
+    ranked
+      .join(broadcast(sizes.select(col(groupCol), col("_gn"), wanted.as("_p"))),
+        Seq(groupCol))
+      .where((col("rank") - 1) * col("_p._pd") < col("_p._pn") * col("_gn") &&
+        col("_p._pn") * col("_gn") <= col("rank") * col("_p._pd"))
+      .select(col(groupCol),
+        (col("_p._pn").cast("double") / col("_p._pd").cast("double")).as("p"),
+        col(valueCol).as("value"))
   }
 }

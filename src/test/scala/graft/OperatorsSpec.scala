@@ -2713,4 +2713,78 @@ class OperatorsSpec extends SparkSuite {
       .collect().map(r => (r.getLong(0), r.getLong(1)))
     assert(simOut.toSeq == Seq((2L, 3L)))
   }
+
+  test("contentDefinedChunks: sub-shingle docs report true token counts even in the boundary hash class") {
+    import graft.operators.Chunking
+    import spark.implicits._
+    // 1- and 2-token docs (< shingleLen 3): fastWordShingles emits one
+    // whole-text shingle, and with divisor 2 roughly half the docs hash
+    // into the boundary class where the unclamped cut used to land past
+    // the end (reporting n_tok = shingleLen instead of the real count)
+    val docs = (1 to 40).map(i =>
+      (i.toLong, if (i % 2 == 0) s"tok$i" else s"tok$i other$i")).toDF("doc_id", "text")
+    // the test must actually exercise the boundary class
+    val boundaryHits = docs.select(
+        explode(Text.fastWordShingles(col("text"), 3)).as("sh"))
+      .where(pmod(Dedup.shingleKey(col("sh")), lit(2L)) === 0L).count()
+    assert(boundaryHits >= 1, "fixture never hits the boundary hash class")
+    val out = Chunking.contentDefinedChunks(docs, "doc_id", "text", divisor = 2)
+      .collect()
+    assert(out.length == 40, "short docs chunk to exactly one whole-text chunk")
+    out.foreach { r =>
+      val n = r.getLong(2); val txt = r.getString(4)
+      assert(n == txt.split(" ").length.toLong,
+        s"n_tok $n != actual tokens in '$txt'")
+      assert(r.getLong(1) == 0L, "single chunk must be index 0")
+    }
+  }
+
+  test("snapshotDiff: NULL content is presence, not absence") {
+    import spark.implicits._
+    // id 1: present old only (removed) — NULL content must not mask it
+    // id 2: NULL in both -> unchanged (NULL <=> NULL), NOT added
+    // id 3: NULL -> value  -> changed;  id 4: only new, NULL -> added
+    val v1 = Seq((1L, Option("x")), (2L, Option.empty[String]),
+      (3L, Option.empty[String])).toDF("id", "text")
+    val v2 = Seq((2L, Option.empty[String]), (3L, Option("y")),
+      (4L, Option.empty[String])).toDF("id", "text")
+    val out = graft.operators.Cdc.snapshotDiff(v1, v2, "id", "text")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out == Map(1L -> "removed", 2L -> "unchanged",
+      3L -> "changed", 4L -> "added"))
+  }
+
+  test("CountMin.build rejects negative weights before touching the cell pass") {
+    import spark.implicits._
+    import graft.operators.CountMin
+    val df = Seq((1L, 5L), (2L, -1L)).toDF("key", "w")
+    val e = intercept[IllegalArgumentException] {
+      CountMin.build(df, "key", depth = 2, width = 64, weightCol = Some("w"))
+    }
+    assert(e.getMessage.contains("negative weights"))
+    // zero weights are legal (they just contribute nothing)
+    val ok = CountMin.build(Seq((1L, 0L), (2L, 3L)).toDF("key", "w"),
+      "key", depth = 2, width = 64, weightCol = Some("w"))
+    assert(ok.total == 3L)
+  }
+
+  test("groupedQuantilesRational: integer rank selection immune to double-ceil overshoot") {
+    import spark.implicits._
+    import graft.operators.Ranking
+    val rows = (1L to 100L).map(v => ("a", v, v)).toDF("g", "v", "id")
+    val sub = expr("(v - pmod(v, 25L)) DIV 25L")
+    // 0.07 of 100: the double path computes 0.07*100 = 7.000000000000001
+    // and ceils to rank 8 — the documented float-ceil convention
+    val viaDouble = Ranking.groupedQuantiles(rows, "g", "v", sub, "id", Seq(0.07))
+      .collect().map(_.getLong(2))
+    assert(viaDouble.toSeq == Seq(8L), "double form documents the ceil overshoot")
+    // the rational form selects by (r-1)*den < num*n <= r*den: rank 7,
+    // the true type-1 element at ceil(7/100 * 100) = 7
+    val q = Ranking.groupedQuantilesRational(rows, "g", "v", sub, "id",
+      Seq((7L, 100L), (1L, 2L), (1L, 1L)))
+    val got = q.collect().map(r => r.getDouble(1) -> r.getLong(2)).toMap
+    assert(got(0.07) == 7L && got(0.5) == 50L && got(1.0) == 100L)
+    assert(!q.queryExecution.executedPlan.toString.contains("SinglePartition"),
+      "rational quantiles must keep the grouped-rank plan shape")
+  }
 }
