@@ -59,15 +59,29 @@ object Bench {
       }
       name -> (if (times.contains(-1.0)) -1.0 else times.min)
     }
-    // ms precision and a post-stop print keep the summary line SHORT and
-    // LAST: the driver parses a bounded stdout tail, and round-5's
-    // nanosecond-precision line (~2.3 KB) overflowed it ("parsed": null)
-    def fmt(v: Double): String =
-      if (v < 0) "-1" else BigDecimal(v).setScale(3, BigDecimal.RoundingMode.HALF_UP).toString
-    val qs = results.map { case (k, v) => graft.util.Json.quote(k) + ":" + fmt(v) }
-      .mkString("{", ",", "}")
-    val total = results.map(_._2).filter(_ >= 0).sum
+    // The driver parses the LAST 2000 chars of stdout (measured: both the
+    // round-5 ns-precision line and the round-6 145-query ms-precision
+    // line overflowed it -> "parsed": null). Budget after sbt's trailing
+    // "[success] ..." line is ~1.9 KB, so the summary line uses the
+    // stable qNN prefix as the per-query key (names are "qNN_slug";
+    // prefixes are unique) and 2-decimal seconds, which puts 145 queries
+    // at ~1.8 KB. The full-name 3-decimal detail goes to a sidecar file
+    // (BENCH_DETAIL.json in the working directory) for humans and diffs.
+    def fmt(v: Double, scale: Int): String =
+      if (v < 0) "-1" else BigDecimal(v).setScale(scale, BigDecimal.RoundingMode.HALF_UP).toString
+    def line(keyOf: String => String, scale: Int): String = {
+      val qs = results.map { case (k, v) => graft.util.Json.quote(keyOf(k)) + ":" + fmt(v, scale) }
+        .mkString("{", ",", "}")
+      val total = results.map(_._2).filter(_ >= 0).sum
+      s"""{"metric":"total","value":${fmt(total, 3)},"unit":"sec","queries":$qs,"sf":${graft.util.Json.quote(sfDir)}}"""
+    }
+    try java.nio.file.Files.writeString(
+      java.nio.file.Paths.get("BENCH_DETAIL.json"), line(identity, 3) + "\n")
+    catch { case e: Throwable => System.err.println(s"[bench] sidecar write failed: ${e.getMessage}") }
+    val compact = line(_.takeWhile(_ != '_'), 2)
+    // belt-and-braces: never emit a line the driver's tail can truncate
+    val out = if (compact.length <= 1900) compact else line(_.takeWhile(_ != '_'), 1)
     spark.stop()
-    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"sf":${graft.util.Json.quote(sfDir)}}""")
+    println(out)
   }
 }

@@ -1533,7 +1533,11 @@ object SparkEntry {
   private def q98(s: SparkSession, dir: String): DataFrame =
     graft.operators.Sampling.weightedSamplePerGroup(
         Tables.documents(s, dir).select(col("source"), col("doc_id"), col("n_chars")),
-        "source", "doc_id", "n_chars", k = 20, seed = "q98")
+        "source", "doc_id", "n_chars", k = 20, seed = "q98",
+        // the exact two-level de-skew path (bucketed pre-thin → re-rank):
+        // output is provably identical to the single-window form, so the
+        // oracle — which mirrors the single window — gates the equivalence
+        buckets = 8)
       .orderBy(col("source"), col("rank"))
 
   /** The containment dedup ACTION: drop every doc contained (overlap >=
@@ -2141,9 +2145,16 @@ object SparkEntry {
         concat(lit("img:"),
           (col("doc_id") - pmod(col("doc_id"), lit(3))).cast("string")).as("seed")),
       "media_id", "seed", width = 24, height = 16)
+    // EXACTLY oracle-checkable despite the binary path: synthesizeBmp is
+    // a pure function of (seed, dims) and the fingerprint is exact over
+    // the bytes, so fp-groups must COINCIDE with seed-groups — the oracle
+    // groups by the seed expression and any fingerprint collision across
+    // seeds (groups merge), nondeterminism within a seed (groups split),
+    // or codec drift shows up as a keep_id/n_copies hash mismatch
     graft.multimodal.Media.imageFingerprints(media, patch = 8)
       .groupBy(col("fp"))
       .agg(min(col("media_id")).as("keep_id"), count(lit(1)).as("n_copies"))
+      .select(col("keep_id"), col("n_copies"))
       .orderBy(col("keep_id"))
   }
 
@@ -4630,6 +4641,17 @@ object SparkEntry {
                  JOIN e0 e3 ON e3.a = e1.a AND e3.b = e2.b) AS DOUBLE)
                / CAST((SELECT sum(deg * (deg - 1) // 2) FROM deg) AS DOUBLE)
              END AS global_cc""",
+
+      // the binary-path dedup is exactly checkable WITHOUT the bytes:
+      // synthesizeBmp is pure in (seed, dims) and the fingerprint exact
+      // over the bytes, so fp-groups ≡ seed-groups — the oracle groups by
+      // the seed expression; collisions, nondeterminism, or codec drift
+      // all break the keep_id/n_copies hash
+      "q135_image_dedup" ->
+        """SELECT min(doc_id) AS keep_id, CAST(count(*) AS BIGINT) AS n_copies
+           FROM documents
+           GROUP BY doc_id - doc_id % 3
+           ORDER BY keep_id""",
 
       // per-range profile of the sorted export — the round-trip through
       // range=year/ directories must preserve exactly the year groups

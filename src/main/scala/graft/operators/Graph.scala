@@ -293,11 +293,17 @@ object Graph {
     * [[pageRankInt]]'s skeleton: edges canonicalized, doubled, hash-
     * partitioned on src once and cached; each round is one co-partitioned
     * equi-join (values onto edges) and one per-node H-index reduction.
-    * The H-index runs as a per-node rank window — max(min(rank, value))
-    * over neighbors sorted desc — whose frame is bounded by the node's
-    * DEGREE, not the data; a celebrity node with 10⁸ neighbors would
-    * serialize its own window task (swap in [[Ranking.groupedRank]]'s
-    * two-level scheme if that graph ever appears). Values are
+    * The H-index is computed from the neighbor-value HISTOGRAM, not a
+    * per-neighbor rank window: `H = max over distinct values v of
+    * min(v, s_v)` with `s_v` the count of neighbors valued ≥ v — the
+    * per-edge rows collapse through a partial-aggregable
+    * `groupBy(node, value)` count BEFORE any window, so the only sorted
+    * frame is over a node's DISTINCT neighbor values. That frame is
+    * bounded by 2·√m for ANY graph (D distinct degree values need
+    * Σ degrees ≥ D²/2 edge-endpoints, so D ≤ 2√m — and per-round values
+    * only collapse further): a celebrity node with 10⁸ same-valued
+    * neighbors is ONE histogram row, where the old rank window would
+    * have serialized a 10⁸-row sort in a single task. Values are
     * localCheckpointed per round. Returns `(node, core_h)` — the core
     * number once converged. */
   def coreNumbers(edges: DataFrame, srcCol: String, dstCol: String,
@@ -315,18 +321,26 @@ object Graph {
       .repartition(col("src")).persist()
     var h = cut(e.groupBy(col("src")).agg(count(lit(1)).as("core_h"))
       .withColumnRenamed("src", "node"))
-    val w = org.apache.spark.sql.expressions.Window
+    // suffix counts over the per-node value histogram: running sum down
+    // the distinct values sorted desc
+    val ws = org.apache.spark.sql.expressions.Window
       .partitionBy(col("node")).orderBy(col("nh").desc)
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
     for (_ <- 1 to rounds) {
-      // H-index of the neighbor multiset: rank neighbors desc by value,
-      // H = max(min(rank, value)) — invariant to tie order, so the
-      // non-unique sort inside row_number cannot leak nondeterminism
+      // H-index of the neighbor multiset from its value histogram:
+      // H = max{h : #neighbors valued ≥ h  ≥  h}
+      //   = max over distinct v of min(v, s_v)
+      // (each min(v, s_v) is feasible since s(min) ≥ s_v; the optimum is
+      // attained at the smallest distinct value ≥ H) — tie-free math, no
+      // per-neighbor rank anywhere
       h = cut(e
         .join(h.select(col("node").as("src"), col("core_h").as("nh")), Seq("src"))
         .select(col("dst").as("node"), col("nh"))
-        .withColumn("_rn", row_number().over(w).cast("long"))
+        .groupBy(col("node"), col("nh")).agg(count(lit(1)).as("_c"))
+        .withColumn("_s", sum(col("_c")).over(ws))
         .groupBy(col("node"))
-        .agg(max(least(col("_rn"), col("nh"))).as("core_h")))
+        .agg(max(least(col("nh"), col("_s"))).as("core_h")))
     }
     if (checkpoint) e.unpersist()
     h

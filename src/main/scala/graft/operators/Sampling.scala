@@ -549,21 +549,46 @@ object Sampling {
     * with all weights equal — md5 order IS the Efraimidis-Spirakis order
     * for constant w).
     *
-    * One window partitioned by the group: each stratum ranks its own
-    * slice, so the shuffle is the groupCol hash partition and nothing is
-    * global. A pathologically hot stratum pays a per-stratum sort — the
-    * same profile (and the same [[capPerGroup]] two-pass pre-thin escape)
-    * as every per-group operator in this file. Emits the sampled rows
-    * with `key_unats` and the within-group `rank` (1-based). */
+    * Default (`buckets = 1`): one window partitioned by the group — each
+    * stratum ranks its own slice, the shuffle is the groupCol hash
+    * partition, nothing is global, and a hot stratum pays a per-stratum
+    * sort. `buckets = B > 1` switches on the EXACT two-level de-skew: a
+    * first pass ranks within `(group, md5-salt-bucket)` and keeps each
+    * bucket's top-k (any row of the true per-group top-k ranks ≤ k
+    * inside its own bucket, so nothing that matters is dropped), a
+    * second window re-ranks the ≤ B·k survivors per group — the frames
+    * become n/B and B·k, and the output (rank included) is IDENTICAL to
+    * the single-window form because every row ranked above a true top-k
+    * row also survives pass one (spec-asserted equality). Choose
+    * B ≈ √(n_hot/k). Emits the sampled rows with `key_unats` and the
+    * within-group `rank` (1-based). */
   def weightedSamplePerGroup(df: DataFrame, groupCol: String, idCol: String,
                              weightCol: String, k: Int,
-                             seed: String = "wsample"): DataFrame = {
+                             seed: String = "wsample",
+                             buckets: Int = 1): DataFrame = {
     require(k >= 1, s"k must be >= 1, got $k")
+    require(buckets >= 1, s"buckets must be >= 1, got $buckets")
+    val keyed = df.where(col(weightCol).isNotNull && col(weightCol) > 0)
+      .withColumn("key_unats", esKeyUnats(col(idCol), col(weightCol), seed))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col(groupCol))
       .orderBy(col("key_unats").asc, col(idCol).asc)
-    df.where(col(weightCol).isNotNull && col(weightCol) > 0)
-      .withColumn("key_unats", esKeyUnats(col(idCol), col(weightCol), seed))
+    val thinned =
+      if (buckets == 1) keyed
+      else {
+        val wb = org.apache.spark.sql.expressions.Window
+          .partitionBy(col(groupCol), col("_sb"))
+          .orderBy(col("key_unats").asc, col(idCol).asc)
+        keyed
+          .withColumn("_sb", pmod(
+            conv(substring(md5(concat(lit(s"$seed:salt:"),
+              col(idCol).cast("string"))), 1, 8), 16, 10).cast("long"),
+            lit(buckets.toLong)))
+          .withColumn("_brn", row_number().over(wb))
+          .where(col("_brn") <= k)
+          .drop("_sb", "_brn")
+      }
+    thinned
       .withColumn("rank", row_number().over(w).cast("long"))
       .where(col("rank") <= k)
   }

@@ -1809,6 +1809,17 @@ class OperatorsSpec extends SparkSuite {
     val plan = out.queryExecution.executedPlan.toString.split("== Initial Plan ==").head
     assert(!plan.contains("Exchange SinglePartition"),
       s"per-group ranking must not collapse to one partition:\n$plan")
+    // the exact two-level de-skew (bucketed pre-thin -> re-rank) must be
+    // OUTPUT-IDENTICAL to the single window, rank column included, for
+    // every bucket count — k rows never straddle a dropped bucket tail
+    Seq(2, 8, 64).foreach { b =>
+      val deskewed = graft.operators.Sampling.weightedSamplePerGroup(
+          df, "grp", "doc_id", "w", k = 7, seed = "s", buckets = b)
+        .collect().map(r =>
+          (r.getString(0), r.getLong(1), r.getLong(3), r.getLong(4))).sortBy(t => (t._1, t._4))
+      assert(deskewed.toSeq == rows.sortBy(t => (t._1, t._4)).toSeq,
+        s"buckets=$b diverged from the single-window sample")
+    }
   }
 
   test("weightedSample: top-k is a TakeOrdered, not a global sort") {
@@ -2204,7 +2215,7 @@ class OperatorsSpec extends SparkSuite {
     assert(kept == Seq(1L, 4L))
   }
 
-  test("coreNumbers: h-index iteration converges to core numbers; canonicalization; per-node windows") {
+  test("coreNumbers: h-index iteration converges to core numbers; canonicalization; histogram frames") {
     import spark.implicits._
     // K4 on {1,2,3,4} + pendant path 4-5-6; dupes/reversals/self-loops mixed in
     val edges = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L), (3L, 4L),
@@ -2217,9 +2228,17 @@ class OperatorsSpec extends SparkSuite {
     val more = graft.operators.Graph.coreNumbers(edges, "src", "dst", rounds = 7)
       .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
     assert(more.toSeq == got.toSeq)
-    // the H-index window partitions by node — never a single-partition sort
-    val plan = out.queryExecution.executedPlan.toString.split("== Initial Plan ==").head
+    // the H-index is computed from the per-node value HISTOGRAM: the
+    // per-edge rows collapse through a partial-aggregable groupBy before
+    // any window, so the plan carries a partial_count for it and never a
+    // single-partition sort (checkpoint=false — localCheckpoint would
+    // truncate the visible plan to a Scan ExistingRDD)
+    val unCut = graft.operators.Graph.coreNumbers(edges, "src", "dst",
+      rounds = 2, checkpoint = false)
+    val plan = unCut.queryExecution.executedPlan.toString.split("== Initial Plan ==").head
     assert(!plan.contains("SinglePartition"), s"unexpected SinglePartition:\n$plan")
+    assert(plan.contains("partial_count") || plan.contains("partial count"),
+      s"histogram counts must partial-aggregate map-side:\n$plan")
   }
 
   test("coreNumbers agrees with kCore on every k-slice of a deterministic graph") {
