@@ -204,6 +204,11 @@ object SparkEntry {
     "q143_dedup_yield" -> q143,
     "q144_bpe_candidates" -> q144,
     "q145_bpe_rounds" -> q145,
+    "q146_auc_exact" -> q146,
+    "q147_calibration_bins" -> q147,
+    "q148_corpus_similarity" -> q148,
+    "q149_ewma_chart" -> q149,
+    "q150_blocklist" -> q150,
   )
 
   // =====================================================================
@@ -2395,6 +2400,71 @@ object SparkEntry {
       .unionAll(top2.select(lit(2L).as("round"), col("a"), col("b"), col("pair_count")))
       .orderBy(col("round"))
   }
+
+  /** Exact ROC-AUC of an embedding coordinate scoring the even label
+    * classes — the filter-model calibration question ("does this score
+    * separate the classes?") answered by the Mann–Whitney U statistic
+    * with midrank tie handling: ranks ride the two-level distributed
+    * rank, ties collapse by ARITHMETIC over per-value min/max ranks, and
+    * the AUC is one IEEE division of exact BIGINTs
+    * ([[graft.operators.Eval.aucExact]]). */
+  private def q146(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Eval.aucExact(
+      Tables.embeddings(s, dir),
+      scoreCol = element_at(col("embedding"), 2),
+      positive = pmod(col("label"), lit(2)) === 0,
+      bucket = floor(element_at(col("embedding"), 2).cast("double") * lit(64.0)).cast("long"),
+      idCol = col("vec_id"))
+
+  /** Reliability diagram of the same score: 10 exact equi-depth bins
+    * (q117's ntile arithmetic) × positive rate — monotone pos_rate is
+    * what a calibrated filter score looks like; score bounds are exact
+    * min/max, never an order-dependent float mean
+    * ([[graft.operators.Eval.calibrationBins]]). */
+  private def q147(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Eval.calibrationBins(
+      Tables.embeddings(s, dir),
+      scoreCol = element_at(col("embedding"), 2),
+      positive = pmod(col("label"), lit(2)) === 0,
+      bucket = floor(element_at(col("embedding"), 2).cast("double") * lit(64.0)).cast("long"),
+      idCol = col("vec_id"), bins = 10)
+      .orderBy(col("bin"))
+
+  /** Source×source CORPUS SIMILARITY MATRIX: exact pairwise Jaccard of
+    * the per-source distinct-shingle sets over the hashed 60-bit
+    * universe — the dataset-level overlap report that decides which
+    * sources need cross-deduping before a merge. Pair fan-out is bounded
+    * by the source count per shingle, never all-pairs of documents
+    * ([[graft.operators.Dedup.corpusSimilarityMatrix]]). */
+  private def q148(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Dedup.corpusSimilarityMatrix(
+        Tables.documents(s, dir), "source", "text", shingleLen = 3)
+      .orderBy(col("g_a"), col("g_b"))
+
+  /** Dyadic EWMA control chart over per-user event values — the
+    * roadmap-blocked operator landed via DECIMAL(38,0): every term of
+    * `kDen²·(x·W−S)² > kNum²·(W·SS−S²)` is an exact integer that DuckDB
+    * reproduces in HUGEINT, settling the cross-engine parity the BIGINT
+    * form overflowed on. No window function: per-step sums fan out
+    * ≤ horizon rows each and partial-aggregate back
+    * ([[graft.operators.Decay.ewmaControlChart]]). */
+  private def q149(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Decay.ewmaControlChart(
+        Tables.events(s, dir), "user_id", "ts", "value", "event_id",
+        halfLifeHours = 4, horizonSteps = 20, valueScale = 100L,
+        kNum = 3L, kDen = 1L)
+      .orderBy(col("event_id"))
+
+  /** Blocklist audit: per-document count of matched blocklist phrases
+    * (mixed 1/2/3-token phrases), matched as token-boundary shingle
+    * equi-joins against the broadcast blocklist — multi-pattern search
+    * as an inverted-index join, not a per-row automaton
+    * ([[graft.operators.Blocklist.matchReport]]). */
+  private def q150(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Blocklist.matchReport(
+        Tables.documents(s, dir), "doc_id", "text",
+        Seq("spark", "hash join", "table scan", "merge sort join"))
+      .orderBy(col("doc_id"))
 
   // =====================================================================
   // DuckDB oracle SQL — same semantics, same column names, same ORDER BY.
@@ -4821,6 +4891,99 @@ object SparkEntry {
            UNION ALL
            SELECT CAST(2 AS BIGINT) AS round, a, b, pair_count FROM t2
            ORDER BY round""",
+
+      // Mann–Whitney midrank arithmetic mirrored literally: row_number
+      // over the identical (score, id) order, per-score min/max ranks,
+      // u2 = Σ pos·(mn+mx) — zero float work until the final division
+      "q146_auc_exact" ->
+        """WITH r AS (
+             SELECT embedding[2] AS s, (label % 2 = 0) AS pos,
+               CAST(row_number() OVER (ORDER BY embedding[2], vec_id) AS BIGINT) AS rn
+             FROM embeddings),
+           g AS (SELECT s, min(rn) AS mn, max(rn) AS mx,
+                   CAST(sum(CASE WHEN pos THEN 1 ELSE 0 END) AS BIGINT) AS pc
+                 FROM r GROUP BY s),
+           t AS (SELECT CAST(sum(pc) AS BIGINT) AS n_pos,
+                   CAST(max(mx) AS BIGINT) AS n,
+                   CAST(sum(pc * (mn + mx)) AS BIGINT) AS u2 FROM g)
+           SELECT n_pos, n - n_pos AS n_neg, u2,
+             CASE WHEN n_pos > 0 AND n - n_pos > 0 THEN
+               CAST(u2 - n_pos * (n_pos + 1) AS DOUBLE)
+                 / CAST(2 * n_pos * (n - n_pos) AS DOUBLE)
+             END AS auc
+           FROM t""",
+
+      // ntile(10) IS the equi-depth bin arithmetic (the q117 precedent);
+      // pos_rate is one division of exact integers, bounds are min/max
+      "q147_calibration_bins" ->
+        """WITH r AS (
+             SELECT embedding[2] AS s, (label % 2 = 0) AS pos,
+               ntile(10) OVER (ORDER BY embedding[2], vec_id) AS bin
+             FROM embeddings)
+           SELECT bin, CAST(count(*) AS BIGINT) AS n_rows,
+             CAST(sum(CASE WHEN pos THEN 1 ELSE 0 END) AS BIGINT) AS n_pos,
+             CAST(sum(CASE WHEN pos THEN 1 ELSE 0 END) AS DOUBLE)
+               / CAST(count(*) AS DOUBLE) AS pos_rate,
+             min(s) AS score_min, max(s) AS score_max
+           FROM r GROUP BY bin ORDER BY bin""",
+
+      // the same hashed-shingle universe as the whole inverted-index
+      // family; distinct (source, key) first, equi-join on the key,
+      // G-row size table joined back
+      "q148_corpus_similarity" ->
+        s"""WITH gsh AS (
+             SELECT DISTINCT source AS g, sh FROM (
+               SELECT source, unnest(${hashedShingles(3)}) AS sh
+               FROM (SELECT source, $toks AS toks FROM documents) d) t),
+           sz AS (SELECT g, CAST(count(*) AS BIGINT) AS n FROM gsh GROUP BY g),
+           x AS (SELECT a.g AS g_a, b.g AS g_b, CAST(count(*) AS BIGINT) AS n_common
+                 FROM gsh a JOIN gsh b ON a.sh = b.sh AND a.g < b.g
+                 GROUP BY 1, 2)
+           SELECT g_a, g_b, sa.n AS n_a, sb.n AS n_b, n_common,
+             CAST(n_common AS DOUBLE)
+               / CAST(sa.n + sb.n - n_common AS DOUBLE) AS jaccard
+           FROM x JOIN sz sa ON x.g_a = sa.g JOIN sz sb ON x.g_b = sb.g
+           ORDER BY g_a, g_b""",
+
+      // the DECIMAL(38) algebra in HUGEINT: identical integer terms,
+      // identical dyadic weights, k² = 9/1 cross-multiplied
+      "q149_ewma_chart" ->
+        """WITH s AS (
+             SELECT user_id, event_id, epoch_us(ts) // 14400000000 AS step,
+               CAST(floor(greatest(value, 0.0) * 100.0) AS BIGINT) AS qv
+             FROM events),
+           ps AS (SELECT user_id, step, CAST(sum(qv) AS HUGEINT) AS sqv,
+                    CAST(sum(CAST(qv AS HUGEINT) * qv) AS HUGEINT) AS sqv2,
+                    CAST(count(*) AS BIGINT) AS cnt
+                  FROM s GROUP BY 1, 2),
+           f AS (SELECT user_id, step + d AS t,
+                   CAST(1 << CAST(20 - d AS INTEGER) AS HUGEINT) AS w,
+                   sqv, sqv2, cnt
+                 FROM ps CROSS JOIN (SELECT unnest(range(1, 21)) AS d) r),
+           st AS (SELECT user_id, t, sum(w * cnt) AS ww, sum(w * sqv) AS ss,
+                    sum(w * sqv2) AS sss, CAST(sum(cnt) AS BIGINT) AS np
+                  FROM f GROUP BY 1, 2)
+           SELECT s.user_id, s.event_id, s.step, s.qv,
+             COALESCE(st.np, CAST(0 AS BIGINT)) AS n_prior,
+             COALESCE(st.ww > 0 AND
+               (CAST(s.qv AS HUGEINT) * ww - ss) * (CAST(s.qv AS HUGEINT) * ww - ss)
+                 > 9 * (ww * sss - ss * ss), FALSE) AS is_anomaly
+           FROM s LEFT JOIN st ON s.user_id = st.user_id AND s.step = st.t
+           ORDER BY s.event_id""",
+
+      // token-boundary phrase matching = membership in the doc's L-token
+      // shingle list, per phrase length — the same shingles macro the
+      // dedup family mirrors
+      "q150_blocklist" ->
+        s"""WITH d AS (SELECT doc_id, $toks AS toks FROM documents),
+           m AS (SELECT doc_id,
+               (CASE WHEN list_contains(${shingles(1)}, 'spark') THEN 1 ELSE 0 END)
+             + (CASE WHEN list_contains(${shingles(2)}, 'hash join') THEN 1 ELSE 0 END)
+             + (CASE WHEN list_contains(${shingles(2)}, 'table scan') THEN 1 ELSE 0 END)
+             + (CASE WHEN list_contains(${shingles(3)}, 'merge sort join') THEN 1 ELSE 0 END)
+               AS n_blocked FROM d)
+           SELECT doc_id, CAST(n_blocked AS BIGINT) AS n_blocked
+           FROM m ORDER BY doc_id""",
     )
   }
 }

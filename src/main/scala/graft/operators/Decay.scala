@@ -126,4 +126,83 @@ object Decay {
     when(age <= horizon && age >= 0,
         call_function("shiftleft", qv, (lit(horizon) - age).cast("int")))
       .otherwise(lit(0L))
+
+  /** Dyadic EWMA CONTROL CHART — per-event anomaly flags against the
+    * exponentially-weighted mean/variance of the key's PRIOR activity:
+    * event `x` at step `t` is out-of-control iff
+    * `|x − μ| > k·σ` over the dyadic-decayed prior window, tested in the
+    * cross-multiplied square-free-of-division form
+    * `kDen²·(x·W − S)² > kNum²·(W·SS − S²)` with
+    * `W = Σ 2^(h−d)·n_s`, `S = Σ 2^(h−d)·Σx_s`, `SS = Σ 2^(h−d)·Σx_s²`
+    * over prior steps `s = t−d`, `d ∈ [1, h]` — the deviation test every
+    * term of which is an exact integer. BIGINT overflows this algebra at
+    * realistic horizons (SS alone carries qv² ≤ 10¹⁰ per event times
+    * 2²⁰ weights), so the sums and the comparison run in DECIMAL(38,0):
+    * exact integer arithmetic to 10³⁸, which a DuckDB HUGEINT (2¹²⁷)
+    * oracle reproduces bit-for-bit — the cross-engine parity this
+    * operator was blocked on, settled by bounding every term. Digit
+    * budget (documented contract): with `h ≤ 20`, `qv ≤ 10⁶` and per-key
+    * in-horizon event counts ≤ 10⁶, the largest term
+    * `kDen²·(qv·W − S)²` stays ≤ 10⁻⁶·10³⁸ — six orders of headroom;
+    * exceeding the budget nulls the Spark side (decimal overflow) and
+    * fails the gate rather than lying.
+    *
+    * Zero prior variance flags ANY deviation (strict `>` keeps exact
+    * repeats in-control); events with no prior window (W = 0 or first
+    * step) are in-control by definition.
+    *
+    * ## Scale shape (100 TB)
+    * No window function anywhere: events collapse to per-(key, step)
+    * sums (partial-aggregable), each step row fans out to its ≤ h
+    * following steps through one `explode(sequence)` (bounded 1→h, scan
+    * stage), the fan-out partial-aggregates back to (key, step) stats,
+    * and one co-partitioned equi-join attaches stats to events. Hot keys
+    * cost h extra rows per ACTIVE STEP, not per event.
+    *
+    * Returns the event grain: `(keyCol, idCol, step, qv, n_prior,
+    * is_anomaly)` — `n_prior` the raw in-horizon prior event count. */
+  def ewmaControlChart(events: DataFrame, keyCol: String, tsCol: String,
+                       valueCol: String, idCol: String,
+                       halfLifeHours: Int = 4, horizonSteps: Int = 20,
+                       valueScale: Long = 100L,
+                       kNum: Long = 3L, kDen: Long = 1L): DataFrame = {
+    require(halfLifeHours >= 1, s"halfLifeHours must be >= 1, got $halfLifeHours")
+    require(horizonSteps >= 1 && horizonSteps <= 20,
+      s"horizonSteps must be in [1, 20] (DECIMAL(38) headroom), got $horizonSteps")
+    require(valueScale >= 1, s"valueScale must be >= 1, got $valueScale")
+    require(kNum >= 1 && kDen >= 1, s"need positive kNum/kDen, got $kNum/$kDen")
+    val dec = "decimal(38,0)"
+    val h = horizonSteps
+    val stepped = events.select(
+      col(keyCol), col(idCol),
+      stepExpr(tsCol, halfLifeHours).as("step"),
+      quantize(col(valueCol), valueScale).as("qv"))
+    val perStep = stepped
+      .groupBy(col(keyCol), col("step"))
+      .agg(sum(col("qv")).as("_sqv"),
+        sum(col("qv").cast(dec) * col("qv")).as("_sqv2"),
+        count(lit(1)).as("_cnt"))
+    val fan = perStep
+      .select(col(keyCol), col("step").as("_s"), col("_sqv"), col("_sqv2"),
+        col("_cnt"), explode(sequence(col("step") + 1, col("step") + h)).as("_t"))
+      .withColumn("_w", call_function("shiftleft", lit(1L),
+        (lit(h) - (col("_t") - col("_s"))).cast("int")))
+    val stats = fan
+      .groupBy(col(keyCol), col("_t"))
+      .agg(sum(col("_w").cast(dec) * col("_cnt")).as("_W"),
+        sum(col("_w").cast(dec) * col("_sqv")).as("_S"),
+        sum(col("_w").cast(dec) * col("_sqv2")).as("_SS"),
+        sum(col("_cnt")).as("_np"))
+    val dev = col("qv").cast(dec) * col("_W") - col("_S")
+    stepped
+      .join(stats.withColumnRenamed("_t", "step"), Seq(keyCol, "step"), "left")
+      .select(col(keyCol), col(idCol), col("step"), col("qv"),
+        coalesce(col("_np"), lit(0L)).as("n_prior"),
+        coalesce(
+          col("_W") > 0 &&
+            lit(kDen * kDen).cast(dec) * dev * dev >
+              lit(kNum * kNum).cast(dec) *
+                (col("_W") * col("_SS") - col("_S") * col("_S")),
+          lit(false)).as("is_anomaly"))
+  }
 }

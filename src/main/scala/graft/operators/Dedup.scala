@@ -1180,4 +1180,51 @@ object Dedup {
         (size(col("segs")) - size(kept)).cast("long").as("n_removed"),
         array_join(kept, " ").as("dedup_text"))
   }
+
+  /** CORPUS SIMILARITY MATRIX: exact pairwise Jaccard between the
+    * distinct-shingle SETS of document groups (sources, crawls, dataset
+    * versions) — the dataset-level counterpart of the per-document
+    * near-dup family, answering "how much does corpus A overlap corpus
+    * B" before a merge/dedup decision (overlapping sources get deduped
+    * against each other first; disjoint ones concatenate). Works over
+    * the hashed 60-bit shingle universe ([[shingleKey]]) like the whole
+    * inverted-index family, so a DuckDB oracle hash-matches.
+    *
+    * ## Scale shape (100 TB)
+    * The corpus collapses to the distinct `(group, shingle-key)` table
+    * FIRST (partial-aggregable; 8-byte keys, text never shuffles
+    * again). The pair universe is bounded by the GROUP count, not the
+    * data: each shingle key appears in at most G group-rows, so the
+    * self-equi-join on the key fans out ≤ G(G−1)/2 pairs per distinct
+    * shingle and the intersection counts partial-aggregate down to the
+    * G² matrix. Group sizes ride a G-row broadcast. G is domain-like
+    * (sources/crawls — hundreds), never data-like; for G beyond that,
+    * swap the exact intersection for per-group KMV sketches — the
+    * documented approximate path, same shape as the HLL family.
+    *
+    * Returns `(g_a, g_b, n_a, n_b, n_common, jaccard)` for `g_a < g_b`,
+    * `jaccard = n_common / (n_a + n_b − n_common)` — one IEEE division
+    * of exact integers; sizes count DISTINCT shingle keys per group.
+    * The matrix is SPARSE: pairs with zero shared shingles are absent
+    * (they never meet in the key join — exactly the rows a 100 TB run
+    * must not materialize). */
+  def corpusSimilarityMatrix(docs: DataFrame, groupCol: String,
+                             textCol: String, shingleLen: Int): DataFrame = {
+    require(shingleLen >= 1, s"shingleLen must be >= 1, got $shingleLen")
+    val gsh = docs
+      .select(col(groupCol).as("_g"),
+        explode(array_distinct(Text.fastWordShingles(col(textCol), shingleLen))).as("_s"))
+      .select(col("_g"), shingleKey(col("_s")).as("_sh"))
+      .distinct()
+    val sizes = gsh.groupBy(col("_g")).agg(count(lit(1)).as("_n"))
+    gsh.join(gsh.select(col("_g").as("_g2"), col("_sh")), Seq("_sh"))
+      .where(col("_g") < col("_g2"))
+      .groupBy(col("_g"), col("_g2")).agg(count(lit(1)).as("n_common"))
+      .join(broadcast(sizes.select(col("_g"), col("_n").as("n_a"))), Seq("_g"))
+      .join(broadcast(sizes.select(col("_g").as("_g2"), col("_n").as("n_b"))), Seq("_g2"))
+      .select(col("_g").as("g_a"), col("_g2").as("g_b"),
+        col("n_a"), col("n_b"), col("n_common"),
+        (col("n_common").cast("double") /
+          (col("n_a") + col("n_b") - col("n_common")).cast("double")).as("jaccard"))
+  }
 }

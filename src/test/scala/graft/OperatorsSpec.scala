@@ -2806,4 +2806,107 @@ class OperatorsSpec extends SparkSuite {
     assert(!q.queryExecution.executedPlan.toString.contains("SinglePartition"),
       "rational quantiles must keep the grouped-rank plan shape")
   }
+
+  test("aucExact: midrank tie handling, perfect and reversed separation") {
+    import spark.implicits._
+    import graft.operators.Eval
+    def auc(rows: Seq[(Double, Boolean)]): (Long, Long, Long, Double) = {
+      val df = rows.zipWithIndex.map { case ((s, p), i) => (s, p, i.toLong) }
+        .toDF("s", "pos", "id")
+      val r = Eval.aucExact(df, col("s"), col("pos"),
+        floor(col("s")).cast("long"), col("id")).collect()(0)
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))
+    }
+    // pos {3, 2}, neg {2, 1}: pairs 3>2, 3>1, 2=2 (half), 2>1 -> 3.5/4
+    val (np, nn, _, a) = auc(Seq((3.0, true), (2.0, true), (2.0, false), (1.0, false)))
+    assert(np == 2L && nn == 2L && a == 0.875)
+    // perfect separation -> 1.0; reversed -> 0.0
+    assert(auc(Seq((5.0, true), (4.0, true), (2.0, false), (1.0, false)))._4 == 1.0)
+    assert(auc(Seq((1.0, true), (2.0, false)))._4 == 0.0)
+    // all ties -> 0.5 exactly (every pair counts half)
+    assert(auc(Seq((7.0, true), (7.0, false), (7.0, true), (7.0, false)))._4 == 0.5)
+    // single-class input -> NULL auc, not a crash or a lie
+    val oneClass = Seq((1.0, true, 1L), (2.0, true, 2L)).toDF("s", "pos", "id")
+    val r = Eval.aucExact(oneClass, col("s"), col("pos"),
+      floor(col("s")).cast("long"), col("id")).collect()(0)
+    assert(r.getLong(1) == 0L && r.isNullAt(3))
+  }
+
+  test("calibrationBins: equi-depth sizes, exact rates, order-free bounds") {
+    import spark.implicits._
+    import graft.operators.Eval
+    // scores 1..20; positives are the top half -> low bins rate 0, high 1
+    val df = (1L to 20L).map(i => (i.toDouble, i > 10, i)).toDF("s", "pos", "id")
+    val out = Eval.calibrationBins(df, col("s"), col("pos"),
+        floor(col("s") / 5).cast("long"), col("id"), bins = 4)
+      .orderBy(col("bin")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(out.map(_._2).toSeq == Seq(5L, 5L, 5L, 5L), "bins must be equi-depth")
+    assert(out.map(_._3).toSeq == Seq(0L, 0L, 5L, 5L))
+    assert(out.map(_._4).toSeq == Seq(0.0, 0.0, 1.0, 1.0))
+  }
+
+  test("corpusSimilarityMatrix: exact jaccard per group pair, sparse on disjoint") {
+    import spark.implicits._
+    import graft.operators.Dedup
+    // a and b share their first two docs' shingles; c is disjoint
+    val docs = Seq(
+      ("a", "one two three four"), ("a", "five six seven"),
+      ("b", "one two three four"), ("b", "eight nine ten"),
+      ("c", "xx yy zz ww")).toDF("g", "text")
+    val out = Dedup.corpusSimilarityMatrix(docs, "g", "text", shingleLen = 3)
+      .collect().map(r => (r.getString(0), r.getString(1),
+        r.getLong(2), r.getLong(3), r.getLong(4), r.getDouble(5)))
+    assert(out.length == 1, s"only (a,b) overlap; got ${out.toSeq}")
+    val (ga, gb, na, nb, nc, j) = out.head
+    // a: 2 shingles from doc1 + 1 whole-text from doc2; b likewise
+    assert(ga == "a" && gb == "b" && na == 3L && nb == 3L && nc == 2L)
+    assert(j == 2.0 / 4.0)
+  }
+
+  test("ewmaControlChart: spike flagged against prior window, zero-variance repeats stay in-control") {
+    import spark.implicits._
+    import graft.operators.Decay
+    val stepU = 14400000000L // 4h in micros
+    def mk(user: Long, step: Long, v: Double, id: Long) = (user, step * stepU + 7L, v, id)
+    val rows = (
+      (100L to 104L).zipWithIndex.map { case (st, i) => mk(1L, st, 10.0, i.toLong) } ++
+      Seq(mk(1L, 105L, 10.0, 50L)) ++                 // exact repeat: in-control
+      (100L to 104L).zipWithIndex.map { case (st, i) => mk(2L, st, 10.0, 100L + i) } ++
+      Seq(mk(2L, 105L, 99.0, 150L))                   // spike: out-of-control
+    ).toDF("user_id", "us", "value", "event_id")
+      .withColumn("ts", expr("timestamp_micros(us)")).drop("us")
+    val out = Decay.ewmaControlChart(rows, "user_id", "ts", "value", "event_id")
+      .collect().map(r => r.getLong(1) -> (r.getLong(4), r.getBoolean(5))).toMap
+    // first events have no prior window
+    assert(out(0L) == (0L, false) && out(100L) == (0L, false))
+    // constant history: zero prior variance, zero deviation -> in-control
+    assert(out(50L) == (5L, false))
+    // spike against the same zero-variance history -> flagged
+    assert(out(150L) == (5L, true))
+    // mid-history events see exactly their predecessors
+    assert(out(3L)._1 == 3L)
+  }
+
+  test("blocklist: token-boundary matching, report counts, drop action") {
+    import spark.implicits._
+    import graft.operators.Blocklist
+    val docs = Seq(
+      (1L, "the hash join beats the sort"),   // "hash join"
+      (2L, "a hashjoin is one token"),        // no boundary match
+      (3L, "Hash  JOIN and table scan here"), // normalization: 2 phrases
+      (4L, "scan table join hash"),           // reversed orders: none
+      (5L, "")).toDF("doc_id", "text")
+    val phrases = Seq("hash join", "table scan", "missing phrase three tokens")
+    val report = Blocklist.matchReport(docs, "doc_id", "text", phrases)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(report == Map(1L -> 1L, 2L -> 0L, 3L -> 2L, 4L -> 0L, 5L -> 0L))
+    val kept = Blocklist.dropMatching(docs, "doc_id", "text", phrases)
+      .collect().map(_.getLong(0)).sorted
+    assert(kept.toSeq == Seq(2L, 4L, 5L))
+    // duplicate phrase spellings collapse under normalization
+    val matches = Blocklist.phraseMatches(docs, "doc_id", "text",
+      Seq("hash join", "HASH   Join"))
+    assert(matches.collect().length == 2) // docs 1 and 3, one phrase each
+  }
 }
