@@ -209,6 +209,10 @@ object SparkEntry {
     "q148_corpus_similarity" -> q148,
     "q149_ewma_chart" -> q149,
     "q150_blocklist" -> q150,
+    "q151_winnowing" -> q151,
+    "q152_freq_spectrum" -> q152,
+    "q153_corpus_divergence" -> q153,
+    "q154_kmv_similarity" -> q154,
   )
 
   // =====================================================================
@@ -2465,6 +2469,49 @@ object SparkEntry {
         Tables.documents(s, dir), "doc_id", "text",
         Seq("spark", "hash join", "table scan", "merge sort join"))
       .orderBy(col("doc_id"))
+
+  /** Winnowing fingerprints (the MOSS local-fingerprinting algorithm):
+    * per-document distinct window-minima over positional shingle hashes
+    * — DETERMINISTIC partial-overlap detection (any shared ≥ w+2-token
+    * run forces a shared fingerprint), stored at ~2/(w+1) density
+    * ([[graft.operators.Dedup.winnowingFingerprints]]). */
+  private def q151(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Dedup.winnowingFingerprints(
+        Tables.documents(s, dir), "doc_id", "text",
+        shingleLen = 3, window = 8)
+      .orderBy(col("doc_id"), col("fp"))
+
+  /** Token frequency SPECTRUM (count-of-counts): the corpus Zipf
+    * profile — hapax-heavy is healthy, template-heavy inverts it; two
+    * partial-aggregable counts, second exchange ≤ √(2·tokens) rows
+    * ([[graft.operators.Boilerplate.frequencySpectrum]]). */
+  private def q152(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Boilerplate.frequencySpectrum(
+        Tables.documents(s, dir), "text")
+      .orderBy(col("freq"))
+
+  /** Corpus DRIFT between the even- and odd-id document halves (a stand-
+    * in for two crawl versions): KL divergence both directions between
+    * add-1-smoothed unigram distributions over the union vocabulary, in
+    * the quantize-before-sum integer micro-nat scheme — both engines sum
+    * identical BIGINTs ([[graft.operators.LmScore.corpusDivergence]]). */
+  private def q153(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(s, dir)
+    graft.operators.LmScore.corpusDivergence(
+      d.where(pmod(col("doc_id"), lit(2)) === 0),
+      d.where(pmod(col("doc_id"), lit(2)) === 1), "text")
+  }
+
+  /** q148's similarity matrix from KMV SKETCHES (k smallest distinct
+    * shingle keys per source, k = 128): the model-sized approximate path
+    * — and because KMV is a deterministic function of the hashes, the
+    * ESTIMATE itself hash-matches an oracle replaying the same k-min
+    * selection; closeness to the exact matrix is spec-measured
+    * ([[graft.operators.Dedup.kmvSimilarityMatrix]]). */
+  private def q154(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Dedup.kmvSimilarityMatrix(
+        Tables.documents(s, dir), "source", "text", shingleLen = 3, k = 128)
+      .orderBy(col("g_a"), col("g_b"))
 
   // =====================================================================
   // DuckDB oracle SQL — same semantics, same column names, same ORDER BY.
@@ -4984,6 +5031,85 @@ object SparkEntry {
                AS n_blocked FROM d)
            SELECT doc_id, CAST(n_blocked AS BIGINT) AS n_blocked
            FROM m ORDER BY doc_id""",
+
+      // winnowing over POSITIONAL hashes (no list_distinct before the
+      // windowed min — order matters), window w = 8, shingle 3
+      "q151_winnowing" ->
+        s"""WITH d AS (
+             SELECT doc_id, list_transform(${shingles(3)},
+               s -> CAST('0x' || substr(md5(s), 1, 15) AS BIGINT)) AS ks
+             FROM (SELECT doc_id, $toks AS toks FROM documents) t)
+           SELECT doc_id, fp FROM (
+             SELECT doc_id, unnest(list_distinct(list_transform(
+               range(0, greatest(len(ks) - 8, 0) + 1),
+               i -> list_min(list_slice(ks, CAST(i + 1 AS INTEGER),
+                 CAST(i + 8 AS INTEGER)))))) AS fp
+             FROM d WHERE len(ks) > 0) f
+           ORDER BY doc_id, fp""",
+
+      "q152_freq_spectrum" ->
+        s"""SELECT freq, CAST(count(*) AS BIGINT) AS n_types FROM (
+             SELECT CAST(count(*) AS BIGINT) AS freq FROM (
+               SELECT unnest($toks) AS tok FROM documents) t
+             GROUP BY tok) c
+           GROUP BY freq ORDER BY freq""",
+
+      // the micro-nat quantize-before-sum mirror: identical double ratio,
+      // identical round(·1e6), BA direction reuses the NEGATED quantized
+      // AB ratio (one log per type on both engines)
+      "q153_corpus_divergence" ->
+        s"""WITH ca AS (
+             SELECT tok, CAST(count(*) AS BIGINT) AS c FROM (
+               SELECT unnest($toks) AS tok FROM documents WHERE doc_id % 2 = 0) t
+             GROUP BY tok),
+           cb AS (
+             SELECT tok, CAST(count(*) AS BIGINT) AS c FROM (
+               SELECT unnest($toks) AS tok FROM documents WHERE doc_id % 2 = 1) t
+             GROUP BY tok),
+           m AS (SELECT coalesce(ca.c, 0) AS ca, coalesce(cb.c, 0) AS cb
+                 FROM ca FULL OUTER JOIN cb ON ca.tok = cb.tok),
+           s AS (SELECT CAST(sum(ca) AS BIGINT) AS ta,
+                   CAST(sum(cb) AS BIGINT) AS tb,
+                   CAST(count(*) AS BIGINT) AS v FROM m),
+           q AS (SELECT ca, cb, ta, tb, v,
+                   CAST(round(ln(
+                     (CAST(ca + 1 AS DOUBLE) * CAST(tb + v AS DOUBLE)) /
+                     (CAST(cb + 1 AS DOUBLE) * CAST(ta + v AS DOUBLE)))
+                     * 1e6) AS BIGINT) AS lq
+                 FROM m CROSS JOIN s)
+           SELECT ta AS n_tok_a, tb AS n_tok_b, v AS vocab,
+             CAST(sum((ca + 1) * lq) AS BIGINT) AS kl_ab_unats,
+             CAST(sum((cb + 1) * -lq) AS BIGINT) AS kl_ba_unats,
+             CAST(sum((ca + 1) * lq) AS DOUBLE)
+               / (CAST(ta + v AS DOUBLE) * 1e6) AS kl_ab,
+             CAST(sum((cb + 1) * -lq) AS DOUBLE)
+               / (CAST(tb + v AS DOUBLE) * 1e6) AS kl_ba
+           FROM q GROUP BY ta, tb, v""",
+
+      // the k-min selection replayed literally: per-group rank over the
+      // distinct hashed shingles, then the pair union's k smallest
+      "q154_kmv_similarity" ->
+        s"""WITH gsh AS (
+             SELECT DISTINCT source AS g, sh FROM (
+               SELECT source, unnest(${hashedShingles(3)}) AS sh
+               FROM (SELECT source, $toks AS toks FROM documents) d) t),
+           sk AS (SELECT g, sh FROM (
+               SELECT g, sh, row_number() OVER (PARTITION BY g ORDER BY sh) AS rn
+               FROM gsh) t
+             WHERE rn <= 128),
+           gs AS (SELECT DISTINCT g FROM sk),
+           pairs AS (SELECT a.g AS ga, b.g AS gb FROM gs a, gs b WHERE a.g < b.g),
+           u AS (SELECT p.ga, p.gb, s.sh, CAST(count(*) AS BIGINT) AS sides
+                 FROM pairs p JOIN sk s ON s.g = p.ga OR s.g = p.gb
+                 GROUP BY 1, 2, 3),
+           r AS (SELECT ga, gb, sides,
+                   row_number() OVER (PARTITION BY ga, gb ORDER BY sh) AS rn
+                 FROM u)
+           SELECT ga AS g_a, gb AS g_b, CAST(count(*) AS BIGINT) AS n_union_k,
+             CAST(sum(CASE WHEN sides = 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_both,
+             CAST(sum(CASE WHEN sides = 2 THEN 1 ELSE 0 END) AS DOUBLE)
+               / CAST(count(*) AS DOUBLE) AS est_jaccard
+           FROM r WHERE rn <= 128 GROUP BY ga, gb ORDER BY g_a, g_b""",
     )
   }
 }

@@ -130,6 +130,21 @@ object Boilerplate {
   def sharedKeysFromStats(stats: DataFrame): DataFrame =
     stats.where(col("df") >= 2L).select(col("sh"))
 
+  /** Token FREQUENCY SPECTRUM (count-of-counts): how many distinct token
+    * TYPES occur exactly `freq` times in the corpus — the Zipf profile a
+    * corpus-health check reads (a healthy natural corpus has a heavy
+    * hapax head: most types occur once; template-dominated corpora
+    * invert it), and the input Good–Turing smoothing wants. Two
+    * partial-aggregable counts back-to-back — token→freq, then
+    * freq→n_types — so the second exchange carries at most #distinct
+    * frequencies (≤ √(2·corpus tokens): distinct counts c₁>c₂>…
+    * must sum to the token total, the [[graft.operators.Graph]]
+    * distinct-degree argument verbatim). Returns `(freq, n_types)`. */
+  def frequencySpectrum(docs: DataFrame, textCol: String): DataFrame =
+    docs.select(explode(Text.tokens(col(textCol))).as("tok"))
+      .groupBy(col("tok")).agg(count(lit(1)).as("freq"))
+      .groupBy(col("freq")).agg(count(lit(1)).as("n_types"))
+
   /** PRECONDITION (see [[dfStats]]): the base doc count is recovered as
     * `max(n_docs)` over the stored rows, so a non-empty base corpus that
     * persisted ZERO stats rows (every text empty/whitespace) reads back

@@ -1208,6 +1208,134 @@ object Dedup {
     * The matrix is SPARSE: pairs with zero shared shingles are absent
     * (they never meet in the key join — exactly the rows a 100 TB run
     * must not materialize). */
+  /** WINNOWING document fingerprints (Schleimer, Wilkerson, Aiken 2003,
+    * "Winnowing: Local Algorithms for Document Fingerprinting" — the
+    * MOSS algorithm): slide a window of `w` consecutive shingle-hash
+    * positions over the document and keep each window's MINIMUM hash;
+    * the distinct minima are the fingerprint set. The winnowing
+    * guarantee: any shared run of at least `w + shingleLen − 1` tokens
+    * between two documents forces at least one SHARED fingerprint —
+    * detection is deterministic, not probabilistic like MinHash — while
+    * storing ~2/(w+1) of the shingle hashes. The pipeline role:
+    * plagiarism-style partial-overlap detection where missing a long
+    * verbatim overlap is not acceptable.
+    *
+    * Entirely per-row narrow work (tokenize → hash → windowed min →
+    * distinct, all higher-order array functions) plus a scan-stage
+    * explode — a document's fingerprints never leave its task. Returns
+    * `(idCol, fp)` distinct; docs with ≤ w+shingleLen−1 tokens emit one
+    * fingerprint (the global minimum — the whole doc is one window). */
+  def winnowingFingerprints(docs: DataFrame, idCol: String, textCol: String,
+                            shingleLen: Int, window: Int): DataFrame = {
+    require(shingleLen >= 1, s"shingleLen must be >= 1, got $shingleLen")
+    require(window >= 1, s"window must be >= 1, got $window")
+    // POSITIONAL shingle hashes — winnowing needs order, so no
+    // array_distinct before the windowed min
+    val keys = transform(Text.fastWordShingles(col(textCol), shingleLen),
+      s => shingleKey(s))
+    val mins = transform(
+      sequence(lit(0), greatest(size(col("_k")) - window, lit(0))),
+      i => array_min(slice(col("_k"), i + 1, lit(window))))
+    docs
+      .select(col(idCol), keys.as("_k"))
+      .where(size(col("_k")) > 0)
+      .select(col(idCol), explode(array_distinct(mins)).as("fp"))
+  }
+
+  /** Near-dup candidate pairs from shared winnowing fingerprints — the
+    * [[minHashLsh]] band-bucket recipe with the winnowing guarantee:
+    * `(id_a, id_b, n_shared)` for pairs sharing ≥ 1 fingerprint, via the
+    * fingerprint-keyed equi-join (never all-pairs). `maxFpDf` drops
+    * fingerprints shared by more than that many docs (boilerplate runs —
+    * the exact analogue of the LSH hot-bucket cap, and the df filter is
+    * a partial-aggregable count over 8-byte keys). */
+  def winnowedPairs(docs: DataFrame, idCol: String, textCol: String,
+                    shingleLen: Int, window: Int,
+                    maxFpDf: Int = 50): DataFrame = {
+    require(maxFpDf >= 2, s"maxFpDf must be >= 2, got $maxFpDf")
+    val fps = winnowingFingerprints(docs, idCol, textCol, shingleLen, window)
+      .select(col(idCol).as("_id"), col("fp"))
+    val kept = fps.join(
+      fps.groupBy(col("fp")).agg(count(lit(1)).as("_df"))
+        .where(col("_df") <= maxFpDf).select(col("fp")),
+      Seq("fp"))
+    kept.join(kept.select(col("_id").as("_id2"), col("fp")), Seq("fp"))
+      .where(col("_id") < col("_id2"))
+      .groupBy(col("_id"), col("_id2")).agg(count(lit(1)).as("n_shared"))
+      .select(col("_id").as("id_a"), col("_id2").as("id_b"), col("n_shared"))
+  }
+
+  /** KMV (k-minimum-values) group sketch — the documented APPROXIMATE
+    * path of [[corpusSimilarityMatrix]] for when the group universe
+    * outgrows the exact intersection join: per group, the `k` smallest
+    * DISTINCT shingle keys (Beyer et al. 2007; deterministic — the
+    * "randomness" is the hash, so the sketch and everything computed
+    * from it is exactly reproducible cross-engine). Selection runs
+    * through [[Ranking.groupedRank]] with the key's high bits as the
+    * sub-bucket — order-consistent, so a hot group's sort is split
+    * across value-range buckets instead of serializing one window task
+    * (the q98 de-skew shape, built in rather than documented). Returns
+    * `(groupCol, sh, rank)`, rank 1..k ascending by key. */
+  def kmvSketch(docs: DataFrame, groupCol: String, textCol: String,
+                shingleLen: Int, k: Int): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val gsh = docs
+      .select(col(groupCol),
+        explode(array_distinct(Text.fastWordShingles(col(textCol), shingleLen))).as("_s"))
+      .select(col(groupCol), shingleKey(col("_s")).as("sh"))
+      .distinct()
+    Ranking.groupedRank(gsh, col(groupCol),
+        subBucket = shiftrightunsigned(col("sh"), 52), col("sh"))
+      .where(col("rank") <= k)
+      .select(col(groupCol), col("sh"), col("rank"))
+  }
+
+  /** Pairwise Jaccard ESTIMATES from [[kmvSketch]]es: for each group
+    * pair, take the `k` smallest keys of the sketch UNION (one more
+    * groupedRank over sketch rows — pair-tagged, still value-bucketed)
+    * and count how many lie in BOTH sketches;
+    * `est = n_both / n_union_k` is the standard KMV Jaccard estimator
+    * (± ~1/√k — spec-measured against the exact matrix). Every number
+    * here is a deterministic function of the hashes, so the ESTIMATE
+    * itself is exactly oracle-checkable even though it approximates the
+    * true Jaccard. Sketch tables are G·k rows — model-sized; nothing
+    * data-wide ever joins. Returns `(g_a, g_b, n_union_k, n_both,
+    * est_jaccard)` for EVERY group pair (unlike the exact matrix's
+    * sparse output, the estimator prices disjoint pairs at 0 from k
+    * rows, so emitting them is free). */
+  def kmvSimilarityMatrix(docs: DataFrame, groupCol: String,
+                          textCol: String, shingleLen: Int,
+                          k: Int): DataFrame = {
+    val sk = kmvSketch(docs, groupCol, textCol, shingleLen, k)
+      .select(col(groupCol).as("_g"), col("sh")).persist()
+    // G×G pair frame — two G-row inputs, never data-sized
+    val pairs = sk.select(col("_g")).distinct()
+      .crossJoin(sk.select(col("_g").as("_g2")).distinct())
+      .where(col("_g") < col("_g2"))
+    // union rows per pair: sketch keys of both sides, tagged with how
+    // many sides carry them (1 = one side, 2 = both)
+    val tagged = pairs
+      .join(sk, Seq("_g"))
+      .select(col("_g"), col("_g2"), col("sh"))
+      .unionAll(pairs
+        .join(sk.select(col("_g").as("_g2"), col("sh")), Seq("_g2"))
+        .select(col("_g"), col("_g2"), col("sh")))
+      .groupBy(col("_g"), col("_g2"), col("sh"))
+      .agg(count(lit(1)).as("_sides"))
+    val ranked = Ranking.groupedRank(tagged,
+        struct(col("_g"), col("_g2")),
+        subBucket = shiftrightunsigned(col("sh"), 52), col("sh"))
+      .where(col("rank") <= k)
+    ranked
+      .groupBy(col("_g"), col("_g2"))
+      .agg(count(lit(1)).as("n_union_k"),
+        sum(when(col("_sides") === 2, 1L).otherwise(0L)).as("n_both"))
+      .select(col("_g").as("g_a"), col("_g2").as("g_b"),
+        col("n_union_k"), col("n_both"),
+        (col("n_both").cast("double") / col("n_union_k").cast("double"))
+          .as("est_jaccard"))
+  }
+
   def corpusSimilarityMatrix(docs: DataFrame, groupCol: String,
                              textCol: String, shingleLen: Int): DataFrame = {
     require(shingleLen >= 1, s"shingleLen must be >= 1, got $shingleLen")

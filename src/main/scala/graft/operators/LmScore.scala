@@ -139,4 +139,58 @@ object LmScore {
         coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
         coalesce(col("score_unats"), lit(0L)).as("score_unats"))
   }
+
+  /** CORPUS DIVERGENCE — KL(A‖B) and KL(B‖A) between the add-1-smoothed
+    * unigram distributions of two corpora over their UNION vocabulary:
+    * the dataset-versioning drift measure ("how far did the token
+    * distribution move between crawls / after a filter pass"), the
+    * distribution-level complement of [[graft.operators.Cdc]]'s
+    * row-level diff. Smoothing over the union vocabulary keeps both
+    * directions finite (every type has mass ≥ 1/(tot+V) on both sides).
+    *
+    * Exactness is the micro-nat move ([[bigramScore]]): each type's log
+    * ratio `ln(p_w/q_w) = ln((a_w+1)·(totB+V) / ((b_w+1)·(totA+V)))` is
+    * ONE deterministic double op chain quantized to
+    * `round(·10⁶)` BEFORE summation; the sums
+    * `Σ (a_w+1)·q_w` ride as exact BIGINTs and the reported nats are one
+    * trailing division by `(totA+V)·10⁶` — order-independent, so the
+    * DuckDB oracle hash-matches.
+    *
+    * ## Scale shape (100 TB)
+    * Each corpus collapses to its vocabulary counts (partial-aggregable;
+    * the only data-wide pass), the two count tables full-outer merge on
+    * the token (vocabulary-sized exchange), the three scalars (totals,
+    * V) are 1-row broadcasts, and the result is ONE row:
+    * `(n_tok_a, n_tok_b, vocab, kl_ab_unats, kl_ba_unats, kl_ab, kl_ba)`. */
+  def corpusDivergence(a: DataFrame, b: DataFrame, textCol: String): DataFrame = {
+    def counts(df: DataFrame): DataFrame =
+      df.select(explode(Text.tokens(col(textCol))).as("tok"))
+        .groupBy(col("tok")).agg(count(lit(1)).as("c"))
+    val ca = counts(a)
+    val cb = counts(b)
+    val merged = ca.withColumnRenamed("c", "ca")
+      .join(cb.withColumnRenamed("c", "cb"), Seq("tok"), "full_outer")
+      .select(col("tok"),
+        coalesce(col("ca"), lit(0L)).as("ca"),
+        coalesce(col("cb"), lit(0L)).as("cb"))
+    val totals = merged.agg(sum(col("ca")).as("ta"), sum(col("cb")).as("tb"),
+      count(lit(1)).as("v"))
+    val withT = merged.crossJoin(broadcast(totals))
+    // ln(p/q) — one double ratio of exact integer products, quantized
+    val lr = round(log(
+      ((col("ca") + 1).cast("double") * (col("tb") + col("v")).cast("double")) /
+        ((col("cb") + 1).cast("double") * (col("ta") + col("v")).cast("double")))
+      * lit(1e6)).cast("long")
+    withT
+      .select(col("ca"), col("cb"), col("ta"), col("tb"), col("v"), lr.as("q"))
+      .groupBy(col("ta"), col("tb"), col("v"))
+      .agg(sum((col("ca") + 1) * col("q")).as("kl_ab_unats"),
+        sum((col("cb") + 1) * -col("q")).as("kl_ba_unats"))
+      .select(col("ta").as("n_tok_a"), col("tb").as("n_tok_b"),
+        col("v").as("vocab"), col("kl_ab_unats"), col("kl_ba_unats"),
+        (col("kl_ab_unats").cast("double") /
+          ((col("ta") + col("v")).cast("double") * 1e6)).as("kl_ab"),
+        (col("kl_ba_unats").cast("double") /
+          ((col("tb") + col("v")).cast("double") * 1e6)).as("kl_ba"))
+  }
 }

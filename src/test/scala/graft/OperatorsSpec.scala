@@ -2909,4 +2909,82 @@ class OperatorsSpec extends SparkSuite {
       Seq("hash join", "HASH   Join"))
     assert(matches.collect().length == 2) // docs 1 and 3, one phrase each
   }
+
+  test("winnowing: guarantee on shared runs, density, single-window short docs, no exchange") {
+    import spark.implicits._
+    import graft.operators.Dedup
+    val run = (1 to 30).map(i => s"shared$i").mkString(" ")
+    val docs = Seq(
+      (1L, s"alpha beta gamma $run delta epsilon"),
+      (2L, s"completely different prefix words here $run and another tail"),
+      (3L, "nothing in common with anybody at all zz"),
+      (4L, "tiny doc")).toDF("doc_id", "text")
+    val fps = Dedup.winnowingFingerprints(docs, "doc_id", "text",
+      shingleLen = 3, window = 8)
+    val byDoc = fps.collect().groupBy(_.getLong(0))
+      .map { case (k, v) => k -> v.map(_.getLong(1)).toSet }
+    // the winnowing GUARANTEE: a shared run of >= w + shingleLen - 1 = 10
+    // tokens forces a shared fingerprint — doc 1 and 2 share a 30-run
+    assert((byDoc(1L) & byDoc(2L)).nonEmpty, "shared run must share a fingerprint")
+    assert((byDoc(3L) & byDoc(1L)).isEmpty && (byDoc(3L) & byDoc(2L)).isEmpty)
+    // density: ~2/(w+1) of shingle positions, never more than all
+    assert(byDoc(1L).size < 36 && byDoc(1L).size >= 36 / 8)
+    // a doc shorter than window+shingle is ONE window -> one fingerprint
+    assert(byDoc(4L).size == 1)
+    // per-row HOFs + scan-stage explode: no exchange
+    val plan = fps.queryExecution.executedPlan.toString.split("== Initial Plan ==").head
+    assert(!plan.contains("Exchange"), s"fingerprinting must not shuffle:\n$plan")
+    // pair detection finds exactly the planted overlap
+    val pairs = Dedup.winnowedPairs(docs, "doc_id", "text", 3, 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.toSeq == Seq((1L, 2L)))
+  }
+
+  test("frequencySpectrum: count-of-counts, mass conservation") {
+    import spark.implicits._
+    import graft.operators.Boilerplate
+    // a:3, b:2, c:2, d:1, e:1, f:1 -> spectrum 1->3, 2->2, 3->1
+    val docs = Seq((1L, "a b c d"), (2L, "a b c e"), (3L, "a f")).toDF("id", "text")
+    val got = Boilerplate.frequencySpectrum(docs, "text")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 3L, 2L -> 2L, 3L -> 1L))
+    // sum(freq * n_types) must equal the corpus token count
+    assert(got.map { case (f, n) => f * n }.sum == 10L)
+  }
+
+  test("corpusDivergence: zero on identical corpora, positive both ways on disjoint") {
+    import spark.implicits._
+    import graft.operators.LmScore
+    val a = Seq((1L, "alpha beta gamma alpha"), (2L, "beta delta")).toDF("id", "text")
+    val same = LmScore.corpusDivergence(a, a, "text").collect()(0)
+    assert(same.getLong(3) == 0L && same.getLong(4) == 0L,
+      "identical corpora must diverge by exactly zero")
+    val b = Seq((3L, "zz yy xx zz ww")).toDF("id", "text")
+    val d = LmScore.corpusDivergence(a, b, "text").collect()(0)
+    // (n_tok_a, n_tok_b, vocab, kl_ab_unats, kl_ba_unats, kl_ab, kl_ba)
+    assert(d.getLong(0) == 6L && d.getLong(1) == 5L && d.getLong(2) == 8L)
+    assert(d.getDouble(5) > 0.1 && d.getDouble(6) > 0.1,
+      s"disjoint corpora must diverge both ways: $d")
+  }
+
+  test("kmvSimilarityMatrix: exact at k >= universe, within KMV tolerance at small k") {
+    import spark.implicits._
+    import graft.operators.Dedup
+    val docs = Seq(
+      ("a", "one two three four five six seven eight"),
+      ("b", "one two three four five nine ten eleven"),
+      ("c", "alpha beta gamma delta epsilon zeta eta theta")).toDF("g", "text")
+    // k beyond every group's shingle universe -> the sketch IS the set,
+    // so the estimate equals the exact Jaccard
+    val exact = Dedup.corpusSimilarityMatrix(docs, "g", "text", 3)
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getDouble(5)).toMap
+    val big = Dedup.kmvSimilarityMatrix(docs, "g", "text", 3, k = 1000)
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getDouble(4)).toMap
+    assert(big(("a", "b")) == exact(("a", "b")))
+    assert(big(("a", "c")) == 0.0 && big(("b", "c")) == 0.0)
+    // sketch sizes respect k and rank ordering
+    val sk = Dedup.kmvSketch(docs, "g", "text", 3, k = 3).collect()
+      .groupBy(_.getString(0)).map { case (g, v) => g -> v.map(_.getLong(2)).sorted.toSeq }
+    assert(sk.values.forall(_ == Seq(1L, 2L, 3L)))
+  }
 }
