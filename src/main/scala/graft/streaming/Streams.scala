@@ -834,4 +834,75 @@ object Streams {
           out.iterator
       }
   }
+
+  /** Streaming twin of [[graft.operators.Blocklist.matchReport]]'s match
+    * core: matched `(idCol, phrase)` pairs from an incoming document
+    * stream. The batch operator is per-row narrow work (shingle explode)
+    * plus a broadcast join against the STATIC blocklist — both legal
+    * streaming constructs unchanged, so this is the zero-state twin
+    * ([[chunkStream]]'s contract): batch and stream matches are the same
+    * plan per micro-batch. Distinct-ness is per micro-batch (a doc
+    * re-sent across batches re-reports — dedupe downstream with
+    * [[dedupStream]] if the source can repeat). */
+  def blocklistStream(docs: DataFrame, idCol: String, textCol: String,
+                      phrases: Seq[String]): DataFrame =
+    graft.operators.Blocklist.phraseMatches(docs, idCol, textCol, phrases)
+
+  /** Streaming twin of [[graft.operators.Decay.ewmaControlChart]]: per-key
+    * dyadic EWMA out-of-control flags, state = the per-step
+    * `(count, Σqv, Σqv²)` triples of the trailing `horizon` steps
+    * (bounded: ≤ horizon+1 entries per key, exactly the
+    * [[decayedScoreStream]] ring). Arithmetic runs in exact BigInt — the
+    * single-JVM stand-in for the batch DECIMAL(38,0) algebra, same
+    * integers, same strict-`>` test. Events inside one batch process in
+    * `(step, id)` order; each event is judged against strictly PRIOR
+    * steps only (same-step neighbors never count, matching the batch
+    * operator), so an in-order feed reproduces the batch flags exactly
+    * (spec-asserted). Emits `(key, id, step, qv, nPrior, isAnomaly)`. */
+  def ewmaChartStream(rows: Dataset[(Long, Long, Long, Long)],
+                      horizonSteps: Int = 20,
+                      kNum: Long = 3L, kDen: Long = 1L)
+      : Dataset[(Long, Long, Long, Long, Long, Boolean)] = {
+    require(horizonSteps >= 1 && horizonSteps <= 20,
+      s"horizonSteps must be in [1, 20], got $horizonSteps")
+    require(kNum >= 1 && kDen >= 1, s"need positive kNum/kDen, got $kNum/$kDen")
+    import rows.sparkSession.implicits._
+    val h = horizonSteps
+    rows
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[Map[Long, (Long, Long, Long)],
+        (Long, Long, Long, Long, Long, Boolean)](
+        OutputMode.Update, GroupStateTimeout.NoTimeout) {
+        (key: Long, it: Iterator[(Long, Long, Long, Long)],
+         state: GroupState[Map[Long, (Long, Long, Long)]]) =>
+          var steps = state.getOption.getOrElse(Map.empty[Long, (Long, Long, Long)])
+          val out = scala.collection.mutable.ArrayBuffer
+            .empty[(Long, Long, Long, Long, Long, Boolean)]
+          // (key, id, step, qv) sorted so same-batch events see exactly
+          // the predecessors an in-order feed would have shown them
+          it.toSeq.sortBy(r => (r._3, r._2)).foreach { case (_, id, step, qv) =>
+            val prior = steps.view.filterKeys(s => s < step && step - s <= h)
+            var bW, bS, bSS = BigInt(0)
+            var np = 0L
+            prior.foreach { case (s, (cnt, sqv, sqv2)) =>
+              val w = BigInt(1) << (h - (step - s)).toInt
+              bW += w * cnt; bS += w * sqv; bSS += w * sqv2
+              np += cnt
+            }
+            val dev = BigInt(qv) * bW - bS
+            val flag = bW > 0 &&
+              BigInt(kDen * kDen) * dev * dev >
+                BigInt(kNum * kNum) * (bW * bSS - bS * bS)
+            out += ((key, id, step, qv, np, flag))
+            val (c0, s0, ss0) = steps.getOrElse(step, (0L, 0L, 0L))
+            steps = steps.updated(step, (c0 + 1L, s0 + qv, ss0 + qv * qv))
+          }
+          if (steps.nonEmpty) {
+            val ref = steps.keys.max
+            steps = steps.filter { case (s, _) => ref - s <= h }
+          }
+          state.update(steps)
+          out.iterator
+      }
+  }
 }

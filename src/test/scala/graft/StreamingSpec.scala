@@ -1001,4 +1001,58 @@ class StreamingSpec extends SparkSuite {
       assert(expect(1L)._2 == 3L && got.contains((1L, expect(1L))))
     } finally q.stop()
   }
+
+  test("ewmaChartStream: in-order feed reproduces the batch control chart flags") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val stepU = 14400000000L
+    // (user, id, step, qv): constant history then a spike for user 2
+    val rows: Seq[(Long, Long, Long, Long)] =
+      (100L to 104L).zipWithIndex.map { case (st, i) => (1L, i.toLong, st, 1000L) } ++
+      Seq((1L, 50L, 105L, 1000L)) ++
+      (100L to 104L).zipWithIndex.map { case (st, i) => (2L, 100L + i, st, 1000L) } ++
+      Seq((2L, 150L, 105L, 9900L))
+    val input = MemoryStream[(Long, Long, Long, Long)]
+    val out = Streams.ewmaChartStream(input.toDS())
+    val q = out.toDF("k", "id", "step", "qv", "n_prior", "flag").writeStream
+      .outputMode("update").format("memory").queryName("ewma").start()
+    try {
+      // two batches, each in step order — an in-order feed
+      input.addData(rows.filter(_._3 <= 102L): _*)
+      q.processAllAvailable()
+      input.addData(rows.filter(_._3 > 102L): _*)
+      q.processAllAvailable()
+      val got = spark.table("ewma").collect()
+        .map(r => r.getLong(1) -> (r.getLong(4), r.getBoolean(5))).toMap
+      val events = rows.toDF("user_id", "event_id", "step", "qv")
+        .select(col("user_id"), col("event_id"),
+          timestamp_micros(col("step") * stepU + 7L).as("ts"),
+          (col("qv").cast("double") / 100.0).as("value"))
+      val expect = graft.operators.Decay.ewmaControlChart(
+          events, "user_id", "ts", "value", "event_id")
+        .collect().map(r => r.getLong(1) -> (r.getLong(4), r.getBoolean(5))).toMap
+      assert(got == expect, s"stream flags diverged from batch: $got vs $expect")
+      assert(got(150L)._2 && !got(50L)._2)
+    } finally q.stop()
+  }
+
+  test("blocklistStream: stateless matching runs per micro-batch, equals the batch matcher") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, String)]
+    val phrases = Seq("hash join", "table scan")
+    val out = Streams.blocklistStream(
+      input.toDF().toDF("doc_id", "text"), "doc_id", "text", phrases)
+    val q = out.writeStream.outputMode("append").format("memory")
+      .queryName("blk").start()
+    try {
+      input.addData((1L, "the hash join wins"), (2L, "no match here"))
+      q.processAllAvailable()
+      input.addData((3L, "full table scan and hash join"))
+      q.processAllAvailable()
+      val got = spark.table("blk").collect()
+        .map(r => (r.getLong(0), r.getString(1))).toSet
+      assert(got == Set((1L, "hash join"), (3L, "hash join"), (3L, "table scan")))
+    } finally q.stop()
+  }
 }
