@@ -213,6 +213,10 @@ object SparkEntry {
     "q152_freq_spectrum" -> q152,
     "q153_corpus_divergence" -> q153,
     "q154_kmv_similarity" -> q154,
+    "q155_rank_fusion" -> q155,
+    "q156_trimmed_stats" -> q156,
+    "q157_oov_rate" -> q157,
+    "q158_gini_concentration" -> q158,
   )
 
   // =====================================================================
@@ -2512,6 +2516,58 @@ object SparkEntry {
     graft.operators.Dedup.kmvSimilarityMatrix(
         Tables.documents(s, dir), "source", "text", shingleLen = 3, k = 128)
       .orderBy(col("g_a"), col("g_b"))
+
+  /** RECIPROCAL RANK FUSION of two document rankings (by length, and by
+    * the rolling-fingerprint pseudo-permutation standing in for an
+    * embedding system): top-50 by fused score. Both input ranks ride the
+    * two-level distributed rank; each reciprocal is quantized to integer
+    * micro-units before the exact BIGINT fusion sum; the tail is a
+    * TakeOrdered, not a global sort
+    * ([[graft.operators.Ranking.reciprocalRankFusion]]). */
+  private def q155(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(s, dir)
+    val byLen = graft.operators.Ranking.globalRankBy(
+        d.select(col("doc_id"), (-col("n_chars")).as("_neg")),
+        expr("_neg DIV 200"), col("_neg"), col("doc_id"))
+      .select(col("doc_id"), col("rank"))
+    val byFp = graft.operators.Ranking.globalRankBy(
+        d.select(col("doc_id"),
+          graft.functions.Text.rollingFingerprint(col("text")).as("_fp")),
+        expr("_fp DIV 16000000"), col("_fp"), col("doc_id"))
+      .select(col("doc_id"), col("rank"))
+    graft.operators.Ranking.reciprocalRankFusion(Seq(byLen, byFp), "doc_id", "rank")
+      .orderBy(col("rrf_unats").desc, col("doc_id")).limit(50)
+  }
+
+  /** Per-source TRIMMED MEAN of document length (10% off each tail by
+    * (value, id) order): the robust per-domain summary — rank through
+    * groupedRank, integer trim cut, partial-aggregable survivors
+    * ([[graft.operators.Ranking.trimmedStats]]). */
+  private def q156(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Ranking.trimmedStats(
+        Tables.documents(s, dir).select(col("source"), col("n_chars"), col("doc_id")),
+        "source", "n_chars",
+        subBucket = expr("(n_chars - pmod(n_chars, 200L)) DIV 200L"),
+        idCol = "doc_id", trimNum = 1L, trimDen = 10L)
+      .orderBy(col("source"))
+
+  /** Per-source OUT-OF-VOCABULARY rate against the corpus's own ≥3%-df
+    * vocabulary — tokenizer/register fitness by source; the vocabulary
+    * is model-sized and broadcasts
+    * ([[graft.operators.Boilerplate.oovRate]]). */
+  private def q157(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(s, dir)
+    graft.operators.Boilerplate.oovRate(d, "source", "text",
+        graft.operators.Boilerplate.highDfTokens(d, "doc_id", "text", 3L, 100L))
+      .orderBy(col("source"))
+  }
+
+  /** GINI concentration of per-source document counts — the corpus
+    * composition red-flag (0 = balanced, →1 = one source dominates);
+    * one partial-aggregable count, then pure G-row arithmetic
+    * ([[graft.operators.Checks.giniConcentration]]). */
+  private def q158(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Checks.giniConcentration(Tables.documents(s, dir), "source")
 
   // =====================================================================
   // DuckDB oracle SQL — same semantics, same column names, same ORDER BY.
@@ -5110,6 +5166,75 @@ object SparkEntry {
              CAST(sum(CASE WHEN sides = 2 THEN 1 ELSE 0 END) AS DOUBLE)
                / CAST(count(*) AS DOUBLE) AS est_jaccard
            FROM r WHERE rn <= 128 GROUP BY ga, gb ORDER BY g_a, g_b""",
+
+      // both system ranks mirrored as plain row_numbers over the same
+      // total orders; each reciprocal quantized to round(1e6/(60+r))
+      // BEFORE the sum, so both engines fuse identical integers
+      "q155_rank_fusion" ->
+        s"""WITH a AS (
+             SELECT doc_id, CAST(row_number() OVER
+               (ORDER BY -n_chars, doc_id) AS BIGINT) AS r FROM documents),
+           b AS (
+             SELECT doc_id, CAST(row_number() OVER (ORDER BY fp, doc_id) AS BIGINT) AS r
+             FROM (SELECT doc_id, list_reduce(
+                 list_prepend(CAST(0 AS BIGINT),
+                   list_transform(list_filter(string_split($norm, ''), c -> len(c) > 0),
+                     c -> CAST(ord(c) AS BIGINT))),
+                 (x, y) -> (x * 31 + y) % 1000000007) AS fp FROM documents) t),
+           u AS (SELECT doc_id, r FROM a UNION ALL SELECT doc_id, r FROM b)
+           SELECT doc_id,
+             CAST(sum(CAST(round(1e6 / CAST(r + 60 AS DOUBLE)) AS BIGINT)) AS BIGINT)
+               AS rrf_unats,
+             CAST(count(*) AS BIGINT) AS n_systems
+           FROM u GROUP BY doc_id
+           ORDER BY rrf_unats DESC, doc_id LIMIT 50""",
+
+      // identical integer trim cut (gn*1)//10 against the same
+      // (value, id) row_number order
+      "q156_trimmed_stats" ->
+        """WITH r AS (
+             SELECT source, n_chars,
+               CAST(row_number() OVER (PARTITION BY source ORDER BY n_chars, doc_id) AS BIGINT) AS rnk,
+               CAST(count(*) OVER (PARTITION BY source) AS BIGINT) AS gn
+             FROM documents),
+           k AS (SELECT *, (gn * 1) // 10 AS t FROM r)
+           SELECT source, CAST(max(gn) AS BIGINT) AS n_total,
+             CAST(count(*) AS BIGINT) AS n_kept,
+             CAST(sum(n_chars) AS BIGINT) AS sum_kept,
+             min(n_chars) AS min_kept, max(n_chars) AS max_kept,
+             CAST(sum(n_chars) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS trimmed_mean
+           FROM k WHERE rnk > t AND rnk <= gn - t
+           GROUP BY source ORDER BY source""",
+
+      // the >= 3%-df vocabulary replayed (per-doc distinct tokens -> df
+      // -> integer cross-multiply), then a left join over the token pass
+      "q157_oov_rate" ->
+        s"""WITH tok AS (SELECT source, unnest($toks) AS tok FROM documents),
+           pd AS (SELECT DISTINCT doc_id, tok FROM
+             (SELECT doc_id, unnest($toks) AS tok FROM documents) t),
+           df AS (SELECT tok, CAST(count(*) AS BIGINT) AS df FROM pd GROUP BY tok),
+           n AS (SELECT CAST(count(*) AS BIGINT) AS nd FROM documents),
+           v AS (SELECT tok FROM df CROSS JOIN n WHERE df * 100 >= nd * 3)
+           SELECT source, CAST(count(*) AS BIGINT) AS n_tok,
+             CAST(sum(CASE WHEN v.tok IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_oov,
+             CAST(sum(CASE WHEN v.tok IS NULL THEN 1 ELSE 0 END) AS DOUBLE)
+               / CAST(count(*) AS DOUBLE) AS oov_rate
+           FROM tok LEFT JOIN v ON tok.tok = v.tok
+           GROUP BY source ORDER BY source""",
+
+      // sorted-shares Gini with the (size, name) deterministic
+      // permutation — numerator an exact BIGINT on both engines
+      "q158_gini_concentration" ->
+        """WITH x AS (SELECT source, CAST(count(*) AS BIGINT) AS x
+                      FROM documents GROUP BY source),
+           r AS (SELECT x, CAST(row_number() OVER (ORDER BY x, source) AS BIGINT) AS i,
+                   CAST(count(*) OVER () AS BIGINT) AS g FROM x)
+           SELECT CAST(max(g) AS BIGINT) AS n_groups,
+             CAST(sum(x) AS BIGINT) AS total,
+             CAST(sum((2 * i - g - 1) * x) AS BIGINT) AS gini_num,
+             CAST(sum((2 * i - g - 1) * x) AS DOUBLE)
+               / CAST(max(g) * sum(x) AS DOUBLE) AS gini
+           FROM r""",
     )
   }
 }

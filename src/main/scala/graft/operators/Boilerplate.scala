@@ -130,6 +130,28 @@ object Boilerplate {
   def sharedKeysFromStats(stats: DataFrame): DataFrame =
     stats.where(col("df") >= 2L).select(col("sh"))
 
+  /** Per-group OUT-OF-VOCABULARY rate against a reference vocabulary —
+    * tokenizer/corpus fitness by source: a source whose tokens are
+    * mostly absent from the working vocabulary (trained elsewhere, or
+    * [[highDfTokens]]/[[vocabularyFromStats]] output) is either a
+    * different language/register or junk, and either way needs its own
+    * treatment before mixing. One token explode (the data-wide pass)
+    * left-joined against the vocabulary — broadcast when vocab-sized,
+    * as a df-threshold vocabulary always is — then a partial-aggregable
+    * per-group count pair. `oov_rate` is one IEEE division of exact
+    * integers. Returns `(groupCol, n_tok, n_oov, oov_rate)`. */
+  def oovRate(docs: DataFrame, groupCol: String, textCol: String,
+              vocab: DataFrame, vocabCol: String = "tok"): DataFrame =
+    docs
+      .select(col(groupCol), explode(Text.tokens(col(textCol))).as("tok"))
+      .join(broadcast(vocab.select(col(vocabCol).as("tok"),
+        lit(true).as("_in_v")).distinct()), Seq("tok"), "left")
+      .groupBy(col(groupCol))
+      .agg(count(lit(1)).as("n_tok"),
+        sum(when(col("_in_v").isNull, 1L).otherwise(0L)).as("n_oov"))
+      .select(col(groupCol), col("n_tok"), col("n_oov"),
+        (col("n_oov").cast("double") / col("n_tok").cast("double")).as("oov_rate"))
+
   /** Token FREQUENCY SPECTRUM (count-of-counts): how many distinct token
     * TYPES occur exactly `freq` times in the corpus — the Zipf profile a
     * corpus-health check reads (a healthy natural corpus has a heavy

@@ -99,4 +99,33 @@ object Checks {
       .withColumn("pass", col("n_violations") === 0L)
       .orderBy(col("check"))
   }
+
+  /** GINI concentration of group contributions — "how unequally do
+    * sources/domains contribute to this corpus": 0 = every group equal,
+    * →1 = one group is the corpus. The composition red-flag a mixing
+    * recipe checks before training (a 0.9-Gini corpus is one domain
+    * wearing twenty hats, and [[graft.operators.Sampling]]'s caps and
+    * temperatures are the fix). Exact integer form of the standard
+    * sorted-shares formula: with group sizes x₁ ≤ … ≤ x_G (ties broken
+    * by group name for a deterministic permutation),
+    * `gini = Σ (2i − G − 1)·x_i / (G · Σx)` — the numerator an exact
+    * BIGINT, one trailing IEEE division. The data-wide work is ONE
+    * partial-aggregable count; everything after lives on the G-row
+    * group-size table (model-sized — its rank window is the #buckets
+    * frame of the two-level scheme, not a data window). Returns one row
+    * `(n_groups, total, gini_num, gini)`. */
+  def giniConcentration(df: DataFrame, groupCol: String): DataFrame = {
+    val sizes = df.groupBy(col(groupCol)).agg(count(lit(1)).as("_x"))
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("_x").asc, col(groupCol).asc)
+    val whole = org.apache.spark.sql.expressions.Window.partitionBy()
+    sizes
+      .withColumn("_i", row_number().over(w).cast("long"))
+      .withColumn("_g", count(lit(1)).over(whole).cast("long"))
+      .agg(max(col("_g")).as("n_groups"), sum(col("_x")).as("total"),
+        sum((lit(2L) * col("_i") - col("_g") - 1L) * col("_x")).as("gini_num"))
+      .select(col("n_groups"), col("total"), col("gini_num"),
+        (col("gini_num").cast("double") /
+          (col("n_groups") * col("total")).cast("double")).as("gini"))
+  }
 }

@@ -248,6 +248,69 @@ object Ranking {
       .select(col(groupCol), col("p"), col(valueCol).as("value"))
   }
 
+  /** RECIPROCAL RANK FUSION (Cormack, Clarke, Buettcher 2009): combine
+    * N retrieval rankings of the same id space into one score,
+    * `rrf(id) = Σ_systems 1/(k + rank_system(id))` — the standard
+    * training-data retrieval move for merging BM25 with embedding
+    * similarity (each system's scores are incomparable; their RANKS
+    * fuse robustly, k=60 the paper's constant). Exactness is the
+    * micro-unit quantize-before-sum scheme: each reciprocal is ONE
+    * deterministic double op quantized to `round(10⁶/(k+r))` and the
+    * fusion is an exact BIGINT sum — order-independent, oracle-ready.
+    * Ids absent from a system contribute nothing (the paper's
+    * convention). Input frames carry `(idCol, rankCol)` with rank
+    * 1-based; compute them with [[globalRankBy]] so no system's ranking
+    * ever serializes. One union + one partial-aggregable groupBy on the
+    * id — N·ids rows shuffle, nothing data-wide beyond that. Returns
+    * `(idCol, rrf_unats, n_systems)`. */
+  def reciprocalRankFusion(rankings: Seq[DataFrame], idCol: String,
+                           rankCol: String, k: Int = 60): DataFrame = {
+    require(rankings.nonEmpty, "need at least one ranking")
+    require(k >= 0, s"k must be >= 0, got $k")
+    rankings
+      .map(df => df.select(col(idCol), col(rankCol).cast("long").as("_r")))
+      .reduce(_ unionAll _)
+      .select(col(idCol),
+        round(lit(1e6) / (col("_r") + lit(k.toLong)).cast("double"))
+          .cast("long").as("_q"))
+      .groupBy(col(idCol))
+      .agg(sum(col("_q")).as("rrf_unats"), count(lit(1)).as("n_systems"))
+  }
+
+  /** TRIMMED (truncated-mean) per-group statistics: drop each group's
+    * lowest and highest `⌊n·trimNum/trimDen⌋` values (by `(value, id)`
+    * order — the id tiebreak makes the trim set deterministic) and
+    * report the surviving count/sum/bounds and mean — the robust
+    * location estimate for quality-score aggregation where [[Outliers]]-
+    * style MAD flags individual rows but a per-domain summary must
+    * simply not be dragged by tails. Rank rides [[groupedRank]] (no
+    * per-group sort task), the trim cut is pure integer arithmetic
+    * against a #groups-row broadcast, and the surviving rows partial-
+    * aggregate. Values must be exact integers (quantize first); the mean
+    * is the single trailing IEEE division. Returns `(groupCol, n_total,
+    * n_kept, sum_kept, min_kept, max_kept, trimmed_mean)`. */
+  def trimmedStats(df: DataFrame, groupCol: String, valueCol: String,
+                   subBucket: Column, idCol: String,
+                   trimNum: Long, trimDen: Long): DataFrame = {
+    require(trimNum >= 0 && trimDen > 0 && 2 * trimNum < trimDen,
+      s"trim fraction must lie in [0, 1/2), got $trimNum/$trimDen")
+    val ranked = groupedRank(df.select(col(groupCol), col(valueCol), col(idCol)),
+      col(groupCol), subBucket, col(valueCol), col(idCol))
+    val sizes = df.groupBy(col(groupCol)).agg(count(lit(1)).as("_gn"))
+    ranked
+      .join(broadcast(sizes), Seq(groupCol))
+      .withColumn("_t", expr(s"(_gn * $trimNum) DIV $trimDen"))
+      .where(col("rank") > col("_t") && col("rank") <= col("_gn") - col("_t"))
+      .groupBy(col(groupCol))
+      .agg(max(col("_gn")).as("n_total"), count(lit(1)).as("n_kept"),
+        sum(col(valueCol)).as("sum_kept"),
+        min(col(valueCol)).as("min_kept"), max(col(valueCol)).as("max_kept"))
+      .select(col(groupCol), col("n_total"), col("n_kept"), col("sum_kept"),
+        col("min_kept"), col("max_kept"),
+        (col("sum_kept").cast("double") / col("n_kept").cast("double"))
+          .as("trimmed_mean"))
+  }
+
   /** [[groupedQuantiles]] with the quantiles given as RATIONALS
     * `(num, den)` and the rank selected by pure integer comparison:
     * rank r is the type-1 p-quantile of an n-row group iff

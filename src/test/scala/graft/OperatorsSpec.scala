@@ -2987,4 +2987,60 @@ class OperatorsSpec extends SparkSuite {
       .groupBy(_.getString(0)).map { case (g, v) => g -> v.map(_.getLong(2)).sorted.toSeq }
     assert(sk.values.forall(_ == Seq(1L, 2L, 3L)))
   }
+
+  test("reciprocalRankFusion: exact quantized fusion, absent ids contribute nothing") {
+    import spark.implicits._
+    import graft.operators.Ranking
+    val a = Seq((1L, 1L), (2L, 2L), (3L, 3L)).toDF("id", "rank")
+    val b = Seq((3L, 1L), (2L, 2L), (4L, 3L)).toDF("id", "rank")
+    val got = Ranking.reciprocalRankFusion(Seq(a, b), "id", "rank")
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    // round(1e6/61)=16393, /62=16129, /63=15873
+    assert(got(1L) == (16393L, 1L))
+    assert(got(2L) == (32258L, 2L))
+    assert(got(3L) == (16393L + 15873L, 2L))
+    assert(got(4L) == (15873L, 1L))
+    // the shared-id fusion outranks the single-system leader
+    assert(got(3L)._1 > got(1L)._1 && got(2L)._1 > got(1L)._1)
+  }
+
+  test("trimmedStats: integer trim cut per group, small groups keep everything") {
+    import spark.implicits._
+    import graft.operators.Ranking
+    val df = ((1L to 10L).map(v => ("big", v, v)) ++
+      Seq(("small", 100L, 11L), ("small", 1L, 12L), ("small", 50L, 13L)))
+      .toDF("g", "v", "id")
+    val out = Ranking.trimmedStats(df, "g", "v",
+        subBucket = expr("v DIV 4"), idCol = "id", trimNum = 1L, trimDen = 10L)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5), r.getDouble(6))).toMap
+    // big: n=10, t=1 -> keep ranks 2..9 = values 2..9
+    assert(out("big") == (10L, 8L, 44L, 2L, 9L, 5.5))
+    // small: n=3, t=0 -> untouched
+    assert(out("small") == (3L, 3L, 151L, 1L, 100L, 151.0 / 3.0))
+  }
+
+  test("oovRate: per-group OOV fraction against a reference vocabulary") {
+    import spark.implicits._
+    import graft.operators.Boilerplate
+    val docs = Seq(("a", "known words here"), ("a", "unknown stuff"),
+      ("b", "known known known")).toDF("src", "text")
+    val vocab = Seq("known", "words").toDF("tok")
+    val got = Boilerplate.oovRate(docs, "src", "text", vocab)
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    // a: 5 tokens, oov = here, unknown, stuff = 3; b: 3 tokens, 0 oov
+    assert(got("a") == (5L, 3L) && got("b") == (3L, 0L))
+  }
+
+  test("giniConcentration: zero on balance, known value on 1-vs-9 split") {
+    import spark.implicits._
+    import graft.operators.Checks
+    val even = (1L to 40L).map(i => (s"g${i % 4}", i)).toDF("g", "x")
+    val r0 = Checks.giniConcentration(even, "g").collect()(0)
+    assert(r0.getLong(0) == 4L && r0.getLong(1) == 40L && r0.getDouble(3) == 0.0)
+    val skewed = ((1 to 1).map(_ => ("a", 0)) ++ (1 to 9).map(i => ("b", i))).toDF("g", "x")
+    val r1 = Checks.giniConcentration(skewed, "g").collect()(0)
+    // sizes (1, 9): num = (2*1-3)*1 + (2*2-3)*9 = 8; gini = 8/(2*10) = 0.4
+    assert(r1.getLong(2) == 8L && r1.getDouble(3) == 0.4)
+  }
 }

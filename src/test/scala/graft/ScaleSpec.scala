@@ -705,4 +705,55 @@ class ScaleSpec extends SparkSuite {
     assert(baseScans.isEmpty,
       s"merge path re-shingles the base slice:\n${baseScans.mkString("\n")}")
   }
+
+  test("round-7 operators: no window on the EWMA path, no single-partition rank, broadcast blocklist") {
+    import spark.implicits._
+    // EWMA control chart: per-step sums + bounded explode + equi-join —
+    // NO window function anywhere (the whole point of the fan-out form)
+    val events = (1L to 2000L).map(i =>
+      (i % 37, i, i * 14400000000L / 16, (i % 211).toDouble))
+      .toDF("user_id", "event_id", "us", "value")
+      .withColumn("ts", expr("timestamp_micros(us)")).drop("us")
+    val ewma = graft.operators.Decay.ewmaControlChart(
+      events, "user_id", "ts", "value", "event_id")
+    ewma.collect()
+    val ewmaPlan = ewma.queryExecution.executedPlan.toString.split("== Initial Plan ==").head
+    assert(!ewmaPlan.contains("Window"), s"EWMA chart must not use a window:\n$ewmaPlan")
+    assert(ewmaPlan.contains("Generate"), "horizon fan-out must be a scan-stage explode")
+    assert(ewmaPlan.contains("partial_sum"), "per-step sums must partial-aggregate")
+
+    // AUC: the rank rides the two-level scheme — data never collapses to
+    // one partition (the #buckets offset window is model-sized)
+    val scored = (1L to 5000L).map(i =>
+      ((i * 2654435761L % 1000).toDouble, i % 3 == 0, i)).toDF("s", "pos", "id")
+    val auc = graft.operators.Eval.aucExact(scored, col("s"), col("pos"),
+      floor(col("s") / 50).cast("long"), col("id"))
+    auc.collect()
+    val aucPlan = auc.queryExecution.executedPlan.toString.split("== Initial Plan ==").head
+    val dataWindows = aucPlan.linesIterator
+      .filter(l => l.contains("Window") && l.contains("SinglePartition")).size
+    assert(!aucPlan.contains("Exchange SinglePartition") || dataWindows == 0,
+      s"AUC rank must not serialize the data through one partition:\n$aucPlan")
+
+    // blocklist: the phrase side must broadcast — matching stays in the
+    // scan stage, no shuffle of document text
+    val docs = (1L to 500L).map(i => (i, s"some text $i hash join maybe")).toDF("doc_id", "text")
+    val m = graft.operators.Blocklist.phraseMatches(docs, "doc_id", "text",
+      Seq("hash join", "table scan", "three token phrase"))
+    m.collect()
+    val mPlan = m.queryExecution.executedPlan.toString.split("== Initial Plan ==").head
+    assert(mPlan.contains("BroadcastHashJoin"), s"blocklist join must broadcast:\n$mPlan")
+    assert(!mPlan.contains("SortMergeJoin"), s"document text must not shuffle to match:\n$mPlan")
+
+    // corpus similarity: the exchanges below the key join carry hashed
+    // 8-byte keys, never text — assert the distinct partial-aggregates
+    // and nothing goes cartesian
+    val simDocs = (1L to 400L).map(i => (s"src${i % 7}", s"w${i % 13} w${i % 17} w${i % 5} x y z"))
+      .toDF("source", "text")
+    val sim = graft.operators.Dedup.corpusSimilarityMatrix(simDocs, "source", "text", 3)
+    sim.collect()
+    val simPlan = sim.queryExecution.executedPlan.toString.split("== Initial Plan ==").head
+    assert(!simPlan.contains("CartesianProduct"), s"similarity must not go all-pairs:\n$simPlan")
+    assert(simPlan.contains("partial_count"), "shingle distinct/counts must partial-aggregate")
+  }
 }
