@@ -217,6 +217,8 @@ object SparkEntry {
     "q156_trimmed_stats" -> q156,
     "q157_oov_rate" -> q157,
     "q158_gini_concentration" -> q158,
+    "q159_vocab_growth" -> q159,
+    "q160_dataset_card" -> q160,
   )
 
   // =====================================================================
@@ -2568,6 +2570,48 @@ object SparkEntry {
     * ([[graft.operators.Checks.giniConcentration]]). */
   private def q158(s: SparkSession, dir: String): DataFrame =
     graft.operators.Checks.giniConcentration(Tables.documents(s, dir), "source")
+
+  /** VOCABULARY GROWTH CURVE (Heaps'-law profile) over NESTED md5
+    * subsamples at 10% / 50% / 100%: each token type collapses to the
+    * minimum document prefix containing it — the exact corpus fraction
+    * where it enters the vocabulary — so every rate is a threshold
+    * filter over the type table, one tokenized pass total
+    * ([[graft.operators.Boilerplate.vocabGrowthCurve]]). */
+  private def q159(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Boilerplate.vocabGrowthCurve(
+        Tables.documents(s, dir), "doc_id", "text", Seq(0.1, 0.5, 1.0))
+      .orderBy(col("rate"))
+
+  /** DATASET CARD: the one-glance corpus summary a dataset release
+    * ships — doc/token/source/language counts, exact-dup rate, mean
+    * length, source-concentration Gini — every number an exact count or
+    * one division of exact counts, stacked to (metric, value) rows. */
+  private def q160(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(s, dir)
+    val core = d.agg(
+      count(lit(1)).cast("double").as("n_docs"),
+      sum(size(Text.tokens(col("text"))).cast("long")).cast("double").as("n_tokens"),
+      countDistinct(col("source")).cast("double").as("n_sources"),
+      countDistinct(col("lang")).cast("double").as("n_langs"),
+      countDistinct(Text.fingerprint(col("text"))).cast("double").as("n_unique"))
+    val gini = graft.operators.Checks.giniConcentration(d, "source")
+      .select(col("gini").as("source_gini"))
+    core.crossJoin(gini)
+      .select(explode(array(
+        struct(lit("dup_rate").as("metric"),
+          ((col("n_docs") - col("n_unique")) / col("n_docs")).as("value")),
+        struct(lit("mean_tokens").as("metric"),
+          (col("n_tokens") / col("n_docs")).as("value")),
+        struct(lit("n_docs").as("metric"), col("n_docs").as("value")),
+        struct(lit("n_langs").as("metric"), col("n_langs").as("value")),
+        struct(lit("n_sources").as("metric"), col("n_sources").as("value")),
+        struct(lit("n_tokens").as("metric"), col("n_tokens").as("value")),
+        struct(lit("source_gini").as("metric"), col("source_gini").as("value")),
+        struct(lit("unique_fp").as("metric"), col("n_unique").as("value"))))
+        .as("m"))
+      .select(col("m.metric").as("metric"), col("m.value").as("value"))
+      .orderBy(col("metric"))
+  }
 
   // =====================================================================
   // DuckDB oracle SQL — same semantics, same column names, same ORDER BY.
@@ -5235,6 +5279,54 @@ object SparkEntry {
              CAST(sum((2 * i - g - 1) * x) AS DOUBLE)
                / CAST(max(g) * sum(x) AS DOUBLE) AS gini
            FROM r""",
+
+      // nested md5 thresholds (the q44 split literals); each type's
+      // vocabulary entry point is its MIN document prefix
+      "q159_vocab_growth" ->
+        s"""WITH d AS (
+             SELECT substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) AS p,
+               $toks AS toks FROM documents),
+           dt AS (SELECT p, CAST(len(toks) AS BIGINT) AS n FROM d),
+           tt AS (SELECT tok, min(p) AS mp FROM
+             (SELECT p, unnest(toks) AS tok FROM d) t GROUP BY tok),
+           r AS (SELECT CAST(rate AS DOUBLE) AS rate, thr FROM (VALUES
+             (0.1, '${graft.operators.Sampling.thresholdHex(0.1)}'),
+             (0.5, '${graft.operators.Sampling.thresholdHex(0.5)}'),
+             (1.0, 'g')) AS v(rate, thr)),
+           dc AS (SELECT rate, CAST(count(*) AS BIGINT) AS n_docs,
+                    CAST(sum(n) AS BIGINT) AS n_tokens
+                  FROM dt, r WHERE p < thr GROUP BY rate),
+           vc AS (SELECT rate, CAST(count(*) AS BIGINT) AS vocab
+                  FROM tt, r WHERE mp < thr GROUP BY rate)
+           SELECT dc.rate, n_docs, n_tokens, vocab
+           FROM dc JOIN vc ON dc.rate = vc.rate ORDER BY dc.rate""",
+
+      // every metric an exact count or ONE division of exact counts;
+      // fingerprint = md5 of the shared normalization (q35's md5_fp)
+      "q160_dataset_card" ->
+        s"""WITH t AS (SELECT source, lang, CAST(len($toks) AS BIGINT) AS n,
+                        md5($norm) AS fp FROM documents),
+           c AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs,
+                   CAST(sum(n) AS DOUBLE) AS n_tokens,
+                   CAST(count(DISTINCT source) AS DOUBLE) AS n_sources,
+                   CAST(count(DISTINCT lang) AS DOUBLE) AS n_langs,
+                   CAST(count(DISTINCT fp) AS DOUBLE) AS n_unique FROM t),
+           x AS (SELECT source, CAST(count(*) AS BIGINT) AS x
+                 FROM documents GROUP BY source),
+           ri AS (SELECT x, CAST(row_number() OVER (ORDER BY x, source) AS BIGINT) AS i,
+                    CAST(count(*) OVER () AS BIGINT) AS g FROM x),
+           gn AS (SELECT CAST(sum((2 * i - g - 1) * x) AS DOUBLE)
+                    / CAST(max(g) * sum(x) AS DOUBLE) AS gini FROM ri)
+           SELECT metric, value FROM (
+             SELECT 'dup_rate' AS metric, (n_docs - n_unique) / n_docs AS value FROM c
+             UNION ALL SELECT 'mean_tokens', n_tokens / n_docs FROM c
+             UNION ALL SELECT 'n_docs', n_docs FROM c
+             UNION ALL SELECT 'n_langs', n_langs FROM c
+             UNION ALL SELECT 'n_sources', n_sources FROM c
+             UNION ALL SELECT 'n_tokens', n_tokens FROM c
+             UNION ALL SELECT 'source_gini', gini FROM gn
+             UNION ALL SELECT 'unique_fp', n_unique FROM c) u
+           ORDER BY metric""",
     )
   }
 }

@@ -130,6 +130,44 @@ object Boilerplate {
   def sharedKeysFromStats(stats: DataFrame): DataFrame =
     stats.where(col("df") >= 2L).select(col("sh"))
 
+  /** VOCABULARY GROWTH CURVE over nested deterministic subsamples — the
+    * Heaps'-law profile ("how fast does the type count grow with corpus
+    * size") measured the way a scaling study actually samples: the
+    * [[graft.operators.Sampling.samplePredicate]] md5 thresholds are
+    * NESTED by construction (rate r₁ < r₂ ⇒ sample₁ ⊂ sample₂), so the
+    * curve is a true growth curve of ONE corpus ordering, not R
+    * independent draws. One tokenized pass: per-doc rows carry the doc's
+    * md5 prefix, and each TOKEN TYPE collapses to the MINIMUM prefix of
+    * any document containing it — the exact corpus fraction at which
+    * that type enters the vocabulary — so every rate's vocab count is a
+    * threshold filter over the vocabulary-sized type table (never a
+    * re-scan). Doc/token totals ride the #docs-row doc table the same
+    * way. Returns `(rate, n_docs, n_tokens, vocab)`, one row per rate. */
+  def vocabGrowthCurve(docs: DataFrame, idCol: String, textCol: String,
+                       rates: Seq[Double]): DataFrame = {
+    require(rates.nonEmpty && rates.forall(r => r > 0.0 && r <= 1.0),
+      s"rates must lie in (0, 1], got $rates")
+    import docs.sparkSession.implicits._
+    val base = docs.select(
+      substring(md5(col(idCol).cast("string")), 1, 8).as("_p"),
+      Text.tokens(col(textCol)).as("_t"))
+    val docTab = base.select(col("_p"), size(col("_t")).cast("long").as("_n"))
+    val tokTab = base.select(col("_p"), explode(col("_t")).as("tok"))
+      .groupBy(col("tok")).agg(min(col("_p")).as("_mp"))
+    val rTable = broadcast(
+      rates.map(r => (r, graft.operators.Sampling.thresholdHex(r)))
+        .toDF("rate", "_thr"))
+    val docCounts = docTab.crossJoin(rTable)
+      .where(col("_p") < col("_thr"))
+      .groupBy(col("rate"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("_n")).as("n_tokens"))
+    val vocabCounts = tokTab.crossJoin(rTable)
+      .where(col("_mp") < col("_thr"))
+      .groupBy(col("rate")).agg(count(lit(1)).as("vocab"))
+    docCounts.join(vocabCounts, Seq("rate"))
+      .select(col("rate"), col("n_docs"), col("n_tokens"), col("vocab"))
+  }
+
   /** Per-group OUT-OF-VOCABULARY rate against a reference vocabulary —
     * tokenizer/corpus fitness by source: a source whose tokens are
     * mostly absent from the working vocabulary (trained elsewhere, or

@@ -3043,4 +3043,22 @@ class OperatorsSpec extends SparkSuite {
     // sizes (1, 9): num = (2*1-3)*1 + (2*2-3)*9 = 8; gini = 8/(2*10) = 0.4
     assert(r1.getLong(2) == 8L && r1.getDouble(3) == 0.4)
   }
+
+  test("vocabGrowthCurve: nested samples grow monotonically; full rate is the whole corpus") {
+    import spark.implicits._
+    import graft.operators.Boilerplate
+    val docs = (1L to 200L).map(i => (i, s"common w${i % 30} unique$i")).toDF("doc_id", "text")
+    val out = Boilerplate.vocabGrowthCurve(docs, "doc_id", "text", Seq(0.1, 0.5, 1.0))
+      .orderBy(col("rate")).collect()
+      .map(r => (r.getDouble(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(out.length == 3)
+    // nesting: every statistic is monotone nondecreasing in the rate
+    assert(out.sliding(2).forall { case Array(a, b) =>
+      a._2 <= b._2 && a._3 <= b._3 && a._4 <= b._4 })
+    // rate 1.0 is the exact whole corpus: 200 docs, 600 tokens,
+    // vocab = common + 30 w-types + 200 unique = 231
+    assert(out.last == (1.0, 200L, 600L, 231L))
+    // the 10% sample is a real subsample, not empty and not everything
+    assert(out.head._2 > 0 && out.head._2 < 200L)
+  }
 }
