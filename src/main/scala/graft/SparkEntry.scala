@@ -1972,13 +1972,18 @@ object SparkEntry {
       .orderBy(col("node"))
   }
 
-  /** Count-min point-frequency service (NO oracle — approximate by
-    * design like q30/q38's family; the driver records rows-only and the
-    * spec proves the one-sided ε·N bound and merge linearity): sketch
-    * every token occurrence into a 4×2048 CMS
-    * ([[graft.operators.CountMin]]), then estimate each distinct
-    * token's frequency off the plan-literal model — Bloom's
-    * model-not-data contract for counts. */
+  /** Count-min point-frequency service: sketch every token occurrence
+    * into a 4×2048 CMS ([[graft.operators.CountMin]]), then estimate
+    * each distinct token's frequency off the plan-literal model —
+    * Bloom's model-not-data contract for counts. EXACT oracle despite
+    * being an approximation: the ESTIMATE is a deterministic function
+    * of the input (md5-derived 60-bit keys, splitmix64
+    * Kirsch–Mitzenmacher positions, exact BIGINT cell sums), and DuckDB
+    * replays the whole pipeline — splitmix64's mod-2⁶⁴ wrap arithmetic
+    * emulated in UHUGEINT (xor + floor-div shifts + mul-mod), the
+    * signed/unsigned seam closed by width = 2048 being a power of two
+    * (floorMod ≡ low 11 bits under either representation). The spec
+    * still proves the one-sided ε·N bound and merge linearity. */
   private def q125(s: SparkSession, dir: String): DataFrame = {
     // the 3-shingle universe (thousands of keys at sf0.01 — a real
     // approximation regime for a 4×2048 sketch; the 31-token vocabulary
@@ -4583,6 +4588,34 @@ object SparkEntry {
              FROM (SELECT doc_id, $toks AS toks FROM documents) d)
            SELECT sh FROM (SELECT sh, count(*) AS dfc FROM shp GROUP BY sh)
            WHERE dfc >= 2 ORDER BY sh""",
+
+      // the CMS estimate replayed exactly: splitmix64 in UHUGEINT
+      // mod-2^64 arithmetic (xor + floor-div shifts + mul-mod; h2
+      // forced odd), positions mod 2048 (power of two, so floorMod =
+      // low bits under signed OR unsigned), cells = exact occurrence
+      // sums, estimate = min over the 4 rows
+      "q125_cms_frequency" ->
+        s"""WITH t AS (SELECT $toks AS toks FROM documents),
+           occ AS (SELECT CAST('0x' || substr(md5(s), 1, 15) AS BIGINT) AS key
+                   FROM (SELECT unnest(${shingles(3)}) AS s FROM t)),
+           kc AS (SELECT key, CAST(count(*) AS BIGINT) AS cnt FROM occ GROUP BY key),
+           a1 AS (SELECT key, (CAST(key AS UHUGEINT) + 11400714819323198485) % 18446744073709551616 AS z FROM kc),
+           a2 AS (SELECT key, (xor(z, z // 1073741824) * 13787848793156543929) % 18446744073709551616 AS z FROM a1),
+           a3 AS (SELECT key, (xor(z, z // 134217728) * 10723151780598845931) % 18446744073709551616 AS z FROM a2),
+           h1 AS (SELECT key, xor(z, z // 2147483648) AS h1 FROM a3),
+           b1 AS (SELECT key, (xor(CAST(key AS UHUGEINT), 6364136223846793005) + 11400714819323198485) % 18446744073709551616 AS z FROM kc),
+           b2 AS (SELECT key, (xor(z, z // 1073741824) * 13787848793156543929) % 18446744073709551616 AS z FROM b1),
+           b3 AS (SELECT key, (xor(z, z // 134217728) * 10723151780598845931) % 18446744073709551616 AS z FROM b2),
+           h2 AS (SELECT key, xor(z, z // 2147483648) - xor(z, z // 2147483648) % 2 + 1 AS h2 FROM b3),
+           pos AS (SELECT h1.key, i,
+                     CAST(i AS BIGINT) * 2048
+                       + CAST((h1.h1 + CAST(i AS UHUGEINT) * h2.h2) % 18446744073709551616 % 2048 AS BIGINT) AS cell
+                   FROM h1 JOIN h2 ON h1.key = h2.key, (SELECT unnest([0, 1, 2, 3]) AS i)),
+           cells AS (SELECT pos.cell, CAST(sum(kc.cnt) AS BIGINT) AS cellcnt
+                     FROM pos JOIN kc ON kc.key = pos.key GROUP BY pos.cell)
+           SELECT kc.key, CAST(min(cells.cellcnt) AS BIGINT) AS est_count
+           FROM kc JOIN pos ON pos.key = kc.key JOIN cells ON cells.cell = pos.cell
+           GROUP BY kc.key ORDER BY kc.key""",
 
       // identical boundary arithmetic over the ORDERED (not distinct'd)
       // hashed shingles: cut after shingle-end i+2 when key % 32 = 0;
