@@ -219,6 +219,8 @@ object SparkEntry {
     "q158_gini_concentration" -> q158,
     "q159_vocab_growth" -> q159,
     "q160_dataset_card" -> q160,
+    "q161_hits" -> q161,
+    "q162_seed_distance" -> q162,
   )
 
   // =====================================================================
@@ -2616,6 +2618,40 @@ object SparkEntry {
         .as("m"))
       .select(col("m.metric").as("metric"), col("m.value").as("value"))
       .orderBy(col("metric"))
+  }
+
+  /** HITS hubs & authorities over the DIRECTED customer→supplier
+    * purchase graph (who-buys-from-whom; suppliers offset into a
+    * disjoint id space): hubs = broad buyers, authorities = widely
+    * bought-from suppliers. Two max-normalized integer rounds, exact
+    * BIGINT end to end, so the unrolled oracle is bit-identical
+    * ([[graft.operators.Graph.hitsInt]]). */
+  private def q161(s: SparkSession, dir: String): DataFrame = {
+    val edges = Tables.orders(s, dir)
+      .join(Tables.lineitem(s, dir),
+        col("l_orderkey") === col("o_orderkey"))
+      .select(col("o_custkey").as("src"),
+        (col("l_suppkey") + lit(1000000L)).as("dst"))
+    graft.operators.Graph.hitsInt(edges, "src", "dst", iterations = 2)
+      .orderBy(col("node"))
+  }
+
+  /** Multi-source BFS hop distance from a vetted-nation supplier seed
+    * set (nationkey ≡ 3 mod 5 — non-empty at every test scale) over the
+    * part↔supplier graph — the crisp "hops from trusted" tier feature
+    * next to q124's damped TrustRank mass. 3 hops: seeds 0, their parts
+    * 1, co-suppliers 2, second-ring parts 3; unreachable nodes absent
+    * ([[graft.operators.Graph.bfsDistances]]). */
+  private def q162(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(s, dir)
+      .select(col("l_partkey").as("p"), (col("l_suppkey") + lit(1000000L)).as("sn"))
+    val edges = li.select(col("p").as("src"), col("sn").as("dst"))
+      .union(li.select(col("sn").as("src"), col("p").as("dst")))
+    val seeds = Tables.supplier(s, dir)
+      .where(col("s_nationkey") % 5 === 3)
+      .select((col("s_suppkey") + lit(1000000L)).as("node"))
+    graft.operators.Graph.bfsDistances(edges, "src", "dst", seeds, maxHops = 3)
+      .orderBy(col("node"))
   }
 
   // =====================================================================
@@ -5360,6 +5396,65 @@ object SparkEntry {
              UNION ALL SELECT 'source_gini', gini FROM gn
              UNION ALL SELECT 'unique_fp', n_unique FROM c) u
            ORDER BY metric""",
+
+      // two unrolled HITS rounds: raw BIGINT half-round sums,
+      // max-normalized by scalar-subquery floor division (// ≡ Spark
+      // DIV on nonnegative BIGINTs); absent hubs/authorities coalesce
+      // to exact 0
+      "q161_hits" ->
+        """WITH e AS (
+             SELECT DISTINCT o_custkey AS src, l_suppkey + 1000000 AS dst
+             FROM orders JOIN lineitem ON l_orderkey = o_orderkey),
+           n AS (SELECT DISTINCT src AS node FROM e
+                 UNION SELECT DISTINCT dst FROM e),
+           s0 AS (SELECT node, CAST(1000000 AS BIGINT) AS hub FROM n),
+           ra1 AS (SELECT e.dst AS node, CAST(sum(s0.hub) AS BIGINT) AS raw
+                   FROM e JOIN s0 ON s0.node = e.src GROUP BY e.dst),
+           a1 AS (SELECT node, CAST(raw * 1000000 // (SELECT max(raw) FROM ra1) AS BIGINT) AS auth FROM ra1),
+           rh1 AS (SELECT e.src AS node, CAST(sum(a1.auth) AS BIGINT) AS raw
+                   FROM e JOIN a1 ON a1.node = e.dst GROUP BY e.src),
+           h1 AS (SELECT node, CAST(raw * 1000000 // (SELECT max(raw) FROM rh1) AS BIGINT) AS hub FROM rh1),
+           s1 AS (SELECT n.node, coalesce(h1.hub, 0) AS hub
+                  FROM n LEFT JOIN h1 ON h1.node = n.node),
+           ra2 AS (SELECT e.dst AS node, CAST(sum(s1.hub) AS BIGINT) AS raw
+                   FROM e JOIN s1 ON s1.node = e.src GROUP BY e.dst),
+           a2 AS (SELECT node, CAST(raw * 1000000 // (SELECT max(raw) FROM ra2) AS BIGINT) AS auth FROM ra2),
+           rh2 AS (SELECT e.src AS node, CAST(sum(a2.auth) AS BIGINT) AS raw
+                   FROM e JOIN a2 ON a2.node = e.dst GROUP BY e.src),
+           h2 AS (SELECT node, CAST(raw * 1000000 // (SELECT max(raw) FROM rh2) AS BIGINT) AS hub FROM rh2)
+           SELECT n.node, coalesce(h2.hub, 0) AS hub_fp,
+             coalesce(a2.auth, 0) AS auth_fp
+           FROM n LEFT JOIN h2 ON h2.node = n.node
+           LEFT JOIN a2 ON a2.node = n.node
+           ORDER BY n.node""",
+
+      // three unrolled min-relaxation rounds (d_k = min(d_{k-1},
+      // 1 + d_{k-1} over in-neighbors) — the frontier in the engine is
+      // an optimization, the fixpoint algebra is this)
+      "q162_seed_distance" ->
+        """WITH e AS (
+             SELECT DISTINCT l_partkey AS src, l_suppkey + 1000000 AS dst FROM lineitem
+             UNION
+             SELECT DISTINCT l_suppkey + 1000000 AS src, l_partkey AS dst FROM lineitem),
+           d0 AS (SELECT DISTINCT s_suppkey + 1000000 AS node,
+                    CAST(0 AS BIGINT) AS dist
+                  FROM supplier WHERE s_nationkey % 5 = 3),
+           d1 AS (SELECT node, CAST(min(dist) AS BIGINT) AS dist FROM (
+                    SELECT node, dist FROM d0
+                    UNION ALL
+                    SELECT e.dst AS node, d0.dist + 1 AS dist
+                    FROM e JOIN d0 ON e.src = d0.node) u GROUP BY node),
+           d2 AS (SELECT node, CAST(min(dist) AS BIGINT) AS dist FROM (
+                    SELECT node, dist FROM d1
+                    UNION ALL
+                    SELECT e.dst AS node, d1.dist + 1 AS dist
+                    FROM e JOIN d1 ON e.src = d1.node) u GROUP BY node),
+           d3 AS (SELECT node, CAST(min(dist) AS BIGINT) AS dist FROM (
+                    SELECT node, dist FROM d2
+                    UNION ALL
+                    SELECT e.dst AS node, d2.dist + 1 AS dist
+                    FROM e JOIN d2 ON e.src = d2.node) u GROUP BY node)
+           SELECT node, dist FROM d3 ORDER BY node""",
     )
   }
 }

@@ -414,4 +414,117 @@ object Graph {
           lit(3.0) * col("n_triangles").cast("double")
             / col("n_wedges").cast("double")))
   }
+
+  /** `iterations` rounds of HITS (Kleinberg, JACM 1999) in exact integer
+    * fixed-point over a DIRECTED edge list: per round, authority(v) =
+    * Σ hub(u) over in-edges then hub(u) = Σ authority(v) over out-edges,
+    * each half-round MAX-normalized back to `scale` (`x·scale DIV max` —
+    * exact floor division; the textbook L2 norm would force a sqrt and
+    * libm non-determinism, and any positive rescaling preserves the HITS
+    * ranking order, so max-norm is the hash-stable choice). Hubs are
+    * "points at the good stuff" (a curation crawler's seed-list quality),
+    * authorities "pointed at by good hubs" (domain endorsement) — the
+    * complement of [[pageRankInt]]'s single endorsement score.
+    *
+    * ## Exactness / overflow budget
+    * Every value is BIGINT: raw half-round sums are ≤ maxDeg·scale and
+    * the normalization multiply ≤ maxDeg·scale², so the default 10⁶
+    * scale is exact while maxDeg < 9·10⁶; beyond that, lower `scale`
+    * (10⁴ buys maxDeg < 9·10¹⁰). Normalized scores are back in
+    * [0, scale] every half-round, so the budget never compounds across
+    * iterations. Zero in/out-degree nodes sit at exactly 0 — never NULL.
+    *
+    * ## Scale shape (100 TB)
+    * [[pageRankInt]]'s skeleton verbatim: edges repartitioned on src
+    * once and persisted; each half-round is one co-partitioned equi-join
+    * + one partial-aggregable sum + a 1-row max attached by broadcast
+    * crossJoin (a scalar, never a data-sized collect); scores
+    * localCheckpointed per round. Returns `(node, hub_fp, auth_fp)`. */
+  def hitsInt(edges: DataFrame, srcCol: String, dstCol: String,
+              iterations: Int, scale: Long = 1000000L,
+              checkpoint: Boolean = true): DataFrame = {
+    require(iterations >= 1, s"iterations must be >= 1, got $iterations")
+    require(scale >= 1L, s"scale must be >= 1, got $scale")
+    def cut(df: DataFrame): DataFrame =
+      if (checkpoint) df.localCheckpoint() else df
+    val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
+      .distinct()
+      .repartition(col("src")).persist()
+    val nodes = e.select(col("src").as("node"))
+      .union(e.select(col("dst").as("node"))).distinct().persist()
+    var scores = cut(nodes.select(col("node"),
+      lit(scale).as("hub_fp"), lit(scale).as("auth_fp")))
+    for (_ <- 1 to iterations) {
+      // authority half-round: pull hub mass along in-edges, max-normalize
+      val rawAuth = e
+        .join(scores.select(col("node").as("src"), col("hub_fp")), Seq("src"))
+        .groupBy(col("dst")).agg(sum(col("hub_fp")).as("raw"))
+      val auth = rawAuth
+        .crossJoin(broadcast(rawAuth.agg(max(col("raw")).as("mx"))))
+        .select(col("dst").as("node"),
+          expr(s"(raw * ${scale}L) DIV mx").as("auth_fp"))
+      // hub half-round: pull the NEW authority mass back along out-edges
+      val rawHub = e
+        .join(auth.select(col("node").as("dst"), col("auth_fp")), Seq("dst"))
+        .groupBy(col("src")).agg(sum(col("auth_fp")).as("raw"))
+      val hub = rawHub
+        .crossJoin(broadcast(rawHub.agg(max(col("raw")).as("mx"))))
+        .select(col("src").as("node"),
+          expr(s"(raw * ${scale}L) DIV mx").as("hub_fp"))
+      scores = cut(nodes
+        .join(hub, Seq("node"), "left")
+        .join(auth, Seq("node"), "left")
+        .select(col("node"),
+          coalesce(col("hub_fp"), lit(0L)).as("hub_fp"),
+          coalesce(col("auth_fp"), lit(0L)).as("auth_fp")))
+    }
+    if (checkpoint) { e.unpersist(); nodes.unpersist() }
+    scores
+  }
+
+  /** Multi-source BFS hop distances: the minimum number of edges from any
+    * seed to each reachable node, explored `maxHops` rounds — the "hops
+    * from a trusted set" feature a curation pipeline tiers domains by
+    * (TrustRank's q124 gives damped mass; this gives the crisp integer
+    * distance). Directed: edges are followed src→dst (feed both
+    * directions for an undirected read). Unreachable-within-maxHops
+    * nodes are simply ABSENT from the output — no ∞ sentinel to corrupt
+    * downstream aggregates.
+    *
+    * ## Scale shape (100 TB)
+    * [[pageRankInt]]'s iteration skeleton with a FRONTIER twist: each
+    * round expands only the nodes discovered last round (frontier-sized
+    * join against the src-repartitioned cached edges, partial-aggregable
+    * min per dst, anti-join against the settled set — BFS never
+    * re-expands settled nodes, so total work is O(Σ frontier out-degree)
+    * = O(m) across ALL rounds, not O(m·rounds)); the settled set is
+    * localCheckpointed per round. Returns `(node, dist)` with dist in
+    * [0, maxHops]. */
+  def bfsDistances(edges: DataFrame, srcCol: String, dstCol: String,
+                   seeds: DataFrame, maxHops: Int,
+                   checkpoint: Boolean = true): DataFrame = {
+    require(maxHops >= 0, s"maxHops must be >= 0, got $maxHops")
+    def cut(df: DataFrame): DataFrame =
+      if (checkpoint) df.localCheckpoint() else df
+    val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
+      .distinct()
+      .repartition(col("src")).persist()
+    var settled = cut(
+      seeds.select(col(seeds.columns.head).as("node")).distinct()
+        .withColumn("dist", lit(0L)))
+    var frontier = settled
+    var hop = 1L
+    while (hop <= maxHops) {
+      val next = e
+        .join(frontier.select(col("node").as("src")), Seq("src"))
+        .select(col("dst").as("node")).distinct()
+        .join(settled.select(col("node")), Seq("node"), "left_anti")
+        .withColumn("dist", lit(hop))
+      frontier = cut(next)
+      settled = cut(settled.union(frontier))
+      hop += 1L
+    }
+    if (checkpoint) e.unpersist()
+    settled
+  }
 }

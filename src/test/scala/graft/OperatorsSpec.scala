@@ -3061,4 +3061,52 @@ class OperatorsSpec extends SparkSuite {
     // the 10% sample is a real subsample, not empty and not everything
     assert(out.head._2 > 0 && out.head._2 < 200L)
   }
+
+  test("hitsInt: hand-computed two-round max-normalized scores; zero-degree sides at exact 0") {
+    import spark.implicits._
+    import graft.operators.Graph
+    // 1→3, 2→3, 2→4, 3→4 at scale 100:
+    // r1: rawAuth {3:200, 4:200} → auth {3:100, 4:100};
+    //     rawHub {1:100, 2:200, 3:100} → hub {1:50, 2:100, 3:50}
+    // r2: rawAuth {3:150, 4:150} → auth {3:100, 4:100}; hubs repeat
+    val edges = Seq((1L, 3L), (2L, 3L), (2L, 4L), (3L, 4L)).toDF("s", "d")
+    val out = Graph.hitsInt(edges, "s", "d", iterations = 2, scale = 100L,
+        checkpoint = false)
+      .orderBy(col("node")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(out.toSeq == Seq((1L, 50L, 0L), (2L, 100L, 0L),
+      (3L, 50L, 100L), (4L, 0L, 100L)))
+    // duplicate edges must not double-count (distinct contract)
+    val dup = Graph.hitsInt(edges.union(edges), "s", "d", iterations = 2,
+        scale = 100L, checkpoint = false)
+      .orderBy(col("node")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(dup.toSeq == out.toSeq)
+  }
+
+  test("bfsDistances: min-hop distances, unreachable absent, maxHops bounds the ring") {
+    import spark.implicits._
+    import graft.operators.Graph
+    // path 1→2→3→4, shortcut 1→3, island 5→6
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (1L, 3L), (5L, 6L))
+      .toDF("s", "d")
+    val seeds = Seq(Tuple1(1L)).toDF("node")
+    val out = Graph.bfsDistances(edges, "s", "d", seeds, maxHops = 2,
+        checkpoint = false)
+      .orderBy(col("node")).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    // shortcut wins: dist(3) = 1, so dist(4) = 2; island 5/6 absent
+    assert(out.toSeq == Seq((1L, 0L), (2L, 1L), (3L, 1L), (4L, 2L)))
+    // maxHops = 0 returns exactly the seed set
+    val only = Graph.bfsDistances(edges, "s", "d", seeds, maxHops = 0,
+        checkpoint = false).collect()
+    assert(only.map(r => (r.getLong(0), r.getLong(1))).toSeq == Seq((1L, 0L)))
+    // multi-source: min over seeds
+    val two = Graph.bfsDistances(edges, "s", "d",
+        Seq(Tuple1(1L), Tuple1(3L)).toDF("node"), maxHops = 2,
+        checkpoint = false)
+      .orderBy(col("node")).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(two.toSeq == Seq((1L, 0L), (2L, 1L), (3L, 0L), (4L, 1L)))
+  }
 }
