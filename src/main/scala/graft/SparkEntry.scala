@@ -221,7 +221,14 @@ object SparkEntry {
     "q160_dataset_card" -> q160,
     "q161_hits" -> q161,
     "q162_seed_distance" -> q162,
+    "q163_bpe_train" -> q163,
+    "q164_bpe_encode" -> q164,
   )
+
+  /** Round count for the parameterized BPE lifecycle (q163/q164) — read
+    * by BOTH the engine loop and the generated oracle CTE chain, so the
+    * recursion is what the gate verifies, not a hand unroll. */
+  private val BpeRounds = 4
 
   // =====================================================================
   // Query implementations
@@ -2654,6 +2661,27 @@ object SparkEntry {
       .orderBy(col("node"))
   }
 
+  /** PARAMETERIZED BPE training — [[BpeRounds]] merge rounds through the
+    * generalized loop ([[graft.operators.Bpe.trainMerges]]); the oracle
+    * generates the same number of CTE rounds from the same constant, so
+    * q145's two-round unroll graduates to a verified recursion. */
+  private def q163(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Bpe.trainMerges(s, Tables.documents(s, dir), "text",
+        rounds = BpeRounds)
+      .orderBy(col("round"))
+
+  /** BPE ENCODE — apply the [[BpeRounds]]-round merge table back to the
+    * corpus: per-doc token/char/symbol counts and the chars-per-symbol
+    * compression ratio, the tokenizer-fitness number that closes the
+    * train→apply lifecycle ([[graft.operators.Bpe.encodeCorpus]]). */
+  private def q164(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val merges = graft.operators.Bpe.trainMerges(s, docs, "text",
+      rounds = BpeRounds)
+    graft.operators.Bpe.encodeCorpus(docs, "doc_id", "text", merges)
+      .orderBy(col("doc_id"))
+  }
+
   // =====================================================================
   // DuckDB oracle SQL — same semantics, same column names, same ORDER BY.
   // =====================================================================
@@ -2684,6 +2712,37 @@ object SparkEntry {
     // universe on BOTH engines, so results stay hash-checkable
     def hashedShingles(n: Int) =
       s"list_transform(list_distinct(${shingles(n)}), s -> CAST('0x' || substr(md5(s), 1, 15) AS BIGINT))"
+
+    // N generated BPE rounds (q163/q164 share this chain with the
+    // engine's parameterized loop): w0 = marker-encoded (w, freq)
+    // universe; per round r, p_r counts adjacent symbol pairs, t_r picks
+    // the (count desc, a, b) winner, w_r applies the merge by the
+    // marker-safe replace
+    def bpeCtes(n: Int): String = {
+      val head =
+        s"""w0 AS (
+             SELECT w, CAST(count(*) AS BIGINT) AS freq,
+               regexp_replace(w, '(.)', chr(1) || '\\1' || chr(1), 'g') AS e
+             FROM (SELECT unnest($toks) AS w FROM documents) t
+             GROUP BY w HAVING length(w) > 1 AND strpos(w, chr(1)) = 0)"""
+      val rounds = (1 to n).map { r =>
+        s""",
+           p$r AS (
+             SELECT syms[CAST(i AS INTEGER)] AS a,
+               syms[CAST(i AS INTEGER) + 1] AS b, freq
+             FROM (SELECT freq, syms, unnest(range(1, len(syms))) AS i
+                   FROM (SELECT freq, list_filter(string_split(e, chr(1)), x -> len(x) > 0) AS syms
+                         FROM w${r - 1}) s
+                   WHERE len(syms) > 1) t),
+           t$r AS (SELECT a, b, CAST(sum(freq) AS BIGINT) AS pair_count FROM p$r
+                   GROUP BY a, b ORDER BY pair_count DESC, a, b LIMIT 1),
+           w$r AS (SELECT freq, w,
+                     replace(e, chr(1) || t$r.a || chr(1) || chr(1) || t$r.b || chr(1),
+                       chr(1) || t$r.a || t$r.b || chr(1)) AS e
+                   FROM w${r - 1} CROSS JOIN t$r)"""
+      }.mkString
+      head + rounds
+    }
 
     // q24's composite quality score as a bare expression over `text` —
     // shared verbatim by q61's canonical pick (same IEEE-exact value)
@@ -5455,6 +5514,35 @@ object SparkEntry {
                     SELECT e.dst AS node, d2.dist + 1 AS dist
                     FROM e JOIN d2 ON e.src = d2.node) u GROUP BY node)
            SELECT node, dist FROM d3 ORDER BY node""",
+
+      // BpeRounds generated rounds — the oracle CTE chain and the
+      // engine loop read the same constant
+      "q163_bpe_train" -> {
+        val rows = (1 to BpeRounds).map(r =>
+          s"SELECT CAST($r AS BIGINT) AS round, a, b, pair_count FROM t$r")
+          .mkString("\n           UNION ALL\n           ")
+        s"""WITH ${bpeCtes(BpeRounds)}
+           $rows
+           ORDER BY round"""
+      },
+
+      // same chain through w_N, then per-word symbol counts joined onto
+      // the token stream; out-of-universe words (single-char) fall back
+      // to their char count on BOTH engines
+      "q164_bpe_encode" ->
+        s"""WITH ${bpeCtes(BpeRounds)},
+           sym AS (SELECT w,
+                     CAST(len(list_filter(string_split(e, chr(1)), x -> len(x) > 0)) AS BIGINT) AS n_syms
+                   FROM w$BpeRounds),
+           dt AS (SELECT doc_id, unnest($toks) AS w FROM documents),
+           per AS (SELECT dt.doc_id,
+                     CAST(count(*) AS BIGINT) AS n_tokens,
+                     CAST(sum(length(dt.w)) AS BIGINT) AS n_chars,
+                     CAST(sum(coalesce(sym.n_syms, length(dt.w))) AS BIGINT) AS n_symbols
+                   FROM dt LEFT JOIN sym ON sym.w = dt.w GROUP BY dt.doc_id)
+           SELECT doc_id, n_tokens, n_chars, n_symbols,
+             CAST(n_chars AS DOUBLE) / CAST(n_symbols AS DOUBLE) AS compression
+           FROM per ORDER BY doc_id""",
     )
   }
 }
