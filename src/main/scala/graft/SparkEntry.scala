@@ -223,6 +223,7 @@ object SparkEntry {
     "q162_seed_distance" -> q162,
     "q163_bpe_train" -> q163,
     "q164_bpe_encode" -> q164,
+    "q165_audio_dedup" -> q165,
   )
 
   /** Round count for the parameterized BPE lifecycle (q163/q164) — read
@@ -2680,6 +2681,30 @@ object SparkEntry {
       rounds = BpeRounds)
     graft.operators.Bpe.encodeCorpus(docs, "doc_id", "text", merges)
       .orderBy(col("doc_id"))
+  }
+
+  /** End-to-end AUDIO dedup over real bytes — q135's audio twin:
+    * synthesize a real 16-bit PCM WAV per document (every id-QUAD
+    * shares a seed → planted exact duplicates), fingerprint by exact
+    * frame energies, group. One plan: encode (scan) → decode + frame
+    * (scan) → one fp groupBy; payload bytes never shuffle
+    * ([[graft.multimodal.Media.synthesizeWav]] /
+    * [[graft.multimodal.Media.audioFingerprints]]). Exactly
+    * oracle-checkable without the bytes (the q135 argument):
+    * synthesizeWav is pure in the seed and the fingerprint exact, so
+    * fp-groups ≡ seed-groups — collisions, nondeterminism, or codec
+    * drift all break the keep_id/n_copies hash. */
+  private def q165(s: SparkSession, dir: String): DataFrame = {
+    val media = graft.multimodal.Media.synthesizeWav(
+      Tables.documents(s, dir).select(col("doc_id").as("media_id"),
+        concat(lit("aud:"),
+          (col("doc_id") - pmod(col("doc_id"), lit(4))).cast("string")).as("seed")),
+      "media_id", "seed", sampleRate = 8000, nSamples = 800)
+    graft.multimodal.Media.audioFingerprints(media, frameSize = 160)
+      .groupBy(col("fp"))
+      .agg(min(col("media_id")).as("keep_id"), count(lit(1)).as("n_copies"))
+      .select(col("keep_id"), col("n_copies"))
+      .orderBy(col("keep_id"))
   }
 
   // =====================================================================
@@ -5543,6 +5568,14 @@ object SparkEntry {
            SELECT doc_id, n_tokens, n_chars, n_symbols,
              CAST(n_chars AS DOUBLE) / CAST(n_symbols AS DOUBLE) AS compression
            FROM per ORDER BY doc_id""",
+
+      // the q135 argument for audio: synthesizeWav pure in the seed +
+      // exact frame-energy fingerprint ⇒ fp-groups ≡ seed-groups
+      "q165_audio_dedup" ->
+        """SELECT min(doc_id) AS keep_id, CAST(count(*) AS BIGINT) AS n_copies
+           FROM documents
+           GROUP BY doc_id - doc_id % 4
+           ORDER BY keep_id""",
     )
   }
 }

@@ -549,4 +549,119 @@ object Media {
           col("py"), col("px"), col("n_px"),
           col("sum_r"), col("sum_g"), col("sum_b")))))).as("fp"),
         min(col("real_decode")).as("real_decode"))
+
+  /** Deterministic 16-bit mono PCM WAV synthesis — [[synthesizeBmp]]'s
+    * audio sibling: a REAL encoder producing canonical RIFF/WAVE files
+    * ([[HeaderCodec.decodeWavPcm]] round-trips them, spec-asserted)
+    * whose samples derive from an md5 stream over `(seed, block)` —
+    * equal seeds give byte-identical files, so planted duplicates are
+    * exact. Pure per-row synthesis in the scan stage — no shuffle.
+    * Input `(idCol, seedCol)`; output `(media_id, kind = "audio",
+    * content)`. */
+  def synthesizeWav(df: DataFrame, idCol: String, seedCol: String,
+                    sampleRate: Int, nSamples: Int): DataFrame = {
+    require(sampleRate >= 1, s"sampleRate must be positive, got $sampleRate")
+    require(nSamples >= 1 && nSamples <= (1 << 22),
+      s"unreasonable sample count $nSamples")
+    val outSchema = StructType(Seq(
+      StructField("media_id", LongType, nullable = false),
+      StructField("kind", StringType, nullable = false),
+      StructField("content", BinaryType, nullable = false)))
+    df.select(col(idCol).cast("long"), col(seedCol).cast("string"))
+      .mapPartitions { rows =>
+        val md = java.security.MessageDigest.getInstance("MD5")
+        rows.map { r =>
+          val id = r.getLong(0)
+          val seed = r.getString(1)
+          val dataBytes = 2 * nSamples
+          val bytes = new Array[Byte](44 + dataBytes)
+          def i32(off: Int, v: Int): Unit = {
+            bytes(off) = v.toByte; bytes(off + 1) = (v >> 8).toByte
+            bytes(off + 2) = (v >> 16).toByte; bytes(off + 3) = (v >> 24).toByte
+          }
+          def i16(off: Int, v: Int): Unit = {
+            bytes(off) = v.toByte; bytes(off + 1) = (v >> 8).toByte
+          }
+          def tag(off: Int, s: String): Unit =
+            s.indices.foreach(i => bytes(off + i) = s.charAt(i).toByte)
+          tag(0, "RIFF"); i32(4, 36 + dataBytes); tag(8, "WAVE")
+          tag(12, "fmt "); i32(16, 16)
+          i16(20, 1); i16(22, 1)                   // PCM, mono
+          i32(24, sampleRate); i32(28, sampleRate * 2)
+          i16(32, 2); i16(34, 16)                  // blockAlign, bits
+          tag(36, "data"); i32(40, dataBytes)
+          // md5-stream samples: 16 bytes per digest, re-keyed per block
+          var x = 0
+          var block = md.digest(s"$seed:0".getBytes("UTF-8"))
+          var bi = 0
+          while (x < dataBytes) {
+            if (bi == 16) {
+              block = md.digest(s"$seed:${x / 16}".getBytes("UTF-8"))
+              bi = 0
+            }
+            bytes(44 + x) = block(bi)
+            x += 1; bi += 1
+          }
+          Row(id, "audio", bytes)
+        }
+      }(Encoders.row(outSchema))
+  }
+
+  /** Content fingerprint per audio payload from EXACT frame energies —
+    * [[imageFingerprints]]'s audio analogue: decode the PCM samples for
+    * real ([[HeaderCodec.decodeWavPcm]], 8/16-bit), sum |sample| per
+    * `frameSize`-sample frame in exact BIGINTs, fingerprint = md5 over
+    * the ordered energy sequence. Two payloads fingerprint equal iff
+    * every frame's exact energy agrees; non-PCM/malformed payloads fall
+    * back to an md5 of the raw bytes with `real_decode = false` — still
+    * a correct exact-dup key, just not content-normalized. Entirely
+    * per-row in the scan stage: payload bytes NEVER shuffle; a
+    * downstream dedup groupBy moves only `(media_id, fp, n_frames)`.
+    * Output: `(media_id, fp, n_frames, real_decode)`. */
+  def audioFingerprints(media: DataFrame, frameSize: Int): DataFrame = {
+    require(frameSize >= 1, s"frameSize must be positive, got $frameSize")
+    val outSchema = StructType(Seq(
+      StructField("media_id", LongType, nullable = false),
+      StructField("fp", StringType, nullable = false),
+      StructField("n_frames", IntegerType, nullable = false),
+      StructField("real_decode", BooleanType, nullable = false)))
+    media.select(col("media_id"), col("content"))
+      .mapPartitions { rows =>
+        val md = java.security.MessageDigest.getInstance("MD5")
+        def hex(d: Array[Byte]): String = d.map("%02x".format(_)).mkString
+        rows.map { r =>
+          val id = r.getLong(0)
+          val bytes = r.getAs[Array[Byte]](1)
+          HeaderCodec.decodeWavPcm(bytes) match {
+            case Some((ch, _, bits, off, dataBytes)) =>
+              val bytesPerSample = bits / 8
+              val n = dataBytes / bytesPerSample
+              val energies = new StringBuilder
+              var f = 0
+              var i = 0
+              while (i < n) {
+                var e = 0L
+                val end = math.min(i + frameSize, n)
+                while (i < end) {
+                  val s =
+                    if (bits == 16)
+                      ((bytes(off + 2 * i) & 0xff) | (bytes(off + 2 * i + 1) << 8)).toShort.toInt
+                    else (bytes(off + i) & 0xff) - 128
+                  e += math.abs(s).toLong
+                  i += 1
+                }
+                if (f > 0) energies.append(',')
+                energies.append(e)
+                f += 1
+              }
+              val _ = ch // mono/stereo interleave both walk raw samples
+              md.reset()
+              Row(id, hex(md.digest(energies.toString.getBytes("UTF-8"))), f, true)
+            case None =>
+              md.reset()
+              Row(id, hex(md.digest(bytes)), 0, false)
+          }
+        }
+      }(Encoders.row(outSchema))
+  }
 }

@@ -247,4 +247,46 @@ class MediaSpec extends SparkSuite {
     val ofp = Media.imageFingerprints(other, 8).collect().head.getString(1)
     assert(!fps.values.toSet.contains(ofp))
   }
+
+  test("synthesizeWav + audioFingerprints: real PCM round-trip, planted dups, exact energies") {
+    import spark.implicits._
+    // every id-quad shares a seed -> planted byte-identical duplicates
+    val ids = (0L until 12L).toDF("media_id")
+      .withColumn("seed", concat(lit("aud:"),
+        (col("media_id") - pmod(col("media_id"), lit(4))).cast("string")))
+    val media = Media.synthesizeWav(ids, "media_id", "seed",
+      sampleRate = 8000, nSamples = 800)
+    // the encoder emits REAL PCM WAVs the real decoder round-trips
+    val raw = media.collect().map(r => (r.getLong(0), r.getAs[Array[Byte]](2))).toMap
+    raw.values.foreach { b =>
+      assert(b.length == 44 + 1600)
+      val Some((ch, rate, bits, off, dataBytes)) = Media.HeaderCodec.decodeWavPcm(b)
+      assert(ch == 1 && rate == 8000 && bits == 16 && off == 44 && dataBytes == 1600)
+    }
+    // equal seeds are byte-identical; different seeds differ
+    assert(raw(1L).sameElements(raw(0L)) && raw(5L).sameElements(raw(4L)))
+    assert(!raw(4L).sameElements(raw(0L)))
+    val fps = Media.audioFingerprints(media, frameSize = 160).collect()
+      .map(r => (r.getLong(0), (r.getString(1), r.getInt(2), r.getBoolean(3)))).toMap
+    // 800 samples / 160 per frame = 5 frames, all real decodes
+    assert(fps.values.forall { case (_, n, real) => n == 5 && real })
+    (0L until 12L).foreach(i => assert(fps(i)._1 == fps(i - i % 4)._1))
+    assert(fps.values.map(_._1).toSet.size == 3, "three quads -> three fingerprints")
+    // exact energy check on a hand-built WAV: samples 100, -200, 3, -4
+    // with frameSize 2 -> energies "300,7"
+    val hand = Media.synthesizeWav(Seq((7L, "x")).toDF("media_id", "seed"),
+        "media_id", "seed", sampleRate = 8000, nSamples = 4)
+      .collect().head.getAs[Array[Byte]](2)
+    def i16(off: Int, v: Int): Unit = { hand(off) = v.toByte; hand(off + 1) = (v >> 8).toByte }
+    i16(44, 100); i16(46, -200); i16(48, 3); i16(50, -4)
+    val handDf = Seq((7L, hand)).toDF("media_id", "content")
+    val handFp = Media.audioFingerprints(handDf, frameSize = 2).collect().head
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val expected = md.digest("300,7".getBytes("UTF-8")).map("%02x".format(_)).mkString
+    assert(handFp.getString(1) == expected && handFp.getInt(2) == 2)
+    // undecodable payload: byte-md5 fallback, flagged fake
+    val junk = Seq((8L, "junk".getBytes("UTF-8"))).toDF("media_id", "content")
+    val j = Media.audioFingerprints(junk, frameSize = 2).collect().head
+    assert(!j.getBoolean(3) && j.getInt(2) == 0)
+  }
 }
