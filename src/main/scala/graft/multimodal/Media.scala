@@ -181,18 +181,58 @@ object Media {
     }
   }
 
-  /** Decode dispatch: real header parse where the format allows it (BMP →
-    * image dims, WAV → sample count as n_frames), deterministic stub
-    * otherwise. Returns (width, height, n_frames, checksum-of-first-64B). */
+  /** Geometry a [[PayloadCodec]] reports for a payload it recognizes:
+    * image dims, frame/sample count, and whether the numbers came from a
+    * real parse (vs a deterministic stub). */
+  final case class Decoded(width: Int, height: Int, nFrames: Int,
+                           realDecode: Boolean)
+
+  /** THE pluggable decode seam (see CODEC_HANDOFF.md next to this file):
+    * a new format lands by implementing this ONE trait and prepending it
+    * to the chain — nothing else in the pipeline changes. Contract:
+    * `decode` returns None for bytes that are not this codec's format
+    * and NEVER throws (it runs inside executor scans over untrusted
+    * payloads); given equal bytes it must return equal values on every
+    * JVM (results feed hash-checked dedup keys). */
+  trait PayloadCodec {
+    /** Diagnostic name ("bmp", "jpeg", …). */
+    def name: String
+    def decode(kind: String, content: Array[Byte]): Option[Decoded]
+  }
+
+  /** Real header parses for the self-describing formats this container
+    * can decode without native libraries. */
+  object BmpCodec extends PayloadCodec {
+    val name = "bmp"
+    def decode(kind: String, content: Array[Byte]): Option[Decoded] =
+      HeaderCodec.decodeBmp(content).map { case (w, h) => Decoded(w, h, 1, realDecode = true) }
+  }
+
+  object WavCodec extends PayloadCodec {
+    val name = "wav"
+    def decode(kind: String, content: Array[Byte]): Option[Decoded] =
+      HeaderCodec.decodeWav(content).map(m =>
+        Decoded(0, 0, m.nSamples.min(Int.MaxValue).toInt, realDecode = true))
+  }
+
+  /** Decode dispatch: first codec in the chain that recognizes the bytes
+    * wins; the deterministic stub closes the chain so decode is total.
+    * Returns (width, height, n_frames, checksum-of-first-64B). */
   object Codec {
-    def decode(kind: String, content: Array[Byte]): (Int, Int, Int, Long) = {
+    /** The default chain — a real JPEG/MP3/H.264 codec PREPENDS here. */
+    val chain: Seq[PayloadCodec] = Seq(BmpCodec, WavCodec)
+
+    def decode(kind: String, content: Array[Byte]): (Int, Int, Int, Long) =
+      decodeWith(chain, kind, content)
+
+    /** Same dispatch over a caller-supplied chain — the hand-off entry
+      * point a new codec is integration-tested through. */
+    def decodeWith(codecs: Seq[PayloadCodec], kind: String,
+                   content: Array[Byte]): (Int, Int, Int, Long) = {
       val checksum = content.iterator.take(64).foldLeft(0L)((a, b) => a * 31 + (b & 0xff))
-      HeaderCodec.decodeBmp(content) match {
-        case Some((w, h)) => (w, h, 1, checksum)
-        case None => HeaderCodec.decodeWav(content) match {
-          case Some(m) => (0, 0, m.nSamples.min(Int.MaxValue).toInt, checksum)
-          case None    => FakeCodec.decode(kind, content)
-        }
+      codecs.iterator.flatMap(_.decode(kind, content)).nextOption() match {
+        case Some(d) => (d.width, d.height, d.nFrames, checksum)
+        case None    => FakeCodec.decode(kind, content)
       }
     }
   }

@@ -289,4 +289,35 @@ class MediaSpec extends SparkSuite {
     val j = Media.audioFingerprints(junk, frameSize = 2).collect().head
     assert(!j.getBoolean(3) && j.getInt(2) == 0)
   }
+
+  test("PayloadCodec chain: real formats through the trait, new codec pluggable, malformed total") {
+    import spark.implicits._
+    // the REAL codecs exercised through the hand-off trait itself
+    val bmp = Media.synthesizeBmp(Seq((1L, "s")).toDF("media_id", "seed"),
+      "media_id", "seed", width = 24, height = 16).collect().head.getAs[Array[Byte]](2)
+    assert(Media.BmpCodec.decode("image", bmp)
+      .contains(Media.Decoded(24, 16, 1, realDecode = true)))
+    assert(Media.WavCodec.decode("audio", bmp).isEmpty, "wrong format -> None, not garbage")
+    val wav = Media.synthesizeWav(Seq((2L, "s")).toDF("media_id", "seed"),
+      "media_id", "seed", sampleRate = 8000, nSamples = 800).collect().head.getAs[Array[Byte]](2)
+    assert(Media.WavCodec.decode("audio", wav)
+      .contains(Media.Decoded(0, 0, 800, realDecode = true)))
+    // a NEW format lands by prepending one trait instance — the hand-off
+    object QoiLike extends Media.PayloadCodec {
+      val name = "qoi"
+      def decode(kind: String, b: Array[Byte]): Option[Media.Decoded] =
+        if (b.length >= 4 && b(0) == 'q' && b(1) == 'o' && b(2) == 'i' && b(3) == 'f')
+          Some(Media.Decoded(9, 9, 1, realDecode = true))
+        else None
+    }
+    val chain = QoiLike +: Media.Codec.chain
+    assert(Media.Codec.decodeWith(chain, "image", "qoifXXXX".getBytes("UTF-8"))._1 == 9)
+    // existing formats still route to their codecs through the extended chain
+    assert(Media.Codec.decodeWith(chain, "image", bmp) == Media.Codec.decode("image", bmp))
+    // malformed bytes: total function, falls through to the deterministic stub
+    val junkBytes = Array.fill[Byte](10)(0x7f)
+    val viaChain = Media.Codec.decodeWith(chain, "image", junkBytes)
+    val (sw, sh, sf, scs) = Media.FakeCodec.decode("image", junkBytes)
+    assert(viaChain == ((sw, sh, sf, scs)))
+  }
 }
