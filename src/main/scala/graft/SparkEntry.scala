@@ -224,6 +224,7 @@ object SparkEntry {
     "q163_bpe_train" -> q163,
     "q164_bpe_encode" -> q164,
     "q165_audio_dedup" -> q165,
+    "q166_weighted_quantiles" -> q166,
   )
 
   /** Round count for the parameterized BPE lifecycle (q163/q164) — read
@@ -2706,6 +2707,21 @@ object SparkEntry {
       .select(col("keep_id"), col("n_copies"))
       .orderBy(col("keep_id"))
   }
+
+  /** TOKEN-WEIGHTED length quantiles per source — "the median document a
+    * TOKEN lives in" (the mixture-weighting view of length: long docs
+    * weigh in by their token mass, so the 50%/90% cut points describe
+    * token exposure, not document counts). Exact rational selection over
+    * the per-(source, n_chars) weight histogram
+    * ([[graft.operators.Ranking.weightedQuantilesPerGroup]]). */
+  private def q166(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Ranking.weightedQuantilesPerGroup(
+        Tables.documents(s, dir).select(col("source"), col("n_chars"),
+          Text.tokenCount(col("text")).cast("long").as("w")),
+        "source", "n_chars", "w",
+        subBucket = expr("n_chars DIV 64"),
+        ps = Seq((1L, 2L), (9L, 10L)))
+      .orderBy(col("source"), col("p"))
 
   // =====================================================================
   // DuckDB oracle SQL — same semantics, same column names, same ORDER BY.
@@ -5576,6 +5592,27 @@ object SparkEntry {
            FROM documents
            GROUP BY doc_id - doc_id % 4
            ORDER BY keep_id""",
+
+      // lower weighted quantile: smallest value with cw·den >= num·W,
+      // all-BIGINT comparison over the (source, value) weight histogram
+      "q166_weighted_quantiles" ->
+        s"""WITH t AS (SELECT source, n_chars AS v,
+                        CAST(len($toks) AS BIGINT) AS w FROM documents),
+           h AS (SELECT source, v, CAST(sum(w) AS BIGINT) AS hw
+                 FROM t GROUP BY source, v),
+           c AS (SELECT source, v, hw,
+                   CAST(sum(hw) OVER (PARTITION BY source ORDER BY v) AS BIGINT) AS cw
+                 FROM h),
+           tot AS (SELECT source, CAST(sum(hw) AS BIGINT) AS tw
+                   FROM h GROUP BY source),
+           q AS (SELECT CAST(num AS BIGINT) AS num, CAST(den AS BIGINT) AS den
+                 FROM (VALUES (1, 2), (9, 10)) AS v(num, den)),
+           sel AS (SELECT c.source, q.num, q.den, min(c.v) AS value
+                   FROM c JOIN tot ON tot.source = c.source CROSS JOIN q
+                   WHERE c.cw * q.den >= q.num * tot.tw
+                   GROUP BY c.source, q.num, q.den)
+           SELECT source, CAST(num AS DOUBLE) / CAST(den AS DOUBLE) AS p, value
+           FROM sel ORDER BY source, p""",
     )
   }
 }

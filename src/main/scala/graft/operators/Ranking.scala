@@ -248,6 +248,65 @@ object Ranking {
       .select(col(groupCol), col("p"), col(valueCol).as("value"))
   }
 
+  /** Exact WEIGHTED per-group quantiles — the importance-weighted twin of
+    * [[groupedQuantiles]] (mixture weighting, token-weighted length
+    * medians, sample-weight calibration): the p = num/den quantile of
+    * group g is the SMALLEST value whose cumulative weight w satisfies
+    * `w·den ≥ num·W_g` (lower weighted quantile, exact integer
+    * comparison — no float rank arithmetic to mirror).
+    *
+    * ## Scale shape (100 TB)
+    * Rows first collapse to the per-(group, value) weight HISTOGRAM
+    * (partial-aggregable; the q116 de-skew argument: the sorted frame is
+    * #distinct values, never the group's row count), cumulative weights
+    * then ride [[groupedRank]]'s two-level scheme over the histogram —
+    * per-(group, subBucket) local cumsums in parallel plus a
+    * #buckets-row offset window broadcast back, so no per-group sort of
+    * anything data-sized; the selection is one more partial-aggregable
+    * min. Weights must be nonnegative (cumulative monotonicity) — an
+    * in-plan guard raises on violation rather than silently selecting
+    * garbage. Returns `(groupCol, p, value)` with p = num/den as the
+    * IEEE double both engines print identically. */
+  def weightedQuantilesPerGroup(df: DataFrame, groupCol: String,
+                                valueCol: String, weightCol: String,
+                                subBucket: Column,
+                                ps: Seq[(Long, Long)]): DataFrame = {
+    require(ps.nonEmpty && ps.forall { case (n, d) => n > 0 && n <= d },
+      s"quantiles must be rationals in (0, 1], got $ps")
+    val hist = df
+      .select(col(groupCol), subBucket.as("_sb"), col(valueCol),
+        col(weightCol).cast("long").as("_w0"))
+      .withColumn("_wchecked",
+        when(col("_w0") < 0L, raise_error(concat(
+          lit(s"weightedQuantilesPerGroup: negative weight in $weightCol: "),
+          col("_w0").cast("string")))).otherwise(col("_w0")))
+      .groupBy(col(groupCol), col("_sb"), col(valueCol))
+      .agg(sum(col("_wchecked")).as("_hw"))
+    val wIn = Window.partitionBy(col(groupCol), col("_sb"))
+      .orderBy(col(valueCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wOff = Window.partitionBy(col(groupCol)).orderBy(col("_sb"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = hist.groupBy(col(groupCol), col("_sb"))
+      .agg(sum(col("_hw")).as("_bw"))
+      .select(col(groupCol), col("_sb"),
+        coalesce(sum(col("_bw")).over(wOff), lit(0L)).as("_off"))
+    val totals = hist.groupBy(col(groupCol)).agg(sum(col("_hw")).as("_tw"))
+    val wanted = explode(array(ps.map { case (n, d) =>
+      struct(lit(n).as("_num"), lit(d).as("_den")) }: _*))
+    hist
+      .join(broadcast(offsets), Seq(groupCol, "_sb"))
+      .withColumn("_cw", col("_off") + sum(col("_hw")).over(wIn))
+      .join(broadcast(totals.select(col(groupCol), col("_tw"), wanted.as("_p"))),
+        Seq(groupCol))
+      .where(col("_cw") * col("_p._den") >= col("_p._num") * col("_tw"))
+      .groupBy(col(groupCol), col("_p._num").as("_num"), col("_p._den").as("_den"))
+      .agg(min(col(valueCol)).as("value"))
+      .select(col(groupCol),
+        (col("_num").cast("double") / col("_den").cast("double")).as("p"),
+        col("value"))
+  }
+
   /** RECIPROCAL RANK FUSION (Cormack, Clarke, Buettcher 2009): combine
     * N retrieval rankings of the same id space into one score,
     * `rrf(id) = Σ_systems 1/(k + rank_system(id))` — the standard

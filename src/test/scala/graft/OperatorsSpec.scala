@@ -3131,4 +3131,31 @@ class OperatorsSpec extends SparkSuite {
         r.getDouble(4)))
     assert(enc.toSeq == Seq((1L, 4L, 12L, 4L, 3.0), (2L, 2L, 2L, 2L, 1.0)))
   }
+
+  test("weightedQuantilesPerGroup: lower weighted quantile over the value histogram") {
+    import spark.implicits._
+    import graft.operators.Ranking
+    // A: (1,w1) (2,w3) (3,w1), W=5: median = 2 (cum 4·2 >= 5), p90 = 3
+    // B: all weight on 7: every quantile = 7
+    val df = Seq(("A", 1L, 1L), ("A", 2L, 2L), ("A", 2L, 1L), ("A", 3L, 1L),
+      ("B", 7L, 4L), ("B", 5L, 0L)).toDF("g", "v", "w")
+    val out = Ranking.weightedQuantilesPerGroup(df, "g", "v", "w",
+        subBucket = expr("v DIV 2"), ps = Seq((1L, 2L), (9L, 10L)))
+      .orderBy(col("g"), col("p")).collect()
+      .map(r => (r.getString(0), r.getDouble(1), r.getLong(2)))
+    assert(out.toSeq == Seq(("A", 0.5, 2L), ("A", 0.9, 3L),
+      ("B", 0.5, 7L), ("B", 0.9, 7L)))
+    // bucketing must not change the answer (two-level ≡ one-level)
+    val coarse = Ranking.weightedQuantilesPerGroup(df, "g", "v", "w",
+        subBucket = lit(0L), ps = Seq((1L, 2L), (9L, 10L)))
+      .orderBy(col("g"), col("p")).collect()
+      .map(r => (r.getString(0), r.getDouble(1), r.getLong(2)))
+    assert(coarse.toSeq == out.toSeq)
+    // negative weights are refused loudly, not silently mis-selected
+    val bad = Seq(("A", 1L, -1L)).toDF("g", "v", "w")
+    assertThrows[Exception] {
+      Ranking.weightedQuantilesPerGroup(bad, "g", "v", "w", lit(0L),
+        Seq((1L, 2L))).collect()
+    }
+  }
 }
