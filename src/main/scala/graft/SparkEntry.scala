@@ -225,6 +225,7 @@ object SparkEntry {
     "q164_bpe_encode" -> q164,
     "q165_audio_dedup" -> q165,
     "q166_weighted_quantiles" -> q166,
+    "q167_embargo_split" -> q167,
   )
 
   /** Round count for the parameterized BPE lifecycle (q163/q164) — read
@@ -2722,6 +2723,22 @@ object SparkEntry {
         subBucket = expr("n_chars DIV 64"),
         ps = Seq((1L, 2L), (9L, 10L)))
       .orderBy(col("source"), col("p"))
+
+  /** Temporal embargo split of the event stream — train on the earliest
+    * 70% of the time range, 5%-of-range embargo gap, test after; the
+    * profile reports per-(split, event_type) counts, user counts, and
+    * exact time bounds so the gap is auditable
+    * ([[graft.operators.Sampling.temporalEmbargoSplit]]). */
+  private def q167(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Sampling.temporalEmbargoSplit(
+        Tables.events(s, dir).select(col("event_type"), col("user_id"),
+          unix_micros(col("ts")).as("ts_us")),
+        "ts_us", trainNum = 7L, trainDen = 10L, embNum = 1L, embDen = 20L)
+      .groupBy(col("split"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        countDistinct(col("user_id")).as("n_users"),
+        min(col("ts_us")).as("ts_min"), max(col("ts_us")).as("ts_max"))
+      .orderBy(col("split"), col("event_type"))
 
   // =====================================================================
   // DuckDB oracle SQL — same semantics, same column names, same ORDER BY.
@@ -5613,6 +5630,24 @@ object SparkEntry {
                    GROUP BY c.source, q.num, q.den)
            SELECT source, CAST(num AS DOUBLE) / CAST(den AS DOUBLE) AS p, value
            FROM sel ORDER BY source, p""",
+
+      // exact BIGINT boundary arithmetic over epoch micros: lo = min +
+      // span·7 DIV 10, hi = lo + span DIV 20
+      "q167_embargo_split" ->
+        """WITH t AS (SELECT event_type, user_id, epoch_us(ts) AS ts_us FROM events),
+           b AS (SELECT min(ts_us) AS tmin, max(ts_us) AS tmax FROM t),
+           s AS (SELECT t.*,
+                   CASE WHEN ts_us <= tmin + ((tmax - tmin) * 7) // 10 THEN 'train'
+                        WHEN ts_us > tmin + ((tmax - tmin) * 7) // 10
+                                      + (tmax - tmin) // 20 THEN 'test'
+                        ELSE 'embargo' END AS split
+                 FROM t CROSS JOIN b)
+           SELECT split, event_type, CAST(count(*) AS BIGINT) AS n_events,
+             CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+             CAST(min(ts_us) AS BIGINT) AS ts_min,
+             CAST(max(ts_us) AS BIGINT) AS ts_max
+           FROM s GROUP BY split, event_type
+           ORDER BY split, event_type""",
     )
   }
 }

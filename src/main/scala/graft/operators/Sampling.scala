@@ -645,4 +645,41 @@ object Sampling {
       .select(col(idCol), col("neg_rank").cast("long").as("neg_rank"),
         col("neg_id"))
   }
+
+  /** TEMPORAL split with an EMBARGO gap (the financial-ML leakage
+    * pattern — Lopez de Prado's purged split applied to pipeline data):
+    * train is the earliest `trainNum/trainDen` of the observed time
+    * range, test starts `embNum/embDen` of the range AFTER train ends,
+    * and rows inside the gap get `"embargo"` — dropped from both sides
+    * so any feature computed over trailing windows of train can never
+    * overlap a test label's window. [[leakageSafeSplit]] guards against
+    * CONTENT leakage (near-dups straddling the split); this guards
+    * against TIME leakage — a pipeline wants both.
+    *
+    * All boundary arithmetic is exact BIGINT over epoch-micros
+    * (`lo = min + span·num DIV den`), the bounds are ONE 1-row
+    * aggregate attached by broadcast crossJoin, and the assignment is a
+    * pure scan-stage expression — no shuffle, no data-sized state.
+    * Adds `split ∈ {train, embargo, test}`. */
+  def temporalEmbargoSplit(df: DataFrame, tsMicrosCol: String,
+                           trainNum: Long, trainDen: Long,
+                           embNum: Long, embDen: Long): DataFrame = {
+    require(trainNum > 0 && trainNum < trainDen,
+      s"train fraction must lie in (0, 1), got $trainNum/$trainDen")
+    require(embNum >= 0 && embDen > 0 &&
+        trainNum * embDen + embNum * trainDen < trainDen * embDen,
+      s"train + embargo must leave room for test, got $trainNum/$trainDen + $embNum/$embDen")
+    val bounds = df.agg(
+      min(col(tsMicrosCol)).as("_tmin"), max(col(tsMicrosCol)).as("_tmax"))
+    df.crossJoin(broadcast(bounds))
+      .withColumn("_lo", col("_tmin") +
+        expr(s"((_tmax - _tmin) * ${trainNum}L) DIV ${trainDen}L"))
+      .withColumn("_hi", col("_lo") +
+        expr(s"((_tmax - _tmin) * ${embNum}L) DIV ${embDen}L"))
+      .withColumn("split",
+        when(col(tsMicrosCol) <= col("_lo"), lit("train"))
+          .when(col(tsMicrosCol) > col("_hi"), lit("test"))
+          .otherwise(lit("embargo")))
+      .drop("_tmin", "_tmax", "_lo", "_hi")
+  }
 }

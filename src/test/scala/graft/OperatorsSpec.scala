@@ -3158,4 +3158,24 @@ class OperatorsSpec extends SparkSuite {
         Seq((1L, 2L))).collect()
     }
   }
+
+  test("temporalEmbargoSplit: exact boundaries, gap excluded from both sides") {
+    import spark.implicits._
+    import graft.operators.Sampling
+    // range [0, 100]: train <= 70, embargo (70, 75], test > 75
+    val df = Seq(0L, 50L, 70L, 71L, 75L, 76L, 100L).toDF("ts")
+    val out = Sampling.temporalEmbargoSplit(df, "ts", 7L, 10L, 1L, 20L)
+      .collect().map(r => (r.getLong(0), r.getString(1))).toMap
+    assert(out(0L) == "train" && out(50L) == "train" && out(70L) == "train")
+    assert(out(71L) == "embargo" && out(75L) == "embargo")
+    assert(out(76L) == "test" && out(100L) == "test")
+    // zero embargo: adjacent split, nothing dropped
+    val none = Sampling.temporalEmbargoSplit(df, "ts", 7L, 10L, 0L, 1L)
+      .collect().map(r => r.getString(1))
+    assert(!none.contains("embargo"))
+    // train + embargo must leave room for test
+    assertThrows[IllegalArgumentException] {
+      Sampling.temporalEmbargoSplit(df, "ts", 9L, 10L, 1L, 10L)
+    }
+  }
 }
