@@ -756,4 +756,55 @@ class ScaleSpec extends SparkSuite {
     assert(!simPlan.contains("CartesianProduct"), s"similarity must not go all-pairs:\n$simPlan")
     assert(simPlan.contains("partial_count"), "shingle distinct/counts must partial-aggregate")
   }
+
+  test("round-7b operators: HITS/BFS iterate over cached edges, weighted quantiles never sort a group, embargo split stays in the scan") {
+    import spark.implicits._
+    // HITS: half-round sums partial-aggregate; the max attaches as a
+    // 1-row broadcast, never a data-sized exchange to one partition
+    val edges = (1L to 3000L).map(i => (i % 97, 100 + i % 41)).toDF("s", "d")
+    val hits = graft.operators.Graph.hitsInt(edges, "s", "d",
+      iterations = 2, checkpoint = false)
+    hits.collect()
+    // full AQE string (final + initial): materialized stages print
+    // compactly in the final section, hiding map-side aggregates
+    val hitsPlan = hits.queryExecution.executedPlan.toString
+    assert(hitsPlan.contains("partial_sum"), "half-round sums must partial-aggregate")
+    assert(hitsPlan.contains("BroadcastNestedLoopJoin") || hitsPlan.contains("BroadcastExchange"),
+      s"the max scalar must broadcast:\n$hitsPlan")
+    assert(!hitsPlan.contains("CartesianProduct"), s"no cartesian in HITS:\n$hitsPlan")
+
+    // BFS: frontier expansion is equi-join + partial-aggregable distinct
+    // + anti-join — no cartesian, no window
+    val bfs = graft.operators.Graph.bfsDistances(edges, "s", "d",
+      Seq(Tuple1(1L), Tuple1(2L)).toDF("node"), maxHops = 3, checkpoint = false)
+    bfs.collect()
+    val bfsPlan = bfs.queryExecution.executedPlan.toString
+    assert(!bfsPlan.contains("CartesianProduct") && !bfsPlan.contains("Window"),
+      s"BFS must stay join+aggregate shaped:\n$bfsPlan")
+
+    // weighted quantiles: every window is bucket-partitioned (the
+    // histogram/two-level scheme) — no single-partition window over
+    // anything data-sized, selection partial-aggregates
+    val wq = graft.operators.Ranking.weightedQuantilesPerGroup(
+      (1L to 4000L).map(i => (s"g${i % 5}", i % 211, 1L + i % 7)).toDF("g", "v", "w"),
+      "g", "v", "w", expr("v DIV 16"), Seq((1L, 2L), (9L, 10L)))
+    wq.collect()
+    val wqPlan = wq.queryExecution.executedPlan.toString
+    val wqSinglePartWindows = wqPlan.linesIterator
+      .filter(l => l.contains("Window") && l.contains("SinglePartition")).size
+    assert(wqSinglePartWindows == 0,
+      s"weighted quantiles must never run a single-partition window:\n$wqPlan")
+    assert(wqPlan.contains("partial_sum"), "histogram weights must partial-aggregate")
+
+    // embargo split: 1-row bounds broadcast + pure projection — the
+    // assignment itself adds no exchange and no window
+    val es = graft.operators.Sampling.temporalEmbargoSplit(
+      (1L to 2000L).toDF("ts"), "ts", 7L, 10L, 1L, 20L)
+    es.collect()
+    val esPlan = es.queryExecution.executedPlan.toString
+    assert(esPlan.contains("BroadcastNestedLoopJoin"),
+      s"bounds must attach as a 1-row broadcast:\n$esPlan")
+    assert(!esPlan.contains("Window") && !esPlan.contains("SortMergeJoin"),
+      s"split assignment must stay in the scan stage:\n$esPlan")
+  }
 }
