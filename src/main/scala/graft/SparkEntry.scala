@@ -226,6 +226,8 @@ object SparkEntry {
     "q165_audio_dedup" -> q165,
     "q166_weighted_quantiles" -> q166,
     "q167_embargo_split" -> q167,
+    "q168_coverage_select" -> q168,
+    "q169_psi_drift" -> q169,
   )
 
   /** Round count for the parameterized BPE lifecycle (q163/q164) — read
@@ -2739,6 +2741,36 @@ object SparkEntry {
         countDistinct(col("user_id")).as("n_users"),
         min(col("ts_us")).as("ts_min"), max(col("ts_us")).as("ts_max"))
       .orderBy(col("split"), col("event_type"))
+
+  /** Greedy MAX-COVERAGE selection — the 5 documents that together cover
+    * the most distinct 3-shingles, picked by the submodular greedy
+    * ((1−1/e)-optimal); the diversity-seeking complement of the dedup
+    * family, oracle-replayed round by round over the shared hashed
+    * shingle universe ([[graft.operators.Coverage.maxCoverageSelect]]). */
+  private def q168(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Coverage.maxCoverageSelect(s,
+        Tables.documents(s, dir), "doc_id", "text", shingleLen = 3,
+        rounds = 5)
+      .orderBy(col("round"))
+
+  /** PSI drift of the event-value distribution, first half of the time
+    * range (reference) vs second half (target): 10 exact equi-depth
+    * reference bins, add-1-smoothed shares, per-bin micro-nat terms —
+    * the scheduled "did my feature move" monitor
+    * ([[graft.operators.Checks.psiDrift]]). */
+  private def q169(s: SparkSession, dir: String): DataFrame = {
+    val t = Tables.events(s, dir).select(
+      cents(col("value")).as("v"), col("event_id"),
+      unix_micros(col("ts")).as("us"))
+    val mid = t.agg((min(col("us")) +
+      expr("(max(us) - min(us)) DIV 2")).as("_mid"))
+    val stamped = t.crossJoin(broadcast(mid))
+    val ref = stamped.where(col("us") <= col("_mid")).select(col("v"), col("event_id"))
+    val tgt = stamped.where(col("us") > col("_mid")).select(col("v"), col("event_id"))
+    graft.operators.Checks.psiDrift(ref, tgt, "v", "event_id",
+        subBucket = expr("v DIV 5000"), bins = 10)
+      .orderBy(col("bin"))
+  }
 
   // =====================================================================
   // DuckDB oracle SQL — same semantics, same column names, same ORDER BY.
@@ -5648,6 +5680,63 @@ object SparkEntry {
              CAST(max(ts_us) AS BIGINT) AS ts_max
            FROM s GROUP BY split, event_type
            ORDER BY split, event_type""",
+
+      // five generated greedy rounds over the shared hashed-shingle
+      // universe: winner = (gain desc, doc_id), covered set grows by the
+      // winner's shingles; a saturated doc has no surviving rows so it
+      // can never be re-picked on either engine
+      "q168_coverage_select" -> {
+        val n = 5
+        val roundCtes = (1 to n).map { r =>
+          val prev = if (r == 1) "" else s" WHERE k NOT IN (SELECT k FROM c${r - 1})"
+          val carry = if (r == 1) "" else s"SELECT k FROM c${r - 1} UNION "
+          s""",
+           r$r AS (SELECT d, CAST(count(*) AS BIGINT) AS g FROM inc$prev
+                   GROUP BY d ORDER BY g DESC, d LIMIT 1),
+           c$r AS (${carry}SELECT inc.k FROM inc JOIN r$r ON inc.d = r$r.d)"""
+        }.mkString
+        val rows = (1 to n).map(r =>
+          s"""SELECT CAST($r AS BIGINT) AS round, d AS doc_id, g AS gain,
+             (SELECT CAST(count(*) AS BIGINT) FROM c$r) AS covered_total FROM r$r""")
+          .mkString("\n           UNION ALL\n           ")
+        s"""WITH inc AS (
+             SELECT doc_id AS d, unnest(${hashedShingles(3)}) AS k
+             FROM (SELECT doc_id, $toks AS toks FROM documents) t)$roundCtes
+           $rows
+           ORDER BY round"""
+      },
+
+      // ntile(10) edges (the q117 bin-for-bin parity), value-rule
+      // re-assignment bin = 1 + #{edges < v} on BOTH snapshots, add-1
+      // smoothing, per-bin micro-nat term quantized before any sum
+      "q169_psi_drift" ->
+        """WITH t AS (SELECT CAST(round(value * 100) AS BIGINT) AS v,
+                        event_id, epoch_us(ts) AS us FROM events),
+           b AS (SELECT min(us) + (max(us) - min(us)) // 2 AS mid FROM t),
+           ref AS (SELECT v, event_id FROM t, b WHERE us <= mid),
+           tgt AS (SELECT v, event_id FROM t, b WHERE us > mid),
+           rb AS (SELECT v, ntile(10) OVER (ORDER BY v, event_id) AS bin FROM ref),
+           e AS (SELECT CAST(max(v) AS BIGINT) AS edge FROM rb WHERE bin < 10 GROUP BY bin),
+           ra AS (SELECT r.event_id, 1 + count(e.edge) AS bin
+                  FROM ref r LEFT JOIN e ON e.edge < r.v GROUP BY r.event_id),
+           ta AS (SELECT r.event_id, 1 + count(e.edge) AS bin
+                  FROM tgt r LEFT JOIN e ON e.edge < r.v GROUP BY r.event_id),
+           rc AS (SELECT bin, CAST(count(*) AS BIGINT) AS n FROM ra GROUP BY bin),
+           tc AS (SELECT bin, CAST(count(*) AS BIGINT) AS n FROM ta GROUP BY bin),
+           sp AS (SELECT CAST(unnest(range(1, 11)) AS BIGINT) AS bin),
+           j AS (SELECT sp.bin, coalesce(rc.n, 0) AS ref_n, coalesce(tc.n, 0) AS tgt_n
+                 FROM sp LEFT JOIN rc ON rc.bin = sp.bin
+                 LEFT JOIN tc ON tc.bin = sp.bin),
+           tot AS (SELECT CAST(sum(ref_n) AS BIGINT) AS rt,
+                     CAST(sum(tgt_n) AS BIGINT) AS tt FROM j)
+           SELECT bin, ref_n, tgt_n,
+             CAST(round(1e6 * (
+               (CAST(ref_n + 1 AS DOUBLE) / CAST(rt + 10 AS DOUBLE)
+                 - CAST(tgt_n + 1 AS DOUBLE) / CAST(tt + 10 AS DOUBLE))
+               * ln((CAST(ref_n + 1 AS DOUBLE) / CAST(rt + 10 AS DOUBLE))
+                    / (CAST(tgt_n + 1 AS DOUBLE) / CAST(tt + 10 AS DOUBLE)))
+             )) AS BIGINT) AS term_unats
+           FROM j CROSS JOIN tot ORDER BY bin""",
     )
   }
 }

@@ -128,4 +128,72 @@ object Checks {
         (col("gini_num").cast("double") /
           (col("n_groups") * col("total")).cast("double")).as("gini"))
   }
+
+  /** POPULATION STABILITY INDEX drift monitor — the industry-standard
+    * "has this feature's distribution moved" number (PSI < 0.1 stable,
+    * 0.1–0.25 drifting, > 0.25 shifted): bin the REFERENCE into `bins`
+    * exact equi-depth bins, count both snapshots against the reference
+    * edges, `PSI = Σ_b (p_ref − p_tgt)·ln(p_ref/p_tgt)` with add-1
+    * count smoothing so empty bins stay finite. The scheduled twin of
+    * [[graft.operators.LmScore]]'s corpus KL (q153): KL compares corpora
+    * over a vocabulary, PSI watches ONE feature over time against frozen
+    * bins.
+    *
+    * ## Exactness
+    * Values must be integral (quantize first — the engine-wide rule).
+    * Edges are per-bin maxima of [[Ranking.equiDepthBins]]'s exact ntile
+    * arithmetic; BOTH snapshots re-assign by the same value rule
+    * `bin = 1 + #{edges < v}` (ties land at the edge's own bin on both
+    * engines, and re-assignment keeps ref counts consistent with tgt
+    * counts when duplicate runs straddle a rank boundary). Counts are
+    * exact; each bin's term is ONE deterministic double expression
+    * quantized to micro-nats BEFORE the exact BIGINT sum — the
+    * PMI/LmScore scheme.
+    *
+    * ## Scale shape (100 TB)
+    * The ranking shuffles the reference once (two-level scheme, no
+    * single-partition window); the `bins−1` edges are a model-sized
+    * collect riding into both scans as a literal array (codegen'd
+    * `filter` probe — no join, no shuffle to assign); per-bin counts
+    * partial-aggregate; everything after lives on `bins` rows. Returns
+    * `(bin, ref_n, tgt_n, term_unats)` — PSI in micro-nats = the exact
+    * sum of `term_unats`. */
+  def psiDrift(ref: DataFrame, tgt: DataFrame, valueCol: String,
+               idCol: String, subBucket: Column, bins: Int): DataFrame = {
+    require(bins >= 2, s"bins must be >= 2, got $bins")
+    val spark = ref.sparkSession
+    val binned = Ranking.equiDepthBins(
+      ref.select(col(valueCol), col(idCol)), subBucket, bins,
+      col(valueCol), col(idCol))
+    val edges = binned.groupBy(col("bin"))
+      .agg(max(col(valueCol)).as("_edge"))
+      .where(col("bin") < bins)
+      .orderBy(col("bin"))
+      .collect().map(_.getLong(1)) // <= bins-1 values — the model
+    def assigned(df: DataFrame): Column =
+      lit(1L) + size(filter(typedLit(edges.toSeq),
+        e => e < col(valueCol))).cast("long")
+    def binCounts(df: DataFrame, as: String): DataFrame =
+      df.select(assigned(df).as("bin"))
+        .groupBy(col("bin")).agg(count(lit(1)).as(as))
+    import spark.implicits._
+    val spine = (1L to bins.toLong).toDF("bin")
+    val joined = spine
+      .join(binCounts(ref, "_rn"), Seq("bin"), "left")
+      .join(binCounts(tgt, "_tn"), Seq("bin"), "left")
+      .select(col("bin"),
+        coalesce(col("_rn"), lit(0L)).as("ref_n"),
+        coalesce(col("_tn"), lit(0L)).as("tgt_n"))
+    val totals = joined.agg(
+      sum(col("ref_n")).as("_rt"), sum(col("tgt_n")).as("_tt"))
+    joined.crossJoin(broadcast(totals))
+      .withColumn("term_unats", expr(
+        s"""CAST(round(1e6 * (
+              (CAST(ref_n + 1 AS DOUBLE) / CAST(_rt + $bins AS DOUBLE)
+                - CAST(tgt_n + 1 AS DOUBLE) / CAST(_tt + $bins AS DOUBLE))
+              * ln((CAST(ref_n + 1 AS DOUBLE) / CAST(_rt + $bins AS DOUBLE))
+                   / (CAST(tgt_n + 1 AS DOUBLE) / CAST(_tt + $bins AS DOUBLE)))
+            )) AS BIGINT)"""))
+      .select(col("bin"), col("ref_n"), col("tgt_n"), col("term_unats"))
+  }
 }

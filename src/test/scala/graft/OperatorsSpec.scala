@@ -3178,4 +3178,38 @@ class OperatorsSpec extends SparkSuite {
       Sampling.temporalEmbargoSplit(df, "ts", 9L, 10L, 1L, 10L)
     }
   }
+
+  test("maxCoverageSelect: greedy picks by marginal gain, ties by id, stops at saturation") {
+    import spark.implicits._
+    import graft.operators.Coverage
+    // token universes: d1{a,b,c} d2{b,c,d,e} d3{a,e} d4{b,c}
+    val docs = Seq((1L, "a b c"), (2L, "b c d e"), (3L, "a e"), (4L, "b c"))
+      .toDF("doc_id", "text")
+    val out = Coverage.maxCoverageSelect(spark, docs, "doc_id", "text",
+        shingleLen = 1, rounds = 3, checkpoint = false)
+      .orderBy(col("round")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    // r1: d2 covers 4; r2: d1 and d3 both add {a} -> tie, d1 wins;
+    // r3: nothing uncovered anywhere -> early stop at 2 picks
+    assert(out.toSeq == Seq((1L, 2L, 4L, 4L), (2L, 1L, 1L, 5L)))
+  }
+
+  test("psiDrift: identical halves give zero terms; a shifted target shows positive PSI") {
+    import spark.implicits._
+    import graft.operators.Checks
+    val ref = (1L to 400L).map(i => (i % 100, i)).toDF("v", "id")
+    // identical distribution: pa = pb in every bin -> every term exactly 0
+    val same = Checks.psiDrift(ref, ref.withColumn("id", col("id") + 1000L),
+      "v", "id", expr("v DIV 10"), bins = 10).collect()
+    assert(same.length == 10)
+    assert(same.forall(_.getLong(3) == 0L))
+    assert(same.map(_.getLong(1)).sum == 400L && same.map(_.getLong(2)).sum == 400L)
+    // shifted target: mass moves to the top bins, PSI sum > 0
+    val tgt = (1L to 400L).map(i => (50L + i % 50, i)).toDF("v", "id")
+    val drift = Checks.psiDrift(ref, tgt, "v", "id", expr("v DIV 10"), bins = 10)
+      .collect()
+    assert(drift.map(_.getLong(3)).sum > 100000L, "a half-range shift is > 0.1 PSI")
+    // bins with no target mass exist and stay finite (add-1 smoothing)
+    assert(drift.exists(r => r.getLong(2) == 0L))
+  }
 }
