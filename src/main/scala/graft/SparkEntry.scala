@@ -228,6 +228,7 @@ object SparkEntry {
     "q167_embargo_split" -> q167,
     "q168_coverage_select" -> q168,
     "q169_psi_drift" -> q169,
+    "q170_spearman" -> q170,
   )
 
   /** Round count for the parameterized BPE lifecycle (q163/q164) — read
@@ -2770,6 +2771,23 @@ object SparkEntry {
     graft.operators.Checks.psiDrift(ref, tgt, "v", "event_id",
         subBucket = expr("v DIV 5000"), bins = 10)
       .orderBy(col("bin"))
+  }
+
+  /** Exact Spearman ρ between document LENGTH and the q24 composite
+    * QUALITY score — "is the quality filter just a length filter?", the
+    * score-audit a curation pipeline runs before trusting a threshold;
+    * midrank ties, centered doubled-rank arithmetic, DECIMAL(38) sums
+    * ([[graft.operators.Eval.spearmanExact]]). */
+  private def q170(s: SparkSession, dir: String): DataFrame = {
+    val stop = Text.langMarkers.toMap.apply("en")
+    graft.operators.Eval.spearmanExact(
+      Tables.documents(s, dir)
+        .select(col("doc_id"), col("n_chars"),
+          Text.qualityScore(col("text"), stop).as("q")),
+      xCol = col("n_chars"), yCol = col("q"),
+      xBucket = expr("n_chars DIV 64"),
+      yBucket = floor(col("q") * lit(20.0)).cast("long"),
+      idCol = col("doc_id"))
   }
 
   // =====================================================================
@@ -5737,6 +5755,29 @@ object SparkEntry {
                     / (CAST(tgt_n + 1 AS DOUBLE) / CAST(tt + 10 AS DOUBLE)))
              )) AS BIGINT) AS term_unats
            FROM j CROSS JOIN tot ORDER BY bin""",
+
+      // midranks per distinct value (min+max of the tie-broken
+      // row_number), centered doubled ranks sum to zero exactly, HUGEINT
+      // products, sqrt/division at the very end
+      "q170_spearman" ->
+        s"""WITH d AS (SELECT doc_id, n_chars, ${qualitySql(toks)} AS q FROM documents),
+           r AS (SELECT doc_id, n_chars, q,
+                   CAST(row_number() OVER (ORDER BY n_chars, doc_id) AS BIGINT) AS rkx,
+                   CAST(row_number() OVER (ORDER BY q, doc_id) AS BIGINT) AS rky
+                 FROM d),
+           mx AS (SELECT n_chars, min(rkx) AS mnx, max(rkx) AS mxx FROM r GROUP BY n_chars),
+           my AS (SELECT q, min(rky) AS mny, max(rky) AS mxy FROM r GROUP BY q),
+           nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM r),
+           u AS (SELECT mnx + mxx - n - 1 AS u, mny + mxy - n - 1 AS v
+                 FROM r JOIN mx USING (n_chars) JOIN my USING (q) CROSS JOIN nn),
+           s AS (SELECT CAST(sum(CAST(u AS HUGEINT) * v) AS DOUBLE) AS s_uv,
+                   CAST(sum(CAST(u AS HUGEINT) * u) AS DOUBLE) AS s_uu,
+                   CAST(sum(CAST(v AS HUGEINT) * v) AS DOUBLE) AS s_vv
+                 FROM u)
+           SELECT n, s_uv, s_uu, s_vv,
+             CASE WHEN s_uu > 0 AND s_vv > 0
+               THEN s_uv / (sqrt(s_uu) * sqrt(s_vv)) END AS rho
+           FROM s CROSS JOIN nn""",
     )
   }
 }

@@ -87,4 +87,56 @@ object Eval {
         (col("n_pos").cast("double") / col("n_rows").cast("double")).as("pos_rate"),
         col("score_min"), col("score_max"))
   }
+
+  /** Exact SPEARMAN rank correlation with midrank ties — "is my quality
+    * score just measuring length?" answered without a single float
+    * accumulation: both variables rank through [[Ranking.globalRankBy]],
+    * ties collapse to midranks by the [[aucExact]] min/max ARITHMETIC
+    * (never a re-sort), and Pearson runs on the CENTERED DOUBLED
+    * midranks `u = (min_rank + max_rank) − (n+1)` — doubling keeps
+    * midranks integral, and Σ(min+max) over all rows is exactly n(n+1)
+    * whatever the ties, so Σu = 0 identically and the correlation
+    * reduces to `ρ = Σuv / (√Σu²·√Σv²)` — three exact sums, two IEEE
+    * sqrts (exactly rounded by the standard), one division.
+    *
+    * Sums ride DECIMAL(38,0) (|Σuv| ≤ n³ overflows BIGINT past n ≈
+    * 2·10⁶; 38 digits hold n to ~3·10⁹ — beyond that, shard and
+    * combine). ρ is NULL when either variable is constant. Buckets must
+    * be ordering-consistent with their variable (the globalRankBy
+    * contract). Returns ONE row `(n, s_uv, s_uu, s_vv, rho)` with the
+    * sums as exactly-converted doubles. */
+  def spearmanExact(df: DataFrame, xCol: Column, yCol: Column,
+                    xBucket: Column, yBucket: Column,
+                    idCol: Column): DataFrame = {
+    val base = df.select(xCol.as("_x"), yCol.as("_y"), idCol.as("_id"),
+      xBucket.as("_bx"), yBucket.as("_by"))
+    val rx = Ranking.globalRankBy(base, col("_bx"), col("_x"), col("_id"))
+      .withColumnRenamed("rank", "_rkx")
+    val ry = Ranking.globalRankBy(rx, col("_by"), col("_y"), col("_id"))
+      .withColumnRenamed("rank", "_rky")
+    val mrx = ry.groupBy(col("_x"))
+      .agg(min(col("_rkx")).as("_mnx"), max(col("_rkx")).as("_mxx"))
+    val mry = ry.groupBy(col("_y"))
+      .agg(min(col("_rky")).as("_mny"), max(col("_rky")).as("_mxy"))
+    val n = ry.agg(count(lit(1)).as("_n"))
+    ry
+      .join(mrx, Seq("_x"))
+      .join(mry, Seq("_y"))
+      .crossJoin(broadcast(n))
+      .select(col("_n"),
+        (col("_mnx") + col("_mxx") - col("_n") - 1L).as("_u"),
+        (col("_mny") + col("_mxy") - col("_n") - 1L).as("_v"))
+      .agg(max(col("_n")).as("n"),
+        sum(expr("CAST(_u AS DECIMAL(38,0)) * CAST(_v AS DECIMAL(38,0))")).as("_suv"),
+        sum(expr("CAST(_u AS DECIMAL(38,0)) * CAST(_u AS DECIMAL(38,0))")).as("_suu"),
+        sum(expr("CAST(_v AS DECIMAL(38,0)) * CAST(_v AS DECIMAL(38,0))")).as("_svv"))
+      .select(col("n"),
+        col("_suv").cast("double").as("s_uv"),
+        col("_suu").cast("double").as("s_uu"),
+        col("_svv").cast("double").as("s_vv"),
+        when(col("_suu") > 0 && col("_svv") > 0,
+          col("_suv").cast("double") /
+            (sqrt(col("_suu").cast("double")) * sqrt(col("_svv").cast("double"))))
+          .as("rho"))
+  }
 }

@@ -3212,4 +3212,26 @@ class OperatorsSpec extends SparkSuite {
     // bins with no target mass exist and stay finite (add-1 smoothing)
     assert(drift.exists(r => r.getLong(2) == 0L))
   }
+
+  test("spearmanExact: monotone = 1, reversed = -1, ties via midranks, constant = NULL") {
+    import spark.implicits._
+    import graft.operators.Eval
+    def rho(data: Seq[(Long, Double)]): java.lang.Double = {
+      val r = Eval.spearmanExact(data.zipWithIndex.map { case ((x, y), i) =>
+          (x, y, i.toLong) }.toDF("x", "y", "id"),
+        col("x"), col("y"), expr("x DIV 8"),
+        floor(col("y")).cast("long"), col("id")).collect()(0)
+      if (r.isNullAt(4)) null else r.getDouble(4)
+    }
+    assert(rho((1L to 40L).map(i => (i, i * 2.0))) == 1.0)
+    assert(rho((1L to 40L).map(i => (i, -3.0 * i))) == -1.0)
+    // hand midrank case: x = 1,2,3,4; y = 1,1,2,2 (ties)
+    // doubled midranks y: (1+2)=3,3,(3+4)=7,7 - 5 -> u_y = -2,-2,2,2
+    // doubled x ranks: 2,4,6,8 - 5 -> -3,-1,1,3; suv = 6+2+2+6 = 16
+    // suu = 9+1+1+9 = 20; svv = 16; rho = 16/sqrt(320)
+    val t = rho(Seq((1L, 1.0), (2L, 1.0), (3L, 2.0), (4L, 2.0)))
+    assert(math.abs(t - 16.0 / math.sqrt(320.0)) < 1e-15)
+    // constant variable: no ordering information -> NULL
+    assert(rho((1L to 10L).map(i => (i, 5.0))) == null)
+  }
 }
