@@ -229,6 +229,7 @@ object SparkEntry {
     "q168_coverage_select" -> q168,
     "q169_psi_drift" -> q169,
     "q170_spearman" -> q170,
+    "q171_ndcg" -> q171,
   )
 
   /** Round count for the parameterized BPE lifecycle (q163/q164) — read
@@ -2788,6 +2789,28 @@ object SparkEntry {
       xBucket = expr("n_chars DIV 64"),
       yBucket = floor(col("q") * lit(20.0)).cast("long"),
       idCol = col("doc_id"))
+  }
+
+  /** nDCG@20 of the q90 BM25 ranking against term-coverage graded
+    * relevance (gain = how many of the 3 query terms the doc contains) —
+    * the retrieval-stage report card: does the lexical score ORDER the
+    * candidates the way coverage does? Exact micro-unit rank weights,
+    * BIGINT DCG/IDCG sums ([[graft.operators.Eval.ndcgAtK]]). */
+  private def q171(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val name = "graft_q171_idx_" +
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(dir.getBytes("UTF-8")).take(4).map("%02x".format(_)).mkString
+    graft.operators.InvertedIndex.writeIndex(docs, "doc_id", "text", name)
+    val terms = Seq("join", "window", "fast")
+    val scored = graft.operators.InvertedIndex.bm25(s, name, terms)
+    val gains = docs.select(col("doc_id"),
+      terms.map(t => when(array_contains(Text.tokens(col("text")), t), 1L)
+        .otherwise(0L)).reduce(_ + _).as("gain"))
+    graft.operators.Eval.ndcgAtK(
+      scored.join(gains, Seq("doc_id")),
+      scoreCol = col("score_unats"), gainCol = col("gain"),
+      idCol = col("doc_id"), k = 20)
   }
 
   // =====================================================================
@@ -5778,6 +5801,49 @@ object SparkEntry {
              CASE WHEN s_uu > 0 AND s_vv > 0
                THEN s_uv / (sqrt(s_uu) * sqrt(s_vv)) END AS rho
            FROM s CROSS JOIN nn""",
+
+      // q90's BM25 CTEs feeding exact micro-unit DCG: w_r = round(1e6 /
+      // log2(r+1)) per rank, BIGINT sums, one trailing division
+      "q171_ndcg" -> {
+        def fmtD(v: Double): String = {
+          val s0 = java.lang.Double.toString(v)
+          if (s0.contains("E")) s0.replace("E", "e") else s0 + "e0"
+        }
+        val (k1p1, k1s, omb, bs) = (fmtD(1.2 + 1.0), fmtD(1.2), fmtD(1.0 - 0.75), fmtD(0.75))
+        s"""WITH t AS (SELECT doc_id, $toks AS toks FROM documents),
+           d AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS dl, toks FROM t WHERE len(toks) > 0),
+           post AS (SELECT doc_id, dl, term, CAST(count(*) AS BIGINT) AS tf
+                    FROM (SELECT doc_id, dl, unnest(toks) AS term FROM d) GROUP BY 1, 2, 3),
+           meta AS (SELECT CAST(count(*) AS BIGINT) AS n_docs, CAST(sum(dl) AS BIGINT) AS sum_dl FROM d),
+           probed AS (SELECT * FROM post WHERE term IN ('join', 'window', 'fast')),
+           dfs AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM probed GROUP BY 1),
+           sc AS (SELECT p.doc_id,
+             CAST(round(
+               ln(1e0 + (CAST(m.n_docs AS DOUBLE) - CAST(f.df AS DOUBLE) + 5e-1) / (CAST(f.df AS DOUBLE) + 5e-1))
+               * (CAST(p.tf AS DOUBLE) * $k1p1)
+               / (CAST(p.tf AS DOUBLE) + $k1s * ($omb + $bs * CAST(p.dl AS DOUBLE) / (CAST(m.sum_dl AS DOUBLE) / CAST(m.n_docs AS DOUBLE))))
+               * 1e6) AS BIGINT) AS s
+             FROM probed p JOIN dfs f ON f.term = p.term CROSS JOIN meta m),
+           scores AS (SELECT doc_id, CAST(sum(s) AS BIGINT) AS score FROM sc GROUP BY 1),
+           g AS (SELECT doc_id,
+                   CAST((CASE WHEN list_contains(toks, 'join') THEN 1 ELSE 0 END)
+                      + (CASE WHEN list_contains(toks, 'window') THEN 1 ELSE 0 END)
+                      + (CASE WHEN list_contains(toks, 'fast') THEN 1 ELSE 0 END) AS BIGINT) AS gain
+                 FROM t),
+           j AS (SELECT s.doc_id, s.score, g.gain FROM scores s JOIN g ON g.doc_id = s.doc_id),
+           wt AS (SELECT CAST(r AS BIGINT) AS r,
+                    CAST(round(1e6 / (ln(CAST(r AS DOUBLE) + 1e0) / ln(2e0))) AS BIGINT) AS w
+                  FROM (SELECT unnest(range(1, 21)) AS r)),
+           sysr AS (SELECT gain, CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS BIGINT) AS r FROM j),
+           sys AS (SELECT CAST(coalesce(sum(gain * w), 0) AS BIGINT) AS dcg_u
+                   FROM sysr JOIN wt ON wt.r = sysr.r),
+           idr AS (SELECT gain, CAST(row_number() OVER (ORDER BY gain DESC, doc_id) AS BIGINT) AS r FROM j),
+           ideal AS (SELECT CAST(coalesce(sum(gain * w), 0) AS BIGINT) AS idcg_u
+                     FROM idr JOIN wt ON wt.r = idr.r)
+           SELECT CAST(20 AS BIGINT) AS k, dcg_u, idcg_u,
+             CASE WHEN idcg_u > 0 THEN CAST(dcg_u AS DOUBLE) / CAST(idcg_u AS DOUBLE) END AS ndcg
+           FROM sys CROSS JOIN ideal"""
+      },
     )
   }
 }

@@ -139,4 +139,42 @@ object Eval {
             (sqrt(col("_suu").cast("double")) * sqrt(col("_svv").cast("double"))))
           .as("rho"))
   }
+
+  /** nDCG@k of a scored candidate set against graded relevance
+    * (Järvelin & Kekäläinen 2002) — the ranking-quality number for a
+    * retrieval stage (BM25, embedding search, rank fusion):
+    * `DCG = Σ_{r≤k} gain_r · w_r` with `w_r = round(10⁶ / log₂(r+1))`
+    * quantized PER RANK (a k-row broadcast table — the micro-unit
+    * scheme, so both sums are exact BIGINTs), `IDCG` the same sum over
+    * the gain-descending ideal order, `nDCG = DCG/IDCG` one IEEE
+    * division. Ties break by id in both orders — a total order, so the
+    * cut at k is deterministic.
+    *
+    * Scale shape: both top-k cuts are `TakeOrdered` (distributed
+    * heap top-k — the q04/q137 shape); only the ≤ k survivors meet the
+    * weight table, so the k-row rank window is model-sized by
+    * construction. Returns ONE row `(k, dcg_u, idcg_u, ndcg)`; ndcg
+    * NULL when the candidate set has no positive gain. */
+  def ndcgAtK(df: DataFrame, scoreCol: Column, gainCol: Column,
+              idCol: Column, k: Int): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val weights = broadcast((1 to k).map(r => (r.toLong,
+      math.round(1e6 / (math.log(r + 1.0) / math.log(2.0))))).toDF("_r", "_w"))
+    val base = df.select(scoreCol.as("_score"), gainCol.cast("long").as("_gain"),
+      idCol.as("_id"))
+    def cut(ordered: Seq[Column]): DataFrame = {
+      val win = org.apache.spark.sql.expressions.Window.orderBy(ordered: _*)
+      base.orderBy(ordered: _*).limit(k) // TakeOrdered; ranks over <= k rows
+        .withColumn("_r", row_number().over(win).cast("long"))
+        .join(weights, Seq("_r"))
+        .agg(coalesce(sum(col("_gain") * col("_w")), lit(0L)).as("_s"))
+    }
+    cut(Seq(col("_score").desc, col("_id"))).select(col("_s").as("dcg_u"))
+      .crossJoin(cut(Seq(col("_gain").desc, col("_id"))).select(col("_s").as("idcg_u")))
+      .select(lit(k.toLong).as("k"), col("dcg_u"), col("idcg_u"),
+        when(col("idcg_u") > 0,
+          col("dcg_u").cast("double") / col("idcg_u").cast("double")).as("ndcg"))
+  }
 }

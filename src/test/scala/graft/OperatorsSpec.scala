@@ -3234,4 +3234,23 @@ class OperatorsSpec extends SparkSuite {
     // constant variable: no ordering information -> NULL
     assert(rho((1L to 10L).map(i => (i, 5.0))) == null)
   }
+
+  test("ndcgAtK: exact micro-unit weights, ideal ordering, zero-gain NULL") {
+    import spark.implicits._
+    import graft.operators.Eval
+    // (score, gain, id): system order 1,2,3; ideal order 2,3,1
+    val df = Seq((10L, 0L, 1L), (9L, 2L, 2L), (8L, 1L, 3L)).toDF("s", "g", "id")
+    val r = Eval.ndcgAtK(df, col("s"), col("g"), col("id"), k = 2).collect()(0)
+    // w1 = 1e6, w2 = round(1e6/log2(3)) = 630930
+    assert(r.getLong(1) == 2L * 630930L)                 // dcg: gains 0, 2
+    assert(r.getLong(2) == 2L * 1000000L + 630930L)      // idcg: gains 2, 1
+    assert(math.abs(r.getDouble(3) - 1261860.0 / 2630930.0) < 1e-15)
+    // perfect ranking: ndcg = 1 exactly (identical BIGINT sums)
+    val perfect = Seq((10L, 5L, 1L), (9L, 3L, 2L), (8L, 1L, 3L)).toDF("s", "g", "id")
+    assert(Eval.ndcgAtK(perfect, col("s"), col("g"), col("id"), 3)
+      .collect()(0).getDouble(3) == 1.0)
+    // all-zero gains: NULL, not 0/0
+    val zero = Seq((10L, 0L, 1L)).toDF("s", "g", "id")
+    assert(Eval.ndcgAtK(zero, col("s"), col("g"), col("id"), 2).collect()(0).isNullAt(3))
+  }
 }
