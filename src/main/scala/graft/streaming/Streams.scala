@@ -905,4 +905,50 @@ object Streams {
           out.iterator
       }
   }
+
+  /** Streaming twin of [[graft.operators.Checks.psiDrift]] — the
+    * frozen-bin design IS the streaming design: the reference
+    * bins/counts are a MODEL trained once by the batch operator (edges +
+    * per-bin counts), so the monitor needs no reference state at all.
+    * Each event's bin is the same literal-array probe
+    * (`1 + #{edges < v}`, stateless, scan-stage); per event-time window
+    * ONE stateful aggregation carries all bins as conditional sums
+    * (bins are static → no second stateful op, Append-mode clean), and
+    * the PSI is a row-local projection: per-bin add-1 micro-nat terms in
+    * the batch operator's exact order, summed over the fixed bin list.
+    * Late rows drop at the watermark. Emits
+    * `(window_start, window_end, tgt_total, psi_unats)` once per
+    * finalized window. */
+  def psiDriftStream(rows: DataFrame, valueCol: String, tsCol: String,
+                     edges: Seq[Long], refCounts: Seq[Long],
+                     windowDur: String, delay: String): DataFrame = {
+    val bins = refCounts.length
+    require(bins >= 2, s"need >= 2 reference bins, got $bins")
+    require(edges.length == bins - 1,
+      s"need bins-1 edges, got ${edges.length} for $bins bins")
+    val refTotal = refCounts.sum
+    val binCol = lit(1L) + size(filter(typedLit(edges),
+      e => e < col(valueCol))).cast("long")
+    val counts = (1 to bins).map(b =>
+      sum(when(col("_bin") === b.toLong, 1L).otherwise(0L)).as(s"_n$b"))
+    val base = rows
+      .withColumn("_bin", binCol)
+      .withWatermark(tsCol, delay)
+      .groupBy(window(col(tsCol), windowDur))
+      .agg(counts.head, counts.tail: _*)
+    val tgtTotal = (1 to bins).map(b => col(s"_n$b")).reduce(_ + _)
+    def term(b: Int): org.apache.spark.sql.Column = expr(
+      s"""CAST(round(1e6 * (
+            (CAST(${refCounts(b - 1)} + 1 AS DOUBLE) / CAST(${refTotal + bins} AS DOUBLE)
+              - CAST(_n$b + 1 AS DOUBLE) / CAST(_tt + $bins AS DOUBLE))
+            * ln((CAST(${refCounts(b - 1)} + 1 AS DOUBLE) / CAST(${refTotal + bins} AS DOUBLE))
+                 / (CAST(_n$b + 1 AS DOUBLE) / CAST(_tt + $bins AS DOUBLE)))
+          )) AS BIGINT)""")
+    base
+      .withColumn("_tt", tgtTotal)
+      .select(col("window.start").as("window_start"),
+        col("window.end").as("window_end"),
+        col("_tt").as("tgt_total"),
+        (1 to bins).map(term).reduce(_ + _).as("psi_unats"))
+  }
 }

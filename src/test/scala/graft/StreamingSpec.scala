@@ -1055,4 +1055,38 @@ class StreamingSpec extends SparkSuite {
       assert(got == Set((1L, "hash join"), (3L, "hash join"), (3L, "table scan")))
     } finally q.stop()
   }
+
+  test("psiDriftStream: frozen-bin windows reproduce the batch micro-nat terms") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // frozen model: 3 bins, edges 10/20, balanced reference 100/100/100
+    val edges = Seq(10L, 20L)
+    val refCounts = Seq(100L, 100L, 100L)
+    val input = MemoryStream[(Long, Long)] // (us, v)
+    val out = Streams.psiDriftStream(
+      input.toDF().toDF("us", "v").withColumn("ts", timestamp_micros(col("us"))),
+      "v", "ts", edges, refCounts, windowDur = "10 seconds", delay = "0 seconds")
+    val q = out.writeStream.outputMode("append").format("memory")
+      .queryName("psi").start()
+    try {
+      // window [0,10s): values 5, 15, 25, 25 -> bins 1,2,3,3
+      input.addData((1000000L, 5L), (2000000L, 15L), (3000000L, 25L), (4000000L, 25L))
+      q.processAllAvailable()
+      // advance the watermark past the first window
+      input.addData((15000000L, 5L))
+      q.processAllAvailable()
+      val rows = spark.table("psi").collect()
+        .map(r => (r.getLong(2), r.getLong(3)))
+      assert(rows.length == 1, s"exactly the finalized window: ${rows.toSeq}")
+      val (tt, psi) = rows.head
+      assert(tt == 4L)
+      // replicate the batch term arithmetic: counts (1,1,2), ref 100 each
+      def term(rn: Long, tn: Long): Long = {
+        val pa = (rn + 1).toDouble / 303.0
+        val pb = (tn + 1).toDouble / 7.0
+        math.round(1e6 * ((pa - pb) * math.log(pa / pb)))
+      }
+      assert(psi == term(100L, 1L) + term(100L, 1L) + term(100L, 2L))
+    } finally q.stop()
+  }
 }
