@@ -2783,12 +2783,10 @@ object SparkEntry {
     val stop = Text.langMarkers.toMap.apply("en")
     graft.operators.Eval.spearmanExact(
       Tables.documents(s, dir)
-        .select(col("doc_id"), col("n_chars"),
-          Text.qualityScore(col("text"), stop).as("q")),
+        .select(col("n_chars"), Text.qualityScore(col("text"), stop).as("q")),
       xCol = col("n_chars"), yCol = col("q"),
       xBucket = expr("n_chars DIV 64"),
-      yBucket = floor(col("q") * lit(20.0)).cast("long"),
-      idCol = col("doc_id"))
+      yBucket = floor(col("q") * lit(20.0)).cast("long"))
   }
 
   /** nDCG@20 of the q90 BM25 ranking against term-coverage graded

@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Filter-model EVALUATION statistics — the measurement side of the
@@ -90,53 +91,77 @@ object Eval {
 
   /** Exact SPEARMAN rank correlation with midrank ties — "is my quality
     * score just measuring length?" answered without a single float
-    * accumulation: both variables rank through [[Ranking.globalRankBy]],
-    * ties collapse to midranks by the [[aucExact]] min/max ARITHMETIC
-    * (never a re-sort), and Pearson runs on the CENTERED DOUBLED
-    * midranks `u = (min_rank + max_rank) − (n+1)` — doubling keeps
-    * midranks integral, and Σ(min+max) over all rows is exactly n(n+1)
-    * whatever the ties, so Σu = 0 identically and the correlation
-    * reduces to `ρ = Σuv / (√Σu²·√Σv²)` — three exact sums, two IEEE
-    * sqrts (exactly rounded by the standard), one division.
+    * accumulation AND without ranking a single row: the midrank of a
+    * value is determined by the VALUE HISTOGRAM alone
+    * (`min+max = 2·cum_before + cnt + 1`), so the whole statistic
+    * computes on histograms — per-variable value histograms carry the
+    * centered doubled midranks `u = 2·cum_before + cnt − n` (doubling
+    * keeps midranks integral; Σ over rows of (min+max) is exactly
+    * n(n+1), so Σu = 0 identically and
+    * `ρ = Σuv / (√Σu²·√Σv²)`), and the cross term rides the (x, y) PAIR
+    * histogram: `Σuv = Σ_{(x,y)} cnt·u(x)·v(y)`. Three exact sums, two
+    * exactly-rounded IEEE sqrts, one division.
+    *
+    * ## Scale shape (100 TB)
+    * NO data-wide sort and no per-row rank: the data-sized work is ONE
+    * partial-aggregable `groupBy(x, y)` count; value histograms derive
+    * from it by further partial aggregation, cumulative counts ride the
+    * two-level prefix-sum over the HISTOGRAM (per-bucket local cumsums
+    * + a #buckets-row offset window broadcast back — nothing
+    * single-partition that is data-sized), and the final joins key on
+    * values against histogram-sized tables.
     *
     * Sums ride DECIMAL(38,0) (|Σuv| ≤ n³ overflows BIGINT past n ≈
     * 2·10⁶; 38 digits hold n to ~3·10⁹ — beyond that, shard and
     * combine). ρ is NULL when either variable is constant. Buckets must
-    * be ordering-consistent with their variable (the globalRankBy
-    * contract). Returns ONE row `(n, s_uv, s_uu, s_vv, rho)` with the
-    * sums as exactly-converted doubles. */
+    * be integral and ordering-consistent with their variable (they are
+    * the histogram prefix-sum buckets). Returns ONE row
+    * `(n, s_uv, s_uu, s_vv, rho)` with the sums as exactly-converted
+    * doubles. */
   def spearmanExact(df: DataFrame, xCol: Column, yCol: Column,
-                    xBucket: Column, yBucket: Column,
-                    idCol: Column): DataFrame = {
-    val base = df.select(xCol.as("_x"), yCol.as("_y"), idCol.as("_id"),
-      xBucket.as("_bx"), yBucket.as("_by"))
-    val rx = Ranking.globalRankBy(base, col("_bx"), col("_x"), col("_id"))
-      .withColumnRenamed("rank", "_rkx")
-    // the doubly-ranked table fans out into FOUR branches (both midrank
-    // tables, the count, the final join) — checkpoint it once or every
-    // branch re-runs both distributed sorts AND the caller's score
-    // expressions (measured 10x at 10x data without this; with it the
-    // sorts run once and the branches read the materialized rows)
-    val ry = Ranking.globalRankBy(rx, col("_by"), col("_y"), col("_id"))
-      .withColumnRenamed("rank", "_rky")
+                    xBucket: Column, yBucket: Column): DataFrame = {
+    // the pair histogram fans out into four branches (both value
+    // histograms, the count, the cross-term join) — checkpoint it once
+    // or every branch re-runs the data-wide groupBy AND the caller's
+    // score expressions
+    val pair = df
+      .select(xCol.as("_x"), yCol.as("_y"),
+        xBucket.as("_bx"), yBucket.as("_by"))
+      .groupBy(col("_x"), col("_y"), col("_bx"), col("_by"))
+      .agg(count(lit(1)).as("_c"))
       .localCheckpoint()
-    val mrx = ry.groupBy(col("_x"))
-      .agg(min(col("_rkx")).as("_mnx"), max(col("_rkx")).as("_mxx"))
-    val mry = ry.groupBy(col("_y"))
-      .agg(min(col("_rky")).as("_mny"), max(col("_rky")).as("_mxy"))
-    val n = ry.agg(count(lit(1)).as("_n"))
-    ry
-      .join(mrx, Seq("_x"))
-      .join(mry, Seq("_y"))
+    // centered doubled midranks from the value histogram via the
+    // two-level cumulative count (groupedRank's offset shape)
+    def centered(value: String, bucket: String, out: String): DataFrame = {
+      val hist = pair.groupBy(col(value), col(bucket))
+        .agg(sum(col("_c")).as("_hc"))
+      val wIn = Window.partitionBy(col(bucket)).orderBy(col(value))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val wOff = Window.orderBy(col(bucket))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val offsets = hist.groupBy(col(bucket)).agg(sum(col("_hc")).as("_bc"))
+        .select(col(bucket), coalesce(sum(col("_bc")).over(wOff), lit(0L)).as("_off"))
+      hist
+        .join(broadcast(offsets), Seq(bucket))
+        .withColumn("_cumb", col("_off") + coalesce(sum(col("_hc")).over(wIn), lit(0L)))
+        .select(col(value), col("_hc").as(out + "c"),
+          (lit(2L) * col("_cumb") + col("_hc")).as(out)) // u + n, centered below
+    }
+    val hx = centered("_x", "_bx", "_u")
+    val hy = centered("_y", "_by", "_v")
+    val n = pair.agg(sum(col("_c")).as("_n"))
+    val uv = pair
+      .join(hx.select(col("_x"), col("_u")), Seq("_x"))
+      .join(hy.select(col("_y"), col("_v")), Seq("_y"))
       .crossJoin(broadcast(n))
-      .select(col("_n"),
-        (col("_mnx") + col("_mxx") - col("_n") - 1L).as("_u"),
-        (col("_mny") + col("_mxy") - col("_n") - 1L).as("_v"))
-      .agg(max(col("_n")).as("n"),
-        sum(expr("CAST(_u AS DECIMAL(38,0)) * CAST(_v AS DECIMAL(38,0))")).as("_suv"),
-        sum(expr("CAST(_u AS DECIMAL(38,0)) * CAST(_u AS DECIMAL(38,0))")).as("_suu"),
-        sum(expr("CAST(_v AS DECIMAL(38,0)) * CAST(_v AS DECIMAL(38,0))")).as("_svv"))
-      .select(col("n"),
+      .select(col("_c"),
+        (col("_u") - col("_n")).as("_cu"), (col("_v") - col("_n")).as("_cv"))
+      .agg(
+        sum(expr("CAST(_c AS DECIMAL(38,0)) * _cu * _cv")).as("_suv"),
+        sum(expr("CAST(_c AS DECIMAL(38,0)) * _cu * _cu")).as("_suu"),
+        sum(expr("CAST(_c AS DECIMAL(38,0)) * _cv * _cv")).as("_svv"))
+    uv.crossJoin(broadcast(n))
+      .select(col("_n").as("n"),
         col("_suv").cast("double").as("s_uv"),
         col("_suu").cast("double").as("s_uu"),
         col("_svv").cast("double").as("s_vv"),

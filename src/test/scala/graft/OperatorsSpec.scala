@@ -3217,10 +3217,9 @@ class OperatorsSpec extends SparkSuite {
     import spark.implicits._
     import graft.operators.Eval
     def rho(data: Seq[(Long, Double)]): java.lang.Double = {
-      val r = Eval.spearmanExact(data.zipWithIndex.map { case ((x, y), i) =>
-          (x, y, i.toLong) }.toDF("x", "y", "id"),
+      val r = Eval.spearmanExact(data.toDF("x", "y"),
         col("x"), col("y"), expr("x DIV 8"),
-        floor(col("y")).cast("long"), col("id")).collect()(0)
+        floor(col("y")).cast("long")).collect()(0)
       if (r.isNullAt(4)) null else r.getDouble(4)
     }
     assert(rho((1L to 40L).map(i => (i, i * 2.0))) == 1.0)
