@@ -807,4 +807,50 @@ class ScaleSpec extends SparkSuite {
     assert(!esPlan.contains("Window") && !esPlan.contains("SortMergeJoin"),
       s"split assignment must stay in the scan stage:\n$esPlan")
   }
+
+  test("round-7c operators: coverage anti-join shape, PSI literal-array probe, ndcg TakeOrdered cuts") {
+    import spark.implicits._
+    // coverage: incidence anti-join + partial-aggregable count; text
+    // never shuffles (keys only), nothing cartesian
+    val docs = (1L to 300L).map(i => (i, s"w${i % 7} w${i % 11} w${i % 13} tail$i")).toDF("doc_id", "text")
+    val cov = graft.operators.Coverage.maxCoverageSelect(spark, docs,
+      "doc_id", "text", shingleLen = 1, rounds = 2, checkpoint = false)
+    // the result df is a driver-built table; assert on the ROUND plan by
+    // rebuilding one round's frame shape instead
+    val inc = docs.select(col("doc_id").as("_doc"),
+        explode(graft.functions.Text.fastWordShingles(col("text"), 1)).as("_s"))
+      .select(col("_doc"), graft.operators.Dedup.shingleKey(col("_s")).as("_sh"))
+      .distinct()
+    val won = inc.where(col("_doc") === 1L).select(col("_sh"))
+    val round = inc.join(won, Seq("_sh"), "left_anti")
+      .groupBy(col("_doc")).agg(count(lit(1)).as("g"))
+    round.collect()
+    val rPlan = round.queryExecution.executedPlan.toString
+    assert(!rPlan.contains("CartesianProduct"), s"coverage round must not go cartesian:\n$rPlan")
+    assert(rPlan.contains("partial_count"), "per-doc gains must partial-aggregate")
+    assert(cov.count() == 2L)
+
+    // PSI: bin assignment is a literal-array probe in the scan — the
+    // only joins are the bins-row spine and the 1-row totals broadcast
+    val ref = (1L to 2000L).map(i => (i % 97, i)).toDF("v", "id")
+    val tgt = (1L to 2000L).map(i => (i % 89, i)).toDF("v", "id")
+    val psi = graft.operators.Checks.psiDrift(ref, tgt, "v", "id",
+      expr("v DIV 10"), bins = 10)
+    psi.collect()
+    val pPlan = psi.queryExecution.executedPlan.toString
+    val psiSinglePartWindows = pPlan.linesIterator
+      .filter(l => l.contains("Window") && l.contains("SinglePartition")).size
+    assert(psiSinglePartWindows == 0,
+      s"PSI must not run a single-partition window over data:\n$pPlan")
+    assert(!pPlan.contains("SortMergeJoin"), s"PSI joins are model-sized broadcasts:\n$pPlan")
+
+    // ndcg: both cuts must be distributed TakeOrdered, not a global sort
+    val scored = (1L to 3000L).map(i => (i * 7 % 997, i % 4, i)).toDF("s", "g", "id")
+    val nd = graft.operators.Eval.ndcgAtK(scored, col("s"), col("g"), col("id"), 10)
+    nd.collect()
+    val nPlan = nd.queryExecution.executedPlan.toString
+    assert(nPlan.contains("TakeOrderedAndProject"),
+      s"top-k cuts must be TakeOrdered:\n$nPlan")
+  }
 }
+
