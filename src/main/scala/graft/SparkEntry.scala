@@ -230,6 +230,16 @@ object SparkEntry {
     "q169_psi_drift" -> q169,
     "q170_spearman" -> q170,
     "q171_ndcg" -> q171,
+    "q172_pearson" -> q172,
+    "q173_chi_square" -> q173,
+    "q174_mutual_info" -> q174,
+    "q175_markov_transitions" -> q175,
+    "q176_autocorrelation" -> q176,
+    "q177_weighted_sssp" -> q177,
+    "q178_interval_overlap" -> q178,
+    "q179_mmr_select" -> q179,
+    "q180_grouped_trend" -> q180,
+    "q181_lsh_sweep" -> q181,
   )
 
   /** Round count for the parameterized BPE lifecycle (q163/q164) — read
@@ -2810,6 +2820,143 @@ object SparkEntry {
       scoreCol = col("score_unats"), gainCol = col("gain"),
       idCol = col("doc_id"), k = 20)
   }
+
+  /** Exact PEARSON r between document length and the q24 quality score
+    * (micro-unit quantized) — read NEXT TO q170's Spearman ρ: ρ ≈ r says
+    * the length→quality relation is linear, ρ ≫ r says monotone-but-
+    * saturating. One partial-aggregable moment pass, DECIMAL(38) sums
+    * ([[graft.operators.Eval.pearsonExact]]). */
+  private def q172(s: SparkSession, dir: String): DataFrame = {
+    val stop = Text.langMarkers.toMap.apply("en")
+    graft.operators.Eval.pearsonExact(
+      Tables.documents(s, dir)
+        .select(col("n_chars"),
+          floor(Text.qualityScore(col("text"), stop) * lit(1e6)).as("qu")),
+      xCol = col("n_chars"), yCol = col("qu"))
+  }
+
+  /** CHI-SQUARED independence of documents' (source × lang) — "does a
+    * source over-supply a language?", the stratification-bias probe run
+    * before trusting per-source quotas. Exact cross-multiplied cell
+    * deviations, micro-unit terms quantized once per cell
+    * ([[graft.operators.Eval.chiSquareIndependence]]). */
+  private def q173(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Eval.chiSquareIndependence(
+      Tables.documents(s, dir), col("source"), col("lang"))
+
+  /** MUTUAL INFORMATION (micro-nats) between documents' source and lang —
+    * the magnitude next to q173's χ²: how much language information the
+    * source column leaks, against a leakage budget
+    * ([[graft.operators.Eval.mutualInfoUnats]]). */
+  private def q174(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Eval.mutualInfoUnats(
+      Tables.documents(s, dir), col("source"), col("lang"))
+
+  /** First-order MARKOV transition matrix over per-user event sequences
+    * — which event_type follows which, with exact micro-unit
+    * row-normalized probabilities; the behavioral fingerprint next to
+    * q91's funnel and q16's sessions ([[graft.operators.Markov
+    * .transitionMatrix]]). Order is the deterministic (ms, event_id)
+    * total order both engines share. */
+  private def q175(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Markov.transitionMatrix(
+        Tables.events(s, dir),
+        keyCol = col("user_id"), stateCol = col("event_type"),
+        orderCols = Seq(unix_millis(col("ts")), col("event_id")))
+      .orderBy(col("from_state"), col("to_state"))
+
+  /** AUTOCORRELATION of 4-hour total event value at lag 6 (= 24 h) —
+    * "does traffic repeat daily?", the seasonality probe a capacity
+    * planner and an anomaly baseline both start from; q172's exact
+    * Pearson machinery composed over the aggregated series' shifted
+    * self-join ([[graft.operators.Eval.autocorrAtLag]]). */
+  private def q176(s: SparkSession, dir: String): DataFrame = {
+    val series = Tables.events(s, dir)
+      .groupBy(expr("unix_millis(ts) DIV 14400000").as("step"))
+      .agg(sum(cents(col("value"))).as("v"))
+    graft.operators.Eval.autocorrAtLag(series, col("step"), col("v"),
+      lagSteps = 6L)
+  }
+
+  /** WEIGHTED shortest paths from the q162 seed set over the
+    * part↔supplier graph, edge cost = cheapest observed line quantity in
+    * cents — q162's crisp hop count upgraded to a cost tier (minimum-toll
+    * supply path within 3 edges). Bellman-Ford frontier rounds, exact
+    * BIGINT distances ([[graft.operators.Graph.ssspInt]]). */
+  private def q177(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(s, dir)
+      .select(col("l_partkey").as("p"), (col("l_suppkey") + lit(1000000L)).as("sn"),
+        cents(col("l_quantity")).as("w"))
+    val edges = li.select(col("p").as("src"), col("sn").as("dst"), col("w"))
+      .union(li.select(col("sn").as("src"), col("p").as("dst"), col("w")))
+    val seeds = Tables.supplier(s, dir)
+      .where(col("s_nationkey") % 5 === 3)
+      .select((col("s_suppkey") + lit(1000000L)).as("node"))
+    graft.operators.Graph.ssspInt(edges, "src", "dst", "w", seeds, rounds = 3)
+      .orderBy(col("node"))
+  }
+
+  /** INTERVAL-OVERLAP counting with NO pair join: for each even-user
+    * session, how many odd-user sessions were concurrently active — the
+    * session-concurrency curve (load, contention, coordinated-traffic
+    * detection) that the naive range-join formulation makes quadratic in
+    * per-moment concurrency. Two endpoint merge-sweeps (two-level prefix
+    * sums over 2²⁶-ms buckets), exact closed-interval BIGINT counts
+    * ([[graft.operators.Intervals.overlapCounts]]). */
+  private def q178(s: SparkSession, dir: String): DataFrame = {
+    val sess = Sessionize.summarize(Tables.events(s, dir), "user_id", "ts", 1800000L)
+      .select(col("user_id"), col("session_id"),
+        unix_millis(col("session_start")).as("start_ms"),
+        unix_millis(col("session_end")).as("end_ms"))
+    val a = sess.where(col("user_id") % 2 === 0)
+      .select((col("user_id") * lit(1000000L) + col("session_id")).as("sid"),
+        col("start_ms"), col("end_ms"))
+    val b = sess.where(col("user_id") % 2 === 1)
+    graft.operators.Intervals.overlapCounts(
+        a, "sid", "start_ms", "end_ms", b, "start_ms", "end_ms",
+        bucketOf = v => shiftright(v, 26))
+      .select(expr("sid DIV 1000000").as("user_id"),
+        col("start_ms"), col("end_ms"), col("n_overlap"))
+      .orderBy(col("user_id"), col("start_ms"))
+  }
+
+  /** MMR diversified top-5 around vec_id 0 — q168's greedy selection
+    * doctrine on the dense-vector side: each round's pick maximizes
+    * micro-unit `rel − max-sim-to-selected` (λ = ½), candidates never
+    * pair with each other, only with the ≤ k broadcast selected vectors
+    * ([[graft.operators.Mmr.mmrSelect]]). */
+  private def q179(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Mmr.mmrSelect(s, Tables.embeddings(s, dir),
+        "vec_id", "embedding", queryId = 0L, k = 5)
+      .orderBy(col("round"))
+
+  /** Per-nation monthly-revenue TREND — exact rational least-squares
+    * slope/intercept over the (month-index, revenue-cents) series of
+    * each nation: the "is this domain growing, and how fast" read with
+    * an exact sign test ([[graft.operators.Eval.groupedTrend]]). */
+  private def q180(s: SparkSession, dir: String): DataFrame = {
+    val rev = Tables.lineitem(s, dir)
+      .join(Tables.orders(s, dir), col("l_orderkey") === col("o_orderkey"))
+      .join(Tables.customer(s, dir), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(Tables.nation(s, dir)),
+        col("c_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_name"),
+        (year(col("o_orderdate")) * lit(12) + month(col("o_orderdate"))).as("x"))
+      .agg(sum(cents(col("l_extendedprice") * (lit(1.0) - col("l_discount")))).as("y"))
+    graft.operators.Eval.groupedTrend(rev, "n_name", col("x"), col("y"))
+      .orderBy(col("n_name"))
+  }
+
+  /** LSH threshold SWEEP — the q18 banding candidates verified with
+    * exact hashed-shingle Jaccard and binned by decile, plus the
+    * survivor curve: the tuning read that picks the dedup threshold
+    * before a corpus-wide run ([[graft.operators.Tuning
+    * .lshThresholdSweep]]). */
+  private def q181(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Tuning.lshThresholdSweep(
+        Tables.documents(s, dir), "doc_id", "text",
+        shingleLen = 3, k = 16, bands = 4)
+      .orderBy(col("decile"))
 
   // =====================================================================
   // DuckDB oracle SQL — same semantics, same column names, same ORDER BY.
@@ -5842,6 +5989,266 @@ object SparkEntry {
              CASE WHEN idcg_u > 0 THEN CAST(dcg_u AS DOUBLE) / CAST(idcg_u AS DOUBLE) END AS ndcg
            FROM sys CROSS JOIN ideal"""
       },
+
+      // five HUGEINT moment sums, the q170 tail shape (two sqrts, one
+      // division over exactly-converted integers)
+      "q172_pearson" ->
+        s"""WITH d AS (SELECT CAST(n_chars AS BIGINT) AS x,
+                 CAST(floor(${qualitySql(toks)} * 1e6) AS BIGINT) AS y
+               FROM documents),
+           m AS (SELECT CAST(count(*) AS HUGEINT) AS n,
+                   sum(CAST(x AS HUGEINT)) AS sx, sum(CAST(y AS HUGEINT)) AS sy,
+                   sum(CAST(x AS HUGEINT) * x) AS sxx,
+                   sum(CAST(y AS HUGEINT) * y) AS syy,
+                   sum(CAST(x AS HUGEINT) * y) AS sxy
+                 FROM d),
+           c AS (SELECT n, n * sxy - sx * sy AS covn,
+                   n * sxx - sx * sx AS vxn, n * syy - sy * sy AS vyn
+                 FROM m)
+           SELECT CAST(n AS BIGINT) AS n,
+             CAST(covn AS DOUBLE) AS cov_n,
+             CAST(vxn AS DOUBLE) AS var_xn, CAST(vyn AS DOUBLE) AS var_yn,
+             CASE WHEN vxn > 0 AND vyn > 0
+               THEN CAST(covn AS DOUBLE) / (sqrt(CAST(vxn AS DOUBLE)) * sqrt(CAST(vyn AS DOUBLE))) END AS r
+           FROM c""",
+
+      // sparse-safe identity χ² = N·Σ O²/(R·C) − N over OBSERVED cells
+      // (zero cells contribute 0 to the sum, exactly); pure HUGEINT
+      // integer arithmetic, micro-unit floors once per cell
+      "q173_chi_square" ->
+        """WITH cells AS (SELECT source AS a, lang AS b, CAST(count(*) AS BIGINT) AS o
+               FROM documents GROUP BY 1, 2),
+           ra AS (SELECT a, CAST(sum(o) AS BIGINT) AS r FROM cells GROUP BY a),
+           cb AS (SELECT b, CAST(sum(o) AS BIGINT) AS c FROM cells GROUP BY b),
+           nn AS (SELECT CAST(sum(o) AS BIGINT) AS n FROM cells),
+           t AS (SELECT
+                   (CAST(o AS HUGEINT) * o * n * 1000000) // (CAST(r AS HUGEINT) * c) AS tm,
+                   cells.a, cells.b
+                 FROM cells JOIN ra USING (a) JOIN cb USING (b) CROSS JOIN nn),
+           s AS (SELECT count(DISTINCT a) AS n_a, count(DISTINCT b) AS n_b,
+                   sum(tm) AS st
+                 FROM t)
+           SELECT n, CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b,
+             CAST((n_a - 1) * (n_b - 1) AS BIGINT) AS dof,
+             CAST(st - CAST(n AS HUGEINT) * 1000000 AS BIGINT) AS chi2_micro,
+             CAST(CAST(st - CAST(n AS HUGEINT) * 1000000 AS BIGINT) AS DOUBLE) / 1e6 AS chi2
+           FROM s CROSS JOIN nn""",
+
+      // the Colloc PMI double shape per cell (round(ln·1e6)), HUGEINT
+      // O·pmi products, one trailing division by N·1e6
+      "q174_mutual_info" ->
+        """WITH cells AS (SELECT source AS a, lang AS b, CAST(count(*) AS BIGINT) AS o
+               FROM documents GROUP BY 1, 2),
+           ra AS (SELECT a, CAST(sum(o) AS BIGINT) AS r FROM cells GROUP BY a),
+           cb AS (SELECT b, CAST(sum(o) AS BIGINT) AS c FROM cells GROUP BY b),
+           nn AS (SELECT CAST(sum(o) AS BIGINT) AS n FROM cells),
+           t AS (SELECT o,
+                   CAST(round(ln(CAST(o AS DOUBLE) * CAST(n AS DOUBLE) /
+                     CAST(r AS DOUBLE) / CAST(c AS DOUBLE)) * 1e6) AS BIGINT) AS pmi
+                 FROM cells JOIN ra USING (a) JOIN cb USING (b) CROSS JOIN nn),
+           s AS (SELECT CAST(count(*) AS BIGINT) AS n_cells,
+                   sum(CAST(o AS HUGEINT) * pmi) AS mi
+                 FROM t)
+           SELECT n, n_cells, CAST(mi AS DOUBLE) AS mi_n_micro,
+             CAST(mi AS DOUBLE) / (CAST(n AS DOUBLE) * 1e6) AS mi_nats
+           FROM s CROSS JOIN nn""",
+
+      // one lag window per user over the shared (ms, event_id) total
+      // order; probabilities by truncating integer division
+      "q175_markov_transitions" ->
+        """WITH e AS (SELECT user_id, event_type,
+                 lag(event_type) OVER (PARTITION BY user_id
+                   ORDER BY epoch_ms(ts), event_id) AS prev
+               FROM events),
+           c AS (SELECT prev AS from_state, event_type AS to_state,
+                   CAST(count(*) AS BIGINT) AS c
+                 FROM e WHERE prev IS NOT NULL GROUP BY 1, 2),
+           t AS (SELECT from_state, CAST(sum(c) AS BIGINT) AS c_from
+                 FROM c GROUP BY 1)
+           SELECT from_state, to_state, c, c_from,
+             CAST(c * 1000000 // c_from AS BIGINT) AS p_micro
+           FROM c JOIN t USING (from_state)
+           ORDER BY from_state, to_state""",
+
+      // q172's moment chain over the 4h-step series joined to its
+      // 6-steps-later self (pairs exist only where both steps do)
+      "q176_autocorrelation" ->
+        """WITH s AS (SELECT epoch_ms(ts) // 14400000 AS t,
+                 CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS v
+               FROM events GROUP BY 1),
+           j AS (SELECT a.v AS x, b.v AS y FROM s a JOIN s b ON b.t = a.t + 6),
+           m AS (SELECT CAST(count(*) AS HUGEINT) AS n,
+                   sum(CAST(x AS HUGEINT)) AS sx, sum(CAST(y AS HUGEINT)) AS sy,
+                   sum(CAST(x AS HUGEINT) * x) AS sxx,
+                   sum(CAST(y AS HUGEINT) * y) AS syy,
+                   sum(CAST(x AS HUGEINT) * y) AS sxy
+                 FROM j),
+           c AS (SELECT n, n * sxy - sx * sy AS covn,
+                   n * sxx - sx * sx AS vxn, n * syy - sy * sy AS vyn
+                 FROM m)
+           SELECT CAST(6 AS BIGINT) AS lag, CAST(n AS BIGINT) AS n,
+             CAST(covn AS DOUBLE) AS cov_n,
+             CAST(vxn AS DOUBLE) AS var_xn, CAST(vyn AS DOUBLE) AS var_yn,
+             CASE WHEN vxn > 0 AND vyn > 0
+               THEN CAST(covn AS DOUBLE) / (sqrt(CAST(vxn AS DOUBLE)) * sqrt(CAST(vyn AS DOUBLE))) END AS r
+           FROM c""",
+
+      // q162's unrolled chain with costs: each round relaxes the FULL
+      // distance set (provably equal to the engine's improved-frontier
+      // rounds at every round count)
+      "q177_weighted_sssp" -> {
+        val rounds = (1 to 3).map { r =>
+          s""",
+           d$r AS (SELECT node, CAST(min(dist) AS BIGINT) AS dist FROM (
+                    SELECT node, dist FROM d${r - 1}
+                    UNION ALL
+                    SELECT e.dst AS node, d${r - 1}.dist + e.w AS dist
+                    FROM e JOIN d${r - 1} ON e.src = d${r - 1}.node) u GROUP BY node)"""
+        }.mkString
+        s"""WITH e AS (
+             SELECT src, dst, CAST(min(w) AS BIGINT) AS w FROM (
+               SELECT l_partkey AS src, l_suppkey + 1000000 AS dst,
+                 CAST(round(l_quantity * 100) AS BIGINT) AS w FROM lineitem
+               UNION ALL
+               SELECT l_suppkey + 1000000 AS src, l_partkey AS dst,
+                 CAST(round(l_quantity * 100) AS BIGINT) AS w FROM lineitem) u
+             GROUP BY src, dst),
+           d0 AS (SELECT DISTINCT s_suppkey + 1000000 AS node,
+                    CAST(0 AS BIGINT) AS dist
+                  FROM supplier WHERE s_nationkey % 5 = 3)$rounds
+           SELECT node, dist FROM d3 ORDER BY node"""
+      },
+
+      // q16's session CTEs, then a plain closed-interval overlap join —
+      // semantically identical to the engine's pair-free endpoint sweep
+      "q178_interval_overlap" ->
+        """WITH flagged AS (
+             SELECT user_id, ts, event_id,
+               CASE WHEN lag(ts) OVER w IS NULL
+                     OR epoch_ms(ts) - epoch_ms(lag(ts) OVER w) >= 1800000 THEN 1 ELSE 0 END AS ns
+             FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)),
+           sessions AS (
+             SELECT user_id, ts,
+               sum(ns) OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+             FROM flagged),
+           sess AS (SELECT user_id, sid, CAST(min(epoch_ms(ts)) AS BIGINT) AS start_ms,
+                      CAST(max(epoch_ms(ts)) AS BIGINT) AS end_ms
+                    FROM sessions GROUP BY user_id, sid),
+           a AS (SELECT * FROM sess WHERE user_id % 2 = 0),
+           b AS (SELECT * FROM sess WHERE user_id % 2 = 1)
+           SELECT a.user_id, a.start_ms, a.end_ms,
+             CAST(count(b.user_id) AS BIGINT) AS n_overlap
+           FROM a LEFT JOIN b ON b.start_ms <= a.end_ms AND b.end_ms >= a.start_ms
+           GROUP BY a.user_id, a.sid, a.start_ms, a.end_ms
+           ORDER BY a.user_id, a.start_ms""",
+
+      // 5 generated MMR rounds (the q168 replay pattern): q21's cosine
+      // shape quantized to micro-units at each computation site, pure
+      // BIGINT decisions thereafter
+      "q179_mmr_select" -> {
+        def cos(a: String, an: String, b: String, bn: String) =
+          s"""CAST(round(CASE WHEN $an * $bn = 0 THEN 0.0
+               ELSE list_sum(list_transform(range(1, len($a) + 1), i ->
+                      CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE))) / ($an * $bn)
+               END * 1e6) AS BIGINT)"""
+        val rounds = (2 to 5).map { r =>
+          s""",
+           p$r AS (SELECT c.id, c.rel_u,
+                     max(${cos("s.v", "s.n", "c.v", "c.n")}) AS ms
+                   FROM rel c, rel s
+                   WHERE s.id IN (SELECT id FROM sel${r - 1})
+                     AND c.id NOT IN (SELECT id FROM sel${r - 1})
+                   GROUP BY c.id, c.rel_u),
+           s$r AS (SELECT CAST($r AS BIGINT) AS round, id, rel_u, ms
+                   FROM p$r ORDER BY rel_u - ms DESC, id LIMIT 1),
+           sel$r AS (SELECT id FROM sel${r - 1} UNION ALL SELECT id FROM s$r)"""
+        }.mkString
+        val union = (1 to 5).map(r =>
+          s"SELECT round, id, rel_u, ms FROM s$r").mkString("\n           UNION ALL\n           ")
+        s"""WITH base AS (SELECT vec_id AS id, embedding AS v,
+               sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS n
+             FROM embeddings),
+           q AS (SELECT v AS qv, n AS qn FROM base WHERE id = 0),
+           rel AS (SELECT id, v, n, ${cos("qv", "qn", "v", "n")} AS rel_u
+                   FROM base CROSS JOIN q WHERE id <> 0),
+           s1 AS (SELECT CAST(1 AS BIGINT) AS round, id, rel_u, CAST(0 AS BIGINT) AS ms
+                  FROM rel ORDER BY rel_u DESC, id LIMIT 1),
+           sel1 AS (SELECT id FROM s1)$rounds
+           SELECT round, id, rel_u AS rel_micro, ms AS maxsim_micro,
+             CAST(rel_u - ms AS BIGINT) AS score2
+           FROM ($union)
+           ORDER BY round"""
+      },
+
+      // grouped q172 moments; slope and intercept share the exact
+      // HUGEINT denominator, quotients are single IEEE divisions
+      "q180_grouped_trend" ->
+        s"""WITH rev AS (SELECT n_name,
+               CAST(date_part('year', o_orderdate) * 12 + date_part('month', o_orderdate) AS BIGINT) AS x,
+               CAST(sum(${C.format("l_extendedprice * (1.0 - l_discount)")}) AS BIGINT) AS y
+             FROM lineitem
+               JOIN orders ON l_orderkey = o_orderkey
+               JOIN customer ON o_custkey = c_custkey
+               JOIN nation ON c_nationkey = n_nationkey
+             GROUP BY 1, 2),
+           m AS (SELECT n_name, CAST(count(*) AS HUGEINT) AS n,
+                   sum(CAST(x AS HUGEINT)) AS sx, sum(CAST(y AS HUGEINT)) AS sy,
+                   sum(CAST(x AS HUGEINT) * x) AS sxx,
+                   sum(CAST(x AS HUGEINT) * y) AS sxy
+                 FROM rev GROUP BY 1),
+           c AS (SELECT n_name, n, n * sxy - sx * sy AS num,
+                   n * sxx - sx * sx AS den, sy * sxx - sx * sxy AS inum
+                 FROM m)
+           SELECT n_name, CAST(n AS BIGINT) AS n,
+             CAST(num AS DOUBLE) AS slope_num, CAST(den AS DOUBLE) AS slope_den,
+             CASE WHEN den > 0 THEN CAST(num AS DOUBLE) / CAST(den AS DOUBLE) END AS slope,
+             CASE WHEN den > 0 THEN CAST(inum AS DOUBLE) / CAST(den AS DOUBLE) END AS intercept
+           FROM c ORDER BY n_name""",
+
+      // q18's banding CTEs with NO threshold (the full candidate
+      // universe), verified by exact Jaccard over the shared hashed
+      // 60-bit shingle space, then the <= 11-row survivor curve
+      "q181_lsh_sweep" ->
+        s"""WITH ex AS (
+             SELECT doc_id AS id, unnest(list_distinct(${shingles(3)})) AS s
+             FROM (SELECT doc_id, $toks AS toks FROM documents) d),
+           hv AS (
+             SELECT id, ('0x' || substr(md5(s), 1, 8))::BIGINT AS h1,
+                        ('0x' || substr(md5(s), 9, 8))::BIGINT AS h2,
+                        ('0x' || substr(md5(s), 1, 15))::BIGINT AS sh
+             FROM ex),
+           sig AS (
+             SELECT id, [${(0 until 16).map(i => s"min((h1 + $i * h2) % 4294967291)").mkString(", ")}] AS sig
+             FROM hv GROUP BY id),
+           banded AS (
+             SELECT id, unnest(list_transform(range(0, 4), b ->
+               CAST(b AS VARCHAR) || ':' || md5(array_to_string(list_slice(sig, b * 4 + 1, b * 4 + 4), '|')))) AS band
+             FROM sig),
+           cands AS (
+             SELECT DISTINCT a.id AS id_a, b.id AS id_b
+             FROM banded a JOIN banded b ON a.band = b.band AND a.id < b.id),
+           sets AS (SELECT DISTINCT id, sh FROM hv),
+           sizes AS (SELECT id, CAST(count(*) AS BIGINT) AS sz FROM sets GROUP BY id),
+           inter AS (
+             SELECT c.id_a, c.id_b, CAST(count(*) AS BIGINT) AS i
+             FROM cands c
+               JOIN sets sa ON sa.id = c.id_a
+               JOIN sets sb ON sb.id = c.id_b AND sb.sh = sa.sh
+             GROUP BY 1, 2),
+           j AS (SELECT coalesce(i.i, 0) AS i, za.sz + zb.sz - coalesce(i.i, 0) AS u
+                 FROM cands c
+                   LEFT JOIN inter i ON i.id_a = c.id_a AND i.id_b = c.id_b
+                   JOIN sizes za ON za.id = c.id_a
+                   JOIN sizes zb ON zb.id = c.id_b
+                 WHERE za.sz + zb.sz - coalesce(i.i, 0) > 0),
+           hist AS (SELECT CAST(i * 10 // u AS BIGINT) AS decile,
+                      CAST(count(*) AS BIGINT) AS n_pairs
+                    FROM j GROUP BY 1)
+           SELECT decile, n_pairs,
+             CAST(sum(n_pairs) OVER (ORDER BY decile DESC
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS n_pairs_ge
+           FROM hist ORDER BY decile""",
     )
   }
 }

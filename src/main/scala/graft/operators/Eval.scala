@@ -171,6 +171,200 @@ object Eval {
           .as("rho"))
   }
 
+  /** Exact PEARSON correlation over integer-quantized variables — the
+    * linear companion to [[spearmanExact]] (a pipeline reads the pair:
+    * ρ ≈ r says the relation is linear, ρ ≫ r says monotone-but-curved,
+    * both ≈ 0 says the score carries no length signal at all). Callers
+    * quantize floats to integers FIRST (cents, micro-units); the five
+    * moment sums n, Σx, Σy, Σx², Σy², Σxy then ride DECIMAL(38,0) —
+    * exact under any partitioning/aggregation order — and
+    * `r = (n·Σxy − Σx·Σy) / (√(n·Σx²−(Σx)²) · √(n·Σy²−(Σy)²))` is two
+    * exactly-rounded IEEE sqrts and one division over exactly-converted
+    * integers, the [[spearmanExact]] tail shape.
+    *
+    * ## Scale shape (100 TB)
+    * ONE partial-aggregable aggregate over the scan — no shuffle wider
+    * than a single 6-column partial-agg row per partition, no window, no
+    * join. Digit budget: |n·Σxy| ≤ n²·|x|·|y| — 38 digits hold n = 10⁹
+    * rows of micro-unit (10⁶) values with 10¹⁴ to spare; beyond that,
+    * quantize coarser (the r of scaled variables is unchanged).
+    * Returns ONE row `(n, cov_n, var_xn, var_yn, r)` (the n-scaled
+    * centered sums as exactly-converted doubles); r NULL when either
+    * variable is constant. On perfectly-correlated data |r| can land one
+    * ulp ABOVE 1 (the sqrt product rounds below the exact geometric
+    * mean) — both engines compute the identical value, so parity holds;
+    * consumers comparing against ±1 should use a tolerance. */
+  def pearsonExact(df: DataFrame, xCol: Column, yCol: Column): DataFrame = {
+    df.select(xCol.cast("long").as("_x"), yCol.cast("long").as("_y"))
+      .agg(
+        count(lit(1)).as("_n"),
+        sum(expr("CAST(_x AS DECIMAL(38,0))")).as("_sx"),
+        sum(expr("CAST(_y AS DECIMAL(38,0))")).as("_sy"),
+        sum(expr("CAST(_x AS DECIMAL(38,0)) * _x")).as("_sxx"),
+        sum(expr("CAST(_y AS DECIMAL(38,0)) * _y")).as("_syy"),
+        sum(expr("CAST(_x AS DECIMAL(38,0)) * _y")).as("_sxy"))
+      .select(col("_n").as("n"),
+        expr("CAST(_n AS DECIMAL(38,0)) * _sxy - _sx * _sy").as("_covn"),
+        expr("CAST(_n AS DECIMAL(38,0)) * _sxx - _sx * _sx").as("_vxn"),
+        expr("CAST(_n AS DECIMAL(38,0)) * _syy - _sy * _sy").as("_vyn"))
+      .select(col("n"),
+        col("_covn").cast("double").as("cov_n"),
+        col("_vxn").cast("double").as("var_xn"),
+        col("_vyn").cast("double").as("var_yn"),
+        when(col("_vxn") > 0 && col("_vyn") > 0,
+          col("_covn").cast("double") /
+            (sqrt(col("_vxn").cast("double")) * sqrt(col("_vyn").cast("double"))))
+          .as("r"))
+  }
+
+  /** CHI-SQUARED test of independence over two categorical columns —
+    * "is source predictive of label?", the drift/bias probe a curation
+    * pipeline runs on (source × language), (shard × quality-tier),
+    * (split × domain) before trusting a stratification. Uses the
+    * sparse-safe identity `χ² = N·Σ_cells O²/(R·C) − N`: zero cells
+    * contribute 0 to the sum (their deviation is captured by the −N
+    * term), so summing over OBSERVED cells only is exact — the naive
+    * `Σ(O−E)²/E` over observed cells would silently drop every
+    * structural zero's contribution. Per cell
+    * `⌊O²·N·10⁶ / (R·C)⌋` is pure DECIMAL(38) integer arithmetic
+    * (quantize-before-sum, floor losses ≤ 1 micro-unit per observed
+    * cell); no IEEE operation exists anywhere except the trailing
+    * display division.
+    *
+    * ## Scale shape (100 TB)
+    * The data-sized work is ONE partial-aggregable `groupBy(a, b)` count,
+    * checkpointed once (it fans into row totals, column totals, N, and
+    * the term join — all category-universe-sized); totals attach by
+    * broadcast. Digit budget: `O²·N·10⁶ ≤ N³·10⁶` — 38 digits hold
+    * N ≈ 2·10¹⁰ exactly; shard-and-combine is NOT valid for χ², so
+    * beyond that, compute on a stratum or a fixed-rate sample.
+    * Returns ONE row `(n, n_a, n_b, dof, chi2_micro, chi2)`. */
+  def chiSquareIndependence(df: DataFrame, aCol: Column, bCol: Column): DataFrame = {
+    val cells = df.select(aCol.as("_a"), bCol.as("_b"))
+      .groupBy(col("_a"), col("_b")).agg(count(lit(1)).as("_o"))
+      .localCheckpoint()
+    val ra = cells.groupBy(col("_a")).agg(sum(col("_o")).as("_ra"))
+    val cb = cells.groupBy(col("_b")).agg(sum(col("_o")).as("_cb"))
+    val n = cells.agg(sum(col("_o")).as("_n"))
+    cells
+      .join(broadcast(ra), Seq("_a"))
+      .join(broadcast(cb), Seq("_b"))
+      .crossJoin(broadcast(n))
+      .select(col("_a"), col("_b"),
+        expr("(CAST(_o AS DECIMAL(38,0)) * _o * _n * 1000000) DIV " +
+          "(CAST(_ra AS DECIMAL(38,0)) * _cb)").as("_t"))
+      .agg(countDistinct(col("_a")).as("n_a"), countDistinct(col("_b")).as("n_b"),
+        sum(col("_t")).as("_st"))
+      .crossJoin(broadcast(n))
+      .select(col("_n").as("n"), col("n_a"), col("n_b"),
+        ((col("n_a") - 1) * (col("n_b") - 1)).as("dof"),
+        (col("_st") - expr("CAST(_n AS DECIMAL(38,0)) * 1000000"))
+          .cast("long").as("chi2_micro"))
+      .withColumn("chi2", col("chi2_micro").cast("double") / lit(1e6))
+  }
+
+  /** MUTUAL INFORMATION between two categorical columns in micro-nats —
+    * the magnitude companion to [[chiSquareIndependence]] (χ² says
+    * "dependence is detectable"; MI says "how many bits of one column
+    * the other carries" — the number a pipeline compares against a
+    * leakage budget when a metadata column threatens to encode the
+    * label). `MI = Σ_cells (O/N)·ln(O·N/(R·C))`; each cell's
+    * `ln(O·N/(R·C))` is quantized to round(ln·10⁶) ONCE per distinct
+    * cell (the [[Colloc]] PMI shape, same left-associated double
+    * arithmetic), so `mi_n_micro = Σ O·pmi_micro` is an exact integer
+    * sum (DECIMAL(38) — O·pmi can pass 2⁶³ at corpus scale) and
+    * `mi_nats = mi_n_micro / (N·10⁶)` is one IEEE division.
+    *
+    * ## Scale shape (100 TB)
+    * Identical to [[chiSquareIndependence]]: one partial-aggregable cell
+    * count (checkpointed), broadcast-attached totals, category-sized
+    * everything after the scan. Returns ONE row
+    * `(n, n_cells, mi_n_micro, mi_nats)`. */
+  def mutualInfoUnats(df: DataFrame, aCol: Column, bCol: Column): DataFrame = {
+    val cells = df.select(aCol.as("_a"), bCol.as("_b"))
+      .groupBy(col("_a"), col("_b")).agg(count(lit(1)).as("_o"))
+      .localCheckpoint()
+    val ra = cells.groupBy(col("_a")).agg(sum(col("_o")).as("_ra"))
+    val cb = cells.groupBy(col("_b")).agg(sum(col("_o")).as("_cb"))
+    val n = cells.agg(sum(col("_o")).as("_n"))
+    cells
+      .join(broadcast(ra), Seq("_a"))
+      .join(broadcast(cb), Seq("_b"))
+      .crossJoin(broadcast(n))
+      // fixed left-associated double shape (the Colloc PMI site)
+      .withColumn("_pmi",
+        round(log(col("_o").cast("double") * col("_n").cast("double") /
+          col("_ra").cast("double") / col("_cb").cast("double")) * lit(1e6)).cast("long"))
+      .agg(max(col("_n")).as("_nn"), count(lit(1)).as("n_cells"),
+        sum(expr("CAST(_o AS DECIMAL(38,0)) * _pmi")).as("_mi"))
+      .select(col("_nn").as("n"), col("n_cells"),
+        col("_mi").cast("double").as("mi_n_micro"),
+        (col("_mi").cast("double") / (col("_nn").cast("double") * lit(1e6)))
+          .as("mi_nats"))
+  }
+
+  /** Per-group LINEAR TREND — exact least-squares slope and intercept as
+    * RATIONALS: over each group's (x, y) points,
+    * `slope = (n·Σxy − Σx·Σy) / (n·Σx² − (Σx)²)` and
+    * `intercept = (Σy·Σx² − Σx·Σxy) / (same denominator)`, with every
+    * numerator and the shared denominator an exact DECIMAL(38) integer
+    * (the [[pearsonExact]] moment machinery, grouped). "Is this domain's
+    * volume growing and how fast" answered without a float accumulation;
+    * the sign test (`slope_num` vs 0) is exact even where the IEEE
+    * quotient would round near zero. Callers pass integer-quantized x/y.
+    *
+    * ## Scale shape (100 TB)
+    * ONE partial-aggregable grouped aggregate over the scan; output is
+    * group-universe-sized. The trailing quotients are single IEEE
+    * divisions of exactly-converted integers. Returns
+    * `(groupCol, n, slope_num, slope_den, slope, intercept)` — slope and
+    * intercept NULL for degenerate groups (constant x, n ≤ 1). */
+  def groupedTrend(df: DataFrame, groupCol: String, xCol: Column,
+                   yCol: Column): DataFrame = {
+    df.select(col(groupCol), xCol.cast("long").as("_x"), yCol.cast("long").as("_y"))
+      .groupBy(col(groupCol))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(expr("CAST(_x AS DECIMAL(38,0))")).as("_sx"),
+        sum(expr("CAST(_y AS DECIMAL(38,0))")).as("_sy"),
+        sum(expr("CAST(_x AS DECIMAL(38,0)) * _x")).as("_sxx"),
+        sum(expr("CAST(_x AS DECIMAL(38,0)) * _y")).as("_sxy"))
+      .select(col(groupCol), col("n"),
+        expr("CAST(n AS DECIMAL(38,0)) * _sxy - _sx * _sy").as("_num"),
+        expr("CAST(n AS DECIMAL(38,0)) * _sxx - _sx * _sx").as("_den"),
+        expr("_sy * _sxx - _sx * _sxy").as("_inum"))
+      .select(col(groupCol), col("n"),
+        col("_num").cast("double").as("slope_num"),
+        col("_den").cast("double").as("slope_den"),
+        when(col("_den") > 0, col("_num").cast("double") / col("_den").cast("double"))
+          .as("slope"),
+        when(col("_den") > 0, col("_inum").cast("double") / col("_den").cast("double"))
+          .as("intercept"))
+  }
+
+  /** AUTOCORRELATION of an aggregated time series at a fixed lag —
+    * [[pearsonExact]] composed over the series' self-join: pairs are the
+    * (t, t+lag) steps where BOTH exist (gaps drop the pair — the "na.or
+    * complete" convention, deterministic and oracle-mirrorable), so
+    * seasonality probes ("does 4-hourly traffic repeat daily?") come out
+    * of the same exact DECIMAL(38) moment machinery. Callers pass the
+    * series ALREADY aggregated to (step, integer value) — the step
+    * universe is time-span-sized, not data-sized.
+    *
+    * ## Scale shape (100 TB)
+    * One equi-join of the step-universe table against its shifted self
+    * (AQE broadcasts it when small), then the single-aggregate moment
+    * pass. Returns ONE row `(lag, n, cov_n, var_xn, var_yn, r)`. */
+  def autocorrAtLag(series: DataFrame, stepCol: Column, valueCol: Column,
+                    lagSteps: Long): DataFrame = {
+    require(lagSteps >= 1L, s"lagSteps must be >= 1, got $lagSteps")
+    val s = series.select(stepCol.cast("long").as("_t"), valueCol.cast("long").as("_v"))
+    val shifted = s.select((col("_t") - lit(lagSteps)).as("_t"), col("_v").as("_v2"))
+    pearsonExact(s.join(shifted, Seq("_t")), col("_v"), col("_v2"))
+      .select(lit(lagSteps).as("lag"), col("n"), col("cov_n"),
+        col("var_xn"), col("var_yn"), col("r"))
+  }
+
   /** nDCG@k of a scored candidate set against graded relevance
     * (Järvelin & Kekäläinen 2002) — the ranking-quality number for a
     * retrieval stage (BM25, embedding search, rank fusion):

@@ -500,6 +500,63 @@ object Graph {
     * = O(m) across ALL rounds, not O(m·rounds)); the settled set is
     * localCheckpointed per round. Returns `(node, dist)` with dist in
     * [0, maxHops]. */
+  /** Single-source (multi-seed) WEIGHTED shortest paths — Bellman-Ford
+    * relaxation rounds with non-negative integer weights: after `rounds`
+    * rounds each node carries the exact minimum-cost path from any seed
+    * using at most `rounds` edges ([[bfsDistances]] is the w ≡ 1
+    * special case; this is the cost tier — cheapest referral chain,
+    * lowest-latency route, minimum-toll supply path). Negative weights
+    * are refused IN-PLAN (raise_error — they would silently turn the
+    * bounded-rounds answer into a lie near negative cycles); parallel
+    * edges collapse to their cheapest copy first.
+    *
+    * ## Scale shape (100 TB)
+    * The [[bfsDistances]] frontier skeleton carried to weights: each
+    * round relaxes ONLY the nodes whose distance improved last round
+    * (a node whose distance is unchanged re-offers candidates already
+    * merged — the classic delta optimization, provably equal to full
+    * relaxation at every round count), so total join work is
+    * O(Σ improved-frontier out-degree) against the src-repartitioned
+    * cached edges; candidate min and the merge min are both
+    * partial-aggregable; distances localCheckpointed per round.
+    * Returns `(node, dist)` — nodes unreached within `rounds` edges are
+    * absent. */
+  def ssspInt(edges: DataFrame, srcCol: String, dstCol: String,
+              weightCol: String, seeds: DataFrame, rounds: Int,
+              checkpoint: Boolean = true): DataFrame = {
+    require(rounds >= 1, s"rounds must be >= 1, got $rounds")
+    def cut(df: DataFrame): DataFrame =
+      if (checkpoint) df.localCheckpoint() else df
+    val e = edges
+      .select(col(srcCol).as("src"), col(dstCol).as("dst"),
+        col(weightCol).cast("long").as("_w0"))
+      .withColumn("_wc",
+        when(col("_w0") < 0L, raise_error(concat(
+          lit(s"ssspInt: negative weight in $weightCol: "),
+          col("_w0").cast("string")))).otherwise(col("_w0")))
+      .groupBy(col("src"), col("dst")).agg(min(col("_wc")).as("w"))
+      .repartition(col("src")).persist()
+    var dist = cut(
+      seeds.select(col(seeds.columns.head).as("node")).distinct()
+        .withColumn("dist", lit(0L)))
+    var frontier = dist
+    for (_ <- 1 to rounds) {
+      val cand = e
+        .join(frontier.select(col("node").as("src"), col("dist")), Seq("src"))
+        .select(col("dst").as("node"), (col("dist") + col("w")).as("dist"))
+        .groupBy(col("node")).agg(min(col("dist")).as("dist"))
+      val improved = cand
+        .join(dist.select(col("node"), col("dist").as("_old")), Seq("node"), "left")
+        .where(col("_old").isNull || col("dist") < col("_old"))
+        .select(col("node"), col("dist"))
+      frontier = cut(improved)
+      dist = cut(dist.union(frontier)
+        .groupBy(col("node")).agg(min(col("dist")).as("dist")))
+    }
+    if (checkpoint) e.unpersist()
+    dist
+  }
+
   def bfsDistances(edges: DataFrame, srcCol: String, dstCol: String,
                    seeds: DataFrame, maxHops: Int,
                    checkpoint: Boolean = true): DataFrame = {

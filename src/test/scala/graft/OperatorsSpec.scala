@@ -3252,4 +3252,159 @@ class OperatorsSpec extends SparkSuite {
     val zero = Seq((10L, 0L, 1L)).toDF("s", "g", "id")
     assert(Eval.ndcgAtK(zero, col("s"), col("g"), col("id"), 2).collect()(0).isNullAt(3))
   }
+
+  test("pearsonExact: perfect line, anti-line, constant NULL, exact moments") {
+    import spark.implicits._
+    import graft.operators.Eval
+    def r(pts: Seq[(Long, Long)]): Row =
+      Eval.pearsonExact(pts.toDF("x", "y"), col("x"), col("y")).collect()(0)
+    // y = 2x + 1 over x = 1,2,3: covn = 3*34-6*15 = 12, vxn = 6, vyn = 24
+    val p = r(Seq((1L, 3L), (2L, 5L), (3L, 7L)))
+    // sqrt(6)*sqrt(24) rounds one ulp below 12, so r lands one ulp above
+    // 1 — the documented sqrt-tail ulp; both engines compute it identically
+    assert(p.getLong(0) == 3L && p.getDouble(1) == 12.0 &&
+      p.getDouble(2) == 6.0 && p.getDouble(3) == 24.0 &&
+      math.abs(p.getDouble(4) - 1.0) < 1e-15)
+    assert(math.abs(r((1L to 50L).map(i => (i, 100L - 3L * i))).getDouble(4) + 1.0) < 1e-15)
+    assert(r((1L to 10L).map(i => (i, 7L))).isNullAt(4)) // constant y
+  }
+
+  test("chiSquareIndependence: sparse-safe identity covers zero cells exactly") {
+    import spark.implicits._
+    import graft.operators.Eval
+    def chi(rows: Seq[(String, String)]): Row =
+      Eval.chiSquareIndependence(rows.toDF("a", "b"), col("a"), col("b")).collect()(0)
+    // uniform 2x2: perfectly independent -> exactly 0
+    val ind = chi(Seq(("a1", "b1"), ("a1", "b2"), ("a2", "b1"), ("a2", "b2")))
+    assert(ind.getLong(0) == 4L && ind.getLong(4) == 0L)
+    // diagonal-only 2x2 (counts 2,2): only 2 OBSERVED cells, but the
+    // zero cells' deviation is captured by the -N term: chi2 = N = 4
+    val dep = chi(Seq(("a1", "b1"), ("a1", "b1"), ("a2", "b2"), ("a2", "b2")))
+    assert(dep.getLong(4) == 4000000L && dep.getLong(3) == 1L) // dof (2-1)(2-1)
+  }
+
+  test("mutualInfoUnats: zero for independence, ln2 micro-nats for perfect 2x2") {
+    import spark.implicits._
+    import graft.operators.Eval
+    def mi(rows: Seq[(String, String)]): Row =
+      Eval.mutualInfoUnats(rows.toDF("a", "b"), col("a"), col("b")).collect()(0)
+    assert(mi(Seq(("a1", "b1"), ("a1", "b2"), ("a2", "b1"), ("a2", "b2")))
+      .getDouble(2) == 0.0) // every cell pmi = ln(1) = 0 exactly
+    val dep = mi(Seq(("a1", "b1"), ("a1", "b1"), ("a2", "b2"), ("a2", "b2")))
+    // per cell pmi = round(ln(2)*1e6) = 693147; mi_n = 4 * 693147
+    assert(dep.getDouble(2) == 4.0 * 693147.0)
+    assert(math.abs(dep.getDouble(3) - math.log(2.0)) < 1e-6)
+  }
+
+  test("Markov.transitionMatrix: counts, totals, truncating micro probabilities") {
+    import spark.implicits._
+    val ev = Seq(
+      (1L, 1L, "A"), (1L, 2L, "B"), (1L, 3L, "A"), (1L, 4L, "B"),
+      (2L, 1L, "A"), (2L, 2L, "A"))
+      .toDF("user", "seq", "state")
+    val m = graft.operators.Markov.transitionMatrix(ev, col("user"), col("state"),
+        Seq(col("seq")))
+      .collect().map(r => ((r.getString(0), r.getString(1)),
+        (r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    assert(m(("A", "B")) == ((2L, 3L, 666666L))) // 2 of A's 3 exits; floor div
+    assert(m(("A", "A")) == ((1L, 3L, 333333L)))
+    assert(m(("B", "A")) == ((1L, 1L, 1000000L)))
+    assert(m.size == 3) // first event per key contributes nothing
+  }
+
+  test("autocorrAtLag: periodic series, gaps drop pairs") {
+    import spark.implicits._
+    import graft.operators.Eval
+    // period-2 series: lag 2 aligns equal values (r = 1), lag 1 anti (r = -1)
+    val s = (0L to 7L).map(t => (t, if (t % 2 == 0) 1L else 5L)).toDF("t", "v")
+    assert(math.abs(Eval.autocorrAtLag(s, col("t"), col("v"), 2L)
+      .collect()(0).getDouble(5) - 1.0) < 1e-15)
+    assert(math.abs(Eval.autocorrAtLag(s, col("t"), col("v"), 1L)
+      .collect()(0).getDouble(5) + 1.0) < 1e-15)
+    // missing steps drop the pair: steps 0,1,2,5 at lag 1 -> pairs (0,1),(1,2) only
+    val g = Seq((0L, 1L), (1L, 2L), (2L, 4L), (5L, 8L)).toDF("t", "v")
+    assert(Eval.autocorrAtLag(g, col("t"), col("v"), 1L).collect()(0).getLong(1) == 2L)
+  }
+
+  test("Graph.ssspInt: weighted relaxation beats direct edge; rounds bound path length") {
+    import spark.implicits._
+    val edges = Seq((1L, 2L, 5L), (2L, 3L, 1L), (1L, 3L, 10L), (3L, 4L, 2L))
+      .toDF("src", "dst", "w")
+    val seeds = Seq(1L).toDF("node")
+    def dists(rounds: Int): Map[Long, Long] =
+      graft.operators.Graph.ssspInt(edges, "src", "dst", "w", seeds, rounds)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(dists(1) == Map(1L -> 0L, 2L -> 5L, 3L -> 10L))         // direct only
+    assert(dists(2) == Map(1L -> 0L, 2L -> 5L, 3L -> 6L, 4L -> 12L)) // 1-2-3 relaxes
+    assert(dists(3)(4L) == 8L)                                      // 1-2-3-4
+    // negative weight refused in-plan
+    val neg = Seq((1L, 2L, -1L)).toDF("src", "dst", "w")
+    intercept[Exception] {
+      graft.operators.Graph.ssspInt(neg, "src", "dst", "w", seeds, 1).collect()
+    }
+  }
+
+  test("Intervals.overlapCounts: closed endpoints, zero-overlap rows kept") {
+    import spark.implicits._
+    val a = Seq((1L, 0L, 10L), (2L, 20L, 30L), (3L, 100L, 110L))
+      .toDF("id", "s", "e")
+    val b = Seq((5L, 15L), (10L, 12L), (28L, 28L), (40L, 50L), (110L, 120L))
+      .toDF("s", "e")
+    val out = graft.operators.Intervals.overlapCounts(
+        a, "id", "s", "e", b, "s", "e", v => shiftright(v, 4))
+      .collect().map(r => r.getLong(0) -> r.getLong(3)).toMap
+    assert(out == Map(1L -> 2L, 2L -> 1L, 3L -> 1L)) // [100,110] touches [110,120]
+    // disjoint B: count 0, row still present
+    val far = Seq((500L, 600L)).toDF("s", "e")
+    val z = graft.operators.Intervals.overlapCounts(
+        a, "id", "s", "e", far, "s", "e", v => shiftright(v, 4))
+      .collect().map(r => r.getLong(0) -> r.getLong(3)).toMap
+    assert(z == Map(1L -> 0L, 2L -> 0L, 3L -> 0L))
+  }
+
+  test("Mmr.mmrSelect: round 1 is max relevance, round 2 trades against redundancy") {
+    import spark.implicits._
+    // query [1,0]; c1 nearly parallel to q, c2 redundant with c1, c3 diverse
+    val items = Seq(
+      (0L, Seq(1.0f, 0.0f)),
+      (1L, Seq(0.98f, 0.19899748f)),   // rel ~.98
+      (2L, Seq(0.95f, 0.31224990f)),   // rel ~.95, sim to c1 ~.993
+      (3L, Seq(0.6f, -0.8f)))          // rel .60, sim to c1 ~.429
+      .toDF("vec_id", "embedding")
+    val out = graft.operators.Mmr.mmrSelect(spark, items, "vec_id", "embedding",
+      queryId = 0L, k = 3).collect()
+    assert(out.map(_.getLong(1)).toSeq == Seq(1L, 3L, 2L))
+    assert(out.forall(r => r.getLong(4) == r.getLong(2) - r.getLong(3)))
+    assert(out(0).getLong(3) == 0L) // round 1 has no selected set
+  }
+
+  test("Tuning.lshThresholdSweep: planted dups at decile 10, survivor curve monotone") {
+    val out = graft.operators.Tuning.lshThresholdSweep(
+        docsWithDups, "doc_id", "text", shingleLen = 3, k = 16, bands = 4)
+      .orderBy(col("decile")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val byDecile = out.map(t => t._1 -> t._2).toMap
+    assert(byDecile(10L) == 3L) // {1,2,5} pairwise identical shingle sets
+    // doc 3 is an 11/13 near-dup of each of {1,2,5}: banding surfaces all
+    // three pairs, decile (11*10) DIV 13 = 8
+    assert(byDecile(8L) == 3L)
+    // survivor curve: bottom decile's n_pairs_ge equals the total pair count
+    assert(out.head._3 == out.map(_._2).sum)
+    assert(out.sliding(2).forall(w => w.size < 2 || w(0)._3 >= w(1)._3))
+  }
+
+  test("groupedTrend: exact rational slope and intercept per group") {
+    import spark.implicits._
+    import graft.operators.Eval
+    val pts = Seq(
+      ("g1", 1L, 3L), ("g1", 2L, 5L), ("g1", 3L, 7L),   // y = 2x + 1
+      ("g2", 4L, 9L), ("g2", 4L, 11L))                  // constant x: degenerate
+      .toDF("g", "x", "y")
+    val out = Eval.groupedTrend(pts, "g", col("x"), col("y"))
+      .collect().map(r => r.getString(0) -> r).toMap
+    val g1 = out("g1")
+    assert(g1.getDouble(2) == 12.0 && g1.getDouble(3) == 6.0) // num, den exact
+    assert(g1.getDouble(4) == 2.0 && g1.getDouble(5) == 1.0)  // slope, intercept
+    assert(out("g2").isNullAt(4) && out("g2").isNullAt(5))
+  }
 }
