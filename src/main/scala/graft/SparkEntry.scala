@@ -240,6 +240,9 @@ object SparkEntry {
     "q179_mmr_select" -> q179,
     "q180_grouped_trend" -> q180,
     "q181_lsh_sweep" -> q181,
+    "q182_prefix_join" -> q182,
+    "q183_skyline" -> q183,
+    "q184_zipf_slope" -> q184,
   )
 
   /** Round count for the parameterized BPE lifecycle (q163/q164) — read
@@ -2957,6 +2960,52 @@ object SparkEntry {
         Tables.documents(s, dir), "doc_id", "text",
         shingleLen = 3, k = 16, bands = 4)
       .orderBy(col("decile"))
+
+  /** EXACT Jaccard ≥ ½ similarity self-join by prefix filtering — zero
+    * false negatives (the contractual-dedup guarantee LSH can't give);
+    * the oracle brute-forces the SEMANTICS over the same df ≤ 50 hashed
+    * universe, so completeness itself is what the gate checks
+    * ([[graft.operators.PrefixJoin.jaccardSelfJoin]]). */
+  private def q182(s: SparkSession, dir: String): DataFrame =
+    graft.operators.PrefixJoin.jaccardSelfJoin(
+        Tables.documents(s, dir), "doc_id", "text",
+        shingleLen = 3, tNum = 1L, tDen = 2L, maxDf = 50L)
+      .orderBy(col("id_a"), col("id_b"))
+
+  /** 2-D SKYLINE of documents — the Pareto front of (short, high-
+    * quality): no surviving doc is beaten on both axes; histogram
+    * prefix-max arithmetic, never an all-pairs dominance join
+    * ([[graft.operators.Skyline.paretoFront2D]]). The oracle IS the
+    * quadratic NOT EXISTS — mechanism vs semantics, like q182. */
+  private def q183(s: SparkSession, dir: String): DataFrame = {
+    val stop = Text.langMarkers.toMap.apply("en")
+    graft.operators.Skyline.paretoFront2D(
+        Tables.documents(s, dir)
+          .select(col("doc_id"), col("n_chars"),
+            floor(Text.qualityScore(col("text"), stop) * lit(1e6)).as("qu")),
+        "doc_id", xCol = col("n_chars"), yCol = col("qu"),
+        bucketOf = v => shiftright(v, 6))
+      .orderBy(col("x"), col("doc_id"))
+  }
+
+  /** ZIPF SLOPE of the token rank-frequency curve — ln-ln least squares
+    * over the vocabulary (rank via the exact three-level rank, both lns
+    * micro-nat-quantized once per type, then [[graft.operators.Eval
+    * .groupedTrend]]'s rational slope): the one-number corpus-
+    * naturalness read next to q152's spectrum (natural text ≈ −1). */
+  private def q184(s: SparkSession, dir: String): DataFrame = {
+    val counts = Tables.documents(s, dir)
+      .select(explode(Text.tokens(col("text"))).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("cnt"))
+      .withColumn("_negc", -col("cnt"))
+    val ranked = graft.operators.Ranking.globalRankBy(
+      counts, col("_negc"), col("_negc"), col("w"))
+    val pts = ranked.select(lit("all").as("corpus"),
+      round(log(col("rank").cast("double")) * lit(1e6)).cast("long").as("x"),
+      round(log(col("cnt").cast("double")) * lit(1e6)).cast("long").as("y"))
+    graft.operators.Eval.groupedTrend(pts, "corpus", col("x"), col("y"))
+      .orderBy(col("corpus"))
+  }
 
   // =====================================================================
   // DuckDB oracle SQL — same semantics, same column names, same ORDER BY.
@@ -6249,6 +6298,65 @@ object SparkEntry {
              CAST(sum(n_pairs) OVER (ORDER BY decile DESC
                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS n_pairs_ge
            FROM hist ORDER BY decile""",
+
+      // brute-force SEMANTIC oracle: every pair with exact Jaccard >= 1/2
+      // over the shared df <= 50 hashed universe — the engine's prefix
+      // filter must reproduce it with zero false negatives
+      "q182_prefix_join" ->
+        s"""WITH ex AS (
+             SELECT doc_id AS id, unnest(list_distinct(${shingles(3)})) AS s
+             FROM (SELECT doc_id, $toks AS toks FROM documents) d),
+           hv AS (SELECT DISTINCT id, ('0x' || substr(md5(s), 1, 15))::BIGINT AS sh FROM ex),
+           dfs AS (SELECT sh, count(*) AS df FROM hv GROUP BY sh),
+           uset AS (SELECT id, hv.sh FROM hv JOIN dfs USING (sh) WHERE df <= 50),
+           sizes AS (SELECT id, CAST(count(*) AS BIGINT) AS sz FROM uset GROUP BY id),
+           iv AS (SELECT a.id AS id_a, b.id AS id_b, CAST(count(*) AS BIGINT) AS inter
+                  FROM uset a JOIN uset b ON b.sh = a.sh AND a.id < b.id
+                  GROUP BY 1, 2),
+           j AS (SELECT id_a, id_b, inter, za.sz + zb.sz - inter AS uni
+                 FROM iv
+                   JOIN sizes za ON za.id = iv.id_a
+                   JOIN sizes zb ON zb.id = iv.id_b)
+           SELECT id_a, id_b, inter, uni FROM j
+           WHERE inter * 2 >= uni
+           ORDER BY id_a, id_b""",
+
+      // the quadratic NOT EXISTS dominance check the engine's histogram
+      // prefix-max replaces
+      "q183_skyline" ->
+        s"""WITH d AS (SELECT doc_id, CAST(n_chars AS BIGINT) AS x,
+                 CAST(floor(${qualitySql(toks)} * 1e6) AS BIGINT) AS y
+               FROM documents)
+           SELECT doc_id, x, y FROM d a
+           WHERE NOT EXISTS (
+             SELECT 1 FROM d b
+             WHERE b.x <= a.x AND b.y >= a.y AND (b.x < a.x OR b.y > a.y))
+           ORDER BY x, doc_id""",
+
+      // rank-frequency in micro-nat ln-ln space through the q180 trend
+      // tail; rank ties break by token, both engines
+      "q184_zipf_slope" ->
+        s"""WITH tc AS (SELECT t AS w, CAST(count(*) AS BIGINT) AS cnt
+               FROM (SELECT unnest($toks) AS t FROM documents) GROUP BY 1),
+           r AS (SELECT cnt,
+                   CAST(row_number() OVER (ORDER BY cnt DESC, w ASC) AS BIGINT) AS rk
+                 FROM tc),
+           p AS (SELECT CAST(round(ln(CAST(rk AS DOUBLE)) * 1e6) AS BIGINT) AS x,
+                   CAST(round(ln(CAST(cnt AS DOUBLE)) * 1e6) AS BIGINT) AS y
+                 FROM r),
+           m AS (SELECT CAST(count(*) AS HUGEINT) AS n,
+                   sum(CAST(x AS HUGEINT)) AS sx, sum(CAST(y AS HUGEINT)) AS sy,
+                   sum(CAST(x AS HUGEINT) * x) AS sxx,
+                   sum(CAST(x AS HUGEINT) * y) AS sxy
+                 FROM p),
+           c AS (SELECT n, n * sxy - sx * sy AS num,
+                   n * sxx - sx * sx AS den, sy * sxx - sx * sxy AS inum
+                 FROM m)
+           SELECT 'all' AS corpus, CAST(n AS BIGINT) AS n,
+             CAST(num AS DOUBLE) AS slope_num, CAST(den AS DOUBLE) AS slope_den,
+             CASE WHEN den > 0 THEN CAST(num AS DOUBLE) / CAST(den AS DOUBLE) END AS slope,
+             CASE WHEN den > 0 THEN CAST(inum AS DOUBLE) / CAST(den AS DOUBLE) END AS intercept
+           FROM c ORDER BY corpus""",
     )
   }
 }

@@ -3407,4 +3407,48 @@ class OperatorsSpec extends SparkSuite {
     assert(g1.getDouble(4) == 2.0 && g1.getDouble(5) == 1.0)  // slope, intercept
     assert(out("g2").isNullAt(4) && out("g2").isNullAt(5))
   }
+
+  test("PrefixJoin.jaccardSelfJoin: complete at the threshold, exact rational verify") {
+    val out = graft.operators.PrefixJoin.jaccardSelfJoin(
+        docsWithDups, "doc_id", "text", shingleLen = 3, tNum = 1L, tDen = 2L)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), (r.getLong(2), r.getLong(3)))).toMap
+    // identical trio: inter = uni = 12 shingles; doc 3 is 11/13 vs each
+    assert(out.keySet == Set((1L, 2L), (1L, 5L), (2L, 5L),
+      (1L, 3L), (2L, 3L), (3L, 5L)))
+    assert(out((1L, 2L)) == ((12L, 12L)))
+    assert(out((1L, 3L)) == ((11L, 13L)))
+    // threshold 1: only exact-set pairs survive
+    val exact = graft.operators.PrefixJoin.jaccardSelfJoin(
+        docsWithDups, "doc_id", "text", shingleLen = 3, tNum = 1L, tDen = 1L)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(exact == Set((1L, 2L), (1L, 5L), (2L, 5L)))
+  }
+
+  test("Skyline.paretoFront2D: dominance pruned, duplicates and incomparables kept") {
+    import spark.implicits._
+    val pts = Seq((1L, 1L, 5L), (2L, 2L, 9L), (3L, 3L, 9L), (4L, 0L, 1L),
+      (5L, 2L, 9L), (6L, 5L, 10L), (7L, 6L, 3L)).toDF("id", "x", "y")
+    val front = graft.operators.Skyline.paretoFront2D(
+        pts, "id", col("x"), col("y"), v => shiftright(v, 1))
+      .collect().map(_.getLong(0)).toSet
+    // 3 is beaten by 2 (shorter, same quality); 7 by 6; 5 duplicates 2 and
+    // duplicates never dominate each other
+    assert(front == Set(1L, 2L, 4L, 5L, 6L))
+  }
+
+  test("zipf-style ln-ln trend through groupedTrend matches BigInt hand moments") {
+    import spark.implicits._
+    import graft.operators.Eval
+    val xs = Seq(1L, 2L, 3L).map(r => math.round(math.log(r.toDouble) * 1e6))
+    val ys = Seq(4L, 2L, 1L).map(c => math.round(math.log(c.toDouble) * 1e6))
+    val pts = xs.zip(ys).map { case (x, y) => ("all", x, y) }.toDF("g", "x", "y")
+    val row = Eval.groupedTrend(pts, "g", col("x"), col("y")).collect()(0)
+    val (n, sx, sy) = (BigInt(3), xs.map(BigInt(_)).sum, ys.map(BigInt(_)).sum)
+    val sxx = xs.map(x => BigInt(x) * x).sum
+    val sxy = xs.zip(ys).map { case (x, y) => BigInt(x) * y }.sum
+    val num = n * sxy - sx * sy
+    val den = n * sxx - sx * sx
+    assert(row.getDouble(2) == num.toDouble && row.getDouble(3) == den.toDouble)
+    assert(row.getDouble(4) < -0.9 && row.getDouble(4) > -1.5) // Zipf-ish decay
+  }
 }

@@ -945,6 +945,31 @@ class ScaleSpec extends SparkSuite {
     val swPlan = sweep.queryExecution.executedPlan.toString
     assert(!swPlan.contains("CartesianProduct") && !swPlan.contains("BroadcastNestedLoop"),
       s"LSH sweep must never go all-pairs:\n$swPlan")
+
+    // prefix join: candidate generation is an equi-join on prefix
+    // tokens; the per-doc sort is sort_array (per-row), NEVER a window —
+    // nothing cartesian, no data-wide sort beyond the aggregation sorts
+    val pdocs = (1L to 300L).map(i => (i, s"w${i % 5} w${i % 7} w${i % 11} w${i % 13} t${i % 31}"))
+      .toDF("doc_id", "text")
+    val pj = graft.operators.PrefixJoin.jaccardSelfJoin(pdocs, "doc_id", "text",
+      shingleLen = 2, tNum = 1L, tDen = 2L)
+    pj.collect()
+    val pjPlan = pj.queryExecution.executedPlan.toString
+    assert(!pjPlan.contains("CartesianProduct") && !pjPlan.contains("BroadcastNestedLoop"),
+      s"prefix join must stay equi:\n$pjPlan")
+    val pjWindows = pjPlan.linesIterator.filter(_.contains("Window")).size
+    assert(pjWindows == 0, s"prefix join needs no window at all:\n$pjPlan")
+
+    // skyline: dominance via histogram prefix-max — no dominance join;
+    // the only single-partition window rides the bucket-count-sized
+    // offsets table, and the data meets the frontier by equi-join
+    val sk = graft.operators.Skyline.paretoFront2D(
+      (1L to 5000L).map(i => (i, i % 97, (i * 31) % 89)).toDF("id", "x", "y"),
+      "id", col("x"), col("y"), v => shiftright(v, 3))
+    sk.collect()
+    val skPlan = sk.queryExecution.executedPlan.toString
+    assert(!skPlan.contains("CartesianProduct") && !skPlan.contains("BroadcastNestedLoop"),
+      s"skyline must not run a dominance join:\n$skPlan")
   }
 }
 
