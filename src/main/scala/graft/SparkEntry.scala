@@ -243,6 +243,7 @@ object SparkEntry {
     "q182_prefix_join" -> q182,
     "q183_skyline" -> q183,
     "q184_zipf_slope" -> q184,
+    "q185_triangle_increment" -> q185,
   )
 
   /** Round count for the parameterized BPE lifecycle (q163/q164) — read
@@ -3005,6 +3006,27 @@ object SparkEntry {
       round(log(col("cnt").cast("double")) * lit(1e6)).cast("long").as("y"))
     graft.operators.Eval.groupedTrend(pts, "corpus", col("x"), col("y"))
       .orderBy(col("corpus"))
+  }
+
+  /** INCREMENTAL triangle maintenance on the q94 co-purchase graph:
+    * orders ≡ 0 mod 4 arrive as the "new batch", and the increment —
+    * computed touching only the fresh edges' neighborhoods, never
+    * recounting the old graph — must satisfy T(old ∪ new) = T(old) +
+    * increment, which is exactly what the oracle checks (two full
+    * counts subtracted). Closes the streaming-graph story: the
+    * per-micro-batch fold is [[graft.streaming.Streams]]'
+    * triangleMaintenanceStream ([[graft.operators.Graph
+    * .triangleIncrement]]). */
+  private def q185(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(s, dir)
+      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk")).distinct()
+    val edges = li.join(li.withColumnRenamed("pk", "pk2"), Seq("ok"))
+      .where(col("pk") < col("pk2"))
+      .select(col("pk").as("src"), col("pk2").as("dst"), col("ok"))
+    graft.operators.Graph.triangleIncrement(
+      edges.where(col("ok") % 4 =!= 0).select(col("src"), col("dst")),
+      edges.where(col("ok") % 4 === 0).select(col("src"), col("dst")),
+      "src", "dst")
   }
 
   // =====================================================================
@@ -6357,6 +6379,26 @@ object SparkEntry {
              CASE WHEN den > 0 THEN CAST(num AS DOUBLE) / CAST(den AS DOUBLE) END AS slope,
              CASE WHEN den > 0 THEN CAST(inum AS DOUBLE) / CAST(den AS DOUBLE) END AS intercept
            FROM c ORDER BY corpus""",
+
+      // SEMANTIC oracle: two full q94-style triangle counts subtracted —
+      // the engine's fresh-neighborhood increment must equal the
+      // recount delta exactly
+      "q185_triangle_increment" ->
+        """WITH li AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+           ae AS (SELECT least(x.pk, y.pk) AS a, greatest(x.pk, y.pk) AS b, x.ok
+                  FROM li x JOIN li y ON x.ok = y.ok AND x.pk <> y.pk),
+           eo AS (SELECT DISTINCT a, b FROM ae WHERE ok % 4 <> 0),
+           eu AS (SELECT DISTINCT a, b FROM ae),
+           tu AS (SELECT count(*) AS t FROM eu e1
+                    JOIN eu e2 ON e2.a = e1.b
+                    JOIN eu e3 ON e3.a = e1.a AND e3.b = e2.b),
+           told AS (SELECT count(*) AS t FROM eo e1
+                    JOIN eo e2 ON e2.a = e1.b
+                    JOIN eo e3 ON e3.a = e1.a AND e3.b = e2.b)
+           SELECT (SELECT count(*) FROM eo) AS n_old_edges,
+             (SELECT count(*) FROM eu) - (SELECT count(*) FROM eo) AS n_fresh_edges,
+             CAST(tu.t - told.t AS BIGINT) AS new_triangles
+           FROM tu CROSS JOIN told""",
     )
   }
 }

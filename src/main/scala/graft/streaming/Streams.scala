@@ -70,6 +70,45 @@ object Streams {
       batch.write.mode("append").parquet(s"$path/batch_$batchId")
     }
 
+  /** INCREMENTAL triangle maintenance over an EDGE STREAM — the streaming
+    * graph story: the accumulated graph lives in a parquet store of
+    * canonical (src < dst) edges; each micro-batch computes the number of
+    * triangles its fresh edges create via
+    * [[graft.operators.Graph.triangleIncrement]] (touching only the new
+    * edges' neighborhoods — the old graph is scanned, never recounted),
+    * appends the fresh edges to the store, and appends one
+    * `(batch_id, n_fresh_edges, new_triangles)` row to `outDir`. Folding
+    * the rows gives the live triangle count:
+    * `T(everything so far) = Σ new_triangles` — the invariant the spec
+    * checks against a from-scratch [[graft.operators.Graph
+    * .triangleCount]] after every batch. foreachBatch is the right seam
+    * because the increment needs the accumulated state as a TABLE (a
+    * stream cannot self-join its own history); the store is the same
+    * persisted-lifecycle pattern as the dedup index. Batch re-delivery
+    * of known edges is a no-op (the increment's anti-join drops them). */
+  def triangleMaintenanceStream(edges: DataFrame, storeDir: String,
+                                outDir: String) =
+    edges.writeStream.foreachBatch {
+      (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        val spark = batch.sparkSession
+        val canonB = batch
+          .select(least(col("src"), col("dst")).as("src"),
+            greatest(col("src"), col("dst")).as("dst"))
+          .where(col("src") =!= col("dst")).distinct()
+        val old = scala.util.Try(spark.read.parquet(storeDir))
+          .getOrElse(canonB.limit(0))
+        val fresh = canonB.join(old, Seq("src", "dst"), "left_anti")
+          .localCheckpoint()
+        val inc = graft.operators.Graph
+          .triangleIncrement(old, fresh, "src", "dst").collect()(0)
+        fresh.write.mode("append").parquet(storeDir)
+        import spark.implicits._
+        Seq((batchId, inc.getLong(1), inc.getLong(2)))
+          .toDF("batch_id", "n_fresh_edges", "new_triangles")
+          .write.mode("append").parquet(outDir)
+        ()
+    }
+
   /** Stream-stream interval join: left rows match right rows with the same
     * key whose event time falls in `[leftTs - before, leftTs + after]`.
     * Watermarks on BOTH sides bound the join state (SURVEY §2.4 "streaming
@@ -537,6 +576,39 @@ object Streams {
             acc += v; (key, seq, v, acc)
           }
           state.update(acc)
+          out.iterator
+      }
+  }
+
+  /** Per-key TRANSITION extraction — [[graft.operators.Markov]]'s
+    * streaming twin: one tiny state per key (the last (seq, state)
+    * pair), each arriving event emits its (from, to) transition in
+    * Append mode. Within a micro-batch rows fold in explicit `seq` order
+    * (the [[runningSumPerKey]] reproducibility rule — group iterators
+    * arrive in shuffle order); across batches the carried state makes
+    * the boundary transition come out identical to the batch operator
+    * run on the concatenation, which is what the spec checks.
+    * Aggregating the emitted transitions downstream gives the live
+    * transition matrix. State per key: ONE (long, string) — bounded by
+    * the key universe, no timeout.
+    *
+    * Input: (key, seq, state). Output: (key, seq, from, to). */
+  def transitionStream(events: Dataset[(Long, Long, String)])
+      : Dataset[(Long, Long, String, String)] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[(Long, String), (Long, Long, String, String)](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (key: Long, rows: Iterator[(Long, Long, String)],
+         state: GroupState[(Long, String)]) =>
+          var last = state.getOption
+          val out = rows.toSeq.sortBy(_._2).flatMap { case (_, seq, st) =>
+            val o = last.map { case (_, prev) => (key, seq, prev, st) }
+            last = Some((seq, st))
+            o
+          }
+          last.foreach(state.update)
           out.iterator
       }
   }
