@@ -244,6 +244,9 @@ object SparkEntry {
     "q183_skyline" -> q183,
     "q184_zipf_slope" -> q184,
     "q185_triangle_increment" -> q185,
+    "q186_grouped_auc" -> q186,
+    "q187_url_hosts" -> q187,
+    "q188_image_ahash" -> q188,
   )
 
   /** Round count for the parameterized BPE lifecycle (q163/q164) — read
@@ -3027,6 +3030,63 @@ object SparkEntry {
       edges.where(col("ok") % 4 =!= 0).select(col("src"), col("dst")),
       edges.where(col("ok") % 4 === 0).select(col("src"), col("dst")),
       "src", "dst")
+  }
+
+  /** PER-SOURCE AUC — q146's midrank algebra run within every source:
+    * does the q24 quality score separate English docs in EACH stratum,
+    * or only on average (Simpson's-paradox insurance before one global
+    * threshold)? Ranks via groupedRank — no single-partition exchange
+    * ([[graft.operators.Eval.aucExactPerGroup]]). */
+  private def q186(s: SparkSession, dir: String): DataFrame = {
+    val stop = Text.langMarkers.toMap.apply("en")
+    graft.operators.Eval.aucExactPerGroup(
+        Tables.documents(s, dir)
+          .select(col("source"), col("doc_id"), col("lang"),
+            Text.qualityScore(col("text"), stop).as("q")),
+        "source", scoreCol = col("q"), positive = col("lang") === "en",
+        subBucket = floor(col("q") * lit(20.0)).cast("long"),
+        idCol = col("doc_id"))
+      .orderBy(col("source"))
+  }
+
+  /** URL HOST EXTRACTION + registrable-domain rollup — the crawl-side
+    * canonicalization read (which domains dominate, how many distinct
+    * hosts each spans): deterministic synthetic URLs enriched into the
+    * text (the q51 pattern), host/domain pulled by the same RE2-safe
+    * regexes on both engines, exact counts per registrable domain. */
+  private def q187(s: SparkSession, dir: String): DataFrame = {
+    val tld = element_at(array(lit(".com"), lit(".org"), lit(".net"), lit(".io")),
+      (pmod(col("doc_id"), lit(4)) + 1).cast("int"))
+    val enriched = Tables.documents(s, dir).select(col("doc_id"),
+      concat(col("text"), lit(" see https://s"), pmod(col("doc_id"), lit(7)),
+        lit(".site"), pmod(col("doc_id"), lit(23)), tld,
+        lit("/p/"), col("doc_id"), lit(" for details")).as("t"))
+    enriched
+      .select(col("doc_id"),
+        regexp_extract(col("t"), "https://([^/\\s]+)", 1).as("host"))
+      .select(col("doc_id"), col("host"),
+        regexp_extract(col("host"), "([^.]+\\.[^.]+)$", 1).as("domain"))
+      .groupBy(col("domain"))
+      .agg(count(lit(1)).as("n_docs"), countDistinct(col("host")).as("n_hosts"))
+      .orderBy(col("domain"))
+  }
+
+  /** PERCEPTUAL image dedup over REAL bytes — q135's exact-hash dedup
+    * carried to the downsample-and-threshold aHash (every bit an exact
+    * cross-multiplied mean comparison over decoded patch sums); groups
+    * by perceptual hash must coincide with seed groups, the q135
+    * exactness argument ([[graft.multimodal.Media.imageAHash]]). */
+  private def q188(s: SparkSession, dir: String): DataFrame = {
+    val media = graft.multimodal.Media.synthesizeBmp(
+      Tables.documents(s, dir).select(col("doc_id").as("media_id"),
+        concat(lit("ah:"),
+          (col("doc_id") - pmod(col("doc_id"), lit(3))).cast("string")).as("seed")),
+      "media_id", "seed", width = 24, height = 16)
+    graft.multimodal.Media.imageAHash(media, patch = 4)
+      .groupBy(col("ahash"))
+      .agg(min(col("media_id")).as("keep_id"), count(lit(1)).as("n_copies"))
+      .select(col("keep_id"), col("n_copies"))
+      .orderBy(col("keep_id"))
   }
 
   // =====================================================================
@@ -6399,6 +6459,52 @@ object SparkEntry {
              (SELECT count(*) FROM eu) - (SELECT count(*) FROM eo) AS n_fresh_edges,
              CAST(tu.t - told.t AS BIGINT) AS new_triangles
            FROM tu CROSS JOIN told""",
+
+      // q146's midrank AUC partitioned per source
+      "q186_grouped_auc" ->
+        s"""WITH d AS (SELECT source, doc_id, (lang = 'en') AS pos,
+                 ${qualitySql(toks)} AS q
+               FROM documents),
+           r AS (SELECT source, q AS s, pos,
+                   CAST(row_number() OVER (PARTITION BY source ORDER BY q, doc_id) AS BIGINT) AS rn
+                 FROM d),
+           g AS (SELECT source, s, min(rn) AS mn, max(rn) AS mx,
+                   CAST(sum(CASE WHEN pos THEN 1 ELSE 0 END) AS BIGINT) AS pc
+                 FROM r GROUP BY 1, 2),
+           t AS (SELECT source, CAST(sum(pc) AS BIGINT) AS n_pos,
+                   CAST(max(mx) AS BIGINT) AS n,
+                   CAST(sum(pc * (mn + mx)) AS BIGINT) AS u2
+                 FROM g GROUP BY 1)
+           SELECT source, n_pos, n - n_pos AS n_neg, u2,
+             CASE WHEN n_pos > 0 AND n - n_pos > 0 THEN
+               CAST(u2 - n_pos * (n_pos + 1) AS DOUBLE)
+                 / CAST(2 * n_pos * (n - n_pos) AS DOUBLE)
+             END AS auc
+           FROM t ORDER BY source""",
+
+      // same synthetic enrichment, same RE2-safe host/domain regexes
+      "q187_url_hosts" ->
+        """WITH e AS (SELECT doc_id,
+               text || ' see https://s' || CAST(doc_id % 7 AS VARCHAR)
+                    || '.site' || CAST(doc_id % 23 AS VARCHAR)
+                    || ['.com', '.org', '.net', '.io'][CAST(doc_id % 4 + 1 AS INTEGER)]
+                    || '/p/' || CAST(doc_id AS VARCHAR) || ' for details' AS t
+             FROM documents),
+           h AS (SELECT doc_id, regexp_extract(t, 'https://([^/\s]+)', 1) AS host FROM e),
+           d AS (SELECT doc_id, host,
+                   regexp_extract(host, '([^.]+\.[^.]+)$', 1) AS domain FROM h)
+           SELECT domain, CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(count(DISTINCT host) AS BIGINT) AS n_hosts
+           FROM d GROUP BY domain ORDER BY domain""",
+
+      // the q135 argument for the PERCEPTUAL hash: synthesizeBmp pure in
+      // the seed + every aHash bit an exact integer comparison ⇒
+      // hash-groups ≡ seed-groups
+      "q188_image_ahash" ->
+        """SELECT min(doc_id) AS keep_id, CAST(count(*) AS BIGINT) AS n_copies
+           FROM documents
+           GROUP BY doc_id - doc_id % 3
+           ORDER BY keep_id""",
     )
   }
 }

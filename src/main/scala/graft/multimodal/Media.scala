@@ -590,6 +590,37 @@ object Media {
           col("sum_r"), col("sum_g"), col("sum_b")))))).as("fp"),
         min(col("real_decode")).as("real_decode"))
 
+  /** PERCEPTUAL average-hash (aHash) over the REAL decoded pixel grid —
+    * the downsample-and-threshold fingerprint (patch-grid means vs the
+    * global mean) that survives re-encoding where [[imageFingerprints]]'
+    * exact hash does not. Every bit is an EXACT integer comparison:
+    * `bit(cell) = s_cell·n_total > s_total·n_cell` (cross-multiplied
+    * rational mean comparison over the BIGINT patch sums — no float
+    * luminance anywhere), bits concatenated in (py, px) order. Identical
+    * bytes ⇒ identical hash, so planted-dup groups are exactly
+    * checkable the q135 way; near-dup Hamming blocking over these bits
+    * is the [[graft.operators.Dedup.simHashPairs]] pigeonhole shape.
+    * Scale: rides [[extractPatchStats]]' scan-stage fan-out + one
+    * partial-aggregable per-media collapse; payload bytes never
+    * shuffle. Output `(media_id, ahash, real_decode)`. */
+  def imageAHash(media: DataFrame, patch: Int): DataFrame = {
+    val stats = extractPatchStats(media, patch)
+      .withColumn("_s", col("sum_r") + col("sum_g") + col("sum_b"))
+    val totals = stats.groupBy(col("media_id"))
+      .agg(sum(col("_s")).as("_st"), sum(col("n_px")).as("_nt"))
+    stats
+      .join(totals, Seq("media_id"))
+      .withColumn("_bit",
+        when(col("_s") * col("_nt") > col("_st") * col("n_px"), lit("1"))
+          .otherwise(lit("0")))
+      .groupBy(col("media_id"))
+      .agg(
+        concat_ws("", transform(
+          sort_array(collect_list(struct(col("py"), col("px"), col("_bit")))),
+          c => c.getField("_bit"))).as("ahash"),
+        min(col("real_decode")).as("real_decode"))
+  }
+
   /** Deterministic 16-bit mono PCM WAV synthesis — [[synthesizeBmp]]'s
     * audio sibling: a REAL encoder producing canonical RIFF/WAVE files
     * ([[HeaderCodec.decodeWavPcm]] round-trips them, spec-asserted)

@@ -63,6 +63,37 @@ object Eval {
           .as("auc"))
   }
 
+  /** PER-GROUP [[aucExact]] — "does the score separate the classes in
+    * EVERY stratum, or only on average?": Simpson's-paradox insurance a
+    * curation pipeline buys before applying one global threshold across
+    * sources/languages/shards. Identical midrank algebra, ranked within
+    * each group by [[Ranking.groupedRank]] (per-(group, subBucket)
+    * frames + a model-sized offsets table whose own window partitions by
+    * group — NO single-partition exchange anywhere). Returns one row per
+    * group `(groupCol, n_pos, n_neg, u2, auc)`; auc NULL where a group
+    * is single-class. */
+  def aucExactPerGroup(df: DataFrame, groupCol: String, scoreCol: Column,
+                       positive: Column, subBucket: Column,
+                       idCol: Column): DataFrame = {
+    val ranked = Ranking.groupedRank(
+      df.select(col(groupCol), scoreCol.as("_score"), positive.as("_pos"),
+        idCol.as("_id"), subBucket.as("_sbk")),
+      col(groupCol), col("_sbk"), col("_score"), col("_id"))
+    ranked
+      .groupBy(col(groupCol), col("_score"))
+      .agg(min(col("rank")).as("_mn"), max(col("rank")).as("_mx"),
+        sum(when(col("_pos"), 1L).otherwise(0L)).as("_pc"))
+      .groupBy(col(groupCol))
+      .agg(sum(col("_pc")).as("n_pos"), max(col("_mx")).as("_n"),
+        sum(col("_pc") * (col("_mn") + col("_mx"))).as("u2"))
+      .select(col(groupCol), col("n_pos"), (col("_n") - col("n_pos")).as("n_neg"),
+        col("u2"),
+        when(col("n_pos") > 0 && col("_n") - col("n_pos") > 0,
+          (col("u2") - col("n_pos") * (col("n_pos") + 1)).cast("double") /
+            (lit(2L) * col("n_pos") * (col("_n") - col("n_pos"))).cast("double"))
+          .as("auc"))
+  }
+
   /** Reliability diagram / CALIBRATION BINS: rows cut into `bins`
     * equi-depth score bins by the exact ntile arithmetic
     * ([[Ranking.equiDepthBins]] — bin sizes differ by at most one, all

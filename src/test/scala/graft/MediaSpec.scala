@@ -320,4 +320,19 @@ class MediaSpec extends SparkSuite {
     val (sw, sh, sf, scs) = Media.FakeCodec.decode("image", junkBytes)
     assert(viaChain == ((sw, sh, sf, scs)))
   }
+
+  test("imageAHash: bit-count matches the patch grid, seed-identical images hash equal") {
+    import spark.implicits._
+    val media = Media.synthesizeBmp(
+      Seq((1L, "same"), (2L, "same"), (3L, "other")).toDF("media_id", "seed"),
+      "media_id", "seed", width = 24, height = 16)
+    val out = Media.imageAHash(media, patch = 4).collect()
+      .map(r => r.getLong(0) -> (r.getString(1), r.getBoolean(2))).toMap
+    // 24x16 at patch 4 -> 6x4 grid = 24 bits, really decoded
+    assert(out.values.forall { case (h, real) => h.length == 24 && real })
+    assert(out(1L)._1 == out(2L)._1)      // byte-identical -> hash-identical
+    assert(out(1L)._1 != out(3L)._1)      // different noise -> different bits
+    // bits are threshold bits: both symbols present on a noise image
+    assert(out(1L)._1.contains("1") && out(1L)._1.contains("0"))
+  }
 }

@@ -3451,4 +3451,28 @@ class OperatorsSpec extends SparkSuite {
     assert(row.getDouble(2) == num.toDouble && row.getDouble(3) == den.toDouble)
     assert(row.getDouble(4) < -0.9 && row.getDouble(4) > -1.5) // Zipf-ish decay
   }
+
+  test("aucExactPerGroup: per-stratum separation, ties by midrank, one-class NULL") {
+    import spark.implicits._
+    import graft.operators.Eval
+    val rows = Seq(
+      // g1: perfect separation (positives outrank all negatives)
+      ("g1", 1L, false, 1L), ("g1", 2L, false, 2L), ("g1", 3L, true, 3L), ("g1", 4L, true, 4L),
+      // g2: perfectly wrong
+      ("g2", 4L, false, 5L), ("g2", 3L, false, 6L), ("g2", 2L, true, 7L), ("g2", 1L, true, 8L),
+      // g3: single class
+      ("g3", 1L, true, 9L), ("g3", 2L, true, 10L))
+      .toDF("g", "s", "pos", "id")
+    val out = Eval.aucExactPerGroup(rows, "g", col("s"), col("pos"),
+        subBucket = col("s"), idCol = col("id"))
+      .collect().map(r => r.getString(0) -> r).toMap
+    assert(out("g1").getDouble(4) == 1.0)
+    assert(out("g2").getDouble(4) == 0.0)
+    assert(out("g3").isNullAt(4))
+    // midrank ties: g4 has one tied score straddling the classes -> 0.5
+    val tied = Seq(("g4", 5L, true, 1L), ("g4", 5L, false, 2L))
+      .toDF("g", "s", "pos", "id")
+    assert(Eval.aucExactPerGroup(tied, "g", col("s"), col("pos"), col("s"), col("id"))
+      .collect()(0).getDouble(4) == 0.5)
+  }
 }
