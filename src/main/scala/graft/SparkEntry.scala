@@ -247,6 +247,10 @@ object SparkEntry {
     "q186_grouped_auc" -> q186,
     "q187_url_hosts" -> q187,
     "q188_image_ahash" -> q188,
+    "q189_info_gain" -> q189,
+    "q190_survival" -> q190,
+    "q191_rendezvous" -> q191,
+    "q192_pipeline_e2e" -> q192,
   )
 
   /** Round count for the parameterized BPE lifecycle (q163/q164) — read
@@ -3087,6 +3091,93 @@ object SparkEntry {
       .agg(min(col("media_id")).as("keep_id"), count(lit(1)).as("n_copies"))
       .select(col("keep_id"), col("n_copies"))
       .orderBy(col("keep_id"))
+  }
+
+  /** INFORMATION-GAIN feature ranking — q174's mutual information run
+    * over each CANDIDATE metadata column against the label: which of
+    * (source, length bucket, langid prediction) leaks the most
+    * language signal, the feature-selection/leakage-audit read before
+    * trusting stratification keys ([[graft.operators.Eval
+    * .mutualInfoUnats]] per feature, stacked). */
+  private def q189(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(s, dir)
+    def mi(name: String, f: Column): DataFrame =
+      graft.operators.Eval.mutualInfoUnats(
+          d.select(f.as("f"), col("lang")), col("f"), col("lang"))
+        .select(lit(name).as("feature"), col("n"), col("n_cells"),
+          col("mi_n_micro"), col("mi_nats"))
+    mi("langid", Text.langId(col("text")))
+      .unionByName(mi("len_bucket", expr("n_chars DIV 256").cast("string")))
+      .unionByName(mi("source", col("source")))
+      .orderBy(col("feature"))
+  }
+
+  /** KAPLAN-MEIER signup→purchase conversion curve with right-censoring
+    * at observation end — the time-to-event read a naive mean-time
+    * query gets wrong; log-space micro-nat survival, exact BIGINT
+    * running sum, day-universe-sized curve
+    * ([[graft.operators.Survival.kaplanMeier]]). */
+  private def q190(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+    val signup = ev.where(col("event_type") === "signup")
+      .groupBy(col("user_id")).agg(min(unix_millis(col("ts"))).as("s_ms"))
+    val endMs = ev.agg(max(unix_millis(col("ts"))).as("end_ms"))
+    val purchase = ev.where(col("event_type") === "purchase")
+      .select(col("user_id"), unix_millis(col("ts")).as("p_ms"))
+    val subjects = signup
+      .join(purchase, Seq("user_id"), "left")
+      .groupBy(col("user_id"), col("s_ms"))
+      .agg(min(when(col("p_ms") >= col("s_ms"), col("p_ms"))).as("first_p"))
+      .crossJoin(broadcast(endMs))
+      .select(
+        when(col("first_p").isNotNull,
+          expr("(first_p - s_ms) DIV 86400000"))
+          .otherwise(expr("(end_ms - s_ms) DIV 86400000")).as("dur"),
+        col("first_p").isNotNull.as("ev"))
+    graft.operators.Survival.kaplanMeier(subjects, col("dur"), col("ev"))
+      .orderBy(col("day"))
+  }
+
+  /** RENDEZVOUS (highest-random-weight) sharding stability — assign each
+    * doc to its argmax-md5 shard under 8 and under 9 shards and measure
+    * the reassignment: HRW's contract is that growing the ring moves
+    * only ~1/(n+1) of keys (consistent-hashing economics, exactly
+    * countable here). Per-row argmax over a literal shard array — zero
+    * shuffle before the summary. */
+  private def q191(s: SparkSession, dir: String): DataFrame = {
+    def shardOf(n: Int): Column =
+      array_max(array((0 until n).map(sh => struct(
+        md5(concat(col("doc_id").cast("string"), lit(s":$sh"))).as("h"),
+        lit(sh.toLong).as("s"))): _*)).getField("s")
+    Tables.documents(s, dir)
+      .select(col("doc_id"), shardOf(8).as("s8"), shardOf(9).as("s9"))
+      .groupBy(col("s8"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("s8") =!= col("s9"), 1L).otherwise(0L)).as("n_moved"))
+      .orderBy(col("s8"))
+  }
+
+  /** END-TO-END curation pipeline in ONE plan — canonical dedup
+    * (keep-min per normalized fingerprint) → quality floor → md5
+    * train/val/test split → per-(split, lang) doc and token counts:
+    * the composition the individual operators exist FOR, materialized
+    * as a single query whose oracle stitches the same verified
+    * fragments (q61 + q24 + q44 + q01 shapes). */
+  private def q192(s: SparkSession, dir: String): DataFrame = {
+    val stop = Text.langMarkers.toMap.apply("en")
+    val docs = Tables.documents(s, dir)
+    val fp = md5(trim(regexp_replace(lower(col("text")), "\\s+", " ")))
+    val kept = docs.withColumn("_fp", fp)
+      .withColumn("_rk", row_number().over(
+        Window.partitionBy(col("_fp")).orderBy(col("doc_id"))))
+      .where(col("_rk") === 1)
+      .where(Text.qualityScore(col("text"), stop) >= lit(0.4))
+    graft.operators.Sampling.assignSplit(kept, "doc_id",
+        Seq(("train", 0.8), ("val", 0.1), ("test", 0.1)))
+      .groupBy(col("split"), col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(size(Text.tokens(col("text"))).cast("long")).as("n_tokens"))
+      .orderBy(col("split"), col("lang"))
   }
 
   // =====================================================================
@@ -6505,6 +6596,119 @@ object SparkEntry {
            FROM documents
            GROUP BY doc_id - doc_id % 3
            ORDER BY keep_id""",
+
+      // q174's MI chain instantiated per candidate feature and stacked
+      "q189_info_gain" -> {
+        def miBlock(name: String, fsub: String) =
+          s"""SELECT '$name' AS feature, n, n_cells, mi_n_micro, mi_nats FROM (
+             WITH cells AS (SELECT f AS a, lang AS b, CAST(count(*) AS BIGINT) AS o
+                 FROM ($fsub) GROUP BY 1, 2),
+               ra AS (SELECT a, CAST(sum(o) AS BIGINT) AS r FROM cells GROUP BY a),
+               cb AS (SELECT b, CAST(sum(o) AS BIGINT) AS c FROM cells GROUP BY b),
+               nn AS (SELECT CAST(sum(o) AS BIGINT) AS n FROM cells),
+               t AS (SELECT o,
+                       CAST(round(ln(CAST(o AS DOUBLE) * CAST(n AS DOUBLE) /
+                         CAST(r AS DOUBLE) / CAST(c AS DOUBLE)) * 1e6) AS BIGINT) AS pmi
+                     FROM cells JOIN ra USING (a) JOIN cb USING (b) CROSS JOIN nn),
+               s AS (SELECT CAST(count(*) AS BIGINT) AS n_cells,
+                       sum(CAST(o AS HUGEINT) * pmi) AS mi
+                     FROM t)
+             SELECT n, n_cells, CAST(mi AS DOUBLE) AS mi_n_micro,
+               CAST(mi AS DOUBLE) / (CAST(n AS DOUBLE) * 1e6) AS mi_nats
+             FROM s CROSS JOIN nn) z"""
+        val langidSub =
+          s"""SELECT CASE WHEN hits > 0 THEN cand ELSE 'und' END AS f, lang FROM (
+             SELECT doc_id, lang, cand, hits,
+               row_number() OVER (PARTITION BY doc_id ORDER BY hits DESC, cand ASC) AS rn
+             FROM (SELECT d.doc_id, d.lang, l.lang AS cand,
+                     len(list_filter($toks, t -> list_contains(l.words, t))) AS hits
+                   FROM documents d CROSS JOIN (VALUES
+                     ('de', ['der','die','das','und','ist','nicht','ein','mit']),
+                     ('en', ['the','a','of','and','is','to','in','that']),
+                     ('es', ['el','la','de','que','y','es','en','un']),
+                     ('fr', ['le','la','les','de','et','est','un','une']),
+                     ('zh', ['de','shi','bu','le','zai','you','wo','ta'])) l(lang, words)) s0) s1
+             WHERE rn = 1"""
+        s"""${miBlock("langid", langidSub)}
+           UNION ALL
+           ${miBlock("len_bucket",
+            "SELECT CAST(n_chars // 256 AS VARCHAR) AS f, lang FROM documents")}
+           UNION ALL
+           ${miBlock("source", "SELECT source AS f, lang FROM documents")}
+           ORDER BY feature"""
+      },
+
+      // per-day termination histogram, risk set = N − cum_before, the
+      // Colloc ln site once per event day, BIGINT running ln-survival
+      "q190_survival" ->
+        """WITH su AS (SELECT user_id, min(epoch_ms(ts)) AS s_ms
+               FROM events WHERE event_type = 'signup' GROUP BY 1),
+           en AS (SELECT max(epoch_ms(ts)) AS end_ms FROM events),
+           pu AS (SELECT user_id, epoch_ms(ts) AS p_ms
+                  FROM events WHERE event_type = 'purchase'),
+           subj AS (SELECT su.user_id, su.s_ms,
+                      min(CASE WHEN pu.p_ms >= su.s_ms THEN pu.p_ms END) AS first_p
+                    FROM su LEFT JOIN pu ON pu.user_id = su.user_id
+                    GROUP BY 1, 2),
+           dd AS (SELECT CASE WHEN first_p IS NOT NULL THEN (first_p - s_ms) // 86400000
+                    ELSE (end_ms - s_ms) // 86400000 END AS t,
+                    first_p IS NOT NULL AS e
+                  FROM subj CROSS JOIN en),
+           h AS (SELECT t, CAST(sum(CASE WHEN e THEN 1 ELSE 0 END) AS BIGINT) AS de,
+                   CAST(count(*) AS BIGINT) AS tot
+                 FROM dd GROUP BY t),
+           nn AS (SELECT CAST(sum(tot) AS BIGINT) AS n FROM h),
+           r AS (SELECT t, de, tot,
+                   n - coalesce(sum(tot) OVER (ORDER BY t
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS n_risk
+                 FROM h CROSS JOIN nn),
+           c AS (SELECT t, n_risk, de,
+                   CAST(round(ln(CAST(n_risk - de AS DOUBLE) / CAST(n_risk AS DOUBLE)) * 1e6) AS BIGINT) AS term_micro
+                 FROM r WHERE de > 0 AND n_risk > de)
+           SELECT t AS day, CAST(n_risk AS BIGINT) AS n_risk, de AS d_events,
+             term_micro,
+             CAST(sum(term_micro) OVER (ORDER BY t
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS ln_s_micro
+           FROM c ORDER BY day""",
+
+      // argmax-md5 per (doc, shard) replayed by window; the Spark
+      // array_max struct tiebreak (larger s on an md5 collision) is
+      // mirrored by ORDER BY h DESC, s DESC
+      "q191_rendezvous" ->
+        """WITH a AS (SELECT doc_id, s,
+               md5(CAST(doc_id AS VARCHAR) || ':' || CAST(s AS VARCHAR)) AS h
+             FROM documents CROSS JOIN (SELECT unnest(range(0, 9)) AS s) sh),
+           r8 AS (SELECT doc_id, s AS s8 FROM (
+                    SELECT doc_id, s, row_number() OVER (PARTITION BY doc_id
+                      ORDER BY h DESC, s DESC) AS rn
+                    FROM a WHERE s < 8) x WHERE rn = 1),
+           r9 AS (SELECT doc_id, s AS s9 FROM (
+                    SELECT doc_id, s, row_number() OVER (PARTITION BY doc_id
+                      ORDER BY h DESC, s DESC) AS rn
+                    FROM a) x WHERE rn = 1)
+           SELECT s8, CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(sum(CASE WHEN s8 <> s9 THEN 1 ELSE 0 END) AS BIGINT) AS n_moved
+           FROM r8 JOIN r9 USING (doc_id)
+           GROUP BY s8 ORDER BY s8""",
+
+      // the verified fragments stitched: q61 keep-min dedup, q24 quality
+      // floor, q44 md5 split, q01-shape rollup
+      "q192_pipeline_e2e" ->
+        s"""WITH kept AS (
+             SELECT doc_id, lang, text FROM (
+               SELECT doc_id, lang, text,
+                 row_number() OVER (PARTITION BY md5($norm) ORDER BY doc_id) AS rk
+               FROM documents) k WHERE rk = 1),
+           q AS (SELECT doc_id, lang, text FROM kept
+                 WHERE ${qualitySql(toks)} >= 0.4),
+           sp AS (SELECT lang, text,
+               CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) < '${graft.operators.Sampling.thresholdHex(0.8)}' THEN 'train'
+                    WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) < '${graft.operators.Sampling.thresholdHex(0.9)}' THEN 'val'
+                    ELSE 'test' END AS split
+             FROM q)
+           SELECT split, lang, CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(sum(len($toks)) AS BIGINT) AS n_tokens
+           FROM sp GROUP BY 1, 2 ORDER BY split, lang""",
     )
   }
 }

@@ -3475,4 +3475,25 @@ class OperatorsSpec extends SparkSuite {
     assert(Eval.aucExactPerGroup(tied, "g", col("s"), col("pos"), col("s"), col("id"))
       .collect()(0).getDouble(4) == 0.5)
   }
+
+  test("Survival.kaplanMeier: censoring shapes the risk set, exact micro-nat terms") {
+    import spark.implicits._
+    val subjects = Seq(
+      (1L, true), (1L, true), (1L, false),     // day 1: 2 events, 1 censored
+      (2L, true),                              // day 2: 1 event
+      (3L, false), (3L, false),                // day 3: censoring only (no row)
+      (4L, true),                              // day 4: 1 event
+      (5L, false), (5L, false), (5L, false))   // tail censoring
+      .toDF("dur", "ev")
+    val out = graft.operators.Survival.kaplanMeier(subjects, col("dur"), col("ev"))
+      .orderBy(col("day")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    def term(n: Long, d: Long): Long =
+      math.round(math.log((n - d).toDouble / n.toDouble) * 1e6)
+    val t1 = term(10, 2); val t2 = term(7, 1); val t4 = term(4, 1)
+    assert(out.toSeq == Seq(
+      (1L, 10L, 2L, t1, t1),
+      (2L, 7L, 1L, t2, t1 + t2),           // day-1 censor left the risk set
+      (4L, 4L, 1L, t4, t1 + t2 + t4)))     // day-3 censors gone too
+  }
 }
