@@ -251,6 +251,9 @@ object SparkEntry {
     "q190_survival" -> q190,
     "q191_rendezvous" -> q191,
     "q192_pipeline_e2e" -> q192,
+    "q193_brier" -> q193,
+    "q194_lift_deciles" -> q194,
+    "q195_rolling_distinct" -> q195,
   )
 
   /** Round count for the parameterized BPE lifecycle (q163/q164) — read
@@ -3178,6 +3181,67 @@ object SparkEntry {
       .agg(count(lit(1)).as("n_docs"),
         sum(size(Text.tokens(col("text"))).cast("long")).as("n_tokens"))
       .orderBy(col("split"), col("lang"))
+  }
+
+  /** Per-source BRIER score of the q24 quality score read as P(english)
+    * — the overall probabilistic-quality number closing the eval triad
+    * with q186 (discrimination) and q147 (calibration)
+    * ([[graft.operators.Eval.brierPerGroup]]). */
+  private def q193(s: SparkSession, dir: String): DataFrame = {
+    val stop = Text.langMarkers.toMap.apply("en")
+    graft.operators.Eval.brierPerGroup(
+        Tables.documents(s, dir)
+          .select(col("source"), col("lang"),
+            floor(Text.qualityScore(col("text"), stop) * lit(1e6)).as("pu")),
+        "source", probMicroCol = col("pu"), positive = col("lang") === "en")
+      .orderBy(col("source"))
+  }
+
+  /** LIFT / gain chart — exact equi-depth score deciles (best first) with
+    * cumulative positive capture and integer micro-lift
+    * `⌊cum_pos·N·10⁶ / (cum_n·P)⌋`: "how much better than random does
+    * the top-k% of the score capture English docs", the targeting read
+    * next to AUC's rank view (q117's ntile arithmetic + a 10-row
+    * cumulative window). */
+  private def q194(s: SparkSession, dir: String): DataFrame = {
+    val stop = Text.langMarkers.toMap.apply("en")
+    val base = Tables.documents(s, dir)
+      .select(col("doc_id"), (col("lang") === "en").as("pos"),
+        floor(Text.qualityScore(col("text"), stop) * lit(1e6)).as("qu"))
+      .withColumn("_negq", -col("qu"))
+    val binned = graft.operators.Ranking.equiDepthBins(
+      base, expr("-(qu DIV 50000)"), 10, col("_negq"), col("doc_id"))
+    val per = binned.groupBy(col("bin"))
+      .agg(count(lit(1)).as("n_rows"),
+        sum(when(col("pos"), 1L).otherwise(0L)).as("n_pos"))
+    val tot = per.agg(sum(col("n_rows")).as("_tn"), sum(col("n_pos")).as("_tp"))
+    val wCum = Window.orderBy(col("bin"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    per
+      .withColumn("cum_n", sum(col("n_rows")).over(wCum))
+      .withColumn("cum_pos", sum(col("n_pos")).over(wCum))
+      .crossJoin(broadcast(tot))
+      .select(col("bin"), col("n_rows"), col("n_pos"), col("cum_pos"),
+        expr("(cum_pos * _tn * 1000000L) DIV (cum_n * _tp)").as("lift_micro"))
+      .orderBy(col("bin"))
+  }
+
+  /** ROLLING 7-day distinct active users WITHOUT a window-distinct (not
+    * decomposable): each (day, user) membership explodes to the ≤ 7
+    * window days it serves, then one partial-aggregable distinct count
+    * per window day — the dashboard metric computed the way it scales. */
+  private def q195(s: SparkSession, dir: String): DataFrame = {
+    val du = Tables.events(s, dir)
+      .select(expr("unix_millis(ts) DIV 86400000").as("m"), col("user_id"))
+      .distinct()
+    val mx = du.agg(max(col("m")).as("_mx"))
+    du.select(explode(sequence(col("m"), col("m") + lit(6L))).as("day"),
+        col("user_id"))
+      .crossJoin(broadcast(mx))
+      .where(col("day") <= col("_mx"))
+      .groupBy(col("day"))
+      .agg(countDistinct(col("user_id")).as("n_active_7d"))
+      .orderBy(col("day"))
   }
 
   // =====================================================================
@@ -6709,6 +6773,51 @@ object SparkEntry {
            SELECT split, lang, CAST(count(*) AS BIGINT) AS n_docs,
              CAST(sum(len($toks)) AS BIGINT) AS n_tokens
            FROM sp GROUP BY 1, 2 ORDER BY split, lang""",
+
+      // micro-unit squared error, HUGEINT sums, one trailing division
+      "q193_brier" ->
+        s"""WITH d AS (SELECT source,
+                 CAST(floor(${qualitySql(toks)} * 1e6) AS BIGINT) AS p,
+                 CASE WHEN lang = 'en' THEN 1000000 ELSE 0 END AS y
+               FROM documents),
+           g AS (SELECT source, CAST(count(*) AS BIGINT) AS n,
+                   sum(CAST(p - y AS HUGEINT) * (p - y)) AS sse
+                 FROM d GROUP BY 1)
+           SELECT source, n, CAST(sse AS DOUBLE) AS sse_micro2,
+             CAST(sse AS DOUBLE) / (CAST(n AS DOUBLE) * 1e12) AS brier
+           FROM g ORDER BY source""",
+
+      // ntile(10) IS equiDepthBins' arithmetic (the q117/q147 precedent);
+      // integer micro-lift by floor division
+      "q194_lift_deciles" ->
+        s"""WITH d AS (SELECT doc_id, (lang = 'en') AS pos,
+                 CAST(floor(${qualitySql(toks)} * 1e6) AS BIGINT) AS qu
+               FROM documents),
+           b AS (SELECT pos, ntile(10) OVER (ORDER BY qu DESC, doc_id ASC) AS bin FROM d),
+           per AS (SELECT bin, CAST(count(*) AS BIGINT) AS n_rows,
+                     CAST(sum(CASE WHEN pos THEN 1 ELSE 0 END) AS BIGINT) AS n_pos
+                   FROM b GROUP BY bin),
+           tot AS (SELECT CAST(sum(n_rows) AS BIGINT) AS tn,
+                     CAST(sum(n_pos) AS BIGINT) AS tp FROM per),
+           c AS (SELECT bin, n_rows, n_pos,
+                   CAST(sum(n_rows) OVER (ORDER BY bin
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_n,
+                   CAST(sum(n_pos) OVER (ORDER BY bin
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_pos
+                 FROM per)
+           SELECT bin, n_rows, n_pos, cum_pos,
+             CAST(cum_pos * tn * 1000000 // (cum_n * tp) AS BIGINT) AS lift_micro
+           FROM c CROSS JOIN tot ORDER BY bin""",
+
+      // membership-day explosion instead of a window distinct (which
+      // does not decompose); partial windows at the left edge are real
+      "q195_rolling_distinct" ->
+        """WITH du AS (SELECT DISTINCT epoch_ms(ts) // 86400000 AS m, user_id FROM events),
+           mx AS (SELECT max(m) AS mxd FROM du),
+           ex AS (SELECT unnest(range(m, m + 7)) AS day, user_id FROM du)
+           SELECT day, CAST(count(DISTINCT user_id) AS BIGINT) AS n_active_7d
+           FROM ex CROSS JOIN mx WHERE day <= mxd
+           GROUP BY day ORDER BY day""",
     )
   }
 }

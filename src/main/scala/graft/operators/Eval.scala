@@ -334,6 +334,28 @@ object Eval {
           .as("mi_nats"))
   }
 
+  /** Per-group BRIER score — the OVERALL probabilistic-quality number
+    * completing the eval triad ([[aucExactPerGroup]] measures
+    * discrimination, [[calibrationBins]] calibration; Brier is their
+    * sum, the mean squared error of the probability):
+    * `Σ (p_µ − y·10⁶)²` over micro-unit probabilities is an exact
+    * DECIMAL(38) integer per group (|diff| ≤ 10⁶, squared 10¹², ×10¹⁹
+    * rows still inside 38 digits), and `brier = sse/(n·10¹²)` is one
+    * IEEE division. One partial-aggregable grouped pass. Returns
+    * `(groupCol, n, sse_micro2, brier)`. */
+  def brierPerGroup(df: DataFrame, groupCol: String, probMicroCol: Column,
+                    positive: Column): DataFrame = {
+    df.select(col(groupCol), probMicroCol.cast("long").as("_p"),
+        when(positive, 1000000L).otherwise(0L).as("_y"))
+      .groupBy(col(groupCol))
+      .agg(count(lit(1)).as("n"),
+        sum(expr("CAST(_p - _y AS DECIMAL(38,0)) * (_p - _y)")).as("_sse"))
+      .select(col(groupCol), col("n"),
+        col("_sse").cast("double").as("sse_micro2"),
+        (col("_sse").cast("double") / (col("n").cast("double") * lit(1e12)))
+          .as("brier"))
+  }
+
   /** Per-group LINEAR TREND — exact least-squares slope and intercept as
     * RATIONALS: over each group's (x, y) points,
     * `slope = (n·Σxy − Σx·Σy) / (n·Σx² − (Σx)²)` and

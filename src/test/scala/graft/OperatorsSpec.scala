@@ -3496,4 +3496,19 @@ class OperatorsSpec extends SparkSuite {
       (2L, 7L, 1L, t2, t1 + t2),           // day-1 censor left the risk set
       (4L, 4L, 1L, t4, t1 + t2 + t4)))     // day-3 censors gone too
   }
+
+  test("brierPerGroup: exact micro squared error, perfect and worst groups") {
+    import spark.implicits._
+    import graft.operators.Eval
+    val rows = Seq(
+      ("perfect", 1000000L, true), ("perfect", 0L, false),
+      ("worst", 0L, true), ("worst", 1000000L, false),
+      ("mid", 500000L, true), ("mid", 500000L, false))
+      .toDF("g", "p", "pos")
+    val out = Eval.brierPerGroup(rows, "g", col("p"), col("pos"))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2), r.getDouble(3))).toMap
+    assert(out("perfect") == ((2L, 0.0, 0.0)))
+    assert(out("worst") == ((2L, 2e12, 1.0)))
+    assert(out("mid") == ((2L, 5e11, 0.25)))
+  }
 }
