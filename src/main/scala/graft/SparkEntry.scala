@@ -254,6 +254,9 @@ object SparkEntry {
     "q193_brier" -> q193,
     "q194_lift_deciles" -> q194,
     "q195_rolling_distinct" -> q195,
+    "q196_ks_test" -> q196,
+    "q197_cohort_ltv" -> q197,
+    "q198_keyness" -> q198,
   )
 
   /** Round count for the parameterized BPE lifecycle (q163/q164) — read
@@ -3103,15 +3106,22 @@ object SparkEntry {
     * trusting stratification keys ([[graft.operators.Eval
     * .mutualInfoUnats]] per feature, stacked). */
   private def q189(s: SparkSession, dir: String): DataFrame = {
-    val d = Tables.documents(s, dir)
+    // ALL candidate features in ONE pass over the corpus (the expensive
+    // langid expression and the tokenization run once), checkpointed;
+    // the three MI chains then read the narrow 4-column frame
+    val feats = Tables.documents(s, dir)
+      .select(Text.langId(col("text")).as("f_langid"),
+        expr("n_chars DIV 256").cast("string").as("f_len"),
+        col("source").as("f_source"), col("lang"))
+      .localCheckpoint()
     def mi(name: String, f: Column): DataFrame =
       graft.operators.Eval.mutualInfoUnats(
-          d.select(f.as("f"), col("lang")), col("f"), col("lang"))
+          feats.select(f.as("f"), col("lang")), col("f"), col("lang"))
         .select(lit(name).as("feature"), col("n"), col("n_cells"),
           col("mi_n_micro"), col("mi_nats"))
-    mi("langid", Text.langId(col("text")))
-      .unionByName(mi("len_bucket", expr("n_chars DIV 256").cast("string")))
-      .unionByName(mi("source", col("source")))
+    mi("langid", col("f_langid"))
+      .unionByName(mi("len_bucket", col("f_len")))
+      .unionByName(mi("source", col("f_source")))
       .orderBy(col("feature"))
   }
 
@@ -3242,6 +3252,55 @@ object SparkEntry {
       .groupBy(col("day"))
       .agg(countDistinct(col("user_id")).as("n_active_7d"))
       .orderBy(col("day"))
+  }
+
+  /** EXACT two-sample Kolmogorov-Smirnov distance between click and
+    * view value distributions — the assumption-free sup-gap drift test
+    * next to q169's bucketed PSI; integer cross-multiplied CDF gaps
+    * over the merged value histogram
+    * ([[graft.operators.Eval.ksTestExact]]). */
+  private def q196(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+    def side(t: String) = ev.where(col("event_type") === t)
+      .select(cents(col("value")).as("v"))
+    graft.operators.Eval.ksTestExact(
+      side("click"), col("v"), side("view"), col("v"),
+      bucketOf = v => shiftright(v, 8))
+  }
+
+  /** COHORT LTV accumulation — signup-week cohorts × weeks-since-signup
+    * cumulative purchase revenue (exact cents): the revenue companion
+    * to q92's retention triangle; per-cohort running sums over the
+    * weeks-universe window. */
+  private def q197(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+    val signup = ev.where(col("event_type") === "signup")
+      .groupBy(col("user_id"))
+      .agg(min(expr("unix_millis(ts) DIV 86400000")).as("s_day"))
+    val rev = ev.where(col("event_type") === "purchase")
+      .select(col("user_id"), expr("unix_millis(ts) DIV 86400000").as("p_day"),
+        cents(col("value")).as("c"))
+    val cells = signup.join(rev, Seq("user_id"))
+      .where(col("p_day") >= col("s_day"))
+      .groupBy(expr("s_day DIV 7").as("cohort_week"),
+        expr("(p_day - s_day) DIV 7").as("weeks_since"))
+      .agg(sum(col("c")).as("rev_c"))
+    val wCum = Window.partitionBy(col("cohort_week")).orderBy(col("weeks_since"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    cells.withColumn("cum_rev_c", sum(col("rev_c")).over(wCum))
+      .orderBy(col("cohort_week"), col("weeks_since"))
+  }
+
+  /** KEYNESS of even- vs odd-id document halves — per-term add-½
+    * log-odds in micro-nats, top-20 by |score|: WHAT changed between
+    * two corpora, one level finer than q153's corpus-level divergence
+    * ([[graft.operators.Colloc.keyness]]). */
+  private def q198(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(s, dir)
+    graft.operators.Colloc.keyness(
+        d.where(col("doc_id") % 2 === 0), d.where(col("doc_id") % 2 === 1),
+        "text", k = 20)
+      .orderBy(abs(col("keyness_unats")).desc, col("term"))
   }
 
   // =====================================================================
@@ -6818,6 +6877,64 @@ object SparkEntry {
            SELECT day, CAST(count(DISTINCT user_id) AS BIGINT) AS n_active_7d
            FROM ex CROSS JOIN mx WHERE day <= mxd
            GROUP BY day ORDER BY day""",
+
+      // merged value histogram, window CDFs, integer cross-multiplied
+      // sup-gap, one trailing division
+      "q196_ks_test" ->
+        s"""WITH av AS (SELECT ${C.format("value")} AS v FROM events WHERE event_type = 'click'),
+           bv AS (SELECT ${C.format("value")} AS v FROM events WHERE event_type = 'view'),
+           h AS (SELECT v, CAST(sum(ca) AS BIGINT) AS ha, CAST(sum(cb) AS BIGINT) AS hb FROM (
+                   SELECT v, 1 AS ca, 0 AS cb FROM av
+                   UNION ALL
+                   SELECT v, 0 AS ca, 1 AS cb FROM bv) u GROUP BY v),
+           nn AS (SELECT CAST(sum(ha) AS BIGINT) AS na, CAST(sum(hb) AS BIGINT) AS nb FROM h),
+           c AS (SELECT
+                   CAST(sum(ha) OVER w AS BIGINT) AS cuma,
+                   CAST(sum(hb) OVER w AS BIGINT) AS cumb
+                 FROM h WINDOW w AS (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+           g AS (SELECT max(abs(cuma * nb - cumb * na)) AS ks_num FROM c CROSS JOIN nn)
+           SELECT na AS n_a, nb AS n_b, CAST(ks_num AS BIGINT) AS ks_num,
+             CAST(ks_num AS DOUBLE) / CAST(na * nb AS DOUBLE) AS ks
+           FROM g CROSS JOIN nn""",
+
+      // per-cohort running revenue over the weeks-universe window
+      "q197_cohort_ltv" ->
+        s"""WITH su AS (SELECT user_id, min(epoch_ms(ts) // 86400000) AS s_day
+               FROM events WHERE event_type = 'signup' GROUP BY 1),
+           rv AS (SELECT user_id, epoch_ms(ts) // 86400000 AS p_day,
+                    ${C.format("value")} AS c
+                  FROM events WHERE event_type = 'purchase'),
+           cells AS (SELECT s_day // 7 AS cohort_week,
+                       (p_day - s_day) // 7 AS weeks_since,
+                       CAST(sum(c) AS BIGINT) AS rev_c
+                     FROM su JOIN rv USING (user_id)
+                     WHERE p_day >= s_day
+                     GROUP BY 1, 2)
+           SELECT cohort_week, weeks_since, rev_c,
+             CAST(sum(rev_c) OVER (PARTITION BY cohort_week ORDER BY weeks_since
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_rev_c
+           FROM cells ORDER BY cohort_week, weeks_since""",
+
+      // add-1/2 log-odds per term over the full-outer vocab merge, the
+      // Colloc quantization site, top-20 by |score| with term tiebreak
+      "q198_keyness" ->
+        s"""WITH ta AS (SELECT t AS term, CAST(count(*) AS BIGINT) AS c_a
+               FROM (SELECT unnest($toks) AS t FROM documents WHERE doc_id % 2 = 0) GROUP BY 1),
+           tb AS (SELECT t AS term, CAST(count(*) AS BIGINT) AS c_b
+               FROM (SELECT unnest($toks) AS t FROM documents WHERE doc_id % 2 = 1) GROUP BY 1),
+           m AS (SELECT coalesce(ta.term, tb.term) AS term,
+                   coalesce(c_a, 0) AS c_a, coalesce(c_b, 0) AS c_b
+                 FROM ta FULL OUTER JOIN tb ON ta.term = tb.term),
+           nn AS (SELECT CAST(sum(c_a) AS BIGINT) AS na, CAST(sum(c_b) AS BIGINT) AS nb FROM m),
+           k AS (SELECT term, c_a, c_b,
+                   CAST(round((ln((CAST(c_a AS DOUBLE) + 0.5) /
+                       (CAST(na AS DOUBLE) - CAST(c_a AS DOUBLE) + 0.5)) -
+                     ln((CAST(c_b AS DOUBLE) + 0.5) /
+                       (CAST(nb AS DOUBLE) - CAST(c_b AS DOUBLE) + 0.5)))
+                     * 1e6) AS BIGINT) AS keyness_unats
+                 FROM m CROSS JOIN nn)
+           SELECT term, c_a, c_b, keyness_unats FROM k
+           ORDER BY abs(keyness_unats) DESC, term LIMIT 20""",
     )
   }
 }

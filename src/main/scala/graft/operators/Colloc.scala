@@ -52,4 +52,45 @@ object Colloc {
           col("c1").cast("double") / col("c2").cast("double")) * lit(1e6)).cast("long"))
       .select(col("w1"), col("w2"), col("c_pair"), col("pmi_unats"))
   }
+
+  /** KEYNESS — per-term log-odds ratio between two corpora with an
+    * add-½ (Haldane-Anscombe) prior: which terms characterize A against
+    * B, the corpus-linguistics drift read one level finer than
+    * [[graft.operators.LmScore]]'s corpus-level KL — "WHAT changed",
+    * not just "how much". `score = ln((a+½)/(N_A−a+½)) −
+    * ln((b+½)/(N_B−b+½))` quantized to micro-nats ONCE per term (the
+    * [[pmi]] site and shape — the prior also keeps B-absent terms
+    * finite), top-k by (|score| desc, term) via a distributed
+    * TakeOrdered heap.
+    *
+    * Scale: two partial-aggregable term counts off one tokenized scan,
+    * one vocab-sized FULL OUTER merge, scalar totals by broadcast;
+    * the corpus bodies never shuffle. Returns
+    * `(term, c_a, c_b, keyness_unats)`, k rows. */
+  def keyness(a: DataFrame, b: DataFrame, textCol: String, k: Int): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    def counts(df: DataFrame, out: String): DataFrame = df
+      .select(explode(Text.tokens(col(textCol))).as("term"))
+      .groupBy(col("term")).agg(count(lit(1)).as(out))
+    val ca = counts(a, "c_a")
+    val cb = counts(b, "c_b")
+    val merged = ca.join(cb, Seq("term"), "full_outer")
+      .select(col("term"),
+        coalesce(col("c_a"), lit(0L)).as("c_a"),
+        coalesce(col("c_b"), lit(0L)).as("c_b"))
+      .localCheckpoint() // fans into both totals and the score
+    val totals = merged.agg(sum(col("c_a")).as("_na"), sum(col("c_b")).as("_nb"))
+    merged
+      .crossJoin(broadcast(totals))
+      // fixed left-associated shape, one quantization per term
+      .withColumn("keyness_unats",
+        round((log((col("c_a").cast("double") + lit(0.5)) /
+            (col("_na").cast("double") - col("c_a").cast("double") + lit(0.5))) -
+          log((col("c_b").cast("double") + lit(0.5)) /
+            (col("_nb").cast("double") - col("c_b").cast("double") + lit(0.5))))
+          * lit(1e6)).cast("long"))
+      .orderBy(abs(col("keyness_unats")).desc, col("term"))
+      .limit(k)
+      .select(col("term"), col("c_a"), col("c_b"), col("keyness_unats"))
+  }
 }

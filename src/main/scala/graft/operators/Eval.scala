@@ -395,6 +395,56 @@ object Eval {
           .as("intercept"))
   }
 
+  /** Two-sample KOLMOGOROV-SMIRNOV distance, EXACT — the
+    * distribution-shift test completing the drift kit (PSI buckets and
+    * smooths; KS is the assumption-free sup-gap over the EMPIRICAL
+    * CDFs): `KS = max_v |F_a(v) − F_b(v)|`, computed as the integer
+    * maximum `ks_num = max_v |c_a(v)·n_b − c_b(v)·n_a|` over the merged
+    * value histogram (cross-multiplied — no float CDF ever compares),
+    * with `ks_micro = ks_num·10⁶ DIV (n_a·n_b)` the quantized readout.
+    *
+    * ## Scale shape (100 TB)
+    * Both samples collapse to ONE partial-aggregable per-value count
+    * pair; cumulative counts ride the two-level prefix sum over the
+    * value histogram (per-bucket windows + a broadcast bucket-offset
+    * table carrying both running sums — the [[spearmanExact]] shape);
+    * the final max is one more partial aggregate. Digit budget:
+    * c·n ≤ n_a·n_b — BIGINT holds both samples to ~3·10⁹ rows each;
+    * the readout `ks = ks_num/(n_a·n_b)` is one IEEE division of exact
+    * integers (no ·10⁶ that could overflow the product). Returns ONE
+    * row `(n_a, n_b, ks_num, ks)`. */
+  def ksTestExact(a: DataFrame, aCol: Column, b: DataFrame, bCol: Column,
+                  bucketOf: Column => Column): DataFrame = {
+    val tagged = a.select(aCol.cast("long").as("_v"), lit(1L).as("_ca"), lit(0L).as("_cb"))
+      .unionByName(b.select(bCol.cast("long").as("_v"), lit(0L).as("_ca"), lit(1L).as("_cb")))
+    val hist = tagged.groupBy(col("_v"))
+      .agg(sum(col("_ca")).as("_ha"), sum(col("_cb")).as("_hb"))
+      .withColumn("_b", bucketOf(col("_v")))
+      .localCheckpoint() // fans into totals, offsets, and the sweep
+    val n = hist.agg(sum(col("_ha")).as("_na"), sum(col("_hb")).as("_nb"))
+    val wIn = Window.partitionBy(col("_b")).orderBy(col("_v"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wOff = Window.orderBy(col("_b"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = hist.groupBy(col("_b"))
+      .agg(sum(col("_ha")).as("_ba"), sum(col("_hb")).as("_bb"))
+      .select(col("_b"),
+        coalesce(sum(col("_ba")).over(wOff), lit(0L)).as("_offa"),
+        coalesce(sum(col("_bb")).over(wOff), lit(0L)).as("_offb"))
+    hist
+      .join(broadcast(offsets), Seq("_b"))
+      .withColumn("_cuma", col("_offa") + sum(col("_ha")).over(wIn))
+      .withColumn("_cumb", col("_offb") + sum(col("_hb")).over(wIn))
+      .crossJoin(broadcast(n))
+      .select(col("_na"), col("_nb"),
+        abs(col("_cuma") * col("_nb") - col("_cumb") * col("_na")).as("_gap"))
+      .groupBy(col("_na"), col("_nb"))
+      .agg(max(col("_gap")).as("ks_num"))
+      .select(col("_na").as("n_a"), col("_nb").as("n_b"), col("ks_num"),
+        (col("ks_num").cast("double") /
+          (col("_na") * col("_nb")).cast("double")).as("ks"))
+  }
+
   /** AUTOCORRELATION of an aggregated time series at a fixed lag —
     * [[pearsonExact]] composed over the series' self-join: pairs are the
     * (t, t+lag) steps where BOTH exist (gaps drop the pair — the "na.or

@@ -3511,4 +3511,35 @@ class OperatorsSpec extends SparkSuite {
     assert(out("worst") == ((2L, 2e12, 1.0)))
     assert(out("mid") == ((2L, 5e11, 0.25)))
   }
+
+  test("ksTestExact: identical samples at 0, disjoint at 1, hand sup-gap with ties") {
+    import spark.implicits._
+    import graft.operators.Eval
+    def ks(a: Seq[Long], b: Seq[Long]): (Long, Long, Long, Double) = {
+      val r = Eval.ksTestExact(a.toDF("v"), col("v"), b.toDF("v"), col("v"),
+        v => shiftright(v, 2)).collect()(0)
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))
+    }
+    assert(ks(Seq(1L, 2L, 3L), Seq(1L, 2L, 3L))._4 == 0.0)
+    assert(ks(Seq(1L, 2L), Seq(10L, 11L))._4 == 1.0)    // fully separated
+    // a = {1,2,3,4}, b = {3,4,5,6}: sup gap at v=2: F_a=1/2, F_b=0
+    val (na, nb, num, v) = ks(Seq(1L, 2L, 3L, 4L), Seq(3L, 4L, 5L, 6L))
+    assert(na == 4L && nb == 4L && num == 8L && v == 0.5)
+  }
+
+  test("keyness: add-half log-odds, B-absent terms finite, top-k order") {
+    import spark.implicits._
+    // corpus A: "x" dominant + shared "c"; corpus B: "y" only + shared "c"
+    val a = Seq((1L, "x x x c")).toDF("id", "text")
+    val b = Seq((2L, "y c c c")).toDF("id", "text")
+    val out = graft.operators.Colloc.keyness(a, b, "text", k = 3)
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    def lo(ca: Long, na: Long, cb: Long, nb: Long): Long =
+      math.round((math.log((ca + 0.5) / (na - ca + 0.5)) -
+        math.log((cb + 0.5) / (nb - cb + 0.5))) * 1e6)
+    assert(out("x") == ((3L, 0L, lo(3, 4, 0, 4))))   // absent in B, finite
+    assert(out("y") == ((0L, 1L, lo(0, 4, 1, 4))))
+    assert(out("c") == ((1L, 3L, lo(1, 4, 3, 4))))
+    assert(out("x")._3 > 0 && out("y")._3 < 0)
+  }
 }
