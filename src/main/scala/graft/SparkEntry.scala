@@ -257,6 +257,10 @@ object SparkEntry {
     "q196_ks_test" -> q196,
     "q197_cohort_ltv" -> q197,
     "q198_keyness" -> q198,
+    "q199_column_profile" -> q199,
+    "q200_fk_audit" -> q200,
+    "q201_streaks" -> q201,
+    "q202_wow_change" -> q202,
   )
 
   /** Round count for the parameterized BPE lifecycle (q163/q164) — read
@@ -3301,6 +3305,89 @@ object SparkEntry {
         d.where(col("doc_id") % 2 === 0), d.where(col("doc_id") % 2 === 1),
         "text", k = 20)
       .orderBy(abs(col("keyness_unats")).desc, col("term"))
+  }
+
+  /** COLUMN PROFILER — per-column null count, distinct count, and
+    * lexicographic string bounds over lineitem's key/flag columns in ONE
+    * stacked pass (every profile cell an exact count or a string
+    * min/max — the ingestion health report run before trusting a new
+    * drop; string bounds are the deliberately engine-stable choice). */
+  private def q199(s: SparkSession, dir: String): DataFrame = {
+    val cols = Seq("l_orderkey", "l_partkey", "l_suppkey",
+      "l_returnflag", "l_linestatus")
+    Tables.lineitem(s, dir)
+      .select(explode(array(cols.map(c =>
+        struct(lit(c).as("col_name"), col(c).cast("string").as("v"))): _*)).as("p"))
+      .select(col("p.col_name").as("col_name"), col("p.v").as("v"))
+      .groupBy(col("col_name"))
+      .agg(count(lit(1)).as("n_rows"),
+        sum(when(col("v").isNull, 1L).otherwise(0L)).as("n_null"),
+        countDistinct(col("v")).as("n_distinct"),
+        min(col("v")).as("min_s"), max(col("v")).as("max_s"))
+      .orderBy(col("col_name"))
+  }
+
+  /** REFERENTIAL-INTEGRITY audit — orphan counts for every foreign key
+    * of the star schema via left-anti joins (broadcast where the parent
+    * is a dim): the load-order/consistency check a warehouse runs after
+    * every ingest; all-zero orphans IS the contract being verified. */
+  private def q200(s: SparkSession, dir: String): DataFrame = {
+    def rel(name: String, child: DataFrame, ck: String,
+            parent: DataFrame, pk: String): DataFrame = {
+      val orphans = child.select(col(ck))
+        .join(parent.select(col(pk).as(ck)), Seq(ck), "left_anti")
+      child.agg(count(lit(1)).as("n_child"))
+        .crossJoin(orphans.agg(count(lit(1)).as("n_orphans")))
+        .select(lit(name).as("relationship"), col("n_child"), col("n_orphans"))
+    }
+    val li = Tables.lineitem(s, dir)
+    rel("lineitem.orderkey->orders", li, "l_orderkey", Tables.orders(s, dir), "o_orderkey")
+      .unionByName(rel("lineitem.partkey->part", li, "l_partkey", Tables.part(s, dir), "p_partkey"))
+      .unionByName(rel("lineitem.suppkey->supplier", li, "l_suppkey", Tables.supplier(s, dir), "s_suppkey"))
+      .unionByName(rel("orders.custkey->customer", Tables.orders(s, dir), "o_custkey", Tables.customer(s, dir), "c_custkey"))
+      .unionByName(rel("customer.nationkey->nation", Tables.customer(s, dir), "c_nationkey", Tables.nation(s, dir), "n_nationkey"))
+      .orderBy(col("relationship"))
+  }
+
+  /** ACTIVITY STREAKS (gaps-and-islands) — per user: active-day count,
+    * number of contiguous streaks, longest streak: the classic
+    * `day − row_number` island key over per-user bounded windows, exact
+    * integers end to end. */
+  private def q201(s: SparkSession, dir: String): DataFrame = {
+    val days = Tables.events(s, dir)
+      .select(col("user_id"), expr("unix_millis(ts) DIV 86400000").as("d"))
+      .distinct()
+    val w = Window.partitionBy(col("user_id")).orderBy(col("d"))
+    days
+      .withColumn("_isl", col("d") - row_number().over(w))
+      .groupBy(col("user_id"), col("_isl"))
+      .agg(count(lit(1)).as("_len"))
+      .groupBy(col("user_id"))
+      .agg(sum(col("_len")).as("n_active_days"),
+        count(lit(1)).as("n_streaks"), max(col("_len")).as("max_streak"))
+      .orderBy(col("user_id"))
+  }
+
+  /** WEEK-OVER-WEEK revenue change per nation — lag over the per-nation
+    * weeks universe, delta as one IEEE division of exact cents (the BI
+    * period-over-period staple on the star schema). */
+  private def q202(s: SparkSession, dir: String): DataFrame = {
+    val weekly = Tables.lineitem(s, dir)
+      .join(Tables.orders(s, dir), col("l_orderkey") === col("o_orderkey"))
+      .join(Tables.customer(s, dir), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(Tables.nation(s, dir)), col("c_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_name"),
+        // o_orderdate is parquet NTZ; the session is pinned UTC, so the
+        // cast is the identity the oracle's epoch_ms computes
+        expr("unix_millis(CAST(o_orderdate AS TIMESTAMP)) DIV 604800000").as("week"))
+      .agg(sum(cents(col("l_extendedprice") * (lit(1.0) - col("l_discount")))).as("rev_c"))
+    val w = Window.partitionBy(col("n_name")).orderBy(col("week"))
+    weekly
+      .withColumn("prev_c", lag(col("rev_c"), 1).over(w))
+      .withColumn("wow_pct",
+        when(col("prev_c").isNotNull && col("prev_c") =!= 0L,
+          (col("rev_c") - col("prev_c")).cast("double") / col("prev_c").cast("double")))
+      .orderBy(col("n_name"), col("week"))
   }
 
   // =====================================================================
@@ -6935,6 +7022,81 @@ object SparkEntry {
                  FROM m CROSS JOIN nn)
            SELECT term, c_a, c_b, keyness_unats FROM k
            ORDER BY abs(keyness_unats) DESC, term LIMIT 20""",
+
+      // stacked per-column profile; string bounds are binary-collated on
+      // both engines
+      "q199_column_profile" -> {
+        val stacked = Seq("l_orderkey", "l_partkey", "l_suppkey",
+          "l_returnflag", "l_linestatus")
+          .map(c => s"SELECT '$c' AS col_name, CAST($c AS VARCHAR) AS v FROM lineitem")
+          .mkString("\n           UNION ALL\n           ")
+        s"""WITH s AS (
+           $stacked)
+           SELECT col_name, CAST(count(*) AS BIGINT) AS n_rows,
+             CAST(sum(CASE WHEN v IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null,
+             CAST(count(DISTINCT v) AS BIGINT) AS n_distinct,
+             min(v) AS min_s, max(v) AS max_s
+           FROM s GROUP BY col_name ORDER BY col_name"""
+      },
+
+      // five orphan scans; all-zero IS the contract
+      "q200_fk_audit" ->
+        """SELECT * FROM (
+             SELECT 'customer.nationkey->nation' AS relationship,
+               (SELECT CAST(count(*) AS BIGINT) FROM customer) AS n_child,
+               (SELECT CAST(count(*) AS BIGINT) FROM customer
+                  WHERE c_nationkey NOT IN (SELECT n_nationkey FROM nation)) AS n_orphans
+             UNION ALL
+             SELECT 'lineitem.orderkey->orders',
+               (SELECT count(*) FROM lineitem),
+               (SELECT count(*) FROM lineitem
+                  WHERE l_orderkey NOT IN (SELECT o_orderkey FROM orders))
+             UNION ALL
+             SELECT 'lineitem.partkey->part',
+               (SELECT count(*) FROM lineitem),
+               (SELECT count(*) FROM lineitem
+                  WHERE l_partkey NOT IN (SELECT p_partkey FROM part))
+             UNION ALL
+             SELECT 'lineitem.suppkey->supplier',
+               (SELECT count(*) FROM lineitem),
+               (SELECT count(*) FROM lineitem
+                  WHERE l_suppkey NOT IN (SELECT s_suppkey FROM supplier))
+             UNION ALL
+             SELECT 'orders.custkey->customer',
+               (SELECT count(*) FROM orders),
+               (SELECT count(*) FROM orders
+                  WHERE o_custkey NOT IN (SELECT c_custkey FROM customer))) u
+           ORDER BY relationship""",
+
+      // the day − row_number island key, per-user bounded windows
+      "q201_streaks" ->
+        """WITH du AS (SELECT DISTINCT user_id, epoch_ms(ts) // 86400000 AS d FROM events),
+           isl AS (SELECT user_id,
+                     d - row_number() OVER (PARTITION BY user_id ORDER BY d) AS i
+                   FROM du),
+           g AS (SELECT user_id, i, CAST(count(*) AS BIGINT) AS len
+                 FROM isl GROUP BY 1, 2)
+           SELECT user_id, CAST(sum(len) AS BIGINT) AS n_active_days,
+             CAST(count(*) AS BIGINT) AS n_streaks,
+             CAST(max(len) AS BIGINT) AS max_streak
+           FROM g GROUP BY user_id ORDER BY user_id""",
+
+      // per-nation weekly lag; the delta is one IEEE division of cents
+      "q202_wow_change" ->
+        s"""WITH weekly AS (SELECT n_name,
+               epoch_ms(o_orderdate) // 604800000 AS week,
+               CAST(sum(${C.format("l_extendedprice * (1.0 - l_discount)")}) AS BIGINT) AS rev_c
+             FROM lineitem
+               JOIN orders ON l_orderkey = o_orderkey
+               JOIN customer ON o_custkey = c_custkey
+               JOIN nation ON c_nationkey = n_nationkey
+             GROUP BY 1, 2)
+           SELECT n_name, week, rev_c, lag(rev_c) OVER w AS prev_c,
+             CASE WHEN lag(rev_c) OVER w IS NOT NULL AND lag(rev_c) OVER w <> 0
+               THEN CAST(rev_c - lag(rev_c) OVER w AS DOUBLE) / CAST(lag(rev_c) OVER w AS DOUBLE)
+             END AS wow_pct
+           FROM weekly WINDOW w AS (PARTITION BY n_name ORDER BY week)
+           ORDER BY n_name, week""",
     )
   }
 }
