@@ -261,6 +261,8 @@ object SparkEntry {
     "q200_fk_audit" -> q200,
     "q201_streaks" -> q201,
     "q202_wow_change" -> q202,
+    "q203_rule_attribution" -> q203,
+    "q204_shard_balance" -> q204,
   )
 
   /** Round count for the parameterized BPE lifecycle (q163/q164) — read
@@ -3219,10 +3221,13 @@ object SparkEntry {
     * cumulative window). */
   private def q194(s: SparkSession, dir: String): DataFrame = {
     val stop = Text.langMarkers.toMap.apply("en")
+    // scored once, cut before the rank fan-out (the q183/q186 lesson:
+    // 12.4x at 10x data with the quality regexes re-evaluated per branch)
     val base = Tables.documents(s, dir)
       .select(col("doc_id"), (col("lang") === "en").as("pos"),
         floor(Text.qualityScore(col("text"), stop) * lit(1e6)).as("qu"))
       .withColumn("_negq", -col("qu"))
+      .localCheckpoint()
     val binned = graft.operators.Ranking.equiDepthBins(
       base, expr("-(qu DIV 50000)"), 10, col("_negq"), col("doc_id"))
     val per = binned.groupBy(col("bin"))
@@ -3388,6 +3393,61 @@ object SparkEntry {
         when(col("prev_c").isNotNull && col("prev_c") =!= 0L,
           (col("rev_c") - col("prev_c")).cast("double") / col("prev_c").cast("double")))
       .orderBy(col("n_name"), col("week"))
+  }
+
+  /** FILTER ATTRIBUTION — per Gopher rule (q104's exact parameters):
+    * how many docs it fails, and how many it UNIQUELY kills (the docs
+    * recovered if the rule were dropped) — the "which filter is doing
+    * the work / which is redundant" read a curation dashboard leads
+    * with. One flags pass, one stacked aggregate. */
+  private def q203(s: SparkSession, dir: String): DataFrame = {
+    val f = graft.operators.QualityRules.gopherFilter(
+      Tables.documents(s, dir), "doc_id", "text",
+      minTokens = 30, maxTokens = 80, minMeanLen = 4.0, maxMeanLen = 4.8,
+      repN = 2, maxRepetition = 0.05,
+      stopwords = Seq("the", "a", "of", "and", "is", "to", "in", "that"),
+      minStopHits = 2)
+    val rules = Seq("r_len", "r_wlen", "r_rep", "r_stop")
+    f.select(explode(array(rules.map { r =>
+        val others = rules.filterNot(_ == r).map(col).reduce(_ && _)
+        struct(lit(r).as("rule"), (!col(r)).as("fails"),
+          (!col(r) && others).as("unique_fail"))
+      }: _*)).as("p"))
+      .select(col("p.rule").as("rule"), col("p.fails").as("fails"),
+        col("p.unique_fail").as("unique_fail"))
+      .groupBy(col("rule"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("fails"), 1L).otherwise(0L)).as("n_fail"),
+        sum(when(col("unique_fail"), 1L).otherwise(0L)).as("n_unique_fail"))
+      .withColumn("fail_rate",
+        col("n_fail").cast("double") / col("n_docs").cast("double"))
+      .orderBy(col("rule"))
+  }
+
+  /** SHARD-BALANCE χ² goodness-of-fit — are the md5 shuffle shards
+    * uniform? `χ² = Σ_s (O_s·k − N)²/(k·N)` in exact DECIMAL(38)
+    * micro-units over the FULL k-shard spine (empty shards contribute
+    * their N/k deviation — the spine join is what makes the test
+    * honest); q173's sparse-safe doctrine applied to goodness-of-fit,
+    * closing the loop with q191's rendezvous stability. */
+  private def q204(s: SparkSession, dir: String): DataFrame = {
+    val k = 32
+    val o = Tables.documents(s, dir)
+      .select(graft.operators.Sampling.shardCol(col("doc_id"), k, "shuffle")
+        .cast("long").as("s"))
+      .groupBy(col("s")).agg(count(lit(1)).as("o"))
+    val spine = s.range(0, k).select(col("id").as("s"))
+    val n = o.agg(sum(col("o")).as("_n"))
+    spine.join(o, Seq("s"), "left")
+      .select(col("s"), coalesce(col("o"), lit(0L)).as("o"))
+      .crossJoin(broadcast(n))
+      .select(expr(s"(CAST(o * $k - _n AS DECIMAL(38,0)) * (o * $k - _n) * 1000000) " +
+        s"DIV ($k * CAST(_n AS DECIMAL(38,0)))").as("_t"), col("_n"))
+      .groupBy(col("_n"))
+      .agg(sum(col("_t")).as("chi2_micro"))
+      .select(lit(k.toLong).as("k"), col("_n").as("n"),
+        col("chi2_micro").cast("long").as("chi2_micro"),
+        (col("chi2_micro").cast("double") / lit(1e6)).as("chi2"))
   }
 
   // =====================================================================
@@ -7097,6 +7157,62 @@ object SparkEntry {
              END AS wow_pct
            FROM weekly WINDOW w AS (PARTITION BY n_name ORDER BY week)
            ORDER BY n_name, week""",
+
+      // q104's flag CTE + a stacked per-rule aggregate; unique kills =
+      // fails while every other rule passes
+      "q203_rule_attribution" -> {
+        val rep2 =
+          s"CASE WHEN len(${shingles(2)}) <= 1 THEN 0.0 " +
+          s"ELSE 1.0 - CAST(len(list_distinct(${shingles(2)})) AS DOUBLE) / CAST(len(${shingles(2)}) AS DOUBLE) END"
+        s"""WITH t AS (SELECT doc_id, $toks AS toks FROM documents),
+           m AS (SELECT doc_id,
+             CAST(len(toks) AS BIGINT) AS n_tok,
+             CASE WHEN len(toks) > 0
+               THEN CAST(list_sum(list_transform(toks, x -> len(x))) AS DOUBLE)
+                    / CAST(len(toks) AS DOUBLE) END AS mean_len,
+             $rep2 AS rep,
+             CAST(len(list_filter(['the','a','of','and','is','to','in','that'],
+               s -> list_contains(toks, s))) AS BIGINT) AS stop_hits
+           FROM t),
+           fl AS (SELECT
+             n_tok BETWEEN 30 AND 80 AS r_len,
+             coalesce(mean_len BETWEEN 4.0 AND 4.8, false) AS r_wlen,
+             rep <= 0.05 AS r_rep,
+             stop_hits >= 2 AS r_stop
+           FROM m),
+           st AS (
+             SELECT 'r_len' AS rule, NOT r_len AS fails,
+               (NOT r_len) AND r_wlen AND r_rep AND r_stop AS uq FROM fl
+             UNION ALL
+             SELECT 'r_rep', NOT r_rep, (NOT r_rep) AND r_len AND r_wlen AND r_stop FROM fl
+             UNION ALL
+             SELECT 'r_stop', NOT r_stop, (NOT r_stop) AND r_len AND r_wlen AND r_rep FROM fl
+             UNION ALL
+             SELECT 'r_wlen', NOT r_wlen, (NOT r_wlen) AND r_len AND r_rep AND r_stop FROM fl)
+           SELECT rule, CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(sum(CASE WHEN fails THEN 1 ELSE 0 END) AS BIGINT) AS n_fail,
+             CAST(sum(CASE WHEN uq THEN 1 ELSE 0 END) AS BIGINT) AS n_unique_fail,
+             CAST(sum(CASE WHEN fails THEN 1 ELSE 0 END) AS DOUBLE)
+               / CAST(count(*) AS DOUBLE) AS fail_rate
+           FROM st GROUP BY rule ORDER BY rule"""
+      },
+
+      // q173's sparse-safe χ² doctrine as goodness-of-fit over the FULL
+      // shard spine (empty shards contribute their N/k deviation)
+      "q204_shard_balance" ->
+        """WITH o AS (SELECT ('0x' || substr(md5('shuffle:' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 32 AS sh,
+                 CAST(count(*) AS BIGINT) AS o
+               FROM documents GROUP BY 1),
+           spine AS (SELECT unnest(range(0, 32)) AS sh),
+           nn AS (SELECT CAST(sum(o) AS BIGINT) AS n FROM o),
+           t AS (SELECT (CAST(coalesce(o.o, 0) * 32 - n AS HUGEINT)
+                   * (coalesce(o.o, 0) * 32 - n) * 1000000)
+                   // (32 * CAST(n AS HUGEINT)) AS tm
+                 FROM spine LEFT JOIN o USING (sh) CROSS JOIN nn)
+           SELECT CAST(32 AS BIGINT) AS k, n,
+             CAST(sum(tm) AS BIGINT) AS chi2_micro,
+             CAST(CAST(sum(tm) AS BIGINT) AS DOUBLE) / 1e6 AS chi2
+           FROM t CROSS JOIN nn GROUP BY n""",
     )
   }
 }

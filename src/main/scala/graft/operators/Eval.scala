@@ -73,11 +73,15 @@ object Eval {
     * group `(groupCol, n_pos, n_neg, u2, auc)`; auc NULL where a group
     * is single-class. */
   def aucExactPerGroup(df: DataFrame, groupCol: String, scoreCol: Column,
-                       positive: Column, subBucket: Column,
-                       idCol: Column): DataFrame = {
-    val ranked = Ranking.groupedRank(
-      df.select(col(groupCol), scoreCol.as("_score"), positive.as("_pos"),
-        idCol.as("_id"), subBucket.as("_sbk")),
+                       positive: Column, subBucket: Column, idCol: Column,
+                       checkpoint: Boolean = true): DataFrame = {
+    // the scored frame fans out inside groupedRank (rank window + the
+    // counts/offsets branch) — cut it so an expensive caller score
+    // evaluates once (measured 8.4x at 10x data without)
+    val scored0 = df.select(col(groupCol), scoreCol.as("_score"),
+      positive.as("_pos"), idCol.as("_id"), subBucket.as("_sbk"))
+    val scored = if (checkpoint) scored0.localCheckpoint() else scored0
+    val ranked = Ranking.groupedRank(scored,
       col(groupCol), col("_sbk"), col("_score"), col("_id"))
     ranked
       .groupBy(col(groupCol), col("_score"))
