@@ -3527,6 +3527,33 @@ class OperatorsSpec extends SparkSuite {
     assert(na == 4L && nb == 4L && num == 8L && v == 0.5)
   }
 
+  test("stats invariants: KS symmetry, chi2 argument symmetry, transition rows sum to ~1e6") {
+    import spark.implicits._
+    import graft.operators.Eval
+    // KS is symmetric in its arguments — num identical, not just close
+    val xs = (1L to 200L).map(i => i * 7 % 31)
+    val ys = (1L to 150L).map(i => i * 11 % 37)
+    def ksNum(a: Seq[Long], b: Seq[Long]): Long =
+      Eval.ksTestExact(a.toDF("v"), col("v"), b.toDF("v"), col("v"),
+        v => shiftright(v, 2)).collect()(0).getLong(2)
+    assert(ksNum(xs, ys) == ksNum(ys, xs))
+    // chi-squared is exactly symmetric under swapping the two columns
+    // (per-cell O²·N·10⁶ DIV (R·C) has R·C invariant under the swap)
+    val cat = (1L to 500L).map(i => (s"a${i % 7}", s"b${i % 5}"))
+    def chi(rows: Seq[(String, String)], swap: Boolean): Long = {
+      val df = rows.toDF("a", "b")
+      val (x, y) = if (swap) (col("b"), col("a")) else (col("a"), col("b"))
+      Eval.chiSquareIndependence(df, x, y).collect()(0).getLong(4)
+    }
+    assert(chi(cat, swap = false) == chi(cat, swap = true))
+    // each transition row's probabilities sum to 1e6 minus bounded floor loss
+    val ev = (1L to 400L).map(i => (i % 13, i, s"s${(i * 7) % 5}")).toDF("k", "seq", "st")
+    val m = graft.operators.Markov.transitionMatrix(ev, col("k"), col("st"), Seq(col("seq")))
+      .collect().map(r => (r.getString(0), r.getLong(4)))
+    val sums = m.groupBy(_._1).map { case (f, g) => f -> g.map(_._2).sum }
+    assert(sums.values.forall(s => s > 1000000L - 5L && s <= 1000000L))
+  }
+
   test("keyness: add-half log-odds, B-absent terms finite, top-k order") {
     import spark.implicits._
     // corpus A: "x" dominant + shared "c"; corpus B: "y" only + shared "c"

@@ -971,5 +971,51 @@ class ScaleSpec extends SparkSuite {
     assert(!skPlan.contains("CartesianProduct") && !skPlan.contains("BroadcastNestedLoop"),
       s"skyline must not run a dominance join:\n$skPlan")
   }
+
+  test("round-7e operators: KS histogram collapse, survival day-universe, keyness TakeOrdered, profiler single stacked pass") {
+    import spark.implicits._
+
+    // KS: both samples collapse to ONE per-value count pair before any
+    // window; the data-sized work must partial-aggregate, and no
+    // cartesian/nested-loop exists (the 1-row totals ride broadcast)
+    val a = (1L to 4000L).map(i => i * 7 % 997).toDF("v")
+    val b = (1L to 3000L).map(i => i * 13 % 991).toDF("v")
+    val ks = graft.operators.Eval.ksTestExact(a, col("v"), b, col("v"),
+      v => shiftright(v, 5))
+    ks.collect()
+    val kPlan = ks.queryExecution.executedPlan.toString
+    assert(!kPlan.contains("CartesianProduct"), s"KS must stay equi/broadcast:\n$kPlan")
+
+    // survival: terminations collapse to the day histogram in one
+    // partial-aggregable pass BEFORE the (day-universe) windows
+    val subj = (1L to 5000L).map(i => (i % 90, i % 3 != 0)).toDF("dur", "ev")
+    val km = graft.operators.Survival.kaplanMeier(subj, col("dur"), col("ev"))
+    km.collect()
+    val sPlan = km.queryExecution.executedPlan.toString
+    assert(!sPlan.contains("CartesianProduct"), s"KM joins are broadcast:\n$sPlan")
+    assert(!sPlan.contains("SortMergeJoin"), s"KM totals attach by broadcast:\n$sPlan")
+
+    // keyness: the top-k cut is a distributed TakeOrdered heap, never a
+    // global sort of the vocabulary
+    val ca = (1L to 400L).map(i => (i, s"w${i % 23} w${i % 7} x$i")).toDF("id", "text")
+    val cb = (1L to 400L).map(i => (i, s"w${i % 19} w${i % 5} y$i")).toDF("id", "text")
+    val key = graft.operators.Colloc.keyness(ca, cb, "text", k = 10)
+    key.collect()
+    val yPlan = key.queryExecution.executedPlan.toString
+    assert(yPlan.contains("TakeOrderedAndProject"),
+      s"keyness top-k must be TakeOrdered:\n$yPlan")
+
+    // column profiler: ONE stacked pass — a single Generate (explode)
+    // feeding a partial-aggregable profile, no join at all
+    val prof = graft.SparkEntry.queries("q199_column_profile")(spark, sf0001)
+    prof.collect()
+    val pPlan = prof.queryExecution.executedPlan.toString
+    // AQE prints the materialized final plan AND the initial plan; count
+    // the explode once, in the final section only
+    val pFinal = pPlan.split("== Initial Plan ==").head
+    assert(pFinal.linesIterator.count(_.contains("Generate")) == 1,
+      s"profiler is one stacked explode:\n$pPlan")
+    assert(!pFinal.contains("Join"), s"profiler has no join:\n$pPlan")
+  }
 }
 
