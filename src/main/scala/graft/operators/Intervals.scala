@@ -38,10 +38,21 @@ object Intervals {
   def overlapCounts(a: DataFrame, idCol: String, aStart: String, aEnd: String,
                     b: DataFrame, bStart: String, bEnd: String,
                     bucketOf: Column => Column): DataFrame = {
-    val probesLe = a.select(col(idCol).as("_id"), col(aEnd).cast("long").as("_v"))
+    // the counting identity REQUIRES well-formed intervals (start <= end
+    // makes the two disjointness cases mutually exclusive); an inverted
+    // interval would silently undercount, so refuse it in-plan. The
+    // checked zero is folded into the probe value to force evaluation.
+    def guard(df: DataFrame, s: String, e: String, side: String): Column =
+      when(col(s).cast("long") > col(e).cast("long"), raise_error(concat(
+        lit(s"overlapCounts: inverted $side interval: "),
+        col(s).cast("string"), lit(".."), col(e).cast("string"))))
+        .otherwise(lit(0L))
+    val probesLe = a.select(col(idCol).as("_id"),
+      (col(aEnd).cast("long") + guard(a, aStart, aEnd, "A")).as("_v"))
     val probesLt = a.select(col(idCol).as("_id"), col(aStart).cast("long").as("_v"))
     val le = mergeCount(probesLe,
-      b.select(col(bStart).cast("long").as("_v")), bucketOf, countEqual = true)
+      b.select((col(bStart).cast("long") + guard(b, bStart, bEnd, "B")).as("_v")),
+      bucketOf, countEqual = true)
     val lt = mergeCount(probesLt,
       b.select(col(bEnd).cast("long").as("_v")), bucketOf, countEqual = false)
     a.join(le.select(col("_id").as(idCol), col("cnt").as("_le")), Seq(idCol))

@@ -3360,6 +3360,12 @@ class OperatorsSpec extends SparkSuite {
         a, "id", "s", "e", far, "s", "e", v => shiftright(v, 4))
       .collect().map(r => r.getLong(0) -> r.getLong(3)).toMap
     assert(z == Map(1L -> 0L, 2L -> 0L, 3L -> 0L))
+    // inverted interval: refused in-plan, not silently undercounted
+    val bad = Seq((9L, 30L, 20L)).toDF("id", "s", "e")
+    intercept[Exception] {
+      graft.operators.Intervals.overlapCounts(
+        bad, "id", "s", "e", far, "s", "e", v => shiftright(v, 4)).collect()
+    }
   }
 
   test("Mmr.mmrSelect: round 1 is max relevance, round 2 trades against redundancy") {
