@@ -263,6 +263,8 @@ object SparkEntry {
     "q202_wow_change" -> q202,
     "q203_rule_attribution" -> q203,
     "q204_shard_balance" -> q204,
+    "q205_basket_lift" -> q205,
+    "q206_precedence" -> q206,
   )
 
   /** Round count for the parameterized BPE lifecycle (q163/q164) — read
@@ -3449,6 +3451,29 @@ object SparkEntry {
         col("chi2_micro").cast("long").as("chi2_micro"),
         (col("chi2_micro").cast("double") / lit(1e6)).as("chi2"))
   }
+
+  /** SESSION-BASKET co-occurrence lift — which event types co-occur in
+    * a 30-min session beyond chance (association discovery; q91 checks
+    * a funnel you know, this finds candidates): exact session-count
+    * supports, integer micro-lift ([[graft.operators.Basket
+    * .coOccurrenceLift]] over q16's sessions). */
+  private def q205(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Basket.coOccurrenceLift(
+        Sessionize.assign(Tables.events(s, dir), "user_id", "ts", 1800000L),
+        sessionKey = concat_ws(":", col("user_id"), col("session_id")),
+        itemCol = col("event_type"))
+      .orderBy(col("item_a"), col("item_b"))
+
+  /** ORDERED precedence within sessions — for co-present type pairs,
+    * how often a's first occurrence strictly precedes b's (funnel
+    * DISCOVERY; ties count to neither side)
+    * ([[graft.operators.Basket.precedence]]). */
+  private def q206(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Basket.precedence(
+        Sessionize.assign(Tables.events(s, dir), "user_id", "ts", 1800000L),
+        sessionKey = concat_ws(":", col("user_id"), col("session_id")),
+        itemCol = col("event_type"), tsCol = unix_millis(col("ts")))
+      .orderBy(col("item_a"), col("item_b"))
 
   // =====================================================================
   // DuckDB oracle SQL — same semantics, same column names, same ORDER BY.
@@ -7213,6 +7238,59 @@ object SparkEntry {
              CAST(sum(tm) AS BIGINT) AS chi2_micro,
              CAST(CAST(sum(tm) AS BIGINT) AS DOUBLE) / 1e6 AS chi2
            FROM t CROSS JOIN nn GROUP BY n""",
+
+      // q16's session CTEs → distinct membership → within-session pair
+      // join; the q194 micro-lift integer shape
+      "q205_basket_lift" ->
+        """WITH flagged AS (
+             SELECT user_id, ts, event_id, event_type,
+               CASE WHEN lag(ts) OVER w IS NULL
+                     OR epoch_ms(ts) - epoch_ms(lag(ts) OVER w) >= 1800000 THEN 1 ELSE 0 END AS ns
+             FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)),
+           sessions AS (
+             SELECT user_id, event_type,
+               sum(ns) OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - 1 AS sid
+             FROM flagged),
+           m AS (SELECT DISTINCT CAST(user_id AS VARCHAR) || ':' || CAST(sid AS VARCHAR) AS s,
+                   event_type AS i
+                 FROM sessions),
+           nn AS (SELECT CAST(count(DISTINCT s) AS BIGINT) AS n FROM m),
+           it AS (SELECT i, CAST(count(*) AS BIGINT) AS si FROM m GROUP BY i),
+           p AS (SELECT a.i AS item_a, b.i AS item_b, CAST(count(*) AS BIGINT) AS n_both
+                 FROM m a JOIN m b ON b.s = a.s AND a.i < b.i
+                 GROUP BY 1, 2)
+           SELECT item_a, item_b, n_both, ia.si AS n_a, ib.si AS n_b,
+             n AS n_sessions,
+             CAST(n_both * n * 1000000 // (ia.si * ib.si) AS BIGINT) AS lift_micro
+           FROM p
+             JOIN it ia ON ia.i = p.item_a
+             JOIN it ib ON ib.i = p.item_b
+             CROSS JOIN nn
+           ORDER BY item_a, item_b""",
+
+      // per-session first occurrences, strict-inequality precedence
+      "q206_precedence" ->
+        """WITH flagged AS (
+             SELECT user_id, ts, event_id, event_type,
+               CASE WHEN lag(ts) OVER w IS NULL
+                     OR epoch_ms(ts) - epoch_ms(lag(ts) OVER w) >= 1800000 THEN 1 ELSE 0 END AS ns
+             FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)),
+           sessions AS (
+             SELECT user_id, event_type, epoch_ms(ts) AS tms,
+               sum(ns) OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - 1 AS sid
+             FROM flagged),
+           f AS (SELECT CAST(user_id AS VARCHAR) || ':' || CAST(sid AS VARCHAR) AS s,
+                   event_type AS i, CAST(min(tms) AS BIGINT) AS ft
+                 FROM sessions GROUP BY 1, 2)
+           SELECT a.i AS item_a, b.i AS item_b,
+             CAST(count(*) AS BIGINT) AS n_both,
+             CAST(sum(CASE WHEN a.ft < b.ft THEN 1 ELSE 0 END) AS BIGINT) AS n_a_first,
+             CAST(sum(CASE WHEN a.ft < b.ft THEN 1 ELSE 0 END) AS DOUBLE)
+               / CAST(count(*) AS DOUBLE) AS first_ratio
+           FROM f a JOIN f b ON b.s = a.s AND a.i <> b.i
+           GROUP BY 1, 2 ORDER BY item_a, item_b""",
     )
   }
 }

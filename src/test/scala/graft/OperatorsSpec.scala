@@ -3560,6 +3560,31 @@ class OperatorsSpec extends SparkSuite {
     assert(sums.values.forall(s => s > 1000000L - 5L && s <= 1000000L))
   }
 
+  test("Basket: lift from hand supports, precedence strict with ties to neither side") {
+    import spark.implicits._
+    import graft.operators.Basket
+    // 4 sessions: {A,B} {A,B} {A} {B,C}; n=4, sA=3, sB=3, sAB=2
+    val rows = Seq(
+      (1L, "A", 10L), (1L, "B", 20L),
+      (2L, "B", 5L), (2L, "A", 9L),
+      (3L, "A", 1L),
+      (4L, "B", 2L), (4L, "C", 2L)) // C ties B's first ts
+      .toDF("s", "i", "t")
+    val lift = Basket.coOccurrenceLift(rows, col("s"), col("i"))
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6))).toMap
+    // lift(A,B) = 2*4/(3*3) = 8/9 -> 888888 micro
+    assert(lift(("A", "B")) == ((2L, 3L, 3L, 4L, 888888L)))
+    assert(lift(("B", "C")) == ((1L, 3L, 1L, 4L, 1333333L)))
+    val prec = Basket.precedence(rows, col("s"), col("i"), col("t"))
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getLong(3))).toMap
+    assert(prec(("A", "B")) == ((2L, 1L))) // session 1 A first, session 2 B first
+    assert(prec(("B", "A")) == ((2L, 1L)))
+    assert(prec(("B", "C")) == ((1L, 0L))) // tied firsts: neither side
+    assert(prec(("C", "B")) == ((1L, 0L)))
+  }
+
   test("keyness: add-half log-odds, B-absent terms finite, top-k order") {
     import spark.implicits._
     // corpus A: "x" dominant + shared "c"; corpus B: "y" only + shared "c"
