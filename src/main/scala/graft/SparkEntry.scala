@@ -265,6 +265,7 @@ object SparkEntry {
     "q204_shard_balance" -> q204,
     "q205_basket_lift" -> q205,
     "q206_precedence" -> q206,
+    "q207_drift_report" -> q207,
   )
 
   /** Round count for the parameterized BPE lifecycle (q163/q164) — read
@@ -3474,6 +3475,31 @@ object SparkEntry {
         sessionKey = concat_ws(":", col("user_id"), col("session_id")),
         itemCol = col("event_type"), tsCol = unix_millis(col("ts")))
       .orderBy(col("item_a"), col("item_b"))
+
+  /** TEMPORAL DRIFT REPORT — exact KS per feature across the 70% time
+    * split (q167's embargo boundary arithmetic, q196's KS machinery,
+    * stacked): does the value distribution or the hour-of-day profile
+    * shift between the train era and the test era — the one-table drift
+    * answer a split sign-off reads. */
+  private def q207(s: SparkSession, dir: String): DataFrame = {
+    val bounds = broadcast(Tables.events(s, dir)
+      .agg(min(unix_micros(col("ts"))).as("_mn"), max(unix_micros(col("ts"))).as("_mx"))
+      .select(expr("_mn + ((_mx - _mn) * 7) DIV 10").as("_mid")))
+    val stamped = Tables.events(s, dir)
+      .select(unix_micros(col("ts")).as("us"), cents(col("value")).as("vc"),
+        expr("(unix_millis(ts) DIV 3600000) % 24").as("hod"))
+      .crossJoin(bounds)
+      .localCheckpoint() // fans into 2 features x 2 sides
+    def ks(name: String, c: String): DataFrame =
+      graft.operators.Eval.ksTestExact(
+          stamped.where(col("us") <= col("_mid")).select(col(c)), col(c),
+          stamped.where(col("us") > col("_mid")).select(col(c)), col(c),
+          bucketOf = v => shiftright(v, 6))
+        .select(lit(name).as("feature"), col("n_a"), col("n_b"),
+          col("ks_num"), col("ks"))
+    ks("hour_of_day", "hod").unionByName(ks("value_cents", "vc"))
+      .orderBy(col("feature"))
+  }
 
   // =====================================================================
   // DuckDB oracle SQL — same semantics, same column names, same ORDER BY.
@@ -7291,6 +7317,32 @@ object SparkEntry {
                / CAST(count(*) AS DOUBLE) AS first_ratio
            FROM f a JOIN f b ON b.s = a.s AND a.i <> b.i
            GROUP BY 1, 2 ORDER BY item_a, item_b""",
+
+      // q167's exact boundary + two q196 KS chains stacked
+      "q207_drift_report" -> {
+        def ksBlock(name: String, vExpr: String) =
+          s"""SELECT '$name' AS feature, n_a, n_b, ks_num, ks FROM (
+             WITH st AS (SELECT epoch_us(ts) AS us, $vExpr AS v FROM events),
+               bd AS (SELECT min(us) + ((max(us) - min(us)) * 7) // 10 AS mid FROM st),
+               h AS (SELECT v, CAST(sum(ca) AS BIGINT) AS ha, CAST(sum(cb) AS BIGINT) AS hb FROM (
+                       SELECT v, 1 AS ca, 0 AS cb FROM st CROSS JOIN bd WHERE us <= mid
+                       UNION ALL
+                       SELECT v, 0 AS ca, 1 AS cb FROM st CROSS JOIN bd WHERE us > mid) u
+                     GROUP BY v),
+               nn AS (SELECT CAST(sum(ha) AS BIGINT) AS na, CAST(sum(hb) AS BIGINT) AS nb FROM h),
+               c AS (SELECT
+                       CAST(sum(ha) OVER w AS BIGINT) AS cuma,
+                       CAST(sum(hb) OVER w AS BIGINT) AS cumb
+                     FROM h WINDOW w AS (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+               g AS (SELECT max(abs(cuma * nb - cumb * na)) AS ks_num FROM c CROSS JOIN nn)
+             SELECT na AS n_a, nb AS n_b, CAST(ks_num AS BIGINT) AS ks_num,
+               CAST(ks_num AS DOUBLE) / CAST(na * nb AS DOUBLE) AS ks
+             FROM g CROSS JOIN nn) z"""
+        s"""${ksBlock("hour_of_day", "(epoch_ms(ts) // 3600000) % 24")}
+           UNION ALL
+           ${ksBlock("value_cents", C.format("value"))}
+           ORDER BY feature"""
+      },
     )
   }
 }
