@@ -3244,7 +3244,9 @@ object SparkEntry {
       .withColumn("cum_pos", sum(col("n_pos")).over(wCum))
       .crossJoin(broadcast(tot))
       .select(col("bin"), col("n_rows"), col("n_pos"), col("cum_pos"),
-        expr("(cum_pos * _tn * 1000000L) DIV (cum_n * _tp)").as("lift_micro"))
+        // DECIMAL(38): cum_pos·N·10⁶ overflows BIGINT at corpus scale
+        expr("((CAST(cum_pos AS DECIMAL(38,0)) * _tn * 1000000) DIV " +
+          "(CAST(cum_n AS DECIMAL(38,0)) * _tp))").cast("long").as("lift_micro"))
       .orderBy(col("bin"))
   }
 
@@ -6609,7 +6611,7 @@ object SparkEntry {
            t AS (SELECT from_state, CAST(sum(c) AS BIGINT) AS c_from
                  FROM c GROUP BY 1)
            SELECT from_state, to_state, c, c_from,
-             CAST(c * 1000000 // c_from AS BIGINT) AS p_micro
+             CAST(CAST(c AS HUGEINT) * 1000000 // c_from AS BIGINT) AS p_micro
            FROM c JOIN t USING (from_state)
            ORDER BY from_state, to_state""",
 
@@ -7063,7 +7065,8 @@ object SparkEntry {
                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_pos
                  FROM per)
            SELECT bin, n_rows, n_pos, cum_pos,
-             CAST(cum_pos * tn * 1000000 // (cum_n * tp) AS BIGINT) AS lift_micro
+             CAST(CAST(cum_pos AS HUGEINT) * tn * 1000000
+               // (CAST(cum_n AS HUGEINT) * tp) AS BIGINT) AS lift_micro
            FROM c CROSS JOIN tot ORDER BY bin""",
 
       // membership-day explosion instead of a window distinct (which
@@ -7288,7 +7291,8 @@ object SparkEntry {
                  GROUP BY 1, 2)
            SELECT item_a, item_b, n_both, ia.si AS n_a, ib.si AS n_b,
              n AS n_sessions,
-             CAST(n_both * n * 1000000 // (ia.si * ib.si) AS BIGINT) AS lift_micro
+             CAST(CAST(n_both AS HUGEINT) * n * 1000000
+               // (CAST(ia.si AS HUGEINT) * ib.si) AS BIGINT) AS lift_micro
            FROM p
              JOIN it ia ON ia.i = p.item_a
              JOIN it ib ON ib.i = p.item_b

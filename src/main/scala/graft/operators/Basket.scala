@@ -43,9 +43,11 @@ object Basket {
       .join(broadcast(items.select(col("_i").as("item_b"), col("_si").as("n_b"))),
         Seq("item_b"))
       .crossJoin(broadcast(n))
+      // DECIMAL(38): s_ab·N·10⁶ is ~10²⁶ at 10¹⁰ sessions — far past 2⁶³
       .select(col("item_a"), col("item_b"), col("n_both"), col("n_a"), col("n_b"),
         col("_n").as("n_sessions"),
-        expr("(n_both * _n * 1000000L) DIV (n_a * n_b)").as("lift_micro"))
+        expr("((CAST(n_both AS DECIMAL(38,0)) * _n * 1000000) DIV " +
+          "(CAST(n_a AS DECIMAL(38,0)) * n_b))").cast("long").as("lift_micro"))
   }
 
   /** Ordered precedence: for each ordered pair (a ≠ b) present together

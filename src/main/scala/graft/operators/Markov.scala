@@ -55,7 +55,9 @@ object Markov {
       .agg(sum(col("c")).as("c_from"))
     counts
       .join(broadcast(totals), Seq("from_state"))
+      // DECIMAL(38): c·10⁶ passes 2⁶³ once a pair count passes ~9·10¹²
       .select(col("from_state"), col("to_state"), col("c"), col("c_from"),
-        expr("(c * 1000000L) DIV c_from").as("p_micro"))
+        expr("((CAST(c AS DECIMAL(38,0)) * 1000000) DIV c_from)")
+          .cast("long").as("p_micro"))
   }
 }
