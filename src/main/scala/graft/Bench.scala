@@ -59,28 +59,46 @@ object Bench {
       }
       name -> (if (times.contains(-1.0)) -1.0 else times.min)
     }
-    // The driver parses the LAST 2000 chars of stdout (measured: both the
-    // round-5 ns-precision line and the round-6 145-query ms-precision
-    // line overflowed it -> "parsed": null). Budget after sbt's trailing
-    // "[success] ..." line is ~1.9 KB, so the summary line uses the
-    // stable qNN prefix as the per-query key (names are "qNN_slug";
-    // prefixes are unique) and 2-decimal seconds, which puts 145 queries
-    // at ~1.8 KB. The full-name 3-decimal detail goes to a sidecar file
-    // (BENCH_DETAIL.json in the working directory) for humans and diffs.
+    // The driver parses the LAST 2000 chars of stdout. At 207 queries even
+    // a 1-decimal per-query map overflows that tail (BENCH_r07 shipped a
+    // mid-line fragment -> "parsed": null, three rounds running), so the
+    // stdout line is built GREEDILY under a hard budget: the suite total
+    // and sf always fit, then the slowest queries are added one at a time
+    // (stable qNN prefix keys, 2-decimal seconds) only while the line stays
+    // under 1900 chars; whatever doesn't fit is summed into "other" so the
+    // per-query values still add up to the total. The full-name 3-decimal
+    // map for all queries goes to BENCH_DETAIL.json for humans and diffs.
     def fmt(v: Double, scale: Int): String =
       if (v < 0) "-1" else BigDecimal(v).setScale(scale, BigDecimal.RoundingMode.HALF_UP).toString
-    def line(keyOf: String => String, scale: Int): String = {
-      val qs = results.map { case (k, v) => graft.util.Json.quote(keyOf(k)) + ":" + fmt(v, scale) }
+    val total = results.map(_._2).filter(_ >= 0).sum
+    def line(entries: Seq[(String, String)], extra: String): String = {
+      val qs = entries.map { case (k, v) => graft.util.Json.quote(k) + ":" + v }
         .mkString("{", ",", "}")
-      val total = results.map(_._2).filter(_ >= 0).sum
-      s"""{"metric":"total","value":${fmt(total, 3)},"unit":"sec","queries":$qs,"sf":${graft.util.Json.quote(sfDir)}}"""
+      s"""{"metric":"total","value":${fmt(total, 3)},"unit":"sec","queries":$qs$extra,"sf":${graft.util.Json.quote(sfDir)}}"""
     }
     try java.nio.file.Files.writeString(
-      java.nio.file.Paths.get("BENCH_DETAIL.json"), line(identity, 3) + "\n")
+      java.nio.file.Paths.get("BENCH_DETAIL.json"),
+      line(results.map { case (k, v) => k -> fmt(v, 3) }, "") + "\n")
     catch { case e: Throwable => System.err.println(s"[bench] sidecar write failed: ${e.getMessage}") }
-    val compact = line(_.takeWhile(_ != '_'), 2)
-    // belt-and-braces: never emit a line the driver's tail can truncate
-    val out = if (compact.length <= 1900) compact else line(_.takeWhile(_ != '_'), 1)
+    val budget = 1900
+    // slowest first so the entries that matter for perf reading survive;
+    // failures (-1) sort to the front so they are never silently dropped
+    val bySlowest = results.sortBy { case (_, v) => if (v < 0) Double.MinValue else -v }
+      .map { case (k, v) => (k.takeWhile(_ != '_'), fmt(v, 2), v) }
+    val fit = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
+    var kept = 0
+    var done = false
+    for ((k, s, _) <- bySlowest if !done) {
+      fit += (k -> s)
+      // "other":NNNN.NN + ,"detail":"BENCH_DETAIL.json" reserve ≈ 50 chars
+      if (line(fit.toSeq, "").length > budget - 50) { fit.remove(fit.length - 1); done = true }
+      else kept += 1
+    }
+    val rest = bySlowest.drop(kept).map(_._3).filter(_ >= 0).sum
+    val extra =
+      if (kept == results.length) ""
+      else s""","other":${fmt(rest, 2)},"detail":"BENCH_DETAIL.json""""
+    val out = line(fit.toSeq, extra)
     spark.stop()
     println(out)
   }

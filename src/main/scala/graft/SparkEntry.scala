@@ -266,6 +266,7 @@ object SparkEntry {
     "q205_basket_lift" -> q205,
     "q206_precedence" -> q206,
     "q207_drift_report" -> q207,
+    "q208_multiscale_dedup" -> q208,
   )
 
   /** Round count for the parameterized BPE lifecycle (q163/q164) — read
@@ -579,9 +580,14 @@ object SparkEntry {
       .orderBy(col("query_id"), col("rank"))
   }
 
-  /** LSH-bucketed ANN (no oracle — approximate by design; the driver
-    * records a rows-only check, and the spec verifies recall against the
-    * brute-force baseline). */
+  /** LSH-bucketed ANN — hash-checked even though the ALGORITHM is
+    * approximate, because every step is deterministic: the hyperplanes
+    * are plan-time constants (inlined into the oracle as SQL literals,
+    * the q33 pattern), the query-directed probe sequence is a pure
+    * function of the projection magnitudes, and the exact-cosine re-rank
+    * is the q21-established bit-identical double chain. The oracle
+    * replays bucket construction + multiprobe + top-k; the recall spec
+    * against brute force stays in OperatorsSpec. */
   private def q22(s: SparkSession, dir: String): DataFrame = {
     val emb = Tables.embeddings(s, dir)
     val queries = emb.where(col("vec_id") % 100 === 0)
@@ -3503,6 +3509,22 @@ object SparkEntry {
       .orderBy(col("feature"))
   }
 
+  /** Multi-scale substring dedup — the graduated repeated-substring
+    * policy ([[graft.operators.Dedup.multiScaleSpanDedup]]): 64-token
+    * repeats cut at the second occurrence (threshold-64 suffix-style
+    * removal over the repeat's full extent), 16-token windows at ≥ 4
+    * occurrences, 8-token windows only as ≥ 25-occurrence boilerplate;
+    * union of marks, one rebuild. */
+  /** q208's graduated scale policy — read by BOTH the engine call and the
+    * generated oracle CTE union, so the two can never drift. */
+  private val MultiScaleScales: Seq[(Int, Long)] = Seq(8 -> 25L, 16 -> 4L, 64 -> 2L)
+
+  private def q208(s: SparkSession, dir: String): DataFrame =
+    Dedup.multiScaleSpanDedup(Tables.documents(s, dir), "doc_id", "text",
+        scales = MultiScaleScales)
+      .select(col("doc_id"), col("n_tokens"), col("n_removed"), col("cleaned_text"))
+      .orderBy(col("doc_id"))
+
   // =====================================================================
   // DuckDB oracle SQL — same semantics, same column names, same ORDER BY.
   // =====================================================================
@@ -3937,6 +3959,78 @@ object SparkEntry {
              FROM scored)
            SELECT query_id, rank, neighbor_id FROM ranked WHERE rank <= 10
            ORDER BY query_id, rank""",
+
+      // q22: the LSH mechanism replayed move for move — 24 plan-time
+      // hyperplanes (4 tables × 6 planes, seeds t*1000+p) inlined as SQL
+      // literals, corpus base buckets, query-directed multiprobe (flip the
+      // 3 planes with the smallest |projection|, ties by plane index —
+      // list_sort over {d, idx} structs ≡ Spark's sort_array), then q21's
+      // exact-cosine re-rank. Deterministic end to end, so hash-checkable
+      // despite being an approximate ANN.
+      "q22_ann_lsh" -> {
+        def hp(t: Int, p: Int): String =
+          graft.functions.Vectors.hyperplane(t * 1000 + p, EmbeddingDim)
+            .map(_.toString).mkString("[", ", ", "]")
+        def proj(vec: String, t: Int, p: Int): String =
+          s"list_sum(list_transform(range(1, ${EmbeddingDim + 1}), i -> " +
+            s"CAST($vec[i] AS DOUBLE) * (${hp(t, p)})[i]))"
+        def bit(vec: String, t: Int, p: Int): String =
+          s"(CASE WHEN ${proj(vec, t, p)} >= 0 THEN '1' ELSE '0' END)"
+        val corpusVariants = (0 until 4).map { t =>
+          s"'$t:' || ${(0 until 6).map(p => bit("embedding", t, p)).mkString(" || ")}"
+        }.mkString("[", ", ", "]")
+        val prCols = (0 until 4).map { t =>
+          (0 until 6).map(p => proj("embedding", t, p)).mkString("[", ", ", "]") +
+            s" AS pr$t"
+        }.mkString(", ")
+        val baseCols = (0 until 4).map { t =>
+          (0 until 6).map(p =>
+            s"(CASE WHEN pr$t[${p + 1}] >= 0 THEN '1' ELSE '0' END)")
+            .mkString(" || ") + s" AS base$t"
+        }.mkString(", ")
+        val ordCols = (0 until 4).map { t =>
+          "list_sort(" + (0 until 6).map(p =>
+            s"{'d': abs(pr$t[${p + 1}]), 'idx': $p}").mkString("[", ", ", "]") +
+            s") AS ord$t"
+        }.mkString(", ")
+        def flip(t: Int, n: Int): String = {
+          val j = s"ord$t[$n].idx"
+          s"substr(base$t, 1, $j) || (CASE WHEN substr(base$t, $j + 1, 1) = '1' " +
+            s"THEN '0' ELSE '1' END) || substr(base$t, $j + 2, 5 - $j)"
+        }
+        val queryVariants = (0 until 4).flatMap { t =>
+          s"'$t:' || base$t" +: (1 to 3).map(n => s"'$t:' || (${flip(t, n)})")
+        }.mkString("[", ", ", "]")
+        s"""WITH qp AS (
+             SELECT vec_id, embedding, $prCols
+             FROM embeddings WHERE vec_id % 100 = 0),
+           qs AS (SELECT vec_id, embedding, $baseCols, $ordCols FROM qp),
+           qv AS (SELECT vec_id, embedding, unnest($queryVariants) AS bucket FROM qs),
+           cb AS (SELECT vec_id AS neighbor_id, unnest($corpusVariants) AS bucket
+                  FROM embeddings),
+           cand AS (
+             SELECT DISTINCT qv.vec_id AS query_id, cb.neighbor_id
+             FROM qv JOIN cb USING (bucket) WHERE cb.neighbor_id <> qv.vec_id),
+           scored AS (
+             SELECT query_id, neighbor_id,
+               CASE WHEN sqrt(list_sum(list_transform(q.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+                         * sqrt(list_sum(list_transform(c.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) = 0
+                    THEN 0.0
+                    ELSE list_sum(list_transform(range(1, len(q.embedding) + 1), i ->
+                           CAST(q.embedding[i] AS DOUBLE) * CAST(c.embedding[i] AS DOUBLE)))
+                         / (sqrt(list_sum(list_transform(q.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+                            * sqrt(list_sum(list_transform(c.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))))
+               END AS cosine
+             FROM cand
+             JOIN embeddings q ON q.vec_id = cand.query_id
+             JOIN embeddings c ON c.vec_id = cand.neighbor_id),
+           ranked AS (
+             SELECT query_id, neighbor_id, cosine,
+               row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id ASC) AS rank
+             FROM scored)
+           SELECT query_id, rank, neighbor_id, cosine FROM ranked WHERE rank <= 10
+           ORDER BY query_id, rank"""
+      },
 
       "q23_langid" ->
         s"""WITH langs AS (
@@ -4471,6 +4565,45 @@ object SparkEntry {
              FROM (SELECT doc_id, unnest(range(i, i + 8)) AS p
                    FROM marked WHERE occ >= 2 AND rn > 1)
              GROUP BY doc_id),
+           idx AS (
+             SELECT doc_id, unnest(toks) AS tok, unnest(range(0, len(toks))) AS p FROM t),
+           clean AS (
+             SELECT idx.doc_id, string_agg(idx.tok, ' ' ORDER BY idx.p) AS cleaned_text
+             FROM idx LEFT JOIN rm ON rm.doc_id = idx.doc_id
+             WHERE NOT coalesce(list_contains(rm.ps, idx.p), false)
+             GROUP BY idx.doc_id)
+           SELECT t.doc_id,
+             CAST(len(t.toks) AS BIGINT) AS n_tokens,
+             coalesce(rm.n_removed, 0) AS n_removed,
+             coalesce(clean.cleaned_text, '') AS cleaned_text
+           FROM t LEFT JOIN rm USING (doc_id) LEFT JOIN clean USING (doc_id)
+           ORDER BY doc_id"""
+      },
+
+      // multi-scale span dedup: q79's per-scale machinery instantiated per
+      // (window, minOcc) policy entry, removal positions UNIONed across
+      // scales, then the shared rebuild tail
+      "q208_multiscale_dedup" -> {
+        def winHash(k: Int) =
+          s"CAST('0x' || substr(md5(array_to_string(list_slice(toks, i + 1, i + $k), ' ')), 1, 15) AS BIGINT)"
+        def scaleRm(k: Int, minOcc: Long) =
+          s"""SELECT doc_id, unnest(range(i, i + $k)) AS p FROM (
+                SELECT doc_id, i,
+                  row_number() OVER (PARTITION BY h ORDER BY doc_id, i) AS rn,
+                  count(*) OVER (PARTITION BY h) AS occ
+                FROM (
+                  SELECT doc_id, unnest(range(0, len(toks) - ${k - 1})) AS i,
+                    unnest(list_transform(range(0, len(toks) - ${k - 1}), i -> ${winHash(k)})) AS h
+                  FROM t WHERE len(toks) >= $k))
+              WHERE occ >= $minOcc AND rn > 1"""
+        val rmUnion = MultiScaleScales
+          .map { case (k, m) => s"(${scaleRm(k, m)})" }.mkString("\nUNION\n")
+        s"""WITH t AS (SELECT doc_id, $toks AS toks FROM documents),
+           rmpos AS ($rmUnion),
+           rm AS (
+             SELECT doc_id, CAST(count(DISTINCT p) AS BIGINT) AS n_removed,
+               list_sort(list(DISTINCT p)) AS ps
+             FROM rmpos GROUP BY doc_id),
            idx AS (
              SELECT doc_id, unnest(toks) AS tok, unnest(range(0, len(toks))) AS p FROM t),
            clean AS (
@@ -6127,8 +6260,8 @@ object SparkEntry {
                      * 1e6) AS BIGINT) AS lq
                  FROM m CROSS JOIN s)
            SELECT ta AS n_tok_a, tb AS n_tok_b, v AS vocab,
-             CAST(sum((ca + 1) * lq) AS BIGINT) AS kl_ab_unats,
-             CAST(sum((cb + 1) * -lq) AS BIGINT) AS kl_ba_unats,
+             CAST(CAST(sum(CAST(ca + 1 AS HUGEINT) * lq) AS HUGEINT) AS DOUBLE) AS kl_ab_unats,
+             CAST(CAST(sum(CAST(cb + 1 AS HUGEINT) * -lq) AS HUGEINT) AS DOUBLE) AS kl_ba_unats,
              CAST(sum((ca + 1) * lq) AS DOUBLE)
                / (CAST(ta + v AS DOUBLE) * 1e6) AS kl_ab,
              CAST(sum((cb + 1) * -lq) AS DOUBLE)

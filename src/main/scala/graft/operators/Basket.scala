@@ -37,10 +37,16 @@ object Basket {
       .where(col("_i") < col("_j"))
       .groupBy(col("_i").as("item_a"), col("_j").as("item_b"))
       .agg(count(lit(1)).as("n_both"))
+    // NO forced broadcast on the per-item supports: the item universe is
+    // model-sized for the documented uses (event types, SKU families) and
+    // AQE will broadcast it at runtime from its ACTUAL size — but a forced
+    // hint would OOM the driver if a caller feeds a data-sized catalog
+    // (10⁸ items), where this degrades safely to a shuffle join on the
+    // item key instead. The 1-row totals crossJoin below stays hinted.
     pairs
-      .join(broadcast(items.select(col("_i").as("item_a"), col("_si").as("n_a"))),
+      .join(items.select(col("_i").as("item_a"), col("_si").as("n_a")),
         Seq("item_a"))
-      .join(broadcast(items.select(col("_i").as("item_b"), col("_si").as("n_b"))),
+      .join(items.select(col("_i").as("item_b"), col("_si").as("n_b")),
         Seq("item_b"))
       .crossJoin(broadcast(n))
       // DECIMAL(38): s_ab·N·10⁶ is ~10²⁶ at 10¹⁰ sessions — far past 2⁶³

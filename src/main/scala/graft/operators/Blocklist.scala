@@ -51,7 +51,11 @@ object Blocklist {
   def phraseMatches(docs: DataFrame, idCol: String, textCol: String,
                     phrases: Seq[String]): DataFrame = {
     val spark = docs.sparkSession
-    val plist = normalizedPhrases(spark, phrases).persist()
+    // localCheckpoint (not persist): materialized once for the lens probe
+    // and the per-length broadcasts, then freed by the ContextCleaner when
+    // unreferenced — a bare persist() here leaked executor storage on
+    // repeated calls in a long-lived session
+    val plist = normalizedPhrases(spark, phrases).localCheckpoint(eager = true)
     // the phrase LENGTH SET is model metadata (like a centroid count):
     // one tiny collect decides how many shingle passes to plan
     val lens = plist.select(col("n_tok")).distinct()

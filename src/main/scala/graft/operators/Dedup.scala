@@ -1025,17 +1025,77 @@ object Dedup {
     removeMarkedSpans(docs, idCol, textCol, marked, k)
   }
 
+  /** MULTI-SCALE substring dedup — the bounded-length approximation of
+    * arbitrary-length repeated-substring removal (the suffix-array family
+    * of Lee et al., ACL 2022) over the same hashed stride-1 window
+    * machinery as [[spanDedup]]: each `(spanWords, minOcc)` scale marks
+    * the non-first occurrences of every window repeated at least `minOcc`
+    * times, and a token position covered by ANY scale's mark is removed.
+    *
+    * The graduated default is the policy a real pipeline wants and a
+    * single scale cannot express: LONG repeats are suspicious at the
+    * second occurrence (64-token span, minOcc 2 — any repeated run ≥ 64
+    * tokens is fully covered by its duplicated stride-1 windows, so this
+    * IS threshold-64 suffix-style span removal over its full extent),
+    * while SHORT spans are cut only as heavy boilerplate (8-token span at
+    * minOcc 50 — idioms and common phrases survive, navigation chrome
+    * repeated across a crawl does not). A single low-threshold short
+    * scale would shred ordinary prose; a single long scale misses the
+    * mid-frequency chrome.
+    *
+    * Keep-first is per scale (least `(id, i)` among that scale's
+    * occurrences), so the canonical copy of a long repeat survives
+    * verbatim at its scale even while its short windows are being cut
+    * elsewhere by a hotter scale.
+    *
+    * Scale shape: one [[rollingWindows]] pass per scale (re-scanning
+    * parquet beats materializing a window-level intermediate — the
+    * [[spanDedup]] argument, ×|scales|); every pass shuffles 8-byte
+    * hashed keys with partial-aggregable winner picks bounded by
+    * actually-repeated windows; the mark union is a narrow unionAll and
+    * the rebuild state stays bounded by each doc's own token count.
+    * Output 1:1 with `docs`: `(idCol, n_tokens, n_removed,
+    * cleaned_text)`. */
+  def multiScaleSpanDedup(docs: DataFrame, idCol: String, textCol: String,
+                          scales: Seq[(Int, Long)] =
+                            Seq(8 -> 50L, 16 -> 8L, 64 -> 2L)): DataFrame = {
+    require(scales.nonEmpty, "need >= 1 (spanWords, minOcc) scale")
+    require(scales.forall { case (k, m) => k >= 1 && m >= 2 },
+      s"every scale needs spanWords >= 1 and minOcc >= 2, got $scales")
+    require(scales.map(_._1).distinct.length == scales.length,
+      s"scale window sizes must be distinct, got $scales")
+    val marked = scales.map { case (k, minOcc) =>
+      val wins = rollingWindows(docs, idCol, textCol, k)
+      val winners = wins.groupBy(col("h"))
+        .agg(min(struct(col("id"), col("i"))).as("keeper"),
+          count(lit(1)).as("occ"))
+        .where(col("occ") >= minOcc)
+        .select(col("h"), col("keeper"))
+      wins.join(winners, Seq("h"))
+        .where(!(col("keeper.id") === col("id") && col("keeper.i") === col("i")))
+        .select(col("id"), col("i"), (col("i") + lit(k - 1)).as("_end"))
+    }.reduce(_ unionAll _)
+    removeMarkedRanges(docs, idCol, textCol, marked)
+  }
+
   /** Shared tail of the span-surgery operators ([[spanDedup]],
     * [[scrubContaminatedSpans]]): aggregate the marked windows' covered
     * positions per doc (state bounded by the doc's token count) and rebuild
     * every document from its surviving tokens. `marked` carries (id, i)
     * window starts; output is 1:1 with `docs`. */
   private def removeMarkedSpans(docs: DataFrame, idCol: String, textCol: String,
-                                marked: DataFrame, k: Int): DataFrame = {
+                                marked: DataFrame, k: Int): DataFrame =
+    removeMarkedRanges(docs, idCol, textCol,
+      marked.select(col("id"), col("i"), (col("i") + lit(k - 1)).as("_end")))
+
+  /** Variable-width tail shared with [[multiScaleSpanDedup]]: `marked`
+    * carries inclusive `(id, i, _end)` token ranges. */
+  private def removeMarkedRanges(docs: DataFrame, idCol: String, textCol: String,
+                                 marked: DataFrame): DataFrame = {
     val removedPos = marked
       .groupBy(col("id"))
       .agg(array_sort(array_distinct(flatten(
-        collect_list(sequence(col("i"), col("i") + k - 1))))).as("_rm"))
+        collect_list(sequence(col("i"), col("_end")))))).as("_rm"))
     docs
       .select(col(idCol).as("id"), Text.tokens(col(textCol)).as("toks"))
       .join(removedPos, Seq("id"), "left")
@@ -1306,8 +1366,12 @@ object Dedup {
   def kmvSimilarityMatrix(docs: DataFrame, groupCol: String,
                           textCol: String, shingleLen: Int,
                           k: Int): DataFrame = {
+    // localCheckpoint (not persist): the G·k sketch is reused on three
+    // join sides below; checkpointing materializes it once and lets the
+    // ContextCleaner free the blocks, where a bare persist() leaked
+    // executor storage across repeated calls
     val sk = kmvSketch(docs, groupCol, textCol, shingleLen, k)
-      .select(col(groupCol).as("_g"), col("sh")).persist()
+      .select(col(groupCol).as("_g"), col("sh")).localCheckpoint(eager = true)
     // G×G pair frame — two G-row inputs, never data-sized
     val pairs = sk.select(col("_g")).distinct()
       .crossJoin(sk.select(col("_g").as("_g2")).distinct())

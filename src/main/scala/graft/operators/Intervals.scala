@@ -67,9 +67,13 @@ object Intervals {
   private def mergeCount(probes: DataFrame, events: DataFrame,
                          bucketOf: Column => Column,
                          countEqual: Boolean): DataFrame = {
+    // event rows carry a NULL id of the PROBES' OWN id type: casting
+    // probe ids to long here silently nulled string/uuid ids and the
+    // join back in overlapCounts returned an empty frame with no error
+    val idType = probes.schema("_id").dataType
     val tagged = events
-      .select(col("_v"), lit(null).cast("long").as("_id"), lit(1L).as("_e"))
-      .unionByName(probes.select(col("_v"), col("_id").cast("long"), lit(0L).as("_e")))
+      .select(col("_v"), lit(null).cast(idType).as("_id"), lit(1L).as("_e"))
+      .unionByName(probes.select(col("_v"), col("_id"), lit(0L).as("_e")))
       .withColumn("_b", bucketOf(col("_v")))
     // at equal _v: events sort BEFORE probes for <=, AFTER for <
     val tieOrder = if (countEqual) col("_e").desc else col("_e").asc

@@ -184,10 +184,22 @@ object LmScore {
     withT
       .select(col("ca"), col("cb"), col("ta"), col("tb"), col("v"), lr.as("q"))
       .groupBy(col("ta"), col("tb"), col("v"))
-      .agg(sum((col("ca") + 1) * col("q")).as("kl_ab_unats"),
-        sum((col("cb") + 1) * -col("q")).as("kl_ba_unats"))
+      // DECIMAL(38): token totals ~1e12-1e13 × |q| up to ~3e7 micro-nats
+      // exceed 2^63 — BIGINT would silently wrap at corpus scale (same
+      // digit-budget hardening as mutualInfoUnats/chiSquare); DuckDB's
+      // HUGEINT sum prints identically, so the oracle hash is unchanged
+      .agg(sum(((col("ca") + 1).cast("decimal(20,0)") * col("q"))
+        .cast("decimal(38,0)")).as("kl_ab_unats"),
+        sum(((col("cb") + 1).cast("decimal(20,0)") * -col("q"))
+          .cast("decimal(38,0)")).as("kl_ba_unats"))
+      // unats export as double (the mutualInfoUnats convention): the
+      // DECIMAL(38) sum is exact and order-independent; the single
+      // trailing cast is deterministic on both engines, and a BIGINT
+      // export would re-introduce the 2^63 wrap the decimal sum avoids
       .select(col("ta").as("n_tok_a"), col("tb").as("n_tok_b"),
-        col("v").as("vocab"), col("kl_ab_unats"), col("kl_ba_unats"),
+        col("v").as("vocab"),
+        col("kl_ab_unats").cast("double").as("kl_ab_unats"),
+        col("kl_ba_unats").cast("double").as("kl_ba_unats"),
         (col("kl_ab_unats").cast("double") /
           ((col("ta") + col("v")).cast("double") * 1e6)).as("kl_ab"),
         (col("kl_ba_unats").cast("double") /

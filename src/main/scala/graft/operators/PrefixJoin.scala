@@ -60,16 +60,35 @@ object PrefixJoin {
       .select(col("_id"), col("_arr"), size(col("_arr")).cast("long").as("_sz"))
       .withColumn("_plen",
         col("_sz") - expr(s"($tNum * _sz + ${tDen - 1}) DIV $tDen") + lit(1L))
+    // positions ride along for the PPJoin positional filter (Xiao et al.
+    // WWW 2008): _pos is the token's 0-based rank in the doc's FULL
+    // rare-first order (the prefix is a slice(1..plen) of that order, so
+    // posexplode positions are global ranks, not prefix-local ones)
     val prefixes = perDoc
       .select(col("_id"), col("_sz"),
-        explode(expr("slice(_arr, 1, CAST(_plen AS INT))")).as("_p"))
-      .select(col("_id"), col("_sz"), col("_p._sh").as("_sh"))
-    val cands = prefixes.select(col("_id").as("id_a"), col("_sz").as("_sa"), col("_sh"))
-      .join(prefixes.select(col("_id").as("id_b"), col("_sz").as("_sb"), col("_sh")),
-        Seq("_sh"))
+        posexplode(expr("slice(_arr, 1, CAST(_plen AS INT))")).as(Seq("_pos", "_p")))
+      .select(col("_id"), col("_sz"), col("_pos").cast("long").as("_pos"),
+        col("_p._sh").as("_sh"))
+    // Positional filter soundness: the rare-first order is one GLOBAL
+    // total order by (df, key), so the common tokens of any pair appear
+    // in the same relative order on both sides. The pair's smallest
+    // common token w* (0-based ranks pa in a, pb in b) therefore bounds
+    // the whole intersection: inter ≤ min(sa − pa, sb − pb) (w* plus
+    // tokens strictly after it on BOTH sides). J ≥ t needs
+    // inter·(tNum+tDen) ≥ tNum·(sa+sb), so rows whose bound fails can't
+    // be the w* row of a qualifying pair — and every qualifying pair
+    // still surfaces through its w* row (in both prefixes by the
+    // completeness argument above), so the distinct() is unchanged on
+    // true pairs while false candidates drop before the verify joins.
+    val cands = prefixes.select(col("_id").as("id_a"), col("_sz").as("_sa"),
+        col("_pos").as("_pa"), col("_sh"))
+      .join(prefixes.select(col("_id").as("id_b"), col("_sz").as("_sb"),
+        col("_pos").as("_pb"), col("_sh")), Seq("_sh"))
       .where(col("id_a") < col("id_b") &&
         lit(tDen) * least(col("_sa"), col("_sb")) >=
-          lit(tNum) * greatest(col("_sa"), col("_sb")))
+          lit(tNum) * greatest(col("_sa"), col("_sb")) &&
+        least(col("_sa") - col("_pa"), col("_sb") - col("_pb")) *
+          lit(tNum + tDen) >= lit(tNum) * (col("_sa") + col("_sb")))
       .select(col("id_a"), col("id_b"), col("_sa"), col("_sb"))
       .distinct()
     cands

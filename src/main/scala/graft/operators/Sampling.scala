@@ -549,10 +549,11 @@ object Sampling {
     * with all weights equal — md5 order IS the Efraimidis-Spirakis order
     * for constant w).
     *
-    * Default (`buckets = 1`): one window partitioned by the group — each
+    * The de-skew is ON by default (`buckets = 8`); `buckets = 1` is the
+    * opt-in naive path — one window partitioned by the group, where each
     * stratum ranks its own slice, the shuffle is the groupCol hash
     * partition, nothing is global, and a hot stratum pays a per-stratum
-    * sort. `buckets = B > 1` switches on the EXACT two-level de-skew: a
+    * sort. `buckets = B > 1` runs the EXACT two-level de-skew: a
     * first pass ranks within `(group, md5-salt-bucket)` and keeps each
     * bucket's top-k (any row of the true per-group top-k ranks ≤ k
     * inside its own bucket, so nothing that matters is dropped), a
@@ -565,7 +566,7 @@ object Sampling {
   def weightedSamplePerGroup(df: DataFrame, groupCol: String, idCol: String,
                              weightCol: String, k: Int,
                              seed: String = "wsample",
-                             buckets: Int = 1): DataFrame = {
+                             buckets: Int = 8): DataFrame = {
     require(k >= 1, s"k must be >= 1, got $k")
     require(buckets >= 1, s"buckets must be >= 1, got $buckets")
     val keyed = df.where(col(weightCol).isNotNull && col(weightCol) > 0)

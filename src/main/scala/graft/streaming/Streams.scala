@@ -1023,4 +1023,130 @@ object Streams {
         col("_tt").as("tgt_total"),
         (1 to bins).map(term).reduce(_ + _).as("psi_unats"))
   }
+
+  /** Streaming KS drift against a FROZEN reference CDF — the
+    * [[psiDriftStream]] design applied to
+    * [[graft.operators.Eval.ksTestExact]]: the reference collapses to a
+    * model `(refValues, refCum)` (sorted distinct grid values and the
+    * reference's cumulative counts at them — trained once by the batch
+    * operator), so the monitor carries NO reference state. Each event's
+    * cell is a stateless literal-array probe (`1 + #{grid < v}`); per
+    * event-time window ONE stateful aggregation carries the cell counts
+    * as conditional sums, and the statistic is a row-local projection:
+    * `ks_num = max_b |refCum_b·tgtTotal − tgtCum_b·refTotal|` with the
+    * target cumulative at each grid point a prefix sum over the FIXED
+    * cell list — exact cross-multiplied BIGINTs, no float CDF, the batch
+    * operator's arithmetic verbatim.
+    *
+    * Semantics note: this is the sup over the REFERENCE grid. When every
+    * target value lands on the grid it equals the exact two-sample KS
+    * (spec-asserted against [[graft.operators.Eval.ksTestExact]]);
+    * between grid points it is the frozen-reference monitor read — the
+    * CDF gap sampled where the model has support, which is the only
+    * stateless-reference evaluation possible without carrying the
+    * target's full value histogram as a second stateful pass.
+    *
+    * Late rows drop at the watermark. Emits
+    * `(window_start, window_end, tgt_total, ks_num, ks)` once per
+    * finalized window, with `ks = ks_num / (refTotal·tgtTotal)` the
+    * batch operator's readout — one IEEE division of exact integers. */
+  def ksDriftStream(rows: DataFrame, valueCol: String, tsCol: String,
+                    refValues: Seq[Long], refCum: Seq[Long],
+                    windowDur: String, delay: String): DataFrame = {
+    val b = refValues.length
+    require(b >= 1, s"need >= 1 reference grid values, got $b")
+    require(refCum.length == b, s"need one cumulative count per grid value")
+    require(refValues.sameElements(refValues.sorted.distinct),
+      "refValues must be sorted distinct")
+    require(refCum.zip(refCum.tail).forall { case (x, y) => x <= y },
+      "refCum must be non-decreasing")
+    val refTotal = refCum.last
+    // cell = 1 + #{grid values < v}; v <= grid_b  <=>  cell <= b
+    val cellCol = lit(1L) + size(filter(typedLit(refValues),
+      g => g < col(valueCol))).cast("long")
+    val counts = (1 to b + 1).map(c =>
+      sum(when(col("_cell") === c.toLong, 1L).otherwise(0L)).as(s"_n$c"))
+    val base = rows
+      .withColumn("_cell", cellCol)
+      .withWatermark(tsCol, delay)
+      .groupBy(window(col(tsCol), windowDur))
+      .agg(counts.head, counts.tail: _*)
+    val tgtTotal = (1 to b + 1).map(c => col(s"_n$c")).reduce(_ + _)
+    def tgtCum(upTo: Int): org.apache.spark.sql.Column =
+      (1 to upTo).map(c => col(s"_n$c")).reduce(_ + _)
+    val gaps = (1 to b).map(i =>
+      abs(lit(refCum(i - 1)) * col("_tt") - tgtCum(i) * lit(refTotal)))
+    base
+      .withColumn("_tt", tgtTotal)
+      .select(col("window.start").as("window_start"),
+        col("window.end").as("window_end"),
+        col("_tt").as("tgt_total"),
+        greatest(gaps.head +: gaps.tail: _*).as("ks_num"))
+      // the batch readout verbatim: one IEEE division of exact integers
+      // (no ·10⁶ product that could overflow the BIGINT budget)
+      .withColumn("ks",
+        col("ks_num").cast("double") /
+          (lit(refTotal) * col("tgt_total")).cast("double"))
+  }
+
+  /** Streaming KEYNESS drift for a WATCHED TERM LIST against a frozen
+    * reference corpus — [[graft.operators.Colloc.keyness]]'s add-½
+    * log-odds with the reference side a plan-time CONSTANT: the
+    * reference collapses to `(refCounts_t, refTotal)` per watched term
+    * (trained once), and each term's reference log-odds
+    * `ln((a+½)/(N_A−a+½))` is ONE driver-side `math.log` — the same
+    * java.lang.Math.log the batch operator's codegen calls on the same
+    * doubles, so the quantized difference is bit-identical to the batch
+    * score (spec-asserted against the batch operator itself).
+    *
+    * Per event-time window ONE stateful aggregation over the exploded
+    * token stream carries per-term conditional counts + the window token
+    * total; the per-term scores are a row-local projection exploded to
+    * `(window, term)` rows — stateless after the single agg, Append-mode
+    * clean. Late rows drop at the watermark. Emits
+    * `(window_start, window_end, term, c_tgt, n_tgt, keyness_unats)`
+    * per finalized window × watched term (A = frozen reference,
+    * B = window: positive = term characterizes the reference, i.e. it
+    * FADED in the stream; negative = it surged). */
+  def keynessDriftStream(docs: DataFrame, textCol: String, tsCol: String,
+                         terms: Seq[String], refCounts: Seq[Long],
+                         refTotal: Long,
+                         windowDur: String, delay: String): DataFrame = {
+    require(terms.nonEmpty, "need >= 1 watched term")
+    require(terms.distinct.length == terms.length, "watched terms must be distinct")
+    require(refCounts.length == terms.length, "need one reference count per term")
+    require(refCounts.forall(_ >= 0) && refTotal >= refCounts.max,
+      "refTotal must bound every per-term reference count")
+    val refLogOdds: Seq[Double] = refCounts.map(a =>
+      math.log((a + 0.5) / (refTotal - a + 0.5)))
+    val counts = terms.zipWithIndex.map { case (t, i) =>
+      sum(when(col("_tok") === t, 1L).otherwise(0L)).as(s"_c$i")
+    } :+ count(lit(1)).as("_nt")
+    val base = docs
+      .withColumn("_ts", col(tsCol))
+      .select(col("_ts"), explode(graft.functions.Text.tokens(col(textCol))).as("_tok"))
+      .withWatermark("_ts", delay)
+      .groupBy(window(col("_ts"), windowDur))
+      .agg(counts.head, counts.tail: _*)
+    // batch shape: round((refLog − log((b+½)/(N_B−b+½))) · 1e6) — the
+    // reference term folded in as a literal, target term the identical
+    // left-associated double chain
+    val scored = terms.indices.map { i =>
+      struct(
+        lit(terms(i)).as("term"),
+        col(s"_c$i").as("c_tgt"),
+        round((lit(refLogOdds(i)) -
+          log((col(s"_c$i").cast("double") + lit(0.5)) /
+            (col("_nt").cast("double") - col(s"_c$i").cast("double") + lit(0.5))))
+          * lit(1e6)).cast("long").as("keyness_unats"))
+    }
+    base
+      .select(col("window.start").as("window_start"),
+        col("window.end").as("window_end"),
+        col("_nt").as("n_tgt"),
+        explode(array(scored: _*)).as("_s"))
+      .select(col("window_start"), col("window_end"),
+        col("_s.term").as("term"), col("_s.c_tgt").as("c_tgt"),
+        col("n_tgt"), col("_s.keyness_unats").as("keyness_unats"))
+  }
 }

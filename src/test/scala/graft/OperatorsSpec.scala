@@ -1787,8 +1787,10 @@ class OperatorsSpec extends SparkSuite {
     import spark.implicits._
     val df = (1L to 300L).map(i => (s"g${i % 3}", i, i % 50 + 1))
       .toDF("grp", "doc_id", "w")
+    // buckets = 1 is the explicit naive single-window reference; the
+    // default is the de-skewed path, asserted output-identical below
     val out = graft.operators.Sampling.weightedSamplePerGroup(
-      df, "grp", "doc_id", "w", k = 7, seed = "s")
+      df, "grp", "doc_id", "w", k = 7, seed = "s", buckets = 1)
     val rows = out.collect().map(r =>
       (r.getString(0), r.getLong(1), r.getLong(3), r.getLong(4)))
     // exactly k per group (every group has >= k rows here), ranks 1..k
@@ -2956,8 +2958,10 @@ class OperatorsSpec extends SparkSuite {
     import spark.implicits._
     import graft.operators.LmScore
     val a = Seq((1L, "alpha beta gamma alpha"), (2L, "beta delta")).toDF("id", "text")
+    // unats export as double since the DECIMAL(38) hardening (exact —
+    // the decimal sum casts once at the end)
     val same = LmScore.corpusDivergence(a, a, "text").collect()(0)
-    assert(same.getLong(3) == 0L && same.getLong(4) == 0L,
+    assert(same.getDouble(3) == 0.0 && same.getDouble(4) == 0.0,
       "identical corpora must diverge by exactly zero")
     val b = Seq((3L, "zz yy xx zz ww")).toDF("id", "text")
     val d = LmScore.corpusDivergence(a, b, "text").collect()(0)
@@ -3599,5 +3603,43 @@ class OperatorsSpec extends SparkSuite {
     assert(out("y") == ((0L, 1L, lo(0, 4, 1, 4))))
     assert(out("c") == ((1L, 3L, lo(1, 4, 3, 4))))
     assert(out("x")._3 > 0 && out("y")._3 < 0)
+  }
+
+  test("multiScaleSpanDedup: planted 70-token repeat dies at occ 2, idiom survives, hot chrome dies, single-scale ≡ spanDedup") {
+    import spark.implicits._
+    import graft.operators.Dedup
+    val banner = (0 until 70).map(i => s"b$i").mkString(" ")
+    val idiom = (0 until 8).map(i => s"i$i").mkString(" ")
+    val chrome = (0 until 8).map(i => s"c$i").mkString(" ")
+    def uniq(d: Long, n: Int) = (0 until n).map(i => s"u${d}_$i").mkString(" ")
+    val docs = (
+      // planted LONG repeat: doc 1 carries the banner first, doc 2 repeats it
+      Seq(1L -> (uniq(1, 10) + " " + banner), 2L -> (banner + " " + uniq(2, 10))) ++
+      // 8-token idiom in 10 docs — occ 10 < minOcc 50, must survive everywhere
+      (10L until 20L).map(d => d -> (uniq(d, 4) + " " + idiom + " " + uniq(d + 1000, 4))) ++
+      // 8-token chrome in 60 docs — occ 60 >= 50, all but the first cut
+      (100L until 160L).map(d => d -> (uniq(d, 4) + " " + chrome))
+    ).toDF("doc_id", "text")
+    val out = Dedup.multiScaleSpanDedup(docs, "doc_id", "text",
+        scales = Seq(8 -> 50L, 16 -> 8L, 64 -> 2L))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getString(3))).toMap
+    // the 64-scale covers the repeat's FULL 70-token extent in doc 2
+    // (stride-1 duplicated windows union to the whole run)...
+    assert(out(2L) == ((80L, 70L, uniq(2, 10))), s"got ${out(2L)}")
+    // ...while keep-first leaves doc 1 verbatim
+    assert(out(1L) == ((80L, 0L, uniq(1, 10) + " " + banner)))
+    // mid-frequency idiom: below every scale's threshold, untouched
+    (10L until 20L).foreach(d => assert(out(d)._2 == 0L, s"doc $d lost tokens"))
+    // hot chrome: the least-id doc keeps it, the other 59 lose exactly it
+    assert(out(100L)._2 == 0L && out(100L)._3.endsWith(chrome))
+    (101L until 160L).foreach { d =>
+      assert(out(d) == ((12L, 8L, uniq(d, 4))), s"doc $d: ${out(d)}")
+    }
+    // degenerate single scale at minOcc 2 is EXACTLY spanDedup
+    val single = Dedup.multiScaleSpanDedup(docs, "doc_id", "text", scales = Seq(8 -> 2L))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3))).toSet
+    val span = Dedup.spanDedup(docs, "doc_id", "text", spanWords = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3))).toSet
+    assert(single == span)
   }
 }

@@ -1153,4 +1153,101 @@ class StreamingSpec extends SparkSuite {
       assert(incs == Seq(1L, 3L, 0L))
     } finally q.stop()
   }
+
+  test("ksDriftStream: frozen-grid windows reproduce the exact batch KS, one state op") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // frozen model: grid 10/20/30 with reference cumulatives 2/5/10
+    // (i.e. a reference sample of 10,10,20,20,20,30,30,30,30,30)
+    val grid = Seq(10L, 20L, 30L)
+    val refCum = Seq(2L, 5L, 10L)
+    val input = MemoryStream[(Long, Long)] // (us, v)
+    val out = Streams.ksDriftStream(
+      input.toDF().toDF("us", "v").withColumn("ts", timestamp_micros(col("us"))),
+      "v", "ts", grid, refCum, windowDur = "10 seconds", delay = "0 seconds")
+    val q = out.writeStream.outputMode("append").format("memory")
+      .queryName("ksd").start()
+    try {
+      // window [0,10s): target 10,10,20,30 — all ON the grid, so the
+      // grid-sampled sup equals the exact two-sample KS
+      input.addData((1000000L, 10L), (2000000L, 10L), (3000000L, 20L), (4000000L, 30L))
+      q.processAllAvailable()
+      input.addData((15000000L, 10L)) // advance the watermark
+      q.processAllAvailable()
+      val rows = spark.table("ksd").collect()
+        .map(r => (r.getLong(2), r.getLong(3), r.getDouble(4)))
+      assert(rows.length == 1, s"exactly the finalized window: ${rows.toSeq}")
+      val (tt, ksNum, ks) = rows.head
+      assert(tt == 4L)
+      // batch parity: ksTestExact over the materialized reference sample
+      // and the same window contents
+      val refSample = Seq(10L, 10L, 20L, 20L, 20L, 30L, 30L, 30L, 30L, 30L).toDF("v")
+      val tgtSample = Seq(10L, 10L, 20L, 30L).toDF("v")
+      val batch = graft.operators.Eval.ksTestExact(
+          refSample, col("v"), tgtSample, col("v"), v => lit(0L))
+        .collect().head
+      assert(ksNum == batch.getAs[Long]("ks_num"), s"got $ksNum vs batch $batch")
+      assert(ks == batch.getAs[Double]("ks"))
+      assert(ksNum == 12L && ks == 0.3) // |2*4 - 2*10| = 12 over 40
+      // exactly ONE stateful operator: the windowed aggregation — the
+      // frozen reference contributes no state store
+      val executed = q.asInstanceOf[org.apache.spark.sql.execution.streaming.runtime.StreamingQueryWrapper]
+        .streamingQuery.lastExecution.executedPlan
+      val stateful = executed.collect {
+        case p if p.getClass.getName.contains("StateStore") => p }
+      // one stateful aggregation = exactly its Restore/Save pair
+      assert(stateful.map(_.getClass.getSimpleName).sorted ==
+        Seq("StateStoreRestoreExec", "StateStoreSaveExec"),
+        s"expected one windowed-agg state pair, found: $stateful")
+    } finally q.stop()
+  }
+
+  test("keynessDriftStream: watched-term scores bit-match the batch operator, one state op") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // frozen reference corpus: alpha=2, beta=1, total tokens=6
+    val refText = "alpha alpha beta gamma gamma gamma"
+    val terms = Seq("alpha", "beta")
+    val refCounts = Seq(2L, 1L)
+    val input = MemoryStream[(Long, String)] // (us, text)
+    val out = Streams.keynessDriftStream(
+      input.toDF().toDF("us", "text").withColumn("ts", timestamp_micros(col("us"))),
+      "text", "ts", terms, refCounts, refTotal = 6L,
+      windowDur = "10 seconds", delay = "0 seconds")
+    val q = out.writeStream.outputMode("append").format("memory")
+      .queryName("keyd").start()
+    try {
+      // window [0,10s): "alpha beta beta" + "beta gamma" ->
+      // alpha=1, beta=3, n_tgt=5
+      input.addData((1000000L, "alpha beta beta"), (2000000L, "beta gamma"))
+      q.processAllAvailable()
+      input.addData((15000000L, "advance")) // move the watermark
+      q.processAllAvailable()
+      val rows = spark.table("keyd").collect()
+        .map(r => (r.getString(2), (r.getLong(3), r.getLong(4), r.getLong(5)))).toMap
+      assert(rows.keySet == Set("alpha", "beta"), s"got ${rows.keySet}")
+      assert(rows("alpha")._1 == 1L && rows("beta")._1 == 3L)
+      assert(rows("alpha")._2 == 5L)
+      // batch parity: the SAME scores from Colloc.keyness on the frozen
+      // reference corpus vs the window contents, restricted to the watch
+      // list — bit-identical micro-nats, not approximately equal
+      val batch = graft.operators.Colloc.keyness(
+          Seq(refText).toDF("text"),
+          Seq("alpha beta beta", "beta gamma").toDF("text"),
+          "text", k = 100)
+        .collect().map(r => r.getString(0) -> r.getLong(3)).toMap
+      assert(rows("alpha")._3 == batch("alpha"))
+      assert(rows("beta")._3 == batch("beta"))
+      // direction: alpha faded (positive), beta surged (negative)
+      assert(rows("alpha")._3 > 0 && rows("beta")._3 < 0)
+      val executed = q.asInstanceOf[org.apache.spark.sql.execution.streaming.runtime.StreamingQueryWrapper]
+        .streamingQuery.lastExecution.executedPlan
+      val stateful = executed.collect {
+        case p if p.getClass.getName.contains("StateStore") => p }
+      // one stateful aggregation = exactly its Restore/Save pair
+      assert(stateful.map(_.getClass.getSimpleName).sorted ==
+        Seq("StateStoreRestoreExec", "StateStoreSaveExec"),
+        s"expected one windowed-agg state pair, found: $stateful")
+    } finally q.stop()
+  }
 }
