@@ -267,6 +267,8 @@ object SparkEntry {
     "q206_precedence" -> q206,
     "q207_drift_report" -> q207,
     "q208_multiscale_dedup" -> q208,
+    "q209_kendall" -> q209,
+    "q210_kappa" -> q210,
   )
 
   /** Round count for the parameterized BPE lifecycle (q163/q164) — read
@@ -3525,6 +3527,33 @@ object SparkEntry {
       .select(col("doc_id"), col("n_tokens"), col("n_removed"), col("cleaned_text"))
       .orderBy(col("doc_id"))
 
+  /** Kendall τ-b between document length (chars) and quality score —
+    * q170's Spearman pairing re-read as CONCORDANCE (ρ vs τ on the same
+    * variables separates monotone strength from rank-gap magnitude; the
+    * statistic the round-7 verdict flagged for decision review). Exact
+    * distributed inversion count via the first-differing-nibble
+    * decomposition, [[graft.operators.Eval.kendallTauExact]]. */
+  private def q209(s: SparkSession, dir: String): DataFrame = {
+    val stop = Text.langMarkers.toMap.apply("en")
+    graft.operators.Eval.kendallTauExact(
+      Tables.documents(s, dir)
+        .select(col("n_chars"),
+          floor(Text.qualityScore(col("text"), stop) * lit(1e6)).as("qu")),
+      xCol = col("n_chars"), yCol = col("qu"),
+      yBucket = expr("qu DIV 50000"))
+  }
+
+  /** Cohen's κ between the recorded document language tag and the q23
+    * marker-heuristic prediction — chance-corrected label agreement
+    * ([[graft.operators.Eval.cohensKappa]]): the cheap-classifier
+    * sign-off read (raw agreement flatters majority-label raters; κ
+    * subtracts what the marginals produce by chance). */
+  private def q210(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Eval.cohensKappa(
+      Tables.documents(s, dir)
+        .select(col("lang"), Text.langId(col("text")).as("pred")),
+      aCol = col("lang"), bCol = col("pred"))
+
   // =====================================================================
   // DuckDB oracle SQL — same semantics, same column names, same ORDER BY.
   // =====================================================================
@@ -4618,6 +4647,92 @@ object SparkEntry {
            FROM t LEFT JOIN rm USING (doc_id) LEFT JOIN clean USING (doc_id)
            ORDER BY doc_id"""
       },
+
+      // Kendall τ-b: the oracle computes the discordant count D by the
+      // DEFINITION (cell-histogram inequality self-join — DuckDB's IEJoin
+      // handles it at gate scale) rather than the engine's nibble-level
+      // decomposition; the tie terms and the τ readout mirror the exact
+      // HUGEINT // DECIMAL(38) arithmetic and the sqrt·sqrt double chain
+      "q209_kendall" ->
+        s"""WITH pts AS (
+             SELECT n_chars AS x,
+               CAST(floor(${qualitySql(toks)} * 1e6) AS BIGINT) AS y
+             FROM documents),
+           cells AS (SELECT x, y, CAST(count(*) AS HUGEINT) AS c
+                     FROM pts GROUP BY x, y),
+           dd AS (SELECT coalesce(sum(a.c * b.c), 0) AS d
+                  FROM cells a JOIN cells b ON a.x < b.x AND a.y > b.y),
+           base AS (SELECT CAST(sum(c) AS BIGINT) AS n,
+                      coalesce(sum(c * (c - 1) // 2), 0) AS n3
+                    FROM cells),
+           tx AS (SELECT coalesce(sum(t * (t - 1) // 2), 0) AS n1
+                  FROM (SELECT sum(c) AS t FROM cells GROUP BY x)),
+           ty AS (SELECT coalesce(sum(t * (t - 1) // 2), 0) AS n2
+                  FROM (SELECT sum(c) AS t FROM cells GROUP BY y)),
+           t0 AS (SELECT n, CAST(n AS HUGEINT) * (n - 1) // 2 AS np,
+                    n1, n2, n3, d
+                  FROM base CROSS JOIN tx CROSS JOIN ty CROSS JOIN dd)
+           SELECT n,
+             CAST(np AS DOUBLE) AS n_pairs,
+             CAST(n1 AS DOUBLE) AS n_tie_x,
+             CAST(n2 AS DOUBLE) AS n_tie_y,
+             CAST(n3 AS DOUBLE) AS n_tie_xy,
+             CAST(np - n1 - n2 + n3 - d AS DOUBLE) AS concordant,
+             CAST(d AS DOUBLE) AS discordant,
+             CASE WHEN np > n1 AND np > n2 THEN
+               CAST(np - n1 - n2 + n3 - 2 * d AS DOUBLE)
+                 / (sqrt(CAST(np - n1 AS DOUBLE)) * sqrt(CAST(np - n2 AS DOUBLE)))
+             END AS tau_b,
+             CASE WHEN np - n1 - n2 + n3 > 0 THEN
+               CAST(np - n1 - n2 + n3 - 2 * d AS DOUBLE)
+                 / CAST(np - n1 - n2 + n3 AS DOUBLE)
+             END AS gamma,
+             CASE WHEN np > n1 THEN
+               CAST(np - n1 - n2 + n3 - 2 * d AS DOUBLE)
+                 / CAST(np - n1 AS DOUBLE)
+             END AS somers_d_yx
+           FROM t0""",
+
+      // Cohen's κ: q23's langid chain produces the prediction, then the
+      // confusion-cell marginals cross-multiply into the exact
+      // (N·O − E₂)/(N² − E₂) readout — HUGEINT mirror of the engine's
+      // DECIMAL(38) arithmetic
+      "q210_kappa" ->
+        s"""WITH langs AS (
+             SELECT * FROM (VALUES
+               ('de', ['der','die','das','und','ist','nicht','ein','mit']),
+               ('en', ['the','a','of','and','is','to','in','that']),
+               ('es', ['el','la','de','que','y','es','en','un']),
+               ('fr', ['le','la','les','de','et','est','un','une']),
+               ('zh', ['de','shi','bu','le','zai','you','wo','ta'])) l(lang, words)),
+           scores AS (
+             SELECT doc_id, langs.lang AS cand,
+               len(list_filter($toks, t -> list_contains(words, t))) AS hits
+             FROM documents CROSS JOIN langs),
+           best AS (
+             SELECT doc_id, cand, hits,
+               row_number() OVER (PARTITION BY doc_id ORDER BY hits DESC, cand ASC) AS rn
+             FROM scores),
+           pred AS (
+             SELECT d.doc_id, d.lang AS a,
+               CASE WHEN b.hits > 0 THEN b.cand ELSE 'und' END AS b
+             FROM documents d JOIN best b ON b.doc_id = d.doc_id AND b.rn = 1),
+           cells AS (SELECT a, b, CAST(count(*) AS HUGEINT) AS o
+                     FROM pred GROUP BY a, b),
+           ra AS (SELECT a, sum(o) AS r FROM cells GROUP BY a),
+           cb AS (SELECT b, sum(o) AS c FROM cells GROUP BY b),
+           tot AS (SELECT CAST(sum(o) AS BIGINT) AS n,
+                     coalesce(CAST(sum(CASE WHEN a = b THEN o END) AS BIGINT), 0) AS agree
+                   FROM cells),
+           e2 AS (SELECT coalesce(sum(r * c), 0) AS e2
+                  FROM ra JOIN cb ON ra.a = cb.b)
+           SELECT n, agree AS observed_agree,
+             CAST(e2 AS DOUBLE) AS expected_pairs,
+             CASE WHEN CAST(n AS HUGEINT) * n > e2 THEN
+               CAST(CAST(agree AS HUGEINT) * n - e2 AS DOUBLE)
+                 / CAST(CAST(n AS HUGEINT) * n - e2 AS DOUBLE)
+             END AS kappa
+           FROM tot CROSS JOIN e2""",
 
       // decontamination surgery: q77's matched windows become removals and
       // the corpus docs rebuild from surviving tokens (q79's tail)

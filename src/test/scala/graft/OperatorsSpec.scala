@@ -3642,4 +3642,95 @@ class OperatorsSpec extends SparkSuite {
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3))).toSet
     assert(single == span)
   }
+
+  test("kendallTauExact: brute-force parity with heavy ties and negatives, 16-level extremes, constant-variable NULL") {
+    import spark.implicits._
+    import graft.operators.Eval
+
+    def brute(pts: Seq[(Long, Long)]): (Long, Long, Long, Long, Long) = {
+      var c = 0L; var d = 0L; var tx = 0L; var ty = 0L; var txy = 0L
+      for (i <- pts.indices; j <- i + 1 until pts.length) {
+        val (xa, ya) = pts(i); val (xb, yb) = pts(j)
+        val sx = java.lang.Long.compare(xa, xb)
+        val sy = java.lang.Long.compare(ya, yb)
+        if (sx == 0 || sy == 0) {
+          if (sx == 0) tx += 1
+          if (sy == 0) ty += 1
+          if (sx == 0 && sy == 0) txy += 1
+        } else if (sx.sign == sy.sign) c += 1 else d += 1
+      }
+      (c, d, tx, ty, txy)
+    }
+    def check(pts: Seq[(Long, Long)], yWidth: Long): Unit = {
+      val out = Eval.kendallTauExact(pts.toDF("x", "y"),
+        col("x"), col("y"), yBucket = expr(s"(y - pmod(y, ${yWidth}L)) DIV ${yWidth}L"))
+        .collect()(0)
+      val (c, d, tx, ty, txy) = brute(pts)
+      val n = pts.length.toLong
+      val n0 = n * (n - 1) / 2
+      assert(out.getLong(0) == n)
+      assert(out.getDouble(1) == n0.toDouble, "n_pairs")
+      assert(out.getDouble(2) == tx.toDouble, "n_tie_x")
+      assert(out.getDouble(3) == ty.toDouble, "n_tie_y")
+      assert(out.getDouble(4) == txy.toDouble, "n_tie_xy")
+      assert(out.getDouble(5) == c.toDouble, s"concordant: got ${out.getDouble(5)} want $c")
+      assert(out.getDouble(6) == d.toDouble, s"discordant: got ${out.getDouble(6)} want $d")
+      val tau = (n0 - tx - ty + txy - 2 * d).toDouble /
+        (math.sqrt((n0 - tx).toDouble) * math.sqrt((n0 - ty).toDouble))
+      assert(out.getDouble(7) == tau, "tau_b must be the identical IEEE chain")
+      assert(out.getDouble(8) == (c - d).toDouble / (c + d).toDouble, "gamma")
+      assert(out.getDouble(9) == (c - d).toDouble / (n0 - tx).toDouble,
+        "somers_d_yx")
+    }
+
+    // heavy ties on both axes + negative values (sign-bit order map)
+    val rnd = new scala.util.Random(7)
+    check((1 to 300).map(_ => (rnd.nextInt(40) - 20L, rnd.nextInt(25) - 12L)), 4L)
+    // full-width extremes: 16 nibble levels incl. the mod-64 shift edge
+    check(Seq((Long.MinValue, 3L), (-1L, -5L), (0L, 7L), (1L, -9L),
+      (Long.MaxValue, 0L), (Long.MinValue, -2L), (42L, 42L)), 8L)
+    // constant x: no orderable pairs on x -> tau NULL, zero discordant
+    val const = Eval.kendallTauExact(
+      Seq((5L, 1L), (5L, 2L), (5L, 3L)).toDF("x", "y"),
+      col("x"), col("y"), yBucket = lit(0L)).collect()(0)
+    assert(const.isNullAt(7) && const.isNullAt(8) && const.isNullAt(9) &&
+      const.getDouble(6) == 0.0 && const.getDouble(2) == 3.0)
+    // perfectly concordant: tau within one ulp of 1 (sqrt-product caveat)
+    val mono = Eval.kendallTauExact(
+      (1L to 50L).map(i => (i, i * 3)).toDF("x", "y"),
+      col("x"), col("y"), yBucket = expr("y DIV 30")).collect()(0)
+    assert(math.abs(mono.getDouble(7) - 1.0) < 1e-12)
+  }
+
+  test("cohensKappa: hand confusion matrix, disjoint-label raters, perfect agreement, constant raters NULL") {
+    import spark.implicits._
+    import graft.operators.Eval
+    // N=10, O=6; marginals a: en 5, fr 3, de 2 / b: en 5, fr 3, und 2;
+    // E2 = 5·5 + 3·3 = 34 (de and und are single-rater labels -> r·c = 0)
+    val pairs =
+      Seq.fill(4)(("en", "en")) ++ Seq(("en", "fr")) ++
+      Seq.fill(2)(("fr", "fr")) ++ Seq(("fr", "en")) ++
+      Seq.fill(2)(("de", "und"))
+    val out = Eval.cohensKappa(pairs.toDF("a", "b"), col("a"), col("b"))
+      .collect()(0)
+    assert(out.getLong(0) == 10L && out.getLong(1) == 6L)
+    assert(out.getDouble(2) == 34.0)
+    assert(out.getDouble(3) == (10.0 * 6 - 34) / (100 - 34))
+    // disjoint label sets: O = 0, E2 = 0 -> kappa = 0 exactly
+    val disj = Eval.cohensKappa(
+      Seq(("x", "p"), ("y", "q"), ("x", "q")).toDF("a", "b"),
+      col("a"), col("b")).collect()(0)
+    assert(disj.getLong(1) == 0L && disj.getDouble(2) == 0.0 &&
+      disj.getDouble(3) == 0.0)
+    // perfect agreement with >1 label -> kappa = 1 exactly
+    val perf = Eval.cohensKappa(
+      Seq(("a", "a"), ("b", "b"), ("a", "a"), ("c", "c")).toDF("a", "b"),
+      col("a"), col("b")).collect()(0)
+    assert(perf.getDouble(3) == 1.0)
+    // both raters constant: chance explains everything -> NULL
+    val const = Eval.cohensKappa(
+      Seq(("a", "a"), ("a", "a")).toDF("a", "b"), col("a"), col("b"))
+      .collect()(0)
+    assert(const.isNullAt(3) && const.getLong(1) == 2L)
+  }
 }

@@ -1017,5 +1017,41 @@ class ScaleSpec extends SparkSuite {
       s"profiler is one stacked explode:\n$pPlan")
     assert(!pFinal.contains("Join"), s"profiler has no join:\n$pPlan")
   }
+
+  test("round-8 operators: kendall inversion windows stay partitioned, multi-scale dedup winners partial-aggregate") {
+    import spark.implicits._
+
+    // kendall: every window is partitioned — the in-frame conditional
+    // sums by (level, prefix, yBucket), the suffix offsets by (level,
+    // prefix). The only SinglePartition collapse allowed is the final
+    // one-row statistic, which must carry no Window.
+    val rnd = new scala.util.Random(11)
+    val pts = (1 to 4000).map(_ => (rnd.nextInt(1000).toLong, rnd.nextInt(600).toLong))
+    val tau = graft.operators.Eval.kendallTauExact(pts.toDF("x", "y"),
+      col("x"), col("y"), yBucket = expr("y DIV 64"))
+    tau.collect()
+    val kPlan = tau.queryExecution.executedPlan.toString.split("== Initial Plan ==").head
+    val singleWindows = kPlan.linesIterator
+      .filter(l => l.contains("Window") && l.contains("SinglePartition")).size
+    assert(singleWindows == 0,
+      s"kendall must never run a single-partition window:\n$kPlan")
+    assert(kPlan.contains("partial_sum") || kPlan.contains("partial_count"),
+      s"cell histogram must partial-aggregate:\n$kPlan")
+
+    // multi-scale dedup: per-scale winner picks are hash aggregations on
+    // the window-hash key with map-side partial aggregation — no sort of
+    // the corpus, no cartesian anywhere
+    val docs = (1L to 300L).map(i =>
+      (i, (0 until 30).map(j => s"t${(i * 31 + j) % 97}").mkString(" ")))
+      .toDF("doc_id", "text")
+    val ms = graft.operators.Dedup.multiScaleSpanDedup(docs, "doc_id", "text",
+      scales = Seq(4 -> 2L, 8 -> 2L))
+    ms.collect()
+    val mPlan = ms.queryExecution.executedPlan.toString.split("== Initial Plan ==").head
+    assert(!mPlan.contains("CartesianProduct"),
+      s"multi-scale dedup must not go quadratic:\n$mPlan")
+    assert(mPlan.contains("partial_min") || mPlan.contains("partial_count"),
+      s"winner picks must partial-aggregate:\n$mPlan")
+  }
 }
 
