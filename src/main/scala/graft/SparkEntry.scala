@@ -269,6 +269,7 @@ object SparkEntry {
     "q208_multiscale_dedup" -> q208,
     "q209_kendall" -> q209,
     "q210_kappa" -> q210,
+    "q211_mann_whitney" -> q211,
   )
 
   /** Round count for the parameterized BPE lifecycle (q163/q164) — read
@@ -3554,6 +3555,21 @@ object SparkEntry {
         .select(col("lang"), Text.langId(col("text")).as("pred")),
       aCol = col("lang"), bCol = col("pred"))
 
+  /** Mann–Whitney U: does the quality score distribute differently for
+    * English vs non-English documents, and does the gap beat chance?
+    * AUC + Cliff's δ + tie-corrected z in one histogram sweep
+    * ([[graft.operators.Eval.mannWhitney]]) — the significance sign-off
+    * a pipeline runs before acting on a per-language threshold. */
+  private def q211(s: SparkSession, dir: String): DataFrame = {
+    val stop = Text.langMarkers.toMap.apply("en")
+    graft.operators.Eval.mannWhitney(
+      Tables.documents(s, dir)
+        .select(col("lang"),
+          floor(Text.qualityScore(col("text"), stop) * lit(1e6)).as("qu")),
+      scoreCol = col("qu"), positive = col("lang") === "en",
+      bucketOf = v => shiftright(v, 16))
+  }
+
   // =====================================================================
   // DuckDB oracle SQL — same semantics, same column names, same ORDER BY.
   // =====================================================================
@@ -4733,6 +4749,49 @@ object SparkEntry {
                  / CAST(CAST(n AS HUGEINT) * n - e2 AS DOUBLE)
              END AS kappa
            FROM tot CROSS JOIN e2""",
+
+      // Mann–Whitney off the value histogram: cum_before via one ordered
+      // window over distinct values, then u2/T/num/variance in HUGEINT
+      // mirroring the engine's DECIMAL(38) chain; auc/delta/z the same
+      // IEEE division-and-sqrt order
+      "q211_mann_whitney" ->
+        s"""WITH pts AS (
+             SELECT CAST(floor(${qualitySql(toks)} * 1e6) AS BIGINT) AS v,
+               (lang = 'en') AS p
+             FROM documents),
+           h AS (SELECT v, CAST(count(*) AS BIGINT) AS t,
+                   CAST(sum(CASE WHEN p THEN 1 ELSE 0 END) AS BIGINT) AS pc
+                 FROM pts GROUP BY v),
+           c AS (SELECT v, t, pc,
+                   CAST(coalesce(sum(t) OVER (ORDER BY v
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                     AS BIGINT) AS cb
+                 FROM h),
+           t0 AS (SELECT CAST(coalesce(sum(pc), 0) AS BIGINT) AS n1,
+                    CAST(coalesce(sum(t), 0) AS BIGINT) AS n,
+                    coalesce(sum(CAST(pc AS HUGEINT) * (2 * cb + t + 1)), 0) AS u2,
+                    coalesce(sum(CAST(t AS HUGEINT) * t * t - t), 0) AS tt
+                  FROM c),
+           t1 AS (SELECT n1, n - n1 AS n2, n, u2, tt,
+                    u2 - CAST(n1 AS HUGEINT) * (n1 + 1)
+                      - CAST(n1 AS HUGEINT) * (n - n1) AS num,
+                    (CAST(n AS HUGEINT) + 1) * n * (n - 1) - tt AS a
+                  FROM t0)
+           SELECT n1 AS n_pos, n2 AS n_neg,
+             CAST(u2 AS DOUBLE) AS u2, CAST(tt AS DOUBLE) AS t_ties,
+             CASE WHEN n1 > 0 AND n2 > 0 THEN
+               CAST(u2 - CAST(n1 AS HUGEINT) * (n1 + 1) AS DOUBLE)
+                 / CAST(CAST(2 AS HUGEINT) * n1 * n2 AS DOUBLE) END AS auc,
+             CASE WHEN n1 > 0 AND n2 > 0 THEN
+               CAST(num AS DOUBLE)
+                 / CAST(CAST(n1 AS HUGEINT) * n2 AS DOUBLE) END AS cliffs_delta,
+             CASE WHEN n1 > 0 AND n2 > 0 AND a > 0 THEN
+               CAST(num AS DOUBLE)
+                 / sqrt(CAST(CAST(n1 AS HUGEINT) * n2 AS DOUBLE)
+                     * CAST(a AS DOUBLE)
+                     / CAST(CAST(3 AS HUGEINT) * n * (n - 1) AS DOUBLE))
+             END AS z
+           FROM t1""",
 
       // decontamination surgery: q77's matched windows become removals and
       // the corpus docs rebuild from surviving tokens (q79's tail)

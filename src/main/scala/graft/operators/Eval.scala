@@ -646,6 +646,98 @@ object Eval {
           (col("_na") * col("_nb")).cast("double")).as("ks"))
   }
 
+  /** MANN–WHITNEY U test with tie-corrected normal approximation — the
+    * significance companion to [[aucExact]] (AUC says HOW WELL the score
+    * separates the classes; U's z-score says whether the separation
+    * beats chance at this sample size — the sign-off read before a
+    * pipeline acts on an observed gap). Computed entirely on the VALUE
+    * HISTOGRAM, no per-row rank: for a score value with count `t` and
+    * `cum_before` rows below it, midrank algebra gives
+    * `min+max = 2·cum_before + t + 1`, so
+    * `u2 = Σ_values pos_cnt·(2·cum_before + t + 1)` (twice the
+    * positives' midrank sum) and the tie term `T = Σ_values (t³ − t)`
+    * both fall out of one histogram sweep. Readouts, all exact integers
+    * until the single trailing IEEE chain:
+    * `AUC = (u2 − n₁(n₁+1)) / (2n₁n₂)`,
+    * Cliff's δ = (#(pos>neg) − #(pos<neg))/(n₁n₂)
+    * = (u2 − n₁(n₁+1) − n₁n₂)/(n₁n₂) (the effect size — ties count 0),
+    * and `z = (2U − n₁n₂) / √(n₁n₂·((n+1)n(n−1) − T) / (3n(n−1)))`
+    * (the tie-corrected variance, no continuity correction —
+    * documented, deterministic, oracle-mirrorable).
+    *
+    * ## Scale shape (100 TB)
+    * The data-sized work is ONE partial-aggregable `groupBy(value)`
+    * carrying (count, pos_count); cumulative counts ride the two-level
+    * prefix sum over the histogram ([[ksTestExact]]'s shape — per-bucket
+    * frames + a broadcast bucket-offset spine, nothing single-partition
+    * that is data-sized). Digit budget: u2 ≤ n², T ≤ n³, and the
+    * variance product n₁n₂·((n+1)n(n−1) − T) ≈ n⁵ rides DECIMAL(38) to
+    * n ≈ 3·10⁷ — past that the three factors convert to double FIRST
+    * (deterministic IEEE round-to-nearest on both engines), which the
+    * readout does anyway. Returns ONE row
+    * `(n_pos, n_neg, u2, t_ties, auc, cliffs_delta, z)` with u2/T as
+    * exactly-converted doubles (the [[spearmanExact]] export
+    * convention); auc/δ NULL when either class is empty, z additionally
+    * NULL when all values tie (zero variance). */
+  def mannWhitney(df: DataFrame, scoreCol: Column, positive: Column,
+                  bucketOf: Column => Column,
+                  checkpoint: Boolean = true): DataFrame = {
+    val dec = "decimal(38,0)"
+    val hist0 = df
+      .select(scoreCol.cast("long").as("_v"),
+        when(positive, 1L).otherwise(0L).as("_p"))
+      .groupBy(col("_v"))
+      .agg(count(lit(1)).as("_t"), sum(col("_p")).as("_pc"))
+      .withColumn("_b", bucketOf(col("_v")))
+    // fans into the offset spine and the sweep — cut or the caller's
+    // score expression re-evaluates per branch (the q170 lesson)
+    val hist = if (checkpoint) hist0.localCheckpoint() else hist0
+    val wIn = Window.partitionBy(col("_b")).orderBy(col("_v"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val wOff = Window.orderBy(col("_b"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = hist.groupBy(col("_b")).agg(sum(col("_t")).as("_bt"))
+      .select(col("_b"),
+        coalesce(sum(col("_bt")).over(wOff), lit(0L)).as("_off"))
+    hist
+      .join(broadcast(offsets), Seq("_b"))
+      .withColumn("_cb", col("_off") + coalesce(sum(col("_t")).over(wIn), lit(0L)))
+      .agg(
+        coalesce(sum(col("_pc")), lit(0L)).as("_n1"),
+        coalesce(sum(col("_t")), lit(0L)).as("_n"),
+        coalesce(sum(col("_pc").cast(dec) *
+          (lit(2L) * col("_cb") + col("_t") + lit(1L))), lit(0).cast(dec)).as("_u2"),
+        coalesce(sum(col("_t").cast(dec) * col("_t") * col("_t") - col("_t")),
+          lit(0).cast(dec)).as("_tt"))
+      .select(col("_n1"), (col("_n") - col("_n1")).as("_n2"), col("_n"),
+        col("_u2"), col("_tt"),
+        // 2U − n₁n₂ = #(pos>neg) − #(pos<neg): the shared numerator of δ and z
+        (col("_u2") - col("_n1").cast(dec) * (col("_n1") + lit(1L))
+          - col("_n1").cast(dec) * (col("_n") - col("_n1"))).as("_num"),
+        // (n+1)n(n−1) − T: the tie-corrected variance core (≥ 0, = 0 iff all tied)
+        ((col("_n").cast(dec) + lit(1L)) * col("_n") * (col("_n") - lit(1L))
+          - col("_tt")).as("_a"))
+      .select(col("_n1").as("n_pos"), col("_n2").as("n_neg"),
+        col("_u2").cast("double").as("u2"),
+        col("_tt").cast("double").as("t_ties"),
+        when(col("_n1") > 0 && col("_n2") > 0,
+          (col("_u2") - col("_n1").cast(dec) * (col("_n1") + lit(1L)))
+            .cast("double") /
+            (lit(2L).cast(dec) * col("_n1") * col("_n2")).cast("double"))
+          .as("auc"),
+        when(col("_n1") > 0 && col("_n2") > 0,
+          col("_num").cast("double") /
+            (col("_n1").cast(dec) * col("_n2")).cast("double"))
+          .as("cliffs_delta"),
+        when(col("_n1") > 0 && col("_n2") > 0 && col("_a") > 0,
+          col("_num").cast("double") /
+            sqrt((col("_n1").cast(dec) * col("_n2")).cast("double") *
+              col("_a").cast("double") /
+              (lit(3L).cast(dec) * col("_n") * (col("_n") - lit(1L)))
+                .cast("double")))
+          .as("z"))
+  }
+
   /** AUTOCORRELATION of an aggregated time series at a fixed lag —
     * [[pearsonExact]] composed over the series' self-join: pairs are the
     * (t, t+lag) steps where BOTH exist (gaps drop the pair — the "na.or

@@ -3702,6 +3702,51 @@ class OperatorsSpec extends SparkSuite {
     assert(math.abs(mono.getDouble(7) - 1.0) < 1e-12)
   }
 
+  test("mannWhitney: brute-force parity with heavy ties, empty-class NULLs, all-tied zero-variance NULL") {
+    import spark.implicits._
+    import graft.operators.Eval
+
+    def brute(pts: Seq[(Long, Boolean)]): Unit = {
+      val out = Eval.mannWhitney(pts.toDF("v", "p"), col("v"), col("p"),
+        bucketOf = v => shiftright(v, 3)).collect()(0)
+      val pos = pts.filter(_._2).map(_._1); val neg = pts.filterNot(_._2).map(_._1)
+      val n1 = pos.length.toLong; val n2 = neg.length.toLong; val n = n1 + n2
+      val gt = (for (a <- pos; b <- neg) yield (a, b)).count { case (a, b) => a > b }
+      val lt = (for (a <- pos; b <- neg) yield (a, b)).count { case (a, b) => a < b }
+      val eq = n1 * n2 - gt - lt
+      assert(out.getLong(0) == n1 && out.getLong(1) == n2)
+      // u2 = 2·(U + n1(n1+1)/2) where U counts (gt + eq/2)
+      val u2 = 2L * gt + eq + n1 * (n1 + 1)
+      assert(out.getDouble(2) == u2.toDouble, "u2")
+      val tt = pts.groupBy(_._1).values.map(_.length.toLong)
+        .map(t => t * t * t - t).sum
+      assert(out.getDouble(3) == tt.toDouble, "t_ties")
+      assert(out.getDouble(4) == (2L * gt + eq).toDouble / (2L * n1 * n2).toDouble, "auc")
+      assert(out.getDouble(5) == (gt - lt).toDouble / (n1 * n2).toDouble, "cliffs_delta")
+      val a = (n + 1) * n * (n - 1) - tt
+      val z = (gt - lt).toDouble /
+        math.sqrt((n1 * n2).toDouble * a.toDouble / (3 * n * (n - 1)).toDouble)
+      assert(out.getDouble(6) == z, "z must be the identical IEEE chain")
+    }
+    val rnd = new scala.util.Random(13)
+    // heavy ties: 18 distinct values over 400 rows, ~30% positives
+    brute((1 to 400).map(_ => (rnd.nextInt(18).toLong, rnd.nextInt(10) < 3)))
+    // clear separation, still tied within class
+    brute((1 to 50).map(i => (100L + i % 5, true)) ++
+      (1 to 70).map(i => (i % 7.toLong, false)))
+    // one class empty -> all readouts NULL, counts still real
+    val empty = Eval.mannWhitney(
+      Seq((3L, false), (5L, false)).toDF("v", "p"), col("v"), col("p"),
+      bucketOf = v => v).collect()(0)
+    assert(empty.getLong(0) == 0L && empty.getLong(1) == 2L &&
+      empty.isNullAt(4) && empty.isNullAt(5) && empty.isNullAt(6))
+    // all values tied: auc = 1/2 exactly, z NULL (zero variance)
+    val tied = Eval.mannWhitney(
+      Seq((7L, true), (7L, false), (7L, true), (7L, false)).toDF("v", "p"),
+      col("v"), col("p"), bucketOf = v => v).collect()(0)
+    assert(tied.getDouble(4) == 0.5 && tied.getDouble(5) == 0.0 && tied.isNullAt(6))
+  }
+
   test("cohensKappa: hand confusion matrix, disjoint-label raters, perfect agreement, constant raters NULL") {
     import spark.implicits._
     import graft.operators.Eval
