@@ -270,6 +270,7 @@ object SparkEntry {
     "q209_kendall" -> q209,
     "q210_kappa" -> q210,
     "q211_mann_whitney" -> q211,
+    "q212_theil_sen" -> q212,
   )
 
   /** Round count for the parameterized BPE lifecycle (q163/q164) — read
@@ -3570,6 +3571,24 @@ object SparkEntry {
       bucketOf = v => shiftright(v, 16))
   }
 
+  /** Theil–Sen robust slope on q180's exact frame — per-nation monthly
+    * revenue, median of pairwise micro-slopes
+    * ([[graft.operators.Eval.theilSenSlope]]): read NEXT TO q180's OLS
+    * slope, a gap between the two flags outlier months driving the
+    * trend. Pair universe = months² per nation (≤ 3.5k), model-sized. */
+  private def q212(s: SparkSession, dir: String): DataFrame = {
+    val rev = Tables.lineitem(s, dir)
+      .join(Tables.orders(s, dir), col("l_orderkey") === col("o_orderkey"))
+      .join(Tables.customer(s, dir), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(Tables.nation(s, dir)),
+        col("c_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_name"),
+        (year(col("o_orderdate")) * lit(12) + month(col("o_orderdate"))).as("x"))
+      .agg(sum(cents(col("l_extendedprice") * (lit(1.0) - col("l_discount")))).as("y"))
+    graft.operators.Eval.theilSenSlope(rev, "n_name", col("x"), col("y"))
+      .orderBy(col("n_name"))
+  }
+
   // =====================================================================
   // DuckDB oracle SQL — same semantics, same column names, same ORDER BY.
   // =====================================================================
@@ -4792,6 +4811,41 @@ object SparkEntry {
                      / CAST(CAST(3 AS HUGEINT) * n * (n - 1) AS DOUBLE))
              END AS z
            FROM t1""",
+
+      // Theil–Sen: q180's revenue CTE, then all within-nation pairs with
+      // xa < xb, micro-slopes via HUGEINT floor division (DuckDB //
+      // floors; the engine subtracts pmod first so DIV truncates the
+      // same), and the two middle order statistics by row_number
+      "q212_theil_sen" ->
+        s"""WITH rev AS (SELECT n_name,
+               CAST(date_part('year', o_orderdate) * 12 + date_part('month', o_orderdate) AS BIGINT) AS x,
+               CAST(sum(${C.format("l_extendedprice * (1.0 - l_discount)")}) AS BIGINT) AS y
+             FROM lineitem
+               JOIN orders ON l_orderkey = o_orderkey
+               JOIN customer ON o_custkey = c_custkey
+               JOIN nation ON c_nationkey = n_nationkey
+             GROUP BY 1, 2),
+           pd AS (SELECT a.n_name,
+                    1000000 * (CAST(b.y AS HUGEINT) - a.y) AS nm,
+                    CAST(b.x - a.x AS HUGEINT) AS dx
+                  FROM rev a JOIN rev b
+                    ON a.n_name = b.n_name AND a.x < b.x),
+           -- subtract the NONNEGATIVE remainder first so // (which
+           -- truncates toward zero) lands on the exact quotient = floor
+           pr AS (SELECT n_name,
+                    CAST((nm - ((nm % dx + dx) % dx)) // dx AS BIGINT) AS sm
+                  FROM pd),
+           rk AS (SELECT n_name, sm,
+                    row_number() OVER (PARTITION BY n_name ORDER BY sm) AS rn,
+                    count(*) OVER (PARTITION BY n_name) AS m
+                  FROM pr)
+           SELECT n_name, CAST(max(m) AS BIGINT) AS n_pairs,
+             min(sm) AS slope_micro_lo, max(sm) AS slope_micro_hi,
+             (CAST(min(sm) AS DOUBLE) + CAST(max(sm) AS DOUBLE)) / 2.0 AS slope_micro
+           FROM rk
+           WHERE rn = (m + 1) // 2 OR rn = m // 2 + 1
+           GROUP BY n_name
+           ORDER BY n_name""",
 
       // decontamination surgery: q77's matched windows become removals and
       // the corpus docs rebuild from surviving tokens (q79's tail)

@@ -596,6 +596,61 @@ object Eval {
           .as("intercept"))
   }
 
+  /** Grouped THEIL–SEN slope — the ROBUST companion to [[groupedTrend]]
+    * (OLS bends to a single outlier month; the median of pairwise slopes
+    * has a 29% breakdown point — a pipeline reads the PAIR: OLS ≈
+    * Theil–Sen says the trend is clean, a gap says outliers drive it).
+    * The statistic is the median of MICRO-SLOPES
+    * `⌊10⁶·(y_b − y_a) / (x_b − x_a)⌋` over all within-group pairs with
+    * `x_a < x_b` — floor division on both engines (Spark subtracts
+    * `pmod` first so `DIV`'s truncation IS the floor; DuckDB `//`
+    * floors natively), so every value is an exact BIGINT and the median
+    * is an order statistic, never a float.
+    *
+    * ## Scale shape (100 TB)
+    * Callers pass the series ALREADY aggregated to (group, x, y) — the
+    * [[autocorrAtLag]] convention — so the pair join is bounded by the
+    * per-group x-universe SQUARED (e.g. 84 months → ≤ 3.5k pairs/group),
+    * never by data volume; the data-sized work happened in the caller's
+    * partial-aggregable rollup. The rank window partitions by group over
+    * that model-sized pair frame. Digit budget: `microUnits·|Δy|` must
+    * fit BIGINT — |Δy| ≤ 9·10¹² at micro units; pre-scale y beyond that
+    * (slope units are the caller's). Returns one row per group with ≥ 2
+    * distinct x `(groupCol, n_pairs, slope_micro_lo, slope_micro_hi,
+    * slope_micro)` — lo/hi the two middle order statistics (equal when
+    * the pair count is odd), `slope_micro` their exactly-halved double
+    * mean; single-point groups are absent (no orderable pair exists). */
+  def theilSenSlope(series: DataFrame, groupCol: String, xCol: Column,
+                    yCol: Column, microUnits: Long = 1000000L): DataFrame = {
+    require(microUnits >= 1L, s"microUnits must be >= 1, got $microUnits")
+    val s = series.select(col(groupCol),
+      xCol.cast("long").as("_x"), yCol.cast("long").as("_y"))
+    val a = s.select(col(groupCol), col("_x").as("_xa"), col("_y").as("_ya"))
+    val b = s.select(col(groupCol), col("_x").as("_xb"), col("_y").as("_yb"))
+    val pairs = a.join(b, Seq(groupCol))
+      .where(col("_xa") < col("_xb"))
+      .select(col(groupCol),
+        (lit(microUnits) * (col("_yb") - col("_ya"))).as("_num"),
+        (col("_xb") - col("_xa")).as("_den"))
+      .select(col(groupCol),
+        expr("(_num - pmod(_num, _den)) DIV _den").as("_sm"))
+    val wRank = Window.partitionBy(col(groupCol)).orderBy(col("_sm"))
+    val wAll = Window.partitionBy(col(groupCol))
+    pairs
+      .withColumn("_rn", row_number().over(wRank))
+      .withColumn("_m", count(lit(1)).over(wAll))
+      .where(col("_rn") === expr("(_m + 1) DIV 2") ||
+        col("_rn") === expr("_m DIV 2 + 1"))
+      .groupBy(col(groupCol))
+      .agg(max(col("_m")).as("n_pairs"),
+        min(col("_sm")).as("slope_micro_lo"),
+        max(col("_sm")).as("slope_micro_hi"))
+      .select(col(groupCol), col("n_pairs"),
+        col("slope_micro_lo"), col("slope_micro_hi"),
+        ((col("slope_micro_lo").cast("double") +
+          col("slope_micro_hi").cast("double")) / lit(2.0)).as("slope_micro"))
+  }
+
   /** Two-sample KOLMOGOROV-SMIRNOV distance, EXACT — the
     * distribution-shift test completing the drift kit (PSI buckets and
     * smooths; KS is the assumption-free sup-gap over the EMPIRICAL

@@ -3747,6 +3747,52 @@ class OperatorsSpec extends SparkSuite {
     assert(tied.getDouble(4) == 0.5 && tied.getDouble(5) == 0.0 && tied.isNullAt(6))
   }
 
+  test("theilSenSlope: brute-force median of floored micro-slopes, negative-dy floor semantics, outlier robustness, single-point group absent") {
+    import spark.implicits._
+    import graft.operators.Eval
+
+    def floorDiv(a: Long, b: Long): Long = Math.floorDiv(a, b)
+    def brute(pts: Seq[(String, Long, Long)]): Map[String, (Long, Long, Long)] =
+      pts.groupBy(_._1).flatMap { case (g, rows) =>
+        val slopes = (for {
+          (_, xa, ya) <- rows; (_, xb, yb) <- rows if xa < xb
+        } yield floorDiv(1000000L * (yb - ya), xb - xa)).sorted
+        if (slopes.isEmpty) None
+        else {
+          val m = slopes.length
+          Some(g -> (m.toLong, slopes(((m + 1) / 2) - 1), slopes(m / 2)))
+        }
+      }
+
+    val rnd = new scala.util.Random(17)
+    // two groups with noise + one group with a gross outlier + one
+    // single-point group (must be absent), negative slopes included
+    val pts =
+      (1L to 13L).map(x => ("up", x, 10 * x + rnd.nextInt(3))) ++
+      (1L to 12L).map(x => ("down", x, 500 - 7 * x - rnd.nextInt(2))) ++
+      ((1L to 9L).map(x => ("outlier", x, 3 * x)) :+ ("outlier", 10L, 100000L)) ++
+      Seq(("lonely", 4L, 42L))
+    val got = Eval.theilSenSlope(pts.toDF("g", "x", "y"), "g", col("x"), col("y"))
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4))).toMap
+    val want = brute(pts)
+    assert(got.keySet == want.keySet && !got.contains("lonely"))
+    for ((g, (m, lo, hi)) <- want) {
+      val (gm, glo, ghi, gmid) = got(g)
+      assert(gm == m && glo == lo && ghi == hi, s"$g: got $glo..$ghi want $lo..$hi")
+      assert(gmid == (lo.toDouble + hi.toDouble) / 2.0)
+    }
+    // outlier robustness: the single wild point leaves the median slope
+    // at the clean trend (3e6 micro), where OLS would be dragged far off
+    assert(got("outlier")._2 >= 2900000L && got("outlier")._3 <= 3200000L)
+    // floor semantics on a negative non-divisible slope: dy=-5 over dx=2
+    // -> -2500000 exactly via floor, NOT -2499999 (truncation toward 0)
+    val neg = Eval.theilSenSlope(
+      Seq(("n", 0L, 5L), ("n", 2L, 0L)).toDF("g", "x", "y"),
+      "g", col("x"), col("y")).collect()(0)
+    assert(neg.getLong(2) == -2500000L && neg.getLong(3) == -2500000L)
+  }
+
   test("cohensKappa: hand confusion matrix, disjoint-label raters, perfect agreement, constant raters NULL") {
     import spark.implicits._
     import graft.operators.Eval
