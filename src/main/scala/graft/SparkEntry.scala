@@ -271,6 +271,7 @@ object SparkEntry {
     "q210_kappa" -> q210,
     "q211_mann_whitney" -> q211,
     "q212_theil_sen" -> q212,
+    "q213_benford" -> q213,
   )
 
   /** Round count for the parameterized BPE lifecycle (q163/q164) — read
@@ -3589,6 +3590,15 @@ object SparkEntry {
       .orderBy(col("n_name"))
   }
 
+  /** Benford first-digit deviation over line-item prices (exact cents) —
+    * the fraud/synthetic-feed smell test
+    * ([[graft.operators.Checks.benfordDeviation]]): per-digit χ² terms
+    * in micro-units against the log₁₀(1+1/d) law, the 9-row spine kept
+    * honest (absent digits still contribute their expectation). */
+  private def q213(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Checks.benfordDeviation(
+      Tables.lineitem(s, dir), cents(col("l_extendedprice")))
+
   // =====================================================================
   // DuckDB oracle SQL — same semantics, same column names, same ORDER BY.
   // =====================================================================
@@ -4846,6 +4856,31 @@ object SparkEntry {
            WHERE rn = (m + 1) // 2 OR rn = m // 2 + 1
            GROUP BY n_name
            ORDER BY n_name""",
+
+      // Benford: leading digit from the decimal STRING (no float log);
+      // expected probabilities are the engine's plan-time math.log10
+      // literals inlined verbatim (string-cast so DuckDB parses them as
+      // DOUBLE, not DECIMAL); per-digit terms quantized at their site
+      "q213_benford" -> {
+        val ps = (1 to 9).map(d =>
+          s"WHEN sp.digit = $d THEN CAST('${math.log10(1.0 + 1.0 / d)}' AS DOUBLE)")
+          .mkString(" ")
+        s"""WITH src AS (SELECT ${C.format("l_extendedprice")} AS v FROM lineitem),
+           cnt AS (SELECT CAST(substr(CAST(v AS VARCHAR), 1, 1) AS BIGINT) AS digit,
+                     CAST(count(*) AS BIGINT) AS o
+                   FROM src WHERE v > 0 GROUP BY 1),
+           tot AS (SELECT CAST(coalesce(sum(o), 0) AS BIGINT) AS n FROM cnt),
+           sp AS (SELECT range AS digit FROM range(1, 10)),
+           j AS (SELECT sp.digit, coalesce(cnt.o, 0) AS n_obs, tot.n,
+                   CAST(tot.n AS DOUBLE) * (CASE $ps END) AS e
+                 FROM sp LEFT JOIN cnt ON sp.digit = cnt.digit CROSS JOIN tot)
+           SELECT digit, n_obs,
+             CAST(floor(e * 1e6) AS BIGINT) AS exp_micro,
+             CASE WHEN n > 0 THEN
+               CAST(floor((CAST(n_obs AS DOUBLE) - e) * (CAST(n_obs AS DOUBLE) - e)
+                 / e * 1e6) AS BIGINT) END AS term_micro
+           FROM j ORDER BY digit"""
+      },
 
       // decontamination surgery: q77's matched windows become removals and
       // the corpus docs rebuild from surviving tokens (q79's tail)

@@ -129,6 +129,58 @@ object Checks {
           (col("n_groups") * col("total")).cast("double")).as("gini"))
   }
 
+  /** BENFORD first-digit deviation — the fraud/synthetic-data smell test
+    * a pipeline runs over magnitude columns (prices, counts, file
+    * sizes): naturally-grown multiplicative quantities put digit d first
+    * with probability log₁₀(1 + 1/d); fabricated or truncated feeds
+    * don't. One χ² goodness-of-fit row per digit over the FULL 1–9
+    * spine (absent digits contribute their whole expectation — the q204
+    * shard-balance honesty rule).
+    *
+    * ## Exactness
+    * The leading digit is the first character of the value's decimal
+    * string (never a float log — `floor(log10(1000))` can land at 2.999…
+    * and misbucket). Expected probabilities are PLAN-TIME literals
+    * (driver `math.log10`, inlined verbatim into the oracle — the
+    * keyness frozen-log scheme); each digit's χ² term
+    * `(o − N·p)²/(N·p)` is ONE deterministic double chain quantized to
+    * micro-units at its site, so the total is an exact BIGINT sum with
+    * no float-accumulation order anywhere.
+    *
+    * ## Scale shape (100 TB)
+    * ONE partial-aggregable groupBy over ≤ 9 distinct keys (map-side
+    * combine collapses each partition to ≤ 9 rows); everything after
+    * lives on the 9-row spine. Returns 9 rows
+    * `(digit, n_obs, exp_micro, term_micro)` — `Σ term_micro` is the
+    * χ² statistic in micro-units (8 degrees of freedom; > 20.09·10⁶
+    * rejects at α = 0.01). Non-positive values are excluded (Benford is
+    * a positive-magnitude law); an all-excluded input returns the spine
+    * with zeros and NULL terms. */
+  def benfordDeviation(df: DataFrame, valueCol: Column): DataFrame = {
+    val spark = df.sparkSession
+    val counts = df.select(valueCol.cast("long").as("_v"))
+      .where(col("_v") > 0L)
+      .select(substring(col("_v").cast("string"), 1, 1).cast("long").as("digit"))
+      .groupBy(col("digit")).agg(count(lit(1)).as("_o"))
+    val spine = spark.range(1L, 10L).select(col("id").as("digit"))
+    val n = counts.agg(coalesce(sum(col("_o")), lit(0L)).as("_n"))
+    val probs = array((1 to 9).map(d => lit(math.log10(1.0 + 1.0 / d))): _*)
+    spine.join(counts, Seq("digit"), "left")
+      .crossJoin(broadcast(n))
+      .select(col("digit"), coalesce(col("_o"), lit(0L)).as("n_obs"),
+        col("_n"),
+        (col("_n").cast("double") *
+          element_at(probs, col("digit").cast("int"))).as("_e"))
+      .select(col("digit"), col("n_obs"),
+        floor(col("_e") * lit(1e6)).cast("long").as("exp_micro"),
+        when(col("_n") > 0,
+          floor((col("n_obs").cast("double") - col("_e")) *
+            (col("n_obs").cast("double") - col("_e")) / col("_e") * lit(1e6))
+            .cast("long"))
+          .as("term_micro"))
+      .orderBy(col("digit"))
+  }
+
   /** POPULATION STABILITY INDEX drift monitor — the industry-standard
     * "has this feature's distribution moved" number (PSI < 0.1 stable,
     * 0.1–0.25 drifting, > 0.25 shifted): bin the REFERENCE into `bins`

@@ -3793,6 +3793,34 @@ class OperatorsSpec extends SparkSuite {
     assert(neg.getLong(2) == -2500000L && neg.getLong(3) == -2500000L)
   }
 
+  test("benfordDeviation: string leading digit, full spine with zeros, non-positive exclusion, micro-term parity") {
+    import spark.implicits._
+    import graft.operators.Checks
+
+    // leading digits: 1×4 (1, 19, 1000, 123), 9×2 (9, 987), 3×1 (30);
+    // 0, -5, -9000 excluded -> N = 7; digits 2,4,5,6,7,8 are zero rows
+    val vals = Seq(1L, 19L, 1000L, 123L, 9L, 987L, 30L, 0L, -5L, -9000L)
+    val out = Checks.benfordDeviation(vals.toDF("v"), col("v")).collect()
+    assert(out.length == 9 && out.map(_.getLong(0)).toSeq == (1L to 9L))
+    val byDigit = out.map(r => r.getLong(0) ->
+      (r.getLong(1), r.getLong(2), if (r.isNullAt(3)) -1L else r.getLong(3))).toMap
+    assert(byDigit(1)._1 == 4 && byDigit(9)._1 == 2 && byDigit(3)._1 == 1)
+    assert((2 to 8).filterNot(_ == 3).forall(d => byDigit(d.toLong)._1 == 0))
+    // micro-term parity with the driver-side IEEE chain
+    for (d <- 1 to 9) {
+      val p = math.log10(1.0 + 1.0 / d)
+      val e = 7.0 * p
+      val o = byDigit(d.toLong)._1.toDouble
+      assert(byDigit(d.toLong)._2 == math.floor(e * 1e6).toLong, s"exp d=$d")
+      assert(byDigit(d.toLong)._3 == math.floor((o - e) * (o - e) / e * 1e6).toLong,
+        s"term d=$d")
+    }
+    // all-excluded input: spine survives with zero counts and NULL terms
+    val none = Checks.benfordDeviation(Seq(-1L, 0L).toDF("v"), col("v")).collect()
+    assert(none.length == 9 && none.forall(r =>
+      r.getLong(1) == 0L && r.getLong(2) == 0L && r.isNullAt(3)))
+  }
+
   test("cohensKappa: hand confusion matrix, disjoint-label raters, perfect agreement, constant raters NULL") {
     import spark.implicits._
     import graft.operators.Eval
