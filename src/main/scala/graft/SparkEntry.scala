@@ -272,6 +272,7 @@ object SparkEntry {
     "q211_mann_whitney" -> q211,
     "q212_theil_sen" -> q212,
     "q213_benford" -> q213,
+    "q214_isotonic" -> q214,
   )
 
   /** Round count for the parameterized BPE lifecycle (q163/q164) — read
@@ -3599,6 +3600,20 @@ object SparkEntry {
     graft.operators.Checks.benfordDeviation(
       Tables.lineitem(s, dir), cents(col("l_extendedprice")))
 
+  /** Isotonic calibration of the quality score against P(English) —
+    * PAV over the 2¹⁴-quantized score universe
+    * ([[graft.operators.Eval.isotonicCalibration]]): the monotone
+    * score → probability table a pipeline joins on before thresholding,
+    * where q147's bins only diagnose. */
+  private def q214(s: SparkSession, dir: String): DataFrame = {
+    val stop = Text.langMarkers.toMap.apply("en")
+    graft.operators.Eval.isotonicCalibration(
+      Tables.documents(s, dir)
+        .select(floor(Text.qualityScore(col("text"), stop) * lit(1e6))
+          .cast("long").as("qu"), col("lang")),
+      scoreCol = expr("qu DIV 16384"), positive = col("lang") === "en")
+  }
+
   // =====================================================================
   // DuckDB oracle SQL — same semantics, same column names, same ORDER BY.
   // =====================================================================
@@ -4881,6 +4896,40 @@ object SparkEntry {
                  / e * 1e6) AS BIGINT) END AS term_micro
            FROM j ORDER BY digit"""
       },
+
+      // isotonic calibration via the minimax characterization
+      // fit(i) = max_{j<=i} min_{k>=i} avg(j..k): rationals ordered by
+      // the injective HUGEINT key floor(p*10^30/n) and read out as
+      // key // 10^24 (the nested floor-division identity) — exactly the
+      // engine's BigInt PAV values; O(B^3) triples over B <= 62 buckets
+      "q214_isotonic" ->
+        s"""WITH pts AS (
+             SELECT CAST(floor(${qualitySql(toks)} * 1e6) AS BIGINT) // 16384 AS v,
+               (lang = 'en') AS pos
+             FROM documents),
+           h AS (SELECT v, CAST(count(*) AS BIGINT) AS n,
+                   CAST(sum(CASE WHEN pos THEN 1 ELSE 0 END) AS BIGINT) AS p
+                 FROM pts GROUP BY v),
+           o AS (SELECT v, n, p,
+                   row_number() OVER (ORDER BY v) AS i,
+                   sum(n) OVER (ORDER BY v) AS cn,
+                   sum(p) OVER (ORDER BY v) AS cp
+                 FROM h),
+           seg AS (SELECT j.i AS ji, k.i AS ki,
+                     CAST(k.cp - j.cp + j.p AS HUGEINT) AS sp,
+                     CAST(k.cn - j.cn + j.n AS HUGEINT) AS sn
+                   FROM o j JOIN o k ON j.i <= k.i),
+           mn AS (SELECT i.i AS ii, seg.ji,
+                    min(seg.sp * CAST('1000000000000000000000000000000' AS HUGEINT)
+                      // seg.sn) AS mkey
+                  FROM o i JOIN seg ON seg.ji <= i.i AND seg.ki >= i.i
+                  GROUP BY 1, 2),
+           fit AS (SELECT ii, max(mkey) AS fkey FROM mn GROUP BY ii)
+           SELECT o.v AS score_q, o.n, o.p AS n_pos,
+             CAST(fit.fkey // CAST('1000000000000000000000000' AS HUGEINT)
+               AS BIGINT) AS fitted_micro
+           FROM o JOIN fit ON fit.ii = o.i
+           ORDER BY score_q""",
 
       // decontamination surgery: q77's matched windows become removals and
       // the corpus docs rebuild from surviving tokens (q79's tail)

@@ -596,6 +596,67 @@ object Eval {
           .as("intercept"))
   }
 
+  /** ISOTONIC CALIBRATION (pool-adjacent-violators) — the step after
+    * [[calibrationBins]] says the score is miscalibrated: fit the
+    * best monotone map score → P(positive) (squared loss) and emit it as
+    * a calibration TABLE the pipeline applies with one broadcast
+    * equi-join. Binning smooths and can invert locally; PAV is the
+    * standard exact fix (Zadrozny & Elkan, KDD 2002).
+    *
+    * ## Exactness
+    * All PAV pool merges compare exact rationals by BigInt
+    * cross-multiplication (`p₁·n₂ ≥ p₂·n₁` — never a float rate), and
+    * the fitted value exports as `⌊10⁶·p_block/n_block⌋`, so the table
+    * is integers end-to-end. The oracle mirrors it through the minimax
+    * characterization `fit(i) = max_{j≤i} min_{k≥i} avg(j..k)` with
+    * rationals ordered by the injective key `⌊p·10³⁰/n⌋` (distinct
+    * rationals with n ≤ 10⁶ differ by ≥ 10⁻¹², i.e. ≥ 10¹⁸ in key
+    * space) and `fitted_micro = key ÷ 10²⁴` (the nested floor-division
+    * identity).
+    *
+    * ## Scale shape (100 TB)
+    * The data-sized work is ONE partial-aggregable
+    * `groupBy(quantized score)`; the collect is SCORE-UNIVERSE-sized —
+    * the caller quantizes to the granularity they will threshold at
+    * (the model contract, like IVF centroids or the BPE merge table),
+    * so the driver holds the calibration model, never data. PAV itself
+    * is a linear stack pass over that model. Returns one row per
+    * distinct score `(score_q, n, n_pos, fitted_micro)` with
+    * `fitted_micro` monotone non-decreasing in `score_q`; NULL scores
+    * are excluded. */
+  def isotonicCalibration(df: DataFrame, scoreCol: Column,
+                          positive: Column): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val cells = df
+      .select(scoreCol.cast("long").as("_v"),
+        when(positive, 1L).otherwise(0L).as("_p"))
+      .where(col("_v").isNotNull)
+      .groupBy(col("_v"))
+      .agg(count(lit(1)).as("_t"), sum(col("_p")).as("_pc"))
+      .orderBy(col("_v"))
+      .collect() // score-universe-sized: the calibration model
+    // PAV: pool adjacent violators, rates compared as exact rationals
+    final case class Pool(n: Long, p: Long,
+                          members: List[(Long, Long, Long)])
+    val stack = scala.collection.mutable.ArrayBuffer.empty[Pool]
+    for (r <- cells) {
+      var cur = Pool(r.getLong(1), r.getLong(2),
+        List((r.getLong(0), r.getLong(1), r.getLong(2))))
+      while (stack.nonEmpty &&
+        BigInt(stack.last.p) * cur.n >= BigInt(cur.p) * stack.last.n) {
+        val prev = stack.remove(stack.length - 1)
+        cur = Pool(prev.n + cur.n, prev.p + cur.p, prev.members ++ cur.members)
+      }
+      stack += cur
+    }
+    val rows = stack.toSeq.flatMap { pool =>
+      val fitted = (BigInt(pool.p) * 1000000L / pool.n).toLong
+      pool.members.map { case (v, t, pc) => (v, t, pc, fitted) }
+    }
+    rows.toDF("score_q", "n", "n_pos", "fitted_micro").orderBy(col("score_q"))
+  }
+
   /** Grouped THEIL–SEN slope — the ROBUST companion to [[groupedTrend]]
     * (OLS bends to a single outlier month; the median of pairwise slopes
     * has a 29% breakdown point — a pipeline reads the PAIR: OLS ≈

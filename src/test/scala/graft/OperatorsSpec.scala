@@ -3821,6 +3821,51 @@ class OperatorsSpec extends SparkSuite {
       r.getLong(1) == 0L && r.getLong(2) == 0L && r.isNullAt(3)))
   }
 
+  test("isotonicCalibration: hand PAV pools, minimax brute-force parity, monotone output, already-isotone identity") {
+    import spark.implicits._
+    import graft.operators.Eval
+
+    // brute-force minimax: fit(i) = max_{j<=i} min_{k>=i} avg(j..k)
+    def minimax(cells: Seq[(Long, Long, Long)]): Seq[(Long, Long, Long, Long)] = {
+      val b = cells.sortBy(_._1)
+      b.indices.map { i =>
+        val best = (0 to i).map { j =>
+          (i until b.length).map { k =>
+            val seg = b.slice(j, k + 1)
+            (BigInt(seg.map(_._3).sum), BigInt(seg.map(_._2).sum))
+          }.minBy { case (p, n) => p * 1000000000L * 1000000000L / n } // injective at test sizes
+        }.maxBy { case (p, n) => p * 1000000000L * 1000000000L / n }
+        val (v, t, pc) = b(i)
+        (v, t, pc, (best._1 * 1000000L / best._2).toLong)
+      }
+    }
+    def run(cells: Seq[(Long, Long, Long)]): Seq[(Long, Long, Long, Long)] = {
+      val rows = cells.flatMap { case (v, t, pc) =>
+        (1L to t).map(r => (v, r <= pc))
+      }
+      Eval.isotonicCalibration(rows.toDF("v", "pos"), col("v"), col("pos"))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+        .toSeq
+    }
+
+    // classic violation: rates 0.2, 0.8, 0.4 -> last two pool to 0.6
+    val hand = run(Seq((1L, 5L, 1L), (2L, 5L, 4L), (3L, 5L, 2L)))
+    assert(hand == Seq((1L, 5L, 1L, 200000L), (2L, 5L, 4L, 600000L),
+      (3L, 5L, 2L, 600000L)))
+    // random histogram: engine PAV == minimax closed form, and monotone
+    val rnd = new scala.util.Random(23)
+    val cells = (1L to 17L).map(v =>
+      (v, 1L + rnd.nextInt(9).toLong, rnd.nextInt(10).toLong min (1L + rnd.nextInt(9).toLong)))
+      .map { case (v, t, pc) => (v, t, pc min t) }
+    val got = run(cells)
+    assert(got == minimax(cells))
+    assert(got.sliding(2).forall(w => w.length < 2 || w(0)._4 <= w(1)._4),
+      "fitted must be monotone non-decreasing")
+    // already isotone: PAV is the identity on per-value rates
+    val iso = run(Seq((1L, 4L, 0L), (2L, 4L, 2L), (3L, 4L, 4L)))
+    assert(iso.map(_._4) == Seq(0L, 500000L, 1000000L))
+  }
+
   test("cohensKappa: hand confusion matrix, disjoint-label raters, perfect agreement, constant raters NULL") {
     import spark.implicits._
     import graft.operators.Eval
