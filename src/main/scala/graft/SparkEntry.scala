@@ -273,6 +273,7 @@ object SparkEntry {
     "q212_theil_sen" -> q212,
     "q213_benford" -> q213,
     "q214_isotonic" -> q214,
+    "q215_cusum" -> q215,
   )
 
   /** Round count for the parameterized BPE lifecycle (q163/q164) — read
@@ -3614,6 +3615,20 @@ object SparkEntry {
       scoreCol = expr("qu DIV 16384"), positive = col("lang") === "en")
   }
 
+  /** CUSUM changepoint per event type — WHICH DAY did daily volume
+    * shift ([[graft.operators.Anomaly.cusumChangepoint]]): q110 flags
+    * odd buckets, this dates the regime change; exact cross-multiplied
+    * statistic over the per-type day series. */
+  private def q215(s: SparkSession, dir: String): DataFrame = {
+    val daily = Tables.events(s, dir)
+      .groupBy(col("event_type"),
+        expr("unix_micros(ts) DIV 86400000000").as("day"))
+      .agg(count(lit(1)).as("y"))
+    graft.operators.Anomaly.cusumChangepoint(daily, "event_type",
+        col("day"), col("y"))
+      .orderBy(col("event_type"))
+  }
+
   // =====================================================================
   // DuckDB oracle SQL — same semantics, same column names, same ORDER BY.
   // =====================================================================
@@ -4930,6 +4945,38 @@ object SparkEntry {
                AS BIGINT) AS fitted_micro
            FROM o JOIN fit ON fit.ii = o.i
            ORDER BY score_q""",
+
+      // CUSUM: cumulative daily counts per type, |n·S_i − i·S_n| in
+      // HUGEINT, argmax tie-broken to the earliest day, split means via
+      // the nonneg-mod floor division
+      "q215_cusum" ->
+        """WITH d AS (
+             SELECT event_type, epoch_us(ts) // 86400000000 AS day,
+               CAST(count(*) AS BIGINT) AS y
+             FROM events GROUP BY 1, 2),
+           c AS (SELECT event_type, day,
+                   CAST(row_number() OVER w AS BIGINT) AS i,
+                   CAST(sum(y) OVER (w ROWS BETWEEN UNBOUNDED PRECEDING
+                     AND CURRENT ROW) AS BIGINT) AS si,
+                   CAST(count(*) OVER (PARTITION BY event_type) AS BIGINT) AS n,
+                   CAST(sum(y) OVER (PARTITION BY event_type) AS BIGINT) AS sn
+                 FROM d WINDOW w AS (PARTITION BY event_type ORDER BY day)),
+           st AS (SELECT event_type, day, i, si, n, sn,
+                    abs(CAST(n AS HUGEINT) * si - CAST(i AS HUGEINT) * sn) AS stat
+                  FROM c WHERE i < n),
+           mx AS (SELECT event_type, day, i, si, n, sn, stat,
+                    row_number() OVER (PARTITION BY event_type
+                      ORDER BY stat DESC, day ASC) AS rn
+                  FROM st)
+           SELECT event_type, n AS n_steps, day AS split_step, i AS split_i,
+             CAST(stat AS DOUBLE) AS cusum,
+             CAST((1000000 * si - ((1000000 * si % i + i) % i)) // i
+               AS BIGINT) AS mean_before_micro,
+             CAST((1000000 * (sn - si)
+                 - ((1000000 * (sn - si) % (n - i) + (n - i)) % (n - i)))
+               // (n - i) AS BIGINT) AS mean_after_micro
+           FROM mx WHERE rn = 1
+           ORDER BY event_type""",
 
       // decontamination surgery: q77's matched windows become removals and
       // the corpus docs rebuild from surviving tokens (q79's tail)

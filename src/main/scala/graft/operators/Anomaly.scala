@@ -62,4 +62,59 @@ object Anomaly {
       .select(col(keyCol), col("hour"), col("cnt"), col("n_prior"),
         col("mu"), col("sigma"), col("is_anomaly"))
   }
+
+  /** CUSUM CHANGEPOINT — "WHEN did this metric shift?", the follow-up to
+    * [[hourlyRateAnomalies]]' "is this bucket odd?": per group, the step
+    * that maximizes the centered cumulative deviation
+    * `|n·S_i − i·S_n|` (the cross-multiplied form of
+    * `|S_i − (i/n)·S_n|` — no float CDF ever compares, the
+    * [[Eval.ksTestExact]] doctrine; this IS the KS statistic of the
+    * series against time-uniformity, whose argmax is the classical
+    * single-changepoint estimate for a mean shift). Ties break to the
+    * EARLIEST step — deterministic. The split means export as
+    * `⌊10⁶·mean⌋` via exact floor division (pmod-subtract, negatives
+    * floor correctly).
+    *
+    * ## Scale shape (100 TB)
+    * Callers pass the series ALREADY aggregated to (group, step, value)
+    * — the [[Eval.autocorrAtLag]] convention — so every window here
+    * partitions by group over a time-universe-sized frame (days/hours
+    * per group, never rows). Products ride DECIMAL(38) (`n·S_i` wraps
+    * BIGINT past |S| ≈ 10¹⁵ at day-universe n); the mean numerators
+    * `10⁶·S` must fit BIGINT — |S| ≤ 9·10¹², pre-scale values beyond
+    * (documented, the [[Eval.theilSenSlope]] budget). Returns one row
+    * per group with ≥ 2 steps `(groupCol, n_steps, split_step, split_i,
+    * cusum, mean_before_micro, mean_after_micro)` — `split_step` is the
+    * LAST step of the before-segment, `cusum` the exact integer
+    * statistic as an exactly-converted double; single-step groups are
+    * absent (no proper split exists). */
+  def cusumChangepoint(series: DataFrame, groupCol: String,
+                       stepCol: org.apache.spark.sql.Column,
+                       valueCol: org.apache.spark.sql.Column): DataFrame = {
+    val dec = "decimal(38,0)"
+    val s = series.select(col(groupCol), stepCol.cast("long").as("_t"),
+      valueCol.cast("long").as("_y"))
+    val wOrd = Window.partitionBy(col(groupCol)).orderBy(col("_t"))
+    val wCum = wOrd.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wAll = Window.partitionBy(col(groupCol))
+    val scored = s
+      .withColumn("_i", row_number().over(wOrd).cast("long"))
+      .withColumn("_si", sum(col("_y")).over(wCum))
+      .withColumn("_n", count(lit(1)).over(wAll))
+      .withColumn("_sn", sum(col("_y")).over(wAll))
+      .where(col("_i") < col("_n")) // a split leaves both sides non-empty
+      .withColumn("_stat",
+        abs(col("_n").cast(dec) * col("_si") - col("_i").cast(dec) * col("_sn")))
+    scored
+      .withColumn("_mx", max(col("_stat")).over(wAll))
+      .where(col("_stat") === col("_mx"))
+      .withColumn("_rn", row_number().over(wOrd))
+      .where(col("_rn") === 1)
+      .select(col(groupCol), col("_n").as("n_steps"), col("_t").as("split_step"),
+        col("_i").as("split_i"), col("_stat").cast("double").as("cusum"),
+        expr("(1000000 * _si - pmod(1000000 * _si, _i)) DIV _i")
+          .as("mean_before_micro"),
+        expr("""(1000000 * (_sn - _si) - pmod(1000000 * (_sn - _si), _n - _i))
+                DIV (_n - _i)""").as("mean_after_micro"))
+  }
 }

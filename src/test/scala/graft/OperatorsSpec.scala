@@ -3866,6 +3866,39 @@ class OperatorsSpec extends SparkSuite {
     assert(iso.map(_._4) == Seq(0L, 500000L, 1000000L))
   }
 
+  test("cusumChangepoint: planted mean shift found exactly, earliest-step tie-break, negative-mean floor, single-step group absent") {
+    import spark.implicits._
+    import graft.operators.Anomaly
+
+    // planted shift: 10 days at 5, then 10 days at 50 -> split at day 10
+    val shift = (1L to 10L).map(d => ("a", d, 5L)) ++
+      (11L to 20L).map(d => ("a", d, 50L))
+    // constant series: every split ties at stat 0 -> earliest day wins
+    val const = (1L to 6L).map(d => ("b", d, 7L))
+    // negative values: mean_before = -5/2 -> floor -2500000 micro
+    val neg = Seq(("c", 1L, -2L), ("c", 2L, -3L), ("c", 3L, 100L))
+    val lone = Seq(("d", 9L, 1L))
+    val got = Anomaly.cusumChangepoint(
+      (shift ++ const ++ neg ++ lone).toDF("g", "t", "y"),
+      "g", col("t"), col("y"))
+      .collect().map(r => r.getString(0) -> r).toMap
+
+    assert(!got.contains("d"), "single-step group has no proper split")
+    val a = got("a")
+    assert(a.getLong(2) == 10L && a.getLong(3) == 10L)
+    // stat at the true split: |20*50 - 10*550| = 4500
+    assert(a.getDouble(4) == 4500.0)
+    assert(a.getLong(5) == 5000000L && a.getLong(6) == 50000000L)
+    val b = got("b")
+    assert(b.getDouble(4) == 0.0 && b.getLong(2) == 1L,
+      "all-tied stats must break to the earliest step")
+    val c = got("c")
+    // brute argmax over i=1: |3*(-2) - 1*95| = 101; i=2: |3*(-5) - 2*95| = 205
+    assert(c.getLong(3) == 2L && c.getDouble(4) == 205.0)
+    assert(c.getLong(5) == -2500000L, "negative mean must floor, not truncate")
+    assert(c.getLong(6) == 100000000L)
+  }
+
   test("cohensKappa: hand confusion matrix, disjoint-label raters, perfect agreement, constant raters NULL") {
     import spark.implicits._
     import graft.operators.Eval
