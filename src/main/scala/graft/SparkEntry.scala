@@ -274,6 +274,7 @@ object SparkEntry {
     "q213_benford" -> q213,
     "q214_isotonic" -> q214,
     "q215_cusum" -> q215,
+    "q216_conformal" -> q216,
   )
 
   /** Round count for the parameterized BPE lifecycle (q163/q164) — read
@@ -3629,6 +3630,24 @@ object SparkEntry {
       .orderBy(col("event_type"))
   }
 
+  /** Split-conformal quality threshold per language at α = 1/10
+    * ([[graft.operators.Ranking.conformalThreshold]]): the
+    * ⌈(n+1)·0.9⌉-th smallest score — the finite-sample-valid "keep
+    * scores ≤ q̂ and cover ≥ 90%" cutoff, NULL where a language's
+    * sample is too small to honor the guarantee. */
+  private def q216(s: SparkSession, dir: String): DataFrame = {
+    val stop = Text.langMarkers.toMap.apply("en")
+    graft.operators.Ranking.conformalThreshold(
+      Tables.documents(s, dir)
+        .select(col("lang"), col("doc_id"),
+          floor(Text.qualityScore(col("text"), stop) * lit(1e6))
+            .cast("long").as("qu")),
+      groupCol = "lang", valueCol = "qu",
+      subBucket = expr("qu DIV 50000"), idCol = "doc_id",
+      alphaNum = 1L, alphaDen = 10L)
+      .orderBy(col("lang"))
+  }
+
   // =====================================================================
   // DuckDB oracle SQL — same semantics, same column names, same ORDER BY.
   // =====================================================================
@@ -4977,6 +4996,24 @@ object SparkEntry {
                // (n - i) AS BIGINT) AS mean_after_micro
            FROM mx WHERE rn = 1
            ORDER BY event_type""",
+
+      // conformal: rank k = ceil((n+1)*9/10) via pure-integer ceil,
+      // tie-broken rank selection, and a LEFT join so an infeasible
+      // (k > n) group reports NULL rather than a clamped lie
+      "q216_conformal" ->
+        s"""WITH pts AS (
+             SELECT lang, doc_id,
+               CAST(floor(${qualitySql(toks)} * 1e6) AS BIGINT) AS qu
+             FROM documents),
+           r AS (SELECT lang, qu,
+                   row_number() OVER (PARTITION BY lang ORDER BY qu, doc_id) AS rk
+                 FROM pts),
+           sz AS (SELECT lang, CAST(count(*) AS BIGINT) AS n,
+                    CAST(((count(*) + 1) * 9 + 9) // 10 AS BIGINT) AS k
+                  FROM pts GROUP BY lang)
+           SELECT sz.lang, sz.n, sz.k, r.qu AS threshold
+           FROM sz LEFT JOIN r ON r.lang = sz.lang AND r.rk = sz.k
+           ORDER BY sz.lang""",
 
       // decontamination surgery: q77's matched windows become removals and
       // the corpus docs rebuild from surviving tokens (q79's tail)

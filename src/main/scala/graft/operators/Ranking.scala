@@ -402,4 +402,42 @@ object Ranking {
         (col("_p._pn").cast("double") / col("_p._pd").cast("double")).as("p"),
         col(valueCol).as("value"))
   }
+
+  /** SPLIT-CONFORMAL threshold per group — the finite-sample-valid
+    * quantile (Vovk; Angelopoulos & Bates' tutorial form): with n
+    * calibration scores, `q̂ = the ⌈(n+1)(1−α)⌉-th smallest` guarantees
+    * `P(new score ≤ q̂) ≥ 1−α` for an exchangeable new draw — the +1
+    * over the naive quantile is exactly what a pipeline needs before
+    * promising "this filter keeps ≥ 95% of good documents". α is a
+    * RATIONAL `alphaNum/alphaDen`, the rank `k = ⌈(n+1)·(den−num)/den⌉`
+    * pure-integer ceil (`(a + den − 1) DIV den` — no IEEE product, the
+    * [[groupedQuantilesRational]] doctrine); when `k > n` the guarantee
+    * is unattainable at this sample size and the threshold is NULL
+    * (never silently clamped — a clamped threshold would claim coverage
+    * it cannot honor).
+    *
+    * ## Scale shape (100 TB)
+    * One [[groupedRank]] (two-level per-(group, subBucket) frames +
+    * model-sized offsets — no single-partition exchange), one #groups
+    * count, one broadcast join, a rank-equality filter. Returns one row
+    * per group `(groupCol, n, k, threshold)` — including infeasible
+    * groups, with NULL threshold. */
+  def conformalThreshold(df: DataFrame, groupCol: String, valueCol: String,
+                         subBucket: Column, idCol: String,
+                         alphaNum: Long, alphaDen: Long): DataFrame = {
+    require(alphaNum > 0 && alphaDen > 0 && alphaNum < alphaDen,
+      s"alpha must be a rational in (0, 1), got $alphaNum/$alphaDen")
+    val keepNum = alphaDen - alphaNum
+    val ranked = groupedRank(df.select(col(groupCol), col(valueCol), col(idCol)),
+      col(groupCol), subBucket, col(valueCol), col(idCol))
+    val sizes = df.groupBy(col(groupCol)).agg(count(lit(1)).as("n"))
+      .withColumn("k",
+        expr(s"((n + 1) * $keepNum + ${alphaDen - 1}) DIV $alphaDen"))
+    val selected = ranked
+      .join(broadcast(sizes), Seq(groupCol))
+      .where(col("rank") === col("k")) // k > n matches nothing: infeasible
+      .select(col(groupCol), col(valueCol).as("threshold"))
+    sizes.join(selected, Seq(groupCol), "left")
+      .select(col(groupCol), col("n"), col("k"), col("threshold"))
+  }
 }

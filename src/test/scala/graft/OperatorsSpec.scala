@@ -3899,6 +3899,34 @@ class OperatorsSpec extends SparkSuite {
     assert(c.getLong(6) == 100000000L)
   }
 
+  test("conformalThreshold: hand rank arithmetic, finite-sample +1, infeasible group NULL, tie insensitivity") {
+    import spark.implicits._
+    import graft.operators.Ranking
+
+    // group g1: n=19 scores 1..19, alpha=1/10 -> k = ceil(20*9/10) = 18
+    // group g2: n=4 -> k = ceil(5*9/10) = 5 > 4 -> NULL threshold
+    // group g3: n=10 with heavy ties -> k = ceil(11*9/10) = 10
+    val rows =
+      (1L to 19L).map(v => ("g1", v * 100, v)) ++
+      (1L to 4L).map(v => ("g2", v + 1000, v)) ++
+      (1L to 10L).map(v => ("g3", v + 2000, if (v <= 8) 5L else 9L))
+    val got = Ranking.conformalThreshold(
+      rows.toDF("g", "id", "v"), "g", "v",
+      subBucket = expr("v DIV 4"), idCol = "id",
+      alphaNum = 1L, alphaDen = 10L)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), if (r.isNullAt(3)) -1L else r.getLong(3))).toMap
+    assert(got("g1") == ((19L, 18L, 18L)))
+    assert(got("g2") == ((4L, 5L, -1L)), "k > n must report NULL, not clamp")
+    assert(got("g3") == ((10L, 10L, 9L)))
+    // alpha = 1/2 on n=3: k = ceil(4*1/2) = 2 -> the middle value
+    val med = Ranking.conformalThreshold(
+      Seq(("a", 1L, 30L), ("a", 2L, 10L), ("a", 3L, 20L)).toDF("g", "id", "v"),
+      "g", "v", subBucket = lit(0L), idCol = "id",
+      alphaNum = 1L, alphaDen = 2L).collect()(0)
+    assert(med.getLong(1) == 3L && med.getLong(2) == 2L && med.getLong(3) == 20L)
+  }
+
   test("cohensKappa: hand confusion matrix, disjoint-label raters, perfect agreement, constant raters NULL") {
     import spark.implicits._
     import graft.operators.Eval
