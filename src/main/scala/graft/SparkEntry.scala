@@ -275,6 +275,7 @@ object SparkEntry {
     "q214_isotonic" -> q214,
     "q215_cusum" -> q215,
     "q216_conformal" -> q216,
+    "q217_jensen_shannon" -> q217,
   )
 
   /** Round count for the parameterized BPE lifecycle (q163/q164) — read
@@ -3648,6 +3649,18 @@ object SparkEntry {
       .orderBy(col("lang"))
   }
 
+  /** Jensen–Shannon divergence between q153's corpus halves — the
+    * symmetric bounded [0, ln 2] drift number
+    * ([[graft.operators.LmScore.jensenShannon]]) release notes can
+    * compare across versions, where q153's KL pair is
+    * direction-sensitive and unbounded. */
+  private def q217(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(s, dir)
+    graft.operators.LmScore.jensenShannon(
+      d.where(pmod(col("doc_id"), lit(2)) === 0),
+      d.where(pmod(col("doc_id"), lit(2)) === 1), "text")
+  }
+
   // =====================================================================
   // DuckDB oracle SQL — same semantics, same column names, same ORDER BY.
   // =====================================================================
@@ -5014,6 +5027,43 @@ object SparkEntry {
            SELECT sz.lang, sz.n, sz.k, r.qu AS threshold
            FROM sz LEFT JOIN r ON r.lang = sz.lang AND r.rk = sz.k
            ORDER BY sz.lang""",
+
+      // JSD: q153's CTEs with the mixture log-ratios — the common
+      // (ta+v)(tb+v) normalizer cancels inside 2p/(p+q), so each term is
+      // one double chain over exact integer cross-products, quantized at
+      // its site; HUGEINT sums mirror the engine's DECIMAL(38)
+      "q217_jensen_shannon" ->
+        s"""WITH ca AS (
+             SELECT tok, CAST(count(*) AS BIGINT) AS c FROM (
+               SELECT unnest($toks) AS tok FROM documents WHERE doc_id % 2 = 0) t
+             GROUP BY tok),
+           cb AS (
+             SELECT tok, CAST(count(*) AS BIGINT) AS c FROM (
+               SELECT unnest($toks) AS tok FROM documents WHERE doc_id % 2 = 1) t
+             GROUP BY tok),
+           m AS (SELECT coalesce(ca.c, 0) AS ca, coalesce(cb.c, 0) AS cb
+                 FROM ca FULL OUTER JOIN cb ON ca.tok = cb.tok),
+           s AS (SELECT CAST(sum(ca) AS BIGINT) AS ta,
+                   CAST(sum(cb) AS BIGINT) AS tb,
+                   CAST(count(*) AS BIGINT) AS v FROM m),
+           q AS (SELECT ca, cb, ta, tb, v,
+                   CAST(round(ln(2.0 * (CAST(ca + 1 AS DOUBLE) * CAST(tb + v AS DOUBLE))
+                     / (CAST(ca + 1 AS DOUBLE) * CAST(tb + v AS DOUBLE)
+                        + CAST(cb + 1 AS DOUBLE) * CAST(ta + v AS DOUBLE)))
+                     * 1e6) AS BIGINT) AS qa,
+                   CAST(round(ln(2.0 * (CAST(cb + 1 AS DOUBLE) * CAST(ta + v AS DOUBLE))
+                     / (CAST(ca + 1 AS DOUBLE) * CAST(tb + v AS DOUBLE)
+                        + CAST(cb + 1 AS DOUBLE) * CAST(ta + v AS DOUBLE)))
+                     * 1e6) AS BIGINT) AS qb
+                 FROM m CROSS JOIN s)
+           SELECT ta AS n_tok_a, tb AS n_tok_b, v AS vocab,
+             CAST(CAST(sum(CAST(ca + 1 AS HUGEINT) * qa) AS HUGEINT) AS DOUBLE) AS js_a_unats,
+             CAST(CAST(sum(CAST(cb + 1 AS HUGEINT) * qb) AS HUGEINT) AS DOUBLE) AS js_b_unats,
+             0.5 * (CAST(sum(CAST(ca + 1 AS HUGEINT) * qa) AS DOUBLE)
+                 / (CAST(ta + v AS DOUBLE) * 1e6)
+               + CAST(sum(CAST(cb + 1 AS HUGEINT) * qb) AS DOUBLE)
+                 / (CAST(tb + v AS DOUBLE) * 1e6)) AS jsd
+           FROM q GROUP BY ta, tb, v""",
 
       // decontamination surgery: q77's matched windows become removals and
       // the corpus docs rebuild from surviving tokens (q79's tail)

@@ -205,4 +205,57 @@ object LmScore {
         (col("kl_ba_unats").cast("double") /
           ((col("tb") + col("v")).cast("double") * 1e6)).as("kl_ba"))
   }
+
+  /** JENSEN–SHANNON divergence — the SYMMETRIC, bounded companion to
+    * [[corpusDivergence]] (KL is direction-sensitive and unbounded; JSD
+    * = ½KL(P‖M) + ½KL(Q‖M) with M the mixture lies in [0, ln 2], the
+    * number two corpus versions can be COMPARED by across releases).
+    * Same add-1-smoothed unigram distributions over the union
+    * vocabulary; each type's two mixture log-ratios
+    * `ln(2p/(p+q))`, `ln(2q/(p+q))` cancel the common normalizers into
+    * exact integer cross-products inside ONE double chain each
+    * (`p/m = 2(a+1)(tb+V) / ((a+1)(tb+V) + (b+1)(ta+V))`), quantized to
+    * micro-nats at their site — the [[corpusDivergence]] scheme — so
+    * both sums ride DECIMAL(38) exactly and the oracle hash-matches.
+    *
+    * ## Scale shape (100 TB)
+    * Identical to [[corpusDivergence]]: two partial-aggregable
+    * vocabulary counts, one vocabulary-sized full-outer merge, 1-row
+    * broadcast totals, ONE output row `(n_tok_a, n_tok_b, vocab,
+    * js_a_unats, js_b_unats, jsd)` — `jsd` in nats, ≈ 0 for
+    * indistinguishable corpora, ln 2 ≈ 0.693 for disjoint ones. */
+  def jensenShannon(a: DataFrame, b: DataFrame, textCol: String): DataFrame = {
+    def counts(df: DataFrame): DataFrame =
+      df.select(explode(Text.tokens(col(textCol))).as("tok"))
+        .groupBy(col("tok")).agg(count(lit(1)).as("c"))
+    val merged = counts(a).withColumnRenamed("c", "ca")
+      .join(counts(b).withColumnRenamed("c", "cb"), Seq("tok"), "full_outer")
+      .select(coalesce(col("ca"), lit(0L)).as("ca"),
+        coalesce(col("cb"), lit(0L)).as("cb"))
+    val totals = merged.agg(sum(col("ca")).as("ta"), sum(col("cb")).as("tb"),
+      count(lit(1)).as("v"))
+    val withT = merged.crossJoin(broadcast(totals))
+    // un-normalized masses: p ∝ (a+1)(tb+V), q ∝ (b+1)(ta+V) — the
+    // common denominator (ta+V)(tb+V) cancels inside the mixture ratio
+    val pa = (col("ca") + 1).cast("double") * (col("tb") + col("v")).cast("double")
+    val pb = (col("cb") + 1).cast("double") * (col("ta") + col("v")).cast("double")
+    val qa = round(log(lit(2.0) * pa / (pa + pb)) * lit(1e6)).cast("long")
+    val qb = round(log(lit(2.0) * pb / (pa + pb)) * lit(1e6)).cast("long")
+    withT
+      .select(col("ca"), col("cb"), col("ta"), col("tb"), col("v"),
+        qa.as("qa"), qb.as("qb"))
+      .groupBy(col("ta"), col("tb"), col("v"))
+      .agg(sum(((col("ca") + 1).cast("decimal(20,0)") * col("qa"))
+        .cast("decimal(38,0)")).as("js_a_unats"),
+        sum(((col("cb") + 1).cast("decimal(20,0)") * col("qb"))
+          .cast("decimal(38,0)")).as("js_b_unats"))
+      .select(col("ta").as("n_tok_a"), col("tb").as("n_tok_b"),
+        col("v").as("vocab"),
+        col("js_a_unats").cast("double").as("js_a_unats"),
+        col("js_b_unats").cast("double").as("js_b_unats"),
+        (lit(0.5) * (col("js_a_unats").cast("double") /
+          ((col("ta") + col("v")).cast("double") * 1e6) +
+          col("js_b_unats").cast("double") /
+            ((col("tb") + col("v")).cast("double") * 1e6))).as("jsd"))
+  }
 }

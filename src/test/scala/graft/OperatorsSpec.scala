@@ -3927,6 +3927,51 @@ class OperatorsSpec extends SparkSuite {
     assert(med.getLong(1) == 3L && med.getLong(2) == 2L && med.getLong(3) == 20L)
   }
 
+  test("jensenShannon: zero on identical corpora, symmetric, bounded by ln 2, brute micro parity") {
+    import spark.implicits._
+    import graft.operators.LmScore
+
+    def jsd(a: Seq[String], b: Seq[String]): org.apache.spark.sql.Row =
+      LmScore.jensenShannon(a.toDF("text"), b.toDF("text"), "text").collect()(0)
+
+    // identical corpora: every mixture ratio is exactly 1 -> all-zero
+    val same = jsd(Seq("x y z x", "y y"), Seq("x y z x", "y y"))
+    assert(same.getDouble(3) == 0.0 && same.getDouble(4) == 0.0 &&
+      same.getDouble(5) == 0.0)
+
+    // brute parity: replicate the exact micro-nat chain in Scala
+    val aToks = Seq("a", "a", "a", "b"); val bToks = Seq("b", "b", "c")
+    val got = jsd(Seq(aToks.mkString(" ")), Seq(bToks.mkString(" ")))
+    val vocab = (aToks ++ bToks).distinct
+    val (ta, tb, v) = (aToks.size.toLong, bToks.size.toLong, vocab.size.toLong)
+    val terms = vocab.map { w =>
+      val ca = aToks.count(_ == w).toLong; val cb = bToks.count(_ == w).toLong
+      val pa = (ca + 1).toDouble * (tb + v).toDouble
+      val pb = (cb + 1).toDouble * (ta + v).toDouble
+      val qa = math.round(math.log(2.0 * pa / (pa + pb)) * 1e6)
+      val qb = math.round(math.log(2.0 * pb / (pa + pb)) * 1e6)
+      ((ca + 1) * qa, (cb + 1) * qb)
+    }
+    val sa = terms.map(_._1).sum; val sb = terms.map(_._2).sum
+    assert(got.getLong(0) == ta && got.getLong(1) == tb && got.getLong(2) == v)
+    assert(got.getDouble(3) == sa.toDouble && got.getDouble(4) == sb.toDouble)
+    assert(got.getDouble(5) ==
+      0.5 * (sa.toDouble / ((ta + v).toDouble * 1e6) +
+        sb.toDouble / ((tb + v).toDouble * 1e6)))
+
+    // symmetric: swapping corpora swaps the unat sums, jsd identical
+    val rev = jsd(Seq(bToks.mkString(" ")), Seq(aToks.mkString(" ")))
+    assert(rev.getDouble(3) == got.getDouble(4) &&
+      rev.getDouble(4) == got.getDouble(3) &&
+      rev.getDouble(5) == got.getDouble(5))
+
+    // disjoint corpora approach the ln 2 bound from below (smoothing
+    // keeps them strictly inside)
+    val far = jsd(Seq(Seq.fill(200)("aa").mkString(" ")),
+      Seq(Seq.fill(200)("zz").mkString(" ")))
+    assert(far.getDouble(5) > 0.5 && far.getDouble(5) < math.log(2.0))
+  }
+
   test("cohensKappa: hand confusion matrix, disjoint-label raters, perfect agreement, constant raters NULL") {
     import spark.implicits._
     import graft.operators.Eval
