@@ -1053,5 +1053,61 @@ class ScaleSpec extends SparkSuite {
     assert(mPlan.contains("partial_min") || mPlan.contains("partial_count"),
       s"winner picks must partial-aggregate:\n$mPlan")
   }
+
+  test("round-8b operators: mann-whitney histogram collapse, theil-sen group-partitioned rank, cusum group windows, conformal two-level rank") {
+    import spark.implicits._
+
+    // mann-whitney: the data collapses to the value histogram in one
+    // partial-aggregable pass; the only unpartitioned window is the
+    // model-sized bucket-offset spine (the ksTestExact shape); no
+    // cartesian (1-row totals ride broadcast)
+    val rnd = new scala.util.Random(29)
+    val mwIn = (1 to 6000).map(_ =>
+      (rnd.nextInt(500).toLong, rnd.nextBoolean())).toDF("v", "p")
+    val mw = graft.operators.Eval.mannWhitney(mwIn, col("v"), col("p"),
+      bucketOf = v => shiftright(v, 5), checkpoint = false)
+    mw.collect()
+    val mwPlan = mw.queryExecution.executedPlan.toString.split("== Initial Plan ==").head
+    assert(!mwPlan.contains("CartesianProduct"), s"MW stays equi/broadcast:\n$mwPlan")
+    assert(mwPlan.contains("partial_count") || mwPlan.contains("partial_sum"),
+      s"MW histogram must partial-aggregate:\n$mwPlan")
+
+    // theil-sen: the rank window partitions by group (the pair frame is
+    // the caller's model-sized series squared, never the corpus) — no
+    // single-partition window anywhere
+    val ts = graft.operators.Eval.theilSenSlope(
+      (1 to 40).flatMap(g => (1L to 30L).map(x => (s"g$g", x, x * g + g)))
+        .toDF("g", "x", "y"), "g", col("x"), col("y"))
+    ts.collect()
+    val tsPlan = ts.queryExecution.executedPlan.toString.split("== Initial Plan ==").head
+    assert(!tsPlan.linesIterator.exists(l =>
+      l.contains("Window") && l.contains("SinglePartition")),
+      s"theil-sen windows partition by group:\n$tsPlan")
+
+    // cusum: same contract — every window carries the group partition
+    val cu = graft.operators.Anomaly.cusumChangepoint(
+      (1 to 40).flatMap(g => (1L to 50L).map(t =>
+        (s"g$g", t, if (t > 25) 90L else 10L))).toDF("g", "t", "y"),
+      "g", col("t"), col("y"))
+    cu.collect()
+    val cuPlan = cu.queryExecution.executedPlan.toString.split("== Initial Plan ==").head
+    assert(!cuPlan.linesIterator.exists(l =>
+      l.contains("Window") && l.contains("SinglePartition")),
+      s"cusum windows partition by group:\n$cuPlan")
+
+    // conformal: rides groupedRank's two-level scheme — the rank window
+    // partitions by (group, subBucket); no data-sized single-partition
+    // window; sizes attach by broadcast (no cartesian)
+    val cf = graft.operators.Ranking.conformalThreshold(
+      (1 to 20).flatMap(g => (1L to 200L).map(i =>
+        (s"g$g", g * 1000L + i, i * 31 % 211))).toDF("g", "id", "v"),
+      "g", "v", subBucket = expr("v DIV 32"), idCol = "id",
+      alphaNum = 1L, alphaDen = 10L)
+    cf.collect()
+    val cfPlan = cf.queryExecution.executedPlan.toString.split("== Initial Plan ==").head
+    assert(!cfPlan.contains("CartesianProduct"), s"conformal joins are equi:\n$cfPlan")
+    assert(cfPlan.contains("partial_count"),
+      s"conformal sizes partial-aggregate:\n$cfPlan")
+  }
 }
 
