@@ -276,6 +276,7 @@ object SparkEntry {
     "q215_cusum" -> q215,
     "q216_conformal" -> q216,
     "q217_jensen_shannon" -> q217,
+    "q218_kmeans" -> q218,
   )
 
   /** Round count for the parameterized BPE lifecycle (q163/q164) — read
@@ -3661,6 +3662,16 @@ object SparkEntry {
       d.where(pmod(col("doc_id"), lit(2)) === 1), "text")
   }
 
+  /** Exact k-means over the embeddings table — 8 clusters, 3 Lloyd
+    * rounds on micro-quantized vectors
+    * ([[graft.operators.Similarity.kmeansExact]]): the DETERMINISTIC
+    * trainer whose whole trajectory hash-matches (float Lloyd is
+    * aggregation-order-dependent — why q36/q67 are rows-only); the
+    * centroid table is what an IVF index would persist. */
+  private def q218(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Similarity.kmeansExact(
+      Tables.embeddings(s, dir), "vec_id", "embedding", k = 8, rounds = 3)
+
   // =====================================================================
   // DuckDB oracle SQL — same semantics, same column names, same ORDER BY.
   // =====================================================================
@@ -5064,6 +5075,56 @@ object SparkEntry {
                + CAST(sum(CAST(cb + 1 AS HUGEINT) * qb) AS DOUBLE)
                  / (CAST(tb + v AS DOUBLE) * 1e6)) AS jsd
            FROM q GROUP BY ta, tb, v""",
+
+      // exact k-means: the 3-round Lloyd trajectory replayed as a
+      // generated CTE chain (the q163 BPE-oracle scheme) — seeds are the
+      // 8 smallest vec_ids, distances exact integer squared-L2, argmin
+      // tie-broken to the smallest cluster, centroid update the
+      // nonneg-mod floor-division mean, empty clusters carry
+      "q218_kmeans" -> {
+        val k = 8; val rounds = 3
+        val chain = (1 to rounds).map { r =>
+          s"""dist_$r AS (SELECT px.vec_id, c.c,
+                 sum((px.x - c.v) * (px.x - c.v)) AS dist
+               FROM px JOIN cent_${r - 1} c ON px.d = c.d
+               GROUP BY 1, 2),
+             a_$r AS (SELECT vec_id, c FROM (
+                 SELECT vec_id, c,
+                   row_number() OVER (PARTITION BY vec_id ORDER BY dist, c) AS rn
+                 FROM dist_$r) t WHERE rn = 1),
+             nc_$r AS (SELECT a.c, px.d,
+                 CAST((sum(px.x) - ((sum(px.x) % count(*) + count(*)) % count(*)))
+                   // count(*) AS BIGINT) AS v
+               FROM a_$r a JOIN px ON px.vec_id = a.vec_id
+               GROUP BY 1, 2),
+             cent_$r AS (SELECT p.c, p.d, coalesce(n.v, p.v) AS v
+               FROM cent_${r - 1} p LEFT JOIN nc_$r n ON n.c = p.c AND n.d = p.d)"""
+        }.mkString(",\n           ")
+        s"""WITH pts AS (
+             SELECT vec_id, list_transform(embedding,
+               x -> CAST(floor(CAST(x AS DOUBLE) * 1000000.0 + 0.5) AS BIGINT)) AS q
+             FROM embeddings),
+           px AS (SELECT vec_id, unnest(q) AS x, unnest(range(len(q))) AS d
+                  FROM pts),
+           sel AS (SELECT vec_id FROM pts ORDER BY vec_id LIMIT $k),
+           cent_0 AS (SELECT CAST(dense_rank() OVER (ORDER BY s.vec_id) AS BIGINT) AS c,
+               px.d, px.x AS v
+             FROM sel s JOIN px ON px.vec_id = s.vec_id),
+           $chain,
+           dist_f AS (SELECT px.vec_id, c.c,
+               sum((px.x - c.v) * (px.x - c.v)) AS dist
+             FROM px JOIN cent_$rounds c ON px.d = c.d
+             GROUP BY 1, 2),
+           a_f AS (SELECT vec_id, c FROM (
+               SELECT vec_id, c,
+                 row_number() OVER (PARTITION BY vec_id ORDER BY dist, c) AS rn
+               FROM dist_f) t WHERE rn = 1),
+           sz AS (SELECT c, CAST(count(*) AS BIGINT) AS n FROM a_f GROUP BY c)
+           SELECT ct.c AS cluster, ct.d AS dim, ct.v AS centroid_q,
+             coalesce(sz.n, 0) AS n_assigned
+           FROM cent_$rounds ct LEFT JOIN sz ON sz.c = ct.c
+           ORDER BY cluster, dim"""
+      },
 
       // decontamination surgery: q77's matched windows become removals and
       // the corpus docs rebuild from surviving tokens (q79's tail)

@@ -509,4 +509,83 @@ object Similarity {
       .select(col("bucket"), col("_m.rep").as("rep_id"),
         col("_m.d2").as("dist2"), col("n"))
   }
+
+  /** EXACT k-means (Lloyd) over integer-quantized embeddings — the
+    * deterministic trainer the float path ([[buildIvfIndex]]) cannot
+    * gate: float centroid means are aggregation-order-dependent (why
+    * q36/q67 stay rows-only), but quantizing vectors ONCE to micro
+    * units (`⌊x·scale + 0.5⌋`, the [[graft.functions.Vectors
+    * .quantizeInt8]] rounding) makes every round pure integer
+    * arithmetic — squared L2 distances are exact BIGINTs, the argmin
+    * tie-breaks to the smallest cluster id via lexicographic struct
+    * min, and the centroid update is an exact floor-division mean
+    * (pmod-subtract) — so the whole trajectory, not just one round,
+    * hash-matches an oracle replaying the same `rounds` CTE chain (the
+    * BPE generated-oracle scheme).
+    *
+    * ## Scale shape (100 TB)
+    * Per round: cluster ASSIGNMENT is a narrow per-row projection
+    * against plan-literal centroids (k·dim longs of plan metadata — the
+    * [[buildIvfIndex]] doctrine: model in the plan, no shuffle, no
+    * join); the UPDATE is ONE partial-aggregable
+    * `groupBy(cluster, dim)` over the posexploded vectors (n·dim rows
+    * in, k·dim out — map-side combine does the heavy lifting); the only
+    * driver traffic is the k·dim centroid model per round. Seeds are
+    * the k smallest ids (distributed TakeOrdered). Empty clusters keep
+    * their previous centroid (both engines mirror the carry). Returns
+    * k·dim rows `(cluster, dim, centroid_q, n_assigned)` — `dim`
+    * 0-based, `n_assigned` the FINAL assignment counts (0 for empty
+    * clusters). */
+  def kmeansExact(corpus: DataFrame, idCol: String, vecCol: String,
+                  k: Int, rounds: Int, quantScale: Long = 1000000L): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    require(rounds >= 1, s"rounds must be >= 1, got $rounds")
+    require(quantScale >= 1L, s"quantScale must be >= 1, got $quantScale")
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    // quantize ONCE; every round re-reads this frame — cut the lineage
+    val pts = corpus.select(col(idCol).cast("long").as("_id"),
+      expr(s"transform($vecCol, x -> CAST(floor(CAST(x AS DOUBLE) * $quantScale.0 + 0.5) AS BIGINT))")
+        .as("_q"))
+      .localCheckpoint()
+    var cents: Array[(Int, Array[Long])] = pts.orderBy(col("_id")).limit(k)
+      .collect().zipWithIndex
+      .map { case (r, i) => (i + 1, r.getSeq[Long](1).toArray) }
+    // exact squared L2 against each plan-literal centroid; struct min
+    // picks (smallest dist, then smallest cluster id)
+    def assigned: DataFrame = pts.withColumn("_c",
+      array_min(array(cents.toSeq.map { case (c, v) =>
+        struct(
+          aggregate(zip_with(col("_q"), array(v.map(lit(_)).toSeq: _*),
+            (a, b) => (a - b) * (a - b)), lit(0L), (acc, x) => acc + x)
+            .as("dist"),
+          lit(c.toLong).as("c"))
+      }: _*)).getField("c"))
+    for (_ <- 1 to rounds) {
+      val upd = assigned
+        .select(col("_c"), posexplode(col("_q")).as(Seq("_d", "_x")))
+        .groupBy(col("_c"), col("_d"))
+        .agg(sum(col("_x")).as("_s"), count(lit(1)).as("_n"))
+        .select(col("_c"), col("_d"),
+          expr("(_s - pmod(_s, _n)) DIV _n").as("_v"))
+        .collect() // k·dim model rows
+      val byC = upd.groupBy(_.getLong(0).toInt)
+      cents = cents.map { case (c, old) =>
+        byC.get(c).fold((c, old)) { rows =>
+          val arr = old.clone()
+          rows.foreach(r => arr(r.getInt(1)) = r.getLong(2))
+          (c, arr)
+        }
+      }
+    }
+    val sizes = assigned.groupBy(col("_c").as("cluster"))
+      .agg(count(lit(1)).as("n_assigned"))
+    cents.toSeq
+      .flatMap { case (c, v) =>
+        v.zipWithIndex.map { case (x, d) => (c.toLong, d.toLong, x) } }
+      .toDF("cluster", "dim", "centroid_q")
+      .join(broadcast(sizes), Seq("cluster"), "left")
+      .na.fill(0L, Seq("n_assigned"))
+      .orderBy(col("cluster"), col("dim"))
+  }
 }

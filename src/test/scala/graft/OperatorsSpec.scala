@@ -3972,6 +3972,55 @@ class OperatorsSpec extends SparkSuite {
     assert(far.getDouble(5) > 0.5 && far.getDouble(5) < math.log(2.0))
   }
 
+  test("kmeansExact: brute-force Lloyd parity, smallest-cluster tie-break, empty-cluster carry, floor-mean semantics") {
+    import spark.implicits._
+    import graft.operators.Similarity
+
+    def brute(pts: Seq[(Long, Seq[Long])], k: Int, rounds: Int)
+        : (Map[Int, Seq[Long]], Map[Int, Long]) = {
+      var cents: Seq[(Int, Seq[Long])] = pts.sortBy(_._1).take(k)
+        .zipWithIndex.map { case ((_, v), i) => (i + 1, v) }
+      def assign(v: Seq[Long]): Int = cents.minBy { case (c, w) =>
+        (v.zip(w).map { case (a, b) => (a - b) * (a - b) }.sum, c)
+      }._1
+      for (_ <- 1 to rounds) {
+        val groups = pts.groupBy(p => assign(p._2))
+        cents = cents.map { case (c, old) =>
+          groups.get(c).fold((c, old)) { g =>
+            (c, old.indices.map(d =>
+              Math.floorDiv(g.map(_._2(d)).sum, g.size.toLong)))
+          }
+        }
+      }
+      val fin = pts.groupBy(p => assign(p._2)).map { case (c, g) => (c, g.size.toLong) }
+      (cents.toMap, fin.toMap)
+    }
+    def run(pts: Seq[(Long, Seq[Long])], k: Int, rounds: Int): Unit = {
+      val df = pts.map { case (id, v) => (id, v.map(_.toFloat).toArray) }
+        .toDF("vec_id", "embedding")
+      val out = Similarity.kmeansExact(df, "vec_id", "embedding", k, rounds,
+        quantScale = 1L).collect()
+      val (wc, wn) = brute(pts, k, rounds)
+      val gotC = out.groupBy(_.getLong(0).toInt).map { case (c, rows) =>
+        c -> rows.sortBy(_.getLong(1)).map(_.getLong(2)).toSeq }
+      val gotN = out.map(r => r.getLong(0).toInt -> r.getLong(3)).toMap
+      assert(gotC == wc, s"centroids: got $gotC want $wc")
+      assert(gotN == wc.keys.map(c => c -> wn.getOrElse(c, 0L)).toMap)
+    }
+
+    // duplicate seed vectors: cluster 2 never wins a tie (struct-min
+    // breaks to the smaller id) -> stays empty, carries its centroid
+    run(Seq(1L -> Seq(0L, 0L), 2L -> Seq(0L, 0L),
+      3L -> Seq(10L, 10L), 4L -> Seq(12L, 12L)), k = 3, rounds = 2)
+    // floor semantics on a negative mean: (-1 + -2) / 2 -> -2, not -1
+    run(Seq(1L -> Seq(-1L, 5L), 2L -> Seq(-2L, 5L), 3L -> Seq(100L, 5L)),
+      k = 2, rounds = 1)
+    // larger random config, 3 rounds, 4 clusters, 5 dims
+    val rnd = new scala.util.Random(31)
+    run((1L to 60L).map(i =>
+      i -> Seq.fill(5)((rnd.nextInt(2000) - 1000).toLong)), k = 4, rounds = 3)
+  }
+
   test("cohensKappa: hand confusion matrix, disjoint-label raters, perfect agreement, constant raters NULL") {
     import spark.implicits._
     import graft.operators.Eval
