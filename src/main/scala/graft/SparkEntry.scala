@@ -277,6 +277,7 @@ object SparkEntry {
     "q216_conformal" -> q216,
     "q217_jensen_shannon" -> q217,
     "q218_kmeans" -> q218,
+    "q219_ivf_exact" -> q219,
   )
 
   /** Round count for the parameterized BPE lifecycle (q163/q164) — read
@@ -3672,6 +3673,20 @@ object SparkEntry {
     graft.operators.Similarity.kmeansExact(
       Tables.embeddings(s, dir), "vec_id", "embedding", k = 8, rounds = 3)
 
+  /** Exact-gated IVF ANN — q36's index lifecycle (train → bucket →
+    * probe → re-rank) rebuilt on [[graft.operators.Similarity
+    * .kmeansExact]]'s integer trajectory
+    * ([[graft.operators.Similarity.ivfExactTopK]]): approximate by
+    * construction, yet every emitted row hash-matches — the exact gate
+    * the float IVF path cannot offer. */
+  private def q219(s: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(s, dir)
+    graft.operators.Similarity.ivfExactTopK(
+        emb.where(col("vec_id") % 100 === 0), emb, "vec_id", "embedding",
+        k = 10, nCentroids = 8, rounds = 2, probes = 2)
+      .orderBy(col("query_id"), col("rank"))
+  }
+
   // =====================================================================
   // DuckDB oracle SQL — same semantics, same column names, same ORDER BY.
   // =====================================================================
@@ -3744,6 +3759,52 @@ object SparkEntry {
              + least(CAST(len(list_filter($toks, t -> list_contains(['the','a','of','and','is','to','in','that'], t))) AS DOUBLE)
                  / greatest(CAST(len($toks) AS DOUBLE), 1.0) * 5.0, 1.0) * 0.3,
              0.0), 1.0)"""
+
+    // the exact-k-means Lloyd trajectory as a generated CTE chain
+    // (q163's BPE scheme): micro-quantized points, k smallest-id seeds,
+    // per round argmin assignment (ties to the smaller cluster) and the
+    // nonneg-mod floor-division centroid mean with empty-cluster carry;
+    // ends at cent_<rounds>, the final assignment a_f, and sizes sz —
+    // shared by q218 (the centroid table) and q219 (exact IVF on top)
+    def kmeansChainSql(k: Int, rounds: Int) = {
+      val chain = (1 to rounds).map { r =>
+        s"""dist_$r AS (SELECT px.vec_id, c.c,
+               sum((px.x - c.v) * (px.x - c.v)) AS dist
+             FROM px JOIN cent_${r - 1} c ON px.d = c.d
+             GROUP BY 1, 2),
+           a_$r AS (SELECT vec_id, c FROM (
+               SELECT vec_id, c,
+                 row_number() OVER (PARTITION BY vec_id ORDER BY dist, c) AS rn
+               FROM dist_$r) t WHERE rn = 1),
+           nc_$r AS (SELECT a.c, px.d,
+               CAST((sum(px.x) - ((sum(px.x) % count(*) + count(*)) % count(*)))
+                 // count(*) AS BIGINT) AS v
+             FROM a_$r a JOIN px ON px.vec_id = a.vec_id
+             GROUP BY 1, 2),
+           cent_$r AS (SELECT p.c, p.d, coalesce(n.v, p.v) AS v
+             FROM cent_${r - 1} p LEFT JOIN nc_$r n ON n.c = p.c AND n.d = p.d)"""
+      }.mkString(",\n           ")
+      s"""pts AS (
+             SELECT vec_id, list_transform(embedding,
+               x -> CAST(floor(CAST(x AS DOUBLE) * 1000000.0 + 0.5) AS BIGINT)) AS q
+             FROM embeddings),
+           px AS (SELECT vec_id, unnest(q) AS x, unnest(range(len(q))) AS d
+                  FROM pts),
+           sel AS (SELECT vec_id FROM pts ORDER BY vec_id LIMIT $k),
+           cent_0 AS (SELECT CAST(dense_rank() OVER (ORDER BY s.vec_id) AS BIGINT) AS c,
+               px.d, px.x AS v
+             FROM sel s JOIN px ON px.vec_id = s.vec_id),
+           $chain,
+           dist_f AS (SELECT px.vec_id, c.c,
+               sum((px.x - c.v) * (px.x - c.v)) AS dist
+             FROM px JOIN cent_$rounds c ON px.d = c.d
+             GROUP BY 1, 2),
+           a_f AS (SELECT vec_id, c FROM (
+               SELECT vec_id, c,
+                 row_number() OVER (PARTITION BY vec_id ORDER BY dist, c) AS rn
+               FROM dist_f) t WHERE rn = 1),
+           sz AS (SELECT c, CAST(count(*) AS BIGINT) AS n FROM a_f GROUP BY c)"""
+    }
 
     // near-dup cluster closure (hashed-shingle Jaccard edges → recursive
     // reachability → min-label component) — the CTE block q39 and q61 share
@@ -5082,48 +5143,47 @@ object SparkEntry {
       // tie-broken to the smallest cluster, centroid update the
       // nonneg-mod floor-division mean, empty clusters carry
       "q218_kmeans" -> {
-        val k = 8; val rounds = 3
-        val chain = (1 to rounds).map { r =>
-          s"""dist_$r AS (SELECT px.vec_id, c.c,
-                 sum((px.x - c.v) * (px.x - c.v)) AS dist
-               FROM px JOIN cent_${r - 1} c ON px.d = c.d
-               GROUP BY 1, 2),
-             a_$r AS (SELECT vec_id, c FROM (
-                 SELECT vec_id, c,
-                   row_number() OVER (PARTITION BY vec_id ORDER BY dist, c) AS rn
-                 FROM dist_$r) t WHERE rn = 1),
-             nc_$r AS (SELECT a.c, px.d,
-                 CAST((sum(px.x) - ((sum(px.x) % count(*) + count(*)) % count(*)))
-                   // count(*) AS BIGINT) AS v
-               FROM a_$r a JOIN px ON px.vec_id = a.vec_id
-               GROUP BY 1, 2),
-             cent_$r AS (SELECT p.c, p.d, coalesce(n.v, p.v) AS v
-               FROM cent_${r - 1} p LEFT JOIN nc_$r n ON n.c = p.c AND n.d = p.d)"""
-        }.mkString(",\n           ")
-        s"""WITH pts AS (
-             SELECT vec_id, list_transform(embedding,
-               x -> CAST(floor(CAST(x AS DOUBLE) * 1000000.0 + 0.5) AS BIGINT)) AS q
-             FROM embeddings),
-           px AS (SELECT vec_id, unnest(q) AS x, unnest(range(len(q))) AS d
-                  FROM pts),
-           sel AS (SELECT vec_id FROM pts ORDER BY vec_id LIMIT $k),
-           cent_0 AS (SELECT CAST(dense_rank() OVER (ORDER BY s.vec_id) AS BIGINT) AS c,
-               px.d, px.x AS v
-             FROM sel s JOIN px ON px.vec_id = s.vec_id),
-           $chain,
-           dist_f AS (SELECT px.vec_id, c.c,
-               sum((px.x - c.v) * (px.x - c.v)) AS dist
-             FROM px JOIN cent_$rounds c ON px.d = c.d
-             GROUP BY 1, 2),
-           a_f AS (SELECT vec_id, c FROM (
-               SELECT vec_id, c,
-                 row_number() OVER (PARTITION BY vec_id ORDER BY dist, c) AS rn
-               FROM dist_f) t WHERE rn = 1),
-           sz AS (SELECT c, CAST(count(*) AS BIGINT) AS n FROM a_f GROUP BY c)
+        val rounds = 3
+        s"""WITH ${kmeansChainSql(k = 8, rounds = rounds)}
            SELECT ct.c AS cluster, ct.d AS dim, ct.v AS centroid_q,
              coalesce(sz.n, 0) AS n_assigned
            FROM cent_$rounds ct LEFT JOIN sz ON sz.c = ct.c
            ORDER BY cluster, dim"""
+      },
+
+      // exact IVF: the same generated k-means chain (2 rounds, 8
+      // centroids), then per-query probe ranking by exact squared L2
+      // (ties to the smaller cluster), bucket candidate fetch on the
+      // final assignment, and the exact integer dot-product top-k (ties
+      // to the smaller neighbor id)
+      "q219_ivf_exact" -> {
+        val rounds = 2; val probes = 2; val topk = 10
+        s"""WITH ${kmeansChainSql(k = 8, rounds = rounds)},
+           qd AS (SELECT px.vec_id AS qid, c.c,
+               sum((px.x - c.v) * (px.x - c.v)) AS dist
+             FROM px JOIN cent_$rounds c ON px.d = c.d
+             WHERE px.vec_id % 100 = 0
+             GROUP BY 1, 2),
+           qp AS (SELECT qid, c FROM (
+               SELECT qid, c,
+                 row_number() OVER (PARTITION BY qid ORDER BY dist, c) AS rn
+               FROM qd) t WHERE rn <= $probes),
+           cand AS (SELECT qp.qid, a.vec_id AS nid
+                    FROM qp JOIN a_f a ON a.c = qp.c),
+           dots AS (SELECT cd.qid, cd.nid,
+               CAST(sum(qx.x * nx.x) AS BIGINT) AS dot
+             FROM cand cd
+               JOIN px qx ON qx.vec_id = cd.qid
+               JOIN px nx ON nx.vec_id = cd.nid AND nx.d = qx.d
+             GROUP BY 1, 2),
+           tk AS (SELECT qid, nid, dot,
+               row_number() OVER (PARTITION BY qid
+                 ORDER BY dot DESC, nid ASC) AS rn
+             FROM dots)
+           SELECT qid AS query_id, rn AS rank, nid AS neighbor_id,
+             dot AS dot_q
+           FROM tk WHERE rn <= $topk
+           ORDER BY query_id, rank"""
       },
 
       // decontamination surgery: q77's matched windows become removals and

@@ -538,11 +538,42 @@ object Similarity {
     * clusters). */
   def kmeansExact(corpus: DataFrame, idCol: String, vecCol: String,
                   k: Int, rounds: Int, quantScale: Long = 1000000L): DataFrame = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val (pts, cents) =
+      trainKmeansQuantized(corpus, idCol, vecCol, k, rounds, quantScale)
+    val sizes = pts.withColumn("_c", nearestCluster(cents, col("_q")))
+      .groupBy(col("_c").as("cluster"))
+      .agg(count(lit(1)).as("n_assigned"))
+    cents.toSeq
+      .flatMap { case (c, v) =>
+        v.zipWithIndex.map { case (x, d) => (c.toLong, d.toLong, x) } }
+      .toDF("cluster", "dim", "centroid_q")
+      .join(broadcast(sizes), Seq("cluster"), "left")
+      .na.fill(0L, Seq("n_assigned"))
+      .orderBy(col("cluster"), col("dim"))
+  }
+
+  /** Exact squared-L2 argmin against plan-literal centroids; the struct
+    * min breaks distance ties to the SMALLEST cluster id. */
+  private def nearestCluster(cents: Array[(Int, Array[Long])],
+                             q: Column): Column =
+    array_min(array(cents.toSeq.map { case (c, v) =>
+      struct(
+        aggregate(zip_with(q, array(v.map(lit(_)).toSeq: _*),
+          (a, b) => (a - b) * (a - b)), lit(0L), (acc, x) => acc + x)
+          .as("dist"),
+        lit(c.toLong).as("c"))
+    }: _*)).getField("c")
+
+  /** Micro-quantized points + the trained centroid model ([[kmeansExact]]
+    * semantics); shared by the table emitter and [[ivfExactTopK]]. */
+  private def trainKmeansQuantized(corpus: DataFrame, idCol: String,
+      vecCol: String, k: Int, rounds: Int, quantScale: Long)
+      : (DataFrame, Array[(Int, Array[Long])]) = {
     require(k >= 1, s"k must be >= 1, got $k")
     require(rounds >= 1, s"rounds must be >= 1, got $rounds")
     require(quantScale >= 1L, s"quantScale must be >= 1, got $quantScale")
-    val spark = corpus.sparkSession
-    import spark.implicits._
     // quantize ONCE; every round re-reads this frame — cut the lineage
     val pts = corpus.select(col(idCol).cast("long").as("_id"),
       expr(s"transform($vecCol, x -> CAST(floor(CAST(x AS DOUBLE) * $quantScale.0 + 0.5) AS BIGINT))")
@@ -551,18 +582,8 @@ object Similarity {
     var cents: Array[(Int, Array[Long])] = pts.orderBy(col("_id")).limit(k)
       .collect().zipWithIndex
       .map { case (r, i) => (i + 1, r.getSeq[Long](1).toArray) }
-    // exact squared L2 against each plan-literal centroid; struct min
-    // picks (smallest dist, then smallest cluster id)
-    def assigned: DataFrame = pts.withColumn("_c",
-      array_min(array(cents.toSeq.map { case (c, v) =>
-        struct(
-          aggregate(zip_with(col("_q"), array(v.map(lit(_)).toSeq: _*),
-            (a, b) => (a - b) * (a - b)), lit(0L), (acc, x) => acc + x)
-            .as("dist"),
-          lit(c.toLong).as("c"))
-      }: _*)).getField("c"))
     for (_ <- 1 to rounds) {
-      val upd = assigned
+      val upd = pts.withColumn("_c", nearestCluster(cents, col("_q")))
         .select(col("_c"), posexplode(col("_q")).as(Seq("_d", "_x")))
         .groupBy(col("_c"), col("_d"))
         .agg(sum(col("_x")).as("_s"), count(lit(1)).as("_n"))
@@ -578,14 +599,63 @@ object Similarity {
         }
       }
     }
-    val sizes = assigned.groupBy(col("_c").as("cluster"))
-      .agg(count(lit(1)).as("n_assigned"))
-    cents.toSeq
-      .flatMap { case (c, v) =>
-        v.zipWithIndex.map { case (x, d) => (c.toLong, d.toLong, x) } }
-      .toDF("cluster", "dim", "centroid_q")
-      .join(broadcast(sizes), Seq("cluster"), "left")
-      .na.fill(0L, Seq("n_assigned"))
-      .orderBy(col("cluster"), col("dim"))
+    (pts, cents)
+  }
+
+  /** IVF ANN with an EXACT gate, end to end — [[buildIvfIndex]]'s shape
+    * (train centroids → bucket the corpus → probe a few buckets per
+    * query → exact re-rank) rebuilt on [[kmeansExact]]'s integer
+    * trajectory, so the ENTIRE index lifecycle is deterministic and
+    * hash-matches: integer centroids, integer squared-L2 probe ranking
+    * (ties to the smaller cluster), integer dot-product re-rank (ties to
+    * the smaller neighbor id). Approximate BY CONSTRUCTION (a true
+    * neighbor outside the probed buckets is missed — recall is the
+    * q36/RECALL.md contract), yet every emitted row is exactly
+    * reproducible — the property the float IVF path (q36/q67) cannot
+    * offer.
+    *
+    * ## Scale shape (100 TB)
+    * Training per [[kmeansExact]] (model-in-the-plan assignment,
+    * partial-aggregable updates). The probe list is a narrow per-query
+    * projection against the same plan-literal centroids (sorted struct
+    * slice — k·probes plan metadata, no join). Candidate fetch is ONE
+    * equi-join on the cluster id (corpus side would be bucketed by
+    * cluster in a persisted index); the re-rank heap is a per-query
+    * window over probed-bucket candidates (n·probes/k expected), never
+    * the corpus. Returns `(query_id, rank, neighbor_id, dot_q)`. */
+  def ivfExactTopK(queries: DataFrame, corpus: DataFrame, idCol: String,
+                   vecCol: String, k: Int, nCentroids: Int, rounds: Int,
+                   probes: Int, quantScale: Long = 1000000L): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    require(probes >= 1 && probes <= nCentroids,
+      s"probes must be in [1, nCentroids], got $probes")
+    val (pts, cents) =
+      trainKmeansQuantized(corpus, idCol, vecCol, nCentroids, rounds, quantScale)
+    val indexed = pts.withColumn("_c", nearestCluster(cents, col("_q")))
+      .select(col("_c"), col("_id").as("_nid"), col("_q").as("_nq"))
+    val qpts = queries.select(col(idCol).cast("long").as("_qid"),
+      expr(s"transform($vecCol, x -> CAST(floor(CAST(x AS DOUBLE) * $quantScale.0 + 0.5) AS BIGINT))")
+        .as("_qq"))
+    val probeStructs = cents.toSeq.map { case (c, v) =>
+      struct(
+        aggregate(zip_with(col("_qq"), array(v.map(lit(_)).toSeq: _*),
+          (a, b) => (a - b) * (a - b)), lit(0L), (acc, x) => acc + x)
+          .as("dist"),
+        lit(c.toLong).as("c"))
+    }
+    val probed = qpts
+      .withColumn("_probe", slice(array_sort(array(probeStructs: _*)), 1, probes))
+      .select(col("_qid"), col("_qq"),
+        explode(expr("transform(_probe, s -> s.c)")).as("_c"))
+    val w = Window.partitionBy(col("_qid"))
+      .orderBy(col("_dot").desc, col("_nid").asc)
+    probed
+      .join(indexed, Seq("_c"))
+      .withColumn("_dot", aggregate(zip_with(col("_qq"), col("_nq"),
+        (a, b) => a * b), lit(0L), (acc, x) => acc + x))
+      .withColumn("_rank", row_number().over(w))
+      .where(col("_rank") <= k)
+      .select(col("_qid").as("query_id"), col("_rank").as("rank"),
+        col("_nid").as("neighbor_id"), col("_dot").as("dot_q"))
   }
 }

@@ -4021,6 +4021,75 @@ class OperatorsSpec extends SparkSuite {
       i -> Seq.fill(5)((rnd.nextInt(2000) - 1000).toLong)), k = 4, rounds = 3)
   }
 
+  test("ivfExactTopK: brute pipeline parity, probe restriction is real (missed far neighbor), deterministic ties") {
+    import spark.implicits._
+    import graft.operators.Similarity
+
+    def lloyd(pts: Seq[(Long, Seq[Long])], k: Int, rounds: Int): Seq[(Int, Seq[Long])] = {
+      var cents: Seq[(Int, Seq[Long])] = pts.sortBy(_._1).take(k)
+        .zipWithIndex.map { case ((_, v), i) => (i + 1, v) }
+      def assign(v: Seq[Long]): Int = cents.minBy { case (c, w) =>
+        (v.zip(w).map { case (a, b) => (a - b) * (a - b) }.sum, c) }._1
+      for (_ <- 1 to rounds) {
+        val g = pts.groupBy(p => assign(p._2))
+        cents = cents.map { case (c, old) =>
+          g.get(c).fold((c, old)) { m =>
+            (c, old.indices.map(d => Math.floorDiv(m.map(_._2(d)).sum, m.size.toLong)))
+          }
+        }
+      }
+      cents
+    }
+    def brute(pts: Seq[(Long, Seq[Long])], qids: Seq[Long], k: Int,
+              nc: Int, rounds: Int, probes: Int): Seq[(Long, Int, Long, Long)] = {
+      val cents = lloyd(pts, nc, rounds)
+      def d2(v: Seq[Long], w: Seq[Long]) =
+        v.zip(w).map { case (a, b) => (a - b) * (a - b) }.sum
+      val asg = pts.map(p => p._1 -> cents.minBy { case (c, w) => (d2(p._2, w), c) }._1).toMap
+      val byId = pts.toMap
+      qids.flatMap { q =>
+        val probe = cents.map { case (c, w) => (d2(byId(q), w), c) }
+          .sorted.take(probes).map(_._2).toSet
+        pts.filter(p => probe(asg(p._1)))
+          .map(p => (p._1, p._2.zip(byId(q)).map { case (a, b) => a * b }.sum))
+          .sortBy { case (nid, dot) => (-dot, nid) }.take(k).zipWithIndex
+          .map { case ((nid, dot), i) => (q, i + 1, nid, dot) }
+      }
+    }
+
+    // seeds (the 3 smallest ids) land one per cluster: A around (10,20),
+    // B around (500,-300), and a lone outlier — clean Lloyd convergence
+    val pts: Seq[(Long, Seq[Long])] =
+      Seq(1L -> Seq(10L, 20L), 2L -> Seq(500L, -300L),
+        3L -> Seq[Long](10000L, 10000L)) ++
+      (4L to 8L).map(i => i -> Seq(7L + i, 20L)) ++
+      (9L to 13L).map(i => i -> Seq(492L + i, -300L))
+    val qids = Seq(3L, 5L, 10L)
+    val df = pts.map { case (id, v) => (id, v.map(_.toFloat).toArray) }
+      .toDF("vec_id", "embedding")
+    val got = Similarity.ivfExactTopK(
+      df.where(col("vec_id").isin(qids: _*)), df, "vec_id", "embedding",
+      k = 4, nCentroids = 3, rounds = 2, probes = 1, quantScale = 1L)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getLong(3)))
+      .sortBy(t => (t._1, t._2)).toSeq
+    val want = brute(pts, qids, k = 4, nc = 3, rounds = 2, probes = 1)
+      .sortBy(t => (t._1, t._2))
+    assert(got == want, s"got $got want $want")
+    // probes = 1 is a REAL restriction: query 5's neighbors all come
+    // from its own cluster A = {1, 4..8}, never the far cluster
+    val q5 = got.filter(_._1 == 5L).map(_._3).toSet
+    assert(q5.nonEmpty && q5.subsetOf(Set(1L) ++ (4L to 8L)))
+    // widening probes to every cluster recovers the brute-force order
+    val full = Similarity.ivfExactTopK(
+      df.where(col("vec_id") === 5L), df, "vec_id", "embedding",
+      k = 13, nCentroids = 3, rounds = 2, probes = 3, quantScale = 1L)
+      .collect().map(r => (r.getLong(2), r.getLong(3))).toSeq
+    val bf = pts.map { case (nid, v) =>
+      (nid, v.zip(pts.toMap.apply(5L)).map { case (a, b) => a * b }.sum) }
+      .sortBy { case (nid, dot) => (-dot, nid) }
+    assert(full == bf)
+  }
+
   test("cohensKappa: hand confusion matrix, disjoint-label raters, perfect agreement, constant raters NULL") {
     import spark.implicits._
     import graft.operators.Eval
