@@ -278,6 +278,7 @@ object SparkEntry {
     "q217_jensen_shannon" -> q217,
     "q218_kmeans" -> q218,
     "q219_ivf_exact" -> q219,
+    "q220_logrank" -> q220,
   )
 
   /** Round count for the parameterized BPE lifecycle (q163/q164) — read
@@ -3560,7 +3561,12 @@ object SparkEntry {
   private def q210(s: SparkSession, dir: String): DataFrame =
     graft.operators.Eval.cohensKappa(
       Tables.documents(s, dir)
-        .select(col("lang"), Text.langId(col("text")).as("pred")),
+        // tokenize ONCE behind the Generate barrier (CollapseProject
+        // cannot re-inline through it), then score the materialized
+        // array — measured 3x vs langId(text) whose five HOF filters
+        // each re-run the tokenizer outside codegen
+        .select(col("lang"), explode(array(Text.tokens(col("text")))).as("_ts"))
+        .select(col("lang"), Text.langIdFromTokens(col("_ts")).as("pred")),
       aCol = col("lang"), bCol = col("pred"))
 
   /** Mann–Whitney U: does the quality score distribute differently for
@@ -3685,6 +3691,32 @@ object SparkEntry {
         emb.where(col("vec_id") % 100 === 0), emb, "vec_id", "embedding",
         k = 10, nCentroids = 8, rounds = 2, probes = 2)
       .orderBy(col("query_id"), col("rank"))
+  }
+
+  /** Log-rank test on q190's time-to-purchase subjects split by user-id
+    * parity ([[graft.operators.Survival.logRank]]): "do the two cohorts
+    * convert at the same rate?" — the significance read two KM curves
+    * alone cannot give. */
+  private def q220(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+    val signup = ev.where(col("event_type") === "signup")
+      .groupBy(col("user_id")).agg(min(unix_millis(col("ts"))).as("s_ms"))
+    val endMs = ev.agg(max(unix_millis(col("ts"))).as("end_ms"))
+    val purchase = ev.where(col("event_type") === "purchase")
+      .select(col("user_id"), unix_millis(col("ts")).as("p_ms"))
+    val subjects = signup
+      .join(purchase, Seq("user_id"), "left")
+      .groupBy(col("user_id"), col("s_ms"))
+      .agg(min(when(col("p_ms") >= col("s_ms"), col("p_ms"))).as("first_p"))
+      .crossJoin(broadcast(endMs))
+      .select(col("user_id"),
+        when(col("first_p").isNotNull, expr("(first_p - s_ms) DIV 86400000"))
+          .otherwise(expr("(end_ms - s_ms) DIV 86400000")).as("dur"),
+        col("first_p").isNotNull.as("ev"))
+    graft.operators.Survival.logRank(
+      subjects.where(pmod(col("user_id"), lit(2)) === 0),
+      subjects.where(pmod(col("user_id"), lit(2)) === 1),
+      col("dur"), col("ev"))
   }
 
   // =====================================================================
@@ -5185,6 +5217,62 @@ object SparkEntry {
            FROM tk WHERE rn <= $topk
            ORDER BY query_id, rank"""
       },
+
+      // log-rank: q190's subject CTEs carried per user-parity cohort,
+      // risk sets via the same suffix windows, each day's E/V one
+      // mirrored double chain quantized micro at its site, chi2 the
+      // single trailing IEEE chain
+      "q220_logrank" ->
+        """WITH su AS (SELECT user_id, min(epoch_ms(ts)) AS s_ms
+               FROM events WHERE event_type = 'signup' GROUP BY 1),
+           en AS (SELECT max(epoch_ms(ts)) AS end_ms FROM events),
+           pu AS (SELECT user_id, epoch_ms(ts) AS p_ms
+                  FROM events WHERE event_type = 'purchase'),
+           subj AS (SELECT su.user_id, su.s_ms,
+                      min(CASE WHEN pu.p_ms >= su.s_ms THEN pu.p_ms END) AS first_p
+                    FROM su LEFT JOIN pu ON pu.user_id = su.user_id
+                    GROUP BY 1, 2),
+           dd AS (SELECT user_id % 2 = 0 AS ga,
+                    CASE WHEN first_p IS NOT NULL THEN (first_p - s_ms) // 86400000
+                      ELSE (end_ms - s_ms) // 86400000 END AS t,
+                    first_p IS NOT NULL AS e
+                  FROM subj CROSS JOIN en),
+           h AS (SELECT t,
+                   CAST(sum(CASE WHEN ga AND e THEN 1 ELSE 0 END) AS BIGINT) AS da,
+                   CAST(sum(CASE WHEN ga THEN 1 ELSE 0 END) AS BIGINT) AS ta,
+                   CAST(sum(CASE WHEN NOT ga AND e THEN 1 ELSE 0 END) AS BIGINT) AS db,
+                   CAST(sum(CASE WHEN NOT ga THEN 1 ELSE 0 END) AS BIGINT) AS tb
+                 FROM dd GROUP BY t),
+           nn AS (SELECT CAST(sum(ta) AS BIGINT) AS na,
+                    CAST(sum(tb) AS BIGINT) AS nb FROM h),
+           r AS (SELECT t, da, db,
+                   na - coalesce(sum(ta) OVER (ORDER BY t
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS ra,
+                   nb - coalesce(sum(tb) OVER (ORDER BY t
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS rb,
+                   na, nb
+                 FROM h CROSS JOIN nn),
+           terms AS (SELECT na, nb, da,
+                   CAST(round(CAST(da + db AS DOUBLE) * CAST(ra AS DOUBLE)
+                     / CAST(ra + rb AS DOUBLE) * 1e6) AS BIGINT) AS em,
+                   CASE WHEN ra + rb > 1 THEN
+                     CAST(round(CAST(da + db AS DOUBLE) * CAST(ra AS DOUBLE)
+                       / CAST(ra + rb AS DOUBLE) * CAST(rb AS DOUBLE)
+                       / CAST(ra + rb AS DOUBLE)
+                       * CAST(ra + rb - da - db AS DOUBLE)
+                       / CAST(ra + rb - 1 AS DOUBLE) * 1e6) AS BIGINT)
+                   ELSE 0 END AS vm
+                 FROM r WHERE da + db > 0)
+           SELECT na AS n_a, nb AS n_b,
+             CAST(sum(da) AS BIGINT) AS o_a,
+             CAST(sum(em) AS BIGINT) AS e_a_micro,
+             CAST(sum(vm) AS BIGINT) AS v_micro,
+             CASE WHEN sum(vm) > 0 THEN
+               (CAST(sum(da) AS DOUBLE) - CAST(sum(em) AS DOUBLE) / 1e6)
+                 * (CAST(sum(da) AS DOUBLE) - CAST(sum(em) AS DOUBLE) / 1e6)
+                 / (CAST(sum(vm) AS DOUBLE) / 1e6)
+             END AS chi2
+           FROM terms GROUP BY na, nb""",
 
       // decontamination surgery: q77's matched windows become removals and
       // the corpus docs rebuild from surviving tokens (q79's tail)

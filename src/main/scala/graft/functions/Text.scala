@@ -177,9 +177,21 @@ object Text {
 
   /** Heuristic language ID: the language whose marker words hit the most
     * tokens wins; ties break by language code order (deterministic). Returns
-    * "und" when nothing matches. */
-  def langId(text: Column): Column = {
-    val ts = tokens(text)
+    * "und" when nothing matches.
+    *
+    * Note for HOT paths: this re-tokenizes per marker filter (five
+    * interpreted higher-order scans, each re-running the tokenizer —
+    * HOF lambdas sit outside codegen and outside common-subexpression
+    * elimination). A corpus-wide caller should tokenize ONCE behind a
+    * Generate barrier (`explode(array(tokens(text)))` — CollapseProject
+    * cannot re-inline through a Generate) and pass the materialized
+    * array to [[langIdFromTokens]]: measured 3× on the sf0.1 corpus. */
+  def langId(text: Column): Column = langIdFromTokens(tokens(text))
+
+  /** [[langId]] over a PRE-COMPUTED token array — identical scoring and
+    * tie-break, no tokenizer reference (the caller controls how often
+    * tokenization runs). */
+  def langIdFromTokens(ts: Column): Column = {
     val scored = langMarkers.map { case (lang, words) =>
       struct(
         size(filter(ts, t => t.isin(words.map(x => x: Any): _*))).as("hits"),

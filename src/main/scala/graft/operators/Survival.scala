@@ -58,4 +58,79 @@ object Survival {
       .select(col("_t").as("day"), col("n_risk"), col("_d").as("d_events"),
         col("term_micro"), col("ln_s_micro"))
   }
+
+  /** LOG-RANK TEST (Mantel–Cox) — "do these two cohorts convert/decay at
+    * the same rate?", the significance companion to two [[kaplanMeier]]
+    * curves drawn side by side (eyeballing curves flatters any split;
+    * log-rank weighs every event day by its risk sets). At each event
+    * day: observed group-A events `d_Aj` vs expected `d_j·n_Aj/n_j`
+    * under the null, variance
+    * `d_j·(n_Aj/n_j)·(n_Bj/n_j)·(n_j−d_j)/(n_j−1)`;
+    * `χ² = (O_A − E_A)² / V` with 1 degree of freedom (> 3.84 rejects
+    * at α = 0.05, > 6.63 at 0.01).
+    *
+    * ## Determinism / exactness
+    * Counts and risk sets are exact BIGINTs off the merged day
+    * histogram; each day's E and V terms are ONE deterministic double
+    * chain over those integers quantized to micro at the site (the
+    * [[kaplanMeier]] / PSI doctrine), so the sums are exact and the χ²
+    * readout is a single mirrored IEEE chain. Days with one subject at
+    * risk contribute to E but have zero variance (the 0/0 convention,
+    * pinned).
+    *
+    * ## Scale shape (100 TB)
+    * Both cohorts collapse to day histograms in one partial-aggregable
+    * pass each, full-outer merged on the day; every window rides the
+    * DAY-UNIVERSE table (study-length-bounded, model-sized by nature).
+    * Returns ONE row `(n_a, n_b, o_a, e_a_micro, v_micro, chi2)`; χ² is
+    * NULL when V = 0 (no comparable event days — e.g. an empty
+    * cohort). */
+  def logRank(a: DataFrame, b: DataFrame, durationCol: Column,
+              eventCol: Column): DataFrame = {
+    def hist(df: DataFrame, d: String, tot: String): DataFrame = df
+      .select(durationCol.cast("long").as("_t"), eventCol.as("_e"))
+      .groupBy(col("_t"))
+      .agg(sum(when(col("_e"), 1L).otherwise(0L)).as(d),
+        count(lit(1)).as(tot))
+    val merged = hist(a, "_da", "_ta").join(hist(b, "_db", "_tb"),
+        Seq("_t"), "full_outer")
+      .select(col("_t"),
+        coalesce(col("_da"), lit(0L)).as("_da"),
+        coalesce(col("_ta"), lit(0L)).as("_ta"),
+        coalesce(col("_db"), lit(0L)).as("_db"),
+        coalesce(col("_tb"), lit(0L)).as("_tb"))
+      .localCheckpoint() // day-universe-sized; fans into totals + terms
+    val n = merged.agg(sum(col("_ta")).as("_na"), sum(col("_tb")).as("_nb"))
+    val wBefore = Window.orderBy(col("_t"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    merged
+      .crossJoin(broadcast(n))
+      .withColumn("_ra",
+        col("_na") - coalesce(sum(col("_ta")).over(wBefore), lit(0L)))
+      .withColumn("_rb",
+        col("_nb") - coalesce(sum(col("_tb")).over(wBefore), lit(0L)))
+      .withColumn("_dj", col("_da") + col("_db"))
+      .withColumn("_nj", col("_ra") + col("_rb"))
+      .where(col("_dj") > 0L)
+      .withColumn("_em", round(col("_dj").cast("double") *
+        col("_ra").cast("double") / col("_nj").cast("double") * lit(1e6))
+        .cast("long"))
+      .withColumn("_vm", when(col("_nj") > 1L,
+        round(col("_dj").cast("double") * col("_ra").cast("double") /
+          col("_nj").cast("double") * col("_rb").cast("double") /
+          col("_nj").cast("double") *
+          (col("_nj") - col("_dj")).cast("double") /
+          (col("_nj") - lit(1L)).cast("double") * lit(1e6)).cast("long"))
+        .otherwise(lit(0L)))
+      .groupBy(col("_na"), col("_nb"))
+      .agg(sum(col("_da")).as("o_a"), sum(col("_em")).as("e_a_micro"),
+        sum(col("_vm")).as("v_micro"))
+      .select(col("_na").as("n_a"), col("_nb").as("n_b"), col("o_a"),
+        col("e_a_micro"), col("v_micro"),
+        when(col("v_micro") > 0L,
+          (col("o_a").cast("double") - col("e_a_micro").cast("double") / lit(1e6)) *
+            (col("o_a").cast("double") - col("e_a_micro").cast("double") / lit(1e6)) /
+            (col("v_micro").cast("double") / lit(1e6)))
+          .as("chi2"))
+  }
 }

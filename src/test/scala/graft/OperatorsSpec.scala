@@ -4090,6 +4090,68 @@ class OperatorsSpec extends SparkSuite {
     assert(full == bf)
   }
 
+  test("logRank: identical cohorts chi2 exactly 0, brute chain parity with censoring, empty cohort NULL, zero-variance convention") {
+    import spark.implicits._
+    import graft.operators.Survival
+
+    def run(a: Seq[(Long, Boolean)], b: Seq[(Long, Boolean)]) =
+      Survival.logRank(a.toDF("dur", "ev"), b.toDF("dur", "ev"),
+        col("dur"), col("ev")).collect()
+    def brute(a: Seq[(Long, Boolean)], b: Seq[(Long, Boolean)])
+        : (Long, Long, Long, Long) = {
+      val days = (a ++ b).map(_._1).distinct.sorted
+      var (oA, eM, vM) = (0L, 0L, 0L)
+      for (t <- days) {
+        val ra = a.count(_._1 >= t).toLong; val rb = b.count(_._1 >= t).toLong
+        val da = a.count(p => p._1 == t && p._2).toLong
+        val db = b.count(p => p._1 == t && p._2).toLong
+        val dj = da + db; val nj = ra + rb
+        if (dj > 0) {
+          oA += da
+          eM += math.round(dj.toDouble * ra.toDouble / nj.toDouble * 1e6)
+          if (nj > 1)
+            vM += math.round(dj.toDouble * ra.toDouble / nj.toDouble *
+              rb.toDouble / nj.toDouble * (nj - dj).toDouble /
+              (nj - 1).toDouble * 1e6)
+        }
+      }
+      (oA, eM, vM,
+        a.length.toLong)
+    }
+
+    // identical cohorts: per day da = db and ra = rb, so each E term is
+    // exactly da·1e6 -> O == E/1e6 -> chi2 exactly 0
+    val s = Seq((1L, true), (2L, false), (3L, true), (3L, true),
+      (5L, true), (8L, false))
+    val same = run(s, s)(0)
+    assert(same.getDouble(5) == 0.0 && same.getLong(2) == 4L)
+
+    // randomized cohorts with censoring: exact chain parity
+    val rnd = new scala.util.Random(37)
+    val ca = (1 to 120).map(_ => (rnd.nextInt(30).toLong, rnd.nextInt(4) > 0))
+    val cb = (1 to 90).map(_ => (rnd.nextInt(40).toLong, rnd.nextInt(3) > 0))
+    val got = run(ca, cb)(0)
+    val (oA, eM, vM, _) = brute(ca, cb)
+    assert(got.getLong(0) == 120L && got.getLong(1) == 90L)
+    assert(got.getLong(2) == oA && got.getLong(3) == eM && got.getLong(4) == vM)
+    val chi2 = (oA.toDouble - eM.toDouble / 1e6) *
+      (oA.toDouble - eM.toDouble / 1e6) / (vM.toDouble / 1e6)
+    assert(got.getDouble(5) == chi2, "chi2 must be the identical IEEE chain")
+
+    // empty cohort: E and V collapse to 0 -> chi2 NULL, counts honest
+    val empty = run(s, Seq.empty[(Long, Boolean)])(0)
+    assert(empty.getLong(0) == 6L && empty.getLong(1) == 0L &&
+      empty.getLong(4) == 0L && empty.isNullAt(5))
+
+    // single subject at risk on the last event day: its E term counts
+    // (day 9 adds the full 1e6), its V term is 0 (the pinned 0/0
+    // convention) — day 1 contributes V = 250000 alone, so
+    // chi2 = (1 − 1.5)² / 0.25 = 1 exactly
+    val lone = run(Seq((9L, true)), Seq((1L, true)))(0)
+    assert(lone.getLong(3) == 1500000L && lone.getLong(4) == 250000L &&
+      lone.getDouble(5) == 1.0)
+  }
+
   test("cohensKappa: hand confusion matrix, disjoint-label raters, perfect agreement, constant raters NULL") {
     import spark.implicits._
     import graft.operators.Eval
