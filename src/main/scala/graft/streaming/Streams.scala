@@ -1149,4 +1149,47 @@ object Streams {
         col("_s.term").as("term"), col("_s.c_tgt").as("c_tgt"),
         col("n_tgt"), col("_s.keyness_unats").as("keyness_unats"))
   }
+
+  /** Streaming BENFORD feed-integrity monitor —
+    * [[graft.operators.Checks.benfordDeviation]] per event-time window:
+    * the always-on "did an upstream start fabricating or truncating
+    * magnitudes" alarm. The expected log₁₀(1+1/d) probabilities are
+    * plan-time literals (nothing to train — Benford IS the frozen
+    * reference); each row's leading digit is a stateless decimal-string
+    * probe (never a float log); ONE stateful windowed aggregation
+    * carries the nine conditional digit counts; the per-digit χ² micro
+    * terms are the batch chain verbatim as a row-local post-projection,
+    * summed in FIXED digit order into `chi2_micro` (exact — each term
+    * was quantized at its site, the batch doctrine). Non-positive
+    * values are excluded before the watermark, late rows drop at it.
+    * Emits `(window_start, window_end, n_rows, o1..o9, chi2_micro)`
+    * once per finalized window; `chi2_micro > 20.09·10⁶` rejects
+    * Benford at α = 0.01 (8 degrees of freedom). */
+  def benfordDriftStream(rows: DataFrame, valueCol: String, tsCol: String,
+                         windowDur: String, delay: String): DataFrame = {
+    val digit = when(col(valueCol).cast("long") > 0L,
+      substring(col(valueCol).cast("long").cast("string"), 1, 1).cast("long"))
+    val counts = (1 to 9).map(d =>
+      sum(when(col("_dg") === d.toLong, 1L).otherwise(0L)).as(s"_o$d"))
+    val base = rows
+      .withColumn("_dg", digit)
+      .where(col("_dg").isNotNull)
+      .withWatermark(tsCol, delay)
+      .groupBy(window(col(tsCol), windowDur))
+      .agg(counts.head, counts.tail: _*)
+    val n = (1 to 9).map(d => col(s"_o$d")).reduce(_ + _)
+    def term(d: Int): org.apache.spark.sql.Column = {
+      // the batch benfordDeviation chain verbatim: e = n·p, then
+      // floor((o − e)²/e · 1e6) — one deterministic double chain per site
+      val e = col("_n").cast("double") * lit(math.log10(1.0 + 1.0 / d))
+      floor((col(s"_o$d").cast("double") - e) *
+        (col(s"_o$d").cast("double") - e) / e * lit(1e6)).cast("long")
+    }
+    base
+      .withColumn("_n", n)
+      .select(Seq(col("window.start").as("window_start"),
+        col("window.end").as("window_end"), col("_n").as("n_rows")) ++
+        (1 to 9).map(d => col(s"_o$d").as(s"o$d")) :+
+        (1 to 9).map(term).reduce(_ + _).as("chi2_micro"): _*)
+  }
 }

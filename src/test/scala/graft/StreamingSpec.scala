@@ -1202,6 +1202,48 @@ class StreamingSpec extends SparkSuite {
     } finally q.stop()
   }
 
+  test("benfordDriftStream: windows bit-match the batch chi-square terms, non-positives excluded, one state op") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, Long)] // (us, v)
+    val out = Streams.benfordDriftStream(
+      input.toDF().toDF("us", "v").withColumn("ts", timestamp_micros(col("us"))),
+      "v", "ts", windowDur = "10 seconds", delay = "0 seconds")
+    val q = out.writeStream.outputMode("append").format("memory")
+      .queryName("bfd").start()
+    try {
+      // window [0,10s): digits 1×3 (1, 19, 1234), 9×1 (987), 3×1 (33);
+      // 0 and -7 are excluded BEFORE the watermark
+      val vals = Seq(1L, 19L, 1234L, 987L, 33L, 0L, -7L)
+      input.addData(vals.zipWithIndex.map { case (v, i) =>
+        ((i + 1) * 1000000L, v) })
+      q.processAllAvailable()
+      input.addData((15000000L, 5L)) // advance the watermark
+      q.processAllAvailable()
+      val rows = spark.table("bfd").collect()
+      assert(rows.length == 1, s"exactly the finalized window: ${rows.toSeq}")
+      val r = rows.head
+      assert(r.getLong(2) == 5L, "n_rows excludes non-positives")
+      val counts = (1 to 9).map(d => r.getLong(2 + d))
+      assert(counts == Seq(3L, 0L, 1L, 0L, 0L, 0L, 0L, 0L, 1L))
+      // batch parity: the same slice through benfordDeviation, terms
+      // summed — bit-identical micro arithmetic
+      val batch = graft.operators.Checks.benfordDeviation(
+          vals.toDF("v"), col("v"))
+        .agg(sum(col("term_micro"))).collect().head.getLong(0)
+      assert(r.getLong(12) == batch,
+        s"stream chi2_micro ${r.getLong(12)} vs batch $batch")
+      // exactly ONE stateful operator: the windowed aggregation
+      val executed = q.asInstanceOf[org.apache.spark.sql.execution.streaming.runtime.StreamingQueryWrapper]
+        .streamingQuery.lastExecution.executedPlan
+      val stateful = executed.collect {
+        case p if p.getClass.getName.contains("StateStore") => p }
+      assert(stateful.map(_.getClass.getSimpleName).sorted ==
+        Seq("StateStoreRestoreExec", "StateStoreSaveExec"),
+        s"expected one windowed-agg state pair, found: $stateful")
+    } finally q.stop()
+  }
+
   test("keynessDriftStream: watched-term scores bit-match the batch operator, one state op") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
