@@ -279,6 +279,7 @@ object SparkEntry {
     "q218_kmeans" -> q218,
     "q219_ivf_exact" -> q219,
     "q220_logrank" -> q220,
+    "q221_wilson" -> q221,
   )
 
   /** Round count for the parameterized BPE lifecycle (q163/q164) — read
@@ -3719,6 +3720,21 @@ object SparkEntry {
       col("dur"), col("ev"))
   }
 
+  /** Wilson 95% interval around each language's quality-pass rate
+    * ([[graft.operators.Eval.wilsonInterval]]) — the honest error band
+    * for the per-language dashboard (stays inside [0,1] and non-zero at
+    * extreme rates, where the naive normal band lies). */
+  private def q221(s: SparkSession, dir: String): DataFrame = {
+    val stop = Text.langMarkers.toMap.apply("en")
+    graft.operators.Eval.wilsonInterval(
+      Tables.documents(s, dir)
+        .select(col("lang"),
+          floor(Text.qualityScore(col("text"), stop) * lit(1e6))
+            .cast("long").as("qu")),
+      groupCol = "lang", positive = col("qu") >= 500000L)
+      .orderBy(col("lang"))
+  }
+
   // =====================================================================
   // DuckDB oracle SQL — same semantics, same column names, same ORDER BY.
   // =====================================================================
@@ -5273,6 +5289,38 @@ object SparkEntry {
                  / (CAST(sum(vm) AS DOUBLE) / 1e6)
              END AS chi2
            FROM terms GROUP BY na, nb""",
+
+      // Wilson: the engine's IEEE chain verbatim — z inlined as the same
+      // string-cast double literal, every sub-expression in the same order
+      "q221_wilson" -> {
+        val z = "CAST('1.959963984540054' AS DOUBLE)"
+        s"""WITH pts AS (
+             SELECT lang,
+               CAST(floor(${qualitySql(toks)} * 1e6) AS BIGINT) AS qu
+             FROM documents),
+           g AS (SELECT lang, CAST(count(*) AS BIGINT) AS n,
+                   CAST(sum(CASE WHEN qu >= 500000 THEN 1 ELSE 0 END) AS BIGINT) AS n_pos
+                 FROM pts GROUP BY lang)
+           SELECT lang, n, n_pos,
+             CAST(n_pos AS DOUBLE) / CAST(n AS DOUBLE) AS rate,
+             ((CAST(n_pos AS DOUBLE) / CAST(n AS DOUBLE)
+                 + $z * $z / CAST(n AS DOUBLE) / 2.0)
+               / (1.0 + $z * $z / CAST(n AS DOUBLE)))
+             - ($z * sqrt(CAST(n_pos AS DOUBLE) / CAST(n AS DOUBLE)
+                   * (1.0 - CAST(n_pos AS DOUBLE) / CAST(n AS DOUBLE))
+                   / CAST(n AS DOUBLE)
+                 + $z * $z / CAST(n AS DOUBLE) / (4.0 * CAST(n AS DOUBLE)))
+               / (1.0 + $z * $z / CAST(n AS DOUBLE))) AS wilson_lo,
+             ((CAST(n_pos AS DOUBLE) / CAST(n AS DOUBLE)
+                 + $z * $z / CAST(n AS DOUBLE) / 2.0)
+               / (1.0 + $z * $z / CAST(n AS DOUBLE)))
+             + ($z * sqrt(CAST(n_pos AS DOUBLE) / CAST(n AS DOUBLE)
+                   * (1.0 - CAST(n_pos AS DOUBLE) / CAST(n AS DOUBLE))
+                   / CAST(n AS DOUBLE)
+                 + $z * $z / CAST(n AS DOUBLE) / (4.0 * CAST(n AS DOUBLE)))
+               / (1.0 + $z * $z / CAST(n AS DOUBLE))) AS wilson_hi
+           FROM g ORDER BY lang"""
+      },
 
       // decontamination surgery: q77's matched windows become removals and
       // the corpus docs rebuild from surviving tokens (q79's tail)

@@ -762,6 +762,37 @@ object Eval {
           (col("_na") * col("_nb")).cast("double")).as("ks"))
   }
 
+  /** WILSON score interval per group — the confidence band a dashboard
+    * should draw around every pass/conversion rate (the naive ±z√(p̂q̂/n)
+    * band collapses to zero width at p̂ ∈ {0, 1} and escapes [0, 1]; the
+    * Wilson interval stays honest at extreme rates and small n):
+    * `center = (p̂ + z²/2n)/(1 + z²/n)`,
+    * `half = z·√(p̂(1−p̂)/n + z²/4n²)/(1 + z²/n)`. The z quantile is a
+    * PLAN-TIME literal inlined verbatim into the oracle (the Benford
+    * scheme); the counts are exact BIGINTs and the interval is one
+    * deterministic IEEE chain over them, so the rows hash-match.
+    *
+    * ## Scale shape (100 TB)
+    * ONE partial-aggregable groupBy; the interval is a row-local
+    * projection on #groups rows. Returns
+    * `(groupCol, n, n_pos, rate, wilson_lo, wilson_hi)`. */
+  def wilsonInterval(df: DataFrame, groupCol: String, positive: Column,
+                     z: Double = 1.959963984540054): DataFrame = {
+    require(z > 0, s"z must be positive, got $z")
+    val agg = df.groupBy(col(groupCol))
+      .agg(count(lit(1)).as("n"),
+        sum(when(positive, 1L).otherwise(0L)).as("n_pos"))
+    val nD = col("n").cast("double")
+    val p = col("n_pos").cast("double") / nD
+    val z2n = lit(z) * lit(z) / nD
+    val denom = lit(1.0) + z2n
+    val center = (p + z2n / lit(2.0)) / denom
+    val half = lit(z) *
+      sqrt(p * (lit(1.0) - p) / nD + z2n / (lit(4.0) * nD)) / denom
+    agg.select(col(groupCol), col("n"), col("n_pos"), p.as("rate"),
+      (center - half).as("wilson_lo"), (center + half).as("wilson_hi"))
+  }
+
   /** MANN–WHITNEY U test with tie-corrected normal approximation — the
     * significance companion to [[aucExact]] (AUC says HOW WELL the score
     * separates the classes; U's z-score says whether the separation

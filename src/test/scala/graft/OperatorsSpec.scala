@@ -4152,6 +4152,42 @@ class OperatorsSpec extends SparkSuite {
       lone.getDouble(5) == 1.0)
   }
 
+  test("wilsonInterval: driver-chain parity, extreme rates stay inside [0,1] with non-zero width, naive-band contrast") {
+    import spark.implicits._
+    import graft.operators.Eval
+
+    val z = 1.959963984540054
+    def mirror(n: Long, pos: Long): (Double, Double) = {
+      val nD = n.toDouble
+      val p = pos.toDouble / nD
+      val z2n = z * z / nD
+      val denom = 1.0 + z2n
+      val center = (p + z2n / 2.0) / denom
+      val half = z * math.sqrt(p * (1.0 - p) / nD + z2n / (4.0 * nD)) / denom
+      (center - half, center + half)
+    }
+    val rows = Seq(("a", 40L, 10L), ("b", 10L, 10L), ("c", 7L, 0L),
+      ("d", 1000L, 500L))
+    val df = rows.flatMap { case (g, n, pos) =>
+      (1L to n).map(i => (g, i <= pos)) }.toDF("g", "p")
+    val got = Eval.wilsonInterval(df, "g", col("p"))
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getDouble(4), r.getDouble(5))).toMap
+    for ((g, n, pos) <- rows) {
+      val (lo, hi) = mirror(n, pos)
+      val (gn, gp, glo, ghi) = got(g)
+      assert(gn == n && gp == pos)
+      assert(glo == lo && ghi == hi, s"$g: got ($glo,$ghi) want ($lo,$hi)")
+      assert(glo >= 0.0 && ghi <= 1.0, s"$g: Wilson stays inside [0,1]")
+    }
+    // at p̂ = 1 the naive band has zero width and lies; Wilson does not
+    val (bLo, bHi) = (got("b")._3, got("b")._4)
+    assert(bLo < 1.0 && bHi <= 1.0 && bHi - bLo > 0.1)
+    // at p̂ = 0 likewise from below
+    val (cLo, cHi) = (got("c")._3, got("c")._4)
+    assert(cLo >= 0.0 && cHi > 0.2)
+  }
+
   test("cohensKappa: hand confusion matrix, disjoint-label raters, perfect agreement, constant raters NULL") {
     import spark.implicits._
     import graft.operators.Eval
