@@ -280,6 +280,7 @@ object SparkEntry {
     "q219_ivf_exact" -> q219,
     "q220_logrank" -> q220,
     "q221_wilson" -> q221,
+    "q222_cmh" -> q222,
   )
 
   /** Round count for the parameterized BPE lifecycle (q163/q164) — read
@@ -3735,6 +3736,23 @@ object SparkEntry {
       .orderBy(col("lang"))
   }
 
+  /** CMH test: is the long-document → quality-pass association real
+    * WITHIN each language, or a composition artifact
+    * ([[graft.operators.Eval.cmhTest]])? Strata = lang, exposure =
+    * n_chars ≥ 1000, outcome = quality pass — the stratified sign-off
+    * q173's pooled 2×2 cannot give. */
+  private def q222(s: SparkSession, dir: String): DataFrame = {
+    val stop = Text.langMarkers.toMap.apply("en")
+    graft.operators.Eval.cmhTest(
+      Tables.documents(s, dir)
+        .select(col("lang"), col("n_chars"),
+          floor(Text.qualityScore(col("text"), stop) * lit(1e6))
+            .cast("long").as("qu")),
+      stratumCol = "lang",
+      exposure = col("n_chars") >= 1000L,
+      outcome = col("qu") >= 500000L)
+  }
+
   // =====================================================================
   // DuckDB oracle SQL — same semantics, same column names, same ORDER BY.
   // =====================================================================
@@ -5321,6 +5339,51 @@ object SparkEntry {
                / (1.0 + $z * $z / CAST(n AS DOUBLE))) AS wilson_hi
            FROM g ORDER BY lang"""
       },
+
+      // CMH: per-language 2x2 cells by conditional sums, each stratum's
+      // E/V/ad/bc one mirrored double chain quantized micro at its site,
+      // pooled chi2 and the MH odds ratio single trailing IEEE chains
+      "q222_cmh" ->
+        s"""WITH pts AS (
+             SELECT lang, n_chars >= 1000 AS x,
+               CAST(floor(${qualitySql(toks)} * 1e6) AS BIGINT) >= 500000 AS y
+             FROM documents),
+           cells AS (SELECT lang,
+               CAST(sum(CASE WHEN x AND y THEN 1 ELSE 0 END) AS BIGINT) AS a,
+               CAST(sum(CASE WHEN x AND NOT y THEN 1 ELSE 0 END) AS BIGINT) AS b,
+               CAST(sum(CASE WHEN NOT x AND y THEN 1 ELSE 0 END) AS BIGINT) AS c,
+               CAST(sum(CASE WHEN NOT x AND NOT y THEN 1 ELSE 0 END) AS BIGINT) AS d
+             FROM pts GROUP BY lang),
+           terms AS (SELECT a + b + c + d AS t, a,
+               CAST(round(CAST(a + b AS DOUBLE) * CAST(a + c AS DOUBLE)
+                 / CAST(a + b + c + d AS DOUBLE) * 1e6) AS BIGINT) AS em,
+               CASE WHEN a + b + c + d > 1 THEN
+                 CAST(round(CAST(a + b AS DOUBLE) * CAST(c + d AS DOUBLE)
+                   / CAST(a + b + c + d AS DOUBLE) * CAST(a + c AS DOUBLE)
+                   / CAST(a + b + c + d AS DOUBLE) * CAST(b + d AS DOUBLE)
+                   / CAST(a + b + c + d - 1 AS DOUBLE) * 1e6) AS BIGINT)
+               ELSE 0 END AS vm,
+               CAST(round(CAST(a AS DOUBLE) * CAST(d AS DOUBLE)
+                 / CAST(a + b + c + d AS DOUBLE) * 1e6) AS BIGINT) AS onn,
+               CAST(round(CAST(b AS DOUBLE) * CAST(c AS DOUBLE)
+                 / CAST(a + b + c + d AS DOUBLE) * 1e6) AS BIGINT) AS od
+             FROM cells)
+           SELECT CAST(sum(t) AS BIGINT) AS n,
+             CAST(count(*) AS BIGINT) AS n_strata,
+             CAST(sum(a) AS BIGINT) AS sum_a,
+             CAST(sum(em) AS BIGINT) AS e_micro,
+             CAST(sum(vm) AS BIGINT) AS v_micro,
+             CAST(sum(onn) AS BIGINT) AS or_num_micro,
+             CAST(sum(od) AS BIGINT) AS or_den_micro,
+             CASE WHEN sum(vm) > 0 THEN
+               (CAST(sum(a) AS DOUBLE) - CAST(sum(em) AS DOUBLE) / 1e6)
+                 * (CAST(sum(a) AS DOUBLE) - CAST(sum(em) AS DOUBLE) / 1e6)
+                 / (CAST(sum(vm) AS DOUBLE) / 1e6)
+             END AS chi2,
+             CASE WHEN sum(od) > 0 THEN
+               CAST(sum(onn) AS DOUBLE) / CAST(sum(od) AS DOUBLE)
+             END AS or_mh
+           FROM terms""",
 
       // decontamination surgery: q77's matched windows become removals and
       // the corpus docs rebuild from surviving tokens (q79's tail)

@@ -793,6 +793,75 @@ object Eval {
       (center - half).as("wilson_lo"), (center + half).as("wilson_hi"))
   }
 
+  /** COCHRAN–MANTEL–HAENSZEL test — "is this 2×2 association REAL once
+    * I control for the stratum?", the stratified companion to
+    * [[chiSquareIndependence]] and the tabular cousin of
+    * [[aucExactPerGroup]]'s Simpson's-paradox insurance: a pooled 2×2
+    * can show an exposure→outcome link that is pure composition (one
+    * stratum has more of both); CMH tests the association WITHIN strata
+    * and pools the evidence. Per stratum k with 2×2 cells
+    * (a, b / c, d), margins n₁=a+b, n₂=c+d, m₁=a+c, m₀=b+d, T:
+    * `E_k = n₁m₁/T`, `V_k = n₁n₂m₁m₀/(T²(T−1))`,
+    * `χ² = (Σa − ΣE)² / ΣV` (1 df, no continuity correction —
+    * documented, deterministic); the Mantel–Haenszel pooled odds ratio
+    * `OR = Σ(ad/T) / Σ(bc/T)` rides along.
+    *
+    * ## Determinism / exactness
+    * Cell counts are exact BIGINTs off ONE partial-aggregable
+    * `groupBy(stratum)` with conditional sums; each stratum's E/V/ad/bc
+    * terms are ONE mirrored double chain quantized micro at the site
+    * (the [[graft.operators.Survival.logRank]] doctrine — same pooled-χ²
+    * readout shape), so the sums are exact and the readouts are single
+    * trailing IEEE chains. Single-row strata have zero variance (the
+    * pinned T−1 convention); χ² is NULL when ΣV = 0, OR when Σbc = 0.
+    *
+    * ## Scale shape (100 TB)
+    * The data-sized work is the one conditional-sum groupBy; everything
+    * after lives on #strata rows and collapses to ONE output row
+    * `(n, n_strata, sum_a, e_micro, v_micro, chi2, or_num_micro,
+    * or_den_micro, or_mh)`. */
+  def cmhTest(df: DataFrame, stratumCol: String, exposure: Column,
+              outcome: Column): DataFrame = {
+    val cells = df.select(col(stratumCol).as("_s"),
+        exposure.as("_x"), outcome.as("_y"))
+      .groupBy(col("_s"))
+      .agg(sum(when(col("_x") && col("_y"), 1L).otherwise(0L)).as("_a"),
+        sum(when(col("_x") && !col("_y"), 1L).otherwise(0L)).as("_b"),
+        sum(when(!col("_x") && col("_y"), 1L).otherwise(0L)).as("_c"),
+        sum(when(!col("_x") && !col("_y"), 1L).otherwise(0L)).as("_d"))
+    val t = col("_a") + col("_b") + col("_c") + col("_d")
+    val (n1, n2) = (col("_a") + col("_b"), col("_c") + col("_d"))
+    val (m1, m0) = (col("_a") + col("_c"), col("_b") + col("_d"))
+    val terms = cells.select(col("_a"), col("_b"), col("_c"), col("_d"),
+      t.as("_t"),
+      round(n1.cast("double") * m1.cast("double") / t.cast("double") * lit(1e6))
+        .cast("long").as("_em"),
+      when(t > 1L,
+        round(n1.cast("double") * n2.cast("double") / t.cast("double") *
+          m1.cast("double") / t.cast("double") *
+          m0.cast("double") / (t - lit(1L)).cast("double") * lit(1e6))
+          .cast("long")).otherwise(lit(0L)).as("_vm"),
+      round(col("_a").cast("double") * col("_d").cast("double") /
+        t.cast("double") * lit(1e6)).cast("long").as("_on"),
+      round(col("_b").cast("double") * col("_c").cast("double") /
+        t.cast("double") * lit(1e6)).cast("long").as("_od"))
+    terms
+      .agg(sum(col("_t")).as("n"), count(lit(1)).as("n_strata"),
+        sum(col("_a")).as("sum_a"), sum(col("_em")).as("e_micro"),
+        sum(col("_vm")).as("v_micro"), sum(col("_on")).as("or_num_micro"),
+        sum(col("_od")).as("or_den_micro"))
+      .select(col("n"), col("n_strata"), col("sum_a"), col("e_micro"),
+        col("v_micro"), col("or_num_micro"), col("or_den_micro"),
+        when(col("v_micro") > 0L,
+          (col("sum_a").cast("double") - col("e_micro").cast("double") / lit(1e6)) *
+            (col("sum_a").cast("double") - col("e_micro").cast("double") / lit(1e6)) /
+            (col("v_micro").cast("double") / lit(1e6)))
+          .as("chi2"),
+        when(col("or_den_micro") > 0L,
+          col("or_num_micro").cast("double") / col("or_den_micro").cast("double"))
+          .as("or_mh"))
+  }
+
   /** MANN–WHITNEY U test with tie-corrected normal approximation — the
     * significance companion to [[aucExact]] (AUC says HOW WELL the score
     * separates the classes; U's z-score says whether the separation

@@ -4188,6 +4188,60 @@ class OperatorsSpec extends SparkSuite {
     assert(cLo >= 0.0 && cHi > 0.2)
   }
 
+  test("cmhTest: brute chain parity, Simpson's-paradox strata give chi2 0 and OR 1, zero-variance and zero-denominator NULLs") {
+    import spark.implicits._
+    import graft.operators.Eval
+
+    def expand(strata: Seq[(String, Long, Long, Long, Long)]) =
+      strata.flatMap { case (g, a, b, c, d) =>
+        Seq.fill(a.toInt)((g, true, true)) ++ Seq.fill(b.toInt)((g, true, false)) ++
+        Seq.fill(c.toInt)((g, false, true)) ++ Seq.fill(d.toInt)((g, false, false))
+      }.toDF("g", "x", "y")
+    def run(strata: Seq[(String, Long, Long, Long, Long)]) =
+      Eval.cmhTest(expand(strata), "g", col("x"), col("y")).collect()(0)
+    def mirror(strata: Seq[(String, Long, Long, Long, Long)])
+        : (Long, Long, Long) = {
+      var (sa, em, vm) = (0L, 0L, 0L)
+      for ((_, a, b, c, d) <- strata) {
+        val t = a + b + c + d
+        sa += a
+        em += math.round((a + b).toDouble * (a + c).toDouble / t.toDouble * 1e6)
+        if (t > 1)
+          vm += math.round((a + b).toDouble * (c + d).toDouble / t.toDouble *
+            (a + c).toDouble / t.toDouble * (b + d).toDouble /
+            (t - 1).toDouble * 1e6)
+      }
+      (sa, em, vm)
+    }
+
+    // Simpson's shape: both strata have OR exactly 1 (no within-stratum
+    // association) though pooling them would show one -> chi2 exactly 0,
+    // OR_MH exactly 1
+    val simpson = Seq(("s1", 90L, 10L, 9L, 1L), ("s2", 1L, 9L, 10L, 90L))
+    val sOut = run(simpson)
+    assert(sOut.getDouble(7) == 0.0, s"chi2: $sOut")
+    assert(sOut.getDouble(8) == 1.0, s"or: $sOut")
+    assert(sOut.getLong(0) == 220L && sOut.getLong(1) == 2L)
+
+    // random strata: exact chain parity
+    val rnd = new scala.util.Random(41)
+    val rand = (1 to 4).map(i => (s"g$i", 1L + rnd.nextInt(30),
+      1L + rnd.nextInt(30), 1L + rnd.nextInt(30), 1L + rnd.nextInt(30)))
+    val rOut = run(rand)
+    val (sa, em, vm) = mirror(rand)
+    assert(rOut.getLong(2) == sa && rOut.getLong(3) == em && rOut.getLong(4) == vm)
+    val chi2 = (sa.toDouble - em.toDouble / 1e6) *
+      (sa.toDouble - em.toDouble / 1e6) / (vm.toDouble / 1e6)
+    assert(rOut.getDouble(7) == chi2, "chi2 must be the identical IEEE chain")
+
+    // perfect diagonal: bc mass is zero -> OR_MH NULL (chi2 still real)
+    val degen = run(Seq(("s", 5L, 0L, 0L, 3L)))
+    assert(degen.isNullAt(8) && !degen.isNullAt(7))
+    // everyone exposed: n2 = 0 -> zero variance -> chi2 NULL, OR NULL
+    val const = run(Seq(("s", 4L, 6L, 0L, 0L)))
+    assert(const.isNullAt(7) && const.isNullAt(8))
+  }
+
   test("cohensKappa: hand confusion matrix, disjoint-label raters, perfect agreement, constant raters NULL") {
     import spark.implicits._
     import graft.operators.Eval
