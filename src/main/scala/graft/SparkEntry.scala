@@ -281,6 +281,7 @@ object SparkEntry {
     "q220_logrank" -> q220,
     "q221_wilson" -> q221,
     "q222_cmh" -> q222,
+    "q223_kmeans_quality" -> q223,
   )
 
   /** Round count for the parameterized BPE lifecycle (q163/q164) — read
@@ -3753,6 +3754,14 @@ object SparkEntry {
       outcome = col("qu") >= 500000L)
   }
 
+  /** Cluster-quality readout over q218's exact k-means: per-cluster
+    * inertia (the elbow number) + simplified silhouette
+    * ([[graft.operators.Similarity.kmeansQuality]]) — the O(n·k)
+    * silhouette, the only one that exists at corpus scale. */
+  private def q223(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Similarity.kmeansQuality(
+      Tables.embeddings(s, dir), "vec_id", "embedding", k = 8, rounds = 3)
+
   // =====================================================================
   // DuckDB oracle SQL — same semantics, same column names, same ORDER BY.
   // =====================================================================
@@ -5384,6 +5393,33 @@ object SparkEntry {
                CAST(sum(onn) AS DOUBLE) / CAST(sum(od) AS DOUBLE)
              END AS or_mh
            FROM terms""",
+
+      // kmeans quality: the q218 chain, then own/next distances from the
+      // ranked dist_f (rn 1 and 2 — the assignment's own tie-break),
+      // simplified silhouette one sqrt/sqrt/divide chain quantized micro
+      "q223_kmeans_quality" -> {
+        val rounds = 3
+        s"""WITH ${kmeansChainSql(k = 8, rounds = rounds)},
+           rk AS (SELECT vec_id, c, dist,
+               row_number() OVER (PARTITION BY vec_id ORDER BY dist, c) AS rn
+             FROM dist_f),
+           ab AS (SELECT o.vec_id, o.c AS cluster, o.dist AS d1,
+               CASE WHEN greatest(sqrt(CAST(o.dist AS DOUBLE)),
+                   sqrt(CAST(x.dist AS DOUBLE))) > 0 THEN
+                 CAST(round((sqrt(CAST(x.dist AS DOUBLE))
+                     - sqrt(CAST(o.dist AS DOUBLE)))
+                   / greatest(sqrt(CAST(o.dist AS DOUBLE)),
+                     sqrt(CAST(x.dist AS DOUBLE))) * 1e6) AS BIGINT)
+               ELSE 0 END AS sm
+             FROM rk o JOIN rk x
+               ON x.vec_id = o.vec_id AND o.rn = 1 AND x.rn = 2)
+           SELECT cluster, CAST(count(*) AS BIGINT) AS n_assigned,
+             CAST(sum(CAST(d1 AS HUGEINT)) AS DOUBLE) AS inertia,
+             CAST(sum(sm) AS BIGINT) AS s_sum_micro,
+             CAST(sum(sm) AS DOUBLE) / 1e6 / CAST(count(*) AS DOUBLE)
+               AS silhouette_mean
+           FROM ab GROUP BY cluster ORDER BY cluster"""
+      },
 
       // decontamination surgery: q77's matched windows become removals and
       // the corpus docs rebuild from surviving tokens (q79's tail)

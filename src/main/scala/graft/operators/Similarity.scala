@@ -602,6 +602,64 @@ object Similarity {
     (pts, cents)
   }
 
+  /** K-MEANS QUALITY — the "is k right / did training converge" readout
+    * over [[kmeansExact]]'s integer trajectory: per cluster the exact
+    * INERTIA (Σ squared L2 to the own centroid — the elbow-curve
+    * number) and the SIMPLIFIED SILHOUETTE (Hruschka et al.: distance
+    * to own centroid vs nearest OTHER centroid — the O(n·k) form of the
+    * O(n²) classic, the only silhouette that exists at corpus scale).
+    *
+    * ## Determinism / exactness
+    * Squared distances are exact BIGINTs; inertia sums ride
+    * DECIMAL(38). Each row's silhouette `(b−a)/max(a,b)` takes two
+    * exactly-rounded IEEE sqrts of exact integers and one division —
+    * quantized to micro at the site (rows WITH a zero max, i.e. sitting
+    * on two centroids at once, pin to 0), summed exactly per cluster;
+    * the mean is the single trailing division. The own/other split
+    * reuses the argmin's (dist, cluster) struct order, so ties break
+    * identically to assignment.
+    *
+    * ## Scale shape (100 TB)
+    * One narrow projection against the k·dim plan-literal centroids
+    * (both distances fall out of ONE sorted struct array), one
+    * partial-aggregable groupBy(cluster). Returns one row per NON-EMPTY
+    * cluster `(cluster, n_assigned, inertia, s_sum_micro,
+    * silhouette_mean)`; requires k ≥ 2 (no "other" centroid exists
+    * otherwise). */
+  def kmeansQuality(corpus: DataFrame, idCol: String, vecCol: String,
+                    k: Int, rounds: Int,
+                    quantScale: Long = 1000000L): DataFrame = {
+    require(k >= 2, s"silhouette needs k >= 2, got $k")
+    val (pts, cents) =
+      trainKmeansQuantized(corpus, idCol, vecCol, k, rounds, quantScale)
+    val sorted = array_sort(array(cents.toSeq.map { case (c, v) =>
+      struct(
+        aggregate(zip_with(col("_q"), array(v.map(lit(_)).toSeq: _*),
+          (a, b) => (a - b) * (a - b)), lit(0L), (acc, x) => acc + x)
+          .as("dist"),
+        lit(c.toLong).as("c"))
+    }: _*))
+    val a = sqrt(col("_s").getItem(0).getField("dist").cast("double"))
+    val b = sqrt(col("_s").getItem(1).getField("dist").cast("double"))
+    pts
+      .withColumn("_s", sorted)
+      .select(col("_s").getItem(0).getField("c").as("cluster"),
+        col("_s").getItem(0).getField("dist").as("_d1"),
+        when(greatest(a, b) > 0.0,
+          round((b - a) / greatest(a, b) * lit(1e6)).cast("long"))
+          .otherwise(lit(0L)).as("_sm"))
+      .groupBy(col("cluster"))
+      .agg(count(lit(1)).as("n_assigned"),
+        sum(col("_d1").cast("decimal(38,0)")).as("_inertia"),
+        sum(col("_sm")).as("s_sum_micro"))
+      .select(col("cluster"), col("n_assigned"),
+        col("_inertia").cast("double").as("inertia"),
+        col("s_sum_micro"),
+        (col("s_sum_micro").cast("double") / lit(1e6) /
+          col("n_assigned").cast("double")).as("silhouette_mean"))
+      .orderBy(col("cluster"))
+  }
+
   /** IVF ANN with an EXACT gate, end to end — [[buildIvfIndex]]'s shape
     * (train centroids → bucket the corpus → probe a few buckets per
     * query → exact re-rank) rebuilt on [[kmeansExact]]'s integer

@@ -4242,6 +4242,77 @@ class OperatorsSpec extends SparkSuite {
     assert(const.isNullAt(7) && const.isNullAt(8))
   }
 
+  test("kmeansQuality: brute inertia and simplified silhouette parity, on-two-centroids pin, tight-vs-spread ordering") {
+    import spark.implicits._
+    import graft.operators.Similarity
+
+    def lloyd(pts: Seq[(Long, Seq[Long])], k: Int, rounds: Int): Seq[(Int, Seq[Long])] = {
+      var cents: Seq[(Int, Seq[Long])] = pts.sortBy(_._1).take(k)
+        .zipWithIndex.map { case ((_, v), i) => (i + 1, v) }
+      def assign(v: Seq[Long]): Int = cents.minBy { case (c, w) =>
+        (v.zip(w).map { case (x, y) => (x - y) * (x - y) }.sum, c) }._1
+      for (_ <- 1 to rounds) {
+        val g = pts.groupBy(p => assign(p._2))
+        cents = cents.map { case (c, old) =>
+          g.get(c).fold((c, old)) { m =>
+            (c, old.indices.map(d => Math.floorDiv(m.map(_._2(d)).sum, m.size.toLong)))
+          }
+        }
+      }
+      cents
+    }
+    // cluster A tight around (10,10), cluster B spread around (400,-50);
+    // seeds (ids 1, 2) land one per cluster
+    val pts: Seq[(Long, Seq[Long])] =
+      Seq(1L -> Seq(10L, 10L), 2L -> Seq(400L, -50L)) ++
+      (3L to 6L).map(i => i -> Seq(9L + (i % 3), 10L)) ++
+      (7L to 10L).map(i => i -> Seq(360L + 20 * (i - 7), -50L))
+    val df = pts.map { case (id, v) => (id, v.map(_.toFloat).toArray) }
+      .toDF("vec_id", "embedding")
+    val got = Similarity.kmeansQuality(df, "vec_id", "embedding",
+      k = 2, rounds = 2, quantScale = 1L)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getDouble(2), r.getLong(3), r.getDouble(4))).toMap
+
+    val cents = lloyd(pts, 2, 2)
+    def d2(v: Seq[Long], w: Seq[Long]) =
+      v.zip(w).map { case (x, y) => (x - y) * (x - y) }.sum
+    val per = pts.map { case (_, v) =>
+      val ds = cents.map { case (c, w) => (d2(v, w), c.toLong) }.sorted
+      val (dOwn, own) = ds(0); val dNext = ds(1)._1
+      val (sa, sb) = (math.sqrt(dOwn.toDouble), math.sqrt(dNext.toDouble))
+      val sm = if (math.max(sa, sb) > 0)
+        math.round((sb - sa) / math.max(sa, sb) * 1e6) else 0L
+      (own, dOwn, sm)
+    }
+    val want = per.groupBy(_._1).map { case (c, rows) =>
+      c -> (rows.size.toLong, rows.map(_._2).sum.toDouble,
+        rows.map(_._3).sum,
+        rows.map(_._3).sum.toDouble / 1e6 / rows.size.toDouble)
+    }
+    assert(got == want, s"got $got want $want")
+    // the tight cluster separates better than the spread one
+    val tight = got(1L)._4; val spread = got(2L)._4
+    assert(tight > spread && tight > 0.9)
+
+    // duplicate seed vectors collapse to identical centroids: every
+    // point sits on two centroids at once -> silhouette pinned to 0
+    // (zero-max convention), inertia still exact
+    val dup = Similarity.kmeansQuality(
+      Seq((1L, Array(0f, 0f)), (2L, Array(0f, 0f)), (3L, Array(2f, 0f)))
+        .toDF("vec_id", "embedding"),
+      "vec_id", "embedding", k = 2, rounds = 1, quantScale = 1L)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2),
+        r.getLong(3))).toSeq
+    // c1 = c2 = (0,0) after the mean of {(0,0),(0,0),(2,0)} floors to
+    // (0,0)? -> verify against the brute mirror instead of hand numbers
+    val bCents = lloyd(Seq(1L -> Seq(0L, 0L), 2L -> Seq(0L, 0L),
+      3L -> Seq(2L, 0L)), 2, 1)
+    assert(bCents(0)._2 == bCents(1)._2,
+      s"construction sanity: centroids must collide, got $bCents")
+    assert(dup.forall(_._4 == 0L), s"on-two-centroids rows pin to 0: $dup")
+  }
+
   test("cohensKappa: hand confusion matrix, disjoint-label raters, perfect agreement, constant raters NULL") {
     import spark.implicits._
     import graft.operators.Eval
