@@ -1109,5 +1109,63 @@ class ScaleSpec extends SparkSuite {
     assert(cfPlan.contains("partial_count"),
       s"conformal sizes partial-aggregate:\n$cfPlan")
   }
+
+  test("round-8c operators: ivf candidate fetch is an equi-join, kmeans update partial-aggregates, logrank/cmh collapse before windows") {
+    import spark.implicits._
+
+    // ivf: the probe list is plan metadata (no join to rank centroids);
+    // the only join is the equi-join on the cluster id; the top-k window
+    // partitions by query — nothing cartesian, nothing single-partition
+    val rnd = new scala.util.Random(43)
+    val emb = (1L to 2000L).map(i =>
+      (i, Array.fill(8)(rnd.nextInt(1000).toFloat))).toDF("vec_id", "embedding")
+    val ivf = graft.operators.Similarity.ivfExactTopK(
+      emb.where(col("vec_id") % 200 === 0), emb, "vec_id", "embedding",
+      k = 5, nCentroids = 4, rounds = 1, probes = 2)
+    ivf.collect()
+    val iPlan = ivf.queryExecution.executedPlan.toString.split("== Initial Plan ==").head
+    assert(!iPlan.contains("CartesianProduct"), s"ivf fetch stays equi:\n$iPlan")
+    assert(!iPlan.linesIterator.exists(l =>
+      l.contains("Window") && l.contains("SinglePartition")),
+      s"ivf top-k partitions by query:\n$iPlan")
+
+    // kmeans: the emitted table's sizes branch partial-aggregates over
+    // the narrow assignment projection (model-in-the-plan: no join
+    // anywhere on the data path)
+    val km = graft.operators.Similarity.kmeansExact(
+      emb, "vec_id", "embedding", k = 4, rounds = 1)
+    km.collect()
+    val kPlan = km.queryExecution.executedPlan.toString.split("== Initial Plan ==").head
+    assert(kPlan.contains("partial_count"),
+      s"kmeans sizes partial-aggregate:\n$kPlan")
+    assert(!kPlan.contains("CartesianProduct"), s"kmeans joins broadcast:\n$kPlan")
+
+    // logrank: both cohorts collapse to day histograms (partial-agg)
+    // BEFORE the day-universe windows; totals attach by broadcast
+    val ca = (1 to 3000).map(i => (i % 60L, i % 3 != 0)).toDF("dur", "ev")
+    val cb = (1 to 2500).map(i => (i % 45L, i % 4 != 0)).toDF("dur", "ev")
+    val lr = graft.operators.Survival.logRank(ca, cb, col("dur"), col("ev"))
+    lr.collect()
+    val lPlan = lr.queryExecution.executedPlan.toString.split("== Initial Plan ==").head
+    assert(lPlan.contains("partial_sum") || lPlan.contains("partial_count"),
+      s"logrank histograms partial-aggregate:\n$lPlan")
+    assert(!lPlan.contains("SortMergeJoin"),
+      s"logrank totals attach by broadcast:\n$lPlan")
+
+    // cmh/wilson: one conditional-sum groupBy each, no window at all on
+    // the data path, no cartesian beyond the 1-row broadcast attaches
+    val rows = (1 to 5000).map(i =>
+      (s"s${i % 7}", i % 2 == 0, i % 3 == 0)).toDF("g", "x", "y")
+    val cmh = graft.operators.Eval.cmhTest(rows, "g", col("x"), col("y"))
+    cmh.collect()
+    val cPlan = cmh.queryExecution.executedPlan.toString.split("== Initial Plan ==").head
+    assert(cPlan.contains("partial_sum"), s"cmh cells partial-aggregate:\n$cPlan")
+    assert(!cPlan.contains("Window"), s"cmh carries no window:\n$cPlan")
+    val wil = graft.operators.Eval.wilsonInterval(rows, "g", col("x"))
+    wil.collect()
+    val wPlan = wil.queryExecution.executedPlan.toString.split("== Initial Plan ==").head
+    assert(wPlan.contains("partial_count") && !wPlan.contains("Window"),
+      s"wilson is one aggregate:\n$wPlan")
+  }
 }
 
