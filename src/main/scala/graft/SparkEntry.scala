@@ -282,6 +282,7 @@ object SparkEntry {
     "q221_wilson" -> q221,
     "q222_cmh" -> q222,
     "q223_kmeans_quality" -> q223,
+    "q224_rouge" -> q224,
   )
 
   /** Round count for the parameterized BPE lifecycle (q163/q164) — read
@@ -3762,6 +3763,20 @@ object SparkEntry {
     graft.operators.Similarity.kmeansQuality(
       Tables.embeddings(s, dir), "vec_id", "embedding", k = 8, rounds = 3)
 
+  /** ROUGE-3 contamination suspects on q77's corpus/benchmark split
+    * ([[graft.operators.Eval.rougeN]]): pairs with F1 ≥ 1% — the
+    * paraphrase-ish overlap read q77's exact-window scan misses; the
+    * two run together in a decontamination pass. */
+  private def q224(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    graft.operators.Eval.rougeN(
+        docs.where(col("doc_id") % 10 =!= 0),
+        docs.where(col("doc_id") % 10 === 0),
+        "doc_id", "text", n = 3)
+      .where(col("f1_micro") >= 10000L)
+      .orderBy(col("doc_id"), col("ref_id"))
+  }
+
   // =====================================================================
   // DuckDB oracle SQL — same semantics, same column names, same ORDER BY.
   // =====================================================================
@@ -5420,6 +5435,42 @@ object SparkEntry {
                AS silhouette_mean
            FROM ab GROUP BY cluster ORDER BY cluster"""
       },
+
+      // ROUGE-3: per-side NON-distinct shingle counts over the shared
+      // 60-bit md5 gram universe, clipped-min match per overlapping
+      // pair, micro scores by integer floor division (all nonnegative,
+      // so // == the engine's pmod form)
+      "q224_rouge" ->
+        s"""WITH cg AS (
+             SELECT cid, CAST('0x' || substr(md5(g), 1, 15) AS BIGINT) AS k,
+               CAST(count(*) AS BIGINT) AS c1
+             FROM (SELECT doc_id AS cid, unnest(${shingles(3)}) AS g
+                   FROM (SELECT doc_id, $toks AS toks FROM documents
+                         WHERE doc_id % 10 <> 0) t) u
+             GROUP BY 1, 2),
+           rg AS (
+             SELECT rid, CAST('0x' || substr(md5(g), 1, 15) AS BIGINT) AS k,
+               CAST(count(*) AS BIGINT) AS c2
+             FROM (SELECT doc_id AS rid, unnest(${shingles(3)}) AS g
+                   FROM (SELECT doc_id, $toks AS toks FROM documents
+                         WHERE doc_id % 10 = 0) t) u
+             GROUP BY 1, 2),
+           m AS (SELECT cid, rid, CAST(sum(least(c1, c2)) AS BIGINT) AS n_match
+                 FROM cg JOIN rg ON cg.k = rg.k GROUP BY 1, 2),
+           ct AS (SELECT doc_id AS cid, CAST(len(${shingles(3)}) AS BIGINT) AS ctot
+                  FROM (SELECT doc_id, $toks AS toks FROM documents
+                        WHERE doc_id % 10 <> 0) t),
+           rt AS (SELECT doc_id AS rid, CAST(len(${shingles(3)}) AS BIGINT) AS rtot
+                  FROM (SELECT doc_id, $toks AS toks FROM documents
+                        WHERE doc_id % 10 = 0) t)
+           SELECT m.cid AS doc_id, m.rid AS ref_id, m.n_match,
+             ct.ctot AS cand_total, rt.rtot AS ref_total,
+             (1000000 * m.n_match) // ct.ctot AS precision_micro,
+             (1000000 * m.n_match) // rt.rtot AS recall_micro,
+             (2000000 * m.n_match) // (ct.ctot + rt.rtot) AS f1_micro
+           FROM m JOIN ct ON ct.cid = m.cid JOIN rt ON rt.rid = m.rid
+           WHERE (2000000 * m.n_match) // (ct.ctot + rt.rtot) >= 10000
+           ORDER BY doc_id, ref_id""",
 
       // decontamination surgery: q77's matched windows become removals and
       // the corpus docs rebuild from surviving tokens (q79's tail)

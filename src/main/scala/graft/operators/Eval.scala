@@ -762,6 +762,55 @@ object Eval {
           (col("_na") * col("_nb")).cast("double")).as("ks"))
   }
 
+  /** ROUGE-N contamination scores — clipped n-gram overlap of every
+    * corpus document against every benchmark item it SHARES an n-gram
+    * with (Lin 2004's recall + precision + F1): where q77's span scan
+    * answers "which exact 4-gram windows leaked", ROUGE grades the
+    * LOOSER paraphrase-ish overlap an exact window match misses — the
+    * two reads a decontamination pass runs together. Counts are clipped
+    * per n-gram (`Σ_g min(cand_g, ref_g)`); with the shared numerator,
+    * `F1 = 2m/(|cand| + |ref|)` exactly, so all three scores are floor
+    * divisions of exact integers (micro units).
+    *
+    * ## Scale shape (100 TB)
+    * N-grams shuffle as 60-bit md5 keys (the inverted-index universe —
+    * both engines compute over the same hashed grams, [[graft.operators
+    * .Dedup]]'s doctrine); per-side counts partial-aggregate BEFORE the
+    * join, so the equi-join is (corpus gram-type) × (benchmark
+    * postings) — a gram's fan-out is bounded by the BENCHMARK's size,
+    * never the corpus, and pairs sharing nothing never exist. Totals
+    * are per-doc projections (no second scan). Returns one row per
+    * overlapping pair `(idCol, ref_id, n_match, cand_total, ref_total,
+    * precision_micro, recall_micro, f1_micro)`. */
+  def rougeN(cand: DataFrame, ref: DataFrame, idCol: String,
+             textCol: String, n: Int): DataFrame = {
+    require(n >= 1, s"n must be >= 1, got $n")
+    def gramCounts(df: DataFrame, id: String, cnt: String): DataFrame = df
+      .select(col(idCol).as(id),
+        explode(graft.functions.Text.fastWordShingles(col(textCol), n)).as("_g"))
+      .groupBy(col(id), Dedup.shingleKey(col("_g")).as("_k"))
+      .agg(count(lit(1)).as(cnt))
+    def totals(df: DataFrame, id: String, tot: String): DataFrame = df
+      .select(col(idCol).as(id),
+        size(graft.functions.Text.fastWordShingles(col(textCol), n)).cast("long")
+          .as(tot))
+    val matches = gramCounts(cand, "_cid", "_c1")
+      .join(gramCounts(ref, "_rid", "_c2"), Seq("_k"))
+      .groupBy(col("_cid"), col("_rid"))
+      .agg(sum(least(col("_c1"), col("_c2"))).as("n_match"))
+    matches
+      .join(totals(cand, "_cid", "_ct"), Seq("_cid"))
+      .join(broadcast(totals(ref, "_rid", "_rt")), Seq("_rid"))
+      .select(col("_cid").as(idCol), col("_rid").as("ref_id"),
+        col("n_match"), col("_ct").as("cand_total"), col("_rt").as("ref_total"),
+        expr("(1000000 * n_match - pmod(1000000 * n_match, _ct)) DIV _ct")
+          .as("precision_micro"),
+        expr("(1000000 * n_match - pmod(1000000 * n_match, _rt)) DIV _rt")
+          .as("recall_micro"),
+        expr("""(2000000 * n_match - pmod(2000000 * n_match, _ct + _rt))
+                DIV (_ct + _rt)""").as("f1_micro"))
+  }
+
   /** WILSON score interval per group — the confidence band a dashboard
     * should draw around every pass/conversion rate (the naive ±z√(p̂q̂/n)
     * band collapses to zero width at p̂ ∈ {0, 1} and escapes [0, 1]; the

@@ -4313,6 +4313,40 @@ class OperatorsSpec extends SparkSuite {
     assert(dup.forall(_._4 == 0L), s"on-two-centroids rows pin to 0: $dup")
   }
 
+  test("rougeN: clipped n-gram counts, only shared-gram pairs exist, exact micro floors, self-match is 1") {
+    import spark.implicits._
+    import graft.operators.Eval
+
+    def run(cand: Seq[(Long, String)], ref: Seq[(Long, String)], n: Int) =
+      Eval.rougeN(cand.toDF("doc_id", "text"), ref.toDF("doc_id", "text"),
+        "doc_id", "text", n)
+        .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+          (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5),
+            r.getLong(6), r.getLong(7))).toMap
+
+    // cand1 bigrams: "a b"x2, "b c", "c a" (total 4); ref10: "a b",
+    // "b c", "c c" (total 3) -> clipped match = min(2,1)+min(1,1) = 2
+    val got = run(Seq(1L -> "a b c a b", 2L -> "x y z"),
+      Seq(10L -> "a b c c", 11L -> "p q r"), n = 2)
+    assert(got.keySet == Set((1L, 10L)),
+      s"only the overlapping pair exists: ${got.keySet}")
+    assert(got((1L, 10L)) == ((2L, 4L, 3L,
+      500000L, 666666L, 571428L)), s"got ${got((1L, 10L))}")
+
+    // clipping is real: "a a a a" has the bigram 3x, the ref once ->
+    // match clips to 1, not 3
+    val clip = run(Seq(1L -> "a a a a"), Seq(9L -> "a a"), n = 2)
+    assert(clip((1L, 9L)) == ((1L, 3L, 1L, 333333L, 1000000L, 500000L)))
+
+    // identical texts: precision = recall = f1 = exactly 1e6
+    val self = run(Seq(5L -> "w x y z w x"), Seq(6L -> "w x y z w x"), n = 3)
+    assert(self((5L, 6L)) == ((4L, 4L, 4L, 1000000L, 1000000L, 1000000L)))
+
+    // sub-n-word docs degrade to the whole-text single shingle
+    val tiny = run(Seq(1L -> "hello"), Seq(2L -> "hello"), n = 3)
+    assert(tiny((1L, 2L)) == ((1L, 1L, 1L, 1000000L, 1000000L, 1000000L)))
+  }
+
   test("cohensKappa: hand confusion matrix, disjoint-label raters, perfect agreement, constant raters NULL") {
     import spark.implicits._
     import graft.operators.Eval
