@@ -283,6 +283,7 @@ object SparkEntry {
     "q222_cmh" -> q222,
     "q223_kmeans_quality" -> q223,
     "q224_rouge" -> q224,
+    "q225_bleu" -> q225,
   )
 
   /** Round count for the parameterized BPE lifecycle (q163/q164) — read
@@ -3777,6 +3778,21 @@ object SparkEntry {
       .orderBy(col("doc_id"), col("ref_id"))
   }
 
+  /** Log-space BLEU-4 on exactly the pairs q224's ROUGE pass flagged
+    * ([[graft.operators.Eval.bleuPairs]]) — the precision-side verdict
+    * on each contamination suspect; the all-pairs explosion never
+    * exists because the pair list bounds every join. */
+  private def q225(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val cand = docs.where(col("doc_id") % 10 =!= 0)
+    val ref = docs.where(col("doc_id") % 10 === 0)
+    val pairs = graft.operators.Eval.rougeN(cand, ref, "doc_id", "text", n = 3)
+      .where(col("f1_micro") >= 10000L)
+      .select(col("doc_id"), col("ref_id"))
+    graft.operators.Eval.bleuPairs(pairs, cand, ref, "doc_id", "text", maxN = 4)
+      .orderBy(col("doc_id"), col("ref_id"))
+  }
+
   // =====================================================================
   // DuckDB oracle SQL — same semantics, same column names, same ORDER BY.
   // =====================================================================
@@ -5471,6 +5487,70 @@ object SparkEntry {
            FROM m JOIN ct ON ct.cid = m.cid JOIN rt ON rt.rid = m.rid
            WHERE (2000000 * m.n_match) // (ct.ctot + rt.rtot) >= 10000
            ORDER BY doc_id, ref_id""",
+
+      // BLEU-4 on the ROUGE-flagged pairs: per n clipped matches routed
+      // THROUGH the pair list, unigram lengths for the brevity penalty,
+      // log-space readout (ln only — exp drifts across engines, the KM
+      // convention); NULL when any m_n = 0 (BLEU exactly 0)
+      "q225_bleu" -> {
+        def side(pred: String, id: String, n: Int, cn: String) =
+          s"""SELECT $id, CAST('0x' || substr(md5(g), 1, 15) AS BIGINT) AS k,
+               CAST(count(*) AS BIGINT) AS $cn
+             FROM (SELECT doc_id AS $id, unnest(${shingles(n)}) AS g
+                   FROM (SELECT doc_id, $toks AS toks FROM documents
+                         WHERE doc_id % 10 $pred) t) u
+             GROUP BY 1, 2"""
+        def tot(pred: String, id: String, n: Int, out: String) =
+          s"""SELECT doc_id AS $id, CAST(len(${shingles(n)}) AS BIGINT) AS $out
+             FROM (SELECT doc_id, $toks AS toks FROM documents
+                   WHERE doc_id % 10 $pred) t"""
+        val perN = (1 to 4).map { n =>
+          s"""cg$n AS (${side("<> 0", "cid", n, "c1")}),
+           rg$n AS (${side("= 0", "rid", n, "c2")}),
+           ct$n AS (${tot("<> 0", "cid", n, "ct")}),
+           mm$n AS (SELECT p.cid, p.rid,
+               CAST(sum(least(cg$n.c1, rg$n.c2)) AS BIGINT) AS m
+             FROM prs p JOIN cg$n ON cg$n.cid = p.cid
+               JOIN rg$n ON rg$n.rid = p.rid AND rg$n.k = cg$n.k
+             GROUP BY 1, 2)"""
+        }.mkString(",\n           ")
+        val lnTerms = (1 to 4).map(n =>
+          s"ln(CAST(m$n AS DOUBLE) / CAST(ct$n AS DOUBLE))").mkString(" + ")
+        s"""WITH rt3 AS (${tot("= 0", "rid", 3, "rt")}),
+           cg3p AS (${side("<> 0", "cid", 3, "c1")}),
+           rg3p AS (${side("= 0", "rid", 3, "c2")}),
+           ct3p AS (${tot("<> 0", "cid", 3, "ct")}),
+           rm AS (SELECT cid, rid, CAST(sum(least(c1, c2)) AS BIGINT) AS nm
+                  FROM cg3p JOIN rg3p ON cg3p.k = rg3p.k GROUP BY 1, 2),
+           prs AS (SELECT rm.cid, rm.rid
+                   FROM rm JOIN ct3p ON ct3p.cid = rm.cid
+                     JOIN rt3 ON rt3.rid = rm.rid
+                   WHERE (2000000 * rm.nm) // (ct3p.ct + rt3.rt) >= 10000),
+           $perN,
+           rl AS (${tot("= 0", "rid", 1, "rlen")}),
+           base AS (SELECT p.cid, p.rid, ct1.ct AS c_len, rl.rlen AS r_len,
+               coalesce(mm1.m, 0) AS m1, coalesce(mm2.m, 0) AS m2,
+               coalesce(mm3.m, 0) AS m3, coalesce(mm4.m, 0) AS m4,
+               ct1.ct AS ct1, ct2.ct AS ct2, ct3.ct AS ct3, ct4.ct AS ct4
+             FROM prs p
+               JOIN ct1 ON ct1.cid = p.cid
+               JOIN ct2 ON ct2.cid = p.cid
+               JOIN ct3 ON ct3.cid = p.cid
+               JOIN ct4 ON ct4.cid = p.cid
+               JOIN rl ON rl.rid = p.rid
+               LEFT JOIN mm1 ON mm1.cid = p.cid AND mm1.rid = p.rid
+               LEFT JOIN mm2 ON mm2.cid = p.cid AND mm2.rid = p.rid
+               LEFT JOIN mm3 ON mm3.cid = p.cid AND mm3.rid = p.rid
+               LEFT JOIN mm4 ON mm4.cid = p.cid AND mm4.rid = p.rid)
+           SELECT cid AS doc_id, rid AS ref_id, c_len, r_len,
+             m1 AS m_1, m2 AS m_2, m3 AS m_3, m4 AS m_4,
+             CASE WHEN m1 > 0 AND m2 > 0 AND m3 > 0 AND m4 > 0 THEN
+               CAST(round((least(0.0, 1.0 - CAST(r_len AS DOUBLE)
+                   / CAST(c_len AS DOUBLE))
+                 + ($lnTerms) / 4.0) * 1e6) AS BIGINT)
+             END AS log_bleu_micro
+           FROM base ORDER BY doc_id, ref_id"""
+      },
 
       // decontamination surgery: q77's matched windows become removals and
       // the corpus docs rebuild from surviving tokens (q79's tail)

@@ -811,6 +811,75 @@ object Eval {
                 DIV (_ct + _rt)""").as("f1_micro"))
   }
 
+  /** Pairwise BLEU (Papineni 2002) over a GIVEN candidate/reference pair
+    * list — the precision-family companion to [[rougeN]] (ROUGE asks
+    * "how much of the benchmark leaked", BLEU asks "how much of the
+    * candidate is benchmark material"); a decontamination pass runs
+    * BLEU on exactly the pairs ROUGE flagged, so the all-pairs explosion
+    * never exists. Modified (clipped) n-gram precisions for n = 1..maxN
+    * over the shared 60-bit md5 gram universe, brevity penalty from the
+    * unigram lengths, reported in LOG space:
+    * `log_bleu_micro = round(10⁶·(min(0, 1 − r/c) + Σₙ ln(mₙ/cₙ)/maxN))`
+    * — `exp` is deliberately NOT taken (libm exp drifts across engines,
+    * the [[graft.operators.Survival.kaplanMeier]] convention; `ln`
+    * agrees and is already gated there); NULL when any mₙ = 0 (BLEU is
+    * exactly 0 — no smoothing, documented).
+    *
+    * ## Scale shape (100 TB)
+    * Both sides first SEMI-JOIN to the pair list (suspect-pair-sized,
+    * not corpus-sized); per n one partial-aggregable gram count per
+    * side and one equi-join through the pair list; totals are per-doc
+    * projections. Returns one row per input pair
+    * `(idCol, ref_id, c_len, r_len, m_1..m_maxN, log_bleu_micro)`. */
+  def bleuPairs(pairs: DataFrame, cand: DataFrame, ref: DataFrame,
+                idCol: String, textCol: String, maxN: Int = 4): DataFrame = {
+    require(maxN >= 1, s"maxN must be >= 1, got $maxN")
+    val pr = pairs.select(col(idCol).as("_cid"), col("ref_id").as("_rid"))
+    val c = cand.select(col(idCol).as("_cid"), col(textCol).as("_t"))
+      .join(pr.select(col("_cid")).distinct(), Seq("_cid"), "left_semi")
+    val r = ref.select(col(idCol).as("_rid"), col(textCol).as("_t"))
+      .join(pr.select(col("_rid")).distinct(), Seq("_rid"), "left_semi")
+    def counts(df: DataFrame, id: String, n: Int, cnt: String): DataFrame = df
+      .select(col(id),
+        explode(graft.functions.Text.fastWordShingles(col("_t"), n)).as("_g"))
+      .groupBy(col(id), Dedup.shingleKey(col("_g")).as("_k"))
+      .agg(count(lit(1)).as(cnt))
+    // route cand grams through the pair list BEFORE touching the ref
+    // side: the join volume is (pair grams), never (all sharing pairs)
+    val matched = (1 to maxN).map { n =>
+      counts(c, "_cid", n, "_c1")
+        .join(pr, Seq("_cid"))
+        .join(counts(r, "_rid", n, "_c2"), Seq("_rid", "_k"))
+        .groupBy(col("_cid"), col("_rid"))
+        .agg(sum(least(col("_c1"), col("_c2"))).as(s"m_$n"))
+    }
+    def total(df: DataFrame, id: String, n: Int, out: String): DataFrame = df
+      .select(col(id),
+        size(graft.functions.Text.fastWordShingles(col("_t"), n)).cast("long")
+          .as(out))
+    var out = pr
+      .join(total(c, "_cid", 1, "c_len"), Seq("_cid"))
+      .join(total(r, "_rid", 1, "r_len"), Seq("_rid"))
+    for (n <- 1 to maxN) {
+      out = out
+        .join(total(c, "_cid", n, s"_ct$n"), Seq("_cid"))
+        .join(matched(n - 1), Seq("_cid", "_rid"), "left")
+        .withColumn(s"m_$n", coalesce(col(s"m_$n"), lit(0L)))
+    }
+    val logPrecisions = (1 to maxN).map(n =>
+      log(col(s"m_$n").cast("double") / col(s"_ct$n").cast("double")))
+    val logBp = least(lit(0.0),
+      lit(1.0) - col("r_len").cast("double") / col("c_len").cast("double"))
+    out.select(
+      Seq(col("_cid").as(idCol), col("_rid").as("ref_id"),
+        col("c_len"), col("r_len")) ++
+      (1 to maxN).map(n => col(s"m_$n")) :+
+      when((1 to maxN).map(n => col(s"m_$n") > 0L).reduce(_ && _),
+        round((logBp + logPrecisions.reduce(_ + _) / lit(maxN.toDouble)) *
+          lit(1e6)).cast("long"))
+        .as("log_bleu_micro"): _*)
+  }
+
   /** WILSON score interval per group — the confidence band a dashboard
     * should draw around every pass/conversion rate (the naive ±z√(p̂q̂/n)
     * band collapses to zero width at p̂ ∈ {0, 1} and escapes [0, 1]; the

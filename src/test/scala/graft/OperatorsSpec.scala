@@ -4347,6 +4347,43 @@ class OperatorsSpec extends SparkSuite {
     assert(tiny((1L, 2L)) == ((1L, 1L, 1L, 1000000L, 1000000L, 1000000L)))
   }
 
+  test("bleuPairs: hand clipped precisions, brevity penalty exact -1e6, zero-gram NULL, pair list bounds output") {
+    import spark.implicits._
+    import graft.operators.Eval
+
+    def run(pairs: Seq[(Long, Long)], cand: Seq[(Long, String)],
+            ref: Seq[(Long, String)]) =
+      Eval.bleuPairs(pairs.toDF("doc_id", "ref_id"),
+        cand.toDF("doc_id", "text"), ref.toDF("doc_id", "text"),
+        "doc_id", "text", maxN = 4)
+        .collect().map(r => (r.getLong(0), r.getLong(1)) -> r).toMap
+
+    val cand = Seq(1L -> "a b c d a b c", 2L -> "a b c d",
+      3L -> "zz yy xx ww vv")
+    val ref = Seq(10L -> "a b c d", 11L -> "a b c d e f g h")
+    // pair (3,10) shares nothing; (1,11) is deliberately NOT listed
+    val got = run(Seq(1L -> 10L, 2L -> 11L, 3L -> 10L), cand, ref)
+    assert(got.keySet == Set((1L, 10L), (2L, 11L), (3L, 10L)),
+      "exactly the listed pairs")
+
+    // (1,10): m = 4/3/2/1, totals 7/6/5/4, c_len 7 > r_len 4 -> bp 0
+    val a = got((1L, 10L))
+    assert((2 to 7).map(a.getLong) == Seq(7L, 4L, 4L, 3L, 2L, 1L))
+    val want = math.round((math.min(0.0, 1.0 - 4.0 / 7.0) +
+      (math.log(4.0 / 7.0) + math.log(3.0 / 6.0) + math.log(2.0 / 5.0) +
+        math.log(1.0 / 4.0)) / 4.0) * 1e6)
+    assert(a.getLong(8) == want, s"got ${a.getLong(8)} want $want")
+
+    // (2,11): every n-gram matches but cand is half the ref length ->
+    // log-BLEU is exactly the brevity penalty, -1e6 micro
+    val b = got((2L, 11L))
+    assert(b.getLong(2) == 4L && b.getLong(3) == 8L && b.getLong(8) == -1000000L)
+
+    // (3,10): zero shared grams at every n -> NULL (BLEU exactly 0)
+    val z = got((3L, 10L))
+    assert((4 to 7).forall(i => z.getLong(i) == 0L) && z.isNullAt(8))
+  }
+
   test("cohensKappa: hand confusion matrix, disjoint-label raters, perfect agreement, constant raters NULL") {
     import spark.implicits._
     import graft.operators.Eval
