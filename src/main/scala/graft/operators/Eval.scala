@@ -684,8 +684,12 @@ object Eval {
   def theilSenSlope(series: DataFrame, groupCol: String, xCol: Column,
                     yCol: Column, microUnits: Long = 1000000L): DataFrame = {
     require(microUnits >= 1L, s"microUnits must be >= 1, got $microUnits")
+    // the series joins against ITSELF — cut the lineage or the caller's
+    // aggregation pipeline (often a multi-join rollup) runs once per
+    // side; the frame is model-sized by contract, so the cut is free
     val s = series.select(col(groupCol),
       xCol.cast("long").as("_x"), yCol.cast("long").as("_y"))
+      .localCheckpoint()
     val a = s.select(col(groupCol), col("_x").as("_xa"), col("_y").as("_ya"))
     val b = s.select(col(groupCol), col("_x").as("_xb"), col("_y").as("_yb"))
     val pairs = a.join(b, Seq(groupCol))
@@ -790,17 +794,20 @@ object Eval {
         explode(graft.functions.Text.fastWordShingles(col(textCol), n)).as("_g"))
       .groupBy(col(id), Dedup.shingleKey(col("_g")).as("_k"))
       .agg(count(lit(1)).as(cnt))
-    def totals(df: DataFrame, id: String, tot: String): DataFrame = df
-      .select(col(idCol).as(id),
-        size(graft.functions.Text.fastWordShingles(col(textCol), n)).cast("long")
-          .as(tot))
-    val matches = gramCounts(cand, "_cid", "_c1")
-      .join(gramCounts(ref, "_rid", "_c2"), Seq("_k"))
+    // totals are Σ counts over the SAME gram table — no second corpus
+    // scan, no re-tokenization (checkpoint the counts: they fan into
+    // the match join and the totals rollup)
+    val cg = gramCounts(cand, "_cid", "_c1").localCheckpoint()
+    val rg = gramCounts(ref, "_rid", "_c2").localCheckpoint()
+    def totals(g: DataFrame, id: String, cnt: String, tot: String): DataFrame =
+      g.groupBy(col(id)).agg(sum(col(cnt)).as(tot))
+    val matches = cg
+      .join(rg, Seq("_k"))
       .groupBy(col("_cid"), col("_rid"))
       .agg(sum(least(col("_c1"), col("_c2"))).as("n_match"))
     matches
-      .join(totals(cand, "_cid", "_ct"), Seq("_cid"))
-      .join(broadcast(totals(ref, "_rid", "_rt")), Seq("_rid"))
+      .join(totals(cg, "_cid", "_c1", "_ct"), Seq("_cid"))
+      .join(broadcast(totals(rg, "_rid", "_c2", "_rt")), Seq("_rid"))
       .select(col("_cid").as(idCol), col("_rid").as("ref_id"),
         col("n_match"), col("_ct").as("cand_total"), col("_rt").as("ref_total"),
         expr("(1000000 * n_match - pmod(1000000 * n_match, _ct)) DIV _ct")
@@ -844,25 +851,30 @@ object Eval {
         explode(graft.functions.Text.fastWordShingles(col("_t"), n)).as("_g"))
       .groupBy(col(id), Dedup.shingleKey(col("_g")).as("_k"))
       .agg(count(lit(1)).as(cnt))
+    // per n, ONE gram-count table per side serves both the match join
+    // and (as a Σ-counts rollup) the precision totals — no second scan,
+    // no re-tokenization; checkpointed at the fan-out
+    val cCounts = (1 to maxN).map(n =>
+      counts(c, "_cid", n, "_c1").localCheckpoint())
+    val rCounts = (1 to maxN).map(n =>
+      counts(r, "_rid", n, "_c2").localCheckpoint())
     // route cand grams through the pair list BEFORE touching the ref
     // side: the join volume is (pair grams), never (all sharing pairs)
     val matched = (1 to maxN).map { n =>
-      counts(c, "_cid", n, "_c1")
+      cCounts(n - 1)
         .join(pr, Seq("_cid"))
-        .join(counts(r, "_rid", n, "_c2"), Seq("_rid", "_k"))
+        .join(rCounts(n - 1), Seq("_rid", "_k"))
         .groupBy(col("_cid"), col("_rid"))
         .agg(sum(least(col("_c1"), col("_c2"))).as(s"m_$n"))
     }
-    def total(df: DataFrame, id: String, n: Int, out: String): DataFrame = df
-      .select(col(id),
-        size(graft.functions.Text.fastWordShingles(col("_t"), n)).cast("long")
-          .as(out))
+    def totalOf(g: DataFrame, id: String, cnt: String, out: String): DataFrame =
+      g.groupBy(col(id)).agg(sum(col(cnt)).as(out))
     var out = pr
-      .join(total(c, "_cid", 1, "c_len"), Seq("_cid"))
-      .join(total(r, "_rid", 1, "r_len"), Seq("_rid"))
+      .join(totalOf(cCounts(0), "_cid", "_c1", "c_len"), Seq("_cid"))
+      .join(totalOf(rCounts(0), "_rid", "_c2", "r_len"), Seq("_rid"))
     for (n <- 1 to maxN) {
       out = out
-        .join(total(c, "_cid", n, s"_ct$n"), Seq("_cid"))
+        .join(totalOf(cCounts(n - 1), "_cid", "_c1", s"_ct$n"), Seq("_cid"))
         .join(matched(n - 1), Seq("_cid", "_rid"), "left")
         .withColumn(s"m_$n", coalesce(col(s"m_$n"), lit(0L)))
     }
