@@ -794,20 +794,23 @@ object Eval {
         explode(graft.functions.Text.fastWordShingles(col(textCol), n)).as("_g"))
       .groupBy(col(id), Dedup.shingleKey(col("_g")).as("_k"))
       .agg(count(lit(1)).as(cnt))
-    // totals are Σ counts over the SAME gram table — no second corpus
-    // scan, no re-tokenization (checkpoint the counts: they fan into
-    // the match join and the totals rollup)
-    val cg = gramCounts(cand, "_cid", "_c1").localCheckpoint()
-    val rg = gramCounts(ref, "_rid", "_c2").localCheckpoint()
-    def totals(g: DataFrame, id: String, cnt: String, tot: String): DataFrame =
-      g.groupBy(col(id)).agg(sum(col(cnt)).as(tot))
-    val matches = cg
-      .join(rg, Seq("_k"))
+    // totals are ARITHMETIC on the token count (max(|toks|−n+1, 1)) —
+    // a narrow second projection, deliberately NOT a rollup of the gram
+    // table (materializing the exploded counts to reuse them measured
+    // 4× slower than this scan at sf0.1) and NOT a shingle re-build
+    def totals(df: DataFrame, id: String, tot: String): DataFrame = {
+      val nt = size(graft.functions.Text.tokens(col(textCol)))
+      df.select(col(idCol).as(id),
+        when(nt <= n, lit(1L)).otherwise((nt - lit(n) + lit(1)).cast("long"))
+          .as(tot))
+    }
+    val matches = gramCounts(cand, "_cid", "_c1")
+      .join(gramCounts(ref, "_rid", "_c2"), Seq("_k"))
       .groupBy(col("_cid"), col("_rid"))
       .agg(sum(least(col("_c1"), col("_c2"))).as("n_match"))
     matches
-      .join(totals(cg, "_cid", "_c1", "_ct"), Seq("_cid"))
-      .join(broadcast(totals(rg, "_rid", "_c2", "_rt")), Seq("_rid"))
+      .join(totals(cand, "_cid", "_ct"), Seq("_cid"))
+      .join(broadcast(totals(ref, "_rid", "_rt")), Seq("_rid"))
       .select(col("_cid").as(idCol), col("_rid").as("ref_id"),
         col("n_match"), col("_ct").as("cand_total"), col("_rt").as("ref_total"),
         expr("(1000000 * n_match - pmod(1000000 * n_match, _ct)) DIV _ct")
@@ -851,30 +854,30 @@ object Eval {
         explode(graft.functions.Text.fastWordShingles(col("_t"), n)).as("_g"))
       .groupBy(col(id), Dedup.shingleKey(col("_g")).as("_k"))
       .agg(count(lit(1)).as(cnt))
-    // per n, ONE gram-count table per side serves both the match join
-    // and (as a Σ-counts rollup) the precision totals — no second scan,
-    // no re-tokenization; checkpointed at the fan-out
-    val cCounts = (1 to maxN).map(n =>
-      counts(c, "_cid", n, "_c1").localCheckpoint())
-    val rCounts = (1 to maxN).map(n =>
-      counts(r, "_rid", n, "_c2").localCheckpoint())
     // route cand grams through the pair list BEFORE touching the ref
     // side: the join volume is (pair grams), never (all sharing pairs)
     val matched = (1 to maxN).map { n =>
-      cCounts(n - 1)
+      counts(c, "_cid", n, "_c1")
         .join(pr, Seq("_cid"))
-        .join(rCounts(n - 1), Seq("_rid", "_k"))
+        .join(counts(r, "_rid", n, "_c2"), Seq("_rid", "_k"))
         .groupBy(col("_cid"), col("_rid"))
         .agg(sum(least(col("_c1"), col("_c2"))).as(s"m_$n"))
     }
-    def totalOf(g: DataFrame, id: String, cnt: String, out: String): DataFrame =
-      g.groupBy(col(id)).agg(sum(col(cnt)).as(out))
+    // totals by token-count arithmetic (max(|toks|−n+1, 1)) — narrow
+    // projections over the pair-semi-joined sides; see [[rougeN]] for
+    // why this beats reusing the exploded gram tables
+    def total(df: DataFrame, id: String, n: Int, out: String): DataFrame = {
+      val nt = size(graft.functions.Text.tokens(col("_t")))
+      df.select(col(id),
+        when(nt <= n, lit(1L)).otherwise((nt - lit(n) + lit(1)).cast("long"))
+          .as(out))
+    }
     var out = pr
-      .join(totalOf(cCounts(0), "_cid", "_c1", "c_len"), Seq("_cid"))
-      .join(totalOf(rCounts(0), "_rid", "_c2", "r_len"), Seq("_rid"))
+      .join(total(c, "_cid", 1, "c_len"), Seq("_cid"))
+      .join(total(r, "_rid", 1, "r_len"), Seq("_rid"))
     for (n <- 1 to maxN) {
       out = out
-        .join(totalOf(cCounts(n - 1), "_cid", "_c1", s"_ct$n"), Seq("_cid"))
+        .join(total(c, "_cid", n, s"_ct$n"), Seq("_cid"))
         .join(matched(n - 1), Seq("_cid", "_rid"), "left")
         .withColumn(s"m_$n", coalesce(col(s"m_$n"), lit(0L)))
     }
