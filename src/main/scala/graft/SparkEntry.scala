@@ -1805,17 +1805,22 @@ object SparkEntry {
     * (q104's thresholds), with a per-stage survival report — the
     * dashboard a curation run actually publishes (who dropped what). All
     * three stages compose the already-oracle-checked operators; the
-    * report rows are exact BIGINT counts. The plan stays a PURE builder
-    * (no caching side effects): each stage count re-derives its prefix —
-    * a production run would checkpoint between stages, the gate keeps
-    * the algebra honest. */
+    * report rows are exact BIGINT counts. The stage frames are
+    * localCheckpointed at each fan-out: four count branches over a
+    * shared lazy lineage re-ran exact dedup and the containment
+    * shingle join once per downstream branch (18 full-width scans of
+    * `documents` in the executed plan — at 100 TB that is reading the
+    * corpus ~18× to emit 3 rows); checkpointing s1/s2 caps the plan at
+    * the two scans the algebra needs. */
   private def q112(s: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(s, dir)
     val s1 = docs.join(
       graft.operators.Dedup.exact(docs, "doc_id", "text").select(col("doc_id")),
       Seq("doc_id"), "left_semi")
+      .localCheckpoint()
     val s2 = graft.operators.Dedup.containmentDedup(s1, "doc_id", "text",
       shingleLen = 3, threshold = 0.5, maxShingleDf = 50)
+      .localCheckpoint()
     val s3 = s2.join(
       graft.operators.QualityRules.gopherFilter(s2, "doc_id", "text",
           minTokens = 30, maxTokens = 80, minMeanLen = 4.0, maxMeanLen = 4.8,

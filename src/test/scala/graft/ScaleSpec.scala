@@ -1167,5 +1167,20 @@ class ScaleSpec extends SparkSuite {
     assert(wPlan.contains("partial_count") && !wPlan.contains("Window"),
       s"wilson is one aggregate:\n$wPlan")
   }
+
+  test("pipeline report reads the corpus once: stage frames checkpointed at fan-out") {
+    // q112's scale property: the four stage counts fan out over shared
+    // lineage; without the s1/s2 localCheckpoints the executed plan held
+    // EIGHTEEN full-width parquet scans of `documents` (re-running exact
+    // dedup and the containment shingle join once per downstream branch).
+    // Checkpointing caps the corpus reads at the ≤2 the algebra needs.
+    val df = SparkEntry.queries("q112_pipeline_report")(spark, sf0001)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString.split("== Initial Plan ==").head
+    val docScans = plan.linesIterator.count(l =>
+      (l.contains("FileScan parquet") || l.contains("Scan parquet")) &&
+        l.contains("documents.parquet"))
+    assert(docScans <= 2, s"expected <=2 documents scans, got $docScans:\n$plan")
+  }
 }
 
