@@ -5462,28 +5462,29 @@ object SparkEntry {
       // pair, micro scores by integer floor division (all nonnegative,
       // so // == the engine's pmod form)
       "q224_rouge" ->
+        // `AND len(toks) > 0` mirrors rougeN's zero-token exclusion
         s"""WITH cg AS (
              SELECT cid, CAST('0x' || substr(md5(g), 1, 15) AS BIGINT) AS k,
                CAST(count(*) AS BIGINT) AS c1
              FROM (SELECT doc_id AS cid, unnest(${shingles(3)}) AS g
                    FROM (SELECT doc_id, $toks AS toks FROM documents
-                         WHERE doc_id % 10 <> 0) t) u
+                         WHERE doc_id % 10 <> 0 AND len(toks) > 0) t) u
              GROUP BY 1, 2),
            rg AS (
              SELECT rid, CAST('0x' || substr(md5(g), 1, 15) AS BIGINT) AS k,
                CAST(count(*) AS BIGINT) AS c2
              FROM (SELECT doc_id AS rid, unnest(${shingles(3)}) AS g
                    FROM (SELECT doc_id, $toks AS toks FROM documents
-                         WHERE doc_id % 10 = 0) t) u
+                         WHERE doc_id % 10 = 0 AND len(toks) > 0) t) u
              GROUP BY 1, 2),
            m AS (SELECT cid, rid, CAST(sum(least(c1, c2)) AS BIGINT) AS n_match
                  FROM cg JOIN rg ON cg.k = rg.k GROUP BY 1, 2),
            ct AS (SELECT doc_id AS cid, CAST(len(${shingles(3)}) AS BIGINT) AS ctot
                   FROM (SELECT doc_id, $toks AS toks FROM documents
-                        WHERE doc_id % 10 <> 0) t),
+                        WHERE doc_id % 10 <> 0 AND len(toks) > 0) t),
            rt AS (SELECT doc_id AS rid, CAST(len(${shingles(3)}) AS BIGINT) AS rtot
                   FROM (SELECT doc_id, $toks AS toks FROM documents
-                        WHERE doc_id % 10 = 0) t)
+                        WHERE doc_id % 10 = 0 AND len(toks) > 0) t)
            SELECT m.cid AS doc_id, m.rid AS ref_id, m.n_match,
              ct.ctot AS cand_total, rt.rtot AS ref_total,
              (1000000 * m.n_match) // ct.ctot AS precision_micro,
@@ -5498,17 +5499,18 @@ object SparkEntry {
       // log-space readout (ln only — exp drifts across engines, the KM
       // convention); NULL when any m_n = 0 (BLEU exactly 0)
       "q225_bleu" -> {
+        // `AND len(toks) > 0` mirrors bleuPairs' zero-token exclusion
         def side(pred: String, id: String, n: Int, cn: String) =
           s"""SELECT $id, CAST('0x' || substr(md5(g), 1, 15) AS BIGINT) AS k,
                CAST(count(*) AS BIGINT) AS $cn
              FROM (SELECT doc_id AS $id, unnest(${shingles(n)}) AS g
                    FROM (SELECT doc_id, $toks AS toks FROM documents
-                         WHERE doc_id % 10 $pred) t) u
+                         WHERE doc_id % 10 $pred AND len(toks) > 0) t) u
              GROUP BY 1, 2"""
         def tot(pred: String, id: String, n: Int, out: String) =
           s"""SELECT doc_id AS $id, CAST(len(${shingles(n)}) AS BIGINT) AS $out
              FROM (SELECT doc_id, $toks AS toks FROM documents
-                   WHERE doc_id % 10 $pred) t"""
+                   WHERE doc_id % 10 $pred AND len(toks) > 0) t"""
         val perN = (1 to 4).map { n =>
           s"""cg$n AS (${side("<> 0", "cid", n, "c1")}),
            rg$n AS (${side("= 0", "rid", n, "c2")}),

@@ -260,8 +260,13 @@ object Eval {
                       yBucket: Column): DataFrame = {
     // the cell histogram fans out five ways (n, both tie terms, the
     // lo/hi probe, the level explode) — checkpoint or every branch
-    // re-runs the data-wide groupBy and the caller's score expressions
+    // re-runs the data-wide groupBy and the caller's score expressions.
+    // NULL x/y rows are excluded up front (pairwise-complete, the same
+    // contract isotonicCalibration enforces): a NULL would survive the
+    // groupBy into n and the tie terms but drop out of the discordant
+    // nibble decomposition, silently skewing tau_b/gamma/z
     val cells = df
+      .where(xCol.isNotNull && yCol.isNotNull)
       .select(xCol.cast("long").as("_x"), yCol.cast("long").as("_y"),
         yBucket.cast("long").as("_yb"))
       .groupBy(col("_x"), col("_y"), col("_yb"))
@@ -783,12 +788,17 @@ object Eval {
     * join, so the equi-join is (corpus gram-type) × (benchmark
     * postings) — a gram's fan-out is bounded by the BENCHMARK's size,
     * never the corpus, and pairs sharing nothing never exist. Totals
-    * are per-doc projections (no second scan). Returns one row per
-    * overlapping pair `(idCol, ref_id, n_match, cand_total, ref_total,
-    * precision_micro, recall_micro, f1_micro)`. */
+    * are per-doc projections (no second scan). Zero-token documents are
+    * excluded from BOTH sides: the short-doc whole-text shingle rule
+    * would give every empty cand/ref pair the shared "" gram and a
+    * spurious f1_micro = 1000000 full-contamination flag. Returns one
+    * row per overlapping pair `(idCol, ref_id, n_match, cand_total,
+    * ref_total, precision_micro, recall_micro, f1_micro)`. */
   def rougeN(cand: DataFrame, ref: DataFrame, idCol: String,
              textCol: String, n: Int): DataFrame = {
     require(n >= 1, s"n must be >= 1, got $n")
+    def nonEmpty(df: DataFrame): DataFrame =
+      df.where(size(graft.functions.Text.tokens(col(textCol))) >= 1)
     def gramCounts(df: DataFrame, id: String, cnt: String): DataFrame = df
       .select(col(idCol).as(id),
         explode(graft.functions.Text.fastWordShingles(col(textCol), n)).as("_g"))
@@ -804,13 +814,15 @@ object Eval {
         when(nt <= n, lit(1L)).otherwise((nt - lit(n) + lit(1)).cast("long"))
           .as(tot))
     }
-    val matches = gramCounts(cand, "_cid", "_c1")
-      .join(gramCounts(ref, "_rid", "_c2"), Seq("_k"))
+    val c = nonEmpty(cand)
+    val r = nonEmpty(ref)
+    val matches = gramCounts(c, "_cid", "_c1")
+      .join(gramCounts(r, "_rid", "_c2"), Seq("_k"))
       .groupBy(col("_cid"), col("_rid"))
       .agg(sum(least(col("_c1"), col("_c2"))).as("n_match"))
     matches
-      .join(totals(cand, "_cid", "_ct"), Seq("_cid"))
-      .join(broadcast(totals(ref, "_rid", "_rt")), Seq("_rid"))
+      .join(totals(c, "_cid", "_ct"), Seq("_cid"))
+      .join(broadcast(totals(r, "_rid", "_rt")), Seq("_rid"))
       .select(col("_cid").as(idCol), col("_rid").as("ref_id"),
         col("n_match"), col("_ct").as("cand_total"), col("_rt").as("ref_total"),
         expr("(1000000 * n_match - pmod(1000000 * n_match, _ct)) DIV _ct")
@@ -845,9 +857,13 @@ object Eval {
                 idCol: String, textCol: String, maxN: Int = 4): DataFrame = {
     require(maxN >= 1, s"maxN must be >= 1, got $maxN")
     val pr = pairs.select(col(idCol).as("_cid"), col("ref_id").as("_rid"))
+    // zero-token docs are excluded (the [[rougeN]] contract — the
+    // whole-text shingle rule would hand empty pairs the "" gram)
     val c = cand.select(col(idCol).as("_cid"), col(textCol).as("_t"))
+      .where(size(graft.functions.Text.tokens(col("_t"))) >= 1)
       .join(pr.select(col("_cid")).distinct(), Seq("_cid"), "left_semi")
     val r = ref.select(col(idCol).as("_rid"), col(textCol).as("_t"))
+      .where(size(graft.functions.Text.tokens(col("_t"))) >= 1)
       .join(pr.select(col("_rid")).distinct(), Seq("_rid"), "left_semi")
     def counts(df: DataFrame, id: String, n: Int, cnt: String): DataFrame = df
       .select(col(id),
@@ -1032,7 +1048,12 @@ object Eval {
                   bucketOf: Column => Column,
                   checkpoint: Boolean = true): DataFrame = {
     val dec = "decimal(38,0)"
+    // NULL scores are excluded up front (they would land in n and the
+    // tie terms but carry no orderable value — same contract as
+    // kendallTauExact); a NULL `positive` counts as negative, which the
+    // when/otherwise below already encodes
     val hist0 = df
+      .where(scoreCol.isNotNull)
       .select(scoreCol.cast("long").as("_v"),
         when(positive, 1L).otherwise(0L).as("_p"))
       .groupBy(col("_v"))

@@ -3702,6 +3702,32 @@ class OperatorsSpec extends SparkSuite {
     assert(math.abs(mono.getDouble(7) - 1.0) < 1e-12)
   }
 
+  test("kendallTauExact/mannWhitney: NULL inputs are excluded, not silently skewed") {
+    import spark.implicits._
+    import graft.operators.Eval
+    // kendall: rows with a NULL x or y must not reach n or the tie terms
+    val withNulls = Seq[(Option[Long], Option[Long])](
+      (Some(1L), Some(2L)), (Some(3L), Some(1L)), (Some(2L), Some(2L)),
+      (None, Some(5L)), (Some(4L), None), (None, None))
+      .toDF("x", "y")
+    val clean = Seq((1L, 2L), (3L, 1L), (2L, 2L)).toDF("x", "y")
+    val a = Eval.kendallTauExact(withNulls, col("x"), col("y"), lit(0L)).collect()(0)
+    val b = Eval.kendallTauExact(clean, col("x"), col("y"), lit(0L)).collect()(0)
+    assert(a == b, s"kendall with NULL rows must equal the non-null subset:\n$a\n$b")
+    assert(a.getLong(0) == 3L)
+    // mannWhitney: NULL scores drop; NULL positive counts as negative
+    val mwNulls = Seq[(Option[Long], Option[Boolean])](
+      (Some(10L), Some(true)), (Some(20L), Some(false)), (Some(10L), Some(false)),
+      (None, Some(true)), (Some(30L), None))
+      .toDF("v", "p")
+    val mwClean = Seq((10L, true), (20L, false), (10L, false), (30L, false))
+      .toDF("v", "p")
+    val ma = Eval.mannWhitney(mwNulls, col("v"), col("p"), v => shiftright(v, 3)).collect()(0)
+    val mb = Eval.mannWhitney(mwClean, col("v"), col("p"), v => shiftright(v, 3)).collect()(0)
+    assert(ma == mb, s"mannWhitney with NULL scores must equal the non-null subset:\n$ma\n$mb")
+    assert(ma.getLong(0) == 1L && ma.getLong(1) == 3L)
+  }
+
   test("mannWhitney: brute-force parity with heavy ties, empty-class NULLs, all-tied zero-variance NULL") {
     import spark.implicits._
     import graft.operators.Eval
@@ -4345,6 +4371,26 @@ class OperatorsSpec extends SparkSuite {
     // sub-n-word docs degrade to the whole-text single shingle
     val tiny = run(Seq(1L -> "hello"), Seq(2L -> "hello"), n = 3)
     assert(tiny((1L, 2L)) == ((1L, 1L, 1L, 1000000L, 1000000L, 1000000L)))
+
+    // zero-token docs are EXCLUDED: without the filter, every empty
+    // cand/ref pair shares the "" whole-text shingle and reads as a
+    // spurious f1 = 1e6 full-contamination flag
+    val empty = run(Seq(1L -> "", 2L -> "   ", 3L -> "a b c"),
+      Seq(10L -> "", 11L -> " ", 12L -> "a b c"), n = 2)
+    assert(empty.keySet == Set((3L, 12L)),
+      s"zero-token docs must not pair: ${empty.keySet}")
+  }
+
+  test("bleuPairs: zero-token docs drop out even when the pair list names them") {
+    import spark.implicits._
+    import graft.operators.Eval
+    val out = Eval.bleuPairs(
+      Seq(1L -> 10L, 2L -> 11L).toDF("doc_id", "ref_id"),
+      Seq(1L -> "a b c", 2L -> "").toDF("doc_id", "text"),
+      Seq(10L -> "a b c", 11L -> "  ").toDF("doc_id", "text"),
+      "doc_id", "text", maxN = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(out == Set((1L, 10L)), s"got $out")
   }
 
   test("bleuPairs: hand clipped precisions, brevity penalty exact -1e6, zero-gram NULL, pair list bounds output") {
