@@ -527,7 +527,10 @@ object Similarity {
     * Per round: cluster ASSIGNMENT is a narrow per-row projection
     * against plan-literal centroids (k·dim longs of plan metadata — the
     * [[buildIvfIndex]] doctrine: model in the plan, no shuffle, no
-    * join); the UPDATE is ONE partial-aggregable
+    * join) while k·dim ≤ [[planLiteralBudget]], and against ONE
+    * broadcast centroid-array row above it (same integers, same
+    * tie-break — the plan stays compile-bounded at k=4096·dim=768);
+    * the UPDATE is ONE partial-aggregable
     * `groupBy(cluster, dim)` over the posexploded vectors (n·dim rows
     * in, k·dim out — map-side combine does the heavy lifting); the only
     * driver traffic is the k·dim centroid model per round. Seeds are
@@ -542,7 +545,7 @@ object Similarity {
     import spark.implicits._
     val (pts, cents) =
       trainKmeansQuantized(corpus, idCol, vecCol, k, rounds, quantScale)
-    val sizes = pts.withColumn("_c", nearestCluster(cents, col("_q")))
+    val sizes = withNearest(pts, cents, col("_q"), "_c")
       .groupBy(col("_c").as("cluster"))
       .agg(count(lit(1)).as("n_assigned"))
     cents.toSeq
@@ -554,17 +557,80 @@ object Similarity {
       .orderBy(col("cluster"), col("dim"))
   }
 
-  /** Exact squared-L2 argmin against plan-literal centroids; the struct
-    * min breaks distance ties to the SMALLEST cluster id. */
-  private def nearestCluster(cents: Array[(Int, Array[Long])],
-                             q: Column): Column =
-    array_min(array(cents.toSeq.map { case (c, v) =>
+  /** Plan-size budget for the model-in-the-plan centroid encoding: the
+    * literal path builds k distance branches of dim literals each, so
+    * the expression tree carries k·dim literal nodes — ideal (whole-
+    * stage codegen, zero joins) at the gate's k=8·dim=16, but at
+    * k=4096·dim=768 the ~3M-node tree blows Catalyst plan-compile time
+    * and janino's 64KB method budget long before data is the problem.
+    * Above this budget every site switches to [[centsTable]]: the same
+    * integer arithmetic over ONE broadcast row holding the sorted
+    * centroid array (model in DATA, not in the plan) — interpreted HOFs
+    * per row, still zero shuffles. 65,536 covers k=64·dim=1024 or
+    * k=512·dim=128 comfortably inside codegen limits.
+    * Test-only override (parity spec forces the fallback at tiny k·dim). */
+  private[graft] var planLiteralBudget: Long = 65536L
+
+  /** Exact squared-L2 distance structs `(dist, c)` against plan-literal
+    * centroids, sorted by cluster id; `array_min` of these breaks
+    * distance ties to the SMALLEST cluster id. */
+  private def distStructsLiteral(cents: Array[(Int, Array[Long])],
+                                 q: Column): Column =
+    array(cents.sortBy(_._1).toSeq.map { case (c, v) =>
       struct(
         aggregate(zip_with(q, array(v.map(lit(_)).toSeq: _*),
           (a, b) => (a - b) * (a - b)), lit(0L), (acc, x) => acc + x)
           .as("dist"),
         lit(c.toLong).as("c"))
-    }: _*)).getField("c")
+    }: _*)
+
+  /** One-row broadcast frame holding the centroid model as a sorted
+    * `array<struct<c, v>>` — the above-budget encoding. */
+  private def centsTable(df: DataFrame,
+                         cents: Array[(Int, Array[Long])]): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val one = Seq(cents.sortBy(_._1).toSeq
+      .map { case (c, v) => (c.toLong, v.toSeq) })
+      .toDF("_cents")
+    df.crossJoin(broadcast(one)) // 1-row scalar attach
+  }
+
+  /** [[distStructsLiteral]] computed from the attached `_cents` column
+    * instead of plan literals — identical integers, identical struct
+    * order, so ties break identically. */
+  private def distStructsData(q: Column): Column =
+    transform(col("_cents"), s => struct(
+      aggregate(zip_with(q, s.getField("_2"),
+        (a, b) => (a - b) * (a - b)), lit(0L), (acc, x) => acc + x)
+        .as("dist"),
+      s.getField("_1").as("c")))
+
+  private def overBudget(cents: Array[(Int, Array[Long])]): Boolean =
+    cents.length.toLong * cents.headOption.fold(0)(_._2.length) >
+      planLiteralBudget
+
+  /** Attach the argmin cluster id as `out`, picking the encoding by
+    * [[planLiteralBudget]]. */
+  private def withNearest(df: DataFrame, cents: Array[(Int, Array[Long])],
+                          q: Column, out: String): DataFrame =
+    if (!overBudget(cents))
+      df.withColumn(out, array_min(distStructsLiteral(cents, q)).getField("c"))
+    else
+      centsTable(df, cents)
+        .withColumn(out, array_min(distStructsData(q)).getField("c"))
+        .drop("_cents")
+
+  /** Attach the distance-sorted struct array as `out` (quality top-2,
+    * IVF probe list), picking the encoding by [[planLiteralBudget]]. */
+  private def withSortedDists(df: DataFrame, cents: Array[(Int, Array[Long])],
+                              q: Column, out: String): DataFrame =
+    if (!overBudget(cents))
+      df.withColumn(out, array_sort(distStructsLiteral(cents, q)))
+    else
+      centsTable(df, cents)
+        .withColumn(out, array_sort(distStructsData(q)))
+        .drop("_cents")
 
   /** Micro-quantized points + the trained centroid model ([[kmeansExact]]
     * semantics); shared by the table emitter and [[ivfExactTopK]]. */
@@ -583,7 +649,7 @@ object Similarity {
       .collect().zipWithIndex
       .map { case (r, i) => (i + 1, r.getSeq[Long](1).toArray) }
     for (_ <- 1 to rounds) {
-      val upd = pts.withColumn("_c", nearestCluster(cents, col("_q")))
+      val upd = withNearest(pts, cents, col("_q"), "_c")
         .select(col("_c"), posexplode(col("_q")).as(Seq("_d", "_x")))
         .groupBy(col("_c"), col("_d"))
         .agg(sum(col("_x")).as("_s"), count(lit(1)).as("_n"))
@@ -632,17 +698,9 @@ object Similarity {
     require(k >= 2, s"silhouette needs k >= 2, got $k")
     val (pts, cents) =
       trainKmeansQuantized(corpus, idCol, vecCol, k, rounds, quantScale)
-    val sorted = array_sort(array(cents.toSeq.map { case (c, v) =>
-      struct(
-        aggregate(zip_with(col("_q"), array(v.map(lit(_)).toSeq: _*),
-          (a, b) => (a - b) * (a - b)), lit(0L), (acc, x) => acc + x)
-          .as("dist"),
-        lit(c.toLong).as("c"))
-    }: _*))
     val a = sqrt(col("_s").getItem(0).getField("dist").cast("double"))
     val b = sqrt(col("_s").getItem(1).getField("dist").cast("double"))
-    pts
-      .withColumn("_s", sorted)
+    withSortedDists(pts, cents, col("_q"), "_s")
       .select(col("_s").getItem(0).getField("c").as("cluster"),
         col("_s").getItem(0).getField("dist").as("_d1"),
         when(greatest(a, b) > 0.0,
@@ -689,20 +747,13 @@ object Similarity {
       s"probes must be in [1, nCentroids], got $probes")
     val (pts, cents) =
       trainKmeansQuantized(corpus, idCol, vecCol, nCentroids, rounds, quantScale)
-    val indexed = pts.withColumn("_c", nearestCluster(cents, col("_q")))
+    val indexed = withNearest(pts, cents, col("_q"), "_c")
       .select(col("_c"), col("_id").as("_nid"), col("_q").as("_nq"))
     val qpts = queries.select(col(idCol).cast("long").as("_qid"),
       expr(s"transform($vecCol, x -> CAST(floor(CAST(x AS DOUBLE) * $quantScale.0 + 0.5) AS BIGINT))")
         .as("_qq"))
-    val probeStructs = cents.toSeq.map { case (c, v) =>
-      struct(
-        aggregate(zip_with(col("_qq"), array(v.map(lit(_)).toSeq: _*),
-          (a, b) => (a - b) * (a - b)), lit(0L), (acc, x) => acc + x)
-          .as("dist"),
-        lit(c.toLong).as("c"))
-    }
-    val probed = qpts
-      .withColumn("_probe", slice(array_sort(array(probeStructs: _*)), 1, probes))
+    val probed = withSortedDists(qpts, cents, col("_qq"), "_sorted")
+      .withColumn("_probe", slice(col("_sorted"), 1, probes))
       .select(col("_qid"), col("_qq"),
         explode(expr("transform(_probe, s -> s.c)")).as("_c"))
     val w = Window.partitionBy(col("_qid"))

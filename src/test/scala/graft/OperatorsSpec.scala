@@ -4047,6 +4047,39 @@ class OperatorsSpec extends SparkSuite {
       i -> Seq.fill(5)((rnd.nextInt(2000) - 1000).toLong)), k = 4, rounds = 3)
   }
 
+  test("kmeans/quality/IVF broadcast fallback above the plan-literal budget: bit-identical to the literal path") {
+    import spark.implicits._
+    import graft.operators.Similarity
+    // Forcing planLiteralBudget = 0 routes every centroid site (round
+    // assignment, final sizes, quality top-2, IVF probe list) through
+    // the one-broadcast-row array encoding; results must be IDENTICAL
+    // rows — same integers, same struct order, same tie-breaks.
+    val rnd = new scala.util.Random(97)
+    val corpus = (1L to 80L).map(i =>
+      (i, Array.fill(6)(rnd.nextFloat() * 2f - 1f))).toDF("vec_id", "embedding")
+    val queries = (1L to 5L).map(i =>
+      (i * 100, Array.fill(6)(rnd.nextFloat() * 2f - 1f))).toDF("vec_id", "embedding")
+    def all(): (Seq[String], Seq[String], Seq[String]) = (
+      Similarity.kmeansExact(corpus, "vec_id", "embedding", k = 4, rounds = 3)
+        .collect().map(_.toString).toSeq,
+      Similarity.kmeansQuality(corpus, "vec_id", "embedding", k = 4, rounds = 2)
+        .collect().map(_.toString).toSeq,
+      Similarity.ivfExactTopK(queries, corpus, "vec_id", "embedding",
+          k = 3, nCentroids = 4, rounds = 2, probes = 2)
+        .collect().map(_.toString).toSeq)
+    val literal = all()
+    val saved = Similarity.planLiteralBudget
+    try {
+      Similarity.planLiteralBudget = 0L
+      val fallback = all()
+      assert(fallback == literal,
+        s"fallback must match literal path:\n$fallback\n$literal")
+    } finally Similarity.planLiteralBudget = saved
+    // and the default budget genuinely keeps small models on the
+    // codegen literal path (k·dim = 24 here)
+    assert(4L * 6L <= Similarity.planLiteralBudget)
+  }
+
   test("ivfExactTopK: brute pipeline parity, probe restriction is real (missed far neighbor), deterministic ties") {
     import spark.implicits._
     import graft.operators.Similarity
