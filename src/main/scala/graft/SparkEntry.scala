@@ -284,6 +284,7 @@ object SparkEntry {
     "q223_kmeans_quality" -> q223,
     "q224_rouge" -> q224,
     "q225_bleu" -> q225,
+    "q226_literals_mapvalues" -> q226,
   )
 
   /** Round count for the parameterized BPE lifecycle (q163/q164) — read
@@ -3798,6 +3799,28 @@ object SparkEntry {
       .orderBy(col("doc_id"), col("ref_id"))
   }
 
+  /** The last two SURVEY §2.1 rows without their own gate: `fromLiterals`
+    * (reference DataStream.scala:87-88 — the finite in-memory source) and
+    * `mapValues` (reference DataStream.scala:49,76-77 — per-element value
+    * transform under a key tag), chained through groupBy → fold so the
+    * whole facade path literals → grouped → mapped → native partial agg
+    * is what the oracle checks (a DuckDB VALUES clause). */
+  private def q226(s: SparkSession, dir: String): DataFrame = {
+    import Expr._
+    implicit val spark: SparkSession = s
+    val ds = DataStream.fromLiterals(
+      ("a", 3L), ("b", 1L), ("a", 4L), ("c", 5L),
+      ("b", 9L), ("a", 2L), ("c", 6L), ("b", -7L))
+    ds.groupBy(t => t._1)
+      .mapValues(v => v._2 * 2L + 1L)
+      .fold(g => Expr.KeyValue(g.key, g.values.sum &&& g.values.length))
+      .toDF
+      .select(col("value.key").as("k"),
+        col("value.value._1").as("mapped_sum"),
+        col("value.value._2").as("n"))
+      .orderBy(col("k"))
+  }
+
   // =====================================================================
   // DuckDB oracle SQL — same semantics, same column names, same ORDER BY.
   // =====================================================================
@@ -5558,6 +5581,15 @@ object SparkEntry {
              END AS log_bleu_micro
            FROM base ORDER BY doc_id, ref_id"""
       },
+
+      // fromLiterals + mapValues: the VALUES clause IS the literal source,
+      // the mapped expression (2v + 1) sits under the per-key aggregates
+      "q226_literals_mapvalues" ->
+        """SELECT k, CAST(sum(2 * v + 1) AS BIGINT) AS mapped_sum,
+             CAST(count(*) AS BIGINT) AS n
+           FROM (VALUES ('a', 3), ('b', 1), ('a', 4), ('c', 5),
+                        ('b', 9), ('a', 2), ('c', 6), ('b', -7)) AS t(k, v)
+           GROUP BY k ORDER BY k""",
 
       // decontamination surgery: q77's matched windows become removals and
       // the corpus docs rebuild from surviving tokens (q79's tail)
