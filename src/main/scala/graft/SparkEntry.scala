@@ -285,6 +285,7 @@ object SparkEntry {
     "q224_rouge" -> q224,
     "q225_bleu" -> q225,
     "q226_literals_mapvalues" -> q226,
+    "q227_ivf_lifecycle" -> q227,
   )
 
   /** Round count for the parameterized BPE lifecycle (q163/q164) — read
@@ -3821,6 +3822,43 @@ object SparkEntry {
       .orderBy(col("k"))
   }
 
+  /** The exact-IVF index PERSISTED lifecycle, end to end (ROADMAP's
+    * carried item — q66's production story for ANN): train on the
+    * initial corpus (vec_id % 7 ≠ 0), persist the centroid table
+    * (managed parquet) and the postings PARTITIONED BY cluster, append
+    * the new batch (vec_id % 7 = 0) assigned against the PERSISTED
+    * centroids (frozen model — the IVF contract), then serve top-k
+    * probes ENTIRELY from the two persisted tables. The probed cluster
+    * ids become a static `isin` on the postings scan, so only the
+    * probed `cluster=N/` directories are read (ScaleSpec asserts the
+    * PartitionFilters). Every row exact
+    * ([[graft.operators.Similarity.ivfProbeTopK]]); the oracle replays
+    * the same trajectory with training restricted to the initial
+    * corpus. */
+  private def q227(s: SparkSession, dir: String): DataFrame = {
+    val suffix = java.security.MessageDigest.getInstance("MD5")
+      .digest(dir.getBytes("UTF-8")).take(4).map("%02x".format(_)).mkString
+    val emb = Tables.embeddings(s, dir)
+    val initial = emb.where(col("vec_id") % 7 =!= 0)
+    val batch = emb.where(col("vec_id") % 7 === 0)
+    val centTable = s"graft_q227_ivf_centroids_$suffix"
+    val postPath = s"/tmp/graft_q227_ivf_postings_$suffix"
+    val (centroids, postings) = graft.operators.Similarity.ivfIndexBuild(
+      initial, "vec_id", "embedding", nCentroids = 8, rounds = 2)
+    Tables.saveTable(centroids, centTable)
+    Tables.writePartitioned(postings, postPath, "cluster")
+    // incremental half: the batch is assigned against the PERSISTED
+    // centroid table and lands under the same partitioned layout
+    val centRead = s.table(centTable)
+    Tables.appendPartitioned(
+      graft.operators.Similarity.ivfIndexAppend(batch, centRead, "vec_id", "embedding"),
+      postPath, "cluster")
+    graft.operators.Similarity.ivfProbeTopK(
+        emb.where(col("vec_id") % 50 === 0), centRead, s.read.parquet(postPath),
+        "vec_id", "embedding", k = 10, probes = 2)
+      .orderBy(col("query_id"), col("rank"))
+  }
+
   // =====================================================================
   // DuckDB oracle SQL — same semantics, same column names, same ORDER BY.
   // =====================================================================
@@ -3899,12 +3937,15 @@ object SparkEntry {
     // per round argmin assignment (ties to the smaller cluster) and the
     // nonneg-mod floor-division centroid mean with empty-cluster carry;
     // ends at cent_<rounds>, the final assignment a_f, and sizes sz —
-    // shared by q218 (the centroid table) and q219 (exact IVF on top)
-    def kmeansChainSql(k: Int, rounds: Int) = {
+    // shared by q218 (the centroid table), q219 (exact IVF on top), and
+    // q227 (the persisted lifecycle, whose trainPred restricts training
+    // to the initial corpus while a_f still assigns EVERY row — exactly
+    // build + frozen-centroid append)
+    def kmeansChainSql(k: Int, rounds: Int, trainPred: String = "TRUE") = {
       val chain = (1 to rounds).map { r =>
         s"""dist_$r AS (SELECT px.vec_id, c.c,
                sum((px.x - c.v) * (px.x - c.v)) AS dist
-             FROM px JOIN cent_${r - 1} c ON px.d = c.d
+             FROM tpx px JOIN cent_${r - 1} c ON px.d = c.d
              GROUP BY 1, 2),
            a_$r AS (SELECT vec_id, c FROM (
                SELECT vec_id, c,
@@ -3913,7 +3954,7 @@ object SparkEntry {
            nc_$r AS (SELECT a.c, px.d,
                CAST((sum(px.x) - ((sum(px.x) % count(*) + count(*)) % count(*)))
                  // count(*) AS BIGINT) AS v
-             FROM a_$r a JOIN px ON px.vec_id = a.vec_id
+             FROM a_$r a JOIN tpx px ON px.vec_id = a.vec_id
              GROUP BY 1, 2),
            cent_$r AS (SELECT p.c, p.d, coalesce(n.v, p.v) AS v
              FROM cent_${r - 1} p LEFT JOIN nc_$r n ON n.c = p.c AND n.d = p.d)"""
@@ -3924,7 +3965,8 @@ object SparkEntry {
              FROM embeddings),
            px AS (SELECT vec_id, unnest(q) AS x, unnest(range(len(q))) AS d
                   FROM pts),
-           sel AS (SELECT vec_id FROM pts ORDER BY vec_id LIMIT $k),
+           tpx AS (SELECT * FROM px WHERE $trainPred),
+           sel AS (SELECT vec_id FROM pts WHERE $trainPred ORDER BY vec_id LIMIT $k),
            cent_0 AS (SELECT CAST(dense_rank() OVER (ORDER BY s.vec_id) AS BIGINT) AS c,
                px.d, px.x AS v
              FROM sel s JOIN px ON px.vec_id = s.vec_id),
@@ -5580,6 +5622,41 @@ object SparkEntry {
                  + ($lnTerms) / 4.0) * 1e6) AS BIGINT)
              END AS log_bleu_micro
            FROM base ORDER BY doc_id, ref_id"""
+      },
+
+      // persisted IVF lifecycle: q219's probe/re-rank tail over a chain
+      // whose TRAINING population is the initial corpus only (trainPred)
+      // while a_f assigns every row — build + frozen-centroid append;
+      // the persistence round-trip itself cannot change the integers
+      "q227_ivf_lifecycle" -> {
+        val rounds = 2; val probes = 2; val topk = 10
+        s"""WITH ${kmeansChainSql(k = 8, rounds = rounds,
+              trainPred = "vec_id % 7 <> 0")},
+           qd AS (SELECT px.vec_id AS qid, c.c,
+               sum((px.x - c.v) * (px.x - c.v)) AS dist
+             FROM px JOIN cent_$rounds c ON px.d = c.d
+             WHERE px.vec_id % 50 = 0
+             GROUP BY 1, 2),
+           qp AS (SELECT qid, c FROM (
+               SELECT qid, c,
+                 row_number() OVER (PARTITION BY qid ORDER BY dist, c) AS rn
+               FROM qd) t WHERE rn <= $probes),
+           cand AS (SELECT qp.qid, a.vec_id AS nid
+                    FROM qp JOIN a_f a ON a.c = qp.c),
+           dots AS (SELECT cd.qid, cd.nid,
+               CAST(sum(qx.x * nx.x) AS BIGINT) AS dot
+             FROM cand cd
+               JOIN px qx ON qx.vec_id = cd.qid
+               JOIN px nx ON nx.vec_id = cd.nid AND nx.d = qx.d
+             GROUP BY 1, 2),
+           tk AS (SELECT qid, nid, dot,
+               row_number() OVER (PARTITION BY qid
+                 ORDER BY dot DESC, nid ASC) AS rn
+             FROM dots)
+           SELECT qid AS query_id, rn AS rank, nid AS neighbor_id,
+             dot AS dot_q
+           FROM tk WHERE rn <= $topk
+           ORDER BY query_id, rank"""
       },
 
       // fromLiterals + mapValues: the VALUES clause IS the literal source,

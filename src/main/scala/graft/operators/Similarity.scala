@@ -767,4 +767,110 @@ object Similarity {
       .select(col("_qid").as("query_id"), col("_rank").as("rank"),
         col("_nid").as("neighbor_id"), col("_dot").as("dot_q"))
   }
+
+  // =====================================================================
+  // Persisted exact-IVF index lifecycle — the production shape of
+  // [[ivfExactTopK]]: the index is two TABLES on disk, not plan state.
+  // Build once (train + assign), append new batches against the frozen
+  // persisted centroids (a retrain is a rebuild — the standard IVF
+  // contract), probe from the persisted tables only, with the probed
+  // buckets partition-pruned at the postings scan.
+  // =====================================================================
+
+  /** Micro-quantized `(_id, _q)` points ([[kmeansExact]]'s rounding). */
+  private def quantized(df: DataFrame, idCol: String, vecCol: String,
+                        quantScale: Long): DataFrame =
+    df.select(col(idCol).cast("long").as("_id"),
+      expr(s"transform($vecCol, x -> CAST(floor(CAST(x AS DOUBLE) * $quantScale.0 + 0.5) AS BIGINT))")
+        .as("_q"))
+
+  /** Decode a persisted centroid table `(cluster, dim, centroid_q)` back
+    * into the in-memory model — k·dim rows of driver traffic, the same
+    * budget as one training round. */
+  private def readCentroidModel(centroids: DataFrame): Array[(Int, Array[Long])] =
+    centroids.select(col("cluster").cast("long"), col("dim").cast("long"),
+        col("centroid_q").cast("long"))
+      .collect()
+      .groupBy(_.getLong(0).toInt).toArray.sortBy(_._1)
+      .map { case (c, rows) =>
+        val arr = new Array[Long](rows.length)
+        rows.foreach(r => arr(r.getLong(1).toInt) = r.getLong(2))
+        (c, arr)
+      }
+
+  /** BUILD: train [[kmeansExact]] centroids on `corpus` and assign every
+    * corpus row. Returns `(centroids, postings)` — centroids `(cluster,
+    * dim, centroid_q)` (k·dim rows, a plain table write), postings
+    * `(cluster, id, vec_q)` meant for a PARTITIONED-BY-cluster write
+    * ([[graft.sources.Tables.writePartitioned]]) so a probe reads only
+    * its probed directories. At 100 TB the postings write is the one
+    * corpus-sized shuffle the lifecycle ever pays; every later batch and
+    * probe is batch-/query-sized. */
+  def ivfIndexBuild(corpus: DataFrame, idCol: String, vecCol: String,
+                    nCentroids: Int, rounds: Int,
+                    quantScale: Long = 1000000L): (DataFrame, DataFrame) = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val (pts, cents) =
+      trainKmeansQuantized(corpus, idCol, vecCol, nCentroids, rounds, quantScale)
+    val centDf = cents.toSeq
+      .flatMap { case (c, v) =>
+        v.zipWithIndex.map { case (x, d) => (c.toLong, d.toLong, x) } }
+      .toDF("cluster", "dim", "centroid_q")
+    val postings = withNearest(pts, cents, col("_q"), "_c")
+      .select(col("_c").as("cluster"), col("_id").as("id"), col("_q").as("vec_q"))
+    (centDf, postings)
+  }
+
+  /** APPEND: assign a NEW batch against the PERSISTED centroid table
+    * (frozen model — the IVF contract; drift is handled by rebuilding).
+    * Returns posting rows to append under the same partitioned layout.
+    * Batch-sized work only: the model is k·dim driver rows, the
+    * assignment one narrow projection. */
+  def ivfIndexAppend(batch: DataFrame, centroids: DataFrame, idCol: String,
+                     vecCol: String, quantScale: Long = 1000000L): DataFrame = {
+    val cents = readCentroidModel(centroids)
+    withNearest(quantized(batch, idCol, vecCol, quantScale), cents,
+        col("_q"), "_c")
+      .select(col("_c").as("cluster"), col("_id").as("id"), col("_q").as("vec_q"))
+  }
+
+  /** PROBE: serve top-k entirely from the persisted tables. The probe
+    * list per query comes from the centroid model (k·dim driver rows);
+    * the DISTINCT probed cluster ids (≤ nCentroids values) become a
+    * STATIC `isin` filter on the postings scan, so the partitioned
+    * layout prunes to exactly the probed directories (ScaleSpec asserts
+    * the PartitionFilters). Candidate fetch is one equi-join on the
+    * cluster id; the re-rank heap is a per-query window over
+    * probed-bucket candidates, never the corpus.
+    * Returns `(query_id, rank, neighbor_id, dot_q)` — [[ivfExactTopK]]
+    * semantics (integer dots, ties to the smaller neighbor id). */
+  def ivfProbeTopK(queries: DataFrame, centroids: DataFrame,
+                   postings: DataFrame, idCol: String, vecCol: String,
+                   k: Int, probes: Int,
+                   quantScale: Long = 1000000L): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val cents = readCentroidModel(centroids)
+    require(probes >= 1 && probes <= cents.length,
+      s"probes must be in [1, nCentroids], got $probes")
+    val qpts = quantized(queries, idCol, vecCol, quantScale)
+    val probed = withSortedDists(qpts, cents, col("_q"), "_sorted")
+      .withColumn("_probe", slice(col("_sorted"), 1, probes))
+      .select(col("_id").as("_qid"), col("_q").as("_qq"),
+        explode(expr("transform(_probe, s -> s.c)")).as("cluster"))
+      .localCheckpoint() // fans into the probed-id collect and the fetch
+    val probedIds = probed.select(col("cluster")).distinct()
+      .collect().map(_.getLong(0)) // <= nCentroids values: model-sized
+    val w = Window.partitionBy(col("_qid"))
+      .orderBy(col("_dot").desc, col("id").asc)
+    probed
+      .join(postings.where(col("cluster").isin(probedIds.toSeq: _*)),
+        Seq("cluster"))
+      .withColumn("_dot", aggregate(zip_with(col("_qq"), col("vec_q"),
+        (a, b) => a * b), lit(0L), (acc, x) => acc + x))
+      .withColumn("_rank", row_number().over(w))
+      .where(col("_rank") <= k)
+      .select(col("_qid").as("query_id"), col("_rank").as("rank"),
+        col("id").as("neighbor_id"), col("_dot").as("dot_q"))
+  }
 }

@@ -94,6 +94,15 @@ object Tables {
     df.write.mode("overwrite").partitionBy(keys: _*).parquet(path)
   }
 
+  /** Incremental append under an existing [[writePartitioned]] layout —
+    * new rows land in (or create) their key directories, existing data
+    * untouched; the incremental half of an index lifecycle (q66's dedup
+    * index, the IVF postings table). */
+  def appendPartitioned(df: DataFrame, path: String, keys: String*): Unit = {
+    require(keys.nonEmpty, "appendPartitioned needs at least one partition key")
+    df.write.mode("append").partitionBy(keys: _*).parquet(path)
+  }
+
   /** Range-clustered SORTED export — total-order materialization without
     * the nondeterminism of Spark's sampled range partitioner (whose
     * boundaries re-sample per execution): `rangeCol` is a deterministic

@@ -1168,6 +1168,45 @@ class ScaleSpec extends SparkSuite {
       s"wilson is one aggregate:\n$wPlan")
   }
 
+  test("persisted IVF probe partition-prunes: only the probed cluster directories are scanned") {
+    import spark.implicits._
+    import graft.operators.Similarity
+    // 4 well-separated 2-D clusters; the single query sits on cluster 1,
+    // so with probes = 2 only two of four cluster=N/ directories may be
+    // read — the static isin must surface as PartitionFilters on the scan
+    val pts = (Seq((1L, Array(0f, 0f)), (2L, Array(1f, 0f)),
+      (3L, Array(100f, 0f)), (4L, Array(101f, 0f)),
+      (5L, Array(0f, 100f)), (6L, Array(1f, 100f)),
+      (7L, Array(100f, 100f)), (8L, Array(101f, 100f))) ++
+      (9L to 40L).map(i => (i, Array((i % 4 / 2 * 100 + i % 2).toFloat,
+        (i % 4 % 2 * 100).toFloat))))
+      .toDF("vec_id", "embedding")
+    val dirTmp = java.nio.file.Files.createTempDirectory("graft_ivf_scale").toString
+    val (cents, posts) = Similarity.ivfIndexBuild(pts, "vec_id", "embedding",
+      nCentroids = 4, rounds = 2)
+    graft.sources.Tables.writePartitioned(posts, s"$dirTmp/postings", "cluster")
+    val centsRead = cents.localCheckpoint()
+    val queries = Seq((100L, Array(0.5f, 0f))).toDF("vec_id", "embedding")
+    val out = Similarity.ivfProbeTopK(queries, centsRead,
+      spark.read.parquet(s"$dirTmp/postings"), "vec_id", "embedding",
+      k = 5, probes = 2)
+    out.collect()
+    val plan = out.queryExecution.executedPlan.toString.split("== Initial Plan ==").head
+    val scanLine = plan.linesIterator
+      .find(l => l.contains("FileScan parquet") && l.contains("postings"))
+      .getOrElse(fail(s"no postings FileScan in plan:\n$plan"))
+    assert(scanLine.contains("PartitionFilters: [cluster"),
+      s"probed-bucket isin must partition-prune the postings scan:\n$scanLine")
+    // and functionally: the probe restriction is real — served neighbors
+    // come from at most `probes` distinct clusters of the postings table
+    val posted = spark.read.parquet(s"$dirTmp/postings")
+      .select(col("id"), col("cluster").cast("long")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val servedClusters = out.collect().map(r => posted(r.getLong(2))).toSet
+    assert(servedClusters.nonEmpty && servedClusters.size <= 2,
+      s"neighbors must come from the probed buckets only: $servedClusters")
+  }
+
   test("pipeline report reads the corpus once: stage frames checkpointed at fan-out") {
     // q112's scale property: the four stage counts fan out over shared
     // lineage; without the s1/s2 localCheckpoints the executed plan held
