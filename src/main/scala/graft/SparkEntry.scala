@@ -286,6 +286,7 @@ object SparkEntry {
     "q225_bleu" -> q225,
     "q226_literals_mapvalues" -> q226,
     "q227_ivf_lifecycle" -> q227,
+    "q228_isotonic_weighted" -> q228,
   )
 
   /** Round count for the parameterized BPE lifecycle (q163/q164) — read
@@ -3859,6 +3860,23 @@ object SparkEntry {
       .orderBy(col("query_id"), col("rank"))
   }
 
+  /** q214's isotonic calibration with SAMPLE WEIGHTS — rows weighted by
+    * a small length-derived importance (`n_chars mod 7 + 1`: a
+    * deterministic 1..7 weight both engines derive identically), so the
+    * monotone score → P(English) table favors the weighted rows
+    * ([[graft.operators.Eval.isotonicWeighted]]). Weighted minimax
+    * oracle: q214's CTE scheme with (n, p) → (Σw, Σw·y). */
+  private def q228(s: SparkSession, dir: String): DataFrame = {
+    val stop = Text.langMarkers.toMap.apply("en")
+    graft.operators.Eval.isotonicWeighted(
+      Tables.documents(s, dir)
+        .select(floor(Text.qualityScore(col("text"), stop) * lit(1e6))
+          .cast("long").as("qu"), col("lang"), col("n_chars")),
+      scoreCol = expr("qu DIV 16384"),
+      yCol = (col("lang") === "en").cast("long"),
+      weightCol = pmod(col("n_chars"), lit(7)) + lit(1))
+  }
+
   // =====================================================================
   // DuckDB oracle SQL — same semantics, same column names, same ORDER BY.
   // =====================================================================
@@ -5221,6 +5239,38 @@ object SparkEntry {
                   GROUP BY 1, 2),
            fit AS (SELECT ii, max(mkey) AS fkey FROM mn GROUP BY ii)
            SELECT o.v AS score_q, o.n, o.p AS n_pos,
+             CAST(fit.fkey // CAST('1000000000000000000000000' AS HUGEINT)
+               AS BIGINT) AS fitted_micro
+           FROM o JOIN fit ON fit.ii = o.i
+           ORDER BY score_q""",
+
+      // weighted isotonic: q214's minimax scheme with (n, p) → (Σw, Σw·y)
+      // — weights 1..7 from n_chars mod 7, same injective HUGEINT key
+      "q228_isotonic_weighted" ->
+        s"""WITH pts AS (
+             SELECT CAST(floor(${qualitySql(toks)} * 1e6) AS BIGINT) // 16384 AS v,
+               CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y,
+               n_chars % 7 + 1 AS w
+             FROM documents),
+           h AS (SELECT v, CAST(sum(w) AS BIGINT) AS wn,
+                   CAST(sum(w * y) AS BIGINT) AS wy
+                 FROM pts GROUP BY v),
+           o AS (SELECT v, wn, wy,
+                   row_number() OVER (ORDER BY v) AS i,
+                   sum(wn) OVER (ORDER BY v) AS cn,
+                   sum(wy) OVER (ORDER BY v) AS cp
+                 FROM h),
+           seg AS (SELECT j.i AS ji, k.i AS ki,
+                     CAST(k.cp - j.cp + j.wy AS HUGEINT) AS sp,
+                     CAST(k.cn - j.cn + j.wn AS HUGEINT) AS sn
+                   FROM o j JOIN o k ON j.i <= k.i),
+           mn AS (SELECT i.i AS ii, seg.ji,
+                    min(seg.sp * CAST('1000000000000000000000000000000' AS HUGEINT)
+                      // seg.sn) AS mkey
+                  FROM o i JOIN seg ON seg.ji <= i.i AND seg.ki >= i.i
+                  GROUP BY 1, 2),
+           fit AS (SELECT ii, max(mkey) AS fkey FROM mn GROUP BY ii)
+           SELECT o.v AS score_q, o.wn AS w_sum, o.wy AS wy_sum,
              CAST(fit.fkey // CAST('1000000000000000000000000' AS HUGEINT)
                AS BIGINT) AS fitted_micro
            FROM o JOIN fit ON fit.ii = o.i

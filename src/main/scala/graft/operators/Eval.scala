@@ -662,6 +662,71 @@ object Eval {
     rows.toDF("score_q", "n", "n_pos", "fitted_micro").orderBy(col("score_q"))
   }
 
+  /** SAMPLE-WEIGHTED isotonic regression — [[isotonicCalibration]] with
+    * per-row importance: fit the monotone map x → ŷ minimizing
+    * Σ w·(ŷ − y)², the calibration a pipeline runs when rows are not
+    * equally trustworthy (weight by document length, dedup multiplicity,
+    * an inverse-propensity factor). Same exact-rational PAV stack with
+    * WEIGHTED pools: a pool carries `(W, S) = (Σw, Σw·y)`, violators
+    * merge on the BigInt cross-multiplication `S₁·W₂ ≥ S₂·W₁` (never a
+    * float rate), and the fitted value exports as the true FLOOR
+    * `⌊10⁶·S/W⌋` (nonneg-mod subtraction — y may be negative). The
+    * oracle mirrors the weighted minimax characterization
+    * `fit(i) = max_{j≤i} min_{k≥i} (Σ_{j..k} w·y)/(Σ_{j..k} w)` with the
+    * injective HUGEINT key `⌊S·10³⁰/W⌋` and the nested-floor readout —
+    * [[isotonicCalibration]]'s scheme with (n, p) → (W, S).
+    *
+    * ## Contracts / budgets
+    * Weights are POSITIVE integers after the long cast (rows with
+    * w ≤ 0 or any NULL input are excluded — pairwise-complete, the
+    * [[kendallTauExact]] convention); callers quantize importance to
+    * integer units. Oracle digit budget: |Σw·y|·10³⁰ must fit HUGEINT →
+    * |S| ≤ 10⁸ total; key injectivity needs pool-weight products
+    * W₁·W₂ < 10³⁰⁻ᵐᵃˣ — both hold comfortably for ΣW ≤ 10⁷.
+    *
+    * ## Scale shape (100 TB)
+    * Identical to [[isotonicCalibration]]: ONE partial-aggregable
+    * `groupBy(quantized x)`, a score-universe-sized collect (the model
+    * contract), PAV a linear stack pass over the model. Returns one row
+    * per distinct x `(score_q, w_sum, wy_sum, fitted_micro)` with
+    * `fitted_micro` monotone non-decreasing in `score_q`. */
+  def isotonicWeighted(df: DataFrame, scoreCol: Column, yCol: Column,
+                       weightCol: Column): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val cells = df
+      .select(scoreCol.cast("long").as("_v"), yCol.cast("long").as("_y"),
+        weightCol.cast("long").as("_w"))
+      .where(col("_v").isNotNull && col("_y").isNotNull &&
+        col("_w").isNotNull && col("_w") > 0L)
+      .groupBy(col("_v"))
+      .agg(sum(col("_w")).as("_wn"),
+        sum(col("_w") * col("_y")).as("_wy"))
+      .orderBy(col("_v"))
+      .collect() // score-universe-sized: the model
+    final case class Pool(w: Long, s: Long,
+                          members: List[(Long, Long, Long)])
+    val stack = scala.collection.mutable.ArrayBuffer.empty[Pool]
+    for (r <- cells) {
+      var cur = Pool(r.getLong(1), r.getLong(2),
+        List((r.getLong(0), r.getLong(1), r.getLong(2))))
+      while (stack.nonEmpty &&
+        BigInt(stack.last.s) * cur.w >= BigInt(cur.s) * stack.last.w) {
+        val prev = stack.remove(stack.length - 1)
+        cur = Pool(prev.w + cur.w, prev.s + cur.s, prev.members ++ cur.members)
+      }
+      stack += cur
+    }
+    val rows = stack.toSeq.flatMap { pool =>
+      // true floor for possibly-negative S: subtract the nonneg mod
+      val scaled = BigInt(pool.s) * 1000000L
+      val fitted = ((scaled - scaled.mod(BigInt(pool.w))) / pool.w).toLong
+      pool.members.map { case (v, w, s) => (v, w, s, fitted) }
+    }
+    rows.toDF("score_q", "w_sum", "wy_sum", "fitted_micro")
+      .orderBy(col("score_q"))
+  }
+
   /** Grouped THEIL–SEN slope — the ROBUST companion to [[groupedTrend]]
     * (OLS bends to a single outlier month; the median of pairwise slopes
     * has a 29% breakdown point — a pipeline reads the PAIR: OLS ≈

@@ -3892,6 +3892,70 @@ class OperatorsSpec extends SparkSuite {
     assert(iso.map(_._4) == Seq(0L, 500000L, 1000000L))
   }
 
+  test("isotonicWeighted: weighted minimax brute parity, unit-weight == unweighted, negative-y floor, excluded rows") {
+    import spark.implicits._
+    import graft.operators.Eval
+
+    // brute weighted minimax over (x, y, w) points with BigInt rationals
+    def minimax(pts: Seq[(Long, Long, Long)]): Seq[(Long, Long, Long, Long)] = {
+      val cells = pts.groupBy(_._1).toSeq.sortBy(_._1).map { case (v, g) =>
+        (v, g.map(_._3).sum, g.map(p => p._2 * p._3).sum) }
+      def floorDiv(a: BigInt, b: BigInt): Long =
+        ((a - a.mod(b)) / b).toLong
+      cells.indices.map { i =>
+        val best = (0 to i).map { j =>
+          (i until cells.length).map { k =>
+            val seg = cells.slice(j, k + 1)
+            (BigInt(seg.map(_._3).sum), BigInt(seg.map(_._2).sum))
+          }.minBy { case (s, w) => BigDecimal(s) / BigDecimal(w) }
+        }.maxBy { case (s, w) => BigDecimal(s) / BigDecimal(w) }
+        val (v, w, s) = cells(i)
+        (v, w, s, floorDiv(best._1 * 1000000L, best._2))
+      }
+    }
+    def run(pts: Seq[(Long, Long, Long)]): Seq[(Long, Long, Long, Long)] =
+      Eval.isotonicWeighted(pts.toDF("x", "y", "w"), col("x"), col("y"), col("w"))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+        .toSeq
+
+    // hand case: heavy accurate row dominates its pool
+    // x=1: y=0 w=9; x=2: y=1 w=1 -> isotone (0 <= 1), identity
+    assert(run(Seq((1L, 0L, 9L), (2L, 1L, 1L))) ==
+      Seq((1L, 9L, 0L, 0L), (2L, 1L, 1L, 1000000L)))
+    // violation pooled by weight: x=1 y=1 w=1; x=2 y=0 w=3 -> pool 1/4
+    assert(run(Seq((1L, 1L, 1L), (2L, 0L, 3L))) ==
+      Seq((1L, 1L, 1L, 250000L), (2L, 3L, 0L, 250000L)))
+    // randomized weighted parity vs brute minimax + monotone output
+    val rnd = new scala.util.Random(41)
+    val pts = (1 to 60).map(_ => (rnd.nextInt(12).toLong,
+      rnd.nextInt(30).toLong - 10L, 1L + rnd.nextInt(7).toLong))
+    val got = run(pts)
+    assert(got == minimax(pts), s"weighted PAV vs minimax:\n$got\n${minimax(pts)}")
+    assert(got.sliding(2).forall(w => w.length < 2 || w(0)._4 <= w(1)._4))
+    // negative pooled mean floors (not truncates): y=-1 w=2, y=-2 w=1
+    // pooled only if violating; x order makes means -2, -1 -> isotone;
+    // reversed x forces the pool: S=-4, W=3 -> floor(-4e6/3) = -1333334
+    val negPool = run(Seq((1L, -1L, 2L), (2L, -2L, 1L)))
+    assert(negPool.map(_._4) == Seq(-1333334L, -1333334L))
+    // unit weights on 0/1 y == isotonicCalibration's fitted table
+    val cal = (1 to 40).map(_ => (rnd.nextInt(6).toLong, rnd.nextInt(2).toLong))
+    val viaW = run(cal.map { case (v, y) => (v, y, 1L) })
+    val viaC = Eval.isotonicCalibration(
+        cal.map { case (v, y) => (v, y == 1L) }.toDF("v", "pos"),
+        col("v"), col("pos"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    assert(viaW == viaC)
+    // NULL / nonpositive-weight rows are excluded, not silently counted
+    val mixed = Seq[(Option[Long], Option[Long], Option[Long])](
+      (Some(1L), Some(1L), Some(2L)), (Some(1L), Some(0L), Some(0L)),
+      (Some(1L), Some(0L), Some(-3L)), (None, Some(1L), Some(1L)),
+      (Some(2L), None, Some(1L)), (Some(2L), Some(1L), None))
+      .toDF("x", "y", "w")
+    val cleaned = Eval.isotonicWeighted(mixed, col("x"), col("y"), col("w"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    assert(cleaned == Seq((1L, 2L, 2L, 1000000L)))
+  }
+
   test("cusumChangepoint: planted mean shift found exactly, earliest-step tie-break, negative-mean floor, single-step group absent") {
     import spark.implicits._
     import graft.operators.Anomaly
