@@ -1192,4 +1192,76 @@ object Streams {
         (1 to 9).map(d => col(s"_o$d").as(s"o$d")) :+
         (1 to 9).map(term).reduce(_ + _).as("chi2_micro"): _*)
   }
+
+  private[streaming] case class CusumState(
+    openStep: Long, openSum: Long, closed: Vector[(Long, Long)])
+
+  /** Streaming CUSUM changepoint — the first stateful-TREND twin: unlike
+    * the frozen-reference drift monitors ([[ksDriftStream]] /
+    * [[benfordDriftStream]], whose models are plan literals), the
+    * carried state here IS the per-key cumulative series — one
+    * `(step, Σvalue)` pair per CLOSED step plus the open step's running
+    * sum. That is STEP-UNIVERSE-sized (the day-universe contract the
+    * batch operator already imposes on its input series:
+    * [[graft.operators.Anomaly.cusumChangepoint]] consumes a series
+    * "already aggregated to (group, step, y)"), never per-event: a
+    * million events inside one day grow the open sum, not the state.
+    *
+    * Each time a step CLOSES (an event for a later step arrives — the
+    * [[rateAnomalyStream]] convention; late events for closed steps
+    * drop), the twin re-emits the retrospective changepoint verdict over
+    * the closed series so far with BIT-IDENTICAL arithmetic to the batch
+    * operator: stat = |n·S_i − i·S_n| on exact integers (BigInt — the
+    * batch DECIMAL(38)), argmax tie-broken to the earliest step, split
+    * means as `⌊10⁶·S/len⌋` floor divisions. StreamingSpec asserts the
+    * last emission equals `cusumChangepoint` on the same closed slice.
+    * Emits `(group, n_steps, split_step, split_i, cusum,
+    * mean_before_micro, mean_after_micro)` per close with ≥ 2 closed
+    * steps. */
+  def cusumStream(events: Dataset[(String, Long, Long)], stepUs: Long)
+      : Dataset[(String, Long, Long, Long, Double, Long, Long)] = {
+    require(stepUs >= 1L, s"stepUs must be >= 1, got $stepUs")
+    import events.sparkSession.implicits._
+    def floorDiv6(s: BigInt, d: Long): Long = {
+      val x = s * 1000000L
+      ((x - x.mod(BigInt(d))) / d).toLong
+    }
+    def verdict(g: String, closed: Vector[(Long, Long)])
+        : (String, Long, Long, Long, Double, Long, Long) = {
+      val n = closed.length.toLong
+      val sn = closed.foldLeft(BigInt(0))(_ + _._2)
+      var si = BigInt(0)
+      var bestStat = BigInt(-1); var bestI = 0L; var bestSi = BigInt(0)
+      var i = 0L
+      for ((_, y) <- closed.init) {
+        i += 1; si += y
+        val stat = (si * n - sn * i).abs
+        if (stat > bestStat) { bestStat = stat; bestI = i; bestSi = si }
+      }
+      (g, n, closed((bestI - 1).toInt)._1, bestI, bestStat.toDouble,
+        floorDiv6(bestSi, bestI), floorDiv6(sn - bestSi, n - bestI))
+    }
+    events
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[CusumState,
+        (String, Long, Long, Long, Double, Long, Long)](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (key, it, state: GroupState[CusumState]) =>
+          val out = scala.collection.mutable.ArrayBuffer
+            .empty[(String, Long, Long, Long, Double, Long, Long)]
+          var st = state.getOption.orNull
+          it.toSeq.sortBy(_._2).foreach { case (_, us, v) =>
+            val h = Math.floorDiv(us, stepUs)
+            if (st == null) st = CusumState(h, v, Vector.empty)
+            else if (h == st.openStep) st = st.copy(openSum = st.openSum + v)
+            else if (h > st.openStep) {
+              val closed = st.closed :+ (st.openStep, st.openSum)
+              if (closed.length >= 2) out += verdict(key, closed)
+              st = CusumState(h, v, closed)
+            } // h < openStep: late for a closed step — dropped
+          }
+          state.update(st)
+          out.iterator
+      }
+  }
 }

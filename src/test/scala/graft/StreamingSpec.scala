@@ -833,6 +833,61 @@ class StreamingSpec extends SparkSuite {
     } finally q.stop()
   }
 
+  test("streaming CUSUM: carried cumulative state, batch parity on the closed slice, step-universe-sized state, late dropped") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val dayUs = 86400000000L
+    def at(d: Long, i: Long): Long = d * dayUs + i * 1000L
+    // key a: planted mean shift (days 0-5 low, 6-11 high); key b: constant.
+    // counts per day are MANY events — the carried state must grow with
+    // DAYS, not events (the step-universe contract)
+    def cnt(k: String, d: Long): Long =
+      if (k == "b") 4L else if (d <= 5L) 3L else 11L
+    def dayEvents(k: String, d: Long): Seq[(String, Long, Long)] =
+      (0L until cnt(k, d)).map(i => (k, at(d, i), 1L))
+    val b1 = (0L to 7L).flatMap(d => Seq("a", "b").flatMap(dayEvents(_, d)))
+    val b2 = (8L to 11L).flatMap(d => Seq("a", "b").flatMap(dayEvents(_, d))) ++
+      Seq(("a", at(99L, 0L), 1L), ("b", at(99L, 0L), 1L)) // closes day 11
+    val late = ("a", at(2L, 500L), 1L) // day 2 closed long ago -> dropped
+
+    val input = MemoryStream[(String, Long, Long)]
+    val out = Streams.cusumStream(input.toDS(), stepUs = dayUs)
+    val q = out.toDF("g", "n_steps", "split_step", "split_i", "cusum",
+        "mean_before_micro", "mean_after_micro")
+      .writeStream.outputMode("append").format("memory").queryName("cusum").start()
+    try {
+      input.addData(b1: _*)
+      q.processAllAvailable()
+      input.addData(b2 :+ late: _*)
+      q.processAllAvailable()
+      val rows = spark.table("cusum").collect()
+        .map(r => (r.getString(0), (r.getLong(1), r.getLong(2), r.getLong(3),
+          r.getDouble(4), r.getLong(5), r.getLong(6))))
+      // a verdict re-emits at every close once 2 steps are closed: the
+      // 12 days 0..11 all close (the sentinel closes day 11) -> 11
+      // emissions per key; state (and n_steps) scale with the 12-day
+      // universe, never the ~170 events
+      val perKey = rows.groupBy(_._1)
+      assert(perKey("a").length == 11L && perKey("b").length == 11L,
+        s"one emission per close: ${perKey.view.mapValues(_.length).toMap}")
+      val last = perKey.view.mapValues(_.map(_._2).maxBy(_._1)).toMap
+      assert(last("a")._1 == 12L, "all 12 closed steps carried")
+      // batch parity: cusumChangepoint over the SAME closed slice (days
+      // 0-10 closed by day 11's arrival... day 11 closed by the sentinel)
+      val series = (for (k <- Seq("a", "b"); d <- 0L to 11L)
+        yield (k, d, cnt(k, d))).toDF("g", "d", "y")
+      val batch = graft.operators.Anomaly.cusumChangepoint(
+          series, "g", col("d"), col("y"))
+        .collect().map(r => (r.getString(0), (r.getLong(1), r.getLong(2),
+          r.getLong(3), r.getDouble(4), r.getLong(5), r.getLong(6)))).toMap
+      assert(last("a") == batch("a"), s"a: ${last("a")} vs ${batch("a")}")
+      assert(last("b") == batch("b"), s"b: ${last("b")} vs ${batch("b")}")
+      // the shift is found where it was planted
+      assert(last("a")._2 == 5L && last("a")._5 == 3000000L &&
+        last("a")._6 == 11000000L)
+    } finally q.stop()
+  }
+
   test("streaming split routing: exact re-crawl follows its cluster's split, novel content hashes its own id, stateless") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
