@@ -287,6 +287,7 @@ object SparkEntry {
     "q226_literals_mapvalues" -> q226,
     "q227_ivf_lifecycle" -> q227,
     "q228_isotonic_weighted" -> q228,
+    "q229_cochran_armitage" -> q229,
   )
 
   /** Round count for the parameterized BPE lifecycle (q163/q164) — read
@@ -3877,6 +3878,16 @@ object SparkEntry {
       weightCol = pmod(col("n_chars"), lit(7)) + lit(1))
   }
 
+  /** Cochran–Armitage trend: does P(English) move monotonically with
+    * the ordered length bucket (0..3 at 250-char steps)? The 2×k
+    * sharpening of q173's independence χ² — all power on the linear
+    * trend ([[graft.operators.Eval.cochranArmitage]]). */
+  private def q229(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Eval.cochranArmitage(
+      Tables.documents(s, dir),
+      scoreCol = expr("least(n_chars DIV 250, 3)"),
+      positive = col("lang") === "en")
+
   // =====================================================================
   // DuckDB oracle SQL — same semantics, same column names, same ORDER BY.
   // =====================================================================
@@ -5275,6 +5286,32 @@ object SparkEntry {
                AS BIGINT) AS fitted_micro
            FROM o JOIN fit ON fit.ii = o.i
            ORDER BY score_q""",
+
+      // Cochran–Armitage: five conditional sums, the exact-integer U and
+      // cross-multiplied variance core, z the verbatim IEEE chain
+      "q229_cochran_armitage" ->
+        """WITH t AS (
+             SELECT least(n_chars // 250, 3) AS s,
+               CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS p
+             FROM documents),
+           a AS (SELECT CAST(count(*) AS BIGINT) AS n,
+                   CAST(sum(p) AS BIGINT) AS r,
+                   CAST(sum(s) AS BIGINT) AS s1,
+                   CAST(sum(CAST(s AS HUGEINT) * s) AS HUGEINT) AS s2,
+                   CAST(sum(s * p) AS BIGINT) AS sr
+                 FROM t),
+           b AS (SELECT n, r, s1, s2, sr,
+                   CAST(n AS HUGEINT) * sr - CAST(r AS HUGEINT) * s1 AS u,
+                   CAST(r AS HUGEINT) * (n - r) *
+                     (CAST(n AS HUGEINT) * s2 - CAST(s1 AS HUGEINT) * s1) AS den
+                 FROM a)
+           SELECT n, r, s1, CAST(s2 AS DOUBLE) AS s2, sr,
+             CAST(u AS DOUBLE) AS u,
+             CASE WHEN den > 0 THEN
+               CAST(u AS DOUBLE) * sqrt(CAST(n AS DOUBLE))
+                 / sqrt(CAST(den AS DOUBLE))
+             END AS z
+           FROM b""",
 
       // CUSUM: cumulative daily counts per type, |n·S_i − i·S_n| in
       // HUGEINT, argmax tie-broken to the earliest day, split means via

@@ -1076,6 +1076,55 @@ object Eval {
           .as("or_mh"))
   }
 
+  /** COCHRAN–ARMITAGE trend test — "does the positive rate move
+    * MONOTONically with an ordered factor" (length bucket, quality
+    * decile, model version), the 2×k sharpening of a bare χ²
+    * independence read (χ² spends k−1 df on ANY deviation; CA puts all
+    * power on the linear trend — the go/no-go read before acting on a
+    * dose-response-looking table). Rows carry an integer trend SCORE
+    * `s` and a boolean outcome; with N rows, R positives,
+    * `S1 = Σs, S2 = Σs², Sr = Σ s·[positive]`, the exact-integer core is
+    * `U = N·Sr − R·S1` (DECIMAL(38)) and
+    * `z = U·√N / √(R·(N−R)·(N·S2 − S1²))` — the standard CA variance
+    * `p(1−p)(Σnᵢsᵢ² − (Σnᵢsᵢ)²/N)` cross-multiplied so everything
+    * under the radical is ONE exact integer; the single trailing IEEE
+    * chain is mirrored verbatim by the oracle (the [[cmhTest]]
+    * convention). NULL z when a class is empty or the score is constant.
+    *
+    * ## Scale shape (100 TB)
+    * ONE partial-aggregable aggregate over the data — five conditional
+    * sums, no groupBy, no window, no join. Digit budget: N·S2 rides
+    * DECIMAL(38) to N ≈ 10¹⁴ with single-digit scores (quantize scores
+    * small — they are ordinal levels, not measurements). NULL-score or
+    * NULL-outcome rows are excluded ([[kendallTauExact]]'s
+    * pairwise-complete convention). Returns ONE row
+    * `(n, r, s1, s2, sr, u, z)` with u as an exactly-converted
+    * double. */
+  def cochranArmitage(df: DataFrame, scoreCol: Column,
+                      positive: Column): DataFrame = {
+    val dec = "decimal(38,0)"
+    df
+      .where(scoreCol.isNotNull && positive.isNotNull)
+      .select(scoreCol.cast("long").as("_s"),
+        when(positive, 1L).otherwise(0L).as("_p"))
+      .agg(count(lit(1)).as("_n"), sum(col("_p")).as("_r"),
+        sum(col("_s")).as("_s1"),
+        sum(col("_s").cast(dec) * col("_s")).as("_s2"),
+        sum(col("_s") * col("_p")).as("_sr"))
+      .select(col("_n"), col("_r"), col("_s1"), col("_s2"), col("_sr"),
+        (col("_n").cast(dec) * col("_sr") - col("_r").cast(dec) * col("_s1"))
+          .as("_u"),
+        (col("_r").cast(dec) * (col("_n") - col("_r")) *
+          (col("_n").cast(dec) * col("_s2") -
+            col("_s1").cast(dec) * col("_s1"))).as("_den"))
+      .select(col("_n").as("n"), col("_r").as("r"),
+        col("_s1").as("s1"), col("_s2").cast("double").as("s2"),
+        col("_sr").as("sr"), col("_u").cast("double").as("u"),
+        when(col("_den") > 0,
+          col("_u").cast("double") * sqrt(col("_n").cast("double")) /
+            sqrt(col("_den").cast("double"))).as("z"))
+  }
+
   /** MANN–WHITNEY U test with tie-corrected normal approximation — the
     * significance companion to [[aucExact]] (AUC says HOW WELL the score
     * separates the classes; U's z-score says whether the separation

@@ -3892,6 +3892,54 @@ class OperatorsSpec extends SparkSuite {
     assert(iso.map(_._4) == Seq(0L, 500000L, 1000000L))
   }
 
+  test("cochranArmitage: brute chain parity, planted trend sign, flat-table near-zero, degenerate NULLs, null exclusion") {
+    import spark.implicits._
+    import graft.operators.Eval
+
+    def brute(pts: Seq[(Long, Boolean)]): (Long, Long, Long, BigInt, Long, BigInt, Option[Double]) = {
+      val n = pts.length.toLong
+      val r = pts.count(_._2).toLong
+      val s1 = pts.map(_._1).sum
+      val s2 = pts.map(p => BigInt(p._1) * p._1).sum
+      val sr = pts.filter(_._2).map(_._1).sum
+      val u = BigInt(n) * sr - BigInt(r) * s1
+      val den = BigInt(r) * (n - r) * (BigInt(n) * s2 - BigInt(s1) * s1)
+      val z = if (den > 0)
+        Some(u.toDouble * math.sqrt(n.toDouble) / math.sqrt(den.toDouble))
+      else None
+      (n, r, s1, s2, sr, u, z)
+    }
+    def run(pts: Seq[(Long, Boolean)]) =
+      Eval.cochranArmitage(pts.toDF("s", "p"), col("s"), col("p")).collect()(0)
+
+    val rnd = new scala.util.Random(53)
+    // planted trend: pass rate grows with the level -> z > 0 and exact chain
+    val trend = (0L to 3L).flatMap(s => (1 to 50).map(_ =>
+      (s, rnd.nextInt(10) < 2 + 2 * s)))
+    val got = run(trend); val want = brute(trend)
+    assert(got.getLong(0) == want._1 && got.getLong(1) == want._2 &&
+      got.getLong(2) == want._3 && got.getDouble(3) == want._4.toDouble &&
+      got.getLong(4) == want._5 && got.getDouble(5) == want._6.toDouble)
+    assert(got.getDouble(6) == want._7.get && got.getDouble(6) > 2.0,
+      s"planted trend must be found: z = ${got.getDouble(6)}")
+    // anti-trend: negative z, same exact chain
+    val anti = trend.map { case (s, p) => (3L - s, p) }
+    assert(run(anti).getDouble(6) == brute(anti)._7.get && run(anti).getDouble(6) < -2.0)
+    // flat table: |z| small but still the exact brute chain
+    val flat = (0L to 3L).flatMap(s => (1 to 50).map(i => (s, i % 4 == 0)))
+    assert(run(flat).getDouble(6) == brute(flat)._7.get)
+    // degenerate: constant score, all-positive, all-negative -> NULL z
+    assert(run(Seq((2L, true), (2L, false))).isNullAt(6))
+    assert(run(Seq((1L, true), (2L, true))).isNullAt(6))
+    assert(run(Seq((1L, false), (2L, false))).isNullAt(6))
+    // NULL rows are excluded, not counted
+    val mixed = Seq[(Option[Long], Option[Boolean])](
+      (Some(1L), Some(true)), (Some(2L), Some(false)),
+      (None, Some(true)), (Some(3L), None)).toDF("s", "p")
+    val cleaned = Eval.cochranArmitage(mixed, col("s"), col("p")).collect()(0)
+    assert(cleaned.getLong(0) == 2L && cleaned.getLong(1) == 1L)
+  }
+
   test("isotonicWeighted: weighted minimax brute parity, unit-weight == unweighted, negative-y floor, excluded rows") {
     import spark.implicits._
     import graft.operators.Eval
