@@ -288,6 +288,7 @@ object SparkEntry {
     "q227_ivf_lifecycle" -> q227,
     "q228_isotonic_weighted" -> q228,
     "q229_cochran_armitage" -> q229,
+    "q230_kruskal_wallis" -> q230,
   )
 
   /** Round count for the parameterized BPE lifecycle (q163/q164) — read
@@ -3888,6 +3889,22 @@ object SparkEntry {
       scoreCol = expr("least(n_chars DIV 250, 3)"),
       positive = col("lang") === "en")
 
+  /** Kruskal–Wallis across languages: do the k language cohorts draw
+    * the quality score from the same distribution — the one-shot
+    * rank test before q211's pairwise U reads
+    * ([[graft.operators.Eval.kruskalWallis]]), on q214's quantized
+    * score universe. */
+  private def q230(s: SparkSession, dir: String): DataFrame = {
+    val stop = Text.langMarkers.toMap.apply("en")
+    graft.operators.Eval.kruskalWallis(
+      Tables.documents(s, dir)
+        .select(col("lang"),
+          floor(Text.qualityScore(col("text"), stop) * lit(1e6))
+            .cast("long").as("qu")),
+      groupCol = "lang", valueCol = expr("qu DIV 16384"),
+      bucketOf = v => shiftright(v, 3))
+  }
+
   // =====================================================================
   // DuckDB oracle SQL — same semantics, same column names, same ORDER BY.
   // =====================================================================
@@ -5312,6 +5329,50 @@ object SparkEntry {
                  / sqrt(CAST(den AS DOUBLE))
              END AS z
            FROM b""",
+
+      // Kruskal–Wallis: cell histogram → strictly-before cumulative →
+      // doubled rank sums; per-group term floor-quantized micro at its
+      // site (nonneg // ≡ floor), H/H' the verbatim IEEE chains
+      "q230_kruskal_wallis" ->
+        s"""WITH pts AS (
+             SELECT lang AS g,
+               CAST(floor(${qualitySql(toks)} * 1e6) AS BIGINT) // 16384 AS v
+             FROM documents),
+           cells AS (SELECT g, v, CAST(count(*) AS BIGINT) AS c
+                     FROM pts GROUP BY 1, 2),
+           vh AS (SELECT v, CAST(sum(c) AS BIGINT) AS t
+                  FROM cells GROUP BY v),
+           vc AS (SELECT v, t,
+                    CAST(sum(t) OVER (ORDER BY v) - t AS BIGINT) AS cb
+                  FROM vh),
+           pg AS (SELECT g, CAST(sum(c) AS BIGINT) AS ng,
+                    CAST(sum(CAST(c AS HUGEINT) * (2 * vc.cb + vc.t + 1))
+                      AS HUGEINT) AS r2
+                  FROM cells JOIN vc ON vc.v = cells.v GROUP BY g),
+           tg AS (SELECT ng, (r2 * r2 * 1000000) // CAST(ng AS HUGEINT) AS tg
+                  FROM pg),
+           tot AS (SELECT CAST(sum(ng) AS BIGINT) AS n,
+                     CAST(count(*) AS BIGINT) AS k,
+                     CAST(sum(tg) AS HUGEINT) AS st
+                   FROM tg),
+           tt AS (SELECT CAST(sum(CAST(t AS HUGEINT) * t * t - t)
+                    AS HUGEINT) AS ttv
+                  FROM vh)
+           SELECT n, k AS k_groups, CAST(ttv AS DOUBLE) AS t_ties,
+             CASE WHEN k >= 2 AND n >= 2 THEN
+               3.0 * (CAST(st AS DOUBLE) / 1000000.0)
+                 / CAST(CAST(n AS HUGEINT) * (n + 1) AS DOUBLE)
+                 - 3.0 * CAST(n + 1 AS DOUBLE)
+             END AS h,
+             CASE WHEN k >= 2 AND n >= 2
+                 AND CAST(n AS HUGEINT) * n * n - n > ttv THEN
+               (3.0 * (CAST(st AS DOUBLE) / 1000000.0)
+                 / CAST(CAST(n AS HUGEINT) * (n + 1) AS DOUBLE)
+                 - 3.0 * CAST(n + 1 AS DOUBLE))
+               / (1.0 - CAST(ttv AS DOUBLE)
+                 / CAST(CAST(n AS HUGEINT) * n * n - n AS DOUBLE))
+             END AS h_tie
+           FROM tot CROSS JOIN tt""",
 
       // CUSUM: cumulative daily counts per type, |n·S_i − i·S_n| in
       // HUGEINT, argmax tie-broken to the earliest day, split means via

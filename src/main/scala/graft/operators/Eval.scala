@@ -1222,6 +1222,88 @@ object Eval {
           .as("z"))
   }
 
+  /** KRUSKAL–WALLIS H test — the k-SAMPLE extension of [[mannWhitney]]
+    * ("do these k cohorts draw the value from the same distribution",
+    * the one-shot read before k·(k−1)/2 pairwise U tests): rank-based,
+    * so it asks about stochastic ordering, not means. Computed entirely
+    * on the (group, value) CELL HISTOGRAM, no per-row rank: with
+    * `cum_before` and tie count `t` per value, midrank algebra gives the
+    * DOUBLED group rank sum `2R_g = Σ_values c_{g,v}·(2·cum_before + t
+    * + 1)` exactly; each group's term `⌊10⁶·(2R_g)²/n_g⌋` quantizes at
+    * its site (pmod-subtract — exact floor on both engines) and the
+    * integer term sum feeds the single trailing IEEE chain
+    * `H = 3·(Σterm/10⁶)/(N(N+1)) − 3(N+1)` (the algebraic halving of
+    * 12·ΣR²/n via doubled ranks) with the tie correction
+    * `H' = H / (1 − ΣT/(N³−N))`, `T = Σ(t³−t)`.
+    *
+    * ## Scale shape (100 TB)
+    * Data-sized work is ONE partial-aggregable `groupBy(group, value)`;
+    * the value histogram re-aggregates the cells; cumulative counts ride
+    * the two-level prefix sum ([[mannWhitney]]'s shape — per-bucket
+    * frames + a broadcast bucket-offset spine); the per-group frame is
+    * k rows. Digit budget: (2R_g)²·10⁶ ≤ 4N⁴·10⁶ rides DECIMAL(38) to
+    * N ≈ 2·10⁷ — past that, drop the micro factor or convert to double
+    * first (the [[mannWhitney]] convention). NULL-input rows excluded.
+    * Returns ONE row `(n, k_groups, t_ties, h, h_tie)`; h/h_tie NULL
+    * when k < 2 or N < 2, h_tie additionally NULL when all values tie
+    * (the correction hits 0). */
+  def kruskalWallis(df: DataFrame, groupCol: String, valueCol: Column,
+                    bucketOf: Column => Column): DataFrame = {
+    val dec = "decimal(38,0)"
+    val cells = df
+      .where(valueCol.isNotNull && col(groupCol).isNotNull)
+      .select(col(groupCol).as("_g"), valueCol.cast("long").as("_v"))
+      .groupBy(col("_g"), col("_v"))
+      .agg(count(lit(1)).as("_c"))
+      .localCheckpoint() // fans into the value histogram and the rank join
+    val hist = cells.groupBy(col("_v")).agg(sum(col("_c")).as("_t"))
+      .withColumn("_b", bucketOf(col("_v")))
+      .localCheckpoint() // fans into offsets, the sweep, and the tie term
+    val wIn = Window.partitionBy(col("_b")).orderBy(col("_v"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val wOff = Window.orderBy(col("_b"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = hist.groupBy(col("_b")).agg(sum(col("_t")).as("_bt"))
+      .select(col("_b"),
+        coalesce(sum(col("_bt")).over(wOff), lit(0L)).as("_off"))
+    val vcum = hist
+      .join(broadcast(offsets), Seq("_b"))
+      .withColumn("_cb", col("_off") + coalesce(sum(col("_t")).over(wIn), lit(0L)))
+      .select(col("_v"), col("_t"), col("_cb"))
+    val perGroup = cells.join(vcum, Seq("_v"))
+      .groupBy(col("_g"))
+      .agg(sum(col("_c")).as("_ng"),
+        sum(col("_c").cast(dec) *
+          (lit(2L) * col("_cb") + col("_t") + lit(1L))).as("_r2"))
+      // ⌊10⁶·(2R_g)²/n_g⌋: subtract the nonneg mod so the decimal
+      // division is exact (both operands positive — floor ≡ truncate)
+      .select(col("_ng"),
+        expr("""CAST((_r2 * _r2 * 1000000 -
+                  pmod(_r2 * _r2 * 1000000, CAST(_ng AS DECIMAL(38,0))))
+                / _ng AS DECIMAL(38,0))""").as("_tg"))
+    val ties = hist.agg(
+      coalesce(sum(col("_t").cast(dec) * col("_t") * col("_t") - col("_t")),
+        lit(0).cast(dec)).as("_tt"))
+    perGroup
+      .agg(sum(col("_ng")).as("_n"), count(lit(1)).as("_k"),
+        sum(col("_tg")).as("_st"))
+      .crossJoin(broadcast(ties)) // 1-row scalar attach
+      .select(col("_n").as("n"), col("_k").as("k_groups"),
+        col("_tt").cast("double").as("t_ties"),
+        when(col("_k") >= 2L && col("_n") >= 2L,
+          lit(3.0) * (col("_st").cast("double") / lit(1000000.0)) /
+            (col("_n").cast(dec) * (col("_n") + lit(1L))).cast("double") -
+            lit(3.0) * (col("_n") + lit(1L)).cast("double")).as("h"),
+        when(col("_k") >= 2L && col("_n") >= 2L &&
+          (col("_n").cast(dec) * col("_n") * col("_n") - col("_n")) > col("_tt"),
+          (lit(3.0) * (col("_st").cast("double") / lit(1000000.0)) /
+            (col("_n").cast(dec) * (col("_n") + lit(1L))).cast("double") -
+            lit(3.0) * (col("_n") + lit(1L)).cast("double")) /
+            (lit(1.0) - col("_tt").cast("double") /
+              (col("_n").cast(dec) * col("_n") * col("_n") - col("_n"))
+                .cast("double"))).as("h_tie"))
+  }
+
   /** AUTOCORRELATION of an aggregated time series at a fixed lag —
     * [[pearsonExact]] composed over the series' self-join: pairs are the
     * (t, t+lag) steps where BOTH exist (gaps drop the pair — the "na.or

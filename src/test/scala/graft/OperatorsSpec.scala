@@ -3940,6 +3940,68 @@ class OperatorsSpec extends SparkSuite {
     assert(cleaned.getLong(0) == 2L && cleaned.getLong(1) == 1L)
   }
 
+  test("kruskalWallis: brute chain parity with heavy ties, textbook sanity, shifted cohort found, degenerate NULLs") {
+    import spark.implicits._
+    import graft.operators.Eval
+
+    // brute mirror of the engine chain: midranks from the value
+    // histogram, doubled rank sums, per-group micro-floored terms
+    def brute(pts: Seq[(String, Long)]): (Long, Long, Double, Option[Double], Option[Double]) = {
+      val n = pts.length.toLong
+      val hist = pts.groupBy(_._2).view.mapValues(_.size.toLong).toMap
+      val sorted = hist.toSeq.sortBy(_._1)
+      val cb = sorted.scanLeft(0L)(_ + _._2).init
+      val cbOf = sorted.map(_._1).zip(cb).toMap
+      val groups = pts.groupBy(_._1)
+      val st = groups.values.map { g =>
+        val ng = g.size.toLong
+        val r2 = g.map { case (_, v) => 2L * cbOf(v) + hist(v) + 1L }.sum
+        val x = BigInt(r2) * r2 * 1000000L
+        (x - x.mod(BigInt(ng))) / ng
+      }.sum
+      val tt = hist.values.map(t => BigInt(t) * t * t - t).sum
+      val k = groups.size.toLong
+      val h = if (k >= 2 && n >= 2)
+        Some(3.0 * (st.toDouble / 1000000.0) / (BigInt(n) * (n + 1)).toDouble -
+          3.0 * (n + 1).toDouble)
+      else None
+      val hTie = if (h.isDefined && BigInt(n) * n * n - n > tt)
+        Some(h.get / (1.0 - tt.toDouble / (BigInt(n) * n * n - n).toDouble))
+      else None
+      (n, k, tt.toDouble, h, hTie)
+    }
+    def run(pts: Seq[(String, Long)]) =
+      Eval.kruskalWallis(pts.toDF("g", "v"), "g", col("v"),
+        bucketOf = v => shiftright(v, 2)).collect()(0)
+
+    // three cohorts, one shifted up, heavy ties
+    val rnd = new scala.util.Random(67)
+    val pts = Seq("a", "b", "c").flatMap { g =>
+      (1 to 80).map(_ => (g, rnd.nextInt(12).toLong +
+        (if (g == "c") 6L else 0L)))
+    }
+    val got = run(pts); val want = brute(pts)
+    assert(got.getLong(0) == want._1 && got.getLong(1) == want._2 &&
+      got.getDouble(2) == want._3)
+    assert(got.getDouble(3) == want._4.get, s"h: ${got.getDouble(3)} vs ${want._4.get}")
+    assert(got.getDouble(4) == want._5.get, s"h_tie: ${got.getDouble(4)} vs ${want._5.get}")
+    // the shifted cohort makes H large (chi2_{2, 0.001} = 13.8)
+    assert(got.getDouble(4) > 13.8)
+    // textbook sanity on a tie-free table: H' == H and matches the
+    // classic 12/(N(N+1))·ΣR²/n − 3(N+1) within the micro-floor error
+    val clean = Seq(("a", 1L), ("a", 3L), ("b", 2L), ("b", 5L), ("c", 4L), ("c", 6L))
+    val g2 = run(clean)
+    val ranks = Map(1L -> 1.0, 2L -> 2.0, 3L -> 3.0, 4L -> 4.0, 5L -> 5.0, 6L -> 6.0)
+    val classic = 12.0 / (6 * 7) * Seq(Seq(1L, 3L), Seq(2L, 5L), Seq(4L, 6L))
+      .map(vs => math.pow(vs.map(ranks).sum, 2) / vs.size).sum - 3 * 7
+    assert(math.abs(g2.getDouble(3) - classic) < 1e-4)
+    assert(g2.getDouble(3) == g2.getDouble(4), "no ties -> correction is 1")
+    // degenerate: one group -> NULL; all values tied -> h defined, h_tie NULL
+    assert(run(Seq(("a", 1L), ("a", 2L))).isNullAt(3))
+    val tied = run(Seq(("a", 5L), ("a", 5L), ("b", 5L)))
+    assert(!tied.isNullAt(3) && tied.isNullAt(4))
+  }
+
   test("isotonicWeighted: weighted minimax brute parity, unit-weight == unweighted, negative-y floor, excluded rows") {
     import spark.implicits._
     import graft.operators.Eval
