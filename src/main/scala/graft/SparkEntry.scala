@@ -289,6 +289,7 @@ object SparkEntry {
     "q228_isotonic_weighted" -> q228,
     "q229_cochran_armitage" -> q229,
     "q230_kruskal_wallis" -> q230,
+    "q231_pq_adc" -> q231,
   )
 
   /** Round count for the parameterized BPE lifecycle (q163/q164) — read
@@ -3905,6 +3906,20 @@ object SparkEntry {
       bucketOf = v => shiftright(v, 3))
   }
 
+  /** Product-quantization ADC top-k over the embeddings — the
+    * compressed-index ANN read (4 subspaces × 16 dims, 4-codeword
+    * codebooks): train → encode → asymmetric-distance scan → top-k,
+    * every integer exactly reproducible
+    * ([[graft.operators.Similarity.pqTopK]]); the oracle replays all
+    * four per-subspace Lloyd chains side by side (the q218 scheme). */
+  private def q231(s: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(s, dir)
+    graft.operators.Similarity.pqTopK(
+        emb.where(col("vec_id") % 100 === 0), emb, "vec_id", "embedding",
+        k = 10, m = 4, ksub = 4, rounds = 2)
+      .orderBy(col("query_id"), col("rank"))
+  }
+
   // =====================================================================
   // DuckDB oracle SQL — same semantics, same column names, same ORDER BY.
   // =====================================================================
@@ -4026,6 +4041,51 @@ object SparkEntry {
                  row_number() OVER (PARTITION BY vec_id ORDER BY dist, c) AS rn
                FROM dist_f) t WHERE rn = 1),
            sz AS (SELECT c, CAST(count(*) AS BIGINT) AS n FROM a_f GROUP BY c)"""
+    }
+
+    // one PQ subspace as a generated CTE block (the kmeansChainSql
+    // scheme re-based onto a list_slice of the quantized vector):
+    // per-subspace Lloyd chain, full assignment af_j, and the
+    // query-side codeword distances qd_j read off the SAME final
+    // distance table the assignment used
+    def pqChainSql(j: Int, dsub: Int, rounds: Int, queryPred: String) = {
+      val off = j * dsub
+      val chain = (1 to rounds).map { r =>
+        s"""dist${r}_$j AS (SELECT px.vec_id, c.c,
+               sum((px.x - c.v) * (px.x - c.v)) AS dist
+             FROM px_$j px JOIN cent${r - 1}_$j c ON px.d = c.d
+             GROUP BY 1, 2),
+           a${r}_$j AS (SELECT vec_id, c FROM (
+               SELECT vec_id, c,
+                 row_number() OVER (PARTITION BY vec_id ORDER BY dist, c) AS rn
+               FROM dist${r}_$j) t WHERE rn = 1),
+           nc${r}_$j AS (SELECT a.c, px.d,
+               CAST((sum(px.x) - ((sum(px.x) % count(*) + count(*)) % count(*)))
+                 // count(*) AS BIGINT) AS v
+             FROM a${r}_$j a JOIN px_$j px ON px.vec_id = a.vec_id
+             GROUP BY 1, 2),
+           cent${r}_$j AS (SELECT p.c, p.d, coalesce(n.v, p.v) AS v
+             FROM cent${r - 1}_$j p LEFT JOIN nc${r}_$j n ON n.c = p.c AND n.d = p.d)"""
+      }.mkString(",\n           ")
+      s"""px_$j AS (SELECT vec_id,
+             unnest(list_slice(q, ${off + 1}, ${off + dsub})) AS x,
+             unnest(range($dsub)) AS d FROM pts),
+           cent0_$j AS (SELECT CAST(dense_rank() OVER (ORDER BY s.vec_id) AS BIGINT) AS c,
+               px.d, px.x AS v
+             FROM sel s JOIN px_$j px ON px.vec_id = s.vec_id),
+           $chain,
+           distf_$j AS (SELECT px.vec_id, c.c,
+               sum((px.x - c.v) * (px.x - c.v)) AS dist
+             FROM px_$j px JOIN cent${rounds}_$j c ON px.d = c.d
+             GROUP BY 1, 2),
+           af_$j AS (SELECT vec_id, c FROM (
+               SELECT vec_id, c,
+                 row_number() OVER (PARTITION BY vec_id ORDER BY dist, c) AS rn
+               FROM distf_$j) t WHERE rn = 1),
+           qd_$j AS (SELECT vec_id AS qid, c, dist AS d
+                     FROM distf_$j WHERE $queryPred),
+           pd_$j AS (SELECT qd.qid, af.vec_id AS nid, qd.d
+                     FROM af_$j af JOIN qd_$j qd ON qd.c = af.c)"""
     }
 
     // near-dup cluster closure (hashed-shingle Jaccard edges → recursive
@@ -5329,6 +5389,32 @@ object SparkEntry {
                  / sqrt(CAST(den AS DOUBLE))
              END AS z
            FROM b""",
+
+      // PQ ADC: four per-subspace Lloyd chains side by side, corpus
+      // codes from each chain's final assignment, query codeword
+      // distances off the same final distance tables, ADC = the 4-term
+      // sum, top-k ascending with neighbor-id ties
+      "q231_pq_adc" -> {
+        val m = 4; val dsub = 16; val ksub = 4; val rounds = 2; val topk = 10
+        s"""WITH pts AS (
+             SELECT vec_id, list_transform(embedding,
+               x -> CAST(floor(CAST(x AS DOUBLE) * 1000000.0 + 0.5) AS BIGINT)) AS q
+             FROM embeddings),
+           sel AS (SELECT vec_id FROM pts ORDER BY vec_id LIMIT $ksub),
+           ${(0 until m).map(j =>
+              pqChainSql(j, dsub, rounds, "vec_id % 100 = 0")).mkString(",\n           ")},
+           adc AS (SELECT qid, nid, CAST(sum(d) AS BIGINT) AS adc FROM (
+               ${(0 until m).map(j => s"SELECT * FROM pd_$j").mkString(" UNION ALL ")}) u
+             GROUP BY 1, 2),
+           tk AS (SELECT qid, nid, adc,
+               row_number() OVER (PARTITION BY qid
+                 ORDER BY adc ASC, nid ASC) AS rn
+             FROM adc)
+           SELECT qid AS query_id, rn AS rank, nid AS neighbor_id,
+             adc AS adc_q
+           FROM tk WHERE rn <= $topk
+           ORDER BY query_id, rank"""
+      },
 
       // Kruskal–Wallis: cell histogram → strictly-before cumulative →
       // doubled rank sums; per-group term floor-quantized micro at its

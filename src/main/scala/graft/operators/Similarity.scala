@@ -637,20 +637,28 @@ object Similarity {
   private def trainKmeansQuantized(corpus: DataFrame, idCol: String,
       vecCol: String, k: Int, rounds: Int, quantScale: Long)
       : (DataFrame, Array[(Int, Array[Long])]) = {
-    require(k >= 1, s"k must be >= 1, got $k")
-    require(rounds >= 1, s"rounds must be >= 1, got $rounds")
     require(quantScale >= 1L, s"quantScale must be >= 1, got $quantScale")
     // quantize ONCE; every round re-reads this frame — cut the lineage
-    val pts = corpus.select(col(idCol).cast("long").as("_id"),
-      expr(s"transform($vecCol, x -> CAST(floor(CAST(x AS DOUBLE) * $quantScale.0 + 0.5) AS BIGINT))")
-        .as("_q"))
-      .localCheckpoint()
-    var cents: Array[(Int, Array[Long])] = pts.orderBy(col("_id")).limit(k)
+    val pts = quantized(corpus, idCol, vecCol, quantScale).localCheckpoint()
+    (pts, trainLloyd(pts, col("_q"), k, rounds))
+  }
+
+  /** The Lloyd loop over an already-quantized `(_id, q)` frame —
+    * [[kmeansExact]] semantics (k smallest-id seeds, argmin ties to the
+    * smaller cluster, floor-division means, empty-cluster carry); shared
+    * by the full-vector trainers and the per-subspace PQ codebooks. */
+  private def trainLloyd(pts: DataFrame, q: Column, k: Int, rounds: Int)
+      : Array[(Int, Array[Long])] = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    require(rounds >= 1, s"rounds must be >= 1, got $rounds")
+    var cents: Array[(Int, Array[Long])] = pts.select(col("_id"), q.as("_tq"))
+      .orderBy(col("_id")).limit(k)
       .collect().zipWithIndex
       .map { case (r, i) => (i + 1, r.getSeq[Long](1).toArray) }
     for (_ <- 1 to rounds) {
-      val upd = withNearest(pts, cents, col("_q"), "_c")
-        .select(col("_c"), posexplode(col("_q")).as(Seq("_d", "_x")))
+      val upd = withNearest(pts.select(col("_id"), q.as("_tq")), cents,
+          col("_tq"), "_c")
+        .select(col("_c"), posexplode(col("_tq")).as(Seq("_d", "_x")))
         .groupBy(col("_c"), col("_d"))
         .agg(sum(col("_x")).as("_s"), count(lit(1)).as("_n"))
         .select(col("_c"), col("_d"),
@@ -665,7 +673,7 @@ object Similarity {
         }
       }
     }
-    (pts, cents)
+    cents
   }
 
   /** K-MEANS QUALITY — the "is k right / did training converge" readout
@@ -872,5 +880,73 @@ object Similarity {
       .where(col("_rank") <= k)
       .select(col("_qid").as("query_id"), col("_rank").as("rank"),
         col("id").as("neighbor_id"), col("_dot").as("dot_q"))
+  }
+
+  /** PRODUCT-QUANTIZATION top-k via asymmetric distance (Jégou et al.
+    * 2011, the 100 TB ANN workhorse) with an EXACT gate: the vector
+    * splits into `m` subspaces of dim/m dims, each subspace trains its
+    * own [[kmeansExact]]-semantics codebook (ksub codewords) on the
+    * integer-quantized subvectors, every corpus vector compresses to m
+    * small codes, and a query scores a corpus vector as the SUM of m
+    * table lookups `Σⱼ ‖q⁽ʲ⁾ − codeword(codeⱼ)‖²` — approximate BY
+    * CONSTRUCTION (quantization error), yet every integer is exactly
+    * reproducible, so the whole train→encode→ADC-scan→top-k lifecycle
+    * hash-matches a generated per-subspace CTE-chain oracle (the q218
+    * scheme, m chains side by side).
+    *
+    * ## Scale shape (100 TB)
+    * Training: m Lloyd loops over sliced subvectors (model traffic
+    * m·ksub·dsub longs per round). Encoding: ONE narrow projection
+    * adding m argmin codes — at scale this is the compressed index a
+    * pipeline persists (n·m small ints instead of n·dim floats, the
+    * 32× memory win that makes billion-vector serving possible).
+    * Query: the distance TABLE is |Q|·m·ksub rows (query-batch-sized,
+    * broadcast); the scan explodes codes to (id, j, code) — n·m narrow
+    * rows — equi-joins the table and partial-aggregates the m-term sum
+    * per (query, id); the re-rank heap is a per-query window. Corpus
+    * vectors themselves never join — only their codes move. Returns
+    * `(query_id, rank, neighbor_id, adc_q)`, distance ASCENDING, ties
+    * to the smaller neighbor id. */
+  def pqTopK(queries: DataFrame, corpus: DataFrame, idCol: String,
+             vecCol: String, k: Int, m: Int, ksub: Int, rounds: Int,
+             quantScale: Long = 1000000L): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    require(m >= 1, s"m must be >= 1, got $m")
+    val pts = quantized(corpus, idCol, vecCol, quantScale).localCheckpoint()
+    val dim = pts.select(size(col("_q")).as("_d")).limit(1)
+      .collect().headOption.map(_.getInt(0)).getOrElse(0)
+    require(dim > 0 && dim % m == 0, s"dim $dim must be a positive multiple of m=$m")
+    val dsub = dim / m
+    require(m.toLong * ksub * dsub <= planLiteralBudget,
+      s"PQ distance-table literals m*ksub*dsub = ${m.toLong * ksub * dsub} " +
+        s"exceed planLiteralBudget=$planLiteralBudget — lower ksub or raise m")
+    def sub(q: Column, j: Int): Column = slice(q, j * dsub + 1, dsub)
+    val books = (0 until m).map(j => trainLloyd(pts, sub(col("_q"), j), ksub, rounds))
+    // encode: m argmin codes per corpus row, one narrow projection
+    val enc = (0 until m).foldLeft(pts) { (df, j) =>
+      withNearest(df, books(j), sub(col("_q"), j), s"_c$j")
+    }
+    val codes = enc.select(col("_id").as("_nid"),
+      posexplode(array((0 until m).map(j => col(s"_c$j")): _*)).as(Seq("_j", "_code")))
+    // per-query distance table: |Q|·m·ksub rows, broadcast
+    val qpts = quantized(queries, idCol, vecCol, quantScale)
+    val entries = for (j <- 0 until m; (c, v) <- books(j)) yield
+      struct(lit(j).as("j"), lit(c.toLong).as("code"),
+        aggregate(zip_with(sub(col("_q"), j), array(v.map(lit(_)).toSeq: _*),
+          (a, b) => (a - b) * (a - b)), lit(0L), (acc, x) => acc + x).as("d"))
+    val dtab = qpts
+      .select(col("_id").as("_qid"), explode(array(entries: _*)).as("_e"))
+      .select(col("_qid"), col("_e.j").as("_j"), col("_e.code").as("_code"),
+        col("_e.d").as("_d"))
+    val w = Window.partitionBy(col("_qid"))
+      .orderBy(col("_adc").asc, col("_nid").asc)
+    codes
+      .join(broadcast(dtab), Seq("_j", "_code"))
+      .groupBy(col("_qid"), col("_nid"))
+      .agg(sum(col("_d")).as("_adc"))
+      .withColumn("_rank", row_number().over(w))
+      .where(col("_rank") <= k)
+      .select(col("_qid").as("query_id"), col("_rank").as("rank"),
+        col("_nid").as("neighbor_id"), col("_adc").as("adc_q"))
   }
 }

@@ -4221,6 +4221,86 @@ class OperatorsSpec extends SparkSuite {
       i -> Seq.fill(5)((rnd.nextInt(2000) - 1000).toLong)), k = 4, rounds = 3)
   }
 
+  test("pqTopK: brute PQ pipeline parity, ksub=n degenerates to exact L2 top-k, dim guard") {
+    import spark.implicits._
+    import graft.operators.Similarity
+
+    def lloyd(pts: Seq[(Long, Seq[Long])], k: Int, rounds: Int): Seq[(Int, Seq[Long])] = {
+      var cents: Seq[(Int, Seq[Long])] = pts.sortBy(_._1).take(k)
+        .zipWithIndex.map { case ((_, v), i) => (i + 1, v) }
+      def assign(v: Seq[Long]): Int = cents.minBy { case (c, w) =>
+        (v.zip(w).map { case (a, b) => (a - b) * (a - b) }.sum, c) }._1
+      for (_ <- 1 to rounds) {
+        val g = pts.groupBy(p => assign(p._2))
+        cents = cents.map { case (c, old) =>
+          g.get(c).fold((c, old)) { grp =>
+            (c, old.indices.map(d =>
+              Math.floorDiv(grp.map(_._2(d)).sum, grp.size.toLong)))
+          }
+        }
+      }
+      cents
+    }
+    def brutePq(pts: Seq[(Long, Seq[Long])], qids: Set[Long], k: Int,
+                m: Int, ksub: Int, rounds: Int): Seq[(Long, Long, Long, Long)] = {
+      val dsub = pts.head._2.length / m
+      val books = (0 until m).map(j =>
+        lloyd(pts.map { case (id, v) => (id, v.slice(j * dsub, (j + 1) * dsub)) },
+          ksub, rounds))
+      def assign(b: Seq[(Int, Seq[Long])], v: Seq[Long]): Int =
+        b.minBy { case (c, w) =>
+          (v.zip(w).map { case (a, x) => (a - x) * (a - x) }.sum, c) }._1
+      val codes = pts.map { case (id, v) =>
+        id -> (0 until m).map(j => assign(books(j), v.slice(j * dsub, (j + 1) * dsub))) }
+      pts.filter(p => qids(p._1)).flatMap { case (qid, qv) =>
+        val dt = (0 until m).map { j =>
+          books(j).map { case (c, w) =>
+            c -> qv.slice(j * dsub, (j + 1) * dsub).zip(w)
+              .map { case (a, b) => (a - b) * (a - b) }.sum }.toMap
+        }
+        codes.map { case (nid, cs) =>
+          (nid, (0 until m).map(j => dt(j)(cs(j))).sum) }
+          .sortBy { case (nid, d) => (d, nid) }.take(k).zipWithIndex
+          .map { case ((nid, d), i) => (qid, i + 1L, nid, d) }
+      }
+    }
+    val rnd = new scala.util.Random(71)
+    val pts = (1L to 50L).map(i => (i, Seq.fill(8)((rnd.nextInt(200) - 100).toLong)))
+    val df = pts.map { case (id, v) => (id, v.map(_.toFloat).toArray) }
+      .toDF("vec_id", "embedding")
+    val queries = df.where(col("vec_id") % 10 === 0)
+    val got = Similarity.pqTopK(queries, df, "vec_id", "embedding",
+        k = 5, m = 2, ksub = 3, rounds = 2, quantScale = 1L)
+      .collect().map(r => (r.getLong(0), r.getInt(1).toLong, r.getLong(2), r.getLong(3))).toSeq
+      .sortBy(t => (t._1, t._2))
+    val want = brutePq(pts, pts.map(_._1).filter(_ % 10 == 0).toSet,
+      k = 5, m = 2, ksub = 3, rounds = 2).sortBy(t => (t._1, t._2))
+    assert(got == want, s"PQ pipeline parity:\n$got\n$want")
+
+    // ksub = n: every point is its own codeword after enough rounds on
+    // distinct seeds -> ADC == true squared L2, PQ == exact top-k
+    val tiny = Seq(1L -> Seq(0L, 0L), 2L -> Seq(4L, 0L), 3L -> Seq(0L, 5L),
+      4L -> Seq(9L, 9L))
+    val tdf = tiny.map { case (id, v) => (id, v.map(_.toFloat).toArray) }
+      .toDF("vec_id", "embedding")
+    val exact = Similarity.pqTopK(tdf, tdf, "vec_id", "embedding",
+        k = 4, m = 1, ksub = 4, rounds = 1, quantScale = 1L)
+      .collect().map(r => ((r.getLong(0), r.getInt(1).toLong), (r.getLong(2), r.getLong(3)))).toMap
+    def d2(a: Seq[Long], b: Seq[Long]) =
+      a.zip(b).map { case (x, y) => (x - y) * (x - y) }.sum
+    for ((qid, qv) <- tiny) {
+      val sorted = tiny.map { case (nid, nv) => (nid, d2(qv, nv)) }
+        .sortBy { case (nid, d) => (d, nid) }
+      sorted.zipWithIndex.foreach { case ((nid, d), i) =>
+        assert(exact((qid, i + 1L)) == ((nid, d)), s"q$qid rank ${i + 1}") }
+    }
+    // dim not divisible by m is rejected loudly
+    intercept[IllegalArgumentException] {
+      Similarity.pqTopK(tdf, tdf, "vec_id", "embedding",
+        k = 1, m = 3, ksub = 2, rounds = 1)
+    }
+  }
+
   test("kmeans/quality/IVF broadcast fallback above the plan-literal budget: bit-identical to the literal path") {
     import spark.implicits._
     import graft.operators.Similarity
