@@ -290,6 +290,7 @@ object SparkEntry {
     "q229_cochran_armitage" -> q229,
     "q230_kruskal_wallis" -> q230,
     "q231_pq_adc" -> q231,
+    "q232_ivf_pq" -> q232,
   )
 
   /** Round count for the parameterized BPE lifecycle (q163/q164) — read
@@ -3920,6 +3921,20 @@ object SparkEntry {
       .orderBy(col("query_id"), col("rank"))
   }
 
+  /** IVF-PQ with residual encoding — the production billion-vector
+    * index composed from the exact parts (coarse router q219 + PQ
+    * compression q231, codebooks on RESIDUALS — FAISS IndexIVFPQ's
+    * default): probe 2 of 8 coarse buckets, ADC over 4×16-dim residual
+    * codebooks ([[graft.operators.Similarity.ivfPqTopK]]); the oracle
+    * replays the coarse chain plus all four residual-subspace chains. */
+  private def q232(s: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(s, dir)
+    graft.operators.Similarity.ivfPqTopK(
+        emb.where(col("vec_id") % 100 === 0), emb, "vec_id", "embedding",
+        k = 10, nCoarse = 8, probes = 2, m = 4, ksub = 4, rounds = 2)
+      .orderBy(col("query_id"), col("rank"))
+  }
+
   // =====================================================================
   // DuckDB oracle SQL — same semantics, same column names, same ORDER BY.
   // =====================================================================
@@ -4044,12 +4059,12 @@ object SparkEntry {
     }
 
     // one PQ subspace as a generated CTE block (the kmeansChainSql
-    // scheme re-based onto a list_slice of the quantized vector):
-    // per-subspace Lloyd chain, full assignment af_j, and the
-    // query-side codeword distances qd_j read off the SAME final
-    // distance table the assignment used
-    def pqChainSql(j: Int, dsub: Int, rounds: Int, queryPred: String) = {
-      val off = j * dsub
+    // scheme re-based onto a caller-supplied point table `pxDef` —
+    // a list_slice of the quantized vector for flat PQ, a slice of the
+    // coarse RESIDUALS for IVF-PQ): per-subspace Lloyd chain, final
+    // distance table distf_j, full assignment af_j
+    def pqSubChainSql(j: Int, dsub: Int, rounds: Int, pxDef: String,
+                      selName: String) = {
       val chain = (1 to rounds).map { r =>
         s"""dist${r}_$j AS (SELECT px.vec_id, c.c,
                sum((px.x - c.v) * (px.x - c.v)) AS dist
@@ -4067,12 +4082,10 @@ object SparkEntry {
            cent${r}_$j AS (SELECT p.c, p.d, coalesce(n.v, p.v) AS v
              FROM cent${r - 1}_$j p LEFT JOIN nc${r}_$j n ON n.c = p.c AND n.d = p.d)"""
       }.mkString(",\n           ")
-      s"""px_$j AS (SELECT vec_id,
-             unnest(list_slice(q, ${off + 1}, ${off + dsub})) AS x,
-             unnest(range($dsub)) AS d FROM pts),
+      s"""px_$j AS ($pxDef),
            cent0_$j AS (SELECT CAST(dense_rank() OVER (ORDER BY s.vec_id) AS BIGINT) AS c,
                px.d, px.x AS v
-             FROM sel s JOIN px_$j px ON px.vec_id = s.vec_id),
+             FROM $selName s JOIN px_$j px ON px.vec_id = s.vec_id),
            $chain,
            distf_$j AS (SELECT px.vec_id, c.c,
                sum((px.x - c.v) * (px.x - c.v)) AS dist
@@ -4081,12 +4094,12 @@ object SparkEntry {
            af_$j AS (SELECT vec_id, c FROM (
                SELECT vec_id, c,
                  row_number() OVER (PARTITION BY vec_id ORDER BY dist, c) AS rn
-               FROM distf_$j) t WHERE rn = 1),
-           qd_$j AS (SELECT vec_id AS qid, c, dist AS d
-                     FROM distf_$j WHERE $queryPred),
-           pd_$j AS (SELECT qd.qid, af.vec_id AS nid, qd.d
-                     FROM af_$j af JOIN qd_$j qd ON qd.c = af.c)"""
+               FROM distf_$j) t WHERE rn = 1)"""
     }
+    def pqSlicePx(j: Int, dsub: Int, src: String) =
+      s"""SELECT vec_id,
+             unnest(list_slice(q, ${j * dsub + 1}, ${j * dsub + dsub})) AS x,
+             unnest(range($dsub)) AS d FROM $src"""
 
     // near-dup cluster closure (hashed-shingle Jaccard edges → recursive
     // reachability → min-label component) — the CTE block q39 and q61 share
@@ -5401,10 +5414,65 @@ object SparkEntry {
                x -> CAST(floor(CAST(x AS DOUBLE) * 1000000.0 + 0.5) AS BIGINT)) AS q
              FROM embeddings),
            sel AS (SELECT vec_id FROM pts ORDER BY vec_id LIMIT $ksub),
+           ${(0 until m).map(j => pqSubChainSql(j, dsub, rounds,
+              pqSlicePx(j, dsub, "pts"), "sel")).mkString(",\n           ")},
            ${(0 until m).map(j =>
-              pqChainSql(j, dsub, rounds, "vec_id % 100 = 0")).mkString(",\n           ")},
+              s"""qd_$j AS (SELECT vec_id AS qid, c, dist AS d
+                     FROM distf_$j WHERE vec_id % 100 = 0),
+           pd_$j AS (SELECT qd.qid, af.vec_id AS nid, qd.d
+                     FROM af_$j af JOIN qd_$j qd ON qd.c = af.c)""")
+             .mkString(",\n           ")},
            adc AS (SELECT qid, nid, CAST(sum(d) AS BIGINT) AS adc FROM (
                ${(0 until m).map(j => s"SELECT * FROM pd_$j").mkString(" UNION ALL ")}) u
+             GROUP BY 1, 2),
+           tk AS (SELECT qid, nid, adc,
+               row_number() OVER (PARTITION BY qid
+                 ORDER BY adc ASC, nid ASC) AS rn
+             FROM adc)
+           SELECT qid AS query_id, rn AS rank, nid AS neighbor_id,
+             adc AS adc_q
+           FROM tk WHERE rn <= $topk
+           ORDER BY query_id, rank"""
+      },
+
+      // IVF-PQ with residual encoding: the coarse k-means chain routes,
+      // residuals rpx = x − centroid(x) feed four subspace chains, the
+      // query probes 2 buckets and builds one ADC table per probed
+      // bucket from ITS residual; candidates key on (bucket, code)
+      "q232_ivf_pq" -> {
+        val m = 4; val dsub = 16; val ksub = 4; val rounds = 2
+        val probes = 2; val topk = 10
+        def resPx(j: Int) =
+          s"""SELECT vec_id, x, d - ${j * dsub} AS d FROM rpx
+             WHERE d >= ${j * dsub} AND d < ${(j + 1) * dsub}"""
+        s"""WITH ${kmeansChainSql(k = 8, rounds = rounds)},
+           rpx AS (SELECT px.vec_id, px.d, px.x - c.v AS x
+                   FROM px JOIN a_f a ON a.vec_id = px.vec_id
+                   JOIN cent_$rounds c ON c.c = a.c AND c.d = px.d),
+           selq AS (SELECT vec_id FROM pts ORDER BY vec_id LIMIT $ksub),
+           ${(0 until m).map(j => pqSubChainSql(j, dsub, rounds,
+              resPx(j), "selq")).mkString(",\n           ")},
+           qp AS (SELECT vec_id AS qid, c FROM (
+               SELECT vec_id, c,
+                 row_number() OVER (PARTITION BY vec_id ORDER BY dist, c) AS rn
+               FROM dist_f WHERE vec_id % 100 = 0) t WHERE rn <= $probes),
+           qrx AS (SELECT q.qid, q.c AS bc, px.d, px.x - ct.v AS x
+                   FROM qp q JOIN px ON px.vec_id = q.qid
+                   JOIN cent_$rounds ct ON ct.c = q.c AND ct.d = px.d),
+           ${(0 until m).map(j =>
+              s"""qt_$j AS (SELECT r.qid, r.bc, cb.c AS code,
+                 sum((r.x - cb.v) * (r.x - cb.v)) AS d
+               FROM (SELECT qid, bc, d - ${j * dsub} AS d, x FROM qrx
+                     WHERE d >= ${j * dsub} AND d < ${(j + 1) * dsub}) r
+               JOIN cent${rounds}_$j cb ON cb.d = r.d
+               GROUP BY 1, 2, 3),
+           cand_$j AS (SELECT qp.qid, ca.vec_id AS nid, qt.d
+               FROM qp JOIN a_f ca ON ca.c = qp.c
+               JOIN af_$j af ON af.vec_id = ca.vec_id
+               JOIN qt_$j qt ON qt.qid = qp.qid AND qt.bc = qp.c
+                 AND qt.code = af.c)""").mkString(",\n           ")},
+           adc AS (SELECT qid, nid, CAST(sum(d) AS BIGINT) AS adc FROM (
+               ${(0 until m).map(j => s"SELECT * FROM cand_$j").mkString(" UNION ALL ")}) u
              GROUP BY 1, 2),
            tk AS (SELECT qid, nid, adc,
                row_number() OVER (PARTITION BY qid

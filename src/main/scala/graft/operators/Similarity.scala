@@ -949,4 +949,87 @@ object Similarity {
       .select(col("_qid").as("query_id"), col("_rank").as("rank"),
         col("_nid").as("neighbor_id"), col("_adc").as("adc_q"))
   }
+
+  /** IVF-PQ with RESIDUAL encoding — [[ivfExactTopK]]'s coarse routing
+    * composed with [[pqTopK]]'s compression, the way a production
+    * billion-vector index actually ships (FAISS IndexIVFPQ): a coarse
+    * [[kmeansExact]] quantizer routes vectors to `nCoarse` buckets, the
+    * PQ codebooks train on the RESIDUALS `x − centroid(x)` (residuals
+    * concentrate near 0, so the same ksub codewords spend their
+    * precision where the data is — the accuracy win over flat PQ), and
+    * a query probes its `probes` nearest coarse buckets, building one
+    * ADC table per probed bucket from ITS residual `q − centroidᵦ`.
+    * Approximate by construction twice over (probe misses + quantization
+    * error), every integer exactly reproducible — the whole
+    * train→route→residual-encode→probe→ADC lifecycle hash-matches a
+    * generated oracle (coarse chain + m residual-subspace chains).
+    *
+    * ## Scale shape (100 TB)
+    * Coarse training/assignment per [[kmeansExact]]; residuals are one
+    * narrow projection (centroid lookup is an `element_at` into
+    * nCoarse·dim plan literals, budget-guarded). Encoding: m argmin
+    * codes per row — the persisted index is (coarse bucket, m codes) per
+    * vector. Query: distance tables are |Q|·probes·m·ksub broadcast
+    * rows; the candidate join keys on (bucket, j, code), so only
+    * probed-bucket codes move and the fan-out is bounded by the probe
+    * list, never the corpus; the m-term ADC sum partial-aggregates.
+    * Returns `(query_id, rank, neighbor_id, adc_q)` ascending, ties to
+    * the smaller neighbor id. */
+  def ivfPqTopK(queries: DataFrame, corpus: DataFrame, idCol: String,
+                vecCol: String, k: Int, nCoarse: Int, probes: Int,
+                m: Int, ksub: Int, rounds: Int,
+                quantScale: Long = 1000000L): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    require(probes >= 1 && probes <= nCoarse,
+      s"probes must be in [1, nCoarse], got $probes")
+    val pts = quantized(corpus, idCol, vecCol, quantScale).localCheckpoint()
+    val dim = pts.select(size(col("_q")).as("_d")).limit(1)
+      .collect().headOption.map(_.getInt(0)).getOrElse(0)
+    require(dim > 0 && dim % m == 0, s"dim $dim must be a positive multiple of m=$m")
+    val dsub = dim / m
+    require(nCoarse.toLong * dim <= planLiteralBudget &&
+      m.toLong * ksub * dsub <= planLiteralBudget,
+      "centroid/codebook literals exceed planLiteralBudget")
+    val coarse = trainLloyd(pts, col("_q"), nCoarse, rounds)
+    // cluster → centroid lookup as one array-of-arrays literal (ids 1..n)
+    val centArr = array(coarse.sortBy(_._1).map { case (_, v) =>
+      array(v.map(lit(_)).toSeq: _*) }.toSeq: _*)
+    def residual(q: Column, c: Column): Column =
+      zip_with(q, element_at(centArr, c.cast("int")), (a, b) => a - b)
+    val assigned = withNearest(pts, coarse, col("_q"), "_c")
+      .withColumn("_r", residual(col("_q"), col("_c")))
+      .localCheckpoint() // feeds m codebook trainings AND the encoding
+    def sub(q: Column, j: Int): Column = slice(q, j * dsub + 1, dsub)
+    val books = (0 until m).map(j =>
+      trainLloyd(assigned, sub(col("_r"), j), ksub, rounds))
+    val enc = (0 until m).foldLeft(assigned) { (df, j) =>
+      withNearest(df, books(j), sub(col("_r"), j), s"_p$j")
+    }
+    val codes = enc.select(col("_id").as("_nid"), col("_c"),
+      posexplode(array((0 until m).map(j => col(s"_p$j")): _*)).as(Seq("_j", "_code")))
+    // probe list + per-probed-bucket query residuals
+    val qpts = quantized(queries, idCol, vecCol, quantScale)
+    val probed = withSortedDists(qpts, coarse, col("_q"), "_sorted")
+      .select(col("_id").as("_qid"), col("_q"),
+        explode(expr(s"transform(slice(_sorted, 1, $probes), s -> s.c)")).as("_c"))
+      .withColumn("_qr", residual(col("_q"), col("_c")))
+    val entries = for (j <- 0 until m; (c, v) <- books(j)) yield
+      struct(lit(j).as("j"), lit(c.toLong).as("code"),
+        aggregate(zip_with(sub(col("_qr"), j), array(v.map(lit(_)).toSeq: _*),
+          (a, b) => (a - b) * (a - b)), lit(0L), (acc, x) => acc + x).as("d"))
+    val dtab = probed
+      .select(col("_qid"), col("_c"), explode(array(entries: _*)).as("_e"))
+      .select(col("_qid"), col("_c"), col("_e.j").as("_j"),
+        col("_e.code").as("_code"), col("_e.d").as("_d"))
+    val w = Window.partitionBy(col("_qid"))
+      .orderBy(col("_adc").asc, col("_nid").asc)
+    codes
+      .join(broadcast(dtab), Seq("_c", "_j", "_code"))
+      .groupBy(col("_qid"), col("_nid"))
+      .agg(sum(col("_d")).as("_adc"))
+      .withColumn("_rank", row_number().over(w))
+      .where(col("_rank") <= k)
+      .select(col("_qid").as("query_id"), col("_rank").as("rank"),
+        col("_nid").as("neighbor_id"), col("_adc").as("adc_q"))
+  }
 }

