@@ -291,6 +291,7 @@ object SparkEntry {
     "q230_kruskal_wallis" -> q230,
     "q231_pq_adc" -> q231,
     "q232_ivf_pq" -> q232,
+    "q233_anova" -> q233,
   )
 
   /** Round count for the parameterized BPE lifecycle (q163/q164) — read
@@ -3935,6 +3936,21 @@ object SparkEntry {
       .orderBy(col("query_id"), col("rank"))
   }
 
+  /** One-way ANOVA F of the quality score across languages — the
+    * parametric MEANS companion to q230's Kruskal–Wallis (the pair a
+    * pipeline reads together: F moves on means, KW on the whole
+    * distribution) — [[graft.operators.Eval.anovaOneWay]] on the same
+    * quantized score universe. */
+  private def q233(s: SparkSession, dir: String): DataFrame = {
+    val stop = Text.langMarkers.toMap.apply("en")
+    graft.operators.Eval.anovaOneWay(
+      Tables.documents(s, dir)
+        .select(col("lang"),
+          floor(Text.qualityScore(col("text"), stop) * lit(1e6))
+            .cast("long").as("qu")),
+      groupCol = "lang", valueCol = expr("qu DIV 16384"))
+  }
+
   // =====================================================================
   // DuckDB oracle SQL — same semantics, same column names, same ORDER BY.
   // =====================================================================
@@ -5483,6 +5499,39 @@ object SparkEntry {
            FROM tk WHERE rn <= $topk
            ORDER BY query_id, rank"""
       },
+
+      // one-way ANOVA: per-group exact sums, both divisions floor-
+      // quantized micro at their sites, F the verbatim IEEE chain
+      "q233_anova" ->
+        s"""WITH pts AS (
+             SELECT lang AS g,
+               CAST(floor(${qualitySql(toks)} * 1e6) AS BIGINT) // 16384 AS y
+             FROM documents),
+           pg AS (SELECT g, CAST(count(*) AS BIGINT) AS ng,
+                    CAST(sum(y) AS BIGINT) AS sg,
+                    CAST(sum(CAST(y AS HUGEINT) * y) AS HUGEINT) AS ssg
+                  FROM pts GROUP BY g),
+           tg AS (SELECT ng, sg, ssg,
+                    (CAST(sg AS HUGEINT) * sg * 1000000)
+                      // CAST(ng AS HUGEINT) AS tgv
+                  FROM pg),
+           tot AS (SELECT CAST(sum(ng) AS BIGINT) AS n,
+                     CAST(count(*) AS BIGINT) AS k,
+                     CAST(sum(sg) AS HUGEINT) AS s,
+                     CAST(sum(ssg) AS HUGEINT) AS ss,
+                     CAST(sum(tgv) AS HUGEINT) AS st
+                   FROM tg),
+           fin AS (SELECT n, k, ss, st,
+                     (s * s * 1000000) // CAST(n AS HUGEINT) AS tn
+                   FROM tot)
+           SELECT n, k AS k_groups,
+             CAST(st - tn AS DOUBLE) AS ssb_micro,
+             CAST(ss * 1000000 - st AS DOUBLE) AS ssw_micro,
+             CASE WHEN k >= 2 AND n > k AND ss * 1000000 - st > 0 THEN
+               (CAST(st - tn AS DOUBLE) / CAST(k - 1 AS DOUBLE))
+                 / (CAST(ss * 1000000 - st AS DOUBLE) / CAST(n - k AS DOUBLE))
+             END AS f
+           FROM fin""",
 
       // Kruskal–Wallis: cell histogram → strictly-before cumulative →
       // doubled rank sums; per-group term floor-quantized micro at its

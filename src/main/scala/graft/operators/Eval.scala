@@ -1304,6 +1304,58 @@ object Eval {
                 .cast("double"))).as("h_tie"))
   }
 
+  /** ONE-WAY ANOVA F — the parametric companion to [[kruskalWallis]]
+    * ("do the k cohort MEANS differ", where KW asks about the whole
+    * distribution): with per-group exact sums `S_g` over quantized
+    * values, the between/within sums of squares come out of the usual
+    * identity `SSB = Σ S_g²/n_g − S²/N`, `SSW = Σy² − Σ S_g²/n_g`.
+    * Every division quantizes ONCE at its site — `⌊10⁶·S_g²/n_g⌋` per
+    * group and `⌊10⁶·S²/N⌋` once (pmod-subtract; numerators are ≥ 0 so
+    * floor ≡ truncate on both engines) — then SSB/SSW are pure integer
+    * micro sums and `F = (SSB/(k−1)) / (SSW/(N−k))` is the single
+    * trailing IEEE chain, mirrored verbatim.
+    *
+    * ## Scale shape (100 TB)
+    * ONE partial-aggregable `groupBy(group)` (k-row result), one k-row
+    * final aggregate — no window, no join beyond the 1-row attach.
+    * Digit budget: S_g²·10⁶ ≤ N²·y²·10⁶ rides DECIMAL(38) to
+    * N·|y| ≈ 10¹⁶ (quantize y accordingly). NULL-input rows excluded.
+    * Returns ONE row `(n, k_groups, ssb_micro, ssw_micro, f)`; f NULL
+    * when k < 2, N ≤ k, or SSW = 0 (all groups internally constant). */
+  def anovaOneWay(df: DataFrame, groupCol: String,
+                  valueCol: Column): DataFrame = {
+    val dec = "decimal(38,0)"
+    val perGroup = df
+      .where(valueCol.isNotNull && col(groupCol).isNotNull)
+      .select(col(groupCol).as("_g"), valueCol.cast("long").as("_y"))
+      .groupBy(col("_g"))
+      .agg(count(lit(1)).as("_ng"), sum(col("_y")).as("_sg"),
+        sum(col("_y").cast(dec) * col("_y")).as("_ssg"))
+      // ⌊10⁶·S_g²/n_g⌋ at the site (S_g² ≥ 0, floor ≡ truncate)
+      .select(col("_ng"), col("_sg"), col("_ssg"),
+        expr("""CAST((_sg * _sg * 1000000 -
+                  pmod(_sg * _sg * 1000000, CAST(_ng AS DECIMAL(38,0))))
+                / _ng AS DECIMAL(38,0))""").as("_tg"))
+    perGroup
+      .agg(sum(col("_ng")).as("_n"), count(lit(1)).as("_k"),
+        sum(col("_sg")).as("_s"), sum(col("_ssg")).as("_ss"),
+        sum(col("_tg")).as("_st"))
+      .select(col("_n"), col("_k"), col("_ss"), col("_st"),
+        // ⌊10⁶·S²/N⌋, the one grand-term division
+        expr("""CAST((_s * _s * 1000000 -
+                  pmod(_s * _s * 1000000, CAST(_n AS DECIMAL(38,0))))
+                / _n AS DECIMAL(38,0))""").as("_tn"))
+      .select(col("_n").as("n"), col("_k").as("k_groups"),
+        (col("_st") - col("_tn")).cast("double").as("ssb_micro"),
+        (col("_ss") * lit(1000000L) - col("_st")).cast("double").as("ssw_micro"),
+        when(col("_k") >= 2L && col("_n") > col("_k") &&
+          (col("_ss") * lit(1000000L) - col("_st")) > 0,
+          ((col("_st") - col("_tn")).cast("double") /
+            (col("_k") - lit(1L)).cast("double")) /
+            ((col("_ss") * lit(1000000L) - col("_st")).cast("double") /
+              (col("_n") - col("_k")).cast("double"))).as("f"))
+  }
+
   /** AUTOCORRELATION of an aggregated time series at a fixed lag —
     * [[pearsonExact]] composed over the series' self-join: pairs are the
     * (t, t+lag) steps where BOTH exist (gaps drop the pair — the "na.or

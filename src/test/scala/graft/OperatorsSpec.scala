@@ -4002,6 +4002,52 @@ class OperatorsSpec extends SparkSuite {
     assert(!tied.isNullAt(3) && tied.isNullAt(4))
   }
 
+  test("anovaOneWay: brute chain parity, textbook F sanity, planted shift, degenerate NULLs, negative values") {
+    import spark.implicits._
+    import graft.operators.Eval
+
+    def brute(pts: Seq[(String, Long)]): (Long, Long, Double, Double, Option[Double]) = {
+      def fl(num: BigInt, d: Long): BigInt = (num - num.mod(BigInt(d))) / d
+      val n = pts.length.toLong
+      val groups = pts.groupBy(_._1)
+      val k = groups.size.toLong
+      val ss = pts.map(p => BigInt(p._2) * p._2).sum
+      val s = pts.map(_._2).sum
+      val st = groups.values.map { g =>
+        fl(BigInt(g.map(_._2).sum) * g.map(_._2).sum * 1000000L, g.size.toLong) }.sum
+      val tn = fl(BigInt(s) * s * 1000000L, n)
+      val ssb = (st - tn).toDouble
+      val ssw = (ss * 1000000L - st).toDouble
+      val f = if (k >= 2 && n > k && ss * 1000000L - st > 0)
+        Some((ssb / (k - 1).toDouble) / (ssw / (n - k).toDouble))
+      else None
+      (n, k, ssb, ssw, f)
+    }
+    def run(pts: Seq[(String, Long)]) =
+      Eval.anovaOneWay(pts.toDF("g", "y"), "g", col("y")).collect()(0)
+
+    // planted mean shift across three cohorts, negatives included
+    val rnd = new scala.util.Random(89)
+    val pts = Seq("a" -> 0L, "b" -> 0L, "c" -> 40L).flatMap { case (g, off) =>
+      (1 to 70).map(_ => (g, rnd.nextInt(21) - 10L + off)) }
+    val got = run(pts); val want = brute(pts)
+    assert(got.getLong(0) == want._1 && got.getLong(1) == want._2)
+    assert(got.getDouble(2) == want._3 && got.getDouble(3) == want._4)
+    assert(got.getDouble(4) == want._5.get && got.getDouble(4) > 100.0,
+      s"planted shift must dominate: F = ${got.getDouble(4)}")
+    // textbook sanity: micro-floor F within 1e-6 of the float formula
+    val grand = pts.map(_._2.toDouble).sum / pts.length
+    val byG = pts.groupBy(_._1).values
+    val ssbF = byG.map(g => g.size * math.pow(g.map(_._2.toDouble).sum / g.size - grand, 2)).sum
+    val sswF = byG.map(g => { val m = g.map(_._2.toDouble).sum / g.size
+      g.map(p => math.pow(p._2 - m, 2)).sum }).sum
+    val fF = (ssbF / 2) / (sswF / (pts.length - 3))
+    assert(math.abs(got.getDouble(4) - fF) / fF < 1e-6)
+    // degenerate: one group / all-constant groups -> NULL F
+    assert(run(Seq(("a", 1L), ("a", 2L))).isNullAt(4))
+    assert(run(Seq(("a", 5L), ("a", 5L), ("b", 7L), ("b", 7L))).isNullAt(4))
+  }
+
   test("isotonicWeighted: weighted minimax brute parity, unit-weight == unweighted, negative-y floor, excluded rows") {
     import spark.implicits._
     import graft.operators.Eval
