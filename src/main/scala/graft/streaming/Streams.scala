@@ -1165,6 +1165,50 @@ object Streams {
     * Emits `(window_start, window_end, n_rows, o1..o9, chi2_micro)`
     * once per finalized window; `chi2_micro > 20.09·10⁶` rejects
     * Benford at α = 0.01 (8 degrees of freedom). */
+  /** Streaming MANN–WHITNEY AUC drift against a FROZEN reference value
+    * histogram — the rank-based sibling of [[ksDriftStream]] (KS reads
+    * the sup CDF gap; AUC reads stochastic ordering: 0.5 = the window is
+    * exchangeable with the reference, → 1 = the window's values run
+    * HIGH, → 0 = low). The reference collapses to the model
+    * `(refValues, refCounts)` (sorted distinct values + counts, trained
+    * once); each event contributes `2·#{ref < v} + #{ref = v}` — a
+    * stateless literal-array probe — so ONE stateful windowed agg
+    * carries exactly two sums (the doubled U and the window count), and
+    * `auc = 2U / (2·n·N_ref)` is one IEEE division of exact integers,
+    * bit-identical to [[graft.operators.Eval.mannWhitney]]'s AUC on the
+    * (window ∪ reference) slice (spec-asserted). Late rows drop at the
+    * watermark. Emits `(window_start, window_end, n_tgt, u2, auc)` per
+    * finalized window. */
+  def mwDriftStream(rows: DataFrame, valueCol: String, tsCol: String,
+                    refValues: Seq[Long], refCounts: Seq[Long],
+                    windowDur: String, delay: String): DataFrame = {
+    val b = refValues.length
+    require(b >= 1, s"need >= 1 reference values, got $b")
+    require(refCounts.length == b && refCounts.forall(_ >= 1L),
+      "need one positive count per reference value")
+    require(refValues.sameElements(refValues.sorted.distinct),
+      "refValues must be sorted distinct")
+    val refTotal = refCounts.sum
+    val pairs = refValues.zip(refCounts)
+    // 2·#{ref < v} + #{ref = v}: one fold over the b-entry model literal
+    val contrib = pairs.map { case (g, c) =>
+      when(lit(g) < col(valueCol), lit(2L * c))
+        .when(lit(g) === col(valueCol), lit(c))
+        .otherwise(lit(0L))
+    }.reduce(_ + _)
+    rows
+      .withColumn("_u", contrib)
+      .where(col(valueCol).isNotNull)
+      .withWatermark(tsCol, delay)
+      .groupBy(window(col(tsCol), windowDur))
+      .agg(count(lit(1)).as("n_tgt"), sum(col("_u")).as("u2"))
+      .select(col("window.start").as("window_start"),
+        col("window.end").as("window_end"), col("n_tgt"), col("u2"),
+        // the batch AUC readout verbatim: one IEEE division of exact ints
+        (col("u2").cast("double") /
+          (lit(2L) * col("n_tgt") * lit(refTotal)).cast("double")).as("auc"))
+  }
+
   def benfordDriftStream(rows: DataFrame, valueCol: String, tsCol: String,
                          windowDur: String, delay: String): DataFrame = {
     val digit = when(col(valueCol).cast("long") > 0L,

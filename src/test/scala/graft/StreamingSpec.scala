@@ -1257,6 +1257,50 @@ class StreamingSpec extends SparkSuite {
     } finally q.stop()
   }
 
+  test("mwDriftStream: window AUC bit-matches batch mannWhitney on the union slice, one state op") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // frozen model: values 10/20/30 with counts 2/3/5
+    val refV = Seq(10L, 20L, 30L)
+    val refC = Seq(2L, 3L, 5L)
+    val input = MemoryStream[(Long, Long)]
+    val out = Streams.mwDriftStream(
+      input.toDF().toDF("us", "v").withColumn("ts", timestamp_micros(col("us"))),
+      "v", "ts", refV, refC, windowDur = "10 seconds", delay = "0 seconds")
+    val q = out.writeStream.outputMode("append").format("memory")
+      .queryName("mwd").start()
+    try {
+      // window [0,10s): 5, 20, 25, 35 — below / tie / between / above
+      input.addData((1000000L, 5L), (2000000L, 20L), (3000000L, 25L), (4000000L, 35L))
+      q.processAllAvailable()
+      input.addData((15000000L, 30L)) // advance the watermark
+      q.processAllAvailable()
+      val rows = spark.table("mwd").collect()
+        .map(r => (r.getLong(2), r.getLong(3), r.getDouble(4)))
+      assert(rows.length == 1, s"exactly the finalized window: ${rows.toSeq}")
+      val (n, u2, auc) = rows.head
+      assert(n == 4L)
+      // hand: 5 -> 0; 20 -> 2*2+3 = 7; 25 -> 2*5 = 10; 35 -> 2*10 = 20
+      assert(u2 == 37L && auc == 37.0 / 80.0, s"got ($u2, $auc)")
+      // batch parity: mannWhitney AUC over window(pos) ∪ reference(neg)
+      val union = (Seq(5L, 20L, 25L, 35L).map((_, true)) ++
+        refV.zip(refC).flatMap { case (v, c) => Seq.fill(c.toInt)((v, false)) })
+        .toDF("v", "p")
+      val batch = graft.operators.Eval.mannWhitney(union, col("v"), col("p"),
+        v => shiftright(v, 3)).collect().head
+      assert(auc == batch.getAs[Double]("auc"),
+        s"stream $auc vs batch ${batch.getAs[Double]("auc")}")
+      // exactly ONE stateful operator — the frozen model adds no state
+      val executed = q.asInstanceOf[org.apache.spark.sql.execution.streaming.runtime.StreamingQueryWrapper]
+        .streamingQuery.lastExecution.executedPlan
+      val stateful = executed.collect {
+        case p if p.getClass.getName.contains("StateStore") => p }
+      assert(stateful.map(_.getClass.getSimpleName).sorted ==
+        Seq("StateStoreRestoreExec", "StateStoreSaveExec"),
+        s"expected one windowed-agg state pair, found: $stateful")
+    } finally q.stop()
+  }
+
   test("benfordDriftStream: windows bit-match the batch chi-square terms, non-positives excluded, one state op") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
