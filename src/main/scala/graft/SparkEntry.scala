@@ -292,6 +292,7 @@ object SparkEntry {
     "q231_pq_adc" -> q231,
     "q232_ivf_pq" -> q232,
     "q233_anova" -> q233,
+    "q234_brown_forsythe" -> q234,
   )
 
   /** Round count for the parameterized BPE lifecycle (q163/q164) — read
@@ -3951,6 +3952,20 @@ object SparkEntry {
       groupCol = "lang", valueCol = expr("qu DIV 16384"))
   }
 
+  /** Brown–Forsythe homogeneity of variance across language cohorts —
+    * "is q233's pooled-variance F even admissible": ANOVA on absolute
+    * deviations from each cohort's exact lower median
+    * ([[graft.operators.Eval.brownForsythe]]). */
+  private def q234(s: SparkSession, dir: String): DataFrame = {
+    val stop = Text.langMarkers.toMap.apply("en")
+    graft.operators.Eval.brownForsythe(
+      Tables.documents(s, dir)
+        .select(col("lang"),
+          floor(Text.qualityScore(col("text"), stop) * lit(1e6))
+            .cast("long").as("qu")),
+      groupCol = "lang", valueCol = expr("qu DIV 16384"))
+  }
+
   // =====================================================================
   // DuckDB oracle SQL — same semantics, same column names, same ORDER BY.
   // =====================================================================
@@ -4116,6 +4131,37 @@ object SparkEntry {
       s"""SELECT vec_id,
              unnest(list_slice(q, ${j * dsub + 1}, ${j * dsub + dsub})) AS x,
              unnest(range($dsub)) AS d FROM $src"""
+
+    // the one-way ANOVA CTE block over a source CTE with columns (g, y):
+    // per-group exact sums, both divisions floor-quantized micro at
+    // their sites (numerators >= 0 so // == floor), F the trailing IEEE
+    // chain — anovaOneWay's arithmetic verbatim; shared by q233/q234
+    def anovaSql(src: String) =
+      s"""pg AS (SELECT g, CAST(count(*) AS BIGINT) AS ng,
+                    CAST(sum(y) AS BIGINT) AS sg,
+                    CAST(sum(CAST(y AS HUGEINT) * y) AS HUGEINT) AS ssg
+                  FROM $src GROUP BY g),
+           tgv AS (SELECT ng, sg, ssg,
+                    (CAST(sg AS HUGEINT) * sg * 1000000)
+                      // CAST(ng AS HUGEINT) AS tgq
+                  FROM pg),
+           tot AS (SELECT CAST(sum(ng) AS BIGINT) AS n,
+                     CAST(count(*) AS BIGINT) AS k,
+                     CAST(sum(sg) AS HUGEINT) AS s,
+                     CAST(sum(ssg) AS HUGEINT) AS ss,
+                     CAST(sum(tgq) AS HUGEINT) AS st
+                   FROM tgv),
+           fin AS (SELECT n, k, ss, st,
+                     (s * s * 1000000) // CAST(n AS HUGEINT) AS tn
+                   FROM tot)
+           SELECT n, k AS k_groups,
+             CAST(st - tn AS DOUBLE) AS ssb_micro,
+             CAST(ss * 1000000 - st AS DOUBLE) AS ssw_micro,
+             CASE WHEN k >= 2 AND n > k AND ss * 1000000 - st > 0 THEN
+               (CAST(st - tn AS DOUBLE) / CAST(k - 1 AS DOUBLE))
+                 / (CAST(ss * 1000000 - st AS DOUBLE) / CAST(n - k AS DOUBLE))
+             END AS f
+           FROM fin"""
 
     // near-dup cluster closure (hashed-shingle Jaccard edges → recursive
     // reachability → min-label component) — the CTE block q39 and q61 share
@@ -5502,36 +5548,33 @@ object SparkEntry {
 
       // one-way ANOVA: per-group exact sums, both divisions floor-
       // quantized micro at their sites, F the verbatim IEEE chain
+      // (generator shared with q234, whose source is the |y − med_g|
+      // deviation table)
       "q233_anova" ->
         s"""WITH pts AS (
              SELECT lang AS g,
                CAST(floor(${qualitySql(toks)} * 1e6) AS BIGINT) // 16384 AS y
              FROM documents),
-           pg AS (SELECT g, CAST(count(*) AS BIGINT) AS ng,
-                    CAST(sum(y) AS BIGINT) AS sg,
-                    CAST(sum(CAST(y AS HUGEINT) * y) AS HUGEINT) AS ssg
-                  FROM pts GROUP BY g),
-           tg AS (SELECT ng, sg, ssg,
-                    (CAST(sg AS HUGEINT) * sg * 1000000)
-                      // CAST(ng AS HUGEINT) AS tgv
-                  FROM pg),
-           tot AS (SELECT CAST(sum(ng) AS BIGINT) AS n,
-                     CAST(count(*) AS BIGINT) AS k,
-                     CAST(sum(sg) AS HUGEINT) AS s,
-                     CAST(sum(ssg) AS HUGEINT) AS ss,
-                     CAST(sum(tgv) AS HUGEINT) AS st
-                   FROM tg),
-           fin AS (SELECT n, k, ss, st,
-                     (s * s * 1000000) // CAST(n AS HUGEINT) AS tn
-                   FROM tot)
-           SELECT n, k AS k_groups,
-             CAST(st - tn AS DOUBLE) AS ssb_micro,
-             CAST(ss * 1000000 - st AS DOUBLE) AS ssw_micro,
-             CASE WHEN k >= 2 AND n > k AND ss * 1000000 - st > 0 THEN
-               (CAST(st - tn AS DOUBLE) / CAST(k - 1 AS DOUBLE))
-                 / (CAST(ss * 1000000 - st AS DOUBLE) / CAST(n - k AS DOUBLE))
-             END AS f
-           FROM fin""",
+           ${anovaSql("pts")}""",
+
+      // Brown–Forsythe: per-group LOWER-MEDIAN order statistic off the
+      // cell histogram, then the ANOVA block verbatim on |y − med_g|
+      "q234_brown_forsythe" ->
+        s"""WITH pts AS (
+             SELECT lang AS g,
+               CAST(floor(${qualitySql(toks)} * 1e6) AS BIGINT) // 16384 AS y
+             FROM documents),
+           cells AS (SELECT g, y AS v, CAST(count(*) AS BIGINT) AS c
+                     FROM pts GROUP BY 1, 2),
+           cum AS (SELECT g, v,
+                     sum(c) OVER (PARTITION BY g ORDER BY v) AS cumc,
+                     sum(c) OVER (PARTITION BY g) AS ng
+                   FROM cells),
+           med AS (SELECT g, min(v) AS medv FROM cum
+                   WHERE cumc >= (ng + 1) // 2 GROUP BY g),
+           z AS (SELECT pts.g, abs(pts.y - med.medv) AS y
+                 FROM pts JOIN med ON med.g = pts.g),
+           ${anovaSql("z")}""",
 
       // Kruskal–Wallis: cell histogram → strictly-before cumulative →
       // doubled rank sums; per-group term floor-quantized micro at its

@@ -1356,6 +1356,48 @@ object Eval {
               (col("_n") - col("_k")).cast("double"))).as("f"))
   }
 
+  /** BROWN–FORSYTHE homogeneity-of-variance test — "can I trust a
+    * pooled-variance read (q233's ANOVA F) across these cohorts at
+    * all": one-way ANOVA on the absolute deviations from each group's
+    * MEDIAN (Brown & Forsythe 1974 — the median variant of Levene,
+    * robust to non-normality). Exact end to end: the per-group median
+    * is the LOWER MEDIAN order statistic (the ⌈n_g/2⌉-th smallest — an
+    * actual data element, deterministic) read off the (group, value)
+    * cell histogram, `z = |y − med_g|` is integer, and the F readout is
+    * [[anovaOneWay]] verbatim (site-quantized micro floors, one
+    * trailing IEEE chain).
+    *
+    * ## Scale shape (100 TB)
+    * ONE partial-aggregable `groupBy(group, value)` builds the cell
+    * histogram; the median scan is a window over CELLS partitioned by
+    * group (value-universe-sized per group, never row-sized); medians
+    * join back as a k-row broadcast; then [[anovaOneWay]]'s single
+    * groupBy. NULL-input rows excluded. Returns [[anovaOneWay]]'s row
+    * `(n, k_groups, ssb_micro, ssw_micro, f)` over the deviations. */
+  def brownForsythe(df: DataFrame, groupCol: String,
+                    valueCol: Column): DataFrame = {
+    val rows = df
+      .where(valueCol.isNotNull && col(groupCol).isNotNull)
+      .select(col(groupCol).as("_g"), valueCol.cast("long").as("_y"))
+      .localCheckpoint() // fans into the median build and the deviation scan
+    val wCum = Window.partitionBy(col("_g")).orderBy(col("_v"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wAll = Window.partitionBy(col("_g"))
+    val medians = rows
+      .groupBy(col("_g"), col("_y").as("_v"))
+      .agg(count(lit(1)).as("_c"))
+      .withColumn("_cum", sum(col("_c")).over(wCum))
+      .withColumn("_n", sum(col("_c")).over(wAll))
+      // lower median: the smallest v whose cumulative count reaches
+      // ceil(n/2) = (n+1) DIV 2
+      .where(col("_cum") >= expr("(_n + 1) DIV 2"))
+      .groupBy(col("_g"))
+      .agg(min(col("_v")).as("_med"))
+    anovaOneWay(
+      rows.join(broadcast(medians), Seq("_g")),
+      "_g", abs(col("_y") - col("_med")))
+  }
+
   /** AUTOCORRELATION of an aggregated time series at a fixed lag —
     * [[pearsonExact]] composed over the series' self-join: pairs are the
     * (t, t+lag) steps where BOTH exist (gaps drop the pair — the "na.or

@@ -4048,6 +4048,41 @@ class OperatorsSpec extends SparkSuite {
     assert(run(Seq(("a", 5L), ("a", 5L), ("b", 7L), ("b", 7L))).isNullAt(4))
   }
 
+  test("brownForsythe: equals anovaOneWay on hand-computed |y - lower median|, spread cohort flags, equal-spread does not") {
+    import spark.implicits._
+    import graft.operators.Eval
+
+    def run(pts: Seq[(String, Long)]) =
+      Eval.brownForsythe(pts.toDF("g", "y"), "g", col("y")).collect()(0)
+    def viaAnova(pts: Seq[(String, Long)]) = {
+      // lower median: the ceil(n/2)-th smallest, an actual element
+      val med = pts.groupBy(_._1).view.mapValues { g =>
+        val s = g.map(_._2).sorted; s((s.length + 1) / 2 - 1) }.toMap
+      Eval.anovaOneWay(
+        pts.map { case (g, y) => (g, math.abs(y - med(g))) }.toDF("g", "y"),
+        "g", col("y")).collect()(0)
+    }
+    val rnd = new scala.util.Random(101)
+    // cohort c is 8x more spread than a/b around the same center
+    val pts = Seq(("a", 1L), ("b", 1L), ("c", 8L)).flatMap { case (g, sp) =>
+      (1 to 61).map(_ => (g, 100L + (rnd.nextInt(21) - 10) * sp)) }
+    val got = run(pts)
+    assert(got.toString == viaAnova(pts).toString,
+      s"BF must equal ANOVA on |y - med_g|:\n$got\n${viaAnova(pts)}")
+    assert(got.getDouble(4) > 50.0, s"spread cohort must flag: ${got.getDouble(4)}")
+    // equal spreads: F stays small (chi2-ish sanity, not a hash assert)
+    val eq = Seq("a", "b", "c").flatMap(g =>
+      (1 to 61).map(_ => (g, 100L + rnd.nextInt(21) - 10L)))
+    assert(run(eq).getDouble(4) < 5.0)
+    // even-count lower median is the n/2-th... ceil(4/2)=2nd smallest:
+    // group (1,3,5,9) -> med 3; deviations (2,0,2,6)
+    val hand = run(Seq(("x", 1L), ("x", 3L), ("x", 5L), ("x", 9L),
+      ("y", 0L), ("y", 0L), ("y", 10L)))
+    val handWant = viaAnova(Seq(("x", 1L), ("x", 3L), ("x", 5L), ("x", 9L),
+      ("y", 0L), ("y", 0L), ("y", 10L)))
+    assert(hand.toString == handWant.toString)
+  }
+
   test("isotonicWeighted: weighted minimax brute parity, unit-weight == unweighted, negative-y floor, excluded rows") {
     import spark.implicits._
     import graft.operators.Eval
