@@ -293,6 +293,7 @@ object SparkEntry {
     "q232_ivf_pq" -> q232,
     "q233_anova" -> q233,
     "q234_brown_forsythe" -> q234,
+    "q235_friedman" -> q235,
   )
 
   /** Round count for the parameterized BPE lifecycle (q163/q164) — read
@@ -3966,6 +3967,23 @@ object SparkEntry {
       groupCol = "lang", valueCol = expr("qu DIV 16384"))
   }
 
+  /** Friedman + Kendall's W: do the languages rank consistently on
+    * total quality across length-bucket BLOCKS — the repeated-measures
+    * read where q230's KW pools rows (block-level shifts cancel here);
+    * cells are the per-(bucket, language) exact quality sums
+    * ([[graft.operators.Eval.friedmanTest]]). */
+  private def q235(s: SparkSession, dir: String): DataFrame = {
+    val stop = Text.langMarkers.toMap.apply("en")
+    graft.operators.Eval.friedmanTest(
+      Tables.documents(s, dir)
+        .select(expr("least(n_chars DIV 200, 7)").as("bucket"), col("lang"),
+          (floor(Text.qualityScore(col("text"), stop) * lit(1e6))
+            .cast("long")).as("qu"))
+        .groupBy(col("bucket"), col("lang"))
+        .agg(sum(expr("qu DIV 16384")).as("cell")),
+      blockCol = "bucket", groupCol = "lang", valueCol = col("cell"))
+  }
+
   // =====================================================================
   // DuckDB oracle SQL — same semantics, same column names, same ORDER BY.
   // =====================================================================
@@ -5464,6 +5482,55 @@ object SparkEntry {
                  / sqrt(CAST(den AS DOUBLE))
              END AS z
            FROM b""",
+
+      // Friedman: complete blocks only, doubled midranks via the
+      // strictly-below RANGE window, exact D_g/Den2 integers, chi2 and
+      // W the verbatim trailing chains
+      "q235_friedman" -> {
+        val chi2Sql =
+          """CAST((k - 1) * ddv AS DOUBLE) / CAST(den AS DOUBLE)"""
+        s"""WITH pts AS (
+             SELECT least(n_chars // 200, 7) AS b, lang AS g,
+               CAST(floor(${qualitySql(toks)} * 1e6) AS BIGINT) // 16384 AS qu
+             FROM documents),
+           cells AS (SELECT b, g, CAST(sum(qu) AS BIGINT) AS y
+                     FROM pts GROUP BY 1, 2),
+           kk AS (SELECT CAST(count(DISTINCT g) AS BIGINT) AS k FROM cells),
+           comp AS (SELECT c.b, c.g, c.y
+                    FROM cells c
+                      JOIN (SELECT b, count(*) AS nb FROM cells GROUP BY b) t
+                        ON t.b = c.b
+                      CROSS JOIN kk
+                    WHERE t.nb = kk.k),
+           rk AS (SELECT b, g,
+                    CAST(2 * coalesce(count(*) OVER (PARTITION BY b ORDER BY y
+                        RANGE BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                      + count(*) OVER (PARTITION BY b, y) + 1 AS BIGINT) AS r2
+                  FROM comp),
+           pg AS (SELECT g, CAST(count(*) AS BIGINT) AS n,
+                    CAST(sum(r2) AS BIGINT) AS rg2,
+                    CAST(sum(CAST(r2 AS HUGEINT) * r2) AS HUGEINT) AS sq
+                  FROM rk GROUP BY g),
+           tot1 AS (SELECT CAST(max(n) AS BIGINT) AS n,
+                      CAST(count(*) AS BIGINT) AS k,
+                      CAST(sum(sq) AS HUGEINT) AS ssq
+                    FROM pg),
+           dd AS (SELECT CAST(sum(
+                    (CAST(rg2 AS HUGEINT) - CAST(pg.n AS HUGEINT) * (tot1.k + 1))
+                    * (CAST(rg2 AS HUGEINT) - CAST(pg.n AS HUGEINT) * (tot1.k + 1)))
+                    AS HUGEINT) AS ddv
+                  FROM pg CROSS JOIN tot1),
+           fin AS (SELECT n, k, ddv, ssq,
+                     ssq - CAST(n AS HUGEINT) * k * (k + 1) * (k + 1) AS den
+                   FROM tot1 CROSS JOIN dd)
+           SELECT n AS n_blocks, k AS k_groups,
+             CASE WHEN n > 0 AND k >= 2 AND den > 0 THEN $chi2Sql
+             END AS chi2,
+             CASE WHEN n > 0 AND k >= 2 AND den > 0 THEN
+               ($chi2Sql) / CAST(n * (k - 1) AS DOUBLE)
+             END AS kendalls_w
+           FROM fin"""
+      },
 
       // PQ ADC: four per-subspace Lloyd chains side by side, corpus
       // codes from each chain's final assignment, query codeword

@@ -1356,6 +1356,76 @@ object Eval {
               (col("_n") - col("_k")).cast("double"))).as("f"))
   }
 
+  /** FRIEDMAN test (+ Kendall's W) — "do the k treatments rank
+    * consistently across matched blocks" (languages across length
+    * buckets, model versions across eval slices): the repeated-measures
+    * companion to [[kruskalWallis]] — KW pools rows, Friedman ranks
+    * WITHIN each block, so block-to-block level shifts cancel. Input is
+    * one value per (block, group) CELL (callers aggregate to cells;
+    * duplicate cell rows collapse to their MIN — deterministic);
+    * incomplete blocks (missing any group) are dropped, the standard
+    * complete-design contract. DOUBLED midranks `2r = 2·below + ties
+    * + 1` within each block are exact integers from a k-row window;
+    * with `D_g = 2R_g − n(k+1)` and `Den₂ = Σ(2r)² − n·k·(k+1)²`, the
+    * tie-corrected statistic is `χ² = (k−1)·ΣD_g²/Den₂` — one IEEE
+    * division of exact integers (the 4× rescaling of the classic form —
+    * both engines compute the identical integers), and Kendall's
+    * concordance `W = χ²/(n(k−1))` is a free readout.
+    *
+    * ## Scale shape (100 TB)
+    * Cells are (#blocks × k) rows — the caller's partial-aggregable
+    * rollup did the data-sized work (the [[theilSenSlope]] convention);
+    * the rank window partitions by block over k-row frames; the group
+    * rollup is one k-row aggregate. Returns ONE row `(n_blocks,
+    * k_groups, chi2, kendalls_w)`; NULL statistics when n = 0, k < 2,
+    * or every block is internally tied (Den₂ = 0). */
+  def friedmanTest(df: DataFrame, blockCol: String, groupCol: String,
+                   valueCol: Column): DataFrame = {
+    val dec = "decimal(38,0)"
+    val cells = df
+      .where(col(blockCol).isNotNull && col(groupCol).isNotNull &&
+        valueCol.isNotNull)
+      .groupBy(col(blockCol).as("_b"), col(groupCol).as("_g"))
+      .agg(min(valueCol.cast("long")).as("_y"))
+      .localCheckpoint() // fans into the k-probe and the rank pass
+    val k = cells.select(col("_g")).distinct().count() // model probe
+    val complete = cells
+      .withColumn("_kb", count(lit(1)).over(Window.partitionBy(col("_b"))))
+      .where(col("_kb") === k)
+    val wB = Window.partitionBy(col("_b"))
+    // doubled midrank within the block: 2·#{below} + #{ties} + 1
+    val ranked = complete
+      .withColumn("_below", count(lit(1)).over(
+        Window.partitionBy(col("_b")).orderBy(col("_y"))
+          .rangeBetween(Window.unboundedPreceding, -1)))
+      .withColumn("_ties", count(lit(1)).over(
+        Window.partitionBy(col("_b"), col("_y"))))
+      .select(col("_b"), col("_g"),
+        (lit(2L) * col("_below") + col("_ties") + lit(1L)).as("_r2"))
+    val perGroup = ranked.groupBy(col("_g"))
+      .agg(count(lit(1)).as("_n"), sum(col("_r2")).as("_rg2"),
+        sum(col("_r2").cast(dec) * col("_r2")).as("_sq"))
+    perGroup
+      .agg(max(col("_n")).as("_n"), count(lit(1)).as("_k"),
+        sum(col("_sq")).as("_ssq"),
+        // Σ D_g² with D_g = 2R_g − n(k+1): k-row exact arithmetic
+        sum((col("_rg2").cast(dec) - col("_n").cast(dec) * (lit(k) + lit(1L))) *
+          (col("_rg2").cast(dec) - col("_n").cast(dec) * (lit(k) + lit(1L))))
+          .as("_dd"))
+      .select(col("_n").as("n_blocks"), col("_k").as("k_groups"),
+        col("_dd"), col("_ssq"),
+        (col("_ssq") - col("_n").cast(dec) * col("_k") *
+          (col("_k") + lit(1L)) * (col("_k") + lit(1L))).as("_den"))
+      .select(col("n_blocks"), col("k_groups"),
+        when(col("n_blocks") > 0L && col("k_groups") >= 2L && col("_den") > 0,
+          ((col("k_groups") - lit(1L)).cast(dec) * col("_dd")).cast("double") /
+            col("_den").cast("double")).as("chi2"))
+      .withColumn("kendalls_w",
+        when(col("chi2").isNotNull,
+          col("chi2") / (col("n_blocks") * (col("k_groups") - lit(1L)))
+            .cast("double")))
+  }
+
   /** BROWN–FORSYTHE homogeneity-of-variance test — "can I trust a
     * pooled-variance read (q233's ANOVA F) across these cohorts at
     * all": one-way ANOVA on the absolute deviations from each group's

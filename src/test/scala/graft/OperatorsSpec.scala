@@ -4048,6 +4048,60 @@ class OperatorsSpec extends SparkSuite {
     assert(run(Seq(("a", 5L), ("a", 5L), ("b", 7L), ("b", 7L))).isNullAt(4))
   }
 
+  test("friedmanTest: brute chain parity with ties, textbook no-tie formula, incomplete blocks dropped, degenerate NULLs") {
+    import spark.implicits._
+    import graft.operators.Eval
+
+    def brute(cells: Seq[(Long, String, Long)]): (Long, Long, Option[Double], Option[Double]) = {
+      val k = cells.map(_._2).distinct.size
+      val comp = cells.groupBy(_._1).filter(_._2.map(_._2).distinct.size == k)
+        .values.flatten.toSeq
+      val ranked = comp.groupBy(_._1).values.flatMap { blk =>
+        blk.map { case (b, g, y) =>
+          val below = blk.count(_._3 < y); val ties = blk.count(_._3 == y)
+          (g, 2L * below + ties + 1L) }
+      }.toSeq
+      val n = if (ranked.isEmpty) 0L else ranked.groupBy(_._1).values.head.size.toLong
+      val kk = ranked.map(_._1).distinct.size.toLong
+      val ssq = ranked.map(r => BigInt(r._2) * r._2).sum
+      val dd = ranked.groupBy(_._1).values.map { g =>
+        val d = BigInt(g.map(_._2).sum) - BigInt(n) * (kk + 1); d * d }.sum
+      val den = ssq - BigInt(n) * kk * (kk + 1) * (kk + 1)
+      val chi2 = if (n > 0 && kk >= 2 && den > 0)
+        Some((BigInt(kk - 1) * dd).toDouble / den.toDouble) else None
+      (n, kk, chi2, chi2.map(_ / (n * (kk - 1)).toDouble))
+    }
+    def run(cells: Seq[(Long, String, Long)]) =
+      Eval.friedmanTest(cells.toDF("b", "g", "y"), "b", "g", col("y")).collect()(0)
+
+    // random complete design with heavy ties
+    val rnd = new scala.util.Random(113)
+    val cells = for (b <- 1L to 20L; g <- Seq("a", "b", "c", "d"))
+      yield (b, g, rnd.nextInt(6).toLong)
+    val got = run(cells); val want = brute(cells)
+    assert(got.getLong(0) == want._1 && got.getLong(1) == want._2)
+    assert(got.getDouble(2) == want._3.get && got.getDouble(3) == want._4.get)
+    // textbook (no ties): chi2 == 12/(nk(k+1))*SUM R^2 - 3n(k+1)
+    val perm = for (b <- 1L to 8L) yield rnd.shuffle(Seq(10L, 20L, 30L))
+    val noTies = perm.zipWithIndex.flatMap { case (vs, i) =>
+      Seq("x", "y", "z").zip(vs).map { case (g, v) => (i.toLong, g, v) } }
+    val g2 = run(noTies)
+    val rSums = noTies.groupBy(_._2).values.map(g =>
+      g.map(c => Seq(10L, 20L, 30L).sorted.indexOf(c._3) + 1L).sum)
+    val classic = 12.0 / (8 * 3 * 4) * rSums.map(r => r.toDouble * r).sum - 3 * 8 * 4
+    assert(math.abs(g2.getDouble(2) - classic) < 1e-9, s"${g2.getDouble(2)} vs $classic")
+    // an incomplete block (missing group) is dropped, not mis-ranked
+    val withHole = cells ++ Seq((99L, "a", 1L), (99L, "b", 2L))
+    assert(run(withHole).toString == got.toString)
+    // consistent ranking across blocks: W == 1 exactly
+    val consistent = for (b <- 1L to 6L; (g, v) <- Seq(("a", 1L), ("b", 2L), ("c", 3L)))
+      yield (b, g, v * 10 + b)
+    assert(run(consistent).getDouble(3) == 1.0)
+    // degenerate: all-tied blocks -> NULL; single group -> NULL
+    assert(run(Seq((1L, "a", 5L), (1L, "b", 5L), (2L, "a", 3L), (2L, "b", 3L))).isNullAt(2))
+    assert(run(Seq((1L, "a", 1L), (2L, "a", 2L))).isNullAt(2))
+  }
+
   test("brownForsythe: equals anovaOneWay on hand-computed |y - lower median|, spread cohort flags, equal-spread does not") {
     import spark.implicits._
     import graft.operators.Eval
