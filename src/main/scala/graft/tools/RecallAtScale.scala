@@ -34,6 +34,22 @@ object RecallAtScale {
   val FloorLsh = 0.3
   val FloorIvf = 0.25
   val FloorIvfQuantized = 0.25
+  // round-9 additions (each measured against ITS OWN exact metric so
+  // quantization loss is not conflated with metric mismatch: q219 ranks
+  // by integer dot, q231/q232 by L2). The PQ pair is measured at a
+  // PRODUCTION-ish configuration (m=8 subspaces × ksub=64 codewords),
+  // not the deliberately tiny gate config (m=4, ksub=4 → 256 codes,
+  // chosen for oracle-CTE tractability; it saturates by ~5k vectors and
+  // its recall says nothing about the machinery). Direct-ADC floors are
+  // low by nature on this synthetic near-random data (no cluster
+  // structure for codebooks to exploit); the production read is the
+  // rerank100 figure (exact re-rank of the ADC top-100 shortlist).
+  // Floors = min measured across sf0.01..sf1 ÷ ~2 slack.
+  val FloorIvfExact = 0.25
+  val FloorPq = 0.1
+  val FloorIvfPq = 0.1
+  val FloorPqRerank = 0.3
+  val FloorIvfPqRerank = 0.25
 
   def main(args: Array[String]): Unit = {
     val dirs = if (args.nonEmpty) args.toSeq else Seq("/root/testdata/sf0.01")
@@ -69,10 +85,54 @@ object RecallAtScale {
       val rQuant = recall(pairs(Similarity.ivfTopKQuantized(queries, emb, "vec_id", "embedding",
         k = 10, nCentroids = 16, probes = 4)))
 
-      println(f"""{"dir":"$dir","queries":$nq,"q22_lsh":$rLsh%.4f,"q36_ivf":$rIvf%.4f,"q67_ivf_quantized":$rQuant%.4f}""")
-      if (rLsh < FloorLsh || rIvf < FloorIvf || rQuant < FloorIvfQuantized) {
+      // the exact-gated family, each vs ITS OWN exact metric on the same
+      // micro-quantized integers (q219 ranks by dot, q231/q232 by L2)
+      val q = expr("transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1000000.0 + 0.5) AS BIGINT))")
+      val qq = broadcast(queries.select(col("vec_id").as("query_id"), q.as("_qv")))
+      val cc = emb.select(col("vec_id").as("neighbor_id"), q.as("_cv"))
+      def truth(score: org.apache.spark.sql.Column,
+                asc: Boolean): Set[(Long, Long)] = {
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("query_id"))
+          .orderBy(if (asc) col("_s").asc else col("_s").desc,
+            col("neighbor_id").asc)
+        pairs(qq.crossJoin(cc).withColumn("_s", score)
+          .withColumn("_rk", row_number().over(w)).where(col("_rk") <= 10))
+      }
+      val dotTruth = truth(aggregate(zip_with(col("_qv"), col("_cv"),
+        (a, b) => a * b), lit(0L), (acc, x) => acc + x), asc = false)
+      val l2Truth = truth(aggregate(zip_with(col("_qv"), col("_cv"),
+        (a, b) => (a - b) * (a - b)), lit(0L), (acc, x) => acc + x), asc = true)
+      def recallVs(t: Set[(Long, Long)], approx: Set[(Long, Long)]): Double =
+        if (t.isEmpty) 1.0 else (t & approx).size.toDouble / t.size
+      val rIvfExact = recallVs(dotTruth, pairs(Similarity.ivfExactTopK(
+        queries, emb, "vec_id", "embedding", k = 10, nCentroids = 8,
+        rounds = 2, probes = 2)))
+      val rPq = recallVs(l2Truth, pairs(Similarity.pqTopK(
+        queries, emb, "vec_id", "embedding", k = 10, m = 8, ksub = 64, rounds = 3)))
+      val rIvfPq = recallVs(l2Truth, pairs(Similarity.ivfPqTopK(
+        queries, emb, "vec_id", "embedding", k = 10, nCoarse = 16, probes = 4,
+        m = 8, ksub = 64, rounds = 3)))
+      // recall@10 AFTER an exact re-rank of the ADC top-100 shortlist —
+      // the figure a production PQ deployment quotes (re-ranking a
+      // shortlist retrieves exactly the true neighbors present in it,
+      // so this is |true₁₀ ∩ shortlist₁₀₀| / |true₁₀|)
+      val rPq100 = recallVs(l2Truth, pairs(Similarity.pqTopK(
+        queries, emb, "vec_id", "embedding", k = 100, m = 8, ksub = 64, rounds = 3)))
+      val rIvfPq100 = recallVs(l2Truth, pairs(Similarity.ivfPqTopK(
+        queries, emb, "vec_id", "embedding", k = 100, nCoarse = 16, probes = 4,
+        m = 8, ksub = 64, rounds = 3)))
+
+      println(f"""{"dir":"$dir","queries":$nq,"q22_lsh":$rLsh%.4f,"q36_ivf":$rIvf%.4f,"q67_ivf_quantized":$rQuant%.4f,"q219_ivf_exact":$rIvfExact%.4f,"q231_pq":$rPq%.4f,"q232_ivf_pq":$rIvfPq%.4f,"q231_pq_rerank100":$rPq100%.4f,"q232_ivf_pq_rerank100":$rIvfPq100%.4f}""")
+      if (rLsh < FloorLsh || rIvf < FloorIvf || rQuant < FloorIvfQuantized ||
+          rIvfExact < FloorIvfExact || rPq < FloorPq || rIvfPq < FloorIvfPq ||
+          rPq100 < FloorPqRerank || rIvfPq100 < FloorIvfPqRerank) {
         System.err.println(s"[recall] FLOOR VIOLATION at $dir: " +
-          s"lsh=$rLsh (>= $FloorLsh), ivf=$rIvf (>= $FloorIvf), quant=$rQuant (>= $FloorIvfQuantized)")
+          s"lsh=$rLsh (>= $FloorLsh), ivf=$rIvf (>= $FloorIvf), " +
+          s"quant=$rQuant (>= $FloorIvfQuantized), ivfExact=$rIvfExact " +
+          s"(>= $FloorIvfExact), pq=$rPq (>= $FloorPq), ivfPq=$rIvfPq " +
+          s"(>= $FloorIvfPq), pqRerank=$rPq100 (>= $FloorPqRerank), " +
+          s"ivfPqRerank=$rIvfPq100 (>= $FloorIvfPqRerank)")
         failed = true
       }
     }
