@@ -294,6 +294,7 @@ object SparkEntry {
     "q233_anova" -> q233,
     "q234_brown_forsythe" -> q234,
     "q235_friedman" -> q235,
+    "q236_ivf_pq_lifecycle" -> q236,
   )
 
   /** Round count for the parameterized BPE lifecycle (q163/q164) — read
@@ -3967,6 +3968,39 @@ object SparkEntry {
       groupCol = "lang", valueCol = expr("qu DIV 16384"))
   }
 
+  /** The IVF-PQ index PERSISTED, end to end (the round-9 carried item
+    * closed in-round): q227's persistence pattern over q232's
+    * compression — coarse centroids and residual codebooks as managed
+    * tables, the compressed codes PARTITIONED BY coarse bucket; the new
+    * batch compresses against the PERSISTED frozen models; probes serve
+    * from the three tables only, with the probed buckets statically
+    * pruned at the codes scan
+    * ([[graft.operators.Similarity.ivfPqProbeTopK]]). */
+  private def q236(s: SparkSession, dir: String): DataFrame = {
+    val suffix = java.security.MessageDigest.getInstance("MD5")
+      .digest(dir.getBytes("UTF-8")).take(4).map("%02x".format(_)).mkString
+    val emb = Tables.embeddings(s, dir)
+    val initial = emb.where(col("vec_id") % 7 =!= 0)
+    val batch = emb.where(col("vec_id") % 7 === 0)
+    val centTable = s"graft_q236_pq_centroids_$suffix"
+    val bookTable = s"graft_q236_pq_codebooks_$suffix"
+    val codesPath = s"/tmp/graft_q236_pq_codes_$suffix"
+    val (cent, books, codes) = graft.operators.Similarity.ivfPqIndexBuild(
+      initial, "vec_id", "embedding", nCoarse = 8, m = 4, ksub = 4, rounds = 2)
+    Tables.saveTable(cent, centTable)
+    Tables.saveTable(books, bookTable)
+    Tables.writePartitioned(codes, codesPath, "cluster")
+    Tables.appendPartitioned(
+      graft.operators.Similarity.ivfPqIndexAppend(batch,
+        s.table(centTable), s.table(bookTable), "vec_id", "embedding"),
+      codesPath, "cluster")
+    graft.operators.Similarity.ivfPqProbeTopK(
+        emb.where(col("vec_id") % 50 === 0), s.table(centTable),
+        s.table(bookTable), s.read.parquet(codesPath),
+        "vec_id", "embedding", k = 10, probes = 2)
+      .orderBy(col("query_id"), col("rank"))
+  }
+
   /** Friedman + Kendall's W: do the languages rank consistently on
     * total quality across length-bucket BLOCKS — the repeated-measures
     * read where q230's KW pools rows (block-level shifts cancel here);
@@ -4113,11 +4147,11 @@ object SparkEntry {
     // coarse RESIDUALS for IVF-PQ): per-subspace Lloyd chain, final
     // distance table distf_j, full assignment af_j
     def pqSubChainSql(j: Int, dsub: Int, rounds: Int, pxDef: String,
-                      selName: String) = {
+                      selName: String, trainPred: String = "TRUE") = {
       val chain = (1 to rounds).map { r =>
         s"""dist${r}_$j AS (SELECT px.vec_id, c.c,
                sum((px.x - c.v) * (px.x - c.v)) AS dist
-             FROM px_$j px JOIN cent${r - 1}_$j c ON px.d = c.d
+             FROM tpx_$j px JOIN cent${r - 1}_$j c ON px.d = c.d
              GROUP BY 1, 2),
            a${r}_$j AS (SELECT vec_id, c FROM (
                SELECT vec_id, c,
@@ -4126,12 +4160,13 @@ object SparkEntry {
            nc${r}_$j AS (SELECT a.c, px.d,
                CAST((sum(px.x) - ((sum(px.x) % count(*) + count(*)) % count(*)))
                  // count(*) AS BIGINT) AS v
-             FROM a${r}_$j a JOIN px_$j px ON px.vec_id = a.vec_id
+             FROM a${r}_$j a JOIN tpx_$j px ON px.vec_id = a.vec_id
              GROUP BY 1, 2),
            cent${r}_$j AS (SELECT p.c, p.d, coalesce(n.v, p.v) AS v
              FROM cent${r - 1}_$j p LEFT JOIN nc${r}_$j n ON n.c = p.c AND n.d = p.d)"""
       }.mkString(",\n           ")
       s"""px_$j AS ($pxDef),
+           tpx_$j AS (SELECT * FROM px_$j WHERE $trainPred),
            cent0_$j AS (SELECT CAST(dense_rank() OVER (ORDER BY s.vec_id) AS BIGINT) AS c,
                px.d, px.x AS v
              FROM $selName s JOIN px_$j px ON px.vec_id = s.vec_id),
@@ -5482,6 +5517,58 @@ object SparkEntry {
                  / sqrt(CAST(den AS DOUBLE))
              END AS z
            FROM b""",
+
+      // persisted IVF-PQ lifecycle: q232's oracle with BOTH trainers
+      // restricted to the initial corpus (coarse chain trainPred +
+      // subspace chains' tpx) while a_f/af_j assign every row — exactly
+      // build + frozen-model append; queries %50; persistence cannot
+      // change the integers
+      "q236_ivf_pq_lifecycle" -> {
+        val m = 4; val dsub = 16; val ksub = 4; val rounds = 2
+        val probes = 2; val topk = 10
+        val tp = "vec_id % 7 <> 0"
+        def resPx(j: Int) =
+          s"""SELECT vec_id, x, d - ${j * dsub} AS d FROM rpx
+             WHERE d >= ${j * dsub} AND d < ${(j + 1) * dsub}"""
+        s"""WITH ${kmeansChainSql(k = 8, rounds = rounds, trainPred = tp)},
+           rpx AS (SELECT px.vec_id, px.d, px.x - c.v AS x
+                   FROM px JOIN a_f a ON a.vec_id = px.vec_id
+                   JOIN cent_$rounds c ON c.c = a.c AND c.d = px.d),
+           selq AS (SELECT vec_id FROM pts WHERE $tp
+                    ORDER BY vec_id LIMIT $ksub),
+           ${(0 until m).map(j => pqSubChainSql(j, dsub, rounds,
+              resPx(j), "selq", trainPred = tp)).mkString(",\n           ")},
+           qp AS (SELECT vec_id AS qid, c FROM (
+               SELECT vec_id, c,
+                 row_number() OVER (PARTITION BY vec_id ORDER BY dist, c) AS rn
+               FROM dist_f WHERE vec_id % 50 = 0) t WHERE rn <= $probes),
+           qrx AS (SELECT q.qid, q.c AS bc, px.d, px.x - ct.v AS x
+                   FROM qp q JOIN px ON px.vec_id = q.qid
+                   JOIN cent_$rounds ct ON ct.c = q.c AND ct.d = px.d),
+           ${(0 until m).map(j =>
+              s"""qt_$j AS (SELECT r.qid, r.bc, cb.c AS code,
+                 sum((r.x - cb.v) * (r.x - cb.v)) AS d
+               FROM (SELECT qid, bc, d - ${j * dsub} AS d, x FROM qrx
+                     WHERE d >= ${j * dsub} AND d < ${(j + 1) * dsub}) r
+               JOIN cent${rounds}_$j cb ON cb.d = r.d
+               GROUP BY 1, 2, 3),
+           cand_$j AS (SELECT qp.qid, ca.vec_id AS nid, qt.d
+               FROM qp JOIN a_f ca ON ca.c = qp.c
+               JOIN af_$j af ON af.vec_id = ca.vec_id
+               JOIN qt_$j qt ON qt.qid = qp.qid AND qt.bc = qp.c
+                 AND qt.code = af.c)""").mkString(",\n           ")},
+           adc AS (SELECT qid, nid, CAST(sum(d) AS BIGINT) AS adc FROM (
+               ${(0 until m).map(j => s"SELECT * FROM cand_$j").mkString(" UNION ALL ")}) u
+             GROUP BY 1, 2),
+           tk AS (SELECT qid, nid, adc,
+               row_number() OVER (PARTITION BY qid
+                 ORDER BY adc ASC, nid ASC) AS rn
+             FROM adc)
+           SELECT qid AS query_id, rn AS rank, nid AS neighbor_id,
+             adc AS adc_q
+           FROM tk WHERE rn <= $topk
+           ORDER BY query_id, rank"""
+      },
 
       // Friedman: complete blocks only, doubled midranks via the
       // strictly-below RANGE window, exact D_g/Den2 integers, chi2 and

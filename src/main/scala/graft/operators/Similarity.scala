@@ -975,6 +975,29 @@ object Similarity {
     * list, never the corpus; the m-term ADC sum partial-aggregates.
     * Returns `(query_id, rank, neighbor_id, adc_q)` ascending, ties to
     * the smaller neighbor id. */
+  /** Cluster → centroid lookup as one array-of-arrays literal
+    * (cluster ids 1..n index it). */
+  private def centArrLit(cents: Array[(Int, Array[Long])]): Column =
+    array(cents.sortBy(_._1).map { case (_, v) =>
+      array(v.map(lit(_)).toSeq: _*) }.toSeq: _*)
+
+  /** Decode a persisted codebook table `(j, code, dim, v)` back into the
+    * per-subspace models — m·ksub·dsub driver rows. */
+  private def readCodebookModel(codebooks: DataFrame)
+      : IndexedSeq[Array[(Int, Array[Long])]] = {
+    val rows = codebooks.select(col("j").cast("int"), col("code").cast("int"),
+      col("dim").cast("int"), col("v").cast("long")).collect()
+    val m = rows.map(_.getInt(0)).max + 1
+    (0 until m).map { j =>
+      rows.filter(_.getInt(0) == j).groupBy(_.getInt(1)).toArray.sortBy(_._1)
+        .map { case (c, rs) =>
+          val arr = new Array[Long](rs.length)
+          rs.foreach(r => arr(r.getInt(2)) = r.getLong(3))
+          (c, arr)
+        }
+    }
+  }
+
   def ivfPqTopK(queries: DataFrame, corpus: DataFrame, idCol: String,
                 vecCol: String, k: Int, nCoarse: Int, probes: Int,
                 m: Int, ksub: Int, rounds: Int,
@@ -992,8 +1015,7 @@ object Similarity {
       "centroid/codebook literals exceed planLiteralBudget")
     val coarse = trainLloyd(pts, col("_q"), nCoarse, rounds)
     // cluster → centroid lookup as one array-of-arrays literal (ids 1..n)
-    val centArr = array(coarse.sortBy(_._1).map { case (_, v) =>
-      array(v.map(lit(_)).toSeq: _*) }.toSeq: _*)
+    val centArr = centArrLit(coarse)
     def residual(q: Column, c: Column): Column =
       zip_with(q, element_at(centArr, c.cast("int")), (a, b) => a - b)
     val assigned = withNearest(pts, coarse, col("_q"), "_c")
@@ -1025,6 +1047,132 @@ object Similarity {
       .orderBy(col("_adc").asc, col("_nid").asc)
     codes
       .join(broadcast(dtab), Seq("_c", "_j", "_code"))
+      .groupBy(col("_qid"), col("_nid"))
+      .agg(sum(col("_d")).as("_adc"))
+      .withColumn("_rank", row_number().over(w))
+      .where(col("_rank") <= k)
+      .select(col("_qid").as("query_id"), col("_rank").as("rank"),
+        col("_nid").as("neighbor_id"), col("_adc").as("adc_q"))
+  }
+
+  // =====================================================================
+  // Persisted IVF-PQ index lifecycle — [[ivfIndexBuild]]'s persistence
+  // story applied to [[ivfPqTopK]]: THREE tables on disk (coarse
+  // centroids, residual codebooks, compressed codes partitioned by
+  // coarse bucket). Build once; append batches against the frozen
+  // persisted models; probe from the tables with the probed buckets
+  // partition-pruned. The codes table is the 32× memory win on disk:
+  // (bucket, id, m small codes) per vector, never the vectors.
+  // =====================================================================
+
+  /** BUILD: coarse centroids + residual codebooks + compressed codes.
+    * Returns `(centroids, codebooks, codes)` — centroids `(cluster, dim,
+    * centroid_q)`, codebooks `(j, code, dim, v)` (both model-sized plain
+    * table writes), codes `(cluster, id, codes)` for a PARTITIONED-BY-
+    * cluster write. */
+  def ivfPqIndexBuild(corpus: DataFrame, idCol: String, vecCol: String,
+                      nCoarse: Int, m: Int, ksub: Int, rounds: Int,
+                      quantScale: Long = 1000000L)
+      : (DataFrame, DataFrame, DataFrame) = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val pts = quantized(corpus, idCol, vecCol, quantScale).localCheckpoint()
+    val dim = pts.select(size(col("_q")).as("_d")).limit(1)
+      .collect().headOption.map(_.getInt(0)).getOrElse(0)
+    require(dim > 0 && dim % m == 0, s"dim $dim must be a positive multiple of m=$m")
+    val dsub = dim / m
+    val coarse = trainLloyd(pts, col("_q"), nCoarse, rounds)
+    val centArr = centArrLit(coarse)
+    val assigned = withNearest(pts, coarse, col("_q"), "_c")
+      .withColumn("_r", zip_with(col("_q"), element_at(centArr, col("_c").cast("int")),
+        (a, b) => a - b))
+      .localCheckpoint()
+    def sub(q: Column, j: Int): Column = slice(q, j * dsub + 1, dsub)
+    val books = (0 until m).map(j =>
+      trainLloyd(assigned, sub(col("_r"), j), ksub, rounds))
+    val centDf = coarse.toSeq.flatMap { case (c, v) =>
+      v.zipWithIndex.map { case (x, d) => (c.toLong, d.toLong, x) } }
+      .toDF("cluster", "dim", "centroid_q")
+    val bookDf = books.zipWithIndex.flatMap { case (b, j) =>
+      b.toSeq.flatMap { case (c, v) =>
+        v.zipWithIndex.map { case (x, d) => (j.toLong, c.toLong, d.toLong, x) } } }
+      .toDF("j", "code", "dim", "v")
+    val enc = (0 until m).foldLeft(assigned) { (df, j) =>
+      withNearest(df, books(j), sub(col("_r"), j), s"_p$j")
+    }
+    val codesDf = enc.select(col("_c").as("cluster"), col("_id").as("id"),
+      array((0 until m).map(j => col(s"_p$j")): _*).as("codes"))
+    (centDf, bookDf, codesDf)
+  }
+
+  /** APPEND: compress a NEW batch against the PERSISTED coarse centroid
+    * and codebook tables (frozen models — drift means rebuild). Returns
+    * code rows to append under the partitioned layout; batch-sized work
+    * only. */
+  def ivfPqIndexAppend(batch: DataFrame, centroids: DataFrame,
+                       codebooks: DataFrame, idCol: String, vecCol: String,
+                       quantScale: Long = 1000000L): DataFrame = {
+    val coarse = readCentroidModel(centroids)
+    val books = readCodebookModel(codebooks)
+    val m = books.length
+    val dsub = books.head.head._2.length
+    val centArr = centArrLit(coarse)
+    val assigned = withNearest(
+        quantized(batch, idCol, vecCol, quantScale), coarse, col("_q"), "_c")
+      .withColumn("_r", zip_with(col("_q"), element_at(centArr, col("_c").cast("int")),
+        (a, b) => a - b))
+    val enc = (0 until m).foldLeft(assigned) { (df, j) =>
+      withNearest(df, books(j), slice(col("_r"), j * dsub + 1, dsub), s"_p$j")
+    }
+    enc.select(col("_c").as("cluster"), col("_id").as("id"),
+      array((0 until m).map(j => col(s"_p$j")): _*).as("codes"))
+  }
+
+  /** PROBE: serve ADC top-k entirely from the three persisted tables.
+    * Probe list + residual distance tables come from the persisted
+    * models (driver-model-sized); the DISTINCT probed cluster ids become
+    * a STATIC `isin` on the codes scan, so the partitioned layout prunes
+    * to the probed `cluster=N/` directories ([[ivfProbeTopK]]'s
+    * contract); only codes move, never vectors. */
+  def ivfPqProbeTopK(queries: DataFrame, centroids: DataFrame,
+                     codebooks: DataFrame, codes: DataFrame, idCol: String,
+                     vecCol: String, k: Int, probes: Int,
+                     quantScale: Long = 1000000L): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val coarse = readCentroidModel(centroids)
+    require(probes >= 1 && probes <= coarse.length,
+      s"probes must be in [1, nCoarse], got $probes")
+    val books = readCodebookModel(codebooks)
+    val m = books.length
+    val dsub = books.head.head._2.length
+    val centArr = centArrLit(coarse)
+    val qpts = quantized(queries, idCol, vecCol, quantScale)
+    val probed = withSortedDists(qpts, coarse, col("_q"), "_sorted")
+      .select(col("_id").as("_qid"), col("_q"),
+        explode(expr(s"transform(slice(_sorted, 1, $probes), s -> s.c)")).as("cluster"))
+      .withColumn("_qr", zip_with(col("_q"),
+        element_at(centArr, col("cluster").cast("int")), (a, b) => a - b))
+      .localCheckpoint() // fans into the probed-id collect and the dtab
+    val probedIds = probed.select(col("cluster")).distinct()
+      .collect().map(_.getLong(0)) // <= nCoarse values: model-sized
+    val entries = for (j <- 0 until m; (c, v) <- books(j)) yield
+      struct(lit(j).as("j"), lit(c.toLong).as("code"),
+        aggregate(zip_with(slice(col("_qr"), j * dsub + 1, dsub),
+          array(v.map(lit(_)).toSeq: _*),
+          (a, b) => (a - b) * (a - b)), lit(0L), (acc, x) => acc + x).as("d"))
+    val dtab = probed
+      .select(col("_qid"), col("cluster"), explode(array(entries: _*)).as("_e"))
+      .select(col("_qid"), col("cluster"), col("_e.j").as("_j"),
+        col("_e.code").as("_code"), col("_e.d").as("_d"))
+    val exploded = codes
+      .where(col("cluster").isin(probedIds.toSeq: _*))
+      .select(col("cluster").cast("long").as("cluster"), col("id").as("_nid"),
+        posexplode(col("codes")).as(Seq("_j", "_code")))
+    val w = Window.partitionBy(col("_qid"))
+      .orderBy(col("_adc").asc, col("_nid").asc)
+    exploded
+      .join(broadcast(dtab.withColumn("_j", col("_j").cast("int"))),
+        Seq("cluster", "_j", "_code"))
       .groupBy(col("_qid"), col("_nid"))
       .agg(sum(col("_d")).as("_adc"))
       .withColumn("_rank", row_number().over(w))

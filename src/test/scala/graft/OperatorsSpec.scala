@@ -4510,6 +4510,40 @@ class OperatorsSpec extends SparkSuite {
     assert(run(4) == brute(pts, qids, 5, 4, 4, 2, 3, 2).sortBy(t => (t._1, t._2)))
   }
 
+  test("ivfPq persisted lifecycle: table round-trip is lossless vs the in-memory pipeline") {
+    import spark.implicits._
+    import graft.operators.Similarity
+    val rnd = new scala.util.Random(131)
+    val pts = (1L to 50L).map(i => (i, Array.fill(8)(rnd.nextFloat() * 2f - 1f)))
+      .toDF("vec_id", "embedding").localCheckpoint()
+    val queries = pts.where(col("vec_id") % 10 === 0)
+    // one-shot in-memory pipeline (train on ALL rows)
+    val direct = Similarity.ivfPqTopK(queries, pts, "vec_id", "embedding",
+        k = 5, nCoarse = 4, probes = 2, m = 2, ksub = 3, rounds = 2)
+      .collect().map(_.toString).toSeq.sorted
+    // persisted: build on all rows, round-trip through parquet, probe
+    val dirTmp = java.nio.file.Files.createTempDirectory("graft_pq_life").toString
+    val (cent, books, codes) = Similarity.ivfPqIndexBuild(
+      pts, "vec_id", "embedding", nCoarse = 4, m = 2, ksub = 3, rounds = 2)
+    cent.write.parquet(s"$dirTmp/cent"); books.write.parquet(s"$dirTmp/books")
+    graft.sources.Tables.writePartitioned(codes, s"$dirTmp/codes", "cluster")
+    val served = Similarity.ivfPqProbeTopK(queries,
+        spark.read.parquet(s"$dirTmp/cent"), spark.read.parquet(s"$dirTmp/books"),
+        spark.read.parquet(s"$dirTmp/codes"), "vec_id", "embedding",
+        k = 5, probes = 2)
+      .collect().map(_.toString).toSeq.sorted
+    assert(served == direct, s"persisted probe must equal the in-memory pipeline:\n$served\n$direct")
+    // append path: codes for a batch against the frozen models equal the
+    // build-time codes for the same rows (frozen model => same argmins)
+    val appended = Similarity.ivfPqIndexAppend(
+        pts.where(col("vec_id") <= 10), spark.read.parquet(s"$dirTmp/cent"),
+        spark.read.parquet(s"$dirTmp/books"), "vec_id", "embedding")
+      .collect().map(_.toString).toSet
+    val builtSubset = codes.where(col("id") <= 10)
+      .collect().map(_.toString).toSet
+    assert(appended == builtSubset)
+  }
+
   test("kmeans/quality/IVF broadcast fallback above the plan-literal budget: bit-identical to the literal path") {
     import spark.implicits._
     import graft.operators.Similarity
