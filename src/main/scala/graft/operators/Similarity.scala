@@ -568,8 +568,47 @@ object Similarity {
     * centroid array (model in DATA, not in the plan) — interpreted HOFs
     * per row, still zero shuffles. 65,536 covers k=64·dim=1024 or
     * k=512·dim=128 comfortably inside codegen limits.
-    * Test-only override (parity spec forces the fallback at tiny k·dim). */
-  private[graft] var planLiteralBudget: Long = 65536L
+    * Test-only override (parity spec forces the fallback at tiny k·dim
+    * via [[withPlanLiteralBudget]] — scoped, always restored). */
+  @volatile private[graft] var planLiteralBudget: Long = 65536L
+
+  /** Scoped test override for [[planLiteralBudget]] — sets the budget,
+    * runs `f`, restores in a finally (crash-safe). The var is @volatile
+    * but overrides assume the single-threaded ScalaTest default; do not
+    * run budget-override specs under parallel execution. */
+  private[graft] def withPlanLiteralBudget[T](b: Long)(f: => T): T = {
+    val saved = planLiteralBudget
+    planLiteralBudget = b
+    try f finally planLiteralBudget = saved
+  }
+
+  /** Row budget for the probe-side ADC distance tables (`dtab`): they
+    * grow as queries × probes × m × ksub — query-BATCH-sized, so tiny at
+    * the gates (≤ thousands of rows) but unbounded in principle: a
+    * production 10k-query × 32-probe × m=8 × ksub=256 batch is ~650M
+    * rows, far past any broadcast limit. At or below the budget the
+    * candidate join broadcasts the table (~50 MB at 2²⁰ compact long
+    * rows — the right plan: only codes move, the corpus side never
+    * shuffles); above it the hint is dropped and the join falls back to
+    * a shuffle hash/sort-merge join on the same keys — same rows, same
+    * integers, bounded memory. The [[planLiteralBudget]] doctrine,
+    * applied to broadcast size instead of plan size.
+    * Test-only override via [[withBroadcastRowBudget]]. */
+  @volatile private[graft] var broadcastRowBudget: Long = 1L << 20
+
+  /** Scoped test override for [[broadcastRowBudget]] — same contract as
+    * [[withPlanLiteralBudget]]. */
+  private[graft] def withBroadcastRowBudget[T](b: Long)(f: => T): T = {
+    val saved = broadcastRowBudget
+    broadcastRowBudget = b
+    try f finally broadcastRowBudget = saved
+  }
+
+  /** Broadcast `df` when its (caller-computed, exact) row bound fits
+    * [[broadcastRowBudget]]; otherwise return it unhinted so the join
+    * planner picks a shuffle join. */
+  private def maybeBroadcast(df: DataFrame, rowBound: Long): DataFrame =
+    if (rowBound <= broadcastRowBudget) broadcast(df) else df
 
   /** Exact squared-L2 distance structs `(dist, c)` against plan-literal
     * centroids, sorted by cluster id; `array_min` of these breaks
@@ -869,11 +908,14 @@ object Similarity {
       .localCheckpoint() // fans into the probed-id collect and the fetch
     val probedIds = probed.select(col("cluster")).distinct()
       .collect().map(_.getLong(0)) // <= nCentroids values: model-sized
+    // |Q|·probes probe rows, each carrying a dim-long query vector —
+    // broadcast the probe side iff its long count fits broadcastRowBudget
+    // (the pruned postings scan then never shuffles); shuffle join above.
+    val probeLongs = probed.count() * cents.headOption.fold(1)(_._2.length)
     val w = Window.partitionBy(col("_qid"))
       .orderBy(col("_dot").desc, col("id").asc)
-    probed
-      .join(postings.where(col("cluster").isin(probedIds.toSeq: _*)),
-        Seq("cluster"))
+    postings.where(col("cluster").isin(probedIds.toSeq: _*))
+      .join(maybeBroadcast(probed, probeLongs), Seq("cluster"))
       .withColumn("_dot", aggregate(zip_with(col("_qq"), col("vec_q"),
         (a, b) => a * b), lit(0L), (acc, x) => acc + x))
       .withColumn("_rank", row_number().over(w))
@@ -901,7 +943,8 @@ object Similarity {
     * pipeline persists (n·m small ints instead of n·dim floats, the
     * 32× memory win that makes billion-vector serving possible).
     * Query: the distance TABLE is |Q|·m·ksub rows (query-batch-sized,
-    * broadcast); the scan explodes codes to (id, j, code) — n·m narrow
+    * broadcast iff it fits [[broadcastRowBudget]], shuffle-joined on the
+    * same keys above it); the scan explodes codes to (id, j, code) — n·m narrow
     * rows — equi-joins the table and partial-aggregates the m-term sum
     * per (query, id); the re-rank heap is a per-query window. Corpus
     * vectors themselves never join — only their codes move. Returns
@@ -917,9 +960,6 @@ object Similarity {
       .collect().headOption.map(_.getInt(0)).getOrElse(0)
     require(dim > 0 && dim % m == 0, s"dim $dim must be a positive multiple of m=$m")
     val dsub = dim / m
-    require(m.toLong * ksub * dsub <= planLiteralBudget,
-      s"PQ distance-table literals m*ksub*dsub = ${m.toLong * ksub * dsub} " +
-        s"exceed planLiteralBudget=$planLiteralBudget — lower ksub or raise m")
     def sub(q: Column, j: Int): Column = slice(q, j * dsub + 1, dsub)
     val books = (0 until m).map(j => trainLloyd(pts, sub(col("_q"), j), ksub, rounds))
     // encode: m argmin codes per corpus row, one narrow projection
@@ -928,20 +968,17 @@ object Similarity {
     }
     val codes = enc.select(col("_id").as("_nid"),
       posexplode(array((0 until m).map(j => col(s"_c$j")): _*)).as(Seq("_j", "_code")))
-    // per-query distance table: |Q|·m·ksub rows, broadcast
-    val qpts = quantized(queries, idCol, vecCol, quantScale)
-    val entries = for (j <- 0 until m; (c, v) <- books(j)) yield
-      struct(lit(j).as("j"), lit(c.toLong).as("code"),
-        aggregate(zip_with(sub(col("_q"), j), array(v.map(lit(_)).toSeq: _*),
-          (a, b) => (a - b) * (a - b)), lit(0L), (acc, x) => acc + x).as("d"))
-    val dtab = qpts
-      .select(col("_id").as("_qid"), explode(array(entries: _*)).as("_e"))
-      .select(col("_qid"), col("_e.j").as("_j"), col("_e.code").as("_code"),
-        col("_e.d").as("_d"))
+    // per-query distance table: |Q|·m·ksub rows — broadcast iff it fits
+    // broadcastRowBudget; codebook encoding picked by planLiteralBudget
+    val qpts = quantized(queries, idCol, vecCol, quantScale).localCheckpoint()
+    val nQ = qpts.count() // query-batch-sized
+    val dtab = adcDistTable(qpts.select(col("_id").as("_qid"), col("_q")),
+        books, col("_q"), dsub)
+      .select(col("_qid"), col("_j"), col("_code"), col("_d"))
     val w = Window.partitionBy(col("_qid"))
       .orderBy(col("_adc").asc, col("_nid").asc)
     codes
-      .join(broadcast(dtab), Seq("_j", "_code"))
+      .join(maybeBroadcast(dtab, nQ * m * ksub), Seq("_j", "_code"))
       .groupBy(col("_qid"), col("_nid"))
       .agg(sum(col("_d")).as("_adc"))
       .withColumn("_rank", row_number().over(w))
@@ -969,8 +1006,9 @@ object Similarity {
     * narrow projection (centroid lookup is an `element_at` into
     * nCoarse·dim plan literals, budget-guarded). Encoding: m argmin
     * codes per row — the persisted index is (coarse bucket, m codes) per
-    * vector. Query: distance tables are |Q|·probes·m·ksub broadcast
-    * rows; the candidate join keys on (bucket, j, code), so only
+    * vector. Query: distance tables are |Q|·probes·m·ksub rows
+    * (broadcast iff under [[broadcastRowBudget]], shuffle-joined on the
+    * same keys above it); the candidate join keys on (bucket, j, code), so only
     * probed-bucket codes move and the fan-out is bounded by the probe
     * list, never the corpus; the m-term ADC sum partial-aggregates.
     * Returns `(query_id, rank, neighbor_id, adc_q)` ascending, ties to
@@ -980,6 +1018,66 @@ object Similarity {
   private def centArrLit(cents: Array[(Int, Array[Long])]): Column =
     array(cents.sortBy(_._1).map { case (_, v) =>
       array(v.map(lit(_)).toSeq: _*) }.toSeq: _*)
+
+  /** Attach the residual `q − centroid(c)` as `out`, with the
+    * cluster→centroid lookup encoded by [[planLiteralBudget]]: an
+    * `element_at` into nCoarse·dim plan literals below it (codegen, zero
+    * joins), the SAME lookup against ONE broadcast array-of-arrays row
+    * above it (model in DATA — the [[centsTable]] doctrine; identical
+    * integers either way). Cluster ids 1..n index the sorted array. */
+  private def withResidualAt(df: DataFrame, cents: Array[(Int, Array[Long])],
+                             q: Column, c: Column, out: String): DataFrame =
+    if (!overBudget(cents))
+      df.withColumn(out,
+        zip_with(q, element_at(centArrLit(cents), c.cast("int")), (a, b) => a - b))
+    else {
+      val spark = df.sparkSession
+      import spark.implicits._
+      val one = Seq(cents.sortBy(_._1).map(_._2.toSeq).toSeq).toDF("_carr")
+      df.crossJoin(broadcast(one)) // 1-row scalar attach
+        .withColumn(out,
+          zip_with(q, element_at(col("_carr"), c.cast("int")), (a, b) => a - b))
+        .drop("_carr")
+    }
+
+  /** Per-query ADC distance rows: adds `_j` (int), `_code` (long), `_d`
+    * (long — the exact squared subspace distance between `qr`'s j-th
+    * subvector and codeword `_code`), one row per (src row, j, code).
+    * Below [[planLiteralBudget]] (m·ksub·dsub literal nodes) the
+    * codebooks live in the plan and one generator explodes the struct
+    * array (whole-stage codegen); above it the codebooks become ONE
+    * broadcast m·ksub-row table and the same arithmetic runs against its
+    * array column — identical integers, plan size bounded by the model
+    * table instead of literals. Output row count is identical either
+    * way (the table IS src × m·ksub). */
+  private def adcDistTable(src: DataFrame,
+                           books: IndexedSeq[Array[(Int, Array[Long])]],
+                           qr: Column, dsub: Int): DataFrame = {
+    val m = books.length
+    val ksub = books.head.length
+    if (m.toLong * ksub * dsub <= planLiteralBudget) {
+      val entries = for (j <- 0 until m; (c, v) <- books(j)) yield
+        struct(lit(j).as("j"), lit(c.toLong).as("code"),
+          aggregate(zip_with(slice(qr, j * dsub + 1, dsub),
+            array(v.map(lit(_)).toSeq: _*),
+            (a, b) => (a - b) * (a - b)), lit(0L), (acc, x) => acc + x).as("d"))
+      src.withColumn("_e", explode(array(entries: _*)))
+        .withColumn("_j", col("_e.j")).withColumn("_code", col("_e.code"))
+        .withColumn("_d", col("_e.d")).drop("_e")
+    } else {
+      val spark = src.sparkSession
+      import spark.implicits._
+      val bookDf = books.zipWithIndex.flatMap { case (b, j) =>
+        b.map { case (c, v) => (j, c.toLong, v.toSeq) } }
+        .toDF("_j", "_code", "_bv")
+      src.crossJoin(broadcast(bookDf)) // m·ksub model rows
+        .withColumn("_d",
+          aggregate(zip_with(slice(qr, col("_j") * dsub + 1, lit(dsub)),
+            col("_bv"),
+            (a, b) => (a - b) * (a - b)), lit(0L), (acc, x) => acc + x))
+        .drop("_bv")
+    }
+  }
 
   /** Decode a persisted codebook table `(j, code, dim, v)` back into the
     * per-subspace models — m·ksub·dsub driver rows. */
@@ -1010,16 +1108,9 @@ object Similarity {
       .collect().headOption.map(_.getInt(0)).getOrElse(0)
     require(dim > 0 && dim % m == 0, s"dim $dim must be a positive multiple of m=$m")
     val dsub = dim / m
-    require(nCoarse.toLong * dim <= planLiteralBudget &&
-      m.toLong * ksub * dsub <= planLiteralBudget,
-      "centroid/codebook literals exceed planLiteralBudget")
     val coarse = trainLloyd(pts, col("_q"), nCoarse, rounds)
-    // cluster → centroid lookup as one array-of-arrays literal (ids 1..n)
-    val centArr = centArrLit(coarse)
-    def residual(q: Column, c: Column): Column =
-      zip_with(q, element_at(centArr, c.cast("int")), (a, b) => a - b)
-    val assigned = withNearest(pts, coarse, col("_q"), "_c")
-      .withColumn("_r", residual(col("_q"), col("_c")))
+    val assigned = withResidualAt(withNearest(pts, coarse, col("_q"), "_c"),
+        coarse, col("_q"), col("_c"), "_r")
       .localCheckpoint() // feeds m codebook trainings AND the encoding
     def sub(q: Column, j: Int): Column = slice(q, j * dsub + 1, dsub)
     val books = (0 until m).map(j =>
@@ -1031,22 +1122,20 @@ object Similarity {
       posexplode(array((0 until m).map(j => col(s"_p$j")): _*)).as(Seq("_j", "_code")))
     // probe list + per-probed-bucket query residuals
     val qpts = quantized(queries, idCol, vecCol, quantScale)
-    val probed = withSortedDists(qpts, coarse, col("_q"), "_sorted")
-      .select(col("_id").as("_qid"), col("_q"),
-        explode(expr(s"transform(slice(_sorted, 1, $probes), s -> s.c)")).as("_c"))
-      .withColumn("_qr", residual(col("_q"), col("_c")))
-    val entries = for (j <- 0 until m; (c, v) <- books(j)) yield
-      struct(lit(j).as("j"), lit(c.toLong).as("code"),
-        aggregate(zip_with(sub(col("_qr"), j), array(v.map(lit(_)).toSeq: _*),
-          (a, b) => (a - b) * (a - b)), lit(0L), (acc, x) => acc + x).as("d"))
-    val dtab = probed
-      .select(col("_qid"), col("_c"), explode(array(entries: _*)).as("_e"))
-      .select(col("_qid"), col("_c"), col("_e.j").as("_j"),
-        col("_e.code").as("_code"), col("_e.d").as("_d"))
+    val probed = withResidualAt(
+        withSortedDists(qpts, coarse, col("_q"), "_sorted")
+          .select(col("_id").as("_qid"), col("_q"),
+            explode(expr(s"transform(slice(_sorted, 1, $probes), s -> s.c)")).as("_c")),
+        coarse, col("_q"), col("_c"), "_qr")
+      .localCheckpoint() // fans into the count and the dtab
+    val nProbed = probed.count() // ≤ |Q|·probes: query-batch-sized
+    val dtab = adcDistTable(probed.select(col("_qid"), col("_c"), col("_qr")),
+        books, col("_qr"), dsub)
+      .select(col("_qid"), col("_c"), col("_j"), col("_code"), col("_d"))
     val w = Window.partitionBy(col("_qid"))
       .orderBy(col("_adc").asc, col("_nid").asc)
     codes
-      .join(broadcast(dtab), Seq("_c", "_j", "_code"))
+      .join(maybeBroadcast(dtab, nProbed * m * ksub), Seq("_c", "_j", "_code"))
       .groupBy(col("_qid"), col("_nid"))
       .agg(sum(col("_d")).as("_adc"))
       .withColumn("_rank", row_number().over(w))
@@ -1082,10 +1171,8 @@ object Similarity {
     require(dim > 0 && dim % m == 0, s"dim $dim must be a positive multiple of m=$m")
     val dsub = dim / m
     val coarse = trainLloyd(pts, col("_q"), nCoarse, rounds)
-    val centArr = centArrLit(coarse)
-    val assigned = withNearest(pts, coarse, col("_q"), "_c")
-      .withColumn("_r", zip_with(col("_q"), element_at(centArr, col("_c").cast("int")),
-        (a, b) => a - b))
+    val assigned = withResidualAt(withNearest(pts, coarse, col("_q"), "_c"),
+        coarse, col("_q"), col("_c"), "_r")
       .localCheckpoint()
     def sub(q: Column, j: Int): Column = slice(q, j * dsub + 1, dsub)
     val books = (0 until m).map(j =>
@@ -1116,11 +1203,10 @@ object Similarity {
     val books = readCodebookModel(codebooks)
     val m = books.length
     val dsub = books.head.head._2.length
-    val centArr = centArrLit(coarse)
-    val assigned = withNearest(
-        quantized(batch, idCol, vecCol, quantScale), coarse, col("_q"), "_c")
-      .withColumn("_r", zip_with(col("_q"), element_at(centArr, col("_c").cast("int")),
-        (a, b) => a - b))
+    val assigned = withResidualAt(
+        withNearest(quantized(batch, idCol, vecCol, quantScale), coarse,
+          col("_q"), "_c"),
+        coarse, col("_q"), col("_c"), "_r")
     val enc = (0 until m).foldLeft(assigned) { (df, j) =>
       withNearest(df, books(j), slice(col("_r"), j * dsub + 1, dsub), s"_p$j")
     }
@@ -1144,26 +1230,23 @@ object Similarity {
       s"probes must be in [1, nCoarse], got $probes")
     val books = readCodebookModel(codebooks)
     val m = books.length
+    val ksub = books.head.length
     val dsub = books.head.head._2.length
-    val centArr = centArrLit(coarse)
     val qpts = quantized(queries, idCol, vecCol, quantScale)
-    val probed = withSortedDists(qpts, coarse, col("_q"), "_sorted")
-      .select(col("_id").as("_qid"), col("_q"),
-        explode(expr(s"transform(slice(_sorted, 1, $probes), s -> s.c)")).as("cluster"))
-      .withColumn("_qr", zip_with(col("_q"),
-        element_at(centArr, col("cluster").cast("int")), (a, b) => a - b))
+    val probed = withResidualAt(
+        withSortedDists(qpts, coarse, col("_q"), "_sorted")
+          .select(col("_id").as("_qid"), col("_q"),
+            explode(expr(s"transform(slice(_sorted, 1, $probes), s -> s.c)"))
+              .as("cluster")),
+        coarse, col("_q"), col("cluster"), "_qr")
       .localCheckpoint() // fans into the probed-id collect and the dtab
     val probedIds = probed.select(col("cluster")).distinct()
       .collect().map(_.getLong(0)) // <= nCoarse values: model-sized
-    val entries = for (j <- 0 until m; (c, v) <- books(j)) yield
-      struct(lit(j).as("j"), lit(c.toLong).as("code"),
-        aggregate(zip_with(slice(col("_qr"), j * dsub + 1, dsub),
-          array(v.map(lit(_)).toSeq: _*),
-          (a, b) => (a - b) * (a - b)), lit(0L), (acc, x) => acc + x).as("d"))
-    val dtab = probed
-      .select(col("_qid"), col("cluster"), explode(array(entries: _*)).as("_e"))
-      .select(col("_qid"), col("cluster"), col("_e.j").as("_j"),
-        col("_e.code").as("_code"), col("_e.d").as("_d"))
+    val nProbed = probed.count() // ≤ |Q|·probes: query-batch-sized
+    val dtab = adcDistTable(
+        probed.select(col("_qid"), col("cluster"), col("_qr")),
+        books, col("_qr"), dsub)
+      .select(col("_qid"), col("cluster"), col("_j"), col("_code"), col("_d"))
     val exploded = codes
       .where(col("cluster").isin(probedIds.toSeq: _*))
       .select(col("cluster").cast("long").as("cluster"), col("id").as("_nid"),
@@ -1171,7 +1254,8 @@ object Similarity {
     val w = Window.partitionBy(col("_qid"))
       .orderBy(col("_adc").asc, col("_nid").asc)
     exploded
-      .join(broadcast(dtab.withColumn("_j", col("_j").cast("int"))),
+      .join(maybeBroadcast(dtab.withColumn("_j", col("_j").cast("int")),
+          nProbed * m * ksub),
         Seq("cluster", "_j", "_code"))
       .groupBy(col("_qid"), col("_nid"))
       .agg(sum(col("_d")).as("_adc"))

@@ -4565,16 +4565,62 @@ class OperatorsSpec extends SparkSuite {
           k = 3, nCentroids = 4, rounds = 2, probes = 2)
         .collect().map(_.toString).toSeq)
     val literal = all()
-    val saved = Similarity.planLiteralBudget
-    try {
-      Similarity.planLiteralBudget = 0L
-      val fallback = all()
-      assert(fallback == literal,
-        s"fallback must match literal path:\n$fallback\n$literal")
-    } finally Similarity.planLiteralBudget = saved
+    val fallback = Similarity.withPlanLiteralBudget(0L)(all())
+    assert(fallback == literal,
+      s"fallback must match literal path:\n$fallback\n$literal")
     // and the default budget genuinely keeps small models on the
     // codegen literal path (k·dim = 24 here)
     assert(4L * 6L <= Similarity.planLiteralBudget)
+  }
+
+  test("PQ/IVF-PQ budget fallbacks (codebook-in-data + shuffle-join dtab): bit-identical to the literal/broadcast path") {
+    import spark.implicits._
+    import graft.operators.Similarity
+    // Forcing planLiteralBudget = 0 routes the centroid-residual lookup
+    // and the ADC distance-table construction through the broadcast
+    // model-table encodings; forcing broadcastRowBudget = 0 drops the
+    // broadcast hint on every dtab/probe candidate join (shuffle join on
+    // the same keys). Results must be IDENTICAL rows in all four
+    // combinations — same integers, same tie-breaks.
+    val rnd = new scala.util.Random(211)
+    val corpus = (1L to 60L).map(i =>
+      (i, Array.fill(8)(rnd.nextFloat() * 2f - 1f))).toDF("vec_id", "embedding")
+    val queries = (1L to 4L).map(i =>
+      (i * 100, Array.fill(8)(rnd.nextFloat() * 2f - 1f))).toDF("vec_id", "embedding")
+    def all(): Seq[Seq[String]] = {
+      val pq = Similarity.pqTopK(queries, corpus, "vec_id", "embedding",
+          k = 4, m = 2, ksub = 3, rounds = 2)
+        .collect().map(_.toString).toSeq.sorted
+      val ivfpq = Similarity.ivfPqTopK(queries, corpus, "vec_id", "embedding",
+          k = 4, nCoarse = 3, probes = 2, m = 2, ksub = 3, rounds = 2)
+        .collect().map(_.toString).toSeq.sorted
+      val dirTmp = java.nio.file.Files.createTempDirectory("graft_pq_fb").toString
+      val (cent, books, codes) = Similarity.ivfPqIndexBuild(
+        corpus, "vec_id", "embedding", nCoarse = 3, m = 2, ksub = 3, rounds = 2)
+      cent.write.parquet(s"$dirTmp/cent"); books.write.parquet(s"$dirTmp/books")
+      graft.sources.Tables.writePartitioned(codes, s"$dirTmp/codes", "cluster")
+      val served = Similarity.ivfPqProbeTopK(queries,
+          spark.read.parquet(s"$dirTmp/cent"), spark.read.parquet(s"$dirTmp/books"),
+          spark.read.parquet(s"$dirTmp/codes"), "vec_id", "embedding",
+          k = 4, probes = 2)
+        .collect().map(_.toString).toSeq.sorted
+      val appended = Similarity.ivfPqIndexAppend(
+          corpus.where(col("vec_id") <= 10), spark.read.parquet(s"$dirTmp/cent"),
+          spark.read.parquet(s"$dirTmp/books"), "vec_id", "embedding")
+        .collect().map(_.toString).toSeq.sorted
+      Seq(pq, ivfpq, served, appended)
+    }
+    val base = all()
+    val smallPlan = Similarity.withPlanLiteralBudget(0L)(all())
+    assert(smallPlan == base, "codebook-in-data fallback must match literal path")
+    val noBcast = Similarity.withBroadcastRowBudget(0L)(all())
+    assert(noBcast == base, "shuffle-join dtab must match broadcast path")
+    val both = Similarity.withPlanLiteralBudget(0L)(
+      Similarity.withBroadcastRowBudget(0L)(all()))
+    assert(both == base, "combined fallbacks must match")
+    // default budgets keep the tiny gate configs on the fast path:
+    // m·ksub·dsub = 2·3·4 = 24 literals, dtab ≤ |Q|·probes·m·ksub = 48 rows
+    assert(24L <= Similarity.planLiteralBudget && 48L <= Similarity.broadcastRowBudget)
   }
 
   test("ivfExactTopK: brute pipeline parity, probe restriction is real (missed far neighbor), deterministic ties") {
