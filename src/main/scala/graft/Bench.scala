@@ -37,13 +37,14 @@ object Bench {
       // blocking: removal must FINISH before the next timed run starts, or
       // the async free runs inside the next measurement window
       spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = true))
-      // GC breath: Spark's ContextCleaner reclaims shuffle files and
-      // broadcast blocks only after the referencing driver objects are
-      // GC'd. Without this, 200+ queries in one JVM accumulate dead
-      // shuffle state and later queries pay for it (the in-suite vs solo
-      // inversion the round-8 judge measured on q94/q217).
-      System.gc()
-      Thread.sleep(200)
+      // GC + cleaner DRAIN: Spark's ContextCleaner reclaims shuffle files
+      // and broadcast blocks only after the referencing driver objects are
+      // GC'd, and it does so ASYNCHRONOUSLY — a fixed post-GC sleep let a
+      // 12-round graph query's hundreds of shuffle cleanups bleed into the
+      // next timed run (the round-9 residual: iterative fixed-point
+      // queries benched 1.4-2.6x their solo numbers in-suite on untouched
+      // code). Block until the cleaner has actually gone quiet.
+      org.apache.spark.graft.CleanerDrain.gcAndDrain(spark.sparkContext)
     }
     val results = selected.map { case (name, fn) =>
       // a failing query must read as FAILED (-1), not as a suspiciously
