@@ -970,8 +970,8 @@ object Similarity {
       posexplode(array((0 until m).map(j => col(s"_c$j")): _*)).as(Seq("_j", "_code")))
     // per-query distance table: |Q|·m·ksub rows — broadcast iff it fits
     // broadcastRowBudget; codebook encoding picked by planLiteralBudget
-    val qpts = quantized(queries, idCol, vecCol, quantScale).localCheckpoint()
-    val nQ = qpts.count() // query-batch-sized
+    val qpts = quantized(queries, idCol, vecCol, quantScale)
+    val nQ = qpts.count() // one query-batch-sized job, no materialization
     val dtab = adcDistTable(qpts.select(col("_id").as("_qid"), col("_q")),
         books, col("_q"), dsub)
       .select(col("_qid"), col("_j"), col("_code"), col("_d"))
@@ -1122,20 +1122,19 @@ object Similarity {
       posexplode(array((0 until m).map(j => col(s"_p$j")): _*)).as(Seq("_j", "_code")))
     // probe list + per-probed-bucket query residuals
     val qpts = quantized(queries, idCol, vecCol, quantScale)
+    val nQ = qpts.count() // one query-batch-sized job, no materialization
     val probed = withResidualAt(
         withSortedDists(qpts, coarse, col("_q"), "_sorted")
           .select(col("_id").as("_qid"), col("_q"),
             explode(expr(s"transform(slice(_sorted, 1, $probes), s -> s.c)")).as("_c")),
         coarse, col("_q"), col("_c"), "_qr")
-      .localCheckpoint() // fans into the count and the dtab
-    val nProbed = probed.count() // ≤ |Q|·probes: query-batch-sized
     val dtab = adcDistTable(probed.select(col("_qid"), col("_c"), col("_qr")),
         books, col("_qr"), dsub)
       .select(col("_qid"), col("_c"), col("_j"), col("_code"), col("_d"))
     val w = Window.partitionBy(col("_qid"))
       .orderBy(col("_adc").asc, col("_nid").asc)
-    codes
-      .join(maybeBroadcast(dtab, nProbed * m * ksub), Seq("_c", "_j", "_code"))
+    codes // dtab bound: |Q|·probes·m·ksub rows exactly
+      .join(maybeBroadcast(dtab, nQ * probes * m * ksub), Seq("_c", "_j", "_code"))
       .groupBy(col("_qid"), col("_nid"))
       .agg(sum(col("_d")).as("_adc"))
       .withColumn("_rank", row_number().over(w))
