@@ -295,6 +295,7 @@ object SparkEntry {
     "q234_brown_forsythe" -> q234,
     "q235_friedman" -> q235,
     "q236_ivf_pq_lifecycle" -> q236,
+    "q237_jonckheere" -> q237,
   )
 
   /** Round count for the parameterized BPE lifecycle (q163/q164) — read
@@ -3844,9 +3845,41 @@ object SparkEntry {
     * ([[graft.operators.Similarity.ivfProbeTopK]]); the oracle replays
     * the same trajectory with training restricted to the initial
     * corpus. */
-  private def q227(s: SparkSession, dir: String): DataFrame = {
-    val suffix = java.security.MessageDigest.getInstance("MD5")
+  /** Scratch suffix for the persisted-lifecycle gates (q227/q236):
+    * MD5(dir) keeps scale factors apart within one process, and the PID
+    * keeps CONCURRENT harness processes pointed at the same data dir
+    * (a bench and a parity run) from interleaving one process's
+    * overwrite-then-append sequence with the other's probe. Stale
+    * scratch left by DEAD processes under the same query prefix — in
+    * /tmp and in the managed warehouse — is swept on entry (liveness
+    * via ProcessHandle), so repeated runs don't accumulate debris;
+    * live processes' scratch is never touched. */
+  private def lifecycleScratchSuffix(s: SparkSession, q: String,
+                                     dir: String): String = {
+    val h = java.security.MessageDigest.getInstance("MD5")
       .digest(dir.getBytes("UTF-8")).take(4).map("%02x".format(_)).mkString
+    val pid = ProcessHandle.current().pid()
+    val wh = new java.net.URI(s.conf.get("spark.sql.warehouse.dir")).getPath
+    val pat = (s"graft_${q}_.*_p(\\d+)$$").r
+    def del(x: java.io.File): Unit = {
+      Option(x.listFiles()).getOrElse(Array.empty[java.io.File]).foreach(del)
+      x.delete(); ()
+    }
+    Seq(new java.io.File("/tmp"), new java.io.File(wh)).foreach { d =>
+      Option(d.listFiles()).getOrElse(Array.empty[java.io.File]).foreach { f =>
+        pat.findFirstMatchIn(f.getName).foreach { m =>
+          val p = m.group(1).toLong
+          val gone = p != pid &&
+            !(ProcessHandle.of(p).isPresent && ProcessHandle.of(p).get().isAlive)
+          if (gone) del(f)
+        }
+      }
+    }
+    s"${h}_p$pid"
+  }
+
+  private def q227(s: SparkSession, dir: String): DataFrame = {
+    val suffix = lifecycleScratchSuffix(s, "q227", dir)
     val emb = Tables.embeddings(s, dir)
     val initial = emb.where(col("vec_id") % 7 =!= 0)
     val batch = emb.where(col("vec_id") % 7 === 0)
@@ -3977,8 +4010,7 @@ object SparkEntry {
     * pruned at the codes scan
     * ([[graft.operators.Similarity.ivfPqProbeTopK]]). */
   private def q236(s: SparkSession, dir: String): DataFrame = {
-    val suffix = java.security.MessageDigest.getInstance("MD5")
-      .digest(dir.getBytes("UTF-8")).take(4).map("%02x".format(_)).mkString
+    val suffix = lifecycleScratchSuffix(s, "q236", dir)
     val emb = Tables.embeddings(s, dir)
     val initial = emb.where(col("vec_id") % 7 =!= 0)
     val batch = emb.where(col("vec_id") % 7 === 0)
@@ -4016,6 +4048,22 @@ object SparkEntry {
         .groupBy(col("bucket"), col("lang"))
         .agg(sum(expr("qu DIV 16384")).as("cell")),
       blockCol = "bucket", groupCol = "lang", valueCol = col("cell"))
+  }
+
+  /** Jonckheere–Terpstra ordered trend: does the quality score tend UP
+    * with the ordered length bucket — q229's dose framing for a
+    * CONTINUOUS response on q230's quantized score universe; all power
+    * on the ordered alternative where q230's KW spreads it over any
+    * difference ([[graft.operators.Eval.jonckheereTerpstra]]). */
+  private def q237(s: SparkSession, dir: String): DataFrame = {
+    val stop = Text.langMarkers.toMap.apply("en")
+    graft.operators.Eval.jonckheereTerpstra(
+      Tables.documents(s, dir)
+        .select(expr("least(n_chars DIV 250, 3)").as("bucket"),
+          floor(Text.qualityScore(col("text"), stop) * lit(1e6))
+            .cast("long").as("qu")),
+      groupCol = col("bucket"), valueCol = expr("qu DIV 16384"),
+      bucketOf = v => shiftright(v, 3))
   }
 
   // =====================================================================
@@ -5481,13 +5529,18 @@ object SparkEntry {
                      CAST(k.cn - j.cn + j.wn AS HUGEINT) AS sn
                    FROM o j JOIN o k ON j.i <= k.i),
            mn AS (SELECT i.i AS ii, seg.ji,
-                    min(seg.sp * CAST('1000000000000000000000000000000' AS HUGEINT)
+                    min((seg.sp * CAST('1000000000000000000000000000000' AS HUGEINT)
+                      - ((seg.sp * CAST('1000000000000000000000000000000' AS HUGEINT)
+                          % seg.sn + seg.sn) % seg.sn))
                       // seg.sn) AS mkey
                   FROM o i JOIN seg ON seg.ji <= i.i AND seg.ki >= i.i
                   GROUP BY 1, 2),
            fit AS (SELECT ii, max(mkey) AS fkey FROM mn GROUP BY ii)
            SELECT o.v AS score_q, o.wn AS w_sum, o.wy AS wy_sum,
-             CAST(fit.fkey // CAST('1000000000000000000000000' AS HUGEINT)
+             CAST((fit.fkey - ((fit.fkey % CAST('1000000000000000000000000' AS HUGEINT)
+                 + CAST('1000000000000000000000000' AS HUGEINT))
+                 % CAST('1000000000000000000000000' AS HUGEINT)))
+               // CAST('1000000000000000000000000' AS HUGEINT)
                AS BIGINT) AS fitted_micro
            FROM o JOIN fit ON fit.ii = o.i
            ORDER BY score_q""",
@@ -5773,6 +5826,81 @@ object SparkEntry {
                  / CAST(CAST(n AS HUGEINT) * n * n - n AS DOUBLE))
              END AS h_tie
            FROM tot CROSS JOIN tt""",
+
+      // Jonckheere–Terpstra: dense (group × value) frame, within-group
+      // cumulative-below + cross-group LB/LE windows give the doubled
+      // 2J exactly; z chains mirror the Spark side verbatim (B's two
+      // tie/group factors multiply as DOUBLES — the budget-free form)
+      "q237_jonckheere" ->
+        s"""WITH pts AS (
+             SELECT least(n_chars // 250, 3) AS g,
+               CAST(floor(${qualitySql(toks)} * 1e6) AS BIGINT) // 16384 AS v
+             FROM documents),
+           cells AS (SELECT g, v, CAST(count(*) AS BIGINT) AS c
+                     FROM pts GROUP BY 1, 2),
+           vh AS (SELECT v, CAST(sum(c) AS BIGINT) AS t FROM cells GROUP BY v),
+           gs AS (SELECT DISTINCT g FROM cells),
+           dense AS (SELECT gs.g AS g, vh.v AS v, coalesce(cells.c, 0) AS c0
+                     FROM gs CROSS JOIN vh
+                     LEFT JOIN cells ON cells.g = gs.g AND cells.v = vh.v),
+           cum AS (SELECT g, v, c0,
+                     CAST(coalesce(sum(c0) OVER (PARTITION BY g ORDER BY v
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                       AS BIGINT) AS cb
+                   FROM dense),
+           sw AS (SELECT g, v, c0, cb,
+                    CAST(coalesce(sum(c0) OVER wv, 0) AS BIGINT) AS le,
+                    CAST(coalesce(sum(cb) OVER wv, 0) AS HUGEINT) AS lb
+                  FROM cum
+                  WINDOW wv AS (PARTITION BY v ORDER BY g
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)),
+           s2 AS (SELECT CAST(coalesce(sum(CAST(c0 AS HUGEINT) *
+                    (2 * lb + le)), 0) AS HUGEINT) AS s2 FROM sw),
+           pg AS (SELECT g, CAST(sum(c) AS BIGINT) AS ng FROM cells GROUP BY g),
+           ga AS (SELECT CAST(sum(ng) AS BIGINT) AS n,
+                    CAST(count(*) AS BIGINT) AS k,
+                    CAST(sum(CAST(ng AS HUGEINT) * ng) AS HUGEINT) AS sn2,
+                    CAST(sum(CAST(ng AS HUGEINT) * ng * (2 * ng + 3))
+                      AS HUGEINT) AS sn23,
+                    CAST(sum(CAST(ng AS HUGEINT) * (ng - 1) * (2 * ng + 5))
+                      AS HUGEINT) AS g25,
+                    CAST(sum(CAST(ng AS HUGEINT) * (ng - 1) * (ng - 2))
+                      AS HUGEINT) AS g3,
+                    CAST(sum(CAST(ng AS HUGEINT) * (ng - 1)) AS HUGEINT) AS g2
+                  FROM pg),
+           ta AS (SELECT
+                    CAST(coalesce(sum(CAST(t AS HUGEINT) * (t - 1) * (2 * t + 5)), 0)
+                      AS HUGEINT) AS t25,
+                    CAST(coalesce(sum(CAST(t AS HUGEINT) * (t - 1) * (t - 2)), 0)
+                      AS HUGEINT) AS t3,
+                    CAST(coalesce(sum(CAST(t AS HUGEINT) * (t - 1)), 0)
+                      AS HUGEINT) AS t2
+                  FROM vh)
+           SELECT n, k AS k_groups, CAST(s2 AS DOUBLE) AS j2,
+             CAST(2 * s2 - (CAST(n AS HUGEINT) * n - sn2) AS DOUBLE) AS num2,
+             CASE WHEN k >= 2
+                 AND CAST(n AS HUGEINT) * n * (2 * n + 3) - sn23 > 0 THEN
+               CAST(2 * s2 - (CAST(n AS HUGEINT) * n - sn2) AS DOUBLE)
+                 / (4.0 * sqrt(CAST(CAST(n AS HUGEINT) * n * (2 * n + 3) - sn23
+                     AS DOUBLE) / 72.0))
+             END AS z,
+             CASE WHEN k >= 2 AND n >= 3
+                 AND (CAST(CAST(n AS HUGEINT) * (n - 1) * (2 * n + 5) - g25 - t25
+                       AS DOUBLE) / 72.0
+                   + CAST(g3 AS DOUBLE) * CAST(t3 AS DOUBLE)
+                     / (36.0 * CAST(CAST(n AS HUGEINT) * (n - 1) * (n - 2) AS DOUBLE))
+                   + CAST(g2 AS DOUBLE) * CAST(t2 AS DOUBLE)
+                     / (8.0 * CAST(CAST(n AS HUGEINT) * (n - 1) AS DOUBLE))) > 0 THEN
+               CAST(2 * s2 - (CAST(n AS HUGEINT) * n - sn2) AS DOUBLE)
+                 / (4.0 * sqrt(
+                     CAST(CAST(n AS HUGEINT) * (n - 1) * (2 * n + 5) - g25 - t25
+                       AS DOUBLE) / 72.0
+                   + CAST(g3 AS DOUBLE) * CAST(t3 AS DOUBLE)
+                     / (36.0 * CAST(CAST(n AS HUGEINT) * (n - 1) * (n - 2) AS DOUBLE))
+                   + CAST(g2 AS DOUBLE) * CAST(t2 AS DOUBLE)
+                     / (8.0 * CAST(CAST(n AS HUGEINT) * (n - 1) AS DOUBLE))))
+             END AS z_tie
+           FROM ga CROSS JOIN s2 CROSS JOIN ta""",
 
       // CUSUM: cumulative daily counts per type, |n·S_i − i·S_n| in
       // HUGEINT, argmax tie-broken to the earliest day, split means via

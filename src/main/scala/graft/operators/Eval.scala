@@ -1304,6 +1304,127 @@ object Eval {
                 .cast("double"))).as("h_tie"))
   }
 
+  /** JONCKHEERE–TERPSTRA ordered-alternative trend test (Jonckheere
+    * 1954; Hollander & Wolfe §6.2) — the k-sample member [[kruskalWallis]]
+    * deliberately isn't: where KW asks "do the k cohorts differ AT ALL",
+    * JT puts all its power on the ORDERED alternative θ₁ ≤ θ₂ ≤ … ≤ θₖ
+    * (dose-response: does the value tend UP as the ordered group index
+    * rises) — [[cochranArmitage]]'s question for a continuous response.
+    * J = Σ_{i<j} U_ij sums the pairwise Mann–Whitney counts over ordered
+    * group pairs; ties count half, so the DOUBLED statistic
+    * `2J = Σ_cells c_{g,v}·(2·LB_{g,v} + LE_{g,v})` (LB = rows in
+    * LOWER-ordered groups with SMALLER value, LE = equal-value rows in
+    * lower groups) stays exact-integer — the doubled-midrank doctrine.
+    *
+    * ## Exactness
+    * Everything through the centered numerator is integer: null mean
+    * E[2J] = (N² − Σn_g²)/2, so `num2 = 2·(2J) − (N² − Σn_g²)` =
+    * 4·(J − E[J]) exactly. The two z denominators are single trailing
+    * IEEE chains mirrored verbatim by the oracle: the no-tie variance
+    * 72·Var = N²(2N+3) − Σn_g²(2n_g+3) is exact-integer under the sqrt;
+    * the tie-corrected variance (H&W 6.19) A/72 + B/(36N(N−1)(N−2)) +
+    * C/(8N(N−1)) has exact-integer A, C and group/tie factors, with B's
+    * two factors multiplied as DOUBLES (each ≤ N³ is exact in DECIMAL(38)
+    * to N ≈ 2·10¹²; their product would overflow at N ≈ 2·10⁶ — the
+    * double product is the budget-free form and both engines compute it
+    * identically).
+    *
+    * ## Scale shape (100 TB)
+    * Data-sized work is ONE partial-aggregable `groupBy(group, value)`.
+    * The DENSE (group × distinct-value) frame is k·V rows — k cohorts
+    * are few and V is bounded by the caller's quantization, both
+    * model-sized next to the data. Within-group cumulatives ride the
+    * two-level prefix-sum scheme partitioned by (group, bucket) with a
+    * k·buckets broadcast offset spine; the cross-group LB/LE windows
+    * partition by VALUE (≤ k rows each). NULL group/value rows excluded.
+    * Returns ONE row `(n, k_groups, j2, num2, z, z_tie)`; z NULL when
+    * k < 2 or the variance degenerates, z_tie additionally NULL when
+    * N < 3 (the B term divides by N−2). */
+  def jonckheereTerpstra(df: DataFrame, groupCol: Column, valueCol: Column,
+                         bucketOf: Column => Column,
+                         checkpoint: Boolean = true): DataFrame = {
+    val dec = "decimal(38,0)"
+    def cut(d: DataFrame): DataFrame = if (checkpoint) d.localCheckpoint() else d
+    val cells = cut(df
+      .where(valueCol.isNotNull && groupCol.isNotNull)
+      .select(groupCol.cast("long").as("_g"), valueCol.cast("long").as("_v"))
+      .groupBy(col("_g"), col("_v"))
+      .agg(count(lit(1)).as("_c"))) // fans into groups, hist, dense, ng
+    val groups = cells.select(col("_g")).distinct() // k rows
+    val hist = cut(cells.groupBy(col("_v")).agg(sum(col("_c")).as("_t"))
+      .withColumn("_b", bucketOf(col("_v")))) // fans into dense, offsets, ties
+    // dense k·V frame: every (group, value) cell, absent ones at 0 —
+    // LB/LE need cumulatives evaluated at values the group may not have
+    val dense = hist.select(col("_v"), col("_b"))
+      .crossJoin(broadcast(groups))
+      .join(cells, Seq("_g", "_v"), "left")
+      .na.fill(0L, Seq("_c"))
+    // within-group cumulative-below: two-level prefix sum per (g, bucket)
+    val wIn = Window.partitionBy(col("_g"), col("_b")).orderBy(col("_v"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val wOffG = Window.partitionBy(col("_g")).orderBy(col("_b"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = dense.groupBy(col("_g"), col("_b")).agg(sum(col("_c")).as("_bt"))
+      .select(col("_g"), col("_b"),
+        coalesce(sum(col("_bt")).over(wOffG), lit(0L)).as("_off"))
+    val cum = dense
+      .join(broadcast(offsets), Seq("_g", "_b"))
+      .withColumn("_cb", col("_off") + coalesce(sum(col("_c")).over(wIn), lit(0L)))
+    // cross-group sweep at fixed value: ≤ k rows per partition
+    val wV = Window.partitionBy(col("_v")).orderBy(col("_g"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val s2 = cum
+      .withColumn("_le", coalesce(sum(col("_c")).over(wV), lit(0L)))
+      .withColumn("_lb", coalesce(sum(col("_cb")).over(wV), lit(0L)))
+      .agg(coalesce(sum(col("_c").cast(dec) *
+        (lit(2L) * col("_lb") + col("_le"))), lit(0).cast(dec)).as("_s2"))
+    val ga = cells.groupBy(col("_g")).agg(sum(col("_c")).as("_ng"))
+      .agg(sum(col("_ng")).as("_n"), count(lit(1)).as("_k"),
+        sum(col("_ng").cast(dec) * col("_ng")).as("_sn2"),
+        sum(col("_ng").cast(dec) * col("_ng") *
+          (lit(2L) * col("_ng") + lit(3L))).as("_sn23"),
+        sum(col("_ng").cast(dec) * (col("_ng") - lit(1L)) *
+          (lit(2L) * col("_ng") + lit(5L))).as("_g25"),
+        sum(col("_ng").cast(dec) * (col("_ng") - lit(1L)) *
+          (col("_ng") - lit(2L))).as("_g3"),
+        sum(col("_ng").cast(dec) * (col("_ng") - lit(1L))).as("_g2"))
+    val ta = hist.agg(
+      coalesce(sum(col("_t").cast(dec) * (col("_t") - lit(1L)) *
+        (lit(2L) * col("_t") + lit(5L))), lit(0).cast(dec)).as("_t25"),
+      coalesce(sum(col("_t").cast(dec) * (col("_t") - lit(1L)) *
+        (col("_t") - lit(2L))), lit(0).cast(dec)).as("_t3"),
+      coalesce(sum(col("_t").cast(dec) * (col("_t") - lit(1L))),
+        lit(0).cast(dec)).as("_t2"))
+    ga.crossJoin(broadcast(s2)).crossJoin(broadcast(ta)) // 1-row attaches
+      .select(col("_n"), col("_k"), col("_s2"),
+        (lit(2L).cast(dec) * col("_s2") -
+          (col("_n").cast(dec) * col("_n") - col("_sn2"))).as("_num2"),
+        // 72·Var₀ and the tie-corrected variance pieces (H&W 6.19)
+        (col("_n").cast(dec) * col("_n") * (lit(2L) * col("_n") + lit(3L)) -
+          col("_sn23")).as("_v72"),
+        (col("_n").cast(dec) * (col("_n") - lit(1L)) *
+          (lit(2L) * col("_n") + lit(5L)) - col("_g25") - col("_t25")).as("_a"),
+        col("_g3"), col("_t3"), col("_g2"), col("_t2"))
+      .withColumn("_vt", // guarded: the B/C denominators need n >= 3
+        when(col("_n") >= 3L,
+          col("_a").cast("double") / lit(72.0) +
+            col("_g3").cast("double") * col("_t3").cast("double") /
+              (lit(36.0) * (col("_n").cast(dec) * (col("_n") - lit(1L)) *
+                (col("_n") - lit(2L))).cast("double")) +
+            col("_g2").cast("double") * col("_t2").cast("double") /
+              (lit(8.0) * (col("_n").cast(dec) * (col("_n") - lit(1L)))
+                .cast("double"))))
+      .select(col("_n").as("n"), col("_k").as("k_groups"),
+        col("_s2").cast("double").as("j2"),
+        col("_num2").cast("double").as("num2"),
+        when(col("_k") >= 2L && col("_v72") > 0,
+          col("_num2").cast("double") /
+            (lit(4.0) * sqrt(col("_v72").cast("double") / lit(72.0)))).as("z"),
+        when(col("_k") >= 2L && col("_n") >= 3L && col("_vt") > 0,
+          col("_num2").cast("double") /
+            (lit(4.0) * sqrt(col("_vt")))).as("z_tie"))
+  }
+
   /** ONE-WAY ANOVA F — the parametric companion to [[kruskalWallis]]
     * ("do the k cohort MEANS differ", where KW asks about the whole
     * distribution): with per-group exact sums `S_g` over quantized

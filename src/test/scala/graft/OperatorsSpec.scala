@@ -4002,6 +4002,79 @@ class OperatorsSpec extends SparkSuite {
     assert(!tied.isNullAt(3) && tied.isNullAt(4))
   }
 
+  test("jonckheereTerpstra: brute pairwise parity with ties, planted trend, degenerate cases") {
+    import spark.implicits._
+    import graft.operators.Eval
+
+    // brute force: J literally as the sum of pairwise Mann-Whitney counts
+    // over ordered group pairs (ties count half -> doubled 2J is integer)
+    def brute(pts: Seq[(Long, Long)])
+        : (Long, Long, BigInt, BigInt, Option[Double], Option[Double]) = {
+      val n = pts.length.toLong
+      val groups = pts.groupBy(_._1)
+      val k = groups.size.toLong
+      val gkeys = groups.keys.toSeq.sorted
+      var s2 = BigInt(0)
+      for {
+        i <- gkeys.indices; j <- (i + 1) until gkeys.size
+        x <- groups(gkeys(i)); y <- groups(gkeys(j))
+      } {
+        if (x._2 < y._2) s2 += 2
+        else if (x._2 == y._2) s2 += 1
+      }
+      val ngs = gkeys.map(g => groups(g).size.toLong)
+      val sn2 = ngs.map(x => BigInt(x) * x).sum
+      val num2 = 2 * s2 - (BigInt(n) * n - sn2)
+      val v72 = BigInt(n) * n * (2 * n + 3) - ngs.map(x => BigInt(x) * x * (2 * x + 3)).sum
+      val z = if (k >= 2 && v72 > 0)
+        Some(num2.toDouble / (4.0 * math.sqrt(v72.toDouble / 72.0))) else None
+      val hist = pts.groupBy(_._2).view.mapValues(_.size.toLong).toMap
+      val a = BigInt(n) * (n - 1) * (2 * n + 5) -
+        ngs.map(x => BigInt(x) * (x - 1) * (2 * x + 5)).sum -
+        hist.values.map(t => BigInt(t) * (t - 1) * (2 * t + 5)).sum
+      val vt = a.toDouble / 72.0 +
+        ngs.map(x => BigInt(x) * (x - 1) * (x - 2)).sum.toDouble *
+          hist.values.map(t => BigInt(t) * (t - 1) * (t - 2)).sum.toDouble /
+          (36.0 * (BigInt(n) * (n - 1) * (n - 2)).toDouble) +
+        ngs.map(x => BigInt(x) * (x - 1)).sum.toDouble *
+          hist.values.map(t => BigInt(t) * (t - 1)).sum.toDouble /
+          (8.0 * (BigInt(n) * (n - 1)).toDouble)
+      val zt = if (k >= 2 && n >= 3 && vt > 0)
+        Some(num2.toDouble / (4.0 * math.sqrt(vt))) else None
+      (n, k, s2, num2, z, zt)
+    }
+    def run(pts: Seq[(Long, Long)]) =
+      Eval.jonckheereTerpstra(pts.toDF("g", "v"), col("g"), col("v"),
+        bucketOf = v => shiftright(v, 2)).collect()(0)
+
+    // four ordered dose groups, heavy ties, planted upward trend
+    val rnd = new scala.util.Random(53)
+    val pts = (0L to 3L).flatMap { g =>
+      (1 to 60).map(_ => (g, rnd.nextInt(10).toLong + 2 * g))
+    }
+    val got = run(pts); val want = brute(pts)
+    assert(got.getLong(0) == want._1 && got.getLong(1) == want._2)
+    assert(got.getDouble(2) == want._3.toDouble, s"j2: ${got.getDouble(2)} vs ${want._3}")
+    assert(got.getDouble(3) == want._4.toDouble, s"num2: ${got.getDouble(3)} vs ${want._4}")
+    assert(math.abs(got.getDouble(4) - want._5.get) < 1e-12)
+    assert(math.abs(got.getDouble(5) - want._6.get) < 1e-12)
+    // the planted monotone trend must read as a strong positive z
+    assert(got.getDouble(5) > 8.0, s"planted trend z_tie = ${got.getDouble(5)}")
+    // a REVERSED trend flips the sign
+    val rev = run(pts.map { case (g, v) => (3L - g, v) })
+    assert(rev.getDouble(5) < -8.0)
+    // ties count half: two groups, all values equal -> 2J = n1*n2, num2 = 0
+    val tied = run(Seq((0L, 5L), (0L, 5L), (1L, 5L), (1L, 5L), (1L, 5L)))
+    assert(tied.getDouble(2) == 6.0 && tied.getDouble(3) == 0.0)
+    // one group -> z NULL; NULL values are excluded up front
+    assert(run(Seq((0L, 1L), (0L, 2L))).isNullAt(4))
+    val withNull = Eval.jonckheereTerpstra(
+      pts.toDF("g", "v").unionByName(
+        spark.sql("SELECT CAST(1 AS BIGINT) AS g, CAST(NULL AS BIGINT) AS v")),
+      col("g"), col("v"), bucketOf = v => shiftright(v, 2)).collect()(0)
+    assert(withNull.getLong(0) == want._1)
+  }
+
   test("anovaOneWay: brute chain parity, textbook F sanity, planted shift, degenerate NULLs, negative values") {
     import spark.implicits._
     import graft.operators.Eval

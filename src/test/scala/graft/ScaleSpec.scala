@@ -1222,6 +1222,29 @@ class ScaleSpec extends SparkSuite {
     assert(docScans <= 2, s"expected <=2 documents scans, got $docScans:\n$plan")
   }
 
+  test("jonckheereTerpstra plan: data collapses to cells in one partial-agg pass; no data-sized single-partition window") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(31)
+    val pts = (0L to 4L).flatMap { g =>
+      (1 to 2000).map(_ => (g, rnd.nextInt(300).toLong + g)) }.toDF("g", "v")
+    val jt = graft.operators.Eval.jonckheereTerpstra(pts, col("g"), col("v"),
+      bucketOf = v => shiftright(v, 4), checkpoint = false)
+    jt.collect()
+    val plan = jt.queryExecution.executedPlan.toString.split("== Initial Plan ==").head
+    // the only data-sized pass is the (group, value) cell aggregation —
+    // it must partial-aggregate map-side
+    assert(plan.contains("partial_count") || plan.contains("partial_sum"),
+      s"cell histogram must partial-aggregate:\n$plan")
+    // every window carries a partition: within-group cumulatives ride
+    // (group, bucket), the cross-group sweep rides the value — the only
+    // SinglePartition work is the 1-row final aggregate, never a Window
+    assert(!plan.linesIterator.exists(l =>
+      l.contains("Window") && l.contains("SinglePartition")),
+      s"JT windows must stay partitioned:\n$plan")
+    assert(!plan.contains("CartesianProduct"),
+      s"JT joins are equi/broadcast (dense frame broadcasts the k groups):\n$plan")
+  }
+
   test("hitsInt cuts the raw half-round frames: strictly less stage work than the uncut shape") {
     // Each half-round's rawAuth/rawHub feeds its own max agg AND the data
     // path; Spark does not reuse that exchange across consumers, so the
