@@ -1240,6 +1240,93 @@ object Streams {
   private[streaming] case class CusumState(
     openStep: Long, openSum: Long, closed: Vector[(Long, Long)])
 
+  private[streaming] case class KwDriftState(
+    openStep: Long, cells: Vector[(String, Long, Long)])
+
+  /** Streaming KRUSKAL–WALLIS drift — the k-GROUP generalization of
+    * [[mwDriftStream]]'s rank-based drift read, carried-histogram style:
+    * per monitored `series` key the state holds ONLY the OPEN step's
+    * (group, value) cell histogram; when an event for a LATER step
+    * arrives the open step closes and the twin emits the KW verdict over
+    * the closed step's cells with BIT-IDENTICAL arithmetic to
+    * [[graft.operators.Eval.kruskalWallis]] (doubled midrank sums from
+    * the cell histogram, ⌊10⁶·(2R_g)²/n_g⌋ BigInt site floors, the same
+    * trailing IEEE chain — StreamingSpec asserts equality on the same
+    * slice). "Did the language mix's quality ranking shift this hour" is
+    * one emission per closed hour, not a batch job.
+    *
+    * State is BOUNDED by one step's distinct cells (k·V_step — value
+    * quantization is the caller's contract, same as the batch operator):
+    * closed steps are DROPPED at close, nothing accumulates across
+    * steps. A million events inside one step grow cell COUNTS, not the
+    * state. Late events for closed steps drop (the
+    * [[rateAnomalyStream]] convention). Per micro-batch the group's
+    * events materialize once for the step-order sort — micro-batch-sized,
+    * the shared flatMapGroupsWithState contract. Emits
+    * `(series, step, n, k_groups, t_ties, h, h_tie)` per close; h/h_tie
+    * None under the batch operator's NULL conditions. */
+  def kwDriftStream(events: Dataset[(String, String, Long, Long)], stepUs: Long)
+      : Dataset[(String, Long, Long, Long, Double, Option[Double], Option[Double])] = {
+    require(stepUs >= 1L, s"stepUs must be >= 1, got $stepUs")
+    import events.sparkSession.implicits._
+    def verdict(series: String, step: Long, cells: Vector[(String, Long, Long)])
+        : (String, Long, Long, Long, Double, Option[Double], Option[Double]) = {
+      val hist: Map[Long, Long] = cells.groupBy(_._2)
+        .view.mapValues(_.map(_._3).sum).toMap
+      val sorted = hist.toSeq.sortBy(_._1)
+      val cbOf = sorted.map(_._1).zip(sorted.scanLeft(0L)(_ + _._2).init).toMap
+      val byG = cells.groupBy(_._1)
+      val st = byG.values.map { m =>
+        val ng = m.map(_._3).sum
+        val r2 = m.map { case (_, v, c) =>
+          BigInt(c) * (2L * cbOf(v) + hist(v) + 1L) }.sum
+        val x = r2 * r2 * 1000000L
+        (x - x.mod(BigInt(ng))) / ng
+      }.sum
+      val n = cells.map(_._3).sum
+      val k = byG.size.toLong
+      val tt = hist.values.map(t => BigInt(t) * t * t - t).sum
+      // the batch chain verbatim: 3·(Σterm/10⁶)/(N(N+1)) − 3(N+1), then
+      // the tie correction as the trailing division
+      val h = if (k >= 2 && n >= 2)
+        Some(3.0 * (st.toDouble / 1000000.0) / (BigInt(n) * (n + 1)).toDouble -
+          3.0 * (n + 1).toDouble)
+      else None
+      val hTie = if (h.isDefined && BigInt(n) * n * n - n > tt)
+        Some(h.get / (1.0 - tt.toDouble / (BigInt(n) * n * n - n).toDouble))
+      else None
+      (series, step, n, k, tt.toDouble, h, hTie)
+    }
+    events
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[KwDriftState,
+        (String, Long, Long, Long, Double, Option[Double], Option[Double])](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (key, it, state: GroupState[KwDriftState]) =>
+          val out = scala.collection.mutable.ArrayBuffer
+            .empty[(String, Long, Long, Long, Double, Option[Double], Option[Double])]
+          var open = state.getOption.map(_.openStep).getOrElse(Long.MinValue)
+          val cells = scala.collection.mutable.Map.empty[(String, Long), Long]
+          state.getOption.foreach(_.cells.foreach { case (g, v, c) =>
+            cells((g, v)) = c })
+          it.toSeq.sortBy(_._3).foreach { case (_, g, us, v) =>
+            val h = Math.floorDiv(us, stepUs)
+            if (open == Long.MinValue) { open = h; cells((g, v)) = 1L }
+            else if (h == open)
+              cells((g, v)) = cells.getOrElse((g, v), 0L) + 1L
+            else if (h > open) {
+              out += verdict(key, open,
+                cells.toVector.map { case ((cg, cv), c) => (cg, cv, c) })
+              cells.clear()
+              open = h; cells((g, v)) = 1L
+            } // h < open: late for a closed step — dropped
+          }
+          state.update(KwDriftState(open,
+            cells.toVector.map { case ((cg, cv), c) => (cg, cv, c) }))
+          out.iterator
+      }
+  }
+
   /** Streaming CUSUM changepoint — the first stateful-TREND twin: unlike
     * the frozen-reference drift monitors ([[ksDriftStream]] /
     * [[benfordDriftStream]], whose models are plan literals), the
@@ -1261,8 +1348,21 @@ object Streams {
     * last emission equals `cusumChangepoint` on the same closed slice.
     * Emits `(group, n_steps, split_step, split_i, cusum,
     * mean_before_micro, mean_after_micro)` per close with ≥ 2 closed
-    * steps. */
-  def cusumStream(events: Dataset[(String, Long, Long)], stepUs: Long)
+    * steps.
+    *
+    * ## Memory contract
+    * Per micro-batch the group's events materialize once for the
+    * step-order sort (micro-batch-sized — the shared
+    * flatMapGroupsWithState contract). The carried state and the
+    * per-close verdict scan both grow with the CLOSED-STEP count, so an
+    * unbounded key pays O(steps) state and O(steps) work per close;
+    * `maxSteps > 0` bounds both by keeping only the most recent
+    * `maxSteps` closed steps (a sliding retrospective window — the
+    * verdict is then the changepoint WITHIN that window, which is the
+    * long-lived-monitor deployment shape; 0 keeps the full series and
+    * exact whole-history batch parity). */
+  def cusumStream(events: Dataset[(String, Long, Long)], stepUs: Long,
+                  maxSteps: Int = 0)
       : Dataset[(String, Long, Long, Long, Double, Long, Long)] = {
     require(stepUs >= 1L, s"stepUs must be >= 1, got $stepUs")
     import events.sparkSession.implicits._
@@ -1299,7 +1399,8 @@ object Streams {
             if (st == null) st = CusumState(h, v, Vector.empty)
             else if (h == st.openStep) st = st.copy(openSum = st.openSum + v)
             else if (h > st.openStep) {
-              val closed = st.closed :+ (st.openStep, st.openSum)
+              val all = st.closed :+ (st.openStep, st.openSum)
+              val closed = if (maxSteps > 0) all.takeRight(maxSteps) else all
               if (closed.length >= 2) out += verdict(key, closed)
               st = CusumState(h, v, closed)
             } // h < openStep: late for a closed step — dropped

@@ -888,6 +888,88 @@ class StreamingSpec extends SparkSuite {
     } finally q.stop()
   }
 
+  test("streaming Kruskal-Wallis drift: per-close batch parity, state bounded to the open step, late dropped") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val hourUs = 3600000000L
+    def at(h: Long, i: Long): Long = h * hourUs + i * 1000L
+    val rnd = new scala.util.Random(41)
+    // hour 0: three exchangeable cohorts; hour 1: cohort c shifted UP;
+    // hour 2: sentinel-only (closes hour 1). DIFFERENT data per hour so
+    // cross-step leakage would change the verdicts.
+    def hourEvents(h: Long, shift: Map[String, Long]): Seq[(String, String, Long, Long)] =
+      Seq("a", "b", "c").flatMap { g =>
+        (1 to 40).map(i => ("m", g, at(h, g.hashCode.abs % 100 + i),
+          rnd.nextInt(8).toLong + shift.getOrElse(g, 0L))) }
+    val h0 = hourEvents(0L, Map.empty)
+    val h1 = hourEvents(1L, Map("c" -> 5L))
+    val late = ("m", "a", at(0L, 999L), 7L) // hour 0 closed -> dropped
+    val sentinel = ("m", "a", at(2L, 0L), 1L)
+
+    val input = MemoryStream[(String, String, Long, Long)]
+    val out = Streams.kwDriftStream(input.toDS(), stepUs = hourUs)
+    val q = out.toDF("series", "step", "n", "k_groups", "t_ties", "h", "h_tie")
+      .writeStream.outputMode("append").format("memory").queryName("kwdrift").start()
+    try {
+      input.addData(h0: _*)
+      q.processAllAvailable()
+      input.addData(h1: _*) // closes hour 0
+      q.processAllAvailable()
+      input.addData(late, sentinel) // hour 0 closed -> late drops; close hour 1
+      q.processAllAvailable()
+      val rows = spark.table("kwdrift").collect()
+        .map(r => r.getLong(1) -> ((r.getLong(2), r.getLong(3), r.getDouble(4),
+          r.getDouble(5), r.getDouble(6)))).toMap
+      assert(rows.keySet == Set(0L, 1L), s"one emission per closed hour: ${rows.keySet}")
+      // per-close batch parity on EXACTLY that hour's slice (the late
+      // hour-0 event arrived after the close -> excluded): proves the
+      // state carried nothing across steps
+      def batch(evts: Seq[(String, String, Long, Long)]) = {
+        val r = graft.operators.Eval.kruskalWallis(
+          evts.map(e => (e._2, e._4)).toDF("g", "v"), "g", col("v"),
+          bucketOf = v => shiftright(v, 2)).collect()(0)
+        (r.getLong(0), r.getLong(1), r.getDouble(2), r.getDouble(3), r.getDouble(4))
+      }
+      assert(rows(0L) == batch(h0), s"hour 0: ${rows(0L)} vs ${batch(h0)}")
+      assert(rows(1L) == batch(h1), s"hour 1: ${rows(1L)} vs ${batch(h1)}")
+      // the planted hour-1 shift reads as a large H; hour 0 stays small
+      assert(rows(1L)._5 > 13.8 && rows(0L)._5 < 13.8)
+    } finally q.stop()
+  }
+
+  test("streaming CUSUM maxSteps cap: verdict equals batch changepoint over the retained sliding window") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val dayUs = 86400000000L
+    // 10 closed days, cap at 4: the last verdict must equal the batch
+    // changepoint over ONLY the last 4 closed days (6,7,8,9). Strictly
+    // increasing counts make each close's split_step advance, so the
+    // final emission is the max-split_step row.
+    def cnt(d: Long): Long = d + 1L
+    val evts = (0L to 9L).map(d => ("a", d * dayUs, cnt(d))) :+
+      (("a", 10L * dayUs, 1L)) // closes day 9
+    val input = MemoryStream[(String, Long, Long)]
+    val out = Streams.cusumStream(input.toDS(), stepUs = dayUs, maxSteps = 4)
+    val q = out.toDF("g", "n_steps", "split_step", "split_i", "cusum",
+        "mean_before_micro", "mean_after_micro")
+      .writeStream.outputMode("append").format("memory").queryName("cusumcap").start()
+    try {
+      input.addData(evts: _*)
+      q.processAllAvailable()
+      val last = spark.table("cusumcap").collect()
+        .map(r => (r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4),
+          r.getLong(5), r.getLong(6)))
+        .maxBy(_._2) // latest split_step emission
+      val batch = graft.operators.Anomaly.cusumChangepoint(
+          (6L to 9L).map(d => ("a", d, cnt(d))).toDF("g", "d", "y"),
+          "g", col("d"), col("y"))
+        .collect().map(r => (r.getLong(1), r.getLong(2), r.getLong(3),
+          r.getDouble(4), r.getLong(5), r.getLong(6))).head
+      assert(last == batch, s"windowed verdict: $last vs batch-on-window $batch")
+      assert(last._1 == 4L, "state retains exactly maxSteps closed steps")
+    } finally q.stop()
+  }
+
   test("streaming split routing: exact re-crawl follows its cluster's split, novel content hashes its own id, stateless") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
