@@ -296,6 +296,7 @@ object SparkEntry {
     "q235_friedman" -> q235,
     "q236_ivf_pq_lifecycle" -> q236,
     "q237_jonckheere" -> q237,
+    "q238_pq_rotated" -> q238,
   )
 
   /** Round count for the parameterized BPE lifecycle (q163/q164) — read
@@ -4066,6 +4067,21 @@ object SparkEntry {
       bucketOf = v => shiftright(v, 3))
   }
 
+  /** Hadamard-rotated PQ — q231's compressed-index ANN read with the
+    * OPQ-style structured rotation in front (y = H·D·x, exact ±1
+    * integer rotation, distances scale uniformly by dim): codebooks
+    * train on the rotated vectors, the ADC scan runs verbatim
+    * ([[graft.operators.Similarity.pqRotatedTopK]]); the oracle replays
+    * the identical ±1 rotation rows as a generated CTE ahead of q231's
+    * four per-subspace Lloyd chains. */
+  private def q238(s: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(s, dir)
+    graft.operators.Similarity.pqRotatedTopK(
+        emb.where(col("vec_id") % 100 === 0), emb, "vec_id", "embedding",
+        k = 10, m = 4, ksub = 4, rounds = 2, seed = 42L)
+      .orderBy(col("query_id"), col("rank"))
+  }
+
   // =====================================================================
   // DuckDB oracle SQL — same semantics, same column names, same ORDER BY.
   // =====================================================================
@@ -5685,6 +5701,45 @@ object SparkEntry {
            sel AS (SELECT vec_id FROM pts ORDER BY vec_id LIMIT $ksub),
            ${(0 until m).map(j => pqSubChainSql(j, dsub, rounds,
               pqSlicePx(j, dsub, "pts"), "sel")).mkString(",\n           ")},
+           ${(0 until m).map(j =>
+              s"""qd_$j AS (SELECT vec_id AS qid, c, dist AS d
+                     FROM distf_$j WHERE vec_id % 100 = 0),
+           pd_$j AS (SELECT qd.qid, af.vec_id AS nid, qd.d
+                     FROM af_$j af JOIN qd_$j qd ON qd.c = af.c)""")
+             .mkString(",\n           ")},
+           adc AS (SELECT qid, nid, CAST(sum(d) AS BIGINT) AS adc FROM (
+               ${(0 until m).map(j => s"SELECT * FROM pd_$j").mkString(" UNION ALL ")}) u
+             GROUP BY 1, 2),
+           tk AS (SELECT qid, nid, adc,
+               row_number() OVER (PARTITION BY qid
+                 ORDER BY adc ASC, nid ASC) AS rn
+             FROM adc)
+           SELECT qid AS query_id, rn AS rank, nid AS neighbor_id,
+             adc AS adc_q
+           FROM tk WHERE rn <= $topk
+           ORDER BY query_id, rank"""
+      },
+
+      // Hadamard-rotated PQ: q231's chains over a generated rotation CTE
+      // — the same ±1 H·D rows the Spark side builds (same seed), spelled
+      // out as 64 list elements of 64 signed terms each; everything
+      // downstream identical
+      "q238_pq_rotated" -> {
+        val m = 4; val dsub = 16; val ksub = 4; val rounds = 2; val topk = 10
+        val hd = graft.operators.Similarity.hadamardSigns(64, 42L)
+        val rows = (0 until 64).map { i =>
+          (0 until 64).map(j => s"(${hd(i)(j)})*q[${j + 1}]").mkString(" + ")
+        }
+        s"""WITH pts AS (
+             SELECT vec_id, list_transform(embedding,
+               x -> CAST(floor(CAST(x AS DOUBLE) * 1000000.0 + 0.5) AS BIGINT)) AS q
+             FROM embeddings),
+           rot AS (SELECT vec_id, list_value(
+               ${rows.mkString(",\n               ")}) AS q
+             FROM pts),
+           sel AS (SELECT vec_id FROM pts ORDER BY vec_id LIMIT $ksub),
+           ${(0 until m).map(j => pqSubChainSql(j, dsub, rounds,
+              pqSlicePx(j, dsub, "rot"), "sel")).mkString(",\n           ")},
            ${(0 until m).map(j =>
               s"""qd_$j AS (SELECT vec_id AS qid, c, dist AS d
                      FROM distf_$j WHERE vec_id % 100 = 0),

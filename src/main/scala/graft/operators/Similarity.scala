@@ -952,10 +952,17 @@ object Similarity {
     * to the smaller neighbor id. */
   def pqTopK(queries: DataFrame, corpus: DataFrame, idCol: String,
              vecCol: String, k: Int, m: Int, ksub: Int, rounds: Int,
-             quantScale: Long = 1000000L): DataFrame = {
+             quantScale: Long = 1000000L): DataFrame =
+    pqAdcTopK(quantized(corpus, idCol, vecCol, quantScale).localCheckpoint(),
+      quantized(queries, idCol, vecCol, quantScale), k, m, ksub, rounds)
+
+  /** [[pqTopK]]'s post-quantization core over `(_id, _q)` frames (`pts`
+    * caller-checkpointed — it fans into m trainings + the encoding);
+    * shared with [[pqRotatedTopK]], whose frames arrive rotated. */
+  private def pqAdcTopK(pts: DataFrame, qpts: DataFrame,
+                        k: Int, m: Int, ksub: Int, rounds: Int): DataFrame = {
     require(k >= 1, s"k must be >= 1, got $k")
     require(m >= 1, s"m must be >= 1, got $m")
-    val pts = quantized(corpus, idCol, vecCol, quantScale).localCheckpoint()
     val dim = pts.select(size(col("_q")).as("_d")).limit(1)
       .collect().headOption.map(_.getInt(0)).getOrElse(0)
     require(dim > 0 && dim % m == 0, s"dim $dim must be a positive multiple of m=$m")
@@ -970,7 +977,6 @@ object Similarity {
       posexplode(array((0 until m).map(j => col(s"_c$j")): _*)).as(Seq("_j", "_code")))
     // per-query distance table: |Q|·m·ksub rows — broadcast iff it fits
     // broadcastRowBudget; codebook encoding picked by planLiteralBudget
-    val qpts = quantized(queries, idCol, vecCol, quantScale)
     val nQ = qpts.count() // one query-batch-sized job, no materialization
     val dtab = adcDistTable(qpts.select(col("_id").as("_qid"), col("_q")),
         books, col("_q"), dsub)
@@ -985,6 +991,76 @@ object Similarity {
       .where(col("_rank") <= k)
       .select(col("_qid").as("query_id"), col("_rank").as("rank"),
         col("_nid").as("neighbor_id"), col("_adc").as("adc_q"))
+  }
+
+  /** Sylvester-order Hadamard rotation rows composed with a seeded ±1
+    * sign diagonal: entry (i,j) = (−1)^popcount(i AND j) · D_j. H·D is
+    * ORTHOGONAL up to the uniform factor d ((HD)ᵀ(HD) = d·I), entries
+    * stay ±1, so rotating integer vectors stays exact-integer and every
+    * squared L2 distance scales by exactly d — rank-preserving. Shared
+    * by [[pqRotatedTopK]] and the oracle generator (same seed → same
+    * matrix on both engines). */
+  private[graft] def hadamardSigns(dim: Int, seed: Long): Array[Array[Long]] = {
+    require(dim > 0 && (dim & (dim - 1)) == 0, s"dim $dim must be a power of 2")
+    val rnd = new scala.util.Random(seed)
+    val d = Array.fill(dim)(if (rnd.nextBoolean()) 1L else -1L)
+    Array.tabulate(dim, dim)((i, j) =>
+      (if (java.lang.Integer.bitCount(i & j) % 2 == 0) 1L else -1L) * d(j))
+  }
+
+  /** Rotate the `_q` vectors by the ±1 matrix `hd` — dim² plan literals
+    * below [[planLiteralBudget]] (codegen), ONE broadcast
+    * array-of-arrays row above it; identical integers either way. */
+  private def rotated(df: DataFrame, hd: Array[Array[Long]]): DataFrame = {
+    val dim = hd.length
+    if (dim.toLong * dim <= planLiteralBudget)
+      df.withColumn("_q", array(hd.map(row =>
+        aggregate(zip_with(col("_q"), array(row.map(lit(_)).toSeq: _*),
+          (a, b) => a * b), lit(0L), (acc, x) => acc + x)).toSeq: _*))
+    else {
+      val spark = df.sparkSession
+      import spark.implicits._
+      val one = Seq(hd.map(_.toSeq).toSeq).toDF("_hd")
+      df.crossJoin(broadcast(one)) // 1-row scalar attach
+        .withColumn("_q", transform(sequence(lit(1), lit(dim)), i =>
+          aggregate(zip_with(col("_q"), element_at(col("_hd"), i),
+            (a, b) => a * b), lit(0L), (acc, x) => acc + x)))
+        .drop("_hd")
+    }
+  }
+
+  /** HADAMARD-ROTATED PQ — the OPQ question ("rotate before you
+    * quantize so the subspaces share the energy", Ge et al. CVPR 2013)
+    * answered with the one rotation family that stays EXACT-INTEGER:
+    * the randomized Hadamard transform y = H·D·x (FALCONN / FAISS's
+    * structured random rotation). H is Sylvester-order (entries ±1,
+    * HᵀH = d·I), D a seeded ±1 diagonal; y is integer whenever x is,
+    * every squared distance scales by exactly d (rank-preserving), and
+    * the PQ train→encode→ADC lifecycle runs on y with [[pqTopK]]'s
+    * machinery verbatim — so the whole rotated pipeline hash-matches a
+    * generated oracle whose rotation CTE spells out the same ±1 rows.
+    * A learned OPQ rotation (floats, SVD iterations) cannot be gated
+    * this way; Hadamard·D is the standard structured stand-in at scale
+    * (one dense integer matmul per vector, dim² literal ops, the same
+    * narrow-projection shape as assignment).
+    *
+    * ## Scale shape (100 TB)
+    * The rotation is ONE narrow projection per frame (dim² plan-literal
+    * multiplies below [[planLiteralBudget]], broadcast-matrix HOFs
+    * above); everything downstream is [[pqTopK]] — same shuffles, same
+    * budget-guarded ADC join. Requires dim a power of 2 (pad at ingest
+    * otherwise) and dim % m == 0. */
+  def pqRotatedTopK(queries: DataFrame, corpus: DataFrame, idCol: String,
+                    vecCol: String, k: Int, m: Int, ksub: Int, rounds: Int,
+                    seed: Long = 42L, quantScale: Long = 1000000L): DataFrame = {
+    val pts0 = quantized(corpus, idCol, vecCol, quantScale)
+    val dim = pts0.select(size(col("_q")).as("_d")).limit(1)
+      .collect().headOption.map(_.getInt(0)).getOrElse(0)
+    require(dim > 0 && dim % m == 0, s"dim $dim must be a positive multiple of m=$m")
+    val hd = hadamardSigns(dim, seed)
+    pqAdcTopK(rotated(pts0, hd).localCheckpoint(),
+      rotated(quantized(queries, idCol, vecCol, quantScale), hd),
+      k, m, ksub, rounds)
   }
 
   /** IVF-PQ with RESIDUAL encoding — [[ivfExactTopK]]'s coarse routing

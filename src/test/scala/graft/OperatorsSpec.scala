@@ -4696,6 +4696,45 @@ class OperatorsSpec extends SparkSuite {
     assert(24L <= Similarity.planLiteralBudget && 48L <= Similarity.broadcastRowBudget)
   }
 
+  test("pqRotatedTopK: Hadamard rotation exact algebra (orthogonal times d), budget fallback parity") {
+    import spark.implicits._
+    import graft.operators.Similarity
+    val dim = 8
+    val hd = Similarity.hadamardSigns(dim, 7L)
+    // rows of H·D are ±1, pairwise orthogonal, self-dot = dim
+    for (i <- 0 until dim; k <- 0 until dim) {
+      val dot = (0 until dim).map(j => hd(i)(j) * hd(k)(j)).sum
+      assert(dot == (if (i == k) dim.toLong else 0L), s"($i,$k) -> $dot")
+    }
+    assert(hd.flatten.forall(v => v == 1L || v == -1L))
+    // rotating integer vectors scales EVERY squared distance by exactly
+    // dim — the rank-preservation argument, checked literally
+    val rnd = new scala.util.Random(13)
+    def rot(x: Array[Long]) = (0 until dim).map(i =>
+      (0 until dim).map(j => hd(i)(j) * x(j)).sum).toArray
+    for (_ <- 1 to 20) {
+      val x = Array.fill(dim)(rnd.nextInt(2000000).toLong - 1000000)
+      val y = Array.fill(dim)(rnd.nextInt(2000000).toLong - 1000000)
+      val d0 = x.zip(y).map { case (a, b) => BigInt(a - b) * (a - b) }.sum
+      val d1 = rot(x).zip(rot(y)).map { case (a, b) => BigInt(a - b) * (a - b) }.sum
+      assert(d1 == d0 * dim)
+    }
+    // full pipeline: default path == everything-through-the-fallbacks
+    // path (rotation matrix, codebooks, dtab all in data/broadcast form)
+    val corpus = (1L to 50L).map(i =>
+      (i, Array.fill(dim)(rnd.nextFloat() * 2f - 1f))).toDF("vec_id", "embedding")
+    val queries = (1L to 4L).map(i =>
+      (i * 100, Array.fill(dim)(rnd.nextFloat() * 2f - 1f))).toDF("vec_id", "embedding")
+    def run(): Seq[String] = Similarity.pqRotatedTopK(queries, corpus,
+        "vec_id", "embedding", k = 5, m = 2, ksub = 3, rounds = 2, seed = 42L)
+      .collect().map(_.toString).toSeq.sorted
+    val base = run()
+    val fb = Similarity.withPlanLiteralBudget(0L)(
+      Similarity.withBroadcastRowBudget(0L)(run()))
+    assert(fb == base, s"fallback must match literal path:\n$fb\n$base")
+    assert(base.nonEmpty && base.length == 4 * 5)
+  }
+
   test("ivfExactTopK: brute pipeline parity, probe restriction is real (missed far neighbor), deterministic ties") {
     import spark.implicits._
     import graft.operators.Similarity
