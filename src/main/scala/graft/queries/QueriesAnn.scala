@@ -1,0 +1,728 @@
+package graft
+
+import graft.expr.Expr
+import graft.functions.{Text, Vectors}
+import graft.operators.{Accumulate, AsOf, Dedup, Sessionize, Similarity}
+import graft.sources.Tables
+import graft.stream.DataStream
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Ann gate queries, split out of [[SparkEntry]] (round-10
+  * hygiene); the `queries`/`oracleSql` maps in SparkEntry remain the
+  * single registry — this trait only hosts the builders verbatim. */
+private[graft] trait QueriesAnn { this: SparkEntry.type =>
+
+  /** Brute-force cosine top-k: every 100th vector queries the corpus. */
+  protected def q21(s: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(s, dir)
+    val queries = emb.where(col("vec_id") % 100 === 0)
+    Similarity.bruteForceTopK(queries, emb, "vec_id", "embedding", k = 10)
+      .select(col("query_id"), col("rank"), col("neighbor_id"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+
+  /** LSH-bucketed ANN — hash-checked even though the ALGORITHM is
+    * approximate, because every step is deterministic: the hyperplanes
+    * are plan-time constants (inlined into the oracle as SQL literals,
+    * the q33 pattern), the query-directed probe sequence is a pure
+    * function of the projection magnitudes, and the exact-cosine re-rank
+    * is the q21-established bit-identical double chain. The oracle
+    * replays bucket construction + multiprobe + top-k; the recall spec
+    * against brute force stays in OperatorsSpec. */
+  protected def q22(s: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(s, dir)
+    val queries = emb.where(col("vec_id") % 100 === 0)
+    Similarity.lshTopK(queries, emb, "vec_id", "embedding", k = 10, planes = 6, tables = 4,
+        dim = EmbeddingDim, multiprobe = 3)
+      .select(col("query_id"), col("rank"), col("neighbor_id"), col("cosine"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+
+  /** Embedding near-duplicate pairs via the SCALE path: LSH blocking
+    * (plan-time hyperplanes, codegen'd dots) → equi-join on short bucket
+    * strings → exact-cosine verify. No quadratic all-pairs join anywhere in
+    * the plan — candidate generation is an equi-join whose buckets the
+    * oracle reproduces exactly (deterministic hyperplanes inlined as SQL
+    * literals), so the approximate operator is still hash-checkable. The
+    * exact all-pairs baseline lives in the spec as the recall reference. */
+  protected def q33(s: SparkSession, dir: String): DataFrame =
+    Similarity.embeddingNearDup(Tables.embeddings(s, dir), "vec_id", "embedding",
+        threshold = 0.35, planes = 6, dim = EmbeddingDim)
+      .select(col("id_a"), col("id_b"))
+      .orderBy(col("id_a"), col("id_b"))
+
+
+  /** IVF-indexed ANN (no oracle — approximate by design; recall asserted
+    * against brute force in the spec). */
+  protected def q36(s: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(s, dir)
+    val queries = emb.where(col("vec_id") % 100 === 0)
+    // iterations = 2 exercises the distributed Lloyd refinement (model-row
+    // collect only) on the driver gate, not just in specs
+    Similarity.ivfTopK(queries, emb, "vec_id", "embedding", k = 10,
+        nCentroids = 16, probes = 4, iterations = 2)
+      .select(col("query_id"), col("rank"), col("neighbor_id"), col("cosine"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+
+  /** Symmetric int8 quantization of the embedding corpus — the 4× memory
+    * cut that keeps a 100 TB ANN probe layer resident. Codes and scale are
+    * deterministic on both engines (floor-based rounding — no half-tie
+    * divergence), the reconstruction error is a left-to-right double fold;
+    * the recall impact of searching over dequantized codes is spec-measured
+    * (OperatorsSpec), not guessed. Codes are emitted string-joined: the
+    * values, not an array container, are the comparison contract (q19's
+    * portability trick). */
+  protected def q65(s: SparkSession, dir: String): DataFrame = {
+    val qs = Vectors.quantizeInt8(col("embedding"))
+    Tables.embeddings(s, dir)
+      .select(col("vec_id"), col("embedding"), qs.as("_qs"))
+      .select(col("vec_id"),
+        col("_qs").getField("scale").as("scale"),
+        concat_ws(",", col("_qs").getField("q").cast("array<string>")).as("q_str"),
+        sqrt(aggregate(
+          zip_with(col("embedding"), col("_qs").getField("q"), (x, qi) => {
+            val d = x.cast("double") -
+              when(col("_qs").getField("scale") > 0.0,
+                qi.cast("double") / col("_qs").getField("scale")).otherwise(lit(0.0))
+            d * d
+          }),
+          lit(0.0), (acc, v) => acc + v)).as("recon_err"))
+      .orderBy(col("vec_id"))
+  }
+
+
+  /** Two-stage quantized IVF ANN (no oracle — approximate by design, like
+    * q22/q36; the driver records rows-only and the spec measures recall):
+    * stage-1 candidate probing over the int8-dequantized corpus (4× less
+    * resident memory), stage-2 exact float cosine re-rank of the
+    * 3k-deep shortlist via an id equi-join that moves |queries|×shortlist
+    * rows, never the corpus. */
+  protected def q67(s: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(s, dir)
+    val queries = emb.where(col("vec_id") % 100 === 0)
+    Similarity.ivfTopKQuantized(queries, emb, "vec_id", "embedding", k = 10,
+        nCentroids = 16, probes = 4)
+      .select(col("query_id"), col("rank"), col("neighbor_id"), col("cosine"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+
+  /** Brute-force cosine top-10 in a Johnson–Lindenstrauss 64→16
+    * projection of the embeddings — both engines build the IDENTICAL
+    * plan-time matrix (the oracle inlines it as SQL literals, q33's
+    * pattern), so the projected ranking is exactly mirrored
+    * ([[graft.operators.Similarity.randomProject]]). */
+  protected def q100(s: SparkSession, dir: String): DataFrame = {
+    val proj = graft.operators.Similarity.randomProject(
+      Tables.embeddings(s, dir), "embedding", outDim = 16, dim = EmbeddingDim)
+    val queries = proj.where(col("vec_id") % 100 === 0)
+    Similarity.bruteForceTopK(queries, proj, "vec_id", "embedding", k = 10)
+      .select(col("query_id"), col("rank"), col("neighbor_id"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+
+  /** Exact k-means over the embeddings table — 8 clusters, 3 Lloyd
+    * rounds on micro-quantized vectors
+    * ([[graft.operators.Similarity.kmeansExact]]): the DETERMINISTIC
+    * trainer whose whole trajectory hash-matches (float Lloyd is
+    * aggregation-order-dependent — why q36/q67 are rows-only); the
+    * centroid table is what an IVF index would persist. */
+  protected def q218(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Similarity.kmeansExact(
+      Tables.embeddings(s, dir), "vec_id", "embedding", k = 8, rounds = 3)
+
+
+  /** Exact-gated IVF ANN — q36's index lifecycle (train → bucket →
+    * probe → re-rank) rebuilt on [[graft.operators.Similarity
+    * .kmeansExact]]'s integer trajectory
+    * ([[graft.operators.Similarity.ivfExactTopK]]): approximate by
+    * construction, yet every emitted row hash-matches — the exact gate
+    * the float IVF path cannot offer. */
+  protected def q219(s: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(s, dir)
+    graft.operators.Similarity.ivfExactTopK(
+        emb.where(col("vec_id") % 100 === 0), emb, "vec_id", "embedding",
+        k = 10, nCentroids = 8, rounds = 2, probes = 2)
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+
+  /** Cluster-quality readout over q218's exact k-means: per-cluster
+    * inertia (the elbow number) + simplified silhouette
+    * ([[graft.operators.Similarity.kmeansQuality]]) — the O(n·k)
+    * silhouette, the only one that exists at corpus scale. */
+  protected def q223(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Similarity.kmeansQuality(
+      Tables.embeddings(s, dir), "vec_id", "embedding", k = 8, rounds = 3)
+
+
+  protected def q227(s: SparkSession, dir: String): DataFrame = {
+    val suffix = lifecycleScratchSuffix(s, "q227", dir)
+    val emb = Tables.embeddings(s, dir)
+    val initial = emb.where(col("vec_id") % 7 =!= 0)
+    val batch = emb.where(col("vec_id") % 7 === 0)
+    val centTable = s"graft_q227_ivf_centroids_$suffix"
+    val postPath = s"/tmp/graft_q227_ivf_postings_$suffix"
+    val (centroids, postings) = graft.operators.Similarity.ivfIndexBuild(
+      initial, "vec_id", "embedding", nCentroids = 8, rounds = 2)
+    Tables.saveTable(centroids, centTable)
+    Tables.writePartitioned(postings, postPath, "cluster")
+    // incremental half: the batch is assigned against the PERSISTED
+    // centroid table and lands under the same partitioned layout
+    val centRead = s.table(centTable)
+    Tables.appendPartitioned(
+      graft.operators.Similarity.ivfIndexAppend(batch, centRead, "vec_id", "embedding"),
+      postPath, "cluster")
+    graft.operators.Similarity.ivfProbeTopK(
+        emb.where(col("vec_id") % 50 === 0), centRead, s.read.parquet(postPath),
+        "vec_id", "embedding", k = 10, probes = 2)
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+
+  /** Product-quantization ADC top-k over the embeddings — the
+    * compressed-index ANN read (4 subspaces × 16 dims, 4-codeword
+    * codebooks): train → encode → asymmetric-distance scan → top-k,
+    * every integer exactly reproducible
+    * ([[graft.operators.Similarity.pqTopK]]); the oracle replays all
+    * four per-subspace Lloyd chains side by side (the q218 scheme). */
+  protected def q231(s: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(s, dir)
+    graft.operators.Similarity.pqTopK(
+        emb.where(col("vec_id") % 100 === 0), emb, "vec_id", "embedding",
+        k = 10, m = 4, ksub = 4, rounds = 2)
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+
+  /** IVF-PQ with residual encoding — the production billion-vector
+    * index composed from the exact parts (coarse router q219 + PQ
+    * compression q231, codebooks on RESIDUALS — FAISS IndexIVFPQ's
+    * default): probe 2 of 8 coarse buckets, ADC over 4×16-dim residual
+    * codebooks ([[graft.operators.Similarity.ivfPqTopK]]); the oracle
+    * replays the coarse chain plus all four residual-subspace chains. */
+  protected def q232(s: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(s, dir)
+    graft.operators.Similarity.ivfPqTopK(
+        emb.where(col("vec_id") % 100 === 0), emb, "vec_id", "embedding",
+        k = 10, nCoarse = 8, probes = 2, m = 4, ksub = 4, rounds = 2)
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+
+  /** The IVF-PQ index PERSISTED, end to end (the round-9 carried item
+    * closed in-round): q227's persistence pattern over q232's
+    * compression — coarse centroids and residual codebooks as managed
+    * tables, the compressed codes PARTITIONED BY coarse bucket; the new
+    * batch compresses against the PERSISTED frozen models; probes serve
+    * from the three tables only, with the probed buckets statically
+    * pruned at the codes scan
+    * ([[graft.operators.Similarity.ivfPqProbeTopK]]). */
+  protected def q236(s: SparkSession, dir: String): DataFrame = {
+    val suffix = lifecycleScratchSuffix(s, "q236", dir)
+    val emb = Tables.embeddings(s, dir)
+    val initial = emb.where(col("vec_id") % 7 =!= 0)
+    val batch = emb.where(col("vec_id") % 7 === 0)
+    val centTable = s"graft_q236_pq_centroids_$suffix"
+    val bookTable = s"graft_q236_pq_codebooks_$suffix"
+    val codesPath = s"/tmp/graft_q236_pq_codes_$suffix"
+    val (cent, books, codes) = graft.operators.Similarity.ivfPqIndexBuild(
+      initial, "vec_id", "embedding", nCoarse = 8, m = 4, ksub = 4, rounds = 2)
+    Tables.saveTable(cent, centTable)
+    Tables.saveTable(books, bookTable)
+    Tables.writePartitioned(codes, codesPath, "cluster")
+    Tables.appendPartitioned(
+      graft.operators.Similarity.ivfPqIndexAppend(batch,
+        s.table(centTable), s.table(bookTable), "vec_id", "embedding"),
+      codesPath, "cluster")
+    graft.operators.Similarity.ivfPqProbeTopK(
+        emb.where(col("vec_id") % 50 === 0), s.table(centTable),
+        s.table(bookTable), s.read.parquet(codesPath),
+        "vec_id", "embedding", k = 10, probes = 2)
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+
+  /** Hadamard-rotated PQ — q231's compressed-index ANN read with the
+    * OPQ-style structured rotation in front (y = H·D·x, exact ±1
+    * integer rotation, distances scale uniformly by dim): codebooks
+    * train on the rotated vectors, the ADC scan runs verbatim
+    * ([[graft.operators.Similarity.pqRotatedTopK]]); the oracle replays
+    * the identical ±1 rotation rows as a generated CTE ahead of q231's
+    * four per-subspace Lloyd chains. */
+  protected def q238(s: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(s, dir)
+    graft.operators.Similarity.pqRotatedTopK(
+        emb.where(col("vec_id") % 100 === 0), emb, "vec_id", "embedding",
+        k = 10, m = 4, ksub = 4, rounds = 2, seed = 42L)
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  protected def oraclesAnn: Map[String, String] = Map(
+
+      "q21_cosine_topk" ->
+        """WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id % 100 = 0),
+           scored AS (
+             SELECT query_id, c.vec_id AS neighbor_id,
+               CASE WHEN sqrt(list_sum(list_transform(qv, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+                         * sqrt(list_sum(list_transform(c.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) = 0
+                    THEN 0.0
+                    ELSE list_sum(list_transform(range(1, len(qv) + 1), i ->
+                           CAST(qv[i] AS DOUBLE) * CAST(c.embedding[i] AS DOUBLE)))
+                         / (sqrt(list_sum(list_transform(qv, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+                            * sqrt(list_sum(list_transform(c.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))))
+               END AS cosine
+             FROM embeddings c CROSS JOIN q WHERE c.vec_id <> query_id),
+           ranked AS (
+             SELECT query_id, neighbor_id,
+               row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id ASC) AS rank
+             FROM scored)
+           SELECT query_id, rank, neighbor_id FROM ranked WHERE rank <= 10
+           ORDER BY query_id, rank""",
+
+      // q22: the LSH mechanism replayed move for move — 24 plan-time
+      // hyperplanes (4 tables × 6 planes, seeds t*1000+p) inlined as SQL
+      // literals, corpus base buckets, query-directed multiprobe (flip the
+      // 3 planes with the smallest |projection|, ties by plane index —
+      // list_sort over {d, idx} structs ≡ Spark's sort_array), then q21's
+      // exact-cosine re-rank. Deterministic end to end, so hash-checkable
+      // despite being an approximate ANN.
+      "q22_ann_lsh" -> {
+        def hp(t: Int, p: Int): String =
+          graft.functions.Vectors.hyperplane(t * 1000 + p, EmbeddingDim)
+            .map(_.toString).mkString("[", ", ", "]")
+        def proj(vec: String, t: Int, p: Int): String =
+          s"list_sum(list_transform(range(1, ${EmbeddingDim + 1}), i -> " +
+            s"CAST($vec[i] AS DOUBLE) * (${hp(t, p)})[i]))"
+        def bit(vec: String, t: Int, p: Int): String =
+          s"(CASE WHEN ${proj(vec, t, p)} >= 0 THEN '1' ELSE '0' END)"
+        val corpusVariants = (0 until 4).map { t =>
+          s"'$t:' || ${(0 until 6).map(p => bit("embedding", t, p)).mkString(" || ")}"
+        }.mkString("[", ", ", "]")
+        val prCols = (0 until 4).map { t =>
+          (0 until 6).map(p => proj("embedding", t, p)).mkString("[", ", ", "]") +
+            s" AS pr$t"
+        }.mkString(", ")
+        val baseCols = (0 until 4).map { t =>
+          (0 until 6).map(p =>
+            s"(CASE WHEN pr$t[${p + 1}] >= 0 THEN '1' ELSE '0' END)")
+            .mkString(" || ") + s" AS base$t"
+        }.mkString(", ")
+        val ordCols = (0 until 4).map { t =>
+          "list_sort(" + (0 until 6).map(p =>
+            s"{'d': abs(pr$t[${p + 1}]), 'idx': $p}").mkString("[", ", ", "]") +
+            s") AS ord$t"
+        }.mkString(", ")
+        def flip(t: Int, n: Int): String = {
+          val j = s"ord$t[$n].idx"
+          s"substr(base$t, 1, $j) || (CASE WHEN substr(base$t, $j + 1, 1) = '1' " +
+            s"THEN '0' ELSE '1' END) || substr(base$t, $j + 2, 5 - $j)"
+        }
+        val queryVariants = (0 until 4).flatMap { t =>
+          s"'$t:' || base$t" +: (1 to 3).map(n => s"'$t:' || (${flip(t, n)})")
+        }.mkString("[", ", ", "]")
+        s"""WITH qp AS (
+             SELECT vec_id, embedding, $prCols
+             FROM embeddings WHERE vec_id % 100 = 0),
+           qs AS (SELECT vec_id, embedding, $baseCols, $ordCols FROM qp),
+           qv AS (SELECT vec_id, embedding, unnest($queryVariants) AS bucket FROM qs),
+           cb AS (SELECT vec_id AS neighbor_id, unnest($corpusVariants) AS bucket
+                  FROM embeddings),
+           cand AS (
+             SELECT DISTINCT qv.vec_id AS query_id, cb.neighbor_id
+             FROM qv JOIN cb USING (bucket) WHERE cb.neighbor_id <> qv.vec_id),
+           scored AS (
+             SELECT query_id, neighbor_id,
+               CASE WHEN sqrt(list_sum(list_transform(q.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+                         * sqrt(list_sum(list_transform(c.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) = 0
+                    THEN 0.0
+                    ELSE list_sum(list_transform(range(1, len(q.embedding) + 1), i ->
+                           CAST(q.embedding[i] AS DOUBLE) * CAST(c.embedding[i] AS DOUBLE)))
+                         / (sqrt(list_sum(list_transform(q.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+                            * sqrt(list_sum(list_transform(c.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))))
+               END AS cosine
+             FROM cand
+             JOIN embeddings q ON q.vec_id = cand.query_id
+             JOIN embeddings c ON c.vec_id = cand.neighbor_id),
+           ranked AS (
+             SELECT query_id, neighbor_id, cosine,
+               row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id ASC) AS rank
+             FROM scored)
+           SELECT query_id, rank, neighbor_id, cosine FROM ranked WHERE rank <= 10
+           ORDER BY query_id, rank"""
+      },
+
+      // The LSH-blocked near-dup: the oracle reproduces the ENGINE's bucket
+      // bit-for-bit — each hyperplane is the same deterministic array the
+      // Spark plan bakes in (inlined below as a SQL literal), the projection
+      // is the same left-to-right double dot product, and the verify is the
+      // same exact cosine. Approximate operator, exact oracle.
+      "q33_embedding_neardup" -> {
+        val planes = (0 until 6).map { p =>
+          val hp = graft.functions.Vectors.hyperplane(p, EmbeddingDim)
+            .map(_.toString).mkString("[", ", ", "]")
+          s"(CASE WHEN list_sum(list_transform(range(1, ${EmbeddingDim + 1}), i -> " +
+            s"CAST(embedding[i] AS DOUBLE) * ($hp)[i])) >= 0 THEN '1' ELSE '0' END)"
+        }.mkString(" || ")
+        s"""WITH b AS (
+           SELECT vec_id, embedding, $planes AS bucket FROM embeddings)
+           SELECT DISTINCT a.vec_id AS id_a, c.vec_id AS id_b
+           FROM b a JOIN b c ON a.bucket = c.bucket AND a.vec_id < c.vec_id
+           WHERE CASE WHEN sqrt(list_sum(list_transform(a.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+                       * sqrt(list_sum(list_transform(c.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) = 0
+                  THEN 0.0
+                  ELSE list_sum(list_transform(range(1, len(a.embedding) + 1), i ->
+                         CAST(a.embedding[i] AS DOUBLE) * CAST(c.embedding[i] AS DOUBLE)))
+                       / (sqrt(list_sum(list_transform(a.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+                          * sqrt(list_sum(list_transform(c.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))))
+             END >= 0.35
+           ORDER BY id_a, id_b"""
+      },
+
+      // same floor-based symmetric quantization; the error fold is the
+      // identical left-to-right double chain (q33's range-index pattern)
+      "q65_embedding_quantize" ->
+        """WITH p AS (
+             SELECT vec_id, embedding,
+               list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) AS mx
+             FROM embeddings),
+           s AS (
+             SELECT vec_id, embedding,
+               CASE WHEN mx > 0 THEN 127.0 / mx ELSE 0.0 END AS scale
+             FROM p),
+           qz AS (
+             SELECT vec_id, embedding, scale,
+               list_transform(embedding, x ->
+                 CAST(floor(CAST(x AS DOUBLE) * scale + 0.5) AS BIGINT)) AS q
+             FROM s)
+           SELECT vec_id, scale,
+             array_to_string(list_transform(q, v -> CAST(v AS VARCHAR)), ',') AS q_str,
+             sqrt(list_sum(list_transform(range(1, len(embedding) + 1), i ->
+               (CAST(embedding[i] AS DOUBLE)
+                 - CASE WHEN scale > 0 THEN CAST(q[i] AS DOUBLE) / scale ELSE 0.0 END)
+               * (CAST(embedding[i] AS DOUBLE)
+                 - CASE WHEN scale > 0 THEN CAST(q[i] AS DOUBLE) / scale ELSE 0.0 END)))) AS recon_err
+           FROM qz ORDER BY vec_id""",
+
+      // persisted IVF-PQ lifecycle: q232's oracle with BOTH trainers
+      // restricted to the initial corpus (coarse chain trainPred +
+      // subspace chains' tpx) while a_f/af_j assign every row — exactly
+      // build + frozen-model append; queries %50; persistence cannot
+      // change the integers
+      "q236_ivf_pq_lifecycle" -> {
+        val m = 4; val dsub = 16; val ksub = 4; val rounds = 2
+        val probes = 2; val topk = 10
+        val tp = "vec_id % 7 <> 0"
+        def resPx(j: Int) =
+          s"""SELECT vec_id, x, d - ${j * dsub} AS d FROM rpx
+             WHERE d >= ${j * dsub} AND d < ${(j + 1) * dsub}"""
+        s"""WITH ${kmeansChainSql(k = 8, rounds = rounds, trainPred = tp)},
+           rpx AS (SELECT px.vec_id, px.d, px.x - c.v AS x
+                   FROM px JOIN a_f a ON a.vec_id = px.vec_id
+                   JOIN cent_$rounds c ON c.c = a.c AND c.d = px.d),
+           selq AS (SELECT vec_id FROM pts WHERE $tp
+                    ORDER BY vec_id LIMIT $ksub),
+           ${(0 until m).map(j => pqSubChainSql(j, dsub, rounds,
+              resPx(j), "selq", trainPred = tp)).mkString(",\n           ")},
+           qp AS (SELECT vec_id AS qid, c FROM (
+               SELECT vec_id, c,
+                 row_number() OVER (PARTITION BY vec_id ORDER BY dist, c) AS rn
+               FROM dist_f WHERE vec_id % 50 = 0) t WHERE rn <= $probes),
+           qrx AS (SELECT q.qid, q.c AS bc, px.d, px.x - ct.v AS x
+                   FROM qp q JOIN px ON px.vec_id = q.qid
+                   JOIN cent_$rounds ct ON ct.c = q.c AND ct.d = px.d),
+           ${(0 until m).map(j =>
+              s"""qt_$j AS (SELECT r.qid, r.bc, cb.c AS code,
+                 sum((r.x - cb.v) * (r.x - cb.v)) AS d
+               FROM (SELECT qid, bc, d - ${j * dsub} AS d, x FROM qrx
+                     WHERE d >= ${j * dsub} AND d < ${(j + 1) * dsub}) r
+               JOIN cent${rounds}_$j cb ON cb.d = r.d
+               GROUP BY 1, 2, 3),
+           cand_$j AS (SELECT qp.qid, ca.vec_id AS nid, qt.d
+               FROM qp JOIN a_f ca ON ca.c = qp.c
+               JOIN af_$j af ON af.vec_id = ca.vec_id
+               JOIN qt_$j qt ON qt.qid = qp.qid AND qt.bc = qp.c
+                 AND qt.code = af.c)""").mkString(",\n           ")},
+           adc AS (SELECT qid, nid, CAST(sum(d) AS BIGINT) AS adc FROM (
+               ${(0 until m).map(j => s"SELECT * FROM cand_$j").mkString(" UNION ALL ")}) u
+             GROUP BY 1, 2),
+           tk AS (SELECT qid, nid, adc,
+               row_number() OVER (PARTITION BY qid
+                 ORDER BY adc ASC, nid ASC) AS rn
+             FROM adc)
+           SELECT qid AS query_id, rn AS rank, nid AS neighbor_id,
+             adc AS adc_q
+           FROM tk WHERE rn <= $topk
+           ORDER BY query_id, rank"""
+      },
+
+      // PQ ADC: four per-subspace Lloyd chains side by side, corpus
+      // codes from each chain's final assignment, query codeword
+      // distances off the same final distance tables, ADC = the 4-term
+      // sum, top-k ascending with neighbor-id ties
+      "q231_pq_adc" -> {
+        val m = 4; val dsub = 16; val ksub = 4; val rounds = 2; val topk = 10
+        s"""WITH pts AS (
+             SELECT vec_id, list_transform(embedding,
+               x -> CAST(floor(CAST(x AS DOUBLE) * 1000000.0 + 0.5) AS BIGINT)) AS q
+             FROM embeddings),
+           sel AS (SELECT vec_id FROM pts ORDER BY vec_id LIMIT $ksub),
+           ${(0 until m).map(j => pqSubChainSql(j, dsub, rounds,
+              pqSlicePx(j, dsub, "pts"), "sel")).mkString(",\n           ")},
+           ${(0 until m).map(j =>
+              s"""qd_$j AS (SELECT vec_id AS qid, c, dist AS d
+                     FROM distf_$j WHERE vec_id % 100 = 0),
+           pd_$j AS (SELECT qd.qid, af.vec_id AS nid, qd.d
+                     FROM af_$j af JOIN qd_$j qd ON qd.c = af.c)""")
+             .mkString(",\n           ")},
+           adc AS (SELECT qid, nid, CAST(sum(d) AS BIGINT) AS adc FROM (
+               ${(0 until m).map(j => s"SELECT * FROM pd_$j").mkString(" UNION ALL ")}) u
+             GROUP BY 1, 2),
+           tk AS (SELECT qid, nid, adc,
+               row_number() OVER (PARTITION BY qid
+                 ORDER BY adc ASC, nid ASC) AS rn
+             FROM adc)
+           SELECT qid AS query_id, rn AS rank, nid AS neighbor_id,
+             adc AS adc_q
+           FROM tk WHERE rn <= $topk
+           ORDER BY query_id, rank"""
+      },
+
+      // Hadamard-rotated PQ: q231's chains over a generated rotation CTE
+      // — the same ±1 H·D rows the Spark side builds (same seed), spelled
+      // out as 64 list elements of 64 signed terms each; everything
+      // downstream identical
+      "q238_pq_rotated" -> {
+        val m = 4; val dsub = 16; val ksub = 4; val rounds = 2; val topk = 10
+        val hd = graft.operators.Similarity.hadamardSigns(64, 42L)
+        val rows = (0 until 64).map { i =>
+          (0 until 64).map(j => s"(${hd(i)(j)})*q[${j + 1}]").mkString(" + ")
+        }
+        s"""WITH pts AS (
+             SELECT vec_id, list_transform(embedding,
+               x -> CAST(floor(CAST(x AS DOUBLE) * 1000000.0 + 0.5) AS BIGINT)) AS q
+             FROM embeddings),
+           rot AS (SELECT vec_id, list_value(
+               ${rows.mkString(",\n               ")}) AS q
+             FROM pts),
+           sel AS (SELECT vec_id FROM pts ORDER BY vec_id LIMIT $ksub),
+           ${(0 until m).map(j => pqSubChainSql(j, dsub, rounds,
+              pqSlicePx(j, dsub, "rot"), "sel")).mkString(",\n           ")},
+           ${(0 until m).map(j =>
+              s"""qd_$j AS (SELECT vec_id AS qid, c, dist AS d
+                     FROM distf_$j WHERE vec_id % 100 = 0),
+           pd_$j AS (SELECT qd.qid, af.vec_id AS nid, qd.d
+                     FROM af_$j af JOIN qd_$j qd ON qd.c = af.c)""")
+             .mkString(",\n           ")},
+           adc AS (SELECT qid, nid, CAST(sum(d) AS BIGINT) AS adc FROM (
+               ${(0 until m).map(j => s"SELECT * FROM pd_$j").mkString(" UNION ALL ")}) u
+             GROUP BY 1, 2),
+           tk AS (SELECT qid, nid, adc,
+               row_number() OVER (PARTITION BY qid
+                 ORDER BY adc ASC, nid ASC) AS rn
+             FROM adc)
+           SELECT qid AS query_id, rn AS rank, nid AS neighbor_id,
+             adc AS adc_q
+           FROM tk WHERE rn <= $topk
+           ORDER BY query_id, rank"""
+      },
+
+      // IVF-PQ with residual encoding: the coarse k-means chain routes,
+      // residuals rpx = x − centroid(x) feed four subspace chains, the
+      // query probes 2 buckets and builds one ADC table per probed
+      // bucket from ITS residual; candidates key on (bucket, code)
+      "q232_ivf_pq" -> {
+        val m = 4; val dsub = 16; val ksub = 4; val rounds = 2
+        val probes = 2; val topk = 10
+        def resPx(j: Int) =
+          s"""SELECT vec_id, x, d - ${j * dsub} AS d FROM rpx
+             WHERE d >= ${j * dsub} AND d < ${(j + 1) * dsub}"""
+        s"""WITH ${kmeansChainSql(k = 8, rounds = rounds)},
+           rpx AS (SELECT px.vec_id, px.d, px.x - c.v AS x
+                   FROM px JOIN a_f a ON a.vec_id = px.vec_id
+                   JOIN cent_$rounds c ON c.c = a.c AND c.d = px.d),
+           selq AS (SELECT vec_id FROM pts ORDER BY vec_id LIMIT $ksub),
+           ${(0 until m).map(j => pqSubChainSql(j, dsub, rounds,
+              resPx(j), "selq")).mkString(",\n           ")},
+           qp AS (SELECT vec_id AS qid, c FROM (
+               SELECT vec_id, c,
+                 row_number() OVER (PARTITION BY vec_id ORDER BY dist, c) AS rn
+               FROM dist_f WHERE vec_id % 100 = 0) t WHERE rn <= $probes),
+           qrx AS (SELECT q.qid, q.c AS bc, px.d, px.x - ct.v AS x
+                   FROM qp q JOIN px ON px.vec_id = q.qid
+                   JOIN cent_$rounds ct ON ct.c = q.c AND ct.d = px.d),
+           ${(0 until m).map(j =>
+              s"""qt_$j AS (SELECT r.qid, r.bc, cb.c AS code,
+                 sum((r.x - cb.v) * (r.x - cb.v)) AS d
+               FROM (SELECT qid, bc, d - ${j * dsub} AS d, x FROM qrx
+                     WHERE d >= ${j * dsub} AND d < ${(j + 1) * dsub}) r
+               JOIN cent${rounds}_$j cb ON cb.d = r.d
+               GROUP BY 1, 2, 3),
+           cand_$j AS (SELECT qp.qid, ca.vec_id AS nid, qt.d
+               FROM qp JOIN a_f ca ON ca.c = qp.c
+               JOIN af_$j af ON af.vec_id = ca.vec_id
+               JOIN qt_$j qt ON qt.qid = qp.qid AND qt.bc = qp.c
+                 AND qt.code = af.c)""").mkString(",\n           ")},
+           adc AS (SELECT qid, nid, CAST(sum(d) AS BIGINT) AS adc FROM (
+               ${(0 until m).map(j => s"SELECT * FROM cand_$j").mkString(" UNION ALL ")}) u
+             GROUP BY 1, 2),
+           tk AS (SELECT qid, nid, adc,
+               row_number() OVER (PARTITION BY qid
+                 ORDER BY adc ASC, nid ASC) AS rn
+             FROM adc)
+           SELECT qid AS query_id, rn AS rank, nid AS neighbor_id,
+             adc AS adc_q
+           FROM tk WHERE rn <= $topk
+           ORDER BY query_id, rank"""
+      },
+
+      // exact k-means: the 3-round Lloyd trajectory replayed as a
+      // generated CTE chain (the q163 BPE-oracle scheme) — seeds are the
+      // 8 smallest vec_ids, distances exact integer squared-L2, argmin
+      // tie-broken to the smallest cluster, centroid update the
+      // nonneg-mod floor-division mean, empty clusters carry
+      "q218_kmeans" -> {
+        val rounds = 3
+        s"""WITH ${kmeansChainSql(k = 8, rounds = rounds)}
+           SELECT ct.c AS cluster, ct.d AS dim, ct.v AS centroid_q,
+             coalesce(sz.n, 0) AS n_assigned
+           FROM cent_$rounds ct LEFT JOIN sz ON sz.c = ct.c
+           ORDER BY cluster, dim"""
+      },
+
+      // exact IVF: the same generated k-means chain (2 rounds, 8
+      // centroids), then per-query probe ranking by exact squared L2
+      // (ties to the smaller cluster), bucket candidate fetch on the
+      // final assignment, and the exact integer dot-product top-k (ties
+      // to the smaller neighbor id)
+      "q219_ivf_exact" -> {
+        val rounds = 2; val probes = 2; val topk = 10
+        s"""WITH ${kmeansChainSql(k = 8, rounds = rounds)},
+           qd AS (SELECT px.vec_id AS qid, c.c,
+               sum((px.x - c.v) * (px.x - c.v)) AS dist
+             FROM px JOIN cent_$rounds c ON px.d = c.d
+             WHERE px.vec_id % 100 = 0
+             GROUP BY 1, 2),
+           qp AS (SELECT qid, c FROM (
+               SELECT qid, c,
+                 row_number() OVER (PARTITION BY qid ORDER BY dist, c) AS rn
+               FROM qd) t WHERE rn <= $probes),
+           cand AS (SELECT qp.qid, a.vec_id AS nid
+                    FROM qp JOIN a_f a ON a.c = qp.c),
+           dots AS (SELECT cd.qid, cd.nid,
+               CAST(sum(qx.x * nx.x) AS BIGINT) AS dot
+             FROM cand cd
+               JOIN px qx ON qx.vec_id = cd.qid
+               JOIN px nx ON nx.vec_id = cd.nid AND nx.d = qx.d
+             GROUP BY 1, 2),
+           tk AS (SELECT qid, nid, dot,
+               row_number() OVER (PARTITION BY qid
+                 ORDER BY dot DESC, nid ASC) AS rn
+             FROM dots)
+           SELECT qid AS query_id, rn AS rank, nid AS neighbor_id,
+             dot AS dot_q
+           FROM tk WHERE rn <= $topk
+           ORDER BY query_id, rank"""
+      },
+
+      // kmeans quality: the q218 chain, then own/next distances from the
+      // ranked dist_f (rn 1 and 2 — the assignment's own tie-break),
+      // simplified silhouette one sqrt/sqrt/divide chain quantized micro
+      "q223_kmeans_quality" -> {
+        val rounds = 3
+        s"""WITH ${kmeansChainSql(k = 8, rounds = rounds)},
+           rk AS (SELECT vec_id, c, dist,
+               row_number() OVER (PARTITION BY vec_id ORDER BY dist, c) AS rn
+             FROM dist_f),
+           ab AS (SELECT o.vec_id, o.c AS cluster, o.dist AS d1,
+               CASE WHEN greatest(sqrt(CAST(o.dist AS DOUBLE)),
+                   sqrt(CAST(x.dist AS DOUBLE))) > 0 THEN
+                 CAST(round((sqrt(CAST(x.dist AS DOUBLE))
+                     - sqrt(CAST(o.dist AS DOUBLE)))
+                   / greatest(sqrt(CAST(o.dist AS DOUBLE)),
+                     sqrt(CAST(x.dist AS DOUBLE))) * 1e6) AS BIGINT)
+               ELSE 0 END AS sm
+             FROM rk o JOIN rk x
+               ON x.vec_id = o.vec_id AND o.rn = 1 AND x.rn = 2)
+           SELECT cluster, CAST(count(*) AS BIGINT) AS n_assigned,
+             CAST(sum(CAST(d1 AS HUGEINT)) AS DOUBLE) AS inertia,
+             CAST(sum(sm) AS BIGINT) AS s_sum_micro,
+             CAST(sum(sm) AS DOUBLE) / 1e6 / CAST(count(*) AS DOUBLE)
+               AS silhouette_mean
+           FROM ab GROUP BY cluster ORDER BY cluster"""
+      },
+
+      // persisted IVF lifecycle: q219's probe/re-rank tail over a chain
+      // whose TRAINING population is the initial corpus only (trainPred)
+      // while a_f assigns every row — build + frozen-centroid append;
+      // the persistence round-trip itself cannot change the integers
+      "q227_ivf_lifecycle" -> {
+        val rounds = 2; val probes = 2; val topk = 10
+        s"""WITH ${kmeansChainSql(k = 8, rounds = rounds,
+              trainPred = "vec_id % 7 <> 0")},
+           qd AS (SELECT px.vec_id AS qid, c.c,
+               sum((px.x - c.v) * (px.x - c.v)) AS dist
+             FROM px JOIN cent_$rounds c ON px.d = c.d
+             WHERE px.vec_id % 50 = 0
+             GROUP BY 1, 2),
+           qp AS (SELECT qid, c FROM (
+               SELECT qid, c,
+                 row_number() OVER (PARTITION BY qid ORDER BY dist, c) AS rn
+               FROM qd) t WHERE rn <= $probes),
+           cand AS (SELECT qp.qid, a.vec_id AS nid
+                    FROM qp JOIN a_f a ON a.c = qp.c),
+           dots AS (SELECT cd.qid, cd.nid,
+               CAST(sum(qx.x * nx.x) AS BIGINT) AS dot
+             FROM cand cd
+               JOIN px qx ON qx.vec_id = cd.qid
+               JOIN px nx ON nx.vec_id = cd.nid AND nx.d = qx.d
+             GROUP BY 1, 2),
+           tk AS (SELECT qid, nid, dot,
+               row_number() OVER (PARTITION BY qid
+                 ORDER BY dot DESC, nid ASC) AS rn
+             FROM dots)
+           SELECT qid AS query_id, rn AS rank, nid AS neighbor_id,
+             dot AS dot_q
+           FROM tk WHERE rn <= $topk
+           ORDER BY query_id, rank"""
+      },
+
+      // the IDENTICAL plan-time JL matrix inlined as literals (q33's
+      // pattern): project, then q21's ranking in the projected space
+      "q100_random_projection" -> {
+        val scale = math.sqrt(12.0 / 16)
+        val comps = (0 until 16).map { j =>
+          val hp = graft.functions.Vectors.hyperplane(7000 + j, EmbeddingDim)
+            .map(_.toString).mkString("[", ", ", "]")
+          s"list_sum(list_transform(range(1, ${EmbeddingDim + 1}), i -> " +
+            s"CAST(embedding[i] AS DOUBLE) * ($hp)[i])) * $scale"
+        }.mkString("[", ", ", "]")
+        s"""WITH p AS (SELECT vec_id, $comps AS pv FROM embeddings),
+           q AS (SELECT vec_id AS query_id, pv AS qv FROM p WHERE vec_id % 100 = 0),
+           scored AS (
+             SELECT query_id, c.vec_id AS neighbor_id,
+               CASE WHEN sqrt(list_sum(list_transform(qv, x -> x * x)))
+                         * sqrt(list_sum(list_transform(c.pv, x -> x * x))) = 0
+                    THEN 0.0
+                    ELSE list_sum(list_transform(range(1, 17), i -> qv[i] * c.pv[i]))
+                         / (sqrt(list_sum(list_transform(qv, x -> x * x)))
+                            * sqrt(list_sum(list_transform(c.pv, x -> x * x))))
+               END AS cosine
+             FROM p c CROSS JOIN q WHERE c.vec_id <> query_id),
+           ranked AS (
+             SELECT query_id, neighbor_id,
+               row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id ASC) AS rank
+             FROM scored)
+           SELECT query_id, rank, neighbor_id FROM ranked WHERE rank <= 10
+           ORDER BY query_id, rank"""
+      },
+  )
+}

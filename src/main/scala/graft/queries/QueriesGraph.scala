@@ -1,0 +1,605 @@
+package graft
+
+import graft.expr.Expr
+import graft.functions.{Text, Vectors}
+import graft.operators.{Accumulate, AsOf, Dedup, Sessionize, Similarity}
+import graft.sources.Tables
+import graft.stream.DataStream
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Graph gate queries, split out of [[SparkEntry]] (round-10
+  * hygiene); the `queries`/`oracleSql` maps in SparkEntry remain the
+  * single registry — this trait only hosts the builders verbatim. */
+private[graft] trait QueriesGraph { this: SparkEntry.type =>
+
+  /** Integer fixed-point PageRank over the bipartite part↔supplier graph
+    * (supplier nodes offset by 10⁶ into a disjoint id space; edges both
+    * directions so mass circulates). 3 damped rounds, exact BIGINT
+    * arithmetic end to end ([[graft.operators.Graph]]). */
+  protected def q87(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(s, dir)
+      .select(col("l_partkey").as("p"), (col("l_suppkey") + lit(1000000L)).as("sn"))
+    val edges = li.select(col("p").as("src"), col("sn").as("dst"))
+      .union(li.select(col("sn").as("src"), col("p").as("dst")))
+    graft.operators.Graph.pageRankInt(edges, "src", "dst", iterations = 3)
+      .orderBy(col("node"))
+  }
+
+
+  /** Exact triangle count of the co-purchase graph (parts linked when they
+    * appear in the same order — the market-basket graph; avg part degree
+    * ~100 where the co-SUPPLIER graph is near-complete K_n and would count
+    * C(n,3) triangles of noise) by degree-ordered orientation
+    * ([[graft.operators.Graph.triangleCount]]). */
+  protected def q94(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(s, dir)
+      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk")).distinct()
+    val edges = li.join(li.withColumnRenamed("pk", "pk2"), Seq("ok"))
+      .where(col("pk") < col("pk2"))
+      .select(col("pk").as("src"), col("pk2").as("dst"))
+    graft.operators.Graph.triangleCount(edges, "src", "dst")
+  }
+
+
+  /** The 68-core of the co-purchase graph (q94's edge universe): peel
+    * parts with fewer than 68 robust co-purchase partners until the
+    * unique fixpoint ([[graft.operators.Graph.kCore]]). The oracle
+    * replays the identical peels, unrolled. */
+  protected def q105(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(s, dir)
+      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk")).distinct()
+    val edges = li.join(li.withColumnRenamed("pk", "pk2"), Seq("ok"))
+      .where(col("pk") < col("pk2"))
+      .select(col("pk").as("src"), col("pk2").as("dst"))
+    graft.operators.Graph.kCore(edges, "src", "dst", k = 68, maxRounds = 12)
+      .orderBy(col("node"))
+  }
+
+
+  /** Communities on the STRONG co-purchase graph (pairs sharing ≥ 2
+    * orders — the weak one-off co-occurrence noise thresholded away): 4 rounds of
+    * determinized synchronous label propagation (most frequent neighbor
+    * label + self-vote, smallest-label tiebreak) — separates densely-knit
+    * regions that connected components (q39's machinery) would merge
+    * across weak bridges ([[graft.operators.Graph.labelPropagation]]).
+    * Fixed rounds ⇒ a pure function of the graph ⇒ the oracle replays the
+    * identical rounds unrolled. */
+  protected def q109(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(s, dir)
+      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk")).distinct()
+    val strong = li.join(li.withColumnRenamed("pk", "pk2"), Seq("ok"))
+      .where(col("pk") < col("pk2"))
+      .groupBy(col("pk"), col("pk2")).agg(count(lit(1)).as("w"))
+      .where(col("w") >= 2)
+      .select(col("pk").as("src"), col("pk2").as("dst"))
+    graft.operators.Graph.labelPropagation(strong, "src", "dst", rounds = 4)
+      .orderBy(col("node"))
+  }
+
+
+  /** q109's communities with WEIGHTED votes: the co-purchase graph's
+    * natural weights (shared-order counts, threshold ≥ 2) drive the vote
+    * histogram, and each node's self-vote weighs its max incident edge
+    * (the heavy-pair oscillation damper —
+    * [[graft.operators.Graph.labelPropagation]]). Same unrolled-rounds
+    * oracle, with weighted sums and a per-node self-weight CTE. */
+  protected def q113(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(s, dir)
+      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk")).distinct()
+    val strong = li.join(li.withColumnRenamed("pk", "pk2"), Seq("ok"))
+      .where(col("pk") < col("pk2"))
+      .groupBy(col("pk"), col("pk2")).agg(count(lit(1)).as("w"))
+      .where(col("w") >= 2)
+      .select(col("pk").as("src"), col("pk2").as("dst"), col("w"))
+    graft.operators.Graph.labelPropagation(strong, "src", "dst", rounds = 4,
+        weightCol = Some("w"))
+      .orderBy(col("node"))
+  }
+
+
+  /** CORE NUMBERS of the strong co-purchase graph (q109's ≥2-shared-orders
+    * edges): 6 determinized h-index rounds — each part's structural
+    * embedding depth, the full degeneracy profile q105 answers one slice
+    * of ([[graft.operators.Graph.coreNumbers]]). Fixed rounds ⇒ the
+    * oracle replays the identical rounds; convergence is spec-checked
+    * separately, not assumed by the gate. */
+  protected def q116(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(s, dir)
+      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk")).distinct()
+    val strong = li.join(li.withColumnRenamed("pk", "pk2"), Seq("ok"))
+      .where(col("pk") < col("pk2"))
+      .groupBy(col("pk"), col("pk2")).agg(count(lit(1)).as("w"))
+      .where(col("w") >= 2)
+      .select(col("pk").as("src"), col("pk2").as("dst"))
+    graft.operators.Graph.coreNumbers(strong, "src", "dst", rounds = 6)
+      .orderBy(col("node"))
+  }
+
+
+  /** TRUST PROPAGATION — personalized integer PageRank
+    * ([[graft.operators.Graph.pageRankInt]] with a seed set, the
+    * TrustRank shape): initial mass and per-round teleport land only on
+    * suppliers from two vetted nations; rank measures damped
+    * reachability from the trusted set over the part↔supplier graph —
+    * the quality-label propagation a curation pipeline runs from known-
+    * good domains. Same exact-BIGINT arithmetic as q87, so the unrolled
+    * oracle is bit-identical; unreachable nodes sit at exactly 0. */
+  protected def q124(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(s, dir)
+      .select(col("l_partkey").as("p"), (col("l_suppkey") + lit(1000000L)).as("sn"))
+    val edges = li.select(col("p").as("src"), col("sn").as("dst"))
+      .union(li.select(col("sn").as("src"), col("p").as("dst")))
+    val seeds = Tables.supplier(s, dir)
+      .where(col("s_nationkey").isin(0, 1))
+      .select((col("s_suppkey") + lit(1000000L)).as("node"))
+    graft.operators.Graph.pageRankInt(edges, "src", "dst", iterations = 3,
+        seeds = Some(seeds))
+      .orderBy(col("node"))
+  }
+
+
+  /** Global clustering coefficient of the co-purchase graph — q94's
+    * triangle core plus the exact wedge sum; C = 3T/W is one IEEE
+    * division of exact BIGINTs, so even the double hash-matches
+    * ([[graft.operators.Graph.clusteringCoefficient]]). */
+  protected def q136(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(s, dir)
+      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk")).distinct()
+    val edges = li.join(li.withColumnRenamed("pk", "pk2"), Seq("ok"))
+      .where(col("pk") < col("pk2"))
+      .select(col("pk").as("src"), col("pk2").as("dst"))
+    graft.operators.Graph.clusteringCoefficient(edges, "src", "dst")
+  }
+
+
+  /** WEIGHTED integer PageRank over the strong co-purchase graph (q113's
+    * weighted edges, mirrored both directions): rank splits
+    * proportionally to co-purchase multiplicity — `rank·w DIV strength`,
+    * pure BIGINT, unrolled-rounds oracle (q87/q124 pattern with the
+    * weight ratio in the recurrence)
+    * ([[graft.operators.Graph.pageRankInt]] with `weightCol`). */
+  protected def q140(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(s, dir)
+      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk")).distinct()
+    val strong = li.join(li.withColumnRenamed("pk", "pk2"), Seq("ok"))
+      .where(col("pk") < col("pk2"))
+      .groupBy(col("pk"), col("pk2")).agg(count(lit(1)).as("w"))
+      .where(col("w") >= 2)
+    val both = strong.select(col("pk").as("src"), col("pk2").as("dst"), col("w"))
+      .unionAll(strong.select(col("pk2").as("src"), col("pk").as("dst"), col("w")))
+    graft.operators.Graph.pageRankInt(both, "src", "dst", iterations = 3,
+        weightCol = Some("w"))
+      .orderBy(col("node"))
+  }
+
+
+  /** HITS hubs & authorities over the DIRECTED customer→supplier
+    * purchase graph (who-buys-from-whom; suppliers offset into a
+    * disjoint id space): hubs = broad buyers, authorities = widely
+    * bought-from suppliers. Two max-normalized integer rounds, exact
+    * BIGINT end to end, so the unrolled oracle is bit-identical
+    * ([[graft.operators.Graph.hitsInt]]). */
+  protected def q161(s: SparkSession, dir: String): DataFrame = {
+    val edges = Tables.orders(s, dir)
+      .join(Tables.lineitem(s, dir),
+        col("l_orderkey") === col("o_orderkey"))
+      .select(col("o_custkey").as("src"),
+        (col("l_suppkey") + lit(1000000L)).as("dst"))
+    graft.operators.Graph.hitsInt(edges, "src", "dst", iterations = 2)
+      .orderBy(col("node"))
+  }
+
+
+  /** Multi-source BFS hop distance from a vetted-nation supplier seed
+    * set (nationkey ≡ 3 mod 5 — non-empty at every test scale) over the
+    * part↔supplier graph — the crisp "hops from trusted" tier feature
+    * next to q124's damped TrustRank mass. 3 hops: seeds 0, their parts
+    * 1, co-suppliers 2, second-ring parts 3; unreachable nodes absent
+    * ([[graft.operators.Graph.bfsDistances]]). */
+  protected def q162(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(s, dir)
+      .select(col("l_partkey").as("p"), (col("l_suppkey") + lit(1000000L)).as("sn"))
+    val edges = li.select(col("p").as("src"), col("sn").as("dst"))
+      .union(li.select(col("sn").as("src"), col("p").as("dst")))
+    val seeds = Tables.supplier(s, dir)
+      .where(col("s_nationkey") % 5 === 3)
+      .select((col("s_suppkey") + lit(1000000L)).as("node"))
+    graft.operators.Graph.bfsDistances(edges, "src", "dst", seeds, maxHops = 3)
+      .orderBy(col("node"))
+  }
+
+
+  /** WEIGHTED shortest paths from the q162 seed set over the
+    * part↔supplier graph, edge cost = cheapest observed line quantity in
+    * cents — q162's crisp hop count upgraded to a cost tier (minimum-toll
+    * supply path within 3 edges). Bellman-Ford frontier rounds, exact
+    * BIGINT distances ([[graft.operators.Graph.ssspInt]]). */
+  protected def q177(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(s, dir)
+      .select(col("l_partkey").as("p"), (col("l_suppkey") + lit(1000000L)).as("sn"),
+        cents(col("l_quantity")).as("w"))
+    val edges = li.select(col("p").as("src"), col("sn").as("dst"), col("w"))
+      .union(li.select(col("sn").as("src"), col("p").as("dst"), col("w")))
+    val seeds = Tables.supplier(s, dir)
+      .where(col("s_nationkey") % 5 === 3)
+      .select((col("s_suppkey") + lit(1000000L)).as("node"))
+    graft.operators.Graph.ssspInt(edges, "src", "dst", "w", seeds, rounds = 3)
+      .orderBy(col("node"))
+  }
+
+
+  /** INCREMENTAL triangle maintenance on the q94 co-purchase graph:
+    * orders ≡ 0 mod 4 arrive as the "new batch", and the increment —
+    * computed touching only the fresh edges' neighborhoods, never
+    * recounting the old graph — must satisfy T(old ∪ new) = T(old) +
+    * increment, which is exactly what the oracle checks (two full
+    * counts subtracted). Closes the streaming-graph story: the
+    * per-micro-batch fold is [[graft.streaming.Streams]]'
+    * triangleMaintenanceStream ([[graft.operators.Graph
+    * .triangleIncrement]]). */
+  protected def q185(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(s, dir)
+      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk")).distinct()
+    val edges = li.join(li.withColumnRenamed("pk", "pk2"), Seq("ok"))
+      .where(col("pk") < col("pk2"))
+      .select(col("pk").as("src"), col("pk2").as("dst"), col("ok"))
+    graft.operators.Graph.triangleIncrement(
+      edges.where(col("ok") % 4 =!= 0).select(col("src"), col("dst")),
+      edges.where(col("ok") % 4 === 0).select(col("src"), col("dst")),
+      "src", "dst")
+  }
+
+
+  protected def oraclesGraph: Map[String, String] = Map(
+
+      // 3 rounds of damped integer PageRank chained through CTEs —
+      // rank DIV outdeg along each edge, teleport 150000, damp 85/100;
+      // every term BIGINT so the iteration is bit-exact cross-engine
+      "q87_pagerank" ->
+        """WITH e AS (
+             SELECT DISTINCT l_partkey AS src, l_suppkey + 1000000 AS dst FROM lineitem
+             UNION
+             SELECT DISTINCT l_suppkey + 1000000 AS src, l_partkey AS dst FROM lineitem),
+           n AS (SELECT DISTINCT src AS node FROM e
+                 UNION SELECT DISTINCT dst AS node FROM e),
+           d AS (SELECT src, CAST(count(*) AS BIGINT) AS deg FROM e GROUP BY src),
+           r0 AS (SELECT node, CAST(1000000 AS BIGINT) AS rank_fp FROM n),
+           r1 AS (
+             SELECT n.node, CAST(150000 + (85 * coalesce(c.in_fp, 0)) // 100 AS BIGINT) AS rank_fp
+             FROM n LEFT JOIN (
+               SELECT e.dst AS node, CAST(sum(r0.rank_fp // d.deg) AS BIGINT) AS in_fp
+               FROM e JOIN r0 ON r0.node = e.src JOIN d ON d.src = e.src
+               GROUP BY e.dst) c ON c.node = n.node),
+           r2 AS (
+             SELECT n.node, CAST(150000 + (85 * coalesce(c.in_fp, 0)) // 100 AS BIGINT) AS rank_fp
+             FROM n LEFT JOIN (
+               SELECT e.dst AS node, CAST(sum(r1.rank_fp // d.deg) AS BIGINT) AS in_fp
+               FROM e JOIN r1 ON r1.node = e.src JOIN d ON d.src = e.src
+               GROUP BY e.dst) c ON c.node = n.node),
+           r3 AS (
+             SELECT n.node, CAST(150000 + (85 * coalesce(c.in_fp, 0)) // 100 AS BIGINT) AS rank_fp
+             FROM n LEFT JOIN (
+               SELECT e.dst AS node, CAST(sum(r2.rank_fp // d.deg) AS BIGINT) AS in_fp
+               FROM e JOIN r2 ON r2.node = e.src JOIN d ON d.src = e.src
+               GROUP BY e.dst) c ON c.node = n.node)
+           SELECT node, rank_fp FROM r3 ORDER BY node""",
+
+      // exact triangle count, canonical a<b<c triple join — the engine's
+      // degree-ordered orientation must agree exactly
+      "q94_triangles" ->
+        """WITH li AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+           e0 AS (SELECT DISTINCT least(x.pk, y.pk) AS a, greatest(x.pk, y.pk) AS b
+                  FROM li x JOIN li y ON x.ok = y.ok AND x.pk <> y.pk)
+           SELECT
+             (SELECT count(*) FROM (SELECT a FROM e0 UNION SELECT b FROM e0)) AS n_nodes,
+             (SELECT count(*) FROM e0) AS n_edges,
+             (SELECT count(*) FROM e0 e1
+                JOIN e0 e2 ON e2.a = e1.b
+                JOIN e0 e3 ON e3.a = e1.a AND e3.b = e2.b) AS n_triangles""",
+
+      // the identical peels, unrolled: 8 >= the observed fixpoint depth at
+      // the gate scale, and peeling past the fixpoint is a no-op, so extra
+      // rounds cannot diverge. MATERIALIZED is load-bearing: every e_i is
+      // referenced twice by round i+1, so inlining would expand e0 (and its
+      // lineitem scan) 2^8 times
+      "q105_kcore" -> {
+        val peels = (1 to 8).map { i =>
+          val pe = s"e${i - 1}"
+          s"""n$i AS MATERIALIZED (SELECT node FROM (
+                 SELECT node, count(*) AS c FROM (
+                   SELECT a AS node FROM $pe UNION ALL SELECT b FROM $pe)
+                 GROUP BY node) WHERE c >= 68),
+             e$i AS MATERIALIZED (SELECT a, b FROM $pe
+                     WHERE a IN (SELECT node FROM n$i)
+                       AND b IN (SELECT node FROM n$i))"""
+        }.mkString(",\n")
+        s"""WITH li AS MATERIALIZED (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+           e0 AS MATERIALIZED (SELECT DISTINCT least(x.pk, y.pk) AS a, greatest(x.pk, y.pk) AS b
+                  FROM li x JOIN li y ON x.ok = y.ok AND x.pk <> y.pk),
+           $peels
+           SELECT node, CAST(c AS BIGINT) AS core_deg FROM (
+             SELECT node, count(*) AS c FROM (
+               SELECT a AS node FROM e8 UNION ALL SELECT b FROM e8)
+             GROUP BY node)
+           ORDER BY node"""
+      },
+
+      // the identical 4 synchronous rounds, unrolled (q105's pattern):
+      // per round, each node's votes = neighbor labels + its own, argmax
+      // by (count desc, label asc) — both engines replay the same pure
+      // function of the graph; MATERIALIZED for the same 2^R reason
+      "q109_label_prop" -> {
+        val roundsSql = (1 to 4).map { r =>
+          val pl = s"l${r - 1}"
+          s"""v$r AS MATERIALIZED (
+               SELECT node, nl, count(*) AS c FROM (
+                 SELECT e.dst AS node, l.label AS nl
+                 FROM e0 e JOIN $pl l ON l.node = e.src
+                 UNION ALL SELECT node, label FROM $pl)
+               GROUP BY node, nl),
+             l$r AS MATERIALIZED (
+               SELECT node, nl AS label FROM (
+                 SELECT node, nl, row_number() OVER (
+                   PARTITION BY node ORDER BY c DESC, nl ASC) AS rn FROM v$r)
+               WHERE rn = 1)"""
+        }.mkString(",\n")
+        s"""WITH li AS MATERIALIZED (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+           p AS MATERIALIZED (SELECT x.pk AS a, y.pk AS b, count(*) AS w
+                FROM li x JOIN li y ON x.ok = y.ok AND x.pk < y.pk GROUP BY 1, 2),
+           e0 AS MATERIALIZED (
+             SELECT a AS src, b AS dst FROM p WHERE w >= 2
+             UNION ALL SELECT b, a FROM p WHERE w >= 2),
+           l0 AS MATERIALIZED (SELECT DISTINCT src AS node, src AS label FROM e0),
+           $roundsSql
+           SELECT node, label FROM l4 ORDER BY node"""
+      },
+
+      // q109's unroll with WEIGHTED votes: neighbor votes carry the edge
+      // weight, the self-vote carries the node's max incident weight (the
+      // heavy-pair oscillation damper); argmax (weight desc, label asc)
+      "q113_weighted_label_prop" -> {
+        val roundsSql = (1 to 4).map { r =>
+          val pl = s"l${r - 1}"
+          s"""v$r AS MATERIALIZED (
+               SELECT node, nl, sum(w) AS c FROM (
+                 SELECT e.dst AS node, l.label AS nl, e.w
+                 FROM e0 e JOIN $pl l ON l.node = e.src
+                 UNION ALL
+                 SELECT l.node, l.label, sw.sw FROM $pl l
+                 JOIN selfw sw ON sw.node = l.node)
+               GROUP BY node, nl),
+             l$r AS MATERIALIZED (
+               SELECT node, nl AS label FROM (
+                 SELECT node, nl, row_number() OVER (
+                   PARTITION BY node ORDER BY c DESC, nl ASC) AS rn FROM v$r)
+               WHERE rn = 1)"""
+        }.mkString(",\n")
+        s"""WITH li AS MATERIALIZED (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+           p AS MATERIALIZED (SELECT x.pk AS a, y.pk AS b, CAST(count(*) AS BIGINT) AS w
+                FROM li x JOIN li y ON x.ok = y.ok AND x.pk < y.pk GROUP BY 1, 2),
+           e0 AS MATERIALIZED (
+             SELECT a AS src, b AS dst, w FROM p WHERE w >= 2
+             UNION ALL SELECT b, a, w FROM p WHERE w >= 2),
+           selfw AS MATERIALIZED (SELECT src AS node, max(w) AS sw FROM e0 GROUP BY src),
+           l0 AS MATERIALIZED (SELECT node, node AS label FROM selfw),
+           $roundsSql
+           SELECT node, label FROM l4 ORDER BY node"""
+      },
+
+      // the identical 6 h-index rounds, unrolled (q105/q109's pattern):
+      // per round each node takes the H-index of its neighbors' values —
+      // max(least(rank, value)) over a desc rank, which is invariant to
+      // tie order, so the non-unique window sort cannot diverge engines.
+      // MATERIALIZED for the same 2^R inlining reason as q105
+      "q116_core_numbers" -> {
+        val roundsSql = (1 to 6).map { r =>
+          val ph = s"h${r - 1}"
+          s"""h$r AS MATERIALIZED (
+               SELECT node, max(least(rn, nh)) AS core_h FROM (
+                 SELECT e.dst AS node, l.core_h AS nh,
+                   row_number() OVER (PARTITION BY e.dst ORDER BY l.core_h DESC) AS rn
+                 FROM e0 e JOIN $ph l ON l.node = e.src) GROUP BY node)"""
+        }.mkString(",\n")
+        s"""WITH li AS MATERIALIZED (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+           p AS MATERIALIZED (SELECT x.pk AS a, y.pk AS b, count(*) AS w
+                FROM li x JOIN li y ON x.ok = y.ok AND x.pk < y.pk GROUP BY 1, 2),
+           e0 AS MATERIALIZED (
+             SELECT a AS src, b AS dst FROM p WHERE w >= 2
+             UNION ALL SELECT b, a FROM p WHERE w >= 2),
+           h0 AS MATERIALIZED (
+             SELECT src AS node, CAST(count(*) AS BIGINT) AS core_h
+             FROM e0 GROUP BY src),
+           $roundsSql
+           SELECT node, core_h FROM h6 ORDER BY node"""
+      },
+
+      // q87's unrolled integer rounds with the seed CASE: init mass and
+      // teleport only on trusted-nation suppliers — bit-identical BIGINT
+      // arithmetic, unreachable nodes exactly 0 on both engines
+      "q124_trust_propagation" -> {
+        val rounds = (1 to 3).map { i =>
+          s"""r$i AS (
+             SELECT n.node,
+               CAST((CASE WHEN s.node IS NOT NULL THEN 150000 ELSE 0 END)
+                 + (85 * coalesce(c.in_fp, 0)) // 100 AS BIGINT) AS rank_fp
+             FROM n LEFT JOIN seeds s ON s.node = n.node LEFT JOIN (
+               SELECT e.dst AS node, CAST(sum(r${i - 1}.rank_fp // d.deg) AS BIGINT) AS in_fp
+               FROM e JOIN r${i - 1} ON r${i - 1}.node = e.src JOIN d ON d.src = e.src
+               GROUP BY e.dst) c ON c.node = n.node)"""
+        }.mkString(",\n")
+        s"""WITH e AS (
+             SELECT DISTINCT l_partkey AS src, l_suppkey + 1000000 AS dst FROM lineitem
+             UNION
+             SELECT DISTINCT l_suppkey + 1000000 AS src, l_partkey AS dst FROM lineitem),
+           n AS (SELECT DISTINCT src AS node FROM e
+                 UNION SELECT DISTINCT dst AS node FROM e),
+           seeds AS (SELECT DISTINCT s_suppkey + 1000000 AS node FROM supplier
+                     WHERE s_nationkey IN (0, 1)),
+           d AS (SELECT src, CAST(count(*) AS BIGINT) AS deg FROM e GROUP BY src),
+           r0 AS (SELECT n.node,
+               CAST(CASE WHEN s.node IS NOT NULL THEN 1000000 ELSE 0 END AS BIGINT) AS rank_fp
+             FROM n LEFT JOIN seeds s ON s.node = n.node),
+           $rounds
+           SELECT node, rank_fp FROM r3 ORDER BY node"""
+      },
+
+      // q94's triangle core + the exact wedge sum; 3T/W is one IEEE
+      // division of exact integers
+      "q136_clustering_coeff" ->
+        """WITH li AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+           e0 AS (SELECT DISTINCT least(x.pk, y.pk) AS a, greatest(x.pk, y.pk) AS b
+                  FROM li x JOIN li y ON x.ok = y.ok AND x.pk <> y.pk),
+           deg AS (SELECT node, CAST(count(*) AS BIGINT) AS deg FROM
+                     (SELECT a AS node FROM e0 UNION ALL SELECT b FROM e0) t
+                   GROUP BY node)
+           SELECT
+             (SELECT count(*) FROM deg) AS n_nodes,
+             (SELECT count(*) FROM e0) AS n_edges,
+             (SELECT count(*) FROM e0 e1
+                JOIN e0 e2 ON e2.a = e1.b
+                JOIN e0 e3 ON e3.a = e1.a AND e3.b = e2.b) AS n_triangles,
+             (SELECT CAST(sum(deg * (deg - 1) // 2) AS BIGINT) FROM deg) AS n_wedges,
+             CASE WHEN (SELECT sum(deg * (deg - 1) // 2) FROM deg) > 0 THEN
+               3.0 * CAST((SELECT count(*) FROM e0 e1
+                 JOIN e0 e2 ON e2.a = e1.b
+                 JOIN e0 e3 ON e3.a = e1.a AND e3.b = e2.b) AS DOUBLE)
+               / CAST((SELECT sum(deg * (deg - 1) // 2) FROM deg) AS DOUBLE)
+             END AS global_cc""",
+
+      // q87's unrolled integer rounds with the weight ratio in the
+      // recurrence: contribution = rank·w // strength, strength = Σw
+      "q140_weighted_pagerank" -> {
+        val rounds = (1 to 3).map { i =>
+          s"""r$i AS (
+             SELECT n.node,
+               CAST(150000 + (85 * coalesce(c.in_fp, 0)) // 100 AS BIGINT) AS rank_fp
+             FROM n LEFT JOIN (
+               SELECT e.dst AS node,
+                 CAST(sum((r${i - 1}.rank_fp * e.w) // d.deg) AS BIGINT) AS in_fp
+               FROM e JOIN r${i - 1} ON r${i - 1}.node = e.src
+               JOIN d ON d.src = e.src
+               GROUP BY e.dst) c ON c.node = n.node)"""
+        }.mkString(",\n")
+        s"""WITH li AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+           strong AS (
+             SELECT x.pk AS a, y.pk AS b, CAST(count(*) AS BIGINT) AS w
+             FROM li x JOIN li y ON x.ok = y.ok AND x.pk < y.pk
+             GROUP BY 1, 2 HAVING count(*) >= 2),
+           e AS (SELECT a AS src, b AS dst, w FROM strong
+                 UNION ALL SELECT b AS src, a AS dst, w FROM strong),
+           n AS (SELECT DISTINCT src AS node FROM e),
+           d AS (SELECT src, CAST(sum(w) AS BIGINT) AS deg FROM e GROUP BY src),
+           r0 AS (SELECT node, CAST(1000000 AS BIGINT) AS rank_fp FROM n),
+           $rounds
+           SELECT node, rank_fp FROM r3 ORDER BY node"""
+      },
+
+      // two unrolled HITS rounds: raw BIGINT half-round sums,
+      // max-normalized by scalar-subquery floor division (// ≡ Spark
+      // DIV on nonnegative BIGINTs); absent hubs/authorities coalesce
+      // to exact 0
+      "q161_hits" ->
+        """WITH e AS (
+             SELECT DISTINCT o_custkey AS src, l_suppkey + 1000000 AS dst
+             FROM orders JOIN lineitem ON l_orderkey = o_orderkey),
+           n AS (SELECT DISTINCT src AS node FROM e
+                 UNION SELECT DISTINCT dst FROM e),
+           s0 AS (SELECT node, CAST(1000000 AS BIGINT) AS hub FROM n),
+           ra1 AS (SELECT e.dst AS node, CAST(sum(s0.hub) AS BIGINT) AS raw
+                   FROM e JOIN s0 ON s0.node = e.src GROUP BY e.dst),
+           a1 AS (SELECT node, CAST(raw * 1000000 // (SELECT max(raw) FROM ra1) AS BIGINT) AS auth FROM ra1),
+           rh1 AS (SELECT e.src AS node, CAST(sum(a1.auth) AS BIGINT) AS raw
+                   FROM e JOIN a1 ON a1.node = e.dst GROUP BY e.src),
+           h1 AS (SELECT node, CAST(raw * 1000000 // (SELECT max(raw) FROM rh1) AS BIGINT) AS hub FROM rh1),
+           s1 AS (SELECT n.node, coalesce(h1.hub, 0) AS hub
+                  FROM n LEFT JOIN h1 ON h1.node = n.node),
+           ra2 AS (SELECT e.dst AS node, CAST(sum(s1.hub) AS BIGINT) AS raw
+                   FROM e JOIN s1 ON s1.node = e.src GROUP BY e.dst),
+           a2 AS (SELECT node, CAST(raw * 1000000 // (SELECT max(raw) FROM ra2) AS BIGINT) AS auth FROM ra2),
+           rh2 AS (SELECT e.src AS node, CAST(sum(a2.auth) AS BIGINT) AS raw
+                   FROM e JOIN a2 ON a2.node = e.dst GROUP BY e.src),
+           h2 AS (SELECT node, CAST(raw * 1000000 // (SELECT max(raw) FROM rh2) AS BIGINT) AS hub FROM rh2)
+           SELECT n.node, coalesce(h2.hub, 0) AS hub_fp,
+             coalesce(a2.auth, 0) AS auth_fp
+           FROM n LEFT JOIN h2 ON h2.node = n.node
+           LEFT JOIN a2 ON a2.node = n.node
+           ORDER BY n.node""",
+
+      // three unrolled min-relaxation rounds (d_k = min(d_{k-1},
+      // 1 + d_{k-1} over in-neighbors) — the frontier in the engine is
+      // an optimization, the fixpoint algebra is this)
+      "q162_seed_distance" ->
+        """WITH e AS (
+             SELECT DISTINCT l_partkey AS src, l_suppkey + 1000000 AS dst FROM lineitem
+             UNION
+             SELECT DISTINCT l_suppkey + 1000000 AS src, l_partkey AS dst FROM lineitem),
+           d0 AS (SELECT DISTINCT s_suppkey + 1000000 AS node,
+                    CAST(0 AS BIGINT) AS dist
+                  FROM supplier WHERE s_nationkey % 5 = 3),
+           d1 AS (SELECT node, CAST(min(dist) AS BIGINT) AS dist FROM (
+                    SELECT node, dist FROM d0
+                    UNION ALL
+                    SELECT e.dst AS node, d0.dist + 1 AS dist
+                    FROM e JOIN d0 ON e.src = d0.node) u GROUP BY node),
+           d2 AS (SELECT node, CAST(min(dist) AS BIGINT) AS dist FROM (
+                    SELECT node, dist FROM d1
+                    UNION ALL
+                    SELECT e.dst AS node, d1.dist + 1 AS dist
+                    FROM e JOIN d1 ON e.src = d1.node) u GROUP BY node),
+           d3 AS (SELECT node, CAST(min(dist) AS BIGINT) AS dist FROM (
+                    SELECT node, dist FROM d2
+                    UNION ALL
+                    SELECT e.dst AS node, d2.dist + 1 AS dist
+                    FROM e JOIN d2 ON e.src = d2.node) u GROUP BY node)
+           SELECT node, dist FROM d3 ORDER BY node""",
+
+      // q162's unrolled chain with costs: each round relaxes the FULL
+      // distance set (provably equal to the engine's improved-frontier
+      // rounds at every round count)
+      "q177_weighted_sssp" -> {
+        val rounds = (1 to 3).map { r =>
+          s""",
+           d$r AS (SELECT node, CAST(min(dist) AS BIGINT) AS dist FROM (
+                    SELECT node, dist FROM d${r - 1}
+                    UNION ALL
+                    SELECT e.dst AS node, d${r - 1}.dist + e.w AS dist
+                    FROM e JOIN d${r - 1} ON e.src = d${r - 1}.node) u GROUP BY node)"""
+        }.mkString
+        s"""WITH e AS (
+             SELECT src, dst, CAST(min(w) AS BIGINT) AS w FROM (
+               SELECT l_partkey AS src, l_suppkey + 1000000 AS dst,
+                 CAST(round(l_quantity * 100) AS BIGINT) AS w FROM lineitem
+               UNION ALL
+               SELECT l_suppkey + 1000000 AS src, l_partkey AS dst,
+                 CAST(round(l_quantity * 100) AS BIGINT) AS w FROM lineitem) u
+             GROUP BY src, dst),
+           d0 AS (SELECT DISTINCT s_suppkey + 1000000 AS node,
+                    CAST(0 AS BIGINT) AS dist
+                  FROM supplier WHERE s_nationkey % 5 = 3)$rounds
+           SELECT node, dist FROM d3 ORDER BY node"""
+      },
+
+      // SEMANTIC oracle: two full q94-style triangle counts subtracted —
+      // the engine's fresh-neighborhood increment must equal the
+      // recount delta exactly
+      "q185_triangle_increment" ->
+        """WITH li AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+           ae AS (SELECT least(x.pk, y.pk) AS a, greatest(x.pk, y.pk) AS b, x.ok
+                  FROM li x JOIN li y ON x.ok = y.ok AND x.pk <> y.pk),
+           eo AS (SELECT DISTINCT a, b FROM ae WHERE ok % 4 <> 0),
+           eu AS (SELECT DISTINCT a, b FROM ae),
+           tu AS (SELECT count(*) AS t FROM eu e1
+                    JOIN eu e2 ON e2.a = e1.b
+                    JOIN eu e3 ON e3.a = e1.a AND e3.b = e2.b),
+           told AS (SELECT count(*) AS t FROM eo e1
+                    JOIN eo e2 ON e2.a = e1.b
+                    JOIN eo e3 ON e3.a = e1.a AND e3.b = e2.b)
+           SELECT (SELECT count(*) FROM eo) AS n_old_edges,
+             (SELECT count(*) FROM eu) - (SELECT count(*) FROM eo) AS n_fresh_edges,
+             CAST(tu.t - told.t AS BIGINT) AS new_triangles
+           FROM tu CROSS JOIN told""",
+  )
+}

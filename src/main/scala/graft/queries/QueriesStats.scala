@@ -1,0 +1,1628 @@
+package graft
+
+import graft.expr.Expr
+import graft.functions.{Text, Vectors}
+import graft.operators.{Accumulate, AsOf, Dedup, Sessionize, Similarity}
+import graft.sources.Tables
+import graft.stream.DataStream
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Stats gate queries, split out of [[SparkEntry]] (round-10
+  * hygiene); the `queries`/`oracleSql` maps in SparkEntry remain the
+  * single registry — this trait only hosts the builders verbatim. */
+private[graft] trait QueriesStats { this: SparkEntry.type =>
+
+  /** Robust per-group outlier scoring: the Iglewicz–Hoaglin modified
+    * z-score (0.6745·(x−median)/MAD) of every lineitem price within its
+    * return flag — the heavy-tail-safe outlier gate (a single extreme
+    * value cannot move the median the way it moves a mean/stddev z)
+    * ([[graft.operators.Outliers.robustZScore]]). Medians are exact
+    * interpolated percentiles (q46's quantile_cont parity); score and
+    * flag are a fixed IEEE sequence over them. */
+  protected def q121(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Outliers.robustZScore(
+        Tables.lineitem(s, dir).select(col("l_returnflag"),
+          cents(col("l_extendedprice")).as("price_c"),
+          col("l_orderkey"), col("l_linenumber")),
+        "l_returnflag", "price_c", sigmas = 3.5)
+      .orderBy(col("l_returnflag"), col("price_c"),
+        col("l_orderkey"), col("l_linenumber"))
+
+
+  /** Exact ROC-AUC of an embedding coordinate scoring the even label
+    * classes — the filter-model calibration question ("does this score
+    * separate the classes?") answered by the Mann–Whitney U statistic
+    * with midrank tie handling: ranks ride the two-level distributed
+    * rank, ties collapse by ARITHMETIC over per-value min/max ranks, and
+    * the AUC is one IEEE division of exact BIGINTs
+    * ([[graft.operators.Eval.aucExact]]). */
+  protected def q146(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Eval.aucExact(
+      Tables.embeddings(s, dir),
+      scoreCol = element_at(col("embedding"), 2),
+      positive = pmod(col("label"), lit(2)) === 0,
+      bucket = floor(element_at(col("embedding"), 2).cast("double") * lit(64.0)).cast("long"),
+      idCol = col("vec_id"))
+
+
+  /** Reliability diagram of the same score: 10 exact equi-depth bins
+    * (q117's ntile arithmetic) × positive rate — monotone pos_rate is
+    * what a calibrated filter score looks like; score bounds are exact
+    * min/max, never an order-dependent float mean
+    * ([[graft.operators.Eval.calibrationBins]]). */
+  protected def q147(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Eval.calibrationBins(
+      Tables.embeddings(s, dir),
+      scoreCol = element_at(col("embedding"), 2),
+      positive = pmod(col("label"), lit(2)) === 0,
+      bucket = floor(element_at(col("embedding"), 2).cast("double") * lit(64.0)).cast("long"),
+      idCol = col("vec_id"), bins = 10)
+      .orderBy(col("bin"))
+
+
+  /** RECIPROCAL RANK FUSION of two document rankings (by length, and by
+    * the rolling-fingerprint pseudo-permutation standing in for an
+    * embedding system): top-50 by fused score. Both input ranks ride the
+    * two-level distributed rank; each reciprocal is quantized to integer
+    * micro-units before the exact BIGINT fusion sum; the tail is a
+    * TakeOrdered, not a global sort
+    * ([[graft.operators.Ranking.reciprocalRankFusion]]). */
+  protected def q155(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(s, dir)
+    val byLen = graft.operators.Ranking.globalRankBy(
+        d.select(col("doc_id"), (-col("n_chars")).as("_neg")),
+        expr("_neg DIV 200"), col("_neg"), col("doc_id"))
+      .select(col("doc_id"), col("rank"))
+    val byFp = graft.operators.Ranking.globalRankBy(
+        d.select(col("doc_id"),
+          graft.functions.Text.rollingFingerprint(col("text")).as("_fp")),
+        expr("_fp DIV 16000000"), col("_fp"), col("doc_id"))
+      .select(col("doc_id"), col("rank"))
+    graft.operators.Ranking.reciprocalRankFusion(Seq(byLen, byFp), "doc_id", "rank")
+      .orderBy(col("rrf_unats").desc, col("doc_id")).limit(50)
+  }
+
+
+  /** Per-source TRIMMED MEAN of document length (10% off each tail by
+    * (value, id) order): the robust per-domain summary — rank through
+    * groupedRank, integer trim cut, partial-aggregable survivors
+    * ([[graft.operators.Ranking.trimmedStats]]). */
+  protected def q156(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Ranking.trimmedStats(
+        Tables.documents(s, dir).select(col("source"), col("n_chars"), col("doc_id")),
+        "source", "n_chars",
+        subBucket = expr("(n_chars - pmod(n_chars, 200L)) DIV 200L"),
+        idCol = "doc_id", trimNum = 1L, trimDen = 10L)
+      .orderBy(col("source"))
+
+
+  /** PSI drift of the event-value distribution, first half of the time
+    * range (reference) vs second half (target): 10 exact equi-depth
+    * reference bins, add-1-smoothed shares, per-bin micro-nat terms —
+    * the scheduled "did my feature move" monitor
+    * ([[graft.operators.Checks.psiDrift]]). */
+  protected def q169(s: SparkSession, dir: String): DataFrame = {
+    val t = Tables.events(s, dir).select(
+      cents(col("value")).as("v"), col("event_id"),
+      unix_micros(col("ts")).as("us"))
+    val mid = t.agg((min(col("us")) +
+      expr("(max(us) - min(us)) DIV 2")).as("_mid"))
+    val stamped = t.crossJoin(broadcast(mid))
+    val ref = stamped.where(col("us") <= col("_mid")).select(col("v"), col("event_id"))
+    val tgt = stamped.where(col("us") > col("_mid")).select(col("v"), col("event_id"))
+    graft.operators.Checks.psiDrift(ref, tgt, "v", "event_id",
+        subBucket = expr("v DIV 5000"), bins = 10)
+      .orderBy(col("bin"))
+  }
+
+
+  /** Exact Spearman ρ between document LENGTH and the q24 composite
+    * QUALITY score — "is the quality filter just a length filter?", the
+    * score-audit a curation pipeline runs before trusting a threshold;
+    * midrank ties, centered doubled-rank arithmetic, DECIMAL(38) sums
+    * ([[graft.operators.Eval.spearmanExact]]). */
+  protected def q170(s: SparkSession, dir: String): DataFrame = {
+    val stop = Text.langMarkers.toMap.apply("en")
+    graft.operators.Eval.spearmanExact(
+      Tables.documents(s, dir)
+        .select(col("n_chars"), Text.qualityScore(col("text"), stop).as("q")),
+      xCol = col("n_chars"), yCol = col("q"),
+      xBucket = expr("n_chars DIV 64"),
+      yBucket = floor(col("q") * lit(20.0)).cast("long"))
+  }
+
+
+  /** nDCG@20 of the q90 BM25 ranking against term-coverage graded
+    * relevance (gain = how many of the 3 query terms the doc contains) —
+    * the retrieval-stage report card: does the lexical score ORDER the
+    * candidates the way coverage does? Exact micro-unit rank weights,
+    * BIGINT DCG/IDCG sums ([[graft.operators.Eval.ndcgAtK]]). */
+  protected def q171(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val name = "graft_q171_idx_" +
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(dir.getBytes("UTF-8")).take(4).map("%02x".format(_)).mkString
+    graft.operators.InvertedIndex.writeIndex(docs, "doc_id", "text", name)
+    val terms = Seq("join", "window", "fast")
+    val scored = graft.operators.InvertedIndex.bm25(s, name, terms)
+    val gains = docs.select(col("doc_id"),
+      terms.map(t => when(array_contains(Text.tokens(col("text")), t), 1L)
+        .otherwise(0L)).reduce(_ + _).as("gain"))
+    graft.operators.Eval.ndcgAtK(
+      scored.join(gains, Seq("doc_id")),
+      scoreCol = col("score_unats"), gainCol = col("gain"),
+      idCol = col("doc_id"), k = 20)
+  }
+
+
+  /** Exact PEARSON r between document length and the q24 quality score
+    * (micro-unit quantized) — read NEXT TO q170's Spearman ρ: ρ ≈ r says
+    * the length→quality relation is linear, ρ ≫ r says monotone-but-
+    * saturating. One partial-aggregable moment pass, DECIMAL(38) sums
+    * ([[graft.operators.Eval.pearsonExact]]). */
+  protected def q172(s: SparkSession, dir: String): DataFrame = {
+    val stop = Text.langMarkers.toMap.apply("en")
+    graft.operators.Eval.pearsonExact(
+      Tables.documents(s, dir)
+        .select(col("n_chars"),
+          floor(Text.qualityScore(col("text"), stop) * lit(1e6)).as("qu")),
+      xCol = col("n_chars"), yCol = col("qu"))
+  }
+
+
+  /** CHI-SQUARED independence of documents' (source × lang) — "does a
+    * source over-supply a language?", the stratification-bias probe run
+    * before trusting per-source quotas. Exact cross-multiplied cell
+    * deviations, micro-unit terms quantized once per cell
+    * ([[graft.operators.Eval.chiSquareIndependence]]). */
+  protected def q173(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Eval.chiSquareIndependence(
+      Tables.documents(s, dir), col("source"), col("lang"))
+
+
+  /** MUTUAL INFORMATION (micro-nats) between documents' source and lang —
+    * the magnitude next to q173's χ²: how much language information the
+    * source column leaks, against a leakage budget
+    * ([[graft.operators.Eval.mutualInfoUnats]]). */
+  protected def q174(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Eval.mutualInfoUnats(
+      Tables.documents(s, dir), col("source"), col("lang"))
+
+
+  /** Per-nation monthly-revenue TREND — exact rational least-squares
+    * slope/intercept over the (month-index, revenue-cents) series of
+    * each nation: the "is this domain growing, and how fast" read with
+    * an exact sign test ([[graft.operators.Eval.groupedTrend]]). */
+  protected def q180(s: SparkSession, dir: String): DataFrame = {
+    val rev = Tables.lineitem(s, dir)
+      .join(Tables.orders(s, dir), col("l_orderkey") === col("o_orderkey"))
+      .join(Tables.customer(s, dir), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(Tables.nation(s, dir)),
+        col("c_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_name"),
+        (year(col("o_orderdate")) * lit(12) + month(col("o_orderdate"))).as("x"))
+      .agg(sum(cents(col("l_extendedprice") * (lit(1.0) - col("l_discount")))).as("y"))
+    graft.operators.Eval.groupedTrend(rev, "n_name", col("x"), col("y"))
+      .orderBy(col("n_name"))
+  }
+
+
+  /** PER-SOURCE AUC — q146's midrank algebra run within every source:
+    * does the q24 quality score separate English docs in EACH stratum,
+    * or only on average (Simpson's-paradox insurance before one global
+    * threshold)? Ranks via groupedRank — no single-partition exchange
+    * ([[graft.operators.Eval.aucExactPerGroup]]). */
+  protected def q186(s: SparkSession, dir: String): DataFrame = {
+    val stop = Text.langMarkers.toMap.apply("en")
+    graft.operators.Eval.aucExactPerGroup(
+        Tables.documents(s, dir)
+          .select(col("source"), col("doc_id"), col("lang"),
+            Text.qualityScore(col("text"), stop).as("q")),
+        "source", scoreCol = col("q"), positive = col("lang") === "en",
+        subBucket = floor(col("q") * lit(20.0)).cast("long"),
+        idCol = col("doc_id"))
+      .orderBy(col("source"))
+  }
+
+
+  /** Per-source BRIER score of the q24 quality score read as P(english)
+    * — the overall probabilistic-quality number closing the eval triad
+    * with q186 (discrimination) and q147 (calibration)
+    * ([[graft.operators.Eval.brierPerGroup]]). */
+  protected def q193(s: SparkSession, dir: String): DataFrame = {
+    val stop = Text.langMarkers.toMap.apply("en")
+    graft.operators.Eval.brierPerGroup(
+        Tables.documents(s, dir)
+          .select(col("source"), col("lang"),
+            floor(Text.qualityScore(col("text"), stop) * lit(1e6)).as("pu")),
+        "source", probMicroCol = col("pu"), positive = col("lang") === "en")
+      .orderBy(col("source"))
+  }
+
+
+  /** LIFT / gain chart — exact equi-depth score deciles (best first) with
+    * cumulative positive capture and integer micro-lift
+    * `⌊cum_pos·N·10⁶ / (cum_n·P)⌋`: "how much better than random does
+    * the top-k% of the score capture English docs", the targeting read
+    * next to AUC's rank view (q117's ntile arithmetic + a 10-row
+    * cumulative window). */
+  protected def q194(s: SparkSession, dir: String): DataFrame = {
+    val stop = Text.langMarkers.toMap.apply("en")
+    // scored once, cut before the rank fan-out (the q183/q186 lesson:
+    // 12.4x at 10x data with the quality regexes re-evaluated per branch)
+    val base = Tables.documents(s, dir)
+      .select(col("doc_id"), (col("lang") === "en").as("pos"),
+        floor(Text.qualityScore(col("text"), stop) * lit(1e6)).as("qu"))
+      .withColumn("_negq", -col("qu"))
+      .localCheckpoint()
+    val binned = graft.operators.Ranking.equiDepthBins(
+      base, expr("-(qu DIV 50000)"), 10, col("_negq"), col("doc_id"))
+    val per = binned.groupBy(col("bin"))
+      .agg(count(lit(1)).as("n_rows"),
+        sum(when(col("pos"), 1L).otherwise(0L)).as("n_pos"))
+    val tot = per.agg(sum(col("n_rows")).as("_tn"), sum(col("n_pos")).as("_tp"))
+    val wCum = Window.orderBy(col("bin"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    per
+      .withColumn("cum_n", sum(col("n_rows")).over(wCum))
+      .withColumn("cum_pos", sum(col("n_pos")).over(wCum))
+      .crossJoin(broadcast(tot))
+      .select(col("bin"), col("n_rows"), col("n_pos"), col("cum_pos"),
+        // DECIMAL(38): cum_pos·N·10⁶ overflows BIGINT at corpus scale
+        expr("((CAST(cum_pos AS DECIMAL(38,0)) * _tn * 1000000) DIV " +
+          "(CAST(cum_n AS DECIMAL(38,0)) * _tp))").cast("long").as("lift_micro"))
+      .orderBy(col("bin"))
+  }
+
+
+  /** EXACT two-sample Kolmogorov-Smirnov distance between click and
+    * view value distributions — the assumption-free sup-gap drift test
+    * next to q169's bucketed PSI; integer cross-multiplied CDF gaps
+    * over the merged value histogram
+    * ([[graft.operators.Eval.ksTestExact]]). */
+  protected def q196(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+    def side(t: String) = ev.where(col("event_type") === t)
+      .select(cents(col("value")).as("v"))
+    graft.operators.Eval.ksTestExact(
+      side("click"), col("v"), side("view"), col("v"),
+      bucketOf = v => shiftright(v, 8))
+  }
+
+
+  /** Kendall τ-b between document length (chars) and quality score —
+    * q170's Spearman pairing re-read as CONCORDANCE (ρ vs τ on the same
+    * variables separates monotone strength from rank-gap magnitude; the
+    * statistic the round-7 verdict flagged for decision review). Exact
+    * distributed inversion count via the first-differing-nibble
+    * decomposition, [[graft.operators.Eval.kendallTauExact]]. */
+  protected def q209(s: SparkSession, dir: String): DataFrame = {
+    val stop = Text.langMarkers.toMap.apply("en")
+    graft.operators.Eval.kendallTauExact(
+      Tables.documents(s, dir)
+        .select(col("n_chars"),
+          floor(Text.qualityScore(col("text"), stop) * lit(1e6)).as("qu")),
+      xCol = col("n_chars"), yCol = col("qu"),
+      yBucket = expr("qu DIV 50000"))
+  }
+
+
+  /** Cohen's κ between the recorded document language tag and the q23
+    * marker-heuristic prediction — chance-corrected label agreement
+    * ([[graft.operators.Eval.cohensKappa]]): the cheap-classifier
+    * sign-off read (raw agreement flatters majority-label raters; κ
+    * subtracts what the marginals produce by chance). */
+  protected def q210(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Eval.cohensKappa(
+      Tables.documents(s, dir)
+        // tokenize ONCE behind the Generate barrier (CollapseProject
+        // cannot re-inline through it), then score the materialized
+        // array — measured 3x vs langId(text) whose five HOF filters
+        // each re-run the tokenizer outside codegen
+        .select(col("lang"), explode(array(Text.tokens(col("text")))).as("_ts"))
+        .select(col("lang"), Text.langIdFromTokens(col("_ts")).as("pred")),
+      aCol = col("lang"), bCol = col("pred"))
+
+
+  /** Mann–Whitney U: does the quality score distribute differently for
+    * English vs non-English documents, and does the gap beat chance?
+    * AUC + Cliff's δ + tie-corrected z in one histogram sweep
+    * ([[graft.operators.Eval.mannWhitney]]) — the significance sign-off
+    * a pipeline runs before acting on a per-language threshold. */
+  protected def q211(s: SparkSession, dir: String): DataFrame = {
+    val stop = Text.langMarkers.toMap.apply("en")
+    graft.operators.Eval.mannWhitney(
+      Tables.documents(s, dir)
+        .select(col("lang"),
+          floor(Text.qualityScore(col("text"), stop) * lit(1e6)).as("qu")),
+      scoreCol = col("qu"), positive = col("lang") === "en",
+      bucketOf = v => shiftright(v, 16))
+  }
+
+
+  /** Theil–Sen robust slope on q180's exact frame — per-nation monthly
+    * revenue, median of pairwise micro-slopes
+    * ([[graft.operators.Eval.theilSenSlope]]): read NEXT TO q180's OLS
+    * slope, a gap between the two flags outlier months driving the
+    * trend. Pair universe = months² per nation (≤ 3.5k), model-sized. */
+  protected def q212(s: SparkSession, dir: String): DataFrame = {
+    val rev = Tables.lineitem(s, dir)
+      .join(Tables.orders(s, dir), col("l_orderkey") === col("o_orderkey"))
+      .join(Tables.customer(s, dir), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(Tables.nation(s, dir)),
+        col("c_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_name"),
+        (year(col("o_orderdate")) * lit(12) + month(col("o_orderdate"))).as("x"))
+      .agg(sum(cents(col("l_extendedprice") * (lit(1.0) - col("l_discount")))).as("y"))
+    graft.operators.Eval.theilSenSlope(rev, "n_name", col("x"), col("y"))
+      .orderBy(col("n_name"))
+  }
+
+
+  /** Benford first-digit deviation over line-item prices (exact cents) —
+    * the fraud/synthetic-feed smell test
+    * ([[graft.operators.Checks.benfordDeviation]]): per-digit χ² terms
+    * in micro-units against the log₁₀(1+1/d) law, the 9-row spine kept
+    * honest (absent digits still contribute their expectation). */
+  protected def q213(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Checks.benfordDeviation(
+      Tables.lineitem(s, dir), cents(col("l_extendedprice")))
+
+
+  /** Isotonic calibration of the quality score against P(English) —
+    * PAV over the 2¹⁴-quantized score universe
+    * ([[graft.operators.Eval.isotonicCalibration]]): the monotone
+    * score → probability table a pipeline joins on before thresholding,
+    * where q147's bins only diagnose. */
+  protected def q214(s: SparkSession, dir: String): DataFrame = {
+    val stop = Text.langMarkers.toMap.apply("en")
+    graft.operators.Eval.isotonicCalibration(
+      Tables.documents(s, dir)
+        .select(floor(Text.qualityScore(col("text"), stop) * lit(1e6))
+          .cast("long").as("qu"), col("lang")),
+      scoreCol = expr("qu DIV 16384"), positive = col("lang") === "en")
+  }
+
+
+  /** Split-conformal quality threshold per language at α = 1/10
+    * ([[graft.operators.Ranking.conformalThreshold]]): the
+    * ⌈(n+1)·0.9⌉-th smallest score — the finite-sample-valid "keep
+    * scores ≤ q̂ and cover ≥ 90%" cutoff, NULL where a language's
+    * sample is too small to honor the guarantee. */
+  protected def q216(s: SparkSession, dir: String): DataFrame = {
+    val stop = Text.langMarkers.toMap.apply("en")
+    graft.operators.Ranking.conformalThreshold(
+      Tables.documents(s, dir)
+        .select(col("lang"), col("doc_id"),
+          floor(Text.qualityScore(col("text"), stop) * lit(1e6))
+            .cast("long").as("qu")),
+      groupCol = "lang", valueCol = "qu",
+      subBucket = expr("qu DIV 50000"), idCol = "doc_id",
+      alphaNum = 1L, alphaDen = 10L)
+      .orderBy(col("lang"))
+  }
+
+
+  /** Jensen–Shannon divergence between q153's corpus halves — the
+    * symmetric bounded [0, ln 2] drift number
+    * ([[graft.operators.LmScore.jensenShannon]]) release notes can
+    * compare across versions, where q153's KL pair is
+    * direction-sensitive and unbounded. */
+  protected def q217(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(s, dir)
+    graft.operators.LmScore.jensenShannon(
+      d.where(pmod(col("doc_id"), lit(2)) === 0),
+      d.where(pmod(col("doc_id"), lit(2)) === 1), "text")
+  }
+
+
+  /** Log-rank test on q190's time-to-purchase subjects split by user-id
+    * parity ([[graft.operators.Survival.logRank]]): "do the two cohorts
+    * convert at the same rate?" — the significance read two KM curves
+    * alone cannot give. */
+  protected def q220(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+    val signup = ev.where(col("event_type") === "signup")
+      .groupBy(col("user_id")).agg(min(unix_millis(col("ts"))).as("s_ms"))
+    val endMs = ev.agg(max(unix_millis(col("ts"))).as("end_ms"))
+    val purchase = ev.where(col("event_type") === "purchase")
+      .select(col("user_id"), unix_millis(col("ts")).as("p_ms"))
+    val subjects = signup
+      .join(purchase, Seq("user_id"), "left")
+      .groupBy(col("user_id"), col("s_ms"))
+      .agg(min(when(col("p_ms") >= col("s_ms"), col("p_ms"))).as("first_p"))
+      .crossJoin(broadcast(endMs))
+      .select(col("user_id"),
+        when(col("first_p").isNotNull, expr("(first_p - s_ms) DIV 86400000"))
+          .otherwise(expr("(end_ms - s_ms) DIV 86400000")).as("dur"),
+        col("first_p").isNotNull.as("ev"))
+    graft.operators.Survival.logRank(
+      subjects.where(pmod(col("user_id"), lit(2)) === 0),
+      subjects.where(pmod(col("user_id"), lit(2)) === 1),
+      col("dur"), col("ev"))
+  }
+
+
+  /** Wilson 95% interval around each language's quality-pass rate
+    * ([[graft.operators.Eval.wilsonInterval]]) — the honest error band
+    * for the per-language dashboard (stays inside [0,1] and non-zero at
+    * extreme rates, where the naive normal band lies). */
+  protected def q221(s: SparkSession, dir: String): DataFrame = {
+    val stop = Text.langMarkers.toMap.apply("en")
+    graft.operators.Eval.wilsonInterval(
+      Tables.documents(s, dir)
+        .select(col("lang"),
+          floor(Text.qualityScore(col("text"), stop) * lit(1e6))
+            .cast("long").as("qu")),
+      groupCol = "lang", positive = col("qu") >= 500000L)
+      .orderBy(col("lang"))
+  }
+
+
+  /** CMH test: is the long-document → quality-pass association real
+    * WITHIN each language, or a composition artifact
+    * ([[graft.operators.Eval.cmhTest]])? Strata = lang, exposure =
+    * n_chars ≥ 1000, outcome = quality pass — the stratified sign-off
+    * q173's pooled 2×2 cannot give. */
+  protected def q222(s: SparkSession, dir: String): DataFrame = {
+    val stop = Text.langMarkers.toMap.apply("en")
+    graft.operators.Eval.cmhTest(
+      Tables.documents(s, dir)
+        .select(col("lang"), col("n_chars"),
+          floor(Text.qualityScore(col("text"), stop) * lit(1e6))
+            .cast("long").as("qu")),
+      stratumCol = "lang",
+      exposure = col("n_chars") >= 1000L,
+      outcome = col("qu") >= 500000L)
+  }
+
+
+  /** q214's isotonic calibration with SAMPLE WEIGHTS — rows weighted by
+    * a small length-derived importance (`n_chars mod 7 + 1`: a
+    * deterministic 1..7 weight both engines derive identically), so the
+    * monotone score → P(English) table favors the weighted rows
+    * ([[graft.operators.Eval.isotonicWeighted]]). Weighted minimax
+    * oracle: q214's CTE scheme with (n, p) → (Σw, Σw·y). */
+  protected def q228(s: SparkSession, dir: String): DataFrame = {
+    val stop = Text.langMarkers.toMap.apply("en")
+    graft.operators.Eval.isotonicWeighted(
+      Tables.documents(s, dir)
+        .select(floor(Text.qualityScore(col("text"), stop) * lit(1e6))
+          .cast("long").as("qu"), col("lang"), col("n_chars")),
+      scoreCol = expr("qu DIV 16384"),
+      yCol = (col("lang") === "en").cast("long"),
+      weightCol = pmod(col("n_chars"), lit(7)) + lit(1))
+  }
+
+
+  /** Cochran–Armitage trend: does P(English) move monotonically with
+    * the ordered length bucket (0..3 at 250-char steps)? The 2×k
+    * sharpening of q173's independence χ² — all power on the linear
+    * trend ([[graft.operators.Eval.cochranArmitage]]). */
+  protected def q229(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Eval.cochranArmitage(
+      Tables.documents(s, dir),
+      scoreCol = expr("least(n_chars DIV 250, 3)"),
+      positive = col("lang") === "en")
+
+
+  /** Kruskal–Wallis across languages: do the k language cohorts draw
+    * the quality score from the same distribution — the one-shot
+    * rank test before q211's pairwise U reads
+    * ([[graft.operators.Eval.kruskalWallis]]), on q214's quantized
+    * score universe. */
+  protected def q230(s: SparkSession, dir: String): DataFrame = {
+    val stop = Text.langMarkers.toMap.apply("en")
+    graft.operators.Eval.kruskalWallis(
+      Tables.documents(s, dir)
+        .select(col("lang"),
+          floor(Text.qualityScore(col("text"), stop) * lit(1e6))
+            .cast("long").as("qu")),
+      groupCol = "lang", valueCol = expr("qu DIV 16384"),
+      bucketOf = v => shiftright(v, 3))
+  }
+
+
+  /** One-way ANOVA F of the quality score across languages — the
+    * parametric MEANS companion to q230's Kruskal–Wallis (the pair a
+    * pipeline reads together: F moves on means, KW on the whole
+    * distribution) — [[graft.operators.Eval.anovaOneWay]] on the same
+    * quantized score universe. */
+  protected def q233(s: SparkSession, dir: String): DataFrame = {
+    val stop = Text.langMarkers.toMap.apply("en")
+    graft.operators.Eval.anovaOneWay(
+      Tables.documents(s, dir)
+        .select(col("lang"),
+          floor(Text.qualityScore(col("text"), stop) * lit(1e6))
+            .cast("long").as("qu")),
+      groupCol = "lang", valueCol = expr("qu DIV 16384"))
+  }
+
+
+  /** Brown–Forsythe homogeneity of variance across language cohorts —
+    * "is q233's pooled-variance F even admissible": ANOVA on absolute
+    * deviations from each cohort's exact lower median
+    * ([[graft.operators.Eval.brownForsythe]]). */
+  protected def q234(s: SparkSession, dir: String): DataFrame = {
+    val stop = Text.langMarkers.toMap.apply("en")
+    graft.operators.Eval.brownForsythe(
+      Tables.documents(s, dir)
+        .select(col("lang"),
+          floor(Text.qualityScore(col("text"), stop) * lit(1e6))
+            .cast("long").as("qu")),
+      groupCol = "lang", valueCol = expr("qu DIV 16384"))
+  }
+
+
+  /** Friedman + Kendall's W: do the languages rank consistently on
+    * total quality across length-bucket BLOCKS — the repeated-measures
+    * read where q230's KW pools rows (block-level shifts cancel here);
+    * cells are the per-(bucket, language) exact quality sums
+    * ([[graft.operators.Eval.friedmanTest]]). */
+  protected def q235(s: SparkSession, dir: String): DataFrame = {
+    val stop = Text.langMarkers.toMap.apply("en")
+    graft.operators.Eval.friedmanTest(
+      Tables.documents(s, dir)
+        .select(expr("least(n_chars DIV 200, 7)").as("bucket"), col("lang"),
+          (floor(Text.qualityScore(col("text"), stop) * lit(1e6))
+            .cast("long")).as("qu"))
+        .groupBy(col("bucket"), col("lang"))
+        .agg(sum(expr("qu DIV 16384")).as("cell")),
+      blockCol = "bucket", groupCol = "lang", valueCol = col("cell"))
+  }
+
+
+  /** Jonckheere–Terpstra ordered trend: does the quality score tend UP
+    * with the ordered length bucket — q229's dose framing for a
+    * CONTINUOUS response on q230's quantized score universe; all power
+    * on the ordered alternative where q230's KW spreads it over any
+    * difference ([[graft.operators.Eval.jonckheereTerpstra]]). */
+  protected def q237(s: SparkSession, dir: String): DataFrame = {
+    val stop = Text.langMarkers.toMap.apply("en")
+    graft.operators.Eval.jonckheereTerpstra(
+      Tables.documents(s, dir)
+        .select(expr("least(n_chars DIV 250, 3)").as("bucket"),
+          floor(Text.qualityScore(col("text"), stop) * lit(1e6))
+            .cast("long").as("qu")),
+      groupCol = col("bucket"), valueCol = expr("qu DIV 16384"),
+      bucketOf = v => shiftright(v, 3))
+  }
+
+
+  protected def oraclesStats: Map[String, String] = Map(
+
+      // Kendall τ-b: the oracle computes the discordant count D by the
+      // DEFINITION (cell-histogram inequality self-join — DuckDB's IEJoin
+      // handles it at gate scale) rather than the engine's nibble-level
+      // decomposition; the tie terms and the τ readout mirror the exact
+      // HUGEINT // DECIMAL(38) arithmetic and the sqrt·sqrt double chain
+      "q209_kendall" ->
+        s"""WITH pts AS (
+             SELECT n_chars AS x,
+               CAST(floor(${qualitySql(toks)} * 1e6) AS BIGINT) AS y
+             FROM documents),
+           cells AS (SELECT x, y, CAST(count(*) AS HUGEINT) AS c
+                     FROM pts GROUP BY x, y),
+           dd AS (SELECT coalesce(sum(a.c * b.c), 0) AS d
+                  FROM cells a JOIN cells b ON a.x < b.x AND a.y > b.y),
+           base AS (SELECT CAST(sum(c) AS BIGINT) AS n,
+                      coalesce(sum(c * (c - 1) // 2), 0) AS n3
+                    FROM cells),
+           tx AS (SELECT coalesce(sum(t * (t - 1) // 2), 0) AS n1
+                  FROM (SELECT sum(c) AS t FROM cells GROUP BY x)),
+           ty AS (SELECT coalesce(sum(t * (t - 1) // 2), 0) AS n2
+                  FROM (SELECT sum(c) AS t FROM cells GROUP BY y)),
+           t0 AS (SELECT n, CAST(n AS HUGEINT) * (n - 1) // 2 AS np,
+                    n1, n2, n3, d
+                  FROM base CROSS JOIN tx CROSS JOIN ty CROSS JOIN dd)
+           SELECT n,
+             CAST(np AS DOUBLE) AS n_pairs,
+             CAST(n1 AS DOUBLE) AS n_tie_x,
+             CAST(n2 AS DOUBLE) AS n_tie_y,
+             CAST(n3 AS DOUBLE) AS n_tie_xy,
+             CAST(np - n1 - n2 + n3 - d AS DOUBLE) AS concordant,
+             CAST(d AS DOUBLE) AS discordant,
+             CASE WHEN np > n1 AND np > n2 THEN
+               CAST(np - n1 - n2 + n3 - 2 * d AS DOUBLE)
+                 / (sqrt(CAST(np - n1 AS DOUBLE)) * sqrt(CAST(np - n2 AS DOUBLE)))
+             END AS tau_b,
+             CASE WHEN np - n1 - n2 + n3 > 0 THEN
+               CAST(np - n1 - n2 + n3 - 2 * d AS DOUBLE)
+                 / CAST(np - n1 - n2 + n3 AS DOUBLE)
+             END AS gamma,
+             CASE WHEN np > n1 THEN
+               CAST(np - n1 - n2 + n3 - 2 * d AS DOUBLE)
+                 / CAST(np - n1 AS DOUBLE)
+             END AS somers_d_yx
+           FROM t0""",
+
+      // Cohen's κ: q23's langid chain produces the prediction, then the
+      // confusion-cell marginals cross-multiply into the exact
+      // (N·O − E₂)/(N² − E₂) readout — HUGEINT mirror of the engine's
+      // DECIMAL(38) arithmetic
+      "q210_kappa" ->
+        s"""WITH langs AS (
+             SELECT * FROM (VALUES
+               ('de', ['der','die','das','und','ist','nicht','ein','mit']),
+               ('en', ['the','a','of','and','is','to','in','that']),
+               ('es', ['el','la','de','que','y','es','en','un']),
+               ('fr', ['le','la','les','de','et','est','un','une']),
+               ('zh', ['de','shi','bu','le','zai','you','wo','ta'])) l(lang, words)),
+           scores AS (
+             SELECT doc_id, langs.lang AS cand,
+               len(list_filter($toks, t -> list_contains(words, t))) AS hits
+             FROM documents CROSS JOIN langs),
+           best AS (
+             SELECT doc_id, cand, hits,
+               row_number() OVER (PARTITION BY doc_id ORDER BY hits DESC, cand ASC) AS rn
+             FROM scores),
+           pred AS (
+             SELECT d.doc_id, d.lang AS a,
+               CASE WHEN b.hits > 0 THEN b.cand ELSE 'und' END AS b
+             FROM documents d JOIN best b ON b.doc_id = d.doc_id AND b.rn = 1),
+           cells AS (SELECT a, b, CAST(count(*) AS HUGEINT) AS o
+                     FROM pred GROUP BY a, b),
+           ra AS (SELECT a, sum(o) AS r FROM cells GROUP BY a),
+           cb AS (SELECT b, sum(o) AS c FROM cells GROUP BY b),
+           tot AS (SELECT CAST(sum(o) AS BIGINT) AS n,
+                     coalesce(CAST(sum(CASE WHEN a = b THEN o END) AS BIGINT), 0) AS agree
+                   FROM cells),
+           e2 AS (SELECT coalesce(sum(r * c), 0) AS e2
+                  FROM ra JOIN cb ON ra.a = cb.b)
+           SELECT n, agree AS observed_agree,
+             CAST(e2 AS DOUBLE) AS expected_pairs,
+             CASE WHEN CAST(n AS HUGEINT) * n > e2 THEN
+               CAST(CAST(agree AS HUGEINT) * n - e2 AS DOUBLE)
+                 / CAST(CAST(n AS HUGEINT) * n - e2 AS DOUBLE)
+             END AS kappa
+           FROM tot CROSS JOIN e2""",
+
+      // Mann–Whitney off the value histogram: cum_before via one ordered
+      // window over distinct values, then u2/T/num/variance in HUGEINT
+      // mirroring the engine's DECIMAL(38) chain; auc/delta/z the same
+      // IEEE division-and-sqrt order
+      "q211_mann_whitney" ->
+        s"""WITH pts AS (
+             SELECT CAST(floor(${qualitySql(toks)} * 1e6) AS BIGINT) AS v,
+               (lang = 'en') AS p
+             FROM documents),
+           h AS (SELECT v, CAST(count(*) AS BIGINT) AS t,
+                   CAST(sum(CASE WHEN p THEN 1 ELSE 0 END) AS BIGINT) AS pc
+                 FROM pts GROUP BY v),
+           c AS (SELECT v, t, pc,
+                   CAST(coalesce(sum(t) OVER (ORDER BY v
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                     AS BIGINT) AS cb
+                 FROM h),
+           t0 AS (SELECT CAST(coalesce(sum(pc), 0) AS BIGINT) AS n1,
+                    CAST(coalesce(sum(t), 0) AS BIGINT) AS n,
+                    coalesce(sum(CAST(pc AS HUGEINT) * (2 * cb + t + 1)), 0) AS u2,
+                    coalesce(sum(CAST(t AS HUGEINT) * t * t - t), 0) AS tt
+                  FROM c),
+           t1 AS (SELECT n1, n - n1 AS n2, n, u2, tt,
+                    u2 - CAST(n1 AS HUGEINT) * (n1 + 1)
+                      - CAST(n1 AS HUGEINT) * (n - n1) AS num,
+                    (CAST(n AS HUGEINT) + 1) * n * (n - 1) - tt AS a
+                  FROM t0)
+           SELECT n1 AS n_pos, n2 AS n_neg,
+             CAST(u2 AS DOUBLE) AS u2, CAST(tt AS DOUBLE) AS t_ties,
+             CASE WHEN n1 > 0 AND n2 > 0 THEN
+               CAST(u2 - CAST(n1 AS HUGEINT) * (n1 + 1) AS DOUBLE)
+                 / CAST(CAST(2 AS HUGEINT) * n1 * n2 AS DOUBLE) END AS auc,
+             CASE WHEN n1 > 0 AND n2 > 0 THEN
+               CAST(num AS DOUBLE)
+                 / CAST(CAST(n1 AS HUGEINT) * n2 AS DOUBLE) END AS cliffs_delta,
+             CASE WHEN n1 > 0 AND n2 > 0 AND a > 0 THEN
+               CAST(num AS DOUBLE)
+                 / sqrt(CAST(CAST(n1 AS HUGEINT) * n2 AS DOUBLE)
+                     * CAST(a AS DOUBLE)
+                     / CAST(CAST(3 AS HUGEINT) * n * (n - 1) AS DOUBLE))
+             END AS z
+           FROM t1""",
+
+      // Theil–Sen: q180's revenue CTE, then all within-nation pairs with
+      // xa < xb, micro-slopes via HUGEINT floor division (DuckDB //
+      // floors; the engine subtracts pmod first so DIV truncates the
+      // same), and the two middle order statistics by row_number
+      "q212_theil_sen" ->
+        s"""WITH rev AS (SELECT n_name,
+               CAST(date_part('year', o_orderdate) * 12 + date_part('month', o_orderdate) AS BIGINT) AS x,
+               CAST(sum(${C.format("l_extendedprice * (1.0 - l_discount)")}) AS BIGINT) AS y
+             FROM lineitem
+               JOIN orders ON l_orderkey = o_orderkey
+               JOIN customer ON o_custkey = c_custkey
+               JOIN nation ON c_nationkey = n_nationkey
+             GROUP BY 1, 2),
+           pd AS (SELECT a.n_name,
+                    1000000 * (CAST(b.y AS HUGEINT) - a.y) AS nm,
+                    CAST(b.x - a.x AS HUGEINT) AS dx
+                  FROM rev a JOIN rev b
+                    ON a.n_name = b.n_name AND a.x < b.x),
+           -- subtract the NONNEGATIVE remainder first so // (which
+           -- truncates toward zero) lands on the exact quotient = floor
+           pr AS (SELECT n_name,
+                    CAST((nm - ((nm % dx + dx) % dx)) // dx AS BIGINT) AS sm
+                  FROM pd),
+           rk AS (SELECT n_name, sm,
+                    row_number() OVER (PARTITION BY n_name ORDER BY sm) AS rn,
+                    count(*) OVER (PARTITION BY n_name) AS m
+                  FROM pr)
+           SELECT n_name, CAST(max(m) AS BIGINT) AS n_pairs,
+             min(sm) AS slope_micro_lo, max(sm) AS slope_micro_hi,
+             (CAST(min(sm) AS DOUBLE) + CAST(max(sm) AS DOUBLE)) / 2.0 AS slope_micro
+           FROM rk
+           WHERE rn = (m + 1) // 2 OR rn = m // 2 + 1
+           GROUP BY n_name
+           ORDER BY n_name""",
+
+      // Benford: leading digit from the decimal STRING (no float log);
+      // expected probabilities are the engine's plan-time math.log10
+      // literals inlined verbatim (string-cast so DuckDB parses them as
+      // DOUBLE, not DECIMAL); per-digit terms quantized at their site
+      "q213_benford" -> {
+        val ps = (1 to 9).map(d =>
+          s"WHEN sp.digit = $d THEN CAST('${math.log10(1.0 + 1.0 / d)}' AS DOUBLE)")
+          .mkString(" ")
+        s"""WITH src AS (SELECT ${C.format("l_extendedprice")} AS v FROM lineitem),
+           cnt AS (SELECT CAST(substr(CAST(v AS VARCHAR), 1, 1) AS BIGINT) AS digit,
+                     CAST(count(*) AS BIGINT) AS o
+                   FROM src WHERE v > 0 GROUP BY 1),
+           tot AS (SELECT CAST(coalesce(sum(o), 0) AS BIGINT) AS n FROM cnt),
+           sp AS (SELECT range AS digit FROM range(1, 10)),
+           j AS (SELECT sp.digit, coalesce(cnt.o, 0) AS n_obs, tot.n,
+                   CAST(tot.n AS DOUBLE) * (CASE $ps END) AS e
+                 FROM sp LEFT JOIN cnt ON sp.digit = cnt.digit CROSS JOIN tot)
+           SELECT digit, n_obs,
+             CAST(floor(e * 1e6) AS BIGINT) AS exp_micro,
+             CASE WHEN n > 0 THEN
+               CAST(floor((CAST(n_obs AS DOUBLE) - e) * (CAST(n_obs AS DOUBLE) - e)
+                 / e * 1e6) AS BIGINT) END AS term_micro
+           FROM j ORDER BY digit"""
+      },
+
+      // isotonic calibration via the minimax characterization
+      // fit(i) = max_{j<=i} min_{k>=i} avg(j..k): rationals ordered by
+      // the injective HUGEINT key floor(p*10^30/n) and read out as
+      // key // 10^24 (the nested floor-division identity) — exactly the
+      // engine's BigInt PAV values; O(B^3) triples over B <= 62 buckets
+      "q214_isotonic" ->
+        s"""WITH pts AS (
+             SELECT CAST(floor(${qualitySql(toks)} * 1e6) AS BIGINT) // 16384 AS v,
+               (lang = 'en') AS pos
+             FROM documents),
+           h AS (SELECT v, CAST(count(*) AS BIGINT) AS n,
+                   CAST(sum(CASE WHEN pos THEN 1 ELSE 0 END) AS BIGINT) AS p
+                 FROM pts GROUP BY v),
+           o AS (SELECT v, n, p,
+                   row_number() OVER (ORDER BY v) AS i,
+                   sum(n) OVER (ORDER BY v) AS cn,
+                   sum(p) OVER (ORDER BY v) AS cp
+                 FROM h),
+           seg AS (SELECT j.i AS ji, k.i AS ki,
+                     CAST(k.cp - j.cp + j.p AS HUGEINT) AS sp,
+                     CAST(k.cn - j.cn + j.n AS HUGEINT) AS sn
+                   FROM o j JOIN o k ON j.i <= k.i),
+           mn AS (SELECT i.i AS ii, seg.ji,
+                    min(seg.sp * CAST('1000000000000000000000000000000' AS HUGEINT)
+                      // seg.sn) AS mkey
+                  FROM o i JOIN seg ON seg.ji <= i.i AND seg.ki >= i.i
+                  GROUP BY 1, 2),
+           fit AS (SELECT ii, max(mkey) AS fkey FROM mn GROUP BY ii)
+           SELECT o.v AS score_q, o.n, o.p AS n_pos,
+             CAST(fit.fkey // CAST('1000000000000000000000000' AS HUGEINT)
+               AS BIGINT) AS fitted_micro
+           FROM o JOIN fit ON fit.ii = o.i
+           ORDER BY score_q""",
+
+      // weighted isotonic: q214's minimax scheme with (n, p) → (Σw, Σw·y)
+      // — weights 1..7 from n_chars mod 7, same injective HUGEINT key
+      "q228_isotonic_weighted" ->
+        s"""WITH pts AS (
+             SELECT CAST(floor(${qualitySql(toks)} * 1e6) AS BIGINT) // 16384 AS v,
+               CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y,
+               n_chars % 7 + 1 AS w
+             FROM documents),
+           h AS (SELECT v, CAST(sum(w) AS BIGINT) AS wn,
+                   CAST(sum(w * y) AS BIGINT) AS wy
+                 FROM pts GROUP BY v),
+           o AS (SELECT v, wn, wy,
+                   row_number() OVER (ORDER BY v) AS i,
+                   sum(wn) OVER (ORDER BY v) AS cn,
+                   sum(wy) OVER (ORDER BY v) AS cp
+                 FROM h),
+           seg AS (SELECT j.i AS ji, k.i AS ki,
+                     CAST(k.cp - j.cp + j.wy AS HUGEINT) AS sp,
+                     CAST(k.cn - j.cn + j.wn AS HUGEINT) AS sn
+                   FROM o j JOIN o k ON j.i <= k.i),
+           mn AS (SELECT i.i AS ii, seg.ji,
+                    min((seg.sp * CAST('1000000000000000000000000000000' AS HUGEINT)
+                      - ((seg.sp * CAST('1000000000000000000000000000000' AS HUGEINT)
+                          % seg.sn + seg.sn) % seg.sn))
+                      // seg.sn) AS mkey
+                  FROM o i JOIN seg ON seg.ji <= i.i AND seg.ki >= i.i
+                  GROUP BY 1, 2),
+           fit AS (SELECT ii, max(mkey) AS fkey FROM mn GROUP BY ii)
+           SELECT o.v AS score_q, o.wn AS w_sum, o.wy AS wy_sum,
+             CAST((fit.fkey - ((fit.fkey % CAST('1000000000000000000000000' AS HUGEINT)
+                 + CAST('1000000000000000000000000' AS HUGEINT))
+                 % CAST('1000000000000000000000000' AS HUGEINT)))
+               // CAST('1000000000000000000000000' AS HUGEINT)
+               AS BIGINT) AS fitted_micro
+           FROM o JOIN fit ON fit.ii = o.i
+           ORDER BY score_q""",
+
+      // Cochran–Armitage: five conditional sums, the exact-integer U and
+      // cross-multiplied variance core, z the verbatim IEEE chain
+      "q229_cochran_armitage" ->
+        """WITH t AS (
+             SELECT least(n_chars // 250, 3) AS s,
+               CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS p
+             FROM documents),
+           a AS (SELECT CAST(count(*) AS BIGINT) AS n,
+                   CAST(sum(p) AS BIGINT) AS r,
+                   CAST(sum(s) AS BIGINT) AS s1,
+                   CAST(sum(CAST(s AS HUGEINT) * s) AS HUGEINT) AS s2,
+                   CAST(sum(s * p) AS BIGINT) AS sr
+                 FROM t),
+           b AS (SELECT n, r, s1, s2, sr,
+                   CAST(n AS HUGEINT) * sr - CAST(r AS HUGEINT) * s1 AS u,
+                   CAST(r AS HUGEINT) * (n - r) *
+                     (CAST(n AS HUGEINT) * s2 - CAST(s1 AS HUGEINT) * s1) AS den
+                 FROM a)
+           SELECT n, r, s1, CAST(s2 AS DOUBLE) AS s2, sr,
+             CAST(u AS DOUBLE) AS u,
+             CASE WHEN den > 0 THEN
+               CAST(u AS DOUBLE) * sqrt(CAST(n AS DOUBLE))
+                 / sqrt(CAST(den AS DOUBLE))
+             END AS z
+           FROM b""",
+
+      // Friedman: complete blocks only, doubled midranks via the
+      // strictly-below RANGE window, exact D_g/Den2 integers, chi2 and
+      // W the verbatim trailing chains
+      "q235_friedman" -> {
+        val chi2Sql =
+          """CAST((k - 1) * ddv AS DOUBLE) / CAST(den AS DOUBLE)"""
+        s"""WITH pts AS (
+             SELECT least(n_chars // 200, 7) AS b, lang AS g,
+               CAST(floor(${qualitySql(toks)} * 1e6) AS BIGINT) // 16384 AS qu
+             FROM documents),
+           cells AS (SELECT b, g, CAST(sum(qu) AS BIGINT) AS y
+                     FROM pts GROUP BY 1, 2),
+           kk AS (SELECT CAST(count(DISTINCT g) AS BIGINT) AS k FROM cells),
+           comp AS (SELECT c.b, c.g, c.y
+                    FROM cells c
+                      JOIN (SELECT b, count(*) AS nb FROM cells GROUP BY b) t
+                        ON t.b = c.b
+                      CROSS JOIN kk
+                    WHERE t.nb = kk.k),
+           rk AS (SELECT b, g,
+                    CAST(2 * coalesce(count(*) OVER (PARTITION BY b ORDER BY y
+                        RANGE BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                      + count(*) OVER (PARTITION BY b, y) + 1 AS BIGINT) AS r2
+                  FROM comp),
+           pg AS (SELECT g, CAST(count(*) AS BIGINT) AS n,
+                    CAST(sum(r2) AS BIGINT) AS rg2,
+                    CAST(sum(CAST(r2 AS HUGEINT) * r2) AS HUGEINT) AS sq
+                  FROM rk GROUP BY g),
+           tot1 AS (SELECT CAST(max(n) AS BIGINT) AS n,
+                      CAST(count(*) AS BIGINT) AS k,
+                      CAST(sum(sq) AS HUGEINT) AS ssq
+                    FROM pg),
+           dd AS (SELECT CAST(sum(
+                    (CAST(rg2 AS HUGEINT) - CAST(pg.n AS HUGEINT) * (tot1.k + 1))
+                    * (CAST(rg2 AS HUGEINT) - CAST(pg.n AS HUGEINT) * (tot1.k + 1)))
+                    AS HUGEINT) AS ddv
+                  FROM pg CROSS JOIN tot1),
+           fin AS (SELECT n, k, ddv, ssq,
+                     ssq - CAST(n AS HUGEINT) * k * (k + 1) * (k + 1) AS den
+                   FROM tot1 CROSS JOIN dd)
+           SELECT n AS n_blocks, k AS k_groups,
+             CASE WHEN n > 0 AND k >= 2 AND den > 0 THEN $chi2Sql
+             END AS chi2,
+             CASE WHEN n > 0 AND k >= 2 AND den > 0 THEN
+               ($chi2Sql) / CAST(n * (k - 1) AS DOUBLE)
+             END AS kendalls_w
+           FROM fin"""
+      },
+
+      // one-way ANOVA: per-group exact sums, both divisions floor-
+      // quantized micro at their sites, F the verbatim IEEE chain
+      // (generator shared with q234, whose source is the |y − med_g|
+      // deviation table)
+      "q233_anova" ->
+        s"""WITH pts AS (
+             SELECT lang AS g,
+               CAST(floor(${qualitySql(toks)} * 1e6) AS BIGINT) // 16384 AS y
+             FROM documents),
+           ${anovaSql("pts")}""",
+
+      // Brown–Forsythe: per-group LOWER-MEDIAN order statistic off the
+      // cell histogram, then the ANOVA block verbatim on |y − med_g|
+      "q234_brown_forsythe" ->
+        s"""WITH pts AS (
+             SELECT lang AS g,
+               CAST(floor(${qualitySql(toks)} * 1e6) AS BIGINT) // 16384 AS y
+             FROM documents),
+           cells AS (SELECT g, y AS v, CAST(count(*) AS BIGINT) AS c
+                     FROM pts GROUP BY 1, 2),
+           cum AS (SELECT g, v,
+                     sum(c) OVER (PARTITION BY g ORDER BY v) AS cumc,
+                     sum(c) OVER (PARTITION BY g) AS ng
+                   FROM cells),
+           med AS (SELECT g, min(v) AS medv FROM cum
+                   WHERE cumc >= (ng + 1) // 2 GROUP BY g),
+           z AS (SELECT pts.g, abs(pts.y - med.medv) AS y
+                 FROM pts JOIN med ON med.g = pts.g),
+           ${anovaSql("z")}""",
+
+      // Kruskal–Wallis: cell histogram → strictly-before cumulative →
+      // doubled rank sums; per-group term floor-quantized micro at its
+      // site (nonneg // ≡ floor), H/H' the verbatim IEEE chains
+      "q230_kruskal_wallis" ->
+        s"""WITH pts AS (
+             SELECT lang AS g,
+               CAST(floor(${qualitySql(toks)} * 1e6) AS BIGINT) // 16384 AS v
+             FROM documents),
+           cells AS (SELECT g, v, CAST(count(*) AS BIGINT) AS c
+                     FROM pts GROUP BY 1, 2),
+           vh AS (SELECT v, CAST(sum(c) AS BIGINT) AS t
+                  FROM cells GROUP BY v),
+           vc AS (SELECT v, t,
+                    CAST(sum(t) OVER (ORDER BY v) - t AS BIGINT) AS cb
+                  FROM vh),
+           pg AS (SELECT g, CAST(sum(c) AS BIGINT) AS ng,
+                    CAST(sum(CAST(c AS HUGEINT) * (2 * vc.cb + vc.t + 1))
+                      AS HUGEINT) AS r2
+                  FROM cells JOIN vc ON vc.v = cells.v GROUP BY g),
+           tg AS (SELECT ng, (r2 * r2 * 1000000) // CAST(ng AS HUGEINT) AS tg
+                  FROM pg),
+           tot AS (SELECT CAST(sum(ng) AS BIGINT) AS n,
+                     CAST(count(*) AS BIGINT) AS k,
+                     CAST(sum(tg) AS HUGEINT) AS st
+                   FROM tg),
+           tt AS (SELECT CAST(sum(CAST(t AS HUGEINT) * t * t - t)
+                    AS HUGEINT) AS ttv
+                  FROM vh)
+           SELECT n, k AS k_groups, CAST(ttv AS DOUBLE) AS t_ties,
+             CASE WHEN k >= 2 AND n >= 2 THEN
+               3.0 * (CAST(st AS DOUBLE) / 1000000.0)
+                 / CAST(CAST(n AS HUGEINT) * (n + 1) AS DOUBLE)
+                 - 3.0 * CAST(n + 1 AS DOUBLE)
+             END AS h,
+             CASE WHEN k >= 2 AND n >= 2
+                 AND CAST(n AS HUGEINT) * n * n - n > ttv THEN
+               (3.0 * (CAST(st AS DOUBLE) / 1000000.0)
+                 / CAST(CAST(n AS HUGEINT) * (n + 1) AS DOUBLE)
+                 - 3.0 * CAST(n + 1 AS DOUBLE))
+               / (1.0 - CAST(ttv AS DOUBLE)
+                 / CAST(CAST(n AS HUGEINT) * n * n - n AS DOUBLE))
+             END AS h_tie
+           FROM tot CROSS JOIN tt""",
+
+      // Jonckheere–Terpstra: dense (group × value) frame, within-group
+      // cumulative-below + cross-group LB/LE windows give the doubled
+      // 2J exactly; z chains mirror the Spark side verbatim (B's two
+      // tie/group factors multiply as DOUBLES — the budget-free form)
+      "q237_jonckheere" ->
+        s"""WITH pts AS (
+             SELECT least(n_chars // 250, 3) AS g,
+               CAST(floor(${qualitySql(toks)} * 1e6) AS BIGINT) // 16384 AS v
+             FROM documents),
+           cells AS (SELECT g, v, CAST(count(*) AS BIGINT) AS c
+                     FROM pts GROUP BY 1, 2),
+           vh AS (SELECT v, CAST(sum(c) AS BIGINT) AS t FROM cells GROUP BY v),
+           gs AS (SELECT DISTINCT g FROM cells),
+           dense AS (SELECT gs.g AS g, vh.v AS v, coalesce(cells.c, 0) AS c0
+                     FROM gs CROSS JOIN vh
+                     LEFT JOIN cells ON cells.g = gs.g AND cells.v = vh.v),
+           cum AS (SELECT g, v, c0,
+                     CAST(coalesce(sum(c0) OVER (PARTITION BY g ORDER BY v
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                       AS BIGINT) AS cb
+                   FROM dense),
+           sw AS (SELECT g, v, c0, cb,
+                    CAST(coalesce(sum(c0) OVER wv, 0) AS BIGINT) AS le,
+                    CAST(coalesce(sum(cb) OVER wv, 0) AS HUGEINT) AS lb
+                  FROM cum
+                  WINDOW wv AS (PARTITION BY v ORDER BY g
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)),
+           s2 AS (SELECT CAST(coalesce(sum(CAST(c0 AS HUGEINT) *
+                    (2 * lb + le)), 0) AS HUGEINT) AS s2 FROM sw),
+           pg AS (SELECT g, CAST(sum(c) AS BIGINT) AS ng FROM cells GROUP BY g),
+           ga AS (SELECT CAST(sum(ng) AS BIGINT) AS n,
+                    CAST(count(*) AS BIGINT) AS k,
+                    CAST(sum(CAST(ng AS HUGEINT) * ng) AS HUGEINT) AS sn2,
+                    CAST(sum(CAST(ng AS HUGEINT) * ng * (2 * ng + 3))
+                      AS HUGEINT) AS sn23,
+                    CAST(sum(CAST(ng AS HUGEINT) * (ng - 1) * (2 * ng + 5))
+                      AS HUGEINT) AS g25,
+                    CAST(sum(CAST(ng AS HUGEINT) * (ng - 1) * (ng - 2))
+                      AS HUGEINT) AS g3,
+                    CAST(sum(CAST(ng AS HUGEINT) * (ng - 1)) AS HUGEINT) AS g2
+                  FROM pg),
+           ta AS (SELECT
+                    CAST(coalesce(sum(CAST(t AS HUGEINT) * (t - 1) * (2 * t + 5)), 0)
+                      AS HUGEINT) AS t25,
+                    CAST(coalesce(sum(CAST(t AS HUGEINT) * (t - 1) * (t - 2)), 0)
+                      AS HUGEINT) AS t3,
+                    CAST(coalesce(sum(CAST(t AS HUGEINT) * (t - 1)), 0)
+                      AS HUGEINT) AS t2
+                  FROM vh)
+           SELECT n, k AS k_groups, CAST(s2 AS DOUBLE) AS j2,
+             CAST(2 * s2 - (CAST(n AS HUGEINT) * n - sn2) AS DOUBLE) AS num2,
+             CASE WHEN k >= 2
+                 AND CAST(n AS HUGEINT) * n * (2 * n + 3) - sn23 > 0 THEN
+               CAST(2 * s2 - (CAST(n AS HUGEINT) * n - sn2) AS DOUBLE)
+                 / (4.0 * sqrt(CAST(CAST(n AS HUGEINT) * n * (2 * n + 3) - sn23
+                     AS DOUBLE) / 72.0))
+             END AS z,
+             CASE WHEN k >= 2 AND n >= 3
+                 AND (CAST(CAST(n AS HUGEINT) * (n - 1) * (2 * n + 5) - g25 - t25
+                       AS DOUBLE) / 72.0
+                   + CAST(g3 AS DOUBLE) * CAST(t3 AS DOUBLE)
+                     / (36.0 * CAST(CAST(n AS HUGEINT) * (n - 1) * (n - 2) AS DOUBLE))
+                   + CAST(g2 AS DOUBLE) * CAST(t2 AS DOUBLE)
+                     / (8.0 * CAST(CAST(n AS HUGEINT) * (n - 1) AS DOUBLE))) > 0 THEN
+               CAST(2 * s2 - (CAST(n AS HUGEINT) * n - sn2) AS DOUBLE)
+                 / (4.0 * sqrt(
+                     CAST(CAST(n AS HUGEINT) * (n - 1) * (2 * n + 5) - g25 - t25
+                       AS DOUBLE) / 72.0
+                   + CAST(g3 AS DOUBLE) * CAST(t3 AS DOUBLE)
+                     / (36.0 * CAST(CAST(n AS HUGEINT) * (n - 1) * (n - 2) AS DOUBLE))
+                   + CAST(g2 AS DOUBLE) * CAST(t2 AS DOUBLE)
+                     / (8.0 * CAST(CAST(n AS HUGEINT) * (n - 1) AS DOUBLE))))
+             END AS z_tie
+           FROM ga CROSS JOIN s2 CROSS JOIN ta""",
+
+      // conformal: rank k = ceil((n+1)*9/10) via pure-integer ceil,
+      // tie-broken rank selection, and a LEFT join so an infeasible
+      // (k > n) group reports NULL rather than a clamped lie
+      "q216_conformal" ->
+        s"""WITH pts AS (
+             SELECT lang, doc_id,
+               CAST(floor(${qualitySql(toks)} * 1e6) AS BIGINT) AS qu
+             FROM documents),
+           r AS (SELECT lang, qu,
+                   row_number() OVER (PARTITION BY lang ORDER BY qu, doc_id) AS rk
+                 FROM pts),
+           sz AS (SELECT lang, CAST(count(*) AS BIGINT) AS n,
+                    CAST(((count(*) + 1) * 9 + 9) // 10 AS BIGINT) AS k
+                  FROM pts GROUP BY lang)
+           SELECT sz.lang, sz.n, sz.k, r.qu AS threshold
+           FROM sz LEFT JOIN r ON r.lang = sz.lang AND r.rk = sz.k
+           ORDER BY sz.lang""",
+
+      // JSD: q153's CTEs with the mixture log-ratios — the common
+      // (ta+v)(tb+v) normalizer cancels inside 2p/(p+q), so each term is
+      // one double chain over exact integer cross-products, quantized at
+      // its site; HUGEINT sums mirror the engine's DECIMAL(38)
+      "q217_jensen_shannon" ->
+        s"""WITH ca AS (
+             SELECT tok, CAST(count(*) AS BIGINT) AS c FROM (
+               SELECT unnest($toks) AS tok FROM documents WHERE doc_id % 2 = 0) t
+             GROUP BY tok),
+           cb AS (
+             SELECT tok, CAST(count(*) AS BIGINT) AS c FROM (
+               SELECT unnest($toks) AS tok FROM documents WHERE doc_id % 2 = 1) t
+             GROUP BY tok),
+           m AS (SELECT coalesce(ca.c, 0) AS ca, coalesce(cb.c, 0) AS cb
+                 FROM ca FULL OUTER JOIN cb ON ca.tok = cb.tok),
+           s AS (SELECT CAST(sum(ca) AS BIGINT) AS ta,
+                   CAST(sum(cb) AS BIGINT) AS tb,
+                   CAST(count(*) AS BIGINT) AS v FROM m),
+           q AS (SELECT ca, cb, ta, tb, v,
+                   CAST(round(ln(2.0 * (CAST(ca + 1 AS DOUBLE) * CAST(tb + v AS DOUBLE))
+                     / (CAST(ca + 1 AS DOUBLE) * CAST(tb + v AS DOUBLE)
+                        + CAST(cb + 1 AS DOUBLE) * CAST(ta + v AS DOUBLE)))
+                     * 1e6) AS BIGINT) AS qa,
+                   CAST(round(ln(2.0 * (CAST(cb + 1 AS DOUBLE) * CAST(ta + v AS DOUBLE))
+                     / (CAST(ca + 1 AS DOUBLE) * CAST(tb + v AS DOUBLE)
+                        + CAST(cb + 1 AS DOUBLE) * CAST(ta + v AS DOUBLE)))
+                     * 1e6) AS BIGINT) AS qb
+                 FROM m CROSS JOIN s)
+           SELECT ta AS n_tok_a, tb AS n_tok_b, v AS vocab,
+             CAST(CAST(sum(CAST(ca + 1 AS HUGEINT) * qa) AS HUGEINT) AS DOUBLE) AS js_a_unats,
+             CAST(CAST(sum(CAST(cb + 1 AS HUGEINT) * qb) AS HUGEINT) AS DOUBLE) AS js_b_unats,
+             0.5 * (CAST(sum(CAST(ca + 1 AS HUGEINT) * qa) AS DOUBLE)
+                 / (CAST(ta + v AS DOUBLE) * 1e6)
+               + CAST(sum(CAST(cb + 1 AS HUGEINT) * qb) AS DOUBLE)
+                 / (CAST(tb + v AS DOUBLE) * 1e6)) AS jsd
+           FROM q GROUP BY ta, tb, v""",
+
+      // log-rank: q190's subject CTEs carried per user-parity cohort,
+      // risk sets via the same suffix windows, each day's E/V one
+      // mirrored double chain quantized micro at its site, chi2 the
+      // single trailing IEEE chain
+      "q220_logrank" ->
+        """WITH su AS (SELECT user_id, min(epoch_ms(ts)) AS s_ms
+               FROM events WHERE event_type = 'signup' GROUP BY 1),
+           en AS (SELECT max(epoch_ms(ts)) AS end_ms FROM events),
+           pu AS (SELECT user_id, epoch_ms(ts) AS p_ms
+                  FROM events WHERE event_type = 'purchase'),
+           subj AS (SELECT su.user_id, su.s_ms,
+                      min(CASE WHEN pu.p_ms >= su.s_ms THEN pu.p_ms END) AS first_p
+                    FROM su LEFT JOIN pu ON pu.user_id = su.user_id
+                    GROUP BY 1, 2),
+           dd AS (SELECT user_id % 2 = 0 AS ga,
+                    CASE WHEN first_p IS NOT NULL THEN (first_p - s_ms) // 86400000
+                      ELSE (end_ms - s_ms) // 86400000 END AS t,
+                    first_p IS NOT NULL AS e
+                  FROM subj CROSS JOIN en),
+           h AS (SELECT t,
+                   CAST(sum(CASE WHEN ga AND e THEN 1 ELSE 0 END) AS BIGINT) AS da,
+                   CAST(sum(CASE WHEN ga THEN 1 ELSE 0 END) AS BIGINT) AS ta,
+                   CAST(sum(CASE WHEN NOT ga AND e THEN 1 ELSE 0 END) AS BIGINT) AS db,
+                   CAST(sum(CASE WHEN NOT ga THEN 1 ELSE 0 END) AS BIGINT) AS tb
+                 FROM dd GROUP BY t),
+           nn AS (SELECT CAST(sum(ta) AS BIGINT) AS na,
+                    CAST(sum(tb) AS BIGINT) AS nb FROM h),
+           r AS (SELECT t, da, db,
+                   na - coalesce(sum(ta) OVER (ORDER BY t
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS ra,
+                   nb - coalesce(sum(tb) OVER (ORDER BY t
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS rb,
+                   na, nb
+                 FROM h CROSS JOIN nn),
+           terms AS (SELECT na, nb, da,
+                   CAST(round(CAST(da + db AS DOUBLE) * CAST(ra AS DOUBLE)
+                     / CAST(ra + rb AS DOUBLE) * 1e6) AS BIGINT) AS em,
+                   CASE WHEN ra + rb > 1 THEN
+                     CAST(round(CAST(da + db AS DOUBLE) * CAST(ra AS DOUBLE)
+                       / CAST(ra + rb AS DOUBLE) * CAST(rb AS DOUBLE)
+                       / CAST(ra + rb AS DOUBLE)
+                       * CAST(ra + rb - da - db AS DOUBLE)
+                       / CAST(ra + rb - 1 AS DOUBLE) * 1e6) AS BIGINT)
+                   ELSE 0 END AS vm
+                 FROM r WHERE da + db > 0)
+           SELECT na AS n_a, nb AS n_b,
+             CAST(sum(da) AS BIGINT) AS o_a,
+             CAST(sum(em) AS BIGINT) AS e_a_micro,
+             CAST(sum(vm) AS BIGINT) AS v_micro,
+             CASE WHEN sum(vm) > 0 THEN
+               (CAST(sum(da) AS DOUBLE) - CAST(sum(em) AS DOUBLE) / 1e6)
+                 * (CAST(sum(da) AS DOUBLE) - CAST(sum(em) AS DOUBLE) / 1e6)
+                 / (CAST(sum(vm) AS DOUBLE) / 1e6)
+             END AS chi2
+           FROM terms GROUP BY na, nb""",
+
+      // Wilson: the engine's IEEE chain verbatim — z inlined as the same
+      // string-cast double literal, every sub-expression in the same order
+      "q221_wilson" -> {
+        val z = "CAST('1.959963984540054' AS DOUBLE)"
+        s"""WITH pts AS (
+             SELECT lang,
+               CAST(floor(${qualitySql(toks)} * 1e6) AS BIGINT) AS qu
+             FROM documents),
+           g AS (SELECT lang, CAST(count(*) AS BIGINT) AS n,
+                   CAST(sum(CASE WHEN qu >= 500000 THEN 1 ELSE 0 END) AS BIGINT) AS n_pos
+                 FROM pts GROUP BY lang)
+           SELECT lang, n, n_pos,
+             CAST(n_pos AS DOUBLE) / CAST(n AS DOUBLE) AS rate,
+             ((CAST(n_pos AS DOUBLE) / CAST(n AS DOUBLE)
+                 + $z * $z / CAST(n AS DOUBLE) / 2.0)
+               / (1.0 + $z * $z / CAST(n AS DOUBLE)))
+             - ($z * sqrt(CAST(n_pos AS DOUBLE) / CAST(n AS DOUBLE)
+                   * (1.0 - CAST(n_pos AS DOUBLE) / CAST(n AS DOUBLE))
+                   / CAST(n AS DOUBLE)
+                 + $z * $z / CAST(n AS DOUBLE) / (4.0 * CAST(n AS DOUBLE)))
+               / (1.0 + $z * $z / CAST(n AS DOUBLE))) AS wilson_lo,
+             ((CAST(n_pos AS DOUBLE) / CAST(n AS DOUBLE)
+                 + $z * $z / CAST(n AS DOUBLE) / 2.0)
+               / (1.0 + $z * $z / CAST(n AS DOUBLE)))
+             + ($z * sqrt(CAST(n_pos AS DOUBLE) / CAST(n AS DOUBLE)
+                   * (1.0 - CAST(n_pos AS DOUBLE) / CAST(n AS DOUBLE))
+                   / CAST(n AS DOUBLE)
+                 + $z * $z / CAST(n AS DOUBLE) / (4.0 * CAST(n AS DOUBLE)))
+               / (1.0 + $z * $z / CAST(n AS DOUBLE))) AS wilson_hi
+           FROM g ORDER BY lang"""
+      },
+
+      // CMH: per-language 2x2 cells by conditional sums, each stratum's
+      // E/V/ad/bc one mirrored double chain quantized micro at its site,
+      // pooled chi2 and the MH odds ratio single trailing IEEE chains
+      "q222_cmh" ->
+        s"""WITH pts AS (
+             SELECT lang, n_chars >= 1000 AS x,
+               CAST(floor(${qualitySql(toks)} * 1e6) AS BIGINT) >= 500000 AS y
+             FROM documents),
+           cells AS (SELECT lang,
+               CAST(sum(CASE WHEN x AND y THEN 1 ELSE 0 END) AS BIGINT) AS a,
+               CAST(sum(CASE WHEN x AND NOT y THEN 1 ELSE 0 END) AS BIGINT) AS b,
+               CAST(sum(CASE WHEN NOT x AND y THEN 1 ELSE 0 END) AS BIGINT) AS c,
+               CAST(sum(CASE WHEN NOT x AND NOT y THEN 1 ELSE 0 END) AS BIGINT) AS d
+             FROM pts GROUP BY lang),
+           terms AS (SELECT a + b + c + d AS t, a,
+               CAST(round(CAST(a + b AS DOUBLE) * CAST(a + c AS DOUBLE)
+                 / CAST(a + b + c + d AS DOUBLE) * 1e6) AS BIGINT) AS em,
+               CASE WHEN a + b + c + d > 1 THEN
+                 CAST(round(CAST(a + b AS DOUBLE) * CAST(c + d AS DOUBLE)
+                   / CAST(a + b + c + d AS DOUBLE) * CAST(a + c AS DOUBLE)
+                   / CAST(a + b + c + d AS DOUBLE) * CAST(b + d AS DOUBLE)
+                   / CAST(a + b + c + d - 1 AS DOUBLE) * 1e6) AS BIGINT)
+               ELSE 0 END AS vm,
+               CAST(round(CAST(a AS DOUBLE) * CAST(d AS DOUBLE)
+                 / CAST(a + b + c + d AS DOUBLE) * 1e6) AS BIGINT) AS onn,
+               CAST(round(CAST(b AS DOUBLE) * CAST(c AS DOUBLE)
+                 / CAST(a + b + c + d AS DOUBLE) * 1e6) AS BIGINT) AS od
+             FROM cells)
+           SELECT CAST(sum(t) AS BIGINT) AS n,
+             CAST(count(*) AS BIGINT) AS n_strata,
+             CAST(sum(a) AS BIGINT) AS sum_a,
+             CAST(sum(em) AS BIGINT) AS e_micro,
+             CAST(sum(vm) AS BIGINT) AS v_micro,
+             CAST(sum(onn) AS BIGINT) AS or_num_micro,
+             CAST(sum(od) AS BIGINT) AS or_den_micro,
+             CASE WHEN sum(vm) > 0 THEN
+               (CAST(sum(a) AS DOUBLE) - CAST(sum(em) AS DOUBLE) / 1e6)
+                 * (CAST(sum(a) AS DOUBLE) - CAST(sum(em) AS DOUBLE) / 1e6)
+                 / (CAST(sum(vm) AS DOUBLE) / 1e6)
+             END AS chi2,
+             CASE WHEN sum(od) > 0 THEN
+               CAST(sum(onn) AS DOUBLE) / CAST(sum(od) AS DOUBLE)
+             END AS or_mh
+           FROM terms""",
+
+      // exact interpolated medians (q46's quantile_cont parity), then one
+      // fixed IEEE sequence for the score — even the flag hash-matches;
+      // MAD = 0 groups score NULL and never flag on either engine
+      "q121_robust_zscore" ->
+        s"""WITH f AS (SELECT l_returnflag, ${C.format("l_extendedprice")} AS price_c,
+               l_orderkey, l_linenumber FROM lineitem),
+           m AS (SELECT l_returnflag, quantile_cont(price_c, 0.5) AS v_med
+                 FROM f GROUP BY 1),
+           d AS (SELECT f.*, m.v_med,
+               abs(CAST(price_c AS DOUBLE) - v_med) AS dev
+             FROM f JOIN m USING (l_returnflag)),
+           md AS (SELECT l_returnflag, quantile_cont(dev, 0.5) AS v_mad
+                  FROM d GROUP BY 1)
+           SELECT d.l_returnflag, price_c, l_orderkey, l_linenumber, v_med, v_mad,
+             CASE WHEN v_mad = 0 THEN NULL
+                  ELSE 0.6745 * (CAST(price_c AS DOUBLE) - v_med) / v_mad END AS score,
+             coalesce(abs(CASE WHEN v_mad = 0 THEN NULL
+                  ELSE 0.6745 * (CAST(price_c AS DOUBLE) - v_med) / v_mad END) > 3.5,
+               false) AS is_outlier
+           FROM d JOIN md USING (l_returnflag)
+           ORDER BY l_returnflag, price_c, l_orderkey, l_linenumber""",
+
+      // Mann–Whitney midrank arithmetic mirrored literally: row_number
+      // over the identical (score, id) order, per-score min/max ranks,
+      // u2 = Σ pos·(mn+mx) — zero float work until the final division
+      "q146_auc_exact" ->
+        """WITH r AS (
+             SELECT embedding[2] AS s, (label % 2 = 0) AS pos,
+               CAST(row_number() OVER (ORDER BY embedding[2], vec_id) AS BIGINT) AS rn
+             FROM embeddings),
+           g AS (SELECT s, min(rn) AS mn, max(rn) AS mx,
+                   CAST(sum(CASE WHEN pos THEN 1 ELSE 0 END) AS BIGINT) AS pc
+                 FROM r GROUP BY s),
+           t AS (SELECT CAST(sum(pc) AS BIGINT) AS n_pos,
+                   CAST(max(mx) AS BIGINT) AS n,
+                   CAST(sum(pc * (mn + mx)) AS BIGINT) AS u2 FROM g)
+           SELECT n_pos, n - n_pos AS n_neg, u2,
+             CASE WHEN n_pos > 0 AND n - n_pos > 0 THEN
+               CAST(u2 - n_pos * (n_pos + 1) AS DOUBLE)
+                 / CAST(2 * n_pos * (n - n_pos) AS DOUBLE)
+             END AS auc
+           FROM t""",
+
+      // ntile(10) IS the equi-depth bin arithmetic (the q117 precedent);
+      // pos_rate is one division of exact integers, bounds are min/max
+      "q147_calibration_bins" ->
+        """WITH r AS (
+             SELECT embedding[2] AS s, (label % 2 = 0) AS pos,
+               ntile(10) OVER (ORDER BY embedding[2], vec_id) AS bin
+             FROM embeddings)
+           SELECT bin, CAST(count(*) AS BIGINT) AS n_rows,
+             CAST(sum(CASE WHEN pos THEN 1 ELSE 0 END) AS BIGINT) AS n_pos,
+             CAST(sum(CASE WHEN pos THEN 1 ELSE 0 END) AS DOUBLE)
+               / CAST(count(*) AS DOUBLE) AS pos_rate,
+             min(s) AS score_min, max(s) AS score_max
+           FROM r GROUP BY bin ORDER BY bin""",
+
+      // both system ranks mirrored as plain row_numbers over the same
+      // total orders; each reciprocal quantized to round(1e6/(60+r))
+      // BEFORE the sum, so both engines fuse identical integers
+      "q155_rank_fusion" ->
+        s"""WITH a AS (
+             SELECT doc_id, CAST(row_number() OVER
+               (ORDER BY -n_chars, doc_id) AS BIGINT) AS r FROM documents),
+           b AS (
+             SELECT doc_id, CAST(row_number() OVER (ORDER BY fp, doc_id) AS BIGINT) AS r
+             FROM (SELECT doc_id, list_reduce(
+                 list_prepend(CAST(0 AS BIGINT),
+                   list_transform(list_filter(string_split($norm, ''), c -> len(c) > 0),
+                     c -> CAST(ord(c) AS BIGINT))),
+                 (x, y) -> (x * 31 + y) % 1000000007) AS fp FROM documents) t),
+           u AS (SELECT doc_id, r FROM a UNION ALL SELECT doc_id, r FROM b)
+           SELECT doc_id,
+             CAST(sum(CAST(round(1e6 / CAST(r + 60 AS DOUBLE)) AS BIGINT)) AS BIGINT)
+               AS rrf_unats,
+             CAST(count(*) AS BIGINT) AS n_systems
+           FROM u GROUP BY doc_id
+           ORDER BY rrf_unats DESC, doc_id LIMIT 50""",
+
+      // identical integer trim cut (gn*1)//10 against the same
+      // (value, id) row_number order
+      "q156_trimmed_stats" ->
+        """WITH r AS (
+             SELECT source, n_chars,
+               CAST(row_number() OVER (PARTITION BY source ORDER BY n_chars, doc_id) AS BIGINT) AS rnk,
+               CAST(count(*) OVER (PARTITION BY source) AS BIGINT) AS gn
+             FROM documents),
+           k AS (SELECT *, (gn * 1) // 10 AS t FROM r)
+           SELECT source, CAST(max(gn) AS BIGINT) AS n_total,
+             CAST(count(*) AS BIGINT) AS n_kept,
+             CAST(sum(n_chars) AS BIGINT) AS sum_kept,
+             min(n_chars) AS min_kept, max(n_chars) AS max_kept,
+             CAST(sum(n_chars) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS trimmed_mean
+           FROM k WHERE rnk > t AND rnk <= gn - t
+           GROUP BY source ORDER BY source""",
+
+      // ntile(10) edges (the q117 bin-for-bin parity), value-rule
+      // re-assignment bin = 1 + #{edges < v} on BOTH snapshots, add-1
+      // smoothing, per-bin micro-nat term quantized before any sum
+      "q169_psi_drift" ->
+        """WITH t AS (SELECT CAST(round(value * 100) AS BIGINT) AS v,
+                        event_id, epoch_us(ts) AS us FROM events),
+           b AS (SELECT min(us) + (max(us) - min(us)) // 2 AS mid FROM t),
+           ref AS (SELECT v, event_id FROM t, b WHERE us <= mid),
+           tgt AS (SELECT v, event_id FROM t, b WHERE us > mid),
+           rb AS (SELECT v, ntile(10) OVER (ORDER BY v, event_id) AS bin FROM ref),
+           e AS (SELECT CAST(max(v) AS BIGINT) AS edge FROM rb WHERE bin < 10 GROUP BY bin),
+           ra AS (SELECT r.event_id, 1 + count(e.edge) AS bin
+                  FROM ref r LEFT JOIN e ON e.edge < r.v GROUP BY r.event_id),
+           ta AS (SELECT r.event_id, 1 + count(e.edge) AS bin
+                  FROM tgt r LEFT JOIN e ON e.edge < r.v GROUP BY r.event_id),
+           rc AS (SELECT bin, CAST(count(*) AS BIGINT) AS n FROM ra GROUP BY bin),
+           tc AS (SELECT bin, CAST(count(*) AS BIGINT) AS n FROM ta GROUP BY bin),
+           sp AS (SELECT CAST(unnest(range(1, 11)) AS BIGINT) AS bin),
+           j AS (SELECT sp.bin, coalesce(rc.n, 0) AS ref_n, coalesce(tc.n, 0) AS tgt_n
+                 FROM sp LEFT JOIN rc ON rc.bin = sp.bin
+                 LEFT JOIN tc ON tc.bin = sp.bin),
+           tot AS (SELECT CAST(sum(ref_n) AS BIGINT) AS rt,
+                     CAST(sum(tgt_n) AS BIGINT) AS tt FROM j)
+           SELECT bin, ref_n, tgt_n,
+             CAST(round(1e6 * (
+               (CAST(ref_n + 1 AS DOUBLE) / CAST(rt + 10 AS DOUBLE)
+                 - CAST(tgt_n + 1 AS DOUBLE) / CAST(tt + 10 AS DOUBLE))
+               * ln((CAST(ref_n + 1 AS DOUBLE) / CAST(rt + 10 AS DOUBLE))
+                    / (CAST(tgt_n + 1 AS DOUBLE) / CAST(tt + 10 AS DOUBLE)))
+             )) AS BIGINT) AS term_unats
+           FROM j CROSS JOIN tot ORDER BY bin""",
+
+      // midranks per distinct value (min+max of the tie-broken
+      // row_number), centered doubled ranks sum to zero exactly, HUGEINT
+      // products, sqrt/division at the very end
+      "q170_spearman" ->
+        s"""WITH d AS (SELECT doc_id, n_chars, ${qualitySql(toks)} AS q FROM documents),
+           r AS (SELECT doc_id, n_chars, q,
+                   CAST(row_number() OVER (ORDER BY n_chars, doc_id) AS BIGINT) AS rkx,
+                   CAST(row_number() OVER (ORDER BY q, doc_id) AS BIGINT) AS rky
+                 FROM d),
+           mx AS (SELECT n_chars, min(rkx) AS mnx, max(rkx) AS mxx FROM r GROUP BY n_chars),
+           my AS (SELECT q, min(rky) AS mny, max(rky) AS mxy FROM r GROUP BY q),
+           nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM r),
+           u AS (SELECT mnx + mxx - n - 1 AS u, mny + mxy - n - 1 AS v
+                 FROM r JOIN mx USING (n_chars) JOIN my USING (q) CROSS JOIN nn),
+           s AS (SELECT CAST(sum(CAST(u AS HUGEINT) * v) AS DOUBLE) AS s_uv,
+                   CAST(sum(CAST(u AS HUGEINT) * u) AS DOUBLE) AS s_uu,
+                   CAST(sum(CAST(v AS HUGEINT) * v) AS DOUBLE) AS s_vv
+                 FROM u)
+           SELECT n, s_uv, s_uu, s_vv,
+             CASE WHEN s_uu > 0 AND s_vv > 0
+               THEN s_uv / (sqrt(s_uu) * sqrt(s_vv)) END AS rho
+           FROM s CROSS JOIN nn""",
+
+      // q90's BM25 CTEs feeding exact micro-unit DCG: w_r = round(1e6 /
+      // log2(r+1)) per rank, BIGINT sums, one trailing division
+      "q171_ndcg" -> {
+        def fmtD(v: Double): String = {
+          val s0 = java.lang.Double.toString(v)
+          if (s0.contains("E")) s0.replace("E", "e") else s0 + "e0"
+        }
+        val (k1p1, k1s, omb, bs) = (fmtD(1.2 + 1.0), fmtD(1.2), fmtD(1.0 - 0.75), fmtD(0.75))
+        s"""WITH t AS (SELECT doc_id, $toks AS toks FROM documents),
+           d AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS dl, toks FROM t WHERE len(toks) > 0),
+           post AS (SELECT doc_id, dl, term, CAST(count(*) AS BIGINT) AS tf
+                    FROM (SELECT doc_id, dl, unnest(toks) AS term FROM d) GROUP BY 1, 2, 3),
+           meta AS (SELECT CAST(count(*) AS BIGINT) AS n_docs, CAST(sum(dl) AS BIGINT) AS sum_dl FROM d),
+           probed AS (SELECT * FROM post WHERE term IN ('join', 'window', 'fast')),
+           dfs AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM probed GROUP BY 1),
+           sc AS (SELECT p.doc_id,
+             CAST(round(
+               ln(1e0 + (CAST(m.n_docs AS DOUBLE) - CAST(f.df AS DOUBLE) + 5e-1) / (CAST(f.df AS DOUBLE) + 5e-1))
+               * (CAST(p.tf AS DOUBLE) * $k1p1)
+               / (CAST(p.tf AS DOUBLE) + $k1s * ($omb + $bs * CAST(p.dl AS DOUBLE) / (CAST(m.sum_dl AS DOUBLE) / CAST(m.n_docs AS DOUBLE))))
+               * 1e6) AS BIGINT) AS s
+             FROM probed p JOIN dfs f ON f.term = p.term CROSS JOIN meta m),
+           scores AS (SELECT doc_id, CAST(sum(s) AS BIGINT) AS score FROM sc GROUP BY 1),
+           g AS (SELECT doc_id,
+                   CAST((CASE WHEN list_contains(toks, 'join') THEN 1 ELSE 0 END)
+                      + (CASE WHEN list_contains(toks, 'window') THEN 1 ELSE 0 END)
+                      + (CASE WHEN list_contains(toks, 'fast') THEN 1 ELSE 0 END) AS BIGINT) AS gain
+                 FROM t),
+           j AS (SELECT s.doc_id, s.score, g.gain FROM scores s JOIN g ON g.doc_id = s.doc_id),
+           wt AS (SELECT CAST(r AS BIGINT) AS r,
+                    CAST(round(1e6 / (ln(CAST(r AS DOUBLE) + 1e0) / ln(2e0))) AS BIGINT) AS w
+                  FROM (SELECT unnest(range(1, 21)) AS r)),
+           sysr AS (SELECT gain, CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS BIGINT) AS r FROM j),
+           sys AS (SELECT CAST(coalesce(sum(gain * w), 0) AS BIGINT) AS dcg_u
+                   FROM sysr JOIN wt ON wt.r = sysr.r),
+           idr AS (SELECT gain, CAST(row_number() OVER (ORDER BY gain DESC, doc_id) AS BIGINT) AS r FROM j),
+           ideal AS (SELECT CAST(coalesce(sum(gain * w), 0) AS BIGINT) AS idcg_u
+                     FROM idr JOIN wt ON wt.r = idr.r)
+           SELECT CAST(20 AS BIGINT) AS k, dcg_u, idcg_u,
+             CASE WHEN idcg_u > 0 THEN CAST(dcg_u AS DOUBLE) / CAST(idcg_u AS DOUBLE) END AS ndcg
+           FROM sys CROSS JOIN ideal"""
+      },
+
+      // five HUGEINT moment sums, the q170 tail shape (two sqrts, one
+      // division over exactly-converted integers)
+      "q172_pearson" ->
+        s"""WITH d AS (SELECT CAST(n_chars AS BIGINT) AS x,
+                 CAST(floor(${qualitySql(toks)} * 1e6) AS BIGINT) AS y
+               FROM documents),
+           m AS (SELECT CAST(count(*) AS HUGEINT) AS n,
+                   sum(CAST(x AS HUGEINT)) AS sx, sum(CAST(y AS HUGEINT)) AS sy,
+                   sum(CAST(x AS HUGEINT) * x) AS sxx,
+                   sum(CAST(y AS HUGEINT) * y) AS syy,
+                   sum(CAST(x AS HUGEINT) * y) AS sxy
+                 FROM d),
+           c AS (SELECT n, n * sxy - sx * sy AS covn,
+                   n * sxx - sx * sx AS vxn, n * syy - sy * sy AS vyn
+                 FROM m)
+           SELECT CAST(n AS BIGINT) AS n,
+             CAST(covn AS DOUBLE) AS cov_n,
+             CAST(vxn AS DOUBLE) AS var_xn, CAST(vyn AS DOUBLE) AS var_yn,
+             CASE WHEN vxn > 0 AND vyn > 0
+               THEN CAST(covn AS DOUBLE) / (sqrt(CAST(vxn AS DOUBLE)) * sqrt(CAST(vyn AS DOUBLE))) END AS r
+           FROM c""",
+
+      // sparse-safe identity χ² = N·Σ O²/(R·C) − N over OBSERVED cells
+      // (zero cells contribute 0 to the sum, exactly); pure HUGEINT
+      // integer arithmetic, micro-unit floors once per cell
+      "q173_chi_square" ->
+        """WITH cells AS (SELECT source AS a, lang AS b, CAST(count(*) AS BIGINT) AS o
+               FROM documents GROUP BY 1, 2),
+           ra AS (SELECT a, CAST(sum(o) AS BIGINT) AS r FROM cells GROUP BY a),
+           cb AS (SELECT b, CAST(sum(o) AS BIGINT) AS c FROM cells GROUP BY b),
+           nn AS (SELECT CAST(sum(o) AS BIGINT) AS n FROM cells),
+           t AS (SELECT
+                   (CAST(o AS HUGEINT) * o * n * 1000000) // (CAST(r AS HUGEINT) * c) AS tm,
+                   cells.a, cells.b
+                 FROM cells JOIN ra USING (a) JOIN cb USING (b) CROSS JOIN nn),
+           s AS (SELECT count(DISTINCT a) AS n_a, count(DISTINCT b) AS n_b,
+                   sum(tm) AS st
+                 FROM t)
+           SELECT n, CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b,
+             CAST((n_a - 1) * (n_b - 1) AS BIGINT) AS dof,
+             CAST(st - CAST(n AS HUGEINT) * 1000000 AS BIGINT) AS chi2_micro,
+             CAST(CAST(st - CAST(n AS HUGEINT) * 1000000 AS BIGINT) AS DOUBLE) / 1e6 AS chi2
+           FROM s CROSS JOIN nn""",
+
+      // the Colloc PMI double shape per cell (round(ln·1e6)), HUGEINT
+      // O·pmi products, one trailing division by N·1e6
+      "q174_mutual_info" ->
+        """WITH cells AS (SELECT source AS a, lang AS b, CAST(count(*) AS BIGINT) AS o
+               FROM documents GROUP BY 1, 2),
+           ra AS (SELECT a, CAST(sum(o) AS BIGINT) AS r FROM cells GROUP BY a),
+           cb AS (SELECT b, CAST(sum(o) AS BIGINT) AS c FROM cells GROUP BY b),
+           nn AS (SELECT CAST(sum(o) AS BIGINT) AS n FROM cells),
+           t AS (SELECT o,
+                   CAST(round(ln(CAST(o AS DOUBLE) * CAST(n AS DOUBLE) /
+                     CAST(r AS DOUBLE) / CAST(c AS DOUBLE)) * 1e6) AS BIGINT) AS pmi
+                 FROM cells JOIN ra USING (a) JOIN cb USING (b) CROSS JOIN nn),
+           s AS (SELECT CAST(count(*) AS BIGINT) AS n_cells,
+                   sum(CAST(o AS HUGEINT) * pmi) AS mi
+                 FROM t)
+           SELECT n, n_cells, CAST(mi AS DOUBLE) AS mi_n_micro,
+             CAST(mi AS DOUBLE) / (CAST(n AS DOUBLE) * 1e6) AS mi_nats
+           FROM s CROSS JOIN nn""",
+
+      // grouped q172 moments; slope and intercept share the exact
+      // HUGEINT denominator, quotients are single IEEE divisions
+      "q180_grouped_trend" ->
+        s"""WITH rev AS (SELECT n_name,
+               CAST(date_part('year', o_orderdate) * 12 + date_part('month', o_orderdate) AS BIGINT) AS x,
+               CAST(sum(${C.format("l_extendedprice * (1.0 - l_discount)")}) AS BIGINT) AS y
+             FROM lineitem
+               JOIN orders ON l_orderkey = o_orderkey
+               JOIN customer ON o_custkey = c_custkey
+               JOIN nation ON c_nationkey = n_nationkey
+             GROUP BY 1, 2),
+           m AS (SELECT n_name, CAST(count(*) AS HUGEINT) AS n,
+                   sum(CAST(x AS HUGEINT)) AS sx, sum(CAST(y AS HUGEINT)) AS sy,
+                   sum(CAST(x AS HUGEINT) * x) AS sxx,
+                   sum(CAST(x AS HUGEINT) * y) AS sxy
+                 FROM rev GROUP BY 1),
+           c AS (SELECT n_name, n, n * sxy - sx * sy AS num,
+                   n * sxx - sx * sx AS den, sy * sxx - sx * sxy AS inum
+                 FROM m)
+           SELECT n_name, CAST(n AS BIGINT) AS n,
+             CAST(num AS DOUBLE) AS slope_num, CAST(den AS DOUBLE) AS slope_den,
+             CASE WHEN den > 0 THEN CAST(num AS DOUBLE) / CAST(den AS DOUBLE) END AS slope,
+             CASE WHEN den > 0 THEN CAST(inum AS DOUBLE) / CAST(den AS DOUBLE) END AS intercept
+           FROM c ORDER BY n_name""",
+
+      // q146's midrank AUC partitioned per source
+      "q186_grouped_auc" ->
+        s"""WITH d AS (SELECT source, doc_id, (lang = 'en') AS pos,
+                 ${qualitySql(toks)} AS q
+               FROM documents),
+           r AS (SELECT source, q AS s, pos,
+                   CAST(row_number() OVER (PARTITION BY source ORDER BY q, doc_id) AS BIGINT) AS rn
+                 FROM d),
+           g AS (SELECT source, s, min(rn) AS mn, max(rn) AS mx,
+                   CAST(sum(CASE WHEN pos THEN 1 ELSE 0 END) AS BIGINT) AS pc
+                 FROM r GROUP BY 1, 2),
+           t AS (SELECT source, CAST(sum(pc) AS BIGINT) AS n_pos,
+                   CAST(max(mx) AS BIGINT) AS n,
+                   CAST(sum(pc * (mn + mx)) AS BIGINT) AS u2
+                 FROM g GROUP BY 1)
+           SELECT source, n_pos, n - n_pos AS n_neg, u2,
+             CASE WHEN n_pos > 0 AND n - n_pos > 0 THEN
+               CAST(u2 - n_pos * (n_pos + 1) AS DOUBLE)
+                 / CAST(2 * n_pos * (n - n_pos) AS DOUBLE)
+             END AS auc
+           FROM t ORDER BY source""",
+
+      // micro-unit squared error, HUGEINT sums, one trailing division
+      "q193_brier" ->
+        s"""WITH d AS (SELECT source,
+                 CAST(floor(${qualitySql(toks)} * 1e6) AS BIGINT) AS p,
+                 CASE WHEN lang = 'en' THEN 1000000 ELSE 0 END AS y
+               FROM documents),
+           g AS (SELECT source, CAST(count(*) AS BIGINT) AS n,
+                   sum(CAST(p - y AS HUGEINT) * (p - y)) AS sse
+                 FROM d GROUP BY 1)
+           SELECT source, n, CAST(sse AS DOUBLE) AS sse_micro2,
+             CAST(sse AS DOUBLE) / (CAST(n AS DOUBLE) * 1e12) AS brier
+           FROM g ORDER BY source""",
+
+      // ntile(10) IS equiDepthBins' arithmetic (the q117/q147 precedent);
+      // integer micro-lift by floor division
+      "q194_lift_deciles" ->
+        s"""WITH d AS (SELECT doc_id, (lang = 'en') AS pos,
+                 CAST(floor(${qualitySql(toks)} * 1e6) AS BIGINT) AS qu
+               FROM documents),
+           b AS (SELECT pos, ntile(10) OVER (ORDER BY qu DESC, doc_id ASC) AS bin FROM d),
+           per AS (SELECT bin, CAST(count(*) AS BIGINT) AS n_rows,
+                     CAST(sum(CASE WHEN pos THEN 1 ELSE 0 END) AS BIGINT) AS n_pos
+                   FROM b GROUP BY bin),
+           tot AS (SELECT CAST(sum(n_rows) AS BIGINT) AS tn,
+                     CAST(sum(n_pos) AS BIGINT) AS tp FROM per),
+           c AS (SELECT bin, n_rows, n_pos,
+                   CAST(sum(n_rows) OVER (ORDER BY bin
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_n,
+                   CAST(sum(n_pos) OVER (ORDER BY bin
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_pos
+                 FROM per)
+           SELECT bin, n_rows, n_pos, cum_pos,
+             CAST(CAST(cum_pos AS HUGEINT) * tn * 1000000
+               // (CAST(cum_n AS HUGEINT) * tp) AS BIGINT) AS lift_micro
+           FROM c CROSS JOIN tot ORDER BY bin""",
+
+      // merged value histogram, window CDFs, integer cross-multiplied
+      // sup-gap, one trailing division
+      "q196_ks_test" ->
+        s"""WITH av AS (SELECT ${C.format("value")} AS v FROM events WHERE event_type = 'click'),
+           bv AS (SELECT ${C.format("value")} AS v FROM events WHERE event_type = 'view'),
+           h AS (SELECT v, CAST(sum(ca) AS BIGINT) AS ha, CAST(sum(cb) AS BIGINT) AS hb FROM (
+                   SELECT v, 1 AS ca, 0 AS cb FROM av
+                   UNION ALL
+                   SELECT v, 0 AS ca, 1 AS cb FROM bv) u GROUP BY v),
+           nn AS (SELECT CAST(sum(ha) AS BIGINT) AS na, CAST(sum(hb) AS BIGINT) AS nb FROM h),
+           c AS (SELECT
+                   CAST(sum(ha) OVER w AS BIGINT) AS cuma,
+                   CAST(sum(hb) OVER w AS BIGINT) AS cumb
+                 FROM h WINDOW w AS (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+           g AS (SELECT max(abs(cuma * nb - cumb * na)) AS ks_num FROM c CROSS JOIN nn)
+           SELECT na AS n_a, nb AS n_b, CAST(ks_num AS BIGINT) AS ks_num,
+             CAST(ks_num AS DOUBLE) / CAST(na * nb AS DOUBLE) AS ks
+           FROM g CROSS JOIN nn""",
+  )
+}
