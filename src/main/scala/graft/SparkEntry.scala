@@ -297,6 +297,8 @@ object SparkEntry extends QueriesCore with QueriesDataflow with QueriesDedup wit
     "q236_ivf_pq_lifecycle" -> q236,
     "q237_jonckheere" -> q237,
     "q238_pq_rotated" -> q238,
+    "q239_mood_median" -> q239,
+    "q240_pq_rotated_lifecycle" -> q240,
   )
 
   /** Round count for the parameterized BPE lifecycle (q163/q164) — read

@@ -1425,6 +1425,83 @@ object Eval {
             (lit(4.0) * sqrt(col("_vt")))).as("z_tie"))
   }
 
+  /** MOOD'S MEDIAN TEST — the quick k-sample member of the cell-histogram
+    * family ("do the k cohorts split the same way around the GRAND
+    * median"): coarser than [[kruskalWallis]] (it only reads
+    * above/below, so it shrugs at outliers and ordinal censoring — the
+    * reason pipelines still run it), exact to the last integer here.
+    * The grand LOWER median is the order statistic `cum ≥ (N+1) DIV 2`
+    * read off the value histogram ([[brownForsythe]]'s per-group median
+    * machinery applied globally); the 2×k table's χ² quantizes per cell
+    * as `⌊10⁶·(N·O − R·C)² / (N·R·C)⌋` (all factors nonneg integers, so
+    * floor ≡ truncate on both engines) and the micro terms sum exactly.
+    *
+    * ## Scale shape (100 TB)
+    * ONE partial-aggregable `groupBy(group, value)`; the histogram
+    * re-aggregates the cells; the median read rides the two-level
+    * prefix-sum scheme (bucketed windows + a broadcast offset spine);
+    * the 2×k table is k rows. Digit budget: (N·O)²·10⁶ rides
+    * DECIMAL(38) to N ≈ 2·10⁷ — quantize coarser past that. NULL
+    * group/value rows excluded. Returns ONE row `(n, k_groups,
+    * median_q, above_total, chi2_micro)`; chi2_micro NULL when k < 2 or
+    * every value sits on one side of the median (a degenerate table). */
+  def moodMedianTest(df: DataFrame, groupCol: String, valueCol: Column,
+                     bucketOf: Column => Column,
+                     checkpoint: Boolean = true): DataFrame = {
+    val dec = "decimal(38,0)"
+    def cut(d: DataFrame): DataFrame = if (checkpoint) d.localCheckpoint() else d
+    val cells = cut(df
+      .where(valueCol.isNotNull && col(groupCol).isNotNull)
+      .select(col(groupCol).as("_g"), valueCol.cast("long").as("_v"))
+      .groupBy(col("_g"), col("_v"))
+      .agg(count(lit(1)).as("_c"))) // fans into hist and the 2×k table
+    val hist = cut(cells.groupBy(col("_v")).agg(sum(col("_c")).as("_t"))
+      .withColumn("_b", bucketOf(col("_v")))) // fans into offsets + median
+    val wIn = Window.partitionBy(col("_b")).orderBy(col("_v"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val wOff = Window.orderBy(col("_b"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = hist.groupBy(col("_b")).agg(sum(col("_t")).as("_bt"))
+      .select(col("_b"),
+        coalesce(sum(col("_bt")).over(wOff), lit(0L)).as("_off"))
+    val tot = hist.agg(coalesce(sum(col("_t")), lit(0L)).as("_n"))
+    val med = hist
+      .join(broadcast(offsets), Seq("_b"))
+      .withColumn("_cum",
+        col("_off") + coalesce(sum(col("_t")).over(wIn), lit(0L)) + col("_t"))
+      .crossJoin(broadcast(tot)) // 1-row scalar attach
+      .where(col("_cum") >= expr("(_n + 1) DIV 2"))
+      .agg(min(col("_v")).as("_m")) // grand lower median, 1 row
+    val pg = cells.crossJoin(broadcast(med))
+      .groupBy(col("_g"))
+      .agg(sum(col("_c")).as("_ng"),
+        sum(when(col("_v") > col("_m"), col("_c")).otherwise(lit(0L))).as("_ag"))
+    val totals = pg.agg(sum(col("_ng")).as("_nn"), count(lit(1)).as("_k"),
+      sum(col("_ag")).as("_a"))
+    // per-group 2-cell χ² micro terms, guarded: both margins must be
+    // nonempty (the when short-circuits the divisions)
+    def term(o: Column, r: Column, ng: Column, nn: Column): Column = {
+      val d = nn.cast(dec) * o - r.cast(dec) * ng
+      val x = d * d * lit(1000000L)
+      val den = nn.cast(dec) * r * ng
+      // divisible by construction after the pmod subtract → the decimal
+      // division is exact and the trailing cast just drops the .0 scale
+      ((x - pmod(x, den)) / den).cast(dec)
+    }
+    pg.crossJoin(broadcast(totals)).crossJoin(broadcast(med))
+      .withColumn("_tm",
+        when(col("_a") > 0L && col("_a") < col("_nn") && col("_k") >= 2L,
+          term(col("_ag"), col("_a"), col("_ng"), col("_nn")) +
+            term(col("_ng") - col("_ag"), col("_nn") - col("_a"),
+              col("_ng"), col("_nn"))))
+      .agg(first(col("_nn")).as("_n"), first(col("_k")).as("_kk"),
+        first(col("_m")).as("_med"), first(col("_a")).as("_ab"),
+        sum(col("_tm")).as("_chi"))
+      .select(col("_n").as("n"), col("_kk").as("k_groups"),
+        col("_med").as("median_q"), col("_ab").as("above_total"),
+        col("_chi").cast("long").as("chi2_micro"))
+  }
+
   /** ONE-WAY ANOVA F — the parametric companion to [[kruskalWallis]]
     * ("do the k cohort MEANS differ", where KW asks about the whole
     * distribution): with per-group exact sums `S_g` over quantized

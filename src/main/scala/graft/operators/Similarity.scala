@@ -1220,6 +1220,97 @@ object Similarity {
   }
 
   // =====================================================================
+  // Persisted ROTATED-PQ index lifecycle — [[pqRotatedTopK]]'s rotation
+  // composed with the on-disk story: a codebooks table (model-sized) and
+  // a codes table (id, m small codes — the 32× memory win persisted;
+  // flat PQ, so no bucket partitioning: the ADC scan reads codes only,
+  // never vectors). Build once; append batches against the frozen
+  // codebooks (same seed ⇒ same rotation ⇒ same argmins); probe from
+  // the tables. The deterministic seed IS part of the index contract —
+  // persist it alongside the codebooks in a real deployment.
+  // =====================================================================
+
+  /** BUILD: rotate, train m codebooks, compress every corpus row.
+    * Returns `(codebooks, codes)` — codebooks `(j, code, dim, v)`
+    * (model-sized), codes `(id, codes)`. */
+  def pqRotatedIndexBuild(corpus: DataFrame, idCol: String, vecCol: String,
+                          m: Int, ksub: Int, rounds: Int, seed: Long = 42L,
+                          quantScale: Long = 1000000L)
+      : (DataFrame, DataFrame) = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    require(m >= 1, s"m must be >= 1, got $m")
+    val pts0 = quantized(corpus, idCol, vecCol, quantScale)
+    val dim = pts0.select(size(col("_q")).as("_d")).limit(1)
+      .collect().headOption.map(_.getInt(0)).getOrElse(0)
+    require(dim > 0 && dim % m == 0, s"dim $dim must be a positive multiple of m=$m")
+    val pts = rotated(pts0, hadamardSigns(dim, seed)).localCheckpoint()
+    val dsub = dim / m
+    def sub(q: Column, j: Int): Column = slice(q, j * dsub + 1, dsub)
+    val books = (0 until m).map(j => trainLloyd(pts, sub(col("_q"), j), ksub, rounds))
+    val bookDf = books.zipWithIndex.flatMap { case (b, j) =>
+      b.toSeq.flatMap { case (c, v) =>
+        v.zipWithIndex.map { case (x, d) => (j.toLong, c.toLong, d.toLong, x) } } }
+      .toDF("j", "code", "dim", "v")
+    val enc = (0 until m).foldLeft(pts) { (df, j) =>
+      withNearest(df, books(j), sub(col("_q"), j), s"_p$j")
+    }
+    val codesDf = enc.select(col("_id").as("id"),
+      array((0 until m).map(j => col(s"_p$j")): _*).as("codes"))
+    (bookDf, codesDf)
+  }
+
+  /** APPEND: compress a NEW batch against the PERSISTED codebooks
+    * (frozen model + the same seeded rotation). Batch-sized work only. */
+  def pqRotatedIndexAppend(batch: DataFrame, codebooks: DataFrame,
+                           idCol: String, vecCol: String, seed: Long = 42L,
+                           quantScale: Long = 1000000L): DataFrame = {
+    val books = readCodebookModel(codebooks)
+    val m = books.length
+    val dsub = books.head.head._2.length
+    val pts = rotated(quantized(batch, idCol, vecCol, quantScale),
+      hadamardSigns(m * dsub, seed))
+    val enc = (0 until m).foldLeft(pts) { (df, j) =>
+      withNearest(df, books(j), slice(col("_q"), j * dsub + 1, dsub), s"_p$j")
+    }
+    enc.select(col("_id").as("id"),
+      array((0 until m).map(j => col(s"_p$j")): _*).as("codes"))
+  }
+
+  /** PROBE: serve ADC top-k entirely from the two persisted tables —
+    * the distance table comes from the persisted codebooks
+    * (model-sized), only codes move, the broadcast is
+    * [[broadcastRowBudget]]-guarded. [[pqTopK]] tie semantics. */
+  def pqRotatedProbeTopK(queries: DataFrame, codebooks: DataFrame,
+                         codes: DataFrame, idCol: String, vecCol: String,
+                         k: Int, seed: Long = 42L,
+                         quantScale: Long = 1000000L): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val books = readCodebookModel(codebooks)
+    val m = books.length
+    val ksub = books.head.length
+    val dsub = books.head.head._2.length
+    val qpts = rotated(quantized(queries, idCol, vecCol, quantScale),
+      hadamardSigns(m * dsub, seed))
+    val nQ = qpts.count() // one query-batch-sized job
+    val dtab = adcDistTable(qpts.select(col("_id").as("_qid"), col("_q")),
+        books, col("_q"), dsub)
+      .select(col("_qid"), col("_j"), col("_code"), col("_d"))
+    val exploded = codes.select(col("id").as("_nid"),
+      posexplode(col("codes")).as(Seq("_j", "_code")))
+    val w = Window.partitionBy(col("_qid"))
+      .orderBy(col("_adc").asc, col("_nid").asc)
+    exploded
+      .join(maybeBroadcast(dtab, nQ * m * ksub), Seq("_j", "_code"))
+      .groupBy(col("_qid"), col("_nid"))
+      .agg(sum(col("_d")).as("_adc"))
+      .withColumn("_rank", row_number().over(w))
+      .where(col("_rank") <= k)
+      .select(col("_qid").as("query_id"), col("_rank").as("rank"),
+        col("_nid").as("neighbor_id"), col("_adc").as("adc_q"))
+  }
+
+  // =====================================================================
   // Persisted IVF-PQ index lifecycle — [[ivfIndexBuild]]'s persistence
   // story applied to [[ivfPqTopK]]: THREE tables on disk (coarse
   // centroids, residual codebooks, compressed codes partitioned by

@@ -266,7 +266,75 @@ private[graft] trait QueriesAnn { this: SparkEntry.type =>
       .orderBy(col("query_id"), col("rank"))
   }
 
+  /** Persisted ROTATED-PQ index lifecycle — q238's rotation composed
+    * with the on-disk story: build codebooks + codes on the initial
+    * corpus (vec_id % 7 != 0), append the rest against the FROZEN
+    * persisted codebooks (same seed ⇒ same rotation ⇒ same argmins),
+    * probe entirely from the two tables
+    * ([[graft.operators.Similarity.pqRotatedIndexBuild]] family). The
+    * oracle restricts the trainers (seeds + Lloyd chains) to the
+    * initial rows while the final assignment covers every row —
+    * exactly build + frozen-model append. */
+  protected def q240(s: SparkSession, dir: String): DataFrame = {
+    val suffix = lifecycleScratchSuffix(s, "q240", dir)
+    val emb = Tables.embeddings(s, dir)
+    val initial = emb.where(col("vec_id") % 7 =!= 0)
+    val batch = emb.where(col("vec_id") % 7 === 0)
+    val bookTable = s"graft_q240_rpq_codebooks_$suffix"
+    val codesPath = s"/tmp/graft_q240_rpq_codes_$suffix"
+    val (books, codes) = graft.operators.Similarity.pqRotatedIndexBuild(
+      initial, "vec_id", "embedding", m = 4, ksub = 4, rounds = 2)
+    Tables.saveTable(books, bookTable)
+    codes.write.mode("overwrite").parquet(codesPath)
+    graft.operators.Similarity.pqRotatedIndexAppend(
+        batch, s.table(bookTable), "vec_id", "embedding")
+      .write.mode("append").parquet(codesPath)
+    graft.operators.Similarity.pqRotatedProbeTopK(
+        emb.where(col("vec_id") % 50 === 0), s.table(bookTable),
+        s.read.parquet(codesPath), "vec_id", "embedding", k = 10)
+      .orderBy(col("query_id"), col("rank"))
+  }
+
   protected def oraclesAnn: Map[String, String] = Map(
+      // persisted rotated-PQ lifecycle: q238's rotation CTE + subspace
+      // chains with trainers (seeds + tpx) restricted to the initial
+      // corpus while af_j assigns every row — build + frozen append
+      "q240_pq_rotated_lifecycle" -> {
+        val m = 4; val dsub = 16; val ksub = 4; val rounds = 2; val topk = 10
+        val hd = graft.operators.Similarity.hadamardSigns(64, 42L)
+        val rows = (0 until 64).map { i =>
+          (0 until 64).map(j => s"(${hd(i)(j)})*q[${j + 1}]").mkString(" + ")
+        }
+        s"""WITH pts AS (
+             SELECT vec_id, list_transform(embedding,
+               x -> CAST(floor(CAST(x AS DOUBLE) * 1000000.0 + 0.5) AS BIGINT)) AS q
+             FROM embeddings),
+           rot AS (SELECT vec_id, list_value(
+               ${rows.mkString(",\n               ")}) AS q
+             FROM pts),
+           sel AS (SELECT vec_id FROM pts WHERE vec_id % 7 != 0
+                   ORDER BY vec_id LIMIT $ksub),
+           ${(0 until m).map(j => pqSubChainSql(j, dsub, rounds,
+              pqSlicePx(j, dsub, "rot"), "sel", "vec_id % 7 != 0"))
+             .mkString(",\n           ")},
+           ${(0 until m).map(j =>
+              s"""qd_$j AS (SELECT vec_id AS qid, c, dist AS d
+                     FROM distf_$j WHERE vec_id % 50 = 0),
+           pd_$j AS (SELECT qd.qid, af.vec_id AS nid, qd.d
+                     FROM af_$j af JOIN qd_$j qd ON qd.c = af.c)""")
+             .mkString(",\n           ")},
+           adc AS (SELECT qid, nid, CAST(sum(d) AS BIGINT) AS adc FROM (
+               ${(0 until m).map(j => s"SELECT * FROM pd_$j").mkString(" UNION ALL ")}) u
+             GROUP BY 1, 2),
+           tk AS (SELECT qid, nid, adc,
+               row_number() OVER (PARTITION BY qid
+                 ORDER BY adc ASC, nid ASC) AS rn
+             FROM adc)
+           SELECT qid AS query_id, rn AS rank, nid AS neighbor_id,
+             adc AS adc_q
+           FROM tk WHERE rn <= $topk
+           ORDER BY query_id, rank"""
+      },
 
       "q21_cosine_topk" ->
         """WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id % 100 = 0),

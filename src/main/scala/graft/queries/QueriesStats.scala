@@ -592,7 +592,63 @@ private[graft] trait QueriesStats { this: SparkEntry.type =>
   }
 
 
+  /** Mood's median test across languages: do the k language cohorts
+    * split the same way around the GRAND median quality — the coarse,
+    * outlier-immune sibling of q230's KW on the same quantized universe
+    * ([[graft.operators.Eval.moodMedianTest]]). */
+  protected def q239(s: SparkSession, dir: String): DataFrame = {
+    val stop = Text.langMarkers.toMap.apply("en")
+    graft.operators.Eval.moodMedianTest(
+      Tables.documents(s, dir)
+        .select(col("lang"),
+          floor(Text.qualityScore(col("text"), stop) * lit(1e6))
+            .cast("long").as("qu")),
+      groupCol = "lang", valueCol = expr("qu DIV 16384"),
+      bucketOf = v => shiftright(v, 3))
+  }
+
   protected def oraclesStats: Map[String, String] = Map(
+      // Mood's median: grand lower median off the value histogram, 2×k
+      // above/below table, per-cell micro χ² terms (nonneg → // == floor)
+      "q239_mood_median" ->
+        s"""WITH pts AS (
+             SELECT lang AS g,
+               CAST(floor(${qualitySql(toks)} * 1e6) AS BIGINT) // 16384 AS v
+             FROM documents),
+           cells AS (SELECT g, v, CAST(count(*) AS BIGINT) AS c
+                     FROM pts GROUP BY 1, 2),
+           vh AS (SELECT v, CAST(sum(c) AS BIGINT) AS t FROM cells GROUP BY v),
+           nn AS (SELECT CAST(sum(t) AS BIGINT) AS n FROM vh),
+           vc AS (SELECT v, CAST(sum(t) OVER (ORDER BY v) AS BIGINT) AS cum
+                  FROM vh),
+           med AS (SELECT min(v) AS m FROM vc CROSS JOIN nn
+                   WHERE cum >= (n + 1) // 2),
+           pg AS (SELECT g, CAST(sum(c) AS BIGINT) AS ng,
+                    CAST(sum(CASE WHEN v > med.m THEN c ELSE 0 END) AS BIGINT) AS ag
+                  FROM cells CROSS JOIN med GROUP BY g, med.m),
+           tt AS (SELECT CAST(sum(ng) AS BIGINT) AS n,
+                    CAST(count(*) AS BIGINT) AS k,
+                    CAST(sum(ag) AS BIGINT) AS a
+                  FROM pg),
+           tm AS (SELECT
+                    CASE WHEN a > 0 AND a < tt.n AND k >= 2 THEN
+                      ((CAST(tt.n AS HUGEINT) * ag - CAST(a AS HUGEINT) * ng)
+                        * (CAST(tt.n AS HUGEINT) * ag - CAST(a AS HUGEINT) * ng)
+                        * 1000000)
+                        // (CAST(tt.n AS HUGEINT) * a * ng)
+                      + ((CAST(tt.n AS HUGEINT) * (ng - ag)
+                          - CAST(tt.n - a AS HUGEINT) * ng)
+                        * (CAST(tt.n AS HUGEINT) * (ng - ag)
+                          - CAST(tt.n - a AS HUGEINT) * ng)
+                        * 1000000)
+                        // (CAST(tt.n AS HUGEINT) * (tt.n - a) * ng)
+                    END AS term
+                  FROM pg CROSS JOIN tt)
+           SELECT tt.n AS n, tt.k AS k_groups, med.m AS median_q,
+             tt.a AS above_total,
+             CAST(sum(term) AS BIGINT) AS chi2_micro
+           FROM tm CROSS JOIN tt CROSS JOIN med
+           GROUP BY 1, 2, 3, 4""",
 
       // Kendall τ-b: the oracle computes the discordant count D by the
       // DEFINITION (cell-histogram inequality self-join — DuckDB's IEJoin

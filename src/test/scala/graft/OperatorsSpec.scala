@@ -4075,6 +4075,80 @@ class OperatorsSpec extends SparkSuite {
     assert(withNull.getLong(0) == want._1)
   }
 
+  test("moodMedianTest: brute parity with ties, planted shift found, degenerate cases") {
+    import spark.implicits._
+    import graft.operators.Eval
+
+    def brute(pts: Seq[(String, Long)]): (Long, Long, Long, Long, Option[Long]) = {
+      val n = pts.length.toLong
+      val m = pts.map(_._2).sorted.apply(((n + 1) / 2 - 1).toInt) // lower median
+      val groups = pts.groupBy(_._1)
+      val k = groups.size.toLong
+      val a = pts.count(_._2 > m).toLong
+      val chi = if (a > 0 && a < n && k >= 2)
+        Some(groups.values.map { g =>
+          val ng = g.size.toLong
+          val ag = g.count(_._2 > m).toLong
+          def t(o: Long, r: Long): BigInt = {
+            val d = BigInt(n) * o - BigInt(r) * ng
+            d * d * 1000000L / (BigInt(n) * r * ng) // nonneg -> / == floor
+          }
+          t(ag, a) + t(ng - ag, n - a)
+        }.sum.toLong)
+      else None
+      (n, k, m, a, chi)
+    }
+    def run(pts: Seq[(String, Long)]) =
+      Eval.moodMedianTest(pts.toDF("g", "v"), "g", col("v"),
+        bucketOf = v => shiftright(v, 2)).collect()(0)
+
+    // three cohorts with heavy ties, one shifted up
+    val rnd = new scala.util.Random(71)
+    val pts = Seq("a", "b", "c").flatMap { g =>
+      (1 to 70).map(_ => (g, rnd.nextInt(9).toLong + (if (g == "c") 5L else 0L))) }
+    val got = run(pts); val want = brute(pts)
+    assert((got.getLong(0), got.getLong(1), got.getLong(2), got.getLong(3)) ==
+      ((want._1, want._2, want._3, want._4)))
+    assert(got.getLong(4) == want._5.get, s"chi2: ${got.getLong(4)} vs ${want._5.get}")
+    // the planted shift dominates: chi2 >> chi2_{2, 0.001} = 13.8
+    assert(got.getLong(4) > 13800000L)
+    // exchangeable cohorts stay small
+    val fair = Seq("a", "b").flatMap(g => (1 to 60).map(i => (g, (i % 10).toLong)))
+    assert(run(fair).getLong(4) == brute(fair)._5.get && run(fair).getLong(4) < 13800000L)
+    // degenerate: every value on one side (all equal) -> NULL; one group -> NULL
+    assert(run(Seq(("a", 5L), ("b", 5L), ("a", 5L))).isNullAt(4))
+    assert(run(Seq(("a", 1L), ("a", 9L), ("a", 3L))).isNullAt(4))
+  }
+
+  test("persisted rotated-PQ lifecycle: probe equals in-memory pqRotatedTopK, frozen-model append identity") {
+    import spark.implicits._
+    import graft.operators.Similarity
+    val rnd = new scala.util.Random(307)
+    val corpus = (1L to 70L).map(i =>
+      (i, Array.fill(8)(rnd.nextFloat() * 2f - 1f))).toDF("vec_id", "embedding")
+    val queries = (1L to 5L).map(i =>
+      (i * 100, Array.fill(8)(rnd.nextFloat() * 2f - 1f))).toDF("vec_id", "embedding")
+    val direct = Similarity.pqRotatedTopK(queries, corpus, "vec_id", "embedding",
+        k = 5, m = 2, ksub = 3, rounds = 2, seed = 42L)
+      .collect().map(_.toString).toSeq.sorted
+    val dirTmp = java.nio.file.Files.createTempDirectory("graft_rpq_life").toString
+    val (books, codes) = Similarity.pqRotatedIndexBuild(
+      corpus, "vec_id", "embedding", m = 2, ksub = 3, rounds = 2, seed = 42L)
+    books.write.parquet(s"$dirTmp/books"); codes.write.parquet(s"$dirTmp/codes")
+    val served = Similarity.pqRotatedProbeTopK(queries,
+        spark.read.parquet(s"$dirTmp/books"), spark.read.parquet(s"$dirTmp/codes"),
+        "vec_id", "embedding", k = 5, seed = 42L)
+      .collect().map(_.toString).toSeq.sorted
+    assert(served == direct, s"persisted probe must equal in-memory:\n$served\n$direct")
+    // frozen-model append: codes for a batch equal build-time codes for
+    // the same rows (same seed => same rotation => same argmins)
+    val appended = Similarity.pqRotatedIndexAppend(
+        corpus.where(col("vec_id") <= 10), spark.read.parquet(s"$dirTmp/books"),
+        "vec_id", "embedding", seed = 42L)
+      .collect().map(_.toString).toSet
+    assert(appended == codes.where(col("id") <= 10).collect().map(_.toString).toSet)
+  }
+
   test("anovaOneWay: brute chain parity, textbook F sanity, planted shift, degenerate NULLs, negative values") {
     import spark.implicits._
     import graft.operators.Eval
