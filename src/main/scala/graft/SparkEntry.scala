@@ -299,6 +299,7 @@ object SparkEntry extends QueriesCore with QueriesDataflow with QueriesDedup wit
     "q238_pq_rotated" -> q238,
     "q239_mood_median" -> q239,
     "q240_pq_rotated_lifecycle" -> q240,
+    "q241_page_hinkley" -> q241,
   )
 
   /** Round count for the parameterized BPE lifecycle (q163/q164) — read

@@ -117,4 +117,53 @@ object Anomaly {
         expr("""(1000000 * (_sn - _si) - pmod(1000000 * (_sn - _si), _n - _i))
                 DIV (_n - _i)""").as("mean_after_micro"))
   }
+
+  /** PAGE–HINKLEY drift test (Page 1954; the sequential cousin of
+    * [[cusumChangepoint]]): per group, against a FROZEN reference mean
+    * `mu0Micro` (micro units — trained upstream, the
+    * frozen-reference doctrine of the drift monitors), the cumulative
+    * excess `m_t = Σ_{i≤t} (10⁶·y_i − mu0 − delta)` and its running
+    * minimum give `PH_t = m_t − min_{i≤t} m_i ≥ 0`; the first step
+    * where `PH_t > lambdaMicro` is the alarm. Where [[cusumChangepoint]]
+    * answers retrospectively ("where was the shift"), Page–Hinkley
+    * answers sequentially ("when would a monitor watching this series
+    * have fired") — the online semantics, computed exactly: every
+    * quantity stays BIGINT micro, no float ever enters.
+    *
+    * ## Scale shape (100 TB)
+    * Callers pass the series already aggregated to (group, step, value)
+    * — every window partitions by group over the step universe, never
+    * rows; the summary is one partial-aggregable groupBy plus one
+    * group-keyed join back for the alarm row. Budget: |10⁶·Σy| must fit
+    * BIGINT (|Σy| ≤ 9·10¹², pre-scale beyond — the
+    * [[cusumChangepoint]] convention). Returns one row per group:
+    * `(groupCol, n_steps, max_ph_micro, alarm_i, alarm_step,
+    * ph_alarm_micro)` — alarm columns NULL when the monitor never
+    * fires. */
+  def pageHinkley(series: DataFrame, groupCol: String,
+                  stepCol: org.apache.spark.sql.Column,
+                  valueCol: org.apache.spark.sql.Column,
+                  mu0Micro: Long, deltaMicro: Long,
+                  lambdaMicro: Long): DataFrame = {
+    val s = series.select(col(groupCol), stepCol.cast("long").as("_t"),
+      valueCol.cast("long").as("_y"))
+    val wOrd = Window.partitionBy(col(groupCol)).orderBy(col("_t"))
+    val wCum = wOrd.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val scored = s
+      .withColumn("_i", row_number().over(wOrd).cast("long"))
+      .withColumn("_m",
+        sum(lit(1000000L) * col("_y") - lit(mu0Micro + deltaMicro)).over(wCum))
+      .withColumn("_mn", min(col("_m")).over(wCum))
+      .withColumn("_ph", col("_m") - col("_mn"))
+    val agg = scored.groupBy(col(groupCol))
+      .agg(count(lit(1)).as("n_steps"),
+        max(col("_ph")).as("max_ph_micro"),
+        min(when(col("_ph") > lambdaMicro, col("_i"))).as("alarm_i"))
+    agg
+      .join(scored.select(col(groupCol), col("_i").as("alarm_i"),
+          col("_t").as("alarm_step"), col("_ph").as("ph_alarm_micro")),
+        Seq(groupCol, "alarm_i"), "left")
+      .select(col(groupCol), col("n_steps"), col("max_ph_micro"),
+        col("alarm_i"), col("alarm_step"), col("ph_alarm_micro"))
+  }
 }

@@ -402,7 +402,62 @@ private[graft] trait QueriesEvents { this: SparkEntry.type =>
   }
 
 
+  /** Page–Hinkley sequential drift per event type — WHEN would an
+    * online monitor watching daily volume have fired, the sequential
+    * complement to q215's retrospective changepoint
+    * ([[graft.operators.Anomaly.pageHinkley]]). The gate derives the
+    * frozen reference mean from the global per-step average (exact
+    * floor division, mirrored by the oracle CTE); production freezes a
+    * trained value. */
+  protected def q241(s: SparkSession, dir: String): DataFrame = {
+    val daily = Tables.events(s, dir)
+      .groupBy(col("event_type"),
+        expr("unix_micros(ts) DIV 86400000000").as("day"))
+      .agg(count(lit(1)).as("y"))
+      .localCheckpoint() // fans into the mu0 scalar and the PH scan
+    val head = daily.agg(sum(col("y")).as("s"), count(lit(1)).as("n")).head()
+    val (sTot, nTot) = (head.getLong(0), head.getLong(1))
+    val mu0 = 1000000L * sTot / nTot // nonneg → truncate == floor
+    graft.operators.Anomaly.pageHinkley(daily, "event_type",
+        col("day"), col("y"), mu0Micro = mu0, deltaMicro = mu0 / 10,
+        lambdaMicro = mu0 * 3)
+      .orderBy(col("event_type"))
+  }
+
   protected def oraclesEvents: Map[String, String] = Map(
+
+      // Page–Hinkley: cumulative micro excess against the derived global
+      // mean, running min, first PH > lambda latches the alarm
+      "q241_page_hinkley" ->
+        """WITH d AS (
+             SELECT event_type AS g, epoch_us(ts) // 86400000000 AS day,
+               CAST(count(*) AS BIGINT) AS y
+             FROM events GROUP BY 1, 2),
+           par AS (SELECT CAST((1000000 * sum(y)) // count(*) AS BIGINT) AS mu0
+                   FROM d),
+           pp AS (SELECT mu0, mu0 // 10 AS delta, mu0 * 3 AS lambda FROM par),
+           c AS (SELECT d.g, d.day, pp.lambda,
+                   CAST(row_number() OVER w AS BIGINT) AS i,
+                   CAST(sum(1000000 * d.y - (pp.mu0 + pp.delta))
+                     OVER (w ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                     AS BIGINT) AS m
+                 FROM d CROSS JOIN pp
+                 WINDOW w AS (PARTITION BY d.g ORDER BY d.day)),
+           p2 AS (SELECT g, day, lambda, i, m,
+                    CAST(min(m) OVER (PARTITION BY g ORDER BY i
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                      AS BIGINT) AS mn
+                  FROM c),
+           ph AS (SELECT g, day, lambda, i, m - mn AS ph FROM p2),
+           ag AS (SELECT g, CAST(count(*) AS BIGINT) AS n_steps,
+                    CAST(max(ph) AS BIGINT) AS max_ph_micro,
+                    min(CASE WHEN ph > lambda THEN i END) AS alarm_i
+                  FROM ph GROUP BY g)
+           SELECT ag.g AS event_type, n_steps, max_ph_micro,
+             CAST(alarm_i AS BIGINT) AS alarm_i, p.day AS alarm_step,
+             CAST(p.ph AS BIGINT) AS ph_alarm_micro
+           FROM ag LEFT JOIN ph p ON p.g = ag.g AND p.i = ag.alarm_i
+           ORDER BY event_type""",
 
       // CUSUM: cumulative daily counts per type, |n·S_i − i·S_n| in
       // HUGEINT, argmax tie-broken to the earliest day, split means via

@@ -1240,6 +1240,65 @@ object Streams {
   private[streaming] case class CusumState(
     openStep: Long, openSum: Long, closed: Vector[(Long, Long)])
 
+  private[streaming] case class PhState(
+    openStep: Long, openSum: Long, nClosed: Long, m: Long, mn: Long,
+    maxPh: Long, alarmI: Option[Long], alarmStep: Option[Long],
+    alarmPh: Option[Long])
+
+  /** Streaming PAGE–HINKLEY — the drift family's TRUE O(1)-state twin:
+    * the carried state per key is EIGHT LONGS (open step + sum, closed
+    * count, cumulative excess m, running min, max PH, and the
+    * once-latched alarm triple) — not a histogram, not a series. Each
+    * step CLOSE (an event for a later step arrives; late events for
+    * closed steps drop) folds the step's value into
+    * `m += 10⁶·y − mu0 − delta`, `mn = min(mn, m)`, `PH = m − mn`, with
+    * BIT-IDENTICAL arithmetic to [[graft.operators.Anomaly.pageHinkley]]
+    * (pure BIGINT micro — StreamingSpec asserts the last emission
+    * equals the batch row on the same closed slice). The alarm latches
+    * at the FIRST close with PH > lambda, exactly like the batch
+    * `min(when(ph > λ, i))`. Emits the running summary
+    * `(group, n_closed, max_ph_micro, alarm_i, alarm_step,
+    * ph_alarm_micro)` once per close. */
+  def pageHinkleyStream(events: Dataset[(String, Long, Long)], stepUs: Long,
+                        mu0Micro: Long, deltaMicro: Long, lambdaMicro: Long)
+      : Dataset[(String, Long, Long, Option[Long], Option[Long], Option[Long])] = {
+    require(stepUs >= 1L, s"stepUs must be >= 1, got $stepUs")
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[PhState,
+        (String, Long, Long, Option[Long], Option[Long], Option[Long])](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (key, it, state: GroupState[PhState]) =>
+          val out = scala.collection.mutable.ArrayBuffer
+            .empty[(String, Long, Long, Option[Long], Option[Long], Option[Long])]
+          var st = state.getOption.orNull
+          def close(nextStep: Long, nextSum: Long): Unit = {
+            val m2 = st.m + 1000000L * st.openSum - (mu0Micro + deltaMicro)
+            val mn2 = if (st.nClosed == 0L) m2 else math.min(st.mn, m2)
+            val ph = m2 - mn2
+            val n2 = st.nClosed + 1L
+            val (ai, as2, ap) =
+              if (st.alarmI.isEmpty && ph > lambdaMicro)
+                (Some(n2), Some(st.openStep), Some(ph))
+              else (st.alarmI, st.alarmStep, st.alarmPh)
+            st = PhState(nextStep, nextSum, n2, m2, mn2,
+              math.max(st.maxPh, ph), ai, as2, ap)
+            out += ((key, n2, st.maxPh, ai, as2, ap))
+          }
+          it.toSeq.sortBy(_._2).foreach { case (_, us, v) =>
+            val h = Math.floorDiv(us, stepUs)
+            if (st == null)
+              st = PhState(h, v, 0L, 0L, 0L, 0L, None, None, None)
+            else if (h == st.openStep) st = st.copy(openSum = st.openSum + v)
+            else if (h > st.openStep) close(h, v)
+            // h < openStep: late for a closed step — dropped
+          }
+          state.update(st)
+          out.iterator
+      }
+  }
+
   private[streaming] case class KwDriftState(
     openStep: Long, cells: Vector[(String, Long, Long)])
 

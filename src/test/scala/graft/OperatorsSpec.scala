@@ -4075,6 +4075,51 @@ class OperatorsSpec extends SparkSuite {
     assert(withNull.getLong(0) == want._1)
   }
 
+  test("pageHinkley: brute sequential parity, planted drift alarms, constant series stays silent") {
+    import spark.implicits._
+    import graft.operators.Anomaly
+
+    def brute(pts: Seq[(String, Long, Long)], mu0: Long, delta: Long,
+              lambda: Long): Map[String, (Long, Long, Option[(Long, Long, Long)])] =
+      pts.groupBy(_._1).map { case (g, rows) =>
+        var m = 0L; var mn = 0L; var maxPh = 0L
+        var alarm: Option[(Long, Long, Long)] = None
+        var i = 0L
+        rows.sortBy(_._2).foreach { case (_, t, y) =>
+          i += 1
+          m += 1000000L * y - (mu0 + delta)
+          mn = if (i == 1L) m else math.min(mn, m)
+          val ph = m - mn
+          maxPh = math.max(maxPh, ph)
+          if (alarm.isEmpty && ph > lambda) alarm = Some((i, t, ph))
+        }
+        g -> ((i, maxPh, alarm))
+      }
+
+    // group a: mean 10 for 12 steps then jumps to 30; group b constant 10
+    val pts = (0L until 24L).map(t => ("a", t, if (t < 12) 10L else 30L)) ++
+      (0L until 24L).map(t => ("b", t, 10L))
+    val (mu0, delta, lambda) = (10000000L, 1000000L, 30000000L)
+    val got = Anomaly.pageHinkley(pts.toDF("g", "t", "y"), "g", col("t"), col("y"),
+        mu0, delta, lambda)
+      .collect().map(r => r.getString(0) -> r).toMap
+    val want = brute(pts, mu0, delta, lambda)
+    for (g <- Seq("a", "b")) {
+      assert(got(g).getLong(1) == want(g)._1 && got(g).getLong(2) == want(g)._2,
+        s"$g: ${got(g)} vs ${want(g)}")
+      want(g)._3 match {
+        case Some((ai, as2, ap)) =>
+          assert(got(g).getLong(3) == ai && got(g).getLong(4) == as2 &&
+            got(g).getLong(5) == ap, s"$g alarm: ${got(g)} vs ${want(g)}")
+        case None =>
+          assert(got(g).isNullAt(3) && got(g).isNullAt(4) && got(g).isNullAt(5))
+      }
+    }
+    // the planted drift fires shortly after step 12; the constant series never does
+    assert(got("a").getLong(4) >= 12L && !got("a").isNullAt(3))
+    assert(got("b").isNullAt(3))
+  }
+
   test("moodMedianTest: brute parity with ties, planted shift found, degenerate cases") {
     import spark.implicits._
     import graft.operators.Eval

@@ -970,6 +970,59 @@ class StreamingSpec extends SparkSuite {
     } finally q.stop()
   }
 
+  test("streaming Page-Hinkley: O(1) carried state, last emission equals batch on the closed slice, alarm latches once") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val dayUs = 86400000000L
+    def at(d: Long, i: Long): Long = d * dayUs + i * 1000L
+    // per-day event counts: key a drifts up at day 8, key b stays flat.
+    // MANY events per day — state must fold them into the open sum.
+    def cnt(k: String, d: Long): Long =
+      if (k == "b") 5L else if (d < 8L) 5L else 14L
+    def dayEvents(k: String, d: Long): Seq[(String, Long, Long)] =
+      (0L until cnt(k, d)).map(i => (k, at(d, i), 1L))
+    val evts = (0L to 13L).flatMap(d => Seq("a", "b").flatMap(dayEvents(_, d))) ++
+      Seq(("a", at(99L, 0L), 1L), ("b", at(99L, 0L), 1L)) // close day 13
+    val (mu0, delta, lambda) = (5000000L, 500000L, 20000000L)
+
+    val input = MemoryStream[(String, Long, Long)]
+    val out = Streams.pageHinkleyStream(input.toDS(), stepUs = dayUs,
+      mu0Micro = mu0, deltaMicro = delta, lambdaMicro = lambda)
+    val q = out.toDF("g", "n_closed", "max_ph_micro", "alarm_i", "alarm_step",
+        "ph_alarm_micro")
+      .writeStream.outputMode("append").format("memory").queryName("ph").start()
+    try {
+      input.addData(evts: _*)
+      q.processAllAvailable()
+      val rows = spark.table("ph").collect()
+        .map(r => (r.getString(0), r.getLong(1),
+          (r.getLong(2), Option(r.get(3)).map(_.asInstanceOf[Long]),
+            Option(r.get(4)).map(_.asInstanceOf[Long]),
+            Option(r.get(5)).map(_.asInstanceOf[Long]))))
+      // one emission per close: days 0..13 all close -> 14 per key
+      val perKey = rows.groupBy(_._1)
+      assert(perKey("a").length == 14 && perKey("b").length == 14)
+      val last = perKey.view.mapValues(e => e.maxBy(_._2)._3).toMap
+      // batch parity on the same closed slice
+      val series = (for (k <- Seq("a", "b"); d <- 0L to 13L)
+        yield (k, d, cnt(k, d))).toDF("g", "d", "y")
+      val batch = graft.operators.Anomaly.pageHinkley(series, "g",
+          col("d"), col("y"), mu0, delta, lambda)
+        .collect().map(r => r.getString(0) ->
+          ((r.getLong(2), Option(r.get(3)).map(_.asInstanceOf[Long]),
+            Option(r.get(4)).map(_.asInstanceOf[Long]),
+            Option(r.get(5)).map(_.asInstanceOf[Long])))).toMap
+      assert(last("a") == batch("a"), s"a: ${last("a")} vs ${batch("a")}")
+      assert(last("b") == batch("b"), s"b: ${last("b")} vs ${batch("b")}")
+      // drift fires once, shortly after day 8; flat series never fires
+      assert(last("a")._3.exists(_ >= 8L) && last("b")._2.isEmpty)
+      // the alarm LATCHES: every emission after the alarm carries the
+      // same alarm triple (no re-fire)
+      val aAfter = perKey("a").filter(e => e._3._2.nonEmpty).map(_._3)
+      assert(aAfter.map(t => (t._2, t._3, t._4)).distinct.size == 1)
+    } finally q.stop()
+  }
+
   test("streaming split routing: exact re-crawl follows its cluster's split, novel content hashes its own id, stateless") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
