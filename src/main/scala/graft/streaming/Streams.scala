@@ -1299,6 +1299,98 @@ object Streams {
       }
   }
 
+  private[streaming] case class JtDriftState(
+    openStep: Long, cells: Vector[(Long, Long, Long)])
+
+  /** Streaming JONCKHEERE–TERPSTRA drift — the ORDERED-trend monitor on
+    * [[kwDriftStream]]'s carried-cell pattern: groups carry a numeric
+    * ORDER (dose buckets, severity tiers), and each closed step asks
+    * "did the value trend UP the ordered groups this step". State per
+    * series key is ONLY the open step's (group, value) cell histogram;
+    * the close emits the JT verdict with the SAME integers as
+    * [[graft.operators.Eval.jonckheereTerpstra]] — 2J, num2 and the
+    * variance cores are exact integers (any correct evaluation yields
+    * the same values; here a pairwise fold over the model-sized cells),
+    * and the z / z_tie chains replay the batch operator's IEEE order
+    * verbatim (StreamingSpec asserts per-close equality). Late events
+    * for closed steps drop. Emits `(series, step, n, k_groups, j2,
+    * num2, z, z_tie)` per close. */
+  def jtDriftStream(events: Dataset[(String, Long, Long, Long)], stepUs: Long)
+      : Dataset[(String, Long, Long, Long, Double, Double,
+          Option[Double], Option[Double])] = {
+    require(stepUs >= 1L, s"stepUs must be >= 1, got $stepUs")
+    import events.sparkSession.implicits._
+    def verdict(series: String, step: Long, cells: Vector[(Long, Long, Long)])
+        : (String, Long, Long, Long, Double, Double,
+            Option[Double], Option[Double]) = {
+      val gs = cells.map(_._1).distinct.sorted
+      val byG = cells.groupBy(_._1)
+      var s2 = BigInt(0)
+      for {
+        i <- gs.indices; j <- (i + 1) until gs.size
+        (_, v1, c1) <- byG(gs(i)); (_, v2, c2) <- byG(gs(j))
+      } {
+        if (v1 < v2) s2 += BigInt(2) * c1 * c2
+        else if (v1 == v2) s2 += BigInt(c1) * c2
+      }
+      val ngs = gs.map(g => byG(g).map(_._3).sum)
+      val n = ngs.sum
+      val k = gs.size.toLong
+      val sn2 = ngs.map(x => BigInt(x) * x).sum
+      val num2 = 2 * s2 - (BigInt(n) * n - sn2)
+      val v72 = BigInt(n) * n * (2 * n + 3) -
+        ngs.map(x => BigInt(x) * x * (2 * x + 3)).sum
+      val z = if (k >= 2 && v72 > 0)
+        Some(num2.toDouble / (4.0 * math.sqrt(v72.toDouble / 72.0))) else None
+      val hist = cells.groupBy(_._2).view.mapValues(_.map(_._3).sum).toMap
+      val a = BigInt(n) * (n - 1) * (2 * n + 5) -
+        ngs.map(x => BigInt(x) * (x - 1) * (2 * x + 5)).sum -
+        hist.values.map(t => BigInt(t) * (t - 1) * (2 * t + 5)).sum
+      val vt = if (n >= 3)
+        a.toDouble / 72.0 +
+          ngs.map(x => BigInt(x) * (x - 1) * (x - 2)).sum.toDouble *
+            hist.values.map(t => BigInt(t) * (t - 1) * (t - 2)).sum.toDouble /
+            (36.0 * (BigInt(n) * (n - 1) * (n - 2)).toDouble) +
+          ngs.map(x => BigInt(x) * (x - 1)).sum.toDouble *
+            hist.values.map(t => BigInt(t) * (t - 1)).sum.toDouble /
+            (8.0 * (BigInt(n) * (n - 1)).toDouble)
+      else 0.0
+      val zt = if (k >= 2 && n >= 3 && vt > 0)
+        Some(num2.toDouble / (4.0 * math.sqrt(vt))) else None
+      (series, step, n, k, s2.toDouble, num2.toDouble, z, zt)
+    }
+    events
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[JtDriftState,
+        (String, Long, Long, Long, Double, Double,
+          Option[Double], Option[Double])](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (key, it, state: GroupState[JtDriftState]) =>
+          val out = scala.collection.mutable.ArrayBuffer
+            .empty[(String, Long, Long, Long, Double, Double,
+              Option[Double], Option[Double])]
+          var open = state.getOption.map(_.openStep).getOrElse(Long.MinValue)
+          val cells = scala.collection.mutable.Map.empty[(Long, Long), Long]
+          state.getOption.foreach(_.cells.foreach { case (g, v, c) =>
+            cells((g, v)) = c })
+          it.toSeq.sortBy(_._3).foreach { case (_, g, us, v) =>
+            val h = Math.floorDiv(us, stepUs)
+            if (open == Long.MinValue) { open = h; cells((g, v)) = 1L }
+            else if (h == open)
+              cells((g, v)) = cells.getOrElse((g, v), 0L) + 1L
+            else if (h > open) {
+              out += verdict(key, open,
+                cells.toVector.map { case ((cg, cv), c) => (cg, cv, c) })
+              cells.clear()
+              open = h; cells((g, v)) = 1L
+            } // h < open: late for a closed step — dropped
+          }
+          state.update(JtDriftState(open,
+            cells.toVector.map { case ((cg, cv), c) => (cg, cv, c) }))
+          out.iterator
+      }
+  }
+
   private[streaming] case class KwDriftState(
     openStep: Long, cells: Vector[(String, Long, Long)])
 

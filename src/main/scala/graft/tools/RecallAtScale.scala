@@ -48,6 +48,11 @@ object RecallAtScale {
   val FloorIvfExact = 0.25
   val FloorPq = 0.1
   val FloorIvfPq = 0.1
+  // round-10: Hadamard-rotated PQ at the same production-ish config —
+  // the question is whether the energy-spreading rotation helps or
+  // hurts ADC recall on this clusterless synthetic data vs flat PQ
+  val FloorRotPq = 0.1
+  val FloorRotPqRerank = 0.25
   val FloorPqRerank = 0.3
   val FloorIvfPqRerank = 0.25
 
@@ -122,11 +127,19 @@ object RecallAtScale {
       val rIvfPq100 = recallVs(l2Truth, pairs(Similarity.ivfPqTopK(
         queries, emb, "vec_id", "embedding", k = 100, nCoarse = 16, probes = 4,
         m = 8, ksub = 64, rounds = 3)))
+      // rotated PQ (q238/q240): recall measured against the ORIGINAL
+      // exact L2 truth — the rotation preserves true ranking exactly,
+      // so any delta vs flat PQ is pure codebook-quality signal
+      val rRotPq = recallVs(l2Truth, pairs(Similarity.pqRotatedTopK(
+        queries, emb, "vec_id", "embedding", k = 10, m = 8, ksub = 64, rounds = 3)))
+      val rRotPq100 = recallVs(l2Truth, pairs(Similarity.pqRotatedTopK(
+        queries, emb, "vec_id", "embedding", k = 100, m = 8, ksub = 64, rounds = 3)))
 
-      println(f"""{"dir":"$dir","queries":$nq,"q22_lsh":$rLsh%.4f,"q36_ivf":$rIvf%.4f,"q67_ivf_quantized":$rQuant%.4f,"q219_ivf_exact":$rIvfExact%.4f,"q231_pq":$rPq%.4f,"q232_ivf_pq":$rIvfPq%.4f,"q231_pq_rerank100":$rPq100%.4f,"q232_ivf_pq_rerank100":$rIvfPq100%.4f}""")
+      println(f"""{"dir":"$dir","queries":$nq,"q22_lsh":$rLsh%.4f,"q36_ivf":$rIvf%.4f,"q67_ivf_quantized":$rQuant%.4f,"q219_ivf_exact":$rIvfExact%.4f,"q231_pq":$rPq%.4f,"q232_ivf_pq":$rIvfPq%.4f,"q231_pq_rerank100":$rPq100%.4f,"q232_ivf_pq_rerank100":$rIvfPq100%.4f,"q238_rot_pq":$rRotPq%.4f,"q238_rot_pq_rerank100":$rRotPq100%.4f}""")
       if (rLsh < FloorLsh || rIvf < FloorIvf || rQuant < FloorIvfQuantized ||
           rIvfExact < FloorIvfExact || rPq < FloorPq || rIvfPq < FloorIvfPq ||
-          rPq100 < FloorPqRerank || rIvfPq100 < FloorIvfPqRerank) {
+          rPq100 < FloorPqRerank || rIvfPq100 < FloorIvfPqRerank ||
+          rRotPq < FloorRotPq || rRotPq100 < FloorRotPqRerank) {
         System.err.println(s"[recall] FLOOR VIOLATION at $dir: " +
           s"lsh=$rLsh (>= $FloorLsh), ivf=$rIvf (>= $FloorIvf), " +
           s"quant=$rQuant (>= $FloorIvfQuantized), ivfExact=$rIvfExact " +

@@ -937,6 +937,51 @@ class StreamingSpec extends SparkSuite {
     } finally q.stop()
   }
 
+  test("streaming Jonckheere drift: per-close batch parity, ordered trend flagged, state bounded to the open step") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val hourUs = 3600000000L
+    def at(h: Long, i: Long): Long = h * hourUs + i * 1000L
+    val rnd = new scala.util.Random(83)
+    // hour 0: exchangeable dose groups 0..3; hour 1: value trends UP
+    // with the group index. Different data per hour.
+    def hourEvents(h: Long, slope: Long): Seq[(String, Long, Long, Long)] =
+      (0L to 3L).flatMap { g =>
+        (1 to 30).map(i => ("m", g, at(h, g * 40 + i),
+          rnd.nextInt(8).toLong + slope * g)) }
+    val h0 = hourEvents(0L, 0L)
+    val h1 = hourEvents(1L, 3L)
+    val sentinel = ("m", 0L, at(2L, 0L), 1L)
+
+    val input = MemoryStream[(String, Long, Long, Long)]
+    val out = Streams.jtDriftStream(input.toDS(), stepUs = hourUs)
+    val q = out.toDF("series", "step", "n", "k_groups", "j2", "num2", "z", "z_tie")
+      .writeStream.outputMode("append").format("memory").queryName("jtdrift").start()
+    try {
+      input.addData(h0: _*)
+      q.processAllAvailable()
+      input.addData(h1: _*) // closes hour 0
+      q.processAllAvailable()
+      input.addData(sentinel) // closes hour 1
+      q.processAllAvailable()
+      val rows = spark.table("jtdrift").collect()
+        .map(r => r.getLong(1) -> ((r.getLong(2), r.getLong(3), r.getDouble(4),
+          r.getDouble(5), r.getDouble(6), r.getDouble(7)))).toMap
+      assert(rows.keySet == Set(0L, 1L))
+      def batch(evts: Seq[(String, Long, Long, Long)]) = {
+        val r = graft.operators.Eval.jonckheereTerpstra(
+          evts.map(e => (e._2, e._4)).toDF("g", "v"), col("g"), col("v"),
+          bucketOf = v => shiftright(v, 2)).collect()(0)
+        (r.getLong(0), r.getLong(1), r.getDouble(2), r.getDouble(3),
+          r.getDouble(4), r.getDouble(5))
+      }
+      assert(rows(0L) == batch(h0), s"hour 0: ${rows(0L)} vs ${batch(h0)}")
+      assert(rows(1L) == batch(h1), s"hour 1: ${rows(1L)} vs ${batch(h1)}")
+      // the planted ordered trend reads as a large positive z_tie
+      assert(rows(1L)._6 > 8.0 && math.abs(rows(0L)._6) < 3.0)
+    } finally q.stop()
+  }
+
   test("streaming CUSUM maxSteps cap: verdict equals batch changepoint over the retained sliding window") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
