@@ -300,6 +300,7 @@ object SparkEntry extends QueriesCore with QueriesDataflow with QueriesDedup wit
     "q239_mood_median" -> q239,
     "q240_pq_rotated_lifecycle" -> q240,
     "q241_page_hinkley" -> q241,
+    "q242_mood_scale" -> q242,
   )
 
   /** Round count for the parameterized BPE lifecycle (q163/q164) — read

@@ -1425,6 +1425,84 @@ object Eval {
             (lit(4.0) * sqrt(col("_vt")))).as("z_tie"))
   }
 
+  /** MOOD'S SCALE (dispersion) TEST — "do the two cohorts differ in
+    * SPREAD around the common center" (Mood 1954), the rank-based
+    * companion [[mannWhitney]] (location) and [[brownForsythe]]
+    * (parametric spread) leave open: scores are squared centered
+    * midranks, so a cohort whose values crowd the EXTREMES of the
+    * pooled ordering scores high. Doubled-midrank exact: with
+    * `2r̄(v) = 2·cum_before + t + 1`, the centered score
+    * `d(v) = 2r̄ − (N+1) = 2·cb + t − N` makes `4·a(v) = d²` integer,
+    * so `T4 = Σ_pos c·d²` is the exact quadrupled statistic.
+    *
+    * The z is the PERMUTATION-EXACT standardization — for a linear rank
+    * statistic with fixed scores, E[T] = n₁·ā and
+    * Var[T] = n₁n₂ Σ(a−ā)² / (N(N−1)) hold EXACTLY under ties (no
+    * textbook tie-correction approximation): with `A = Σ t·d²`,
+    * `B = Σ t·d⁴`, the centered numerator `num = N·T4 − n₁·A` is an
+    * exact integer and `z = num / √(n₁·n₂·(N·B − A²)/(N−1))` is a
+    * single trailing IEEE chain mirrored verbatim by the oracle.
+    *
+    * ## Scale shape (100 TB)
+    * [[mannWhitney]]'s exact shape: ONE partial-aggregable value
+    * histogram, the two-level bucket prefix sum, one final aggregate —
+    * no data-sized window, no join beyond 1-row attaches. Digit budget:
+    * N·B ≤ 16N⁶ rides DECIMAL(38) to N ≈ 8·10⁵; past that the variance
+    * product moves to the double side (the z is double anyway) —
+    * documented, not silent. NULL scores excluded; NULL `positive`
+    * counts negative. Returns ONE row `(n_pos, n_neg, t4, num, z)`;
+    * z NULL when either cohort is empty, N < 2, or the score variance
+    * degenerates (all values tied). */
+  def moodScaleTest(df: DataFrame, scoreCol: Column, positive: Column,
+                    bucketOf: Column => Column,
+                    checkpoint: Boolean = true): DataFrame = {
+    val dec = "decimal(38,0)"
+    val hist0 = df
+      .where(scoreCol.isNotNull)
+      .select(scoreCol.cast("long").as("_v"),
+        when(positive, 1L).otherwise(0L).as("_p"))
+      .groupBy(col("_v"))
+      .agg(count(lit(1)).as("_t"), sum(col("_p")).as("_pc"))
+      .withColumn("_b", bucketOf(col("_v")))
+    val hist = if (checkpoint) hist0.localCheckpoint() else hist0
+    val wIn = Window.partitionBy(col("_b")).orderBy(col("_v"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val wOff = Window.orderBy(col("_b"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = hist.groupBy(col("_b")).agg(sum(col("_t")).as("_bt"))
+      .select(col("_b"),
+        coalesce(sum(col("_bt")).over(wOff), lit(0L)).as("_off"))
+    val tot = hist.agg(coalesce(sum(col("_t")), lit(0L)).as("_n"))
+    hist
+      .join(broadcast(offsets), Seq("_b"))
+      .withColumn("_cb", col("_off") + coalesce(sum(col("_t")).over(wIn), lit(0L)))
+      .crossJoin(broadcast(tot)) // 1-row scalar attach
+      .withColumn("_d", lit(2L) * col("_cb") + col("_t") - col("_n"))
+      .agg(
+        coalesce(sum(col("_pc")), lit(0L)).as("_n1"),
+        first(col("_n")).as("_nn"),
+        coalesce(sum(col("_pc").cast(dec) * col("_d") * col("_d")),
+          lit(0).cast(dec)).as("_t4"),
+        coalesce(sum(col("_t").cast(dec) * col("_d") * col("_d")),
+          lit(0).cast(dec)).as("_a"),
+        coalesce(sum(col("_t").cast(dec) * col("_d") * col("_d") *
+          col("_d") * col("_d")), lit(0).cast(dec)).as("_bb"))
+      .select(col("_n1"), (col("_nn") - col("_n1")).as("_n2"), col("_nn"),
+        col("_t4"), col("_a"), col("_bb"),
+        (col("_nn").cast(dec) * col("_t4") - col("_n1").cast(dec) * col("_a"))
+          .as("_num"),
+        (col("_nn").cast(dec) * col("_bb") - col("_a") * col("_a")).as("_sv"))
+      .select(col("_n1").as("n_pos"), col("_n2").as("n_neg"),
+        col("_t4").cast("double").as("t4"),
+        col("_num").cast("double").as("num"),
+        when(col("_n1") > 0L && col("_n2") > 0L && col("_nn") >= 2L &&
+            col("_sv") > 0,
+          col("_num").cast("double") /
+            sqrt(col("_n1").cast("double") * col("_n2").cast("double") *
+              col("_sv").cast("double") /
+              (col("_nn") - lit(1L)).cast("double"))).as("z"))
+  }
+
   /** MOOD'S MEDIAN TEST — the quick k-sample member of the cell-histogram
     * family ("do the k cohorts split the same way around the GRAND
     * median"): coarser than [[kruskalWallis]] (it only reads

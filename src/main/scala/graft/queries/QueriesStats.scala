@@ -607,7 +607,58 @@ private[graft] trait QueriesStats { this: SparkEntry.type =>
       bucketOf = v => shiftright(v, 3))
   }
 
+  /** Mood's scale test: do English and non-English quality scores
+    * differ in SPREAD around the pooled center — the rank-based
+    * dispersion read q211's Mann–Whitney (location) and q234's
+    * Brown–Forsythe (parametric spread) leave open; permutation-exact
+    * tie-corrected z ([[graft.operators.Eval.moodScaleTest]]). */
+  protected def q242(s: SparkSession, dir: String): DataFrame = {
+    val stop = Text.langMarkers.toMap.apply("en")
+    graft.operators.Eval.moodScaleTest(
+      Tables.documents(s, dir)
+        .select(floor(Text.qualityScore(col("text"), stop) * lit(1e6))
+          .cast("long").as("qu"), col("lang")),
+      scoreCol = expr("qu DIV 16384"),
+      positive = col("lang") === "en",
+      bucketOf = v => shiftright(v, 3))
+  }
+
   protected def oraclesStats: Map[String, String] = Map(
+      // Mood's scale: squared centered doubled midranks off the value
+      // histogram; permutation-exact moments (A, B) give the z with no
+      // tie approximation; chain mirrored verbatim
+      "q242_mood_scale" ->
+        s"""WITH pts AS (
+             SELECT CAST(floor(${qualitySql(toks)} * 1e6) AS BIGINT) // 16384 AS v,
+               CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS p
+             FROM documents),
+           h AS (SELECT v, CAST(count(*) AS BIGINT) AS t,
+                   CAST(sum(p) AS BIGINT) AS pc
+                 FROM pts GROUP BY v),
+           nn AS (SELECT CAST(sum(t) AS BIGINT) AS n FROM h),
+           c AS (SELECT v, t, pc,
+                   CAST(sum(t) OVER (ORDER BY v) - t AS BIGINT) AS cb
+                 FROM h),
+           dd AS (SELECT t, pc, 2 * cb + t - nn.n AS d
+                  FROM c CROSS JOIN nn),
+           ag AS (SELECT CAST(sum(pc) AS BIGINT) AS n1,
+                    CAST(sum(CAST(pc AS HUGEINT) * d * d) AS HUGEINT) AS t4,
+                    CAST(sum(CAST(t AS HUGEINT) * d * d) AS HUGEINT) AS a,
+                    CAST(sum(CAST(t AS HUGEINT) * d * d * d * d) AS HUGEINT) AS b
+                  FROM dd),
+           f AS (SELECT n1, nn.n - n1 AS n2, nn.n AS n, t4,
+                   CAST(nn.n AS HUGEINT) * t4 - CAST(n1 AS HUGEINT) * a AS num,
+                   CAST(nn.n AS HUGEINT) * b - a * a AS sv
+                 FROM ag CROSS JOIN nn)
+           SELECT n1 AS n_pos, n2 AS n_neg, CAST(t4 AS DOUBLE) AS t4,
+             CAST(num AS DOUBLE) AS num,
+             CASE WHEN n1 > 0 AND n2 > 0 AND n >= 2 AND sv > 0 THEN
+               CAST(num AS DOUBLE) / sqrt(CAST(n1 AS DOUBLE)
+                 * CAST(n2 AS DOUBLE) * CAST(sv AS DOUBLE)
+                 / CAST(n - 1 AS DOUBLE))
+             END AS z
+           FROM f""",
+
       // Mood's median: grand lower median off the value histogram, 2×k
       // above/below table, per-cell micro χ² terms (nonneg → // == floor)
       "q239_mood_median" ->

@@ -4120,6 +4120,53 @@ class OperatorsSpec extends SparkSuite {
     assert(got("b").isNullAt(3))
   }
 
+  test("moodScaleTest: brute midrank parity with ties, planted spread found, permutation moments exact") {
+    import spark.implicits._
+    import graft.operators.Eval
+
+    def brute(pts: Seq[(Long, Boolean)]): (Long, Long, BigInt, BigInt, Option[Double]) = {
+      val n = pts.length.toLong
+      val hist = pts.groupBy(_._1).view.mapValues(_.size.toLong).toMap
+      val sorted = hist.toSeq.sortBy(_._1)
+      val cb = sorted.map(_._1).zip(sorted.scanLeft(0L)(_ + _._2).init).toMap
+      def d(v: Long): Long = 2L * cb(v) + hist(v) - n
+      val n1 = pts.count(_._2).toLong
+      val t4 = pts.filter(_._2).map(p => BigInt(d(p._1)) * d(p._1)).sum
+      val a = hist.map { case (v, t) => BigInt(t) * d(v) * d(v) }.sum
+      val b = hist.map { case (v, t) =>
+        BigInt(t) * d(v) * d(v) * d(v) * d(v) }.sum
+      val num = BigInt(n) * t4 - BigInt(n1) * a
+      val sv = BigInt(n) * b - a * a
+      val z = if (n1 > 0 && n1 < n && n >= 2 && sv > 0)
+        Some(num.toDouble / math.sqrt(n1.toDouble * (n - n1).toDouble *
+          sv.toDouble / (n - 1).toDouble))
+      else None
+      (n1, n - n1, t4, num, z)
+    }
+    def run(pts: Seq[(Long, Boolean)]) =
+      Eval.moodScaleTest(pts.toDF("v", "p"), col("v"), col("p"),
+        bucketOf = v => shiftright(v, 3)).collect()(0)
+
+    // positives crowd the EXTREMES (high spread), negatives the center
+    val rnd = new scala.util.Random(101)
+    val pts = (1 to 80).map(_ => (rnd.nextInt(6).toLong +
+        (if (rnd.nextBoolean()) 0L else 30L), true)) ++
+      (1 to 80).map(_ => (15L + rnd.nextInt(6), false))
+    val got = run(pts); val want = brute(pts)
+    assert(got.getLong(0) == want._1 && got.getLong(1) == want._2)
+    assert(got.getDouble(2) == want._3.toDouble && got.getDouble(3) == want._4.toDouble)
+    assert(math.abs(got.getDouble(4) - want._5.get) < 1e-12)
+    // the spread difference is found, with the right sign (positives high)
+    assert(got.getDouble(4) > 5.0, s"planted spread z = ${got.getDouble(4)}")
+    // exchangeable cohorts: small z, still exact vs brute
+    val fair = (1 to 120).map(i => ((i % 12).toLong, i % 2 == 0))
+    val gf = run(fair); val wf = brute(fair)
+    assert(gf.getDouble(3) == wf._4.toDouble && math.abs(gf.getDouble(4)) < 2.0)
+    // degenerate: all tied -> z NULL; one-sided cohort -> z NULL
+    assert(run(Seq((5L, true), (5L, false), (5L, true))).isNullAt(4))
+    assert(run(Seq((1L, true), (2L, true))).isNullAt(4))
+  }
+
   test("moodMedianTest: brute parity with ties, planted shift found, degenerate cases") {
     import spark.implicits._
     import graft.operators.Eval
