@@ -309,7 +309,8 @@ object SparkEntry extends QueriesCore with QueriesDataflow with QueriesDedup wit
   private[graft] val BpeRounds = 4
 
   // =====================================================================
-  // Query implementations
+  // Shared helpers read by the per-family query traits (graft/queries/*)
+  // — the query implementations themselves live in those traits.
   // =====================================================================
 
   /** GK sketch accuracy for [[q52]]: rank error ≤ n/accuracy per group. */
