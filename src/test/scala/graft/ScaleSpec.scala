@@ -1245,6 +1245,46 @@ class ScaleSpec extends SparkSuite {
       s"JT joins are equi/broadcast (dense frame broadcasts the k groups):\n$plan")
   }
 
+  test("round-10 stats plans: mood median/scale collapse to histograms, page-hinkley windows stay group-partitioned") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(59)
+
+    // mood median: one partial-agg cell pass; the median read and the
+    // 2×k table never open a data-sized single-partition window
+    val mm = graft.operators.Eval.moodMedianTest(
+      (1 to 4000).map(i => (s"g${i % 3}", rnd.nextInt(200).toLong)).toDF("g", "v"),
+      "g", col("v"), bucketOf = v => shiftright(v, 4), checkpoint = false)
+    mm.collect()
+    val mmPlan = mm.queryExecution.executedPlan.toString.split("== Initial Plan ==").head
+    assert(mmPlan.contains("partial_count") || mmPlan.contains("partial_sum"),
+      s"mood median cells must partial-aggregate:\n$mmPlan")
+    assert(!mmPlan.contains("CartesianProduct"), s"mood median joins:\n$mmPlan")
+
+    // mood scale: mannWhitney's shape — the only unpartitioned window is
+    // the model-sized bucket-offset spine
+    val ms = graft.operators.Eval.moodScaleTest(
+      (1 to 4000).map(i => (rnd.nextInt(300).toLong, i % 2 == 0)).toDF("v", "p"),
+      col("v"), col("p"), bucketOf = v => shiftright(v, 4), checkpoint = false)
+    ms.collect()
+    val msPlan = ms.queryExecution.executedPlan.toString.split("== Initial Plan ==").head
+    assert(msPlan.contains("partial_count") || msPlan.contains("partial_sum"),
+      s"mood scale histogram must partial-aggregate:\n$msPlan")
+    assert(!msPlan.contains("CartesianProduct"), s"mood scale joins:\n$msPlan")
+
+    // page-hinkley: every window carries the group partition; the final
+    // summary partial-aggregates; the alarm join is equi
+    val ph = graft.operators.Anomaly.pageHinkley(
+      (1 to 40).flatMap(g => (1L to 60L).map(t =>
+        (s"g$g", t, if (t > 30) 20L else 5L))).toDF("g", "t", "y"),
+      "g", col("t"), col("y"), 5000000L, 500000L, 20000000L)
+    ph.collect()
+    val phPlan = ph.queryExecution.executedPlan.toString.split("== Initial Plan ==").head
+    assert(!phPlan.linesIterator.exists(l =>
+      l.contains("Window") && l.contains("SinglePartition")),
+      s"page-hinkley windows partition by group:\n$phPlan")
+    assert(!phPlan.contains("CartesianProduct"), s"page-hinkley joins are equi:\n$phPlan")
+  }
+
   test("hitsInt cuts the raw half-round frames: strictly less stage work than the uncut shape") {
     // Each half-round's rawAuth/rawHub feeds its own max agg AND the data
     // path; Spark does not reuse that exchange across consumers, so the
