@@ -301,6 +301,7 @@ object SparkEntry extends QueriesCore with QueriesDataflow with QueriesDedup wit
     "q240_pq_rotated_lifecycle" -> q240,
     "q241_page_hinkley" -> q241,
     "q242_mood_scale" -> q242,
+    "q243_ansari_bradley" -> q243,
   )
 
   /** Round count for the parameterized BPE lifecycle (q163/q164) — read

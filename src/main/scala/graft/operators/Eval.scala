@@ -1503,6 +1503,97 @@ object Eval {
               (col("_nn") - lit(1L)).cast("double"))).as("z"))
   }
 
+  /** ANSARI–BRADLEY scale test — the rank-from-both-ends dispersion
+    * read ([[moodScaleTest]]'s classical sibling): scores fold the
+    * pooled ranking inward, `a(r) = min(r, N+1−r)`, so a COMPACT cohort
+    * (crowding the center) scores HIGH and a dispersed one LOW —
+    * z > 0 reads "positives are LESS spread".
+    *
+    * ## Ties, exactly
+    * The folded score is piecewise linear with a kink at the center, so
+    * a tie block straddling the center breaks the midrank shortcut
+    * (unlike every other rank statistic here). The exact treatment sums
+    * the folded arithmetic series per tie block in closed form —
+    * `2S(v) = [k(k+1) − (lo−1)lo] + [2M(hi−j+1) − (hi(hi+1) − (j−1)j)]`
+    * with `lo..hi` the block's rank range, `M = N+1`, `k/j` the split at
+    * the kink — all integers. The per-row tie-AVERAGED score `S/t` then
+    * quantizes ONCE at its site: `a'(v) = ⌊10⁶·2S / (2t)⌋` (nonneg →
+    * DIV is floor on both engines). The z is the PERMUTATION-EXACT
+    * standardization FOR THESE QUANTIZED SCORES (the fixed-score moment
+    * identity of [[moodScaleTest]] — exact under ties by construction,
+    * the micro floor being part of the documented score family, not an
+    * approximation of it).
+    *
+    * ## Scale shape (100 TB)
+    * [[mannWhitney]]'s exact shape: one partial-aggregable value
+    * histogram, the two-level bucket prefix sum, one final aggregate.
+    * Digit budget: 10⁶·2S ≤ 10⁶·N² needs BIGINT → N ≤ 3·10⁶ (quantize
+    * coarser past that). NULL scores excluded; NULL `positive` counts
+    * negative. Returns ONE row `(n_pos, n_neg, t_q, num, z)`; z NULL
+    * when either cohort is empty, N < 2, or the scores degenerate. */
+  def ansariBradley(df: DataFrame, scoreCol: Column, positive: Column,
+                    bucketOf: Column => Column,
+                    checkpoint: Boolean = true): DataFrame = {
+    val dec = "decimal(38,0)"
+    val hist0 = df
+      .where(scoreCol.isNotNull)
+      .select(scoreCol.cast("long").as("_v"),
+        when(positive, 1L).otherwise(0L).as("_p"))
+      .groupBy(col("_v"))
+      .agg(count(lit(1)).as("_t"), sum(col("_p")).as("_pc"))
+      .withColumn("_b", bucketOf(col("_v")))
+    val hist = if (checkpoint) hist0.localCheckpoint() else hist0
+    val wIn = Window.partitionBy(col("_b")).orderBy(col("_v"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val wOff = Window.orderBy(col("_b"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = hist.groupBy(col("_b")).agg(sum(col("_t")).as("_bt"))
+      .select(col("_b"),
+        coalesce(sum(col("_bt")).over(wOff), lit(0L)).as("_off"))
+    val tot = hist.agg(coalesce(sum(col("_t")), lit(0L)).as("_n"))
+    hist
+      .join(broadcast(offsets), Seq("_b"))
+      .withColumn("_cb", col("_off") + coalesce(sum(col("_t")).over(wIn), lit(0L)))
+      .crossJoin(broadcast(tot)) // 1-row scalar attach
+      // folded block sum, doubled: lo..hi split at the kink M DIV 2
+      .withColumn("_lo", col("_cb") + lit(1L))
+      .withColumn("_hi", col("_cb") + col("_t"))
+      .withColumn("_m", col("_n") + lit(1L))
+      .withColumn("_k", least(col("_hi"), expr("_m DIV 2")))
+      .withColumn("_j", greatest(col("_lo"), expr("_m DIV 2 + 1")))
+      .withColumn("_s2",
+        when(col("_k") >= col("_lo"),
+          col("_k") * (col("_k") + lit(1L)) -
+            (col("_lo") - lit(1L)) * col("_lo")).otherwise(lit(0L)) +
+        when(col("_hi") >= col("_j"),
+          lit(2L) * col("_m") * (col("_hi") - col("_j") + lit(1L)) -
+            (col("_hi") * (col("_hi") + lit(1L)) -
+              (col("_j") - lit(1L)) * col("_j"))).otherwise(lit(0L)))
+      // micro-quantized tie-averaged score (nonneg → DIV is floor)
+      .withColumn("_aq", expr("(1000000 * _s2) DIV (2 * _t)"))
+      .agg(
+        coalesce(sum(col("_pc")), lit(0L)).as("_n1"),
+        first(col("_n")).as("_nn"),
+        coalesce(sum(col("_pc").cast(dec) * col("_aq")), lit(0).cast(dec)).as("_tq"),
+        coalesce(sum(col("_t").cast(dec) * col("_aq")), lit(0).cast(dec)).as("_a"),
+        coalesce(sum(col("_t").cast(dec) * col("_aq") * col("_aq")),
+          lit(0).cast(dec)).as("_bb"))
+      .select(col("_n1"), (col("_nn") - col("_n1")).as("_n2"), col("_nn"),
+        col("_tq"),
+        (col("_nn").cast(dec) * col("_tq") - col("_n1").cast(dec) * col("_a"))
+          .as("_num"),
+        (col("_nn").cast(dec) * col("_bb") - col("_a") * col("_a")).as("_sv"))
+      .select(col("_n1").as("n_pos"), col("_n2").as("n_neg"),
+        col("_tq").cast("double").as("t_q"),
+        col("_num").cast("double").as("num"),
+        when(col("_n1") > 0L && col("_n2") > 0L && col("_nn") >= 2L &&
+            col("_sv") > 0,
+          col("_num").cast("double") /
+            sqrt(col("_n1").cast("double") * col("_n2").cast("double") *
+              col("_sv").cast("double") /
+              (col("_nn") - lit(1L)).cast("double"))).as("z"))
+  }
+
   /** MOOD'S MEDIAN TEST — the quick k-sample member of the cell-histogram
     * family ("do the k cohorts split the same way around the GRAND
     * median"): coarser than [[kruskalWallis]] (it only reads

@@ -623,7 +623,70 @@ private[graft] trait QueriesStats { this: SparkEntry.type =>
       bucketOf = v => shiftright(v, 3))
   }
 
+  /** Ansari–Bradley scale test: the rank-from-both-ends sibling of
+    * q242's Mood scale read on the same cohorts — compact cohorts score
+    * HIGH (z > 0 reads "English quality is LESS spread"); tie blocks
+    * straddling the center summed in closed form, scores micro-
+    * quantized at the site, z permutation-exact for those scores
+    * ([[graft.operators.Eval.ansariBradley]]). */
+  protected def q243(s: SparkSession, dir: String): DataFrame = {
+    val stop = Text.langMarkers.toMap.apply("en")
+    graft.operators.Eval.ansariBradley(
+      Tables.documents(s, dir)
+        .select(floor(Text.qualityScore(col("text"), stop) * lit(1e6))
+          .cast("long").as("qu"), col("lang")),
+      scoreCol = expr("qu DIV 16384"),
+      positive = col("lang") === "en",
+      bucketOf = v => shiftright(v, 3))
+  }
+
   protected def oraclesStats: Map[String, String] = Map(
+      // Ansari-Bradley: folded block sums split at the kink (closed-form
+      // arithmetic series per tie block), micro-quantized tie-averaged
+      // scores, permutation-exact moments; chain mirrored verbatim
+      "q243_ansari_bradley" ->
+        s"""WITH pts AS (
+             SELECT CAST(floor(${qualitySql(toks)} * 1e6) AS BIGINT) // 16384 AS v,
+               CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS p
+             FROM documents),
+           h AS (SELECT v, CAST(count(*) AS BIGINT) AS t,
+                   CAST(sum(p) AS BIGINT) AS pc
+                 FROM pts GROUP BY v),
+           nn AS (SELECT CAST(sum(t) AS BIGINT) AS n FROM h),
+           c AS (SELECT v, t, pc,
+                   CAST(sum(t) OVER (ORDER BY v) - t AS BIGINT) AS cb
+                 FROM h),
+           sc AS (SELECT t, pc,
+                    cb + 1 AS lo, cb + t AS hi, nn.n + 1 AS m,
+                    least(cb + t, (nn.n + 1) // 2) AS k,
+                    greatest(cb + 1, (nn.n + 1) // 2 + 1) AS j
+                  FROM c CROSS JOIN nn),
+           s2 AS (SELECT t, pc,
+                    (CASE WHEN k >= lo
+                       THEN k * (k + 1) - (lo - 1) * lo ELSE 0 END)
+                    + (CASE WHEN hi >= j
+                       THEN 2 * m * (hi - j + 1) - (hi * (hi + 1) - (j - 1) * j)
+                       ELSE 0 END) AS s2
+                  FROM sc),
+           aq AS (SELECT t, pc, (1000000 * s2) // (2 * t) AS aq FROM s2),
+           ag AS (SELECT CAST(sum(pc) AS BIGINT) AS n1,
+                    CAST(sum(CAST(pc AS HUGEINT) * aq) AS HUGEINT) AS tq,
+                    CAST(sum(CAST(t AS HUGEINT) * aq) AS HUGEINT) AS a,
+                    CAST(sum(CAST(t AS HUGEINT) * aq * aq) AS HUGEINT) AS b
+                  FROM aq),
+           f AS (SELECT n1, nn.n - n1 AS n2, nn.n AS n, tq,
+                   CAST(nn.n AS HUGEINT) * tq - CAST(n1 AS HUGEINT) * a AS num,
+                   CAST(nn.n AS HUGEINT) * b - a * a AS sv
+                 FROM ag CROSS JOIN nn)
+           SELECT n1 AS n_pos, n2 AS n_neg, CAST(tq AS DOUBLE) AS t_q,
+             CAST(num AS DOUBLE) AS num,
+             CASE WHEN n1 > 0 AND n2 > 0 AND n >= 2 AND sv > 0 THEN
+               CAST(num AS DOUBLE) / sqrt(CAST(n1 AS DOUBLE)
+                 * CAST(n2 AS DOUBLE) * CAST(sv AS DOUBLE)
+                 / CAST(n - 1 AS DOUBLE))
+             END AS z
+           FROM f""",
+
       // Mood's scale: squared centered doubled midranks off the value
       // histogram; permutation-exact moments (A, B) give the z with no
       // tie approximation; chain mirrored verbatim

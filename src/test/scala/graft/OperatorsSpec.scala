@@ -4120,6 +4120,63 @@ class OperatorsSpec extends SparkSuite {
     assert(got("b").isNullAt(3))
   }
 
+  test("ansariBradley: brute folded-rank parity incl. a center-straddling tie block, planted spread, sign semantics") {
+    import spark.implicits._
+    import graft.operators.Eval
+
+    def brute(pts: Seq[(Long, Boolean)]): (Long, Long, BigInt, BigInt, Option[Double]) = {
+      val n = pts.length.toLong
+      val hist = pts.groupBy(_._1).view.mapValues(_.size.toLong).toMap
+      val sorted = hist.toSeq.sortBy(_._1)
+      val cbOf = sorted.map(_._1).zip(sorted.scanLeft(0L)(_ + _._2).init).toMap
+      // per value: literal fold over the block's integer ranks, then the
+      // micro-quantized tie average — the documented score family
+      def aq(v: Long): Long = {
+        val lo = cbOf(v) + 1; val hi = cbOf(v) + hist(v)
+        val s2 = 2L * (lo to hi).map(r => math.min(r, n + 1 - r)).sum
+        1000000L * s2 / (2L * hist(v))
+      }
+      val n1 = pts.count(_._2).toLong
+      val tq = pts.filter(_._2).map(p => BigInt(aq(p._1))).sum
+      // toSeq before map: .keys is a Set and would DEDUPE equal products
+      val a = hist.toSeq.map { case (v, t) => BigInt(t) * aq(v) }.sum
+      val b = hist.toSeq.map { case (v, t) => BigInt(t) * aq(v) * aq(v) }.sum
+      val num = BigInt(n) * tq - BigInt(n1) * a
+      val sv = BigInt(n) * b - a * a
+      val z = if (n1 > 0 && n1 < n && n >= 2 && sv > 0)
+        Some(num.toDouble / math.sqrt(n1.toDouble * (n - n1).toDouble *
+          sv.toDouble / (n - 1).toDouble))
+      else None
+      (n1, n - n1, tq, num, z)
+    }
+    def run(pts: Seq[(Long, Boolean)]) =
+      Eval.ansariBradley(pts.toDF("v", "p"), col("v"), col("p"),
+        bucketOf = v => shiftright(v, 3)).collect()(0)
+
+    // heavy ties INCLUDING a big block that straddles the center (the
+    // case the midrank shortcut gets wrong): 40 rows of value 10 around
+    // the median of 100 points
+    val rnd = new scala.util.Random(113)
+    val pts = (1 to 40).map(_ => (10L, rnd.nextBoolean())) ++
+      (1 to 30).map(_ => (rnd.nextInt(8).toLong, rnd.nextBoolean())) ++
+      (1 to 30).map(_ => (13L + rnd.nextInt(8), rnd.nextBoolean()))
+    val got = run(pts); val want = brute(pts)
+    assert(got.getLong(0) == want._1 && got.getLong(1) == want._2)
+    assert(got.getDouble(2) == want._3.toDouble, s"t_q: ${got.getDouble(2)} vs ${want._3}")
+    assert(got.getDouble(3) == want._4.toDouble)
+    want._5.foreach(z => assert(math.abs(got.getDouble(4) - z) < 1e-12))
+    // sign semantics: a COMPACT positive cohort (center) scores HIGH -> z > 0
+    val planted = (1 to 60).map(_ => (20L + rnd.nextInt(4), true)) ++
+      (1 to 60).map(_ => (rnd.nextBoolean() match {
+        case true => rnd.nextInt(10).toLong
+        case false => 40L + rnd.nextInt(10) }, false))
+    val gp = run(planted); val wp = brute(planted)
+    assert(gp.getDouble(3) == wp._4.toDouble && gp.getDouble(4) > 5.0,
+      s"compact positives must read z > 0: ${gp.getDouble(4)}")
+    // degenerate: all tied -> z NULL
+    assert(run(Seq((5L, true), (5L, false))).isNullAt(4))
+  }
+
   test("moodScaleTest: brute midrank parity with ties, planted spread found, permutation moments exact") {
     import spark.implicits._
     import graft.operators.Eval
