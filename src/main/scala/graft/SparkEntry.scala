@@ -302,6 +302,12 @@ object SparkEntry extends QueriesCore with QueriesDataflow with QueriesDedup wit
     "q241_page_hinkley" -> q241,
     "q242_mood_scale" -> q242,
     "q243_ansari_bradley" -> q243,
+    "q244_wasserstein" -> q244,
+    "q245_cramer_von_mises" -> q245,
+    "q246_energy_distance" -> q246,
+    "q247_conover" -> q247,
+    "q248_dsir" -> q248,
+    "q249_semdedup" -> q249,
   )
 
   /** Round count for the parameterized BPE lifecycle (q163/q164) — read

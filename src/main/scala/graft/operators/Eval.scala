@@ -1858,6 +1858,332 @@ object Eval {
         col("var_xn"), col("var_yn"), col("r"))
   }
 
+  /** 1-D WASSERSTEIN-1 (earth mover) distance between the positive and
+    * negative cohorts' score distributions — the drift number with UNITS
+    * ([[graft.operators.LmScore.jensenShannon]] and PSI are bounded and
+    * unitless; W₁ answers "by how many score points has the
+    * distribution moved", the quantity a retraining trigger thresholds
+    * on). For empirical CDFs on integers,
+    * `W₁ = ∫|F₁−F₂| dx = Σᵢ |F₁(vᵢ)−F₂(vᵢ)|·(vᵢ₊₁−vᵢ)` over the sorted
+    * distinct values; with `D(v) = n₂·C₁(v) − n₁·C₂(v)` (inclusive
+    * cohort cumulatives, exact integers) the numerator
+    * `num = Σ |D(v)|·gap(v)` is an exact DECIMAL(38) sum and
+    * `W₁ = num/(n₁·n₂)` is the single trailing IEEE division.
+    *
+    * ## Scale shape (100 TB)
+    * [[moodScaleTest]]'s exact shape: ONE partial-aggregable value
+    * histogram, the two-level bucket prefix sum (within-bucket window +
+    * a bucket-count-sized offsets spine), one final aggregate. The
+    * NEXT-value gap needs no data-sized window either: within a bucket
+    * it is a bucket-partitioned `lead`; across the boundary it is the
+    * next bucket's min value, carried on the same broadcast spine
+    * (requires `bucketOf` monotone in the value, which `shiftright`
+    * is). Digit budget: |D| ≤ n₁·n₂ ≤ N²/4 times the value span rides
+    * DECIMAL(38) to N·√span ≈ 10¹⁹. NULL scores excluded; NULL
+    * `positive` counts negative. Returns ONE row
+    * `(n_pos, n_neg, w1_num, w1)`; w1 NULL when either cohort is
+    * empty. */
+  def wasserstein1(df: DataFrame, scoreCol: Column, positive: Column,
+                   bucketOf: Column => Column,
+                   checkpoint: Boolean = true): DataFrame = {
+    val dec = "decimal(38,0)"
+    val hist0 = df
+      .where(scoreCol.isNotNull)
+      .select(scoreCol.cast("long").as("_v"),
+        when(positive, 1L).otherwise(0L).as("_p"))
+      .groupBy(col("_v"))
+      .agg(count(lit(1)).as("_t"), sum(col("_p")).as("_pc"))
+      .withColumn("_b", bucketOf(col("_v")))
+    val hist = if (checkpoint) hist0.localCheckpoint() else hist0
+    val wIn = Window.partitionBy(col("_b")).orderBy(col("_v"))
+      .rowsBetween(Window.unboundedPreceding, 0) // inclusive cumulative
+    val wLead = Window.partitionBy(col("_b")).orderBy(col("_v"))
+    val wOff = Window.orderBy(col("_b"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val wSpine = Window.orderBy(col("_b"))
+    // bucket spine: running offsets for both cohorts + the next bucket's
+    // min value (the cross-boundary gap partner) — bucket-count-sized
+    val spine = hist.groupBy(col("_b"))
+      .agg(sum(col("_t")).as("_bt"), sum(col("_pc")).as("_bp"),
+        min(col("_v")).as("_bmin"))
+      .select(col("_b"),
+        coalesce(sum(col("_bt")).over(wOff), lit(0L)).as("_offT"),
+        coalesce(sum(col("_bp")).over(wOff), lit(0L)).as("_offP"),
+        lead(col("_bmin"), 1).over(wSpine).as("_nbmin"))
+    val tot = hist.agg(coalesce(sum(col("_t")), lit(0L)).as("_n"),
+      coalesce(sum(col("_pc")), lit(0L)).as("_n1"))
+    hist
+      .join(broadcast(spine), Seq("_b"))
+      .withColumn("_c1", col("_offP") + sum(col("_pc")).over(wIn))
+      .withColumn("_ct", col("_offT") + sum(col("_t")).over(wIn))
+      .withColumn("_next",
+        coalesce(lead(col("_v"), 1).over(wLead), col("_nbmin")))
+      .crossJoin(broadcast(tot)) // 1-row scalar attach
+      .withColumn("_d",
+        (col("_n") - col("_n1")).cast(dec) * col("_c1") -
+          col("_n1").cast(dec) * (col("_ct") - col("_c1")))
+      .agg(
+        first(col("_n1")).as("_np"),
+        first(col("_n")).as("_nn"),
+        coalesce(sum(when(col("_next").isNotNull,
+          abs(col("_d")) * (col("_next") - col("_v")).cast(dec))
+          .otherwise(lit(0).cast(dec))), lit(0).cast(dec)).as("_num"))
+      .select(col("_np").as("n_pos"), (col("_nn") - col("_np")).as("n_neg"),
+        col("_num").cast("double").as("w1_num"),
+        when(col("_np") > 0L && col("_nn") - col("_np") > 0L,
+          col("_num").cast("double") /
+            (col("_np").cast("double") *
+              (col("_nn") - col("_np")).cast("double"))).as("w1"))
+  }
+
+  /** Two-sample CRAMÉR–VON MISES criterion — the whole-distribution
+    * drift test that weights the CENTER of the pooled distribution
+    * (where the mass is) where [[ksTest]] reads only the single largest
+    * CDF gap: `T = (n₁n₂/N²)·Σₖ (F₁(zₖ)−F₂(zₖ))²` over all N pooled
+    * observations (Anderson 1962's ties-ready form). On the value
+    * histogram each distinct value contributes `t(v)·D(v)²` with
+    * `D = n₂·C₁ − n₁·C₂` (inclusive cumulatives), so the numerator
+    * `U = Σ t·D²` is an exact DECIMAL(38) integer and
+    * `T = U/(N²·n₁·n₂)` is the single trailing IEEE chain.
+    *
+    * ## Scale shape (100 TB)
+    * [[mannWhitney]]'s exact shape: ONE partial-aggregable value
+    * histogram, the two-level bucket prefix sum, one final aggregate —
+    * no data-sized window, no join beyond the broadcast spine and the
+    * 1-row attach. Digit budget: `Σ t·D² ≤ N⁵/16` rides DECIMAL(38) to
+    * N ≈ 6·10⁷; past that quantize the score coarser (the documented
+    * family). NULL scores excluded; NULL `positive` counts negative.
+    * Returns ONE row `(n_pos, n_neg, cvm_num, t_stat)`; t_stat NULL
+    * when either cohort is empty. */
+  def cramerVonMises(df: DataFrame, scoreCol: Column, positive: Column,
+                     bucketOf: Column => Column,
+                     checkpoint: Boolean = true): DataFrame = {
+    val dec = "decimal(38,0)"
+    val hist0 = df
+      .where(scoreCol.isNotNull)
+      .select(scoreCol.cast("long").as("_v"),
+        when(positive, 1L).otherwise(0L).as("_p"))
+      .groupBy(col("_v"))
+      .agg(count(lit(1)).as("_t"), sum(col("_p")).as("_pc"))
+      .withColumn("_b", bucketOf(col("_v")))
+    val hist = if (checkpoint) hist0.localCheckpoint() else hist0
+    val wIn = Window.partitionBy(col("_b")).orderBy(col("_v"))
+      .rowsBetween(Window.unboundedPreceding, 0) // inclusive cumulative
+    val wOff = Window.orderBy(col("_b"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val spine = hist.groupBy(col("_b"))
+      .agg(sum(col("_t")).as("_bt"), sum(col("_pc")).as("_bp"))
+      .select(col("_b"),
+        coalesce(sum(col("_bt")).over(wOff), lit(0L)).as("_offT"),
+        coalesce(sum(col("_bp")).over(wOff), lit(0L)).as("_offP"))
+    val tot = hist.agg(coalesce(sum(col("_t")), lit(0L)).as("_n"),
+      coalesce(sum(col("_pc")), lit(0L)).as("_n1"))
+    hist
+      .join(broadcast(spine), Seq("_b"))
+      .withColumn("_c1", col("_offP") + sum(col("_pc")).over(wIn))
+      .withColumn("_ct", col("_offT") + sum(col("_t")).over(wIn))
+      .crossJoin(broadcast(tot)) // 1-row scalar attach
+      .withColumn("_d",
+        (col("_n") - col("_n1")).cast(dec) * col("_c1") -
+          col("_n1").cast(dec) * (col("_ct") - col("_c1")))
+      .agg(
+        first(col("_n1")).as("_np"),
+        first(col("_n")).as("_nn"),
+        coalesce(sum(col("_t").cast(dec) * col("_d") * col("_d")),
+          lit(0).cast(dec)).as("_u"))
+      .select(col("_np").as("n_pos"), (col("_nn") - col("_np")).as("n_neg"),
+        col("_u").cast("double").as("cvm_num"),
+        when(col("_np") > 0L && col("_nn") - col("_np") > 0L,
+          col("_u").cast("double") /
+            (col("_nn").cast("double") * col("_nn").cast("double") *
+              col("_np").cast("double") *
+              (col("_nn") - col("_np")).cast("double"))).as("t_stat"))
+  }
+
+  /** Two-sample ENERGY DISTANCE (Székely & Rizzo 2004) — the
+    * mean-pairwise-gap drift read:
+    * `E = 2·E|X−Y| − E|X−X′| − E|Y−Y′|`, zero iff the distributions
+    * coincide, and in 1-D equal to `2∫(F₁−F₂)²dx` (the Cramér distance
+    * doubled — the dx-weighted companion to [[cramerVonMises]]'s
+    * dF-weighted criterion). Each pairwise-gap sum is exact WITHOUT a
+    * pair join: on the sorted value histogram,
+    * `Σ_{u<v}(v−u)·cₐ(u)·c_b(v) = Σ_v c_b(v)·(v·Pₐc(v) − Pₐs(v))` with
+    * `Pₐc/Pₐs` the EXCLUSIVE running count/value-sum of cohort a — so
+    * Sxy/Sxx/Syy ride four prefix sums through the two-level scheme and
+    * `E = 2Sxy/(n₁n₂) − 2Sxx/n₁² − 2Syy/n₂²` is one trailing IEEE
+    * chain over exact DECIMAL(38) integers.
+    *
+    * ## Scale shape (100 TB)
+    * ONE partial-aggregable value histogram; the four running sums ride
+    * the within-bucket windows plus a bucket-count-sized broadcast
+    * spine; one final aggregate. Digit budget: each sum
+    * ≤ N²·max|v| rides DECIMAL(38) to N²·|v| ≈ 10³⁸. NULL scores
+    * excluded; NULL `positive` counts negative. Returns ONE row
+    * `(n_pos, n_neg, sxy, sxx, syy, e_dist)`; e_dist NULL when either
+    * cohort is empty. */
+  def energyDistance(df: DataFrame, scoreCol: Column, positive: Column,
+                     bucketOf: Column => Column,
+                     checkpoint: Boolean = true): DataFrame = {
+    val dec = "decimal(38,0)"
+    val hist0 = df
+      .where(scoreCol.isNotNull)
+      .select(scoreCol.cast("long").as("_v"),
+        when(positive, 1L).otherwise(0L).as("_p"))
+      .groupBy(col("_v"))
+      .agg(count(lit(1)).as("_t"), sum(col("_p")).as("_pc"))
+      .withColumn("_nc", col("_t") - col("_pc"))
+      .withColumn("_b", bucketOf(col("_v")))
+    val hist = if (checkpoint) hist0.localCheckpoint() else hist0
+    val wEx = Window.partitionBy(col("_b")).orderBy(col("_v"))
+      .rowsBetween(Window.unboundedPreceding, -1) // exclusive cumulative
+    val wOff = Window.orderBy(col("_b"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val spine = hist.groupBy(col("_b"))
+      .agg(sum(col("_pc")).as("_b1c"),
+        sum(col("_pc").cast(dec) * col("_v")).as("_b1s"),
+        sum(col("_nc")).as("_b2c"),
+        sum(col("_nc").cast(dec) * col("_v")).as("_b2s"))
+      .select(col("_b"),
+        coalesce(sum(col("_b1c")).over(wOff), lit(0L)).as("_off1c"),
+        coalesce(sum(col("_b1s")).over(wOff), lit(0).cast(dec)).as("_off1s"),
+        coalesce(sum(col("_b2c")).over(wOff), lit(0L)).as("_off2c"),
+        coalesce(sum(col("_b2s")).over(wOff), lit(0).cast(dec)).as("_off2s"))
+    val tot = hist.agg(coalesce(sum(col("_t")), lit(0L)).as("_n"),
+      coalesce(sum(col("_pc")), lit(0L)).as("_n1"))
+    hist
+      .join(broadcast(spine), Seq("_b"))
+      .withColumn("_p1c",
+        col("_off1c") + coalesce(sum(col("_pc")).over(wEx), lit(0L)))
+      .withColumn("_p1s", col("_off1s") +
+        coalesce(sum(col("_pc").cast(dec) * col("_v")).over(wEx),
+          lit(0).cast(dec)))
+      .withColumn("_p2c",
+        col("_off2c") + coalesce(sum(col("_nc")).over(wEx), lit(0L)))
+      .withColumn("_p2s", col("_off2s") +
+        coalesce(sum(col("_nc").cast(dec) * col("_v")).over(wEx),
+          lit(0).cast(dec)))
+      // gap-to-all-previous partial sums, per cohort
+      .withColumn("_g1", col("_v").cast(dec) * col("_p1c") - col("_p1s"))
+      .withColumn("_g2", col("_v").cast(dec) * col("_p2c") - col("_p2s"))
+      .crossJoin(broadcast(tot)) // 1-row scalar attach
+      .agg(
+        first(col("_n1")).as("_np"),
+        first(col("_n")).as("_nn"),
+        coalesce(sum(col("_g1") * col("_nc") + col("_g2") * col("_pc")),
+          lit(0).cast(dec)).as("_sxy"),
+        coalesce(sum(col("_g1") * col("_pc")), lit(0).cast(dec)).as("_sxx"),
+        coalesce(sum(col("_g2") * col("_nc")), lit(0).cast(dec)).as("_syy"))
+      .select(col("_np").as("n_pos"), (col("_nn") - col("_np")).as("n_neg"),
+        col("_sxy").cast("double").as("sxy"),
+        col("_sxx").cast("double").as("sxx"),
+        col("_syy").cast("double").as("syy"),
+        when(col("_np") > 0L && col("_nn") - col("_np") > 0L,
+          lit(2.0) * col("_sxy").cast("double") /
+            (col("_np").cast("double") * (col("_nn") - col("_np")).cast("double")) -
+            lit(2.0) * col("_sxx").cast("double") /
+              (col("_np").cast("double") * col("_np").cast("double")) -
+            lit(2.0) * col("_syy").cast("double") /
+              ((col("_nn") - col("_np")).cast("double") *
+                (col("_nn") - col("_np")).cast("double"))).as("e_dist"))
+  }
+
+  /** CONOVER SQUARED-RANK test for equality of variances (Conover &
+    * Iman; Conover, Practical Nonparametric Statistics §5.3) — the
+    * K-SAMPLE scale test [[moodScaleTest]]/[[ansariBradley]] (two
+    * cohorts) and [[brownForsythe]] (parametric) leave open: deviations
+    * `u = |y − m_g|` from each group's center are ranked POOLED, scores
+    * are squared midranks, and the χ²_(k−1) statistic asks "do the k
+    * groups hold different shares of the large deviations".
+    *
+    * ## Exactness
+    * The group center is the SITE-FLOORED integer mean
+    * `m_g = ⌊S_g/n_g⌋` (pmod-subtract — negative-safe; the documented
+    * center family, same doctrine as [[brownForsythe]]'s median).
+    * Doubled midranks make `4·score = d², d = 2·cb + t + 1` exact; the
+    * optional `scoreShift` defines the score family as `d² >> shift`
+    * (the [[ansariBradley]] fixed-score doctrine: the χ² moments are
+    * permutation-exact for ANY fixed scores, so shifting trades digit
+    * budget, not exactness). Per group,
+    * `term_g = ⌊10⁶·(N·Sq_g − n_g·A)²/n_g⌋` quantizes once at its site;
+    * with `A = Σt·aq`, `B = Σt·aq²`, the readout
+    * `T = (N−1)·Σterm / (N·(N·B − A²)·10⁶)` is one trailing IEEE chain.
+    *
+    * ## Scale shape (100 TB)
+    * Data-sized work: ONE row pass joined against the k-row broadcast
+    * group-stats frame, then ONE partial-aggregable
+    * `groupBy(group, deviation)`. The value histogram, two-level
+    * prefix-sum ranks, k-row group sums and the 1-row assembly are all
+    * [[kruskalWallis]]'s audited shapes. Digit budget at shift 0:
+    * `16N⁸·10⁶ ≤ 10³⁸` → N ≲ 7·10³; each +2 of `scoreShift` buys ×2 of
+    * N (shift 14 covers N ≈ 6·10⁴, shift 40 covers N ≈ 5·10⁸). NULL
+    * group/value rows excluded. Returns ONE row
+    * `(n, k_groups, sum_term, t_conover)`; t_conover NULL when k < 2 or
+    * the score variance degenerates (all deviations tied). */
+  def conoverSquaredRanks(df: DataFrame, groupCol: String, valueCol: Column,
+                          bucketOf: Column => Column, scoreShift: Int = 0,
+                          checkpoint: Boolean = true): DataFrame = {
+    require(scoreShift >= 0 && scoreShift < 63, s"bad scoreShift $scoreShift")
+    val dec = "decimal(38,0)"
+    def cut(d: DataFrame): DataFrame = if (checkpoint) d.localCheckpoint() else d
+    val rows = cut(df
+      .where(valueCol.isNotNull && col(groupCol).isNotNull)
+      .select(col(groupCol).as("_g"), valueCol.cast("long").as("_y")))
+    // k-row group centers: site-floored integer means (negative-safe)
+    val gstats = rows.groupBy(col("_g"))
+      .agg(count(lit(1)).as("_ng0"), sum(col("_y")).as("_sg0"))
+      .select(col("_g"), expr("(_sg0 - pmod(_sg0, _ng0)) DIV _ng0").as("_mg"))
+    val cells = cut(rows
+      .join(broadcast(gstats), Seq("_g"))
+      .select(col("_g"), abs(col("_y") - col("_mg")).as("_v"))
+      .groupBy(col("_g"), col("_v"))
+      .agg(count(lit(1)).as("_c"))) // fans into the histogram and the rank join
+    val hist = cut(cells.groupBy(col("_v")).agg(sum(col("_c")).as("_t"))
+      .withColumn("_b", bucketOf(col("_v"))))
+    val wIn = Window.partitionBy(col("_b")).orderBy(col("_v"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val wOff = Window.orderBy(col("_b"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = hist.groupBy(col("_b")).agg(sum(col("_t")).as("_bt"))
+      .select(col("_b"),
+        coalesce(sum(col("_bt")).over(wOff), lit(0L)).as("_off"))
+    // aq = (2·midrank)² >> shift — the fixed score family
+    val vscore = hist
+      .join(broadcast(offsets), Seq("_b"))
+      .withColumn("_cb", col("_off") + coalesce(sum(col("_t")).over(wIn), lit(0L)))
+      .withColumn("_d", lit(2L) * col("_cb") + col("_t") + lit(1L))
+      .select(col("_v"), col("_t"),
+        shiftright(col("_d") * col("_d"), scoreShift).as("_aq"))
+    val tot = vscore.agg(
+      coalesce(sum(col("_t")), lit(0L)).as("_n"),
+      coalesce(sum(col("_t").cast(dec) * col("_aq")), lit(0).cast(dec)).as("_a"),
+      coalesce(sum(col("_t").cast(dec) * col("_aq") * col("_aq")),
+        lit(0).cast(dec)).as("_bb"))
+    cells
+      .join(vscore.select(col("_v"), col("_aq")), Seq("_v"))
+      .groupBy(col("_g"))
+      .agg(sum(col("_c")).as("_ng"),
+        sum(col("_c").cast(dec) * col("_aq")).as("_sq"))
+      .crossJoin(broadcast(tot)) // 1-row scalar attach
+      .withColumn("_num", col("_n").cast(dec) * col("_sq") -
+        col("_ng").cast(dec) * col("_a"))
+      // ⌊10⁶·num²/n_g⌋ — num² nonneg, so the pmod subtract makes the
+      // decimal division exact and floor ≡ truncate on both engines
+      .withColumn("_term",
+        expr("""CAST((_num * _num * 1000000 -
+                  pmod(_num * _num * 1000000, CAST(_ng AS DECIMAL(38,0))))
+                / _ng AS DECIMAL(38,0))"""))
+      .agg(first(col("_n")).as("_nn"), count(lit(1)).as("_k"),
+        first(col("_a")).as("_a1"), first(col("_bb")).as("_b1"),
+        coalesce(sum(col("_term")), lit(0).cast(dec)).as("_st"))
+      .withColumn("_sv", col("_nn").cast(dec) * col("_b1") - col("_a1") * col("_a1"))
+      .select(col("_nn").as("n"), col("_k").as("k_groups"),
+        col("_st").cast("double").as("sum_term"),
+        when(col("_k") >= 2L && col("_nn") >= 2L && col("_sv") > 0,
+          (col("_nn") - lit(1L)).cast("double") * col("_st").cast("double") /
+            (col("_nn").cast("double") * col("_sv").cast("double") *
+              lit(1000000.0))).as("t_conover"))
+  }
+
   /** nDCG@k of a scored candidate set against graded relevance
     * (Järvelin & Kekäläinen 2002) — the ranking-quality number for a
     * retrieval stage (BM25, embedding search, rank fusion):

@@ -647,6 +647,69 @@ object Sampling {
         col("neg_id"))
   }
 
+  /** DSIR-style IMPORTANCE SELECTION (Xie et al. 2023, "Data Selection
+    * for Language Models via Importance Resampling") — score every raw
+    * document by how much more likely its HASHED-UNIGRAM bag is under
+    * the TARGET corpus than under the raw pool, then keep the top k:
+    * the cheap-feature stand-in for "select web data that looks like my
+    * curated domain", the selection step a pretraining mixture runs
+    * before any expensive model-based filter. Deterministic top-k by
+    * `(weight, id)` replaces the paper's Gumbel resampling — same
+    * ranking, reproducible across runs and engines (documented
+    * variant).
+    *
+    * Per feature bucket `f = h60("dsir:"+token) mod F`, the add-1
+    * smoothed log ratio
+    * `q(f) = round(10⁶·ln(((cₜ+1)·(T_raw+F)) / ((c_raw+1)·(T_tgt+F))))`
+    * quantizes ONCE at its site (the corpusDivergence scheme); a
+    * document's importance is the exact BIGINT sum of `cnt·q(f)` over
+    * its feature histogram — order-independent under any partitioning.
+    *
+    * ## Scale shape (100 TB)
+    * One tokenize pass per corpus: raw collapses to the per-document
+    * feature histogram `(id, f, cnt)` (partial-aggregable Generate →
+    * groupBy), target to an F-row count table. The scoring model —
+    * F rows of `q(f)` — is model-sized and BROADCAST onto the raw
+    * histogram; per-doc sums partial-aggregate; the cut is a
+    * distributed TakeOrdered heap (the q04 shape). Bodies never ride a
+    * shuffle; nothing is data-sized except the one histogram pass.
+    * Zero-token documents have no features and are never selected
+    * (importance −∞ in the paper's terms). Returns k rows
+    * `(idCol, n_toks, logw_unats)`, importance-descending. */
+  def dsirSelect(raw: DataFrame, target: DataFrame, idCol: String,
+                 textCol: String, features: Int, k: Int): DataFrame = {
+    require(features >= 2 && k >= 1, s"bad features=$features k=$k")
+    def h60(c: Column): Column =
+      conv(substring(md5(c), 1, 15), 16, 10).cast("long")
+    def feats(df: DataFrame, cols: Seq[Column]): DataFrame = df
+      .select(cols :+ explode(graft.functions.Text.tokens(col(textCol))).as("_w"): _*)
+      .withColumn("_f", pmod(h60(concat(lit("dsir:"), col("_w"))), lit(features.toLong)))
+    // per-document raw feature histogram — the one data-sized frame,
+    // reused by the pool counts and the scoring join
+    val rawHist = feats(raw, Seq(col(idCol))).groupBy(col(idCol), col("_f"))
+      .agg(count(lit(1)).as("_cnt")).localCheckpoint()
+    val rawCnt = rawHist.groupBy(col("_f")).agg(sum(col("_cnt")).as("_cr"))
+    val tgtCnt = feats(target, Seq.empty).groupBy(col("_f"))
+      .agg(count(lit(1)).as("_ct"))
+    val merged = rawCnt.join(tgtCnt, Seq("_f"), "full_outer")
+      .select(col("_f"), coalesce(col("_cr"), lit(0L)).as("_cr"),
+        coalesce(col("_ct"), lit(0L)).as("_ct"))
+    val totals = merged.agg(sum(col("_cr")).as("_tr"), sum(col("_ct")).as("_tt"))
+    val model = merged.crossJoin(broadcast(totals)) // 1-row scalar attach
+      .select(col("_f"),
+        round(log(
+          ((col("_ct") + 1).cast("double") * (col("_tr") + lit(features.toLong)).cast("double")) /
+            ((col("_cr") + 1).cast("double") * (col("_tt") + lit(features.toLong)).cast("double")))
+          * lit(1e6)).cast("long").as("_q"))
+    rawHist
+      .join(broadcast(model), Seq("_f")) // F-row model onto the histogram
+      .groupBy(col(idCol))
+      .agg(sum(col("_cnt")).as("n_toks"),
+        sum(col("_cnt") * col("_q")).as("logw_unats"))
+      .orderBy(col("logw_unats").desc, col(idCol)) // TakeOrdered cut
+      .limit(k)
+  }
+
   /** TEMPORAL split with an EMBARGO gap (the financial-ML leakage
     * pattern — Lopez de Prado's purged split applied to pipeline data):
     * train is the earliest `trainNum/trainDen` of the observed time

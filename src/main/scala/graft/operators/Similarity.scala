@@ -765,6 +765,71 @@ object Similarity {
       .orderBy(col("cluster"))
   }
 
+  /** SEMDEDUP — semantic deduplication by clustered embedding
+    * similarity (Abbas et al. 2023, "SemDeDup: Data-efficient learning
+    * at web-scale through semantic deduplication"): k-means the corpus,
+    * compare embeddings PAIRWISE only WITHIN each cluster, and for
+    * every pair above the cosine threshold drop the member CLOSER to
+    * the cluster centroid (the paper keeps the lowest-centroid-
+    * similarity example — the least redundant one). The clustering is
+    * what makes semantic dedup exist at corpus scale: candidate pairs
+    * are n²/k per cluster, never the all-pairs n².
+    *
+    * ## Determinism / exactness
+    * Training is [[kmeansExact]]'s integer Lloyd trajectory; the own-
+    * centroid distance is an exact BIGINT; pair cosines are ONE IEEE
+    * chain over exact integer dot/norms of the quantized vectors
+    * (`dot/(√na·√nb)` — the q21/q33 chain), so the threshold cut and
+    * the victim rule (smaller distance loses; distance ties drop the
+    * LARGER id) are exactly reproducible and the survivor set
+    * hash-gates.
+    *
+    * ## Scale shape (100 TB)
+    * Training per [[kmeansExact]]. Assignment + own distance fall out
+    * of ONE sorted-struct projection (model in the plan under
+    * [[planLiteralBudget]]). The pair join is an equi-join ON THE
+    * CLUSTER ID of the assigned frame against itself (localCheckpointed
+    * once — both sides read the same materialization), with `id_a <
+    * id_b` pruning half the frame; per-cluster fan-out is bounded by
+    * choosing k ∝ n/⟨cluster size⟩ (the paper's regime). The victim set
+    * collapses by DISTINCT id; survivors are ONE anti-join. Returns
+    * survivors `(idCol, cluster, dist2)`, id-ascending. */
+  def semDedup(corpus: DataFrame, idCol: String, vecCol: String,
+               k: Int, rounds: Int, threshold: Double,
+               quantScale: Long = 1000000L): DataFrame = {
+    require(k >= 1 && rounds >= 1, s"bad k=$k rounds=$rounds")
+    val (pts, cents) =
+      trainKmeansQuantized(corpus, idCol, vecCol, k, rounds, quantScale)
+    val assigned = withSortedDists(pts, cents, col("_q"), "_s")
+      .select(col("_id"), col("_q"),
+        col("_s").getItem(0).getField("c").as("_c"),
+        col("_s").getItem(0).getField("dist").as("_d2"),
+        aggregate(zip_with(col("_q"), col("_q"), (a, b) => a * b), lit(0L),
+          (acc, x) => acc + x).as("_n2"))
+      .localCheckpoint() // fans into both sides of the within-cluster join
+    val l = assigned.select(col("_c"), col("_id").as("_ida"),
+      col("_q").as("_qa"), col("_d2").as("_da"), col("_n2").as("_na"))
+    val r = assigned.select(col("_c"), col("_id").as("_idb"),
+      col("_q").as("_qb"), col("_d2").as("_db"), col("_n2").as("_nb"))
+    val victims = l.join(r, Seq("_c"))
+      .where(col("_ida") < col("_idb"))
+      .withColumn("_dot", aggregate(zip_with(col("_qa"), col("_qb"),
+        (a, b) => a * b), lit(0L), (acc, x) => acc + x))
+      .where(col("_na") > 0L && col("_nb") > 0L &&
+        col("_dot").cast("double") /
+          (sqrt(col("_na").cast("double")) * sqrt(col("_nb").cast("double")))
+          >= lit(threshold))
+      .select(when(col("_da") < col("_db"), col("_ida"))
+        .when(col("_db") < col("_da"), col("_idb"))
+        .otherwise(greatest(col("_ida"), col("_idb"))).as("_victim"))
+      .distinct()
+    assigned
+      .join(victims, assigned("_id") === victims("_victim"), "left_anti")
+      .select(col("_id").as(idCol), col("_c").as("cluster"),
+        col("_d2").as("dist2"))
+      .orderBy(col(idCol))
+  }
+
   /** IVF ANN with an EXACT gate, end to end — [[buildIvfIndex]]'s shape
     * (train centroids → bucket the corpus → probe a few buckets per
     * query → exact re-rank) rebuilt on [[kmeansExact]]'s integer

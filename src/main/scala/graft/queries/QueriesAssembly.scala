@@ -503,7 +503,51 @@ private[graft] trait QueriesAssembly { this: SparkEntry.type =>
   }
 
 
+  /** DSIR importance selection: the 100 documents whose hashed-unigram
+    * bag looks most like the English target slice, scored by exact
+    * integer sums of site-quantized log ratios over a 4096-bucket
+    * feature space; deterministic top-k stands in for the paper's
+    * Gumbel resampling ([[graft.operators.Sampling.dsirSelect]]). */
+  protected def q248(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    graft.operators.Sampling.dsirSelect(
+      raw = docs, target = docs.where(col("lang") === "en"),
+      idCol = "doc_id", textCol = "text", features = 4096, k = 100)
+  }
+
   protected def oraclesAssembly: Map[String, String] = Map(
+      // DSIR: 4096-bucket hashed unigrams, add-1 smoothed micro-nat log
+      // ratios quantized per feature, exact integer doc sums, top-100 by
+      // (weight desc, id) — the ln chain mirrored verbatim
+      "q248_dsir" ->
+        s"""WITH rf AS (
+             SELECT doc_id,
+               ('0x' || substr(md5('dsir:' || w), 1, 15))::BIGINT % 4096 AS f
+             FROM (SELECT doc_id, unnest($toks) AS w FROM documents)),
+           tf AS (
+             SELECT ('0x' || substr(md5('dsir:' || w), 1, 15))::BIGINT % 4096 AS f
+             FROM (SELECT unnest($toks) AS w FROM documents WHERE lang = 'en')),
+           rc AS (SELECT f, CAST(count(*) AS BIGINT) AS cr FROM rf GROUP BY f),
+           tc AS (SELECT f, CAST(count(*) AS BIGINT) AS ct FROM tf GROUP BY f),
+           mg AS (SELECT coalesce(rc.f, tc.f) AS f,
+                    coalesce(cr, 0) AS cr, coalesce(ct, 0) AS ct
+                  FROM rc FULL OUTER JOIN tc ON rc.f = tc.f),
+           tot AS (SELECT CAST(sum(cr) AS BIGINT) AS tr,
+                     CAST(sum(ct) AS BIGINT) AS tt FROM mg),
+           q AS (SELECT f,
+                   CAST(round(ln(
+                     (CAST(ct + 1 AS DOUBLE) * CAST(tr + 4096 AS DOUBLE)) /
+                     (CAST(cr + 1 AS DOUBLE) * CAST(tt + 4096 AS DOUBLE)))
+                     * 1e6) AS BIGINT) AS q
+                 FROM mg CROSS JOIN tot),
+           hist AS (SELECT doc_id, f, CAST(count(*) AS BIGINT) AS cnt
+                    FROM rf GROUP BY doc_id, f),
+           sc AS (SELECT doc_id, CAST(sum(cnt) AS BIGINT) AS n_toks,
+                    CAST(sum(cnt * q.q) AS BIGINT) AS logw_unats
+                  FROM hist JOIN q USING (f) GROUP BY doc_id)
+           SELECT doc_id, n_toks, logw_unats FROM sc
+           ORDER BY logw_unats DESC, doc_id LIMIT 100""",
+
 
       "q40_det_sample" ->
         s"""SELECT doc_id, lang FROM documents

@@ -325,6 +325,17 @@ private[graft] trait QueriesDedup { this: SparkEntry.type =>
       .orderBy(col("vec_id"))
 
 
+  /** SemDeDup proper — the CLUSTERED semantic dedup (q106 blocks by LSH
+    * bucket; this clusters by exact k-means and prunes within clusters,
+    * the Abbas et al. shape): 8 integer-Lloyd clusters over the
+    * embedding corpus, within-cluster cosine ≥ 0.3 pairs, and per pair
+    * the member closer to its centroid is dropped
+    * ([[graft.operators.Similarity.semDedup]]). */
+  protected def q249(s: SparkSession, dir: String): DataFrame =
+    Similarity.semDedup(Tables.embeddings(s, dir), "vec_id", "embedding",
+      k = 8, rounds = 2, threshold = 0.3)
+
+
   /** Per-document novelty: the fraction of a doc's distinct 3-shingles
     * with corpus df = 1 — the inverse signal of boilerplate, over the
     * same hashed-shingle universe as q20
@@ -663,6 +674,43 @@ private[graft] trait QueriesDedup { this: SparkEntry.type =>
 
 
   protected def oraclesDedup: Map[String, String] = Map(
+      // SemDeDup: the 2-round Lloyd chain (q218's generated CTE scheme),
+      // own-centroid distance off dist_f ⋈ a_f, within-cluster pair
+      // cosines over exact integer dots/norms (q21's IEEE chain), victim
+      // = closer-to-centroid member (ties drop the larger id), anti-join
+      "q249_semdedup" -> {
+        val rounds = 2
+        s"""WITH ${kmeansChainSql(k = 8, rounds = rounds)},
+           own AS (SELECT df.vec_id, df.c, CAST(df.dist AS BIGINT) AS dist
+                   FROM dist_f df JOIN a_f a
+                     ON a.vec_id = df.vec_id AND a.c = df.c),
+           n2 AS (SELECT vec_id, CAST(sum(x * x) AS BIGINT) AS n2
+                  FROM px GROUP BY vec_id),
+           pr AS (SELECT a.vec_id AS ida, b.vec_id AS idb,
+                    a.dist AS da, b.dist AS db
+                  FROM own a JOIN own b
+                    ON a.c = b.c AND a.vec_id < b.vec_id),
+           dots AS (SELECT pr.ida, pr.idb, pr.da, pr.db,
+                      CAST(sum(pa.x * pb.x) AS BIGINT) AS dot
+                    FROM pr JOIN px pa ON pa.vec_id = pr.ida
+                         JOIN px pb ON pb.vec_id = pr.idb AND pb.d = pa.d
+                    GROUP BY 1, 2, 3, 4),
+           vic AS (SELECT DISTINCT
+                     CASE WHEN da < db THEN ida
+                          WHEN db < da THEN idb
+                          ELSE greatest(ida, idb) END AS victim
+                   FROM dots JOIN n2 na ON na.vec_id = dots.ida
+                        JOIN n2 nb ON nb.vec_id = dots.idb
+                   WHERE na.n2 > 0 AND nb.n2 > 0
+                     AND CAST(dot AS DOUBLE) /
+                       (sqrt(CAST(na.n2 AS DOUBLE)) * sqrt(CAST(nb.n2 AS DOUBLE)))
+                       >= 0.3)
+           SELECT o.vec_id, o.c AS cluster, o.dist AS dist2
+           FROM own o LEFT JOIN vic ON vic.victim = o.vec_id
+           WHERE vic.victim IS NULL
+           ORDER BY o.vec_id"""
+      },
+
 
       "q17_dedup_exact" ->
         s"""SELECT CAST(min(doc_id) AS BIGINT) AS doc_id, count(*) AS n_copies

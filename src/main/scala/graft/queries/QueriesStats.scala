@@ -640,7 +640,229 @@ private[graft] trait QueriesStats { this: SparkEntry.type =>
       bucketOf = v => shiftright(v, 3))
   }
 
+  /** 1-D Wasserstein-1 between English and non-English quality
+    * distributions: the drift number WITH UNITS (score points moved) on
+    * q242's cohorts — exact integer |D|·gap sums off the value histogram
+    * ([[graft.operators.Eval.wasserstein1]]). */
+  protected def q244(s: SparkSession, dir: String): DataFrame = {
+    val stop = Text.langMarkers.toMap.apply("en")
+    graft.operators.Eval.wasserstein1(
+      Tables.documents(s, dir)
+        .select(floor(Text.qualityScore(col("text"), stop) * lit(1e6))
+          .cast("long").as("qu"), col("lang")),
+      scoreCol = expr("qu DIV 16384"),
+      positive = col("lang") === "en",
+      bucketOf = v => shiftright(v, 3))
+  }
+
+  /** Two-sample Cramér–von Mises criterion on the same cohorts: the
+    * center-weighted whole-distribution test q196's KS (single largest
+    * gap) leaves open — exact integer Σt·D² off the value histogram
+    * ([[graft.operators.Eval.cramerVonMises]]). */
+  protected def q245(s: SparkSession, dir: String): DataFrame = {
+    val stop = Text.langMarkers.toMap.apply("en")
+    graft.operators.Eval.cramerVonMises(
+      Tables.documents(s, dir)
+        .select(floor(Text.qualityScore(col("text"), stop) * lit(1e6))
+          .cast("long").as("qu"), col("lang")),
+      scoreCol = expr("qu DIV 16384"),
+      positive = col("lang") === "en",
+      bucketOf = v => shiftright(v, 3))
+  }
+
+  /** Two-sample energy distance on the same cohorts: the
+    * mean-pairwise-gap read (2E|X−Y| − E|X−X'| − E|Y−Y'|), exact via
+    * four prefix sums — no pair join anywhere
+    * ([[graft.operators.Eval.energyDistance]]). */
+  protected def q246(s: SparkSession, dir: String): DataFrame = {
+    val stop = Text.langMarkers.toMap.apply("en")
+    graft.operators.Eval.energyDistance(
+      Tables.documents(s, dir)
+        .select(floor(Text.qualityScore(col("text"), stop) * lit(1e6))
+          .cast("long").as("qu"), col("lang")),
+      scoreCol = expr("qu DIV 16384"),
+      positive = col("lang") === "en",
+      bucketOf = v => shiftright(v, 3))
+  }
+
+  /** Conover squared-rank variance test across all k language cohorts:
+    * the k-sample scale question q242/q243 answer only pairwise —
+    * deviations from site-floored group means, pooled squared midranks
+    * shifted by 14 (the fixed-score-family budget that stays exact to
+    * N ≈ 6·10⁴ — sf1 headroom), χ²_(k−1) readout
+    * ([[graft.operators.Eval.conoverSquaredRanks]]). */
+  protected def q247(s: SparkSession, dir: String): DataFrame = {
+    val stop = Text.langMarkers.toMap.apply("en")
+    graft.operators.Eval.conoverSquaredRanks(
+      Tables.documents(s, dir)
+        .select(col("lang"),
+          floor(Text.qualityScore(col("text"), stop) * lit(1e6))
+            .cast("long").as("qu")),
+      groupCol = "lang", valueCol = expr("qu DIV 16384"),
+      bucketOf = v => shiftright(v, 3), scoreShift = 14)
+  }
+
   protected def oraclesStats: Map[String, String] = Map(
+      // Conover squared ranks: site-floored group means, pooled squared
+      // midranks >> 14, per-group micro χ² terms; chain mirrored verbatim
+      "q247_conover" ->
+        s"""WITH pts AS (
+             SELECT lang AS g,
+               CAST(floor(${qualitySql(toks)} * 1e6) AS BIGINT) // 16384 AS y
+             FROM documents),
+           gs AS (SELECT g, CAST(count(*) AS BIGINT) AS ng0,
+                    CAST(sum(y) AS BIGINT) AS sg0
+                  FROM pts GROUP BY g),
+           gm AS (SELECT g,
+                    (sg0 - ((sg0 % ng0 + ng0) % ng0)) // ng0 AS mg
+                  FROM gs),
+           dev AS (SELECT pts.g, abs(y - mg) AS v
+                   FROM pts JOIN gm USING (g)),
+           cells AS (SELECT g, v, CAST(count(*) AS BIGINT) AS c
+                     FROM dev GROUP BY g, v),
+           h AS (SELECT v, CAST(sum(c) AS BIGINT) AS t FROM cells GROUP BY v),
+           r AS (SELECT v, t,
+                   CAST(sum(t) OVER (ORDER BY v) - t AS BIGINT) AS cb
+                 FROM h),
+           sc AS (SELECT v, t,
+                    ((2 * cb + t + 1) * (2 * cb + t + 1)) >> 14 AS aq
+                  FROM r),
+           tot AS (SELECT CAST(sum(t) AS BIGINT) AS n,
+                     CAST(sum(CAST(t AS HUGEINT) * aq) AS HUGEINT) AS a,
+                     CAST(sum(CAST(t AS HUGEINT) * aq * aq) AS HUGEINT) AS b
+                   FROM sc),
+           pg AS (SELECT g, CAST(sum(c) AS BIGINT) AS ng,
+                    CAST(sum(CAST(c AS HUGEINT) * aq) AS HUGEINT) AS sq
+                  FROM cells JOIN sc USING (v) GROUP BY g),
+           tm AS (SELECT ng,
+                    CAST(tot.n AS HUGEINT) * sq - CAST(ng AS HUGEINT) * a AS num
+                  FROM pg CROSS JOIN tot),
+           ag AS (SELECT CAST(sum((num * num * 1000000
+                      - ((num * num * 1000000 % ng + ng) % ng)) // ng)
+                    AS HUGEINT) AS st,
+                    CAST(count(*) AS BIGINT) AS k
+                  FROM tm)
+           SELECT tot.n AS n, ag.k AS k_groups,
+             CAST(st AS DOUBLE) AS sum_term,
+             CASE WHEN ag.k >= 2 AND tot.n >= 2
+                 AND (CAST(tot.n AS HUGEINT) * b - a * a) > 0 THEN
+               CAST(tot.n - 1 AS DOUBLE) * CAST(st AS DOUBLE) /
+                 (CAST(tot.n AS DOUBLE)
+                   * CAST(CAST(tot.n AS HUGEINT) * b - a * a AS DOUBLE)
+                   * 1000000.0)
+             END AS t_conover
+           FROM ag CROSS JOIN tot""",
+
+      // Wasserstein-1: |D|·gap sums over the sorted value histogram
+      // (D = n2·C1 − n1·C2 at inclusive cumulatives); trailing chain
+      // mirrored verbatim
+      "q244_wasserstein" ->
+        s"""WITH pts AS (
+             SELECT CAST(floor(${qualitySql(toks)} * 1e6) AS BIGINT) // 16384 AS v,
+               CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS p
+             FROM documents),
+           h AS (SELECT v, CAST(count(*) AS BIGINT) AS t,
+                   CAST(sum(p) AS BIGINT) AS pc
+                 FROM pts GROUP BY v),
+           nn AS (SELECT CAST(sum(t) AS BIGINT) AS n,
+                    CAST(sum(pc) AS BIGINT) AS n1 FROM h),
+           c AS (SELECT v, t, pc,
+                   CAST(sum(pc) OVER (ORDER BY v) AS BIGINT) AS c1,
+                   CAST(sum(t) OVER (ORDER BY v) AS BIGINT) AS ct,
+                   lead(v) OVER (ORDER BY v) AS nxt
+                 FROM h),
+           ag AS (SELECT CAST(sum(CASE WHEN nxt IS NOT NULL THEN
+                      abs(CAST(nn.n - nn.n1 AS HUGEINT) * c1
+                        - CAST(nn.n1 AS HUGEINT) * (ct - c1)) * (nxt - v)
+                      ELSE 0 END) AS HUGEINT) AS num,
+                    max(nn.n) AS n, max(nn.n1) AS n1
+                  FROM c CROSS JOIN nn)
+           SELECT n1 AS n_pos, n - n1 AS n_neg,
+             CAST(num AS DOUBLE) AS w1_num,
+             CASE WHEN n1 > 0 AND n - n1 > 0 THEN
+               CAST(num AS DOUBLE) /
+                 (CAST(n1 AS DOUBLE) * CAST(n - n1 AS DOUBLE))
+             END AS w1
+           FROM ag""",
+
+      // Cramér–von Mises: Σ t·D² over the value histogram; trailing
+      // chain mirrored verbatim
+      "q245_cramer_von_mises" ->
+        s"""WITH pts AS (
+             SELECT CAST(floor(${qualitySql(toks)} * 1e6) AS BIGINT) // 16384 AS v,
+               CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS p
+             FROM documents),
+           h AS (SELECT v, CAST(count(*) AS BIGINT) AS t,
+                   CAST(sum(p) AS BIGINT) AS pc
+                 FROM pts GROUP BY v),
+           nn AS (SELECT CAST(sum(t) AS BIGINT) AS n,
+                    CAST(sum(pc) AS BIGINT) AS n1 FROM h),
+           c AS (SELECT v, t, pc,
+                   CAST(sum(pc) OVER (ORDER BY v) AS BIGINT) AS c1,
+                   CAST(sum(t) OVER (ORDER BY v) AS BIGINT) AS ct
+                 FROM h),
+           ag AS (SELECT CAST(sum(CAST(t AS HUGEINT)
+                      * (CAST(nn.n - nn.n1 AS HUGEINT) * c1
+                        - CAST(nn.n1 AS HUGEINT) * (ct - c1))
+                      * (CAST(nn.n - nn.n1 AS HUGEINT) * c1
+                        - CAST(nn.n1 AS HUGEINT) * (ct - c1)))
+                    AS HUGEINT) AS u,
+                    max(nn.n) AS n, max(nn.n1) AS n1
+                  FROM c CROSS JOIN nn)
+           SELECT n1 AS n_pos, n - n1 AS n_neg,
+             CAST(u AS DOUBLE) AS cvm_num,
+             CASE WHEN n1 > 0 AND n - n1 > 0 THEN
+               CAST(u AS DOUBLE) /
+                 (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)
+                   * CAST(n1 AS DOUBLE) * CAST(n - n1 AS DOUBLE))
+             END AS t_stat
+           FROM ag""",
+
+      // Energy distance: gap-to-all-previous prefix sums per cohort
+      // (v·Pc − Ps), no pair join; trailing chain mirrored verbatim
+      "q246_energy_distance" ->
+        s"""WITH pts AS (
+             SELECT CAST(floor(${qualitySql(toks)} * 1e6) AS BIGINT) // 16384 AS v,
+               CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS p
+             FROM documents),
+           h AS (SELECT v, CAST(count(*) AS BIGINT) AS t,
+                   CAST(sum(p) AS BIGINT) AS pc
+                 FROM pts GROUP BY v),
+           nn AS (SELECT CAST(sum(t) AS BIGINT) AS n,
+                    CAST(sum(pc) AS BIGINT) AS n1 FROM h),
+           c AS (SELECT v, t, pc, t - pc AS nc,
+                   CAST(coalesce(sum(pc) OVER w, 0) AS HUGEINT) AS p1c,
+                   CAST(coalesce(sum(CAST(pc AS HUGEINT) * v) OVER w, 0)
+                     AS HUGEINT) AS p1s,
+                   CAST(coalesce(sum(t - pc) OVER w, 0) AS HUGEINT) AS p2c,
+                   CAST(coalesce(sum(CAST(t - pc AS HUGEINT) * v) OVER w, 0)
+                     AS HUGEINT) AS p2s
+                 FROM h
+                 WINDOW w AS (ORDER BY v
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)),
+           g AS (SELECT pc, nc,
+                   CAST(v AS HUGEINT) * p1c - p1s AS g1,
+                   CAST(v AS HUGEINT) * p2c - p2s AS g2
+                 FROM c),
+           ag AS (SELECT
+                    CAST(sum(g1 * nc + g2 * pc) AS HUGEINT) AS sxy,
+                    CAST(sum(g1 * pc) AS HUGEINT) AS sxx,
+                    CAST(sum(g2 * nc) AS HUGEINT) AS syy
+                  FROM g)
+           SELECT nn.n1 AS n_pos, nn.n - nn.n1 AS n_neg,
+             CAST(sxy AS DOUBLE) AS sxy,
+             CAST(sxx AS DOUBLE) AS sxx,
+             CAST(syy AS DOUBLE) AS syy,
+             CASE WHEN nn.n1 > 0 AND nn.n - nn.n1 > 0 THEN
+               2.0 * CAST(sxy AS DOUBLE) /
+                 (CAST(nn.n1 AS DOUBLE) * CAST(nn.n - nn.n1 AS DOUBLE))
+               - 2.0 * CAST(sxx AS DOUBLE) /
+                 (CAST(nn.n1 AS DOUBLE) * CAST(nn.n1 AS DOUBLE))
+               - 2.0 * CAST(syy AS DOUBLE) /
+                 (CAST(nn.n - nn.n1 AS DOUBLE) * CAST(nn.n - nn.n1 AS DOUBLE))
+             END AS e_dist
+           FROM ag CROSS JOIN nn""",
+
       // Ansari-Bradley: folded block sums split at the kink (closed-form
       // arithmetic series per tie block), micro-quantized tie-averaged
       // scores, permutation-exact moments; chain mirrored verbatim

@@ -1391,6 +1391,84 @@ object Streams {
       }
   }
 
+  private[streaming] case class W1DriftState(
+    openStep: Long, hist: Vector[(Long, Long)])
+
+  /** Streaming WASSERSTEIN-1 drift — the drift monitor WITH UNITS
+    * ([[mwDriftStream]] reads rank dominance, [[ksDriftStream]] the max
+    * CDF gap; W₁ reads "how many score points has this step's
+    * distribution moved from the frozen reference", the number a
+    * retraining trigger thresholds on). Carried-histogram style: per
+    * monitored key the state holds ONLY the OPEN step's value
+    * histogram; the reference distribution is a FROZEN b-entry model
+    * baked into the operator (the [[mwDriftStream]] contract). When an
+    * event for a LATER step arrives the open step closes and the twin
+    * emits W₁(ref, step) with BIT-IDENTICAL arithmetic to
+    * [[graft.operators.Eval.wasserstein1]] on the same slice: exact
+    * BigInt `Σ|n₂·C_ref − n₁·C_step|·gap` over the sorted union values,
+    * then the one IEEE division (StreamingSpec asserts equality against
+    * the batch operator with the reference as the positive cohort).
+    *
+    * State is BOUNDED by one step's distinct values plus the fixed
+    * reference model: closed steps drop at close, a million events in
+    * one step grow counts, not the state. Late events for closed steps
+    * drop (the [[rateAnomalyStream]] convention). Emits
+    * `(series, step, n_step, w1_num, w1)` per close; w1 None when the
+    * step is empty. */
+  def w1DriftStream(events: Dataset[(String, Long, Long)], stepUs: Long,
+                    refValues: Seq[Long], refCounts: Seq[Long])
+      : Dataset[(String, Long, Long, Double, Option[Double])] = {
+    require(stepUs >= 1L, s"stepUs must be >= 1, got $stepUs")
+    val b = refValues.length
+    require(b >= 1, s"need >= 1 reference values, got $b")
+    require(refCounts.length == b && refCounts.forall(_ >= 1L),
+      "need one positive count per reference value")
+    require(refValues.sameElements(refValues.sorted.distinct),
+      "refValues must be sorted distinct")
+    import events.sparkSession.implicits._
+    val refMap = refValues.zip(refCounts).toMap
+    val n1 = refCounts.sum
+    def verdict(series: String, step: Long, cells: Vector[(Long, Long)])
+        : (String, Long, Long, Double, Option[Double]) = {
+      val cur = cells.toMap
+      val n2 = cells.map(_._2).sum
+      val vs = (refMap.keySet ++ cur.keySet).toSeq.sorted
+      var c1 = 0L; var c2 = 0L
+      var num = BigInt(0)
+      vs.zip(vs.drop(1)).foreach { case (v, nxt) =>
+        c1 += refMap.getOrElse(v, 0L); c2 += cur.getOrElse(v, 0L)
+        num += (BigInt(n2) * c1 - BigInt(n1) * c2).abs * (nxt - v)
+      }
+      val w1 = if (n1 > 0 && n2 > 0)
+        Some(num.toDouble / (n1.toDouble * n2.toDouble)) else None
+      (series, step, n2, num.toDouble, w1)
+    }
+    events
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[W1DriftState,
+        (String, Long, Long, Double, Option[Double])](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (key, it, state: GroupState[W1DriftState]) =>
+          val out = scala.collection.mutable.ArrayBuffer
+            .empty[(String, Long, Long, Double, Option[Double])]
+          var open = state.getOption.map(_.openStep).getOrElse(Long.MinValue)
+          val cells = scala.collection.mutable.Map.empty[Long, Long]
+          state.getOption.foreach(_.hist.foreach { case (v, c) => cells(v) = c })
+          it.toSeq.sortBy(_._2).foreach { case (_, us, v) =>
+            val h = Math.floorDiv(us, stepUs)
+            if (open == Long.MinValue) { open = h; cells(v) = 1L }
+            else if (h == open) cells(v) = cells.getOrElse(v, 0L) + 1L
+            else if (h > open) {
+              out += verdict(key, open, cells.toVector)
+              cells.clear()
+              open = h; cells(v) = 1L
+            } // h < open: late for a closed step — dropped
+          }
+          state.update(W1DriftState(open, cells.toVector))
+          out.iterator
+      }
+  }
+
   private[streaming] case class KwDriftState(
     openStep: Long, cells: Vector[(String, Long, Long)])
 

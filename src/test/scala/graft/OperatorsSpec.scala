@@ -4120,6 +4120,295 @@ class OperatorsSpec extends SparkSuite {
     assert(got("b").isNullAt(3))
   }
 
+  test("wasserstein1: brute grid-integral parity with ties, planted shift measured in score points, degenerates") {
+    import spark.implicits._
+    import graft.operators.Eval
+
+    // independent brute: W1 = sum over the integer grid of |F1(x) - F2(x)|
+    def brute(pts: Seq[(Long, Boolean)]): (Long, Long, BigInt, Option[Double]) = {
+      val pos = pts.filter(_._2).map(_._1)
+      val neg = pts.filterNot(_._2).map(_._1)
+      val (n1, n2) = (pos.length.toLong, neg.length.toLong)
+      val num =
+        if (pts.isEmpty) BigInt(0)
+        else (pts.map(_._1).min until pts.map(_._1).max).map { x =>
+          (BigInt(n2) * pos.count(_ <= x) - BigInt(n1) * neg.count(_ <= x)).abs
+        }.sum
+      val w1 = if (n1 > 0 && n2 > 0)
+        Some(num.toDouble / (n1.toDouble * n2.toDouble)) else None
+      (n1, n2, num, w1)
+    }
+    def run(pts: Seq[(Long, Boolean)]) =
+      Eval.wasserstein1(pts.toDF("v", "p"), col("v"), col("p"),
+        bucketOf = v => shiftright(v, 3)).collect()(0)
+
+    val rnd = new scala.util.Random(211)
+    // positives shifted up by ~25 points: W1 should read the shift in UNITS
+    val pts = (1 to 90).map(_ => (25L + rnd.nextInt(10), true)) ++
+      (1 to 70).map(_ => (rnd.nextInt(10).toLong, false))
+    val got = run(pts); val want = brute(pts)
+    assert(got.getLong(0) == want._1 && got.getLong(1) == want._2)
+    assert(got.getDouble(2) == want._3.toDouble)
+    assert(got.getDouble(3) == want._4.get)
+    assert(math.abs(got.getDouble(3) - 25.0) < 5.0, s"shift read: ${got.getDouble(3)}")
+    // identical cohorts -> W1 = 0 exactly
+    val same = (1 to 60).flatMap(i => Seq(((i % 7).toLong, true), ((i % 7).toLong, false)))
+    assert(run(same).getDouble(3) == 0.0)
+    // heavy ties across buckets still exact vs brute
+    val tied = (1 to 200).map(i => ((i % 17).toLong * 3, i % 3 == 0))
+    val gt = run(tied); val wt = brute(tied)
+    assert(gt.getDouble(2) == wt._3.toDouble && gt.getDouble(3) == wt._4.get)
+    // one-sided cohort -> w1 NULL
+    assert(run(Seq((1L, true), (2L, true))).isNullAt(3))
+  }
+
+  test("cramerVonMises: brute pooled-point parity with ties, planted shift found, center-vs-tail reading") {
+    import spark.implicits._
+    import graft.operators.Eval
+
+    // independent brute: per pooled point z, (F1(z) - F2(z))^2, exact core
+    def brute(pts: Seq[(Long, Boolean)]): (Long, Long, BigInt, Option[Double]) = {
+      val pos = pts.filter(_._2).map(_._1)
+      val neg = pts.filterNot(_._2).map(_._1)
+      val (n1, n2) = (pos.length.toLong, neg.length.toLong)
+      val n = n1 + n2
+      val u = pts.map { case (z, _) =>
+        val d = BigInt(n2) * pos.count(_ <= z) - BigInt(n1) * neg.count(_ <= z)
+        d * d
+      }.sum
+      val t = if (n1 > 0 && n2 > 0)
+        Some(u.toDouble / (n.toDouble * n.toDouble * n1.toDouble * n2.toDouble))
+      else None
+      (n1, n2, u, t)
+    }
+    def run(pts: Seq[(Long, Boolean)]) =
+      Eval.cramerVonMises(pts.toDF("v", "p"), col("v"), col("p"),
+        bucketOf = v => shiftright(v, 3)).collect()(0)
+
+    val rnd = new scala.util.Random(223)
+    val pts = (1 to 80).map(_ => (10L + rnd.nextInt(20), true)) ++
+      (1 to 80).map(_ => (rnd.nextInt(20).toLong, false))
+    val got = run(pts); val want = brute(pts)
+    assert(got.getLong(0) == want._1 && got.getLong(1) == want._2)
+    assert(got.getDouble(2) == want._3.toDouble)
+    assert(got.getDouble(3) == want._4.get)
+    assert(got.getDouble(3) > 0.1, s"planted shift: ${got.getDouble(3)}")
+    // exchangeable -> small criterion, still exact vs brute
+    val fair = (1 to 150).map(i => ((i % 15).toLong, i % 2 == 0))
+    val gf = run(fair); val wf = brute(fair)
+    assert(gf.getDouble(2) == wf._3.toDouble && gf.getDouble(3) < 0.05)
+    // one-sided cohort -> NULL
+    assert(run(Seq((1L, false), (2L, false))).isNullAt(3))
+  }
+
+  test("energyDistance: brute all-pairs parity with ties, zero on identical cohorts, planted shift") {
+    import spark.implicits._
+    import graft.operators.Eval
+
+    // independent brute: direct O(n^2) pairwise gaps
+    def brute(pts: Seq[(Long, Boolean)]): (BigInt, BigInt, BigInt, Option[Double]) = {
+      val pos = pts.filter(_._2).map(_._1)
+      val neg = pts.filterNot(_._2).map(_._1)
+      val (n1, n2) = (pos.length.toLong, neg.length.toLong)
+      val sxy = (for (x <- pos; y <- neg) yield BigInt((x - y).abs)).sum
+      def within(s: Seq[Long]) = (for {
+        (x, i) <- s.zipWithIndex; (y, j) <- s.zipWithIndex if i < j
+      } yield BigInt((x - y).abs)).sum
+      val (sxx, syy) = (within(pos), within(neg))
+      val e = if (n1 > 0 && n2 > 0)
+        Some(2.0 * sxy.toDouble / (n1.toDouble * n2.toDouble) -
+          2.0 * sxx.toDouble / (n1.toDouble * n1.toDouble) -
+          2.0 * syy.toDouble / (n2.toDouble * n2.toDouble))
+      else None
+      (sxy, sxx, syy, e)
+    }
+    def run(pts: Seq[(Long, Boolean)]) =
+      Eval.energyDistance(pts.toDF("v", "p"), col("v"), col("p"),
+        bucketOf = v => shiftright(v, 3)).collect()(0)
+
+    val rnd = new scala.util.Random(229)
+    val pts = (1 to 70).map(_ => (40L + rnd.nextInt(15), true)) ++
+      (1 to 90).map(_ => (rnd.nextInt(15).toLong, false))
+    val got = run(pts); val want = brute(pts)
+    assert(got.getDouble(2) == want._1.toDouble, "sxy")
+    assert(got.getDouble(3) == want._2.toDouble, "sxx")
+    assert(got.getDouble(4) == want._3.toDouble, "syy")
+    assert(got.getDouble(5) == want._4.get)
+    assert(got.getDouble(5) > 10.0, s"planted shift: ${got.getDouble(5)}")
+    // identical cohorts -> E = 0 exactly (all three terms cancel)
+    val same = (1 to 50).flatMap(i => Seq(((i % 9).toLong, true), ((i % 9).toLong, false)))
+    assert(run(same).getDouble(5) == 0.0)
+    // ties spanning buckets still exact vs brute
+    val tied = (1 to 160).map(i => ((i % 13).toLong * 5, i % 4 == 0))
+    val gt = run(tied); val wt = brute(tied)
+    assert(gt.getDouble(2) == wt._1.toDouble && gt.getDouble(5) == wt._4.get)
+    // one-sided -> NULL
+    assert(run(Seq((1L, true))).isNullAt(5))
+  }
+
+  test("conoverSquaredRanks: brute parity at shift 0 and 14, planted k-sample spread, negative-mean floor, degenerates") {
+    import spark.implicits._
+    import graft.operators.Eval
+
+    def brute(pts: Seq[(String, Long)], shift: Int): (Long, Long, BigInt, Option[Double]) = {
+      val groups = pts.groupBy(_._1)
+      def floorDiv(s: Long, n: Long): Long = (s - ((s % n + n) % n)) / n
+      val means = groups.map { case (g, xs) =>
+        g -> floorDiv(xs.map(_._2).sum, xs.size.toLong) }
+      val devs = pts.map { case (g, y) => (g, (y - means(g)).abs) }
+      val hist = devs.groupBy(_._2).view.mapValues(_.size.toLong).toMap
+      val sorted = hist.toSeq.sortBy(_._1)
+      val cb = sorted.map(_._1).zip(sorted.scanLeft(0L)(_ + _._2).init).toMap
+      def aq(v: Long): Long = ((2L * cb(v) + hist(v) + 1L) * (2L * cb(v) + hist(v) + 1L)) >> shift
+      val n = pts.size.toLong
+      val a = hist.map { case (v, t) => BigInt(t) * aq(v) }.sum
+      val b = hist.map { case (v, t) => BigInt(t) * aq(v) * aq(v) }.sum
+      val st = groups.map { case (g, xs) =>
+        val ng = xs.size.toLong
+        val sq = xs.map(x => BigInt(aq((x._2 - means(g)).abs))).sum
+        val num = BigInt(n) * sq - BigInt(ng) * a
+        num * num * 1000000 / ng // nonneg -> / is floor
+      }.sum
+      val sv = BigInt(n) * b - a * a
+      val t = if (groups.size >= 2 && n >= 2 && sv > 0)
+        Some((n - 1).toDouble * st.toDouble / (n.toDouble * sv.toDouble * 1e6))
+      else None
+      (n, groups.size.toLong, st, t)
+    }
+    def run(pts: Seq[(String, Long)], shift: Int) =
+      Eval.conoverSquaredRanks(pts.toDF("g", "y"), "g", col("y"),
+        bucketOf = v => shiftright(v, 3), scoreShift = shift).collect()(0)
+
+    val rnd = new scala.util.Random(233)
+    // group a spreads wide, b/c stay tight, all centered near 50
+    val pts = (1 to 60).map(_ => ("a", 50L + rnd.nextInt(81) - 40L)) ++
+      (1 to 60).map(_ => ("b", 50L + rnd.nextInt(7) - 3L)) ++
+      (1 to 60).map(_ => ("c", 50L + rnd.nextInt(7) - 3L))
+    for (shift <- Seq(0, 14)) {
+      val got = run(pts, shift); val want = brute(pts, shift)
+      assert(got.getLong(0) == want._1 && got.getLong(1) == want._2, s"shift $shift")
+      assert(got.getDouble(2) == want._3.toDouble, s"shift $shift sum_term")
+      assert(got.getDouble(3) == want._4.get, s"shift $shift t")
+    }
+    assert(run(pts, 0).getDouble(3) > 20.0, "planted spread must be found")
+    // negative values exercise the pmod floor on the group mean
+    val neg = (1 to 40).map(i => ("a", -100L + (i % 9))) ++
+      (1 to 40).map(i => ("b", -100L + (i % 41)))
+    val gn = run(neg, 0); val wn = brute(neg, 0)
+    assert(gn.getDouble(2) == wn._3.toDouble && gn.getDouble(3) == wn._4.get)
+    // exchangeable cohorts: small statistic, exact vs brute
+    val fair = (1 to 150).map(i => (s"g${i % 3}", (i % 17).toLong))
+    val gf = run(fair, 0); val wf = brute(fair, 0)
+    assert(gf.getDouble(2) == wf._3.toDouble && gf.getDouble(3) < 3.0)
+    // all deviations tied -> degenerate -> NULL
+    assert(run(Seq(("a", 5L), ("a", 5L), ("b", 7L), ("b", 7L)), 0).isNullAt(3))
+  }
+
+  test("dsirSelect: brute hashed-unigram parity, target-alike docs outrank, zero-token docs never selected") {
+    import spark.implicits._
+    import graft.operators.Sampling
+
+    val F = 64
+    def h60(s: String): Long = {
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(15)
+      java.lang.Long.parseLong(hex, 16)
+    }
+    def toks(text: String): Seq[String] =
+      text.toLowerCase.replaceAll("\\s+", " ").trim.split(" ").filter(_.nonEmpty).toSeq
+    def roundHalfUp(x: Double): Long =
+      java.math.BigDecimal.valueOf(x).setScale(0, java.math.RoundingMode.HALF_UP).longValue
+    def brute(raw: Seq[(Long, String)], tgt: Seq[(Long, String)],
+              k: Int): Seq[(Long, Long, Long)] = {
+      def fs(text: String) = toks(text).map(w => h60("dsir:" + w) % F)
+      val rc = raw.flatMap(d => fs(d._2)).groupBy(identity).view.mapValues(_.size.toLong).toMap
+      val tc = tgt.flatMap(d => fs(d._2)).groupBy(identity).view.mapValues(_.size.toLong).toMap
+      val (tr, tt) = (rc.values.sum, tc.values.sum)
+      def q(f: Long): Long = roundHalfUp(math.log(
+        ((tc.getOrElse(f, 0L) + 1).toDouble * (tr + F).toDouble) /
+          ((rc.getOrElse(f, 0L) + 1).toDouble * (tt + F).toDouble)) * 1e6)
+      raw.map { case (id, text) =>
+        val h = fs(text).groupBy(identity).view.mapValues(_.size.toLong).toMap
+        (id, h.values.sum, h.map { case (f, c) => c * q(f) }.sum)
+      }.filter(_._2 > 0)
+        .sortBy { case (id, _, w) => (-w, id) }.take(k)
+    }
+
+    // target speaks greek-letter vocab; half the raw pool does too
+    val tgt = (1L to 20L).map(i => (i, "alpha beta gamma delta alpha"))
+    val raw = (101L to 110L).map(i => (i, s"alpha beta gamma word$i")) ++
+      (201L to 210L).map(i => (i, s"stock market ticker word$i")) ++
+      Seq((301L, "   ")) // zero-token doc
+    val got = Sampling.dsirSelect(raw.toDF("doc_id", "text"),
+        tgt.toDF("doc_id", "text"), "doc_id", "text", features = F, k = 12)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    val want = brute(raw, tgt, 12)
+    assert(got == want, s"got $got\nwant $want")
+    // every greek-vocab doc outranks every ticker doc; 301 never appears
+    val rankOf = got.map(_._1).zipWithIndex.toMap
+    assert((101L to 110L).forall(g => (201L to 210L).forall(t =>
+      rankOf(g) < rankOf.getOrElse(t, Int.MaxValue))))
+    assert(!got.exists(_._1 == 301L))
+  }
+
+  test("semDedup: k=1 brute parity, planted dup groups keep the farthest-from-centroid member, survivor invariant") {
+    import spark.implicits._
+    import graft.operators.Similarity
+
+    def quant(v: Seq[Double]): Seq[Long] = v.map(x => math.floor(x * 1e6 + 0.5).toLong)
+    def cos(a: Seq[Long], b: Seq[Long]): Double = {
+      val dot = a.zip(b).map { case (x, y) => x * y }.sum
+      val (na, nb) = (a.map(x => x * x).sum, b.map(x => x * x).sum)
+      dot.toDouble / (math.sqrt(na.toDouble) * math.sqrt(nb.toDouble))
+    }
+    // two tight near-dup groups + two loners, 4-dim
+    val vecs: Seq[(Long, Seq[Double])] = Seq(
+      1L -> Seq(1.00, 0.01, 0.0, 0.0), 2L -> Seq(0.99, 0.02, 0.0, 0.0),
+      3L -> Seq(0.98, 0.00, 0.01, 0.0), // group A (cos ~ 1 pairwise)
+      4L -> Seq(0.0, 1.00, 0.01, 0.0), 5L -> Seq(0.0, 0.98, 0.02, 0.0), // group B
+      6L -> Seq(0.0, 0.0, 1.0, 0.0), 7L -> Seq(0.5, 0.5, 0.5, 0.5))
+    val df = vecs.map { case (id, v) => (id, v.map(_.toFloat).toArray) }
+      .toDF("vec_id", "embedding")
+
+    // brute for k=1, rounds=1: centroid = floor-div mean of ALL quantized
+    def flDiv(s: Long, n: Long): Long = (s - ((s % n + n) % n)) / n
+    val q = vecs.map { case (id, v) => id -> quant(v) }.toMap
+    val n = vecs.size.toLong
+    val cent = (0 until 4).map(d => flDiv(vecs.map(v => q(v._1)(d)).sum, n))
+    def d2(id: Long): Long = q(id).zip(cent).map { case (x, c) => (x - c) * (x - c) }.sum
+    val thr = 0.9
+    val victims = (for {
+      (a, _) <- vecs; (b, _) <- vecs if a < b && cos(q(a), q(b)) >= thr
+    } yield if (d2(a) < d2(b)) a else if (d2(b) < d2(a)) b else math.max(a, b)).toSet
+    val want = vecs.map(_._1).filterNot(victims).sorted
+
+    val got = Similarity.semDedup(df, "vec_id", "embedding",
+      k = 1, rounds = 1, threshold = thr).collect()
+    assert(got.map(_.getLong(0)).toSeq == want, s"survivors: ${got.mkString(",")}")
+    assert(got.forall(r => r.getLong(2) == d2(r.getLong(0))), "dist2 parity")
+    // each planted group keeps exactly ONE member - its farthest-from-centroid
+    val kept = got.map(_.getLong(0)).toSet
+    assert(kept.intersect(Set(1L, 2L, 3L)).size == 1)
+    assert(kept.intersect(Set(4L, 5L)).size == 1)
+    assert(kept.contains(6L) && kept.contains(7L)) // loners always survive
+
+    // invariant at k=2 on random data: no two same-cluster survivors are
+    // above-threshold similar (every such pair produced a victim)
+    val rnd = new scala.util.Random(241)
+    val rv = (1L to 60L).map(i => (i,
+      Array.fill(8)((rnd.nextDouble() - 0.5).toFloat)))
+    val rdf = rv.toDF("vec_id", "embedding")
+    val out = Similarity.semDedup(rdf, "vec_id", "embedding",
+      k = 2, rounds = 2, threshold = 0.8).collect()
+    val rq = rv.map { case (id, v) => id -> quant(v.map(_.toDouble).toSeq) }.toMap
+    val byCluster = out.groupBy(_.getLong(1))
+    for ((_, rows) <- byCluster; a <- rows; b <- rows
+         if a.getLong(0) < b.getLong(0))
+      assert(cos(rq(a.getLong(0)), rq(b.getLong(0))) < 0.8,
+        s"survivors ${a.getLong(0)},${b.getLong(0)} still near-dup")
+    assert(out.length <= 60 && out.nonEmpty)
+  }
+
   test("ansariBradley: brute folded-rank parity incl. a center-straddling tie block, planted spread, sign semantics") {
     import spark.implicits._
     import graft.operators.Eval

@@ -1285,6 +1285,72 @@ class ScaleSpec extends SparkSuite {
     assert(!phPlan.contains("CartesianProduct"), s"page-hinkley joins are equi:\n$phPlan")
   }
 
+  test("distribution-distance plans: W1/CvM/energy ride the histogram, no pair join, no data-sized single-partition window") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(61)
+    val pts = (1 to 4000).map(i => (rnd.nextInt(300).toLong, i % 2 == 0)).toDF("v", "p")
+
+    def check(name: String, df: org.apache.spark.sql.DataFrame): Unit = {
+      df.collect()
+      val plan = df.queryExecution.executedPlan.toString.split("== Initial Plan ==").head
+      assert(plan.contains("partial_count") || plan.contains("partial_sum"),
+        s"$name histogram must partial-aggregate:\n$plan")
+      assert(!plan.contains("CartesianProduct"),
+        s"$name must not open a pair join (the prefix sums replace it):\n$plan")
+      // every unpartitioned window sits on the bucket spine (model-sized):
+      // the data-sized windows all carry the _b partition
+      val winLines = plan.linesIterator.filter(_.contains("Window")).toSeq
+      assert(winLines.forall(l => !l.contains("SinglePartition") ||
+        l.contains("_b")), s"$name unpartitioned window off the spine:\n$plan")
+    }
+    check("wasserstein1", graft.operators.Eval.wasserstein1(
+      pts, col("v"), col("p"), bucketOf = v => shiftright(v, 4), checkpoint = false))
+    check("cramerVonMises", graft.operators.Eval.cramerVonMises(
+      pts, col("v"), col("p"), bucketOf = v => shiftright(v, 4), checkpoint = false))
+    check("energyDistance", graft.operators.Eval.energyDistance(
+      pts, col("v"), col("p"), bucketOf = v => shiftright(v, 4), checkpoint = false))
+    // conover adds the k-row group-center broadcast join and the
+    // cells->score equi join; same histogram discipline applies
+    val gpts = (1 to 4000).map(i =>
+      (s"g${i % 4}", rnd.nextInt(300).toLong)).toDF("g", "y")
+    check("conoverSquaredRanks", graft.operators.Eval.conoverSquaredRanks(
+      gpts, "g", col("y"), bucketOf = v => shiftright(v, 4), checkpoint = false))
+  }
+
+  test("semDedup/dsirSelect plans: cluster-bounded pair join, broadcast model scoring, TakeOrdered cut") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(67)
+
+    // semDedup: the pair join must be an equi-join on the cluster id —
+    // never a cartesian/all-pairs product; assignment partial-aggregates
+    val vecs = (1L to 300L).map(i =>
+      (i, Array.fill(8)((rnd.nextDouble() - 0.5).toFloat))).toDF("vec_id", "embedding")
+    val sd = graft.operators.Similarity.semDedup(vecs, "vec_id", "embedding",
+      k = 4, rounds = 1, threshold = 0.9)
+    sd.collect()
+    val sdPlan = sd.queryExecution.executedPlan.toString.split("== Initial Plan ==").head
+    assert(!sdPlan.contains("CartesianProduct"),
+      s"semDedup pair join must stay cluster-keyed:\n$sdPlan")
+
+    // dsirSelect: the F-row scoring model broadcasts onto the doc
+    // histogram, the cut is a distributed top-k (TakeOrdered), and the
+    // histogram partial-aggregates before any exchange
+    val docs = (1L to 400L).map(i =>
+      (i, s"tok${i % 7} tok${i % 13} tok${i % 3} filler$i")).toDF("doc_id", "text")
+    val ds = graft.operators.Sampling.dsirSelect(docs,
+      docs.where(col("doc_id") % 3 === 0), "doc_id", "text",
+      features = 256, k = 20)
+    ds.collect()
+    val dsPlan = ds.queryExecution.executedPlan.toString.split("== Initial Plan ==").head
+    assert(dsPlan.contains("TakeOrdered"),
+      s"dsir cut must be a distributed top-k heap:\n$dsPlan")
+    assert(dsPlan.contains("BroadcastHashJoin"),
+      s"dsir model join must broadcast the F-row model:\n$dsPlan")
+    assert(dsPlan.contains("partial_count") || dsPlan.contains("partial_sum"),
+      s"dsir histogram must partial-aggregate:\n$dsPlan")
+    assert(!dsPlan.contains("CartesianProduct"), s"dsir joins:\n$dsPlan")
+  }
+
   test("hitsInt cuts the raw half-round frames: strictly less stage work than the uncut shape") {
     // Each half-round's rawAuth/rawHub feeds its own max agg AND the data
     // path; Spark does not reuse that exchange across consumers, so the

@@ -937,6 +937,53 @@ class StreamingSpec extends SparkSuite {
     } finally q.stop()
   }
 
+  test("streaming W1 drift: per-close batch parity vs wasserstein1, shift read in units, late events drop") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val hourUs = 3600000000L
+    def at(h: Long, i: Long): Long = h * hourUs + i * 1000L
+    val rnd = new scala.util.Random(89)
+    // frozen reference: values 0..9 roughly uniform
+    val refValues = (0L to 9L)
+    val refCounts = refValues.map(v => 10L + (v % 3))
+    // hour 0 draws near the reference; hour 1 shifts up by ~20 points
+    val h0 = (1 to 50).map(i => ("m", at(0L, i.toLong), rnd.nextInt(10).toLong))
+    val h1 = (1 to 50).map(i => ("m", at(1L, i.toLong), 20L + rnd.nextInt(10)))
+    val late = ("m", at(0L, 999L), 5L)
+    val sentinel = ("m", at(2L, 0L), 1L)
+
+    val input = MemoryStream[(String, Long, Long)]
+    val out = Streams.w1DriftStream(input.toDS(), stepUs = hourUs,
+      refValues = refValues, refCounts = refCounts)
+    val q = out.toDF("series", "step", "n_step", "w1_num", "w1")
+      .writeStream.outputMode("append").format("memory").queryName("w1drift").start()
+    try {
+      input.addData(h0: _*)
+      q.processAllAvailable()
+      input.addData(h1: _*) // closes hour 0
+      q.processAllAvailable()
+      input.addData(late, sentinel) // hour 0 closed -> late drops; close hour 1
+      q.processAllAvailable()
+      val rows = spark.table("w1drift").collect()
+        .map(r => r.getLong(1) -> ((r.getLong(2), r.getDouble(3), r.getDouble(4)))).toMap
+      assert(rows.keySet == Set(0L, 1L), s"one emission per closed hour: ${rows.keySet}")
+      // per-close batch parity: reference as the positive cohort, the
+      // closed hour's values as the negative one
+      def batch(evts: Seq[(String, Long, Long)]): (Long, Double, Double) = {
+        val refRows = refValues.zip(refCounts).flatMap { case (v, c) =>
+          Seq.fill(c.toInt)((v, true)) }
+        val df = (refRows ++ evts.map(e => (e._3, false))).toDF("v", "p")
+        val r = graft.operators.Eval.wasserstein1(df, col("v"), col("p"),
+          bucketOf = v => shiftright(v, 2)).collect()(0)
+        (r.getLong(1), r.getDouble(2), r.getDouble(3))
+      }
+      assert(rows(0L) == batch(h0), s"hour 0: ${rows(0L)} vs ${batch(h0)}")
+      assert(rows(1L) == batch(h1), s"hour 1: ${rows(1L)} vs ${batch(h1)}")
+      // W1 reads the planted ~20-point shift in UNITS; hour 0 stays small
+      assert(rows(1L)._3 > 15.0 && rows(0L)._3 < 3.0)
+    } finally q.stop()
+  }
+
   test("streaming Jonckheere drift: per-close batch parity, ordered trend flagged, state bounded to the open step") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
