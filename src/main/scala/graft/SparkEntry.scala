@@ -308,6 +308,9 @@ object SparkEntry extends QueriesCore with QueriesDataflow with QueriesDedup wit
     "q247_conover" -> q247,
     "q248_dsir" -> q248,
     "q249_semdedup" -> q249,
+    "q250_anderson_darling" -> q250,
+    "q251_raking" -> q251,
+    "q252_bootstrap_ci" -> q252,
   )
 
   /** Round count for the parameterized BPE lifecycle (q163/q164) — read

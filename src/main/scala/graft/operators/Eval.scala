@@ -2184,6 +2184,116 @@ object Eval {
               lit(1000000.0))).as("t_conover"))
   }
 
+  /** K-SAMPLE ANDERSON–DARLING test (Scholz & Stephens 1987, the
+    * midrank/ties version A²ₐₖₙ) — the EDF-family member that weights
+    * the TAILS where [[ksTest]] reads one gap and [[cramerVonMises]]
+    * weights the center: the denominator `B(N−B)` up-weights
+    * discrepancies near the extremes, making AD the sensitive read for
+    * "did the outlier mass shift", the failure mode quality filters
+    * care about most. Completes the EDF trio (KS / CvM / AD).
+    *
+    * ## Exactness
+    * Doubled midpoints keep everything integer: with `b2 = 2·cb + l`
+    * (pooled) and `m2 = 2·cbg + f` (per group), the cell term is
+    * `l·x²/Dq` with `x = N·m2 − n_g·b2` and
+    * `Dq = b2(2N − b2) − N·l` — exactly 4× the textbook
+    * `B(N−B) − Nl/4`. Each cell quantizes ONCE:
+    * `t = ⌊10⁶·l·x²/Dq⌋` (pmod-subtract; numerator ≥ 0 so floor ≡
+    * truncate on both engines); each group floors once more,
+    * `s_g = ⌊Σt/n_g⌋`; the readout
+    * `A² = (N−1)·Σs / (N²·10⁶)` is one trailing IEEE chain.
+    *
+    * ## Scale shape (100 TB)
+    * [[jonckheereTerpstra]]'s audited dense-frame shape: ONE
+    * partial-aggregable `groupBy(group, value)`, the k·V dense frame
+    * (model-sized — k cohorts, V bounded by the caller's quantization),
+    * within-group cumulatives on the two-level (group, bucket)
+    * prefix-sum scheme, the pooled cumulative on the value histogram,
+    * k-row group sums, 1-row assembly. Digit budget: `l·x²·10⁶ ≤
+    * 4N⁵·10⁶` rides DECIMAL(38) to N ≈ 10⁶ — quantize coarser past
+    * that. NULL group/value rows excluded. Returns ONE row
+    * `(n, k_groups, sum_s, a2)`; a2 NULL when k < 2 or all values are
+    * tied (L < 2 — every denominator degenerates). */
+  def andersonDarlingK(df: DataFrame, groupCol: String, valueCol: Column,
+                       bucketOf: Column => Column,
+                       checkpoint: Boolean = true): DataFrame = {
+    val dec = "decimal(38,0)"
+    def cut(d: DataFrame): DataFrame = if (checkpoint) d.localCheckpoint() else d
+    val cells = cut(df
+      .where(valueCol.isNotNull && col(groupCol).isNotNull)
+      .select(col(groupCol).as("_g"), valueCol.cast("long").as("_v"))
+      .groupBy(col("_g"), col("_v"))
+      .agg(count(lit(1)).as("_c"))) // fans into groups, hist, dense, ng
+    val groups = cells.select(col("_g")).distinct() // k rows
+    val hist = cut(cells.groupBy(col("_v")).agg(sum(col("_c")).as("_t"))
+      .withColumn("_b", bucketOf(col("_v")))) // fans into dense, offsets, pooled cum
+    // pooled cumulative-below -> b2 = 2cb + l per distinct value
+    val wInV = Window.partitionBy(col("_b")).orderBy(col("_v"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val wOffV = Window.orderBy(col("_b"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offV = hist.groupBy(col("_b")).agg(sum(col("_t")).as("_bt"))
+      .select(col("_b"),
+        coalesce(sum(col("_bt")).over(wOffV), lit(0L)).as("_offv"))
+    val vcum = hist
+      .join(broadcast(offV), Seq("_b"))
+      .withColumn("_cb", col("_offv") + coalesce(sum(col("_t")).over(wInV), lit(0L)))
+      .select(col("_v"), col("_t"),
+        (lit(2L) * col("_cb") + col("_t")).as("_b2"))
+    // dense k·V frame: M must be evaluated at values the group lacks
+    val dense = hist.select(col("_v"), col("_b"))
+      .crossJoin(broadcast(groups))
+      .join(cells, Seq("_g", "_v"), "left")
+      .na.fill(0L, Seq("_c"))
+    val wInG = Window.partitionBy(col("_g"), col("_b")).orderBy(col("_v"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val wOffG = Window.partitionBy(col("_g")).orderBy(col("_b"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offG = dense.groupBy(col("_g"), col("_b")).agg(sum(col("_c")).as("_bt"))
+      .select(col("_g"), col("_b"),
+        coalesce(sum(col("_bt")).over(wOffG), lit(0L)).as("_offg"))
+    val cum = dense
+      .join(broadcast(offG), Seq("_g", "_b"))
+      .withColumn("_m2",
+        lit(2L) * (col("_offg") + coalesce(sum(col("_c")).over(wInG), lit(0L)))
+          + col("_c"))
+    val ng = cells.groupBy(col("_g")).agg(sum(col("_c")).as("_ng"))
+    val tot = hist.agg(coalesce(sum(col("_t")), lit(0L)).as("_n"),
+      count(lit(1)).as("_l"))
+    val perGroup = cum
+      .join(vcum, Seq("_v"))
+      .join(broadcast(ng), Seq("_g"))
+      .crossJoin(broadcast(tot)) // 1-row scalar attach
+      .withColumn("_x", col("_n").cast(dec) * col("_m2") -
+        col("_ng").cast(dec) * col("_b2"))
+      .withColumn("_dq", col("_b2").cast(dec) *
+        (lit(2L) * col("_n") - col("_b2")) - col("_n").cast(dec) * col("_t"))
+      // cell micro term ⌊10⁶·l·x²/Dq⌋ — guarded on Dq > 0 (Dq = 0 only
+      // when one value holds the whole sample)
+      .withColumn("_tm", when(col("_dq") > 0,
+        expr("""CAST((_t * _x * _x * 1000000 -
+                  pmod(_t * _x * _x * 1000000, _dq)) / _dq AS DECIMAL(38,0))"""))
+        .otherwise(lit(0).cast(dec)))
+      .groupBy(col("_g"))
+      .agg(first(col("_ng")).as("_ng"), first(col("_n")).as("_n"),
+        first(col("_l")).as("_l"),
+        coalesce(sum(col("_tm")), lit(0).cast(dec)).as("_tg"))
+      // per-group floor s_g = ⌊Σt/n_g⌋ (nonneg)
+      .withColumn("_sg",
+        expr("""CAST((_tg - pmod(_tg, CAST(_ng AS DECIMAL(38,0))))
+                / _ng AS DECIMAL(38,0))"""))
+    perGroup
+      .agg(first(col("_n")).as("_nn"), count(lit(1)).as("_k"),
+        first(col("_l")).as("_ll"),
+        coalesce(sum(col("_sg")), lit(0).cast(dec)).as("_ss"))
+      .select(col("_nn").as("n"), col("_k").as("k_groups"),
+        col("_ss").cast("double").as("sum_s"),
+        when(col("_k") >= 2L && col("_ll") >= 2L && col("_nn") >= 2L,
+          (col("_nn") - lit(1L)).cast("double") * col("_ss").cast("double") /
+            (col("_nn").cast("double") * col("_nn").cast("double") *
+              lit(1000000.0))).as("a2"))
+  }
+
   /** nDCG@k of a scored candidate set against graded relevance
     * (Järvelin & Kekäläinen 2002) — the ranking-quality number for a
     * retrieval stage (BM25, embedding search, rank fusion):

@@ -710,6 +710,159 @@ object Sampling {
       .limit(k)
   }
 
+  /** RAKING / ITERATIVE PROPORTIONAL FITTING (Deming & Stephan 1940) —
+    * the survey-weighting step a dataset-balancing pipeline runs when it
+    * must hit TWO marginal targets at once (language mix AND length
+    * mix) without resampling: multiplicative per-cell weights,
+    * alternately scaled so weighted row then column marginals match the
+    * uniform targets. [[temperatureResample]] reshapes ONE marginal by
+    * dropping rows; raking reshapes both by WEIGHTING them — the
+    * loss-weighting / mixture-dial input.
+    *
+    * ## Determinism / exactness
+    * Micro fixed-point weights (`w₀ = 10⁶`); each half-round scales
+    * `w ← ⌊w·T / m⌋` with `m` the exact integer weighted marginal
+    * (BigInt — mirrors the oracle's HUGEINT) and `T = ⌊N·10⁶/k⌋` the
+    * uniform target in the same units. Floor divisions on nonneg
+    * integers — exact on both engines; a zero marginal (every weight in
+    * the slice floored to 0 — extreme skew) leaves that slice's weights
+    * unchanged, mirrored by the oracle's CASE. `rounds` full
+    * row-then-column rounds; convergence is geometric when all cells
+    * are positive and the residual gap is the caller's readout.
+    *
+    * ## Scale shape (100 TB)
+    * The ONLY data-sized work is ONE partial-aggregable
+    * `groupBy(row, col)` count; the IPF loop runs on the k·B cell model
+    * — collected once and iterated driver-side (the trainLloyd
+    * contract: model rows cross the driver, data never does). Returns
+    * the k·B cell frame
+    * `(rowCol, colCol, n, w_micro, weighted_micro)`, ordered. */
+  def rakingWeights(df: DataFrame, rowCol: String, colCol: String,
+                    rounds: Int): DataFrame = {
+    require(rounds >= 1, s"rounds must be >= 1, got $rounds")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val cells = df
+      .where(col(rowCol).isNotNull && col(colCol).isNotNull)
+      .groupBy(col(rowCol).cast("string").as("_r"),
+        col(colCol).cast("string").as("_c"))
+      .agg(count(lit(1)).as("_n"))
+      .collect() // k·B model rows — the one driver transfer
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    val total = cells.map(c => BigInt(c._3)).sum
+    val ks = cells.map(_._1).distinct.length
+    val bs = cells.map(_._2).distinct.length
+    val tRow = total * 1000000 / ks // uniform row target, micro units
+    val tCol = total * 1000000 / bs
+    val nOf = cells.map(c => (c._1, c._2) -> BigInt(c._3)).toMap
+    var w: Map[(String, String), BigInt] =
+      cells.map(c => (c._1, c._2) -> BigInt(1000000)).toMap
+    for (_ <- 1 to rounds) {
+      val rowM = cells.groupBy(_._1).map { case (g, cs) =>
+        g -> cs.map(c => nOf((c._1, c._2)) * w((c._1, c._2))).sum }
+      w = w.map { case (k, x) =>
+        k -> (if (rowM(k._1) > 0) x * tRow / rowM(k._1) else x) }
+      val colM = cells.groupBy(_._2).map { case (b, cs) =>
+        b -> cs.map(c => nOf((c._1, c._2)) * w((c._1, c._2))).sum }
+      w = w.map { case (k, x) =>
+        k -> (if (colM(k._2) > 0) x * tCol / colM(k._2) else x) }
+    }
+    cells.map { case (g, b, n) =>
+      (g, b, n, w((g, b)).toLong, (BigInt(n) * w((g, b))).toLong) }.toSeq
+      .toDF("_r", "_c", "n", "w_micro", "weighted_micro")
+      .select(col("_r").as(rowCol), col("_c").as(colCol), col("n"),
+        col("w_micro"), col("weighted_micro"))
+      .orderBy(col(rowCol), col(colCol))
+  }
+
+  /** Poisson(1) CDF thresholds in 60-bit units — `⌊P(X≤j)·2⁶⁰⌋` for
+    * j = 0..7, computed once from libm on the DRIVER and inlined as
+    * literals into both the plan and the oracle (the nDCG weight-table
+    * scheme: engine math never runs, only integer compares do). */
+  private[graft] lazy val poissonThresholds60: Seq[Long] = {
+    val scale = math.pow(2.0, 60)
+    val probs = (0 to 7).scanLeft(0.0) { case (acc, j) =>
+      acc + math.exp(-1.0) / (1 to j).map(_.toDouble).product
+    }.tail // P(X<=0), P(X<=1), ... P(X<=7)
+    probs.map(p => math.floor(p * scale).toLong)
+  }
+
+  /** POISSON BOOTSTRAP confidence intervals (Chamandy et al. 2012 — the
+    * production bootstrap at data scale): classic n-of-n resampling
+    * needs global multinomial coordination a distributed corpus cannot
+    * give; independent Poisson(1) multiplicities per (row, replicate)
+    * converge to the same CIs and run as ONE pass with partial
+    * aggregation. The draws here are DETERMINISTIC: u = h60(seed:b:id)
+    * is a 60-bit integer and the multiplicity is the count of CDF
+    * thresholds [[poissonThresholds60]] at or below u — integer
+    * compares against plan literals, no float randomness, reproducible
+    * across runs, partitionings, and engines (capped at 8 copies;
+    * P(X > 8) < 1e-6 — documented truncation).
+    *
+    * Per (group, replicate) the bootstrap mean is the exact floor
+    * `⌊10⁶·Σw·y / Σw⌋` (pmod-subtract — y may be negative); the CI is
+    * ORDER STATISTICS over each group's B replicate means (ascending
+    * rank ⌊B·α/100⌋+1 and B−⌊B·α/100⌋) — exact integers end to end.
+    *
+    * ## Scale shape (100 TB)
+    * The ×B fan-out is a Generate over the NARROW (group, id, y)
+    * projection — bodies never replicate; (group, replicate) sums
+    * partial-aggregate before the one exchange; the rank window runs
+    * over ≤ B rows per group (model-sized). Returns one row per group
+    * `(groupCol, n, mean_micro, ci_lo_micro, ci_hi_micro, b_used)`;
+    * a replicate whose weights all land 0 drops (b_used reports it —
+    * vanishing probability beyond toy n; lo/hi NULL if fewer than 2
+    * replicates survive). */
+  def poissonBootstrapCi(df: DataFrame, groupCol: String, idCol: Column,
+                         valueCol: Column, b: Int, alphaPct: Int = 5,
+                         seed: String = "boot"): DataFrame = {
+    require(b >= 4, s"need >= 4 replicates, got $b")
+    require(alphaPct >= 1 && alphaPct < 50, s"bad alphaPct $alphaPct")
+    def h60(c: Column): Column =
+      conv(substring(md5(c), 1, 15), 16, 10).cast("long")
+    val base = df
+      .where(valueCol.isNotNull && col(groupCol).isNotNull)
+      .select(col(groupCol).as("_g"), idCol.cast("string").as("_id"),
+        valueCol.cast("long").as("_y"))
+    val point = base.groupBy(col("_g"))
+      .agg(count(lit(1)).as("n"),
+        expr("""CAST((1000000 * sum(_y) -
+                  pmod(1000000 * sum(_y), count(1)))
+                DIV count(1) AS BIGINT)""").as("mean_micro"))
+    val u = h60(concat(lit(s"$seed:"), col("_b").cast("string"),
+      lit(":"), col("_id")))
+    val w = poissonThresholds60.map(t =>
+      when(col("_u") >= t, 1L).otherwise(0L)).reduce(_ + _)
+    val repMeans = base
+      .select(col("_g"), col("_id"), col("_y"),
+        explode(expr(s"sequence(1, $b)")).as("_b"))
+      .withColumn("_u", u)
+      .withColumn("_w", w)
+      .groupBy(col("_g"), col("_b"))
+      .agg(sum(col("_w")).as("_sw"), sum(col("_w") * col("_y")).as("_swy"))
+      .where(col("_sw") > 0L)
+      .select(col("_g"),
+        expr("""CAST((1000000 * _swy - pmod(1000000 * _swy, _sw))
+                DIV _sw AS BIGINT)""").as("_m"))
+    val loRank = b * alphaPct / 100 / 2 + 1 // floor(B*alpha/2)+1, 1-based
+    val hiRank = b - b * alphaPct / 100 / 2
+    val wAsc = Window.partitionBy(col("_g")).orderBy(col("_m"))
+    val ci = repMeans
+      .withColumn("_rk", row_number().over(wAsc))
+      .groupBy(col("_g"))
+      .agg(count(lit(1)).as("b_used"),
+        max(when(col("_rk") === loRank, col("_m"))).as("ci_lo_micro"),
+        max(when(col("_rk") === hiRank, col("_m"))).as("ci_hi_micro"))
+      .select(col("_g"), col("b_used"),
+        when(col("b_used") >= lit(2L), col("ci_lo_micro")).as("ci_lo_micro"),
+        when(col("b_used") >= lit(2L), col("ci_hi_micro")).as("ci_hi_micro"))
+    point.join(ci, Seq("_g"), "left")
+      .select(col("_g").as(groupCol), col("n"), col("mean_micro"),
+        col("ci_lo_micro"), col("ci_hi_micro"),
+        coalesce(col("b_used"), lit(0L)).as("b_used"))
+      .orderBy(col(groupCol))
+  }
+
   /** TEMPORAL split with an EMBARGO gap (the financial-ML leakage
     * pattern — Lopez de Prado's purged split applied to pipeline data):
     * train is the earliest `trainNum/trainDen` of the observed time

@@ -515,7 +515,115 @@ private[graft] trait QueriesAssembly { this: SparkEntry.type =>
       idCol = "doc_id", textCol = "text", features = 4096, k = 100)
   }
 
+  /** Raking / iterative proportional fitting: multiplicative cell
+    * weights driving the (language × length-bucket) table to uniform
+    * marginals on both axes at once — the loss-weighting companion to
+    * q55's drop-based resampling; 3 full IPF rounds, micro fixed-point
+    * ([[graft.operators.Sampling.rakingWeights]]). */
+  protected def q251(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Sampling.rakingWeights(
+      Tables.documents(s, dir)
+        .select(col("lang"), expr("least(n_chars DIV 200, 7)").as("bucket")),
+      rowCol = "lang", colCol = "bucket", rounds = 3)
+
+  /** Poisson-bootstrap 90% CIs for each language's mean quality score:
+    * deterministic 60-bit Poisson(1) multiplicities (integer threshold
+    * compares — no float randomness), exact floor replicate means,
+    * order-statistic interval over B = 40 replicates
+    * ([[graft.operators.Sampling.poissonBootstrapCi]]). */
+  protected def q252(s: SparkSession, dir: String): DataFrame = {
+    val stop = Text.langMarkers.toMap.apply("en")
+    graft.operators.Sampling.poissonBootstrapCi(
+      Tables.documents(s, dir)
+        .select(col("lang"), col("doc_id"),
+          floor(Text.qualityScore(col("text"), stop) * lit(1e6))
+            .cast("long").as("qu")),
+      groupCol = "lang", idCol = col("doc_id"), valueCol = col("qu"),
+      b = 40, alphaPct = 10)
+  }
+
   protected def oraclesAssembly: Map[String, String] = Map(
+      // Raking/IPF: the 3-round alternate-scaling chain replayed as
+      // generated CTEs (HUGEINT fixed-point, floor division, zero-marginal
+      // CASE mirrored); targets pre-floored once
+      "q251_raking" -> {
+        val rounds = 3
+        val chain = (1 to rounds).map { i =>
+          s"""r$i AS (SELECT r, c, n,
+               CASE WHEN sum(n * w) OVER (PARTITION BY r) > 0
+                 THEN (w * tr) // (sum(n * w) OVER (PARTITION BY r))
+                 ELSE w END AS w, tr, tc
+             FROM ${if (i == 1) "w0" else s"c${i - 1}"}),
+           c$i AS (SELECT r, c, n,
+               CASE WHEN sum(n * w) OVER (PARTITION BY c) > 0
+                 THEN (w * tc) // (sum(n * w) OVER (PARTITION BY c))
+                 ELSE w END AS w, tr, tc
+             FROM r$i)"""
+        }.mkString(",\n           ")
+        s"""WITH cells AS (
+             SELECT lang AS r, CAST(least(n_chars // 200, 7) AS VARCHAR) AS c,
+               CAST(count(*) AS BIGINT) AS n
+             FROM documents GROUP BY 1, 2),
+           tot AS (SELECT CAST(sum(n) AS HUGEINT) AS t,
+                     CAST(count(DISTINCT r) AS HUGEINT) AS k,
+                     CAST(count(DISTINCT c) AS HUGEINT) AS b
+                   FROM cells),
+           w0 AS (SELECT r, c, n, CAST(1000000 AS HUGEINT) AS w,
+                    (t * 1000000) // k AS tr, (t * 1000000) // b AS tc
+                  FROM cells CROSS JOIN tot),
+           $chain
+           SELECT r AS lang, c AS bucket, n,
+             CAST(w AS BIGINT) AS w_micro,
+             CAST(n * w AS BIGINT) AS weighted_micro
+           FROM c$rounds
+           ORDER BY lang, bucket"""
+      },
+
+      // Poisson bootstrap: the SAME driver-computed 60-bit CDF threshold
+      // literals, md5 draws, floor replicate means, order-statistic CI
+      "q252_bootstrap_ci" -> {
+        val b = 40; val alphaPct = 10
+        val lo = b * alphaPct / 100 / 2 + 1
+        val hi = b - b * alphaPct / 100 / 2
+        val wExpr = graft.operators.Sampling.poissonThresholds60
+          .map(t => s"(CASE WHEN u >= $t THEN 1 ELSE 0 END)").mkString(" + ")
+        s"""WITH base AS (
+             SELECT lang AS g, CAST(doc_id AS VARCHAR) AS id,
+               CAST(floor(${qualitySql(toks)} * 1e6) AS BIGINT) AS y
+             FROM documents),
+           pt AS (SELECT g, CAST(count(*) AS BIGINT) AS n,
+                    CAST((1000000 * sum(y)
+                      - ((1000000 * sum(y) % count(*) + count(*)) % count(*)))
+                      // count(*) AS BIGINT) AS mean_micro
+                  FROM base GROUP BY g),
+           reps AS (SELECT g, id, y, unnest(range(1, ${b + 1})) AS b FROM base),
+           uw AS (SELECT g, b, y,
+                    ('0x' || substr(md5('boot:' || CAST(b AS VARCHAR) || ':' || id), 1, 15))::BIGINT AS u
+                  FROM reps),
+           ww AS (SELECT g, b, y, $wExpr AS w FROM uw),
+           rm AS (SELECT g, b, CAST(sum(w) AS BIGINT) AS sw,
+                    CAST(sum(w * y) AS BIGINT) AS swy
+                  FROM ww GROUP BY g, b HAVING sum(w) > 0),
+           mm AS (SELECT g,
+                    CAST((1000000 * swy - ((1000000 * swy % sw + sw) % sw))
+                      // sw AS BIGINT) AS m
+                  FROM rm),
+           rk AS (SELECT g, m,
+                    row_number() OVER (PARTITION BY g ORDER BY m) AS rk,
+                    count(*) OVER (PARTITION BY g) AS bu
+                  FROM mm),
+           ci AS (SELECT g, CAST(max(bu) AS BIGINT) AS b_used,
+                    max(CASE WHEN rk = $lo THEN m END) AS lo,
+                    max(CASE WHEN rk = $hi THEN m END) AS hi
+                  FROM rk GROUP BY g)
+           SELECT pt.g AS lang, pt.n, pt.mean_micro,
+             CASE WHEN b_used >= 2 THEN lo END AS ci_lo_micro,
+             CASE WHEN b_used >= 2 THEN hi END AS ci_hi_micro,
+             coalesce(b_used, 0) AS b_used
+           FROM pt LEFT JOIN ci ON ci.g = pt.g
+           ORDER BY lang"""
+      },
+
       // DSIR: 4096-bucket hashed unigrams, add-1 smoothed micro-nat log
       // ratios quantized per feature, exact integer doc sums, top-100 by
       // (weight desc, id) — the ln chain mirrored verbatim

@@ -702,7 +702,74 @@ private[graft] trait QueriesStats { this: SparkEntry.type =>
       bucketOf = v => shiftright(v, 3), scoreShift = 14)
   }
 
+  /** k-sample Anderson–Darling (Scholz–Stephens midrank version): the
+    * tail-weighted EDF read across all language cohorts — completes the
+    * KS (q196) / CvM (q245) / AD trio; doubled midpoints keep every
+    * cell term integer ([[graft.operators.Eval.andersonDarlingK]]). */
+  protected def q250(s: SparkSession, dir: String): DataFrame = {
+    val stop = Text.langMarkers.toMap.apply("en")
+    graft.operators.Eval.andersonDarlingK(
+      Tables.documents(s, dir)
+        .select(col("lang"),
+          floor(Text.qualityScore(col("text"), stop) * lit(1e6))
+            .cast("long").as("qu")),
+      groupCol = "lang", valueCol = expr("qu DIV 16384"),
+      bucketOf = v => shiftright(v, 3))
+  }
+
   protected def oraclesStats: Map[String, String] = Map(
+      // k-sample Anderson-Darling (midrank): dense (group x value) frame,
+      // doubled midpoints b2/m2, cell floors 1e6*l*x^2/Dq, group floors
+      // /n_g, trailing (N-1)*S/(N^2*1e6) chain mirrored verbatim
+      "q250_anderson_darling" ->
+        s"""WITH pts AS (
+             SELECT lang AS g,
+               CAST(floor(${qualitySql(toks)} * 1e6) AS BIGINT) // 16384 AS v
+             FROM documents),
+           cells AS (SELECT g, v, CAST(count(*) AS BIGINT) AS c
+                     FROM pts GROUP BY g, v),
+           h AS (SELECT v, CAST(sum(c) AS BIGINT) AS t FROM cells GROUP BY v),
+           nn AS (SELECT CAST(sum(t) AS BIGINT) AS n,
+                    CAST(count(*) AS BIGINT) AS l FROM h),
+           vc AS (SELECT v, t,
+                    CAST(2 * (sum(t) OVER (ORDER BY v) - t) + t AS BIGINT) AS b2
+                  FROM h),
+           gs AS (SELECT g, CAST(sum(c) AS BIGINT) AS ng FROM cells GROUP BY g),
+           dense AS (SELECT gg.g, h.v, coalesce(c.c, 0) AS c
+                     FROM h CROSS JOIN (SELECT DISTINCT g FROM cells) gg
+                     LEFT JOIN cells c ON c.g = gg.g AND c.v = h.v),
+           dc AS (SELECT g, v,
+                    CAST(2 * (sum(c) OVER (PARTITION BY g ORDER BY v) - c) + c
+                      AS BIGINT) AS m2
+                  FROM dense),
+           tm AS (SELECT dc.g,
+                    CAST(nn.n AS HUGEINT) * dc.m2
+                      - CAST(gs.ng AS HUGEINT) * vc.b2 AS x,
+                    CAST(vc.b2 AS HUGEINT) * (2 * nn.n - vc.b2)
+                      - CAST(nn.n AS HUGEINT) * vc.t AS dq,
+                    vc.t AS t, gs.ng
+                  FROM dc JOIN vc ON vc.v = dc.v
+                       JOIN gs ON gs.g = dc.g
+                       CROSS JOIN nn),
+           tg AS (SELECT g, max(ng) AS ng,
+                    CAST(sum(CASE WHEN dq > 0 THEN
+                      (t * x * x * 1000000
+                        - ((t * x * x * 1000000 % dq + dq) % dq)) // dq
+                      ELSE 0 END) AS HUGEINT) AS tsum
+                  FROM tm GROUP BY g),
+           sg AS (SELECT g,
+                    (tsum - ((tsum % ng + ng) % ng)) // ng AS s
+                  FROM tg),
+           ag AS (SELECT CAST(sum(s) AS HUGEINT) AS ss,
+                    CAST(count(*) AS BIGINT) AS k FROM sg)
+           SELECT nn.n AS n, ag.k AS k_groups,
+             CAST(ss AS DOUBLE) AS sum_s,
+             CASE WHEN ag.k >= 2 AND nn.l >= 2 AND nn.n >= 2 THEN
+               CAST(nn.n - 1 AS DOUBLE) * CAST(ss AS DOUBLE) /
+                 (CAST(nn.n AS DOUBLE) * CAST(nn.n AS DOUBLE) * 1000000.0)
+             END AS a2
+           FROM ag CROSS JOIN nn""",
+
       // Conover squared ranks: site-floored group means, pooled squared
       // midranks >> 14, per-group micro χ² terms; chain mirrored verbatim
       "q247_conover" ->

@@ -4409,6 +4409,199 @@ class OperatorsSpec extends SparkSuite {
     assert(out.length <= 60 && out.nonEmpty)
   }
 
+  test("andersonDarlingK: brute midrank parity with ties, textbook no-tie agreement, planted shift, degenerates") {
+    import spark.implicits._
+    import graft.operators.Eval
+
+    def brute(pts: Seq[(String, Long)]): (Long, Long, BigInt, Option[Double]) = {
+      val n = pts.size.toLong
+      val hist = pts.groupBy(_._2).view.mapValues(_.size.toLong).toMap
+      val sorted = hist.toSeq.sortBy(_._1)
+      val cb = sorted.map(_._1).zip(sorted.scanLeft(0L)(_ + _._2).init).toMap
+      val groups = pts.groupBy(_._1)
+      val ss = groups.values.map { xs =>
+        val ng = xs.size.toLong
+        val gh = xs.groupBy(_._2).view.mapValues(_.size.toLong).toMap
+        val gs = gh.toSeq.sortBy(_._1)
+        val gcb = gs.map(_._1).zip(gs.scanLeft(0L)(_ + _._2).init).toMap
+        val tsum = sorted.map { case (v, l) =>
+          val b2 = 2L * cb(v) + l
+          val m2 = 2L * gcb.get(v).map(c => c).getOrElse(
+            // value absent from the group: cumulative-below only
+            gs.takeWhile(_._1 < v).map(_._2).sum) + gh.getOrElse(v, 0L)
+          val x = BigInt(n) * m2 - BigInt(ng) * b2
+          val dq = BigInt(b2) * (2L * n - b2) - BigInt(n) * l
+          if (dq > 0) BigInt(l) * x * x * 1000000 / dq else BigInt(0)
+        }.sum
+        tsum / ng
+      }.sum
+      val a2 = if (groups.size >= 2 && hist.size >= 2 && n >= 2)
+        Some((n - 1).toDouble * ss.toDouble / (n.toDouble * n.toDouble * 1e6))
+      else None
+      (n, groups.size.toLong, ss, a2)
+    }
+    def run(pts: Seq[(String, Long)]) =
+      Eval.andersonDarlingK(pts.toDF("g", "y"), "g", col("y"),
+        bucketOf = v => shiftright(v, 3)).collect()(0)
+
+    val rnd = new scala.util.Random(251)
+    val pts = (1 to 70).map(_ => ("a", 30L + rnd.nextInt(20))) ++
+      (1 to 70).map(_ => ("b", rnd.nextInt(20).toLong)) ++
+      (1 to 60).map(_ => ("c", 15L + rnd.nextInt(20)))
+    val got = run(pts); val want = brute(pts)
+    assert(got.getLong(0) == want._1 && got.getLong(1) == want._2)
+    assert(got.getDouble(2) == want._3.toDouble, "sum_s")
+    assert(got.getDouble(3) == want._4.get, "a2")
+    assert(got.getDouble(3) > 10.0, s"planted shift: ${got.getDouble(3)}")
+
+    // tie-free data: agrees with the textbook midrank formula computed
+    // independently in floating point (quantization error only)
+    val nf = (1 to 40).map(i => ("a", i * 97L % 1009)) ++
+      (1 to 40).map(i => ("b", (i * 89L % 1009) + 2000L))
+    val gotNf = run(nf)
+    val fp = {
+      val all = nf.map(_._2).sorted
+      val n = all.size
+      nf.groupBy(_._1).values.map { xs =>
+        val ng = xs.size
+        all.zipWithIndex.map { case (z, idx) =>
+          val bj = idx + 0.5 // tie-free: B_j = cb + l/2 = idx + 0.5
+          val mij = xs.count(_._2 < z) + 0.5 * xs.count(_._2 == z)
+          val dq = bj * (n - bj) - n * 0.25
+          if (dq > 0) (n * mij - ng * bj) * (n * mij - ng * bj) / dq / n else 0.0
+        }.sum / ng
+      }.sum * (n - 1.0) / n
+    }
+    assert(math.abs(gotNf.getDouble(3) - fp) < 1e-4,
+      s"textbook: ${gotNf.getDouble(3)} vs $fp")
+
+    // exchangeable cohorts: exact vs brute, small value
+    val fair = (1 to 160).map(i => (s"g${i % 4}", (i % 19).toLong))
+    val gf = run(fair); val wf = brute(fair)
+    assert(gf.getDouble(2) == wf._3.toDouble && gf.getDouble(3) < 3.0)
+    // all values tied -> NULL; one group -> NULL
+    assert(run(Seq(("a", 5L), ("b", 5L), ("a", 5L))).isNullAt(3))
+    assert(run(Seq(("a", 1L), ("a", 2L))).isNullAt(3))
+  }
+
+  test("rakingWeights: brute IPF parity, marginals converge toward uniform, divisible case stays exactly flat") {
+    import spark.implicits._
+    import graft.operators.Sampling
+
+    def brute(cells: Seq[(String, String, Long)], rounds: Int)
+        : Map[(String, String), BigInt] = {
+      val total = cells.map(c => BigInt(c._3)).sum
+      val ks = cells.map(_._1).distinct.length
+      val bs = cells.map(_._2).distinct.length
+      val (tR, tC) = (total * 1000000 / ks, total * 1000000 / bs)
+      val nOf = cells.map(c => (c._1, c._2) -> BigInt(c._3)).toMap
+      var w = cells.map(c => (c._1, c._2) -> BigInt(1000000)).toMap
+      for (_ <- 1 to rounds) {
+        val rm = cells.groupBy(_._1).map { case (g, cs) =>
+          g -> cs.map(c => nOf((c._1, c._2)) * w((c._1, c._2))).sum }
+        w = w.map { case (k, x) => k -> (if (rm(k._1) > 0) x * tR / rm(k._1) else x) }
+        val cm = cells.groupBy(_._2).map { case (b, cs) =>
+          b -> cs.map(c => nOf((c._1, c._2)) * w((c._1, c._2))).sum }
+        w = w.map { case (k, x) => k -> (if (cm(k._2) > 0) x * tC / cm(k._2) else x) }
+      }
+      w
+    }
+    // skewed 3x3: english dominates, long docs dominate
+    val counts = Seq(("en", "0", 400L), ("en", "1", 200L), ("en", "2", 50L),
+      ("de", "0", 80L), ("de", "1", 40L), ("de", "2", 10L),
+      ("fr", "0", 30L), ("fr", "1", 15L), ("fr", "2", 5L))
+    val rows = counts.flatMap { case (g, b, n) => Seq.fill(n.toInt)((g, b)) }
+    val got = Sampling.rakingWeights(rows.toDF("lang", "bucket"),
+      "lang", "bucket", rounds = 3).collect()
+    val want = brute(counts, 3)
+    assert(got.length == 9)
+    got.foreach { r =>
+      val k = (r.getString(0), r.getString(1))
+      assert(BigInt(r.getLong(3)) == want(k), s"cell $k")
+      assert(r.getLong(4) == (want(k) * counts.find(c => (c._1, c._2) == k).get._3).toLong)
+    }
+    // after the final column step, weighted column marginals sit within
+    // floor error (< one micro-unit per row) of the uniform target
+    val total = counts.map(_._3).sum
+    val tC = BigInt(total) * 1000000 / 3
+    val colM = got.groupBy(_.getString(1)).view.mapValues(
+      _.map(r => BigInt(r.getLong(4))).sum)
+    colM.foreach { case (b, m) =>
+      val nb = counts.filter(_._2 == b).map(_._3).sum
+      assert((m - tC).abs <= BigInt(nb), s"col $b marginal $m vs $tC") }
+    // row marginals moved decisively toward uniform (en was 650/830)
+    val tR = BigInt(total) * 1000000 / 3
+    val rowM = got.groupBy(_.getString(0)).view.mapValues(
+      _.map(r => BigInt(r.getLong(4))).sum)
+    rowM.foreach { case (g, m) =>
+      assert((BigDecimal(m) / BigDecimal(tR) - 1).abs < 0.02, s"row $g: $m vs $tR") }
+    // exactly divisible uniform table: weights stay exactly 1e6
+    val flat = (for (g <- Seq("a", "b"); b <- Seq("x", "y")) yield (g, b, 25L))
+      .flatMap { case (g, b, n) => Seq.fill(n.toInt)((g, b)) }
+    assert(Sampling.rakingWeights(flat.toDF("g", "b"), "g", "b", 2)
+      .collect().forall(_.getLong(3) == 1000000L))
+  }
+
+  test("poissonBootstrapCi: brute draw-chain parity, CI covers the mean and narrows with n, weights average ~1") {
+    import spark.implicits._
+    import graft.operators.Sampling
+
+    def h60(s: String): Long = {
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(15)
+      java.lang.Long.parseLong(hex, 16)
+    }
+    val th = Sampling.poissonThresholds60
+    def weight(u: Long): Long = th.count(u >= _).toLong
+    def floorDiv(x: BigInt, d: BigInt): BigInt = (x - ((x % d + d) % d)) / d
+    def brute(pts: Seq[(String, Long, Long)], b: Int, alphaPct: Int)
+        : Map[String, (Long, Long, Option[Long], Option[Long], Long)] = {
+      val lo = b * alphaPct / 100 / 2 + 1
+      val hi = b - b * alphaPct / 100 / 2
+      pts.groupBy(_._1).map { case (g, xs) =>
+        val n = xs.size.toLong
+        val mean = floorDiv(BigInt(1000000) * xs.map(x => BigInt(x._3)).sum, n).toLong
+        val ms = (1 to b).flatMap { bi =>
+          val ws = xs.map(x => (weight(h60(s"boot:$bi:${x._2}")), x._3))
+          val sw = ws.map(_._1).sum
+          if (sw > 0)
+            Some(floorDiv(BigInt(1000000) * ws.map(w => BigInt(w._1) * w._2).sum,
+              sw).toLong)
+          else None
+        }.sorted
+        val (cl, ch) = if (ms.size >= 2 && lo <= ms.size && hi <= ms.size)
+          (Some(ms(lo - 1)), Some(ms(hi - 1))) else (None, None)
+        g -> ((n, mean, cl, ch, ms.size.toLong))
+      }
+    }
+    val rnd = new scala.util.Random(263)
+    // two cohorts around distinct means; big has 16x the rows of small
+    val pts = (1L to 50L).map(i => ("small", i, 100L + rnd.nextInt(41) - 20L)) ++
+      (1L to 800L).map(i => ("big", 1000L + i, 500L + rnd.nextInt(41) - 20L))
+    val got = Sampling.poissonBootstrapCi(pts.toDF("g", "id", "y"),
+      "g", col("id"), col("y"), b = 40, alphaPct = 10).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2),
+        if (r.isNullAt(3)) None else Some(r.getLong(3)),
+        if (r.isNullAt(4)) None else Some(r.getLong(4)),
+        r.getLong(5)))).toMap
+    val want = brute(pts, 40, 10)
+    assert(got == want, s"got $got\nwant $want")
+    // CI brackets the point mean; wider cohort = the 16x-smaller one
+    for ((g, (_, m, cl, ch, bu)) <- got) {
+      assert(bu == 40L, s"$g all replicates present")
+      assert(cl.get <= m && m <= ch.get, s"$g CI covers the mean")
+    }
+    val widthSmall = got("small")._4.get - got("small")._3.get
+    val widthBig = got("big")._4.get - got("big")._3.get
+    assert(widthSmall > 2L * widthBig,
+      s"CI narrows with n: small $widthSmall vs big $widthBig")
+    // deterministic Poisson(1) draws average ~1 over many (b, id) pairs
+    val draws = for (bi <- 1 to 40; id <- 1L to 200L)
+      yield weight(h60(s"boot:$bi:$id"))
+    val avg = draws.sum.toDouble / draws.size
+    assert(math.abs(avg - 1.0) < 0.03, s"Poisson(1) empirical mean $avg")
+  }
+
   test("ansariBradley: brute folded-rank parity incl. a center-straddling tie block, planted spread, sign semantics") {
     import spark.implicits._
     import graft.operators.Eval

@@ -1351,6 +1351,38 @@ class ScaleSpec extends SparkSuite {
     assert(!dsPlan.contains("CartesianProduct"), s"dsir joins:\n$dsPlan")
   }
 
+  test("andersonDarlingK/poissonBootstrapCi plans: histogram discipline, group-partitioned windows, partial aggregation") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(71)
+
+    // AD: jonckheere's dense-frame shape — partial-agg cells, every
+    // unpartitioned window on a model-sized spine, no pair join
+    val ad = graft.operators.Eval.andersonDarlingK(
+      (1 to 4000).map(i => (s"g${i % 3}", rnd.nextInt(200).toLong)).toDF("g", "v"),
+      "g", col("v"), bucketOf = v => shiftright(v, 4), checkpoint = false)
+    ad.collect()
+    val adPlan = ad.queryExecution.executedPlan.toString.split("== Initial Plan ==").head
+    assert(adPlan.contains("partial_count") || adPlan.contains("partial_sum"),
+      s"AD cells must partial-aggregate:\n$adPlan")
+    assert(!adPlan.contains("CartesianProduct"), s"AD joins:\n$adPlan")
+
+    // bootstrap: the ×B fan-out is a Generate, (group, replicate) sums
+    // partial-aggregate, and the rank window carries the group partition
+    val bs = graft.operators.Sampling.poissonBootstrapCi(
+      (1L to 2000L).map(i => (s"g${i % 4}", i, rnd.nextInt(100).toLong))
+        .toDF("g", "id", "y"), "g", col("id"), col("y"), b = 16)
+    bs.collect()
+    val bsPlan = bs.queryExecution.executedPlan.toString.split("== Initial Plan ==").head
+    assert(bsPlan.contains("Generate"),
+      s"bootstrap fan-out must be a Generate, not a join:\n$bsPlan")
+    assert(bsPlan.contains("partial_sum"),
+      s"bootstrap replicate sums must partial-aggregate:\n$bsPlan")
+    assert(!bsPlan.linesIterator.exists(l =>
+      l.contains("Window") && l.contains("SinglePartition")),
+      s"bootstrap rank window must stay group-partitioned:\n$bsPlan")
+    assert(!bsPlan.contains("CartesianProduct"), s"bootstrap joins:\n$bsPlan")
+  }
+
   test("hitsInt cuts the raw half-round frames: strictly less stage work than the uncut shape") {
     // Each half-round's rawAuth/rawHub feeds its own max agg AND the data
     // path; Spark does not reuse that exchange across consumers, so the
