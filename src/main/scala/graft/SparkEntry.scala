@@ -311,6 +311,7 @@ object SparkEntry extends QueriesCore with QueriesDataflow with QueriesDedup wit
     "q250_anderson_darling" -> q250,
     "q251_raking" -> q251,
     "q252_bootstrap_ci" -> q252,
+    "q253_hoeffding_scan" -> q253,
   )
 
   /** Round count for the parameterized BPE lifecycle (q163/q164) — read

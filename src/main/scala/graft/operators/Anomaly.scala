@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -165,5 +165,82 @@ object Anomaly {
         Seq(groupCol, "alarm_i"), "left")
       .select(col(groupCol), col("n_steps"), col("max_ph_micro"),
         col("alarm_i"), col("alarm_step"), col("ph_alarm_micro"))
+  }
+
+  /** HOEFFDING SPLIT SCAN — the batch face of ADWIN (Bifet & Gavaldà
+    * 2007, "Learning from time-changing data with adaptive windowing"):
+    * for every prefix of a per-group step series, does SOME split of
+    * that prefix into old|recent halves violate the Hoeffding bound
+    * `|μ̂₀ − μ̂₁| ≥ √(ln(4n/δ)/(2m))`, `1/m = 1/n₀ + 1/n₁`? The FIRST
+    * violating prefix is exactly where a live ADWIN first shrinks its
+    * window (no shrink can precede the first violation — the parity
+    * contract for [[graft.streaming.Streams.adwinStream]]), and the
+    * scan is a bound-CALIBRATED retrospective alarm in its own right:
+    * [[cusumChangepoint]] locates the argmax split, this one says
+    * whether ANY split clears chance at confidence δ.
+    *
+    * ## Exactness
+    * Values are micro units in [0, 10⁶] (the Hoeffding range
+    * contract — shares, rates, normalized scores). Squaring the
+    * condition cross-multiplies to integers:
+    * `2·Δs² ≥ 10⁶·Lq(n)·(n₀+n₁)·n₀·n₁` with `Δs = S₀·n₁ − S₁·n₀`
+    * exact DECIMAL(38) and `Lq(n) = round(10⁶·ln(4·deltaInv·n))`
+    * quantized ONCE per prefix length at its site (the
+    * corpusDivergence log scheme; `deltaInv = 1/δ` keeps the literal
+    * integral). Digit budget: Δs² ≤ 10¹²·(n₀n₁)² rides DECIMAL(38) to
+    * T ≈ 3·10⁶ steps.
+    *
+    * ## Scale shape (100 TB)
+    * Callers pass the series ALREADY aggregated to (group, step, micro
+    * value) — the [[cusumChangepoint]] contract: the step universe is
+    * time-span-sized, never data-sized. Prefix sums ride a
+    * group-partitioned window; the split check is a group-keyed
+    * triangular self-join (T²/2 step PAIRS per group — day-universe
+    * squared, the documented cost of checking every split, bounded by
+    * the series contract); per-prefix and per-group summaries
+    * partial-aggregate. Returns one row per group `(group, n_steps,
+    * first_alarm_i, first_alarm_step, n_alarm_prefixes)`; alarm
+    * columns NULL when no prefix violates. */
+  def hoeffdingSplitScan(series: DataFrame, groupCol: String,
+                         stepCol: Column, valueCol: Column,
+                         deltaInv: Long = 20L): DataFrame = {
+    require(deltaInv >= 1L, s"deltaInv must be >= 1, got $deltaInv")
+    val dec = "decimal(38,0)"
+    val s = series
+      .where(stepCol.isNotNull && valueCol.isNotNull && col(groupCol).isNotNull)
+      .select(col(groupCol).as("_g"), stepCol.cast("long").as("_t"),
+        valueCol.cast("long").as("_y"))
+    val wOrd = Window.partitionBy(col("_g")).orderBy(col("_t"))
+    val pre = s
+      .withColumn("_i", row_number().over(wOrd).cast("long"))
+      .withColumn("_s", sum(col("_y")).over(wOrd))
+      .localCheckpoint() // both sides of the triangular join + the readback
+    val tot = pre.groupBy(col("_g")).agg(max(col("_i")).as("_n"))
+    val l = pre.select(col("_g"), col("_i"), col("_s").as("_s0"))
+    val r = pre.select(col("_g"), col("_i").as("_t2"), col("_s").as("_st"))
+    val pairs = l.join(r, Seq("_g"))
+      .where(col("_i") < col("_t2"))
+      .withColumn("_n0", col("_i"))
+      .withColumn("_n1", col("_t2") - col("_i"))
+      .withColumn("_ds", col("_s0").cast(dec) * col("_n1") -
+        (col("_st") - col("_s0")).cast(dec) * col("_n0"))
+      .withColumn("_lq", round(log(lit(4.0) * lit(deltaInv.toDouble) *
+        col("_t2").cast("double")) * lit(1e6)).cast("long"))
+      .withColumn("_viol",
+        lit(2).cast(dec) * col("_ds") * col("_ds") >=
+          lit(1000000L).cast(dec) * col("_lq") *
+            (col("_n0") + col("_n1")) * col("_n0") * col("_n1"))
+    val byPrefix = pairs.groupBy(col("_g"), col("_t2"))
+      .agg(max(when(col("_viol"), lit(1L)).otherwise(lit(0L))).as("_v"))
+    byPrefix.groupBy(col("_g"))
+      .agg(coalesce(sum(col("_v")), lit(0L)).as("n_alarm_prefixes"),
+        min(when(col("_v") === 1L, col("_t2"))).as("_first"))
+      .join(tot, Seq("_g"))
+      .join(pre.select(col("_g"), col("_i").as("_first"),
+        col("_t").as("first_alarm_step")), Seq("_g", "_first"), "left")
+      .select(col("_g").as(groupCol), col("_n").as("n_steps"),
+        col("_first").as("first_alarm_i"), col("first_alarm_step"),
+        col("n_alarm_prefixes"))
+      .orderBy(col(groupCol))
   }
 }

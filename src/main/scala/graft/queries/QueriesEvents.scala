@@ -424,7 +424,65 @@ private[graft] trait QueriesEvents { this: SparkEntry.type =>
       .orderBy(col("event_type"))
   }
 
+  /** Hoeffding split scan (ADWIN's batch face) over each event type's
+    * daily TRAFFIC SHARE series: did any old|recent split of the share
+    * series ever clear the Hoeffding bound at δ = 1/20 — the
+    * bound-calibrated alarm where q215's CUSUM gives the argmax split
+    * ([[graft.operators.Anomaly.hoeffdingSplitScan]]). Shares are
+    * site-floored micro fractions, inside the bound's [0, 10⁶] range
+    * contract by construction. */
+  protected def q253(s: SparkSession, dir: String): DataFrame = {
+    val daily = Tables.events(s, dir)
+      .groupBy(col("event_type"),
+        expr("unix_micros(ts) DIV 86400000000").as("day"))
+      .agg(count(lit(1)).as("c"))
+    val tot = daily.groupBy(col("day")).agg(sum(col("c")).as("ct"))
+    val series = daily.join(tot, Seq("day"))
+      .select(col("event_type"), col("day"),
+        expr("(1000000 * c - pmod(1000000 * c, ct)) DIV ct").as("share"))
+    graft.operators.Anomaly.hoeffdingSplitScan(series, "event_type",
+      col("day"), col("share"))
+  }
+
   protected def oraclesEvents: Map[String, String] = Map(
+      // Hoeffding split scan: daily share series (site-floored micro),
+      // triangular (split, prefix) pairs, the cross-multiplied integer
+      // bound with Lq = round(1e6*ln(4*20*n)) quantized per prefix length
+      "q253_hoeffding_scan" ->
+        """WITH d AS (
+             SELECT event_type, epoch_us(ts) // 86400000000 AS day,
+               CAST(count(*) AS BIGINT) AS c
+             FROM events GROUP BY 1, 2),
+           t AS (SELECT day, CAST(sum(c) AS BIGINT) AS ct FROM d GROUP BY day),
+           ser AS (SELECT event_type AS g, d.day,
+                     (1000000 * c - ((1000000 * c % ct + ct) % ct)) // ct AS y
+                   FROM d JOIN t USING (day)),
+           pre AS (SELECT g, day, CAST(row_number() OVER w AS BIGINT) AS i,
+                     CAST(sum(y) OVER (w ROWS BETWEEN UNBOUNDED PRECEDING
+                       AND CURRENT ROW) AS BIGINT) AS s
+                   FROM ser WINDOW w AS (PARTITION BY g ORDER BY day)),
+           n AS (SELECT g, max(i) AS n FROM pre GROUP BY g),
+           pairs AS (SELECT l.g, l.i AS n0, r.i - l.i AS n1, r.i AS t2,
+                       CAST(l.s AS HUGEINT) * (r.i - l.i)
+                         - CAST(r.s - l.s AS HUGEINT) * l.i AS ds,
+                       CAST(round(ln(4.0 * 20.0 * CAST(r.i AS DOUBLE)) * 1e6)
+                         AS BIGINT) AS lq
+                     FROM pre l JOIN pre r ON l.g = r.g AND l.i < r.i),
+           bp AS (SELECT g, t2,
+                    max(CASE WHEN 2 * ds * ds >=
+                      CAST(1000000 AS HUGEINT) * lq * (n0 + n1) * n0 * n1
+                      THEN 1 ELSE 0 END) AS v
+                  FROM pairs GROUP BY g, t2),
+           ag AS (SELECT g, CAST(sum(v) AS BIGINT) AS n_alarm_prefixes,
+                    min(CASE WHEN v = 1 THEN t2 END) AS fi
+                  FROM bp GROUP BY g)
+           SELECT n.g AS event_type, n.n AS n_steps,
+             ag.fi AS first_alarm_i, p2.day AS first_alarm_step,
+             ag.n_alarm_prefixes
+           FROM n JOIN ag USING (g)
+           LEFT JOIN pre p2 ON p2.g = n.g AND p2.i = ag.fi
+           ORDER BY event_type""",
+
 
       // Page–Hinkley: cumulative micro excess against the derived global
       // mean, running min, first PH > lambda latches the alarm

@@ -1469,6 +1469,95 @@ object Streams {
       }
   }
 
+  private[streaming] case class AdwinState(
+    openStep: Long, openSum: Long, openCnt: Long,
+    window: Vector[(Long, Long)], alarmStep: Option[Long])
+
+  /** Streaming ADWIN — the ADAPTIVE-window drift monitor (Bifet &
+    * Gavaldà 2007's ADWIN0, the exact all-splits variant; the
+    * exponential-bucket approximation is float-approximate by design
+    * and stays out of exact scope): per key the state carries the
+    * current window of closed-step means; each step CLOSE appends the
+    * step's site-floored micro mean and then SHRINKS from the old end
+    * while ANY split of the window violates the Hoeffding bound —
+    * `2·Δs² ≥ 10⁶·Lq(n)·n₀·n₁·n` with `Lq(n) = round(10⁶·ln(4·
+    * deltaInv·n))`, BIT-IDENTICAL to [[graft.operators.Anomaly
+    * .hoeffdingSplitScan]]'s cross-multiplied integer condition. The
+    * FIRST shrink cannot precede the scan's first violating prefix
+    * (before any shrink the window IS the prefix), so the batch scan
+    * gates the twin's alarm exactly — StreamingSpec asserts it.
+    *
+    * State is the window itself — CLOSED-STEP-universe sized (the
+    * cusumStream contract: a million events inside one step grow the
+    * open sum, not the state) and SELF-BOUNDING under drift: the whole
+    * point of ADWIN is that the window drops the stale regime. Values
+    * are micro units in [0, 10⁶] (the Hoeffding range contract). Late
+    * events for closed steps drop. Emits per close
+    * `(key, step, window_n, window_mean_micro, shrunk, alarm_step)` —
+    * `shrunk` 1 when this close dropped elements, `alarm_step` latches
+    * at the first shrink ever. */
+  def adwinStream(events: Dataset[(String, Long, Long)], stepUs: Long,
+                  deltaInv: Long = 20L)
+      : Dataset[(String, Long, Long, Long, Long, Option[Long])] = {
+    require(stepUs >= 1L, s"stepUs must be >= 1, got $stepUs")
+    require(deltaInv >= 1L, s"deltaInv must be >= 1, got $deltaInv")
+    import events.sparkSession.implicits._
+    def lq(n: Long): Long =
+      Math.round(math.log(4.0 * deltaInv.toDouble * n.toDouble) * 1e6)
+    def violates(win: Vector[(Long, Long)]): Boolean = {
+      val n = win.length.toLong
+      if (n < 2) false
+      else {
+        val total = win.map(v => BigInt(v._2)).sum
+        var s0 = BigInt(0); var i = 0L; var viol = false
+        val bound = BigInt(1000000L) * lq(n)
+        while (i < n - 1 && !viol) {
+          s0 += win(i.toInt)._2
+          i += 1
+          val n0 = i; val n1 = n - i
+          val ds = s0 * n1 - (total - s0) * n0
+          viol = 2 * ds * ds >= bound * n0 * n1 * n
+        }
+        viol
+      }
+    }
+    events
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[AdwinState,
+        (String, Long, Long, Long, Long, Option[Long])](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (key, it, state: GroupState[AdwinState]) =>
+          val out = scala.collection.mutable.ArrayBuffer
+            .empty[(String, Long, Long, Long, Long, Option[Long])]
+          var st = state.getOption.getOrElse(
+            AdwinState(Long.MinValue, 0L, 0L, Vector.empty, None))
+          def close(): Unit = {
+            val v = st.openSum / st.openCnt // nonneg micro values: floor
+            var win = st.window :+ ((st.openStep, v))
+            var shrunk = 0L
+            while (violates(win)) { win = win.tail; shrunk = 1L }
+            val alarm = st.alarmStep.orElse(
+              if (shrunk == 1L) Some(st.openStep) else None)
+            val meanW = (win.map(x => BigInt(x._2)).sum / win.length).toLong
+            out += ((key, st.openStep, win.length.toLong, meanW, shrunk, alarm))
+            st = AdwinState(st.openStep, 0L, 0L, win, alarm)
+          }
+          it.toSeq.sortBy(_._2).foreach { case (_, us, y) =>
+            val h = Math.floorDiv(us, stepUs)
+            if (st.openCnt == 0L && st.window.isEmpty && st.openStep == Long.MinValue)
+              st = st.copy(openStep = h, openSum = y, openCnt = 1L)
+            else if (h == st.openStep)
+              st = st.copy(openSum = st.openSum + y, openCnt = st.openCnt + 1L)
+            else if (h > st.openStep) {
+              if (st.openCnt > 0L) close()
+              st = st.copy(openStep = h, openSum = y, openCnt = 1L)
+            } // h < open: late for a closed step — dropped
+          }
+          state.update(st)
+          out.iterator
+      }
+  }
+
   private[streaming] case class KwDriftState(
     openStep: Long, cells: Vector[(String, Long, Long)])
 

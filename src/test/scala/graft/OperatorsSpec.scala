@@ -4602,6 +4602,55 @@ class OperatorsSpec extends SparkSuite {
     assert(math.abs(avg - 1.0) < 0.03, s"Poisson(1) empirical mean $avg")
   }
 
+  test("hoeffdingSplitScan: brute triangular parity, planted shift alarms near the change, calm series stays silent") {
+    import spark.implicits._
+    import graft.operators.Anomaly
+
+    def brute(series: Seq[(String, Long, Long)], deltaInv: Long)
+        : Map[String, (Long, Option[Long], Option[Long], Long)] = {
+      series.groupBy(_._1).map { case (g, xs) =>
+        val ys = xs.sortBy(_._2)
+        val n = ys.size.toLong
+        val pre = ys.map(x => BigInt(x._3)).scanLeft(BigInt(0))(_ + _).tail
+        def lq(t: Long): Long =
+          Math.round(math.log(4.0 * deltaInv * t.toDouble) * 1e6)
+        val alarms = (2L to n).filter { t =>
+          (1L until t).exists { i =>
+            val ds = pre(i.toInt - 1) * (t - i) -
+              (pre(t.toInt - 1) - pre(i.toInt - 1)) * i
+            2 * ds * ds >= BigInt(1000000L) * lq(t) * t * i * (t - i)
+          }
+        }
+        val first = alarms.headOption
+        g -> ((n, first, first.map(t => ys(t.toInt - 1)._2), alarms.size.toLong))
+      }
+    }
+    def run(series: Seq[(String, Long, Long)]) =
+      Anomaly.hoeffdingSplitScan(series.toDF("g", "t", "y"), "g",
+        col("t"), col("y")).collect()
+        .map(r => r.getString(0) -> ((r.getLong(1),
+          if (r.isNullAt(2)) None else Some(r.getLong(2)),
+          if (r.isNullAt(3)) None else Some(r.getLong(3)),
+          r.getLong(4)))).toMap
+
+    val rnd = new scala.util.Random(269)
+    // "a": mean jumps 100k -> 900k at day 21 (a 0.8 jump - the Hoeffding
+    // bound is conservative: it needs ~8 post-change steps to clear);
+    // "b": calm around 500k
+    val series = (1L to 40L).map(d => ("a", 100L + d,
+        (if (d <= 20) 100000L else 900000L) + rnd.nextInt(20001) - 10000L)) ++
+      (1L to 40L).map(d => ("b", 100L + d, 500000L + rnd.nextInt(20001) - 10000L))
+    val got = run(series); val want = brute(series, 20L)
+    assert(got == want, s"got $got\nwant $want")
+    // the planted jump alarms once enough post-change mass accumulates
+    val aFirst = got("a")._3.get
+    assert(aFirst >= 121L && aFirst <= 136L, s"alarm at $aFirst")
+    assert(got("b")._2.isEmpty && got("b")._4 == 0L, "calm series silent")
+    // tiny-noise exchangeable series never clears the bound
+    val calm = (1L to 60L).map(d => ("c", d, 300000L + (d % 7) * 100L))
+    assert(run(calm)("c")._2.isEmpty)
+  }
+
   test("ansariBradley: brute folded-rank parity incl. a center-straddling tie block, planted spread, sign semantics") {
     import spark.implicits._
     import graft.operators.Eval

@@ -1383,6 +1383,26 @@ class ScaleSpec extends SparkSuite {
     assert(!bsPlan.contains("CartesianProduct"), s"bootstrap joins:\n$bsPlan")
   }
 
+  test("hoeffdingSplitScan plan: group-keyed triangular join, group-partitioned windows, partial-agg summaries") {
+    import spark.implicits._
+    val series = (1 to 8).flatMap(g => (1L to 50L).map(t =>
+      (s"g$g", t, 300000L + (t % 11) * 500L))).toDF("g", "t", "y")
+    val hs = graft.operators.Anomaly.hoeffdingSplitScan(series, "g",
+      col("t"), col("y"))
+    hs.collect()
+    val plan = hs.queryExecution.executedPlan.toString.split("== Initial Plan ==").head
+    // the T^2/2 split check joins on the GROUP key — never a cartesian
+    assert(!plan.contains("CartesianProduct"),
+      s"split pairs must stay group-keyed:\n$plan")
+    // prefix sums and ranks carry the group partition
+    assert(!plan.linesIterator.exists(l =>
+      l.contains("Window") && l.contains("SinglePartition")),
+      s"scan windows must stay group-partitioned:\n$plan")
+    assert(plan.contains("partial_sum") || plan.contains("partial_count") ||
+      plan.contains("partial_max"),
+      s"per-prefix and per-group summaries must partial-aggregate:\n$plan")
+  }
+
   test("hitsInt cuts the raw half-round frames: strictly less stage work than the uncut shape") {
     // Each half-round's rawAuth/rawHub feeds its own max agg AND the data
     // path; Spark does not reuse that exchange across consumers, so the

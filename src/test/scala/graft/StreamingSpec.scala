@@ -984,6 +984,83 @@ class StreamingSpec extends SparkSuite {
     } finally q.stop()
   }
 
+  test("streaming ADWIN: brute ADWIN0 parity, first alarm equals the batch scan, window drops the stale regime") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val dayUs = 86400000000L
+    def at(d: Long, i: Long): Long = d * dayUs + i * 1000L
+    // per-day means: "a" runs at 200k for 18 days then jumps to 900k;
+    // "b" stays flat. Three events per day so the open-sum floor works.
+    def dayEvents(k: String, d: Long, mean: Long): Seq[(String, Long, Long)] =
+      Seq((k, at(d, 1), mean - 1000L), (k, at(d, 2), mean),
+        (k, at(d, 3), mean + 1001L)) // mean floor = mean (sum = 3*mean+1)
+    val days = (1L to 34L)
+    val meansA = days.map(d => d -> (if (d <= 18) 100000L + d * 13 else 950000L + d * 7)).toMap
+    val meansB = days.map(d => d -> (500000L + d * 11)).toMap
+    val evts = days.flatMap(d => dayEvents("a", d, meansA(d)) ++ dayEvents("b", d, meansB(d)))
+    val sentinel = Seq(("a", at(35L, 0), 1L), ("b", at(35L, 0), 1L))
+
+    // brute ADWIN0 replay over the closed-day means
+    def lq(n: Long): Long = Math.round(math.log(4.0 * 20.0 * n.toDouble) * 1e6)
+    def violates(win: Vector[(Long, Long)]): Boolean = {
+      val n = win.length.toLong
+      if (n < 2) return false
+      val total = win.map(v => BigInt(v._2)).sum
+      var s0 = BigInt(0)
+      (1L until n).exists { i =>
+        s0 += win(i.toInt - 1)._2
+        val ds = s0 * (n - i) - (total - s0) * i
+        2 * ds * ds >= BigInt(1000000L) * lq(n) * i * (n - i) * n
+      }
+    }
+    def brute(means: Map[Long, Long]): Seq[(Long, Long, Long, Long, Option[Long])] = {
+      var win = Vector.empty[(Long, Long)]
+      var alarm: Option[Long] = None
+      days.map { d =>
+        win = win :+ ((d, means(d)))
+        var shrunk = 0L
+        while (violates(win)) { win = win.tail; shrunk = 1L }
+        if (alarm.isEmpty && shrunk == 1L) alarm = Some(d)
+        (d, win.length.toLong, (win.map(x => BigInt(x._2)).sum / win.length).toLong,
+          shrunk, alarm)
+      }
+    }
+
+    val input = MemoryStream[(String, Long, Long)]
+    val out = Streams.adwinStream(input.toDS(), stepUs = dayUs)
+    val q = out.toDF("k", "step", "window_n", "mean_micro", "shrunk", "alarm_step")
+      .writeStream.outputMode("append").format("memory").queryName("adwin").start()
+    try {
+      input.addData(evts: _*)
+      q.processAllAvailable()
+      input.addData(sentinel: _*) // closes day 30 for both keys
+      q.processAllAvailable()
+      val rows = spark.table("adwin").collect()
+        .map(r => (r.getString(0), r.getLong(1)) ->
+          ((r.getLong(2), r.getLong(3), r.getLong(4),
+            if (r.isNullAt(5)) None else Some(r.getLong(5))))).toMap
+      for (k <- Seq("a", "b")) {
+        val want = brute(if (k == "a") meansA else meansB)
+        want.foreach { case (d, wn, wm, sh, al) =>
+          assert(rows((k, d)) == ((wn, wm, sh, al)), s"$k day $d: ${rows((k, d))} vs ${(wn, wm, sh, al)}")
+        }
+      }
+      // the jump at day 19 alarms shortly after; the window dropped the
+      // stale regime (window_n well below the closed-day count)
+      val aAlarm = rows(("a", 34L))._4.get
+      assert(aAlarm >= 19L && aAlarm <= 31L, s"alarm day $aAlarm")
+      assert(rows(("a", 34L))._1 <= 34L - 10L, "stale regime dropped")
+      // flat key: never shrinks, window = all closed days
+      assert(rows(("b", 34L))._4.isEmpty && rows(("b", 34L))._1 == 34L)
+      // first alarm == the batch scan's first violating prefix on the
+      // same closed-day mean series
+      val scan = graft.operators.Anomaly.hoeffdingSplitScan(
+        days.map(d => ("a", d, meansA(d))).toDF("g", "t", "y"), "g",
+        col("t"), col("y")).collect()(0)
+      assert(scan.getLong(3) == aAlarm, s"batch ${scan.getLong(3)} vs stream $aAlarm")
+    } finally q.stop()
+  }
+
   test("streaming Jonckheere drift: per-close batch parity, ordered trend flagged, state bounded to the open step") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
