@@ -312,6 +312,8 @@ object SparkEntry extends QueriesCore with QueriesDataflow with QueriesDedup wit
     "q251_raking" -> q251,
     "q252_bootstrap_ci" -> q252,
     "q253_hoeffding_scan" -> q253,
+    "q254_quade" -> q254,
+    "q255_page_trend" -> q255,
   )
 
   /** Round count for the parameterized BPE lifecycle (q163/q164) — read

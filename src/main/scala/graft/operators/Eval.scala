@@ -2294,6 +2294,157 @@ object Eval {
               lit(1000000.0))).as("a2"))
   }
 
+  /** QUADE TEST (Quade 1979) — the blocked k-treatment test that WEIGHS
+    * blocks by how much they discriminate: [[friedmanTest]] gives every
+    * block one vote regardless of spread; Quade ranks blocks by their
+    * within-block RANGE and weights each block's centered treatment
+    * ranks by that block rank — more power when treatment effects scale
+    * with block level (exactly the length-bucket / difficulty-tier
+    * shape pipeline evals have). Same caller contract as
+    * [[friedmanTest]]: cells pre-aggregated, incomplete blocks dropped.
+    *
+    * ## Exactness — fully integer, no site quantization
+    * Doubled midranks twice over: within-block `r2 = 2r̄`, block-range
+    * `q2 = 2Q̄` (ranges are exact integers, midranked across blocks),
+    * so `4S_ij = q2_b·(r2_ij − (k+1))` is integer. The statistic
+    * `T = (n−1)·B/(A−B)` cross-multiplies to
+    * `(n−1)·SB / (n·A16 − SB)` with `A16 = ΣΣ(4S)²` and
+    * `SB = Σ_g (Σ_b 4S)²` — the 16× scale cancels, leaving ONE
+    * trailing IEEE division of exact DECIMAL(38) integers. Digit
+    * budget: n·A16 ≲ 16n⁴k³ rides DECIMAL(38) to n ≈ 10⁸ blocks at
+    * k = 8.
+    *
+    * ## Scale shape (100 TB)
+    * [[friedmanTest]]'s audited shape: the k-row-per-block windows
+    * carry the block partition; the block-range rank runs over the
+    * n-row BLOCKS frame (the design dimension — buckets, days, tiers —
+    * model-sized by the caller contract, the moodMedian offsets-spine
+    * precedent); k-row group sums; 1-row assembly. Returns ONE row
+    * `(n_blocks, k_groups, sb, a16, t_quade)`; t_quade NULL when
+    * k < 2, n < 1, or the denominator degenerates (every block ranks
+    * the treatments identically — then B = A and T is infinite;
+    * emitted NULL with the degenerate flag readable from sb = a16·n). */
+  def quadeTest(df: DataFrame, blockCol: String, groupCol: String,
+                valueCol: Column): DataFrame = {
+    val dec = "decimal(38,0)"
+    val cells = df
+      .where(col(blockCol).isNotNull && col(groupCol).isNotNull &&
+        valueCol.isNotNull)
+      .groupBy(col(blockCol).as("_b"), col(groupCol).as("_g"))
+      .agg(min(valueCol.cast("long")).as("_y"))
+      .localCheckpoint() // fans into the k-probe, ranks, and ranges
+    val k = cells.select(col("_g")).distinct().count() // model probe
+    val complete = cells
+      .withColumn("_kb", count(lit(1)).over(Window.partitionBy(col("_b"))))
+      .where(col("_kb") === k)
+    val ranked = complete
+      .withColumn("_below", count(lit(1)).over(
+        Window.partitionBy(col("_b")).orderBy(col("_y"))
+          .rangeBetween(Window.unboundedPreceding, -1)))
+      .withColumn("_ties", count(lit(1)).over(
+        Window.partitionBy(col("_b"), col("_y"))))
+      .select(col("_b"), col("_g"),
+        (lit(2L) * col("_below") + col("_ties") + lit(1L)).as("_r2"))
+    // block ranges midranked ACROSS blocks: the n-row design frame
+    val ranges = complete.groupBy(col("_b"))
+      .agg((max(col("_y")) - min(col("_y"))).as("_rg"))
+    val wRg = Window.orderBy(col("_rg"))
+      .rangeBetween(Window.unboundedPreceding, -1)
+    val q2 = ranges
+      .withColumn("_qbelow", coalesce(count(lit(1)).over(wRg), lit(0L)))
+      .withColumn("_qties", count(lit(1)).over(Window.partitionBy(col("_rg"))))
+      .select(col("_b"),
+        (lit(2L) * col("_qbelow") + col("_qties") + lit(1L)).as("_q2"))
+    val s = ranked
+      .join(q2, Seq("_b")) // n·k rows; q2 is the n-row design frame
+      .select(col("_g"),
+        (col("_q2").cast(dec) * (col("_r2") - lit(k + 1L))).as("_s4"))
+    val tot = s.agg(
+      coalesce(sum(col("_s4") * col("_s4")), lit(0).cast(dec)).as("_a16"))
+    val nBlocks = q2.agg(count(lit(1)).as("_n"))
+    s.groupBy(col("_g"))
+      .agg(sum(col("_s4")).as("_sg"))
+      .agg(count(lit(1)).as("_k"),
+        coalesce(sum(col("_sg") * col("_sg")), lit(0).cast(dec)).as("_sb"))
+      .crossJoin(broadcast(tot)) // 1-row attaches
+      .crossJoin(broadcast(nBlocks))
+      .withColumn("_den", col("_n").cast(dec) * col("_a16") - col("_sb"))
+      .select(col("_n").as("n_blocks"), col("_k").as("k_groups"),
+        col("_sb").cast("double").as("sb"),
+        col("_a16").cast("double").as("a16"),
+        when(col("_k") >= 2L && col("_n") >= 1L && col("_den") > 0,
+          (col("_n") - lit(1L)).cast("double") * col("_sb").cast("double") /
+            col("_den").cast("double")).as("t_quade"))
+  }
+
+  /** PAGE'S TREND TEST (Page 1963) — the ORDERED-alternative member of
+    * the blocked family: [[friedmanTest]] asks "do the k treatments
+    * differ at all across blocks", Page puts all power on the MONOTONE
+    * ordering θ₁ ≤ … ≤ θₖ (difficulty tiers, dose steps, context
+    * lengths) — [[jonckheereTerpstra]]'s question inside a blocked
+    * design. Treatment weights are the dense ranks 1..k of the ordered
+    * group key.
+    *
+    * ## Exactness
+    * `num4 = Σ_b Σ_j (2c_j − (k+1))·(r2_bj − (k+1))` = 4(L − E[L]) is
+    * an exact integer (doubled centered weights × doubled centered
+    * midranks). The variance is PERMUTATION-EXACT per block, ties and
+    * all — for a linear statistic Σ c_j r_π(j) under within-block
+    * permutation, `Var = Σ(c−c̄)²·Σ(r−r̄)²/(k−1)` — so
+    * `Var[num4] = C·Σ_b D_b/(k−1)` with `C = Σ(2c−(k+1))²` and
+    * `D_b = Σ(r2−(k+1))²` exact integers, and
+    * `z = num4/√(C·ΣD/(k−1))` is one trailing IEEE chain.
+    *
+    * ## Scale shape (100 TB)
+    * [[friedmanTest]]'s shape plus a k-row broadcast weight frame
+    * (dense rank of the distinct ordered groups). Returns ONE row
+    * `(n_blocks, k_groups, num4, z)`; z NULL when k < 2 or every
+    * block's ranks are fully tied (ΣD = 0). */
+  def pageTrendTest(df: DataFrame, blockCol: String, groupCol: Column,
+                    valueCol: Column): DataFrame = {
+    val dec = "decimal(38,0)"
+    val cells = df
+      .where(col(blockCol).isNotNull && groupCol.isNotNull &&
+        valueCol.isNotNull)
+      .groupBy(col(blockCol).as("_b"), groupCol.cast("long").as("_g"))
+      .agg(min(valueCol.cast("long")).as("_y"))
+      .localCheckpoint() // fans into the k-probe, weights, and ranks
+    val k = cells.select(col("_g")).distinct().count() // model probe
+    val complete = cells
+      .withColumn("_kb", count(lit(1)).over(Window.partitionBy(col("_b"))))
+      .where(col("_kb") === k)
+    val weights = cells.select(col("_g")).distinct()
+      .withColumn("_c", dense_rank().over(Window.orderBy(col("_g"))).cast("long"))
+    val ranked = complete
+      .withColumn("_below", count(lit(1)).over(
+        Window.partitionBy(col("_b")).orderBy(col("_y"))
+          .rangeBetween(Window.unboundedPreceding, -1)))
+      .withColumn("_ties", count(lit(1)).over(
+        Window.partitionBy(col("_b"), col("_y"))))
+      .select(col("_b"), col("_g"),
+        (lit(2L) * col("_below") + col("_ties") + lit(1L)).as("_r2"))
+      .join(broadcast(weights), Seq("_g"))
+    val perBlock = ranked.groupBy(col("_b"))
+      .agg(sum((lit(2L) * col("_c") - lit(k + 1L)).cast(dec) *
+        (col("_r2") - lit(k + 1L))).as("_nb4"),
+        sum((col("_r2") - lit(k + 1L)).cast(dec) *
+          (col("_r2") - lit(k + 1L))).as("_db"))
+    val cSum = weights.agg(coalesce(sum(
+      (lit(2L) * col("_c") - lit(k + 1L)).cast(dec) *
+        (lit(2L) * col("_c") - lit(k + 1L))), lit(0).cast(dec)).as("_cc"))
+    perBlock
+      .agg(count(lit(1)).as("_n"),
+        coalesce(sum(col("_nb4")), lit(0).cast(dec)).as("_num4"),
+        coalesce(sum(col("_db")), lit(0).cast(dec)).as("_dd"))
+      .crossJoin(broadcast(cSum)) // 1-row attach
+      .select(col("_n").as("n_blocks"), lit(k).as("k_groups"),
+        col("_num4").cast("double").as("num4"),
+        when(lit(k) >= 2L && col("_dd") > 0 && col("_cc") > 0,
+          col("_num4").cast("double") /
+            sqrt(col("_cc").cast("double") * col("_dd").cast("double") /
+              lit((k - 1).toDouble))).as("z"))
+  }
+
   /** nDCG@k of a scored candidate set against graded relevance
     * (Järvelin & Kekäläinen 2002) — the ranking-quality number for a
     * retrieval stage (BM25, embedding search, rank fusion):

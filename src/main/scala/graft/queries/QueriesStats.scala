@@ -717,7 +717,128 @@ private[graft] trait QueriesStats { this: SparkEntry.type =>
       bucketOf = v => shiftright(v, 3))
   }
 
+  /** Quade test: q235's blocked design with the discrimination-weighted
+    * read — blocks (length buckets) that SPREAD the languages more get
+    * more weight; fully integer (the 16× scale cancels in
+    * (n−1)·SB/(n·A−SB)) ([[graft.operators.Eval.quadeTest]]). */
+  protected def q254(s: SparkSession, dir: String): DataFrame = {
+    val stop = Text.langMarkers.toMap.apply("en")
+    graft.operators.Eval.quadeTest(
+      Tables.documents(s, dir)
+        .select(expr("least(n_chars DIV 200, 7)").as("bucket"), col("lang"),
+          (floor(Text.qualityScore(col("text"), stop) * lit(1e6))
+            .cast("long")).as("qu"))
+        .groupBy(col("bucket"), col("lang"))
+        .agg(sum(expr("qu DIV 16384")).as("cell")),
+      blockCol = "bucket", groupCol = "lang", valueCol = col("cell"))
+  }
+
+  /** Page's trend test: does quality rank UP with the ordered length
+    * bucket CONSISTENTLY across language blocks — q237's ordered
+    * question inside q235's blocked design; permutation-exact variance
+    * under ties ([[graft.operators.Eval.pageTrendTest]]). */
+  protected def q255(s: SparkSession, dir: String): DataFrame = {
+    val stop = Text.langMarkers.toMap.apply("en")
+    graft.operators.Eval.pageTrendTest(
+      Tables.documents(s, dir)
+        .select(col("lang"), expr("least(n_chars DIV 200, 7)").as("bucket"),
+          (floor(Text.qualityScore(col("text"), stop) * lit(1e6))
+            .cast("long")).as("qu"))
+        .groupBy(col("lang"), col("bucket"))
+        .agg(sum(expr("qu DIV 16384")).as("cell")),
+      blockCol = "lang", groupCol = col("bucket"), valueCol = col("cell"))
+  }
+
   protected def oraclesStats: Map[String, String] = Map(
+      // Quade: within-block doubled midranks, block ranges midranked
+      // across blocks, 4S = q2*(r2-(k+1)); T = (n-1)*SB/(n*A16-SB) — the
+      // 16x scale cancels, one trailing IEEE division
+      "q254_quade" ->
+        s"""WITH pts AS (
+             SELECT least(n_chars // 200, 7) AS b, lang AS g,
+               CAST(floor(${qualitySql(toks)} * 1e6) AS BIGINT) // 16384 AS qu
+             FROM documents),
+           cells AS (SELECT b, g, CAST(sum(qu) AS BIGINT) AS y
+                     FROM pts GROUP BY 1, 2),
+           kk AS (SELECT CAST(count(DISTINCT g) AS BIGINT) AS k FROM cells),
+           comp AS (SELECT c.b, c.g, c.y
+                    FROM cells c
+                      JOIN (SELECT b, count(*) AS nb FROM cells GROUP BY b) t
+                        ON t.b = c.b
+                      CROSS JOIN kk
+                    WHERE t.nb = kk.k),
+           rk AS (SELECT b, g,
+                    CAST(2 * coalesce(count(*) OVER (PARTITION BY b ORDER BY y
+                        RANGE BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                      + count(*) OVER (PARTITION BY b, y) + 1 AS BIGINT) AS r2
+                  FROM comp),
+           rng AS (SELECT b, max(y) - min(y) AS rg FROM comp GROUP BY b),
+           q2 AS (SELECT b,
+                    CAST(2 * coalesce(count(*) OVER (ORDER BY rg
+                        RANGE BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                      + count(*) OVER (PARTITION BY rg) + 1 AS BIGINT) AS q2
+                  FROM rng),
+           s AS (SELECT rk.g,
+                   CAST(q2.q2 AS HUGEINT) * (rk.r2 - (kk.k + 1)) AS s4
+                 FROM rk JOIN q2 USING (b) CROSS JOIN kk),
+           a AS (SELECT CAST(sum(s4 * s4) AS HUGEINT) AS a16 FROM s),
+           gr AS (SELECT g, CAST(sum(s4) AS HUGEINT) AS sg FROM s GROUP BY g),
+           sb AS (SELECT CAST(count(*) AS BIGINT) AS k2,
+                    CAST(sum(sg * sg) AS HUGEINT) AS sbv FROM gr),
+           nb AS (SELECT CAST(count(*) AS BIGINT) AS n FROM rng)
+           SELECT nb.n AS n_blocks, sb.k2 AS k_groups,
+             CAST(sbv AS DOUBLE) AS sb, CAST(a16 AS DOUBLE) AS a16,
+             CASE WHEN sb.k2 >= 2 AND nb.n >= 1
+                 AND (CAST(nb.n AS HUGEINT) * a16 - sbv) > 0 THEN
+               CAST(nb.n - 1 AS DOUBLE) * CAST(sbv AS DOUBLE) /
+                 CAST(CAST(nb.n AS HUGEINT) * a16 - sbv AS DOUBLE)
+             END AS t_quade
+           FROM nb CROSS JOIN sb CROSS JOIN a""",
+
+      // Page: dense-rank treatment weights, doubled centered products,
+      // permutation-exact per-block variance C*D/(k-1)
+      "q255_page_trend" ->
+        s"""WITH pts AS (
+             SELECT lang AS b, least(n_chars // 200, 7) AS g,
+               CAST(floor(${qualitySql(toks)} * 1e6) AS BIGINT) // 16384 AS qu
+             FROM documents),
+           cells AS (SELECT b, g, CAST(sum(qu) AS BIGINT) AS y
+                     FROM pts GROUP BY 1, 2),
+           kk AS (SELECT CAST(count(DISTINCT g) AS BIGINT) AS k FROM cells),
+           comp AS (SELECT c.b, c.g, c.y
+                    FROM cells c
+                      JOIN (SELECT b, count(*) AS nb FROM cells GROUP BY b) t
+                        ON t.b = c.b
+                      CROSS JOIN kk
+                    WHERE t.nb = kk.k),
+           w AS (SELECT g, CAST(dense_rank() OVER (ORDER BY g) AS BIGINT) AS c
+                 FROM (SELECT DISTINCT g FROM cells)),
+           rk AS (SELECT b, g,
+                    CAST(2 * coalesce(count(*) OVER (PARTITION BY b ORDER BY y
+                        RANGE BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                      + count(*) OVER (PARTITION BY b, y) + 1 AS BIGINT) AS r2
+                  FROM comp),
+           pb AS (SELECT rk.b,
+                    CAST(sum(CAST(2 * w.c - (kk.k + 1) AS HUGEINT)
+                      * (rk.r2 - (kk.k + 1))) AS HUGEINT) AS nb4,
+                    CAST(sum(CAST(rk.r2 - (kk.k + 1) AS HUGEINT)
+                      * (rk.r2 - (kk.k + 1))) AS HUGEINT) AS db
+                  FROM rk JOIN w USING (g) CROSS JOIN kk GROUP BY rk.b),
+           cc AS (SELECT CAST(sum(CAST(2 * c - (kk.k + 1) AS HUGEINT)
+                      * (2 * c - (kk.k + 1))) AS HUGEINT) AS ccv
+                  FROM w CROSS JOIN kk),
+           ag AS (SELECT CAST(count(*) AS BIGINT) AS n,
+                    CAST(sum(nb4) AS HUGEINT) AS num4,
+                    CAST(sum(db) AS HUGEINT) AS dd FROM pb)
+           SELECT ag.n AS n_blocks, kk.k AS k_groups,
+             CAST(num4 AS DOUBLE) AS num4,
+             CASE WHEN kk.k >= 2 AND dd > 0 AND ccv > 0 THEN
+               CAST(num4 AS DOUBLE) /
+                 sqrt(CAST(ccv AS DOUBLE) * CAST(dd AS DOUBLE)
+                   / CAST(kk.k - 1 AS DOUBLE))
+             END AS z
+           FROM ag CROSS JOIN cc CROSS JOIN kk""",
+
       // k-sample Anderson-Darling (midrank): dense (group x value) frame,
       // doubled midpoints b2/m2, cell floors 1e6*l*x^2/Dq, group floors
       // /n_g, trailing (N-1)*S/(N^2*1e6) chain mirrored verbatim

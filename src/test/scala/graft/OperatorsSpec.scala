@@ -4651,6 +4651,125 @@ class OperatorsSpec extends SparkSuite {
     assert(run(calm)("c")._2.isEmpty)
   }
 
+  test("quadeTest: brute doubled-midrank parity with ties, discrimination weighting beats flat blocks, degenerates") {
+    import spark.implicits._
+    import graft.operators.Eval
+
+    def midranks2(ys: Seq[Long]): Seq[Long] = {
+      val hist = ys.groupBy(identity).view.mapValues(_.size.toLong).toMap
+      ys.map(y => 2L * ys.count(_ < y) + hist(y) + 1L)
+    }
+    def brute(cells: Seq[(Long, String, Long)]): (Long, Long, BigInt, BigInt, Option[Double]) = {
+      val k = cells.map(_._2).distinct.size.toLong
+      val blocks = cells.groupBy(_._1).filter(_._2.size == k)
+      val n = blocks.size.toLong
+      val ranges = blocks.view.mapValues(cs => cs.map(_._3).max - cs.map(_._3).min).toMap
+      val rgs = ranges.values.toSeq
+      val q2 = ranges.map { case (b, rg) =>
+        b -> (2L * rgs.count(_ < rg) + rgs.count(_ == rg) + 1L) }
+      val s4 = blocks.toSeq.flatMap { case (b, cs) =>
+        val r2 = midranks2(cs.map(_._3))
+        cs.zip(r2).map { case ((_, g, _), r) =>
+          (g, BigInt(q2(b)) * (r - (k + 1))) }
+      }
+      val a16 = s4.map(s => s._2 * s._2).sum
+      val sb = s4.groupBy(_._1).values.map(_.map(_._2).sum).map(x => x * x).sum
+      val den = BigInt(n) * a16 - sb
+      val t = if (k >= 2 && n >= 1 && den > 0)
+        Some((n - 1).toDouble * sb.toDouble / den.toDouble) else None
+      (n, k, sb, a16, t)
+    }
+    def run(cells: Seq[(Long, String, Long)]) =
+      Eval.quadeTest(cells.toDF("b", "g", "y"), "b", "g", col("y")).collect()(0)
+
+    val rnd = new scala.util.Random(271)
+    // treatment "a" always wins, with margins GROWING in the block id —
+    // the discrimination-weighted shape Quade rewards
+    val cells = (1L to 12L).flatMap { b =>
+      Seq((b, "a", 100L + b * 10L), (b, "bb", 100L - b + rnd.nextInt(3)),
+        (b, "cc", 95L + rnd.nextInt(3)))
+    }
+    val got = run(cells); val want = brute(cells)
+    assert(got.getLong(0) == want._1 && got.getLong(1) == want._2)
+    assert(got.getDouble(2) == want._3.toDouble, "sb")
+    assert(got.getDouble(3) == want._4.toDouble, "a16")
+    assert(got.getDouble(4) == want._5.get, "t")
+    assert(got.getDouble(4) > 10.0, s"planted effect: ${got.getDouble(4)}")
+    // heavy ties (incl. tied ranges) still exact vs brute
+    val tied = (1L to 10L).flatMap(b => Seq((b, "a", b % 3), (b, "bb", b % 2),
+      (b, "cc", 1L)))
+    val gt = run(tied); val wt = brute(tied)
+    assert(gt.getDouble(2) == wt._3.toDouble &&
+      (gt.isNullAt(4) == wt._5.isEmpty))
+    // incomplete blocks drop; identical rankings everywhere -> NULL
+    val incomplete = cells ++ Seq((99L, "a", 5L))
+    assert(run(incomplete).getLong(0) == 12L)
+    val same = (1L to 6L).flatMap(b => Seq((b, "a", 3L), (b, "bb", 2L)))
+    assert(run(same).isNullAt(4)) // every block ranks identically: B = nA
+  }
+
+  test("pageTrendTest: brute parity with ties, textbook no-tie z, monotone trend sign, degenerates") {
+    import spark.implicits._
+    import graft.operators.Eval
+
+    def midranks2(ys: Seq[Long]): Seq[Long] = {
+      val hist = ys.groupBy(identity).view.mapValues(_.size.toLong).toMap
+      ys.map(y => 2L * ys.count(_ < y) + hist(y) + 1L)
+    }
+    def brute(cells: Seq[(String, Long, Long)]): (Long, Long, BigInt, Option[Double]) = {
+      val gs = cells.map(_._2).distinct.sorted
+      val k = gs.size.toLong
+      val c = gs.zipWithIndex.map { case (g, i) => g -> (i + 1L) }.toMap
+      val blocks = cells.groupBy(_._1).filter(_._2.size == k)
+      val n = blocks.size.toLong
+      var num4 = BigInt(0); var dd = BigInt(0)
+      blocks.values.foreach { cs =>
+        val r2 = midranks2(cs.map(_._3))
+        cs.zip(r2).foreach { case ((_, g, _), r) =>
+          num4 += BigInt(2L * c(g) - (k + 1)) * (r - (k + 1))
+          dd += BigInt(r - (k + 1)) * (r - (k + 1))
+        }
+      }
+      val cc = gs.map(g => BigInt(2L * c(g) - (k + 1)) * (2L * c(g) - (k + 1))).sum
+      val z = if (k >= 2 && dd > 0 && cc > 0)
+        Some(num4.toDouble / math.sqrt(cc.toDouble * dd.toDouble / (k - 1).toDouble))
+      else None
+      (n, k, num4, z)
+    }
+    def run(cells: Seq[(String, Long, Long)]) =
+      Eval.pageTrendTest(cells.toDF("b", "g", "y"), "b", col("g"), col("y")).collect()(0)
+
+    val rnd = new scala.util.Random(277)
+    // values trend UP with the ordered group across every block
+    val up = (1L to 10L).flatMap(b => (0L to 4L).map(g =>
+      (s"blk$b", g, g * 10L + rnd.nextInt(4))))
+    val got = run(up); val want = brute(up)
+    assert(got.getLong(0) == want._1 && got.getLong(1) == want._2)
+    assert(got.getDouble(2) == want._3.toDouble, "num4")
+    assert(got.getDouble(3) == want._4.get, "z")
+    assert(got.getDouble(3) > 5.0, s"monotone trend: ${got.getDouble(3)}")
+    // reversed trend flips the sign
+    val down = up.map { case (b, g, y) => (b, g, -y) }
+    assert(run(down).getDouble(3) < -5.0)
+    // tie-free: z equals the textbook Var(L) = n(k^3-k)^2/(144(k-1)) form
+    val nf = (1L to 8L).flatMap(b => (0L to 3L).map(g =>
+      (s"b$b", g, (b * 13 + g * 29) % 101)))
+    val gnf = run(nf)
+    val (n, k) = (8.0, 4.0)
+    val perms = nf.groupBy(_._1).values.map { cs =>
+      val order = cs.sortBy(_._3).map(_._2).zipWithIndex
+      order.map { case (g, i) => (g + 1) * (i + 1).toLong }.sum.toDouble
+    }.sum // L with ranks 1..k (g+1 = c since groups 0..3 dense)
+    val el = n * k * (k + 1) * (k + 1) / 4
+    val varl = n * math.pow(k * k * k - k, 2) / (144 * (k - 1))
+    val zTextbook = (perms - el) / math.sqrt(varl)
+    assert(math.abs(gnf.getDouble(3) - zTextbook) < 1e-9,
+      s"textbook: ${gnf.getDouble(3)} vs $zTextbook")
+    // all-tied blocks -> NULL; one group -> NULL
+    assert(run((1L to 4L).flatMap(b => Seq((s"b$b", 1L, 7L), (s"b$b", 2L, 7L)))).isNullAt(3))
+    assert(run(Seq(("b1", 1L, 3L))).isNullAt(3))
+  }
+
   test("ansariBradley: brute folded-rank parity incl. a center-straddling tie block, planted spread, sign semantics") {
     import spark.implicits._
     import graft.operators.Eval
