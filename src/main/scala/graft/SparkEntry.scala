@@ -314,6 +314,8 @@ object SparkEntry extends QueriesCore with QueriesDataflow with QueriesDedup wit
     "q253_hoeffding_scan" -> q253,
     "q254_quade" -> q254,
     "q255_page_trend" -> q255,
+    "q256_runs_test" -> q256,
+    "q257_cox_stuart" -> q257,
   )
 
   /** Round count for the parameterized BPE lifecycle (q163/q164) — read

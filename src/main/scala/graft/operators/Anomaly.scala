@@ -167,6 +167,111 @@ object Anomaly {
         col("alarm_i"), col("alarm_step"), col("ph_alarm_micro"))
   }
 
+  /** WALD–WOLFOWITZ RUNS TEST — "is this series RANDOM around its
+    * median, or does it clump": the independence sanity check a
+    * monitoring pipeline runs before trusting any i.i.d.-assuming
+    * statistic on the same series. Steps classify above/below the
+    * series' own grand LOWER median (an exact order statistic;
+    * equal-to-median steps drop — the standard treatment), R counts
+    * the runs of the ± sequence, and
+    * `z = (N(R−1) − 2n₁n₂) / √(2n₁n₂(2n₁n₂−N)/(N−1))` standardizes
+    * with the exact run moments — integer numerator, one trailing
+    * IEEE chain. Clumped regimes (drift, autocorrelation) push R far
+    * below its mean → z ≪ 0; oscillation pushes z ≫ 0.
+    *
+    * ## Scale shape (100 TB)
+    * The [[cusumChangepoint]] series contract (steps pre-aggregated,
+    * step-universe-sized per group). The median is a group-partitioned
+    * cumulative over the per-group sorted frame; the sign sequence and
+    * run count ride ONE lag window per group; one partial-aggregable
+    * summary. Returns one row per group
+    * `(group, n_steps, n_above, n_below, n_runs, z)` — n_steps counts
+    * the KEPT (≠ median) steps; z NULL when either side is empty,
+    * N < 2, or the run variance degenerates (2n₁n₂ ≤ N). */
+  def runsTest(series: DataFrame, groupCol: String, stepCol: Column,
+               valueCol: Column): DataFrame = {
+    val dec = "decimal(38,0)"
+    val s = series
+      .where(stepCol.isNotNull && valueCol.isNotNull && col(groupCol).isNotNull)
+      .select(col(groupCol).as("_g"), stepCol.cast("long").as("_t"),
+        valueCol.cast("long").as("_y"))
+      .localCheckpoint() // fans into the median build and the sign pass
+    val wCum = Window.partitionBy(col("_g")).orderBy(col("_y"), col("_t"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wAll = Window.partitionBy(col("_g"))
+    val med = s
+      .withColumn("_cum", count(lit(1)).over(wCum))
+      .withColumn("_n", count(lit(1)).over(wAll))
+      .where(col("_cum") >= expr("(_n + 1) DIV 2"))
+      .groupBy(col("_g")).agg(min(col("_y")).as("_med")) // grand lower median
+    val wLag = Window.partitionBy(col("_g")).orderBy(col("_t"))
+    val runs = s.join(broadcast(med), Seq("_g"))
+      .where(col("_y") =!= col("_med"))
+      .withColumn("_s", when(col("_y") > col("_med"), 1L).otherwise(0L))
+      .withColumn("_prev", lag(col("_s"), 1).over(wLag))
+      .groupBy(col("_g"))
+      .agg(count(lit(1)).as("_nn"),
+        sum(col("_s")).as("_n1"),
+        sum(when(col("_prev").isNull || col("_prev") =!= col("_s"), 1L)
+          .otherwise(0L)).as("_r"))
+    val n = col("_nn").cast(dec)
+    val p2 = lit(2).cast(dec) * col("_n1") * (col("_nn") - col("_n1"))
+    runs
+      .select(col("_g").as(groupCol), col("_nn").as("n_steps"),
+        col("_n1").as("n_above"), (col("_nn") - col("_n1")).as("n_below"),
+        col("_r").as("n_runs"),
+        when(col("_n1") > 0L && col("_nn") - col("_n1") > 0L &&
+            col("_nn") >= 2L && (p2 - n) > 0,
+          (n * (col("_r").cast(dec) - lit(1L)) - p2).cast("double") /
+            sqrt((p2 * (p2 - n)).cast("double") /
+              (col("_nn") - lit(1L)).cast("double"))).as("z"))
+      .orderBy(col(groupCol))
+  }
+
+  /** COX–STUART trend test — the sign test on first-half/second-half
+    * pairs: step i pairs with step i + ⌈N/2⌉ (the middle element drops
+    * when N is odd; tied pairs drop), `n_up` counts later-half wins,
+    * and `z = (2·n_up − np)/√np` is the binomial(½) normal read — the
+    * assumption-free "is there ANY monotone trend" precursor to
+    * theilSen's slope estimate. Exact integer counts, one trailing
+    * IEEE chain.
+    *
+    * ## Scale shape (100 TB)
+    * The series contract again; the pairing is ONE group-keyed
+    * equi-join of the indexed frame against its shifted self (the
+    * autocorrAtLag shape); one partial-aggregable summary. Returns one
+    * row per group `(group, n_pairs, n_up, n_down, z)`; z NULL when
+    * every pair ties. */
+  def coxStuart(series: DataFrame, groupCol: String, stepCol: Column,
+                valueCol: Column): DataFrame = {
+    val s = series
+      .where(stepCol.isNotNull && valueCol.isNotNull && col(groupCol).isNotNull)
+      .select(col(groupCol).as("_g"), stepCol.cast("long").as("_t"),
+        valueCol.cast("long").as("_y"))
+    val wOrd = Window.partitionBy(col("_g")).orderBy(col("_t"))
+    val wAll = Window.partitionBy(col("_g"))
+    val idx = s
+      .withColumn("_i", row_number().over(wOrd).cast("long"))
+      .withColumn("_n", count(lit(1)).over(wAll))
+      .localCheckpoint() // both sides of the pairing join
+    val l = idx.where(col("_i") <= expr("_n DIV 2"))
+      .select(col("_g"), col("_i"), col("_y").as("_ya"))
+    val r = idx
+      .select(col("_g"), (col("_i") - expr("(_n + 1) DIV 2")).as("_i"),
+        col("_y").as("_yb"))
+    l.join(r, Seq("_g", "_i"))
+      .groupBy(col("_g"))
+      .agg(count(lit(1)).as("n_pairs"),
+        sum(when(col("_yb") > col("_ya"), 1L).otherwise(0L)).as("n_up"),
+        sum(when(col("_yb") < col("_ya"), 1L).otherwise(0L)).as("n_down"))
+      .select(col("_g").as(groupCol), col("n_pairs"), col("n_up"),
+        col("n_down"),
+        when(col("n_up") + col("n_down") > 0L,
+          (lit(2L) * col("n_up") - (col("n_up") + col("n_down"))).cast("double") /
+            sqrt((col("n_up") + col("n_down")).cast("double"))).as("z"))
+      .orderBy(col(groupCol))
+  }
+
   /** HOEFFDING SPLIT SCAN — the batch face of ADWIN (Bifet & Gavaldà
     * 2007, "Learning from time-changing data with adaptive windowing"):
     * for every prefix of a per-group step series, does SOME split of

@@ -444,7 +444,100 @@ private[graft] trait QueriesEvents { this: SparkEntry.type =>
       col("day"), col("share"))
   }
 
+  /** Runs test per event type's daily-volume series: does the volume
+    * clump around its median (drift/autocorrelation → z ≪ 0) or
+    * alternate randomly — the i.i.d. sanity check before q215/q241
+    * style monitors ([[graft.operators.Anomaly.runsTest]]). */
+  protected def q256(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Anomaly.runsTest(
+      Tables.events(s, dir)
+        .groupBy(col("event_type"),
+          expr("unix_micros(ts) DIV 86400000000").as("day"))
+        .agg(count(lit(1)).as("y")),
+      "event_type", col("day"), col("y"))
+
+  /** Cox–Stuart trend test on the same daily series: the sign test on
+    * first-half/second-half pairs — the assumption-free monotone-trend
+    * read next to q212's Theil–Sen slope
+    * ([[graft.operators.Anomaly.coxStuart]]). */
+  protected def q257(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Anomaly.coxStuart(
+      Tables.events(s, dir)
+        .groupBy(col("event_type"),
+          expr("unix_micros(ts) DIV 86400000000").as("day"))
+        .agg(count(lit(1)).as("y")),
+      "event_type", col("day"), col("y"))
+
   protected def oraclesEvents: Map[String, String] = Map(
+      // Runs test: grand lower median per group, ± signs, lag-window run
+      // count, exact run moments; chain mirrored verbatim
+      "q256_runs_test" ->
+        """WITH d AS (
+             SELECT event_type AS g, epoch_us(ts) // 86400000000 AS t,
+               CAST(count(*) AS BIGINT) AS y
+             FROM events GROUP BY 1, 2),
+           c AS (SELECT g, t, y,
+                   CAST(row_number() OVER (PARTITION BY g ORDER BY y, t)
+                     AS BIGINT) AS cum,
+                   CAST(count(*) OVER (PARTITION BY g) AS BIGINT) AS n
+                 FROM d),
+           med AS (SELECT g, min(y) AS m FROM c
+                   WHERE cum >= (n + 1) // 2 GROUP BY g),
+           sg AS (SELECT d.g, d.t,
+                    CASE WHEN d.y > med.m THEN 1 ELSE 0 END AS s
+                  FROM d JOIN med ON med.g = d.g
+                  WHERE d.y <> med.m),
+           rr AS (SELECT g, s,
+                    lag(s) OVER (PARTITION BY g ORDER BY t) AS prev
+                  FROM sg),
+           ag AS (SELECT g, CAST(count(*) AS BIGINT) AS nn,
+                    CAST(sum(s) AS BIGINT) AS n1,
+                    CAST(sum(CASE WHEN prev IS NULL OR prev <> s
+                      THEN 1 ELSE 0 END) AS BIGINT) AS r
+                  FROM rr GROUP BY g)
+           SELECT g AS event_type, nn AS n_steps, n1 AS n_above,
+             nn - n1 AS n_below, r AS n_runs,
+             CASE WHEN n1 > 0 AND nn - n1 > 0 AND nn >= 2
+                 AND (2 * CAST(n1 AS HUGEINT) * (nn - n1) - nn) > 0 THEN
+               CAST(CAST(nn AS HUGEINT) * (r - 1)
+                 - 2 * CAST(n1 AS HUGEINT) * (nn - n1) AS DOUBLE) /
+                 sqrt(CAST((2 * CAST(n1 AS HUGEINT) * (nn - n1))
+                     * (2 * CAST(n1 AS HUGEINT) * (nn - n1) - nn) AS DOUBLE) /
+                   CAST(nn - 1 AS DOUBLE))
+             END AS z
+           FROM ag
+           ORDER BY event_type""",
+
+      // Cox-Stuart: pair i with i + ceil(n/2), later-half wins vs losses,
+      // binomial z; chain mirrored verbatim
+      "q257_cox_stuart" ->
+        """WITH d AS (
+             SELECT event_type AS g, epoch_us(ts) // 86400000000 AS t,
+               CAST(count(*) AS BIGINT) AS y
+             FROM events GROUP BY 1, 2),
+           ix AS (SELECT g, y,
+                    CAST(row_number() OVER (PARTITION BY g ORDER BY t)
+                      AS BIGINT) AS i,
+                    CAST(count(*) OVER (PARTITION BY g) AS BIGINT) AS n
+                  FROM d),
+           pr AS (SELECT a.g,
+                    CAST(count(*) AS BIGINT) AS n_pairs,
+                    CAST(sum(CASE WHEN b.y > a.y THEN 1 ELSE 0 END)
+                      AS BIGINT) AS n_up,
+                    CAST(sum(CASE WHEN b.y < a.y THEN 1 ELSE 0 END)
+                      AS BIGINT) AS n_down
+                  FROM ix a JOIN ix b
+                    ON b.g = a.g AND b.i = a.i + (a.n + 1) // 2
+                  WHERE a.i <= a.n // 2
+                  GROUP BY a.g)
+           SELECT g AS event_type, n_pairs, n_up, n_down,
+             CASE WHEN n_up + n_down > 0 THEN
+               CAST(2 * n_up - (n_up + n_down) AS DOUBLE) /
+                 sqrt(CAST(n_up + n_down AS DOUBLE))
+             END AS z
+           FROM pr
+           ORDER BY event_type""",
+
       // Hoeffding split scan: daily share series (site-floored micro),
       // triangular (split, prefix) pairs, the cross-multiplied integer
       // bound with Lq = round(1e6*ln(4*20*n)) quantized per prefix length

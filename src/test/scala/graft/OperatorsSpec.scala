@@ -4770,6 +4770,87 @@ class OperatorsSpec extends SparkSuite {
     assert(run(Seq(("b1", 1L, 3L))).isNullAt(3))
   }
 
+  test("runsTest: brute parity, clumped series z << 0, alternating series z >> 0, degenerates") {
+    import spark.implicits._
+    import graft.operators.Anomaly
+
+    def brute(pts: Seq[(String, Long, Long)]): Map[String, (Long, Long, Long, Long, Option[Double])] = {
+      pts.groupBy(_._1).map { case (g, xs) =>
+        val sorted = xs.map(_._3).sorted
+        val med = sorted(((xs.size + 1) / 2 - 1).toInt) // lower median
+        val signs = xs.sortBy(_._2).map(_._3).filter(_ != med).map(_ > med)
+        val n = signs.size.toLong
+        val n1 = signs.count(identity).toLong
+        val r = if (signs.isEmpty) 0L
+          else 1L + signs.zip(signs.tail).count { case (a, b) => a != b }
+        val p2 = BigInt(2) * n1 * (n - n1)
+        val z = if (n1 > 0 && n1 < n && n >= 2 && p2 > n)
+          Some((BigInt(n) * (r - 1) - p2).toDouble /
+            math.sqrt((p2 * (p2 - n)).toDouble / (n - 1).toDouble))
+        else None
+        g -> ((n, n1, n - n1, r, z))
+      }
+    }
+    def run(pts: Seq[(String, Long, Long)]) =
+      Anomaly.runsTest(pts.toDF("g", "t", "y"), "g", col("t"), col("y"))
+        .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2),
+          r.getLong(3), r.getLong(4),
+          if (r.isNullAt(5)) None else Some(r.getDouble(5))))).toMap
+
+    val rnd = new scala.util.Random(281)
+    // "clump": 25 low days then 25 high days (two runs); "alt":
+    // strict alternation; "mix": random around the median
+    val pts = (1L to 50L).map(d => ("clump", d, if (d <= 25) 10L + rnd.nextInt(3) else 100L + rnd.nextInt(3))) ++
+      (1L to 50L).map(d => ("alt", d, if (d % 2 == 0) d else 1000L + d)) ++
+      (1L to 50L).map(d => ("mix", d, rnd.nextInt(1000).toLong))
+    val got = run(pts); val want = brute(pts)
+    assert(got == want, s"got $got\nwant $want")
+    assert(got("clump")._5.get < -5.0, s"clumped: ${got("clump")._5}")
+    assert(got("alt")._5.get > 5.0, s"alternating: ${got("alt")._5}")
+    assert(math.abs(got("mix")._5.get) < 3.0)
+    // all values equal to the median -> everything drops -> no row guard
+    val flat = (1L to 10L).map(d => ("f", d, 7L))
+    assert(run(flat).isEmpty || run(flat)("f")._1 == 0L)
+  }
+
+  test("coxStuart: brute half-pairing parity incl. odd length, trend sign, tied pairs drop") {
+    import spark.implicits._
+    import graft.operators.Anomaly
+
+    def brute(pts: Seq[(String, Long, Long)]): Map[String, (Long, Long, Long, Option[Double])] = {
+      pts.groupBy(_._1).map { case (g, xs) =>
+        val ys = xs.sortBy(_._2).map(_._3)
+        val n = ys.size
+        val shift = (n + 1) / 2
+        val pairs = (0 until n / 2).map(i => (ys(i), ys(i + shift)))
+        val up = pairs.count(p => p._2 > p._1).toLong
+        val down = pairs.count(p => p._2 < p._1).toLong
+        val z = if (up + down > 0)
+          Some((2L * up - (up + down)).toDouble / math.sqrt((up + down).toDouble))
+        else None
+        g -> ((pairs.size.toLong, up, down, z))
+      }
+    }
+    def run(pts: Seq[(String, Long, Long)]) =
+      Anomaly.coxStuart(pts.toDF("g", "t", "y"), "g", col("t"), col("y"))
+        .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2),
+          r.getLong(3),
+          if (r.isNullAt(4)) None else Some(r.getDouble(4))))).toMap
+
+    val rnd = new scala.util.Random(283)
+    // "up": steady climb; "down": decline; "odd": 21 steps (middle drops)
+    val pts = (1L to 30L).map(d => ("up", d, d * 10L + rnd.nextInt(5))) ++
+      (1L to 30L).map(d => ("down", d, 1000L - d * 7L + rnd.nextInt(3))) ++
+      (1L to 21L).map(d => ("odd", d, d + rnd.nextInt(2).toLong))
+    val got = run(pts); val want = brute(pts)
+    assert(got == want, s"got $got\nwant $want")
+    assert(got("up")._4.get > 3.0 && got("down")._4.get < -3.0)
+    assert(got("odd")._1 == 10L, "odd length: middle element drops")
+    // constant series: every pair ties -> z NULL
+    val const = (1L to 12L).map(d => ("c", d, 5L))
+    assert(run(const)("c")._4.isEmpty && run(const)("c")._1 == 6L)
+  }
+
   test("ansariBradley: brute folded-rank parity incl. a center-straddling tie block, planted spread, sign semantics") {
     import spark.implicits._
     import graft.operators.Eval
