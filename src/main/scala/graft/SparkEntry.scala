@@ -316,6 +316,9 @@ object SparkEntry extends QueriesCore with QueriesDataflow with QueriesDedup wit
     "q255_page_trend" -> q255,
     "q256_runs_test" -> q256,
     "q257_cox_stuart" -> q257,
+    "q258_cochran_q" -> q258,
+    "q259_mcnemar" -> q259,
+    "q260_cronbach" -> q260,
   )
 
   /** Round count for the parameterized BPE lifecycle (q163/q164) — read

@@ -2445,6 +2445,133 @@ object Eval {
               lit((k - 1).toDouble))).as("z"))
   }
 
+  /** COCHRAN'S Q TEST (Cochran 1950) — "do k binary FILTERS pass the
+    * same share of documents, given that they judge the SAME
+    * documents": the k-treatment generalization of [[mcnemarTest]] and
+    * the binary specialization of [[friedmanTest]] — the question a
+    * pipeline asks before swapping one quality filter for another.
+    * `Q = (k−1)·(k·ΣCⱼ² − T²) / (k·ΣRᵢ − ΣRᵢ²)` with Cⱼ the
+    * per-treatment pass counts, Rᵢ the per-block pass counts, T the
+    * grand total — every term an exact integer, Q one trailing IEEE
+    * division; χ²_(k−1) under exchangeability.
+    *
+    * ## Scale shape (100 TB)
+    * ONE partial-aggregable `groupBy(block)` (the completeness check
+    * and Rᵢ sums ride it) and one k-row `groupBy(treatment)`; blocks
+    * with missing treatments drop (the [[friedmanTest]] convention).
+    * Returns ONE row `(n_blocks, k_treatments, q_stat)`; q_stat NULL
+    * when k < 2 or the denominator degenerates (every block passes
+    * everything or nothing — no discordance to test). */
+  def cochranQ(df: DataFrame, blockCol: String, treatmentCol: String,
+               outcomeCol: Column): DataFrame = {
+    val dec = "decimal(38,0)"
+    val rows = df
+      .where(col(blockCol).isNotNull && col(treatmentCol).isNotNull &&
+        outcomeCol.isNotNull)
+      .select(col(blockCol).as("_b"), col(treatmentCol).as("_t"),
+        when(outcomeCol, 1L).otherwise(0L).as("_y"))
+      .localCheckpoint() // fans into the k-probe, blocks, and columns
+    val k = rows.select(col("_t")).distinct().count() // model probe
+    val blocks = rows.groupBy(col("_b"))
+      .agg(count(lit(1)).as("_kb"), sum(col("_y")).as("_r"))
+      .where(col("_kb") === k)
+      .localCheckpoint() // complete blocks: both sides below re-read it
+    val colSums = rows
+      .join(blocks.select(col("_b")), Seq("_b")) // complete blocks only
+      .groupBy(col("_t")).agg(sum(col("_y")).as("_c"))
+      .agg(coalesce(sum(col("_c")), lit(0L)).as("_tt"),
+        coalesce(sum(col("_c").cast(dec) * col("_c")), lit(0).cast(dec))
+          .as("_cc"))
+    blocks
+      .agg(count(lit(1)).as("_n"),
+        coalesce(sum(col("_r")), lit(0L)).as("_rt"),
+        coalesce(sum(col("_r").cast(dec) * col("_r")), lit(0).cast(dec))
+          .as("_rr"))
+      .crossJoin(broadcast(colSums)) // 1-row attach
+      .withColumn("_den", lit(k).cast(dec) * col("_rt") - col("_rr"))
+      .select(col("_n").as("n_blocks"), lit(k).as("k_treatments"),
+        when(lit(k) >= 2L && col("_den") > 0,
+          (lit(k - 1).cast(dec) *
+            (lit(k).cast(dec) * col("_cc") -
+              col("_tt").cast(dec) * col("_tt"))).cast("double") /
+            col("_den").cast("double")).as("q_stat"))
+  }
+
+  /** McNEMAR'S TEST — "did swapping filter A for filter B change WHICH
+    * documents pass, beyond noise": the paired 2×2 read on the
+    * DISCORDANT cells only (documents both filters pass or both reject
+    * carry no information about the swap — the insight that makes this
+    * the right A/B test for correlated judgments, where a two-sample
+    * χ² would be wrong). `χ²_micro = ⌊10⁶·(b−c)²/(b+c)⌋` with b/c the
+    * only-A/only-B counts — exact integers, the floor quantized once
+    * at its site (numerator nonneg → floor ≡ truncate both engines).
+    *
+    * Scale shape: ONE partial-aggregable aggregate over a narrow
+    * two-flag projection — no groupBy, no join, no window. Returns ONE
+    * row `(n, n_only_a, n_only_b, chi2_micro)`; chi2_micro NULL when
+    * there are no discordant documents. */
+  def mcnemarTest(df: DataFrame, flagA: Column, flagB: Column): DataFrame = {
+    df.where(flagA.isNotNull && flagB.isNotNull)
+      .select(when(flagA, 1L).otherwise(0L).as("_a"),
+        when(flagB, 1L).otherwise(0L).as("_b"))
+      .agg(count(lit(1)).as("n"),
+        coalesce(sum(when(col("_a") === 1L && col("_b") === 0L, 1L)
+          .otherwise(0L)), lit(0L)).as("n_only_a"),
+        coalesce(sum(when(col("_a") === 0L && col("_b") === 1L, 1L)
+          .otherwise(0L)), lit(0L)).as("n_only_b"))
+      .select(col("n"), col("n_only_a"), col("n_only_b"),
+        when(col("n_only_a") + col("n_only_b") > 0L,
+          expr("""CAST((1000000 * (n_only_a - n_only_b) * (n_only_a - n_only_b)
+                  - pmod(1000000 * (n_only_a - n_only_b) * (n_only_a - n_only_b),
+                      n_only_a + n_only_b))
+                DIV (n_only_a + n_only_b) AS BIGINT)""")).as("chi2_micro"))
+  }
+
+  /** CRONBACH'S ALPHA — internal consistency of k parallel SCORE
+    * components ("do my quality sub-scores measure one underlying
+    * thing, or k different things"): the eval-panel / composite-score
+    * sanity check next to [[cohenKappa]]'s two-rater agreement.
+    * `α = k/(k−1) · (1 − ΣVarᵢ/Var_total)` with every variance the
+    * exact integer `n·Σx² − (Σx)²` (the n²-scaled form — the common
+    * scale cancels in the ratio), so α is one trailing IEEE chain over
+    * exact DECIMAL(38) sums.
+    *
+    * Scale shape: ONE partial-aggregable aggregate over the k item
+    * columns and their row-sum — no groupBy, no join, no window. Digit
+    * budget: n·Σx² ≤ n²·x² rides DECIMAL(38) to n·|x| ≈ 10¹⁹. Returns
+    * ONE row `(n, k_items, svar, tvar, alpha)`; alpha NULL when n < 2
+    * or the total variance degenerates. */
+  def cronbachAlpha(df: DataFrame, items: Seq[Column]): DataFrame = {
+    require(items.size >= 2, s"need >= 2 items, got ${items.size}")
+    val dec = "decimal(38,0)"
+    val k = items.size
+    val named = df.select(items.zipWithIndex.map { case (c, i) =>
+      c.cast("long").as(s"_x$i") }: _*)
+      .where(items.indices.map(i => col(s"_x$i").isNotNull).reduce(_ && _))
+      .withColumn("_t", items.indices.map(i => col(s"_x$i")).reduce(_ + _))
+    val aggs = Seq(count(lit(1)).as("_n")) ++
+      items.indices.flatMap(i => Seq(
+        sum(col(s"_x$i")).as(s"_s$i"),
+        sum(col(s"_x$i").cast(dec) * col(s"_x$i")).as(s"_q$i"))) ++
+      Seq(sum(col("_t")).as("_st"),
+        sum(col("_t").cast(dec) * col("_t")).as("_qt"))
+    val a = named.agg(aggs.head, aggs.tail: _*)
+    val svar = items.indices.map(i =>
+      col("_n").cast(dec) * col(s"_q$i") -
+        col(s"_s$i").cast(dec) * col(s"_s$i")).reduce(_ + _)
+    val tvar = col("_n").cast(dec) * col("_qt") -
+      col("_st").cast(dec) * col("_st")
+    a.select(col("_n").as("n"), lit(k.toLong).as("k_items"),
+        svar.as("_sv"), tvar.as("_tv"))
+      .select(col("n"), col("k_items"),
+        col("_sv").cast("double").as("svar"),
+        col("_tv").cast("double").as("tvar"),
+        when(col("n") >= 2L && col("_tv") > 0,
+          lit(k.toDouble) / lit((k - 1).toDouble) *
+            (lit(1.0) - col("_sv").cast("double") / col("_tv").cast("double")))
+          .as("alpha"))
+  }
+
   /** nDCG@k of a scored candidate set against graded relevance
     * (Järvelin & Kekäläinen 2002) — the ranking-quality number for a
     * retrieval stage (BM25, embedding search, rank fusion):

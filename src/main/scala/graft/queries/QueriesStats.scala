@@ -749,7 +749,145 @@ private[graft] trait QueriesStats { this: SparkEntry.type =>
       blockCol = "lang", groupCol = col("bucket"), valueCol = col("cell"))
   }
 
+  /** Cochran's Q: do three binary quality filters (length ≥ 1000 chars,
+    * composite quality ≥ 0.5, ≥ 100 tokens) pass the same share of the
+    * SAME documents — the paired k-filter agreement read before a
+    * filter swap ([[graft.operators.Eval.cochranQ]]). */
+  protected def q258(s: SparkSession, dir: String): DataFrame = {
+    val stop = Text.langMarkers.toMap.apply("en")
+    val rows = Tables.documents(s, dir)
+      .select(col("doc_id"),
+        explode(array(
+          struct(lit("len1k").as("flt"), (col("n_chars") >= 1000L).as("pass")),
+          struct(lit("qual50").as("flt"),
+            (Text.qualityScore(col("text"), stop) >= 0.5).as("pass")),
+          struct(lit("tok100").as("flt"),
+            (Text.tokenCount(col("text")) >= 100).as("pass")))).as("e"))
+      .select(col("doc_id"), col("e.flt").as("flt"), col("e.pass").as("pass"))
+    graft.operators.Eval.cochranQ(rows, "doc_id", "flt", col("pass"))
+  }
+
+  /** McNemar on a filter SWAP: quality ≥ 0.5 vs length ≥ 1000 over the
+    * same documents — only the discordant documents carry information
+    * about the swap ([[graft.operators.Eval.mcnemarTest]]). */
+  protected def q259(s: SparkSession, dir: String): DataFrame = {
+    val stop = Text.langMarkers.toMap.apply("en")
+    graft.operators.Eval.mcnemarTest(
+      Tables.documents(s, dir)
+        .select(col("n_chars"),
+          Text.qualityScore(col("text"), stop).as("qual")),
+      flagA = col("qual") >= 0.5, flagB = col("n_chars") >= 1000L)
+  }
+
+  /** Cronbach's α over the three micro-quantized quality sub-scores
+    * (length, punctuation, stopword components): do they measure one
+    * underlying quality axis ([[graft.operators.Eval.cronbachAlpha]]). */
+  protected def q260(s: SparkSession, dir: String): DataFrame = {
+    val stop = Text.langMarkers.toMap.apply("en")
+    graft.operators.Eval.cronbachAlpha(
+      Tables.documents(s, dir).select(
+        floor(least(length(col("text")).cast("double") / lit(200.0), lit(1.0))
+          * lit(1e6)).as("c_len"),
+        floor((lit(1.0) - Text.punctRatio(col("text"))) * lit(1e6)).as("c_punct"),
+        floor(least(Text.stopwordRatio(col("text"), stop) * lit(5.0), lit(1.0))
+          * lit(1e6)).as("c_stop")),
+      items = Seq(col("c_len"), col("c_punct"), col("c_stop")))
+  }
+
   protected def oraclesStats: Map[String, String] = Map(
+      // Cochran's Q: three paired filters per document, exact row/column
+      // sums, one trailing IEEE division
+      "q258_cochran_q" ->
+        s"""WITH f AS (
+             SELECT doc_id, 'len1k' AS flt, (n_chars >= 1000) AS pass
+             FROM documents
+             UNION ALL
+             SELECT doc_id, 'qual50', (${qualitySql(toks)} >= 0.5)
+             FROM documents
+             UNION ALL
+             SELECT doc_id, 'tok100', (len($toks) >= 100) FROM documents),
+           r AS (SELECT doc_id,
+                   CAST(sum(CASE WHEN pass THEN 1 ELSE 0 END) AS BIGINT) AS rb
+                 FROM f GROUP BY doc_id),
+           c AS (SELECT flt,
+                   CAST(sum(CASE WHEN pass THEN 1 ELSE 0 END) AS BIGINT) AS cj
+                 FROM f GROUP BY flt),
+           ct AS (SELECT CAST(sum(cj) AS BIGINT) AS t,
+                    CAST(sum(CAST(cj AS HUGEINT) * cj) AS HUGEINT) AS cc
+                  FROM c),
+           rt AS (SELECT CAST(count(*) AS BIGINT) AS n,
+                    CAST(sum(rb) AS BIGINT) AS rtt,
+                    CAST(sum(CAST(rb AS HUGEINT) * rb) AS HUGEINT) AS rr
+                  FROM r)
+           SELECT rt.n AS n_blocks, CAST(3 AS BIGINT) AS k_treatments,
+             CASE WHEN (3 * CAST(rtt AS HUGEINT) - rr) > 0 THEN
+               CAST(2 * (3 * cc - CAST(t AS HUGEINT) * t) AS DOUBLE) /
+                 CAST(3 * CAST(rtt AS HUGEINT) - rr AS DOUBLE)
+             END AS q_stat
+           FROM rt CROSS JOIN ct""",
+
+      // McNemar: discordant-cell counts, micro chi2 floor (pmod mirror)
+      "q259_mcnemar" ->
+        s"""WITH t AS (
+             SELECT CASE WHEN ${qualitySql(toks)} >= 0.5 THEN 1 ELSE 0 END AS a,
+               CASE WHEN n_chars >= 1000 THEN 1 ELSE 0 END AS b
+             FROM documents),
+           ag AS (SELECT CAST(count(*) AS BIGINT) AS n,
+                    CAST(sum(CASE WHEN a = 1 AND b = 0 THEN 1 ELSE 0 END)
+                      AS BIGINT) AS oa,
+                    CAST(sum(CASE WHEN a = 0 AND b = 1 THEN 1 ELSE 0 END)
+                      AS BIGINT) AS ob
+                  FROM t)
+           SELECT n, oa AS n_only_a, ob AS n_only_b,
+             CASE WHEN oa + ob > 0 THEN
+               (1000000 * (oa - ob) * (oa - ob)
+                 - ((1000000 * (oa - ob) * (oa - ob) % (oa + ob) + (oa + ob))
+                     % (oa + ob)))
+                 // (oa + ob)
+             END AS chi2_micro
+           FROM ag""",
+
+      // Cronbach's alpha: n-scaled integer variances, one trailing chain
+      "q260_cronbach" ->
+        s"""WITH it AS (
+             SELECT
+               CAST(floor(least(CAST(length(text) AS DOUBLE) / 200.0, 1.0)
+                 * 1e6) AS BIGINT) AS x0,
+               CAST(floor((1.0 - CAST(len(regexp_extract_all(text,
+                     '[^A-Za-z0-9\\s]')) AS DOUBLE)
+                   / greatest(CAST(length(text) AS DOUBLE), 1.0)) * 1e6)
+                 AS BIGINT) AS x1,
+               CAST(floor(least(CAST(len(list_filter($toks,
+                     t -> list_contains(['the','a','of','and','is','to','in','that'], t)))
+                     AS DOUBLE)
+                   / greatest(CAST(len($toks) AS DOUBLE), 1.0) * 5.0, 1.0)
+                 * 1e6) AS BIGINT) AS x2
+             FROM documents),
+           ag AS (SELECT CAST(count(*) AS BIGINT) AS n,
+                    CAST(sum(x0) AS BIGINT) AS s0,
+                    CAST(sum(CAST(x0 AS HUGEINT) * x0) AS HUGEINT) AS q0,
+                    CAST(sum(x1) AS BIGINT) AS s1,
+                    CAST(sum(CAST(x1 AS HUGEINT) * x1) AS HUGEINT) AS q1,
+                    CAST(sum(x2) AS BIGINT) AS s2,
+                    CAST(sum(CAST(x2 AS HUGEINT) * x2) AS HUGEINT) AS q2,
+                    CAST(sum(x0 + x1 + x2) AS BIGINT) AS st,
+                    CAST(sum(CAST(x0 + x1 + x2 AS HUGEINT) * (x0 + x1 + x2))
+                      AS HUGEINT) AS qt
+                  FROM it),
+           v AS (SELECT n, st, qt,
+                   (CAST(n AS HUGEINT) * q0 - CAST(s0 AS HUGEINT) * s0)
+                   + (CAST(n AS HUGEINT) * q1 - CAST(s1 AS HUGEINT) * s1)
+                   + (CAST(n AS HUGEINT) * q2 - CAST(s2 AS HUGEINT) * s2) AS sv,
+                   CAST(n AS HUGEINT) * qt - CAST(st AS HUGEINT) * st AS tv
+                 FROM ag)
+           SELECT n, CAST(3 AS BIGINT) AS k_items,
+             CAST(sv AS DOUBLE) AS svar, CAST(tv AS DOUBLE) AS tvar,
+             CASE WHEN n >= 2 AND tv > 0 THEN
+               CAST(3 AS DOUBLE) / CAST(2 AS DOUBLE) *
+                 (1.0 - CAST(sv AS DOUBLE) / CAST(tv AS DOUBLE))
+             END AS alpha
+           FROM v""",
+
       // Quade: within-block doubled midranks, block ranges midranked
       // across blocks, 4S = q2*(r2-(k+1)); T = (n-1)*SB/(n*A16-SB) — the
       // 16x scale cancels, one trailing IEEE division

@@ -4851,6 +4851,112 @@ class OperatorsSpec extends SparkSuite {
     assert(run(const)("c")._4.isEmpty && run(const)("c")._1 == 6L)
   }
 
+  test("cochranQ: brute parity, stricter filter flagged, identical filters degenerate, incomplete blocks drop") {
+    import spark.implicits._
+    import graft.operators.Eval
+
+    def brute(rows: Seq[(Long, String, Boolean)]): (Long, Long, Option[Double]) = {
+      val k = rows.map(_._2).distinct.size.toLong
+      val blocks = rows.groupBy(_._1).filter(_._2.size == k)
+      val n = blocks.size.toLong
+      val rs = blocks.values.map(_.count(_._3).toLong).toSeq
+      val kept = blocks.values.flatten.toSeq
+      val cs = kept.groupBy(_._2).values.map(_.count(_._3).toLong).toSeq
+      val t = cs.sum
+      val num = BigInt(k - 1) * (BigInt(k) * cs.map(c => BigInt(c) * c).sum - BigInt(t) * t)
+      val den = BigInt(k) * rs.sum - rs.map(r => BigInt(r) * r).sum
+      val q = if (k >= 2 && den > 0) Some(num.toDouble / den.toDouble) else None
+      (n, k, q)
+    }
+    def run(rows: Seq[(Long, String, Boolean)]) =
+      Eval.cochranQ(rows.toDF("b", "t", "y"), "b", "t", col("y")).collect()(0)
+
+    val rnd = new scala.util.Random(307)
+    // filter f3 is much stricter than f1/f2 on the same 80 documents
+    val rows = (1L to 80L).flatMap { d =>
+      val base = rnd.nextInt(100)
+      Seq((d, "f1", base < 70), (d, "f2", base + rnd.nextInt(10) < 72),
+        (d, "f3", base < 20))
+    }
+    val got = run(rows); val want = brute(rows)
+    assert(got.getLong(0) == want._1 && got.getLong(1) == want._2)
+    assert(got.getDouble(2) == want._3.get)
+    assert(got.getDouble(2) > 30.0, s"strict filter: ${got.getDouble(2)}")
+    // identical filters: no discordance -> NULL (den = 0)
+    val same = (1L to 40L).flatMap(d => Seq((d, "a", d % 3 == 0), (d, "bb", d % 3 == 0)))
+    assert(run(same).isNullAt(2))
+    // incomplete blocks drop
+    val inc = rows ++ Seq((999L, "f1", true))
+    assert(run(inc).getLong(0) == 80L)
+    // exchangeable filters: small Q, exact vs brute
+    val fair = (1L to 90L).flatMap(d => Seq((d, "a", (d * 7) % 5 < 2),
+      (d, "bb", (d * 11) % 5 < 2), (d, "cc", (d * 13) % 5 < 2)))
+    val gf = run(fair); val wf = brute(fair)
+    assert(gf.getDouble(2) == wf._3.get && gf.getDouble(2) < 8.0)
+  }
+
+  test("mcnemarTest: brute parity, asymmetric swap flagged, concordant-only NULL") {
+    import spark.implicits._
+    import graft.operators.Eval
+
+    def run(flags: Seq[(Boolean, Boolean)]) =
+      Eval.mcnemarTest(flags.toDF("a", "b"), col("a"), col("b")).collect()(0)
+    // planted: A passes 30 docs B rejects; B passes only 5 A rejects
+    val flags = Seq.fill(50)((true, true)) ++ Seq.fill(30)((true, false)) ++
+      Seq.fill(5)((false, true)) ++ Seq.fill(15)((false, false))
+    val got = run(flags)
+    assert(got.getLong(0) == 100L && got.getLong(1) == 30L && got.getLong(2) == 5L)
+    assert(got.getLong(3) == 1000000L * 25 * 25 / 35) // floor(1e6*(b-c)^2/(b+c))
+    assert(got.getLong(3) > 13_800_000L, "the swap moved the pass set")
+    // symmetric discordance: chi2 exactly 0
+    assert(run(Seq.fill(10)((true, false)) ++ Seq.fill(10)((false, true))).getLong(3) == 0L)
+    // fully concordant -> NULL
+    assert(run(Seq.fill(20)((true, true)) ++ Seq.fill(3)((false, false))).isNullAt(3))
+  }
+
+  test("cronbachAlpha: brute parity, perfectly parallel items alpha = 1 exactly, independent items near 0") {
+    import spark.implicits._
+    import graft.operators.Eval
+
+    def brute(rows: Seq[(Long, Long, Long)]): (Long, BigInt, BigInt, Option[Double]) = {
+      val n = rows.size.toLong
+      val cols = Seq(rows.map(_._1), rows.map(_._2), rows.map(_._3))
+      def v(xs: Seq[Long]): BigInt =
+        BigInt(n) * xs.map(x => BigInt(x) * x).sum - BigInt(xs.sum) * xs.sum
+      val sv = cols.map(v).sum
+      val ts = rows.map(r => r._1 + r._2 + r._3)
+      val tv = v(ts)
+      val a = if (n >= 2 && tv > 0)
+        Some(3.0 / 2.0 * (1.0 - sv.toDouble / tv.toDouble)) else None
+      (n, sv, tv, a)
+    }
+    def run(rows: Seq[(Long, Long, Long)]) =
+      Eval.cronbachAlpha(rows.toDF("x0", "x1", "x2"),
+        Seq(col("x0"), col("x1"), col("x2"))).collect()(0)
+
+    val rnd = new scala.util.Random(311)
+    // correlated items: shared signal + small item noise
+    val corr = (1 to 60).map { _ =>
+      val s = rnd.nextInt(1000).toLong
+      (s + rnd.nextInt(50), s + rnd.nextInt(50), s + rnd.nextInt(50))
+    }.map(t => (t._1.toLong, t._2.toLong, t._3.toLong))
+    val got = run(corr); val want = brute(corr)
+    assert(got.getLong(0) == want._1)
+    assert(got.getDouble(2) == want._2.toDouble && got.getDouble(3) == want._3.toDouble)
+    assert(got.getDouble(4) == want._4.get)
+    assert(got.getDouble(4) > 0.9, s"correlated items: ${got.getDouble(4)}")
+    // the same column three times: alpha exactly 1
+    val same = (1 to 30).map(i => { val x = (i * 37L) % 101; (x, x, x) })
+    assert(run(same).getDouble(4) == 1.0)
+    // independent items: alpha near 0 (can be negative), exact vs brute
+    val ind = (1 to 200).map(_ => (rnd.nextInt(1000).toLong,
+      rnd.nextInt(1000).toLong, rnd.nextInt(1000).toLong))
+    val gi = run(ind); val wi = brute(ind)
+    assert(gi.getDouble(4) == wi._4.get && math.abs(gi.getDouble(4)) < 0.3)
+    // constant total -> NULL
+    assert(run(Seq((1L, 2L, 3L), (3L, 2L, 1L), (2L, 2L, 2L))).isNullAt(4))
+  }
+
   test("ansariBradley: brute folded-rank parity incl. a center-straddling tie block, planted spread, sign semantics") {
     import spark.implicits._
     import graft.operators.Eval
