@@ -187,7 +187,9 @@ object Anomaly {
     * summary. Returns one row per group
     * `(group, n_steps, n_above, n_below, n_runs, z)` — n_steps counts
     * the KEPT (≠ median) steps; z NULL when either side is empty,
-    * N < 2, or the run variance degenerates (2n₁n₂ ≤ N). */
+    * N < 2, or the run variance degenerates (2n₁n₂ ≤ N). A group whose
+    * every step equals its median still returns its row (all-zero
+    * counts, NULL z) — the one-row-per-group contract holds. */
   def runsTest(series: DataFrame, groupCol: String, stepCol: Column,
                valueCol: Column): DataFrame = {
     val dec = "decimal(38,0)"
@@ -205,15 +207,22 @@ object Anomaly {
       .where(col("_cum") >= expr("(_n + 1) DIV 2"))
       .groupBy(col("_g")).agg(min(col("_y")).as("_med")) // grand lower median
     val wLag = Window.partitionBy(col("_g")).orderBy(col("_t"))
-    val runs = s.join(broadcast(med), Seq("_g"))
+    val kept = s.join(broadcast(med), Seq("_g"))
       .where(col("_y") =!= col("_med"))
       .withColumn("_s", when(col("_y") > col("_med"), 1L).otherwise(0L))
       .withColumn("_prev", lag(col("_s"), 1).over(wLag))
       .groupBy(col("_g"))
-      .agg(count(lit(1)).as("_nn"),
-        sum(col("_s")).as("_n1"),
+      .agg(count(lit(1)).as("_nn0"),
+        sum(col("_s")).as("_n10"),
         sum(when(col("_prev").isNull || col("_prev") =!= col("_s"), 1L)
-          .otherwise(0L)).as("_r"))
+          .otherwise(0L)).as("_r0"))
+    // left from the group universe (med has one row per group): a group
+    // whose every step equals its median keeps its row with zero counts
+    val runs = med.select(col("_g")).join(kept, Seq("_g"), "left")
+      .select(col("_g"),
+        coalesce(col("_nn0"), lit(0L)).as("_nn"),
+        coalesce(col("_n10"), lit(0L)).as("_n1"),
+        coalesce(col("_r0"), lit(0L)).as("_r"))
     val n = col("_nn").cast(dec)
     val p2 = lit(2).cast(dec) * col("_n1") * (col("_nn") - col("_n1"))
     runs
@@ -305,7 +314,8 @@ object Anomaly {
     * the series contract); per-prefix and per-group summaries
     * partial-aggregate. Returns one row per group `(group, n_steps,
     * first_alarm_i, first_alarm_step, n_alarm_prefixes)`; alarm
-    * columns NULL when no prefix violates. */
+    * columns NULL when no prefix violates, including the degenerate
+    * single-step group (no split pairs → n_alarm_prefixes = 0). */
   def hoeffdingSplitScan(series: DataFrame, groupCol: String,
                          stepCol: Column, valueCol: Column,
                          deltaInv: Long = 20L): DataFrame = {
@@ -337,15 +347,17 @@ object Anomaly {
             (col("_n0") + col("_n1")) * col("_n0") * col("_n1"))
     val byPrefix = pairs.groupBy(col("_g"), col("_t2"))
       .agg(max(when(col("_viol"), lit(1L)).otherwise(lit(0L))).as("_v"))
-    byPrefix.groupBy(col("_g"))
-      .agg(coalesce(sum(col("_v")), lit(0L)).as("n_alarm_prefixes"),
+    val alarms = byPrefix.groupBy(col("_g"))
+      .agg(coalesce(sum(col("_v")), lit(0L)).as("_nap"),
         min(when(col("_v") === 1L, col("_t2"))).as("_first"))
-      .join(tot, Seq("_g"))
+    // left from tot: a single-step group has no split pairs yet still
+    // gets its row (n_steps = 1, NULL alarms, 0 alarm prefixes)
+    tot.join(alarms, Seq("_g"), "left")
       .join(pre.select(col("_g"), col("_i").as("_first"),
         col("_t").as("first_alarm_step")), Seq("_g", "_first"), "left")
       .select(col("_g").as(groupCol), col("_n").as("n_steps"),
         col("_first").as("first_alarm_i"), col("first_alarm_step"),
-        col("n_alarm_prefixes"))
+        coalesce(col("_nap"), lit(0L)).as("n_alarm_prefixes"))
       .orderBy(col(groupCol))
   }
 }

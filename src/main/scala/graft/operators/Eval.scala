@@ -2505,6 +2505,10 @@ object Eval {
     * χ² would be wrong). `χ²_micro = ⌊10⁶·(b−c)²/(b+c)⌋` with b/c the
     * only-A/only-B counts — exact integers, the floor quantized once
     * at its site (numerator nonneg → floor ≡ truncate both engines).
+    * The 10⁶·(b−c)² numerator rides DECIMAL(38,0) (the
+    * [[cramerVonMises]]/[[conoverSquaredRanks]] convention), so the
+    * statistic is exact to |b−c| ≈ 10¹⁶ discordant documents — no
+    * silent BIGINT wrap at corpus scale.
     *
     * Scale shape: ONE partial-aggregable aggregate over a narrow
     * two-flag projection — no groupBy, no join, no window. Returns ONE
@@ -2521,10 +2525,12 @@ object Eval {
           .otherwise(0L)), lit(0L)).as("n_only_b"))
       .select(col("n"), col("n_only_a"), col("n_only_b"),
         when(col("n_only_a") + col("n_only_b") > 0L,
-          expr("""CAST((1000000 * (n_only_a - n_only_b) * (n_only_a - n_only_b)
-                  - pmod(1000000 * (n_only_a - n_only_b) * (n_only_a - n_only_b),
-                      n_only_a + n_only_b))
-                DIV (n_only_a + n_only_b) AS BIGINT)""")).as("chi2_micro"))
+          expr("""CAST((CAST(n_only_a - n_only_b AS DECIMAL(38,0))
+                    * (n_only_a - n_only_b) * 1000000
+                  - pmod(CAST(n_only_a - n_only_b AS DECIMAL(38,0))
+                      * (n_only_a - n_only_b) * 1000000,
+                      CAST(n_only_a + n_only_b AS DECIMAL(38,0))))
+                / (n_only_a + n_only_b) AS BIGINT)""")).as("chi2_micro"))
   }
 
   /** CRONBACH'S ALPHA — internal consistency of k parallel SCORE

@@ -800,7 +800,9 @@ object Sampling {
     * P(X > 8) < 1e-6 — documented truncation).
     *
     * Per (group, replicate) the bootstrap mean is the exact floor
-    * `⌊10⁶·Σw·y / Σw⌋` (pmod-subtract — y may be negative); the CI is
+    * `⌊10⁶·Σw·y / Σw⌋` (pmod-subtract — y may be negative; the
+    * 10⁶-scaled sums ride DECIMAL(38,0), exact to n·|y| ≈ 10³² per
+    * group — no BIGINT wrap at corpus scale); the CI is
     * ORDER STATISTICS over each group's B replicate means (ascending
     * rank ⌊B·α/100⌋+1 and B−⌊B·α/100⌋) — exact integers end to end.
     *
@@ -824,11 +826,13 @@ object Sampling {
       .where(valueCol.isNotNull && col(groupCol).isNotNull)
       .select(col(groupCol).as("_g"), idCol.cast("string").as("_id"),
         valueCol.cast("long").as("_y"))
+    // 10⁶-scaled sums ride DECIMAL(38,0): exact to n·|y| ≈ 10³² per
+    // group — no silent BIGINT wrap at corpus scale (sibling-op convention)
     val point = base.groupBy(col("_g"))
       .agg(count(lit(1)).as("n"),
-        expr("""CAST((1000000 * sum(_y) -
-                  pmod(1000000 * sum(_y), count(1)))
-                DIV count(1) AS BIGINT)""").as("mean_micro"))
+        expr("""CAST((CAST(sum(_y) AS DECIMAL(38,0)) * 1000000 -
+                  pmod(CAST(sum(_y) AS DECIMAL(38,0)) * 1000000, count(1)))
+                / count(1) AS BIGINT)""").as("mean_micro"))
     val u = h60(concat(lit(s"$seed:"), col("_b").cast("string"),
       lit(":"), col("_id")))
     val w = poissonThresholds60.map(t =>
@@ -842,8 +846,9 @@ object Sampling {
       .agg(sum(col("_w")).as("_sw"), sum(col("_w") * col("_y")).as("_swy"))
       .where(col("_sw") > 0L)
       .select(col("_g"),
-        expr("""CAST((1000000 * _swy - pmod(1000000 * _swy, _sw))
-                DIV _sw AS BIGINT)""").as("_m"))
+        expr("""CAST((CAST(_swy AS DECIMAL(38,0)) * 1000000 -
+                  pmod(CAST(_swy AS DECIMAL(38,0)) * 1000000, _sw))
+                / _sw AS BIGINT)""").as("_m"))
     val loRank = b * alphaPct / 100 / 2 + 1 // floor(B*alpha/2)+1, 1-based
     val hiRank = b - b * alphaPct / 100 / 2
     val wAsc = Window.partitionBy(col("_g")).orderBy(col("_m"))

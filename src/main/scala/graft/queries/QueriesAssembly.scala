@@ -592,8 +592,9 @@ private[graft] trait QueriesAssembly { this: SparkEntry.type =>
                CAST(floor(${qualitySql(toks)} * 1e6) AS BIGINT) AS y
              FROM documents),
            pt AS (SELECT g, CAST(count(*) AS BIGINT) AS n,
-                    CAST((1000000 * sum(y)
-                      - ((1000000 * sum(y) % count(*) + count(*)) % count(*)))
+                    CAST((1000000 * CAST(sum(y) AS HUGEINT)
+                      - ((1000000 * CAST(sum(y) AS HUGEINT)
+                            % count(*) + count(*)) % count(*)))
                       // count(*) AS BIGINT) AS mean_micro
                   FROM base GROUP BY g),
            reps AS (SELECT g, id, y, unnest(range(1, ${b + 1})) AS b FROM base),
@@ -605,7 +606,8 @@ private[graft] trait QueriesAssembly { this: SparkEntry.type =>
                     CAST(sum(w * y) AS BIGINT) AS swy
                   FROM ww GROUP BY g, b HAVING sum(w) > 0),
            mm AS (SELECT g,
-                    CAST((1000000 * swy - ((1000000 * swy % sw + sw) % sw))
+                    CAST((1000000 * CAST(swy AS HUGEINT)
+                      - ((1000000 * CAST(swy AS HUGEINT) % sw + sw) % sw))
                       // sw AS BIGINT) AS m
                   FROM rm),
            rk AS (SELECT g, m,

@@ -490,11 +490,15 @@ private[graft] trait QueriesEvents { this: SparkEntry.type =>
            rr AS (SELECT g, s,
                     lag(s) OVER (PARTITION BY g ORDER BY t) AS prev
                   FROM sg),
-           ag AS (SELECT g, CAST(count(*) AS BIGINT) AS nn,
+           ag0 AS (SELECT g, CAST(count(*) AS BIGINT) AS nn,
                     CAST(sum(s) AS BIGINT) AS n1,
                     CAST(sum(CASE WHEN prev IS NULL OR prev <> s
                       THEN 1 ELSE 0 END) AS BIGINT) AS r
-                  FROM rr GROUP BY g)
+                  FROM rr GROUP BY g),
+           -- degenerate groups (every step = median) keep their row
+           ag AS (SELECT med.g, coalesce(nn, 0) AS nn,
+                    coalesce(n1, 0) AS n1, coalesce(r, 0) AS r
+                  FROM med LEFT JOIN ag0 USING (g))
            SELECT g AS event_type, nn AS n_steps, n1 AS n_above,
              nn - n1 AS n_below, r AS n_runs,
              CASE WHEN n1 > 0 AND nn - n1 > 0 AND nn >= 2
@@ -571,8 +575,8 @@ private[graft] trait QueriesEvents { this: SparkEntry.type =>
                   FROM bp GROUP BY g)
            SELECT n.g AS event_type, n.n AS n_steps,
              ag.fi AS first_alarm_i, p2.day AS first_alarm_step,
-             ag.n_alarm_prefixes
-           FROM n JOIN ag USING (g)
+             coalesce(ag.n_alarm_prefixes, 0) AS n_alarm_prefixes
+           FROM n LEFT JOIN ag USING (g)
            LEFT JOIN pre p2 ON p2.g = n.g AND p2.i = ag.fi
            ORDER BY event_type""",
 

@@ -4649,6 +4649,10 @@ class OperatorsSpec extends SparkSuite {
     // tiny-noise exchangeable series never clears the bound
     val calm = (1L to 60L).map(d => ("c", d, 300000L + (d % 7) * 100L))
     assert(run(calm)("c")._2.isEmpty)
+    // a single-step group has no split pairs, but keeps its row
+    assert(run(Seq(("solo", 5L, 42L))) ==
+      Map("solo" -> ((1L, None, None, 0L))),
+      "single-step group must keep its row")
   }
 
   test("quadeTest: brute doubled-midrank parity with ties, discrimination weighting beats flat blocks, degenerates") {
@@ -4808,9 +4812,11 @@ class OperatorsSpec extends SparkSuite {
     assert(got("clump")._5.get < -5.0, s"clumped: ${got("clump")._5}")
     assert(got("alt")._5.get > 5.0, s"alternating: ${got("alt")._5}")
     assert(math.abs(got("mix")._5.get) < 3.0)
-    // all values equal to the median -> everything drops -> no row guard
+    // all values equal to the median: everything drops from the sign
+    // sequence, but the one-row-per-group contract still holds
     val flat = (1L to 10L).map(d => ("f", d, 7L))
-    assert(run(flat).isEmpty || run(flat)("f")._1 == 0L)
+    assert(run(flat) == Map("f" -> ((0L, 0L, 0L, 0L, None))),
+      s"degenerate group must keep its row: ${run(flat)}")
   }
 
   test("coxStuart: brute half-pairing parity incl. odd length, trend sign, tied pairs drop") {
@@ -4912,6 +4918,15 @@ class OperatorsSpec extends SparkSuite {
     assert(run(Seq.fill(10)((true, false)) ++ Seq.fill(10)((false, true))).getLong(3) == 0L)
     // fully concordant -> NULL
     assert(run(Seq.fill(20)((true, true)) ++ Seq.fill(3)((false, false))).isNullAt(3))
+    // corpus-scale discordance: 1e6*(b-c)^2 = 9.61e18 exceeds Long.Max —
+    // the DECIMAL(38,0) ride keeps the statistic exact where BIGINT wraps
+    val big = spark.range(3_100_000L)
+      .select(lit(true).as("a"), lit(false).as("b"))
+    val bigGot = Eval.mcnemarTest(big, col("a"), col("b")).collect()(0)
+    assert(bigGot.getLong(1) == 3_100_000L && bigGot.getLong(2) == 0L)
+    assert(bigGot.getLong(3) ==
+      (BigInt(1000000) * 3100000L * 3100000L / 3100000L).toLong,
+      s"decimal ride must not wrap: ${bigGot.getLong(3)}")
   }
 
   test("cronbachAlpha: brute parity, perfectly parallel items alpha = 1 exactly, independent items near 0") {
