@@ -32,7 +32,10 @@ object Bench {
     // block manager, instead of measuring accumulated storage pressure
     // from earlier runs. Queries never rely on cross-run cached state —
     // every run() rebuilds its plan from the source tables.
-    def dropLeftoverState(): Unit = {
+    // returns the drain's own wall ms — per-query evidence that separates
+    // host/cleaner pressure from plan cost in the BENCH_DETAIL sidecar
+    def dropLeftoverState(): Long = {
+      val t0 = System.nanoTime()
       spark.catalog.clearCache()
       // blocking: removal must FINISH before the next timed run starts, or
       // the async free runs inside the next measurement window
@@ -45,7 +48,17 @@ object Bench {
       // queries benched 1.4-2.6x their solo numbers in-suite on untouched
       // code). Block until the cleaner has actually gone quiet.
       org.apache.spark.graft.CleanerDrain.gcAndDrain(spark.sparkContext)
+      (System.nanoTime() - t0) / 1000000L
     }
+    // cumulative JVM GC wall ms — the per-run delta attributes a slow
+    // reading to collector pressure rather than the plan
+    def gcMs(): Long = {
+      import scala.jdk.CollectionConverters._
+      java.lang.management.ManagementFactory.getGarbageCollectorMXBeans
+        .asScala.map(_.getCollectionTime).filter(_ >= 0).sum
+    }
+    case class QRes(name: String, sec: Double, runs: Seq[Double],
+                    runGcMs: Seq[Long], drainMs: Seq[Long])
     val results = selected.map { case (name, fn) =>
       // a failing query must read as FAILED (-1), not as a suspiciously
       // fast success that deflates the total
@@ -55,17 +68,23 @@ object Bench {
           System.err.println(s"[bench] $name failed: ${e.getMessage}"); false
         }
       run() // warmup
-      dropLeftoverState()
+      val drains = scala.collection.mutable.ArrayBuffer(dropLeftoverState())
       // min of two timed runs: single-machine local mode sees occasional
-      // multi-second host/GC stalls that say nothing about the plan
+      // multi-second host/GC stalls that say nothing about the plan — the
+      // run-to-run delta in the sidecar IS the in-artifact evidence that a
+      // slow reading was transient (host), not structural (plan)
+      val runGc = scala.collection.mutable.ArrayBuffer.empty[Long]
       val times = (0 until 2).map { _ =>
+        val g0 = gcMs()
         val t0 = System.nanoTime()
         val ok = run()
         val t = if (ok) (System.nanoTime() - t0) / 1e9 else -1.0
-        dropLeftoverState()
+        runGc += gcMs() - g0
+        drains += dropLeftoverState()
         t
       }
-      name -> (if (times.contains(-1.0)) -1.0 else times.min)
+      val sec = if (times.contains(-1.0)) -1.0 else times.min
+      QRes(name, sec, times, runGc.toSeq, drains.toSeq)
     }
     // The driver parses the LAST 2000 chars of stdout. At 207 queries even
     // a 1-decimal per-query map overflows that tail (BENCH_r07 shipped a
@@ -78,21 +97,30 @@ object Bench {
     // map for all queries goes to BENCH_DETAIL.json for humans and diffs.
     def fmt(v: Double, scale: Int): String =
       if (v < 0) "-1" else BigDecimal(v).setScale(scale, BigDecimal.RoundingMode.HALF_UP).toString
-    val total = results.map(_._2).filter(_ >= 0).sum
+    val total = results.map(_.sec).filter(_ >= 0).sum
     def line(entries: Seq[(String, String)], extra: String): String = {
       val qs = entries.map { case (k, v) => graft.util.Json.quote(k) + ":" + v }
         .mkString("{", ",", "}")
       s"""{"metric":"total","value":${fmt(total, 3)},"unit":"sec","queries":$qs$extra,"sf":${graft.util.Json.quote(sfDir)}}"""
     }
+    // the sidecar carries the ATTRIBUTION evidence per query: both timed
+    // runs (a big run1-run2 delta = transient host stall, not plan cost),
+    // the per-run JVM GC ms, and the untimed state-drain ms around them —
+    // so a 2x reading in the summary is diagnosable from the artifact alone
     try java.nio.file.Files.writeString(
       java.nio.file.Paths.get("BENCH_DETAIL.json"),
-      line(results.map { case (k, v) => k -> fmt(v, 3) }, "") + "\n")
+      line(results.map { r =>
+        r.name -> (s"""{"sec":${fmt(r.sec, 3)}""" +
+          s""","runs":[${r.runs.map(fmt(_, 3)).mkString(",")}]""" +
+          s""","gc_ms":[${r.runGcMs.mkString(",")}]""" +
+          s""","drain_ms":[${r.drainMs.mkString(",")}]}""")
+      }, "") + "\n")
     catch { case e: Throwable => System.err.println(s"[bench] sidecar write failed: ${e.getMessage}") }
     val budget = 1900
     // slowest first so the entries that matter for perf reading survive;
     // failures (-1) sort to the front so they are never silently dropped
-    val bySlowest = results.sortBy { case (_, v) => if (v < 0) Double.MinValue else -v }
-      .map { case (k, v) => (k.takeWhile(_ != '_'), fmt(v, 2), v) }
+    val bySlowest = results.sortBy(r => if (r.sec < 0) Double.MinValue else -r.sec)
+      .map(r => (r.name.takeWhile(_ != '_'), fmt(r.sec, 2), r.sec))
     val fit = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
     var kept = 0
     var done = false

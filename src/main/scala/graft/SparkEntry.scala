@@ -319,6 +319,7 @@ object SparkEntry extends QueriesCore with QueriesDataflow with QueriesDedup wit
     "q258_cochran_q" -> q258,
     "q259_mcnemar" -> q259,
     "q260_cronbach" -> q260,
+    "q261_enrich_lifecycle" -> q261,
   )
 
   /** Round count for the parameterized BPE lifecycle (q163/q164) — read

@@ -156,10 +156,21 @@ object Text {
   /** Heuristic quality score in [0,1]: rewards moderate length, low
     * punctuation, presence of common function words. Deterministic and
     * SQL-expressible (mirrored by the DuckDB oracle). */
-  def qualityScore(text: Column, stopwords: Seq[String]): Column = {
+  def qualityScore(text: Column, stopwords: Seq[String]): Column =
+    qualityScoreFromTokens(text, tokens(text), stopwords)
+
+  /** [[qualityScore]] over a PRE-COMPUTED token array — the identical
+    * expression tree (the stopword ratio is the only token-dependent
+    * term), so a caller that tokenizes ONCE behind a Generate barrier
+    * (see [[langIdFromTokens]]'s hot-path note) gets the bit-identical
+    * score without re-running the tokenizer. */
+  def qualityScoreFromTokens(text: Column, ts: Column,
+                             stopwords: Seq[String]): Column = {
     val lenScore = least(length(text).cast("double") / lit(200.0), lit(1.0))
     val punct = punctRatio(text)
-    val stop = stopwordRatio(text, stopwords)
+    val stop =
+      size(filter(ts, t => t.isin(stopwords.map(x => x: Any): _*))).cast("double") /
+        greatest(size(ts).cast("double"), lit(1.0))
     least(greatest(
       lenScore * lit(0.4) + (lit(1.0) - punct) * lit(0.3) + least(stop * lit(5.0), lit(1.0)) * lit(0.3),
       lit(0.0)), lit(1.0))
@@ -191,18 +202,25 @@ object Text {
   /** [[langId]] over a PRE-COMPUTED token array — identical scoring and
     * tie-break, no tokenizer reference (the caller controls how often
     * tokenization runs). */
-  def langIdFromTokens(ts: Column): Column = {
-    val scored = langMarkers.map { case (lang, words) =>
+  def langIdFromTokens(ts: Column): Column =
+    langIdFromTokens(ts, langMarkers)
+
+  /** [[langIdFromTokens]] with the marker lists as an explicit MODEL
+    * parameter — the frozen-scorer seam for the persisted enrichment
+    * lifecycle ([[graft.operators.Enrich]]): an append batch scores
+    * against the PERSISTED marker table, not whatever the code ships. */
+  def langIdFromTokens(ts: Column,
+                       markers: Seq[(String, Seq[String])]): Column = {
+    val scored = markers.map { case (lang, words) =>
       struct(
         size(filter(ts, t => t.isin(words.map(x => x: Any): _*))).as("hits"),
         lit(lang).as("lang"))
     }
-    // array_max on (hits, lang) structs orders by hits then lang; we want
-    // max hits, ties -> smallest lang code, so compare (hits, reversed-rank).
-    val best = langMarkers.indices.foldLeft(struct(lit(-1).as("hits"), lit("und").as("lang"))) {
+    val best = markers.indices.foldLeft(struct(lit(-1).as("hits"), lit("und").as("lang"))) {
       case (acc, i) =>
         when(scored(i).getField("hits") > acc.getField("hits"), scored(i)).otherwise(acc)
     }
     when(best.getField("hits") > 0, best.getField("lang")).otherwise(lit("und"))
   }
+
 }

@@ -15,6 +15,13 @@ import org.apache.spark.sql.functions._
   * single registry — this trait only hosts the builders verbatim. */
 private[graft] trait QueriesStats { this: SparkEntry.type =>
 
+  /** The shared persisted enrichment (one corpus scan per session,
+    * [[graft.operators.Enrich.enrichedDocuments]]): `quality` is the
+    * bit-exact [[Text.qualityScore]] double and `quality_micro` its
+    * exact ⌊10⁶·q⌋, so re-pointing a consumer here is hash-neutral. */
+  private def enriched(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Enrich.enrichedDocuments(s, dir)
+
   /** Robust per-group outlier scoring: the Iglewicz–Hoaglin modified
     * z-score (0.6745·(x−median)/MAD) of every lineitem price within its
     * return flag — the heavy-tail-safe outlier gate (a single extreme
@@ -125,10 +132,9 @@ private[graft] trait QueriesStats { this: SparkEntry.type =>
     * midrank ties, centered doubled-rank arithmetic, DECIMAL(38) sums
     * ([[graft.operators.Eval.spearmanExact]]). */
   protected def q170(s: SparkSession, dir: String): DataFrame = {
-    val stop = Text.langMarkers.toMap.apply("en")
     graft.operators.Eval.spearmanExact(
-      Tables.documents(s, dir)
-        .select(col("n_chars"), Text.qualityScore(col("text"), stop).as("q")),
+      enriched(s, dir)
+        .select(col("n_chars"), col("quality").as("q")),
       xCol = col("n_chars"), yCol = col("q"),
       xBucket = expr("n_chars DIV 64"),
       yBucket = floor(col("q") * lit(20.0)).cast("long"))
@@ -164,11 +170,9 @@ private[graft] trait QueriesStats { this: SparkEntry.type =>
     * saturating. One partial-aggregable moment pass, DECIMAL(38) sums
     * ([[graft.operators.Eval.pearsonExact]]). */
   protected def q172(s: SparkSession, dir: String): DataFrame = {
-    val stop = Text.langMarkers.toMap.apply("en")
     graft.operators.Eval.pearsonExact(
-      Tables.documents(s, dir)
-        .select(col("n_chars"),
-          floor(Text.qualityScore(col("text"), stop) * lit(1e6)).as("qu")),
+      enriched(s, dir)
+        .select(col("n_chars"), col("quality_micro").as("qu")),
       xCol = col("n_chars"), yCol = col("qu"))
   }
 
@@ -216,11 +220,10 @@ private[graft] trait QueriesStats { this: SparkEntry.type =>
     * threshold)? Ranks via groupedRank — no single-partition exchange
     * ([[graft.operators.Eval.aucExactPerGroup]]). */
   protected def q186(s: SparkSession, dir: String): DataFrame = {
-    val stop = Text.langMarkers.toMap.apply("en")
     graft.operators.Eval.aucExactPerGroup(
-        Tables.documents(s, dir)
+        enriched(s, dir)
           .select(col("source"), col("doc_id"), col("lang"),
-            Text.qualityScore(col("text"), stop).as("q")),
+            col("quality").as("q")),
         "source", scoreCol = col("q"), positive = col("lang") === "en",
         subBucket = floor(col("q") * lit(20.0)).cast("long"),
         idCol = col("doc_id"))
@@ -233,11 +236,10 @@ private[graft] trait QueriesStats { this: SparkEntry.type =>
     * with q186 (discrimination) and q147 (calibration)
     * ([[graft.operators.Eval.brierPerGroup]]). */
   protected def q193(s: SparkSession, dir: String): DataFrame = {
-    val stop = Text.langMarkers.toMap.apply("en")
     graft.operators.Eval.brierPerGroup(
-        Tables.documents(s, dir)
+        enriched(s, dir)
           .select(col("source"), col("lang"),
-            floor(Text.qualityScore(col("text"), stop) * lit(1e6)).as("pu")),
+            col("quality_micro").as("pu")),
         "source", probMicroCol = col("pu"), positive = col("lang") === "en")
       .orderBy(col("source"))
   }
@@ -250,12 +252,11 @@ private[graft] trait QueriesStats { this: SparkEntry.type =>
     * next to AUC's rank view (q117's ntile arithmetic + a 10-row
     * cumulative window). */
   protected def q194(s: SparkSession, dir: String): DataFrame = {
-    val stop = Text.langMarkers.toMap.apply("en")
-    // scored once, cut before the rank fan-out (the q183/q186 lesson:
-    // 12.4x at 10x data with the quality regexes re-evaluated per branch)
-    val base = Tables.documents(s, dir)
+    // scored off the persisted enrichment (the q261 lifecycle); the
+    // checkpoint still cuts the frame before the rank fan-out
+    val base = enriched(s, dir)
       .select(col("doc_id"), (col("lang") === "en").as("pos"),
-        floor(Text.qualityScore(col("text"), stop) * lit(1e6)).as("qu"))
+        col("quality_micro").as("qu"))
       .withColumn("_negq", -col("qu"))
       .localCheckpoint()
     val binned = graft.operators.Ranking.equiDepthBins(
@@ -300,11 +301,9 @@ private[graft] trait QueriesStats { this: SparkEntry.type =>
     * distributed inversion count via the first-differing-nibble
     * decomposition, [[graft.operators.Eval.kendallTauExact]]. */
   protected def q209(s: SparkSession, dir: String): DataFrame = {
-    val stop = Text.langMarkers.toMap.apply("en")
     graft.operators.Eval.kendallTauExact(
-      Tables.documents(s, dir)
-        .select(col("n_chars"),
-          floor(Text.qualityScore(col("text"), stop) * lit(1e6)).as("qu")),
+      enriched(s, dir)
+        .select(col("n_chars"), col("quality_micro").as("qu")),
       xCol = col("n_chars"), yCol = col("qu"),
       yBucket = expr("qu DIV 50000"))
   }
@@ -317,13 +316,8 @@ private[graft] trait QueriesStats { this: SparkEntry.type =>
     * subtracts what the marginals produce by chance). */
   protected def q210(s: SparkSession, dir: String): DataFrame =
     graft.operators.Eval.cohensKappa(
-      Tables.documents(s, dir)
-        // tokenize ONCE behind the Generate barrier (CollapseProject
-        // cannot re-inline through it), then score the materialized
-        // array — measured 3x vs langId(text) whose five HOF filters
-        // each re-run the tokenizer outside codegen
-        .select(col("lang"), explode(array(Text.tokens(col("text")))).as("_ts"))
-        .select(col("lang"), Text.langIdFromTokens(col("_ts")).as("pred")),
+      enriched(s, dir)
+        .select(col("lang"), col("langid").as("pred")),
       aCol = col("lang"), bCol = col("pred"))
 
 
@@ -333,11 +327,9 @@ private[graft] trait QueriesStats { this: SparkEntry.type =>
     * ([[graft.operators.Eval.mannWhitney]]) — the significance sign-off
     * a pipeline runs before acting on a per-language threshold. */
   protected def q211(s: SparkSession, dir: String): DataFrame = {
-    val stop = Text.langMarkers.toMap.apply("en")
     graft.operators.Eval.mannWhitney(
-      Tables.documents(s, dir)
-        .select(col("lang"),
-          floor(Text.qualityScore(col("text"), stop) * lit(1e6)).as("qu")),
+      enriched(s, dir)
+        .select(col("lang"), col("quality_micro").as("qu")),
       scoreCol = col("qu"), positive = col("lang") === "en",
       bucketOf = v => shiftright(v, 16))
   }
@@ -378,11 +370,9 @@ private[graft] trait QueriesStats { this: SparkEntry.type =>
     * score → probability table a pipeline joins on before thresholding,
     * where q147's bins only diagnose. */
   protected def q214(s: SparkSession, dir: String): DataFrame = {
-    val stop = Text.langMarkers.toMap.apply("en")
     graft.operators.Eval.isotonicCalibration(
-      Tables.documents(s, dir)
-        .select(floor(Text.qualityScore(col("text"), stop) * lit(1e6))
-          .cast("long").as("qu"), col("lang")),
+      enriched(s, dir)
+        .select(col("quality_micro").as("qu"), col("lang")),
       scoreCol = expr("qu DIV 16384"), positive = col("lang") === "en")
   }
 
@@ -393,12 +383,10 @@ private[graft] trait QueriesStats { this: SparkEntry.type =>
     * scores ≤ q̂ and cover ≥ 90%" cutoff, NULL where a language's
     * sample is too small to honor the guarantee. */
   protected def q216(s: SparkSession, dir: String): DataFrame = {
-    val stop = Text.langMarkers.toMap.apply("en")
     graft.operators.Ranking.conformalThreshold(
-      Tables.documents(s, dir)
+      enriched(s, dir)
         .select(col("lang"), col("doc_id"),
-          floor(Text.qualityScore(col("text"), stop) * lit(1e6))
-            .cast("long").as("qu")),
+          col("quality_micro").as("qu")),
       groupCol = "lang", valueCol = "qu",
       subBucket = expr("qu DIV 50000"), idCol = "doc_id",
       alphaNum = 1L, alphaDen = 10L)
@@ -451,12 +439,9 @@ private[graft] trait QueriesStats { this: SparkEntry.type =>
     * for the per-language dashboard (stays inside [0,1] and non-zero at
     * extreme rates, where the naive normal band lies). */
   protected def q221(s: SparkSession, dir: String): DataFrame = {
-    val stop = Text.langMarkers.toMap.apply("en")
     graft.operators.Eval.wilsonInterval(
-      Tables.documents(s, dir)
-        .select(col("lang"),
-          floor(Text.qualityScore(col("text"), stop) * lit(1e6))
-            .cast("long").as("qu")),
+      enriched(s, dir)
+        .select(col("lang"), col("quality_micro").as("qu")),
       groupCol = "lang", positive = col("qu") >= 500000L)
       .orderBy(col("lang"))
   }
@@ -468,12 +453,10 @@ private[graft] trait QueriesStats { this: SparkEntry.type =>
     * n_chars ≥ 1000, outcome = quality pass — the stratified sign-off
     * q173's pooled 2×2 cannot give. */
   protected def q222(s: SparkSession, dir: String): DataFrame = {
-    val stop = Text.langMarkers.toMap.apply("en")
     graft.operators.Eval.cmhTest(
-      Tables.documents(s, dir)
+      enriched(s, dir)
         .select(col("lang"), col("n_chars"),
-          floor(Text.qualityScore(col("text"), stop) * lit(1e6))
-            .cast("long").as("qu")),
+          col("quality_micro").as("qu")),
       stratumCol = "lang",
       exposure = col("n_chars") >= 1000L,
       outcome = col("qu") >= 500000L)
@@ -487,11 +470,9 @@ private[graft] trait QueriesStats { this: SparkEntry.type =>
     * ([[graft.operators.Eval.isotonicWeighted]]). Weighted minimax
     * oracle: q214's CTE scheme with (n, p) → (Σw, Σw·y). */
   protected def q228(s: SparkSession, dir: String): DataFrame = {
-    val stop = Text.langMarkers.toMap.apply("en")
     graft.operators.Eval.isotonicWeighted(
-      Tables.documents(s, dir)
-        .select(floor(Text.qualityScore(col("text"), stop) * lit(1e6))
-          .cast("long").as("qu"), col("lang"), col("n_chars")),
+      enriched(s, dir)
+        .select(col("quality_micro").as("qu"), col("lang"), col("n_chars")),
       scoreCol = expr("qu DIV 16384"),
       yCol = (col("lang") === "en").cast("long"),
       weightCol = pmod(col("n_chars"), lit(7)) + lit(1))
@@ -515,12 +496,9 @@ private[graft] trait QueriesStats { this: SparkEntry.type =>
     * ([[graft.operators.Eval.kruskalWallis]]), on q214's quantized
     * score universe. */
   protected def q230(s: SparkSession, dir: String): DataFrame = {
-    val stop = Text.langMarkers.toMap.apply("en")
     graft.operators.Eval.kruskalWallis(
-      Tables.documents(s, dir)
-        .select(col("lang"),
-          floor(Text.qualityScore(col("text"), stop) * lit(1e6))
-            .cast("long").as("qu")),
+      enriched(s, dir)
+        .select(col("lang"), col("quality_micro").as("qu")),
       groupCol = "lang", valueCol = expr("qu DIV 16384"),
       bucketOf = v => shiftright(v, 3))
   }
@@ -532,12 +510,9 @@ private[graft] trait QueriesStats { this: SparkEntry.type =>
     * distribution) — [[graft.operators.Eval.anovaOneWay]] on the same
     * quantized score universe. */
   protected def q233(s: SparkSession, dir: String): DataFrame = {
-    val stop = Text.langMarkers.toMap.apply("en")
     graft.operators.Eval.anovaOneWay(
-      Tables.documents(s, dir)
-        .select(col("lang"),
-          floor(Text.qualityScore(col("text"), stop) * lit(1e6))
-            .cast("long").as("qu")),
+      enriched(s, dir)
+        .select(col("lang"), col("quality_micro").as("qu")),
       groupCol = "lang", valueCol = expr("qu DIV 16384"))
   }
 
@@ -547,12 +522,9 @@ private[graft] trait QueriesStats { this: SparkEntry.type =>
     * deviations from each cohort's exact lower median
     * ([[graft.operators.Eval.brownForsythe]]). */
   protected def q234(s: SparkSession, dir: String): DataFrame = {
-    val stop = Text.langMarkers.toMap.apply("en")
     graft.operators.Eval.brownForsythe(
-      Tables.documents(s, dir)
-        .select(col("lang"),
-          floor(Text.qualityScore(col("text"), stop) * lit(1e6))
-            .cast("long").as("qu")),
+      enriched(s, dir)
+        .select(col("lang"), col("quality_micro").as("qu")),
       groupCol = "lang", valueCol = expr("qu DIV 16384"))
   }
 
@@ -563,12 +535,10 @@ private[graft] trait QueriesStats { this: SparkEntry.type =>
     * cells are the per-(bucket, language) exact quality sums
     * ([[graft.operators.Eval.friedmanTest]]). */
   protected def q235(s: SparkSession, dir: String): DataFrame = {
-    val stop = Text.langMarkers.toMap.apply("en")
     graft.operators.Eval.friedmanTest(
-      Tables.documents(s, dir)
+      enriched(s, dir)
         .select(expr("least(n_chars DIV 200, 7)").as("bucket"), col("lang"),
-          (floor(Text.qualityScore(col("text"), stop) * lit(1e6))
-            .cast("long")).as("qu"))
+          col("quality_micro").as("qu"))
         .groupBy(col("bucket"), col("lang"))
         .agg(sum(expr("qu DIV 16384")).as("cell")),
       blockCol = "bucket", groupCol = "lang", valueCol = col("cell"))
@@ -581,12 +551,10 @@ private[graft] trait QueriesStats { this: SparkEntry.type =>
     * on the ordered alternative where q230's KW spreads it over any
     * difference ([[graft.operators.Eval.jonckheereTerpstra]]). */
   protected def q237(s: SparkSession, dir: String): DataFrame = {
-    val stop = Text.langMarkers.toMap.apply("en")
     graft.operators.Eval.jonckheereTerpstra(
-      Tables.documents(s, dir)
+      enriched(s, dir)
         .select(expr("least(n_chars DIV 250, 3)").as("bucket"),
-          floor(Text.qualityScore(col("text"), stop) * lit(1e6))
-            .cast("long").as("qu")),
+          col("quality_micro").as("qu")),
       groupCol = col("bucket"), valueCol = expr("qu DIV 16384"),
       bucketOf = v => shiftright(v, 3))
   }
@@ -597,12 +565,9 @@ private[graft] trait QueriesStats { this: SparkEntry.type =>
     * outlier-immune sibling of q230's KW on the same quantized universe
     * ([[graft.operators.Eval.moodMedianTest]]). */
   protected def q239(s: SparkSession, dir: String): DataFrame = {
-    val stop = Text.langMarkers.toMap.apply("en")
     graft.operators.Eval.moodMedianTest(
-      Tables.documents(s, dir)
-        .select(col("lang"),
-          floor(Text.qualityScore(col("text"), stop) * lit(1e6))
-            .cast("long").as("qu")),
+      enriched(s, dir)
+        .select(col("lang"), col("quality_micro").as("qu")),
       groupCol = "lang", valueCol = expr("qu DIV 16384"),
       bucketOf = v => shiftright(v, 3))
   }
@@ -613,11 +578,9 @@ private[graft] trait QueriesStats { this: SparkEntry.type =>
     * Brown–Forsythe (parametric spread) leave open; permutation-exact
     * tie-corrected z ([[graft.operators.Eval.moodScaleTest]]). */
   protected def q242(s: SparkSession, dir: String): DataFrame = {
-    val stop = Text.langMarkers.toMap.apply("en")
     graft.operators.Eval.moodScaleTest(
-      Tables.documents(s, dir)
-        .select(floor(Text.qualityScore(col("text"), stop) * lit(1e6))
-          .cast("long").as("qu"), col("lang")),
+      enriched(s, dir)
+        .select(col("quality_micro").as("qu"), col("lang")),
       scoreCol = expr("qu DIV 16384"),
       positive = col("lang") === "en",
       bucketOf = v => shiftright(v, 3))
@@ -630,11 +593,9 @@ private[graft] trait QueriesStats { this: SparkEntry.type =>
     * quantized at the site, z permutation-exact for those scores
     * ([[graft.operators.Eval.ansariBradley]]). */
   protected def q243(s: SparkSession, dir: String): DataFrame = {
-    val stop = Text.langMarkers.toMap.apply("en")
     graft.operators.Eval.ansariBradley(
-      Tables.documents(s, dir)
-        .select(floor(Text.qualityScore(col("text"), stop) * lit(1e6))
-          .cast("long").as("qu"), col("lang")),
+      enriched(s, dir)
+        .select(col("quality_micro").as("qu"), col("lang")),
       scoreCol = expr("qu DIV 16384"),
       positive = col("lang") === "en",
       bucketOf = v => shiftright(v, 3))
@@ -645,11 +606,9 @@ private[graft] trait QueriesStats { this: SparkEntry.type =>
     * q242's cohorts — exact integer |D|·gap sums off the value histogram
     * ([[graft.operators.Eval.wasserstein1]]). */
   protected def q244(s: SparkSession, dir: String): DataFrame = {
-    val stop = Text.langMarkers.toMap.apply("en")
     graft.operators.Eval.wasserstein1(
-      Tables.documents(s, dir)
-        .select(floor(Text.qualityScore(col("text"), stop) * lit(1e6))
-          .cast("long").as("qu"), col("lang")),
+      enriched(s, dir)
+        .select(col("quality_micro").as("qu"), col("lang")),
       scoreCol = expr("qu DIV 16384"),
       positive = col("lang") === "en",
       bucketOf = v => shiftright(v, 3))
@@ -660,11 +619,9 @@ private[graft] trait QueriesStats { this: SparkEntry.type =>
     * gap) leaves open — exact integer Σt·D² off the value histogram
     * ([[graft.operators.Eval.cramerVonMises]]). */
   protected def q245(s: SparkSession, dir: String): DataFrame = {
-    val stop = Text.langMarkers.toMap.apply("en")
     graft.operators.Eval.cramerVonMises(
-      Tables.documents(s, dir)
-        .select(floor(Text.qualityScore(col("text"), stop) * lit(1e6))
-          .cast("long").as("qu"), col("lang")),
+      enriched(s, dir)
+        .select(col("quality_micro").as("qu"), col("lang")),
       scoreCol = expr("qu DIV 16384"),
       positive = col("lang") === "en",
       bucketOf = v => shiftright(v, 3))
@@ -675,11 +632,9 @@ private[graft] trait QueriesStats { this: SparkEntry.type =>
     * four prefix sums — no pair join anywhere
     * ([[graft.operators.Eval.energyDistance]]). */
   protected def q246(s: SparkSession, dir: String): DataFrame = {
-    val stop = Text.langMarkers.toMap.apply("en")
     graft.operators.Eval.energyDistance(
-      Tables.documents(s, dir)
-        .select(floor(Text.qualityScore(col("text"), stop) * lit(1e6))
-          .cast("long").as("qu"), col("lang")),
+      enriched(s, dir)
+        .select(col("quality_micro").as("qu"), col("lang")),
       scoreCol = expr("qu DIV 16384"),
       positive = col("lang") === "en",
       bucketOf = v => shiftright(v, 3))
@@ -692,12 +647,9 @@ private[graft] trait QueriesStats { this: SparkEntry.type =>
     * N ≈ 6·10⁴ — sf1 headroom), χ²_(k−1) readout
     * ([[graft.operators.Eval.conoverSquaredRanks]]). */
   protected def q247(s: SparkSession, dir: String): DataFrame = {
-    val stop = Text.langMarkers.toMap.apply("en")
     graft.operators.Eval.conoverSquaredRanks(
-      Tables.documents(s, dir)
-        .select(col("lang"),
-          floor(Text.qualityScore(col("text"), stop) * lit(1e6))
-            .cast("long").as("qu")),
+      enriched(s, dir)
+        .select(col("lang"), col("quality_micro").as("qu")),
       groupCol = "lang", valueCol = expr("qu DIV 16384"),
       bucketOf = v => shiftright(v, 3), scoreShift = 14)
   }
@@ -707,12 +659,9 @@ private[graft] trait QueriesStats { this: SparkEntry.type =>
     * KS (q196) / CvM (q245) / AD trio; doubled midpoints keep every
     * cell term integer ([[graft.operators.Eval.andersonDarlingK]]). */
   protected def q250(s: SparkSession, dir: String): DataFrame = {
-    val stop = Text.langMarkers.toMap.apply("en")
     graft.operators.Eval.andersonDarlingK(
-      Tables.documents(s, dir)
-        .select(col("lang"),
-          floor(Text.qualityScore(col("text"), stop) * lit(1e6))
-            .cast("long").as("qu")),
+      enriched(s, dir)
+        .select(col("lang"), col("quality_micro").as("qu")),
       groupCol = "lang", valueCol = expr("qu DIV 16384"),
       bucketOf = v => shiftright(v, 3))
   }
@@ -722,12 +671,10 @@ private[graft] trait QueriesStats { this: SparkEntry.type =>
     * more weight; fully integer (the 16× scale cancels in
     * (n−1)·SB/(n·A−SB)) ([[graft.operators.Eval.quadeTest]]). */
   protected def q254(s: SparkSession, dir: String): DataFrame = {
-    val stop = Text.langMarkers.toMap.apply("en")
     graft.operators.Eval.quadeTest(
-      Tables.documents(s, dir)
+      enriched(s, dir)
         .select(expr("least(n_chars DIV 200, 7)").as("bucket"), col("lang"),
-          (floor(Text.qualityScore(col("text"), stop) * lit(1e6))
-            .cast("long")).as("qu"))
+          col("quality_micro").as("qu"))
         .groupBy(col("bucket"), col("lang"))
         .agg(sum(expr("qu DIV 16384")).as("cell")),
       blockCol = "bucket", groupCol = "lang", valueCol = col("cell"))
@@ -738,12 +685,10 @@ private[graft] trait QueriesStats { this: SparkEntry.type =>
     * question inside q235's blocked design; permutation-exact variance
     * under ties ([[graft.operators.Eval.pageTrendTest]]). */
   protected def q255(s: SparkSession, dir: String): DataFrame = {
-    val stop = Text.langMarkers.toMap.apply("en")
     graft.operators.Eval.pageTrendTest(
-      Tables.documents(s, dir)
+      enriched(s, dir)
         .select(col("lang"), expr("least(n_chars DIV 200, 7)").as("bucket"),
-          (floor(Text.qualityScore(col("text"), stop) * lit(1e6))
-            .cast("long")).as("qu"))
+          col("quality_micro").as("qu"))
         .groupBy(col("lang"), col("bucket"))
         .agg(sum(expr("qu DIV 16384")).as("cell")),
       blockCol = "lang", groupCol = col("bucket"), valueCol = col("cell"))
@@ -754,15 +699,14 @@ private[graft] trait QueriesStats { this: SparkEntry.type =>
     * SAME documents — the paired k-filter agreement read before a
     * filter swap ([[graft.operators.Eval.cochranQ]]). */
   protected def q258(s: SparkSession, dir: String): DataFrame = {
-    val stop = Text.langMarkers.toMap.apply("en")
-    val rows = Tables.documents(s, dir)
+    val rows = enriched(s, dir)
       .select(col("doc_id"),
         explode(array(
           struct(lit("len1k").as("flt"), (col("n_chars") >= 1000L).as("pass")),
           struct(lit("qual50").as("flt"),
-            (Text.qualityScore(col("text"), stop) >= 0.5).as("pass")),
+            (col("quality") >= 0.5).as("pass")),
           struct(lit("tok100").as("flt"),
-            (Text.tokenCount(col("text")) >= 100).as("pass")))).as("e"))
+            (col("n_tokens") >= 100L).as("pass")))).as("e"))
       .select(col("doc_id"), col("e.flt").as("flt"), col("e.pass").as("pass"))
     graft.operators.Eval.cochranQ(rows, "doc_id", "flt", col("pass"))
   }
@@ -771,11 +715,9 @@ private[graft] trait QueriesStats { this: SparkEntry.type =>
     * same documents — only the discordant documents carry information
     * about the swap ([[graft.operators.Eval.mcnemarTest]]). */
   protected def q259(s: SparkSession, dir: String): DataFrame = {
-    val stop = Text.langMarkers.toMap.apply("en")
     graft.operators.Eval.mcnemarTest(
-      Tables.documents(s, dir)
-        .select(col("n_chars"),
-          Text.qualityScore(col("text"), stop).as("qual")),
+      enriched(s, dir)
+        .select(col("n_chars"), col("quality").as("qual")),
       flagA = col("qual") >= 0.5, flagB = col("n_chars") >= 1000L)
   }
 
@@ -806,12 +748,19 @@ private[graft] trait QueriesStats { this: SparkEntry.type =>
              FROM documents
              UNION ALL
              SELECT doc_id, 'tok100', (len($toks) >= 100) FROM documents),
+           -- mirror cochranQ's complete-block semantics: NULL outcomes
+           -- drop, then only blocks with all 3 non-null flags survive
+           fn AS (SELECT * FROM f WHERE pass IS NOT NULL),
+           ok AS (SELECT doc_id FROM fn GROUP BY doc_id
+                  HAVING count(*) = 3),
+           f2 AS (SELECT fn.doc_id, fn.flt, fn.pass
+                  FROM fn JOIN ok USING (doc_id)),
            r AS (SELECT doc_id,
                    CAST(sum(CASE WHEN pass THEN 1 ELSE 0 END) AS BIGINT) AS rb
-                 FROM f GROUP BY doc_id),
+                 FROM f2 GROUP BY doc_id),
            c AS (SELECT flt,
                    CAST(sum(CASE WHEN pass THEN 1 ELSE 0 END) AS BIGINT) AS cj
-                 FROM f GROUP BY flt),
+                 FROM f2 GROUP BY flt),
            ct AS (SELECT CAST(sum(cj) AS BIGINT) AS t,
                     CAST(sum(CAST(cj AS HUGEINT) * cj) AS HUGEINT) AS cc
                   FROM c),
@@ -840,10 +789,11 @@ private[graft] trait QueriesStats { this: SparkEntry.type =>
                   FROM t)
            SELECT n, oa AS n_only_a, ob AS n_only_b,
              CASE WHEN oa + ob > 0 THEN
-               (1000000 * (oa - ob) * (oa - ob)
-                 - ((1000000 * (oa - ob) * (oa - ob) % (oa + ob) + (oa + ob))
+               CAST((1000000 * CAST(oa - ob AS HUGEINT) * (oa - ob)
+                 - ((1000000 * CAST(oa - ob AS HUGEINT) * (oa - ob)
+                       % (oa + ob) + (oa + ob))
                      % (oa + ob)))
-                 // (oa + ob)
+                 // (oa + ob) AS BIGINT)
              END AS chi2_micro
            FROM ag""",
 
