@@ -320,6 +320,7 @@ object SparkEntry extends QueriesCore with QueriesDataflow with QueriesDedup wit
     "q259_mcnemar" -> q259,
     "q260_cronbach" -> q260,
     "q261_enrich_lifecycle" -> q261,
+    "q262_quantile_sketch" -> q262,
   )
 
   /** Round count for the parameterized BPE lifecycle (q163/q164) — read

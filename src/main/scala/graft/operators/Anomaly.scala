@@ -311,20 +311,33 @@ object Anomaly {
     * group-partitioned window; the split check is a group-keyed
     * triangular self-join (T²/2 step PAIRS per group — day-universe
     * squared, the documented cost of checking every split, bounded by
-    * the series contract); per-prefix and per-group summaries
+    * the series contract; for a LONG-LIVED series pass `maxSteps` to
+    * scan only the most recent horizon and keep the pair universe at
+    * maxSteps²/2 — bit-equal to uncapped while T ≤ maxSteps);
+    * per-prefix and per-group summaries
     * partial-aggregate. Returns one row per group `(group, n_steps,
     * first_alarm_i, first_alarm_step, n_alarm_prefixes)`; alarm
     * columns NULL when no prefix violates, including the degenerate
     * single-step group (no split pairs → n_alarm_prefixes = 0). */
   def hoeffdingSplitScan(series: DataFrame, groupCol: String,
                          stepCol: Column, valueCol: Column,
-                         deltaInv: Long = 20L): DataFrame = {
+                         deltaInv: Long = 20L, maxSteps: Int = 0): DataFrame = {
     require(deltaInv >= 1L, s"deltaInv must be >= 1, got $deltaInv")
+    require(maxSteps >= 0, s"maxSteps must be >= 0, got $maxSteps")
     val dec = "decimal(38,0)"
-    val s = series
+    val all = series
       .where(stepCol.isNotNull && valueCol.isNotNull && col(groupCol).isNotNull)
       .select(col(groupCol).as("_g"), stepCol.cast("long").as("_t"),
         valueCol.cast("long").as("_y"))
+    // recent-horizon bound: an uncapped long-lived series grows the
+    // triangular pair universe quadratically; maxSteps > 0 scans only
+    // each group's most recent maxSteps steps (bit-equal to uncapped
+    // while the series is shorter — the adwinStream cap's batch face)
+    val s = if (maxSteps > 0) {
+      val wDesc = Window.partitionBy(col("_g")).orderBy(col("_t").desc)
+      all.withColumn("_rev", row_number().over(wDesc))
+        .where(col("_rev") <= maxSteps).drop("_rev")
+    } else all
     val wOrd = Window.partitionBy(col("_g")).orderBy(col("_t"))
     val pre = s
       .withColumn("_i", row_number().over(wOrd).cast("long"))

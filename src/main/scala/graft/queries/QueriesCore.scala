@@ -585,6 +585,37 @@ private[graft] trait QueriesCore { this: SparkEntry.type =>
   }
 
 
+  /** Mergeable QUANTILE-sketch lifecycle (the rank member of the sketch
+    * family, on q133's persisted-model contract): per-event-type value
+    * percentiles, sketches built on 80% of the log, persisted bucketed,
+    * the batch absorbed by MERGING SKETCHES ONLY — no base re-scan.
+    * Rows-only by design (the q30/q52/q133 pattern); the bitwise
+    * merge ≡ rebuild (both orders) and the value/rank error bounds are
+    * spec'd in QuantileSketchSpec
+    * ([[graft.operators.QuantileSketch]]). */
+  protected def q262(s: SparkSession, dir: String): DataFrame = {
+    val events = Tables.events(s, dir)
+      .select(col("event_type"), cents(col("value")).as("v"))
+    val base = events.where(pmod(col("v"), lit(5)) =!= 0)
+    val batch = events.where(pmod(col("v"), lit(5)) === 0)
+    val sketchTable = "graft_q262_quantile_sketch_" +
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(dir.getBytes("UTF-8")).take(4).map("%02x".format(_)).mkString
+    Tables.writeBucketed(
+      graft.operators.QuantileSketch.groupSketches(base, "event_type",
+        col("v"), cap = 256),
+      sketchTable, buckets = 4, "event_type")
+    graft.operators.QuantileSketch.quantiles(
+        graft.operators.QuantileSketch.mergeSketches(
+          s.table(sketchTable),
+          graft.operators.QuantileSketch.groupSketches(batch, "event_type",
+            col("v"), cap = 256),
+          "event_type", cap = 256),
+        "event_type", Seq(50, 90, 99))
+      .orderBy(col("event_type"), col("pct"))
+  }
+
+
   /** Range-clustered sorted export round-trip: orders written as
     * `range=year/` directories, rows in (o_orderdate, o_orderkey) order
     * inside ([[graft.sources.Tables.writeSortedRange]] — deterministic

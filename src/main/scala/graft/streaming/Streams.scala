@@ -1490,17 +1490,25 @@ object Streams {
     * State is the window itself — CLOSED-STEP-universe sized (the
     * cusumStream contract: a million events inside one step grow the
     * open sum, not the state) and SELF-BOUNDING under drift: the whole
-    * point of ADWIN is that the window drops the stale regime. Values
-    * are micro units in [0, 10⁶] (the Hoeffding range contract). Late
-    * events for closed steps drop. Emits per close
+    * point of ADWIN is that the window drops the stale regime. A FLAT
+    * series, however, never shrinks — textbook ADWIN0 grows forever —
+    * so `maxSteps > 0` bounds state by keeping only the most recent
+    * `maxSteps` closed-step means (a sliding retrospective horizon,
+    * the [[cusumStream]] cap; the age-out is NOT a Hoeffding shrink —
+    * it never sets `shrunk` or latches the alarm). Bit-equal to the
+    * uncapped run while the window holds ≤ maxSteps steps; 0 (default)
+    * = unbounded textbook ADWIN0. Values are micro units in [0, 10⁶]
+    * (the Hoeffding range contract). Late events for closed steps
+    * drop. Emits per close
     * `(key, step, window_n, window_mean_micro, shrunk, alarm_step)` —
     * `shrunk` 1 when this close dropped elements, `alarm_step` latches
     * at the first shrink ever. */
   def adwinStream(events: Dataset[(String, Long, Long)], stepUs: Long,
-                  deltaInv: Long = 20L)
+                  deltaInv: Long = 20L, maxSteps: Int = 0)
       : Dataset[(String, Long, Long, Long, Long, Option[Long])] = {
     require(stepUs >= 1L, s"stepUs must be >= 1, got $stepUs")
     require(deltaInv >= 1L, s"deltaInv must be >= 1, got $deltaInv")
+    require(maxSteps >= 0, s"maxSteps must be >= 0, got $maxSteps")
     import events.sparkSession.implicits._
     def lq(n: Long): Long =
       Math.round(math.log(4.0 * deltaInv.toDouble * n.toDouble) * 1e6)
@@ -1534,6 +1542,10 @@ object Streams {
           def close(): Unit = {
             val v = st.openSum / st.openCnt // nonneg micro values: floor
             var win = st.window :+ ((st.openStep, v))
+            // horizon cap ages out the oldest means BEFORE the bound
+            // check; not a shrink — no alarm semantics attach to it
+            if (maxSteps > 0 && win.length > maxSteps)
+              win = win.takeRight(maxSteps)
             var shrunk = 0L
             while (violates(win)) { win = win.tail; shrunk = 1L }
             val alarm = st.alarmStep.orElse(

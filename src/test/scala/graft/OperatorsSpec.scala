@@ -4653,6 +4653,21 @@ class OperatorsSpec extends SparkSuite {
     assert(run(Seq(("solo", 5L, 42L))) ==
       Map("solo" -> ((1L, None, None, 0L))),
       "single-step group must keep its row")
+    // maxSteps horizon: capped == uncapped while T <= cap, and a capped
+    // long series == the uncapped scan over exactly its last cap steps
+    def runCap(s: Seq[(String, Long, Long)], cap: Int) =
+      Anomaly.hoeffdingSplitScan(s.toDF("g", "t", "y"), "g",
+        col("t"), col("y"), maxSteps = cap).collect()
+        .map(r => r.getString(0) -> ((r.getLong(1),
+          if (r.isNullAt(2)) None else Some(r.getLong(2)),
+          if (r.isNullAt(3)) None else Some(r.getLong(3)),
+          r.getLong(4)))).toMap
+    assert(runCap(series, 100) == run(series),
+      "cap above the horizon must be bit-equal")
+    val recent = series.groupBy(_._1).flatMap {
+      case (_, xs) => xs.sortBy(_._2).takeRight(15) }.toSeq
+    assert(runCap(series, 15) == run(recent),
+      "capped scan must equal the uncapped scan over the recent horizon")
   }
 
   test("quadeTest: brute doubled-midrank parity with ties, discrimination weighting beats flat blocks, degenerates") {

@@ -1401,6 +1401,12 @@ class ScaleSpec extends SparkSuite {
     assert(plan.contains("partial_sum") || plan.contains("partial_count") ||
       plan.contains("partial_max"),
       s"per-prefix and per-group summaries must partial-aggregate:\n$plan")
+    // maxSteps pins the step universe entering the triangular join: the
+    // pair cost is maxSteps²/2 per group, not T²/2 on a long-lived series
+    val capped = graft.operators.Anomaly.hoeffdingSplitScan(series, "g",
+      col("t"), col("y"), maxSteps = 10)
+    assert(capped.collect().forall(_.getLong(1) == 10L),
+      "capped scan must see exactly the recent-horizon steps")
   }
 
   test("hitsInt cuts the raw half-round frames: strictly less stage work than the uncut shape") {
@@ -1461,6 +1467,31 @@ class ScaleSpec extends SparkSuite {
     assert(cutRows == uncutRows, "cut and uncut shapes must agree exactly")
     assert(cutStages < uncutStages,
       s"checkpointed raw frames must do less stage work: cut=$cutStages uncut=$uncutStages")
+  }
+
+  test("enrichment consumers scan the persisted table: no regex/tokenizer in the plan, unused columns pruned") {
+    // q189's feature frame re-pointed at the shared persisted
+    // enrichment: the consumer side must be a bare column-pruned read of
+    // the narrow parquet — the langid regex/tokenizer runs ONCE in the
+    // build, never in a consumer plan (the MI chains checkpoint this
+    // frame, so the executed plan of the FED frame is what matters)
+    val feats = graft.operators.Enrich.enrichedDocuments(spark, sf0001)
+      .select(col("langid").as("f_langid"),
+        expr("n_chars DIV 256").cast("string").as("f_len"),
+        col("source").as("f_source"), col("lang"))
+    feats.collect()
+    val plan = feats.queryExecution.executedPlan.toString.split("== Initial Plan ==").head
+    assert(!plan.contains("regexp_extract_all") && !plan.contains("split("),
+      s"consumer plan must not re-run the scorer:\n$plan")
+    val scans = plan.linesIterator
+      .filter(l => l.contains("Scan") && l.contains("parquet")).toSeq
+    assert(scans.nonEmpty && scans.forall(_.contains("graft_enrich_cache")),
+      s"consumer must scan the enriched table only:\n$plan")
+    // column pruning: this consumer never touches quality/token columns
+    assert(!plan.contains("quality"),
+      s"unused enriched columns must prune from the scan:\n$plan")
+    // and the gated query itself stays green end to end
+    assert(SparkEntry.queries("q189_info_gain")(spark, sf0001).count() == 3L)
   }
 }
 

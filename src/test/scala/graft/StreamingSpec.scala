@@ -1061,6 +1061,47 @@ class StreamingSpec extends SparkSuite {
     } finally q.stop()
   }
 
+  test("adwinStream maxSteps horizon: bit-equal under the cap, flat-series state bounded, age-out never alarms") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val dayUs = 86400000000L
+    def at(d: Long, i: Long): Long = d * dayUs + i * 1000L
+    def dayEvents(k: String, d: Long, mean: Long): Seq[(String, Long, Long)] =
+      Seq((k, at(d, 1), mean - 1000L), (k, at(d, 2), mean),
+        (k, at(d, 3), mean + 1001L))
+    val days = (1L to 40L)
+    val means = days.map(d => d -> (500000L + d % 5)).toMap // flat-ish: never shrinks
+    val evts = days.flatMap(d => dayEvents("f", d, means(d)))
+    val sentinel = Seq(("f", at(41L, 0), 1L))
+    def run(name: String, maxSteps: Int): Map[Long, (Long, Long, Long, Option[Long])] = {
+      val input = MemoryStream[(String, Long, Long)]
+      val out = Streams.adwinStream(input.toDS(), stepUs = dayUs, maxSteps = maxSteps)
+      val q = out.toDF("k", "step", "window_n", "mean_micro", "shrunk", "alarm_step")
+        .writeStream.outputMode("append").format("memory").queryName(name).start()
+      try {
+        input.addData(evts: _*); q.processAllAvailable()
+        input.addData(sentinel: _*); q.processAllAvailable()
+        spark.table(name).collect().map(r => r.getLong(1) ->
+          ((r.getLong(2), r.getLong(3), r.getLong(4),
+            if (r.isNullAt(5)) None else Some(r.getLong(5))))).toMap
+      } finally q.stop()
+    }
+    val uncapped = run("adwin_unc", 0)
+    val wide = run("adwin_wide", 64)   // cap never binds on 40 days
+    val tight = run("adwin_tight", 8)
+    assert(wide == uncapped, "cap above the horizon must be bit-equal to uncapped")
+    // flat series: the uncapped window grows forever; the cap bounds it
+    assert(uncapped(40L)._1 == 40L)
+    days.foreach { d =>
+      val (wn, _, shrunk, alarm) = tight(d)
+      assert(wn <= 8L, s"day $d window $wn exceeds the cap")
+      assert(shrunk == 0L && alarm.isEmpty,
+        s"age-out must not read as a Hoeffding shrink (day $d)")
+    }
+    // under the cap (first 8 days) the capped run is bit-equal too
+    (1L to 8L).foreach(d => assert(tight(d) == uncapped(d)))
+  }
+
   test("streaming Jonckheere drift: per-close batch parity, ordered trend flagged, state bounded to the open step") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
