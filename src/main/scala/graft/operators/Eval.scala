@@ -2377,6 +2377,70 @@ object Eval {
             col("_den").cast("double")).as("t_quade"))
   }
 
+  /** DURBIN TEST (Durbin 1951; the tie-robust rank form) —
+    * [[friedmanTest]] for BALANCED INCOMPLETE block designs: each block
+    * (an eval panel, a judge) ranks only k of the t treatments — the
+    * incomplete-judging reality of any large eval program, where no
+    * panel can rate every candidate. Per complete-by-design block the k
+    * cells take doubled midranks S = 2R (exact integers under ties);
+    * with per-treatment rank sums SS_j = ΣS and replication counts r_j,
+    * `D = (t−1)·Σ_j (SS_j − r_j·(k+1))² / (ΣS² − b·k·(k+1)²)` — the 4×
+    * doubled-rank scales cancel between numerator and denominator, so D
+    * is a ratio of exact integers with ONE trailing IEEE division;
+    * χ²_(t−1) under within-block exchangeability. Reduces exactly to
+    * [[friedmanTest]]'s statistic when k = t (spec'd).
+    *
+    * ## Scale shape (100 TB)
+    * The [[quadeTest]] shape: cells arrive pre-aggregated
+    * (block×treatment-universe sized, never data-sized); blocks whose
+    * cell count ≠ k drop (the incomplete-block discipline); midranks
+    * ride block-partitioned windows; one treatment-keyed aggregate plus
+    * two 1-row attaches. Returns ONE row `(n_blocks, t_treatments,
+    * k_block_size, d_stat)`; d_stat NULL when t < 2 or the pooled ranks
+    * fully tie (denominator ≤ 0). */
+  def durbinTest(df: DataFrame, blockCol: String, treatmentCol: String,
+                 valueCol: Column, k: Int): DataFrame = {
+    require(k >= 2, s"block size k must be >= 2, got $k")
+    val dec = "decimal(38,0)"
+    val cells = df
+      .where(col(blockCol).isNotNull && col(treatmentCol).isNotNull &&
+        valueCol.isNotNull)
+      .groupBy(col(blockCol).as("_b"), col(treatmentCol).as("_t"))
+      .agg(min(valueCol.cast("long")).as("_y"))
+    val complete = cells
+      .withColumn("_kb", count(lit(1)).over(Window.partitionBy(col("_b"))))
+      .where(col("_kb") === k)
+      .localCheckpoint() // fans into ranks, the block count, and A
+    val ranked = complete
+      .withColumn("_below", count(lit(1)).over(
+        Window.partitionBy(col("_b")).orderBy(col("_y"))
+          .rangeBetween(Window.unboundedPreceding, -1)))
+      .withColumn("_ties", count(lit(1)).over(
+        Window.partitionBy(col("_b"), col("_y"))))
+      .select(col("_b"), col("_t"),
+        (lit(2L) * col("_below") + col("_ties") + lit(1L)).as("_s"))
+      .localCheckpoint() // fans into the treatment sums and A
+    val blocks = complete.select(col("_b")).distinct()
+      .agg(count(lit(1)).as("_nb"))
+    val a4 = ranked.agg(
+      coalesce(sum(col("_s").cast(dec) * col("_s")), lit(0).cast(dec)).as("_a4"))
+    ranked.groupBy(col("_t"))
+      .agg(sum(col("_s")).as("_ss"), count(lit(1)).as("_r"))
+      .select(((col("_ss") - col("_r") * lit(k + 1L)).cast(dec) *
+        (col("_ss") - col("_r") * lit(k + 1L))).as("_d2"))
+      .agg(count(lit(1)).as("_t2"),
+        coalesce(sum(col("_d2")), lit(0).cast(dec)).as("_num"))
+      .crossJoin(broadcast(a4))     // 1-row attaches
+      .crossJoin(broadcast(blocks))
+      .withColumn("_den",
+        col("_a4") - col("_nb").cast(dec) * lit(k.toLong * (k + 1L) * (k + 1L)))
+      .select(col("_nb").as("n_blocks"), col("_t2").as("t_treatments"),
+        lit(k.toLong).as("k_block_size"),
+        when(col("_t2") >= 2L && col("_den") > 0,
+          (col("_t2") - lit(1L)).cast("double") * col("_num").cast("double") /
+            col("_den").cast("double")).as("d_stat"))
+  }
+
   /** PAGE'S TREND TEST (Page 1963) — the ORDERED-alternative member of
     * the blocked family: [[friedmanTest]] asks "do the k treatments
     * differ at all across blocks", Page puts all power on the MONOTONE

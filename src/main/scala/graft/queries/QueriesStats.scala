@@ -721,6 +721,25 @@ private[graft] trait QueriesStats { this: SparkEntry.type =>
       flagA = col("qual") >= 0.5, flagB = col("n_chars") >= 1000L)
   }
 
+  /** Durbin test on a (7, 3, 1) cyclic Steiner incomplete-block design:
+    * each length-bucket panel b judges exactly the 3 doc-id cohorts
+    * {b, b+1, b+3 mod 7} (the classic incomplete judging design — no
+    * panel rates every cohort), cell = the panel's total quantized
+    * quality for that cohort; does any cohort rank consistently
+    * high/low across its panels
+    * ([[graft.operators.Eval.durbinTest]])? */
+  protected def q263(s: SparkSession, dir: String): DataFrame = {
+    val cells = enriched(s, dir)
+      .select(expr("least(n_chars DIV 200, 6)").as("bucket"),
+        pmod(col("doc_id"), lit(7)).as("cohort"),
+        col("quality_micro").as("qu"))
+      .where(pmod(col("cohort") - col("bucket"), lit(7)).isin(0, 1, 3))
+      .groupBy(col("bucket"), col("cohort"))
+      .agg(sum(expr("qu DIV 16384")).as("cell"))
+    graft.operators.Eval.durbinTest(cells, "bucket", "cohort",
+      col("cell"), k = 3)
+  }
+
   /** Cronbach's α over the three micro-quantized quality sub-scores
     * (length, punctuation, stopword components): do they measure one
     * underlying quality axis ([[graft.operators.Eval.cronbachAlpha]]). */
@@ -841,6 +860,47 @@ private[graft] trait QueriesStats { this: SparkEntry.type =>
       // Quade: within-block doubled midranks, block ranges midranked
       // across blocks, 4S = q2*(r2-(k+1)); T = (n-1)*SB/(n*A16-SB) — the
       // 16x scale cancels, one trailing IEEE division
+      // Durbin: (7,3,1) cyclic design filter, doubled midranks within each
+      // complete 3-cell block, per-treatment (SS - r(k+1))^2 sums, the
+      // doubled-rank scales cancelling in the one trailing division
+      "q263_durbin" ->
+        s"""WITH pts AS (
+             SELECT least(n_chars // 200, 6) AS b,
+               doc_id % 7 AS t,
+               CAST(floor(${qualitySql(toks)} * 1e6) AS BIGINT) // 16384 AS qu
+             FROM documents),
+           des AS (SELECT * FROM pts WHERE ((t - b) % 7 + 7) % 7 IN (0, 1, 3)),
+           cells AS (SELECT b, t, CAST(sum(qu) AS BIGINT) AS y
+                     FROM des GROUP BY 1, 2),
+           comp AS (SELECT c.b, c.t, c.y
+                    FROM cells c
+                      JOIN (SELECT b, count(*) AS nb FROM cells GROUP BY b) z
+                        ON z.b = c.b
+                    WHERE z.nb = 3),
+           rk AS (SELECT b, t,
+                    CAST(2 * coalesce(count(*) OVER (PARTITION BY b ORDER BY y
+                        RANGE BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                      + count(*) OVER (PARTITION BY b, y) + 1 AS BIGINT) AS s
+                  FROM comp),
+           pert AS (SELECT t, CAST(sum(s) AS BIGINT) AS ss,
+                      CAST(count(*) AS BIGINT) AS r
+                    FROM rk GROUP BY t),
+           num AS (SELECT CAST(count(*) AS BIGINT) AS t2,
+                     CAST(sum(CAST(ss - r * 4 AS HUGEINT)
+                       * (ss - r * 4)) AS HUGEINT) AS nv
+                   FROM pert),
+           a4 AS (SELECT CAST(sum(CAST(s AS HUGEINT) * s) AS HUGEINT) AS av
+                  FROM rk),
+           nb AS (SELECT CAST(count(DISTINCT b) AS BIGINT) AS n FROM comp)
+           SELECT nb.n AS n_blocks, num.t2 AS t_treatments,
+             CAST(3 AS BIGINT) AS k_block_size,
+             CASE WHEN num.t2 >= 2
+                 AND (av - CAST(nb.n AS HUGEINT) * 48) > 0 THEN
+               CAST(num.t2 - 1 AS DOUBLE) * CAST(nv AS DOUBLE) /
+                 CAST(av - CAST(nb.n AS HUGEINT) * 48 AS DOUBLE)
+             END AS d_stat
+           FROM nb CROSS JOIN num CROSS JOIN a4""",
+
       "q254_quade" ->
         s"""WITH pts AS (
              SELECT least(n_chars // 200, 7) AS b, lang AS g,

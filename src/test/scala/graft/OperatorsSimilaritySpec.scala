@@ -1,0 +1,1150 @@
+package graft
+
+import graft.operators.{AsOf, Dedup, Sessionize, Similarity}
+import graft.functions.{Text, Vectors}
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+
+/** Operator unit tests: similarity/ANN, vector math, selection (MMR/coverage/skyline), linkage (split from OperatorsSpec, round 11 — bodies verbatim). */
+class OperatorsSimilaritySpec extends SparkSuite {
+
+  test("brute-force cosine top-k is exact on hand-computed vectors") {
+    import spark.implicits._
+    val vecs = Seq(
+      (0L, Array(1.0f, 0.0f)),
+      (1L, Array(0.9f, 0.1f)),
+      (2L, Array(0.0f, 1.0f)),
+      (3L, Array(-1.0f, 0.0f))).toDF("vec_id", "embedding")
+    val out = Similarity.bruteForceTopK(vecs.where($"vec_id" === 0), vecs, "vec_id", "embedding", k = 3)
+      .collect().map(r => (r.getInt(1), r.getLong(2)))
+    assert(out.toSeq == Seq((1, 1L), (2, 2L), (3, 3L)))
+  }
+
+  test("LSH ANN: near-perfect recall on planted close neighbors") {
+    import spark.implicits._
+    // clusters of near-identical vectors (cosine ≈ 0.999) — the regime LSH
+    // is built for: sign-collision prob per table ≈ (1-θ/π)^planes ≈ 0.94^6
+    val rnd = new scala.util.Random(7)
+    val bases = (0 until 5).map(_ => Array.fill(16)(rnd.nextGaussian().toFloat))
+    val vecs = (0 until 50).map { i =>
+      val b = bases(i % 5)
+      (i.toLong, b.zipWithIndex.map { case (x, d) => x + 0.01f * ((i * 16 + d) % 7 - 3) })
+    }.toDF("vec_id", "embedding")
+    val exact = Similarity.bruteForceTopK(vecs.where($"vec_id" < 5), vecs, "vec_id", "embedding", 5)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    val approx = Similarity.lshTopK(vecs.where($"vec_id" < 5), vecs, "vec_id", "embedding", 5, planes = 6, tables = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    val recall = (exact & approx).size.toDouble / exact.size
+    assert(recall >= 0.9, s"LSH recall $recall on planted clusters")
+  }
+
+  test("IVF ANN: high recall on planted clusters; sane on real embeddings") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(11)
+    val bases = (0 until 5).map(_ => Array.fill(16)(rnd.nextGaussian().toFloat))
+    val vecs = (0 until 100).map { i =>
+      val b = bases(i % 5)
+      (i.toLong, b.zipWithIndex.map { case (x, d) => x + 0.01f * ((i * 16 + d) % 7 - 3) })
+    }.toDF("vec_id", "embedding")
+    val exact = Similarity.bruteForceTopK(vecs.where($"vec_id" < 5), vecs, "vec_id", "embedding", 5)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    val ivf = Similarity.ivfTopK(vecs.where($"vec_id" < 5), vecs, "vec_id", "embedding", 5,
+        nCentroids = 8, probes = 2, iterations = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    val recall = (exact & ivf).size.toDouble / exact.size
+    assert(recall >= 0.9, s"IVF recall $recall on planted clusters")
+
+    // multi-round Lloyd refinement (distributed mean re-assembly) must not
+    // lose recall vs a single round on well-separated planted clusters
+    val ivf3 = Similarity.ivfTopK(vecs.where($"vec_id" < 5), vecs, "vec_id", "embedding", 5,
+        nCentroids = 8, probes = 2, iterations = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    val recall3 = (exact & ivf3).size.toDouble / exact.size
+    assert(recall3 >= recall, s"IVF recall at 3 iterations ($recall3) fell below 1 iteration ($recall)")
+
+    val emb = spark.read.parquet(s"$sf0001/embeddings.parquet")
+    val q = emb.where(col("vec_id") % 100 === 0)
+    val n = Similarity.ivfTopK(q, emb, "vec_id", "embedding", 10).count()
+    assert(n == q.count() * 10)
+  }
+
+  test("IVF index lifecycle: build -> write -> read -> search equals in-memory search") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(13)
+    val bases = (0 until 5).map(_ => Array.fill(16)(rnd.nextGaussian().toFloat))
+    val vecs = (0 until 100).map { i =>
+      val b = bases(i % 5)
+      (i.toLong, b.zipWithIndex.map { case (x, d) => x + 0.01f * ((i * 16 + d) % 7 - 3) })
+    }.toDF("vec_id", "embedding")
+    val q = vecs.where($"vec_id" < 5)
+    val idx = Similarity.buildIvfIndex(vecs, "vec_id", "embedding", nCentroids = 8, iterations = 2)
+    val direct = Similarity.searchIvfIndex(q, idx, "vec_id", "embedding", 5, probes = 2)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    // ivfTopK IS build + search — the refactor must not change results
+    val viaTopK = Similarity.ivfTopK(q, vecs, "vec_id", "embedding", 5,
+        nCentroids = 8, probes = 2, iterations = 2)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    assert(direct == viaTopK)
+    // disk round-trip: the model survives bit-exactly, the search result
+    // from the bucketed read-back index is identical
+    Similarity.writeIvfIndex(idx, "ivf_spec_idx", buckets = 4)
+    val back = Similarity.readIvfIndex(spark, "ivf_spec_idx")
+    assert(back.centroids.map(_._1).toSeq == idx.centroids.map(_._1).toSeq)
+    assert(back.centroids.zip(idx.centroids).forall { case ((_, a), (_, b)) => a.sameElements(b) })
+    val fromDisk = Similarity.searchIvfIndex(q, back, "vec_id", "embedding", 5, probes = 2)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    assert(fromDisk == direct)
+  }
+
+  test("LSH ANN sanity on real (diffuse) embeddings; multiprobe lifts recall") {
+    // measured: top-10 neighbors here sit at cosine ≈ 0.3 (θ ≈ 72°), where
+    // theory gives per-table collision (1-θ/π)^6 ≈ 0.05 → recall ≈ 0.17
+    // with 4 tables. Assert we're at least at theory's level.
+    val emb = spark.read.parquet(s"$sf0001/embeddings.parquet")
+    val queries = emb.where(col("vec_id") % 100 === 0)
+    val exact = Similarity.bruteForceTopK(queries, emb, "vec_id", "embedding", 10)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    def recallAt(probes: Int): Double = {
+      val approx = Similarity.lshTopK(queries, emb, "vec_id", "embedding", 10,
+          planes = 6, tables = 4, multiprobe = probes)
+        .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+      (exact & approx).size.toDouble / exact.size
+    }
+    val plain = recallAt(0)
+    assert(plain >= 0.15, s"LSH recall $plain below theoretical floor")
+    // probing all Hamming-1 buckets multiplies per-table collision odds by
+    // ~(1 + planes·p·(1-p)/(1-p)) — materially better recall for the cost
+    // of ~7× candidates, without more tables
+    val probed = recallAt(6)
+    assert(probed >= plain, s"multiprobe recall $probed regressed below plain $plain")
+    assert(probed >= 0.3, s"multiprobe recall $probed below expected lift")
+  }
+
+  test("query-directed multi-probe: recall >= first-planes probing at equal probe volume") {
+    val emb = spark.read.parquet(s"$sf0001/embeddings.parquet")
+    val queries = emb.where(col("vec_id") % 100 === 0)
+    val exact = Similarity.bruteForceTopK(queries, emb, "vec_id", "embedding", 10)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    // at multiprobe = 3 of 6 planes the CHOICE of planes matters (at 6 of 6
+    // both strategies probe every plane and coincide)
+    def run(directed: Boolean) = {
+      val cands = Similarity.lshCandidates(queries, emb, "vec_id", "embedding",
+        planes = 6, tables = 4, d = 64, multiprobe = 3, queryDirected = directed).count()
+      val hits = Similarity.lshTopK(queries, emb, "vec_id", "embedding", 10,
+          planes = 6, tables = 4, multiprobe = 3, queryDirected = directed)
+        .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+      (cands, (exact & hits).size.toDouble / exact.size)
+    }
+    val (candsFirst, recallFirst) = run(directed = false)
+    val (candsDirected, recallDirected) = run(directed = true)
+    // identical probe volume (1 + multiprobe buckets per table per query);
+    // candidate counts differ only by bucket occupancy
+    assert(recallDirected >= recallFirst,
+      s"query-directed recall $recallDirected fell below first-planes $recallFirst")
+    assert(candsDirected <= candsFirst * 2,
+      s"query-directed candidates $candsDirected blew up vs $candsFirst")
+    // at full probing both strategies flip the same plane set → same recall
+    val all6first = Similarity.lshTopK(queries, emb, "vec_id", "embedding", 10,
+        planes = 6, tables = 4, multiprobe = 6, queryDirected = false)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    val all6dir = Similarity.lshTopK(queries, emb, "vec_id", "embedding", 10,
+        planes = 6, tables = 4, multiprobe = 6, queryDirected = true)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    assert(all6dir == all6first, "probing all planes must be strategy-independent")
+  }
+
+  test("plan-time hyperplane lshBucket is bit-identical to the interpreted HOF formulation") {
+    graft.GraftFunctions.ensureRegistered(spark)
+    val emb = spark.read.parquet(s"$sf0001/embeddings.parquet")
+    val dim = Vectors.dims(emb, "embedding")
+    (0 to 2).foreach { seed =>
+      val mismatches = emb.select(
+          Vectors.lshBucket(col("embedding"), 6, dim, seed).as("fast"),
+          Vectors.lshBucketHof(col("embedding"), 6, seed).as("hof"))
+        .where(col("fast") =!= col("hof")).count()
+      assert(mismatches == 0L, s"seed=$seed: $mismatches bucket mismatches")
+    }
+  }
+
+  test("LSH-blocked embedding near-dup: pairs are a subset of exact all-pairs, with real recall") {
+    graft.GraftFunctions.ensureRegistered(spark)
+    val emb = spark.read.parquet(s"$sf0001/embeddings.parquet")
+    val blocked = Similarity.embeddingNearDup(emb, "vec_id", "embedding", threshold = 0.35, planes = 6)
+      .select(col("id_a"), col("id_b")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    // exact all-pairs baseline (fine at spec scale; the quadratic form the
+    // blocked operator replaces at 100 TB)
+    val a = emb.select(col("vec_id").as("id_a"), col("embedding").as("v_a"),
+      Vectors.norm(col("embedding")).as("n_a"))
+    val b = emb.select(col("vec_id").as("id_b"), col("embedding").as("v_b"),
+      Vectors.norm(col("embedding")).as("n_b"))
+    val exact = a.join(b, col("id_a") < col("id_b"))
+      .where(when(col("n_a") * col("n_b") === 0.0, lit(0.0))
+        .otherwise(Vectors.fastDot(col("v_a"), col("v_b")) / (col("n_a") * col("n_b"))) >= 0.35)
+      .select(col("id_a"), col("id_b")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(blocked.subsetOf(exact), s"blocked pairs must pass the same exact-cosine verify")
+    val recall = if (exact.isEmpty) 1.0 else (blocked & exact).size.toDouble / exact.size
+    // 6-plane single-table blocking of cosine≥0.35 pairs: collision prob
+    // (1-θ/π)^6 with θ≤69° ≈ 0.037 at the threshold, higher for closer
+    // pairs — assert above a conservative floor and that SOME pairs survive
+    assert(recall >= 0.02 && blocked.nonEmpty, s"recall=$recall n=${blocked.size}")
+  }
+
+  test("randomProject: JL geometry — norms preserved in expectation, projected recall holds") {
+    import org.apache.spark.sql.functions._
+    val emb = graft.sources.Tables.embeddings(spark, sf0001)
+      .withColumn("orig", col("embedding"))
+    val proj = graft.operators.Similarity.randomProject(emb, "embedding", outDim = 16, dim = 64)
+    // norms preserved in EXPECTATION: per-row ratio fluctuates ~1/√16, the
+    // corpus mean concentrates — √(12/outDim) scaling is what makes this 1
+    val meanRatio = proj
+      .where(graft.functions.Vectors.normSq(col("orig")) > 0)
+      .select(avg(graft.functions.Vectors.normSq(col("embedding")) /
+        graft.functions.Vectors.normSq(col("orig"))).as("r"))
+      .head().getDouble(0)
+    assert(meanRatio > 0.85 && meanRatio < 1.15, s"mean norm ratio $meanRatio")
+    // GENUINE neighbors survive the 64→16 cut: planted Gaussian clusters
+    // (the IVF/LSH spec pattern, here in the full 64-d) — within-cluster
+    // cosine ≈ 1 vs cross-cluster ≈ 0 dwarfs the JL distortion at k=16.
+    // On the DIFFUSE real corpus the same recall@10 measures ~0.12: near-
+    // uniform cosine orderings are noise-level gaps no distance-preserving
+    // projection can keep, which is exactly JL's contract — distances
+    // within (1±ε), not orderings finer than ε.
+    import spark.implicits._
+    val rnd = new scala.util.Random(23)
+    val bases = (0 until 5).map(_ => Array.fill(64)(rnd.nextGaussian().toFloat))
+    val planted = (0 until 100).map { i =>
+      val b = bases(i % 5)
+      (i.toLong, b.zipWithIndex.map { case (x, d) => x + 0.01f * ((i * 64 + d) % 7 - 3) })
+    }.toDF("vec_id", "embedding")
+    val exact = graft.operators.Similarity.bruteForceTopK(
+        planted.where(col("vec_id") < 5), planted, "vec_id", "embedding", k = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    val prj = graft.operators.Similarity.randomProject(planted, "embedding", outDim = 16, dim = 64)
+    val projected = graft.operators.Similarity.bruteForceTopK(
+        prj.where(col("vec_id") < 5), prj, "vec_id", "embedding", k = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    val recall = (exact & projected).size.toDouble / exact.size
+    assert(recall >= 0.9, s"projected recall on planted clusters = $recall")
+  }
+
+  test("vector functions: dot/norm/cosine/normalize on knowns") {
+    import spark.implicits._
+    graft.GraftFunctions.ensureRegistered(spark)
+    val df = Seq((Array(3.0f, 4.0f), Array(4.0f, 3.0f))).toDF("a", "b")
+    assert(df.select(Vectors.dot($"a", $"b")).head().getDouble(0) == 24.0)
+    assert(df.select(Vectors.norm($"a")).head().getDouble(0) == 5.0)
+    assert(math.abs(df.select(Vectors.cosine($"a", $"b")).head().getDouble(0) - 24.0 / 25.0) < 1e-15)
+    val n = df.select(Vectors.l2normalize($"a")).head().getSeq[Double](0)
+    assert(n == Seq(0.6, 0.8))
+    // codegen'd normSq (fastDot(a,a)) bit-matches the interpreted HOF form
+    val (fastN, hofN) = (df.select(Vectors.normSq($"a")).head().getDouble(0),
+      df.select(Vectors.normSqHof($"a")).head().getDouble(0))
+    assert(java.lang.Double.doubleToLongBits(fastN) == java.lang.Double.doubleToLongBits(hofN))
+  }
+
+  test("vector functions need no session registration (direct Catalyst nodes)") {
+    // a FRESH session whose registry has no graft functions: fastDot /
+    // normSq / l2normalize must still analyze (library users shouldn't need
+    // ensureRegistered unless they go through SQL strings)
+    import spark.implicits._
+    val clean = spark.newSession()
+    val df = clean.createDataset(Seq((Array(3.0f, 4.0f), Array(1.0f, 0.0f)))).toDF("a", "b")
+    assert(df.select(Vectors.fastDot(col("a"), col("b"))).head().getDouble(0) == 3.0)
+    assert(df.select(Vectors.norm(col("a"))).head().getDouble(0) == 5.0)
+    assert(df.select(Vectors.l2normalize(col("a"))).head().getSeq[Double](0) == Seq(0.6, 0.8))
+  }
+
+  test("native int8 round trip is bit-identical to the HOF quantize->dequantize chain") {
+    val emb = sources.Tables.embeddings(spark, sf0001)
+    val diverged = emb.select(
+        Vectors.dequantizeInt8(Vectors.quantizeInt8(col("embedding"))).as("hof"),
+        Vectors.int8RoundTrip(col("embedding")).as("native"))
+      .where(not(col("hof") === col("native")))
+      .count()
+    assert(diverged == 0L)
+  }
+
+  test("mini-batch IVF refinement keeps planted-cluster recall") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(11)
+    val bases = (0 until 5).map(_ => Array.fill(16)(rnd.nextGaussian().toFloat))
+    val vecs = (0 until 100).map { i =>
+      val b = bases(i % 5)
+      (i.toLong, b.zipWithIndex.map { case (x, d) => x + 0.01f * ((i * 16 + d) % 7 - 3) })
+    }.toDF("vec_id", "embedding")
+    val q = vecs.where($"vec_id" < 5)
+    val exact = Similarity.bruteForceTopK(q, vecs, "vec_id", "embedding", 5)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    val mini = Similarity.ivfTopK(q, vecs, "vec_id", "embedding", 5,
+        nCentroids = 8, probes = 2, iterations = 3, miniBatchFraction = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    val recall = (exact & mini).size.toDouble / exact.size
+    assert(recall >= 0.9, s"mini-batch IVF recall $recall")
+  }
+
+  test("two-stage quantized IVF: recall tracks float IVF on planted clusters, exact rerank scores") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(11)
+    val bases = (0 until 5).map(_ => Array.fill(16)(rnd.nextGaussian().toFloat))
+    val vecs = (0 until 100).map { i =>
+      val b = bases(i % 5)
+      (i.toLong, b.zipWithIndex.map { case (x, d) => x + 0.01f * ((i * 16 + d) % 7 - 3) })
+    }.toDF("vec_id", "embedding")
+    val q = vecs.where($"vec_id" < 5)
+    val exact = Similarity.bruteForceTopK(q, vecs, "vec_id", "embedding", 5)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    val quant = Similarity.ivfTopKQuantized(q, vecs, "vec_id", "embedding", 5,
+        nCentroids = 8, probes = 2, iterations = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(2), r.getDouble(3)))
+    val recall = (exact & quant.map(t => (t._1, t._2)).toSet).size.toDouble / exact.size
+    assert(recall >= 0.9, s"quantized IVF recall $recall on planted clusters")
+    // stage-2 scores are float cosines, free of quantization error: any
+    // (query, neighbor) pair shared with brute force agrees to rounding
+    // (normalize-then-dot vs dot-then-divide differ only in ulps)
+    val exactScores = Similarity.bruteForceTopK(q, vecs, "vec_id", "embedding", 5)
+      .collect().map(r => (r.getLong(0), r.getLong(2)) -> r.getDouble(3)).toMap
+    quant.foreach { case (qid, nid, c) =>
+      exactScores.get((qid, nid)).foreach(e =>
+        assert(math.abs(e - c) < 1e-9, s"rerank score $c != exact $e for ($qid, $nid)"))
+    }
+  }
+
+  test("int8 quantization: codes in range, small reconstruction error, top-k recall survives") {
+    import spark.implicits._
+    val emb = sources.Tables.embeddings(spark, sf0001)
+    val deq = emb.select(col("vec_id"),
+      Vectors.dequantizeInt8(Vectors.quantizeInt8(col("embedding"))).as("embedding"))
+    // codes bounded to int8, per-component error <= 0.5/scale by construction
+    val bad = emb.select(Vectors.quantizeInt8(col("embedding")).as("qs"))
+      .where(exists(col("qs.q"), q => q > 127 || q < -127)).count()
+    assert(bad == 0L)
+    // search over dequantized codes: overlap@10 vs exact must stay high —
+    // the operative claim behind the 4x memory cut
+    val queries = emb.where(col("vec_id") % 100 === 0)
+    val dqQueries = deq.where(col("vec_id") % 100 === 0)
+    def topk(q: org.apache.spark.sql.DataFrame, c: org.apache.spark.sql.DataFrame) =
+      Similarity.bruteForceTopK(q, c, "vec_id", "embedding", k = 10)
+        .select(col("query_id"), col("neighbor_id")).collect()
+        .groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(1)).toSet).toMap
+    val exact = topk(queries, emb)
+    val quant = topk(dqQueries, deq)
+    val recalls = exact.keys.toSeq.map(q => quant.getOrElse(q, Set.empty)
+      .intersect(exact(q)).size / 10.0)
+    val mean = recalls.sum / recalls.size
+    assert(mean >= 0.9, s"quantized top-10 recall $mean < 0.9")
+  }
+
+  test("native int8 round trip matches the HOF chain on null elements") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, Seq(Some(1.0f), None, Some(-3.0f))), // null element, scale > 0
+      (2L, Seq[Option[Float]](None, None)),     // all-null: scale 0 -> all 0.0
+      (3L, Seq(Some(0.0f), Some(0.0f))),        // all-zero: scale 0 -> all 0.0
+      // NaN: Spark's array_max ranks NaN above all doubles -> scale NaN ->
+      // every non-null element NaN (a Java `>` max loop would skip it)
+      (4L, Seq(Some(5.0f), Some(Float.NaN), None)),
+      // Infinity: scale = 127/Inf = 0.0 -> all elements (incl. null) 0.0
+      (5L, Seq(Some(1.0f), Some(Float.PositiveInfinity)))
+    ).toDF("id", "embedding")
+    val diverged = df.select(
+        Vectors.dequantizeInt8(Vectors.quantizeInt8(col("embedding"))).as("hof"),
+        Vectors.int8RoundTrip(col("embedding")).as("native"))
+      .where(not(col("hof") <=> col("native")))
+      .count()
+    assert(diverged == 0L)
+  }
+
+  test("blockedFuzzyPairs: distance boundary inclusive, cross-block pairs never compared") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "red widget"),  // lev(red, hot) = 3 → kept at maxDist 3
+      (2L, "hot widget"),
+      (3L, "crimson widget"), // lev vs "red widget" = 5 → dropped
+      (4L, "red gadget"),  // other block: near "red widget" but never compared
+      (5L, "red widget")   // exact duplicate name, distance 0
+    ).toDF("p_partkey", "p_name")
+    val out = graft.operators.Linkage.blockedFuzzyPairs(
+        df, "p_partkey", "p_name",
+        blockKey = org.apache.spark.sql.functions.element_at(
+          org.apache.spark.sql.functions.split(
+            org.apache.spark.sql.functions.col("p_name"), " "), -1),
+        maxDist = 3)
+      .orderBy("id_a", "id_b")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(4)))
+    assert(out.toSeq == Seq((1L, 2L, 3L), (1L, 5L, 0L), (2L, 5L, 3L)))
+  }
+
+  test("sortedNeighborhoodPairs: exact window semantics per pass, union across passes") {
+    import spark.implicits._
+    val names = Seq("apple pie", "apple pif", "banana split", "candle wax",
+      "dapple pie", "maple pie", "pple pie", "zzz end")
+    val df = names.zipWithIndex.map { case (n, i) => (i.toLong + 1, n) }
+      .toDF("id", "name")
+    val window = 3
+    // maxDist large enough that every candidate survives the distance
+    // filter — this test pins the WINDOWING; the banded distance itself is
+    // oracle-checked (q95/q102)
+    val out = graft.operators.Linkage.sortedNeighborhoodPairs(df, "id", "name",
+      passes = Seq(
+        (col("name"), substring(col("name"), 1, 1)),
+        (reverse(col("name")), substring(reverse(col("name")), 1, 1))),
+      window = window, maxDist = 30)
+    def passPairs(key: String => String): Set[(Long, Long)] = {
+      val sorted = names.zipWithIndex.map { case (n, i) => (i.toLong + 1, n) }
+        .sortBy { case (id, n) => (key(n), id) }
+      (for {
+        i <- sorted.indices
+        j <- (i + 1) until math.min(i + window, sorted.length)
+      } yield (math.min(sorted(i)._1, sorted(j)._1),
+        math.max(sorted(i)._1, sorted(j)._1))).toSet
+    }
+    val expect = passPairs(identity) ++ passPairs(_.reverse)
+    val gotPairs = out.collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(gotPairs.toSet == expect)
+    // exactly-once emission feeds the distinct: no pair may survive twice
+    assert(gotPairs.length == gotPairs.toSet.size)
+    // distributed: every window over DATA rows partitions by the prefix
+    // bucket (q84's contract — the only unpartitioned frame is the
+    // #buckets offset table)
+    val plan = out.queryExecution.executedPlan.toString.split("== Initial Plan ==").head
+    val dataWindows = plan.linesIterator
+      .filter(_.contains("row_number"))
+      .filter(_.contains("Window")).toSeq
+    assert(dataWindows.nonEmpty, s"expected ranking windows:\n$plan")
+    assert(dataWindows.forall(_.contains("_bkt")),
+      s"ranking windows must be bucket-partitioned:\n${dataWindows.mkString("\n")}")
+  }
+
+  test("adaptiveNeighborhoodPairs: runs span dense stretches a fixed window misses, breaks isolate") {
+    import spark.implicits._
+    // six near-identical names (a duplicate-dense run), plus two unrelated
+    // records that sort before and after it
+    val rows = Seq(
+      (1L, "team aaaa 01"), (2L, "team aaaa 02"), (3L, "team aaaa 03"),
+      (4L, "team aaaa 04"), (5L, "team aaaa 05"), (6L, "team aaaa 06"),
+      (7L, "zzz unrelated"), (8L, "qqq other"))
+    val df = rows.toDF("id", "name")
+    // maxDist is permissive so only the RUN structure decides candidacy
+    val adaptive = graft.operators.Linkage.adaptiveNeighborhoodPairs(
+        df, "id", "name", sortKey = col("name"),
+        bucketKey = substring(col("name"), 1, 1),
+        boundaryDist = 2, maxRun = 6, maxDist = 50)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    // the whole dense run pairs: C(6,2) = 15, exactly once each
+    assert(adaptive.length == 15 && adaptive.toSet.size == 15)
+    assert(adaptive.toSet == (for { a <- 1L to 6L; b <- (a + 1) to 6L } yield (a, b)).toSet)
+    // the run's ends pair — a fixed window 3 cannot see 5 positions apart
+    assert(adaptive.contains((1L, 6L)))
+    val fixed = graft.operators.Linkage.sortedNeighborhoodPairs(
+        df, "id", "name",
+        passes = Seq((col("name"), substring(col("name"), 1, 1))),
+        window = 3, maxDist = 50)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(!fixed.contains((1L, 6L)))
+    // rank-adjacent but dissimilar records break the run and never pair —
+    // the fixed window DOES waste comparisons on them
+    assert(!adaptive.toSet.exists(p => p._1 > 6L || p._2 > 6L))
+    assert(fixed.exists(p => p._2 == 8L || p._1 == 7L || p._2 == 7L))
+  }
+
+  test("embeddingDedup: smallest id of each near-dup neighborhood survives") {
+    import spark.implicits._
+    val vecs = Seq(
+      (1L, Array(1f, 0f)), (2L, Array(1f, 0f)), (3L, Array(1f, 0f)),
+      (4L, Array(0f, 1f))).toDF("vec_id", "embedding")
+    val kept = Similarity.embeddingDedup(vecs, "vec_id", "embedding",
+        threshold = 0.95, planes = 4, dim = 2)
+      .collect().map(_.getLong(0)).sorted.toSeq
+    // 1,2,3 identical -> pairs (1,2),(1,3),(2,3) -> victims {2,3}; the
+    // orthogonal 4 is untouched (different side of at least one plane or
+    // cosine 0 < threshold either way)
+    assert(kept == Seq(1L, 4L))
+  }
+
+  test("bucketRepresentatives: exact integer argmin to the bucket centroid, no explode") {
+    import spark.implicits._
+    val vecs = Seq(
+      (1L, Array(1.0f, 0.9f, 0.0f, 0.1f)),
+      (2L, Array(0.9f, 1.0f, 0.1f, 0.0f)),
+      (3L, Array(1.0f, 1.0f, 0.05f, 0.05f)), // central in its bucket
+      (4L, Array(-1.0f, -0.9f, 0.2f, 0.1f)),
+      (5L, Array(-0.9f, -1.0f, 0.1f, 0.2f))
+    ).toDF("vec_id", "embedding")
+    val reps = Similarity.bucketRepresentatives(vecs, "vec_id", "embedding",
+      planes = 2, dim = 4)
+    val got = reps.collect()
+      .map(r => (r.getString(0), (r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    // brute-force the same integer argmin from the operator's own codes
+    val codes = vecs.select(col("vec_id"),
+        Vectors.lshBucket(col("embedding"), 2, 4).as("b"),
+        transform(Vectors.quantizeInt8(col("embedding")).getField("q"),
+          _.cast("long")).as("q"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getSeq[Long](2).toArray))
+    codes.groupBy(_._2).foreach { case (b, members) =>
+      val n = members.length.toLong
+      val s = members.map(_._3).transpose.map(_.sum)
+      val best = members.map { case (id, _, q) =>
+        (q.zip(s).map { case (x, sd) => val d = n * x - sd; d * d }.sum, id)
+      }.min
+      assert(got(b) == ((best._2, best._1, n)),
+        s"bucket $b: got ${got(b)}, brute force says $best n=$n")
+    }
+    // per-dim sums ride as agg columns — the data never explodes to row×dim
+    val plan = reps.queryExecution.executedPlan.toString
+    assert(!plan.contains("Generate"), s"no explode expected:\n$plan")
+  }
+
+  test("mutualBestMatch: symmetric greedy rounds on a shared entity namespace") {
+    import spark.implicits._
+    import graft.operators.Linkage
+    // chain 1-2-3-4 plus isolated pair 5-6; 2's candidates tie on score
+    // so the partner id breaks the tie toward 1
+    val pairs = Seq(
+      (1L, 2L, 1L), (2L, 3L, 1L), (3L, 4L, 2L), (5L, 6L, 1L)
+    ).toDF("id_a", "id_b", "dist")
+    val out = Linkage.mutualBestMatch(pairs, "id_a", "id_b", "dist", rounds = 2)
+      .orderBy("id_a").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    // round 1: (1,2) mutual (2 prefers 1 on the tie), (5,6) mutual;
+    // (2,3) blocked by 2, (3,4) blocked by 3's preference for 2.
+    // round 2: with 2 matched, (3,4) becomes mutual on the residue.
+    assert(out.toSeq == Seq((1L, 2L, 1L, 1L), (3L, 4L, 2L, 2L), (5L, 6L, 1L, 1L)))
+    // an entity is matched at most once even across the id_a/id_b sides
+    val all = out.flatMap(t => Seq(t._1, t._2))
+    assert(all.distinct.length == all.length, "matching must be a partial matching")
+    // similarity mode: larger is better
+    val sim = Seq((1L, 2L, 0.9), (2L, 3L, 0.95)).toDF("id_a", "id_b", "s")
+    val simOut = Linkage.mutualBestMatch(sim, "id_a", "id_b", "s",
+        rounds = 1, smallerIsBetter = false)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(simOut.toSeq == Seq((2L, 3L)))
+  }
+
+  test("maxCoverageSelect: greedy picks by marginal gain, ties by id, stops at saturation") {
+    import spark.implicits._
+    import graft.operators.Coverage
+    // token universes: d1{a,b,c} d2{b,c,d,e} d3{a,e} d4{b,c}
+    val docs = Seq((1L, "a b c"), (2L, "b c d e"), (3L, "a e"), (4L, "b c"))
+      .toDF("doc_id", "text")
+    val out = Coverage.maxCoverageSelect(spark, docs, "doc_id", "text",
+        shingleLen = 1, rounds = 3, checkpoint = false)
+      .orderBy(col("round")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    // r1: d2 covers 4; r2: d1 and d3 both add {a} -> tie, d1 wins;
+    // r3: nothing uncovered anywhere -> early stop at 2 picks
+    assert(out.toSeq == Seq((1L, 2L, 4L, 4L), (2L, 1L, 1L, 5L)))
+  }
+
+  test("Mmr.mmrSelect: round 1 is max relevance, round 2 trades against redundancy") {
+    import spark.implicits._
+    // query [1,0]; c1 nearly parallel to q, c2 redundant with c1, c3 diverse
+    val items = Seq(
+      (0L, Seq(1.0f, 0.0f)),
+      (1L, Seq(0.98f, 0.19899748f)),   // rel ~.98
+      (2L, Seq(0.95f, 0.31224990f)),   // rel ~.95, sim to c1 ~.993
+      (3L, Seq(0.6f, -0.8f)))          // rel .60, sim to c1 ~.429
+      .toDF("vec_id", "embedding")
+    val out = graft.operators.Mmr.mmrSelect(spark, items, "vec_id", "embedding",
+      queryId = 0L, k = 3).collect()
+    assert(out.map(_.getLong(1)).toSeq == Seq(1L, 3L, 2L))
+    assert(out.forall(r => r.getLong(4) == r.getLong(2) - r.getLong(3)))
+    assert(out(0).getLong(3) == 0L) // round 1 has no selected set
+  }
+
+  test("Skyline.paretoFront2D: dominance pruned, duplicates and incomparables kept") {
+    import spark.implicits._
+    val pts = Seq((1L, 1L, 5L), (2L, 2L, 9L), (3L, 3L, 9L), (4L, 0L, 1L),
+      (5L, 2L, 9L), (6L, 5L, 10L), (7L, 6L, 3L)).toDF("id", "x", "y")
+    val front = graft.operators.Skyline.paretoFront2D(
+        pts, "id", col("x"), col("y"), v => shiftright(v, 1))
+      .collect().map(_.getLong(0)).toSet
+    // 3 is beaten by 2 (shorter, same quality); 7 by 6; 5 duplicates 2 and
+    // duplicates never dominate each other
+    assert(front == Set(1L, 2L, 4L, 5L, 6L))
+  }
+
+  test("semDedup: k=1 brute parity, planted dup groups keep the farthest-from-centroid member, survivor invariant") {
+    import spark.implicits._
+    import graft.operators.Similarity
+
+    def quant(v: Seq[Double]): Seq[Long] = v.map(x => math.floor(x * 1e6 + 0.5).toLong)
+    def cos(a: Seq[Long], b: Seq[Long]): Double = {
+      val dot = a.zip(b).map { case (x, y) => x * y }.sum
+      val (na, nb) = (a.map(x => x * x).sum, b.map(x => x * x).sum)
+      dot.toDouble / (math.sqrt(na.toDouble) * math.sqrt(nb.toDouble))
+    }
+    // two tight near-dup groups + two loners, 4-dim
+    val vecs: Seq[(Long, Seq[Double])] = Seq(
+      1L -> Seq(1.00, 0.01, 0.0, 0.0), 2L -> Seq(0.99, 0.02, 0.0, 0.0),
+      3L -> Seq(0.98, 0.00, 0.01, 0.0), // group A (cos ~ 1 pairwise)
+      4L -> Seq(0.0, 1.00, 0.01, 0.0), 5L -> Seq(0.0, 0.98, 0.02, 0.0), // group B
+      6L -> Seq(0.0, 0.0, 1.0, 0.0), 7L -> Seq(0.5, 0.5, 0.5, 0.5))
+    val df = vecs.map { case (id, v) => (id, v.map(_.toFloat).toArray) }
+      .toDF("vec_id", "embedding")
+
+    // brute for k=1, rounds=1: centroid = floor-div mean of ALL quantized
+    def flDiv(s: Long, n: Long): Long = (s - ((s % n + n) % n)) / n
+    val q = vecs.map { case (id, v) => id -> quant(v) }.toMap
+    val n = vecs.size.toLong
+    val cent = (0 until 4).map(d => flDiv(vecs.map(v => q(v._1)(d)).sum, n))
+    def d2(id: Long): Long = q(id).zip(cent).map { case (x, c) => (x - c) * (x - c) }.sum
+    val thr = 0.9
+    val victims = (for {
+      (a, _) <- vecs; (b, _) <- vecs if a < b && cos(q(a), q(b)) >= thr
+    } yield if (d2(a) < d2(b)) a else if (d2(b) < d2(a)) b else math.max(a, b)).toSet
+    val want = vecs.map(_._1).filterNot(victims).sorted
+
+    val got = Similarity.semDedup(df, "vec_id", "embedding",
+      k = 1, rounds = 1, threshold = thr).collect()
+    assert(got.map(_.getLong(0)).toSeq == want, s"survivors: ${got.mkString(",")}")
+    assert(got.forall(r => r.getLong(2) == d2(r.getLong(0))), "dist2 parity")
+    // each planted group keeps exactly ONE member - its farthest-from-centroid
+    val kept = got.map(_.getLong(0)).toSet
+    assert(kept.intersect(Set(1L, 2L, 3L)).size == 1)
+    assert(kept.intersect(Set(4L, 5L)).size == 1)
+    assert(kept.contains(6L) && kept.contains(7L)) // loners always survive
+
+    // invariant at k=2 on random data: no two same-cluster survivors are
+    // above-threshold similar (every such pair produced a victim)
+    val rnd = new scala.util.Random(241)
+    val rv = (1L to 60L).map(i => (i,
+      Array.fill(8)((rnd.nextDouble() - 0.5).toFloat)))
+    val rdf = rv.toDF("vec_id", "embedding")
+    val out = Similarity.semDedup(rdf, "vec_id", "embedding",
+      k = 2, rounds = 2, threshold = 0.8).collect()
+    val rq = rv.map { case (id, v) => id -> quant(v.map(_.toDouble).toSeq) }.toMap
+    val byCluster = out.groupBy(_.getLong(1))
+    for ((_, rows) <- byCluster; a <- rows; b <- rows
+         if a.getLong(0) < b.getLong(0))
+      assert(cos(rq(a.getLong(0)), rq(b.getLong(0))) < 0.8,
+        s"survivors ${a.getLong(0)},${b.getLong(0)} still near-dup")
+    assert(out.length <= 60 && out.nonEmpty)
+  }
+
+  test("persisted rotated-PQ lifecycle: probe equals in-memory pqRotatedTopK, frozen-model append identity") {
+    import spark.implicits._
+    import graft.operators.Similarity
+    val rnd = new scala.util.Random(307)
+    val corpus = (1L to 70L).map(i =>
+      (i, Array.fill(8)(rnd.nextFloat() * 2f - 1f))).toDF("vec_id", "embedding")
+    val queries = (1L to 5L).map(i =>
+      (i * 100, Array.fill(8)(rnd.nextFloat() * 2f - 1f))).toDF("vec_id", "embedding")
+    val direct = Similarity.pqRotatedTopK(queries, corpus, "vec_id", "embedding",
+        k = 5, m = 2, ksub = 3, rounds = 2, seed = 42L)
+      .collect().map(_.toString).toSeq.sorted
+    val dirTmp = java.nio.file.Files.createTempDirectory("graft_rpq_life").toString
+    val (books, codes) = Similarity.pqRotatedIndexBuild(
+      corpus, "vec_id", "embedding", m = 2, ksub = 3, rounds = 2, seed = 42L)
+    books.write.parquet(s"$dirTmp/books"); codes.write.parquet(s"$dirTmp/codes")
+    val served = Similarity.pqRotatedProbeTopK(queries,
+        spark.read.parquet(s"$dirTmp/books"), spark.read.parquet(s"$dirTmp/codes"),
+        "vec_id", "embedding", k = 5, seed = 42L)
+      .collect().map(_.toString).toSeq.sorted
+    assert(served == direct, s"persisted probe must equal in-memory:\n$served\n$direct")
+    // frozen-model append: codes for a batch equal build-time codes for
+    // the same rows (same seed => same rotation => same argmins)
+    val appended = Similarity.pqRotatedIndexAppend(
+        corpus.where(col("vec_id") <= 10), spark.read.parquet(s"$dirTmp/books"),
+        "vec_id", "embedding", seed = 42L)
+      .collect().map(_.toString).toSet
+    assert(appended == codes.where(col("id") <= 10).collect().map(_.toString).toSet)
+  }
+
+  test("kmeansExact: brute-force Lloyd parity, smallest-cluster tie-break, empty-cluster carry, floor-mean semantics") {
+    import spark.implicits._
+    import graft.operators.Similarity
+
+    def brute(pts: Seq[(Long, Seq[Long])], k: Int, rounds: Int)
+        : (Map[Int, Seq[Long]], Map[Int, Long]) = {
+      var cents: Seq[(Int, Seq[Long])] = pts.sortBy(_._1).take(k)
+        .zipWithIndex.map { case ((_, v), i) => (i + 1, v) }
+      def assign(v: Seq[Long]): Int = cents.minBy { case (c, w) =>
+        (v.zip(w).map { case (a, b) => (a - b) * (a - b) }.sum, c)
+      }._1
+      for (_ <- 1 to rounds) {
+        val groups = pts.groupBy(p => assign(p._2))
+        cents = cents.map { case (c, old) =>
+          groups.get(c).fold((c, old)) { g =>
+            (c, old.indices.map(d =>
+              Math.floorDiv(g.map(_._2(d)).sum, g.size.toLong)))
+          }
+        }
+      }
+      val fin = pts.groupBy(p => assign(p._2)).map { case (c, g) => (c, g.size.toLong) }
+      (cents.toMap, fin.toMap)
+    }
+    def run(pts: Seq[(Long, Seq[Long])], k: Int, rounds: Int): Unit = {
+      val df = pts.map { case (id, v) => (id, v.map(_.toFloat).toArray) }
+        .toDF("vec_id", "embedding")
+      val out = Similarity.kmeansExact(df, "vec_id", "embedding", k, rounds,
+        quantScale = 1L).collect()
+      val (wc, wn) = brute(pts, k, rounds)
+      val gotC = out.groupBy(_.getLong(0).toInt).map { case (c, rows) =>
+        c -> rows.sortBy(_.getLong(1)).map(_.getLong(2)).toSeq }
+      val gotN = out.map(r => r.getLong(0).toInt -> r.getLong(3)).toMap
+      assert(gotC == wc, s"centroids: got $gotC want $wc")
+      assert(gotN == wc.keys.map(c => c -> wn.getOrElse(c, 0L)).toMap)
+    }
+
+    // duplicate seed vectors: cluster 2 never wins a tie (struct-min
+    // breaks to the smaller id) -> stays empty, carries its centroid
+    run(Seq(1L -> Seq(0L, 0L), 2L -> Seq(0L, 0L),
+      3L -> Seq(10L, 10L), 4L -> Seq(12L, 12L)), k = 3, rounds = 2)
+    // floor semantics on a negative mean: (-1 + -2) / 2 -> -2, not -1
+    run(Seq(1L -> Seq(-1L, 5L), 2L -> Seq(-2L, 5L), 3L -> Seq(100L, 5L)),
+      k = 2, rounds = 1)
+    // larger random config, 3 rounds, 4 clusters, 5 dims
+    val rnd = new scala.util.Random(31)
+    run((1L to 60L).map(i =>
+      i -> Seq.fill(5)((rnd.nextInt(2000) - 1000).toLong)), k = 4, rounds = 3)
+  }
+
+  test("pqTopK: brute PQ pipeline parity, ksub=n degenerates to exact L2 top-k, dim guard") {
+    import spark.implicits._
+    import graft.operators.Similarity
+
+    def lloyd(pts: Seq[(Long, Seq[Long])], k: Int, rounds: Int): Seq[(Int, Seq[Long])] = {
+      var cents: Seq[(Int, Seq[Long])] = pts.sortBy(_._1).take(k)
+        .zipWithIndex.map { case ((_, v), i) => (i + 1, v) }
+      def assign(v: Seq[Long]): Int = cents.minBy { case (c, w) =>
+        (v.zip(w).map { case (a, b) => (a - b) * (a - b) }.sum, c) }._1
+      for (_ <- 1 to rounds) {
+        val g = pts.groupBy(p => assign(p._2))
+        cents = cents.map { case (c, old) =>
+          g.get(c).fold((c, old)) { grp =>
+            (c, old.indices.map(d =>
+              Math.floorDiv(grp.map(_._2(d)).sum, grp.size.toLong)))
+          }
+        }
+      }
+      cents
+    }
+    def brutePq(pts: Seq[(Long, Seq[Long])], qids: Set[Long], k: Int,
+                m: Int, ksub: Int, rounds: Int): Seq[(Long, Long, Long, Long)] = {
+      val dsub = pts.head._2.length / m
+      val books = (0 until m).map(j =>
+        lloyd(pts.map { case (id, v) => (id, v.slice(j * dsub, (j + 1) * dsub)) },
+          ksub, rounds))
+      def assign(b: Seq[(Int, Seq[Long])], v: Seq[Long]): Int =
+        b.minBy { case (c, w) =>
+          (v.zip(w).map { case (a, x) => (a - x) * (a - x) }.sum, c) }._1
+      val codes = pts.map { case (id, v) =>
+        id -> (0 until m).map(j => assign(books(j), v.slice(j * dsub, (j + 1) * dsub))) }
+      pts.filter(p => qids(p._1)).flatMap { case (qid, qv) =>
+        val dt = (0 until m).map { j =>
+          books(j).map { case (c, w) =>
+            c -> qv.slice(j * dsub, (j + 1) * dsub).zip(w)
+              .map { case (a, b) => (a - b) * (a - b) }.sum }.toMap
+        }
+        codes.map { case (nid, cs) =>
+          (nid, (0 until m).map(j => dt(j)(cs(j))).sum) }
+          .sortBy { case (nid, d) => (d, nid) }.take(k).zipWithIndex
+          .map { case ((nid, d), i) => (qid, i + 1L, nid, d) }
+      }
+    }
+    val rnd = new scala.util.Random(71)
+    val pts = (1L to 50L).map(i => (i, Seq.fill(8)((rnd.nextInt(200) - 100).toLong)))
+    val df = pts.map { case (id, v) => (id, v.map(_.toFloat).toArray) }
+      .toDF("vec_id", "embedding")
+    val queries = df.where(col("vec_id") % 10 === 0)
+    val got = Similarity.pqTopK(queries, df, "vec_id", "embedding",
+        k = 5, m = 2, ksub = 3, rounds = 2, quantScale = 1L)
+      .collect().map(r => (r.getLong(0), r.getInt(1).toLong, r.getLong(2), r.getLong(3))).toSeq
+      .sortBy(t => (t._1, t._2))
+    val want = brutePq(pts, pts.map(_._1).filter(_ % 10 == 0).toSet,
+      k = 5, m = 2, ksub = 3, rounds = 2).sortBy(t => (t._1, t._2))
+    assert(got == want, s"PQ pipeline parity:\n$got\n$want")
+
+    // ksub = n: every point is its own codeword after enough rounds on
+    // distinct seeds -> ADC == true squared L2, PQ == exact top-k
+    val tiny = Seq(1L -> Seq(0L, 0L), 2L -> Seq(4L, 0L), 3L -> Seq(0L, 5L),
+      4L -> Seq(9L, 9L))
+    val tdf = tiny.map { case (id, v) => (id, v.map(_.toFloat).toArray) }
+      .toDF("vec_id", "embedding")
+    val exact = Similarity.pqTopK(tdf, tdf, "vec_id", "embedding",
+        k = 4, m = 1, ksub = 4, rounds = 1, quantScale = 1L)
+      .collect().map(r => ((r.getLong(0), r.getInt(1).toLong), (r.getLong(2), r.getLong(3)))).toMap
+    def d2(a: Seq[Long], b: Seq[Long]) =
+      a.zip(b).map { case (x, y) => (x - y) * (x - y) }.sum
+    for ((qid, qv) <- tiny) {
+      val sorted = tiny.map { case (nid, nv) => (nid, d2(qv, nv)) }
+        .sortBy { case (nid, d) => (d, nid) }
+      sorted.zipWithIndex.foreach { case ((nid, d), i) =>
+        assert(exact((qid, i + 1L)) == ((nid, d)), s"q$qid rank ${i + 1}") }
+    }
+    // dim not divisible by m is rejected loudly
+    intercept[IllegalArgumentException] {
+      Similarity.pqTopK(tdf, tdf, "vec_id", "embedding",
+        k = 1, m = 3, ksub = 2, rounds = 1)
+    }
+  }
+
+  test("ivfPqTopK: brute residual pipeline parity, probe restriction real, probes=nCoarse covers all buckets") {
+    import spark.implicits._
+    import graft.operators.Similarity
+
+    def lloyd(pts: Seq[(Long, Seq[Long])], k: Int, rounds: Int): Seq[(Int, Seq[Long])] = {
+      var cents: Seq[(Int, Seq[Long])] = pts.sortBy(_._1).take(k)
+        .zipWithIndex.map { case ((_, v), i) => (i + 1, v) }
+      def assign(v: Seq[Long]): Int = cents.minBy { case (c, w) =>
+        (v.zip(w).map { case (a, b) => (a - b) * (a - b) }.sum, c) }._1
+      for (_ <- 1 to rounds) {
+        val g = pts.groupBy(p => assign(p._2))
+        cents = cents.map { case (c, old) =>
+          g.get(c).fold((c, old)) { grp =>
+            (c, old.indices.map(d =>
+              Math.floorDiv(grp.map(_._2(d)).sum, grp.size.toLong)))
+          }
+        }
+      }
+      cents
+    }
+    def assignTo(b: Seq[(Int, Seq[Long])], v: Seq[Long]): Int =
+      b.minBy { case (c, w) =>
+        (v.zip(w).map { case (a, x) => (a - x) * (a - x) }.sum, c) }._1
+    def brute(pts: Seq[(Long, Seq[Long])], qids: Set[Long], k: Int,
+              nCoarse: Int, probes: Int, m: Int, ksub: Int, rounds: Int)
+        : Seq[(Long, Long, Long, Long)] = {
+      val dsub = pts.head._2.length / m
+      val coarse = lloyd(pts, nCoarse, rounds)
+      val cMap = coarse.toMap
+      val res = pts.map { case (id, v) =>
+        val c = assignTo(coarse, v)
+        (id, c, v.zip(cMap(c)).map { case (a, b) => a - b }) }
+      val books = (0 until m).map(j =>
+        lloyd(res.map { case (id, _, r) => (id, r.slice(j * dsub, (j + 1) * dsub)) },
+          ksub, rounds))
+      val codes = res.map { case (id, c, r) =>
+        (id, c, (0 until m).map(j => assignTo(books(j), r.slice(j * dsub, (j + 1) * dsub)))) }
+      pts.filter(p => qids(p._1)).flatMap { case (qid, qv) =>
+        val pl = coarse.map { case (c, w) =>
+          (c, qv.zip(w).map { case (a, b) => (a - b) * (a - b) }.sum) }
+          .sortBy { case (c, d) => (d, c) }.take(probes).map(_._1).toSet
+        val dt = pl.map { bc =>
+          val qr = qv.zip(cMap(bc)).map { case (a, b) => a - b }
+          bc -> (0 until m).map { j =>
+            books(j).map { case (c, w) =>
+              c -> qr.slice(j * dsub, (j + 1) * dsub).zip(w)
+                .map { case (a, b) => (a - b) * (a - b) }.sum }.toMap
+          }
+        }.toMap
+        codes.filter(x => pl(x._2)).map { case (nid, bc, cs) =>
+          (nid, (0 until m).map(j => dt(bc)(j)(cs(j))).sum) }
+          .sortBy { case (nid, d) => (d, nid) }.take(k).zipWithIndex
+          .map { case ((nid, d), i) => (qid, i + 1L, nid, d) }
+      }
+    }
+    val rnd = new scala.util.Random(83)
+    val pts = (1L to 60L).map(i => (i, Seq.fill(8)((rnd.nextInt(200) - 100).toLong)))
+    val df = pts.map { case (id, v) => (id, v.map(_.toFloat).toArray) }
+      .toDF("vec_id", "embedding")
+    val queries = df.where(col("vec_id") % 12 === 0)
+    def run(probes: Int) = Similarity.ivfPqTopK(queries, df, "vec_id", "embedding",
+        k = 5, nCoarse = 4, probes = probes, m = 2, ksub = 3, rounds = 2,
+        quantScale = 1L)
+      .collect().map(r => (r.getLong(0), r.getInt(1).toLong, r.getLong(2), r.getLong(3))).toSeq
+      .sortBy(t => (t._1, t._2))
+    val qids = pts.map(_._1).filter(_ % 12 == 0).toSet
+    assert(run(2) == brute(pts, qids, 5, 4, 2, 2, 3, 2).sortBy(t => (t._1, t._2)),
+      "IVF-PQ residual pipeline parity (probes = 2)")
+    // probes = nCoarse covers every bucket == flat residual-PQ ranking,
+    // and the probe restriction is real: the brute model confirms the
+    // probes=2 candidate pool is a strict subset of the full corpus
+    assert(run(4) == brute(pts, qids, 5, 4, 4, 2, 3, 2).sortBy(t => (t._1, t._2)))
+  }
+
+  test("ivfPq persisted lifecycle: table round-trip is lossless vs the in-memory pipeline") {
+    import spark.implicits._
+    import graft.operators.Similarity
+    val rnd = new scala.util.Random(131)
+    val pts = (1L to 50L).map(i => (i, Array.fill(8)(rnd.nextFloat() * 2f - 1f)))
+      .toDF("vec_id", "embedding").localCheckpoint()
+    val queries = pts.where(col("vec_id") % 10 === 0)
+    // one-shot in-memory pipeline (train on ALL rows)
+    val direct = Similarity.ivfPqTopK(queries, pts, "vec_id", "embedding",
+        k = 5, nCoarse = 4, probes = 2, m = 2, ksub = 3, rounds = 2)
+      .collect().map(_.toString).toSeq.sorted
+    // persisted: build on all rows, round-trip through parquet, probe
+    val dirTmp = java.nio.file.Files.createTempDirectory("graft_pq_life").toString
+    val (cent, books, codes) = Similarity.ivfPqIndexBuild(
+      pts, "vec_id", "embedding", nCoarse = 4, m = 2, ksub = 3, rounds = 2)
+    cent.write.parquet(s"$dirTmp/cent"); books.write.parquet(s"$dirTmp/books")
+    graft.sources.Tables.writePartitioned(codes, s"$dirTmp/codes", "cluster")
+    val served = Similarity.ivfPqProbeTopK(queries,
+        spark.read.parquet(s"$dirTmp/cent"), spark.read.parquet(s"$dirTmp/books"),
+        spark.read.parquet(s"$dirTmp/codes"), "vec_id", "embedding",
+        k = 5, probes = 2)
+      .collect().map(_.toString).toSeq.sorted
+    assert(served == direct, s"persisted probe must equal the in-memory pipeline:\n$served\n$direct")
+    // append path: codes for a batch against the frozen models equal the
+    // build-time codes for the same rows (frozen model => same argmins)
+    val appended = Similarity.ivfPqIndexAppend(
+        pts.where(col("vec_id") <= 10), spark.read.parquet(s"$dirTmp/cent"),
+        spark.read.parquet(s"$dirTmp/books"), "vec_id", "embedding")
+      .collect().map(_.toString).toSet
+    val builtSubset = codes.where(col("id") <= 10)
+      .collect().map(_.toString).toSet
+    assert(appended == builtSubset)
+  }
+
+  test("kmeans/quality/IVF broadcast fallback above the plan-literal budget: bit-identical to the literal path") {
+    import spark.implicits._
+    import graft.operators.Similarity
+    // Forcing planLiteralBudget = 0 routes every centroid site (round
+    // assignment, final sizes, quality top-2, IVF probe list) through
+    // the one-broadcast-row array encoding; results must be IDENTICAL
+    // rows — same integers, same struct order, same tie-breaks.
+    val rnd = new scala.util.Random(97)
+    val corpus = (1L to 80L).map(i =>
+      (i, Array.fill(6)(rnd.nextFloat() * 2f - 1f))).toDF("vec_id", "embedding")
+    val queries = (1L to 5L).map(i =>
+      (i * 100, Array.fill(6)(rnd.nextFloat() * 2f - 1f))).toDF("vec_id", "embedding")
+    def all(): (Seq[String], Seq[String], Seq[String]) = (
+      Similarity.kmeansExact(corpus, "vec_id", "embedding", k = 4, rounds = 3)
+        .collect().map(_.toString).toSeq,
+      Similarity.kmeansQuality(corpus, "vec_id", "embedding", k = 4, rounds = 2)
+        .collect().map(_.toString).toSeq,
+      Similarity.ivfExactTopK(queries, corpus, "vec_id", "embedding",
+          k = 3, nCentroids = 4, rounds = 2, probes = 2)
+        .collect().map(_.toString).toSeq)
+    val literal = all()
+    val fallback = Similarity.withPlanLiteralBudget(0L)(all())
+    assert(fallback == literal,
+      s"fallback must match literal path:\n$fallback\n$literal")
+    // and the default budget genuinely keeps small models on the
+    // codegen literal path (k·dim = 24 here)
+    assert(4L * 6L <= Similarity.planLiteralBudget)
+  }
+
+  test("PQ/IVF-PQ budget fallbacks (codebook-in-data + shuffle-join dtab): bit-identical to the literal/broadcast path") {
+    import spark.implicits._
+    import graft.operators.Similarity
+    // Forcing planLiteralBudget = 0 routes the centroid-residual lookup
+    // and the ADC distance-table construction through the broadcast
+    // model-table encodings; forcing broadcastRowBudget = 0 drops the
+    // broadcast hint on every dtab/probe candidate join (shuffle join on
+    // the same keys). Results must be IDENTICAL rows in all four
+    // combinations — same integers, same tie-breaks.
+    val rnd = new scala.util.Random(211)
+    val corpus = (1L to 60L).map(i =>
+      (i, Array.fill(8)(rnd.nextFloat() * 2f - 1f))).toDF("vec_id", "embedding")
+    val queries = (1L to 4L).map(i =>
+      (i * 100, Array.fill(8)(rnd.nextFloat() * 2f - 1f))).toDF("vec_id", "embedding")
+    def all(): Seq[Seq[String]] = {
+      val pq = Similarity.pqTopK(queries, corpus, "vec_id", "embedding",
+          k = 4, m = 2, ksub = 3, rounds = 2)
+        .collect().map(_.toString).toSeq.sorted
+      val ivfpq = Similarity.ivfPqTopK(queries, corpus, "vec_id", "embedding",
+          k = 4, nCoarse = 3, probes = 2, m = 2, ksub = 3, rounds = 2)
+        .collect().map(_.toString).toSeq.sorted
+      val dirTmp = java.nio.file.Files.createTempDirectory("graft_pq_fb").toString
+      val (cent, books, codes) = Similarity.ivfPqIndexBuild(
+        corpus, "vec_id", "embedding", nCoarse = 3, m = 2, ksub = 3, rounds = 2)
+      cent.write.parquet(s"$dirTmp/cent"); books.write.parquet(s"$dirTmp/books")
+      graft.sources.Tables.writePartitioned(codes, s"$dirTmp/codes", "cluster")
+      val served = Similarity.ivfPqProbeTopK(queries,
+          spark.read.parquet(s"$dirTmp/cent"), spark.read.parquet(s"$dirTmp/books"),
+          spark.read.parquet(s"$dirTmp/codes"), "vec_id", "embedding",
+          k = 4, probes = 2)
+        .collect().map(_.toString).toSeq.sorted
+      val appended = Similarity.ivfPqIndexAppend(
+          corpus.where(col("vec_id") <= 10), spark.read.parquet(s"$dirTmp/cent"),
+          spark.read.parquet(s"$dirTmp/books"), "vec_id", "embedding")
+        .collect().map(_.toString).toSeq.sorted
+      Seq(pq, ivfpq, served, appended)
+    }
+    val base = all()
+    val smallPlan = Similarity.withPlanLiteralBudget(0L)(all())
+    assert(smallPlan == base, "codebook-in-data fallback must match literal path")
+    val noBcast = Similarity.withBroadcastRowBudget(0L)(all())
+    assert(noBcast == base, "shuffle-join dtab must match broadcast path")
+    val both = Similarity.withPlanLiteralBudget(0L)(
+      Similarity.withBroadcastRowBudget(0L)(all()))
+    assert(both == base, "combined fallbacks must match")
+    // default budgets keep the tiny gate configs on the fast path:
+    // m·ksub·dsub = 2·3·4 = 24 literals, dtab ≤ |Q|·probes·m·ksub = 48 rows
+    assert(24L <= Similarity.planLiteralBudget && 48L <= Similarity.broadcastRowBudget)
+  }
+
+  test("pqRotatedTopK: Hadamard rotation exact algebra (orthogonal times d), budget fallback parity") {
+    import spark.implicits._
+    import graft.operators.Similarity
+    val dim = 8
+    val hd = Similarity.hadamardSigns(dim, 7L)
+    // rows of H·D are ±1, pairwise orthogonal, self-dot = dim
+    for (i <- 0 until dim; k <- 0 until dim) {
+      val dot = (0 until dim).map(j => hd(i)(j) * hd(k)(j)).sum
+      assert(dot == (if (i == k) dim.toLong else 0L), s"($i,$k) -> $dot")
+    }
+    assert(hd.flatten.forall(v => v == 1L || v == -1L))
+    // rotating integer vectors scales EVERY squared distance by exactly
+    // dim — the rank-preservation argument, checked literally
+    val rnd = new scala.util.Random(13)
+    def rot(x: Array[Long]) = (0 until dim).map(i =>
+      (0 until dim).map(j => hd(i)(j) * x(j)).sum).toArray
+    for (_ <- 1 to 20) {
+      val x = Array.fill(dim)(rnd.nextInt(2000000).toLong - 1000000)
+      val y = Array.fill(dim)(rnd.nextInt(2000000).toLong - 1000000)
+      val d0 = x.zip(y).map { case (a, b) => BigInt(a - b) * (a - b) }.sum
+      val d1 = rot(x).zip(rot(y)).map { case (a, b) => BigInt(a - b) * (a - b) }.sum
+      assert(d1 == d0 * dim)
+    }
+    // full pipeline: default path == everything-through-the-fallbacks
+    // path (rotation matrix, codebooks, dtab all in data/broadcast form)
+    val corpus = (1L to 50L).map(i =>
+      (i, Array.fill(dim)(rnd.nextFloat() * 2f - 1f))).toDF("vec_id", "embedding")
+    val queries = (1L to 4L).map(i =>
+      (i * 100, Array.fill(dim)(rnd.nextFloat() * 2f - 1f))).toDF("vec_id", "embedding")
+    def run(): Seq[String] = Similarity.pqRotatedTopK(queries, corpus,
+        "vec_id", "embedding", k = 5, m = 2, ksub = 3, rounds = 2, seed = 42L)
+      .collect().map(_.toString).toSeq.sorted
+    val base = run()
+    val fb = Similarity.withPlanLiteralBudget(0L)(
+      Similarity.withBroadcastRowBudget(0L)(run()))
+    assert(fb == base, s"fallback must match literal path:\n$fb\n$base")
+    assert(base.nonEmpty && base.length == 4 * 5)
+  }
+
+  test("ivfExactTopK: brute pipeline parity, probe restriction is real (missed far neighbor), deterministic ties") {
+    import spark.implicits._
+    import graft.operators.Similarity
+
+    def lloyd(pts: Seq[(Long, Seq[Long])], k: Int, rounds: Int): Seq[(Int, Seq[Long])] = {
+      var cents: Seq[(Int, Seq[Long])] = pts.sortBy(_._1).take(k)
+        .zipWithIndex.map { case ((_, v), i) => (i + 1, v) }
+      def assign(v: Seq[Long]): Int = cents.minBy { case (c, w) =>
+        (v.zip(w).map { case (a, b) => (a - b) * (a - b) }.sum, c) }._1
+      for (_ <- 1 to rounds) {
+        val g = pts.groupBy(p => assign(p._2))
+        cents = cents.map { case (c, old) =>
+          g.get(c).fold((c, old)) { m =>
+            (c, old.indices.map(d => Math.floorDiv(m.map(_._2(d)).sum, m.size.toLong)))
+          }
+        }
+      }
+      cents
+    }
+    def brute(pts: Seq[(Long, Seq[Long])], qids: Seq[Long], k: Int,
+              nc: Int, rounds: Int, probes: Int): Seq[(Long, Int, Long, Long)] = {
+      val cents = lloyd(pts, nc, rounds)
+      def d2(v: Seq[Long], w: Seq[Long]) =
+        v.zip(w).map { case (a, b) => (a - b) * (a - b) }.sum
+      val asg = pts.map(p => p._1 -> cents.minBy { case (c, w) => (d2(p._2, w), c) }._1).toMap
+      val byId = pts.toMap
+      qids.flatMap { q =>
+        val probe = cents.map { case (c, w) => (d2(byId(q), w), c) }
+          .sorted.take(probes).map(_._2).toSet
+        pts.filter(p => probe(asg(p._1)))
+          .map(p => (p._1, p._2.zip(byId(q)).map { case (a, b) => a * b }.sum))
+          .sortBy { case (nid, dot) => (-dot, nid) }.take(k).zipWithIndex
+          .map { case ((nid, dot), i) => (q, i + 1, nid, dot) }
+      }
+    }
+
+    // seeds (the 3 smallest ids) land one per cluster: A around (10,20),
+    // B around (500,-300), and a lone outlier — clean Lloyd convergence
+    val pts: Seq[(Long, Seq[Long])] =
+      Seq(1L -> Seq(10L, 20L), 2L -> Seq(500L, -300L),
+        3L -> Seq[Long](10000L, 10000L)) ++
+      (4L to 8L).map(i => i -> Seq(7L + i, 20L)) ++
+      (9L to 13L).map(i => i -> Seq(492L + i, -300L))
+    val qids = Seq(3L, 5L, 10L)
+    val df = pts.map { case (id, v) => (id, v.map(_.toFloat).toArray) }
+      .toDF("vec_id", "embedding")
+    val got = Similarity.ivfExactTopK(
+      df.where(col("vec_id").isin(qids: _*)), df, "vec_id", "embedding",
+      k = 4, nCentroids = 3, rounds = 2, probes = 1, quantScale = 1L)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getLong(3)))
+      .sortBy(t => (t._1, t._2)).toSeq
+    val want = brute(pts, qids, k = 4, nc = 3, rounds = 2, probes = 1)
+      .sortBy(t => (t._1, t._2))
+    assert(got == want, s"got $got want $want")
+    // probes = 1 is a REAL restriction: query 5's neighbors all come
+    // from its own cluster A = {1, 4..8}, never the far cluster
+    val q5 = got.filter(_._1 == 5L).map(_._3).toSet
+    assert(q5.nonEmpty && q5.subsetOf(Set(1L) ++ (4L to 8L)))
+    // widening probes to every cluster recovers the brute-force order
+    val full = Similarity.ivfExactTopK(
+      df.where(col("vec_id") === 5L), df, "vec_id", "embedding",
+      k = 13, nCentroids = 3, rounds = 2, probes = 3, quantScale = 1L)
+      .collect().map(r => (r.getLong(2), r.getLong(3))).toSeq
+    val bf = pts.map { case (nid, v) =>
+      (nid, v.zip(pts.toMap.apply(5L)).map { case (a, b) => a * b }.sum) }
+      .sortBy { case (nid, dot) => (-dot, nid) }
+    assert(full == bf)
+  }
+
+  test("kmeansQuality: brute inertia and simplified silhouette parity, on-two-centroids pin, tight-vs-spread ordering") {
+    import spark.implicits._
+    import graft.operators.Similarity
+
+    def lloyd(pts: Seq[(Long, Seq[Long])], k: Int, rounds: Int): Seq[(Int, Seq[Long])] = {
+      var cents: Seq[(Int, Seq[Long])] = pts.sortBy(_._1).take(k)
+        .zipWithIndex.map { case ((_, v), i) => (i + 1, v) }
+      def assign(v: Seq[Long]): Int = cents.minBy { case (c, w) =>
+        (v.zip(w).map { case (x, y) => (x - y) * (x - y) }.sum, c) }._1
+      for (_ <- 1 to rounds) {
+        val g = pts.groupBy(p => assign(p._2))
+        cents = cents.map { case (c, old) =>
+          g.get(c).fold((c, old)) { m =>
+            (c, old.indices.map(d => Math.floorDiv(m.map(_._2(d)).sum, m.size.toLong)))
+          }
+        }
+      }
+      cents
+    }
+    // cluster A tight around (10,10), cluster B spread around (400,-50);
+    // seeds (ids 1, 2) land one per cluster
+    val pts: Seq[(Long, Seq[Long])] =
+      Seq(1L -> Seq(10L, 10L), 2L -> Seq(400L, -50L)) ++
+      (3L to 6L).map(i => i -> Seq(9L + (i % 3), 10L)) ++
+      (7L to 10L).map(i => i -> Seq(360L + 20 * (i - 7), -50L))
+    val df = pts.map { case (id, v) => (id, v.map(_.toFloat).toArray) }
+      .toDF("vec_id", "embedding")
+    val got = Similarity.kmeansQuality(df, "vec_id", "embedding",
+      k = 2, rounds = 2, quantScale = 1L)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getDouble(2), r.getLong(3), r.getDouble(4))).toMap
+
+    val cents = lloyd(pts, 2, 2)
+    def d2(v: Seq[Long], w: Seq[Long]) =
+      v.zip(w).map { case (x, y) => (x - y) * (x - y) }.sum
+    val per = pts.map { case (_, v) =>
+      val ds = cents.map { case (c, w) => (d2(v, w), c.toLong) }.sorted
+      val (dOwn, own) = ds(0); val dNext = ds(1)._1
+      val (sa, sb) = (math.sqrt(dOwn.toDouble), math.sqrt(dNext.toDouble))
+      val sm = if (math.max(sa, sb) > 0)
+        math.round((sb - sa) / math.max(sa, sb) * 1e6) else 0L
+      (own, dOwn, sm)
+    }
+    val want = per.groupBy(_._1).map { case (c, rows) =>
+      c -> (rows.size.toLong, rows.map(_._2).sum.toDouble,
+        rows.map(_._3).sum,
+        rows.map(_._3).sum.toDouble / 1e6 / rows.size.toDouble)
+    }
+    assert(got == want, s"got $got want $want")
+    // the tight cluster separates better than the spread one
+    val tight = got(1L)._4; val spread = got(2L)._4
+    assert(tight > spread && tight > 0.9)
+
+    // duplicate seed vectors collapse to identical centroids: every
+    // point sits on two centroids at once -> silhouette pinned to 0
+    // (zero-max convention), inertia still exact
+    val dup = Similarity.kmeansQuality(
+      Seq((1L, Array(0f, 0f)), (2L, Array(0f, 0f)), (3L, Array(2f, 0f)))
+        .toDF("vec_id", "embedding"),
+      "vec_id", "embedding", k = 2, rounds = 1, quantScale = 1L)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2),
+        r.getLong(3))).toSeq
+    // c1 = c2 = (0,0) after the mean of {(0,0),(0,0),(2,0)} floors to
+    // (0,0)? -> verify against the brute mirror instead of hand numbers
+    val bCents = lloyd(Seq(1L -> Seq(0L, 0L), 2L -> Seq(0L, 0L),
+      3L -> Seq(2L, 0L)), 2, 1)
+    assert(bCents(0)._2 == bCents(1)._2,
+      s"construction sanity: centroids must collide, got $bCents")
+    assert(dup.forall(_._4 == 0L), s"on-two-centroids rows pin to 0: $dup")
+  }
+}
