@@ -1739,4 +1739,105 @@ object Streams {
           out.iterator
       }
   }
+
+  private[streaming] case class QSketchState(
+    openStep: Long, openCells: Vector[(Long, Long)],
+    k: Int, buckets: Vector[(Long, Long)])
+
+  /** Streaming twin of the mergeable quantile sketch
+    * ([[graft.operators.QuantileSketch]]) — the running percentile
+    * monitor: per key the carried state is the SKETCH ITSELF (≤ cap
+    * dyadic buckets + the open step's value cells); each step close
+    * folds the closed step's exact value histogram into the sketch by
+    * the SAME merge the batch operator uses, and emits the requested
+    * percentiles over everything closed so far.
+    *
+    * Because the dyadic sketch's merge is BITWISE equal to a rebuild
+    * (the multiset argument in the batch scaladoc), every emission is
+    * bit-identical to `QuantileSketch.groupSketches` + `quantiles` over
+    * ALL closed steps' values — the strongest streaming/batch parity in
+    * the twin family, and StreamingSpec asserts it per close. State is
+    * ≤ cap sketch buckets + one open step's cells (the cusumStream
+    * contract — a million events inside a step grow the open histogram
+    * by at most its distinct values, and the sketch never exceeds cap).
+    * Late events for closed steps drop. Emits per close
+    * `(key, step, n, k, p_lo...)` with one `p_lo` per requested
+    * percentile (the bucket floor, = the exact quantile when k = 0). */
+  def quantileSketchStream(events: Dataset[(String, Long, Long)],
+                           stepUs: Long, cap: Int, percents: Seq[Int])
+      : Dataset[(String, Long, Long, Int, Seq[Long])] = {
+    require(stepUs >= 1L, s"stepUs must be >= 1, got $stepUs")
+    require(cap >= 2, s"cap must be >= 2, got $cap")
+    require(percents.nonEmpty && percents.forall(p => p >= 1 && p <= 100),
+      s"percents must be in [1, 100], got $percents")
+    import events.sparkSession.implicits._
+    // the batch operator's level rule, replayed on local state: smallest
+    // k >= k0 whose distinct >> buckets fit the cap
+    def coarsen(cells: Map[Long, Long], k0: Int): (Int, Vector[(Long, Long)]) = {
+      var k = k0
+      var cur = cells
+      while (cur.size > cap && k < 63) {
+        k += 1
+        cur = cur.groupBy { case (b, _) => b >> 1 }
+          .map { case (b, m) => b -> m.values.sum }
+      }
+      (k, cur.toVector.sortBy(_._1))
+    }
+    def fold(st: QSketchState): QSketchState = {
+      val k0 = st.k
+      val merged = scala.collection.mutable.Map.empty[Long, Long]
+      st.buckets.foreach { case (b, c) => merged(b) = merged.getOrElse(b, 0L) + c }
+      st.openCells.foreach { case (v, c) =>
+        val b = v >> k0
+        merged(b) = merged.getOrElse(b, 0L) + c
+      }
+      val (k2, bs) = coarsen(merged.toMap, k0)
+      QSketchState(st.openStep, Vector.empty, k2, bs)
+    }
+    def read(k: Int, bs: Vector[(Long, Long)]): (Long, Seq[Long]) = {
+      val n = bs.map(_._2).sum
+      val qs = percents.map { p =>
+        var cum = 0L; var out = 0L; var done = false
+        bs.foreach { case (b, c) =>
+          cum += c
+          if (!done && cum * 100 >= p.toLong * n) { out = b << k; done = true }
+        }
+        out
+      }
+      (n, qs)
+    }
+    events
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[QSketchState,
+        (String, Long, Long, Int, Seq[Long])](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (key, it, state: GroupState[QSketchState]) =>
+          val out = scala.collection.mutable.ArrayBuffer
+            .empty[(String, Long, Long, Int, Seq[Long])]
+          var st = state.getOption.getOrElse(
+            QSketchState(Long.MinValue, Vector.empty, 0, Vector.empty))
+          val cells = scala.collection.mutable.Map.empty[Long, Long]
+          st.openCells.foreach { case (v, c) => cells(v) = c }
+          def close(): Unit = {
+            val folded = fold(st.copy(openCells = cells.toVector))
+            val (n, qs) = read(folded.k, folded.buckets)
+            out += ((key, st.openStep, n, folded.k, qs))
+            cells.clear()
+            st = folded
+          }
+          it.toSeq.sortBy(_._2).foreach { case (_, us, v) =>
+            val h = Math.floorDiv(us, stepUs)
+            if (st.openStep == Long.MinValue) {
+              st = st.copy(openStep = h); cells(v) = 1L
+            } else if (h == st.openStep)
+              cells(v) = cells.getOrElse(v, 0L) + 1L
+            else if (h > st.openStep) {
+              if (cells.nonEmpty) close()
+              st = st.copy(openStep = h); cells(v) = 1L
+            } // h < open: late for a closed step — dropped
+          }
+          state.update(st.copy(openCells = cells.toVector))
+          out.iterator
+      }
+  }
 }

@@ -1061,6 +1061,59 @@ class StreamingSpec extends SparkSuite {
     } finally q.stop()
   }
 
+  test("quantileSketchStream: every close bit-equals the batch sketch over all closed values, state bounded by the cap") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val dayUs = 86400000000L
+    def at(d: Long, i: Long): Long = d * dayUs + i * 1000L
+    val rnd = new scala.util.Random(97)
+    // wide-range values so the 16-bucket cap forces real coarsening as
+    // days accumulate; two keys with different spreads
+    val days = (1L to 12L)
+    val evts = days.flatMap { d =>
+      (1 to 40).map(i => ("w", at(d, i.toLong),
+        math.abs(rnd.nextLong()) % (1L << (10 + d.toInt)))) ++
+        (1 to 40).map(i => ("n", at(d, i.toLong), rnd.nextInt(50).toLong))
+    }
+    val sentinel = Seq(("w", at(13L, 0), 1L), ("n", at(13L, 0), 1L))
+    val cap = 16
+    val input = MemoryStream[(String, Long, Long)]
+    val out = Streams.quantileSketchStream(input.toDS(), stepUs = dayUs,
+      cap = cap, percents = Seq(50, 90, 99))
+    val q = out.toDF("k", "step", "n", "lvl", "qs")
+      .writeStream.outputMode("append").format("memory").queryName("qsk").start()
+    try {
+      input.addData(evts: _*); q.processAllAvailable()
+      input.addData(sentinel: _*); q.processAllAvailable()
+      val rows = spark.table("qsk").collect()
+        .map(r => (r.getString(0), r.getLong(1)) ->
+          ((r.getLong(2), r.getInt(3), r.getSeq[Long](4).toList))).toMap
+      // per close: bit-equality with the batch sketch rebuilt over ALL
+      // values closed so far (the merge == rebuild property, live)
+      for (key <- Seq("w", "n"); d <- days) {
+        val closed = evts.filter(e => e._1 == key && e._2 < at(d + 1, 0))
+          .map(e => (key, e._3))
+        val sk = graft.operators.QuantileSketch.groupSketches(
+          closed.toDF("g", "v"), "g", col("v"), cap = cap)
+        val kBatch = sk.select(max(col("k"))).collect()(0).getInt(0)
+        val qBatch = graft.operators.QuantileSketch.quantiles(
+            sk, "g", Seq(50, 90, 99)).collect()
+          .map(r => r.getInt(1) -> r.getLong(2)).toMap
+        val (n, lvl, qs) = rows((key, d))
+        assert(n == closed.size.toLong, s"$key day $d n")
+        assert(lvl == kBatch, s"$key day $d level $lvl vs $kBatch")
+        assert(qs == List(qBatch(50), qBatch(90), qBatch(99)),
+          s"$key day $d: $qs vs $qBatch")
+      }
+      // narrow key never coarsens (50 distinct values > cap=16 -> it DOES
+      // coarsen; assert only the bound); wide key provably coarsened
+      assert(rows(("w", 12L))._2 > 0, "wide key must coarsen")
+      // bounded state: every emission's sketch fits the cap by construction
+      // (read back through the batch equality above); spot-check level sanity
+      assert(rows(("w", 12L))._2 <= 63 && rows(("n", 12L))._2 <= 63)
+    } finally q.stop()
+  }
+
   test("adwinStream maxSteps horizon: bit-equal under the cap, flat-series state bounded, age-out never alarms") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
