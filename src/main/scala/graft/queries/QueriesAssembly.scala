@@ -177,8 +177,9 @@ private[graft] trait QueriesAssembly { this: SparkEntry.type =>
         // token counts computed IN THE SCAN: only metadata rides the
         // per-domain exchange and sort — document bodies never shuffle
         // (the operator's own scale note; q56 does the same at its scan)
-        Tables.documents(s, dir).select(col("doc_id"), col("source"), col("n_chars"),
-          Text.tokenCount(col("text")).as("n_toks")),
+        graft.operators.Enrich.enrichedDocuments(s, dir)
+          .select(col("doc_id"), col("source"), col("n_chars"),
+            col("n_tokens").as("n_toks")),
         domainCol = "source", idCol = "doc_id",
         scoreCol = col("n_chars"), tokensCol = col("n_toks"),
         budget = 700L)
@@ -312,8 +313,9 @@ private[graft] trait QueriesAssembly { this: SparkEntry.type =>
     * across shards with zero global coordination — each worker packs its
     * own slice; token counts ride from the scan (bodies never shuffle). */
   protected def q134(s: SparkSession, dir: String): DataFrame = {
-    val sharded = Tables.documents(s, dir).select(col("doc_id"),
-      Text.tokenCount(col("text")).cast("long").as("n_toks"),
+    val sharded = graft.operators.Enrich.enrichedDocuments(s, dir)
+      .select(col("doc_id"),
+      col("n_tokens").as("n_toks"),
       graft.operators.Sampling.shardCol(col("doc_id"), 8, "q134").cast("long").as("shard"),
       conv(substring(md5(concat(lit("q134:"), col("doc_id").cast("string"))), 1, 15),
         16, 10).cast("long").as("_skey"))
@@ -421,11 +423,10 @@ private[graft] trait QueriesAssembly { this: SparkEntry.type =>
     * ([[graft.operators.Skyline.paretoFront2D]]). The oracle IS the
     * quadratic NOT EXISTS — mechanism vs semantics, like q182. */
   protected def q183(s: SparkSession, dir: String): DataFrame = {
-    val stop = Text.langMarkers.toMap.apply("en")
     graft.operators.Skyline.paretoFront2D(
-        Tables.documents(s, dir)
+        graft.operators.Enrich.enrichedDocuments(s, dir)
           .select(col("doc_id"), col("n_chars"),
-            floor(Text.qualityScore(col("text"), stop) * lit(1e6)).as("qu")),
+            col("quality_micro").as("qu")),
         "doc_id", xCol = col("n_chars"), yCol = col("qu"),
         bucketOf = v => shiftright(v, 6))
       .orderBy(col("x"), col("doc_id"))
@@ -532,12 +533,10 @@ private[graft] trait QueriesAssembly { this: SparkEntry.type =>
     * order-statistic interval over B = 40 replicates
     * ([[graft.operators.Sampling.poissonBootstrapCi]]). */
   protected def q252(s: SparkSession, dir: String): DataFrame = {
-    val stop = Text.langMarkers.toMap.apply("en")
     graft.operators.Sampling.poissonBootstrapCi(
-      Tables.documents(s, dir)
+      graft.operators.Enrich.enrichedDocuments(s, dir)
         .select(col("lang"), col("doc_id"),
-          floor(Text.qualityScore(col("text"), stop) * lit(1e6))
-            .cast("long").as("qu")),
+          col("quality_micro").as("qu")),
       groupCol = "lang", idCol = col("doc_id"), valueCol = col("qu"),
       b = 40, alphaPct = 10)
   }

@@ -702,8 +702,8 @@ private[graft] trait QueriesCore { this: SparkEntry.type =>
     * ([[graft.operators.Ranking.weightedQuantilesPerGroup]]). */
   protected def q166(s: SparkSession, dir: String): DataFrame =
     graft.operators.Ranking.weightedQuantilesPerGroup(
-        Tables.documents(s, dir).select(col("source"), col("n_chars"),
-          Text.tokenCount(col("text")).cast("long").as("w")),
+        graft.operators.Enrich.enrichedDocuments(s, dir)
+          .select(col("source"), col("n_chars"), col("n_tokens").as("w")),
         "source", "n_chars", "w",
         subBucket = expr("n_chars DIV 64"),
         ps = Seq((1L, 2L), (9L, 10L)))
