@@ -322,6 +322,7 @@ object SparkEntry extends QueriesCore with QueriesDataflow with QueriesDedup wit
     "q261_enrich_lifecycle" -> q261,
     "q262_quantile_sketch" -> q262,
     "q263_durbin" -> q263,
+    "q264_hitter_lifecycle" -> q264,
   )
 
   /** Round count for the parameterized BPE lifecycle (q163/q164) — read

@@ -616,6 +616,38 @@ private[graft] trait QueriesCore { this: SparkEntry.type =>
   }
 
 
+  /** Mergeable HEAVY-HITTER summary lifecycle (the frequency member of
+    * the sketch trio, on q133/q262's persisted-model contract): top-10
+    * words per language, summaries built on 80% of the corpus,
+    * persisted bucketed, the batch absorbed by MERGING SUMMARIES ONLY.
+    * Run in the exact regime (cap ≥ per-group distinct — the q38
+    * capacity doctrine), where merge ≡ rebuild with exact counts, so
+    * the gate is HASH-CHECKED against the exact SQL top-k; the
+    * approximate regime's [lo, up] bracket is spec'd
+    * ([[graft.operators.HitterSketch]]). */
+  protected def q264(s: SparkSession, dir: String): DataFrame = {
+    val toks = Tables.documents(s, dir)
+      .select(col("doc_id"), col("lang"),
+        explode(Text.tokens(col("text"))).as("w"))
+    val base = toks.where(col("doc_id") % 5 =!= 0)
+    val batch = toks.where(col("doc_id") % 5 === 0)
+    val sketchTable = "graft_q264_hitter_sketch_" +
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(dir.getBytes("UTF-8")).take(4).map("%02x".format(_)).mkString
+    Tables.writeBucketed(
+      graft.operators.HitterSketch.groupHitters(base, "lang", "w", cap = 4096),
+      sketchTable, buckets = 4, "lang")
+    graft.operators.HitterSketch.topK(
+        graft.operators.HitterSketch.mergeHitters(
+          s.table(sketchTable),
+          graft.operators.HitterSketch.groupHitters(batch, "lang", "w",
+            cap = 4096),
+          "lang", cap = 4096),
+        "lang", k = 10)
+      .orderBy(col("lang"), col("rank"))
+  }
+
+
   /** Range-clustered sorted export round-trip: orders written as
     * `range=year/` directories, rows in (o_orderdate, o_orderkey) order
     * inside ([[graft.sources.Tables.writeSortedRange]] — deterministic
@@ -924,6 +956,19 @@ private[graft] trait QueriesCore { this: SparkEntry.type =>
              CAST(sum(price_c) AS BIGINT) AS sum_price_c
            FROM o JOIN customer ON k = c_custkey
            GROUP BY c_mktsegment ORDER BY c_mktsegment""",
+
+      // heavy-hitter lifecycle in the exact regime: merge == rebuild with
+      // exact counts, so the gate is the exact per-language top-10
+      "q264_hitter_lifecycle" ->
+        s"""WITH t AS (SELECT lang, unnest($toks) AS w FROM documents),
+           c AS (SELECT lang, w, CAST(count(*) AS BIGINT) AS cnt
+                 FROM t GROUP BY 1, 2),
+           r AS (SELECT lang, w, cnt,
+                   CAST(row_number() OVER (PARTITION BY lang
+                     ORDER BY cnt DESC, w ASC) AS BIGINT) AS rank
+                 FROM c)
+           SELECT lang, rank, w AS key, cnt AS cnt_lo, cnt AS cnt_up
+           FROM r WHERE rank <= 10 ORDER BY lang, rank""",
 
       "q38_topk_sketch" ->
         """SELECT word, cnt FROM (
