@@ -323,6 +323,7 @@ object SparkEntry extends QueriesCore with QueriesDataflow with QueriesDedup wit
     "q262_quantile_sketch" -> q262,
     "q263_durbin" -> q263,
     "q264_hitter_lifecycle" -> q264,
+    "q265_enrich_refresh" -> q265,
   )
 
   /** Round count for the parameterized BPE lifecycle (q163/q164) — read

@@ -86,6 +86,31 @@ object Enrich {
     scoreDocuments(batch, markers, stopwords)
   }
 
+  /** [[scoreDocuments]] stamped with the scorer MODEL VERSION — the
+    * column the selective-refresh lifecycle keys on. */
+  def scoreVersioned(docs: DataFrame, model: DataFrame,
+                     version: Int): DataFrame =
+    scoreAgainstModel(docs, model).withColumn("scorer_version", lit(version))
+
+  /** Selective REFRESH after a scorer rollout — the versioned face of
+    * the lifecycle: rows already scored by the CURRENT model version
+    * pass through untouched; only STALE rows (older scorer versions)
+    * re-score, through the persisted current model. At 100 TB this is
+    * the difference between a scorer upgrade costing one filtered
+    * re-score of the stale fraction (a doc_id semi-join that pushes
+    * into the corpus scan) and re-reading the whole archive. The
+    * scorer is deterministic, so a refreshed table is BITWISE equal to
+    * a from-scratch rebuild under the current model (spec'd). */
+  def refreshStale(enriched: DataFrame, docs: DataFrame, model: DataFrame,
+                   currentVersion: Int): DataFrame = {
+    val fresh = enriched.where(col("scorer_version") === currentVersion)
+    val staleIds = enriched.where(col("scorer_version") =!= currentVersion)
+      .select(col("doc_id"))
+    val rescored = scoreVersioned(
+      docs.join(staleIds, Seq("doc_id"), "left_semi"), model, currentVersion)
+    fresh.unionByName(rescored)
+  }
+
   // ---------------------------------------------------------------------
   // Shared memoized enrichment — the build-once/consume-many entry point
   // ---------------------------------------------------------------------

@@ -513,6 +513,39 @@ private[graft] trait QueriesText { this: SparkEntry.type =>
   }
 
 
+  /** Selective enrichment REFRESH after a scorer rollout (the versioned
+    * face of q261's lifecycle): a mixed table where 2/3 of the corpus
+    * still carries v1 scores and 1/3 already carries v2 (v2 extends the
+    * stopword list) is refreshed against the PERSISTED v2 model — only
+    * the stale rows re-score (a doc_id semi-join into the corpus scan),
+    * and the result is bitwise a full v2 rebuild
+    * ([[graft.operators.Enrich.refreshStale]]). The oracle recomputes
+    * every document under the v2 scorer. */
+  protected def q265(s: SparkSession, dir: String): DataFrame = {
+    val suffix = lifecycleScratchSuffix(s, "q265", dir)
+    val docs = Tables.documents(s, dir)
+    val stopV2 = Text.langMarkers.toMap.apply("en") ++ Seq("for", "it")
+    val modelV2Table = s"graft_q265_scorer_v2_$suffix"
+    Tables.saveTable(
+      graft.operators.Enrich.scorerModel(s, stopwords = stopV2), modelV2Table)
+    val enrichedPath = s"/tmp/graft_q265_enriched_$suffix"
+    graft.operators.Enrich.scoreVersioned(
+        docs.where(col("doc_id") % 3 =!= 0),
+        graft.operators.Enrich.scorerModel(s), 1)
+      .unionByName(graft.operators.Enrich.scoreVersioned(
+        docs.where(col("doc_id") % 3 === 0), s.table(modelV2Table), 2))
+      .write.mode("overwrite").parquet(enrichedPath)
+    graft.operators.Enrich.refreshStale(
+        s.read.parquet(enrichedPath), docs, s.table(modelV2Table),
+        currentVersion = 2)
+      .groupBy(col("langid"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("quality_micro")).as("sum_quality_micro"),
+        min(col("scorer_version")).cast("long").as("min_version"))
+      .orderBy(col("langid"))
+  }
+
+
   /** KEYNESS of even- vs odd-id document halves — per-term add-½
     * log-odds in micro-nats, top-20 by |score|: WHAT changed between
     * two corpora, one level finer than q153's corpus-level divergence
@@ -577,6 +610,45 @@ private[graft] trait QueriesText { this: SparkEntry.type =>
              CAST(sum(nt) AS BIGINT) AS sum_tokens,
              CAST(sum(nc) AS BIGINT) AS sum_chars
            FROM enr GROUP BY langid, lang ORDER BY langid, lang""",
+
+      // scorer-rollout refresh: every document recomputed under the v2
+      // scorer (stopword list extended by 'for','it'); langid unaffected
+      // (markers unchanged), min_version pinned to 2
+      "q265_enrich_refresh" ->
+        s"""WITH langs AS (
+             SELECT * FROM (VALUES
+               ('de', ['der','die','das','und','ist','nicht','ein','mit']),
+               ('en', ['the','a','of','and','is','to','in','that']),
+               ('es', ['el','la','de','que','y','es','en','un']),
+               ('fr', ['le','la','les','de','et','est','un','une']),
+               ('zh', ['de','shi','bu','le','zai','you','wo','ta'])) l(lang, words)),
+           scores AS (
+             SELECT doc_id, langs.lang AS cand,
+               len(list_filter($toks, t -> list_contains(words, t))) AS hits
+             FROM documents CROSS JOIN langs),
+           best AS (
+             SELECT doc_id, cand, hits,
+               row_number() OVER (PARTITION BY doc_id
+                 ORDER BY hits DESC, cand ASC) AS rn
+             FROM scores),
+           lid AS (SELECT doc_id,
+               CASE WHEN hits > 0 THEN cand ELSE 'und' END AS langid
+             FROM best WHERE rn = 1),
+           qv2 AS (SELECT doc_id,
+               CAST(floor(least(greatest(
+                 least(CAST(length(text) AS DOUBLE) / 200.0, 1.0) * 0.4
+                 + (1.0 - CAST(len(regexp_extract_all(text, '[^A-Za-z0-9\\s]')) AS DOUBLE)
+                     / greatest(CAST(length(text) AS DOUBLE), 1.0)) * 0.3
+                 + least(CAST(len(list_filter($toks, t -> list_contains(
+                       ['the','a','of','and','is','to','in','that','for','it'], t))) AS DOUBLE)
+                     / greatest(CAST(len($toks) AS DOUBLE), 1.0) * 5.0, 1.0) * 0.3,
+                 0.0), 1.0) * 1e6) AS BIGINT) AS qm
+             FROM documents)
+           SELECT lid.langid, CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(sum(qm) AS BIGINT) AS sum_quality_micro,
+             CAST(2 AS BIGINT) AS min_version
+           FROM documents d JOIN lid USING (doc_id) JOIN qv2 USING (doc_id)
+           GROUP BY lid.langid ORDER BY lid.langid""",
 
       "q23_langid" ->
         s"""WITH langs AS (

@@ -73,6 +73,31 @@ class EnrichSpec extends SparkSuite {
     assert(union.toSeq == full.toSeq)
   }
 
+  test("refreshStale re-scores only stale rows and lands bitwise on a full current-version rebuild") {
+    val stopV2 = Text.langMarkers.toMap.apply("en") ++ Seq("for", "it")
+    val v1 = Enrich.scorerModel(spark)
+    val v2 = Enrich.scorerModel(spark, stopwords = stopV2)
+    // mixed table: ids % 3 != 0 still carry v1 scores, the rest v2
+    val mixed = Enrich.scoreVersioned(corpus.where(col("doc_id") % 3 =!= 0), v1, 1)
+      .unionByName(Enrich.scoreVersioned(corpus.where(col("doc_id") % 3 === 0), v2, 2))
+    val refreshed = Enrich.refreshStale(mixed, corpus, v2, currentVersion = 2)
+      .orderBy("doc_id").collect().map(_.toString)
+    val rebuilt = Enrich.scoreVersioned(corpus, v2, 2)
+      .orderBy("doc_id").collect().map(_.toString)
+    assert(refreshed.toSeq == rebuilt.toSeq,
+      "refresh must equal a from-scratch current-version rebuild")
+    // an all-current table passes through bit-identically
+    val allV2 = Enrich.scoreVersioned(corpus, v2, 2)
+    val noop = Enrich.refreshStale(allV2, corpus, v2, currentVersion = 2)
+      .orderBy("doc_id").collect().map(_.toString)
+    assert(noop.toSeq == rebuilt.toSeq)
+    // and the stale branch is genuinely selective: only stale doc_ids
+    // reach the re-scorer (the semi-join keeps the v2 third out)
+    val stale = mixed.where(col("scorer_version") =!= 2).select(col("doc_id"))
+    val rescored = corpus.join(stale, Seq("doc_id"), "left_semi")
+    assert(rescored.count() == corpus.where(col("doc_id") % 3 =!= 0).count())
+  }
+
   test("enrichedDocuments memoizes: the same persisted path serves repeated consumers") {
     val a = Enrich.enrichedDocuments(spark, sf0001)
     val b = Enrich.enrichedDocuments(spark, sf0001)
