@@ -830,6 +830,30 @@ object Similarity {
       .orderBy(col(idCol))
   }
 
+  /** [[semDedup]] in the paper's SCALE regime made first-class: k is
+    * derived from a TARGET CLUSTER SIZE (k = ⌈n / target⌉), so the
+    * within-cluster candidate pairs stay ≈ n·target/2 — LINEAR in the
+    * corpus, where a fixed k (the q249 gate's oracle-tractable config)
+    * grows them n²/k (the measured 11× at the 10× smoke). The count
+    * probe is one exact count (a model-sized driver value — the
+    * trainLloyd contract). Honest cost note: with k ∝ n the Lloyd
+    * ASSIGNMENT term becomes n·k = n²/target per round — at extreme
+    * scale the linear path is LSH pre-blocking (the q106 shape) or a
+    * coarse→fine hierarchical assignment; within a partition-sized
+    * shard (the regime this engine clusters in) n·k with small rounds
+    * is the paper's own cost and the pair join no longer dominates. */
+  def semDedupAutoK(corpus: DataFrame, idCol: String, vecCol: String,
+                    targetClusterSize: Int, rounds: Int, threshold: Double,
+                    quantScale: Long = 1000000L): DataFrame = {
+    require(targetClusterSize >= 2,
+      s"targetClusterSize must be >= 2, got $targetClusterSize")
+    val n = corpus.count()
+    val k = math.max(1L,
+      (n + targetClusterSize - 1) / targetClusterSize).toInt
+    semDedup(corpus, idCol, vecCol, k = k, rounds = rounds,
+      threshold = threshold, quantScale = quantScale)
+  }
+
   /** IVF ANN with an EXACT gate, end to end — [[buildIvfIndex]]'s shape
     * (train centroids → bucket the corpus → probe a few buckets per
     * query → exact re-rank) rebuilt on [[kmeansExact]]'s integer

@@ -1,0 +1,38 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+
+/** Scale evidence for [[graft.operators.Similarity.semDedupAutoK]] — the
+  * k ∝ n regime: times the auto-k run on each given embeddings dir and
+  * prints one JSON line per dir, so the sf0.1 → sf1 ratio shows the
+  * near-linear pair work the fixed-k gate config cannot (PLANS.md
+  * round-11 smoke: fixed k=8 measured 11× at 10× data; this is the
+  * production answer).
+  *
+  * Usage: runMain graft.tools.SemDedupScale <sfDir> [<sfDir> ...]
+  */
+object SemDedupScale {
+  def main(args: Array[String]): Unit = {
+    require(args.nonEmpty, "usage: SemDedupScale <sfDir> [...]")
+    val spark = SparkSession.builder().master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    args.foreach { dir =>
+      val emb = graft.sources.Tables.embeddings(spark, dir)
+      val n = emb.count()
+      // warm the input cache path once, then time steady-state
+      def run(): Long = graft.operators.Similarity.semDedupAutoK(
+        emb, "vec_id", "embedding", targetClusterSize = 256,
+        rounds = 2, threshold = 0.3).count()
+      run()
+      val t0 = System.nanoTime()
+      val survivors = run()
+      val sec = (System.nanoTime() - t0) / 1e9
+      val k = math.max(1L, (n + 255) / 256)
+      println(f"""{"dir":"$dir","n":$n,"k":$k,"survivors":$survivors,"sec":$sec%.2f}""")
+    }
+    spark.stop()
+  }
+}

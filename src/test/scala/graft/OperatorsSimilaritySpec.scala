@@ -1147,4 +1147,26 @@ class OperatorsSimilaritySpec extends SparkSuite {
       s"construction sanity: centroids must collide, got $bCents")
     assert(dup.forall(_._4 == 0L), s"on-two-centroids rows pin to 0: $dup")
   }
+
+  test("semDedupAutoK: target-cluster-size regime delegates exactly, k = ceil(n/target)") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(71)
+    val vecs = (1L to 300L).map(i =>
+      (i, Array.fill(8)(rnd.nextGaussian().toFloat))).toDF("vec_id", "embedding")
+    val auto = Similarity.semDedupAutoK(vecs, "vec_id", "embedding",
+        targetClusterSize = 40, rounds = 2, threshold = 0.3)
+      .collect().map(_.toString)
+    // 300 / 40 -> k = 8: the auto path must be bitwise the fixed-k path
+    val fixed = Similarity.semDedup(vecs, "vec_id", "embedding",
+        k = 8, rounds = 2, threshold = 0.3)
+      .collect().map(_.toString)
+    assert(auto.toSeq == fixed.toSeq)
+    // pair work stays ~ n*target/2: every cluster the auto run produced
+    // is bounded well below the corpus (no single mega-cluster blowup on
+    // this isotropic data)
+    val sizes = Similarity.semDedupAutoK(vecs, "vec_id", "embedding",
+        targetClusterSize = 40, rounds = 2, threshold = 2.0) // keep all
+      .groupBy("cluster").count().collect().map(_.getLong(1))
+    assert(sizes.length == 8 && sizes.sum == 300L)
+  }
 }
