@@ -1740,6 +1740,93 @@ object Streams {
       }
   }
 
+  private[streaming] case class HitterState(
+    openStep: Long, openCells: Vector[(String, Long)],
+    thr: Long, rows: Vector[(String, Long, Long)])
+
+  /** Streaming twin of the mergeable heavy-hitter summary
+    * ([[graft.operators.HitterSketch]]) — the running top-k monitor:
+    * per series key the carried state is the canonical summary itself
+    * (≤ cap `(item, lo, up)` rows + the threshold + the open step's
+    * exact item counts); each step close canonicalizes the closed
+    * step's exact histogram (top-cap by count desc/item asc, thr =
+    * largest dropped count) and merges it into the carried summary by
+    * the batch operator's EXACT rule, emitting the current top-k with
+    * its [lo, up] bracket.
+    *
+    * In the exact regime (cap ≥ distinct items at every step — the q38
+    * capacity doctrine) every emission is BIT-IDENTICAL to
+    * `HitterSketch.topK(groupHitters(...))` over all closed values —
+    * StreamingSpec asserts it per close; in the approximate regime the
+    * carried thresholds add per step and true counts stay inside
+    * [lo, up] by the batch merge's induction. State is ≤ cap summary
+    * rows + one open step's distinct items. Late events for closed
+    * steps drop. Emits per close `(key, step, rank, item, cnt_lo,
+    * cnt_up)` for ranks 1..k by (lo desc, item asc). */
+  def hitterStream(events: Dataset[(String, Long, String)], stepUs: Long,
+                   cap: Int, k: Int)
+      : Dataset[(String, Long, Long, String, Long, Long)] = {
+    require(stepUs >= 1L, s"stepUs must be >= 1, got $stepUs")
+    require(cap >= 1 && k >= 1 && k <= cap, s"bad cap=$cap k=$k")
+    import events.sparkSession.implicits._
+    // the batch build's canonical summary of one exact histogram
+    def canon(cells: Map[String, Long]): (Vector[(String, Long, Long)], Long) = {
+      val sorted = cells.toVector.sortBy { case (w, c) => (-c, w) }
+      val kept = sorted.take(cap).map { case (w, c) => (w, c, c) }
+      val thr = if (sorted.length > cap) sorted(cap)._2 else 0L
+      (kept, thr)
+    }
+    // the batch merge rule: brackets add, absent sides bounded by thr
+    def merge(a: (Vector[(String, Long, Long)], Long),
+              b: (Vector[(String, Long, Long)], Long))
+        : (Vector[(String, Long, Long)], Long) = {
+      val (ra, ta) = a; val (rb, tb) = b
+      val ma = ra.map(r => r._1 -> ((r._2, r._3))).toMap
+      val mb = rb.map(r => r._1 -> ((r._2, r._3))).toMap
+      val merged = (ma.keySet ++ mb.keySet).toVector.map { w =>
+        val (loA, upA) = ma.getOrElse(w, (0L, ta))
+        val (loB, upB) = mb.getOrElse(w, (0L, tb))
+        (w, loA + loB, upA + upB)
+      }
+      (merged.sortBy { case (w, lo, up) => (-up, -lo, w) }.take(cap),
+        ta + tb)
+    }
+    events
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[HitterState,
+        (String, Long, Long, String, Long, Long)](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (key, it, state: GroupState[HitterState]) =>
+          val out = scala.collection.mutable.ArrayBuffer
+            .empty[(String, Long, Long, String, Long, Long)]
+          var st = state.getOption.getOrElse(
+            HitterState(Long.MinValue, Vector.empty, 0L, Vector.empty))
+          val cells = scala.collection.mutable.Map.empty[String, Long]
+          st.openCells.foreach { case (w, c) => cells(w) = c }
+          def close(): Unit = {
+            val (rows, thr) = merge((st.rows, st.thr), canon(cells.toMap))
+            rows.sortBy { case (w, lo, _) => (-lo, w) }.take(k)
+              .zipWithIndex.foreach { case ((w, lo, up), i) =>
+                out += ((key, st.openStep, i + 1L, w, lo, up)) }
+            cells.clear()
+            st = HitterState(st.openStep, Vector.empty, thr, rows)
+          }
+          it.toSeq.sortBy(_._2).foreach { case (_, us, w) =>
+            val h = Math.floorDiv(us, stepUs)
+            if (st.openStep == Long.MinValue) {
+              st = st.copy(openStep = h); cells(w) = 1L
+            } else if (h == st.openStep)
+              cells(w) = cells.getOrElse(w, 0L) + 1L
+            else if (h > st.openStep) {
+              if (cells.nonEmpty) close()
+              st = st.copy(openStep = h); cells(w) = 1L
+            } // h < open: late for a closed step — dropped
+          }
+          state.update(st.copy(openCells = cells.toVector))
+          out.iterator
+      }
+  }
+
   private[streaming] case class QSketchState(
     openStep: Long, openCells: Vector[(Long, Long)],
     k: Int, buckets: Vector[(Long, Long)])

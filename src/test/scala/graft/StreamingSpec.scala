@@ -1061,6 +1061,57 @@ class StreamingSpec extends SparkSuite {
     } finally q.stop()
   }
 
+  test("hitterStream: exact-regime closes bit-equal the batch summary top-k; approximate brackets hold") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val dayUs = 86400000000L
+    def at(d: Long, i: Long): Long = d * dayUs + i * 1000L
+    val rnd = new scala.util.Random(29)
+    val days = (1L to 8L)
+    // skewed item draws; ~20 distinct items
+    val evts = days.flatMap { d =>
+      (1 to 60).map(i => ("t", at(d, i.toLong),
+        s"w${(math.sqrt(rnd.nextInt(400).toDouble)).toInt}"))
+    }
+    val sentinel = Seq(("t", at(9L, 0), "w0"))
+    def run(name: String, cap: Int): Map[(Long, Long), (String, Long, Long)] = {
+      val input = MemoryStream[(String, Long, String)]
+      val out = Streams.hitterStream(input.toDS(), stepUs = dayUs, cap = cap, k = 3)
+      val q = out.toDF("k", "step", "rank", "item", "lo", "up")
+        .writeStream.outputMode("append").format("memory").queryName(name).start()
+      try {
+        input.addData(evts: _*); q.processAllAvailable()
+        input.addData(sentinel: _*); q.processAllAvailable()
+        spark.table(name).collect()
+          .map(r => (r.getLong(1), r.getLong(2)) ->
+            ((r.getString(3), r.getLong(4), r.getLong(5)))).toMap
+      } finally q.stop()
+    }
+    // exact regime: cap 64 >= cumulative distinct — every close must
+    // bit-equal the batch summary's top-k over all closed values
+    val exact = run("hit_exact", 64)
+    for (d <- days) {
+      val closed = evts.filter(_._2 < at(d + 1, 0)).map(e => ("t", e._3))
+      val batch = graft.operators.HitterSketch.topK(
+          graft.operators.HitterSketch.groupHitters(
+            closed.toDF("g", "w"), "g", "w", cap = 64), "g", k = 3)
+        .collect().map(r => r.getLong(1) ->
+          ((r.getString(2), r.getLong(3), r.getLong(4)))).toMap
+      for (rk <- 1L to 3L)
+        assert(exact((d, rk)) == batch(rk), s"day $d rank $rk: ${exact((d, rk))} vs ${batch(rk)}")
+    }
+    // approximate regime (cap 5 << distinct): brackets cover the truth
+    val approx = run("hit_approx", 5)
+    val trueCounts = evts.groupBy(_._3).view.mapValues(_.size.toLong).toMap
+    approx.filter(_._1._1 == days.last).foreach { case ((_, _), (w, lo, up)) =>
+      val t = trueCounts(w)
+      assert(lo <= t && t <= up, s"$w: true $t outside [$lo, $up]")
+    }
+    // the dominant item (the sqrt draw's mode) holds rank 1 at the end
+    val wantTop = trueCounts.toSeq.maxBy { case (w, c) => (c, w) }._1
+    assert(approx((days.last, 1L))._1 == wantTop)
+  }
+
   test("quantileSketchStream: every close bit-equals the batch sketch over all closed values, state bounded by the cap") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
