@@ -324,6 +324,7 @@ object SparkEntry extends QueriesCore with QueriesDataflow with QueriesDedup wit
     "q263_durbin" -> q263,
     "q264_hitter_lifecycle" -> q264,
     "q265_enrich_refresh" -> q265,
+    "q266_cardinality_lifecycle" -> q266,
   )
 
   /** Round count for the parameterized BPE lifecycle (q163/q164) — read

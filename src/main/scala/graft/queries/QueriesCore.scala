@@ -616,6 +616,36 @@ private[graft] trait QueriesCore { this: SparkEntry.type =>
   }
 
 
+  /** Mergeable CARDINALITY lifecycle with a DETERMINISTIC bitmap state
+    * (linear counting) — the distinct-count story UPGRADED from q133's
+    * rows-only HLL to a fully HASH-GATED lifecycle: per-event-type
+    * distinct users, bitmaps built on 80% of the log, persisted
+    * bucketed, the batch absorbed by BIT-UNION ONLY (bitwise equal to a
+    * rebuild — the q262/q264 doctrine), estimates via the
+    * site-quantized linear-counting ln the oracle replays
+    * ([[graft.operators.CardinalitySketch]]). */
+  protected def q266(s: SparkSession, dir: String): DataFrame = {
+    val events = Tables.events(s, dir)
+    val base = events.where(col("event_id") % 5 =!= 0)
+    val batch = events.where(col("event_id") % 5 === 0)
+    val bmTable = "graft_q266_card_bitmap_" +
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(dir.getBytes("UTF-8")).take(4).map("%02x".format(_)).mkString
+    Tables.writeBucketed(
+      graft.operators.CardinalitySketch.groupBitmaps(base, "event_type",
+        "user_id", m = 4096),
+      bmTable, buckets = 4, "event_type")
+    graft.operators.CardinalitySketch.estimates(
+        graft.operators.CardinalitySketch.mergeBitmaps(
+          s.table(bmTable),
+          graft.operators.CardinalitySketch.groupBitmaps(batch, "event_type",
+            "user_id", m = 4096),
+          "event_type"),
+        "event_type", m = 4096)
+      .orderBy(col("event_type"))
+  }
+
+
   /** Mergeable HEAVY-HITTER summary lifecycle (the frequency member of
     * the sketch trio, on q133/q262's persisted-model contract): top-10
     * words per language, summaries built on 80% of the corpus,
@@ -956,6 +986,24 @@ private[graft] trait QueriesCore { this: SparkEntry.type =>
              CAST(sum(price_c) AS BIGINT) AS sum_price_c
            FROM o JOIN customer ON k = c_custkey
            GROUP BY c_mktsegment ORDER BY c_mktsegment""",
+
+      // linear-counting cardinality lifecycle: deterministic md5-slot
+      // bitmaps, bit-union merge, site-quantized estimate ln replayed
+      "q266_cardinality_lifecycle" ->
+        """WITH s AS (
+             SELECT DISTINCT event_type,
+               ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15))::BIGINT
+                 % 4096 AS slot
+             FROM events),
+           b AS (SELECT event_type, CAST(count(*) AS BIGINT) AS bits_set
+                 FROM s GROUP BY event_type)
+           SELECT event_type, bits_set,
+             CASE WHEN bits_set < 4096 THEN
+               CAST(round(ln(4096.0 / (4096.0 - bits_set)) * 4096.0 * 1e6)
+                 AS BIGINT)
+             END AS est_micro,
+             bits_set >= 4096 AS saturated
+           FROM b ORDER BY event_type""",
 
       // heavy-hitter lifecycle in the exact regime: merge == rebuild with
       // exact counts, so the gate is the exact per-language top-10
