@@ -1740,6 +1740,75 @@ object Streams {
       }
   }
 
+  private[streaming] case class CardState(
+    openStep: Long, openSlots: Vector[Long], slots: Vector[Long])
+
+  /** Streaming twin of the deterministic cardinality sketch
+    * ([[graft.operators.CardinalitySketch]]) — the running
+    * distinct-count monitor: per series key the carried state is the
+    * linear-counting BITMAP itself (≤ m set slots) plus the open
+    * step's new slots; each close unions the step's slots in (the
+    * batch bit-union — bitwise rebuild-equal) and emits the running
+    * bits-set count and the site-quantized linear-counting estimate.
+    * Every emission is BIT-IDENTICAL to the batch
+    * `groupBitmaps`+`estimates` over all closed values (StreamingSpec
+    * asserts it per close) — the exact-integer cardinality monitor the
+    * float HLL twin could never be. State ≤ m slots per key, saturating
+    * at m (reported, never lied about). Late events for closed steps
+    * drop. Emits per close `(key, step, bits_set, est_micro,
+    * saturated)`. */
+  def cardinalityStream(events: Dataset[(String, Long, String)],
+                        stepUs: Long, m: Int)
+      : Dataset[(String, Long, Long, Option[Long], Boolean)] = {
+    require(stepUs >= 1L, s"stepUs must be >= 1, got $stepUs")
+    require(m >= 2, s"m must be >= 2, got $m")
+    import events.sparkSession.implicits._
+    def slotOf(key: String): Long = {
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(key.getBytes("UTF-8")).take(8)
+        .map("%02x".format(_)).mkString.take(15)
+      java.lang.Long.parseLong(hex, 16) % m.toLong
+    }
+    def estimate(bits: Long): Option[Long] =
+      if (bits >= m) None
+      else Some(math.round(
+        math.log(m.toDouble / (m.toDouble - bits)) * m.toDouble * 1e6))
+    events
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[CardState,
+        (String, Long, Long, Option[Long], Boolean)](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (key, it, state: GroupState[CardState]) =>
+          val out = scala.collection.mutable.ArrayBuffer
+            .empty[(String, Long, Long, Option[Long], Boolean)]
+          var st = state.getOption.getOrElse(
+            CardState(Long.MinValue, Vector.empty, Vector.empty))
+          val open = scala.collection.mutable.Set.empty[Long]
+          st.openSlots.foreach(open += _)
+          val bits = scala.collection.mutable.Set.empty[Long]
+          st.slots.foreach(bits += _)
+          def close(): Unit = {
+            open.foreach(bits += _)
+            val b = bits.size.toLong
+            out += ((key, st.openStep, b, estimate(b), b >= m))
+            open.clear()
+          }
+          it.toSeq.sortBy(_._2).foreach { case (_, us, v) =>
+            val h = Math.floorDiv(us, stepUs)
+            if (st.openStep == Long.MinValue) {
+              st = st.copy(openStep = h); open += slotOf(v)
+            } else if (h == st.openStep) open += slotOf(v)
+            else if (h > st.openStep) {
+              if (open.nonEmpty) close()
+              st = st.copy(openStep = h); open += slotOf(v)
+            } // h < open: late for a closed step — dropped
+          }
+          state.update(CardState(st.openStep, open.toVector.sorted,
+            bits.toVector.sorted))
+          out.iterator
+      }
+  }
+
   private[streaming] case class HitterState(
     openStep: Long, openCells: Vector[(String, Long)],
     thr: Long, rows: Vector[(String, Long, Long)])

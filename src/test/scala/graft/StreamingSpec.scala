@@ -1061,6 +1061,46 @@ class StreamingSpec extends SparkSuite {
     } finally q.stop()
   }
 
+  test("cardinalityStream: every close bit-equals the batch bitmap estimate over all closed values; saturation reported") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val dayUs = 86400000000L
+    def at(d: Long, i: Long): Long = d * dayUs + i * 1000L
+    val days = (1L to 6L)
+    // growing distinct-user universe per day; repeats inside a day
+    val evts = days.flatMap { d =>
+      (1 to 80).map(i => ("t", at(d, i.toLong), s"u${(d * 37 + i * 7) % (d * 60)}"))
+    }
+    val sentinel = Seq(("t", at(7L, 0), "u0"))
+    val m = 256
+    val input = MemoryStream[(String, Long, String)]
+    val out = Streams.cardinalityStream(input.toDS(), stepUs = dayUs, m = m)
+    val q = out.toDF("k", "step", "bits", "est", "sat")
+      .writeStream.outputMode("append").format("memory").queryName("card").start()
+    try {
+      input.addData(evts: _*); q.processAllAvailable()
+      input.addData(sentinel: _*); q.processAllAvailable()
+      val rows = spark.table("card").collect()
+        .map(r => r.getLong(1) -> ((r.getLong(2),
+          if (r.isNullAt(3)) None else Some(r.getLong(3)),
+          r.getBoolean(4)))).toMap
+      for (d <- days) {
+        val closed = evts.filter(_._2 < at(d + 1, 0)).map(e => ("t", e._3))
+        val batch = graft.operators.CardinalitySketch.estimates(
+            graft.operators.CardinalitySketch.groupBitmaps(
+              closed.toDF("g", "u"), "g", "u", m = m), "g", m = m)
+          .collect()(0)
+        val want = (batch.getLong(1),
+          if (batch.isNullAt(2)) None else Some(batch.getLong(2)),
+          batch.getBoolean(3))
+        assert(rows(d) == want, s"day $d: ${rows(d)} vs $want")
+      }
+      // the monitor is monotone in bits and never saturates at this m
+      assert(days.map(rows(_)._1).sliding(2).forall(p => p.head <= p.last))
+      assert(days.forall(!rows(_)._3))
+    } finally q.stop()
+  }
+
   test("hitterStream: exact-regime closes bit-equal the batch summary top-k; approximate brackets hold") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
