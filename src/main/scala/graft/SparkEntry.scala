@@ -325,6 +325,10 @@ object SparkEntry extends QueriesCore with QueriesDataflow with QueriesDedup wit
     "q264_hitter_lifecycle" -> q264,
     "q265_enrich_refresh" -> q265,
     "q266_cardinality_lifecycle" -> q266,
+    "q267_streaming_evidence" -> q267,
+    "q268_semdedup_hier" -> q268,
+    "q269_cardinality_resize" -> q269,
+    "q270_mmr_prethin" -> q270,
   )
 
   /** Round count for the parameterized BPE lifecycle (q163/q164) — read
@@ -380,27 +384,35 @@ object SparkEntry extends QueriesCore with QueriesDataflow with QueriesDedup wit
     * (a bench and a parity run) from interleaving one process's
     * overwrite-then-append sequence with the other's probe. Stale
     * scratch left by DEAD processes under the same query prefix — in
-    * /tmp and in the managed warehouse — is swept on entry (liveness
-    * via ProcessHandle), so repeated runs don't accumulate debris;
-    * live processes' scratch is never touched. */
+    * /tmp and in the managed warehouse — is swept ONCE PER PROCESS per
+    * (query, warehouse) on first touch (liveness via ProcessHandle), so
+    * repeated runs don't accumulate debris; live processes' scratch is
+    * never touched. The once-per-process memo keeps bench re-runs and
+    * the parallel Verify gate from re-listing /tmp on every call — the
+    * dead set can only change when another process dies mid-run, which
+    * the NEXT process's first touch sweeps. */
+  private val sweptScratch =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
   private[graft] def lifecycleScratchSuffix(s: SparkSession, q: String,
                                      dir: String): String = {
     val h = java.security.MessageDigest.getInstance("MD5")
       .digest(dir.getBytes("UTF-8")).take(4).map("%02x".format(_)).mkString
     val pid = ProcessHandle.current().pid()
     val wh = new java.net.URI(s.conf.get("spark.sql.warehouse.dir")).getPath
-    val pat = (s"graft_${q}_.*_p(\\d+)$$").r
-    def del(x: java.io.File): Unit = {
-      Option(x.listFiles()).getOrElse(Array.empty[java.io.File]).foreach(del)
-      x.delete(); ()
-    }
-    Seq(new java.io.File("/tmp"), new java.io.File(wh)).foreach { d =>
-      Option(d.listFiles()).getOrElse(Array.empty[java.io.File]).foreach { f =>
-        pat.findFirstMatchIn(f.getName).foreach { m =>
-          val p = m.group(1).toLong
-          val gone = p != pid &&
-            !(ProcessHandle.of(p).isPresent && ProcessHandle.of(p).get().isAlive)
-          if (gone) del(f)
+    if (sweptScratch.add(s"$q|$wh")) {
+      val pat = (s"graft_${q}_.*_p(\\d+)$$").r
+      def del(x: java.io.File): Unit = {
+        Option(x.listFiles()).getOrElse(Array.empty[java.io.File]).foreach(del)
+        x.delete(); ()
+      }
+      Seq(new java.io.File("/tmp"), new java.io.File(wh)).foreach { d =>
+        Option(d.listFiles()).getOrElse(Array.empty[java.io.File]).foreach { f =>
+          pat.findFirstMatchIn(f.getName).foreach { m =>
+            val p = m.group(1).toLong
+            val gone = p != pid &&
+              !(ProcessHandle.of(p).isPresent && ProcessHandle.of(p).get().isAlive)
+            if (gone) del(f)
+          }
         }
       }
     }

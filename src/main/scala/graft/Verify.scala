@@ -1,8 +1,25 @@
 package graft
 import org.apache.spark.sql.SparkSession
-import java.nio.file.{Files, Paths}
+import java.nio.file.{Files, Paths, StandardOpenOption}
 /** Driver-run correctness dump: each SparkEntry.queries result → parquet,
-  * plus oracle_sql.json, for the driver's DuckDB compare. */
+  * plus oracle_sql.json, for the driver's DuckDB compare.
+  *
+  * Round-12 hardening (the CORRECTNESS_r11.json = `{}` incident): the
+  * gate must be fast and SELF-EVIDENCING, so a zeroed driver artifact is
+  * distinguishable from a failed run.
+  *  - `verify_progress.jsonl` is appended one line per finished query
+  *    (name, rc, seconds) — a harness crash mid-round leaves the partial
+  *    evidence on disk instead of nothing.
+  *  - `verify_manifest.json` is written at the end: query count, per-query
+  *    rc + wall seconds, total wall — committed alongside the round so an
+  *    empty CORRECTNESS json can be audited against what actually ran.
+  *  - The shared enrichment cache is pre-built BEFORE the per-query loop
+  *    (one corpus scan instead of racing consumers into it), and queries
+  *    run on a small thread pool (SPARK_GRAFT_VERIFY_THREADS, default 4 —
+  *    Spark's scheduler is thread-safe; each query writes its own
+  *    directory and lifecycle scratch is query-name-keyed). Any failure
+  *    is retried once SEQUENTIALLY after the pool drains, so a transient
+  *    concurrency flake cannot zero a query's row. */
 object Verify {
   def main(args: Array[String]): Unit = {
     val Array(sfDir, outDir) = args
@@ -15,25 +32,79 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
+    def q(s: String): String = graft.util.Json.quote(s)
+    val progressPath = Paths.get(s"$outDir/verify_progress.jsonl")
+    Files.deleteIfExists(progressPath)
+    def logProgress(line: String): Unit = synchronized {
+      Files.writeString(progressPath, line + "\n",
+        StandardOpenOption.CREATE, StandardOpenOption.APPEND)
+    }
     // SPARK_GRAFT_ONLY=q103_x,q105_y restricts the dump for local iteration
     // (the driver never sets it, so the gate always runs the full map)
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
-    SparkEntry.queries
+    val selected = SparkEntry.queries.toSeq
       .filter { case (name, _) => only.forall(_.contains(name)) }
-      .foreach { case (name, fn) =>
-      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-        .parquet(s"$outDir/$name")
-      catch { case e: Throwable =>
-        System.err.println(s"[verify] $name failed: ${e.getMessage}")
-      }
+      .sortBy(_._1)
+    val t0 = System.nanoTime()
+    // pre-build the shared enrichment cache (memoized; ~36 consumers read
+    // it) so the per-query loop never pays or races the corpus scan
+    try graft.operators.Enrich.enrichedDocuments(spark, sfDir)
+    catch { case e: Throwable =>
+      System.err.println(s"[verify] enrichment pre-build failed: ${e.getMessage}")
     }
+    // (name, rc, seconds, attempts)
+    val results = new java.util.concurrent.ConcurrentHashMap[String, (Int, Double)]()
+    def runOne(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Boolean = {
+      val s0 = System.nanoTime()
+      val ok = try {
+        fn(spark, sfDir).coalesce(1).write.mode("overwrite")
+          .parquet(s"$outDir/$name")
+        true
+      } catch { case e: Throwable =>
+        System.err.println(s"[verify] $name failed: ${e.getMessage}")
+        false
+      }
+      val sec = (System.nanoTime() - s0) / 1e9
+      results.put(name, (if (ok) 0 else 1, sec))
+      logProgress(s"""{"query": ${q(name)}, "rc": ${if (ok) 0 else 1}, "sec": ${"%.2f".format(sec)}}""")
+      ok
+    }
+    val threads = math.max(1,
+      sys.env.getOrElse("SPARK_GRAFT_VERIFY_THREADS", "4").toInt)
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(threads)
+    val futures = selected.map { case (name, fn) =>
+      name -> pool.submit(new java.util.concurrent.Callable[Boolean] {
+        def call(): Boolean = runOne(name, fn)
+      })
+    }
+    val failedFirst = futures.collect { case (name, f) if !f.get() => name }
+    pool.shutdown()
+    // one sequential retry for anything that failed under concurrency
+    val stillFailed = failedFirst.filterNot { name =>
+      System.err.println(s"[verify] retrying $name sequentially")
+      runOne(name, selected.toMap.apply(name))
+    }
+    val wall = (System.nanoTime() - t0) / 1e9
     // JSON string escape shared with Bench (graft.util.Json): a tab or CR
     // in builder-authored SQL would otherwise make the driver's json.load
     // fail and silently zero the round's correctness.
-    def q(s: String): String = graft.util.Json.quote(s)
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    val perQuery = selected.map { case (name, _) =>
+      val (rc, sec) = results.getOrDefault(name, (1, 0.0))
+      s"${q(name)}: {\"rc\": $rc, \"sec\": ${"%.2f".format(sec)}}"
+    }.mkString("{", ",", "}")
+    val manifest =
+      s"""{"queries": ${selected.size}, "ok": ${selected.size - stillFailed.size}, """ +
+      s""""failed": ${stillFailed.map(q).mkString("[", ",", "]")}, """ +
+      s""""wall_sec": ${"%.1f".format(wall)}, "threads": $threads, """ +
+      s""""per_query": $perQuery}"""
+    Files.writeString(Paths.get(s"$outDir/verify_manifest.json"), manifest)
+    System.err.println(s"[verify] ${selected.size} queries, " +
+      s"${stillFailed.size} failed, ${"%.1f".format(wall)} s")
+    // always exit 0: a single failed query must cost ONE correctness row
+    // (its parquet is missing), never the whole round's artifact
     spark.stop()
   }
 }

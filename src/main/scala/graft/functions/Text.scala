@@ -140,11 +140,14 @@ object Text {
       .cast("double") / greatest(length(text).cast("double"), lit(1.0))
 
   /** Ratio of tokens that are in the given stopword list. */
-  def stopwordRatio(text: Column, stopwords: Seq[String]): Column = {
-    val ts = tokens(text)
+  def stopwordRatio(text: Column, stopwords: Seq[String]): Column =
+    stopwordRatioFromTokens(tokens(text), stopwords)
+
+  /** [[stopwordRatio]] over a PRE-COMPUTED token array — the identical
+    * expression (the FromTokens family's one-tokenize-pass seam). */
+  def stopwordRatioFromTokens(ts: Column, stopwords: Seq[String]): Column =
     size(filter(ts, t => t.isin(stopwords.map(x => x: Any): _*))).cast("double") /
       greatest(size(ts).cast("double"), lit(1.0))
-  }
 
   /** Mean token length. */
   def meanTokenLength(text: Column): Column = {

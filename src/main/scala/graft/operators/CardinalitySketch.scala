@@ -63,4 +63,99 @@ object CardinalitySketch {
             lit(m.toDouble) * lit(1e6)).cast("long")).as("est_micro"),
         (col("bits_set") >= m).as("saturated"))
   }
+
+  // ---------------------------------------------------------------------
+  // AUTO-RESIZING lifecycle — m-doubling with deterministic fold-down.
+  //
+  // The fixed-m bitmap saturates as groups grow (b = m → NULL + flag);
+  // the leveled family stores each group at size m·2^level, where
+  // `level` is a DETERMINISTIC function of the group's key set: the
+  // smallest level whose folded bitmap is not saturated (maxLevel when
+  // even the finest saturates). Folding is exact, not lossy RELATIVE TO
+  // THE COARSER RESOLUTION: slot_j(h) = slot_{j+1}(h) mod m·2^j, so a
+  // fold-down of a finer bitmap is BITWISE the coarser bitmap of the
+  // same key set, and fold ∘ union = union ∘ fold. Hence merging two
+  // leveled sketches at their common (min) level is bitwise equal to
+  // REBUILDING at that level — the q262/q264 merge ≡ rebuild doctrine,
+  // preserved across a resize boundary (spec-pinned, and the q269 gate
+  // hash-checks the whole lifecycle against a DuckDB rebuild). Honest
+  // one-way note: fold-down cannot be undone, so a merge's level is the
+  // MIN of its inputs' levels — a rebuild-from-raw may pick a finer
+  // level than a merge of coarse parts. maxLevel is the headroom knob:
+  // builds always start from the finest bitmap, so a group only ever
+  // stores coarse when coarse genuinely suffices, and `saturated` can
+  // only be raised by a build at the FINAL size m·2^maxLevel.
+  //
+  // Scale shape (100 TB): the build's one exchange is the same
+  // partial-aggregable distinct as the fixed-m build, at m·2^maxLevel
+  // resolution (≤ m·2^maxLevel rows per group, data-size-independent);
+  // the per-level fold/choice runs over those ≤ (maxLevel+1)·m·2^maxLevel
+  // rows per group, never the base. Merge touches only the two ≤
+  // m·2^maxLevel-row sketches.
+  // ---------------------------------------------------------------------
+
+  /** Bitmap size m·2^level as a BIGINT column. */
+  private def sizeOf(m: Int, levelCol: String) =
+    expr(s"CAST($m AS BIGINT) * shiftleft(CAST(1 AS BIGINT), CAST($levelCol AS INT))")
+
+  /** Leveled build: `(groupCol, level, slot)` with each group stored at
+    * the SMALLEST level whose bitmap is not saturated (maxLevel if all
+    * are). Deterministic per key set; `groupBitmaps(m)` is exactly the
+    * `level = 0` row set of this family. */
+  def groupBitmapsAuto(df: DataFrame, groupCol: String, keyCol: String,
+                       m: Int, maxLevel: Int): DataFrame = {
+    require(m >= 2, s"m must be >= 2, got $m")
+    require(maxLevel >= 0 && (m.toLong << maxLevel) <= Int.MaxValue,
+      s"bad maxLevel=$maxLevel for m=$m")
+    val fine = df.where(col(groupCol).isNotNull && col(keyCol).isNotNull)
+      .select(col(groupCol), slot(keyCol, (m.toLong << maxLevel).toInt).as("_sL"))
+      .distinct()
+    val perLevel = fine
+      .select(col(groupCol),
+        explode(expr(s"sequence(0, $maxLevel)")).as("level"), col("_sL"))
+      .select(col(groupCol), col("level"),
+        pmod(col("_sL"), sizeOf(m, "level")).as("slot"))
+      .distinct()
+    val chosen = perLevel.groupBy(col(groupCol), col("level"))
+      .agg(count(lit(1)).as("_b"))
+      .where(col("_b") < sizeOf(m, "level") || col("level") === maxLevel)
+      .groupBy(col(groupCol)).agg(min(col("level")).as("level"))
+    perLevel.join(chosen, Seq(groupCol, "level"))
+      .select(col(groupCol), col("level"), col("slot"))
+  }
+
+  /** Merge two leveled sketches: per group, fold BOTH sides down to the
+    * common (min) level and bit-union — bitwise equal to rebuilding the
+    * union's key set at that level, in any merge order/tree (fold
+    * commutes with union). Accepts sketches built at DIFFERENT sizes —
+    * the resize boundary. */
+  def mergeLeveled(a: DataFrame, b: DataFrame, groupCol: String,
+                   m: Int): DataFrame = {
+    require(m >= 2, s"m must be >= 2, got $m")
+    val all = a.select(col(groupCol), col("level"), col("slot"))
+      .unionByName(b.select(col(groupCol), col("level"), col("slot")))
+    val common = all.groupBy(col(groupCol)).agg(min(col("level")).as("_lc"))
+    all.join(common, Seq(groupCol))
+      .select(col(groupCol), col("_lc").as("level"),
+        pmod(col("slot"), sizeOf(m, "_lc")).as("slot"))
+      .distinct()
+  }
+
+  /** Leveled estimates: `(groupCol, level, bits_set, est_micro,
+    * saturated)` — the same site-quantized linear-counting ln at the
+    * group's own size m·2^level; `saturated` only when the stored
+    * (final for this group) size is full. */
+  def estimatesLeveled(sketch: DataFrame, groupCol: String,
+                       m: Int): DataFrame = {
+    require(m >= 2, s"m must be >= 2, got $m")
+    val size = sizeOf(m, "level").cast("double")
+    sketch.groupBy(col(groupCol), col("level"))
+      .agg(count(lit(1)).as("bits_set"))
+      .select(col(groupCol), col("level").cast("long").as("level"),
+        col("bits_set"),
+        when(col("bits_set").cast("double") < size,
+          round(log(size / (size - col("bits_set").cast("double"))) *
+            size * lit(1e6)).cast("long")).as("est_micro"),
+        (col("bits_set").cast("double") >= size).as("saturated"))
+  }
 }

@@ -38,11 +38,23 @@ object Enrich {
 
   /** The frozen scorer: one pass over `documents(doc_id, source, lang,
     * n_chars, text)` → `(doc_id, source, lang, n_chars, n_tokens,
-    * n_bpeish, langid, quality, quality_micro)`. Pure per-row column
-    * expressions — no shuffle, no UDFs. */
+    * n_bpeish, langid, quality, c_len, c_punct, c_stop, quality_micro)`.
+    * Pure per-row column expressions — no shuffle, no UDFs.
+    *
+    * `c_len`/`c_punct`/`c_stop` are the three micro-quantized quality
+    * SUB-SCORES (length, punctuation, stopword components — exactly the
+    * floors q260's reliability analysis inlines), stored so item-level
+    * consumers (Cronbach's α, per-component drift monitors) read the
+    * narrow table too: +24 bytes on a ~60-byte row — still ≈0.1% of
+    * corpus bytes — versus a full tokenizer re-scan per consumer. */
   def scoreDocuments(docs: DataFrame,
-                     markers: Seq[(String, Seq[String])] = Text.langMarkers,
+                     markers0: Seq[(String, Seq[String])] = Text.langMarkers,
                      stopwords: Seq[String] = defaultStopwords): DataFrame = {
+    // langIdFromTokens tie-breaks on FIRST max, so marker order is part
+    // of the scorer's semantics: canonicalize to lang-code order here,
+    // exactly as scoreAgainstModel does when reloading the persisted
+    // model — build/append parity cannot then depend on caller order
+    val markers = markers0.sortBy(_._1)
     // tokenize ONCE behind the Generate barrier (the langId hot-path note)
     val tok = docs
       .select(col("doc_id"), col("source"), col("lang"), col("n_chars"),
@@ -53,7 +65,13 @@ object Enrich {
         Text.bpeishTokenCount(col("text")).cast("long").as("n_bpeish"),
         Text.langIdFromTokens(col("_ts"), markers).as("langid"),
         Text.qualityScoreFromTokens(col("text"), col("_ts"), stopwords)
-          .as("quality"))
+          .as("quality"),
+        floor(least(length(col("text")).cast("double") / lit(200.0),
+          lit(1.0)) * lit(1e6)).as("c_len"),
+        floor((lit(1.0) - Text.punctRatio(col("text"))) * lit(1e6))
+          .as("c_punct"),
+        floor(least(Text.stopwordRatioFromTokens(col("_ts"), stopwords)
+          * lit(5.0), lit(1.0)) * lit(1e6)).as("c_stop"))
       .withColumn("quality_micro",
         floor(col("quality") * lit(1e6)).cast("long"))
   }

@@ -26,14 +26,19 @@ import org.apache.spark.sql.functions._
   * For a key in either summary: `lo = lo_a + lo_b` (missing side
   * contributes 0 — it had at most thr there) and
   * `up = (up_a | thr_a) + (up_b | thr_b)`; the merged `thr` is
-  * `thr_a + thr_b` (any key absent from BOTH has true count ≤ that).
-  * True counts always sit in [lo, up] (induction over merges — spec'd
-  * against exact recounts), the bracket width is bounded by the sum of
-  * the inputs' thresholds, and in the EXACT regime (cap ≥ per-group
-  * distinct on every input, thr = 0) merge ≡ rebuild with exact counts
-  * — which is what the gate query runs, hash-checked against the exact
-  * SQL top-k (the q38 capacity≥distinct doctrine). Keep rule after a
-  * merge: top `cap` by (up desc, lo desc, key asc) — deterministic.
+  * `max(thr_a + thr_b, max cnt_up among rows the keep-cap step
+  * dropped)` — the second term is required because a kept row can be
+  * evicted by the cap with cnt_up > thr_a + thr_b, and the invariant
+  * "any key absent from the summary has true count ≤ thr" must
+  * survive CHAINED merges (a later merge re-introducing that key
+  * bounds its absent-side mass by thr). True counts always sit in
+  * [lo, up] (induction over merges — spec'd against exact recounts,
+  * including a chained-merge approximate-regime case), and in the
+  * EXACT regime (cap ≥ per-group distinct on every input, thr = 0,
+  * nothing dropped) merge ≡ rebuild with exact counts — which is what
+  * the gate query runs, hash-checked against the exact SQL top-k (the
+  * q38 capacity≥distinct doctrine). Keep rule after a merge: top
+  * `cap` by (up desc, lo desc, key asc) — deterministic.
   *
   * ## Scale shape (100 TB)
   * Build: ONE partial-aggregable exchange to (group, key) counts, a
@@ -66,8 +71,9 @@ object HitterSketch {
 
   /** Merge two summary tables (either builds or prior merges): count
     * brackets add with the absent side bounded by its threshold; keep
-    * the top `cap` by (up desc, lo desc, key asc); thr' = thr_a + thr_b
-    * (≥ any dropped key's possible mass on both sides). */
+    * the top `cap` by (up desc, lo desc, key asc); thr' =
+    * max(thr_a + thr_b, max cnt_up of the rows the cap dropped) so the
+    * absent-key bound survives chained merges. */
   def mergeHitters(a: DataFrame, b: DataFrame, groupCol: String,
                    cap: Int): DataFrame = {
     require(cap >= 1, s"cap must be >= 1, got $cap")
@@ -89,11 +95,18 @@ object HitterSketch {
         (coalesce(col("_upA"), col("_thrA")) +
           coalesce(col("_upB"), col("_thrB"))).as("cnt_up"),
         (col("_thrA") + col("_thrB")).as("thr"))
-    merged.withColumn("_rn", row_number().over(
-        Window.partitionBy(col(groupCol))
-          .orderBy(col("cnt_up").desc, col("cnt_lo").desc, col("key"))))
-      .where(col("_rn") <= cap)
-      .drop("_rn")
+    val ranked = merged.withColumn("_rn", row_number().over(
+      Window.partitionBy(col(groupCol))
+        .orderBy(col("cnt_up").desc, col("cnt_lo").desc, col("key"))))
+    // the (cap+1)-st cnt_up per group: a dropped key may carry mass up
+    // to its cnt_up, so the absent-key threshold must cover it
+    val dropUp = ranked.groupBy(col(groupCol))
+      .agg(coalesce(max(when(col("_rn") > cap, col("cnt_up"))), lit(0L))
+        .as("_dropUp"))
+    ranked.where(col("_rn") <= cap)
+      .join(dropUp, Seq(groupCol))
+      .select(col(groupCol), col("key"), col("cnt_lo"), col("cnt_up"),
+        greatest(col("thr"), col("_dropUp")).as("thr"))
   }
 
   /** Top-k read: `(groupCol, rank, key, cnt_lo, cnt_up)` by

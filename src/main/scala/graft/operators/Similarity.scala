@@ -807,6 +807,14 @@ object Similarity {
         aggregate(zip_with(col("_q"), col("_q"), (a, b) => a * b), lit(0L),
           (acc, x) => acc + x).as("_n2"))
       .localCheckpoint() // fans into both sides of the within-cluster join
+    semDedupTail(assigned, idCol, threshold)
+  }
+
+  /** The within-cluster pair/victim/anti-join tail shared by [[semDedup]]
+    * and [[semDedupCoarseFine]] — expects an already-localCheckpointed
+    * `(_id, _q, _c, _d2, _n2)` assignment frame. */
+  private def semDedupTail(assigned: DataFrame, idCol: String,
+                           threshold: Double): DataFrame = {
     val l = assigned.select(col("_c"), col("_id").as("_ida"),
       col("_q").as("_qa"), col("_d2").as("_da"), col("_n2").as("_na"))
     val r = assigned.select(col("_c"), col("_id").as("_idb"),
@@ -837,11 +845,12 @@ object Similarity {
     * grows them n²/k (the measured 11× at the 10× smoke). The count
     * probe is one exact count (a model-sized driver value — the
     * trainLloyd contract). Honest cost note: with k ∝ n the Lloyd
-    * ASSIGNMENT term becomes n·k = n²/target per round — at extreme
-    * scale the linear path is LSH pre-blocking (the q106 shape) or a
-    * coarse→fine hierarchical assignment; within a partition-sized
-    * shard (the regime this engine clusters in) n·k with small rounds
-    * is the paper's own cost and the pair join no longer dominates. */
+    * ASSIGNMENT term becomes n·k = n²/target per round — that term is
+    * killed by [[semDedupCoarseFine]] (coarse→fine routing, n·2√k per
+    * round), the scale path; at extreme scale LSH pre-blocking (the
+    * q106 shape) composes on top. This flat form stays as the
+    * oracle-tractable twin (its trajectory is q249's generated-CTE
+    * scheme). */
   def semDedupAutoK(corpus: DataFrame, idCol: String, vecCol: String,
                     targetClusterSize: Int, rounds: Int, threshold: Double,
                     quantScale: Long = 1000000L): DataFrame = {
@@ -852,6 +861,188 @@ object Similarity {
       (n + targetClusterSize - 1) / targetClusterSize).toInt
     semDedup(corpus, idCol, vecCol, k = k, rounds = rounds,
       threshold = threshold, quantScale = quantScale)
+  }
+
+  // =====================================================================
+  // Coarse→fine hierarchical assignment — killing the n·k Lloyd term
+  // that [[semDedupAutoK]]'s k ∝ n regime leaves super-linear.
+  // =====================================================================
+
+  /** Group the k FINE centroids into `kc` coarse super-clusters with a
+    * driver-side integer Lloyd over the centroid vectors themselves —
+    * model-sized work (k·kc·dim per round) with EXACTLY the engine
+    * trainer's deterministic rules: seeds = the kc smallest fine ids'
+    * vectors, argmin ties to the smaller coarse id, floor-division
+    * means (≡ the `(_s - pmod(_s,_n)) DIV _n` SQL), empty-group carry.
+    * Returns non-empty groups `(coarseId, coarseVec, members)`,
+    * members sorted by fine id. */
+  private[graft] def coarseGroupCentroids(cents: Array[(Int, Array[Long])],
+      kc: Int, rounds: Int): Array[(Int, Array[Long], Array[(Int, Array[Long])])] = {
+    require(kc >= 1 && rounds >= 1, s"bad kc=$kc rounds=$rounds")
+    val sorted = cents.sortBy(_._1)
+    val dim = sorted.head._2.length
+    var coarse: Array[(Int, Array[Long])] =
+      sorted.take(kc).zipWithIndex.map { case ((_, v), i) => (i + 1, v.clone()) }
+    def assign(): Array[Int] = sorted.map { case (_, v) =>
+      coarse.map { case (g, w) =>
+        var d = 0L; var i = 0
+        while (i < dim) { val t = v(i) - w(i); d += t * t; i += 1 }
+        (d, g)
+      }.min._2 // (dist, g) tuple order: ties to the smaller coarse id
+    }
+    for (_ <- 1 to rounds) {
+      val a = assign()
+      coarse = coarse.map { case (g, old) =>
+        val members = sorted.indices.filter(i => a(i) == g)
+        if (members.isEmpty) (g, old) // empty-group carry
+        else {
+          val arr = new Array[Long](dim)
+          var d = 0
+          while (d < dim) {
+            var s = 0L
+            members.foreach(i => s += sorted(i)._2(d))
+            arr(d) = Math.floorDiv(s, members.size.toLong)
+            d += 1
+          }
+          (g, arr)
+        }
+      }
+    }
+    val fin = assign()
+    coarse.map { case (g, w) =>
+      (g, w, sorted.indices.collect { case i if fin(i) == g => sorted(i) }.toArray)
+    }.filter(_._3.nonEmpty)
+  }
+
+  /** COARSE→FINE assignment: argmin over the `kc` coarse centroids
+    * first (ties to the smaller coarse id), then argmin over ONLY that
+    * group's fine members (ties to the smaller fine id) — per-row work
+    * dim·(kc + |group|) ≈ 2√k·dim instead of flat k·dim. The model
+    * rides ONE broadcast row (`array<struct<g, vec, members>>` — the
+    * [[centsTable]] model-in-DATA encoding), so there is still no
+    * shuffle and no join. Attaches the chosen fine cluster as `outC`
+    * and its exact squared L2 as `outD`. Approximate BY CONSTRUCTION:
+    * a point whose true nearest fine centroid lives outside its nearest
+    * coarse group refines to the best IN-GROUP centroid — but every
+    * emitted value is a deterministic integer function of the model, so
+    * results stay exactly reproducible. */
+  private[graft] def withNearestCoarseFine(df: DataFrame,
+      groups: Array[(Int, Array[Long], Array[(Int, Array[Long])])],
+      q: Column, outC: String, outD: String): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val hier: Seq[(Long, Seq[Long], Seq[(Long, Seq[Long])])] =
+      groups.sortBy(_._1).toSeq.map { case (g, w, ms) =>
+        (g.toLong, w.toSeq,
+          ms.sortBy(_._1).toSeq.map { case (c, v) => (c.toLong, v.toSeq) })
+      }
+    val one = Seq(Tuple1(hier)).toDF("_h")
+    def d2(a: Column, b: Column): Column =
+      aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)), lit(0L),
+        (acc, x) => acc + x)
+    df.crossJoin(broadcast(one)) // 1-row model attach
+      .withColumn("_g", array_min(transform(col("_h"), s =>
+          struct(d2(q, s.getField("_2")).as("dist"), s.getField("_1").as("g"))))
+        .getField("g"))
+      .withColumn("_f", array_min(transform(
+          element_at(filter(col("_h"), s => s.getField("_1") === col("_g")), 1)
+            .getField("_3"),
+          m => struct(d2(q, m.getField("_2")).as("dist"),
+            m.getField("_1").as("c")))))
+      .withColumn(outC, col("_f").getField("c"))
+      .withColumn(outD, col("_f").getField("dist"))
+      .drop("_h", "_g", "_f")
+  }
+
+  /** [[trainLloyd]] with every round's ASSIGNMENT routed coarse→fine:
+    * the current k centroids are re-grouped into kc super-clusters on
+    * the driver each round (model-sized), and points pay
+    * dim·(kc + k/kc) per row instead of dim·k. Seeds, update means,
+    * and empty-cluster carry are bit-identical to the flat trainer, so
+    * on inputs where the coarse routing never misroutes (well-separated
+    * structure, or kc covering every confusable pair) the whole
+    * trajectory — and everything downstream — is bitwise the flat
+    * trajectory (spec-pinned). */
+  private def trainLloydCoarseFine(pts: DataFrame, q: Column, k: Int,
+      rounds: Int, kc: Int, coarseRounds: Int): Array[(Int, Array[Long])] = {
+    require(k >= 1 && rounds >= 1, s"bad k=$k rounds=$rounds")
+    var cents: Array[(Int, Array[Long])] = pts.select(col("_id"), q.as("_tq"))
+      .orderBy(col("_id")).limit(k)
+      .collect().zipWithIndex
+      .map { case (r, i) => (i + 1, r.getSeq[Long](1).toArray) }
+    for (_ <- 1 to rounds) {
+      val groups = coarseGroupCentroids(cents, kc, coarseRounds)
+      val upd = withNearestCoarseFine(pts.select(col("_id"), q.as("_tq")),
+          groups, col("_tq"), "_c", "_dd")
+        .select(col("_c"), posexplode(col("_tq")).as(Seq("_d", "_x")))
+        .groupBy(col("_c"), col("_d"))
+        .agg(sum(col("_x")).as("_s"), count(lit(1)).as("_n"))
+        .select(col("_c"), col("_d"),
+          expr("(_s - pmod(_s, _n)) DIV _n").as("_v"))
+        .collect() // k·dim model rows
+      val byC = upd.groupBy(_.getLong(0).toInt)
+      cents = cents.map { case (c, old) =>
+        byC.get(c).fold((c, old)) { rows =>
+          val arr = old.clone()
+          rows.foreach(r => arr(r.getInt(1)) = r.getLong(2))
+          (c, arr)
+        }
+      }
+    }
+    cents
+  }
+
+  /** [[semDedupAutoK]]'s k ∝ n regime with the Lloyd assignment term
+    * made sub-quadratic — the coarse→fine hierarchical path the flat
+    * autoK scaladoc names: k = ⌈n/target⌉ fine clusters as before, but
+    * every assignment (each training round AND the final one) routes
+    * through kc = ⌈√k⌉ coarse super-clusters, so per-round work is
+    * n·dim·2√k instead of n·dim·k ( = n²·dim/target flat). With k ∝ n
+    * that turns the one super-linear term in the semantic-dedup path
+    * into n^1.5/√target — and the within-cluster pair join stays
+    * ≈ n·target/2 as in the flat regime.
+    *
+    * ## Determinism / exactness
+    * Same integer quantization, same exact BIGINT distances, the same
+    * deterministic tie-breaks at BOTH levels, and a driver-side coarse
+    * Lloyd with the engine trainer's exact rules — the full trajectory
+    * is a deterministic function of the input multiset and reruns
+    * bitwise-equal (spec'd). Relative to FLAT autoK the clustering is
+    * approximate by construction (a misrouted point refines within the
+    * wrong group); on separated structure the two are bitwise EQUAL
+    * (spec'd on a planted fixture), and semantic dedup only needs A
+    * deterministic clustering to bound its pair comparisons — the
+    * paper's own k is a heuristic. No DuckDB oracle: the driver-side
+    * coarse Lloyd over intermediate centroids sits outside the
+    * generated-CTE scheme that hash-gates q249/q218, so the gate query
+    * (q267) records the rows-only check, with parity carried by the
+    * fixture/determinism specs instead.
+    *
+    * ## Scale shape (100 TB)
+    * Per round: ONE narrow projection against a one-row broadcast model
+    * (kc·dim + group·dim per row), ONE partial-aggregable
+    * groupBy(cluster, dim) update, k·dim driver rows. Final assignment
+    * same shape; pair join and victim/anti-join tail identical to
+    * [[semDedup]] (cluster-keyed equi-join, never all-pairs). */
+  def semDedupCoarseFine(corpus: DataFrame, idCol: String, vecCol: String,
+                         targetClusterSize: Int, rounds: Int,
+                         threshold: Double, quantScale: Long = 1000000L,
+                         coarseRounds: Int = 2): DataFrame = {
+    require(targetClusterSize >= 2,
+      s"targetClusterSize must be >= 2, got $targetClusterSize")
+    val n = corpus.count()
+    val k = math.max(1L,
+      (n + targetClusterSize - 1) / targetClusterSize).toInt
+    val kc = math.max(1, math.ceil(math.sqrt(k.toDouble)).toInt)
+    val pts = quantized(corpus, idCol, vecCol, quantScale).localCheckpoint()
+    val cents = trainLloydCoarseFine(pts, col("_q"), k, rounds, kc, coarseRounds)
+    val groups = coarseGroupCentroids(cents, kc, coarseRounds)
+    val assigned = withNearestCoarseFine(pts, groups, col("_q"), "_c", "_d2")
+      .select(col("_id"), col("_q"), col("_c"), col("_d2"),
+        aggregate(zip_with(col("_q"), col("_q"), (a, b) => a * b), lit(0L),
+          (acc, x) => acc + x).as("_n2"))
+      .localCheckpoint() // fans into both sides of the within-cluster join
+    semDedupTail(assigned, idCol, threshold)
   }
 
   /** IVF ANN with an EXACT gate, end to end — [[buildIvfIndex]]'s shape

@@ -417,6 +417,30 @@ private[graft] trait QueriesAssembly { this: SparkEntry.type =>
       .orderBy(col("round"))
 
 
+  /** q179's MMR composed with an ANN PRE-THIN — the bounded-candidate
+    * shape the Mmr scaladoc promises, demonstrated at the gate:
+    * [[graft.operators.Similarity.lshTopK]] (plan-time hyperplanes,
+    * exact-cosine re-rank — the q22 machinery, multiprobe 0) cuts the
+    * corpus to the M = 32 bucket-mates most relevant to vec 0, and the
+    * k = 5 greedy MMR rounds then run over ≤ M candidates with M a PLAN
+    * CONSTANT — per-round work M·k instead of n·k, the difference
+    * between a driver-round selector that scales and one that re-scans
+    * the corpus per round. Hash-gated: the oracle replays bucket
+    * construction, the top-M cut (cosine desc, id asc), and the same
+    * five generated-CTE rounds. */
+  protected def q270(s: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(s, dir)
+    val q0 = emb.where(col("vec_id") === 0)
+    val cand = Similarity.lshTopK(q0, emb, "vec_id", "embedding", k = 32,
+        planes = 6, tables = 4, dim = EmbeddingDim, multiprobe = 0)
+      .select(col("neighbor_id").as("vec_id"))
+    graft.operators.Mmr.mmrSelect(s,
+        emb.join(cand, Seq("vec_id"), "left_semi").unionByName(q0),
+        "vec_id", "embedding", queryId = 0L, k = 5)
+      .orderBy(col("round"))
+  }
+
+
   /** 2-D SKYLINE of documents — the Pareto front of (short, high-
     * quality): no surviving doc is beaten on both axes; histogram
     * prefix-max arithmetic, never an all-pairs dominance join
@@ -458,21 +482,33 @@ private[graft] trait QueriesAssembly { this: SparkEntry.type =>
     * train/val/test split → per-(split, lang) doc and token counts:
     * the composition the individual operators exist FOR, materialized
     * as a single query whose oracle stitches the same verified
-    * fragments (q61 + q24 + q44 + q01 shapes). */
+    * fragments (q61 + q24 + q44 + q01 shapes).
+    *
+    * The GOPHER stage reads the q261 persisted enrichment
+    * ([[graft.operators.Enrich.enrichedDocuments]]): `quality` is the
+    * bit-identical IEEE double the inline scorer produced and
+    * `n_tokens` the same tokenizer count, so the re-point is
+    * hash-neutral by the enrichment table's construction — the one
+    * remaining text scan is the dedup fingerprint, which inherently
+    * needs content. At 100 TB that turns the pipeline's quality+token
+    * stages from two tokenizer passes over corpus bytes into a narrow
+    * ~60-byte-row join. */
   protected def q192(s: SparkSession, dir: String): DataFrame = {
-    val stop = Text.langMarkers.toMap.apply("en")
     val docs = Tables.documents(s, dir)
+    val enr = graft.operators.Enrich.enrichedDocuments(s, dir)
+      .select(col("doc_id"), col("lang"), col("n_tokens"), col("quality"))
     val fp = md5(trim(regexp_replace(lower(col("text")), "\\s+", " ")))
-    val kept = docs.withColumn("_fp", fp)
+    val kept = docs.select(col("doc_id"), fp.as("_fp"))
       .withColumn("_rk", row_number().over(
         Window.partitionBy(col("_fp")).orderBy(col("doc_id"))))
       .where(col("_rk") === 1)
-      .where(Text.qualityScore(col("text"), stop) >= lit(0.4))
+      .join(enr, Seq("doc_id"))
+      .where(col("quality") >= lit(0.4))
     graft.operators.Sampling.assignSplit(kept, "doc_id",
         Seq(("train", 0.8), ("val", 0.1), ("test", 0.1)))
       .groupBy(col("split"), col("lang"))
       .agg(count(lit(1)).as("n_docs"),
-        sum(size(Text.tokens(col("text"))).cast("long")).as("n_tokens"))
+        sum(col("n_tokens")).as("n_tokens"))
       .orderBy(col("split"), col("lang"))
   }
 
@@ -1135,6 +1171,70 @@ private[graft] trait QueriesAssembly { this: SparkEntry.type =>
            q AS (SELECT v AS qv, n AS qn FROM base WHERE id = 0),
            rel AS (SELECT id, v, n, ${cos("qv", "qn", "v", "n")} AS rel_u
                    FROM base CROSS JOIN q WHERE id <> 0),
+           s1 AS (SELECT CAST(1 AS BIGINT) AS round, id, rel_u, CAST(0 AS BIGINT) AS ms
+                  FROM rel ORDER BY rel_u DESC, id LIMIT 1),
+           sel1 AS (SELECT id FROM s1)$rounds
+           SELECT round, id, rel_u AS rel_micro, ms AS maxsim_micro,
+             CAST(rel_u - ms AS BIGINT) AS score2
+           FROM ($union)
+           ORDER BY round"""
+      },
+
+      // q179's MMR rounds replayed over the LSH-bucketed, exact-cosine
+      // top-32 pre-thin: bucket bits from the same plan-time hyperplanes
+      // (q22's scheme, multiprobe 0), the M-cut on the raw double cosine
+      // (desc, id asc — the engine's row_number order), then the same
+      // generated round CTEs over the 32-row rel table
+      "q270_mmr_prethin" -> {
+        def cos(a: String, an: String, b: String, bn: String) =
+          s"""CAST(round(CASE WHEN $an * $bn = 0 THEN 0.0
+               ELSE list_sum(list_transform(range(1, len($a) + 1), i ->
+                      CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE))) / ($an * $bn)
+               END * 1e6) AS BIGINT)"""
+        def hp(t: Int, p: Int): String =
+          Vectors.hyperplane(t * 1000 + p, EmbeddingDim)
+            .map(_.toString).mkString("[", ", ", "]")
+        def proj(vec: String, t: Int, p: Int): String =
+          s"list_sum(list_transform(range(1, ${EmbeddingDim + 1}), i -> " +
+            s"CAST($vec[i] AS DOUBLE) * (${hp(t, p)})[i]))"
+        def bit(vec: String, t: Int, p: Int): String =
+          s"(CASE WHEN ${proj(vec, t, p)} >= 0 THEN '1' ELSE '0' END)"
+        val variants = (0 until 4).map { t =>
+          s"'$t:' || ${(0 until 6).map(p => bit("embedding", t, p)).mkString(" || ")}"
+        }.mkString("[", ", ", "]")
+        val rounds = (2 to 5).map { r =>
+          s""",
+           p$r AS (SELECT c.id, c.rel_u,
+                     max(${cos("s.v", "s.n", "c.v", "c.n")}) AS ms
+                   FROM rel c, rel s
+                   WHERE s.id IN (SELECT id FROM sel${r - 1})
+                     AND c.id NOT IN (SELECT id FROM sel${r - 1})
+                   GROUP BY c.id, c.rel_u),
+           s$r AS (SELECT CAST($r AS BIGINT) AS round, id, rel_u, ms
+                   FROM p$r ORDER BY rel_u - ms DESC, id LIMIT 1),
+           sel$r AS (SELECT id FROM sel${r - 1} UNION ALL SELECT id FROM s$r)"""
+        }.mkString
+        val union = (1 to 5).map(r =>
+          s"SELECT round, id, rel_u, ms FROM s$r").mkString("\n           UNION ALL\n           ")
+        s"""WITH cb AS (SELECT vec_id AS neighbor_id, unnest($variants) AS bucket
+             FROM embeddings),
+           qb AS (SELECT bucket FROM cb WHERE neighbor_id = 0),
+           candAll AS (SELECT DISTINCT cb.neighbor_id
+                       FROM cb JOIN qb USING (bucket)
+                       WHERE cb.neighbor_id <> 0),
+           base AS (SELECT vec_id AS id, embedding AS v,
+               sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS n
+             FROM embeddings),
+           q AS (SELECT v AS qv, n AS qn FROM base WHERE id = 0),
+           scored AS (SELECT c.id, c.v, c.n, ${cos("qv", "qn", "c.v", "c.n")} AS rel_u,
+               CASE WHEN qn * c.n = 0 THEN 0.0
+                 ELSE list_sum(list_transform(range(1, len(c.v) + 1), i ->
+                        CAST(qv[i] AS DOUBLE) * CAST(c.v[i] AS DOUBLE))) / (qn * c.n)
+               END AS cs
+             FROM base c JOIN candAll ON c.id = candAll.neighbor_id
+             CROSS JOIN q),
+           rel AS (SELECT id, v, n, rel_u FROM scored
+                   ORDER BY cs DESC, id LIMIT 32),
            s1 AS (SELECT CAST(1 AS BIGINT) AS round, id, rel_u, CAST(0 AS BIGINT) AS ms
                   FROM rel ORDER BY rel_u DESC, id LIMIT 1),
            sel1 AS (SELECT id FROM s1)$rounds

@@ -645,6 +645,37 @@ private[graft] trait QueriesCore { this: SparkEntry.type =>
       .orderBy(col("event_type"))
   }
 
+  /** AUTO-RESIZING cardinality lifecycle — the q266 bitmap with
+    * m-doubling and deterministic fold-down
+    * ([[graft.operators.CardinalitySketch.groupBitmapsAuto]]): per-lang
+    * distinct docs at m = 16, maxLevel = 3, so small langs store 16-slot
+    * bitmaps while `en` climbs to 64 — and the persisted base (levels
+    * 0–2 across langs at sf0.01) merges with a coarser batch ACROSS the
+    * resize boundary by folding to the common level. Hash-gated: the
+    * oracle rebuilds each side's auto level, takes the min, and rebuilds
+    * the union's bitmap at that level — equality IS the
+    * merge ≡ rebuild-at-common-level law, live at the gate. */
+  protected def q269(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val base = docs.where(col("doc_id") % 5 =!= 0)
+    val batch = docs.where(col("doc_id") % 5 === 0)
+    val bmTable = "graft_q269_card_resize_" +
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(dir.getBytes("UTF-8")).take(4).map("%02x".format(_)).mkString
+    Tables.writeBucketed(
+      graft.operators.CardinalitySketch.groupBitmapsAuto(base, "lang",
+        "doc_id", m = 16, maxLevel = 3),
+      bmTable, buckets = 4, "lang")
+    graft.operators.CardinalitySketch.estimatesLeveled(
+        graft.operators.CardinalitySketch.mergeLeveled(
+          s.table(bmTable),
+          graft.operators.CardinalitySketch.groupBitmapsAuto(batch, "lang",
+            "doc_id", m = 16, maxLevel = 3),
+          "lang", m = 16),
+        "lang", m = 16)
+      .orderBy(col("lang"))
+  }
+
 
   /** Mergeable HEAVY-HITTER summary lifecycle (the frequency member of
     * the sketch trio, on q133/q262's persisted-model contract): top-10
@@ -1004,6 +1035,46 @@ private[graft] trait QueriesCore { this: SparkEntry.type =>
              END AS est_micro,
              bits_set >= 4096 AS saturated
            FROM b ORDER BY event_type""",
+
+      // auto-resizing cardinality lifecycle: per-side auto level = the
+      // smallest non-saturated fold (maxLevel 3 if none), merge level =
+      // least of the sides, merged bitmap REBUILT from the union at that
+      // level — hash equality proves the engine's fold-down merge is
+      // bitwise the rebuild
+      "q269_cardinality_resize" ->
+        """WITH fa AS (SELECT DISTINCT lang,
+               ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
+                 % 128 AS s
+             FROM documents WHERE doc_id % 5 <> 0),
+           fb AS (SELECT DISTINCT lang,
+               ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
+                 % 128 AS s
+             FROM documents WHERE doc_id % 5 = 0),
+           lv AS (SELECT unnest([0, 1, 2, 3]) AS j),
+           ba AS (SELECT lang, j, count(DISTINCT s % (16 * (1 << j))) AS b
+                  FROM fa, lv GROUP BY 1, 2),
+           bb AS (SELECT lang, j, count(DISTINCT s % (16 * (1 << j))) AS b
+                  FROM fb, lv GROUP BY 1, 2),
+           ja AS (SELECT lang, min(CASE WHEN b < 16 * (1 << j) OR j = 3
+                    THEN j END) AS jl FROM ba GROUP BY 1),
+           jb AS (SELECT lang, min(CASE WHEN b < 16 * (1 << j) OR j = 3
+                    THEN j END) AS jl FROM bb GROUP BY 1),
+           jc AS (SELECT coalesce(ja.lang, jb.lang) AS lang,
+                    least(coalesce(ja.jl, jb.jl), coalesce(jb.jl, ja.jl)) AS jl
+                  FROM ja FULL OUTER JOIN jb ON ja.lang = jb.lang),
+           mg AS (SELECT f.lang, jc.jl,
+                    count(DISTINCT f.s % (16 * (1 << jc.jl))) AS bits
+                  FROM (SELECT * FROM fa UNION SELECT * FROM fb) f
+                  JOIN jc ON f.lang = jc.lang GROUP BY 1, 2)
+           SELECT lang, CAST(jl AS BIGINT) AS level,
+             CAST(bits AS BIGINT) AS bits_set,
+             CASE WHEN bits < 16 * (1 << jl) THEN
+               CAST(round(ln((16 * (1 << jl)) * 1.0 /
+                   ((16 * (1 << jl)) - bits)) * (16 * (1 << jl)) * 1e6)
+                 AS BIGINT)
+             END AS est_micro,
+             bits >= 16 * (1 << jl) AS saturated
+           FROM mg ORDER BY lang""",
 
       // heavy-hitter lifecycle in the exact regime: merge == rebuild with
       // exact counts, so the gate is the exact per-language top-10

@@ -55,6 +55,51 @@ private[graft] trait QueriesDataflow { this: SparkEntry.type =>
   }
 
 
+  /** STREAMING-PATH evidence at the batch gate: q14's tumbling
+    * foldWindow run through the ACTUAL Structured Streaming machinery —
+    * events replayed through a MemoryStream in one micro-batch and
+    * flushed by a far-future sentinel (append mode emits exactly the
+    * closed windows, the reference's emit-on-watermark) — then gated
+    * against the SAME oracle SQL as q14. Hash equality here means the
+    * streaming twins' shared path (assignTimestamps watermark, window
+    * state, append-on-watermark emission) produces the batch answer,
+    * giving the streaming side a CORRECTNESS row instead of riding on
+    * specs alone. The one-batch replay is deliberate: late-drop
+    * semantics are spec territory (StreamingSpec pins them); the gate
+    * pins no-late-data ≡ batch. The driver-side replay is gate
+    * plumbing, not an operator shape — production ingestion is a real
+    * source, and the windowed state is the same either way. */
+  protected def q267(s: SparkSession, dir: String): DataFrame = {
+    import Expr._
+    import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    val evRows = Tables.events(s, dir)
+      .select(unix_millis(col("ts")).as("_1"), col("event_type").as("_2"))
+      .as[(Long, String)].collect().toSeq
+    val input =
+      org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, String)]
+    val counted = DataStream.fromDF[(Long, String)](input.toDF())
+      .assignTimestamps(t => t._1)
+      .groupBy(t => t.value._2)
+      .foldWindow(graft.windows.WindowAssigner.Tumbling(3600000L), 0L)(t => t._1 + 1L)
+    val sink = "graft_q267_sink_p" + ProcessHandle.current().pid()
+    val q = counted.toDF.select(
+        col("value.key").as("event_type"),
+        col("value.value.window.start").as("ws_ms"),
+        col("value.value.value").as("n"))
+      .writeStream.outputMode("append").format("memory").queryName(sink).start()
+    try {
+      input.addData(evRows: _*)
+      q.processAllAvailable()
+      // sentinel a month past the data: advances the watermark so every
+      // real window closes and emits; its own window stays open -> no row
+      input.addData((evRows.map(_._1).max + 30L * 86400000L, "zzz_flush"))
+      q.processAllAvailable()
+    } finally q.stop()
+    s.table(sink).orderBy(col("event_type"), col("ws_ms"))
+  }
+
+
   /** Sliding windows (2h size / 1h step) — each event counted in both
     * covering windows; the reference's sliding assigner drops windows
     * (its firstStart bug, SURVEY §2.3); Spark's window() is correct. */
@@ -172,6 +217,13 @@ private[graft] trait QueriesDataflow { this: SparkEntry.type =>
            WHERE word <> '' GROUP BY word ORDER BY cnt DESC, word LIMIT 100""",
 
       "q14_tumbling_agg" ->
+        """SELECT event_type, CAST(floor(epoch_ms(ts) / 3600000) * 3600000 AS BIGINT) AS ws_ms,
+           CAST(count(*) AS BIGINT) AS n
+           FROM events GROUP BY 1, 2 ORDER BY event_type, ws_ms""",
+
+      // the STREAMING twin is gated against the IDENTICAL batch oracle:
+      // replay-through-MemoryStream + watermark flush must equal q14
+      "q267_streaming_evidence" ->
         """SELECT event_type, CAST(floor(epoch_ms(ts) / 3600000) * 3600000 AS BIGINT) AS ws_ms,
            CAST(count(*) AS BIGINT) AS n
            FROM events GROUP BY 1, 2 ORDER BY event_type, ws_ms""",

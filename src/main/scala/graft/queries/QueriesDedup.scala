@@ -335,6 +335,19 @@ private[graft] trait QueriesDedup { this: SparkEntry.type =>
     Similarity.semDedup(Tables.embeddings(s, dir), "vec_id", "embedding",
       k = 8, rounds = 2, threshold = 0.3)
 
+  /** SemDeDup in the SCALE regime — coarse→fine hierarchical assignment
+    * with k = ⌈n/16⌉ clusters routed through ⌈√k⌉ coarse super-clusters
+    * ([[graft.operators.Similarity.semDedupCoarseFine]]): the Lloyd
+    * assignment term drops from n·k to n·2√k per round while the pair
+    * join stays ≈ n·target/2. Rows-only by necessity: the driver-side
+    * coarse Lloyd over INTERMEDIATE centroids sits outside the
+    * generated-CTE scheme that hash-gates q249 — parity rides the
+    * bitwise-vs-flat fixture spec, the determinism rerun spec, and the
+    * ScaleSpec plan pin instead. */
+  protected def q268(s: SparkSession, dir: String): DataFrame =
+    Similarity.semDedupCoarseFine(Tables.embeddings(s, dir), "vec_id",
+      "embedding", targetClusterSize = 16, rounds = 2, threshold = 0.3)
+
 
   /** Per-document novelty: the fraction of a doc's distinct 3-shingles
     * with corpus df = 1 — the inverse signal of boilerplate, over the

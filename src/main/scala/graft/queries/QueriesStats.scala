@@ -742,18 +742,16 @@ private[graft] trait QueriesStats { this: SparkEntry.type =>
 
   /** Cronbach's α over the three micro-quantized quality sub-scores
     * (length, punctuation, stopword components): do they measure one
-    * underlying quality axis ([[graft.operators.Eval.cronbachAlpha]]). */
-  protected def q260(s: SparkSession, dir: String): DataFrame = {
-    val stop = Text.langMarkers.toMap.apply("en")
+    * underlying quality axis ([[graft.operators.Eval.cronbachAlpha]])?
+    * Reads `c_len`/`c_punct`/`c_stop` from the q261 persisted enrichment
+    * — the sub-scores are stored as the bit-identical floors this query
+    * used to inline (the round-11 raw scan is now optional), so the
+    * re-point is hash-neutral and the item-level reliability monitor
+    * runs off the narrow table like every other stats consumer. */
+  protected def q260(s: SparkSession, dir: String): DataFrame =
     graft.operators.Eval.cronbachAlpha(
-      Tables.documents(s, dir).select(
-        floor(least(length(col("text")).cast("double") / lit(200.0), lit(1.0))
-          * lit(1e6)).as("c_len"),
-        floor((lit(1.0) - Text.punctRatio(col("text"))) * lit(1e6)).as("c_punct"),
-        floor(least(Text.stopwordRatio(col("text"), stop) * lit(5.0), lit(1.0))
-          * lit(1e6)).as("c_stop")),
+      enriched(s, dir).select(col("c_len"), col("c_punct"), col("c_stop")),
       items = Seq(col("c_len"), col("c_punct"), col("c_stop")))
-  }
 
   protected def oraclesStats: Map[String, String] = Map(
       // Cochran's Q: three paired filters per document, exact row/column

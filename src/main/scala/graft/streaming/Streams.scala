@@ -1857,8 +1857,11 @@ object Streams {
         val (loB, upB) = mb.getOrElse(w, (0L, tb))
         (w, loA + loB, upA + upB)
       }
-      (merged.sortBy { case (w, lo, up) => (-up, -lo, w) }.take(cap),
-        ta + tb)
+      val sorted = merged.sortBy { case (w, lo, up) => (-up, -lo, w) }
+      // thr must also cover rows the cap evicts (their cnt_up can
+      // exceed ta + tb), or chained merges break the absent-key bound
+      val dropUp = sorted.drop(cap).foldLeft(0L)((m, r) => math.max(m, r._3))
+      (sorted.take(cap), math.max(ta + tb, dropUp))
     }
     events
       .groupByKey(_._1)

@@ -22,16 +22,25 @@ object SemDedupScale {
     args.foreach { dir =>
       val emb = graft.sources.Tables.embeddings(spark, dir)
       val n = emb.count()
-      // warm the input cache path once, then time steady-state
-      def run(): Long = graft.operators.Similarity.semDedupAutoK(
+      // warm the input cache path once, then time steady-state; time the
+      // flat k ∝ n path and the coarse→fine hierarchical path (round-12)
+      // in the same session so their ratio is host-factor-free
+      def runFlat(): Long = graft.operators.Similarity.semDedupAutoK(
         emb, "vec_id", "embedding", targetClusterSize = 256,
         rounds = 2, threshold = 0.3).count()
-      run()
+      def runHier(): Long = graft.operators.Similarity.semDedupCoarseFine(
+        emb, "vec_id", "embedding", targetClusterSize = 256,
+        rounds = 2, threshold = 0.3).count()
+      runFlat()
       val t0 = System.nanoTime()
-      val survivors = run()
+      val survivors = runFlat()
       val sec = (System.nanoTime() - t0) / 1e9
+      runHier()
+      val t1 = System.nanoTime()
+      val survivorsH = runHier()
+      val secH = (System.nanoTime() - t1) / 1e9
       val k = math.max(1L, (n + 255) / 256)
-      println(f"""{"dir":"$dir","n":$n,"k":$k,"survivors":$survivors,"sec":$sec%.2f}""")
+      println(f"""{"dir":"$dir","n":$n,"k":$k,"survivors":$survivors,"sec":$sec%.2f,"survivors_hier":$survivorsH,"sec_hier":$secH%.2f}""")
     }
     spark.stop()
   }

@@ -66,4 +66,74 @@ class CardinalitySketchSpec extends SparkSuite {
         "g", m = 8).collect()(0)
     assert(satRow.getBoolean(3) && satRow.isNullAt(2))
   }
+
+  // the engine's md5 slot, brute-forced on the driver for oracle checks
+  private def slotOf(u: Long, size: Long): Long = {
+    val hex = java.security.MessageDigest.getInstance("MD5")
+      .digest(u.toString.getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString.take(15)
+    java.lang.Long.parseLong(hex, 16) % size
+  }
+
+  test("auto-resize: level = smallest non-saturated fold; merge across a resize boundary == rebuild at the common level bitwise; saturation only at the final size") {
+    val m = 16; val maxLevel = 4 // sizes 16..256
+    // three regimes: tiny (level 0), mid (forced past level 0), huge
+    // (saturates every size -> maxLevel + saturated flag)
+    val rows = (1L to 5L).map(u => ("small", u)) ++
+      (1L to 100L).map(u => ("mid", u * 7)) ++
+      (1L to 3000L).map(u => ("big", u * 13))
+    def bruteLevel(keys: Seq[Long]): Int =
+      (0 to maxLevel).find { j =>
+        keys.map(slotOf(_, m.toLong << j)).distinct.size < (m << j)
+      }.getOrElse(maxLevel)
+    def bruteBitmap(keys: Seq[Long], level: Int): Set[Long] =
+      keys.map(slotOf(_, m.toLong << level)).toSet
+    val byG = rows.groupBy(_._1).view.mapValues(_.map(_._2).distinct).toMap
+    val auto = CardinalitySketch.groupBitmapsAuto(mkDf(rows), "g", "u",
+      m, maxLevel)
+    val got = auto.collect()
+      .groupBy(_.getString(0)).view
+      .mapValues(rs => (rs.head.getInt(1), rs.map(_.getLong(2)).toSet)).toMap
+    for ((g, keys) <- byG) {
+      val lv = bruteLevel(keys)
+      assert(got(g)._1 == lv, s"$g: level ${got(g)._1} vs brute $lv")
+      assert(got(g)._2 == bruteBitmap(keys, lv), s"$g bitmap mismatch")
+    }
+    assert(got("small")._1 == 0 && got("big")._1 == maxLevel)
+    // saturated ONLY for the group whose FINAL size is full
+    val est = CardinalitySketch.estimatesLeveled(auto, "g", m).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2),
+        r.isNullAt(3), r.getBoolean(4)))).toMap
+    assert(est("big")._4 && est("big")._3 && est("big")._1 == maxLevel.toLong)
+    assert(!est("small")._4 && !est("small")._3)
+    assert(!est("mid")._4 && !est("mid")._3)
+
+    // resize boundary: two builds over DIFFERENT subsets (different auto
+    // levels), merged both orders == brute rebuild of the union at the
+    // common (min) level
+    val a = rows.zipWithIndex.filter(_._2 % 3 != 0).map(_._1)
+    val b = rows.zipWithIndex.filter(_._2 % 3 == 0).map(_._1)
+    val sa = CardinalitySketch.groupBitmapsAuto(mkDf(a), "g", "u", m, maxLevel)
+    val sb = CardinalitySketch.groupBitmapsAuto(mkDf(b), "g", "u", m, maxLevel)
+    def canon(df: DataFrame): Seq[String] =
+      df.orderBy("g", "level", "slot").collect().map(_.toString).toSeq
+    val mAB = canon(CardinalitySketch.mergeLeveled(sa, sb, "g", m))
+    assert(mAB == canon(CardinalitySketch.mergeLeveled(sb, sa, "g", m)))
+    val byGa = a.groupBy(_._1).view.mapValues(_.map(_._2).distinct).toMap
+    val byGb = b.groupBy(_._1).view.mapValues(_.map(_._2).distinct).toMap
+    val want = byG.keys.toSeq.flatMap { g =>
+      val lc = math.min(bruteLevel(byGa(g)), bruteLevel(byGb(g)))
+      bruteBitmap((byGa(g) ++ byGb(g)).distinct, lc).toSeq.sorted
+        .map(s => s"[$g,$lc,$s]")
+    }.sorted
+    assert(mAB.sorted == want, "merge != rebuild at common level")
+
+    // maxLevel = 0 degenerates to the fixed-m family exactly
+    val flat = CardinalitySketch.groupBitmaps(mkDf(rows), "g", "u", m)
+      .withColumn("level", lit(0))
+      .select(col("g"), col("level"), col("slot"))
+    assert(canon(CardinalitySketch.groupBitmapsAuto(mkDf(rows), "g", "u",
+        m, maxLevel = 0)) ==
+      canon(flat))
+  }
 }

@@ -40,7 +40,13 @@ class EnrichSpec extends SparkSuite {
         Text.bpeishTokenCount(col("text")).cast("long").as("n_bpeish"),
         Text.qualityScore(col("text"), stop).as("quality"),
         floor(Text.qualityScore(col("text"), stop) * lit(1e6))
-          .cast("long").as("quality_micro"))
+          .cast("long").as("quality_micro"),
+        // the q260 reliability items, exactly as that query inlined them
+        floor(least(length(col("text")).cast("double") / lit(200.0), lit(1.0))
+          * lit(1e6)).as("c_len"),
+        floor((lit(1.0) - Text.punctRatio(col("text"))) * lit(1e6)).as("c_punct"),
+        floor(least(Text.stopwordRatio(col("text"), stop) * lit(5.0), lit(1.0))
+          * lit(1e6)).as("c_stop"))
       .orderBy("doc_id").collect()
     got.zip(want).foreach { case (g, w) =>
       assert(g.getAs[String]("langid") == w.getAs[String]("langid"), s"langid ${g}")
@@ -49,6 +55,9 @@ class EnrichSpec extends SparkSuite {
       // exact double equality IS the contract (same expression tree)
       assert(g.getAs[Double]("quality") == w.getAs[Double]("quality"))
       assert(g.getAs[Long]("quality_micro") == w.getAs[Long]("quality_micro"))
+      assert(g.getAs[Long]("c_len") == w.getAs[Long]("c_len"))
+      assert(g.getAs[Long]("c_punct") == w.getAs[Long]("c_punct"))
+      assert(g.getAs[Long]("c_stop") == w.getAs[Long]("c_stop"))
     }
   }
 
@@ -110,7 +119,8 @@ class EnrichSpec extends SparkSuite {
       .orderBy("doc_id").collect().map(_.toString)
     val gotRows = a.select(col("doc_id"), col("source"), col("lang"),
         col("n_chars"), col("n_tokens"), col("n_bpeish"), col("langid"),
-        col("quality"), col("quality_micro"))
+        col("quality"), col("c_len"), col("c_punct"), col("c_stop"),
+        col("quality_micro"))
       .orderBy("doc_id").collect().map(_.toString)
     assert(gotRows.toSeq == want.toSeq)
   }

@@ -1169,4 +1169,64 @@ class OperatorsSimilaritySpec extends SparkSuite {
       .groupBy("cluster").count().collect().map(_.getLong(1))
     assert(sizes.length == 8 && sizes.sum == 300L)
   }
+
+  test("semDedupCoarseFine: bitwise-equal to flat autoK on an exact-hierarchy fixture; deterministic rerun; coarse groups partition the fine set") {
+    import spark.implicits._
+    // four well-separated axis blobs in 4-dim, ids round-robin so the
+    // k = 4 seeds land one per blob; coarse routing (kc = 2) can then
+    // never misroute a point away from its globally nearest fine
+    // centroid, so the ENTIRE hierarchical trajectory must be bitwise
+    // the flat trainer's
+    val rnd = new scala.util.Random(83)
+    val blobs = (0 until 40).map { i =>
+      val b = i % 4
+      val v = Array.fill(4)(0.0f)
+      v(b) = 10.0f + (rnd.nextFloat() - 0.5f) * 0.2f
+      (i + 1L, v)
+    }
+    val df = blobs.toDF("vec_id", "embedding")
+    // n = 40, target = 10 -> k = 4, kc = ceil(sqrt(4)) = 2
+    val hier = Similarity.semDedupCoarseFine(df, "vec_id", "embedding",
+        targetClusterSize = 10, rounds = 2, threshold = 0.999)
+      .collect().map(_.toString).toSeq
+    val flat = Similarity.semDedup(df, "vec_id", "embedding",
+        k = 4, rounds = 2, threshold = 0.999)
+      .collect().map(_.toString).toSeq
+    assert(hier == flat, s"hier/flat diverged:\n$hier\n$flat")
+
+    // deterministic rerun on isotropic data (routing genuinely coarse:
+    // k = 8, kc = 3) + the survivor invariant within clusters
+    def quant(v: Seq[Double]): Seq[Long] =
+      v.map(x => math.floor(x * 1e6 + 0.5).toLong)
+    def cos(a: Seq[Long], b: Seq[Long]): Double = {
+      val dot = a.zip(b).map { case (x, y) => x * y }.sum
+      val (na, nb) = (a.map(x => x * x).sum, b.map(x => x * x).sum)
+      dot.toDouble / (math.sqrt(na.toDouble) * math.sqrt(nb.toDouble))
+    }
+    val rv = (1L to 240L).map(i =>
+      (i, Array.fill(8)(rnd.nextGaussian().toFloat)))
+    val rdf = rv.toDF("vec_id", "embedding")
+    def run(): Seq[String] = Similarity.semDedupCoarseFine(rdf, "vec_id",
+        "embedding", targetClusterSize = 30, rounds = 2, threshold = 0.8)
+      .collect().map(_.toString).toSeq
+    val r1 = run()
+    assert(r1 == run(), "coarse-fine rerun must be bitwise identical")
+    val out = Similarity.semDedupCoarseFine(rdf, "vec_id", "embedding",
+        targetClusterSize = 30, rounds = 2, threshold = 0.8).collect()
+    val rq = rv.map { case (id, v) => id -> quant(v.map(_.toDouble).toSeq) }.toMap
+    for ((_, rows) <- out.groupBy(_.getLong(1)); a <- rows; b <- rows
+         if a.getLong(0) < b.getLong(0))
+      assert(cos(rq(a.getLong(0)), rq(b.getLong(0))) < 0.8,
+        s"survivors ${a.getLong(0)},${b.getLong(0)} still near-dup")
+    assert(out.nonEmpty && out.length <= 240)
+
+    // coarseGroupCentroids: groups PARTITION the fine centroids; kc = 1
+    // degenerates to one all-member group (== flat assignment)
+    val cents = (1 to 9).map(c => (c, Array.fill(4)(c * 100L))).toArray
+    val g3 = Similarity.coarseGroupCentroids(cents, kc = 3, rounds = 2)
+    val members = g3.flatMap(_._3.map(_._1)).sorted
+    assert(members.toSeq == (1 to 9).toSeq, s"not a partition: ${members.toSeq}")
+    val g1 = Similarity.coarseGroupCentroids(cents, kc = 1, rounds = 2)
+    assert(g1.length == 1 && g1.head._3.length == 9)
+  }
 }

@@ -1332,6 +1332,17 @@ class ScaleSpec extends SparkSuite {
     assert(!sdPlan.contains("CartesianProduct"),
       s"semDedup pair join must stay cluster-keyed:\n$sdPlan")
 
+    // semDedupCoarseFine: same tail contract — the pair join stays an
+    // equi-join on the cluster id; the only nested-loop join in the plan
+    // is the 1-row broadcast model attach (coarse→fine routing rides ONE
+    // broadcast row, zero shuffles before the pair stage)
+    val sh = graft.operators.Similarity.semDedupCoarseFine(vecs, "vec_id",
+      "embedding", targetClusterSize = 40, rounds = 1, threshold = 0.9)
+    sh.collect()
+    val shPlan = sh.queryExecution.executedPlan.toString.split("== Initial Plan ==").head
+    assert(!shPlan.contains("CartesianProduct"),
+      s"coarse-fine pair join must stay cluster-keyed:\n$shPlan")
+
     // dsirSelect: the F-row scoring model broadcasts onto the doc
     // histogram, the cut is a distributed top-k (TakeOrdered), and the
     // histogram partial-aggregates before any exchange
