@@ -940,15 +940,22 @@ object Similarity {
     def d2(a: Column, b: Column): Column =
       aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)), lit(0L),
         (acc, x) => acc + x)
+    // Generate barriers around _g and _f (the Enrich tokenize-once
+    // lesson): CollapseProject would otherwise INLINE the coarse argmin
+    // into the group-filter lambda — re-evaluating the kc·dim distance
+    // scan once per filter element (kc²·dim per row) — and _f's struct
+    // into each of its two field reads; explode(array(·)) pins each to
+    // one evaluation (measured 8.7× on the q268 gate shape at sf1:
+    // 74.1 → 8.5 s solo, the 10× ratio falling 7.0× → 2.7×)
     df.crossJoin(broadcast(one)) // 1-row model attach
-      .withColumn("_g", array_min(transform(col("_h"), s =>
+      .withColumn("_g", explode(array(array_min(transform(col("_h"), s =>
           struct(d2(q, s.getField("_2")).as("dist"), s.getField("_1").as("g"))))
-        .getField("g"))
-      .withColumn("_f", array_min(transform(
+        .getField("g"))))
+      .withColumn("_f", explode(array(array_min(transform(
           element_at(filter(col("_h"), s => s.getField("_1") === col("_g")), 1)
             .getField("_3"),
           m => struct(d2(q, m.getField("_2")).as("dist"),
-            m.getField("_1").as("c")))))
+            m.getField("_1").as("c")))))))
       .withColumn(outC, col("_f").getField("c"))
       .withColumn(outD, col("_f").getField("dist"))
       .drop("_h", "_g", "_f")

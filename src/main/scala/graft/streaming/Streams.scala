@@ -1809,6 +1809,80 @@ object Streams {
       }
   }
 
+  /** Streaming twin of the AUTO-RESIZING cardinality lifecycle
+    * ([[graft.operators.CardinalitySketch.groupBitmapsAuto]] family) —
+    * the running distinct-count monitor that re-sizes itself as a key's
+    * universe grows: the carried state is the FINEST bitmap (slots at
+    * m·2^maxLevel — still data-size-independent), and each close emits
+    * the CANONICAL leveled read: level = smallest non-saturated fold
+    * (maxLevel if none), bits/estimate at that level's size. Because
+    * the fold is a pure function of the fine slot set, every emission
+    * is BIT-IDENTICAL to the batch `groupBitmapsAuto` +
+    * `estimatesLeveled` over all closed values (StreamingSpec asserts
+    * it per close) — a key that starts tiny reads out 16-slot coarse
+    * and climbs levels live as days accumulate, with `saturated` only
+    * ever raised at the final size. Late events for closed steps drop.
+    * Emits per close `(key, step, level, bits_set, est_micro,
+    * saturated)`. */
+  def cardinalityAutoStream(events: Dataset[(String, Long, String)],
+                            stepUs: Long, m: Int, maxLevel: Int)
+      : Dataset[(String, Long, Long, Long, Option[Long], Boolean)] = {
+    require(stepUs >= 1L, s"stepUs must be >= 1, got $stepUs")
+    require(m >= 2, s"m must be >= 2, got $m")
+    require(maxLevel >= 0 && (m.toLong << maxLevel) <= Int.MaxValue,
+      s"bad maxLevel=$maxLevel for m=$m")
+    import events.sparkSession.implicits._
+    val sizeL = m.toLong << maxLevel
+    def slotOf(key: String): Long = {
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(key.getBytes("UTF-8")).take(8)
+        .map("%02x".format(_)).mkString.take(15)
+      java.lang.Long.parseLong(hex, 16) % sizeL
+    }
+    events
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[CardState,
+        (String, Long, Long, Long, Option[Long], Boolean)](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (key, it, state: GroupState[CardState]) =>
+          val out = scala.collection.mutable.ArrayBuffer
+            .empty[(String, Long, Long, Long, Option[Long], Boolean)]
+          var st = state.getOption.getOrElse(
+            CardState(Long.MinValue, Vector.empty, Vector.empty))
+          val open = scala.collection.mutable.Set.empty[Long]
+          st.openSlots.foreach(open += _)
+          val bits = scala.collection.mutable.Set.empty[Long]
+          st.slots.foreach(bits += _)
+          def close(): Unit = {
+            open.foreach(bits += _)
+            // canonical level: smallest fold that is not saturated
+            val lvl = (0 to maxLevel).find { j =>
+              bits.map(_ % (m.toLong << j)).size < (m.toLong << j)
+            }.getOrElse(maxLevel)
+            val size = m.toLong << lvl
+            val b = bits.map(_ % size).size.toLong
+            val est = if (b >= size) None
+              else Some(math.round(math.log(size.toDouble /
+                (size.toDouble - b)) * size.toDouble * 1e6))
+            out += ((key, st.openStep, lvl.toLong, b, est, b >= size))
+            open.clear()
+          }
+          it.toSeq.sortBy(_._2).foreach { case (_, us, v) =>
+            val h = Math.floorDiv(us, stepUs)
+            if (st.openStep == Long.MinValue) {
+              st = st.copy(openStep = h); open += slotOf(v)
+            } else if (h == st.openStep) open += slotOf(v)
+            else if (h > st.openStep) {
+              if (open.nonEmpty) close()
+              st = st.copy(openStep = h); open += slotOf(v)
+            } // h < open: late for a closed step — dropped
+          }
+          state.update(CardState(st.openStep, open.toVector.sorted,
+            bits.toVector.sorted))
+          out.iterator
+      }
+  }
+
   private[streaming] case class HitterState(
     openStep: Long, openCells: Vector[(String, Long)],
     thr: Long, rows: Vector[(String, Long, Long)])

@@ -1101,6 +1101,50 @@ class StreamingSpec extends SparkSuite {
     } finally q.stop()
   }
 
+  test("cardinalityAutoStream: every close bit-equals the batch leveled lifecycle; the level climbs live as the universe grows") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val dayUs = 86400000000L
+    def at(d: Long, i: Long): Long = d * dayUs + i * 1000L
+    val days = (1L to 6L)
+    // universe grows fast so the canonical level must CLIMB across closes
+    val evts = days.flatMap { d =>
+      (1 to 120).map(i => ("t", at(d, i.toLong), s"u${(d * d * 31 + i) % (d * d * 25)}"))
+    }
+    val sentinel = Seq(("t", at(7L, 0), "u0"))
+    val (m, maxLevel) = (16, 3)
+    val input = MemoryStream[(String, Long, String)]
+    val out = Streams.cardinalityAutoStream(input.toDS(), stepUs = dayUs,
+      m = m, maxLevel = maxLevel)
+    val q = out.toDF("k", "step", "level", "bits", "est", "sat")
+      .writeStream.outputMode("append").format("memory").queryName("cauto").start()
+    try {
+      input.addData(evts: _*); q.processAllAvailable()
+      input.addData(sentinel: _*); q.processAllAvailable()
+      val rows = spark.table("cauto").collect()
+        .map(r => r.getLong(1) -> ((r.getLong(2), r.getLong(3),
+          if (r.isNullAt(4)) None else Some(r.getLong(4)),
+          r.getBoolean(5)))).toMap
+      for (d <- days) {
+        val closed = evts.filter(_._2 < at(d + 1, 0)).map(e => ("t", e._3))
+        val batch = graft.operators.CardinalitySketch.estimatesLeveled(
+            graft.operators.CardinalitySketch.groupBitmapsAuto(
+              closed.toDF("g", "u"), "g", "u", m = m, maxLevel = maxLevel),
+            "g", m = m)
+          .collect()(0)
+        val want = (batch.getLong(1), batch.getLong(2),
+          if (batch.isNullAt(3)) None else Some(batch.getLong(3)),
+          batch.getBoolean(4))
+        assert(rows(d) == want, s"day $d: ${rows(d)} vs $want")
+      }
+      // the level is monotone non-decreasing and genuinely climbs on
+      // this growth curve (day 1: 25 keys; day 6: 900 keys)
+      val levels = days.map(rows(_)._1)
+      assert(levels.sliding(2).forall(p => p.head <= p.last), s"$levels")
+      assert(levels.last > levels.head, s"level never climbed: $levels")
+    } finally q.stop()
+  }
+
   test("hitterStream: exact-regime closes bit-equal the batch summary top-k; approximate brackets hold") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
