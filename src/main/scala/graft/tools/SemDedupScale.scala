@@ -40,7 +40,20 @@ object SemDedupScale {
       val survivorsH = runHier()
       val secH = (System.nanoTime() - t1) / 1e9
       val k = math.max(1L, (n + 255) / 256)
-      println(f"""{"dir":"$dir","n":$n,"k":$k,"survivors":$survivors,"sec":$sec%.2f,"survivors_hier":$survivorsH,"sec_hier":$secH%.2f}""")
+      // victim recall: of the rows flat dedup drops, what fraction does
+      // the hierarchical path also drop? (misrouting can separate a
+      // near-dup pair into different clusters — this measures how often)
+      val sFlat = graft.operators.Similarity.semDedupAutoK(
+        emb, "vec_id", "embedding", 256, 2, 0.3).select("vec_id")
+      val sHier = graft.operators.Similarity.semDedupCoarseFine(
+        emb, "vec_id", "embedding", 256, 2, 0.3).select("vec_id")
+      val ids = emb.select(org.apache.spark.sql.functions.col("vec_id")
+        .cast("long").as("vec_id"))
+      val vFlat = ids.except(sFlat)
+      val vBoth = vFlat.intersect(ids.except(sHier)).count()
+      val vF = vFlat.count()
+      val recall = if (vF == 0) 1.0 else vBoth.toDouble / vF
+      println(f"""{"dir":"$dir","n":$n,"k":$k,"survivors":$survivors,"sec":$sec%.2f,"survivors_hier":$survivorsH,"sec_hier":$secH%.2f,"victim_recall_hier":$recall%.3f}""")
     }
     spark.stop()
   }
