@@ -391,12 +391,24 @@ object SparkEntry extends QueriesCore with QueriesDataflow with QueriesDedup wit
     * the parallel Verify gate from re-listing /tmp on every call — the
     * dead set can only change when another process dies mid-run, which
     * the NEXT process's first touch sweeps. */
+  /** Dir-keyed table/path suffix shared by every persisted-lifecycle
+    * gate (q133/q163/q262/q264/q266/q269/…): MD5(dir) keeps scale
+    * factors apart. Deliberately PID-LESS where used alone — those
+    * names are deterministic so each run OVERWRITES its predecessor
+    * (no debris, nothing for the dead-process sweep to track); the
+    * pid-suffixed [[lifecycleScratchSuffix]] composes on top for the
+    * overwrite-then-append lifecycles where CONCURRENT processes must
+    * not interleave. One definition so a naming-discipline change
+    * cannot drift across call sites. */
+  private[graft] def dirHash(dir: String): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(dir.getBytes("UTF-8")).take(4).map("%02x".format(_)).mkString
+
   private val sweptScratch =
     java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
   private[graft] def lifecycleScratchSuffix(s: SparkSession, q: String,
                                      dir: String): String = {
-    val h = java.security.MessageDigest.getInstance("MD5")
-      .digest(dir.getBytes("UTF-8")).take(4).map("%02x".format(_)).mkString
+    val h = dirHash(dir)
     val pid = ProcessHandle.current().pid()
     val wh = new java.net.URI(s.conf.get("spark.sql.warehouse.dir")).getPath
     if (sweptScratch.add(s"$q|$wh")) {

@@ -33,6 +33,11 @@ object Verify {
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
     def q(s: String): String = graft.util.Json.quote(s)
+    // locale-safe decimal formatting (Bench's fmt): "%.2f".format uses the
+    // JVM default locale, and a comma-decimal locale would emit invalid
+    // JSON — the artifact-zeroing failure class this file exists to prevent
+    def fmt(v: Double, scale: Int): String =
+      BigDecimal(v).setScale(scale, BigDecimal.RoundingMode.HALF_UP).toString
     val progressPath = Paths.get(s"$outDir/verify_progress.jsonl")
     Files.deleteIfExists(progressPath)
     def logProgress(line: String): Unit = synchronized {
@@ -66,7 +71,7 @@ object Verify {
       }
       val sec = (System.nanoTime() - s0) / 1e9
       results.put(name, (if (ok) 0 else 1, sec))
-      logProgress(s"""{"query": ${q(name)}, "rc": ${if (ok) 0 else 1}, "sec": ${"%.2f".format(sec)}}""")
+      logProgress(s"""{"query": ${q(name)}, "rc": ${if (ok) 0 else 1}, "sec": ${fmt(sec, 2)}}""")
       ok
     }
     val threads = math.max(1,
@@ -93,12 +98,12 @@ object Verify {
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     val perQuery = selected.map { case (name, _) =>
       val (rc, sec) = results.getOrDefault(name, (1, 0.0))
-      s"${q(name)}: {\"rc\": $rc, \"sec\": ${"%.2f".format(sec)}}"
+      s"${q(name)}: {\"rc\": $rc, \"sec\": ${fmt(sec, 2)}}"
     }.mkString("{", ",", "}")
     val manifest =
       s"""{"queries": ${selected.size}, "ok": ${selected.size - stillFailed.size}, """ +
       s""""failed": ${stillFailed.map(q).mkString("[", ",", "]")}, """ +
-      s""""wall_sec": ${"%.1f".format(wall)}, "threads": $threads, """ +
+      s""""wall_sec": ${fmt(wall, 1)}, "threads": $threads, """ +
       s""""per_query": $perQuery}"""
     Files.writeString(Paths.get(s"$outDir/verify_manifest.json"), manifest)
     System.err.println(s"[verify] ${selected.size} queries, " +

@@ -105,7 +105,10 @@ object CardinalitySketch {
   def groupBitmapsAuto(df: DataFrame, groupCol: String, keyCol: String,
                        m: Int, maxLevel: Int): DataFrame = {
     require(m >= 2, s"m must be >= 2, got $m")
-    require(maxLevel >= 0 && (m.toLong << maxLevel) <= Int.MaxValue,
+    // bound BEFORE shifting: a 64-bit shift past 63 wraps silently and
+    // would slip an absurd maxLevel through as a pmod-by-zero null sketch
+    require(maxLevel >= 0 && maxLevel < 31 &&
+        (m.toLong << maxLevel) <= Int.MaxValue,
       s"bad maxLevel=$maxLevel for m=$m")
     val fine = df.where(col(groupCol).isNotNull && col(keyCol).isNotNull)
       .select(col(groupCol), slot(keyCol, (m.toLong << maxLevel).toInt).as("_sL"))

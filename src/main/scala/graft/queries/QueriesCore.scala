@@ -572,8 +572,7 @@ private[graft] trait QueriesCore { this: SparkEntry.type =>
     val base = events.where(col("event_id") % 5 =!= 0)
     val batch = events.where(col("event_id") % 5 === 0)
     val statsTable = "graft_q133_distinct_stats_" +
-      java.security.MessageDigest.getInstance("MD5")
-        .digest(dir.getBytes("UTF-8")).take(4).map("%02x".format(_)).mkString
+      dirHash(dir)
     Tables.writeBucketed(
       graft.operators.DistinctSketch.groupSketches(base, "event_type", "user_id"),
       statsTable, buckets = 4, "event_type")
@@ -599,8 +598,7 @@ private[graft] trait QueriesCore { this: SparkEntry.type =>
     val base = events.where(pmod(col("v"), lit(5)) =!= 0)
     val batch = events.where(pmod(col("v"), lit(5)) === 0)
     val sketchTable = "graft_q262_quantile_sketch_" +
-      java.security.MessageDigest.getInstance("MD5")
-        .digest(dir.getBytes("UTF-8")).take(4).map("%02x".format(_)).mkString
+      dirHash(dir)
     Tables.writeBucketed(
       graft.operators.QuantileSketch.groupSketches(base, "event_type",
         col("v"), cap = 256),
@@ -629,8 +627,7 @@ private[graft] trait QueriesCore { this: SparkEntry.type =>
     val base = events.where(col("event_id") % 5 =!= 0)
     val batch = events.where(col("event_id") % 5 === 0)
     val bmTable = "graft_q266_card_bitmap_" +
-      java.security.MessageDigest.getInstance("MD5")
-        .digest(dir.getBytes("UTF-8")).take(4).map("%02x".format(_)).mkString
+      dirHash(dir)
     Tables.writeBucketed(
       graft.operators.CardinalitySketch.groupBitmaps(base, "event_type",
         "user_id", m = 4096),
@@ -660,8 +657,7 @@ private[graft] trait QueriesCore { this: SparkEntry.type =>
     val base = docs.where(col("doc_id") % 5 =!= 0)
     val batch = docs.where(col("doc_id") % 5 === 0)
     val bmTable = "graft_q269_card_resize_" +
-      java.security.MessageDigest.getInstance("MD5")
-        .digest(dir.getBytes("UTF-8")).take(4).map("%02x".format(_)).mkString
+      dirHash(dir)
     Tables.writeBucketed(
       graft.operators.CardinalitySketch.groupBitmapsAuto(base, "lang",
         "doc_id", m = 16, maxLevel = 3),
@@ -693,8 +689,7 @@ private[graft] trait QueriesCore { this: SparkEntry.type =>
     val base = toks.where(col("doc_id") % 5 =!= 0)
     val batch = toks.where(col("doc_id") % 5 === 0)
     val sketchTable = "graft_q264_hitter_sketch_" +
-      java.security.MessageDigest.getInstance("MD5")
-        .digest(dir.getBytes("UTF-8")).take(4).map("%02x".format(_)).mkString
+      dirHash(dir)
     Tables.writeBucketed(
       graft.operators.HitterSketch.groupHitters(base, "lang", "w", cap = 4096),
       sketchTable, buckets = 4, "lang")
@@ -718,8 +713,7 @@ private[graft] trait QueriesCore { this: SparkEntry.type =>
     * layout mergeable and partition-prunable. */
   protected def q138(s: SparkSession, dir: String): DataFrame = {
     val path = "/tmp/graft_q138_export_" +
-      java.security.MessageDigest.getInstance("MD5")
-        .digest(dir.getBytes("UTF-8")).take(4).map("%02x".format(_)).mkString
+      dirHash(dir)
     Tables.writeSortedRange(
       Tables.orders(s, dir).select(col("o_orderkey"), col("o_orderdate"),
         col("o_totalprice")),

@@ -97,8 +97,11 @@ private[graft] trait QueriesDataflow { this: SparkEntry.type =>
       input.addData(evRows: _*)
       q.processAllAvailable()
       // sentinel a month past the data: advances the watermark so every
-      // real window closes and emits; its own window stays open -> no row
-      input.addData((evRows.map(_._1).max + 30L * 86400000L, "zzz_flush"))
+      // real window closes and emits; its own window stays open -> no row.
+      // maxOption: an empty replay slice must yield the oracle's empty
+      // result, not an empty.max crash
+      input.addData((evRows.map(_._1).maxOption.getOrElse(0L)
+        + 30L * 86400000L, "zzz_flush"))
       q.processAllAvailable()
     } finally q.stop()
     s.table(sink).orderBy(col("event_type"), col("ws_ms"))

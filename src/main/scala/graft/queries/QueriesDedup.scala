@@ -190,8 +190,7 @@ private[graft] trait QueriesDedup { this: SparkEntry.type =>
     // the later dir's index (the write is an eager side effect, the read
     // is lazy — with a shared name the second write would win)
     val idxTable = "graft_q66_corpus_index_" +
-      java.security.MessageDigest.getInstance("MD5")
-        .digest(dir.getBytes("UTF-8")).take(4).map("%02x".format(_)).mkString
+      dirHash(dir)
     Tables.writeBucketed(
       Dedup.dedupIndex(corpus, "doc_id", "text", shingleLen = 3, k = 16, bands = 4),
       idxTable, buckets = 8, "fp")
@@ -402,8 +401,7 @@ private[graft] trait QueriesDedup { this: SparkEntry.type =>
     val base = docs.where(col("doc_id") % 3 =!= 0)
     val batch = docs.where(col("doc_id") % 3 === 0)
     val statsTable = "graft_q123_shingle_stats_" +
-      java.security.MessageDigest.getInstance("MD5")
-        .digest(dir.getBytes("UTF-8")).take(4).map("%02x".format(_)).mkString
+      dirHash(dir)
     Tables.writeBucketed(
       graft.operators.Boilerplate.shingleDfStats(base, "doc_id", "text", 3),
       statsTable, buckets = 8, "sh")

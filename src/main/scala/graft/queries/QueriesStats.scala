@@ -149,8 +149,7 @@ private[graft] trait QueriesStats { this: SparkEntry.type =>
   protected def q171(s: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(s, dir)
     val name = "graft_q171_idx_" +
-      java.security.MessageDigest.getInstance("MD5")
-        .digest(dir.getBytes("UTF-8")).take(4).map("%02x".format(_)).mkString
+      dirHash(dir)
     graft.operators.InvertedIndex.writeIndex(docs, "doc_id", "text", name)
     val terms = Seq("join", "window", "fast")
     val scored = graft.operators.InvertedIndex.bm25(s, name, terms)

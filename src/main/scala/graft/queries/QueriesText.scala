@@ -121,8 +121,7 @@ private[graft] trait QueriesText { this: SparkEntry.type =>
   protected def q82(s: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(s, dir)
     val model = "graft_q82_lm_" +
-      java.security.MessageDigest.getInstance("MD5")
-        .digest(dir.getBytes("UTF-8")).take(4).map("%02x".format(_)).mkString
+      dirHash(dir)
     graft.operators.LmScore.writeModel(
       docs.where(col("doc_id") % 5 =!= 0), "doc_id", "text", model)
     graft.operators.LmScore.scoreWith(
@@ -161,8 +160,7 @@ private[graft] trait QueriesText { this: SparkEntry.type =>
   protected def q88(s: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(s, dir)
     val name = "graft_q88_idx_" +
-      java.security.MessageDigest.getInstance("MD5")
-        .digest(dir.getBytes("UTF-8")).take(4).map("%02x".format(_)).mkString
+      dirHash(dir)
     graft.operators.InvertedIndex.writeIndex(docs, "doc_id", "text", name)
     graft.operators.InvertedIndex
       .search(s, name, all = Seq("join", "stream"), none = Seq("slow"))
@@ -179,8 +177,7 @@ private[graft] trait QueriesText { this: SparkEntry.type =>
   protected def q90(s: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(s, dir)
     val name = "graft_q90_idx_" +
-      java.security.MessageDigest.getInstance("MD5")
-        .digest(dir.getBytes("UTF-8")).take(4).map("%02x".format(_)).mkString
+      dirHash(dir)
     graft.operators.InvertedIndex.writeIndex(docs, "doc_id", "text", name)
     graft.operators.InvertedIndex.bm25(s, name, Seq("join", "window", "fast"))
       .orderBy(col("score_unats").desc, col("doc_id"))
@@ -254,8 +251,7 @@ private[graft] trait QueriesText { this: SparkEntry.type =>
     // dir-keyed table name — same rationale as q66: the write is an eager
     // side effect, the read lazy; a shared name across dirs would rebind
     val statsTable = "graft_q119_vocab_stats_" +
-      java.security.MessageDigest.getInstance("MD5")
-        .digest(dir.getBytes("UTF-8")).take(4).map("%02x".format(_)).mkString
+      dirHash(dir)
     Tables.writeBucketed(
       graft.operators.Boilerplate.dfStats(base, "doc_id", "text"),
       statsTable, buckets = 8, "tok")

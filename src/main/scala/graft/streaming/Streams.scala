@@ -1829,7 +1829,9 @@ object Streams {
       : Dataset[(String, Long, Long, Long, Option[Long], Boolean)] = {
     require(stepUs >= 1L, s"stepUs must be >= 1, got $stepUs")
     require(m >= 2, s"m must be >= 2, got $m")
-    require(maxLevel >= 0 && (m.toLong << maxLevel) <= Int.MaxValue,
+    // bound BEFORE shifting (the batch guard's overflow note)
+    require(maxLevel >= 0 && maxLevel < 31 &&
+        (m.toLong << maxLevel) <= Int.MaxValue,
       s"bad maxLevel=$maxLevel for m=$m")
     import events.sparkSession.implicits._
     val sizeL = m.toLong << maxLevel

@@ -42,14 +42,18 @@ object SemDedupScale {
       val k = math.max(1L, (n + 255) / 256)
       // victim recall: of the rows flat dedup drops, what fraction does
       // the hierarchical path also drop? (misrouting can separate a
-      // near-dup pair into different clusters — this measures how often)
+      // near-dup pair into different clusters — this measures how often.)
+      // localCheckpoint each survivor set ONCE: except/intersect would
+      // otherwise re-train and re-dedup both pipelines per count
       val sFlat = graft.operators.Similarity.semDedupAutoK(
         emb, "vec_id", "embedding", 256, 2, 0.3).select("vec_id")
+        .localCheckpoint()
       val sHier = graft.operators.Similarity.semDedupCoarseFine(
         emb, "vec_id", "embedding", 256, 2, 0.3).select("vec_id")
+        .localCheckpoint()
       val ids = emb.select(org.apache.spark.sql.functions.col("vec_id")
         .cast("long").as("vec_id"))
-      val vFlat = ids.except(sFlat)
+      val vFlat = ids.except(sFlat).localCheckpoint()
       val vBoth = vFlat.intersect(ids.except(sHier)).count()
       val vF = vFlat.count()
       val recall = if (vF == 0) 1.0 else vBoth.toDouble / vF
