@@ -1228,5 +1228,18 @@ class OperatorsSimilaritySpec extends SparkSuite {
     assert(members.toSeq == (1 to 9).toSeq, s"not a partition: ${members.toSeq}")
     val g1 = Similarity.coarseGroupCentroids(cents, kc = 1, rounds = 2)
     assert(g1.length == 1 && g1.head._3.length == 9)
+
+    // plan pin for the Generate barriers: CollapseProject must NOT be
+    // able to inline the coarse argmin into the group-filter lambda (it
+    // would re-evaluate the kc·dim scan per filter element — the 8.7×
+    // q268 regression); both _g and _f ride explode(array(·)) Generates
+    val pinned = Similarity.withNearestCoarseFine(
+      rdf.select(col("vec_id").cast("long").as("_id"),
+        expr("transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1e6 + 0.5) AS BIGINT))").as("_q")),
+      g3, col("_q"), "_c", "_d2")
+    val optimized = pinned.queryExecution.optimizedPlan.toString
+    val nGenerates = "Generate explode".r.findAllIn(optimized).length
+    assert(nGenerates >= 2,
+      s"coarse-fine assignment lost its Generate barriers:\n$optimized")
   }
 }
