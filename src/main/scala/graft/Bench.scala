@@ -10,6 +10,15 @@ import org.apache.spark.sql.SparkSession
   * the honest number for an engine that at real scale amortizes those fixed
   * costs over 1000 executors and hours of runtime. */
 object Bench {
+  /** Sidecar path rule (the round-12 clobber incident: a 1-query
+    * SPARK_GRAFT_ONLY debug run overwrote the committed 270-query pair
+    * artifact): only a FULL-suite run may write BENCH_DETAIL.json —
+    * any restricted run (SPARK_GRAFT_ONLY set, or fewer queries
+    * selected than the registry holds) goes to a scratch path the
+    * round artifacts never read. Spec-pinned (SparkEntrySpec). */
+  private[graft] def detailPath(restricted: Boolean): String =
+    if (restricted) "BENCH_DETAIL_scratch.json" else "BENCH_DETAIL.json"
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -108,7 +117,8 @@ object Bench {
     // the per-run JVM GC ms, and the untimed state-drain ms around them —
     // so a 2x reading in the summary is diagnosable from the artifact alone
     try java.nio.file.Files.writeString(
-      java.nio.file.Paths.get("BENCH_DETAIL.json"),
+      java.nio.file.Paths.get(Bench.detailPath(
+        only.isDefined || selected.size < SparkEntry.queries.size)),
       line(results.map { r =>
         r.name -> (s"""{"sec":${fmt(r.sec, 3)}""" +
           s""","runs":[${r.runs.map(fmt(_, 3)).mkString(",")}]""" +

@@ -329,6 +329,7 @@ object SparkEntry extends QueriesCore with QueriesDataflow with QueriesDedup wit
     "q268_semdedup_hier" -> q268,
     "q269_cardinality_resize" -> q269,
     "q270_mmr_prethin" -> q270,
+    "q271_hitter_bracket" -> q271,
   )
 
   /** Round count for the parameterized BPE lifecycle (q163/q164) — read

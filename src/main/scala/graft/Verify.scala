@@ -107,7 +107,7 @@ object Verify {
       s""""per_query": $perQuery}"""
     Files.writeString(Paths.get(s"$outDir/verify_manifest.json"), manifest)
     System.err.println(s"[verify] ${selected.size} queries, " +
-      s"${stillFailed.size} failed, ${"%.1f".format(wall)} s")
+      s"${stillFailed.size} failed, ${fmt(wall, 1)} s")
     // always exit 0: a single failed query must cost ONE correctness row
     // (its parquet is missing), never the whole round's artifact
     spark.stop()

@@ -1038,6 +1038,12 @@ object Similarity {
     require(targetClusterSize >= 2,
       s"targetClusterSize must be >= 2, got $targetClusterSize")
     val n = corpus.count()
+    // empty corpus: no seeds to train on — mirror the flat path's empty
+    // survivor frame instead of letting coarseGroupCentroids dereference
+    // an empty centroid array (same long-typed columns as the real tail)
+    if (n == 0L)
+      return corpus.select(col(idCol).cast("long").as(idCol),
+        lit(0L).as("cluster"), lit(0L).as("dist2")).limit(0)
     val k = math.max(1L,
       (n + targetClusterSize - 1) / targetClusterSize).toInt
     val kc = math.max(1, math.ceil(math.sqrt(k.toDouble)).toInt)

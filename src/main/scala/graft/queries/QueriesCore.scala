@@ -704,6 +704,50 @@ private[graft] trait QueriesCore { this: SparkEntry.type =>
   }
 
 
+  /** The heavy-hitter summary's APPROXIMATE regime at the gate — the
+    * regime the round-12 chained-merge threshold fix
+    * ([[graft.operators.HitterSketch.mergeHitters]] thr' =
+    * max(thr_a+thr_b, dropped cnt_up)) exists for, previously exercised
+    * only in specs: cap = 16 ≪ per-lang distinct words, so every build
+    * DROPS keys (thr > 0) and the summaries carry genuine [lo, up]
+    * brackets; the corpus splits into three slices (doc_id mod 3) and
+    * the summaries CHAIN-merge (s0 ⊕ s1) ⊕ s2 — the shape whose
+    * threshold rule the fix repaired. The bracket INVARIANT is checked
+    * live: each emitted top-8 row joins its exact full-corpus count and
+    * emits `ok = exact BETWEEN cnt_lo AND cnt_up` (must be all-true by
+    * the merge induction). Fully HASH-GATED — every step (canonical
+    * build, merge rule, keep rule, read rank) is a deterministic
+    * function of the input multiset, so the DuckDB oracle replays the
+    * builds and both merges verbatim.
+    *
+    * ## Scale shape (100 TB)
+    * Identical to q264's lifecycle: builds are one partial-aggregable
+    * exchange each + a group-partitioned top-cap window; merges touch
+    * only ≤ cap-row-per-group summaries; the exact-count join is gate
+    * instrumentation (the invariant column), not operator cost. */
+  protected def q271(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.HitterSketch
+    val toks = Tables.documents(s, dir)
+      .select(col("doc_id"), col("lang"),
+        explode(Text.tokens(col("text"))).as("w"))
+    def slice(r: Int): DataFrame = toks.where(col("doc_id") % 3 === r)
+    val cap = 16
+    val merged = HitterSketch.mergeHitters(
+      HitterSketch.mergeHitters(
+        HitterSketch.groupHitters(slice(0), "lang", "w", cap),
+        HitterSketch.groupHitters(slice(1), "lang", "w", cap), "lang", cap),
+      HitterSketch.groupHitters(slice(2), "lang", "w", cap), "lang", cap)
+    val exact = toks.groupBy(col("lang"), col("w").as("key"))
+      .agg(count(lit(1)).as("exact"))
+    HitterSketch.topK(merged, "lang", k = 8)
+      .join(exact, Seq("lang", "key"))
+      .select(col("lang"), col("rank"), col("key"), col("cnt_lo"),
+        col("cnt_up"), col("exact"),
+        col("exact").between(col("cnt_lo"), col("cnt_up")).as("ok"))
+      .orderBy(col("lang"), col("rank"))
+  }
+
+
   /** Range-clustered sorted export round-trip: orders written as
     * `range=year/` directories, rows in (o_orderdate, o_orderkey) order
     * inside ([[graft.sources.Tables.writeSortedRange]] — deterministic
@@ -1082,6 +1126,64 @@ private[graft] trait QueriesCore { this: SparkEntry.type =>
                  FROM c)
            SELECT lang, rank, w AS key, cnt AS cnt_lo, cnt AS cnt_up
            FROM r WHERE rank <= 10 ORDER BY lang, rank""",
+
+      // the APPROXIMATE regime, chained: three canonical builds (cap 16,
+      // thr = largest dropped count), two merges by the engine's exact
+      // rule (lo adds; up adds with absent sides bounded by thr; keep
+      // top-cap by (up desc, lo desc, key); thr' = max(thr_a+thr_b,
+      // dropped cnt_up)), top-8 read by (lo desc, key), and the live
+      // bracket invariant against exact full-corpus counts
+      "q271_hitter_bracket" ->
+        s"""WITH t AS (SELECT doc_id, lang, unnest($toks) AS w FROM documents),
+           c0 AS (SELECT lang, w, CAST(count(*) AS BIGINT) AS cnt FROM t WHERE doc_id % 3 = 0 GROUP BY 1, 2),
+           c1 AS (SELECT lang, w, CAST(count(*) AS BIGINT) AS cnt FROM t WHERE doc_id % 3 = 1 GROUP BY 1, 2),
+           c2 AS (SELECT lang, w, CAST(count(*) AS BIGINT) AS cnt FROM t WHERE doc_id % 3 = 2 GROUP BY 1, 2),
+           r0 AS (SELECT lang, w, cnt, row_number() OVER (PARTITION BY lang ORDER BY cnt DESC, w ASC) AS rn FROM c0),
+           r1 AS (SELECT lang, w, cnt, row_number() OVER (PARTITION BY lang ORDER BY cnt DESC, w ASC) AS rn FROM c1),
+           r2 AS (SELECT lang, w, cnt, row_number() OVER (PARTITION BY lang ORDER BY cnt DESC, w ASC) AS rn FROM c2),
+           s0 AS (SELECT lang, w AS key, cnt AS lo, cnt AS up FROM r0 WHERE rn <= 16),
+           s1 AS (SELECT lang, w AS key, cnt AS lo, cnt AS up FROM r1 WHERE rn <= 16),
+           s2 AS (SELECT lang, w AS key, cnt AS lo, cnt AS up FROM r2 WHERE rn <= 16),
+           t0 AS (SELECT lang, coalesce(max(CASE WHEN rn > 16 THEN cnt END), 0) AS thr FROM r0 GROUP BY lang),
+           t1 AS (SELECT lang, coalesce(max(CASE WHEN rn > 16 THEN cnt END), 0) AS thr FROM r1 GROUP BY lang),
+           t2 AS (SELECT lang, coalesce(max(CASE WHEN rn > 16 THEN cnt END), 0) AS thr FROM r2 GROUP BY lang),
+           g1 AS (SELECT coalesce(a.lang, b.lang) AS lang,
+                    coalesce(a.thr, 0) AS thra, coalesce(b.thr, 0) AS thrb
+                  FROM t0 a FULL OUTER JOIN t1 b ON a.lang = b.lang),
+           j1 AS (SELECT g.lang, coalesce(a.key, b.key) AS key,
+                    coalesce(a.lo, 0) + coalesce(b.lo, 0) AS lo,
+                    coalesce(a.up, g.thra) + coalesce(b.up, g.thrb) AS up,
+                    g.thra + g.thrb AS thr
+                  FROM s0 a FULL OUTER JOIN s1 b
+                    ON a.lang = b.lang AND a.key = b.key
+                  JOIN g1 g ON g.lang = coalesce(a.lang, b.lang)),
+           k1 AS (SELECT *, row_number() OVER (PARTITION BY lang ORDER BY up DESC, lo DESC, key ASC) AS rn FROM j1),
+           d1 AS (SELECT lang, coalesce(max(CASE WHEN rn > 16 THEN up END), 0) AS dropup FROM k1 GROUP BY lang),
+           m1 AS (SELECT k.lang, k.key, k.lo, k.up, greatest(k.thr, d.dropup) AS thr
+                  FROM k1 k JOIN d1 d ON k.lang = d.lang WHERE k.rn <= 16),
+           mt1 AS (SELECT DISTINCT lang, thr FROM m1),
+           g2 AS (SELECT coalesce(a.lang, b.lang) AS lang,
+                    coalesce(a.thr, 0) AS thra, coalesce(b.thr, 0) AS thrb
+                  FROM mt1 a FULL OUTER JOIN t2 b ON a.lang = b.lang),
+           j2 AS (SELECT g.lang, coalesce(a.key, b.key) AS key,
+                    coalesce(a.lo, 0) + coalesce(b.lo, 0) AS lo,
+                    coalesce(a.up, g.thra) + coalesce(b.up, g.thrb) AS up,
+                    g.thra + g.thrb AS thr
+                  FROM m1 a FULL OUTER JOIN s2 b
+                    ON a.lang = b.lang AND a.key = b.key
+                  JOIN g2 g ON g.lang = coalesce(a.lang, b.lang)),
+           k2 AS (SELECT *, row_number() OVER (PARTITION BY lang ORDER BY up DESC, lo DESC, key ASC) AS rn FROM j2),
+           d2 AS (SELECT lang, coalesce(max(CASE WHEN rn > 16 THEN up END), 0) AS dropup FROM k2 GROUP BY lang),
+           m2 AS (SELECT k.lang, k.key, k.lo, k.up
+                  FROM k2 k JOIN d2 d ON k.lang = d.lang WHERE k.rn <= 16),
+           rk AS (SELECT lang, key, lo, up,
+                    CAST(row_number() OVER (PARTITION BY lang ORDER BY lo DESC, key ASC) AS BIGINT) AS rank
+                  FROM m2),
+           ex AS (SELECT lang, w AS key, CAST(count(*) AS BIGINT) AS exact FROM t GROUP BY 1, 2)
+           SELECT r.lang, r.rank, r.key, r.lo AS cnt_lo, r.up AS cnt_up,
+             e.exact, e.exact BETWEEN r.lo AND r.up AS ok
+           FROM rk r JOIN ex e ON r.lang = e.lang AND r.key = e.key
+           WHERE r.rank <= 8 ORDER BY r.lang, r.rank""",
 
       "q38_topk_sketch" ->
         """SELECT word, cnt FROM (

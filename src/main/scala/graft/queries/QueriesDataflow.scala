@@ -66,45 +66,35 @@ private[graft] trait QueriesDataflow { this: SparkEntry.type =>
     * giving the streaming side a CORRECTNESS row instead of riding on
     * specs alone. The one-batch replay is deliberate: late-drop
     * semantics are spec territory (StreamingSpec pins them); the gate
-    * pins no-late-data ≡ batch. The driver-side replay is gate
-    * plumbing, not an operator shape — production ingestion is a real
-    * source, and the windowed state is the same either way; the replay
-    * takes the deterministic event_id % 10 slice (mirrored in the
-    * oracle) because the evidence is the MACHINERY's bit-parity, which
-    * a tenth of the log proves as fully as all of it, at a tenth of
-    * the driver-replay cost. */
+    * pins no-late-data ≡ batch. The replay rides the
+    * [[graft.streaming.Replay]] seam and takes the deterministic
+    * FIXED-COUNT slice `event_id < 1000` (mirrored in the oracle):
+    * event ids are dense from 0, so the driver-side row set is a
+    * CONSTANT at any corpus scale — the evidence is the MACHINERY's
+    * bit-parity, which 1000 events prove as fully as all of them. */
   protected def q267(s: SparkSession, dir: String): DataFrame = {
     import Expr._
     import s.implicits._
-    implicit val sqlCtx = s.sqlContext
     val evRows = Tables.events(s, dir)
-      .where(col("event_id") % 10 === 0)
+      .where(col("event_id") < 1000)
       .select(unix_millis(col("ts")).as("_1"), col("event_type").as("_2"))
       .as[(Long, String)].collect().toSeq
-    val input =
-      org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, String)]
-    val counted = DataStream.fromDF[(Long, String)](input.toDF())
-      .assignTimestamps(t => t._1)
-      .groupBy(t => t.value._2)
-      .foldWindow(graft.windows.WindowAssigner.Tumbling(3600000L), 0L)(t => t._1 + 1L)
-    val sink = "graft_q267_sink_p" + ProcessHandle.current().pid()
-    val q = counted.toDF.select(
-        col("value.key").as("event_type"),
-        col("value.value.window.start").as("ws_ms"),
-        col("value.value.value").as("n"))
-      .writeStream.outputMode("append").format("memory").queryName(sink).start()
-    try {
-      input.addData(evRows: _*)
-      q.processAllAvailable()
-      // sentinel a month past the data: advances the watermark so every
-      // real window closes and emits; its own window stays open -> no row.
-      // maxOption: an empty replay slice must yield the oracle's empty
-      // result, not an empty.max crash
-      input.addData((evRows.map(_._1).maxOption.getOrElse(0L)
-        + 30L * 86400000L, "zzz_flush"))
-      q.processAllAvailable()
-    } finally q.stop()
-    s.table(sink).orderBy(col("event_type"), col("ws_ms"))
+    // sentinel a month past the data: advances the watermark so every
+    // real window closes and emits; its own window stays open -> no row.
+    // maxOption: an empty replay slice must yield the oracle's empty
+    // result, not an empty.max crash
+    val flush = Seq((evRows.map(_._1).maxOption.getOrElse(0L)
+      + 30L * 86400000L, "zzz_flush"))
+    graft.streaming.Replay.appendOnce(s, evRows, flush) { in =>
+      DataStream.fromDF[(Long, String)](in)
+        .assignTimestamps(t => t._1)
+        .groupBy(t => t.value._2)
+        .foldWindow(graft.windows.WindowAssigner.Tumbling(3600000L), 0L)(t => t._1 + 1L)
+        .toDF.select(
+          col("value.key").as("event_type"),
+          col("value.value.window.start").as("ws_ms"),
+          col("value.value.value").as("n"))
+    }.orderBy(col("event_type"), col("ws_ms"))
   }
 
 
@@ -230,12 +220,13 @@ private[graft] trait QueriesDataflow { this: SparkEntry.type =>
            FROM events GROUP BY 1, 2 ORDER BY event_type, ws_ms""",
 
       // the STREAMING twin is gated against the IDENTICAL batch-window
-      // oracle over the same deterministic event_id % 10 replay slice:
+      // oracle over the same deterministic FIXED-COUNT replay slice
+      // (event ids dense from 0 ⇒ O(1) rows at any scale):
       // replay-through-MemoryStream + watermark flush must equal batch
       "q267_streaming_evidence" ->
         """SELECT event_type, CAST(floor(epoch_ms(ts) / 3600000) * 3600000 AS BIGINT) AS ws_ms,
            CAST(count(*) AS BIGINT) AS n
-           FROM events WHERE event_id % 10 = 0
+           FROM events WHERE event_id < 1000
            GROUP BY 1, 2 ORDER BY event_type, ws_ms""",
 
       "q15_sliding_agg" ->

@@ -57,7 +57,11 @@ object SemDedupScale {
       val vBoth = vFlat.intersect(ids.except(sHier)).count()
       val vF = vFlat.count()
       val recall = if (vF == 0) 1.0 else vBoth.toDouble / vF
-      println(f"""{"dir":"$dir","n":$n,"k":$k,"survivors":$survivors,"sec":$sec%.2f,"survivors_hier":$survivorsH,"sec_hier":$secH%.2f,"victim_recall_hier":$recall%.3f}""")
+      // locale-safe JSON numbers (the Bench/Verify fmt discipline): the
+      // f-interpolator is JVM-default-locale dependent
+      def fm(v: Double, s: Int): String =
+        BigDecimal(v).setScale(s, BigDecimal.RoundingMode.HALF_UP).toString
+      println(s"""{"dir":"$dir","n":$n,"k":$k,"survivors":$survivors,"sec":${fm(sec, 2)},"survivors_hier":$survivorsH,"sec_hier":${fm(secH, 2)},"victim_recall_hier":${fm(recall, 3)}}""")
     }
     spark.stop()
   }

@@ -1242,4 +1242,17 @@ class OperatorsSimilaritySpec extends SparkSuite {
     assert(nGenerates >= 2,
       s"coarse-fine assignment lost its Generate barriers:\n$optimized")
   }
+
+  test("semDedupCoarseFine: empty corpus returns the flat path's empty survivor frame, not a crash") {
+    import spark.implicits._
+    val empty = Seq.empty[(Long, Array[Float])].toDF("vec_id", "embedding")
+    val hier = Similarity.semDedupCoarseFine(empty, "vec_id", "embedding",
+      targetClusterSize = 16, rounds = 2, threshold = 0.3)
+    assert(hier.count() == 0L)
+    assert(hier.columns.toSeq == Seq("vec_id", "cluster", "dist2"))
+    // schema parity with the non-empty coarse-fine output (all longs)
+    assert(hier.schema.fields.forall(
+      _.dataType == org.apache.spark.sql.types.LongType),
+      hier.schema.treeString)
+  }
 }

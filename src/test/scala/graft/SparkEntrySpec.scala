@@ -42,6 +42,14 @@ class SparkEntrySpec extends SparkSuite {
     assert(diff.isEmpty, s"partitioning-sensitive results: ${diff.mkString(", ")}")
   }
 
+  test("Bench sidecar path rule: only a full-suite run may write BENCH_DETAIL.json") {
+    // the round-12 clobber incident: a 1-query SPARK_GRAFT_ONLY debug run
+    // overwrote the committed 270-query pair artifact. Restricted runs
+    // must land on the scratch path the round artifacts never read.
+    assert(Bench.detailPath(restricted = false) == "BENCH_DETAIL.json")
+    assert(Bench.detailPath(restricted = true) == "BENCH_DETAIL_scratch.json")
+  }
+
   test("q52 approx percentiles honor the GK rank-error bound vs exact ranks") {
     import org.apache.spark.sql.functions._
     val eps = 1.0 / SparkEntry.ApproxPercentileAccuracy
