@@ -330,6 +330,8 @@ object SparkEntry extends QueriesCore with QueriesDataflow with QueriesDedup wit
     "q269_cardinality_resize" -> q269,
     "q270_mmr_prethin" -> q270,
     "q271_hitter_bracket" -> q271,
+    "q272_semdedup_blocked" -> q272,
+    "q273_cardinality_stream" -> q273,
   )
 
   /** Round count for the parameterized BPE lifecycle (q163/q164) — read

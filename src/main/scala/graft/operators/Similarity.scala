@@ -1058,6 +1058,97 @@ object Similarity {
     semDedupTail(assigned, idCol, threshold)
   }
 
+  /** [[semDedupCoarseFine]] composed with LSH PRE-BLOCKING (q106's
+    * machinery) — the RECALL.md escape made first-class. The coarse→fine
+    * route keeps ~10-22% of the flat regime's victims uncompared (a
+    * misrouted point refines in the wrong fine cluster and never meets
+    * its near-dup partner); here the candidate PAIR set is the union of
+    * two deterministic blockings: pairs sharing a FINE CLUSTER (the
+    * hierarchical route) and pairs sharing a random-hyperplane LSH
+    * BUCKET (plan-time hyperplanes, the q106 block) — so a pair the
+    * routing separates still meets in its bucket. The victim rule is
+    * the same on both sources (the SemDeDup keep-the-farthest policy:
+    * per qualifying pair the member CLOSER to its own assigned centroid
+    * drops, tie → larger id), so adding the bucket pairs is MONOTONE —
+    * it can only find more victims, never un-drop one, and recall vs
+    * flat autoK strictly dominates the unblocked hierarchical path
+    * (measured in RECALL.md; `planes` is the recall/cost knob — fewer
+    * planes, bigger buckets, more pairs).
+    *
+    * ## Determinism
+    * Everything is a deterministic function of the input multiset:
+    * integer quantization, exact BIGINT distances, deterministic
+    * tie-breaks, plan-time hyperplane buckets. Reruns are bitwise
+    * equal. No DuckDB oracle for the same reason as
+    * [[semDedupCoarseFine]] (the driver-side coarse Lloyd over
+    * intermediate centroids sits outside the generated-CTE scheme) —
+    * the gate records rows-only; parity rides the determinism/monotone
+    * specs.
+    *
+    * ## Scale shape (100 TB)
+    * Assignment is [[withNearestCoarseFine]]'s n·dim·2√k; the bucket
+    * column is a narrow codegen'd projection (planes dot products, no
+    * shuffle). Pair generation is TWO bounded equi-joins — cluster
+    * pairs ≈ n·target/2, bucket pairs Σ|bucket|²/2 with 2^planes
+    * buckets (planes grows with the corpus; skewed buckets salt like
+    * q53) — unioned and DISTINCT'd on the id pair before any vector
+    * work, so each candidate pair pays its dot product once. Victim
+    * distinct + one anti-join, as in [[semDedup]]. Never all-pairs. */
+  def semDedupBlocked(corpus: DataFrame, idCol: String, vecCol: String,
+                      targetClusterSize: Int, rounds: Int, threshold: Double,
+                      quantScale: Long = 1000000L, coarseRounds: Int = 2,
+                      planes: Int = 6, dim: Int = -1): DataFrame = {
+    require(targetClusterSize >= 2,
+      s"targetClusterSize must be >= 2, got $targetClusterSize")
+    GraftFunctions.ensureRegistered(corpus.sparkSession)
+    val n = corpus.count()
+    if (n == 0L) // the coarse-fine empty-corpus contract
+      return corpus.select(col(idCol).cast("long").as(idCol),
+        lit(0L).as("cluster"), lit(0L).as("dist2")).limit(0)
+    val d = if (dim > 0) dim else Vectors.dims(corpus, vecCol)
+    require(d > 0, s"cannot infer embedding dimensionality of '$vecCol'; pass dim explicitly")
+    val k = math.max(1L,
+      (n + targetClusterSize - 1) / targetClusterSize).toInt
+    val kc = math.max(1, math.ceil(math.sqrt(k.toDouble)).toInt)
+    val buckets = corpus.select(col(idCol).cast("long").as("_id"),
+      Vectors.lshBucket(col(vecCol), planes, d).as("_bk"))
+    val pts = quantized(corpus, idCol, vecCol, quantScale).localCheckpoint()
+    val cents = trainLloydCoarseFine(pts, col("_q"), k, rounds, kc, coarseRounds)
+    val groups = coarseGroupCentroids(cents, kc, coarseRounds)
+    val assigned = withNearestCoarseFine(pts, groups, col("_q"), "_c", "_d2")
+      .join(buckets, Seq("_id"))
+      .select(col("_id"), col("_q"), col("_c"), col("_d2"), col("_bk"),
+        aggregate(zip_with(col("_q"), col("_q"), (a, b) => a * b), lit(0L),
+          (acc, x) => acc + x).as("_n2"))
+      .localCheckpoint() // fans into both blockings and the victim anti-join
+    def pairsOn(key: String): DataFrame =
+      assigned.select(col(key), col("_id").as("_ida"))
+        .join(assigned.select(col(key), col("_id").as("_idb")), Seq(key))
+        .where(col("_ida") < col("_idb"))
+        .select(col("_ida"), col("_idb"))
+    val cand = pairsOn("_c").unionByName(pairsOn("_bk")).distinct()
+    val a = assigned.select(col("_id").as("_ida"), col("_q").as("_qa"),
+      col("_d2").as("_da"), col("_n2").as("_na"))
+    val b = assigned.select(col("_id").as("_idb"), col("_q").as("_qb"),
+      col("_d2").as("_db"), col("_n2").as("_nb"))
+    val victims = cand.join(a, Seq("_ida")).join(b, Seq("_idb"))
+      .withColumn("_dot", aggregate(zip_with(col("_qa"), col("_qb"),
+        (x, y) => x * y), lit(0L), (acc, x) => acc + x))
+      .where(col("_na") > 0L && col("_nb") > 0L &&
+        col("_dot").cast("double") /
+          (sqrt(col("_na").cast("double")) * sqrt(col("_nb").cast("double")))
+          >= lit(threshold))
+      .select(when(col("_da") < col("_db"), col("_ida"))
+        .when(col("_db") < col("_da"), col("_idb"))
+        .otherwise(greatest(col("_ida"), col("_idb"))).as("_victim"))
+      .distinct()
+    assigned
+      .join(victims, assigned("_id") === victims("_victim"), "left_anti")
+      .select(col("_id").as(idCol), col("_c").as("cluster"),
+        col("_d2").as("dist2"))
+      .orderBy(col(idCol))
+  }
+
   /** IVF ANN with an EXACT gate, end to end — [[buildIvfIndex]]'s shape
     * (train centroids → bucket the corpus → probe a few buckets per
     * query → exact re-rank) rebuilt on [[kmeansExact]]'s integer

@@ -673,6 +673,50 @@ private[graft] trait QueriesCore { this: SparkEntry.type =>
   }
 
 
+  /** SECOND streaming CORRECTNESS row (q267 covers the foldWindow path;
+    * this covers a stateful flatMapGroupsWithState lifecycle): q269's
+    * base/batch doc slices replayed through the ACTUAL Structured
+    * Streaming machinery via [[graft.streaming.Streams
+    * .cardinalityAutoStream]] — base docs land in step 0, the batch in
+    * step 1, a per-lang sentinel closes step 1 — and the LAST close per
+    * lang (the cumulative base ∪ batch read) is hash-gated. The oracle
+    * is the REBUILD semantics, which is the stream's actual contract
+    * (its carried state is the finest bitmap, so every close is
+    * bit-identical to batch `groupBitmapsAuto` + `estimatesLeveled`
+    * over all closed values): level = the smallest non-saturated fold
+    * of the UNION's key set. That is deliberately NOT q269's
+    * merge-of-leveled-sketches oracle — the fold-down one-way note
+    * means a merge's level is the min of its inputs while the stream
+    * (holding fine bits) may read out finer; the two coincide exactly
+    * when the sides' auto levels agree. The replay slice is
+    * FIXED-COUNT (`doc_id < 2000`, ids dense from 0 — the q267 O(1)
+    * discipline), mirrored in the oracle. */
+  protected def q273(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val step = 1000000L
+    val rows = Tables.documents(s, dir)
+      .where(col("doc_id") < 2000)
+      .select(col("lang"),
+        when(col("doc_id") % 5 =!= 0, lit(0L)).otherwise(lit(step)).as("ts"),
+        col("doc_id").cast("string").as("v"))
+      .as[(String, Long, String)].collect().toSeq
+    val flush = rows.map(_._1).distinct.sorted.map(l => (l, 2L * step, "zzz_flush"))
+    val out = graft.streaming.Replay.appendOnce(s, rows, flush) { in =>
+      graft.streaming.Streams.cardinalityAutoStream(
+          in.as[(String, Long, String)], stepUs = step, m = 16, maxLevel = 3)
+        .toDF("lang", "step", "level", "bits_set", "est_micro", "saturated")
+    }
+    // the sink holds one emission per CLOSED step; the gate reads the
+    // last (cumulative) one per lang — a lang whose docs all fall in
+    // one step closes at step 0, so "last" is by step, not a constant
+    val w = Window.partitionBy(col("lang")).orderBy(col("step").desc)
+    out.withColumn("_rn", row_number().over(w)).where(col("_rn") === 1)
+      .select(col("lang"), col("level"), col("bits_set"),
+        col("est_micro"), col("saturated"))
+      .orderBy(col("lang"))
+  }
+
+
   /** Mergeable HEAVY-HITTER summary lifecycle (the frequency member of
     * the sketch trio, on q133/q262's persisted-model contract): top-10
     * words per language, summaries built on 80% of the corpus,
@@ -1104,6 +1148,34 @@ private[graft] trait QueriesCore { this: SparkEntry.type =>
                     count(DISTINCT f.s % (16 * (1 << jc.jl))) AS bits
                   FROM (SELECT * FROM fa UNION SELECT * FROM fb) f
                   JOIN jc ON f.lang = jc.lang GROUP BY 1, 2)
+           SELECT lang, CAST(jl AS BIGINT) AS level,
+             CAST(bits AS BIGINT) AS bits_set,
+             CASE WHEN bits < 16 * (1 << jl) THEN
+               CAST(round(ln((16 * (1 << jl)) * 1.0 /
+                   ((16 * (1 << jl)) - bits)) * (16 * (1 << jl)) * 1e6)
+                 AS BIGINT)
+             END AS est_micro,
+             bits >= 16 * (1 << jl) AS saturated
+           FROM mg ORDER BY lang""",
+
+      // streaming auto-resizing cardinality: the stream's contract is
+      // REBUILD semantics (its state is the finest bitmap), so the
+      // oracle computes, per lang over the union of the fixed-count
+      // replay slice, the smallest non-saturated fold level and the
+      // bits/site-quantized-ln estimate at that level
+      "q273_cardinality_stream" ->
+        """WITH f AS (SELECT DISTINCT lang,
+               ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
+                 % 128 AS s
+             FROM documents WHERE doc_id < 2000),
+           lv AS (SELECT unnest([0, 1, 2, 3]) AS j),
+           b AS (SELECT lang, j, count(DISTINCT s % (16 * (1 << j))) AS b
+                 FROM f, lv GROUP BY 1, 2),
+           jl AS (SELECT lang, min(CASE WHEN b < 16 * (1 << j) OR j = 3
+                    THEN j END) AS jl FROM b GROUP BY 1),
+           mg AS (SELECT f.lang, jl.jl,
+                    count(DISTINCT f.s % (16 * (1 << jl.jl))) AS bits
+                  FROM f JOIN jl ON f.lang = jl.lang GROUP BY 1, 2)
            SELECT lang, CAST(jl AS BIGINT) AS level,
              CAST(bits AS BIGINT) AS bits_set,
              CASE WHEN bits < 16 * (1 << jl) THEN

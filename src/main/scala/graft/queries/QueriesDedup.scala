@@ -347,6 +347,20 @@ private[graft] trait QueriesDedup { this: SparkEntry.type =>
     Similarity.semDedupCoarseFine(Tables.embeddings(s, dir), "vec_id",
       "embedding", targetClusterSize = 16, rounds = 2, threshold = 0.3)
 
+  /** The COMPOSED semantic-dedup pipeline — q268's coarse→fine routing
+    * with q106's LSH pre-blocking unioned into the candidate pair set
+    * ([[graft.operators.Similarity.semDedupBlocked]]): the RECALL.md
+    * escape for the hierarchical path's 10-22% victim-recall gap, run
+    * at the gate (same target/rounds/threshold as q268, planes = 6).
+    * Rows-only by the same documented necessity as q268 (the
+    * driver-side coarse Lloyd sits outside the generated-CTE oracle
+    * scheme); victim recall vs flat autoK is measured in RECALL.md and
+    * the monotone/determinism laws are spec'd. */
+  protected def q272(s: SparkSession, dir: String): DataFrame =
+    Similarity.semDedupBlocked(Tables.embeddings(s, dir), "vec_id",
+      "embedding", targetClusterSize = 16, rounds = 2, threshold = 0.3,
+      planes = 6, dim = EmbeddingDim)
+
 
   /** Per-document novelty: the fraction of a doc's distinct 3-shingles
     * with corpus df = 1 — the inverse signal of boilerplate, over the

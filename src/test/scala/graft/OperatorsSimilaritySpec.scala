@@ -1243,6 +1243,42 @@ class OperatorsSimilaritySpec extends SparkSuite {
       s"coarse-fine assignment lost its Generate barriers:\n$optimized")
   }
 
+  test("semDedupBlocked: monotone pair-superset laws (vs coarse-fine; planes prefix), deterministic rerun, empty corpus") {
+    import spark.implicits._
+    val emb = spark.read.parquet(sf0001 + "/embeddings.parquet")
+    def ids(df: org.apache.spark.sql.DataFrame): Set[Long] =
+      df.select(col("vec_id").cast("long")).collect().map(_.getLong(0)).toSet
+    val hier = ids(Similarity.semDedupCoarseFine(emb, "vec_id", "embedding",
+      targetClusterSize = 16, rounds = 2, threshold = 0.3))
+    val b6 = ids(Similarity.semDedupBlocked(emb, "vec_id", "embedding",
+      targetClusterSize = 16, rounds = 2, threshold = 0.3, planes = 6))
+    val b2 = ids(Similarity.semDedupBlocked(emb, "vec_id", "embedding",
+      targetClusterSize = 16, rounds = 2, threshold = 0.3, planes = 2))
+    // adding bucket pairs is monotone: the blocked survivor set can only
+    // SHRINK relative to the unblocked hierarchical path (same victim
+    // rule, candidate pairs a superset — both runs share the identical
+    // deterministic training trajectory)
+    assert(b6.subsetOf(hier),
+      s"blocked must only add victims: ${(b6 -- hier).take(5)}")
+    // planes-p buckets are PREFIXES of planes-(p+k) buckets (same
+    // hyperplane family), so fewer planes ⇒ pair superset ⇒ fewer
+    // survivors — the knob's direction is a law, not a tendency
+    assert(b2.subsetOf(b6),
+      s"fewer planes must only add victims: ${(b2 -- b6).take(5)}")
+    // the composition genuinely reaches pairs the routing separated on
+    // the real corpus (the RECALL.md gap it exists to close)
+    assert(b6.size < hier.size,
+      s"blocked found no extra victims at planes=6: ${b6.size} vs ${hier.size}")
+    // deterministic rerun
+    assert(ids(Similarity.semDedupBlocked(emb, "vec_id", "embedding",
+      targetClusterSize = 16, rounds = 2, threshold = 0.3, planes = 6)) == b6)
+    // empty corpus: the coarse-fine guard's contract
+    val empty = Seq.empty[(Long, Array[Float])].toDF("vec_id", "embedding")
+    assert(Similarity.semDedupBlocked(empty, "vec_id", "embedding",
+      targetClusterSize = 16, rounds = 2, threshold = 0.3,
+      planes = 6, dim = 8).count() == 0L)
+  }
+
   test("semDedupCoarseFine: empty corpus returns the flat path's empty survivor frame, not a crash") {
     import spark.implicits._
     val empty = Seq.empty[(Long, Array[Float])].toDF("vec_id", "embedding")

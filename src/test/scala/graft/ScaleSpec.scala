@@ -1343,6 +1343,17 @@ class ScaleSpec extends SparkSuite {
     assert(!shPlan.contains("CartesianProduct"),
       s"coarse-fine pair join must stay cluster-keyed:\n$shPlan")
 
+    // semDedupBlocked: the candidate union is still TWO equi-joins
+    // (cluster id, LSH bucket string) — the LSH composition must not
+    // smuggle in a cartesian; the only nested-loop is the 1-row model
+    val sb = graft.operators.Similarity.semDedupBlocked(vecs, "vec_id",
+      "embedding", targetClusterSize = 40, rounds = 1, threshold = 0.9,
+      planes = 4)
+    sb.collect()
+    val sbPlan = sb.queryExecution.executedPlan.toString.split("== Initial Plan ==").head
+    assert(!sbPlan.contains("CartesianProduct"),
+      s"blocked composition must stay equi-join blocked:\n$sbPlan")
+
     // dsirSelect: the F-row scoring model broadcasts onto the doc
     // histogram, the cut is a distributed top-k (TakeOrdered), and the
     // histogram partial-aggregates before any exchange
