@@ -1022,8 +1022,10 @@ object Similarity {
     * paper's own k is a heuristic. No DuckDB oracle: the driver-side
     * coarse Lloyd over intermediate centroids sits outside the
     * generated-CTE scheme that hash-gates q249/q218, so the gate query
-    * (q267) records the rows-only check, with parity carried by the
-    * fixture/determinism specs instead.
+    * (q268) records the rows-only check, with parity carried by the
+    * fixture/determinism specs instead. A pipeline wanting flat-level
+    * victim recall at this speed composes LSH pre-blocking on top —
+    * [[semDedupBlocked]] (q272), shipped round 13.
     *
     * ## Scale shape (100 TB)
     * Per round: ONE narrow projection against a one-row broadcast model
