@@ -1092,14 +1092,24 @@ object Similarity {
     * column is a narrow codegen'd projection (planes dot products, no
     * shuffle). Pair generation is TWO bounded equi-joins — cluster
     * pairs ≈ n·target/2, bucket pairs Σ|bucket|²/2 with 2^planes
-    * buckets (planes grows with the corpus; skewed buckets salt like
-    * q53) — unioned and DISTINCT'd on the id pair before any vector
+    * buckets — unioned and DISTINCT'd on the id pair before any vector
     * work, so each candidate pair pays its dot product once. Victim
-    * distinct + one anti-join, as in [[semDedup]]. Never all-pairs. */
+    * distinct + one anti-join, as in [[semDedup]]. Never all-pairs.
+    * At FIXED planes the bucket-pair term is n²/2^planes (measured:
+    * planes 6 costs 288 s at 100k vectors where planes 8 restores the
+    * linear regime at the same ≥0.95 victim recall — RECALL.md round
+    * 13), so `planes ≤ 0` selects the AUTO rule
+    * planes = ⌈log₂(n/512)⌉ clamped to [1, 16]: expected bucket size
+    * stays ≈ 256-512 (the measured sweet spot — recall 0.93-0.96
+    * rising with scale) and the bucket pairs stay ≈ 256·n at ANY
+    * corpus size — the scale default; a fixed planes remains the
+    * recall/cost override (fewer planes, bigger buckets, more recall;
+    * skewed buckets salt like q53). Auto planes is a deterministic
+    * function of the corpus count, so reruns stay bitwise equal. */
   def semDedupBlocked(corpus: DataFrame, idCol: String, vecCol: String,
                       targetClusterSize: Int, rounds: Int, threshold: Double,
                       quantScale: Long = 1000000L, coarseRounds: Int = 2,
-                      planes: Int = 6, dim: Int = -1): DataFrame = {
+                      planes: Int = -1, dim: Int = -1): DataFrame = {
     require(targetClusterSize >= 2,
       s"targetClusterSize must be >= 2, got $targetClusterSize")
     GraftFunctions.ensureRegistered(corpus.sparkSession)
@@ -1112,8 +1122,11 @@ object Similarity {
     val k = math.max(1L,
       (n + targetClusterSize - 1) / targetClusterSize).toInt
     val kc = math.max(1, math.ceil(math.sqrt(k.toDouble)).toInt)
+    val p = if (planes > 0) planes
+      else math.max(1, math.min(16,
+        math.ceil(math.log(n.toDouble / 512.0) / math.log(2.0)).toInt))
     val buckets = corpus.select(col(idCol).cast("long").as("_id"),
-      Vectors.lshBucket(col(vecCol), planes, d).as("_bk"))
+      Vectors.lshBucket(col(vecCol), p, d).as("_bk"))
     val pts = quantized(corpus, idCol, vecCol, quantScale).localCheckpoint()
     val cents = trainLloydCoarseFine(pts, col("_q"), k, rounds, kc, coarseRounds)
     val groups = coarseGroupCentroids(cents, kc, coarseRounds)

@@ -31,6 +31,13 @@ object SemDedupScale {
       def runHier(): Long = graft.operators.Similarity.semDedupCoarseFine(
         emb, "vec_id", "embedding", targetClusterSize = 256,
         rounds = 2, threshold = 0.3).count()
+      // the LSH-blocked composition (q272's machinery at the autoK
+      // target); planes is the recall/cost knob — overridable so the
+      // planes-vs-recall curve can be measured in one session
+      val planes = sys.env.getOrElse("SPARK_GRAFT_BLOCK_PLANES", "6").toInt
+      def runBlocked(): Long = graft.operators.Similarity.semDedupBlocked(
+        emb, "vec_id", "embedding", targetClusterSize = 256,
+        rounds = 2, threshold = 0.3, planes = planes).count()
       runFlat()
       val t0 = System.nanoTime()
       val survivors = runFlat()
@@ -39,6 +46,10 @@ object SemDedupScale {
       val t1 = System.nanoTime()
       val survivorsH = runHier()
       val secH = (System.nanoTime() - t1) / 1e9
+      runBlocked()
+      val t2 = System.nanoTime()
+      val survivorsB = runBlocked()
+      val secB = (System.nanoTime() - t2) / 1e9
       val k = math.max(1L, (n + 255) / 256)
       // victim recall: of the rows flat dedup drops, what fraction does
       // the hierarchical path also drop? (misrouting can separate a
@@ -51,17 +62,22 @@ object SemDedupScale {
       val sHier = graft.operators.Similarity.semDedupCoarseFine(
         emb, "vec_id", "embedding", 256, 2, 0.3).select("vec_id")
         .localCheckpoint()
+      val sBlocked = graft.operators.Similarity.semDedupBlocked(
+        emb, "vec_id", "embedding", 256, 2, 0.3, planes = planes)
+        .select("vec_id").localCheckpoint()
       val ids = emb.select(org.apache.spark.sql.functions.col("vec_id")
         .cast("long").as("vec_id"))
       val vFlat = ids.except(sFlat).localCheckpoint()
       val vBoth = vFlat.intersect(ids.except(sHier)).count()
+      val vBlk = vFlat.intersect(ids.except(sBlocked)).count()
       val vF = vFlat.count()
       val recall = if (vF == 0) 1.0 else vBoth.toDouble / vF
+      val recallB = if (vF == 0) 1.0 else vBlk.toDouble / vF
       // locale-safe JSON numbers (the Bench/Verify fmt discipline): the
       // f-interpolator is JVM-default-locale dependent
       def fm(v: Double, s: Int): String =
         BigDecimal(v).setScale(s, BigDecimal.RoundingMode.HALF_UP).toString
-      println(s"""{"dir":"$dir","n":$n,"k":$k,"survivors":$survivors,"sec":${fm(sec, 2)},"survivors_hier":$survivorsH,"sec_hier":${fm(secH, 2)},"victim_recall_hier":${fm(recall, 3)}}""")
+      println(s"""{"dir":"$dir","n":$n,"k":$k,"survivors":$survivors,"sec":${fm(sec, 2)},"survivors_hier":$survivorsH,"sec_hier":${fm(secH, 2)},"victim_recall_hier":${fm(recall, 3)},"planes":$planes,"survivors_blocked":$survivorsB,"sec_blocked":${fm(secB, 2)},"victim_recall_blocked":${fm(recallB, 3)}}""")
     }
     spark.stop()
   }

@@ -1272,6 +1272,13 @@ class OperatorsSimilaritySpec extends SparkSuite {
     // deterministic rerun
     assert(ids(Similarity.semDedupBlocked(emb, "vec_id", "embedding",
       targetClusterSize = 16, rounds = 2, threshold = 0.3, planes = 6)) == b6)
+    // auto planes (the scale default): ceil(log2(n/512)) clamped to
+    // [1,16] — at n = 500 that clamps to 1, so the auto run is bitwise
+    // the explicit planes=1 run (auto is a pure function of the count)
+    assert(ids(Similarity.semDedupBlocked(emb, "vec_id", "embedding",
+        targetClusterSize = 16, rounds = 2, threshold = 0.3))
+      == ids(Similarity.semDedupBlocked(emb, "vec_id", "embedding",
+        targetClusterSize = 16, rounds = 2, threshold = 0.3, planes = 1)))
     // empty corpus: the coarse-fine guard's contract
     val empty = Seq.empty[(Long, Array[Float])].toDF("vec_id", "embedding")
     assert(Similarity.semDedupBlocked(empty, "vec_id", "embedding",
