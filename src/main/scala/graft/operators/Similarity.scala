@@ -810,6 +810,28 @@ object Similarity {
     semDedupTail(assigned, idCol, threshold)
   }
 
+  /** The pair decision shared by EVERY semantic-dedup tail
+    * ([[semDedupTail]] and [[semDedupBlocked]]) — one definition so the
+    * blocked path's spec'd subset law (identical victim decisions on
+    * shared pairs) is structural, not a copy that can drift. Expects a
+    * pair frame carrying `_qa/_qb` (quantized vectors), `_na/_nb`
+    * (integer squared norms), `_da/_db` (own-centroid distances),
+    * `_ida/_idb` (ids, a < b). */
+  private val pairDot: Column =
+    aggregate(zip_with(col("_qa"), col("_qb"), (a, b) => a * b), lit(0L),
+      (acc, x) => acc + x)
+  private def pairQualifies(threshold: Double): Column =
+    col("_na") > 0L && col("_nb") > 0L &&
+      col("_dot").cast("double") /
+        (sqrt(col("_na").cast("double")) * sqrt(col("_nb").cast("double"))) >=
+        lit(threshold)
+  /** SemDeDup keep-the-farthest policy: the member CLOSER to its own
+    * centroid drops; ties drop the larger id. */
+  private val pairVictim: Column =
+    when(col("_da") < col("_db"), col("_ida"))
+      .when(col("_db") < col("_da"), col("_idb"))
+      .otherwise(greatest(col("_ida"), col("_idb"))).as("_victim")
+
   /** The within-cluster pair/victim/anti-join tail shared by [[semDedup]]
     * and [[semDedupCoarseFine]] — expects an already-localCheckpointed
     * `(_id, _q, _c, _d2, _n2)` assignment frame. */
@@ -821,15 +843,9 @@ object Similarity {
       col("_q").as("_qb"), col("_d2").as("_db"), col("_n2").as("_nb"))
     val victims = l.join(r, Seq("_c"))
       .where(col("_ida") < col("_idb"))
-      .withColumn("_dot", aggregate(zip_with(col("_qa"), col("_qb"),
-        (a, b) => a * b), lit(0L), (acc, x) => acc + x))
-      .where(col("_na") > 0L && col("_nb") > 0L &&
-        col("_dot").cast("double") /
-          (sqrt(col("_na").cast("double")) * sqrt(col("_nb").cast("double")))
-          >= lit(threshold))
-      .select(when(col("_da") < col("_db"), col("_ida"))
-        .when(col("_db") < col("_da"), col("_idb"))
-        .otherwise(greatest(col("_ida"), col("_idb"))).as("_victim"))
+      .withColumn("_dot", pairDot)
+      .where(pairQualifies(threshold))
+      .select(pairVictim)
       .distinct()
     assigned
       .join(victims, assigned("_id") === victims("_victim"), "left_anti")
@@ -1147,15 +1163,9 @@ object Similarity {
     val b = assigned.select(col("_id").as("_idb"), col("_q").as("_qb"),
       col("_d2").as("_db"), col("_n2").as("_nb"))
     val victims = cand.join(a, Seq("_ida")).join(b, Seq("_idb"))
-      .withColumn("_dot", aggregate(zip_with(col("_qa"), col("_qb"),
-        (x, y) => x * y), lit(0L), (acc, x) => acc + x))
-      .where(col("_na") > 0L && col("_nb") > 0L &&
-        col("_dot").cast("double") /
-          (sqrt(col("_na").cast("double")) * sqrt(col("_nb").cast("double")))
-          >= lit(threshold))
-      .select(when(col("_da") < col("_db"), col("_ida"))
-        .when(col("_db") < col("_da"), col("_idb"))
-        .otherwise(greatest(col("_ida"), col("_idb"))).as("_victim"))
+      .withColumn("_dot", pairDot)
+      .where(pairQualifies(threshold))
+      .select(pairVictim)
       .distinct()
     assigned
       .join(victims, assigned("_id") === victims("_victim"), "left_anti")

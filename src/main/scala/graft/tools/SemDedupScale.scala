@@ -55,7 +55,11 @@ object SemDedupScale {
       // the hierarchical path also drop? (misrouting can separate a
       // near-dup pair into different clusters — this measures how often.)
       // localCheckpoint each survivor set ONCE: except/intersect would
-      // otherwise re-train and re-dedup both pipelines per count
+      // otherwise re-train and re-dedup both pipelines per count.
+      // (Deliberately a THIRD execution per path — warm / timed /
+      // materialized — so the timed number stays a bare .count() on an
+      // unencumbered plan, comparable across all three paths; the
+      // recall pass's cost is bounded by the auto-planes regime.)
       val sFlat = graft.operators.Similarity.semDedupAutoK(
         emb, "vec_id", "embedding", 256, 2, 0.3).select("vec_id")
         .localCheckpoint()

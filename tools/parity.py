@@ -15,11 +15,17 @@ import json, sys, os
 import duckdb
 import pandas as pd
 
-args = [a for a in sys.argv[1:] if not a.startswith("--")]
-sf_dir, out_dir = args[0], args[1]
+argv = sys.argv[1:]
 json_path = None
-if "--json" in sys.argv:
-    json_path = sys.argv[sys.argv.index("--json") + 1]
+if "--json" in argv:
+    i = argv.index("--json")
+    if i + 1 >= len(argv):
+        sys.exit("usage: parity.py <sfDir> <outDir> [--json <path>]")
+    json_path = argv[i + 1]
+    del argv[i:i + 2]  # remove the flag AND its path operand
+if len(argv) != 2:
+    sys.exit("usage: parity.py <sfDir> <outDir> [--json <path>]")
+sf_dir, out_dir = argv
 
 con = duckdb.connect()
 for t in ["region","nation","customer","supplier","part","orders",
