@@ -332,6 +332,8 @@ object SparkEntry extends QueriesCore with QueriesDataflow with QueriesDedup wit
     "q271_hitter_bracket" -> q271,
     "q272_semdedup_blocked" -> q272,
     "q273_cardinality_stream" -> q273,
+    "q274_hitter_stream" -> q274,
+    "q275_semdedup_auto" -> q275,
   )
 
   /** Round count for the parameterized BPE lifecycle (q163/q164) — read

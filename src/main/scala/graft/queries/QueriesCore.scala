@@ -717,6 +717,44 @@ private[graft] trait QueriesCore { this: SparkEntry.type =>
   }
 
 
+  /** THIRD streaming CORRECTNESS row — the heavy-hitter twin
+    * ([[graft.streaming.Streams.hitterStream]]), completing the gated
+    * streaming trio (q267 windowed fold, q273 stateful cardinality,
+    * this stateful top-k): per-lang word events from the FIXED-COUNT
+    * slice `doc_id < 200` replayed through the real
+    * flatMapGroupsWithState machinery — docs alternate two steps
+    * (doc_id mod 2), a per-lang sentinel closes step 1 — and the LAST
+    * close per lang is hash-gated. Run in the EXACT regime (cap 4096 ≫
+    * the slice's per-lang distinct words — the q38/q264 capacity
+    * doctrine), where the stream's chained canonical merges are
+    * bit-equal to the batch top-k over all closed values, so the
+    * oracle is q264's exact SQL top-k restricted to the slice. */
+  protected def q274(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val step = 1000000L
+    val rows = Tables.documents(s, dir)
+      .where(col("doc_id") < 200)
+      .select(col("lang"), (pmod(col("doc_id"), lit(2L)) * step).as("ts"),
+        explode(Text.tokens(col("text"))).as("w"))
+      .as[(String, Long, String)].collect().toSeq
+    val flush = rows.map(_._1).distinct.sorted.map(l => (l, 2L * step, "zz"))
+    val out = graft.streaming.Replay.appendOnce(s, rows, flush) { in =>
+      graft.streaming.Streams.hitterStream(
+          in.as[(String, Long, String)], stepUs = step, cap = 4096, k = 8)
+        .toDF("lang", "step", "rank", "key", "cnt_lo", "cnt_up")
+    }
+    // each close emits k ranked rows, so "last close" is a per-lang
+    // max-step window cut (a self-join on the sink view trips
+    // conflicting-reference resolution), the q273 pattern
+    out.withColumn("_mx",
+        max(col("step")).over(Window.partitionBy(col("lang"))))
+      .where(col("step") === col("_mx"))
+      .select(col("lang"), col("rank"), col("key"), col("cnt_lo"),
+        col("cnt_up"))
+      .orderBy(col("lang"), col("rank"))
+  }
+
+
   /** Mergeable HEAVY-HITTER summary lifecycle (the frequency member of
     * the sketch trio, on q133/q262's persisted-model contract): top-10
     * words per language, summaries built on 80% of the corpus,
@@ -1185,6 +1223,22 @@ private[graft] trait QueriesCore { this: SparkEntry.type =>
              END AS est_micro,
              bits >= 16 * (1 << jl) AS saturated
            FROM mg ORDER BY lang""",
+
+      // streaming hitter twin in the exact regime: the stream's chained
+      // canonical merges are bit-equal to the batch top-k over all
+      // closed values, so the oracle is the exact per-lang top-8 over
+      // the fixed-count replay slice
+      "q274_hitter_stream" ->
+        s"""WITH t AS (SELECT lang, unnest($toks) AS w FROM documents
+                      WHERE doc_id < 200),
+           c AS (SELECT lang, w, CAST(count(*) AS BIGINT) AS cnt
+                 FROM t GROUP BY 1, 2),
+           r AS (SELECT lang, w, cnt,
+                   CAST(row_number() OVER (PARTITION BY lang
+                     ORDER BY cnt DESC, w ASC) AS BIGINT) AS rank
+                 FROM c)
+           SELECT lang, rank, w AS key, cnt AS cnt_lo, cnt AS cnt_up
+           FROM r WHERE rank <= 8 ORDER BY lang, rank""",
 
       // heavy-hitter lifecycle in the exact regime: merge == rebuild with
       // exact counts, so the gate is the exact per-language top-10

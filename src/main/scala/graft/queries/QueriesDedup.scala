@@ -361,6 +361,19 @@ private[graft] trait QueriesDedup { this: SparkEntry.type =>
       "embedding", targetClusterSize = 16, rounds = 2, threshold = 0.3,
       planes = 6, dim = EmbeddingDim)
 
+  /** q272's composition under the AUTO planes rule — the production
+    * default at the gate: `planes ≤ 0` derives ⌈log₂(n/512)⌉ from the
+    * corpus count (bucket pairs ≈ 256·n at ANY scale — the measured
+    * sweet spot, RECALL.md round 13), so THIS query's cost stays
+    * near-linear across scale factors where q272's pinned planes = 6
+    * pays the n²/2⁶ bucket term by construction. Rows-only for the
+    * same documented reason as q268/q272; the auto≡explicit law is
+    * spec-pinned and deterministic (planes a pure function of n). */
+  protected def q275(s: SparkSession, dir: String): DataFrame =
+    Similarity.semDedupBlocked(Tables.embeddings(s, dir), "vec_id",
+      "embedding", targetClusterSize = 16, rounds = 2, threshold = 0.3,
+      dim = EmbeddingDim)
+
 
   /** Per-document novelty: the fraction of a doc's distinct 3-shingles
     * with corpus df = 1 — the inverse signal of boilerplate, over the
