@@ -334,6 +334,7 @@ object SparkEntry extends QueriesCore with QueriesDataflow with QueriesDedup wit
     "q273_cardinality_stream" -> q273,
     "q274_hitter_stream" -> q274,
     "q275_semdedup_auto" -> q275,
+    "q276_hitter_stream_bracket" -> q276,
   )
 
   /** Round count for the parameterized BPE lifecycle (q163/q164) — read

@@ -755,6 +755,47 @@ private[graft] trait QueriesCore { this: SparkEntry.type =>
   }
 
 
+  /** q274's replay in the APPROXIMATE regime — the streaming side of
+    * q271: cap = 8 < the slice's per-lang vocabulary (~31+ distinct
+    * words per lang-step), so every step close DROPS keys, the carried
+    * summary's [lo, up] brackets are genuine, and the final close per
+    * lang is the chained merge canon(step0) ⊕ canon(step1) — hash-gated
+    * against the q271-style SQL replay of the canonical builds and the
+    * merge rule, with the bracket invariant checked LIVE
+    * (`ok = exact BETWEEN cnt_lo AND cnt_up` over the slice's exact
+    * counts). Merging into the empty carried summary is identity
+    * (thr 0, no absent-side mass), so the two-step stream replay is
+    * exactly one batch merge — which is what the oracle replays. */
+  protected def q276(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val step = 1000000L
+    val toks = Tables.documents(s, dir)
+      .where(col("doc_id") < 200)
+      .select(col("doc_id"), col("lang"),
+        explode(Text.tokens(col("text"))).as("w"))
+    val rows = toks
+      .select(col("lang"), (pmod(col("doc_id"), lit(2L)) * step).as("ts"),
+        col("w"))
+      .as[(String, Long, String)].collect().toSeq
+    val flush = rows.map(_._1).distinct.sorted.map(l => (l, 2L * step, "zz"))
+    val out = graft.streaming.Replay.appendOnce(s, rows, flush) { in =>
+      graft.streaming.Streams.hitterStream(
+          in.as[(String, Long, String)], stepUs = step, cap = 8, k = 5)
+        .toDF("lang", "step", "rank", "key", "cnt_lo", "cnt_up")
+    }
+    val exact = toks.groupBy(col("lang"), col("w").as("key"))
+      .agg(count(lit(1)).as("exact"))
+    out.withColumn("_mx",
+        max(col("step")).over(Window.partitionBy(col("lang"))))
+      .where(col("step") === col("_mx"))
+      .join(exact, Seq("lang", "key"))
+      .select(col("lang"), col("rank"), col("key"), col("cnt_lo"),
+        col("cnt_up"), col("exact"),
+        col("exact").between(col("cnt_lo"), col("cnt_up")).as("ok"))
+      .orderBy(col("lang"), col("rank"))
+  }
+
+
   /** Mergeable HEAVY-HITTER summary lifecycle (the frequency member of
     * the sketch trio, on q133/q262's persisted-model contract): top-10
     * words per language, summaries built on 80% of the corpus,
@@ -1239,6 +1280,40 @@ private[graft] trait QueriesCore { this: SparkEntry.type =>
                  FROM c)
            SELECT lang, rank, w AS key, cnt AS cnt_lo, cnt AS cnt_up
            FROM r WHERE rank <= 8 ORDER BY lang, rank""",
+
+      // the streaming approximate regime: canonical builds (cap 8) of
+      // the two step slices, ONE merge by the engine's exact rule, top-5
+      // read, live bracket invariant — the q271 CTE machinery restricted
+      // to the fixed-count replay slice
+      "q276_hitter_stream_bracket" ->
+        s"""WITH t AS (SELECT doc_id, lang, unnest($toks) AS w FROM documents
+                      WHERE doc_id < 200),
+           c0 AS (SELECT lang, w, CAST(count(*) AS BIGINT) AS cnt FROM t WHERE doc_id % 2 = 0 GROUP BY 1, 2),
+           c1 AS (SELECT lang, w, CAST(count(*) AS BIGINT) AS cnt FROM t WHERE doc_id % 2 = 1 GROUP BY 1, 2),
+           r0 AS (SELECT lang, w, cnt, row_number() OVER (PARTITION BY lang ORDER BY cnt DESC, w ASC) AS rn FROM c0),
+           r1 AS (SELECT lang, w, cnt, row_number() OVER (PARTITION BY lang ORDER BY cnt DESC, w ASC) AS rn FROM c1),
+           s0 AS (SELECT lang, w AS key, cnt AS lo, cnt AS up FROM r0 WHERE rn <= 8),
+           s1 AS (SELECT lang, w AS key, cnt AS lo, cnt AS up FROM r1 WHERE rn <= 8),
+           t0 AS (SELECT lang, coalesce(max(CASE WHEN rn > 8 THEN cnt END), 0) AS thr FROM r0 GROUP BY lang),
+           t1 AS (SELECT lang, coalesce(max(CASE WHEN rn > 8 THEN cnt END), 0) AS thr FROM r1 GROUP BY lang),
+           g1 AS (SELECT coalesce(a.lang, b.lang) AS lang,
+                    coalesce(a.thr, 0) AS thra, coalesce(b.thr, 0) AS thrb
+                  FROM t0 a FULL OUTER JOIN t1 b ON a.lang = b.lang),
+           j1 AS (SELECT g.lang, coalesce(a.key, b.key) AS key,
+                    coalesce(a.lo, 0) + coalesce(b.lo, 0) AS lo,
+                    coalesce(a.up, g.thra) + coalesce(b.up, g.thrb) AS up
+                  FROM s0 a FULL OUTER JOIN s1 b
+                    ON a.lang = b.lang AND a.key = b.key
+                  JOIN g1 g ON g.lang = coalesce(a.lang, b.lang)),
+           k1 AS (SELECT *, row_number() OVER (PARTITION BY lang ORDER BY up DESC, lo DESC, key ASC) AS rn FROM j1),
+           rk AS (SELECT lang, key, lo, up,
+                    CAST(row_number() OVER (PARTITION BY lang ORDER BY lo DESC, key ASC) AS BIGINT) AS rank
+                  FROM k1 WHERE rn <= 8),
+           ex AS (SELECT lang, w AS key, CAST(count(*) AS BIGINT) AS exact FROM t GROUP BY 1, 2)
+           SELECT r.lang, r.rank, r.key, r.lo AS cnt_lo, r.up AS cnt_up,
+             e.exact, e.exact BETWEEN r.lo AND r.up AS ok
+           FROM rk r JOIN ex e ON r.lang = e.lang AND r.key = e.key
+           WHERE r.rank <= 5 ORDER BY r.lang, r.rank""",
 
       // heavy-hitter lifecycle in the exact regime: merge == rebuild with
       // exact counts, so the gate is the exact per-language top-10
