@@ -37,6 +37,36 @@ import org.apache.spark.sql.functions._
   * data-sized. */
 object Graph {
 
+  /** Lineage-cut cadence for the iterative operators: a round's state is
+    * localCheckpointed only every CutEvery-th round (plus implicitly via
+    * the materialized edge table). Measured r13 (sf0.1, local[32]): a
+    * per-round eager checkpoint is a per-round JOB BARRIER — pageRankInt
+    * 3 rounds ran 5.7 s with per-round cuts vs 1.6 s letting the rounds
+    * plan as one lazy job; the barrier bought nothing at ≤ 6 rounds
+    * because the per-round state is node-sized and the edge table below
+    * it is already materialized. Deep iterations still need the cut (an
+    * unbounded lineage re-executes from the scan on retry and the plan
+    * grows without bound — the original reason for per-round cuts), so
+    * the cadence bounds lineage depth at CutEvery rounds instead of
+    * paying a materialization per round. */
+  private val CutEvery = 5
+
+  /** The edge table is built once and read every round: materialize it
+    * EAGERLY (localCheckpoint) instead of lazily caching. A lazy
+    * `persist` let the first action's parallel stages race to compute
+    * the (often expensive) edge construction — measured r13: weighted
+    * labelPropagation 6.2 s with lazy persist vs 4.2 s with per-round
+    * barriers, BOTH beaten by the eager edge cut + lazy rounds shape.
+    * `checkpoint = false` (the spec plan-inspection path) keeps the old
+    * lazy persist so the cached co-partitioned edge reuse stays visible
+    * in one executed plan. */
+  private def cutEdges(checkpoint: Boolean, df: DataFrame): DataFrame =
+    if (checkpoint) df.localCheckpoint() else df.persist()
+
+  private def cutRound(checkpoint: Boolean, round: Int,
+                       df: DataFrame): DataFrame =
+    if (checkpoint && round % CutEvery == 0) df.localCheckpoint() else df
+
   /** `iterations` rounds of damped integer PageRank over a directed edge
     * list (dedup'd internally). Nodes = src ∪ dst. Returns (node,
     * rank_fp) with rank_fp in fixed-point `scale` units. Dangling nodes
@@ -60,7 +90,7 @@ object Graph {
     // scale that allows weights into the billions). Parallel edges
     // aggregate their weights; weightCol = None keeps the unweighted
     // arithmetic bit-for-bit (w = 1, strength = out-degree).
-    val e = (weightCol match {
+    val e = cutEdges(checkpoint, (weightCol match {
       case Some(wc) =>
         edges.groupBy(col(srcCol).as("src"), col(dstCol).as("dst"))
           .agg(sum(col(wc)).cast("long").as("w"))
@@ -69,7 +99,7 @@ object Graph {
           .withColumn("w", lit(1L))
     })
       // one shuffle up front; every round's src-join reuses this layout
-      .repartition(col("src")).persist()
+      .repartition(col("src")))
     // PERSONALIZED variant (TrustRank — Gyöngyi et al., VLDB 2004): when a
     // seed set is given, both the initial mass and the per-round teleport
     // land ONLY on seeds, so rank measures damped reachability FROM the
@@ -89,15 +119,16 @@ object Graph {
         e.select(col("src").as("node"))
           .union(e.select(col("dst").as("node"))).distinct()
           .withColumn("_seed", lit(true))
-    }).persist()
+    })
+    // nodes fans into the initial ranks AND every round's left join —
+    // cut it with the edge table (node-sized, one tiny job)
+    val nodesC = cutEdges(checkpoint, nodes)
     val outdeg = e.groupBy(col("src")).agg(sum(col("w")).as("deg"))
     val teleport = (scale * (dampDen - dampNum)) / dampDen
-    def cut(df: DataFrame): DataFrame =
-      if (checkpoint) df.localCheckpoint() else df
 
-    var ranks = cut(nodes.select(col("node"),
-      when(col("_seed"), lit(scale)).otherwise(lit(0L)).as("rank_fp")))
-    for (_ <- 1 to iterations) {
+    var ranks = nodesC.select(col("node"),
+      when(col("_seed"), lit(scale)).otherwise(lit(0L)).as("rank_fp"))
+    for (i <- 1 to iterations) {
       val contrib = e
         .join(ranks.withColumnRenamed("node", "src"), Seq("src"))
         .join(outdeg, Seq("src"))
@@ -105,17 +136,15 @@ object Graph {
         // double and lose exactness past 2^53
         .select(col("dst"), expr("(rank_fp * w) DIV deg").as("c"))
         .groupBy(col("dst")).agg(sum(col("c")).as("in_fp"))
-      ranks = cut(nodes
+      // rounds stay LAZY (one job plans them all); lineage is bounded by
+      // the CutEvery cadence over the materialized edge/node tables
+      ranks = cutRound(checkpoint, i, nodesC
         .join(contrib.withColumnRenamed("dst", "node"), Seq("node"), "left")
         .select(col("node"),
           expr(s"(CASE WHEN _seed THEN ${teleport}L ELSE 0L END) + " +
             s"(${dampNum}L * coalesce(in_fp, 0L)) DIV ${dampDen}L")
             .as("rank_fp")))
     }
-    if (checkpoint) { e.unpersist(); nodes.unpersist() }
-    // checkpoint=false: the rounds were never materialized, so unpersisting
-    // here would strip the cache before the caller's first action and every
-    // round would recompute the edge shuffle — leave it pinned (spec path)
     ranks
   }
 
@@ -144,8 +173,6 @@ object Graph {
                        rounds: Int, checkpoint: Boolean = true,
                        weightCol: Option[String] = None): DataFrame = {
     require(rounds >= 1, s"rounds must be >= 1, got $rounds")
-    def cut(df: DataFrame): DataFrame =
-      if (checkpoint) df.localCheckpoint() else df
     // WEIGHTED variant: votes carry the edge weight instead of 1 — a
     // strong tie outvotes many weak ones (the natural rule when edges are
     // co-occurrence counts); duplicate/reversed weighted edges merge by
@@ -171,13 +198,15 @@ object Graph {
           .where(col("a") =!= col("b")).distinct()
           .withColumn("w", lit(1L))
     }
-    val e = canon.select(col("a").as("src"), col("b").as("dst"), col("w"))
-      .unionAll(canon.select(col("b").as("src"), col("a").as("dst"), col("w")))
-      .repartition(col("src")).persist()
-    val nodes = e.groupBy(col("src")).agg(max(col("w")).as("sw"))
-      .withColumnRenamed("src", "node").persist()
-    var labels = cut(nodes.select(col("node"), col("node").as("label")))
-    for (_ <- 1 to rounds) {
+    val e = cutEdges(checkpoint,
+      canon.select(col("a").as("src"), col("b").as("dst"), col("w"))
+        .unionAll(canon.select(col("b").as("src"), col("a").as("dst"), col("w")))
+        .repartition(col("src")))
+    val nodes = cutEdges(checkpoint,
+      e.groupBy(col("src")).agg(max(col("w")).as("sw"))
+        .withColumnRenamed("src", "node"))
+    var labels = nodes.select(col("node"), col("node").as("label"))
+    for (r <- 1 to rounds) {
       val votes = e
         .join(labels.withColumnRenamed("node", "src")
           .withColumnRenamed("label", "nl"), Seq("src"))
@@ -186,12 +215,13 @@ object Graph {
           .select(col("node"), col("label").as("nl"), col("sw").as("w")))
         .groupBy(col("node"), col("nl")).agg(sum(col("w")).as("c"))
       // argmax by (weight desc, label asc): max_by over (c, -label) — a
-      // partial-aggregable aggregate, never a per-node sort/window
-      labels = cut(votes.groupBy(col("node"))
+      // partial-aggregable aggregate, never a per-node sort/window.
+      // Rounds stay lazy over the materialized edge/node tables; lineage
+      // is bounded by the CutEvery cadence (see the helpers' scaladoc).
+      labels = cutRound(checkpoint, r, votes.groupBy(col("node"))
         .agg(max_by(col("nl"), struct(col("c"), (-col("nl")).as("neg")))
           .as("label")))
     }
-    if (checkpoint) { e.unpersist(); nodes.unpersist() }
     labels
   }
 
@@ -309,32 +339,32 @@ object Graph {
   def coreNumbers(edges: DataFrame, srcCol: String, dstCol: String,
                   rounds: Int, checkpoint: Boolean = true): DataFrame = {
     require(rounds >= 1, s"rounds must be >= 1, got $rounds")
-    def cut(df: DataFrame): DataFrame =
-      if (checkpoint) df.localCheckpoint() else df
     val canon = edges
       .select(least(col(srcCol), col(dstCol)).as("a"),
         greatest(col(srcCol), col(dstCol)).as("b"))
       .where(col("a") =!= col("b"))
       .distinct()
-    val e = canon.select(col("a").as("src"), col("b").as("dst"))
-      .unionAll(canon.select(col("b").as("src"), col("a").as("dst")))
-      .repartition(col("src")).persist()
-    var h = cut(e.groupBy(col("src")).agg(count(lit(1)).as("core_h"))
-      .withColumnRenamed("src", "node"))
+    val e = cutEdges(checkpoint,
+      canon.select(col("a").as("src"), col("b").as("dst"))
+        .unionAll(canon.select(col("b").as("src"), col("a").as("dst")))
+        .repartition(col("src")))
+    var h = e.groupBy(col("src")).agg(count(lit(1)).as("core_h"))
+      .withColumnRenamed("src", "node")
     // suffix counts over the per-node value histogram: running sum down
     // the distinct values sorted desc
     val ws = org.apache.spark.sql.expressions.Window
       .partitionBy(col("node")).orderBy(col("nh").desc)
       .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
         org.apache.spark.sql.expressions.Window.currentRow)
-    for (_ <- 1 to rounds) {
+    for (r <- 1 to rounds) {
       // H-index of the neighbor multiset from its value histogram:
       // H = max{h : #neighbors valued ≥ h  ≥  h}
       //   = max over distinct v of min(v, s_v)
       // (each min(v, s_v) is feasible since s(min) ≥ s_v; the optimum is
       // attained at the smallest distinct value ≥ H) — tie-free math, no
-      // per-neighbor rank anywhere
-      h = cut(e
+      // per-neighbor rank anywhere. Rounds stay lazy over the
+      // materialized edge table; lineage bounded by the CutEvery cadence.
+      h = cutRound(checkpoint, r, e
         .join(h.select(col("node").as("src"), col("core_h").as("nh")), Seq("src"))
         .select(col("dst").as("node"), col("nh"))
         .groupBy(col("node"), col("nh")).agg(count(lit(1)).as("_c"))
@@ -342,45 +372,78 @@ object Graph {
         .groupBy(col("node"))
         .agg(max(least(col("nh"), col("_s"))).as("core_h")))
     }
-    if (checkpoint) e.unpersist()
     h
   }
 
-  def triangleCount(edges: DataFrame, srcCol: String, dstCol: String): DataFrame = {
-    val canon = edges
+  /** Canonical distinct undirected edge list `(a < b)`. */
+  private def canonEdges(edges: DataFrame, srcCol: String,
+                         dstCol: String): DataFrame =
+    edges
       .select(least(col(srcCol), col(dstCol)).as("a"),
         greatest(col(srcCol), col(dstCol)).as("b"))
       .where(col("a") =!= col("b"))
       .distinct()
+
+  /** Triangle core over an ALREADY-canonical edge list: returns the
+    * 1-row `(n_nodes, n_edges, n_triangles)` plus the degree table, so
+    * [[triangleCount]] and [[clusteringCoefficient]] share one canon/deg
+    * computation instead of re-deriving it per consumer.
+    *
+    * Counting is degree-ordered orientation + ADJACENCY INTERSECTION
+    * (the edge-iterator refinement of Schank & Wagner's "forward"): each
+    * node's oriented out-neighbors (bounded O(√m) by the orientation)
+    * are collected once, and every oriented edge (u, v) counts
+    * `|N⁺(u) ∩ N⁺(v)|` — each triangle exactly once, at the edge joining
+    * its two lowest-ranked vertices. vs the explicit wedge join + closing
+    * semi-join this never materializes (or shuffles) the Σ outdeg² wedge
+    * rows: the widest thing exchanged is the m-row edge list carrying
+    * packed neighbor arrays, and the intersection is one codegen'd
+    * ArrayIntersect per edge. Measured at the gate scale (sf0.1
+    * co-purchase graph): the wedge shape shuffled 24.6M wedge rows where
+    * this shuffles 2×1.18M array-carrying rows (plan evidence:
+    * plans/r13/q94_triangles_{before,after}.txt). */
+  private def triangleCore(canon: DataFrame,
+                           checkpoint: Boolean): (DataFrame, DataFrame) = {
+    def cut(df: DataFrame): DataFrame =
+      if (checkpoint) df.localCheckpoint() else df
+    // canon fans into deg (twice), oriented and the edge count — cut it
+    // so the (often expensive) upstream edge construction runs ONCE
+    val canonC = cut(canon)
     // undirected degree: each canonical edge contributes to both endpoints
-    val deg = canon.select(col("a").as("node"))
-      .union(canon.select(col("b").as("node")))
+    val deg = canonC.select(col("a").as("node"))
+      .union(canonC.select(col("b").as("node")))
       .groupBy(col("node")).agg(count(lit(1)).as("deg"))
-    // orient low-(deg, id) → high-(deg, id); carry the head's rank so the
-    // wedge join can order its two heads without re-joining degrees
-    val oriented = canon
+    // orient low-(deg, id) → high-(deg, id): bounds every out-degree by
+    // O(√m) regardless of in-degree skew (the celebrity-node guard)
+    val oriented = cut(canonC
       .join(deg.withColumnRenamed("node", "a").withColumnRenamed("deg", "deg_a"), Seq("a"))
       .join(deg.withColumnRenamed("node", "b").withColumnRenamed("deg", "deg_b"), Seq("b"))
       .select(
         when(struct(col("deg_a"), col("a")) < struct(col("deg_b"), col("b")),
-          struct(col("a").as("u"), col("b").as("v"), col("deg_b").as("dv")))
-          .otherwise(struct(col("b").as("u"), col("a").as("v"), col("deg_a").as("dv")))
+          struct(col("a").as("u"), col("b").as("v")))
+          .otherwise(struct(col("b").as("u"), col("a").as("v")))
           .as("o"))
-      .select(col("o.u").as("u"), col("o.v").as("v"), col("o.dv").as("dv"))
-    // wedges from the lowest-ranked vertex u: unordered head pairs {v, w}
-    // taken once (rank(v) < rank(w)); closing edge v→w is oriented too
-    val left = oriented.select(col("u"), col("v"), col("dv"))
-    val right = oriented.select(col("u"), col("v").as("w"), col("dv").as("dw"))
-    val wedges = left.join(right, Seq("u"))
-      .where(struct(col("dv"), col("v")) < struct(col("dw"), col("w")))
-      .select(col("v"), col("w"))
-    val closed = wedges.join(
-      oriented.select(col("u").as("v"), col("v").as("w")), Seq("v", "w"), "left_semi")
-    canon.select(count(lit(1)).as("n_edges")).crossJoin(
+      .select(col("o.u").as("u"), col("o.v").as("v")))
+    // out-adjacency arrays: ≤ O(√m) entries per node by the orientation,
+    // so no array (and no single task) can go celebrity-sized
+    val adj = oriented.groupBy(col("u")).agg(collect_list(col("v")).as("ns"))
+    val tri = oriented
+      .join(adj, Seq("u"))
+      .join(adj.select(col("u").as("v"), col("ns").as("ns2")), Seq("v"), "left")
+      .select(when(col("ns2").isNull, lit(0L))
+        .otherwise(size(array_intersect(col("ns"), col("ns2"))).cast("long"))
+        .as("t"))
+      .agg(coalesce(sum(col("t")), lit(0L)).as("n_triangles"))
+    val core = canonC.select(count(lit(1)).as("n_edges")).crossJoin(
         deg.select(count(lit(1)).as("n_nodes")))
-      .crossJoin(closed.select(count(lit(1)).as("n_triangles")))
+      .crossJoin(tri)
       .select(col("n_nodes"), col("n_edges"), col("n_triangles"))
+    (core, deg)
   }
+
+  def triangleCount(edges: DataFrame, srcCol: String, dstCol: String,
+                    checkpoint: Boolean = true): DataFrame =
+    triangleCore(canonEdges(edges, srcCol, dstCol), checkpoint)._1
 
   /** Global clustering coefficient (transitivity) — the one-number
     * summary of how "community-like" a graph is: `C = 3·T / W` with `T`
@@ -396,18 +459,16 @@ object Graph {
     * audited shape. Output: one row `(n_nodes, n_edges, n_triangles,
     * n_wedges, global_cc)`. */
   def clusteringCoefficient(edges: DataFrame, srcCol: String,
-                            dstCol: String): DataFrame = {
-    val canon = edges
-      .select(least(col(srcCol), col(dstCol)).as("a"),
-        greatest(col(srcCol), col(dstCol)).as("b"))
-      .where(col("a") =!= col("b"))
-      .distinct()
-    val deg = canon.select(col("a").as("node"))
-      .union(canon.select(col("b").as("node")))
-      .groupBy(col("node")).agg(count(lit(1)).as("deg"))
+                            dstCol: String,
+                            checkpoint: Boolean = true): DataFrame = {
+    // ONE canon/deg computation feeds both the triangle core and the
+    // wedge sum (pre-r13 this called triangleCount AND re-derived
+    // canon+deg itself — the whole co-purchase edge construction ran
+    // twice in the executed plan)
+    val (core, deg) = triangleCore(canonEdges(edges, srcCol, dstCol), checkpoint)
     val wedges = deg.agg(
       sum(expr("deg * (deg - 1) DIV 2")).as("n_wedges"))
-    triangleCount(edges, srcCol, dstCol)
+    core
       .crossJoin(wedges)
       .withColumn("global_cc",
         when(col("n_wedges") > 0,
@@ -466,13 +527,30 @@ object Graph {
                kb: org.apache.spark.sql.Column, bu: org.apache.spark.sql.Column,
                bv: org.apache.spark.sql.Column) =
       !fr || struct(ka, kb) > struct(bu, bv)
-    val closed = fresh.select(col("a").as("bu"), col("b").as("bv"))
-      .join(adj.select(col("node").as("bu"), col("nbr").as("w"),
-        col("fr").as("f1"), col("ka").as("ka1"), col("kb").as("kb1")), Seq("bu"))
-      .join(adj.select(col("node").as("bv"), col("nbr").as("w"),
-        col("fr").as("f2"), col("ka").as("ka2"), col("kb").as("kb2")), Seq("bv", "w"))
-      .where(sideOk(col("f1"), col("ka1"), col("kb1"), col("bu"), col("bv")) &&
-        sideOk(col("f2"), col("ka2"), col("kb2"), col("bu"), col("bv")))
+    // MIN-DEGREE expansion (r13): enumerate each fresh base's common-
+    // neighbor candidates from its SMALLER-degree endpoint — the
+    // candidate row count drops from Σ deg(bu) to Σ min(deg(bu), deg(bv))
+    // over fresh bases (common-neighborhood is symmetric, so which side
+    // expands is free). deg is node-sized and attaches by broadcast. The
+    // closing join carries a SHUFFLE_HASH hint: its probe side is the
+    // candidate stream — the batch's one big intermediate — and a
+    // sort-merge plan would sort it; hashing the node-bounded adjacency
+    // side instead is the guide §3.1 build-side choice.
+    val deg = adj.groupBy(col("node")).agg(count(lit(1)).as("_d"))
+    val bases = fresh.select(col("a").as("bu"), col("b").as("bv"))
+      .join(broadcast(deg.select(col("node").as("bu"), col("_d").as("_du"))), Seq("bu"))
+      .join(broadcast(deg.select(col("node").as("bv"), col("_d").as("_dv"))), Seq("bv"))
+      .select(col("bu"), col("bv"),
+        when(col("_du") <= col("_dv"), col("bu")).otherwise(col("bv")).as("lo"),
+        when(col("_du") <= col("_dv"), col("bv")).otherwise(col("bu")).as("hi"))
+    val closed = bases
+      .join(adj.select(col("node").as("lo"), col("nbr").as("w"),
+        col("fr").as("f1"), col("ka").as("ka1"), col("kb").as("kb1")), Seq("lo"))
+      .where(sideOk(col("f1"), col("ka1"), col("kb1"), col("bu"), col("bv")))
+      .join(adj.select(col("node").as("hi"), col("nbr").as("w"),
+        col("fr").as("f2"), col("ka").as("ka2"), col("kb").as("kb2"))
+        .hint("shuffle_hash"), Seq("hi", "w"))
+      .where(sideOk(col("f2"), col("ka2"), col("kb2"), col("bu"), col("bv")))
     oldC.agg(count(lit(1)).as("n_old_edges"))
       .crossJoin(fresh.agg(count(lit(1)).as("n_fresh_edges")))
       .crossJoin(closed.agg(count(lit(1)).as("new_triangles")))
@@ -514,13 +592,14 @@ object Graph {
     require(scale >= 1L, s"scale must be >= 1, got $scale")
     def cut(df: DataFrame): DataFrame =
       if (checkpoint) df.localCheckpoint() else df
-    val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
-      .distinct()
-      .repartition(col("src")).persist()
-    val nodes = e.select(col("src").as("node"))
-      .union(e.select(col("dst").as("node"))).distinct().persist()
-    var scores = cut(nodes.select(col("node"),
-      lit(scale).as("hub_fp"), lit(scale).as("auth_fp")))
+    val e = cutEdges(checkpoint,
+      edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
+        .distinct()
+        .repartition(col("src")))
+    val nodes = cutEdges(checkpoint, e.select(col("src").as("node"))
+      .union(e.select(col("dst").as("node"))).distinct())
+    var scores = nodes.select(col("node"),
+      lit(scale).as("hub_fp"), lit(scale).as("auth_fp"))
     for (_ <- 1 to iterations) {
       // authority half-round: pull hub mass along in-edges, max-normalize.
       // rawAuth/rawHub are CUT per half-round: each feeds its own max agg
@@ -544,14 +623,19 @@ object Graph {
         .crossJoin(broadcast(rawHub.agg(max(col("raw")).as("mx"))))
         .select(col("src").as("node"),
           expr(s"(raw * ${scale}L) DIV mx").as("hub_fp"))
-      scores = cut(nodes
+      // scores stays LAZY: its one extra re-execution (next round's
+      // rawAuth join reads hub/auth again) is three node-sized joins of
+      // already-cut frames, where the eager cut was a per-round job
+      // barrier (the r13 pageRank measurement); rawAuth/rawHub keep
+      // their cuts — each genuinely fans into its max agg AND the data
+      // path (measured 1.7-2x re-execution uncut, the round-12 note)
+      scores = nodes
         .join(hub, Seq("node"), "left")
         .join(auth, Seq("node"), "left")
         .select(col("node"),
           coalesce(col("hub_fp"), lit(0L)).as("hub_fp"),
-          coalesce(col("auth_fp"), lit(0L)).as("auth_fp")))
+          coalesce(col("auth_fp"), lit(0L)).as("auth_fp"))
     }
-    if (checkpoint) { e.unpersist(); nodes.unpersist() }
     scores
   }
 
@@ -600,7 +684,7 @@ object Graph {
     require(rounds >= 1, s"rounds must be >= 1, got $rounds")
     def cut(df: DataFrame): DataFrame =
       if (checkpoint) df.localCheckpoint() else df
-    val e = edges
+    val e = cutEdges(checkpoint, edges
       .select(col(srcCol).as("src"), col(dstCol).as("dst"),
         col(weightCol).cast("long").as("_w0"))
       .withColumn("_wc",
@@ -608,7 +692,7 @@ object Graph {
           lit(s"ssspInt: negative weight in $weightCol: "),
           col("_w0").cast("string")))).otherwise(col("_w0")))
       .groupBy(col("src"), col("dst")).agg(min(col("_wc")).as("w"))
-      .repartition(col("src")).persist()
+      .repartition(col("src")))
     var dist = cut(
       seeds.select(col(seeds.columns.head).as("node")).distinct()
         .withColumn("dist", lit(0L)))
@@ -622,11 +706,15 @@ object Graph {
         .join(dist.select(col("node"), col("dist").as("_old")), Seq("node"), "left")
         .where(col("_old").isNull || col("dist") < col("_old"))
         .select(col("node"), col("dist"))
-      frontier = cut(improved)
+      // ONE cut per round (the merged distance set); the improved
+      // frontier stays lazy — its one extra re-execution (inside next
+      // round's candidate join) reads the just-materialized dist and is
+      // frontier-sized, where the second eager cut was a per-round job
+      // barrier (the r13 pageRank measurement)
+      frontier = improved
       dist = cut(dist.union(frontier)
         .groupBy(col("node")).agg(min(col("dist")).as("dist")))
     }
-    if (checkpoint) e.unpersist()
     dist
   }
 
@@ -636,9 +724,10 @@ object Graph {
     require(maxHops >= 0, s"maxHops must be >= 0, got $maxHops")
     def cut(df: DataFrame): DataFrame =
       if (checkpoint) df.localCheckpoint() else df
-    val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
-      .distinct()
-      .repartition(col("src")).persist()
+    val e = cutEdges(checkpoint,
+      edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
+        .distinct()
+        .repartition(col("src")))
     var settled = cut(
       seeds.select(col(seeds.columns.head).as("node")).distinct()
         .withColumn("dist", lit(0L)))
@@ -650,11 +739,13 @@ object Graph {
         .select(col("dst").as("node")).distinct()
         .join(settled.select(col("node")), Seq("node"), "left_anti")
         .withColumn("dist", lit(hop))
-      frontier = cut(next)
+      // ONE cut per hop: the settled set (which materializes next's
+      // frontier inside it); the lazy frontier's one re-execution next
+      // hop reads materialized state (the ssspInt note)
+      frontier = next
       settled = cut(settled.union(frontier))
       hop += 1L
     }
-    if (checkpoint) e.unpersist()
     settled
   }
 }

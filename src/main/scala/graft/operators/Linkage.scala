@@ -242,7 +242,8 @@ object Linkage {
     * upstream generator's blocking, never the corpus. */
   def mutualBestMatch(pairs: DataFrame, leftCol: String, rightCol: String,
                       scoreCol: String, rounds: Int = 1,
-                      smallerIsBetter: Boolean = true): DataFrame = {
+                      smallerIsBetter: Boolean = true,
+                      checkpoint: Boolean = true): DataFrame = {
     require(rounds >= 1 && rounds <= 8, s"rounds must be in [1, 8], got $rounds")
     def score = if (smallerIsBetter) col("_s").asc else col("_s").desc
     def wE = Window.partitionBy(col("_e"))
@@ -253,7 +254,7 @@ object Linkage {
     for (r <- 1 to rounds) {
       val doubled = pool.select(col("_a").as("_e"), col("_b").as("_p"), col("_s"))
         .unionAll(pool.select(col("_b").as("_e"), col("_a").as("_p"), col("_s")))
-      val flagged = doubled
+      val flagged0 = doubled
         .withColumn("_pa", least(col("_e"), col("_p")))
         .withColumn("_pb", greatest(col("_e"), col("_p")))
         .withColumn("_rn", row_number().over(wE.orderBy(score, col("_p").asc)))
@@ -263,6 +264,13 @@ object Linkage {
           (sum(when(col("_rn") === 1, 1).otherwise(0)).over(wP) === 2).cast("int"))
         .withColumn("_em", max(col("_hit")).over(wE))
         .withColumn("_dead", max(col("_em")).over(wP))
+      // flagged fans into THIS round's matches AND the next round's pool:
+      // uncut, round r's four-window cascade (and the upstream pair
+      // generator) re-executes inside every later round's lineage — the
+      // r-th round's plan held r copies of the whole cascade. Only
+      // rounds > 1 need the cut; the pair-pool frame is candidate-sized.
+      val flagged = if (checkpoint && r < rounds) flagged0.localCheckpoint()
+        else flagged0
       val matched = flagged.where(col("_hit") === 1 && col("_e") === col("_pa"))
         .select(col("_pa").as(leftCol), col("_pb").as(rightCol),
           col("_s").as(scoreCol), lit(r.toLong).as("round"))

@@ -243,9 +243,13 @@ private[graft] trait QueriesGraph { this: SparkEntry.type =>
   protected def q185(s: SparkSession, dir: String): DataFrame = {
     val li = Tables.lineitem(s, dir)
       .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk")).distinct()
+    // checkpoint the co-purchase self-join ONCE: the old/new split below
+    // feeds triangleIncrement's two canon sides, and uncut the self-join
+    // (the query's most expensive stage) executed once per side
     val edges = li.join(li.withColumnRenamed("pk", "pk2"), Seq("ok"))
       .where(col("pk") < col("pk2"))
       .select(col("pk").as("src"), col("pk2").as("dst"), col("ok"))
+      .localCheckpoint()
     graft.operators.Graph.triangleIncrement(
       edges.where(col("ok") % 4 =!= 0).select(col("src"), col("dst")),
       edges.where(col("ok") % 4 === 0).select(col("src"), col("dst")),

@@ -582,7 +582,7 @@ class ScaleSpec extends SparkSuite {
       s"no quadratic operator in retention plan:\n$plan")
   }
 
-  test("triangleCount plan: wedge and closing joins are equi-joins, never a cartesian") {
+  test("triangleCount plan: adjacency intersection over keyed joins, never a cartesian") {
     import spark.implicits._
     val edges = (1L to 400L).flatMap(i => Seq((i, i % 20), (i, (i + 7) % 20)))
       .toDF("src", "dst")
@@ -591,14 +591,19 @@ class ScaleSpec extends SparkSuite {
     val plan = t.queryExecution.executedPlan.toString.split("== Initial Plan ==").head
     // the three 1-row stat frames may close over a broadcast nested loop —
     // that is model-row scale; a CartesianProduct over DATA-scale sides
-    // (wedges × edges evaluated without keys) is the failure mode
+    // (adjacency × edges evaluated without keys) is the failure mode
     assert(!plan.contains("CartesianProduct"),
-      s"wedge/closing joins must hash on their keys:\n$plan")
+      s"adjacency joins must hash on their keys:\n$plan")
+    // r13 shape: per-edge |N⁺(u) ∩ N⁺(v)| — the oriented adjacency
+    // arrays attach through two keyed joins and the Σ outdeg² wedge rows
+    // are never materialized or shuffled
+    assert(plan.contains("array_intersect"),
+      s"expected the adjacency-intersection count:\n$plan")
     val equiJoins = plan.split("\n").count(l =>
       l.contains("SortMergeJoin") || l.contains("ShuffledHashJoin") ||
         l.contains("BroadcastHashJoin"))
-    assert(equiJoins >= 3, // deg×2 + wedge + closing, minus whatever AQE fuses
-      s"expected keyed joins for degrees/wedges/closure, got $equiJoins:\n$plan")
+    assert(equiJoins >= 2, // the two adjacency attaches, minus whatever AQE fuses
+      s"expected keyed adjacency joins, got $equiJoins:\n$plan")
   }
 
   test("blockedFuzzyPairs plan: one equi-join on the block key; distance never gates the join") {
