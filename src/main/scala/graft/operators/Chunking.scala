@@ -84,7 +84,12 @@ object Chunking {
     * no exchange anywhere (spec-asserted). */
   def contentDefinedChunks(docs: DataFrame, idCol: String, textCol: String,
                            divisor: Int, shingleLen: Int = 3): DataFrame =
-    docs
+    // spreadRead: the gear-hash chunker is one of the engine's heaviest
+    // per-row stages (tokenize + rolling hash + per-chunk md5), and a
+    // few-row-group corpus would run it on as few cores — measured r13:
+    // q127's whole 1.8 s was ONE chunker task; spread 0.7 s. No-op when
+    // the input already carries >= cores partitions (any real scale).
+    graft.sources.Tables.spreadRead(docs)
       .select(col(idCol),
         explode(chunkColumn(col(textCol), divisor, shingleLen)).as("_c"))
       .select(col(idCol), col("_c.chunk_idx").as("chunk_idx"),

@@ -41,15 +41,26 @@ object Coverage {
                         checkpoint: Boolean = true): DataFrame = {
     require(rounds >= 1, s"rounds must be >= 1, got $rounds")
     require(shingleLen >= 1, s"shingleLen must be >= 1, got $shingleLen")
-    def cut(df: DataFrame): DataFrame =
-      if (checkpoint) df.localCheckpoint() else df
-    val incidence = docs
+    // materialize the incidence table ONCE, eagerly: every round's gain
+    // aggregation (and every winner's shingle set) reads it; the eager
+    // cut replaces the old lazy persist + per-round checkpoint chain —
+    // per round the only job is now the 1-row winner collect (r13: the
+    // round's per-iteration localCheckpoint barriers measured as the
+    // dominant cost of the iterative family at gate scale)
+    val incidence0 = docs
       .select(col(idCol).as("_doc"),
         explode(Text.fastWordShingles(col(textCol), shingleLen)).as("_s"))
       .select(col("_doc"), Dedup.shingleKey(col("_s")).as("_sh"))
       .distinct()
-      .repartition(col("_sh")).persist()
-    var remaining = cut(incidence)
+      .repartition(col("_sh"))
+    val incidence = if (checkpoint) incidence0.localCheckpoint()
+      else incidence0.persist()
+    // remaining_r = incidence anti-join the winners' FULL shingle sets:
+    // equivalent to the old "subtract only the uncovered subset" chain
+    // (already-removed keys anti-join as no-ops), but each winner's set
+    // filters the CACHED incidence directly — no recursive lineage, no
+    // per-round materialization
+    var remaining = incidence
     val picks = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long, Long)]
     var covered = 0L
     var r = 1
@@ -66,12 +77,11 @@ object Coverage {
         val gain = top(0).getLong(1)
         covered += gain
         picks += ((r.toLong, doc, gain, covered))
-        val won = remaining.where(col("_doc") === doc).select(col("_sh"))
-        remaining = cut(remaining.join(won, Seq("_sh"), "left_anti"))
+        val won = incidence.where(col("_doc") === doc).select(col("_sh"))
+        remaining = remaining.join(won, Seq("_sh"), "left_anti")
         r += 1
       }
     }
-    if (checkpoint) incidence.unpersist()
     import spark.implicits._
     picks.toSeq.toDF("round", "doc_id", "gain", "covered_total")
   }

@@ -55,8 +55,11 @@ object Enrich {
     // exactly as scoreAgainstModel does when reloading the persisted
     // model — build/append parity cannot then depend on caller order
     val markers = markers0.sortBy(_._1)
-    // tokenize ONCE behind the Generate barrier (the langId hot-path note)
-    val tok = docs
+    // tokenize ONCE behind the Generate barrier (the langId hot-path note);
+    // spreadRead first: the scorer is the engine's most regex-heavy per-row
+    // stage, and a few-row-group corpus would run it on as few cores
+    // (measured r13: the whole sf0.1 build scored in ONE 2 s task)
+    val tok = graft.sources.Tables.spreadRead(docs)
       .select(col("doc_id"), col("source"), col("lang"), col("n_chars"),
         col("text"), explode(array(Text.tokens(col("text")))).as("_ts"))
     tok.select(

@@ -248,13 +248,18 @@ private[graft] trait QueriesAssembly { this: SparkEntry.type =>
     * the two scans the algebra needs. */
   protected def q112(s: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(s, dir)
-    val s1 = docs.join(
+    // spreadRead after each stage cut: the checkpointed stage frames
+    // collapse to the (few) upstream partitions, and the next stage's
+    // per-row shingle/token work would run that serially (r13: the
+    // whole report ran its three text stages on one core each)
+    val s1 = Tables.spreadRead(docs.join(
       graft.operators.Dedup.exact(docs, "doc_id", "text").select(col("doc_id")),
       Seq("doc_id"), "left_semi")
-      .localCheckpoint()
-    val s2 = graft.operators.Dedup.containmentDedup(s1, "doc_id", "text",
-      shingleLen = 3, threshold = 0.5, maxShingleDf = 50)
-      .localCheckpoint()
+      .localCheckpoint())
+    val s2 = Tables.spreadRead(
+      graft.operators.Dedup.containmentDedup(s1, "doc_id", "text",
+        shingleLen = 3, threshold = 0.5, maxShingleDf = 50)
+      .localCheckpoint())
     val s3 = s2.join(
       graft.operators.QualityRules.gopherFilter(s2, "doc_id", "text",
           minTokens = 30, maxTokens = 80, minMeanLen = 4.0, maxMeanLen = 4.8,

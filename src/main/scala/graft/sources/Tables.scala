@@ -53,7 +53,7 @@ object Tables {
     * never do quietly. */
   def events(spark: SparkSession, dir: String): DataFrame = {
     val path = s"$dir/events.parquet"
-    scala.util.Try(spark.read.parquet(path).schema("ts").dataType) match {
+    (scala.util.Try(spark.read.parquet(path).schema("ts").dataType) match {
       case scala.util.Success(org.apache.spark.sql.types.TimestampNTZType) =>
         spark.read.parquet(path).withColumn("ts", col("ts").cast("timestamp"))
       case scala.util.Success(org.apache.spark.sql.types.TimestampType) =>
@@ -63,7 +63,7 @@ object Tables {
           .schema(eventsRawSchemaDdl)
           .parquet(path)
           .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
-    }
+    })
   }
   def documents(spark: SparkSession, dir: String): DataFrame = apply(spark, dir, "documents")
   def embeddings(spark: SparkSession, dir: String): DataFrame = apply(spark, dir, "embeddings")
@@ -84,6 +84,36 @@ object Tables {
   /** ORC source — columnar like parquet: vectorized read, predicate
     * pushdown and column pruning all apply unchanged. */
   def orc(spark: SparkSession, path: String): DataFrame = spark.read.orc(path)
+
+  /** Scale-adaptive read-parallelism guard for CPU-heavy per-row stages
+    * (tokenizers, regex scorers, codecs): a parquet ROW GROUP is the
+    * reader's atomic split, so a corpus that arrives as few row groups
+    * (one small file, one fat gzip, a compacted export) runs its entire
+    * scan-stage compute on that many cores no matter how large the
+    * cluster — the guide §2.5 "input skew" case (measured r13: q265's
+    * enrichment scored the whole corpus in ONE 2-2.8 s task). When the
+    * scan yields fewer partitions than the session's parallelism, insert
+    * one round-robin repartition of the (narrow, pre-enrichment) rows;
+    * when the input already carries ≥ cores partitions — any real-scale
+    * table — this is a NO-OP, so nothing is shuffled at 100 TB. Results
+    * are partitioning-independent throughout the engine (the hash-parity
+    * design), so only the schedule changes. */
+  def spreadRead(df: DataFrame): DataFrame = {
+    // streaming twins reuse the batch operators (chunkStream); a
+    // streaming frame has no RDD/stats to probe and micro-batches are
+    // already bounded — pass through untouched
+    if (df.isStreaming) return df
+    val p = df.sparkSession.sparkContext.defaultParallelism
+    // model-sized tables (dims, tiny fixtures) stay unspread — 32 tasks
+    // over 25 rows is pure scheduling overhead and they broadcast anyway.
+    // 64 KiB gate: the width heuristic behind sizeInBytes prices every
+    // string at 20 bytes, so a projected (id, text) corpus frame reads
+    // far smaller than its real payload (measured r13: q127's chunker
+    // input fell under a 256 KiB gate and stayed serial)
+    val bytes = df.queryExecution.optimizedPlan.stats.sizeInBytes
+    if (bytes > (64L << 10) && df.rdd.getNumPartitions < p) df.repartition(p)
+    else df
+  }
 
   /** Partition-pruned layout write: one directory per distinct `keys`
     * value; scans filtering on them read only matching directories
@@ -113,6 +143,13 @@ object Tables {
     * inside, so reading directories in range order replays one global
     * sort. This is the layout a downstream merge-join / ordered-scan
     * consumer wants, and range min/max make partition pruning exact.
+    *
+    * (r13 measurement note: applying [[spreadRead]] to EVERY table read
+    * was tried and reverted — it won big on CPU-dense per-row stages
+    * but taxed the small-compute relational tail with an extra exchange
+    * and 32-task stages, and inflated small-file counts on the
+    * write-lifecycle queries; full-suite total went UP. It stays a
+    * per-operator tool for regex/codec/chunker-bound stages.)
     *
     * One shuffle total: repartition on the range puts each range in one
     * task, `sortWithinPartitions` orders it, the partitioned write

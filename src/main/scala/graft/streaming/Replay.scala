@@ -35,7 +35,17 @@ object Replay {
   def appendOnce[A: Encoder](spark: SparkSession, rows: Seq[A],
                              flush: Seq[A])
                             (pipeline: DataFrame => DataFrame): DataFrame = {
-    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    // Clone the session for the replay: stateful operators allocate one
+    // state-store instance per shuffle partition PER MICRO-BATCH, and the
+    // session's partition count is sized for the corpus — while the
+    // replay row set is O(1) by contract (fixed-count slices). 32-way
+    // state stores for a 1000-row replay measured as the bulk of the
+    // replay queries' seconds (r13); 4 is plenty for a bounded slice at
+    // ANY corpus scale, and the clone keeps the caller's session conf
+    // untouched (Verify runs gate queries concurrently in one session).
+    val rs = spark.newSession()
+    rs.conf.set("spark.sql.shuffle.partitions", "4")
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = rs.sqlContext
     val input = MemoryStream[A]
     // unique per call: gate queries replay concurrently under Verify's
     // thread pool, and memory-sink names are session-global
@@ -52,6 +62,9 @@ object Replay {
         q.processAllAvailable()
       }
     } finally q.stop()
-    spark.table(sink)
+    // the sink's temp view lives in the CLONED session's catalog; the
+    // returned frame reads it from there (same SparkContext, so callers
+    // compose it with parent-session frames freely)
+    rs.table(sink)
   }
 }
