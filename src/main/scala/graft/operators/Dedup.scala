@@ -101,7 +101,8 @@ object Dedup {
     require(k <= 64, s"two-hash family overflow bound: k must be <= 64, got $k")
     graft.GraftFunctions.ensureRegistered(docs.sparkSession)
     val h = md5(col("sh"))
-    val ex = docs.select(col(idCol).as("id"),
+    // spreadRead: the per-shingle md5 fan-out is scan-stage CPU (§2.5)
+    val ex = graft.sources.Tables.spreadRead(docs).select(col(idCol).as("id"),
         explode(array_distinct(Text.fastWordShingles(col(textCol), shingleLen))).as("sh"))
       .select(col("id"),
         conv(substring(h, 1, 8), 16, 10).cast("long").as("h1"),
@@ -678,7 +679,8 @@ object Dedup {
     // md5 runs map-side on the exploded rows, and everything downstream
     // (stop-set, anti-joins, the bipartite equi-join, probe sizes) moves
     // longs instead of n-gram strings — see [[shingleKey]]
-    def shingled(df: DataFrame, as: String): DataFrame = df.select(
+    def shingled(df: DataFrame, as: String): DataFrame =
+      graft.sources.Tables.spreadRead(df).select(
         col(idCol).as(as),
         explode(array_distinct(Text.fastWordShingles(col(textCol), shingleLen))).as("s"))
       .select(col(as), shingleKey(col("s")).as("sh"))
@@ -729,7 +731,8 @@ object Dedup {
                               shingleLen: Int = 3, threshold: Double = 0.5,
                               maxShingleDf: Int = 50, fpp: Double = 0.01): DataFrame = {
     graft.GraftFunctions.ensureRegistered(corpus.sparkSession)
-    def shingled(df: DataFrame, as: String): DataFrame = df.select(
+    def shingled(df: DataFrame, as: String): DataFrame =
+      graft.sources.Tables.spreadRead(df).select(
         col(idCol).as(as),
         explode(array_distinct(Text.fastWordShingles(col(textCol), shingleLen))).as("s"))
       .select(col(as), shingleKey(col("s")).as("sh"))
@@ -815,7 +818,9 @@ object Dedup {
     // 8-byte longs instead of raw n-gram strings; the df-bound and the
     // per-doc sizes below operate on the same hashed universe, mirrored
     // exactly by the oracle
-    val exploded = docs.select(
+    // spreadRead: shingling + per-shingle md5 is scan-stage CPU, serial
+    // on a few-row-group corpus (guide §2.5; no-op at real scale)
+    val exploded = graft.sources.Tables.spreadRead(docs).select(
         col(idCol).as("id"),
         explode(array_distinct(Text.fastWordShingles(col(textCol), shingleLen))).as("s"))
       .select(col("id"), shingleKey(col("s")).as("sh"))

@@ -290,6 +290,9 @@ object Graph {
     var converged = false
     var rounds = 0
     while (!converged && rounds < maxRounds) {
+      // (r13 note: batching TWO peels per materialization/probe cycle was
+      // measured and reverted — the duplicate lazy re-execution of the
+      // first peel's semi-joins cost more than the saved job barriers)
       val keep = degrees(e).where(col("core_deg") >= k).select(col("node"))
       val next = cut(e
         .join(keep.withColumnRenamed("node", "a"), Seq("a"), "left_semi")
