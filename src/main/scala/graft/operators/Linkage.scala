@@ -37,8 +37,13 @@ object Linkage {
   def blockedFuzzyPairs(df: DataFrame, idCol: String, nameCol: String,
                         blockKey: Column, maxDist: Int): DataFrame = {
     require(maxDist >= 0, s"maxDist must be >= 0, got $maxDist")
-    val base = df.select(col(idCol).as("_id"), col(nameCol).as("_name"),
-      blockKey.as("_blk"))
+    // spreadRead: with a few-row-group input BOTH self-join sides sit in
+    // one partition, the planner broadcasts one, and every Levenshtein
+    // evaluation runs in a single task (measured r13: q129's whole pair
+    // scoring was one 2.1 s task); no-op at real input parallelism
+    val base = graft.sources.Tables.spreadRead(
+      df.select(col(idCol).as("_id"), col(nameCol).as("_name"),
+        blockKey.as("_blk")))
     val a = base.select(col("_id").as("id_a"), col("_name").as("name_a"), col("_blk"))
     val b = base.select(col("_id").as("id_b"), col("_name").as("name_b"), col("_blk"))
     a.join(b, Seq("_blk"))

@@ -106,12 +106,14 @@ object Tables {
     val p = df.sparkSession.sparkContext.defaultParallelism
     // model-sized tables (dims, tiny fixtures) stay unspread — 32 tasks
     // over 25 rows is pure scheduling overhead and they broadcast anyway.
-    // 64 KiB gate: the width heuristic behind sizeInBytes prices every
+    // 16 KiB gate: the width heuristic behind sizeInBytes prices every
     // string at 20 bytes, so a projected (id, text) corpus frame reads
     // far smaller than its real payload (measured r13: q127's chunker
-    // input fell under a 256 KiB gate and stayed serial)
+    // input fell under a 256 KiB gate and stayed serial; q129's pair
+    // probe side under 64 KiB) — the gate only needs to exclude the
+    // 25-row dims, and callers opt in per CPU-dense site anyway
     val bytes = df.queryExecution.optimizedPlan.stats.sizeInBytes
-    if (bytes > (64L << 10) && df.rdd.getNumPartitions < p) df.repartition(p)
+    if (bytes > (16L << 10) && df.rdd.getNumPartitions < p) df.repartition(p)
     else df
   }
 
