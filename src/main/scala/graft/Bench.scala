@@ -107,10 +107,17 @@ object Bench {
     def fmt(v: Double, scale: Int): String =
       if (v < 0) "-1" else BigDecimal(v).setScale(scale, BigDecimal.RoundingMode.HALF_UP).toString
     val total = results.map(_.sec).filter(_ >= 0).sum
+    // n_queries/n_failed: the driver's stdout tail window is 2000 chars
+    // (verified from the captured BENCH_r13 tail), so the per-query map
+    // cannot carry all entries (~3500 chars would push the line start out
+    // of the parse window — the BENCH_r07 parsed:null incident). These
+    // two counters are the ground truth that NO query was dropped or
+    // failed even when the greedy budget sums the fast tail into "other".
+    val nFailed = results.count(_.sec < 0)
     def line(entries: Seq[(String, String)], extra: String): String = {
       val qs = entries.map { case (k, v) => graft.util.Json.quote(k) + ":" + v }
         .mkString("{", ",", "}")
-      s"""{"metric":"total","value":${fmt(total, 3)},"unit":"sec","queries":$qs$extra,"sf":${graft.util.Json.quote(sfDir)}}"""
+      s"""{"metric":"total","value":${fmt(total, 3)},"unit":"sec","n_queries":${results.length},"n_failed":$nFailed,"queries":$qs$extra,"sf":${graft.util.Json.quote(sfDir)}}"""
     }
     // the sidecar carries the ATTRIBUTION evidence per query: both timed
     // runs (a big run1-run2 delta = transient host stall, not plan cost),

@@ -136,6 +136,19 @@ case class BloomMightContain(left: Expression, right: Expression, k: Int)
 
   override def dataType: DataType = BooleanType
 
+  /** Declared non-deterministic ON PURPOSE (guide §4.4: stop the optimizer
+    * duplicating expensive predicates). The probe is pure, but a
+    * checkpointed frame preserves its filter CONSTRAINTS (LogicalRDD
+    * origin constraints), and InferFiltersFromConstraints then CLONES this
+    * predicate — bitset literal and all — onto the OTHER side of any
+    * equi-join on the key (observed r13/r14: q60's probe side re-ran the
+    * corpus bloom over every probe shingle, a guaranteed-true filter; at
+    * production capacity the cloned literal is the full GB-scale bitset).
+    * Non-determinism excludes it from the constraint set; the manual
+    * placement at the scan stage — the only placement we ever use — is
+    * unaffected. */
+  override lazy val deterministic: Boolean = false
+
   override def checkInputDataTypes(): TypeCheckResult =
     if (left.dataType != LongType)
       TypeCheckResult.TypeCheckFailure(

@@ -150,7 +150,13 @@ object Enrich {
       val suffix = graft.SparkEntry.lifecycleScratchSuffix(spark, "enrich", d)
       val p = s"/tmp/graft_enrich_cache_$suffix"
       if (!new java.io.File(s"$p/_SUCCESS").exists()) {
+        // REBALANCE before the write: the scorer stage is spread across
+        // cores (spreadRead above), and writing the ~60-byte rows straight
+        // from 32 compute tasks hands every consumer 32 tiny files (guide
+        // §6). The hint keeps the compute stage wide and lets AQE coalesce
+        // only the write side to advisory-sized files.
         scoreDocuments(graft.sources.Tables.documents(spark, d))
+          .hint("rebalance")
           .write.mode("overwrite").parquet(p)
       }
       p

@@ -539,10 +539,14 @@ object Graph {
     // candidate stream — the batch's one big intermediate — and a
     // sort-merge plan would sort it; hashing the node-bounded adjacency
     // side instead is the guide §3.1 build-side choice.
+    // deg is NODE-cardinality: no broadcast hint — AQE broadcasts it when
+    // it fits and falls back to a shuffled equi-join on a billions-of-node
+    // graph, where a forced broadcast is a driver/executor OOM (r13
+    // advice). The fresh side is batch-sized, so the shuffle is cheap.
     val deg = adj.groupBy(col("node")).agg(count(lit(1)).as("_d"))
     val bases = fresh.select(col("a").as("bu"), col("b").as("bv"))
-      .join(broadcast(deg.select(col("node").as("bu"), col("_d").as("_du"))), Seq("bu"))
-      .join(broadcast(deg.select(col("node").as("bv"), col("_d").as("_dv"))), Seq("bv"))
+      .join(deg.select(col("node").as("bu"), col("_d").as("_du")), Seq("bu"))
+      .join(deg.select(col("node").as("bv"), col("_d").as("_dv")), Seq("bv"))
       .select(col("bu"), col("bv"),
         when(col("_du") <= col("_dv"), col("bu")).otherwise(col("bv")).as("lo"),
         when(col("_du") <= col("_dv"), col("bv")).otherwise(col("bu")).as("hi"))
@@ -696,29 +700,40 @@ object Graph {
           col("_w0").cast("string")))).otherwise(col("_w0")))
       .groupBy(col("src"), col("dst")).agg(min(col("_wc")).as("w"))
       .repartition(col("src")))
+    // dist carries `_r`, the round at which each node's distance last
+    // IMPROVED: round r's frontier is simply `dist WHERE _r = r-1`, read
+    // straight off the just-materialized distance table. The r13 shape
+    // kept the improved frontier as a LAZY plan chaining through every
+    // prior round's candidate join (frontier_r referenced frontier_{r-1},
+    // never cut), so round r's single cut re-executed all r prior edge
+    // joins — O(rounds²) edge-join work on deep traversals. Here every
+    // round's plan reads ONLY materialized state: one cut per round,
+    // O(m) join work per round, frontier-sized by the same delta
+    // argument (a node whose distance is unchanged re-offers candidates
+    // already merged).
     var dist = cut(
       seeds.select(col(seeds.columns.head).as("node")).distinct()
-        .withColumn("dist", lit(0L)))
-    var frontier = dist
-    for (_ <- 1 to rounds) {
+        .withColumn("dist", lit(0L)).withColumn("_r", lit(0)))
+    for (r <- 1 to rounds) {
+      val frontier = dist.where(col("_r") === r - 1)
+        .select(col("node"), col("dist"))
       val cand = e
         .join(frontier.select(col("node").as("src"), col("dist")), Seq("src"))
         .select(col("dst").as("node"), (col("dist") + col("w")).as("dist"))
         .groupBy(col("node")).agg(min(col("dist")).as("dist"))
-      val improved = cand
-        .join(dist.select(col("node"), col("dist").as("_old")), Seq("node"), "left")
-        .where(col("_old").isNull || col("dist") < col("_old"))
-        .select(col("node"), col("dist"))
-      // ONE cut per round (the merged distance set); the improved
-      // frontier stays lazy — its one extra re-execution (inside next
-      // round's candidate join) reads the just-materialized dist and is
-      // frontier-sized, where the second eager cut was a per-round job
-      // barrier (the r13 pageRank measurement)
-      frontier = improved
-      dist = cut(dist.union(frontier)
-        .groupBy(col("node")).agg(min(col("dist")).as("dist")))
+      // full-outer min merge ≡ the union+groupBy-min merge, plus the
+      // improvement flag needed to read next round's frontier off dist
+      dist = cut(dist
+        .select(col("node"), col("dist").as("_od"), col("_r").as("_or"))
+        .join(cand.select(col("node"), col("dist").as("_nd")), Seq("node"), "full")
+        .select(col("node"),
+          least(coalesce(col("_od"), col("_nd")),
+            coalesce(col("_nd"), col("_od"))).as("dist"),
+          when(col("_od").isNull ||
+            (col("_nd").isNotNull && col("_nd") < col("_od")), lit(r))
+            .otherwise(col("_or")).as("_r")))
     }
-    dist
+    dist.select(col("node"), col("dist"))
   }
 
   def bfsDistances(edges: DataFrame, srcCol: String, dstCol: String,
@@ -734,19 +749,20 @@ object Graph {
     var settled = cut(
       seeds.select(col(seeds.columns.head).as("node")).distinct()
         .withColumn("dist", lit(0L)))
-    var frontier = settled
     var hop = 1L
     while (hop <= maxHops) {
+      // hop h's frontier IS the settled rows at dist = h-1, read off the
+      // just-materialized settled table — a lazy `next` frontier variable
+      // would chain through every prior hop's edge join (the ssspInt
+      // O(rounds²) note); this way each hop's plan reads only
+      // materialized state. ONE cut per hop, as before.
+      val frontier = settled.where(col("dist") === hop - 1L)
       val next = e
         .join(frontier.select(col("node").as("src")), Seq("src"))
         .select(col("dst").as("node")).distinct()
         .join(settled.select(col("node")), Seq("node"), "left_anti")
         .withColumn("dist", lit(hop))
-      // ONE cut per hop: the settled set (which materializes next's
-      // frontier inside it); the lazy frontier's one re-execution next
-      // hop reads materialized state (the ssspInt note)
-      frontier = next
-      settled = cut(settled.union(frontier))
+      settled = cut(settled.union(next))
       hop += 1L
     }
     settled

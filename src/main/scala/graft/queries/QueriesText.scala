@@ -530,6 +530,9 @@ private[graft] trait QueriesText { this: SparkEntry.type =>
         graft.operators.Enrich.scorerModel(s), 1)
       .unionByName(graft.operators.Enrich.scoreVersioned(
         docs.where(col("doc_id") % 3 === 0), s.table(modelV2Table), 2))
+      // REBALANCE: the two spread scorer stages would otherwise land up to
+      // 2×cores tiny files for every downstream consumer (guide §6)
+      .hint("rebalance")
       .write.mode("overwrite").parquet(enrichedPath)
     graft.operators.Enrich.refreshStale(
         s.read.parquet(enrichedPath), docs, s.table(modelV2Table),

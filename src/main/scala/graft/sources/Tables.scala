@@ -113,7 +113,16 @@ object Tables {
     // probe side under 64 KiB) — the gate only needs to exclude the
     // 25-row dims, and callers opt in per CPU-dense site anyway
     val bytes = df.queryExecution.optimizedPlan.stats.sizeInBytes
-    if (bytes > (16L << 10) && df.rdd.getNumPartitions < p) df.repartition(p)
+    if (bytes <= (16L << 10)) return df
+    // A plan already carrying an exchange is session-partitioned by its
+    // own shuffle — and probing it with `.rdd` under AQE EXECUTES the
+    // upstream stages eagerly, then the real action runs them again (the
+    // r13 double-execution hazard). Spread only scan-rooted narrow
+    // frames, where `.rdd` builds the RDD without launching a job.
+    val hasExchange = df.queryExecution.sparkPlan
+      .find(_.isInstanceOf[org.apache.spark.sql.execution.exchange.Exchange])
+      .isDefined
+    if (!hasExchange && df.rdd.getNumPartitions < p) df.repartition(p)
     else df
   }
 
@@ -123,8 +132,22 @@ object Tables {
     * (thousands, not millions) or the layout degenerates to tiny files. */
   def writePartitioned(df: DataFrame, path: String, keys: String*): Unit = {
     require(keys.nonEmpty, "writePartitioned needs at least one partition key")
-    df.write.mode("overwrite").partitionBy(keys: _*).parquet(path)
+    compactByKeys(df, keys).write.mode("overwrite").partitionBy(keys: _*).parquet(path)
   }
+
+  /** Cluster rows by the partition keys before a partitioned write (guide
+    * §6 "coalesce on write"): without it every upstream task writes its own
+    * file per key value it holds — a compute stage spread across C cores
+    * writing K key values lands C×K files (measured r13: q261's enrichment
+    * write went 2.99→10.54 s driver-side, and ran 5× FASTER at 8 cores
+    * because the file count scaled with the core count). The REBALANCE
+    * hint is the AQE form: one exchange clustered on the keys, small
+    * output partitions coalesced to the advisory size AND oversized key
+    * groups split — so a hot key never serializes into one giant task the
+    * way a plain repartition(keys) would. Without AQE the hint is dropped
+    * (logged) and the write behaves as before. */
+  private def compactByKeys(df: DataFrame, keys: Seq[String]): DataFrame =
+    df.hint("rebalance", keys.map(col): _*)
 
   /** Incremental append under an existing [[writePartitioned]] layout —
     * new rows land in (or create) their key directories, existing data
@@ -132,7 +155,7 @@ object Tables {
     * index, the IVF postings table). */
   def appendPartitioned(df: DataFrame, path: String, keys: String*): Unit = {
     require(keys.nonEmpty, "appendPartitioned needs at least one partition key")
-    df.write.mode("append").partitionBy(keys: _*).parquet(path)
+    compactByKeys(df, keys).write.mode("append").partitionBy(keys: _*).parquet(path)
   }
 
   /** Range-clustered SORTED export — total-order materialization without
@@ -224,7 +247,16 @@ object Tables {
   def writeBucketed(df: DataFrame, table: String, buckets: Int, keys: String*): Unit = {
     require(keys.nonEmpty, "writeBucketed needs at least one bucket key")
     dropOrphanedLocation(df.sparkSession, table)
-    df.write.mode("overwrite")
+    // Cluster on the bucket keys into exactly `buckets` partitions before
+    // the write: Spark's bucketed writer emits one file per (task, bucket
+    // id present in the task) — an unclustered input spread over C tasks
+    // writes up to C×buckets files (measured r13: q66 0.40× driver-side
+    // after the shingle spread fed this writer). repartition(buckets,
+    // keys) is the SAME HashPartitioning(murmur3 pmod buckets) the bucket
+    // id uses, so each task holds exactly one bucket → `buckets` files,
+    // which is also the layout the shuffle-free co-bucketed join reads.
+    df.repartition(buckets, keys.map(col): _*)
+      .write.mode("overwrite")
       .bucketBy(buckets, keys.head, keys.tail: _*)
       .sortBy(keys.head, keys.tail: _*)
       .format("parquet").saveAsTable(table)

@@ -1,6 +1,6 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, Encoder, SparkSession}
+import org.apache.spark.sql.{DataFrame, Dataset, Encoder, Row, SparkSession}
 // PINNED INTERNAL API — the one non-public Spark surface the engine
 // touches. Spark moved MemoryStream's package across majors
 // (org.apache.spark.sql.execution.streaming through the 3.x/4.0 line →
@@ -14,7 +14,7 @@ import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 /** Gate/spec-only streaming REPLAY seam: drive a bounded row set
   * through the ACTUAL Structured Streaming machinery (micro-batch
   * execution, state store, event-time watermark, append-mode emission)
-  * and hand back the memory sink's contents as a DataFrame.
+  * and hand back the emitted rows as a DataFrame.
   *
   * This exists so streaming twins get CORRECTNESS rows at the batch
   * gate (q267 foldWindow, q273 stateful cardinality) — the replay is
@@ -25,35 +25,64 @@ import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
   * so the replay cost is a constant at any scale. */
 object Replay {
 
-  private val seq = new java.util.concurrent.atomic.AtomicInteger(0)
+  /** One replay session per parent session, memoized: stateful operators
+    * allocate one state-store instance per shuffle partition PER
+    * MICRO-BATCH, and the parent's partition count is sized for the
+    * corpus — while the replay row set is O(1) by contract. 32-way state
+    * stores for a 1000-row replay measured as the bulk of the replay
+    * queries' seconds (r13); 4 is plenty for a bounded slice at ANY
+    * corpus scale. `newSession()` starts from the context defaults, NOT
+    * the caller's runtime conf (timezone/ANSI would silently revert), so
+    * the caller's conf is copied over explicitly — cloneSession semantics
+    * without the private API. Memoized so concurrent gate queries
+    * (Verify's thread pool) share one clone instead of spawning session
+    * machinery per replay. */
+  private val sessions =
+    new java.util.concurrent.ConcurrentHashMap[SparkSession, SparkSession]()
+
+  private def replaySession(parent: SparkSession): SparkSession =
+    sessions.computeIfAbsent(parent, p => {
+      val rs = p.newSession()
+      p.conf.getAll.foreach { case (k, v) =>
+        // static/immutable entries throw; the runtime ones are what matter
+        try rs.conf.set(k, v) catch { case _: Exception => () }
+      }
+      rs.conf.set("spark.sql.shuffle.partitions", "4")
+      rs
+    })
 
   /** Replay `rows` in one micro-batch through `pipeline`, then `flush`
     * (e.g. a far-future sentinel that advances the watermark / closes
-    * the last step) in a second batch; returns the append-mode memory
-    * sink table. The sink view stays registered — the returned frame
-    * reads it lazily (Verify writes it after this returns). */
+    * the last step) in a second batch; returns the append-mode emissions
+    * as a parent-session DataFrame.
+    *
+    * The sink is a `foreachBatch` collector, NOT the memory sink: the
+    * memory sink registers a temp view via `CreateViewCommand` from the
+    * stream machinery, and with a second live session that registration
+    * raced the suite session's catalog work (r13: flaky NPE
+    * "sparkSession is null" in CreateViewCommand under `sbt test`).
+    * Collecting the O(1) appended rows driver-side touches no catalog
+    * and leaves nothing registered behind. */
   def appendOnce[A: Encoder](spark: SparkSession, rows: Seq[A],
                              flush: Seq[A])
                             (pipeline: DataFrame => DataFrame): DataFrame = {
-    // Clone the session for the replay: stateful operators allocate one
-    // state-store instance per shuffle partition PER MICRO-BATCH, and the
-    // session's partition count is sized for the corpus — while the
-    // replay row set is O(1) by contract (fixed-count slices). 32-way
-    // state stores for a 1000-row replay measured as the bulk of the
-    // replay queries' seconds (r13); 4 is plenty for a bounded slice at
-    // ANY corpus scale, and the clone keeps the caller's session conf
-    // untouched (Verify runs gate queries concurrently in one session).
-    val rs = spark.newSession()
-    rs.conf.set("spark.sql.shuffle.partitions", "4")
+    val rs = replaySession(spark)
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = rs.sqlContext
     val input = MemoryStream[A]
-    // unique per call: gate queries replay concurrently under Verify's
-    // thread pool, and memory-sink names are session-global
-    val sink = "graft_replay_p" + ProcessHandle.current().pid() +
-      "_" + seq.incrementAndGet()
-    val q = pipeline(input.toDF())
-      .writeStream.outputMode("append").format("memory")
-      .queryName(sink).start()
+    val streamed = pipeline(input.toDF())
+    // schema from the UNSTARTED streaming frame: an empty replay must
+    // still yield a correctly-typed (empty) result
+    val schema = streamed.schema
+    val buf = new java.util.ArrayList[Row]()
+    val q = streamed.writeStream.outputMode("append")
+      .foreachBatch { (batch: Dataset[Row], _: Long) =>
+        // micro-batches arrive serially (processAllAvailable barriers),
+        // but the callback runs on the stream thread — synchronize the
+        // buffer handoff to the caller thread
+        val got = batch.collect()
+        buf.synchronized { got.foreach(buf.add) }
+        ()
+      }.start()
     try {
       input.addData(rows: _*)
       q.processAllAvailable()
@@ -62,9 +91,9 @@ object Replay {
         q.processAllAvailable()
       }
     } finally q.stop()
-    // the sink's temp view lives in the CLONED session's catalog; the
-    // returned frame reads it from there (same SparkContext, so callers
-    // compose it with parent-session frames freely)
-    rs.table(sink)
+    // parent-session frame: composes with the caller's tables/frames, and
+    // the replay clone stays an internal detail of this method
+    val out = buf.synchronized(new java.util.ArrayList[Row](buf))
+    spark.createDataFrame(out, schema)
   }
 }

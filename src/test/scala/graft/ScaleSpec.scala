@@ -140,14 +140,28 @@ class ScaleSpec extends SparkSuite {
   test("bloom decontamination: the corpus-side probe runs BELOW the first exchange") {
     // q60's scale property: the corpus never shuffles at full width — the
     // graft_bloom_contains filter must sit in the scan stage, before any
-    // Exchange on the corpus path (stop-df aggregation, verify join, ...)
-    val df = SparkEntry.queries("q60_bloom_decontaminate")(spark, sf0001)
-    df.collect() // finalize AQE stages so codegen markers appear in toString
-    val plan = df.queryExecution.executedPlan.toString
+    // Exchange on the corpus path. The operator eagerly checkpoints the
+    // filtered sliver (crossCorpusOverlapBloom), so the probe's plan never
+    // appears in the RESULT frame (r14 note: the old assertion on the q60
+    // result plan was accidentally matching a constraint-inference CLONE
+    // of the probe on the probe-doc side — a guaranteed-true filter that
+    // BloomMightContain.deterministic=false now suppresses). Assert the
+    // property on the sliver shape itself, built from the same pieces.
+    val docs = spark.read.parquet(s"$sf0001/documents.parquet")
+    def shingled(df: org.apache.spark.sql.DataFrame) = df
+      .select(explode(array_distinct(
+        graft.functions.Text.fastWordShingles(col("text"), 3))).as("s"))
+      .select(graft.operators.Dedup.shingleKey(col("s")).as("sh"))
+    val probeKeys = shingled(docs.where(col("doc_id") % 10 === 0)).distinct()
+    val bloom = graft.operators.Bloom.build(
+      probeKeys, "sh", math.max(1L, probeKeys.count()), 0.01)
+    val sliver = shingled(docs.where(col("doc_id") % 10 =!= 0))
+      .where(bloom.mightContain(col("sh")))
+    sliver.collect() // finalize AQE stages so codegen markers appear
+    val plan = sliver.queryExecution.executedPlan.toString
     assert(plan.contains("graft_bloom_contains"), s"bloom probe missing:\n$plan")
-    // every occurrence of the probe must appear with a FileScan below it
-    // and no Exchange between: in toString form, the probe's Filter block
-    // is directly followed (deeper indentation) by the parquet scan
+    // the probe's Filter block must have the parquet scan below it with no
+    // Exchange between — i.e. it runs in the scan stage
     val lines = plan.linesIterator.toVector
     val probeIdx = lines.indexWhere(_.contains("graft_bloom_contains"))
     assert(probeIdx >= 0)
@@ -156,12 +170,17 @@ class ScaleSpec extends SparkSuite {
     val scanBelow = below.indexWhere(l => l.contains("FileScan") || l.contains("Scan parquet"))
     assert(exchangeBelow == -1 || scanBelow < exchangeBelow,
       s"bloom probe not in the scan stage:\n$plan")
-    // and inside whole-stage codegen: at least one probe Filter must carry
-    // a `*(n)` marker — BloomMightContain implements doGenCode, so the
-    // scan stage's codegen span must not break around it (lines without a
-    // marker are the AQE "Initial Plan" echo, which never shows markers)
+    // and inside whole-stage codegen: the probe Filter must carry a `*(n)`
+    // marker — BloomMightContain implements doGenCode, and declaring it
+    // non-deterministic must not break the scan stage's codegen span
     assert(lines.exists(l => l.contains("graft_bloom_contains") && l.contains("*(")),
       s"bloom probe filter fell out of WholeStageCodegen:\n$plan")
+    // and the q60 result itself must read the sliver from its checkpoint
+    // (materialized once), never re-deriving the corpus scan per branch
+    val q60 = SparkEntry.queries("q60_bloom_decontaminate")(spark, sf0001)
+    q60.collect()
+    assert(q60.queryExecution.executedPlan.toString.contains("Scan ExistingRDD"),
+      "q60 no longer reads the checkpointed sliver")
   }
 
   test("incremental-dedup loop reads the persisted corpus index: no re-shingle") {
