@@ -539,14 +539,21 @@ object Graph {
     // candidate stream — the batch's one big intermediate — and a
     // sort-merge plan would sort it; hashing the node-bounded adjacency
     // side instead is the guide §3.1 build-side choice.
-    // deg is NODE-cardinality: no broadcast hint — AQE broadcasts it when
-    // it fits and falls back to a shuffled equi-join on a billions-of-node
-    // graph, where a forced broadcast is a driver/executor OOM (r13
-    // advice). The fresh side is batch-sized, so the shuffle is cheap.
-    val deg = adj.groupBy(col("node")).agg(count(lit(1)).as("_d"))
+    // deg is NODE-cardinality, consumed by BOTH endpoint attaches — cut it
+    // once. The broadcast is GATED on its exact materialized count (the
+    // Similarity.broadcastRowBudget doctrine): an unconditional hint was a
+    // driver/executor OOM on a billions-of-node graph (r13 advice), while
+    // no hint at all left the static planner on SortMergeJoin — sorting
+    // the batch side twice, measured 4.8->14.1 s at sf0.1 (r14). With the
+    // gate, a graph whose degree table fits broadcasts (bench scale, and
+    // any graph small enough that this operator isn't shuffle-bound
+    // anyway); past the budget it falls back to the shuffled equi-join.
+    val deg = cut(adj.groupBy(col("node")).agg(count(lit(1)).as("_d")))
+    val degFits = checkpoint && deg.count() <= (1L << 20)
+    def maybeB(df: DataFrame): DataFrame = if (degFits) broadcast(df) else df
     val bases = fresh.select(col("a").as("bu"), col("b").as("bv"))
-      .join(deg.select(col("node").as("bu"), col("_d").as("_du")), Seq("bu"))
-      .join(deg.select(col("node").as("bv"), col("_d").as("_dv")), Seq("bv"))
+      .join(maybeB(deg.select(col("node").as("bu"), col("_d").as("_du"))), Seq("bu"))
+      .join(maybeB(deg.select(col("node").as("bv"), col("_d").as("_dv"))), Seq("bv"))
       .select(col("bu"), col("bv"),
         when(col("_du") <= col("_dv"), col("bu")).otherwise(col("bv")).as("lo"),
         when(col("_du") <= col("_dv"), col("bv")).otherwise(col("bu")).as("hi"))
